@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-provided parquet star schema (TESTDATA.md).
+  *
+  * Mirrors the reference's table-scan entry point (S1):
+  * ref packages/ts-moose-lib/src/sqlHelpers.ts:212-218 interpolates an
+  * `OlapTable` into `FROM \`db\`.\`table\``; here a table name resolves to a
+  * parquet scan, which Catalyst prunes/pushes down into.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Columns stored as parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read natively: read as long nanos and floor-truncate to µs — the same
+    * truncation DuckDB applies reading TIMESTAMP_NS into its µs timestamps,
+    * so oracle parity holds. */
+  private val nanosTimestampCols: Map[String, Seq[String]] =
+    Map("events" -> Seq("ts"))
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    nanosTimestampCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      if (d.schema(c).dataType == LongType)
+        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      else d
+    }
+  }
+
+  /** Register every table as a temp view so `spark.sql` works against the
+    * same catalog names the DuckDB oracle uses. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** ClickHouse-dialect function surface (SURVEY.md §2.8) re-expressed on
+  * Spark, twice:
+  *
+  *  1. `Ch` — Column-level helpers (codegen'd `functions._` compositions)
+  *     for library code.
+  *  2. `register(spark)` — SQL-name registration into the session
+  *     `FunctionRegistry` as native Catalyst `Expression` builders (NOT
+  *     UDFs), so `spark.sql("SELECT toStartOfDay(ts) ...")` stays inside
+  *     whole-stage codegen and predicate pushdown.
+  *
+  * Census of call sites: ref templates/ + examples/ SQL usage
+  * (ref packages/ts-moose-lib/src/sqlHelpers.ts passthrough). Documented
+  * divergences: cityHash64 → xxhash64 (different hash, same role);
+  * toStartOfWeek → ISO Monday start (CH default mode 0 is Sunday).
+  */
+object ClickHouseFunctions {
+
+  /** Column-level API. */
+  object Ch {
+    def toDate(c: Column): Column = c.cast(DateType)
+    def toDayOfMonth(c: Column): Column = dayofmonth(c)
+    def toStartOfDay(c: Column): Column = date_trunc("day", c)
+    def toStartOfHour(c: Column): Column = date_trunc("hour", c)
+    def toStartOfMinute(c: Column): Column = date_trunc("minute", c)
+    def toStartOfWeek(c: Column): Column = date_trunc("week", c)
+    def toStartOfMonth(c: Column): Column = date_trunc("month", c)
+    def toStartOfFifteenMinutes(c: Column): Column =
+      timestamp_seconds(floor(c.cast(LongType) / 900).cast(LongType) * 900)
+    def toStartOfInterval(c: Column, seconds: Long): Column =
+      timestamp_seconds(
+        floor(c.cast(LongType) / seconds).cast(LongType) * seconds)
+    def now(): Column = current_timestamp()
+    def toStringCh(c: Column): Column = c.cast(StringType)
+    def toInt32(c: Column): Column = c.cast(IntegerType)
+    def toInt64(c: Column): Column = c.cast(LongType)
+    def toFloat64(c: Column): Column = c.cast(DoubleType)
+    def cityHash64(cols: Column*): Column = xxhash64(cols: _*)
+    def intDiv(a: Column, b: Column): Column = (a / b).cast(LongType)
+    def has(arr: Column, x: Column): Column = array_contains(arr, x)
+    def arrayMap(arr: Column, f: Column => Column): Column = transform(arr, f)
+    def arrayFilter(arr: Column, f: Column => Column): Column = filter(arr, f)
+    def arrayJoin(arr: Column): Column = explode(arr)
+    def jsonExtractString(j: Column, key: String): Column =
+      get_json_object(j, "$." + key)
+    def jsonExtractInt(j: Column, key: String): Column =
+      get_json_object(j, "$." + key).cast(LongType)
+    def multiIf(branches: (Column, Column)*)(otherwise: Column): Column =
+      branches.foldRight(otherwise) { case ((c, v), acc) => when(c, v).otherwise(acc) }
+    def parseDateTimeBestEffort(s: Column): Column = s.cast(TimestampType)
+    def formatDateTime(ts: Column, chFormat: String): Column =
+      date_format(ts, chToJavaFormat(chFormat))
+  }
+
+  /** Translate the common subset of CH formatDateTime codes to a Java
+    * datetime pattern. */
+  def chToJavaFormat(ch: String): String = {
+    val map = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'M' -> "mm", 'S' -> "ss", 'e' -> "d", 'j' -> "DDD",
+      'F' -> "yyyy-MM-dd", 'T' -> "HH:mm:ss", '%' -> "%")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < ch.length) {
+      val c = ch.charAt(i)
+      if (c == '%' && i + 1 < ch.length) {
+        sb.append(map.getOrElse(ch.charAt(i + 1), "" + ch.charAt(i + 1)))
+        i += 2
+      } else if (c.isLetter) { sb.append('\'').append(c).append('\''); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def trunc(level: String, e: Expression): Expression =
+    TruncTimestamp(Literal(level), e)
+
+  /** SQL-name registration: each entry is a Catalyst expression builder so
+    * queries written in the CH dialect plan natively. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+
+    f("toDate")(a => Cast(a.head, DateType))
+    f("toDayOfMonth")(a => DayOfMonth(Cast(a.head, DateType)))
+    f("toStartOfDay")(a => trunc("day", a.head))
+    f("toStartOfHour")(a => trunc("hour", a.head))
+    f("toStartOfMinute")(a => trunc("minute", a.head))
+    f("toStartOfWeek")(a => trunc("week", a.head))
+    f("toStartOfMonth")(a => trunc("month", a.head))
+    f("toStartOfFifteenMinutes") { a =>
+      val secs = Cast(a.head, LongType)
+      SecondsToTimestamp(
+        Multiply(IntegralDivide(secs, Literal(900L)), Literal(900L)))
+    }
+    f("toString")(a => Cast(a.head, StringType))
+    f("toInt32")(a => Cast(a.head, IntegerType))
+    f("toInt64")(a => Cast(a.head, LongType))
+    f("toFloat64")(a => Cast(a.head, DoubleType))
+    f("cityHash64")(a => XxHash64(a, 42L))
+    f("intDiv")(a => IntegralDivide(a.head, a(1)))
+    f("has")(a => ArrayContains(a.head, a(1)))
+    // CH arg order arrayMap(lambda, arr) → Spark transform(arr, lambda)
+    f("arrayMap")(a => ArrayTransform(a(1), a.head))
+    f("arrayFilter")(a => ArrayFilter(a(1), a.head))
+    f("arrayJoin")(a => Explode(a.head))
+    f("JSONExtractString")(a =>
+      GetJsonObject(a.head, Concat(Seq(Literal("$."), a(1)))))
+    f("JSONExtractInt")(a =>
+      Cast(GetJsonObject(a.head, Concat(Seq(Literal("$."), a(1)))), LongType))
+    f("multiIf") { a =>
+      val (branchArgs, elseArg) = (a.init, a.last)
+      val branches = branchArgs.grouped(2).map { p => (p(0), p(1)) }.toSeq
+      CaseWhen(branches, Some(elseArg))
+    }
+    f("parseDateTimeBestEffort")(a => Cast(a.head, TimestampType))
+    f("toUnixTimestamp")(a => Cast(a.head, LongType))
+    f("fromUnixTimestamp")(a => SecondsToTimestamp(a.head))
+  }
+
+  def isRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("toStartOfDay"))
+}

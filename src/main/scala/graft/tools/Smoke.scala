@@ -1,0 +1,42 @@
+package graft.tools
+
+import graft.{SparkEntry, Tables}
+import graft.functions.ClickHouseFunctions
+import org.apache.spark.sql.SparkSession
+
+/** Manual smoke surface: drives the driver contract end-to-end the way the
+  * driver does (entry rows>0) plus the ClickHouse-dialect SQL registration.
+  * Run: sbt "runMain graft.tools.Smoke [sfDir]"
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val n = SparkEntry.entry(spark).count()
+    println(s"[smoke] entry rows=$n (driver gate: rows>0 => ${n > 0})")
+
+    ClickHouseFunctions.register(spark)
+    Tables.registerAll(spark, sfDir)
+    println("[smoke] CH-dialect SQL over events:")
+    spark.sql(
+      """SELECT toStartOfDay(ts) AS day, toDayOfMonth(ts) AS dom,
+        |       toStartOfFifteenMinutes(ts) AS q15,
+        |       multiIf(value > 50, 'hi', value > 10, 'mid', 'lo') AS bucket,
+        |       JSONExtractInt(props, 'k') AS k,
+        |       cityHash64(event_type) AS h,
+        |       intDiv(user_id, 10) AS ub
+        |FROM events ORDER BY event_id LIMIT 5""".stripMargin).show(false)
+
+    val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    println(s"[smoke] queries=${SparkEntry.queries.size} " +
+      s"oracles=${SparkEntry.oracleSql.size} rows-only=${missing.mkString(",")}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Self-check harness mimicking the driver's correctness gate:
+runs DuckDB oracle SQL against the same parquet tables and compares
+(sorted rows, columns sorted by name) to the Verify.scala parquet dumps.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes for comparison
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
+                else (tuple(v) if isinstance(v, list) else v))
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_path = f"{out_dir}/{name}"
+        if not os.path.isdir(spark_path):
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = norm(pd.read_parquet(spark_path))
+            want = norm(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+        eq = True
+        for c in got.columns:
+            a, b = got[c], want[c]
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                af = a.astype(float).to_numpy()
+                bf = b.astype(float).to_numpy()
+                same = (np.isclose(af, bf, rtol=0, atol=0, equal_nan=True))
+                if not same.all():
+                    close = np.isclose(af, bf, rtol=1e-9, atol=1e-12, equal_nan=True).all()
+                    print(f"FAIL {name}: col {c} differs "
+                          f"({'only ULP-level' if close else 'materially'}) "
+                          f"e.g. {af[~same][:3]} vs {bf[~same][:3]}")
+                    eq = False; break
+            else:
+                if not a.equals(b):
+                    d = a != b
+                    print(f"FAIL {name}: col {c} differs e.g. "
+                          f"{a[d].head(3).tolist()} vs {b[d].head(3).tolist()}")
+                    eq = False; break
+        if eq:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
