@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed as-of join: for each left row, attach the most recent right row
+  * (same key) whose time is <= the left row's time.
+  *
+  * The reference reaches ASOF JOIN through raw ClickHouse SQL passthrough
+  * (SURVEY.md §2.3 J5; ref packages/ts-moose-lib/src/sqlHelpers.ts:106-127).
+  * Spark has no native ASOF — this implements it with the union+window
+  * technique:
+  *
+  *   1. tag right rows side=0, left rows side=1, union;
+  *   2. single shuffle: window PARTITION BY key ORDER BY (t, side);
+  *   3. `last(right_col, ignoreNulls).over(unboundedPreceding..current)`
+  *      carries the latest right values forward;
+  *   4. keep left rows.
+  *
+  * Scale notes: exactly ONE shuffle of |L|+|R| rows on the join key — the
+  * same cost profile as a sort-merge join, no point-lookup loops, no
+  * broadcast of either side; skew maps to key skew like any keyed window.
+  * Right rows at t equal to a left row's t sort first (side 0 < 1), so the
+  * inclusive (<=) match semantics hold.
+  */
+object AsOfJoin {
+
+  /** @param rightCols right columns to attach, as (rightName -> outputName);
+    *                  output names must not collide with left columns.
+    */
+  def leftAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[(String, String)]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!rightCols.exists { case (_, o) => leftCols.contains(o) },
+      "output names collide with left columns")
+    val pfx = "__l_"
+
+    val l = left.select(
+      col(key).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
+        (leftCols.map(n => col(n).as(pfx + n)) ++
+          rightCols.map { case (rn, on) =>
+            lit(null).cast(right.schema(rn).dataType).as(on)
+          }): _*)
+    val r = right.select(
+      col(key).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
+        (leftCols.map(n => lit(null).cast(left.schema(n).dataType).as(pfx + n)) ++
+          rightCols.map { case (rn, on) => col(rn).as(on) }): _*)
+
+    val w = Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .select(
+        col("__side") +:
+          (leftCols.map(n => col(pfx + n)) ++
+            rightCols.map { case (_, on) =>
+              last(col(on), ignoreNulls = true).over(w).as(on)
+            }): _*)
+      .where(col("__side") === 1)
+      .select(leftCols.map(n => col(pfx + n).as(n)) ++
+        rightCols.map { case (_, on) => col(on) }: _*)
+  }
+}

@@ -1,8 +1,11 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.querymodel.SqlOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Relational operator coverage (SURVEY.md §2.2–§2.7) as concrete queries
   * over the driver testdata, each paired with ANSI SQL for the DuckDB
@@ -12,40 +15,631 @@ import org.apache.spark.sql.functions._
   * Determinism rules used throughout:
   *  - every query ORDER BYs a unique full key (ties broken by ids);
   *  - double aggregates are rounded (sum→2dp, avg/ratio→4dp) so
-  *    partial-agg accumulation order can't flip the hash.
+  *    partial-agg accumulation order can't flip the hash; raw (unaggregated)
+  *    doubles are left exact — both engines read identical parquet values;
+  *  - integer-typed outputs are cast to long where DuckDB yields BIGINT.
   */
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // ---------------------------------------------------------------- §2.4 A1-A3 A10
   /** TPC-H Q1-style scan-heavy aggregation (A1, A3, A10, O1). */
-  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
-    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        // extendedprice(2dp) × (1-discount)(2dp) has exactly 4 decimals, so
+        // rounding the sum at 4dp never sits on a half-way boundary (where
+        // Spark's HALF_UP on the shortest-repr string and DuckDB's C round
+        // can disagree); 2dp would hit a .xx50 midpoint ~1% of groups.
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ---------------------------------------------------------------- §2.2 P2-P8
+  /** Combined predicate surface through the SqlOps builder (P2,P3,P5,P6,P8). */
+  def qFilterPredicates(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.where(SqlOps.andAll(
+        SqlOps.eq(col("l_returnflag"), "R"),
+        SqlOps.gt(col("l_quantity"), 10),
+        SqlOps.lte(col("l_quantity"), 45),
+        SqlOps.between(col("l_shipdate"),
+          java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("1999-12-31 00:00:00")),
+        SqlOps.inList(col("l_linenumber"), Seq(1, 2, 3)),
+        SqlOps.not(SqlOps.eq(col("l_linestatus"), "X"))))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
-  val q1AggSql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_discount), 4) AS avg_disc,
-      |  count(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  /** LIKE / ILIKE (P4). */
+  def qLikeIlike(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .where(SqlOps.or(
+        SqlOps.like(col("p_type"), "ECON%"),
+        SqlOps.ilike(col("p_name"), "%GEAR%")))
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+      .orderBy(col("p_partkey"))
 
-  def queries: Map[String, Q] = Map("q1_agg" -> (q1Agg _))
-  def oracles: Map[String, String] = Map("q1_agg" -> q1AggSql)
+  /** Empty IN-list → constant false / true (P5, sql-utils.ts:161-170). */
+  def qEmptyIn(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").agg(
+      count(when(SqlOps.inList(col("o_orderkey"), Nil), 1)).as("n_in_empty"),
+      count(when(SqlOps.notIn(col("o_orderkey"), Nil), 1)).as("n_not_in_empty"))
+
+  /** IS NULL / IS NOT NULL over join-produced nulls (P7). */
+  def qNullChecks(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left").agg(
+      count(when(SqlOps.isNull(col("o_orderkey")), 1)).as("n_null"),
+      count(when(SqlOps.isNotNull(col("o_orderkey")), 1)).as("n_not_null"))
+  }
+
+  // ---------------------------------------------------------------- §2.3 joins
+  /** Lookup LEFT equi-join (J1) — dim side broadcast by AQE. */
+  def qJoinLeft(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Multi-join chain fact⋈fact⋈dim⋈dim (J3, J4) with group-agg. */
+  def qJoinMulti(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(100)
+  }
+
+  /** RIGHT join (J5 surface). */
+  def qJoinRight(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** FULL OUTER join with nulls on both sides (J5 surface). */
+  def qJoinFull(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val clicks = e.where(col("event_type") === "click" && col("user_id") < 75)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+    val purch = e.where(col("event_type") === "purchase" && col("user_id") >= 50)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchases"))
+    clicks.join(purch, Seq("user_id"), "full")
+      .select(
+        col("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy(col("user_id"))
+  }
+
+  /** LEFT SEMI = EXISTS (J5). */
+  def qJoinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem").where(col("l_quantity") >= 49)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** LEFT ANTI = NOT EXISTS (J5). */
+  def qJoinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem").where(col("l_quantity") >= 49)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** CROSS join (J5). */
+  def qJoinCross(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "region").crossJoin(t(spark, dir, "nation"))
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** ASOF join (J5) — purchases pick up each user's latest prior click. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.where(col("event_type") === "click")
+    AsOfJoin.leftAsOf(purchases, clicks,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        rightCols = Seq("ts" -> "last_click_ts", "value" -> "last_click_value"))
+      .select(col("event_id"), col("user_id"), col("last_click_ts"),
+        col("last_click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Scalar subquery as predicate operand (J6) — broadcast, no collect. */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val maxTs = e.agg(max(col("ts")).as("max_ts"))
+    e.crossJoin(broadcast(maxTs))
+      .where(col("ts") >= col("max_ts") - expr("INTERVAL 7 DAYS"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---------------------------------------------------------------- §2.4 aggs
+  /** countIf + conditional ratios (A4). */
+  def qCountif(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        round(count(when(col("event_type") === "error", 1)) / count(lit(1)), 4)
+          .as("err_ratio"))
+      .orderBy(col("day"))
+
+  /** argMax / argMin (A5). */
+  def qArgmax(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(col("event_type"), col("ts")).as("last_type"),
+        min_by(col("event_type"), col("ts")).as("first_type"),
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+
+  /** any/anyLast with deterministic first/last-by-id semantics (A6). */
+  def qAnyFirst(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        min_by(col("user_id"), col("event_id")).as("any_user"),
+        max_by(col("user_id"), col("event_id")).as("last_user"))
+      .orderBy(col("event_type"))
+
+  /** uniqExact (A7). */
+  def qUniqExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("uniq_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("day"))
+
+  /** uniq ≈ approx_count_distinct (A7) — rows-only (approx, no oracle). */
+  def qUniqApprox(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy(col("day"))
+
+  /** groupArray (A8) — sorted, joined to a hash-stable string. */
+  def qGroupArray(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .where(col("user_id") < 20)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(sort_array(collect_list(col("event_type"))), ",")
+          .as("types_csv"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+
+  /** quantile family (A9) — exact interpolated percentile. */
+  def qQuantile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** HAVING on aggregate alias (A11). */
+  def qHaving(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"))
+      .where(col("total") > 1500000)
+      .orderBy(col("o_custkey"))
+
+  /** Expression dimension in GROUP BY (A10). */
+  def qGroupbyExpr(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("month"), col("o_orderstatus"))
+
+  // ---------------------------------------------------------------- §2.5 windows
+  /** row_number ranking (W1). */
+  def qWindowRownumber(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("value").desc, col("event_id"))
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= 100)
+      .orderBy(col("rank"))
+  }
+
+  /** lag with default (W2). */
+  def qWindowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("delta", col("value") - lag(col("value"), 1, 0.0).over(w))
+      .select(col("event_id"), col("user_id"), col("delta"))
+      .orderBy(col("event_id"))
+  }
+
+  /** running aggregate over explicit ROWS frame (W3). */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("running", round(sum(col("value")).over(w), 4))
+      .select(col("event_id"), col("user_id"), col("running"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- §2.6 sort/limit
+  /** ORDER BY + LIMIT + OFFSET (O1, O4). */
+  def qLimitOffset(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(50)
+      .limit(100)
+
+  /** Top-k (O5). */
+  def qTopk(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 2).as("total"), count(lit(1)).as("n"))
+      .orderBy(col("total").desc, col("user_id"))
+      .limit(10)
+
+  // ---------------------------------------------------------------- §2.7 set ops
+  /** UNION ALL (Merge-engine semantics, S15/§2.7). */
+  def qUnionAll(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), lit("c").as("tag"))
+    val purch = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), lit("p").as("tag"))
+    clicks.unionByName(purch).orderBy(col("event_id"))
+  }
+
+  /** INTERSECT (distinct semantics). */
+  def qIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val a = e.where(col("event_type") === "click" && col("value") > 95)
+      .select(col("user_id")).distinct()
+    val b = e.where(col("event_type") === "purchase" && col("value") > 95)
+      .select(col("user_id")).distinct()
+    a.intersect(b).orderBy(col("user_id"))
+  }
+
+  /** EXCEPT (distinct semantics). */
+  def qExcept(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val a = e.where(col("event_type") === "click" && col("value") > 95)
+      .select(col("user_id")).distinct()
+    val b = e.where(col("event_type") === "purchase" && col("value") > 95)
+      .select(col("user_id")).distinct()
+    a.except(b).orderBy(col("user_id"))
+  }
+
+  /** SELECT DISTINCT. */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  // ---------------------------------------------------------------- §2.8 scalars
+  /** ClickHouse-dialect scalar function surface in one projection. */
+  def qChFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ClickHouseFunctions.Ch
+    t(spark, dir, "events")
+      .orderBy(col("event_id"))
+      .limit(200)
+      .select(
+        col("event_id"),
+        Ch.toStartOfDay(col("ts")).cast("date").as("day"),
+        Ch.toDayOfMonth(col("ts")).cast(LongType).as("dom"),
+        Ch.toStartOfFifteenMinutes(col("ts")).as("q15"),
+        upper(col("event_type")).as("etype_u"),
+        substring(col("event_type"), 1, 3).as("sub3"),
+        length(col("event_type")).cast(LongType).as("len"),
+        round(col("value"), 1).as("val_r"),
+        floor(col("value")).as("val_f"),
+        ceil(col("value")).as("val_c"),
+        abs(col("value") - 250).as("val_abs"),
+        Ch.intDiv(col("user_id"), lit(10)).as("ub"),
+        Ch.multiIf(
+          (col("value") > 300) -> lit("hi"),
+          (col("value") > 100) -> lit("mid"))(lit("lo")).as("bucket"),
+        concat(col("event_type"), lit("_"), col("user_id").cast("string"))
+          .as("tagged"))
+  }
+
+  /** JSON column extraction + aggregation (§1.2 JSON type). */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ClickHouseFunctions.Ch
+    t(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"),
+        Ch.jsonExtractInt(col("props"), "k").as("k"))
+      .groupBy(col("day"))
+      .agg(
+        sum(col("k")).as("total_k"),
+        count(when(col("k").isNull, 1)).as("n_null_k"))
+      .orderBy(col("day"))
+  }
+
+  // ================================================================ registry
+  def queries: Map[String, Q] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q_filter_predicates" -> (qFilterPredicates _),
+    "q_like_ilike" -> (qLikeIlike _),
+    "q_empty_in" -> (qEmptyIn _),
+    "q_null_checks" -> (qNullChecks _),
+    "q_join_left" -> (qJoinLeft _),
+    "q_join_multi" -> (qJoinMulti _),
+    "q_join_right" -> (qJoinRight _),
+    "q_join_full" -> (qJoinFull _),
+    "q_join_semi" -> (qJoinSemi _),
+    "q_join_anti" -> (qJoinAnti _),
+    "q_join_cross" -> (qJoinCross _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_countif" -> (qCountif _),
+    "q_argmax" -> (qArgmax _),
+    "q_any_first" -> (qAnyFirst _),
+    "q_uniq_exact" -> (qUniqExact _),
+    "q_uniq_approx" -> (qUniqApprox _),
+    "q_group_array" -> (qGroupArray _),
+    "q_quantile" -> (qQuantile _),
+    "q_having" -> (qHaving _),
+    "q_groupby_expr" -> (qGroupbyExpr _),
+    "q_window_rownumber" -> (qWindowRownumber _),
+    "q_window_lag" -> (qWindowLag _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_limit_offset" -> (qLimitOffset _),
+    "q_topk" -> (qTopk _),
+    "q_union_all" -> (qUnionAll _),
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _),
+    "q_distinct" -> (qDistinct _),
+    "q_ch_functions" -> (qChFunctions _),
+    "q_json_extract" -> (qJsonExtract _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter_predicates" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity > 10 AND l_quantity <= 45
+        |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                     AND TIMESTAMP '1999-12-31 00:00:00'
+        |  AND l_linenumber IN (1, 2, 3)
+        |  AND NOT (l_linestatus = 'X')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_like_ilike" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_type LIKE 'ECON%' OR p_name ILIKE '%GEAR%'
+        |ORDER BY p_partkey""".stripMargin,
+    "q_empty_in" ->
+      """SELECT count(CASE WHEN 1 = 0 THEN 1 END) AS n_in_empty,
+        |       count(CASE WHEN 1 = 1 THEN 1 END) AS n_not_in_empty
+        |FROM orders""".stripMargin,
+    "q_null_checks" ->
+      """SELECT count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_null,
+        |       count(CASE WHEN o_orderkey IS NOT NULL THEN 1 END) AS n_not_null
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, n_name
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_multi" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 100""".stripMargin,
+    "q_join_right" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_full" ->
+      """SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |       coalesce(n_clicks, 0) AS n_clicks,
+        |       coalesce(n_purchases, 0) AS n_purchases
+        |FROM (SELECT user_id, count(*) AS n_clicks FROM events
+        |      WHERE event_type = 'click' AND user_id < 75 GROUP BY user_id) a
+        |FULL JOIN (SELECT user_id, count(*) AS n_purchases FROM events
+        |      WHERE event_type = 'purchase' AND user_id >= 50 GROUP BY user_id) b
+        |  ON a.user_id = b.user_id
+        |ORDER BY coalesce(a.user_id, b.user_id)""".stripMargin,
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |       c.ts AS last_click_ts, c.value AS last_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_countif" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_total,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  round(count(CASE WHEN event_type = 'error' THEN 1 END) / count(*), 4)
+        |    AS err_ratio
+        |FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin,
+    "q_argmax" ->
+      """SELECT user_id, max_by(event_type, ts) AS last_type,
+        |  min_by(event_type, ts) AS first_type, max(ts) AS last_ts,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_any_first" ->
+      """SELECT event_type, min_by(user_id, event_id) AS any_user,
+        |  max_by(user_id, event_id) AS last_user
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_uniq_exact" ->
+      """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS uniq_users,
+        |  count(*) AS n
+        |FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin,
+    "q_group_array" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(event_type)), ',') AS types_csv,
+        |  count(*) AS n
+        |FROM events WHERE user_id < 20
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_custkey
+        |HAVING round(sum(o_totalprice), 2) > 1500000
+        |ORDER BY o_custkey""".stripMargin,
+    "q_groupby_expr" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY month, o_orderstatus""".stripMargin,
+    "q_window_rownumber" ->
+      """SELECT event_id, user_id, value, rank FROM (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (ORDER BY value DESC, event_id) AS rank
+        |  FROM events) WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+        |  value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts)
+        |    AS delta
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100 OFFSET 50""".stripMargin,
+    "q_topk" ->
+      """SELECT user_id, round(sum(value), 2) AS total, count(*) AS n
+        |FROM events GROUP BY user_id
+        |ORDER BY total DESC, user_id LIMIT 10""".stripMargin,
+    "q_union_all" ->
+      """SELECT event_id, user_id, 'c' AS tag FROM events
+        |  WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, user_id, 'p' AS tag FROM events
+        |  WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "q_intersect" ->
+      """SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'click' AND value > 95
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase' AND value > 95
+        |ORDER BY user_id""".stripMargin,
+    "q_except" ->
+      """SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'click' AND value > 95
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase' AND value > 95
+        |ORDER BY user_id""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_ch_functions" ->
+      """SELECT event_id,
+        |  CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  CAST(extract(day FROM ts) AS BIGINT) AS dom,
+        |  make_timestamp(((epoch_us(ts) // 1000000) // 900) * 900 * 1000000)
+        |    AS q15,
+        |  upper(event_type) AS etype_u,
+        |  substring(event_type, 1, 3) AS sub3,
+        |  CAST(length(event_type) AS BIGINT) AS len,
+        |  round(value, 1) AS val_r,
+        |  CAST(floor(value) AS BIGINT) AS val_f,
+        |  CAST(ceil(value) AS BIGINT) AS val_c,
+        |  abs(value - 250) AS val_abs,
+        |  user_id // 10 AS ub,
+        |  CASE WHEN value > 300 THEN 'hi' WHEN value > 100 THEN 'mid'
+        |       ELSE 'lo' END AS bucket,
+        |  event_type || '_' || CAST(user_id AS VARCHAR) AS tagged
+        |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+    "q_json_extract" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS total_k,
+        |  count(CASE WHEN json_extract_string(props, '$.k') IS NULL
+        |    THEN 1 END) AS n_null_k
+        |FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin
+  )
 }

@@ -1,0 +1,59 @@
+package graft.querymodel
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Port of the reference's query-layer predicate builders
+  * (ref packages/ts-moose-lib/src/query-layer/sql-utils.ts:121-230, python
+  * mirror packages/py-moose-lib/moose_lib/query_builder.py:71-108) onto
+  * Spark `Column`s.
+  *
+  * Semantics preserved exactly:
+  *  - `inList`/`notIn` on an EMPTY list → constant false/true
+  *    (sql-utils.ts:161-170 emits `1 = 0` / `1 = 1`);
+  *  - every `*Opt` variant silently drops the predicate when the value is
+  *    absent (sql-utils.ts:83-84 filter-skip on null/undefined);
+  *  - `and` drops empty/absent branches; `or` parenthesizes (automatic in
+  *    the Column tree).
+  *
+  * Building predicates as `Column`s (not SQL text) makes parameter binding
+  * injection-safe by construction and keeps everything inside Catalyst's
+  * pushdown/codegen.
+  */
+object SqlOps {
+  def eq(c: Column, v: Any): Column = c === lit(v)
+  def neq(c: Column, v: Any): Column = c =!= lit(v)
+  def gt(c: Column, v: Any): Column = c > lit(v)
+  def gte(c: Column, v: Any): Column = c >= lit(v)
+  def lt(c: Column, v: Any): Column = c < lit(v)
+  def lte(c: Column, v: Any): Column = c <= lit(v)
+  def like(c: Column, pattern: String): Column = c.like(pattern)
+  def ilike(c: Column, pattern: String): Column = c.ilike(pattern)
+  def between(c: Column, lo: Any, hi: Any): Column = c.between(lit(lo), lit(hi))
+  def isNull(c: Column): Column = c.isNull
+  def isNotNull(c: Column): Column = c.isNotNull
+
+  /** Empty list → `1 = 0` (constant false), per sql-utils.ts:161-165. */
+  def inList(c: Column, vs: Seq[Any]): Column =
+    if (vs.isEmpty) lit(false) else c.isin(vs: _*)
+
+  /** Empty list → `1 = 1` (constant true), per sql-utils.ts:167-170. */
+  def notIn(c: Column, vs: Seq[Any]): Column =
+    if (vs.isEmpty) lit(true) else !c.isin(vs: _*)
+
+  /** Filter-skip: absent value ⇒ predicate dropped (sql-utils.ts:83-84). */
+  def eqOpt(c: Column, v: Option[Any]): Option[Column] = v.map(eq(c, _))
+  def gtOpt(c: Column, v: Option[Any]): Option[Column] = v.map(gt(c, _))
+  def gteOpt(c: Column, v: Option[Any]): Option[Column] = v.map(gte(c, _))
+  def ltOpt(c: Column, v: Option[Any]): Option[Column] = v.map(lt(c, _))
+  def lteOpt(c: Column, v: Option[Any]): Option[Column] = v.map(lte(c, _))
+  def likeOpt(c: Column, p: Option[String]): Option[Column] = p.map(like(c, _))
+
+  /** AND-join, dropping absent branches; empty ⇒ constant true (WHERE
+    * omitted entirely in the reference, sql-utils.ts:190-199,212-215). */
+  def and(cs: Seq[Option[Column]]): Column =
+    cs.flatten.reduceOption(_ && _).getOrElse(lit(true))
+  def andAll(cs: Column*): Column = and(cs.map(Some(_)))
+  def or(cs: Column*): Column = cs.reduceOption(_ || _).getOrElse(lit(false))
+  def not(c: Column): Column = !c
+}

@@ -17,9 +17,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
-                else (tuple(v) if isinstance(v, list) else v))
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], __import__("datetime").date) \
+                    and not isinstance(sample.iloc[0], __import__("datetime").datetime):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            else:
+                df[c] = df[c].apply(
+                    lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
+                    else (tuple(v) if isinstance(v, list) else v))
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
