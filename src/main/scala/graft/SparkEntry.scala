@@ -13,7 +13,8 @@ object SparkEntry {
 
   private def groups: Seq[(Map[String, (SparkSession, String) => DataFrame],
                            Map[String, String])] = Seq(
-    (RelationalQueries.queries, RelationalQueries.oracles)
+    (RelationalQueries.queries, RelationalQueries.oracles),
+    (EngineQueries.queries, EngineQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

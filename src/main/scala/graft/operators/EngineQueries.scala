@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.Tables
+import graft.schema.{AggState, MooseColumn, MooseSchema, MooseType}
+import graft.table.{EngineSemantics, OlapTable, TableEngine}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MergeTree-family engine semantics (SURVEY §2.1 S3-S7, S15, S16; §2.4
+  * A12/A15) exercised as deterministic FINAL-read views over the events
+  * table, with the collapse rule mirrored in the DuckDB oracle.
+  */
+object EngineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  /** S3 ReplacingMergeTree FINAL: latest row per (user, type) by version. */
+  def qReplacingFinal(spark: SparkSession, dir: String): DataFrame =
+    EngineSemantics.replacingFinal(
+        events(spark, dir), Seq("user_id", "event_type"),
+        ver = Some("ts"), tiebreak = Seq("event_id"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"), col("ts"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** S5 SummingMergeTree FINAL: value columns summed per sort key. */
+  def qSumming(spark: SparkSession, dir: String): DataFrame =
+    EngineSemantics.summingFinal(
+        events(spark, dir), Seq("user_id", "event_type"), Seq("value"))
+      .select(col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  private def signed(df: DataFrame): DataFrame =
+    df.withColumn("sign",
+      when(col("event_type") === "error", -1).otherwise(1))
+
+  /** S6 CollapsingMergeTree FINAL: sign-weighted collapse per key. */
+  def qCollapsing(spark: SparkSession, dir: String): DataFrame =
+    EngineSemantics.collapsingFinal(
+        signed(events(spark, dir)), Seq("user_id"), "sign", Seq("value"))
+      .select(col("user_id"), round(col("value"), 2).as("value_net"))
+      .orderBy(col("user_id"))
+
+  /** S7 VersionedCollapsingMergeTree FINAL: max-version row survives if
+    * sign = 1. */
+  def qVersionedCollapsing(spark: SparkSession, dir: String): DataFrame =
+    EngineSemantics.versionedCollapsingFinal(
+        signed(events(spark, dir)), Seq("user_id"), "sign", "ts",
+        tiebreak = Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .orderBy(col("user_id"))
+
+  /** S15 Merge engine: UNION ALL over catalog tables matching a regex. */
+  def qMergeUnion(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    e.where(col("event_type") === "click")
+      .createOrReplaceTempView("evts_click")
+    e.where(col("event_type") === "purchase")
+      .createOrReplaceTempView("evts_purchase")
+    EngineSemantics.mergeEngine(spark, "evts_.*")
+      .orderBy(col("event_id"))
+  }
+
+  /** S16 validated insert, Isolate strategy: the valid split of a batch
+    * under schema rules (enum membership + required null checks). */
+  def qInsertValidated(spark: SparkSession, dir: String): DataFrame = {
+    val schema = MooseSchema(Seq(
+      MooseColumn("event_id", MooseType.MInt64),
+      MooseColumn("ts", MooseType.MDateTime(6)),
+      MooseColumn("user_id", MooseType.MInt64),
+      MooseColumn("event_type",
+        MooseType.MEnum(Seq("click", "view", "signup", "error"))),
+      MooseColumn("value", MooseType.MFloat64),
+      MooseColumn("props", MooseType.MJson, nullable = true)))
+    val table = new OlapTable(spark,
+      OlapTable.Config("events_validated", schema,
+        TableEngine.MergeTree, orderBy = Seq("event_id")),
+      warehouseDir = System.getProperty("java.io.tmpdir") + "/graft_wh")
+    val (valid, _) = table.validate(events(spark, dir))
+    valid.select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** A12/A15 aggregate-state columns: xState partials per (day, type)
+    * merged to day level via xMerge — the AggregatingMergeTree + MV
+    * partial/final pattern. */
+  def qAggstateMerge(spark: SparkSession, dir: String): DataFrame = {
+    val partial = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(
+        AggState.partial("avg", col("value")).as("avg_state"),
+        AggState.partial("sum", col("value")).as("sum_state"),
+        AggState.partial("count", col("value")).as("count_state"),
+        AggState.partial("min", col("value")).as("min_state"),
+        AggState.partial("max", col("value")).as("max_state"))
+    partial.groupBy(col("day"))
+      .agg(
+        round(AggState.merge("avg", col("avg_state")), 4).as("avg_value"),
+        round(AggState.merge("sum", col("sum_state")), 2).as("total"),
+        AggState.merge("count", col("count_state")).as("n"),
+        AggState.merge("min", col("min_state")).as("min_value"),
+        AggState.merge("max", col("max_state")).as("max_value"))
+      .orderBy(col("day"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_replacing_final" -> (qReplacingFinal _),
+    "q_summing" -> (qSumming _),
+    "q_collapsing" -> (qCollapsing _),
+    "q_vcollapsing" -> (qVersionedCollapsing _),
+    "q_merge_union" -> (qMergeUnion _),
+    "q_insert_validated" -> (qInsertValidated _),
+    "q_aggstate_merge" -> (qAggstateMerge _))
+
+  def oracles: Map[String, String] = Map(
+    "q_replacing_final" ->
+      """SELECT user_id, event_type, event_id, value, ts FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_summing" ->
+      """SELECT user_id, event_type, round(sum(value), 2) AS value
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_collapsing" ->
+      """SELECT user_id,
+        |  round(sum(value * CASE WHEN event_type = 'error' THEN -1 ELSE 1 END), 2)
+        |    AS value_net
+        |FROM events GROUP BY user_id
+        |HAVING sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) > 0
+        |ORDER BY user_id""".stripMargin,
+    "q_vcollapsing" ->
+      """SELECT user_id, event_id, ts, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+    "q_merge_union" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type IN ('click', 'purchase')
+        |ORDER BY event_id""".stripMargin,
+    "q_insert_validated" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_type IN ('click', 'view', 'signup', 'error')
+        |  AND event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "q_aggstate_merge" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  round(avg(value), 4) AS avg_value,
+        |  round(sum(value), 2) AS total,
+        |  count(value) AS n,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin)
+}

@@ -1,0 +1,60 @@
+package graft.schema
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregate-state columns: the Spark realization of ClickHouse
+  * `AggregateFunction(fn, args)` / `SimpleAggregateFunction` columns
+  * (ref packages/ts-moose-lib/src/dmv2/index.ts:16-22,41-47; CH projection
+  * mapper.rs:174-186; auto `fnMerge` rewrite sqlHelpers.ts:196-208).
+  *
+  * Strategy (SURVEY §2.4 A12): re-aggregatable partial buffers —
+  *  - merge-idempotent fns (sum/min/max/count/any) store their own value;
+  *    merging is just re-applying the aggregate (SimpleAggregateFunction
+  *    semantics, ref data_models.py:230-262);
+  *  - `avg` stores a (sum, count) struct;
+  *  - `uniq` stores a Datasketches HLL binary sketch — a true binary agg
+  *    state with exact Spark-native merge (hll_union_agg), matching CH's
+  *    uniqState/uniqMerge roles.
+  *
+  * `partial(fn, col)` is used in an MV SELECT (the xState(...) producer);
+  * `merge(fn, col)` finishes a state column at read (the auto xMerge). */
+object AggState {
+  val supported: Set[String] = Set("sum", "count", "avg", "min", "max", "any", "uniq")
+
+  def bufferType(fn: String, argTypes: Seq[DataType]): DataType = fn match {
+    case "count" => LongType
+    case "avg" => StructType(Seq(
+      StructField("sum", DoubleType), StructField("cnt", LongType)))
+    case "uniq" => BinaryType
+    case "sum" | "min" | "max" | "any" =>
+      argTypes.headOption.getOrElse(DoubleType)
+    case other => throw new IllegalArgumentException(
+      s"unsupported AggregateFunction '$other' (supported: $supported)")
+  }
+
+  /** The xState(...) producer used in a materialized-view SELECT. */
+  def partial(fn: String, c: Column): Column = fn match {
+    case "sum" => sum(c)
+    case "count" => count(c)
+    case "avg" => struct(sum(c.cast(DoubleType)).as("sum"), count(c).as("cnt"))
+    case "min" => min(c)
+    case "max" => max(c)
+    case "any" => first(c)
+    case "uniq" => hll_sketch_agg(c)
+    case other => throw new IllegalArgumentException(s"unsupported '$other'")
+  }
+
+  /** The xMerge(col) finisher applied when reading a state column. */
+  def merge(fn: String, c: Column): Column = fn match {
+    case "sum" => sum(c)
+    case "count" => sum(c)
+    case "avg" => sum(c.getField("sum")) / sum(c.getField("cnt"))
+    case "min" => min(c)
+    case "max" => max(c)
+    case "any" => first(c)
+    case "uniq" => hll_sketch_estimate(hll_union_agg(c))
+    case other => throw new IllegalArgumentException(s"unsupported '$other'")
+  }
+}

@@ -1,0 +1,118 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** Language-neutral column IR mirroring the reference's `ColumnType`
+  * (ref apps/framework-cli/src/framework/core/infrastructure/table.rs:945-991;
+  * ints :923-936, floats :939-942; TS tags
+  * packages/ts-moose-lib/src/dataModels/types.ts) re-expressed as a Scala
+  * ADT that projects onto Spark's `DataType` per SURVEY.md §1.2.
+  *
+  * Unsigned widening (no unsigned types in Spark): UInt8→Short,
+  * UInt16→Int, UInt32→Long, UInt64→Decimal(20,0); Int128/256 and
+  * UInt128/256 → Decimal(38,0) with a documented overflow bound.
+  */
+sealed trait MooseType {
+  def sparkType: DataType
+}
+
+object MooseType {
+  case object MString extends MooseType { val sparkType = StringType }
+  /** Fixed-length string: no native Spark type; length enforced at insert
+    * validation (ref types.ts:33 FixedString<N>). */
+  final case class MFixedString(n: Int) extends MooseType { val sparkType = StringType }
+  case object MBoolean extends MooseType { val sparkType = BooleanType }
+  case object MInt8 extends MooseType { val sparkType = ByteType }
+  case object MInt16 extends MooseType { val sparkType = ShortType }
+  case object MInt32 extends MooseType { val sparkType = IntegerType }
+  case object MInt64 extends MooseType { val sparkType = LongType }
+  case object MUInt8 extends MooseType { val sparkType = ShortType }
+  case object MUInt16 extends MooseType { val sparkType = IntegerType }
+  case object MUInt32 extends MooseType { val sparkType = LongType }
+  case object MUInt64 extends MooseType { val sparkType = DecimalType(20, 0) }
+  case object MInt128 extends MooseType { val sparkType = DecimalType(38, 0) }
+  case object MInt256 extends MooseType { val sparkType = DecimalType(38, 0) }
+  final case class MDecimal(p: Int, s: Int) extends MooseType {
+    val sparkType = DecimalType(p, s)
+  }
+  case object MFloat32 extends MooseType { val sparkType = FloatType }
+  case object MFloat64 extends MooseType { val sparkType = DoubleType }
+  /** DateTime / DateTime64(P): µs TimestampType covers P ≤ 6
+    * (ref types.ts:46-56). */
+  final case class MDateTime(precision: Int = 3) extends MooseType {
+    require(precision <= 6, s"DateTime64($precision) exceeds µs TimestampType")
+    val sparkType = TimestampType
+  }
+  case object MDate extends MooseType { val sparkType = DateType }
+  /** Enum: stored as the member name, membership validated at insert
+    * (ref dataModelTypes.ts:4-7). */
+  final case class MEnum(values: Seq[String]) extends MooseType {
+    val sparkType = StringType
+  }
+  case object MUUID extends MooseType { val sparkType = StringType }
+  case object MIPv4 extends MooseType { val sparkType = StringType }
+  case object MIPv6 extends MooseType { val sparkType = StringType }
+  final case class MArray(elem: MooseType, elementNullable: Boolean = false)
+      extends MooseType {
+    val sparkType = ArrayType(elem.sparkType, elementNullable)
+  }
+  /** CH Nested = arrays-of-struct at use sites (ref dataModelTypes.ts:8). */
+  final case class MNested(fields: Seq[(String, MooseType)]) extends MooseType {
+    val sparkType = ArrayType(
+      StructType(fields.map { case (n, t) => StructField(n, t.sparkType) }))
+  }
+  final case class MNamedTuple(fields: Seq[(String, MooseType)]) extends MooseType {
+    val sparkType = StructType(
+      fields.map { case (n, t) => StructField(n, t.sparkType) })
+  }
+  final case class MMap(key: MooseType, value: MooseType) extends MooseType {
+    val sparkType = MapType(key.sparkType, value.sparkType)
+  }
+  /** JSON column: StringType holding the document; typed paths promoted at
+    * read via from_json/get_json_object (ref types.ts:148-161). */
+  case object MJson extends MooseType { val sparkType = StringType }
+  /** Opaque binary payload (image/audio/video bytes) with typed metadata
+    * kept in sibling columns — the multimodal column convention. */
+  case object MBinary extends MooseType { val sparkType = BinaryType }
+  /** Aggregate-state column `Aggregated<fn, args>` (ref dmv2/index.ts:16-22,
+    * mapper.rs:186). We use re-aggregation semantics: the column stores the
+    * partial tuple produced by `AggState.partial*`; `AggState.merge*`
+    * finishes it (SURVEY §2.4 A12 option (a)). */
+  final case class MAggregated(fn: String, args: Seq[MooseType]) extends MooseType {
+    val sparkType = AggState.bufferType(fn, args.map(_.sparkType))
+  }
+
+  final case class MGeoPoint() extends MooseType {
+    val sparkType = StructType(Seq(
+      StructField("x", DoubleType), StructField("y", DoubleType)))
+  }
+}
+
+/** One column of a model: attributes per ref dataModelTypes.ts:28-41. */
+final case class MooseColumn(
+    name: String,
+    tpe: MooseType,
+    nullable: Boolean = false,
+    primaryKey: Boolean = false,
+    default: Option[String] = None,       // SQL expr filled at write
+    materialized: Option[String] = None,  // SQL expr computed+stored at write
+    aliasExpr: Option[String] = None,     // SQL expr computed at read
+    comment: Option[String] = None) {
+  def field: StructField =
+    StructField(name, tpe.sparkType, nullable, Metadata.empty)
+}
+
+/** A model schema: projection to StructType, the `Insertable<T>` write-path
+  * variant (computed columns omitted, defaulted columns optional — ref
+  * types.ts:300-304), and row-validation rule derivation. */
+final case class MooseSchema(columns: Seq[MooseColumn]) {
+  def toStructType: StructType = StructType(columns.map(_.field))
+
+  /** Write-path schema: alias (read-computed) columns dropped; materialized
+    * computed at write so also omitted from the insert contract. */
+  def insertable: StructType =
+    StructType(columns.filter(c => c.aliasExpr.isEmpty && c.materialized.isEmpty)
+      .map(_.field))
+
+  def primaryKeys: Seq[String] = columns.filter(_.primaryKey).map(_.name)
+}

@@ -1,0 +1,105 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MergeTree-family table engines (ref packages/ts-moose-lib/src/dmv2/sdk/
+  * olapTable.ts:278-424) and their deterministic Spark read semantics.
+  *
+  * ClickHouse merges parts *eventually*; reads may see pre-merge rows
+  * unless FINAL is used. We implement deterministic FINAL-read semantics
+  * (SURVEY §4): the engine's collapse rule is applied as a view over the
+  * stored rows at read time. All rules are single-shuffle window/agg
+  * plans keyed by the table's sort key — the same partitioning a keyed
+  * write layout would give at cluster scale.
+  */
+sealed trait TableEngine
+object TableEngine {
+  case object MergeTree extends TableEngine
+  /** Dedup by sort key; optional `ver` keeps max-version row, optional
+    * `isDeleted` drops tombstones (ref olapTable.ts:286-290). */
+  final case class ReplacingMergeTree(
+      ver: Option[String] = None,
+      isDeleted: Option[String] = None) extends TableEngine
+  /** Rows merged by key combining AggregateFunction states
+    * (ref olapTable.ts:296-298). */
+  final case class AggregatingMergeTree(
+      stateCols: Map[String, String] = Map.empty) extends TableEngine
+  /** Numeric columns summed per key (ref olapTable.ts:304-307). */
+  final case class SummingMergeTree(columns: Seq[String]) extends TableEngine
+  /** Rows cancel via sign ∈ {1,-1} (ref olapTable.ts:313-316). */
+  final case class CollapsingMergeTree(sign: String) extends TableEngine
+  /** sign + explicit version ordering (ref olapTable.ts:322-326). */
+  final case class VersionedCollapsingMergeTree(sign: String, ver: String)
+      extends TableEngine
+  /** Replicated* wrappers: replication config accepted and ignored —
+    * durability is the storage layer's job here (ref olapTable.ts:341-424). */
+  final case class Replicated(inner: TableEngine,
+      keeperPath: Option[String] = None,
+      replicaName: Option[String] = None) extends TableEngine
+}
+
+object EngineSemantics {
+  /** ReplacingMergeTree FINAL: keep one row per key — max `ver` if given
+    * (tie: latest by `tiebreak`), else the `tiebreak`-latest row; rows
+    * whose `isDeleted` = 1 are dropped after selection. */
+  def replacingFinal(
+      df: DataFrame,
+      keys: Seq[String],
+      ver: Option[String],
+      tiebreak: Seq[String] = Nil,
+      isDeleted: Option[String] = None): DataFrame = {
+    val ordering: Seq[Column] =
+      (ver.map(col(_).desc).toSeq ++ tiebreak.map(col(_).desc)) match {
+        case Nil => keys.map(col) // degenerate; any row — make it stable
+        case o => o
+      }
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    val picked = df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    isDeleted.fold(picked)(d => picked.where(col(d) =!= 1))
+  }
+
+  /** SummingMergeTree FINAL: sum the value columns per key. */
+  def summingFinal(df: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sumCols.head match { case h => sum(col(h)).as(h) },
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+
+  /** CollapsingMergeTree FINAL: per key, net sign decides survival; value
+    * columns collapse as sign-weighted sums (the documented CH read
+    * pattern `sum(x * sign) ... HAVING sum(sign) > 0`). */
+  def collapsingFinal(
+      df: DataFrame, keys: Seq[String], sign: String,
+      valueCols: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        sum(col(valueCols.head) * col(sign)).as(valueCols.head),
+        valueCols.tail.map(c => sum(col(c) * col(sign)).as(c)) :+
+          sum(col(sign)).as("__net"): _*)
+      .where(col("__net") > 0)
+      .drop("__net")
+
+  /** VersionedCollapsingMergeTree FINAL: the max-version row per key wins;
+    * it survives only if it carries sign = 1. */
+  def versionedCollapsingFinal(
+      df: DataFrame, keys: Seq[String], sign: String, ver: String,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ver).desc +: tiebreak.map(col(_).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col(sign) === 1)
+      .drop("__rn")
+  }
+
+  /** Merge engine (ref olapTable.ts:660-673): read-only UNION ALL over
+    * catalog tables whose name matches the regex. */
+  def mergeEngine(spark: SparkSession, namePattern: String): DataFrame = {
+    val re = namePattern.r
+    val tables = spark.catalog.listTables().collect()
+      .map(_.name).filter(n => re.pattern.matcher(n).matches()).sorted
+    require(tables.nonEmpty, s"Merge engine matched no tables for $namePattern")
+    tables.map(spark.table).reduce(_ unionByName _)
+  }
+}

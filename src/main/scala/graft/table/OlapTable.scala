@@ -1,0 +1,207 @@
+package graft.table
+
+import graft.schema.{MooseColumn, MooseSchema, MooseType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed OLAP table: managed columnar storage + engine semantics +
+  * validated insert (ref packages/ts-moose-lib/src/dmv2/sdk/olapTable.ts:714
+  * class OlapTable; insert :1649; error strategies :62-68; validation
+  * :995-1100; retryIndividualRecords :1279).
+  *
+  * Spark realization: a parquet directory per table, `partitionBy` from the
+  * table config, rows sorted within partitions by the ORDER BY key (the
+  * MergeTree sort-key analogue — gives parquet min/max row-group skipping
+  * on the sort key, the same data-skipping role the sparse primary index
+  * plays in the reference's storage). Engine read semantics are applied by
+  * `readFinal` as deterministic views (see [[EngineSemantics]]).
+  *
+  * Validation is columnar and codegen-friendly: one pass computes an array
+  * of rule violations per row (no UDFs, no per-row JVM round trips), so
+  * validate+write sustains scan-speed throughput (BASELINE.md S16 target).
+  */
+object OlapTable {
+
+  sealed trait InsertStrategy
+  object InsertStrategy {
+    /** Abort the whole insert on the first invalid record. */
+    case object FailFast extends InsertStrategy
+    /** Drop invalid records silently. */
+    case object Discard extends InsertStrategy
+    /** Write valid records; route invalid ones to the DLQ with per-record
+      * errors (the reference isolates failures by retrying per record; our
+      * columnar validator knows each row's violations directly). */
+    case object Isolate extends InsertStrategy
+  }
+
+  final case class InsertReport(attempted: Long, written: Long, failed: Long)
+
+  /** DLQ record shape — ref stream.ts:569-585 DeadLetterModel. */
+  val deadLetterColumns: Seq[String] =
+    Seq("originalRecord", "errorMessage", "errorType", "failedAt", "source")
+
+  final case class Config(
+      name: String,
+      schema: MooseSchema,
+      engine: TableEngine = TableEngine.MergeTree,
+      orderBy: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil)
+}
+
+final class OlapTable(
+    val spark: SparkSession,
+    val config: OlapTable.Config,
+    warehouseDir: String) {
+  import OlapTable._
+
+  val path: String = s"$warehouseDir/${config.name}"
+
+  // ------------------------------------------------------------ validation
+  /** Per-column rule violations as a single vectorized expression:
+    * Array[String] of messages, empty ⇒ valid. */
+  def violationsColumn: Column = {
+    val checks: Seq[Column] = config.schema.columns.flatMap { c =>
+      val v = col(c.name)
+      val perCol = Seq.newBuilder[Column]
+      if (!c.nullable && c.aliasExpr.isEmpty && c.materialized.isEmpty)
+        perCol += when(v.isNull, lit(s"${c.name}: required but null"))
+      c.tpe match {
+        case MooseType.MEnum(values) =>
+          perCol += when(v.isNotNull && !v.isin(values: _*),
+            lit(s"${c.name}: not a member of enum"))
+        case MooseType.MFixedString(n) =>
+          perCol += when(v.isNotNull && length(v) > n,
+            lit(s"${c.name}: exceeds FixedString($n)"))
+        case MooseType.MUUID =>
+          perCol += when(v.isNotNull && !v.rlike(
+            "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+            lit(s"${c.name}: not a UUID"))
+        case MooseType.MIPv4 =>
+          // ref kafka_clickhouse_sync.rs:45 IPV4_REGEX
+          perCol += when(v.isNotNull && !v.rlike(
+            "^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$"),
+            lit(s"${c.name}: not an IPv4"))
+        case _ => ()
+      }
+      perCol.result()
+    }
+    if (checks.isEmpty) array()
+    else filter(array(checks: _*), x => x.isNotNull)
+  }
+
+  /** Split a batch into (valid, invalid-with-__errors). */
+  def validate(df: DataFrame): (DataFrame, DataFrame) = {
+    val withV = df.withColumn("__errors", violationsColumn)
+    (withV.where(size(col("__errors")) === 0).drop("__errors"),
+      withV.where(size(col("__errors")) > 0))
+  }
+
+  /** Apply column attributes at write: defaults filled, materialized
+    * computed (ref types.ts:190,227). */
+  private def applyWriteColumns(df: DataFrame): DataFrame = {
+    val withDefaults = config.schema.columns.foldLeft(df) { (d, c) =>
+      c.default match {
+        case Some(sql) if d.columns.contains(c.name) =>
+          d.withColumn(c.name, coalesce(col(c.name), expr(sql)))
+        case Some(sql) => d.withColumn(c.name, expr(sql))
+        case None => d
+      }
+    }
+    config.schema.columns.foldLeft(withDefaults) { (d, c) =>
+      c.materialized.fold(d)(sql => d.withColumn(c.name, expr(sql)))
+    }
+  }
+
+  /** Validated batch insert (S16). Returns the report; invalid rows go to
+    * the returned DLQ frame under Isolate. */
+  def insert(
+      batch: DataFrame,
+      strategy: InsertStrategy = InsertStrategy.FailFast,
+      dlqSource: String = "table"): (InsertReport, Option[DataFrame]) = {
+    val prepared = applyWriteColumns(batch)
+    val (valid, invalid) = validate(prepared)
+
+    def write(df: DataFrame): Long = {
+      val sorted =
+        if (config.orderBy.nonEmpty)
+          df.sortWithinPartitions(config.orderBy.map(col): _*)
+        else df
+      val writer = sorted.write.mode("append")
+      val partitioned =
+        if (config.partitionBy.nonEmpty) writer.partitionBy(config.partitionBy: _*)
+        else writer
+      partitioned.parquet(path)
+      df.count()
+    }
+
+    strategy match {
+      case InsertStrategy.FailFast =>
+        val bad = invalid.select(col("__errors")).head(1)
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"insert into ${config.name} failed: ${bad.head.getSeq[String](0).mkString("; ")}")
+        val n = write(valid)
+        (InsertReport(n, n, 0), None)
+      case InsertStrategy.Discard =>
+        val n = write(valid)
+        (InsertReport(-1, n, -1), None)
+      case InsertStrategy.Isolate =>
+        val dlq = invalid.select(
+          to_json(struct(batch.columns.map(col): _*)).as("originalRecord"),
+          concat_ws("; ", col("__errors")).as("errorMessage"),
+          lit("ValidationError").as("errorType"),
+          current_timestamp().as("failedAt"),
+          lit(dlqSource).as("source"))
+        val n = write(valid)
+        val nBad = dlq.count()
+        (InsertReport(n + nBad, n, nBad), Some(dlq))
+    }
+  }
+
+  /** Raw stored rows + alias (read-computed) columns. */
+  def read(): DataFrame = {
+    val df = spark.read.schema(config.schema.toStructType)
+      .parquet(path)
+    config.schema.columns.foldLeft(df) { (d, c) =>
+      c.aliasExpr.fold(d)(sql => d.withColumn(c.name, expr(sql)))
+    }
+  }
+
+  /** Engine FINAL-read view (deterministic; SURVEY §4). */
+  def readFinal(valueCols: Seq[String] = Nil): DataFrame = {
+    val keys = if (config.orderBy.nonEmpty) config.orderBy
+      else config.schema.primaryKeys
+    config.engine match {
+      case TableEngine.MergeTree | TableEngine.Replicated(TableEngine.MergeTree, _, _) =>
+        read()
+      case TableEngine.ReplacingMergeTree(ver, isDeleted) =>
+        EngineSemantics.replacingFinal(read(), keys, ver, Nil, isDeleted)
+      case TableEngine.SummingMergeTree(cols) =>
+        EngineSemantics.summingFinal(read(), keys, cols)
+      case TableEngine.CollapsingMergeTree(sign) =>
+        EngineSemantics.collapsingFinal(read(), keys, sign, valueCols)
+      case TableEngine.VersionedCollapsingMergeTree(sign, ver) =>
+        EngineSemantics.versionedCollapsingFinal(read(), keys, sign, ver)
+      case TableEngine.Replicated(inner, _, _) =>
+        new OlapTable(spark, config.copy(engine = inner), warehouseDir)
+          .readFinal(valueCols)
+      case TableEngine.AggregatingMergeTree(_) =>
+        read() // merge applied per state column via AggState.merge at query
+    }
+  }
+}
+
+/** Duplicate-name-checked registry (ref olapTable.ts:798-806). */
+final class TableRegistry(spark: SparkSession, warehouseDir: String) {
+  private val tables = scala.collection.mutable.Map[String, OlapTable]()
+
+  def create(config: OlapTable.Config): OlapTable = {
+    require(!tables.contains(config.name),
+      s"table '${config.name}' already exists in the registry")
+    val t = new OlapTable(spark, config, warehouseDir)
+    tables(config.name) = t
+    t
+  }
+  def get(name: String): Option[OlapTable] = tables.get(name)
+  def names: Seq[String] = tables.keys.toSeq.sorted
+}

@@ -1,0 +1,151 @@
+package graft
+
+import graft.schema.{AggState, MooseColumn, MooseSchema, MooseType}
+import graft.table.{EngineSemantics, OlapTable, TableEngine, TableRegistry}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class TableSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpWarehouse(): String =
+    Files.createTempDirectory("graft_wh").toString
+
+  private val userSchema = MooseSchema(Seq(
+    MooseColumn("id", MooseType.MUUID, primaryKey = true),
+    MooseColumn("name", MooseType.MString),
+    MooseColumn("tier", MooseType.MEnum(Seq("free", "pro"))),
+    MooseColumn("ip", MooseType.MIPv4, nullable = true),
+    MooseColumn("score", MooseType.MFloat64, nullable = true,
+      default = Some("0.0")),
+    MooseColumn("name_upper", MooseType.MString, nullable = true,
+      aliasExpr = Some("upper(name)"))))
+
+  private def batch = Seq(
+    ("550e8400-e29b-41d4-a716-446655440000", "alice", "pro", "10.0.0.1", Some(2.5)),
+    ("550e8400-e29b-41d4-a716-446655440001", "bob", "free", "10.0.0.2", None),
+    ("not-a-uuid", "carol", "free", "10.0.0.3", Some(1.0)),
+    ("550e8400-e29b-41d4-a716-446655440003", "dave", "gold", "999.0.0.1", Some(3.0))
+  ).toDF("id", "name", "tier", "ip", "score")
+
+  test("schema DSL projects to StructType with insertable variant") {
+    val st = userSchema.toStructType
+    assert(st.fieldNames.toSeq ==
+      Seq("id", "name", "tier", "ip", "score", "name_upper"))
+    assert(userSchema.insertable.fieldNames.toSeq ==
+      Seq("id", "name", "tier", "ip", "score"))
+    assert(userSchema.primaryKeys == Seq("id"))
+  }
+
+  test("insert Isolate splits valid/invalid and builds DLQ records") {
+    val wh = tmpWarehouse()
+    val t = new OlapTable(spark,
+      OlapTable.Config("users", userSchema, orderBy = Seq("id")), wh)
+    val (report, dlq) = t.insert(batch, OlapTable.InsertStrategy.Isolate)
+    assert(report.written == 2)
+    assert(report.failed == 2) // bad uuid; bad enum + bad ip
+    val d = dlq.get.collect()
+    assert(d.length == 2)
+    assert(d.forall(_.getAs[String]("errorType") == "ValidationError"))
+    val msgs = d.map(_.getAs[String]("errorMessage")).mkString("|")
+    assert(msgs.contains("not a UUID"))
+    assert(msgs.contains("enum"))
+    assert(msgs.contains("IPv4"))
+    // default filled on write, alias computed at read
+    val read = t.read()
+    assert(read.where(col("score") === 0.0).count() == 1)
+    assert(read.where(col("name") === "alice")
+      .select(col("name_upper")).head().getString(0) == "ALICE")
+  }
+
+  test("insert FailFast throws on invalid batch and Discard drops") {
+    val wh = tmpWarehouse()
+    val t = new OlapTable(spark,
+      OlapTable.Config("users_ff", userSchema), wh)
+    intercept[IllegalArgumentException] {
+      t.insert(batch, OlapTable.InsertStrategy.FailFast)
+    }
+    val (r2, _) = t.insert(batch, OlapTable.InsertStrategy.Discard)
+    assert(r2.written == 2)
+  }
+
+  test("ReplacingMergeTree FINAL dedups by key keeping max version") {
+    val wh = tmpWarehouse()
+    val schema = MooseSchema(Seq(
+      MooseColumn("k", MooseType.MString, primaryKey = true),
+      MooseColumn("v", MooseType.MInt64),
+      MooseColumn("ver", MooseType.MInt64),
+      MooseColumn("deleted", MooseType.MInt32)))
+    val t = new OlapTable(spark, OlapTable.Config("repl", schema,
+      TableEngine.ReplacingMergeTree(Some("ver"), Some("deleted")),
+      orderBy = Seq("k")), wh)
+    t.insert(Seq(("a", 1L, 1L, 0), ("a", 2L, 2L, 0), ("b", 9L, 1L, 0),
+      ("c", 5L, 1L, 0), ("c", 6L, 2L, 1)).toDF("k", "v", "ver", "deleted"),
+      OlapTable.InsertStrategy.FailFast)
+    val rows = t.readFinal().orderBy("k").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 2L), ("b", 9L))) // c's max-version row is a tombstone
+  }
+
+  test("Collapsing + VersionedCollapsing FINAL semantics") {
+    val df = Seq(
+      ("u1", 1, 10.0, 1L), ("u1", -1, 10.0, 2L), ("u1", 1, 30.0, 3L),
+      ("u2", 1, 5.0, 1L), ("u2", -1, 5.0, 2L)
+    ).toDF("k", "sign", "v", "ver")
+    val c = EngineSemantics.collapsingFinal(df, Seq("k"), "sign", Seq("v"))
+      .collect()
+    assert(c.length == 1 && c.head.getString(0) == "u1" &&
+      c.head.getDouble(1) == 30.0)
+    val vc = EngineSemantics.versionedCollapsingFinal(
+      df, Seq("k"), "sign", "ver").collect()
+    assert(vc.map(_.getString(0)).toSet == Set("u1")) // u2 last row sign=-1
+  }
+
+  test("Merge engine unions matching catalog tables; errors when none") {
+    Seq((1L, "x")).toDF("id", "s").createOrReplaceTempView("m_one")
+    Seq((2L, "y")).toDF("id", "s").createOrReplaceTempView("m_two")
+    assert(EngineSemantics.mergeEngine(spark, "m_(one|two)").count() == 2)
+    intercept[IllegalArgumentException] {
+      EngineSemantics.mergeEngine(spark, "nope_.*")
+    }
+  }
+
+  test("registry rejects duplicate names (olapTable.ts:798-806 parity)") {
+    val reg = new TableRegistry(spark, tmpWarehouse())
+    reg.create(OlapTable.Config("t1", userSchema))
+    intercept[IllegalArgumentException] {
+      reg.create(OlapTable.Config("t1", userSchema))
+    }
+  }
+
+  test("AggState uniq HLL sketch merges across partial groups") {
+    val df = Seq((1, 10), (1, 11), (2, 10), (2, 12), (3, 13))
+      .toDF("g", "u")
+    val partial = df.groupBy("g").agg(AggState.partial("uniq", col("u")).as("st"))
+    val merged = partial.agg(AggState.merge("uniq", col("st"))).head().getLong(0)
+    assert(merged == 4) // exact at this cardinality
+  }
+
+  test("UInt64/Int128 widen to Decimal; DateTime64(7) rejected") {
+    assert(MooseType.MUInt64.sparkType == DecimalType(20, 0))
+    assert(MooseType.MInt128.sparkType == DecimalType(38, 0))
+    intercept[IllegalArgumentException] { MooseType.MDateTime(7) }
+  }
+}
