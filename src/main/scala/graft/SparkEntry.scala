@@ -14,7 +14,8 @@ object SparkEntry {
   private def groups: Seq[(Map[String, (SparkSession, String) => DataFrame],
                            Map[String, String])] = Seq(
     (RelationalQueries.queries, RelationalQueries.oracles),
-    (EngineQueries.queries, EngineQueries.oracles)
+    (EngineQueries.queries, EngineQueries.oracles),
+    (QueryModelQueries.queries, QueryModelQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

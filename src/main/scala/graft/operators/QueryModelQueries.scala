@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Tables
+import graft.querymodel.QueryModel
+import graft.querymodel.QueryModel._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The semantic layer exercised end-to-end (SURVEY §3.3): model definition
+  * → request → DataFrame, covering aggregate mode with WHERE/HAVING split,
+  * detail mode with maxLimit clamp, joins with ORDER BY pruning, and
+  * page-based pagination.
+  */
+object QueryModelQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def eventsModel(spark: SparkSession, dir: String): Def = {
+    val events = Tables.load(spark, dir, "events")
+    Def(
+      base = events,
+      dimensions = Map(
+        "day" -> (_ => to_date(col("ts"))),
+        "event_type" -> (_ => col("event_type"))),
+      metrics = Map(
+        "n" -> count(lit(1)),
+        "total" -> round(sum(col("value")), 2)),
+      columns = Map(
+        "event_id" -> (_ => col("event_id")),
+        "user_id" -> (_ => col("user_id")),
+        "value" -> (_ => col("value"))),
+      filterable = Map(
+        "value" -> (_ => col("value")),
+        "event_type" -> (_ => col("event_type"))),
+      sortable = Set("day", "event_type", "n", "total", "value", "event_id"))
+  }
+
+  /** Aggregate mode: dims + metrics, WHERE vs HAVING split, default limit. */
+  def qmAggregate(spark: SparkSession, dir: String): DataFrame =
+    QueryModel.buildQuery(eventsModel(spark, dir), Request(
+      dimensions = Seq("day", "event_type"),
+      metrics = Seq("n", "total"),
+      filters = Seq(
+        Filter("value", Some(FilterOp.Gt(10))),      // row filter → WHERE
+        Filter("n", Some(FilterOp.Gt(50))),          // metric filter → HAVING
+        Filter("event_type", None)),                 // absent value → skipped
+      orderBy = Seq("day" -> "ASC", "event_type" -> "ASC")))
+
+  /** Detail mode: columns ⇒ no GROUP BY; limit 5000 clamps to maxLimit. */
+  def qmDetail(spark: SparkSession, dir: String): DataFrame =
+    QueryModel.buildQuery(eventsModel(spark, dir), Request(
+      columns = Seq("event_id", "user_id", "value"),
+      filters = Seq(
+        Filter("event_type", Some(FilterOp.Eq("purchase"))),
+        Filter("value", Some(FilterOp.Between(100, 200)))),
+      orderBy = Seq("value" -> "DESC", "event_id" -> "ASC"),
+      limit = Some(5000)))
+
+  /** Join + dimension from the joined side + ORDER BY pruning of a
+    * non-selected dimension. */
+  def qmJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val customer = Tables.load(spark, dir, "customer")
+    val model = Def(
+      base = events,
+      dimensions = Map(
+        "day" -> (_ => to_date(col("ts"))),
+        "segment" -> (_ => col("c_mktsegment"))),
+      metrics = Map(
+        "n" -> count(lit(1)),
+        "total" -> round(sum(col("value")), 2)),
+      joins = Seq(JoinDef(customer,
+        (b, r) => b("user_id") === r("c_custkey"), "left")),
+      sortable = Set("day", "segment", "n", "total"))
+    QueryModel.buildQuery(model, Request(
+      dimensions = Seq("segment"),
+      metrics = Seq("n", "total"),
+      // "day" is sortable but NOT selected → pruned (query-model.ts:655-665)
+      orderBy = Seq("day" -> "ASC", "segment" -> "ASC")))
+  }
+
+  /** Page-based pagination: page 2 × limit 50 ⇒ OFFSET 50. */
+  def qmPage(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val model = Def(
+      base = orders,
+      columns = Map(
+        "o_orderkey" -> (_ => col("o_orderkey")),
+        "o_totalprice" -> (_ => col("o_totalprice"))),
+      sortable = Set("o_orderkey", "o_totalprice"))
+    QueryModel.buildQuery(model, Request(
+      columns = Seq("o_orderkey", "o_totalprice"),
+      orderBy = Seq("o_totalprice" -> "DESC", "o_orderkey" -> "ASC"),
+      limit = Some(50),
+      page = Some(2)))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "qm_aggregate" -> (qmAggregate _),
+    "qm_detail" -> (qmDetail _),
+    "qm_join" -> (qmJoin _),
+    "qm_page" -> (qmPage _))
+
+  def oracles: Map[String, String] = Map(
+    "qm_aggregate" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM events WHERE value > 10
+        |GROUP BY 1, 2 HAVING count(*) > 50
+        |ORDER BY day, event_type LIMIT 100""".stripMargin,
+    "qm_detail" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase' AND value BETWEEN 100 AND 200
+        |ORDER BY value DESC, event_id LIMIT 1000""".stripMargin,
+    "qm_join" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY segment LIMIT 100""".stripMargin,
+    "qm_page" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50 OFFSET 50""".stripMargin)
+}

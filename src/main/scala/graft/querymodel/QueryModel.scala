@@ -1,0 +1,170 @@
+package graft.querymodel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Port of the reference's semantic query layer
+  * (ref packages/ts-moose-lib/src/query-layer/query-model.ts:346-874;
+  * request types query-layer/types.ts:38-136; fluent builder
+  * query-builder.ts:112-241).
+  *
+  * A model declares dimensions (column or expression), metrics (aggregate
+  * expressions), detail columns, joins, a filter whitelist and a sortable
+  * whitelist; a request picks dimensions/metrics (aggregate mode) or
+  * columns (detail mode), filters, ordering and pagination. `buildQuery`
+  * resolves the request into a DataFrame pipeline instead of SQL text —
+  * Catalyst plays ClickHouse's role.
+  *
+  * Reference semantics preserved:
+  *  - filters split WHERE vs HAVING by whether they target a metric alias
+  *    (query-model.ts:579-624, :825-828);
+  *  - ORDER BY validated against the sortable whitelist and *pruned* when
+  *    it names a dimension that isn't selected (query-model.ts:626-681,
+  *    :655-665);
+  *  - absent filter values skip the predicate (sql-utils.ts:83-84);
+  *  - pagination: default limit 100, clamp at maxLimit 1000, page-based
+  *    offset (query-model.ts:394, :789-794).
+  */
+object QueryModel {
+
+  final case class JoinDef(
+      right: DataFrame,
+      on: (DataFrame, DataFrame) => Column, // (base, right) => condition
+      joinType: String = "left",
+      broadcastRight: Boolean = true)
+
+  final case class Def(
+      base: DataFrame,
+      dimensions: Map[String, DataFrame => Column] = Map.empty,
+      metrics: Map[String, Column] = Map.empty,
+      columns: Map[String, DataFrame => Column] = Map.empty,
+      joins: Seq[JoinDef] = Nil,
+      filterable: Map[String, DataFrame => Column] = Map.empty,
+      sortable: Set[String] = Set.empty,
+      defaultLimit: Int = 100,
+      maxLimit: Int = 1000)
+
+  sealed trait FilterOp
+  object FilterOp {
+    final case class Eq(v: Any) extends FilterOp
+    final case class Ne(v: Any) extends FilterOp
+    final case class Gt(v: Any) extends FilterOp
+    final case class Gte(v: Any) extends FilterOp
+    final case class Lt(v: Any) extends FilterOp
+    final case class Lte(v: Any) extends FilterOp
+    final case class In(vs: Seq[Any]) extends FilterOp
+    final case class NotIn(vs: Seq[Any]) extends FilterOp
+    final case class Like(p: String) extends FilterOp
+    final case class Between(lo: Any, hi: Any) extends FilterOp
+    case object IsNull extends FilterOp
+    case object IsNotNull extends FilterOp
+  }
+
+  /** target: a dimension, filterable entry, or metric alias name. */
+  final case class Filter(target: String, op: Option[FilterOp])
+
+  final case class Request(
+      dimensions: Seq[String] = Nil,
+      metrics: Seq[String] = Nil,
+      columns: Seq[String] = Nil,
+      filters: Seq[Filter] = Nil,
+      orderBy: Seq[(String, String)] = Nil, // (name, "ASC"|"DESC")
+      limit: Option[Int] = None,
+      page: Option[Int] = None,
+      offset: Option[Int] = None)
+
+  private def opToColumn(c: Column, op: FilterOp): Column = op match {
+    case FilterOp.Eq(v) => SqlOps.eq(c, v)
+    case FilterOp.Ne(v) => SqlOps.neq(c, v)
+    case FilterOp.Gt(v) => SqlOps.gt(c, v)
+    case FilterOp.Gte(v) => SqlOps.gte(c, v)
+    case FilterOp.Lt(v) => SqlOps.lt(c, v)
+    case FilterOp.Lte(v) => SqlOps.lte(c, v)
+    case FilterOp.In(vs) => SqlOps.inList(c, vs)
+    case FilterOp.NotIn(vs) => SqlOps.notIn(c, vs)
+    case FilterOp.Like(p) => SqlOps.like(c, p)
+    case FilterOp.Between(lo, hi) => SqlOps.between(c, lo, hi)
+    case FilterOp.IsNull => SqlOps.isNull(c)
+    case FilterOp.IsNotNull => SqlOps.isNotNull(c)
+  }
+
+  /** Resolve a request against a model into a DataFrame (the reference's
+    * `toParts` + `toSql`, query-model.ts:710-858). */
+  def buildQuery(model: Def, req: Request): DataFrame = {
+    val detailMode = req.columns.nonEmpty
+
+    // -------- validate names (reference throws on unknown identifiers)
+    req.dimensions.foreach(d => require(model.dimensions.contains(d),
+      s"unknown dimension '$d'"))
+    req.metrics.foreach(m => require(model.metrics.contains(m),
+      s"unknown metric '$m'"))
+    req.columns.foreach(c => require(model.columns.contains(c),
+      s"unknown column '$c'"))
+    req.filters.foreach { f =>
+      require(model.dimensions.contains(f.target) ||
+        model.filterable.contains(f.target) ||
+        model.metrics.contains(f.target) ||
+        model.columns.contains(f.target),
+        s"filter target '${f.target}' not allowed")
+    }
+    req.orderBy.foreach { case (n, dir) =>
+      require(model.sortable.contains(n), s"'$n' is not sortable")
+      require(dir == "ASC" || dir == "DESC", s"bad direction '$dir'")
+    }
+
+    // -------- join chain (query-model.ts:683-708)
+    val joined = model.joins.foldLeft(model.base) { (acc, j) =>
+      val rhs = if (j.broadcastRight) broadcast(j.right) else j.right
+      acc.join(rhs, j.on(model.base, j.right), j.joinType)
+    }
+
+    def resolve(name: String): Column =
+      model.dimensions.get(name).map(_(joined))
+        .orElse(model.columns.get(name).map(_(joined)))
+        .orElse(model.filterable.get(name).map(_(joined)))
+        .getOrElse(col(name))
+
+    // -------- split filters WHERE vs HAVING (query-model.ts:579-624)
+    val (metricFilters, rowFilters) =
+      req.filters.partition(f => model.metrics.contains(f.target))
+    val whereCond = SqlOps.and(rowFilters.map(f =>
+      f.op.map(op => opToColumn(resolve(f.target), op)))) // None op ⇒ skipped
+    val filtered = joined.where(whereCond)
+
+    // -------- project / aggregate
+    val projected =
+      if (detailMode) {
+        filtered.select(req.columns.map(c => resolve(c).as(c)): _*)
+      } else {
+        val dims = req.dimensions.map(d => resolve(d).as(d))
+        val aggs = req.metrics.map(m => model.metrics(m).as(m))
+        require(aggs.nonEmpty, "aggregate mode requires at least one metric")
+        val grouped =
+          if (dims.isEmpty) filtered.groupBy()
+          else filtered.groupBy(dims: _*)
+        grouped.agg(aggs.head, aggs.tail: _*)
+      }
+
+    // -------- HAVING on metric aliases (query-model.ts:825-828)
+    val havingCond = SqlOps.and(metricFilters.map(f =>
+      f.op.map(op => opToColumn(col(f.target), op))))
+    val having = projected.where(havingCond)
+
+    // -------- ORDER BY with dimension pruning (query-model.ts:626-681)
+    val selectedNames: Set[String] =
+      if (detailMode) req.columns.toSet
+      else (req.dimensions ++ req.metrics).toSet
+    val orderCols = req.orderBy.collect {
+      case (n, dir) if selectedNames.contains(n) =>
+        if (dir == "DESC") col(n).desc else col(n)
+    }
+    val ordered =
+      if (orderCols.nonEmpty) having.orderBy(orderCols: _*) else having
+
+    // -------- pagination (query-model.ts:789-794)
+    val limit = math.min(req.limit.getOrElse(model.defaultLimit), model.maxLimit)
+    val off = req.offset.orElse(req.page.map(p => math.max(p - 1, 0) * limit))
+      .getOrElse(0)
+    (if (off > 0) ordered.offset(off) else ordered).limit(limit)
+  }
+}

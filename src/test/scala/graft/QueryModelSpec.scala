@@ -1,0 +1,86 @@
+package graft
+
+import graft.querymodel.QueryModel
+import graft.querymodel.QueryModel._
+import graft.querymodel.SqlOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QueryModelSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def model = {
+    val df = Seq(
+      ("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0), ("b", 4, 40.0),
+      ("c", 5, 50.0)).toDF("k", "id", "v")
+    Def(
+      base = df,
+      dimensions = Map("k" -> (_ => col("k"))),
+      metrics = Map("n" -> count(lit(1)), "total" -> sum(col("v"))),
+      columns = Map("id" -> (_ => col("id")), "v" -> (_ => col("v"))),
+      filterable = Map("v" -> (_ => col("v"))),
+      sortable = Set("k", "n", "total", "id"),
+      defaultLimit = 3, maxLimit = 4)
+  }
+
+  test("aggregate mode with WHERE vs HAVING split") {
+    val out = QueryModel.buildQuery(model, Request(
+      dimensions = Seq("k"), metrics = Seq("n", "total"),
+      filters = Seq(
+        Filter("v", Some(FilterOp.Gte(20))),   // drops (a,1)
+        Filter("n", Some(FilterOp.Gt(1)))),    // keeps only b
+      orderBy = Seq("k" -> "ASC"))).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("b"))
+    assert(out.head.getLong(1) == 2 && out.head.getDouble(2) == 70.0)
+  }
+
+  test("default limit and maxLimit clamp") {
+    assert(QueryModel.buildQuery(model, Request(
+      columns = Seq("id"), orderBy = Seq("id" -> "ASC"))).count() == 3)
+    assert(QueryModel.buildQuery(model, Request(
+      columns = Seq("id"), orderBy = Seq("id" -> "ASC"),
+      limit = Some(100))).count() == 4)
+  }
+
+  test("page-based offset") {
+    val rows = QueryModel.buildQuery(model, Request(
+      columns = Seq("id"), orderBy = Seq("id" -> "ASC"),
+      limit = Some(2), page = Some(2))).collect().map(_.getInt(0))
+    assert(rows.toSeq == Seq(3, 4))
+  }
+
+  test("ORDER BY prunes non-selected dimension, keeps metric order") {
+    val out = QueryModel.buildQuery(model, Request(
+      dimensions = Seq("k"), metrics = Seq("n"),
+      // "total" not selected → pruned; "k" kept
+      orderBy = Seq("total" -> "DESC", "k" -> "DESC"))).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("c", "b", "a"))
+  }
+
+  test("unknown identifiers and non-sortable columns throw") {
+    intercept[IllegalArgumentException] {
+      QueryModel.buildQuery(model, Request(dimensions = Seq("nope"),
+        metrics = Seq("n")))
+    }
+    intercept[IllegalArgumentException] {
+      QueryModel.buildQuery(model, Request(dimensions = Seq("k"),
+        metrics = Seq("n"), orderBy = Seq("v" -> "ASC")))
+    }
+  }
+
+  test("absent filter value skips the predicate (sql-utils.ts:83-84)") {
+    val out = QueryModel.buildQuery(model, Request(
+      dimensions = Seq("k"), metrics = Seq("n"),
+      filters = Seq(Filter("v", None))))
+    assert(out.count() == 3) // nothing filtered
+  }
+
+  test("empty IN list is constant false; empty NOT IN constant true") {
+    import SqlOps._
+    val df = Seq(1, 2, 3).toDF("x")
+    assert(df.where(inList(col("x"), Nil)).count() == 0)
+    assert(df.where(notIn(col("x"), Nil)).count() == 3)
+  }
+}
