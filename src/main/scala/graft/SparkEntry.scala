@@ -15,7 +15,8 @@ object SparkEntry {
                            Map[String, String])] = Seq(
     (RelationalQueries.queries, RelationalQueries.oracles),
     (EngineQueries.queries, EngineQueries.oracles),
-    (QueryModelQueries.queries, QueryModelQueries.oracles)
+    (QueryModelQueries.queries, QueryModelQueries.oracles),
+    (StreamingQueries.queries, StreamingQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.Tables
+import graft.streaming.{MaterializedView, StreamTransforms}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Streaming-layer semantics exercised in batch mode: a streaming
+  * transform/MV and its batch recompute produce identical results by
+  * construction (same declarative plan), so the DuckDB oracle checks the
+  * transform semantics themselves (SURVEY §2.9 T1, §3.1 stage collapse).
+  */
+object StreamingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Raw event record (matches events.parquet). */
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Derived record — the Foo→Bar canonical transform shape
+    * (ref templates/typescript/app/ingest/models.ts:17-29, FIXTURES A1). */
+  final case class Bar(
+      primary_key: Long, day_epoch: Long, event_type_upper: String,
+      value_cents: Long, has_k: Boolean)
+
+  /** The user transform: ZeroOrMany — 'error' records filtered out, the
+    * rest mapped 1:1. Runs as a typed flatMap inside the engine. */
+  val fooToBar: Event => IterableOnce[Bar] = { e =>
+    if (e.event_type == "error") None
+    else Some(Bar(
+      primary_key = e.event_id,
+      day_epoch = java.lang.Math.floorDiv(e.ts.getTime, 86400000L),
+      event_type_upper = e.event_type.toUpperCase,
+      value_cents = math.round(e.value * 100),
+      has_k = e.props != null && e.props.contains("\"k\"")))
+  }
+
+  private def eventsDs(spark: SparkSession, dir: String): Dataset[Event] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events").as[Event]
+  }
+
+  /** T1 per-record transform (batch parity of the streaming edge). */
+  def qTransformBar(spark: SparkSession, dir: String): DataFrame = {
+    val (bars, _) = StreamTransforms.applyTransform(
+      eventsDs(spark, dir), fooToBar, "events->bar")
+    bars.toDF()
+      .withColumn("day", date_from_unix_date(col("day_epoch").cast("int")))
+      .drop("day_epoch")
+      .select(col("primary_key"), col("day"), col("event_type_upper"),
+        col("value_cents"), col("has_k"))
+      .orderBy(col("primary_key"))
+  }
+
+  /** MV recompute — BarAggregated (ref templates/typescript/app/views/
+    * barAggregated.ts:16-30, FIXTURES A2) expressed declaratively so the
+    * same plan serves batch recompute and streaming update mode. */
+  val barAggregated: MaterializedView = new MaterializedView(
+    "bar_aggregated",
+    source => source
+      .where(col("event_type") =!= "error")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("total_rows"),
+        count(when(col("props").isNotNull && col("props").like("%\"k\"%"), 1))
+          .as("rows_with_k"),
+        sum(round(col("value") * 100).cast(LongType)).as("total_value_cents"),
+        max(round(col("value") * 100).cast(LongType)).as("max_value_cents")))
+
+  def qMvRecompute(spark: SparkSession, dir: String): DataFrame =
+    barAggregated.recompute(Tables.load(spark, dir, "events"))
+      .orderBy(col("day"))
+
+  def queries: Map[String, Q] = Map(
+    "q_transform_bar" -> (qTransformBar _),
+    "q_mv_recompute" -> (qMvRecompute _))
+
+  def oracles: Map[String, String] = Map(
+    "q_transform_bar" ->
+      """SELECT event_id AS primary_key, CAST(ts AS DATE) AS day,
+        |  upper(event_type) AS event_type_upper,
+        |  CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |  (props IS NOT NULL AND props LIKE '%"k"%') AS has_k
+        |FROM events WHERE event_type <> 'error'
+        |ORDER BY event_id""".stripMargin,
+    "q_mv_recompute" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS total_rows,
+        |  count(CASE WHEN props IS NOT NULL AND props LIKE '%"k"%'
+        |    THEN 1 END) AS rows_with_k,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_value_cents,
+        |  CAST(max(round(value * 100)) AS BIGINT) AS max_value_cents
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin)
+}

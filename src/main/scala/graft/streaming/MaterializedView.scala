@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Materialized view: a static SELECT over source tables kept up to date
+  * as data arrives (ref packages/ts-moose-lib/src/dmv2/sdk/
+  * materializedView.ts:83; CH projection queries.rs:64).
+  *
+  * ClickHouse populates MVs per insert block and merges AggregateFunction
+  * states in the target engine. The Spark realization keeps the SELECT
+  * *declarative* and offers two maintenance modes with identical results:
+  *
+  *  - `recompute(source)`: batch re-evaluation (recompute-on-append);
+  *  - `maintainStreaming(stream)`: Structured Streaming update-mode
+  *    aggregation — Spark's state store plays the role of the
+  *    AggregatingMergeTree target, incrementally folding each micro-batch
+  *    (SURVEY §2.4 A15). No watermark by default: the reference has no
+  *    event-time eviction (T9), late rows land in their bucket.
+  */
+final class MaterializedView(
+    val name: String,
+    select: DataFrame => DataFrame) {
+
+  /** Batch recompute — the correctness oracle for the streaming mode. */
+  def recompute(source: DataFrame): DataFrame = select(source)
+
+  /** Incremental maintenance over a streaming source into a memory sink
+    * named `name` (swap for foreachBatch-MERGE on a real table target). */
+  def maintainStreaming(
+      stream: DataFrame,
+      checkpoint: String,
+      triggerInterval: String = "1 second"): StreamingQuery =
+    select(stream).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+}

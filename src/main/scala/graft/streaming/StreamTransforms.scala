@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+
+import scala.reflect.runtime.universe.TypeTag
+
+/** Dead-letter record — ref packages/ts-moose-lib/src/dmv2/sdk/stream.ts:
+  * 569-585 `DeadLetterModel`. `originalRecord` is the failed input as JSON;
+  * `asTyped` recovery parses it back (stream.ts:592). */
+final case class DeadLetter(
+    originalRecord: String,
+    errorMessage: String,
+    errorType: String,
+    failedAt: java.sql.Timestamp,
+    source: String)
+
+object DeadLetter {
+  /** Typed recovery (ref stream.ts:592 asTyped). */
+  def asTyped[T: TypeTag](dlq: Dataset[DeadLetter])(implicit enc: Encoder[T]): Dataset[T] = {
+    val schema = enc.schema
+    dlq.select(from_json(col("originalRecord"), schema).as("r"))
+      .select(col("r.*")).as[T]
+  }
+}
+
+/** Per-record transform execution with ZeroOrMany semantics and a DLQ
+  * channel (ref stream.ts:45 ZeroOrMany, :478-516 addTransform; runner
+  * packages/ts-moose-lib/src/streaming-functions/runner.ts:240-346, DLQ
+  * :293-345,412-440).
+  *
+  * `f: T => IterableOnce[U]`: empty ⇒ filtered, one ⇒ map, many ⇒ fan-out.
+  * A throwing record becomes a [[DeadLetter]] instead of failing the job —
+  * the Either-channel pattern, realized as an `Attempt` wrapper so both
+  * channels stay in one typed, whole-stage-codegen-friendly pass.
+  */
+object StreamTransforms {
+
+  final case class Attempt[U](
+      ok: Seq[U],
+      origJson: Option[String],
+      errorMessage: Option[String],
+      errorType: Option[String])
+
+  /** Apply a user transform to a (batch or streaming) Dataset, returning
+    * the success channel and the DLQ channel. */
+  def applyTransform[T: TypeTag, U: TypeTag](
+      ds: Dataset[T],
+      f: T => IterableOnce[U],
+      source: String = "transform"): (Dataset[U], Dataset[DeadLetter]) = {
+    implicit val attemptEnc: Encoder[Attempt[U]] = ExpressionEncoder[Attempt[U]]()
+    implicit val uEnc: Encoder[U] = ExpressionEncoder[U]()
+    implicit val dlEnc: Encoder[DeadLetter] = ExpressionEncoder[DeadLetter]()
+
+    val attempts = ds.map { t =>
+      try Attempt[U](f(t).iterator.toSeq, None, None, None)
+      catch {
+        case e: Throwable =>
+          Attempt[U](Nil, Some(toJsonString(t)),
+            Some(Option(e.getMessage).getOrElse(e.toString)),
+            Some(e.getClass.getSimpleName))
+      }
+    }
+    val out = attempts.flatMap(_.ok)
+    val dlq = attempts
+      .filter((a: Attempt[U]) => a.errorMessage.isDefined)
+      .map(a => DeadLetter(
+        a.origJson.getOrElse("{}"),
+        a.errorMessage.getOrElse(""),
+        a.errorType.getOrElse("Error"),
+        new java.sql.Timestamp(System.currentTimeMillis()),
+        source))
+    (out, dlq)
+  }
+
+  /** Multi-route transform (ref stream.ts:550-562 addMultiTransform +
+    * routed): one function tags each record with destination names; the
+    * result splits into one Dataset per destination. */
+  def applyMultiTransform[T: TypeTag, U: TypeTag](
+      ds: Dataset[T],
+      f: T => Seq[(String, U)],
+      destinations: Seq[String]): Map[String, Dataset[U]] = {
+    implicit val pairEnc: Encoder[(String, U)] =
+      ExpressionEncoder[(String, U)]()
+    implicit val uEnc: Encoder[U] = ExpressionEncoder[U]()
+    val routed = ds.flatMap(f).cache()
+    destinations.map(d => d -> routed.filter(_._1 == d).map(_._2)).toMap
+  }
+
+  private def toJsonString(t: Any): String = {
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.Serialization
+    implicit val fmt: DefaultFormats = DefaultFormats
+    try Serialization.write(t.asInstanceOf[AnyRef])
+    catch { case _: Throwable => String.valueOf(t) }
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.StreamingQueries
+import graft.operators.StreamingQueries.{Bar, Event}
+import graft.streaming.{DeadLetter, MooseStream, StreamTransforms}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ev(id: Long, tpe: String, value: Double, props: String = """{"k": 1}""") =
+    Event(id, java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), id % 10,
+      tpe, value, props)
+
+  test("ZeroOrMany: filter, map, fan-out") {
+    val in = Seq(ev(1, "click", 10.0), ev(2, "error", 5.0)).toDS()
+    val (out, dlq) = StreamTransforms.applyTransform(in, StreamingQueries.fooToBar)
+    assert(out.collect().map(_.primary_key).toSeq == Seq(1L))
+    assert(dlq.count() == 0)
+    // fan-out: one record → N
+    val (fanned, _) = StreamTransforms.applyTransform(
+      in, (e: Event) => Seq.fill(3)(e.event_id))
+    assert(fanned.count() == 6)
+  }
+
+  test("throwing record lands in DLQ with recoverable original (T5)") {
+    val poison: Event => IterableOnce[Bar] = { e =>
+      if (e.value < 0) throw new IllegalStateException(s"bad value ${e.value}")
+      StreamingQueries.fooToBar(e)
+    }
+    val in = Seq(ev(1, "click", 10.0), ev(2, "click", -1.0)).toDS()
+    val (out, dlq) = StreamTransforms.applyTransform(in, poison, "unit")
+    assert(out.count() == 1)
+    val d = dlq.collect()
+    assert(d.length == 1)
+    assert(d.head.errorType == "IllegalStateException")
+    assert(d.head.source == "unit")
+    // asTyped recovery round-trips the original record
+    val recovered = DeadLetter.asTyped[Event](dlq.as[DeadLetter]).collect()
+    assert(recovered.head.event_id == 2L && recovered.head.value == -1.0)
+  }
+
+  test("multi-route transform splits by destination (T3)") {
+    val in = Seq(ev(1, "click", 10.0), ev(2, "purchase", 350.0)).toDS()
+    val routed = StreamTransforms.applyMultiTransform[Event, Long](
+      in,
+      e => Seq((if (e.value > 100) "big" else "small") -> e.event_id),
+      Seq("big", "small"))
+    assert(routed("big").collect().toSeq == Seq(2L))
+    assert(routed("small").collect().toSeq == Seq(1L))
+  }
+
+  test("streaming transform via MemoryStream matches batch semantics (T1/T7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val (out, dlq) = StreamTransforms.applyTransform(mem.toDS(), StreamingQueries.fooToBar)
+    val q = out.toDF().writeStream.format("memory").queryName("bars_out")
+      .outputMode("append").start()
+    mem.addData(ev(1, "click", 10.0), ev(2, "error", 5.0), ev(3, "view", 7.5))
+    q.processAllAvailable()
+    val rows = spark.table("bars_out").collect()
+    assert(rows.map(_.getAs[Long]("primary_key")).sorted.toSeq == Seq(1L, 3L))
+    q.stop()
+  }
+
+  test("MV streaming update-mode equals batch recompute (T8/A15)") {
+    val dir = Files.createTempDirectory("mv_src").toString
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val ck = Files.createTempDirectory("mv_ck").toString
+    val q = StreamingQueries.barAggregated.maintainStreaming(stream, ck)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bar_aggregated")
+      .orderBy("day").collect().map(_.toSeq)
+    val batch = StreamingQueries.barAggregated.recompute(events)
+      .orderBy("day").collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("MooseStream DAG: transform edges + consumers (batch runner)") {
+    val s = new MooseStream[Event]("events_stream")
+    var consumed = 0
+    s.addTransform[Bar]("bars", StreamingQueries.fooToBar)
+    s.addConsumer(_ => consumed += 1)
+    val (outs, dlq) = s.runBatch(Seq(ev(1, "click", 1.0), ev(2, "error", 2.0)).toDS())
+    assert(outs("bars").count() == 1)
+    assert(dlq.count() == 0)
+    assert(consumed == 2)
+  }
+}
