@@ -16,7 +16,8 @@ object SparkEntry {
     (RelationalQueries.queries, RelationalQueries.oracles),
     (EngineQueries.queries, EngineQueries.oracles),
     (QueryModelQueries.queries, QueryModelQueries.oracles),
-    (StreamingQueries.queries, StreamingQueries.oracles)
+    (StreamingQueries.queries, StreamingQueries.oracles),
+    (TextQueries.queries, TextQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

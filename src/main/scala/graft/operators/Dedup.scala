@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design notes (the point of each variant):
+  *  - exact: group on a 128-bit digest of the content, never shuffling the
+  *    full text — shuffle volume is O(rows × 32 bytes);
+  *  - n-gram Jaccard: shingle-explode + equi-join on the shingle — one
+  *    shuffle keyed by shingle, no O(n²) pair enumeration; only documents
+  *    sharing a shingle ever meet;
+  *  - MinHash+LSH: fixed-size signatures (K hashes) reduce each document
+  *    to K longs; banding turns near-dup search into an equi-join on
+  *    (band, bandHash) buckets — the classic sub-quadratic path when even
+  *    shingle-join fan-out is too hot at 100 TB;
+  *  - SimHash: 64-bit signature; near-dups = small Hamming distance,
+  *    candidates via 16-bit band equi-join.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per distinct content. */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
+      .drop("content_hash")
+
+  /** (id, shingle) pairs, distinct within a document. */
+  def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+        TextAnalysis.shingles(col(textCol), n).as("shs"))
+      .where(size(col("shs")) > 0)
+      .select(col("id"), explode(col("shs")).as("sh"))
+
+  /** All document pairs with n-gram Jaccard ≥ threshold. */
+  def jaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol, n)
+    val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.as("ca"), col("doc_a") === col("ca.id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("ca.n_sh") + col("cb.n_sh") - col("n_inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: K independent hashes; signature k = min over
+    * shingles of xxhash64(k ++ shingle). One aggregation, K columns. */
+  def minhashSignatures(sh: DataFrame, k: Int = 24): DataFrame =
+    sh.groupBy(col("id"))
+      .agg(
+        min(xxhash64(lit(0), col("sh"))).as("mh0"),
+        (1 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i")): _*)
+
+  /** LSH banding: signature split into `bands` groups of `rowsPerBand`;
+    * a candidate pair shares at least one band hash. Returns distinct
+    * (doc_a < doc_b) candidates via an equi-join on (band, bandHash). */
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+          .as("bh"))
+    }
+    val exploded = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    exploded.as("x")
+      .join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    * exact-Jaccard verification of candidates only. */
+  def minhashDedupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 24, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol, n)
+    val candidates = lshCandidates(minhashSignatures(sh, k), bands, k / bands)
+    val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.as("a"), col("doc_a") === col("a.id"))
+      .join(sh.as("b"), col("doc_b") === col("b.id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.as("ca"), col("doc_a") === col("ca.id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("ca.n_sh") + col("cb.n_sh") - col("n_inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document over whitespace tokens: bit i of the
+    * signature is the sign of Σ_tokens (±1 by bit i of the token hash). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val bitSums = toks.groupBy(col("id")).agg(
+      sum(when(col("h").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("b0"),
+      (1 until 64).map(i =>
+        sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) =!= 0, 1)
+          .otherwise(-1)).as(s"b$i")): _*)
+    bitSums.select(col("id"),
+      (0 until 64).map(i =>
+        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+        .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs: equi-join on any equal 16-bit band,
+    * kept when total Hamming distance ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val sig = simhash(docs, idCol, textCol)
+    val banded = sig.select(col("id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("simhash"), b * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

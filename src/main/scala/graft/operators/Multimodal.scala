@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads are opaque
+  * `binary` columns travelling beside typed metadata (SURVEY §1.2 MBinary).
+  *
+  * The actual codecs (JPEG decode, resampling, frame extraction) are NOT
+  * available in this environment — the decode kernels below are
+  * >>> STUBS: deterministic fakes over the raw bytes <<<
+  * so that everything Spark-side — schema shape, batched per-partition
+  * execution, fan-out of frames, partition sizing — is real and tested.
+  * Swapping in a real codec changes only the marked function bodies.
+  *
+  * Scale design: per-record kernels run via `mapPartitions`-style typed
+  * plans or codegen'd expressions; payload columns are never shuffled by
+  * the metadata operations (project early, carry `id` + features forward,
+  * re-join payload only when needed).
+  */
+object Multimodal {
+
+  /** Canonical media-table schema convention. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** STUB decode+feature-extract: D pseudo-features per payload derived
+    * from byte-range hashes (a real impl would decode and pool pixels).
+    * Pure expressions — no shuffle, no UDF, payload scanned once. */
+  def fakeFeatures(payload: Column, dims: Int = 8): Column =
+    array((0 until dims).map { d =>
+      (pmod(xxhash64(payload, lit(d)), lit(1000000)).cast(DoubleType) / 1000000.0)
+    }: _*)
+
+  /** STUB resize: real impl re-encodes pixels; the fake truncates bytes
+    * proportionally to the requested area, keeping the byte-budget shape
+    * of a thumbnail pipeline. */
+  def fakeResize(payload: Column, w: Int, h: Int): Column =
+    substring(payload, 1, math.max(64, w * h / 64))
+
+  /** Frame sampling plumbing: one row per sampled frame index with a
+    * byte-slice standing in for the decoded frame (real impl: video
+    * decoder). Fan-out is a generator — distributed, no driver loop. */
+  def sampleFrames(media: DataFrame, nFrames: Int): DataFrame =
+    media.select(col("media_id"), col("mime"),
+        posexplode(transform(sequence(lit(0), lit(nFrames - 1)), i =>
+          substring(col("payload"), (i * 128 + 1).cast(IntegerType), lit(128)))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame_bytes")
+
+  /** Batched kernel execution shape for real codecs: partition-at-a-time,
+    * reusing a per-partition decoder instance (the Scala analogue of a
+    * Pandas-UDF `mapInPandas` batch). */
+  def withDecodedFeatures(
+      media: DataFrame, dims: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(
+      media.schema.fields.filterNot(_.name == "payload") :+
+        StructField("features", ArrayType(DoubleType), nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      // >>> STUB: a real implementation instantiates one decoder here
+      // and decodes each payload; we hash bytes deterministically. <<<
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val feats = (0 until dims).map { d =>
+          var h = 1125899906842597L
+          var i = d % math.max(bytes.length, 1)
+          while (i < bytes.length) { h = h * 31 + (bytes(i) & 0xff); i += dims }
+          math.abs(h % 1000000) / 1000000.0
+        }.toArray
+        val kept = r.toSeq.zipWithIndex.collect {
+          case (v, idx) if idx != payloadIdx => v
+        }
+        org.apache.spark.sql.Row.fromSeq(kept :+ feats)
+      }
+    }(enc)
+  }
+}

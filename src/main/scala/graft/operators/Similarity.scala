@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  *  - Brute-force cosine top-k: the correctness baseline. Queries are
+  *    broadcast; candidates stream through a single scan — no shuffle of
+  *    the embedding table, O(|Q|·|N|) work distributed over partitions.
+  *  - LSH (random hyperplanes): the scale path. Each vector reduces to a
+  *    B-bit signature; candidate generation is an equi-join on signature
+  *    buckets, so only same-bucket vectors are scored. Planes are seeded
+  *    deterministically.
+  *
+  * All math in double via codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) — no UDFs.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * Ranking uses the 6-dp-rounded similarity with the neighbor id as a
+    * tiebreak, so the order is stable under float accumulation-order
+    * differences (important for oracle parity and for re-runs at different
+    * parallelism).
+    */
+  def knnBrute(
+      embeddings: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 10): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = embeddings.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        cosine(col("qv"), col("nv")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 6).desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Deterministic random hyperplanes: `bits` planes × `dim` components. */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  /** B-bit signature column: bit p = [v · plane_p > 0]. */
+  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p.toSeq)) > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Bucketed ANN: score only candidates whose signature matches the
+    * query's bucket; rank like [[knnBrute]]. Recall < 1 by construction —
+    * the scale/recall dial is `bits`. */
+  def knnLsh(
+      embeddings: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bits: Int = 8, k: Int = 10): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(dim, bits)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      lshSignature(col(vecCol), planes).as("sig"))
+    val c = embeddings.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      lshSignature(col(vecCol), planes).as("sig"))
+    val scored = c.join(broadcast(q), Seq("sig"))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 6).desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+  }
+}

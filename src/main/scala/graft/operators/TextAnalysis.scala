@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristics, document fingerprinting. All
+  * pure `functions._` compositions — whole-stage codegen, no UDFs, scale
+  * linearly with a parquet scan.
+  */
+object TextAnalysis {
+
+  /** Canonical normalization: lowercase, non-alphanumerics → space,
+    * whitespace squeezed. The shared base for fingerprints and shingles. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Whitespace token count. */
+  def wordCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast(LongType)
+
+  /** BPE-ish token count: alphanumeric runs or single non-space symbols. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast(LongType)
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", "")).cast(LongType)
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Fraction of whitespace tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    round(size(filter(words, w => w.isin(stopwords: _*)))
+      .cast("double") / size(words), 4)
+  }
+
+  /** Composite quality score ∈ [0,1]: length component + stopword
+    * component (heuristic; deterministic and oracle-mirrorable). */
+  def qualityScore(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val lenComponent = least(size(words).cast("double") / 100.0, lit(1.0))
+    val stopComponent =
+      size(filter(words, w => w.isin(stopwords: _*))).cast("double") / size(words)
+    round(lenComponent * 0.5 + stopComponent * 0.5, 4)
+  }
+
+  /** Marker-based language-ID heuristic (n-gram/stopword presence CASE):
+    * CJK codepoints → zh, else language-specific function words in
+    * priority order, else en. Deterministic; the oracle mirrors the CASE
+    * exactly. */
+  def langId(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    when(regexp_like(text, lit("[一-鿿]")), "zh")
+      .when(t.like("% der %") || t.like("% und %") || t.like("% nicht %") ||
+        t.like("% ist %"), "de")
+      .when(t.like("% le %") || t.like("% les %") || t.like("% une %") ||
+        t.like("% est %"), "fr")
+      .when(t.like("% el %") || t.like("% los %") || t.like("% que %") ||
+        t.like("% es %"), "es")
+      .otherwise("en")
+  }
+
+  /** Stable content fingerprint: md5 of the normalized text. */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text))
+
+  /** Word shingles of size n over normalized text (requires ≥ n words). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(normalized(text), " ")
+    val idx = sequence(lit(0), size(words) - n)
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(words, (i + k + 1))): _*)))
+  }
+}

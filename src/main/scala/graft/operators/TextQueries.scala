@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.RollingHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over documents/embeddings: dedup
+  * (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
+  * (brute-force + LSH), text analysis (tokens, quality, lang-ID,
+  * fingerprints). Oracled where DuckDB can express the same deterministic
+  * computation; signature-based ops (SimHash bands, hyperplane LSH) are
+  * rows-only.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  def dExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDuplicates(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def dNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docs(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Same verified output as d_ngram_jaccard, arrived at through
+    * signatures+banding — so the exact-Jaccard oracle also checks LSH
+    * recall (planted near-dups are all ≥0.9 Jaccard; miss prob ≈ 3e-5). */
+  def dMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedupPairs(docs(spark, dir), "doc_id", "text",
+        n = 3, k = 24, bands = 8, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def dSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def dTokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.wordCount(col("text")).as("n_words"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.punctCount(col("text")).as("n_punct"))
+      .orderBy(col("doc_id"))
+
+  def dQuality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  def dLangid(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  def dFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Rows-only: native codegen'd rolling-hash expression. */
+  def dFingerprintRolling(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      RollingHash.rolling_hash(TextAnalysis.normalized(col("text"))).as("fp64"))
+      .orderBy(col("doc_id"))
+
+  def eKnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.knnBrute(e, e.where(col("vec_id") < 5), k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Rows-only: bucketed ANN (recall < 1 by construction). */
+  def eKnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.knnLsh(e, e.where(col("vec_id") < 5), bits = 4, k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "d_exact_dedup" -> (dExactDedup _),
+    "d_ngram_jaccard" -> (dNgramJaccard _),
+    "d_minhash_lsh" -> (dMinhashLsh _),
+    "d_simhash_pairs" -> (dSimhashPairs _),
+    "d_token_count" -> (dTokenCount _),
+    "d_quality" -> (dQuality _),
+    "d_langid" -> (dLangid _),
+    "d_fingerprint" -> (dFingerprint _),
+    "d_fingerprint_rolling" -> (dFingerprintRolling _),
+    "e_knn_brute" -> (eKnnBrute _),
+    "e_knn_lsh" -> (eKnnLsh _))
+
+  private val jaccardSql =
+    """WITH words AS (
+      |  SELECT doc_id, regexp_split_to_array(
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |      ' +', ' ', 'g')), ' ') AS w
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |    FROM words WHERE len(w) >= 3)
+      |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON ca.doc_id = doc_a
+      |JOIN cnt cb ON cb.doc_id = doc_b
+      |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "d_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "d_ngram_jaccard" -> jaccardSql,
+    "d_minhash_lsh" -> jaccardSql,
+    "d_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+        |    AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
+        |    AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_quality" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS words
+        |  FROM documents),
+        |s AS (SELECT doc_id, len(words) AS nw,
+        |    len(list_filter(words, x -> x IN
+        |      ('the','a','of','and','to','in','is'))) AS ns
+        |  FROM w)
+        |SELECT doc_id,
+        |  round(ns * 1.0 / nw, 4) AS stop_ratio,
+        |  round(least(nw / 100.0, 1.0) * 0.5 + (ns * 1.0 / nw) * 0.5, 4)
+        |    AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "d_langid" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |    WHEN ' ' || lower(text) || ' ' LIKE '% der %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% und %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% nicht %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% ist %' THEN 'de'
+        |    WHEN ' ' || lower(text) || ' ' LIKE '% le %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% les %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% une %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% est %' THEN 'fr'
+        |    WHEN ' ' || lower(text) || ' ' LIKE '% el %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% los %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% que %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% es %' THEN 'es'
+        |    ELSE 'en' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+        |    AS sim
+        |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+        |ranked AS (SELECT qid, nid, sim,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY round(sim, 6) DESC, nid) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, nid, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.RollingHash
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("shingles, normalization and rolling hash") {
+    val df = Seq((1L, "The quick, quick Brown fox!")).toDF("doc_id", "text")
+    val norm = df.select(TextAnalysis.normalized(col("text"))).head().getString(0)
+    assert(norm == "the quick quick brown fox")
+    val sh = df.select(TextAnalysis.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(sh.toSet == Set("the quick quick", "quick quick brown", "quick brown fox"))
+    // rolling hash: deterministic, matches a scala-side reference impl
+    val got = df.select(RollingHash.rolling_hash(lit("abc"))).head().getLong(0)
+    val want = "abc".getBytes.foldLeft(0L)((h, b) => h * RollingHash.Prime + (b & 0xffL))
+    assert(got == want)
+  }
+
+  test("exact dedup groups identical content") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDuplicates(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccard and minhash agree on a synthetic near-dup") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base + " extra"
+    val df = Seq((1L, base), (2L, nearDup), (3L, (100 to 140).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val j = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5).collect()
+    assert(j.length == 1 && j.head.getLong(0) == 1L && j.head.getLong(1) == 2L)
+    val m = Dedup.minhashDedupPairs(df, "doc_id", "text", 3, 24, 8, 0.5).collect()
+    assert(m.length == 1 && m.head.getLong(0) == 1L && m.head.getLong(1) == 2L)
+    assert(math.abs(m.head.getDouble(2) - j.head.getDouble(2)) < 1e-9)
+  }
+
+  test("simhash: identical docs hamming 0, near-dup small, distinct large") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base + " one"), (3L, (200 to 260).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
+  }
+
+  test("knn brute: self excluded, scale-invariant cosine, k respected") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(10.0f, 0.0f, 0.0f, 0.0f)),   // same direction as 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.knnBrute(vecs, vecs.where($"vec_id" === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("nid")).toSeq == Seq(1L, 2L))
+    assert(out.head.getAs[Double]("sim") == 1.0)
+  }
+
+  test("multimodal: stub features deterministic, frame fan-out distributed") {
+    val media = Seq(
+      (1L, "image/fake", Array.tabulate(1024)(_.toByte), 64, 64, 0L),
+      (2L, "video/fake", Array.tabulate(2048)(i => (i * 7).toByte), 0, 0, 5000L)
+    ).toDF("media_id", "mime", "payload", "width", "height", "duration_ms")
+    val f1 = media.select(Multimodal.fakeFeatures(col("payload"), 8)).collect()
+    val f2 = media.select(Multimodal.fakeFeatures(col("payload"), 8)).collect()
+    assert(f1.map(_.getSeq[Double](0)).toSeq == f2.map(_.getSeq[Double](0)).toSeq)
+    val frames = Multimodal.sampleFrames(media, 4)
+    assert(frames.count() == 8)
+    assert(frames.schema.fieldNames.contains("frame_idx"))
+    val decoded = Multimodal.withDecodedFeatures(media, dims = 4)
+    val r = decoded.collect()
+    assert(r.forall(_.getAs[Seq[Double]]("features").length == 4))
+    assert(!decoded.schema.fieldNames.contains("payload"))
+  }
+}
