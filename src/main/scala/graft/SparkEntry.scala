@@ -17,7 +17,8 @@ object SparkEntry {
     (EngineQueries.queries, EngineQueries.oracles),
     (QueryModelQueries.queries, QueryModelQueries.oracles),
     (StreamingQueries.queries, StreamingQueries.oracles),
-    (TextQueries.queries, TextQueries.oracles)
+    (TextQueries.queries, TextQueries.oracles),
+    (MultimodalQueries.queries, MultimodalQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,57 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan}
+
+/** Ad-hoc query surface (SURVEY §2.1 S19/S20):
+  *
+  *  - `moose query` / MCP `query_olap` — execute SQL with a read-only gate
+  *    and an injected row limit (ref apps/framework-cli/src/mcp/tools/
+  *    query_olap.rs:19-21,76-163; cli/commands.rs:259-280);
+  *  - `moose peek` — sample N rows from a table
+  *    (ref cli/commands.rs:105-124).
+  *
+  * The gate inspects the *parsed* plan, not the SQL text: any node in the
+  * tree (including inside CTEs/subqueries) that is a Catalyst `Command`
+  * (DDL: CREATE/DROP/ALTER/SET…) or an `InsertIntoStatement` (DML) is
+  * rejected before analysis, so nothing runs. The limit is applied as an
+  * outer `Limit` node — Catalyst pushes it into sorts (TakeOrderedAndProject)
+  * and scans where legal.
+  */
+object AdHoc {
+  /** ref query_olap.rs:19-21. */
+  val DefaultLimit = 100
+  val MaxLimit = 1000
+  /** ref cli/commands.rs:265-267. */
+  val CliMaxLimit = 10000
+
+  final class ReadOnlyViolation(msg: String)
+      extends IllegalArgumentException(msg)
+
+  private def firstWriteNode(plan: LogicalPlan): Option[String] = {
+    def check(p: LogicalPlan): Option[String] = p match {
+      case _: InsertIntoStatement => Some("INSERT")
+      case c: Command => Some(c.nodeName)
+      case other =>
+        (other.children ++ other.subqueries).flatMap(check).headOption
+    }
+    check(plan)
+  }
+
+  /** Execute read-only SQL with limit injection; throws
+    * [[ReadOnlyViolation]] on any DDL/DML node anywhere in the statement. */
+  def query(
+      spark: SparkSession, sql: String,
+      limit: Int = DefaultLimit, maxLimit: Int = MaxLimit): DataFrame = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    firstWriteNode(parsed).foreach { node =>
+      throw new ReadOnlyViolation(
+        s"ad-hoc queries are read-only; statement contains $node")
+    }
+    spark.sql(sql).limit(math.min(math.max(limit, 0), maxLimit))
+  }
+
+  /** Sample N rows from a registered table or view (S19). */
+  def peek(spark: SparkSession, table: String, n: Int = 10): DataFrame =
+    spark.table(table).limit(n)
+}

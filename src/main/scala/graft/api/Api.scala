@@ -1,0 +1,85 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+
+/** Consumption-API layer (SURVEY §1.1 `Api<T,R>`, §3.2; SURVEY §7 module 7).
+  *
+  * A consumption API in the reference is an HTTP GET whose typed params are
+  * validated and handed to a user handler that runs SQL
+  * (ref packages/ts-moose-lib/src/dmv2/sdk/consumptionApi.ts:40,
+  * consumption-apis/runner.ts:250-253). Here the handler is a plain Scala
+  * function `(SparkSession, P) => DataFrame`; param validation is a
+  * caller-supplied check run before the handler (the typia analogue), and
+  * results stay distributed — `collect` only at the HTTP edge.
+  */
+final case class ConsumptionApi[P](
+    name: String,
+    validate: P => Either[String, P] = (p: P) => Right(p),
+    handler: (SparkSession, P) => DataFrame) {
+
+  def run(spark: SparkSession, params: P): DataFrame =
+    validate(params) match {
+      case Left(err) =>
+        throw new IllegalArgumentException(s"api $name: invalid params: $err")
+      case Right(p) => handler(spark, p)
+    }
+}
+
+/** Name-keyed registry with duplicate rejection
+  * (ref olapTable.ts:798-806 duplicate-name errors). */
+final class ApiRegistry {
+  private val apis = scala.collection.mutable.LinkedHashMap.empty[String, ConsumptionApi[_]]
+
+  def register[P](api: ConsumptionApi[P]): ConsumptionApi[P] = {
+    if (apis.contains(api.name))
+      throw new IllegalArgumentException(
+        s"api '${api.name}' already registered")
+    apis += api.name -> api
+    api
+  }
+  def get(name: String): Option[ConsumptionApi[_]] = apis.get(name)
+  def names: Seq[String] = apis.keys.toSeq
+}
+
+/** ETL pipeline (ref dmv2/sdk/etlPipeline.ts:56): extract (an iterable the
+  * reference walks in batches of 20) → per-record transform with
+  * `ZeroOrMany` fan-out → load. On Spark the batching is native — extract
+  * parallelizes once, the transform is a distributed `flatMap`, load is a
+  * single write. */
+final case class EtlPipeline[T, U](
+    name: String,
+    extract: () => Seq[T],
+    transform: T => IterableOnce[U],
+    load: Dataset[U] => Unit) {
+
+  def run(spark: SparkSession)(implicit et: Encoder[T], eu: Encoder[U]): Long = {
+    val out = spark.createDataset(extract())(et).flatMap(transform)(eu)
+    load(out)
+    out.count()
+  }
+}
+
+/** Workflow/Task (ref dmv2/sdk/workflow.ts:62,154): a Temporal-backed DAG
+  * of typed tasks with retries/timeouts. Engine-side we keep only the
+  * driver-side orchestration semantics: sequential task chain, per-task
+  * retry count, value threaded task-to-task. */
+final case class WfTask[I, O](name: String, retries: Int = 0)(val run: I => O) {
+  def attempt(in: I): O = {
+    var left = retries
+    while (true) {
+      try return run(in)
+      catch {
+        case e: Throwable if left > 0 => left -= 1
+        case e: Throwable =>
+          throw new RuntimeException(s"task $name failed after $retries retries", e)
+      }
+    }
+    sys.error("unreachable")
+  }
+}
+
+object Workflow {
+  /** Run tasks sequentially, threading each output into the next input. */
+  def run[A](init: A, tasks: Seq[WfTask[A, A]]): A =
+    tasks.foldLeft(init)((acc, t) => t.attempt(acc))
+}

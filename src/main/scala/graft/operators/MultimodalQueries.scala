@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing as driver-contract queries (SURVEY §2 training-data
+  * addendum): the media table is `documents` with its text re-cast to an
+  * opaque UTF-8 `binary` payload, so every byte-level operation (slicing,
+  * sizing, per-partition kernels) runs on real `BinaryType` columns while
+  * staying DuckDB-oracle-able via `encode()`/`octet_length()`.
+  *
+  * The decode kernels themselves are stubs (see [[Multimodal]]) — what is
+  * verified here is the Spark-side contract a real codec plugs into:
+  * schema shape, generator fan-out, byte-window slicing, partition-at-a-
+  * time execution.
+  */
+object MultimodalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents → canonical media-table shape (payload = UTF-8 bytes). */
+  def media(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      concat(lit("text/"), col("source")).as("mime"),
+      col("text").cast("binary").as("payload"))
+
+  /** Frame-sampling fan-out: 4 fixed-stride 128-byte windows per payload;
+    * output is (media_id, frame_idx, frame_len) — the byte-budget shape a
+    * video frame sampler produces. Generator (posexplode) fan-out, no
+    * shuffle until the final presentation sort. */
+  def mFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(media(spark, dir), nFrames = 4)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame_bytes")).cast("long").as("frame_len"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  /** Metadata aggregation that never touches payload bytes beyond their
+    * length: per-mime media count + total byte volume. The projection
+    * (mime, octet length) is all that shuffles. */
+  def mMeta(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir)
+      .groupBy(col("mime"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(length(col("payload"))).cast("long").as("total_bytes"))
+      .orderBy(col("mime"))
+
+  /** Rows-only: stubbed decode+feature kernel via the partition-at-a-time
+    * path (Multimodal.withDecodedFeatures — the mapInPandas analogue). */
+  def mFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.withDecodedFeatures(media(spark, dir), dims = 4)
+      .select(col("media_id"),
+        round(element_at(col("features"), 1), 4).as("f0"),
+        round(element_at(col("features"), 2), 4).as("f1"))
+      .orderBy(col("media_id"))
+
+  def queries: Map[String, Q] = Map(
+    "m_frames" -> (mFrames _),
+    "m_meta" -> (mMeta _),
+    "m_features" -> (mFeatures _))
+
+  def oracles: Map[String, String] = Map(
+    "m_frames" ->
+      """SELECT doc_id AS media_id, i AS frame_idx,
+        |  CAST(greatest(0, least(128, octet_length(encode(text)) - i*128))
+        |    AS BIGINT) AS frame_len
+        |FROM documents, range(0, 4) t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    "m_meta" ->
+      """SELECT 'text/' || source AS mime, count(*) AS n_media,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin)
+}

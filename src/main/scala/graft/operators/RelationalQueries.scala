@@ -307,6 +307,38 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** rank / dense_rank / lead — the wider window surface reachable via
+    * raw SQL in the reference (W4). */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", rank().over(w).cast(LongType))
+      .withColumn("drnk", dense_rank().over(w).cast(LongType))
+      .withColumn("next_price", lead(col("o_totalprice"), 1, 0.0).over(w))
+      .where(col("rnk") <= 5)
+      .orderBy(col("o_orderstatus"), col("rnk"))
+  }
+
+  /** Seed-from-remote with per-table filter+limit (S21,
+    * ref olapTable.ts:266-271 seedFilter {limit, where}; order added for
+    * determinism). */
+  def qSeedFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+      .limit(100)
+
+  /** Ad-hoc SQL through the read-only gate with injected default limit
+    * (S20, ref mcp/tools/query_olap.rs:19-21,76-163). */
+  def qAdhocGate(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    graft.api.AdHoc.query(spark,
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey")
+  }
+
   // ---------------------------------------------------------------- §2.6 sort/limit
   /** ORDER BY + LIMIT + OFFSET (O1, O4). */
   def qLimitOffset(spark: SparkSession, dir: String): DataFrame =
@@ -430,6 +462,9 @@ object RelationalQueries {
     "q_window_rownumber" -> (qWindowRownumber _),
     "q_window_lag" -> (qWindowLag _),
     "q_window_running" -> (qWindowRunning _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_seed_filter" -> (qSeedFilter _),
+    "q_adhoc_gate" -> (qAdhocGate _),
     "q_limit_offset" -> (qLimitOffset _),
     "q_topk" -> (qTopk _),
     "q_union_all" -> (qUnionAll _),
@@ -584,6 +619,24 @@ object RelationalQueries {
         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, rnk, drnk, next_price
+        |FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    lead(o_totalprice, 1, 0.0) OVER w AS next_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rnk <= 5 ORDER BY o_orderstatus, rnk""".stripMargin,
+    "q_seed_filter" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey LIMIT 100""".stripMargin,
+    "q_adhoc_gate" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
     "q_limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey

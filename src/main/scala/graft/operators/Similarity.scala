@@ -66,6 +66,100 @@ object Similarity {
       when(dot(vec, typedlit(p.toSeq)) > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Embedding-cosine near-duplicate pairs, exact: every (a,b), a<b, with
+    * rounded cosine ≥ threshold. The all-pairs baseline the banded variant
+    * is checked against; one side broadcast, the big side streams through
+    * a single scan — use [[nearDupPairsLsh]] when neither side broadcasts.
+    */
+  def nearDupPairsBrute(
+      embeddings: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.5): DataFrame = {
+    val a = embeddings.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val b = embeddings.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Near-dup pairs at scale: hyperplane-signature banding for candidate
+    * generation (equi-join on (band, bandBits) — only same-bucket vectors
+    * ever meet), then exact cosine verification of the candidates.
+    * Recall dial: more bands → higher recall, more candidates; fewer
+    * bits/band → higher recall per band. Misses pairs whose vectors agree
+    * in no band (probability (1-p^bits)^bands, p = 1-θ/π). */
+  def nearDupPairsLsh(
+      embeddings: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.5, dim: Int = 64,
+      bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
+    val planes = hyperplanes(dim, bands * bitsPerBand)
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshSignature(col(vecCol), planes).as("sig"))
+    val banded = e.select(col("id"), col("v"),
+      posexplode(array((0 until bands).map { b =>
+        shiftrightunsigned(col("sig"), b * bitsPerBand)
+          .bitwiseAND(lit((1L << bitsPerBand) - 1))
+      }: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("vec_a"), col("x.v").as("va"),
+        col("y.id").as("vec_b"), col("y.v").as("vb"))
+      .distinct()
+    cand.select(col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroid
+    * vectors partitions the corpus into cells; each query probes only its
+    * `nProbe` nearest cells, scoring |N|·nProbe/nCells candidates instead
+    * of |N|.
+    *
+    * Centroids here are the vectors with the `nCells` smallest ids —
+    * deterministic seeding (production: a k-means pass; the assignment and
+    * probe machinery is identical). Centroids are collected once (nCells ×
+    * dim doubles — tiny) and folded into the plan as literals, so cell
+    * assignment is a codegen'd expression over a single corpus scan with
+    * no shuffle; the candidate join shuffles by cell id only. */
+  def knnIvf(
+      embeddings: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nCells: Int = 8, nProbe: Int = 2, k: Int = 10): DataFrame = {
+    val cents: Array[(Int, Seq[Double])] = embeddings
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(nCells).collect()
+      .zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Float](1).map(_.toDouble)
+      }
+    // struct(sim, cell): array_max picks max sim, larger cell on ties —
+    // deterministic either way.
+    def cellSims(vec: Column): Column = array(cents.map { case (i, c) =>
+      struct(round(cosine(vec, typedlit(c)), 6).as("s"), lit(i).as("i"))
+    }: _*)
+    val c = embeddings.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      array_max(cellSims(col(vecCol))).getField("i").as("cell"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        explode(slice(reverse(array_sort(cellSims(col(vecCol)))), 1, nProbe))
+          .as("probe"))
+      .select(col("qid"), col("qv"), col("probe.i").as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 6).desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Bucketed ANN: score only candidates whose signature matches the
     * query's bucket; rank like [[knnBrute]]. Recall < 1 by construction —
     * the scale/recall dial is `bits`. */

@@ -89,6 +89,29 @@ object TextQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Rows-only: IVF coarse-quantizer ANN (probes 2 of 8 cells). */
+  def eKnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.knnIvf(e, e.where(col("vec_id") < 5),
+        nCells = 8, nProbe = 2, k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup, exact all-pairs (oracled). */
+  def dEmbedNeardup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairsBrute(embs(spark, dir), threshold = 0.5)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Rows-only: banded-LSH candidates + exact verify — same contract as
+    * d_embed_neardup via the sub-quadratic path. 4-bit bands because the
+    * testdata's nearest pair sits at sim≈0.51 (θ≈1.03 rad): recall per
+    * 4-bit band is 0.2, so 16 bands give ≈0.97 — at a real near-dup
+    * threshold (sim≥0.95) 8-bit bands are the right dial. */
+  def dEmbedNeardupLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairsLsh(embs(spark, dir), threshold = 0.5,
+        bands = 16, bitsPerBand = 4)
+      .orderBy(col("vec_a"), col("vec_b"))
+
   def queries: Map[String, Q] = Map(
     "d_exact_dedup" -> (dExactDedup _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
@@ -100,7 +123,10 @@ object TextQueries {
     "d_fingerprint" -> (dFingerprint _),
     "d_fingerprint_rolling" -> (dFingerprintRolling _),
     "e_knn_brute" -> (eKnnBrute _),
-    "e_knn_lsh" -> (eKnnLsh _))
+    "e_knn_lsh" -> (eKnnLsh _),
+    "e_knn_ivf" -> (eKnnIvf _),
+    "d_embed_neardup" -> (dEmbedNeardup _),
+    "d_embed_neardup_lsh" -> (dEmbedNeardupLsh _))
 
   private val jaccardSql =
     """WITH words AS (
@@ -177,6 +203,20 @@ object TextQueries {
         |  md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_embed_neardup" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(sim, 4) AS sim
+        |FROM p WHERE sim >= 0.5 ORDER BY vec_a, vec_b""".stripMargin,
     "e_knn_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv
         |  FROM embeddings WHERE vec_id < 5),

@@ -1,0 +1,82 @@
+package graft
+
+import graft.api._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ApiSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixture(): Unit =
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "k", "v").createOrReplaceTempView("adhoc_t")
+
+  test("S20: read-only SELECT passes, limit injected and clamped") {
+    fixture()
+    val df = AdHoc.query(spark, "SELECT id, k FROM adhoc_t ORDER BY id", limit = 2)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // limit above maxLimit clamps to maxLimit
+    val clamped = AdHoc.query(spark, "SELECT id FROM adhoc_t", limit = 50000)
+    assert(clamped.queryExecution.optimizedPlan.maxRows.exists(_ <= AdHoc.MaxLimit))
+  }
+
+  test("S20: DDL and DML are rejected before execution") {
+    fixture()
+    intercept[AdHoc.ReadOnlyViolation] {
+      AdHoc.query(spark, "DROP TABLE adhoc_t")
+    }
+    intercept[AdHoc.ReadOnlyViolation] {
+      AdHoc.query(spark, "CREATE TABLE t2 AS SELECT * FROM adhoc_t")
+    }
+    intercept[AdHoc.ReadOnlyViolation] {
+      AdHoc.query(spark, "INSERT INTO adhoc_t VALUES (9, 'z', 0.0)")
+    }
+    // still queryable afterwards — nothing ran
+    assert(spark.table("adhoc_t").count() == 3)
+  }
+
+  test("S19: peek samples n rows") {
+    fixture()
+    assert(AdHoc.peek(spark, "adhoc_t", 2).count() == 2)
+  }
+
+  test("consumption API: param validation gates the handler") {
+    val api = ConsumptionApi[Int](
+      name = "top_n",
+      validate = p => if (p > 0) Right(p) else Left("n must be positive"),
+      handler = (s, n) => s.table("adhoc_t").orderBy($"v".desc).limit(n))
+    fixture()
+    assert(api.run(spark, 2).collect().map(_.getDouble(2)).toSeq == Seq(30.0, 20.0))
+    intercept[IllegalArgumentException] { api.run(spark, 0) }
+  }
+
+  test("api registry rejects duplicate names") {
+    val reg = new ApiRegistry
+    val api = ConsumptionApi[Unit]("x", handler = (s, _) => s.table("adhoc_t"))
+    reg.register(api)
+    intercept[IllegalArgumentException] { reg.register(api) }
+    assert(reg.names == Seq("x"))
+  }
+
+  test("ETL pipeline: extract -> ZeroOrMany transform -> load") {
+    var loaded: Long = -1
+    val p = EtlPipeline[Int, Int](
+      name = "double_evens",
+      extract = () => 1 to 10,
+      transform = i => if (i % 2 == 0) Seq(i * 2) else Nil,
+      load = ds => loaded = ds.count())
+    assert(p.run(spark) == 5 && loaded == 5)
+  }
+
+  test("workflow: retries then threads value through tasks") {
+    var failures = 2
+    val flaky = WfTask[Int, Int]("flaky", retries = 3) { x =>
+      if (failures > 0) { failures -= 1; sys.error("transient") } else x + 1
+    }
+    val doubler = WfTask[Int, Int]("double")(x => x * 2)
+    assert(Workflow.run(10, Seq(flaky, doubler)) == 22)
+    val fatal = WfTask[Int, Int]("fatal", retries = 1)(_ => sys.error("always"))
+    intercept[RuntimeException] { Workflow.run(1, Seq(fatal)) }
+  }
+}
