@@ -1,0 +1,54 @@
+package graft.api
+
+import graft.streaming.{DeadLetter, MooseStream}
+import graft.table.OlapTable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import scala.reflect.runtime.universe.TypeTag
+
+/** IngestPipeline (SURVEY §1.1, §3.1; ref packages/ts-moose-lib/src/dmv2/
+  * sdk/ingestPipeline.ts:150): api + stream + table + DLQ composed as one
+  * unit. The reference's four process boundaries (webserver → Kafka →
+  * transform workers → ClickHouse sync) collapse to one Spark lineage:
+  * ingest batch → per-record transforms (failures → DLQ) → validated
+  * insert (invalid rows → DLQ) → table (S18).
+  *
+  * Both failure channels land in the same DeadLetterModel shape
+  * (ref stream.ts:569-585), so one DLQ table serves transform errors and
+  * validation errors alike, distinguishable by `errorType`/`source`.
+  */
+final class IngestPipeline[T: TypeTag](
+    val name: String,
+    val stream: MooseStream[T],
+    val table: OlapTable,
+    val strategy: OlapTable.InsertStrategy = OlapTable.InsertStrategy.Isolate) {
+
+  /** Batch-mode `POST /ingest/{model}` analogue. Returns the insert report
+    * and the combined DLQ (transform failures + validation failures). */
+  def ingest(input: Dataset[T]): (OlapTable.InsertReport, DataFrame) = {
+    val (outs, transformDlq) = stream.runBatch(input)
+    // Transform outputs of tuple-typed edges carry positional names
+    // (_1, _2, …) — bind them to the table schema by position, like the
+    // reference's JSON→typed-record mapping at the sync boundary
+    // (ref kafka_clickhouse_sync.rs:803).
+    val landing0 = outs.getOrElse(table.config.name, input.toDF())
+    val names = table.config.schema.columns.map(_.name)
+    require(landing0.columns.length == names.length,
+      s"ingest $name: transform emits ${landing0.columns.length} columns, " +
+        s"table ${table.config.name} expects ${names.length}")
+    val landing = landing0.toDF(names: _*)
+    val (report, insertDlq) = table.insert(
+      landing, strategy, dlqSource = s"ingest:$name")
+    val dlqT = transformDlq.toDF()
+      .select(col("originalRecord"), col("errorMessage"), col("errorType"),
+        col("failedAt"), col("source"))
+    val combined = insertDlq.fold(dlqT)(d => dlqT.unionByName(d))
+    (report, combined)
+  }
+
+  /** Recover typed records from the DLQ (ref stream.ts:592 asTyped). */
+  def recover(dlq: Dataset[DeadLetter])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+    DeadLetter.asTyped[T](dlq)
+}

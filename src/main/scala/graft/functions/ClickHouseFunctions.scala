@@ -55,6 +55,12 @@ object ClickHouseFunctions {
     def multiIf(branches: (Column, Column)*)(otherwise: Column): Column =
       branches.foldRight(otherwise) { case ((c, v), acc) => when(c, v).otherwise(acc) }
     def parseDateTimeBestEffort(s: Column): Column = s.cast(TimestampType)
+    def toLowerCase(c: Column): Column = lower(c)
+    def toUpperCase(c: Column): Column = upper(c)
+    /** CH dateDiff(unit, start, end) = end - start in whole units. */
+    def dateDiff(unit: String, start: Column, end: Column): Column =
+      timestamp_diff(unit, start, end)
+    def toIntervalDay(n: Int): Column = expr(s"INTERVAL $n DAYS")
     def formatDateTime(ts: Column, chFormat: String): Column =
       date_format(ts, chToJavaFormat(chFormat))
   }
@@ -124,7 +130,30 @@ object ClickHouseFunctions {
     f("parseDateTimeBestEffort")(a => Cast(a.head, TimestampType))
     f("toUnixTimestamp")(a => Cast(a.head, LongType))
     f("fromUnixTimestamp")(a => SecondsToTimestamp(a.head))
+    f("toLowerCase")(a => Lower(a.head))
+    f("toUpperCase")(a => Upper(a.head))
+    // CH formatDateTime(ts, '%Y-%m-%d') — %-style format mapped to java.
+    f("formatDateTime") { a =>
+      val fmt = a(1) match {
+        case Literal(s, StringType) => chToJavaFormat(s.toString)
+        case other => throw new IllegalArgumentException(
+          s"formatDateTime format must be a string literal, got $other")
+      }
+      DateFormatClass(Cast(a.head, TimestampType), Literal(fmt))
+    }
+    f("toIntervalDay")(a => MakeDTInterval(a.head, Literal(0), Literal(0),
+      Literal(Decimal(0), DecimalType(18, 6))))
   }
+
+  /** CH-dialect SQL-text rewrites for forms Spark's *parser* owns, where
+    * FunctionRegistry shims can't reach: `dateDiff('day', a, b)` — CH
+    * passes the unit as a string literal, Spark's grammar requires a bare
+    * keyword (it parses dateDiff/timestampDiff into visitTimestampdiff
+    * before function resolution). Applied before `spark.sql`. */
+  def rewriteDialect(sql: String): String =
+    sql.replaceAll(
+      "(?i)\\b(dateDiff|date_diff|timestampDiff)\\s*\\(\\s*'([a-zA-Z]+)'\\s*,",
+      "$1($2,")
 
   def isRegistered(spark: SparkSession): Boolean =
     spark.sessionState.functionRegistry

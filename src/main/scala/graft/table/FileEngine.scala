@@ -1,0 +1,92 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.spark_partition_id
+import org.apache.spark.sql.types.StructType
+
+/** File-backed engines (SURVEY §2.1 S9/S10/S14).
+  *
+  * S9 — the reference's `S3` engine reads/writes files in JSONEachRow, CSV
+  * or Parquet with optional compression (ref packages/ts-moose-lib/src/
+  * dmv2/sdk/olapTable.ts:465-484). Spark mapping is the native DataSource
+  * API: `s3a://` paths work unchanged on a cluster with the S3A connector —
+  * nothing here is local-filesystem-specific.
+  *
+  * S10 — `S3Queue` consumes *new* files as they appear (ordered/unordered,
+  * keep/delete after processing; ref olapTable.ts:432-458). Spark's file
+  * streaming source is the same contract with strictly stronger semantics:
+  * checkpointed exactly-once file tracking instead of CH's
+  * at-least-once ordered mode.
+  *
+  * S14 — `Distributed` fans writes across shards by sharding key
+  * (ref olapTable.ts:529-548). In Spark, sharding IS partitioning:
+  * `repartition(n, key)` places co-keyed rows on the same shard, which is
+  * what makes downstream co-located joins/aggs shuffle-free.
+  */
+object FileEngine {
+
+  sealed trait FileFormat { def sparkName: String }
+  object FileFormat {
+    /** ref olapTable.ts format "JSONEachRow" — newline-delimited JSON. */
+    case object JsonEachRow extends FileFormat { val sparkName = "json" }
+    final case class Csv(header: Boolean = true, delimiter: String = ",")
+        extends FileFormat { val sparkName = "csv" }
+    case object Parquet extends FileFormat { val sparkName = "parquet" }
+  }
+  import FileFormat._
+
+  private def readerOptions(fmt: FileFormat): Map[String, String] = fmt match {
+    case Csv(header, delim) =>
+      Map("header" -> header.toString, "delimiter" -> delim)
+    case _ => Map.empty
+  }
+
+  /** S9 read. The schema is required for JSON/CSV so that file scans never
+    * pay an inference pass (a full extra read of every file at 100 TB) and
+    * so column pruning/filter pushdown have a fixed schema to plan against. */
+  def read(
+      spark: SparkSession, path: String, format: FileFormat,
+      schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read.format(format.sparkName)
+      .options(readerOptions(format))
+    require(schema.nonEmpty || format == Parquet,
+      s"schema required for ${format.sparkName} reads (no inference pass)")
+    schema.fold(base)(base.schema).load(path)
+  }
+
+  /** S9 write with optional compression codec (gzip/snappy/zstd/...). */
+  def write(
+      df: DataFrame, path: String, format: FileFormat,
+      compression: Option[String] = None,
+      mode: String = "overwrite"): Unit = {
+    val w = df.write.format(format.sparkName)
+      .options(readerOptions(format))
+      .mode(mode)
+    compression.fold(w)(c => w.option("compression", c)).save(path)
+  }
+
+  /** S10 streaming queue over a directory: picks up each new file exactly
+    * once (checkpoint-tracked). `maxFilesPerTrigger` is the back-pressure
+    * dial (the analogue of the queue's processing batch). */
+  def readQueue(
+      spark: SparkSession, path: String, format: FileFormat,
+      schema: StructType, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val base = spark.readStream.format(format.sparkName)
+      .options(readerOptions(format))
+      .schema(schema)
+    maxFilesPerTrigger
+      .fold(base)(n => base.option("maxFilesPerTrigger", n))
+      .load(path)
+  }
+
+  /** S14 Distributed: shard rows by key expression over `shards` shards.
+    * Co-partitions the data so per-shard work (inserts, keyed aggregation,
+    * co-located joins against same-sharded tables) needs no further
+    * shuffle. */
+  def distributed(df: DataFrame, shardingKey: Column, shards: Int): DataFrame =
+    df.repartition(shards, shardingKey)
+
+  /** The shard each row landed on (diagnostics parity with the reference's
+    * shard-routing introspection). */
+  def shardId: Column = spark_partition_id()
+}

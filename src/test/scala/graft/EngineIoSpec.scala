@@ -1,0 +1,116 @@
+package graft
+
+import graft.api.IngestPipeline
+import graft.functions.ClickHouseFunctions
+import graft.schema.{MooseColumn, MooseSchema, MooseType}
+import graft.streaming.MooseStream
+import graft.table.{FileEngine, OlapTable, TableEngine}
+import graft.table.FileEngine.FileFormat
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class EngineIoSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val rows = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5))
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("k", StringType),
+    StructField("v", DoubleType)))
+
+  test("S9: JSONEachRow and CSV round-trip with declared schema") {
+    val df = rows.toDF("id", "k", "v")
+    val d1 = tmp("s9json")
+    FileEngine.write(df, d1, FileFormat.JsonEachRow, compression = Some("gzip"))
+    val back = FileEngine.read(spark, d1, FileFormat.JsonEachRow, Some(schema))
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+
+    val d2 = tmp("s9csv")
+    FileEngine.write(df, d2, FileFormat.Csv())
+    val backCsv = FileEngine.read(spark, d2, FileFormat.Csv(), Some(schema))
+    assert(backCsv.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("a", "b", "a"))
+    // JSON/CSV without a schema is refused (no inference pass at scale)
+    intercept[IllegalArgumentException] {
+      FileEngine.read(spark, d1, FileFormat.JsonEachRow, None)
+    }
+  }
+
+  test("S10: file queue streams each new file exactly once") {
+    val dir = tmp("s10queue")
+    val out = tmp("s10out")
+    val ckpt = tmp("s10ckpt")
+    FileEngine.write(rows.toDF("id", "k", "v"), s"$dir/f1",
+      FileFormat.JsonEachRow)
+    val q = FileEngine.readQueue(spark, s"$dir/*", FileFormat.JsonEachRow,
+        schema, maxFilesPerTrigger = Some(1))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally {}
+    FileEngine.write(Seq((4L, "c", 4.5)).toDF("id", "k", "v"), s"$dir/f2",
+      FileFormat.JsonEachRow)
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.schema(schema).parquet(out)
+    assert(landed.count() == 4)
+    assert(landed.select(sum($"id")).head.getLong(0) == 10L)
+  }
+
+  test("S14: distributed sharding co-locates equal keys") {
+    val df = (1 to 100).map(i => (i.toLong, s"k${i % 7}")).toDF("id", "k")
+    val sharded = FileEngine.distributed(df, $"k", 4)
+      .select($"k", FileEngine.shardId.as("shard"))
+    // every key maps to exactly one shard
+    val perKey = sharded.groupBy("k").agg(countDistinct($"shard").as("n"))
+    assert(perKey.where($"n" =!= 1).count() == 0)
+  }
+
+  test("S18: ingest pipeline lands valid rows, routes both failure kinds to one DLQ") {
+    val wh = tmp("s18wh")
+    val tableSchema = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("tier", MooseType.MEnum(Seq("free", "pro"))),
+      MooseColumn("v", MooseType.MFloat64)))
+    val table = new OlapTable(spark,
+      OlapTable.Config("landing", tableSchema, TableEngine.MergeTree,
+        orderBy = Seq("id")), wh)
+    val stream = new MooseStream[(Long, String, Double)]("ingest_src")
+    stream.addTransform[(Long, String, Double)]("landing", r =>
+      if (r._1 < 0) throw new RuntimeException("negative id")
+      else Seq((r._1, r._2, r._3 * 2)))
+
+    val pipeline = new IngestPipeline("events_in", stream, table)
+    val input = Seq(
+      (1L, "free", 1.0),    // valid
+      (-2L, "pro", 2.0),    // transform throws -> DLQ
+      (3L, "gold", 3.0))    // invalid enum -> DLQ
+      .toDF("id", "tier", "v").as[(Long, String, Double)]
+    val (report, dlq) = pipeline.ingest(input)
+
+    assert(report.written == 1 && report.failed == 1)
+    val byType = dlq.groupBy("errorType").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("ValidationError", 0L) == 1)
+    assert(byType.values.sum == 2)
+    assert(table.read().select("v").head.getDouble(0) == 2.0) // transformed
+  }
+
+  test("2.8 shims: dateDiff / formatDateTime / toLowerCase in SQL") {
+    ClickHouseFunctions.register(spark)
+    val r = spark.sql(ClickHouseFunctions.rewriteDialect(
+      """SELECT dateDiff('day', TIMESTAMP '2024-01-01 00:00:00',
+        |                TIMESTAMP '2024-01-11 12:00:00') AS dd,
+        |  formatDateTime(TIMESTAMP '2024-03-05 07:08:09', '%Y-%m-%d %H:%M:%S') AS fmt,
+        |  toLowerCase('AbC') AS lo, toUpperCase('AbC') AS up""".stripMargin))
+      .head
+    assert(r.getLong(0) == 10L)
+    assert(r.getString(1) == "2024-03-05 07:08:09")
+    assert(r.getString(2) == "abc" && r.getString(3) == "ABC")
+  }
+}
