@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys at cluster scale.
+  *
+  * At 100 TB a handful of hot keys (a viral user_id, an empty-string
+  * default, one dominant tenant) can pin a whole stage on one task. Spark's
+  * AQE skew-join splitting handles *join* skew when
+  * `spark.sql.adaptive.skewJoin.enabled` is on; these helpers cover the
+  * cases AQE does not:
+  *
+  *  - [[saltedAgg]] — aggregation skew: two-phase agg via an explicit salt.
+  *    Phase 1 groups by (key, salt) spreading a hot key over `buckets`
+  *    tasks; phase 2 re-merges per key. Only useful for algebraic
+  *    aggregates (sum/count/min/max — anything with a partial form).
+  *    Note Catalyst's partial hash-agg already absorbs *moderate* skew
+  *    map-side; explicit salting matters when the distinct-key count per
+  *    partition overflows the partial-agg hash map and falls back to
+  *    sort-based spill on the hot key.
+  *
+  *  - [[saltedJoin]] — join skew without AQE (e.g. a streaming micro-batch
+  *    join, or a deliberately disabled AQE): replicate the small side
+  *    `buckets` times, salt the big side uniformly, join on (key, salt).
+  *    Replication factor × small-side size is the cost; hot-key rows now
+  *    land in `buckets` different shuffle partitions.
+  */
+object Skew {
+
+  /** Uniform salt in [0, buckets): deterministic per row content where
+    * possible — `pmod(hash(all cols), buckets)` — so retries re-salt
+    * identically (no shuffle-nondeterminism on task re-run). */
+  def saltColumn(df: DataFrame, buckets: Int): Column =
+    pmod(hash(df.columns.map(col): _*), lit(buckets))
+
+  /** Two-phase salted aggregation: `aggs` must be algebraic pairs
+    * (partialExpr, mergeExpr-by-name). Example:
+    * {{{
+    * saltedAgg(events, Seq("user_id"), 16)(
+    *   Seq(sum(col("value")).as("total"), count(lit(1)).as("n")),
+    *   Seq(sum(col("total")).as("total"), sum(col("n")).as("n")))
+    * }}} */
+  def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int)(
+      partials: Seq[Column], merges: Seq[Column]): DataFrame =
+    df.withColumn("__salt", saltColumn(df, buckets))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(merges.head, merges.tail: _*)
+
+  /** Salted equi-join: big side salted, small side exploded over all salt
+    * values. `joinType` left/inner as in the reference's lookup joins. */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      buckets: Int, joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt", saltColumn(big, buckets))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedBig.join(replicated,
+        saltedBig(bigKey) === replicated(smallKey) &&
+          saltedBig("__salt") === replicated("__salt"),
+        joinType)
+      .drop("__salt")
+  }
+}

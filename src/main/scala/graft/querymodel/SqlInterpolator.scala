@@ -1,0 +1,77 @@
+package graft.querymodel
+
+import graft.schema.AggState
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed `sql` template tag (ref packages/ts-moose-lib/src/
+  * sqlHelpers.ts:106-255): SQL text assembled from interpolated fragments
+  * where every *value* becomes an injection-safe literal, every table /
+  * column reference becomes a quoted identifier, fragments nest, and a
+  * reference to an aggregate-state column is auto-rewritten to its
+  * `fnMerge(col)` finisher (ref sqlHelpers.ts:196-208).
+  *
+  * The reference renders `{pN:Type}` ClickHouse placeholders bound at
+  * execute (ref sqlHelpers.ts:267-286 toQuery); since we parse and execute
+  * in-process, values are bound pre-parse as typed SQL literals — the same
+  * injection-safety property with one fewer round trip. Catalyst
+  * constant-folds them, so plans are identical to hand-written SQL.
+  */
+object SqlInterpolator {
+
+  /** A table reference: renders `db`.`name` (ref sqlHelpers.ts:212-218). */
+  final case class TableRef(name: String, db: Option[String] = None)
+
+  /** A column reference; `aggStateFn` marks an A12 aggregate-state column
+    * whose read must be wrapped in its merge finisher. */
+  final case class ColRef(name: String, aggStateFn: Option[String] = None)
+
+  /** Composed SQL text; interpolate into other `sql"…"` fragments. */
+  final case class SqlFragment(text: String) {
+    def +(other: SqlFragment): SqlFragment = SqlFragment(text + other.text)
+    def run(spark: SparkSession): DataFrame = spark.sql(text)
+  }
+
+  private def ident(s: String): String = {
+    require(s.nonEmpty && !s.contains('`'),
+      s"invalid identifier: '$s'")
+    "`" + s + "`"
+  }
+
+  /** Injection-safe literal rendering (ref sqlHelpers.ts:338-370 type
+    * inference for placeholders — here the Scala type decides). */
+  def literal(v: Any): String = v match {
+    case null | None => "NULL"
+    case Some(x) => literal(x)
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+    case d: Double => d.toString
+    case f: Float => f.toString
+    case d: BigDecimal => d.toString
+    case t: java.sql.Timestamp => s"TIMESTAMP '${t.toString.stripSuffix(".0")}'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case i: java.time.Instant =>
+      s"TIMESTAMP '${java.sql.Timestamp.from(i).toString.stripSuffix(".0")}'"
+    case xs: Seq[_] => xs.map(literal).mkString("(", ", ", ")")
+    case other => throw new IllegalArgumentException(
+      s"cannot safely render ${other.getClass.getName} as a SQL literal")
+  }
+
+  private def render(arg: Any): String = arg match {
+    case SqlFragment(t) => t
+    case TableRef(n, db) => db.map(d => s"${ident(d)}.").getOrElse("") + ident(n)
+    case ColRef(n, Some(fn)) => AggState.mergeSql(fn, ident(n))
+    case ColRef(n, None) => ident(n)
+    case v => literal(v)
+  }
+
+  implicit class SqlStringContext(private val sc: StringContext) extends AnyVal {
+    def sql(args: Any*): SqlFragment = {
+      val parts = sc.parts.iterator
+      val vals = args.iterator
+      val b = new StringBuilder(parts.next())
+      while (vals.hasNext) { b.append(render(vals.next())); b.append(parts.next()) }
+      SqlFragment(b.toString)
+    }
+  }
+}

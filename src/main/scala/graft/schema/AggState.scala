@@ -46,6 +46,19 @@ object AggState {
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
 
+  /** SQL-text form of the merge finisher, for the `sql` interpolator's
+    * auto-rewrite of agg-state column references
+    * (ref sqlHelpers.ts:196-208 auto `fnMerge`). */
+  def mergeSql(fn: String, quotedCol: String): String = fn match {
+    case "sum" | "count" => s"sum($quotedCol)"
+    case "avg" => s"(sum($quotedCol.sum) / sum($quotedCol.cnt))"
+    case "min" => s"min($quotedCol)"
+    case "max" => s"max($quotedCol)"
+    case "any" => s"first($quotedCol)"
+    case "uniq" => s"hll_sketch_estimate(hll_union_agg($quotedCol))"
+    case other => throw new IllegalArgumentException(s"unsupported '$other'")
+  }
+
   /** The xMerge(col) finisher applied when reading a state column. */
   def merge(fn: String, c: Column): Column = fn match {
     case "sum" => sum(c)

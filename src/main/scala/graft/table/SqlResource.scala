@@ -1,0 +1,68 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+
+/** Arbitrary setup/teardown SQL with dependency edges (SURVEY §1.1;
+  * ref packages/ts-moose-lib/src/dmv2/sdk/sqlResource.ts:14 —
+  * `pullsDataFrom`/`pushesDataTo`), and the plain `View` specialization
+  * (ref view.ts:22).
+  *
+  * The registry executes setups in dependency order (a resource runs after
+  * everything it pulls from) and teardowns in reverse.
+  */
+final case class SqlResource(
+    name: String,
+    setup: Seq[String],
+    teardown: Seq[String] = Nil,
+    pullsDataFrom: Seq[String] = Nil,
+    pushesDataTo: Seq[String] = Nil)
+
+object SqlResource {
+  /** Plain SQL view over tables/views (ref view.ts:22). */
+  def view(name: String, selectSql: String, pullsFrom: Seq[String] = Nil): SqlResource =
+    SqlResource(
+      name,
+      setup = Seq(s"CREATE OR REPLACE TEMP VIEW `$name` AS $selectSql"),
+      teardown = Seq(s"DROP VIEW IF EXISTS `$name`"),
+      pullsDataFrom = pullsFrom)
+}
+
+final class SqlResourceRegistry {
+  private val resources =
+    scala.collection.mutable.LinkedHashMap.empty[String, SqlResource]
+
+  def register(r: SqlResource): SqlResource = {
+    require(!resources.contains(r.name), s"sql resource '${r.name}' already registered")
+    resources += r.name -> r
+    r
+  }
+
+  /** Topological order over pullsDataFrom/pushesDataTo edges; cycles
+    * rejected. Unknown dependency names (external tables) are allowed. */
+  def ordered: Seq[SqlResource] = {
+    val rs = resources.values.toSeq
+    val deps: Map[String, Set[String]] = rs.map { r =>
+      val pushedTo = rs.filter(_.pushesDataTo.contains(r.name)).map(_.name)
+      r.name -> (r.pullsDataFrom.filter(resources.contains).toSet ++ pushedTo)
+    }.toMap
+    val done = scala.collection.mutable.LinkedHashSet.empty[String]
+    val visiting = scala.collection.mutable.Set.empty[String]
+    def visit(n: String): Unit = {
+      if (!done.contains(n)) {
+        require(!visiting.contains(n), s"sql resource dependency cycle at '$n'")
+        visiting += n
+        deps.getOrElse(n, Set.empty).foreach(visit)
+        visiting -= n
+        done += n
+      }
+    }
+    rs.foreach(r => visit(r.name))
+    done.toSeq.map(resources)
+  }
+
+  def setupAll(spark: SparkSession): Unit =
+    ordered.foreach(_.setup.foreach(spark.sql(_)))
+
+  def teardownAll(spark: SparkSession): Unit =
+    ordered.reverse.foreach(_.teardown.foreach(spark.sql(_)))
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Skew
+import graft.querymodel.SqlInterpolator._
+import graft.table.{SqlResource, SqlResourceRegistry}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SqlLayerSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("sql interpolator: values bind as safe literals, identifiers quoted") {
+    Seq((1L, "al'ice", 10.0), (2L, "bob", 20.0))
+      .toDF("id", "name", "v").createOrReplaceTempView("sqlusers")
+    val minV = 5.0
+    val evil = "al'ice' OR '1'='1"
+    val frag = sql"SELECT ${ColRef("name")} AS name FROM ${TableRef("sqlusers")} WHERE ${ColRef("v")} > $minV AND ${ColRef("name")} != $evil ORDER BY ${ColRef("id")}"
+    assert(frag.text.contains("`sqlusers`") && frag.text.contains("\\'"))
+    val out = frag.run(spark).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("al'ice", "bob")) // injection neutralized, both rows kept
+  }
+
+  test("sql interpolator: fragments nest; IN-lists and timestamps render") {
+    val cond = sql"${ColRef("id")} IN ${Seq(1, 2, 3)}"
+    val frag = sql"SELECT count(*) AS n FROM ${TableRef("sqlusers")} WHERE $cond AND ${ColRef("v")} < ${java.sql.Timestamp.valueOf("2024-01-01 00:00:00")}"
+    assert(frag.text.contains("IN (1, 2, 3)"))
+    assert(frag.text.contains("TIMESTAMP '2024-01-01 00:00:00'"))
+  }
+
+  test("sql interpolator: agg-state column reference auto-merges (A12)") {
+    Seq(("a", 5.0, 3L), ("a", 7.0, 2L), ("b", 1.0, 1L))
+      .toDF("k", "s", "n").createOrReplaceTempView("states")
+    // `s`,`n` hold avgState-like partials: (sum fragments, counts)
+    val f = sql"SELECT ${ColRef("k")} AS k, ${ColRef("s", Some("sum"))} AS total, ${ColRef("n", Some("count"))} AS cnt FROM ${TableRef("states")} GROUP BY ${ColRef("k")} ORDER BY ${ColRef("k")}"
+    val rows = f.run(spark).collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq(("a", 12.0, 5L), ("b", 1.0, 1L)))
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toDouble))
+      .toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum($"v").as("total"), count(lit(1)).as("n"))
+    val salted = Skew.saltedAgg(df, Seq("k"), buckets = 8)(
+      Seq(sum($"v").as("total"), count(lit(1)).as("n")),
+      Seq(sum($"total").as("total"), sum($"n").as("n")))
+    assert(salted.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(salted).count() == 0)
+  }
+
+  test("salted join equals plain join") {
+    val big = (1 to 500).map(i => (if (i % 5 == 0) 1L else i.toLong, i))
+      .toDF("fk", "payload")
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("id", "label")
+    val plain = big.join(dim, big("fk") === dim("id")).select("fk", "payload", "label")
+    val salted = Skew.saltedJoin(big, dim, "fk", "id", buckets = 4)
+      .select("fk", "payload", "label")
+    assert(salted.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(salted).count() == 0)
+  }
+
+  test("sql resources: dependency-ordered setup, reverse teardown, cycle rejection") {
+    Seq((1, 10), (2, 20)).toDF("id", "v").createOrReplaceTempView("base_t")
+    val reg = new SqlResourceRegistry
+    // registered out of order on purpose
+    reg.register(SqlResource.view("v2", "SELECT id, v * 2 AS v FROM v1",
+      pullsFrom = Seq("v1")))
+    reg.register(SqlResource.view("v1", "SELECT * FROM base_t WHERE v > 10",
+      pullsFrom = Seq("base_t")))
+    reg.setupAll(spark)
+    assert(spark.table("v2").collect().map(_.getInt(1)).toSeq == Seq(40))
+    reg.teardownAll(spark)
+    assert(!spark.catalog.tableExists("v2"))
+
+    val cyc = new SqlResourceRegistry
+    cyc.register(SqlResource("a", Seq("SELECT 1"), pullsDataFrom = Seq("b")))
+    cyc.register(SqlResource("b", Seq("SELECT 1"), pullsDataFrom = Seq("a")))
+    intercept[IllegalArgumentException] { cyc.ordered }
+  }
+}
