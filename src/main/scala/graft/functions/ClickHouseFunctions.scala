@@ -132,6 +132,15 @@ object ClickHouseFunctions {
     f("fromUnixTimestamp")(a => SecondsToTimestamp(a.head))
     f("toLowerCase")(a => Lower(a.head))
     f("toUpperCase")(a => Upper(a.head))
+    // CH window-frame variants with default-value arg (SURVEY §2.10: the
+    // genuinely-missing-function case) — Spark's lag/lead already carry a
+    // default, so the shim is a direct expression alias usable in OVER.
+    f("lagInFrame")(a => Lag(a.head,
+      if (a.length > 1) a(1) else Literal(1),
+      if (a.length > 2) a(2) else Literal(null), ignoreNulls = false))
+    f("leadInFrame")(a => Lead(a.head,
+      if (a.length > 1) a(1) else Literal(1),
+      if (a.length > 2) a(2) else Literal(null), ignoreNulls = false))
     // CH formatDateTime(ts, '%Y-%m-%d') — %-style format mapped to java.
     f("formatDateTime") { a =>
       val fmt = a(1) match {

@@ -26,12 +26,20 @@ final class MaterializedView(
   def recompute(source: DataFrame): DataFrame = select(source)
 
   /** Incremental maintenance over a streaming source into a memory sink
-    * named `name` (swap for foreachBatch-MERGE on a real table target). */
+    * named `name` (swap for foreachBatch-MERGE on a real table target).
+    *
+    * `watermark` is the optional T9 knob: `Some(("ts", "10 minutes"))`
+    * bounds state by evicting buckets older than the watermark — necessary
+    * at 100 TB where unbounded update-mode state would outgrow the state
+    * store; leave None for exact reference parity (late rows always land). */
   def maintainStreaming(
       stream: DataFrame,
       checkpoint: String,
-      triggerInterval: String = "1 second"): StreamingQuery =
-    select(stream).writeStream
+      triggerInterval: String = "1 second",
+      watermark: Option[(String, String)] = None): StreamingQuery =
+    select(watermark.fold(stream) { case (c, delay) =>
+      stream.withWatermark(c, delay)
+    }).writeStream
       .format("memory")
       .queryName(name)
       .outputMode("update")

@@ -113,4 +113,17 @@ class EngineIoSpec extends AnyFunSuite {
     assert(r.getString(1) == "2024-03-05 07:08:09")
     assert(r.getString(2) == "abc" && r.getString(3) == "ABC")
   }
+
+  test("2.8 shims: lagInFrame/leadInFrame with default in OVER clause") {
+    ClickHouseFunctions.register(spark)
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+      .createOrReplaceTempView("frame_t")
+    val rows = spark.sql(
+      """SELECT id,
+        |  lagInFrame(v, 1, -1.0) OVER (ORDER BY id) AS prev,
+        |  leadInFrame(v, 1, -1.0) OVER (ORDER BY id) AS next
+        |FROM frame_t ORDER BY id""".stripMargin).collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(-1.0, 10.0, 20.0))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(20.0, 30.0, -1.0))
+  }
 }

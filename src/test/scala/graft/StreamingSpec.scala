@@ -84,6 +84,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("T9: watermark knob bounds MV state without changing on-time results") {
+    val dir = Files.createTempDirectory("mvw_src").toString
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val ck = Files.createTempDirectory("mvw_ck").toString
+    val mv = new graft.streaming.MaterializedView("bar_aggregated_wm",
+      df => StreamingQueries.barAggregated.recompute(df))
+    val q = mv.maintainStreaming(stream, ck,
+      watermark = Some(("ts", "1 day")))
+    q.processAllAvailable()
+    q.stop()
+    // single on-time batch: watermarked result == unwatermarked recompute
+    val streamed = spark.table("bar_aggregated_wm")
+      .orderBy("day").collect().map(_.toSeq)
+    val batch = StreamingQueries.barAggregated.recompute(events)
+      .orderBy("day").collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("MooseStream DAG: transform edges + consumers (batch runner)") {
     val s = new MooseStream[Event]("events_stream")
     var consumed = 0
