@@ -45,7 +45,15 @@ object OlapTable {
       schema: MooseSchema,
       engine: TableEngine = TableEngine.MergeTree,
       orderBy: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      /** Hash-bucket layout `(numBuckets, cols)`: rows are bucketed at
+        * write so joins/aggregations between tables bucketed on the same
+        * key need NO shuffle at read (Catalyst reuses the on-disk
+        * partitioning). The Spark analogue of co-locating by the
+        * Distributed engine's shardingKey (S14) — but persisted, so every
+        * later query benefits. Bucketed tables live in the session
+        * catalog (`saveAsTable`), not at a bare path. */
+      bucketBy: Option[(Int, Seq[String])] = None)
 }
 
 final class OlapTable(
@@ -130,7 +138,15 @@ final class OlapTable(
       val partitioned =
         if (config.partitionBy.nonEmpty) writer.partitionBy(config.partitionBy: _*)
         else writer
-      partitioned.parquet(path)
+      config.bucketBy match {
+        case Some((n, cols)) =>
+          val bucketed = partitioned.bucketBy(n, cols.head, cols.tail: _*)
+          (if (config.orderBy.nonEmpty)
+             bucketed.sortBy(config.orderBy.head, config.orderBy.tail: _*)
+           else bucketed)
+            .format("parquet").saveAsTable(config.name)
+        case None => partitioned.parquet(path)
+      }
       df.count()
     }
 
@@ -160,8 +176,9 @@ final class OlapTable(
 
   /** Raw stored rows + alias (read-computed) columns. */
   def read(): DataFrame = {
-    val df = spark.read.schema(config.schema.toStructType)
-      .parquet(path)
+    val df =
+      if (config.bucketBy.nonEmpty) spark.table(config.name)
+      else spark.read.schema(config.schema.toStructType).parquet(path)
     config.schema.columns.foldLeft(df) { (d, c) =>
       c.aliasExpr.fold(d)(sql => d.withColumn(c.name, expr(sql)))
     }

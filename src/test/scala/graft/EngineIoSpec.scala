@@ -114,6 +114,44 @@ class EngineIoSpec extends AnyFunSuite {
     assert(r.getString(2) == "abc" && r.getString(3) == "ABC")
   }
 
+  test("bucketed tables: co-located join plans without a shuffle exchange") {
+    val aSchema = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("va", MooseType.MFloat64)))
+    val bSchema = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("vb", MooseType.MFloat64)))
+    // the in-memory catalog dies with the JVM but managed-table dirs
+    // persist — clear both so reruns start clean
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val wh = tmp("bktwh")
+    val ta = new OlapTable(spark, OlapTable.Config("bkt_a", aSchema,
+      orderBy = Seq("id"), bucketBy = Some((8, Seq("id")))), wh)
+    val tb = new OlapTable(spark, OlapTable.Config("bkt_b", bSchema,
+      orderBy = Seq("id"), bucketBy = Some((8, Seq("id")))), wh)
+    ta.insert((1 to 1000).map(i => (i.toLong, i * 1.0)).toDF("id", "va"))
+    tb.insert((1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("id", "vb"))
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = ta.read().join(tb.read(), "id")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("2.8 shims: lagInFrame/leadInFrame with default in OVER clause") {
     ClickHouseFunctions.register(spark)
     Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
