@@ -1,0 +1,43 @@
+package graft.api
+
+import scala.collection.concurrent.TrieMap
+
+/** TTL'd key-value cache for API results — the in-process analogue of the
+  * reference's Redis-backed `MooseCache` (used in consumption handlers to
+  * cache query results, e.g. ref templates/typescript/app/apis/bar.ts:65
+  * with a 3600 s TTL).
+  *
+  * Driver-side only: caches the *collected* result of a handler, never a
+  * DataFrame plan (plans are lazy; caching them would pin a SparkSession
+  * lineage). A clock function is injected for deterministic tests.
+  */
+final class MooseCache(
+    defaultTtlSeconds: Long = 3600,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  private final case class Entry(value: Any, expiresAt: Long)
+  private val store = TrieMap.empty[String, Entry]
+
+  def get[T](key: String): Option[T] =
+    store.get(key) match {
+      case Some(e) if e.expiresAt > clock() => Some(e.value.asInstanceOf[T])
+      case Some(_) => store.remove(key); None
+      case None => None
+    }
+
+  def set(key: String, value: Any,
+      ttlSeconds: Long = defaultTtlSeconds): Unit =
+    store.put(key, Entry(value, clock() + ttlSeconds * 1000))
+
+  def getOrCompute[T](key: String,
+      ttlSeconds: Long = defaultTtlSeconds)(f: => T): T =
+    get[T](key).getOrElse {
+      val v = f
+      set(key, v, ttlSeconds)
+      v
+    }
+
+  def invalidate(key: String): Unit = store.remove(key)
+  def clear(): Unit = store.clear()
+  def size: Int = store.size
+}

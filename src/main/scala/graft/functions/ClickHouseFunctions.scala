@@ -132,6 +132,31 @@ object ClickHouseFunctions {
     f("fromUnixTimestamp")(a => SecondsToTimestamp(a.head))
     f("toLowerCase")(a => Lower(a.head))
     f("toUpperCase")(a => Upper(a.head))
+    // Date-part family (CH names Spark lacks). toDayOfWeek: CH default
+    // mode is Monday=1..Sunday=7 (ISO) = Spark WeekDay + 1.
+    f("toYear")(a => Year(Cast(a.head, DateType)))
+    f("toQuarter")(a => Quarter(Cast(a.head, DateType)))
+    f("toMonth")(a => Month(Cast(a.head, DateType)))
+    f("toHour")(a => Hour(Cast(a.head, TimestampType)))
+    f("toMinute")(a => Minute(Cast(a.head, TimestampType)))
+    f("toSecond")(a => Second(Cast(a.head, TimestampType)))
+    f("toDayOfWeek")(a => Add(WeekDay(Cast(a.head, DateType)), Literal(1)))
+    f("toDayOfYear")(a => DayOfYear(Cast(a.head, DateType)))
+    f("toStartOfYear")(a => trunc("year", a.head))
+    f("toStartOfQuarter")(a => trunc("quarter", a.head))
+    f("toYYYYMM")(a => Cast(
+      DateFormatClass(Cast(a.head, TimestampType), Literal("yyyyMM")),
+      IntegerType))
+    f("empty")(a => EqualTo(Length(a.head), Literal(0)))
+    f("notEmpty")(a => GreaterThan(Length(a.head), Literal(0)))
+    f("toInt8")(a => Cast(a.head, ByteType))
+    f("toInt16")(a => Cast(a.head, ShortType))
+    f("toFloat32")(a => Cast(a.head, FloatType))
+    // UInt widening per SURVEY §1.2 (no unsigned types in Spark)
+    f("toUInt8")(a => Cast(a.head, ShortType))
+    f("toUInt16")(a => Cast(a.head, IntegerType))
+    f("toUInt32")(a => Cast(a.head, LongType))
+    f("toUInt64")(a => Cast(a.head, DecimalType(20, 0)))
     // CH window-frame variants with default-value arg (SURVEY §2.10: the
     // genuinely-missing-function case) — Spark's lag/lead already carry a
     // default, so the shim is a direct expression alias usable in OVER.

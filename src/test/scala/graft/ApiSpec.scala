@@ -69,6 +69,19 @@ class ApiSpec extends AnyFunSuite {
     assert(p.run(spark) == 5 && loaded == 5)
   }
 
+  test("moose cache: TTL expiry and getOrCompute") {
+    var now = 0L
+    val cache = new MooseCache(defaultTtlSeconds = 10, clock = () => now)
+    var computes = 0
+    def compute(): Int = { computes += 1; 42 }
+    assert(cache.getOrCompute("k")(compute()) == 42 && computes == 1)
+    assert(cache.getOrCompute("k")(compute()) == 42 && computes == 1) // hit
+    now = 11 * 1000
+    assert(cache.getOrCompute("k")(compute()) == 42 && computes == 2) // expired
+    cache.invalidate("k")
+    assert(cache.get[Int]("k").isEmpty)
+  }
+
   test("workflow: retries then threads value through tasks") {
     var failures = 2
     val flaky = WfTask[Int, Int]("flaky", retries = 3) { x =>

@@ -152,6 +152,22 @@ class EngineIoSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("2.8 shims: date-part family, empty/notEmpty, UInt widening") {
+    ClickHouseFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT toYear(TIMESTAMP '2024-03-05 07:08:09') AS y,
+        |  toQuarter(TIMESTAMP '2024-03-05 07:08:09') AS q,
+        |  toDayOfWeek(TIMESTAMP '2024-03-05 07:08:09') AS dow,
+        |  toYYYYMM(TIMESTAMP '2024-03-05 07:08:09') AS ym,
+        |  empty('') AS e, notEmpty('x') AS ne,
+        |  toUInt64(18446744073709551615) AS u64""".stripMargin).head
+    assert(r.getInt(0) == 2024 && r.getInt(1) == 1)
+    assert(r.getInt(2) == 2) // 2024-03-05 is a Tuesday; ISO Monday=1
+    assert(r.getInt(3) == 202403)
+    assert(r.getBoolean(4) && r.getBoolean(5))
+    assert(r.getDecimal(6).toString == "18446744073709551615")
+  }
+
   test("2.8 shims: lagInFrame/leadInFrame with default in OVER clause") {
     ClickHouseFunctions.register(spark)
     Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
