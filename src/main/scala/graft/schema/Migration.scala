@@ -1,0 +1,133 @@
+package graft.schema
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Schema migration planning (SURVEY §1.3/§4): the reference extracts the
+  * declared schema at compile time and *diffs* it against live DB state to
+  * plan DDL (ref apps/framework-cli/src/framework/core/
+  * infrastructure_map.rs:262-312 `ColumnChange`/`TableChange`;
+  * infrastructure/olap/clickhouse/diff_strategy.rs; op ordering
+  * olap/ddl_ordering.rs).
+  *
+  * Spark realization: the diff produces the same change taxonomy; applying
+  * it is **metadata-only wherever parquet allows** — the decisive property
+  * at 100 TB, where a rewrite is a full-corpus job:
+  *
+  *  - AddColumn   → old files simply lack the column; reading with the new
+  *                  schema yields null, then the declared default fills it.
+  *  - DropColumn  → stop projecting (files keep the bytes; column pruning
+  *                  means they are never read).
+  *  - ChangeType  → widening (within the numeric/date lattice) is a
+  *                  cast-on-read; narrowing is flagged `requiresRewrite` —
+  *                  it can truncate, so the planner refuses to apply it
+  *                  silently (parity with the reference treating it as a
+  *                  breaking change).
+  */
+object Migration {
+
+  sealed trait ColumnChange
+  final case class AddColumn(column: MooseColumn) extends ColumnChange
+  final case class DropColumn(name: String) extends ColumnChange
+  final case class ChangeType(
+      name: String, before: MooseType, after: MooseType,
+      widening: Boolean) extends ColumnChange
+  final case class ChangeAttributes(
+      name: String, before: MooseColumn, after: MooseColumn) extends ColumnChange
+
+  sealed trait TableChange
+  final case class CreateTable(name: String) extends TableChange
+  final case class DropTable(name: String) extends TableChange
+  final case class AlterTable(name: String, changes: Seq[ColumnChange])
+      extends TableChange
+
+  /** Lossless cast-on-read widenings (numeric lattice + date→timestamp). */
+  def isWidening(from: MooseType, to: MooseType): Boolean = {
+    import MooseType._
+    val intRank: Map[MooseType, Int] = Map(
+      MInt8 -> 1, MUInt8 -> 1, MInt16 -> 2, MUInt16 -> 2,
+      MInt32 -> 3, MUInt32 -> 3, MInt64 -> 4)
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (a, b) if intRank.contains(a) && intRank.contains(b) =>
+        intRank(a) <= intRank(b)
+      case (a, MFloat64) if intRank.contains(a) || a == MFloat32 => true
+      case (a, MUInt64 | MInt128 | MInt256) if intRank.contains(a) => true
+      case (MDate, MDateTime(_)) => true
+      case (MDateTime(p1), MDateTime(p2)) => p1 <= p2
+      case (MFixedString(_), MString) => true
+      case (MDecimal(p1, s1), MDecimal(p2, s2)) => s1 <= s2 && p1 - s1 <= p2 - s2
+      case _ => false
+    }
+  }
+
+  /** Column-level diff in apply order: drops, then in-place updates, then
+    * adds (ref ddl_ordering: teardown before setup so a rename modeled as
+    * drop+add never collides). */
+  def diffColumns(before: MooseSchema, after: MooseSchema): Seq[ColumnChange] = {
+    val b = before.columns.map(c => c.name -> c).toMap
+    val a = after.columns.map(c => c.name -> c).toMap
+    val drops = before.columns.filterNot(c => a.contains(c.name))
+      .map(c => DropColumn(c.name))
+    val updates = after.columns.flatMap { ac =>
+      b.get(ac.name).toSeq.flatMap { bc =>
+        val typeCh =
+          if (bc.tpe != ac.tpe)
+            Seq(ChangeType(ac.name, bc.tpe, ac.tpe, isWidening(bc.tpe, ac.tpe)))
+          else Nil
+        val attrCh =
+          if (bc.copy(tpe = ac.tpe) != ac.copy())
+            Seq(ChangeAttributes(ac.name, bc, ac))
+          else Nil
+        typeCh ++ attrCh
+      }
+    }
+    val adds = after.columns.filterNot(c => b.contains(c.name)).map(AddColumn(_))
+    drops ++ updates ++ adds
+  }
+
+  /** Table-level diff over named schemas (ref infrastructure_map.rs
+    * TableChange): creates for new names, drops for removed, alters for
+    * changed. */
+  def diffTables(
+      before: Map[String, MooseSchema],
+      after: Map[String, MooseSchema]): Seq[TableChange] = {
+    val drops = before.keys.filterNot(after.contains).toSeq.sorted.map(DropTable(_))
+    val creates = after.keys.filterNot(before.contains).toSeq.sorted.map(CreateTable(_))
+    val alters = after.keys.filter(before.contains).toSeq.sorted.flatMap { n =>
+      val ch = diffColumns(before(n), after(n))
+      if (ch.nonEmpty) Some(AlterTable(n, ch)) else None
+    }
+    drops ++ alters ++ creates
+  }
+
+  /** True if every change applies metadata-only (no data rewrite). */
+  def isMetadataOnly(changes: Seq[ColumnChange]): Boolean =
+    changes.forall {
+      case ChangeType(_, _, _, widening) => widening
+      case _ => true
+    }
+
+  /** Apply a column migration at READ over data written under `before`:
+    * adds filled with declared default (else null), drops projected away,
+    * widening types cast in place. Refuses narrowing (`requiresRewrite`). */
+  def migrationRead(
+      df: DataFrame, before: MooseSchema, after: MooseSchema): DataFrame = {
+    val changes = diffColumns(before, after)
+    require(isMetadataOnly(changes),
+      s"narrowing type changes require a rewrite: " +
+        changes.collect { case c: ChangeType if !c.widening => c.name }.mkString(","))
+    val applied = changes.foldLeft(df) { (d, ch) =>
+      ch match {
+        case DropColumn(n) => d.drop(n)
+        case AddColumn(c) =>
+          d.withColumn(c.name,
+            c.default.map(expr).getOrElse(lit(null)).cast(c.tpe.sparkType))
+        case ChangeType(n, _, to, _) =>
+          d.withColumn(n, col(n).cast(to.sparkType))
+        case ChangeAttributes(_, _, _) => d
+      }
+    }
+    applied.select(after.columns.map(c => col(c.name)): _*)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.schema.{Migration, MooseColumn, MooseSchema, MooseType}
+import graft.schema.Migration._
+import graft.schema.MooseType._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's diff tests (diff_strategy.rs: add/remove/update
+  * detection, ordering; infrastructure_map.rs ColumnChange taxonomy). */
+class MigrationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val v1 = MooseSchema(Seq(
+    MooseColumn("id", MInt32, primaryKey = true),
+    MooseColumn("name", MString),
+    MooseColumn("legacy", MString, nullable = true),
+    MooseColumn("score", MFloat32, nullable = true)))
+
+  private val v2 = MooseSchema(Seq(
+    MooseColumn("id", MInt64, primaryKey = true),            // widen
+    MooseColumn("name", MString),
+    MooseColumn("score", MFloat64, nullable = true),         // widen
+    MooseColumn("tier", MEnum(Seq("free", "pro")), nullable = true,
+      default = Some("'free'"))))                            // add
+
+  test("diffColumns: drops, widenings, adds — in apply order") {
+    val ch = diffColumns(v1, v2)
+    assert(ch.head == DropColumn("legacy"))
+    assert(ch.contains(ChangeType("id", MInt32, MInt64, widening = true)))
+    assert(ch.contains(ChangeType("score", MFloat32, MFloat64, widening = true)))
+    assert(ch.last match {
+      case AddColumn(c) => c.name == "tier"
+      case _ => false
+    })
+    assert(isMetadataOnly(ch))
+  }
+
+  test("widening lattice: ints, decimals, dates; narrowing rejected") {
+    assert(isWidening(MInt8, MInt64) && !isWidening(MInt64, MInt32))
+    assert(isWidening(MInt32, MUInt64) && isWidening(MFloat32, MFloat64))
+    assert(isWidening(MDate, MDateTime(3)) && !isWidening(MDateTime(3), MDate))
+    assert(isWidening(MDecimal(10, 2), MDecimal(12, 2)))
+    assert(!isWidening(MDecimal(12, 2), MDecimal(10, 2)))
+    assert(isWidening(MFixedString(8), MString) && !isWidening(MString, MFixedString(8)))
+  }
+
+  test("diffTables: create/drop/alter detection") {
+    val ch = diffTables(
+      Map("a" -> v1, "gone" -> v1),
+      Map("a" -> v2, "fresh" -> v2))
+    assert(ch.collect { case DropTable(n) => n } == Seq("gone"))
+    assert(ch.collect { case CreateTable(n) => n } == Seq("fresh"))
+    assert(ch.collect { case AlterTable(n, c) => (n, c.nonEmpty) } == Seq(("a", true)))
+  }
+
+  test("migrationRead: v1-written data reads under v2 without rewrite") {
+    val old = Seq((1, "alice", "x", 1.5f), (2, "bob", "y", 2.5f))
+      .toDF("id", "name", "legacy", "score")
+    val migrated = Migration.migrationRead(old, v1, v2)
+    assert(migrated.columns.toSeq == Seq("id", "name", "score", "tier"))
+    assert(migrated.schema("id").dataType.typeName == "long")
+    assert(migrated.schema("score").dataType.typeName == "double")
+    val rows = migrated.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.map(_.getString(3)).toSeq == Seq("free", "free")) // default fills
+  }
+
+  test("migrationRead refuses narrowing (requires rewrite)") {
+    val narrow = MooseSchema(Seq(
+      MooseColumn("id", MInt16, primaryKey = true),
+      MooseColumn("name", MString)))
+    val old = Seq((100000, "big")).toDF("id", "name")
+    intercept[IllegalArgumentException] {
+      Migration.migrationRead(old,
+        MooseSchema(v1.columns.take(2)), narrow)
+    }
+  }
+}
