@@ -55,6 +55,7 @@ object QueryModel {
     final case class In(vs: Seq[Any]) extends FilterOp
     final case class NotIn(vs: Seq[Any]) extends FilterOp
     final case class Like(p: String) extends FilterOp
+    final case class ILike(p: String) extends FilterOp
     final case class Between(lo: Any, hi: Any) extends FilterOp
     case object IsNull extends FilterOp
     case object IsNotNull extends FilterOp
@@ -83,6 +84,7 @@ object QueryModel {
     case FilterOp.In(vs) => SqlOps.inList(c, vs)
     case FilterOp.NotIn(vs) => SqlOps.notIn(c, vs)
     case FilterOp.Like(p) => SqlOps.like(c, p)
+    case FilterOp.ILike(p) => SqlOps.ilike(c, p)
     case FilterOp.Between(lo, hi) => SqlOps.between(c, lo, hi)
     case FilterOp.IsNull => SqlOps.isNull(c)
     case FilterOp.IsNotNull => SqlOps.isNotNull(c)

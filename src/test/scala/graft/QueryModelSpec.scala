@@ -83,4 +83,16 @@ class QueryModelSpec extends AnyFunSuite {
     assert(df.where(inList(col("x"), Nil)).count() == 0)
     assert(df.where(notIn(col("x"), Nil)).count() == 3)
   }
+
+  test("detail mode with like/ilike filters") {
+    val m = model.copy(filterable = Map("k" -> (_ => col("k"))))
+    val like = QueryModel.buildQuery(m, Request(
+      columns = Seq("id"),
+      filters = Seq(Filter("k", Some(FilterOp.Like("a%"))))))
+    assert(like.count() == 2)
+    val ilike = QueryModel.buildQuery(m, Request(
+      columns = Seq("id"),
+      filters = Seq(Filter("k", Some(FilterOp.ILike("A%"))))))
+    assert(ilike.count() == 2) // case-insensitive matches 'a' rows
+  }
 }
