@@ -47,6 +47,24 @@ final class IngestPipeline[T: TypeTag](
     (report, combined)
   }
 
+  /** Streaming `POST /ingest` analogue: every micro-batch flows through
+    * the same validate→transform→insert path at the reference's 1 s sync
+    * cadence (ref kafka_clickhouse_sync.rs:55-57). Per-batch DLQ rows are
+    * handed to `onDlq` (e.g. append to a DLQ table). */
+  def ingestStream(
+      stream: org.apache.spark.sql.Dataset[T],
+      checkpoint: String,
+      triggerInterval: String = "1 second",
+      onDlq: DataFrame => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[T], _: Long) =>
+        val (_, dlq) = ingest(batch)
+        onDlq(dlq)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerInterval))
+      .start()
+
   /** Recover typed records from the DLQ (ref stream.ts:592 asTyped). */
   def recover(dlq: Dataset[DeadLetter])(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =

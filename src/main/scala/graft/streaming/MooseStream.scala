@@ -42,7 +42,11 @@ final class MooseStream[T: TypeTag](
     * Dataset (transformations only). */
   def runBatch(input: Dataset[T]): (Map[String, DataFrame], Dataset[DeadLetter]) = {
     val results = transforms.toSeq.map { case (dest, fn) => dest -> fn(input) }
-    val outs = results.map { case (d, (out, _)) => d -> out }.toMap
+    // Multiple (versioned) transforms may target one destination
+    // (ref stream.ts:478-516) — their outputs union, they don't replace.
+    val outs = results.groupBy(_._1).map { case (d, rs) =>
+      d -> rs.map(_._2._1).reduce(_ unionByName _)
+    }
     val dlq = results.map(_._2._2).reduceOption(_ union _)
       .getOrElse(emptyDlq(input.sparkSession))
     consumers.foreach(c => input.collect().foreach(c)) // batch-mode consumers

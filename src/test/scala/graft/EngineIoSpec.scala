@@ -152,6 +152,42 @@ class EngineIoSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("S18 streaming: micro-batches land through the same ingest path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val wh = tmp("s18swh")
+    val tableSchema = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("tier", MooseType.MEnum(Seq("free", "pro")), nullable = true),
+      MooseColumn("v", MooseType.MFloat64)))
+    val table = new OlapTable(spark,
+      OlapTable.Config("landing_s", tableSchema, TableEngine.MergeTree,
+        orderBy = Seq("id")), wh)
+    val stream = new MooseStream[(Long, String, Double)]("ingest_src_s")
+    val pipeline = new IngestPipeline("events_in_s", stream, table)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    var dlqRows = 0L
+    val q = pipeline.ingestStream(mem.toDS(),
+      Files.createTempDirectory("s18sck").toString,
+      onDlq = d => dlqRows += d.count())
+    mem.addData((1L, "free", 1.0), (2L, "bad_tier", 2.0))
+    q.processAllAvailable()
+    mem.addData((3L, "pro", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(table.read().count() == 2) // rows 1 and 3
+    assert(dlqRows == 1)              // bad enum isolated
+  }
+
+  test("multiple transforms on one edge union their outputs (T1 versions)") {
+    val s = new MooseStream[Int]("multi_src")
+    s.addTransform[Int]("dest", i => Seq(i))
+    s.addTransform[Int]("dest", i => Seq(i * 100))
+    val (outs, _) = s.runBatch(spark.createDataset(Seq(1, 2)))
+    assert(outs("dest").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(1, 2, 100, 200))
+  }
+
   test("2.8 shims: date-part family, empty/notEmpty, UInt widening") {
     ClickHouseFunctions.register(spark)
     val r = spark.sql(
