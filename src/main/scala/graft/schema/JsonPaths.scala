@@ -1,0 +1,35 @@
+package graft.schema
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** JSON columns with typed paths (ref packages/ts-moose-lib/src/
+  * dataModels/types.ts:148-161 `ClickHouseJson<typed_paths…>`,
+  * dataModelTypes.ts:12-18): the document stays a string column (the
+  * dynamic escape hatch, SURVEY §1.2), while declared paths are promoted
+  * to typed top-level columns.
+  *
+  * Promotion at *write* (materialized, one extraction ever) is preferred
+  * for hot paths — the promoted column then participates in pushdown and
+  * statistics like any other. Promotion at *read* keeps storage unchanged.
+  */
+object JsonPaths {
+
+  private def extract(jsonCol: Column, path: String, tpe: MooseType): Column =
+    get_json_object(jsonCol, "$." + path).cast(tpe.sparkType)
+
+  /** Column name for a promoted path: dots become underscores. */
+  def promotedName(path: String): String = path.replace('.', '_')
+
+  /** Promote paths at read. */
+  def promote(df: DataFrame, jsonCol: String,
+      paths: Seq[(String, MooseType)]): DataFrame =
+    paths.foldLeft(df) { case (d, (p, t)) =>
+      d.withColumn(promotedName(p), extract(col(jsonCol), p, t))
+    }
+
+  /** The `materialized` expression for write-time promotion, usable as
+    * `MooseColumn(..., materialized = Some(JsonPaths.materializedExpr(...)))`. */
+  def materializedExpr(jsonCol: String, path: String): String =
+    s"get_json_object(`$jsonCol`, '$$.$path')"
+}

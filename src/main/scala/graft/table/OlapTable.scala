@@ -53,7 +53,13 @@ object OlapTable {
         * Distributed engine's shardingKey (S14) — but persisted, so every
         * later query benefits. Bucketed tables live in the session
         * catalog (`saveAsTable`), not at a bare path. */
-      bucketBy: Option[(Int, Seq[String])] = None)
+      bucketBy: Option[(Int, Seq[String])] = None,
+      /** Row TTL as a SQL boolean over the row, true = expired — e.g.
+        * `"ts < now() - INTERVAL 90 DAYS"` (ref types.ts:202; CH's
+        * `TTL ts + INTERVAL 90 DAY`). CH expires during background
+        * merges; here [[OlapTable.applyRetention]] is the explicit
+        * retention job, and reads are unaffected until it runs. */
+      ttlExpiredWhen: Option[String] = None)
 }
 
 final class OlapTable(
@@ -89,6 +95,11 @@ final class OlapTable(
           perCol += when(v.isNotNull && !v.rlike(
             "^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$"),
             lit(s"${c.name}: not an IPv4"))
+        case MooseType.MIPv6 =>
+          // full 8-group form, or `::`-compressed with hex groups either side
+          perCol += when(v.isNotNull && !v.rlike(
+            "^([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){7}|([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4})*)?::([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4})*)?)$"),
+            lit(s"${c.name}: not an IPv6"))
         case _ => ()
       }
       perCol.result()
@@ -115,8 +126,11 @@ final class OlapTable(
         case None => d
       }
     }
+    // materialized exprs conform to the declared type (e.g. a JSON path
+    // extraction is string-typed until cast)
     config.schema.columns.foldLeft(withDefaults) { (d, c) =>
-      c.materialized.fold(d)(sql => d.withColumn(c.name, expr(sql)))
+      c.materialized.fold(d)(sql =>
+        d.withColumn(c.name, expr(sql).cast(c.tpe.sparkType)))
     }
   }
 
@@ -181,6 +195,31 @@ final class OlapTable(
       else spark.read.schema(config.schema.toStructType).parquet(path)
     config.schema.columns.foldLeft(df) { (d, c) =>
       c.aliasExpr.fold(d)(sql => d.withColumn(c.name, expr(sql)))
+    }
+  }
+
+  /** TTL retention job (ref olapTable TTL / queries.rs TTL clause): drops
+    * expired rows by compacting the table to a new fileset. The analogue
+    * of CH's merge-time TTL eviction, run explicitly (schedule it like any
+    * retention job). Partition-pruned when `partitionBy` covers the TTL
+    * column — then only expired partitions rewrite. Returns rows dropped. */
+  def applyRetention(): Long = {
+    config.ttlExpiredWhen.fold(0L) { cond =>
+      require(config.bucketBy.isEmpty,
+        "retention over bucketed tables: INSERT OVERWRITE not wired yet")
+      val all = spark.read.schema(config.schema.toStructType).parquet(path)
+      val total = all.count()
+      val keep = all.where(s"NOT ($cond)")
+      val tmp = path + "__retained"
+      keep.write.mode("overwrite").parquet(tmp)
+      val fs = new java.io.File(path)
+      val bak = new java.io.File(path + "__old")
+      new java.io.File(tmp).renameTo({
+        fs.renameTo(bak); fs
+      })
+      import scala.reflect.io.Directory
+      new Directory(bak).deleteRecursively()
+      total - spark.read.schema(config.schema.toStructType).parquet(path).count()
     }
   }
 

@@ -152,6 +152,62 @@ class EngineIoSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("TTL retention job drops expired rows, keeps the rest") {
+    val wh = tmp("ttlwh")
+    val sch = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("ts", MooseType.MDateTime()),
+      MooseColumn("v", MooseType.MFloat64)))
+    val t = new OlapTable(spark, OlapTable.Config("ttl_t", sch,
+      orderBy = Seq("id"),
+      ttlExpiredWhen = Some("ts < TIMESTAMP '2024-01-01 00:00:00'")), wh)
+    t.insert(Seq(
+      (1L, java.sql.Timestamp.valueOf("2023-06-01 00:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), 2.0),
+      (3L, java.sql.Timestamp.valueOf("2023-12-31 23:59:59"), 3.0))
+      .toDF("id", "ts", "v"))
+    assert(t.applyRetention() == 2)
+    assert(t.read().collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(t.applyRetention() == 0) // idempotent
+  }
+
+  test("IPv6 validation isolates malformed addresses") {
+    val wh = tmp("ip6wh")
+    val sch = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("addr", MooseType.MIPv6)))
+    val t = new OlapTable(spark, OlapTable.Config("ip6_t", sch), wh)
+    val (report, dlq) = t.insert(Seq(
+      (1L, "2001:db8::1"), (2L, "fe80:0:0:0:0:0:0:1"), (3L, "not-an-ip"))
+      .toDF("id", "addr"), OlapTable.InsertStrategy.Isolate)
+    assert(report.written == 2 && report.failed == 1)
+    assert(dlq.get.head.getString(1).contains("addr: not an IPv6"))
+  }
+
+  test("JSON typed paths promote at read and at write (materialized)") {
+    import graft.schema.JsonPaths
+    val df = Seq(
+      (1L, """{"user":{"id":7},"score":1.5}"""),
+      (2L, """{"user":{"id":9},"score":2.5}"""))
+      .toDF("id", "doc")
+    val promoted = JsonPaths.promote(df, "doc",
+      Seq("user.id" -> MooseType.MInt64, "score" -> MooseType.MFloat64))
+    assert(promoted.columns.toSeq ==
+      Seq("id", "doc", "user_id", "score"))
+    assert(promoted.orderBy("id").collect().map(_.getLong(2)).toSeq == Seq(7L, 9L))
+
+    val wh = tmp("jsonwh")
+    val sch = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("doc", MooseType.MJson),
+      MooseColumn("score", MooseType.MFloat64, nullable = true,
+        materialized = Some(JsonPaths.materializedExpr("doc", "score")))))
+    val t = new OlapTable(spark, OlapTable.Config("json_t", sch), wh)
+    t.insert(df.withColumn("score", lit(null).cast("double")))
+    assert(t.read().orderBy("id").collect().map(_.getDouble(2)).toSeq ==
+      Seq(1.5, 2.5))
+  }
+
   test("S18 streaming: micro-batches land through the same ingest path") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val wh = tmp("s18swh")
