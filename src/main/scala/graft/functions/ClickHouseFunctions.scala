@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.types._
 
 /** ClickHouse-dialect function surface (SURVEY.md §2.8) re-expressed on
@@ -132,6 +133,46 @@ object ClickHouseFunctions {
     f("fromUnixTimestamp")(a => SecondsToTimestamp(a.head))
     f("toLowerCase")(a => Lower(a.head))
     f("toUpperCase")(a => Upper(a.head))
+    f("toDateTime")(a => Cast(a.head, TimestampType))
+    // CH position(haystack, needle[, start]) — 1-based, 0 when absent
+    f("position")(a => StringLocate(a(1), a.head,
+      if (a.length > 2) a(2) else Literal(1)))
+    // -If aggregate combinators: aggregate over rows passing the predicate
+    // (nulls from the CASE are ignored by the aggregate)
+    def onlyIf(v: Expression, cond: Expression): Expression =
+      CaseWhen(Seq((cond, v)), None)
+    f("countIf")(a => Count(Seq(onlyIf(Literal(1), a.head))))
+    f("sumIf")(a => Sum(onlyIf(a.head, a(1))))
+    f("avgIf")(a => Average(onlyIf(a.head, a(1))))
+    f("minIf")(a => Min(onlyIf(a.head, a(1))))
+    f("maxIf")(a => Max(onlyIf(a.head, a(1))))
+    f("argMax")(a => MaxBy(a.head, a(1)))
+    f("argMin")(a => MinBy(a.head, a(1)))
+    f("anyLast")(a => Last(a.head, ignoreNulls = true))
+    f("uniq")(a => new HyperLogLogPlusPlus(a.head))
+    f("uniqExact")(a =>
+      Count(Seq(a.head)).toAggregateExpression(isDistinct = true))
+    // (key, raw value) pairs of a JSON document; CH tuple access kv.1/kv.2
+    // becomes struct access kv.key/kv.value
+    f("JSONExtractKeysAndValuesRaw")(a => MapEntries(
+      JsonToStructs(MapType(StringType, StringType), Map.empty, a.head)))
+    // Interval constructor family (ts + toIntervalX(n) arithmetic is native)
+    f("toIntervalYear")(a => MakeYMInterval(a.head, Literal(0)))
+    f("toIntervalQuarter")(a =>
+      MakeYMInterval(Literal(0), Multiply(a.head, Literal(3))))
+    f("toIntervalMonth")(a => MakeYMInterval(Literal(0), a.head))
+    f("toIntervalWeek")(a => MakeDTInterval(
+      Multiply(a.head, Literal(7)), Literal(0), Literal(0),
+      Literal(Decimal(0), DecimalType(18, 6))))
+    f("toIntervalHour")(a => MakeDTInterval(Literal(0), a.head, Literal(0),
+      Literal(Decimal(0), DecimalType(18, 6))))
+    f("toIntervalMinute")(a => MakeDTInterval(Literal(0), Literal(0), a.head,
+      Literal(Decimal(0), DecimalType(18, 6))))
+    f("toIntervalSecond")(a => MakeDTInterval(Literal(0), Literal(0),
+      Literal(0), Cast(a.head, DecimalType(18, 6))))
+    f("toYYYYMMDD")(a => Cast(
+      DateFormatClass(Cast(a.head, TimestampType), Literal("yyyyMMdd")),
+      IntegerType))
     // Date-part family (CH names Spark lacks). toDayOfWeek: CH default
     // mode is Monday=1..Sunday=7 (ISO) = Spark WeekDay + 1.
     f("toYear")(a => Year(Cast(a.head, DateType)))

@@ -260,6 +260,31 @@ class EngineIoSpec extends AnyFunSuite {
     assert(r.getDecimal(6).toString == "18446744073709551615")
   }
 
+  test("2.8 shims: -If combinators, argMax/argMin, uniq, position, intervals, JSON kv") {
+    ClickHouseFunctions.register(spark)
+    Seq(("a", 1.0, 10), ("a", 2.0, 20), ("b", 3.0, 5), ("b", 4.0, 1))
+      .toDF("k", "v", "w").createOrReplaceTempView("ifagg_t")
+    val r = spark.sql(
+      """SELECT countIf(v > 1.5) AS c, sumIf(v, w >= 10) AS s,
+        |  argMax(k, w) AS am, argMin(k, w) AS an,
+        |  uniqExact(k) AS ue, anyLast(k) AS al
+        |FROM ifagg_t""".stripMargin).head
+    assert(r.getLong(0) == 3 && r.getDouble(1) == 3.0)
+    assert(r.getString(2) == "a" && r.getString(3) == "b")
+    assert(r.getLong(4) == 2)
+    val r2 = spark.sql(
+      """SELECT position('clickhouse', 'house') AS p,
+        |  toYYYYMMDD(TIMESTAMP '2024-03-05 07:08:09') AS ymd,
+        |  TIMESTAMP '2024-01-31 00:00:00' + toIntervalMonth(1) AS nxt,
+        |  JSONExtractKeysAndValuesRaw('{"a":"1","b":"x"}') AS kv""".stripMargin)
+      .head
+    assert(r2.getInt(0) == 6 && r2.getInt(1) == 20240305)
+    assert(r2.getTimestamp(2).toString.startsWith("2024-02-29"))
+    val kv = r2.getSeq[org.apache.spark.sql.Row](3)
+    assert(kv.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("a", "1"), ("b", "x")))
+  }
+
   test("2.8 shims: lagInFrame/leadInFrame with default in OVER clause") {
     ClickHouseFunctions.register(spark)
     Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
