@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Skew
+import graft.querymodel.SqlInterpolator
+import graft.schema.{Migration, MooseType}
+import graft.schema.MooseType._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (bare ScalaCheck generators, deterministic
+  * seeds): injection safety of the sql interpolator, algebraic
+  * equivalence of the skew-salted paths, lattice laws of the migration
+  * widening relation. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("sql literal round-trips arbitrary strings through spark.sql (injection safety)") {
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.oneOf('\'', '"', '\\', ';', '-', ' ', '\n', '%', '_', '`')))
+      .map(_.take(50).mkString)
+    val cases = samples(strGen, 40) ++ Seq(
+      "'; DROP TABLE x; --", "\\' OR 1=1 --", "a\\nb", "")
+    cases.foreach { s =>
+      val back = spark.sql(s"SELECT ${SqlInterpolator.literal(s)} AS v")
+        .head.getString(0)
+      assert(back == s, s"round-trip failed for ${s.map(_.toInt)}")
+    }
+  }
+
+  test("sql literal round-trips numbers and timestamps") {
+    samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 20).foreach { n =>
+      // small literals parse as INT — normalize through Number
+      assert(spark.sql(s"SELECT ${SqlInterpolator.literal(n)} AS v")
+        .head.getAs[Number](0).longValue() == n)
+    }
+    samples(Gen.chooseNum(0L, 4102444800L), 10).foreach { secs =>
+      val t = new java.sql.Timestamp(secs * 1000)
+      assert(spark.sql(s"SELECT ${SqlInterpolator.literal(t)} AS v")
+        .head.getTimestamp(0) == t)
+    }
+  }
+
+  test("salted aggregation equals direct aggregation on arbitrary data") {
+    val rowsGen = Gen.listOfN(200,
+      Gen.zip(Gen.oneOf("hot", "a", "b", "c"), Gen.chooseNum(-100.0, 100.0)))
+    samples(rowsGen, 5).foreach { rows =>
+      val df = rows.toDF("k", "v")
+      val direct = df.groupBy("k")
+        .agg(round(sum($"v"), 6).as("s"), count(lit(1)).as("n"))
+      val salted = Skew.saltedAgg(df, Seq("k"), 4)(
+        Seq(sum($"v").as("s"), count(lit(1)).as("n")),
+        Seq(round(sum($"s"), 6).as("s"), sum($"n").as("n")))
+      assert(salted.exceptAll(direct).count() == 0 &&
+        direct.exceptAll(salted).count() == 0)
+    }
+  }
+
+  test("widening relation: reflexive, antisymmetric on distinct types, transitive") {
+    val types: Seq[MooseType] = Seq(MInt8, MInt16, MInt32, MInt64,
+      MFloat32, MFloat64, MDate, MDateTime(3), MDateTime(6),
+      MFixedString(8), MString, MDecimal(10, 2), MDecimal(12, 2))
+    for (t <- types) assert(Migration.isWidening(t, t))
+    for (a <- types; b <- types if a != b)
+      assert(!(Migration.isWidening(a, b) && Migration.isWidening(b, a)),
+        s"$a <-> $b both widening")
+    for (a <- types; b <- types; c <- types
+         if Migration.isWidening(a, b) && Migration.isWidening(b, c))
+      assert(Migration.isWidening(a, c), s"$a->$b->$c not transitive")
+  }
+}
