@@ -101,6 +101,33 @@ object Migration {
     drops ++ alters ++ creates
   }
 
+  /** Resource lifecycle modes (ref packages/ts-moose-lib/src/dmv2/sdk/
+    * lifeCycle.ts:7): how much of a planned migration may be applied. */
+  sealed trait LifeCycle
+  object LifeCycle {
+    /** Apply everything, including destructive ops (default). */
+    case object FullyManaged extends LifeCycle
+    /** Only additive changes; drops and narrowings are withheld. */
+    case object DeletionProtected extends LifeCycle
+    /** No automatic changes at all. */
+    case object ExternallyManaged extends LifeCycle
+  }
+
+  /** Filter a plan to what the lifecycle mode permits. Withheld changes
+    * are returned separately so callers can surface them (the reference
+    * logs skipped destructive ops rather than silently dropping them). */
+  def planFor(mode: LifeCycle, changes: Seq[ColumnChange])
+      : (Seq[ColumnChange], Seq[ColumnChange]) = mode match {
+    case LifeCycle.FullyManaged => (changes, Nil)
+    case LifeCycle.ExternallyManaged => (Nil, changes)
+    case LifeCycle.DeletionProtected =>
+      changes.partition {
+        case DropColumn(_) => false
+        case ChangeType(_, _, _, widening) => widening
+        case _ => true
+      }
+  }
+
   /** True if every change applies metadata-only (no data rewrite). */
   def isMetadataOnly(changes: Seq[ColumnChange]): Boolean =
     changes.forall {

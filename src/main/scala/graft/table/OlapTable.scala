@@ -223,6 +223,36 @@ final class OlapTable(
     }
   }
 
+  /** OPTIMIZE TABLE … FINAL analogue: materialize the engine's FINAL view
+    * back into storage, so subsequent reads skip the dedup/collapse work.
+    * This is CH's background merge made explicit — after it, `read()` and
+    * `readFinal()` agree until new rows arrive. Scale note: the rewrite is
+    * one keyed shuffle (the FINAL view's own plan) + a write; schedule it
+    * like compaction, don't run it per query. */
+  def optimizeFinal(valueCols: Seq[String] = Nil): Unit = {
+    require(config.bucketBy.isEmpty,
+      "optimizeFinal over bucketed tables: INSERT OVERWRITE not wired yet")
+    // only row-filtering FINAL views keep the declared schema; the
+    // column-reducing ones (Summing/Collapsing/Aggregating) stay
+    // read-time views
+    config.engine match {
+      case TableEngine.MergeTree | _: TableEngine.ReplacingMergeTree |
+           _: TableEngine.VersionedCollapsingMergeTree => ()
+      case other => throw new IllegalArgumentException(
+        s"optimizeFinal unsupported for $other: FINAL changes the schema")
+    }
+    val finalRows = readFinal(valueCols)
+      .select(config.schema.columns
+        .filter(_.aliasExpr.isEmpty).map(c => col(c.name)): _*)
+    val tmp = path + "__optimized"
+    finalRows.write.mode("overwrite").parquet(tmp)
+    val fs = new java.io.File(path)
+    val bak = new java.io.File(path + "__old")
+    new java.io.File(tmp).renameTo({ fs.renameTo(bak); fs })
+    import scala.reflect.io.Directory
+    new Directory(bak).deleteRecursively()
+  }
+
   /** Engine FINAL-read view (deterministic; SURVEY §4). */
   def readFinal(valueCols: Seq[String] = Nil): DataFrame = {
     val keys = if (config.orderBy.nonEmpty) config.orderBy

@@ -67,6 +67,20 @@ class MigrationSpec extends AnyFunSuite {
     assert(rows.map(_.getString(3)).toSeq == Seq("free", "free")) // default fills
   }
 
+  test("lifecycle modes gate destructive changes (lifeCycle.ts parity)") {
+    import Migration.LifeCycle._
+    val changes = diffColumns(v1, v2) :+
+      ChangeType("x", MInt64, MInt32, widening = false)
+    val (allOps, none) = planFor(FullyManaged, changes)
+    assert(allOps == changes && none.isEmpty)
+    val (applied, withheld) = planFor(DeletionProtected, changes)
+    assert(!applied.exists(_.isInstanceOf[DropColumn]))
+    assert(withheld.collect { case DropColumn(n) => n } == Seq("legacy"))
+    assert(withheld.exists { case ChangeType("x", _, _, false) => true; case _ => false })
+    val (nothing, everything) = planFor(ExternallyManaged, changes)
+    assert(nothing.isEmpty && everything == changes)
+  }
+
   test("migrationRead refuses narrowing (requires rewrite)") {
     val narrow = MooseSchema(Seq(
       MooseColumn("id", MInt16, primaryKey = true),

@@ -104,6 +104,33 @@ class TableSpec extends AnyFunSuite {
       Seq(("a", 2L), ("b", 9L))) // c's max-version row is a tombstone
   }
 
+  test("optimizeFinal compacts FINAL state into storage (OPTIMIZE parity)") {
+    val wh = tmpWarehouse()
+    val schema = MooseSchema(Seq(
+      MooseColumn("k", MooseType.MString, primaryKey = true),
+      MooseColumn("v", MooseType.MInt64),
+      MooseColumn("ver", MooseType.MInt64),
+      MooseColumn("deleted", MooseType.MInt32)))
+    val t = new OlapTable(spark, OlapTable.Config("repl_opt", schema,
+      TableEngine.ReplacingMergeTree(Some("ver"), Some("deleted")),
+      orderBy = Seq("k")), wh)
+    t.insert(Seq(("a", 1L, 1L, 0), ("a", 2L, 2L, 0), ("b", 9L, 1L, 0))
+      .toDF("k", "v", "ver", "deleted"), OlapTable.InsertStrategy.FailFast)
+    assert(t.read().count() == 3)
+    t.optimizeFinal()
+    assert(t.read().count() == 2) // raw read now deduped
+    assert(t.readFinal().orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 2L), ("b", 9L)))
+    // column-reducing engines refuse
+    val s = new OlapTable(spark, OlapTable.Config("sum_opt",
+      MooseSchema(Seq(MooseColumn("k", MooseType.MString, primaryKey = true),
+        MooseColumn("v", MooseType.MInt64))),
+      TableEngine.SummingMergeTree(Seq("v")), orderBy = Seq("k")), wh)
+    s.insert(Seq(("a", 1L)).toDF("k", "v"), OlapTable.InsertStrategy.FailFast)
+    intercept[IllegalArgumentException] { s.optimizeFinal() }
+  }
+
   test("Collapsing + VersionedCollapsing FINAL semantics") {
     val df = Seq(
       ("u1", 1, 10.0, 1L), ("u1", -1, 10.0, 2L), ("u1", 1, 30.0, 3L),
