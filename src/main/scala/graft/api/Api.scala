@@ -60,14 +60,26 @@ final case class EtlPipeline[T, U](
 }
 
 /** Workflow/Task (ref dmv2/sdk/workflow.ts:62,154): a Temporal-backed DAG
-  * of typed tasks with retries/timeouts. Engine-side we keep only the
+  * of typed tasks with retries/timeouts/schedule. Engine-side we keep the
   * driver-side orchestration semantics: sequential task chain, per-task
-  * retry count, value threaded task-to-task. */
-final case class WfTask[I, O](name: String, retries: Int = 0)(val run: I => O) {
+  * retry count and timeout, value threaded task-to-task; `schedule` is
+  * accepted config for an external scheduler (Temporal itself is out of
+  * scope, SURVEY §7). */
+final case class WfTask[I, O](
+    name: String, retries: Int = 0,
+    timeout: Option[scala.concurrent.duration.Duration] = None)(val run: I => O) {
+  import scala.concurrent.{Await, Future}
+  import scala.concurrent.ExecutionContext.Implicits.global
+
+  private def once(in: I): O = timeout match {
+    case None => run(in)
+    case Some(d) => Await.result(Future(run(in)), d)
+  }
+
   def attempt(in: I): O = {
     var left = retries
     while (true) {
-      try return run(in)
+      try return once(in)
       catch {
         case e: Throwable if left > 0 => left -= 1
         case e: Throwable =>
@@ -79,7 +91,8 @@ final case class WfTask[I, O](name: String, retries: Int = 0)(val run: I => O) {
 }
 
 object Workflow {
-  /** Run tasks sequentially, threading each output into the next input. */
-  def run[A](init: A, tasks: Seq[WfTask[A, A]]): A =
+  /** Run tasks sequentially, threading each output into the next input.
+    * `schedule` (cron text) is carried for the caller's scheduler. */
+  def run[A](init: A, tasks: Seq[WfTask[A, A]], schedule: Option[String] = None): A =
     tasks.foldLeft(init)((acc, t) => t.attempt(acc))
 }

@@ -59,7 +59,12 @@ object OlapTable {
         * `TTL ts + INTERVAL 90 DAY`). CH expires during background
         * merges; here [[OlapTable.applyRetention]] is the explicit
         * retention job, and reads are unaffected until it runs. */
-      ttlExpiredWhen: Option[String] = None)
+      ttlExpiredWhen: Option[String] = None,
+      /** SAMPLE BY expression (ref olapTable.ts:205-230): accepted config;
+        * [[OlapTable.sampleRead]] serves `SAMPLE f` queries. Approximate
+        * parity — row-level Bernoulli sampling instead of CH's hash-range
+        * storage sampling (DIVERGENCES.md #13). */
+      sampleBy: Option[String] = None)
 }
 
 final class OlapTable(
@@ -197,6 +202,17 @@ final class OlapTable(
       c.aliasExpr.fold(d)(sql => d.withColumn(c.name, expr(sql)))
     }
   }
+
+  /** `SELECT … SAMPLE f` analogue. When `sampleBy` is configured, the
+    * sample is keyed on that expression's hash (all-or-none per key, like
+    * CH's sample key); otherwise row-level Bernoulli. Deterministic seed:
+    * repeated queries see the same sample. */
+  def sampleRead(fraction: Double): DataFrame =
+    config.sampleBy match {
+      case Some(e) =>
+        read().where(pmod(xxhash64(expr(e)), lit(1000000)) < lit((fraction * 1000000).toLong))
+      case None => read().sample(fraction, seed = 42L)
+    }
 
   /** TTL retention job (ref olapTable TTL / queries.rs TTL clause): drops
     * expired rows by compacting the table to a new fileset. The analogue

@@ -92,4 +92,14 @@ class ApiSpec extends AnyFunSuite {
     val fatal = WfTask[Int, Int]("fatal", retries = 1)(_ => sys.error("always"))
     intercept[RuntimeException] { Workflow.run(1, Seq(fatal)) }
   }
+
+  test("workflow task timeout aborts a hung task") {
+    import scala.concurrent.duration._
+    val hung = WfTask[Int, Int]("hung", timeout = Some(200.millis)) { x =>
+      Thread.sleep(10000); x
+    }
+    val t0 = System.nanoTime()
+    intercept[RuntimeException] { Workflow.run(1, Seq(hung)) }
+    assert((System.nanoTime() - t0) / 1e9 < 5.0)
+  }
 }

@@ -152,6 +152,42 @@ class EngineIoSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitionBy layout prunes partitions at read (PARTITION BY parity)") {
+    val wh = tmp("partwh")
+    val sch = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("day", MooseType.MString),
+      MooseColumn("v", MooseType.MFloat64)))
+    val t = new OlapTable(spark, OlapTable.Config("part_t", sch,
+      orderBy = Seq("id"), partitionBy = Seq("day")), wh)
+    t.insert((1 to 300).map(i => (i.toLong, f"2024-01-${i % 3 + 1}%02d", i * 1.0))
+      .toDF("id", "day", "v"))
+    val q = t.read().where($"day" === "2024-01-01").select($"id", $"v")
+    assert(q.count() == 100)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-01"),
+      s"day filter should prune partitions:\n$scan")
+  }
+
+  test("SAMPLE BY: keyed sampling keeps or drops whole keys, deterministically") {
+    val wh = tmp("sampwh")
+    val sch = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("k", MooseType.MString),
+      MooseColumn("v", MooseType.MFloat64)))
+    val t = new OlapTable(spark, OlapTable.Config("samp_t", sch,
+      orderBy = Seq("id"), sampleBy = Some("k")), wh)
+    t.insert((1 to 200).map(i => (i.toLong, s"k${i % 20}", i * 1.0))
+      .toDF("id", "k", "v"))
+    val s1 = t.sampleRead(0.5)
+    val sampledKeys = s1.select("k").distinct().collect().map(_.getString(0)).toSet
+    assert(sampledKeys.nonEmpty && sampledKeys.size < 20)
+    // all-or-none per key: sampled keys keep all 10 of their rows
+    assert(s1.groupBy("k").count().collect().forall(_.getLong(1) == 10))
+    // deterministic
+    assert(t.sampleRead(0.5).count() == s1.count())
+  }
+
   test("TTL retention job drops expired rows, keeps the rest") {
     val wh = tmp("ttlwh")
     val sch = MooseSchema(Seq(
