@@ -112,7 +112,24 @@ object TextQueries {
         bands = 16, bitsPerBand = 4)
       .orderBy(col("vec_a"), col("vec_b"))
 
+  /** End-to-end corpus cleaning — the composition a training-data pipeline
+    * actually runs: quality gate → language gate → exact dedup (keep the
+    * lowest doc_id of each duplicate group). One hash-shuffle for the
+    * dedup; the gates are scan-side filters. */
+  def dCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val gated = d.where(
+      TextAnalysis.qualityScore(col("text")) >= 0.3 &&
+        TextAnalysis.langId(col("text")) === "en")
+    gated
+      .groupBy(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "d_clean_corpus" -> (dCleanCorpus _),
     "d_exact_dedup" -> (dExactDedup _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_minhash_lsh" -> (dMinhashLsh _),
@@ -153,6 +170,35 @@ object TextQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "d_clean_corpus" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS nw,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS ns
+        |  FROM documents),
+        |gated AS (
+        |  SELECT doc_id, text FROM s
+        |  WHERE round(least(nw / 100.0, 1.0) * 0.5 + ns * 1.0 / nw * 0.5, 4) >= 0.3
+        |    AND NOT regexp_matches(text, '[一-鿿]')
+        |    AND NOT (' ' || lower(text) || ' ' LIKE '% der %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% und %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% nicht %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% ist %')
+        |    AND NOT (' ' || lower(text) || ' ' LIKE '% le %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% les %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% une %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% est %')
+        |    AND NOT (' ' || lower(text) || ' ' LIKE '% el %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% los %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% que %'
+        |      OR ' ' || lower(text) || ' ' LIKE '% es %'))
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM (SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM gated)
+        |GROUP BY fp ORDER BY doc_id""".stripMargin,
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
