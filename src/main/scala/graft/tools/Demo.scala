@@ -1,0 +1,72 @@
+package graft.tools
+
+import graft.api._
+import graft.operators.StreamingQueries.{Bar, Event, fooToBar}
+import graft.schema.{MooseColumn, MooseSchema, MooseType}
+import graft.streaming.MooseStream
+import graft.table.{OlapTable, TableEngine, TableRegistry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's canonical template app (templates/typescript/app:
+  * Foo ingest → Bar transform → BarAggregated MV → `bar` consumption API)
+  * running end-to-end on this engine — the "switch from moose" demo.
+  *
+  * Usage: runMain graft.tools.Demo [sfDir]
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val wh = java.nio.file.Files.createTempDirectory("demo_wh").toString
+    val registry = new TableRegistry(spark, wh)
+
+    // 1. table + pipeline definition (ingestPipeline.ts analogue)
+    val barTable = registry.create(OlapTable.Config(
+      name = "bar",
+      schema = MooseSchema(Seq(
+        MooseColumn("primary_key", MooseType.MInt64, primaryKey = true),
+        MooseColumn("day_epoch", MooseType.MInt64),
+        MooseColumn("event_type_upper", MooseType.MString),
+        MooseColumn("value_cents", MooseType.MInt64),
+        MooseColumn("has_k", MooseType.MBoolean))),
+      engine = TableEngine.MergeTree,
+      orderBy = Seq("primary_key")))
+    val stream = new MooseStream[Event]("foo")
+    stream.addTransform[Bar]("bar", fooToBar)
+    val pipeline = new IngestPipeline("foo_pipeline", stream, barTable)
+
+    // 2. ingest a batch (POST /ingest/Foo analogue)
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .as[Event]
+    val (report, dlq) = pipeline.ingest(events)
+    println(s"[demo] ingest: written=${report.written} dlq=${dlq.count()}")
+
+    // 3. consumption API with params + cache (apis/bar.ts analogue)
+    val cache = new MooseCache(defaultTtlSeconds = 3600)
+    val api = ConsumptionApi[Int](
+      name = "bar",
+      validate = n => if (n > 0 && n <= 100) Right(n)
+        else Left("limit must be in (0, 100]"),
+      handler = (s, limit) => barTable.readFinal()
+        .groupBy(col("day_epoch"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value_cents")), 2).as("avg_cents"))
+        .orderBy(col("day_epoch"))
+        .limit(limit))
+    val rows = cache.getOrCompute("bar:5") {
+      api.run(spark, 5).collect().toSeq
+    }
+    rows.foreach(r => println(s"[demo] bar api: $r"))
+    require(rows.nonEmpty, "demo produced no rows")
+    println(s"[demo] OK: table=${barTable.read().count()} rows, api=${rows.size} buckets")
+    spark.stop()
+  }
+}
