@@ -74,6 +74,12 @@ object MooseType {
   /** Opaque binary payload (image/audio/video bytes) with typed metadata
     * kept in sibling columns — the multimodal column convention. */
   case object MBinary extends MooseType { val sparkType = BinaryType }
+  /** LowCardinality(T): CH dictionary-encoding hint. No-op here — parquet
+    * dictionary-encodes low-cardinality columns automatically (SURVEY §7
+    * module 1); the wrapper is accepted so schemas port unchanged. */
+  final case class MLowCardinality(inner: MooseType) extends MooseType {
+    val sparkType: DataType = inner.sparkType
+  }
   /** Aggregate-state column `Aggregated<fn, args>` (ref dmv2/index.ts:16-22,
     * mapper.rs:186). We use re-aggregation semantics: the column stores the
     * partial tuple produced by `AggState.partial*`; `AggState.merge*`

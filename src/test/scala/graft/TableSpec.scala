@@ -170,6 +170,26 @@ class TableSpec extends AnyFunSuite {
     assert(merged == 4) // exact at this cardinality
   }
 
+  test("Replicated wrapper delegates FINAL semantics to inner engine (S8)") {
+    val wh = tmpWarehouse()
+    val schema = MooseSchema(Seq(
+      MooseColumn("k", MooseType.MLowCardinality(MooseType.MString),
+        primaryKey = true),
+      MooseColumn("v", MooseType.MInt64),
+      MooseColumn("ver", MooseType.MInt64)))
+    assert(schema.toStructType("k").dataType ==
+      org.apache.spark.sql.types.StringType) // LowCardinality is a no-op
+    val t = new OlapTable(spark, OlapTable.Config("repl_wrap", schema,
+      TableEngine.Replicated(
+        TableEngine.ReplacingMergeTree(Some("ver")),
+        keeperPath = Some("/clickhouse/tables/x"),
+        replicaName = Some("r1")),
+      orderBy = Seq("k")), wh)
+    t.insert(Seq(("a", 1L, 1L), ("a", 2L, 2L)).toDF("k", "v", "ver"),
+      OlapTable.InsertStrategy.FailFast)
+    assert(t.readFinal().collect().map(_.getLong(1)).toSeq == Seq(2L))
+  }
+
   test("UInt64/Int128 widen to Decimal; DateTime64(7) rejected") {
     assert(MooseType.MUInt64.sparkType == DecimalType(20, 0))
     assert(MooseType.MInt128.sparkType == DecimalType(38, 0))
