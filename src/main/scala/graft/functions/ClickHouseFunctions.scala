@@ -44,7 +44,12 @@ object ClickHouseFunctions {
     def toInt64(c: Column): Column = c.cast(LongType)
     def toFloat64(c: Column): Column = c.cast(DoubleType)
     def cityHash64(cols: Column*): Column = xxhash64(cols: _*)
-    def intDiv(a: Column, b: Column): Column = (a / b).cast(LongType)
+    /** Exact integral division (double-based `(a/b).cast(long)` loses
+      * precision above 2^53 and disagrees with the SQL-registered shim). */
+    def intDiv(a: Column, b: Column): Column =
+      org.apache.spark.sql.graftbridge.Bridge.column(IntegralDivide(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
     def has(arr: Column, x: Column): Column = array_contains(arr, x)
     def arrayMap(arr: Column, f: Column => Column): Column = transform(arr, f)
     def arrayFilter(arr: Column, f: Column => Column): Column = filter(arr, f)

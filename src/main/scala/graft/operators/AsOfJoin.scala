@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,6 +28,13 @@ object AsOfJoin {
 
   /** @param rightCols right columns to attach, as (rightName -> outputName);
     *                  output names must not collide with left columns.
+    * @param rightTiebreak extra right columns ordering right rows that
+    *                  share (key, time) — without one, which of the tied
+    *                  rows wins is unspecified (same as SQL ASOF JOIN).
+    *
+    * The attached columns travel as ONE struct carried with
+    * `last(ignoreNulls)`, so a NULL in one right column can never mix
+    * values from different right rows into the output.
     */
   def leftAsOf(
       left: DataFrame,
@@ -35,37 +42,44 @@ object AsOfJoin {
       key: String,
       leftTime: String,
       rightTime: String,
-      rightCols: Seq[(String, String)]): DataFrame = {
+      rightCols: Seq[(String, String)],
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!rightCols.exists { case (_, o) => leftCols.contains(o) },
       "output names collide with left columns")
     val pfx = "__l_"
 
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map { case (rn, on) =>
+        org.apache.spark.sql.types.StructField(on, right.schema(rn).dataType)
+      })
+    val tb: Seq[(Column, Column)] = rightTiebreak.map { n =>
+      (lit(null).cast(right.schema(n).dataType).as(s"__tb_$n"),
+        col(n).as(s"__tb_$n"))
+    }
+
     val l = left.select(
       col(key).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
-        (leftCols.map(n => col(n).as(pfx + n)) ++
-          rightCols.map { case (rn, on) =>
-            lit(null).cast(right.schema(rn).dataType).as(on)
-          }): _*)
+        lit(null).cast(rStructType).as("__r") +:
+        (tb.map(_._1) ++ leftCols.map(n => col(n).as(pfx + n))): _*)
     val r = right.select(
       col(key).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        (leftCols.map(n => lit(null).cast(left.schema(n).dataType).as(pfx + n)) ++
-          rightCols.map { case (rn, on) => col(rn).as(on) }): _*)
+        struct(rightCols.map { case (rn, on) => col(rn).as(on) }: _*).as("__r") +:
+        (tb.map(_._2) ++
+          leftCols.map(n => lit(null).cast(left.schema(n).dataType).as(pfx + n))): _*)
 
     val w = Window
       .partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t") +: col("__side") +:
+        rightTiebreak.map(n => col(s"__tb_$n")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)
-      .select(
-        col("__side") +:
-          (leftCols.map(n => col(pfx + n)) ++
-            rightCols.map { case (_, on) =>
-              last(col(on), ignoreNulls = true).over(w).as(on)
-            }): _*)
+      .select(col("__side") +:
+        last(col("__r"), ignoreNulls = true).over(w).as("__rc") +:
+        leftCols.map(n => col(pfx + n)): _*)
       .where(col("__side") === 1)
       .select(leftCols.map(n => col(pfx + n).as(n)) ++
-        rightCols.map { case (_, on) => col(on) }: _*)
+        rightCols.map { case (_, on) => col(s"__rc.$on").as(on) }: _*)
   }
 }

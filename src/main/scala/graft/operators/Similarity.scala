@@ -60,11 +60,16 @@ object Similarity {
     Array.fill(bits, dim)(rnd.nextGaussian())
   }
 
-  /** B-bit signature column: bit p = [v · plane_p > 0]. */
-  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
+  /** B-bit signature column: bit p = [v · plane_p > 0]. Max 64 planes —
+    * `shiftleft` wraps its shift count mod 64, so more would silently
+    * corrupt the signature (use per-band signatures beyond 64 total). */
+  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    require(planes.length <= 64,
+      s"lshSignature packs into one long: ${planes.length} planes > 64")
     planes.zipWithIndex.map { case (p, i) =>
       when(dot(vec, typedlit(p.toSeq)) > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
+  }
 
   /** Embedding-cosine near-duplicate pairs, exact: every (a,b), a<b, with
     * rounded cosine ≥ threshold. The all-pairs baseline the banded variant
@@ -95,14 +100,18 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.5, dim: Int = 64,
       bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
+    // each band gets its OWN bitsPerBand planes and its own small
+    // signature, so total planes (bands × bitsPerBand) is unbounded —
+    // packing them all into one 64-bit word would wrap beyond 64 planes
     val planes = hyperplanes(dim, bands * bitsPerBand)
-    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshSignature(col(vecCol), planes).as("sig"))
+    val bandSigs = (0 until bands).map { b =>
+      lshSignature(col(vecCol),
+        planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand)).as(s"bs$b")
+    }
+    val e = embeddings.select(
+      col(idCol).as("id") +: col(vecCol).as("v") +: bandSigs: _*)
     val banded = e.select(col("id"), col("v"),
-      posexplode(array((0 until bands).map { b =>
-        shiftrightunsigned(col("sig"), b * bitsPerBand)
-          .bitwiseAND(lit((1L << bitsPerBand) - 1))
-      }: _*)))
+      posexplode(array((0 until bands).map(b => col(s"bs$b")): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bkey")
     val cand = banded.as("x")

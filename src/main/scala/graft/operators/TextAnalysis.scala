@@ -68,11 +68,14 @@ object TextAnalysis {
   /** Stable content fingerprint: md5 of the normalized text. */
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
 
-  /** Word shingles of size n over normalized text (requires ≥ n words). */
+  /** Word shingles of size n over normalized text; empty array for
+    * documents shorter than n words (a negative-stop `sequence` would
+    * otherwise descend through index 0, which element_at rejects). */
   def shingles(text: Column, n: Int = 3): Column = {
     val words = split(normalized(text), " ")
     val idx = sequence(lit(0), size(words) - n)
-    array_distinct(transform(idx, i =>
-      concat_ws(" ", (0 until n).map(k => element_at(words, (i + k + 1))): _*)))
+    when(size(words) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(idx, i =>
+        concat_ws(" ", (0 until n).map(k => element_at(words, (i + k + 1))): _*))))
   }
 }

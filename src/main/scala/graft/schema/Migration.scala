@@ -41,18 +41,27 @@ object Migration {
   final case class AlterTable(name: String, changes: Seq[ColumnChange])
       extends TableChange
 
-  /** Lossless cast-on-read widenings (numeric lattice + date→timestamp). */
+  /** Lossless cast-on-read widenings (numeric lattice + date→timestamp).
+    * Integer widening is RANGE inclusion, not width rank: UInt8→Int8 is a
+    * narrowing (200 would wrap to -56), UInt8→Int16 is fine. */
   def isWidening(from: MooseType, to: MooseType): Boolean = {
     import MooseType._
-    val intRank: Map[MooseType, Int] = Map(
-      MInt8 -> 1, MUInt8 -> 1, MInt16 -> 2, MUInt16 -> 2,
-      MInt32 -> 3, MUInt32 -> 3, MInt64 -> 4)
+    val intRange: Map[MooseType, (BigInt, BigInt)] = Map(
+      MInt8 -> (BigInt(-128), BigInt(127)),
+      MUInt8 -> (BigInt(0), BigInt(255)),
+      MInt16 -> (BigInt(Short.MinValue.toInt), BigInt(Short.MaxValue.toInt)),
+      MUInt16 -> (BigInt(0), BigInt(65535)),
+      MInt32 -> (BigInt(Int.MinValue), BigInt(Int.MaxValue)),
+      MUInt32 -> (BigInt(0), BigInt(4294967295L)),
+      MInt64 -> (BigInt(Long.MinValue), BigInt(Long.MaxValue)),
+      MUInt64 -> (BigInt(0), (BigInt(1) << 64) - 1))
     (from, to) match {
       case (a, b) if a == b => true
-      case (a, b) if intRank.contains(a) && intRank.contains(b) =>
-        intRank(a) <= intRank(b)
-      case (a, MFloat64) if intRank.contains(a) || a == MFloat32 => true
-      case (a, MUInt64 | MInt128 | MInt256) if intRank.contains(a) => true
+      case (a, b) if intRange.contains(a) && intRange.contains(b) =>
+        val ((alo, ahi), (blo, bhi)) = (intRange(a), intRange(b))
+        blo <= alo && ahi <= bhi
+      case (a, MFloat64) if intRange.contains(a) || a == MFloat32 => true
+      case (a, MInt128 | MInt256) if intRange.contains(a) => true
       case (MDate, MDateTime(_)) => true
       case (MDateTime(p1), MDateTime(p2)) => p1 <= p2
       case (MFixedString(_), MString) => true

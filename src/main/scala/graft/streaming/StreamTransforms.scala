@@ -53,7 +53,7 @@ object StreamTransforms {
     implicit val uEnc: Encoder[U] = ExpressionEncoder[U]()
     implicit val dlEnc: Encoder[DeadLetter] = ExpressionEncoder[DeadLetter]()
 
-    val attempts = ds.map { t =>
+    val attempts0 = ds.map { t =>
       try Attempt[U](f(t).iterator.toSeq, None, None, None)
       catch {
         case e: Throwable =>
@@ -62,6 +62,12 @@ object StreamTransforms {
             Some(e.getClass.getSimpleName))
       }
     }
+    // both channels read `attempts` — persist batch datasets so the user
+    // transform runs ONCE per record (side effects, cost); streaming
+    // datasets can't persist, but micro-batch sinks consume one channel
+    val attempts =
+      if (attempts0.isStreaming) attempts0
+      else attempts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = attempts.flatMap(_.ok)
     val dlq = attempts
       .filter((a: Attempt[U]) => a.errorMessage.isDefined)

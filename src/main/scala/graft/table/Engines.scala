@@ -50,11 +50,13 @@ object EngineSemantics {
       ver: Option[String],
       tiebreak: Seq[String] = Nil,
       isDeleted: Option[String] = None): DataFrame = {
-    val ordering: Seq[Column] =
-      (ver.map(col(_).desc).toSeq ++ tiebreak.map(col(_).desc)) match {
-        case Nil => keys.map(col) // degenerate; any row — make it stable
-        case o => o
-      }
+    // determinism: beyond ver+tiebreak, order by the remaining non-key
+    // columns — partition-constant orderings (the keys) would let any row
+    // win on re-run; CH here has "last inserted" (undefined); we pick a
+    // content-stable row instead
+    val explicit = ver.toSeq ++ tiebreak
+    val rest = df.columns.filterNot(c => keys.contains(c) || explicit.contains(c))
+    val ordering: Seq[Column] = (explicit ++ rest).map(col(_).desc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     val picked = df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
@@ -69,28 +71,40 @@ object EngineSemantics {
 
   /** CollapsingMergeTree FINAL: per key, net sign decides survival; value
     * columns collapse as sign-weighted sums (the documented CH read
-    * pattern `sum(x * sign) ... HAVING sum(sign) > 0`). */
+    * pattern `sum(x * sign) ... HAVING sum(sign) > 0`). With no value
+    * columns, just the net-sign existence filter over the keys. */
   def collapsingFinal(
       df: DataFrame, keys: Seq[String], sign: String,
-      valueCols: Seq[String]): DataFrame =
+      valueCols: Seq[String]): DataFrame = {
+    val sums = valueCols.map(c => sum(col(c) * col(sign)).as(c))
     df.groupBy(keys.map(col): _*)
-      .agg(
-        sum(col(valueCols.head) * col(sign)).as(valueCols.head),
-        valueCols.tail.map(c => sum(col(c) * col(sign)).as(c)) :+
-          sum(col(sign)).as("__net"): _*)
+      .agg((sums :+ sum(col(sign)).as("__net")).head,
+        (sums :+ sum(col(sign)).as("__net")).tail: _*)
       .where(col("__net") > 0)
       .drop("__net")
+  }
 
-  /** VersionedCollapsingMergeTree FINAL: the max-version row per key wins;
-    * it survives only if it carries sign = 1. */
+  /** VersionedCollapsingMergeTree FINAL: among the max-version rows of a
+    * key, survival requires positive net sign (a +1/-1 pair at the same
+    * version cancels — row_number alone would nondeterministically keep
+    * one of the pair); the surviving row is the sign=+1 row, ties broken
+    * by the remaining columns for run-to-run stability. */
   def versionedCollapsingFinal(
       df: DataFrame, keys: Seq[String], sign: String, ver: String,
       tiebreak: Seq[String] = Nil): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ver).desc +: tiebreak.map(col(_).desc): _*)
-    df.withColumn("__rn", row_number().over(w))
+    val wMax = Window.partitionBy(keys.map(col): _*)
+    val atMax = df
+      .withColumn("__maxv", max(col(ver)).over(wMax))
+      .where(col(ver) === col("__maxv"))
+      .withColumn("__net", sum(col(sign)).over(wMax))
+      .where(col("__net") > 0)
+    val rest = df.columns
+      .filterNot(c => keys.contains(c) || c == sign || c == ver || tiebreak.contains(c))
+    val wPick = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(sign).desc +: (tiebreak ++ rest).map(col(_).desc): _*)
+    atMax.withColumn("__rn", row_number().over(wPick))
       .where(col("__rn") === 1 && col(sign) === 1)
-      .drop("__rn")
+      .drop("__rn", "__maxv", "__net")
   }
 
   /** Merge engine (ref olapTable.ts:660-673): read-only UNION ALL over

@@ -145,7 +145,18 @@ final class OlapTable(
       batch: DataFrame,
       strategy: InsertStrategy = InsertStrategy.FailFast,
       dlqSource: String = "table"): (InsertReport, Option[DataFrame]) = {
+    // several consumers follow (validity probe, write, counts, DLQ) —
+    // persist so the source is scanned and validated once, not 3-4×
     val prepared = applyWriteColumns(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try insertPrepared(prepared, batch.columns.toSeq, strategy, dlqSource)
+    finally prepared.unpersist(blocking = false)
+  }
+
+  private def insertPrepared(
+      prepared: DataFrame, batchCols: Seq[String],
+      strategy: InsertStrategy,
+      dlqSource: String): (InsertReport, Option[DataFrame]) = {
     val (valid, invalid) = validate(prepared)
 
     def write(df: DataFrame): Long = {
@@ -182,7 +193,7 @@ final class OlapTable(
         (InsertReport(-1, n, -1), None)
       case InsertStrategy.Isolate =>
         val dlq = invalid.select(
-          to_json(struct(batch.columns.map(col): _*)).as("originalRecord"),
+          to_json(struct(batchCols.map(col): _*)).as("originalRecord"),
           concat_ws("; ", col("__errors")).as("errorMessage"),
           lit("ValidationError").as("errorType"),
           current_timestamp().as("failedAt"),
@@ -225,7 +236,10 @@ final class OlapTable(
         "retention over bucketed tables: INSERT OVERWRITE not wired yet")
       val all = spark.read.schema(config.schema.toStructType).parquet(path)
       val total = all.count()
-      val keep = all.where(s"NOT ($cond)")
+      // NULL-safe: a row whose TTL expression evaluates NULL (e.g. null
+      // timestamp) is NOT expired — `NOT (cond)` alone would drop it
+      // under three-valued logic
+      val keep = all.where(not(coalesce(expr(cond), lit(false))))
       val tmp = path + "__retained"
       keep.write.mode("overwrite").parquet(tmp)
       val fs = new java.io.File(path)

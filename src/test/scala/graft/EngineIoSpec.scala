@@ -207,6 +207,21 @@ class EngineIoSpec extends AnyFunSuite {
     assert(t.applyRetention() == 0) // idempotent
   }
 
+  test("TTL retention is NULL-safe: rows with null TTL column survive") {
+    val wh = tmp("ttlnwh")
+    val sch = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("ts", MooseType.MDateTime(), nullable = true)))
+    val t = new OlapTable(spark, OlapTable.Config("ttln_t", sch,
+      ttlExpiredWhen = Some("ts < TIMESTAMP '2024-01-01 00:00:00'")), wh)
+    t.insert(Seq(
+      (1L, Some(java.sql.Timestamp.valueOf("2023-06-01 00:00:00"))),
+      (2L, None: Option[java.sql.Timestamp]))
+      .toDF("id", "ts"))
+    assert(t.applyRetention() == 1)
+    assert(t.read().collect().map(_.getLong(0)).toSeq == Seq(2L)) // null kept
+  }
+
   test("IPv6 validation isolates malformed addresses") {
     val wh = tmp("ip6wh")
     val sch = MooseSchema(Seq(

@@ -39,7 +39,10 @@ class MigrationSpec extends AnyFunSuite {
 
   test("widening lattice: ints, decimals, dates; narrowing rejected") {
     assert(isWidening(MInt8, MInt64) && !isWidening(MInt64, MInt32))
-    assert(isWidening(MInt32, MUInt64) && isWidening(MFloat32, MFloat64))
+    // range inclusion, not width rank: unsigned→signed same width wraps
+    assert(!isWidening(MUInt8, MInt8) && isWidening(MUInt8, MInt16))
+    assert(isWidening(MUInt32, MUInt64) && !isWidening(MInt32, MUInt64))
+    assert(isWidening(MFloat32, MFloat64))
     assert(isWidening(MDate, MDateTime(3)) && !isWidening(MDateTime(3), MDate))
     assert(isWidening(MDecimal(10, 2), MDecimal(12, 2)))
     assert(!isWidening(MDecimal(12, 2), MDecimal(10, 2)))

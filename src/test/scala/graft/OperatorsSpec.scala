@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.functions.RollingHash
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,6 +20,47 @@ class OperatorsSpec extends AnyFunSuite {
     val got = df.select(RollingHash.rolling_hash(lit("abc"))).head().getLong(0)
     val want = "abc".getBytes.foldLeft(0L)((h, b) => h * RollingHash.Prime + (b & 0xffL))
     assert(got == want)
+  }
+
+  test("shingles: documents shorter than n yield empty array, not a crash") {
+    val df = Seq((1L, "one two"), (2L, "a"), (3L, ""), (4L, "w x y z"))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.shingles(col("text"), 3).as("sh"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[String](1).isEmpty)
+    assert(out(1).getSeq[String](1).isEmpty)
+    assert(out(2).getSeq[String](1).isEmpty)
+    assert(out(3).getSeq[String](1) == Seq("w x y", "x y z"))
+  }
+
+  test("lshSignature rejects >64 planes; banded near-dup uses per-band sigs") {
+    intercept[IllegalArgumentException] {
+      Similarity.lshSignature(col("v"), Similarity.hyperplanes(8, 65))
+    }
+    // 16 bands × 8 bits = 128 planes — must work via per-band signatures
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val dup = vecs.where(col("vec_id") === 0)
+      .select((col("vec_id") + 100).as("vec_id"), col("embedding"))
+    val out = Similarity.nearDupPairsLsh(vecs.unionByName(dup),
+      threshold = 0.99, bands = 16, bitsPerBand = 8)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 100L))) // the planted exact dup is found
+  }
+
+  test("asof join carries right columns atomically through NULLs") {
+    val left = Seq((1L, 10L), (1L, 20L)).toDF("k", "t")
+    val right = Seq((1L, 5L, Some(5.0), "A"), (1L, 15L, None, "B"))
+      .toDF("k", "rt", "value", "tag")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "t", "rt",
+        Seq("value" -> "last_value", "tag" -> "last_tag"))
+      .orderBy("t").collect()
+    // at t=20 the latest right row is B: (NULL, "B") — never (5.0, "B")
+    assert(out(0).getDouble(2) == 5.0 && out(0).getString(3) == "A")
+    assert(out(1).isNullAt(2) && out(1).getString(3) == "B")
   }
 
   test("exact dedup groups identical content") {

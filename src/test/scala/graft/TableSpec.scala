@@ -104,6 +104,20 @@ class TableSpec extends AnyFunSuite {
       Seq(("a", 2L), ("b", 9L))) // c's max-version row is a tombstone
   }
 
+  test("collapsing edge cases: no value cols; same-version cancel pair") {
+    import graft.table.EngineSemantics
+    val c = Seq(("a", 1), ("a", -1), ("b", 1)).toDF("k", "sign")
+    val survivors = EngineSemantics.collapsingFinal(c, Seq("k"), "sign", Nil)
+    assert(survivors.collect().map(_.getString(0)).toSeq == Seq("b"))
+    // versioned: +1/-1 at the SAME max version cancels (not an arbitrary pick)
+    val v = Seq(("a", 1, 2L, 10.0), ("a", -1, 2L, 10.0), ("a", 1, 1L, 5.0),
+      ("b", 1, 1L, 7.0)).toDF("k", "sign", "ver", "v")
+    val out = EngineSemantics.versionedCollapsingFinal(v, Seq("k"), "sign", "ver")
+      .orderBy("k").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("b")) // a's pair canceled
+    assert(out.head.getDouble(3) == 7.0)
+  }
+
   test("optimizeFinal compacts FINAL state into storage (OPTIMIZE parity)") {
     val wh = tmpWarehouse()
     val schema = MooseSchema(Seq(
