@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement, LogicalPlan}
 
 /** Ad-hoc query surface (SURVEY §2.1 S19/S20):
   *
@@ -31,6 +31,8 @@ object AdHoc {
   private def firstWriteNode(plan: LogicalPlan): Option[String] = {
     def check(p: LogicalPlan): Option[String] = p match {
       case _: InsertIntoStatement => Some("INSERT")
+      // a plain UnaryNode, not a Command — must be matched explicitly
+      case _: InsertIntoDir => Some("INSERT OVERWRITE DIRECTORY")
       case c: Command => Some(c.nodeName)
       case other =>
         (other.children ++ other.subqueries).flatMap(check).headOption

@@ -53,9 +53,12 @@ final case class EtlPipeline[T, U](
     load: Dataset[U] => Unit) {
 
   def run(spark: SparkSession)(implicit et: Encoder[T], eu: Encoder[U]): Long = {
+    // persist: load() and count() both consume the pipeline — without a
+    // cache the transform (and its side effects) would run twice
     val out = spark.createDataset(extract())(et).flatMap(transform)(eu)
-    load(out)
-    out.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try { load(out); out.count() }
+    finally out.unpersist(blocking = false)
   }
 }
 

@@ -25,26 +25,37 @@ final class IngestPipeline[T: TypeTag](
     val strategy: OlapTable.InsertStrategy = OlapTable.InsertStrategy.Isolate) {
 
   /** Batch-mode `POST /ingest/{model}` analogue. Returns the insert report
-    * and the combined DLQ (transform failures + validation failures). */
+    * and the combined DLQ (transform failures + validation failures).
+    * The DLQ is materialized eagerly (dead letters are rare by design) so
+    * the per-batch transform caches can be released before returning. */
   def ingest(input: Dataset[T]): (OlapTable.InsertReport, DataFrame) = {
-    val (outs, transformDlq) = stream.runBatch(input)
-    // Transform outputs of tuple-typed edges carry positional names
-    // (_1, _2, …) — bind them to the table schema by position, like the
-    // reference's JSON→typed-record mapping at the sync boundary
-    // (ref kafka_clickhouse_sync.rs:803).
-    val landing0 = outs.getOrElse(table.config.name, input.toDF())
-    val names = table.config.schema.columns.map(_.name)
-    require(landing0.columns.length == names.length,
-      s"ingest $name: transform emits ${landing0.columns.length} columns, " +
-        s"table ${table.config.name} expects ${names.length}")
-    val landing = landing0.toDF(names: _*)
-    val (report, insertDlq) = table.insert(
-      landing, strategy, dlqSource = s"ingest:$name")
-    val dlqT = transformDlq.toDF()
-      .select(col("originalRecord"), col("errorMessage"), col("errorType"),
-        col("failedAt"), col("source"))
-    val combined = insertDlq.fold(dlqT)(d => dlqT.unionByName(d))
-    (report, combined)
+    val (outs, transformDlq, release) = stream.runBatchReleasable(input)
+    try {
+      // Transform outputs of tuple-typed edges carry positional names
+      // (_1, _2, …) — bind them to the table's INSERTABLE shape by
+      // position (computed alias/materialized columns are not part of the
+      // insert contract, ref types.ts:300-304), like the reference's
+      // JSON→typed-record mapping at the sync boundary
+      // (ref kafka_clickhouse_sync.rs:803).
+      val landing0 = outs.getOrElse(table.config.name, input.toDF())
+      val names = table.config.schema.columns
+        .filter(c => c.aliasExpr.isEmpty && c.materialized.isEmpty)
+        .map(_.name)
+      require(landing0.columns.length == names.length,
+        s"ingest $name: transform emits ${landing0.columns.length} columns, " +
+          s"table ${table.config.name} expects ${names.length} insertable")
+      val landing = landing0.toDF(names: _*)
+      val (report, insertDlq) = table.insert(
+        landing, strategy, dlqSource = s"ingest:$name")
+      val dlqT = transformDlq.toDF()
+        .select(col("originalRecord"), col("errorMessage"), col("errorType"),
+          col("failedAt"), col("source"))
+      val combined = insertDlq.fold(dlqT)(d => dlqT.unionByName(d))
+      val spark = input.sparkSession
+      val localDlq = spark.createDataFrame(
+        java.util.Arrays.asList(combined.collect(): _*), combined.schema)
+      (report, localDlq)
+    } finally release()
   }
 
   /** Streaming `POST /ingest` analogue: every micro-batch flows through

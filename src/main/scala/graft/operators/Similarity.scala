@@ -175,8 +175,10 @@ object Similarity {
   def knnLsh(
       embeddings: DataFrame, queries: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      bits: Int = 8, k: Int = 10): DataFrame = {
-    val dim = 64
+      bits: Int = 8, k: Int = 10, dim: Int = 64): DataFrame = {
+    // dim MUST match the stored vectors: zip_with null-pads a mismatch,
+    // turning every plane dot product NULL and every signature 0 (all
+    // vectors in one bucket — silent brute force)
     val planes = hyperplanes(dim, bits)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       lshSignature(col(vecCol), planes).as("sig"))

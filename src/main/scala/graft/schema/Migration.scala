@@ -60,7 +60,12 @@ object Migration {
       case (a, b) if intRange.contains(a) && intRange.contains(b) =>
         val ((alo, ahi), (blo, bhi)) = (intRange(a), intRange(b))
         blo <= alo && ahi <= bhi
-      case (a, MFloat64) if intRange.contains(a) || a == MFloat32 => true
+      // only ints whose whole range fits double's 53-bit mantissa —
+      // Int64/UInt64 -> Float64 silently rounds above 2^53
+      case (a, MFloat64) if intRange.get(a).exists {
+        case (lo, hi) => lo >= -(BigInt(1) << 53) && hi <= (BigInt(1) << 53)
+      } => true
+      case (MFloat32, MFloat64) => true
       case (a, MInt128 | MInt256) if intRange.contains(a) => true
       case (MDate, MDateTime(_)) => true
       case (MDateTime(p1), MDateTime(p2)) => p1 <= p2

@@ -21,15 +21,16 @@ final class MooseStream[T: TypeTag](
     val parallelism: Int = 1) {
 
   private val transforms =
-    scala.collection.mutable.Buffer[(String, Dataset[T] => (DataFrame, Dataset[DeadLetter]))]()
+    scala.collection.mutable.Buffer[(String, Dataset[T] => (DataFrame, Dataset[DeadLetter], () => Unit))]()
   private val consumers =
     scala.collection.mutable.Buffer[T => Unit]()
 
   /** Per-record map/flatMap/filter edge to a destination (T1). */
   def addTransform[U: TypeTag](destName: String, f: T => IterableOnce[U]): this.type = {
     transforms += destName -> { (ds: Dataset[T]) =>
-      val (out, dlq) = StreamTransforms.applyTransform(ds, f, s"$name->$destName")
-      (out.toDF(), dlq)
+      val (out, dlq, release) =
+        StreamTransforms.applyTransformReleasable(ds, f, s"$name->$destName")
+      (out.toDF(), dlq, release)
     }
     this
   }
@@ -38,9 +39,19 @@ final class MooseStream[T: TypeTag](
   def addConsumer(f: T => Unit): this.type = { consumers += f; this }
 
   /** Run every registered edge over a batch of records; returns per-dest
-    * outputs and the combined DLQ. Works identically for a streaming
-    * Dataset (transformations only). */
+    * outputs and the combined DLQ. Transform edges work identically on a
+    * streaming Dataset; consumers need materialized rows, so they run only
+    * on batch input (for streams, route through `writeStream.foreach`). */
   def runBatch(input: Dataset[T]): (Map[String, DataFrame], Dataset[DeadLetter]) = {
+    val (outs, dlq, _) = runBatchReleasable(input)
+    (outs, dlq)
+  }
+
+  /** As [[runBatch]], plus a hook releasing every edge's attempt cache —
+    * call once all outputs/DLQ are consumed (per-micro-batch callers must,
+    * or executor storage grows unboundedly). */
+  def runBatchReleasable(
+      input: Dataset[T]): (Map[String, DataFrame], Dataset[DeadLetter], () => Unit) = {
     val results = transforms.toSeq.map { case (dest, fn) => dest -> fn(input) }
     // Multiple (versioned) transforms may target one destination
     // (ref stream.ts:478-516) — their outputs union, they don't replace.
@@ -49,8 +60,12 @@ final class MooseStream[T: TypeTag](
     }
     val dlq = results.map(_._2._2).reduceOption(_ union _)
       .getOrElse(emptyDlq(input.sparkSession))
-    consumers.foreach(c => input.collect().foreach(c)) // batch-mode consumers
-    (outs, dlq)
+    if (consumers.nonEmpty && !input.isStreaming) {
+      val rows = input.collect() // once, shared by every consumer
+      consumers.foreach(c => rows.foreach(c))
+    }
+    val release = () => results.foreach(_._2._3())
+    (outs, dlq, release)
   }
 
   private def emptyDlq(spark: SparkSession): Dataset[DeadLetter] = {

@@ -44,11 +44,35 @@ object StreamTransforms {
       errorType: Option[String])
 
   /** Apply a user transform to a (batch or streaming) Dataset, returning
-    * the success channel and the DLQ channel. */
+    * the success channel and the DLQ channel. NOT cached: consuming BOTH
+    * channels runs the transform twice — single-channel consumers (the
+    * common bench/query path) pay nothing. Dual-channel consumers should
+    * use [[applyTransformReleasable]]. */
   def applyTransform[T: TypeTag, U: TypeTag](
       ds: Dataset[T],
       f: T => IterableOnce[U],
       source: String = "transform"): (Dataset[U], Dataset[DeadLetter]) = {
+    val (out, dlq, _) = build(ds, f, source, cache = false)
+    (out, dlq)
+  }
+
+  /** As [[applyTransform]] but with a shared attempt cache, so the user
+    * transform runs ONCE per record across both channels; the release
+    * hook unpersists it — call once both channels are consumed.
+    * Long-running callers (a 1 s-trigger ingest stream persists one cache
+    * per micro-batch) MUST release, or executor storage grows without
+    * bound. */
+  def applyTransformReleasable[T: TypeTag, U: TypeTag](
+      ds: Dataset[T],
+      f: T => IterableOnce[U],
+      source: String = "transform"): (Dataset[U], Dataset[DeadLetter], () => Unit) =
+    build(ds, f, source, cache = true)
+
+  private def build[T: TypeTag, U: TypeTag](
+      ds: Dataset[T],
+      f: T => IterableOnce[U],
+      source: String,
+      cache: Boolean): (Dataset[U], Dataset[DeadLetter], () => Unit) = {
     implicit val attemptEnc: Encoder[Attempt[U]] = ExpressionEncoder[Attempt[U]]()
     implicit val uEnc: Encoder[U] = ExpressionEncoder[U]()
     implicit val dlEnc: Encoder[DeadLetter] = ExpressionEncoder[DeadLetter]()
@@ -62,12 +86,12 @@ object StreamTransforms {
             Some(e.getClass.getSimpleName))
       }
     }
-    // both channels read `attempts` — persist batch datasets so the user
-    // transform runs ONCE per record (side effects, cost); streaming
-    // datasets can't persist, but micro-batch sinks consume one channel
+    // streaming datasets can't persist; micro-batch sinks consume one
+    // channel per query anyway
     val attempts =
-      if (attempts0.isStreaming) attempts0
-      else attempts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (cache && !attempts0.isStreaming)
+        attempts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else attempts0
     val out = attempts.flatMap(_.ok)
     val dlq = attempts
       .filter((a: Attempt[U]) => a.errorMessage.isDefined)
@@ -77,7 +101,11 @@ object StreamTransforms {
         a.errorType.getOrElse("Error"),
         new java.sql.Timestamp(System.currentTimeMillis()),
         source))
-    (out, dlq)
+    val release: () => Unit =
+      if (cache && !attempts0.isStreaming)
+        () => { attempts.unpersist(blocking = false); () }
+      else () => ()
+    (out, dlq, release)
   }
 
   /** Multi-route transform (ref stream.ts:550-562 addMultiTransform +

@@ -63,11 +63,22 @@ object EngineSemantics {
     isDeleted.fold(picked)(d => picked.where(col(d) =!= 1))
   }
 
-  /** SummingMergeTree FINAL: sum the value columns per key. */
-  def summingFinal(df: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame =
+  /** SummingMergeTree FINAL: sum the value columns per key. An empty
+    * column list means "all numeric non-key columns" (the CH default when
+    * the engine is declared without an explicit list). */
+  def summingFinal(df: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val cols =
+      if (sumCols.nonEmpty) sumCols
+      else df.schema.fields.collect {
+        case f if !keys.contains(f.name) &&
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+      }.toSeq
+    require(cols.nonEmpty,
+      s"SummingMergeTree over $keys: no numeric non-key columns to sum")
     df.groupBy(keys.map(col): _*)
-      .agg(sumCols.head match { case h => sum(col(h)).as(h) },
-        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+      .agg(sum(col(cols.head)).as(cols.head),
+        cols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
 
   /** CollapsingMergeTree FINAL: per key, net sign decides survival; value
     * columns collapse as sign-weighted sums (the documented CH read

@@ -79,10 +79,13 @@ final class OlapTable(
   /** Per-column rule violations as a single vectorized expression:
     * Array[String] of messages, empty ⇒ valid. */
   def violationsColumn: Column = {
-    val checks: Seq[Column] = config.schema.columns.flatMap { c =>
+    // alias columns are read-computed — they don't exist in the insert
+    // batch, so no check may reference them
+    val checks: Seq[Column] = config.schema.columns
+      .filter(_.aliasExpr.isEmpty).flatMap { c =>
       val v = col(c.name)
       val perCol = Seq.newBuilder[Column]
-      if (!c.nullable && c.aliasExpr.isEmpty && c.materialized.isEmpty)
+      if (!c.nullable && c.materialized.isEmpty)
         perCol += when(v.isNull, lit(s"${c.name}: required but null"))
       c.tpe match {
         case MooseType.MEnum(values) =>
@@ -145,25 +148,19 @@ final class OlapTable(
       batch: DataFrame,
       strategy: InsertStrategy = InsertStrategy.FailFast,
       dlqSource: String = "table"): (InsertReport, Option[DataFrame]) = {
-    // several consumers follow (validity probe, write, counts, DLQ) —
-    // persist so the source is scanned and validated once, not 3-4×
     val prepared = applyWriteColumns(batch)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try insertPrepared(prepared, batch.columns.toSeq, strategy, dlqSource)
-    finally prepared.unpersist(blocking = false)
-  }
-
-  private def insertPrepared(
-      prepared: DataFrame, batchCols: Seq[String],
-      strategy: InsertStrategy,
-      dlqSource: String): (InsertReport, Option[DataFrame]) = {
+    val batchCols = batch.columns.toSeq
     val (valid, invalid) = validate(prepared)
 
+    // written count comes from an Observation riding the write itself —
+    // one pass, no re-scan, no cache materialization
     def write(df: DataFrame): Long = {
+      val obs = org.apache.spark.sql.Observation()
+      val observed = df.observe(obs, count(lit(1)).as("n"))
       val sorted =
         if (config.orderBy.nonEmpty)
-          df.sortWithinPartitions(config.orderBy.map(col): _*)
-        else df
+          observed.sortWithinPartitions(config.orderBy.map(col): _*)
+        else observed
       val writer = sorted.write.mode("append")
       val partitioned =
         if (config.partitionBy.nonEmpty) writer.partitionBy(config.partitionBy: _*)
@@ -177,7 +174,7 @@ final class OlapTable(
             .format("parquet").saveAsTable(config.name)
         case None => partitioned.parquet(path)
       }
-      df.count()
+      obs.get("n").asInstanceOf[Long]
     }
 
     strategy match {
@@ -242,15 +239,27 @@ final class OlapTable(
       val keep = all.where(not(coalesce(expr(cond), lit(false))))
       val tmp = path + "__retained"
       keep.write.mode("overwrite").parquet(tmp)
-      val fs = new java.io.File(path)
-      val bak = new java.io.File(path + "__old")
-      new java.io.File(tmp).renameTo({
-        fs.renameTo(bak); fs
-      })
-      import scala.reflect.io.Directory
-      new Directory(bak).deleteRecursively()
+      swapInto(tmp)
       total - spark.read.schema(config.schema.toStructType).parquet(path).count()
     }
+  }
+
+  /** Replace the table dir with `newDir`, checking every rename and
+    * recovering the original on failure. Single-node two-step swap — at
+    * cluster scale the equivalent is writing a new fileset and flipping a
+    * metadata pointer (Delta-style), which is what the parquet-dir layout
+    * would be replaced by. */
+  private def swapInto(newDir: String): Unit = {
+    import scala.reflect.io.Directory
+    val target = new java.io.File(path)
+    val bak = new java.io.File(path + "__old")
+    if (bak.exists()) new Directory(bak).deleteRecursively() // stale crash debris
+    require(target.renameTo(bak), s"could not move $path aside")
+    if (!new java.io.File(newDir).renameTo(target)) {
+      bak.renameTo(target) // restore
+      throw new IllegalStateException(s"could not swap $newDir into $path")
+    }
+    new Directory(bak).deleteRecursively()
   }
 
   /** OPTIMIZE TABLE … FINAL analogue: materialize the engine's FINAL view
@@ -276,11 +285,7 @@ final class OlapTable(
         .filter(_.aliasExpr.isEmpty).map(c => col(c.name)): _*)
     val tmp = path + "__optimized"
     finalRows.write.mode("overwrite").parquet(tmp)
-    val fs = new java.io.File(path)
-    val bak = new java.io.File(path + "__old")
-    new java.io.File(tmp).renameTo({ fs.renameTo(bak); fs })
-    import scala.reflect.io.Directory
-    new Directory(bak).deleteRecursively()
+    swapInto(tmp)
   }
 
   /** Engine FINAL-read view (deterministic; SURVEY §4). */

@@ -32,6 +32,11 @@ class ApiSpec extends AnyFunSuite {
     intercept[AdHoc.ReadOnlyViolation] {
       AdHoc.query(spark, "INSERT INTO adhoc_t VALUES (9, 'z', 0.0)")
     }
+    // InsertIntoDir is a plain UnaryNode, not a Command — explicit match
+    intercept[AdHoc.ReadOnlyViolation] {
+      AdHoc.query(spark,
+        "INSERT OVERWRITE DIRECTORY '/tmp/adhoc_gate_leak' USING parquet SELECT * FROM adhoc_t")
+    }
     // still queryable afterwards — nothing ran
     assert(spark.table("adhoc_t").count() == 3)
   }

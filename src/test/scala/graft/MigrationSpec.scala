@@ -43,6 +43,9 @@ class MigrationSpec extends AnyFunSuite {
     assert(!isWidening(MUInt8, MInt8) && isWidening(MUInt8, MInt16))
     assert(isWidening(MUInt32, MUInt64) && !isWidening(MInt32, MUInt64))
     assert(isWidening(MFloat32, MFloat64))
+    // double's 53-bit mantissa: only ints that fit exactly may widen
+    assert(isWidening(MInt32, MFloat64) && !isWidening(MInt64, MFloat64))
+    assert(!isWidening(MUInt64, MFloat64))
     assert(isWidening(MDate, MDateTime(3)) && !isWidening(MDateTime(3), MDate))
     assert(isWidening(MDecimal(10, 2), MDecimal(12, 2)))
     assert(!isWidening(MDecimal(12, 2), MDecimal(10, 2)))
