@@ -1,0 +1,73 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.{Dedup, RelationalQueries, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up stress probe: replicate the sf0.1 tables N× in-plan (union of
+  * shifted copies — distinct keys, same distributions) and run the
+  * headline query shapes, so the "would this plan survive 10×/100×?"
+  * question gets a measured answer instead of a guess.
+  *
+  * Usage: runMain graft.tools.Stress [factor]
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def amplify(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+      val maxes = keyCols.map(k => df.agg(max(col(k))).head.getLong(0) + 1)
+      (0 until factor).map { i =>
+        keyCols.zip(maxes).foldLeft(df) { case (d, (k, m)) =>
+          d.withColumn(k, col(k) + lit(i * m))
+        }
+      }.reduce(_ unionByName _)
+    }
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+
+    val li = amplify(Tables.load(spark, sfDir, "lineitem"), Seq("l_orderkey"))
+    val orders = amplify(Tables.load(spark, sfDir, "orders"), Seq("o_orderkey"))
+    val events = amplify(Tables.load(spark, sfDir, "events"), Seq("event_id"))
+    println(s"[stress] factor=$factor lineitem=${li.count()} events=${events.count()}")
+
+    time("q1-shape full-scan agg") {
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")), avg(col("l_discount")), count(lit(1)))
+        .count()
+    }
+    time("lineitem ⋈ orders shuffle join + agg") {
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("l_extendedprice")), count(lit(1)))
+        .count()
+    }
+    time("events window running-sum") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events.select(col("event_id"), sum(col("value")).over(w).as("r"))
+        .agg(count(lit(1))).head.getLong(0)
+    }
+    time("exact dedup (documents amplified)") {
+      val docs = amplify(Tables.load(spark, sfDir, "documents"), Seq("doc_id"))
+      Dedup.exactDuplicates(docs, "doc_id", "text").count()
+    }
+    spark.stop()
+  }
+}
