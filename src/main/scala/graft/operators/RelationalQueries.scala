@@ -339,6 +339,18 @@ object RelationalQueries {
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey")
   }
 
+  /** ROLLUP subtotals (§2.4 note: beyond the reference's model-layer
+    * surface, reachable there via raw CH SQL — free on Spark). */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
   // ---------------------------------------------------------------- §2.6 sort/limit
   /** ORDER BY + LIMIT + OFFSET (O1, O4). */
   def qLimitOffset(spark: SparkSession, dir: String): DataFrame =
@@ -465,6 +477,7 @@ object RelationalQueries {
     "q_window_rank" -> (qWindowRank _),
     "q_seed_filter" -> (qSeedFilter _),
     "q_adhoc_gate" -> (qAdhocGate _),
+    "q_rollup" -> (qRollup _),
     "q_limit_offset" -> (qLimitOffset _),
     "q_topk" -> (qTopk _),
     "q_union_all" -> (qUnionAll _),
@@ -637,6 +650,13 @@ object RelationalQueries {
     "q_adhoc_gate" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
     "q_limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
