@@ -351,6 +351,37 @@ object RelationalQueries {
         col("sum_qty"), col("n"))
       .orderBy(col("rf"), col("ls"))
 
+  /** CUBE over two dimensions (same free-surface note as rollup). */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("n"), col("total"))
+      .orderBy(col("st"), col("pri"))
+
+  /** Wider analytic-window surface (W4): ntile, first/last_value over an
+    * explicit ROWS frame, and a RANGE frame keyed on a numeric column. */
+  def qWindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val fullFrame = byVal
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val range = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-1000L, 0L)
+    t(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(byVal).cast(LongType))
+      .withColumn("cheapest", first_value(col("o_orderkey")).over(fullFrame))
+      .withColumn("priciest", last_value(col("o_orderkey")).over(fullFrame))
+      .withColumn("near_total",
+        round(sum(col("o_totalprice")).over(range), 2))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+      .limit(500)
+  }
+
   // ---------------------------------------------------------------- §2.6 sort/limit
   /** ORDER BY + LIMIT + OFFSET (O1, O4). */
   def qLimitOffset(spark: SparkSession, dir: String): DataFrame =
@@ -478,6 +509,8 @@ object RelationalQueries {
     "q_seed_filter" -> (qSeedFilter _),
     "q_adhoc_gate" -> (qAdhocGate _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_window_frames" -> (qWindowFrames _),
     "q_limit_offset" -> (qLimitOffset _),
     "q_topk" -> (qTopk _),
     "q_union_all" -> (qUnionAll _),
@@ -657,6 +690,29 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |  coalesce(o_orderpriority, 'ALL') AS pri,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
+    "q_window_frames" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  ntile(4) OVER w1 AS quartile,
+        |  first_value(o_orderkey) OVER w2 AS cheapest,
+        |  last_value(o_orderkey) OVER w2 AS priciest,
+        |  round(sum(o_totalprice) OVER w3, 2) AS near_total
+        |FROM orders
+        |WINDOW
+        |  w1 AS (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey),
+        |  w2 AS (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  w3 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderstatus, o_orderkey LIMIT 500""".stripMargin,
     "q_limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
