@@ -1,8 +1,9 @@
 package graft.api
 
+import graft.schema.{MooseColumn, MooseSchema, MooseType}
 import graft.streaming.{DeadLetter, MooseStream}
 import graft.table.OlapTable
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 import scala.reflect.runtime.universe.TypeTag
@@ -15,20 +16,47 @@ import scala.reflect.runtime.universe.TypeTag
   * insert (invalid rows → DLQ) → table (S18).
   *
   * Both failure channels land in the same DeadLetterModel shape
-  * (ref stream.ts:569-585), so one DLQ table serves transform errors and
-  * validation errors alike, distinguishable by `errorType`/`source`.
+  * (ref stream.ts:569-585) in ONE DLQ table (`{name}_dlq`), distinguishable
+  * by `errorType`/`source` — like the reference, where the DLQ is itself a
+  * stream you can consume and recover from (stream.ts:592). DLQ rows are
+  * appended DISTRIBUTED, never materialized on the driver: a poisoned or
+  * schema-drifted feed makes the DLQ as large as the batch, and a
+  * driver-side collect would OOM the coordinator exactly when the DLQ is
+  * doing its job. Counts ride the write via `Observation`.
   */
+object IngestPipeline {
+  /** Per-batch outcome: the table insert report plus how many dead letters
+    * were appended to the pipeline's DLQ table. */
+  final case class IngestResult(report: OlapTable.InsertReport, dlqWritten: Long)
+}
+
 final class IngestPipeline[T: TypeTag](
     val name: String,
     val stream: MooseStream[T],
     val table: OlapTable,
     val strategy: OlapTable.InsertStrategy = OlapTable.InsertStrategy.Isolate) {
+  import IngestPipeline.IngestResult
 
-  /** Batch-mode `POST /ingest/{model}` analogue. Returns the insert report
-    * and the combined DLQ (transform failures + validation failures).
-    * The DLQ is materialized eagerly (dead letters are rare by design) so
-    * the per-batch transform caches can be released before returning. */
-  def ingest(input: Dataset[T]): (OlapTable.InsertReport, DataFrame) = {
+  /** The pipeline's DLQ table — transform failures and validation failures
+    * land here by distributed append (ref stream.ts:569-607 DeadLetterQueue
+    * is a first-class stream, not a driver buffer). */
+  val dlq: OlapTable = new OlapTable(
+    table.spark,
+    OlapTable.Config(
+      s"${name}_dlq",
+      MooseSchema(Seq(
+        MooseColumn("originalRecord", MooseType.MJson),
+        MooseColumn("errorMessage", MooseType.MString),
+        MooseColumn("errorType", MooseType.MString),
+        MooseColumn("failedAt", MooseType.MDateTime()),
+        MooseColumn("source", MooseType.MString)))),
+    table.warehouseDir)
+
+  /** Batch-mode `POST /ingest/{model}` analogue. Valid rows land in
+    * [[table]]; both failure channels append to [[dlq]] without passing
+    * through the driver. Returns the insert report and the DLQ row count
+    * (observed on the write itself — no second scan). */
+  def ingest(input: Dataset[T]): IngestResult = {
     val (outs, transformDlq, release) = stream.runBatchReleasable(input)
     try {
       // Transform outputs of tuple-typed edges carry positional names
@@ -51,33 +79,37 @@ final class IngestPipeline[T: TypeTag](
         .select(col("originalRecord"), col("errorMessage"), col("errorType"),
           col("failedAt"), col("source"))
       val combined = insertDlq.fold(dlqT)(d => dlqT.unionByName(d))
-      val spark = input.sparkSession
-      val localDlq = spark.createDataFrame(
-        java.util.Arrays.asList(combined.collect(): _*), combined.schema)
-      (report, localDlq)
+      // distributed append; dead letters are themselves always DLQ-valid,
+      // so FailFast here can never fire
+      val (dlqReport, _) = dlq.insert(
+        combined, OlapTable.InsertStrategy.FailFast, dlqSource = s"ingest:$name")
+      IngestResult(report, dlqReport.written)
     } finally release()
   }
 
   /** Streaming `POST /ingest` analogue: every micro-batch flows through
     * the same validate→transform→insert path at the reference's 1 s sync
-    * cadence (ref kafka_clickhouse_sync.rs:55-57). Per-batch DLQ rows are
-    * handed to `onDlq` (e.g. append to a DLQ table). */
+    * cadence (ref kafka_clickhouse_sync.rs:55-57). Per-batch reports go to
+    * `onBatch`; DLQ rows are already in [[dlq]] by the time it fires. */
   def ingestStream(
       stream: org.apache.spark.sql.Dataset[T],
       checkpoint: String,
       triggerInterval: String = "1 second",
-      onDlq: DataFrame => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
+      onBatch: IngestResult => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[T], _: Long) =>
-        val (_, dlq) = ingest(batch)
-        onDlq(dlq)
+        onBatch(ingest(batch))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerInterval))
       .start()
 
-  /** Recover typed records from the DLQ (ref stream.ts:592 asTyped). */
-  def recover(dlq: Dataset[DeadLetter])(
+  /** Recover typed records from the DLQ table (ref stream.ts:592 asTyped). */
+  def recover()(implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+    DeadLetter.asTyped[T](dlq.read().as[DeadLetter](Encoders.product[DeadLetter]))
+
+  /** Recover typed records from any DLQ frame (ref stream.ts:592). */
+  def recover(dlqRows: Dataset[DeadLetter])(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
-    DeadLetter.asTyped[T](dlq)
+    DeadLetter.asTyped[T](dlqRows)
 }

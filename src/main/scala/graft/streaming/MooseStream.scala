@@ -60,12 +60,44 @@ final class MooseStream[T: TypeTag](
     }
     val dlq = results.map(_._2._2).reduceOption(_ union _)
       .getOrElse(emptyDlq(input.sparkSession))
-    if (consumers.nonEmpty && !input.isStreaming) {
-      val rows = input.collect() // once, shared by every consumer
-      consumers.foreach(c => rows.foreach(c))
-    }
+    if (consumers.nonEmpty && !input.isStreaming) runConsumers(input)
     val release = () => results.foreach(_._2._3())
     (outs, dlq, release)
+  }
+
+  /** Consumers execute in the EXECUTORS, one pass per partition, every
+    * consumer applied to each row — parity with the reference running
+    * consumers in distributed workers (ref packages/ts-moose-lib/src/
+    * streaming-functions/runner.ts:691-760), and the fix for the driver
+    * bottleneck a `collect()`-loop would be at scale. Consumers must be
+    * serializable and must not assume driver-local state: use Spark
+    * accumulators or external sinks for side effects that need to be
+    * observed on the driver. */
+  private def runConsumers(input: Dataset[T]): Unit = {
+    val cs = consumers.toList // capture the functions, not `this`
+    input.foreachPartition { (it: Iterator[T]) =>
+      it.foreach(r => cs.foreach(c => c(r)))
+    }
+  }
+
+  /** Streaming consumer attachment (T2 on a stream): each micro-batch's
+    * partitions run every consumer in the executors — the
+    * `writeStream.foreach` shape with one pass per batch instead of one
+    * open/close per row. */
+  def attachConsumers(
+      input: Dataset[T],
+      checkpoint: String,
+      triggerInterval: String = "1 second"): StreamingQuery = {
+    val cs = consumers.toList
+    input.writeStream
+      .foreachBatch { (batch: Dataset[T], _: Long) =>
+        batch.foreachPartition { (it: Iterator[T]) =>
+          it.foreach(r => cs.foreach(c => c(r)))
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
   }
 
   private def emptyDlq(spark: SparkSession): Dataset[DeadLetter] = {

@@ -70,7 +70,7 @@ object OlapTable {
 final class OlapTable(
     val spark: SparkSession,
     val config: OlapTable.Config,
-    warehouseDir: String) {
+    val warehouseDir: String) {
   import OlapTable._
 
   val path: String = s"$warehouseDir/${config.name}"

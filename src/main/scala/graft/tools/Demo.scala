@@ -47,8 +47,8 @@ object Demo {
     // 2. ingest a batch (POST /ingest/Foo analogue)
     val events = graft.Tables.load(spark, sfDir, "events")
       .as[Event]
-    val (report, dlq) = pipeline.ingest(events)
-    println(s"[demo] ingest: written=${report.written} dlq=${dlq.count()}")
+    val res = pipeline.ingest(events)
+    println(s"[demo] ingest: written=${res.report.written} dlq=${res.dlqWritten}")
 
     // 3. consumption API with params + cache (apis/bar.ts analogue)
     val cache = new MooseCache(defaultTtlSeconds = 3600)

@@ -91,14 +91,39 @@ class EngineIoSpec extends AnyFunSuite {
       (-2L, "pro", 2.0),    // transform throws -> DLQ
       (3L, "gold", 3.0))    // invalid enum -> DLQ
       .toDF("id", "tier", "v").as[(Long, String, Double)]
-    val (report, dlq) = pipeline.ingest(input)
+    val res = pipeline.ingest(input)
 
-    assert(report.written == 1 && report.failed == 1)
-    val byType = dlq.groupBy("errorType").count().collect()
+    assert(res.report.written == 1 && res.report.failed == 1)
+    assert(res.dlqWritten == 2)
+    val byType = pipeline.dlq.read().groupBy("errorType").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byType.getOrElse("ValidationError", 0L) == 1)
     assert(byType.values.sum == 2)
     assert(table.read().select("v").head.getDouble(0) == 2.0) // transformed
+  }
+
+  test("DLQ is distributed: a 100%-invalid batch lands in the DLQ table, not the driver") {
+    val wh = tmp("dlqwh")
+    val tableSchema = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("tier", MooseType.MEnum(Seq("free", "pro"))),
+      MooseColumn("v", MooseType.MFloat64)))
+    val table = new OlapTable(spark,
+      OlapTable.Config("landing_poison", tableSchema, TableEngine.MergeTree,
+        orderBy = Seq("id")), wh)
+    val stream = new MooseStream[(Long, String, Double)]("poison_src")
+    val pipeline = new IngestPipeline("poison_in", stream, table)
+    // a schema-drifted feed: every record fails enum validation
+    val n = 20000
+    val input = (1 to n).map(i => (i.toLong, "drifted", i * 1.0))
+      .toDF("id", "tier", "v").as[(Long, String, Double)]
+    val res = pipeline.ingest(input)
+    assert(res.report.written == 0 && res.report.failed == n)
+    assert(res.dlqWritten == n)
+    assert(pipeline.dlq.read().count() == n)
+    // records are recoverable from the DLQ table after the fix
+    val recovered = pipeline.recover()
+    assert(recovered.count() == n)
   }
 
   test("2.8 shims: dateDiff / formatDateTime / toLowerCase in SQL") {
@@ -273,10 +298,10 @@ class EngineIoSpec extends AnyFunSuite {
     val pipeline = new IngestPipeline("events_in_s", stream, table)
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double)]
-    var dlqRows = 0L
+    var dlqRows = 0L // foreachBatch callbacks run on the driver
     val q = pipeline.ingestStream(mem.toDS(),
       Files.createTempDirectory("s18sck").toString,
-      onDlq = d => dlqRows += d.count())
+      onBatch = r => dlqRows += r.dlqWritten)
     mem.addData((1L, "free", 1.0), (2L, "bad_tier", 2.0))
     q.processAllAvailable()
     mem.addData((3L, "pro", 3.0))

@@ -106,12 +106,30 @@ class StreamingSpec extends AnyFunSuite {
 
   test("MooseStream DAG: transform edges + consumers (batch runner)") {
     val s = new MooseStream[Event]("events_stream")
-    var consumed = 0
+    // consumers run in executors (distributed), so observe side effects
+    // through an accumulator — a driver-local var would see nothing
+    val consumed = spark.sparkContext.longAccumulator("consumed")
     s.addTransform[Bar]("bars", StreamingQueries.fooToBar)
-    s.addConsumer(_ => consumed += 1)
+    s.addConsumer(_ => consumed.add(1))
     val (outs, dlq) = s.runBatch(Seq(ev(1, "click", 1.0), ev(2, "error", 2.0)).toDS())
     assert(outs("bars").count() == 1)
     assert(dlq.count() == 0)
-    assert(consumed == 2)
+    assert(consumed.value == 2)
+  }
+
+  test("streaming consumers run per micro-batch in executors (T2 stream path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val s = new MooseStream[Event]("events_stream_c")
+    val consumed = spark.sparkContext.longAccumulator("consumed_s")
+    s.addConsumer(_ => consumed.add(1))
+    val mem = MemoryStream[Event]
+    val q = s.attachConsumers(mem.toDS(),
+      Files.createTempDirectory("cons_ck").toString)
+    mem.addData(ev(1, "click", 1.0), ev(2, "view", 2.0))
+    q.processAllAvailable()
+    mem.addData(ev(3, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(consumed.value == 3)
   }
 }
