@@ -1,10 +1,13 @@
 package graft.operators
 
 import graft.Tables
-import graft.streaming.{MaterializedView, StreamTransforms}
+import graft.schema.{MooseColumn, MooseSchema, MooseType}
+import graft.streaming.{AggregatingMV, MaterializedView, StreamTransforms}
+import graft.table.{OlapTable, TableEngine}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import java.nio.file.Files
 
 /** Streaming-layer semantics exercised in batch mode: a streaming
   * transform/MV and its batch recompute produce identical results by
@@ -73,9 +76,65 @@ object StreamingQueries {
     barAggregated.recompute(Tables.load(spark, dir, "events"))
       .orderBy(col("day"))
 
+  private def cents: org.apache.spark.sql.Column =
+    round(col("value") * 100).cast(LongType)
+
+  /** Structured MV twin of [[barAggregated]] with an extra avg state —
+    * exercises the (sum,cnt) struct buffer through a parquet round trip. */
+  val barAggregatedMV: AggregatingMV = new AggregatingMV(
+    "bar_aggregated_mv",
+    dims = Seq("day" -> to_date(col("ts"))),
+    aggs = Seq(
+      AggregatingMV.Agg("total_rows", "count", lit(1)),
+      AggregatingMV.Agg("rows_with_k", "count",
+        when(col("props").isNotNull && col("props").like("%\"k\"%"), 1)),
+      AggregatingMV.Agg("total_value_cents", "sum", cents),
+      AggregatingMV.Agg("max_value_cents", "max", cents),
+      AggregatingMV.Agg("avg_value_cents", "avg", cents)),
+    where = Some(col("event_type") =!= "error"))
+
+  /** MV target-table schema: dims + AggregateFunction state columns. */
+  def mvTargetSchema: MooseSchema = MooseSchema(Seq(
+    MooseColumn("day", MooseType.MDate, primaryKey = true),
+    MooseColumn("total_rows", MooseType.MAggregated("count", Nil)),
+    MooseColumn("rows_with_k", MooseType.MAggregated("count", Nil)),
+    MooseColumn("total_value_cents",
+      MooseType.MAggregated("sum", Seq(MooseType.MInt64))),
+    MooseColumn("max_value_cents",
+      MooseType.MAggregated("max", Seq(MooseType.MInt64))),
+    MooseColumn("avg_value_cents",
+      MooseType.MAggregated("avg", Seq(MooseType.MInt64)))))
+
+  /** T8 streaming MV maintenance into a REAL AggregatingMergeTree table:
+    * the source replays as 4 micro-batches (maxFilesPerTrigger=1), each
+    * appending its partial states to the target; the returned view is the
+    * xMerge read over the table's FINAL state — it must hash-match the
+    * batch-recompute oracle even though no micro-batch saw all the data. */
+  def qMvStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val src = Files.createTempDirectory("mvs_src").toString
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val wh = Files.createTempDirectory("mvs_wh").toString
+    val target = new OlapTable(spark, OlapTable.Config(
+      "bar_aggregated_target", mvTargetSchema,
+      TableEngine.AggregatingMergeTree(barAggregatedMV.stateCols),
+      orderBy = Seq("day")), wh)
+    val ck = Files.createTempDirectory("mvs_ck").toString
+    val q = barAggregatedMV.maintainInto(stream, target, ck)
+    try q.processAllAvailable() finally q.stop()
+    barAggregatedMV.finish(target.readFinal())
+      .withColumn("avg_value_cents", round(col("avg_value_cents"), 4))
+      .orderBy(col("day"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_transform_bar" -> (qTransformBar _),
-    "q_mv_recompute" -> (qMvRecompute _))
+    "q_mv_recompute" -> (qMvRecompute _),
+    "q_mv_streaming" -> (qMvStreaming _))
 
   def oracles: Map[String, String] = Map(
     "q_transform_bar" ->
@@ -92,6 +151,17 @@ object StreamingQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS total_value_cents,
         |  CAST(max(round(value * 100)) AS BIGINT) AS max_value_cents
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin,
+    "q_mv_streaming" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS total_rows,
+        |  count(CASE WHEN props IS NOT NULL AND props LIKE '%"k"%'
+        |    THEN 1 END) AS rows_with_k,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_value_cents,
+        |  CAST(max(round(value * 100)) AS BIGINT) AS max_value_cents,
+        |  round(avg(CAST(round(value * 100) AS BIGINT)), 4)
+        |    AS avg_value_cents
         |FROM events WHERE event_type <> 'error'
         |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin)
 }

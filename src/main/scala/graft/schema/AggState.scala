@@ -46,6 +46,22 @@ object AggState {
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
 
+  /** State×state→state combiner: AggregatingMergeTree's merge step. States
+    * stay states (CH FINAL combines AggregateFunction states without
+    * finishing them; `merge` below is the -Merge finisher queries apply).
+    * Used by the engine's FINAL read and by MV-target compaction. */
+  def mergeState(fn: String, c: Column): Column = fn match {
+    case "sum" => sum(c)
+    case "count" => sum(c)
+    case "avg" => struct(
+      sum(c.getField("sum")).as("sum"), sum(c.getField("cnt")).as("cnt"))
+    case "min" => min(c)
+    case "max" => max(c)
+    case "any" => first(c, ignoreNulls = true)
+    case "uniq" => hll_union_agg(c)
+    case other => throw new IllegalArgumentException(s"unsupported '$other'")
+  }
+
   /** SQL-text form of the merge finisher, for the `sql` interpolator's
     * auto-rewrite of agg-state column references
     * (ref sqlHelpers.ts:196-208 auto `fnMerge`). */

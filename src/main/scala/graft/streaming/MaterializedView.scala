@@ -1,6 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import graft.schema.AggState
+import graft.table.OlapTable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Materialized view: a static SELECT over source tables kept up to date
@@ -43,6 +46,84 @@ final class MaterializedView(
       .format("memory")
       .queryName(name)
       .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+}
+
+object AggregatingMV {
+  /** One AggregateFunction output column of the view. */
+  final case class Agg(name: String, fn: String, input: Column)
+}
+
+/** Structured materialized view: `SELECT dims, xState(…) GROUP BY dims` —
+  * the shape the reference's MVs take against an AggregatingMergeTree
+  * target (ref packages/ts-moose-lib/src/dmv2/sdk/materializedView.ts:83;
+  * templates/typescript/app/views/barAggregated.ts:16-30).
+  *
+  * Declaring the structure (rather than an opaque DataFrame=>DataFrame)
+  * lets one definition derive every role the reference's MV plays:
+  *
+  *  - [[partials]]: the per-insert-block xState rows the MV writes into
+  *    its target at insert time (CH populates MVs per block);
+  *  - [[maintainInto]]: streaming maintenance that APPENDS those partial
+  *    states to a real [[OlapTable]] per micro-batch — append-only, no
+  *    read-modify-write, so maintenance cost scales with batch size, not
+  *    table size. Background merges are `target.readFinal()` (state-merge
+  *    per key) — exactly ClickHouse's mechanics;
+  *  - [[finish]]: the auto-xMerge read (ref sqlHelpers.ts:196-208);
+  *  - [[recompute]]: the batch oracle the streaming path must match.
+  */
+final class AggregatingMV(
+    val name: String,
+    dims: Seq[(String, Column)],
+    aggs: Seq[AggregatingMV.Agg],
+    where: Option[Column] = None) {
+  require(dims.nonEmpty && aggs.nonEmpty, s"MV $name needs dims and aggs")
+
+  /** target-table state-column map (column → aggregate function). */
+  def stateCols: Map[String, String] = aggs.map(a => a.name -> a.fn).toMap
+
+  private def filtered(src: DataFrame): DataFrame = where.fold(src)(src.where)
+
+  /** xState SELECT over one insert block / micro-batch. */
+  def partials(block: DataFrame): DataFrame =
+    filtered(block)
+      .groupBy(dims.map { case (n, c) => c.as(n) }: _*)
+      .agg(
+        AggState.partial(aggs.head.fn, aggs.head.input).as(aggs.head.name),
+        aggs.tail.map(a => AggState.partial(a.fn, a.input).as(a.name)): _*)
+
+  /** Finish state rows to final values (the auto-xMerge read). Merging
+    * re-groups by the dims, so it serves both raw appended partials and
+    * already-FINAL state rows. */
+  def finish(stateRows: DataFrame): DataFrame =
+    stateRows
+      .groupBy(dims.map { case (n, _) => col(n) }: _*)
+      .agg(
+        AggState.merge(aggs.head.fn, col(aggs.head.name)).as(aggs.head.name),
+        aggs.tail.map(a => AggState.merge(a.fn, col(a.name)).as(a.name)): _*)
+
+  /** Batch recompute — the correctness oracle for streaming maintenance.
+    * (partials→finish; Catalyst's partial/final split makes this one
+    * shuffle, identical to a direct groupBy.) */
+  def recompute(source: DataFrame): DataFrame = finish(partials(source))
+
+  /** Streaming maintenance into a real table target: each micro-batch's
+    * partial states are appended to `target` (validated insert, FailFast —
+    * MV output is always schema-true by construction). Query the view with
+    * `finish(target.read())` or `finish(target.readFinal())`. */
+  def maintainInto(
+      stream: DataFrame,
+      target: OlapTable,
+      checkpoint: String,
+      triggerInterval: String = "1 second"): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        target.insert(partials(batch), OlapTable.InsertStrategy.FailFast,
+          dlqSource = s"mv:$name")
+        ()
+      }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .start()

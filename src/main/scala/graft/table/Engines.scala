@@ -118,6 +118,28 @@ object EngineSemantics {
       .drop("__rn", "__maxv", "__net")
   }
 
+  /** AggregatingMergeTree FINAL: merge state rows per sort key — each
+    * AggregateFunction column combines via its state-merge (states stay
+    * states; queries finish them with `AggState.merge`, the auto-xMerge).
+    * Columns not in `stateCols` and not keys behave as `any` (CH keeps an
+    * arbitrary value for them; `first` over the merged group here).
+    * One keyed shuffle, same partitioning as every other FINAL view. */
+  def aggregatingFinal(
+      df: DataFrame, keys: Seq[String],
+      stateCols: Map[String, String]): DataFrame = {
+    require(keys.nonEmpty, "AggregatingMergeTree FINAL needs a sort key")
+    val aggs = df.columns.filterNot(keys.contains).map { c =>
+      stateCols.get(c) match {
+        case Some(fn) => graft.schema.AggState.mergeState(fn, col(c)).as(c)
+        case None => first(col(c)).as(c)
+      }
+    }.toSeq
+    require(aggs.nonEmpty, "AggregatingMergeTree FINAL: no non-key columns")
+    df.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** Merge engine (ref olapTable.ts:660-673): read-only UNION ALL over
     * catalog tables whose name matches the regex. */
   def mergeEngine(spark: SparkSession, namePattern: String): DataFrame = {

@@ -306,8 +306,8 @@ final class OlapTable(
       case TableEngine.Replicated(inner, _, _) =>
         new OlapTable(spark, config.copy(engine = inner), warehouseDir)
           .readFinal(valueCols)
-      case TableEngine.AggregatingMergeTree(_) =>
-        read() // merge applied per state column via AggState.merge at query
+      case TableEngine.AggregatingMergeTree(stateCols) =>
+        EngineSemantics.aggregatingFinal(read(), keys, stateCols)
     }
   }
 }
