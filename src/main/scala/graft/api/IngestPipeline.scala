@@ -90,19 +90,26 @@ final class IngestPipeline[T: TypeTag](
   /** Streaming `POST /ingest` analogue: every micro-batch flows through
     * the same validate→transform→insert path at the reference's 1 s sync
     * cadence (ref kafka_clickhouse_sync.rs:55-57). Per-batch reports go to
-    * `onBatch`; DLQ rows are already in [[dlq]] by the time it fires. */
+    * `onBatch`; DLQ rows are already in [[dlq]] by the time it fires.
+    * Replayed micro-batches are skipped via a [[graft.streaming.BatchCommitLog]]
+    * — without it, foreachBatch's at-least-once delivery would re-append
+    * both table rows and DLQ rows after a mid-batch failure. */
   def ingestStream(
       stream: org.apache.spark.sql.Dataset[T],
       checkpoint: String,
       triggerInterval: String = "1 second",
-      onBatch: IngestResult => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
+      onBatch: IngestResult => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val log = new graft.streaming.BatchCommitLog(
+      table.spark, s"$checkpoint/graft-batch-commits")
     stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[T], _: Long) =>
-        onBatch(ingest(batch))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[T], batchId: Long) =>
+        log.runOnce(batchId) { onBatch(ingest(batch)) }
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerInterval))
       .start()
+  }
 
   /** Recover typed records from the DLQ table (ref stream.ts:592 asTyped). */
   def recover()(implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =

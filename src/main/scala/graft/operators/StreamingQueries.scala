@@ -107,9 +107,12 @@ object StreamingQueries {
 
   /** T8 streaming MV maintenance into a REAL AggregatingMergeTree table:
     * the source replays as 4 micro-batches (maxFilesPerTrigger=1), each
-    * appending its partial states to the target; the returned view is the
-    * xMerge read over the table's FINAL state — it must hash-match the
-    * batch-recompute oracle even though no micro-batch saw all the data. */
+    * appending its partial states to the target; the table is then
+    * COMPACTED (`optimizeFinal` — the explicit CH background-merge) so the
+    * stored rows collapse to one state row per day before the read. The
+    * returned view is the xMerge read over the compacted state — it must
+    * hash-match the batch-recompute oracle even though no micro-batch saw
+    * all the data and the partials were physically rewritten. */
   def qMvStreaming(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
     val src = Files.createTempDirectory("mvs_src").toString
@@ -126,7 +129,8 @@ object StreamingQueries {
     val ck = Files.createTempDirectory("mvs_ck").toString
     val q = barAggregatedMV.maintainInto(stream, target, ck)
     try q.processAllAvailable() finally q.stop()
-    barAggregatedMV.finish(target.readFinal())
+    target.optimizeFinal()
+    barAggregatedMV.finish(target.read())
       .withColumn("avg_value_cents", round(col("avg_value_cents"), 4))
       .orderBy(col("day"))
   }

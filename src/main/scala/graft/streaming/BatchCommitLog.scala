@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Idempotent-sink guard for `foreachBatch` appends.
+  *
+  * Structured Streaming's foreachBatch is at-least-once: after a failure
+  * between the sink write and the checkpoint commit, the same micro-batch
+  * replays — and a blind append double-writes it (double-counted partial
+  * states in an MV target, duplicate DLQ rows). The reference relies on
+  * ClickHouse's replicated insert-block dedup for exactly this
+  * (ref packages/ts-moose-lib/src/dmv2/sdk/olapTable.ts:341-424 Replicated*
+  * engines); the Spark analogue is the standard idempotent-foreachBatch
+  * recipe: a per-sink commit log of batch IDs, checked before the write
+  * and marked after it.
+  *
+  * The residual window (crash between body-commit and marker-create) is
+  * the same one CH closes with block hashes; a transactional table format
+  * (Delta/Iceberg) removes it entirely — this log is the parquet-dir
+  * equivalent. Markers go through the Hadoop FileSystem API so the log
+  * works on any cluster storage (HDFS/S3A), not just local disk.
+  */
+final class BatchCommitLog(spark: SparkSession, dir: String) {
+  private val root = new Path(dir)
+  private val fs: FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def committed(batchId: Long): Boolean =
+    fs.exists(new Path(root, batchId.toString))
+
+  /** Run `body` unless `batchId` is already committed; mark it committed
+    * once the body returns. Returns true iff the body ran. */
+  def runOnce(batchId: Long)(body: => Unit): Boolean =
+    if (committed(batchId)) false
+    else {
+      body
+      fs.create(new Path(root, batchId.toString), true).close()
+      true
+    }
+}

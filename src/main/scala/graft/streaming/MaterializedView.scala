@@ -112,19 +112,30 @@ final class AggregatingMV(
   /** Streaming maintenance into a real table target: each micro-batch's
     * partial states are appended to `target` (validated insert, FailFast —
     * MV output is always schema-true by construction). Query the view with
-    * `finish(target.read())` or `finish(target.readFinal())`. */
+    * `finish(target.read())` or `finish(target.readFinal())`; run
+    * `target.optimizeFinal()` on a compaction cadence so reads merge
+    * |dims| rows, not every partial ever appended.
+    *
+    * Appends are guarded by a [[BatchCommitLog]] under the checkpoint: a
+    * replayed micro-batch (foreachBatch is at-least-once) is skipped
+    * instead of double-appending its partial states. */
   def maintainInto(
       stream: DataFrame,
       target: OlapTable,
       checkpoint: String,
-      triggerInterval: String = "1 second"): StreamingQuery =
+      triggerInterval: String = "1 second"): StreamingQuery = {
+    val log = new BatchCommitLog(
+      stream.sparkSession, s"$checkpoint/graft-batch-commits")
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        target.insert(partials(batch), OlapTable.InsertStrategy.FailFast,
-          dlqSource = s"mv:$name")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        log.runOnce(batchId) {
+          target.insert(partials(batch), OlapTable.InsertStrategy.FailFast,
+            dlqSource = s"mv:$name")
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .start()
+  }
 }

@@ -271,15 +271,24 @@ final class OlapTable(
   def optimizeFinal(valueCols: Seq[String] = Nil): Unit = {
     require(config.bucketBy.isEmpty,
       "optimizeFinal over bucketed tables: INSERT OVERWRITE not wired yet")
-    // only row-filtering FINAL views keep the declared schema; the
-    // column-reducing ones (Summing/Collapsing/Aggregating) stay
-    // read-time views
-    config.engine match {
+    // only schema-preserving FINAL views may compact in place: the
+    // row-filtering engines (MergeTree/Replacing/VersionedCollapsing) and
+    // Aggregating, whose FINAL merges state×state per key and reselects
+    // the original columns (EngineSemantics.aggregatingFinal). Compaction
+    // is what keeps a streaming-MV target bounded: without it, partial
+    // states accumulate per micro-batch forever and every read re-merges
+    // the whole history — the work CH's background part-merges absorb.
+    // Summing/Collapsing FINAL reduce columns, so they stay read-time views.
+    def compactable(e: TableEngine): Boolean = e match {
       case TableEngine.MergeTree | _: TableEngine.ReplacingMergeTree |
-           _: TableEngine.VersionedCollapsingMergeTree => ()
-      case other => throw new IllegalArgumentException(
-        s"optimizeFinal unsupported for $other: FINAL changes the schema")
+           _: TableEngine.VersionedCollapsingMergeTree |
+           _: TableEngine.AggregatingMergeTree => true
+      case TableEngine.Replicated(inner, _, _) => compactable(inner)
+      case _ => false
     }
+    if (!compactable(config.engine))
+      throw new IllegalArgumentException(
+        s"optimizeFinal unsupported for ${config.engine}: FINAL changes the schema")
     val finalRows = readFinal(valueCols)
       .select(config.schema.columns
         .filter(_.aliasExpr.isEmpty).map(c => col(c.name)): _*)

@@ -2,7 +2,8 @@ package graft
 
 import graft.operators.StreamingQueries
 import graft.operators.StreamingQueries.{Bar, Event}
-import graft.streaming.{DeadLetter, MooseStream, StreamTransforms}
+import graft.streaming.{BatchCommitLog, DeadLetter, MooseStream, StreamTransforms}
+import graft.table.{OlapTable, TableEngine}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -102,6 +103,55 @@ class StreamingSpec extends AnyFunSuite {
     val batch = StreamingQueries.barAggregated.recompute(events)
       .orderBy("day").collect().map(_.toSeq)
     assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming MV target compacts to |dims| rows via optimizeFinal (T8/S4)") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val src = Files.createTempDirectory("mvc_src").toString
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val wh = Files.createTempDirectory("mvc_wh").toString
+    val mv = StreamingQueries.barAggregatedMV
+    val target = new OlapTable(spark, OlapTable.Config(
+      "bar_aggregated_compact", StreamingQueries.mvTargetSchema,
+      TableEngine.AggregatingMergeTree(mv.stateCols),
+      orderBy = Seq("day")), wh)
+    val ck = Files.createTempDirectory("mvc_ck").toString
+    val q = mv.maintainInto(stream, target, ck)
+    try q.processAllAvailable() finally q.stop()
+    val dims = target.read().select("day").distinct().count()
+    val before = target.read().count()
+    // 4 micro-batches × overlapping days ⇒ multiple partials per day
+    assert(before > dims)
+    val oracle = mv.recompute(events).orderBy("day").collect().map(_.toSeq).toSeq
+    target.optimizeFinal()
+    assert(target.read().count() == dims)
+    val compacted = mv.finish(target.read())
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    // after compaction the FINAL view is a no-op: read == readFinal
+    val viaFinal = mv.finish(target.readFinal())
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    assert(compacted == viaFinal)
+    assert(compacted == oracle)
+
+    // replay guard: re-running batch 0 through the query's own commit log
+    // must be a no-op — the marker is already there
+    val log = new BatchCommitLog(spark, s"$ck/graft-batch-commits")
+    val ran = log.runOnce(0) {
+      target.insert(mv.partials(events), OlapTable.InsertStrategy.FailFast)
+    }
+    assert(!ran && target.read().count() == dims)
+  }
+
+  test("BatchCommitLog runs a batch body exactly once per id") {
+    val dir = Files.createTempDirectory("bcl").toString
+    val log = new BatchCommitLog(spark, dir)
+    var runs = 0
+    assert(log.runOnce(7) { runs += 1 })
+    assert(!log.runOnce(7) { runs += 1 })
+    assert(log.runOnce(8) { runs += 1 })
+    assert(runs == 2)
   }
 
   test("MooseStream DAG: transform edges + consumers (batch runner)") {
