@@ -276,13 +276,22 @@ object RelationalQueries {
       .orderBy(col("month"), col("o_orderstatus"))
 
   // ---------------------------------------------------------------- §2.5 windows
-  /** row_number ranking (W1). */
+  /** row_number ranking (W1) — global top-k, the scale-safe way.
+    *
+    * `orderBy(...).limit(k)` compiles to TakeOrderedAndProject: each
+    * partition keeps its local top-k and only k-row heads merge. The naive
+    * `row_number() OVER (ORDER BY ...)` over the full table funnels EVERY
+    * row through one task (Spark warns "moving all data to a single
+    * partition") — correct at sf0.1, serialized at 100×. The rank window
+    * here runs over the k=100 survivors only, where a single partition is
+    * the point, not a bottleneck. */
   def qWindowRownumber(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("value").desc, col("event_id"))
-    t(spark, dir, "events")
+    val top = t(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= 100)
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(100)
+    val w = Window.orderBy(col("value").desc, col("event_id"))
+    top.withColumn("rank", row_number().over(w).cast(LongType))
       .orderBy(col("rank"))
   }
 

@@ -24,8 +24,12 @@ object Explain {
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         println(s"\n========== $n ==========")
-        try println(fn(spark, sfDir).queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
+        try {
+          val df = fn(spark, sfDir)
+          PlanLint.report(n, df).foreach(w => println(s"LINT: $w"))
+          println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        }
         catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
       }
     }

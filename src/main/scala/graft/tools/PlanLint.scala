@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LogicalPlan, Window => LWindow}
+
+/** Plan lints for the raw-SQL/DataFrame surface (SURVEY §2.5 W4 note).
+  *
+  * The one the reference's users hit first: a window with an ORDER BY but
+  * no PARTITION BY. ClickHouse parallelizes it poorly; Spark funnels the
+  * whole input through a single task ("No Partition Defined for Window
+  * operation" warning) — fine on 60k rows, a serialization point on 100 TB.
+  * The lint flags such windows unless their input is already bounded by a
+  * LIMIT (a top-k head is small by construction, so one partition is the
+  * point, not a bottleneck — see RelationalQueries.qWindowRownumber).
+  */
+object PlanLint {
+  /** Window expression lists computed over an unpartitioned, unbounded
+    * window in `df`'s plan; empty = clean. */
+  def unpartitionedWindows(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) =>
+        w.windowExpressions.map(_.name).mkString(", ")
+    }
+
+  private def bounded(p: LogicalPlan): Boolean =
+    p.collectFirst { case _: GlobalLimit => () }.isDefined
+
+  /** Human-readable lint report for `df`; None = no findings. */
+  def report(name: String, df: DataFrame): Option[String] = {
+    val ws = unpartitionedWindows(df)
+    if (ws.isEmpty) None
+    else Some(ws.map(w =>
+      s"[$name] unpartitioned window over unbounded input ($w): " +
+        "all rows funnel through ONE task at scale — add PARTITION BY, " +
+        "or bound the input with orderBy().limit(k) first").mkString("\n"))
+  }
+}

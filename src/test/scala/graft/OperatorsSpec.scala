@@ -51,6 +51,26 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((0L, 100L))) // the planted exact dup is found
   }
 
+  test("PlanLint flags unpartitioned unbounded windows; top-k head is clean (W1)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    // naughty: global row_number over the whole table — one-task funnel
+    val naughty = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("value").desc)))
+    assert(graft.tools.PlanLint.unpartitionedWindows(naughty).nonEmpty)
+    assert(graft.tools.PlanLint.report("naughty", naughty).isDefined)
+    // partitioned window: clean
+    val partitioned = df.withColumn("rn",
+      row_number().over(Window.partitionBy(col("user_id")).orderBy(col("ts"))))
+    assert(graft.tools.PlanLint.unpartitionedWindows(partitioned).isEmpty)
+    // the rewritten q_window_rownumber: limit-bounded head, clean, and its
+    // physical plan is the distributed top-k (TakeOrderedAndProject)
+    val q = graft.operators.RelationalQueries
+      .qWindowRownumber(spark, "/root/testdata/sf0.001")
+    assert(graft.tools.PlanLint.unpartitionedWindows(q).isEmpty)
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("asof join carries right columns atomically through NULLs") {
     val left = Seq((1L, 10L), (1L, 20L)).toDF("k", "t")
     val right = Seq((1L, 5L, Some(5.0), "A"), (1L, 15L, None, "B"))
