@@ -56,34 +56,54 @@ final class IngestPipeline[T: TypeTag](
     * [[table]]; both failure channels append to [[dlq]] without passing
     * through the driver. Returns the insert report and the DLQ row count
     * (observed on the write itself — no second scan). */
+  /** Insertable column names of [[table]] (computed alias/materialized
+    * columns are not part of the insert contract, ref types.ts:300-304). */
+  private def insertableNames: Seq[String] = table.config.schema.columns
+    .filter(c => c.aliasExpr.isEmpty && c.materialized.isEmpty)
+    .map(_.name)
+
   def ingest(input: Dataset[T]): IngestResult = {
     val (outs, transformDlq, release) = stream.runBatchReleasable(input)
     try {
-      // Transform outputs of tuple-typed edges carry positional names
-      // (_1, _2, …) — bind them to the table's INSERTABLE shape by
-      // position (computed alias/materialized columns are not part of the
-      // insert contract, ref types.ts:300-304), like the reference's
-      // JSON→typed-record mapping at the sync boundary
-      // (ref kafka_clickhouse_sync.rs:803).
+      // Bind transform output to the table's INSERTABLE shape BY NAME,
+      // like the reference's JSON→typed-record mapping at the sync
+      // boundary (ref kafka_clickhouse_sync.rs:803) — positional binding
+      // would silently swap same-typed columns when a case class's field
+      // order differs from the table's. Tuple-typed edges carry positional
+      // names (_1, _2, …), the one shape where position IS the contract.
       val landing0 = outs.getOrElse(table.config.name, input.toDF())
-      val names = table.config.schema.columns
-        .filter(c => c.aliasExpr.isEmpty && c.materialized.isEmpty)
-        .map(_.name)
-      require(landing0.columns.length == names.length,
-        s"ingest $name: transform emits ${landing0.columns.length} columns, " +
+      val names = insertableNames
+      val outCols = landing0.columns.toSeq
+      require(outCols.length == names.length,
+        s"ingest $name: transform emits ${outCols.length} columns, " +
           s"table ${table.config.name} expects ${names.length} insertable")
-      val landing = landing0.toDF(names: _*)
+      val landing =
+        if (outCols.forall(_.matches("_\\d+"))) landing0.toDF(names: _*)
+        else {
+          val missing = names.filterNot(outCols.contains)
+          require(missing.isEmpty,
+            s"ingest $name: transform output ${outCols.mkString("[", ",", "]")} " +
+              s"is missing insertable columns ${missing.mkString("[", ",", "]")} " +
+              s"of ${table.config.name} — partial name overlap is a wiring bug")
+          landing0.select(names.map(col): _*)
+        }
       val (report, insertDlq) = table.insert(
         landing, strategy, dlqSource = s"ingest:$name")
       val dlqT = transformDlq.toDF()
         .select(col("originalRecord"), col("errorMessage"), col("errorType"),
           col("failedAt"), col("source"))
       val combined = insertDlq.fold(dlqT)(d => dlqT.unionByName(d))
-      // distributed append; dead letters are themselves always DLQ-valid,
-      // so FailFast here can never fire
-      val (dlqReport, _) = dlq.insert(
-        combined, OlapTable.InsertStrategy.FailFast, dlqSource = s"ingest:$name")
-      IngestResult(report, dlqReport.written)
+      // skip the append when there are no dead letters: at a 1 s cadence
+      // an unconditional write grows the DLQ dir by one (empty) fileset
+      // per micro-batch — millions of zero-row files per month
+      if (combined.isEmpty) IngestResult(report, 0L)
+      else {
+        // distributed append; dead letters are themselves always
+        // DLQ-valid, so FailFast here can never fire
+        val (dlqReport, _) = dlq.insert(
+          combined, OlapTable.InsertStrategy.FailFast, dlqSource = s"ingest:$name")
+        IngestResult(report, dlqReport.written)
+      }
     } finally release()
   }
 
@@ -111,12 +131,18 @@ final class IngestPipeline[T: TypeTag](
       .start()
   }
 
-  /** Recover typed records from the DLQ table (ref stream.ts:592 asTyped). */
+  /** Recover typed records from the DLQ table (ref stream.ts:592 asTyped).
+    *
+    * The table holds two JSON keyings: transform-channel rows keyed by T's
+    * encoder field names, validation-channel rows keyed by the table's
+    * insertable column names (the shape the record had at the insert
+    * boundary). `asTyped` parses under both and coalesces per field, so a
+    * mixed DLQ recovers whole. */
   def recover()(implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
-    DeadLetter.asTyped[T](dlq.read().as[DeadLetter](Encoders.product[DeadLetter]))
+    recover(dlq.read().as[DeadLetter](Encoders.product[DeadLetter]))
 
   /** Recover typed records from any DLQ frame (ref stream.ts:592). */
   def recover(dlqRows: Dataset[DeadLetter])(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
-    DeadLetter.asTyped[T](dlqRows)
+    DeadLetter.asTyped[T](dlqRows, altNames = insertableNames)
 }

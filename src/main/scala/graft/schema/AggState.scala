@@ -41,7 +41,10 @@ object AggState {
     case "avg" => struct(sum(c.cast(DoubleType)).as("sum"), count(c).as("cnt"))
     case "min" => min(c)
     case "max" => max(c)
-    case "any" => first(c)
+    // CH's any skips NULLs; ignoreNulls in ALL THREE paths (partial/
+    // mergeState/merge), or a FINAL-compacted table could surface a
+    // different 'any' value than an uncompacted read
+    case "any" => first(c, ignoreNulls = true)
     case "uniq" => hll_sketch_agg(c)
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
@@ -70,7 +73,7 @@ object AggState {
     case "avg" => s"(sum($quotedCol.sum) / sum($quotedCol.cnt))"
     case "min" => s"min($quotedCol)"
     case "max" => s"max($quotedCol)"
-    case "any" => s"first($quotedCol)"
+    case "any" => s"first($quotedCol, true)"
     case "uniq" => s"hll_sketch_estimate(hll_union_agg($quotedCol))"
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
@@ -82,7 +85,7 @@ object AggState {
     case "avg" => sum(c.getField("sum")) / sum(c.getField("cnt"))
     case "min" => min(c)
     case "max" => max(c)
-    case "any" => first(c)
+    case "any" => first(c, ignoreNulls = true)
     case "uniq" => hll_sketch_estimate(hll_union_agg(c))
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }

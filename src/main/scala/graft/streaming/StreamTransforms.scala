@@ -23,6 +23,29 @@ object DeadLetter {
     dlq.select(from_json(col("originalRecord"), schema).as("r"))
       .select(col("r.*")).as[T]
   }
+
+  /** Typed recovery over a DLQ holding two JSON keyings: T's encoder
+    * field names (transform-channel rows) and `altNames` (validation-
+    * channel rows serialize the record at the insert boundary, keyed by
+    * the table's insertable columns). Each row parses under both schemas;
+    * per-field coalesce picks whichever keying matched — a key mismatch
+    * yields an all-NULL struct from `from_json`, never an error. */
+  def asTyped[T: TypeTag](dlq: Dataset[DeadLetter], altNames: Seq[String])(
+      implicit enc: Encoder[T]): Dataset[T] = {
+    val schema = enc.schema
+    require(altNames.length == schema.fields.length,
+      s"asTyped: ${altNames.length} alternative names for ${schema.fields.length} fields")
+    val altSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.zip(altNames).map { case (f, n) => f.copy(name = n) })
+    dlq.select(
+        from_json(col("originalRecord"), schema).as("a"),
+        from_json(col("originalRecord"), altSchema).as("b"))
+      .select(schema.fields.zipWithIndex.map { case (f, i) =>
+        coalesce(col(s"a.`${f.name}`"), col(s"b.`${altNames(i)}`"))
+          .as(f.name)
+      }.toSeq: _*)
+      .as[T]
+  }
 }
 
 /** Per-record transform execution with ZeroOrMany semantics and a DLQ

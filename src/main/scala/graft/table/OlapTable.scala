@@ -189,23 +189,46 @@ final class OlapTable(
         val n = write(valid)
         (InsertReport(-1, n, -1), None)
       case InsertStrategy.Isolate =>
-        val dlq = invalid.select(
+        // the failed count rides the valid-rows write as a second
+        // Observation BELOW the validity filter (Catalyst does not push
+        // predicates through CollectMetrics), so the whole Isolate insert
+        // is ONE job — no dlq.count() re-validation scan
+        val vObs = org.apache.spark.sql.Observation()
+        val withV = prepared
+          .withColumn("__errors", violationsColumn)
+          .observe(vObs,
+            coalesce(sum(when(size(col("__errors")) > 0, 1L)), lit(0L))
+              .as("failed"))
+        val validObserved = withV
+          .where(size(col("__errors")) === 0).drop("__errors")
+        val dlq = withV.where(size(col("__errors")) > 0).select(
           to_json(struct(batchCols.map(col): _*)).as("originalRecord"),
           concat_ws("; ", col("__errors")).as("errorMessage"),
           lit("ValidationError").as("errorType"),
           current_timestamp().as("failedAt"),
           lit(dlqSource).as("source"))
-        val n = write(valid)
-        val nBad = dlq.count()
+        val n = write(validObserved)
+        val nBad = vObs.get("failed").asInstanceOf[Long]
         (InsertReport(n + nBad, n, nBad), Some(dlq))
     }
   }
 
-  /** Raw stored rows + alias (read-computed) columns. */
+  /** Raw stored rows + alias (read-computed) columns. A table that has
+    * never been written reads as empty (CH: a created table with zero
+    * rows), not as a path-not-found error — a DLQ consulted before the
+    * first failure is the common case. */
   def read(): DataFrame = {
     val df =
       if (config.bucketBy.nonEmpty) spark.table(config.name)
-      else spark.read.schema(config.schema.toStructType).parquet(path)
+      else {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p))
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            config.schema.toStructType)
+        else spark.read.schema(config.schema.toStructType).parquet(path)
+      }
     config.schema.columns.foldLeft(df) { (d, c) =>
       c.aliasExpr.fold(d)(sql => d.withColumn(c.name, expr(sql)))
     }

@@ -121,9 +121,55 @@ class EngineIoSpec extends AnyFunSuite {
     assert(res.report.written == 0 && res.report.failed == n)
     assert(res.dlqWritten == n)
     assert(pipeline.dlq.read().count() == n)
-    // records are recoverable from the DLQ table after the fix
+    // records recover with their VALUES intact (a count alone passes on
+    // all-NULL rows): validation-channel JSON is keyed by table column
+    // names, which recover() parses via the insertable-names alt schema
     val recovered = pipeline.recover()
     assert(recovered.count() == n)
+    val sumIds = recovered.toDF("id", "tier", "v")
+      .agg(sum($"id")).head.getLong(0)
+    assert(sumIds == n.toLong * (n + 1) / 2)
+    assert(recovered.filter((r: (Long, String, Double)) => r._2 == "drifted")
+      .count() == n)
+  }
+
+  test("ingest binds by name: permuted case-class fields don't swap (S18)") {
+    val wh = tmp("permwh")
+    val tableSchema = MooseSchema(Seq(
+      MooseColumn("a", MooseType.MString, primaryKey = true),
+      MooseColumn("b", MooseType.MString)))
+    val table = new OlapTable(spark,
+      OlapTable.Config("perm_landing", tableSchema, TableEngine.MergeTree,
+        orderBy = Seq("a")), wh)
+    // PermRec declares (b, a) — positional binding would silently write
+    // b's value into column a (same type, no validation failure)
+    val stream = new MooseStream[EngineIoSpec.PermRec]("perm_src")
+    stream.addTransform[EngineIoSpec.PermRec]("perm_landing", r => Seq(r))
+    val pipeline = new IngestPipeline("perm_in", stream, table)
+    val res = pipeline.ingest(Seq(EngineIoSpec.PermRec(b = "bee", a = "ay")).toDS())
+    assert(res.report.written == 1)
+    val row = table.read().select("a", "b").head
+    assert(row.getString(0) == "ay" && row.getString(1) == "bee")
+  }
+
+  test("DLQ reads empty before first failure; clean batches append no DLQ files") {
+    val wh = tmp("cleanwh")
+    val tableSchema = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("v", MooseType.MFloat64)))
+    val table = new OlapTable(spark,
+      OlapTable.Config("clean_landing", tableSchema, TableEngine.MergeTree,
+        orderBy = Seq("id")), wh)
+    val pipeline = new IngestPipeline("clean_in",
+      new MooseStream[(Long, Double)]("clean_src"), table)
+    // never-written DLQ reads as empty, not path-not-found
+    assert(pipeline.dlq.read().count() == 0)
+    assert(pipeline.recover().count() == 0)
+    val res = pipeline.ingest(Seq((1L, 1.0), (2L, 2.0)).toDS())
+    assert(res.report.written == 2 && res.dlqWritten == 0)
+    // no dead letters ⇒ no fileset appended (1 s cadence would otherwise
+    // grow the DLQ dir by one empty fileset per micro-batch)
+    assert(!new java.io.File(s"$wh/clean_in_dlq").exists())
   }
 
   test("2.8 shims: dateDiff / formatDateTime / toLowerCase in SQL") {
@@ -373,4 +419,9 @@ class EngineIoSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(1)).toSeq == Seq(-1.0, 10.0, 20.0))
     assert(rows.map(_.getDouble(2)).toSeq == Seq(20.0, 30.0, -1.0))
   }
+}
+
+object EngineIoSpec {
+  /** Field order deliberately permuted vs the perm_landing table (a, b). */
+  final case class PermRec(b: String, a: String)
 }
