@@ -45,14 +45,26 @@ object MultimodalQueries {
         sum(length(col("payload"))).cast("long").as("total_bytes"))
       .orderBy(col("mime"))
 
-  /** Rows-only: stubbed decode+feature kernel via the partition-at-a-time
-    * path (Multimodal.withDecodedFeatures — the mapInPandas analogue). */
-  def mFeatures(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.withDecodedFeatures(media(spark, dir), dims = 4)
+  /** Self-verifying decode+feature kernel (was rows-only): the kernel
+    * body is a declared stub (no codec jars), so what's checkable — and
+    * checked — is the mapInPandas-analogue CONTRACT per media row: the
+    * feature vector has exactly `dims` entries, all in [0,1), and two
+    * independent partition-at-a-time runs agree bit-for-bit
+    * (deterministic kernel). DuckDB oracles the frame as constants per
+    * document. */
+  def mFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val m = media(spark, dir)
+    val run1 = Multimodal.withDecodedFeatures(m, dims = 4)
+      .select(col("media_id"), col("features"))
+    val run2 = Multimodal.withDecodedFeatures(m, dims = 4)
+      .select(col("media_id"), col("features").as("features2"))
+    run1.join(run2, Seq("media_id"))
       .select(col("media_id"),
-        round(element_at(col("features"), 1), 4).as("f0"),
-        round(element_at(col("features"), 2), 4).as("f1"))
+        size(col("features")).cast("long").as("n_features"),
+        forall(col("features"), x => x >= 0.0 && x < 1.0).as("in_range"),
+        (col("features") === col("features2")).as("deterministic"))
       .orderBy(col("media_id"))
+  }
 
   def queries: Map[String, Q] = Map(
     "m_frames" -> (mFrames _),
@@ -69,5 +81,9 @@ object MultimodalQueries {
     "m_meta" ->
       """SELECT 'text/' || source AS mime, count(*) AS n_media,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
-        |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin,
+    "m_features" ->
+      """SELECT doc_id AS media_id, CAST(4 AS BIGINT) AS n_features,
+        |  true AS in_range, true AS deterministic
+        |FROM documents ORDER BY media_id""".stripMargin)
 }

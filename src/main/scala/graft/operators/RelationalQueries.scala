@@ -230,11 +230,19 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy(col("day"))
 
-  /** uniq ≈ approx_count_distinct (A7) — rows-only (approx, no oracle). */
+  /** uniq ≈ approx_count_distinct (A7), self-verifying (was rows-only):
+    * per day, the HLL estimate must sit within 15% of the exact distinct
+    * count (default rsd 0.05; measured max rel err 0.052 at sf0.01, 0.096
+    * at sf0.1). DuckDB recomputes the exact counts and expects the bound
+    * to hold as a constant-true column. */
   def qUniqApprox(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .select(col("day"), col("n_exact"),
+        (abs(col("approx") - col("n_exact")) / col("n_exact") <= 0.15)
+          .as("within_eps"))
       .orderBy(col("day"))
 
   /** groupArray (A8) — sorted, joined to a hash-stable string. */
@@ -637,6 +645,10 @@ object RelationalQueries {
     "q_uniq_exact" ->
       """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS uniq_users,
         |  count(*) AS n
+        |FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin,
+    "q_uniq_approx" ->
+      """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_exact,
+        |  true AS within_eps
         |FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin,
     "q_group_array" ->
       """SELECT user_id,

@@ -169,23 +169,42 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
   }
 
-  /** Bucketed ANN: score only candidates whose signature matches the
-    * query's bucket; rank like [[knnBrute]]. Recall < 1 by construction —
-    * the scale/recall dial is `bits`. */
+  /** Bucketed ANN with L hash tables (the standard LSH-forest recall
+    * amplifier): each table hashes with its own `bits` hyperplanes;
+    * candidates are the union of same-bucket vectors across tables, then
+    * exact-scored and ranked like [[knnBrute]]. Recall < 1 by
+    * construction; dials: more `tables` → higher recall & more candidates,
+    * more `bits` → fewer candidates per bucket. A single table at few bits
+    * measured ~0.1 recall@10 on gaussian data — multiple tables are not
+    * optional for mid-similarity neighbors.
+    *
+    * Scale shape: candidate generation is an equi-join on (table, sig) —
+    * only same-bucket vectors ever meet; the corpus is scanned once and
+    * fans out ×L on (id, sig) pairs only, not payloads. */
   def knnLsh(
       embeddings: DataFrame, queries: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      bits: Int = 8, k: Int = 10, dim: Int = 64): DataFrame = {
+      bits: Int = 8, k: Int = 10, dim: Int = 64, tables: Int = 8): DataFrame = {
     // dim MUST match the stored vectors: zip_with null-pads a mismatch,
     // turning every plane dot product NULL and every signature 0 (all
     // vectors in one bucket — silent brute force)
-    val planes = hyperplanes(dim, bits)
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      lshSignature(col(vecCol), planes).as("sig"))
-    val c = embeddings.select(col(idCol).as("nid"), col(vecCol).as("nv"),
-      lshSignature(col(vecCol), planes).as("sig"))
-    val scored = c.join(broadcast(q), Seq("sig"))
+    val planes = hyperplanes(dim, tables * bits)
+    def withSigs(df: DataFrame, id: String, v: String): DataFrame = {
+      val sigCols = (0 until tables).map { t =>
+        lshSignature(col(v), planes.slice(t * bits, (t + 1) * bits)).as(s"sig$t")
+      }
+      df.select(col(idCol).as(id) +: col(vecCol).as(v) +: sigCols: _*)
+        .select(col(id), col(v),
+          posexplode(array((0 until tables).map(t => col(s"sig$t")): _*)))
+        .withColumnRenamed("pos", "tbl")
+        .withColumnRenamed("col", "sig")
+    }
+    val q = withSigs(queries, "qid", "qv")
+    val c = withSigs(embeddings, "nid", "nv")
+    val scored = c.join(broadcast(q), Seq("tbl", "sig"))
       .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), col("qv"), col("nv"))
+      .dropDuplicates("qid", "nid") // met in ≥1 table ⇒ scored once
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 6).desc, col("nid"))

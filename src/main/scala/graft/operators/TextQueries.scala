@@ -38,9 +38,33 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  def dSimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 3)
-      .orderBy(col("doc_a"), col("doc_b"))
+  /** Self-verifying SimHash candidates (was rows-only): the signature
+    * space isn't SQL-expressible, but its CONTRACT is — (1) every pair of
+    * docs with identical normalized text MUST surface (same tokens ⇒ same
+    * simhash ⇒ same bands, Hamming 0); (2) reported pairs are canonical
+    * (a<b, distinct, Hamming ≤ max). DuckDB recomputes (1)'s pair count
+    * from the text and expects (2) to hold as constants. */
+  def dSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+    val fp = d.select(col("doc_id"),
+      md5(TextAnalysis.normalized(col("text"))).as("fp"))
+    val exact = fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val exactStats = exact.join(pairs, Seq("doc_a", "doc_b"), "left").agg(
+      count(lit(1)).as("n_exact_dup_pairs"),
+      coalesce(sum(when(col("hamming").isNotNull, 1L)), lit(0L))
+        .as("n_exact_found"))
+    val canon = pairs.agg(
+      coalesce(min((col("doc_a") < col("doc_b") &&
+        col("hamming") <= 3).cast("int")), lit(1)).as("c_valid"),
+      (count(lit(1)) === countDistinct(col("doc_a"), col("doc_b")))
+        .cast("int").as("c_distinct"))
+    exactStats.crossJoin(canon).select(
+      col("n_exact_dup_pairs"), col("n_exact_found"),
+      (col("c_valid") === 1 && col("c_distinct") === 1).as("pairs_canonical"))
+  }
 
   def dTokenCount(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
@@ -69,12 +93,26 @@ object TextQueries {
       TextAnalysis.fingerprintMd5(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
-  /** Rows-only: native codegen'd rolling-hash expression. */
-  def dFingerprintRolling(spark: SparkSession, dir: String): DataFrame =
+  /** Self-verifying rolling hash (was rows-only): the codegen'd Catalyst
+    * expression is checked per document against an INDEPENDENT execution
+    * path — a plain Scala byte fold in a typed map (deserialized JVM loop
+    * vs generated Java, same wrap semantics). DuckDB's oracle is the
+    * all-true frame. */
+  def dFingerprintRolling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     docs(spark, dir).select(
-      col("doc_id"),
-      RollingHash.rolling_hash(TextAnalysis.normalized(col("text"))).as("fp64"))
+        col("doc_id"),
+        TextAnalysis.normalized(col("text")).as("norm"),
+        RollingHash.rolling_hash(TextAnalysis.normalized(col("text"))).as("fp64"))
+      .as[(Long, String, Long)]
+      .map { case (id, norm, fp) =>
+        val ref = norm.getBytes("UTF-8")
+          .foldLeft(0L)((h, b) => h * RollingHash.Prime + (b & 0xffL))
+        (id, fp == ref)
+      }
+      .toDF("doc_id", "fp_match")
       .orderBy(col("doc_id"))
+  }
 
   def eKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
@@ -82,19 +120,49 @@ object TextQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Rows-only: bucketed ANN (recall < 1 by construction). */
-  def eKnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = embs(spark, dir)
-    Similarity.knnLsh(e, e.where(col("vec_id") < 5), bits = 4, k = 10)
-      .orderBy(col("qid"), col("rank"))
+  /** Per-query ANN self-check frame: `sims_exact` = every returned
+    * neighbor's similarity matches a direct cosine recomputation from the
+    * stored vectors; `recall_ok` = overlap with the brute-force top-10 ≥
+    * `minHits`. DuckDB oracles the frame as one all-true row per query id. */
+  private def knnCheck(
+      e: DataFrame, queries: DataFrame, ann: DataFrame,
+      minHits: Long): DataFrame = {
+    val brute = Similarity.knnBrute(e, queries, k = 10)
+    val sims = ann
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv")), Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")), Seq("nid"))
+      .groupBy(col("qid"))
+      .agg(min((col("sim") ===
+        round(Similarity.cosine(col("qv"), col("nv")), 4)).cast("int")).as("simok"))
+    val hits = ann.select(col("qid"), col("nid"))
+      .join(brute.select(col("qid"), col("nid")), Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("qid"))
+      .join(sims, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(col("simok"), lit(0)) === 1).as("sims_exact"),
+        (coalesce(col("n_hit"), lit(0L)) >= minHits).as("recall_ok"))
+      .orderBy(col("qid"))
   }
 
-  /** Rows-only: IVF coarse-quantizer ANN (probes 2 of 8 cells). */
+  /** Self-verifying bucketed ANN (was rows-only): 16 tables × 4-bit
+    * signatures; measured min recall@10 0.9 (sf0.01) / 0.8 (sf0.1), bound
+    * set at 0.6 with margin. */
+  def eKnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val q = e.where(col("vec_id") < 5)
+    knnCheck(e, q,
+      Similarity.knnLsh(e, q, bits = 4, k = 10, tables = 16), minHits = 6)
+  }
+
+  /** Self-verifying IVF ANN (was rows-only): probes 2 of 8 cells; measured
+    * min recall@10 0.7 (sf0.01) / 0.9 (sf0.1), bound set at 0.5. */
   def eKnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
-    Similarity.knnIvf(e, e.where(col("vec_id") < 5),
-        nCells = 8, nProbe = 2, k = 10)
-      .orderBy(col("qid"), col("rank"))
+    val q = e.where(col("vec_id") < 5)
+    knnCheck(e, q,
+      Similarity.knnIvf(e, q, nCells = 8, nProbe = 2, k = 10), minHits = 5)
   }
 
   /** Embedding-cosine near-dup, exact all-pairs (oracled). */
@@ -102,15 +170,34 @@ object TextQueries {
     Similarity.nearDupPairsBrute(embs(spark, dir), threshold = 0.5)
       .orderBy(col("vec_a"), col("vec_b"))
 
-  /** Rows-only: banded-LSH candidates + exact verify — same contract as
-    * d_embed_neardup via the sub-quadratic path. 4-bit bands because the
-    * testdata's nearest pair sits at sim≈0.51 (θ≈1.03 rad): recall per
-    * 4-bit band is 0.2, so 16 bands give ≈0.97 — at a real near-dup
-    * threshold (sim≥0.95) 8-bit bands are the right dial. */
-  def dEmbedNeardupLsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairsLsh(embs(spark, dir), threshold = 0.5,
+  /** Self-verifying banded-LSH near-dup (was rows-only): 4-bit bands
+    * because the testdata's nearest pair sits at sim≈0.51 (θ≈1.03 rad) —
+    * recall per 4-bit band is 0.2, so 16 bands give ≈0.97 per pair; at a
+    * real near-dup threshold (sim≥0.95) 8-bit bands are the right dial.
+    * The check frame: `subset_ok` = every LSH pair is a true brute-force
+    * pair with identical sim; `recall_ok` = ≥80% of true pairs found
+    * (measured 1/1 at sf0.01, 13/14 at sf0.1); `n_true_pairs` is
+    * recomputed exactly by DuckDB's all-pairs oracle. */
+  def dEmbedNeardupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val lsh = Similarity.nearDupPairsLsh(e, threshold = 0.5,
         bands = 16, bitsPerBand = 4)
-      .orderBy(col("vec_a"), col("vec_b"))
+      .withColumnRenamed("sim", "lsim")
+    val brute = Similarity.nearDupPairsBrute(e, threshold = 0.5)
+      .withColumnRenamed("sim", "bsim")
+    lsh.join(brute, Seq("vec_a", "vec_b"), "full")
+      .agg(
+        coalesce(sum(when(col("bsim").isNotNull, 1L)), lit(0L))
+          .as("n_true_pairs"),
+        coalesce(min(when(col("lsim").isNotNull,
+          (col("bsim").isNotNull && col("lsim") === col("bsim")).cast("int"))),
+          lit(1)).as("sub"),
+        coalesce(sum(when(col("lsim").isNotNull && col("bsim").isNotNull, 1L)),
+          lit(0L)).as("n_found"))
+      .select(col("n_true_pairs"),
+        (col("sub") === 1).as("subset_ok"),
+        (col("n_found") * 10 >= col("n_true_pairs") * 8).as("recall_ok"))
+  }
 
   /** End-to-end corpus cleaning — the composition a training-data pipeline
     * actually runs: quality gate → language gate → exact dedup (keep the
@@ -204,6 +291,38 @@ object TextQueries {
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "d_ngram_jaccard" -> jaccardSql,
     "d_minhash_lsh" -> jaccardSql,
+    "d_simhash_pairs" ->
+      """WITH fp AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |p AS (SELECT count(*) AS n
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+        |SELECT n AS n_exact_dup_pairs, n AS n_exact_found,
+        |  true AS pairs_canonical FROM p""".stripMargin,
+    "d_fingerprint_rolling" ->
+      """SELECT doc_id, true AS fp_match FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "e_knn_lsh" ->
+      """SELECT vec_id AS qid, true AS sims_exact, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    "e_knn_ivf" ->
+      """SELECT vec_id AS qid, true AS sims_exact, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    "d_embed_neardup_lsh" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT count(*) AS n_true_pairs, true AS subset_ok, true AS recall_ok
+        |FROM p WHERE sim >= 0.5""".stripMargin,
     "d_token_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
