@@ -1,0 +1,173 @@
+package graft.streaming
+
+import graft.table.OlapTable
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Kafka wire-format seam (S11): the byte-level contract between the
+  * reference's stream producers and its Kafka→ClickHouse sync, re-expressed
+  * so a real Kafka reader/writer drops in without touching pipeline code.
+  *
+  * Reference behavior being matched:
+  *  - producers serialize typed records to JSON bytes on the topic
+  *    (ref packages/ts-moose-lib/src/dmv2/sdk/stream.ts:406-470; encoding
+  *    selection :143-153 — JSON today, Avro/Protobuf behind the same seam);
+  *  - the sync consumer parses value bytes and maps JSON fields to table
+  *    columns BY NAME, tolerating extra fields and filling missing ones
+  *    with NULL (ref apps/framework-cli/src/infrastructure/processes/
+  *    kafka_clickhouse_sync.rs:722,803);
+  *  - sync cadence is micro-batched at ~1 s (kafka_clickhouse_sync.rs:55-57).
+  *
+  * Everything here operates on the standard Kafka source/sink frame shape
+  * (`key`/`value` binary + topic/partition/offset/timestamp), which is
+  * exactly what `spark.readStream.format("kafka")` yields — so
+  * [[KafkaWire.kafkaReader]] is the only piece that needs the (absent in
+  * this env) kafka-sql jars, and tests drive the identical decode path
+  * from MemoryStream-built frames.
+  */
+object KafkaWire {
+
+  /** The Kafka record frame shape (what format("kafka") loads / the kafka
+    * sink expects). */
+  val recordSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType, nullable = true),
+    StructField("value", BinaryType, nullable = false),
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false)))
+
+  /** Record encoding on the wire (ref stream.ts:143-153). JSON implemented;
+    * Avro/Protobuf are additional implementations of these two methods
+    * (their Spark codecs live in external modules not present here). */
+  trait WireFormat {
+    /** struct of record columns → value bytes. */
+    def encode(record: Column): Column
+    /** value bytes → struct typed as `schema`; unparseable input yields a
+      * NULL struct (the DLQ trigger), never an error. */
+    def decode(value: Column, schema: StructType): Column
+    def name: String
+  }
+
+  /** JSONEachRow wire encoding — the reference's default. Decoding maps
+    * fields BY NAME: extra JSON keys are ignored, missing columns come
+    * back NULL (kafka_clickhouse_sync.rs:803 semantics). Malformed bytes
+    * (or type-corrupt fields) yield a NULL struct — PERMISSIVE from_json
+    * alone would return an all-NULL row, indistinguishable from a record
+    * of genuine nulls, so corruption is detected via the corrupt-record
+    * column. */
+  object JsonWire extends WireFormat {
+    def encode(record: Column): Column = to_json(record).cast(BinaryType)
+    def decode(value: Column, schema: StructType): Column = {
+      val withCorrupt = schema.add(StructField("__corrupt", StringType))
+      val parsed = from_json(value.cast(StringType), withCorrupt,
+        Map("columnNameOfCorruptRecord" -> "__corrupt"))
+      when(parsed.getField("__corrupt").isNotNull,
+        lit(null).cast(schema)).otherwise(parsed.dropFields("__corrupt"))
+    }
+    val name = "json"
+  }
+
+  /** Producer side: typed records → Kafka-shaped frame for `topic`.
+    * `keyOf` maps a record to its partition key (None ⇒ null key, Kafka
+    * round-robin). partition/offset/timestamp are broker-assigned in real
+    * Kafka; the synthetic stand-ins (payload hash as offset — NOT ordered,
+    * streaming-safe) keep the frame shape total so the consumer path is
+    * testable end-to-end. Works on batch and streaming Datasets alike. */
+  def toTopic(
+      records: DataFrame,
+      topic: String,
+      wire: WireFormat = JsonWire,
+      keyOf: Option[Column] = None): DataFrame =
+    records.select(
+        keyOf.map(_.cast(StringType).cast(BinaryType))
+          .getOrElse(lit(null).cast(BinaryType)).as("key"),
+        wire.encode(struct(records.columns.map(col).toIndexedSeq: _*)).as("value"),
+        lit(topic).as("topic"))
+      .select(col("key"), col("value"), col("topic"),
+        spark_partition_id().as("partition"),
+        xxhash64(col("value")).as("offset"),
+        current_timestamp().as("timestamp"))
+
+  /** Consumer side: Kafka-shaped frame → typed columns of `schema`,
+    * decoded from value bytes with by-name field mapping. Rows whose bytes
+    * don't parse surface with a NULL record struct in `__record`; use
+    * [[decoded]] to keep only clean rows or [[syncToTable]] to route the
+    * rest to a DLQ. */
+  def withDecoded(
+      frame: DataFrame, schema: StructType, wire: WireFormat = JsonWire): DataFrame =
+    frame.withColumn("__record", wire.decode(col("value"), schema))
+
+  /** Clean decoded records only (corrupt bytes dropped). */
+  def decoded(
+      frame: DataFrame, schema: StructType, wire: WireFormat = JsonWire): DataFrame =
+    withDecoded(frame, schema, wire)
+      .where(col("__record").isNotNull)
+      .select(col("__record.*"))
+
+  /** The real Kafka reader this seam exists for — requires the
+    * spark-sql-kafka connector jars on the classpath (absent in this
+    * build env, so nothing in the repo invokes it; its output frame is
+    * [[recordSchema]]-shaped by construction and flows into the same
+    * [[syncToTable]]). */
+  def kafkaReader(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(col("key"), col("value"), col("topic"), col("partition"),
+        col("offset"), col("timestamp"))
+
+  /** S17 topic→table sync through the wire format: per micro-batch at the
+    * reference's 1 s cadence, decode value bytes, validated-insert clean
+    * records (Isolate: schema-invalid rows land in the table's DLQ frame
+    * → `dlq`), and route UNPARSEABLE bytes to `dlq` as DeadLetters with
+    * the raw payload preserved. Replay-safe via [[BatchCommitLog]]. */
+  def syncToTable(
+      topicFrame: DataFrame,
+      table: OlapTable,
+      dlq: OlapTable,
+      checkpoint: String,
+      wire: WireFormat = JsonWire,
+      triggerInterval: String = "1 second"): StreamingQuery = {
+    val schema = table.config.schema.toStructType
+    val insertable = StructType(schema.fields.filter { f =>
+      table.config.schema.columns
+        .find(_.name == f.name)
+        .exists(c => c.aliasExpr.isEmpty && c.materialized.isEmpty)
+    })
+    val log = new BatchCommitLog(
+      table.spark, s"$checkpoint/graft-batch-commits")
+    topicFrame.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        log.runOnce(batchId) {
+          val withRec = withDecoded(batch, insertable, wire)
+          val clean = withRec.where(col("__record").isNotNull)
+            .select(col("__record.*"))
+          val (_, insertDlq) = table.insert(
+            clean, OlapTable.InsertStrategy.Isolate, dlqSource = "kafka-sync")
+          val corrupt = withRec.where(col("__record").isNull).select(
+            col("value").cast(StringType).as("originalRecord"),
+            lit(s"unparseable ${wire.name} payload").as("errorMessage"),
+            lit("DeserializationError").as("errorType"),
+            current_timestamp().as("failedAt"),
+            lit("kafka-sync").as("source"))
+          val dead = insertDlq.fold(corrupt)(corrupt.unionByName(_))
+          if (!dead.isEmpty)
+            dlq.insert(dead, OlapTable.InsertStrategy.FailFast,
+              dlqSource = "kafka-sync")
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
+}

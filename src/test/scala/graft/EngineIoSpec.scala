@@ -172,6 +172,71 @@ class EngineIoSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$wh/clean_in_dlq").exists())
   }
 
+  test("Kafka wire seam: JSON bytes round-trip with by-name mapping (S11)") {
+    import graft.streaming.KafkaWire
+    val recs = Seq((1L, "free", 1.5), (2L, "pro", 2.5)).toDF("id", "tier", "v")
+    val wire = KafkaWire.toTopic(recs, "t_land")
+    assert(wire.schema.fieldNames.toSeq ==
+      Seq("key", "value", "topic", "partition", "offset", "timestamp"))
+    assert(wire.schema("value").dataType == BinaryType)
+    val recSchema = StructType(Seq(StructField("id", LongType),
+      StructField("tier", StringType), StructField("v", DoubleType)))
+    val back = KafkaWire.decoded(wire, recSchema)
+    assert(back.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "free", 1.5), (2L, "pro", 2.5)))
+    // by-name mapping (kafka_clickhouse_sync.rs:803): reordered keys bind,
+    // extra keys are ignored, missing columns come back NULL
+    val loose = Seq("""{"extra":9,"v":3.5,"id":7}""").toDF("raw")
+      .select(lit(null).cast("binary").as("key"),
+        col("raw").cast("binary").as("value"), lit("t").as("topic"),
+        lit(0).as("partition"), lit(0L).as("offset"),
+        current_timestamp().as("timestamp"))
+    val r = KafkaWire.decoded(loose, recSchema).head
+    assert(r.getLong(0) == 7L && r.isNullAt(1) && r.getDouble(2) == 3.5)
+  }
+
+  test("Kafka wire sync: topic frame lands in table, corrupt bytes and invalid rows -> DLQ (S11/S17)") {
+    import graft.streaming.KafkaWire
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val wh = tmp("kwirewh")
+    val tableSchema = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("tier", MooseType.MEnum(Seq("free", "pro"))),
+      MooseColumn("v", MooseType.MFloat64)))
+    val table = new OlapTable(spark,
+      OlapTable.Config("kwire_landing", tableSchema, TableEngine.MergeTree,
+        orderBy = Seq("id")), wh)
+    val dlq = new OlapTable(spark,
+      OlapTable.Config("kwire_dlq", MooseSchema(Seq(
+        MooseColumn("originalRecord", MooseType.MJson),
+        MooseColumn("errorMessage", MooseType.MString),
+        MooseColumn("errorType", MooseType.MString),
+        MooseColumn("failedAt", MooseType.MDateTime()),
+        MooseColumn("source", MooseType.MString)))), wh)
+    val mem = MemoryStream[String]
+    val topicFrame = mem.toDF()
+      .select(lit(null).cast("binary").as("key"),
+        col("value").cast("binary").as("value"),
+        lit("kwire").as("topic"), lit(0).as("partition"),
+        xxhash64(col("value")).as("offset"),
+        current_timestamp().as("timestamp"))
+    val q = KafkaWire.syncToTable(topicFrame, table, dlq,
+      tmp("kwire_ck"))
+    mem.addData(
+      """{"id":1,"tier":"free","v":1.0}""",
+      """{"id":2,"tier":"pro","v":2.0}""",
+      """{"id":3,"tier":"gold","v":3.0}""", // invalid enum -> ValidationError
+      "corrupt-not-json")                   // unparseable -> DeserializationError
+    try q.processAllAvailable() finally q.stop()
+    assert(table.read().count() == 2)
+    assert(table.read().select(sum($"id")).head.getLong(0) == 3L)
+    val byType = dlq.read().groupBy("errorType").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("ValidationError" -> 1L, "DeserializationError" -> 1L))
+  }
+
   test("2.8 shims: dateDiff / formatDateTime / toLowerCase in SQL") {
     ClickHouseFunctions.register(spark)
     val r = spark.sql(ClickHouseFunctions.rewriteDialect(
