@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.table.OlapTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Buffer engine analogue (S13; ref packages/ts-moose-lib/src/dmv2/sdk/
+  * olapTable.ts:490-523): incoming micro-batches STAGE into a buffer and
+  * flush into the destination table when any threshold crosses — row
+  * count, byte volume, or age — not merely on the trigger cadence.
+  * ClickHouse's Buffer engine holds rows in RAM with the same three
+  * dials; here the stage is a parquet dir (executor-written, restart-
+  * survivable), so "RAM" durability upgrades to storage while the flush
+  * policy stays the reference's.
+  *
+  * Accounting runs on the driver (foreachBatch context — counters only;
+  * the data path stays distributed): rows ride the staging write's own
+  * `Observation`, bytes come from the staged fileset's length. The age
+  * check runs once per trigger, so an idle stream flushes at trigger
+  * granularity after `maxAgeMs` — call [[flush]] directly for an
+  * immediate drain (e.g. at shutdown, matching CH's flush-on-detach). */
+final class BufferSink(
+    val target: OlapTable,
+    stagingDir: String,
+    maxRows: Long = 100000L,
+    maxBytes: Long = 64L << 20,
+    maxAgeMs: Long = 1000L) {
+
+  private val spark = target.spark
+  private val stagePath = new Path(stagingDir)
+  private val fs = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private var pendingRows = 0L
+  private var pendingBytes = 0L
+  private var oldestStagedMs = -1L
+  @volatile private var nFlushes = 0L
+
+  /** (rows, bytes) currently staged and unflushed. */
+  def pending: (Long, Long) = synchronized((pendingRows, pendingBytes))
+  /** How many flushes have run (monitoring/tests). */
+  def flushes: Long = nFlushes
+
+  /** Stage one micro-batch, then flush if a threshold crossed. */
+  def add(batch: DataFrame): Unit = synchronized {
+    val obs = org.apache.spark.sql.Observation()
+    batch.observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").parquet(stagingDir)
+    pendingRows += obs.get("n").asInstanceOf[Long]
+    pendingBytes = fs.getContentSummary(stagePath).getLength
+    if (oldestStagedMs < 0) oldestStagedMs = System.currentTimeMillis()
+    maybeFlush()
+  }
+
+  /** Flush when rows ≥ maxRows, bytes ≥ maxBytes, or the oldest staged
+    * batch is older than maxAgeMs. Returns true iff a flush ran. */
+  def maybeFlush(): Boolean = synchronized {
+    val stale = oldestStagedMs >= 0 &&
+      System.currentTimeMillis() - oldestStagedMs >= maxAgeMs
+    if (pendingRows > 0 &&
+        (pendingRows >= maxRows || pendingBytes >= maxBytes || stale)) {
+      flush(); true
+    } else false
+  }
+
+  /** Drain the stage into the target unconditionally (CH flushes the
+    * buffer on detach/shutdown the same way). */
+  def flush(): Unit = synchronized {
+    if (pendingRows > 0) {
+      val staged = spark.read.parquet(stagingDir)
+      target.insert(staged, OlapTable.InsertStrategy.FailFast,
+        dlqSource = "buffer-flush")
+      fs.delete(stagePath, true)
+      pendingRows = 0L
+      pendingBytes = 0L
+      oldestStagedMs = -1L
+      nFlushes += 1
+    }
+  }
+
+  /** Attach to a stream: every micro-batch stages through [[add]]; the
+    * trigger cadence doubles as the age-check cadence. Replay-safe via
+    * [[BatchCommitLog]]. */
+  def attach(
+      stream: DataFrame,
+      checkpoint: String,
+      triggerInterval: String = "1 second"): StreamingQuery = {
+    val log = new BatchCommitLog(spark, s"$checkpoint/graft-batch-commits")
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        log.runOnce(batchId)(add(batch))
+        maybeFlush() // age check fires even for replayed/empty batches
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.StreamingQueries
 import graft.operators.StreamingQueries.{Bar, Event}
-import graft.streaming.{BatchCommitLog, DeadLetter, MooseStream, StreamTransforms}
+import graft.streaming.{BatchCommitLog, BufferSink, DeadLetter, MooseStream, StreamTransforms}
 import graft.table.{OlapTable, TableEngine}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -142,6 +142,65 @@ class StreamingSpec extends AnyFunSuite {
       target.insert(mv.partials(events), OlapTable.InsertStrategy.FailFast)
     }
     assert(!ran && target.read().count() == dims)
+  }
+
+  test("Buffer engine: rows threshold flushes before the timer; bytes and age dials work (S13)") {
+    import graft.schema.{MooseColumn, MooseSchema, MooseType}
+    val wh = Files.createTempDirectory("bufwh").toString
+    def mkTable(name: String) = new OlapTable(spark, OlapTable.Config(
+      name, MooseSchema(Seq(
+        MooseColumn("id", MooseType.MInt64, primaryKey = true),
+        MooseColumn("v", MooseType.MFloat64))),
+      TableEngine.MergeTree, orderBy = Seq("id")), wh)
+
+    // rows dial: maxAge effectively infinite, so only the row threshold
+    // can trigger — 800 rows stage, +700 crosses 1000 and flushes
+    val t1 = mkTable("buf_rows")
+    val b1 = new BufferSink(t1, Files.createTempDirectory("bufstage1").toString,
+      maxRows = 1000, maxBytes = Long.MaxValue, maxAgeMs = Long.MaxValue)
+    b1.add((1 to 800).map(i => (i.toLong, i * 1.0)).toDF("id", "v"))
+    assert(b1.flushes == 0 && b1.pending._1 == 800 && t1.read().count() == 0)
+    b1.add((801 to 1500).map(i => (i.toLong, i * 1.0)).toDF("id", "v"))
+    assert(b1.flushes == 1 && b1.pending._1 == 0)
+    assert(t1.read().count() == 1500)
+
+    // bytes dial: 1-byte budget means every add flushes immediately
+    val t2 = mkTable("buf_bytes")
+    val b2 = new BufferSink(t2, Files.createTempDirectory("bufstage2").toString,
+      maxRows = Long.MaxValue, maxBytes = 1L, maxAgeMs = Long.MaxValue)
+    b2.add(Seq((1L, 1.0)).toDF("id", "v"))
+    assert(b2.flushes == 1 && t2.read().count() == 1)
+
+    // age dial: below rows/bytes thresholds, a stale buffer still drains
+    val t3 = mkTable("buf_age")
+    val b3 = new BufferSink(t3, Files.createTempDirectory("bufstage3").toString,
+      maxRows = Long.MaxValue, maxBytes = Long.MaxValue, maxAgeMs = 0L)
+    b3.add(Seq((1L, 1.0)).toDF("id", "v"))
+    assert(b3.flushes == 1 && t3.read().count() == 1)
+  }
+
+  test("Buffer engine attached to a stream flushes by rows mid-stream (S13)") {
+    import graft.schema.{MooseColumn, MooseSchema, MooseType}
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("bufswh").toString
+    val t = new OlapTable(spark, OlapTable.Config(
+      "buf_stream", MooseSchema(Seq(
+        MooseColumn("id", MooseType.MInt64, primaryKey = true),
+        MooseColumn("v", MooseType.MFloat64))),
+      TableEngine.MergeTree, orderBy = Seq("id")), wh)
+    val sink = new BufferSink(t, Files.createTempDirectory("bufsstage").toString,
+      maxRows = 10, maxBytes = Long.MaxValue, maxAgeMs = Long.MaxValue)
+    val mem = MemoryStream[(Long, Double)]
+    val q = sink.attach(mem.toDS().toDF("id", "v"),
+      Files.createTempDirectory("bufsck").toString)
+    mem.addData((1L to 4L).map(i => (i, i * 1.0)): _*)
+    q.processAllAvailable()
+    assert(sink.flushes == 0 && t.read().count() == 0) // below threshold
+    mem.addData((5L to 12L).map(i => (i, i * 1.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    // 12 staged rows crossed maxRows=10 -> flushed BEFORE any timer
+    assert(sink.flushes == 1 && t.read().count() == 12)
   }
 
   test("BatchCommitLog runs a batch body exactly once per id") {
