@@ -40,6 +40,19 @@ object OlapTable {
   val deadLetterColumns: Seq[String] =
     Seq("originalRecord", "errorMessage", "errorType", "failedAt", "source")
 
+  /** CH projection analogue (ref olapTable.ts:20-34): an alternative
+    * physical layout of the same rows — re-sorted by its own key, and
+    * optionally column-pruned — materialized beside the table and picked
+    * by [[OlapTable.readFor]] when a query's access key matches. In CH,
+    * projections live inside each part and refresh at merge time; here
+    * they refresh at [[OlapTable.optimizeFinal]] /
+    * [[OlapTable.materializeProjections]] time (the explicit merge). */
+  final case class Projection(
+      name: String,
+      sortBy: Seq[String],
+      /** Empty ⇒ all stored columns. */
+      columns: Seq[String] = Nil)
+
   final case class Config(
       name: String,
       schema: MooseSchema,
@@ -64,7 +77,10 @@ object OlapTable {
         * [[OlapTable.sampleRead]] serves `SAMPLE f` queries. Approximate
         * parity — row-level Bernoulli sampling instead of CH's hash-range
         * storage sampling (DIVERGENCES.md #13). */
-      sampleBy: Option[String] = None)
+      sampleBy: Option[String] = None,
+      /** Alternative sorted layouts (ref olapTable.ts:20-34), refreshed at
+        * optimizeFinal time and served by [[OlapTable.readFor]]. */
+      projections: Seq[OlapTable.Projection] = Nil)
 }
 
 final class OlapTable(
@@ -318,6 +334,64 @@ final class OlapTable(
     val tmp = path + "__optimized"
     finalRows.write.mode("overwrite").parquet(tmp)
     swapInto(tmp)
+    materializeProjections()
+  }
+
+  // ---------------------------------------------------------- projections
+  private def projectionPath(p: Projection): String =
+    s"${path}__proj_${p.name}"
+
+  /** Materialize/refresh every declared projection from the CURRENT
+    * stored rows: range-partitioned then sorted by the projection key, so
+    * each output file covers a disjoint key range and a key predicate
+    * prunes to ~1/numRanges of the data via parquet min/max footers —
+    * CH's merge-time projection rebuild, run explicitly (it shares
+    * optimizeFinal's compaction cadence). */
+  def materializeProjections(numRanges: Int = 8): Unit =
+    config.projections.foreach { p =>
+      val cols =
+        if (p.columns.nonEmpty) p.columns
+        else config.schema.columns.filter(_.aliasExpr.isEmpty).map(_.name)
+      read().select(cols.map(col): _*)
+        .repartitionByRange(numRanges, p.sortBy.map(col): _*)
+        .sortWithinPartitions(p.sortBy.map(col): _*)
+        .write.mode("overwrite").parquet(projectionPath(p))
+    }
+
+  /** A projection serves reads only while it reflects every base write:
+    * any base file newer than the projection's newest file ⇒ stale ⇒
+    * fall back to the base (CH keeps projections transactionally in-part;
+    * the parquet-dir analogue is this mtime watermark — a table-format
+    * snapshot id at cluster scale). */
+  private def projectionFresh(p: Projection): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def newest(dir: String): Long = {
+      val d = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(d)) -1L
+      else fs.listStatus(d).map(_.getModificationTime).maxOption.getOrElse(-1L)
+    }
+    val proj = newest(projectionPath(p))
+    proj >= 0 && proj >= newest(path)
+  }
+
+  /** Projection-aware read (the query-side half of CH's automatic
+    * projection selection): serve from the first fresh projection whose
+    * sort key starts with `accessKeys` and whose columns cover `needed`
+    * (empty ⇒ caller wants all stored columns); otherwise the base table.
+    * MergeTree reads only — engines with FINAL semantics must compact
+    * first (optimizeFinal refreshes projections afterwards). */
+  def readFor(accessKeys: Seq[String], needed: Seq[String] = Nil): DataFrame = {
+    val stored = config.schema.columns.filter(_.aliasExpr.isEmpty).map(_.name)
+    val want = if (needed.nonEmpty) needed else stored
+    config.projections
+      .find { p =>
+        val has = if (p.columns.nonEmpty) p.columns else stored
+        p.sortBy.startsWith(accessKeys) && want.forall(has.contains) &&
+          projectionFresh(p)
+      }
+      .map(p => spark.read.parquet(projectionPath(p)).select(want.map(col): _*))
+      .getOrElse(read().select(want.map(col): _*))
   }
 
   /** Engine FINAL-read view (deterministic; SURVEY §4). */

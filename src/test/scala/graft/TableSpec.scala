@@ -145,6 +145,59 @@ class TableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { s.optimizeFinal() }
   }
 
+  test("projections: key-matched sorted copy serves reads with a reduced scan; stale falls back") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val wh = tmpWarehouse()
+    val schema = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("k", MooseType.MInt64),
+      MooseColumn("v", MooseType.MFloat64)))
+    val t = new OlapTable(spark, OlapTable.Config("proj_t", schema,
+      TableEngine.MergeTree, orderBy = Seq("id"),
+      projections = Seq(OlapTable.Projection("by_k", Seq("k")))), wh)
+    // k is uncorrelated with the id sort order, so the BASE layout has
+    // every k in every file; the projection re-clusters by k
+    val n = 4000
+    t.insert((1 to n).map(i => (i.toLong, (i * 7919L) % 40, i * 1.0))
+      .toDF("id", "k", "v"), OlapTable.InsertStrategy.FailFast)
+    t.materializeProjections()
+
+    // key matches + fresh ⇒ served from the projection fileset
+    val viaProj = t.readFor(Seq("k"))
+    assert(viaProj.inputFiles.nonEmpty &&
+      viaProj.inputFiles.forall(_.contains("__proj_by_k")))
+    // identical answers either way
+    val agg = (df: org.apache.spark.sql.DataFrame) =>
+      df.where($"k" === 7).agg(sum($"v")).head.getDouble(0)
+    assert(agg(viaProj) == agg(t.read()))
+
+    // reduced scan: the k-clustered copy prunes row groups via parquet
+    // min/max; the base layout cannot
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      val q = df.where($"k" === 7)
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: FileSourceScanExec =>
+          f.metrics("numOutputRows").value }.get
+    }
+    val projScan = scanRows(t.readFor(Seq("k")))
+    val baseScan = scanRows(t.read())
+    assert(projScan < baseScan / 2,
+      s"projection scan $projScan not < half of base scan $baseScan")
+
+    // non-matching key or uncovered column ⇒ base table
+    assert(t.readFor(Seq("v")).inputFiles.exists(!_.contains("__proj")))
+    // a later append makes the projection stale ⇒ base table until the
+    // next materialize/optimize refresh
+    Thread.sleep(10)
+    t.insert(Seq((100000L, 7L, 1.0)).toDF("id", "k", "v"),
+      OlapTable.InsertStrategy.FailFast)
+    assert(t.readFor(Seq("k")).inputFiles.exists(!_.contains("__proj")))
+    t.materializeProjections()
+    assert(t.readFor(Seq("k")).inputFiles.forall(_.contains("__proj_by_k")))
+    assert(agg(t.readFor(Seq("k"))) == agg(t.read()))
+  }
+
   test("Collapsing + VersionedCollapsing FINAL semantics") {
     val df = Seq(
       ("u1", 1, 10.0, 1L), ("u1", -1, 10.0, 2L), ("u1", 1, 30.0, 3L),
