@@ -107,7 +107,35 @@ object EngineQueries {
       .orderBy(col("day"))
   }
 
+  /** S12 IcebergS3 (ref olapTable.ts:620-639): write nation as an
+    * Iceberg-layout table (parquet data + Avro manifests, public spec),
+    * plan + read it back via [[graft.sources.IcebergRead]], and emit a
+    * check frame the DuckDB oracle verifies against the source table —
+    * `matches_direct` proves the metadata walk found exactly the live
+    * files. */
+  def qIcebergRead(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val tmp = java.nio.file.Files.createTempDirectory("iceberg_q").toString
+    graft.sources.IcebergWrite.createTable(nation.repartition(2), tmp)
+    val back = graft.sources.IcebergRead.table(spark, tmp)
+    val (nIce, sumIce) = {
+      val r = back.agg(count(lit(1)), sum(col("n_nationkey"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (nDir, sumDir) = {
+      val r = nation.agg(count(lit(1)), sum(col("n_nationkey"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val planned = graft.sources.IcebergRead.planFiles(spark, tmp)
+    import spark.implicits._
+    Seq((nIce, sumIce,
+        nIce == nDir && sumIce == sumDir,
+        planned.map(_.recordCount).sum == nDir))
+      .toDF("n_rows", "sum_key", "matches_direct", "plan_counts_match")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_iceberg_read" -> (qIcebergRead _),
     "q_replacing_final" -> (qReplacingFinal _),
     "q_summing" -> (qSumming _),
     "q_collapsing" -> (qCollapsing _),
@@ -117,6 +145,10 @@ object EngineQueries {
     "q_aggstate_merge" -> (qAggstateMerge _))
 
   def oracles: Map[String, String] = Map(
+    "q_iceberg_read" ->
+      """SELECT count(*) AS n_rows, sum(n_nationkey) AS sum_key,
+        |  true AS matches_direct, true AS plan_counts_match
+        |FROM nation""".stripMargin,
     "q_replacing_final" ->
       """SELECT user_id, event_type, event_id, value, ts FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type

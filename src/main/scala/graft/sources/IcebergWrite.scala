@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Iceberg-LAYOUT writer: materializes a DataFrame as a single-snapshot
+  * v2 table directory per the public spec — parquet data files, an Avro
+  * manifest + manifest list ([[AvroContainer.writeFile]]), vN metadata
+  * JSON and version-hint. Round-trips through [[IcebergRead]].
+  *
+  * Fixture-grade, stated plainly: the parquet files carry no Iceberg
+  * field-ids and the manifests carry the spec's required fields only, so
+  * strict foreign readers that resolve columns by field-id may refuse it.
+  * It exists to (a) exercise the read path end-to-end without the Iceberg
+  * runtime and (b) export engine tables into an Iceberg-shaped layout a
+  * catalog can adopt. Local-path tables only (test/fixture scale).
+  */
+object IcebergWrite {
+
+  val manifestSchema =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"]},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"}]}}]}"""
+      .stripMargin.replaceAll("\n", "")
+
+  val manifestListSchema =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"added_rows_count","type":["null","long"]}]}"""
+      .stripMargin.replaceAll("\n", "")
+
+  /** Write `df` as a fresh Iceberg-layout table at `dir` (local path). */
+  def createTable(df: DataFrame, dir: String, codec: String = "null"): Unit = {
+    val spark = df.sparkSession
+    val dataDir = s"$dir/data/s1"
+    df.write.mode("overwrite").parquet(dataDir)
+    // per-file row counts in ONE job (no per-file driver loop)
+    val counts: Seq[(String, Long)] = spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val meta = Paths.get(dir, "metadata")
+    Files.createDirectories(meta)
+    val entries = counts.map { case (path, n) =>
+      val rel = "data/s1/" + path.substring(path.lastIndexOf('/') + 1)
+      Map[String, Any]("status" -> 1, "snapshot_id" -> 1L,
+        "data_file" -> Map[String, Any]("content" -> 0, "file_path" -> rel,
+          "file_format" -> "PARQUET", "record_count" -> n,
+          "file_size_in_bytes" -> 1L))
+    }
+    Files.write(meta.resolve("m1.avro"),
+      AvroContainer.writeFile(manifestSchema, entries, codec))
+    Files.write(meta.resolve("snap-1.avro"),
+      AvroContainer.writeFile(manifestListSchema,
+        Seq(Map[String, Any]("manifest_path" -> "metadata/m1.avro",
+          "manifest_length" -> 1L, "partition_spec_id" -> 0,
+          "content" -> 0,
+          "added_rows_count" -> counts.map(_._2).sum)), codec))
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"graft","location":"$dir",
+         |"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,
+         |  "manifest-list":"metadata/snap-1.avro",
+         |  "summary":{"operation":"append"}}]}""".stripMargin
+    Files.write(meta.resolve("v1.metadata.json"),
+      metadataJson.getBytes("UTF-8"))
+    Files.write(meta.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+  }
+}

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.table.OlapTable
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -68,6 +69,35 @@ object KafkaWire {
         lit(null).cast(schema)).otherwise(parsed.dropFields("__corrupt"))
     }
     val name = "json"
+  }
+
+  /** Avro-binary wire encoding (ref stream.ts:143-153 offers avro per
+    * stream) — hand-rolled to the public Avro 1.11 binary spec as native
+    * expressions ([[graft.functions.AvroBinaryEncode]]); no connector
+    * jars. Reader schema must equal writer schema;
+    * [[graft.functions.WireCodecs.avscOf]] emits the .avsc a foreign
+    * producer pins against. */
+  object AvroWire extends WireFormat {
+    def encode(record: Column): Column =
+      Bridge.column(graft.functions.AvroBinaryEncode(Bridge.expression(record)))
+    def decode(value: Column, schema: StructType): Column =
+      Bridge.column(
+        graft.functions.AvroBinaryDecode(Bridge.expression(value), schema))
+    val name = "avro"
+  }
+
+  /** Protobuf wire encoding (ref stream.ts:143-153) — hand-rolled to the
+    * public protobuf encoding doc; field numbers are the struct's column
+    * order (1..n, evolution = append), unknown fields are skipped on
+    * decode (extra-fields tolerance), missing fields decode NULL.
+    * [[graft.functions.WireCodecs.protoOf]] emits the .proto contract. */
+  object ProtoWire extends WireFormat {
+    def encode(record: Column): Column =
+      Bridge.column(graft.functions.ProtoEncode(Bridge.expression(record)))
+    def decode(value: Column, schema: StructType): Column =
+      Bridge.column(
+        graft.functions.ProtoDecode(Bridge.expression(value), schema))
+    val name = "protobuf"
   }
 
   /** Producer side: typed records → Kafka-shaped frame for `topic`.

@@ -16,23 +16,39 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val sfDir = "/root/testdata/sf0.1"
+    // Partition count must scale with data volume so each shuffle
+    // partition stays roughly constant-sized — a fixed 32 at factor 50
+    // measured an OOM in the shingle-join's spill readers (partitions 50×
+    // the tuned size). On a real cluster this is AQE + a coalesce target;
+    // here the explicit factor-scaled count plays that role.
+    val shufflePartitions = 32 * math.max(1, factor / 8)
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def amplify(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    /** N× replication with shifted keys and an optional per-copy tweak.
+      * The tweak exists because blind replication makes some workloads
+      * degenerate, not just bigger: ×N identical texts turn every doc into
+      * an N-way exact-dup group (LSH buckets grow ×N ⇒ candidate pairs
+      * ×N²), and ×N identical vectors give every query N−1 cosine-1.0
+      * neighbors. Decorrelating copies keeps the dup-rate/neighbor
+      * structure of the original distribution while scaling volume. */
+    def amplifyWith(df: DataFrame, keyCols: Seq[String])(
+        tweak: (DataFrame, Int) => DataFrame): DataFrame = {
       val maxes = keyCols.map(k => df.agg(max(col(k))).head.getLong(0) + 1)
       (0 until factor).map { i =>
-        keyCols.zip(maxes).foldLeft(df) { case (d, (k, m)) =>
+        tweak(keyCols.zip(maxes).foldLeft(df) { case (d, (k, m)) =>
           d.withColumn(k, col(k) + lit(i * m))
-        }
+        }, i)
       }.reduce(_ unionByName _)
     }
+    def amplify(df: DataFrame, keyCols: Seq[String]): DataFrame =
+      amplifyWith(df, keyCols)((d, _) => d)
 
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -67,6 +83,54 @@ object Stress {
     time("exact dedup (documents amplified)") {
       val docs = amplify(Tables.load(spark, sfDir, "documents"), Seq("doc_id"))
       Dedup.exactDuplicates(docs, "doc_id", "text").count()
+    }
+
+    // --- dedup/ANN family: decorrelated copies (see amplifyWith note) ---
+    // Texts: a per-copy salt token between every pair of words makes every
+    // shingle copy-local (cross-copy Jaccard ≈ 0), so the candidate volume
+    // scales ×N with the corpus, not ×N².
+    val docsSalted = amplifyWith(
+      Tables.load(spark, sfDir, "documents"), Seq("doc_id")) { (d, i) =>
+      d.withColumn("text", regexp_replace(col("text"), " ", s" s$i "))
+    }
+    time("minhash-LSH near-dup (salted copies, dup-rate preserved)") {
+      Dedup.minhashDedupPairs(docsSalted, "doc_id", "text").count()
+    }
+    // SimHash pair ENUMERATION is not stressable on this corpus: the
+    // synthetic bag-of-words docs share vocabulary and frequencies, so
+    // every doc-pair lands within Hamming 3 (measured: exactly C(5000,2)
+    // pairs at 1×, i.e. all-pairs) and the output itself is quadratic.
+    // Stress the scalable stages instead — signature computation and band
+    // bucketing — and report the max bucket size, which is the quantity
+    // that decides whether the downstream pair join is feasible.
+    time("simhash signatures + band buckets (salted copies)") {
+      val sig = Dedup.simhash(docsSalted, "doc_id", "text")
+      val buckets = sig.select(col("id"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("simhash"), b * 16)
+                .bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("bk"))
+        .groupBy(col("bk.band"), col("bk.bv")).agg(count(lit(1)).as("n"))
+      val top = buckets.agg(max(col("n"))).head.getLong(0)
+      println(s"[stress]   simhash max band-bucket size: $top")
+      sig.count()
+    }
+    // Vectors: deterministic element-indexed perturbation per copy keeps
+    // copies from being exact neighbors of each other.
+    val emb = amplifyWith(
+      Tables.load(spark, sfDir, "embeddings"), Seq("vec_id")) { (d, i) =>
+      d.withColumn("embedding",
+        transform(col("embedding"),
+          (x, j) => (x + sin((j + 1) * (i + 1)) * lit(0.1)).cast("float")))
+    }
+    // Copy 0 keeps the original ids, so this is the SAME 20 queries at
+    // every factor — corpus size scales, query load doesn't.
+    val queries = emb.where(col("vec_id") < 20)
+    time("kNN LSH 16x4 (embeddings amplified)") {
+      Similarity.knnLsh(emb, queries, bits = 4, k = 10, tables = 16).count()
+    }
+    time("kNN IVF 8/2 (embeddings amplified)") {
+      Similarity.knnIvf(emb, queries, nCells = 8, nProbe = 2, k = 10).count()
     }
     spark.stop()
   }

@@ -237,6 +237,95 @@ class EngineIoSpec extends AnyFunSuite {
     assert(byType == Map("ValidationError" -> 1L, "DeserializationError" -> 1L))
   }
 
+  test("Avro and Protobuf wires: typed round-trip through the topic seam; corrupt bytes -> NULL (T11)") {
+    import graft.streaming.KafkaWire
+    import graft.streaming.KafkaWire.{AvroWire, ProtoWire}
+    val recs = Seq(
+        (1L, Some("free"), 1.5, Seq(1L, 2L)),
+        (2L, None, 2.5, Seq.empty[Long]))
+      .toDF("id", "tier", "v", "xs")
+    val recSchema = recs.schema
+    for (wire <- Seq[KafkaWire.WireFormat](AvroWire, ProtoWire)) {
+      val frame = KafkaWire.toTopic(recs, "t_bin", wire)
+      assert(frame.schema("value").dataType == BinaryType)
+      val back = KafkaWire.decoded(frame, recSchema, wire)
+        .orderBy("id").collect()
+      assert(back.length == 2, wire.name)
+      assert(back(0).getLong(0) == 1L && back(0).getString(1) == "free" &&
+        back(0).getDouble(2) == 1.5 &&
+        back(0).getSeq[Long](3) == Seq(1L, 2L), wire.name)
+      assert(back(1).isNullAt(1) && back(1).getSeq[Long](3).isEmpty, wire.name)
+
+      // corrupt + truncated bytes are dropped by decoded(), not errors
+      val goodBytes = frame.select("value").head.getAs[Array[Byte]](0)
+      val junk = Seq(
+          Array[Byte](0x7f.toByte, 0x33, 0x01),
+          goodBytes.take(math.max(1, goodBytes.length - 3)))
+        .toDF("value")
+        .select(lit(null).cast("binary").as("key"), col("value"),
+          lit("t").as("topic"), lit(0).as("partition"), lit(0L).as("offset"),
+          current_timestamp().as("timestamp"))
+      assert(KafkaWire.decoded(junk, recSchema, wire).count() <= 1, wire.name)
+      assert(KafkaWire.withDecoded(junk, recSchema, wire)
+        .where(col("__record").isNull).count() >= 1, wire.name)
+    }
+  }
+
+  test("Protobuf wire evolution: extra fields skipped, missing fields NULL at the seam (T11)") {
+    import graft.streaming.KafkaWire
+    import graft.streaming.KafkaWire.ProtoWire
+    val wide = Seq((1L, "free", 9.9)).toDF("id", "tier", "extra")
+    val narrowSchema = StructType(Seq(StructField("id", LongType),
+      StructField("tier", StringType)))
+    val r = KafkaWire.decoded(
+      KafkaWire.toTopic(wide, "t", ProtoWire), narrowSchema, ProtoWire).head
+    assert(r.getLong(0) == 1L && r.getString(1) == "free")
+    val narrow = Seq((2L, "pro")).toDF("id", "tier")
+    val wideSchema = StructType(narrowSchema.fields :+
+      StructField("extra", DoubleType))
+    val r2 = KafkaWire.decoded(
+      KafkaWire.toTopic(narrow, "t", ProtoWire), wideSchema, ProtoWire).head
+    assert(r2.getLong(0) == 2L && r2.isNullAt(2))
+  }
+
+  test("Avro wire drives syncToTable: corrupt avro bytes -> DeserializationError DLQ (S11/T11)") {
+    import graft.streaming.KafkaWire
+    import graft.streaming.KafkaWire.AvroWire
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val wh = tmp("kavrowh")
+    val tableSchema = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("v", MooseType.MFloat64)))
+    val table = new OlapTable(spark,
+      OlapTable.Config("kavro_landing", tableSchema, TableEngine.MergeTree,
+        orderBy = Seq("id")), wh)
+    val dlq = new OlapTable(spark,
+      OlapTable.Config("kavro_dlq", MooseSchema(Seq(
+        MooseColumn("originalRecord", MooseType.MJson),
+        MooseColumn("errorMessage", MooseType.MString),
+        MooseColumn("errorType", MooseType.MString),
+        MooseColumn("failedAt", MooseType.MDateTime()),
+        MooseColumn("source", MooseType.MString)))), wh)
+    // producer-side bytes: two valid avro records + one garbage payload
+    val valid = KafkaWire.toTopic(
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), "kavro", AvroWire)
+      .select("value").as[Array[Byte]].collect()
+    val mem = MemoryStream[Array[Byte]]
+    val topicFrame = mem.toDF()
+      .select(lit(null).cast("binary").as("key"), col("value"),
+        lit("kavro").as("topic"), lit(0).as("partition"),
+        xxhash64(col("value")).as("offset"),
+        current_timestamp().as("timestamp"))
+    val q = KafkaWire.syncToTable(topicFrame, table, dlq, tmp("kavro_ck"),
+      wire = AvroWire)
+    mem.addData(valid(0), valid(1), Array[Byte](0x7f, 0x33))
+    try q.processAllAvailable() finally q.stop()
+    assert(table.read().count() == 2)
+    assert(dlq.read().where(col("errorType") === "DeserializationError")
+      .count() == 1)
+  }
+
   test("2.8 shims: dateDiff / formatDateTime / toLowerCase in SQL") {
     ClickHouseFunctions.register(spark)
     val r = spark.sql(ClickHouseFunctions.rewriteDialect(

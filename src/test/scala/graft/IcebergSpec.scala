@@ -1,0 +1,153 @@
+package graft
+
+import graft.sources.{AvroContainer, IcebergRead}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** S12: Iceberg read path over a hand-built fixture table laid out per the
+  * public Iceberg spec — parquet data files, Avro manifests/manifest list
+  * (written by [[AvroContainer.writeFile]], read back by the generic
+  * embedded-writer-schema decoder), vN metadata JSON + version-hint. */
+class IcebergSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  // Iceberg spec manifest schemas, abridged to the fields the planner
+  // reads (a real manifest carries more — unknown fields are simply extra
+  // record fields here, and the generic decoder reads by writer schema, so
+  // abridgement is faithful to the read contract).
+  private val manifestSchema = graft.sources.IcebergWrite.manifestSchema
+  private val manifestListSchema = graft.sources.IcebergWrite.manifestListSchema
+
+  private def entry(status: Int, path: String, rows: Long,
+      content: Int = 0): Map[String, Any] =
+    Map("status" -> status, "snapshot_id" -> 7L,
+      "data_file" -> Map("content" -> content, "file_path" -> path,
+        "file_format" -> "PARQUET", "record_count" -> rows,
+        "file_size_in_bytes" -> 1L))
+
+  private def listEntry(path: String, content: Int = 0): Map[String, Any] =
+    Map("manifest_path" -> path, "manifest_length" -> 1L,
+      "partition_spec_id" -> 0, "content" -> content,
+      "added_rows_count" -> 3L)
+
+  /** Build a 2-snapshot table: snap 7 = files A+B; snap 8 = B deleted,
+    * C added. Returns the table dir. */
+  private def fixture(codec: String): String = {
+    val dir = Files.createTempDirectory("iceberg_t").toString
+    val meta = Paths.get(dir, "metadata")
+    Files.createDirectories(meta)
+    Files.createDirectories(Paths.get(dir, "data"))
+    def writeData(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "k").coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/data/$name")
+    writeData("A", Seq((1L, "a"), (2L, "b")))
+    writeData("B", Seq((3L, "c")))
+    writeData("C", Seq((4L, "d"), (5L, "e")))
+    def firstParquet(name: String): String = {
+      val d = new java.io.File(s"$dir/data/$name")
+      "data/" + name + "/" +
+        d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).head
+    }
+    def writeManifest(name: String, entries: Seq[Map[String, Any]]): String = {
+      Files.write(meta.resolve(name),
+        AvroContainer.writeFile(manifestSchema, entries, codec))
+      s"metadata/$name"
+    }
+    val m7 = writeManifest("m7.avro", Seq(
+      entry(1, firstParquet("A"), 2L), entry(1, firstParquet("B"), 1L)))
+    val m8 = writeManifest("m8.avro", Seq(
+      entry(0, firstParquet("A"), 2L), entry(2, firstParquet("B"), 1L),
+      entry(1, firstParquet("C"), 2L)))
+    def writeList(name: String, manifests: Seq[String]): String = {
+      Files.write(meta.resolve(name),
+        AvroContainer.writeFile(
+          manifestListSchema, manifests.map(listEntry(_)), codec))
+      s"metadata/$name"
+    }
+    val l7 = writeList("snap-7.avro", Seq(m7))
+    val l8 = writeList("snap-8.avro", Seq(m8))
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"t","location":"$dir",
+         |"current-snapshot-id":8,
+         |"snapshots":[
+         |  {"snapshot-id":7,"manifest-list":"$l7","summary":{"operation":"append"}},
+         |  {"snapshot-id":8,"manifest-list":"$l8","summary":{"operation":"overwrite"}}
+         |]}""".stripMargin
+    Files.write(meta.resolve("v2.metadata.json"),
+      metadataJson.getBytes("UTF-8"))
+    Files.write(meta.resolve("version-hint.text"), "2".getBytes("UTF-8"))
+    dir
+  }
+
+  test("current snapshot reads live files only (deleted entry dropped, added included)") {
+    val dir = fixture("null")
+    val df = IcebergRead.table(spark, dir)
+    assert(df.select(sum($"id")).head.getLong(0) == 1L + 2L + 4L + 5L)
+    assert(df.count() == 4)
+    val plan = IcebergRead.planFiles(spark, dir)
+    assert(plan.map(_.recordCount).sum == 4L)
+  }
+
+  test("time travel: explicit snapshotId reads that snapshot's files") {
+    val dir = fixture("null")
+    val df = IcebergRead.table(spark, dir, snapshotId = Some(7L))
+    assert(df.select(sum($"id")).head.getLong(0) == 1L + 2L + 3L)
+  }
+
+  test("deflate-codec manifests decode identically") {
+    val dir = fixture("deflate")
+    assert(IcebergRead.table(spark, dir).count() == 4)
+  }
+
+  test("delete manifests are refused, not silently ignored") {
+    val dir = fixture("null")
+    val meta = Paths.get(dir, "metadata")
+    // append a delete manifest (content=1) to the current manifest list
+    val mD = "mD.avro"
+    Files.write(meta.resolve(mD),
+      AvroContainer.writeFile(manifestSchema,
+        Seq(entry(1, "data/del.parquet", 1L, content = 1))))
+    Files.write(meta.resolve("snap-8.avro"),
+      AvroContainer.writeFile(manifestListSchema,
+        Seq(listEntry("metadata/m8.avro"),
+          listEntry(s"metadata/$mD", content = 1))))
+    intercept[UnsupportedOperationException] {
+      IcebergRead.planFiles(spark, dir)
+    }
+  }
+
+  test("avro container round-trip: schema fidelity incl. enum/fixed/map/union") {
+    val schema =
+      """{"type":"record","name":"kitchen","fields":[
+        |{"name":"e","type":{"type":"enum","name":"E","symbols":["X","Y"]}},
+        |{"name":"f","type":{"type":"fixed","name":"F","size":3}},
+        |{"name":"m","type":{"type":"map","values":"long"}},
+        |{"name":"u","type":["null","string","long"]},
+        |{"name":"xs","type":{"type":"array","items":"double"}}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val recs = Seq(
+      Map("e" -> "Y", "f" -> Array[Byte](1, 2, 3),
+        "m" -> Map("a" -> 1L, "b" -> 2L), "u" -> "str",
+        "xs" -> Seq(1.5, 2.5)),
+      Map("e" -> "X", "f" -> Array[Byte](4, 5, 6),
+        "m" -> Map.empty[String, Any], "u" -> null,
+        "xs" -> Seq.empty[Any]),
+      Map("e" -> "X", "f" -> Array[Byte](7, 8, 9),
+        "m" -> Map("z" -> 9L), "u" -> 42L, "xs" -> Seq(0.0)))
+    val bytes = AvroContainer.writeFile(schema, recs)
+    val (_, back) = AvroContainer.readFile(bytes)
+    assert(back.length == 3)
+    val b0 = back(0).asInstanceOf[Map[String, Any]]
+    assert(b0("e") == "Y" &&
+      b0("f").asInstanceOf[Array[Byte]].toSeq == Seq[Byte](1, 2, 3) &&
+      b0("m") == Map("a" -> 1L, "b" -> 2L) && b0("u") == "str" &&
+      b0("xs") == Seq(1.5, 2.5))
+    val b1 = back(1).asInstanceOf[Map[String, Any]]
+    assert(b1("u") == null && b1("xs") == Seq.empty &&
+      b1("m") == Map.empty[String, Any])
+    assert(back(2).asInstanceOf[Map[String, Any]]("u") == 42L)
+  }
+}

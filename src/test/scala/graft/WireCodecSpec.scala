@@ -1,0 +1,171 @@
+package graft
+
+import graft.functions.WireCodecs
+import graft.functions.WireCodecs.{ByteReader, ByteWriter}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level codec tests against hand-computed vectors from the PUBLIC
+  * specs (Avro 1.11 binary encoding; protobuf encoding doc) — pinning the
+  * wire format itself, not just encode∘decode = id. */
+class WireCodecSpec extends AnyFunSuite {
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  test("varint / zigzag edge values round-trip") {
+    for (v <- Seq(0L, 1L, -1L, 127L, 128L, -64L, -65L,
+        Int.MaxValue.toLong, Long.MaxValue, Long.MinValue)) {
+      val w = new ByteWriter(); w.zigzag(v)
+      assert(new ByteReader(w.result()).zigzag() == v, s"zigzag $v")
+      val w2 = new ByteWriter(); w2.varint(v)
+      assert(new ByteReader(w2.result()).varint() == v, s"varint $v")
+    }
+    // spec vectors: zigzag(0)=0, zigzag(-1)=1, zigzag(1)=2, zigzag(-2)=3
+    def zz(v: Long): Seq[Byte] = { val w = new ByteWriter(); w.zigzag(v); w.result().toSeq }
+    assert(zz(0L) == Seq[Byte](0) && zz(-1L) == Seq[Byte](1) &&
+      zz(1L) == Seq[Byte](2) && zz(-2L) == Seq[Byte](3))
+  }
+
+  private val flat = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("s", StringType, nullable = false),
+    StructField("v", DoubleType, nullable = false)))
+
+  test("Avro pinned bytes: non-null record {id=1, s=\"ab\", v=1.5}") {
+    val row = new GenericInternalRow(
+      Array[Any](1L, UTF8String.fromString("ab"), 1.5))
+    val w = new ByteWriter()
+    WireCodecs.avroWrite(w, flat, row)
+    // long 1 → zigzag 0x02; string → len zigzag 0x04 + 'a''b';
+    // double 1.5 → IEEE bits little-endian: 0x3FF8000000000000 LE
+    assert(w.result().toSeq == (bytes(0x02, 0x04, 0x61, 0x62) ++
+      bytes(0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xF8, 0x3F)).toSeq)
+    val back = WireCodecs.avroRead(new ByteReader(w.result()), flat)
+      .asInstanceOf[InternalRow]
+    assert(back.getLong(0) == 1L && back.getUTF8String(1).toString == "ab" &&
+      back.getDouble(2) == 1.5)
+  }
+
+  test("Avro nullable union: index byte then value; null is index alone") {
+    val st = StructType(Seq(StructField("s", StringType, nullable = true)))
+    val w1 = new ByteWriter()
+    WireCodecs.avroWrite(w1, st,
+      new GenericInternalRow(Array[Any](UTF8String.fromString("x"))))
+    // union index 1 → zigzag 0x02, then len 1 + 'x'
+    assert(w1.result().toSeq == bytes(0x02, 0x02, 0x78).toSeq)
+    val w2 = new ByteWriter()
+    WireCodecs.avroWrite(w2, st, new GenericInternalRow(Array[Any](null)))
+    assert(w2.result().toSeq == bytes(0x00).toSeq)
+    assert(WireCodecs.avroRead(new ByteReader(w2.result()), st)
+      .asInstanceOf[InternalRow].isNullAt(0))
+  }
+
+  test("Avro array: block count, items, zero terminator; negative block count accepted") {
+    val st = ArrayType(LongType, containsNull = false)
+    val w = new ByteWriter()
+    WireCodecs.avroWrite(w, st, new GenericArrayData(Array[Any](3L, 4L)))
+    // count 2 → 0x04; items zigzag(3)=0x06 zigzag(4)=0x08; terminator 0x00
+    assert(w.result().toSeq == bytes(0x04, 0x06, 0x08, 0x00).toSeq)
+    // a writer using negative count + byte size (allowed by the spec)
+    val neg = new ByteWriter()
+    neg.zigzag(-2L); neg.varint(2L); neg.zigzag(3L); neg.zigzag(4L); neg.zigzag(0L)
+    val arr = WireCodecs.avroRead(new ByteReader(neg.result()), st)
+      .asInstanceOf[GenericArrayData]
+    assert(arr.toLongArray().toSeq == Seq(3L, 4L))
+  }
+
+  test("Proto pinned bytes: {id=1 → 08 02 (sint64), s=\"ab\" → 12 02 61 62}") {
+    val st = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val w = new ByteWriter()
+    WireCodecs.protoWrite(w, st,
+      new GenericInternalRow(Array[Any](1L, UTF8String.fromString("ab"))))
+    assert(w.result().toSeq == bytes(0x08, 0x02, 0x12, 0x02, 0x61, 0x62).toSeq)
+    val back = WireCodecs.protoRead(new ByteReader(w.result()), st)
+    assert(back.getLong(0) == 1L && back.getUTF8String(1).toString == "ab")
+  }
+
+  test("Proto: unknown fields skipped by wire type; missing fields NULL; null fields omitted") {
+    val wide = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("x", DoubleType)))
+    val narrow = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val w = new ByteWriter()
+    WireCodecs.protoWrite(w, wide, new GenericInternalRow(
+      Array[Any](7L, UTF8String.fromString("q"), 2.5)))
+    // narrow reader: field 3 (fixed64) skipped
+    val n = WireCodecs.protoRead(new ByteReader(w.result()), narrow)
+    assert(n.getLong(0) == 7L && n.getUTF8String(1).toString == "q")
+    // wide reader over narrow bytes: x missing → NULL
+    val w2 = new ByteWriter()
+    WireCodecs.protoWrite(w2, narrow, new GenericInternalRow(
+      Array[Any](7L, UTF8String.fromString("q"))))
+    val back = WireCodecs.protoRead(new ByteReader(w2.result()), wide)
+    assert(back.getLong(0) == 7L && back.isNullAt(2))
+    // null field → no tag on the wire → NULL back (presence semantics)
+    val w3 = new ByteWriter()
+    WireCodecs.protoWrite(w3, narrow,
+      new GenericInternalRow(Array[Any](7L, null)))
+    assert(WireCodecs.protoRead(new ByteReader(w3.result()), narrow).isNullAt(1))
+  }
+
+  test("Proto packed numeric array written packed, read packed or unpacked") {
+    val st = StructType(Seq(
+      StructField("xs", ArrayType(LongType, containsNull = false))))
+    val w = new ByteWriter()
+    WireCodecs.protoWrite(w, st, new GenericInternalRow(
+      Array[Any](new GenericArrayData(Array[Any](1L, 2L, 3L)))))
+    // tag field1 wt2 = 0x0A, len 3, zigzags 02 04 06
+    assert(w.result().toSeq == bytes(0x0A, 0x03, 0x02, 0x04, 0x06).toSeq)
+    assert(WireCodecs.protoRead(new ByteReader(w.result()), st)
+      .getArray(0).toLongArray().toSeq == Seq(1L, 2L, 3L))
+    // unpacked form of the same data (one varint tag per element)
+    val un = new ByteWriter()
+    for (v <- Seq(1L, 2L, 3L)) { un.varint(0x08L); un.zigzag(v) }
+    assert(WireCodecs.protoRead(new ByteReader(un.result()), st)
+      .getArray(0).toLongArray().toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("nested struct round-trips through both codecs") {
+    val inner = StructType(Seq(
+      StructField("a", IntegerType, nullable = false),
+      StructField("b", StringType, nullable = true)))
+    val outer = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sub", inner, nullable = true)))
+    val row = new GenericInternalRow(Array[Any](9L,
+      new GenericInternalRow(Array[Any](5, UTF8String.fromString("z")))))
+    val aw = new ByteWriter(); WireCodecs.avroWrite(aw, outer, row)
+    val ab = WireCodecs.avroRead(new ByteReader(aw.result()), outer)
+      .asInstanceOf[InternalRow]
+    assert(ab.getStruct(1, 2).getInt(0) == 5 &&
+      ab.getStruct(1, 2).getUTF8String(1).toString == "z")
+    val pw = new ByteWriter(); WireCodecs.protoWrite(pw, outer, row)
+    val pb = WireCodecs.protoRead(new ByteReader(pw.result()), outer)
+    assert(pb.getLong(0) == 9L && pb.getStruct(1, 2).getInt(0) == 5)
+  }
+
+  test("schema contracts: avscOf and protoOf emit the pinned mapping") {
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("tags", ArrayType(StringType, containsNull = false))))
+    val avsc = WireCodecs.avscOf(st, "Evt")
+    assert(avsc.contains(""""name":"id","type":"long""""))
+    assert(avsc.contains("""["null","string"]"""))
+    assert(avsc.contains(""""logicalType":"timestamp-micros""""))
+    assert(avsc.contains(""""type":"array""""))
+    val proto = WireCodecs.protoOf(st, "Evt")
+    assert(proto.contains("syntax = \"proto3\";"))
+    assert(proto.contains("optional sint64 id = 1;"))
+    assert(proto.contains("optional string name = 2;"))
+    assert(proto.contains("optional sint64 ts = 3;"))
+    assert(proto.contains("repeated string tags = 4;"))
+  }
+}
