@@ -1,0 +1,211 @@
+package graft.api
+
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+
+/** Workflow schedule EXECUTION (ref dmv2/sdk/workflow.ts:133-151 — the
+  * `schedule` cron string; apps/framework-cli/src/framework/scripts/
+  * utils.rs:29-51 — `parse_schedule` normalizes "5m"/"2h" shorthand to
+  * 5-field cron before handing it to Temporal, which owns the firing).
+  * The reference delegates firing to Temporal; engine-side we implement
+  * the same contract directly: parse the schedule, compute fire times,
+  * run the workflow at each one.
+  *
+  * All of this is driver-side control flow — the scheduled body is what
+  * launches distributed jobs, so there is nothing to scale here beyond
+  * not blocking an executor (a single daemon thread sleeps between
+  * fires).
+  */
+object Cron {
+
+  /** One parsed 5-field cron schedule (minute hour day-of-month month
+    * day-of-week), UTC. Fields hold the matching value sets; dom/dow
+    * follow the standard OR rule: if BOTH are restricted, a time matches
+    * when EITHER does (POSIX crontab semantics). */
+  final case class Schedule(
+      minutes: Set[Int], hours: Set[Int], doms: Set[Int], months: Set[Int],
+      dows: Set[Int], domRestricted: Boolean, dowRestricted: Boolean,
+      text: String) {
+
+    private def dayMatches(t: LocalDateTime): Boolean = {
+      val domOk = doms.contains(t.getDayOfMonth)
+      // java.time: MON=1..SUN=7; cron: SUN=0 (7 also accepted at parse)
+      val dowOk = dows.contains(t.getDayOfWeek.getValue % 7)
+      (domRestricted, dowRestricted) match {
+        case (true, true) => domOk || dowOk
+        case _            => domOk && dowOk
+      }
+    }
+
+    def matches(t: LocalDateTime): Boolean =
+      minutes.contains(t.getMinute) && hours.contains(t.getHour) &&
+        months.contains(t.getMonthValue) && dayMatches(t)
+
+    /** Next fire time strictly after `after`, minute granularity.
+      * Field-wise carry search, not minute-stepping: worst case visits
+      * |days searched| candidates, and an impossible date (e.g. Feb 30)
+      * gives up after 8 years instead of looping forever. */
+    def nextAfter(after: Instant): Instant = {
+      var t = LocalDateTime.ofInstant(after, ZoneOffset.UTC)
+        .withSecond(0).withNano(0).plusMinutes(1)
+      val limit = t.plusYears(8)
+      while (t.isBefore(limit)) {
+        if (!months.contains(t.getMonthValue))
+          t = t.plusMonths(1).withDayOfMonth(1).withHour(0).withMinute(0)
+        else if (!dayMatches(t))
+          t = t.plusDays(1).withHour(0).withMinute(0)
+        else if (!hours.contains(t.getHour))
+          t = t.plusHours(1).withMinute(0)
+        else if (!minutes.contains(t.getMinute))
+          t = t.plusMinutes(1)
+        else
+          return t.toInstant(ZoneOffset.UTC)
+      }
+      throw new IllegalArgumentException(
+        s"cron '$text' has no fire time within 8 years of $after")
+    }
+  }
+
+  /** Normalize duration shorthand exactly like the reference
+    * (utils.rs:39-47): "5m" → "*&#47;5 * * * *", "2h" → "0 *&#47;2 * * *";
+    * anything containing '/', '*' or ' ' passes through as cron text. */
+  def normalize(schedule: String): String = schedule.trim match {
+    case s if s.contains('/') || s.contains('*') || s.contains(' ') => s
+    case s if s.nonEmpty && s.endsWith("m") && s.init.forall(_.isDigit) =>
+      s"*/${s.init} * * * *"
+    case s if s.nonEmpty && s.endsWith("h") && s.init.forall(_.isDigit) =>
+      s"0 */${s.init} * * *"
+    case s => s
+  }
+
+  /** Parse 5-field cron: each field is a comma list of `*`, `a`, `a-b`,
+    * with an optional `/step` on `*` or ranges. Month/dow names (JAN,
+    * MON…) accepted; dow 7 = 0 = Sunday. */
+  def parse(schedule: String): Schedule = {
+    val text = normalize(schedule)
+    val fields = text.split("\\s+").toSeq
+    require(fields.length == 5,
+      s"cron '$schedule' must have 5 fields, got ${fields.length}")
+
+    val monthNames = Seq("JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+      "JUL", "AUG", "SEP", "OCT", "NOV", "DEC")
+    val dowNames = Seq("SUN", "MON", "TUE", "WED", "THU", "FRI", "SAT")
+
+    def atom(s: String, lo: Int, hi: Int, names: Seq[String], base: Int): Int = {
+      val up = s.toUpperCase
+      val named = names.indexOf(up)
+      val v = if (named >= 0) named + base else {
+        require(s.forall(_.isDigit), s"cron '$schedule': bad value '$s'")
+        s.toInt
+      }
+      require(v >= lo && v <= hi,
+        s"cron '$schedule': $v out of range [$lo,$hi]")
+      v
+    }
+
+    def field(s: String, lo: Int, hi: Int,
+        names: Seq[String] = Nil, base: Int = 0): Set[Int] =
+      s.split(",").flatMap { part =>
+        val (rangePart, step) = part.split("/") match {
+          case Array(r)    => (r, 1)
+          case Array(r, k) =>
+            require(k.forall(_.isDigit) && k.toInt > 0,
+              s"cron '$schedule': bad step '$k'")
+            (r, k.toInt)
+          case _ => throw new IllegalArgumentException(
+            s"cron '$schedule': bad field part '$part'")
+        }
+        val (a, b) = rangePart match {
+          case "*" => (lo, hi)
+          case r if r.contains("-") =>
+            val Array(x, y) = r.split("-", 2)
+            (atom(x, lo, hi, names, base), atom(y, lo, hi, names, base))
+          case r =>
+            val v = atom(r, lo, hi, names, base)
+            // bare value with a step ("3/5") means "starting at 3"
+            if (step > 1) (v, hi) else (v, v)
+        }
+        require(a <= b, s"cron '$schedule': inverted range '$part'")
+        (a to b by step)
+      }.toSet
+
+    // dow accepts 0-7 with both 0 and 7 meaning Sunday (POSIX allows
+    // either), so parse on [0,7] and fold 7 onto 0 afterwards — a plain
+    // text replace would corrupt step syntax like "*/7".
+    val dowRaw = field(fields(4), 0, 7, dowNames).map(v => v % 7)
+    Schedule(
+      minutes = field(fields(0), 0, 59),
+      hours = field(fields(1), 0, 23),
+      doms = field(fields(2), 1, 31),
+      months = field(fields(3), 1, 12, monthNames, 1),
+      dows = dowRaw,
+      domRestricted = fields(2) != "*",
+      dowRestricted = fields(4) != "*",
+      text = text)
+  }
+}
+
+/** Executes a workflow on its cron schedule — the Temporal-role analogue.
+  * Clock and sleep are injectable so specs drive fires deterministically
+  * without wall-clock waits; production uses [[WorkflowScheduler.start]]
+  * which runs a daemon thread on the system clock.
+  *
+  * Failure contract mirrors the reference (workflow retries happen INSIDE
+  * `Workflow.run` via each task's `retries`): a run that still throws is
+  * recorded and the schedule keeps going — one bad fire doesn't kill the
+  * schedule.
+  */
+final class WorkflowScheduler[A](
+    name: String, schedule: String, init: => A, tasks: Seq[WfTask[A, A]]) {
+
+  private val cron = Cron.parse(schedule)
+  @volatile private var stopped = false
+  private val runLog =
+    new java.util.concurrent.CopyOnWriteArrayList[(Instant, Either[Throwable, A])]
+
+  /** (fireTime, result) of every fire so far, oldest first. */
+  def runs: Seq[(Instant, Either[Throwable, A])] =
+    scala.jdk.CollectionConverters.ListHasAsScala(runLog).asScala.toSeq
+
+  def nextFire(after: Instant): Instant = cron.nextAfter(after)
+
+  private def fire(at: Instant): Unit = {
+    val result =
+      try Right(Workflow.run(init, tasks))
+      catch { case e: Throwable => Left(e) }
+    runLog.add(at -> result)
+  }
+
+  /** Deterministic drive: run every fire in (from, until], no sleeping.
+    * Specs use this with a virtual interval; it is also the catch-up
+    * semantics a restarted scheduler would apply. */
+  def runBetween(from: Instant, until: Instant): Int = {
+    var t = cron.nextAfter(from)
+    var n = 0
+    while (!t.isAfter(until) && !stopped) {
+      fire(t); n += 1
+      t = cron.nextAfter(t)
+    }
+    n
+  }
+
+  /** Wall-clock mode: daemon thread sleeps to each next fire. */
+  def start(): Thread = {
+    val th = new Thread(() => {
+      var now = Instant.now()
+      while (!stopped) {
+        val at = cron.nextAfter(now)
+        val waitMs = java.time.Duration.between(Instant.now(), at).toMillis
+        try {
+          if (waitMs > 0) Thread.sleep(waitMs)
+          if (!stopped) fire(at)
+          now = at
+        } catch { case _: InterruptedException => () }
+      }
+    }, s"graft-schedule-$name")
+    th.setDaemon(true)
+    th.start()
+    th
+  }
+
+  def stop(): Unit = stopped = true
+}

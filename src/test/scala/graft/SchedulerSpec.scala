@@ -1,0 +1,113 @@
+package graft
+
+import graft.api.{Cron, WfTask, WorkflowScheduler}
+import java.time.Instant
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Workflow schedule execution (ref workflow.ts:133-151; the cron
+  * normalization contract of framework-cli utils.rs:29-51). Fire times
+  * are pinned to exact instants; the scheduler is driven with virtual
+  * time — no sleeps. */
+class SchedulerSpec extends AnyFunSuite {
+
+  private def at(s: String): Instant = Instant.parse(s)
+
+  test("cron next-fire: exact instants across field kinds") {
+    // daily at 02:00 (the reference's own doc example, workflow.ts:148)
+    val daily = Cron.parse("0 2 * * *")
+    assert(daily.nextAfter(at("2026-08-12T00:00:00Z")) == at("2026-08-12T02:00:00Z"))
+    assert(daily.nextAfter(at("2026-08-12T02:00:00Z")) == at("2026-08-13T02:00:00Z"))
+
+    // every 15 min
+    val q = Cron.parse("*/15 * * * *")
+    assert(q.nextAfter(at("2026-08-12T10:07:30Z")) == at("2026-08-12T10:15:00Z"))
+    assert(q.nextAfter(at("2026-08-12T10:45:00Z")) == at("2026-08-12T11:00:00Z"))
+
+    // month + dom rollover incl. year boundary
+    val nye = Cron.parse("30 23 31 12 *")
+    assert(nye.nextAfter(at("2026-08-12T00:00:00Z")) == at("2026-12-31T23:30:00Z"))
+    assert(nye.nextAfter(at("2026-12-31T23:30:00Z")) == at("2027-12-31T23:30:00Z"))
+
+    // weekday names + ranges with step; lists
+    val wk = Cron.parse("0 9 * * MON-FRI")
+    // 2026-08-15 is a Saturday -> next weekday 09:00 is Monday the 17th
+    assert(wk.nextAfter(at("2026-08-14T09:00:00Z")) == at("2026-08-17T09:00:00Z"))
+    val lst = Cron.parse("5,35 8,20 * * *")
+    assert(lst.nextAfter(at("2026-08-12T08:05:00Z")) == at("2026-08-12T08:35:00Z"))
+    assert(lst.nextAfter(at("2026-08-12T08:35:00Z")) == at("2026-08-12T20:05:00Z"))
+  }
+
+  test("cron dom/dow OR rule; 7=0=Sunday; */7 step survives") {
+    // POSIX: both restricted -> fires when EITHER matches
+    val both = Cron.parse("0 0 13 * FRI")
+    // 2026-08-13 is a Thursday (dom match), 2026-08-14 a Friday (dow match)
+    assert(both.nextAfter(at("2026-08-12T12:00:00Z")) == at("2026-08-13T00:00:00Z"))
+    assert(both.nextAfter(at("2026-08-13T00:00:00Z")) == at("2026-08-14T00:00:00Z"))
+
+    val sun7 = Cron.parse("0 0 * * 7")
+    val sun0 = Cron.parse("0 0 * * 0")
+    val from = at("2026-08-12T00:00:00Z") // Wed; next Sunday is the 16th
+    assert(sun7.nextAfter(from) == at("2026-08-16T00:00:00Z"))
+    assert(sun0.nextAfter(from) == sun7.nextAfter(from))
+
+    // */7 on dow = {0}: would break under naive 7->0 text replacement
+    assert(Cron.parse("0 0 * * */7").nextAfter(from) == at("2026-08-16T00:00:00Z"))
+  }
+
+  test("duration shorthand normalizes like the reference CLI") {
+    // utils.rs:39-47: "5m" -> "*/5 * * * *", "2h" -> "0 */2 * * *"
+    assert(Cron.normalize("5m") == "*/5 * * * *")
+    assert(Cron.normalize("2h") == "0 */2 * * *")
+    assert(Cron.normalize("*/5 * * * *") == "*/5 * * * *")
+    val m5 = Cron.parse("5m")
+    assert(m5.nextAfter(at("2026-08-12T10:02:00Z")) == at("2026-08-12T10:05:00Z"))
+    val h2 = Cron.parse("2h")
+    assert(h2.nextAfter(at("2026-08-12T10:02:00Z")) == at("2026-08-12T12:00:00Z"))
+  }
+
+  test("invalid schedules are rejected loudly") {
+    intercept[IllegalArgumentException](Cron.parse("* * * *"))        // 4 fields
+    intercept[IllegalArgumentException](Cron.parse("61 * * * *"))     // range
+    intercept[IllegalArgumentException](Cron.parse("* * 0 * *"))      // dom 0
+    intercept[IllegalArgumentException](Cron.parse("*/0 * * * *"))    // step 0
+    intercept[IllegalArgumentException](Cron.parse("9-3 * * * *"))    // inverted
+    // impossible date: gives up instead of spinning forever
+    intercept[IllegalArgumentException](
+      Cron.parse("0 0 30 2 *").nextAfter(at("2026-01-01T00:00:00Z")))
+  }
+
+  test("scheduler executes the workflow per fire; a failing run doesn't kill the schedule") {
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sched = new WorkflowScheduler[Int](
+      "wf", "*/15 * * * *", 0,
+      Seq(
+        WfTask[Int, Int]("inc")(_ + 1),
+        WfTask[Int, Int]("boom-every-3rd") { v =>
+          val n = ran.incrementAndGet()
+          if (n % 3 == 0) sys.error(s"fire $n fails") else v * 10
+        }))
+
+    // one virtual hour => fires at :15 :30 :45 :00
+    val n = sched.runBetween(at("2026-08-12T10:00:00Z"), at("2026-08-12T11:00:00Z"))
+    assert(n == 4)
+    val runs = sched.runs
+    assert(runs.map(_._1) == Seq(
+      at("2026-08-12T10:15:00Z"), at("2026-08-12T10:30:00Z"),
+      at("2026-08-12T10:45:00Z"), at("2026-08-12T11:00:00Z")))
+    // 3rd fire failed, schedule continued; others computed (0+1)*10
+    assert(runs.map(_._2.isRight) == Seq(true, true, false, true))
+    assert(runs.collect { case (_, Right(v)) => v } == Seq(10, 10, 10))
+    // task-level retries (WfTask.retries) stay inside Workflow.run —
+    // the scheduler records exactly one outcome per fire
+    assert(ran.get == 4)
+  }
+
+  test("scheduler stop() halts catch-up immediately") {
+    val sched = new WorkflowScheduler[Int]("wf2", "0 * * * *", 0,
+      Seq(WfTask[Int, Int]("noop")(identity)))
+    sched.stop()
+    assert(sched.runBetween(
+      at("2026-08-12T00:00:00Z"), at("2026-08-13T00:00:00Z")) == 0)
+    assert(sched.runs.isEmpty)
+  }
+}
