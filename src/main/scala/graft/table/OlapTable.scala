@@ -53,6 +53,28 @@ object OlapTable {
       /** Empty ⇒ all stored columns. */
       columns: Seq[String] = Nil)
 
+  /** CH data-skipping index analogue (ref olapTable.ts:20-26 TableIndex
+    * {name, expression, type, arguments, granularity}). Parquet mapping:
+    *  - `minmax` → row-group min/max statistics. Parquet always writes
+    *    these; the declaration documents intent and validates the column.
+    *    Selectivity comes from clustering (orderBy / a Projection), same
+    *    as CH minmax needs data locality to skip granules.
+    *  - `bloom_filter` → a parquet bloom filter on the column, written
+    *    via writer options and applied by parquet-mr's row-group filter
+    *    to equality/IN predicates — skips whole row groups containing no
+    *    match, exactly CH's bloom_filter granule skip. `ndv` sizes it
+    *    (CH's first argument ≈ expected distinct values per part).
+    *  - any other CH type (`set`, `ngrambf_v1`, `tokenbf_v1`…) is
+    *    REJECTED at construction — parquet has no analogue structure and
+    *    silently accepting would fake a skip that never happens.
+    * CH `granularity` (in index_granularity blocks) has no parquet dial —
+    * the skip unit is the row group, sized by `parquet.block.size`. */
+  final case class SkipIndex(
+      name: String,
+      expression: String,
+      indexType: String = "bloom_filter",
+      ndv: Option[Long] = None)
+
   final case class Config(
       name: String,
       schema: MooseSchema,
@@ -80,7 +102,9 @@ object OlapTable {
       sampleBy: Option[String] = None,
       /** Alternative sorted layouts (ref olapTable.ts:20-34), refreshed at
         * optimizeFinal time and served by [[OlapTable.readFor]]. */
-      projections: Seq[OlapTable.Projection] = Nil)
+      projections: Seq[OlapTable.Projection] = Nil,
+      /** Data-skipping indexes (ref olapTable.ts:241 `indexes`). */
+      indexes: Seq[OlapTable.SkipIndex] = Nil)
 }
 
 final class OlapTable(
@@ -90,6 +114,26 @@ final class OlapTable(
   import OlapTable._
 
   val path: String = s"$warehouseDir/${config.name}"
+
+  config.indexes.foreach { ix =>
+    require(ix.indexType == "minmax" || ix.indexType == "bloom_filter",
+      s"table ${config.name}, index ${ix.name}: type '${ix.indexType}' has " +
+        "no parquet skipping analogue (supported: minmax, bloom_filter)")
+    require(config.schema.columns.exists(c =>
+        c.name == ix.expression && c.aliasExpr.isEmpty),
+      s"table ${config.name}, index ${ix.name}: '${ix.expression}' is not " +
+        "a stored column")
+  }
+
+  /** Writer options realizing the declared bloom_filter indexes; applied
+    * to EVERY parquet write of table data (insert, retention rewrite,
+    * optimizeFinal, projections) so skipping survives compaction. */
+  private val indexWriteOptions: Map[String, String] =
+    config.indexes.filter(_.indexType == "bloom_filter").flatMap { ix =>
+      Seq(s"parquet.bloom.filter.enabled#${ix.expression}" -> "true") ++
+        ix.ndv.map(n =>
+          s"parquet.bloom.filter.expected.ndv#${ix.expression}" -> n.toString)
+    }.toMap
 
   // ------------------------------------------------------------ validation
   /** Per-column rule violations as a single vectorized expression:
@@ -177,7 +221,7 @@ final class OlapTable(
         if (config.orderBy.nonEmpty)
           observed.sortWithinPartitions(config.orderBy.map(col): _*)
         else observed
-      val writer = sorted.write.mode("append")
+      val writer = sorted.write.mode("append").options(indexWriteOptions)
       val partitioned =
         if (config.partitionBy.nonEmpty) writer.partitionBy(config.partitionBy: _*)
         else writer
@@ -277,7 +321,7 @@ final class OlapTable(
       // under three-valued logic
       val keep = all.where(not(coalesce(expr(cond), lit(false))))
       val tmp = path + "__retained"
-      keep.write.mode("overwrite").parquet(tmp)
+      keep.write.mode("overwrite").options(indexWriteOptions).parquet(tmp)
       swapInto(tmp)
       total - spark.read.schema(config.schema.toStructType).parquet(path).count()
     }
@@ -332,7 +376,7 @@ final class OlapTable(
       .select(config.schema.columns
         .filter(_.aliasExpr.isEmpty).map(c => col(c.name)): _*)
     val tmp = path + "__optimized"
-    finalRows.write.mode("overwrite").parquet(tmp)
+    finalRows.write.mode("overwrite").options(indexWriteOptions).parquet(tmp)
     swapInto(tmp)
     materializeProjections()
   }
@@ -355,7 +399,8 @@ final class OlapTable(
       read().select(cols.map(col): _*)
         .repartitionByRange(numRanges, p.sortBy.map(col): _*)
         .sortWithinPartitions(p.sortBy.map(col): _*)
-        .write.mode("overwrite").parquet(projectionPath(p))
+        .write.mode("overwrite").options(indexWriteOptions)
+        .parquet(projectionPath(p))
     }
 
   /** A projection serves reads only while it reflects every base write:

@@ -1,0 +1,125 @@
+package graft
+
+import graft.schema.{MooseColumn, MooseSchema, MooseType}
+import graft.table.{OlapTable, TableEngine}
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Data-skipping indexes (ref olapTable.ts:20-26, 241): the bloom_filter
+  * index writes parquet bloom filters — checked structurally in the file
+  * footers and behaviorally as whole-row-group skips on an equality probe
+  * for a value the min/max stats CANNOT rule out. */
+class SkipIndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpWarehouse(): String =
+    Files.createTempDirectory("graft_wh").toString
+
+  private val schema = MooseSchema(Seq(
+    MooseColumn("id", MooseType.MInt64, primaryKey = true),
+    MooseColumn("v", MooseType.MInt64)))
+
+  /** bloomFilterOffset of column `name` in every row group of `file`
+    * (-1 = no bloom filter written). */
+  private def bloomOffsets(file: String, name: String): Seq[Long] = {
+    val in = HadoopInputFile.fromPath(
+      new Path(file), spark.sparkContext.hadoopConfiguration)
+    val r = ParquetFileReader.open(in)
+    try {
+      scala.jdk.CollectionConverters.ListHasAsScala(r.getFooter.getBlocks)
+        .asScala.toSeq.map { block =>
+          scala.jdk.CollectionConverters.ListHasAsScala(block.getColumns)
+            .asScala
+            .find(_.getPath.toDotString == name).get.getBloomFilterOffset
+        }
+    } finally r.close()
+  }
+
+  test("bloom_filter index lands in the parquet footers; minmax accepted; bad configs rejected") {
+    val wh = tmpWarehouse()
+    val t = new OlapTable(spark, OlapTable.Config("skip_t", schema,
+      TableEngine.MergeTree, orderBy = Seq("id"),
+      indexes = Seq(
+        OlapTable.SkipIndex("bf_v", "v", "bloom_filter", ndv = Some(10000)),
+        OlapTable.SkipIndex("mm_id", "id", "minmax"))), wh)
+    t.insert((1 to 10000).map(i => (i.toLong, i * 2654435761L % 1000000L))
+      .toDF("id", "v"), OlapTable.InsertStrategy.FailFast)
+
+    val files = t.read().inputFiles
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(bloomOffsets(f, "v").forall(_ >= 0), s"no bloom filter on v in $f")
+      // only declared columns get one — id has min/max stats, no bloom
+      assert(bloomOffsets(f, "id").forall(_ == -1L))
+    }
+
+    // CH types with no parquet analogue refuse loudly at construction
+    intercept[IllegalArgumentException] {
+      new OlapTable(spark, OlapTable.Config("skip_bad1", schema,
+        TableEngine.MergeTree,
+        indexes = Seq(OlapTable.SkipIndex("s", "v", "set"))), wh)
+    }
+    intercept[IllegalArgumentException] {
+      new OlapTable(spark, OlapTable.Config("skip_bad2", schema,
+        TableEngine.MergeTree,
+        indexes = Seq(OlapTable.SkipIndex("bf", "nope", "bloom_filter"))), wh)
+    }
+  }
+
+  test("bloom_filter skips row groups stats cannot, and survives optimizeFinal") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    // small row groups => many skip units; dictionary off so parquet-mr's
+    // dictionary filter can't mask what the bloom filter contributes
+    hc.set("parquet.block.size", "65536")
+    hc.set("parquet.page.size", "16384")
+    hc.set("parquet.enable.dictionary", "false")
+    try {
+      val wh = tmpWarehouse()
+      // v: high-cardinality EVEN values, scrambled so every row group's
+      // [min,max] spans ~the whole domain => stats prune nothing
+      val rows = (1 to 200000).map(i => (i.toLong, (i * 2654435761L % 1000000L) * 2))
+        .toDF("id", "v")
+      def mk(name: String, idx: Seq[OlapTable.SkipIndex]) = {
+        val t = new OlapTable(spark, OlapTable.Config(name, schema,
+          TableEngine.MergeTree, orderBy = Seq("id"), indexes = idx), wh)
+        t.insert(rows, OlapTable.InsertStrategy.FailFast)
+        t
+      }
+      val bloomed = mk("skip_bloom",
+        Seq(OlapTable.SkipIndex("bf_v", "v", "bloom_filter", ndv = Some(200000))))
+      val plain = mk("skip_plain", Nil)
+
+      // odd probe: inside [min,max] of every row group, present nowhere
+      def scanRows(t: OlapTable): Long = {
+        val q = t.read().where($"v" === 777777L)
+        assert(q.count() == 0)
+        q.collect()
+        q.queryExecution.executedPlan.collectLeaves()
+          .collectFirst { case f: FileSourceScanExec =>
+            f.metrics("numOutputRows").value }.get
+      }
+      assert(scanRows(plain) > 0L,
+        "stats alone skipped everything — probe no longer isolates the bloom filter")
+      assert(scanRows(bloomed) == 0L,
+        "bloom filter did not skip row groups")
+
+      // compaction rewrites through the same indexWriteOptions
+      bloomed.optimizeFinal()
+      assert(scanRows(bloomed) == 0L)
+      bloomed.read().inputFiles.foreach { f =>
+        assert(bloomOffsets(f, "v").forall(_ >= 0))
+      }
+    } finally {
+      hc.unset("parquet.block.size")
+      hc.unset("parquet.page.size")
+      hc.unset("parquet.enable.dictionary")
+    }
+  }
+}
