@@ -68,6 +68,36 @@ object TextAnalysis {
   /** Stable content fingerprint: md5 of the normalized text. */
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
 
+  /** PII patterns for corpus scrubbing. Kept lookaround-free so Java
+    * regex (Spark) and RE2 (the DuckDB oracle) agree byte-for-byte. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\+\\d[\\d-]{6,}\\d"
+
+  /** PII redaction — the standard pre-training scrub pass: emails, then
+    * phones, then IPv4s replaced with typed placeholder tokens (order
+    * matters: an email's local part may contain digits a later pattern
+    * could half-match). Pure `regexp_replace` chain — codegen'd, linear
+    * scan, no UDFs. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+
+  /** Gopher-style intra-document repetition signal: the fraction of word
+    * 2-grams claimed by the single most frequent 2-gram (plus its raw
+    * count). High values flag boilerplate/spam documents that survive
+    * cross-document dedup. Returns (doc rows exploded to grams) — see
+    * TextQueries.dRepetition for the aggregation shape. */
+  def wordBigrams(text: Column): Column = {
+    val words = split(normalized(text), " ")
+    when(size(words) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(words) - 1), i =>
+        concat(element_at(words, i), lit(" "), element_at(words, i + 1))))
+  }
+
   /** Word shingles of size n over normalized text; empty array for
     * documents shorter than n words (a negative-stop `sequence` would
     * otherwise descend through index 0, which element_at rejects). */

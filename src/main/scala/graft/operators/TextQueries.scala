@@ -93,6 +93,49 @@ object TextQueries {
       TextAnalysis.fingerprintMd5(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** PII scrub over documents with deterministic synthetic PII planted
+    * per doc_id (the corpus itself is PII-free bag-of-words, so the
+    * plant makes the scrub observable and the oracle exact): counts per
+    * category from the pre-scrub text, md5 of the scrubbed text, and a
+    * no-residual check re-probing the scrubbed text with every pattern. */
+  def dPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com via 10.0."),
+      (col("doc_id") % 200).cast("string"), lit("."),
+      ((col("doc_id") * 7) % 250).cast("string"), lit(" or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val scrubbed = TextAnalysis.scrubPii(injected)
+    val anyPii = Seq(TextAnalysis.emailRe, TextAnalysis.ipv4Re,
+      TextAnalysis.phoneRe).map(re => regexp_like(scrubbed, lit(re)))
+      .reduce(_ || _)
+    docs(spark, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(injected, lit(TextAnalysis.emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(injected, lit(TextAnalysis.ipv4Re), lit(0)))
+          .cast("long").as("n_ips"),
+        size(regexp_extract_all(injected, lit(TextAnalysis.phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(scrubbed).as("scrubbed_md5"),
+        (!anyPii).as("no_residual_pii"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Intra-document repetition (Gopher-style boilerplate signal): share
+    * of word 2-grams held by the most frequent 2-gram. Shuffle shape: one
+    * explode + a two-level agg keyed by doc — no cross-document joins, so
+    * it scales with the scan. */
+  def dRepetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.wordBigrams(col("text"))).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(
+        max(col("cnt")).as("max_gram_count"),
+        round(max(col("cnt")).cast("double") / sum(col("cnt")), 4)
+          .as("top_gram_frac"))
+      .orderBy(col("doc_id"))
+
   /** Self-verifying rolling hash (was rows-only): the codegen'd Catalyst
     * expression is checked per document against an INDEPENDENT execution
     * path — a plain Scala byte fold in a typed map (deserialized JVM loop
@@ -226,6 +269,8 @@ object TextQueries {
     "d_langid" -> (dLangid _),
     "d_fingerprint" -> (dFingerprint _),
     "d_fingerprint_rolling" -> (dFingerprintRolling _),
+    "d_pii_scrub" -> (dPiiScrub _),
+    "d_repetition" -> (dRepetition _),
     "e_knn_brute" -> (eKnnBrute _),
     "e_knn_lsh" -> (eKnnLsh _),
     "e_knn_ivf" -> (eKnnIvf _),
@@ -368,6 +413,49 @@ object TextQueries {
         |  md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_pii_scrub" ->
+      """WITH inj AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com via 10.0.'
+        |      || (doc_id % 200) || '.' || ((doc_id * 7) % 250)
+        |      || ' or +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents),
+        |scr AS (SELECT doc_id, t,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(t,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |          '<EMAIL>', 'g'),
+        |        '\+\d[\d-]{6,}\d', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS s
+        |  FROM inj)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\+\d[\d-]{6,}\d')) AS BIGINT)
+        |    AS n_phones,
+        |  md5(s) AS scrubbed_md5,
+        |  NOT (regexp_matches(s,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |    OR regexp_matches(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')
+        |    OR regexp_matches(s, '\+\d[\d-]{6,}\d')) AS no_residual_pii
+        |FROM scr ORDER BY doc_id""".stripMargin,
+    "d_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i + 1])) AS gram
+        |  FROM w WHERE len(ws) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT doc_id, max(cnt) AS max_gram_count,
+        |  round(max(cnt) * 1.0 / sum(cnt), 4) AS top_gram_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_embed_neardup" ->
       """WITH p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
