@@ -116,7 +116,10 @@ object EngineQueries {
   def qIcebergRead(spark: SparkSession, dir: String): DataFrame = {
     val nation = Tables.load(spark, dir, "nation")
     val tmp = java.nio.file.Files.createTempDirectory("iceberg_q").toString
-    graft.sources.IcebergWrite.createTable(nation.repartition(2), tmp)
+    // range-partitioned write ⇒ files carry disjoint n_nationkey bounds,
+    // so the manifest-level range pruning below has something to skip
+    graft.sources.IcebergWrite.createTable(
+      nation.repartitionByRange(2, col("n_nationkey")), tmp)
     val back = graft.sources.IcebergRead.table(spark, tmp)
     val (nIce, sumIce) = {
       val r = back.agg(count(lit(1)), sum(col("n_nationkey"))).head
@@ -127,11 +130,20 @@ object EngineQueries {
       (r.getLong(0), r.getLong(1))
     }
     val planned = graft.sources.IcebergRead.planFiles(spark, tmp)
+    // file-level min/max pruning: fewer files planned, same rows answered
+    val prunedPlan = graft.sources.IcebergRead
+      .planFilesRange(spark, tmp, "n_nationkey", 0L, 5L)
+    val prunedRows = graft.sources.IcebergRead
+      .tableRange(spark, tmp, "n_nationkey", 0L, 5L)
+      .where(col("n_nationkey").between(0, 5)).count()
+    val directRows = nation.where(col("n_nationkey").between(0, 5)).count()
     import spark.implicits._
     Seq((nIce, sumIce,
         nIce == nDir && sumIce == sumDir,
-        planned.map(_.recordCount).sum == nDir))
-      .toDF("n_rows", "sum_key", "matches_direct", "plan_counts_match")
+        planned.map(_.recordCount).sum == nDir,
+        prunedPlan.size < planned.size && prunedRows == directRows))
+      .toDF("n_rows", "sum_key", "matches_direct", "plan_counts_match",
+        "prune_works")
   }
 
   def queries: Map[String, Q] = Map(
@@ -147,7 +159,8 @@ object EngineQueries {
   def oracles: Map[String, String] = Map(
     "q_iceberg_read" ->
       """SELECT count(*) AS n_rows, sum(n_nationkey) AS sum_key,
-        |  true AS matches_direct, true AS plan_counts_match
+        |  true AS matches_direct, true AS plan_counts_match,
+        |  true AS prune_works
         |FROM nation""".stripMargin,
     "q_replacing_final" ->
       """SELECT user_id, event_type, event_id, value, ts FROM (

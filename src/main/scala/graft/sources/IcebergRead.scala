@@ -33,7 +33,12 @@ import org.json4s.jackson.JsonMethods
 object IcebergRead {
 
   final case class DataFileEntry(
-      path: String, format: String, recordCount: Long, status: Int)
+      path: String, format: String, recordCount: Long, status: Int,
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty)
+
+  /** One field of the table schema from the metadata JSON. */
+  final case class SchemaField(id: Int, name: String, icebergType: String)
 
   /** Resolve the current metadata JSON: `version-hint.text` if present,
     * else the lexicographically-latest `v*.metadata.json`. */
@@ -125,8 +130,21 @@ object IcebergRead {
           case i: Int => i.toLong
           case _ => 0L
         },
-        status))
+        status,
+        boundsMap(df.get("lower_bounds")),
+        boundsMap(df.get("upper_bounds"))))
     }
+  }
+
+  /** Decode the manifest's field-id→bytes bounds (spec: a k/v record
+    * array, the Avro rendering of map<int, binary>). */
+  private def boundsMap(v: Option[Any]): Map[Int, Array[Byte]] = v match {
+    case Some(xs: Seq[_]) =>
+      xs.map { e =>
+        val m = e.asInstanceOf[Map[String, Any]]
+        m("key").asInstanceOf[Int] -> m("value").asInstanceOf[Array[Byte]]
+      }.toMap
+    case _ => Map.empty
   }
 
   /** The table as a DataFrame: plan live files, then a normal distributed
@@ -141,6 +159,102 @@ object IcebergRead {
       s"non-parquet iceberg data files unsupported: ${bad.map(_.format).distinct}")
     val paths = files.map(f => resolve(f.path, tableDir).toString)
     spark.read.parquet(paths: _*)
+  }
+
+  /** Table schema (field ids/names/types) from the metadata JSON, empty
+    * for metadata written without one. */
+  def tableSchema(spark: SparkSession, tableDir: String): Seq[SchemaField] = {
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaJson = JsonMethods.parse(
+      readString(fs, currentMetadataPath(spark, tableDir)))
+    val schemas = (metaJson \ "schemas") match {
+      case JArray(ss) => ss
+      case _ => (metaJson \ "schema") match { // v1 single-schema form
+        case o: JObject => List(o)
+        case _ => Nil
+      }
+    }
+    schemas.headOption.toSeq.flatMap { s =>
+      (s \ "fields") match {
+        case JArray(fs0) => fs0.flatMap { f =>
+          for {
+            JInt(id) <- Option(f \ "id")
+            JString(name) <- Option(f \ "name")
+          } yield SchemaField(id.toInt, name,
+            (f \ "type") match { case JString(t) => t; case _ => "unknown" })
+        }
+        case _ => Nil
+      }
+    }
+  }
+
+  /** Appendix-D single-value deserialization for the bound types this
+    * engine writes (ints/longs/floats/doubles little-endian, strings
+    * UTF-8). */
+  private def boundValue(icebergType: String, b: Array[Byte]): Any = {
+    def le(width: Int): Long =
+      (0 until width).foldLeft(0L)((acc, i) => acc | ((b(i) & 0xffL) << (8 * i)))
+    icebergType match {
+      case "int" => le(4).toInt.toLong
+      case "long" => le(8)
+      case "float" => java.lang.Float.intBitsToFloat(le(4).toInt).toDouble
+      case "double" => java.lang.Double.longBitsToDouble(le(8))
+      case "string" => new String(b, "UTF-8")
+      case other =>
+        throw new UnsupportedOperationException(s"bounds for type $other")
+    }
+  }
+
+  /** File-level range pruning on `column` — the skip that matters before
+    * the scan ever starts: keep only live files whose [lower, upper]
+    * bounds overlap [lo, hi] (files without bounds are kept — pruning
+    * must never be wrong, only incomplete). Numeric bounds compare as
+    * Long/Double, strings lexicographically. */
+  def planFilesRange(
+      spark: SparkSession, tableDir: String, column: String,
+      lo: Any, hi: Any): Seq[DataFileEntry] = {
+    val field = tableSchema(spark, tableDir).find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '$column' not in table schema (or metadata has no schema)"))
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => throw new IllegalArgumentException(
+        s"probe type ${a.getClass.getSimpleName} vs bound ${b.getClass.getSimpleName}")
+    }
+    def norm(v: Any): Any = v match {
+      case i: Int => i.toLong
+      case f: Float => f.toDouble
+      case other => other
+    }
+    planFiles(spark, tableDir).filter { f =>
+      val keep = for {
+        lb <- f.lowerBounds.get(field.id)
+        ub <- f.upperBounds.get(field.id)
+      } yield cmp(boundValue(field.icebergType, ub), norm(lo)) >= 0 &&
+        cmp(boundValue(field.icebergType, lb), norm(hi)) <= 0
+      keep.getOrElse(true)
+    }
+  }
+
+  /** Range read: scan only the files [[planFilesRange]] keeps. Callers
+    * still apply the exact row predicate — bounds pruning is file-level,
+    * like any skip index. */
+  def tableRange(
+      spark: SparkSession, tableDir: String, column: String,
+      lo: Any, hi: Any): DataFrame = {
+    val files = planFilesRange(spark, tableDir, column, lo, hi)
+    val bad = files.filterNot(_.format.equalsIgnoreCase("parquet"))
+    require(bad.isEmpty,
+      s"non-parquet iceberg data files unsupported: ${bad.map(_.format).distinct}")
+    if (files.isEmpty)
+      // no surviving file: empty frame with the table's real schema
+      table(spark, tableDir).limit(0)
+    else
+      spark.read.parquet(
+        files.map(f => resolve(f.path, tableDir).toString): _*)
   }
 
   /** Per-manifest partition summaries (file-level pruning hook). */

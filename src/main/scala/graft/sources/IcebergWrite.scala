@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 
 /** Iceberg-LAYOUT writer: materializes a DataFrame as a single-snapshot
@@ -9,12 +10,19 @@ import java.nio.file.{Files, Paths}
   * manifest + manifest list ([[AvroContainer.writeFile]]), vN metadata
   * JSON and version-hint. Round-trips through [[IcebergRead]].
   *
+  * Manifest entries carry per-file `lower_bounds`/`upper_bounds` for
+  * every primitive column (spec's field-id→bytes maps, Appendix-D
+  * single-value binary serialization), and the metadata JSON carries the
+  * field-id schema — together these feed [[IcebergRead.planFilesRange]]
+  * file-level pruning, the skip mechanism that matters at fleet scale.
+  *
   * Fixture-grade, stated plainly: the parquet files carry no Iceberg
-  * field-ids and the manifests carry the spec's required fields only, so
-  * strict foreign readers that resolve columns by field-id may refuse it.
-  * It exists to (a) exercise the read path end-to-end without the Iceberg
-  * runtime and (b) export engine tables into an Iceberg-shaped layout a
-  * catalog can adopt. Local-path tables only (test/fixture scale).
+  * field-ids and the manifests carry the spec's required fields plus
+  * bounds only, so strict foreign readers that resolve columns by
+  * field-id may refuse it. It exists to (a) exercise the read path
+  * end-to-end without the Iceberg runtime and (b) export engine tables
+  * into an Iceberg-shaped layout a catalog can adopt. Local-path tables
+  * only (test/fixture scale).
   */
 object IcebergWrite {
 
@@ -27,7 +35,14 @@ object IcebergWrite {
       |  {"name":"file_path","type":"string"},
       |  {"name":"file_format","type":"string"},
       |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"}]}}]}"""
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"lower_bounds","type":["null",{"type":"array",
+      |    "items":{"type":"record","name":"k126","fields":[
+      |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}]},
+      |  {"name":"upper_bounds","type":["null",{"type":"array",
+      |    "items":{"type":"record","name":"k127","fields":[
+      |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}]}
+      |]}}]}"""
       .stripMargin.replaceAll("\n", "")
 
   val manifestListSchema =
@@ -39,23 +54,70 @@ object IcebergWrite {
       |{"name":"added_rows_count","type":["null","long"]}]}"""
       .stripMargin.replaceAll("\n", "")
 
+  /** Iceberg primitive type name for a Spark type, or None if the column
+    * gets no bounds (complex/unsupported). */
+  private[sources] def icebergType(dt: DataType): Option[String] = dt match {
+    case IntegerType => Some("int")
+    case LongType => Some("long")
+    case FloatType => Some("float")
+    case DoubleType => Some("double")
+    case StringType => Some("string")
+    case BooleanType => Some("boolean")
+    case _ => None
+  }
+
+  /** Spec Appendix D single-value binary serialization (the subset used
+    * for bounds here): ints/longs/floats/doubles little-endian, strings
+    * raw UTF-8. */
+  private[sources] def boundBytes(dt: DataType, v: Any): Array[Byte] = {
+    def le(n: Long, width: Int): Array[Byte] =
+      Array.tabulate[Byte](width)(i => ((n >>> (8 * i)) & 0xff).toByte)
+    dt match {
+      case IntegerType => le(v.asInstanceOf[Int].toLong, 4)
+      case LongType => le(v.asInstanceOf[Long], 8)
+      case FloatType =>
+        le(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong, 4)
+      case DoubleType =>
+        le(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 8)
+      case StringType => v.asInstanceOf[String].getBytes("UTF-8")
+      case other => throw new IllegalArgumentException(s"no bounds for $other")
+    }
+  }
+
   /** Write `df` as a fresh Iceberg-layout table at `dir` (local path). */
   def createTable(df: DataFrame, dir: String, codec: String = "null"): Unit = {
     val spark = df.sparkSession
     val dataDir = s"$dir/data/s1"
     df.write.mode("overwrite").parquet(dataDir)
-    // per-file row counts in ONE job (no per-file driver loop)
-    val counts: Seq[(String, Long)] = spark.read.parquet(dataDir)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // field ids 1..n by position, as Iceberg's initial schema assignment
+    val fields = df.schema.fields.zipWithIndex.map { case (f, i) => (f, i + 1) }
+    val bounded = fields.filter { case (f, _) =>
+      icebergType(f.dataType).isDefined && f.dataType != BooleanType }
+    // per-file row counts AND per-file min/max of every primitive column
+    // in ONE job (no per-file driver loop)
+    val aggs = count(lit(1)).as("n") +: bounded.flatMap { case (f, i) =>
+      Seq(min(col(f.name)).as(s"lo_$i"), max(col(f.name)).as(s"hi_$i")) }.toSeq
+    val stats: Seq[Row] = spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq
     val meta = Paths.get(dir, "metadata")
     Files.createDirectories(meta)
-    val entries = counts.map { case (path, n) =>
+    val entries = stats.map { r =>
+      val path = r.getString(0)
       val rel = "data/s1/" + path.substring(path.lastIndexOf('/') + 1)
+      def boundsEntry(idx: String): Seq[Map[String, Any]] =
+        bounded.flatMap { case (f, i) =>
+          val v = r.get(r.fieldIndex(s"${idx}_$i"))
+          if (v == null) None
+          else Some(Map[String, Any]("key" -> i,
+            "value" -> boundBytes(f.dataType, v)))
+        }.toSeq
       Map[String, Any]("status" -> 1, "snapshot_id" -> 1L,
         "data_file" -> Map[String, Any]("content" -> 0, "file_path" -> rel,
-          "file_format" -> "PARQUET", "record_count" -> n,
-          "file_size_in_bytes" -> 1L))
+          "file_format" -> "PARQUET", "record_count" -> r.getLong(1),
+          "file_size_in_bytes" -> 1L,
+          "lower_bounds" -> boundsEntry("lo"),
+          "upper_bounds" -> boundsEntry("hi")))
     }
     Files.write(meta.resolve("m1.avro"),
       AvroContainer.writeFile(manifestSchema, entries, codec))
@@ -64,9 +126,16 @@ object IcebergWrite {
         Seq(Map[String, Any]("manifest_path" -> "metadata/m1.avro",
           "manifest_length" -> 1L, "partition_spec_id" -> 0,
           "content" -> 0,
-          "added_rows_count" -> counts.map(_._2).sum)), codec))
+          "added_rows_count" -> stats.map(_.getLong(1)).sum)), codec))
+    val schemaFields = fields.map { case (f, i) =>
+      val t = icebergType(f.dataType).getOrElse("binary")
+      s"""{"id":$i,"name":"${f.name}","required":${!f.nullable},"type":"$t"}"""
+    }.mkString(",")
     val metadataJson =
       s"""{"format-version":2,"table-uuid":"graft","location":"$dir",
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct",
+         |  "fields":[$schemaFields]}],
          |"current-snapshot-id":1,
          |"snapshots":[{"snapshot-id":1,
          |  "manifest-list":"metadata/snap-1.avro",

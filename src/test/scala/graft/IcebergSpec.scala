@@ -119,6 +119,40 @@ class IcebergSpec extends AnyFunSuite {
     }
   }
 
+  test("file bounds prune the plan before the scan; never wrongly drop") {
+    val dir = Files.createTempDirectory("iceberg_p").toString
+    val df = (1 to 100).map(i => (i.toLong, f"k$i%03d", i * 1.5))
+      .toDF("id", "k", "v")
+    graft.sources.IcebergWrite.createTable(
+      df.repartitionByRange(4, $"id"), dir)
+    val all = IcebergRead.planFiles(spark, dir)
+    assert(all.size == 4)
+    assert(IcebergRead.tableSchema(spark, dir).map(_.name) ==
+      Seq("id", "k", "v"))
+
+    // long, string, and double bounds all prune
+    val hitId = IcebergRead.planFilesRange(spark, dir, "id", 10L, 20L)
+    assert(hitId.size < all.size && hitId.map(_.recordCount).sum >= 11)
+    assert(IcebergRead.planFilesRange(spark, dir, "k", "k010", "k020")
+      .size < all.size)
+    assert(IcebergRead.planFilesRange(spark, dir, "v", 15.0, 30.0)
+      .size < all.size)
+
+    // pruned read + exact residual filter == direct answer
+    val got = IcebergRead.tableRange(spark, dir, "id", 10L, 20L)
+      .where($"id".between(10, 20)).select(sum($"id")).head.getLong(0)
+    assert(got == (10 to 20).sum)
+
+    // out-of-domain probe drops every file, still an empty TYPED frame
+    val none = IcebergRead.tableRange(spark, dir, "id", 1000L, 2000L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "k", "v"))
+
+    // unknown column refuses (no schema guessing)
+    intercept[IllegalArgumentException] {
+      IcebergRead.planFilesRange(spark, dir, "nope", 1L, 2L)
+    }
+  }
+
   test("avro container round-trip: schema fidelity incl. enum/fixed/map/union") {
     val schema =
       """{"type":"record","name":"kitchen","fields":[

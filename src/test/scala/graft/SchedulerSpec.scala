@@ -102,6 +102,36 @@ class SchedulerSpec extends AnyFunSuite {
     assert(ran.get == 4)
   }
 
+  test("scheduler as compaction cadence: cron-driven optimizeFinal collapses an MV target") {
+    // the ClickHouse background-merge role, end to end: a table
+    // accumulating AggregatingMergeTree partials gets compacted by a
+    // scheduled workflow — the cadence the streaming-MV design assumes
+    import graft.schema.{MooseColumn, MooseSchema, MooseType}
+    import graft.table.{OlapTable, TableEngine}
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("sched_wh").toString
+    val t = new OlapTable(spark, OlapTable.Config("sched_mv",
+      MooseSchema(Seq(
+        MooseColumn("k", MooseType.MString, primaryKey = true),
+        MooseColumn("cnt_state", MooseType.MInt64))),
+      TableEngine.AggregatingMergeTree(Map("cnt_state" -> "count")),
+      orderBy = Seq("k")), wh)
+    // 3 micro-batch-style partial appends => 6 rows for 2 keys
+    (1 to 3).foreach { i =>
+      t.insert(Seq(("a", i.toLong), ("b", i.toLong)).toDF("k", "cnt_state"),
+        OlapTable.InsertStrategy.FailFast)
+    }
+    assert(t.read().count() == 6)
+    val sched = new WorkflowScheduler[Unit]("compact", "0 * * * *", (),
+      Seq(WfTask[Unit, Unit]("optimize")(_ => t.optimizeFinal())))
+    assert(sched.runBetween(
+      at("2026-08-12T09:30:00Z"), at("2026-08-12T10:30:00Z")) == 1)
+    assert(sched.runs.forall(_._2.isRight))
+    assert(t.read().count() == 2)
+    assert(t.read().where($"k" === "a").head.getLong(1) == 6L)
+  }
+
   test("scheduler stop() halts catch-up immediately") {
     val sched = new WorkflowScheduler[Int]("wf2", "0 * * * *", 0,
       Seq(WfTask[Int, Int]("noop")(identity)))
