@@ -150,6 +150,100 @@ class WireCodecSpec extends AnyFunSuite {
     assert(pb.getLong(0) == 9L && pb.getStruct(1, 2).getInt(0) == 5)
   }
 
+  test("property round-trip: 150 seeded adversarial rows survive both wires through the seam") {
+    import graft.streaming.KafkaWire
+    import graft.streaming.KafkaWire.{AvroWire, ProtoWire}
+    import org.apache.spark.sql.{Row, SparkSession}
+    import org.apache.spark.sql.functions.{col, struct}
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val spark: SparkSession = SparkTestSession.spark
+
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = true),
+      StructField("d", DoubleType, nullable = true),
+      StructField("b", BooleanType, nullable = true),
+      StructField("i", IntegerType, nullable = true),
+      StructField("xs", ArrayType(LongType, containsNull = false),
+        nullable = true),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("nested", StructType(Seq(
+        StructField("a", LongType, nullable = true),
+        StructField("t", StringType, nullable = true))), nullable = true),
+      StructField("bin", BinaryType, nullable = true)))
+
+    val strGen: Gen[String] = Gen.oneOf(
+      Gen.const(""), Gen.const("héllo wörld ✓ 😀 "),
+      Gen.alphaNumStr, Gen.listOfN(64, Gen.asciiPrintableChar).map(_.mkString))
+    val longGen: Gen[Long] = Gen.frequency(
+      4 -> Gen.long, 1 -> Gen.oneOf(Long.MinValue, Long.MaxValue, 0L, -1L))
+    val dblGen: Gen[Double] = Gen.frequency(
+      4 -> Gen.double,
+      1 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity, -0.0, Double.MinPositiveValue))
+    def opt[A >: Null](g: Gen[A]): Gen[A] =
+      Gen.frequency(4 -> g, 1 -> Gen.const(null))
+    val rowGen: Gen[Row] = for {
+      id <- longGen
+      s <- opt(strGen)
+      d <- opt(dblGen.map(java.lang.Double.valueOf))
+      b <- opt(Gen.oneOf(true, false).map(java.lang.Boolean.valueOf))
+      i <- opt(Gen.chooseNum(Int.MinValue, Int.MaxValue)
+        .map(java.lang.Integer.valueOf))
+      xs <- opt(Gen.listOf(longGen).map(_.toSeq))
+      ts <- opt(Gen.chooseNum(-100000000000L, 100000000000L)
+        .map(ms => new java.sql.Timestamp(ms)))
+      nested <- opt(Gen.zip(opt(longGen.map(java.lang.Long.valueOf)),
+        opt(strGen)).map { case (a, t) => Row(a, t) })
+      bin <- opt(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+        .map(_.toArray))
+    } yield Row(id, s, d, b, i, xs, ts, nested, bin)
+
+    val rows = Gen.listOfN(150, rowGen)
+      .pureApply(Gen.Parameters.default, Seed(42L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+
+    def norm(v: Any): Any = v match {
+      case b: Array[Byte] => b.toSeq
+      case r: Row => r.toSeq.map(norm)
+      case s: Seq[_] => s.map(norm)
+      // bit-pattern compare: scala == on boxed doubles is numeric, so
+      // NaN != NaN; the codecs preserve the exact bits, so compare those
+      case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)
+      case f: java.lang.Float => java.lang.Float.floatToRawIntBits(f)
+      case x => x
+    }
+    for (wire <- Seq[KafkaWire.WireFormat](AvroWire, ProtoWire)) {
+      val rec = struct(schema.fieldNames.map(col): _*)
+      val both = df.select(rec.as("orig"),
+        wire.decode(wire.encode(rec), schema).as("back")).collect()
+      assert(both.length == 150)
+      both.zipWithIndex.foreach { case (r, i) =>
+        val (o, b) = (r.getStruct(0), r.getStruct(1))
+        // proto cannot represent present-but-empty collections: an empty
+        // array/bytes value decodes as absent (NULL) — the documented
+        // contract; everything else must round-trip exactly (boxed-equals
+        // semantics: NaN == NaN, -0.0 != 0.0 preserved bit-for-bit)
+        (0 until o.length).foreach { f =>
+          val ov = o.get(f)
+          val protoEmpty = wire == ProtoWire && (ov match {
+            case xs: Seq[_] => xs.isEmpty
+            case bs: Array[Byte] => bs.isEmpty
+            case s: String => s.isEmpty
+            case r2: Row => r2.toSeq.forall(_ == null)
+            case _ => false
+          })
+          if (protoEmpty) ()
+          else assert(norm(ov) == norm(b.get(f)),
+            s"${wire.name} row $i field ${schema.fieldNames(f)}: " +
+              s"${norm(ov)} != ${norm(b.get(f))}")
+        }
+      }
+    }
+  }
+
   test("schema contracts: avscOf and protoOf emit the pinned mapping") {
     val st = StructType(Seq(
       StructField("id", LongType, nullable = false),
