@@ -212,4 +212,24 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
   }
+
+  /** Symmetric per-vector int8 quantization — the standard 4× embedding
+    * storage compression for corpus-scale ANN: scale = max|vᵢ|/127,
+    * qᵢ = round(vᵢ/scale) ∈ [-127,127]. Row-local higher-order-function
+    * math (no shuffle, no UDF); cosine is scale-invariant so quantized
+    * search uses the int8 vectors directly and only the final scores feel
+    * the rounding. */
+  def quantizeInt8(
+      df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    // zero vectors: clamp the scale so q = 0 instead of NaN
+    val scale = greatest(
+      aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))),
+      lit(1e-12)) / 127.0
+    df.select(col(idCol), col(vecCol), scale.as("scale"))
+      .withColumn("q",
+        transform(transform(col(vecCol), x => x.cast("double")),
+          x => round(x / col("scale")).cast("tinyint")))
+  }
 }

@@ -176,6 +176,37 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** int8 quantization check frame: per vector, the scale, two integer
+    * digests of the quantized vector (so the oracle pins every qᵢ without
+    * comparing arrays), the cosine between original and quantized (the
+    * quality number a pipeline monitors), and the within-half-step
+    * reconstruction bound. */
+  def eQuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val qz = Similarity.quantizeInt8(embs(spark, dir))
+    val qd = transform(col("q"), x => x.cast("double"))
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val err = zip_with(v, qd, (x, q) => abs(x - q * col("scale")))
+    // the output column must ALSO be named "scale" but rounded; aliasing
+    // it in the same select would shadow the child's full-precision scale
+    // for every later reference via Spark's lateral-column-alias
+    // resolution (the err bound then silently uses the rounded scale) —
+    // so every computation binds first, and the display rounding replaces
+    // the column afterwards
+    qz.select(
+        col("vec_id"),
+        col("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + abs(x.cast("long")))
+          .as("q_l1"),
+        round(Similarity.dot(v, qd) /
+          (Similarity.norm(v) * Similarity.norm(qd)), 4).as("cos_q"),
+        (aggregate(err, lit(0.0), (a, x) => greatest(a, x)) <=
+          col("scale") / 2.0 + 1e-9).as("within_step"))
+      .withColumn("scale", round(col("scale"), 6))
+      .select("vec_id", "scale", "q_sum", "q_l1", "cos_q", "within_step")
+      .orderBy(col("vec_id"))
+  }
+
   def eKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Similarity.knnBrute(e, e.where(col("vec_id") < 5), k = 10)
@@ -290,6 +321,7 @@ object TextQueries {
     "d_fingerprint_rolling" -> (dFingerprintRolling _),
     "d_pii_scrub" -> (dPiiScrub _),
     "d_repetition" -> (dRepetition _),
+    "e_quantize_int8" -> (eQuantizeInt8 _),
     "e_knn_brute" -> (eKnnBrute _),
     "e_knn_lsh" -> (eKnnLsh _),
     "e_knn_ivf" -> (eKnnIvf _),
@@ -462,6 +494,27 @@ object TextQueries {
         |    OR regexp_matches(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')
         |    OR regexp_matches(s, '\+\d[\d-]{6,}\d')) AS no_residual_pii
         |FROM scr ORDER BY doc_id""".stripMargin,
+    "e_quantize_int8" ->
+      """WITH b AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0
+        |      AS scale
+        |  FROM b),
+        |q AS (SELECT vec_id, v, scale,
+        |    list_transform(v, x -> round(x / scale)) AS qv FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  round(
+        |    list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) /
+        |    (sqrt(list_sum(list_transform(v, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS cos_q,
+        |  list_max(list_transform(range(1, 65),
+        |    i -> abs(v[i] - qv[i] * scale))) <= scale / 2.0 + 1e-9
+        |    AS within_step
+        |FROM q ORDER BY vec_id""".stripMargin,
     "d_repetition" ->
       """WITH w AS (SELECT doc_id,
         |    string_split(trim(regexp_replace(regexp_replace(lower(text),
