@@ -92,20 +92,33 @@ object TextAnalysis {
     * cross-document dedup. Returns (doc rows exploded to grams) — see
     * TextQueries.dRepetition for the aggregation shape. */
   def wordBigrams(text: Column): Column = {
+    // zip_with over two slices, NOT element_at inside a transform lambda:
+    // a lambda body re-evaluates its subtrees per ELEMENT, so
+    // element_at(words, i) would re-run the split+normalize regexes w
+    // times per document — quadratic (the same trap the shingle builder
+    // hit; Dedup uses explode+lead for the same reason). zip_with
+    // evaluates each array argument once per row.
     val words = split(normalized(text), " ")
-    when(size(words) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(words) - 1), i =>
-        concat(element_at(words, i), lit(" "), element_at(words, i + 1))))
+    val n = size(words)
+    when(n < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(words, lit(1), n - 1),
+        slice(words, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
   }
 
   /** Word shingles of size n over normalized text; empty array for
-    * documents shorter than n words (a negative-stop `sequence` would
-    * otherwise descend through index 0, which element_at rejects). */
+    * documents shorter than n words. Built as a zip_with chain over n
+    * shifted slices — an element_at-inside-transform formulation would
+    * re-evaluate the split+normalize per ELEMENT (quadratic per doc, the
+    * measured 60 s→2 s shingle lesson); slices evaluate the words array
+    * once per row. */
   def shingles(text: Column, n: Int = 3): Column = {
     val words = split(normalized(text), " ")
-    val idx = sequence(lit(0), size(words) - n)
-    when(size(words) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(idx, i =>
-        concat_ws(" ", (0 until n).map(k => element_at(words, (i + k + 1))): _*))))
+    val sz = size(words)
+    when(sz < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        (1 to n).map(k => slice(words, lit(k), sz - (n - 1)))
+          .reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))))
   }
 }

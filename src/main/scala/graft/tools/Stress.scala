@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.operators.{Dedup, RelationalQueries, Similarity}
+import graft.operators.{Dedup, RelationalQueries, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -131,6 +131,32 @@ object Stress {
     }
     time("kNN IVF 8/2 (embeddings amplified)") {
       Similarity.knnIvf(emb, queries, nCells = 8, nProbe = 2, k = 10).count()
+    }
+    // Row-local text/vector passes (no shuffle by construction) — these
+    // must scale exactly with the scan, so any superlinear drift here
+    // flags a plan regression, not a data problem.
+    time("PII scrub + repetition signal (row-local)") {
+      val scrubbed = docsSalted.select(col("doc_id"),
+        TextAnalysis.scrubPii(col("text")).as("t"))
+      val grams = array_sort(TextAnalysis.wordBigrams(col("t")))
+      scrubbed.select(col("doc_id"),
+          aggregate(grams,
+            struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+            (acc, g) => {
+              val run = when(g === acc.getField("prev"),
+                acc.getField("run") + lit(1L)).otherwise(lit(1L))
+              struct(g.as("prev"), run.as("run"),
+                greatest(acc.getField("best"), run).as("best"))
+            },
+            acc => acc.getField("best")).as("mode"))
+        .agg(sum(col("mode"))).head
+      docsSalted.count()
+    }
+    time("int8 quantization (row-local)") {
+      Similarity.quantizeInt8(emb)
+        .agg(sum(aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long"))))
+        .head
+      emb.count()
     }
     spark.stop()
   }
