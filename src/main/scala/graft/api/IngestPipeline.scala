@@ -141,8 +141,15 @@ final class IngestPipeline[T: TypeTag](
   def recover()(implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
     recover(dlq.read().as[DeadLetter](Encoders.product[DeadLetter]))
 
-  /** Recover typed records from any DLQ frame (ref stream.ts:592). */
+  /** Recover typed records from any DLQ frame (ref stream.ts:592). When
+    * the transform reshapes the record (insertable arity ≠ T's field
+    * count), validation-channel rows can't be re-keyed onto T anyway —
+    * recovery falls back to T's own schema instead of refusing the whole
+    * DLQ. */
   def recover(dlqRows: Dataset[DeadLetter])(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
-    DeadLetter.asTyped[T](dlqRows, altNames = insertableNames)
+    if (insertableNames.length == enc.schema.fields.length)
+      DeadLetter.asTyped[T](dlqRows, altNames = insertableNames)
+    else
+      DeadLetter.asTyped[T](dlqRows)
 }

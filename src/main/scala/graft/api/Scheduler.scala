@@ -138,8 +138,11 @@ object Cron {
       doms = field(fields(2), 1, 31),
       months = field(fields(3), 1, 12, monthNames, 1),
       dows = dowRaw,
-      domRestricted = fields(2) != "*",
-      dowRestricted = fields(4) != "*",
+      // Vixie's star flag (followed by robfig/Temporal, the reference's
+      // executor): a field BEGINNING with '*' — so `*/2` — counts as
+      // unrestricted for the dom/dow OR rule
+      domRestricted = !fields(2).startsWith("*"),
+      dowRestricted = !fields(4).startsWith("*"),
       text = text)
   }
 }
@@ -159,10 +162,15 @@ final class WorkflowScheduler[A](
 
   private val cron = Cron.parse(schedule)
   @volatile private var stopped = false
+  /** Run-log retention: a 5-minute schedule on a long-lived driver fires
+    * ~100k times/year — an uncapped log (each entry retaining the full
+    * result or a Throwable) is a slow driver leak. */
+  val maxLoggedRuns: Int = 1000
   private val runLog =
     new java.util.concurrent.CopyOnWriteArrayList[(Instant, Either[Throwable, A])]
 
-  /** (fireTime, result) of every fire so far, oldest first. */
+  /** (fireTime, result) of the most recent fires (≤ [[maxLoggedRuns]]),
+    * oldest first. */
   def runs: Seq[(Instant, Either[Throwable, A])] =
     scala.jdk.CollectionConverters.ListHasAsScala(runLog).asScala.toSeq
 
@@ -173,6 +181,7 @@ final class WorkflowScheduler[A](
       try Right(Workflow.run(init, tasks))
       catch { case e: Throwable => Left(e) }
     runLog.add(at -> result)
+    while (runLog.size > maxLoggedRuns) runLog.remove(0)
   }
 
   /** Deterministic drive: run every fire in (from, until], no sleeping.

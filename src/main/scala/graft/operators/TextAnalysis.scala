@@ -86,6 +86,22 @@ object TextAnalysis {
         phoneRe, "<PHONE>"),
       ipv4Re, "<IP>")
 
+  /** Mode frequency of a string array, computed row-locally: sort, then
+    * fold for the longest equal-run (mode count of a sorted multiset =
+    * longest run). No explode, no shuffle — the shared core of the
+    * repetition signal (TextQueries.dRepetition and the Stress probe). */
+  def modeRunCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Gopher-style intra-document repetition signal: the fraction of word
     * 2-grams claimed by the single most frequent 2-gram (plus its raw
     * count). High values flag boilerplate/spam documents that survive

@@ -134,19 +134,10 @@ object TextQueries {
     * 100 TB. The DuckDB oracle intentionally uses the explode+groupBy
     * formulation — two independent algorithms, one hash. */
   def dRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val grams = array_sort(TextAnalysis.wordBigrams(col("text")))
-    val modeCount = aggregate(
-      grams,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, g) => {
-        val run = when(g === acc.getField("prev"),
-          acc.getField("run") + lit(1L)).otherwise(lit(1L))
-        struct(g.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    val grams = TextAnalysis.wordBigrams(col("text"))
     docs(spark, dir)
-      .select(col("doc_id"), modeCount.as("max_gram_count"),
+      .select(col("doc_id"),
+        TextAnalysis.modeRunCount(grams).as("max_gram_count"),
         size(grams).cast("long").as("n_grams"))
       .where(col("n_grams") >= 1)
       .select(col("doc_id"), col("max_gram_count"),

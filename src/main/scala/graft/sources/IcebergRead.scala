@@ -217,12 +217,33 @@ object IcebergRead {
     val field = tableSchema(spark, tableDir).find(_.name == column)
       .getOrElse(throw new IllegalArgumentException(
         s"column '$column' not in table schema (or metadata has no schema)"))
-    def cmp(a: Any, b: Any): Int = (a, b) match {
-      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-      case (x: String, y: String) => x.compareTo(y)
-      case _ => throw new IllegalArgumentException(
-        s"probe type ${a.getClass.getSimpleName} vs bound ${b.getClass.getSimpleName}")
+    // String bounds compare as UNSIGNED UTF-8 BYTES — the order Spark's
+    // min/max produced them in (UTF8String.compareTo) and Iceberg's
+    // string sort order. Java String.compareTo is UTF-16 code-unit order,
+    // which disagrees above the BMP (a surrogate pair sorts below
+    // U+E000..U+FFFF) and would wrongly DROP files — breaking the
+    // never-wrong invariant.
+    def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    def cmp(boundBytes: Array[Byte], probe: Any): Int = probe match {
+      case s: String =>
+        cmpBytes(boundBytes, s.getBytes("UTF-8"))
+      case p =>
+        val b = boundValue(field.icebergType, boundBytes)
+        (b, p) match {
+          case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+          case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+          case _ => throw new IllegalArgumentException(
+            s"probe type ${p.getClass.getSimpleName} vs bound " +
+              b.getClass.getSimpleName)
+        }
     }
     def norm(v: Any): Any = v match {
       case i: Int => i.toLong
@@ -233,8 +254,7 @@ object IcebergRead {
       val keep = for {
         lb <- f.lowerBounds.get(field.id)
         ub <- f.upperBounds.get(field.id)
-      } yield cmp(boundValue(field.icebergType, ub), norm(lo)) >= 0 &&
-        cmp(boundValue(field.icebergType, lb), norm(hi)) <= 0
+      } yield cmp(ub, norm(lo)) >= 0 && cmp(lb, norm(hi)) <= 0
       keep.getOrElse(true)
     }
   }

@@ -37,6 +37,22 @@ final class BufferSink(
   private var oldestStagedMs = -1L
   @volatile private var nFlushes = 0L
 
+  // Recover accounting for rows staged before a crash: the stage dir is
+  // restart-survivable but fresh counters started at zero, so leftover
+  // rows could never trigger a flush on an idle stream (the
+  // `pendingRows > 0` gate) and row/age dials understated after adds.
+  locally {
+    if (fs.exists(stagePath)) {
+      val files = fs.listStatus(stagePath)
+        .filterNot(_.getPath.getName.startsWith("_"))
+      if (files.nonEmpty) {
+        pendingBytes = files.map(_.getLen).sum
+        pendingRows = spark.read.parquet(stagingDir).count()
+        oldestStagedMs = files.map(_.getModificationTime).min
+      }
+    }
+  }
+
   /** (rows, bytes) currently staged and unflushed. */
   def pending: (Long, Long) = synchronized((pendingRows, pendingBytes))
   /** How many flushes have run (monitoring/tests). */

@@ -27,9 +27,13 @@ object DeadLetter {
   /** Typed recovery over a DLQ holding two JSON keyings: T's encoder
     * field names (transform-channel rows) and `altNames` (validation-
     * channel rows serialize the record at the insert boundary, keyed by
-    * the table's insertable columns). Each row parses under both schemas;
-    * per-field coalesce picks whichever keying matched — a key mismatch
-    * yields an all-NULL struct from `from_json`, never an error. */
+    * the table's insertable columns). Each row parses under both schemas
+    * and the row picks ONE parse — the one with fewer NULL fields (T's
+    * keying on ties). A per-field coalesce would be wrong when the two
+    * namings partially overlap at different positions: PERMISSIVE
+    * `from_json` nulls only MISSING keys, so both parses can be partially
+    * populated and field-level mixing would stitch a record from two
+    * interpretations of the same JSON. */
   def asTyped[T: TypeTag](dlq: Dataset[DeadLetter], altNames: Seq[String])(
       implicit enc: Encoder[T]): Dataset[T] = {
     val schema = enc.schema
@@ -37,12 +41,17 @@ object DeadLetter {
       s"asTyped: ${altNames.length} alternative names for ${schema.fields.length} fields")
     val altSchema = org.apache.spark.sql.types.StructType(
       schema.fields.zip(altNames).map { case (f, n) => f.copy(name = n) })
+    def nulls(prefix: String, names: Seq[String]) =
+      names.map(n => when(col(s"$prefix.`$n`").isNull, 1).otherwise(0))
+        .reduce(_ + _)
+    val tNames = schema.fields.map(_.name).toSeq
     dlq.select(
         from_json(col("originalRecord"), schema).as("a"),
         from_json(col("originalRecord"), altSchema).as("b"))
+      .withColumn("__useA", nulls("a", tNames) <= nulls("b", altNames))
       .select(schema.fields.zipWithIndex.map { case (f, i) =>
-        coalesce(col(s"a.`${f.name}`"), col(s"b.`${altNames(i)}`"))
-          .as(f.name)
+        when(col("__useA"), col(s"a.`${f.name}`"))
+          .otherwise(col(s"b.`${altNames(i)}`")).as(f.name)
       }.toSeq: _*)
       .as[T]
   }

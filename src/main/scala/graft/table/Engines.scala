@@ -131,7 +131,9 @@ object EngineSemantics {
     val aggs = df.columns.filterNot(keys.contains).map { c =>
       stateCols.get(c) match {
         case Some(fn) => graft.schema.AggState.mergeState(fn, col(c)).as(c)
-        case None => first(col(c)).as(c)
+        // same null handling as AggState's 'any' everywhere: ignoreNulls,
+        // so a compacted table can't pin NULL for a key that had values
+        case None => first(col(c), ignoreNulls = true).as(c)
       }
     }.toSeq
     require(aggs.nonEmpty, "AggregatingMergeTree FINAL: no non-key columns")

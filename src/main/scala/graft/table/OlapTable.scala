@@ -391,33 +391,64 @@ final class OlapTable(
     * prunes to ~1/numRanges of the data via parquet min/max footers —
     * CH's merge-time projection rebuild, run explicitly (it shares
     * optimizeFinal's compaction cadence). */
+  /** Fingerprint of the base fileset a projection was built from: file
+    * count + total bytes + newest mtime. Content-based, so a base append
+    * landing in the same mtime tick as a refresh (coarse-granularity
+    * stores: HDFS/S3A count seconds) still flips it — a pure
+    * newest-mtime watermark would serve stale projection data there. */
+  private def baseFingerprint(): String = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(d)) "empty"
+    else {
+      val files = fs.listStatus(d).filterNot(_.getPath.getName.startsWith("_"))
+      s"${files.length}:${files.map(_.getLen).sum}:" +
+        files.map(_.getModificationTime).maxOption.getOrElse(-1L)
+    }
+  }
+
+  private def projectionMarker(p: Projection): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(projectionPath(p), "_graft_base_state")
+
   def materializeProjections(numRanges: Int = 8): Unit =
     config.projections.foreach { p =>
       val cols =
         if (p.columns.nonEmpty) p.columns
         else config.schema.columns.filter(_.aliasExpr.isEmpty).map(_.name)
+      // fingerprint BEFORE the rebuild read: a concurrent append between
+      // read and marker write makes the projection look stale (= safe)
+      val state = baseFingerprint()
       read().select(cols.map(col): _*)
         .repartitionByRange(numRanges, p.sortBy.map(col): _*)
         .sortWithinPartitions(p.sortBy.map(col): _*)
         .write.mode("overwrite").options(indexWriteOptions)
         .parquet(projectionPath(p))
+      val fs = projectionMarker(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(projectionMarker(p), true)
+      try out.write(state.getBytes("UTF-8")) finally out.close()
     }
 
   /** A projection serves reads only while it reflects every base write:
-    * any base file newer than the projection's newest file ⇒ stale ⇒
-    * fall back to the base (CH keeps projections transactionally in-part;
-    * the parquet-dir analogue is this mtime watermark — a table-format
-    * snapshot id at cluster scale). */
+    * the base fileset must fingerprint exactly as it did at refresh time
+    * (CH keeps projections transactionally in-part; the parquet-dir
+    * analogue is this recorded snapshot — a table-format snapshot id at
+    * cluster scale). */
   private def projectionFresh(p: Projection): Boolean = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def newest(dir: String): Long = {
-      val d = new org.apache.hadoop.fs.Path(dir)
-      if (!fs.exists(d)) -1L
-      else fs.listStatus(d).map(_.getModificationTime).maxOption.getOrElse(-1L)
+    val marker = projectionMarker(p)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) false
+    else {
+      val in = fs.open(marker)
+      val recorded =
+        try {
+          val buf = new Array[Byte](256)
+          val n = in.read(buf)
+          new String(buf, 0, math.max(n, 0), "UTF-8")
+        } finally in.close()
+      recorded == baseFingerprint()
     }
-    val proj = newest(projectionPath(p))
-    proj >= 0 && proj >= newest(path)
   }
 
   /** Projection-aware read (the query-side half of CH's automatic

@@ -22,8 +22,15 @@ object PlanLint {
         w.windowExpressions.map(_.name).mkString(", ")
     }
 
-  private def bounded(p: LogicalPlan): Boolean =
-    p.collectFirst { case _: GlobalLimit => () }.isDefined
+  /** Bounded only when a LIMIT sits on the window's own input CHAIN
+    * (walked through single-child operators). A limit inside one branch
+    * of a join bounds that branch, not the join output — a whole-subtree
+    * `collectFirst` would wrongly bless `big.join(dim.limit(10))`. */
+  private def bounded(p: LogicalPlan): Boolean = p match {
+    case _: GlobalLimit => true
+    case u if u.children.length == 1 => bounded(u.children.head)
+    case _ => false
+  }
 
   /** Human-readable lint report for `df`; None = no findings. */
   def report(name: String, df: DataFrame): Option[String] = {

@@ -138,17 +138,9 @@ object Stress {
     time("PII scrub + repetition signal (row-local)") {
       val scrubbed = docsSalted.select(col("doc_id"),
         TextAnalysis.scrubPii(col("text")).as("t"))
-      val grams = array_sort(TextAnalysis.wordBigrams(col("t")))
       scrubbed.select(col("doc_id"),
-          aggregate(grams,
-            struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-            (acc, g) => {
-              val run = when(g === acc.getField("prev"),
-                acc.getField("run") + lit(1L)).otherwise(lit(1L))
-              struct(g.as("prev"), run.as("run"),
-                greatest(acc.getField("best"), run).as("best"))
-            },
-            acc => acc.getField("best")).as("mode"))
+          TextAnalysis.modeRunCount(
+            TextAnalysis.wordBigrams(col("t"))).as("mode"))
         .agg(sum(col("mode"))).head
       docsSalted.count()
     }

@@ -172,6 +172,23 @@ class EngineIoSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$wh/clean_in_dlq").exists())
   }
 
+  test("asTyped picks one parse per row — overlapping names never stitch (T5)") {
+    import graft.streaming.{DeadLetter, StreamTransforms}
+    val now = new java.sql.Timestamp(0L)
+    def dl(json: String) = DeadLetter(json, "e", "t", now, "s")
+    // T = tuple with encoder fields (_1,_2); alt names (_2,"c"): the name
+    // _2 overlaps at a DIFFERENT position, so PERMISSIVE from_json
+    // populates both parses partially — a per-field coalesce would stitch
+    // the validation row {"_2":1,"c":2} into (1,1) instead of (1,2)
+    val dlq = Seq(
+      dl("""{"_2":1,"c":2}"""),  // validation channel: alt keying
+      dl("""{"_1":5,"_2":6}""")  // transform channel: T keying
+    ).toDS()
+    val out = DeadLetter.asTyped[(Long, Long)](dlq, altNames = Seq("_2", "c"))
+      .collect().toSet
+    assert(out == Set((1L, 2L), (5L, 6L)))
+  }
+
   test("Kafka wire seam: JSON bytes round-trip with by-name mapping (S11)") {
     import graft.streaming.KafkaWire
     val recs = Seq((1L, "free", 1.5), (2L, "pro", 2.5)).toDF("id", "tier", "v")

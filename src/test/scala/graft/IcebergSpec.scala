@@ -153,6 +153,18 @@ class IcebergSpec extends AnyFunSuite {
     }
   }
 
+  test("string bounds compare as UTF-8 bytes, not UTF-16 code units") {
+    val dir = Files.createTempDirectory("iceberg_u").toString
+    val df = Seq((1L, "apple"), (2L, "😀 emoji")).toDF("id", "k")
+    graft.sources.IcebergWrite.createTable(df.coalesce(1), dir)
+    // probe ￿: in UTF-8 byte order (= how Spark's min/max computed
+    // the bounds) the emoji (F0 9F ...) sorts ABOVE it (EF BF BF), so the
+    // file may contain matches and MUST be kept; Java String.compareTo
+    // sorts the surrogate pair BELOW ￿ and would wrongly drop it
+    assert(IcebergRead.planFilesRange(
+      spark, dir, "k", "￿", "￿").size == 1)
+  }
+
   test("avro container round-trip: schema fidelity incl. enum/fixed/map/union") {
     val schema =
       """{"type":"record","name":"kitchen","fields":[

@@ -69,6 +69,12 @@ class OperatorsSpec extends AnyFunSuite {
       .qWindowRownumber(spark, "/root/testdata/sf0.001")
     assert(graft.tools.PlanLint.unpartitionedWindows(q).isEmpty)
     assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    // a LIMIT on one JOIN BRANCH does not bound the join output — the
+    // window input is still corpus-sized, so the lint must still fire
+    val dim = Seq((1L, "x")).toDF("user_id", "tag").limit(1)
+    val joined = df.join(broadcast(dim), Seq("user_id"), "left")
+      .withColumn("rn", row_number().over(Window.orderBy(col("value").desc)))
+    assert(graft.tools.PlanLint.unpartitionedWindows(joined).nonEmpty)
   }
 
   test("asof join carries right columns atomically through NULLs") {

@@ -52,6 +52,21 @@ class SchedulerSpec extends AnyFunSuite {
 
     // */7 on dow = {0}: would break under naive 7->0 text replacement
     assert(Cron.parse("0 0 * * */7").nextAfter(from) == at("2026-08-16T00:00:00Z"))
+
+    // Vixie star flag: a field beginning with '*' (so */2) counts as
+    // UNRESTRICTED for the OR rule -> dom AND dow semantics here: fires
+    // only on Mondays with an odd day-of-month, not every odd day
+    val step = Cron.parse("0 0 */2 * MON")
+    // from Wed 2026-08-12: old OR semantics would fire Thu the 13th (odd
+    // dom); correct star semantics waits for Mon the 17th (odd dom + MON)
+    assert(step.nextAfter(at("2026-08-12T01:00:00Z")) == at("2026-08-17T00:00:00Z"))
+  }
+
+  test("cron leap-day: Feb 29 fires only in leap years") {
+    val leap = Cron.parse("0 12 29 2 *")
+    // next Feb 29 after mid-2026 is 2028
+    assert(leap.nextAfter(at("2026-08-12T00:00:00Z")) == at("2028-02-29T12:00:00Z"))
+    assert(leap.nextAfter(at("2028-02-29T12:00:00Z")) == at("2032-02-29T12:00:00Z"))
   }
 
   test("duration shorthand normalizes like the reference CLI") {

@@ -179,6 +179,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(b3.flushes == 1 && t3.read().count() == 1)
   }
 
+  test("Buffer engine recovers staged rows across a restart (S13)") {
+    import graft.schema.{MooseColumn, MooseSchema, MooseType}
+    val wh = Files.createTempDirectory("bufwh_r").toString
+    val t = new OlapTable(spark, OlapTable.Config(
+      "buf_restart", MooseSchema(Seq(
+        MooseColumn("id", MooseType.MInt64, primaryKey = true),
+        MooseColumn("v", MooseType.MFloat64))),
+      TableEngine.MergeTree, orderBy = Seq("id")), wh)
+    val stage = Files.createTempDirectory("bufstage_r").toString
+    // crash before flush: rows staged by a previous incarnation
+    val b0 = new BufferSink(t, stage,
+      maxRows = Long.MaxValue, maxBytes = Long.MaxValue, maxAgeMs = Long.MaxValue)
+    b0.add((1 to 50).map(i => (i.toLong, i * 1.0)).toDF("id", "v"))
+    assert(b0.flushes == 0 && t.read().count() == 0)
+    // restart: a fresh sink over the same stage dir must SEE the leftover
+    // rows (else the pendingRows>0 gate blocks every dial forever on an
+    // idle stream) and the age dial must drain them without any new add
+    val b1 = new BufferSink(t, stage,
+      maxRows = Long.MaxValue, maxBytes = Long.MaxValue, maxAgeMs = 0L)
+    assert(b1.pending._1 == 50)
+    assert(b1.maybeFlush())
+    assert(t.read().count() == 50)
+  }
+
   test("Buffer engine attached to a stream flushes by rows mid-stream (S13)") {
     import graft.schema.{MooseColumn, MooseSchema, MooseType}
     implicit val sqlCtx = spark.sqlContext
