@@ -99,3 +99,58 @@ object Workflow {
   def run[A](init: A, tasks: Seq[WfTask[A, A]], schedule: Option[String] = None): A =
     tasks.foldLeft(init)((acc, t) => t.attempt(acc))
 }
+
+/** DAG workflow task (ref workflow.ts:35-38: `onComplete` is an ARRAY of
+  * successor tasks, each receiving this task's output as input — the
+  * reference's workflows are DAGs, not chains). Cycle validation mirrors
+  * the reference's recursion-stack walk (workflow.ts:230-255, "infinite
+  * loops" rejected at construction). A task reachable through two
+  * parents (diamond) runs once per completed parent, exactly as each
+  * parent's onComplete fires independently in the reference. */
+final class WfDagTask[I, O](
+    val name: String, retries: Int = 0,
+    timeout: Option[scala.concurrent.duration.Duration] = None)(runF: I => O) {
+  private val inner = WfTask[I, O](name, retries, timeout)(runF)
+  private var successors: Vector[WfDagTask[O, _]] = Vector.empty
+
+  /** Append successors; returns this for fluent DAG building. */
+  def onComplete(next: WfDagTask[O, _]*): this.type = {
+    successors ++= next; this
+  }
+  private[api] def next: Seq[WfDagTask[O, _]] = successors
+  private[api] def attempt(in: I): O = inner.attempt(in)
+}
+
+object WfDag {
+  /** Reject cycles exactly like the reference's validateTask
+    * (workflow.ts:230-255): DFS with a recursion stack; re-visiting a
+    * task on the CURRENT path is a cycle, re-visiting across branches
+    * (diamond) is legal. */
+  def validate(start: WfDagTask[_, _]): Unit = {
+    val onPath = scala.collection.mutable.Set.empty[WfDagTask[_, _]]
+    def walk(t: WfDagTask[_, _], path: List[String]): Unit = {
+      if (onPath.contains(t))
+        throw new IllegalArgumentException(
+          s"workflow cycle: ${(t.name :: path).reverse.mkString(" -> ")}")
+      onPath += t
+      t.next.foreach(walk(_, t.name :: path))
+      onPath -= t
+    }
+    walk(start, Nil)
+  }
+
+  /** Execute the DAG from `start`: every task's successors run after it
+    * with its output. Returns each task's outputs in completion order
+    * (a diamond target appears once per parent). */
+  def run[I](start: WfDagTask[I, _], init: I): Seq[(String, Any)] = {
+    validate(start)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Any)]
+    def exec(t: WfDagTask[_, _], in: Any): Unit = {
+      val out = t.asInstanceOf[WfDagTask[Any, Any]].attempt(in)
+      results += t.name -> out
+      t.next.foreach(exec(_, out))
+    }
+    exec(start, init)
+    results.toSeq
+  }
+}

@@ -107,4 +107,33 @@ class ApiSpec extends AnyFunSuite {
     intercept[RuntimeException] { Workflow.run(1, Seq(hung)) }
     assert((System.nanoTime() - t0) / 1e9 < 5.0)
   }
+
+  test("workflow DAG: onComplete fan-out, typed value flow, diamond runs per parent") {
+    //        ┌─ double ─┐
+    // start ─┤          ├─ report (diamond: once per parent)
+    //        └─ negate ─┘
+    val report = new WfDagTask[Int, String]("report")(v => s"v=$v")
+    val double = new WfDagTask[Int, Int]("double")(_ * 2).onComplete(report)
+    val negate = new WfDagTask[Int, Int]("negate")(-_).onComplete(report)
+    val start = new WfDagTask[Int, Int]("start", retries = 1)(_ + 1)
+      .onComplete(double, negate)
+    val out = WfDag.run(start, 9)
+    assert(out == Seq(
+      "start" -> 10, "double" -> 20, "report" -> "v=20",
+      "negate" -> -10, "report" -> "v=-10"))
+  }
+
+  test("workflow DAG: cycles are rejected at validation, like the reference") {
+    val a = new WfDagTask[Int, Int]("a")(identity)
+    val b = new WfDagTask[Int, Int]("b")(identity)
+    a.onComplete(b); b.onComplete(a)
+    val err = intercept[IllegalArgumentException] { WfDag.run(a, 1) }
+    assert(err.getMessage.contains("cycle"))
+    // diamond (two paths, no back-edge) validates fine
+    val d = new WfDagTask[Int, Int]("d")(identity)
+    val p1 = new WfDagTask[Int, Int]("p1")(identity).onComplete(d)
+    val p2 = new WfDagTask[Int, Int]("p2")(identity).onComplete(d)
+    val root = new WfDagTask[Int, Int]("root")(identity).onComplete(p1, p2)
+    assert(WfDag.run(root, 1).length == 5)
+  }
 }
