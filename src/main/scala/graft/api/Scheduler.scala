@@ -157,8 +157,12 @@ object Cron {
   * recorded and the schedule keeps going — one bad fire doesn't kill the
   * schedule.
   */
-final class WorkflowScheduler[A](
-    name: String, schedule: String, init: => A, tasks: Seq[WfTask[A, A]]) {
+final class WorkflowScheduler[A] private (
+    name: String, schedule: String, body: () => A) {
+
+  /** Linear-chain workflow on a schedule (the common form). */
+  def this(name: String, schedule: String, init: => A, tasks: Seq[WfTask[A, A]]) =
+    this(name, schedule, () => Workflow.run(init, tasks))
 
   private val cron = Cron.parse(schedule)
   @volatile private var stopped = false
@@ -178,7 +182,7 @@ final class WorkflowScheduler[A](
 
   private def fire(at: Instant): Unit = {
     val result =
-      try Right(Workflow.run(init, tasks))
+      try Right(body())
       catch { case e: Throwable => Left(e) }
     runLog.add(at -> result)
     while (runLog.size > maxLoggedRuns) runLog.remove(0)
@@ -217,4 +221,14 @@ final class WorkflowScheduler[A](
   }
 
   def stop(): Unit = stopped = true
+}
+
+object WorkflowScheduler {
+  /** Schedule a DAG workflow (ref workflow.ts:146-151 — `new Workflow(
+    * name, {startingTask, schedule})`): each fire runs the full DAG from
+    * `start` and logs the per-task outputs. */
+  def ofDag[I](
+      name: String, schedule: String,
+      start: WfDagTask[I, _], init: => I): WorkflowScheduler[Seq[(String, Any)]] =
+    new WorkflowScheduler(name, schedule, () => WfDag.run(start, init))
 }

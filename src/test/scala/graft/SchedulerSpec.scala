@@ -1,6 +1,6 @@
 package graft
 
-import graft.api.{Cron, WfTask, WorkflowScheduler}
+import graft.api.{Cron, WfDagTask, WfTask, WorkflowScheduler}
 import java.time.Instant
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -145,6 +145,17 @@ class SchedulerSpec extends AnyFunSuite {
     assert(sched.runs.forall(_._2.isRight))
     assert(t.read().count() == 2)
     assert(t.read().where($"k" === "a").head.getLong(1) == 6L)
+  }
+
+  test("scheduler runs DAG workflows: per-task outputs logged per fire") {
+    val report = new WfDagTask[Int, String]("report")(v => s"v=$v")
+    val double = new WfDagTask[Int, Int]("double")(_ * 2).onComplete(report)
+    val start = new WfDagTask[Int, Int]("start")(_ + 1).onComplete(double)
+    val sched = WorkflowScheduler.ofDag("dagwf", "0 * * * *", start, 9)
+    assert(sched.runBetween(
+      at("2026-08-12T09:30:00Z"), at("2026-08-12T10:30:00Z")) == 1)
+    assert(sched.runs.head._2 == Right(Seq(
+      "start" -> 10, "double" -> 20, "report" -> "v=20")))
   }
 
   test("scheduler stop() halts catch-up immediately") {
