@@ -18,7 +18,8 @@ object SparkEntry {
     (QueryModelQueries.queries, QueryModelQueries.oracles),
     (StreamingQueries.queries, StreamingQueries.oracles),
     (TextQueries.queries, TextQueries.oracles),
-    (MultimodalQueries.queries, MultimodalQueries.oracles)
+    (MultimodalQueries.queries, MultimodalQueries.oracles),
+    (CorpusQueries.queries, CorpusQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data operators: duplicate clustering (connected
+  * components over near-dup pair edges), deterministic train/val/test
+  * splits, TF-IDF keyword extraction, benchmark-contamination checks, and
+  * per-source corpus statistics.
+  *
+  * These complete the dedup story: `Dedup` produces PAIRS; a real pipeline
+  * must turn pairs into CLUSTERS (transitive closure) and keep one
+  * representative per cluster — pairwise removal alone either over-deletes
+  * (both ends) or under-deletes (chains A~B~C survive as A,C).
+  */
+object Corpus {
+
+  /** Connected components over an undirected edge list — the cluster step
+    * of near-duplicate removal.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Each round does (1) propagate: label(v) ← min(label(v), min over
+    * neighbors u of label(u)); (2) jump: label(v) ← label(label(v)).
+    * Propagation alone converges in O(diameter) rounds; the jump step
+    * short-circuits chains so long paths collapse in O(log diameter) —
+    * the same doubling idea as large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14), kept in
+    * two hash-joins per round.
+    *
+    * Scale design: every join/groupBy hashes on vertex id — the edge list
+    * never gathers to the driver and no step is quadratic. Lineage is cut
+    * per round with `localCheckpoint` (an iterative plan otherwise grows
+    * a join tree the optimizer re-plans each round). The per-round driver
+    * action is a single `count` of changed labels (convergence test), not
+    * a collect. Near-dup clusters have tiny diameters (dup groups are
+    * cliques-ish), so 3–5 rounds is typical regardless of corpus size.
+    *
+    * @param edges DataFrame with two long-compatible columns `srcCol`,
+    *              `dstCol`; treated as undirected, self-loops ignored.
+    * @return (id, rep) — rep = min vertex id of the component. Vertices
+    *         not present in any edge are absent (callers left-join).
+    */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e0 = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+      // pointer jump: follow the label one hop (labels are vertex ids, so
+      // label(label) is defined wherever the target vertex has an entry)
+      val next = prop
+        .join(prop.select(col("id").as("jid"), col("label").as("jlabel")),
+          prop("label") === col("jid"), "left")
+        .select(prop("id").as("id"),
+          coalesce(col("jlabel"), prop("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.select(col("id"), col("label").as("nl"))
+        .join(labels, Seq("id"))
+        .where(col("nl") =!= col("label"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("rep"))
+  }
+
+  /** Deterministic, reproducible train/val/test assignment by content-free
+    * id hash: split(doc) depends only on md5(id), so re-running over a
+    * grown corpus never reassigns an existing document (the property that
+    * matters for training-data lineage; a random() or row_number split
+    * reshuffles on every append). Pure expression — no shuffle, no UDF.
+    *
+    * Boundaries compare the first 4 hex chars of the md5: < 'cccc' →
+    * train (0xcccc/0x10000 ≈ 80.0%), < 'e666' → val (≈ 10%), else test.
+    */
+  def splitAssign(id: Column): Column = {
+    val h = substring(md5(id.cast("string")), 1, 4)
+    when(h < "cccc", "train").when(h < "e666", "val").otherwise("test")
+  }
+
+  /** Per-document top-k characteristic terms by TF-IDF.
+    *
+    * idf uses the smoothed RATIONAL form (N+1)/(df+1) rather than its log:
+    * ranking is identical (log is monotone) and every arithmetic op stays
+    * inside IEEE-exact +,*,/ — so an independent engine (the DuckDB
+    * oracle) reproduces scores bit-for-bit, which no libm `ln` guarantees.
+    *
+    * Shuffle shape: one explode→groupBy(doc,term) for TF, one
+    * groupBy(term) for DF (both map-side-combined), a broadcast of the
+    * single-row corpus count, and a per-document top-k window. The window
+    * partitions by doc_id — never a global single-partition sort.
+    */
+  def tfidfTopTerms(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+          .as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"),
+        round(col("tfidf"), 4).as("tfidf"))
+  }
+
+  /** Benchmark-contamination check: for each document of the eval set,
+    * how many train documents share at least one word n-gram, and how
+    * heavy the worst overlap is. The industry-standard pre-training leak
+    * test (n-gram collision against held-out benchmarks).
+    *
+    * Scale design: eval sets are small (benchmarks, not corpora) — the
+    * eval shingle table is broadcast, so the train corpus is ONE scan +
+    * shingle explode with a map-side hash join; nothing shuffles on the
+    * corpus side. Counts are over distinct shingles per document pair.
+    */
+  def contamination(
+      train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, n: Int = 4): DataFrame = {
+    val trainSh = Dedup.shingleSet(train, idCol, textCol, n)
+      .select(col("id").as("train_doc"), col("sh"))
+    val evalSh = Dedup.shingleSet(eval_, idCol, textCol, n)
+      .select(col("id").as("eval_doc"), col("sh"))
+    val hits = trainSh.join(broadcast(evalSh), Seq("sh"))
+      .groupBy(col("eval_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+    hits.groupBy(col("eval_doc"))
+      .agg(
+        count(lit(1)).as("n_train_docs"),
+        sum(col("n_shared")).as("n_shared_grams"),
+        max(col("n_shared")).as("max_shared"))
+  }
+}

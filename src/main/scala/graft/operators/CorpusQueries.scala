@@ -1,0 +1,316 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries for the corpus-level operators (`Corpus`):
+  * duplicate clustering, deterministic splits, TF-IDF, contamination,
+  * corpus stats — plus gap-based sessionization over the events table.
+  * Every query is DuckDB-oracled (the clustering oracle is an independent
+  * recursive-CTE transitive closure).
+  */
+object CorpusQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** Near-duplicate CLUSTERS (not just pairs): edges = exact-dup pairs ∪
+    * trigram-Jaccard ≥ 0.5 pairs; components via min-label propagation
+    * (Corpus.connectedComponents); every document keeps its cluster
+    * representative (min doc_id) and the keep/drop decision. The DuckDB
+    * oracle recomputes components by recursive transitive closure — a
+    * structurally different algorithm, same fixpoint. */
+  def dDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val jp = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val fp = d.select(col("doc_id"), md5(col("text")).as("f"))
+    val ep = fp.as("a")
+      .join(fp.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cc = Corpus.connectedComponents(jp.union(ep), "doc_a", "doc_b")
+    d.select(col("doc_id"))
+      .join(cc, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+      .withColumn("keep", col("cluster_rep") === col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified split report: per (lang, split) document and
+    * word counts. Assignment is pure id-hash (Corpus.splitAssign) — stable
+    * under corpus growth, no shuffle beyond the final small groupBy. */
+  def dSplitAssign(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), Corpus.splitAssign(col("doc_id")).as("split"),
+        TextAnalysis.wordCount(col("text")).as("nw"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"))
+      .orderBy(col("lang"), col("split"))
+
+  /** Top-3 TF-IDF terms per document (rational smoothed idf — see
+    * Corpus.tfidfTopTerms for why not log). */
+  def dTfidf(spark: SparkSession, dir: String): DataFrame =
+    Corpus.tfidfTopTerms(docs(spark, dir), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rnk"))
+
+  /** Contamination of a synthetic eval set (doc_id ≡ 0 mod 97) against the
+    * rest of the corpus by shared word 4-grams; one row per eval doc
+    * (zeros when clean) so the frame is robustly non-empty. */
+  def dContamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val ev = d.where(col("doc_id") % 97 === 0)
+    val tr = d.where(col("doc_id") % 97 =!= 0)
+    val hits = Corpus.contamination(tr, ev, "doc_id", "text", n = 4)
+    ev.select(col("doc_id").as("eval_doc"))
+      .join(hits, Seq("eval_doc"), "left")
+      .select(col("eval_doc"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+      .orderBy(col("eval_doc"))
+  }
+
+  /** Per-(source, lang) corpus report: doc/char/word counts, mean quality,
+    * distinct-content count. Distinctness is counted on md5 digests so the
+    * shuffle carries 32-byte hashes, never full text — the d_exact_dedup
+    * scale rule applied to reporting. */
+  def dCorpusStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(TextAnalysis.wordCount(col("text"))).as("n_words"),
+        round(avg(TextAnalysis.qualityScore(col("text"))), 6).as("avg_quality"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"))
+      .orderBy(col("source"), col("lang"))
+
+  /** Gap-based sessionization (30-min inactivity closes a session) — the
+    * classic event-analytics operator the reference's users build in raw
+    * CH SQL. Windows partition by user_id (hash-distributed; never a
+    * global single-partition window); session stats are one further
+    * groupBy on (user, session). */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gapped = e
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > lit(1800L * 1000000L), 1L).otherwise(0L))
+    gapped
+      .withColumn("session_idx", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("session_value"),
+        ((max(col("us")) - min(col("us"))).divide(lit(1000000L)))
+          .cast("long").as("duration_s"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** Deterministic stratified sample: exactly 10 docs per language,
+    * chosen by md5-hash order (reproducible across runs and engines, no
+    * RNG state). The window partitions by stratum — each language's
+    * ordering is a local top-k, never a global sort. */
+  def dSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit("#sample"))),
+        col("doc_id"))
+    docs(spark, dir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 10)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** Token-budget sequence packing (training-shard construction): docs are
+    * sharded by id, ordered within the shard, and assigned to the bin
+    * where their cumulative-token START offset lands (budget 512). This is
+    * the scale-shape of greedy packing: each shard packs independently
+    * (the window partitions by shard — a global running sum would funnel
+    * the corpus through one task), exactly how multi-worker tokenizer
+    * pipelines shard-pack in practice. */
+  def dPackBins(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        TextAnalysis.tokenCount(col("text")).as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("bin",
+        ((col("cum") - col("toks")) / lit(512)).cast("long"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "d_dup_clusters" -> (dDupClusters _),
+    "d_split_assign" -> (dSplitAssign _),
+    "d_tfidf" -> (dTfidf _),
+    "d_contamination" -> (dContamination _),
+    "d_corpus_stats" -> (dCorpusStats _),
+    "d_sample_stratified" -> (dSampleStratified _),
+    "d_pack_bins" -> (dPackBins _),
+    "q_sessionize" -> (qSessionize _))
+
+  private val normSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |      ' +', ' ', 'g'))""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "d_dup_clusters" ->
+      s"""WITH RECURSIVE words AS (
+         |  SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w
+         |  FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+         |    FROM words WHERE len(w) >= 3)
+         |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), jp AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN cnt ca ON ca.doc_id = doc_a
+         |  JOIN cnt cb ON cb.doc_id = doc_b
+         |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+         |), fp AS (SELECT doc_id, md5(text) AS f FROM documents
+         |), ep AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+         |), e0 AS (SELECT doc_a, doc_b FROM jp UNION SELECT doc_a, doc_b FROM ep
+         |), sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM e0
+         |  UNION SELECT doc_b, doc_a FROM e0
+         |), reach(id, lab) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.id = s.dst
+         |), comp AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |  coalesce(c.rep, d.doc_id) AS cluster_rep,
+         |  coalesce(c.rep, d.doc_id) = d.doc_id AS keep
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "d_split_assign" ->
+      """WITH s AS (SELECT lang,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+        |      THEN 'train'
+        |      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |      THEN 'val' ELSE 'test' END AS split,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS nw
+        |  FROM documents)
+        |SELECT lang, split, count(*) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS n_words
+        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "d_tfidf" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+         |  FROM documents
+         |), tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+         |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), n AS (SELECT count(*) AS n_docs FROM documents
+         |), scored AS (
+         |  SELECT doc_id, term, tf * (n_docs + 1.0) / (df + 1.0) AS tfidf
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+         |), ranked AS (SELECT doc_id, term, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, term) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, rnk, term, round(tfidf, 4) AS tfidf
+         |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "d_contamination" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w
+         |  FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+         |      AS sh
+         |    FROM words WHERE len(w) >= 4)
+         |), hits AS (
+         |  SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc,
+         |    count(*) AS n_shared
+         |  FROM sh e JOIN sh t ON e.sh = t.sh
+         |  WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+         |  GROUP BY 1, 2
+         |), agg AS (SELECT eval_doc, count(*) AS n_train_docs,
+         |    CAST(sum(n_shared) AS BIGINT) AS n_shared_grams,
+         |    CAST(max(n_shared) AS BIGINT) AS max_shared
+         |  FROM hits GROUP BY eval_doc)
+         |SELECT d.doc_id AS eval_doc,
+         |  coalesce(n_train_docs, 0) AS n_train_docs,
+         |  coalesce(n_shared_grams, 0) AS n_shared_grams,
+         |  coalesce(max_shared, 0) AS max_shared
+         |FROM documents d LEFT JOIN agg ON agg.eval_doc = d.doc_id
+         |WHERE d.doc_id % 97 = 0 ORDER BY eval_doc""".stripMargin,
+    "d_corpus_stats" ->
+      """WITH s AS (SELECT source, lang, n_chars, text,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS nw,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS ns
+        |  FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(nw) AS BIGINT) AS n_words,
+        |  round(avg(round(least(nw / 100.0, 1.0) * 0.5 + ns * 1.0 / nw * 0.5,
+        |    4)), 6) AS avg_quality,
+        |  count(DISTINCT md5(text)) AS n_distinct_texts
+        |FROM s GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "d_sample_stratified" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '#sample'), doc_id)
+        |      AS rk
+        |  FROM documents)
+        |SELECT lang, doc_id, rk FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin,
+    "d_pack_bins" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+        |      AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, toks,
+        |    sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT shard, CAST(cum - toks AS BIGINT) // 512 AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |), gap AS (
+        |  SELECT user_id, event_id, value, us,
+        |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS prev_us
+        |  FROM g
+        |), s AS (
+        |  SELECT user_id, value, us,
+        |    CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |  FROM gap)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  round(sum(value), 4) AS session_value,
+        |  (max(us) - min(us)) // 1000000 AS duration_s
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin)
+}

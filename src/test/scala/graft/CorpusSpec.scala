@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("connectedComponents: chain, triangle, and pair collapse to min-id reps") {
+    // components: {1,2,3,4,5} (a chain — exercises pointer jumping),
+    // {10,11,12} (triangle), {20,21} (pair); 99 absent (no edges)
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (21L, 20L)).toDF("doc_a", "doc_b")
+    val got = Corpus.connectedComponents(edges, "doc_a", "doc_b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: 64-vertex path converges within the iteration cap") {
+    // worst-case diameter; min-propagation alone needs 63 rounds, the
+    // pointer-jumping variant must finish far inside maxIter=25
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val reps = Corpus.connectedComponents(edges, "doc_a", "doc_b")
+      .select("rep").distinct().as[Long].collect().toSeq
+    assert(reps == Seq(0L))
+  }
+
+  test("connectedComponents ignores self-loops and duplicate/reversed edges") {
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L))
+      .toDF("doc_a", "doc_b")
+    val got = Corpus.connectedComponents(edges, "doc_a", "doc_b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // 3 only had a self-loop: no real edge, so it is absent from the output
+    assert(got == Seq(1L -> 1L, 2L -> 1L))
+  }
+
+  test("splitAssign: deterministic, exhaustive, and near the 80/10/10 design") {
+    val ids = spark.range(10000).toDF("id")
+    val counts = ids.select(Corpus.splitAssign(col("id")).as("split"))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 10000L)
+    assert(counts("train") > 7800 && counts("train") < 8200)
+    assert(counts("val") > 800 && counts("val") < 1200)
+    // re-evaluation is stable (pure hash of the id)
+    val twice = ids.select(col("id"), Corpus.splitAssign(col("id")).as("a"),
+      Corpus.splitAssign(col("id")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(twice == 0L)
+  }
+
+  test("tfidf: corpus-wide terms rank below document-specific terms") {
+    val docs = Seq(
+      (1L, "common rare1"),
+      (2L, "common rare2 rare2"),
+      (3L, "common filler")).toDF("doc_id", "text")
+    val top = Corpus.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // 'common' has df=3 (idf floor); the rare terms win despite lower tf
+    assert(top(1L) == "rare1")
+    assert(top(2L) == "rare2")
+    assert(top(3L) == "filler")
+  }
+
+  test("contamination: planted n-gram overlap found, clean docs absent") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally unrelated words here nothing shared")).toDF("id", "text")
+    val eval_ = Seq(
+      (100L, "x alpha beta gamma delta y"),
+      (101L, "pristine benchmark content untouched")).toDF("id", "text")
+    val hits = Corpus.contamination(train, eval_, "id", "text", n = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // eval 100 shares exactly one 4-gram ("alpha beta gamma delta") with train 1
+    assert(hits == Seq((100L, 1L, 1L, 1L)))
+  }
+
+  test("sessionize splits on the 30-minute gap and aggregates per session") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(minutes: Long) = new Timestamp(base + minutes * 60000L)
+    val events = Seq(
+      (1L, 7L, ts(0), "click", 1.0, "{}"),
+      (2L, 7L, ts(10), "view", 2.0, "{}"),   // same session (gap 10m)
+      (3L, 7L, ts(50), "click", 4.0, "{}"),  // new session (gap 40m)
+      (4L, 8L, ts(0), "view", 8.0, "{}"))    // other user
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.CorpusQueries.qSessionize(spark, dir)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      (7L, 1L, 2L, 3.0, 600L),   // 2 events, 10 minutes long
+      (7L, 2L, 1L, 4.0, 0L),
+      (8L, 1L, 1L, 8.0, 0L)))
+  }
+}
