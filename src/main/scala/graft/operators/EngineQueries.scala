@@ -137,13 +137,36 @@ object EngineQueries {
       .tableRange(spark, tmp, "n_nationkey", 0L, 5L)
       .where(col("n_nationkey").between(0, 5)).count()
     val directRows = nation.where(col("n_nationkey").between(0, 5)).count()
+    // v2 merge-on-read: position-delete the even keys, re-read, and
+    // check the survivors match the direct filter (then the snapshot-1
+    // time travel still sees everything)
+    val doomed = spark.read
+      .parquet(planned.map(f => s"$tmp/${f.path}"): _*)
+      .select(col("n_nationkey") % 2 === 0,
+        col("_metadata.file_path"), col("_metadata.row_index"))
+      .collect().toSeq
+      .collect { case r if r.getBoolean(0) =>
+        val p = r.getString(1)
+        ("data/s1/" + p.substring(p.lastIndexOf('/') + 1), r.getLong(2))
+      }
+    graft.sources.IcebergWrite.addPositionDeletes(spark, tmp, doomed)
+    val afterDel = graft.sources.IcebergRead.table(spark, tmp)
+      .agg(count(lit(1)), sum(col("n_nationkey"))).head
+    val directOdd = nation.where(col("n_nationkey") % 2 =!= 0)
+      .agg(count(lit(1)), sum(col("n_nationkey"))).head
+    val deletesWork =
+      afterDel.getLong(0) == directOdd.getLong(0) &&
+        afterDel.getLong(1) == directOdd.getLong(1) &&
+        graft.sources.IcebergRead.table(spark, tmp, snapshotId = Some(1L))
+          .count() == nDir
     import spark.implicits._
     Seq((nIce, sumIce,
         nIce == nDir && sumIce == sumDir,
         planned.map(_.recordCount).sum == nDir,
-        prunedPlan.size < planned.size && prunedRows == directRows))
+        prunedPlan.size < planned.size && prunedRows == directRows,
+        deletesWork))
       .toDF("n_rows", "sum_key", "matches_direct", "plan_counts_match",
-        "prune_works")
+        "prune_works", "deletes_work")
   }
 
   def queries: Map[String, Q] = Map(
@@ -160,7 +183,7 @@ object EngineQueries {
     "q_iceberg_read" ->
       """SELECT count(*) AS n_rows, sum(n_nationkey) AS sum_key,
         |  true AS matches_direct, true AS plan_counts_match,
-        |  true AS prune_works
+        |  true AS prune_works, true AS deletes_work
         |FROM nation""".stripMargin,
     "q_replacing_final" ->
       """SELECT user_id, event_type, event_id, value, ts FROM (

@@ -17,8 +17,9 @@ import org.json4s.jackson.JsonMethods
   * via [[AvroContainer]].
   *
   * Scope honesty (each refused loudly, not silently wrong):
-  *  - v2 positional/equality DELETES are rejected — merge-on-read
-  *    requires an anti-join pipeline this engine doesn't ship yet.
+  *  - v2 POSITION deletes are applied (merge-on-read: an anti-join of
+  *    the scan against the delete files on (file, row ordinal) — see
+  *    [[applyPositionDeletes]]); EQUALITY deletes are rejected.
   *  - only parquet data files (the reference's tables are parquet).
   *  - no partition-pruning pushdown from table metadata: Spark still
   *    prunes parquet row groups by min/max; manifest-level `partitions`
@@ -35,7 +36,8 @@ object IcebergRead {
   final case class DataFileEntry(
       path: String, format: String, recordCount: Long, status: Int,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
-      upperBounds: Map[Int, Array[Byte]] = Map.empty)
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      content: Int = 0)
 
   /** One field of the table schema from the metadata JSON. */
   final case class SchemaField(id: Int, name: String, icebergType: String)
@@ -59,10 +61,29 @@ object IcebergRead {
     }
   }
 
-  /** Plan the live data files of the current (or given) snapshot. */
+  /** Plan the live data files of the current (or given) snapshot.
+    * Strict no-deletes contract: throws if the snapshot carries ANY
+    * delete files (callers of this method would otherwise resurrect
+    * deleted rows). [[table]]/[[tableRange]] go through [[plan]] and
+    * apply position deletes instead. */
   def planFiles(
       spark: SparkSession, tableDir: String,
       snapshotId: Option[Long] = None): Seq[DataFileEntry] = {
+    val (data, deletes) = plan(spark, tableDir, snapshotId)
+    if (deletes.nonEmpty)
+      throw new UnsupportedOperationException(
+        "Iceberg snapshot has position-delete files; use table()/" +
+          "tableRange() (merge-on-read applied) instead of planFiles()")
+    data
+  }
+
+  /** Plan both sides of a v2 snapshot: (live data files, position-delete
+    * files). Equality deletes (content=2) are rejected loudly — applying
+    * them needs the table's equality field ids and a value anti-join this
+    * engine doesn't ship. */
+  def plan(
+      spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): (Seq[DataFileEntry], Seq[DataFileEntry]) = {
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaJson = JsonMethods.parse(
@@ -81,30 +102,25 @@ object IcebergRead {
       })
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $wanted not found"))
-    val manifestListPath = (snap \ "manifest-list") match {
-      case JString(s) => s
+    val entries: Seq[DataFileEntry] = (snap \ "manifest-list") match {
+      case JString(manifestListPath) =>
+        val (_, listEntries) = AvroContainer.readFile(
+          readBytes(fs, resolve(manifestListPath, tableDir)))
+        listEntries.flatMap { e =>
+          val m = e.asInstanceOf[Map[String, Any]]
+          readManifest(fs, m("manifest_path").asInstanceOf[String], tableDir)
+        }
       case other =>
         // v1 tables may inline "manifests" instead of a manifest list
         (snap \ "manifests") match {
           case JArray(ms) =>
-            return ms.flatMap(m => readManifest(fs,
+            ms.flatMap(m => readManifest(fs,
               m.asInstanceOf[JString].s, tableDir))
           case _ => throw new IllegalArgumentException(
             s"snapshot has neither manifest-list nor manifests: $other")
         }
     }
-    val (_, listEntries) =
-      AvroContainer.readFile(readBytes(fs, resolve(manifestListPath, tableDir)))
-    listEntries.flatMap { e =>
-      val m = e.asInstanceOf[Map[String, Any]]
-      // v2 manifest-list content field: 0 = data, 1 = deletes
-      m.get("content").collect { case c: Int if c != 0 =>
-        throw new UnsupportedOperationException(
-          "Iceberg table has delete manifests (merge-on-read); " +
-            "compact the table or read with the Iceberg runtime")
-      }
-      readManifest(fs, m("manifest_path").asInstanceOf[String], tableDir)
-    }
+    entries.partition(_.content == 0)
   }
 
   private def readManifest(
@@ -115,12 +131,13 @@ object IcebergRead {
       val m = e.asInstanceOf[Map[String, Any]]
       val status = m.getOrElse("status", 0).asInstanceOf[Int]
       val df = m("data_file").asInstanceOf[Map[String, Any]]
-      // v2 data_file content field: 0 = data, 1/2 = deletes
-      df.get("content").collect { case c: Int if c != 0 =>
+      // v2 data_file content field: 0 = data, 1 = position deletes,
+      // 2 = equality deletes (no equality-field-id support here)
+      val content = df.getOrElse("content", 0).asInstanceOf[Int]
+      if (content == 2)
         throw new UnsupportedOperationException(
-          "Iceberg manifest contains delete files (merge-on-read); " +
+          "Iceberg manifest contains EQUALITY delete files; " +
             "compact the table or read with the Iceberg runtime")
-      }
       if (status == 2) None // DELETED entry: file no longer in snapshot
       else Some(DataFileEntry(
         df("file_path").asInstanceOf[String],
@@ -132,7 +149,8 @@ object IcebergRead {
         },
         status,
         boundsMap(df.get("lower_bounds")),
-        boundsMap(df.get("upper_bounds"))))
+        boundsMap(df.get("upper_bounds")),
+        content))
     }
   }
 
@@ -148,17 +166,70 @@ object IcebergRead {
   }
 
   /** The table as a DataFrame: plan live files, then a normal distributed
-    * parquet scan over them. */
+    * parquet scan over them; v2 position deletes (if any) are merged on
+    * read via [[applyPositionDeletes]]. */
   def table(
       spark: SparkSession, tableDir: String,
       snapshotId: Option[Long] = None): DataFrame = {
-    val files = planFiles(spark, tableDir, snapshotId)
+    val (files, deletes) = plan(spark, tableDir, snapshotId)
     require(files.nonEmpty, s"iceberg table $tableDir has no live data files")
     val bad = files.filterNot(_.format.equalsIgnoreCase("parquet"))
     require(bad.isEmpty,
       s"non-parquet iceberg data files unsupported: ${bad.map(_.format).distinct}")
     val paths = files.map(f => resolve(f.path, tableDir).toString)
-    spark.read.parquet(paths: _*)
+    applyPositionDeletes(spark, spark.read.parquet(paths: _*),
+      deletes, tableDir)
+  }
+
+  /** Merge-on-read for v2 POSITION deletes (spec: delete files are
+    * parquet with columns `file_path` — the data file's path as written
+    * in its manifest — and `pos`, the row's ordinal in that file).
+    *
+    * Mechanics: the scan exposes Spark's parquet metadata columns
+    * (`_metadata.file_path`, `_metadata.row_index` — the same (file,
+    * ordinal) identity the spec keys on), and deleted rows drop out via a
+    * LEFT ANTI join on that pair. The join shuffles (file, pos) pairs
+    * only — never row payloads on the delete side — and the delete side
+    * is sized by deleted-row count, so AQE broadcasts it in the common
+    * small-delta case.
+    *
+    * Path forms differ between the manifest (absolute URI or
+    * table-relative) and Spark's `_metadata.file_path` (`file:///…`),
+    * so both sides are normalized through one driver-side mapping of the
+    * DISTINCT referenced paths — bounded by data-file count, the same
+    * scale as the manifest walk itself, never by row count. */
+  def applyPositionDeletes(
+      spark: SparkSession, data: DataFrame,
+      deletes: Seq[DataFileEntry], tableDir: String): DataFrame = {
+    if (deletes.isEmpty) return data
+    import org.apache.spark.sql.functions._
+    val badDel = deletes.filterNot(_.format.equalsIgnoreCase("parquet"))
+    require(badDel.isEmpty,
+      s"non-parquet delete files unsupported: ${badDel.map(_.format).distinct}")
+    val delPaths = deletes.map(d => resolve(d.path, tableDir).toString)
+    val delRaw = spark.read.parquet(delPaths: _*)
+      .select(col("file_path"), col("pos").cast("long").as("pos"))
+    // normalize "file:/x", "file:///x", and relative manifest paths to
+    // one canonical absolute form
+    def canon(p: String): String =
+      resolve(p, tableDir).toString.replaceFirst("^[A-Za-z0-9+.-]+:/+", "/")
+    val referenced: Seq[String] = delRaw.select(col("file_path"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val pathMap = map(referenced.flatMap(p =>
+      Seq(lit(p), lit(canon(p)))): _*)
+    val del = delRaw.select(
+      element_at(pathMap, col("file_path")).as("__del_fp"),
+      col("pos").as("__del_pos"))
+    val dataCols = data.columns.map(col)
+    data
+      .select(col("*"),
+        regexp_replace(col("_metadata.file_path"),
+          "^[A-Za-z0-9+.-]+:/+", "/").as("__fp"),
+        col("_metadata.row_index").as("__pos"))
+      .join(del,
+        col("__fp") === col("__del_fp") && col("__pos") === col("__del_pos"),
+        "left_anti")
+      .select(dataCols: _*)
   }
 
   /** Table schema (field ids/names/types) from the metadata JSON, empty
@@ -250,7 +321,7 @@ object IcebergRead {
       case f: Float => f.toDouble
       case other => other
     }
-    planFiles(spark, tableDir).filter { f =>
+    plan(spark, tableDir)._1.filter { f =>
       val keep = for {
         lb <- f.lowerBounds.get(field.id)
         ub <- f.upperBounds.get(field.id)
@@ -259,9 +330,11 @@ object IcebergRead {
     }
   }
 
-  /** Range read: scan only the files [[planFilesRange]] keeps. Callers
-    * still apply the exact row predicate — bounds pruning is file-level,
-    * like any skip index. */
+  /** Range read: scan only the files [[planFilesRange]] keeps, with
+    * position deletes merged on read (pruning composes with deletes:
+    * delete entries for unscanned files simply never match the anti-join).
+    * Callers still apply the exact row predicate — bounds pruning is
+    * file-level, like any skip index. */
   def tableRange(
       spark: SparkSession, tableDir: String, column: String,
       lo: Any, hi: Any): DataFrame = {
@@ -272,9 +345,13 @@ object IcebergRead {
     if (files.isEmpty)
       // no surviving file: empty frame with the table's real schema
       table(spark, tableDir).limit(0)
-    else
-      spark.read.parquet(
-        files.map(f => resolve(f.path, tableDir).toString): _*)
+    else {
+      val deletes = plan(spark, tableDir)._2
+      applyPositionDeletes(spark,
+        spark.read.parquet(
+          files.map(f => resolve(f.path, tableDir).toString): _*),
+        deletes, tableDir)
+    }
   }
 
   /** Per-manifest partition summaries (file-level pruning hook). */

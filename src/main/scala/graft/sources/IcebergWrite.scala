@@ -144,4 +144,57 @@ object IcebergWrite {
       metadataJson.getBytes("UTF-8"))
     Files.write(meta.resolve("version-hint.text"), "1".getBytes("UTF-8"))
   }
+
+  /** Append a POSITION-delete snapshot to a [[createTable]]-written table
+    * (spec §Position Delete Files): writes a parquet delete file with
+    * columns (file_path, pos), a content=1 delete manifest, a new
+    * manifest list carrying both the data manifest and the delete
+    * manifest, and v2 metadata making snapshot 2 current. Data file paths
+    * in `deletes` must be exactly as recorded in the data manifest
+    * (table-relative, e.g. "data/s1/part-….parquet").
+    */
+  def addPositionDeletes(
+      spark: SparkSession, dir: String,
+      deletes: Seq[(String, Long)], codec: String = "null"): Unit = {
+    require(deletes.nonEmpty, "no delete positions given")
+    import spark.implicits._
+    val meta = Paths.get(dir, "metadata")
+    require(Files.exists(meta.resolve("v1.metadata.json")),
+      s"$dir is not a createTable()-written iceberg table")
+    val delDir = s"$dir/data/deletes"
+    // spec orders delete files by (file_path, pos) for merge efficiency
+    deletes.sorted.toDF("file_path", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(delDir)
+    val fs = new org.apache.hadoop.fs.Path(delDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delFile = fs.listStatus(new org.apache.hadoop.fs.Path(delDir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).head
+    val delManifest = Seq(Map[String, Any]("status" -> 1, "snapshot_id" -> 2L,
+      "data_file" -> Map[String, Any](
+        "content" -> 1, "file_path" -> s"data/deletes/$delFile",
+        "file_format" -> "PARQUET", "record_count" -> deletes.size.toLong,
+        "file_size_in_bytes" -> 1L,
+        "lower_bounds" -> null, "upper_bounds" -> null)))
+    Files.write(meta.resolve("m2-deletes.avro"),
+      AvroContainer.writeFile(manifestSchema, delManifest, codec))
+    Files.write(meta.resolve("snap-2.avro"),
+      AvroContainer.writeFile(manifestListSchema, Seq(
+        Map[String, Any]("manifest_path" -> "metadata/m1.avro",
+          "manifest_length" -> 1L, "partition_spec_id" -> 0,
+          "content" -> 0, "added_rows_count" -> 0L),
+        Map[String, Any]("manifest_path" -> "metadata/m2-deletes.avro",
+          "manifest_length" -> 1L, "partition_spec_id" -> 0,
+          "content" -> 1, "added_rows_count" -> 0L)), codec))
+    val v1 = new String(Files.readAllBytes(meta.resolve("v1.metadata.json")),
+      "UTF-8")
+    // snapshot 2 = snapshot 1's data + the delete manifest; current → 2
+    val v2 = v1
+      .replace(""""current-snapshot-id":1""", """"current-snapshot-id":2""")
+      .replace(""""snapshots":[""",
+        """"snapshots":[{"snapshot-id":2,
+          |  "manifest-list":"metadata/snap-2.avro",
+          |  "summary":{"operation":"delete"}},""".stripMargin)
+    Files.write(meta.resolve("v2.metadata.json"), v2.getBytes("UTF-8"))
+    Files.write(meta.resolve("version-hint.text"), "2".getBytes("UTF-8"))
+  }
 }

@@ -153,6 +153,42 @@ class IcebergSpec extends AnyFunSuite {
     }
   }
 
+  test("v2 position deletes merge on read; pruning and time travel compose") {
+    val dir = Files.createTempDirectory("iceberg_del").toString
+    val df = (1 to 40).map(i => (i.toLong, s"k$i")).toDF("id", "k")
+    graft.sources.IcebergWrite.createTable(df.repartition(2), dir)
+    // locate the spec identity (data file, row ordinal) of ids % 10 == 0
+    // exactly as a writer would: via the parquet metadata columns
+    val files = IcebergRead.planFiles(spark, dir)
+    val doomed = spark.read
+      .parquet(files.map(f => s"$dir/${f.path}"): _*)
+      .select($"id", col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("pos"))
+      .where($"id" % 10 === 0).collect()
+    assert(doomed.length == 4)
+    val rel = doomed.map { r =>
+      val p = r.getString(1)
+      ("data/s1/" + p.substring(p.lastIndexOf('/') + 1), r.getLong(2))
+    }.toSeq
+    graft.sources.IcebergWrite.addPositionDeletes(spark, dir, rel)
+
+    val t = IcebergRead.table(spark, dir)
+    assert(t.count() == 36)
+    assert(t.where($"id" % 10 === 0).count() == 0)
+    assert(t.select(sum($"id")).head.getLong(0) ==
+      (1 to 40).filterNot(_ % 10 == 0).map(_.toLong).sum)
+    // strict no-deletes API refuses rather than resurrecting rows
+    intercept[UnsupportedOperationException] {
+      IcebergRead.planFiles(spark, dir)
+    }
+    // time travel to the pre-delete snapshot still sees all 40
+    assert(IcebergRead.table(spark, dir, snapshotId = Some(1L)).count() == 40)
+    // range read composes: deleted ids inside the range stay gone
+    val ranged = IcebergRead.tableRange(spark, dir, "id", 1L, 40L)
+    assert(ranged.count() == 36 &&
+      ranged.where($"id" % 10 === 0).count() == 0)
+  }
+
   test("string bounds compare as UTF-8 bytes, not UTF-16 code units") {
     val dir = Files.createTempDirectory("iceberg_u").toString
     val df = Seq((1L, "apple"), (2L, "😀 emoji")).toDF("id", "k")
