@@ -1,0 +1,46 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Stage-level profiler for the MinHash-LSH pipeline (the most expensive
+  * bench query): times each sub-pipeline in isolation (each run includes
+  * its upstream, so deltas between lines ≈ stage costs). Results feed the
+  * BENCH notes in README.md.
+  *
+  * Usage: sbt "runMain graft.tools.Profile /root/testdata/sf0.1"
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.load(spark, sfDir, "documents")
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[profile] $name%-22s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
+    // warm the scan + codegen once
+    time("warmup(shingles)")(Dedup.shingleSet(docs, "doc_id", "text", 3))
+    time("shingles")(Dedup.shingleSet(docs, "doc_id", "text", 3))
+    time("signatures")(
+      Dedup.minhashSignatures(Dedup.shingleSet(docs, "doc_id", "text", 3), 24))
+    time("candidates")(
+      Dedup.lshCandidates(
+        Dedup.minhashSignatures(
+          Dedup.shingleSet(docs, "doc_id", "text", 3), 24), 8, 3))
+    time("full pairs")(
+      Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 24, 8, 0.5))
+    spark.stop()
+  }
+}
