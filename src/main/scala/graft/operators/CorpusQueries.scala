@@ -151,7 +151,28 @@ object CorpusQueries {
       .orderBy(col("shard"), col("bin"))
   }
 
+  /** Self-verifying k-means (signature space isn't SQL-expressible, its
+    * CONTRACT is): one row per Lloyd iteration asserting the inertia is
+    * non-increasing (the property the mean-update step guarantees), that
+    * every vector is assigned, and that the clustering is non-trivial
+    * (uses >1 cell, ≤ k cells). DuckDB recomputes the vector count and
+    * expects the booleans as constants. */
+  def eKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val (assign, inertia) = Similarity.kmeans(e, k = 8, iters = 3)
+    val nAssigned = assign.count()
+    val nCells = assign.agg(countDistinct(col("cell"))).head.getLong(0)
+    val cellsOk = nCells > 1 && nCells <= 8
+    import spark.implicits._
+    inertia.indices.map { i =>
+      val ok = i == 0 || inertia(i) <= inertia(i - 1) * (1 + 1e-9) + 1e-9
+      (i.toLong, ok, nAssigned, cellsOk)
+    }.toDF("iter", "inertia_ok", "n_assigned", "cells_ok")
+      .orderBy(col("iter"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "e_kmeans" -> (eKmeans _),
     "d_dup_clusters" -> (dDupClusters _),
     "d_split_assign" -> (dSplitAssign _),
     "d_tfidf" -> (dTfidf _),
@@ -166,6 +187,10 @@ object CorpusQueries {
       |      ' +', ' ', 'g'))""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "e_kmeans" ->
+      """SELECT range AS iter, true AS inertia_ok,
+        |  (SELECT count(*) FROM embeddings) AS n_assigned, true AS cells_ok
+        |FROM range(3) ORDER BY iter""".stripMargin,
     "d_dup_clusters" ->
       s"""WITH RECURSIVE words AS (
          |  SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w

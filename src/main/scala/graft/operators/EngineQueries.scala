@@ -96,14 +96,18 @@ object EngineQueries {
         AggState.partial("sum", col("value")).as("sum_state"),
         AggState.partial("count", col("value")).as("count_state"),
         AggState.partial("min", col("value")).as("min_state"),
-        AggState.partial("max", col("value")).as("max_state"))
+        AggState.partial("max", col("value")).as("max_state"),
+        AggState.partial("quantile", col("value")).as("median_state"))
     partial.groupBy(col("day"))
       .agg(
         round(AggState.merge("avg", col("avg_state")), 4).as("avg_value"),
         round(AggState.merge("sum", col("sum_state")), 2).as("total"),
         AggState.merge("count", col("count_state")).as("n"),
         AggState.merge("min", col("min_state")).as("min_value"),
-        AggState.merge("max", col("max_state")).as("max_value"))
+        AggState.merge("max", col("max_state")).as("max_value"),
+        // exact sorted-array state ⇒ merge-of-partials ≡ direct median;
+        // raw element, no rounding needed for oracle parity
+        AggState.merge("quantile", col("median_state")).as("median_value"))
       .orderBy(col("day"))
   }
 
@@ -223,6 +227,8 @@ object EngineQueries {
         |  round(sum(value), 2) AS total,
         |  count(value) AS n,
         |  min(value) AS min_value,
-        |  max(value) AS max_value
+        |  max(value) AS max_value,
+        |  list_sort(list(value))[greatest(1,
+        |    CAST(ceil(count(value) * 0.5) AS INT))] AS median_value
         |FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin)
 }

@@ -213,6 +213,65 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Lloyd's k-means over an embedding column — corpus clustering for
+    * data-mixing / IVF coarse-quantizer training (the "production: a
+    * k-means pass" [[knnIvf]]'s seeding note refers to).
+    *
+    * Deterministic: centroids init from the k smallest-id vectors; fixed
+    * iteration count; distance ties break toward the lower cell index.
+    *
+    * Scale shape per iteration: centroids fold into the plan as literals
+    * (k×dim doubles — broadcast-by-construction), assignment is a
+    * codegen'd expression on ONE corpus scan, and the update is a
+    * groupBy(cell, dim) average whose output is k×dim rows — the only
+    * driver materialization. Nothing row-scaled ever collects; iterations
+    * are O(scan) each, the textbook distributed Lloyd.
+    *
+    * @return (assignments (id, cell), inertia per iteration — the mean
+    *         update can only lower it, so callers can assert monotone
+    *         non-increase as a correctness probe)
+    */
+  def kmeans(
+      embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 8,
+      iters: Int = 3): (DataFrame, Seq[Double]) = {
+    require(k >= 1 && iters >= 1, s"bad kmeans dials k=$k iters=$iters")
+    val base = embeddings.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    var cents: IndexedSeq[Seq[Double]] = base.orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val dim = cents.head.length
+
+    def sqDist(v: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x)
+    // (dist, cell) structs: array_min orders by dist, then cell — the
+    // deterministic tie-break
+    def assigned: DataFrame = base.select(col("id"), col("v"),
+      array_min(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(sqDist(col("v"), c).as("d"), lit(i).as("cell"))
+      }: _*)).as("best"))
+
+    val history = (0 until iters).map { _ =>
+      val a = assigned
+      val inertia = a.agg(sum(col("best.d"))).head.getDouble(0)
+      val means = a.select(col("best.cell").as("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      // a cell that lost every vector keeps its centroid (monotonicity
+      // holds either way; dropping it would renumber cells mid-run)
+      cents = (0 until k).map(i => means.getOrElse(i, cents(i)))
+      require(cents.forall(_.length == dim), "ragged centroid update")
+      inertia
+    }
+    (assigned.select(col("id"), col("best.cell").cast("long").as("cell")),
+      history)
+  }
+
   /** Symmetric per-vector int8 quantization — the standard 4× embedding
     * storage compression for corpus-scale ANN: scale = max|vᵢ|/127,
     * qᵢ = round(vᵢ/scale) ∈ [-127,127]. Row-local higher-order-function

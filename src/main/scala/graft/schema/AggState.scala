@@ -21,18 +21,31 @@ import org.apache.spark.sql.types._
   * `partial(fn, col)` is used in an MV SELECT (the xState(...) producer);
   * `merge(fn, col)` finishes a state column at read (the auto xMerge). */
 object AggState {
-  val supported: Set[String] = Set("sum", "count", "avg", "min", "max", "any", "uniq")
+  val supported: Set[String] =
+    Set("sum", "count", "avg", "min", "max", "any", "uniq", "quantile")
 
   def bufferType(fn: String, argTypes: Seq[DataType]): DataType = fn match {
     case "count" => LongType
     case "avg" => StructType(Seq(
       StructField("sum", DoubleType), StructField("cnt", LongType)))
     case "uniq" => BinaryType
+    // quantileExact semantics: the state IS the (sorted) value array —
+    // exactly CH's quantileExactState buffer; unbounded like CH's
+    case "quantile" => ArrayType(DoubleType)
     case "sum" | "min" | "max" | "any" =>
       argTypes.headOption.getOrElse(DoubleType)
     case other => throw new IllegalArgumentException(
       s"unsupported AggregateFunction '$other' (supported: $supported)")
   }
+
+  /** quantile finisher: nearest-rank at CH's default level 0.5 —
+    * element ⌈0.5·n⌉ (1-based) of the sorted merged state. Exact, so
+    * merge-of-partials ≡ direct on any grouping, and every op is
+    * IEEE-exact (array sort + element pick — no interpolation
+    * arithmetic), so oracles reproduce it bit-for-bit. */
+  private def quantileFinish(arr: Column): Column =
+    element_at(arr,
+      greatest(lit(1), ceil(size(arr) * lit(0.5)).cast(IntegerType)))
 
   /** The xState(...) producer used in a materialized-view SELECT. */
   def partial(fn: String, c: Column): Column = fn match {
@@ -46,6 +59,7 @@ object AggState {
     // different 'any' value than an uncompacted read
     case "any" => first(c, ignoreNulls = true)
     case "uniq" => hll_sketch_agg(c)
+    case "quantile" => array_sort(collect_list(c.cast(DoubleType)))
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
 
@@ -62,6 +76,7 @@ object AggState {
     case "max" => max(c)
     case "any" => first(c, ignoreNulls = true)
     case "uniq" => hll_union_agg(c)
+    case "quantile" => array_sort(flatten(collect_list(c)))
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
 
@@ -75,6 +90,11 @@ object AggState {
     case "max" => s"max($quotedCol)"
     case "any" => s"first($quotedCol, true)"
     case "uniq" => s"hll_sketch_estimate(hll_union_agg($quotedCol))"
+    case "quantile" =>
+      // the two identical collect_list aggregates dedupe in planning
+      s"element_at(array_sort(flatten(collect_list($quotedCol))), " +
+        s"greatest(1, cast(ceil(size(array_sort(flatten(" +
+        s"collect_list($quotedCol)))) * 0.5) as int)))"
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
 
@@ -87,6 +107,7 @@ object AggState {
     case "max" => max(c)
     case "any" => first(c, ignoreNulls = true)
     case "uniq" => hll_sketch_estimate(hll_union_agg(c))
+    case "quantile" => quantileFinish(array_sort(flatten(collect_list(c))))
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
 }

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.operators.{Dedup, RelationalQueries, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, RelationalQueries, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,12 +16,16 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val sfDir = "/root/testdata/sf0.1"
-    // Partition count must scale with data volume so each shuffle
-    // partition stays roughly constant-sized — a fixed 32 at factor 50
-    // measured an OOM in the shingle-join's spill readers (partitions 50×
-    // the tuned size). On a real cluster this is AQE + a coalesce target;
-    // here the explicit factor-scaled count plays that role.
-    val shufflePartitions = 32 * math.max(1, factor / 8)
+    // Shuffle partitions: scale up from 32 with data volume, but CLAMP at
+    // 6× cores. Measured at 10×: 32 partitions left the shingle join
+    // spill-bound (163 s) vs 71 s at 128. Measured at 50×: 672 partitions
+    // (strict 13×factor density) ran the same probe at 700 s vs 262 s at
+    // 192 — past a few × cores, per-task overhead on the 50-way unioned
+    // scan dominates what smaller spills save. On a real cluster the AQE
+    // advisory partition size makes this call at runtime; here the
+    // clamped rule plays that role. Optional second arg overrides.
+    val shufflePartitions = args.lift(1).map(_.toInt)
+      .getOrElse(math.min(192, math.max(32, 13 * factor / 32 * 32)))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -149,6 +153,45 @@ object Stress {
         .agg(sum(aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long"))))
         .head
       emb.count()
+    }
+
+    // --- round-4 corpus family ---
+    // Connected components: exact-dup edges within each salted copy (the
+    // salt keeps cross-copy Jaccard ≈ 0), so edge volume scales ×N while
+    // component diameters stay tiny — the convergence property the
+    // algorithm banks on at corpus scale.
+    time("connected components over dup edges (salted copies)") {
+      val fp = docsSalted.select(col("doc_id"), md5(col("text")).as("f"))
+      val edges = fp.as("a")
+        .join(fp.as("b"),
+          col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      Corpus.connectedComponents(edges, "doc_a", "doc_b").count()
+    }
+    // TF-IDF: two map-side-combined aggregations + a per-doc top-k window;
+    // vocabulary grows with the salt tokens, docs ×N.
+    time("tf-idf top-3 (salted copies)") {
+      Corpus.tfidfTopTerms(docsSalted, "doc_id", "text", 3).count()
+    }
+    // Sessionization: user_id is amplified along with event_id, so USER
+    // COUNT scales and per-user session volume stays constant — windows
+    // stay balanced instead of a fixed user set growing hot.
+    time("sessionize 30-min gaps (events + users amplified)") {
+      import org.apache.spark.sql.expressions.Window
+      val ev = amplify(Tables.load(spark, sfDir, "events"),
+        Seq("event_id", "user_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      ev.select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("ns", when(col("prev").isNull ||
+          col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("ns")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)), sum(col("value")))
+        .count()
     }
     spark.stop()
   }

@@ -81,6 +81,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(hits == Seq((100L, 1L, 1L, 1L)))
   }
 
+  test("kmeans: separated clusters recovered exactly, inertia non-increasing") {
+    val vecs = (0 until 8).map { i =>
+      val base = if (i % 2 == 0) 1.0f else 9.0f
+      (i.toLong, Array.fill(4)(base).toSeq)
+    }.toDF("vec_id", "embedding")
+    val (assign, inertia) = operators.Similarity.kmeans(vecs, k = 2, iters = 3)
+    val got = assign.orderBy("id").as[(Long, Long)].collect().toSeq
+    // init = ids 0 (at 1.0) and 1 (at 9.0): the two point-clouds split
+    // exactly — evens to cell 0, odds to cell 1 — and stay split
+    assert(got == (0 until 8).map(i => (i.toLong, (i % 2).toLong)))
+    assert(inertia.length == 3)
+    assert(inertia.sliding(2).forall(p => p(1) <= p.head + 1e-9))
+    assert(inertia.last == 0.0) // identical copies sit ON their centroid
+  }
+
   test("sessionize splits on the 30-minute gap and aggregates per session") {
     import java.sql.Timestamp
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime

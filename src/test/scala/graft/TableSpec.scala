@@ -237,6 +237,25 @@ class TableSpec extends AnyFunSuite {
     assert(merged == 4) // exact at this cardinality
   }
 
+  test("AggState quantile: merge-of-partials == direct median, any grouping") {
+    // 9 values; nearest-rank median (⌈0.5·9⌉ = 5th of sorted) = 5.0
+    val df = (1 to 9).map(i => (i % 3, i.toDouble)).toDF("g", "v")
+    val partial = df.groupBy("g")
+      .agg(AggState.partial("quantile", col("v")).as("st"))
+    // state×state stays a state (sorted merged array)...
+    val st = partial.agg(AggState.mergeState("quantile", col("st")))
+      .head().getSeq[Double](0)
+    assert(st == (1 to 9).map(_.toDouble))
+    // ...and the finisher picks the exact element regardless of grouping
+    assert(partial.agg(AggState.merge("quantile", col("st")))
+      .head().getDouble(0) == 5.0)
+    // even count: ⌈0.5·8⌉ = 4th of sorted (lower middle)
+    val evenPartial = (1 to 8).map(i => (i % 2, i.toDouble)).toDF("g", "v")
+      .groupBy("g").agg(AggState.partial("quantile", col("v")).as("st"))
+    assert(evenPartial.agg(AggState.merge("quantile", col("st")))
+      .head().getDouble(0) == 4.0)
+  }
+
   test("Replicated wrapper delegates FINAL semantics to inner engine (S8)") {
     val wh = tmpWarehouse()
     val schema = MooseSchema(Seq(
