@@ -78,10 +78,17 @@ object Corpus {
         .join(labels, Seq("id"))
         .where(col("nl") =!= col("label"))
         .count()
+      // drop the previous round's checkpointed blocks — without this the
+      // block manager accumulates O(rounds × |V|) of dead label tables
+      labels.unpersist()
       labels = next
       iter += 1
     }
-    labels.select(col("id"), col("label").as("rep"))
+    val out = labels.select(col("id"), col("label").as("rep"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    sym.unpersist()
+    out
   }
 
   /** Deterministic, reproducible train/val/test assignment by content-free
@@ -129,6 +136,34 @@ object Corpus {
       .where(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("term"),
         round(col("tfidf"), 4).as("tfidf"))
+  }
+
+  /** Gap-based sessionization: rows sharing `idCol` belong to one session
+    * while consecutive event times (µs) are within `gapSeconds`. Returns
+    * per-session aggregates (n_events, session_value, duration_s). The
+    * windows partition by the id column — hash-distributed, never a
+    * global sort; both windows share one exchange+sort. */
+  def sessionize(
+      events: DataFrame, idCol: String, tsCol: String, valueCol: String,
+      gapSeconds: Long = 1800L, orderTieBreak: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("us"), col(orderTieBreak))
+    events
+      .select(col(idCol), col(orderTieBreak), unix_micros(col(tsCol)).as("us"),
+        col(valueCol).as("value"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > lit(gapSeconds * 1000000L), 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("session_value"),
+        ((max(col("us")) - min(col("us"))).divide(lit(1000000L)))
+          .cast("long").as("duration_s"))
   }
 
   /** Benchmark-contamination check: for each document of the eval set,

@@ -90,43 +90,43 @@ object CorpusQueries {
 
   /** Gap-based sessionization (30-min inactivity closes a session) — the
     * classic event-analytics operator the reference's users build in raw
-    * CH SQL. Windows partition by user_id (hash-distributed; never a
-    * global single-partition window); session stats are one further
-    * groupBy on (user, session). */
-  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(spark, dir, "events")
-    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val gapped = e
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
-        col("value"))
-      .withColumn("prev_us", lag(col("us"), 1).over(w))
-      .withColumn("new_sess",
-        when(col("prev_us").isNull ||
-          col("us") - col("prev_us") > lit(1800L * 1000000L), 1L).otherwise(0L))
-    gapped
-      .withColumn("session_idx", sum(col("new_sess"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("session_idx"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("session_value"),
-        ((max(col("us")) - min(col("us"))).divide(lit(1000000L)))
-          .cast("long").as("duration_s"))
+    * CH SQL; see [[Corpus.sessionize]] for the window shape. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    Corpus.sessionize(Tables.load(spark, dir, "events"),
+        "user_id", "ts", "value", gapSeconds = 1800L)
       .orderBy(col("user_id"), col("session_idx"))
-  }
 
   /** Deterministic stratified sample: exactly 10 docs per language,
     * chosen by md5-hash order (reproducible across runs and engines, no
-    * RNG state). The window partitions by stratum — each language's
-    * ordering is a local top-k, never a global sort. */
+    * RNG state).
+    *
+    * Scale shape: a bare window partitioned by stratum funnels each
+    * stratum through ONE task (5 languages = 5 hot tasks at 100 TB). So
+    * the sample hash is computed scan-side and a cheap PRE-FILTER keeps
+    * only rows whose hash falls in a small prefix range before the
+    * window ever sorts — the window then ranks a tiny survivor set. The
+    * prefix is chosen so every stratum still has ≥ k survivors (one
+    * count-aggregate checks; falls back to the unfiltered window if a
+    * stratum is too small — correctness never depends on the prefix). */
   def dSampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(md5(concat(col("doc_id").cast("string"), lit("#sample"))),
-        col("doc_id"))
-    docs(spark, dir)
-      .select(col("lang"), col("doc_id"))
+    val d = docs(spark, dir).select(col("lang"), col("doc_id"),
+      md5(concat(col("doc_id").cast("string"), lit("#sample"))).as("h"))
+    // ~1/16 of each stratum survives; P(stratum of n rows has < 10
+    // survivors) is negligible for n ≳ 400, and the fallback covers the
+    // rest exactly. ONE scan decides: per-stratum total + survivor
+    // counts together (a stratum with zero survivors shows up with
+    // ns=0, so no separate distinct-langs pass is needed).
+    val stats = d.groupBy(col("lang")).agg(
+      count(when(col("h") < "1", 1)).as("ns")).collect()
+    val pool =
+      if (stats.nonEmpty && stats.forall(_.getLong(1) >= 10))
+        d.where(col("h") < "1")
+      else d
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    pool
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= 10)
+      .select(col("lang"), col("doc_id"), col("rk"))
       .orderBy(col("lang"), col("rk"))
   }
 

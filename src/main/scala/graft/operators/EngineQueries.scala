@@ -228,7 +228,8 @@ object EngineQueries {
         |  count(value) AS n,
         |  min(value) AS min_value,
         |  max(value) AS max_value,
-        |  list_sort(list(value))[greatest(1,
-        |    CAST(ceil(count(value) * 0.5) AS INT))] AS median_value
+        |  (list_sort(list(value) FILTER (WHERE value IS NOT NULL)))
+        |    [greatest(1, CAST(ceil(count(value) * 0.5) AS INT))]
+        |    AS median_value
         |FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin)
 }

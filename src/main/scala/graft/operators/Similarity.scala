@@ -240,6 +240,8 @@ object Similarity {
       transform(col(vecCol), x => x.cast("double")).as("v"))
     var cents: IndexedSeq[Seq[Double]] = base.orderBy(col("id")).limit(k)
       .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    require(cents.length == k,
+      s"kmeans k=$k but only ${cents.length} vectors — lower k")
     val dim = cents.head.length
 
     def sqDist(v: Column, c: Seq[Double]): Column =

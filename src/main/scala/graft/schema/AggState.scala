@@ -42,10 +42,14 @@ object AggState {
     * element ⌈0.5·n⌉ (1-based) of the sorted merged state. Exact, so
     * merge-of-partials ≡ direct on any grouping, and every op is
     * IEEE-exact (array sort + element pick — no interpolation
-    * arithmetic), so oracles reproduce it bit-for-bit. */
+    * arithmetic), so oracles reproduce it bit-for-bit. Empty state (a
+    * group whose values were all NULL — collect_list drops them) yields
+    * NULL like min/max/avg do; without the guard `element_at(arr, 1)`
+    * raises INVALID_ARRAY_INDEX under ANSI mode (the Spark 4 default). */
   private def quantileFinish(arr: Column): Column =
-    element_at(arr,
-      greatest(lit(1), ceil(size(arr) * lit(0.5)).cast(IntegerType)))
+    when(size(arr) > 0,
+      element_at(arr,
+        greatest(lit(1), ceil(size(arr) * lit(0.5)).cast(IntegerType))))
 
   /** The xState(...) producer used in a materialized-view SELECT. */
   def partial(fn: String, c: Column): Column = fn match {
@@ -91,10 +95,12 @@ object AggState {
     case "any" => s"first($quotedCol, true)"
     case "uniq" => s"hll_sketch_estimate(hll_union_agg($quotedCol))"
     case "quantile" =>
-      // the two identical collect_list aggregates dedupe in planning
-      s"element_at(array_sort(flatten(collect_list($quotedCol))), " +
+      // the identical collect_list aggregates dedupe in planning; the
+      // size>0 guard mirrors quantileFinish (ANSI-safe on empty state)
+      s"case when size(flatten(collect_list($quotedCol))) > 0 then " +
+        s"element_at(array_sort(flatten(collect_list($quotedCol))), " +
         s"greatest(1, cast(ceil(size(array_sort(flatten(" +
-        s"collect_list($quotedCol)))) * 0.5) as int)))"
+        s"collect_list($quotedCol)))) * 0.5) as int))) end"
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
 

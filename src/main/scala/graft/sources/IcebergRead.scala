@@ -108,14 +108,19 @@ object IcebergRead {
           readBytes(fs, resolve(manifestListPath, tableDir)))
         listEntries.flatMap { e =>
           val m = e.asInstanceOf[Map[String, Any]]
-          readManifest(fs, m("manifest_path").asInstanceOf[String], tableDir)
+          // the manifest-list's own content flag (0=data, 1=deletes) is
+          // the default for entries whose data_file omits `content` — a
+          // delete manifest's files must never fall back to "data"
+          val listContent = m.getOrElse("content", 0).asInstanceOf[Int]
+          readManifest(fs, m("manifest_path").asInstanceOf[String],
+            tableDir, listContent)
         }
       case other =>
         // v1 tables may inline "manifests" instead of a manifest list
         (snap \ "manifests") match {
           case JArray(ms) =>
             ms.flatMap(m => readManifest(fs,
-              m.asInstanceOf[JString].s, tableDir))
+              m.asInstanceOf[JString].s, tableDir, 0))
           case _ => throw new IllegalArgumentException(
             s"snapshot has neither manifest-list nor manifests: $other")
         }
@@ -124,7 +129,8 @@ object IcebergRead {
   }
 
   private def readManifest(
-      fs: FileSystem, path: String, tableDir: String): Seq[DataFileEntry] = {
+      fs: FileSystem, path: String, tableDir: String,
+      defaultContent: Int): Seq[DataFileEntry] = {
     val (_, entries) = AvroContainer.readFile(
       readBytes(fs, resolve(path, tableDir)))
     entries.flatMap { e =>
@@ -133,7 +139,7 @@ object IcebergRead {
       val df = m("data_file").asInstanceOf[Map[String, Any]]
       // v2 data_file content field: 0 = data, 1 = position deletes,
       // 2 = equality deletes (no equality-field-id support here)
-      val content = df.getOrElse("content", 0).asInstanceOf[Int]
+      val content = df.getOrElse("content", defaultContent).asInstanceOf[Int]
       if (content == 2)
         throw new UnsupportedOperationException(
           "Iceberg manifest contains EQUALITY delete files; " +
@@ -277,81 +283,104 @@ object IcebergRead {
     }
   }
 
-  /** File-level range pruning on `column` — the skip that matters before
-    * the scan ever starts: keep only live files whose [lower, upper]
-    * bounds overlap [lo, hi] (files without bounds are kept — pruning
-    * must never be wrong, only incomplete). Numeric bounds compare as
-    * Long/Double, strings lexicographically. */
-  def planFilesRange(
-      spark: SparkSession, tableDir: String, column: String,
-      lo: Any, hi: Any): Seq[DataFileEntry] = {
-    val field = tableSchema(spark, tableDir).find(_.name == column)
-      .getOrElse(throw new IllegalArgumentException(
-        s"column '$column' not in table schema (or metadata has no schema)"))
-    // String bounds compare as UNSIGNED UTF-8 BYTES — the order Spark's
-    // min/max produced them in (UTF8String.compareTo) and Iceberg's
-    // string sort order. Java String.compareTo is UTF-16 code-unit order,
-    // which disagrees above the BMP (a surrogate pair sorts below
-    // U+E000..U+FFFF) and would wrongly DROP files — breaking the
-    // never-wrong invariant.
-    def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
-      var i = 0
-      while (i < a.length && i < b.length) {
-        val d = (a(i) & 0xff) - (b(i) & 0xff)
-        if (d != 0) return d
-        i += 1
-      }
-      a.length - b.length
+  // String bounds compare as UNSIGNED UTF-8 BYTES — the order Spark's
+  // min/max produced them in (UTF8String.compareTo) and Iceberg's
+  // string sort order. Java String.compareTo is UTF-16 code-unit order,
+  // which disagrees above the BMP (a surrogate pair sorts below
+  // U+E000..U+FFFF) and would wrongly DROP files — breaking the
+  // never-wrong invariant.
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
     }
-    def cmp(boundBytes: Array[Byte], probe: Any): Int = probe match {
+    a.length - b.length
+  }
+
+  private def rangeCmp(
+      field: SchemaField, boundBytes: Array[Byte], probe: Any): Int =
+    probe match {
       case s: String =>
         cmpBytes(boundBytes, s.getBytes("UTF-8"))
       case p =>
         val b = boundValue(field.icebergType, boundBytes)
-        (b, p) match {
+        (b, normProbe(p)) match {
           case (x: Long, y: Long) => java.lang.Long.compare(x, y)
           case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-          case _ => throw new IllegalArgumentException(
-            s"probe type ${p.getClass.getSimpleName} vs bound " +
+          case (_, y) => throw new IllegalArgumentException(
+            s"probe type ${y.getClass.getSimpleName} vs bound " +
               b.getClass.getSimpleName)
         }
     }
-    def norm(v: Any): Any = v match {
-      case i: Int => i.toLong
-      case f: Float => f.toDouble
-      case other => other
-    }
-    plan(spark, tableDir)._1.filter { f =>
+
+  private def normProbe(v: Any): Any = v match {
+    case i: Int => i.toLong
+    case f: Float => f.toDouble
+    case other => other
+  }
+
+  /** File-level range pruning on `column` — the skip that matters before
+    * the scan ever starts: keep only live files whose [lower, upper]
+    * bounds overlap [lo, hi] (files without bounds are kept — pruning
+    * must never be wrong, only incomplete). Numeric bounds compare as
+    * Long/Double, strings lexicographically. Same strict no-deletes
+    * contract as [[planFiles]]: a raw file plan over a snapshot with
+    * position deletes would resurrect deleted rows, so it throws — use
+    * [[tableRange]] for merge-on-read. */
+  def planFilesRange(
+      spark: SparkSession, tableDir: String, column: String,
+      lo: Any, hi: Any): Seq[DataFileEntry] = {
+    val (files, deletes) = planRangeWithDeletes(spark, tableDir, column, lo, hi)
+    if (deletes.nonEmpty)
+      throw new UnsupportedOperationException(
+        "Iceberg snapshot has position-delete files; use tableRange() " +
+          "(merge-on-read applied) — a raw file plan would resurrect " +
+          "deleted rows")
+    files
+  }
+
+  /** [[planFilesRange]] plus the snapshot's delete files, from ONE
+    * metadata walk (the walk is driver-side storage I/O — manifest list +
+    * every manifest — and must not run twice per read). */
+  private def planRangeWithDeletes(
+      spark: SparkSession, tableDir: String, column: String,
+      lo: Any, hi: Any): (Seq[DataFileEntry], Seq[DataFileEntry]) = {
+    val field = tableSchema(spark, tableDir).find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '$column' not in table schema (or metadata has no schema)"))
+    val (data, deletes) = plan(spark, tableDir)
+    val kept = data.filter { f =>
       val keep = for {
         lb <- f.lowerBounds.get(field.id)
         ub <- f.upperBounds.get(field.id)
-      } yield cmp(ub, norm(lo)) >= 0 && cmp(lb, norm(hi)) <= 0
+      } yield rangeCmp(field, ub, lo) >= 0 && rangeCmp(field, lb, hi) <= 0
       keep.getOrElse(true)
     }
+    (kept, deletes)
   }
 
-  /** Range read: scan only the files [[planFilesRange]] keeps, with
-    * position deletes merged on read (pruning composes with deletes:
-    * delete entries for unscanned files simply never match the anti-join).
-    * Callers still apply the exact row predicate — bounds pruning is
-    * file-level, like any skip index. */
+  /** Range read: scan only the surviving files, with position deletes
+    * merged on read (pruning composes with deletes: delete entries for
+    * unscanned files simply never match the anti-join). Callers still
+    * apply the exact row predicate — bounds pruning is file-level, like
+    * any skip index. */
   def tableRange(
       spark: SparkSession, tableDir: String, column: String,
       lo: Any, hi: Any): DataFrame = {
-    val files = planFilesRange(spark, tableDir, column, lo, hi)
+    val (files, deletes) = planRangeWithDeletes(spark, tableDir, column, lo, hi)
     val bad = files.filterNot(_.format.equalsIgnoreCase("parquet"))
     require(bad.isEmpty,
       s"non-parquet iceberg data files unsupported: ${bad.map(_.format).distinct}")
     if (files.isEmpty)
       // no surviving file: empty frame with the table's real schema
       table(spark, tableDir).limit(0)
-    else {
-      val deletes = plan(spark, tableDir)._2
+    else
       applyPositionDeletes(spark,
         spark.read.parquet(
           files.map(f => resolve(f.path, tableDir).toString): _*),
         deletes, tableDir)
-    }
   }
 
   /** Per-manifest partition summaries (file-level pruning hook). */

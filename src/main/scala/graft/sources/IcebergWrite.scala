@@ -161,6 +161,13 @@ object IcebergWrite {
     val meta = Paths.get(dir, "metadata")
     require(Files.exists(meta.resolve("v1.metadata.json")),
       s"$dir is not a createTable()-written iceberg table")
+    // one delete snapshot per fixture table: a second call would
+    // OVERWRITE the first batch's delete file and silently resurrect its
+    // rows — refuse loudly (multi-snapshot delete chains are the Iceberg
+    // runtime's job, out of fixture scope)
+    require(!Files.exists(meta.resolve("v2.metadata.json")),
+      s"$dir already has a delete snapshot; merge the batches into one " +
+        "addPositionDeletes call")
     val delDir = s"$dir/data/deletes"
     // spec orders delete files by (file_path, pos) for merge efficiency
     deletes.sorted.toDF("file_path", "pos")

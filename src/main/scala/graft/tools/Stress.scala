@@ -177,21 +177,9 @@ object Stress {
     // COUNT scales and per-user session volume stays constant — windows
     // stay balanced instead of a fixed user set growing hot.
     time("sessionize 30-min gaps (events + users amplified)") {
-      import org.apache.spark.sql.expressions.Window
       val ev = amplify(Tables.load(spark, sfDir, "events"),
         Seq("event_id", "user_id"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("us"), col("event_id"))
-      ev.select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("us"), col("value"))
-        .withColumn("prev", lag(col("us"), 1).over(w))
-        .withColumn("ns", when(col("prev").isNull ||
-          col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
-        .withColumn("sess", sum(col("ns")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("sess"))
-        .agg(count(lit(1)), sum(col("value")))
-        .count()
+      Corpus.sessionize(ev, "user_id", "ts", "value").count()
     }
     spark.stop()
   }
