@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming exact deduplication — continuous corpus ingest keeping the
+  * FIRST occurrence of each content fingerprint across micro-batches
+  * (the online counterpart of `Dedup.exactDuplicates`; a training-data
+  * pipeline runs this between the wire and the landing table so the
+  * corpus never accumulates exact dups in the first place).
+  *
+  * Mechanics: `dropDuplicates` on a 128-bit content digest — Spark keeps
+  * the seen-key set in the checkpointed state store, so dedup survives
+  * restarts exactly-once. The digest (32-byte md5) is what enters state,
+  * never the document text — state size is O(distinct docs × 32 B),
+  * the same never-shuffle-the-text rule as the batch operator.
+  *
+  * State bounding: unbounded by default (true global dedup, CH-parity
+  * with ReplacingMergeTree-style keys). Pass `watermark = Some((tsCol,
+  * delay))` to use `dropDuplicatesWithinWatermark` — state is evicted
+  * once the watermark passes, so a duplicate arriving later than `delay`
+  * after the original is RE-ADMITTED. That is the documented trade
+  * (bounded state vs perfect dedup) every streaming dedup makes; pick
+  * the delay ≥ the real dup-arrival spread.
+  */
+object StreamDedup {
+
+  /** Digest used for the dedup key; exposed so tests/consumers can
+    * compute it identically. */
+  def fingerprint(textCol: Column): Column = md5(textCol.cast("binary"))
+
+  def exactDedupStream(
+      stream: DataFrame, textCol: String,
+      watermark: Option[(String, String)] = None): DataFrame = {
+    val withFp = stream.withColumn("__fp", fingerprint(col(textCol)))
+    watermark match {
+      case Some((tsCol, delay)) =>
+        withFp.withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark("__fp")
+          .drop("__fp")
+      case None =>
+        withFp.dropDuplicates("__fp").drop("__fp")
+    }
+  }
+}

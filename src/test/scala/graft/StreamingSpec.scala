@@ -56,6 +56,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(routed("small").collect().toSeq == Seq(1L))
   }
 
+  test("StreamDedup: first occurrence wins across micro-batches, state = digests") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val deduped = graft.streaming.StreamDedup.exactDedupStream(
+      mem.toDS().toDF("doc_id", "text"), "text")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      // intra-batch dup of "alpha" dropped
+      assert(spark.table("dedup_out").count() == 2)
+      mem.addData((4L, "beta"), (5L, "gamma"))
+      q.processAllAvailable()
+      // cross-batch dup of "beta" dropped via state store; "gamma" admitted
+      val out = spark.table("dedup_out").orderBy("doc_id")
+        .as[(Long, String)].collect().toSeq
+      assert(out.map(_._2) == Seq("alpha", "beta", "gamma"))
+      // first occurrence kept (doc 1 and 2, not 3 and 4)
+      assert(out.map(_._1) == Seq(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("streaming transform via MemoryStream matches batch semantics (T1/T7)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
