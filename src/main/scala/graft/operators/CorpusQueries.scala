@@ -76,17 +76,28 @@ object CorpusQueries {
   /** Per-(source, lang) corpus report: doc/char/word counts, mean quality,
     * distinct-content count. Distinctness is counted on md5 digests so the
     * shuffle carries 32-byte hashes, never full text — the d_exact_dedup
-    * scale rule applied to reporting. */
-  def dCorpusStats(spark: SparkSession, dir: String): DataFrame =
+    * scale rule applied to reporting.
+    *
+    * The mean quality sums INTEGER-scaled (×10⁴) per-doc scores and
+    * divides once: `avg(double)` accumulates in engine-specific order, and
+    * at sf0.1 one group's true mean sat exactly on the 6th-decimal
+    * rounding midpoint — Spark and DuckDB rounded opposite ways (measured
+    * 0.319403 vs 0.319402). Integer sums are order-free and the single
+    * division is IEEE-exact, so both engines round the identical double. */
+  def dCorpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val q4 = round(TextAnalysis.qualityScore(col("text")) * 10000)
+      .cast("long")
     docs(spark, dir)
       .groupBy(col("source"), col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
         sum(TextAnalysis.wordCount(col("text"))).as("n_words"),
-        round(avg(TextAnalysis.qualityScore(col("text"))), 6).as("avg_quality"),
+        round(sum(q4).cast("double") / (count(lit(1)) * 10000.0), 6)
+          .as("avg_quality"),
         countDistinct(md5(col("text"))).as("n_distinct_texts"))
       .orderBy(col("source"), col("lang"))
+  }
 
   /** Gap-based sessionization (30-min inactivity closes a session) — the
     * classic event-analytics operator the reference's users build in raw
@@ -290,8 +301,9 @@ object CorpusQueries {
         |SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(sum(nw) AS BIGINT) AS n_words,
-        |  round(avg(round(least(nw / 100.0, 1.0) * 0.5 + ns * 1.0 / nw * 0.5,
-        |    4)), 6) AS avg_quality,
+        |  round(CAST(sum(CAST(round(round(least(nw / 100.0, 1.0) * 0.5
+        |      + ns * 1.0 / nw * 0.5, 4) * 10000) AS BIGINT)) AS DOUBLE)
+        |    / (count(*) * 10000.0), 6) AS avg_quality,
         |  count(DISTINCT md5(text)) AS n_distinct_texts
         |FROM s GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "d_sample_stratified" ->

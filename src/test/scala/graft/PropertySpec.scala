@@ -35,6 +35,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("quantile state: merge-of-partials == reference median for random data/groupings") {
+    val rowGen = for {
+      g <- Gen.chooseNum(0, 7) // random partial-grouping key
+      v <- Gen.chooseNum(-1000, 1000).map(_ / 8.0)
+    } yield (g, v)
+    (0 until 5).foreach { trial =>
+      val rows = samples(rowGen, 60 + trial * 17)
+      val partial = rows.toDF("g", "v").groupBy("g")
+        .agg(graft.schema.AggState.partial("quantile", col("v")).as("st"))
+      val got = partial
+        .agg(graft.schema.AggState.merge("quantile", col("st")))
+        .head.getDouble(0)
+      // reference: plain-Scala nearest-rank ⌈n/2⌉ over the sorted values
+      val sorted = rows.map(_._2).sorted
+      val want = sorted(math.max(1, math.ceil(sorted.size * 0.5).toInt) - 1)
+      assert(got == want,
+        s"trial $trial: merged median $got != reference $want (n=${sorted.size})")
+    }
+  }
+
   test("sql literal round-trips numbers and timestamps") {
     samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 20).foreach { n =>
       // small literals parse as INT — normalize through Number
