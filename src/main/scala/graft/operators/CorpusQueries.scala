@@ -182,8 +182,38 @@ object CorpusQueries {
       .orderBy(col("iter"))
   }
 
+  /** Language-stratified quality gate (the C4-style "keep the best half
+    * per language" filter — thresholding per stratum, since quality
+    * scores aren't comparable across languages).
+    *
+    * Scale shape: the per-language threshold is ONE aggregation (exact
+    * nearest-rank median over the sorted collected scores — deterministic
+    * cross-engine, unlike interpolating percentiles whose FP formula
+    * differs by engine), then a broadcast join of the |langs|-row
+    * threshold table filters the corpus on a second scan. No full-stratum
+    * window sort — the formulation that survives five languages of 20 TB
+    * each. */
+  def dQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+    val thresholds = d.groupBy(col("lang"))
+      .agg(array_sort(collect_list(col("q"))).as("qs"))
+      .select(col("lang"),
+        element_at(col("qs"),
+          greatest(lit(1), ceil(size(col("qs")) * lit(0.5)).cast("int")))
+          .as("q_med"))
+    d.join(broadcast(thresholds), Seq("lang"))
+      .where(col("q") >= col("q_med"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), min(col("q")).as("min_q_kept"),
+        first(col("q_med")).as("threshold"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, Q] = Map(
     "e_kmeans" -> (eKmeans _),
+    "d_quality_filter" -> (dQualityFilter _),
     "d_dup_clusters" -> (dDupClusters _),
     "d_split_assign" -> (dSplitAssign _),
     "d_tfidf" -> (dTfidf _),
@@ -198,6 +228,23 @@ object CorpusQueries {
       |      ' +', ' ', 'g'))""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "d_quality_filter" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    round(least(len(regexp_split_to_array(lower(trim(text)),
+        |        '\s+')) / 100.0, 1.0) * 0.5
+        |      + len(list_filter(regexp_split_to_array(lower(trim(text)),
+        |          '\s+'), x -> x IN ('the','a','of','and','to','in','is')))
+        |        * 1.0 / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |        * 0.5, 4) AS q
+        |  FROM documents),
+        |t AS (SELECT lang,
+        |    (list_sort(list(q)))[greatest(1,
+        |      CAST(ceil(count(*) * 0.5) AS INT))] AS q_med
+        |  FROM s GROUP BY lang)
+        |SELECT s.lang, count(*) AS n_kept, min(q) AS min_q_kept,
+        |  any_value(q_med) AS threshold
+        |FROM s JOIN t ON s.lang = t.lang
+        |WHERE q >= q_med GROUP BY s.lang ORDER BY s.lang""".stripMargin,
     "e_kmeans" ->
       """SELECT range AS iter, true AS inertia_ok,
         |  (SELECT count(*) FROM embeddings) AS n_assigned, true AS cells_ok
