@@ -93,7 +93,9 @@ object CorpusQueries {
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
         sum(TextAnalysis.wordCount(col("text"))).as("n_words"),
-        round(sum(q4).cast("double") / (count(lit(1)) * 10000.0), 6)
+        // divisor = NON-NULL count: avg() semantics (nulls skipped), not
+        // row count — a null-quality doc must not deflate the mean
+        round(sum(q4).cast("double") / (count(q4) * 10000.0), 6)
           .as("avg_quality"),
         countDistinct(md5(col("text"))).as("n_distinct_texts"))
       .orderBy(col("source"), col("lang"))
@@ -186,23 +188,33 @@ object CorpusQueries {
     * per language" filter — thresholding per stratum, since quality
     * scores aren't comparable across languages).
     *
-    * Scale shape: the per-language threshold is ONE aggregation (exact
-    * nearest-rank median over the sorted collected scores — deterministic
-    * cross-engine, unlike interpolating percentiles whose FP formula
-    * differs by engine), then a broadcast join of the |langs|-row
-    * threshold table filters the corpus on a second scan. No full-stratum
-    * window sort — the formulation that survives five languages of 20 TB
-    * each. */
+    * Scale shape: quality scores are 4-dp-quantized, so each stratum has
+    * at most ~10⁴ DISTINCT values — the exact nearest-rank median comes
+    * from a (lang, score)-frequency aggregation (map-side combined,
+    * output bounded by langs × distinct scores, never by doc count) plus
+    * a cumulative-count rank-k lookup over that tiny table. The
+    * |langs|-row threshold table then broadcast-joins back to filter the
+    * corpus. Nothing stratum-sized is ever collected or sorted on one
+    * task (an earlier `array_sort(collect_list(q))` draft was exactly
+    * that hot-task pathology), and every step is IEEE-exact —
+    * deterministic cross-engine, unlike interpolating percentiles. */
   def dQualityFilter(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .select(col("doc_id"), col("lang"),
         TextAnalysis.qualityScore(col("text")).as("q"))
-    val thresholds = d.groupBy(col("lang"))
-      .agg(array_sort(collect_list(col("q"))).as("qs"))
-      .select(col("lang"),
-        element_at(col("qs"),
-          greatest(lit(1), ceil(size(col("qs")) * lit(0.5)).cast("int")))
-          .as("q_med"))
+      .where(col("q").isNotNull)
+    val freq = d.groupBy(col("lang"), col("q")).agg(count(lit(1)).as("c"))
+    // windows over freq partition by lang but hold ≤ ~10⁴ rows per
+    // stratum regardless of corpus size
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang"))
+    val thresholds = freq
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .where(col("cum") >= ceil(col("n") * lit(0.5)))
+      .groupBy(col("lang"))
+      .agg(min(col("q")).as("q_med")) // smallest q with cum ≥ ⌈n/2⌉ = rank-k
     d.join(broadcast(thresholds), Seq("lang"))
       .where(col("q") >= col("q_med"))
       .groupBy(col("lang"))
@@ -350,7 +362,8 @@ object CorpusQueries {
         |  CAST(sum(nw) AS BIGINT) AS n_words,
         |  round(CAST(sum(CAST(round(round(least(nw / 100.0, 1.0) * 0.5
         |      + ns * 1.0 / nw * 0.5, 4) * 10000) AS BIGINT)) AS DOUBLE)
-        |    / (count(*) * 10000.0), 6) AS avg_quality,
+        |    / (count(round(least(nw / 100.0, 1.0) * 0.5
+        |        + ns * 1.0 / nw * 0.5, 4)) * 10000.0), 6) AS avg_quality,
         |  count(DISTINCT md5(text)) AS n_distinct_texts
         |FROM s GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "d_sample_stratified" ->

@@ -32,6 +32,9 @@ object StreamDedup {
   def exactDedupStream(
       stream: DataFrame, textCol: String,
       watermark: Option[(String, String)] = None): DataFrame = {
+    require(!stream.columns.contains("__fp"),
+      "input already has a '__fp' column — it would be clobbered and " +
+        "dropped; rename it first")
     val withFp = stream.withColumn("__fp", fingerprint(col(textCol)))
     watermark match {
       case Some((tsCol, delay)) =>
