@@ -223,8 +223,18 @@ object CorpusQueries {
       .orderBy(col("lang"))
   }
 
+  /** CH windowFunnel over the events table: view → click → purchase
+    * within 1 day, per user. See [[Funnel.windowFunnel]] for the DP; the
+    * oracle recomputes levels by brute-force EXISTS chain joins. */
+  def qWindowFunnel(spark: SparkSession, dir: String): DataFrame =
+    Funnel.windowFunnel(Tables.load(spark, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSecs = 86400L)
+      .orderBy(col("user_id"))
+
   def queries: Map[String, Q] = Map(
     "e_kmeans" -> (eKmeans _),
+    "q_window_funnel" -> (qWindowFunnel _),
     "d_quality_filter" -> (dQualityFilter _),
     "d_dup_clusters" -> (dDupClusters _),
     "d_split_assign" -> (dSplitAssign _),
@@ -240,6 +250,32 @@ object CorpusQueries {
       |      ' +', ' ', 'g'))""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_window_funnel" ->
+      """WITH e AS (SELECT user_id, event_type AS t,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |l1 AS (SELECT DISTINCT user_id FROM e WHERE t = 'view'),
+        |l2 AS (SELECT DISTINCT v.user_id
+        |  FROM e v JOIN e c ON c.user_id = v.user_id
+        |  WHERE v.t = 'view' AND c.t = 'click'
+        |    AND c.us >= v.us AND c.us - v.us <= 86400000000),
+        |l3 AS (SELECT DISTINCT v.user_id
+        |  FROM e v
+        |  JOIN e c ON c.user_id = v.user_id
+        |  JOIN e p ON p.user_id = v.user_id
+        |  WHERE v.t = 'view' AND c.t = 'click' AND p.t = 'purchase'
+        |    AND c.us >= v.us AND p.us >= c.us
+        |    AND p.us - v.us <= 86400000000)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+        |       WHEN l2.user_id IS NOT NULL THEN 2
+        |       WHEN l1.user_id IS NOT NULL THEN 1
+        |       ELSE 0 END AS BIGINT) AS funnel_level
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN l1 ON l1.user_id = u.user_id
+        |LEFT JOIN l2 ON l2.user_id = u.user_id
+        |LEFT JOIN l3 ON l3.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin,
     "d_quality_filter" ->
       """WITH s AS (SELECT doc_id, lang,
         |    round(least(len(regexp_split_to_array(lower(trim(text)),

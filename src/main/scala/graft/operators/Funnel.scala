@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ClickHouse `windowFunnel` analogue (the canonical CH funnel-analysis
+  * aggregate, reachable in the reference through raw SQL): per user, the
+  * length of the longest prefix of `steps` occurring with non-decreasing
+  * timestamps (ties chain in step order) with the whole chain inside
+  * `windowSecs` of its step-1 event.
+  *
+  * Algorithm: per-user DP over events sorted by (ts, step index),
+  * computed ROW-LOCALLY by an `aggregate` fold. State = for each level,
+  * the LATEST step-1 timestamp achieving it. That single value is a
+  * complete state: the chain-order condition is implied by the sorted
+  * fold (every event processed after the one that recorded the previous
+  * level), so only `ts − start ≤ window` remains — and there a later
+  * start strictly dominates. One pass finds the max level over ALL
+  * candidate chains exactly.
+  *
+  * Scale shape: filter to funnel steps → one groupBy(user) collecting
+  * (ts, stepIdx) pairs → fold; per-user state bounded by that user's
+  * step events (the same per-key bound sessionization carries). No
+  * self-join, nothing quadratic. The DuckDB oracle deliberately uses the
+  * OPPOSITE formulation — brute-force EXISTS chains via k-way self-joins
+  * — two independent algorithms, one hash.
+  */
+object Funnel {
+
+  /** Per-user funnel level ∈ [0, steps.length]; one row per distinct
+    * user in `events` (users with no step events report level 0).
+    * Currently supports the 3-step shape (CH allows up to 32). */
+  def windowFunnel(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], windowSecs: Long): DataFrame = {
+    require(steps.length == 3, "windowFunnel: exactly 3 steps supported")
+    val w = windowSecs * 1000000L
+    val idx = steps.zipWithIndex
+      .map { case (s, i) => (when(col(typeCol) === s, i): Column) }
+      .reduce((a, b) => coalesce(a, b))
+    val evs = events
+      .where(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("user_id"),
+        struct(unix_micros(col(tsCol)).as("us"), idx.as("i")).as("e"))
+    val byUser = evs.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("e"))).as("evs"))
+    val init = struct(lit(-1L).as("s1"), lit(-1L).as("s2"), lit(-1L).as("s3"))
+    val folded = aggregate(
+      col("evs"), init,
+      (acc, e) => {
+        val us = e.getField("us")
+        val i = e.getField("i")
+        val s1 = acc.getField("s1")
+        val s2 = acc.getField("s2")
+        val s3 = acc.getField("s3")
+        val n3 = when(i === 2 && s2 >= 0 && us - s2 <= w && s2 > s3, s2)
+          .otherwise(s3)
+        val n2 = when(i === 1 && s1 >= 0 && us - s1 <= w && s1 > s2, s1)
+          .otherwise(s2)
+        val n1 = when(i === 0 && us > s1, us).otherwise(s1)
+        struct(n1.as("s1"), n2.as("s2"), n3.as("s3"))
+      },
+      acc => when(acc.getField("s3") >= 0, 3L)
+        .when(acc.getField("s2") >= 0, 2L)
+        .when(acc.getField("s1") >= 0, 1L)
+        .otherwise(0L))
+    events.select(col(userCol).as("user_id")).distinct()
+      .join(byUser.select(col("user_id"), folded.as("lvl")),
+        Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("lvl"), lit(0L)).as("funnel_level"))
+  }
+}

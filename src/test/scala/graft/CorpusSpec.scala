@@ -96,6 +96,48 @@ class CorpusSpec extends AnyFunSuite {
     assert(inertia.last == 0.0) // identical copies sit ON their centroid
   }
 
+  test("windowFunnel: chain order, window bound, equal-ts ties, restarts") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(s: Long) = new Timestamp(base + s * 1000L)
+    val W = 100L // seconds
+    val events = Seq(
+      // user 1: clean chain inside window → 3
+      (1L, 1L, ts(0), "view", 0.0, "{}"),
+      (2L, 1L, ts(10), "click", 0.0, "{}"),
+      (3L, 1L, ts(20), "purchase", 0.0, "{}"),
+      // user 2: purchase lands exactly AT the window bound (inclusive) → 3
+      (4L, 2L, ts(0), "view", 0.0, "{}"),
+      (5L, 2L, ts(50), "click", 0.0, "{}"),
+      (6L, 2L, ts(100), "purchase", 0.0, "{}"),
+      // user 3: purchase 1s past the window of the ONLY view → 2
+      (7L, 3L, ts(0), "view", 0.0, "{}"),
+      (8L, 3L, ts(50), "click", 0.0, "{}"),
+      (9L, 3L, ts(101), "purchase", 0.0, "{}"),
+      // user 4: a LATER view restarts the chain and rescues the purchase → 3
+      (10L, 4L, ts(0), "view", 0.0, "{}"),
+      (11L, 4L, ts(90), "view", 0.0, "{}"),
+      (12L, 4L, ts(95), "click", 0.0, "{}"),
+      (13L, 4L, ts(150), "purchase", 0.0, "{}"),
+      // user 5: steps out of order (purchase first) → 2
+      (14L, 5L, ts(0), "purchase", 0.0, "{}"),
+      (15L, 5L, ts(10), "view", 0.0, "{}"),
+      (16L, 5L, ts(20), "click", 0.0, "{}"),
+      // user 6: equal timestamps chain in step order → 3
+      (17L, 6L, ts(0), "view", 0.0, "{}"),
+      (18L, 6L, ts(0), "click", 0.0, "{}"),
+      (19L, 6L, ts(0), "purchase", 0.0, "{}"),
+      // user 7: no funnel steps at all → 0
+      (20L, 7L, ts(0), "error", 0.0, "{}"))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val got = operators.Funnel.windowFunnel(
+        events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSecs = W)
+      .orderBy("user_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 3L,
+      5L -> 2L, 6L -> 3L, 7L -> 0L))
+  }
+
   test("sessionize splits on the 30-minute gap and aggregates per session") {
     import java.sql.Timestamp
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
