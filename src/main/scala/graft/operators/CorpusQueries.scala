@@ -232,9 +232,23 @@ object CorpusQueries {
         Seq("view", "click", "purchase"), windowSecs = 86400L)
       .orderBy(col("user_id"))
 
+  /** CH retention over events: anchor = a view in the first week of the
+    * data; retained = click / purchase by the same user (CH semantics:
+    * no ordering constraint beyond both-matched). */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    Funnel.retention(e, "user_id", Seq(
+        col("event_type") === "view" &&
+          col("ts") < lit("2024-01-08").cast("timestamp"),
+        col("event_type") === "click",
+        col("event_type") === "purchase"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "e_kmeans" -> (eKmeans _),
     "q_window_funnel" -> (qWindowFunnel _),
+    "q_retention" -> (qRetention _),
     "d_quality_filter" -> (dQualityFilter _),
     "d_dup_clusters" -> (dDupClusters _),
     "d_split_assign" -> (dSplitAssign _),
@@ -250,6 +264,19 @@ object CorpusQueries {
       |      ' +', ' ', 'g'))""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_retention" ->
+      """SELECT user_id,
+        |  max(CASE WHEN event_type = 'view'
+        |    AND ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) = 1 AS r1,
+        |  max(CASE WHEN event_type = 'view'
+        |      AND ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) = 1
+        |    AND max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+        |    AS r2,
+        |  max(CASE WHEN event_type = 'view'
+        |      AND ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) = 1
+        |    AND max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+        |    AS r3
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_window_funnel" ->
       """WITH e AS (SELECT user_id, event_type AS t,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us

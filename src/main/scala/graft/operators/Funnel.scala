@@ -69,4 +69,24 @@ object Funnel {
         Seq("user_id"), "left")
       .select(col("user_id"), coalesce(col("lvl"), lit(0L)).as("funnel_level"))
   }
+
+  /** ClickHouse `retention(cond1, …, condN)` analogue — the cohort
+    * retention aggregate: per user, flag 1 = cond1 matched by any event;
+    * flag i>1 = cond1 AND condᵢ both matched (no ordering constraint,
+    * same as CH). Returned as named boolean columns `r1..rN`.
+    *
+    * Scale shape: pure conditional aggregation — one map-side-combined
+    * groupBy over a single scan, state = N bits per user. */
+  def retention(
+      events: DataFrame, userCol: String, conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty, "retention needs at least one condition")
+    val flags = conds.zipWithIndex.map { case (c, i) =>
+      max(when(c, 1).otherwise(0)).as(s"f$i")
+    }
+    val anchored = (1 until conds.length).map(i =>
+      (col("f0") === 1 && col(s"f$i") === 1).as(s"r${i + 1}"))
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(flags.head, flags.tail: _*)
+      .select(col("user_id") +: (col("f0") === 1).as("r1") +: anchored: _*)
+  }
 }
