@@ -84,6 +84,12 @@ object Corpus {
       labels = next
       iter += 1
     }
+    // refuse loudly rather than return unconverged (wrong) labels — with
+    // pointer jumping, rounds ~ log(diameter), so hitting maxIter means
+    // the input is pathological, not that "close enough" is acceptable
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing)")
     val out = labels.select(col("id"), col("label").as("rep"))
       .localCheckpoint(true)
     labels.unpersist()
@@ -161,7 +167,14 @@ object Corpus {
       .groupBy(col(idCol), col("session_idx"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("session_value"),
+        // sum INTEGER-scaled (×10⁴) values and divide once: a raw
+        // sum(double) accumulates in engine-specific order, and a session
+        // total landing on a 4-dp rounding midpoint would round opposite
+        // ways in Spark vs the oracle (the dCorpusStats avg_quality
+        // incident). Integer sums are order-free; one division is
+        // IEEE-exact.
+        round(sum(round(col("value") * 10000).cast("long")).cast("double")
+          / 10000.0, 4).as("session_value"),
         ((max(col("us")) - min(col("us"))).divide(lit(1000000L)))
           .cast("long").as("duration_s"))
   }

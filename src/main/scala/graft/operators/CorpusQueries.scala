@@ -469,7 +469,8 @@ object CorpusQueries {
         |      AS session_idx
         |  FROM gap)
         |SELECT user_id, session_idx, count(*) AS n_events,
-        |  round(sum(value), 4) AS session_value,
+        |  round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+        |    / 10000.0, 4) AS session_value,
         |  (max(us) - min(us)) // 1000000 AS duration_s
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin)

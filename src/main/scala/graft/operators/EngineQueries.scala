@@ -185,7 +185,8 @@ object EngineQueries {
 
   def oracles: Map[String, String] = Map(
     "q_iceberg_read" ->
-      """SELECT count(*) AS n_rows, sum(n_nationkey) AS sum_key,
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
         |  true AS matches_direct, true AS plan_counts_match,
         |  true AS prune_works, true AS deletes_work
         |FROM nation""".stripMargin,
@@ -229,7 +230,7 @@ object EngineQueries {
         |  min(value) AS min_value,
         |  max(value) AS max_value,
         |  (list_sort(list(value) FILTER (WHERE value IS NOT NULL)))
-        |    [greatest(1, CAST(ceil(count(value) * 0.5) AS INT))]
+        |    [CAST(floor(count(value) * 0.5) AS INT) + 1]
         |    AS median_value
         |FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin)
 }

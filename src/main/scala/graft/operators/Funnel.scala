@@ -44,25 +44,36 @@ object Funnel {
         struct(unix_micros(col(tsCol)).as("us"), idx.as("i")).as("e"))
     val byUser = evs.groupBy(col("user_id"))
       .agg(array_sort(collect_list(col("e"))).as("evs"))
-    val init = struct(lit(-1L).as("s1"), lit(-1L).as("s2"), lit(-1L).as("s3"))
+    // explicit per-level "set" flags instead of a timestamp sentinel: a
+    // -1L (or Long.MinValue) sentinel conflates with — or overflows on —
+    // real pre-epoch timestamps; with flags the unset slots stay 0L, so
+    // `us - sN` arithmetic is always in range under ANSI mode and
+    // pre-1970 events fold correctly
+    val init = struct(
+      lit(0L).as("s1"), lit(0L).as("s2"), lit(0L).as("s3"),
+      lit(false).as("b1"), lit(false).as("b2"), lit(false).as("b3"))
     val folded = aggregate(
       col("evs"), init,
       (acc, e) => {
         val us = e.getField("us")
         val i = e.getField("i")
-        val s1 = acc.getField("s1")
-        val s2 = acc.getField("s2")
-        val s3 = acc.getField("s3")
-        val n3 = when(i === 2 && s2 >= 0 && us - s2 <= w && s2 > s3, s2)
-          .otherwise(s3)
-        val n2 = when(i === 1 && s1 >= 0 && us - s1 <= w && s1 > s2, s1)
-          .otherwise(s2)
-        val n1 = when(i === 0 && us > s1, us).otherwise(s1)
-        struct(n1.as("s1"), n2.as("s2"), n3.as("s3"))
+        val s1 = acc.getField("s1"); val b1 = acc.getField("b1")
+        val s2 = acc.getField("s2"); val b2 = acc.getField("b2")
+        val s3 = acc.getField("s3"); val b3 = acc.getField("b3")
+        val adv3 = i === 2 && b2 && us - s2 <= w && (!b3 || s2 > s3)
+        val adv2 = i === 1 && b1 && us - s1 <= w && (!b2 || s1 > s2)
+        val adv1 = i === 0 && (!b1 || us > s1)
+        struct(
+          when(adv1, us).otherwise(s1).as("s1"),
+          when(adv2, s1).otherwise(s2).as("s2"),
+          when(adv3, s2).otherwise(s3).as("s3"),
+          (b1 || adv1).as("b1"),
+          (b2 || adv2).as("b2"),
+          (b3 || adv3).as("b3"))
       },
-      acc => when(acc.getField("s3") >= 0, 3L)
-        .when(acc.getField("s2") >= 0, 2L)
-        .when(acc.getField("s1") >= 0, 1L)
+      acc => when(acc.getField("b3"), 3L)
+        .when(acc.getField("b2"), 2L)
+        .when(acc.getField("b1"), 1L)
         .otherwise(0L))
     events.select(col(userCol).as("user_id")).distinct()
       .join(byUser.select(col("user_id"), folded.as("lvl")),

@@ -38,18 +38,20 @@ object AggState {
       s"unsupported AggregateFunction '$other' (supported: $supported)")
   }
 
-  /** quantile finisher: nearest-rank at CH's default level 0.5 —
-    * element ⌈0.5·n⌉ (1-based) of the sorted merged state. Exact, so
-    * merge-of-partials ≡ direct on any grouping, and every op is
-    * IEEE-exact (array sort + element pick — no interpolation
-    * arithmetic), so oracles reproduce it bit-for-bit. Empty state (a
-    * group whose values were all NULL — collect_list drops them) yields
-    * NULL like min/max/avg do; without the guard `element_at(arr, 1)`
-    * raises INVALID_ARRAY_INDEX under ANSI mode (the Spark 4 default). */
+  /** quantile finisher at CH's default level 0.5: CH quantileExact picks
+    * the element at 0-based index ⌊level·n⌋ of the sorted values (the
+    * UPPER middle for even n — values 1..8 → 5.0), so 1-based that is
+    * ⌊0.5·n⌋+1. Exact, so merge-of-partials ≡ direct on any grouping,
+    * and every op is IEEE-exact (array sort + element pick — no
+    * interpolation arithmetic), so oracles reproduce it bit-for-bit.
+    * Empty state (a group whose values were all NULL — collect_list
+    * drops them) yields NULL like min/max/avg do; without the guard
+    * `element_at` raises INVALID_ARRAY_INDEX under ANSI mode (the
+    * Spark 4 default). */
   private def quantileFinish(arr: Column): Column =
     when(size(arr) > 0,
       element_at(arr,
-        greatest(lit(1), ceil(size(arr) * lit(0.5)).cast(IntegerType))))
+        (floor(size(arr) * lit(0.5)).cast(IntegerType) + lit(1))))
 
   /** The xState(...) producer used in a materialized-view SELECT. */
   def partial(fn: String, c: Column): Column = fn match {
@@ -99,8 +101,8 @@ object AggState {
       // size>0 guard mirrors quantileFinish (ANSI-safe on empty state)
       s"case when size(flatten(collect_list($quotedCol))) > 0 then " +
         s"element_at(array_sort(flatten(collect_list($quotedCol))), " +
-        s"greatest(1, cast(ceil(size(array_sort(flatten(" +
-        s"collect_list($quotedCol)))) * 0.5) as int))) end"
+        s"cast(floor(size(array_sort(flatten(" +
+        s"collect_list($quotedCol)))) * 0.5) as int) + 1) end"
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
 

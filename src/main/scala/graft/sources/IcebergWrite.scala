@@ -201,6 +201,13 @@ object IcebergWrite {
         """"snapshots":[{"snapshot-id":2,
           |  "manifest-list":"metadata/snap-2.avro",
           |  "summary":{"operation":"delete"}},""".stripMargin)
+    // both rewrites are exact-substring edits of our own createTable
+    // output; if its formatting ever drifts they would silently no-op and
+    // reads would resurrect the deleted rows — refuse loudly instead
+    require(v2.contains(""""current-snapshot-id":2"""),
+      "v2 metadata rewrite failed: current-snapshot-id not advanced")
+    require(v2.contains(""""manifest-list":"metadata/snap-2.avro""""),
+      "v2 metadata rewrite failed: delete snapshot not inserted")
     Files.write(meta.resolve("v2.metadata.json"), v2.getBytes("UTF-8"))
     Files.write(meta.resolve("version-hint.text"), "2".getBytes("UTF-8"))
   }

@@ -47,9 +47,9 @@ class PropertySpec extends AnyFunSuite {
       val got = partial
         .agg(graft.schema.AggState.merge("quantile", col("st")))
         .head.getDouble(0)
-      // reference: plain-Scala nearest-rank ⌈n/2⌉ over the sorted values
+      // reference: plain-Scala CH quantileExact — 0-based ⌊0.5·n⌋ of sorted
       val sorted = rows.map(_._2).sorted
-      val want = sorted(math.max(1, math.ceil(sorted.size * 0.5).toInt) - 1)
+      val want = sorted(math.floor(sorted.size * 0.5).toInt)
       assert(got == want,
         s"trial $trial: merged median $got != reference $want (n=${sorted.size})")
     }

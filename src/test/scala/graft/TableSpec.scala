@@ -238,7 +238,7 @@ class TableSpec extends AnyFunSuite {
   }
 
   test("AggState quantile: merge-of-partials == direct median, any grouping") {
-    // 9 values; nearest-rank median (⌈0.5·9⌉ = 5th of sorted) = 5.0
+    // 9 values; CH quantileExact(0.5): 0-based ⌊0.5·9⌋ = 4 → 5th = 5.0
     val df = (1 to 9).map(i => (i % 3, i.toDouble)).toDF("g", "v")
     val partial = df.groupBy("g")
       .agg(AggState.partial("quantile", col("v")).as("st"))
@@ -249,11 +249,12 @@ class TableSpec extends AnyFunSuite {
     // ...and the finisher picks the exact element regardless of grouping
     assert(partial.agg(AggState.merge("quantile", col("st")))
       .head().getDouble(0) == 5.0)
-    // even count: ⌈0.5·8⌉ = 4th of sorted (lower middle)
+    // even count: CH picks 0-based ⌊0.5·8⌋ = 4 → 5th of sorted (UPPER
+    // middle), matching quantileExact(0.5) over 1..8 = 5.0
     val evenPartial = (1 to 8).map(i => (i % 2, i.toDouble)).toDF("g", "v")
       .groupBy("g").agg(AggState.partial("quantile", col("v")).as("st"))
     assert(evenPartial.agg(AggState.merge("quantile", col("st")))
-      .head().getDouble(0) == 4.0)
+      .head().getDouble(0) == 5.0)
   }
 
   test("Replicated wrapper delegates FINAL semantics to inner engine (S8)") {
