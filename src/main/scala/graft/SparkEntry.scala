@@ -18,6 +18,7 @@ object SparkEntry {
     (QueryModelQueries.queries, QueryModelQueries.oracles),
     (StreamingQueries.queries, StreamingQueries.oracles),
     (TextQueries.queries, TextQueries.oracles),
+    (DialectQueries.queries, DialectQueries.oracles),
     (MultimodalQueries.queries, MultimodalQueries.oracles),
     (CorpusQueries.queries, CorpusQueries.oracles)
   )

@@ -1,0 +1,379 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/** ClickHouse-dialect batch 2 (SURVEY.md §2.8 — the broader surface a
+  * migrating moose program hits beyond the census'd top-20): string,
+  * array, URL, IP, JSON, encoding/hash, math-safety and aggregate
+  * functions, each registered as a native Catalyst `Expression` builder
+  * (NOT a UDF) so CH-dialect SQL stays inside whole-stage codegen.
+  *
+  * Naming: Spark's function resolution is case-insensitive, so CH names
+  * that coincide with a Spark builtin modulo case (`ifNull`, `nullIf`,
+  * `coalesce`, `startsWith`, `endsWith`, `concat`, `substring`, `lower`,
+  * `upper`, `reverse`, `repeat`, `left`, `right`, `round`, `floor`,
+  * `ceil`, `abs`, `exp`, `ln`, `log2`, `log10`, `sqrt`, `cbrt`, `sign`,
+  * `pi`, `e`, `least`, `greatest`, `if`) need no shim and are NOT
+  * re-registered here.
+  *
+  * Documented divergences (DIVERGENCES.md):
+  *  - `sipHash64`/`intHash64` → xxhash64 (different hash, same role —
+  *    like cityHash64 in batch 1);
+  *  - `arrayElement` out-of-range → NULL (CH returns the type's default
+  *    value; under ANSI Spark the strict form would throw);
+  *  - `arraySum`/`arrayAvg` always return Double;
+  *  - `add*`/`subtract*` on Date return Timestamp;
+  *  - `median` (builtin) is the exact interpolated percentile (CH `median`
+  *    is reservoir-sampled approximate);
+  *  - `MD5`/`SHA256` resolve to Spark's builtin md5/sha2, which return hex
+  *    strings, not CH's binary FixedStrings — write `md5(x)` where CH
+  *    needed `hex(MD5(x))`;
+  *  - `groupArray` order is partition-arrival order, like CH's
+  *    (both are only deterministic under an outer sort).
+  */
+object ChDialectExtras {
+
+  private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
+
+  private def lambda1(f: Expression => Expression): LambdaFunction = {
+    val x = lv("x"); LambdaFunction(f(x), Seq(x))
+  }
+
+  private def lambda2(f: (Expression, Expression) => Expression): LambdaFunction = {
+    val x = lv("x"); val i = lv("i"); LambdaFunction(f(x, i), Seq(x, i))
+  }
+
+  private def userLambda(e: Expression, fn: String): LambdaFunction = e match {
+    case lf: LambdaFunction => lf
+    case other => throw new IllegalArgumentException(
+      s"$fn requires a lambda (x -> …) first argument, got $other")
+  }
+
+  /** Literal string value required at plan time (CH requires constants in
+    * the same positions). */
+  private def litString(e: Expression, fn: String): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn requires a string literal argument, got $other")
+  }
+
+  private val emptyLongArray =
+    Literal.create(Seq.empty[Long], ArrayType(LongType))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    // A temp function SHADOWS the builtin of the same (case-insensitive)
+    // name for the WHOLE session — and Spark 4's `functions._` column API
+    // routes through the registry (Column.fn), so shadowing e.g. `md5`
+    // breaks every library operator that uses functions.md5 (observed:
+    // d_fingerprint returned binary, splitAssign mis-bucketed). Refuse any
+    // name a builtin owns; CH spellings that coincide with an equivalent
+    // Spark builtin (ifNull, isNaN, median, startsWith, …) need no shim
+    // precisely because resolution is case-insensitive.
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
+      require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+          .builtin.functionExists(FunctionIdentifier(name.toLowerCase)),
+        s"refusing to shadow Spark builtin function '$name'")
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+
+    // ------------------------------------------------------------ strings
+    // CH splitBy*(sep, s): sep is a constant; quote it so Spark's regex
+    // split behaves as a plain separator split.
+    f("splitByChar")(a => StringSplit(a(1),
+      Literal(Pattern.quote(litString(a.head, "splitByChar"))), Literal(-1)))
+    f("splitByString")(a => StringSplit(a(1),
+      Literal(Pattern.quote(litString(a.head, "splitByString"))), Literal(-1)))
+    f("replaceAll")(a => StringReplace(a.head, a(1), a(2)))
+    // replaceOne: first occurrence only — locate + splice (no native form)
+    f("replaceOne") { a =>
+      val (s, from, to) = (a.head, a(1), a(2))
+      val loc = StringLocate(from, s, Literal(1))
+      If(GreaterThan(loc, Literal(0)),
+        Concat(Seq(
+          Substring(s, Literal(1), Subtract(loc, Literal(1))),
+          to,
+          Substring(s, Add(loc, Length(from)), Literal(Int.MaxValue)))),
+        s)
+    }
+    // CH re2 replacement backrefs are \1; Java's are $1 — translate when
+    // the replacement is a literal (the CH-required case).
+    f("replaceRegexpAll") { a =>
+      val repl = a(2) match {
+        case Literal(s, StringType) if s != null =>
+          Literal(s.toString.replaceAll("\\\\(\\d)", "\\$$1"))
+        case other => other
+      }
+      RegExpReplace(a.head, a(1), repl)
+    }
+    // CH extract(s, re) is NOT shimmed: Spark's builtin `extract` is the
+    // SQL-standard datetime extract(field FROM ts) — shadowing it would
+    // break date handling session-wide. Use regexp_extract (present in
+    // both dialects) instead.
+    f("match")(a => RLike(a.head, a(1)))
+    f("countSubstrings")(a => IntegralDivide(
+      Subtract(Length(a.head), Length(StringReplace(a.head, a(1), Literal("")))),
+      Length(a(1))))
+    f("positionCaseInsensitive")(a =>
+      StringLocate(Lower(a(1)), Lower(a.head), Literal(1)))
+    f("trimBoth")(a => StringTrim(a.head))
+    f("trimLeft")(a => StringTrimLeft(a.head))
+    f("trimRight")(a => StringTrimRight(a.head))
+    f("leftPad")(a => StringLPad(a.head, a(1),
+      if (a.length > 2) a(2) else Literal(" ")))
+    f("rightPad")(a => StringRPad(a.head, a(1),
+      if (a.length > 2) a(2) else Literal(" ")))
+    f("concatWithSeparator")(a => ConcatWs(a))
+    f("arrayStringConcat")(a => ArrayJoin(a.head,
+      if (a.length > 1) a(1) else Literal(""), None))
+    f("substringUTF8")(a =>
+      if (a.length > 2) Substring(a.head, a(1), a(2))
+      else Substring(a.head, a(1), Literal(Int.MaxValue)))
+    f("lengthUTF8")(a => Length(a.head))
+
+    // ------------------------------------------------------------- arrays
+    f("arrayDistinct")(a => ArrayDistinct(a.head))
+    f("arraySort")(a => SortArray(a.head, Literal(true)))
+    f("arrayReverseSort")(a => SortArray(a.head, Literal(false)))
+    f("arrayConcat")(a => Concat(a))
+    // 2-arg form slices to the end (CH semantics, negative offset = from end)
+    f("arraySlice") { a =>
+      if (a.length > 2) Slice(a.head, a(1), a(2))
+      else Slice(a.head, a(1),
+        If(GreaterThanOrEqual(a(1), Literal(0)),
+          Greatest(Seq(Add(Subtract(Size(a.head), a(1)), Literal(1)), Literal(0))),
+          UnaryMinus(a(1))))
+    }
+    f("indexOf")(a => ArrayPosition(a.head, a(1)))
+    // arrayCount([f,] arr): 1-arg counts truthy/non-zero elements.
+    // The lambda form folds via ArrayAggregate because the analyzer
+    // requires the TOP-LEVEL resolved expression to be a HigherOrderFunction
+    // whenever a user-written lambda is among the arguments — Size(Filter(…))
+    // is rejected with INVALID_LAMBDA_FUNCTION_CALL.
+    f("arrayCount") { a =>
+      if (a.length > 1) {
+        val lf = userLambda(a.head, "arrayCount")
+        val acc = lv("acc_cnt")
+        ArrayAggregate(a(1), Literal(0),
+          LambdaFunction(Add(acc, If(lf.function, Literal(1), Literal(0))),
+            Seq(acc, lf.arguments.head)),
+          lambda1(identity))
+      } else Size(ArrayFilter(a.head, lambda1(x => Cast(x, BooleanType))))
+    }
+    // Always Double: the zero literal fixes the fold type and CH's
+    // per-width integer results don't exist in Spark's coercion anyway.
+    f("arraySum")(a => ArrayAggregate(
+      Cast(a.head, ArrayType(DoubleType)), Literal(0.0d),
+      lambda2((acc, x) => Add(acc, x)), lambda1(identity)))
+    f("arrayAvg") { a =>
+      val arr = a.head
+      If(EqualTo(Size(arr), Literal(0)), Literal(null, DoubleType),
+        Divide(
+          ArrayAggregate(Cast(arr, ArrayType(DoubleType)), Literal(0.0d),
+            lambda2((acc, x) => Add(acc, x)), lambda1(identity)),
+          Cast(Size(arr), DoubleType)))
+    }
+    f("arrayMin")(a => ArrayMin(a.head))
+    f("arrayMax")(a => ArrayMax(a.head))
+    f("arrayExists")(a => ArrayExists(a(1), a.head))
+    f("arrayAll")(a => ArrayForAll(a(1), a.head))
+    f("arrayFlatten")(a => Flatten(a.head))
+    f("arrayZip")(a => ArraysZip(a))
+    // CH range: end-exclusive, empty for n <= 0 (Spark's sequence is
+    // inclusive and errors on start > stop, hence the guard)
+    f("range") { a =>
+      val (start, end) =
+        if (a.length > 1) (Cast(a.head, LongType), Cast(a(1), LongType))
+        else (Literal(0L), Cast(a.head, LongType))
+      If(LessThanOrEqual(end, start), emptyLongArray,
+        new Sequence(start, Subtract(end, Literal(1L)), Some(Literal(1L))))
+    }
+    f("arrayUniq")(a => Cast(Size(ArrayDistinct(a.head)), LongType))
+    // arrayDifference: [0, a1-a0, a2-a1, …] — index lambda + 1-based
+    // element_at(arr, i) is exactly the previous element
+    f("arrayDifference")(a => ArrayTransform(a.head,
+      lambda2((x, i) => If(EqualTo(i, Literal(0)), Literal(0),
+        Subtract(x, ElementAt(a.head, i))))))
+    f("hasAll")(a => ArrayForAll(a(1), lambda1(x => ArrayContains(a.head, x))))
+    f("hasAny")(a => ArraysOverlap(a.head, a(1)))
+    f("arrayIntersect")(a => ArrayIntersect(a.head, a(1)))
+    f("arrayReverse")(a => Reverse(a.head))
+    f("arrayPushBack")(a => Concat(Seq(a.head, CreateArray(Seq(a(1))))))
+    f("arrayPushFront")(a => Concat(Seq(CreateArray(Seq(a(1))), a.head)))
+    f("arrayPopBack")(a => Slice(a.head, Literal(1),
+      Greatest(Seq(Subtract(Size(a.head), Literal(1)), Literal(0)))))
+    f("arrayPopFront")(a => Slice(a.head, Literal(2),
+      Greatest(Seq(Subtract(Size(a.head), Literal(1)), Literal(0)))))
+    // NULL out of range (CH: type default; ANSI Spark would throw)
+    f("arrayElement")(a => new ElementAt(a.head, a(1), None, false))
+    // arrayFirst: fold with an empty-array accumulator (same top-level-HOF
+    // constraint as arrayCount; the array state stands in for an untyped
+    // "no match yet" null). No match → NULL (CH: type default).
+    f("arrayFirst") { a =>
+      val lf = userLambda(a.head, "arrayFirst")
+      val (arr, x) = (a(1), lf.arguments.head)
+      val acc = lv("acc_first")
+      ArrayAggregate(arr, Slice(arr, Literal(1), Literal(0)),
+        LambdaFunction(
+          If(And(EqualTo(Size(acc), Literal(0)), lf.function),
+            CreateArray(Seq(x)), acc),
+          Seq(acc, x)),
+        lambda1(st => new ElementAt(st, Literal(1), None, false)))
+    }
+    f("arrayEnumerate")(a =>
+      If(EqualTo(Size(a.head), Literal(0)), emptyLongArray,
+        new Sequence(Literal(1L), Cast(Size(a.head), LongType),
+          Some(Literal(1L)))))
+
+    // ------------------------------------------------- null / float guards
+    f("assumeNotNull")(a => KnownNotNull(a.head))
+    def finite(e: Expression): Expression = And(
+      Not(IsNaN(Cast(e, DoubleType))),
+      LessThan(Abs(Cast(e, DoubleType)), Literal(Double.PositiveInfinity)))
+    f("isFinite")(a => finite(a.head))
+    f("isInfinite")(a =>
+      EqualTo(Abs(Cast(a.head, DoubleType)), Literal(Double.PositiveInfinity)))
+    // CH isNaN ≡ Spark builtin isnan (case-insensitive) — no shim
+    f("ifNotFinite")(a => If(finite(a.head), a.head, a(1)))
+
+    // ------------------------------------------------------- math / bits
+    f("intDivOrZero")(a => If(EqualTo(a(1), Literal(0)), Literal(0L),
+      IntegralDivide(a.head, a(1))))
+    f("moduloOrZero")(a => If(EqualTo(a(1), Literal(0)), Literal(0L),
+      Cast(Remainder(a.head, a(1)), LongType)))
+    f("modulo")(a => Remainder(a.head, a(1)))
+    f("bitAnd")(a => BitwiseAnd(a.head, a(1)))
+    f("bitOr")(a => BitwiseOr(a.head, a(1)))
+    f("bitXor")(a => BitwiseXor(a.head, a(1)))
+    f("bitNot")(a => BitwiseNot(a.head))
+    f("bitShiftLeft")(a => ShiftLeft(a.head, a(1)))
+    f("bitShiftRight")(a => ShiftRight(a.head, a(1)))
+    f("bitCount")(a => BitwiseCount(a.head))
+    f("roundBankers")(a => BRound(a.head,
+      if (a.length > 1) a(1) else Literal(0)))
+
+    // --------------------------------------------------- encoding / hash
+    // hex/unhex are Spark builtins with CH-compatible semantics. MD5/SHA256
+    // resolve to Spark's builtin md5/sha2 — those return lowercase HEX
+    // STRINGS where CH returns binary FixedStrings, so the CH idiom
+    // `hex(MD5(x))` becomes just `md5(x)` + upper() (DIVERGENCES.md);
+    // shadowing the builtins to restore binary output would break every
+    // library operator that calls functions.md5 (see guard above).
+    f("base64Encode")(a => Base64(Cast(a.head, BinaryType)))
+    f("base64Decode")(a => Cast(UnBase64(a.head), StringType))
+    f("sipHash64")(a => XxHash64(a, 42L))
+    f("intHash64")(a => XxHash64(a, 42L))
+
+    // ---------------------------------------------------------------- URL
+    def urlPart(url: Expression, part: String): Expression =
+      ParseUrl(Seq(url, Literal(part)))
+    f("protocol")(a => urlPart(a.head, "PROTOCOL"))
+    f("domain")(a => urlPart(a.head, "HOST"))
+    f("domainWithoutWWW")(a =>
+      RegExpReplace(urlPart(a.head, "HOST"), Literal("^www\\."), Literal("")))
+    f("topLevelDomain")(a =>
+      RegExpExtract(urlPart(a.head, "HOST"), Literal("\\.([^.]+)$"), Literal(1)))
+    f("path")(a => urlPart(a.head, "PATH"))
+    f("pathFull")(a => urlPart(a.head, "FILE"))
+    f("queryString")(a => Coalesce(Seq(urlPart(a.head, "QUERY"), Literal(""))))
+    f("fragment")(a => Coalesce(Seq(urlPart(a.head, "REF"), Literal(""))))
+    f("extractURLParameter")(a => Coalesce(Seq(
+      ParseUrl(Seq(a.head, Literal("QUERY"), a(1))), Literal(""))))
+    f("cutQueryString")(a => SubstringIndex(a.head, Literal("?"), Literal(1)))
+    f("cutFragment")(a => SubstringIndex(a.head, Literal("#"), Literal(1)))
+
+    // ----------------------------------------------------------------- IP
+    f("IPv4NumToString") { a =>
+      val n = Cast(a.head, LongType)
+      def octet(shift: Int): Expression = Cast(
+        BitwiseAnd(ShiftRight(n, Literal(shift)), Literal(255L)), StringType)
+      ConcatWs(Seq(Literal("."), octet(24), octet(16), octet(8), octet(0)))
+    }
+    f("IPv4StringToNum") { a =>
+      val parts = StringSplit(a.head, Literal(Pattern.quote(".")), Literal(-1))
+      def octet(i: Int): Expression =
+        Cast(ElementAt(parts, Literal(i)), LongType)
+      Add(Add(Add(
+        Multiply(octet(1), Literal(16777216L)),
+        Multiply(octet(2), Literal(65536L))),
+        Multiply(octet(3), Literal(256L))),
+        octet(4))
+    }
+
+    // --------------------------------------------------------------- JSON
+    def jpath(j: Expression, key: Expression): Expression =
+      GetJsonObject(j, Concat(Seq(Literal("$."), key)))
+    f("JSONExtractFloat")(a => Cast(jpath(a.head, a(1)), DoubleType))
+    f("JSONExtractBool")(a => Cast(jpath(a.head, a(1)), BooleanType))
+    f("JSONHas")(a => IsNotNull(jpath(a.head, a(1))))
+    f("JSONLength") { a =>
+      val x = if (a.length > 1) jpath(a.head, a(1)) else a.head
+      Coalesce(Seq(LengthOfJsonArray(x), Size(JsonObjectKeys(x))))
+    }
+
+    // ---------------------------------------------------------- date math
+    def dt(days: Expression, hours: Expression, mins: Expression,
+        secs: Expression): Expression =
+      MakeDTInterval(days, hours, mins, Cast(secs, DecimalType(18, 6)))
+    val zero = Literal(0)
+    def addDT(ts: Expression, iv: Expression): Expression =
+      Add(Cast(ts, TimestampType), iv)
+    def subDT(ts: Expression, iv: Expression): Expression =
+      Subtract(Cast(ts, TimestampType), iv)
+    f("addDays")(a => addDT(a.head, dt(a(1), zero, zero, zero)))
+    f("addWeeks")(a =>
+      addDT(a.head, dt(Multiply(a(1), Literal(7)), zero, zero, zero)))
+    f("addHours")(a => addDT(a.head, dt(zero, a(1), zero, zero)))
+    f("addMinutes")(a => addDT(a.head, dt(zero, zero, a(1), zero)))
+    f("addSeconds")(a => addDT(a.head, dt(zero, zero, zero, a(1))))
+    f("addMonths")(a => addDT(a.head, MakeYMInterval(zero, a(1))))
+    f("addQuarters")(a =>
+      addDT(a.head, MakeYMInterval(zero, Multiply(a(1), Literal(3)))))
+    f("addYears")(a => addDT(a.head, MakeYMInterval(a(1), zero)))
+    f("subtractDays")(a => subDT(a.head, dt(a(1), zero, zero, zero)))
+    f("subtractWeeks")(a =>
+      subDT(a.head, dt(Multiply(a(1), Literal(7)), zero, zero, zero)))
+    f("subtractHours")(a => subDT(a.head, dt(zero, a(1), zero, zero)))
+    f("subtractMinutes")(a => subDT(a.head, dt(zero, zero, a(1), zero)))
+    f("subtractSeconds")(a => subDT(a.head, dt(zero, zero, zero, a(1))))
+    f("subtractMonths")(a => subDT(a.head, MakeYMInterval(zero, a(1))))
+    f("subtractYears")(a => subDT(a.head, MakeYMInterval(a(1), zero)))
+    f("today")(_ => CurrentDate())
+    f("yesterday")(_ => DateSub(CurrentDate(), Literal(1)))
+    f("toMonday")(a => Cast(
+      TruncTimestamp(Literal("week"), Cast(a.head, TimestampType)), DateType))
+
+    // ---------------------------------------------------------- aggregates
+    f("stddevPop")(a => StddevPop(a.head))
+    f("stddevSamp")(a => StddevSamp(a.head))
+    f("varPop")(a => VariancePop(a.head))
+    f("varSamp")(a => VarianceSamp(a.head))
+    f("covarPop")(a => CovPopulation(a.head, a(1)))
+    f("covarSamp")(a => CovSample(a.head, a(1)))
+    f("groupArray")(a => CollectList(a.head))
+    f("groupUniqArray")(a => CollectSet(a.head))
+    f("uniqCombined")(a => new HyperLogLogPlusPlus(a.head))
+    f("uniqHLL12")(a => new HyperLogLogPlusPlus(a.head))
+    // CH median ≈ Spark builtin median (exact interpolated percentile —
+    // CH's is reservoir-sampled approximate; DIVERGENCES.md) — no shim
+    // avgWeighted: Σxw/Σw as two aggregates (planner dedups the repeated
+    // Σw); CH returns NaN on zero total weight — guard the ANSI divide
+    f("avgWeighted") { a =>
+      val sumXW = Sum(Cast(Multiply(a.head, a(1)), DoubleType))
+        .toAggregateExpression()
+      val sumW = Sum(Cast(a(1), DoubleType)).toAggregateExpression()
+      If(EqualTo(sumW, Literal(0.0d)), Literal(Double.NaN),
+        Divide(sumXW, sumW))
+    }
+  }
+
+  def isRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("splitByChar"))
+}

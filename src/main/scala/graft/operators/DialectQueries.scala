@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{ChDialectExtras, ClickHouseFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-contract queries for the CH-dialect batch-2 surface
+  * (functions/ChDialectExtras): every column goes through `spark.sql` with
+  * the CH names — the exact path a moose program's raw SQL takes — and is
+  * hash-compared against a DuckDB reformulation.
+  *
+  * All plans are a single projection over one scan (no shuffle beyond the
+  * ORDER BY), and every function involved is a native Catalyst expression,
+  * so the 100 TB story is just "columnar scan + codegen".
+  */
+object DialectQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def sqlOn(spark: SparkSession, dir: String, table: String,
+      view: String, sql: String): DataFrame = {
+    ClickHouseFunctions.register(spark)
+    ChDialectExtras.register(spark)
+    Tables.load(spark, dir, table).createOrReplaceTempView(view)
+    spark.sql(sql)
+  }
+
+  /** String/array/math/encoding/hash/null function batch (§2.8 batch 2). */
+  def qChFunctions2(spark: SparkSession, dir: String): DataFrame =
+    sqlOn(spark, dir, "documents", "docs_d2",
+      """SELECT doc_id,
+        |  arrayUniq(splitByChar(' ', text)) AS n_uniq_words,
+        |  arrayElement(splitByChar(' ', text), 1) AS first_word,
+        |  replaceAll(source, 'src', 'S') AS src_up,
+        |  startsWith(text, 'key') AS starts_k,
+        |  cast(positionCaseInsensitive(text, 'SPARK') as bigint) AS pos_spark,
+        |  countSubstrings(text, 'spark') AS n_spark,
+        |  leftPad(lang, 5, '_') AS padded,
+        |  reverse(source) AS rev_src,
+        |  repeat(lang, 2) AS rep_lang,
+        |  arraySum(arrayMap(x -> length(x), splitByChar(' ', text)))
+        |    AS sum_word_len,
+        |  arrayElement(arraySort(arrayDistinct(splitByChar(' ', text))), 1)
+        |    AS first_sorted,
+        |  arrayStringConcat(arraySlice(splitByChar(' ', text), 1, 3), '-')
+        |    AS first3,
+        |  indexOf(splitByChar(' ', text), 'spark') AS idx_spark,
+        |  cast(arrayMin(arrayMap(x -> length(x), splitByChar(' ', text)))
+        |    as bigint) AS min_word_len,
+        |  cast(bitAnd(doc_id, 255) as bigint) AS b_and,
+        |  cast(bitCount(doc_id) as bigint) AS bc,
+        |  round(sqrt(n_chars), 2) AS rb,
+        |  md5(text) AS md5_hex,
+        |  sha2(text, 256) AS sha_hex,
+        |  base64Encode(lang) AS b64,
+        |  hex(source) AS hx,
+        |  ifNull(nullIf(lang, 'en'), 'EN') AS ifn,
+        |  intDivOrZero(n_chars, doc_id % 3) AS idz,
+        |  arrayStringConcat(arrayMap(x -> toString(x), range(doc_id % 4)), ',')
+        |    AS rng
+        |FROM docs_d2 ORDER BY doc_id LIMIT 300""".stripMargin)
+
+  /** URL function family over a column-derived URL (the testdata carries no
+    * URL column, so both engines assemble the identical string first). */
+  def qUrlFunctions(spark: SparkSession, dir: String): DataFrame =
+    sqlOn(spark, dir, "documents", "docs_url",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    concat('https://www.ex', lang, '.com/p/', source,
+        |      '?id=', cast(doc_id as string),
+        |      '&x=', cast(n_chars % 7 as string)) AS url
+        |  FROM docs_url)
+        |SELECT doc_id, url,
+        |  protocol(url) AS proto,
+        |  domain(url) AS dom,
+        |  domainWithoutWWW(url) AS dom_nw,
+        |  topLevelDomain(url) AS tld,
+        |  path(url) AS pth,
+        |  pathFull(url) AS pth_full,
+        |  queryString(url) AS qs,
+        |  extractURLParameter(url, 'x') AS param_x,
+        |  extractURLParameter(url, 'zz') AS param_zz,
+        |  cutQueryString(url) AS cut_qs
+        |FROM u ORDER BY doc_id LIMIT 300""".stripMargin)
+
+  /** Aggregate batch: moments, covariance, median, weighted avg, array
+    * aggs, HLL alias self-check (exactness-bounded like q_uniq_approx). */
+  def qAggFunctions(spark: SparkSession, dir: String): DataFrame =
+    sqlOn(spark, dir, "documents", "docs_agg",
+      """SELECT lang,
+        |  count(*) AS n,
+        |  round(stddevPop(n_chars), 4) AS sd_pop,
+        |  round(stddevSamp(n_chars), 4) AS sd_samp,
+        |  round(varPop(n_chars), 4) AS v_pop,
+        |  round(covarPop(n_chars, doc_id), 4) AS cv,
+        |  median(n_chars) AS med,
+        |  round(avgWeighted(n_chars, doc_id + 1), 4) AS aw,
+        |  arrayStringConcat(arraySort(groupUniqArray(source)), ',') AS srcs,
+        |  cast(size(groupArray(source)) as bigint) AS ga_n,
+        |  (abs(cast(uniqCombined(source) as double)
+        |     / count(distinct source) - 1.0) <= 0.2) AS uq_ok
+        |FROM docs_agg GROUP BY lang ORDER BY lang""".stripMargin)
+
+  def queries: Map[String, Q] = Map(
+    "q_ch_functions2" -> (qChFunctions2 _),
+    "q_url_functions" -> (qUrlFunctions _),
+    "q_agg_functions" -> (qAggFunctions _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_ch_functions2" ->
+      """SELECT doc_id,
+        |  CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |    AS n_uniq_words,
+        |  string_split(text, ' ')[1] AS first_word,
+        |  replace(source, 'src', 'S') AS src_up,
+        |  starts_with(text, 'key') AS starts_k,
+        |  CAST(strpos(lower(text), 'spark') AS BIGINT) AS pos_spark,
+        |  CAST((length(text) - length(replace(text, 'spark', ''))) // 5
+        |    AS BIGINT) AS n_spark,
+        |  lpad(lang, 5, '_') AS padded,
+        |  reverse(source) AS rev_src,
+        |  repeat(lang, 2) AS rep_lang,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    x -> length(x))) AS DOUBLE) AS sum_word_len,
+        |  list_sort(list_distinct(string_split(text, ' ')))[1] AS first_sorted,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 3), '-')
+        |    AS first3,
+        |  CAST(coalesce(list_position(string_split(text, ' '), 'spark'), 0)
+        |    AS BIGINT) AS idx_spark,
+        |  CAST(list_min(list_transform(string_split(text, ' '),
+        |    x -> length(x))) AS BIGINT) AS min_word_len,
+        |  CAST(doc_id & 255 AS BIGINT) AS b_and,
+        |  CAST(bit_count(doc_id) AS BIGINT) AS bc,
+        |  round(sqrt(n_chars), 2) AS rb,
+        |  md5(text) AS md5_hex,
+        |  sha256(text) AS sha_hex,
+        |  base64(CAST(lang AS BLOB)) AS b64,
+        |  hex(source) AS hx,
+        |  ifnull(nullif(lang, 'en'), 'EN') AS ifn,
+        |  CASE WHEN doc_id % 3 = 0 THEN 0
+        |       ELSE CAST(n_chars // (doc_id % 3) AS BIGINT) END AS idz,
+        |  coalesce(array_to_string(range(doc_id % 4), ','), '') AS rng
+        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+    "q_url_functions" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    concat('https://www.ex', lang, '.com/p/', source,
+        |      '?id=', CAST(doc_id AS VARCHAR),
+        |      '&x=', CAST(n_chars % 7 AS VARCHAR)) AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, '^([a-z]+):', 1) AS proto,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS dom,
+        |  regexp_replace(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+        |    '^www\.', '') AS dom_nw,
+        |  regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+        |    '\.([^.]+)$', 1) AS tld,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS pth,
+        |  regexp_extract(url, '^[a-z]+://[^/#?]+([^#]*)', 1) AS pth_full,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS qs,
+        |  regexp_extract(url, '[?&]x=([^&#]*)', 1) AS param_x,
+        |  '' AS param_zz,
+        |  split_part(url, '?', 1) AS cut_qs
+        |FROM u ORDER BY doc_id LIMIT 300""".stripMargin,
+    "q_agg_functions" ->
+      """SELECT lang,
+        |  count(*) AS n,
+        |  round(stddev_pop(n_chars), 4) AS sd_pop,
+        |  round(stddev_samp(n_chars), 4) AS sd_samp,
+        |  round(var_pop(n_chars), 4) AS v_pop,
+        |  round(covar_pop(n_chars, doc_id), 4) AS cv,
+        |  median(n_chars) AS med,
+        |  round(sum((n_chars * (doc_id + 1))::DOUBLE)
+        |    / sum((doc_id + 1)::DOUBLE), 4) AS aw,
+        |  array_to_string(list_sort(list_distinct(list(source))), ',') AS srcs,
+        |  CAST(length(list(source)) AS BIGINT) AS ga_n,
+        |  TRUE AS uq_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

@@ -1,0 +1,217 @@
+package graft
+
+import graft.functions.{ChDialectExtras, ClickHouseFunctions}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CH-dialect batch 2 (ChDialectExtras): every registered function pinned
+  * against hand-computed values through the SQL surface (the path a
+  * migrating moose program uses). */
+class ChDialect2Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    ClickHouseFunctions.register(s)
+    ChDialectExtras.register(s)
+    s
+  }
+
+  private def one(sel: String): Any = spark.sql(s"SELECT $sel").head().get(0)
+  private def str(sel: String): String = String.valueOf(one(sel))
+
+  test("string functions") {
+    assert(one("splitByChar(',', 'a,b,,c')") ==
+      Seq("a", "b", "", "c"))
+    assert(one("splitByString('ab', '1ab2ab3')") == Seq("1", "2", "3"))
+    assert(str("replaceAll('aba', 'a', 'X')") == "XbX")
+    assert(str("replaceOne('aba', 'a', 'X')") == "Xba")
+    assert(str("replaceOne('xyz', 'q', 'Z')") == "xyz")
+    assert(str("replaceRegexpAll('a1b2', '(\\\\d)', '[\\\\1]')") == "a[1]b[2]")
+    assert(one("match('hello', '^h.*o$')") == true)
+    // builtin datetime extract must remain un-shadowed
+    assert(one("extract(YEAR FROM timestamp'2024-03-01 00:00:00')") == 2024)
+    assert(one("countSubstrings('abcabcab', 'ab')") == 3L)
+    assert(one("positionCaseInsensitive('Hello World', 'WORLD')") == 7)
+    assert(str("trimBoth('  x  ')") == "x")
+    assert(str("trimLeft('  x  ')") == "x  ")
+    assert(str("trimRight('  x  ')") == "  x")
+    assert(str("leftPad('7', 3, '0')") == "007")
+    assert(str("rightPad('ab', 4, '*')") == "ab**")
+    assert(str("leftPad('7', 3)") == "  7")
+    assert(str("concatWithSeparator('-', 'a', 'b', 'c')") == "a-b-c")
+    assert(str("arrayStringConcat(array('a','b'), ',')") == "a,b")
+    assert(str("arrayStringConcat(array('a','b'))") == "ab")
+    assert(str("substringUTF8('hello', 2, 3)") == "ell")
+    assert(str("substringUTF8('hello', 3)") == "llo")
+    assert(one("lengthUTF8('héllo')") == 5)
+  }
+
+  test("array functions") {
+    assert(one("arrayDistinct(array(1,2,2,3))") == Seq(1, 2, 3))
+    assert(one("arraySort(array(3,1,2))") == Seq(1, 2, 3))
+    assert(one("arrayReverseSort(array(3,1,2))") == Seq(3, 2, 1))
+    assert(one("arrayConcat(array(1), array(2,3))") == Seq(1, 2, 3))
+    assert(one("arraySlice(array(1,2,3,4,5), 2, 2)") == Seq(2, 3))
+    assert(one("arraySlice(array(1,2,3,4,5), 3)") == Seq(3, 4, 5))
+    assert(one("arraySlice(array(1,2,3,4,5), -2)") == Seq(4, 5))
+    assert(one("indexOf(array(10,20,30), 20)") == 2L)
+    assert(one("indexOf(array(10,20,30), 99)") == 0L)
+    assert(one("arrayCount(x -> x > 1, array(1,2,3))") == 2)
+    assert(one("arrayCount(array(0,1,2))") == 2)
+    assert(one("arraySum(array(1,2,3))") == 6.0)
+    assert(one("arrayAvg(array(1,2,3))") == 2.0)
+    assert(one("arrayAvg(arraySlice(array(1), 1, 0))") == null)
+    assert(one("arrayMin(array(3,1,2))") == 1)
+    assert(one("arrayMax(array(3,1,2))") == 3)
+    assert(one("arrayExists(x -> x = 2, array(1,2))") == true)
+    assert(one("arrayExists(x -> x = 9, array(1,2))") == false)
+    assert(one("arrayAll(x -> x > 0, array(1,2))") == true)
+    assert(one("arrayAll(x -> x > 1, array(1,2))") == false)
+    assert(one("arrayFlatten(array(array(1,2), array(3)))") == Seq(1, 2, 3))
+    assert(one("size(arrayZip(array(1,2), array('a','b')))") == 2)
+    assert(one("range(3)") == Seq(0L, 1L, 2L))
+    assert(one("range(0)") == Seq.empty)
+    assert(one("range(2, 5)") == Seq(2L, 3L, 4L))
+    assert(one("arrayUniq(array(1,1,2))") == 2L)
+    assert(one("arrayDifference(array(1,4,9))") == Seq(0, 3, 5))
+    assert(one("hasAll(array(1,2,3), array(1,3))") == true)
+    assert(one("hasAll(array(1), array(2))") == false)
+    assert(one("hasAny(array(1,2), array(2,9))") == true)
+    assert(one("arraySort(arrayIntersect(array(1,2,3), array(2,3,4)))") ==
+      Seq(2, 3))
+    assert(one("arrayReverse(array(1,2))") == Seq(2, 1))
+    assert(one("arrayPushBack(array(1), 2)") == Seq(1, 2))
+    assert(one("arrayPushFront(array(1), 0)") == Seq(0, 1))
+    assert(one("arrayPopBack(array(1,2))") == Seq(1))
+    assert(one("arrayPopFront(array(1,2))") == Seq(2))
+    assert(one("arrayElement(array(1,2), 2)") == 2)
+    assert(one("arrayElement(array(1,2), 5)") == null)
+    assert(one("arrayElement(array(1,2), -1)") == 2)
+    assert(one("arrayFirst(x -> x > 1, array(1,2,3))") == 2)
+    assert(one("arrayFirst(x -> x > 9, array(1,2,3))") == null)
+    assert(one("arrayEnumerate(array('a','b'))") == Seq(1L, 2L))
+  }
+
+  test("null and float guards") {
+    assert(one("assumeNotNull(5)") == 5)
+    assert(one("isFinite(1.5)") == true)
+    assert(one("isFinite(cast('NaN' as double))") == false)
+    assert(one("isFinite(cast('Infinity' as double))") == false)
+    assert(one("isInfinite(cast('Infinity' as double))") == true)
+    assert(one("isInfinite(cast('-Infinity' as double))") == true)
+    assert(one("isInfinite(1.5)") == false)
+    assert(one("isNaN(cast('NaN' as double))") == true)
+    assert(one("ifNotFinite(cast('Infinity' as double), 42.0)") == 42.0)
+    assert(one("ifNotFinite(cast(7.0 as double), 42.0)") == 7.0)
+  }
+
+  test("math and bit functions") {
+    assert(one("intDivOrZero(7, 2)") == 3L)
+    assert(one("intDivOrZero(7, 0)") == 0L)
+    assert(one("moduloOrZero(7, 3)") == 1L)
+    assert(one("moduloOrZero(7, 0)") == 0L)
+    assert(one("bitAnd(12, 10)") == 8)
+    assert(one("bitOr(12, 10)") == 14)
+    assert(one("bitXor(12, 10)") == 6)
+    assert(one("bitNot(0)") == -1)
+    assert(one("bitShiftLeft(1, 4)") == 16)
+    assert(one("bitShiftRight(16, 2)") == 4)
+    assert(one("bitCount(255)") == 8)
+    assert(one("cast(roundBankers(2.5) as double)") == 2.0)
+    assert(one("cast(roundBankers(3.5) as double)") == 4.0)
+    assert(one("cast(roundBankers(2.25, 1) as double)") == 2.2)
+  }
+
+  test("encoding and hash functions") {
+    assert(str("hex('abz')") == "61627A")
+    assert(str("cast(unhex('414243') as string)") == "ABC")
+    assert(str("base64Encode('abc')") == "YWJj")
+    assert(str("base64Decode('YWJj')") == "abc")
+    assert(one("sipHash64('x') = intHash64('x')") == true)
+    // regression guard: registering the dialect must NOT shadow builtins
+    // the library depends on (md5 hex string, sha2, isnan, median) — a
+    // temp function of the same name hijacks functions._ session-wide
+    assert(str("md5('abc')") == "900150983cd24fb0d6963f7d28e17f72")
+    assert(str("sha2('abc', 256)") ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(one("isnan(cast('NaN' as double))") == true)
+    assert(one("median(x) FROM VALUES (1.0), (2.0) t(x)") == 1.5)
+  }
+
+  test("URL functions") {
+    val u = "'https://www.ex.com/a/b?x=1&y=2#frag'"
+    assert(str(s"protocol($u)") == "https")
+    assert(str(s"domain($u)") == "www.ex.com")
+    assert(str(s"domainWithoutWWW($u)") == "ex.com")
+    assert(str(s"topLevelDomain($u)") == "com")
+    assert(str(s"path($u)") == "/a/b")
+    assert(str(s"pathFull($u)") == "/a/b?x=1&y=2")
+    assert(str(s"queryString($u)") == "x=1&y=2")
+    assert(str(s"fragment($u)") == "frag")
+    assert(str(s"extractURLParameter($u, 'y')") == "2")
+    assert(str(s"extractURLParameter($u, 'zz')") == "")
+    assert(str("cutQueryString('https://ex.com/a/b?x=1')") ==
+      "https://ex.com/a/b")
+    assert(str(s"cutFragment($u)") == "https://www.ex.com/a/b?x=1&y=2")
+  }
+
+  test("IP functions") {
+    assert(str("IPv4NumToString(3232235777)") == "192.168.1.1")
+    assert(one("IPv4StringToNum('192.168.1.1')") == 3232235777L)
+    assert(one("IPv4StringToNum(IPv4NumToString(167772161))") == 167772161L)
+  }
+
+  test("JSON functions") {
+    assert(one("""JSONExtractFloat('{"a":1.5}', 'a')""") == 1.5)
+    assert(one("""JSONExtractBool('{"b":true}', 'b')""") == true)
+    assert(one("""JSONHas('{"a":1}', 'a')""") == true)
+    assert(one("""JSONHas('{"a":1}', 'b')""") == false)
+    assert(one("""JSONLength('{"a":[1,2,3]}', 'a')""") == 3)
+    assert(one("""JSONLength('{"a":1,"b":2}')""") == 2)
+  }
+
+  test("date arithmetic") {
+    assert(str("addDays(timestamp'2024-01-31 10:00:00', 1)")
+      .startsWith("2024-02-01 10:00"))
+    assert(str("addMonths(timestamp'2024-01-31 00:00:00', 1)")
+      .startsWith("2024-02-29"))
+    assert(str("addHours(timestamp'2024-01-01 23:30:00', 2)")
+      .startsWith("2024-01-02 01:30"))
+    assert(str("subtractYears(timestamp'2024-02-29 00:00:00', 1)")
+      .startsWith("2023-02-28"))
+    assert(str("addWeeks(timestamp'2024-01-01 00:00:00', 2)")
+      .startsWith("2024-01-15"))
+    assert(str("toMonday(date'2024-08-14')") == "2024-08-12")
+    assert(one("datediff(today(), yesterday())") == 1)
+  }
+
+  test("aggregate functions") {
+    spark.sql(
+      """SELECT cast(x as double) AS x, cast(y as double) AS y
+        |FROM VALUES (1.0, 2.0), (2.0, 4.0) t(x, y)""".stripMargin)
+      .createOrReplaceTempView("agg2")
+    val r = spark.sql(
+      """SELECT stddevPop(x), stddevSamp(x), varPop(x), varSamp(x),
+        |  covarPop(x, y), covarSamp(x, y), median(x),
+        |  avgWeighted(x, y), arraySort(groupUniqArray(x)),
+        |  size(groupArray(x))
+        |FROM (SELECT x * 2 AS x, y FROM agg2)""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0)           // stddev_pop([2,4])
+    assert(math.abs(r.getDouble(1) - math.sqrt(2)) < 1e-12)
+    assert(r.getDouble(2) == 1.0)           // var_pop
+    assert(r.getDouble(3) == 2.0)           // var_samp
+    assert(r.getDouble(4) == 1.0)           // covar_pop([2,4],[2,4])
+    assert(r.getDouble(5) == 2.0)           // covar_samp
+    assert(r.getDouble(6) == 3.0)           // median([2,4])
+    assert(r.getDouble(7) == (2 * 2 + 4 * 4) / 6.0) // avgWeighted
+    assert(r.getSeq[Double](8) == Seq(2.0, 4.0))
+    assert(r.getInt(9) == 2)
+    // zero total weight → NaN, not an ANSI divide error
+    val nan = spark.sql(
+      "SELECT avgWeighted(x, 0) FROM agg2").head().getDouble(0)
+    assert(nan.isNaN)
+    // HLL alias approximates the exact count
+    val uq = spark.sql(
+      "SELECT uniqCombined(x), uniqHLL12(x) FROM agg2").head()
+    assert(uq.getLong(0) == 2L && uq.getLong(1) == 2L)
+  }
+}
