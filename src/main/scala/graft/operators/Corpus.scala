@@ -179,6 +179,67 @@ object Corpus {
           .cast("long").as("duration_s"))
   }
 
+  /** Positioned word n-grams: one row per (doc, position) — unlike
+    * `Dedup.shingleSet` the positions and multiplicities are KEPT, which
+    * passage-level analysis needs. Same lead-window construction (the
+    * `element_at` lambda alternative re-evaluates the normalize+split
+    * subtree per element — see Dedup.shingleSet). The shingle text is
+    * hashed to a 64-bit key immediately: everything downstream shuffles
+    * 8-byte keys, never the n-gram strings (at 100 TB the shingle table
+    * dominates the job's shuffle volume; collision odds for 64-bit keys at
+    * 10¹⁰ distinct shingles are ~3·10⁻⁹ per pair class, the md5-grouping
+    * trade already accepted for exact dedup). */
+  def positionedShingles(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val words = docs.select(col(idCol).as("id"),
+      posexplode(split(TextAnalysis.normalized(col(textCol)), " ")))
+      .withColumnRenamed("col", "w0")
+    val withNext = (1 until n).foldLeft(words) { (d, k) =>
+      d.withColumn(s"w$k", lead(col("w0"), k).over(w))
+    }
+    withNext
+      .where(col(s"w${n - 1}").isNotNull)
+      .select(col("id"), col("pos"),
+        xxhash64(concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*))
+          .as("sh_h"))
+  }
+
+  /** Substring-level duplicate-passage detection (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * position is DUPLICATED when its word n-gram also occurs in at least
+    * `minDocs − 1` OTHER documents. Returns per-document totals and the
+    * duplicated share — the signal a pipeline thresholds to drop or trim
+    * boilerplate-heavy documents that exact/near-dup dedup misses (those
+    * compare WHOLE documents; repeated passages hide inside unique ones).
+    *
+    * Shuffle shape: one window per doc (shingle build), one groupBy on the
+    * 64-bit shingle hash (map-side combined distinct doc count), one
+    * equi-join of positions against the duplicated-shingle set on the same
+    * hash, two per-doc groupBys. Nothing is quadratic; the n-gram STRINGS
+    * never shuffle (hashed at birth, see positionedShingles).
+    *
+    * Documents shorter than `n` words have no positions and are absent
+    * (callers left-join if they need all ids). */
+  def duplicatePassages(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, minDocs: Int = 2): DataFrame = {
+    val sh = positionedShingles(docs, idCol, textCol, n)
+    val dupSh = sh.select(col("sh_h"), col("id")).distinct()
+      .groupBy(col("sh_h")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("sh_h"))
+    val perDoc = sh.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_positions"))
+    val dupPerDoc = sh.join(dupSh, Seq("sh_h"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_positions"))
+    perDoc.join(dupPerDoc, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_positions"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"))
+      .withColumn("dup_share",
+        round(col("n_dup_positions").cast("double") / col("n_positions"), 4))
+  }
+
   /** Benchmark-contamination check: for each document of the eval set,
     * how many train documents share at least one word n-gram, and how
     * heavy the worst overlap is. The industry-standard pre-training leak

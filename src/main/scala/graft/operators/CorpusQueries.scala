@@ -56,6 +56,14 @@ object CorpusQueries {
     Corpus.tfidfTopTerms(docs(spark, dir), "doc_id", "text", k = 3)
       .orderBy(col("doc_id"), col("rnk"))
 
+  /** Duplicate-passage share per document: positions whose word 4-gram
+    * also appears in another document (substring-level dedup signal —
+    * Corpus.duplicatePassages). */
+  def dDupPassages(spark: SparkSession, dir: String): DataFrame =
+    Corpus.duplicatePassages(docs(spark, dir), "doc_id", "text",
+        n = 4, minDocs = 2)
+      .orderBy(col("doc_id"))
+
   /** Contamination of a synthetic eval set (doc_id ≡ 0 mod 97) against the
     * rest of the corpus by shared word 4-grams; one row per eval doc
     * (zeros when clean) so the frame is robustly non-empty. */
@@ -253,6 +261,7 @@ object CorpusQueries {
     "d_dup_clusters" -> (dDupClusters _),
     "d_split_assign" -> (dSplitAssign _),
     "d_tfidf" -> (dTfidf _),
+    "d_dup_passages" -> (dDupPassages _),
     "d_contamination" -> (dContamination _),
     "d_corpus_stats" -> (dCorpusStats _),
     "d_sample_stratified" -> (dSampleStratified _),
@@ -388,6 +397,30 @@ object CorpusQueries {
          |  FROM scored)
          |SELECT doc_id, rnk, term, round(tfidf, 4) AS tfidf
          |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "d_dup_passages" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w
+         |  FROM documents
+         |), shp AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+         |    AS gram
+         |  FROM words WHERE len(w) >= 4
+         |), dup AS (
+         |  SELECT gram FROM (
+         |    SELECT gram, count(DISTINCT doc_id) AS nd FROM shp GROUP BY gram)
+         |  WHERE nd >= 2
+         |), per_doc AS (
+         |  SELECT doc_id, count(*) AS n_positions FROM shp GROUP BY doc_id
+         |), dupd AS (
+         |  SELECT s.doc_id, count(*) AS n_dup
+         |  FROM shp s JOIN dup USING (gram) GROUP BY s.doc_id)
+         |SELECT p.doc_id, CAST(p.n_positions AS BIGINT) AS n_positions,
+         |  CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_positions,
+         |  round(CAST(coalesce(d.n_dup, 0) AS DOUBLE)
+         |    / CAST(p.n_positions AS DOUBLE), 4) AS dup_share
+         |FROM per_doc p LEFT JOIN dupd d USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
     "d_contamination" ->
       s"""WITH words AS (
          |  SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w

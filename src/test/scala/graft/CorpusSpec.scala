@@ -138,6 +138,37 @@ class CorpusSpec extends AnyFunSuite {
       5L -> 2L, 6L -> 3L, 7L -> 0L))
   }
 
+  test("duplicatePassages: shared span counted positionally, unique doc zero") {
+    // doc 1 and 2 share the 5-word passage "the cat sat on mats" (two
+    // 4-gram positions); doc 3 is unique; doc 4 is too short for 4-grams
+    val docsDf = Seq(
+      (1L, "alpha the cat sat on mats beta"),
+      (2L, "gamma gamma the cat sat on mats"),
+      (3L, "entirely different words here now okay"),
+      (4L, "too short"))
+      .toDF("doc_id", "text")
+    val got = operators.Corpus.duplicatePassages(docsDf, "doc_id", "text",
+        n = 4, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc1: 7 words → 4 positions; duplicated: "the cat sat on",
+    // "cat sat on mats" → 2; doc2: same 2 of 4; doc3: 0 of 3; doc4 absent
+    assert(got == Seq(
+      (1L, 4L, 2L, 0.5),
+      (2L, 4L, 2L, 0.5),
+      (3L, 3L, 0L, 0.0)))
+    // a passage repeated WITHIN one document only is not cross-doc dup
+    val self = Seq(
+      (1L, "x y z w q x y z w q"),
+      (2L, "totally unrelated content stream"))
+      .toDF("doc_id", "text")
+    val got2 = operators.Corpus.duplicatePassages(self, "doc_id", "text",
+        n = 4, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got2.map(r => (r._1, r._3)) == Seq((1L, 0L), (2L, 0L)))
+  }
+
   test("sessionize splits on the 30-minute gap and aggregates per session") {
     import java.sql.Timestamp
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
