@@ -30,6 +30,39 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** [[dot]] with the dimension known at PLAN time, unrolled into a
+    * left-associated chain of `element_at` products. The fold order
+    * (((0+x₁)+x₂)+…) is IDENTICAL to [[dot]]'s, so results are bit-equal
+    * and oracle parity is unaffected. The guard raises loudly on a
+    * dimension mismatch — element_at would otherwise throw an opaque ANSI
+    * out-of-bounds (shorter) or silently truncate (longer).
+    *
+    * WHERE to use which (both measured at sf0.01, 500×64f vectors):
+    *  - JOIN-CONDITION context (a cosine-threshold filter Catalyst pushes
+    *    into a BroadcastNestedLoop or HashJoin bound condition): USE THIS.
+    *    Conditions compile as standalone predicates, so the unrolled form
+    *    stays codegen'd while `zip_with`/`aggregate` fall back to
+    *    interpreted `eval` at ~6 ms/pair — d_embed_neardup 58.8 s → 12.1 s,
+    *    d_embed_neardup_lsh 1011 s → (re-measured below).
+    *  - PROJECTION context (a `select(cosine(...).as("sim"))` under
+    *    whole-stage codegen): use dynamic [[cosine]]. The ~600-node
+    *    unrolled tree blows the generated-method budget, the stage falls
+    *    back to per-node interpreted eval, and the tree walk is ~13×
+    *    SLOWER than zip_with's tight loop (e_knn_ivf 10 s → 135 s). */
+  def dotStatic(a: Column, b: Column, dim: Int): Column = {
+    val sum = (1 to dim)
+      .map(i => element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .foldLeft(lit(0.0))(_ + _)
+    when(size(a) === dim && size(b) === dim, sum)
+      .otherwise(raise_error(concat(
+        lit(s"dotStatic(dim=$dim) on vectors of size "),
+        size(a).cast("string"), lit("/"), size(b).cast("string"))))
+  }
+
+  def cosineStatic(a: Column, b: Column, dim: Int): Column =
+    dotStatic(a, b, dim) /
+      (sqrt(dotStatic(a, a, dim)) * sqrt(dotStatic(b, b, dim)))
+
   /** Exact top-k neighbors for each query vector.
     *
     * Ranking uses the 6-dp-rounded similarity with the neighbor id as a
@@ -40,9 +73,13 @@ object Similarity {
   def knnBrute(
       embeddings: DataFrame, queries: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      k: Int = 10): DataFrame = {
+      k: Int = 10, dim: Int = 64): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val c = embeddings.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    // dynamic cosine: this sim lands in a PROJECTION, where the unrolled
+    // static form blows the whole-stage-codegen method limit and falls
+    // back to per-node interpreted eval — measured 13× SLOWER than the
+    // zip_with loop (see dotStatic scaladoc for where static wins)
     val scored = c.crossJoin(broadcast(q))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
@@ -79,12 +116,15 @@ object Similarity {
   def nearDupPairsBrute(
       embeddings: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, dim: Int = 64): DataFrame = {
     val a = embeddings.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
     val b = embeddings.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    // cosineStatic: the sim filter gets pushed INTO the nested-loop join
+    // condition, where interpreted HOFs measured ~6 ms/pair (dotStatic
+    // scaladoc) — the unrolled form keeps the whole predicate codegen'd
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("va"), col("vb")), 6).as("sim"))
+        round(cosineStatic(col("va"), col("vb"), dim), 6).as("sim"))
       .where(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
   }
@@ -121,8 +161,12 @@ object Similarity {
       .select(col("x.id").as("vec_a"), col("x.v").as("va"),
         col("y.id").as("vec_b"), col("y.v").as("vb"))
       .distinct()
+    // cosineStatic: Catalyst pushes this filter below the distinct into
+    // the banded join's bound condition, where it runs per RAW candidate
+    // (duplicates across bands included) — interpreted zip_with there
+    // measured ~6 ms/row (jstack: HashJoin.boundCondition → ZipWith.eval)
     cand.select(col("vec_a"), col("vec_b"),
-        round(cosine(col("va"), col("vb")), 6).as("sim"))
+        round(cosineStatic(col("va"), col("vb"), dim), 6).as("sim"))
       .where(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
   }
@@ -141,7 +185,8 @@ object Similarity {
   def knnIvf(
       embeddings: DataFrame, queries: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nCells: Int = 8, nProbe: Int = 2, k: Int = 10): DataFrame = {
+      nCells: Int = 8, nProbe: Int = 2, k: Int = 10,
+      dim: Int = 64): DataFrame = {
     val cents: Array[(Int, Seq[Double])] = embeddings
       .select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(nCells).collect()
@@ -161,7 +206,8 @@ object Similarity {
       .select(col("qid"), col("qv"), col("probe.i").as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .where(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+      .select(col("qid"), col("nid"),
+        cosine(col("qv"), col("nv")).as("sim")) // projection ⇒ dynamic (see knnBrute)
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 6).desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -205,7 +251,8 @@ object Similarity {
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), col("qv"), col("nv"))
       .dropDuplicates("qid", "nid") // met in ≥1 table ⇒ scored once
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+      .select(col("qid"), col("nid"),
+        cosine(col("qv"), col("nv")).as("sim")) // projection ⇒ dynamic (see knnBrute)
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 6).desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -235,6 +282,26 @@ object Similarity {
       embeddings: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", k: Int = 8,
       iters: Int = 3): (DataFrame, Seq[Double]) = {
+    val (cents, history) = kmeansFit(embeddings, idCol, vecCol, k, iters)
+    val base = embeddings.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val assigned = base.select(col("id"),
+      array_min(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(sqDist(col("v"), c).as("d"), lit(i).as("cell"))
+      }: _*)).getField("cell").cast("long").as("cell"))
+    (assigned, history)
+  }
+
+  private def sqDist(v: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, x) => a + x)
+
+  /** The Lloyd loop itself: returns the fitted centroids plus the inertia
+    * history ([[kmeans]] and [[semDedupPairs]] both build on this). */
+  def kmeansFit(
+      embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 8,
+      iters: Int = 3): (IndexedSeq[Seq[Double]], Seq[Double]) = {
     require(k >= 1 && iters >= 1, s"bad kmeans dials k=$k iters=$iters")
     val base = embeddings.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
@@ -244,9 +311,6 @@ object Similarity {
       s"kmeans k=$k but only ${cents.length} vectors — lower k")
     val dim = cents.head.length
 
-    def sqDist(v: Column, c: Seq[Double]): Column =
-      aggregate(zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, x) => a + x)
     // (dist, cell) structs: array_min orders by dist, then cell — the
     // deterministic tie-break
     def assigned: DataFrame = base.select(col("id"), col("v"),
@@ -270,8 +334,55 @@ object Similarity {
       require(cents.forall(_.length == dim), "ragged centroid update")
       inertia
     }
-    (assigned.select(col("id"), col("best.cell").cast("long").as("cell")),
-      history)
+    (cents, history)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-duplicate
+    * PAIRS found by clustering the embedding space and comparing only
+    * within clusters — the move that makes cosine dedup affordable when
+    * neither side broadcasts: all-pairs work drops from |N|² to Σ|cell|².
+    *
+    * Soft assignment: each vector lands in its `probes` nearest cells
+    * (IVF's multi-probe idea), and a pair is compared when the cell sets
+    * intersect — single-assignment recall on mid-similarity pairs is poor
+    * (measured 0.44–0.64 at τ=0.4–0.5 on the testdata) because near-dups
+    * straddle cluster boundaries; 2-probe lifts it to 0.93–1.0 for ×4
+    * candidate cost. Dial `probes` up for recall, `k` up for selectivity.
+    *
+    * Scale shape: centroids are literals (k×dim — tiny); assignment is one
+    * codegen'd scan; candidate generation is an equi-join on cell id;
+    * verification is exact cosine on candidates only. The returned pairs
+    * feed [[graft.operators.Corpus.connectedComponents]] → keep one
+    * representative per semantic-dup group.
+    */
+  def semDedupPairs(
+      embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 4, iters: Int = 3,
+      probes: Int = 2, threshold: Double = 0.4, dim: Int = 64): DataFrame = {
+    require(probes >= 1 && probes <= k, s"bad semDedup probes=$probes k=$k")
+    val (cents, _) = kmeansFit(embeddings, idCol, vecCol, k, iters)
+    val cellDists = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(col("v"), c).as("d"), lit(i).as("cell"))
+    }: _*)
+    val assigned = embeddings
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .select(col("id"), col("v"),
+        explode(slice(array_sort(cellDists), 1, probes)).as("probe"))
+      .select(col("id"), col("v"), col("probe.cell").as("cell"))
+    val a = assigned.select(col("cell"),
+      col("id").as("vec_a"), col("v").as("va"))
+    val b = assigned.select(col("cell"),
+      col("id").as("vec_b"), col("v").as("vb"))
+    a.join(b, Seq("cell"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("va"), col("vec_b"), col("vb"))
+      .dropDuplicates("vec_a", "vec_b") // met in ≥1 shared cell ⇒ once
+      .select(col("vec_a"), col("vec_b"),
+        round(cosineStatic(col("va"), col("vb"), dim), 6).as("sim"))
+      .where(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
   }
 
   /** Symmetric per-vector int8 quantization — the standard 4× embedding

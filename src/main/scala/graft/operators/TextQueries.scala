@@ -283,6 +283,52 @@ object TextQueries {
         (col("n_found") * 10 >= col("n_true_pairs") * 8).as("recall_ok"))
   }
 
+  /** SemDeDup self-check frame (cluster-then-compare semantic dedup):
+    * `subset_ok` = every within-cluster pair is a true brute-force pair
+    * with identical sim (same threshold ⇒ subset by construction);
+    * `recall_ok` = ≥70% of true τ=0.4 pairs share a probed cell (measured
+    * 1.00 at sf0.01, 0.93 at sf0.1 with k=4, 2-probe — single assignment
+    * measured only 0.44–0.64, hence the multi-probe design);
+    * `accounting_ok` = the keep/drop bookkeeping is a partition: every
+    * paired id is exactly one of group-representative or dropped.
+    * DuckDB recomputes n_vectors and n_true_pairs exactly. */
+  def eSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    // checkpointed: the tiny pair set feeds BOTH the subset/recall join
+    // and connectedComponents — without it each consumer re-runs the
+    // clustering + candidate join lineage from scratch
+    val sem = Similarity.semDedupPairs(e, k = 4, iters = 3,
+        probes = 2, threshold = 0.4)
+      .withColumnRenamed("sim", "ssim").localCheckpoint(true)
+    val brute = Similarity.nearDupPairsBrute(e, threshold = 0.4)
+      .withColumnRenamed("sim", "bsim")
+    val pairStats = sem.join(brute, Seq("vec_a", "vec_b"), "full")
+      .agg(
+        coalesce(sum(when(col("bsim").isNotNull, 1L)), lit(0L))
+          .as("n_true_pairs"),
+        coalesce(min(when(col("ssim").isNotNull,
+          (col("bsim").isNotNull && col("ssim") === col("bsim")).cast("int"))),
+          lit(1)).as("sub"),
+        coalesce(sum(when(col("ssim").isNotNull && col("bsim").isNotNull, 1L)),
+          lit(0L)).as("n_found"))
+    val cc = Corpus.connectedComponents(
+      sem.select(col("vec_a"), col("vec_b")), "vec_a", "vec_b")
+    val ccStats = cc.agg(
+      coalesce(count(lit(1)), lit(0L)).as("n_paired"),
+      coalesce(sum(when(col("id") === col("rep"), 1L).otherwise(0L)), lit(0L))
+        .as("n_reps"),
+      coalesce(sum(when(col("id") =!= col("rep"), 1L).otherwise(0L)), lit(0L))
+        .as("n_drop"))
+    e.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(pairStats).crossJoin(ccStats)
+      .select(
+        col("n_vectors"),
+        col("n_true_pairs"),
+        (col("sub") === 1).as("subset_ok"),
+        (col("n_found") * 10 >= col("n_true_pairs") * 7).as("recall_ok"),
+        (col("n_paired") === col("n_reps") + col("n_drop")).as("accounting_ok"))
+  }
+
   /** End-to-end corpus cleaning — the composition a training-data pipeline
     * actually runs: quality gate → language gate → exact dedup (keep the
     * lowest doc_id of each duplicate group). One hash-shuffle for the
@@ -317,7 +363,8 @@ object TextQueries {
     "e_knn_lsh" -> (eKnnLsh _),
     "e_knn_ivf" -> (eKnnIvf _),
     "d_embed_neardup" -> (dEmbedNeardup _),
-    "d_embed_neardup_lsh" -> (dEmbedNeardupLsh _))
+    "d_embed_neardup_lsh" -> (dEmbedNeardupLsh _),
+    "e_semdedup" -> (eSemDedup _))
 
   private val jaccardSql =
     """WITH words AS (
@@ -533,6 +580,22 @@ object TextQueries {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(sim, 4) AS sim
         |FROM p WHERE sim >= 0.5 ORDER BY vec_a, vec_b""".stripMargin,
+    "e_semdedup" ->
+      """WITH p AS (
+        |  SELECT round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT
+        |  CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors,
+        |  CAST((SELECT count(*) FROM p WHERE sim >= 0.4) AS BIGINT)
+        |    AS n_true_pairs,
+        |  TRUE AS subset_ok, TRUE AS recall_ok, TRUE AS accounting_ok""".stripMargin,
     "e_knn_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv
         |  FROM embeddings WHERE vec_id < 5),

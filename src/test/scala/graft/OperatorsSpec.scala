@@ -34,6 +34,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3).getSeq[String](1) == Seq("w x y", "x y z"))
   }
 
+  test("semDedupPairs: within-cluster near-dups found, subset of brute") {
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.99f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f)),
+      (5L, Array(0f, 0.1f, 0.99f, 0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.semDedupPairs(df, k = 2, iters = 2,
+        probes = 2, threshold = 0.9, dim = 4)
+      .orderBy("vec_a", "vec_b").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (4L, 5L)))
+    // subset property: sims identical to the brute-force formulation
+    val brute = Similarity.nearDupPairsBrute(df, threshold = 0.9, dim = 4)
+      .orderBy("vec_a", "vec_b").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      brute.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+    // 1-probe pairs ⊆ 2-probe pairs (soft assignment only ADDS candidate
+    // cells; the recall gap itself is data-dependent — measured on the
+    // real testdata in eSemDedup's scaladoc)
+    val p1 = Similarity.semDedupPairs(df, k = 2, iters = 2,
+      probes = 1, threshold = 0.9, dim = 4).collect()
+    assert(p1.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .subsetOf(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet))
+  }
+
   test("lshSignature rejects >64 planes; banded near-dup uses per-band sigs") {
     intercept[IllegalArgumentException] {
       Similarity.lshSignature(col("v"), Similarity.hyperplanes(8, 65))
@@ -127,7 +153,8 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
       (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
     ).toDF("vec_id", "embedding")
-    val out = Similarity.knnBrute(vecs, vecs.where($"vec_id" === 0), k = 2)
+    val out = Similarity.knnBrute(vecs, vecs.where($"vec_id" === 0),
+        k = 2, dim = 4)
       .orderBy("rank").collect()
     assert(out.map(_.getAs[Long]("nid")).toSeq == Seq(1L, 2L))
     assert(out.head.getAs[Double]("sim") == 1.0)
