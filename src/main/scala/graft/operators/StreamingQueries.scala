@@ -135,10 +135,61 @@ object StreamingQueries {
       .orderBy(col("day"))
   }
 
+  /** Streaming gap-sessionization (session_window + watermark), replayed
+    * over 5 micro-batches and hash-compared against the batch gap-session
+    * oracle — proves the stateful streaming path computes the exact batch
+    * answer even though no batch saw a whole session.
+    *
+    * Harness notes (not operator code): MemoryStream gives exact batch
+    * boundaries (the collect is the replay harness feeding the driver-side
+    * stream, bounded by the verify SF — the operator itself never
+    * collects); the 30-day watermark delay exceeds the events table's span
+    * so replay order can't drop anything; the final sentinel row (filtered
+    * out AFTER the watermark node by user_id ≥ 0) pushes the watermark
+    * past every session close so append mode emits the tail sessions. */
+  def qSessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = eventsDs(spark, dir).collect().sortBy(_.event_id)
+    val maxTs = ev.map(_.ts.getTime).max
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    // NO input-side sentinel filter: a predicate that doesn't reference
+    // the event-time column gets pushed BELOW the EventTimeWatermark node
+    // (observed: the sentinel never reached the watermark accumulator and
+    // zero sessions emitted). The sentinel instead flows into the
+    // aggregation, where its own session never closes — it is filtered
+    // from the OUTPUT, which the watermark can't see anyway.
+    val sessions = graft.streaming.StreamSessionize.sessions(
+      ms.toDF().withWatermark("ts", "30 days"),
+      "user_id", "ts", "value")
+    val sink = s"sess_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = sessions.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4 + 1)).foreach { c =>
+        ms.addData(c.toSeq); q.processAllAvailable()
+      }
+      // two sentinel batches: the first ADVANCES the watermark (stats are
+      // collected during batch N, applied from batch N+1), the second
+      // triggers the batch that runs WITH the advanced watermark and
+      // emits every closed session
+      (0 until 2).foreach { i =>
+        ms.addData(Event(-1L - i,
+          new java.sql.Timestamp(maxTs + 86400000L * 40), -1L,
+          "sentinel", 0.0, null))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink).where(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_transform_bar" -> (qTransformBar _),
     "q_mv_recompute" -> (qMvRecompute _),
-    "q_mv_streaming" -> (qMvStreaming _))
+    "q_mv_streaming" -> (qMvStreaming _),
+    "q_sessionize_stream" -> (qSessionizeStream _))
 
   def oracles: Map[String, String] = Map(
     "q_transform_bar" ->
@@ -167,5 +218,33 @@ object StreamingQueries {
         |  round(avg(CAST(round(value * 100) AS BIGINT)), 4)
         |    AS avg_value_cents
         |FROM events WHERE event_type <> 'error'
-        |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin)
+        |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin,
+    // session_window sessions are half-open [start, last+gap): an event
+    // exactly gap after its predecessor starts a NEW session, hence >=
+    // (the batch q_sessionize oracle uses >; only an exact-µs tie differs)
+    "q_sessionize_stream" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |), gap AS (
+        |  SELECT user_id, event_id, value, us,
+        |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS prev_us
+        |  FROM g
+        |), s AS (
+        |  SELECT user_id, value, us,
+        |    CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |  FROM gap)
+        |SELECT user_id, make_timestamp(min(us)) AS session_start,
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+        |    / 10000.0, 4) AS session_value,
+        |  (max(us) - min(us)) // 1000000 AS duration_s
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin)
 }

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming gap-sessionization on Spark's native `session_window` — the
+  * stateful streaming twin of `Corpus.sessionize` (which is the batch
+  * lag+cumsum formulation). Same session semantics: events of one id
+  * whose consecutive gaps stay within `gap` merge into one session
+  * (boundary case: an event exactly `gap` after its predecessor starts a
+  * NEW session here — session windows are half-open [start, last+gap) —
+  * while the batch operator's `>` test keeps it; only an exact-to-the-µs
+  * tie distinguishes them).
+  *
+  * Scale/state story (the reason this exists next to the batch operator):
+  * state is per ACTIVE session, not per event — the watermark closes
+  * sessions whose end + gap has passed, so state size is bounded by the
+  * number of concurrently-open sessions regardless of stream length. The
+  * batch operator re-sorts history; this one never touches an event twice.
+  *
+  * Streaming callers MUST put a watermark on `tsCol` upstream (append mode
+  * emits a session only once the watermark passes its close — without one
+  * the query refuses to start). Works identically on batch frames (no
+  * watermark needed), which is what the parity spec checks.
+  */
+object StreamSessionize {
+
+  def sessions(
+      events: DataFrame, idCol: String, tsCol: String, valueCol: String,
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col(idCol), session_window(col(tsCol), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        // integer-scaled sum, one division — engine-order-free (the
+        // Corpus.sessionize midpoint-rounding rule)
+        round(sum(round(col(valueCol) * 10000).cast("long")).cast("double")
+          / 10000.0, 4).as("session_value"),
+        ((max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
+          .divide(lit(1000000L))).cast("long").as("duration_s"))
+      .select(col(idCol),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"), col("duration_s"))
+}
