@@ -23,13 +23,17 @@ object Verify {
       .foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      val status =
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          "ok"
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          "FAILED"
+        }
       System.err.println(
-        f"[verify] $name took ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        f"[verify] $name $status in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

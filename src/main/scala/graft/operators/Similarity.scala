@@ -63,6 +63,14 @@ object Similarity {
     dotStatic(a, b, dim) /
       (sqrt(dotStatic(a, a, dim)) * sqrt(dotStatic(b, b, dim)))
 
+  /** Scan-side dimension guard: a wrong-size vector raises loudly instead
+    * of silently null-padding (`zip_with` pads the shorter side with nulls,
+    * which nulls the whole dot product) — so the `dim` parameter the ANN
+    * entry points take actually MEANS something. */
+  private def assertDim(v: Column, dim: Int): Column =
+    when(size(v) === dim, v).otherwise(raise_error(concat(
+      lit(s"expected dim=$dim embedding, got size "), size(v).cast("string"))))
+
   /** Exact top-k neighbors for each query vector.
     *
     * Ranking uses the 6-dp-rounded similarity with the neighbor id as a
@@ -74,8 +82,10 @@ object Similarity {
       embeddings: DataFrame, queries: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       k: Int = 10, dim: Int = 64): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val c = embeddings.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val q = queries.select(col(idCol).as("qid"),
+      assertDim(col(vecCol), dim).as("qv"))
+    val c = embeddings.select(col(idCol).as("nid"),
+      assertDim(col(vecCol), dim).as("nv"))
     // dynamic cosine: this sim lands in a PROJECTION, where the unrolled
     // static form blows the whole-stage-codegen method limit and falls
     // back to per-node interpreted eval — measured 13× SLOWER than the
@@ -198,9 +208,11 @@ object Similarity {
     def cellSims(vec: Column): Column = array(cents.map { case (i, c) =>
       struct(round(cosine(vec, typedlit(c)), 6).as("s"), lit(i).as("i"))
     }: _*)
-    val c = embeddings.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+    val c = embeddings.select(col(idCol).as("nid"),
+      assertDim(col(vecCol), dim).as("nv"),
       array_max(cellSims(col(vecCol))).getField("i").as("cell"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+    val q = queries.select(col(idCol).as("qid"),
+      assertDim(col(vecCol), dim).as("qv"),
         explode(slice(reverse(array_sort(cellSims(col(vecCol)))), 1, nProbe))
           .as("probe"))
       .select(col("qid"), col("qv"), col("probe.i").as("cell"))
@@ -337,6 +349,16 @@ object Similarity {
     (cents, history)
   }
 
+  /** Diagnostics [[semDedupPairs]] computes on the way to its plan, exposed
+    * so specs (and capacity planning) can assert the scale story instead of
+    * trusting it: `taskKeys` is the number of distinct (cell, blockI,
+    * blockJ) join keys — the parallelism ceiling of the candidate stage —
+    * and `estCandidatePairs` is Σ |cell|·(|cell|−1)/2, the exact count of
+    * cosine verifications the plan will do (before multi-probe dedup). */
+  final case class SemDedupDiag(
+      pairs: DataFrame, kEff: Int, cellSizes: Map[Int, Long],
+      salts: Map[Int, Int], taskKeys: Long, estCandidatePairs: Long)
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): semantic near-duplicate
     * PAIRS found by clustering the embedding space and comparing only
@@ -350,18 +372,60 @@ object Similarity {
     * straddle cluster boundaries; 2-probe lifts it to 0.93–1.0 for ×4
     * candidate cost. Dial `probes` up for recall, `k` up for selectivity.
     *
+    * Scale dials (the paper's regime is cluster count ∝ corpus size —
+    * Abbas et al. §3 — so a FIXED k is all-pairs in disguise: Σ|cell|² ≈
+    * N²/k):
+    *  - `k = 0` (the default) derives k ≈ N/targetCellSize, clamped to
+    *    [2, 64] — the literal-centroid assignment expression is the k
+    *    ceiling; past it, train centroids on a sample and assign via a
+    *    broadcast join instead.
+    *  - Oversized cells are SALT-SPLIT before pair generation: a cell of
+    *    size c gets s = ⌈c/targetCellSize⌉ blocks (deterministic
+    *    `pmod(hash(id), s)`), and the within-cell cross becomes
+    *    s·(s+1)/2 independent (cell, blockI, blockJ) join tasks — one hot
+    *    cell can no longer serialize the stage, and the join's distinct-key
+    *    count grows with the data instead of being capped at k.
+    *  - `maxCandidatePairs` refuses loudly when Σ|cell|² exceeds the
+    *    budget, with the dial to turn printed in the message — the guard
+    *    that keeps a mis-dialed run from burning a cluster-day.
+    *
     * Scale shape: centroids are literals (k×dim — tiny); assignment is one
-    * codegen'd scan; candidate generation is an equi-join on cell id;
-    * verification is exact cosine on candidates only. The returned pairs
-    * feed [[graft.operators.Corpus.connectedComponents]] → keep one
+    * codegen'd scan; candidate generation is an equi-join on (cell, blockI,
+    * blockJ); verification is exact cosine on candidates only. Cell sizes
+    * (≤ k rows) are the only extra driver materialization. The returned
+    * pairs feed [[graft.operators.Corpus.connectedComponents]] → keep one
     * representative per semantic-dup group.
     */
   def semDedupPairs(
       embeddings: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", k: Int = 4, iters: Int = 3,
-      probes: Int = 2, threshold: Double = 0.4, dim: Int = 64): DataFrame = {
-    require(probes >= 1 && probes <= k, s"bad semDedup probes=$probes k=$k")
-    val (cents, _) = kmeansFit(embeddings, idCol, vecCol, k, iters)
+      vecCol: String = "embedding", k: Int = 0, iters: Int = 3,
+      probes: Int = 2, threshold: Double = 0.4, dim: Int = 64,
+      targetCellSize: Long = 2000L,
+      maxCandidatePairs: Long = 2000000000L): DataFrame =
+    semDedupDiag(embeddings, idCol, vecCol, k, iters, probes, threshold,
+      dim, targetCellSize, maxCandidatePairs).pairs
+
+  /** [[semDedupPairs]] plus its scale diagnostics — same plan, same pairs. */
+  def semDedupDiag(
+      embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 0, iters: Int = 3,
+      probes: Int = 2, threshold: Double = 0.4, dim: Int = 64,
+      targetCellSize: Long = 2000L,
+      maxCandidatePairs: Long = 2000000000L): SemDedupDiag = {
+    require(targetCellSize >= 2, s"bad targetCellSize=$targetCellSize")
+    // auto-k floor is probes+1 so soft assignment never lands a vector in
+    // EVERY cell (k = probes would be all-pairs ×probes in disguise)
+    val kEff =
+      if (k > 0) k
+      else {
+        val n = embeddings.count()
+        math.min(64L,
+          math.max(probes + 1L, (n + targetCellSize - 1) / targetCellSize))
+          .toInt
+      }
+    require(probes >= 1 && probes <= kEff,
+      s"bad semDedup probes=$probes k=$kEff")
+    val (cents, _) = kmeansFit(embeddings, idCol, vecCol, kEff, iters)
     val cellDists = array(cents.zipWithIndex.map { case (c, i) =>
       struct(sqDist(col("v"), c).as("d"), lit(i).as("cell"))
     }: _*)
@@ -371,18 +435,52 @@ object Similarity {
       .select(col("id"), col("v"),
         explode(slice(array_sort(cellDists), 1, probes)).as("probe"))
       .select(col("id"), col("v"), col("probe.cell").as("cell"))
-    val a = assigned.select(col("cell"),
-      col("id").as("vec_a"), col("v").as("va"))
-    val b = assigned.select(col("cell"),
-      col("id").as("vec_b"), col("v").as("vb"))
-    a.join(b, Seq("cell"))
-      .where(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("va"), col("vec_b"), col("vb"))
+
+    // per-probed-cell sizes: ≤ k rows to the driver — the only extra
+    // materialization, and what the budget guard + salt plan derive from
+    val cellSizes: Map[Int, Long] = assigned.groupBy(col("cell")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val estPairs = cellSizes.values.map(c => c * (c - 1) / 2).sum
+    require(estPairs <= maxCandidatePairs,
+      s"semDedup candidate budget exceeded: Σ|cell|·(|cell|−1)/2 = $estPairs" +
+        s" > maxCandidatePairs=$maxCandidatePairs (k=$kEff, probes=$probes," +
+        s" max|cell|=${cellSizes.values.max}). Raise k or lower" +
+        " targetCellSize for smaller cells, lower probes, or raise the" +
+        " budget explicitly.")
+    val salts: Map[Int, Int] = cellSizes.map { case (c, n) =>
+      c -> math.min(4096L, (n + targetCellSize - 1) / targetCellSize)
+        .toInt.max(1)
+    }
+    val taskKeys = salts.values.map(s => s.toLong * (s + 1) / 2).sum
+    val saltArr = (0 until kEff).map(c => salts.getOrElse(c, 1))
+
+    // salt-split: block β = pmod(hash(id), s_cell); element β goes to the
+    // A side of tasks (β, j≥β) and the B side of tasks (i≤β, β), so every
+    // within-cell pair meets in EXACTLY one (cell, ti, tj) task (the
+    // diagonal task sees both orders — the ida<idb filter keeps one) and
+    // the join key space is Σ s·(s+1)/2 per cell, not one key per cell
+    val sCell = element_at(typedlit(saltArr), col("cell") + 1)
+    val salted = assigned.withColumn("blk", pmod(hash(col("id")), sCell))
+    val aSide = salted.select(col("cell"), col("blk").as("ti"),
+      explode(sequence(col("blk"), sCell - 1)).as("tj"),
+      col("id").as("ida"), col("v").as("va"))
+    val bSide = salted.select(col("cell"),
+      explode(sequence(lit(0), col("blk"))).as("ti"),
+      col("blk").as("tj"), col("id").as("idb"), col("v").as("vb"))
+    val lower = col("ida") < col("idb")
+    val pairs = aSide.join(bSide, Seq("cell", "ti", "tj"))
+      .where(col("ti") =!= col("tj") || col("ida") < col("idb"))
+      .select(
+        when(lower, col("ida")).otherwise(col("idb")).as("vec_a"),
+        when(lower, col("va")).otherwise(col("vb")).as("va"),
+        when(lower, col("idb")).otherwise(col("ida")).as("vec_b"),
+        when(lower, col("vb")).otherwise(col("va")).as("vb"))
       .dropDuplicates("vec_a", "vec_b") // met in ≥1 shared cell ⇒ once
       .select(col("vec_a"), col("vec_b"),
         round(cosineStatic(col("va"), col("vb"), dim), 6).as("sim"))
       .where(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+    SemDedupDiag(pairs, kEff, cellSizes, salts, taskKeys, estPairs)
   }
 
   /** Symmetric per-vector int8 quantization — the standard 4× embedding

@@ -297,7 +297,10 @@ object TextQueries {
     // checkpointed: the tiny pair set feeds BOTH the subset/recall join
     // and connectedComponents — without it each consumer re-runs the
     // clustering + candidate join lineage from scratch
-    val sem = Similarity.semDedupPairs(e, k = 4, iters = 3,
+    // k = 0 ⇒ auto-k from corpus size (N/targetCellSize, clamped ≥2) — the
+    // paper's cluster-count-scales-with-corpus regime; at these SFs the
+    // corpus fits a couple of cells, at 100 TB k grows with N
+    val sem = Similarity.semDedupPairs(e, k = 0, iters = 3,
         probes = 2, threshold = 0.4)
       .withColumnRenamed("sim", "ssim").localCheckpoint(true)
     val brute = Similarity.nearDupPairsBrute(e, threshold = 0.4)

@@ -60,6 +60,56 @@ class OperatorsSpec extends AnyFunSuite {
       .subsetOf(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("semDedup: hot cell is salt-split — >k-way task keys, same pairs") {
+    // one hot cluster (60 near-identical vectors) + a few scattered: with
+    // targetCellSize=10 the hot cell MUST split into blocks, and the
+    // candidate join's distinct (cell, ti, tj) key count — the stage's
+    // parallelism ceiling — must exceed k
+    val rnd = new scala.util.Random(11)
+    val hot = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (if (d == 0) 1f else 0f) + rnd.nextGaussian().toFloat * 0.01f))
+    }
+    val cold = (100 until 105).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (if (d == i % 8) 1f else 0f) + rnd.nextGaussian().toFloat * 0.01f))
+    }
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+    val diag = Similarity.semDedupDiag(df, k = 2, iters = 2, probes = 1,
+      threshold = 0.9, dim = 8, targetCellSize = 10L)
+    val hotCell = diag.cellSizes.maxBy(_._2)._1
+    assert(diag.cellSizes(hotCell) >= 60)
+    assert(diag.salts(hotCell) > 1,
+      s"hot cell not split: salts=${diag.salts}")
+    assert(diag.taskKeys > diag.kEff,
+      s"parallelism ceiling ${diag.taskKeys} not above k=${diag.kEff}")
+    // salting must not change the answer: same pair set as an unsalted run
+    // (targetCellSize large enough that every salt factor is 1)
+    val unsalted = Similarity.semDedupPairs(df, k = 2, iters = 2,
+      probes = 1, threshold = 0.9, dim = 8, targetCellSize = 100000L)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(diag.pairs.collect().map(key).toSet ==
+      unsalted.collect().map(key).toSet)
+    assert(diag.pairs.count() >= 60L * 59 / 2) // hot cluster fully paired
+  }
+
+  test("semDedup: auto-k scales with corpus; pair budget refuses loudly") {
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 100).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // k=0 ⇒ kEff = ceil(100/10) = 10 cells
+    val diag = Similarity.semDedupDiag(df, k = 0, iters = 1, probes = 1,
+      threshold = 0.99, dim = 8, targetCellSize = 10L)
+    assert(diag.kEff == 10)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.semDedupDiag(df, k = 2, iters = 1, probes = 1,
+        threshold = 0.99, dim = 8, maxCandidatePairs = 10L)
+    }
+    assert(err.getMessage.contains("budget"))
+  }
+
   test("lshSignature rejects >64 planes; banded near-dup uses per-band sigs") {
     intercept[IllegalArgumentException] {
       Similarity.lshSignature(col("v"), Similarity.hyperplanes(8, 65))
