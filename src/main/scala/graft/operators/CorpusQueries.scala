@@ -240,6 +240,19 @@ object CorpusQueries {
         Seq("view", "click", "purchase"), windowSecs = 86400L)
       .orderBy(col("user_id"))
 
+  /** 5-step funnel (signup → view → click → purchase → error within 2
+    * days) — exercises [[Funnel.windowFunnel]]'s N-step DP past the
+    * 3-slot shape; the oracle rebuilds levels by PROGRESSIVE chain CTEs
+    * (each level extends the previous level's (start, last) frontier),
+    * an independent algorithm that stays polynomial where a flat 5-way
+    * self-join would enumerate ~13⁵ rows per user. */
+  def qWindowFunnel5(spark: SparkSession, dir: String): DataFrame =
+    Funnel.windowFunnel(Tables.load(spark, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase", "error"),
+        windowSecs = 172800L)
+      .orderBy(col("user_id"))
+
   /** CH retention over events: anchor = a view in the first week of the
     * data; retained = click / purchase by the same user (CH semantics:
     * no ordering constraint beyond both-matched). */
@@ -256,6 +269,7 @@ object CorpusQueries {
   def queries: Map[String, Q] = Map(
     "e_kmeans" -> (eKmeans _),
     "q_window_funnel" -> (qWindowFunnel _),
+    "q_window_funnel5" -> (qWindowFunnel5 _),
     "q_retention" -> (qRetention _),
     "d_quality_filter" -> (dQualityFilter _),
     "d_dup_clusters" -> (dDupClusters _),
@@ -311,6 +325,48 @@ object CorpusQueries {
         |LEFT JOIN l1 ON l1.user_id = u.user_id
         |LEFT JOIN l2 ON l2.user_id = u.user_id
         |LEFT JOIN l3 ON l3.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin,
+    "q_window_funnel5" ->
+      """WITH e AS (SELECT user_id, event_type AS t,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type IN
+        |    ('signup', 'view', 'click', 'purchase', 'error')),
+        |c1 AS (SELECT DISTINCT user_id, us AS t1, us AS lst
+        |  FROM e WHERE t = 'signup'),
+        |c2 AS (SELECT DISTINCT c.user_id, c.t1, e.us AS lst
+        |  FROM c1 c JOIN e ON e.user_id = c.user_id
+        |  WHERE e.t = 'view' AND e.us >= c.lst
+        |    AND e.us - c.t1 <= 172800000000),
+        |c3 AS (SELECT DISTINCT c.user_id, c.t1, e.us AS lst
+        |  FROM c2 c JOIN e ON e.user_id = c.user_id
+        |  WHERE e.t = 'click' AND e.us >= c.lst
+        |    AND e.us - c.t1 <= 172800000000),
+        |c4 AS (SELECT DISTINCT c.user_id, c.t1, e.us AS lst
+        |  FROM c3 c JOIN e ON e.user_id = c.user_id
+        |  WHERE e.t = 'purchase' AND e.us >= c.lst
+        |    AND e.us - c.t1 <= 172800000000),
+        |c5 AS (SELECT DISTINCT c.user_id, c.t1, e.us AS lst
+        |  FROM c4 c JOIN e ON e.user_id = c.user_id
+        |  WHERE e.t = 'error' AND e.us >= c.lst
+        |    AND e.us - c.t1 <= 172800000000)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN l5.user_id IS NOT NULL THEN 5
+        |       WHEN l4.user_id IS NOT NULL THEN 4
+        |       WHEN l3.user_id IS NOT NULL THEN 3
+        |       WHEN l2.user_id IS NOT NULL THEN 2
+        |       WHEN l1.user_id IS NOT NULL THEN 1
+        |       ELSE 0 END AS BIGINT) AS funnel_level
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN (SELECT DISTINCT user_id FROM c1) l1
+        |  ON l1.user_id = u.user_id
+        |LEFT JOIN (SELECT DISTINCT user_id FROM c2) l2
+        |  ON l2.user_id = u.user_id
+        |LEFT JOIN (SELECT DISTINCT user_id FROM c3) l3
+        |  ON l3.user_id = u.user_id
+        |LEFT JOIN (SELECT DISTINCT user_id FROM c4) l4
+        |  ON l4.user_id = u.user_id
+        |LEFT JOIN (SELECT DISTINCT user_id FROM c5) l5
+        |  ON l5.user_id = u.user_id
         |ORDER BY u.user_id""".stripMargin,
     "d_quality_filter" ->
       """WITH s AS (SELECT doc_id, lang,

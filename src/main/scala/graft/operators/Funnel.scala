@@ -29,11 +29,13 @@ object Funnel {
 
   /** Per-user funnel level ∈ [0, steps.length]; one row per distinct
     * user in `events` (users with no step events report level 0).
-    * Currently supports the 3-step shape (CH allows up to 32). */
+    * N steps, 1 ≤ N ≤ 32 (CH's cap). Step conditions are event-type
+    * equality and assumed disjoint (one event advances one level). */
   def windowFunnel(
       events: DataFrame, userCol: String, tsCol: String, typeCol: String,
       steps: Seq[String], windowSecs: Long): DataFrame = {
-    require(steps.length == 3, "windowFunnel: exactly 3 steps supported")
+    val n = steps.length
+    require(n >= 1 && n <= 32, s"windowFunnel: 1..32 steps, got $n")
     val w = windowSecs * 1000000L
     val idx = steps.zipWithIndex
       .map { case (s, i) => (when(col(typeCol) === s, i): Column) }
@@ -44,37 +46,45 @@ object Funnel {
         struct(unix_micros(col(tsCol)).as("us"), idx.as("i")).as("e"))
     val byUser = evs.groupBy(col("user_id"))
       .agg(array_sort(collect_list(col("e"))).as("evs"))
-    // explicit per-level "set" flags instead of a timestamp sentinel: a
-    // -1L (or Long.MinValue) sentinel conflates with — or overflows on —
-    // real pre-epoch timestamps; with flags the unset slots stay 0L, so
-    // `us - sN` arithmetic is always in range under ANSI mode and
-    // pre-1970 events fold correctly
+    // DP state = two N-arrays: st(l) = the step-1 start of the best chain
+    // achieving level l, fl(l) = level achieved. Explicit "set" flags
+    // instead of a timestamp sentinel: a -1L (or Long.MinValue) sentinel
+    // conflates with — or overflows on — real pre-epoch timestamps; with
+    // flags the unset slots stay 0L, so `us - st` arithmetic is always in
+    // range under ANSI mode and pre-1970 events fold correctly.
     val init = struct(
-      lit(0L).as("s1"), lit(0L).as("s2"), lit(0L).as("s3"),
-      lit(false).as("b1"), lit(false).as("b2"), lit(false).as("b3"))
+      typedlit(Seq.fill(n)(0L)).as("st"),
+      typedlit(Seq.fill(n)(false)).as("fl"))
+    // all element_at indices below are 1-BASED: for 0-based level l,
+    // element_at(arr, l) is level l-1's slot and element_at(arr, l+1) its
+    // own. The l>0 branch is never evaluated at l=0 (CaseWhen branches are
+    // lazy), so the would-be element_at(_, 0) ANSI error can't fire.
     val folded = aggregate(
       col("evs"), init,
       (acc, e) => {
         val us = e.getField("us")
         val i = e.getField("i")
-        val s1 = acc.getField("s1"); val b1 = acc.getField("b1")
-        val s2 = acc.getField("s2"); val b2 = acc.getField("b2")
-        val s3 = acc.getField("s3"); val b3 = acc.getField("b3")
-        val adv3 = i === 2 && b2 && us - s2 <= w && (!b3 || s2 > s3)
-        val adv2 = i === 1 && b1 && us - s1 <= w && (!b2 || s1 > s2)
-        val adv1 = i === 0 && (!b1 || us > s1)
+        val st = acc.getField("st")
+        val fl = acc.getField("fl")
+        def advAt(l: Column): Column =
+          when(l === 0,
+            i === 0 && (!element_at(fl, lit(1)) || us > element_at(st, lit(1))))
+          .otherwise(
+            i === l && element_at(fl, l) &&
+              us - element_at(st, l) <= w &&
+              (!element_at(fl, l + 1) ||
+                element_at(st, l) > element_at(st, l + 1)))
+        val lvls = sequence(lit(0), lit(n - 1))
         struct(
-          when(adv1, us).otherwise(s1).as("s1"),
-          when(adv2, s1).otherwise(s2).as("s2"),
-          when(adv3, s2).otherwise(s3).as("s3"),
-          (b1 || adv1).as("b1"),
-          (b2 || adv2).as("b2"),
-          (b3 || adv3).as("b3"))
+          transform(lvls, l =>
+            when(advAt(l), when(l === 0, us).otherwise(element_at(st, l)))
+              .otherwise(element_at(st, l + 1))).as("st"),
+          transform(lvls, l =>
+            element_at(fl, l + 1) || advAt(l)).as("fl"))
       },
-      acc => when(acc.getField("b3"), 3L)
-        .when(acc.getField("b2"), 2L)
-        .when(acc.getField("b1"), 1L)
-        .otherwise(0L))
+      // flags are monotone (level l requires level l-1), so the achieved
+      // level is simply the set-flag count
+      acc => size(filter(acc.getField("fl"), f => f)).cast("long"))
     events.select(col(userCol).as("user_id")).distinct()
       .join(byUser.select(col("user_id"), folded.as("lvl")),
         Seq("user_id"), "left")

@@ -138,6 +138,63 @@ class CorpusSpec extends AnyFunSuite {
       5L -> 2L, 6L -> 3L, 7L -> 0L))
   }
 
+  test("windowFunnel N=5: chain, window bound, restart rescue, ties, cap") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(s: Long) = new Timestamp(base + s * 1000L)
+    val W = 100L
+    val steps = Seq("s1", "s2", "s3", "s4", "s5")
+    val events = Seq(
+      // user 1: clean 5-chain inside window → 5
+      (1L, 1L, ts(0), "s1", 0.0, "{}"),
+      (2L, 1L, ts(10), "s2", 0.0, "{}"),
+      (3L, 1L, ts(20), "s3", 0.0, "{}"),
+      (4L, 1L, ts(30), "s4", 0.0, "{}"),
+      (5L, 1L, ts(40), "s5", 0.0, "{}"),
+      // user 2: s5 exactly AT the bound (inclusive) → 5
+      (6L, 2L, ts(0), "s1", 0.0, "{}"),
+      (7L, 2L, ts(25), "s2", 0.0, "{}"),
+      (8L, 2L, ts(50), "s3", 0.0, "{}"),
+      (9L, 2L, ts(75), "s4", 0.0, "{}"),
+      (10L, 2L, ts(100), "s5", 0.0, "{}"),
+      // user 3: s5 one past the only chain's window → 4
+      (11L, 3L, ts(0), "s1", 0.0, "{}"),
+      (12L, 3L, ts(30), "s2", 0.0, "{}"),
+      (13L, 3L, ts(60), "s3", 0.0, "{}"),
+      (14L, 3L, ts(90), "s4", 0.0, "{}"),
+      (15L, 3L, ts(101), "s5", 0.0, "{}"),
+      // user 4: mid-chain restart (later s1) rescues levels 4 and 5 → 5
+      (16L, 4L, ts(0), "s1", 0.0, "{}"),
+      (17L, 4L, ts(60), "s1", 0.0, "{}"),
+      (18L, 4L, ts(70), "s2", 0.0, "{}"),
+      (19L, 4L, ts(80), "s3", 0.0, "{}"),
+      (20L, 4L, ts(120), "s4", 0.0, "{}"),
+      (21L, 4L, ts(150), "s5", 0.0, "{}"),
+      // user 5: all five at the SAME timestamp chain in step order → 5
+      (22L, 5L, ts(0), "s1", 0.0, "{}"),
+      (23L, 5L, ts(0), "s2", 0.0, "{}"),
+      (24L, 5L, ts(0), "s3", 0.0, "{}"),
+      (25L, 5L, ts(0), "s4", 0.0, "{}"),
+      (26L, 5L, ts(0), "s5", 0.0, "{}"),
+      // user 6: s4 before s3 breaks the chain there → 2... no: s3 absent
+      // entirely, so the prefix stops at 2
+      (27L, 6L, ts(0), "s1", 0.0, "{}"),
+      (28L, 6L, ts(10), "s2", 0.0, "{}"),
+      (29L, 6L, ts(20), "s4", 0.0, "{}"),
+      (30L, 6L, ts(30), "s5", 0.0, "{}"))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val got = operators.Funnel.windowFunnel(
+        events, "user_id", "ts", "event_type", steps, windowSecs = W)
+      .orderBy("user_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 5L, 2L -> 5L, 3L -> 4L, 4L -> 5L,
+      5L -> 5L, 6L -> 2L))
+    // the 32-step CH cap is enforced, and 33 refuses loudly
+    intercept[IllegalArgumentException] {
+      operators.Funnel.windowFunnel(events, "user_id", "ts", "event_type",
+        (1 to 33).map(i => s"t$i"), windowSecs = W)
+    }
+  }
+
   test("duplicatePassages: shared span counted positionally, unique doc zero") {
     // doc 1 and 2 share the 5-word passage "the cat sat on mats" (two
     // 4-gram positions); doc 3 is unique; doc 4 is too short for 4-grams
