@@ -136,24 +136,30 @@ object StreamingQueries {
   }
 
   /** Streaming gap-sessionization (session_window + watermark), replayed
-    * over 5 micro-batches and hash-compared against the batch gap-session
-    * oracle — proves the stateful streaming path computes the exact batch
-    * answer even though no batch saw a whole session.
+    * over file-backed micro-batches and hash-compared against the batch
+    * gap-session oracle — proves the stateful streaming path computes the
+    * exact batch answer even though no batch saw a whole session.
     *
-    * Harness notes (not operator code): MemoryStream gives exact batch
-    * boundaries (the collect is the replay harness feeding the driver-side
-    * stream, bounded by the verify SF — the operator itself never
-    * collects); the 30-day watermark delay exceeds the events table's span
-    * so replay order can't drop anything; the final sentinel row (filtered
-    * out AFTER the watermark node by user_id ≥ 0) pushes the watermark
-    * past every session close so append mode emits the tail sessions. */
+    * Harness notes (not operator code): the events table replays through
+    * a temp-parquet file source with `maxFilesPerTrigger=1` (the same
+    * harness as [[qMvStreaming]]) — NOTHING row-scaled touches the
+    * driver; batch boundaries come from the 4 source files plus the two
+    * sentinel files appended mid-stream. The 30-day watermark delay
+    * exceeds the events table's span so replay order can't drop anything;
+    * the sentinel rows (filtered out AFTER the watermark node by
+    * user_id ≥ 0) push the watermark past every session close so append
+    * mode emits the tail sessions. */
   def qSessionizeStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val ev = eventsDs(spark, dir).collect().sortBy(_.event_id)
-    val maxTs = ev.map(_.ts.getTime).max
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val ms = MemoryStream[Event]
+    val events = eventsDs(spark, dir).toDF()
+    val src = Files.createTempDirectory("sess_src").toString
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    // scalar max(ts) — the only driver materialization, O(1) at any SF
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
     // NO input-side sentinel filter: a predicate that doesn't reference
     // the event-time column gets pushed BELOW the EventTimeWatermark node
     // (observed: the sentinel never reached the watermark accumulator and
@@ -161,23 +167,24 @@ object StreamingQueries {
     // aggregation, where its own session never closes — it is filtered
     // from the OUTPUT, which the watermark can't see anyway.
     val sessions = graft.streaming.StreamSessionize.sessions(
-      ms.toDF().withWatermark("ts", "30 days"),
+      stream.withWatermark("ts", "30 days"),
       "user_id", "ts", "value")
     val sink = s"sess_stream_${java.util.UUID.randomUUID().toString.take(8)}"
     val q = sessions.writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
     try {
-      ev.grouped(math.max(1, ev.length / 4 + 1)).foreach { c =>
-        ms.addData(c.toSeq); q.processAllAvailable()
-      }
+      q.processAllAvailable() // the 4 event files, one micro-batch each
       // two sentinel batches: the first ADVANCES the watermark (stats are
       // collected during batch N, applied from batch N+1), the second
       // triggers the batch that runs WITH the advanced watermark and
-      // emits every closed session
+      // emits every closed session. Appended as files AFTER the main
+      // replay drained, so each lands in its own discovered micro-batch.
       (0 until 2).foreach { i =>
-        ms.addData(Event(-1L - i,
-          new java.sql.Timestamp(maxTs + 86400000L * 40), -1L,
-          "sentinel", 0.0, null))
+        Seq((-1L - i,
+            new java.sql.Timestamp(maxTs.getTime + 86400000L * 40), -1L,
+            "sentinel", 0.0, null: String))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(src)
         q.processAllAvailable()
       }
     } finally q.stop()
