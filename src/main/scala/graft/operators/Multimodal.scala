@@ -1,23 +1,22 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video payloads are opaque
   * `binary` columns travelling beside typed metadata (SURVEY §1.2 MBinary).
   *
-  * The actual codecs (JPEG decode, resampling, frame extraction) are NOT
-  * available in this environment — the decode kernels below are
-  * >>> STUBS: deterministic fakes over the raw bytes <<<
-  * so that everything Spark-side — schema shape, batched per-partition
-  * execution, fan-out of frames, partition sizing — is real and tested.
-  * Swapping in a real codec changes only the marked function bodies.
+  * IMAGE kernels are REAL: `javax.imageio` ships in the JDK, so PNG/JPEG
+  * decode, pixel statistics, and resize need no external jars — they run
+  * partition-at-a-time via `mapPartitions` (the Scala analogue of a
+  * Pandas-UDF `mapInPandas` batch). Audio/video codecs are NOT in the
+  * JDK; [[sampleFrames]] keeps the fan-out/byte-window plumbing a real
+  * video decoder would plug into.
   *
-  * Scale design: per-record kernels run via `mapPartitions`-style typed
-  * plans or codegen'd expressions; payload columns are never shuffled by
-  * the metadata operations (project early, carry `id` + features forward,
-  * re-join payload only when needed).
+  * Scale design: per-record kernels run inside `mapPartitions`; payload
+  * columns are never shuffled by the metadata operations (project early,
+  * carry `id` + features forward, re-join payload only when needed).
   */
 object Multimodal {
 
@@ -30,23 +29,26 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true)))
 
-  /** STUB decode+feature-extract: D pseudo-features per payload derived
-    * from byte-range hashes (a real impl would decode and pool pixels).
+  /** Byte-fingerprint features for OPAQUE payloads (any mime, no codec):
+    * D pseudo-features from byte-range hashes — the cheap first-pass
+    * signal for exact/near-exact media dedup before any decode runs.
     * Pure expressions — no shuffle, no UDF, payload scanned once. */
   def fakeFeatures(payload: Column, dims: Int = 8): Column =
     array((0 until dims).map { d =>
       (pmod(xxhash64(payload, lit(d)), lit(1000000)).cast(DoubleType) / 1000000.0)
     }: _*)
 
-  /** STUB resize: real impl re-encodes pixels; the fake truncates bytes
-    * proportionally to the requested area, keeping the byte-budget shape
-    * of a thumbnail pipeline. */
+  /** Byte-budget stand-in for formats with no JDK codec (video): truncates
+    * proportionally to the requested area, keeping the thumbnail
+    * pipeline's byte-budget shape. For images use [[decodeImageStats]] —
+    * its resize round-trip is a real decode→scale→re-encode. */
   def fakeResize(payload: Column, w: Int, h: Int): Column =
     substring(payload, 1, math.max(64, w * h / 64))
 
   /** Frame sampling plumbing: one row per sampled frame index with a
-    * byte-slice standing in for the decoded frame (real impl: video
-    * decoder). Fan-out is a generator — distributed, no driver loop. */
+    * byte-slice standing in for the decoded frame (a real video decoder —
+    * not in the JDK — plugs into exactly this generator shape). Fan-out
+    * is distributed, no driver loop. */
   def sampleFrames(media: DataFrame, nFrames: Int): DataFrame =
     media.select(col("media_id"), col("mime"),
         posexplode(transform(sequence(lit(0), lit(nFrames - 1)), i =>
@@ -54,20 +56,17 @@ object Multimodal {
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_bytes")
 
-  /** Batched kernel execution shape for real codecs: partition-at-a-time,
-    * reusing a per-partition decoder instance (the Scala analogue of a
-    * Pandas-UDF `mapInPandas` batch). */
+  /** Batched kernel over opaque payloads: [[fakeFeatures]]' hash math as a
+    * partition-at-a-time typed plan — the execution shape shared with the
+    * real image kernel below, for payloads with no decoder. */
   def withDecodedFeatures(
       media: DataFrame, dims: Int = 8): DataFrame = {
-    val spark = media.sparkSession
     val outSchema = StructType(
       media.schema.fields.filterNot(_.name == "payload") :+
         StructField("features", ArrayType(DoubleType), nullable = false))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val payloadIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
-      // >>> STUB: a real implementation instantiates one decoder here
-      // and decodes each payload; we hash bytes deterministically. <<<
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         val feats = (0 until dims).map { d =>
@@ -80,6 +79,113 @@ object Multimodal {
           case (v, idx) if idx != payloadIdx => v
         }
         org.apache.spark.sql.Row.fromSeq(kept :+ feats)
+      }
+    }(enc)
+  }
+
+  /** The deterministic pixel formula the [[synthPng]] fixture images are
+    * built from — and that an independent oracle can recompute without
+    * touching a codec: for pixel (x, y) of image `id`,
+    * r = (7x + id) mod 256, g = (11y + 2·id) mod 256,
+    * b = (x + y + 3·id) mod 256. */
+  def synthPixel(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((x * 7 + id) % 256).toInt,
+    ((y * 11 + 2 * id) % 256).toInt,
+    ((x + y + 3 * id) % 256).toInt)
+
+  /** Deterministic PNG fixture generator: input (media_id, w, h) → adds a
+    * REAL `image/png`-encoded `payload` (JDK ImageIO encoder) whose pixels
+    * follow [[synthPixel]]. Distributed — each partition encodes its own
+    * rows; nothing touches the driver. */
+  def synthPng(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+
+      StructField("payload", BinaryType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val wIdx = media.schema.fieldIndex("w")
+    val hIdx = media.schema.fieldIndex("h")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = r.getInt(wIdx); val h = r.getInt(hIdx)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (pr, pg, pb) = synthPixel(id, x, y)
+            img.setRGB(x, y, (pr << 16) | (pg << 8) | pb)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** REAL image decode + pixel-stat + resize kernel (JDK `javax.imageio`
+    * — PNG and JPEG, no external jars): per payload, decodes the image,
+    * reports (width, height, channels), exact per-channel pixel means
+    * (integer sums → one IEEE division, so an independent engine
+    * recomputing from the same pixels gets the bit-identical double), and
+    * round-trips a resize (decode → Graphics2D scale to rw×rh → PNG
+    * re-encode → re-decode) reporting the re-decoded dimensions.
+    *
+    * Scale shape: partition-at-a-time `mapPartitions`; the payload is
+    * consumed inside the kernel and does not survive into the output —
+    * only O(1) stats per media row ever shuffle. */
+  def decodeImageStats(media: DataFrame, rw: Int = 8, rh: Int = 6): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false),
+      StructField("resized_w", IntegerType, nullable = false),
+      StructField("resized_h", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val pIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      // partition-scoped: headless AWT asserted once, not per row
+      System.setProperty("java.awt.headless", "true")
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null,
+          s"undecodable image payload for media_id=${r.getLong(idIdx)}")
+        val w = img.getWidth; val h = img.getHeight
+        val bands = img.getRaster.getNumBands
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        val target = new java.awt.image.BufferedImage(
+          rw, rh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val gfx = target.createGraphics()
+        gfx.drawImage(img, 0, 0, rw, rh, null)
+        gfx.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(target, "png", bos)
+        val re = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        org.apache.spark.sql.Row(r.getLong(idIdx), w, h, bands,
+          sr / n, sg / n, sb / n, re.getWidth, re.getHeight)
       }
     }(enc)
   }

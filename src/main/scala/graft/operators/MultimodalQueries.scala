@@ -5,15 +5,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing as driver-contract queries (SURVEY §2 training-data
-  * addendum): the media table is `documents` with its text re-cast to an
-  * opaque UTF-8 `binary` payload, so every byte-level operation (slicing,
-  * sizing, per-partition kernels) runs on real `BinaryType` columns while
-  * staying DuckDB-oracle-able via `encode()`/`octet_length()`.
-  *
-  * The decode kernels themselves are stubs (see [[Multimodal]]) — what is
-  * verified here is the Spark-side contract a real codec plugs into:
-  * schema shape, generator fan-out, byte-window slicing, partition-at-a-
-  * time execution.
+  * addendum): `m_frames`/`m_meta` use `documents` with its text re-cast to
+  * an opaque UTF-8 `binary` payload, so byte-level operations (slicing,
+  * sizing) run on real `BinaryType` columns while staying DuckDB-oracle-
+  * able via `encode()`/`octet_length()`. `m_features` goes further: it
+  * synthesizes REAL PNG payloads from a deterministic pixel formula,
+  * decodes them with the REAL JDK ImageIO kernel ([[Multimodal
+  * .decodeImageStats]]), and the DuckDB oracle recomputes every stat from
+  * the same formula without touching a codec — full codec-path coverage,
+  * independently verified.
   */
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -45,24 +45,29 @@ object MultimodalQueries {
         sum(length(col("payload"))).cast("long").as("total_bytes"))
       .orderBy(col("mime"))
 
-  /** Self-verifying decode+feature kernel (was rows-only): the kernel
-    * body is a declared stub (no codec jars), so what's checkable — and
-    * checked — is the mapInPandas-analogue CONTRACT per media row: the
-    * feature vector has exactly `dims` entries, all in [0,1), and two
-    * independent partition-at-a-time runs agree bit-for-bit
-    * (deterministic kernel). DuckDB oracles the frame as constants per
-    * document. */
+  /** REAL image decode, end to end: per document a PNG is synthesized
+    * (dimensions and pixels are closed-form functions of doc_id —
+    * [[Multimodal.synthPixel]]), then decoded by the JDK ImageIO kernel,
+    * which reports dimensions, raster channel count, exact per-channel
+    * pixel means, and a resize round-trip's re-decoded dimensions. PNG is
+    * lossless, so the DuckDB oracle recomputes the identical means from
+    * the pixel formula alone — the codec path (encode → decode → stats →
+    * re-encode) is verified against a codec-free reference. */
   def mFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val m = media(spark, dir)
-    val run1 = Multimodal.withDecodedFeatures(m, dims = 4)
-      .select(col("media_id"), col("features"))
-    val run2 = Multimodal.withDecodedFeatures(m, dims = 4)
-      .select(col("media_id"), col("features").as("features2"))
-    run1.join(run2, Seq("media_id"))
+    val dims = Tables.load(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      (lit(16) + (col("doc_id") % 8) * 4).cast("int").as("w"),
+      (lit(12) + (col("doc_id") % 5) * 4).cast("int").as("h"))
+    Multimodal.decodeImageStats(Multimodal.synthPng(dims))
       .select(col("media_id"),
-        size(col("features")).cast("long").as("n_features"),
-        forall(col("features"), x => x >= 0.0 && x < 1.0).as("in_range"),
-        (col("features") === col("features2")).as("deterministic"))
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"),
+        col("resized_w").cast("long").as("resized_w"),
+        col("resized_h").cast("long").as("resized_h"))
       .orderBy(col("media_id"))
   }
 
@@ -82,8 +87,21 @@ object MultimodalQueries {
       """SELECT 'text/' || source AS mime, count(*) AS n_media,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin,
+    // recomputes the decoded pixel means from the synthPixel formula —
+    // no codec involved: PNG is lossless, so formula pixels == decoded
+    // pixels, and both engines do exact-integer sums with one final
+    // IEEE division (bit-equal doubles)
     "m_features" ->
-      """SELECT doc_id AS media_id, CAST(4 AS BIGINT) AS n_features,
-        |  true AS in_range, true AS deterministic
-        |FROM documents ORDER BY media_id""".stripMargin)
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(16 + (doc_id % 8) * 4 AS INT) AS w,
+        |    CAST(12 + (doc_id % 5) * 4 AS INT) AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+        |pxy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+        |  round(avg((x * 7 + doc_id) % 256), 6) AS mean_r,
+        |  round(avg((y * 11 + 2 * doc_id) % 256), 6) AS mean_g,
+        |  round(avg((x + y + 3 * doc_id) % 256), 6) AS mean_b,
+        |  CAST(8 AS BIGINT) AS resized_w, CAST(6 AS BIGINT) AS resized_h
+        |FROM pxy GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin)
 }

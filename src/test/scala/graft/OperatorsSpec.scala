@@ -226,4 +226,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Seq[Double]]("features").length == 4))
     assert(!decoded.schema.fieldNames.contains("payload"))
   }
+
+  test("image decode: real PNG round trip matches the pixel formula") {
+    val dims = Seq((3L, 20, 12), (7L, 16, 16)).toDF("media_id", "w", "h")
+    val stats = Multimodal.decodeImageStats(Multimodal.synthPng(dims))
+      .orderBy("media_id").collect()
+    for ((row, (id, w, h)) <- stats.zip(Seq((3L, 20, 12), (7L, 16, 16)))) {
+      assert(row.getAs[Int]("width") == w)
+      assert(row.getAs[Int]("height") == h)
+      assert(row.getAs[Int]("channels") == 3)
+      // recompute the means straight from the formula — the decoded image
+      // must reproduce them exactly (PNG is lossless)
+      val px = for (x <- 0 until w; y <- 0 until h)
+        yield Multimodal.synthPixel(id, x, y)
+      val n = (w * h).toDouble
+      assert(row.getAs[Double]("mean_r") == px.map(_._1).sum / n)
+      assert(row.getAs[Double]("mean_g") == px.map(_._2).sum / n)
+      assert(row.getAs[Double]("mean_b") == px.map(_._3).sum / n)
+      assert(row.getAs[Int]("resized_w") == 8)
+      assert(row.getAs[Int]("resized_h") == 6)
+    }
+    // a JPEG payload decodes through the same kernel (JDK codec, lossy —
+    // only shape assertions), and garbage bytes refuse loudly
+    val img = new java.awt.image.BufferedImage(
+      10, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jm = Seq((1L, bos.toByteArray)).toDF("media_id", "payload")
+    val js = Multimodal.decodeImageStats(jm).collect().head
+    assert(js.getAs[Int]("width") == 10 && js.getAs[Int]("height") == 8)
+    val garbage = Seq((2L, Array.tabulate(64)(_.toByte)))
+      .toDF("media_id", "payload")
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImageStats(garbage).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
