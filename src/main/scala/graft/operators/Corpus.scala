@@ -224,18 +224,27 @@ object Corpus {
   def duplicatePassages(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 4, minDocs: Int = 2): DataFrame = {
+    // persist: the shingle build (normalize + split + posexplode + lead
+    // over a per-doc sort) is the operator's heaviest subtree and feeds
+    // TWO consumers; ReuseExchange does NOT fire here (per-consumer column
+    // pruning makes the exchanges non-identical — verified via explain:
+    // the subtree appeared 3× before this restructure). Disk-backed so a
+    // 100 TB shingle set spills instead of evicting; released by Spark's
+    // ContextCleaner once the result frame is unreferenced.
     val sh = positionedShingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupSh = sh.select(col("sh_h"), col("id")).distinct()
       .groupBy(col("sh_h")).agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
-      .select(col("sh_h"))
-    val perDoc = sh.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_positions"))
-    val dupPerDoc = sh.join(dupSh, Seq("sh_h"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_positions"))
-    perDoc.join(dupPerDoc, Seq("id"), "left")
+      .select(col("sh_h"), lit(1L).as("dup"))
+    // one pass for both totals: annotate each position with whether its
+    // shingle is duplicated, then a single per-doc aggregate
+    sh.join(dupSh, Seq("sh_h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup_positions"))
       .select(col("id").as("doc_id"), col("n_positions"),
-        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"))
+        col("n_dup_positions"))
       .withColumn("dup_share",
         round(col("n_dup_positions").cast("double") / col("n_positions"), 4))
   }

@@ -168,6 +168,13 @@ object Stress {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       Corpus.connectedComponents(edges, "doc_a", "doc_b").count()
     }
+    // Duplicate passages: the salt keeps cross-copy 4-grams distinct, so
+    // the duplicated-shingle set and per-doc totals scale ×N; the persist
+    // of the positioned-shingle build (its two consumers don't share an
+    // exchange) is what keeps this one-scan instead of three.
+    time("duplicate passages 4-gram (salted copies)") {
+      Corpus.duplicatePassages(docsSalted, "doc_id", "text").count()
+    }
     // TF-IDF: two map-side-combined aggregations + a per-doc top-k window;
     // vocabulary grows with the salt tokens, docs ×N.
     time("tf-idf top-3 (salted copies)") {
