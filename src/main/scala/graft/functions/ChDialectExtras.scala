@@ -66,6 +66,30 @@ object ChDialectExtras {
   private val emptyLongArray =
     Literal.create(Seq.empty[Long], ArrayType(LongType))
 
+  /** CH/re2 replacement string → Java `Matcher` replacement: `\N` (N a
+    * digit) becomes the Java backref `$N`; `\\` stays ONE literal
+    * backslash (escaped for Java, never merged with a following digit
+    * into a backref); any other `\x` escape passes through; bare `$` —
+    * plain text in re2 — is escaped to `\$` so Java doesn't read it as a
+    * group reference. */
+  private[functions] def toJavaReplacement(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        val n = s.charAt(i + 1)
+        if (n.isDigit) sb.append('$').append(n)
+        else if (n == '\\') sb.append("\\\\")
+        else sb.append('\\').append(n)
+        i += 2
+      } else if (c == '$') { sb.append("\\$"); i += 1 }
+      else if (c == '\\') { sb.append("\\\\"); i += 1 } // trailing backslash
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     // A temp function SHADOWS the builtin of the same (case-insensitive)
@@ -103,11 +127,14 @@ object ChDialectExtras {
         s)
     }
     // CH re2 replacement backrefs are \1; Java's are $1 — translate when
-    // the replacement is a literal (the CH-required case).
+    // the replacement is a literal (the CH-required case). A proper token
+    // walk, not a blind regex: literal `$` must become `\$` (Java treats
+    // bare `$` as a group ref), `\\` stays a literal backslash (and must
+    // NOT merge with a following digit into a backref), `\N` → `$N`.
     f("replaceRegexpAll") { a =>
       val repl = a(2) match {
         case Literal(s, StringType) if s != null =>
-          Literal(s.toString.replaceAll("\\\\(\\d)", "\\$$1"))
+          Literal(toJavaReplacement(s.toString))
         case other => other
       }
       RegExpReplace(a.head, a(1), repl)
@@ -117,9 +144,14 @@ object ChDialectExtras {
     // break date handling session-wide. Use regexp_extract (present in
     // both dialects) instead.
     f("match")(a => RLike(a.head, a(1)))
-    f("countSubstrings")(a => IntegralDivide(
-      Subtract(Length(a.head), Length(StringReplace(a.head, a(1), Literal("")))),
-      Length(a(1))))
+    // empty needle: CH returns 0; the unguarded division would raise an
+    // ANSI divide-by-zero
+    f("countSubstrings")(a => If(EqualTo(Length(a(1)), Literal(0)),
+      Literal(0L),
+      IntegralDivide(
+        Subtract(Length(a.head),
+          Length(StringReplace(a.head, a(1), Literal("")))),
+        Length(a(1)))))
     f("positionCaseInsensitive")(a =>
       StringLocate(Lower(a(1)), Lower(a.head), Literal(1)))
     f("trimBoth")(a => StringTrim(a.head))
@@ -245,8 +277,12 @@ object ChDialectExtras {
     // ------------------------------------------------------- math / bits
     f("intDivOrZero")(a => If(EqualTo(a(1), Literal(0)), Literal(0L),
       IntegralDivide(a.head, a(1))))
-    f("moduloOrZero")(a => If(EqualTo(a(1), Literal(0)), Literal(0L),
-      Cast(Remainder(a.head, a(1)), LongType)))
+    // zero branch only — the result keeps Remainder's own type (CH
+    // modulo/moduloOrZero supports Float64 and returns a float; the old
+    // blanket LongType cast truncated fractional remainders). The If
+    // type-coercion widens the int-literal zero to the remainder type.
+    f("moduloOrZero")(a => If(EqualTo(a(1), Literal(0)), Literal(0),
+      Remainder(a.head, a(1))))
     f("modulo")(a => Remainder(a.head, a(1)))
     f("bitAnd")(a => BitwiseAnd(a.head, a(1)))
     f("bitOr")(a => BitwiseOr(a.head, a(1)))
@@ -295,15 +331,27 @@ object ChDialectExtras {
         BitwiseAnd(ShiftRight(n, Literal(shift)), Literal(255L)), StringType)
       ConcatWs(Seq(Literal("."), octet(24), octet(16), octet(8), octet(0)))
     }
+    // CH errors on malformed input; so do we: exactly 4 parts, each octet
+    // 0–255 (non-numeric parts already raise via the ANSI cast). The And
+    // chain short-circuits, so the octet casts never run when the part
+    // count is wrong.
     f("IPv4StringToNum") { a =>
       val parts = StringSplit(a.head, Literal(Pattern.quote(".")), Literal(-1))
       def octet(i: Int): Expression =
         Cast(ElementAt(parts, Literal(i)), LongType)
-      Add(Add(Add(
-        Multiply(octet(1), Literal(16777216L)),
-        Multiply(octet(2), Literal(65536L))),
-        Multiply(octet(3), Literal(256L))),
-        octet(4))
+      val inRange = (1 to 4).map(i => And(
+          GreaterThanOrEqual(octet(i), Literal(0L)),
+          LessThanOrEqual(octet(i), Literal(255L))): Expression)
+        .reduce(And(_, _))
+      If(And(EqualTo(Size(parts), Literal(4)), inRange),
+        Add(Add(Add(
+          Multiply(octet(1), Literal(16777216L)),
+          Multiply(octet(2), Literal(65536L))),
+          Multiply(octet(3), Literal(256L))),
+          octet(4)),
+        Cast(new RaiseError(Concat(Seq(
+          Literal("IPv4StringToNum: malformed IPv4 address '"),
+          a.head, Literal("'")))), LongType))
     }
 
     // --------------------------------------------------------------- JSON

@@ -26,10 +26,18 @@ class ChDialect2Spec extends AnyFunSuite {
     assert(str("replaceOne('aba', 'a', 'X')") == "Xba")
     assert(str("replaceOne('xyz', 'q', 'Z')") == "xyz")
     assert(str("replaceRegexpAll('a1b2', '(\\\\d)', '[\\\\1]')") == "a[1]b[2]")
+    // literal $ in the replacement is plain text in re2 — must not be
+    // read as a Java group reference (threw IndexOutOfBounds before)
+    assert(str("replaceRegexpAll('price 5', '(\\\\d)', '$\\\\1')") ==
+      "price $5")
+    // escaped backslash + digit is a literal backslash-digit, NOT a
+    // backref (the old blind rewrite mangled it into one)
+    assert(str("replaceRegexpAll('ab', 'b', '\\\\\\\\1')") == "a\\1")
     assert(one("match('hello', '^h.*o$')") == true)
     // builtin datetime extract must remain un-shadowed
     assert(one("extract(YEAR FROM timestamp'2024-03-01 00:00:00')") == 2024)
     assert(one("countSubstrings('abcabcab', 'ab')") == 3L)
+    assert(one("countSubstrings('abc', '')") == 0L) // CH: 0, not a /0 error
     assert(one("positionCaseInsensitive('Hello World', 'WORLD')") == 7)
     assert(str("trimBoth('  x  ')") == "x")
     assert(str("trimLeft('  x  ')") == "x  ")
@@ -107,8 +115,12 @@ class ChDialect2Spec extends AnyFunSuite {
   test("math and bit functions") {
     assert(one("intDivOrZero(7, 2)") == 3L)
     assert(one("intDivOrZero(7, 0)") == 0L)
-    assert(one("moduloOrZero(7, 3)") == 1L)
-    assert(one("moduloOrZero(7, 0)") == 0L)
+    assert(one("moduloOrZero(7, 3)") == 1)
+    assert(one("moduloOrZero(7, 0)") == 0)
+    // fractional operands keep their type (CH modulo supports Float64);
+    // the old blanket bigint cast truncated 1.5 → 1
+    assert(one("moduloOrZero(7.5D, 2.0D)") == 1.5)
+    assert(one("moduloOrZero(7.5D, 0.0D)") == 0.0)
     assert(one("bitAnd(12, 10)") == 8)
     assert(one("bitOr(12, 10)") == 14)
     assert(one("bitXor(12, 10)") == 6)
@@ -158,6 +170,10 @@ class ChDialect2Spec extends AnyFunSuite {
     assert(str("IPv4NumToString(3232235777)") == "192.168.1.1")
     assert(one("IPv4StringToNum('192.168.1.1')") == 3232235777L)
     assert(one("IPv4StringToNum(IPv4NumToString(167772161))") == 167772161L)
+    // malformed addresses error loudly (CH errors too): out-of-range
+    // octet, wrong part count
+    intercept[Exception](one("IPv4StringToNum('1.2.3.999')"))
+    intercept[Exception](one("IPv4StringToNum('1.2.3')"))
   }
 
   test("JSON functions") {
