@@ -19,7 +19,10 @@ import org.json4s.jackson.JsonMethods
   * Scope honesty (each refused loudly, not silently wrong):
   *  - v2 POSITION deletes are applied (merge-on-read: an anti-join of
   *    the scan against the delete files on (file, row ordinal) — see
-  *    [[applyPositionDeletes]]); EQUALITY deletes are rejected.
+  *    [[applyPositionDeletes]]); EQUALITY deletes are applied by a
+  *    null-safe-equality anti-join on the entry's equality_ids columns
+  *    ([[applyEqualityDeletes]] — sequence-number scoping documented
+  *    there).
   *  - only parquet data files (the reference's tables are parquet).
   *  - no partition-pruning pushdown from table metadata: Spark still
   *    prunes parquet row groups by min/max; manifest-level `partitions`
@@ -37,7 +40,8 @@ object IcebergRead {
       path: String, format: String, recordCount: Long, status: Int,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
-      content: Int = 0)
+      content: Int = 0,
+      equalityIds: Seq[Int] = Nil)
 
   /** One field of the table schema from the metadata JSON. */
   final case class SchemaField(id: Int, name: String, icebergType: String)
@@ -77,10 +81,10 @@ object IcebergRead {
     data
   }
 
-  /** Plan both sides of a v2 snapshot: (live data files, position-delete
-    * files). Equality deletes (content=2) are rejected loudly — applying
-    * them needs the table's equality field ids and a value anti-join this
-    * engine doesn't ship. */
+  /** Plan both sides of a v2 snapshot: (live data files, delete files —
+    * position content=1 and equality content=2; callers partition on
+    * `content` and apply [[applyPositionDeletes]] /
+    * [[applyEqualityDeletes]] respectively). */
   def plan(
       spark: SparkSession, tableDir: String,
       snapshotId: Option[Long] = None): (Seq[DataFileEntry], Seq[DataFileEntry]) = {
@@ -138,12 +142,22 @@ object IcebergRead {
       val status = m.getOrElse("status", 0).asInstanceOf[Int]
       val df = m("data_file").asInstanceOf[Map[String, Any]]
       // v2 data_file content field: 0 = data, 1 = position deletes,
-      // 2 = equality deletes (no equality-field-id support here)
+      // 2 = equality deletes (merged on read via applyEqualityDeletes)
       val content = df.getOrElse("content", defaultContent).asInstanceOf[Int]
-      if (content == 2)
-        throw new UnsupportedOperationException(
-          "Iceberg manifest contains EQUALITY delete files; " +
-            "compact the table or read with the Iceberg runtime")
+      val eqIds: Seq[Int] = df.get("equality_ids") match {
+        case Some(xs: Seq[_]) => xs.map {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"bad equality field id $other")
+        }
+        case _ => Nil
+      }
+      // an equality-delete entry without its field ids is unapplicable —
+      // silently treating it as data (or all-columns) would be wrong both
+      // ways, so refuse loudly per the spec's required-field rule
+      require(content != 2 || eqIds.nonEmpty,
+        s"equality delete file ${df("file_path")} has no equality_ids")
       if (status == 2) None // DELETED entry: file no longer in snapshot
       else Some(DataFileEntry(
         df("file_path").asInstanceOf[String],
@@ -156,7 +170,8 @@ object IcebergRead {
         status,
         boundsMap(df.get("lower_bounds")),
         boundsMap(df.get("upper_bounds")),
-        content))
+        content,
+        eqIds))
     }
   }
 
@@ -172,8 +187,9 @@ object IcebergRead {
   }
 
   /** The table as a DataFrame: plan live files, then a normal distributed
-    * parquet scan over them; v2 position deletes (if any) are merged on
-    * read via [[applyPositionDeletes]]. */
+    * parquet scan over them; v2 position AND equality deletes (if any)
+    * are merged on read via [[applyPositionDeletes]] /
+    * [[applyEqualityDeletes]]. */
   def table(
       spark: SparkSession, tableDir: String,
       snapshotId: Option[Long] = None): DataFrame = {
@@ -183,8 +199,11 @@ object IcebergRead {
     require(bad.isEmpty,
       s"non-parquet iceberg data files unsupported: ${bad.map(_.format).distinct}")
     val paths = files.map(f => resolve(f.path, tableDir).toString)
-    applyPositionDeletes(spark, spark.read.parquet(paths: _*),
-      deletes, tableDir)
+    val (posDel, eqDel) = deletes.partition(_.content == 1)
+    applyEqualityDeletes(spark,
+      applyPositionDeletes(spark, spark.read.parquet(paths: _*),
+        posDel, tableDir),
+      eqDel, tableDir)
   }
 
   /** Merge-on-read for v2 POSITION deletes (spec: delete files are
@@ -236,6 +255,55 @@ object IcebergRead {
         col("__fp") === col("__del_fp") && col("__pos") === col("__del_pos"),
         "left_anti")
       .select(dataCols: _*)
+  }
+
+  /** Merge-on-read for v2 EQUALITY deletes (spec: delete files carry
+    * values for the fields named by the manifest entry's `equality_ids`;
+    * a data row is deleted when its values for those fields equal any
+    * delete row's, with NULL matching NULL). Delete files are grouped by
+    * their equality-id set; each group becomes one LEFT ANTI join on
+    * null-safe equality of the named columns.
+    *
+    * Scale shape: only the equality-key columns of the delete files are
+    * read (distinct'd before the join), so the anti-join shuffles key
+    * values sized by deleted-row count — AQE broadcasts the common small
+    * CDC delta. Data rows never shuffle payloads beyond the join itself.
+    *
+    * Sequence-number scope, stated plainly: the spec applies an equality
+    * delete only to data files with a STRICTLY SMALLER data sequence
+    * number; this reader applies it to ALL live files (our manifests
+    * carry no sequence numbers). Correct for the delete-after-write CDC
+    * pattern (Flink upsert streams — deletes always target earlier data);
+    * a data file committed in the same-or-later snapshot than the delete
+    * that happens to carry an equal row would be wrongly dropped.
+    * Documented as DIVERGENCES #19. */
+  def applyEqualityDeletes(
+      spark: SparkSession, data: DataFrame,
+      deletes: Seq[DataFileEntry], tableDir: String): DataFrame = {
+    if (deletes.isEmpty) return data
+    import org.apache.spark.sql.functions._
+    val badDel = deletes.filterNot(_.format.equalsIgnoreCase("parquet"))
+    require(badDel.isEmpty,
+      s"non-parquet delete files unsupported: ${badDel.map(_.format).distinct}")
+    val schema = tableSchema(spark, tableDir)
+    require(schema.nonEmpty,
+      "equality deletes need the table schema (field ids) in metadata")
+    deletes.groupBy(_.equalityIds).foldLeft(data) {
+      case (acc, (ids, files)) =>
+        val cols = ids.map(id => schema.find(_.id == id)
+          .getOrElse(throw new IllegalArgumentException(
+            s"equality field id $id not in table schema"))
+          .name)
+        val missing = cols.filterNot(acc.columns.contains)
+        require(missing.isEmpty,
+          s"equality delete columns $missing absent from data schema")
+        val delKeys = spark.read.parquet(
+            files.map(f => resolve(f.path, tableDir).toString): _*)
+          .select(cols.map(c => col(c).as(s"__eq_$c")): _*)
+          .distinct()
+        val cond = cols.map(c => col(c) <=> col(s"__eq_$c")).reduce(_ && _)
+        acc.join(delKeys, cond, "left_anti")
+    }
   }
 
   /** Table schema (field ids/names/types) from the metadata JSON, empty
@@ -376,11 +444,15 @@ object IcebergRead {
     if (files.isEmpty)
       // no surviving file: empty frame with the table's real schema
       table(spark, tableDir).limit(0)
-    else
-      applyPositionDeletes(spark,
-        spark.read.parquet(
-          files.map(f => resolve(f.path, tableDir).toString): _*),
-        deletes, tableDir)
+    else {
+      val (posDel, eqDel) = deletes.partition(_.content == 1)
+      applyEqualityDeletes(spark,
+        applyPositionDeletes(spark,
+          spark.read.parquet(
+            files.map(f => resolve(f.path, tableDir).toString): _*),
+          posDel, tableDir),
+        eqDel, tableDir)
+    }
   }
 
   /** Per-manifest partition summaries (file-level pruning hook). */

@@ -41,7 +41,8 @@ object IcebergWrite {
       |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}]},
       |  {"name":"upper_bounds","type":["null",{"type":"array",
       |    "items":{"type":"record","name":"k127","fields":[
-      |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}]}
+      |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}]},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}]}
       |]}}]}"""
       .stripMargin.replaceAll("\n", "")
 
@@ -158,6 +159,30 @@ object IcebergWrite {
       deletes: Seq[(String, Long)], codec: String = "null"): Unit = {
     require(deletes.nonEmpty, "no delete positions given")
     import spark.implicits._
+    // spec orders delete files by (file_path, pos) for merge efficiency
+    addDeleteSnapshot(spark, dir, deletes.sorted.toDF("file_path", "pos"),
+      content = 1, equalityIds = Nil, deletes.size.toLong, codec)
+  }
+
+  /** Append an EQUALITY-delete snapshot (spec §Equality Delete Files):
+    * `keys` holds one row per deleted key, its columns the table columns
+    * whose field ids are `equalityIds` (ids are 1-based column positions,
+    * matching [[createTable]]'s initial assignment). Same single-delete-
+    * snapshot fixture scope as [[addPositionDeletes]]. */
+  def addEqualityDeletes(
+      spark: SparkSession, dir: String, keys: DataFrame,
+      equalityIds: Seq[Int], codec: String = "null"): Unit = {
+    require(equalityIds.nonEmpty, "no equality field ids given")
+    val n = keys.count()
+    require(n > 0, "no delete keys given")
+    addDeleteSnapshot(spark, dir, keys.coalesce(1),
+      content = 2, equalityIds = equalityIds, n, codec)
+  }
+
+  private def addDeleteSnapshot(
+      spark: SparkSession, dir: String, delRows: DataFrame,
+      content: Int, equalityIds: Seq[Int], recordCount: Long,
+      codec: String): Unit = {
     val meta = Paths.get(dir, "metadata")
     require(Files.exists(meta.resolve("v1.metadata.json")),
       s"$dir is not a createTable()-written iceberg table")
@@ -167,21 +192,20 @@ object IcebergWrite {
     // runtime's job, out of fixture scope)
     require(!Files.exists(meta.resolve("v2.metadata.json")),
       s"$dir already has a delete snapshot; merge the batches into one " +
-        "addPositionDeletes call")
+        "delete call")
     val delDir = s"$dir/data/deletes"
-    // spec orders delete files by (file_path, pos) for merge efficiency
-    deletes.sorted.toDF("file_path", "pos")
-      .coalesce(1).write.mode("overwrite").parquet(delDir)
+    delRows.coalesce(1).write.mode("overwrite").parquet(delDir)
     val fs = new org.apache.hadoop.fs.Path(delDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val delFile = fs.listStatus(new org.apache.hadoop.fs.Path(delDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).head
     val delManifest = Seq(Map[String, Any]("status" -> 1, "snapshot_id" -> 2L,
       "data_file" -> Map[String, Any](
-        "content" -> 1, "file_path" -> s"data/deletes/$delFile",
-        "file_format" -> "PARQUET", "record_count" -> deletes.size.toLong,
+        "content" -> content, "file_path" -> s"data/deletes/$delFile",
+        "file_format" -> "PARQUET", "record_count" -> recordCount,
         "file_size_in_bytes" -> 1L,
-        "lower_bounds" -> null, "upper_bounds" -> null)))
+        "lower_bounds" -> null, "upper_bounds" -> null,
+        "equality_ids" -> (if (equalityIds.isEmpty) null else equalityIds))))
     Files.write(meta.resolve("m2-deletes.avro"),
       AvroContainer.writeFile(manifestSchema, delManifest, codec))
     Files.write(meta.resolve("snap-2.avro"),

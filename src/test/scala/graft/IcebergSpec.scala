@@ -189,6 +189,41 @@ class IcebergSpec extends AnyFunSuite {
       ranged.where($"id" % 10 === 0).count() == 0)
   }
 
+  test("v2 equality deletes merge on read, null-safe, pruning composes") {
+    val dir = Files.createTempDirectory("iceberg_eqdel").toString
+    val df = ((1 to 40).map(i => (i.toLong, s"g${i % 4}")) :+
+        (41L, null.asInstanceOf[String]))
+      .toDF("id", "k")
+    graft.sources.IcebergWrite.createTable(df.repartition(2), dir)
+    // delete by the k column (field id 2): group g2 and the NULL key —
+    // spec equality semantics treat NULL as matching NULL
+    val keys = Seq(Some("g2"), None).map(Tuple1(_)).toDF("k")
+    graft.sources.IcebergWrite.addEqualityDeletes(spark, dir, keys, Seq(2))
+
+    val t = IcebergRead.table(spark, dir)
+    val expected = (1 to 40).filterNot(_ % 4 == 2)
+    assert(t.count() == expected.size)
+    assert(t.where($"k" === "g2" || $"k".isNull).count() == 0)
+    assert(t.select(sum($"id")).head.getLong(0) == expected.map(_.toLong).sum)
+    // strict no-deletes API still refuses
+    intercept[UnsupportedOperationException] {
+      IcebergRead.planFiles(spark, dir)
+    }
+    // time travel to the pre-delete snapshot sees all 41
+    assert(IcebergRead.table(spark, dir, snapshotId = Some(1L)).count() == 41)
+    // range read composes: equality-deleted ids inside the range stay gone
+    val ranged = IcebergRead.tableRange(spark, dir, "id", 1L, 41L)
+    assert(ranged.count() == expected.size &&
+      ranged.where($"k" === "g2").count() == 0)
+    // the writer refuses an equality delete without field ids — the
+    // reader-side equality_ids require is exercised by every table()
+    // call above (a missing-ids entry would have thrown there)
+    intercept[IllegalArgumentException] {
+      graft.sources.IcebergWrite.addEqualityDeletes(
+        spark, dir, keys, Seq.empty)
+    }
+  }
+
   test("string bounds compare as UTF-8 bytes, not UTF-16 code units") {
     val dir = Files.createTempDirectory("iceberg_u").toString
     val df = Seq((1L, "apple"), (2L, "😀 emoji")).toDF("id", "k")
