@@ -24,9 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Schema mapping (deterministic, documented for interop):
   *  - Avro: record of the struct's fields in order; nullable field f:T ⇒
   *    union ["null", T] (index varint, 0=null); timestamp ⇒ long
-  *    logicalType timestamp-micros; date ⇒ int logicalType date. The
-  *    reader schema must equal the writer schema (Avro schema resolution
-  *    is out of scope — the reference pins one schema per topic).
+  *    logicalType timestamp-micros; date ⇒ int logicalType date.
+  *    [[AvroBinaryDecode]] pins reader = writer (the reference's
+  *    schema-per-topic model); [[AvroBinaryDecodeResolved]] implements
+  *    the spec's Schema Resolution for evolved readers — by-name field
+  *    matching, skipped writer-only fields, defaulted reader-only
+  *    fields, int→long→double / float→double / string↔bytes promotions.
   *  - Protobuf: field numbers 1..n assigned from the struct's column
   *    order (evolution = append columns); int/long ⇒ sint32/sint64
   *    (zigzag varint), float/double ⇒ fixed32/fixed64, bool ⇒ varint,
@@ -237,6 +240,134 @@ object WireCodecs {
       }
       new GenericInternalRow(vals)
     case other => throw new IllegalStateException(s"avro: $other")
+  }
+
+  /** Avro SCHEMA RESOLUTION read (spec §Schema Resolution): decode bytes
+    * written under `writer` into the shape of `reader`. Record fields
+    * match BY NAME (order-independent): writer-only fields are decoded
+    * and discarded; reader-only fields fill from `defaults` (keyed by
+    * field name, applied at any record nesting level) or null when
+    * nullable. Spec type promotions are honored: int→long/float/double,
+    * long→float/double, float→double, string↔bytes.
+    *
+    * Static mismatches (a reader-only field that is non-nullable and has
+    * no default; an unpromotable type pair) should be rejected at plan
+    * time via [[checkResolvable]] — at decode time they surface as the
+    * usual malformed-⇒-NULL contract. */
+  def avroReadResolved(
+      r: ByteReader, writer: DataType, reader: DataType,
+      defaults: Map[String, Any]): Any = (writer, reader) match {
+    case (wt, rt) if wt == rt && !wt.isInstanceOf[StructType] &&
+        !wt.isInstanceOf[ArrayType] =>
+      avroRead(r, wt)
+    case (IntegerType, LongType) => avroRead(r, IntegerType).asInstanceOf[Int].toLong
+    case (IntegerType, FloatType) => avroRead(r, IntegerType).asInstanceOf[Int].toFloat
+    case (IntegerType, DoubleType) => avroRead(r, IntegerType).asInstanceOf[Int].toDouble
+    case (LongType, FloatType) => r.zigzag().toFloat
+    case (LongType, DoubleType) => r.zigzag().toDouble
+    case (FloatType, DoubleType) =>
+      java.lang.Float.intBitsToFloat(r.fixed32()).toDouble
+    case (StringType, BinaryType) => r.raw(r.zigzag().toInt)
+    case (BinaryType, StringType) => UTF8String.fromBytes(r.raw(r.zigzag().toInt))
+    case (ArrayType(we, wn), ArrayType(re, _)) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var n = r.zigzag()
+      while (n != 0L) {
+        if (n < 0) { n = -n; r.varint() } // block byte-size present; ignore
+        var i = 0L
+        while (i < n) {
+          if (wn) r.zigzag() match {
+            case 0L => out += null
+            case 1L => out += avroReadResolved(r, we, re, defaults)
+            case u => throw new NumberFormatException(s"bad union idx $u")
+          }
+          else out += avroReadResolved(r, we, re, defaults)
+          i += 1
+        }
+        n = r.zigzag()
+      }
+      new GenericArrayData(out.toArray)
+    case (ws: StructType, rs: StructType) =>
+      val vals = new Array[Any](rs.length)
+      val readerIdx = rs.fieldNames.zipWithIndex.toMap
+      var i = 0
+      while (i < ws.length) {
+        val wf = ws.fields(i)
+        val present =
+          if (wf.nullable) r.zigzag() match {
+            case 0L => false
+            case 1L => true
+            case u => throw new NumberFormatException(s"bad union idx $u")
+          } else true
+        readerIdx.get(wf.name) match {
+          case Some(ri) =>
+            val rf = rs.fields(ri)
+            if (!present) {
+              if (!rf.nullable) throw new NumberFormatException(
+                s"null for non-nullable reader field ${rf.name}")
+              vals(ri) = null
+            } else vals(ri) = avroReadResolved(r, wf.dataType, rf.dataType, defaults)
+          case None =>
+            if (present) avroRead(r, wf.dataType) // skip: decode + discard
+        }
+        i += 1
+      }
+      val writerNames = ws.fieldNames.toSet
+      rs.fields.zipWithIndex.foreach { case (rf, ri) =>
+        if (!writerNames.contains(rf.name))
+          vals(ri) = defaults.get(rf.name) match {
+            case Some(d) => toInternal(rf.dataType, d)
+            case None if rf.nullable => null
+            case None => throw new NumberFormatException(
+              s"reader field ${rf.name} absent from writer and has no default")
+          }
+      }
+      new GenericInternalRow(vals)
+    case (w, rd) =>
+      throw new NumberFormatException(s"unresolvable avro pair $w -> $rd")
+  }
+
+  /** External Scala default value → Catalyst internal representation. */
+  private def toInternal(dt: DataType, v: Any): Any = (dt, v) match {
+    case (_, null) => null
+    case (StringType, s: String) => UTF8String.fromString(s)
+    case (LongType | TimestampType, n: Number) => n.longValue()
+    case (IntegerType | DateType, n: Number) => n.intValue()
+    case (DoubleType, n: Number) => n.doubleValue()
+    case (FloatType, n: Number) => n.floatValue()
+    case (BooleanType, b: Boolean) => b
+    case (BinaryType, b: Array[Byte]) => b
+    case (ArrayType(et, _), xs: Seq[_]) =>
+      new GenericArrayData(xs.map(toInternal(et, _)).toArray)
+    case (other, x) => throw new IllegalArgumentException(
+      s"default ${x.getClass.getSimpleName} for $other unsupported")
+  }
+
+  /** Plan-time resolvability check mirroring [[avroReadResolved]]'s rules;
+    * Some(problem) when the pair can never resolve. */
+  def checkResolvable(
+      writer: DataType, reader: DataType,
+      defaults: Map[String, Any]): Option[String] = (writer, reader) match {
+    case (wt, rt) if wt == rt && !wt.isInstanceOf[StructType] &&
+        !wt.isInstanceOf[ArrayType] => None
+    case (IntegerType, LongType | FloatType | DoubleType) => None
+    case (LongType, FloatType | DoubleType) => None
+    case (FloatType, DoubleType) => None
+    case (StringType, BinaryType) | (BinaryType, StringType) => None
+    case (ArrayType(we, _), ArrayType(re, _)) =>
+      checkResolvable(we, re, defaults)
+    case (ws: StructType, rs: StructType) =>
+      val writerByName = ws.fields.map(f => f.name -> f).toMap
+      rs.fields.flatMap { rf =>
+        writerByName.get(rf.name) match {
+          case Some(wf) => checkResolvable(wf.dataType, rf.dataType, defaults)
+          case None if defaults.contains(rf.name) || rf.nullable => None
+          case None => Some(
+            s"reader field ${rf.name} absent from writer, non-nullable, " +
+              "and has no default")
+        }
+      }.headOption
+    case (w, rd) => Some(s"unresolvable avro pair $w -> $rd")
   }
 
   /** The .avsc JSON for a struct under the mapping above — what a foreign
@@ -495,6 +626,38 @@ case class AvroBinaryDecode(child: Expression, schema: StructType)
     try {
       val r = new WireCodecs.ByteReader(input.asInstanceOf[Array[Byte]])
       val row = WireCodecs.avroRead(r, schema)
+      if (r.exhausted) row else null // trailing garbage ⇒ corrupt
+    } catch { case _: Exception => null }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Avro-binary bytes written under `writerSchema` → struct of
+  * `readerSchema` via spec schema resolution (fields matched by name,
+  * writer-only fields skipped, reader-only fields defaulted, spec type
+  * promotions); malformed ⇒ NULL. Unresolvable schema PAIRS are a
+  * plan-time type-check failure, not a per-row NULL. */
+case class AvroBinaryDecodeResolved(
+    child: Expression, writerSchema: StructType, readerSchema: StructType,
+    defaults: Map[String, Any] = Map.empty)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = readerSchema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType =>
+      WireCodecs.checkSupported(writerSchema, proto = false)
+        .orElse(WireCodecs.checkSupported(readerSchema, proto = false))
+        .orElse(WireCodecs.checkResolvable(
+          writerSchema, readerSchema, defaults))
+        .map(TypeCheckResult.TypeCheckFailure)
+        .getOrElse(TypeCheckResult.TypeCheckSuccess)
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"expected binary, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    try {
+      val r = new WireCodecs.ByteReader(input.asInstanceOf[Array[Byte]])
+      val row = WireCodecs.avroReadResolved(
+        r, writerSchema, readerSchema, defaults)
       if (r.exhausted) row else null // trailing garbage ⇒ corrupt
     } catch { case _: Exception => null }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)

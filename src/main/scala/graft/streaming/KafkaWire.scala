@@ -74,7 +74,10 @@ object KafkaWire {
   /** Avro-binary wire encoding (ref stream.ts:143-153 offers avro per
     * stream) — hand-rolled to the public Avro 1.11 binary spec as native
     * expressions ([[graft.functions.AvroBinaryEncode]]); no connector
-    * jars. Reader schema must equal writer schema;
+    * jars. `decode` pins reader = writer (the reference's
+    * schema-per-topic model); [[avroResolved]] builds a wire whose
+    * consumer decodes an EVOLVED reader schema via spec Schema
+    * Resolution (registries evolve even when topics pin).
     * [[graft.functions.WireCodecs.avscOf]] emits the .avsc a foreign
     * producer pins against. */
   object AvroWire extends WireFormat {
@@ -85,6 +88,21 @@ object KafkaWire {
         graft.functions.AvroBinaryDecode(Bridge.expression(value), schema))
     val name = "avro"
   }
+
+  /** Avro wire for a reader that EVOLVED past the topic's writer schema:
+    * `decode`'s `schema` argument is the reader shape; bytes on the wire
+    * are resolved from `writerSchema` (by-name matching, defaults for
+    * added fields, spec promotions). */
+  def avroResolved(
+      writerSchema: StructType,
+      defaults: Map[String, Any] = Map.empty): WireFormat =
+    new WireFormat {
+      def encode(record: Column): Column = AvroWire.encode(record)
+      def decode(value: Column, schema: StructType): Column =
+        Bridge.column(graft.functions.AvroBinaryDecodeResolved(
+          Bridge.expression(value), writerSchema, schema, defaults))
+      val name = "avro"
+    }
 
   /** Protobuf wire encoding (ref stream.ts:143-153) — hand-rolled to the
     * public protobuf encoding doc; field numbers are the struct's column

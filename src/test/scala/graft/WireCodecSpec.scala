@@ -78,6 +78,76 @@ class WireCodecSpec extends AnyFunSuite {
     assert(arr.toLongArray().toSeq == Seq(3L, 4L))
   }
 
+  test("Avro schema resolution: evolved reader (add/drop/reorder/promote)") {
+    // writer v1: (id long, s string, v double); reader v2 drops `s`,
+    // REORDERS, promotes an int-ish field, and adds `tag` with a default
+    // plus `note` nullable-no-default
+    val writerV1 = flat
+    val readerV2 = StructType(Seq(
+      StructField("v", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("tag", StringType, nullable = false),
+      StructField("note", StringType, nullable = true)))
+    val w = new ByteWriter()
+    WireCodecs.avroWrite(w, writerV1,
+      new GenericInternalRow(Array[Any](7L, UTF8String.fromString("gone"), 2.5)))
+    val r = new ByteReader(w.result())
+    val back = WireCodecs.avroReadResolved(r, writerV1, readerV2,
+      Map("tag" -> "default-tag")).asInstanceOf[InternalRow]
+    assert(r.exhausted)
+    assert(back.getDouble(0) == 2.5)
+    assert(back.getLong(1) == 7L)
+    assert(back.getUTF8String(2).toString == "default-tag")
+    assert(back.isNullAt(3))
+
+    // spec type promotions: int→long, long→double, float→double,
+    // string→bytes
+    val wInt = StructType(Seq(StructField("n", IntegerType, nullable = false)))
+    val rLong = StructType(Seq(StructField("n", LongType, nullable = false)))
+    val w2 = new ByteWriter()
+    WireCodecs.avroWrite(w2, wInt, new GenericInternalRow(Array[Any](41)))
+    assert(WireCodecs.avroReadResolved(new ByteReader(w2.result()),
+      wInt, rLong, Map.empty).asInstanceOf[InternalRow].getLong(0) == 41L)
+    val wStr = StructType(Seq(StructField("b", StringType, nullable = false)))
+    val rBin = StructType(Seq(StructField("b", BinaryType, nullable = false)))
+    val w3 = new ByteWriter()
+    WireCodecs.avroWrite(w3, wStr,
+      new GenericInternalRow(Array[Any](UTF8String.fromString("xy"))))
+    assert(WireCodecs.avroReadResolved(new ByteReader(w3.result()),
+      wStr, rBin, Map.empty).asInstanceOf[InternalRow]
+      .getBinary(0).toSeq == "xy".getBytes("UTF-8").toSeq)
+
+    // plan-time resolvability: missing non-nullable no-default refuses;
+    // unpromotable pair refuses; with a default it passes
+    val rBad = StructType(Seq(StructField("zz", LongType, nullable = false)))
+    assert(WireCodecs.checkResolvable(writerV1, rBad, Map.empty).isDefined)
+    assert(WireCodecs.checkResolvable(writerV1, rBad, Map("zz" -> 9L)).isEmpty)
+    val rNarrow = StructType(Seq(StructField("id", IntegerType, nullable = false)))
+    assert(WireCodecs.checkResolvable(writerV1, rNarrow, Map.empty).isDefined)
+  }
+
+  test("Avro resolved wire: v1 topic bytes → evolved v2 consumer via the seam") {
+    import graft.streaming.KafkaWire
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val v1 = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    val topic = KafkaWire.toTopic(v1, "t", wire = KafkaWire.AvroWire)
+    val writerSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = true),
+      StructField("v", DoubleType, nullable = false)))
+    val readerSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = false),
+      StructField("source", StringType, nullable = false)))
+    val decoded = KafkaWire.decoded(topic, readerSchema,
+        wire = KafkaWire.avroResolved(writerSchema,
+          Map("source" -> "legacy")))
+      .orderBy("id").collect()
+    assert(decoded.map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSeq == Seq((1L, 1.5, "legacy"), (2L, 2.5, "legacy")))
+  }
+
   test("Proto pinned bytes: {id=1 → 08 02 (sint64), s=\"ab\" → 12 02 61 62}") {
     val st = StructType(Seq(
       StructField("id", LongType), StructField("s", StringType)))
