@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Σ aᵢ·bᵢ in double over `ARRAY<FLOAT|DOUBLE>` operands, as a native
+  * Catalyst `Expression` with a `doGenCode` loop.
+  *
+  * This obsoletes the repo's earlier two-form split for vector math
+  * (dynamic `zip_with`+`aggregate` HOFs for projections vs a
+  * dim-unrolled `element_at` chain for join conditions — see the git
+  * history of `Similarity.dotStatic` for the measured rule): the HOF
+  * form falls back to interpreted eval (~6 ms/pair) when a join pushes
+  * it into a bound condition, while the ~600-node unrolled form blows
+  * the whole-stage-codegen method budget in projections (janino bails,
+  * the stage runs interpreted, ~13× slower). A loop in generated code is
+  * a few dozen bytes of bytecode regardless of dimension, so it compiles
+  * in BOTH contexts and keeps whole-stage codegen alive around it.
+  *
+  * Semantics match the dynamic form bit-for-bit:
+  *  - accumulation is the same left fold (((0 + a₁b₁) + a₂b₂) + …), each
+  *    product computed in double after exact float→double widening, so
+  *    results are bit-equal to `aggregate(zip_with(..))` and oracle
+  *    hashes are unaffected;
+  *  - a null element on either side nulls the whole product (zip_with's
+  *    null-product ⇒ null-sum behavior);
+  *  - a length mismatch yields NULL (zip_with pads the shorter side with
+  *    nulls ⇒ null sum). Callers that want a loud error keep their
+  *    `when(size(a)===dim, …).otherwise(raise_error(…))` guard — that
+  *    wrapper is a handful of plan nodes, not 600.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"dot_product expects ARRAY<FLOAT|DOUBLE> operands, got " +
+            s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+
+  private def get(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType  => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case other      => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    val lt = elemType(left)
+    val rt = elemType(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += get(a, i, lt) * get(b, i, rt)
+      i += 1
+    }
+    acc
+  }
+
+  private def genGet(arr: String, i: String, t: DataType): String = t match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case _         => s"$arr.getDouble($i)"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${genGet(a, i, elemType(left))} * ${genGet(b, i, elemType(right))};
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorMath {
+  /** Column builder for [[DotProduct]]. */
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -20,44 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double. */
+  /** Σ aᵢ·bᵢ in double — the native [[graft.functions.DotProduct]]
+    * expression (a `doGenCode` loop). One form serves every context:
+    * the generated loop is a few dozen bytes of bytecode regardless of
+    * dimension, so it compiles both as a standalone join-condition
+    * predicate AND inside whole-stage-codegen'd projections. (The repo
+    * previously split dynamic-HOF vs dim-unrolled forms per context —
+    * the measured history lives in `DotProduct`'s scaladoc.) */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorMath.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** [[dot]] with the dimension known at PLAN time, unrolled into a
-    * left-associated chain of `element_at` products. The fold order
-    * (((0+x₁)+x₂)+…) is IDENTICAL to [[dot]]'s, so results are bit-equal
-    * and oracle parity is unaffected. The guard raises loudly on a
-    * dimension mismatch — element_at would otherwise throw an opaque ANSI
-    * out-of-bounds (shorter) or silently truncate (longer).
-    *
-    * WHERE to use which (both measured at sf0.01, 500×64f vectors):
-    *  - JOIN-CONDITION context (a cosine-threshold filter Catalyst pushes
-    *    into a BroadcastNestedLoop or HashJoin bound condition): USE THIS.
-    *    Conditions compile as standalone predicates, so the unrolled form
-    *    stays codegen'd while `zip_with`/`aggregate` fall back to
-    *    interpreted `eval` at ~6 ms/pair — d_embed_neardup 58.8 s → 12.1 s,
-    *    d_embed_neardup_lsh 1011 s → (re-measured below).
-    *  - PROJECTION context (a `select(cosine(...).as("sim"))` under
-    *    whole-stage codegen): use dynamic [[cosine]]. The ~600-node
-    *    unrolled tree blows the generated-method budget, the stage falls
-    *    back to per-node interpreted eval, and the tree walk is ~13×
-    *    SLOWER than zip_with's tight loop (e_knn_ivf 10 s → 135 s). */
-  def dotStatic(a: Column, b: Column, dim: Int): Column = {
-    val sum = (1 to dim)
-      .map(i => element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .foldLeft(lit(0.0))(_ + _)
-    when(size(a) === dim && size(b) === dim, sum)
+  /** [[dot]] plus a loud plan-time-dim guard: raises on a dimension
+    * mismatch where bare [[dot]] would return NULL (zip_with-compatible
+    * null-padding semantics). Fold order is identical to [[dot]]'s, so
+    * results are bit-equal and oracle parity is unaffected. */
+  def dotStatic(a: Column, b: Column, dim: Int): Column =
+    when(size(a) === dim && size(b) === dim, dot(a, b))
       .otherwise(raise_error(concat(
         lit(s"dotStatic(dim=$dim) on vectors of size "),
         size(a).cast("string"), lit("/"), size(b).cast("string"))))
-  }
 
   def cosineStatic(a: Column, b: Column, dim: Int): Column =
     dotStatic(a, b, dim) /
@@ -86,10 +71,6 @@ object Similarity {
       assertDim(col(vecCol), dim).as("qv"))
     val c = embeddings.select(col(idCol).as("nid"),
       assertDim(col(vecCol), dim).as("nv"))
-    // dynamic cosine: this sim lands in a PROJECTION, where the unrolled
-    // static form blows the whole-stage-codegen method limit and falls
-    // back to per-node interpreted eval — measured 13× SLOWER than the
-    // zip_with loop (see dotStatic scaladoc for where static wins)
     val scored = c.crossJoin(broadcast(q))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
@@ -130,8 +111,8 @@ object Similarity {
     val a = embeddings.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
     val b = embeddings.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
     // cosineStatic: the sim filter gets pushed INTO the nested-loop join
-    // condition, where interpreted HOFs measured ~6 ms/pair (dotStatic
-    // scaladoc) — the unrolled form keeps the whole predicate codegen'd
+    // condition; the native DotProduct loop compiles as a standalone
+    // predicate there (HOF zip_with would run interpreted at ~6 ms/pair)
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(cosineStatic(col("va"), col("vb"), dim), 6).as("sim"))
@@ -173,8 +154,9 @@ object Similarity {
       .distinct()
     // cosineStatic: Catalyst pushes this filter below the distinct into
     // the banded join's bound condition, where it runs per RAW candidate
-    // (duplicates across bands included) — interpreted zip_with there
-    // measured ~6 ms/row (jstack: HashJoin.boundCondition → ZipWith.eval)
+    // (duplicates across bands included) — the native DotProduct loop
+    // compiles there; interpreted zip_with measured ~6 ms/row
+    // (jstack: HashJoin.boundCondition → ZipWith.eval)
     cand.select(col("vec_a"), col("vec_b"),
         round(cosineStatic(col("va"), col("vb"), dim), 6).as("sim"))
       .where(col("sim") >= threshold)
@@ -219,7 +201,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("cell"))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        cosine(col("qv"), col("nv")).as("sim")) // projection ⇒ dynamic (see knnBrute)
+        cosine(col("qv"), col("nv")).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 6).desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -264,7 +246,7 @@ object Similarity {
       .select(col("qid"), col("nid"), col("qv"), col("nv"))
       .dropDuplicates("qid", "nid") // met in ≥1 table ⇒ scored once
       .select(col("qid"), col("nid"),
-        cosine(col("qv"), col("nv")).as("sim")) // projection ⇒ dynamic (see knnBrute)
+        cosine(col("qv"), col("nv")).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 6).desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

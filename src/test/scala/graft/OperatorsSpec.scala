@@ -22,6 +22,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("DotProduct: codegen + eval parity, null semantics, mixed types") {
+    import graft.functions.VectorMath.dot_product
+    val df = Seq(
+      (1L, Array(1f, 2f, 3f), Array(4f, 5f, 6f)),           // 32.0
+      (2L, Array(0.5f, -1f, 2f), Array(2f, 2f, 2f))          // 3.0
+    ).toDF("id", "a", "b")
+    // matches the HOF reference fold bit-for-bit
+    val both = df.select(col("id"),
+      dot_product(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(1) == r.getDouble(2)))
+    // length mismatch → NULL (zip_with null-padding semantics), not a crash
+    val mism = df.select(dot_product(col("a"), slice(col("b"), 1, 2))).head()
+    assert(mism.isNullAt(0))
+    // null element on either side → NULL
+    val withNull = df.select(dot_product(col("a"),
+      array(lit(1f), lit(null.asInstanceOf[java.lang.Float]), lit(3f)))).head()
+    assert(withNull.isNullAt(0))
+    // null operand → NULL
+    assert(df.select(dot_product(col("a"),
+      lit(null).cast("array<float>"))).head().isNullAt(0))
+    // mixed float/double operands widen exactly
+    val mixed = df.where(col("id") === 1L)
+      .select(dot_product(col("a"), array(lit(4.0), lit(5.0), lit(6.0))))
+      .head().getDouble(0)
+    assert(mixed == 32.0)
+    // interpreted eval path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val interp = graft.functions.DotProduct(
+      Literal.create(Array(1f, 2f), ArrayType(FloatType)),
+      Literal.create(Array(3f, 4f), ArrayType(FloatType)))
+      .eval(null)
+    assert(interp == 11.0)
+  }
+
   test("shingles: documents shorter than n yield empty array, not a crash") {
     val df = Seq((1L, "one two"), (2L, "a"), (3L, ""), (4L, "w x y z"))
       .toDF("id", "text")
