@@ -68,6 +68,68 @@ object TextAnalysis {
   /** Stable content fingerprint: md5 of the normalized text. */
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
 
+  // ---------------------------------------------------------------------
+  // Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+  // Models: Methods, Analysis & Insights from Training Gopher", §A1.1) —
+  // the standard pre-training quality gate. Each rule is a pure
+  // `functions._` composition (codegen'd, one linear scan, no shuffle).
+  // Every ratio is a SINGLE division of integer counts, so Spark and the
+  // DuckDB oracle produce bit-equal doubles and the pass/fail flags
+  // cannot diverge across engines.
+  // ---------------------------------------------------------------------
+
+  /** Gopher's stop-word list (§A1.1: "contains at least 2 of ..."). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Mean word length: non-whitespace chars / whitespace-token count. */
+  def meanWordLen(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("double") /
+      size(split(trim(text), "\\s+"))
+
+  /** (# + ellipsis occurrences) / word count — Gopher's symbol-to-word
+    * ratio. `...` counts once per non-overlapping triple; `…` per char. */
+  def symbolWordRatio(text: Column): Column = {
+    val hashN = length(text) - length(replace(text, lit("#"), lit("")))
+    val uniEllN = length(text) - length(replace(text, lit("…"), lit("")))
+    val dotEllN =
+      (length(text) - length(replace(text, lit("..."), lit("")))).divide(3)
+        .cast("int")
+    (hashN + uniEllN + dotEllN).cast("double") /
+      size(split(trim(text), "\\s+"))
+  }
+
+  /** Fraction of lines starting with a bullet marker (• ‣ ▪, or a dash
+    * or asterisk followed by a space, so hyphenated words and negative
+    * numbers don't count). A newline-free document is one line. */
+  def bulletLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    size(filter(lines, l => ltrim(l).rlike("^([•‣▪]|[-*] )")))
+      .cast("double") / size(lines)
+  }
+
+  /** Fraction of lines ending in an ellipsis (`...` or `…`). */
+  def ellipsisLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+      .cast("double") / size(lines)
+  }
+
+  /** Fraction of words containing at least one alphabetic character. */
+  def alphaWordRatio(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / size(words)
+  }
+
+  /** How many DISTINCT Gopher stop words the document contains. */
+  def gopherStopCount(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    gopherStopwords
+      .map(s => when(array_contains(words, s), 1).otherwise(0))
+      .reduce(_ + _).cast(LongType)
+  }
+
   /** PII patterns for corpus scrubbing. Kept lookaround-free so Java
     * regex (Spark) and RE2 (the DuckDB oracle) agree byte-for-byte. */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

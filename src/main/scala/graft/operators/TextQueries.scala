@@ -348,7 +348,46 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher quality gate (Rae et al. 2021 §A1.1): per-document metrics,
+    * per-rule pass flags, and the conjunctive gate. Single scan, pure
+    * codegen'd expressions; every ratio is one int/int division so the
+    * DuckDB oracle is bit-equal (see TextAnalysis scaladoc). The corpus
+    * has no newlines/#/ellipses, so the line-based rules are exercised by
+    * CorpusSpec's synthetic docs and merely pinned (all-pass) here. */
+  def dGopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    import TextAnalysis._
+    val t = col("text")
+    val nw = wordCount(t)
+    val mwl = meanWordLen(t)
+    val symr = symbolWordRatio(t)
+    val bullr = bulletLineRatio(t)
+    val ellr = ellipsisLineRatio(t)
+    val alphar = alphaWordRatio(t)
+    val nstop = gopherStopCount(t)
+    docs(spark, dir).select(
+      col("doc_id"),
+      nw.as("n_words"),
+      round(mwl, 4).as("mean_word_len"),
+      round(symr, 4).as("symbol_ratio"),
+      round(bullr, 4).as("bullet_ratio"),
+      round(ellr, 4).as("ellipsis_ratio"),
+      round(alphar, 4).as("alpha_ratio"),
+      nstop.as("n_stop"),
+      (nw >= 50 && nw <= 100000).as("pass_words"),
+      (mwl >= 3 && mwl <= 10).as("pass_mwl"),
+      (symr < 0.1).as("pass_symbol"),
+      (bullr <= 0.1).as("pass_bullet"),
+      (ellr <= 0.3).as("pass_ellipsis"),
+      (alphar >= 0.8).as("pass_alpha"),
+      (nstop >= 2).as("pass_stop"),
+      (nw >= 50 && nw <= 100000 && mwl >= 3 && mwl <= 10 &&
+        symr < 0.1 && bullr <= 0.1 && ellr <= 0.3 &&
+        alphar >= 0.8 && nstop >= 2).as("gopher_pass"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "d_gopher_quality" -> (dGopherQuality _),
     "d_clean_corpus" -> (dCleanCorpus _),
     "d_exact_dedup" -> (dExactDedup _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
@@ -394,6 +433,62 @@ object TextQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "d_gopher_quality" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_words,
+        |    length(regexp_replace(text, '\s', '', 'g')) * 1.0
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS mwl,
+        |    ((length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '…', '')))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3) * 1.0
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS symr,
+        |    len(list_filter(string_split(text, chr(10)),
+        |        l -> regexp_matches(ltrim(l), '^([•‣▪]|[-*] )'))) * 1.0
+        |      / len(string_split(text, chr(10))) AS bullr,
+        |    len(list_filter(string_split(text, chr(10)),
+        |        l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+        |      * 1.0 / len(string_split(text, chr(10))) AS ellr,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS alphar,
+        |    CAST((CASE WHEN list_contains(regexp_split_to_array(
+        |          lower(trim(text)), '\s+'), 'the') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(regexp_split_to_array(
+        |          lower(trim(text)), '\s+'), 'be') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(regexp_split_to_array(
+        |          lower(trim(text)), '\s+'), 'to') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(regexp_split_to_array(
+        |          lower(trim(text)), '\s+'), 'of') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(regexp_split_to_array(
+        |          lower(trim(text)), '\s+'), 'and') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(regexp_split_to_array(
+        |          lower(trim(text)), '\s+'), 'that') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(regexp_split_to_array(
+        |          lower(trim(text)), '\s+'), 'have') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(regexp_split_to_array(
+        |          lower(trim(text)), '\s+'), 'with') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  round(mwl, 4) AS mean_word_len,
+        |  round(symr, 4) AS symbol_ratio,
+        |  round(bullr, 4) AS bullet_ratio,
+        |  round(ellr, 4) AS ellipsis_ratio,
+        |  round(alphar, 4) AS alpha_ratio,
+        |  n_stop,
+        |  (n_words BETWEEN 50 AND 100000) AS pass_words,
+        |  (mwl >= 3 AND mwl <= 10) AS pass_mwl,
+        |  (symr < 0.1) AS pass_symbol,
+        |  (bullr <= 0.1) AS pass_bullet,
+        |  (ellr <= 0.3) AS pass_ellipsis,
+        |  (alphar >= 0.8) AS pass_alpha,
+        |  (n_stop >= 2) AS pass_stop,
+        |  (n_words BETWEEN 50 AND 100000 AND mwl >= 3 AND mwl <= 10
+        |    AND symr < 0.1 AND bullr <= 0.1 AND ellr <= 0.3
+        |    AND alphar >= 0.8 AND n_stop >= 2) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     "d_clean_corpus" ->
       """WITH s AS (
         |  SELECT doc_id, text,

@@ -9,6 +9,47 @@ class CorpusSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   import spark.implicits._
 
+  test("gopher rules: line/symbol/alpha/stopword rules fire on synthetic docs") {
+    import graft.operators.TextAnalysis._
+    val good = (("the data be stored with a hash of rows and tables that " +
+      "have fast merge paths to scan ") * 3).trim  // 51 words, stop-rich
+    val docs = Seq(
+      (1L, good),
+      (2L, "• first\n• second\n• third\nplain"),           // 3/4 bullet lines
+      (3L, "read more...\nand then...\nthe end"),          // 2/3 ellipsis ends
+      (4L, "### ## # " + good),                            // 6 hashes
+      (5L, "1 2 3 4 5 6 7 8 9 10 11 12"),                  // 0% alpha words
+      (6L, "supercalifragilisticexpialidocious " * 5),     // mwl 34 > 10
+      (7L, "a b c")                                        // 3 words < 50
+    ).toDF("doc_id", "text")
+    val m = docs.select(col("doc_id"),
+      bulletLineRatio(col("text")).as("bull"),
+      ellipsisLineRatio(col("text")).as("ell"),
+      symbolWordRatio(col("text")).as("sym"),
+      alphaWordRatio(col("text")).as("alpha"),
+      meanWordLen(col("text")).as("mwl"),
+      wordCount(col("text")).as("nw"),
+      gopherStopCount(col("text")).as("nstop"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(2).getDouble(1) == 0.75)           // bullet ratio
+    assert(m(3).getDouble(2) == 2.0 / 3)        // ellipsis-end ratio
+    assert(m(4).getDouble(3) > 0.09)            // 6 hashes / 60 words = 0.1
+    assert(m(5).getDouble(4) == 0.0)            // no alphabetic words
+    assert(m(6).getDouble(5) > 10)              // mean word length
+    assert(m(7).getLong(6) == 3L)               // word count
+    assert(m(1).getLong(7) >= 2L)               // distinct stopwords present
+    // the good doc passes every rule
+    val g = m(1)
+    assert(g.getDouble(1) == 0.0 && g.getDouble(2) == 0.0 &&
+      g.getDouble(3) < 0.1 && g.getDouble(4) >= 0.8 &&
+      g.getDouble(5) >= 3 && g.getDouble(5) <= 10 && g.getLong(6) >= 50)
+    // unicode ellipsis and bullet variants count too
+    val uni = Seq((1L, "wait…\n‣ item")).toDF("doc_id", "text")
+      .select(ellipsisLineRatio(col("text")), bulletLineRatio(col("text")))
+      .head()
+    assert(uni.getDouble(0) == 0.5 && uni.getDouble(1) == 0.5)
+  }
+
   test("connectedComponents: chain, triangle, and pair collapse to min-id reps") {
     // components: {1,2,3,4,5} (a chain — exercises pointer jumping),
     // {10,11,12} (triangle), {20,21} (pair); 99 absent (no edges)
