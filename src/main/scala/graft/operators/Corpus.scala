@@ -144,6 +144,54 @@ object Corpus {
         round(col("tfidf"), 4).as("tfidf"))
   }
 
+  /** Corpus-trained unigram language-model scoring — the CCNet-style
+    * "how typical of the corpus is this document" signal (Wenzek et al.
+    * 2020 score documents with a KenLM 5-gram; the unigram reduction
+    * keeps the shape: train token statistics on the corpus, score every
+    * document against them).
+    *
+    * Deterministic rational reformulation (same reasoning as
+    * [[tfidfTopTerms]]'s idf): true perplexity needs `log`, and libm
+    * transcendentals are not bit-equal across engines, so the emitted
+    * signals are (a) `mean_tok_prob` — the arithmetic mean of per-token
+    * corpus MLE probabilities Σc(w)/(n·T), and (b) `hapax_ratio` — the
+    * fraction of tokens occurring exactly once corpus-wide. Both are
+    * integer sums with ONE final IEEE-exact division, so the DuckDB
+    * oracle reproduces them bit-for-bit. Both rank "full of rare junk"
+    * below "typical text", which is what the gate consumes.
+    *
+    * Shuffle shape at 100 TB: one explode→groupBy(w) with map-side
+    * combine builds the vocab (|V| rows — sublinear in corpus size by
+    * Heaps' law), which is broadcast so the scoring pass never shuffles
+    * the token stream; per-document stats are integer partial aggs on
+    * doc_id. The corpus total is a one-row broadcast. For a corpus whose
+    * vocab outgrows the broadcast budget, drop the hint and the scoring
+    * join becomes a sort-merge on `w` — same results.
+    */
+  def unigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // T = Σ vocab counts: the vocab pipeline ENDS in a shuffle on `w`, so
+    // at runtime AQE's stage reuse serves this second consumer from the
+    // same shuffle files (deriving T from the per-doc frame instead was
+    // measured WORSE: column pruning rewrites that subtree, breaking
+    // exchange identity, and the whole corpus pipeline replays).
+    val total = vocab.agg(sum(col("c")).as("t_tokens"))
+    toks.join(broadcast(vocab), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("c")).as("sum_freq"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
+        round(col("sum_freq") * lit(1.0) /
+          (col("n_tokens") * col("t_tokens")), 8).as("mean_tok_prob"),
+        round(col("n_hapax") * lit(1.0) / col("n_tokens"), 4).as("hapax_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gap-based sessionization: rows sharing `idCol` belong to one session
     * while consecutive event times (µs) are within `gapSeconds`. Returns
     * per-session aggregates (n_events, session_value, duration_s). The

@@ -50,6 +50,12 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"))
       .orderBy(col("lang"), col("split"))
 
+  /** Corpus-trained unigram LM scoring — CCNet-style typicality signal
+    * (rational reformulation; see Corpus.unigramScore for why not a
+    * log-space perplexity). */
+  def dUnigramScore(spark: SparkSession, dir: String): DataFrame =
+    Corpus.unigramScore(docs(spark, dir), "doc_id", "text")
+
   /** Top-3 TF-IDF terms per document (rational smoothed idf — see
     * Corpus.tfidfTopTerms for why not log). */
   def dTfidf(spark: SparkSession, dir: String): DataFrame =
@@ -275,6 +281,7 @@ object CorpusQueries {
     "d_dup_clusters" -> (dDupClusters _),
     "d_split_assign" -> (dSplitAssign _),
     "d_tfidf" -> (dTfidf _),
+    "d_unigram_score" -> (dUnigramScore _),
     "d_dup_passages" -> (dDupPassages _),
     "d_contamination" -> (dContamination _),
     "d_corpus_stats" -> (dCorpusStats _),
@@ -453,6 +460,23 @@ object CorpusQueries {
          |  FROM scored)
          |SELECT doc_id, rnk, term, round(tfidf, 4) AS tfidf
          |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "d_unigram_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+         |  FROM documents
+         |), vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w
+         |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_tokens FROM vocab
+         |), scored AS (
+         |  SELECT t.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(v.c) AS BIGINT) AS sum_freq,
+         |    CAST(sum(CASE WHEN v.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hapax
+         |  FROM toks t JOIN vocab v USING (w) GROUP BY t.doc_id)
+         |SELECT doc_id, n_tokens, sum_freq,
+         |  round(sum_freq * 1.0 / (n_tokens * t_tokens), 8) AS mean_tok_prob,
+         |  round(n_hapax * 1.0 / n_tokens, 4) AS hapax_ratio
+         |FROM scored CROSS JOIN tot ORDER BY doc_id""".stripMargin,
     "d_dup_passages" ->
       s"""WITH words AS (
          |  SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w

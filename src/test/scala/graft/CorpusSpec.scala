@@ -96,6 +96,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(twice == 0L)
   }
 
+  test("unigramScore: hand-computed corpus stats, common docs score higher") {
+    // vocab: a:3 b:1 c:1, T=5
+    val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val out = Corpus.unigramScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getLong(1) == 3L)                    // n_tokens
+    assert(out(1).getLong(2) == 7L)                    // 3+1+3
+    assert(out(1).getDouble(3) == 0.46666667)          // 7/15 at 8dp
+    assert(out(1).getDouble(4) == 0.3333)              // 1 hapax of 3
+    assert(out(2).getLong(2) == 4L)                    // 3+1
+    assert(out(2).getDouble(3) == 0.4)                 // 4/10
+    assert(out(2).getDouble(4) == 0.5)
+    // the typicality ordering: the doc made of common tokens scores higher
+    assert(out(1).getDouble(3) > out(2).getDouble(3))
+  }
+
   test("tfidf: corpus-wide terms rank below document-specific terms") {
     val docs = Seq(
       (1L, "common rare1"),
