@@ -280,15 +280,29 @@ object Similarity {
     val base = embeddings.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val assigned = base.select(col("id"),
-      array_min(array(cents.zipWithIndex.map { case (c, i) =>
-        struct(sqDist(col("v"), c).as("d"), lit(i).as("cell"))
-      }: _*)).getField("cell").cast("long").as("cell"))
+      array_min(cellDistExpr(col("v"), cents))
+        .getField("cell").cast("long").as("cell"))
     (assigned, history)
   }
 
-  private def sqDist(v: Column, c: Seq[Double]): Column =
-    aggregate(zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
+  private def sqDist(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
       lit(0.0), (a, x) => a + x)
+
+  /** (dist, cell) structs against EVERY centroid as ONE codegen'd
+    * expression: the centroid matrix is a single nested-array literal
+    * walked by `transform` with its index lambda, so k scales to the
+    * thousands without growing the expression tree. (The earlier shape —
+    * `array(struct(d₀,0), …, struct(dₖ,k))`, one subtree per centroid —
+    * was the auto-k=64 ceiling: plan size and codegen grew linearly in
+    * k.) A literal rides the stage's broadcast task binary, so this is
+    * broadcast-join assignment without the join: no N×k row explosion
+    * and no groupBy(id) re-shuffle to pick the argmin — the scan stays
+    * shuffle-free. Struct order (d, cell) makes array_min/array_sort
+    * break distance ties toward the lower cell index. */
+  private def cellDistExpr(v: Column, cents: Seq[Seq[Double]]): Column =
+    transform(typedlit(cents.map(_.toSeq).toSeq),
+      (c, i) => struct(sqDist(v, c).as("d"), i.as("cell")))
 
   /** The Lloyd loop itself: returns the fitted centroids plus the inertia
     * history ([[kmeans]] and [[semDedupPairs]] both build on this). */
@@ -308,19 +322,24 @@ object Similarity {
     // (dist, cell) structs: array_min orders by dist, then cell — the
     // deterministic tie-break
     def assigned: DataFrame = base.select(col("id"), col("v"),
-      array_min(array(cents.zipWithIndex.map { case (c, i) =>
-        struct(sqDist(col("v"), c).as("d"), lit(i).as("cell"))
-      }: _*)).as("best"))
+      array_min(cellDistExpr(col("v"), cents)).as("best"))
 
     val history = (0 until iters).map { _ =>
-      val a = assigned
-      val inertia = a.agg(sum(col("best.d"))).head.getDouble(0)
-      val means = a.select(col("best.cell").as("cell"), posexplode(col("v")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+      // ONE job per Lloyd iteration: per-(cell, pos) means carry the
+      // per-cell inertia alongside (sum(best.d) repeats identically in
+      // every pos group of a cell; the driver reads it off the pos==0
+      // rows) — k×dim rows collected, half the full scans of the
+      // earlier separate inertia + means jobs
+      val rows = assigned
+        .select(col("best.cell").as("cell"), col("best.d").as("d"),
+          posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"), sum(col("d")).as("dsum"))
         .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      val inertia = rows.filter(_.getInt(1) == 0).map(_.getDouble(3)).sum
+      val means = rows.groupBy(_.getInt(0))
+        .map { case (cell, rs) =>
+          cell -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
         }
       // a cell that lost every vector keeps its centroid (monotonicity
       // holds either way; dropping it would renumber cells mid-run)
@@ -331,6 +350,25 @@ object Similarity {
     (cents, history)
   }
 
+  /** [[kmeansFit]] on a bounded deterministic sample — the large-k
+    * training path (SemDeDup's cluster-count ∝ corpus-size regime wants
+    * k in the thousands; Lloyd over the full corpus at that k is iters
+    * full scans for centroids a sample trains just as well — Abbas et
+    * al. train on a subset too). The sample is the `cap` smallest
+    * `hash(id)` values: TakeOrdered (no full shuffle), stable across
+    * runs and repartitionings, and id-hash order is uncorrelated with
+    * embedding geometry — a uniform draw for clustering purposes. */
+  def kmeansFitSampled(
+      embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 8, iters: Int = 3,
+      sampleCap: Long = 131072L): (IndexedSeq[Seq[Double]], Seq[Double]) = {
+    require(sampleCap >= k, s"kmeans sampleCap=$sampleCap below k=$k")
+    val sample = embeddings
+      .orderBy(hash(col(idCol)), col(idCol))
+      .limit(sampleCap.min(Int.MaxValue.toLong).toInt)
+    kmeansFit(sample, idCol, vecCol, k, iters)
+  }
+
   /** Diagnostics [[semDedupPairs]] computes on the way to its plan, exposed
     * so specs (and capacity planning) can assert the scale story instead of
     * trusting it: `taskKeys` is the number of distinct (cell, blockI,
@@ -339,7 +377,13 @@ object Similarity {
     * cosine verifications the plan will do (before multi-probe dedup). */
   final case class SemDedupDiag(
       pairs: DataFrame, kEff: Int, cellSizes: Map[Int, Long],
-      salts: Map[Int, Int], taskKeys: Long, estCandidatePairs: Long)
+      salts: Map[Int, Int], taskKeys: Long, estCandidatePairs: Long,
+      sampledTraining: Boolean = false)
+
+  /** Past this k, [[semDedupDiag]] trains centroids on a bounded sample
+    * ([[kmeansFitSampled]]) instead of full-corpus Lloyd — assignment is
+    * k-independent either way (one nested-array literal, one scan). */
+  val SemDedupSampledTrainingK = 64
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): semantic near-duplicate
@@ -358,9 +402,14 @@ object Similarity {
     * Abbas et al. §3 — so a FIXED k is all-pairs in disguise: Σ|cell|² ≈
     * N²/k):
     *  - `k = 0` (the default) derives k ≈ N/targetCellSize, clamped to
-    *    [2, 64] — the literal-centroid assignment expression is the k
-    *    ceiling; past it, train centroids on a sample and assign via a
-    *    broadcast join instead.
+    *    [probes+1, 4096]. Assignment is one nested-array-literal
+    *    expression ([[cellDistExpr]]) at ANY k — no per-centroid
+    *    subtree, no broadcast join, no shuffle. Past
+    *    [[SemDedupSampledTrainingK]] cells, centroid TRAINING moves to
+    *    a bounded deterministic sample ([[kmeansFitSampled]]) so Lloyd
+    *    cost stays flat while k tracks the corpus; at the 4096 clamp
+    *    with targetCellSize=2000 that covers ~8M docs per run, and the
+    *    budget guard still refuses loudly past it.
     *  - Oversized cells are SALT-SPLIT before pair generation: a cell of
     *    size c gets s = ⌈c/targetCellSize⌉ blocks (deterministic
     *    `pmod(hash(id), s)`), and the within-cell cross becomes
@@ -401,16 +450,21 @@ object Similarity {
       if (k > 0) k
       else {
         val n = embeddings.count()
-        math.min(64L,
+        math.min(4096L,
           math.max(probes + 1L, (n + targetCellSize - 1) / targetCellSize))
           .toInt
       }
     require(probes >= 1 && probes <= kEff,
       s"bad semDedup probes=$probes k=$kEff")
-    val (cents, _) = kmeansFit(embeddings, idCol, vecCol, kEff, iters)
-    val cellDists = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(sqDist(col("v"), c).as("d"), lit(i).as("cell"))
-    }: _*)
+    // small k: full-corpus Lloyd (exactly the legacy plan). Large k:
+    // sample-trained centroids — the sample is sized ≥32 vectors per
+    // centroid, capped so training cost is flat in corpus size
+    val sampled = kEff > SemDedupSampledTrainingK
+    val (cents, _) =
+      if (!sampled) kmeansFit(embeddings, idCol, vecCol, kEff, iters)
+      else kmeansFitSampled(embeddings, idCol, vecCol, kEff, iters,
+        sampleCap = math.max(32L * kEff, 4096L))
+    val cellDists = cellDistExpr(col("v"), cents)
     val assigned = embeddings
       .select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
@@ -462,7 +516,7 @@ object Similarity {
         round(cosineStatic(col("va"), col("vb"), dim), 6).as("sim"))
       .where(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
-    SemDedupDiag(pairs, kEff, cellSizes, salts, taskKeys, estPairs)
+    SemDedupDiag(pairs, kEff, cellSizes, salts, taskKeys, estPairs, sampled)
   }
 
   /** Symmetric per-vector int8 quantization — the standard 4× embedding

@@ -142,11 +142,38 @@ class OperatorsSpec extends AnyFunSuite {
     val diag = Similarity.semDedupDiag(df, k = 0, iters = 1, probes = 1,
       threshold = 0.99, dim = 8, targetCellSize = 10L)
     assert(diag.kEff == 10)
+    assert(!diag.sampledTraining)
     val err = intercept[IllegalArgumentException] {
       Similarity.semDedupDiag(df, k = 2, iters = 1, probes = 1,
         threshold = 0.99, dim = 8, maxCandidatePairs = 10L)
     }
     assert(err.getMessage.contains("budget"))
+  }
+
+  test("semDedup: auto-k past 64 — sampled training, selectivity scales") {
+    val rnd = new scala.util.Random(17)
+    val df = (0 until 300).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // k=0 with targetCellSize=2 ⇒ kEff = 150, past the literal-path-only
+    // era's 64 clamp: training must switch to the bounded sample and the
+    // single-expression assignment must codegen at this k
+    val big = Similarity.semDedupDiag(df, k = 0, iters = 1, probes = 1,
+      threshold = 0.9, dim = 8, targetCellSize = 2L)
+    assert(big.kEff == 150, s"kEff=${big.kEff}")
+    assert(big.sampledTraining)
+    val small = Similarity.semDedupDiag(df, k = 4, iters = 1, probes = 1,
+      threshold = 0.9, dim = 8)
+    assert(!small.sampledTraining)
+    // the whole point of k ∝ N: more cells ⇒ fewer candidate pairs
+    assert(big.estCandidatePairs < small.estCandidatePairs,
+      s"estPairs ${big.estCandidatePairs} !< ${small.estCandidatePairs}")
+    // returned pairs still carry brute-force-identical sims (subset law)
+    val brute = Similarity.nearDupPairsBrute(df, threshold = 0.9, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = big.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.subsetOf(brute), s"non-brute pairs: ${got.diff(brute)}")
   }
 
   test("lshSignature rejects >64 planes; banded near-dup uses per-band sigs") {
