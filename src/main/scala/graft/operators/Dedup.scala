@@ -128,7 +128,9 @@ object Dedup {
   def minhashDedupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 24, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      broadcastCandidates: Option[Boolean] = None,
+      broadcastMaxDocs: Long = 2000000L): DataFrame = {
     // four consumers (signatures, counts, both verify-join sides) all read
     // the distinct's shuffle output via ReuseExchange — no explicit cache
     // (see jaccardPairs note)
@@ -136,12 +138,27 @@ object Dedup {
     val candidates = lshCandidates(minhashSignatures(sh, k), bands, k / bands)
     val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     // Join order is load-bearing: restrict the shingle table to candidate
-    // docs FIRST (broadcast of the small candidate set), then match the
-    // other side's shingles. Left free, Catalyst may reorder into a full
-    // shingle⋈shingle self-join, which is quadratic in hot-shingle
-    // frequency (with a small vocabulary a single shingle can appear in
-    // thousands of documents).
-    val candShingles = sh.join(broadcast(candidates), col("id") === col("doc_a"))
+    // docs FIRST, then match the other side's shingles. Left free, Catalyst
+    // may reorder into a full shingle⋈shingle self-join, which is quadratic
+    // in hot-shingle frequency (with a small vocabulary a single shingle
+    // can appear in thousands of documents). ANY strategy hint pins the
+    // order — hinted joins are excluded from ReorderJoin's inner-join
+    // flattening — so the order pin no longer forces a broadcast:
+    //  - small corpora (≤ broadcastMaxDocs docs): broadcast(candidates),
+    //    the measured-fastest local shape (no shingle re-shuffle);
+    //  - past the gate: SHUFFLE_HASH with candidates as the build side —
+    //    the candidate set scales with the corpus's duplicate density, and
+    //    an unconditional broadcast of it is a driver/executor OOM on a
+    //    dense crawl; the shuffled-hash build is per-partition, so it
+    //    scales out instead. The doc count is a density HEURISTIC (a
+    //    pathological all-duplicates corpus can blow the candidate set at
+    //    any N) — `broadcastCandidates` overrides the gate outright.
+    val useBroadcast = broadcastCandidates.getOrElse {
+      docs.select(col(idCol)).count() <= broadcastMaxDocs
+    }
+    val candSide =
+      if (useBroadcast) broadcast(candidates) else candidates.hint("SHUFFLE_HASH")
+    val candShingles = sh.join(candSide, col("id") === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("sh"))
     val inter = candShingles.as("a")
       .join(sh.as("b"), col("doc_b") === col("b.id") && col("a.sh") === col("b.sh"))

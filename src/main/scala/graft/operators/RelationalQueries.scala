@@ -103,8 +103,12 @@ object RelationalQueries {
     val o = t(spark, dir, "orders")
     val c = t(spark, dir, "customer")
     val n = t(spark, dir, "nation")
+    // `nation` is a FIXED 25-row dim — broadcast is safe at any SF.
+    // `customer` SCALES with SF (150k rows per TPC-H SF): no forced hint;
+    // AQE broadcasts it at small SF and switches to shuffle join when the
+    // build side outgrows the threshold — the 100-TB-safe default.
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(

@@ -252,6 +252,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(m.head.getDouble(2) - j.head.getDouble(2)) < 1e-9)
   }
 
+  test("minhash fallback: shuffle-hash path matches broadcast, keeps reuse") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base + " extra"),
+      (3L, (100 to 140).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val bc = Dedup.minhashDedupPairs(df, "doc_id", "text",
+      broadcastCandidates = Some(true))
+    val shj = Dedup.minhashDedupPairs(df, "doc_id", "text",
+      broadcastCandidates = Some(false))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSet
+    assert(rows(bc) == rows(shj))
+    // the fallback plan must NOT broadcast the candidate set (the 100×
+    // hazard) and must still serve the shingle distinct's shuffle to all
+    // consumers via ReuseExchange
+    val bcPlan = bc.queryExecution.executedPlan.toString
+    val shjPlan = shj.queryExecution.executedPlan.toString
+    assert(bcPlan.contains("BroadcastHashJoin"))
+    assert(shjPlan.contains("ShuffledHashJoin"), shjPlan.take(2000))
+    assert(shjPlan.contains("ReusedExchange"), shjPlan.take(2000))
+  }
+
   test("simhash: identical docs hamming 0, near-dup small, distinct large") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val df = Seq((1L, base), (2L, base + " one"), (3L, (200 to 260).map(i => s"z$i").mkString(" ")))
