@@ -67,25 +67,39 @@ object ChDialectExtras {
     Literal.create(Seq.empty[Long], ArrayType(LongType))
 
   /** CH/re2 replacement string → Java `Matcher` replacement: `\N` (N a
-    * digit) becomes the Java backref `$N`; `\\` stays ONE literal
-    * backslash (escaped for Java, never merged with a following digit
-    * into a backref); any other `\x` escape passes through; bare `$` —
-    * plain text in re2 — is escaped to `\$` so Java doesn't read it as a
-    * group reference. */
+    * digit) becomes the Java backref `$N`, and any literal digits that
+    * IMMEDIATELY follow it are backslash-escaped (`\d` is a literal `d`
+    * in Java replacements) — re2 backrefs are single-digit, while Java's
+    * bare `$N` parses the longest valid group number, so with ≥12 capture
+    * groups an unescaped `\1` + literal `2` would silently bind group 12
+    * (Java's braced `${name}` form is for NAMED groups only and rejects
+    * numerics, so escaping the trailing digit is the one valid pin).
+    * `\\` stays ONE literal backslash (escaped for Java, never merged
+    * with a following digit into a backref); any other `\x` escape passes
+    * through; bare `$` — plain text in re2 — is escaped to `\$` so Java
+    * doesn't read it as a group reference. */
   private[functions] def toJavaReplacement(s: String): String = {
     val sb = new StringBuilder
     var i = 0
+    var afterBackref = false
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length) {
         val n = s.charAt(i + 1)
-        if (n.isDigit) sb.append('$').append(n)
-        else if (n == '\\') sb.append("\\\\")
-        else sb.append('\\').append(n)
+        if (n.isDigit) { sb.append('$').append(n); afterBackref = true }
+        else {
+          if (n == '\\') sb.append("\\\\") else sb.append('\\').append(n)
+          afterBackref = false
+        }
         i += 2
-      } else if (c == '$') { sb.append("\\$"); i += 1 }
-      else if (c == '\\') { sb.append("\\\\"); i += 1 } // trailing backslash
-      else { sb.append(c); i += 1 }
+      } else {
+        if (c == '$') sb.append("\\$")
+        else if (c == '\\') sb.append("\\\\") // trailing backslash
+        else if (c.isDigit && afterBackref) sb.append('\\').append(c)
+        else sb.append(c)
+        afterBackref = afterBackref && c.isDigit
+        i += 1
+      }
     }
     sb.toString
   }

@@ -354,8 +354,15 @@ object WireCodecs {
     case (LongType, FloatType | DoubleType) => None
     case (FloatType, DoubleType) => None
     case (StringType, BinaryType) | (BinaryType, StringType) => None
-    case (ArrayType(we, _), ArrayType(re, _)) =>
-      checkResolvable(we, re, defaults)
+    case (ArrayType(we, wNull), ArrayType(re, rNull)) =>
+      // a writer array with nullable elements cannot resolve into a reader
+      // array declared containsNull=false: decoded null elements would
+      // silently land in a non-nullable array, breaking the reader's
+      // declared schema contract downstream
+      if (wNull && !rNull)
+        Some("writer array has nullable elements but reader declares " +
+          "containsNull=false")
+      else checkResolvable(we, re, defaults)
     case (ws: StructType, rs: StructType) =>
       val writerByName = ws.fields.map(f => f.name -> f).toMap
       rs.fields.flatMap { rf =>
@@ -589,13 +596,23 @@ object WireCodecs {
   }
 }
 
-/** struct → Avro-binary bytes. */
-case class AvroBinaryEncode(child: Expression)
+/** struct → Avro-binary bytes. `pinned` (when set) refuses at plan time
+  * any record shape other than the pinned writer schema — the guard the
+  * resolved wire needs so an evolved reader shape is never silently
+  * encoded under a topic whose bytes are pinned to the writer shape. */
+case class AvroBinaryEncode(child: Expression,
+    pinned: Option[StructType] = None)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case st: StructType =>
-      WireCodecs.checkSupported(st, proto = false)
+      val pinMismatch = pinned.exists(p =>
+        st.map(f => (f.name, f.dataType)) != p.map(f => (f.name, f.dataType)))
+      if (pinMismatch)
+        TypeCheckResult.TypeCheckFailure(
+          s"avro wire is pinned to writer shape ${pinned.get}, got $st — " +
+            "produce evolved records through a wire pinned to their own schema")
+      else WireCodecs.checkSupported(st, proto = false)
         .map(TypeCheckResult.TypeCheckFailure)
         .getOrElse(TypeCheckResult.TypeCheckSuccess)
     case other =>

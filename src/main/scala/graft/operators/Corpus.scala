@@ -272,25 +272,31 @@ object Corpus {
   def duplicatePassages(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 4, minDocs: Int = 2): DataFrame = {
-    // persist: the shingle build (normalize + split + posexplode + lead
-    // over a per-doc sort) is the operator's heaviest subtree and feeds
-    // TWO consumers; ReuseExchange does NOT fire here (per-consumer column
-    // pruning makes the exchanges non-identical — verified via explain:
-    // the subtree appeared 3× before this restructure). Disk-backed so a
-    // 100 TB shingle set spills instead of evicting; released by Spark's
-    // ContextCleaner once the result frame is unreferenced.
-    val sh = positionedShingles(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupSh = sh.select(col("sh_h"), col("id")).distinct()
+    // The shingle build (normalize + split + posexplode + lead over a
+    // per-doc sort) is the operator's heaviest subtree and feeds TWO
+    // consumers. Instead of persisting it (Dataset.persist registers in
+    // CacheManager, which holds the cache until an explicit unpersist —
+    // a session-lifetime leak from an operator that returns a lazy frame),
+    // fold positions into a per-(shingle, doc) count FIRST: both consumers
+    // then read the SAME aggregate exchange — identical schema, identical
+    // hash(sh_h, id) partitioning — so ReuseExchange serves them from one
+    // materialization of the heavy subtree (explain-verified: one scan,
+    // one window, one partial aggregate; shuffle files, not cache blocks,
+    // so executor loss recovers via lineage at cluster scale).
+    val perDocSh = positionedShingles(docs, idCol, textCol, n)
+      .groupBy(col("sh_h"), col("id")).agg(count(lit(1)).as("n_pos_sh"))
+    val dupSh = perDocSh
       .groupBy(col("sh_h")).agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
       .select(col("sh_h"), lit(1L).as("dup"))
-    // one pass for both totals: annotate each position with whether its
-    // shingle is duplicated, then a single per-doc aggregate
-    sh.join(dupSh, Seq("sh_h"), "left")
+    // one pass for both totals: annotate each (shingle, doc) group with
+    // whether the shingle is duplicated, then a single per-doc aggregate
+    // weighting by the group's position count
+    perDocSh.join(dupSh, Seq("sh_h"), "left")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_positions"),
-        sum(coalesce(col("dup"), lit(0L))).as("n_dup_positions"))
+      .agg(sum(col("n_pos_sh")).as("n_positions"),
+        sum(when(col("dup").isNotNull, col("n_pos_sh")).otherwise(0L))
+          .as("n_dup_positions"))
       .select(col("id").as("doc_id"), col("n_positions"),
         col("n_dup_positions"))
       .withColumn("dup_share",

@@ -92,12 +92,21 @@ object KafkaWire {
   /** Avro wire for a reader that EVOLVED past the topic's writer schema:
     * `decode`'s `schema` argument is the reader shape; bytes on the wire
     * are resolved from `writerSchema` (by-name matching, defaults for
-    * added fields, spec promotions). */
+    * added fields, spec promotions).
+    *
+    * `encode` refuses any record whose shape differs from `writerSchema`:
+    * the topic's bytes are pinned to the writer shape, and silently
+    * encoding the evolved reader shape through the same instance would
+    * round-trip through mismatched schemas and surface as per-row NULLs
+    * at every pinned consumer instead of an error. Produce the evolved
+    * shape to a NEW topic (or re-pin the writer schema) explicitly. */
   def avroResolved(
       writerSchema: StructType,
       defaults: Map[String, Any] = Map.empty): WireFormat =
     new WireFormat {
-      def encode(record: Column): Column = AvroWire.encode(record)
+      def encode(record: Column): Column =
+        Bridge.column(graft.functions.AvroBinaryEncode(
+          Bridge.expression(record), pinned = Some(writerSchema)))
       def decode(value: Column, schema: StructType): Column =
         Bridge.column(graft.functions.AvroBinaryDecodeResolved(
           Bridge.expression(value), writerSchema, schema, defaults))

@@ -33,6 +33,11 @@ class ChDialect2Spec extends AnyFunSuite {
     // escaped backslash + digit is a literal backslash-digit, NOT a
     // backref (the old blind rewrite mangled it into one)
     assert(str("replaceRegexpAll('ab', 'b', '\\\\\\\\1')") == "a\\1")
+    // re2 backrefs are single-digit: \1 followed by a literal digit must
+    // stay group 1 + text, even when the pattern has ≥12 groups (bare $1
+    // would let Java greedily bind $12)
+    assert(str("replaceRegexpAll('abcdefghijklx', " +
+      "'(a)(b)(c)(d)(e)(f)(g)(h)(i)(j)(k)(l)', '\\\\12')") == "a2x")
     assert(one("match('hello', '^h.*o$')") == true)
     // builtin datetime extract must remain un-shadowed
     assert(one("extract(YEAR FROM timestamp'2024-03-01 00:00:00')") == 2024)

@@ -124,6 +124,40 @@ class WireCodecSpec extends AnyFunSuite {
     assert(WireCodecs.checkResolvable(writerV1, rBad, Map("zz" -> 9L)).isEmpty)
     val rNarrow = StructType(Seq(StructField("id", IntegerType, nullable = false)))
     assert(WireCodecs.checkResolvable(writerV1, rNarrow, Map.empty).isDefined)
+    // writer array with nullable elements must NOT resolve into a reader
+    // array declared containsNull=false (decoded nulls would silently
+    // violate the reader's schema contract)
+    val wArr = StructType(Seq(StructField("xs",
+      ArrayType(LongType, containsNull = true), nullable = false)))
+    val rArrStrict = StructType(Seq(StructField("xs",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+    assert(WireCodecs.checkResolvable(wArr, rArrStrict, Map.empty).isDefined)
+    assert(WireCodecs.checkResolvable(wArr,
+      StructType(Seq(StructField("xs",
+        ArrayType(LongType, containsNull = true), nullable = false))),
+      Map.empty).isEmpty)
+  }
+
+  test("avroResolved.encode refuses shapes other than the pinned writer schema") {
+    import graft.streaming.KafkaWire
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.struct
+    val writerSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = true)))
+    val wire = KafkaWire.avroResolved(writerSchema)
+    val matching = Seq((1L, "a")).toDF("id", "s")
+    // matching shape encodes fine
+    assert(matching.select(wire.encode(struct(matching("id"), matching("s")))
+      .as("b")).head.getAs[Array[Byte]](0).nonEmpty)
+    val evolved = Seq((1L, "a", 2.5)).toDF("id", "s", "v")
+    val err = intercept[Exception] {
+      evolved.select(wire.encode(
+        struct(evolved("id"), evolved("s"), evolved("v"))).as("b")).head
+    }
+    assert(err.getMessage.contains("pinned to writer shape"),
+      err.getMessage.take(400))
   }
 
   test("Avro resolved wire: v1 topic bytes → evolved v2 consumer via the seam") {
