@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructType}
+
+/** ClickHouse `windowFunnel` level over a user's SORTED event array —
+  * the per-group evaluator behind [[graft.operators.Funnel.windowFunnel]],
+  * covering the default mode AND ClickHouse's `strict_order` /
+  * `strict_increase` / `strict_dedup` flags
+  * (ref sqlHelpers.ts:106-127 passes windowFunnel through as raw CH SQL).
+  *
+  * Input: `array<struct<us: long, i: int>>` sorted ascending by (us, i) —
+  * event-time micros and 0-based step index (non-step events carry
+  * i = numSteps and are only present under `strict_order`, where they
+  * interrupt chains). Output: the funnel level ∈ [0, numSteps].
+  *
+  * Semantics (each mode's chain constraint, max level over all chains):
+  *  - default: timestamps non-decreasing, chain inside `windowMicros` of
+  *    its first event; equal-ts events chain in step order.
+  *  - strict_increase: consecutive chain events need STRICTLY increasing
+  *    timestamps (ties never chain).
+  *  - strict_order: consecutive chain events must be ADJACENT in the
+  *    user's (us, i)-ordered event sequence — any other event between
+  *    two levels resets the chain (the max level ever reached is kept;
+  *    CH instead aborts the whole scan at the first interleaved event —
+  *    reset is the declarative formulation, see DIVERGENCES).
+  *  - strict_dedup: an event repeating an already-achieved condition
+  *    aborts the scan at the level reached (CH's documented A→B→B→C = 2).
+  *
+  * Why a native `Expression` and not the previous HOF `aggregate` fold:
+  * the strict modes need per-timestamp state freezing (strict_increase)
+  * and scan aborts (strict_dedup) that turn the fold's state struct into
+  * a 6-field tangle, while a plain Scala loop states each mode in one
+  * line — and higher-order functions are interpreted per element anyway,
+  * so the loop is also faster. `CodegenFallback` is deliberate: this
+  * evaluates once per USER (post-aggregation row), not once per event,
+  * so it sits off the hot per-event path.
+  */
+case class FunnelLevel(
+    child: Expression, numSteps: Int, windowMicros: Long,
+    strictOrder: Boolean, strictIncrease: Boolean, strictDedup: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _)
+        if st.length == 2 && st(0).dataType == LongType &&
+          st(1).dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"funnel_level expects array<struct<us: long, i: int>>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (strictOrder) evalStrictOrder(arr, m) else evalDp(arr, m)
+  }
+
+  /** Under adjacency there is at most ONE live chain at any moment (every
+    * event either extends it, restarts it, or kills it), so the state is
+    * (level, start, last) plus the running max. */
+  private def evalStrictOrder(arr: ArrayData, m: Int): Long = {
+    var cur = 0
+    var start = 0L
+    var last = 0L
+    var maxL = 0
+    var k = 0
+    var dead = false
+    while (k < m && !dead && maxL < numSteps) {
+      val e = arr.getStruct(k, 2)
+      val us = e.getLong(0)
+      val i = e.getInt(1)
+      if (i == 0) { cur = 1; start = us; last = us }
+      else if (i < numSteps && i == cur && cur >= 1 &&
+          us - start <= windowMicros && (!strictIncrease || us > last)) {
+        cur += 1; last = us
+      } else if (strictDedup && i >= 1 && i < numSteps && i < cur) {
+        dead = true
+      } else cur = 0
+      if (cur > maxL) maxL = cur
+      k += 1
+    }
+    maxL.toLong
+  }
+
+  /** DP state = for each level, the LATEST chain start achieving it (a
+    * later start strictly dominates for window-based extension — the
+    * completeness argument in [[graft.operators.Funnel]]'s scaladoc).
+    * strict_increase reads level l−1 through a copy FROZEN at the last
+    * timestamp change, so same-ts advancement is structurally impossible
+    * while the latest-start domination stays exact (all chains usable at
+    * time t ended strictly before t). */
+  private def evalDp(arr: ArrayData, m: Int): Long = {
+    val st = new Array[Long](numSteps)
+    val fl = new Array[Boolean](numSteps)
+    val fst = if (strictIncrease) new Array[Long](numSteps) else st
+    val ffl = if (strictIncrease) new Array[Boolean](numSteps) else fl
+    var pts = Long.MinValue
+    var havePts = false
+    var dead = false
+    var k = 0
+    while (k < m && !dead) {
+      val e = arr.getStruct(k, 2)
+      val us = e.getLong(0)
+      val i = e.getInt(1)
+      if (i < numSteps) {
+        if (strictIncrease && (!havePts || us != pts)) {
+          System.arraycopy(st, 0, fst, 0, numSteps)
+          System.arraycopy(fl, 0, ffl, 0, numSteps)
+          pts = us
+          havePts = true
+        }
+        if (i == 0) {
+          if (!fl(0) || us > st(0)) { st(0) = us; fl(0) = true }
+        } else if (strictDedup && fl(i)) {
+          dead = true
+        } else if (ffl(i - 1) && us - fst(i - 1) <= windowMicros &&
+            (!fl(i) || fst(i - 1) > st(i))) {
+          st(i) = fst(i - 1)
+          fl(i) = true
+        }
+      }
+      k += 1
+    }
+    // flags are monotone (level l requires level l−1 at a no-later event)
+    var lvl = 0
+    while (lvl < numSteps && fl(lvl)) lvl += 1
+    lvl.toLong
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FunnelLevel =
+    copy(child = newChild)
+}

@@ -259,6 +259,28 @@ object CorpusQueries {
         windowSecs = 172800L)
       .orderBy(col("user_id"))
 
+  /** windowFunnel under `strict_order`: any event between two levels
+    * resets the chain. The oracle encodes adjacency declaratively: chain
+    * events must have NO event of the user strictly between them in the
+    * (ts, stepIdx) total order — linearized as k = us·4 + i so "between"
+    * is one BIGINT comparison. */
+  def qWindowFunnelStrict(spark: SparkSession, dir: String): DataFrame =
+    Funnel.windowFunnel(Tables.load(spark, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSecs = 86400L,
+        modes = Set("strict_order"))
+      .orderBy(col("user_id"))
+
+  /** windowFunnel under `strict_increase`: ties never chain. Oracle =
+    * the progressive-frontier CTE of q_window_funnel5 with `>` in place
+    * of `>=` on the last-event bound. */
+  def qWindowFunnelIncr(spark: SparkSession, dir: String): DataFrame =
+    Funnel.windowFunnel(Tables.load(spark, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSecs = 86400L,
+        modes = Set("strict_increase"))
+      .orderBy(col("user_id"))
+
   /** CH retention over events: anchor = a view in the first week of the
     * data; retained = click / purchase by the same user (CH semantics:
     * no ordering constraint beyond both-matched). */
@@ -276,6 +298,8 @@ object CorpusQueries {
     "e_kmeans" -> (eKmeans _),
     "q_window_funnel" -> (qWindowFunnel _),
     "q_window_funnel5" -> (qWindowFunnel5 _),
+    "q_window_funnel_strict" -> (qWindowFunnelStrict _),
+    "q_window_funnel_incr" -> (qWindowFunnelIncr _),
     "q_retention" -> (qRetention _),
     "d_quality_filter" -> (dQualityFilter _),
     "d_dup_clusters" -> (dDupClusters _),
@@ -332,6 +356,64 @@ object CorpusQueries {
         |LEFT JOIN l1 ON l1.user_id = u.user_id
         |LEFT JOIN l2 ON l2.user_id = u.user_id
         |LEFT JOIN l3 ON l3.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin,
+    "q_window_funnel_strict" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+        |      WHEN 'purchase' THEN 2 ELSE 3 END AS i
+        |  FROM events),
+        |ek AS (SELECT user_id, us, i, us * 4 + i AS k FROM e),
+        |l1 AS (SELECT DISTINCT user_id FROM ek WHERE i = 0),
+        |c2 AS (SELECT v.user_id, v.us AS t1, c.k AS lk
+        |  FROM ek v JOIN ek c ON c.user_id = v.user_id
+        |  WHERE v.i = 0 AND c.i = 1 AND c.k > v.k
+        |    AND c.us - v.us <= 86400000000
+        |    AND NOT EXISTS (SELECT 1 FROM ek x
+        |      WHERE x.user_id = v.user_id AND x.k > v.k AND x.k < c.k)),
+        |l2 AS (SELECT DISTINCT user_id FROM c2),
+        |c3 AS (SELECT c.user_id
+        |  FROM c2 c JOIN ek p ON p.user_id = c.user_id
+        |  WHERE p.i = 2 AND p.k > c.lk
+        |    AND p.us - c.t1 <= 86400000000
+        |    AND NOT EXISTS (SELECT 1 FROM ek x
+        |      WHERE x.user_id = c.user_id AND x.k > c.lk AND x.k < p.k)),
+        |l3 AS (SELECT DISTINCT user_id FROM c3)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+        |       WHEN l2.user_id IS NOT NULL THEN 2
+        |       WHEN l1.user_id IS NOT NULL THEN 1
+        |       ELSE 0 END AS BIGINT) AS funnel_level
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN l1 ON l1.user_id = u.user_id
+        |LEFT JOIN l2 ON l2.user_id = u.user_id
+        |LEFT JOIN l3 ON l3.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin,
+    "q_window_funnel_incr" ->
+      """WITH e AS (SELECT user_id, event_type AS t,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |c1 AS (SELECT DISTINCT user_id, us AS t1, us AS lst
+        |  FROM e WHERE t = 'view'),
+        |c2 AS (SELECT DISTINCT c.user_id, c.t1, e.us AS lst
+        |  FROM c1 c JOIN e ON e.user_id = c.user_id
+        |  WHERE e.t = 'click' AND e.us > c.lst
+        |    AND e.us - c.t1 <= 86400000000),
+        |c3 AS (SELECT DISTINCT c.user_id
+        |  FROM c2 c JOIN e ON e.user_id = c.user_id
+        |  WHERE e.t = 'purchase' AND e.us > c.lst
+        |    AND e.us - c.t1 <= 86400000000)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+        |       WHEN l2.user_id IS NOT NULL THEN 2
+        |       WHEN l1.user_id IS NOT NULL THEN 1
+        |       ELSE 0 END AS BIGINT) AS funnel_level
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN (SELECT DISTINCT user_id FROM c1) l1
+        |  ON l1.user_id = u.user_id
+        |LEFT JOIN (SELECT DISTINCT user_id FROM c2) l2
+        |  ON l2.user_id = u.user_id
+        |LEFT JOIN c3 l3 ON l3.user_id = u.user_id
         |ORDER BY u.user_id""".stripMargin,
     "q_window_funnel5" ->
       """WITH e AS (SELECT user_id, event_type AS t,

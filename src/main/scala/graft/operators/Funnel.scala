@@ -2,89 +2,79 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** ClickHouse `windowFunnel` analogue (the canonical CH funnel-analysis
   * aggregate, reachable in the reference through raw SQL): per user, the
   * length of the longest prefix of `steps` occurring with non-decreasing
   * timestamps (ties chain in step order) with the whole chain inside
-  * `windowSecs` of its step-1 event.
+  * `windowSecs` of its step-1 event. Supports CH's mode flags
+  * `strict_order` / `strict_increase` / `strict_dedup`.
   *
   * Algorithm: per-user DP over events sorted by (ts, step index),
-  * computed ROW-LOCALLY by an `aggregate` fold. State = for each level,
+  * evaluated ROW-LOCALLY by the native
+  * [[graft.functions.FunnelLevel]] expression. State = for each level,
   * the LATEST step-1 timestamp achieving it. That single value is a
   * complete state: the chain-order condition is implied by the sorted
-  * fold (every event processed after the one that recorded the previous
+  * scan (every event processed after the one that recorded the previous
   * level), so only `ts − start ≤ window` remains — and there a later
   * start strictly dominates. One pass finds the max level over ALL
-  * candidate chains exactly.
+  * candidate chains exactly. (Unset slots carry explicit flags, not a
+  * timestamp sentinel, so pre-epoch timestamps fold correctly.) Mode
+  * deltas — per-ts state freezing for strict_increase, single-live-chain
+  * adjacency for strict_order, scan abort for strict_dedup — are
+  * documented on the expression.
   *
   * Scale shape: filter to funnel steps → one groupBy(user) collecting
-  * (ts, stepIdx) pairs → fold; per-user state bounded by that user's
-  * step events (the same per-key bound sessionization carries). No
-  * self-join, nothing quadratic. The DuckDB oracle deliberately uses the
-  * OPPOSITE formulation — brute-force EXISTS chains via k-way self-joins
-  * — two independent algorithms, one hash.
+  * (ts, stepIdx) pairs → per-group scan; per-user state bounded by that
+  * user's step events (the same per-key bound sessionization carries).
+  * No self-join, nothing quadratic. The DuckDB oracles deliberately use
+  * the OPPOSITE formulation — brute-force EXISTS chains via k-way
+  * self-joins — two independent algorithms, one hash.
   */
 object Funnel {
+
+  val Modes: Set[String] = Set("strict_order", "strict_increase", "strict_dedup")
 
   /** Per-user funnel level ∈ [0, steps.length]; one row per distinct
     * user in `events` (users with no step events report level 0).
     * N steps, 1 ≤ N ≤ 32 (CH's cap). Step conditions are event-type
-    * equality and assumed disjoint (one event advances one level). */
+    * equality and assumed disjoint (one event advances one level).
+    * `modes` ⊆ [[Modes]]; under `strict_order` NON-step events are kept
+    * (they interrupt chains, ordered after step events at the same ts)
+    * and exact duplicate events collapse to one (an event cannot
+    * interrupt its own copy). */
   def windowFunnel(
       events: DataFrame, userCol: String, tsCol: String, typeCol: String,
-      steps: Seq[String], windowSecs: Long): DataFrame = {
+      steps: Seq[String], windowSecs: Long,
+      modes: Set[String] = Set.empty): DataFrame = {
     val n = steps.length
     require(n >= 1 && n <= 32, s"windowFunnel: 1..32 steps, got $n")
+    val bad = modes.diff(Modes)
+    require(bad.isEmpty, s"windowFunnel: unknown modes $bad (valid: $Modes)")
+    val strictOrder = modes.contains("strict_order")
     val w = windowSecs * 1000000L
     val idx = steps.zipWithIndex
       .map { case (s, i) => (when(col(typeCol) === s, i): Column) }
       .reduce((a, b) => coalesce(a, b))
-    val evs = events
-      .where(col(typeCol).isin(steps: _*))
-      .select(col(userCol).as("user_id"),
-        struct(unix_micros(col(tsCol)).as("us"), idx.as("i")).as("e"))
-    val byUser = evs.groupBy(col("user_id"))
+    val base =
+      if (strictOrder)
+        events.select(col(userCol).as("user_id"),
+          struct(unix_micros(col(tsCol)).as("us"),
+            coalesce(idx, lit(n)).cast("int").as("i")).as("e"))
+          .distinct()
+      else
+        events.where(col(typeCol).isin(steps: _*))
+          .select(col(userCol).as("user_id"),
+            struct(unix_micros(col(tsCol)).as("us"),
+              idx.cast("int").as("i")).as("e"))
+    val byUser = base.groupBy(col("user_id"))
       .agg(array_sort(collect_list(col("e"))).as("evs"))
-    // DP state = two N-arrays: st(l) = the step-1 start of the best chain
-    // achieving level l, fl(l) = level achieved. Explicit "set" flags
-    // instead of a timestamp sentinel: a -1L (or Long.MinValue) sentinel
-    // conflates with — or overflows on — real pre-epoch timestamps; with
-    // flags the unset slots stay 0L, so `us - st` arithmetic is always in
-    // range under ANSI mode and pre-1970 events fold correctly.
-    val init = struct(
-      typedlit(Seq.fill(n)(0L)).as("st"),
-      typedlit(Seq.fill(n)(false)).as("fl"))
-    // all element_at indices below are 1-BASED: for 0-based level l,
-    // element_at(arr, l) is level l-1's slot and element_at(arr, l+1) its
-    // own. The l>0 branch is never evaluated at l=0 (CaseWhen branches are
-    // lazy), so the would-be element_at(_, 0) ANSI error can't fire.
-    val folded = aggregate(
-      col("evs"), init,
-      (acc, e) => {
-        val us = e.getField("us")
-        val i = e.getField("i")
-        val st = acc.getField("st")
-        val fl = acc.getField("fl")
-        def advAt(l: Column): Column =
-          when(l === 0,
-            i === 0 && (!element_at(fl, lit(1)) || us > element_at(st, lit(1))))
-          .otherwise(
-            i === l && element_at(fl, l) &&
-              us - element_at(st, l) <= w &&
-              (!element_at(fl, l + 1) ||
-                element_at(st, l) > element_at(st, l + 1)))
-        val lvls = sequence(lit(0), lit(n - 1))
-        struct(
-          transform(lvls, l =>
-            when(advAt(l), when(l === 0, us).otherwise(element_at(st, l)))
-              .otherwise(element_at(st, l + 1))).as("st"),
-          transform(lvls, l =>
-            element_at(fl, l + 1) || advAt(l)).as("fl"))
-      },
-      // flags are monotone (level l requires level l-1), so the achieved
-      // level is simply the set-flag count
-      acc => size(filter(acc.getField("fl"), f => f)).cast("long"))
+    val folded = Bridge.column(graft.functions.FunnelLevel(
+      Bridge.expression(col("evs")), n, w,
+      strictOrder = strictOrder,
+      strictIncrease = modes.contains("strict_increase"),
+      strictDedup = modes.contains("strict_dedup")))
     events.select(col(userCol).as("user_id")).distinct()
       .join(byUser.select(col("user_id"), folded.as("lvl")),
         Seq("user_id"), "left")

@@ -252,6 +252,67 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("windowFunnel strict modes: order resets, increase unties, dedup aborts") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(s: Long) = new Timestamp(base + s * 1000L)
+    val steps = Seq("view", "click", "purchase")
+    def run(rows: Seq[(Long, Long, Timestamp, String)], modes: Set[String]) =
+      operators.Funnel.windowFunnel(
+        rows.map { case (e, u, t, ty) => (e, u, t, ty, 0.0, "{}") }
+          .toDF("event_id", "user_id", "ts", "event_type", "value", "props"),
+        "user_id", "ts", "event_type", steps, windowSecs = 100L, modes = modes)
+        .orderBy("user_id").as[(Long, Long)].collect().toMap
+
+    // strict_order: CH's doc example view→click→OTHER→purchase stops at 2
+    // (user 1); an uninterrupted later chain still counts in full — reset,
+    // not abort (user 2); an out-of-order STEP event also interrupts
+    // (user 3)
+    val so = run(Seq(
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(10), "click"),
+      (3L, 1L, ts(20), "error"), (4L, 1L, ts(30), "purchase"),
+      (5L, 2L, ts(0), "view"), (6L, 2L, ts(5), "error"),
+      (7L, 2L, ts(10), "view"), (8L, 2L, ts(20), "click"),
+      (9L, 2L, ts(30), "purchase"),
+      (10L, 3L, ts(0), "view"), (11L, 3L, ts(10), "purchase"),
+      (12L, 3L, ts(20), "click")), Set("strict_order"))
+    assert(so == Map(1L -> 2L, 2L -> 3L, 3L -> 1L))
+
+    // default chains equal timestamps in step order; strict_increase
+    // refuses the tie (user 1) but still finds the best strictly
+    // increasing chain across restarts (user 2: the @0 view chains where
+    // the @10 view's tie with click cannot)
+    val tie = Seq(
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(0), "click"),
+      (3L, 1L, ts(5), "purchase"),
+      (4L, 2L, ts(0), "view"), (5L, 2L, ts(10), "view"),
+      (6L, 2L, ts(10), "click"), (7L, 2L, ts(20), "purchase"))
+    assert(run(tie, Set.empty) == Map(1L -> 3L, 2L -> 3L))
+    assert(run(tie, Set("strict_increase")) == Map(1L -> 1L, 2L -> 3L))
+
+    // strict_dedup: CH's documented A→B→B→C = 2 (user 1); repeating the
+    // FIRST step never aborts (CH's event_idx==0 exemption; user 2 → 3)
+    val dd = run(Seq(
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(10), "click"),
+      (3L, 1L, ts(20), "click"), (4L, 1L, ts(30), "purchase"),
+      (5L, 2L, ts(0), "view"), (6L, 2L, ts(10), "click"),
+      (7L, 2L, ts(20), "view"), (8L, 2L, ts(30), "purchase")),
+      Set("strict_dedup"))
+    assert(dd == Map(1L -> 2L, 2L -> 3L))
+
+    // combined strict_order + strict_increase: adjacency alone would
+    // chain the same-ts pair; the increase flag kills it
+    val both = run(Seq(
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(0), "click"),
+      (3L, 1L, ts(5), "purchase")),
+      Set("strict_order", "strict_increase"))
+    assert(both == Map(1L -> 1L))
+
+    intercept[IllegalArgumentException] {
+      run(Seq((1L, 1L, ts(0), "view")), Set("strict_nope"))
+    }
+  }
+
   test("duplicatePassages: shared span counted positionally, unique doc zero") {
     // doc 1 and 2 share the 5-word passage "the cat sat on mats" (two
     // 4-gram positions); doc 3 is unique; doc 4 is too short for 4-grams
