@@ -127,6 +127,107 @@ object Multimodal {
     }(enc)
   }
 
+  /** The deterministic PCM sample formula the [[synthWav]] fixtures are
+    * built from — and that an independent oracle recomputes without
+    * touching a codec: sample k of media `id` is
+    * ((k·7919 + id·104729) mod 65536) − 32768 (two primes walk the full
+    * signed-16-bit range; all-integer, so sums are exact in any engine). */
+  def synthSample(id: Long, k: Long): Int =
+    (((k * 7919L + id * 104729L) % 65536L) - 32768L).toInt
+
+  /** Deterministic WAV fixture generator: input (media_id, n_samples) →
+    * adds a REAL `audio/wav`-encoded `payload` (JDK `javax.sound.sampled`
+    * encoder, PCM_SIGNED 16-bit little-endian mono) whose samples follow
+    * [[synthSample]]. Distributed — each partition encodes its own rows. */
+  def synthWav(media: DataFrame, sampleRate: Int = 16000): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+
+      StructField("payload", BinaryType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val nIdx = media.schema.fieldIndex("n_samples")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val n = r.getInt(nIdx)
+        val pcm = new Array[Byte](n * 2)
+        var k = 0
+        while (k < n) {
+          val s = synthSample(id, k)
+          pcm(2 * k) = (s & 0xff).toByte
+          pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+          k += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sampleRate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode kernel (JDK `javax.sound.sampled` — WAV/PCM, no
+    * external jars, mirroring [[decodeImageStats]] for images): per
+    * payload, opens the container, reports the format header (sample
+    * rate, channels, bits), counts frames, derives the duration, and
+    * computes amplitude statistics — mean |sample| as an exact integer
+    * sum with ONE final IEEE division (bit-equal with any engine summing
+    * the same integers; deliberately NOT an RMS, whose sqrt is libm and
+    * not cross-engine-exact) and the peak |sample|.
+    *
+    * Scale shape: partition-at-a-time `mapPartitions`; payload consumed
+    * inside the kernel, only O(1) stats per media row shuffle. Video
+    * remains the one declared stand-in (no codec in the JDK). */
+  def decodeAudioStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("bits", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("mean_abs", DoubleType, nullable = false),
+      StructField("peak", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val pIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](pIdx)))
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16,
+          s"media_id=$id: expected 16-bit signed PCM, got $fmt")
+        val data = ais.readAllBytes()
+        val ch = fmt.getChannels
+        val nSamples = data.length / 2
+        var sumAbs = 0L
+        var peak = 0
+        var i = 0
+        while (i + 1 < data.length) {
+          val v =
+            if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+            else (((data(i + 1) << 8)) | (data(i) & 0xff)).toShort
+          val a = math.abs(v.toInt)
+          sumAbs += a
+          if (a > peak) peak = a
+          i += 2
+        }
+        val frames = nSamples / ch
+        org.apache.spark.sql.Row(id, fmt.getSampleRate.toInt, ch,
+          fmt.getSampleSizeInBits, nSamples.toLong,
+          frames * 1000L / fmt.getSampleRate.toLong,
+          sumAbs.toDouble / nSamples, peak)
+      }
+    }(enc)
+  }
+
   /** REAL image decode + pixel-stat + resize kernel (JDK `javax.imageio`
     * — PNG and JPEG, no external jars): per payload, decodes the image,
     * reports (width, height, channels), exact per-channel pixel means

@@ -71,10 +71,39 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** REAL audio decode, end to end: per document a WAV is synthesized
+    * (sample count and amplitudes are closed-form functions of doc_id —
+    * [[Multimodal.synthSample]]), encoded by the JDK `javax.sound.sampled`
+    * WAV writer, then decoded by [[Multimodal.decodeAudioStats]] which
+    * reports the header fields, frame-derived duration, exact
+    * integer-sum mean |amplitude| and peak. WAV PCM is lossless, so the
+    * DuckDB oracle recomputes identical stats from the sample formula
+    * alone — codec-free verification of the codec path. */
+  def mAudio(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.load(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      (lit(800) + (col("doc_id") % 5) * 160).cast("int").as("n_samples"))
+    Multimodal.decodeAudioStats(Multimodal.synthWav(dims))
+      .select(col("media_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("bits").cast("long").as("bits"),
+        col("n_samples"),
+        col("duration_ms"),
+        // deliberately UNrounded: the value is an exact integer sum over
+        // one IEEE division — bit-equal across engines — while rounding
+        // would land on decimal midpoints (sum/800 terminates at 7 dp)
+        // where Spark's HALF_UP and DuckDB's round disagree
+        col("mean_abs"),
+        col("peak").cast("long").as("peak"))
+      .orderBy(col("media_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "m_frames" -> (mFrames _),
     "m_meta" -> (mMeta _),
-    "m_features" -> (mFeatures _))
+    "m_features" -> (mFeatures _),
+    "m_audio" -> (mAudio _))
 
   def oracles: Map[String, String] = Map(
     "m_frames" ->
@@ -103,5 +132,22 @@ object MultimodalQueries {
         |  round(avg((y * 11 + 2 * doc_id) % 256), 6) AS mean_g,
         |  round(avg((x + y + 3 * doc_id) % 256), 6) AS mean_b,
         |  CAST(8 AS BIGINT) AS resized_w, CAST(6 AS BIGINT) AS resized_h
-        |FROM pxy GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin)
+        |FROM pxy GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
+    // recomputes the decoded amplitude stats from the synthSample formula
+    // — WAV PCM is lossless and all sums are exact integers with ONE
+    // final IEEE division (bit-equal doubles across engines)
+    "m_audio" ->
+      """WITH dims AS (SELECT doc_id,
+        |    800 + (doc_id % 5) * 160 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS k FROM dims)
+        |SELECT doc_id AS media_id,
+        |  CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST((n * 1000) // 16000 AS BIGINT) AS duration_ms,
+        |  CAST(sum(abs(((k * 7919 + doc_id * 104729) % 65536)
+        |    - 32768)) AS DOUBLE) / n AS mean_abs,
+        |  CAST(max(abs(((k * 7919 + doc_id * 104729) % 65536) - 32768))
+        |    AS BIGINT) AS peak
+        |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin)
 }

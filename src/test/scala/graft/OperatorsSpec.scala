@@ -350,4 +350,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(err.getMessage != null)
   }
+
+  test("audio decode: real WAV round trip matches the sample formula") {
+    val dims = Seq((3L, 800), (9L, 1120)).toDF("media_id", "n_samples")
+    val stats = Multimodal.decodeAudioStats(Multimodal.synthWav(dims))
+      .orderBy("media_id").collect()
+    for ((row, (id, n)) <- stats.zip(Seq((3L, 800), (9L, 1120)))) {
+      assert(row.getAs[Int]("sample_rate") == 16000)
+      assert(row.getAs[Int]("channels") == 1)
+      assert(row.getAs[Int]("bits") == 16)
+      assert(row.getAs[Long]("n_samples") == n.toLong)
+      assert(row.getAs[Long]("duration_ms") == n * 1000L / 16000L)
+      // recompute straight from the formula — WAV PCM is lossless, so the
+      // decoded samples must reproduce the stats exactly
+      val samples = (0 until n).map(k => Multimodal.synthSample(id, k))
+      assert(row.getAs[Double]("mean_abs") ==
+        samples.map(s => math.abs(s).toLong).sum.toDouble / n)
+      assert(row.getAs[Int]("peak") == samples.map(math.abs).max)
+    }
+    // garbage bytes refuse loudly (no silent nulls in a decode kernel)
+    val garbage = Seq((2L, Array.tabulate(64)(_.toByte)))
+      .toDF("media_id", "payload")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudioStats(garbage).collect()
+    }
+  }
 }
