@@ -274,16 +274,26 @@ object Corpus {
       n: Int = 4, minDocs: Int = 2): DataFrame = {
     // The shingle build (normalize + split + posexplode + lead over a
     // per-doc sort) is the operator's heaviest subtree and feeds TWO
-    // consumers. Instead of persisting it (Dataset.persist registers in
-    // CacheManager, which holds the cache until an explicit unpersist —
-    // a session-lifetime leak from an operator that returns a lazy frame),
-    // fold positions into a per-(shingle, doc) count FIRST: both consumers
-    // then read the SAME aggregate exchange — identical schema, identical
-    // hash(sh_h, id) partitioning — so ReuseExchange serves them from one
-    // materialization of the heavy subtree (explain-verified: one scan,
-    // one window, one partial aggregate; shuffle files, not cache blocks,
-    // so executor loss recovers via lineage at cluster scale).
-    val perDocSh = positionedShingles(docs, idCol, textCol, n)
+    // consumers. `localCheckpoint(eager)` materializes it ONCE into block
+    // storage; unlike `persist`, the blocks are reclaimed by Spark's
+    // ContextCleaner when the frame is GC'd (persist registers in
+    // CacheManager, which holds a strong reference until an explicit
+    // unpersist — a session-lifetime leak from an operator that returns a
+    // lazy frame, the r6-advisor finding this replaces). Measured
+    // alternatives at 10× stress: persist 6.6 s (leaks); an explicit
+    // repartition(sh_h, id) exchange shared via ReuseExchange 8.6 s
+    // (lineage-recoverable but pays a full shuffle write+read; also the
+    // ONLY reuse shape that works — aggregates above a multi-consumer
+    // frame are never byte-identical: ColumnPruning drops unreferenced
+    // agg functions per consumer and Catalyst collapses count-over-groups
+    // into a distinct with a different exchange key, both observed in
+    // explain); localCheckpoint 7.6 s. Trade accepted: checkpoint blocks
+    // don't survive executor loss (the query retries), the same trade
+    // connectedComponents already makes per iteration.
+    val shPos = positionedShingles(docs, idCol, textCol, n)
+      .select(col("id"), col("sh_h"))
+      .localCheckpoint(true)
+    val perDocSh = shPos
       .groupBy(col("sh_h"), col("id")).agg(count(lit(1)).as("n_pos_sh"))
     val dupSh = perDocSh
       .groupBy(col("sh_h")).agg(count(lit(1)).as("n_docs"))

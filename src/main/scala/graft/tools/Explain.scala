@@ -29,6 +29,14 @@ object Explain {
           PlanLint.report(n, df).foreach(w => println(s"LINT: $w"))
           println(df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
+          // AQE materializes exchange/stage reuse only at RUNTIME — the
+          // pre-execution plan never shows ReusedExchange. EXPLAIN_EXEC=1
+          // executes the query and prints the final adaptive plan.
+          if (sys.env.get("EXPLAIN_EXEC").contains("1")) {
+            df.collect()
+            println(s"---------- $n (final adaptive plan) ----------")
+            println(df.queryExecution.executedPlan.toString)
+          }
         }
         catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
       }
