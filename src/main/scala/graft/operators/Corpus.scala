@@ -313,6 +313,103 @@ object Corpus {
         round(col("n_dup_positions").cast("double") / col("n_positions"), 4))
   }
 
+  /** End-to-end corpus-cleaning pipeline — the composite a pretraining
+    * data pipeline actually runs, chaining the individually-oracled gates
+    * into ONE cascaded plan (ref: moose users compose these as sequential
+    * CH materialized views; here the whole cascade is one Catalyst plan):
+    *
+    *   1. structural Gopher gate (word count, mean word length, symbol
+    *      ratio, alpha ratio — the subset whose signals are live on any
+    *      corpus; the stop-word and line rules are corpus-degenerate
+    *      here and stay in [[TextQueries.dGopherQuality]]),
+    *   2. exact-dedup canonicalization among gate-1 survivors (min
+    *      doc_id per md5 digest — cascade semantics: a duplicate whose
+    *      lowest-id copy failed gate 1 is canonicalized to the lowest
+    *      SURVIVING copy),
+    *   3. unigram-typicality gate (corpus-trained [[unigramScore]]
+    *      signal, absolute threshold on the 8-dp-rounded mean token
+    *      probability — vocab is trained on the FULL corpus, as CCNet
+    *      trains its LM independently of the filter cascade),
+    *   4. per-language quality-median gate ([[CorpusQueries.dQualityFilter]]'s
+    *      nearest-rank median, computed over the gate-1..3 SURVIVORS —
+    *      thresholds adapt to the surviving pool, the C4 shape),
+    *   5. deterministic [[splitAssign]] for kept docs (null for drops).
+    *
+    * Scale shape: the documents table is scanned ONCE — the per-doc
+    * signal frame is localCheckpoint'd (eager; reclaimed by the
+    * ContextCleaner, no CacheManager pin — see duplicatePassages) and
+    * every downstream gate consumes the materialized base. The only
+    * corpus-scale shuffles are the unigram explode→groupBy(w) (vocab is
+    * Heaps-sublinear, broadcast back) and the digest canonicalization
+    * groupBy (32-byte digests, never text). The quality-median frame is
+    * bounded by langs × 10⁴ distinct 4-dp scores; thresholds broadcast.
+    * On a multi-executor cluster swap localCheckpoint for a reliable
+    * checkpoint (or accept lineage recompute on executor loss) — the
+    * plan shape is unchanged.
+    *
+    * Returns one row per input document: all gate flags, the composite
+    * `keep`, and the split assignment (null unless kept). */
+  def cleanPipeline(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, typicalMin: Double = 0.0333): DataFrame = {
+    import TextAnalysis._
+    val t = col(textCol)
+    val base = docs.select(
+        col(idCol).as("doc_id"), col(langCol).as("lang"),
+        wordCount(t).as("n_words"),
+        meanWordLen(t).as("mwl"),
+        symbolWordRatio(t).as("symr"),
+        alphaWordRatio(t).as("alphar"),
+        qualityScore(t).as("q"),
+        md5(t).as("digest"),
+        split(normalized(t), " ").as("toks"))
+      .localCheckpoint(true) // ONE scan of `docs` feeds every gate below
+    val gated = base.withColumn("gopher_ok",
+      col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("mwl") >= 3 && col("mwl") <= 10 &&
+        col("symr") < 0.1 && col("alphar") >= 0.8)
+    val canon = gated.where(col("gopher_ok"))
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("canon_id"))
+    val toks = base.select(col("doc_id"), explode(col("toks")).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // T rides the vocab shuffle (AQE stage reuse — see unigramScore)
+    val total = vocab.agg(sum(col("c")).as("t_tokens"))
+    val uni = toks.join(broadcast(vocab), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("sum_freq"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(col("sum_freq") * lit(1.0) /
+          (col("n_tokens") * col("t_tokens")), 8).as("mean_tok_prob"))
+    val flags = gated
+      .join(canon, Seq("digest"), "left")
+      .join(uni, Seq("doc_id")) // inner: every doc tokenizes to ≥1 token
+      .withColumn("canonical",
+        col("gopher_ok") && col("doc_id") === col("canon_id"))
+      .withColumn("typical_ok", col("mean_tok_prob") >= typicalMin)
+    val surv = flags.where(
+      col("gopher_ok") && col("canonical") && col("typical_ok"))
+    // nearest-rank per-lang median over the survivor pool — the
+    // (lang, q)-frequency shape of dQualityFilter: windows only ever see
+    // langs × distinct-4dp-scores rows, never doc-scaled partitions
+    val freq = surv.groupBy(col("lang"), col("q")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang"))
+    val thresholds = freq
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .where(col("cum") >= ceil(col("n") * lit(0.5)))
+      .groupBy(col("lang")).agg(min(col("q")).as("q_med"))
+    flags.join(broadcast(thresholds), Seq("lang"), "left")
+      .withColumn("q_ok", coalesce(col("q") >= col("q_med"), lit(false)))
+      .withColumn("keep", col("gopher_ok") && col("canonical") &&
+        col("typical_ok") && col("q_ok"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("q"),
+        col("mean_tok_prob"), col("gopher_ok"), col("canonical"),
+        col("typical_ok"), col("q_ok"), col("keep"),
+        when(col("keep"), splitAssign(col("doc_id"))).as("split"))
+  }
+
   /** Benchmark-contamination check: for each document of the eval set,
     * how many train documents share at least one word n-gram, and how
     * heavy the worst overlap is. The industry-standard pre-training leak

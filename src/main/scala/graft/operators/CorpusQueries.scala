@@ -237,6 +237,15 @@ object CorpusQueries {
       .orderBy(col("lang"))
   }
 
+  /** End-to-end corpus-cleaning composite — the cascaded gate chain a
+    * real pretraining pipeline runs as ONE plan; see
+    * [[Corpus.cleanPipeline]] for stage semantics and the single-scan /
+    * shuffle-shape discussion. The oracle recomputes every cascade stage
+    * independently in DuckDB CTEs. */
+  def dCleanPipeline(spark: SparkSession, dir: String): DataFrame =
+    Corpus.cleanPipeline(docs(spark, dir), "doc_id", "text", "lang")
+      .orderBy(col("doc_id"))
+
   /** CH windowFunnel over the events table: view → click → purchase
     * within 1 day, per user. See [[Funnel.windowFunnel]] for the DP; the
     * oracle recomputes levels by brute-force EXISTS chain joins. */
@@ -311,6 +320,7 @@ object CorpusQueries {
     "d_corpus_stats" -> (dCorpusStats _),
     "d_sample_stratified" -> (dSampleStratified _),
     "d_pack_bins" -> (dPackBins _),
+    "d_clean_pipeline" -> (dCleanPipeline _),
     "q_sessionize" -> (qSessionize _))
 
   private val normSql =
@@ -645,6 +655,71 @@ object CorpusQueries {
         |  count(*) AS n_docs,
         |  CAST(sum(toks) AS BIGINT) AS n_tokens
         |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    // every cascade stage recomputed independently: metric CTE (gopher
+    // signals + q), canonical min-id among gate-1 survivors, full-corpus
+    // unigram typicality, nearest-rank per-lang median over gate-1..3
+    // survivors (list_sort form — independent of the Spark side's
+    // frequency-cumulative formulation), id-hash split for keeps
+    "d_clean_pipeline" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, lang, md5(text) AS digest,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_words,
+         |    length(regexp_replace(text, '\\s', '', 'g')) * 1.0
+         |      / len(regexp_split_to_array(trim(text), '\\s+')) AS mwl,
+         |    ((length(text) - length(replace(text, '#', '')))
+         |      + (length(text) - length(replace(text, '…', '')))
+         |      + (length(text) - length(replace(text, '...', ''))) // 3) * 1.0
+         |      / len(regexp_split_to_array(trim(text), '\\s+')) AS symr,
+         |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |        w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+         |      / len(regexp_split_to_array(trim(text), '\\s+')) AS alphar,
+         |    round(least(len(regexp_split_to_array(lower(trim(text)),
+         |        '\\s+')) / 100.0, 1.0) * 0.5
+         |      + len(list_filter(regexp_split_to_array(lower(trim(text)),
+         |          '\\s+'), x -> x IN ('the','a','of','and','to','in','is')))
+         |        * 1.0 / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+         |        * 0.5, 4) AS q
+         |  FROM documents),
+         |g AS (SELECT *, (n_words BETWEEN 50 AND 100000
+         |    AND mwl >= 3 AND mwl <= 10 AND symr < 0.1 AND alphar >= 0.8)
+         |    AS gopher_ok FROM m),
+         |canon AS (SELECT digest, min(doc_id) AS canon_id
+         |  FROM g WHERE gopher_ok GROUP BY digest),
+         |toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+         |  FROM documents),
+         |vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+         |tot AS (SELECT sum(c) AS t_tokens FROM vocab),
+         |uni AS (
+         |  SELECT doc_id, round(sum(c) * 1.0
+         |      / (count(*) * any_value(t_tokens)), 8) AS mean_tok_prob
+         |  FROM toks JOIN vocab USING (w) CROSS JOIN tot GROUP BY doc_id),
+         |f AS (
+         |  SELECT g.*, (g.gopher_ok AND g.doc_id = canon.canon_id) IS TRUE
+         |      AS canonical,
+         |    uni.mean_tok_prob, (uni.mean_tok_prob >= 0.0333) AS typical_ok
+         |  FROM g LEFT JOIN canon USING (digest) JOIN uni USING (doc_id)),
+         |t AS (
+         |  SELECT lang, (list_sort(list(q)))[greatest(1,
+         |      CAST(ceil(count(*) * 0.5) AS INT))] AS q_med
+         |  FROM f WHERE gopher_ok AND canonical AND typical_ok
+         |  GROUP BY lang)
+         |SELECT f.doc_id, f.lang, f.n_words, f.q, f.mean_tok_prob,
+         |  f.gopher_ok, f.canonical, f.typical_ok,
+         |  coalesce(f.q >= t.q_med, FALSE) AS q_ok,
+         |  (f.gopher_ok AND f.canonical AND f.typical_ok
+         |    AND coalesce(f.q >= t.q_med, FALSE)) AS keep,
+         |  CASE WHEN f.gopher_ok AND f.canonical AND f.typical_ok
+         |      AND coalesce(f.q >= t.q_med, FALSE)
+         |    THEN (CASE
+         |      WHEN substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 4) < 'cccc'
+         |        THEN 'train'
+         |      WHEN substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 4) < 'e666'
+         |        THEN 'val'
+         |      ELSE 'test' END)
+         |    END AS split
+         |FROM f LEFT JOIN t ON f.lang = t.lang
+         |ORDER BY f.doc_id""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, value,

@@ -363,4 +363,63 @@ class CorpusSpec extends AnyFunSuite {
       (7L, 2L, 1L, 4.0, 0L),
       (8L, 1L, 1L, 8.0, 0L)))
   }
+
+  test("cleanPipeline: cascade gates, duplicate canonicalization, split nulls") {
+    // a Gopher-passing 60-word doc (mwl/alpha/symbol in range)
+    val good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 3
+    val short = "tiny doc"                       // fails gate 1 (n_words)
+    val docs = Seq(
+      (1L, "en", good),          // canonical copy of the duplicate group
+      (2L, "en", good),          // exact duplicate → canonical=false
+      (3L, "en", short),         // gate-1 drop
+      (4L, "en", short),         // duplicate of a NON-surviving doc: its
+                                 // digest group has no gate-1 survivor
+      (5L, "en", good + "omega "), // distinct survivor
+      (6L, "fr", good + "zut alors ") // second language stratum (distinct
+                                 // text: dedup is digest-only, cross-lang)
+    ).toDF("doc_id", "lang", "text")
+    val out = Corpus.cleanPipeline(docs, "doc_id", "text", "lang",
+        typicalMin = 0.0) // typicality gate open: this corpus is tiny
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, col: String) =
+      byId(id).getBoolean(byId(id).fieldIndex(col))
+    assert(out.length == 6)                      // one row per input doc
+    assert(flag(1L, "gopher_ok") && flag(1L, "canonical"))
+    assert(flag(2L, "gopher_ok") && !flag(2L, "canonical")) // dup → min id
+    assert(!flag(3L, "gopher_ok") && !flag(3L, "canonical"))
+    assert(!flag(4L, "gopher_ok") && !flag(4L, "keep"))
+    assert(flag(5L, "canonical") && flag(6L, "canonical"))
+    // keep ⇒ every gate flag; drop ⇒ split is null, keep ⇒ split assigned
+    out.foreach { r =>
+      val keep = r.getBoolean(r.fieldIndex("keep"))
+      if (keep) {
+        Seq("gopher_ok", "canonical", "typical_ok", "q_ok").foreach(c =>
+          assert(r.getBoolean(r.fieldIndex(c)), s"doc ${r.getLong(0)} $c"))
+        assert(Set("train", "val", "test")(r.getString(r.fieldIndex("split"))))
+      } else assert(r.isNullAt(r.fieldIndex("split")))
+    }
+    // per-lang median gate keeps q >= nearest-rank median within survivors
+    assert(out.count(r => r.getBoolean(r.fieldIndex("keep"))) >= 1)
+  }
+
+  test("cleanPipeline: one source scan — downstream plan reads the checkpoint") {
+    // Write a parquet source, run the cascade, and assert the FINAL plan
+    // contains zero parquet scans: every gate consumes the materialized
+    // localCheckpoint, so the docs table is read exactly once (during
+    // checkpoint materialization), not once per gate.
+    val dir = java.nio.file.Files.createTempDirectory("cleanscan").toString
+    val good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 3
+    (1 to 40).map(i => (i.toLong, "en", good + s"tail$i "))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(dir)
+    val out = Corpus.cleanPipeline(
+      spark.read.parquet(dir), "doc_id", "text", "lang", typicalMin = 0.0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan parquet"),
+      s"cascade re-scans the source table:\n$plan")
+    assert(out.count() == 40)
+  }
 }
