@@ -290,6 +290,21 @@ object CorpusQueries {
         modes = Set("strict_increase"))
       .orderBy(col("user_id"))
 
+  /** windowFunnel under `strict_dedup`: an event repeating an
+    * already-achieved condition aborts the scan at the level reached
+    * (CH's documented A→B→B→C = 2). The oracle linearizes the scan by
+    * row_number over (ts, stepIdx), finds the FIRST aborting event (a
+    * click with level 2 already achieved earlier, or a purchase with
+    * level 3 already achieved earlier), and recomputes achievable levels
+    * within the pre-abort prefix by EXISTS chains — the declarative
+    * restatement of the sequential abort. */
+  def qWindowFunnelDedup(spark: SparkSession, dir: String): DataFrame =
+    Funnel.windowFunnel(Tables.load(spark, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSecs = 86400L,
+        modes = Set("strict_dedup"))
+      .orderBy(col("user_id"))
+
   /** CH retention over events: anchor = a view in the first week of the
     * data; retained = click / purchase by the same user (CH semantics:
     * no ordering constraint beyond both-matched). */
@@ -309,6 +324,7 @@ object CorpusQueries {
     "q_window_funnel5" -> (qWindowFunnel5 _),
     "q_window_funnel_strict" -> (qWindowFunnelStrict _),
     "q_window_funnel_incr" -> (qWindowFunnelIncr _),
+    "q_window_funnel_dedup" -> (qWindowFunnelDedup _),
     "q_retention" -> (qRetention _),
     "d_quality_filter" -> (dQualityFilter _),
     "d_dup_clusters" -> (dDupClusters _),
@@ -424,6 +440,59 @@ object CorpusQueries {
         |LEFT JOIN (SELECT DISTINCT user_id FROM c2) l2
         |  ON l2.user_id = u.user_id
         |LEFT JOIN c3 l3 ON l3.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin,
+    // strict_dedup: linearize the scan (row_number over (ts, stepIdx)),
+    // find the FIRST aborting event — a click after level 2 was already
+    // achieved (r2 row earlier in scan order) or a purchase after level 3
+    // was — then recompute achievable levels by EXISTS chains restricted
+    // to the pre-abort prefix. Views (step 1) never abort; the window
+    // binds chain end to chain START (click⋈view bound implied by the
+    // purchase⋈view bound since click sorts between them).
+    "q_window_funnel_dedup" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+        |      ELSE 2 END AS i
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |ek AS (SELECT user_id, us, i,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, i) AS rn
+        |  FROM e),
+        |r2 AS (SELECT c.user_id, c.rn FROM ek c
+        |  WHERE c.i = 1 AND EXISTS (SELECT 1 FROM ek v
+        |    WHERE v.user_id = c.user_id AND v.i = 0 AND v.rn < c.rn
+        |      AND c.us - v.us <= 86400000000)),
+        |r3 AS (SELECT p.user_id, p.rn FROM ek p
+        |  WHERE p.i = 2 AND EXISTS (SELECT 1 FROM ek c JOIN ek v
+        |      ON v.user_id = c.user_id AND v.i = 0 AND v.rn < c.rn
+        |    WHERE c.user_id = p.user_id AND c.i = 1 AND c.rn < p.rn
+        |      AND p.us - v.us <= 86400000000)),
+        |ab AS (SELECT user_id, min(rn) AS ak FROM (
+        |    SELECT d.user_id, d.rn FROM ek d
+        |    WHERE d.i = 1 AND EXISTS (SELECT 1 FROM r2
+        |      WHERE r2.user_id = d.user_id AND r2.rn < d.rn)
+        |    UNION ALL
+        |    SELECT d.user_id, d.rn FROM ek d
+        |    WHERE d.i = 2 AND EXISTS (SELECT 1 FROM r3
+        |      WHERE r3.user_id = d.user_id AND r3.rn < d.rn))
+        |  GROUP BY user_id),
+        |l1 AS (SELECT DISTINCT ek.user_id FROM ek
+        |  LEFT JOIN ab ON ab.user_id = ek.user_id
+        |  WHERE ek.i = 0 AND (ab.ak IS NULL OR ek.rn < ab.ak)),
+        |l2 AS (SELECT DISTINCT r2.user_id FROM r2
+        |  LEFT JOIN ab ON ab.user_id = r2.user_id
+        |  WHERE ab.ak IS NULL OR r2.rn < ab.ak),
+        |l3 AS (SELECT DISTINCT r3.user_id FROM r3
+        |  LEFT JOIN ab ON ab.user_id = r3.user_id
+        |  WHERE ab.ak IS NULL OR r3.rn < ab.ak)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+        |       WHEN l2.user_id IS NOT NULL THEN 2
+        |       WHEN l1.user_id IS NOT NULL THEN 1
+        |       ELSE 0 END AS BIGINT) AS funnel_level
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN l1 ON l1.user_id = u.user_id
+        |LEFT JOIN l2 ON l2.user_id = u.user_id
+        |LEFT JOIN l3 ON l3.user_id = u.user_id
         |ORDER BY u.user_id""".stripMargin,
     "q_window_funnel5" ->
       """WITH e AS (SELECT user_id, event_type AS t,
