@@ -377,6 +377,184 @@ object WireCodecs {
     case (w, rd) => Some(s"unresolvable avro pair $w -> $rd")
   }
 
+  // ------------------------------------------- foreign writer schemas
+  // A FOREIGN producer's .avsc may use Avro types outside [[avscOf]]'s
+  // producer mapping: enum, fixed, map, and unions beyond ["null", T].
+  // These resolve into reader Spark types as: enum → string (the symbol;
+  // out-of-range index ⇒ malformed), fixed(n) → binary (n raw bytes, no
+  // length prefix), map → map<string, V>, union → per-datum branch
+  // resolution (spec §Schema Resolution: a datum whose selected branch
+  // does not match the reader's type "signals an error" — here the
+  // malformed-⇒-NULL DLQ contract; the plan-time check requires at least
+  // one non-null branch to resolve so a never-decodable pair fails fast).
+  // The writer tree is [[graft.sources.AvroContainer]]'s parsed .avsc.
+
+  import graft.sources.{AvroContainer => AC}
+
+  /** Can `writer` (a parsed foreign .avsc node) ever decode into `reader`?
+    * Some(problem) when no datum can. Null-bearing writer nodes (null
+    * type, null-branch unions) are rejected into non-nullable reader
+    * slots at the record/array/map level, mirroring [[checkResolvable]]'s
+    * containsNull rule. */
+  def checkResolvableForeign(
+      writer: AC.AType, reader: DataType,
+      defaults: Map[String, Any]): Option[String] = (writer, reader) match {
+    case (AC.ABool, BooleanType) => None
+    case (AC.AInt, IntegerType | DateType | LongType | TimestampType |
+        FloatType | DoubleType) => None
+    case (AC.ALong, LongType | TimestampType | FloatType | DoubleType) => None
+    case (AC.AFloat, FloatType | DoubleType) => None
+    case (AC.ADouble, DoubleType) => None
+    case (AC.AString, StringType | BinaryType) => None
+    case (AC.ABytes, BinaryType | StringType) => None
+    case (AC.AFixed(_, _), BinaryType) => None
+    case (AC.AEnum(_, symbols), StringType) =>
+      if (symbols.isEmpty) Some("enum with no symbols") else None
+    case (AC.AUnion(bs), rt) =>
+      val nonNull = bs.filterNot(_ == AC.ANull)
+      if (nonNull.isEmpty) None // ["null"]-only: value is always null
+      else if (nonNull.exists(b =>
+        checkResolvableForeign(b, rt, defaults).isEmpty)) None
+      else Some(s"no branch of union resolves into $rt")
+    case (AC.AArray(we), ArrayType(re, rNull)) =>
+      if (!rNull && foreignMayBeNull(we))
+        Some("writer array elements may be null but reader declares " +
+          "containsNull=false")
+      else checkResolvableForeign(we, re, defaults)
+    case (AC.AMap(wv), MapType(StringType, rv, rNull)) =>
+      if (!rNull && foreignMayBeNull(wv))
+        Some("writer map values may be null but reader declares " +
+          "valueContainsNull=false")
+      else checkResolvableForeign(wv, rv, defaults)
+    case (AC.ARecord(_, wfields), rs: StructType) =>
+      val wByName = wfields.toMap
+      rs.fields.flatMap { rf =>
+        wByName.get(rf.name) match {
+          case Some(wt) =>
+            if (!rf.nullable && foreignMayBeNull(wt))
+              Some(s"writer field ${rf.name} may be null but the reader " +
+                "field is non-nullable")
+            else checkResolvableForeign(wt, rf.dataType, defaults)
+          case None if defaults.contains(rf.name) || rf.nullable => None
+          case None => Some(
+            s"reader field ${rf.name} absent from writer, non-nullable, " +
+              "and has no default")
+        }
+      }.headOption
+    case (w, rt) => Some(s"unresolvable foreign avro pair $w -> $rt")
+  }
+
+  private def foreignMayBeNull(t: AC.AType): Boolean = t match {
+    case AC.ANull => true
+    case AC.AUnion(bs) => bs.contains(AC.ANull)
+    case _ => false
+  }
+
+  /** Decode one value written as foreign-avsc `writer` into Catalyst
+    * `reader` shape ([[checkResolvableForeign]] gates the pair at plan
+    * time; data-dependent mismatches — bad enum index, unresolvable union
+    * branch selected — throw and surface as the malformed-⇒-NULL row). */
+  def avroReadForeign(
+      r: ByteReader, writer: AC.AType, reader: DataType,
+      defaults: Map[String, Any]): Any = (writer, reader) match {
+    case (AC.ANull, _) => null
+    case (AC.ABool, BooleanType) => r.byte() match {
+      case 0 => false
+      case 1 => true
+      case b => throw new NumberFormatException(s"bad bool $b")
+    }
+    case (AC.AInt, IntegerType | DateType) => r.zigzag().toInt
+    case (AC.AInt, LongType | TimestampType) => r.zigzag()
+    case (AC.AInt, FloatType) => r.zigzag().toFloat
+    case (AC.AInt, DoubleType) => r.zigzag().toDouble
+    case (AC.ALong, LongType | TimestampType) => r.zigzag()
+    case (AC.ALong, FloatType) => r.zigzag().toFloat
+    case (AC.ALong, DoubleType) => r.zigzag().toDouble
+    case (AC.AFloat, FloatType) =>
+      java.lang.Float.intBitsToFloat(r.fixed32())
+    case (AC.AFloat, DoubleType) =>
+      java.lang.Float.intBitsToFloat(r.fixed32()).toDouble
+    case (AC.ADouble, DoubleType) =>
+      java.lang.Double.longBitsToDouble(r.fixed64())
+    case (AC.AString, StringType) =>
+      UTF8String.fromBytes(r.raw(r.zigzag().toInt))
+    case (AC.AString, BinaryType) => r.raw(r.zigzag().toInt)
+    case (AC.ABytes, BinaryType) => r.raw(r.zigzag().toInt)
+    case (AC.ABytes, StringType) =>
+      UTF8String.fromBytes(r.raw(r.zigzag().toInt))
+    case (AC.AFixed(_, size), BinaryType) => r.raw(size)
+    case (AC.AEnum(_, symbols), StringType) =>
+      val i = r.zigzag().toInt
+      if (i < 0 || i >= symbols.length)
+        throw new NumberFormatException(s"enum index $i out of range")
+      UTF8String.fromString(symbols(i))
+    case (AC.AUnion(branches), rt) =>
+      val i = r.zigzag().toInt
+      if (i < 0 || i >= branches.length)
+        throw new NumberFormatException(s"union index $i out of range")
+      branches(i) match {
+        case AC.ANull => null
+        case b =>
+          if (checkResolvableForeign(b, rt, defaults).isDefined)
+            throw new NumberFormatException(
+              s"selected union branch does not resolve into $rt")
+          avroReadForeign(r, b, rt, defaults)
+      }
+    case (AC.AArray(we), ArrayType(re, _)) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var n = r.zigzag()
+      while (n != 0L) {
+        if (n < 0) { n = -n; r.varint() } // block byte-size present; ignore
+        var i = 0L
+        while (i < n) { out += avroReadForeign(r, we, re, defaults); i += 1 }
+        n = r.zigzag()
+      }
+      new GenericArrayData(out.toArray)
+    case (AC.AMap(wv), MapType(StringType, rv, _)) =>
+      val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var n = r.zigzag()
+      while (n != 0L) {
+        if (n < 0) { n = -n; r.varint() }
+        var i = 0L
+        while (i < n) {
+          keys += UTF8String.fromBytes(r.raw(r.zigzag().toInt))
+          vals += avroReadForeign(r, wv, rv, defaults)
+          i += 1
+        }
+        n = r.zigzag()
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(keys.toArray), new GenericArrayData(vals.toArray))
+    case (AC.ARecord(_, wfields), rs: StructType) =>
+      val vals = new Array[Any](rs.length)
+      val readerIdx = rs.fieldNames.zipWithIndex.toMap
+      wfields.foreach { case (name, wt) =>
+        readerIdx.get(name) match {
+          case Some(ri) =>
+            val rf = rs.fields(ri)
+            val v = avroReadForeign(r, wt, rf.dataType, defaults)
+            if (v == null && !rf.nullable) throw new NumberFormatException(
+              s"null for non-nullable reader field ${rf.name}")
+            vals(ri) = v
+          case None => AC.decode(r, wt) // skip: decode + discard
+        }
+      }
+      val writerNames = wfields.map(_._1).toSet
+      rs.fields.zipWithIndex.foreach { case (rf, ri) =>
+        if (!writerNames.contains(rf.name))
+          vals(ri) = defaults.get(rf.name) match {
+            case Some(d) => toInternal(rf.dataType, d)
+            case None if rf.nullable => null
+            case None => throw new NumberFormatException(
+              s"reader field ${rf.name} absent from writer and has no default")
+          }
+      }
+      new GenericInternalRow(vals)
+    case (w, rt) =>
+      throw new NumberFormatException(s"unresolvable foreign pair $w -> $rt")
+  }
+
   /** The .avsc JSON for a struct under the mapping above — what a foreign
     * Avro producer/consumer pins against this topic. */
   def avscOf(schema: StructType, name: String = "Record"): String = {
@@ -675,6 +853,45 @@ case class AvroBinaryDecodeResolved(
       val r = new WireCodecs.ByteReader(input.asInstanceOf[Array[Byte]])
       val row = WireCodecs.avroReadResolved(
         r, writerSchema, readerSchema, defaults)
+      if (r.exhausted) row else null // trailing garbage ⇒ corrupt
+    } catch { case _: Exception => null }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Avro-binary bytes written under a FOREIGN writer schema (a full .avsc
+  * that may use enum, fixed, map, and arbitrary unions — the Avro types
+  * outside [[WireCodecs.avscOf]]'s producer mapping) → struct of
+  * `readerSchema`. enum → string symbol, fixed(n) → n-byte binary,
+  * map → map<string, V>, union → per-datum branch resolution; plus the
+  * same by-name matching / defaults / spec promotions as
+  * [[AvroBinaryDecodeResolved]]. Consume-only by construction (there is
+  * no encode for a foreign schema — the foreign producer owns the bytes).
+  * Malformed bytes, bad enum indexes, and unresolvable selected union
+  * branches ⇒ NULL (the DLQ contract); statically impossible pairs are a
+  * plan-time type-check failure. */
+case class AvroBinaryDecodeForeign(
+    child: Expression, writerAvsc: String, readerSchema: StructType,
+    defaults: Map[String, Any] = Map.empty)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val writer =
+    graft.sources.AvroContainer.parseSchema(writerAvsc)
+  override def dataType: DataType = readerSchema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType =>
+      (try Right(graft.sources.AvroContainer.parseSchema(writerAvsc))
+       catch { case e: Exception => Left(s"bad writer .avsc: ${e.getMessage}") })
+        .fold(TypeCheckResult.TypeCheckFailure,
+          w => WireCodecs.checkResolvableForeign(w, readerSchema, defaults)
+            .map(TypeCheckResult.TypeCheckFailure)
+            .getOrElse(TypeCheckResult.TypeCheckSuccess))
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"expected binary, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    try {
+      val r = new WireCodecs.ByteReader(input.asInstanceOf[Array[Byte]])
+      val row = WireCodecs.avroReadForeign(r, writer, readerSchema, defaults)
       if (r.exhausted) row else null // trailing garbage ⇒ corrupt
     } catch { case _: Exception => null }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)

@@ -113,6 +113,29 @@ object KafkaWire {
       val name = "avro"
     }
 
+  /** Avro wire for a topic whose producer is FOREIGN: the writer schema
+    * is a full .avsc that may use enum / fixed / map / arbitrary-union
+    * types outside this library's own producer mapping. enum decodes to
+    * its string symbol, fixed(n) to n-byte binary, map to map<string,V>,
+    * unions by per-datum branch resolution; by-name matching, defaults,
+    * and spec promotions as in [[avroResolved]]. Consume-only: this
+    * library cannot pin bytes against a schema it did not produce, so
+    * `encode` throws. */
+  def avroForeign(
+      writerAvsc: String,
+      defaults: Map[String, Any] = Map.empty): WireFormat =
+    new WireFormat {
+      def encode(record: Column): Column =
+        throw new UnsupportedOperationException(
+          "avroForeign is consume-only: the foreign producer owns this " +
+            "topic's bytes. Produce through AvroWire/avroResolved against " +
+            "a schema this library pins.")
+      def decode(value: Column, schema: StructType): Column =
+        Bridge.column(graft.functions.AvroBinaryDecodeForeign(
+          Bridge.expression(value), writerAvsc, schema, defaults))
+      val name = "avro"
+    }
+
   /** Protobuf wire encoding (ref stream.ts:143-153) — hand-rolled to the
     * public protobuf encoding doc; field numbers are the struct's column
     * order (1..n, evolution = append), unknown fields are skipped on

@@ -136,6 +136,19 @@ object Stress {
     time("kNN IVF 8/2 (embeddings amplified)") {
       Similarity.knnIvf(emb, queries, nCells = 8, nProbe = 2, k = 10).count()
     }
+    // SemDeDup with auto-k tracking the corpus PAST the sampled-training
+    // boundary (k = N/targetCellSize ≫ 64): centroids train on a bounded
+    // sample, assignment stays one literal-expression scan at any k. The
+    // sin-perturbed copies are high-cosine near-dups of each other, so
+    // every original vector becomes a factor-sized semantic-dup group —
+    // exactly the structure the operator exists to find at crawl scale.
+    time("semDedup pairs (auto-k sampled training, amplified embeddings)") {
+      val d = Similarity.semDedupDiag(emb, targetCellSize = 200L)
+      println(s"[stress]   semdedup kEff=${d.kEff} sampled=" +
+        s"${d.sampledTraining} taskKeys=${d.taskKeys} " +
+        s"estPairs=${d.estCandidatePairs}")
+      d.pairs.count()
+    }
     // Row-local text/vector passes (no shuffle by construction) — these
     // must scale exactly with the scan, so any superlinear drift here
     // flags a plan regression, not a data problem.

@@ -182,6 +182,117 @@ class WireCodecSpec extends AnyFunSuite {
       .toSeq == Seq((1L, 1.5, "legacy"), (2L, 2.5, "legacy")))
   }
 
+  test("Avro foreign writer: enum/fixed/map/union resolve; per-datum union errors NULL") {
+    import graft.sources.AvroContainer
+    // independent producer: AvroContainer.encode over the parsed .avsc —
+    // the same spec tree a foreign Avro library would serialize with
+    val avsc =
+      """{"type":"record","name":"Evt","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"color","type":{"type":"enum","name":"C","symbols":["RED","GREEN","BLUE"]}},
+        |  {"name":"sig","type":{"type":"fixed","name":"S","size":4}},
+        |  {"name":"val","type":["int","string"]},
+        |  {"name":"tags","type":{"type":"map","values":"long"}},
+        |  {"name":"maybe","type":["null","double"]}
+        |]}""".stripMargin
+    val writer = AvroContainer.parseSchema(avsc)
+    def enc(rec: Map[String, Any]): Array[Byte] = {
+      val w = new ByteWriter()
+      AvroContainer.encode(w, writer, rec)
+      w.result()
+    }
+    val rec1 = Map("id" -> 1L, "color" -> "GREEN",
+      "sig" -> Array[Byte](9, 8, 7, 6), "val" -> 5,
+      "tags" -> Map("a" -> 10L, "b" -> 20L), "maybe" -> null)
+    val reader = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("color", StringType, nullable = false),
+      StructField("sig", BinaryType, nullable = false),
+      StructField("val", LongType, nullable = false), // int branch promotes
+      StructField("tags", MapType(StringType, LongType, valueContainsNull = true),
+        nullable = false),
+      StructField("maybe", DoubleType, nullable = true),
+      StructField("tag", StringType, nullable = false))) // reader-only
+    val defaults = Map[String, Any]("tag" -> "dflt")
+    assert(WireCodecs.checkResolvableForeign(writer, reader, defaults).isEmpty)
+    val r1 = new ByteReader(enc(rec1))
+    val row = WireCodecs.avroReadForeign(r1, writer, reader, defaults)
+      .asInstanceOf[InternalRow]
+    assert(r1.exhausted)
+    assert(row.getLong(0) == 1L)
+    assert(row.getUTF8String(1).toString == "GREEN")
+    assert(row.getBinary(2).toSeq == Seq[Byte](9, 8, 7, 6))
+    assert(row.getLong(3) == 5L)
+    val m = row.getMap(4)
+    val tags = (0 until m.numElements()).map(i =>
+      m.keyArray.getUTF8String(i).toString ->
+        m.valueArray.getLong(i)).toMap
+    assert(tags == Map("a" -> 10L, "b" -> 20L))
+    assert(row.isNullAt(5))
+    assert(row.getUTF8String(6).toString == "dflt")
+
+    // per-datum union rule: a datum selecting the string branch cannot
+    // resolve into the LongType reader field — the ROW nulls (DLQ), the
+    // plan stays valid because the int branch resolves
+    val rec2 = rec1.updated("val", "not-a-number")
+    val ex = intercept[Exception] {
+      WireCodecs.avroReadForeign(
+        new ByteReader(enc(rec2)), writer, reader, defaults)
+    }
+    assert(ex.getMessage.contains("union branch"))
+
+    // plan-time refusals: enum into long; null-bearing union into a
+    // non-nullable reader field; nullable map values into
+    // valueContainsNull=false
+    val badEnum = reader.copy(fields = reader.fields.map(f =>
+      if (f.name == "color") f.copy(dataType = LongType) else f))
+    assert(WireCodecs.checkResolvableForeign(writer, badEnum, defaults).isDefined)
+    val badMaybe = reader.copy(fields = reader.fields.map(f =>
+      if (f.name == "maybe") f.copy(nullable = false) else f))
+    assert(WireCodecs.checkResolvableForeign(writer, badMaybe, defaults).isDefined)
+    val nullableVals = AvroContainer.parseSchema(
+      """{"type":"record","name":"M","fields":[
+        |  {"name":"tags","type":{"type":"map","values":["null","long"]}}
+        |]}""".stripMargin)
+    val strictMap = StructType(Seq(StructField("tags",
+      MapType(StringType, LongType, valueContainsNull = false),
+      nullable = false)))
+    assert(WireCodecs.checkResolvableForeign(
+      nullableVals, strictMap, Map.empty).isDefined)
+  }
+
+  test("Avro foreign wire seam: decode through KafkaWire; encode refuses; corrupt NULLs") {
+    import graft.sources.AvroContainer
+    import graft.streaming.KafkaWire
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val avsc =
+      """{"type":"record","name":"E","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"lvl","type":{"type":"enum","name":"L","symbols":["LO","HI"]}}
+        |]}""".stripMargin
+    val writer = AvroContainer.parseSchema(avsc)
+    def enc(id: Long, lvl: String): Array[Byte] = {
+      val w = new ByteWriter()
+      AvroContainer.encode(w, writer, Map("id" -> id, "lvl" -> lvl))
+      w.result()
+    }
+    val reader = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("lvl", StringType, nullable = false)))
+    val wire = KafkaWire.avroForeign(avsc)
+    val frame = Seq(enc(1L, "LO"), enc(2L, "HI"),
+      Array[Byte](0x7f, 0x7f, 0x7f)).toDF("value")
+    val out = frame.select(wire.decode(frame("value"), reader).as("r"))
+      .select("r.*").collect()
+    assert(out.count(_.anyNull) == 1) // the corrupt frame → NULL struct
+    assert(out.filter(!_.anyNull).map(r => (r.getLong(0), r.getString(1)))
+      .toSet == Set((1L, "LO"), (2L, "HI")))
+    intercept[UnsupportedOperationException] {
+      wire.encode(frame("value"))
+    }
+  }
+
   test("Proto pinned bytes: {id=1 → 08 02 (sint64), s=\"ab\" → 12 02 61 62}") {
     val st = StructType(Seq(
       StructField("id", LongType), StructField("s", StringType)))
