@@ -1,0 +1,45 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Memoized row count backing size-gated broadcast decisions (the minhash
+  * candidate gate, the unigram vocab gate): `countOnce` runs ONE eager
+  * count job per distinct input plan per session, so gates sharing an
+  * input — and repeated invocations of the same operator over the same
+  * frame — reuse the number instead of re-scanning.
+  *
+  * The memo keys on the CANONICALIZED analyzed plan: two frames reading
+  * the same source through the same projection share one entry. The
+  * count is a plan-construction HEURISTIC choosing a join strategy, not
+  * a correctness input — a stale entry (data appended under the same
+  * path mid-session) can only flip which side builds a join, never the
+  * result; callers that know better pass their operator's explicit
+  * `broadcast*` override and skip the count entirely. Bounded at 64
+  * entries (cleared wholesale past that — a re-count is one cheap job).
+  */
+private[graft] object BroadcastGate {
+  private val memo = new ConcurrentHashMap[LogicalPlan, java.lang.Long]()
+
+  /** Row count of `df`, memoized. EAGER on first call per distinct plan:
+    * this runs a Spark count job at plan-construction time — every call
+    * site documents that in its scaladoc. */
+  def countOnce(df: DataFrame): Long = {
+    val key = df.queryExecution.analyzed.canonicalized
+    val hit = memo.get(key)
+    if (hit != null) hit.longValue()
+    else {
+      if (memo.size > 64) memo.clear()
+      val n = df.count()
+      memo.put(key, n)
+      n
+    }
+  }
+
+  /** The memoized count for `df`, if one exists (test hook — asserts the
+    * memo actually absorbed a gate's job). */
+  def cachedCount(df: DataFrame): Option[Long] =
+    Option(memo.get(df.queryExecution.analyzed.canonicalized))
+      .map(_.longValue())
+}

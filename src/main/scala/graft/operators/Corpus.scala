@@ -162,13 +162,26 @@ object Corpus {
     *
     * Shuffle shape at 100 TB: one explode→groupBy(w) with map-side
     * combine builds the vocab (|V| rows — sublinear in corpus size by
-    * Heaps' law), which is broadcast so the scoring pass never shuffles
-    * the token stream; per-document stats are integer partial aggs on
-    * doc_id. The corpus total is a one-row broadcast. For a corpus whose
-    * vocab outgrows the broadcast budget, drop the hint and the scoring
-    * join becomes a sort-merge on `w` — same results.
+    * Heaps' law), broadcast below the size gate so the scoring pass
+    * never shuffles the token stream; per-document stats are integer
+    * partial aggs on doc_id. The corpus total is a one-row broadcast.
+    *
+    * Vocab-broadcast SIZE GATE (same hazard class as the minhash
+    * candidate gate): Heaps-sublinear is still unbounded — a web-crawl
+    * vocab outgrows any broadcast budget, and a forced broadcast then
+    * dies collecting it to the driver. Below `broadcastMaxDocs`
+    * documents (a Heaps-law proxy for vocab rows) the vocab is
+    * broadcast; past it the scoring join falls back to SHUFFLE_HASH with
+    * the vocab as build side — the token stream shuffles on `w` (the
+    * unavoidable cost of a too-big vocab) but each executor builds only
+    * its partition's vocab slice, so the join scales out instead of
+    * OOMing. Results are identical either way. `broadcastVocab`
+    * overrides the gate outright; without it the gate runs an eager
+    * count job, memoized per input plan ([[BroadcastGate]]).
     */
-  def unigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramScore(docs: DataFrame, idCol: String, textCol: String,
+      broadcastVocab: Option[Boolean] = None,
+      broadcastMaxDocs: Long = 2000000L): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("w"))
     val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -178,7 +191,11 @@ object Corpus {
     // measured WORSE: column pruning rewrites that subtree, breaking
     // exchange identity, and the whole corpus pipeline replays).
     val total = vocab.agg(sum(col("c")).as("t_tokens"))
-    toks.join(broadcast(vocab), Seq("w"))
+    val vocabSide =
+      if (broadcastVocab.getOrElse(BroadcastGate.countOnce(docs) <= broadcastMaxDocs))
+        broadcast(vocab)
+      else vocab.hint("SHUFFLE_HASH")
+    toks.join(vocabSide, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),
@@ -336,44 +353,85 @@ object Corpus {
     *   5. deterministic [[splitAssign]] for kept docs (null for drops).
     *
     * Scale shape: the documents table is scanned ONCE — the per-doc
-    * signal frame is localCheckpoint'd (eager; reclaimed by the
-    * ContextCleaner, no CacheManager pin — see duplicatePassages) and
-    * every downstream gate consumes the materialized base. The only
-    * corpus-scale shuffles are the unigram explode→groupBy(w) (vocab is
-    * Heaps-sublinear, broadcast back) and the digest canonicalization
-    * groupBy (32-byte digests, never text). The quality-median frame is
-    * bounded by langs × 10⁴ distinct 4-dp scores; thresholds broadcast.
-    * On a multi-executor cluster swap localCheckpoint for a reliable
-    * checkpoint (or accept lineage recompute on executor loss) — the
-    * plan shape is unchanged.
+    * signal frame is materialized (mode knob below) and every downstream
+    * gate consumes the materialized base. The only corpus-scale shuffles
+    * are the unigram explode→groupBy(w) (vocab is Heaps-sublinear,
+    * broadcast back under the same size gate as [[unigramScore]] —
+    * SHUFFLE_HASH fallback past `broadcastMaxDocs`) and the digest
+    * canonicalization groupBy (32-byte digests, never text). The
+    * quality-median frame is bounded by langs × 10⁴ distinct 4-dp
+    * scores; thresholds broadcast. The materialized projection carries
+    * the normalized text STRING (`norm`), not the token array — the one
+    * tokenizing consumer re-splits row-locally, and the checkpoint
+    * footprint drops the array's per-element offsets/overhead (measured
+    * by [[graft.tools.CheckpointFootprint]] at sf0.1: 5.20 MB with the
+    * r7 token array vs 2.36 MB with the norm string, −55%).
+    *
+    * `materialize` picks the materialization of the shared base:
+    *  - "local" (default): `localCheckpoint(eager)` — executor-local
+    *    blocks, lineage truncated; blocks reclaimed by the
+    *    ContextCleaner (no CacheManager pin — see duplicatePassages).
+    *    Fastest, but on a real cluster a lost executor loses
+    *    non-replicated blocks AND the lineage to rebuild them: the job
+    *    fails and retries from scratch.
+    *  - "reliable": `checkpoint(eager)` to the SparkContext's checkpoint
+    *    directory (caller must have called `setCheckpointDir`; refused
+    *    loudly otherwise) — survives executor loss, costs a write to
+    *    reliable storage. The cluster-run default.
+    *  - "persist": `persist(MEMORY_AND_DISK)` — lineage KEPT (executor
+    *    loss recomputes just the lost partitions), but the entry pins in
+    *    the CacheManager until the session ends or the caller unpersists
+    *    the returned frame's base. For long-lived sessions prefer the
+    *    checkpointing modes.
+    * The plan above the base is identical in all three modes.
     *
     * Returns one row per input document: all gate flags, the composite
     * `keep`, and the split assignment (null unless kept). */
   def cleanPipeline(docs: DataFrame, idCol: String, textCol: String,
-      langCol: String, typicalMin: Double = 0.0333): DataFrame = {
+      langCol: String, typicalMin: Double = 0.0333,
+      broadcastVocab: Option[Boolean] = None,
+      broadcastMaxDocs: Long = 2000000L,
+      materialize: String = "local"): DataFrame = {
     import TextAnalysis._
     val t = col(textCol)
-    val base = docs.select(
-        col(idCol).as("doc_id"), col(langCol).as("lang"),
-        wordCount(t).as("n_words"),
-        meanWordLen(t).as("mwl"),
-        symbolWordRatio(t).as("symr"),
-        alphaWordRatio(t).as("alphar"),
-        qualityScore(t).as("q"),
-        md5(t).as("digest"),
-        split(normalized(t), " ").as("toks"))
-      .localCheckpoint(true) // ONE scan of `docs` feeds every gate below
+    val projected = docs.select(
+      col(idCol).as("doc_id"), col(langCol).as("lang"),
+      wordCount(t).as("n_words"),
+      meanWordLen(t).as("mwl"),
+      symbolWordRatio(t).as("symr"),
+      alphaWordRatio(t).as("alphar"),
+      qualityScore(t).as("q"),
+      md5(t).as("digest"),
+      normalized(t).as("norm"))
+    // ONE scan of `docs` feeds every gate below
+    val base = materialize match {
+      case "local" => projected.localCheckpoint(true)
+      case "reliable" =>
+        require(docs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "materialize=\"reliable\" needs SparkContext.setCheckpointDir " +
+            "(a reliable checkpoint writes to that directory)")
+        projected.checkpoint(true)
+      case "persist" =>
+        projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case other => throw new IllegalArgumentException(
+        s"materialize must be local|reliable|persist, got '$other'")
+    }
     val gated = base.withColumn("gopher_ok",
       col("n_words") >= 50 && col("n_words") <= 100000 &&
         col("mwl") >= 3 && col("mwl") <= 10 &&
         col("symr") < 0.1 && col("alphar") >= 0.8)
     val canon = gated.where(col("gopher_ok"))
       .groupBy(col("digest")).agg(min(col("doc_id")).as("canon_id"))
-    val toks = base.select(col("doc_id"), explode(col("toks")).as("w"))
+    val toks = base.select(col("doc_id"),
+      explode(split(col("norm"), " ")).as("w"))
     val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
     // T rides the vocab shuffle (AQE stage reuse — see unigramScore)
     val total = vocab.agg(sum(col("c")).as("t_tokens"))
-    val uni = toks.join(broadcast(vocab), Seq("w"))
+    val vocabSide =
+      if (broadcastVocab.getOrElse(BroadcastGate.countOnce(docs) <= broadcastMaxDocs))
+        broadcast(vocab)
+      else vocab.hint("SHUFFLE_HASH")
+    val uni = toks.join(vocabSide, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("sum_freq"))
       .crossJoin(broadcast(total))

@@ -153,8 +153,12 @@ object Dedup {
     //    scales out instead. The doc count is a density HEURISTIC (a
     //    pathological all-duplicates corpus can blow the candidate set at
     //    any N) — `broadcastCandidates` overrides the gate outright.
+    // Without the override the gate runs an EAGER count job at plan-
+    // construction time, memoized per input plan ([[BroadcastGate]]) so
+    // repeated invocations — and the unigram gate sharing this corpus —
+    // pay it once per session, not once per call.
     val useBroadcast = broadcastCandidates.getOrElse {
-      docs.select(col(idCol)).count() <= broadcastMaxDocs
+      BroadcastGate.countOnce(docs) <= broadcastMaxDocs
     }
     val candSide =
       if (useBroadcast) broadcast(candidates) else candidates.hint("SHUFFLE_HASH")

@@ -1,0 +1,48 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.TextAnalysis._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures what [[graft.operators.Corpus.cleanPipeline]]'s shared-base
+  * materialization actually stores: the r7 projection carried the
+  * per-doc token ARRAY (`split(normalized(t), " ")`); r8 stores the
+  * normalized STRING and re-splits row-locally in the one consumer.
+  * Same information, minus the array's per-element offsets and object
+  * headers — this probe prints both checkpointed sizes so the scaladoc's
+  * footprint claim is a measurement, not a guess.
+  *
+  * Usage: runMain graft.tools.CheckpointFootprint [sfDir]
+  */
+object CheckpointFootprint {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val t = col("text")
+    def signals = Seq(
+      col("doc_id"), col("lang"),
+      wordCount(t).as("n_words"), meanWordLen(t).as("mwl"),
+      symbolWordRatio(t).as("symr"), alphaWordRatio(t).as("alphar"),
+      qualityScore(t).as("q"), md5(t).as("digest"))
+    def measure(label: String, extra: org.apache.spark.sql.Column): Unit = {
+      val ck = docs.select(signals :+ extra: _*).localCheckpoint(true)
+      val info = spark.sparkContext.getRDDStorageInfo
+        .maxBy(i => i.memSize + i.diskSize)
+      println(s"[footprint] $label: mem=${info.memSize} B " +
+        s"disk=${info.diskSize} B " +
+        s"partitions=${info.numCachedPartitions} rows=${ck.count()}")
+      ck.unpersist(true)
+    }
+    measure("r7 token-array projection", split(normalized(t), " ").as("toks"))
+    measure("r8 norm-string projection", normalized(t).as("norm"))
+    spark.stop()
+  }
+}

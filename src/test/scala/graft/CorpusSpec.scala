@@ -422,4 +422,47 @@ class CorpusSpec extends AnyFunSuite {
       s"cascade re-scans the source table:\n$plan")
     assert(out.count() == 40)
   }
+
+  test("vocab gate: shuffle-hash fallback matches broadcast; memo absorbs count") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "xylophone quartz vortex")).toDF("doc_id", "text")
+    val bc = Corpus.unigramScore(docs, "doc_id", "text",
+      broadcastVocab = Some(true))
+    val shj = Corpus.unigramScore(docs, "doc_id", "text",
+      broadcastVocab = Some(false))
+    assert(bc.collect().map(_.toSeq).toSeq == shj.collect().map(_.toSeq).toSeq)
+    // the fallback plan must NOT broadcast the vocab (the 100-TB hazard:
+    // a web-crawl vocab outgrows any broadcast budget)
+    assert(bc.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val shjPlan = shj.queryExecution.executedPlan.toString
+    assert(shjPlan.contains("ShuffledHashJoin"), shjPlan.take(2000))
+    // the default gate's eager count memoizes per input plan: after one
+    // gated call, the same frame's count is served without a second job
+    Corpus.unigramScore(docs, "doc_id", "text")
+    assert(graft.operators.BroadcastGate.cachedCount(docs).contains(3L))
+  }
+
+  test("cleanPipeline: materialization modes and vocab fallback all agree") {
+    val good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 3
+    val docs = Seq(
+      (1L, "en", good), (2L, "en", good), (3L, "en", "tiny doc"),
+      (4L, "fr", good + "zut alors ")).toDF("doc_id", "lang", "text")
+    def rows(mode: String, bv: Option[Boolean] = None) =
+      Corpus.cleanPipeline(docs, "doc_id", "text", "lang", typicalMin = 0.0,
+          broadcastVocab = bv, materialize = mode)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val ref = rows("local")
+    assert(rows("persist") == ref)
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("cleanck").toString)
+    assert(rows("reliable") == ref)
+    assert(rows("local", bv = Some(false)) == ref)
+    intercept[IllegalArgumentException] {
+      Corpus.cleanPipeline(docs, "doc_id", "text", "lang",
+        materialize = "bogus")
+    }
+  }
 }
