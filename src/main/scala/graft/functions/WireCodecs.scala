@@ -555,6 +555,165 @@ object WireCodecs {
       throw new NumberFormatException(s"unresolvable foreign pair $w -> $rt")
   }
 
+  /** Can every value of Spark shape `dt` (including null when `nullable`)
+    * encode under foreign-avsc node `writer`? Some(problem) when some
+    * value statically cannot. The per-datum residue (unknown enum symbol,
+    * wrong fixed length) is checked at encode time and THROWS — a
+    * producer must fail fast, not silently drop.
+    *
+    * Mapping: bool/int/long/float/double/string/bytes direct (int widens
+    * into long, float into double — lossless); enum ← string (symbol
+    * looked up per datum); fixed(n) ← binary (length-checked per datum);
+    * array/map recurse; record fields match BY NAME and must cover the
+    * writer exactly — a struct field absent from the writer schema is
+    * refused (silent data loss), as is a writer field absent from the
+    * struct (avro has no writer-side defaulting). Nullable Spark slots
+    * need a ["null", ...] union writer; non-null values pick the FIRST
+    * union branch (by index) that encodes their Spark type. */
+  def checkEncodableForeign(
+      writer: AC.AType, dt: DataType, nullable: Boolean): Option[String] =
+    writer match {
+      case AC.AUnion(bs) =>
+        if (nullable && !bs.contains(AC.ANull))
+          Some(s"nullable $dt but writer union has no null branch")
+        else if (!bs.exists(b => b != AC.ANull &&
+            checkEncodableForeign(b, dt, nullable = false).isEmpty))
+          Some(s"no union branch encodes $dt")
+        else None
+      case _ if nullable =>
+        Some(s"""nullable $dt needs a ["null", ...] union writer, got $writer""")
+      case AC.ABool if dt == BooleanType => None
+      case AC.AInt if dt == IntegerType || dt == DateType => None
+      case AC.ALong if dt == LongType || dt == TimestampType ||
+          dt == IntegerType || dt == DateType => None
+      case AC.AFloat if dt == FloatType => None
+      case AC.ADouble if dt == DoubleType || dt == FloatType => None
+      case AC.AString if dt == StringType => None
+      case AC.ABytes if dt == BinaryType => None
+      case AC.AFixed(_, _) if dt == BinaryType => None
+      case AC.AEnum(_, symbols) if dt == StringType =>
+        if (symbols.isEmpty) Some("enum with no symbols") else None
+      case AC.AArray(we) => dt match {
+        case ArrayType(et, cn) => checkEncodableForeign(we, et, cn)
+        case other => Some(s"cannot encode $other as avro array")
+      }
+      case AC.AMap(wv) => dt match {
+        case MapType(StringType, vt, cn) => checkEncodableForeign(wv, vt, cn)
+        case other => Some(s"cannot encode $other as avro map<string, V>")
+      }
+      case AC.ARecord(_, wfields) => dt match {
+        case st: StructType =>
+          val wNames = wfields.map(_._1).toSet
+          val extra = st.fieldNames.filterNot(wNames)
+          if (extra.nonEmpty)
+            Some(s"record fields ${extra.mkString(",")} absent from the " +
+              "writer schema (silent data loss refused)")
+          else wfields.iterator.flatMap { case (n, wt) =>
+            st.fields.find(_.name == n) match {
+              case None => Some(s"writer field $n missing from the record")
+              case Some(f) => checkEncodableForeign(wt, f.dataType, f.nullable)
+            }
+          }.toSeq.headOption
+        case other => Some(s"cannot encode $other as avro record")
+      }
+      case other => Some(s"cannot encode $dt as $other")
+    }
+
+  /** Encode one Catalyst value of Spark type `dt` under foreign-avsc
+    * node `writer` ([[checkEncodableForeign]] gates the pair at plan
+    * time; per-datum mismatches — unknown enum symbol, wrong fixed
+    * length, null into a non-null writer slot — THROW: fail-fast
+    * producer contract, never silently-wrong topic bytes). */
+  def avroWriteForeign(
+      w: ByteWriter, writer: AC.AType, dt: DataType, v: Any): Unit =
+    (writer, dt) match {
+      case (AC.AUnion(branches), t) =>
+        if (v == null) {
+          val i = branches.indexOf(AC.ANull)
+          if (i < 0) throw new NumberFormatException(
+            "null value but the writer union has no null branch")
+          w.zigzag(i.toLong)
+        } else {
+          val i = branches.indexWhere(b => b != AC.ANull &&
+            checkEncodableForeign(b, t, nullable = false).isEmpty)
+          if (i < 0) throw new NumberFormatException(
+            s"no union branch encodes $t")
+          w.zigzag(i.toLong)
+          avroWriteForeign(w, branches(i), t, v)
+        }
+      case (wr, _) if v == null =>
+        throw new NumberFormatException(s"null for non-null writer slot $wr")
+      case (AC.ABool, BooleanType) =>
+        w.byte(if (v.asInstanceOf[Boolean]) 1 else 0)
+      case (AC.AInt, IntegerType | DateType) =>
+        w.zigzag(v.asInstanceOf[Int].toLong)
+      case (AC.ALong, LongType | TimestampType) =>
+        w.zigzag(v.asInstanceOf[Long])
+      case (AC.ALong, IntegerType | DateType) =>
+        w.zigzag(v.asInstanceOf[Int].toLong)
+      case (AC.AFloat, FloatType) =>
+        w.fixed32(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
+      case (AC.ADouble, DoubleType) =>
+        w.fixed64(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+      case (AC.ADouble, FloatType) =>
+        w.fixed64(java.lang.Double.doubleToLongBits(
+          v.asInstanceOf[Float].toDouble))
+      case (AC.AString, StringType) =>
+        val b = v.asInstanceOf[UTF8String].getBytes
+        w.zigzag(b.length.toLong); w.bytes(b)
+      case (AC.ABytes, BinaryType) =>
+        val b = v.asInstanceOf[Array[Byte]]
+        w.zigzag(b.length.toLong); w.bytes(b)
+      case (AC.AFixed(name, size), BinaryType) =>
+        val b = v.asInstanceOf[Array[Byte]]
+        if (b.length != size) throw new NumberFormatException(
+          s"fixed $name expects $size bytes, got ${b.length}")
+        w.bytes(b)
+      case (AC.AEnum(name, symbols), StringType) =>
+        val s = v.asInstanceOf[UTF8String].toString
+        val i = symbols.indexOf(s)
+        if (i < 0) throw new NumberFormatException(
+          s"'$s' is not a symbol of enum $name")
+        w.zigzag(i.toLong)
+      case (AC.AArray(we), ArrayType(et, _)) =>
+        val arr = v.asInstanceOf[ArrayData]
+        if (arr.numElements() > 0) {
+          w.zigzag(arr.numElements().toLong)
+          var i = 0
+          while (i < arr.numElements()) {
+            avroWriteForeign(w, we, et,
+              if (arr.isNullAt(i)) null else arr.get(i, et))
+            i += 1
+          }
+        }
+        w.zigzag(0L) // block terminator
+      case (AC.AMap(wv), MapType(StringType, vt, _)) =>
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        if (m.numElements() > 0) {
+          w.zigzag(m.numElements().toLong)
+          val keys = m.keyArray(); val vals = m.valueArray()
+          var i = 0
+          while (i < m.numElements()) {
+            val kb = keys.getUTF8String(i).getBytes
+            w.zigzag(kb.length.toLong); w.bytes(kb)
+            avroWriteForeign(w, wv, vt,
+              if (vals.isNullAt(i)) null else vals.get(i, vt))
+            i += 1
+          }
+        }
+        w.zigzag(0L)
+      case (AC.ARecord(_, wfields), st: StructType) =>
+        val row = v.asInstanceOf[InternalRow]
+        wfields.foreach { case (n, wt) =>
+          val i = st.fieldIndex(n) // plan-time guaranteed present
+          val fdt = st.fields(i).dataType
+          avroWriteForeign(w, wt, fdt,
+            if (row.isNullAt(i)) null else row.get(i, fdt))
+        }
+      case (wr, t) =>
+        throw new NumberFormatException(s"cannot encode $t as $wr")
+    }
+
   /** The .avsc JSON for a struct under the mapping above — what a foreign
     * Avro producer/consumer pins against this topic. */
   def avscOf(schema: StructType, name: String = "Record"): String = {
@@ -784,8 +943,16 @@ case class AvroBinaryEncode(child: Expression,
   override def dataType: DataType = BinaryType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case st: StructType =>
+      // the pin must include top-level NULLABILITY: avroWrite emits a
+      // union branch tag for nullable fields, so a shape differing only
+      // in nullability encodes a different byte layout — letting it
+      // through would silently corrupt the pinned topic (every consumer
+      // resolving against the pinned writer schema NULLs out). Nested
+      // nullability is already covered by DataType equality of
+      // Array/Map/StructType.
       val pinMismatch = pinned.exists(p =>
-        st.map(f => (f.name, f.dataType)) != p.map(f => (f.name, f.dataType)))
+        st.map(f => (f.name, f.dataType, f.nullable)) !=
+          p.map(f => (f.name, f.dataType, f.nullable)))
       if (pinMismatch)
         TypeCheckResult.TypeCheckFailure(
           s"avro wire is pinned to writer shape ${pinned.get}, got $st — " +
@@ -894,6 +1061,41 @@ case class AvroBinaryDecodeForeign(
       val row = WireCodecs.avroReadForeign(r, writer, readerSchema, defaults)
       if (r.exhausted) row else null // trailing garbage ⇒ corrupt
     } catch { case _: Exception => null }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** struct → Avro-binary bytes under a FOREIGN writer .avsc (enum, fixed,
+  * map, arbitrary unions — the types outside [[WireCodecs.avscOf]]'s
+  * producer mapping): the interop producer for a topic whose schema a
+  * foreign CONSUMER owns. Record fields match the writer schema by name
+  * and must cover it exactly; nullable Spark slots need ["null", ...]
+  * unions; non-null union values take the first branch (by index) that
+  * encodes their Spark type. Statically un-encodable shapes are a
+  * plan-time type-check failure; per-datum mismatches (unknown enum
+  * symbol, wrong fixed length) THROW — a producer fails fast rather
+  * than writing silently-wrong bytes (the decode-side malformed-⇒-NULL
+  * DLQ contract is a consumer posture and does not apply here). */
+case class AvroBinaryEncodeForeign(child: Expression, writerAvsc: String)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val writer =
+    graft.sources.AvroContainer.parseSchema(writerAvsc)
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case st: StructType =>
+      (try Right(graft.sources.AvroContainer.parseSchema(writerAvsc))
+       catch { case e: Exception => Left(s"bad writer .avsc: ${e.getMessage}") })
+        .fold(TypeCheckResult.TypeCheckFailure,
+          w => WireCodecs.checkEncodableForeign(w, st, nullable = false)
+            .map(TypeCheckResult.TypeCheckFailure)
+            .getOrElse(TypeCheckResult.TypeCheckSuccess))
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"expected struct, got $other")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val w = new WireCodecs.ByteWriter()
+    WireCodecs.avroWriteForeign(w, writer, child.dataType, input)
+    w.result()
+  }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

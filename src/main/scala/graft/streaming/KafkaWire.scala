@@ -129,7 +129,29 @@ object KafkaWire {
         throw new UnsupportedOperationException(
           "avroForeign is consume-only: the foreign producer owns this " +
             "topic's bytes. Produce through AvroWire/avroResolved against " +
-            "a schema this library pins.")
+            "a schema this library pins, or avroForeignProduce when the " +
+            "foreign party is the CONSUMER and its .avsc is the contract.")
+      def decode(value: Column, schema: StructType): Column =
+        Bridge.column(graft.functions.AvroBinaryDecodeForeign(
+          Bridge.expression(value), writerAvsc, schema, defaults))
+      val name = "avro"
+    }
+
+  /** Avro wire for a topic whose CONSUMER is foreign: this library
+    * produces bytes under the foreign party's .avsc (enum / fixed / map
+    * / arbitrary unions included) so any spec-conforming Avro reader
+    * decodes them — the mirror of [[avroForeign]]'s consume-only seam.
+    * Encode failures (unknown enum symbol, wrong fixed length) THROW:
+    * a producer must fail fast, not write silently-wrong bytes. The
+    * decode side reads the topic's own bytes back through the same
+    * .avsc (round-trip). */
+  def avroForeignProduce(
+      writerAvsc: String,
+      defaults: Map[String, Any] = Map.empty): WireFormat =
+    new WireFormat {
+      def encode(record: Column): Column =
+        Bridge.column(graft.functions.AvroBinaryEncodeForeign(
+          Bridge.expression(record), writerAvsc))
       def decode(value: Column, schema: StructType): Column =
         Bridge.column(graft.functions.AvroBinaryDecodeForeign(
           Bridge.expression(value), writerAvsc, schema, defaults))

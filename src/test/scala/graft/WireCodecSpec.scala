@@ -293,6 +293,140 @@ class WireCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("avro pin includes top-level nullability: union-tag layout cannot drift") {
+    import graft.streaming.KafkaWire
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.struct
+    // the writer pins s NON-nullable (no union tag in the byte layout);
+    // a frame whose s is nullable would emit union-tagged bytes under the
+    // same topic — a silent layout fork every pinned consumer would NULL
+    // out. The pin must catch the nullability-only difference.
+    val writerSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    val wire = KafkaWire.avroResolved(writerSchema)
+    val df = Seq((1L, "a")).toDF("id", "s") // toDF strings are nullable
+    val err = intercept[Exception] {
+      df.select(wire.encode(struct(df("id"), df("s"))).as("b")).head
+    }
+    assert(err.getMessage.contains("pinned to writer shape"),
+      err.getMessage.take(400))
+  }
+
+  test("Avro foreign ENCODE: enum/fixed/map/union byte pins + round trip") {
+    import graft.sources.AvroContainer
+    val avsc =
+      """{"type":"record","name":"F","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"lvl","type":{"type":"enum","name":"L","symbols":["LO","HI"]}},
+        |  {"name":"fx","type":{"type":"fixed","name":"X","size":3}},
+        |  {"name":"u","type":["null","string","long"]},
+        |  {"name":"m","type":{"type":"map","values":"long"}}
+        |]}""".stripMargin
+    val writer = AvroContainer.parseSchema(avsc)
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("lvl", StringType, nullable = false),
+      StructField("fx", BinaryType, nullable = false),
+      StructField("u", StringType, nullable = true),
+      StructField("m", MapType(StringType, LongType, valueContainsNull = false),
+        nullable = false)))
+    assert(WireCodecs.checkEncodableForeign(writer, st, nullable = false).isEmpty)
+    val row = new GenericInternalRow(Array[Any](
+      1L, UTF8String.fromString("HI"), Array[Byte](1, 2, 3),
+      UTF8String.fromString("ab"),
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(Array[Any](UTF8String.fromString("k"))),
+        new GenericArrayData(Array[Any](7L)))))
+    val w = new ByteWriter()
+    WireCodecs.avroWriteForeign(w, writer, st, row)
+    // id 1 → 02 | enum HI idx 1 → 02 | fixed raw 01 02 03 |
+    // union string branch idx 1 → 02, len 2 → 04, 'a' 'b' |
+    // map block count 1 → 02, key "k" → 02 6B, value 7 → 0E, end 00
+    assert(w.result().toSeq == bytes(0x02, 0x02, 0x01, 0x02, 0x03,
+      0x02, 0x04, 0x61, 0x62, 0x02, 0x02, 0x6B, 0x0E, 0x00).toSeq)
+    // round trip through the foreign DECODE path
+    val back = WireCodecs.avroReadForeign(
+      new ByteReader(w.result()), writer, st, Map.empty)
+      .asInstanceOf[InternalRow]
+    assert(back.getLong(0) == 1L && back.getUTF8String(1).toString == "HI" &&
+      back.getBinary(2).toSeq == Seq[Byte](1, 2, 3) &&
+      back.getUTF8String(3).toString == "ab" &&
+      back.getMap(4).numElements() == 1)
+    // null union value → null-branch index alone (00)
+    val w2 = new ByteWriter()
+    WireCodecs.avroWriteForeign(w2, writer, st, new GenericInternalRow(
+      Array[Any](1L, UTF8String.fromString("LO"), Array[Byte](9, 9, 9),
+        null, new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new GenericArrayData(Array.empty[Any]),
+          new GenericArrayData(Array.empty[Any])))))
+    assert(w2.result().toSeq == bytes(0x02, 0x00, 0x09, 0x09, 0x09,
+      0x00, 0x00).toSeq)
+    // per-datum refusals throw (producer fail-fast): unknown enum symbol,
+    // wrong fixed length
+    intercept[NumberFormatException] {
+      WireCodecs.avroWriteForeign(new ByteWriter(), writer, st,
+        new GenericInternalRow(Array[Any](
+          1L, UTF8String.fromString("MID"), Array[Byte](1, 2, 3), null,
+          back.getMap(4))))
+    }
+    intercept[NumberFormatException] {
+      WireCodecs.avroWriteForeign(new ByteWriter(), writer, st,
+        new GenericInternalRow(Array[Any](
+          1L, UTF8String.fromString("LO"), Array[Byte](1, 2), null,
+          back.getMap(4))))
+    }
+    // plan-time refusals: extra struct field (data loss), missing writer
+    // field, nullable slot without a null union branch
+    assert(WireCodecs.checkEncodableForeign(writer,
+      st.add(StructField("extra", LongType, nullable = false)),
+      nullable = false).isDefined)
+    assert(WireCodecs.checkEncodableForeign(writer,
+      StructType(st.fields.filterNot(_.name == "id")),
+      nullable = false).isDefined)
+    assert(WireCodecs.checkEncodableForeign(writer,
+      StructType(st.fields.map(f =>
+        if (f.name == "lvl") f.copy(nullable = true) else f)),
+      nullable = false).isDefined)
+  }
+
+  test("Avro foreign produce wire: foreign consumer's .avsc round-trips via frame") {
+    import graft.streaming.KafkaWire
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, lit, struct}
+    val avsc =
+      """{"type":"record","name":"E","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"lvl","type":{"type":"enum","name":"L","symbols":["LO","HI"]}}
+        |]}""".stripMargin
+    val wire = KafkaWire.avroForeignProduce(avsc)
+    val base = Seq((1L, "LO"), (2L, "HI")).toDF("id", "lvl0")
+    // a toDF string column is NULLABLE, which the enum slot (rightly)
+    // refuses — coalesce against a literal strips the nullability
+    val df = base.select(base("id"),
+      coalesce(base("lvl0"), lit("LO")).as("lvl"))
+    val reader = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("lvl", StringType, nullable = false)))
+    // the produced bytes decode through the foreign reader — AND through
+    // AvroContainer's generic by-writer-schema decoder (what any
+    // spec-conforming foreign consumer does)
+    val encoded = df.select(
+      wire.encode(struct(df("id"), df("lvl"))).as("value"))
+    val out = encoded.select(wire.decode(encoded("value"), reader).as("r"))
+      .select("r.*").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "LO"), (2L, "HI")))
+    val raw = encoded.collect().map(_.getAs[Array[Byte]](0))
+    val writer = graft.sources.AvroContainer.parseSchema(avsc)
+    val foreignDecoded = raw.map(b => graft.sources.AvroContainer
+      .decode(new ByteReader(b), writer).asInstanceOf[Map[String, Any]])
+    assert(foreignDecoded.map(m => (m("id"), m("lvl"))).toSet ==
+      Set((1L, "LO"), (2L, "HI")))
+  }
+
   test("Proto pinned bytes: {id=1 → 08 02 (sint64), s=\"ab\" → 12 02 61 62}") {
     val st = StructType(Seq(
       StructField("id", LongType), StructField("s", StringType)))
