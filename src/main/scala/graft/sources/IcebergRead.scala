@@ -41,7 +41,14 @@ object IcebergRead {
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
       content: Int = 0,
-      equalityIds: Seq[Int] = Nil)
+      equalityIds: Seq[Int] = Nil,
+      // v2 data sequence number: entry-level `sequence_number`, inherited
+      // from the manifest-list entry when null (spec inheritance for
+      // entries added in the manifest's own commit). 0 = the manifests
+      // carry no sequence numbers (v1 / legacy layouts) — scoping rules
+      // that key on it then degrade to apply-to-all (documented at
+      // [[applyEqualityDeletes]]).
+      dataSequenceNumber: Long = 0L)
 
   /** One field of the table schema from the metadata JSON. */
   final case class SchemaField(id: Int, name: String, icebergType: String)
@@ -116,15 +123,22 @@ object IcebergRead {
           // the default for entries whose data_file omits `content` — a
           // delete manifest's files must never fall back to "data"
           val listContent = m.getOrElse("content", 0).asInstanceOf[Int]
+          // the manifest's sequence number (v2): inherited by entries
+          // that omit their own; 0 when the layout predates seq numbers
+          val listSeq = m.get("sequence_number") match {
+            case Some(l: Long) => l
+            case Some(i: Int) => i.toLong
+            case _ => 0L
+          }
           readManifest(fs, m("manifest_path").asInstanceOf[String],
-            tableDir, listContent)
+            tableDir, listContent, listSeq)
         }
       case other =>
         // v1 tables may inline "manifests" instead of a manifest list
         (snap \ "manifests") match {
           case JArray(ms) =>
             ms.flatMap(m => readManifest(fs,
-              m.asInstanceOf[JString].s, tableDir, 0))
+              m.asInstanceOf[JString].s, tableDir, 0, 0L))
           case _ => throw new IllegalArgumentException(
             s"snapshot has neither manifest-list nor manifests: $other")
         }
@@ -134,12 +148,19 @@ object IcebergRead {
 
   private def readManifest(
       fs: FileSystem, path: String, tableDir: String,
-      defaultContent: Int): Seq[DataFileEntry] = {
+      defaultContent: Int, manifestSeq: Long): Seq[DataFileEntry] = {
     val (_, entries) = AvroContainer.readFile(
       readBytes(fs, resolve(path, tableDir)))
     entries.flatMap { e =>
       val m = e.asInstanceOf[Map[String, Any]]
       val status = m.getOrElse("status", 0).asInstanceOf[Int]
+      // entry-level data sequence number; null ⇒ inherit the manifest's
+      // (spec: ADDED entries written in the manifest's own commit omit it)
+      val seq = m.get("sequence_number") match {
+        case Some(l: Long) => l
+        case Some(i: Int) => i.toLong
+        case _ => manifestSeq
+      }
       val df = m("data_file").asInstanceOf[Map[String, Any]]
       // v2 data_file content field: 0 = data, 1 = position deletes,
       // 2 = equality deletes (merged on read via applyEqualityDeletes)
@@ -171,7 +192,8 @@ object IcebergRead {
         boundsMap(df.get("lower_bounds")),
         boundsMap(df.get("upper_bounds")),
         content,
-        eqIds))
+        eqIds,
+        seq))
     }
   }
 
@@ -203,7 +225,7 @@ object IcebergRead {
     applyEqualityDeletes(spark,
       applyPositionDeletes(spark, spark.read.parquet(paths: _*),
         posDel, tableDir),
-      eqDel, tableDir)
+      eqDel, tableDir, files)
   }
 
   /** Merge-on-read for v2 POSITION deletes (spec: delete files are
@@ -269,17 +291,27 @@ object IcebergRead {
     * values sized by deleted-row count — AQE broadcasts the common small
     * CDC delta. Data rows never shuffle payloads beyond the join itself.
     *
-    * Sequence-number scope, stated plainly: the spec applies an equality
-    * delete only to data files with a STRICTLY SMALLER data sequence
-    * number; this reader applies it to ALL live files (our manifests
-    * carry no sequence numbers). Correct for the delete-after-write CDC
-    * pattern (Flink upsert streams — deletes always target earlier data);
-    * a data file committed in the same-or-later snapshot than the delete
-    * that happens to carry an equal row would be wrongly dropped.
-    * Documented as DIVERGENCES #19. */
+    * Sequence-number scope (spec rule): an equality delete applies only
+    * to data files with a STRICTLY SMALLER data sequence number — a row
+    * re-added in the same-or-later commit than the delete SURVIVES.
+    * Enforced here whenever the manifests carry sequence numbers: each
+    * data row gets its file's sequence number via a driver-side
+    * path→seq map over `_metadata.file_path` (bounded by data-file
+    * count, the same scale as the manifest walk), and each delete
+    * group's anti-join condition adds `data_seq < delete_seq`. Delete
+    * files whose sequence number is 0 — a layout written without
+    * sequence numbers — fall back to apply-to-all (correct for the
+    * delete-after-write CDC pattern, where deletes always target
+    * earlier data; the pre-r8 behavior, formerly DIVERGENCES #19).
+    *
+    * (POSITION deletes need no such scoping: they name their target
+    * (file_path, pos) explicitly, and a data file path is unique across
+    * the table's lifetime — the spec's seq rule cannot change which
+    * rows they hit.) */
   def applyEqualityDeletes(
       spark: SparkSession, data: DataFrame,
-      deletes: Seq[DataFileEntry], tableDir: String): DataFrame = {
+      deletes: Seq[DataFileEntry], tableDir: String,
+      dataFiles: Seq[DataFileEntry] = Nil): DataFrame = {
     if (deletes.isEmpty) return data
     import org.apache.spark.sql.functions._
     val badDel = deletes.filterNot(_.format.equalsIgnoreCase("parquet"))
@@ -288,8 +320,26 @@ object IcebergRead {
     val schema = tableSchema(spark, tableDir)
     require(schema.nonEmpty,
       "equality deletes need the table schema (field ids) in metadata")
-    deletes.groupBy(_.equalityIds).foldLeft(data) {
-      case (acc, (ids, files)) =>
+    def canon(p: String): String =
+      resolve(p, tableDir).toString.replaceFirst("^[A-Za-z0-9+.-]+:/+", "/")
+    val needScope = deletes.exists(_.dataSequenceNumber > 0L)
+    // file → sequence number, attached per row from the scan's metadata
+    // column; only built when some delete actually scopes on it
+    val scoped =
+      if (!needScope) data
+      else {
+        require(dataFiles.nonEmpty,
+          "sequence-scoped equality deletes need the planned data files")
+        val seqMap = map(dataFiles.flatMap(f =>
+          Seq(lit(canon(f.path)), lit(f.dataSequenceNumber))): _*)
+        data.withColumn("__seq",
+          element_at(seqMap, regexp_replace(col("_metadata.file_path"),
+            "^[A-Za-z0-9+.-]+:/+", "/")))
+      }
+    val dataCols = data.columns.map(col)
+    val pruned = deletes.groupBy(d =>
+        (d.equalityIds, d.dataSequenceNumber)).foldLeft(scoped) {
+      case (acc, ((ids, delSeq), files)) =>
         val cols = ids.map(id => schema.find(_.id == id)
           .getOrElse(throw new IllegalArgumentException(
             s"equality field id $id not in table schema"))
@@ -301,9 +351,15 @@ object IcebergRead {
             files.map(f => resolve(f.path, tableDir).toString): _*)
           .select(cols.map(c => col(c).as(s"__eq_$c")): _*)
           .distinct()
-        val cond = cols.map(c => col(c) <=> col(s"__eq_$c")).reduce(_ && _)
+        val keyCond = cols.map(c => col(c) <=> col(s"__eq_$c")).reduce(_ && _)
+        // spec scope: strictly-earlier data files only (files without
+        // seq info carry 0 and are treated as earlier than any real seq)
+        val cond =
+          if (delSeq > 0L) keyCond && col("__seq") < lit(delSeq)
+          else keyCond
         acc.join(delKeys, cond, "left_anti")
     }
+    if (needScope) pruned.select(dataCols: _*) else pruned
   }
 
   /** Table schema (field ids/names/types) from the metadata JSON, empty
@@ -451,7 +507,7 @@ object IcebergRead {
           spark.read.parquet(
             files.map(f => resolve(f.path, tableDir).toString): _*),
           posDel, tableDir),
-        eqDel, tableDir)
+        eqDel, tableDir, files)
     }
   }
 

@@ -30,6 +30,7 @@ object IcebergWrite {
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
       |{"name":"snapshot_id","type":["null","long"]},
+      |{"name":"sequence_number","type":["null","long"]},
       |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
       |  {"name":"content","type":"int"},
       |  {"name":"file_path","type":"string"},
@@ -50,6 +51,7 @@ object IcebergWrite {
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string"},
       |{"name":"manifest_length","type":"long"},
+      |{"name":"sequence_number","type":["null","long"]},
       |{"name":"partition_spec_id","type":"int"},
       |{"name":"content","type":"int"},
       |{"name":"added_rows_count","type":["null","long"]}]}"""
@@ -114,6 +116,7 @@ object IcebergWrite {
             "value" -> boundBytes(f.dataType, v)))
         }.toSeq
       Map[String, Any]("status" -> 1, "snapshot_id" -> 1L,
+        "sequence_number" -> 1L,
         "data_file" -> Map[String, Any]("content" -> 0, "file_path" -> rel,
           "file_format" -> "PARQUET", "record_count" -> r.getLong(1),
           "file_size_in_bytes" -> 1L,
@@ -125,8 +128,8 @@ object IcebergWrite {
     Files.write(meta.resolve("snap-1.avro"),
       AvroContainer.writeFile(manifestListSchema,
         Seq(Map[String, Any]("manifest_path" -> "metadata/m1.avro",
-          "manifest_length" -> 1L, "partition_spec_id" -> 0,
-          "content" -> 0,
+          "manifest_length" -> 1L, "sequence_number" -> 1L,
+          "partition_spec_id" -> 0, "content" -> 0,
           "added_rows_count" -> stats.map(_.getLong(1)).sum)), codec))
     val schemaFields = fields.map { case (f, i) =>
       val t = icebergType(f.dataType).getOrElse("binary")
@@ -200,6 +203,7 @@ object IcebergWrite {
     val delFile = fs.listStatus(new org.apache.hadoop.fs.Path(delDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).head
     val delManifest = Seq(Map[String, Any]("status" -> 1, "snapshot_id" -> 2L,
+      "sequence_number" -> 2L,
       "data_file" -> Map[String, Any](
         "content" -> content, "file_path" -> s"data/deletes/$delFile",
         "file_format" -> "PARQUET", "record_count" -> recordCount,
@@ -211,10 +215,12 @@ object IcebergWrite {
     Files.write(meta.resolve("snap-2.avro"),
       AvroContainer.writeFile(manifestListSchema, Seq(
         Map[String, Any]("manifest_path" -> "metadata/m1.avro",
-          "manifest_length" -> 1L, "partition_spec_id" -> 0,
+          "manifest_length" -> 1L, "sequence_number" -> 1L,
+          "partition_spec_id" -> 0,
           "content" -> 0, "added_rows_count" -> 0L),
         Map[String, Any]("manifest_path" -> "metadata/m2-deletes.avro",
-          "manifest_length" -> 1L, "partition_spec_id" -> 0,
+          "manifest_length" -> 1L, "sequence_number" -> 2L,
+          "partition_spec_id" -> 0,
           "content" -> 1, "added_rows_count" -> 0L)), codec))
     val v1 = new String(Files.readAllBytes(meta.resolve("v1.metadata.json")),
       "UTF-8")

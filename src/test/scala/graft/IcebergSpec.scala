@@ -224,6 +224,78 @@ class IcebergSpec extends AnyFunSuite {
     }
   }
 
+  test("equality delete scopes to strictly-earlier sequence: re-add survives") {
+    // spec rule: an equality delete applies only to data files with a
+    // STRICTLY SMALLER data sequence number. Layout: file A (seq 1) holds
+    // a matching row, the delete (seq 2) targets k='gone', file C (seq 3)
+    // RE-ADDS a matching row after the delete — A's row must drop, C's
+    // must survive. Entry seq numbers are INHERITED from the manifest-list
+    // entries (the spec's added-in-own-commit inheritance path).
+    val dir = Files.createTempDirectory("iceberg_seq").toString
+    val meta = Paths.get(dir, "metadata")
+    Files.createDirectories(meta)
+    def writeData(name: String, rows: Seq[(Long, String)]): String = {
+      rows.toDF("id", "k").coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/data/$name")
+      val d = new java.io.File(s"$dir/data/$name")
+      "data/" + name + "/" +
+        d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).head
+    }
+    val fA = writeData("A", Seq((1L, "keep"), (2L, "gone")))
+    val fC = writeData("C", Seq((3L, "gone")))
+    val fDel = {
+      Seq(Tuple1("gone")).toDF("k").coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/data/del")
+      val d = new java.io.File(s"$dir/data/del")
+      "data/del/" +
+        d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).head
+    }
+    def mEntry(path: String, rows: Long, content: Int,
+        eqIds: Any): Map[String, Any] =
+      Map("status" -> 1, "snapshot_id" -> 1L,
+        "data_file" -> Map("content" -> content, "file_path" -> path,
+          "file_format" -> "PARQUET", "record_count" -> rows,
+          "file_size_in_bytes" -> 1L, "equality_ids" -> eqIds))
+    def writeManifest(name: String, e: Map[String, Any]): Unit =
+      Files.write(meta.resolve(name),
+        AvroContainer.writeFile(manifestSchema, Seq(e)))
+    writeManifest("mA.avro", mEntry(fA, 2L, 0, null))
+    writeManifest("mDel.avro", mEntry(fDel, 1L, 2, Seq(2)))
+    writeManifest("mC.avro", mEntry(fC, 1L, 0, null))
+    def listEntrySeq(path: String, content: Int, seq: Long): Map[String, Any] =
+      Map("manifest_path" -> path, "manifest_length" -> 1L,
+        "sequence_number" -> seq, "partition_spec_id" -> 0,
+        "content" -> content, "added_rows_count" -> 0L)
+    Files.write(meta.resolve("snap-1.avro"),
+      AvroContainer.writeFile(manifestListSchema, Seq(
+        listEntrySeq("metadata/mA.avro", 0, 1L),
+        listEntrySeq("metadata/mDel.avro", 1, 2L),
+        listEntrySeq("metadata/mC.avro", 0, 3L))))
+    Files.write(meta.resolve("v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"seq","location":"$dir",
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[
+         |  {"id":1,"name":"id","required":true,"type":"long"},
+         |  {"id":2,"name":"k","required":false,"type":"string"}]}],
+         |"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,
+         |  "manifest-list":"metadata/snap-1.avro",
+         |  "summary":{"operation":"overwrite"}}]}""".stripMargin
+        .getBytes("UTF-8"))
+    Files.write(meta.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+
+    // inheritance: planned entries carry the list entries' seq numbers
+    val (data, deletes) = IcebergRead.plan(spark, dir)
+    assert(data.map(f => f.path -> f.dataSequenceNumber).toMap ==
+      Map(fA -> 1L, fC -> 3L))
+    assert(deletes.map(_.dataSequenceNumber) == Seq(2L))
+
+    val t = IcebergRead.table(spark, dir)
+    val rows = t.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // A's matching row (seq 1 < 2) dropped; C's re-add (seq 3 ≥ 2) SURVIVES
+    assert(rows == Set((1L, "keep"), (3L, "gone")), rows.toString)
+  }
+
   test("string bounds compare as UTF-8 bytes, not UTF-16 code units") {
     val dir = Files.createTempDirectory("iceberg_u").toString
     val df = Seq((1L, "apple"), (2L, "😀 emoji")).toDF("id", "k")
