@@ -99,11 +99,40 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** REAL video decode, end to end: per document an AVI is synthesized
+    * (dimensions, frame count, and pixels are closed-form functions of
+    * doc_id — [[Multimodal.synthVideoPixel]]) with uncompressed DIB
+    * frames, then decoded by [[Multimodal.decodeVideoStats]] which walks
+    * the RIFF container, parses every frame, and reports header fields,
+    * frame-rate-derived duration, and exact per-channel pixel means over
+    * all frames. BI_RGB DIB is lossless, so the DuckDB oracle recomputes
+    * identical stats from the pixel formula alone — codec-free
+    * verification of the container walk + frame decode. (The MJPG frame
+    * path — ImageIO JPEG, lossy, so not formula-oracle-able — is pinned
+    * against the same formula within tolerance in OperatorsSpec.) */
+  def mVideo(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.load(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("w"),
+      (lit(12) + (col("doc_id") % 3) * 4).cast("int").as("h"),
+      (lit(2) + col("doc_id") % 3).cast("int").as("n_frames"))
+    Multimodal.decodeVideoStats(Multimodal.synthAvi(dims))
+      .select(col("media_id"), col("handler"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames"), col("duration_ms"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+      .orderBy(col("media_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "m_frames" -> (mFrames _),
     "m_meta" -> (mMeta _),
     "m_features" -> (mFeatures _),
-    "m_audio" -> (mAudio _))
+    "m_audio" -> (mAudio _),
+    "m_video" -> (mVideo _))
 
   def oracles: Map[String, String] = Map(
     "m_frames" ->
@@ -149,5 +178,26 @@ object MultimodalQueries {
         |    - 32768)) AS DOUBLE) / n AS mean_abs,
         |  CAST(max(abs(((k * 7919 + doc_id * 104729) % 65536) - 32768))
         |    AS BIGINT) AS peak
-        |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin)
+        |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin,
+    // recomputes the decoded per-frame pixel means from the
+    // synthVideoPixel formula — DIB (BI_RGB) frames are lossless raw
+    // bitmaps, so formula pixels == decoded pixels, and both engines do
+    // exact-integer sums with one final IEEE division
+    "m_video" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(16 + (doc_id % 4) * 8 AS INT) AS w,
+        |    CAST(12 + (doc_id % 3) * 4 AS INT) AS h,
+        |    CAST(2 + doc_id % 3 AS INT) AS nf FROM documents),
+        |fx AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM dims),
+        |fxx AS (SELECT doc_id, w, h, nf, f, unnest(range(0, w)) AS x FROM fx),
+        |pxy AS (SELECT doc_id, w, h, nf, f, x, unnest(range(0, h)) AS y
+        |  FROM fxx)
+        |SELECT doc_id AS media_id, 'DIB' AS handler,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(nf * 100 AS BIGINT) AS duration_ms,
+        |  round(avg((x * 7 + doc_id + 13 * f) % 256), 6) AS mean_r,
+        |  round(avg((y * 11 + 2 * doc_id + 17 * f) % 256), 6) AS mean_g,
+        |  round(avg((x + y + 3 * doc_id + 19 * f) % 256), 6) AS mean_b
+        |FROM pxy GROUP BY doc_id, w, h, nf ORDER BY media_id""".stripMargin)
 }

@@ -375,4 +375,49 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.decodeAudioStats(garbage).collect()
     }
   }
+
+  test("video decode: AVI container walk, DIB exact, MJPG within JPEG tolerance") {
+    val dims = Seq((3L, 20, 12, 3), (7L, 16, 16, 2))
+      .toDF("media_id", "w", "h", "n_frames")
+    def formulaMeans(id: Long, w: Int, h: Int, nf: Int) = {
+      val px = for (f <- 0 until nf; x <- 0 until w; y <- 0 until h)
+        yield Multimodal.synthVideoPixel(id, f, x, y)
+      val n = (nf * w * h).toDouble
+      (px.map(_._1).sum / n, px.map(_._2).sum / n, px.map(_._3).sum / n)
+    }
+    // DIB (BI_RGB) frames are lossless raw bitmaps: header fields AND
+    // pixel means must reproduce the formula exactly
+    val dib = Multimodal.decodeVideoStats(Multimodal.synthAvi(dims))
+      .orderBy("media_id").collect()
+    for ((row, (id, w, h, nf)) <- dib.zip(Seq((3L, 20, 12, 3), (7L, 16, 16, 2)))) {
+      assert(row.getAs[String]("handler") == "DIB")
+      assert(row.getAs[Int]("width") == w && row.getAs[Int]("height") == h)
+      assert(row.getAs[Long]("n_frames") == nf.toLong)
+      assert(row.getAs[Long]("duration_ms") == nf * 100L) // 10 fps fixture
+      val (mr, mg, mb) = formulaMeans(id, w, h, nf)
+      assert(row.getAs[Double]("mean_r") == mr)
+      assert(row.getAs[Double]("mean_g") == mg)
+      assert(row.getAs[Double]("mean_b") == mb)
+    }
+    // MJPG frames decode through the real ImageIO JPEG decoder — exact
+    // header fields, means within JPEG quantization error of the formula
+    val mjpg = Multimodal.decodeVideoStats(
+        Multimodal.synthAvi(dims, mjpeg = true))
+      .orderBy("media_id").collect()
+    for ((row, (id, w, h, nf)) <- mjpg.zip(Seq((3L, 20, 12, 3), (7L, 16, 16, 2)))) {
+      assert(row.getAs[String]("handler") == "MJPG")
+      assert(row.getAs[Int]("width") == w && row.getAs[Int]("height") == h)
+      assert(row.getAs[Long]("n_frames") == nf.toLong)
+      val (mr, mg, mb) = formulaMeans(id, w, h, nf)
+      assert(math.abs(row.getAs[Double]("mean_r") - mr) < 8.0)
+      assert(math.abs(row.getAs[Double]("mean_g") - mg) < 8.0)
+      assert(math.abs(row.getAs[Double]("mean_b") - mb) < 8.0)
+    }
+    // garbage bytes refuse loudly; a frame-count/header mismatch refuses
+    val garbage = Seq((2L, Array.tabulate(64)(_.toByte)))
+      .toDF("media_id", "payload")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoStats(garbage).collect()
+    }
+  }
 }
