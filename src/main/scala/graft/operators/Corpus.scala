@@ -367,23 +367,9 @@ object Corpus {
     * by [[graft.tools.CheckpointFootprint]] at sf0.1: 5.20 MB with the
     * r7 token array vs 2.36 MB with the norm string, −55%).
     *
-    * `materialize` picks the materialization of the shared base:
-    *  - "local" (default): `localCheckpoint(eager)` — executor-local
-    *    blocks, lineage truncated; blocks reclaimed by the
-    *    ContextCleaner (no CacheManager pin — see duplicatePassages).
-    *    Fastest, but on a real cluster a lost executor loses
-    *    non-replicated blocks AND the lineage to rebuild them: the job
-    *    fails and retries from scratch.
-    *  - "reliable": `checkpoint(eager)` to the SparkContext's checkpoint
-    *    directory (caller must have called `setCheckpointDir`; refused
-    *    loudly otherwise) — survives executor loss, costs a write to
-    *    reliable storage. The cluster-run default.
-    *  - "persist": `persist(MEMORY_AND_DISK)` — lineage KEPT (executor
-    *    loss recomputes just the lost partitions), but the entry pins in
-    *    the CacheManager until the session ends or the caller unpersists
-    *    the returned frame's base. For long-lived sessions prefer the
-    *    checkpointing modes.
-    * The plan above the base is identical in all three modes.
+    * `materialize` picks how the shared base is pinned —
+    * local | reliable | persist, trade-offs in [[Materialize]]; the
+    * plan above the base is identical in all three modes.
     *
     * Returns one row per input document: all gate flags, the composite
     * `keep`, and the split assignment (null unless kept). */
@@ -404,18 +390,7 @@ object Corpus {
       md5(t).as("digest"),
       normalized(t).as("norm"))
     // ONE scan of `docs` feeds every gate below
-    val base = materialize match {
-      case "local" => projected.localCheckpoint(true)
-      case "reliable" =>
-        require(docs.sparkSession.sparkContext.getCheckpointDir.isDefined,
-          "materialize=\"reliable\" needs SparkContext.setCheckpointDir " +
-            "(a reliable checkpoint writes to that directory)")
-        projected.checkpoint(true)
-      case "persist" =>
-        projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      case other => throw new IllegalArgumentException(
-        s"materialize must be local|reliable|persist, got '$other'")
-    }
+    val base = Materialize(projected, materialize)
     val gated = base.withColumn("gopher_ok",
       col("n_words") >= 50 && col("n_words") <= 100000 &&
         col("mwl") >= 3 && col("mwl") <= 10 &&

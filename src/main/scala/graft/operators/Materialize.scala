@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Shared materialization-mode knob for operators that pin a
+  * multi-consumer (or per-iteration) frame: [[Corpus.cleanPipeline]]'s
+  * shared base, [[Corpus.duplicatePassages]]'s shingle frame,
+  * [[Corpus.connectedComponents]]'s per-round label tables.
+  *
+  *  - "local" (default): `localCheckpoint(eager)` — executor-local
+  *    blocks, lineage truncated; blocks are reclaimed by the
+  *    ContextCleaner when the frame is GC'd (no CacheManager pin).
+  *    Fastest, but on a real cluster a lost executor loses the
+  *    non-replicated blocks AND the lineage to rebuild them: the job
+  *    fails and retries from scratch. The right local/single-JVM mode.
+  *  - "reliable": `checkpoint(eager)` to the SparkContext's checkpoint
+  *    directory (caller must have called `setCheckpointDir`; refused
+  *    loudly otherwise) — survives executor loss at the cost of a write
+  *    to reliable storage per materialization (iterative callers write
+  *    one per round; Spark cleans referenced checkpoints only at
+  *    shutdown, so budget directory space accordingly). The cluster-run
+  *    default.
+  *  - "persist": `persist(MEMORY_AND_DISK)` — lineage KEPT (executor
+  *    loss recomputes just the lost partitions), but the entry pins in
+  *    the CacheManager until unpersisted; operators that iterate call
+  *    `unpersist` per round themselves, operators that RETURN a lazy
+  *    frame over the persisted base leave the pin to the caller's
+  *    session lifetime. Prefer the checkpointing modes in long-lived
+  *    sessions.
+  *
+  * The plan ABOVE the materialized frame is identical in all modes —
+  * only failure recovery and storage residency differ, which is why the
+  * knob is a string parameter and not a plan rewrite.
+  */
+private[graft] object Materialize {
+  val Modes: Seq[String] = Seq("local", "reliable", "persist")
+
+  def apply(df: DataFrame, mode: String): DataFrame = mode match {
+    case "local" => df.localCheckpoint(true)
+    case "reliable" =>
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "materialize=\"reliable\" needs SparkContext.setCheckpointDir " +
+          "(a reliable checkpoint writes to that directory)")
+      df.checkpoint(true)
+    case "persist" =>
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      // eager like the checkpoint modes: consumers must hit the store,
+      // not race to materialize it independently
+      df.count()
+      df
+    case other => throw new IllegalArgumentException(
+      s"materialize must be one of ${Modes.mkString("|")}, got '$other'")
+  }
+}
