@@ -19,6 +19,7 @@ object SparkEntry {
     (StreamingQueries.queries, StreamingQueries.oracles),
     (TextQueries.queries, TextQueries.oracles),
     (DialectQueries.queries, DialectQueries.oracles),
+    (ChShapes.queries, ChShapes.oracles),
     (MultimodalQueries.queries, MultimodalQueries.oracles),
     (CorpusQueries.queries, CorpusQueries.oracles)
   )

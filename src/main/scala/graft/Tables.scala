@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet star schema (TESTDATA.md).
   *
@@ -16,20 +16,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Columns stored as parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively: read as long nanos and floor-truncate to µs — the same
-    * truncation DuckDB applies reading TIMESTAMP_NS into its µs timestamps,
-    * so oracle parity holds. */
-  private val nanosTimestampCols: Map[String, Seq[String]] =
+  /** Event-time columns whose parquet physical type has varied across
+    * driver testdata generations: TIMESTAMP(NANOS) (Spark 4 refuses to
+    * read natively — read as long nanos, floor-truncate to µs, the same
+    * truncation DuckDB applies into its µs timestamps) or plain µs with
+    * isAdjustedToUTC=false (Spark infers TIMESTAMP_NTZ — cast to
+    * TimestampType so event-time ops like `withWatermark` accept it;
+    * every session here pins `spark.sql.session.timeZone=UTC`, so the
+    * cast preserves the wall-clock values the DuckDB oracle sees). */
+  private val eventTimeCols: Map[String, Seq[String]] =
     Map("events" -> Seq("ts"))
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    nanosTimestampCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.schema(c).dataType == LongType)
-        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-      else d
+    eventTimeCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case LongType =>
+          d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case TimestampNTZType =>
+          d.withColumn(c, col(c).cast(TimestampType))
+        case _ => d
+      }
     }
   }
 

@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ClickHouse query SHAPES reachable from the reference's raw-SQL surface
+  * (`MooseClient.query.execute` pipes arbitrary CH SQL — ref
+  * ts-moose-lib query templating; apis.ts) that Spark's SQL grammar does
+  * not spell the same way: `LIMIT n BY col`, `GROUP BY … WITH TOTALS`,
+  * `ORDER BY … WITH FILL`. Each is re-expressed as a declarative Spark
+  * plan — a partitioned window, a grouping-sets aggregate, a generated
+  * axis left-join — so Catalyst keeps pushdown/codegen and the shape
+  * scales:
+  *
+  *  - `limitBy` runs ONE partitioned window (hash shuffle on the BY key,
+  *    no global sort, no driver state) — at 100 TB the only cost is the
+  *    shuffle every per-group top-k needs;
+  *  - `withTotals` is a single grouping-sets hash aggregate (partial aggs
+  *    map-side; the totals row is one extra grouping, not a second scan);
+  *  - `withFill` aggregates the real rows once, then left-joins them onto
+  *    a generated axis whose size is the axis LENGTH (days/hours), i.e.
+  *    tiny and broadcast — the corpus is scanned exactly once.
+  */
+object ChShapes {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------ LIMIT BY
+  /** CH `LIMIT n BY by…`: keep the first `n` rows of each `by` group in
+    * `order` order. Deterministic iff `order` is a total order within the
+    * group — callers should break ties (the driver queries do).
+    */
+  def limitBy(df: DataFrame, n: Int, by: Seq[Column], order: Seq[Column])
+      : DataFrame = {
+    require(n > 0, s"LIMIT $n BY: n must be positive")
+    require(by.nonEmpty, "LIMIT n BY needs at least one BY column")
+    val w = Window.partitionBy(by: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  // -------------------------------------------------------- WITH TOTALS
+  /** CH `GROUP BY keys WITH TOTALS`: the grouped rows plus ONE extra row
+    * aggregating everything, keys NULL on the totals row (CH renders the
+    * totals row separately; NULL keys are the relational encoding — same
+    * one Spark/DuckDB use for ROLLUP supergroups). One grouping-sets hash
+    * aggregate: `((keys…), ())`.
+    */
+  def withTotals(df: DataFrame, keys: Seq[Column], aggs: Seq[Column])
+      : DataFrame = {
+    require(keys.nonEmpty, "WITH TOTALS needs at least one grouping key")
+    df.groupingSets(Seq(keys, Seq.empty[Column]), keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---------------------------------------------------------- WITH FILL
+  /** CH `ORDER BY dateCol WITH FILL [STEP s]` for a date axis: every date
+    * between the frame's min and max appears exactly once; dates absent
+    * from `grouped` take `fillDefaults` (CH fills with the type default).
+    *
+    * `grouped` must already be one-row-per-`dateCol` (i.e. the result of
+    * an aggregation). The axis is generated with `sequence()` from the
+    * aggregate min/max — its row count is the span in days, so the join's
+    * build side is tiny and broadcasts no matter how large the fact table
+    * was before aggregation.
+    */
+  def withFillDays(grouped: DataFrame, dateCol: String,
+      fillDefaults: Map[String, Column], stepDays: Int = 1): DataFrame = {
+    require(stepDays > 0, s"WITH FILL STEP $stepDays: step must be positive")
+    val bounds = grouped.agg(
+      min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"))
+    val axis = bounds.select(explode(sequence(col("lo"), col("hi"),
+      expr(s"interval $stepDays day"))).as(dateCol))
+    val others = grouped.columns.filter(_ != dateCol)
+    axis.join(grouped, Seq(dateCol), "left")
+      .select(col(dateCol) +: others.map { c =>
+        fillDefaults.get(c).map(d => coalesce(col(c), d).as(c))
+          .getOrElse(col(c))
+      }: _*)
+  }
+
+  // ------------------------------------------------- driver queries
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** `SELECT … FROM events ORDER BY … LIMIT 3 BY user_id` — top 3 events
+    * per user by value. Plan: one partitioned window after the scan.
+    */
+  def qLimitBy(spark: SparkSession, dir: String): DataFrame =
+    limitBy(t(spark, dir, "events"),
+        n = 3,
+        by = Seq(col("user_id")),
+        order = Seq(col("value").desc, col("event_id")))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("user_id"), col("value").desc, col("event_id"))
+
+  /** `GROUP BY event_type WITH TOTALS` over events. */
+  def qWithTotals(spark: SparkSession, dir: String): DataFrame =
+    withTotals(t(spark, dir, "events"),
+        keys = Seq(col("event_type")),
+        aggs = Seq(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"),
+          round(avg(col("value")), 4).as("avg_value")))
+      .orderBy(asc_nulls_first("event_type"))
+
+  /** Daily event counts `WITH FILL` — every calendar day in the observed
+    * range appears, zero-filled where no events landed.
+    */
+  def qWithFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    withFillDays(daily, "day",
+        Map("n_events" -> lit(0L), "sum_value" -> lit(0.0)))
+      .orderBy(col("day"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_limit_by" -> (qLimitBy _),
+    "q_with_totals" -> (qWithTotals _),
+    "q_with_fill" -> (qWithFill _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_limit_by" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn <= 3
+        |ORDER BY user_id, value DESC, event_id""".stripMargin,
+    "q_with_totals" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value,
+        |       round(avg(value), 4) AS avg_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), ())
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_with_fill" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |         round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1
+        |), axis AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(day) FROM daily),
+        |    (SELECT max(day) FROM daily),
+        |    INTERVAL 1 DAY))::DATE AS day
+        |)
+        |SELECT axis.day AS day,
+        |       coalesce(n_events, 0) AS n_events,
+        |       coalesce(sum_value, 0.0) AS sum_value
+        |FROM axis LEFT JOIN daily ON axis.day = daily.day
+        |ORDER BY axis.day""".stripMargin
+  )
+}
