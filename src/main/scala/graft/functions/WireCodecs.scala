@@ -714,10 +714,89 @@ object WireCodecs {
         throw new NumberFormatException(s"cannot encode $t as $wr")
     }
 
+  /** Field-metadata keys through which a schema-first producer DECLARES
+    * Avro types Spark's type system cannot spell — enum, fixed, and
+    * non-null unions (map needs no annotation; `MapType(string, V)` maps
+    * directly). The reference selects the wire format per stream and the
+    * schema is the producer's own (ref packages/ts-moose-lib/src/dmv2/
+    * sdk/stream.ts:143-153), so declaring an enum column must not require
+    * an externally-authored .avsc. [[avscOf]] honors these annotations;
+    * the emitted .avsc is validated against [[checkEncodableForeign]] at
+    * emit time, so it round-trips through the SAME foreign
+    * encode/decode path a hand-written schema would
+    * ([[KafkaWire.avroForeignProduce]] with the emitted string). */
+  object AvroMeta {
+    /** On a StringType field: string-array of enum symbols. */
+    val EnumSymbols = "avro.enum.symbols"
+    /** Optional enum type name (default: `<record>_<field>`). */
+    val EnumName = "avro.enum.name"
+    /** On a BinaryType field: the fixed size in bytes. */
+    val FixedSize = "avro.fixed.size"
+    /** Optional fixed type name (default: `<record>_<field>`). */
+    val FixedName = "avro.fixed.name"
+    /** On any primitive field: string-array of avro PRIMITIVE branch
+      * names (`"int"`, `"string"`, ...) forming a union. Values encode
+      * by first branch that fits the Spark type (spec union encoding);
+      * a `"null"` branch is added automatically when the field is
+      * nullable. */
+    val UnionBranches = "avro.union.branches"
+
+    private def mb(pairs: (String, Any)*): Metadata = {
+      val b = new MetadataBuilder()
+      pairs.foreach {
+        case (k, v: String) => b.putString(k, v)
+        case (k, v: Long) => b.putLong(k, v)
+        case (k, v: Array[String]) => b.putStringArray(k, v)
+        case (k, v) => throw new IllegalArgumentException(s"$k: $v")
+      }
+      b.build()
+    }
+
+    /** A StringType field whose .avsc type is `enum` with `symbols`. */
+    def enumField(name: String, symbols: Seq[String],
+        nullable: Boolean = false, enumName: Option[String] = None): StructField = {
+      val base = Seq[(String, Any)](EnumSymbols -> symbols.toArray)
+      val named = enumName.fold(base)(n => base :+ (EnumName -> (n: Any)))
+      StructField(name, StringType, nullable, mb(named: _*))
+    }
+
+    /** A BinaryType field whose .avsc type is `fixed(size)`. */
+    def fixedField(name: String, size: Int,
+        nullable: Boolean = false, fixedName: Option[String] = None): StructField = {
+      val base = Seq[(String, Any)](FixedSize -> size.toLong)
+      val named = fixedName.fold(base)(n => base :+ (FixedName -> (n: Any)))
+      StructField(name, BinaryType, nullable, mb(named: _*))
+    }
+
+    /** A field whose .avsc type is the union of primitive `branches`;
+      * `sparkType` must encode into at least one branch (checked at
+      * [[avscOf]] emit time). */
+    def unionField(name: String, sparkType: DataType, branches: Seq[String],
+        nullable: Boolean = false): StructField =
+      StructField(name, sparkType, nullable,
+        mb(UnionBranches -> branches.toArray))
+  }
+
+  // Avro spec "Names": [A-Za-z_][A-Za-z0-9_]* — enum symbols and named
+  // types share the rule.
+  private val AvroName = "[A-Za-z_][A-Za-z0-9_]*".r
+  private def requireAvroName(s: String, what: String): Unit =
+    if (!AvroName.pattern.matcher(s).matches())
+      throw new IllegalArgumentException(s"$what '$s' is not a valid avro name")
+
+  private val AvroPrimitives: Map[String, AC.AType] = Map(
+    "null" -> AC.ANull, "boolean" -> AC.ABool, "int" -> AC.AInt,
+    "long" -> AC.ALong, "float" -> AC.AFloat, "double" -> AC.ADouble,
+    "bytes" -> AC.ABytes, "string" -> AC.AString)
+
   /** The .avsc JSON for a struct under the mapping above — what a foreign
-    * Avro producer/consumer pins against this topic. */
+    * Avro producer/consumer pins against this topic. Fields annotated via
+    * [[AvroMeta]] emit enum / fixed / non-null-union types; `MapType
+    * (string, V)` emits `map`. Annotated fields are validated against
+    * [[checkEncodableForeign]] here, at emit time, so every emitted
+    * schema is one [[avroWriteForeign]] can produce under. */
   def avscOf(schema: StructType, name: String = "Record"): String = {
-    def typeOf(dt: DataType): String = dt match {
+    def typeOf(dt: DataType, nm: String): String = dt match {
       case BooleanType => "\"boolean\""
       case IntegerType => "\"int\""
       case LongType => "\"long\""
@@ -729,15 +808,69 @@ object WireCodecs {
         """{"type":"long","logicalType":"timestamp-micros"}"""
       case DateType => """{"type":"int","logicalType":"date"}"""
       case ArrayType(et, cn) =>
-        s"""{"type":"array","items":${if (cn) nullable(et) else typeOf(et)}}"""
-      case st: StructType => recordOf(st, name + "_r")
+        s"""{"type":"array","items":${if (cn) nullable(et, nm) else typeOf(et, nm)}}"""
+      case MapType(StringType, vt, vn) =>
+        s"""{"type":"map","values":${if (vn) nullable(vt, nm) else typeOf(vt, nm)}}"""
+      case st: StructType => recordOf(st, nm)
       case other => throw new IllegalStateException(s"avsc: $other")
     }
-    def nullable(dt: DataType): String = s"""["null",${typeOf(dt)}]"""
+    def nullable(dt: DataType, nm: String): String =
+      s"""["null",${typeOf(dt, nm)}]"""
+    // The declared (pre-nullability) type of one field: AvroMeta
+    // annotations first, the structural mapping otherwise.
+    def declared(f: StructField, nm: String): String = {
+      val m = f.metadata
+      if (m.contains(AvroMeta.EnumSymbols)) {
+        if (f.dataType != StringType) throw new IllegalArgumentException(
+          s"enum field ${f.name} must be StringType, got ${f.dataType}")
+        val syms = m.getStringArray(AvroMeta.EnumSymbols).toSeq
+        if (syms.isEmpty) throw new IllegalArgumentException(
+          s"enum field ${f.name} has no symbols")
+        syms.foreach(requireAvroName(_, s"enum symbol of ${f.name}"))
+        val en =
+          if (m.contains(AvroMeta.EnumName)) m.getString(AvroMeta.EnumName)
+          else nm
+        requireAvroName(en, "enum name")
+        syms.map("\"" + _ + "\"").mkString(
+          s"""{"type":"enum","name":"$en","symbols":[""", ",", "]}")
+      } else if (m.contains(AvroMeta.FixedSize)) {
+        if (f.dataType != BinaryType) throw new IllegalArgumentException(
+          s"fixed field ${f.name} must be BinaryType, got ${f.dataType}")
+        val size = m.getLong(AvroMeta.FixedSize)
+        if (size <= 0) throw new IllegalArgumentException(
+          s"fixed field ${f.name} size must be positive, got $size")
+        val fn =
+          if (m.contains(AvroMeta.FixedName)) m.getString(AvroMeta.FixedName)
+          else nm
+        requireAvroName(fn, "fixed name")
+        s"""{"type":"fixed","name":"$fn","size":$size}"""
+      } else typeOf(f.dataType, nm)
+    }
+    def fieldType(f: StructField, parent: String): String = {
+      val nm = s"${parent}_${f.name}"
+      if (f.metadata.contains(AvroMeta.UnionBranches)) {
+        val names = f.metadata.getStringArray(AvroMeta.UnionBranches).toSeq
+        val branches = names.map { b =>
+          AvroPrimitives.getOrElse(b, throw new IllegalArgumentException(
+            s"union branch '$b' of ${f.name} is not an avro primitive " +
+              s"(one of ${AvroPrimitives.keys.toSeq.sorted.mkString(", ")})"))
+        }
+        val withNull =
+          if (f.nullable && !branches.contains(AC.ANull))
+            ("null" +: names, AC.ANull +: branches)
+          else (names, branches)
+        checkEncodableForeign(AC.AUnion(withNull._2), f.dataType, f.nullable)
+          .foreach(p => throw new IllegalArgumentException(
+            s"union of field ${f.name}: $p"))
+        withNull._1.map("\"" + _ + "\"").mkString("[", ",", "]")
+      } else {
+        val t = declared(f, nm)
+        if (f.nullable) s"""["null",$t]""" else t
+      }
+    }
     def recordOf(st: StructType, nm: String): String =
       st.fields.map { f =>
-        val t = if (f.nullable) nullable(f.dataType) else typeOf(f.dataType)
-        s"""{"name":"${f.name}","type":$t}"""
+        s"""{"name":"${f.name}","type":${fieldType(f, nm)}}"""
       }.mkString(s"""{"type":"record","name":"$nm","fields":[""", ",", "]}")
     recordOf(schema, name)
   }

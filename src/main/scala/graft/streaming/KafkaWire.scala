@@ -52,6 +52,10 @@ object KafkaWire {
     def name: String
   }
 
+  /** A [[WireFormat]] that also carries the schema contract it emitted
+    * (the .avsc a consumer pins against) — see [[avroDeclared]]. */
+  trait DeclaredWireFormat extends WireFormat { def avsc: String }
+
   /** JSONEachRow wire encoding — the reference's default. Decoding maps
     * fields BY NAME: extra JSON keys are ignored, missing columns come
     * back NULL (kafka_clickhouse_sync.rs:803 semantics). Malformed bytes
@@ -155,6 +159,30 @@ object KafkaWire {
       def decode(value: Column, schema: StructType): Column =
         Bridge.column(graft.functions.AvroBinaryDecodeForeign(
           Bridge.expression(value), writerAvsc, schema, defaults))
+      val name = "avro"
+    }
+
+  /** Avro wire for a SCHEMA-FIRST producer that declares its own topic
+    * schema, including the Avro types Spark's type system cannot spell:
+    * annotate fields with [[graft.functions.WireCodecs.AvroMeta]]
+    * (enum / fixed / non-null unions; `MapType(string, V)` needs no
+    * annotation) and this wire emits the conformant .avsc via
+    * [[graft.functions.WireCodecs.avscOf]] and produces/consumes under
+    * it through the foreign codec path — so any spec-conforming Avro
+    * reader decodes the topic, and the producer never hand-writes the
+    * schema it already declared (ref stream.ts:143-153: the schema is
+    * the producer's). The emitted contract is exposed as [[avsc]] for
+    * publishing to consumers. */
+  def avroDeclared(schema: StructType, recordName: String = "Record",
+      defaults: Map[String, Any] = Map.empty): DeclaredWireFormat =
+    new DeclaredWireFormat {
+      val avsc: String = graft.functions.WireCodecs.avscOf(schema, recordName)
+      def encode(record: Column): Column =
+        Bridge.column(graft.functions.AvroBinaryEncodeForeign(
+          Bridge.expression(record), avsc))
+      def decode(value: Column, schema: StructType): Column =
+        Bridge.column(graft.functions.AvroBinaryDecodeForeign(
+          Bridge.expression(value), avsc, schema, defaults))
       val name = "avro"
     }
 
