@@ -42,4 +42,37 @@ private[graft] object BroadcastGate {
   def cachedCount(df: DataFrame): Option[Long] =
     Option(memo.get(df.queryExecution.analyzed.canonicalized))
       .map(_.longValue())
+
+  /** Row-count heuristic WITHOUT a job wherever the plan's statistics
+    * suffice, in preference order:
+    *  1. the optimized plan's `rowCount` (CBO / ANALYZE'd tables) — exact;
+    *  2. a memoized prior [[countOnce]] — exact;
+    *  3. `sizeInBytes / (8 + Σ field defaultSize)` — the same
+    *     size-per-row model Catalyst's SizeInBytesOnlyStatsPlanVisitor
+    *     applies, so the estimate mis-sizes a corpus exactly when
+    *     Spark's own autoBroadcastJoinThreshold would (for a
+    *     LocalRelation the division inverts the visitor's multiplication
+    *     and is exact; for a file scan it divides file bytes by the
+    *     schema width — docs larger than the default width OVERCOUNT,
+    *     which biases the gate toward refusing a broadcast: the safe
+    *     direction).
+    * Falls back to ONE memoized count job only when the plan reports no
+    * usable size (unknown sources surface `defaultSizeInBytes`). The
+    * number gates a join STRATEGY, never a result — callers needing
+    * exactness pass their explicit `broadcast*` override. */
+  def estimateOrCount(df: DataFrame): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.longValue).getOrElse {
+      cachedCount(df).getOrElse {
+        val size = stats.sizeInBytes
+        val unusable = size <= 0 ||
+          size >= df.sparkSession.sessionState.conf.defaultSizeInBytes
+        if (unusable) countOnce(df)
+        else {
+          val width = 8L + df.schema.fields.map(_.dataType.defaultSize).sum
+          (size.toLong + width - 1) / width
+        }
+      }
+    }
+  }
 }

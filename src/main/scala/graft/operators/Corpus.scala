@@ -176,8 +176,10 @@ object Corpus {
     * unavoidable cost of a too-big vocab) but each executor builds only
     * its partition's vocab slice, so the join scales out instead of
     * OOMing. Results are identical either way. `broadcastVocab`
-    * overrides the gate outright; without it the gate runs an eager
-    * count job, memoized per input plan ([[BroadcastGate]]).
+    * overrides the gate outright; without it the gate sizes the corpus
+    * from the plan's own statistics (no job —
+    * [[BroadcastGate.estimateOrCount]]), counting only when the plan
+    * reports no usable size.
     */
   def unigramScore(docs: DataFrame, idCol: String, textCol: String,
       broadcastVocab: Option[Boolean] = None,
@@ -192,7 +194,8 @@ object Corpus {
     // exchange identity, and the whole corpus pipeline replays).
     val total = vocab.agg(sum(col("c")).as("t_tokens"))
     val vocabSide =
-      if (broadcastVocab.getOrElse(BroadcastGate.countOnce(docs) <= broadcastMaxDocs))
+      if (broadcastVocab.getOrElse(
+          BroadcastGate.estimateOrCount(docs) <= broadcastMaxDocs))
         broadcast(vocab)
       else vocab.hint("SHUFFLE_HASH")
     toks.join(vocabSide, Seq("w"))
@@ -403,7 +406,8 @@ object Corpus {
     // T rides the vocab shuffle (AQE stage reuse — see unigramScore)
     val total = vocab.agg(sum(col("c")).as("t_tokens"))
     val vocabSide =
-      if (broadcastVocab.getOrElse(BroadcastGate.countOnce(docs) <= broadcastMaxDocs))
+      if (broadcastVocab.getOrElse(
+          BroadcastGate.estimateOrCount(docs) <= broadcastMaxDocs))
         broadcast(vocab)
       else vocab.hint("SHUFFLE_HASH")
     val uni = toks.join(vocabSide, Seq("w"))

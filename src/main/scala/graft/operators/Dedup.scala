@@ -153,12 +153,12 @@ object Dedup {
     //    scales out instead. The doc count is a density HEURISTIC (a
     //    pathological all-duplicates corpus can blow the candidate set at
     //    any N) — `broadcastCandidates` overrides the gate outright.
-    // Without the override the gate runs an EAGER count job at plan-
-    // construction time, memoized per input plan ([[BroadcastGate]]) so
-    // repeated invocations — and the unigram gate sharing this corpus —
-    // pay it once per session, not once per call.
+    // Without the override the gate sizes the corpus from the plan's
+    // OWN statistics (no job; Catalyst's size-per-row model — see
+    // [[BroadcastGate.estimateOrCount]]) and runs a memoized count job
+    // only when the plan reports no usable size.
     val useBroadcast = broadcastCandidates.getOrElse {
-      BroadcastGate.countOnce(docs) <= broadcastMaxDocs
+      BroadcastGate.estimateOrCount(docs) <= broadcastMaxDocs
     }
     val candSide =
       if (useBroadcast) broadcast(candidates) else candidates.hint("SHUFFLE_HASH")

@@ -46,8 +46,10 @@ private[graft] object Materialize {
     case "persist" =>
       df.persist(StorageLevel.MEMORY_AND_DISK)
       // eager like the checkpoint modes: consumers must hit the store,
-      // not race to materialize it independently
-      df.count()
+      // not race to materialize it independently. foreachPartition
+      // computes-and-stores every partition WITHOUT the aggregation pass
+      // a count() adds on top of the store write.
+      df.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
       df
     case other => throw new IllegalArgumentException(
       s"materialize must be one of ${Modes.mkString("|")}, got '$other'")

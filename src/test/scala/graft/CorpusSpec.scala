@@ -438,10 +438,58 @@ class CorpusSpec extends AnyFunSuite {
     assert(bc.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     val shjPlan = shj.queryExecution.executedPlan.toString
     assert(shjPlan.contains("ShuffledHashJoin"), shjPlan.take(2000))
-    // the default gate's eager count memoizes per input plan: after one
-    // gated call, the same frame's count is served without a second job
+    // the default gate sizes the corpus from plan statistics — NO count
+    // job (the memo stays empty), and for a LocalRelation the estimate
+    // inverts Catalyst's size-per-row model exactly
     Corpus.unigramScore(docs, "doc_id", "text")
+    assert(graft.operators.BroadcastGate.cachedCount(docs).isEmpty)
+    assert(graft.operators.BroadcastGate.estimateOrCount(docs) == 3L)
+    // countOnce (the no-usable-stats fallback) still memoizes per plan
+    assert(graft.operators.BroadcastGate.countOnce(docs) == 3L)
     assert(graft.operators.BroadcastGate.cachedCount(docs).contains(3L))
+  }
+
+  test("gate estimate matches the exact count's broadcast decision on a " +
+      "parquet corpus; stale memo can only flip strategy, never results") {
+    import graft.operators.BroadcastGate
+    val dir = java.nio.file.Files.createTempDirectory("gatedocs").toString
+    Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "xylophone quartz vortex")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val df1 = spark.read.parquet(dir)
+    // file-backed estimate: no job, same side of the default 2M gate as
+    // the exact count (the decision, not the number, is the contract)
+    val est = BroadcastGate.estimateOrCount(df1)
+    assert(BroadcastGate.cachedCount(df1).isEmpty, "estimate must not count")
+    assert((est <= 2000000L) == (df1.count() <= 2000000L))
+    // seed the memo, then append files under the same path: a re-read
+    // canonicalizes to the same plan (InMemoryFileIndex keys on root
+    // paths), so the memo serves the STALE pre-append count
+    BroadcastGate.countOnce(df1)
+    assert(BroadcastGate.cachedCount(df1).contains(3L))
+    Seq((4L, "the fish sat on the net"), (5L, "the bird sat on the wire"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    spark.catalog.refreshByPath(dir)
+    val df2 = spark.read.parquet(dir)
+    assert(df2.count() == 5L)
+    assert(BroadcastGate.cachedCount(df2).contains(3L),
+      "memo must key on canonicalized plan and survive the append")
+    // the stale count (3 ≤ 4) keeps the broadcast strategy that a fresh
+    // count (5 > 4) would refuse — and the results are byte-equal either
+    // way: the gate flips STRATEGY, never a result (the scaladoc's
+    // safety argument, pinned)
+    val stale = Corpus.unigramScore(df2, "doc_id", "text",
+      broadcastMaxDocs = 4L)
+    assert(stale.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val fresh = Corpus.unigramScore(df2, "doc_id", "text",
+      broadcastVocab = Some(false))
+    assert(fresh.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"))
+    assert(stale.collect().map(_.toSeq).toSeq ==
+      fresh.collect().map(_.toSeq).toSeq)
   }
 
   test("cleanPipeline: materialization modes and vocab fallback all agree") {
@@ -456,6 +504,11 @@ class CorpusSpec extends AnyFunSuite {
         .orderBy("doc_id").collect().map(_.toSeq).toSeq
     val ref = rows("local")
     assert(rows("persist") == ref)
+    // persist mode materializes the store eagerly WITHOUT a count():
+    // every partition of the pinned base is already cached
+    assert(spark.sparkContext.getRDDStorageInfo.exists(i =>
+      i.numCachedPartitions > 0 && i.numCachedPartitions == i.numPartitions),
+      "persist-mode base not materialized in the block store")
     spark.sparkContext.setCheckpointDir(
       java.nio.file.Files.createTempDirectory("cleanck").toString)
     assert(rows("reliable") == ref)
