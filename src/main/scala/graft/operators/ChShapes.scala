@@ -35,10 +35,14 @@ object ChShapes {
       : DataFrame = {
     require(n > 0, s"LIMIT $n BY: n must be positive")
     require(by.nonEmpty, "LIMIT n BY needs at least one BY column")
+    // collision-checked temp name: a caller's own __rn column survives
+    val rn = Iterator.from(0)
+      .map(i => if (i == 0) "__rn" else s"__rn$i")
+      .find(c => !df.columns.contains(c)).get
     val w = Window.partitionBy(by: _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= n)
-      .drop("__rn")
+    df.withColumn(rn, row_number().over(w))
+      .where(col(rn) <= n)
+      .drop(rn)
   }
 
   // -------------------------------------------------------- WITH TOTALS
@@ -47,12 +51,21 @@ object ChShapes {
     * totals row separately; NULL keys are the relational encoding — same
     * one Spark/DuckDB use for ROLLUP supergroups). One grouping-sets hash
     * aggregate: `((keys…), ())`.
+    *
+    * `totalsFlag` (when set) appends a boolean column of that name, true
+    * ONLY on the totals row — the `grouping_id()` discriminator. Without
+    * it, a grouping key that genuinely contains NULLs produces a group
+    * row indistinguishable from the totals row; with it the totals row
+    * stays uniquely identified (and orderable) regardless of key NULLs.
     */
-  def withTotals(df: DataFrame, keys: Seq[Column], aggs: Seq[Column])
-      : DataFrame = {
+  def withTotals(df: DataFrame, keys: Seq[Column], aggs: Seq[Column],
+      totalsFlag: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "WITH TOTALS needs at least one grouping key")
+    val flagged = totalsFlag.map { n =>
+      (grouping_id(keys: _*) === ((1L << keys.length) - 1)).as(n)
+    }.toSeq ++ aggs
     df.groupingSets(Seq(keys, Seq.empty[Column]), keys: _*)
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(flagged.head, flagged.tail: _*)
   }
 
   // ---------------------------------------------------------- WITH FILL
@@ -81,6 +94,49 @@ object ChShapes {
       }: _*)
   }
 
+  /** CH `ORDER BY numCol WITH FILL [FROM from] [TO to] [STEP step]` for
+    * an integral axis: the fill grid is `from, from+step, …` up to but
+    * NOT including `to` (CH's TO is exclusive); `from`/`to` default to
+    * the frame's min/max (max inclusive — the data's own bound is a real
+    * row). Rows of `grouped` OFF the grid (or outside the bounds) are
+    * kept — CH fills around the query's rows, it never drops them — so
+    * the axis is the generated grid UNION the actual values: still axis-
+    * sized, still the broadcast side of the join, corpus scanned once.
+    *
+    * `grouped` must already be one-row-per-`numCol` (the result of an
+    * aggregation); absent grid points take `fillDefaults`.
+    */
+  def withFillNum(grouped: DataFrame, numCol: String,
+      fillDefaults: Map[String, Column], step: Long = 1L,
+      from: Option[Long] = None, to: Option[Long] = None): DataFrame = {
+    require(step > 0, s"WITH FILL STEP $step: step must be positive")
+    for (f <- from; t <- to) require(t > f,
+      s"WITH FILL FROM $f TO $t: empty range")
+    val bounds = grouped.agg(
+      min(col(numCol).cast("long")).as("lo"),
+      max(col(numCol).cast("long")).as("hi"))
+    val lo = from.map(lit).getOrElse(col("lo"))
+    // sequence() is stop-INCLUSIVE; an explicit CH TO is exclusive, and
+    // integral steps make `to - 1` the exact inclusive equivalent
+    val hi = to.map(v => lit(v - 1)).getOrElse(col("hi"))
+    // degenerate ranges (empty frame without explicit bounds; a bound
+    // derived from data on the wrong side of an explicit one) fill
+    // nothing instead of erroring sequence()
+    val grid = bounds.select(explode(
+      when(lo <= hi, sequence(lo, hi, lit(step)))
+        .otherwise(typedLit(Array.empty[Long]))).as(numCol))
+    val axis = grid
+      .unionByName(grouped.select(col(numCol).cast("long").as(numCol)))
+      .distinct()
+    val others = grouped.columns.filter(_ != numCol)
+    axis.join(grouped.withColumn(numCol, col(numCol).cast("long")),
+        Seq(numCol), "left")
+      .select(col(numCol) +: others.map { c =>
+        fillDefaults.get(c).map(d => coalesce(col(c), d).as(c))
+          .getOrElse(col(c))
+      }: _*)
+  }
+
   // ------------------------------------------------- driver queries
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
@@ -97,15 +153,18 @@ object ChShapes {
         col("value"))
       .orderBy(col("user_id"), col("value").desc, col("event_id"))
 
-  /** `GROUP BY event_type WITH TOTALS` over events. */
+  /** `GROUP BY event_type WITH TOTALS` over events. The `is_totals`
+    * discriminator identifies and orders the totals row even if a key
+    * NULL group ever appears (ADVICE r8). */
   def qWithTotals(spark: SparkSession, dir: String): DataFrame =
     withTotals(t(spark, dir, "events"),
         keys = Seq(col("event_type")),
         aggs = Seq(
           count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("sum_value"),
-          round(avg(col("value")), 4).as("avg_value")))
-      .orderBy(asc_nulls_first("event_type"))
+          round(avg(col("value")), 4).as("avg_value")),
+        totalsFlag = Some("is_totals"))
+      .orderBy(col("is_totals"), asc_nulls_first("event_type"))
 
   /** Daily event counts `WITH FILL` — every calendar day in the observed
     * range appears, zero-filled where no events landed.
@@ -120,10 +179,27 @@ object ChShapes {
       .orderBy(col("day"))
   }
 
+  /** Event-count per value decade `WITH FILL FROM 0 TO 105 STEP 5`: the
+    * real rows sit on the 10s grid, the 5s fill grid interleaves
+    * zero-filled rows, and explicit FROM/TO exercise the bound
+    * overrides (TO exclusive — 105 keeps grid point 100).
+    */
+  def qWithFillNum(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = t(spark, dir, "events")
+      .groupBy((floor(col("value") / 10) * 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    withFillNum(buckets, "bucket",
+        Map("n_events" -> lit(0L), "sum_value" -> lit(0.0)),
+        step = 5L, from = Some(0L), to = Some(105L))
+      .orderBy(col("bucket"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_limit_by" -> (qLimitBy _),
     "q_with_totals" -> (qWithTotals _),
-    "q_with_fill" -> (qWithFill _)
+    "q_with_fill" -> (qWithFill _),
+    "q_with_fill_num" -> (qWithFillNum _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -135,12 +211,14 @@ object ChShapes {
         |  FROM events) WHERE rn <= 3
         |ORDER BY user_id, value DESC, event_id""".stripMargin,
     "q_with_totals" ->
-      """SELECT event_type, count(*) AS n_events,
+      """SELECT event_type,
+        |       grouping(event_type) = 1 AS is_totals,
+        |       count(*) AS n_events,
         |       round(sum(value), 2) AS sum_value,
         |       round(avg(value), 4) AS avg_value
         |FROM events
         |GROUP BY GROUPING SETS ((event_type), ())
-        |ORDER BY event_type NULLS FIRST""".stripMargin,
+        |ORDER BY is_totals, event_type NULLS FIRST""".stripMargin,
     "q_with_fill" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
@@ -156,6 +234,22 @@ object ChShapes {
         |       coalesce(n_events, 0) AS n_events,
         |       coalesce(sum_value, 0.0) AS sum_value
         |FROM axis LEFT JOIN daily ON axis.day = daily.day
-        |ORDER BY axis.day""".stripMargin
+        |ORDER BY axis.day""".stripMargin,
+    "q_with_fill_num" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(value / 10) * 10 AS BIGINT) AS bucket,
+        |         count(*) AS n_events,
+        |         round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1
+        |), axis AS (
+        |  SELECT CAST(unnest(range(0, 105, 5)) AS BIGINT) AS bucket
+        |  UNION
+        |  SELECT bucket FROM b
+        |)
+        |SELECT axis.bucket AS bucket,
+        |       coalesce(n_events, 0) AS n_events,
+        |       coalesce(sum_value, 0.0) AS sum_value
+        |FROM axis LEFT JOIN b ON axis.bucket = b.bucket
+        |ORDER BY axis.bucket""".stripMargin
   )
 }

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.ChShapes
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit pins for the CH query shapes (`LIMIT n BY`, `WITH TOTALS`,
+  * `WITH FILL`) beyond the driver's oracled queries: the temp-column
+  * collision guard, the totals discriminator under genuine key NULLs,
+  * and numeric-fill bound/step/off-grid edges. */
+class ChShapesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("limitBy survives a caller-owned __rn column") {
+    val df = Seq((1L, 10, "a"), (1L, 20, "b"), (1L, 30, "c"), (2L, 5, "d"))
+      .toDF("k", "__rn", "v")
+    val out = ChShapes.limitBy(df, 2,
+      by = Seq(col("k")), order = Seq(col("__rn").desc))
+    assert(out.columns.toSeq == Seq("k", "__rn", "v"))
+    assert(out.orderBy("k", "__rn").collect().map(_.getInt(1)).toSeq ==
+      Seq(20, 30, 5))
+  }
+
+  test("withTotals discriminator: totals row unique even when a grouping " +
+      "key contains genuine NULLs") {
+    val df = Seq(
+      (Some("x"), 1.0), (Some("x"), 2.0), (None, 4.0), (None, 8.0))
+      .toDF("k", "v")
+    val out = ChShapes.withTotals(df,
+        keys = Seq(col("k")),
+        aggs = Seq(sum(col("v")).as("s")),
+        totalsFlag = Some("is_totals"))
+      .orderBy(col("is_totals"), asc_nulls_first("k"))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getBoolean(1), r.getDouble(2)))
+    // NULL group and totals row coexist, told apart ONLY by the flag
+    assert(out.toSeq == Seq(
+      (None, false, 12.0), (Some("x"), false, 3.0), (None, true, 15.0)))
+    // without the flag the two rows genuinely collide on keys (the ADVICE
+    // hazard this discriminator exists for)
+    val unflagged = ChShapes.withTotals(df,
+        keys = Seq(col("k")), aggs = Seq(sum(col("v")).as("s")))
+      .where(col("k").isNull).count()
+    assert(unflagged == 2L)
+  }
+
+  test("withFillNum: TO exclusive, off-grid rows kept, explicit bounds " +
+      "fill an empty frame, degenerate ranges fill nothing") {
+    val grouped = Seq((0L, 1L), (10L, 2L), (13L, 3L), (20L, 4L))
+      .toDF("bucket", "n")
+    // grid 0,5,10,15 (TO 20 exclusive... with data max 20 kept as a row)
+    val out = ChShapes.withFillNum(grouped, "bucket",
+        Map("n" -> lit(0L)), step = 5L, from = Some(0L), to = Some(20L))
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq(
+      (0L, 1L), (5L, 0L), (10L, 2L), (13L, 3L), (15L, 0L), (20L, 4L)))
+    // derived bounds: min..max inclusive
+    val derived = ChShapes.withFillNum(grouped, "bucket",
+        Map("n" -> lit(0L)), step = 10L)
+      .orderBy("bucket").collect().map(_.getLong(0))
+    assert(derived.toSeq == Seq(0L, 10L, 13L, 20L))
+    // explicit FROM/TO on an EMPTY frame: pure fill rows
+    val empty = grouped.where(lit(false))
+    val pure = ChShapes.withFillNum(empty, "bucket",
+        Map("n" -> lit(0L)), step = 2L, from = Some(0L), to = Some(6L))
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pure.toSeq == Seq((0L, 0L), (2L, 0L), (4L, 0L)))
+    // empty frame, no bounds: nothing to fill, no sequence() error
+    assert(ChShapes.withFillNum(empty, "bucket",
+      Map("n" -> lit(0L))).count() == 0L)
+    // FROM above the data's max: grid degenerates, rows kept
+    val above = ChShapes.withFillNum(grouped, "bucket",
+        Map("n" -> lit(0L)), step = 5L, from = Some(100L))
+      .orderBy("bucket").collect().map(_.getLong(0))
+    assert(above.toSeq == Seq(0L, 10L, 13L, 20L))
+    intercept[IllegalArgumentException] {
+      ChShapes.withFillNum(grouped, "bucket", Map.empty,
+        from = Some(5L), to = Some(5L))
+    }
+  }
+}
