@@ -420,4 +420,51 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.decodeVideoStats(garbage).collect()
     }
   }
+
+  test("MJPG byte pin: kernel means EXACTLY equal an independent RIFF walk " +
+      "+ this JVM's ImageIO decode of the same payload") {
+    // JPEG is lossy ACROSS encoders, but encoder and decoder here are
+    // both this JVM's ImageIO: decode-what-we-encoded is deterministic,
+    // so the tolerance band of the main video test tightens to ==
+    val (w, h, nf) = (20, 12, 3)
+    val dims = Seq((3L, w, h, nf)).toDF("media_id", "w", "h", "n_frames")
+    val avi = Multimodal.synthAvi(dims, mjpeg = true)
+    val payload = avi.orderBy("media_id").collect()
+      .head.getAs[Array[Byte]]("payload")
+    // independent RIFF walk (not the kernel's): RIFF(AVI )→LIST(movi)→00dc
+    def u32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24))
+    def fourcc(b: Array[Byte], off: Int) = new String(b, off, 4, "US-ASCII")
+    assert(fourcc(payload, 0) == "RIFF" && fourcc(payload, 8) == "AVI ")
+    var frames = List.empty[Array[Byte]]
+    def walk(off0: Int, end: Int): Unit = {
+      var off = off0
+      while (off + 8 <= end) {
+        val cc = fourcc(payload, off); val sz = u32(payload, off + 4)
+        if (cc == "LIST") walk(off + 12, off + 8 + sz)
+        else if (cc == "00dc")
+          frames ::= java.util.Arrays.copyOfRange(payload, off + 8, off + 8 + sz)
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, 8 + u32(payload, 4))
+    assert(frames.length == nf)
+    // accumulate exactly as the kernel does: integer channel sums over
+    // all frames, ONE IEEE division
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (fb <- frames) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+      }
+    }
+    val n = (nf * w * h).toDouble
+    val row = Multimodal.decodeVideoStats(avi).collect().head
+    assert(row.getAs[Double]("mean_r") == sr / n)
+    assert(row.getAs[Double]("mean_g") == sg / n)
+    assert(row.getAs[Double]("mean_b") == sb / n)
+  }
 }
