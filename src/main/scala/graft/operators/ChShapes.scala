@@ -31,9 +31,12 @@ object ChShapes {
     * `order` order. Deterministic iff `order` is a total order within the
     * group — callers should break ties (the driver queries do).
     */
-  def limitBy(df: DataFrame, n: Int, by: Seq[Column], order: Seq[Column])
-      : DataFrame = {
+  /** CH also spells an offset: `LIMIT m, n BY …` / `LIMIT n OFFSET m BY …`
+    * skips the first `offset` rows of each group before keeping `n`. */
+  def limitBy(df: DataFrame, n: Int, by: Seq[Column], order: Seq[Column],
+      offset: Int = 0): DataFrame = {
     require(n > 0, s"LIMIT $n BY: n must be positive")
+    require(offset >= 0, s"LIMIT $n OFFSET $offset BY: offset must be >= 0")
     require(by.nonEmpty, "LIMIT n BY needs at least one BY column")
     // collision-checked temp name: a caller's own __rn column survives
     val rn = Iterator.from(0)
@@ -41,7 +44,7 @@ object ChShapes {
       .find(c => !df.columns.contains(c)).get
     val w = Window.partitionBy(by: _*).orderBy(order: _*)
     df.withColumn(rn, row_number().over(w))
-      .where(col(rn) <= n)
+      .where(col(rn) > offset && col(rn) <= offset + n)
       .drop(rn)
   }
 
@@ -80,16 +83,43 @@ object ChShapes {
     * was before aggregation.
     */
   def withFillDays(grouped: DataFrame, dateCol: String,
-      fillDefaults: Map[String, Column], stepDays: Int = 1): DataFrame = {
+      fillDefaults: Map[String, Column], stepDays: Int = 1,
+      interpolate: Seq[String] = Nil): DataFrame = {
     require(stepDays > 0, s"WITH FILL STEP $stepDays: step must be positive")
     val bounds = grouped.agg(
       min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"))
     val axis = bounds.select(explode(sequence(col("lo"), col("hi"),
       expr(s"interval $stepDays day"))).as(dateCol))
-    val others = grouped.columns.filter(_ != dateCol)
-    axis.join(grouped, Seq(dateCol), "left")
-      .select(col(dateCol) +: others.map { c =>
-        fillDefaults.get(c).map(d => coalesce(col(c), d).as(c))
+    fillProject(axis, grouped, dateCol, fillDefaults, interpolate)
+  }
+
+  /** The fill assembly shared by the date and numeric variants: left-join
+    * the real rows onto the axis, then per non-key column either take the
+    * fill default (absent → `fillDefaults`) or INTERPOLATE — CH
+    * `WITH FILL … INTERPOLATE (col)` carry-forward: a fill row takes the
+    * most recent REAL row's value; real rows keep their own values
+    * (including genuine NULLs); fill rows before the first real row stay
+    * NULL (CH uses the type default there — callers coalesce if they
+    * want one). The carry-forward window is a single-partition sort over
+    * the AXIS — axis-length rows (the frame is post-aggregation), never
+    * the corpus, so the global window is not a scale hazard. */
+  private def fillProject(axis: DataFrame, grouped: DataFrame,
+      keyCol: String, fillDefaults: Map[String, Column],
+      interpolate: Seq[String]): DataFrame = {
+    val unknown = interpolate.filterNot(grouped.columns.contains)
+    require(unknown.isEmpty,
+      s"INTERPOLATE columns absent from the frame: ${unknown.mkString(",")}")
+    val marker = Iterator.from(0).map(i => s"__real$i")
+      .find(c => !grouped.columns.contains(c)).get
+    val others = grouped.columns.filter(_ != keyCol)
+    val w = Window.orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    axis.join(grouped.withColumn(marker, lit(true)), Seq(keyCol), "left")
+      .select(col(keyCol) +: others.map { c =>
+        if (interpolate.contains(c))
+          when(col(marker), col(c)).otherwise(
+            last(when(col(marker), col(c)), ignoreNulls = true).over(w)).as(c)
+        else fillDefaults.get(c).map(d => coalesce(col(c), d).as(c))
           .getOrElse(col(c))
       }: _*)
   }
@@ -108,7 +138,8 @@ object ChShapes {
     */
   def withFillNum(grouped: DataFrame, numCol: String,
       fillDefaults: Map[String, Column], step: Long = 1L,
-      from: Option[Long] = None, to: Option[Long] = None): DataFrame = {
+      from: Option[Long] = None, to: Option[Long] = None,
+      interpolate: Seq[String] = Nil): DataFrame = {
     require(step > 0, s"WITH FILL STEP $step: step must be positive")
     for (f <- from; t <- to) require(t > f,
       s"WITH FILL FROM $f TO $t: empty range")
@@ -128,13 +159,9 @@ object ChShapes {
     val axis = grid
       .unionByName(grouped.select(col(numCol).cast("long").as(numCol)))
       .distinct()
-    val others = grouped.columns.filter(_ != numCol)
-    axis.join(grouped.withColumn(numCol, col(numCol).cast("long")),
-        Seq(numCol), "left")
-      .select(col(numCol) +: others.map { c =>
-        fillDefaults.get(c).map(d => coalesce(col(c), d).as(c))
-          .getOrElse(col(c))
-      }: _*)
+    fillProject(axis,
+      grouped.withColumn(numCol, col(numCol).cast("long")),
+      numCol, fillDefaults, interpolate)
   }
 
   // ------------------------------------------------- driver queries
@@ -195,11 +222,39 @@ object ChShapes {
       .orderBy(col("bucket"))
   }
 
+  /** `LIMIT 3 OFFSET 2 BY user_id` — events ranked 3..5 per user. */
+  def qLimitByOffset(spark: SparkSession, dir: String): DataFrame =
+    limitBy(t(spark, dir, "events"),
+        n = 3,
+        by = Seq(col("user_id")),
+        order = Seq(col("value").desc, col("event_id")),
+        offset = 2)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("user_id"), col("value").desc, col("event_id"))
+
+  /** The numeric fill axis with `INTERPOLATE (sum_value)`: the 5s fill
+    * rows carry the previous real decade's sum forward while n_events
+    * stays zero-filled — CH `WITH FILL … INTERPOLATE` semantics. */
+  def qWithFillInterp(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = t(spark, dir, "events")
+      .groupBy((floor(col("value") / 10) * 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    withFillNum(buckets, "bucket",
+        Map("n_events" -> lit(0L)),
+        step = 5L, from = Some(0L), to = Some(105L),
+        interpolate = Seq("sum_value"))
+      .orderBy(col("bucket"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_limit_by" -> (qLimitBy _),
+    "q_limit_by_offset" -> (qLimitByOffset _),
     "q_with_totals" -> (qWithTotals _),
     "q_with_fill" -> (qWithFill _),
-    "q_with_fill_num" -> (qWithFillNum _)
+    "q_with_fill_num" -> (qWithFillNum _),
+    "q_with_fill_interp" -> (qWithFillInterp _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -249,6 +304,33 @@ object ChShapes {
         |SELECT axis.bucket AS bucket,
         |       coalesce(n_events, 0) AS n_events,
         |       coalesce(sum_value, 0.0) AS sum_value
+        |FROM axis LEFT JOIN b ON axis.bucket = b.bucket
+        |ORDER BY axis.bucket""".stripMargin,
+    "q_limit_by_offset" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn > 2 AND rn <= 5
+        |ORDER BY user_id, value DESC, event_id""".stripMargin,
+    "q_with_fill_interp" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(value / 10) * 10 AS BIGINT) AS bucket,
+        |         count(*) AS n_events,
+        |         round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1
+        |), axis AS (
+        |  SELECT CAST(unnest(range(0, 105, 5)) AS BIGINT) AS bucket
+        |  UNION
+        |  SELECT bucket FROM b
+        |)
+        |SELECT axis.bucket AS bucket,
+        |       coalesce(n_events, 0) AS n_events,
+        |       CASE WHEN b.bucket IS NOT NULL THEN sum_value
+        |            ELSE last_value(sum_value IGNORE NULLS) OVER (
+        |              ORDER BY axis.bucket
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END
+        |         AS sum_value
         |FROM axis LEFT JOIN b ON axis.bucket = b.bucket
         |ORDER BY axis.bucket""".stripMargin
   )

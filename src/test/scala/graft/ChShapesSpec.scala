@@ -80,4 +80,43 @@ class ChShapesSpec extends AnyFunSuite {
         from = Some(5L), to = Some(5L))
     }
   }
+
+  test("limitBy OFFSET skips leading rows per group") {
+    val df = Seq((1L, 1), (1L, 2), (1L, 3), (1L, 4), (2L, 9))
+      .toDF("k", "v")
+    val out = ChShapes.limitBy(df, 2,
+        by = Seq(col("k")), order = Seq(col("v")), offset = 1)
+      .orderBy("k", "v").collect().map(r => (r.getLong(0), r.getInt(1)))
+    // group 1 keeps ranks 2..3; group 2 has nothing past the offset
+    assert(out.toSeq == Seq((1L, 2), (1L, 3)))
+    intercept[IllegalArgumentException] {
+      ChShapes.limitBy(df, 2, Seq(col("k")), Seq(col("v")), offset = -1)
+    }
+  }
+
+  test("withFill INTERPOLATE: fill rows carry the last real value, real " +
+      "rows keep their own (including genuine NULLs)") {
+    // real rows at 1 (v=10), 3 (v=NULL), 5 (v=30); fill grid 1..5 step 1
+    val grouped = Seq((1L, Some(10.0)), (3L, None), (5L, Some(30.0)))
+      .toDF("x", "v")
+    val out = ChShapes.withFillNum(grouped, "x", Map.empty,
+        interpolate = Seq("v"))
+      .orderBy("x").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    // 2 carries 10; 3 is REAL and stays NULL; 4 skips the real NULL and
+    // carries 10 (last non-null real) — byte-identical to DuckDB's
+    // last_value(... IGNORE NULLS) oracle formulation
+    assert(out.toSeq == Seq(
+      (1L, Some(10.0)), (2L, Some(10.0)), (3L, None),
+      (4L, Some(10.0)), (5L, Some(30.0))))
+    // leading fill rows before any real row stay NULL
+    val lead = ChShapes.withFillNum(grouped, "x", Map.empty,
+        from = Some(-2L), interpolate = Seq("v"))
+      .orderBy("x").collect().map(r => r.isNullAt(1))
+    assert(lead.take(3).forall(identity)) // -2, -1, 0 all NULL
+    intercept[IllegalArgumentException] {
+      ChShapes.withFillNum(grouped, "x", Map.empty,
+        interpolate = Seq("nope"))
+    }
+  }
 }
