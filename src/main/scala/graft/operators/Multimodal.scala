@@ -450,6 +450,116 @@ object Multimodal {
     }(enc)
   }
 
+  /** Video FRAME SAMPLING — the training-pipeline step that turns a video
+    * corpus into a frame dataset: one output row per sampled frame
+    * (every `everyN`th, frame 0 always included), with the frame's
+    * timestamp and exact per-channel means. Same RIFF/AVI walk and frame
+    * decoders as [[decodeVideoStats]]; frames NOT sampled are skipped
+    * without decoding (a DIB skip is free — the chunk is never parsed;
+    * an MJPG skip never enters ImageIO), which is the point of sampling:
+    * decode cost scales with frames KEPT, not frames present.
+    *
+    * Scale shape: partition-at-a-time `mapPartitions`, payloads consumed
+    * inside the kernel; the fan-out is rows (one per sampled frame), not
+    * bytes — only O(1) stats per frame ever shuffle. */
+  def explodeVideoFrames(media: DataFrame, everyN: Int = 1): DataFrame = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("ts_ms", LongType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val pIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val b = r.getAs[Array[Byte]](pIdx)
+        def str(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
+        def u32(off: Int): Long =
+          (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+            ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+        require(str(0, 4) == "RIFF" && str(8, 4) == "AVI ",
+          s"media_id=$id: not an AVI container")
+        var usPerFrame = 0L; var totalFrames = 0L
+        var w = 0; var h = 0
+        var idx = 0
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        def frameRow(sums: (Long, Long, Long)): Unit = {
+          val n = (w * h).toDouble
+          out += org.apache.spark.sql.Row(id, idx, w, h,
+            idx * usPerFrame / 1000L,
+            sums._1 / n, sums._2 / n, sums._3 / n)
+        }
+        def sumDib(off: Int): (Long, Long, Long) = {
+          val stride = ((w * 3 + 3) / 4) * 4
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            val rowOff = off + (h - 1 - y) * stride
+            var x = 0
+            while (x < w) {
+              sb += b(rowOff + x * 3) & 0xff
+              sg += b(rowOff + x * 3 + 1) & 0xff
+              sr += b(rowOff + x * 3 + 2) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (sr, sg, sb)
+        }
+        def sumJpeg(off: Int, len: Int): (Long, Long, Long) = {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b, off, len))
+          require(img != null, s"media_id=$id: undecodable MJPG frame")
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (sr, sg, sb)
+        }
+        def walk(from: Int, until: Int): Unit = {
+          var pos = from
+          while (pos + 8 <= until) {
+            val cid = str(pos, 4)
+            val size = u32(pos + 4).toInt
+            if (cid == "LIST") walk(pos + 12, pos + 8 + size)
+            else if (cid == "avih") {
+              usPerFrame = u32(pos + 8); totalFrames = u32(pos + 8 + 16)
+              w = u32(pos + 8 + 32).toInt; h = u32(pos + 8 + 36).toInt
+            } else if (cid.endsWith("db")) {
+              if (idx % everyN == 0) frameRow(sumDib(pos + 8))
+              idx += 1
+            } else if (cid.endsWith("dc")) {
+              if (idx % everyN == 0) frameRow(sumJpeg(pos + 8, size))
+              idx += 1
+            }
+            pos += 8 + size + (size & 1)
+          }
+        }
+        walk(12, b.length)
+        require(idx.toLong == totalFrames,
+          s"media_id=$id: header claims $totalFrames frames, found $idx")
+        out
+      }
+    }(enc)
+  }
+
   /** REAL image decode + pixel-stat + resize kernel (JDK `javax.imageio`
     * — PNG and JPEG, no external jars): per payload, decodes the image,
     * reports (width, height, channels), exact per-channel pixel means

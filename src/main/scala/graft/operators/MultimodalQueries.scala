@@ -127,12 +127,37 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Video FRAME SAMPLING, end to end: the same synthesized DIB videos
+    * as [[mVideo]], exploded to one row per sampled frame (every 2nd) by
+    * [[Multimodal.explodeVideoFrames]] — the step that turns a video
+    * corpus into a frame dataset for vision training. DIB is lossless,
+    * so the oracle recomputes each sampled frame's exact per-channel
+    * means from the pixel formula with no codec. */
+  def mVideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.load(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("w"),
+      (lit(12) + (col("doc_id") % 3) * 4).cast("int").as("h"),
+      (lit(2) + col("doc_id") % 3).cast("int").as("n_frames"))
+    Multimodal.explodeVideoFrames(Multimodal.synthAvi(dims), everyN = 2)
+      .select(col("media_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("ts_ms"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   def queries: Map[String, Q] = Map(
     "m_frames" -> (mFrames _),
     "m_meta" -> (mMeta _),
     "m_features" -> (mFeatures _),
     "m_audio" -> (mAudio _),
-    "m_video" -> (mVideo _))
+    "m_video" -> (mVideo _),
+    "m_video_frames" -> (mVideoFrames _))
 
   def oracles: Map[String, String] = Map(
     "m_frames" ->
@@ -199,5 +224,25 @@ object MultimodalQueries {
         |  round(avg((x * 7 + doc_id + 13 * f) % 256), 6) AS mean_r,
         |  round(avg((y * 11 + 2 * doc_id + 17 * f) % 256), 6) AS mean_g,
         |  round(avg((x + y + 3 * doc_id + 19 * f) % 256), 6) AS mean_b
-        |FROM pxy GROUP BY doc_id, w, h, nf ORDER BY media_id""".stripMargin)
+        |FROM pxy GROUP BY doc_id, w, h, nf ORDER BY media_id""".stripMargin,
+    // per sampled frame (every 2nd): same formula, grouped by frame
+    "m_video_frames" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(16 + (doc_id % 4) * 8 AS INT) AS w,
+        |    CAST(12 + (doc_id % 3) * 4 AS INT) AS h,
+        |    CAST(2 + doc_id % 3 AS INT) AS nf FROM documents),
+        |fx AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM dims),
+        |sampled AS (SELECT * FROM fx WHERE f % 2 = 0),
+        |fxx AS (SELECT doc_id, w, h, f, unnest(range(0, w)) AS x
+        |  FROM sampled),
+        |pxy AS (SELECT doc_id, w, h, f, x, unnest(range(0, h)) AS y
+        |  FROM fxx)
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(f * 100 AS BIGINT) AS ts_ms,
+        |  round(avg((x * 7 + doc_id + 13 * f) % 256), 6) AS mean_r,
+        |  round(avg((y * 11 + 2 * doc_id + 17 * f) % 256), 6) AS mean_g,
+        |  round(avg((x + y + 3 * doc_id + 19 * f) % 256), 6) AS mean_b
+        |FROM pxy GROUP BY doc_id, w, h, f
+        |ORDER BY media_id, frame_idx""".stripMargin)
 }

@@ -421,6 +421,48 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("explodeVideoFrames: every-Nth sampling, exact DIB per-frame means, " +
+      "MJPG parity with the aggregate kernel") {
+    val dims = Seq((3L, 20, 12, 5), (7L, 16, 16, 2))
+      .toDF("media_id", "w", "h", "n_frames")
+    def frameMeans(id: Long, f: Int, w: Int, h: Int) = {
+      val px = for (x <- 0 until w; y <- 0 until h)
+        yield Multimodal.synthVideoPixel(id, f, x, y)
+      val n = (w * h).toDouble
+      (px.map(_._1).sum / n, px.map(_._2).sum / n, px.map(_._3).sum / n)
+    }
+    // everyN=2 keeps frames 0,2,4 of 5 and frame 0 of 2
+    val out = Multimodal.explodeVideoFrames(Multimodal.synthAvi(dims), 2)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((3L, 0), (3L, 2), (3L, 4), (7L, 0)))
+    for (r <- out) {
+      val (id, f) = (r.getLong(0), r.getInt(1))
+      val (w, h) = if (id == 3L) (20, 12) else (16, 16)
+      assert(r.getInt(2) == w && r.getInt(3) == h)
+      assert(r.getLong(4) == f * 100L) // 10 fps fixture
+      val (mr, mg, mb) = frameMeans(id, f, w, h)
+      assert(r.getDouble(5) == mr && r.getDouble(6) == mg &&
+        r.getDouble(7) == mb)
+    }
+    // everyN=1 over MJPG: per-frame means aggregate to EXACTLY the
+    // whole-video kernel's means (same decoder, same integer sums)
+    val mdims = Seq((3L, 20, 12, 3)).toDF("media_id", "w", "h", "n_frames")
+    val avi = Multimodal.synthAvi(mdims, mjpeg = true)
+    val frames = Multimodal.explodeVideoFrames(avi, 1).collect()
+    assert(frames.length == 3)
+    val whole = Multimodal.decodeVideoStats(avi).collect().head
+    def agg(i: Int) = frames.map(_.getDouble(i)).sum / frames.length
+    // each frame is w*h pixels, so the mean of frame-means IS the video
+    // mean (equal weights); allow one ulp-ish slack for the re-division
+    assert(math.abs(agg(5) - whole.getAs[Double]("mean_r")) < 1e-9)
+    assert(math.abs(agg(6) - whole.getAs[Double]("mean_g")) < 1e-9)
+    assert(math.abs(agg(7) - whole.getAs[Double]("mean_b")) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Multimodal.explodeVideoFrames(avi, 0)
+    }
+  }
+
   test("MJPG byte pin: kernel means EXACTLY equal an independent RIFF walk " +
       "+ this JVM's ImageIO decode of the same payload") {
     // JPEG is lossy ACROSS encoders, but encoder and decoder here are
