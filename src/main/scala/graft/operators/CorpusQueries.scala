@@ -318,8 +318,23 @@ object CorpusQueries {
       .orderBy(col("user_id"))
   }
 
+  /** CH `sequenceCount('(?1).*(?2).*(?3)')` / `sequenceMatch` over
+    * events: per user, non-overlapping view→click→purchase chains (any
+    * gaps) and whether at least one completed. The DuckDB oracle runs
+    * the same greedy packed-state fold through `list_reduce` — an
+    * independent engine's lambda evaluator over an independently sorted
+    * event list. */
+  def qSequenceCount(spark: SparkSession, dir: String): DataFrame =
+    Funnel.sequenceCount(Tables.load(spark, dir, "events"),
+        "user_id", "ts", "(?1).*(?2).*(?3)",
+        Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+      .orderBy(col("user_id"))
+
   def queries: Map[String, Q] = Map(
     "e_kmeans" -> (eKmeans _),
+    "q_sequence_count" -> (qSequenceCount _),
     "q_window_funnel" -> (qWindowFunnel _),
     "q_window_funnel5" -> (qWindowFunnel5 _),
     "q_window_funnel_strict" -> (qWindowFunnelStrict _),
@@ -344,6 +359,39 @@ object CorpusQueries {
       |      ' +', ' ', 'g'))""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same greedy fold, independent engine: DuckDB list_reduce over the
+    // per-user (ts, mask)-sorted masks; state packed cnt*64+lvl; bits
+    // 1=view, 2=click, 4=purchase; chain needs bit 2^lvl
+    "q_sequence_count" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    list(CASE WHEN event_type = 'view' THEN 1
+        |              WHEN event_type = 'click' THEN 2
+        |              WHEN event_type = 'purchase' THEN 4 END
+        |         ORDER BY ts,
+        |           CASE WHEN event_type = 'view' THEN 1
+        |                WHEN event_type = 'click' THEN 2
+        |                WHEN event_type = 'purchase' THEN 4 END) AS ms
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY user_id
+        |), f AS (
+        |  SELECT user_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), ms),
+        |      (acc, m) -> CASE
+        |        WHEN (m & CASE acc % 64 WHEN 0 THEN 1 WHEN 1 THEN 2
+        |                   WHEN 2 THEN 4 END) != 0 THEN
+        |          CASE WHEN acc % 64 = 2 THEN acc - (acc % 64) + 64
+        |               ELSE acc + 1 END
+        |        ELSE acc END) AS packed
+        |  FROM m
+        |)
+        |SELECT u.user_id,
+        |  CAST(coalesce(f.packed // 64, 0) AS BIGINT) AS seq_count,
+        |  coalesce(f.packed // 64, 0) > 0 AS seq_match
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN f ON u.user_id = f.user_id
+        |ORDER BY u.user_id""".stripMargin,
     "q_retention" ->
       """SELECT user_id,
         |  max(CASE WHEN event_type = 'view'

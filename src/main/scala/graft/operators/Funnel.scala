@@ -81,6 +81,85 @@ object Funnel {
       .select(col("user_id"), coalesce(col("lvl"), lit(0L)).as("funnel_level"))
   }
 
+  /** Parse a CH sequence pattern of the subsequence-chain form
+    * `(?a).*(?b).*(?c)` into 1-based condition references. Only the
+    * `.*`-separated chain shape is supported — the overwhelmingly common
+    * usage; other atoms (adjacency, `(?tOP)` time constraints) are
+    * refused loudly rather than mis-matched. */
+  private[graft] def parseChain(pattern: String, nConds: Int): Seq[Int] = {
+    val parts = pattern.split("\\.\\*", -1).toSeq
+    require(parts.nonEmpty && parts.forall(_.matches("\\(\\?\\d+\\)")),
+      s"unsupported sequence pattern '$pattern' — only the chain form " +
+        "'(?a).*(?b)...' is supported (no adjacency or time constraints)")
+    val refs = parts.map(p => p.substring(2, p.length - 1).toInt)
+    require(refs.forall(r => r >= 1 && r <= nConds),
+      s"pattern '$pattern' references conditions outside 1..$nConds")
+    require(refs.length <= 32, s"pattern '$pattern': at most 32 steps (CH cap)")
+    refs
+  }
+
+  /** ClickHouse `sequenceCount(pattern)(ts, cond1, …)` /
+    * `sequenceMatch(...)` analogue for chain patterns ([[parseChain]]):
+    * per user, the number of NON-OVERLAPPING left-to-right occurrences of
+    * the condition chain (events in non-decreasing ts order; ties break
+    * by condition bitmask — deterministic, unlike CH, same stance as
+    * DIVERGENCES #22), and `seq_match` = count ≥ 1, which for a chain
+    * pattern is exactly CH's sequenceMatch.
+    *
+    * Algorithm: greedy scan — an event matching the NEXT needed condition
+    * advances the chain; a completed chain counts and restarts. Greedy
+    * earliest-match is optimal for subsequence existence, and restart-on-
+    * complete is CH's non-overlapping count. One event advances at most
+    * one position. Events matching NO condition cannot affect a `.*`
+    * chain and are dropped BEFORE the shuffle.
+    *
+    * Scale shape: identical to [[windowFunnel]] — filter → one
+    * groupBy(user) collecting (ts, mask) → a row-local `aggregate` HOF
+    * fold (state = one packed long) over each user's sorted events. No
+    * self-join, nothing quadratic; per-user state bounded by that user's
+    * matching events. */
+  def sequenceCount(
+      events: DataFrame, userCol: String, tsCol: String,
+      pattern: String, conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty && conds.length <= 32,
+      s"sequenceCount: 1..32 conditions, got ${conds.length}")
+    val chain = parseChain(pattern, conds.length)
+    val k = chain.length
+    // bitmask of matched conditions per event (an event may match several)
+    val mask = conds.zipWithIndex
+      .map { case (c, i) => when(c, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce((a, b) => a.bitwiseOR(b))
+    val base = events
+      .select(col(userCol).as("user_id"),
+        struct(unix_micros(col(tsCol)).as("us"), mask.as("m")).as("e"))
+      .where(col("e.m") =!= 0)
+    val byUser = base.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("e"))).as("evs"))
+    // the chain position lvl needs condition chain(lvl); precompute its
+    // bit as a literal array so the fold is pure column arithmetic
+    val needBit = array(chain.map(r => lit(1L << (r - 1))): _*)
+    // packed state: cnt * 64 + lvl (lvl < 64 by the 32-step cap)
+    val packed = aggregate(
+      transform(col("evs"), e => e.getField("m")),
+      lit(0L),
+      (acc, m) => {
+        val lvl = acc % 64L
+        val hit = m.bitwiseAND(element_at(needBit, (lvl + 1).cast("int"))) =!= 0
+        when(hit,
+          // completed chain: count++ and restart (acc - lvl = cnt * 64)
+          when(lvl === (k - 1).toLong, acc - lvl + 64L)
+            .otherwise(acc + 1L))
+          .otherwise(acc)
+      })
+    events.select(col(userCol).as("user_id")).distinct()
+      .join(byUser.select(col("user_id"),
+          shiftright(packed, 6).as("c")), // cnt = packed >> 6 (cnt*64+lvl)
+        Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("c"), lit(0L)).as("seq_count"),
+        (coalesce(col("c"), lit(0L)) > 0).as("seq_match"))
+  }
+
   /** ClickHouse `retention(cond1, …, condN)` analogue — the cohort
     * retention aggregate: per user, flag 1 = cond1 matched by any event;
     * flag i>1 = cond1 AND condᵢ both matched (no ordering constraint,

@@ -195,6 +195,53 @@ class CorpusSpec extends AnyFunSuite {
       5L -> 2L, 6L -> 3L, 7L -> 0L))
   }
 
+  test("sequenceCount/sequenceMatch: greedy non-overlapping chains, " +
+      "repeated conds, pattern subset refused") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(s: Long) = new Timestamp(base + s * 1000L)
+    val events = Seq(
+      // user 1: v c v v c → greedy (v,c)(v,c) = 2 for pattern (?1).*(?2)
+      (1L, ts(0), "view"), (1L, ts(1), "click"), (1L, ts(2), "view"),
+      (1L, ts(3), "view"), (1L, ts(4), "click"),
+      // user 2: c v → out of order, 0 matches
+      (2L, ts(0), "click"), (2L, ts(1), "view"),
+      // user 3: only noise events → count 0 (still reported)
+      (3L, ts(0), "error"),
+      // user 4: v v → pattern (?1).*(?1) matches the repeated cond once
+      (4L, ts(0), "view"), (4L, ts(1), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val conds = Seq(col("event_type") === "view",
+      col("event_type") === "click")
+    val got = operators.Funnel.sequenceCount(
+        events, "user_id", "ts", "(?1).*(?2)", conds)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, true), (2L, 0L, false), (3L, 0L, false), (4L, 0L, false)))
+    // a chain may reference the SAME condition twice
+    val rep = operators.Funnel.sequenceCount(
+        events, "user_id", "ts", "(?1).*(?1)", Seq(conds.head))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // user 1 has 3 views → one non-overlapping (v,v) pair... then a
+    // third view starts an incomplete chain: count 1; user 4: (v,v) = 1
+    assert(rep.toSeq == Seq((1L, 1L), (2L, 0L), (3L, 0L), (4L, 1L)))
+    // unsupported pattern atoms are refused loudly, as are bad refs
+    intercept[IllegalArgumentException] {
+      operators.Funnel.sequenceCount(events, "user_id", "ts",
+        "(?1)(?2)", conds)
+    }
+    intercept[IllegalArgumentException] {
+      operators.Funnel.sequenceCount(events, "user_id", "ts",
+        "(?1).*(?t>3600)(?2)", conds)
+    }
+    intercept[IllegalArgumentException] {
+      operators.Funnel.sequenceCount(events, "user_id", "ts",
+        "(?1).*(?3)", conds)
+    }
+  }
+
   test("windowFunnel N=5: chain, window bound, restart rescue, ties, cap") {
     import java.sql.Timestamp
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
