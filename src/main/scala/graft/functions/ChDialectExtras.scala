@@ -433,6 +433,18 @@ object ChDialectExtras {
       If(EqualTo(sumW, Literal(0.0d)), Literal(Double.NaN),
         Divide(sumXW, sumW))
     }
+    // CH groupBit* fold the column bitwise (Spark spells them bit_and/…;
+    // the CH names are free)
+    f("groupBitAnd")(a => BitAndAgg(a.head))
+    f("groupBitOr")(a => BitOrAgg(a.head))
+    f("groupBitXor")(a => BitXorAgg(a.head))
+    // CH sumCount(x) → (sum, count) tuple in one pass (the planner
+    // dedups the shared scan); NULLs skipped by both, like CH
+    f("sumCount") { a =>
+      CreateStruct(Seq(
+        Sum(a.head).toAggregateExpression(),
+        Count(a.head).toAggregateExpression()))
+    }
   }
 
   def isRegistered(spark: SparkSession): Boolean =

@@ -234,5 +234,12 @@ class ChDialect2Spec extends AnyFunSuite {
     val uq = spark.sql(
       "SELECT uniqCombined(x), uniqHLL12(x) FROM agg2").head()
     assert(uq.getLong(0) == 2L && uq.getLong(1) == 2L)
+    // bitwise folds + one-pass (sum, count) tuple; NULLs skipped
+    val gb = spark.sql(
+      """SELECT groupBitAnd(b), groupBitOr(b), groupBitXor(b),
+        |  sumCount(b).col1, sumCount(b).col2
+        |FROM VALUES (6), (3), (NULL) t(b)""".stripMargin).head()
+    assert(gb.getInt(0) == 2 && gb.getInt(1) == 7 && gb.getInt(2) == 5)
+    assert(gb.getLong(3) == 9L && gb.getLong(4) == 2L)
   }
 }
