@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   *    shuffle every per-group top-k needs;
   *  - `withTotals` is a single grouping-sets hash aggregate (partial aggs
   *    map-side; the totals row is one extra grouping, not a second scan);
-  *  - `withFill` aggregates the real rows once, then left-joins them onto
-  *    a generated axis whose size is the axis LENGTH (days/hours), i.e.
-  *    tiny and broadcast — the corpus is scanned exactly once.
+  *  - `withFill` aggregates the real rows once, then full-outer-joins
+  *    them with a generated grid whose size is the axis LENGTH
+  *    (days/buckets) — both join sides are axis-sized post-aggregation
+  *    frames, and `grouped`'s (possibly corpus-scale) lineage is touched
+  *    exactly once; with explicit FROM/TO bounds, zero extra passes.
   */
 object ChShapes {
   type Q = (SparkSession, String) => DataFrame
@@ -88,22 +90,31 @@ object ChShapes {
     require(stepDays > 0, s"WITH FILL STEP $stepDays: step must be positive")
     val bounds = grouped.agg(
       min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"))
-    val axis = bounds.select(explode(sequence(col("lo"), col("hi"),
+    val grid = bounds.select(explode(sequence(col("lo"), col("hi"),
       expr(s"interval $stepDays day"))).as(dateCol))
-    fillProject(axis, grouped, dateCol, fillDefaults, interpolate)
+    fillProject(grid, grouped, dateCol, fillDefaults, interpolate)
   }
 
-  /** The fill assembly shared by the date and numeric variants: left-join
-    * the real rows onto the axis, then per non-key column either take the
-    * fill default (absent → `fillDefaults`) or INTERPOLATE — CH
-    * `WITH FILL … INTERPOLATE (col)` carry-forward: a fill row takes the
-    * most recent REAL row's value; real rows keep their own values
-    * (including genuine NULLs); fill rows before the first real row stay
-    * NULL (CH uses the type default there — callers coalesce if they
-    * want one). The carry-forward window is a single-partition sort over
-    * the AXIS — axis-length rows (the frame is post-aggregation), never
-    * the corpus, so the global window is not a scale hazard. */
-  private def fillProject(axis: DataFrame, grouped: DataFrame,
+  /** The fill assembly shared by the date and numeric variants: FULL
+    * OUTER join the real rows with the generated grid — grid-only rows
+    * are the fill rows, grouped-only rows are real rows OFF the grid
+    * (or outside explicit bounds), which CH keeps. A full outer (rather
+    * than grid ∪ actuals, then left join) touches `grouped`'s lineage
+    * ONCE — when the frame upstream of the one-row-per-key aggregation
+    * is a corpus, the union formulation re-executed that corpus scan
+    * (column pruning specializes each consumer's subtree, so exchange
+    * reuse does not apply); both join sides here are axis-sized.
+    *
+    * Per non-key column: fill default (absent → `fillDefaults`) or
+    * INTERPOLATE — CH `WITH FILL … INTERPOLATE (col)` carry-forward: a
+    * fill row takes the most recent REAL row's value; real rows keep
+    * their own values (including genuine NULLs); fill rows before the
+    * first real row stay NULL (CH uses the type default there — callers
+    * coalesce if they want one). The carry-forward window is a
+    * single-partition sort over the AXIS — axis-length rows (the frame
+    * is post-aggregation), never the corpus, so the global window
+    * [[graft.tools.PlanLint]] flags is bounded by construction. */
+  private def fillProject(grid: DataFrame, grouped: DataFrame,
       keyCol: String, fillDefaults: Map[String, Column],
       interpolate: Seq[String]): DataFrame = {
     val unknown = interpolate.filterNot(grouped.columns.contains)
@@ -114,7 +125,7 @@ object ChShapes {
     val others = grouped.columns.filter(_ != keyCol)
     val w = Window.orderBy(col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    axis.join(grouped.withColumn(marker, lit(true)), Seq(keyCol), "left")
+    grid.join(grouped.withColumn(marker, lit(true)), Seq(keyCol), "full_outer")
       .select(col(keyCol) +: others.map { c =>
         if (interpolate.contains(c))
           when(col(marker), col(c)).otherwise(
@@ -129,9 +140,8 @@ object ChShapes {
     * NOT including `to` (CH's TO is exclusive); `from`/`to` default to
     * the frame's min/max (max inclusive — the data's own bound is a real
     * row). Rows of `grouped` OFF the grid (or outside the bounds) are
-    * kept — CH fills around the query's rows, it never drops them — so
-    * the axis is the generated grid UNION the actual values: still axis-
-    * sized, still the broadcast side of the join, corpus scanned once.
+    * kept — CH fills around the query's rows, it never drops them
+    * (grouped-side rows of the full-outer join in [[fillProject]]).
     *
     * `grouped` must already be one-row-per-`numCol` (the result of an
     * aggregation); absent grid points take `fillDefaults`.
@@ -143,23 +153,29 @@ object ChShapes {
     require(step > 0, s"WITH FILL STEP $step: step must be positive")
     for (f <- from; t <- to) require(t > f,
       s"WITH FILL FROM $f TO $t: empty range")
-    val bounds = grouped.agg(
-      min(col(numCol).cast("long")).as("lo"),
-      max(col(numCol).cast("long")).as("hi"))
-    val lo = from.map(lit).getOrElse(col("lo"))
     // sequence() is stop-INCLUSIVE; an explicit CH TO is exclusive, and
-    // integral steps make `to - 1` the exact inclusive equivalent
-    val hi = to.map(v => lit(v - 1)).getOrElse(col("hi"))
-    // degenerate ranges (empty frame without explicit bounds; a bound
-    // derived from data on the wrong side of an explicit one) fill
-    // nothing instead of erroring sequence()
-    val grid = bounds.select(explode(
-      when(lo <= hi, sequence(lo, hi, lit(step)))
-        .otherwise(typedLit(Array.empty[Long]))).as(numCol))
-    val axis = grid
-      .unionByName(grouped.select(col(numCol).cast("long").as(numCol)))
-      .distinct()
-    fillProject(axis,
+    // integral steps make `to - 1` the exact inclusive equivalent. With
+    // BOTH bounds explicit the grid needs no data at all — the common
+    // at-scale call (callers know their axis) touches `grouped`'s
+    // lineage exactly once, zero bounds passes.
+    val grid = (from, to) match {
+      case (Some(f), Some(t)) =>
+        grouped.sparkSession.range(1).select(
+          explode(sequence(lit(f), lit(t - 1), lit(step))).as(numCol))
+      case _ =>
+        val bounds = grouped.agg(
+          min(col(numCol).cast("long")).as("lo"),
+          max(col(numCol).cast("long")).as("hi"))
+        val lo = from.map(lit).getOrElse(col("lo"))
+        val hi = to.map(v => lit(v - 1)).getOrElse(col("hi"))
+        // degenerate ranges (empty frame without explicit bounds; a
+        // bound derived from data on the wrong side of an explicit one)
+        // fill nothing instead of erroring sequence()
+        bounds.select(explode(
+          when(lo <= hi, sequence(lo, hi, lit(step)))
+            .otherwise(typedLit(Array.empty[Long]))).as(numCol))
+    }
+    fillProject(grid,
       grouped.withColumn(numCol, col(numCol).cast("long")),
       numCol, fillDefaults, interpolate)
   }
