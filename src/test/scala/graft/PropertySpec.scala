@@ -55,6 +55,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sequenceCount == plain-Scala greedy reference on random event logs") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val types = Vector("a", "b", "c", "x") // x matches no condition
+    val rowGen = for {
+      u <- Gen.chooseNum(0, 5)
+      s <- Gen.chooseNum(0, 400) // second offset; duplicates likely
+      t <- Gen.oneOf(types)
+    } yield (u.toLong, s, t)
+    val chains = Seq(Seq(1, 2), Seq(1, 2, 3), Seq(1, 1), Seq(2, 1, 2))
+    (0 until 4).foreach { trial =>
+      val rows = samples(rowGen, 120 + trial * 31)
+      val df = rows
+        .map { case (u, s, t) => (u, new Timestamp(base + s * 1000L), t) }
+        .toDF("user_id", "ts", "event_type")
+      val chain = chains(trial)
+      val pattern = chain.map(i => s"(?$i)").mkString(".*")
+      val conds = Seq(col("event_type") === "a",
+        col("event_type") === "b", col("event_type") === "c")
+      val got = operators.Funnel.sequenceCount(
+          df, "user_id", "ts", pattern, conds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: plain-Scala greedy fold over (ts, mask)-sorted events
+      // (the tie order sequenceCount documents)
+      def mask(t: String) = Seq("a", "b", "c").zipWithIndex
+        .collect { case (c, i) if c == t => 1 << i }.sum
+      val want = rows.groupBy(_._1).map { case (u, evs) =>
+        val sorted = evs.map(e => (e._2, mask(e._3))).filter(_._2 != 0).sorted
+        var lvl = 0; var cnt = 0
+        sorted.foreach { case (_, m) =>
+          if ((m & (1 << (chain(lvl) - 1))) != 0) {
+            if (lvl == chain.length - 1) { cnt += 1; lvl = 0 } else lvl += 1
+          }
+        }
+        u -> cnt.toLong
+      }
+      want.foreach { case (u, c) =>
+        assert(got.getOrElse(u, -1L) == c,
+          s"trial $trial user $u: got ${got.get(u)}, want $c " +
+            s"(pattern $pattern)")
+      }
+    }
+  }
+
   test("sql literal round-trips numbers and timestamps") {
     samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 20).foreach { n =>
       // small literals parse as INT — normalize through Number
