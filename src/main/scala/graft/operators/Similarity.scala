@@ -544,4 +544,42 @@ object Similarity {
         transform(transform(col(vecCol), x => x.cast("double")),
           x => round(x / col("scale")).cast("tinyint")))
   }
+
+  /** int4 symmetric quantization with two-codes-per-byte PACKING — the
+    * 8×-vs-float32 storage tier below [[quantizeInt8]]: scale =
+    * max|vᵢ|/7, codes qᵢ = round(vᵢ/scale) ∈ [-7,7]; packed byte i
+    * stores ((q₂ᵢ+8) << 4) | (q₂ᵢ₊₁+8) (an odd tail pads code 0),
+    * shifted −128 to fit the signed `tinyint` parquet/Arrow carry.
+    * Output columns: the full-precision `scale`, the unpacked codes
+    * `q4`, and the `packed` byte array of ⌈d/2⌉ tinyints. Row-local
+    * higher-order-function math — no shuffle, no UDF; unpacking is two
+    * integer ops per code, and cosine over unpacked codes is
+    * scale-invariant exactly as with int8. */
+  def quantizeInt4(
+      df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val scale = greatest(
+      aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))),
+      lit(1e-12)) / 7.0
+    df.select(col(idCol), col(vecCol), scale.as("scale"))
+      .withColumn("q4",
+        transform(transform(col(vecCol), x => x.cast("double")),
+          x => round(x / col("scale")).cast("int")))
+      .withColumn("packed", transform(
+        sequence(lit(1), ((size(col("q4")) + 1) / 2).cast("int")),
+        i => (((element_at(col("q4"), i * 2 - 1) + 8) * 16 +
+          (coalesce(try_element_at(col("q4"), i * 2), lit(0)) + 8)) - 128)
+          .cast("tinyint")))
+  }
+
+  /** Inverse of [[quantizeInt4]]'s packing: `packed` bytes → the first
+    * `dim` int codes ∈ [-7,7] (the pad nibble of an odd tail is
+    * dropped). */
+  def unpackInt4(packed: Column, dim: Column): Column =
+    slice(
+      flatten(transform(packed, b => array(
+        shiftright(b.cast("int") + 128, 4) - 8,
+        pmod(b.cast("int") + 128, lit(16)) - 8))),
+      lit(1), dim)
 }

@@ -198,6 +198,34 @@ object TextQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** int4 pack/unpack contract frame: per vector the scale, code sums,
+    * packed length, a bit-exact pack→unpack round trip, cosine of the
+    * original against the dequantized codes, and the half-step error
+    * bound — all recomputed independently by the DuckDB oracle. */
+  def eQuantizeInt4(spark: SparkSession, dir: String): DataFrame = {
+    val qz = Similarity.quantizeInt4(embs(spark, dir))
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val qd = transform(col("q4"), x => x.cast("double"))
+    val err = zip_with(v, qd, (x, q) => abs(x - q * col("scale")))
+    qz.select(
+        col("vec_id"),
+        col("scale"),
+        size(col("packed")).cast("long").as("n_packed"),
+        aggregate(col("q4"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+        aggregate(col("q4"), lit(0L), (a, x) => a + abs(x.cast("long")))
+          .as("q_l1"),
+        (Similarity.unpackInt4(col("packed"), size(col("q4"))) === col("q4"))
+          .as("pack_roundtrip"),
+        round(Similarity.dot(v, qd) /
+          (Similarity.norm(v) * Similarity.norm(qd)), 4).as("cos_q"),
+        (aggregate(err, lit(0.0), (a, x) => greatest(a, x)) <=
+          col("scale") / 2.0 + 1e-9).as("within_step"))
+      .withColumn("scale", round(col("scale"), 6))
+      .select("vec_id", "scale", "n_packed", "q_sum", "q_l1",
+        "pack_roundtrip", "cos_q", "within_step")
+      .orderBy(col("vec_id"))
+  }
+
   def eKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Similarity.knnBrute(e, e.where(col("vec_id") < 5), k = 10)
@@ -401,6 +429,7 @@ object TextQueries {
     "d_pii_scrub" -> (dPiiScrub _),
     "d_repetition" -> (dRepetition _),
     "e_quantize_int8" -> (eQuantizeInt8 _),
+    "e_quantize_int4" -> (eQuantizeInt4 _),
     "e_knn_brute" -> (eKnnBrute _),
     "e_knn_lsh" -> (eKnnLsh _),
     "e_knn_ivf" -> (eKnnIvf _),
@@ -651,6 +680,42 @@ object TextQueries {
         |    i -> abs(v[i] - qv[i] * scale))) <= scale / 2.0 + 1e-9
         |    AS within_step
         |FROM q ORDER BY vec_id""".stripMargin,
+    // int4: same independent recomputation, plus the pack/unpack round
+    // trip through the (code+8) nibble layout with the -128 byte shift
+    "e_quantize_int4" ->
+      """WITH b AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 7.0
+        |      AS scale
+        |  FROM b),
+        |q AS (SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv
+        |  FROM s),
+        |p AS (SELECT vec_id, v, scale, qv,
+        |    list_transform(range(1, len(qv) // 2 + len(qv) % 2 + 1),
+        |      i -> (qv[2 * i - 1] + 8) * 16 +
+        |           (coalesce(qv[2 * i], 0) + 8) - 128) AS packed
+        |  FROM q),
+        |u AS (SELECT vec_id, v, scale, qv, packed,
+        |    list_transform(range(1, len(qv) + 1), i -> CASE
+        |      WHEN i % 2 = 1 THEN (packed[(i + 1) // 2] + 128) // 16 - 8
+        |      ELSE (packed[i // 2] + 128) % 16 - 8 END) AS unpacked
+        |  FROM p)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(len(packed) AS BIGINT) AS n_packed,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  unpacked = qv AS pack_roundtrip,
+        |  round(
+        |    list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) /
+        |    (sqrt(list_sum(list_transform(v, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS cos_q,
+        |  list_max(list_transform(range(1, 65),
+        |    i -> abs(v[i] - qv[i] * scale))) <= scale / 2.0 + 1e-9
+        |    AS within_step
+        |FROM u ORDER BY vec_id""".stripMargin,
     "d_repetition" ->
       """WITH w AS (SELECT doc_id,
         |    string_split(trim(regexp_replace(regexp_replace(lower(text),

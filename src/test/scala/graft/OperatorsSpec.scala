@@ -463,6 +463,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("int4 pack/unpack: odd-dim padding, negative codes, saturation ends") {
+    import graft.operators.Similarity
+    // 5 dims (odd → pad nibble), max|v| = 7 → scale 1, codes = values
+    val df = Seq((1L, Seq(-7.0f, 7.0f, 0.0f, -3.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val qz = Similarity.quantizeInt4(df)
+    val row = qz.select(col("q4"), col("packed"),
+        Similarity.unpackInt4(col("packed"), size(col("q4"))).as("u"))
+      .head()
+    assert(row.getSeq[Int](0) == Seq(-7, 7, 0, -3, 2))
+    // bytes: (-7+8)<<4|(7+8)=31, (0+8)<<4|(-3+8)=133, (2+8)<<4|(0+8)=168
+    // each -128 → -97, 5, 40
+    assert(row.getSeq[Byte](1) == Seq[Byte](-97, 5, 40))
+    assert(row.getSeq[Int](2) == Seq(-7, 7, 0, -3, 2))
+  }
+
   test("MJPG byte pin: kernel means EXACTLY equal an independent RIFF walk " +
       "+ this JVM's ImageIO decode of the same payload") {
     // JPEG is lossy ACROSS encoders, but encoder and decoder here are
