@@ -226,6 +226,37 @@ object TextQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Self-verifying kNN over the QUANTIZED tier — the search consumer
+    * of [[Similarity.quantizeInt8]]: cosine is scale-invariant, so the
+    * int8 codes are searched directly (no dequantization); `recall_ok`
+    * compares the code-space top-10 against the float top-10, and
+    * `sim_close` bounds every returned similarity's deviation from the
+    * float cosine by the quantization error band. */
+  def eKnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val codes = Similarity.quantizeInt8(e)
+      .select(col("vec_id"),
+        transform(col("q"), x => x.cast("float")).as("embedding"))
+    val ann = Similarity.knnBrute(codes, codes.where(col("vec_id") < 5), k = 10)
+    val brute = Similarity.knnBrute(e, e.where(col("vec_id") < 5), k = 10)
+    val hits = ann.select(col("qid"), col("nid"))
+      .join(brute.select(col("qid"), col("nid")), Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    val dev = ann
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv")), Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")), Seq("nid"))
+      .groupBy(col("qid"))
+      .agg(max(abs(col("sim") -
+        Similarity.cosine(col("qv"), col("nv")))).as("max_dev"))
+    e.where(col("vec_id") < 5).select(col("vec_id").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .join(dev, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(col("n_hit"), lit(0L)) >= 8L).as("recall_ok"),
+        (coalesce(col("max_dev"), lit(1.0)) <= 0.02).as("sim_close"))
+      .orderBy(col("qid"))
+  }
+
   def eKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Similarity.knnBrute(e, e.where(col("vec_id") < 5), k = 10)
@@ -430,6 +461,7 @@ object TextQueries {
     "d_repetition" -> (dRepetition _),
     "e_quantize_int8" -> (eQuantizeInt8 _),
     "e_quantize_int4" -> (eQuantizeInt4 _),
+    "e_knn_quantized" -> (eKnnQuantized _),
     "e_knn_brute" -> (eKnnBrute _),
     "e_knn_lsh" -> (eKnnLsh _),
     "e_knn_ivf" -> (eKnnIvf _),
@@ -569,6 +601,9 @@ object TextQueries {
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "e_knn_ivf" ->
       """SELECT vec_id AS qid, true AS sims_exact, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    "e_knn_quantized" ->
+      """SELECT vec_id AS qid, true AS recall_ok, true AS sim_close
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "d_embed_neardup_lsh" ->
       """WITH p AS (
