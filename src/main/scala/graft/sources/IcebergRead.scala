@@ -24,9 +24,12 @@ import org.json4s.jackson.JsonMethods
   *    ([[applyEqualityDeletes]] — sequence-number scoping documented
   *    there).
   *  - only parquet data files (the reference's tables are parquet).
-  *  - no partition-pruning pushdown from table metadata: Spark still
-  *    prunes parquet row groups by min/max; manifest-level `partitions`
-  *    summaries are surfaced via [[manifestSummaries]] for callers that
+  *  - range reads prune at BOTH metadata tiers: manifest-LIST field
+  *    summaries skip whole manifests for identity-transform partition
+  *    fields ([[ManifestPrune]] — non-identity transforms and delete
+  *    manifests are conservatively kept), then per-file column bounds
+  *    skip files; Spark still prunes parquet row groups by min/max;
+  *    snapshot summaries are surfaced via [[manifestSummaries]] for callers that
   *    want file-level pruning before the scan.
   *
   * Scale shape: metadata walking is driver-side — manifest lists are
@@ -92,9 +95,27 @@ object IcebergRead {
     * position content=1 and equality content=2; callers partition on
     * `content` and apply [[applyPositionDeletes]] /
     * [[applyEqualityDeletes]] respectively). */
+  /** Manifest-LIST-level prune request: skip reading a whole data
+    * manifest when its `partitions` field summary for `field` (an
+    * IDENTITY-transform partition field, position looked up per
+    * spec-id) is disjoint from [lo, hi]. This is the first-tier skip of
+    * a real Iceberg read — at warehouse scale the manifest list is one
+    * KB-scale file naming thousands of manifests, and pruning here
+    * avoids opening them at all. Conservative everywhere: non-identity
+    * transforms, unknown spec ids, absent summaries, `contains_null`
+    * partitions and DELETE manifests are always read. */
+  private[sources] final case class ManifestPrune(
+      field: SchemaField, lo: Any, hi: Any)
+
   def plan(
       spark: SparkSession, tableDir: String,
-      snapshotId: Option[Long] = None): (Seq[DataFileEntry], Seq[DataFileEntry]) = {
+      snapshotId: Option[Long] = None): (Seq[DataFileEntry], Seq[DataFileEntry]) =
+    plan(spark, tableDir, snapshotId, None)
+
+  private[sources] def plan(
+      spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long],
+      prune: Option[ManifestPrune]): (Seq[DataFileEntry], Seq[DataFileEntry]) = {
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaJson = JsonMethods.parse(
@@ -113,6 +134,8 @@ object IcebergRead {
       })
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $wanted not found"))
+    val pruneIdPos = prune.map(p => identityPositions(metaJson, p.field.id))
+      .getOrElse(Map.empty[Int, Int])
     val entries: Seq[DataFileEntry] = (snap \ "manifest-list") match {
       case JString(manifestListPath) =>
         val (_, listEntries) = AvroContainer.readFile(
@@ -130,7 +153,8 @@ object IcebergRead {
             case Some(i: Int) => i.toLong
             case _ => 0L
           }
-          readManifest(fs, m("manifest_path").asInstanceOf[String],
+          if (manifestPruned(m, listContent, prune, pruneIdPos)) Nil
+          else readManifest(fs, m("manifest_path").asInstanceOf[String],
             tableDir, listContent, listSeq)
         }
       case other =>
@@ -145,6 +169,75 @@ object IcebergRead {
     }
     entries.partition(_.content == 0)
   }
+
+  /** True iff this manifest-list entry can be SKIPPED: a data manifest
+    * whose identity-partition field summary is provably disjoint from
+    * the prune range. Every uncertain shape keeps the manifest —
+    * pruning must never be wrong, only incomplete. DELETE manifests are
+    * never pruned: equality deletes apply by value, not by the pruned
+    * partition. */
+  private def manifestPruned(
+      m: Map[String, Any], listContent: Int,
+      prune: Option[ManifestPrune], identityPos: Map[Int, Int]): Boolean =
+    prune match {
+      case Some(p) if listContent == 0 =>
+        val specId = m.getOrElse("partition_spec_id", 0) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case _ => return false
+        }
+        identityPos.get(specId) match {
+          case Some(pos) => m.get("partitions") match {
+            case Some(summaries: Seq[_]) if pos < summaries.length =>
+              summaries(pos) match {
+                case s: Map[String, Any] @unchecked =>
+                  val containsNull =
+                    s.getOrElse("contains_null", true) == true
+                  val bounds = for {
+                    lb <- s.get("lower_bound").collect {
+                      case b: Array[Byte] => b }
+                    ub <- s.get("upper_bound").collect {
+                      case b: Array[Byte] => b }
+                  } yield
+                    // disjoint: summary hi < lo OR summary lo > hi
+                    rangeCmp(p.field, ub, p.lo) < 0 ||
+                      rangeCmp(p.field, lb, p.hi) > 0
+                  !containsNull && bounds.getOrElse(false)
+                case _ => false
+              }
+            case _ => false
+          }
+          case None => false
+        }
+      case _ => false
+    }
+
+  /** spec-id → 0-based position of the IDENTITY-transform partition
+    * field sourced from schema field `fieldId`, parsed from the
+    * metadata's `partition-specs` (absent/malformed specs simply yield
+    * no entry — no pruning for them). */
+  private def identityPositions(
+      metaJson: JValue, fieldId: Int): Map[Int, Int] =
+    (metaJson \ "partition-specs") match {
+      case JArray(specs) => specs.flatMap { s =>
+        val specId = (s \ "spec-id") match {
+          case JInt(n) => n.toInt
+          case _ => -1
+        }
+        val pos = (s \ "fields") match {
+          case JArray(pfs) => pfs.indexWhere { pf =>
+            (pf \ "transform") == JString("identity") &&
+              ((pf \ "source-id") match {
+                case JInt(n) => n.toInt == fieldId
+                case _ => false
+              })
+          }
+          case _ => -1
+        }
+        if (specId >= 0 && pos >= 0) Some(specId -> pos) else None
+      }.toMap
+      case _ => Map.empty
+    }
 
   private def readManifest(
       fs: FileSystem, path: String, tableDir: String,
@@ -474,7 +567,10 @@ object IcebergRead {
     val field = tableSchema(spark, tableDir).find(_.name == column)
       .getOrElse(throw new IllegalArgumentException(
         s"column '$column' not in table schema (or metadata has no schema)"))
-    val (data, deletes) = plan(spark, tableDir)
+    // first-tier skip: whole manifests whose identity-partition summary
+    // is disjoint from the range are never even opened
+    val (data, deletes) = plan(spark, tableDir, None,
+      Some(ManifestPrune(field, lo, hi)))
     val kept = data.filter { f =>
       val keep = for {
         lb <- f.lowerBounds.get(field.id)

@@ -296,6 +296,110 @@ class IcebergSpec extends AnyFunSuite {
     assert(rows == Set((1L, "keep"), (3L, "gone")), rows.toString)
   }
 
+  test("manifest-list partition summaries prune whole manifests: " +
+      "identity transform only, conservative everywhere else") {
+    def le8(n: Long): Array[Byte] =
+      Array.tabulate[Byte](8)(i => ((n >>> (8 * i)) & 0xff).toByte)
+    // a FOREIGN writer's richer manifest-list schema carrying the spec's
+    // `partitions` field summaries
+    val listSchemaWithSummaries =
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"sequence_number","type":["null","long"]},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"added_rows_count","type":["null","long"]},
+        |{"name":"partitions","type":["null",{"type":"array",
+        |  "items":{"type":"record","name":"r508","fields":[
+        |    {"name":"contains_null","type":"boolean"},
+        |    {"name":"contains_nan","type":["null","boolean"]},
+        |    {"name":"lower_bound","type":["null","bytes"]},
+        |    {"name":"upper_bound","type":["null","bytes"]}]}}]}
+        |]}""".stripMargin.replaceAll("\n", "")
+    def fieldSummary(lo: Long, hi: Long, containsNull: Boolean) =
+      Map[String, Any]("contains_null" -> containsNull,
+        "contains_nan" -> null,
+        "lower_bound" -> le8(lo), "upper_bound" -> le8(hi))
+    // m2 points at a manifest ABSENT from disk: the walk succeeds ONLY
+    // if the summary pruned it before the read
+    def fixture(summary2: Map[String, Any], transform: String,
+        m2Content: Int): String = {
+      val dir = Files.createTempDirectory("iceberg_mp").toString
+      val meta = Paths.get(dir, "metadata")
+      Files.createDirectories(meta)
+      Seq((1L, "a"), (2L, "b")).toDF("id", "k").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/data/P1")
+      val p1 = "data/P1/" + new java.io.File(s"$dir/data/P1")
+        .listFiles().map(_.getName).filter(_.endsWith(".parquet")).head
+      Files.write(meta.resolve("m1.avro"),
+        AvroContainer.writeFile(manifestSchema,
+          Seq(entry(1, p1, 2L))))
+      val listEntries = Seq(
+        Map[String, Any]("manifest_path" -> "metadata/m1.avro",
+          "manifest_length" -> 1L, "sequence_number" -> 1L,
+          "partition_spec_id" -> 0, "content" -> 0,
+          "added_rows_count" -> 2L,
+          "partitions" -> Seq(fieldSummary(1L, 10L, containsNull = false))),
+        Map[String, Any]("manifest_path" -> "metadata/ABSENT.avro",
+          "manifest_length" -> 1L, "sequence_number" -> 1L,
+          "partition_spec_id" -> 0, "content" -> m2Content,
+          "added_rows_count" -> 2L,
+          "partitions" -> Seq(summary2)))
+      Files.write(meta.resolve("snap-1.avro"),
+        AvroContainer.writeFile(listSchemaWithSummaries, listEntries))
+      val metadataJson =
+        s"""{"format-version":2,"table-uuid":"t","location":"$dir",
+           |"current-snapshot-id":1,
+           |"schemas":[{"schema-id":0,"fields":[
+           |  {"id":1,"name":"id","required":true,"type":"long"},
+           |  {"id":2,"name":"k","required":false,"type":"string"}]}],
+           |"partition-specs":[{"spec-id":0,"fields":[
+           |  {"name":"id_part","transform":"$transform",
+           |   "source-id":1,"field-id":1000}]}],
+           |"snapshots":[{"snapshot-id":1,
+           |  "manifest-list":"metadata/snap-1.avro",
+           |  "summary":{"operation":"append"}}]}""".stripMargin
+      Files.write(meta.resolve("v2.metadata.json"),
+        metadataJson.getBytes("UTF-8"))
+      Files.write(meta.resolve("version-hint.text"), "2".getBytes("UTF-8"))
+      dir
+    }
+    // identity transform, disjoint summary [11,20], no nulls → PRUNED:
+    // the absent manifest is never opened and the range read succeeds
+    val dir1 = fixture(fieldSummary(11L, 20L, containsNull = false),
+      "identity", m2Content = 0)
+    val files = IcebergRead.planFilesRange(spark, dir1, "id", 1L, 5L)
+    assert(files.map(_.recordCount).sum == 2L)
+    // sanity: without the range (no prune), the absent manifest IS read
+    intercept[Exception] { IcebergRead.planFiles(spark, dir1) }
+    // an overlapping range must try to read it (prune is range-aware)
+    intercept[Exception] {
+      IcebergRead.planFilesRange(spark, dir1, "id", 12L, 13L)
+    }
+    // contains_null=true → conservatively read even when disjoint
+    intercept[Exception] {
+      IcebergRead.planFilesRange(spark,
+        fixture(fieldSummary(11L, 20L, containsNull = true),
+          "identity", m2Content = 0),
+        "id", 1L, 5L)
+    }
+    // non-identity transform → no pruning
+    intercept[Exception] {
+      IcebergRead.planFilesRange(spark,
+        fixture(fieldSummary(11L, 20L, containsNull = false),
+          "bucket[4]", m2Content = 0),
+        "id", 1L, 5L)
+    }
+    // DELETE manifests are never pruned (equality deletes apply by value)
+    intercept[Exception] {
+      IcebergRead.planFilesRange(spark,
+        fixture(fieldSummary(11L, 20L, containsNull = false),
+          "identity", m2Content = 1),
+        "id", 1L, 5L)
+    }
+  }
+
   test("string bounds compare as UTF-8 bytes, not UTF-16 code units") {
     val dir = Files.createTempDirectory("iceberg_u").toString
     val df = Seq((1L, "apple"), (2L, "😀 emoji")).toDF("id", "k")
