@@ -66,6 +66,15 @@ object ChDialectExtras {
   private val emptyLongArray =
     Literal.create(Seq.empty[Long], ArrayType(LongType))
 
+  /** Literal int value required at plan time (CH parameterized-aggregate
+    * parameters are constants by grammar). */
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case Literal(l: Long, LongType) => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn requires an integer literal argument, got $other")
+  }
+
   /** CH/re2 replacement string → Java `Matcher` replacement: `\N` (N a
     * digit) becomes the Java backref `$N`, and any literal digits that
     * IMMEDIATELY follow it are backslash-escaped (`\d` is a literal `d`
@@ -433,6 +442,11 @@ object ChDialectExtras {
       If(EqualTo(sumW, Literal(0.0d)), Literal(Double.NaN),
         Divide(sumXW, sumW))
     }
+    // CH topK(k)(x) — registry form topK(k, x) (Spark's grammar has no
+    // parameterized-aggregate syntax): SpaceSaving most-frequent values,
+    // exact within capacity, value-ordered ties (TopKAgg scaladoc)
+    f("topK")(a =>
+      TopKAgg(a(1), litInt(a.head, "topK")).toAggregateExpression())
     // CH groupBit* fold the column bitwise (Spark spells them bit_and/…;
     // the CH names are free)
     f("groupBitAnd")(a => BitAndAgg(a.head))

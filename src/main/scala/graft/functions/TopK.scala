@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** ClickHouse `topK(k)(x)` analogue — the approximate most-frequent-values
+  * aggregate, implemented to the PUBLIC SpaceSaving algorithm (Metwally,
+  * Agrawal, El Abbadi 2005 — the same family CH's `topK` documents):
+  * returns up to `k` values ordered by descending estimated count.
+  * Exact whenever a group's distinct count stays within the tracking
+  * capacity (`loadFactor`·k slots; CH's default load factor is the same
+  * ×3); beyond capacity the SpaceSaving bound applies (any value whose
+  * true count exceeds n/capacity is retained, counts overestimate by at
+  * most the evicted minimum).
+  *
+  * Determinism (same stance as DIVERGENCES #22/#28/#30): CH breaks count
+  * ties by insertion order — partition-arrival-dependent on a cluster;
+  * here ties break by VALUE, so results are stable across runs and
+  * repartitionings. String-typed (the dominant CH usage). The buffer is
+  * a bounded (value → count) map: partial aggregation, shuffles, and
+  * merges all carry O(loadFactor·k) state per group, never the group's
+  * distinct count.
+  */
+case class TopKAgg(
+    child: Expression,
+    k: Int,
+    loadFactor: Int = 3,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+  require(k >= 1 && k <= 65536, s"topK: k must be in 1..65536, got $k")
+  require(loadFactor >= 1, s"topK: loadFactor must be >= 1, got $loadFactor")
+
+  private def capacity: Int = math.max(k * loadFactor, k)
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty[String, Long]
+
+  override def update(
+      buf: mutable.HashMap[String, Long],
+      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v == null) buf // CH topK skips NULLs, like every CH aggregate
+    else {
+      val s = v.asInstanceOf[UTF8String].toString
+      buf.get(s) match {
+        case Some(c) => buf.update(s, c + 1)
+        case None if buf.size < capacity => buf.update(s, 1L)
+        case None =>
+          // SpaceSaving eviction: replace the minimum-count entry (value
+          // order breaks count ties — determinism) and inherit its count
+          val (mv, mc) = buf.minBy { case (value, count) => (count, value) }
+          buf.remove(mv)
+          buf.update(s, mc + 1)
+      }
+      buf
+    }
+  }
+
+  override def merge(
+      a: mutable.HashMap[String, Long],
+      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (v, c) =>
+      a.update(v, a.getOrElse(v, 0L) + c)
+    }
+    if (a.size <= capacity) a
+    else {
+      // clamp back to capacity keeping the heaviest (count desc, value
+      // asc) — the merged survivors' counts stay exact for values present
+      // in every partial; dropped tails are the approximation
+      val kept = a.toSeq
+        .sortBy { case (value, count) => (-count, value) }
+        .take(capacity)
+      mutable.HashMap(kept: _*)
+    }
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any =
+    new GenericArrayData(buf.toSeq
+      .sortBy { case (value, count) => (-count, value) }
+      .take(k)
+      .map { case (value, _) => UTF8String.fromString(value) }
+      .toArray[Any])
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (v, c) =>
+      val b = v.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, "UTF-8"), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAgg =
+    copy(inputAggBufferOffset = o)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): TopKAgg = copy(child = c.head)
+}

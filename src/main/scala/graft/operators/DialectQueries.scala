@@ -100,13 +100,39 @@ object DialectQueries {
         |     / count(distinct source) - 1.0) <= 0.2) AS uq_ok
         |FROM docs_agg GROUP BY lang ORDER BY lang""".stripMargin)
 
+  /** CH `topK` (SpaceSaving most-frequent): per cohort the top-3 event
+    * types. Each cohort has 5 distinct types ≤ the 9-slot capacity, so
+    * the result is EXACT and (count desc, value asc)-deterministic —
+    * hash-comparable against the oracle's window formulation. */
+  def qTopkAgg(spark: SparkSession, dir: String): DataFrame =
+    sqlOn(spark, dir, "events", "evts_topk",
+      """SELECT user_id % 10 AS cohort,
+        |  topK(3, event_type) AS top_types
+        |FROM evts_topk GROUP BY 1 ORDER BY 1""".stripMargin)
+
   def queries: Map[String, Q] = Map(
     "q_ch_functions2" -> (qChFunctions2 _),
     "q_url_functions" -> (qUrlFunctions _),
-    "q_agg_functions" -> (qAggFunctions _)
+    "q_agg_functions" -> (qAggFunctions _),
+    "q_topk_agg" -> (qTopkAgg _)
   )
 
   def oracles: Map[String, String] = Map(
+    // exact top-3 by (count desc, value asc) via a window — independent
+    // formulation of the SpaceSaving result, which is exact here because
+    // each cohort's distinct count fits the capacity
+    "q_topk_agg" ->
+      """WITH c AS (
+        |  SELECT user_id % 10 AS cohort, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT cohort, event_type,
+        |    row_number() OVER (PARTITION BY cohort
+        |                       ORDER BY n DESC, event_type) AS rn
+        |  FROM c
+        |)
+        |SELECT cohort, list(event_type ORDER BY rn) AS top_types
+        |FROM r WHERE rn <= 3 GROUP BY cohort ORDER BY cohort""".stripMargin,
     "q_ch_functions2" ->
       """SELECT doc_id,
         |  CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT)

@@ -242,4 +242,34 @@ class ChDialect2Spec extends AnyFunSuite {
     assert(gb.getInt(0) == 2 && gb.getInt(1) == 7 && gb.getInt(2) == 5)
     assert(gb.getLong(3) == 9L && gb.getLong(4) == 2L)
   }
+
+  test("topK: exact within capacity, value-ordered ties, NULLs skipped, " +
+      "SpaceSaving retains heavy hitters past capacity") {
+    // 5a 3b 3c 1d + NULLs: top-3 = a, then b (tie with c, value order), c
+    import spark.implicits._
+    val rows = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq("d") ++ Seq(null, null)
+    rows.toDF("v").createOrReplaceTempView("tk")
+    val got = spark.sql("SELECT topK(3, v) FROM tk")
+      .head().getSeq[String](0)
+    assert(got == Seq("a", "b", "c"))
+    // distributed merge path: same answer under forced repartition
+    val dist = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Tuple1(_)), 8))
+      .toDF("v")
+    dist.createOrReplaceTempView("tk8")
+    assert(spark.sql("SELECT topK(3, v) FROM tk8")
+      .head().getSeq[String](0) == Seq("a", "b", "c"))
+    // past capacity (k=1, loadFactor 3 → 3 slots, 6 distinct): the heavy
+    // hitter (true count 30 of 45 ≫ n/capacity) must survive eviction
+    val heavy = Seq.fill(30)("hh") ++
+      (1 to 15).map(i => s"x${i % 5}") // 5 light values cycling
+    heavy.toDF("v").createOrReplaceTempView("tkh")
+    assert(spark.sql("SELECT topK(1, v) FROM tkh")
+      .head().getSeq[String](0) == Seq("hh"))
+    // k must be a literal
+    intercept[Exception] {
+      spark.sql("SELECT topK(v, v) FROM tk").collect()
+    }
+  }
 }
