@@ -447,6 +447,19 @@ object ChDialectExtras {
     // exact within capacity, value-ordered ties (TopKAgg scaladoc)
     f("topK")(a =>
       TopKAgg(a(1), litInt(a.head, "topK")).toAggregateExpression())
+    // CH topKWeighted(k)(x, w) → topKWeighted(k, x, w): increments by w
+    f("topKWeighted")(a =>
+      TopKAgg(a(1), litInt(a.head, "topKWeighted"), weight = Some(a(2)))
+        .toAggregateExpression())
+    // CH uniqUpTo(N)(x) → uniqUpTo(N, x): exact distinct count while
+    // ≤ N, N+1 past it (the "more than N" sentinel); the exact
+    // count-distinct underneath is Spark-native
+    f("uniqUpTo") { a =>
+      val n = litInt(a.head, "uniqUpTo")
+      Least(Seq(
+        Count(a(1)).toAggregateExpression(isDistinct = true),
+        Literal((n + 1).toLong)))
+    }
     // CH groupBit* fold the column bitwise (Spark spells them bit_and/…;
     // the CH names are free)
     f("groupBitAnd")(a => BitAndAgg(a.head))

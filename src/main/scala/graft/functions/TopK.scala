@@ -31,6 +31,7 @@ case class TopKAgg(
     child: Expression,
     k: Int,
     loadFactor: Int = 3,
+    weight: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
@@ -48,16 +49,30 @@ case class TopKAgg(
     val v = child.eval(input)
     if (v == null) buf // CH topK skips NULLs, like every CH aggregate
     else {
+      // topKWeighted: the increment is the weight (CH: UInt64); a NULL
+      // or negative weight contributes nothing rather than corrupting
+      // the SpaceSaving invariant (counts are monotone)
+      val inc = weight match {
+        case None => 1L
+        case Some(w) => w.eval(input) match {
+          case null => 0L
+          case n: Long => math.max(n, 0L)
+          case n: Int => math.max(n.toLong, 0L)
+          case other => throw new IllegalArgumentException(
+            s"topKWeighted weight must be integral, got $other")
+        }
+      }
+      if (inc == 0L) return buf
       val s = v.asInstanceOf[UTF8String].toString
       buf.get(s) match {
-        case Some(c) => buf.update(s, c + 1)
-        case None if buf.size < capacity => buf.update(s, 1L)
+        case Some(c) => buf.update(s, c + inc)
+        case None if buf.size < capacity => buf.update(s, inc)
         case None =>
           // SpaceSaving eviction: replace the minimum-count entry (value
           // order breaks count ties — determinism) and inherit its count
           val (mv, mc) = buf.minBy { case (value, count) => (count, value) }
           buf.remove(mv)
-          buf.update(s, mc + 1)
+          buf.update(s, mc + inc)
       }
       buf
     }
@@ -120,9 +135,10 @@ case class TopKAgg(
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): TopKAgg =
     copy(inputAggBufferOffset = o)
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = child +: weight.toSeq
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def withNewChildrenInternal(
-      c: IndexedSeq[Expression]): TopKAgg = copy(child = c.head)
+      c: IndexedSeq[Expression]): TopKAgg =
+    copy(child = c.head, weight = weight.map(_ => c(1)))
 }

@@ -271,5 +271,17 @@ class ChDialect2Spec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT topK(v, v) FROM tk").collect()
     }
+    // topKWeighted: weights dominate raw frequency; NULL/negative
+    // weights contribute nothing
+    val tw = spark.sql(
+      """SELECT topKWeighted(2, v, w) FROM VALUES
+        |  ('a', 1), ('a', 1), ('b', 10), ('c', NULL), ('c', -5)
+        |  t(v, w)""".stripMargin).head().getSeq[String](0)
+    assert(tw == Seq("b", "a"))
+    // uniqUpTo: exact below the cap, N+1 sentinel past it
+    val uu = spark.sql(
+      """SELECT uniqUpTo(2, v), uniqUpTo(5, v) FROM VALUES
+        |  ('a'), ('b'), ('c'), ('c') t(v)""".stripMargin).head()
+    assert(uu.getLong(0) == 3L && uu.getLong(1) == 3L)
   }
 }
