@@ -460,6 +460,11 @@ object ChDialectExtras {
         Count(a(1)).toAggregateExpression(isDistinct = true),
         Literal((n + 1).toLong)))
     }
+    // CH sumMap/minMap/maxMap — key-wise map combination (the aggregate
+    // SummingMergeTree applies to Map columns); key-sorted result
+    f("sumMap")(a => MapCombineAgg(a.head, "sum").toAggregateExpression())
+    f("minMap")(a => MapCombineAgg(a.head, "min").toAggregateExpression())
+    f("maxMap")(a => MapCombineAgg(a.head, "max").toAggregateExpression())
     // CH groupBit* fold the column bitwise (Spark spells them bit_and/…;
     // the CH names are free)
     f("groupBitAnd")(a => BitAndAgg(a.head))

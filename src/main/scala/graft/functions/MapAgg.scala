@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** ClickHouse `sumMap` / `minMap` / `maxMap` analogue — per-key
+  * combination of map values across rows (the aggregate CH's
+  * SummingMergeTree applies to Map columns, and the standard shape for
+  * pre-aggregated metric tables: `{"errors": 3, "hits": 40}` rows merge
+  * key-wise). String keys, integral or floating values (integral
+  * accumulates as Long, floating as Double — CH's own widening); NULL
+  * maps are skipped; absent keys are absent, not zero (CH semantics:
+  * only keys that appear participate).
+  *
+  * The result map is KEY-SORTED (CH sumMap sorts by key), which also
+  * makes it deterministic under any partitioning — map iteration order
+  * is the one thing map-valued aggregates usually get wrong. State is
+  * bounded by the DISTINCT KEY COUNT of the group, not its row count;
+  * partials, shuffles, and merges carry the same bounded map.
+  */
+case class MapCombineAgg(
+    child: Expression,
+    op: String,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Any]] {
+  require(Set("sum", "min", "max").contains(op), s"bad map-combine op $op")
+
+  private lazy val valueType: DataType = child.dataType match {
+    case MapType(StringType, vt, _) => vt match {
+      case ByteType | ShortType | IntegerType | LongType => LongType
+      case FloatType | DoubleType => DoubleType
+      case other => throw new IllegalArgumentException(
+        s"${op}Map values must be numeric, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"${op}Map requires map<string, numeric>, got $other")
+  }
+  private def asLong: Boolean = valueType == LongType
+
+  private def num(v: Any): Any =
+    if (asLong) v match {
+      case b: Byte => b.toLong; case s: Short => s.toLong
+      case i: Int => i.toLong; case l: Long => l
+    } else v match {
+      case f: Float => f.toDouble; case d: Double => d
+    }
+
+  private def combine(a: Any, b: Any): Any = (op, asLong) match {
+    case ("sum", true) => a.asInstanceOf[Long] + b.asInstanceOf[Long]
+    case ("min", true) => math.min(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case ("max", true) => math.max(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case ("sum", false) => a.asInstanceOf[Double] + b.asInstanceOf[Double]
+    case ("min", false) => math.min(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case ("max", false) => math.max(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case _ => throw new IllegalStateException(op)
+  }
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Any] =
+    mutable.HashMap.empty[String, Any]
+
+  override def update(
+      buf: mutable.HashMap[String, Any],
+      input: InternalRow): mutable.HashMap[String, Any] = {
+    child.eval(input) match {
+      case null => buf
+      case m: MapData =>
+        val vt = child.dataType.asInstanceOf[MapType].valueType
+        val keys = m.keyArray(); val vals = m.valueArray()
+        var i = 0
+        while (i < m.numElements()) {
+          // NULL map values are skipped like NULL scalar aggregate inputs
+          if (!vals.isNullAt(i)) {
+            val k = keys.getUTF8String(i).toString
+            val v = num(vals.get(i, vt))
+            buf.update(k, buf.get(k).fold(v)(combine(_, v)))
+          }
+          i += 1
+        }
+        buf
+    }
+  }
+
+  override def merge(
+      a: mutable.HashMap[String, Any],
+      b: mutable.HashMap[String, Any]): mutable.HashMap[String, Any] = {
+    b.foreach { case (k, v) =>
+      a.update(k, a.get(k).fold(v)(combine(_, v)))
+    }
+    a
+  }
+
+  override def eval(buf: mutable.HashMap[String, Any]): Any = {
+    val sorted = buf.toSeq.sortBy { case (k, _) => k }
+    new ArrayBasedMapData(
+      new GenericArrayData(
+        sorted.map { case (k, _) => UTF8String.fromString(k) }.toArray[Any]),
+      new GenericArrayData(sorted.map { case (_, v) => v }.toArray[Any]))
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Any]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBoolean(asLong)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, v) =>
+      val b = k.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b)
+      if (asLong) out.writeLong(v.asInstanceOf[Long])
+      else out.writeDouble(v.asInstanceOf[Double])
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Any] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val isLong = in.readBoolean()
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Any]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val k = new String(b, "UTF-8")
+      buf.update(k, if (isLong) in.readLong() else in.readDouble())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MapCombineAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MapCombineAgg =
+    copy(inputAggBufferOffset = o)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    MapType(StringType, valueType, valueContainsNull = false)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MapCombineAgg = copy(child = c.head)
+}

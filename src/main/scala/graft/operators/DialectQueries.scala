@@ -110,14 +110,38 @@ object DialectQueries {
         |  topK(3, event_type) AS top_types
         |FROM evts_topk GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** CH `sumMap` (the SummingMergeTree Map-column aggregate): per
+    * cohort, event-type counts merged key-wise. The key-sorted result
+    * map is emitted as aligned key/value arrays for the oracle compare
+    * (map columns hash differently across engines; arrays don't). */
+  def qSumMap(spark: SparkSession, dir: String): DataFrame =
+    sqlOn(spark, dir, "events", "evts_sm",
+      """SELECT cohort, map_keys(m) AS ks, map_values(m) AS vs FROM (
+        |  SELECT user_id % 10 AS cohort,
+        |    sumMap(map(event_type, CAST(1 AS BIGINT))) AS m
+        |  FROM evts_sm GROUP BY 1
+        |) ORDER BY cohort""".stripMargin)
+
   def queries: Map[String, Q] = Map(
     "q_ch_functions2" -> (qChFunctions2 _),
     "q_url_functions" -> (qUrlFunctions _),
     "q_agg_functions" -> (qAggFunctions _),
-    "q_topk_agg" -> (qTopkAgg _)
+    "q_topk_agg" -> (qTopkAgg _),
+    "q_summap" -> (qSumMap _)
   )
 
   def oracles: Map[String, String] = Map(
+    // key-wise count merge, key-sorted — plain group-by formulation
+    "q_summap" ->
+      """WITH c AS (
+        |  SELECT user_id % 10 AS cohort, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT cohort,
+        |  list(event_type ORDER BY event_type) AS ks,
+        |  list(n ORDER BY event_type) AS vs
+        |FROM c GROUP BY cohort ORDER BY cohort""".stripMargin,
     // exact top-3 by (count desc, value asc) via a window — independent
     // formulation of the SpaceSaving result, which is exact here because
     // each cohort's distinct count fits the capacity

@@ -67,17 +67,33 @@ object EngineSemantics {
     * column list means "all numeric non-key columns" (the CH default when
     * the engine is declared without an explicit list). */
   def summingFinal(df: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, NumericType, StringType}
+    // CH SummingMergeTree sums numeric columns AND Map columns (key-wise
+    // value sums — the pre-aggregated-metrics shape); both are detected
+    // here, and either can be named explicitly in sumCols
+    def isSummableMap(name: String): Boolean =
+      df.schema.fields.find(_.name == name).map(_.dataType).exists {
+        case MapType(StringType, _: NumericType, _) => true
+        case _ => false
+      }
     val cols =
       if (sumCols.nonEmpty) sumCols
       else df.schema.fields.collect {
         case f if !keys.contains(f.name) &&
-          f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+          (f.dataType.isInstanceOf[NumericType] ||
+            isSummableMap(f.name)) => f.name
       }.toSeq
     require(cols.nonEmpty,
       s"SummingMergeTree over $keys: no numeric non-key columns to sum")
+    def aggFor(c: String) =
+      if (isSummableMap(c))
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.MapCombineAgg(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col(c)),
+            "sum").toAggregateExpression()).as(c)
+      else sum(col(c)).as(c)
     df.groupBy(keys.map(col): _*)
-      .agg(sum(col(cols.head)).as(cols.head),
-        cols.tail.map(c => sum(col(c)).as(c)): _*)
+      .agg(aggFor(cols.head), cols.tail.map(aggFor): _*)
   }
 
   /** CollapsingMergeTree FINAL: per key, net sign decides survival; value

@@ -284,4 +284,35 @@ class ChDialect2Spec extends AnyFunSuite {
         |  ('a'), ('b'), ('c'), ('c') t(v)""".stripMargin).head()
     assert(uu.getLong(0) == 3L && uu.getLong(1) == 3L)
   }
+
+  test("sumMap/minMap/maxMap: key-wise combine, key-sorted result, " +
+      "NULL maps and NULL values skipped, absent keys absent") {
+    val sm = spark.sql(
+      """SELECT sumMap(m), minMap(m), maxMap(m) FROM VALUES
+        |  (map('b', 2L, 'a', 1L)),
+        |  (map('a', 10L, 'c', 5L)),
+        |  (CAST(NULL AS MAP<STRING, BIGINT>)),
+        |  (map('a', CAST(NULL AS BIGINT))) t(m)""".stripMargin).head()
+    assert(sm.getMap[String, Long](0).toSeq ==
+      Seq("a" -> 11L, "b" -> 2L, "c" -> 5L)) // key-sorted
+    assert(sm.getMap[String, Long](1).toSeq ==
+      Seq("a" -> 1L, "b" -> 2L, "c" -> 5L))
+    assert(sm.getMap[String, Long](2).toSeq ==
+      Seq("a" -> 10L, "b" -> 2L, "c" -> 5L))
+    // double values accumulate as double
+    val d = spark.sql(
+      """SELECT sumMap(m) FROM VALUES
+        |  (map('x', 1.5D)), (map('x', 2.25D)) t(m)""".stripMargin)
+      .head().getMap[String, Double](0)
+    assert(d.toSeq == Seq("x" -> 3.75))
+    // distributed merge path: 8 partitions, same key-sorted answer
+    import spark.implicits._
+    spark.createDataFrame(spark.sparkContext.parallelize(
+        (1 to 100).map(i => Tuple1(Map(s"k${i % 7}" -> i.toLong))), 8))
+      .toDF("m").createOrReplaceTempView("smdist")
+    val dist = spark.sql("SELECT sumMap(m) FROM smdist")
+      .head().getMap[String, Long](0)
+    assert(dist.keys.toSeq.sorted == (0 until 7).map(i => s"k$i") &&
+      dist.values.sum == (1 to 100).sum)
+  }
 }

@@ -145,6 +145,27 @@ class TableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { s.optimizeFinal() }
   }
 
+  test("SummingMergeTree sums Map columns key-wise (CH Map semantics)") {
+    val df = Seq(
+      ("a", 1L, Map("errors" -> 2L, "hits" -> 10L)),
+      ("a", 2L, Map("hits" -> 5L, "misses" -> 1L)),
+      ("b", 7L, Map("hits" -> 3L)))
+      .toDF("k", "n", "metrics")
+    // auto-detection: numeric AND map<string,numeric> non-key columns
+    val got = graft.table.EngineSemantics.summingFinal(df, Seq("k"), Nil)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getMap[String, Long](2).toSeq.sortBy(_._1)))
+    assert(got.toSeq == Seq(
+      ("a", 3L, Seq("errors" -> 2L, "hits" -> 15L, "misses" -> 1L)),
+      ("b", 7L, Seq("hits" -> 3L))))
+    // explicit sumCols naming the map column works the same
+    val explicit = graft.table.EngineSemantics.summingFinal(df, Seq("k"),
+        Seq("metrics")).orderBy("k").collect()
+      .map(r => r.getMap[String, Long](1).toSeq.sortBy(_._1))
+    assert(explicit.head == Seq("errors" -> 2L, "hits" -> 15L, "misses" -> 1L))
+  }
+
   test("projections: key-matched sorted copy serves reads with a reduced scan; stale falls back") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val wh = tmpWarehouse()
