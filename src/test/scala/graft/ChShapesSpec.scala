@@ -81,6 +81,28 @@ class ChShapesSpec extends AnyFunSuite {
     }
   }
 
+  test("withFillNum with explicit bounds touches the source lineage " +
+      "exactly once (plan pin for the full-outer grid join)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("fillplan").toString
+    (1 to 100).map(i => (i.toLong % 10 * 10, i.toLong)).toDF("bucket", "v")
+      .write.mode("overwrite").parquet(dir)
+    val grouped = spark.read.parquet(dir)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val filled = ChShapes.withFillNum(grouped, "bucket",
+      Map("n" -> lit(0L)), step = 5L, from = Some(0L), to = Some(100L))
+    // sparkPlan, not executedPlan: AQE wraps the tree in an adaptive
+    // node that defeats collect() before execution
+    val scans = filled.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    // the union-then-left-join formulation read the source 3× (bounds,
+    // axis-union, join side); the full-outer grid join reads it ONCE
+    assert(scans.length == 1,
+      s"fill plan re-scans the source ${scans.length}×")
+    assert(filled.count() == 20L) // grid 0,5,…,95 ∪ actual 0,10,…,90
+  }
+
   test("limitBy OFFSET skips leading rows per group") {
     val df = Seq((1L, 1), (1L, 2), (1L, 3), (1L, 4), (2L, 9))
       .toDF("k", "v")
