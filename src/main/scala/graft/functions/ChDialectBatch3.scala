@@ -1,0 +1,350 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** ClickHouse-dialect batch 3 — the long tail a migrating moose program's
+  * raw SQL still reaches after batches 1–2 (ClickHouseFunctions /
+  * ChDialectExtras): string similarity and multi-search, character
+  * n-grams / tokenization, array prefix-scan and compaction, map and
+  * tuple accessors, calendar names, great-circle geo distance, readable
+  * byte sizes, and the moment-statistics + entropy aggregate family
+  * (ref: the CH SQL surface reachable through
+  * packages/ts-moose-lib/src/sqlHelpers.ts passthrough — same contract
+  * note as batch 2).
+  *
+  * Everything is a native Catalyst `Expression` builder (no UDFs), so
+  * these stay inside whole-stage codegen; the only imperative state is
+  * `EntropyAgg`'s value→count buffer (a TypedImperativeAggregate like
+  * `TopKAgg`).
+  *
+  * Naming notes (same stance as batch 2's scaladoc):
+  *  - CH `monthName` is NOT shimmed: Spark 4's builtin `monthname`
+  *    (3-letter abbreviation) owns the name case-insensitively — use
+  *    `dateName('month', d)` for the full English name.
+  *  - CH `transform(x, from, to, default)` is NOT shimmed: Spark's
+  *    builtin `transform` is the array HOF. Use `CASE WHEN`/`multiIf`.
+  *  - `skewSamp`/`kurtSamp` follow CH's actual estimator (population
+  *    central moment over the SAMPLE variance: m3/varSamp^1.5 and
+  *    m4/varSamp² — NOT the bias-corrected Fisher–Pearson g1/G1).
+  *  - `greatCircleDistance` uses the spherical earth radius
+  *    6 372 797.560856 m (CH's documented constant); result in meters.
+  *  - `formatReadableSize` is defined for non-negative sizes and prints
+  *    two decimals with binary units (B, KiB … EiB), like CH.
+  */
+object ChDialectBatch3 {
+
+  private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
+
+  private def lambda1(f: Expression => Expression): LambdaFunction = {
+    val x = lv("x3"); LambdaFunction(f(x), Seq(x))
+  }
+
+  private def litString(e: Expression, fn: String): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn requires a string literal argument, got $other")
+  }
+
+  private val emptyStringArray =
+    Literal.create(Seq.empty[String], ArrayType(StringType))
+  private val emptyDoubleArray =
+    Literal.create(Seq.empty[Double], ArrayType(DoubleType))
+
+  /** CH spherical earth radius (meters). */
+  private val EarthRadius = 6372797.560856d
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
+      require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+          .builtin.functionExists(FunctionIdentifier(name.toLowerCase)),
+        s"refusing to shadow Spark builtin function '$name'")
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+
+    // ---------------------------------------------- strings / similarity
+    f("editDistance")(a => Levenshtein(a.head, a(1)))
+    // multiSearchAny(s, [needles]) — 1 if any needle is a substring
+    f("multiSearchAny")(a =>
+      ArrayExists(a(1), lambda1(x => Contains(a.head, x))))
+    f("multiSearchAnyCaseInsensitive")(a =>
+      ArrayExists(a(1), lambda1(x => Contains(Lower(a.head), Lower(x)))))
+    // extractAll(s, re): all matches; CH returns the FIRST capture group
+    // when the pattern has one, else the whole match — decidable here
+    // because CH requires a constant pattern.
+    f("extractAll") { a =>
+      val re = litString(a(1), "extractAll")
+      val group = if (Pattern.compile(re).matcher("").groupCount() >= 1) 1 else 0
+      RegExpExtractAll(a.head, a(1), Literal(group))
+    }
+    // tokens(s): split on non-alphanumeric runs, drop empties (CH tokens)
+    f("tokens")(a => ArrayRemove(
+      StringSplit(a.head, Literal("[^a-zA-Z0-9]+"), Literal(-1)),
+      Literal("")))
+    // ngrams(s, n): character n-grams, [] when length(s) < n
+    f("ngrams") { a =>
+      val s = a.head
+      val n = a(1)
+      If(LessThan(Length(s), n), emptyStringArray,
+        ArrayTransform(
+          new Sequence(Literal(1),
+            Add(Subtract(Length(s), n), Literal(1)), Some(Literal(1))),
+          lambda1(i => Substring(s, i, n))))
+    }
+
+    // --------------------------------------------------------- arrays
+    // arrayCumSum: prefix sums, always Double (same stance as arraySum).
+    // Row-local O(n²) slice-fold — arrays here are per-row and small; the
+    // empty guard matters because sequence(1,0) would step BACKWARD.
+    f("arrayCumSum") { a =>
+      val arr = Cast(a.head, ArrayType(DoubleType))
+      If(EqualTo(Size(arr), Literal(0)), emptyDoubleArray,
+        ArrayTransform(
+          new Sequence(Literal(1), Size(arr), Some(Literal(1))),
+          lambda1(i => ArrayAggregate(
+            Slice(arr, Literal(1), i), Literal(0.0d),
+            { val acc = lv("acc3"); val x = lv("xx3")
+              LambdaFunction(Add(acc, x), Seq(acc, x)) },
+            lambda1(identity)))))
+    }
+    // arrayCompact: drop CONSECUTIVE duplicates (CH semantics — not
+    // arrayDistinct). filter's second lambda arg is the 0-based index;
+    // element_at is 1-based, so element_at(arr, i) IS the predecessor.
+    // The If guards i=0 lazily (ANSI element_at(·,0) would throw).
+    f("arrayCompact") { a =>
+      val arr = a.head
+      val x = lv("xc3"); val i = lv("ic3")
+      ArrayFilter(arr, LambdaFunction(
+        If(EqualTo(i, Literal(0)), Literal(true),
+          Not(EqualNullSafe(x, ElementAt(arr, i)))),
+        Seq(x, i)))
+    }
+    // arrayJaccardIndex: |a∩b| / |a∪b| over distinct elements; 0/0 → NaN
+    // (double division — no ANSI throw), like CH on two empty arrays.
+    f("arrayJaccardIndex") { a =>
+      val inter = Cast(Size(ArrayIntersect(a.head, a(1))), DoubleType)
+      val union = Cast(Size(ArrayUnion(a.head, a(1))), DoubleType)
+      Divide(inter, union)
+    }
+
+    // --------------------------------------------------- maps / tuples
+    f("mapKeys")(a => MapKeys(a.head))
+    f("mapValues")(a => MapValues(a.head))
+    f("mapContains")(a => ArrayContains(MapKeys(a.head), a(1)))
+    f("mapFromArrays")(a => MapFromArrays(a.head, a(1)))
+    f("tuple")(a => CreateStruct(a))
+    // tupleElement(t, 'name') — the name form only; CH's positional form
+    // needs the tuple's resolved type, which a registry builder never
+    // sees. Loud refusal beats guessing a field.
+    f("tupleElement") { a =>
+      a(1) match {
+        case Literal(s, StringType) if s != null =>
+          UnresolvedExtractValue(a.head, Literal(s.toString))
+        case other => throw new IllegalArgumentException(
+          "tupleElement requires a literal field NAME (the positional " +
+            s"form is not supported — name the field), got $other")
+      }
+    }
+
+    // -------------------------------------------------------- calendar
+    f("toYYYYMMDDhhmmss")(a => Cast(
+      DateFormatClass(Cast(a.head, TimestampType), Literal("yyyyMMddHHmmss")),
+      LongType))
+    f("toLastDayOfMonth")(a => LastDay(Cast(a.head, DateType)))
+    // dateName(part, d) — English names/values as strings, like CH
+    f("dateName") { a =>
+      val part = litString(a.head, "dateName").toLowerCase
+      val ts = Cast(a(1), TimestampType)
+      part match {
+        case "year"    => DateFormatClass(ts, Literal("yyyy"))
+        case "month"   => DateFormatClass(ts, Literal("MMMM"))
+        case "weekday" => DateFormatClass(ts, Literal("EEEE"))
+        case "day"     => Cast(DayOfMonth(Cast(ts, DateType)), StringType)
+        case "hour"    => DateFormatClass(ts, Literal("HH"))
+        case "minute"  => DateFormatClass(ts, Literal("mm"))
+        case "second"  => DateFormatClass(ts, Literal("ss"))
+        case other => throw new IllegalArgumentException(
+          s"dateName: unsupported part '$other' (year|month|weekday|" +
+            "day|hour|minute|second)")
+      }
+    }
+    // timeSlot: round down to the half hour (CH's 1800 s slot)
+    f("timeSlot") { a =>
+      val secs = Cast(Cast(a.head, TimestampType), LongType)
+      SecondsToTimestamp(Multiply(
+        IntegralDivide(secs, Literal(1800L)), Literal(1800L)))
+    }
+
+    // ------------------------------------------------------------- geo
+    // Haversine on the CH spherical radius; meters. All codegen'd math.
+    f("greatCircleDistance") { a =>
+      val Seq(lon1, lat1, lon2, lat2) =
+        a.take(4).map(e => Cast(e, DoubleType))
+      def half(x: Expression) = Divide(ToRadians(x), Literal(2.0d))
+      def sin2(x: Expression) = { val s = Sin(x); Multiply(s, s) }
+      val h = Add(
+        sin2(half(Subtract(lat2, lat1))),
+        Multiply(Multiply(Cos(ToRadians(lat1)), Cos(ToRadians(lat2))),
+          sin2(half(Subtract(lon2, lon1)))))
+      Multiply(Literal(2.0d * EarthRadius), Asin(Sqrt(h)))
+    }
+
+    // ------------------------------------------------------ formatting
+    // formatReadableSize: binary units, two decimals. The value is
+    // HALF-UP rounded BEFORE formatting: x/1024^k is a dyadic rational,
+    // which CAN land exactly on a .xx5 tie (e.g. 0.125), where Java's
+    // %.2f (HALF_UP) and C printf (half-even) disagree — Round first
+    // makes the formatted double unambiguous for any formatter.
+    f("formatReadableSize") { a =>
+      val x = Cast(a.head, DoubleType)
+      val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB")
+      def render(k: Int): Expression = Concat(Seq(
+        FormatString(Literal("%.2f"),
+          Round(Divide(x, Literal(math.pow(1024d, k.toDouble))),
+            Literal(2))),
+        Literal(" " + units(k))))
+      val branches = (0 until 6).map { k =>
+        (LessThan(x, Literal(math.pow(1024d, (k + 1).toDouble))), render(k))
+      }
+      CaseWhen(branches, Some(render(6)))
+    }
+
+    // ------------------------------------------------------ aggregates
+    // quantiles(l1, …, ln, x) — parameters first, like topK(k, x): the
+    // levels must be plan-time constants (CH grammar requires it too).
+    // Interpolated percentiles (same stance as the builtin `median`
+    // mapping — CH's reservoir approximation is DIVERGENCES #23).
+    f("quantiles") { a =>
+      require(a.length >= 2,
+        "quantiles(level, …, x) needs at least one level and the column")
+      new Percentile(a.last, CreateArray(a.init.map(Cast(_, DoubleType))))
+    }
+    // CH moment statistics: skewPop = m3/m2^1.5 (Spark's builtin
+    // skewness), kurtPop = m4/m2² (Spark kurtosis is EXCESS — add 3);
+    // the Samp forms divide the POPULATION central moment by the SAMPLE
+    // variance (CH's estimator): xSamp = xPop · ((n-1)/n)^p.
+    def sampFactor(child: Expression, p: Double): Expression = {
+      val n = Cast(Count(child).toAggregateExpression(), DoubleType)
+      Pow(Divide(Subtract(n, Literal(1.0d)), n), Literal(p))
+    }
+    f("skewPop")(a => Skewness(a.head))
+    f("skewSamp")(a => Multiply(
+      Skewness(a.head).toAggregateExpression(), sampFactor(a.head, 1.5d)))
+    f("kurtPop")(a =>
+      Add(Kurtosis(a.head).toAggregateExpression(), Literal(3.0d)))
+    f("kurtSamp")(a => Multiply(
+      Add(Kurtosis(a.head).toAggregateExpression(), Literal(3.0d)),
+      sampFactor(a.head, 2.0d)))
+    // CH sumKahan: compensated double summation. Spark's Sum over
+    // DoubleType is plain accumulation — same result class; the Kahan
+    // compensation is an implementation detail CH exposes as a name.
+    f("sumKahan")(a => Sum(Cast(a.head, DoubleType)))
+    f("entropy")(a => EntropyAgg(a.head))
+  }
+
+  def isRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("arrayCumSum"))
+}
+
+/** CH `entropy(x)` — Shannon entropy (log2) of the group's empirical
+  * value distribution. Exact: the buffer is a value→count map, so state
+  * is O(distinct values in the group) — same as CH's exact aggregate.
+  * For very-high-cardinality columns prefer a sketch (`uniq`-family);
+  * this matches CH's own memory behavior, documented here rather than
+  * silently approximated.
+  *
+  * Values are keyed by their string rendering (injective for the
+  * supported scalar types); NULLs are skipped like every CH aggregate.
+  * The final fold sums in sorted-key order so the result is bit-stable
+  * across partitionings.
+  */
+case class EntropyAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+  with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty[String, Long]
+
+  override def update(
+      buf: mutable.HashMap[String, Long],
+      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.toString
+      buf.update(key, buf.getOrElse(key, 0L) + 1L)
+    }
+    buf
+  }
+
+  override def merge(
+      a: mutable.HashMap[String, Long],
+      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (v, c) => a.update(v, a.getOrElse(v, 0L) + c) }
+    a
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    if (buf.isEmpty) null
+    else {
+      val n = buf.valuesIterator.sum.toDouble
+      var h = 0.0d
+      buf.toSeq.sortBy(_._1).foreach { case (_, c) =>
+        val p = c / n
+        h -= p * (math.log(p) / math.log(2.0d))
+      }
+      h
+    }
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (v, c) =>
+      val b = v.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, "UTF-8"), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): EntropyAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): EntropyAgg =
+    copy(inputAggBufferOffset = o)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override protected def withNewChildInternal(c: Expression): EntropyAgg =
+    copy(child = c)
+}

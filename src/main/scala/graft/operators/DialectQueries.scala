@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.{ChDialectExtras, ClickHouseFunctions}
+import graft.functions.{ChDialectBatch3, ChDialectExtras, ClickHouseFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract queries for the CH-dialect batch-2 surface
@@ -20,6 +20,7 @@ object DialectQueries {
       view: String, sql: String): DataFrame = {
     ClickHouseFunctions.register(spark)
     ChDialectExtras.register(spark)
+    ChDialectBatch3.register(spark)
     Tables.load(spark, dir, table).createOrReplaceTempView(view)
     spark.sql(sql)
   }
@@ -100,6 +101,62 @@ object DialectQueries {
         |     / count(distinct source) - 1.0) <= 0.2) AS uq_ok
         |FROM docs_agg GROUP BY lang ORDER BY lang""".stripMargin)
 
+  /** Batch-3 scalar surface (functions/ChDialectBatch3): similarity,
+    * multi-search, tokens/ngrams, array scan/compaction/Jaccard, map and
+    * tuple accessors, calendar names, great-circle distance, readable
+    * sizes — one projection over one scan, all codegen'd. */
+  def qChFunctions3(spark: SparkSession, dir: String): DataFrame =
+    sqlOn(spark, dir, "documents", "docs_d3",
+      """SELECT doc_id,
+        |  cast(editDistance(lang, substring(source, 1, 4)) as bigint) AS ed,
+        |  multiSearchAny(text, array('spark', 'data')) AS msa,
+        |  multiSearchAnyCaseInsensitive(text, array('SPARK')) AS msa_ci,
+        |  arrayStringConcat(extractAll(text, '[0-9]+'), ',') AS nums,
+        |  arrayStringConcat(extractAll(text, 'a([a-z]+)'), ',') AS grp1,
+        |  arrayStringConcat(tokens(substring(text, 1, 50)), '|') AS toks,
+        |  arrayStringConcat(ngrams(substring(source, 1, 6), 2), ',') AS ngr,
+        |  arrayCumSum(arrayMap(x -> length(x),
+        |    splitByChar(' ', substring(text, 1, 60)))) AS csum,
+        |  arrayStringConcat(arrayCompact(ngrams(source, 1)), '') AS cmpct,
+        |  round(arrayJaccardIndex(arrayDistinct(splitByChar(' ', text)),
+        |    array('spark', 'the', 'data', 'of')), 4) AS jac,
+        |  mapContains(mapFromArrays(array('a', 'b'),
+        |    array(doc_id, n_chars)), 'a') AS mc,
+        |  arrayStringConcat(mapKeys(mapFromArrays(array('a', 'b'),
+        |    array(doc_id, n_chars))), ',') AS mk,
+        |  arraySum(mapValues(mapFromArrays(array('a', 'b'),
+        |    array(doc_id, n_chars)))) AS mv,
+        |  tupleElement(tuple(doc_id, n_chars), 'n_chars') AS te,
+        |  toYYYYMMDDhhmmss(fromUnixTimestamp(doc_id * 3607)) AS ymdhms,
+        |  toLastDayOfMonth(toDate(fromUnixTimestamp(doc_id * 86400)))
+        |    AS lastd,
+        |  dateName('month', fromUnixTimestamp(doc_id * 86400)) AS mname,
+        |  dateName('weekday', fromUnixTimestamp(doc_id * 86400)) AS wname,
+        |  toUnixTimestamp(timeSlot(fromUnixTimestamp(doc_id * 3607)))
+        |    AS slot,
+        |  round(greatCircleDistance(
+        |    cast(doc_id % 350 as double) - 174.75,
+        |    cast(doc_id % 160 as double) - 79.5, 10.5, 45.25), 2) AS gcd,
+        |  formatReadableSize(n_chars * (doc_id + 1) * 4096) AS frs
+        |FROM docs_d3 ORDER BY doc_id LIMIT 300""".stripMargin)
+
+  /** Batch-3 aggregate surface: interpolated quantiles array, the CH
+    * moment-statistics family (skew/kurt, Pop and Samp estimators),
+    * Kahan sum, Shannon entropy (native `EntropyAgg`). */
+  def qAggFunctions2(spark: SparkSession, dir: String): DataFrame =
+    sqlOn(spark, dir, "events", "evts_agg3",
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  arrayMap(x -> round(x, 4), quantiles(0.25, 0.5, 0.9, value))
+        |    AS qs,
+        |  round(skewPop(value), 4) AS sk_p,
+        |  round(skewSamp(value), 4) AS sk_s,
+        |  round(kurtPop(value), 4) AS ku_p,
+        |  round(kurtSamp(value), 4) AS ku_s,
+        |  round(sumKahan(value), 4) AS ksum,
+        |  round(entropy(user_id % 16), 4) AS ent
+        |FROM evts_agg3 GROUP BY event_type ORDER BY event_type""".stripMargin)
+
   /** CH `topK` (SpaceSaving most-frequent): per cohort the top-3 event
     * types. Each cohort has 5 distinct types ≤ the 9-slot capacity, so
     * the result is EXACT and (count desc, value asc)-deterministic —
@@ -124,8 +181,10 @@ object DialectQueries {
 
   def queries: Map[String, Q] = Map(
     "q_ch_functions2" -> (qChFunctions2 _),
+    "q_ch_functions3" -> (qChFunctions3 _),
     "q_url_functions" -> (qUrlFunctions _),
     "q_agg_functions" -> (qAggFunctions _),
+    "q_agg_functions2" -> (qAggFunctions2 _),
     "q_topk_agg" -> (qTopkAgg _),
     "q_summap" -> (qSumMap _)
   )
@@ -157,6 +216,100 @@ object DialectQueries {
         |)
         |SELECT cohort, list(event_type ORDER BY rn) AS top_types
         |FROM r WHERE rn <= 3 GROUP BY cohort ORDER BY cohort""".stripMargin,
+    // batch-3 scalar surface — every column independently reformulated
+    // in DuckDB (ngrams/compact via range+lambda, haversine re-derived
+    // with the identical operation grouping so FP results match)
+    "q_ch_functions3" ->
+      """WITH c AS (
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |    list_transform(range(1, length(source) + 1),
+        |      i -> source[i:i]) AS chars,
+        |    list_distinct(string_split(text, ' ')) AS wds,
+        |    string_split(substring(text, 1, 60), ' ') AS w60,
+        |    (doc_id % 350) - 174.75 AS lon1,
+        |    (doc_id % 160) - 79.5 AS lat1,
+        |    CAST(n_chars * (doc_id + 1) * 4096 AS DOUBLE) AS fx
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(levenshtein(lang, substring(source, 1, 4)) AS BIGINT) AS ed,
+        |  (contains(text, 'spark') OR contains(text, 'data')) AS msa,
+        |  contains(lower(text), 'spark') AS msa_ci,
+        |  coalesce(array_to_string(regexp_extract_all(text, '[0-9]+'), ','),
+        |    '') AS nums,
+        |  coalesce(array_to_string(regexp_extract_all(text, 'a([a-z]+)', 1),
+        |    ','), '') AS grp1,
+        |  array_to_string(list_filter(
+        |    string_split_regex(substring(text, 1, 50), '[^a-zA-Z0-9]+'),
+        |    x -> length(x) > 0), '|') AS toks,
+        |  array_to_string(list_transform(
+        |    range(1, length(substring(source, 1, 6))),
+        |    i -> substring(substring(source, 1, 6), CAST(i AS INT), 2)),
+        |    ',') AS ngr,
+        |  list_transform(range(1, length(w60) + 1),
+        |    i -> CAST(list_sum(list_transform(w60[1:i], x -> length(x)))
+        |      AS DOUBLE)) AS csum,
+        |  array_to_string(list_filter(chars,
+        |    (x, i) -> i = 1 OR x <> chars[i - 1]), '') AS cmpct,
+        |  round(CAST(length(list_distinct(list_intersect(wds,
+        |      ['spark', 'the', 'data', 'of']))) AS DOUBLE)
+        |    / CAST(length(list_distinct(list_concat(wds,
+        |      ['spark', 'the', 'data', 'of']))) AS DOUBLE), 4) AS jac,
+        |  TRUE AS mc,
+        |  'a,b' AS mk,
+        |  CAST(doc_id + n_chars AS DOUBLE) AS mv,
+        |  n_chars AS te,
+        |  CAST(strftime(make_timestamp(doc_id * 3607 * 1000000),
+        |    '%Y%m%d%H%M%S') AS BIGINT) AS ymdhms,
+        |  last_day(CAST(make_timestamp(doc_id * 86400 * 1000000) AS DATE))
+        |    AS lastd,
+        |  monthname(make_timestamp(doc_id * 86400 * 1000000)) AS mname,
+        |  dayname(make_timestamp(doc_id * 86400 * 1000000)) AS wname,
+        |  CAST((doc_id * 3607 // 1800) * 1800 AS BIGINT) AS slot,
+        |  round((2 * 6372797.560856) * asin(sqrt(
+        |    sin(radians(45.25 - lat1) / 2) * sin(radians(45.25 - lat1) / 2)
+        |    + (cos(radians(lat1)) * cos(radians(45.25)))
+        |      * (sin(radians(10.5 - lon1) / 2)
+        |         * sin(radians(10.5 - lon1) / 2)))), 2) AS gcd,
+        |  CASE WHEN fx < 1024 THEN printf('%.2f B', round(fx, 2))
+        |       WHEN fx < 1048576 THEN printf('%.2f KiB', round(fx / 1024, 2))
+        |       WHEN fx < 1073741824 THEN printf('%.2f MiB', round(fx / 1048576, 2))
+        |       WHEN fx < 1099511627776
+        |         THEN printf('%.2f GiB', round(fx / 1073741824, 2))
+        |       WHEN fx < 1125899906842624
+        |         THEN printf('%.2f TiB', round(fx / 1099511627776, 2))
+        |       WHEN fx < 1152921504606846976
+        |         THEN printf('%.2f PiB', round(fx / 1125899906842624, 2))
+        |       ELSE printf('%.2f EiB', round(fx / 1152921504606846976, 2)) END AS frs
+        |FROM c ORDER BY doc_id LIMIT 300""".stripMargin,
+    // batch-3 aggregates — moments re-derived from raw power sums (the
+    // independent formulation of Spark's streaming central-moment agg),
+    // CH Samp estimators = Pop · ((n−1)/n)^p, DuckDB's native log2
+    // entropy against the native EntropyAgg
+    "q_agg_functions2" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    avg(value) AS a1, avg(value * value) AS a2,
+        |    avg(value * value * value) AS a3,
+        |    avg(value * value * value * value) AS a4,
+        |    sum(value) AS s,
+        |    quantile_cont(value, [0.25, 0.5, 0.9]) AS qraw,
+        |    entropy(user_id % 16) AS ent_raw
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  list_transform(qraw, x -> round(x, 4)) AS qs,
+        |  round((a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1)
+        |    / pow(a2 - a1 * a1, 1.5), 4) AS sk_p,
+        |  round((a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1)
+        |    / pow(a2 - a1 * a1, 1.5) * pow((n - 1.0) / n, 1.5), 4) AS sk_s,
+        |  round((a4 - 4 * a1 * a3 + 6 * a1 * a1 * a2
+        |      - 3 * a1 * a1 * a1 * a1)
+        |    / pow(a2 - a1 * a1, 2.0), 4) AS ku_p,
+        |  round((a4 - 4 * a1 * a3 + 6 * a1 * a1 * a2
+        |      - 3 * a1 * a1 * a1 * a1)
+        |    / pow(a2 - a1 * a1, 2.0) * pow((n - 1.0) / n, 2.0), 4) AS ku_s,
+        |  round(s, 4) AS ksum,
+        |  round(ent_raw, 4) AS ent
+        |FROM m ORDER BY event_type""".stripMargin,
     "q_ch_functions2" ->
       """SELECT doc_id,
         |  CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT)

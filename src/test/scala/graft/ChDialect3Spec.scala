@@ -1,0 +1,145 @@
+package graft
+
+import graft.functions.{ChDialectBatch3, ChDialectExtras, ClickHouseFunctions}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CH-dialect batch 3 (ChDialectBatch3): hand-computed pins through the
+  * SQL surface, same contract style as ChDialect2Spec. */
+class ChDialect3Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    ClickHouseFunctions.register(s)
+    ChDialectExtras.register(s)
+    ChDialectBatch3.register(s)
+    s
+  }
+
+  private def one(sel: String): Any = spark.sql(s"SELECT $sel").head().get(0)
+  private def str(sel: String): String = String.valueOf(one(sel))
+  private def dbl(sel: String): Double =
+    one(sel).asInstanceOf[Number].doubleValue()
+
+  test("string similarity and multi-search") {
+    assert(one("editDistance('kitten', 'sitting')") == 7 - 4) // 3
+    assert(one("editDistance('abc', 'abc')") == 0)
+    assert(one("multiSearchAny('hello world', array('xyz', 'wor'))") == true)
+    assert(one("multiSearchAny('hello', array('xyz'))") == false)
+    assert(one(
+      "multiSearchAnyCaseInsensitive('Hello World', array('WORLD'))") == true)
+    // extractAll: whole match without a group, group 1 with one
+    assert(one("extractAll('a1b22c333', '[0-9]+')") ==
+      Seq("1", "22", "333"))
+    assert(one("extractAll('x=1 y=22', '=([0-9]+)')") == Seq("1", "22"))
+  }
+
+  test("tokens and ngrams") {
+    assert(one("tokens('a,b  c!!d')") == Seq("a", "b", "c", "d"))
+    assert(one("tokens('--a--')") == Seq("a"))
+    assert(one("ngrams('abcd', 2)") == Seq("ab", "bc", "cd"))
+    assert(one("ngrams('ab', 3)") == Seq.empty) // shorter than n → []
+    assert(one("ngrams('abc', 3)") == Seq("abc"))
+  }
+
+  test("array scan, compaction, jaccard") {
+    assert(one("arrayCumSum(array(1, 2, 3))") == Seq(1.0, 3.0, 6.0))
+    assert(one("arrayCumSum(array())") == Seq.empty)
+    // consecutive-duplicate removal, NOT distinct
+    assert(one("arrayCompact(array(1, 1, 2, 2, 1))") == Seq(1, 2, 1))
+    assert(one("arrayCompact(array('a'))") == Seq("a"))
+    assert(dbl("arrayJaccardIndex(array(1, 2, 3), array(2, 3, 4))") ==
+      2.0 / 4.0)
+    assert(dbl("arrayJaccardIndex(array(1), array(1))") == 1.0)
+  }
+
+  test("map and tuple accessors") {
+    assert(one("mapKeys(mapFromArrays(array('a','b'), array(1,2)))") ==
+      Seq("a", "b"))
+    assert(one("mapValues(mapFromArrays(array('a','b'), array(1,2)))") ==
+      Seq(1, 2))
+    assert(one("mapContains(mapFromArrays(array('a'), array(1)), 'a')")
+      == true)
+    assert(one("mapContains(mapFromArrays(array('a'), array(1)), 'z')")
+      == false)
+    assert(one("tupleElement(tuple(x, y), 'y') FROM (SELECT 1 x, 2 y)")
+      == 2)
+    // positional form refused loudly (needs resolved types we never see)
+    val e = intercept[Exception](
+      spark.sql("SELECT tupleElement(tuple(1, 2), 1)").collect())
+    assert(e.getMessage.contains("field NAME"))
+  }
+
+  test("calendar names and slots") {
+    assert(one("toYYYYMMDDhhmmss(timestamp'2024-03-05 07:08:09')") ==
+      20240305070809L)
+    assert(str("toLastDayOfMonth(date'2024-02-10')") == "2024-02-29")
+    assert(str("dateName('month', date'2024-01-15')") == "January")
+    assert(str("dateName('weekday', date'2024-01-15')") == "Monday")
+    assert(str("dateName('year', date'2024-01-15')") == "2024")
+    val e = intercept[Exception](
+      spark.sql("SELECT dateName('fortnight', now())").collect())
+    assert(e.getMessage.contains("unsupported part"))
+    assert(str("timeSlot(timestamp'2024-01-01 10:44:59')") ==
+      "2024-01-01 10:30:00.0")
+  }
+
+  test("great-circle distance and readable sizes") {
+    // equator quarter-circumference: 90° of longitude at lat 0
+    val q = dbl("greatCircleDistance(0.0, 0.0, 90.0, 0.0)")
+    assert(math.abs(q - math.Pi / 2 * 6372797.560856) < 1.0)
+    assert(dbl("greatCircleDistance(10.0, 20.0, 10.0, 20.0)") == 0.0)
+    assert(str("formatReadableSize(100)") == "100.00 B")
+    assert(str("formatReadableSize(1536)") == "1.50 KiB")
+    // the decimal-tie case that motivates pre-round: 128/1024 = 0.125
+    assert(str("formatReadableSize(128)") == "128.00 B")
+    assert(str("formatReadableSize(1024 * 1024 + 131072)") == "1.13 MiB")
+    assert(str("formatReadableSize(cast(3.5 * 1024 * 1024 * 1024 as bigint))")
+      == "3.50 GiB")
+  }
+
+  test("quantiles and moment aggregates") {
+    spark.range(0, 101).createOrReplaceTempView("r101")
+    assert(one(
+      "arrayMap(x -> round(x, 4), quantiles(0.0, 0.5, 1.0, id)) " +
+        "FROM r101") == Seq(0.0, 50.0, 100.0))
+    // symmetric data: zero skew; uniform 0..100 kurtPop ≈ 1.8 (9/5 for a
+    // continuous uniform; discrete 101-point version is 1.7997...)
+    assert(math.abs(dbl("skewPop(id) FROM r101")) < 1e-9)
+    val kp = dbl("kurtPop(id) FROM r101")
+    assert(kp > 1.79 && kp < 1.81)
+    // Samp estimators are Pop · ((n−1)/n)^p — CH's estimator exactly
+    val n = 101.0
+    assert(math.abs(dbl("skewSamp(id) FROM r101") -
+      dbl("skewPop(id) FROM r101") * math.pow((n - 1) / n, 1.5)) < 1e-12)
+    assert(math.abs(dbl("kurtSamp(id) FROM r101") -
+      kp * math.pow((n - 1) / n, 2.0)) < 1e-12)
+    assert(dbl("sumKahan(id) FROM r101") == 5050.0)
+  }
+
+  test("entropy: exact distribution, null-skip, merge stability") {
+    // 2 values with counts 1:1 → 1 bit; 4 equally likely → 2 bits
+    spark.sql("SELECT explode(array(0, 1)) AS v")
+      .createOrReplaceTempView("e2")
+    assert(math.abs(dbl("entropy(v) FROM e2") - 1.0) < 1e-12)
+    spark.range(0, 4096).selectExpr("id % 4 AS v", "id")
+      .repartition(8) // force partial buffers + merge across partitions
+      .createOrReplaceTempView("e4")
+    assert(math.abs(dbl("entropy(v) FROM e4") - 2.0) < 1e-12)
+    // NULLs skipped like every CH aggregate
+    spark.sql("SELECT explode(array(0, 0, 1, 1, NULL)) AS v")
+      .createOrReplaceTempView("en")
+    assert(math.abs(dbl("entropy(v) FROM en") - 1.0) < 1e-12)
+    // single value → zero entropy, not NaN
+    assert(dbl("entropy(x) FROM (SELECT 7 AS x)") == 0.0)
+  }
+
+  test("no UDFs: batch-3 scalars stay native expressions") {
+    val plan = spark.sql(
+      "SELECT editDistance('a','b'), ngrams('abc', 2), " +
+        "arrayCumSum(array(1)), formatReadableSize(5), " +
+        "greatCircleDistance(0.0, 0.0, 1.0, 1.0)")
+      .queryExecution.analyzed.toString
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"batch-3 functions must not resolve to ScalaUDF:\n$plan")
+  }
+}
