@@ -273,6 +273,43 @@ object Corpus {
           .as("sh_h"))
   }
 
+  /** Sliding-window document chunking — the sequence-prep step between a
+    * cleaned corpus and a tokenizer (training-context windows, RAG
+    * passage indexing). Each document's whitespace tokens become
+    * ⌈n/stride⌉ overlapping windows of `window` tokens starting every
+    * `stride` tokens (the final windows are shorter once the tail is
+    * reached; every token is covered, and consecutive chunks overlap by
+    * `window − stride` tokens).
+    *
+    * Scale shape: entirely row-local — split → `sequence` of window
+    * starts → `explode` → `slice`/`array_join`. No shuffle, no state;
+    * output size is input × (overlap factor), and the explode streams
+    * through whole-stage codegen, so this is a pure map at 100 TB.
+    * Chunk ids are (id, chunk_idx) — deterministic under any
+    * partitioning.
+    */
+  def chunkWindows(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"chunkWindows: window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"chunkWindows: stride must be in 1..window, got $stride")
+    docs
+      .select(col(idCol), split(col(textCol), "\\s+").as("__toks"))
+      // sequence(0, n-1, stride) = window starts strictly below n (n ≥ 1:
+      // split never returns an empty array)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+          .as("__start"))
+      .select(
+        col(idCol),
+        (col("__start") / stride).cast("long").as("chunk_idx"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(window)), " ")
+          .as("chunk_text"),
+        least(lit(window), size(col("__toks")) - col("__start"))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Substring-level duplicate-passage detection (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): a
     * position is DUPLICATED when its word n-gram also occurs in at least

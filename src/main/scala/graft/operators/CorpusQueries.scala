@@ -68,6 +68,15 @@ object CorpusQueries {
   def dDupPassages(spark: SparkSession, dir: String): DataFrame =
     Corpus.duplicatePassages(docs(spark, dir), "doc_id", "text",
         n = 4, minDocs = 2)
+
+  /** Sliding 32-token windows with stride 24 (8-token overlap) — the
+    * tokenizer-prep chunking step (Corpus.chunkWindows). Shuffle-free:
+    * the ORDER BY here is the contract dump's determinism, not part of
+    * the operator. */
+  def dChunkWindows(spark: SparkSession, dir: String): DataFrame =
+    Corpus.chunkWindows(docs(spark, dir), "doc_id", "text",
+        window = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
       .orderBy(col("doc_id"))
 
   /** Contamination of a synthetic eval set (doc_id ≡ 0 mod 97) against the
@@ -347,6 +356,7 @@ object CorpusQueries {
     "d_tfidf" -> (dTfidf _),
     "d_unigram_score" -> (dUnigramScore _),
     "d_dup_passages" -> (dDupPassages _),
+    "d_chunk_windows" -> (dChunkWindows _),
     "d_contamination" -> (dContamination _),
     "d_corpus_stats" -> (dCorpusStats _),
     "d_sample_stratified" -> (dSampleStratified _),
@@ -359,6 +369,20 @@ object CorpusQueries {
       |      ' +', ' ', 'g'))""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // sliding windows re-derived with DuckDB's range() + list slicing
+    "d_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, len(toks), 24)) AS strt
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(strt // 24 AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[strt + 1 : strt + 32], ' ') AS chunk_text,
+        |  CAST(least(32, len(toks) - strt) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // same greedy fold, independent engine: DuckDB list_reduce over the
     // per-user (ts, mask)-sorted masks; state packed cnt*64+lvl; bits
     // 1=view, 2=click, 4=purchase; chain needs bit 2^lvl

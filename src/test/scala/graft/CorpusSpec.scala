@@ -565,4 +565,41 @@ class CorpusSpec extends AnyFunSuite {
         materialize = "bogus")
     }
   }
+
+  test("chunkWindows: coverage, overlap, tail, and a shuffle-free plan") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "only three words"),                       // shorter than window
+      (3L, "x")                                       // single token
+    ).toDF("doc_id", "text")
+    val ch = Corpus.chunkWindows(docs, "doc_id", "text",
+      window = 4, stride = 3)
+    val rows = ch.orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    // doc 1: starts 0,3,6,9 → windows of 4,4,4,1 tokens
+    assert(rows.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toSeq == Seq(
+      (0L, "w1 w2 w3 w4", 4L),
+      (1L, "w4 w5 w6 w7", 4L),  // 1-token overlap (window − stride)
+      (2L, "w7 w8 w9 w10", 4L),
+      (3L, "w10", 1L)))
+    assert(rows.filter(_._1 == 2L).toSeq ==
+      Seq((2L, 0L, "only three words", 3L)))
+    assert(rows.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "x", 1L)))
+    // every stride-prefix concatenation reconstructs the document —
+    // total coverage with no gaps
+    val rebuilt = rows.filter(_._1 == 1L).map(_._3.split(" ").take(3))
+      .flatten.toSeq
+    assert(rebuilt == (1 to 10).map(i => s"w$i"))
+    // pure map: no exchange anywhere in the operator's plan
+    val physical = ch.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"),
+      s"chunkWindows must be shuffle-free:\n$physical")
+    intercept[IllegalArgumentException] {
+      Corpus.chunkWindows(docs, "doc_id", "text", window = 4, stride = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.chunkWindows(docs, "doc_id", "text", window = 0, stride = 1)
+    }
+  }
 }
