@@ -525,6 +525,177 @@ object Similarity {
     SemDedupDiag(pairs, kEff, cellSizes, salts, taskKeys, estPairs, sampled)
   }
 
+  /** Product-quantization model: `m` subspaces of `dsub` dims, each with
+    * `ksub` centroids (`codebooks(j)(c)` is centroid c of subspace j).
+    * With the defaults (m=8, ksub=16) a 64-dim float32 vector compresses
+    * 32× — 8 4-bit codes vs 256 bytes — the storage tier that makes
+    * billion-scale ANN fit in memory (Jégou, Douze, Schmid 2011,
+    * "Product Quantization for Nearest Neighbor Search"). */
+  final case class PqModel(
+      m: Int, dsub: Int, ksub: Int,
+      codebooks: IndexedSeq[IndexedSeq[Seq[Double]]]) {
+    require(codebooks.length == m && codebooks.forall(_.length == ksub)
+      && codebooks.forall(_.forall(_.length == dsub)), "ragged PQ model")
+    /** ‖centroid‖² per (subspace, code) — precomputed so search-side
+      * reconstruction norms are pure table lookups. */
+    lazy val centroidNormSq: IndexedSeq[IndexedSeq[Double]] =
+      codebooks.map(_.map(c => c.map(x => x * x).sum))
+  }
+
+  /** Train PQ codebooks — per-subspace Lloyd, but ALL `m` subspaces share
+    * each iteration's single job: assignment for every subspace rides one
+    * scan of the (bounded, deterministic — same draw as
+    * [[kmeansFitSampled]]) training sample, and the centroid update
+    * collects m·ksub·dsub aggregate rows (8·16·8 = 1 KiB of doubles at
+    * the defaults), never vectors. Init = the ksub lowest-id sample
+    * vectors' sub-slices, so training is reproducible across runs. */
+  def pqFit(
+      embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", m: Int = 8, ksub: Int = 16,
+      iters: Int = 3, dim: Int = 64,
+      sampleCap: Int = 65536): PqModel = {
+    require(dim % m == 0, s"pqFit: dim=$dim not divisible by m=$m")
+    require(ksub >= 1 && iters >= 1 && sampleCap >= ksub,
+      s"bad PQ dials ksub=$ksub iters=$iters sampleCap=$sampleCap")
+    val dsub = dim / m
+    val base = embeddings
+      .orderBy(hash(col(idCol)), col(idCol)).limit(sampleCap)
+      .select(col(idCol).as("id"),
+        transform(assertDim(col(vecCol), dim), x => x.cast("double")).as("v"))
+    val seed = base.orderBy(col("id")).limit(ksub)
+      .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    require(seed.length == ksub,
+      s"pqFit ksub=$ksub but only ${seed.length} vectors — lower ksub")
+    var cbs: IndexedSeq[IndexedSeq[Seq[Double]]] = IndexedSeq.tabulate(m)(
+      j => seed.map(_.slice(j * dsub, (j + 1) * dsub)))
+
+    (0 until iters).foreach { _ =>
+      // one row per (vector, subspace): the sub-slice + its current cell
+      val perSub = base.select(col("id"), explode(array(
+        (0 until m).map { j =>
+          val sv = slice(col("v"), j * dsub + 1, dsub)
+          struct(lit(j).as("sub"),
+            array_min(transform(typedlit(cbs(j).map(_.toSeq)),
+              (c, i) => struct(sqDist(sv, c).as("d"), i.as("cell"))))
+              .getField("cell").as("cell"),
+            sv.as("sv"))
+        }: _*)).as("s"))
+      val rows = perSub
+        .select(col("s.sub").as("sub"), col("s.cell").as("cell"),
+          posexplode(col("s.sv")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(avg(col("col")).as("mval"))
+        .collect()
+      val means = rows.groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rs) =>
+          key -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      // empty cells keep their centroid (same stance as kmeansFit)
+      cbs = IndexedSeq.tabulate(m)(j => IndexedSeq.tabulate(ksub)(c =>
+        means.getOrElse((j, c), cbs(j)(c))))
+    }
+    PqModel(m, dsub, ksub, cbs)
+  }
+
+  /** Encode vectors to PQ codes: `codes(j)` = nearest centroid of
+    * subspace j. One codegen-friendly literal-expression scan — the same
+    * no-join, no-shuffle assignment shape as [[cellDistExpr]], m times
+    * over dsub-dim slices (identical total flops to one full-dim
+    * assignment). */
+  def pqEncode(
+      df: DataFrame, model: PqModel, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dim = model.m * model.dsub
+    val v = transform(assertDim(col(vecCol), dim), x => x.cast("double"))
+    df.select(col(idCol), col(vecCol), v.as("__v"))
+      .select(col(idCol), col(vecCol), array((0 until model.m).map { j =>
+        val sv = slice(col("__v"), j * model.dsub + 1, model.dsub)
+        array_min(transform(typedlit(model.codebooks(j).map(_.toSeq)),
+          (c, i) => struct(sqDist(sv, c).as("d"), i.as("cell"))))
+          .getField("cell").cast("int")
+      }: _*).as("codes"))
+  }
+
+  /** Approximate top-k by asymmetric-distance computation over PQ codes.
+    *
+    * The query side (bounded, broadcast) precomputes its LUT — q·centroid
+    * for all m×ksub (subspace, code) pairs — ONCE per query; after the
+    * join each candidate costs m `element_at` lookups plus one division:
+    * the per-candidate work is independent of the vector dimension, which
+    * is PQ's scan-time story at scale (the storage story is the 32×
+    * compression). Approximate cosine = Σⱼ LUT[j][codeⱼ] / (‖q‖ ·
+    * √Σⱼ‖centroid(j, codeⱼ)‖²) — the reconstructed-vector cosine, with
+    * reconstruction norms as pure lookups ([[PqModel.centroidNormSq]]).
+    * Ranking ties break like [[knnBrute]] (rounded sim, then id).
+    *
+    * `rerank > 0` adds the production second stage (IVF-PQ's usual
+    * shape): the ADC pass keeps its top-`rerank` candidates per query,
+    * and only those re-score EXACTLY against the original vectors
+    * (`rerankFrom` — an equi-join on id, so the full-precision table is
+    * touched for rerank·|queries| rows, not the corpus). Returned sims
+    * are then exact cosines, and recall is the ADC@rerank containment
+    * rate instead of ADC@k — the dial that buys recall with candidate
+    * count instead of codebook size. */
+  def knnPq(
+      codes: DataFrame, queries: DataFrame, model: PqModel,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 10, rerank: Int = 0,
+      rerankFrom: Option[DataFrame] = None): DataFrame = {
+    val dim = model.m * model.dsub
+    val qv = transform(assertDim(col(vecCol), dim), x => x.cast("double"))
+    val lut = array((0 until model.m).map { j =>
+      val sv = slice(col("__qv"), j * model.dsub + 1, model.dsub)
+      array((0 until model.ksub).map(c =>
+        dot(sv, typedlit(model.codebooks(j)(c)))): _*)
+    }: _*)
+    val q = queries
+      .select(col(idCol).as("qid"), qv.as("__qv"))
+      .select(col("qid"), lut.as("__lut"),
+        greatest(sqrt(dot(col("__qv"), col("__qv"))), lit(1e-12))
+          .as("__qnorm"))
+    def codeAt(j: Int) = element_at(col("codes"), j + 1) + 1
+    val approxDot = (0 until model.m).map(j =>
+      element_at(element_at(col("__lut"), j + 1), codeAt(j))).reduce(_ + _)
+    val reconNormSq = (0 until model.m).map(j =>
+      element_at(typedlit(model.centroidNormSq(j)), codeAt(j)))
+      .reduce(_ + _)
+    val scored = codes.select(col(idCol).as("nid"), col("codes"))
+      .crossJoin(broadcast(q))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (approxDot / (col("__qnorm") *
+          greatest(sqrt(reconNormSq), lit(1e-12)))).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 6).desc, col("nid"))
+    if (rerank <= 0) {
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("sim"), 4).as("sim"))
+    } else {
+      require(rerank >= k, s"knnPq: rerank=$rerank below k=$k")
+      val full = rerankFrom.getOrElse(throw new IllegalArgumentException(
+        "knnPq: rerank > 0 needs rerankFrom (the full-precision table)"))
+      val dim2 = model.m * model.dsub
+      val cands = scored
+        .withColumn("__r", row_number().over(w)).where(col("__r") <= rerank)
+        .select(col("qid"), col("nid"))
+      val exact = cands
+        .join(full.select(col(idCol).as("nid"),
+          assertDim(col(vecCol), dim2).as("__nv")), Seq("nid"))
+        .join(broadcast(queries.select(col(idCol).as("qid"),
+          assertDim(col(vecCol), dim2).as("__qv2"))), Seq("qid"))
+        .select(col("qid"), col("nid"),
+          cosine(col("__qv2"), col("__nv")).as("sim"))
+      val w2 = Window.partitionBy(col("qid"))
+        .orderBy(round(col("sim"), 6).desc, col("nid"))
+      exact.withColumn("rank", row_number().over(w2).cast("long"))
+        .where(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("sim"), 4).as("sim"))
+    }
+  }
+
   /** Symmetric per-vector int8 quantization — the standard 4× embedding
     * storage compression for corpus-scale ANN: scale = max|vᵢ|/127,
     * qᵢ = round(vᵢ/scale) ∈ [-127,127]. Row-local higher-order-function

@@ -257,6 +257,41 @@ object TextQueries {
       .orderBy(col("qid"))
   }
 
+  /** Self-verifying kNN over the PRODUCT-QUANTIZED tier (32× compression;
+    * Similarity.pqFit/pqEncode/knnPq): `recall_ok` = ADC top-10 overlap
+    * with the float top-10 ≥ threshold, `sim_close` = every returned
+    * approximate similarity within the PQ reconstruction band of the true
+    * cosine. */
+  def eKnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val model = Similarity.pqFit(e, m = 16, ksub = 32, iters = 3)
+    val codes = Similarity.pqEncode(e, model)
+    val ann = Similarity.knnPq(codes, e.where(col("vec_id") < 5), model,
+      k = 10, rerank = 100, rerankFrom = Some(e))
+    val brute = Similarity.knnBrute(e, e.where(col("vec_id") < 5), k = 10)
+    val hits = ann.select(col("qid"), col("nid"))
+      .join(brute.select(col("qid"), col("nid")), Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    val dev = ann
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        Seq("nid"))
+      .groupBy(col("qid"))
+      .agg(max(abs(col("sim") -
+        Similarity.cosine(col("qv"), col("nv")))).as("max_dev"))
+    e.where(col("vec_id") < 5).select(col("vec_id").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .join(dev, Seq("qid"), "left")
+      .select(col("qid"),
+        // measured 9–10/10 at both SFs (m=16, ksub=32, rerank=100);
+        // 7 leaves slack for Lloyd's float-accumulation nondeterminism
+        (coalesce(col("n_hit"), lit(0L)) >= 7L).as("recall_ok"),
+        // reranked sims are exact cosines (4-dp display rounding only)
+        (coalesce(col("max_dev"), lit(1.0)) <= 0.001).as("sims_exact"))
+      .orderBy(col("qid"))
+  }
+
   def eKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Similarity.knnBrute(e, e.where(col("vec_id") < 5), k = 10)
@@ -462,6 +497,7 @@ object TextQueries {
     "e_quantize_int8" -> (eQuantizeInt8 _),
     "e_quantize_int4" -> (eQuantizeInt4 _),
     "e_knn_quantized" -> (eKnnQuantized _),
+    "e_knn_pq" -> (eKnnPq _),
     "e_knn_brute" -> (eKnnBrute _),
     "e_knn_lsh" -> (eKnnLsh _),
     "e_knn_ivf" -> (eKnnIvf _),
@@ -604,6 +640,9 @@ object TextQueries {
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "e_knn_quantized" ->
       """SELECT vec_id AS qid, true AS recall_ok, true AS sim_close
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    "e_knn_pq" ->
+      """SELECT vec_id AS qid, true AS recall_ok, true AS sims_exact
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "d_embed_neardup_lsh" ->
       """WITH p AS (

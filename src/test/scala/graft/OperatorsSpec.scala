@@ -463,6 +463,56 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ: codes in range, ADC finds planted clusters, rerank exact") {
+    // 3 well-separated clusters in 8 dims (m=2 subspaces of 4): PQ codes
+    // must agree within a cluster and ADC must rank same-cluster first
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + rnd.nextFloat() * 0.05f)
+    val c1 = Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val c2 = Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f)
+    val c3 = Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f)
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, jitter(Seq(c1, c2, c3)(i % 3)))
+    }.toDF("vec_id", "embedding")
+    // ksub = number of planted clusters: the 3 lowest-id seeds land one
+    // per cluster, so Lloyd converges to one codeword per cluster (a 4th
+    // centroid would legitimately SPLIT a cluster - k-means, not magic)
+    val model = Similarity.pqFit(vecs, m = 2, ksub = 3, iters = 3, dim = 8)
+    assert(model.codebooks.length == 2 &&
+      model.codebooks.forall(_.length == 3) &&
+      model.codebooks.forall(_.forall(_.length == 4)))
+    val codes = Similarity.pqEncode(vecs, model)
+    val codeRows = codes.select($"vec_id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codeRows.values.forall(_.forall(c => c >= 0 && c < 3)))
+    // same planted cluster ⇒ same code word (clusters are far apart
+    // relative to the 0.05 jitter)
+    (0 until 3).foreach { g =>
+      val group = (0 until 30).filter(_ % 3 == g).map(i => codeRows(i.toLong))
+      assert(group.distinct.size == 1, s"cluster $g codes split: $group")
+    }
+    // ADC-only: every top-9 neighbor of query 0 is from cluster 0
+    val ann = Similarity.knnPq(codes, vecs.where($"vec_id" === 0), model,
+      k = 9).collect()
+    assert(ann.length == 9)
+    assert(ann.forall(_.getLong(2) % 3 == 0), ann.mkString(","))
+    // reranked: sims are exact cosines of the originals
+    val rr = Similarity.knnPq(codes, vecs.where($"vec_id" === 0), model,
+      k = 5, rerank = 9, rerankFrom = Some(vecs))
+    val exact = Similarity.knnBrute(vecs, vecs.where($"vec_id" === 0),
+      k = 5, dim = 8)
+    assert(rr.orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+      .toSeq == exact.orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq)
+    intercept[IllegalArgumentException] {
+      Similarity.knnPq(codes, vecs, model, k = 10, rerank = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqFit(vecs, m = 3, ksub = 4, iters = 1, dim = 8)
+    }
+  }
+
   test("int4 pack/unpack: odd-dim padding, negative codes, saturation ends") {
     import graft.operators.Similarity
     // 5 dims (odd → pad nibble), max|v| = 7 → scale 1, codes = values
