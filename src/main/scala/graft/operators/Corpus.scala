@@ -273,6 +273,61 @@ object Corpus {
           .as("sh_h"))
   }
 
+  /** C4-style page cleaning (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning…", §2.2 — the rules that produced the C4 corpus),
+    * line level then page level:
+    *
+    *  - keep only lines ending in a terminal punctuation mark
+    *    (`.` `!` `?` or a closing quote);
+    *  - keep only lines with ≥ `minWordsPerLine` words (C4: 3);
+    *  - drop lines containing the word "javascript" (case-insensitive);
+    *  - drop the whole page when it contains "lorem ipsum" or a curly
+    *    bracket, or when fewer than `minSentences` sentences survive
+    *    (sentence count ≈ terminal punctuation marks in the kept text —
+    *    C4 used a sentence tokenizer; the punctuation count is the
+    *    deterministic SQL-stable stand-in, documented here).
+    *
+    * The paper's bad-words list and its three-sentence-span dedup are NOT
+    * folded in — the former is a wordlist lookup callers can AND into
+    * `kept`, the latter is [[duplicatePassages]]' job.
+    *
+    * Scale shape: one projection over one scan — line split, filters and
+    * joins are row-local array ops; no shuffle, no UDFs. Emits both page
+    * verdict and per-page diagnostics so a pipeline can either filter on
+    * `kept` or audit rule fire rates.
+    */
+  def c4Clean(
+      docs: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 3, minSentences: Int = 5): DataFrame = {
+    require(minWordsPerLine >= 1 && minSentences >= 0,
+      s"bad C4 dials minWordsPerLine=$minWordsPerLine " +
+        s"minSentences=$minSentences")
+    val lines = split(col(textCol), "\n")
+    def lineKept(l: Column): Column =
+      l.rlike("[.!?\"']$") &&
+        size(split(trim(l), "\\s+")) >= minWordsPerLine &&
+        !lower(l).contains("javascript")
+    val keptLines = filter(lines, l => lineKept(l))
+    docs
+      .select(col(idCol), col(textCol),
+        lines.as("__lines"), keptLines.as("__kept"))
+      .select(col(idCol), col(textCol),
+        col("__kept"),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__lines")).cast("long").as("n_lines_total"),
+        size(col("__kept")).cast("long").as("n_lines_kept"))
+      .select(col(idCol),
+        col("clean_text"),
+        col("n_lines_total"),
+        col("n_lines_kept"),
+        length(regexp_replace(col("clean_text"), "[^.!?]", ""))
+          .cast("long").as("n_sentences"),
+        (length(regexp_replace(col("clean_text"), "[^.!?]", ""))
+            >= minSentences &&
+          !lower(col(textCol)).contains("lorem ipsum") &&
+          !col(textCol).contains("{")).as("kept"))
+  }
+
   /** Sliding-window document chunking — the sequence-prep step between a
     * cleaned corpus and a tokenizer (training-context windows, RAG
     * passage indexing). Each document's whitespace tokens become

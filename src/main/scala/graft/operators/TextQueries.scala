@@ -448,6 +448,38 @@ object TextQueries {
     * DuckDB oracle is bit-equal (see TextAnalysis scaladoc). The corpus
     * has no newlines/#/ellipses, so the line-based rules are exercised by
     * CorpusSpec's synthetic docs and merely pinned (all-pass) here. */
+  /** C4 cleaning rules (Corpus.c4Clean) over synthesized multi-line
+    * pages: the flat testdata text carries no newlines or punctuation,
+    * so both engines first build the SAME page — 6-word lines with a
+    * (doc_id+line)%3-cycled terminal-punct suffix (. / none / ?), plus a
+    * too-short line, a "javascript" line every 5th doc, a "lorem ipsum"
+    * line every 11th, and a curly-brace line every 13th — then apply the
+    * line- and page-level rules. Every rule fires somewhere in the 300
+    * rows. */
+  def dC4Filters(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val starts = sequence(lit(0), size(words) - 1, lit(6))
+    val baseLines = transform(starts, (s, i) => concat(
+      array_join(slice(words, s + 1, lit(6)), " "),
+      when((col("doc_id") + i) % 3 === 0, ".")
+        .when((col("doc_id") + i) % 3 === 1, "")
+        .otherwise("?")))
+    def maybe(cond: org.apache.spark.sql.Column, line: String) =
+      when(cond, array(lit(line))).otherwise(array().cast("array<string>"))
+    val page = array_join(concat(
+      baseLines,
+      array(lit("ok.")),
+      maybe(col("doc_id") % 5 === 0,
+        "see our privacy javascript widget here today."),
+      maybe(col("doc_id") % 11 === 0, "lorem ipsum dolor sit amet."),
+      maybe(col("doc_id") % 13 === 0, "config { enabled } done.")), "\n")
+    val pages = docs(spark, dir).select(col("doc_id"), page.as("page"))
+    Corpus.c4Clean(pages, "doc_id", "page")
+      .select(col("doc_id"), col("n_lines_total"), col("n_lines_kept"),
+        col("n_sentences"), col("kept"), md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id")).limit(300)
+  }
+
   def dGopherQuality(spark: SparkSession, dir: String): DataFrame = {
     import TextAnalysis._
     val t = col("text")
@@ -482,6 +514,7 @@ object TextQueries {
 
   def queries: Map[String, Q] = Map(
     "d_gopher_quality" -> (dGopherQuality _),
+    "d_c4_filters" -> (dC4Filters _),
     "d_clean_corpus" -> (dCleanCorpus _),
     "d_exact_dedup" -> (dExactDedup _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
@@ -530,6 +563,50 @@ object TextQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // identical page construction, then C4's line/page rules re-derived
+    // with DuckDB list lambdas
+    "d_c4_filters" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, len(ws), 6), s ->
+        |      array_to_string(ws[s + 1 : s + 6], ' ') ||
+        |      CASE (doc_id + s // 6) % 3
+        |        WHEN 0 THEN '.' WHEN 1 THEN '' ELSE '?' END) AS base
+        |  FROM w),
+        |p AS (
+        |  SELECT doc_id, array_to_string(
+        |    list_concat(list_concat(list_concat(list_concat(base,
+        |      ['ok.']),
+        |      CASE WHEN doc_id % 5 = 0
+        |        THEN ['see our privacy javascript widget here today.']
+        |        ELSE [] END),
+        |      CASE WHEN doc_id % 11 = 0
+        |        THEN ['lorem ipsum dolor sit amet.'] ELSE [] END),
+        |      CASE WHEN doc_id % 13 = 0
+        |        THEN ['config { enabled } done.'] ELSE [] END),
+        |    chr(10)) AS page
+        |  FROM l),
+        |c AS (
+        |  SELECT doc_id, page,
+        |    string_split(page, chr(10)) AS alllines,
+        |    list_filter(string_split(page, chr(10)), x ->
+        |      regexp_matches(x, '[.!?"'']$')
+        |      AND len(string_split_regex(trim(x), '\s+')) >= 3
+        |      AND NOT contains(lower(x), 'javascript')) AS kl
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(len(alllines) AS BIGINT) AS n_lines_total,
+        |  CAST(len(kl) AS BIGINT) AS n_lines_kept,
+        |  CAST(length(regexp_replace(array_to_string(kl, chr(10)),
+        |    '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+        |  (length(regexp_replace(array_to_string(kl, chr(10)),
+        |     '[^.!?]', '', 'g')) >= 5
+        |    AND NOT contains(lower(page), 'lorem ipsum')
+        |    AND NOT contains(page, '{')) AS kept,
+        |  md5(array_to_string(kl, chr(10))) AS clean_md5
+        |FROM c ORDER BY doc_id LIMIT 300""".stripMargin,
     "d_gopher_quality" ->
       """WITH m AS (
         |  SELECT doc_id,

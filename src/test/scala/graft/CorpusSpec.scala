@@ -566,6 +566,45 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("c4Clean: every line and page rule fires; diagnostics count right") {
+    val docs = Seq(
+      // 6 sentences, all lines clean → kept
+      (1L, "alpha beta gamma.\ndelta eps zeta!\nthe quick fox?\n" +
+        "one two three.\nfour five six.\nseven eight nine."),
+      // line-level drops: no terminal punct / too short / javascript
+      (2L, "good line one here.\nno terminal punct line\nshort.\n" +
+        "enable javascript to view.\nanother good line two here.\n" +
+        "filler sentence three here.\nfiller sentence four here.\n" +
+        "filler sentence five here."),
+      // page-level: lorem ipsum ⇒ dropped even with clean lines
+      (3L, "lorem ipsum dolor sit.\naaa bbb ccc.\nddd eee fff.\n" +
+        "ggg hhh iii.\njjj kkk lll."),
+      // page-level: curly bracket ⇒ dropped
+      (4L, "aaa bbb ccc.\nddd eee fff.\nvar x = { 1 }.\n" +
+        "ggg hhh iii.\njjj kkk lll."),
+      // page-level: only 2 sentences survive < 5 ⇒ dropped
+      (5L, "only one good line.\nand a second one.")
+    ).toDF("doc_id", "text")
+    val out = Corpus.c4Clean(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getBoolean(5)); assert(byId(1L).getLong(3) == 6)
+    val d2 = byId(2L)
+    assert(d2.getLong(2) == 8 && d2.getLong(3) == 5,
+      s"doc 2 kept ${d2.getLong(3)} of ${d2.getLong(2)}")
+    assert(d2.getBoolean(5)) // 5 clean sentences survive
+    assert(!d2.getString(1).contains("javascript"))
+    assert(!d2.getString(1).contains("no terminal punct"))
+    assert(!byId(3L).getBoolean(5), "lorem ipsum page must drop")
+    assert(!byId(4L).getBoolean(5), "curly-brace page must drop")
+    assert(!byId(5L).getBoolean(5), "2-sentence page must drop")
+    // the operator is one shuffle-free projection
+    val physical = Corpus.c4Clean(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"),
+      s"c4Clean must be shuffle-free:\n$physical")
+  }
+
   test("chunkWindows: coverage, overlap, tail, and a shuffle-free plan") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
