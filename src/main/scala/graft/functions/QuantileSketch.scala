@@ -1,0 +1,252 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.catalyst.util.QuantileSummaries
+import org.apache.spark.sql.types._
+
+/** Mergeable approximate-quantile STATE — the bounded-memory counterpart
+  * to `AggState`'s exact `quantile` state (whose buffer is the sorted
+  * value array, like CH `quantileExactState`): at 100 TB a per-group
+  * value array is the one AggregatingMergeTree state that grows with the
+  * data instead of the sketch size, so CH offers `quantileTDigestState`
+  * for exactly this trade. This is the same role on Spark, backed by
+  * Spark's own Greenwald–Khanna summaries
+  * (`catalyst.util.QuantileSummaries` — the `approx_percentile` /
+  * `approxQuantile` engine; Greenwald & Khanna 2001, "Space-efficient
+  * online computation of quantile summaries"), so estimates agree with
+  * what a Spark user already gets from `approxQuantile` at the same
+  * relative error.
+  *
+  * Three pieces, mirroring the `uniq`/HLL triple (`hll_sketch_agg` /
+  * `hll_union_agg` / `hll_sketch_estimate`):
+  *  - [[QuantileSketchAgg]]  (values → binary state; the xState producer)
+  *  - [[QuantileSketchMergeAgg]] (state × state → state; FINAL/compaction)
+  *  - [[QuantileSketchEstimate]] (state + level → value; the -Merge
+  *    finisher's last step)
+  *
+  * State size is O(1/eps · log(eps·n)) — independent of the group's row
+  * count; rank error of a query is ≤ eps·n for a single sketch and stays
+  * proportionally bounded under merges (GK's merge adds the operands'
+  * errors, which is why the driver-contract check brackets against
+  * exact quantiles at 0.5 ± a slack multiple of eps).
+  *
+  * Serialized layout (version-free, self-contained): compressThreshold
+  * i32, relativeError f64, count i64, nSamples i32, then (value f64,
+  * g i64, delta i64) per sample.
+  */
+object QuantileSketch {
+
+  private[functions] def serialize(s0: QuantileSummaries): Array[Byte] = {
+    val s = s0.compress() // flush the head buffer; required before query/merge
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(s.compressThreshold)
+    out.writeDouble(s.relativeError)
+    out.writeLong(s.count)
+    out.writeInt(s.sampled.length)
+    s.sampled.foreach { st =>
+      out.writeDouble(st.value); out.writeLong(st.g); out.writeLong(st.delta)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private[functions] def deserialize(bytes: Array[Byte]): QuantileSummaries = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val threshold = in.readInt()
+    val eps = in.readDouble()
+    val count = in.readLong()
+    val n = in.readInt()
+    val sampled = Array.tabulate(n) { _ =>
+      QuantileSummaries.Stats(in.readDouble(), in.readLong(), in.readLong())
+    }
+    new QuantileSummaries(threshold, eps, sampled, count, true)
+  }
+
+  // ---------------------------------------------------------- Column API
+  private def wrap(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
+  private def expr(c: Column): Expression =
+    org.apache.spark.sql.graftbridge.Bridge.expression(c)
+
+  /** Values → binary sketch state (relative rank error 1/accuracy). */
+  def qsketch_agg(c: Column, accuracy: Int = 10000): Column =
+    wrap(QuantileSketchAgg(expr(c), accuracy).toAggregateExpression())
+
+  /** Binary states → merged binary state. */
+  def qsketch_merge_agg(c: Column): Column =
+    wrap(QuantileSketchMergeAgg(expr(c)).toAggregateExpression())
+
+  /** Query a state column at `level` ∈ [0,1]. */
+  def qsketch_estimate(c: Column, level: Double): Column =
+    wrap(QuantileSketchEstimate(expr(c), Literal(level)))
+
+  /** SQL names (the `sql` interpolator's auto-merge rewrite and ad-hoc
+    * CH-dialect SQL both need registry entries): `qsketchAgg(x[, acc])`,
+    * `qsketchMergeAgg(state)`, `qsketchEstimate(state, level)`, plus the
+    * CH-shaped `quantileApproxState(x)` / `quantileApproxMerge(level,
+    * state)` pair (parameters first, like `topK(k, x)`). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
+      require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+          .builtin.functionExists(FunctionIdentifier(name.toLowerCase)),
+        s"refusing to shadow Spark builtin function '$name'")
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+    def litInt(e: Expression, fn: String): Int = e match {
+      case Literal(i: Int, IntegerType) => i
+      case Literal(l: Long, LongType) => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn requires an integer literal, got $other")
+    }
+    def litDouble(e: Expression, fn: String): Double = e match {
+      case Literal(d: Double, DoubleType) => d
+      case Literal(d: java.math.BigDecimal, _: DecimalType) => d.doubleValue()
+      case Literal(d, _: DecimalType) =>
+        d.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn requires a numeric literal level, got $other")
+    }
+    f("qsketchAgg")(a => QuantileSketchAgg(a.head,
+      if (a.length > 1) litInt(a(1), "qsketchAgg") else 10000))
+    f("qsketchMergeAgg")(a => QuantileSketchMergeAgg(a.head))
+    f("qsketchEstimate")(a => QuantileSketchEstimate(a.head, a(1)))
+    f("quantileApproxState")(a => QuantileSketchAgg(a.head,
+      if (a.length > 1) litInt(a(1), "quantileApproxState") else 10000))
+    f("quantileApproxMerge")(a => QuantileSketchEstimate(
+      QuantileSketchMergeAgg(a(1)).toAggregateExpression(),
+      Literal(litDouble(a.head, "quantileApproxMerge"))))
+  }
+}
+
+/** xState producer: numeric values → serialized GK summary. NULLs are
+  * skipped (CH aggregate semantics); an all-NULL group serializes an
+  * empty sketch whose estimate is NULL. */
+case class QuantileSketchAgg(
+    child: Expression,
+    accuracy: Int = 10000,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileSummaries]
+  with UnaryLike[Expression] {
+  require(accuracy >= 10 && accuracy <= 1000000,
+    s"qsketchAgg: accuracy must be in 10..1000000, got $accuracy")
+
+  override def createAggregationBuffer(): QuantileSummaries =
+    new QuantileSummaries(
+      QuantileSummaries.defaultCompressThreshold, 1.0d / accuracy)
+
+  override def update(
+      buf: QuantileSummaries, input: InternalRow): QuantileSummaries =
+    child.eval(input) match {
+      case null => buf
+      case n: java.lang.Number => buf.insert(n.doubleValue())
+      case other => throw new IllegalArgumentException(
+        s"qsketchAgg over non-numeric value $other")
+    }
+
+  override def merge(
+      a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
+    a.compress().merge(b.compress())
+
+  override def eval(buf: QuantileSummaries): Any =
+    QuantileSketch.serialize(buf)
+
+  override def serialize(buf: QuantileSummaries): Array[Byte] =
+    QuantileSketch.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): QuantileSummaries =
+    QuantileSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): QuantileSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override protected def withNewChildInternal(c: Expression): QuantileSketchAgg =
+    copy(child = c)
+}
+
+/** State × state → state (AggregatingMergeTree FINAL / compaction).
+  * The running buffer starts empty with the default error; GK's merge
+  * adopts the non-empty side wholesale, so the sketches' own relative
+  * error is what survives — merging states built at different accuracies
+  * keeps each side's samples (error bounded by the looser of the two). */
+case class QuantileSketchMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileSummaries]
+  with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): QuantileSummaries =
+    new QuantileSummaries(
+      QuantileSummaries.defaultCompressThreshold,
+      QuantileSummaries.defaultRelativeError)
+
+  override def update(
+      buf: QuantileSummaries, input: InternalRow): QuantileSummaries =
+    child.eval(input) match {
+      case null => buf
+      case bytes: Array[Byte] =>
+        buf.compress().merge(QuantileSketch.deserialize(bytes))
+      case other => throw new IllegalArgumentException(
+        s"qsketchMergeAgg over non-binary value $other")
+    }
+
+  override def merge(
+      a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
+    a.compress().merge(b.compress())
+
+  override def eval(buf: QuantileSummaries): Any =
+    QuantileSketch.serialize(buf)
+
+  override def serialize(buf: QuantileSummaries): Array[Byte] =
+    QuantileSketch.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): QuantileSummaries =
+    QuantileSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): QuantileSketchMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileSketchMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override protected def withNewChildInternal(
+      c: Expression): QuantileSketchMergeAgg =
+    copy(child = c)
+}
+
+/** Scalar finisher: state bytes + level → estimated quantile (NULL for an
+  * empty sketch or NULL state). Off the hot path by construction — it
+  * runs once per GROUP, not per row — so CodegenFallback costs nothing
+  * measurable. */
+case class QuantileSketchEstimate(left: Expression, right: Expression)
+  extends Expression with BinaryLike[Expression] with CodegenFallback {
+
+  override def eval(input: InternalRow): Any = {
+    val state = left.eval(input)
+    val level = right.eval(input)
+    if (state == null || level == null) null
+    else {
+      val l = level.asInstanceOf[java.lang.Number].doubleValue()
+      require(l >= 0.0 && l <= 1.0, s"quantile level $l outside [0,1]")
+      QuantileSketch.deserialize(state.asInstanceOf[Array[Byte]])
+        .query(l).map(Double.box).orNull
+    }
+  }
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): QuantileSketchEstimate =
+    copy(left = l, right = r)
+}

@@ -88,6 +88,34 @@ object EngineQueries {
   /** A12/A15 aggregate-state columns: xState partials per (day, type)
     * merged to day level via xMerge — the AggregatingMergeTree + MV
     * partial/final pattern. */
+  /** Bounded-state approximate quantile through the FULL AggregatingMergeTree
+    * shape: per-(day, event_type) `quantileApprox` partials (binary GK
+    * sketches — functions/QuantileSketch), state×state compaction to
+    * per-day states, then the estimate finisher. Self-verifying: the
+    * estimate must land between the EXACT quantiles at 0.5 ± 0.01 of the
+    * same rows (generous vs the sketch's 1e-4 relative error, tight vs
+    * any real mistake); the oracle pins the booleans and recomputes n. */
+  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val partial = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(AggState.partial("quantileApprox", col("value")).as("q_state"))
+    val compacted = partial.groupBy(col("day"))
+      .agg(AggState.mergeState("quantileApprox", col("q_state"))
+        .as("q_state"))
+    val est = compacted.groupBy(col("day"))
+      .agg(AggState.merge("quantileApprox", col("q_state")).as("est"))
+    val exact = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("value"), lit(0.49), lit(1000000)).as("lo"),
+        percentile_approx(col("value"), lit(0.51), lit(1000000)).as("hi"))
+    est.join(exact, Seq("day"))
+      .select(col("day"), col("n"),
+        (col("est") >= col("lo") && col("est") <= col("hi")).as("approx_ok"),
+        col("est").isNotNull.as("est_defined"))
+      .orderBy(col("day"))
+  }
+
   def qAggstateMerge(spark: SparkSession, dir: String): DataFrame = {
     val partial = events(spark, dir)
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
@@ -181,7 +209,8 @@ object EngineQueries {
     "q_vcollapsing" -> (qVersionedCollapsing _),
     "q_merge_union" -> (qMergeUnion _),
     "q_insert_validated" -> (qInsertValidated _),
-    "q_aggstate_merge" -> (qAggstateMerge _))
+    "q_aggstate_merge" -> (qAggstateMerge _),
+    "q_quantile_sketch" -> (qQuantileSketch _))
 
   def oracles: Map[String, String] = Map(
     "q_iceberg_read" ->
@@ -222,6 +251,15 @@ object EngineQueries {
         |  AND event_id IS NOT NULL AND ts IS NOT NULL
         |  AND user_id IS NOT NULL AND value IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    // booleans pinned, n recomputed: the sketch estimate itself is
+    // engine-internal (GK summaries), the CONTRACT is the exact-quantile
+    // bracket — same stance as e_kmeans / e_knn_lsh
+    "q_quantile_sketch" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(*) AS n,
+        |  true AS approx_ok,
+        |  true AS est_defined
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "q_aggstate_merge" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  round(avg(value), 4) AS avg_value,

@@ -22,7 +22,8 @@ import org.apache.spark.sql.types._
   * `merge(fn, col)` finishes a state column at read (the auto xMerge). */
 object AggState {
   val supported: Set[String] =
-    Set("sum", "count", "avg", "min", "max", "any", "uniq", "quantile")
+    Set("sum", "count", "avg", "min", "max", "any", "uniq", "quantile",
+      "quantileApprox")
 
   def bufferType(fn: String, argTypes: Seq[DataType]): DataType = fn match {
     case "count" => LongType
@@ -32,6 +33,11 @@ object AggState {
     // quantileExact semantics: the state IS the (sorted) value array —
     // exactly CH's quantileExactState buffer; unbounded like CH's
     case "quantile" => ArrayType(DoubleType)
+    // bounded GK sketch (functions/QuantileSketch) — the state whose size
+    // is O(1/eps log eps*n) instead of the group's row count; CH's
+    // quantileTDigestState plays this role (DIVERGENCES #8 stance: public
+    // re-aggregatable buffer, not CH's binary layout)
+    case "quantileApprox" => BinaryType
     case "sum" | "min" | "max" | "any" =>
       argTypes.headOption.getOrElse(DoubleType)
     case other => throw new IllegalArgumentException(
@@ -66,6 +72,8 @@ object AggState {
     case "any" => first(c, ignoreNulls = true)
     case "uniq" => hll_sketch_agg(c)
     case "quantile" => array_sort(collect_list(c.cast(DoubleType)))
+    case "quantileApprox" =>
+      graft.functions.QuantileSketch.qsketch_agg(c.cast(DoubleType))
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
 
@@ -83,6 +91,8 @@ object AggState {
     case "any" => first(c, ignoreNulls = true)
     case "uniq" => hll_union_agg(c)
     case "quantile" => array_sort(flatten(collect_list(c)))
+    case "quantileApprox" =>
+      graft.functions.QuantileSketch.qsketch_merge_agg(c)
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
 
@@ -103,6 +113,9 @@ object AggState {
         s"element_at(array_sort(flatten(collect_list($quotedCol))), " +
         s"cast(floor(size(array_sort(flatten(" +
         s"collect_list($quotedCol)))) * 0.5) as int) + 1) end"
+    // needs graft.functions.QuantileSketch.register(spark) in the session
+    case "quantileApprox" =>
+      s"qsketchEstimate(qsketchMergeAgg($quotedCol), 0.5d)"
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
 
@@ -116,6 +129,8 @@ object AggState {
     case "any" => first(c, ignoreNulls = true)
     case "uniq" => hll_sketch_estimate(hll_union_agg(c))
     case "quantile" => quantileFinish(array_sort(flatten(collect_list(c))))
+    case "quantileApprox" => graft.functions.QuantileSketch.qsketch_estimate(
+      graft.functions.QuantileSketch.qsketch_merge_agg(c), 0.5)
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
 }

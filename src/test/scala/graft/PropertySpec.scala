@@ -55,6 +55,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("quantileApprox state: merged-sketch estimate within GK rank bound " +
+      "for random data/groupings") {
+    val rowGen = for {
+      g <- Gen.chooseNum(0, 7)
+      v <- Gen.chooseNum(-100000, 100000).map(_ / 16.0)
+    } yield (g, v)
+    (0 until 5).foreach { trial =>
+      val rows = samples(rowGen, 400 + trial * 113)
+      val partial = rows.toDF("g", "v").groupBy("g")
+        .agg(graft.schema.AggState.partial("quantileApprox", col("v"))
+          .as("st"))
+      // two-level merge: state×state compaction, then the finisher —
+      // exactly the AggregatingMergeTree read path
+      val compacted = partial
+        .withColumn("half", col("g") % 2).groupBy("half")
+        .agg(graft.schema.AggState.mergeState("quantileApprox", col("st"))
+          .as("st"))
+      val got = compacted
+        .agg(graft.schema.AggState.merge("quantileApprox", col("st")))
+        .head.getDouble(0)
+      // GK bound: the estimate's RANK in the sorted data is within
+      // eps·n of 0.5·n per sketch; merges add operand errors, so allow
+      // (levels of merging + 1) × eps — still tiny vs n
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.size
+      // duplicates (chooseNum favors 0/min/max) give a value a rank
+      // INTERVAL [count(<v)+1, count(<=v)] — the estimate is right when
+      // that interval reaches 0.5n within the slack
+      val lo = sorted.count(_ < got) + 1
+      val hi = sorted.count(_ <= got)
+      val slack = math.max(3, (3 * (1.0 / 10000) * n).ceil.toInt)
+      assert(lo - slack <= 0.5 * n && 0.5 * n <= hi + slack,
+        s"trial $trial: rank interval [$lo,$hi] of $n misses 0.5n " +
+          s"± $slack (est $got)")
+    }
+    // empty / all-NULL groups estimate NULL, not a crash
+    val nulls = Seq((1, null.asInstanceOf[java.lang.Double]))
+      .toDF("g", "v").groupBy("g")
+      .agg(graft.schema.AggState.partial("quantileApprox", col("v")).as("st"))
+      .agg(graft.schema.AggState.merge("quantileApprox", col("st")))
+      .head
+    assert(nulls.isNullAt(0))
+  }
+
   test("sequenceCount == plain-Scala greedy reference on random event logs") {
     import java.sql.Timestamp
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime

@@ -39,6 +39,20 @@ class SqlLayerSpec extends AnyFunSuite {
       Seq(("a", 12.0, 5L), ("b", 1.0, 1L)))
   }
 
+  test("sql interpolator: quantileApprox state auto-merge (registered fns)") {
+    graft.functions.QuantileSketch.register(spark)
+    val states = (0 until 4).map(_.toLong).toDF("part")
+      .join(spark.range(0, 1000).toDF("i"), lit(true))
+      .where($"i" % 4 === $"part")
+      .groupBy("part")
+      .agg(graft.schema.AggState.partial("quantileApprox",
+        $"i".cast("double")).as("q"))
+    states.createOrReplaceTempView("qstates")
+    val f = sql"SELECT ${ColRef("q", Some("quantileApprox"))} AS med FROM ${TableRef("qstates")}"
+    val med = f.run(spark).head.getDouble(0)
+    assert(math.abs(med - 500.0) <= 5.0, s"median estimate $med")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toDouble))
       .toDF("k", "v")
