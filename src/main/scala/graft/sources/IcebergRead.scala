@@ -25,8 +25,9 @@ import org.json4s.jackson.JsonMethods
   *    there).
   *  - only parquet data files (the reference's tables are parquet).
   *  - range reads prune at BOTH metadata tiers: manifest-LIST field
-  *    summaries skip whole manifests for identity-transform partition
-  *    fields ([[ManifestPrune]] — non-identity transforms and delete
+  *    summaries skip whole manifests for identity-, truncate- and
+  *    (point lookups) bucket-transform partition fields
+  *    ([[ManifestPrune]] — unrecognized transforms and delete
   *    manifests are conservatively kept), then per-file column bounds
   *    skip files; Spark still prunes parquet row groups by min/max;
   *    snapshot summaries are surfaced via [[manifestSummaries]] for callers that
@@ -96,14 +97,16 @@ object IcebergRead {
     * `content` and apply [[applyPositionDeletes]] /
     * [[applyEqualityDeletes]] respectively). */
   /** Manifest-LIST-level prune request: skip reading a whole data
-    * manifest when its `partitions` field summary for `field` (an
-    * IDENTITY-transform partition field, position looked up per
-    * spec-id) is disjoint from [lo, hi]. This is the first-tier skip of
-    * a real Iceberg read — at warehouse scale the manifest list is one
-    * KB-scale file naming thousands of manifests, and pruning here
-    * avoids opening them at all. Conservative everywhere: non-identity
-    * transforms, unknown spec ids, absent summaries, `contains_null`
-    * partitions and DELETE manifests are always read. */
+    * manifest when its `partitions` field summary for `field` is
+    * disjoint from [lo, hi] mapped through the partition TRANSFORM
+    * (`identity`, `truncate[W]` — monotone, full range pruning;
+    * `bucket[N]` — point lookups only, via the spec's Murmur3 bucket
+    * id). This is the first-tier skip of a real Iceberg read — at
+    * warehouse scale the manifest list is one KB-scale file naming
+    * thousands of manifests, and pruning here avoids opening them at
+    * all. Conservative everywhere: unrecognized transforms, unknown
+    * spec ids, absent summaries, `contains_null` partitions and DELETE
+    * manifests are always read. */
   private[sources] final case class ManifestPrune(
       field: SchemaField, lo: Any, hi: Any)
 
@@ -134,8 +137,9 @@ object IcebergRead {
       })
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $wanted not found"))
-    val pruneIdPos = prune.map(p => identityPositions(metaJson, p.field.id))
-      .getOrElse(Map.empty[Int, Int])
+    val pruneIdPos = prune
+      .map(p => partitionPositions(metaJson, p.field.id))
+      .getOrElse(Map.empty[Int, (Int, PartTransform)])
     val entries: Seq[DataFileEntry] = (snap \ "manifest-list") match {
       case JString(manifestListPath) =>
         val (_, listEntries) = AvroContainer.readFile(
@@ -171,14 +175,23 @@ object IcebergRead {
   }
 
   /** True iff this manifest-list entry can be SKIPPED: a data manifest
-    * whose identity-partition field summary is provably disjoint from
-    * the prune range. Every uncertain shape keeps the manifest —
-    * pruning must never be wrong, only incomplete. DELETE manifests are
-    * never pruned: equality deletes apply by value, not by the pruned
-    * partition. */
+    * whose partition field summary is provably disjoint from the prune
+    * range, AFTER mapping the range through the partition TRANSFORM:
+    *
+    *  - `identity`: partition space = value space;
+    *  - `truncate[W]`: truncation is monotone (floor for numbers, byte
+    *    prefix for strings), so [lo, hi] maps to [trunc(lo), trunc(hi)];
+    *  - `bucket[N]`: hash partitioning admits no range reasoning — only
+    *    a POINT lookup (lo == hi) maps, to the single bucket
+    *    `murmur3(value) mod N` (Iceberg spec Appendix B).
+    *
+    * Every uncertain shape keeps the manifest — pruning must never be
+    * wrong, only incomplete. DELETE manifests are never pruned:
+    * equality deletes apply by value, not by the pruned partition. */
   private def manifestPruned(
       m: Map[String, Any], listContent: Int,
-      prune: Option[ManifestPrune], identityPos: Map[Int, Int]): Boolean =
+      prune: Option[ManifestPrune],
+      partPos: Map[Int, (Int, PartTransform)]): Boolean =
     prune match {
       case Some(p) if listContent == 0 =>
         val specId = m.getOrElse("partition_spec_id", 0) match {
@@ -186,22 +199,24 @@ object IcebergRead {
           case l: Long => l.toInt
           case _ => return false
         }
-        identityPos.get(specId) match {
-          case Some(pos) => m.get("partitions") match {
+        partPos.get(specId) match {
+          case Some((pos, xform)) => m.get("partitions") match {
             case Some(summaries: Seq[_]) if pos < summaries.length =>
               summaries(pos) match {
                 case s: Map[String, Any] @unchecked =>
                   val containsNull =
                     s.getOrElse("contains_null", true) == true
+                  val mapped = transformRange(xform, p)
                   val bounds = for {
+                    (cmpField, pLo, pHi) <- mapped
                     lb <- s.get("lower_bound").collect {
                       case b: Array[Byte] => b }
                     ub <- s.get("upper_bound").collect {
                       case b: Array[Byte] => b }
                   } yield
                     // disjoint: summary hi < lo OR summary lo > hi
-                    rangeCmp(p.field, ub, p.lo) < 0 ||
-                      rangeCmp(p.field, lb, p.hi) > 0
+                    rangeCmp(cmpField, ub, pLo) < 0 ||
+                      rangeCmp(cmpField, lb, pHi) > 0
                   !containsNull && bounds.getOrElse(false)
                 case _ => false
               }
@@ -212,32 +227,129 @@ object IcebergRead {
       case _ => false
     }
 
-  /** spec-id → 0-based position of the IDENTITY-transform partition
+  /** Map the probe range into partition space for the given transform;
+    * None = this transform/type combination admits no pruning. */
+  private def transformRange(
+      xform: PartTransform,
+      p: ManifestPrune): Option[(SchemaField, Any, Any)] = xform match {
+    case IdentityT => Some((p.field, p.lo, p.hi))
+    case TruncateT(w) => (p.lo, p.hi) match {
+      case (lo: String, hi: String) =>
+        Some((p.field,
+          lo.substring(0, math.min(lo.length, w)),
+          hi.substring(0, math.min(hi.length, w))))
+      case _ => (numLong(p.lo), numLong(p.hi)) match {
+        case (Some(lo), Some(hi)) =>
+          Some((p.field,
+            Math.floorDiv(lo, w.toLong) * w,
+            Math.floorDiv(hi, w.toLong) * w))
+        case _ => None
+      }
+    }
+    case BucketT(n) =>
+      // hash order is unrelated to value order: only a point probe maps
+      if (p.lo == p.hi) bucketOf(p.lo, n).map { b =>
+        (SchemaField(-1, "__bucket", "int"), b.toLong, b.toLong)
+      } else None
+  }
+
+  private def numLong(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case _ => None
+  }
+
+  /** Iceberg bucket id (spec Appendix B): 32-bit Murmur3 of the value's
+    * single-value serialization (ints widen to 8-byte little-endian
+    * longs; strings hash their UTF-8 bytes), positive-masked, mod N. */
+  private[graft] def bucketOf(v: Any, n: Int): Option[Int] = {
+    val bytes = v match {
+      case s: String => Some(s.getBytes("UTF-8"))
+      case other => numLong(other).map { l =>
+        Array.tabulate[Byte](8)(i => ((l >>> (8 * i)) & 0xff).toByte)
+      }
+    }
+    bytes.map(b => (murmur3_32(b) & Int.MaxValue) % n)
+  }
+
+  /** Public-domain 32-bit Murmur3 (x86 variant, seed 0) — the hash the
+    * Iceberg spec prescribes for bucket transforms. Spec test vectors
+    * pinned in IcebergSpec (34 → 2017239379, "iceberg" → 1210000089). */
+  private[graft] def murmur3_32(data: Array[Byte], seed: Int = 0): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h = seed
+    val nBlocks = data.length / 4 * 4
+    var i = 0
+    while (i < nBlocks) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 4
+    }
+    var k = 0
+    var shift = 0
+    var j = nBlocks
+    while (j < data.length) {
+      k |= (data(j) & 0xff) << shift; shift += 8; j += 1
+    }
+    if (shift > 0) {
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2; h ^= k
+    }
+    h ^= data.length
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13
+    h *= 0xc2b2ae35; h ^= h >>> 16
+    h
+  }
+
+  private[sources] sealed trait PartTransform
+  private[sources] case object IdentityT extends PartTransform
+  private[sources] final case class TruncateT(w: Int) extends PartTransform
+  private[sources] final case class BucketT(n: Int) extends PartTransform
+
+  /** spec-id → (0-based position, parsed transform) of the partition
     * field sourced from schema field `fieldId`, parsed from the
-    * metadata's `partition-specs` (absent/malformed specs simply yield
-    * no entry — no pruning for them). */
-  private def identityPositions(
-      metaJson: JValue, fieldId: Int): Map[Int, Int] =
+    * metadata's `partition-specs`. Recognized transforms: `identity`,
+    * `truncate[W]`, `bucket[N]`; anything else (and absent/malformed
+    * specs) yields no entry — no pruning for them. */
+  private def partitionPositions(
+      metaJson: JValue, fieldId: Int): Map[Int, (Int, PartTransform)] = {
     (metaJson \ "partition-specs") match {
       case JArray(specs) => specs.flatMap { s =>
         val specId = (s \ "spec-id") match {
           case JInt(n) => n.toInt
           case _ => -1
         }
-        val pos = (s \ "fields") match {
-          case JArray(pfs) => pfs.indexWhere { pf =>
-            (pf \ "transform") == JString("identity") &&
-              ((pf \ "source-id") match {
+        val hit: Option[(Int, PartTransform)] = (s \ "fields") match {
+          case JArray(pfs) => pfs.zipWithIndex.collectFirst {
+            case (pf, pos) if ((pf \ "source-id") match {
                 case JInt(n) => n.toInt == fieldId
                 case _ => false
-              })
+              }) && parseTransform(pf \ "transform").isDefined =>
+              (pos, parseTransform(pf \ "transform").get)
           }
-          case _ => -1
+          case _ => None
         }
-        if (specId >= 0 && pos >= 0) Some(specId -> pos) else None
+        hit.collect { case h if specId >= 0 => specId -> h }
       }.toMap
       case _ => Map.empty
     }
+  }
+
+  private def parseTransform(j: JValue): Option[PartTransform] = j match {
+    case JString("identity") => Some(IdentityT)
+    case JString(s) =>
+      val Trunc = """truncate\[(\d+)\]""".r
+      val Buck = """bucket\[(\d+)\]""".r
+      s match {
+        case Trunc(w) if w.toInt > 0 => Some(TruncateT(w.toInt))
+        case Buck(n) if n.toInt > 0 => Some(BucketT(n.toInt))
+        case _ => None
+      }
+    case _ => None
+  }
 
   private def readManifest(
       fs: FileSystem, path: String, tableDir: String,

@@ -384,12 +384,39 @@ class IcebergSpec extends AnyFunSuite {
           "identity", m2Content = 0),
         "id", 1L, 5L)
     }
-    // non-identity transform → no pruning
+    // bucket transform on a RANGE probe → no pruning (hash order is
+    // unrelated to value order)
     intercept[Exception] {
       IcebergRead.planFilesRange(spark,
         fixture(fieldSummary(11L, 20L, containsNull = false),
           "bucket[4]", m2Content = 0),
         "id", 1L, 5L)
+    }
+    // truncate[5]: probe [1,9] → partition range [0,5]; m2's summary
+    // [10,20] is disjoint → PRUNED (the absent manifest is never
+    // opened) while m1's [1,10] overlaps and is read
+    val dirT = fixture(fieldSummary(10L, 20L, containsNull = false),
+      "truncate[5]", m2Content = 0)
+    assert(IcebergRead.planFilesRange(spark, dirT, "id", 1L, 9L)
+      .map(_.recordCount).sum == 2L)
+    // truncate overlap: probe [12,13] → partition [10,10] ∈ [10,20] →
+    // the manifest must be read (and the fixture's absence throws)
+    intercept[Exception] {
+      IcebergRead.planFilesRange(spark, dirT, "id", 12L, 13L)
+    }
+    // bucket[4] POINT lookup: summary disjoint from the probe's bucket
+    // id → pruned; summary containing it → read
+    val b = graft.sources.IcebergRead.bucketOf(5L, 4).get
+    val dirB = fixture(
+      fieldSummary((b + 1).toLong, (b + 1).toLong, containsNull = false),
+      "bucket[4]", m2Content = 0)
+    assert(IcebergRead.planFilesRange(spark, dirB, "id", 5L, 5L)
+      .map(_.recordCount).sum == 2L)
+    intercept[Exception] {
+      IcebergRead.planFilesRange(spark,
+        fixture(fieldSummary(b.toLong, b.toLong, containsNull = false),
+          "bucket[4]", m2Content = 0),
+        "id", 5L, 5L)
     }
     // DELETE manifests are never pruned (equality deletes apply by value)
     intercept[Exception] {
@@ -398,6 +425,20 @@ class IcebergSpec extends AnyFunSuite {
           "identity", m2Content = 1),
         "id", 1L, 5L)
     }
+  }
+
+  test("bucket transform hash matches the Iceberg spec's test vectors") {
+    import graft.sources.IcebergRead.{bucketOf, murmur3_32}
+    def le8(n: Long): Array[Byte] =
+      Array.tabulate[Byte](8)(i => ((n >>> (8 * i)) & 0xff).toByte)
+    // Iceberg spec Appendix B: ints hash as 8-byte little-endian longs
+    // (34 → 2017239379); strings hash their UTF-8 bytes
+    // ("iceberg" → 1210000089)
+    assert(murmur3_32(le8(34L)) == 2017239379)
+    assert(murmur3_32("iceberg".getBytes("UTF-8")) == 1210000089)
+    assert(bucketOf(34, 16) == bucketOf(34L, 16)) // int widens to long
+    assert(bucketOf(34L, 16).get == 2017239379 % 16)
+    assert(bucketOf(java.time.LocalDate.now(), 4).isEmpty) // unhashable → no prune
   }
 
   test("string bounds compare as UTF-8 bytes, not UTF-16 code units") {
