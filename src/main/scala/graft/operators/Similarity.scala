@@ -285,9 +285,15 @@ object Similarity {
     (assigned, history)
   }
 
+  /** ‖v−c‖² expanded to ‖v‖² − 2v·c + ‖c‖² so every term is the NATIVE
+    * [[dot]] expression instead of an interpreted zip_with/aggregate fold
+    * — this runs INSIDE the assignment lambdas (kmeans [[cellDistExpr]],
+    * PQ encode/train), where the HOF form cost ~µs per centroid per row
+    * (measured in the 10× stress: see README round-9 notes). The
+    * expansion's cancellation error (~1e-13·‖v‖²) is
+    * harmless for argmin assignment and far below inertia tolerances. */
   private def sqDist(v: Column, c: Column): Column =
-    aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (a, x) => a + x)
+    dot(v, v) - lit(2.0) * dot(v, c) + dot(c, c)
 
   /** (dist, cell) structs against EVERY centroid as ONE codegen'd
     * expression: the centroid matrix is a single nested-array literal
@@ -542,6 +548,24 @@ object Similarity {
       codebooks.map(_.map(c => c.map(x => x * x).sum))
   }
 
+  /** Nearest-centroid index for one PQ subspace: argmin over
+    * −2·sv·c + ‖c‖² (the ‖sv‖² term is centroid-independent and dropped
+    * — same argmin, one native [[dot]] per centroid instead of three).
+    * ‖c‖² rides the literal as a precomputed pair; `sv` must be a
+    * PRE-PROJECTED column (hoisting the `slice` matters: evaluated
+    * inside this lambda it would re-materialize the subarray per
+    * centroid — the first-cut PQ encode measured 45% slower from
+    * exactly that). Ties break toward the lower cell index, like
+    * [[cellDistExpr]]. */
+  private def pqArgmin(sv: Column, cb: IndexedSeq[Seq[Double]]): Column = {
+    val pairs = cb.map(c => (c, c.map(x => x * x).sum))
+    array_min(transform(typedlit(pairs),
+      (p, i) => struct(
+        (lit(-2.0) * dot(sv, p.getField("_1")) + p.getField("_2")).as("d"),
+        i.as("cell"))))
+      .getField("cell")
+  }
+
   /** Train PQ codebooks — per-subspace Lloyd, but ALL `m` subspaces share
     * each iteration's single job: assignment for every subspace rides one
     * scan of the (bounded, deterministic — same draw as
@@ -570,15 +594,16 @@ object Similarity {
       j => seed.map(_.slice(j * dsub, (j + 1) * dsub)))
 
     (0 until iters).foreach { _ =>
-      // one row per (vector, subspace): the sub-slice + its current cell
-      val perSub = base.select(col("id"), explode(array(
+      // one row per (vector, subspace): the sub-slice + its current cell.
+      // Subvectors are hoisted into their own projection so each slice
+      // materializes once per row, not once per centroid (pqArgmin doc).
+      val withSv = base.select(col("id") +: (0 until m).map(j =>
+        slice(col("v"), j * dsub + 1, dsub).as(s"__sv$j")): _*)
+      val perSub = withSv.select(col("id"), explode(array(
         (0 until m).map { j =>
-          val sv = slice(col("v"), j * dsub + 1, dsub)
           struct(lit(j).as("sub"),
-            array_min(transform(typedlit(cbs(j).map(_.toSeq)),
-              (c, i) => struct(sqDist(sv, c).as("d"), i.as("cell"))))
-              .getField("cell").as("cell"),
-            sv.as("sv"))
+            pqArgmin(col(s"__sv$j"), cbs(j)).as("cell"),
+            col(s"__sv$j").as("sv"))
         }: _*)).as("s"))
       val rows = perSub
         .select(col("s.sub").as("sub"), col("s.cell").as("cell"),
@@ -608,11 +633,11 @@ object Similarity {
     val dim = model.m * model.dsub
     val v = transform(assertDim(col(vecCol), dim), x => x.cast("double"))
     df.select(col(idCol), col(vecCol), v.as("__v"))
+      .select(col(idCol) +: col(vecCol) +: (0 until model.m).map(j =>
+        slice(col("__v"), j * model.dsub + 1, model.dsub)
+          .as(s"__sv$j")): _*)
       .select(col(idCol), col(vecCol), array((0 until model.m).map { j =>
-        val sv = slice(col("__v"), j * model.dsub + 1, model.dsub)
-        array_min(transform(typedlit(model.codebooks(j).map(_.toSeq)),
-          (c, i) => struct(sqDist(sv, c).as("d"), i.as("cell"))))
-          .getField("cell").cast("int")
+        pqArgmin(col(s"__sv$j"), model.codebooks(j)).cast("int")
       }: _*).as("codes"))
   }
 
