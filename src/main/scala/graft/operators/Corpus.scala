@@ -273,6 +273,47 @@ object Corpus {
           .as("sh_h"))
   }
 
+  /** Canonical URL normalization — the key under which web-crawl
+    * pipelines dedup BEFORE looking at content (one fetch per canonical
+    * URL; the cheapest dedup tier since it never touches the text):
+    *
+    *  - scheme and host lowercased; leading `www.` dropped;
+    *  - fragment dropped;
+    *  - tracking parameters removed (`utm_*`, `gclid`, `fbclid`, `ref`);
+    *  - surviving query parameters SORTED (param order is not identity);
+    *  - trailing slash stripped from non-root paths.
+    *
+    * Pure row-local string/array expressions — a canonicalization this
+    * simple stays inside whole-stage codegen and costs one scan.
+    */
+  def urlNormalize(url: Column): Column = {
+    val proto = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val host0 = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1))
+    val host = regexp_replace(host0, "^www\\.", "")
+    val path0 = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val path = when(path0 === "" || path0 === "/", lit(""))
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val query0 = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = filter(split(query0, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="))
+    val query = array_join(array_sort(params), "&")
+    concat(proto, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+  }
+
+  /** URL-level dedup: one row per canonical URL ([[urlNormalize]]), the
+    * representative being the smallest id (deterministic under any
+    * partitioning). The only shuffle is the groupBy on the canonical
+    * key — 8-byte-ish strings, never documents; at crawl scale this is
+    * the first and cheapest of the dedup tiers (before exact-hash and
+    * near-dup, which need the content). */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val canon = docs.select(col(idCol).as("id"),
+      urlNormalize(col(urlCol)).as("canon_url"))
+    canon.groupBy(col("canon_url"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
   /** C4-style page cleaning (Raffel et al. 2020, "Exploring the Limits of
     * Transfer Learning…", §2.2 — the rules that produced the C4 corpus),
     * line level then page level:

@@ -69,6 +69,30 @@ object CorpusQueries {
     Corpus.duplicatePassages(docs(spark, dir), "doc_id", "text",
         n = 4, minDocs = 2)
 
+  /** URL-level dedup over synthesized crawl URLs: four variants per
+    * canonical target — www + trailing slash, uppercased scheme/host +
+    * tracking params, shuffled params + fragment, clean — all of which
+    * must collapse to one canonical key (Corpus.urlNormalize). The
+    * oracle does NOT re-run the normalizer: it derives each URL's
+    * canonical form from the construction directly, an independent
+    * formulation. */
+  def dUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val id50 = (col("doc_id") % 50).cast("string")
+    val m = col("doc_id") % 4
+    val url = when(m === 0, concat(lit("https://www.ex"), col("lang"),
+        lit(".com/p/"), id50, lit("/")))
+      .when(m === 1, concat(lit("HTTPS://EX"), upper(col("lang")),
+        lit(".com/p/"), id50, lit("?utm_source=feed&gclid=1")))
+      .when(m === 2, concat(lit("https://ex"), col("lang"),
+        lit(".com/p/"), id50, lit("?b=2&a=1#frag")))
+      .otherwise(concat(lit("https://ex"), col("lang"),
+        lit(".com/p/"), id50, lit("?a=1&b=2")))
+    Corpus.urlDedup(
+        docs(spark, dir).select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
+      .orderBy(col("canon_url"))
+  }
+
   /** Sliding 32-token windows with stride 24 (8-token overlap) — the
     * tokenizer-prep chunking step (Corpus.chunkWindows). Shuffle-free:
     * the ORDER BY here is the contract dump's determinism, not part of
@@ -357,6 +381,7 @@ object CorpusQueries {
     "d_unigram_score" -> (dUnigramScore _),
     "d_dup_passages" -> (dDupPassages _),
     "d_chunk_windows" -> (dChunkWindows _),
+    "d_url_dedup" -> (dUrlDedup _),
     "d_contamination" -> (dContamination _),
     "d_corpus_stats" -> (dCorpusStats _),
     "d_sample_stratified" -> (dSampleStratified _),
@@ -369,6 +394,19 @@ object CorpusQueries {
       |      ' +', ' ', 'g'))""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // canonical form derived from the construction (variants 0/1 → bare
+    // path, 2/3 → sorted params) — urlNormalize itself never runs here
+    "d_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://ex' || lang || '.com/p/' ||
+        |      CAST(doc_id % 50 AS VARCHAR) ||
+        |      CASE WHEN doc_id % 4 >= 2 THEN '?a=1&b=2' ELSE '' END
+        |      AS canon_url
+        |  FROM documents)
+        |SELECT canon_url, min(doc_id) AS keep_id,
+        |  count(*) AS n_dups
+        |FROM u GROUP BY canon_url ORDER BY canon_url""".stripMargin,
     // sliding windows re-derived with DuckDB's range() + list slicing
     "d_chunk_windows" ->
       """WITH t AS (

@@ -297,12 +297,45 @@ object Multimodal {
   /** Assemble a minimal valid AVI: RIFF("AVI ") { LIST(hdrl){ avih,
     * LIST(strl){ strh, strf } }, LIST(movi){ 00db/00dc frames } }. */
   private def aviBytes(id: Long, w: Int, h: Int, nFrames: Int,
-      mjpeg: Boolean, usPerFrame: Int): Array[Byte] = {
+      mjpeg: Boolean, usPerFrame: Int,
+      nAudio: Int = 0, audioRate: Int = 16000): Array[Byte] = {
     val handler = if (mjpeg) "MJPG" else "DIB "
     val frames = (0 until nFrames).map { f =>
       val body = if (mjpeg) jpegFrame(id, f, w, h) else dibFrame(id, f, w, h)
       riffChunk(if (mjpeg) "00dc" else "00db", body)
     }
+    // optional PCM16 mono audio track: stream 1 — strh('auds') +
+    // strf(WAVEFORMATEX), samples in a '01wb' movi chunk ([[synthSample]],
+    // the same formula the WAV fixtures use)
+    val audioStrl: Array[Byte] =
+      if (nAudio <= 0) Array.emptyByteArray
+      else {
+        val strhA = riffChunk("strh",
+          "auds".getBytes("US-ASCII") ++ le32(0L) ++
+            le32(0L) ++ le16(0) ++ le16(0) ++ le32(0L) ++
+            le32(1L) ++ le32(audioRate.toLong) ++ // scale=1, rate=Hz
+            le32(0L) ++ le32(nAudio.toLong) ++ le32(0L) ++
+            le32(0xFFFFFFFFL) ++ le32(2L) ++ // sampleSize = block align
+            le16(0) ++ le16(0) ++ le16(0) ++ le16(0))
+        val strfA = riffChunk("strf",
+          le16(1) ++ le16(1) ++ // WAVE_FORMAT_PCM, mono
+            le32(audioRate.toLong) ++ le32(audioRate.toLong * 2) ++
+            le16(2) ++ le16(16) ++ le16(0)) // blockAlign, bits, cbSize
+        riffList("strl", strhA ++ strfA)
+      }
+    val audioChunk: Array[Byte] =
+      if (nAudio <= 0) Array.emptyByteArray
+      else {
+        val pcm = new Array[Byte](nAudio * 2)
+        var k = 0
+        while (k < nAudio) {
+          val s = synthSample(id, k)
+          pcm(2 * k) = (s & 0xff).toByte
+          pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+          k += 1
+        }
+        riffChunk("01wb", pcm)
+      }
     val avih = riffChunk("avih",
       le32(usPerFrame.toLong) ++ le32(0L) ++ le32(0L) ++ le32(0L) ++
         le32(nFrames.toLong) ++ le32(0L) ++ le32(1L) ++ le32(0L) ++
@@ -319,8 +352,9 @@ object Multimodal {
       le32(40L) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++ le16(24) ++
         (if (mjpeg) "MJPG".getBytes("US-ASCII") else le32(0L)) ++
         le32((w * h * 3).toLong) ++ le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L))
-    val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
-    val movi = riffList("movi", frames.flatten.toArray)
+    val hdrl = riffList("hdrl",
+      avih ++ riffList("strl", strh ++ strf) ++ audioStrl)
+    val movi = riffList("movi", frames.flatten.toArray ++ audioChunk)
     riffChunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
   }
 
@@ -340,11 +374,16 @@ object Multimodal {
     val wIdx = media.schema.fieldIndex("w")
     val hIdx = media.schema.fieldIndex("h")
     val nIdx = media.schema.fieldIndex("n_frames")
+    // optional PCM16 audio track: present iff the input carries an
+    // `n_samples` column (> 0)
+    val aIdx = if (media.schema.fieldNames.contains("n_samples"))
+      media.schema.fieldIndex("n_samples") else -1
     media.mapPartitions { rows =>
       System.setProperty("java.awt.headless", "true")
       rows.map { r =>
         val payload = aviBytes(r.getLong(idIdx), r.getInt(wIdx),
-          r.getInt(hIdx), r.getInt(nIdx), mjpeg, usPerFrame)
+          r.getInt(hIdx), r.getInt(nIdx), mjpeg, usPerFrame,
+          nAudio = if (aIdx >= 0) r.getInt(aIdx) else 0)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ payload)
       }
     }(enc)
@@ -446,6 +485,84 @@ object Multimodal {
         val n = (decoded * w * h).toDouble
         org.apache.spark.sql.Row(id, handler.trim, w, h, decoded,
           decoded * usPerFrame / 1000L, sr / n, sg / n, sb / n)
+      }
+    }(enc)
+  }
+
+  /** Audio-track extraction from AVI containers — the same RIFF walk as
+    * [[decodeVideoStats]], reading the OTHER stream: `strh('auds')` for
+    * the stream declaration, its sibling `strf` (WAVEFORMATEX — PCM16
+    * required, anything else refused loudly) for the format fields, and
+    * the `NNwb` movi chunks for the PCM payload. Amplitude stats are
+    * exact integer sums with ONE final IEEE division, like every
+    * multimodal kernel here (bit-equal with any engine summing the same
+    * integers).
+    *
+    * Scale shape: partition-at-a-time `mapPartitions`, payload consumed
+    * in the kernel, O(1) stats per row out. */
+  def decodeVideoAudioStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("bits", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("mean_abs", DoubleType, nullable = false),
+      StructField("peak", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val pIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val b = r.getAs[Array[Byte]](pIdx)
+        def str(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
+        def u32(off: Int): Long =
+          (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+            ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+        def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+        require(str(0, 4) == "RIFF" && str(8, 4) == "AVI ",
+          s"media_id=$id: not an AVI container")
+        var rate = 0; var channels = 0; var bits = 0
+        var lastStrh = ""
+        var nSamples = 0L; var sumAbs = 0L; var peak = 0
+        def walk(from: Int, until: Int): Unit = {
+          var pos = from
+          while (pos + 8 <= until) {
+            val cid = str(pos, 4)
+            val size = u32(pos + 4).toInt
+            if (cid == "LIST") walk(pos + 12, pos + 8 + size)
+            else if (cid == "strh") lastStrh = str(pos + 8, 4)
+            else if (cid == "strf" && lastStrh == "auds") {
+              val tag = u16(pos + 8)
+              channels = u16(pos + 10)
+              rate = u32(pos + 12).toInt
+              bits = u16(pos + 22)
+              require(tag == 1 && bits == 16,
+                s"media_id=$id: expected PCM16 audio, got tag=$tag " +
+                  s"bits=$bits")
+            } else if (cid.endsWith("wb")) {
+              var i = pos + 8
+              val end = pos + 8 + size
+              while (i + 1 < end) {
+                val v = (((b(i + 1) << 8)) | (b(i) & 0xff)).toShort
+                val a = math.abs(v.toInt)
+                sumAbs += a
+                if (a > peak) peak = a
+                nSamples += 1
+                i += 2
+              }
+            }
+            pos += 8 + size + (size & 1)
+          }
+        }
+        walk(12, b.length)
+        require(rate > 0 && nSamples > 0,
+          s"media_id=$id: no PCM audio track found")
+        org.apache.spark.sql.Row(id, rate, channels, bits, nSamples,
+          nSamples / channels * 1000L / rate,
+          sumAbs.toDouble / nSamples, peak)
       }
     }(enc)
   }

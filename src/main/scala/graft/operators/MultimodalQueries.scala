@@ -110,6 +110,30 @@ object MultimodalQueries {
     * verification of the container walk + frame decode. (The MJPG frame
     * path — ImageIO JPEG, lossy, so not formula-oracle-able — is pinned
     * against the same formula within tolerance in OperatorsSpec.) */
+  /** Audio-track extraction from AVI (Multimodal.decodeVideoAudioStats):
+    * the fixture videos carry a PCM16 mono track following the same
+    * synthSample formula as the WAV fixtures, so the oracle recomputes
+    * the amplitude stats closed-form with no codec in the loop. */
+  def mVideoAudio(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.load(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("w"),
+      (lit(12) + (col("doc_id") % 3) * 4).cast("int").as("h"),
+      (lit(1) + col("doc_id") % 2).cast("int").as("n_frames"),
+      (lit(600) + (col("doc_id") % 7) * 120).cast("int").as("n_samples"))
+    Multimodal.decodeVideoAudioStats(Multimodal.synthAvi(dims))
+      .select(col("media_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("bits").cast("long").as("bits"),
+        col("n_samples"), col("duration_ms"),
+        // exact integer sum over ONE IEEE division — unrounded on purpose
+        // (same stance as m_audio's scaladoc)
+        col("mean_abs"),
+        col("peak").cast("long").as("peak"))
+      .orderBy(col("media_id"))
+  }
+
   def mVideo(spark: SparkSession, dir: String): DataFrame = {
     val dims = Tables.load(spark, dir, "documents").select(
       col("doc_id").as("media_id"),
@@ -157,6 +181,7 @@ object MultimodalQueries {
     "m_features" -> (mFeatures _),
     "m_audio" -> (mAudio _),
     "m_video" -> (mVideo _),
+    "m_video_audio" -> (mVideoAudio _),
     "m_video_frames" -> (mVideoFrames _))
 
   def oracles: Map[String, String] = Map(
@@ -193,6 +218,22 @@ object MultimodalQueries {
     "m_audio" ->
       """WITH dims AS (SELECT doc_id,
         |    800 + (doc_id % 5) * 160 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS k FROM dims)
+        |SELECT doc_id AS media_id,
+        |  CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST((n * 1000) // 16000 AS BIGINT) AS duration_ms,
+        |  CAST(sum(abs(((k * 7919 + doc_id * 104729) % 65536)
+        |    - 32768)) AS DOUBLE) / n AS mean_abs,
+        |  CAST(max(abs(((k * 7919 + doc_id * 104729) % 65536) - 32768))
+        |    AS BIGINT) AS peak
+        |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin,
+    // the AVI's PCM track follows the same synthSample formula as the
+    // WAV fixtures — closed-form recompute, no codec
+    "m_video_audio" ->
+      """WITH dims AS (SELECT doc_id,
+        |    600 + (doc_id % 7) * 120 AS n FROM documents),
         |s AS (SELECT doc_id, n, unnest(range(0, n)) AS k FROM dims)
         |SELECT doc_id AS media_id,
         |  CAST(16000 AS BIGINT) AS sample_rate,

@@ -136,6 +136,22 @@ object Stress {
     time("kNN IVF 8/2 (embeddings amplified)") {
       Similarity.knnIvf(emb, queries, nCells = 8, nProbe = 2, k = 10).count()
     }
+    // PQ: training cost is factor-INDEPENDENT (bounded sample, one job
+    // per Lloyd iteration for all m subspaces); encode is one scan; ADC
+    // search per-candidate cost is m lookups regardless of dim; the
+    // rerank join touches rerank×|queries| full-precision rows only.
+    time("PQ train+encode+ADC+rerank (embeddings amplified)") {
+      val model = Similarity.pqFit(emb, m = 16, ksub = 32, iters = 3)
+      val codes = Similarity.pqEncode(emb, model)
+      Similarity.knnPq(codes, queries, model, k = 10,
+        rerank = 100, rerankFrom = Some(emb)).count()
+    }
+    time("chunk windows 32/24 (salted copies)") {
+      Corpus.chunkWindows(docsSalted, "doc_id", "text", 32, 24).count()
+    }
+    time("C4 clean (salted copies)") {
+      Corpus.c4Clean(docsSalted, "doc_id", "text").count()
+    }
     // SemDeDup with auto-k tracking the corpus PAST the sampled-training
     // boundary (k = N/targetCellSize ≫ 64): centroids train on a bounded
     // sample, assignment stays one literal-expression scan at any k. The

@@ -566,6 +566,30 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("urlNormalize: case, www, fragment, tracking, param sort, slashes") {
+    def norm(u: String): String =
+      Seq(u).toDF("u").select(Corpus.urlNormalize(col("u")))
+        .head.getString(0)
+    assert(norm("HTTPS://WWW.Ex.COM/A/b") == "https://ex.com/A/b") // path case kept
+    assert(norm("https://ex.com/a#frag") == "https://ex.com/a")
+    assert(norm("https://ex.com/a?utm_source=x&utm_campaign=y&gclid=1") ==
+      "https://ex.com/a")
+    assert(norm("https://ex.com/a?b=2&a=1") == "https://ex.com/a?a=1&b=2")
+    assert(norm("https://ex.com/a/") == "https://ex.com/a")
+    assert(norm("https://ex.com/") == "https://ex.com")
+    assert(norm("https://ex.com") == "https://ex.com")
+    // a real param named 'referrer' is NOT the tracking key 'ref'
+    assert(norm("https://ex.com/a?referrer=z") == "https://ex.com/a?referrer=z")
+    assert(norm("https://ex.com/a?ref=z") == "https://ex.com/a")
+    val dd = Corpus.urlDedup(Seq(
+      (3L, "https://www.ex.com/p/"),
+      (1L, "https://ex.com/p?utm_source=x"),
+      (2L, "https://other.com/q")).toDF("doc_id", "url"), "doc_id", "url")
+      .orderBy("canon_url").collect()
+    assert(dd.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("https://ex.com/p", 1L, 2L), ("https://other.com/q", 2L, 1L)))
+  }
+
   test("c4Clean: every line and page rule fires; diagnostics count right") {
     val docs = Seq(
       // 6 sentences, all lines clean → kept

@@ -513,6 +513,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI audio track: PCM stats exact vs formula; video-only refused") {
+    import graft.operators.Multimodal
+    val withAudio = Seq((5L, 16, 12, 2, 700)).toDF(
+      "media_id", "w", "h", "n_frames", "n_samples")
+    val row = Multimodal.decodeVideoAudioStats(
+      Multimodal.synthAvi(withAudio)).head
+    assert(row.getInt(1) == 16000 && row.getInt(2) == 1 &&
+      row.getInt(3) == 16 && row.getLong(4) == 700L)
+    val expAbs = (0 until 700).map(k =>
+      math.abs(Multimodal.synthSample(5L, k))).map(_.toLong)
+    assert(row.getDouble(6) == expAbs.sum.toDouble / 700)
+    assert(row.getInt(7) == expAbs.max.toInt)
+    // the audio track must not disturb the VIDEO stats path (frame
+    // chunks only end in db/dc; the wb chunk is invisible to it)
+    val v = Multimodal.decodeVideoStats(
+      Multimodal.synthAvi(withAudio)).head
+    assert(v.getLong(4) == 2L)
+    // a video-only AVI has no PCM track → loud refusal
+    val noAudio = Seq((5L, 16, 12, 2)).toDF(
+      "media_id", "w", "h", "n_frames")
+    val e = intercept[Exception] {
+      Multimodal.decodeVideoAudioStats(
+        Multimodal.synthAvi(noAudio)).collect()
+    }
+    assert(e.getMessage.contains("no PCM audio track"))
+  }
+
   test("int4 pack/unpack: odd-dim padding, negative codes, saturation ends") {
     import graft.operators.Similarity
     // 5 dims (odd → pad nibble), max|v| = 7 → scale 1, codes = values
