@@ -1,0 +1,195 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.functions.WireCodecs
+
+/** File-backed Avro schema registry speaking the PUBLIC Confluent wire
+  * framing (documented "wire format": magic byte `0x00`, 4-byte
+  * BIG-endian schema id, then the Avro binary body) — the last residue
+  * of DIVERGENCES #20: schemas now pin per REGISTRY ID on the wire, not
+  * merely per topic, so one topic can carry messages written under
+  * several schema versions and each datum decodes under the schema it
+  * was written with (ref stream.ts:143-153 — the reference's
+  * schema-registry encodings seam).
+  *
+  * Semantics mirrored from the public registry contract:
+  *  - ids are GLOBAL across subjects; versions are per subject;
+  *  - registering a subject's byte-identical schema is idempotent
+  *    (returns the existing id — what producers do on every restart);
+  *  - the store is a single JSON document, written atomically
+  *    (tmp + rename), so concurrent SparkSessions on one host see
+  *    consistent snapshots.
+  *
+  * This is the registry's DATA semantics, not its HTTP server — the
+  * reference reaches a registry over REST; the serving layer is
+  * SURVEY §7 out-of-scope infrastructure like the rest of the
+  * webserver. */
+final class SchemaRegistry(dir: String) {
+  private val file: Path = Paths.get(dir, "registry.json")
+  Files.createDirectories(Paths.get(dir))
+
+  final case class Entry(id: Int, subject: String, version: Int, avsc: String)
+
+  private def load(): Seq[Entry] =
+    if (!Files.exists(file)) Seq.empty
+    else JsonMethods.parse(Files.readString(file)) \ "schemas" match {
+      case JArray(es) => es.map { e =>
+        Entry(
+          (e \ "id").asInstanceOf[JInt].num.toInt,
+          (e \ "subject").asInstanceOf[JString].s,
+          (e \ "version").asInstanceOf[JInt].num.toInt,
+          (e \ "avsc").asInstanceOf[JString].s)
+      }
+      case _ => Seq.empty
+    }
+
+  private def save(entries: Seq[Entry]): Unit = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val body = entries.map(e =>
+      s"""{"id":${e.id},"subject":${q(e.subject)},""" +
+        s""""version":${e.version},"avsc":${q(e.avsc)}}""")
+      .mkString("{\"schemas\":[", ",", "]}")
+    val tmp = Files.createTempFile(file.getParent, "registry", ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Register (idempotently) and return the schema's global id. */
+  def register(subject: String, avsc: String): Int = synchronized {
+    val entries = load()
+    entries.find(e => e.subject == subject && e.avsc == avsc) match {
+      case Some(e) => e.id
+      case None =>
+        val id = entries.map(_.id).maxOption.getOrElse(0) + 1
+        val version = entries.filter(_.subject == subject)
+          .map(_.version).maxOption.getOrElse(0) + 1
+        save(entries :+ Entry(id, subject, version, avsc))
+        id
+    }
+  }
+
+  def byId(id: Int): Option[String] = load().find(_.id == id).map(_.avsc)
+
+  def latest(subject: String): Option[(Int, String)] =
+    load().filter(_.subject == subject)
+      .sortBy(_.version).lastOption.map(e => (e.id, e.avsc))
+
+  def versions(subject: String): Seq[(Int, Int, String)] =
+    load().filter(_.subject == subject).sortBy(_.version)
+      .map(e => (e.version, e.id, e.avsc))
+
+  /** Every registered (id → schema) — the decode side's dispatch table
+    * (ids are global, like the public registry's). */
+  def allById: Map[Int, String] = load().map(e => e.id -> e.avsc).toMap
+}
+
+/** Registry-framed Avro decode: per DATUM, read the Confluent framing
+  * (magic 0x00 + BE id), look the id up in the dispatch table snapshot,
+  * and decode the body under THAT writer schema resolved to the reader
+  * shape (the same spec Schema Resolution as the foreign codec). Bad
+  * magic, unknown id, or corrupt body → NULL (the DLQ channel), never a
+  * crash — a consumer must survive a producer it has not caught up
+  * with. CodegenFallback like the other wire codecs: decode runs once
+  * per record, not in an analytic hot loop. */
+case class AvroRegistryDecode(
+    child: Expression, readerSchema: StructType,
+    schemasById: Map[Int, String],
+    defaults: Map[String, Any] = Map.empty)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val writers =
+    schemasById.map { case (id, avsc) =>
+      id -> graft.sources.AvroContainer.parseSchema(avsc)
+    }
+  override def dataType: DataType = readerSchema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType =>
+      schemasById.toSeq.sortBy(_._1).iterator.map { case (id, avsc) =>
+        (try Right(graft.sources.AvroContainer.parseSchema(avsc))
+         catch { case e: Exception =>
+           Left(s"registry id $id: bad .avsc: ${e.getMessage}") })
+          .fold(Some(_),
+            w => WireCodecs.checkResolvableForeign(w, readerSchema, defaults)
+              .map(m => s"registry id $id: $m"))
+      }.collectFirst { case Some(err) => err }
+        .map(TypeCheckResult.TypeCheckFailure)
+        .getOrElse(TypeCheckResult.TypeCheckSuccess)
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"expected binary, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    try {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      if (bytes.length < 5 || bytes(0) != 0x00) null
+      else {
+        val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+          ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+        writers.get(id) match {
+          case None => null // producer ahead of this consumer's snapshot
+          case Some(writer) =>
+            val r = new WireCodecs.ByteReader(
+              java.util.Arrays.copyOfRange(bytes, 5, bytes.length))
+            val row = WireCodecs.avroReadForeign(
+              r, writer, readerSchema, defaults)
+            if (r.exhausted) row else null
+        }
+      }
+    } catch { case _: Exception => null }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object SchemaRegistryWire {
+
+  /** The 5-byte Confluent frame header for `id`. */
+  private[streaming] def header(id: Int): Array[Byte] = Array[Byte](
+    0x00,
+    ((id >>> 24) & 0xff).toByte, ((id >>> 16) & 0xff).toByte,
+    ((id >>> 8) & 0xff).toByte, (id & 0xff).toByte)
+
+  /** Registry-backed Avro wire for a schema-first producer: the declared
+    * schema (with [[graft.functions.WireCodecs.AvroMeta]] annotations
+    * where needed) is registered under `subject` at construction — the
+    * producer's restart-idempotent handshake — and every frame carries
+    * that id. The DECODE side dispatches per datum over a snapshot of
+    * ALL registered ids, so one topic mixing several schema versions
+    * decodes each message under its own writer schema, resolved to the
+    * reader shape. Rebuild the wire to refresh the snapshot (a real
+    * consumer polls the registry the same way). */
+  def avroRegistry(
+      registry: SchemaRegistry, subject: String, schema: StructType,
+      recordName: String = "Record",
+      defaults: Map[String, Any] = Map.empty): KafkaWire.DeclaredWireFormat = {
+    val declared = WireCodecs.avscOf(schema, recordName)
+    val id = registry.register(subject, declared)
+    val dispatch = registry.allById
+    new KafkaWire.DeclaredWireFormat {
+      val avsc: String = declared
+      def encode(record: Column): Column =
+        concat(lit(header(id)),
+          Bridge.column(graft.functions.AvroBinaryEncodeForeign(
+            Bridge.expression(record), declared)))
+      def decode(value: Column, schema: StructType): Column =
+        Bridge.column(AvroRegistryDecode(
+          Bridge.expression(value), schema, dispatch, defaults))
+      val name = "avro"
+    }
+  }
+}

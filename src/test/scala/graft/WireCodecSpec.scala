@@ -534,6 +534,62 @@ class WireCodecSpec extends AnyFunSuite {
       Set((1L, "LO"), (2L, "HI")))
   }
 
+  test("schema registry wire: Confluent framing pinned, per-datum version " +
+      "dispatch, unknown id → NULL, idempotent registration, persistence") {
+    import graft.streaming.{KafkaWire, SchemaRegistry, SchemaRegistryWire}
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions.struct
+    val dir = java.nio.file.Files.createTempDirectory("sreg").toString
+    val reg = new SchemaRegistry(dir)
+
+    val v1 = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val v2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tag", StringType, nullable = true)))
+    val w1 = SchemaRegistryWire.avroRegistry(reg, "evt-value", v1, "Evt")
+    // idempotent: same subject + schema → same id, no new version
+    assert(reg.register("evt-value", w1.avsc) == 1)
+    assert(reg.versions("evt-value").map(_._1) == Seq(1))
+
+    // frame pin: magic 0x00 + BE id 1, then the Avro body (zigzag 7 = 0e)
+    val df1 = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(7L)), v1)
+    val f1 = df1.select(w1.encode(struct(df1("id"))).as("value"))
+    val frame = f1.head.getAs[Array[Byte]](0)
+    assert(frame.take(5).toSeq == Seq[Byte](0, 0, 0, 0, 1))
+    assert(frame.drop(5).toSeq == Seq[Byte](0x0e))
+
+    // evolve: v2 under the same subject gets id 2 / version 2; a topic
+    // holding BOTH generations decodes per datum under the right writer
+    val w2 = SchemaRegistryWire.avroRegistry(reg, "evt-value", v2, "Evt")
+    assert(reg.versions("evt-value").map(_._1) == Seq(1, 2))
+    val df2 = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(8L, "x")), v2)
+    val f2 = df2.select(w2.encode(struct(df2("id"), df2("tag"))).as("value"))
+    val mixed = f1.unionByName(f2)
+    // reader = v2 shape with a default for the added field
+    val wr = SchemaRegistryWire.avroRegistry(reg, "evt-value", v2, "Evt",
+      defaults = Map("tag" -> "none"))
+    val out = mixed.select(wr.decode(mixed("value"), v2).as("r"))
+      .select("r.*").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((7L, "none"), (8L, "x")))
+
+    // unknown id / bad magic → NULL rows (the DLQ channel), not a crash
+    val junk = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(Array[Byte](0, 0, 0, 0, 99, 0x0e)),
+        org.apache.spark.sql.Row(Array[Byte](1, 2, 3))),
+      StructType(Seq(StructField("value", BinaryType))))
+    val nulls = junk.select(wr.decode(junk("value"), v2).as("r")).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+
+    // persistence: a fresh registry over the same dir sees both versions
+    val reg2 = new SchemaRegistry(dir)
+    assert(reg2.allById.keySet == Set(1, 2))
+    assert(reg2.latest("evt-value").map(_._1).contains(2))
+  }
+
   test("Proto pinned bytes: {id=1 → 08 02 (sint64), s=\"ab\" → 12 02 61 62}") {
     val st = StructType(Seq(
       StructField("id", LongType), StructField("s", StringType)))
