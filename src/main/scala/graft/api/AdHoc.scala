@@ -45,12 +45,16 @@ object AdHoc {
   def query(
       spark: SparkSession, sql: String,
       limit: Int = DefaultLimit, maxLimit: Int = MaxLimit): DataFrame = {
-    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    // CH-dialect text forms Spark's parser owns (FINAL / SAMPLE /
+    // PREWHERE / quoted-unit dateDiff) — rewritten BEFORE the gate so
+    // the parse below sees valid Spark SQL
+    val sql2 = graft.functions.ClickHouseFunctions.rewriteDialect(sql)
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql2)
     firstWriteNode(parsed).foreach { node =>
       throw new ReadOnlyViolation(
         s"ad-hoc queries are read-only; statement contains $node")
     }
-    spark.sql(sql).limit(math.min(math.max(limit, 0), maxLimit))
+    spark.sql(sql2).limit(math.min(math.max(limit, 0), maxLimit))
   }
 
   /** Sample N rows from a registered table or view (S19). */

@@ -226,14 +226,50 @@ object ClickHouseFunctions {
   }
 
   /** CH-dialect SQL-text rewrites for forms Spark's *parser* owns, where
-    * FunctionRegistry shims can't reach: `dateDiff('day', a, b)` — CH
-    * passes the unit as a string literal, Spark's grammar requires a bare
-    * keyword (it parses dateDiff/timestampDiff into visitTimestampdiff
-    * before function resolution). Applied before `spark.sql`. */
-  def rewriteDialect(sql: String): String =
-    sql.replaceAll(
+    * FunctionRegistry shims can't reach. Applied before `spark.sql`
+    * (the ad-hoc gate routes through this automatically):
+    *  - `dateDiff('day', a, b)` — CH passes the unit as a string
+    *    literal, Spark's grammar requires a bare keyword;
+    *  - `FROM t FINAL` — stripped: every engine read here IS the
+    *    deterministic FINAL view (DIVERGENCES #1);
+    *  - `SAMPLE 0.1` / `SAMPLE 1000` — CH sampling clause → Spark
+    *    `TABLESAMPLE (… PERCENT | … ROWS)` (approximate parity,
+    *    DIVERGENCES #13);
+    *  - lone `PREWHERE` → `WHERE` (Spark's scan pushdown is PREWHERE's
+    *    intent); PREWHERE + WHERE together is refused with the fix.
+    * Text-level rewrites: a string LITERAL containing these keywords
+    * would be rewritten too — documented sharp edge, same trade the
+    * dateDiff rewrite has always made. */
+  def rewriteDialect(sql: String): String = {
+    // FROM t FINAL / JOIN t FINAL: a no-op here — every engine read is
+    // already the deterministic FINAL view (DIVERGENCES #1), so the
+    // keyword is simply stripped rather than rejected.
+    val noFinal = sql.replaceAll(
+      "(?i)\\b(from|join)\\s+([a-zA-Z_][\\w.]*)\\s+final\\b", "$1 $2")
+    // SAMPLE k (CH: fraction in (0,1) or a row count) → Spark TABLESAMPLE
+    val sampled =
+      """(?i)\bsample\s+(0?\.\d+|\d+)\b""".r.replaceAllIn(noFinal, m => {
+        val k = m.group(1)
+        if (k.contains('.'))
+          s"TABLESAMPLE (${(k.toDouble * 100).min(100.0)} PERCENT)"
+        else s"TABLESAMPLE ($k ROWS)"
+      })
+    // PREWHERE: CH's two-stage filter is an execution detail — Spark's
+    // pushdown already does the equivalent, so a lone PREWHERE becomes
+    // WHERE. A statement carrying BOTH clauses would need a semantic
+    // merge no text rewrite can do safely: refuse with the fix.
+    val hasPre = "(?i)\\bprewhere\\b".r.findFirstIn(sampled).isDefined
+    val hasWhere = "(?i)\\bwhere\\b".r.findFirstIn(sampled).isDefined
+    if (hasPre && hasWhere)
+      throw new IllegalArgumentException(
+        "query has both PREWHERE and WHERE: merge the conditions into " +
+          "one WHERE (Spark pushes filters to the scan — PREWHERE's " +
+          "intent — automatically)")
+    val noPre = sampled.replaceAll("(?i)\\bprewhere\\b", "WHERE")
+    noPre.replaceAll(
       "(?i)\\b(dateDiff|date_diff|timestampDiff)\\s*\\(\\s*'([a-zA-Z]+)'\\s*,",
       "$1($2,")
+  }
 
   def isRegistered(spark: SparkSession): Boolean =
     spark.sessionState.functionRegistry

@@ -41,6 +41,37 @@ class ApiSpec extends AnyFunSuite {
     assert(spark.table("adhoc_t").count() == 3)
   }
 
+  test("S20: CH text forms — FINAL stripped, SAMPLE mapped, PREWHERE " +
+      "rewritten, both-clauses refused") {
+    fixture()
+    // FROM t FINAL: no-op (reads are already FINAL — DIVERGENCES #1)
+    assert(AdHoc.query(spark,
+      "SELECT count(*) AS n FROM adhoc_t FINAL").head.getLong(0) == 3L)
+    // lone PREWHERE becomes WHERE
+    assert(AdHoc.query(spark,
+      "SELECT id FROM adhoc_t PREWHERE k = 'a' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // PREWHERE + WHERE: refused with the merge hint, nothing runs
+    val e = intercept[IllegalArgumentException] {
+      AdHoc.query(spark,
+        "SELECT id FROM adhoc_t PREWHERE k = 'a' WHERE v > 5")
+    }
+    assert(e.getMessage.contains("merge"))
+    // SAMPLE fraction / rows → TABLESAMPLE (approximate: bounds only)
+    assert(AdHoc.query(spark,
+      "SELECT count(*) AS n FROM adhoc_t SAMPLE 1000").head.getLong(0) == 3L)
+    assert(AdHoc.query(spark, "SELECT * FROM adhoc_t SAMPLE 0.5")
+      .count() <= 3L)
+    import graft.functions.ClickHouseFunctions.rewriteDialect
+    assert(rewriteDialect("SELECT * FROM t SAMPLE 0.5")
+      .contains("TABLESAMPLE (50.0 PERCENT)"))
+    assert(rewriteDialect("SELECT * FROM t SAMPLE 100")
+      .contains("TABLESAMPLE (100 ROWS)"))
+    // JOIN u FINAL also strips; identifiers keep their dots
+    assert(rewriteDialect("SELECT * FROM a.b FINAL JOIN c.d FINAL ON 1=1")
+      == "SELECT * FROM a.b JOIN c.d ON 1=1")
+  }
+
   test("S19: peek samples n rows") {
     fixture()
     assert(AdHoc.peek(spark, "adhoc_t", 2).count() == 2)

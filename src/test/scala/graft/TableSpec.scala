@@ -278,6 +278,30 @@ class TableSpec extends AnyFunSuite {
       .head().getDouble(0) == 5.0)
   }
 
+  test("AggregatingMV carries a quantileApprox state column end-to-end") {
+    import graft.streaming.AggregatingMV
+    val mv = new AggregatingMV("mv_qsk",
+      Seq("g" -> (col("id") % 2).cast("int")),
+      Seq(AggregatingMV.Agg("n", "count", lit(1)),
+        AggregatingMV.Agg("med", "quantileApprox", col("id"))))
+    val src = spark.range(0, 1001).toDF("id")
+    // per-block partials (binary sketch states) → finish
+    val block1 = mv.partials(src.where(col("id") < 500))
+    val block2 = mv.partials(src.where(col("id") >= 500))
+    assert(block1.schema("med").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val finished = mv.finish(block1.unionByName(block2))
+      .orderBy("g").collect()
+    // evens 0..1000 (n=501, median 500), odds 1..999 (n=500, median ~500)
+    assert(finished.map(_.getLong(1)).toSeq == Seq(501L, 500L))
+    finished.foreach(r =>
+      assert(math.abs(r.getDouble(2) - 500.0) <= 2.0,
+        s"g=${r.getInt(0)} median ${r.getDouble(2)}"))
+    // streaming-shape equivalence: appended partials == batch recompute
+    val batch = mv.recompute(src).orderBy("g").collect()
+    assert(batch.map(_.getLong(1)).toSeq == finished.map(_.getLong(1)).toSeq)
+  }
+
   test("Replicated wrapper delegates FINAL semantics to inner engine (S8)") {
     val wh = tmpWarehouse()
     val schema = MooseSchema(Seq(
