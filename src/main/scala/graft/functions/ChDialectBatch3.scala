@@ -73,6 +73,11 @@ object ChDialectBatch3 {
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
 
+    // currentDatabase(): the reference's AGENTS guides mandate it over
+    // hardcoded db names (ref templates/*/AGENTS.md); Spark spells it
+    // current_database — the CH spelling is free to register
+    f("currentDatabase")(_ => CurrentDatabase())
+
     // ---------------------------------------------- strings / similarity
     f("editDistance")(a => Levenshtein(a.head, a(1)))
     // multiSearchAny(s, [needles]) — 1 if any needle is a substring

@@ -31,6 +31,19 @@ object SqlInterpolator {
     def run(spark: SparkSession): DataFrame = spark.sql(text)
   }
 
+  object SqlFragment {
+    /** `sql.join` (ref sqlHelpers.ts:241-252): combine fragments with a
+      * separator — the dynamic-predicate/column-list builder. */
+    def join(fragments: Seq[SqlFragment],
+        separator: String = ", "): SqlFragment =
+      SqlFragment(fragments.map(_.text).mkString(separator))
+
+    /** `sql.raw` (ref sqlHelpers.ts:253-255): trusted raw text. The same
+      * loaded gun as the reference's — callers own injection safety; the
+      * name says so at every call site. */
+    def raw(text: String): SqlFragment = SqlFragment(text)
+  }
+
   private def ident(s: String): String = {
     require(s.nonEmpty && !s.contains('`'),
       s"invalid identifier: '$s'")

@@ -20,6 +20,10 @@ class ChDialect3Spec extends AnyFunSuite {
   private def dbl(sel: String): Double =
     one(sel).asInstanceOf[Number].doubleValue()
 
+  test("currentDatabase resolves like current_database") {
+    assert(str("currentDatabase()") == str("current_database()"))
+  }
+
   test("string similarity and multi-search") {
     assert(one("editDistance('kitten', 'sitting')") == 7 - 4) // 3
     assert(one("editDistance('abc', 'abc')") == 0)

@@ -39,6 +39,21 @@ class SqlLayerSpec extends AnyFunSuite {
       Seq(("a", 12.0, 5L), ("b", 1.0, 1L)))
   }
 
+  test("sql interpolator: join and raw combinators (sqlHelpers parity)") {
+    import graft.querymodel.SqlInterpolator.SqlFragment
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "k", "v")
+      .createOrReplaceTempView("sqljoin_t")
+    // dynamic predicate list via join(" AND ")
+    val preds = Seq(sql"${ColRef("id")} > ${0}", sql"${ColRef("k")} = ${"a"}")
+    val f = sql"SELECT ${ColRef("id")} AS id FROM ${TableRef("sqljoin_t")} WHERE " +
+      SqlFragment.join(preds, " AND ")
+    assert(f.run(spark).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // column list via the default ", " separator; raw passes through
+    val cols = SqlFragment.join(Seq(sql"${ColRef("id")}", sql"${ColRef("k")}"))
+    val g = sql"SELECT " + cols + SqlFragment.raw(" FROM sqljoin_t ORDER BY id")
+    assert(g.run(spark).columns.toSeq == Seq("id", "k"))
+  }
+
   test("sql interpolator: quantileApprox state auto-merge (registered fns)") {
     graft.functions.QuantileSketch.register(spark)
     val states = (0 until 4).map(_.toLong).toDF("part")
