@@ -237,7 +237,7 @@ final class OlapTable(
       obs.get("n").asInstanceOf[Long]
     }
 
-    strategy match {
+    val result = strategy match {
       case InsertStrategy.FailFast =>
         val bad = invalid.select(col("__errors")).head(1)
         if (bad.nonEmpty)
@@ -271,6 +271,8 @@ final class OlapTable(
         val nBad = vObs.get("failed").asInstanceOf[Long]
         (InsertReport(n + nBad, n, nBad), Some(dlq))
     }
+    refreshSqlView()
+    result
   }
 
   /** Raw stored rows + alias (read-computed) columns. A table that has
@@ -279,7 +281,12 @@ final class OlapTable(
     * first failure is the common case. */
   def read(): DataFrame = {
     val df =
-      if (config.bucketBy.nonEmpty) spark.table(config.name)
+      if (config.bucketBy.nonEmpty)
+        // catalog-qualified so a same-named FINAL-read temp view
+        // ([[registerSql]]) can never shadow the backing table into a
+        // self-referential plan
+        spark.table(
+          s"spark_catalog.${spark.catalog.currentDatabase}.${config.name}")
       else {
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -323,6 +330,7 @@ final class OlapTable(
       val tmp = path + "__retained"
       keep.write.mode("overwrite").options(indexWriteOptions).parquet(tmp)
       swapInto(tmp)
+      refreshSqlView()
       total - spark.read.schema(config.schema.toStructType).parquet(path).count()
     }
   }
@@ -378,6 +386,7 @@ final class OlapTable(
     val tmp = path + "__optimized"
     finalRows.write.mode("overwrite").options(indexWriteOptions).parquet(tmp)
     swapInto(tmp)
+    refreshSqlView()
     materializeProjections()
   }
 
@@ -469,6 +478,23 @@ final class OlapTable(
       .map(p => spark.read.parquet(projectionPath(p)).select(want.map(col): _*))
       .getOrElse(read().select(want.map(col): _*))
   }
+
+  /** Expose this table to RAW SQL under its own name: registers a temp
+    * view of the deterministic FINAL read, refreshed after every insert
+    * and maintenance operation — so `spark.sql("SELECT … FROM t")` gets
+    * the same engine semantics a CH user's `SELECT … FROM t` does
+    * (DIVERGENCES #1: always-FINAL), with no library call in the query
+    * path. The refresh re-snapshots the file listing too (a temp view's
+    * plan pins its file index at creation — without the hook, SQL reads
+    * would silently miss rows appended after registration). */
+  def registerSql(): Unit = {
+    sqlRegistered = true
+    refreshSqlView()
+  }
+
+  @volatile private var sqlRegistered = false
+  private def refreshSqlView(): Unit =
+    if (sqlRegistered) readFinal().createOrReplaceTempView(config.name)
 
   /** Engine FINAL-read view (deterministic; SURVEY §4). */
   def readFinal(valueCols: Seq[String] = Nil): DataFrame = {

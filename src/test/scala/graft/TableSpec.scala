@@ -278,6 +278,32 @@ class TableSpec extends AnyFunSuite {
       .head().getDouble(0) == 5.0)
   }
 
+  test("registerSql: raw SQL reads the FINAL view, refreshed on insert " +
+      "and optimizeFinal") {
+    val wh = tmpWarehouse()
+    val schema = MooseSchema(Seq(
+      MooseColumn("k", MooseType.MString, primaryKey = true),
+      MooseColumn("v", MooseType.MInt64),
+      MooseColumn("ver", MooseType.MInt64)))
+    val t = new OlapTable(spark, OlapTable.Config("sqlreg_t", schema,
+      TableEngine.ReplacingMergeTree(ver = Some("ver")),
+      orderBy = Seq("k")), wh)
+    t.insert(Seq(("a", 1L, 1L), ("b", 2L, 1L)).toDF("k", "v", "ver"))
+    t.registerSql()
+    def sqlRows() = spark.sql(
+      "SELECT k, v FROM sqlreg_t ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sqlRows() == Seq(("a", 1L), ("b", 2L)))
+    // a later insert with a higher version must be visible to RAW SQL
+    // immediately (view refresh re-snapshots the file listing) and the
+    // FINAL semantics must dedup to the max version
+    t.insert(Seq(("a", 10L, 2L)).toDF("k", "v", "ver"))
+    assert(sqlRows() == Seq(("a", 10L), ("b", 2L)))
+    // compaction rewrites storage; SQL still serves the same rows
+    t.optimizeFinal()
+    assert(sqlRows() == Seq(("a", 10L), ("b", 2L)))
+  }
+
   test("AggregatingMV carries a quantileApprox state column end-to-end") {
     import graft.streaming.AggregatingMV
     val mv = new AggregatingMV("mv_qsk",
