@@ -256,6 +256,10 @@ object ChDialectBatch3 {
     // compensation is an implementation detail CH exposes as a name.
     f("sumKahan")(a => Sum(Cast(a.head, DoubleType)))
     f("entropy")(a => EntropyAgg(a.head))
+    // countDistinct(x, …): used in the reference templates; Spark spells
+    // it count_distinct / count(DISTINCT …) — the camelCase name is free
+    f("countDistinct")(a =>
+      Count(a).toAggregateExpression(isDistinct = true))
   }
 
   def isRegistered(spark: SparkSession): Boolean =

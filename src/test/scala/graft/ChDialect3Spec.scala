@@ -24,6 +24,17 @@ class ChDialect3Spec extends AnyFunSuite {
     assert(str("currentDatabase()") == str("current_database()"))
   }
 
+  test("countDistinct (template spelling) == count(DISTINCT …)") {
+    spark.sql("SELECT explode(array(1, 1, 2, 3, 3)) AS v")
+      .createOrReplaceTempView("cd_t")
+    assert(one("countDistinct(v) FROM cd_t") == 3L)
+    // multi-arg form counts distinct tuples
+    spark.sql("SELECT explode(array(struct(1, 1), struct(1, 1), " +
+      "struct(1, 2))) AS s").selectExpr("s.col1 AS a", "s.col2 AS b")
+      .createOrReplaceTempView("cd_t2")
+    assert(one("countDistinct(a, b) FROM cd_t2") == 2L)
+  }
+
   test("string similarity and multi-search") {
     assert(one("editDistance('kitten', 'sitting')") == 7 - 4) // 3
     assert(one("editDistance('abc', 'abc')") == 0)
