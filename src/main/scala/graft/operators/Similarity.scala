@@ -721,6 +721,49 @@ object Similarity {
     }
   }
 
+  /** Embedding-corpus curation composite — the embedding mirror of
+    * [[graft.operators.Corpus.cleanPipeline]]: semantic dedup + storage
+    * compression in one frame.
+    *
+    *  1. near-duplicate PAIRS at cosine ≥ `threshold` — `exact = true`
+    *     uses the labeled all-pairs baseline ([[nearDupPairsBrute]], the
+    *     oracle-parity path); `exact = false` uses SemDeDup clustering
+    *     ([[semDedupPairs]] — the 100 TB path, whose recall contract is
+    *     verified separately by `e_semdedup`);
+    *  2. pairs → semantic-dup CLUSTERS by transitive closure
+    *     ([[graft.operators.Corpus.connectedComponents]]);
+    *  3. keep one representative per cluster (min id — deterministic
+    *     under any partitioning);
+    *  4. survivors carry int8-quantized vectors ([[quantizeInt8]], 4×
+    *     compression); dropped rows keep NULL codes.
+    *
+    * Scale shape: pair generation is the only super-linear stage and is
+    * the dial (`exact=false` ⇒ Σ|cell|² candidate work); the closure
+    * shuffles vertex ids, the keep-join shuffles ids, and quantization
+    * is row-local. Returns (id, cluster_rep, kept, scale, q). */
+  def embedPipeline(
+      embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", threshold: Double = 0.5,
+      dim: Int = 64, exact: Boolean = false, k: Int = 0,
+      iters: Int = 3, probes: Int = 2): DataFrame = {
+    val pairs =
+      if (exact) nearDupPairsBrute(embeddings, idCol, vecCol, threshold, dim)
+      else semDedupPairs(embeddings, idCol, vecCol, k, iters, probes,
+        threshold, dim)
+    val cc = graft.operators.Corpus.connectedComponents(
+      pairs, "vec_a", "vec_b")
+    val labeled = embeddings.select(col(idCol), col(vecCol))
+      .join(cc, col(idCol) === col("id"), "left")
+      .select(col(idCol), col(vecCol),
+        coalesce(col("rep"), col(idCol)).as("cluster_rep"))
+      .withColumn("kept", col("cluster_rep") === col(idCol))
+    val q = quantizeInt8(labeled.where(col("kept")), idCol, vecCol)
+      .select(col(idCol), col("scale"), col("q"))
+    labeled.join(q, Seq(idCol), "left")
+      .select(col(idCol), col("cluster_rep"), col("kept"),
+        col("scale"), col("q"))
+  }
+
   /** Symmetric per-vector int8 quantization — the standard 4× embedding
     * storage compression for corpus-scale ANN: scale = max|vᵢ|/127,
     * qᵢ = round(vᵢ/scale) ∈ [-127,127]. Row-local higher-order-function

@@ -292,6 +292,27 @@ object TextQueries {
       .orderBy(col("qid"))
   }
 
+  /** Embedding-curation composite (Similarity.embedPipeline, exact pair
+    * mode for oracle parity — the SemDeDup scale path's recall contract
+    * is e_semdedup's job): semantic-dup clusters by transitive closure
+    * over cosine ≥ 0.5 pairs, min-id representatives kept, survivors
+    * int8-quantized. `q_ok` folds the quantization half-step bound into
+    * a boolean (true for dropped rows — they carry no codes). */
+  def eEmbedPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val pipe = Similarity.embedPipeline(e, threshold = 0.5, exact = true)
+    val joined = pipe.join(e, Seq("vec_id"))
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val qd = transform(col("q"), x => x.cast("double"))
+    val maxErr = aggregate(
+      zip_with(v, qd, (x, q) => abs(x - q * col("scale"))),
+      lit(0.0), (a, x) => greatest(a, x))
+    joined.select(
+        col("vec_id"), col("cluster_rep"), col("kept"),
+        (!col("kept") || maxErr <= col("scale") / 2.0 + 1e-9).as("q_ok"))
+      .orderBy(col("vec_id"))
+  }
+
   def eKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Similarity.knnBrute(e, e.where(col("vec_id") < 5), k = 10)
@@ -536,7 +557,8 @@ object TextQueries {
     "e_knn_ivf" -> (eKnnIvf _),
     "d_embed_neardup" -> (dEmbedNeardup _),
     "d_embed_neardup_lsh" -> (dEmbedNeardupLsh _),
-    "e_semdedup" -> (eSemDedup _))
+    "e_semdedup" -> (eSemDedup _),
+    "e_embed_pipeline" -> (eEmbedPipeline _))
 
   private val jaccardSql =
     """WITH words AS (
@@ -880,6 +902,35 @@ object TextQueries {
         |SELECT doc_id, max(cnt) AS max_gram_count,
         |  round(max(cnt) * 1.0 / sum(cnt), 4) AS top_gram_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // independent reimplementation: exact cosine pairs (the same rounded
+    // form the brute path pins) + recursive-CTE transitive closure (the
+    // structurally different CC algorithm, same fixpoint)
+    "e_embed_pipeline" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+        |      , 6) >= 0.5
+        |), sym AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM p
+        |  UNION SELECT vec_b, vec_a FROM p
+        |), reach(id, lab) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.id = s.dst
+        |), comp AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id)
+        |SELECT e.vec_id,
+        |  coalesce(c.rep, e.vec_id) AS cluster_rep,
+        |  coalesce(c.rep, e.vec_id) = e.vec_id AS kept,
+        |  true AS q_ok
+        |FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     "d_embed_neardup" ->
       """WITH p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -513,6 +513,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedPipeline: clusters collapse to min-id reps, survivors " +
+      "quantized, exact and semdedup modes agree on planted data") {
+    val rnd = new scala.util.Random(3)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + rnd.nextFloat() * 0.02f)
+    val c1 = Array(1f, 0f, 0f, 0f)
+    val c2 = Array(0f, 0f, 1f, 0f)
+    // ids 0,1,2 = cluster c1; 10,11 = cluster c2; 20 = singleton
+    val vecs = (Seq(0L, 1L, 2L).map(i => (i, jitter(c1))) ++
+      Seq(10L, 11L).map(i => (i, jitter(c2))) ++
+      Seq((20L, Array(0f, 1f, 0f, 0f)))).toDF("vec_id", "embedding")
+    val out = Similarity.embedPipeline(vecs, threshold = 0.9, dim = 4,
+        exact = true)
+      .orderBy("vec_id").collect()
+    val reps = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    val kept = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 10L, 20L))
+    // survivors carry codes; dropped rows carry NULLs
+    out.foreach { r =>
+      if (r.getBoolean(2)) assert(!r.isNullAt(3) && !r.isNullAt(4))
+      else assert(r.isNullAt(3) && r.isNullAt(4))
+    }
+    // the scale path (SemDeDup candidates) finds the same clusters on
+    // well-separated planted data
+    val soft = Similarity.embedPipeline(vecs, threshold = 0.9, dim = 4,
+        exact = false, k = 2, iters = 2, probes = 2)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(soft == reps)
+  }
+
   test("AVI audio track: PCM stats exact vs formula; video-only refused") {
     import graft.operators.Multimodal
     val withAudio = Seq((5L, 16, 12, 2, 700)).toDF(
