@@ -154,6 +154,28 @@ object ClickHouseFunctions {
     f("argMax")(a => MaxBy(a.head, a(1)))
     f("argMin")(a => MinBy(a.head, a(1)))
     f("anyLast")(a => Last(a.head, ignoreNulls = true))
+    // the wider -If family rides the AggregateExpression FILTER clause
+    // (Catalyst's own conditional-aggregation channel — the planner
+    // evaluates the predicate before the update, so null-injection
+    // subtleties of the CASE trick never arise for order-sensitive or
+    // multi-argument aggregates)
+    def aggIf(fn: org.apache.spark.sql.catalyst.expressions.aggregate
+          .AggregateFunction, cond: Expression): Expression =
+      fn.toAggregateExpression(isDistinct = false, filter = Some(cond))
+    f("argMaxIf")(a => aggIf(MaxBy(a.head, a(1)), a(2)))
+    f("argMinIf")(a => aggIf(MinBy(a.head, a(1)), a(2)))
+    f("anyIf")(a => aggIf(First(a.head, ignoreNulls = true), a(1)))
+    f("anyLastIf")(a => aggIf(Last(a.head, ignoreNulls = true), a(1)))
+    f("uniqIf")(a => aggIf(new HyperLogLogPlusPlus(a.head), a(1)))
+    f("uniqExactIf")(a => Count(Seq(a.head))
+      .toAggregateExpression(isDistinct = true, filter = Some(a(1))))
+    f("groupArrayIf")(a => aggIf(CollectList(a.head), a(1)))
+    f("groupUniqArrayIf")(a => aggIf(CollectSet(a.head), a(1)))
+    // CH groupArraySorted(N)(x) → registry form (N, x): the N smallest
+    // values, sorted — expressible as a post-sorted bounded slice
+    f("groupArraySorted")(a => Slice(
+      SortArray(CollectList(a(1)).toAggregateExpression(), Literal(true)),
+      Literal(1), a.head))
     f("uniq")(a => new HyperLogLogPlusPlus(a.head))
     f("uniqExact")(a =>
       Count(Seq(a.head)).toAggregateExpression(isDistinct = true))

@@ -243,6 +243,34 @@ class ChDialect2Spec extends AnyFunSuite {
     assert(gb.getLong(3) == 9L && gb.getLong(4) == 2L)
   }
 
+  test("-If combinator family rides the FILTER clause") {
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1, 'a', 10), (2, 'a', 30), (3, 'b', 20), (4, 'b', 40)
+        |  t(id, k, v)""".stripMargin).createOrReplaceTempView("ifagg")
+    val r = spark.sql(
+      """SELECT
+        |  argMaxIf(id, v, k = 'a'), argMinIf(id, v, k = 'b'),
+        |  anyIf(id, k = 'b'), anyLastIf(id, k = 'a'),
+        |  uniqExactIf(k, v > 15), cast(uniqIf(k, v > 15) as bigint),
+        |  arraySort(groupArrayIf(id, k = 'a')),
+        |  arraySort(groupUniqArrayIf(k, v >= 30)),
+        |  groupArraySorted(2, v)
+        |FROM ifagg""".stripMargin).head()
+    assert(r.getInt(0) == 2)  // max v among k='a' is 30 → id 2
+    assert(r.getInt(1) == 3)  // min v among k='b' is 20 → id 3
+    assert(r.getInt(2) == 3 && r.getInt(3) == 2)
+    assert(r.getLong(4) == 2L && r.getLong(5) == 2L)
+    assert(r.getSeq[Int](6) == Seq(1, 2))
+    assert(r.getSeq[String](7) == Seq("a", "b"))
+    assert(r.getSeq[Int](8) == Seq(10, 20)) // two smallest, sorted
+    // no matching rows → NULL / empty, like CH
+    val none = spark.sql(
+      "SELECT argMaxIf(id, v, k = 'z'), groupArrayIf(id, k = 'z') " +
+        "FROM ifagg").head()
+    assert(none.isNullAt(0) && none.getSeq[Int](1).isEmpty)
+  }
+
   test("topK: exact within capacity, value-ordered ties, NULLs skipped, " +
       "SpaceSaving retains heavy hitters past capacity") {
     // 5a 3b 3c 1d + NULLs: top-3 = a, then b (tie with c, value order), c
