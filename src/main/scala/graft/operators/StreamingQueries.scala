@@ -192,13 +192,60 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Streaming exact dedup (StreamDedup.exactDedupStream) over a
+    * file-replayed corpus carrying injected duplicates (the testdata has
+    * none at sf0.01): every 10th doc re-arrives under a shifted id in a
+    * LATER micro-batch, and the state-store dedup must admit exactly one
+    * row per distinct content fingerprint. The check frame is
+    * order-free — which physical row survives a micro-batch race is
+    * arrival-dependent, the COUNT of survivors per fingerprint is not. */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val dupes = docs.where(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+    val src = Files.createTempDirectory("sdedup_src").toString
+    // originals first, duplicates in LATER files: maxFilesPerTrigger=1
+    // replays them as separate micro-batches, so the dedup decision
+    // crosses the state store, not just one batch's local distinct
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    dupes.coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val deduped = graft.streaming.StreamDedup
+      .exactDedupStream(stream, "text")
+    val sink = s"sdedup_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val nOut = spark.table(sink).count()
+    val nIn = docs.count() + dupes.count()
+    val nDistinct = docs.select(md5(col("text"))).distinct().count()
+    Seq((nIn, nOut, nDistinct, nOut == nDistinct))
+      .toDF("n_in", "n_out", "n_distinct", "exact_ok")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_stream_dedup" -> (qStreamDedup _),
     "q_transform_bar" -> (qTransformBar _),
     "q_mv_recompute" -> (qMvRecompute _),
     "q_mv_streaming" -> (qMvStreaming _),
     "q_sessionize_stream" -> (qSessionizeStream _))
 
   def oracles: Map[String, String] = Map(
+    // the injected duplicates all carry texts already present, so the
+    // distinct-fingerprint count over the union equals the base corpus's
+    "q_stream_dedup" ->
+      """SELECT
+        |  CAST(count(*) + sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_in,
+        |  count(DISTINCT md5(text)) AS n_out,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  true AS exact_ok
+        |FROM documents""".stripMargin,
     "q_transform_bar" ->
       """SELECT event_id AS primary_key, CAST(ts AS DATE) AS day,
         |  upper(event_type) AS event_type_upper,
