@@ -259,14 +259,43 @@ object ClickHouseFunctions {
     *    DIVERGENCES #13);
     *  - lone `PREWHERE` → `WHERE` (Spark's scan pushdown is PREWHERE's
     *    intent); PREWHERE + WHERE together is refused with the fix.
+    *  - `[LEFT] ARRAY JOIN expr AS alias` → `LATERAL VIEW [OUTER]
+    *    explode(expr) __aj AS alias` — same clause position in both
+    *    grammars (after the FROM relations, before WHERE), so the
+    *    substitution is in-place. The alias-less form (CH shadows the
+    *    array column with its elements) and the multi-array lockstep
+    *    form (`ARRAY JOIN a AS x, b AS y` iterates in parallel, which
+    *    LATERAL VIEW chains would turn into a cartesian) are REFUSED
+    *    with the fix rather than silently mis-joined.
     * Text-level rewrites: a string LITERAL containing these keywords
     * would be rewritten too — documented sharp edge, same trade the
     * dateDiff rewrite has always made. */
   def rewriteDialect(sql: String): String = {
+    // [LEFT] ARRAY JOIN — rewritten first so the later passes see plain
+    // Spark text. expr = identifier (possibly qualified) or a function
+    // call with one paren-nesting level (splitByChar(' ', text) etc.).
+    val ajExpr = """[A-Za-z_][\w.]*\s*\((?:[^()]|\([^()]*\))*\)|[A-Za-z_][\w.]*"""
+    val ajRe = ("""(?i)\b(left\s+)?array\s+join\s+(""" + ajExpr +
+      """)(?:\s+as\s+([A-Za-z_]\w*))?(\s*,)?""").r
+    val arrayJoined = ajRe.replaceAllIn(sql, m => {
+      if (m.group(4) != null)
+        throw new IllegalArgumentException(
+          "multi-array ARRAY JOIN iterates arrays in lockstep, which a " +
+            "LATERAL VIEW chain cannot express: zip them first — " +
+            "ARRAY JOIN arrayZip(a, b) AS ab, then ab.a / ab.b")
+      if (m.group(3) == null)
+        throw new IllegalArgumentException(
+          "ARRAY JOIN without an alias shadows the array column with its " +
+            "elements, which Spark resolution cannot spell: write " +
+            "ARRAY JOIN <expr> AS <alias>")
+      val outer = if (m.group(1) != null) "OUTER " else ""
+      java.util.regex.Matcher.quoteReplacement(
+        s"LATERAL VIEW ${outer}explode(${m.group(2)}) __aj AS ${m.group(3)}")
+    })
     // FROM t FINAL / JOIN t FINAL: a no-op here — every engine read is
     // already the deterministic FINAL view (DIVERGENCES #1), so the
     // keyword is simply stripped rather than rejected.
-    val noFinal = sql.replaceAll(
+    val noFinal = arrayJoined.replaceAll(
       "(?i)\\b(from|join)\\s+([a-zA-Z_][\\w.]*)\\s+final\\b", "$1 $2")
     // SAMPLE k (CH: fraction in (0,1) or a row count) → Spark TABLESAMPLE
     val sampled =

@@ -157,6 +157,43 @@ object DialectQueries {
         |  round(entropy(user_id % 16), 4) AS ent
         |FROM evts_agg3 GROUP BY event_type ORDER BY event_type""".stripMargin)
 
+  /** CH `ARRAY JOIN` clause through the ad-hoc gate's text rewrite —
+    * the exact path a moose program's raw CH SQL takes (rewritten to
+    * `LATERAL VIEW explode`, same clause position in both grammars).
+    * Plan: Generate(explode) over one scan, then one hash aggregate —
+    * the fan-out never materializes unexploded rows, so at 100 TB the
+    * cost is the aggregate's shuffle only. */
+  def qArrayJoin(spark: SparkSession, dir: String): DataFrame = {
+    ClickHouseFunctions.register(spark)
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("docs_aj")
+    graft.api.AdHoc.query(spark,
+      """SELECT word, count(*) AS n
+        |FROM docs_aj
+        |ARRAY JOIN splitByChar(' ', text) AS word
+        |WHERE lang = 'en'
+        |GROUP BY word
+        |ORDER BY n DESC, word
+        |LIMIT 50""".stripMargin)
+  }
+
+  /** CH `LEFT ARRAY JOIN` (rows with an empty array survive with a NULL
+    * element) → `LATERAL VIEW OUTER explode`. The extracted w-words
+    * are empty for ~a quarter of the docs, so BOTH branches (fan-out
+    * rows and the survive-with-NULL row) are load-bearing. */
+  def qArrayJoinLeft(spark: SparkSession, dir: String): DataFrame = {
+    ClickHouseFunctions.register(spark)
+    ChDialectBatch3.register(spark)
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("docs_ajl")
+    graft.api.AdHoc.query(spark,
+      """SELECT doc_id, num
+        |FROM docs_ajl
+        |LEFT ARRAY JOIN extractAll(text, 'w[a-z]+') AS num
+        |WHERE doc_id < 200
+        |ORDER BY doc_id, num
+        |LIMIT 400""".stripMargin,
+      limit = 400)
+  }
+
   /** CH `topK` (SpaceSaving most-frequent): per cohort the top-3 event
     * types. Each cohort has 5 distinct types ≤ the 9-slot capacity, so
     * the result is EXACT and (count desc, value asc)-deterministic —
@@ -186,10 +223,28 @@ object DialectQueries {
     "q_agg_functions" -> (qAggFunctions _),
     "q_agg_functions2" -> (qAggFunctions2 _),
     "q_topk_agg" -> (qTopkAgg _),
-    "q_summap" -> (qSumMap _)
+    "q_summap" -> (qSumMap _),
+    "q_array_join" -> (qArrayJoin _),
+    "q_array_join_left" -> (qArrayJoinLeft _)
   )
 
   def oracles: Map[String, String] = Map(
+    // ARRAY JOIN = unnest fan-out; the rewrite target's semantics
+    "q_array_join" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE lang = 'en')
+        |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+    // LEFT ARRAY JOIN: empty arrays keep their row with a NULL element
+    // (DuckDB's unnest drops them — the [NULL] substitution is the
+    // independent spelling of OUTER); Spark orders NULLS FIRST on asc
+    "q_array_join_left" ->
+      """SELECT doc_id, num FROM (
+        |  SELECT doc_id, unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END)
+        |    AS num
+        |  FROM (SELECT doc_id, regexp_extract_all(text, 'w[a-z]+') AS l
+        |        FROM documents WHERE doc_id < 200))
+        |ORDER BY doc_id, num NULLS FIRST LIMIT 400""".stripMargin,
     // key-wise count merge, key-sorted — plain group-by formulation
     "q_summap" ->
       """WITH c AS (

@@ -72,6 +72,51 @@ class ApiSpec extends AnyFunSuite {
       == "SELECT * FROM a.b JOIN c.d ON 1=1")
   }
 
+  test("ARRAY JOIN rewrites to LATERAL VIEW explode; lockstep/alias-less refused") {
+    import graft.functions.ClickHouseFunctions.rewriteDialect
+    // identifier form
+    assert(rewriteDialect("SELECT w FROM t ARRAY JOIN arr AS w WHERE x = 1")
+      == "SELECT w FROM t LATERAL VIEW explode(arr) __aj AS w WHERE x = 1")
+    // LEFT keeps empty-array rows → OUTER
+    assert(rewriteDialect("SELECT w FROM t LEFT ARRAY JOIN arr AS w")
+      == "SELECT w FROM t LATERAL VIEW OUTER explode(arr) __aj AS w")
+    // function-call expr with commas inside the parens
+    assert(rewriteDialect(
+      "SELECT w FROM t ARRAY JOIN splitByChar(' ', text) AS w")
+      == "SELECT w FROM t LATERAL VIEW explode(splitByChar(' ', text)) " +
+        "__aj AS w")
+    // arrayJoin(...) the FUNCTION is untouched (no space between words)
+    assert(rewriteDialect("SELECT arrayJoin(arr) FROM t")
+      == "SELECT arrayJoin(arr) FROM t")
+    // multi-array lockstep form: refused with the arrayZip fix
+    val multi = intercept[IllegalArgumentException] {
+      rewriteDialect("SELECT * FROM t ARRAY JOIN a AS x, b AS y")
+    }
+    assert(multi.getMessage.contains("arrayZip"))
+    // alias-less form: CH shadows the source column — refused with fix
+    val bare = intercept[IllegalArgumentException] {
+      rewriteDialect("SELECT arr FROM t ARRAY JOIN arr WHERE x = 1")
+    }
+    assert(bare.getMessage.contains("AS <alias>"))
+    // end-to-end through the gate: fan-out + aggregate over real data
+    fixture()
+    import graft.functions.ClickHouseFunctions
+    ClickHouseFunctions.register(spark)
+    spark.sql("SELECT 1 AS id, array('a', 'b', 'b') AS arr " +
+        "UNION ALL SELECT 2, array() UNION ALL SELECT 3, array('a')")
+      .createOrReplaceTempView("aj_t")
+    val inner = AdHoc.query(spark,
+      "SELECT w, count(*) AS n FROM aj_t ARRAY JOIN arr AS w " +
+        "GROUP BY w ORDER BY w").collect()
+    assert(inner.map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("a", 2L), ("b", 2L)))
+    // LEFT: the empty-array row 2 survives with a NULL element
+    val left = AdHoc.query(spark,
+      "SELECT id, w FROM aj_t LEFT ARRAY JOIN arr AS w " +
+        "WHERE id = 2 ORDER BY id").collect()
+    assert(left.length == 1 && left.head.isNullAt(1))
+  }
+
   test("S19: peek samples n rows") {
     fixture()
     assert(AdHoc.peek(spark, "adhoc_t", 2).count() == 2)
