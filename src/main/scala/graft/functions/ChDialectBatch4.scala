@@ -1,0 +1,417 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/** ClickHouse-dialect batch 4 — the remaining high-traffic names a
+  * migrating moose program's raw SQL reaches after batches 1–3: the
+  * vector-distance family (CH's array-math surface used for embedding
+  * work), the `*OrNull`/`*OrZero` conversion ladder (the ETL staple for
+  * dirty columns), `toStartOfInterval` (arbitrary-interval bucketing,
+  * the general form of `toStartOfFiveMinutes` etc.), relative-time
+  * numbers and `age`, whitespace/regexp splitters, the array tail
+  * (fold/resize/rotate/shingles/enumerate), simpleJSON (visitParam)
+  * accessors, readable-quantity formatting, bit tests, and the
+  * exact/TDigest quantile spellings.
+  * (ref: the CH SQL surface reachable through
+  * packages/ts-moose-lib/src/sqlHelpers.ts passthrough — same contract
+  * note as batches 2 and 3.)
+  *
+  * Everything is a native Catalyst `Expression` builder (no UDFs).
+  * Builders receive UNRESOLVED children (no dataType available), so all
+  * type adaptation is spelled with `Cast` and literal inspection only.
+  *
+  * Dialect stances (DIVERGENCES.md):
+  *  - `farmHash64`/`halfMD5` → xxhash64, same role/different values as
+  *    cityHash64/sipHash64 (#4/#27);
+  *  - `quantileExact`/`quantilesExact` resolve to the exact INTERPOLATED
+  *    percentile and `quantileTDigest` to Spark's approx_percentile
+  *    sketch (#23's quantile-family stance);
+  *  - `age` counts complete units with truncation toward zero (CH
+  *    semantics) and supports second/minute/hour/day/week; month/year
+  *    would need CH's calendar-walk — refused with `dateDiff` named;
+  *  - `regexpQuoteMeta` escapes with backslashes like CH (NOT Java's
+  *    \Q…\E quoting);
+  *  - `arrayResize` without an explicit extender is refused (CH pads
+  *    with the type default; unresolved children have no type here).
+  */
+object ChDialectBatch4 {
+
+  private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
+
+  private def lambda1(f: Expression => Expression): LambdaFunction = {
+    val x = lv("x4"); LambdaFunction(f(x), Seq(x))
+  }
+
+  private def lambda2(
+      f: (Expression, Expression) => Expression): LambdaFunction = {
+    val a = lv("a4"); val b = lv("b4"); LambdaFunction(f(a, b), Seq(a, b))
+  }
+
+  private def litString(e: Expression, fn: String): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn requires a string literal argument, got $other")
+  }
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case Literal(l: Long, LongType) => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn requires an integer literal argument, got $other")
+  }
+
+  // ---- vector helpers -------------------------------------------------
+  private def dArr(e: Expression) = Cast(e, ArrayType(DoubleType))
+
+  /** Native codegen'd fold (graft.functions.DotProduct) over
+    * double-cast operands — the same expression the ANN operators use,
+    * so the fold order (and therefore the bits) match. */
+  private def dot(a: Expression, b: Expression) = DotProduct(dArr(a), dArr(b))
+
+  private def diff(a: Expression, b: Expression) =
+    ZipWith(dArr(a), dArr(b), lambda2((x, y) => Subtract(x, y)))
+
+  private def sumArr(e: Expression) =
+    ArrayAggregate(e, Literal(0.0d),
+      lambda2((acc, x) => Add(acc, Cast(x, DoubleType))),
+      lambda1(identity))
+
+  private def absArr(e: Expression) =
+    ArrayTransform(dArr(e), lambda1(x => Abs(x)))
+
+  // floor division with a positive literal divisor, exact on longs
+  // (a - pmod(a, d) is an exact multiple, so the integral divide IS the
+  // floor — no double round-trip, correct for pre-1970 timestamps)
+  private def floorDiv(a: Expression, d: Expression) =
+    IntegralDivide(Subtract(a, Pmod(a, d)), d)
+
+  private val epochDate = Literal.create(0, DateType) // 1970-01-01
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
+      require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+          .builtin.functionExists(FunctionIdentifier(name.toLowerCase)),
+        s"refusing to shadow Spark builtin function '$name'")
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+
+    // ---------------------------------------------- vector distances
+    // CH's embedding surface (arrayDotProduct is the CH 23.x alias).
+    f("dotProduct")(a => dot(a(0), a(1)))
+    f("arrayDotProduct")(a => dot(a(0), a(1)))
+    f("L1Norm")(a => sumArr(absArr(a.head)))
+    f("L2Norm")(a => Sqrt(dot(a.head, a.head)))
+    f("LinfNorm")(a => Coalesce(Seq(ArrayMax(absArr(a.head)), Literal(0.0d))))
+    f("L1Distance")(a => sumArr(absArr(diff(a(0), a(1)))))
+    f("L2Distance")(a => Sqrt(dot(diff(a(0), a(1)), diff(a(0), a(1)))))
+    f("L2SquaredDistance")(a => dot(diff(a(0), a(1)), diff(a(0), a(1))))
+    f("LinfDistance")(a =>
+      Coalesce(Seq(ArrayMax(absArr(diff(a(0), a(1)))), Literal(0.0d))))
+    f("cosineDistance")(a => Subtract(Literal(1.0d),
+      Divide(dot(a(0), a(1)),
+        Multiply(Sqrt(dot(a(0), a(0))), Sqrt(dot(a(1), a(1)))))))
+    f("normalizeL2")(a => ArrayTransform(dArr(a.head),
+      lambda1(x => Divide(x, Sqrt(dot(a.head, a.head))))))
+
+    // ------------------------------------- OrNull / OrZero conversions
+    // try_cast semantics: a malformed value yields NULL (OrNull) or the
+    // zero of the target type (OrZero) instead of the ANSI throw the
+    // plain to* spellings keep. Same widened targets as batch 1
+    // (DIVERGENCES #6: no unsigned types on the JVM).
+    def orNull(name: String, dt: DataType): Unit =
+      f(name + "OrNull")(a => Cast(a.head, dt, None, EvalMode.TRY))
+    def orZero(name: String, dt: DataType, zero: Literal): Unit =
+      f(name + "OrZero")(a =>
+        Coalesce(Seq(Cast(a.head, dt, None, EvalMode.TRY), zero)))
+    val intTargets: Seq[(String, DataType, Literal)] = Seq(
+      ("toInt8", ByteType, Literal(0.toByte)),
+      ("toInt16", ShortType, Literal(0.toShort)),
+      ("toInt32", IntegerType, Literal(0)),
+      ("toInt64", LongType, Literal(0L)),
+      ("toUInt8", ShortType, Literal(0.toShort)),
+      ("toUInt16", IntegerType, Literal(0)),
+      ("toUInt32", LongType, Literal(0L)),
+      ("toUInt64", DecimalType(20, 0), Literal(Decimal(0), DecimalType(20, 0))),
+      ("toFloat32", FloatType, Literal(0.0f)),
+      ("toFloat64", DoubleType, Literal(0.0d)))
+    intTargets.foreach { case (n, dt, z) => orNull(n, dt); orZero(n, dt, z) }
+    f("toDateOrNull")(a => Cast(a.head, DateType, None, EvalMode.TRY))
+    f("toDateTimeOrNull")(a => Cast(a.head, TimestampType, None, EvalMode.TRY))
+
+    // --------------------------------------------- interval bucketing
+    // toStartOfInterval(t, INTERVAL n unit): the general bucketing form.
+    // Sub-month intervals floor epoch MICROS to the interval width
+    // (exact long arithmetic, floor-correct before 1970); month/quarter/
+    // year intervals floor the month ordinal and return a Date, like CH.
+    f("toStartOfInterval") { a =>
+      require(a.length == 2,
+        "toStartOfInterval(t, INTERVAL n unit) takes exactly two arguments")
+      a(1) match {
+        case Literal(us: Long, _: DayTimeIntervalType) =>
+          require(us > 0, "toStartOfInterval: interval must be positive")
+          val l = Literal(us)
+          MicrosToTimestamp(Multiply(
+            floorDiv(UnixMicros(Cast(a.head, TimestampType)), l), l))
+        case Literal(m: Int, _: YearMonthIntervalType) =>
+          require(m > 0, "toStartOfInterval: interval must be positive")
+          val d = Cast(a.head, DateType)
+          val months = Add(Multiply(Subtract(Year(d), Literal(1970)),
+            Literal(12)), Subtract(Month(d), Literal(1)))
+          AddMonths(epochDate, Cast(Multiply(
+            floorDiv(months, Literal(m)), Literal(m)), IntegerType))
+        case other => throw new IllegalArgumentException(
+          "toStartOfInterval requires a literal INTERVAL second argument, " +
+            s"got $other")
+      }
+    }
+
+    // toRelative*Num: whole units since the epoch (floor, so pre-1970
+    // rows land in the correct earlier bucket).
+    def rel(name: String, seconds: Long): Unit =
+      f(name)(a => floorDiv(UnixSeconds(Cast(a.head, TimestampType)),
+        Literal(seconds)))
+    rel("toRelativeSecondNum", 1L)
+    rel("toRelativeMinuteNum", 60L)
+    rel("toRelativeHourNum", 3600L)
+    rel("toRelativeDayNum", 86400L)
+    rel("toRelativeWeekNum", 7L * 86400L)
+
+    // age('unit', from, to): COMPLETE units between, truncation toward
+    // zero (negative when to < from) — CH's documented behavior.
+    // Spark's IntegralDivide truncates toward zero, which is exactly it.
+    f("age") { a =>
+      val unitSeconds: Map[String, Long] = Map(
+        "second" -> 1L, "minute" -> 60L, "hour" -> 3600L,
+        "day" -> 86400L, "week" -> 7L * 86400L)
+      val unit = litString(a.head, "age").toLowerCase
+      val s = unitSeconds.getOrElse(unit,
+        throw new IllegalArgumentException(
+          s"age: unit '$unit' not supported — second/minute/hour/day/week " +
+            "count complete fixed-width units; for month/year use " +
+            "dateDiff('month', …) (boundary-crossing counts)"))
+      IntegralDivide(Subtract(UnixSeconds(Cast(a(2), TimestampType)),
+        UnixSeconds(Cast(a(1), TimestampType))), Literal(s))
+    }
+
+    // 64-bit epoch conversions (DateTime64 interop)
+    f("fromUnixTimestamp64Milli")(a => MillisToTimestamp(a.head))
+    f("fromUnixTimestamp64Micro")(a => MicrosToTimestamp(a.head))
+    f("toUnixTimestamp64Milli")(a => UnixMillis(Cast(a.head, TimestampType)))
+    f("toUnixTimestamp64Micro")(a => UnixMicros(Cast(a.head, TimestampType)))
+    // now64(p)/toDateTime64(x, p): µs TimestampType covers P ≤ 6; larger
+    // precisions are refused like the DateTime64 schema path
+    // (DIVERGENCES #7 — failing fast beats silent truncation).
+    def checkPrecision(e: Expression, fn: String): Unit = {
+      val p = litInt(e, fn)
+      require(p <= 6, s"$fn: precision $p exceeds Spark's µs timestamps " +
+        "(DIVERGENCES #7)")
+    }
+    f("now64") { a =>
+      a.headOption.foreach(checkPrecision(_, "now64"))
+      CurrentTimestamp()
+    }
+    f("toDateTime64") { a =>
+      if (a.length > 1) checkPrecision(a(1), "toDateTime64")
+      Cast(a.head, TimestampType)
+    }
+
+    // ------------------------------------------------ string splitters
+    // splitByWhitespace: runs of whitespace, no empty tokens (CH drops
+    // them — a leading blank run would otherwise emit a leading "")
+    f("splitByWhitespace")(a => ArrayFilter(
+      StringSplit(a.head, Literal("\\s+"), Literal(-1)),
+      lambda1(x => Not(EqualTo(x, Literal(""))))))
+    // splitByRegexp(re, s) — CH argument order (pattern FIRST); empties
+    // kept, like splitByChar (Java's limit=-1 split keeps trailing ones)
+    f("splitByRegexp")(a => StringSplit(a(1), a(0), Literal(-1)))
+
+    f("positionUTF8")(a => Cast(StringLocate(a(1), a(0), Literal(1)),
+      LongType))
+    f("concatAssumeInjective")(a => Concat(a))
+    f("countMatches")(a => Cast(RegExpCount(a(0), a(1)), LongType))
+
+    // extractGroups(s, re): all capture groups of the FIRST match as an
+    // array; no match → empty array. Group count read from the literal
+    // pattern at build time.
+    f("extractGroups") { a =>
+      val p = litString(a(1), "extractGroups")
+      val n = Pattern.compile(p).matcher("").groupCount()
+      require(n > 0, "extractGroups requires a pattern with capture groups")
+      If(RLike(a(0), Literal(p)),
+        CreateArray((1 to n).map(i =>
+          RegExpExtract(a(0), Literal(p), Literal(i)))),
+        Literal.create(Seq.empty[String], ArrayType(StringType)))
+    }
+
+    // regexpQuoteMeta: CH escapes each special char with a backslash
+    // (NOT Java's \Q…\E block quoting — the output must splice into
+    // larger patterns the way CH users do).
+    f("regexpQuoteMeta")(a => RegExpReplace(a.head,
+      Literal("""([\\|()^$.\[\]?*+{:\-])"""), Literal("""\\$1"""),
+      Literal(1)))
+
+    // ------------------------------------------------------ array tail
+    // arrayFold((acc, x) -> …, arr, init) — CH argument order
+    f("arrayFold") { a =>
+      val fn = a.head match {
+        case lf: LambdaFunction => lf
+        case other => throw new IllegalArgumentException(
+          s"arrayFold requires a lambda ((acc, x) -> …) first, got $other")
+      }
+      ArrayAggregate(a(1), a(2), fn, lambda1(identity))
+    }
+    // arrayResize(arr, size, ext): truncate or right-pad with `ext`. The
+    // two-argument CH form pads with the element type's default — with
+    // unresolved children the type is unknowable here, so it is refused
+    // with the fix named.
+    f("arrayResize") { a =>
+      require(a.length == 3, "arrayResize(arr, size, extender): pass the " +
+        "pad value explicitly (CH's type-default pad needs a resolved " +
+        "element type)")
+      val len = Size(a.head)
+      If(LessThanOrEqual(a(1), len),
+        Slice(a.head, Literal(1), Greatest(Seq(a(1), Literal(0)))),
+        Concat(Seq(a.head, ArrayRepeat(a(2), Subtract(a(1), len)))))
+    }
+    f("arrayWithConstant")(a => ArrayRepeat(a(1), a(0)))
+    // rotate by n (any sign, any size; empty arrays pass through)
+    def rotate(arr: Expression, by: Expression): Expression = {
+      val len = Size(arr)
+      val k = Pmod(by, len) // non-negative shift within [0, len)
+      If(LessThanOrEqual(len, Literal(1)), arr,
+        Concat(Seq(
+          Slice(arr, Add(k, Literal(1)), Subtract(len, k)),
+          Slice(arr, Literal(1), k))))
+    }
+    f("arrayRotateLeft")(a => rotate(a.head, Cast(a(1), IntegerType)))
+    f("arrayRotateRight")(a => rotate(a.head,
+      UnaryMinus(Cast(a(1), IntegerType))))
+    // arrayShingles(arr, n): all length-n windows; shorter arrays give
+    // an empty result (never a malformed window)
+    f("arrayShingles") { a =>
+      val n = litInt(a(1), "arrayShingles")
+      require(n > 0, "arrayShingles: length must be positive")
+      val len = Size(a.head)
+      val count = Greatest(Seq(Add(Subtract(len, Literal(n)), Literal(1)),
+        Literal(0)))
+      Slice(
+        ArrayTransform(
+          Sequence(Literal(1), Greatest(Seq(count, Literal(1))), None, None),
+          lambda1(i => Slice(a.head, Cast(i, IntegerType), Literal(n)))),
+        Literal(1), count)
+    }
+    // arrayEnumerateDense: 1-based index of each element's FIRST
+    // occurrence (array_distinct preserves first-occurrence order)
+    f("arrayEnumerateDense")(a => ArrayTransform(a.head,
+      lambda1(x => ArrayPosition(ArrayDistinct(a.head), x))))
+    // arrayEnumerateUniq: per-element occurrence counter (1st dup → 1,
+    // 2nd → 2, …): count of equal elements in the prefix through i
+    f("arrayEnumerateUniq")(a => ArrayTransform(a.head,
+      lambda2((x, i) => Size(ArrayFilter(
+        Slice(a.head, Literal(1), Add(Cast(i, IntegerType), Literal(1))),
+        lambda1(y => EqualTo(y, x)))))))
+
+    // mapFilter((k, v) -> …, m) — CH argument order
+    f("mapFilter") { a =>
+      val fn = a.head match {
+        case lf: LambdaFunction => lf
+        case other => throw new IllegalArgumentException(
+          s"mapFilter requires a lambda ((k, v) -> …) first, got $other")
+      }
+      MapFilter(a(1), fn)
+    }
+
+    // ------------------------------------------- simpleJSON accessors
+    // CH's fast non-strict scanner (aka visitParamExtract*) — on valid
+    // JSON the result agrees with a real parse, which is what Spark's
+    // GetJsonObject does; field name is a literal, as in CH.
+    def sj(a: Seq[Expression]): Expression =
+      GetJsonObject(a(0), Literal("$." + litString(a(1), "simpleJSON*")))
+    f("simpleJSONExtractString")(a => sj(a))
+    f("visitParamExtractString")(a => sj(a))
+    f("simpleJSONExtractInt")(a => Cast(sj(a), LongType, None, EvalMode.TRY))
+    f("simpleJSONExtractFloat")(a =>
+      Cast(sj(a), DoubleType, None, EvalMode.TRY))
+    f("simpleJSONExtractBool")(a => EqualTo(sj(a), Literal("true")))
+    f("simpleJSONHas")(a => IsNotNull(sj(a)))
+
+    // -------------------------------------------- readable formatting
+    // formatReadableQuantity: thousand/million/billion/trillion with two
+    // decimals, like CH (non-negative domain, same as formatReadableSize)
+    f("formatReadableQuantity") { a =>
+      val x = Cast(a.head, DoubleType)
+      def fmt(div: Double, unit: String) = ConcatWs(
+        Literal(" ") +: Seq(
+          FormatString(Literal("%.2f"), Divide(x, Literal(div))),
+          Literal(unit)))
+      CaseWhen(Seq(
+        (LessThan(x, Literal(1e3)), FormatString(Literal("%.2f"), x)),
+        (LessThan(x, Literal(1e6)), fmt(1e3, "thousand")),
+        (LessThan(x, Literal(1e9)), fmt(1e6, "million")),
+        (LessThan(x, Literal(1e12)), fmt(1e9, "billion"))),
+        fmt(1e12, "trillion"))
+    }
+
+    // --------------------------------------------------------- bits
+    f("bitTest")(a => Cast(BitwiseAnd(
+      ShiftRight(Cast(a(0), LongType), Cast(a(1), IntegerType)),
+      Literal(1L)), ShortType))
+    f("bitTestAll")(a => a.tail.map(n => EqualTo(BitwiseAnd(
+        ShiftRight(Cast(a.head, LongType), Cast(n, IntegerType)),
+        Literal(1L)), Literal(1L)))
+      .reduceLeft[Expression]((l, r) => And(l, r)))
+    f("bitTestAny")(a => a.tail.map(n => EqualTo(BitwiseAnd(
+        ShiftRight(Cast(a.head, LongType), Cast(n, IntegerType)),
+        Literal(1L)), Literal(1L)))
+      .reduceLeft[Expression]((l, r) => Or(l, r)))
+    // Hamming distance between 64-bit words (the SimHash primitive)
+    f("bitHammingDistance")(a => Cast(BitwiseCount(
+      BitwiseXor(Cast(a(0), LongType), Cast(a(1), LongType))), LongType))
+
+    // ------------------------------------------------ hashes and UUIDs
+    // same stance as cityHash64/sipHash64 (DIVERGENCES #4/#27): stable
+    // 64-bit hash in the same role, different values than CH
+    f("farmHash64")(a => XxHash64(a, 42L))
+    f("halfMD5")(a => XxHash64(a, 42L))
+    f("generateUUIDv4")(_ => Uuid())
+
+    // --------------------------------------------- quantile spellings
+    // DIVERGENCES #23: the family resolves to Spark's exact interpolated
+    // percentile (Exact spellings) / approx_percentile sketch (TDigest)
+    f("quantileExact")(a =>
+      new Percentile(a(1), Cast(a(0), DoubleType)))
+    f("quantilesExact") { a =>
+      require(a.length >= 2,
+        "quantilesExact(level, …, x) needs at least one level and the column")
+      new Percentile(a.last, CreateArray(a.init.map(Cast(_, DoubleType))))
+    }
+    f("medianExact")(a => new Percentile(a.head, Literal(0.5d)))
+    // child cast to double: ApproximatePercentile returns the child's
+    // type, CH's TDigest family returns Float64
+    f("quantileTDigest")(a => new ApproximatePercentile(
+      Cast(a(1), DoubleType), Cast(a(0), DoubleType)))
+    f("quantilesTDigest") { a =>
+      require(a.length >= 2,
+        "quantilesTDigest(level, …, x) needs at least one level and the column")
+      new ApproximatePercentile(Cast(a.last, DoubleType),
+        CreateArray(a.init.map(Cast(_, DoubleType))))
+    }
+    f("uniqTheta")(a => new HyperLogLogPlusPlus(a.head))
+
+    // ------------------------------------------------------ math tail
+    f("exp2")(a => Pow(Literal(2.0d), Cast(a.head, DoubleType)))
+    f("exp10")(a => Pow(Literal(10.0d), Cast(a.head, DoubleType)))
+    f("intExp2")(a => ShiftLeft(Literal(1L), Cast(a.head, IntegerType)))
+  }
+
+  def isRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("toStartOfInterval"))
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.{ChDialectBatch3, ChDialectExtras, ClickHouseFunctions}
+import graft.functions.{ChDialectBatch3, ChDialectBatch4, ChDialectExtras, ClickHouseFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract queries for the CH-dialect batch-2 surface
@@ -21,6 +21,7 @@ object DialectQueries {
     ClickHouseFunctions.register(spark)
     ChDialectExtras.register(spark)
     ChDialectBatch3.register(spark)
+    ChDialectBatch4.register(spark)
     Tables.load(spark, dir, table).createOrReplaceTempView(view)
     spark.sql(sql)
   }
@@ -157,6 +158,71 @@ object DialectQueries {
         |  round(entropy(user_id % 16), 4) AS ent
         |FROM evts_agg3 GROUP BY event_type ORDER BY event_type""".stripMargin)
 
+  /** Batch-4 scalar surface (functions/ChDialectBatch4): vector
+    * distances (the same codegen'd DotProduct fold the ANN operators
+    * use, so FP bits match the hand-rolled oracle arithmetic),
+    * OrNull/OrZero conversions, interval bucketing, relative-time
+    * numbers, splitters, array fold/rotate/shingles/enumerate, simpleJSON
+    * accessors, bit tests — one projection over one scan. */
+  def qChFunctions4(spark: SparkSession, dir: String): DataFrame =
+    sqlOn(spark, dir, "documents", "docs_d4",
+      """SELECT doc_id,
+        |  round(dotProduct(
+        |    array(cast(doc_id % 7 as double), cast(n_chars % 11 as double), 3.5),
+        |    array(2.0, cast(doc_id % 5 as double), 1.5)), 4) AS dp,
+        |  round(L2Norm(array(cast(doc_id % 7 as double),
+        |    cast(n_chars % 11 as double), 3.5)), 4) AS l2n,
+        |  round(L1Distance(array(cast(doc_id % 7 as double), 1.0),
+        |    array(2.0, cast(n_chars % 11 as double))), 4) AS l1d,
+        |  round(cosineDistance(array(cast(doc_id % 7 + 1 as double), 2.0),
+        |    array(3.0, cast(n_chars % 11 + 1 as double))), 4) AS cosd,
+        |  toInt32OrNull(CASE WHEN doc_id % 3 = 0
+        |    THEN cast(doc_id as string) ELSE lang END) AS i32n,
+        |  toInt32OrZero(CASE WHEN doc_id % 3 = 0
+        |    THEN cast(doc_id as string) ELSE lang END) AS i32z,
+        |  toFloat64OrNull(CASE WHEN doc_id % 2 = 0 THEN '2.5'
+        |    ELSE source END) AS f64n,
+        |  toStartOfInterval(fromUnixTimestamp(doc_id * 3607),
+        |    INTERVAL 15 MINUTE) AS tsi,
+        |  toStartOfInterval(toDate(fromUnixTimestamp(doc_id * 86400)),
+        |    INTERVAL 2 MONTH) AS tsim,
+        |  toRelativeHourNum(fromUnixTimestamp(doc_id * 3607)) AS rhn,
+        |  age('hour', fromUnixTimestamp(doc_id * 1000),
+        |    fromUnixTimestamp(doc_id * 3607)) AS ageh,
+        |  toUnixTimestamp64Milli(fromUnixTimestamp64Milli(doc_id * 12345))
+        |    AS ms_rt,
+        |  arrayStringConcat(splitByWhitespace(substring(text, 1, 40)), '|')
+        |    AS sbw,
+        |  arrayStringConcat(splitByRegexp('[aeiou]+',
+        |    substring(text, 1, 30)), '|') AS sbr,
+        |  positionUTF8(text, 'spark') AS pos,
+        |  countMatches(text, '[a-z]+') AS cm,
+        |  arrayStringConcat(extractGroups(source, '([a-z]+)([0-9]+)'), '|')
+        |    AS eg,
+        |  arrayFold((acc, x) -> (acc * 31 + length(x)) % 1000000007,
+        |    splitByChar(' ', substring(text, 1, 60)), 7L) AS afold,
+        |  arrayStringConcat(arrayRotateLeft(
+        |    splitByChar(' ', substring(text, 1, 40)), doc_id % 5), ',')
+        |    AS rot,
+        |  arrayStringConcat(arrayMap(s -> arrayStringConcat(s, '_'),
+        |    arrayShingles(splitByChar(' ', substring(text, 1, 50)), 3)), '|')
+        |    AS shing,
+        |  arrayStringConcat(arrayMap(x -> toString(x), arrayEnumerateDense(
+        |    splitByChar(' ', substring(text, 1, 50)))), ',') AS aed,
+        |  arrayStringConcat(arrayMap(x -> toString(x), arrayEnumerateUniq(
+        |    splitByChar(' ', substring(text, 1, 50)))), ',') AS aeu,
+        |  simpleJSONExtractString(concat('{"lang":"', lang, '","n":',
+        |    cast(n_chars as string), '}'), 'lang') AS sjs,
+        |  simpleJSONExtractInt(concat('{"lang":"', lang, '","n":',
+        |    cast(n_chars as string), '}'), 'n') AS sji,
+        |  cast(bitTest(doc_id, 3) as bigint) AS bt,
+        |  bitTestAny(doc_id, 0, 1) AS bta,
+        |  bitHammingDistance(doc_id, n_chars) AS bhd,
+        |  (farmHash64(lang) = halfMD5(lang)) AS fh_ok,
+        |  round(exp2(cast(doc_id % 8 as double)), 4) AS e2,
+        |  cast(intExp2(doc_id % 16) as bigint) AS ie2
+        |FROM docs_d4 ORDER BY doc_id LIMIT 300""".stripMargin)
+
   /** CH `ARRAY JOIN` clause through the ad-hoc gate's text rewrite —
     * the exact path a moose program's raw CH SQL takes (rewritten to
     * `LATERAL VIEW explode`, same clause position in both grammars).
@@ -219,6 +285,7 @@ object DialectQueries {
   def queries: Map[String, Q] = Map(
     "q_ch_functions2" -> (qChFunctions2 _),
     "q_ch_functions3" -> (qChFunctions3 _),
+    "q_ch_functions4" -> (qChFunctions4 _),
     "q_url_functions" -> (qUrlFunctions _),
     "q_agg_functions" -> (qAggFunctions _),
     "q_agg_functions2" -> (qAggFunctions2 _),
@@ -229,6 +296,81 @@ object DialectQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // batch-4 scalar surface — every column independently reformulated
+    // (vector math as explicit left-associated arithmetic matching the
+    // DotProduct fold order; enumerate via prefix-distinct lengths;
+    // rotate/shingles via list slicing; OrNull/OrZero via try_cast)
+    "q_ch_functions4" ->
+      """WITH c AS (
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |    CAST(doc_id % 7 AS DOUBLE) AS a1,
+        |    CAST(n_chars % 11 AS DOUBLE) AS a2,
+        |    3.5 AS a3,
+        |    2.0 AS b1,
+        |    CAST(doc_id % 5 AS DOUBLE) AS b2,
+        |    1.5 AS b3,
+        |    string_split(substring(text, 1, 40), ' ') AS w40,
+        |    string_split(substring(text, 1, 50), ' ') AS w50,
+        |    string_split(substring(text, 1, 60), ' ') AS w60,
+        |    concat('{"lang":"', lang, '","n":',
+        |      CAST(n_chars AS VARCHAR), '}') AS j
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round((a1 * b1 + a2 * b2) + a3 * b3, 4) AS dp,
+        |  round(sqrt((a1 * a1 + a2 * a2) + a3 * a3), 4) AS l2n,
+        |  round(abs(a1 - 2.0) + abs(1.0 - a2), 4) AS l1d,
+        |  round(1.0 - ((a1 + 1) * 3.0 + 2.0 * (a2 + 1))
+        |    / (sqrt((a1 + 1) * (a1 + 1) + 2.0 * 2.0)
+        |       * sqrt(3.0 * 3.0 + (a2 + 1) * (a2 + 1))), 4) AS cosd,
+        |  try_cast(CASE WHEN doc_id % 3 = 0
+        |    THEN CAST(doc_id AS VARCHAR) ELSE lang END AS INTEGER) AS i32n,
+        |  coalesce(try_cast(CASE WHEN doc_id % 3 = 0
+        |    THEN CAST(doc_id AS VARCHAR) ELSE lang END AS INTEGER), 0)
+        |    AS i32z,
+        |  try_cast(CASE WHEN doc_id % 2 = 0 THEN '2.5' ELSE source END
+        |    AS DOUBLE) AS f64n,
+        |  make_timestamp((doc_id * 3607 // 900) * 900 * 1000000) AS tsi,
+        |  DATE '1970-01-01' + to_months(CAST(
+        |    ((EXTRACT(year FROM make_timestamp(doc_id * 86400 * 1000000))
+        |        - 1970) * 12
+        |      + EXTRACT(month FROM make_timestamp(doc_id * 86400 * 1000000))
+        |        - 1) // 2 * 2 AS INT)) AS tsim,
+        |  doc_id * 3607 // 3600 AS rhn,
+        |  (doc_id * 3607 - doc_id * 1000) // 3600 AS ageh,
+        |  doc_id * 12345 AS ms_rt,
+        |  array_to_string(list_filter(
+        |    string_split_regex(substring(text, 1, 40), '\s+'),
+        |    x -> x <> ''), '|') AS sbw,
+        |  array_to_string(string_split_regex(substring(text, 1, 30),
+        |    '[aeiou]+'), '|') AS sbr,
+        |  CAST(strpos(text, 'spark') AS BIGINT) AS pos,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS cm,
+        |  concat(regexp_extract(source, '([a-z]+)([0-9]+)', 1), '|',
+        |    regexp_extract(source, '([a-z]+)([0-9]+)', 2)) AS eg,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(w60, x -> CAST(length(x) AS BIGINT))),
+        |    (acc, l) -> (acc * 31 + l) % 1000000007) AS afold,
+        |  array_to_string(CASE WHEN len(w40) <= 1 THEN w40
+        |    ELSE list_concat(w40[((doc_id % 5) % len(w40) + 1):],
+        |                     w40[:((doc_id % 5) % len(w40))]) END, ',')
+        |    AS rot,
+        |  array_to_string(list_transform(
+        |    range(1, greatest(len(w50) - 1, 1)),
+        |    i -> array_to_string(w50[i:i+2], '_')), '|') AS shing,
+        |  array_to_string(list_transform(w50, x -> CAST(len(list_distinct(
+        |    w50[1:list_position(w50, x)])) AS VARCHAR)), ',') AS aed,
+        |  array_to_string(list_transform(w50, (x, i) -> CAST(len(
+        |    list_filter(w50[1:i], y -> y = x)) AS VARCHAR)), ',') AS aeu,
+        |  json_extract_string(j, '$.lang') AS sjs,
+        |  try_cast(json_extract_string(j, '$.n') AS BIGINT) AS sji,
+        |  (doc_id >> 3) & 1 AS bt,
+        |  (((doc_id >> 0) & 1) = 1 OR ((doc_id >> 1) & 1) = 1) AS bta,
+        |  CAST(bit_count(xor(doc_id, CAST(n_chars AS BIGINT))) AS BIGINT)
+        |    AS bhd,
+        |  TRUE AS fh_ok,
+        |  round(pow(2.0, CAST(doc_id % 8 AS DOUBLE)), 4) AS e2,
+        |  CAST(1 AS BIGINT) << (doc_id % 16) AS ie2
+        |FROM c ORDER BY doc_id LIMIT 300""".stripMargin,
     // ARRAY JOIN = unnest fan-out; the rewrite target's semantics
     "q_array_join" ->
       """SELECT word, count(*) AS n FROM (

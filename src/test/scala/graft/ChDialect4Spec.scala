@@ -1,0 +1,242 @@
+package graft
+
+import graft.functions.ChDialectBatch4
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CH-dialect batch 4 (ChDialectBatch4): hand-computed pins through the
+  * SQL surface, same contract style as ChDialect2Spec/ChDialect3Spec. */
+class ChDialect4Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    ChDialectBatch4.register(s)
+    s
+  }
+
+  private def one(sel: String): Any = spark.sql(s"SELECT $sel").head().get(0)
+  private def str(sel: String): String = String.valueOf(one(sel))
+  private def dbl(sel: String): Double =
+    one(sel).asInstanceOf[Number].doubleValue()
+  private def lng(sel: String): Long =
+    one(sel).asInstanceOf[Number].longValue()
+
+  test("vector distance family") {
+    assert(dbl("dotProduct(array(1d,2d,3d), array(4d,5d,6d))") == 32.0)
+    assert(dbl("arrayDotProduct(array(1,2,3), array(4,5,6))") == 32.0)
+    assert(dbl("L2Norm(array(3d,4d))") == 5.0)
+    assert(dbl("L1Norm(array(-1d,2d,-3d))") == 6.0)
+    assert(dbl("LinfNorm(array(-1d,2d,-3d))") == 3.0)
+    assert(dbl("L1Distance(array(1d,2d), array(4d,0d))") == 5.0)
+    assert(dbl("L2Distance(array(1d,2d), array(4d,6d))") == 5.0)
+    assert(dbl("L2SquaredDistance(array(1d,2d), array(4d,6d))") == 25.0)
+    assert(dbl("LinfDistance(array(1d,2d), array(4d,0d))") == 3.0)
+    assert(dbl("cosineDistance(array(1d,0d), array(0d,1d))") == 1.0)
+    assert(math.abs(dbl("cosineDistance(array(1d,2d), array(2d,4d))")) < 1e-12)
+    val n = spark.sql("SELECT normalizeL2(array(3d,4d)) AS v").head()
+      .getSeq[Double](0)
+    assert(n == Seq(0.6, 0.8))
+    // integer arrays are accepted via the double-cast adapter
+    assert(dbl("L2Norm(array(3,4))") == 5.0)
+  }
+
+  test("OrNull / OrZero conversion ladder") {
+    assert(one("toInt32OrNull('abc')") == null)
+    assert(one("toInt32OrNull('42')") == 42)
+    assert(one("toInt32OrZero('abc')") == 0)
+    assert(one("toInt64OrZero('9')") == 9L)
+    assert(one("toInt8OrNull('200')") == null) // overflow → NULL, not wrap
+    assert(one("toInt8OrZero('200')") == 0.toByte)
+    assert(one("toUInt64OrZero('x')") == new java.math.BigDecimal(0))
+    assert(one("toFloat64OrNull('3.5')") == 3.5)
+    assert(one("toFloat32OrZero('nope')") == 0.0f)
+    assert(one("toDateOrNull('never')") == null)
+    assert(str("toDateOrNull('2024-02-29')") == "2024-02-29")
+    assert(one("toDateTimeOrNull('bogus')") == null)
+  }
+
+  test("toStartOfInterval: sub-month floors epoch micros, months floor the ordinal") {
+    assert(str("toStartOfInterval(timestamp'2024-01-01 12:34:56', " +
+      "INTERVAL 15 MINUTE)") == "2024-01-01 12:30:00.0")
+    assert(str("toStartOfInterval(timestamp'2024-01-01 12:34:56', " +
+      "INTERVAL 6 HOUR)") == "2024-01-01 12:00:00.0")
+    // floor-correct BEFORE the epoch (a truncating div would round up)
+    assert(str("toStartOfInterval(timestamp'1969-12-31 23:50:00', " +
+      "INTERVAL 1 HOUR)") == "1969-12-31 23:00:00.0")
+    // month ordinal: Feb 2024 is month 649 since epoch → floor to 648
+    assert(str("toStartOfInterval(date'2024-02-15', INTERVAL 2 MONTH)")
+      == "2024-01-01")
+    assert(str("toStartOfInterval(date'2024-05-15', INTERVAL 1 YEAR)")
+      == "2024-01-01")
+    val e = intercept[Exception] {
+      spark.sql("SELECT toStartOfInterval(now(), 5)").collect()
+    }
+    assert(e.getMessage.contains("INTERVAL"))
+  }
+
+  test("toRelative*Num and age") {
+    assert(lng("toRelativeHourNum(timestamp'1970-01-01 05:30:00')") == 5L)
+    assert(lng("toRelativeDayNum(timestamp'1970-01-03 01:00:00')") == 2L)
+    // pre-epoch rows land in the EARLIER bucket (floor, not truncate)
+    assert(lng("toRelativeHourNum(timestamp'1969-12-31 23:30:00')") == -1L)
+    assert(lng("age('minute', timestamp'2024-01-01 00:00:00', " +
+      "timestamp'2024-01-01 00:01:30')") == 1L)
+    // CH: reversed operands count NEGATIVE complete units (truncation
+    // toward zero — one complete minute, not two)
+    assert(lng("age('minute', timestamp'2024-01-01 00:01:30', " +
+      "timestamp'2024-01-01 00:00:00')") == -1L)
+    assert(lng("age('week', timestamp'2024-01-01 00:00:00', " +
+      "timestamp'2024-01-16 00:00:00')") == 2L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT age('month', now(), now())").collect()
+    }
+    assert(e.getMessage.contains("dateDiff"))
+  }
+
+  test("64-bit epoch conversions and DateTime64 precision gate") {
+    assert(str("fromUnixTimestamp64Milli(1500)")
+      == "1970-01-01 00:00:01.5")
+    assert(lng("toUnixTimestamp64Milli(timestamp'1970-01-01 00:00:01.5')")
+      == 1500L)
+    assert(lng("toUnixTimestamp64Micro(fromUnixTimestamp64Micro(987654321))")
+      == 987654321L)
+    assert(str("toDateTime64('2024-03-01 10:00:00', 3)")
+      == "2024-03-01 10:00:00.0")
+    val e = intercept[Exception] {
+      spark.sql("SELECT toDateTime64(now(), 9)").collect()
+    }
+    assert(e.getMessage.contains("DIVERGENCES #7"))
+  }
+
+  test("string splitters and search") {
+    assert(spark.sql("SELECT splitByWhitespace('  a  b ') AS v").head()
+      .getSeq[String](0) == Seq("a", "b"))
+    // CH argument order: pattern FIRST; empties kept like splitByChar
+    assert(spark.sql("SELECT splitByRegexp('n', 'banana') AS v").head()
+      .getSeq[String](0) == Seq("ba", "a", "a"))
+    assert(spark.sql("SELECT splitByRegexp('[0-9]+', 'a1b22c') AS v").head()
+      .getSeq[String](0) == Seq("a", "b", "c"))
+    assert(lng("positionUTF8('hello', 'll')") == 3L)
+    assert(lng("positionUTF8('hello', 'zz')") == 0L)
+    assert(str("concatAssumeInjective('a', 'b', 'c')") == "abc")
+    assert(lng("countMatches('aaa', 'aa')") == 1L) // non-overlapping
+    assert(lng("countMatches('a1b22c333', '[0-9]+')") == 3L)
+  }
+
+  test("extractGroups and regexpQuoteMeta") {
+    assert(spark.sql(
+      raw"SELECT extractGroups('2024-01-15', '(\\d+)-(\\d+)') AS v").head()
+      .getSeq[String](0) == Seq("2024", "01"))
+    assert(spark.sql(
+      raw"SELECT extractGroups('nope', '(\\d+)') AS v").head()
+      .getSeq[String](0) == Seq.empty)
+    assert(str("regexpQuoteMeta('a.b*c')") == raw"a\.b\*c")
+    assert(str("regexpQuoteMeta('x[1]-(2)')") == raw"x\[1\]\-\(2\)")
+    // the escaped output really is a literal matcher for the input
+    assert(one("'a.b*c' rlike regexpQuoteMeta('a.b*c')") == true)
+    assert(one("'aXbYc' rlike regexpQuoteMeta('a.b*c')") == false)
+  }
+
+  test("array tail: fold/resize/constant/rotate/shingles/enumerate") {
+    assert(lng("arrayFold((acc, x) -> acc * 2 + x, array(1L,2L,3L), 0L)")
+      == 11L)
+    assert(spark.sql("SELECT arrayResize(array(1,2,3), 2, 0) AS v").head()
+      .getSeq[Int](0) == Seq(1, 2))
+    assert(spark.sql("SELECT arrayResize(array(1,2), 4, 9) AS v").head()
+      .getSeq[Int](0) == Seq(1, 2, 9, 9))
+    assert(spark.sql("SELECT arrayResize(array(1,2), 0, 9) AS v").head()
+      .getSeq[Int](0) == Seq.empty)
+    val e = intercept[Exception] {
+      spark.sql("SELECT arrayResize(array(1), 3)").collect()
+    }
+    assert(e.getMessage.contains("extender"))
+    assert(spark.sql("SELECT arrayWithConstant(3, 'x') AS v").head()
+      .getSeq[String](0) == Seq("x", "x", "x"))
+    assert(spark.sql("SELECT arrayRotateLeft(array(1,2,3,4,5), 2) AS v")
+      .head().getSeq[Int](0) == Seq(3, 4, 5, 1, 2))
+    // negative shift rotates the other way (CH behavior)
+    assert(spark.sql("SELECT arrayRotateLeft(array(1,2,3,4,5), -1) AS v")
+      .head().getSeq[Int](0) == Seq(5, 1, 2, 3, 4))
+    assert(spark.sql("SELECT arrayRotateRight(array(1,2,3,4,5), 2) AS v")
+      .head().getSeq[Int](0) == Seq(4, 5, 1, 2, 3))
+    assert(spark.sql("SELECT arrayRotateLeft(array(), 3) AS v")
+      .head().getSeq[Int](0) == Seq.empty)
+    assert(spark.sql("SELECT arrayShingles(array(1,2,3,4), 3) AS v").head()
+      .getSeq[Seq[Int]](0) == Seq(Seq(1, 2, 3), Seq(2, 3, 4)))
+    assert(spark.sql("SELECT arrayShingles(array(1,2), 3) AS v").head()
+      .getSeq[Seq[Int]](0) == Seq.empty)
+    assert(spark.sql("SELECT arrayEnumerateDense(array(10,20,10,30)) AS v")
+      .head().getSeq[Long](0) == Seq(1L, 2L, 1L, 3L))
+    assert(spark.sql("SELECT arrayEnumerateUniq(array(10,20,10,10)) AS v")
+      .head().getSeq[Int](0) == Seq(1, 1, 2, 3))
+  }
+
+  test("mapFilter keeps CH argument order") {
+    val m = spark.sql(
+      "SELECT mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS m")
+      .head().getMap[String, Int](0)
+    assert(m == Map("b" -> 2))
+  }
+
+  test("simpleJSON (visitParam) accessors") {
+    val j = """'{"a":"x","n":7,"f":2.5,"b":true}'"""
+    assert(str(s"simpleJSONExtractString($j, 'a')") == "x")
+    assert(str(s"visitParamExtractString($j, 'a')") == "x")
+    assert(lng(s"simpleJSONExtractInt($j, 'n')") == 7L)
+    assert(dbl(s"simpleJSONExtractFloat($j, 'f')") == 2.5)
+    assert(one(s"simpleJSONExtractBool($j, 'b')") == true)
+    assert(one(s"simpleJSONHas($j, 'a')") == true)
+    assert(one(s"simpleJSONHas($j, 'zz')") == false)
+    // malformed number → NULL (try-cast), not a throw
+    assert(one(s"simpleJSONExtractInt($j, 'a')") == null)
+  }
+
+  test("formatReadableQuantity") {
+    assert(str("formatReadableQuantity(123)") == "123.00")
+    assert(str("formatReadableQuantity(1234)") == "1.23 thousand")
+    assert(str("formatReadableQuantity(1234567)") == "1.23 million")
+    assert(str("formatReadableQuantity(8765432100)") == "8.77 billion")
+    assert(str("formatReadableQuantity(5e12)") == "5.00 trillion")
+  }
+
+  test("bit tests and Hamming distance") {
+    assert(lng("bitTest(5, 0)") == 1L)
+    assert(lng("bitTest(5, 1)") == 0L)
+    assert(one("bitTestAll(7, 0, 1, 2)") == true)
+    assert(one("bitTestAll(5, 0, 1)") == false)
+    assert(one("bitTestAny(4, 0, 1)") == false)
+    assert(one("bitTestAny(6, 0, 1)") == true)
+    assert(lng("bitHammingDistance(5, 1)") == 1L)
+    assert(lng("bitHammingDistance(0, -1)") == 64L)
+  }
+
+  test("hash spellings and UUID") {
+    // same divergence stance as cityHash64: stable, same role (xxhash64's
+    // builtin default seed is the same 42 the batch-1 hashes pin)
+    assert(one("farmHash64('x') = xxhash64('x')") == true)
+    assert(one("halfMD5('x') = farmHash64('x')") == true)
+    assert(str("generateUUIDv4()").matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+  }
+
+  test("quantile spellings") {
+    spark.sql("SELECT explode(sequence(1, 100)) AS v")
+      .createOrReplaceTempView("q4_t")
+    assert(dbl("quantileExact(0.5, v) FROM q4_t") == 50.5)
+    assert(dbl("medianExact(v) FROM q4_t") == 50.5)
+    assert(spark.sql("SELECT quantilesExact(0.1, 0.9, v) AS q FROM q4_t")
+      .head().getSeq[Double](0).map(math.round) == Seq(11L, 90L))
+    // TDigest sketch: approximate but tight on 100 distinct values
+    assert(math.abs(dbl("quantileTDigest(0.5, v) FROM q4_t") - 50.0) <= 2.0)
+    val qs = spark.sql("SELECT quantilesTDigest(0.1, 0.9, v) AS q FROM q4_t")
+      .head().getSeq[Double](0)
+    assert(qs.length == 2 && qs.head < qs.last)
+    val u = lng("uniqTheta(v) FROM q4_t")
+    assert(math.abs(u - 100L) <= 5)
+  }
+
+  test("math tail") {
+    assert(dbl("exp2(3)") == 8.0)
+    assert(dbl("exp10(2)") == 100.0)
+    assert(lng("intExp2(4)") == 16L)
+  }
+}
