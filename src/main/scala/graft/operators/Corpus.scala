@@ -606,4 +606,166 @@ object Corpus {
         sum(col("n_shared")).as("n_shared_grams"),
         max(col("n_shared")).as("max_shared"))
   }
+
+  /** Deterministic global shuffle for training-data export: every row
+    * gets a seeded pseudo-random ORDER (an md5 over seed:id — change the
+    * seed, get an independent permutation), a SHARD (the order key mod
+    * `nShards` — the output file the row lands in), and optionally its
+    * POSITION within the shard.
+    *
+    * This is the step right before "write the training files": trainers
+    * want the corpus in a random but REPRODUCIBLE order, split into
+    * equal-ish files, with no correlation between adjacent rows and
+    * source/time locality destroyed. A seeded hash sort is the standard
+    * 100 TB way to do it — a true `ORDER BY rand()` is neither stable
+    * under retries nor resumable.
+    *
+    * Scale shape: assigning `shard` and `sort_key` is a pure projection
+    * (zero shuffles); the exported layout is one
+    * `repartition(shard) + sortWithinPartitions(sort_key)` — exactly one
+    * exchange, the theoretical minimum for a global shuffle. The
+    * per-shard `pos` column (withPositions=true) adds a window
+    * partitioned by shard: each shard sorts in ONE task, so it is for
+    * shard-sized-like-a-file use (the point of nShards) — at 100 TB with
+    * 1 GiB shards that invariant holds by construction; exporters that
+    * only need file-internal order skip positions and let the writer's
+    * sortWithinPartitions do the work.
+    */
+  def shuffleExport(docs: DataFrame, idCol: String, seed: String,
+      nShards: Int, withPositions: Boolean = true): DataFrame = {
+    require(nShards > 0, s"shuffleExport: nShards must be positive")
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val base = docs
+      .withColumn("sort_key", key)
+      .withColumn("shard",
+        (conv(substring(col("sort_key"), 1, 8), 16, 10).cast("long")
+          % nShards).cast("int"))
+    if (!withPositions) base
+    else base.withColumn("pos", row_number()
+      .over(Window.partitionBy(col("shard"))
+        .orderBy(col("sort_key"), col(idCol)))
+      .cast("long"))
+  }
+
+  /** Source mixing: resample the corpus to a TARGET MIXTURE of sources
+    * (the "data recipe" step of a training pipeline — e.g. 60% web, 30%
+    * code, 10% reference). Given desired proportions per source, the
+    * feasible total is N = min_s floor(n_s / p_s) (the scarcest source
+    * binds); each source keeps its k_s = floor(N · p_s) smallest-hash
+    * documents — a deterministic, seed-stable choice that is also a
+    * uniform sample within the source.
+    *
+    * Sources absent from `proportions` are dropped (weight 0). Rows keep
+    * a `keep` flag rather than being filtered so callers can audit what
+    * the recipe discarded.
+    *
+    * Scale shape: one tiny aggregate for per-source counts (|sources|
+    * rows, collected — bounded by the recipe size), then ONE per-source
+    * top-k window over the hash order — the same per-stratum local
+    * window as stratified sampling, never a global sort. The hash order
+    * means growing the corpus only ever ADDS documents to a source's
+    * keep set boundary, it does not reshuffle survivors.
+    */
+  def sourceMix(docs: DataFrame, idCol: String, sourceCol: String,
+      proportions: Map[String, Double], seed: String = "mix"): DataFrame = {
+    require(proportions.nonEmpty, "sourceMix: empty recipe")
+    require(proportions.values.forall(p => p > 0 && p <= 1),
+      "sourceMix: proportions must be in (0, 1]")
+    val psum = proportions.values.sum
+    require(math.abs(psum - 1.0) < 1e-9,
+      s"sourceMix: proportions must sum to 1 (got $psum)")
+    // counts only for sources IN the recipe: the collect is bounded by
+    // the recipe size, not by the corpus's (possibly unbounded) distinct
+    // source count — rows outside the recipe keep=false without a count
+    val counts = docs
+      .where(col(sourceCol).isin(proportions.keys.toSeq: _*))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTotal = proportions.collect {
+      case (s, p) if counts.contains(s) =>
+        math.floor(counts(s) / p).toLong
+    }.reduceOption(_ min _).getOrElse(0L)
+    val kPerSource = proportions.map { case (s, p) =>
+      s -> math.floor(nTotal * p).toLong
+    }
+    val kExpr = kPerSource.foldLeft(lit(0L)) { case (acc, (s, k)) =>
+      when(col(sourceCol) === s, lit(k)).otherwise(acc)
+    }
+    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(h, col(idCol))
+    docs.withColumn("__mix_rn", row_number().over(w))
+      .withColumn("keep", col("__mix_rn") <= kExpr)
+      .drop("__mix_rn")
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed n-gram bag is under a
+    * TARGET distribution than under the RAW distribution. Selection =
+    * keep the top weights (or Gumbel top-k on them).
+    *
+    * Features: unigrams + bigrams of the normalized text, hashed into
+    * `buckets` buckets (md5 → first 8 hex digits → mod B — the same
+    * cross-engine-exact bucket spelling as [[splitAssign]]'s threshold).
+    * Distributions: add-one-smoothed bucket frequencies; the target is
+    * `targetPred` (a predicate over the corpus's own columns — e.g. a
+    * curated subset, a language, a quality gate).
+    *
+    * Output per doc: `n_feats` (bag size), `llr` — the DSIR importance
+    * log-weight Σ_t [ln p_tgt(b_t) − ln p_raw(b_t)], emitted at 4 dp
+    * (the one deliberately-transcendental signal in the corpus family:
+    * a product of 10²-ish probability ratios has no rational same-rank
+    * reformulation that survives fixed-point; the ln args are INTEGER
+    * counts so both engines evaluate the same doubles, and 4 dp absorbs
+    * the ≤2-ulp libm spread) — plus exact integer anchors `sum_tgt`,
+    * `sum_raw` (Σ smoothed bucket counts) that pin the feature
+    * extraction and counting bit-for-bit.
+    *
+    * Scale shape: ONE explode→groupBy(bucket) trains BOTH distributions
+    * (conditional aggregation — the target pass is not a second scan);
+    * the stats frame is ≤ `buckets` rows — bounded by construction, so
+    * broadcasting it back to the scoring scan needs NO size gate (this
+    * is the point of hashed features: unlike [[unigramScore]]'s
+    * unbounded vocab, B is a dial). Scoring is one more token pass +
+    * groupBy(doc) — map-side combined integer/double sums.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "dsirWeights: buckets must be positive")
+    val uni = split(TextAnalysis.normalized(col(textCol)), " ")
+    // bigrams via zip_with(w, w[2:]) — NOT element_at in a sequence
+    // lambda, which re-evaluates the whole normalize+split per ELEMENT
+    // (O(len²) regex work per doc; measured 6× slower at sf0.1). The
+    // trailing (w_n, null) pad pair is cut by the outer slice.
+    val bi = slice(
+      zip_with(uni, slice(uni, lit(2), greatest(size(uni) - 1, lit(1))),
+        (a, b) => concat_ws(" ", a, b)),
+      lit(1), greatest(size(uni) - 1, lit(0)))
+    val feats = docs.select(col(idCol).as("doc_id"),
+        targetPred.as("is_tgt"),
+        explode(concat(uni, bi)).as("f"))
+      .select(col("doc_id"), col("is_tgt"),
+        (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long")
+          % buckets).as("b"))
+    val stats = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+    val totals = stats.agg(
+      sum(col("c_raw")).as("t_raw"), sum(col("c_tgt")).as("t_tgt"))
+    feats.join(broadcast(stats), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_feats"),
+        sum(col("c_tgt") + 1L).as("sum_tgt"),
+        sum(col("c_raw") + 1L).as("sum_raw"),
+        sum(log(col("c_tgt") + lit(1.0d)) - log(col("c_raw") + lit(1.0d)))
+          .as("lr_counts"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_feats"), col("sum_tgt"), col("sum_raw"),
+        round(col("lr_counts") + col("n_feats") *
+            (log(col("t_raw") + lit(buckets.toDouble))
+              - log(col("t_tgt") + lit(buckets.toDouble))), 4)
+          .as("llr"))
+      .orderBy(col("doc_id"))
+  }
 }

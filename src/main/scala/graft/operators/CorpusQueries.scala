@@ -387,13 +387,109 @@ object CorpusQueries {
     "d_sample_stratified" -> (dSampleStratified _),
     "d_pack_bins" -> (dPackBins _),
     "d_clean_pipeline" -> (dCleanPipeline _),
+    "d_shuffle_export" -> (dShuffleExport _),
+    "d_source_mix" -> (dSourceMix _),
+    "d_dsir_weights" -> (dDsirWeights _),
     "q_sessionize" -> (qSessionize _))
+
+  /** Seeded deterministic global shuffle into 8 export shards with
+    * per-shard positions (Corpus.shuffleExport). */
+  def dShuffleExport(spark: SparkSession, dir: String): DataFrame =
+    Corpus.shuffleExport(docs(spark, dir), "doc_id", "r9", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("sort_key"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
+  /** 50/30/20 source recipe over src0/src1/src2 (Corpus.sourceMix);
+    * other sources audit as keep=false. */
+  def dSourceMix(spark: SparkSession, dir: String): DataFrame =
+    Corpus.sourceMix(docs(spark, dir), "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .select(col("doc_id"), col("source"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  /** DSIR importance log-weights against the lang='en' target
+    * (Corpus.dsirWeights, hashed unigram+bigram bag, B=4096). */
+  def dDsirWeights(spark: SparkSession, dir: String): DataFrame =
+    Corpus.dsirWeights(docs(spark, dir), "doc_id", "text",
+      col("lang") === "en", buckets = 4096)
 
   private val normSql =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
       |      ' +', ' ', 'g'))""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // seeded hash order, shard = first-8-hex mod 8, per-shard positions
+    "d_shuffle_export" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5('r9:' || CAST(doc_id AS VARCHAR)) AS sort_key
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, sort_key,
+        |    CAST(('0x' || substr(sort_key, 1, 8))::BIGINT % 8 AS INT)
+        |      AS shard
+        |  FROM k)
+        |SELECT doc_id, shard, sort_key,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY sort_key, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    // recipe feasibility (scarcest source binds) + per-source hash-order
+    // top-k, recomputed from scratch
+    "d_source_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+        |), nt AS (
+        |  SELECT min(CAST(floor(n / p) AS BIGINT)) AS ntot FROM (
+        |    SELECT n, CASE source WHEN 'src0' THEN 0.5
+        |      WHEN 'src1' THEN 0.3 ELSE 0.2 END AS p FROM c)
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN source = 'src0' THEN rn <= (SELECT floor(ntot * 0.5) FROM nt)
+        |       WHEN source = 'src1' THEN rn <= (SELECT floor(ntot * 0.3) FROM nt)
+        |       WHEN source = 'src2' THEN rn <= (SELECT floor(ntot * 0.2) FROM nt)
+        |       ELSE FALSE END AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // the full DSIR pipeline re-run in SQL: hashed unigram+bigram bag,
+    // add-one smoothed bucket stats, per-doc LLR (integer anchors exact;
+    // the ln sum is the one transcendental — 4 dp absorbs libm spread)
+    "d_dsir_weights" ->
+      s"""WITH nd AS (
+         |  SELECT doc_id, lang = 'en' AS is_tgt,
+         |    string_split($normSql, ' ') AS w
+         |  FROM documents
+         |), toks AS (
+         |  SELECT doc_id, is_tgt, unnest(w) AS f FROM nd
+         |  UNION ALL
+         |  SELECT doc_id, is_tgt,
+         |    unnest(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i + 1])) AS f
+         |  FROM nd
+         |), feats AS (
+         |  SELECT doc_id, is_tgt,
+         |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS b
+         |  FROM toks
+         |), stats AS (
+         |  SELECT b, count(*) AS c_raw,
+         |    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt
+         |  FROM feats GROUP BY b
+         |), tot AS (
+         |  SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+         |    CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM stats
+         |), sc AS (
+         |  SELECT f.doc_id, count(*) AS n_feats,
+         |    CAST(sum(c_tgt + 1) AS BIGINT) AS sum_tgt,
+         |    CAST(sum(c_raw + 1) AS BIGINT) AS sum_raw,
+         |    sum(ln(CAST(c_tgt + 1 AS DOUBLE))
+         |      - ln(CAST(c_raw + 1 AS DOUBLE))) AS lr
+         |  FROM feats f JOIN stats USING (b) GROUP BY f.doc_id)
+         |SELECT doc_id, n_feats, sum_tgt, sum_raw,
+         |  round(lr + n_feats * (ln(CAST(t_raw + 4096 AS DOUBLE))
+         |    - ln(CAST(t_tgt + 4096 AS DOUBLE))), 4) AS llr
+         |FROM sc, tot ORDER BY doc_id""".stripMargin,
     // canonical form derived from the construction (variants 0/1 → bare
     // path, 2/3 → sorted params) — urlNormalize itself never runs here
     "d_url_dedup" ->

@@ -665,4 +665,82 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.chunkWindows(docs, "doc_id", "text", window = 0, stride = 1)
     }
   }
+
+  test("shuffleExport: seeded permutation, contiguous per-shard positions") {
+    val docs = (1L to 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = Corpus.shuffleExport(docs, "doc_id", "s1", nShards = 4)
+      .select($"doc_id", $"shard", $"pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 200)
+    // positions are exactly 1..n within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // every shard is hit and none dominates (md5 spreads uniformly)
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3))
+    assert(sizes.values.max <= 90)
+    // deterministic across runs; a different seed permutes
+    val again = Corpus.shuffleExport(docs, "doc_id", "s1", nShards = 4)
+      .select($"doc_id", $"shard", $"pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val other = Corpus.shuffleExport(docs, "doc_id", "s2", nShards = 4)
+      .select($"doc_id", $"shard", $"pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(other.sortBy(_._1).toSeq != out.sortBy(_._1).toSeq)
+    // withPositions=false is a pure projection: no exchange in the plan
+    val flat = Corpus.shuffleExport(docs, "doc_id", "s1", 4,
+      withPositions = false)
+    assert(!flat.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("sourceMix: recipe proportions exact, scarcest source binds, prefix-stable growth") {
+    // src a: 100 docs, b: 60, c: 15 — recipe 50/30/20 ⇒ the scarce c
+    // binds: N = floor(15/0.2) = 75 ⇒ k = (37, 22, 15)
+    val docs = ((1L to 100L).map((_, "a")) ++ (101L to 160L).map((_, "b")) ++
+      (161L to 175L).map((_, "c")) ++ Seq((999L, "other")))
+      .toDF("doc_id", "source")
+    val mix = Corpus.sourceMix(docs, "doc_id", "source",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    val kept = mix.where($"keep").groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("a" -> 37L, "b" -> 22L, "c" -> 15L))
+    // sources outside the recipe audit as keep=false, never dropped rows
+    assert(mix.count() == 176)
+    assert(mix.where($"source" === "other" && $"keep").count() == 0)
+    // growth is prefix-stable: doubling the scarce source only ADDS
+    // survivors — every previously-kept doc is still kept
+    val grown = docs.union((176L to 190L).map((_, "c")).toDF("doc_id", "source"))
+    val keptBefore = mix.where($"keep").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val keptAfter = Corpus.sourceMix(grown, "doc_id", "source",
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+      .where($"keep").select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptBefore.subsetOf(keptAfter))
+    intercept[IllegalArgumentException] {
+      Corpus.sourceMix(docs, "doc_id", "source", Map("a" -> 0.5))
+    }
+  }
+
+  test("dsirWeights: target-typical docs score above raw-typical docs") {
+    // target (is_tgt) docs speak "alpha beta", raw background speaks
+    // "gamma delta"; two probes share one dialect each
+    val docs = ((1L to 20L).map(i => (i, "alpha beta alpha beta", "tgt")) ++
+      (21L to 60L).map(i => (i, "gamma delta gamma delta", "bg")) ++
+      Seq((100L, "alpha beta alpha", "probe"),
+          (101L, "gamma delta gamma", "probe")))
+      .toDF("doc_id", "text", "kind")
+    val w = Corpus.dsirWeights(docs, "doc_id", "text",
+        col("kind") === "tgt", buckets = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(4))).toMap
+    // n_feats = unigrams + bigrams = 2·len − 1
+    assert(w(100L)._1 == 5L) // 3 unigrams + 2 bigrams
+    assert(w(1L)._1 == 7L)   // 4 + 3
+    // the target-dialect probe outweighs the background-dialect probe
+    assert(w(100L)._2 > w(101L)._2)
+    // and the gap is decisive, not noise
+    assert(w(100L)._2 - w(101L)._2 > 1.0)
+  }
 }
