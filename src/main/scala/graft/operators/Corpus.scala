@@ -698,6 +698,79 @@ object Corpus {
       .drop("__mix_rn")
   }
 
+  /** Interpolated bigram LM typicality — the next rung above
+    * [[unigramScore]] on the CCNet-style quality ladder: score each
+    * document by how predictable its word TRANSITIONS are under
+    * corpus-trained statistics, not just its word choice. A document of
+    * common words in nonsense order (the classic spam/boilerplate
+    * signature that fools a unigram score) ranks low here.
+    *
+    * Model: Jelinek–Mercer interpolation,
+    * `p(w_t | w_{t-1}) = λ·c(w_{t-1} w_t)/c(w_{t-1}) + (1−λ)·c(w_t)/T`,
+    * with λ = 3/4 (exactly binary-representable, so both engines compute
+    * identical per-token doubles). The emitted signal is the arithmetic
+    * MEAN of per-transition probabilities (the same no-log stance as
+    * [[unigramScore]] — ranking-equivalent for the gate's use), rounded
+    * at 6 dp: each p_t is bit-identical cross-engine (IEEE ·,/ on
+    * identical integers); only the Σ's addition order differs, a ~1e-14
+    * spread that 6 dp absorbs. Exact integer anchors `n_pairs` and
+    * `sum_bi_freq` pin tokenization and counting bit-for-bit.
+    *
+    * Single-token documents carry no transition evidence and are absent
+    * from the output (callers coalesce against the unigram signal).
+    *
+    * Scale shape: one explode→groupBy(w) for the unigram vocab, one
+    * pair-explode→groupBy(w1,w2) for the bigram vocab (both map-side
+    * combined; |V_bi| is sublinear but grows faster than |V_uni| — the
+    * broadcast gate's default is accordingly 4× lower than
+    * unigramScore's), then ONE scoring pass over the pair stream with
+    * three vocab joins (bigram, left-context unigram, right-word
+    * unigram) — all broadcast below the gate, SHUFFLE_HASH with the
+    * vocab as build side past it, same fallback contract as
+    * [[unigramScore]].
+    */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75,
+      broadcastVocab: Option[Boolean] = None,
+      broadcastMaxDocs: Long = 500000L): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"bigramScore: λ=$lambda ∉ [0,1]")
+    val w = split(TextAnalysis.normalized(col(textCol)), " ")
+    val pairsArr = slice(
+      zip_with(w, slice(w, lit(2), greatest(size(w) - 1, lit(1))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      lit(1), greatest(size(w) - 1, lit(0)))
+    val base = docs.select(col(idCol).as("doc_id"), w.as("ws"),
+      pairsArr.as("ps"))
+    val toks = base.select(col("doc_id"), explode(col("ps")).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val uniVocab = base.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uniVocab.agg(sum(col("c")).as("t_tokens"))
+    val biVocab = toks.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val useBroadcast = broadcastVocab.getOrElse(
+      BroadcastGate.estimateOrCount(docs) <= broadcastMaxDocs)
+    def gated(v: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(v) else v.hint("SHUFFLE_HASH")
+    val lam = lit(lambda)
+    toks
+      .join(gated(biVocab), Seq("w1", "w2"))
+      .join(gated(uniVocab.select(col("w").as("w1"), col("c").as("c1"))),
+        Seq("w1"))
+      .join(gated(uniVocab.select(col("w").as("w2"), col("c").as("c2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (lam * col("cb") / col("c1")
+          + (lit(1.0d) - lam) * col("c2") / col("t_tokens")).as("p"),
+        col("cb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cb")).as("sum_bi_freq"),
+        round(sum(col("p")) / count(lit(1)), 6).as("mean_trans_prob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how much more likely its hashed n-gram bag is under a

@@ -390,6 +390,7 @@ object CorpusQueries {
     "d_shuffle_export" -> (dShuffleExport _),
     "d_source_mix" -> (dSourceMix _),
     "d_dsir_weights" -> (dDsirWeights _),
+    "d_bigram_score" -> (dBigramScore _),
     "q_sessionize" -> (qSessionize _))
 
   /** Seeded deterministic global shuffle into 8 export shards with
@@ -412,6 +413,10 @@ object CorpusQueries {
   def dDsirWeights(spark: SparkSession, dir: String): DataFrame =
     Corpus.dsirWeights(docs(spark, dir), "doc_id", "text",
       col("lang") === "en", buckets = 4096)
+
+  /** Jelinek–Mercer bigram LM typicality (Corpus.bigramScore, λ=3/4). */
+  def dBigramScore(spark: SparkSession, dir: String): DataFrame =
+    Corpus.bigramScore(docs(spark, dir), "doc_id", "text")
 
   private val normSql =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
@@ -453,6 +458,38 @@ object CorpusQueries {
         |       WHEN source = 'src2' THEN rn <= (SELECT floor(ntot * 0.2) FROM nt)
         |       ELSE FALSE END AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    // the JM-interpolated bigram LM re-run from scratch: parallel unnest
+    // zips the adjacent-word pairs; λ terms forced to DOUBLE so DuckDB
+    // doesn't slip into DECIMAL arithmetic (Spark's lit(0.75) is double);
+    // identical op grouping per transition, 6 dp absorbs Σ-order spread
+    "d_bigram_score" ->
+      s"""WITH nd AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS w
+         |  FROM documents
+         |), toks AS (
+         |  SELECT doc_id, unnest(w) AS w FROM nd
+         |), uni AS (
+         |  SELECT w, count(*) AS c FROM toks GROUP BY w
+         |), tot AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS t FROM uni
+         |), pp AS (
+         |  SELECT doc_id, unnest(w[:len(w) - 1]) AS w1,
+         |    unnest(w[2:]) AS w2
+         |  FROM nd
+         |), bi AS (
+         |  SELECT w1, w2, count(*) AS cb FROM pp GROUP BY w1, w2
+         |), sc AS (
+         |  SELECT pp.doc_id,
+         |    0.75::DOUBLE * cb / u1.c + 0.25::DOUBLE * u2.c / t AS p,
+         |    cb
+         |  FROM pp
+         |    JOIN bi USING (w1, w2)
+         |    JOIN uni u1 ON u1.w = pp.w1
+         |    JOIN uni u2 ON u2.w = pp.w2, tot)
+         |SELECT doc_id, count(*) AS n_pairs,
+         |  CAST(sum(cb) AS BIGINT) AS sum_bi_freq,
+         |  round(sum(p) / count(*), 6) AS mean_trans_prob
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the full DSIR pipeline re-run in SQL: hashed unigram+bigram bag,
     // add-one smoothed bucket stats, per-doc LLR (integer anchors exact;
     // the ln sum is the one transcendental — 4 dp absorbs libm spread)

@@ -723,6 +723,33 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramScore: transition typicality ranks scrambled text below typical text") {
+    // 20 docs establish the dominant transitions; probe 100 uses them in
+    // order, probe 101 uses the SAME WORDS in an order the corpus never
+    // produces — a unigram score cannot tell them apart, bigram can
+    val docs = ((1L to 20L).map(i => (i, "the data is stored in tables")) ++
+      Seq((100L, "the data is stored"), (101L, "stored is data the")))
+      .toDF("doc_id", "text")
+    val out = Corpus.bigramScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(100L)._1 == 3L) // 4 tokens → 3 transitions
+    assert(out(100L)._2 > out(101L)._2)
+    assert(out(100L)._2 - out(101L)._2 > 0.1)
+    // single-token docs carry no transition evidence → absent
+    val single = Seq((1L, "hello world"), (2L, "hello")).toDF("doc_id", "text")
+    assert(Corpus.bigramScore(single, "doc_id", "text")
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // forced fallback: SHUFFLE_HASH plan, byte-equal results
+    val fb = Corpus.bigramScore(docs, "doc_id", "text",
+      broadcastVocab = Some(false))
+    assert(fb.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"))
+    val a = Corpus.bigramScore(docs, "doc_id", "text").collect().toSeq
+    val b = fb.collect().toSeq
+    assert(a == b)
+  }
+
   test("dsirWeights: target-typical docs score above raw-typical docs") {
     // target (is_tgt) docs speak "alpha beta", raw background speaks
     // "gamma delta"; two probes share one dialect each
