@@ -267,6 +267,10 @@ object ClickHouseFunctions {
     *    form (`ARRAY JOIN a AS x, b AS y` iterates in parallel, which
     *    LATERAL VIEW chains would turn into a cartesian) are REFUSED
     *    with the fix rather than silently mis-joined.
+    *  - `GLOBAL IN` / `GLOBAL JOIN` — the GLOBAL shard-shipping modifier
+    *    is dropped (Spark's planner distributes subqueries itself);
+    *  - a TERMINAL `FORMAT <name>` clause is stripped (the DataFrame is
+    *    the result; output formatting belongs to the caller).
     * Text-level rewrites: a string LITERAL containing these keywords
     * would be rewritten too — documented sharp edge, same trade the
     * dateDiff rewrite has always made. */
@@ -317,7 +321,20 @@ object ClickHouseFunctions {
           "one WHERE (Spark pushes filters to the scan — PREWHERE's " +
           "intent — automatically)")
     val noPre = sampled.replaceAll("(?i)\\bprewhere\\b", "WHERE")
-    noPre.replaceAll(
+    // GLOBAL IN / GLOBAL JOIN: CH's "ship the subquery to every shard"
+    // modifier — Spark's planner distributes subqueries and builds
+    // broadcast/shuffle sides itself, so the keyword is semantics-free
+    // here and simply dropped.
+    val noGlobal = noPre.replaceAll(
+      "(?i)\\bglobal\\s+(not\\s+in|in|((left|right|full|cross|inner)\\s+)*join)\\b",
+      "$1")
+    // trailing FORMAT <name>: CH's client-side output format clause —
+    // result formatting belongs to the caller here (the DataFrame IS the
+    // result), so a terminal FORMAT is stripped. Only at statement end:
+    // anywhere else the word may be an identifier.
+    val noFormat = noGlobal.replaceAll(
+      "(?is)\\s*\\bformat\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$", "")
+    noFormat.replaceAll(
       "(?i)\\b(dateDiff|date_diff|timestampDiff)\\s*\\(\\s*'([a-zA-Z]+)'\\s*,",
       "$1($2,")
   }

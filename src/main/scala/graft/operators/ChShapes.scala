@@ -50,6 +50,35 @@ object ChShapes {
       .drop(rn)
   }
 
+  // ---------------------------------------------------------- WITH TIES
+  /** CH `ORDER BY key LIMIT n WITH TIES`: the top n rows PLUS every row
+    * tying with the n-th row's key value.
+    *
+    * Scale shape: NOT a global rank() window (single-partition sort of
+    * the whole input). Instead: (1) a distributed top-n
+    * (TakeOrderedAndProject — n bounded) finds the BOUNDARY key, (2) the
+    * one-row boundary broadcasts, (3) one filter scan keeps everything
+    * at-or-better — the same two-pass threshold shape as the per-lang
+    * quality gate. Inputs smaller than n keep every row (the boundary is
+    * the global extreme); an empty input stays empty (NULL boundary
+    * satisfies no comparison).
+    *
+    * `key` is the tie domain (CH ties are on the ORDER BY prefix);
+    * callers wanting a total output order sort the result themselves —
+    * WITH TIES only defines the kept SET.
+    */
+  def limitWithTies(df: DataFrame, n: Int, key: Column,
+      descending: Boolean = false): DataFrame = {
+    require(n > 0, s"LIMIT $n WITH TIES: n must be positive")
+    val ordered = df.orderBy(if (descending) key.desc else key.asc).limit(n)
+    val boundary = ordered.agg(
+      (if (descending) min(key) else max(key)).as("__ties_boundary"))
+    df.crossJoin(broadcast(boundary))
+      .where(if (descending) key >= col("__ties_boundary")
+             else key <= col("__ties_boundary"))
+      .drop("__ties_boundary")
+  }
+
   // -------------------------------------------------------- WITH TOTALS
   /** CH `GROUP BY keys WITH TOTALS`: the grouped rows plus ONE extra row
     * aggregating everything, keys NULL on the totals row (CH renders the
@@ -264,7 +293,18 @@ object ChShapes {
       .orderBy(col("bucket"))
   }
 
+  /** `ORDER BY floor(value) DESC LIMIT 100 WITH TIES` over events — the
+    * boundary bucket carries many ties, so the ties clause is load-
+    * bearing (result strictly exceeds 100 rows). */
+  def qLimitTies(spark: SparkSession, dir: String): DataFrame =
+    limitWithTies(
+        t(spark, dir, "events")
+          .select(col("event_id"), floor(col("value")).cast("long").as("k")),
+        n = 100, key = col("k"), descending = true)
+      .orderBy(col("k").desc, col("event_id"))
+
   def queries: Map[String, Q] = Map(
+    "q_limit_ties" -> (qLimitTies _),
     "q_limit_by" -> (qLimitBy _),
     "q_limit_by_offset" -> (qLimitByOffset _),
     "q_with_totals" -> (qWithTotals _),
@@ -274,6 +314,16 @@ object ChShapes {
   )
 
   def oracles: Map[String, String] = Map(
+    // threshold = the 100th key in desc order; keep everything ≥ it
+    "q_limit_ties" ->
+      """WITH b AS (
+        |  SELECT event_id, CAST(floor(value) AS BIGINT) AS k FROM events
+        |), th AS (
+        |  SELECT min(k) AS t FROM (
+        |    SELECT k FROM b ORDER BY k DESC LIMIT 100)
+        |)
+        |SELECT event_id, k FROM b, th WHERE k >= t
+        |ORDER BY k DESC, event_id""".stripMargin,
     "q_limit_by" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT user_id, event_id, event_type, value,

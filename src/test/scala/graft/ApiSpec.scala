@@ -72,6 +72,26 @@ class ApiSpec extends AnyFunSuite {
       == "SELECT * FROM a.b JOIN c.d ON 1=1")
   }
 
+  test("GLOBAL modifier and terminal FORMAT clause strip") {
+    import graft.functions.ClickHouseFunctions.rewriteDialect
+    assert(rewriteDialect("SELECT * FROM t WHERE x GLOBAL IN (SELECT y FROM u)")
+      == "SELECT * FROM t WHERE x IN (SELECT y FROM u)")
+    assert(rewriteDialect("SELECT * FROM t WHERE x GLOBAL NOT IN (1, 2)")
+      == "SELECT * FROM t WHERE x NOT IN (1, 2)")
+    assert(rewriteDialect("SELECT * FROM t GLOBAL LEFT JOIN u ON t.a = u.a")
+      == "SELECT * FROM t LEFT JOIN u ON t.a = u.a")
+    assert(rewriteDialect("SELECT * FROM t GLOBAL JOIN u ON t.a = u.a")
+      == "SELECT * FROM t JOIN u ON t.a = u.a")
+    // terminal FORMAT stripped; a mid-statement identifier named format
+    // (or a column alias) is NOT touched
+    assert(rewriteDialect("SELECT a FROM t ORDER BY a FORMAT JSONEachRow")
+      == "SELECT a FROM t ORDER BY a")
+    assert(rewriteDialect("SELECT a FROM t FORMAT TabSeparated;")
+      == "SELECT a FROM t")
+    assert(rewriteDialect("SELECT format FROM t WHERE format = 'x'")
+      == "SELECT format FROM t WHERE format = 'x'")
+  }
+
   test("ARRAY JOIN rewrites to LATERAL VIEW explode; lockstep/alias-less refused") {
     import graft.functions.ClickHouseFunctions.rewriteDialect
     // identifier form

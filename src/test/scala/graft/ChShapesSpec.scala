@@ -141,4 +141,33 @@ class ChShapesSpec extends AnyFunSuite {
         interpolate = Seq("nope"))
     }
   }
+
+  test("limitWithTies: boundary ties kept, threshold plan (no global rank window)") {
+    import spark.implicits._
+    // keys: 5,5,4,4,4,3,1 — top-3 by key desc = {5,5,4} whose boundary
+    // key 4 ties two more rows ⇒ 5 rows survive
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 4L), (4L, 4L), (5L, 4L),
+      (6L, 3L), (7L, 1L)).toDF("id", "k")
+    val out = ChShapes.limitWithTies(df, 3, col("k"), descending = true)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L, 4L, 5L))
+    // ascending direction
+    val asc = ChShapes.limitWithTies(df, 2, col("k"))
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(asc == Set(6L, 7L)) // keys 1,3 — no ties at the boundary
+    // fewer rows than n → everything kept
+    assert(ChShapes.limitWithTies(df, 100, col("k")).count() == 7)
+    // empty input stays empty (NULL boundary satisfies nothing)
+    assert(ChShapes.limitWithTies(df.where($"k" > 99), 3, col("k"))
+      .count() == 0)
+    // plan shape: distributed top-n + broadcast threshold filter — no
+    // single-partition rank() window anywhere
+    val plan = ChShapes.limitWithTies(df, 3, col("k"), descending = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Window"))
+    intercept[IllegalArgumentException] {
+      ChShapes.limitWithTies(df, 0, col("k"))
+    }
+  }
 }
