@@ -698,6 +698,129 @@ object Corpus {
       .drop("__mix_rn")
   }
 
+  /** BPE vocabulary induction (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units") — the
+    * tokenizer-training step of a data pipeline: learn `nMerges` subword
+    * merge rules from corpus word frequencies.
+    *
+    * Scale design — what is distributed and what deliberately is not:
+    * the CORPUS-sized work (one explode→groupBy(word) frequency count,
+    * map-side combined; and later [[bpeEncode]]'s scan) is distributed;
+    * the merge INDUCTION runs on the word-frequency table truncated to
+    * the top `maxVocabWords` words by (freq desc, word asc) — a BOUNDED
+    * frame (the parameter, not the corpus, sets its size), collected
+    * once. This is the standard formulation: BPE statistics live in a
+    * word→count dictionary whose size is Heaps-sublinear and capped
+    * here explicitly, so a 100 TB corpus still trains from a bounded
+    * table; 30 driver-side merge rounds over ≤50k words beat 30
+    * cluster-wide jobs over the same 50k rows by orders of magnitude.
+    * Truncation is also the standard practice (rare-word tails do not
+    * move merge ranks).
+    *
+    * Determinism: pair selection breaks count ties by (left, right)
+    * lexicographic order — cross-run and cross-engine stable (the same
+    * stance as topK's value-ordered ties, DIVERGENCES #31).
+    *
+    * Words are encoded as character symbols plus a terminal `</w>`
+    * marker (the original paper's word-boundary convention).
+    *
+    * @return the merge rules in priority order (rank 0 first).
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
+      maxVocabWords: Int = 50000): Seq[(String, String)] = {
+    require(nMerges > 0, "bpeTrain: nMerges must be positive")
+    require(maxVocabWords > 0, "bpeTrain: maxVocabWords must be positive")
+    val wordFreq = docs
+      .select(explode(split(TextAnalysis.normalized(col(textCol)), " "))
+        .as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w"))
+      .limit(maxVocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // driver-local induction over the bounded table
+    var symbols: Array[(Array[String], Long)] = wordFreq.map { case (w, f) =>
+      (w.toCharArray.map(_.toString) :+ "</w>", f)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    while (round < nMerges) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      symbols.foreach { case (s, f) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) round = nMerges
+      else {
+        val best = counts.toSeq
+          .minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        val joined = best._1 + best._2
+        symbols = symbols.map { case (s, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == best._1 && s(i + 1) == best._2) {
+              out += joined; i += 2
+            } else { out += s(i); i += 1 }
+          }
+          (out.toArray, f)
+        }
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply BPE merge rules to every document: per word, repeatedly merge
+    * the LOWEST-RANK adjacent pair (the standard encode order — NOT
+    * left-to-right greedy), yielding the subword token stream.
+    *
+    * Scale shape: the ranked merge map broadcasts (≤nMerges entries);
+    * encoding is a row-local typed map (§2.10's typed-lambda surface —
+    * no UDF registry, no shuffle); output carries the token array plus
+    * `n_tokens` so downstream packing/counting needs no re-walk.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rank: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val bc = spark.sparkContext.broadcast(rank)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.normalized(col(textCol)).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val r = bc.value
+        val toks = t.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
+          var s = (w.toCharArray.map(_.toString) :+ "</w>").toVector
+          var done = false
+          while (!done && s.length > 1) {
+            var bestRank = Int.MaxValue
+            var bestIdx = -1
+            var i = 0
+            while (i < s.length - 1) {
+              val rk = r.getOrElse((s(i), s(i + 1)), Int.MaxValue)
+              if (rk < bestRank) { bestRank = rk; bestIdx = i }
+              i += 1
+            }
+            if (bestIdx < 0) done = true
+            else s = (s.take(bestIdx) :+ (s(bestIdx) + s(bestIdx + 1))) ++
+              s.drop(bestIdx + 2)
+          }
+          s
+        }.toArray
+        (id, toks, toks.length.toLong)
+      }
+      .toDF("doc_id", "tokens", "n_tokens")
+  }
+
   /** Interpolated bigram LM typicality — the next rung above
     * [[unigramScore]] on the CCNet-style quality ladder: score each
     * document by how predictable its word TRANSITIONS are under

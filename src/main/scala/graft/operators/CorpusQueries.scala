@@ -391,6 +391,7 @@ object CorpusQueries {
     "d_source_mix" -> (dSourceMix _),
     "d_dsir_weights" -> (dDsirWeights _),
     "d_bigram_score" -> (dBigramScore _),
+    "d_bpe_vocab" -> (dBpeVocab _),
     "q_sessionize" -> (qSessionize _))
 
   /** Seeded deterministic global shuffle into 8 export shards with
@@ -417,6 +418,38 @@ object CorpusQueries {
   /** Jelinek–Mercer bigram LM typicality (Corpus.bigramScore, λ=3/4). */
   def dBigramScore(spark: SparkSession, dir: String): DataFrame =
     Corpus.bigramScore(docs(spark, dir), "doc_id", "text")
+
+  /** BPE vocab induction + corpus encode check frame (Corpus.bpeTrain /
+    * bpeEncode). The rank-1 merge is recomputed EXACTLY by the oracle
+    * (top frequency-weighted adjacent symbol pair — the strongest
+    * cross-engine anchor an iterative learner admits); reconstruction
+    * and compression are corpus-wide invariants the oracle states. */
+  def dBpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = Corpus.bpeTrain(d, "text", nMerges = 30,
+      maxVocabWords = 5000)
+    val enc = Corpus.bpeEncode(d, "doc_id", "text", merges)
+    val norm = graft.operators.TextAnalysis.normalized(col("text"))
+    val checks = enc.join(
+        d.select(col("doc_id"), norm.as("nt")), Seq("doc_id"))
+      .select(col("n_tokens"),
+        (concat_ws("", col("tokens")) <=>
+          when(col("nt") === "", "")
+            .otherwise(concat(regexp_replace(col("nt"), " ", "</w>"),
+              lit("</w>")))).as("recon"),
+        (length(regexp_replace(col("nt"), " ", "")) +
+          size(filter(split(col("nt"), " "), x => x =!= ""))).as("syms"))
+      .agg(
+        (min(when(col("recon"), 1).otherwise(0)) === 1).as("all_reconstruct"),
+        (sum(col("n_tokens")) < sum(col("syms"))).as("compressed"))
+    val vocabWords = d
+      .select(explode(split(norm, " ")).as("w")).where(col("w") =!= "")
+      .agg(least(lit(5000L), countDistinct(col("w"))).as("vocab_words"))
+    checks.crossJoin(vocabWords)
+      .select(lit(merges.head._1).as("l1"), lit(merges.head._2).as("r1"),
+        lit(30L).as("n_merges"), col("vocab_words"),
+        col("all_reconstruct"), col("compressed"))
+  }
 
   private val normSql =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
@@ -458,6 +491,37 @@ object CorpusQueries {
         |       WHEN source = 'src2' THEN rn <= (SELECT floor(ntot * 0.2) FROM nt)
         |       ELSE FALSE END AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    // the rank-1 BPE merge recomputed exactly (frequency-weighted top
+    // adjacent symbol pair over the same top-5000 word table, ties by
+    // (l, r) — ASCII symbols so binary and UTF-16 orders agree);
+    // reconstruction/compression stated as corpus invariants
+    "d_bpe_vocab" ->
+      s"""WITH words AS (
+         |  SELECT unnest(string_split($normSql, ' ')) AS w FROM documents
+         |), wnz AS (
+         |  SELECT w FROM words WHERE w <> ''
+         |), wc AS (
+         |  SELECT w, count(*) AS f FROM wnz GROUP BY w
+         |), top AS (
+         |  SELECT w, f FROM wc ORDER BY f DESC, w LIMIT 5000
+         |), syms AS (
+         |  SELECT f, list_append(list_transform(range(1, length(w) + 1),
+         |    i -> w[i:i]), '</w>') AS s
+         |  FROM top
+         |), pairs AS (
+         |  SELECT f, unnest(list_transform(range(1, len(s)),
+         |    i -> {'l': s[i], 'r': s[i + 1]})) AS p
+         |  FROM syms
+         |), pc AS (
+         |  SELECT p.l AS l, p.r AS r, CAST(sum(f) AS BIGINT) AS c
+         |  FROM pairs GROUP BY p.l, p.r
+         |), best AS (
+         |  SELECT l, r FROM pc ORDER BY c DESC, l, r LIMIT 1)
+         |SELECT (SELECT l FROM best) AS l1, (SELECT r FROM best) AS r1,
+         |  CAST(30 AS BIGINT) AS n_merges,
+         |  CAST(least(5000, (SELECT count(*) FROM wc)) AS BIGINT)
+         |    AS vocab_words,
+         |  TRUE AS all_reconstruct, TRUE AS compressed""".stripMargin,
     // the JM-interpolated bigram LM re-run from scratch: parallel unnest
     // zips the adjacent-word pairs; λ terms forced to DOUBLE so DuckDB
     // doesn't slip into DECIMAL arithmetic (Spark's lit(0.75) is double);

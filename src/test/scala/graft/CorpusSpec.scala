@@ -750,6 +750,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("bpeTrain/bpeEncode: hand-computed merges, lowest-rank encode, early stop") {
+    val docs = Seq((1L, "ab ab ab"), (2L, "abc")).toDF("doc_id", "text")
+    // freqs: ab→3, abc→1. Round 1: (a,b)=4 wins; round 2: (ab,</w>)=3;
+    // round 3: tie at 1 → (ab,c) beats (c,</w>) lexicographically;
+    // round 4: (abc,</w>); then no pairs remain → early stop at 4 < 10
+    val merges = Corpus.bpeTrain(docs, "text", nMerges = 10)
+    assert(merges == Seq(("a", "b"), ("ab", "</w>"), ("ab", "c"),
+      ("abc", "</w>")))
+    val enc = Corpus.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getLong(2))).toMap
+    assert(enc(1L) == (Seq("ab</w>", "ab</w>", "ab</w>"), 3L))
+    assert(enc(2L) == (Seq("abc</w>"), 1L))
+    // determinism across runs
+    assert(Corpus.bpeTrain(docs, "text", nMerges = 10) == merges)
+    // an UNSEEN word still encodes (falls back to finer pieces) and
+    // reconstructs
+    val novel = Seq((9L, "ba")).toDF("doc_id", "text")
+    val nv = Corpus.bpeEncode(novel, "doc_id", "text", merges).head()
+    assert(nv.getSeq[String](1).mkString("") == "ba</w>")
+    intercept[IllegalArgumentException] {
+      Corpus.bpeTrain(docs, "text", nMerges = 0)
+    }
+  }
+
   test("dsirWeights: target-typical docs score above raw-typical docs") {
     // target (is_tgt) docs speak "alpha beta", raw background speaks
     // "gamma delta"; two probes share one dialect each
