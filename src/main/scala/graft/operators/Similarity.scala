@@ -821,4 +821,49 @@ object Similarity {
         shiftright(b.cast("int") + 128, 4) - 8,
         pmod(b.cast("int") + 128, lit(16)) - 8))),
       lit(1), dim)
+
+  /** Matryoshka-style dimension-truncation evaluation (Kusupati et al.
+    * 2022, "Matryoshka Representation Learning"): how much retrieval
+    * quality survives keeping only the FIRST `d` embedding components —
+    * the question behind serving truncated vectors for cheaper
+    * search/storage. For each candidate prefix length, run the exact
+    * truncated-cosine top-k and measure overlap with the full-dimension
+    * top-k.
+    *
+    * Output: one row per (dim, query) — `n_hits` (overlap with the
+    * full-dim top-k) and `recall` = n_hits/k. The full dim's own row is
+    * the recall-1.0 sanity anchor.
+    *
+    * Scale shape: each prefix length is one [[knnBrute]] pass over
+    * PRE-SLICED vectors (the slice is a row-local projection; shorter
+    * arrays also make the scan cheaper, which is the production point of
+    * truncation); the recall join is top-k-sized (|queries|·k rows),
+    * never corpus-sized. Queries stay a bounded broadcast like every
+    * ANN entry point here.
+    */
+  def dimTruncateEval(
+      embeddings: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Seq[Int] = Seq(8, 16, 32, 64), k: Int = 10,
+      fullDim: Int = 64): DataFrame = {
+    require(dims.nonEmpty, "dimTruncateEval: empty dims")
+    require(dims.forall(d => d > 0 && d <= fullDim),
+      s"dimTruncateEval: dims must be in [1, $fullDim]")
+    require(dims.contains(fullDim),
+      "dimTruncateEval: include fullDim itself (the recall-1.0 anchor)")
+    def trunc(df: DataFrame, d: Int): DataFrame =
+      df.withColumn(vecCol, slice(col(vecCol), 1, d))
+    val fullTop = knnBrute(embeddings, queries, idCol, vecCol, k, fullDim)
+      .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+    dims.map { d =>
+      knnBrute(trunc(embeddings, d), trunc(queries, d), idCol, vecCol, k, d)
+        .select(col("qid"), col("nid"))
+        .join(fullTop, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("hit")).as("n_hits"))
+        .select(lit(d).cast("long").as("dim"), col("qid"), col("n_hits"),
+          round(col("n_hits") / lit(k.toDouble), 4).as("recall"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("dim"), col("qid"))
+  }
 }

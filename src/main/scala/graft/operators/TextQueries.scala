@@ -319,6 +319,14 @@ object TextQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Matryoshka dim-truncation retrieval eval (Similarity.dimTruncateEval):
+    * exact truncated-cosine top-10 at prefix dims 8/16/32/64 vs the
+    * full-dim top-10 — fully oracled incl. the recall numbers. */
+  def eDimTruncate(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.dimTruncateEval(e, e.where(col("vec_id") < 5))
+  }
+
   /** Per-query ANN self-check frame: `sims_exact` = every returned
     * neighbor's similarity matches a direct cosine recomputation from the
     * stored vectors; `recall_ok` = overlap with the brute-force top-10 ≥
@@ -558,7 +566,8 @@ object TextQueries {
     "d_embed_neardup" -> (dEmbedNeardup _),
     "d_embed_neardup_lsh" -> (dEmbedNeardupLsh _),
     "e_semdedup" -> (eSemDedup _),
-    "e_embed_pipeline" -> (eEmbedPipeline _))
+    "e_embed_pipeline" -> (eEmbedPipeline _),
+    "e_dim_truncate" -> (eDimTruncate _))
 
   private val jaccardSql =
     """WITH words AS (
@@ -961,6 +970,39 @@ object TextQueries {
         |  CAST((SELECT count(*) FROM p WHERE sim >= 0.4) AS BIGINT)
         |    AS n_true_pairs,
         |  TRUE AS subset_ok, TRUE AS recall_ok, TRUE AS accounting_ok""".stripMargin,
+    // truncated-cosine top-10 per prefix dim, overlap-counted against
+    // the full-dim top-10 — same scored/ranked shape as e_knn_brute with
+    // the range end parameterized by the dims table
+    "e_dim_truncate" ->
+      """WITH dims AS (SELECT unnest([8, 16, 32, 64]) AS d),
+        |q AS (SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT dm.d, q.qid, e.vec_id AS nid,
+        |    list_sum(list_transform(range(1, dm.d + 1),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, dm.d + 1),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, dm.d + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE)
+        |          * CAST(e.embedding[i] AS DOUBLE)))))
+        |    AS sim
+        |  FROM dims dm, q, embeddings e WHERE e.vec_id <> q.qid),
+        |ranked AS (SELECT d, qid, nid,
+        |  row_number() OVER (PARTITION BY d, qid
+        |    ORDER BY round(sim, 6) DESC, nid) AS rank
+        |  FROM scored),
+        |topd AS (SELECT d, qid, nid FROM ranked WHERE rank <= 10),
+        |full64 AS (SELECT qid, nid FROM topd WHERE d = 64),
+        |hits AS (
+        |  SELECT t.d, t.qid, count(f.nid) AS n_hits
+        |  FROM topd t LEFT JOIN full64 f
+        |    ON t.qid = f.qid AND t.nid = f.nid
+        |  GROUP BY t.d, t.qid)
+        |SELECT CAST(d AS BIGINT) AS dim, qid,
+        |  CAST(n_hits AS BIGINT) AS n_hits,
+        |  round(n_hits / 10.0::DOUBLE, 4) AS recall
+        |FROM hits ORDER BY dim, qid""".stripMargin,
     "e_knn_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv
         |  FROM embeddings WHERE vec_id < 5),

@@ -635,4 +635,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("mean_g") == sg / n)
     assert(row.getAs[Double]("mean_b") == sb / n)
   }
+
+  test("dimTruncateEval: planted-prefix structure survives truncation, " +
+      "noise prefixes do not") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // neighborhood structure lives ENTIRELY in the 2-dim prefix (points
+    // on an arc — nearest neighbors = nearest angles); dims 3-8 carry
+    // noise far too small to reorder anything
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 20).map { i =>
+      val th = i * 0.15
+      val c = Array(math.cos(th).toFloat * 10f, math.sin(th).toFloat * 10f)
+      (i.toLong,
+        (c ++ Array.fill(6)(rnd.nextGaussian().toFloat * 0.001f)).toSeq)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.dimTruncateEval(vecs,
+        vecs.where($"vec_id" < 4), dims = Seq(2, 8), k = 5, fullDim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    // the full dim is its own recall-1.0 anchor
+    (0L until 4L).foreach(q => assert(out((8L, q)) == 1.0))
+    // the 2-dim prefix carries the cluster signal: recall stays high
+    (0L until 4L).foreach(q => assert(out((2L, q)) >= 0.6,
+      s"prefix recall collapsed for q=$q: ${out((2L, q))}"))
+    intercept[IllegalArgumentException] {
+      Similarity.dimTruncateEval(vecs, vecs, dims = Seq(2), k = 5,
+        fullDim = 8) // fullDim missing from dims
+    }
+  }
 }
