@@ -365,9 +365,22 @@ object CorpusQueries {
           col("event_type") === "purchase"))
       .orderBy(col("user_id"))
 
+  /** `sequenceMatch('(?1)(?t<=900)(?2).*(?3)')` — the time-constrained
+    * pattern form [[Funnel.sequenceMatchTimed]] answers with the exact
+    * frontier DP; the oracle brute-forces the EXISTS with a 3-way join
+    * (polynomially viable at oracle scale, structurally independent). */
+  def qSequenceMatchT(spark: SparkSession, dir: String): DataFrame =
+    Funnel.sequenceMatchTimed(Tables.load(spark, dir, "events"),
+        "user_id", "ts", "(?1)(?t<=900)(?2).*(?3)",
+        Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+      .orderBy(col("user_id"))
+
   def queries: Map[String, Q] = Map(
     "e_kmeans" -> (eKmeans _),
     "q_sequence_count" -> (qSequenceCount _),
+    "q_sequence_match_t" -> (qSequenceMatchT _),
     "q_window_funnel" -> (qWindowFunnel _),
     "q_window_funnel5" -> (qWindowFunnel5 _),
     "q_window_funnel_strict" -> (qWindowFunnelStrict _),
@@ -491,6 +504,23 @@ object CorpusQueries {
         |       WHEN source = 'src2' THEN rn <= (SELECT floor(ntot * 0.2) FROM nt)
         |       ELSE FALSE END AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    // brute-force EXISTS over the 3-way per-user join: view→click within
+    // 900 s (strictly later), then any later purchase — the independent
+    // formulation of the frontier DP
+    "q_sequence_match_t" ->
+      """WITH e AS (SELECT user_id, event_type AS t,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase'))
+        |SELECT u.user_id,
+        |  EXISTS (
+        |    SELECT 1 FROM e a, e b, e c
+        |    WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+        |      AND c.user_id = u.user_id
+        |      AND a.t = 'view' AND b.t = 'click' AND c.t = 'purchase'
+        |      AND b.us > a.us AND b.us - a.us <= 900 * 1000000
+        |      AND c.us > b.us) AS seq_match
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |ORDER BY u.user_id""".stripMargin,
     // the rank-1 BPE merge recomputed exactly (frequency-weighted top
     // adjacent symbol pair over the same top-5000 word table, ties by
     // (l, r) — ASCII symbols so binary and UTF-16 orders agree);

@@ -160,6 +160,143 @@ object Funnel {
         (coalesce(col("c"), lit(0L)) > 0).as("seq_match"))
   }
 
+  /** Parse a chain pattern WITH optional `(?t OP n)` time constraints
+    * between atoms: `(?1)(?t<=900)(?2).*(?3)`. Between two atoms any mix
+    * of `.*` and at most ONE time constraint is allowed (CH's grammar —
+    * a time constraint is itself a `.*`-style separator with a gap
+    * condition). Returns the 1-based condition refs and, per gap, the
+    * optional (op, seconds). `==` constraints are refused: neither
+    * frontier DP is exact for an exact-gap demand. */
+  private[graft] def parseTimed(pattern: String, nConds: Int)
+      : (Seq[Int], Seq[Option[(String, Long)]]) = {
+    val tok = java.util.regex.Pattern.compile(
+      """\(\?(\d+)\)|\(\?t(<=|<|>=|>|==)(\d+)\)|\.\*""")
+    val m = tok.matcher(pattern)
+    var pos = 0
+    val refs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val gaps = scala.collection.mutable.ArrayBuffer.empty[Option[(String, Long)]]
+    var pending: Option[(String, Long)] = None
+    var seenAtom = false
+    while (m.find()) {
+      require(m.start() == pos,
+        s"unsupported sequence pattern '$pattern' at offset $pos")
+      pos = m.end()
+      if (m.group(1) != null) {
+        if (seenAtom) { gaps += pending; pending = None }
+        refs += m.group(1).toInt
+        seenAtom = true
+      } else if (m.group(2) != null) {
+        require(seenAtom, s"pattern '$pattern': time constraint before " +
+          "any condition atom")
+        require(pending.isEmpty, s"pattern '$pattern': at most one time " +
+          "constraint per gap")
+        require(m.group(2) != "==", s"pattern '$pattern': (?t==n) exact-gap " +
+          "constraints are not supported (use >=/<= bounds)")
+        pending = Some((m.group(2), m.group(3).toLong))
+      } // '.*' — separator, nothing to record
+    }
+    require(pos == pattern.length && refs.nonEmpty,
+      s"unsupported sequence pattern '$pattern' — atoms are '(?d)', " +
+        "separators '.*' and '(?t OP n)'")
+    require(pending.isEmpty,
+      s"pattern '$pattern': trailing time constraint with no following atom")
+    require(refs.forall(r => r >= 1 && r <= nConds),
+      s"pattern '$pattern' references conditions outside 1..$nConds")
+    require(refs.length <= 32, s"pattern '$pattern': at most 32 steps (CH cap)")
+    (refs.toSeq, gaps.toSeq)
+  }
+
+  /** ClickHouse `sequenceMatch(pattern)(ts, cond1, …)` for chain patterns
+    * WITH pairwise `(?t OP n)` time constraints — the form
+    * [[sequenceCount]] refuses. Per user: does any event subsequence
+    * matching the condition chain satisfy every gap bound?
+    *
+    * Algorithm — an EXACT frontier DP, not a greedy scan: per chain
+    * level keep ONE achievable last-event timestamp, chosen for the NEXT
+    * gap's bound direction. Processing events in time order, the
+    * predecessor frontier at level j−1 only ever contains events BEFORE
+    * the current one, and for a single bound direction the optimal
+    * predecessor is an extreme: for an upper bound (`<`/`<=`) the LATEST
+    * valid level-(j−1) completion (if any predecessor fits `gap ≤ n`,
+    * the latest does), for a lower bound (`>`/`>=`) the EARLIEST,
+    * symmetrically; unconstrained gaps keep latest. One timestamp per
+    * level is therefore a complete state — mixed directions just give
+    * each level its own extreme — and the whole user folds in one
+    * `aggregate` HOF pass over (ts, mask)-sorted events, the same shape
+    * as [[windowFunnel]]: no self-join, state = k longs.
+    *
+    * Determinism stance (DIVERGENCES #30): chain steps must advance in
+    * STRICTLY increasing event time (CH leaves equal-timestamp order
+    * unspecified); gap arithmetic is whole µs. */
+  def sequenceMatchTimed(
+      events: DataFrame, userCol: String, tsCol: String,
+      pattern: String, conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty && conds.length <= 32,
+      s"sequenceMatchTimed: 1..32 conditions, got ${conds.length}")
+    val (chain, gaps) = parseTimed(pattern, conds.length)
+    val k = chain.length
+    // level j's stored extreme serves gap j+1 (gaps(j)); the last level
+    // only answers the existence question, direction immaterial
+    val latestAt: Seq[Boolean] = (0 until k).map { j =>
+      if (j >= gaps.length) true
+      else gaps(j) match {
+        case Some((">", _)) | Some((">=", _)) => false
+        case _ => true
+      }
+    }
+    def sentAt(j: Int) =
+      lit(if (latestAt(j)) Long.MinValue / 4 else Long.MaxValue / 4)
+    def betterAt(j: Int)(a: Column, b: Column): Column =
+      if (latestAt(j)) greatest(a, b) else least(a, b)
+    val mask = conds.zipWithIndex
+      .map { case (c, i) => when(c, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce((a, b) => a.bitwiseOR(b))
+    val base = events
+      .select(col(userCol).as("user_id"),
+        struct(unix_micros(col(tsCol)).as("us"), mask.as("m")).as("e"))
+      .where(col("e.m") =!= 0)
+    val byUser = base.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("e"))).as("evs"))
+    val needBit = chain.map(r => lit(1L << (r - 1)))
+    def gapOk(j: Int, us: Column, prev: Column): Column = gaps(j - 1) match {
+      case None => lit(true)
+      case Some((op, secs)) =>
+        val g = us - prev
+        val n = lit(secs * 1000000L)
+        op match {
+          case "<"  => g < n
+          case "<=" => g <= n
+          case ">"  => g > n
+          case ">=" => g >= n
+        }
+    }
+    val folded = aggregate(
+      col("evs"),
+      array((0 until k).map(sentAt): _*),
+      (acc, e) => {
+        val us = e.getField("us")
+        val m = e.getField("m")
+        val levels = (0 until k).map { j =>
+          val cur = element_at(acc, j + 1)
+          val hit = m.bitwiseAND(needBit(j)) =!= 0
+          if (j == 0) when(hit, betterAt(0)(cur, us)).otherwise(cur)
+          else {
+            val prev = element_at(acc, j)
+            when(hit && prev =!= sentAt(j - 1) && us > prev &&
+                gapOk(j, us, prev),
+              betterAt(j)(cur, us)).otherwise(cur)
+          }
+        }
+        array(levels: _*)
+      })
+    events.select(col(userCol).as("user_id")).distinct()
+      .join(byUser.select(col("user_id"),
+          (element_at(folded, k) =!= sentAt(k - 1)).as("sm")),
+        Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("sm"), lit(false)).as("seq_match"))
+  }
+
   /** ClickHouse `retention(cond1, …, condN)` analogue — the cohort
     * retention aggregate: per user, flag 1 = cond1 matched by any event;
     * flag i>1 = cond1 AND condᵢ both matched (no ordering constraint,

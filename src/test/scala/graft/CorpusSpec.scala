@@ -242,6 +242,54 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("sequenceMatchTimed: frontier DP beats greedy, lower bounds, mixed " +
+      "directions, strict ties, parser refusals") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(s: Long) = new Timestamp(base + s * 1000L)
+    val conds = Seq(col("t") === "a", col("t") === "b", col("t") === "c")
+    def run(pattern: String, rows: Seq[(Long, Timestamp, String)],
+        nConds: Int = 3): Map[Long, Boolean] =
+      operators.Funnel.sequenceMatchTimed(
+          rows.toDF("user_id", "ts", "t"), "user_id", "ts", pattern,
+          conds.take(nConds))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // greedy-first-match would bind a@0 and fail the ≤200 gap; the
+    // latest-frontier DP uses a@500 and matches
+    val g = run("(?1)(?t<=200)(?2)", Seq(
+      (1L, ts(0), "a"), (1L, ts(500), "a"), (1L, ts(600), "b"),
+      (2L, ts(0), "a"), (2L, ts(600), "b")), nConds = 2)
+    assert(g == Map(1L -> true, 2L -> false))
+    // lower bound wants the EARLIEST frontier
+    val lo = run("(?1)(?t>=550)(?2)", Seq(
+      (1L, ts(0), "a"), (1L, ts(500), "a"), (1L, ts(600), "b"),
+      (2L, ts(500), "a"), (2L, ts(600), "b")), nConds = 2)
+    assert(lo == Map(1L -> true, 2L -> false))
+    // mixed directions: ≤100 then ≥1000 — each level keeps its own
+    // extreme (b@50 must win over b@80 for the second gap)
+    val mix = run("(?1)(?t<=100)(?2)(?t>=1000)(?3)", Seq(
+      (1L, ts(0), "a"), (1L, ts(50), "b"), (1L, ts(80), "b"),
+      (1L, ts(1050), "c"),
+      (2L, ts(0), "a"), (2L, ts(80), "b"), (2L, ts(1050), "c")))
+    assert(mix == Map(1L -> true, 2L -> false))
+    // strictly increasing time: an equal-ts pair cannot chain
+    val tie = run("(?1)(?t<=100)(?2)", Seq(
+      (1L, ts(10), "a"), (1L, ts(10), "b")), nConds = 2)
+    assert(tie == Map(1L -> false))
+    // unconstrained .* gaps compose with constrained ones
+    val comp = run("(?1).*(?2)(?t<=50)(?3)", Seq(
+      (1L, ts(0), "a"), (1L, ts(1000), "b"), (1L, ts(1040), "c"),
+      (2L, ts(0), "a"), (2L, ts(1000), "b"), (2L, ts(1100), "c")))
+    assert(comp == Map(1L -> true, 2L -> false))
+    // parser refusals: exact-gap, trailing constraint, double constraint
+    for (bad <- Seq("(?1)(?t==5)(?2)", "(?1)(?t<=5)",
+        "(?1)(?t<=5)(?t<=6)(?2)", "(?t<=5)(?1)")) {
+      intercept[IllegalArgumentException] {
+        run(bad, Seq((1L, ts(0), "a")), nConds = 2)
+      }
+    }
+  }
+
   test("windowFunnel N=5: chain, window bound, restart rescue, ties, cap") {
     import java.sql.Timestamp
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
