@@ -148,6 +148,26 @@ object TextAnalysis {
         phoneRe, "<PHONE>"),
       ipv4Re, "<IP>")
 
+  /** Deterministic keyed pseudonymization — the GDPR-style tokenization
+    * step next to [[scrubPii]]: replace an identifier with a stable
+    * keyed token, `sha256(secret:value)` truncated to `tokenLen` hex
+    * chars. The same (secret, value) always maps to the same token, so
+    * joins, groupBys and retention analyses survive tokenization;
+    * rotating the secret rotates the entire keyspace at once. This is
+    * keyed HASHING, not encryption: there is no de-tokenize — keep the
+    * secret out of the lake, and remember short truncations trade
+    * collision margin for storage (16 hex chars = 64 bits ⇒ birthday
+    * bound ≈ 2³² identities). Pure codegen'd expression — row-local,
+    * no shuffle, no UDF. */
+  def pseudonymize(value: Column, secret: String,
+      tokenLen: Int = 16): Column = {
+    require(tokenLen >= 8 && tokenLen <= 64,
+      s"pseudonymize: tokenLen $tokenLen outside [8, 64] hex chars")
+    substring(
+      sha2(concat_ws(":", lit(secret), value.cast("string")), 256),
+      1, tokenLen)
+  }
+
   /** Mode frequency of a string array, computed row-locally: sort, then
     * fold for the longest equal-run (mode count of a sorted multiset =
     * longest run). No explode, no shuffle — the shared core of the

@@ -93,6 +93,20 @@ object TextQueries {
       TextAnalysis.fingerprintMd5(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Keyed pseudonymization over the events user ids
+    * (TextAnalysis.pseudonymize): the tokenized id joins/groups exactly
+    * like the raw one — the per-user event count distribution under the
+    * token must equal the one under the raw id — while the raw id never
+    * appears in the output. Oracle: DuckDB recomputes the same truncated
+    * keyed sha256 and the same per-token counts. */
+  def dPseudonymize(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(TextAnalysis.pseudonymize(col("user_id"), "corpus-key")
+        .as("user_token"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("user_token"))
+
   /** PII scrub over documents with deterministic synthetic PII planted
     * per doc_id (the corpus itself is PII-free bag-of-words, so the
     * plant makes the scrub observable and the oracle exact): counts per
@@ -555,6 +569,7 @@ object TextQueries {
     "d_fingerprint" -> (dFingerprint _),
     "d_fingerprint_rolling" -> (dFingerprintRolling _),
     "d_pii_scrub" -> (dPiiScrub _),
+    "d_pseudonymize" -> (dPseudonymize _),
     "d_repetition" -> (dRepetition _),
     "e_quantize_int8" -> (eQuantizeInt8 _),
     "e_quantize_int4" -> (eQuantizeInt4 _),
@@ -811,6 +826,13 @@ object TextQueries {
         |  md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the same truncated keyed sha256 + per-token aggregates
+    "d_pseudonymize" ->
+      """SELECT substr(sha256('corpus-key:' || CAST(user_id AS VARCHAR)),
+        |    1, 16) AS user_token,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY user_token""".stripMargin,
     "d_pii_scrub" ->
       """WITH inj AS (SELECT doc_id,
         |    text || ' contact user' || doc_id || '@example.com via 10.0.'

@@ -217,6 +217,52 @@ object Stress {
         Seq("event_id", "user_id"))
       Corpus.sessionize(ev, "user_id", "ts", "value").count()
     }
+
+    // --- round-9 corpus family ---
+    // DSIR: bucket space is FIXED (B=4096) while the corpus scales ×N —
+    // the stats broadcast stays constant-size by construction, the two
+    // token passes scale with the scan. The salt tokens join the hashed
+    // bag like any other feature.
+    time("DSIR importance weights B=4096 (salted copies)") {
+      Corpus.dsirWeights(docsSalted, "doc_id", "text",
+        col("lang") === "en", buckets = 4096).count()
+    }
+    // Bigram LM: |V_bi| grows with the salt vocabulary (the realistic
+    // direction — crawl bigram vocabs outgrow unigram fast); the gate
+    // sizes the corpus from plan statistics and would flip the vocab
+    // joins to SHUFFLE_HASH past 500k docs (50k at factor 10 — still
+    // broadcast here; the fallback plan is spec-asserted in CorpusSpec).
+    time("bigram LM score (salted copies; gate decides join strategy)") {
+      Corpus.bigramScore(docsSalted, "doc_id", "text").count()
+    }
+    // BPE: the induction table is top-5000 words REGARDLESS of factor —
+    // training cost is corpus-size-independent past the one count pass;
+    // encode is a row-local map under a broadcast.
+    time("BPE train(30 merges, 5k words) + encode (salted copies)") {
+      val merges = Corpus.bpeTrain(docsSalted, "text", nMerges = 30,
+        maxVocabWords = 5000)
+      Corpus.bpeEncode(docsSalted, "doc_id", "text", merges)
+        .agg(sum(col("n_tokens"))).head
+      docsSalted.count()
+    }
+    // Shuffle export: shard/key assignment is a projection; the exported
+    // layout is the one repartition a global shuffle cannot avoid.
+    // Positions are per-shard windows — nShards scales with the data so
+    // shards stay file-sized (the operator's documented invariant).
+    time("shuffle-shard export (positions, shards scale with factor)") {
+      // aggregate over pos so the per-shard window actually evaluates
+      // (a bare count() would prune it away)
+      val ex = Corpus.shuffleExport(docsSalted, "doc_id", "seed",
+        nShards = 8 * factor)
+      ex.agg(max(col("pos"))).head
+      ex.count()
+    }
+    time("source mix 50/30/20 (salted copies)") {
+      Corpus.sourceMix(docsSalted, "doc_id", "source",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .agg(sum(when(col("keep"), 1L).otherwise(0L))).head
+      docsSalted.count()
+    }
     spark.stop()
   }
 }
