@@ -228,7 +228,49 @@ object StreamingQueries {
       .toDF("n_in", "n_out", "n_distinct", "exact_ok")
   }
 
+  /** Watermarked stream-stream interval join (StreamJoin.intervalJoin):
+    * views and clicks replay as SEPARATE file streams (one file per
+    * micro-batch each), so matches routinely span micro-batches and the
+    * state store — not any single batch's local data — does the joining.
+    * Inner semantics make the drained result equal the batch interval
+    * join, which is what the DuckDB oracle states. */
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val views = events.where(col("event_type") === "view")
+      .drop("event_type")
+    val clicks = events.where(col("event_type") === "click")
+      .drop("event_type")
+    val vsrc = Files.createTempDirectory("sj_v").toString
+    val csrc = Files.createTempDirectory("sj_c").toString
+    views.repartition(3).write.mode("overwrite").parquet(vsrc)
+    clicks.repartition(3).write.mode("overwrite").parquet(csrc)
+    def rs(path: String) = spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(path)
+    // the replay files are NOT time-ordered (repartition spreads the
+    // whole span across files), so the harness watermark must cover the
+    // full disorder — production feeds are roughly time-ordered and run
+    // the default delay
+    val joined = graft.streaming.StreamJoin.intervalJoin(
+        rs(vsrc), rs(csrc), "user_id", "ts", "ts", maxGapSeconds = 900L,
+        watermarkDelay = "400 days")
+      .select(col("user_id"),
+        col("l_event_id").as("view_id"),
+        col("r_event_id").as("click_id"),
+        graft.streaming.StreamJoin.gapSeconds(col("l_ts"), col("r_ts"))
+          .as("gap_s"))
+    val sink = s"sj_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_stream_join" -> (qStreamJoin _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_transform_bar" -> (qTransformBar _),
     "q_mv_recompute" -> (qMvRecompute _),
@@ -236,6 +278,17 @@ object StreamingQueries {
     "q_sessionize_stream" -> (qSessionizeStream _))
 
   def oracles: Map[String, String] = Map(
+    // the drained inner stream-stream join equals the batch interval join
+    "q_stream_join" ->
+      """SELECT v.user_id,
+        |  v.event_id AS view_id,
+        |  c.event_id AS click_id,
+        |  (epoch_us(CAST(c.ts AS TIMESTAMP))
+        |    - epoch_us(CAST(v.ts AS TIMESTAMP))) // 1000000 AS gap_s
+        |FROM events v JOIN events c ON c.user_id = v.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 900 SECONDS
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin,
     // the injected duplicates all carry texts already present, so the
     // distinct-fingerprint count over the union equals the base corpus's
     "q_stream_dedup" ->

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Stream-stream interval join — the enrichment shape a streaming
+  * pipeline needs once two live feeds must correlate (ad views ⋈ clicks,
+  * orders ⋈ payments, sensor ⋈ control): match right-side events to
+  * left-side events of the same key arriving within a bounded time
+  * window after them.
+  *
+  * Spark-native: this IS Structured Streaming's watermarked
+  * stream-stream join — both sides carry event-time watermarks, the
+  * interval condition references both event-time columns, and the state
+  * store keeps only rows the watermark + interval still allow to match
+  * (bounded state by construction; an unbounded-state join without the
+  * time condition is refused by Spark itself). INNER join semantics:
+  * a match emits as soon as both rows have arrived, in whichever
+  * micro-batch that happens — cross-batch matching is the state store's
+  * job, not the caller's.
+  *
+  * At 100 TB/day the state is (key-partitioned) watermark-window-sized,
+  * not history-sized: the shuffle hashes both feeds on the join key and
+  * each executor holds only its keys' open windows.
+  */
+object StreamJoin {
+
+  /** Inner interval join: rows of `right` match rows of `left` with equal
+    * `keyCol` and `rightTs ∈ [leftTs, leftTs + maxGapSeconds]`.
+    *
+    * Inputs are the RAW streaming frames; watermarks are applied here so
+    * the two delays stay consistent with the interval bound (the right
+    * side's state horizon must cover the left watermark plus the gap).
+    * All non-key columns are prefixed `l_`/`r_` to keep the output
+    * unambiguous (the reference SQL surface would alias in the SELECT;
+    * a library operator has to do it for the caller).
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String,
+      maxGapSeconds: Long,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    require(maxGapSeconds > 0, "intervalJoin: maxGapSeconds must be positive")
+    def prefixed(df: DataFrame, p: String, ts: String): DataFrame =
+      df.columns.foldLeft(df) { (d, c) =>
+        if (c == keyCol) d else d.withColumnRenamed(c, p + c)
+      }
+    val l = prefixed(left, "l_", leftTs).withWatermark(
+      "l_" + leftTs, watermarkDelay)
+    val r = prefixed(right, "r_", rightTs).withWatermark(
+      "r_" + rightTs, watermarkDelay)
+    val lt = col("l_" + leftTs)
+    val rt = col("r_" + rightTs)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        rt >= lt && rt <= lt + expr(s"INTERVAL $maxGapSeconds SECONDS"),
+      "inner")
+      .drop(r(keyCol))
+  }
+
+  /** Convenience gap column (whole seconds, non-negative by the join
+    * condition) for interval-join outputs. */
+  def gapSeconds(leftTs: Column, rightTs: Column): Column =
+    ((unix_micros(rightTs) - unix_micros(leftTs)) / lit(1000000L))
+      .cast("long")
+}

@@ -288,4 +288,49 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(consumed.value == 3)
   }
+
+  test("stream-stream interval join: matches cross micro-batches, gap bound holds") {
+    import graft.streaming.StreamJoin
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = StreamJoin.intervalJoin(
+        lMem.toDS().toDF("view_id", "ts", "user_id"),
+        rMem.toDS().toDF("click_id", "ts", "user_id"),
+        "user_id", "ts", "ts", maxGapSeconds = 600L,
+        watermarkDelay = "10 minutes")
+      .select($"user_id", $"l_view_id", $"r_click_id",
+        StreamJoin.gapSeconds($"l_ts", $"r_ts").as("gap_s"))
+    val sink = s"sjspec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // batch 1: views only — nothing to join yet
+      lMem.addData((1L, ts("2024-01-05 10:00:00"), 7L),
+        (2L, ts("2024-01-05 10:00:00"), 8L))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == 0)
+      // batch 2 (clicks arrive LATER): u7 within 600 s matches the view
+      // held in STATE from batch 1; u8's click is 900 s late — outside
+      // the interval; u9 has no view at all
+      rMem.addData((11L, ts("2024-01-05 10:05:00"), 7L),
+        (12L, ts("2024-01-05 10:15:00"), 8L),
+        (13L, ts("2024-01-05 10:01:00"), 9L))
+      q.processAllAvailable()
+      val rows = spark.table(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((7L, 1L, 11L, 300L)))
+      // a click BEFORE its view never matches (rt >= lt)
+      rMem.addData((14L, ts("2024-01-05 09:59:00"), 7L))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == 1)
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      StreamJoin.intervalJoin(
+        lMem.toDS().toDF("view_id", "ts", "user_id"),
+        rMem.toDS().toDF("click_id", "ts", "user_id"),
+        "user_id", "ts", "ts", maxGapSeconds = 0L)
+    }
+  }
 }
