@@ -269,7 +269,50 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("view_id"), col("click_id"))
   }
 
+  /** Streaming windowFunnel (StreamFunnel.levels — the
+    * flatMapGroupsWithState custom-state surface): per-user funnel
+    * levels maintained incrementally across the replayed micro-batches;
+    * the harness lateness covers the replay's full disorder, so the
+    * drained result equals the batch windowFunnel — which is exactly
+    * what the oracle (the same progressive-chain CTE as
+    * q_window_funnel) states. */
+  def qStreamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.StreamFunnel
+    val steps = Seq("view", "click", "purchase")
+    val events = Tables.load(spark, dir, "events")
+    val src = Files.createTempDirectory("sfun_src").toString
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"))
+      .repartition(4).write.mode("overwrite").parquet(src)
+    val stepIdx = steps.zipWithIndex
+      .map { case (s, i) => (when(col("event_type") === s, i): org.apache.spark.sql.Column) }
+      .reduce((a, b) => coalesce(a, b))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .where(col("event_type").isin(steps: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        stepIdx.cast("int").as("step"))
+      .as[StreamFunnel.StepEvent]
+    val levels = StreamFunnel.levels(stream, numSteps = steps.length,
+      windowSecs = 86400L, latenessSecs = 365L * 86400L)
+    val sink = s"sfun_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = levels.writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    events.select(col("user_id")).distinct()
+      .join(spark.table(sink).groupBy(col("user_id"))
+          .agg(max(col("funnel_level")).as("lvl")),
+        Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("lvl"), lit(0L)).as("funnel_level"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_stream_funnel" -> (qStreamFunnel _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_transform_bar" -> (qTransformBar _),
@@ -278,6 +321,34 @@ object StreamingQueries {
     "q_sessionize_stream" -> (qSessionizeStream _))
 
   def oracles: Map[String, String] = Map(
+    // the drained incremental funnel equals the batch windowFunnel —
+    // same progressive-chain formulation as q_window_funnel's oracle
+    "q_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type AS t,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |l1 AS (SELECT DISTINCT user_id FROM e WHERE t = 'view'),
+        |l2 AS (SELECT DISTINCT v.user_id
+        |  FROM e v JOIN e c ON c.user_id = v.user_id
+        |  WHERE v.t = 'view' AND c.t = 'click'
+        |    AND c.us >= v.us AND c.us - v.us <= 86400000000),
+        |l3 AS (SELECT DISTINCT v.user_id
+        |  FROM e v
+        |  JOIN e c ON c.user_id = v.user_id
+        |  JOIN e p ON p.user_id = v.user_id
+        |  WHERE v.t = 'view' AND c.t = 'click' AND p.t = 'purchase'
+        |    AND c.us >= v.us AND p.us >= c.us
+        |    AND p.us - v.us <= 86400000000)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+        |       WHEN l2.user_id IS NOT NULL THEN 2
+        |       WHEN l1.user_id IS NOT NULL THEN 1
+        |       ELSE 0 END AS BIGINT) AS funnel_level
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN l1 ON l1.user_id = u.user_id
+        |LEFT JOIN l2 ON l2.user_id = u.user_id
+        |LEFT JOIN l3 ON l3.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin,
     // the drained inner stream-stream join equals the batch interval join
     "q_stream_join" ->
       """SELECT v.user_id,

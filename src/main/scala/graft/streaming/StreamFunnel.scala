@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming windowFunnel — the custom-state rung of the streaming
+  * toolkit (`flatMapGroupsWithState`): maintain each user's funnel level
+  * INCREMENTALLY across micro-batches instead of re-scanning history.
+  *
+  * Semantics contract: identical to the batch
+  * [[graft.operators.Funnel.windowFunnel]] default mode (max level whose
+  * chain fits in the window, equal-timestamp events chain in step order
+  * — DIVERGENCES #22) for every event stream whose disorder stays within
+  * `latenessSecs`: an event arriving more than `latenessSecs` behind the
+  * user's max seen event time is DROPPED (that is what a watermark
+  * means); everything else lands exactly where a batch recompute would
+  * put it, because the per-user state keeps
+  *
+  *  - `best` — the max level ever achieved (completed chains never need
+  *    their events again), and
+  *  - the packed (ts, step) events newer than
+  *    `maxSeen − lateness − window` — every chain a future in-lateness
+  *    event could extend must START at or after that horizon (chains
+  *    span ≤ window; future events arrive ≥ maxSeen − lateness), so the
+  *    pruned tail can never be missed evidence.
+  *
+  * State is therefore bounded by the user's step events in one
+  * lateness+window span — the same bound a watermarked aggregation
+  * carries — and the DP recompute per update is a sort+scan of that
+  * bounded buffer.
+  *
+  * Events pack as `us * 64 + step` (steps ≤ 32 < 64): sorting the packed
+  * longs IS the batch operator's (ts, step) sort, and the µs headroom
+  * (2⁶³/64 ≈ year 4500) is checked at pack time.
+  */
+object StreamFunnel {
+
+  final case class StepEvent(user_id: Long, us: Long, step: Int)
+  final case class UserLevel(user_id: Long, funnel_level: Long)
+  final case class FunnelState(best: Int, maxSeenUs: Long,
+      packed: Array[Long])
+
+  /** The batch default-mode DP (FunnelLevel.evalDp) on a sorted packed
+    * buffer: per level the LATEST chain start achieving it. */
+  private def dpLevel(sorted: Array[Long], numSteps: Int,
+      windowUs: Long): Int = {
+    val st = new Array[Long](numSteps)
+    val fl = new Array[Boolean](numSteps)
+    var k = 0
+    while (k < sorted.length) {
+      val us = sorted(k) >> 6
+      val i = (sorted(k) & 63L).toInt
+      if (i < numSteps) {
+        if (i == 0) {
+          if (!fl(0) || us > st(0)) { st(0) = us; fl(0) = true }
+        } else if (fl(i - 1) && us - st(i - 1) <= windowUs &&
+            (!fl(i) || st(i - 1) > st(i))) {
+          st(i) = st(i - 1)
+          fl(i) = true
+        }
+      }
+      k += 1
+    }
+    var lvl = 0
+    while (lvl < numSteps && fl(lvl)) lvl += 1
+    lvl
+  }
+
+  /** Per-user funnel levels over a stream of (user, µs, stepIdx) events;
+    * emits the user's current level on every batch that touches them
+    * (levels are monotone, so `max` per user at the sink is the final
+    * answer). `step` outside [0, numSteps) is ignored. */
+  def levels(events: Dataset[StepEvent], numSteps: Int, windowSecs: Long,
+      latenessSecs: Long): Dataset[UserLevel] = {
+    require(numSteps >= 1 && numSteps <= 32,
+      s"StreamFunnel: 1..32 steps, got $numSteps")
+    require(windowSecs > 0 && latenessSecs >= 0,
+      "StreamFunnel: window must be positive, lateness non-negative")
+    val windowUs = windowSecs * 1000000L
+    val latenessUs = latenessSecs * 1000000L
+    implicit val stateEnc = Encoders.product[FunnelState]
+    implicit val outEnc = Encoders.product[UserLevel]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, UserLevel](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user, it, state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(
+            FunnelState(0, Long.MinValue, Array.empty))
+          val incoming = it.filter(e => e.step >= 0 && e.step < numSteps)
+            .map { e =>
+              require(e.us < (Long.MaxValue >> 6),
+                s"StreamFunnel: timestamp ${e.us}µs overflows the packing")
+              e.us * 64L + e.step
+            }.toArray
+          if (incoming.isEmpty) Iterator(UserLevel(user, prev.best.toLong))
+          else {
+            val newMax = math.max(prev.maxSeenUs, incoming.map(_ >> 6).max)
+            val horizon = newMax - latenessUs
+            val admitted = incoming.filter(p => (p >> 6) >= horizon)
+            val merged = (prev.packed ++ admitted).distinct.sorted
+            val lvl = math.max(prev.best,
+              dpLevel(merged, numSteps, windowUs))
+            val keep = merged.filter(p => (p >> 6) >= horizon - windowUs)
+            state.update(FunnelState(lvl, newMax, keep))
+            Iterator(UserLevel(user, lvl.toLong))
+          }
+      }
+  }
+}

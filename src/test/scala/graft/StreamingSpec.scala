@@ -333,4 +333,51 @@ class StreamingSpec extends AnyFunSuite {
         "user_id", "ts", "ts", maxGapSeconds = 0L)
     }
   }
+
+  test("StreamFunnel: incremental levels, in-lateness out-of-order repair, " +
+      "too-late drop") {
+    import graft.streaming.StreamFunnel
+    import graft.streaming.StreamFunnel.StepEvent
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StepEvent]
+    val out = StreamFunnel.levels(mem.toDS(), numSteps = 3,
+      windowSecs = 100L, latenessSecs = 500L)
+    val sink = s"sfunspec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    def lvl(u: Long): Long = spark.table(sink)
+      .where($"user_id" === u).agg(max($"funnel_level")).head.getLong(0)
+    val S = 1000000L // seconds → µs
+    try {
+      // u1 climbs one level per micro-batch — state crosses batches
+      mem.addData(StepEvent(1L, 0 * S, 0)); q.processAllAvailable()
+      assert(lvl(1L) == 1L)
+      mem.addData(StepEvent(1L, 10 * S, 1)); q.processAllAvailable()
+      assert(lvl(1L) == 2L)
+      mem.addData(StepEvent(1L, 20 * S, 2)); q.processAllAvailable()
+      assert(lvl(1L) == 3L)
+      // u2: step-2 event beyond the 100 s window never completes
+      mem.addData(StepEvent(2L, 0 * S, 0), StepEvent(2L, 150 * S, 1))
+      q.processAllAvailable()
+      assert(lvl(2L) == 1L)
+      // u3: the click arrives FIRST; the view lands later but within
+      // lateness — the stored click repairs into a level-2 chain, the
+      // result a batch recompute would give
+      mem.addData(StepEvent(3L, 1000 * S, 1)); q.processAllAvailable()
+      assert(lvl(3L) == 0L)
+      mem.addData(StepEvent(3L, 950 * S, 0)); q.processAllAvailable()
+      assert(lvl(3L) == 2L)
+      // u4: an event more than 500 s behind max-seen is dropped
+      mem.addData(StepEvent(4L, 2000 * S, 1)); q.processAllAvailable()
+      mem.addData(StepEvent(4L, 1400 * S, 0)); q.processAllAvailable()
+      assert(lvl(4L) == 0L)
+      // u1's completed level survives any amount of later pruning
+      mem.addData(StepEvent(1L, 5000 * S, 0)); q.processAllAvailable()
+      assert(lvl(1L) == 3L)
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      StreamFunnel.levels(mem.toDS(), numSteps = 0, windowSecs = 1L,
+        latenessSecs = 0L)
+    }
+  }
 }
