@@ -270,6 +270,40 @@ object CorpusQueries {
       .orderBy(col("lang"))
   }
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): split each
+    * language's documents into head/middle/tail TERCILES of the
+    * LM-typicality score — the standard "keep head+middle, sample tail"
+    * curation structure. Thresholds are exact nearest-rank terciles over
+    * the (lang, score)-frequency table (the same bounded-threshold
+    * machinery as [[dQualityFilter]] — nothing stratum-sized sorts on
+    * one task; the score is 8-dp-quantized so the frequency table stays
+    * bounded), broadcast back over one scan. Higher mean-token-prob =
+    * more typical = head (CCNet's LOW perplexity). */
+  def dPplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val s = Corpus.unigramScore(d, "doc_id", "text")
+      .select(col("doc_id"), col("mean_tok_prob").as("s"))
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val freq = s.groupBy(col("lang"), col("s")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang"))
+    val cum = freq
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    def rankThreshold(frac: Double, name: String): DataFrame = cum
+      .where(col("cum") >= ceil(col("n") * lit(frac)))
+      .groupBy(col("lang")).agg(min(col("s")).as(name))
+    val thresholds = rankThreshold(1.0 / 3, "t1")
+      .join(rankThreshold(2.0 / 3, "t2"), Seq("lang"))
+    s.join(broadcast(thresholds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("s"),
+        when(col("s") <= col("t1"), "tail")
+          .when(col("s") <= col("t2"), "middle")
+          .otherwise("head").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** End-to-end corpus-cleaning composite — the cascaded gate chain a
     * real pretraining pipeline runs as ONE plan; see
     * [[Corpus.cleanPipeline]] for stage semantics and the single-scan /
@@ -400,6 +434,7 @@ object CorpusQueries {
     "d_sample_stratified" -> (dSampleStratified _),
     "d_pack_bins" -> (dPackBins _),
     "d_clean_pipeline" -> (dCleanPipeline _),
+    "d_ppl_buckets" -> (dPplBuckets _),
     "d_shuffle_export" -> (dShuffleExport _),
     "d_source_mix" -> (dSourceMix _),
     "d_dsir_weights" -> (dDsirWeights _),
@@ -975,6 +1010,46 @@ object CorpusQueries {
          |  round(sum_freq * 1.0 / (n_tokens * t_tokens), 8) AS mean_tok_prob,
          |  round(n_hapax * 1.0 / n_tokens, 4) AS hapax_ratio
          |FROM scored CROSS JOIN tot ORDER BY doc_id""".stripMargin,
+    // per-lang nearest-rank terciles over the 8-dp unigram typicality
+    // score (the d_unigram_score formulation), bucketed head/middle/tail
+    "d_ppl_buckets" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+         |  FROM documents
+         |), vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w
+         |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_tokens FROM vocab
+         |), sc AS (
+         |  SELECT t.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(v.c) AS BIGINT) AS sum_freq
+         |  FROM toks t JOIN vocab v USING (w) GROUP BY t.doc_id
+         |), s AS (
+         |  SELECT d.doc_id, d.lang,
+         |    round(sum_freq * 1.0 / (n_tokens * t_tokens), 8) AS s
+         |  FROM sc JOIN documents d USING (doc_id) CROSS JOIN tot
+         |), freq AS (
+         |  SELECT lang, s, count(*) AS c FROM s GROUP BY lang, s
+         |), cum AS (
+         |  SELECT lang, s,
+         |    sum(c) OVER (PARTITION BY lang ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(c) OVER (PARTITION BY lang) AS n
+         |  FROM freq
+         |), th AS (
+         |  SELECT a.lang, a.t1, b.t2 FROM
+         |    (SELECT lang, min(s) AS t1 FROM cum
+         |     WHERE cum >= ceil(n * (1.0::DOUBLE / 3.0::DOUBLE))
+         |     GROUP BY lang) a
+         |    JOIN
+         |    (SELECT lang, min(s) AS t2 FROM cum
+         |     WHERE cum >= ceil(n * (2.0::DOUBLE / 3.0::DOUBLE))
+         |     GROUP BY lang) b USING (lang))
+         |SELECT doc_id, s.lang, s.s AS s,
+         |  CASE WHEN s.s <= t1 THEN 'tail'
+         |       WHEN s.s <= t2 THEN 'middle'
+         |       ELSE 'head' END AS bucket
+         |FROM s JOIN th ON th.lang = s.lang
+         |ORDER BY doc_id""".stripMargin,
     "d_dup_passages" ->
       s"""WITH words AS (
          |  SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w
