@@ -172,6 +172,18 @@ object ChDialectBatch4 {
       }
     }
 
+    // the fixed-width toStartOf* spellings batch 1 didn't carry —
+    // same exact epoch-micros floor as toStartOfInterval
+    def startOf(name: String, seconds: Long): Unit =
+      f(name) { a =>
+        val l = Literal(seconds * 1000000L)
+        MicrosToTimestamp(Multiply(
+          floorDiv(UnixMicros(Cast(a.head, TimestampType)), l), l))
+      }
+    startOf("toStartOfSecond", 1L)
+    startOf("toStartOfFiveMinutes", 300L)
+    startOf("toStartOfTenMinutes", 600L)
+
     // toRelative*Num: whole units since the epoch (floor, so pre-1970
     // rows land in the correct earlier bucket).
     def rel(name: String, seconds: Long): Unit =

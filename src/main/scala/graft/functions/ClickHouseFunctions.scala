@@ -301,6 +301,16 @@ object ClickHouseFunctions {
     // keyword is simply stripped rather than rejected.
     val noFinal = arrayJoined.replaceAll(
       "(?i)\\b(from|join)\\s+([a-zA-Z_][\\w.]*)\\s+final\\b", "$1 $2")
+    // SAMPLE k OFFSET m: disjoint deterministic sample ranges need a
+    // storage-level sample key TABLESAMPLE doesn't have — a silent
+    // rewrite would hand back overlapping samples, so refuse with the
+    // library fix named (hash-threshold sampling IS disjoint-capable).
+    if ("""(?i)\bsample\s+(0?\.\d+|\d+)\s+offset\b""".r
+        .findFirstIn(noFinal).isDefined)
+      throw new IllegalArgumentException(
+        "SAMPLE ... OFFSET needs a storage sample key Spark's TABLESAMPLE " +
+          "lacks; for disjoint deterministic samples use hash-threshold " +
+          "sampling (Corpus.splitAssign / md5-range predicates)")
     // SAMPLE k (CH: fraction in (0,1) or a row count) → Spark TABLESAMPLE
     val sampled =
       """(?i)\bsample\s+(0?\.\d+|\d+)\b""".r.replaceAllIn(noFinal, m => {

@@ -82,6 +82,11 @@ class ApiSpec extends AnyFunSuite {
       == "SELECT * FROM t LEFT JOIN u ON t.a = u.a")
     assert(rewriteDialect("SELECT * FROM t GLOBAL JOIN u ON t.a = u.a")
       == "SELECT * FROM t JOIN u ON t.a = u.a")
+    // SAMPLE OFFSET: refused with the disjoint-sampling fix named
+    val so = intercept[IllegalArgumentException] {
+      rewriteDialect("SELECT * FROM t SAMPLE 0.1 OFFSET 0.5")
+    }
+    assert(so.getMessage.contains("hash-threshold"))
     // terminal FORMAT stripped; a mid-statement identifier named format
     // (or a column alias) is NOT touched
     assert(rewriteDialect("SELECT a FROM t ORDER BY a FORMAT JSONEachRow")

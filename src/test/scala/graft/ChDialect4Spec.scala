@@ -73,6 +73,15 @@ class ChDialect4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("INTERVAL"))
   }
 
+  test("fixed-width toStartOf spellings") {
+    assert(str("toStartOfFiveMinutes(timestamp'2024-01-01 12:07:56')")
+      == "2024-01-01 12:05:00.0")
+    assert(str("toStartOfTenMinutes(timestamp'2024-01-01 12:17:56')")
+      == "2024-01-01 12:10:00.0")
+    assert(str("toStartOfSecond(timestamp'2024-01-01 12:07:56.789')")
+      == "2024-01-01 12:07:56.0")
+  }
+
   test("toRelative*Num and age") {
     assert(lng("toRelativeHourNum(timestamp'1970-01-01 05:30:00')") == 5L)
     assert(lng("toRelativeDayNum(timestamp'1970-01-03 01:00:00')") == 2L)
