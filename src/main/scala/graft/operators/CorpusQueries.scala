@@ -638,20 +638,24 @@ object CorpusQueries {
          |  SELECT doc_id, is_tgt,
          |    ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS b
          |  FROM toks
+         |), db AS (
+         |  SELECT doc_id, is_tgt, b, count(*) AS cnt
+         |  FROM feats GROUP BY doc_id, is_tgt, b
          |), stats AS (
-         |  SELECT b, count(*) AS c_raw,
-         |    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt
-         |  FROM feats GROUP BY b
+         |  SELECT b, CAST(sum(cnt) AS BIGINT) AS c_raw,
+         |    CAST(sum(CASE WHEN is_tgt THEN cnt ELSE 0 END) AS BIGINT)
+         |      AS c_tgt
+         |  FROM db GROUP BY b
          |), tot AS (
          |  SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
          |    CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM stats
          |), sc AS (
-         |  SELECT f.doc_id, count(*) AS n_feats,
-         |    CAST(sum(c_tgt + 1) AS BIGINT) AS sum_tgt,
-         |    CAST(sum(c_raw + 1) AS BIGINT) AS sum_raw,
-         |    sum(ln(CAST(c_tgt + 1 AS DOUBLE))
-         |      - ln(CAST(c_raw + 1 AS DOUBLE))) AS lr
-         |  FROM feats f JOIN stats USING (b) GROUP BY f.doc_id)
+         |  SELECT d.doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+         |    CAST(sum(cnt * (c_tgt + 1)) AS BIGINT) AS sum_tgt,
+         |    CAST(sum(cnt * (c_raw + 1)) AS BIGINT) AS sum_raw,
+         |    sum(cnt * (ln(CAST(c_tgt + 1 AS DOUBLE))
+         |      - ln(CAST(c_raw + 1 AS DOUBLE)))) AS lr
+         |  FROM db d JOIN stats USING (b) GROUP BY d.doc_id)
          |SELECT doc_id, n_feats, sum_tgt, sum_raw,
          |  round(lr + n_feats * (ln(CAST(t_raw + 4096 AS DOUBLE))
          |    - ln(CAST(t_tgt + 4096 AS DOUBLE))), 4) AS llr
