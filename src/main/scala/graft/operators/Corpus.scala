@@ -869,28 +869,34 @@ object Corpus {
     val uniVocab = base.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val total = uniVocab.agg(sum(col("c")).as("t_tokens"))
-    val biVocab = toks.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("cb"))
+    // pair-tokenize ONCE: the (doc, pair)-count shuffle is the shared
+    // materialization point for the bigram vocab AND the scoring join
+    // (same exchange-reuse shape as dsirWeights)
+    val docPair = toks.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val biVocab = docPair.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("cnt")).as("cb"))
     val useBroadcast = broadcastVocab.getOrElse(
       BroadcastGate.estimateOrCount(docs) <= broadcastMaxDocs)
     def gated(v: DataFrame): DataFrame =
       if (useBroadcast) broadcast(v) else v.hint("SHUFFLE_HASH")
     val lam = lit(lambda)
-    toks
+    docPair
       .join(gated(biVocab), Seq("w1", "w2"))
       .join(gated(uniVocab.select(col("w").as("w1"), col("c").as("c1"))),
         Seq("w1"))
       .join(gated(uniVocab.select(col("w").as("w2"), col("c").as("c2"))),
         Seq("w2"))
       .crossJoin(broadcast(total))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("cnt"),
         (lam * col("cb") / col("c1")
           + (lit(1.0d) - lam) * col("c2") / col("t_tokens")).as("p"),
         col("cb"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("cb")).as("sum_bi_freq"),
-        round(sum(col("p")) / count(lit(1)), 6).as("mean_trans_prob"))
+      .agg(sum(col("cnt")).as("n_pairs"),
+        sum(col("cnt") * col("cb")).as("sum_bi_freq"),
+        round(sum(col("cnt") * col("p")) / sum(col("cnt")), 6)
+          .as("mean_trans_prob"))
       .orderBy(col("doc_id"))
   }
 

@@ -605,19 +605,22 @@ object CorpusQueries {
          |  SELECT doc_id, unnest(w[:len(w) - 1]) AS w1,
          |    unnest(w[2:]) AS w2
          |  FROM nd
+         |), dp AS (
+         |  SELECT doc_id, w1, w2, count(*) AS cnt
+         |  FROM pp GROUP BY doc_id, w1, w2
          |), bi AS (
-         |  SELECT w1, w2, count(*) AS cb FROM pp GROUP BY w1, w2
+         |  SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS cb
+         |  FROM dp GROUP BY w1, w2
          |), sc AS (
-         |  SELECT pp.doc_id,
-         |    0.75::DOUBLE * cb / u1.c + 0.25::DOUBLE * u2.c / t AS p,
-         |    cb
-         |  FROM pp
+         |  SELECT dp.doc_id, cnt, cb,
+         |    0.75::DOUBLE * cb / u1.c + 0.25::DOUBLE * u2.c / t AS p
+         |  FROM dp
          |    JOIN bi USING (w1, w2)
-         |    JOIN uni u1 ON u1.w = pp.w1
-         |    JOIN uni u2 ON u2.w = pp.w2, tot)
-         |SELECT doc_id, count(*) AS n_pairs,
-         |  CAST(sum(cb) AS BIGINT) AS sum_bi_freq,
-         |  round(sum(p) / count(*), 6) AS mean_trans_prob
+         |    JOIN uni u1 ON u1.w = dp.w1
+         |    JOIN uni u2 ON u2.w = dp.w2, tot)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_pairs,
+         |  CAST(sum(cnt * cb) AS BIGINT) AS sum_bi_freq,
+         |  round(sum(cnt * p) / sum(cnt), 6) AS mean_trans_prob
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the full DSIR pipeline re-run in SQL: hashed unigram+bigram bag,
     // add-one smoothed bucket stats, per-doc LLR (integer anchors exact;
