@@ -57,11 +57,15 @@ object EngineQueries {
   def qMergeUnion(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    // namespaced prefix: a broad regex like "evts_.*" would also match
+    // OTHER queries' temp views in a shared session (the driver runs the
+    // whole contract in one SparkSession) — observed swallowing the
+    // dialect suite's evts_agg3 view and failing the unionByName
     e.where(col("event_type") === "click")
-      .createOrReplaceTempView("evts_click")
+      .createOrReplaceTempView("mrg_evts_click")
     e.where(col("event_type") === "purchase")
-      .createOrReplaceTempView("evts_purchase")
-    EngineSemantics.mergeEngine(spark, "evts_.*")
+      .createOrReplaceTempView("mrg_evts_purchase")
+    EngineSemantics.mergeEngine(spark, "mrg_evts_.*")
       .orderBy(col("event_id"))
   }
 
