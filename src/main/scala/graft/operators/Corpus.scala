@@ -698,6 +698,76 @@ object Corpus {
       .drop("__mix_rn")
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    * the MOSS algorithm): from each document's word k-gram hash
+    * sequence, select the MINIMUM of every w-wide sliding window. The
+    * selected set is a position-robust fingerprint: any shared run of
+    * at least w+k−1 words between two documents is GUARANTEED to share
+    * a selected hash (the winnowing guarantee), at ~2/(w+1) the density
+    * of the full gram set.
+    *
+    * Everything is ROW-LOCAL — zero shuffles — as a TYPED map kernel
+    * (the [[bpeEncode]]/Multimodal pattern): higher-order array
+    * expressions are not codegen-supported, and an interpreted
+    * zip-chain draft re-evaluated the md5 array per fold level
+    * (measured 42.7 s at sf0.1 vs 6.6 s for this kernel). The JVM md5
+    * is byte-identical to Spark's/DuckDB's, so the emitted hashes stay
+    * cross-engine; the digest is an XOR over the distinct selected
+    * hashes — commutative, so it is ORDER-FREE and bit-equal in any
+    * engine. Hashes are md5-prefix longs ([[splitAssign]]'s spelling,
+    * 15 hex digits = 60 bits).
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "winnowFingerprints: k and w must be ≥ 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.normalized(col(textCol)).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val words = t.split(" ")
+        val nGrams = math.max(words.length - (k - 1), 0)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hashes = new Array[Long](nGrams)
+        var i = 0
+        while (i < nGrams) {
+          val gram = words.slice(i, i + k).mkString(" ")
+          md.reset()
+          val d = md.digest(gram.getBytes("UTF-8"))
+          // first 15 hex digits = first 7 bytes + the high nibble of
+          // byte 8 — the same value as parsing substr(md5_hex, 1, 15)
+          var h = 0L
+          var b = 0
+          while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+          h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+          hashes(i) = h
+          i += 1
+        }
+        val selected =
+          if (nGrams == 0) Array.empty[Long]
+          else if (nGrams < w) Array(hashes.min)
+          else {
+            val out = new Array[Long](nGrams - w + 1)
+            var j = 0
+            while (j < out.length) {
+              var m = hashes(j)
+              var x = 1
+              while (x < w) {
+                if (hashes(j + x) < m) m = hashes(j + x); x += 1
+              }
+              out(j) = m
+              j += 1
+            }
+            out
+          }
+        val distinct = selected.distinct.sorted
+        (id, nGrams.toLong, distinct.length.toLong,
+          distinct.foldLeft(0L)(_ ^ _), distinct)
+      }
+      .toDF("doc_id", "n_grams", "n_selected", "fp_digest", "fingerprints")
+  }
+
   /** BPE vocabulary induction (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units") — the
     * tokenizer-training step of a data pipeline: learn `nMerges` subword

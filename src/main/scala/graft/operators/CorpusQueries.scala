@@ -439,6 +439,7 @@ object CorpusQueries {
     "d_source_mix" -> (dSourceMix _),
     "d_dsir_weights" -> (dDsirWeights _),
     "d_bigram_score" -> (dBigramScore _),
+    "d_winnow" -> (dWinnow _),
     "d_bpe_vocab" -> (dBpeVocab _),
     "q_sessionize" -> (qSessionize _))
 
@@ -466,6 +467,16 @@ object CorpusQueries {
   /** Jelinek–Mercer bigram LM typicality (Corpus.bigramScore, λ=3/4). */
   def dBigramScore(spark: SparkSession, dir: String): DataFrame =
     Corpus.bigramScore(docs(spark, dir), "doc_id", "text")
+
+  /** MOSS winnowing fingerprints (Corpus.winnowFingerprints, k=4 w=4):
+    * per-doc selected-hash counts + order-free XOR digest, all
+    * recomputed exactly by the oracle (window minima over the same
+    * md5-prefix hashes; XOR is commutative so fold order is moot). */
+  def dWinnow(spark: SparkSession, dir: String): DataFrame =
+    Corpus.winnowFingerprints(docs(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_grams"), col("n_selected"),
+        col("fp_digest"))
+      .orderBy(col("doc_id"))
 
   /** BPE vocab induction + corpus encode check frame (Corpus.bpeTrain /
     * bpeEncode). The rank-1 merge is recomputed EXACTLY by the oracle
@@ -1017,6 +1028,35 @@ object CorpusQueries {
          |  round(sum_freq * 1.0 / (n_tokens * t_tokens), 8) AS mean_tok_prob,
          |  round(n_hapax * 1.0 / n_tokens, 4) AS hapax_ratio
          |FROM scored CROSS JOIN tot ORDER BY doc_id""".stripMargin,
+    // winnowing re-run in DuckDB list ops: same 4-gram build, same
+    // 15-hex-digit md5 hashes, same w=4 window minima, same short-doc
+    // global-min fallback; XOR digest via list_reduce (commutative —
+    // order-free, so list order never matters)
+    "d_winnow" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+         |), grams AS (
+         |  SELECT doc_id, len(w) AS nw,
+         |    list_transform(range(1, greatest(len(w) - 2, 1)),
+         |      i -> ('0x' || substr(md5(
+         |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]),
+         |        1, 15))::BIGINT) AS h
+         |  FROM words
+         |), sel AS (
+         |  SELECT doc_id,
+         |    CAST(greatest(nw - 3, 0) AS BIGINT) AS n_grams,
+         |    CASE
+         |      WHEN nw - 3 <= 0 THEN []::BIGINT[]
+         |      WHEN nw - 6 <= 0 THEN [list_min(h)]
+         |      ELSE list_distinct(list_transform(range(1, nw - 5),
+         |        i -> list_min(h[i:i+3])))
+         |    END AS s
+         |  FROM grams)
+         |SELECT doc_id, n_grams,
+         |  CAST(len(s) AS BIGINT) AS n_selected,
+         |  coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT), s),
+         |    (a, b) -> xor(a, b)), 0) AS fp_digest
+         |FROM sel ORDER BY doc_id""".stripMargin,
     // per-lang nearest-rank terciles over the 8-dp unigram typicality
     // score (the d_unigram_score formulation), bucketed head/middle/tail
     "d_ppl_buckets" ->

@@ -798,6 +798,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("winnowFingerprints: shared-run guarantee, short docs, density") {
+    // the winnowing guarantee: a shared run of ≥ w+k−1 = 7 words must
+    // share at least one SELECTED hash between the two docs
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven"),
+      (2L, s"red green blue $shared yellow purple orange pink"),
+      (3L, "completely different words with no overlap at all here"),
+      (4L, "tiny doc"), // < k words → no grams
+      (5L, "five small words here now")) // grams < w → global-min
+      .toDF("doc_id", "text")
+    val out = Corpus.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getSeq[Long](4).toSet)).toMap
+    assert(out(4L) == (0L, 0L, 0L, Set.empty[Long]))
+    assert(out(5L)._1 == 2L && out(5L)._2 == 1L) // 2 grams, 1 selected
+    // density: selected ≪ grams for real docs
+    assert(out(1L)._2 < out(1L)._1)
+    // the winnowing GUARANTEE: docs 1 and 2 share a 7-word run
+    // (≥ w+k−1) ⇒ their fingerprint sets intersect; doc 3 shares no
+    // text with doc 1 ⇒ (whp) disjoint
+    assert(out(1L)._4.intersect(out(2L)._4).nonEmpty)
+    assert(out(1L)._4.intersect(out(3L)._4).isEmpty)
+    // digest is the XOR of the set; determinism across runs
+    assert(out(1L)._3 == out(1L)._4.foldLeft(0L)(_ ^ _))
+    val again = Corpus.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == out.map { case (k, v) => k -> v._3 })
+  }
+
   test("bpeTrain/bpeEncode: hand-computed merges, lowest-rank encode, early stop") {
     val docs = Seq((1L, "ab ab ab"), (2L, "abc")).toDF("doc_id", "text")
     // freqs: ab→3, abc→1. Round 1: (a,b)=4 wins; round 2: (ab,</w>)=3;
