@@ -270,7 +270,12 @@ object ClickHouseFunctions {
     *  - `GLOBAL IN` / `GLOBAL JOIN` — the GLOBAL shard-shipping modifier
     *    is dropped (Spark's planner distributes subqueries itself);
     *  - a TERMINAL `FORMAT <name>` clause is stripped (the DataFrame is
-    *    the result; output formatting belongs to the caller).
+    *    the result; output formatting belongs to the caller);
+    *  - `SETTINGS name = value, …` — CH's per-query server execution
+    *    knobs (max_threads, max_memory_usage, …). None of them changes
+    *    RESULTS in CH, and none exists in Spark; the clause is stripped
+    *    wherever it appears (CH also allows it inside subqueries).
+    *    Execution tuning here is Spark confs, set on the session.
     * Text-level rewrites: a string LITERAL containing these keywords
     * would be rewritten too — documented sharp edge, same trade the
     * dateDiff rewrite has always made. */
@@ -338,11 +343,21 @@ object ClickHouseFunctions {
     val noGlobal = noPre.replaceAll(
       "(?i)\\bglobal\\s+(not\\s+in|in|((left|right|full|cross|inner)\\s+)*join)\\b",
       "$1")
+    // SETTINGS name = value[, ...]: CH's per-query execution knobs —
+    // result-neutral server tuning with no Spark counterpart in SQL
+    // text (tuning lives in session confs). Stripped wherever it
+    // appears; the name=value shape keys the match, so an identifier
+    // merely NAMED settings is untouched.
+    val chSetVal = """'[^']*'|[\w.]+"""
+    val noSettings = noGlobal.replaceAll(
+      s"(?i)\\bsettings\\s+\\w+\\s*=\\s*(?:$chSetVal)" +
+        s"(?:\\s*,\\s*\\w+\\s*=\\s*(?:$chSetVal))*",
+      "")
     // trailing FORMAT <name>: CH's client-side output format clause —
     // result formatting belongs to the caller here (the DataFrame IS the
     // result), so a terminal FORMAT is stripped. Only at statement end:
     // anywhere else the word may be an identifier.
-    val noFormat = noGlobal.replaceAll(
+    val noFormat = noSettings.replaceAll(
       "(?is)\\s*\\bformat\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$", "")
     noFormat.replaceAll(
       "(?i)\\b(dateDiff|date_diff|timestampDiff)\\s*\\(\\s*'([a-zA-Z]+)'\\s*,",

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.RollingHash
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over documents/embeddings: dedup
@@ -523,6 +523,35 @@ object TextQueries {
       .orderBy(col("doc_id")).limit(300)
   }
 
+  /** CCNet-style corpus-wide duplicated-line removal (Corpus.lineDedup)
+    * over synthesized multi-line pages: the flat testdata text has no
+    * newlines, so both engines build the SAME page — 6-word chunk lines,
+    * plus a "subscribe to our newsletter" banner every 4th doc (the
+    * cross-doc boilerplate the op exists to strip), a whitespace-only
+    * line every 5th (formatting, never a dedup candidate), an
+    * "all rights reserved" footer every 7th, and every 9th doc repeats
+    * its own first line (within-doc duplicate). First occurrence in
+    * (doc_id, line-idx) order survives corpus-wide. */
+  def dLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val starts = sequence(lit(0), size(words) - 1, lit(6))
+    val baseLines = transform(starts, s =>
+      array_join(slice(words, s + 1, lit(6)), " "))
+    def maybe(cond: org.apache.spark.sql.Column, line: Column) =
+      when(cond, array(line)).otherwise(array().cast("array<string>"))
+    val page = array_join(concat(
+      maybe(col("doc_id") % 4 === 0, lit("subscribe to our newsletter")),
+      baseLines,
+      maybe(col("doc_id") % 5 === 0, lit("   ")),
+      maybe(col("doc_id") % 7 === 0, lit("all rights reserved")),
+      maybe(col("doc_id") % 9 === 0, element_at(baseLines, 1))), "\n")
+    val pages = docs(spark, dir).select(col("doc_id"), page.as("page"))
+    Corpus.lineDedup(pages, "doc_id", "page")
+      .select(col("doc_id"), col("n_lines_total"), col("n_lines_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def dGopherQuality(spark: SparkSession, dir: String): DataFrame = {
     import TextAnalysis._
     val t = col("text")
@@ -558,6 +587,7 @@ object TextQueries {
   def queries: Map[String, Q] = Map(
     "d_gopher_quality" -> (dGopherQuality _),
     "d_c4_filters" -> (dC4Filters _),
+    "d_line_dedup" -> (dLineDedup _),
     "d_clean_corpus" -> (dCleanCorpus _),
     "d_exact_dedup" -> (dExactDedup _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
@@ -653,6 +683,50 @@ object TextQueries {
         |    AND NOT contains(page, '{')) AS kept,
         |  md5(array_to_string(kl, chr(10))) AS clean_md5
         |FROM c ORDER BY doc_id LIMIT 300""".stripMargin,
+    // identical page construction, then CCNet line dedup re-derived:
+    // lockstep unnest for (idx, line), first occurrence by row_number
+    // over (hash) in (doc_id, idx) order, rebuild by ordered string_agg
+    "d_line_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, len(ws), 6), s ->
+        |      array_to_string(ws[s + 1 : s + 6], ' ')) AS base
+        |  FROM w),
+        |p AS (
+        |  SELECT doc_id, array_to_string(
+        |    list_concat(list_concat(list_concat(list_concat(
+        |      CASE WHEN doc_id % 4 = 0
+        |        THEN ['subscribe to our newsletter'] ELSE [] END,
+        |      base),
+        |      CASE WHEN doc_id % 5 = 0 THEN ['   '] ELSE [] END),
+        |      CASE WHEN doc_id % 7 = 0
+        |        THEN ['all rights reserved'] ELSE [] END),
+        |      CASE WHEN doc_id % 9 = 0 THEN [base[1]] ELSE [] END),
+        |    chr(10)) AS page
+        |  FROM l),
+        |x AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(page, chr(10))) AS line,
+        |    unnest(range(len(string_split(page, chr(10))))) AS idx
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id, idx, line, md5(lower(trim(line))) AS h
+        |  FROM x WHERE trim(line) <> ''),
+        |k AS (
+        |  SELECT doc_id, idx, line,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+        |  FROM c)
+        |SELECT p.doc_id,
+        |  CAST(len(string_split(p.page, chr(10))) AS BIGINT)
+        |    AS n_lines_total,
+        |  CAST(count(k.idx) AS BIGINT) AS n_lines_kept,
+        |  md5(coalesce(string_agg(k.line, chr(10) ORDER BY k.idx), ''))
+        |    AS clean_md5
+        |FROM p LEFT JOIN k ON k.doc_id = p.doc_id AND k.rn = 1
+        |GROUP BY p.doc_id, p.page
+        |ORDER BY p.doc_id""".stripMargin,
     "d_gopher_quality" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -97,6 +97,24 @@ class ApiSpec extends AnyFunSuite {
       == "SELECT format FROM t WHERE format = 'x'")
   }
 
+  test("SETTINGS clause strip: result-neutral knobs removed, identifiers kept") {
+    import graft.functions.ClickHouseFunctions.rewriteDialect
+    assert(rewriteDialect(
+      "SELECT a FROM t SETTINGS max_threads = 4, max_memory_usage = '1G'")
+      .trim == "SELECT a FROM t")
+    // SETTINGS before a terminal FORMAT (the CH clause order) — both go
+    assert(rewriteDialect(
+      "SELECT a FROM t SETTINGS join_algorithm = 'hash' FORMAT JSON")
+      .trim == "SELECT a FROM t")
+    // inside a subquery (CH allows per-subquery SETTINGS)
+    assert(rewriteDialect(
+      "SELECT * FROM (SELECT a FROM t SETTINGS max_rows_to_read = 10) q")
+      .replaceAll("\\s+", " ") == "SELECT * FROM (SELECT a FROM t ) q")
+    // a column merely NAMED settings is untouched (no name=value shape)
+    assert(rewriteDialect("SELECT settings FROM t WHERE x = 1")
+      == "SELECT settings FROM t WHERE x = 1")
+  }
+
   test("ARRAY JOIN rewrites to LATERAL VIEW explode; lockstep/alias-less refused") {
     import graft.functions.ClickHouseFunctions.rewriteDialect
     // identifier form

@@ -677,6 +677,40 @@ class CorpusSpec extends AnyFunSuite {
       s"c4Clean must be shuffle-free:\n$physical")
   }
 
+  test("lineDedup: corpus-wide first occurrence wins; normalization " +
+      "collides case/pad variants; blanks are formatting, not candidates") {
+    val docs = Seq(
+      (1L, "unique alpha line\nSubscribe Now\nunique beta line"),
+      // case/whitespace variant of doc 1's banner → normalized dup, drops
+      (2L, "  subscribe now  \nunique gamma line\n\nunique delta line"),
+      // within-doc duplicate: second copy drops
+      (3L, "repeat me\nunique eps line\nrepeat me"),
+      // a doc that is ALL duplicates of earlier lines → zero kept
+      (4L, "subscribe now\nREPEAT ME")
+    ).toDF("doc_id", "text")
+    val out = Corpus.lineDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // doc 1: all 3 lines first occurrences
+    assert(byId(1L).getLong(2) == 3 &&
+      byId(1L).getString(3) ==
+        "unique alpha line\nSubscribe Now\nunique beta line")
+    // doc 2: banner lost to doc 1, blank line dropped as formatting
+    assert(byId(2L).getLong(1) == 4, "doc 2 has 4 raw lines")
+    assert(byId(2L).getLong(2) == 2 &&
+      byId(2L).getString(3) == "unique gamma line\nunique delta line")
+    // doc 3: within-doc repeat keeps only the first copy, original order
+    assert(byId(3L).getLong(2) == 2 &&
+      byId(3L).getString(3) == "repeat me\nunique eps line")
+    // doc 4: everything was seen before → empty clean_text, row survives
+    assert(byId(4L).getLong(2) == 0 && byId(4L).getString(3) == "")
+    // determinism under repartition: first occurrence is (id, idx) order,
+    // not partition arrival
+    val shuffled = Corpus.lineDedup(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(shuffled.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
   test("chunkWindows: coverage, overlap, tail, and a shuffle-free plan") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
