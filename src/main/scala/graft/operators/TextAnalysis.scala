@@ -148,6 +148,48 @@ object TextAnalysis {
         phoneRe, "<PHONE>"),
       ipv4Re, "<IP>")
 
+  /** HTML → text extraction — the WET-style step a crawl pipeline runs
+    * before any text filter (CommonCrawl's WET files, CCNet's and C4's
+    * input, are exactly this: markup stripped, text kept). Regex-level
+    * by design: a conformant HTML5 parser is out of scope (and out of
+    * this container), but the regex chain below covers the structure
+    * that matters for corpus text and is byte-reproducible in any
+    * RE2/Java regex engine — every pattern is lookaround-free and
+    * anchored to literal tag syntax, so the DuckDB oracle runs the SAME
+    * chain (the [[scrubPii]] stance).
+    *
+    * Chain, in order (order is load-bearing):
+    *  1. drop `<script>`/`<style>` ELEMENTS wholesale (their content is
+    *     code, not text) and `<!-- -->` comments — non-greedy dotall;
+    *  2. block-level boundaries (`</p> </div> </li> </h1..6> </tr>
+    *     <br>`) become newlines so words from different blocks never
+    *     fuse;
+    *  3. every remaining tag → a space;
+    *  4. the five core entities (`&lt; &gt; &quot; &#39; &nbsp;`)
+    *     decode, `&amp;` LAST (decoding it first would re-introduce
+    *     entity syntax: `&amp;lt;` must yield `&lt;` the TEXT);
+    *  5. whitespace normalization: runs of spaces/tabs collapse, line
+    *     edges trim, blank lines collapse, outer edges trim.
+    * Pure codegen'd `regexp_replace` chain — row-local, linear scan, no
+    * shuffle, no UDF. */
+  val htmlChain: Seq[(String, String)] = Seq(
+      "(?is)<script[^>]*>.*?</script>" -> " ",
+      "(?is)<style[^>]*>.*?</style>" -> " ",
+      "(?s)<!--.*?-->" -> " ",
+      "(?i)</(p|div|li|h[1-6]|tr)>|<br[^>]*>" -> "\n",
+      "<[^>]+>" -> " ",
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&",
+      "[ \\t]+" -> " ",
+      " ?\\n ?" -> "\n",
+      "\\n+" -> "\n",
+      "^[ \\n]+|[ \\n]+$" -> "")
+
+  def htmlExtract(html: Column): Column =
+    htmlChain.foldLeft(html) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
   /** Deterministic keyed pseudonymization — the GDPR-style tokenization
     * step next to [[scrubPii]]: replace an identifier with a stable
     * keyed token, `sha256(secret:value)` truncated to `tokenLen` hex

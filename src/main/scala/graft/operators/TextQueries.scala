@@ -552,6 +552,57 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** WET-style HTML → text extraction (TextAnalysis.htmlExtract) over
+    * synthesized pages: both engines build the SAME page from the flat
+    * text — 8-word `<p>` chunks inside a head carrying `<style>` and
+    * `<script>` elements (content must vanish wholesale), a multi-line
+    * `<!-- -->` comment every 3rd doc (dotall), an entity-rich `<div>`
+    * every 4th (`&amp; &lt; &quot;` must decode, `&amp;lt;` must yield
+    * the TEXT `&lt;`), a `<ul>` every 5th (block boundaries become
+    * newlines), and a `<br/>`+`&nbsp;` footer — then run the identical
+    * regex chain (the DuckDB oracle is GENERATED from
+    * `TextAnalysis.htmlChain`, so the two engines cannot drift). */
+  def dHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val starts = sequence(lit(0), size(words) - 1, lit(8))
+    val paras = transform(starts, s => concat(
+      lit("<p>"), array_join(slice(words, s + 1, lit(8)), " "), lit("</p>")))
+    val page = concat(
+      lit("<html><head><title>t</title>" +
+        "<style type=\"text/css\">body { color: red; }</style>" +
+        "<script>var a = 1 &amp;&amp; 2;</script></head><body>"),
+      when(col("doc_id") % 3 === 0, lit("<!-- comment\nblock -->"))
+        .otherwise(lit("")),
+      array_join(paras, ""),
+      when(col("doc_id") % 4 === 0,
+        lit("<div>Tom &amp; Jerry &lt;3 &quot;cats&quot; &amp;lt;</div>"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("<ul><li>one</li><li>two</li></ul>"))
+        .otherwise(lit("")),
+      lit("<br/>footer&nbsp;text</body></html>"))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.htmlExtract(page).as("__x"))
+      .select(col("doc_id"),
+        length(col("__x")).cast("long").as("n_chars"),
+        size(split(col("__x"), "\n")).cast("long").as("n_lines"),
+        md5(col("__x")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DuckDB spelling of TextAnalysis.htmlChain: the same pattern/
+    * replacement pairs folded into nested regexp_replace calls with the
+    * 'g' option (DuckDB replaces first-match by default; Spark is always
+    * global). Patterns embed verbatim — DuckDB single-quoted literals
+    * don't process backslashes, so `\t`/`\n` reach RE2 exactly as Java
+    * regex sees them; actual-newline replacements embed as raw newlines
+    * inside the literal (Verify's JSON escaper handles control chars). */
+  private def htmlChainSql(inner: String): String =
+    TextAnalysis.htmlChain.foldLeft(inner) { case (acc, (pat, repl)) =>
+      def q(s: String) = s.replace("'", "''")
+      s"regexp_replace($acc, '${q(pat)}', '${q(repl)}', 'g')"
+    }
+
   def dGopherQuality(spark: SparkSession, dir: String): DataFrame = {
     import TextAnalysis._
     val t = col("text")
@@ -588,6 +639,7 @@ object TextQueries {
     "d_gopher_quality" -> (dGopherQuality _),
     "d_c4_filters" -> (dC4Filters _),
     "d_line_dedup" -> (dLineDedup _),
+    "d_html_extract" -> (dHtmlExtract _),
     "d_clean_corpus" -> (dCleanCorpus _),
     "d_exact_dedup" -> (dExactDedup _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
@@ -683,6 +735,35 @@ object TextQueries {
         |    AND NOT contains(page, '{')) AS kept,
         |  md5(array_to_string(kl, chr(10))) AS clean_md5
         |FROM c ORDER BY doc_id LIMIT 300""".stripMargin,
+    // identical page construction; the extraction chain is GENERATED
+    // from TextAnalysis.htmlChain (htmlChainSql) — engines cannot drift
+    "d_html_extract" -> (
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>t</title>' ||
+        |    '<style type="text/css">body { color: red; }</style>' ||
+        |    '<script>var a = 1 &amp;&amp; 2;</script></head><body>' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '<!-- comment' || chr(10) || 'block -->' ELSE '' END ||
+        |    array_to_string(list_transform(range(0, len(ws), 8), s ->
+        |      '<p>' || array_to_string(ws[s + 1 : s + 8], ' ') || '</p>'),
+        |      '') ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN '<div>Tom &amp; Jerry &lt;3 &quot;cats&quot; &amp;lt;</div>'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN '<ul><li>one</li><li>two</li></ul>' ELSE '' END ||
+        |    '<br/>footer&nbsp;text</body></html>' AS page
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(length(x) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(x, chr(10))) AS BIGINT) AS n_lines,
+        |  md5(x) AS clean_md5
+        |FROM (SELECT doc_id, """.stripMargin + htmlChainSql("page") +
+      """ AS x FROM p)
+        |ORDER BY doc_id""".stripMargin),
     // identical page construction, then CCNet line dedup re-derived:
     // lockstep unnest for (idx, line), first occurrence by row_number
     // over (hash) in (doc_id, idx) order, rebuild by ordered string_agg

@@ -677,6 +677,34 @@ class CorpusSpec extends AnyFunSuite {
       s"c4Clean must be shuffle-free:\n$physical")
   }
 
+  test("htmlExtract: scripts/styles/comments vanish, blocks break lines, " +
+      "entities decode in the right order, whitespace normalizes") {
+    import graft.operators.TextAnalysis.htmlExtract
+    val cases = Seq(
+      // script/style content vanishes WHOLESALE, not just the tags
+      (1L, "<p>keep</p><script>var hidden = 'secret';</script><p>also</p>",
+        "keep\nalso"),
+      (2L, "<style>.x { display: none; }</style><p>text</p>", "text"),
+      // multi-line comment (dotall)
+      (3L, "before<!-- line one\nline two -->after", "before after"),
+      // block boundaries become newlines; inline tags become spaces
+      (4L, "<div>one</div><div>two</div>", "one\ntwo"),
+      (5L, "a<b>bold</b>c", "a bold c"),
+      // &amp; decodes LAST: &amp;lt; is the TEXT "&lt;", not "<"
+      (6L, "Tom &amp; Jerry &lt;3 &quot;hi&quot; &#39;x&#39; &amp;lt;",
+        "Tom & Jerry <3 \"hi\" 'x' &lt;"),
+      // &nbsp; + whitespace collapse + outer trim
+      (7L, "  <p> spaced   out&nbsp;words </p>  ", "spaced out words"),
+      (8L, "<ul><li>one</li><li>two</li></ul>tail", "one\ntwo\ntail"),
+      (9L, "<br>x<br/>y<br class=\"z\">w", "\nx\ny\nw".trim))
+    val df = cases.map(c => (c._1, c._2)).toDF("id", "html")
+    val got = df.select(col("id"), htmlExtract(col("html")).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"case $id: got ${got(id).replace("\n", "\\n")}")
+    }
+  }
+
   test("lineDedup: corpus-wide first occurrence wins; normalization " +
       "collides case/pad variants; blanks are formatting, not candidates") {
     val docs = Seq(
