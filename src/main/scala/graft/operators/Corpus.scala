@@ -528,6 +528,92 @@ object Corpus {
         round(col("n_dup_positions").cast("double") / col("n_positions"), 4))
   }
 
+  /** Duplicate-SPAN removal — the excision stage of Lee et al. 2022's
+    * ExactSubstr dedup ([[duplicatePassages]] is the scoring stage; this
+    * one rewrites the text). A span is the `n`-token window starting at a
+    * position whose token n-gram occurs ≥ `minCount` times corpus-wide
+    * (within-doc repeats count — a second occurrence is a second
+    * occurrence wherever it lives, the paper's stance); every occurrence
+    * EXCEPT the global first in (id, pos) order is removed, and a
+    * document's removed intervals are unioned before excision (a first
+    * occurrence overlapping a later removable span's interval is excised
+    * with it — interval union is what "remove the span" means).
+    *
+    * Tokens here are RAW whitespace tokens, not [[TextAnalysis.normalized]]
+    * words — excision must reproduce the original text, so the dedup key
+    * is the exact token sequence and `clean_text` is the surviving tokens
+    * joined by single spaces (runs of whitespace collapse; that is the
+    * one normalization this op applies, documented).
+    *
+    * Scale shape: token STRINGS shuffle only inside the per-doc window
+    * that builds n-grams (one exchange on id — same cost class as the
+    * scan); after hashing at birth the election groupBy carries (hash,
+    * id, pos), the removable-position join carries (hash, int), and the
+    * per-doc excision list carries (id, int-array). The rebuild is one
+    * row-local fold over the sorted removable positions — O(tokens) per
+    * doc via slice concatenation, not O(tokens × spans). */
+  def removeDuplicateSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 20, minCount: Int = 2): DataFrame = {
+    require(n >= 2, s"removeDuplicateSpans: n must be >= 2, got $n")
+    require(minCount >= 2,
+      s"removeDuplicateSpans: minCount must be >= 2, got $minCount")
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    val toks = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\\s+")).as(Seq("__pos", "__w0")))
+    val withNext = (1 until n).foldLeft(toks) { (d, k) =>
+      d.withColumn(s"__w$k", lead(col("__w0"), k).over(w))
+    }
+    val grams = withNext
+      .where(col(s"__w${n - 1}").isNotNull)
+      .select(col("__id"), col("__pos"),
+        xxhash64(concat_ws(" ", (0 until n).map(k => col(s"__w$k")): _*))
+          .as("__h"))
+    val elected = grams
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("__id"), col("__pos"))).as("__first"))
+      .where(col("__cnt") >= minCount)
+      .select(col("__h"), col("__first"))
+    val removable = grams.join(elected, Seq("__h"))
+      .where(struct(col("__id"), col("__pos")) =!= col("__first"))
+      .select(col("__id"), col("__pos"))
+    val perDoc = removable
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__rm"))
+    // row-local excision: fold the sorted removable starts, appending the
+    // uncovered slice before each span and advancing the cursor past it
+    val toksArr = split(col(textCol), "\\s+")
+    docs
+      .join(perDoc, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("__rm"), array().cast("array<int>")).as("__rm"),
+        toksArr.as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        aggregate(
+          col("__rm"),
+          struct(lit(0).as("cur"), array().cast("array<string>").as("acc")),
+          (s, p) => struct(
+            greatest(s.getField("cur"), p + n).as("cur"),
+            when(p > s.getField("cur"),
+              concat(s.getField("acc"),
+                slice(col("__toks"), s.getField("cur") + 1,
+                  p - s.getField("cur"))))
+              .otherwise(s.getField("acc")).as("acc")),
+          s => array_join(
+            when(s.getField("cur") < size(col("__toks")),
+              concat(s.getField("acc"),
+                slice(col("__toks"), s.getField("cur") + 1,
+                  size(col("__toks")) - s.getField("cur"))))
+              .otherwise(s.getField("acc")), " "))
+          .as("clean_text"))
+      .withColumn("n_removed",
+        (col("n_tokens") -
+          when(col("clean_text") === "", 0)
+            .otherwise(size(split(col("clean_text"), " ")))).cast("long"))
+  }
+
   /** End-to-end corpus-cleaning pipeline — the composite a pretraining
     * data pipeline actually runs, chaining the individually-oracled gates
     * into ONE cascaded plan (ref: moose users compose these as sequential

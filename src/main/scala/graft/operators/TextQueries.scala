@@ -603,6 +603,24 @@ object TextQueries {
       s"regexp_replace($acc, '${q(pat)}', '${q(repl)}', 'g')"
     }
 
+  /** Lee et al. 2022 duplicate-SPAN excision (Corpus.removeDuplicateSpans)
+    * at n=4 over pages where every 6th doc carries an appended 8-word
+    * boilerplate sentence — those docs share 5 consecutive 4-grams, so
+    * the global-first doc keeps the sentence and every later one loses
+    * it; naturally-repeated 4-grams anywhere in the corpus (including
+    * within-doc repeats) are excised identically in both engines. */
+  def dDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val page = when(col("doc_id") % 6 === 0,
+      concat(col("text"),
+        lit(" subscribe to our newsletter for updates every day")))
+      .otherwise(col("text"))
+    val pages = docs(spark, dir).select(col("doc_id"), page.as("page"))
+    Corpus.removeDuplicateSpans(pages, "doc_id", "page", n = 4)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def dGopherQuality(spark: SparkSession, dir: String): DataFrame = {
     import TextAnalysis._
     val t = col("text")
@@ -640,6 +658,7 @@ object TextQueries {
     "d_c4_filters" -> (dC4Filters _),
     "d_line_dedup" -> (dLineDedup _),
     "d_html_extract" -> (dHtmlExtract _),
+    "d_dup_spans" -> (dDupSpans _),
     "d_clean_corpus" -> (dCleanCorpus _),
     "d_exact_dedup" -> (dExactDedup _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
@@ -735,6 +754,46 @@ object TextQueries {
         |    AND NOT contains(page, '{')) AS kept,
         |  md5(array_to_string(kl, chr(10))) AS clean_md5
         |FROM c ORDER BY doc_id LIMIT 300""".stripMargin,
+    // identical page construction, then span excision re-derived with an
+    // independent formulation: gram strings as keys (no hashing), global
+    // first by row_number, excision by per-token NOT EXISTS covering test
+    "d_dup_spans" ->
+      """WITH p AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 6 = 0
+        |    THEN text || ' subscribe to our newsletter for updates every day'
+        |    ELSE text END AS page
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, regexp_split_to_array(page, '\s+') AS ws FROM p),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(range(len(ws) - 3)) AS pos,
+        |    unnest(list_transform(range(len(ws) - 3), i ->
+        |      array_to_string(ws[i + 1 : i + 4], ' '))) AS gram
+        |  FROM t WHERE len(ws) >= 4),
+        |r AS (
+        |  SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY gram) AS cnt,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos)
+        |      AS rn
+        |  FROM g),
+        |rem AS (SELECT doc_id, pos FROM r WHERE cnt >= 2 AND rn > 1),
+        |tt AS (
+        |  SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos
+        |  FROM t),
+        |k AS (
+        |  SELECT tt.doc_id, tt.pos, tt.w FROM tt
+        |  WHERE NOT EXISTS (SELECT 1 FROM rem
+        |    WHERE rem.doc_id = tt.doc_id AND rem.pos <= tt.pos
+        |      AND tt.pos < rem.pos + 4))
+        |SELECT t.doc_id,
+        |  CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.ws) - count(k.pos) AS BIGINT) AS n_removed,
+        |  md5(coalesce(string_agg(k.w, ' ' ORDER BY k.pos), ''))
+        |    AS clean_md5
+        |FROM t LEFT JOIN k ON k.doc_id = t.doc_id
+        |GROUP BY t.doc_id, len(t.ws)
+        |ORDER BY t.doc_id""".stripMargin,
     // identical page construction; the extraction chain is GENERATED
     // from TextAnalysis.htmlChain (htmlChainSql) — engines cannot drift
     "d_html_extract" -> (

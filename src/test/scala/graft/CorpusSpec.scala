@@ -739,6 +739,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(shuffled.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
   }
 
+  test("removeDuplicateSpans: global first survives, later occurrences " +
+      "excised with interval union; within-doc repeats count; short docs " +
+      "pass through") {
+    val docs = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "p q a b c d r"),     // shares a-b-c-d with doc 1
+      (3L, "m m m m m"),          // within-doc repeats of m-m-m
+      (4L, "short one")           // fewer than n tokens
+    ).toDF("doc_id", "text")
+    val out = Corpus.removeDuplicateSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // doc 1 holds every first occurrence → untouched
+    assert(byId(1L).getString(2) == "a b c d x y z" &&
+      byId(1L).getLong(3) == 0)
+    // doc 2: "a b c"@2 and "b c d"@3 are later occurrences → [2,5)∪[3,6)
+    assert(byId(2L).getString(2) == "p q r" && byId(2L).getLong(3) == 4)
+    // doc 3: "m m m"@1,@2 removable → [1,4)∪[2,5) leaves token 0
+    assert(byId(3L).getString(2) == "m" && byId(3L).getLong(3) == 4)
+    // doc 4: no n-grams → full text survives
+    assert(byId(4L).getString(2) == "short one" && byId(4L).getLong(3) == 0)
+    // deterministic under repartition
+    val shuffled = Corpus
+      .removeDuplicateSpans(docs.repartition(5), "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(shuffled.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
   test("chunkWindows: coverage, overlap, tail, and a shuffle-free plan") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
