@@ -841,6 +841,52 @@ object Similarity {
     * never corpus-sized. Queries stay a bounded broadcast like every
     * ANN entry point here.
     */
+  /** Integer-scaled nDCG rank discounts: `round(1e6 / log2(i+1))` for
+    * ranks 1..k. Micro-units make the DCG sum an INTEGER sum — order-free
+    * and bit-equal across engines — where a double `1/log2` sum would be
+    * accumulation-order- and libm-dependent (the TF-IDF rational-idf
+    * stance). Both the Spark plan and the generated DuckDB oracle consume
+    * THIS sequence, so the constants cannot drift. */
+  def ndcgDiscountsMicro(k: Int): IndexedSeq[Long] =
+    (1 to k).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** nDCG@k of a SYSTEM ranking against a TRUTH ranking — the standard
+    * retrieval-eval metric next to recall@k (recall says how many of the
+    * true neighbors came back; nDCG says how well they are ORDERED —
+    * a system returning all 10 at the bottom of its list scores recall
+    * 1.0 but nDCG well under it).
+    *
+    * Both inputs are (qid, rank, nid) frames (the [[knnBrute]] shape).
+    * Relevance is binary membership in the truth top-k (the usual ANN
+    * formulation: truth IS a ranking cut, so graded relevance would
+    * double-count the order). DCG sums [[ndcgDiscountsMicro]] units over
+    * the system ranks of relevant hits; the ideal ranking puts k
+    * relevant docs at ranks 1..k, so IDCG is the full discount sum — a
+    * constant, making `ndcg = dcg_micro / idcg_micro` one IEEE-exact
+    * division per query.
+    *
+    * Scale shape: both inputs are top-k frames — |queries| × k rows —
+    * so everything here is bounded by the EVAL set, never the corpus;
+    * one equi-join + one groupBy on qid. */
+  def ndcgAtK(system: DataFrame, truth: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 1000, s"ndcgAtK: k $k outside [1, 1000]")
+    val disc = ndcgDiscountsMicro(k)
+    val idcg = disc.sum
+    val t = truth.where(col("rank") <= k)
+      .select(col("qid"), col("nid"), lit(1).as("__rel"))
+    system.where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"))
+      .join(t, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("__rel")).as("n_hits"),
+        coalesce(sum(when(col("__rel").isNotNull,
+            element_at(typedlit(disc), col("rank").cast("int")))),
+          lit(0L)).as("dcg_micro"))
+      .select(col("qid"), col("n_hits"), col("dcg_micro"),
+        round(col("dcg_micro").cast("double") / lit(idcg.toDouble), 4)
+          .as("ndcg"))
+  }
+
   def dimTruncateEval(
       embeddings: DataFrame, queries: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -341,6 +341,22 @@ object TextQueries {
     Similarity.dimTruncateEval(e, e.where(col("vec_id") < 5))
   }
 
+  /** nDCG@10 of 16-dim truncated retrieval against the full-64-dim
+    * ranking (Similarity.ndcgAtK over two knnBrute cuts) — the ordering
+    * companion to e_dim_truncate's recall. The dim-truncated system is
+    * the one ANN degradation DuckDB can recompute exactly, so the metric
+    * itself is fully oracled: integer micro-unit discounts generated
+    * from the SAME ndcgDiscountsMicro sequence on both sides. */
+  def eNdcgTruncate(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val queries = e.where(col("vec_id") < 5)
+    def trunc(df: DataFrame) =
+      df.withColumn("embedding", slice(col("embedding"), 1, 16))
+    val truth = Similarity.knnBrute(e, queries, k = 10)
+    val system = Similarity.knnBrute(trunc(e), trunc(queries), k = 10, dim = 16)
+    Similarity.ndcgAtK(system, truth, 10).orderBy(col("qid"))
+  }
+
   /** Per-query ANN self-check frame: `sims_exact` = every returned
     * neighbor's similarity matches a direct cosine recomputation from the
     * stored vectors; `recall_ok` = overlap with the brute-force top-10 ≥
@@ -683,7 +699,8 @@ object TextQueries {
     "d_embed_neardup_lsh" -> (dEmbedNeardupLsh _),
     "e_semdedup" -> (eSemDedup _),
     "e_embed_pipeline" -> (eEmbedPipeline _),
-    "e_dim_truncate" -> (eDimTruncate _))
+    "e_dim_truncate" -> (eDimTruncate _),
+    "e_ndcg_truncate" -> (eNdcgTruncate _))
 
   private val jaccardSql =
     """WITH words AS (
@@ -1209,6 +1226,42 @@ object TextQueries {
     // truncated-cosine top-10 per prefix dim, overlap-counted against
     // the full-dim top-10 — same scored/ranked shape as e_knn_brute with
     // the range end parameterized by the dims table
+    // discounts + IDCG generated from Similarity.ndcgDiscountsMicro —
+    // integer sums, so the metric is exact cross-engine
+    "e_ndcg_truncate" -> {
+      val disc = graft.operators.Similarity.ndcgDiscountsMicro(10)
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT dm.d, q.qid, e.vec_id AS nid,
+        |    list_sum(list_transform(range(1, dm.d + 1),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, dm.d + 1),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, dm.d + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE)
+        |          * CAST(e.embedding[i] AS DOUBLE)))))
+        |    AS sim
+        |  FROM (SELECT unnest([16, 64]) AS d) dm, q, embeddings e
+        |  WHERE e.vec_id <> q.qid),
+        |ranked AS (SELECT d, qid, nid,
+        |  row_number() OVER (PARTITION BY d, qid
+        |    ORDER BY round(sim, 6) DESC, nid) AS rank
+        |  FROM scored),
+        |sys AS (SELECT qid, nid, rank FROM ranked
+        |  WHERE d = 16 AND rank <= 10),
+        |tru AS (SELECT qid, nid FROM ranked WHERE d = 64 AND rank <= 10)
+        |SELECT s.qid,
+        |  CAST(count(t.nid) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(sum(CASE WHEN t.nid IS NOT NULL
+        |    THEN (${disc.mkString("[", ", ", "]")})[s.rank] END), 0)
+        |    AS BIGINT) AS dcg_micro,
+        |  round(coalesce(sum(CASE WHEN t.nid IS NOT NULL
+        |    THEN (${disc.mkString("[", ", ", "]")})[s.rank] END), 0)
+        |    / ${disc.sum}.0, 4) AS ndcg
+        |FROM sys s LEFT JOIN tru t ON t.qid = s.qid AND t.nid = s.nid
+        |GROUP BY s.qid ORDER BY s.qid""".stripMargin
+    },
     "e_dim_truncate" ->
       """WITH dims AS (SELECT unnest([8, 16, 32, 64]) AS d),
         |q AS (SELECT vec_id AS qid, embedding AS qv

