@@ -205,8 +205,60 @@ object EngineQueries {
         "prune_works", "deletes_work")
   }
 
+  /** Mutations (ref apps/framework-cli/src/cli/routines/
+    * truncate_table.rs:55 TRUNCATE, :121 ALTER TABLE … DELETE WHERE):
+    * TRUNCATE + insert + ALTER DELETE + ALTER UPDATE run end-to-end
+    * against a real stored table; the surviving rows — errors deleted,
+    * click values doubled — are the SQL-expressible oracle. */
+  def qAlterMutations(spark: SparkSession, dir: String): DataFrame = {
+    val schema = MooseSchema(Seq(
+      MooseColumn("event_id", MooseType.MInt64),
+      MooseColumn("event_type", MooseType.MString),
+      MooseColumn("value", MooseType.MFloat64)))
+    val table = new OlapTable(spark,
+      OlapTable.Config("events_mutations", schema,
+        TableEngine.MergeTree, orderBy = Seq("event_id")),
+      warehouseDir = System.getProperty("java.io.tmpdir") + "/graft_wh")
+    table.truncate() // fresh state per run — and exercises TRUNCATE TABLE
+    table.insert(events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value")))
+    table.alterDelete("event_type = 'error'")
+    table.alterUpdate(Map("value" -> "value * 2"), "event_type = 'click'")
+    table.read()
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** `OPTIMIZE TABLE … DEDUPLICATE`: the same batch inserted twice (CH's
+    * duplicated-part scenario, e.g. a retried insert without insert
+    * dedup), then the manual dedup merge — the read-back must equal one
+    * copy, which DuckDB states as DISTINCT over the source. */
+  def qOptimizeDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = MooseSchema(Seq(
+      MooseColumn("event_id", MooseType.MInt64),
+      MooseColumn("event_type", MooseType.MString),
+      MooseColumn("value", MooseType.MFloat64)))
+    val table = new OlapTable(spark,
+      OlapTable.Config("events_dedup_opt", schema,
+        TableEngine.MergeTree, orderBy = Seq("event_id")),
+      warehouseDir = System.getProperty("java.io.tmpdir") + "/graft_wh")
+    table.truncate()
+    val batch = events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    table.insert(batch)
+    table.insert(batch) // the duplicated part
+    table.optimizeDeduplicate()
+    table.read()
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_iceberg_read" -> (qIcebergRead _),
+    "q_alter_mutations" -> (qAlterMutations _),
+    "q_optimize_dedup" -> (qOptimizeDedup _),
     "q_replacing_final" -> (qReplacingFinal _),
     "q_summing" -> (qSumming _),
     "q_collapsing" -> (qCollapsing _),
@@ -217,6 +269,16 @@ object EngineQueries {
     "q_quantile_sketch" -> (qQuantileSketch _))
 
   def oracles: Map[String, String] = Map(
+    "q_alter_mutations" ->
+      """SELECT event_id, event_type,
+        |  round(CASE WHEN event_type = 'click' THEN value * 2
+        |             ELSE value END, 2) AS value
+        |FROM events WHERE event_type <> 'error'
+        |ORDER BY event_id""".stripMargin,
+    "q_optimize_dedup" ->
+      """SELECT event_id, event_type, round(value, 2) AS value
+        |FROM (SELECT DISTINCT event_id, event_type, value FROM events)
+        |ORDER BY event_id""".stripMargin,
     "q_iceberg_read" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,

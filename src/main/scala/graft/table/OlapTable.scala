@@ -335,6 +335,141 @@ final class OlapTable(
     }
   }
 
+  // ------------------------------------------------------------ mutations
+  /** Stored rows as written (no alias/read-computed columns), empty for a
+    * never-written table — the common base of every mutation rewrite. */
+  private def storedRows(): DataFrame = {
+    if (!storageExists())
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        config.schema.toStructType)
+    else spark.read.schema(config.schema.toStructType).parquet(path)
+  }
+
+  private def storageExists(): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Rewrite the whole stored fileset to `rows` and swap it in — the
+    * mutation commit path. Preserves the insert-time physical layout
+    * (partition dirs + within-partition ORDER BY sort), so parquet
+    * row-group skipping on the sort key survives mutations. */
+  private def rewriteStored(rows: DataFrame, suffix: String): Unit = {
+    val sorted =
+      if (config.orderBy.nonEmpty)
+        rows.sortWithinPartitions(config.orderBy.map(col): _*)
+      else rows
+    val tmp = path + suffix
+    val writer = sorted.write.mode("overwrite").options(indexWriteOptions)
+    (if (config.partitionBy.nonEmpty) writer.partitionBy(config.partitionBy: _*)
+     else writer).parquet(tmp)
+    swapInto(tmp)
+    refreshSqlView()
+  }
+
+  /** `TRUNCATE TABLE` (ref apps/framework-cli/src/cli/routines/
+    * truncate_table.rs:55 issues exactly this): drop every stored row,
+    * keep the table definition. A truncated table reads as empty, same as
+    * a never-written one. */
+  def truncate(): Unit = {
+    require(config.bucketBy.isEmpty,
+      "truncate over bucketed tables: catalog TRUNCATE not wired yet")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    refreshSqlView()
+  }
+
+  /** CH mutation `ALTER TABLE … DELETE WHERE cond` (ref
+    * truncate_table.rs:121 issues this shape to trim a table to a row
+    * window): rewrite the stored fileset without the matching rows.
+    * Like CH, a mutation is a whole-part rewrite, not an indexed delete —
+    * schedule it, don't run it per query. NULL-safe: a row whose
+    * predicate evaluates NULL is NOT deleted (same three-valued-logic
+    * stance as [[applyRetention]]). Returns rows deleted. */
+  def alterDelete(cond: String): Long = {
+    require(config.bucketBy.isEmpty,
+      "mutations over bucketed tables: INSERT OVERWRITE not wired yet")
+    if (!storageExists()) return 0L // nothing stored, nothing to delete
+    val all = storedRows()
+    val obs = org.apache.spark.sql.Observation()
+    val hit = coalesce(expr(cond), lit(false))
+    val keep = all
+      .observe(obs, coalesce(sum(when(hit, 1L)), lit(0L)).as("deleted"))
+      .where(not(hit))
+    rewriteStored(keep, "__mut_delete")
+    obs.get("deleted").asInstanceOf[Long]
+  }
+
+  /** CH mutation `ALTER TABLE … UPDATE col = expr, … WHERE cond`: rewrite
+    * matching rows with the assignments applied (cast back to the stored
+    * column type). Sort/partition key columns refuse — CH rejects
+    * `UPDATE` on key columns for the same reason (the physical layout is
+    * keyed on them). NULL predicate = not matched. Returns rows updated. */
+  def alterUpdate(assignments: Map[String, String], cond: String): Long = {
+    require(config.bucketBy.isEmpty,
+      "mutations over bucketed tables: INSERT OVERWRITE not wired yet")
+    require(assignments.nonEmpty, "ALTER UPDATE needs at least one assignment")
+    val stored = config.schema.columns.filter(_.aliasExpr.isEmpty).map(_.name)
+    val keyCols = (config.orderBy ++ config.partitionBy).toSet
+    assignments.keys.foreach { c =>
+      require(stored.contains(c),
+        s"ALTER UPDATE: '$c' is not a stored column of ${config.name}")
+      require(!keyCols.contains(c),
+        s"ALTER UPDATE: '$c' is a sort/partition key column (CH: cannot " +
+          "UPDATE key columns — re-insert under the new key instead)")
+    }
+    if (!storageExists()) return 0L // nothing stored, nothing to update
+    val all = storedRows()
+    val hit = coalesce(expr(cond), lit(false))
+    val obs = org.apache.spark.sql.Observation()
+    val updated = all
+      .observe(obs, coalesce(sum(when(hit, 1L)), lit(0L)).as("updated"))
+      .select(all.columns.map { c =>
+        assignments.get(c) match {
+          case Some(e) =>
+            when(hit, expr(e).cast(all.schema(c).dataType))
+              .otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    rewriteStored(updated, "__mut_update")
+    obs.get("updated").asInstanceOf[Long]
+  }
+
+  /** `OPTIMIZE TABLE … DEDUPLICATE [BY cols]` — CH's manual dedup merge.
+    * Full-row form = exact DISTINCT over stored rows. The BY-subset form
+    * keeps ONE row per duplicate group: CH keeps an unspecified one, here
+    * it is the first in (engine ORDER BY, then every remaining column)
+    * order — the deterministic-over-unspecified stance of DIVERGENCES
+    * #22/#28/#31. Returns rows dropped. */
+  def optimizeDeduplicate(by: Seq[String] = Nil): Long = {
+    require(config.bucketBy.isEmpty,
+      "mutations over bucketed tables: INSERT OVERWRITE not wired yet")
+    if (!storageExists()) return 0L // nothing stored, nothing to dedup
+    val all = storedRows()
+    by.foreach(c => require(all.columns.contains(c),
+      s"OPTIMIZE DEDUPLICATE BY: '$c' is not a stored column"))
+    val total = all.count()
+    val rest = (config.orderBy.filterNot(by.contains) ++
+      all.columns.filterNot(c => by.contains(c) || config.orderBy.contains(c)))
+      .map(col(_).asc)
+    val deduped =
+      if (by.isEmpty || rest.isEmpty) all.distinct()
+      else {
+        val rn = Iterator.from(0)
+          .map(i => if (i == 0) "__rn" else s"__rn$i")
+          .find(c => !all.columns.contains(c)).get
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(by.map(col): _*).orderBy(rest: _*)
+        all.withColumn(rn, row_number().over(w))
+          .where(col(rn) === 1).drop(rn)
+      }
+    rewriteStored(deduped, "__mut_dedup")
+    total - storedRows().count()
+  }
+
   /** Replace the table dir with `newDir`, checking every rename and
     * recovering the original on failure. Single-node two-step swap — at
     * cluster scale the equivalent is writing a new fileset and flipping a

@@ -353,4 +353,60 @@ class TableSpec extends AnyFunSuite {
     assert(MooseType.MInt128.sparkType == DecimalType(38, 0))
     intercept[IllegalArgumentException] { MooseType.MDateTime(7) }
   }
+
+  private val mutSchema = MooseSchema(Seq(
+    MooseColumn("k", MooseType.MInt64),
+    MooseColumn("grp", MooseType.MString, nullable = true),
+    MooseColumn("v", MooseType.MFloat64, nullable = true)))
+
+  test("mutations: NULL-safe ALTER DELETE, counting/casting ALTER UPDATE, " +
+      "key-column refusal, TRUNCATE") {
+    val t = new OlapTable(spark,
+      OlapTable.Config("mut_t", mutSchema, orderBy = Seq("k")),
+      tmpWarehouse())
+    t.insert(Seq((1L, Some("a"), Some(1.0)), (2L, Some("b"), Some(2.0)),
+        (3L, None, Some(3.0)), (4L, Some("a"), None))
+      .toDF("k", "grp", "v"), OlapTable.InsertStrategy.FailFast)
+    // NULL predicate = not deleted: row 3 (grp NULL) survives
+    assert(t.alterDelete("grp = 'b'") == 1L)
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+    // update counts MATCHING rows (even one whose new value is NULL)
+    assert(t.alterUpdate(Map("v" -> "v + 0.5"), "grp = 'a'") == 2L)
+    val after = t.read().orderBy("k").select("v")
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(after == Seq(Some(1.5), Some(3.0), None))
+    // int literal assignment casts to the stored Float64
+    t.alterUpdate(Map("v" -> "42"), "k = 3")
+    assert(t.read().where($"k" === 3).select("v").as[Double].head() == 42.0)
+    // sort-key columns refuse (CH: cannot UPDATE key columns)
+    intercept[IllegalArgumentException] {
+      t.alterUpdate(Map("k" -> "k + 1"), "true")
+    }
+    t.truncate()
+    assert(t.read().count() == 0)
+    // mutations on an empty table are no-ops, not errors
+    assert(t.alterDelete("true") == 0L)
+    assert(t.alterUpdate(Map("v" -> "0.0"), "true") == 0L)
+    assert(t.optimizeDeduplicate() == 0L)
+  }
+
+  test("optimizeDeduplicate: full-row distinct; BY-subset keeps the " +
+      "deterministic first row in (ORDER BY, remaining-columns) order") {
+    val t = new OlapTable(spark,
+      OlapTable.Config("dedup_t", mutSchema, orderBy = Seq("k")),
+      tmpWarehouse())
+    val batch = Seq((1L, Some("x"), Some(5.0)), (2L, Some("z"), Some(9.0)))
+      .toDF("k", "grp", "v")
+    t.insert(batch, OlapTable.InsertStrategy.FailFast)
+    t.insert(batch, OlapTable.InsertStrategy.FailFast) // duplicated part
+    assert(t.optimizeDeduplicate() == 2L)
+    assert(t.read().count() == 2L)
+    // BY-subset: per k, winner is smallest (grp, v) — 'x' before 'y'
+    t.insert(Seq((1L, Some("y"), Some(1.0))).toDF("k", "grp", "v"),
+      OlapTable.InsertStrategy.FailFast)
+    assert(t.optimizeDeduplicate(by = Seq("k")) == 1L)
+    assert(t.read().orderBy("k").select("grp").as[String].collect().toSeq ==
+      Seq("x", "z"))
+  }
 }
