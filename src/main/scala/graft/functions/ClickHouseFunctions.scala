@@ -276,6 +276,16 @@ object ClickHouseFunctions {
     *    RESULTS in CH, and none exists in Spark; the clause is stripped
     *    wherever it appears (CH also allows it inside subqueries).
     *    Execution tuning here is Spark confs, set on the session.
+    *  - `QUALIFY <pred>` (CH 21.9+: filter on window results without a
+    *    subquery) — Spark's grammar lacks the clause, so the statement is
+    *    rewritten around it: the predicate becomes one extra select item
+    *    (`(<pred>) AS __qualify`, lateral-alias resolution lets it
+    *    reference select-list aliases) and the query is wrapped in
+    *    `SELECT * EXCEPT(__qualify) FROM (…) WHERE __qualify`, with any
+    *    trailing ORDER BY / LIMIT kept on the outer query. Shapes a text
+    *    rewrite cannot preserve are REFUSED with the fix named:
+    *    `SELECT DISTINCT … QUALIFY` (the filter column would widen the
+    *    distinct domain) and QUALIFY beside a top-level set operation.
     * Text-level rewrites: a string LITERAL containing these keywords
     * would be rewritten too — documented sharp edge, same trade the
     * dateDiff rewrite has always made. */
@@ -359,9 +369,99 @@ object ClickHouseFunctions {
     // anywhere else the word may be an identifier.
     val noFormat = noSettings.replaceAll(
       "(?is)\\s*\\bformat\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$", "")
-    noFormat.replaceAll(
+    rewriteQualify(noFormat).replaceAll(
       "(?i)\\b(dateDiff|date_diff|timestampDiff)\\s*\\(\\s*'([a-zA-Z]+)'\\s*,",
       "$1($2,")
+  }
+
+  private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** Start offsets of top-level (paren-depth 0, outside '…'/"…"/`…`
+    * quoting) whole-word occurrences of `word`, case-insensitive. Doubled
+    * quotes inside a literal ('it''s') are handled; backslash escapes in
+    * single-quoted strings too. With `anyDepth`, occurrences inside
+    * parens count too (still never inside quotes). */
+  private def topLevelWord(sql: String, word: String,
+      anyDepth: Boolean = false): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    val n = sql.length
+    var i = 0
+    var depth = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val d = sql.charAt(i)
+          if (d == '\\' && c == '\'') i += 2
+          else if (d == c) {
+            if (i + 1 < n && sql.charAt(i + 1) == c) i += 2 // doubled quote
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if ((anyDepth || depth == 0) &&
+            sql.regionMatches(true, i, word, 0, word.length) &&
+            (i == 0 || !isWordChar(sql.charAt(i - 1))) &&
+            (i + word.length >= n || !isWordChar(sql.charAt(i + word.length))))
+          out += i
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The QUALIFY rewrite (see [[rewriteDialect]] scaladoc). No top-level
+    * QUALIFY ⇒ the statement passes through untouched. */
+  private def rewriteQualify(sql: String): String = {
+    val all = topLevelWord(sql, "qualify", anyDepth = true)
+    if (all.isEmpty) return sql
+    val quals = topLevelWord(sql, "qualify")
+    if (all.size > quals.size) throw new IllegalArgumentException(
+      "QUALIFY inside a subquery: the text rewrite handles the outermost " +
+        "query only — rewrite the inner QUALIFY as a wrapped filter " +
+        "(SELECT * FROM (…) WHERE <pred>) and keep QUALIFY at the top level")
+    require(quals.size == 1, "more than one top-level QUALIFY clause")
+    val qIdx = quals.head
+    // set-op EXCEPT vs star-EXCEPT: the star form is always followed by '('
+    val setOp = (topLevelWord(sql, "union") ++ topLevelWord(sql, "intersect")
+      ++ topLevelWord(sql, "except").filterNot { i =>
+        sql.drop(i + "except".length).dropWhile(_.isWhitespace).startsWith("(")
+      }).nonEmpty
+    if (setOp) throw new IllegalArgumentException(
+      "QUALIFY beside a top-level UNION/INTERSECT/EXCEPT is ambiguous: " +
+        "parenthesize the QUALIFY side as a subquery")
+    val selects = topLevelWord(sql, "select").filter(_ < qIdx)
+    require(selects.nonEmpty, "QUALIFY without a top-level SELECT")
+    val selIdx = selects.last
+    val selEnd = selIdx + "select".length
+    if (sql.drop(selEnd).dropWhile(_.isWhitespace)
+        .toLowerCase.startsWith("distinct"))
+      throw new IllegalArgumentException(
+        "QUALIFY over SELECT DISTINCT cannot be rewritten without widening " +
+          "the distinct domain: wrap the DISTINCT query as a subquery and " +
+          "filter that")
+    val froms = topLevelWord(sql, "from").filter(i => i > selIdx && i < qIdx)
+    require(froms.nonEmpty, "QUALIFY needs a FROM clause in its SELECT")
+    val fromIdx = froms.head
+    val tailIdx = (topLevelWord(sql, "order") ++ topLevelWord(sql, "limit"))
+      .filter(_ > qIdx).sorted.headOption.getOrElse(sql.length)
+    val pred = sql.substring(qIdx + "qualify".length, tailIdx).trim
+    require(pred.nonEmpty, "QUALIFY with an empty predicate")
+    // collision-checked marker column (same guard as ChShapes.limitBy)
+    val qc = Iterator.from(0)
+      .map(i => if (i == 0) "__qualify" else s"__qualify$i")
+      .find(c => !sql.contains(c)).get
+    val prefix = sql.substring(0, selIdx)
+    val selList = sql.substring(selEnd, fromIdx).trim
+    val fromRest = sql.substring(fromIdx, qIdx).trim
+    val tail = sql.substring(tailIdx)
+    s"${prefix}SELECT * EXCEPT($qc) FROM (SELECT $selList, ($pred) AS $qc " +
+      s"$fromRest) __q WHERE $qc $tail"
   }
 
   def isRegistered(spark: SparkSession): Boolean =

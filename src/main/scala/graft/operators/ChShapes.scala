@@ -303,7 +303,71 @@ object ChShapes {
         n = 100, key = col("k"), descending = true)
       .orderBy(col("k").desc, col("event_id"))
 
+  // ---------------------------------------------------------- PASTE JOIN
+  /** CH `PASTE JOIN` (24.2+): concatenate two frames column-wise, pairing
+    * rows by POSITION. CH pairs by block position — nondeterministic under
+    * any parallelism — so here position is DEFINED by caller-supplied
+    * total orders (the DIVERGENCES #22/#28/#30 determinism stance): row i
+    * of `left` in `leftOrder` order pairs with row i of `right` in
+    * `rightOrder` order. Unequal lengths zip to the SHORTER side (the
+    * only deterministic choice that needs no fill values); `posColumn`
+    * optionally emits the 1-based position.
+    *
+    * Scale shape: NO single-partition global-sort window. Each side is
+    * range-repartitioned + sorted on its order key, indexed with RDD
+    * `zipWithIndex` (one partition-size job per side, then local offsets
+    * — rows never funnel to one task), and the indexed sides equi-join on
+    * position: a plain shuffle join at any scale. */
+  def pasteJoin(left: DataFrame, leftOrder: Seq[Column],
+      right: DataFrame, rightOrder: Seq[Column],
+      posColumn: Option[String] = None): DataFrame = {
+    require(leftOrder.nonEmpty && rightOrder.nonEmpty,
+      "PASTE JOIN positions are defined by explicit total orders on both " +
+        "sides (CH's block-positional pairing is nondeterministic here)")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"PASTE JOIN sides share column names ${overlap.mkString(", ")}: " +
+        "alias them apart first")
+    val pos = Iterator.from(0)
+      .map(i => if (i == 0) "__pos" else s"__pos$i")
+      .find(c => !left.columns.contains(c) && !right.columns.contains(c)).get
+    def indexed(df: DataFrame, order: Seq[Column]): DataFrame = {
+      val sorted = df.repartitionByRange(order: _*)
+        .sortWithinPartitions(order: _*)
+      val schema = sorted.schema
+        .add(pos, org.apache.spark.sql.types.LongType, nullable = false)
+      df.sparkSession.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+        }, schema)
+    }
+    val joined = indexed(left, leftOrder)
+      .join(indexed(right, rightOrder), Seq(pos))
+    posColumn match {
+      case Some(n) => joined.withColumnRenamed(pos, n)
+      case None    => joined.drop(pos)
+    }
+  }
+
+  /** PASTE JOIN pairing the popularity ranking of event types with the
+    * alphabetical listing — both orders integer/string-exact, so the
+    * pairing is engine-independent and the DuckDB oracle states it as two
+    * row_number CTEs joined on position. */
+  def qPasteJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val l = e.groupBy(col("event_type").as("type_by_n"))
+      .agg(count(lit(1)).as("n"))
+    val r = e.groupBy(col("event_type").as("type_alpha"))
+      .agg(round(sum(col("value")), 2).as("total"))
+    pasteJoin(
+        l, Seq(col("n").desc, col("type_by_n")),
+        r, Seq(col("type_alpha")),
+        posColumn = Some("pos"))
+      .orderBy(col("pos"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_paste_join" -> (qPasteJoin _),
     "q_limit_ties" -> (qLimitTies _),
     "q_limit_by" -> (qLimitBy _),
     "q_limit_by_offset" -> (qLimitByOffset _),
@@ -314,6 +378,20 @@ object ChShapes {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_paste_join" ->
+      """WITH l AS (
+        |  SELECT event_type AS type_by_n, count(*) AS n,
+        |         row_number() OVER (ORDER BY count(*) DESC, event_type)
+        |           AS pos
+        |  FROM events GROUP BY event_type
+        |), r AS (
+        |  SELECT event_type AS type_alpha, round(sum(value), 2) AS total,
+        |         row_number() OVER (ORDER BY event_type) AS pos
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT CAST(l.pos AS BIGINT) AS pos, type_by_n, n, type_alpha,
+        |       total
+        |FROM l JOIN r USING (pos) ORDER BY pos""".stripMargin,
     // threshold = the 100th key in desc order; keep everything ≥ it
     "q_limit_ties" ->
       """WITH b AS (

@@ -282,7 +282,28 @@ object DialectQueries {
         |  FROM evts_sm GROUP BY 1
         |) ORDER BY cohort""".stripMargin)
 
+  /** CH `QUALIFY` (21.9+): filter on a window result without a subquery,
+    * through the ad-hoc gate's text rewrite (predicate becomes one extra
+    * select item; the query wraps in `SELECT * EXCEPT(__qualify) … WHERE
+    * __qualify`). Plan: one hash aggregate → one window over the cohort
+    * partition → one filter — exactly what the hand-written subquery
+    * would plan, so the clause costs nothing extra at scale. */
+  def qQualify(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("evts_qual")
+    graft.api.AdHoc.query(spark,
+      """SELECT user_id % 50 AS cohort, event_type,
+        |  count(*) AS n,
+        |  CAST(row_number() OVER (PARTITION BY user_id % 50
+        |    ORDER BY count(*) DESC, event_type) AS BIGINT) AS rn
+        |FROM evts_qual
+        |GROUP BY 1, 2
+        |QUALIFY rn <= 2
+        |ORDER BY cohort, rn""".stripMargin,
+      limit = 1000)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_qualify" -> (qQualify _),
     "q_ch_functions2" -> (qChFunctions2 _),
     "q_ch_functions3" -> (qChFunctions3 _),
     "q_ch_functions4" -> (qChFunctions4 _),
@@ -296,6 +317,15 @@ object DialectQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // DuckDB speaks QUALIFY natively — the oracle IS the unrewritten shape
+    "q_qualify" ->
+      """SELECT user_id % 50 AS cohort, event_type, count(*) AS n,
+        |  CAST(row_number() OVER (PARTITION BY user_id % 50
+        |    ORDER BY count(*) DESC, event_type) AS BIGINT) AS rn
+        |FROM events
+        |GROUP BY 1, 2
+        |QUALIFY rn <= 2
+        |ORDER BY cohort, rn""".stripMargin,
     // batch-4 scalar surface — every column independently reformulated
     // (vector math as explicit left-associated arithmetic matching the
     // DotProduct fold order; enumerate via prefix-distinct lengths;

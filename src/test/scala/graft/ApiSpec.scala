@@ -160,6 +160,40 @@ class ApiSpec extends AnyFunSuite {
     assert(left.length == 1 && left.head.isNullAt(1))
   }
 
+  test("QUALIFY rewrites to a wrapped filter; unsupported shapes refused") {
+    import graft.functions.ClickHouseFunctions.rewriteDialect
+    assert(rewriteDialect(
+      "SELECT g, row_number() OVER (ORDER BY g) AS rn FROM t " +
+        "QUALIFY rn = 1 ORDER BY g LIMIT 5").replaceAll("\\s+", " ")
+      == "SELECT * EXCEPT(__qualify) FROM (SELECT g, row_number() OVER " +
+        "(ORDER BY g) AS rn, (rn = 1) AS __qualify FROM t) __q " +
+        "WHERE __qualify ORDER BY g LIMIT 5")
+    // the word inside a string literal is NOT a clause
+    assert(rewriteDialect("SELECT 'no qualify here' AS s FROM t")
+      == "SELECT 'no qualify here' AS s FROM t")
+    // a caller-owned __qualify name survives (marker gets suffixed)
+    assert(rewriteDialect(
+      "SELECT __qualify, rank() OVER (ORDER BY x) AS r FROM t QUALIFY r < 2")
+      .contains("AS __qualify1"))
+    // SELECT DISTINCT / set ops / subquery QUALIFY: refused with the fix
+    assert(intercept[IllegalArgumentException] {
+      rewriteDialect("SELECT DISTINCT g FROM t QUALIFY rank() OVER (ORDER BY g) = 1")
+    }.getMessage.contains("DISTINCT"))
+    assert(intercept[IllegalArgumentException] {
+      rewriteDialect("SELECT g FROM t QUALIFY r = 1 UNION ALL SELECT g FROM u")
+    }.getMessage.contains("subquery"))
+    assert(intercept[IllegalArgumentException] {
+      rewriteDialect("SELECT * FROM (SELECT g FROM t QUALIFY r = 1) q")
+    }.getMessage.contains("outermost"))
+    // end-to-end through the gate: per-group top-1 equals the subquery form
+    fixture()
+    val viaQualify = AdHoc.query(spark,
+      "SELECT k, CAST(row_number() OVER (PARTITION BY k ORDER BY v DESC) " +
+        "AS BIGINT) AS rn, v FROM adhoc_t QUALIFY rn = 1 ORDER BY k").collect()
+    assert(viaQualify.map(r => (r.getString(0), r.getDouble(2))).toSeq
+      == Seq(("a", 30.0), ("b", 20.0)))
+  }
+
   test("S19: peek samples n rows") {
     fixture()
     assert(AdHoc.peek(spark, "adhoc_t", 2).count() == 2)

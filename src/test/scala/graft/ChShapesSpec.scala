@@ -170,4 +170,29 @@ class ChShapesSpec extends AnyFunSuite {
       ChShapes.limitWithTies(df, 0, col("k"))
     }
   }
+
+  test("pasteJoin: order-defined positions, shorter-side zip, refusals") {
+    import spark.implicits._
+    // many partitions so positional pairing must survive real parallelism
+    val l = Seq(30L, 10L, 20L, 40L).toDF("lv").repartition(7)
+    val r = Seq("c", "a", "b").toDF("rv").repartition(5)
+    val out = ChShapes.pasteJoin(
+        l, Seq(col("lv")), r, Seq(col("rv")), posColumn = Some("pos"))
+      .orderBy("pos").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq
+    // zip stops at the shorter side (3 rows); i-th smallest pairs i-th
+    assert(out == Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))
+    // without posColumn the marker is dropped
+    assert(ChShapes.pasteJoin(l, Seq(col("lv")), r, Seq(col("rv")))
+      .columns.toSeq == Seq("lv", "rv"))
+    // shared column names refuse (alias apart first)
+    intercept[IllegalArgumentException] {
+      ChShapes.pasteJoin(l, Seq(col("lv")),
+        l.withColumnRenamed("lv", "lv"), Seq(col("lv")))
+    }
+    // positions need explicit orders on both sides
+    intercept[IllegalArgumentException] {
+      ChShapes.pasteJoin(l, Nil, r, Seq(col("rv")))
+    }
+  }
 }
