@@ -255,8 +255,39 @@ object EngineQueries {
       .orderBy(col("event_id"))
   }
 
+  /** S12 incremental APPEND scan: nation written as two snapshots (keys
+    * < 13, then >= 13 appended); the snapshot-range read must return
+    * exactly the second batch, time travel to snapshot 1 must still see
+    * only the first, and an empty range must plan zero files. */
+  def qIcebergIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val tmp = java.nio.file.Files.createTempDirectory("iceberg_inc").toString
+    graft.sources.IcebergWrite.createTable(
+      nation.where(col("n_nationkey") < 13), tmp)
+    graft.sources.IcebergWrite.appendData(
+      nation.where(col("n_nationkey") >= 13), tmp)
+    val inc = graft.sources.IcebergRead.tableIncremental(spark, tmp, 1L)
+    val (nInc, sumInc) = {
+      val r = inc.agg(count(lit(1)), sum(col("n_nationkey"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val fullRows = graft.sources.IcebergRead.table(spark, tmp).count()
+    val snap1Rows =
+      graft.sources.IcebergRead.table(spark, tmp, Some(1L)).count()
+    val emptyRange =
+      graft.sources.IcebergRead.planIncremental(spark, tmp, 2L).isEmpty
+    import spark.implicits._
+    Seq((nInc, sumInc,
+        fullRows == nation.count(),
+        snap1Rows == nation.where(col("n_nationkey") < 13).count(),
+        emptyRange))
+      .toDF("n_rows", "sum_key", "full_matches", "time_travel_ok",
+        "empty_range_ok")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_iceberg_read" -> (qIcebergRead _),
+    "q_iceberg_incremental" -> (qIcebergIncremental _),
     "q_alter_mutations" -> (qAlterMutations _),
     "q_optimize_dedup" -> (qOptimizeDedup _),
     "q_replacing_final" -> (qReplacingFinal _),
@@ -269,6 +300,12 @@ object EngineQueries {
     "q_quantile_sketch" -> (qQuantileSketch _))
 
   def oracles: Map[String, String] = Map(
+    "q_iceberg_incremental" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+        |  true AS full_matches, true AS time_travel_ok,
+        |  true AS empty_range_ok
+        |FROM nation WHERE n_nationkey >= 13""".stripMargin,
     "q_alter_mutations" ->
       """SELECT event_id, event_type,
         |  round(CASE WHEN event_type = 'click' THEN value * 2

@@ -88,26 +88,24 @@ object IcebergWrite {
   }
 
   /** Write `df` as a fresh Iceberg-layout table at `dir` (local path). */
-  def createTable(df: DataFrame, dir: String, codec: String = "null"): Unit = {
-    val spark = df.sparkSession
-    val dataDir = s"$dir/data/s1"
-    df.write.mode("overwrite").parquet(dataDir)
-    // field ids 1..n by position, as Iceberg's initial schema assignment
-    val fields = df.schema.fields.zipWithIndex.map { case (f, i) => (f, i + 1) }
+  /** Manifest entries + total row count for the parquet files under
+    * `dataDir`: per-file row counts AND per-file min/max of every
+    * primitive column in ONE job (no per-file driver loop). Field ids
+    * 1..n by position, as Iceberg's initial schema assignment. */
+  private def dataManifestEntries(
+      spark: SparkSession, schema: StructType, dataDir: String,
+      relDir: String, snapId: Long, seq: Long): (Seq[Map[String, Any]], Long) = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) => (f, i + 1) }
     val bounded = fields.filter { case (f, _) =>
       icebergType(f.dataType).isDefined && f.dataType != BooleanType }
-    // per-file row counts AND per-file min/max of every primitive column
-    // in ONE job (no per-file driver loop)
     val aggs = count(lit(1)).as("n") +: bounded.flatMap { case (f, i) =>
       Seq(min(col(f.name)).as(s"lo_$i"), max(col(f.name)).as(s"hi_$i")) }.toSeq
     val stats: Seq[Row] = spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
       .collect().toSeq
-    val meta = Paths.get(dir, "metadata")
-    Files.createDirectories(meta)
     val entries = stats.map { r =>
       val path = r.getString(0)
-      val rel = "data/s1/" + path.substring(path.lastIndexOf('/') + 1)
+      val rel = relDir + "/" + path.substring(path.lastIndexOf('/') + 1)
       def boundsEntry(idx: String): Seq[Map[String, Any]] =
         bounded.flatMap { case (f, i) =>
           val v = r.get(r.fieldIndex(s"${idx}_$i"))
@@ -115,14 +113,29 @@ object IcebergWrite {
           else Some(Map[String, Any]("key" -> i,
             "value" -> boundBytes(f.dataType, v)))
         }.toSeq
-      Map[String, Any]("status" -> 1, "snapshot_id" -> 1L,
-        "sequence_number" -> 1L,
+      Map[String, Any]("status" -> 1, "snapshot_id" -> snapId,
+        "sequence_number" -> seq,
         "data_file" -> Map[String, Any]("content" -> 0, "file_path" -> rel,
           "file_format" -> "PARQUET", "record_count" -> r.getLong(1),
           "file_size_in_bytes" -> 1L,
           "lower_bounds" -> boundsEntry("lo"),
           "upper_bounds" -> boundsEntry("hi")))
     }
+    (entries, stats.map(_.getLong(1)).sum)
+  }
+
+  def createTable(df: DataFrame, dir: String, codec: String = "null"): Unit = {
+    val spark = df.sparkSession
+    val dataDir = s"$dir/data/s1"
+    df.write.mode("overwrite").parquet(dataDir)
+    val fields = df.schema.fields.zipWithIndex.map { case (f, i) => (f, i + 1) }
+    val meta = Paths.get(dir, "metadata")
+    Files.createDirectories(meta)
+    val (entries, _) = dataManifestEntries(
+      spark, df.schema, dataDir, "data/s1", 1L, 1L)
+    val stats = entries.map(e =>
+      e("data_file").asInstanceOf[Map[String, Any]]("record_count")
+        .asInstanceOf[Long])
     Files.write(meta.resolve("m1.avro"),
       AvroContainer.writeFile(manifestSchema, entries, codec))
     Files.write(meta.resolve("snap-1.avro"),
@@ -130,7 +143,7 @@ object IcebergWrite {
         Seq(Map[String, Any]("manifest_path" -> "metadata/m1.avro",
           "manifest_length" -> 1L, "sequence_number" -> 1L,
           "partition_spec_id" -> 0, "content" -> 0,
-          "added_rows_count" -> stats.map(_.getLong(1)).sum)), codec))
+          "added_rows_count" -> stats.sum)), codec))
     val schemaFields = fields.map { case (f, i) =>
       val t = icebergType(f.dataType).getOrElse("binary")
       s"""{"id":$i,"name":"${f.name}","required":${!f.nullable},"type":"$t"}"""
@@ -187,58 +200,123 @@ object IcebergWrite {
       content: Int, equalityIds: Seq[Int], recordCount: Long,
       codec: String): Unit = {
     val meta = Paths.get(dir, "metadata")
-    require(Files.exists(meta.resolve("v1.metadata.json")),
+    require(Files.exists(meta.resolve("version-hint.text")),
       s"$dir is not a createTable()-written iceberg table")
-    // one delete snapshot per fixture table: a second call would
-    // OVERWRITE the first batch's delete file and silently resurrect its
-    // rows — refuse loudly (multi-snapshot delete chains are the Iceberg
-    // runtime's job, out of fixture scope)
-    require(!Files.exists(meta.resolve("v2.metadata.json")),
-      s"$dir already has a delete snapshot; merge the batches into one " +
-        "delete call")
-    val delDir = s"$dir/data/deletes"
+    val cur = new String(
+      Files.readAllBytes(meta.resolve("version-hint.text")), "UTF-8").trim.toInt
+    val next = cur + 1
+    // versioned delete dir: stacked delete snapshots never overwrite an
+    // earlier batch's file (which would silently resurrect its rows)
+    val delDir = s"$dir/data/deletes$next"
     delRows.coalesce(1).write.mode("overwrite").parquet(delDir)
     val fs = new org.apache.hadoop.fs.Path(delDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val delFile = fs.listStatus(new org.apache.hadoop.fs.Path(delDir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).head
-    val delManifest = Seq(Map[String, Any]("status" -> 1, "snapshot_id" -> 2L,
-      "sequence_number" -> 2L,
+    val delManifest = Seq(Map[String, Any](
+      "status" -> 1, "snapshot_id" -> next.toLong,
+      "sequence_number" -> next.toLong,
       "data_file" -> Map[String, Any](
-        "content" -> content, "file_path" -> s"data/deletes/$delFile",
+        "content" -> content, "file_path" -> s"data/deletes$next/$delFile",
         "file_format" -> "PARQUET", "record_count" -> recordCount,
         "file_size_in_bytes" -> 1L,
         "lower_bounds" -> null, "upper_bounds" -> null,
         "equality_ids" -> (if (equalityIds.isEmpty) null else equalityIds))))
-    Files.write(meta.resolve("m2-deletes.avro"),
+    Files.write(meta.resolve(s"m$next-deletes.avro"),
       AvroContainer.writeFile(manifestSchema, delManifest, codec))
-    Files.write(meta.resolve("snap-2.avro"),
-      AvroContainer.writeFile(manifestListSchema, Seq(
-        Map[String, Any]("manifest_path" -> "metadata/m1.avro",
-          "manifest_length" -> 1L, "sequence_number" -> 1L,
-          "partition_spec_id" -> 0,
-          "content" -> 0, "added_rows_count" -> 0L),
-        Map[String, Any]("manifest_path" -> "metadata/m2-deletes.avro",
-          "manifest_length" -> 1L, "sequence_number" -> 2L,
-          "partition_spec_id" -> 0,
-          "content" -> 1, "added_rows_count" -> 0L)), codec))
-    val v1 = new String(Files.readAllBytes(meta.resolve("v1.metadata.json")),
-      "UTF-8")
-    // snapshot 2 = snapshot 1's data + the delete manifest; current → 2
-    val v2 = v1
-      .replace(""""current-snapshot-id":1""", """"current-snapshot-id":2""")
+    // carry every prior manifest forward, then the delete manifest
+    val priorList = meta.resolve(s"snap-$cur.avro")
+    require(Files.exists(priorList),
+      s"expected $priorList (snapshot ids track versions in this layout)")
+    val (_, priorEntries) = AvroContainer.readFile(
+      Files.readAllBytes(priorList))
+    Files.write(meta.resolve(s"snap-$next.avro"),
+      AvroContainer.writeFile(manifestListSchema,
+        priorEntries.map(_.asInstanceOf[Map[String, Any]]) :+
+          Map[String, Any]("manifest_path" -> s"metadata/m$next-deletes.avro",
+            "manifest_length" -> 1L, "sequence_number" -> next.toLong,
+            "partition_spec_id" -> 0,
+            "content" -> 1, "added_rows_count" -> 0L), codec))
+    val curStr = new String(
+      Files.readAllBytes(meta.resolve(s"v$cur.metadata.json")), "UTF-8")
+    // new snapshot = prior data + the delete manifest; current → next
+    val updated = curStr
+      .replace(s""""current-snapshot-id":$cur""",
+        s""""current-snapshot-id":$next""")
       .replace(""""snapshots":[""",
-        """"snapshots":[{"snapshot-id":2,
-          |  "manifest-list":"metadata/snap-2.avro",
-          |  "summary":{"operation":"delete"}},""".stripMargin)
-    // both rewrites are exact-substring edits of our own createTable
+        s""""snapshots":[{"snapshot-id":$next,
+           |  "manifest-list":"metadata/snap-$next.avro",
+           |  "summary":{"operation":"delete"}},""".stripMargin)
+    // both rewrites are exact-substring edits of our own metadata
     // output; if its formatting ever drifts they would silently no-op and
     // reads would resurrect the deleted rows — refuse loudly instead
-    require(v2.contains(""""current-snapshot-id":2"""),
-      "v2 metadata rewrite failed: current-snapshot-id not advanced")
-    require(v2.contains(""""manifest-list":"metadata/snap-2.avro""""),
-      "v2 metadata rewrite failed: delete snapshot not inserted")
-    Files.write(meta.resolve("v2.metadata.json"), v2.getBytes("UTF-8"))
-    Files.write(meta.resolve("version-hint.text"), "2".getBytes("UTF-8"))
+    require(updated.contains(s""""current-snapshot-id":$next"""),
+      "metadata rewrite failed: current-snapshot-id not advanced")
+    require(updated.contains(
+        s""""manifest-list":"metadata/snap-$next.avro""""),
+      "metadata rewrite failed: delete snapshot not inserted")
+    Files.write(meta.resolve(s"v$next.metadata.json"),
+      updated.getBytes("UTF-8"))
+    Files.write(meta.resolve("version-hint.text"),
+      next.toString.getBytes("UTF-8"))
+  }
+
+  /** Append a DATA snapshot (spec summary operation "append"): new
+    * parquet files under `data/s<N>`, their manifest, a manifest list
+    * carrying every prior manifest entry plus the new one, and a new
+    * metadata version making snapshot N current. Appended files take the
+    * NEW snapshot's sequence number, so under [[IcebergRead]]'s
+    * equality-delete scoping a row re-added after a delete correctly
+    * survives. Fixture conventions: snapshot ids track metadata versions
+    * 1:1 and the schema must match [[createTable]]'s column order (its
+    * 1..n field-id assignment). */
+  def appendData(df: DataFrame, dir: String, codec: String = "null"): Unit = {
+    val spark = df.sparkSession
+    val meta = Paths.get(dir, "metadata")
+    require(Files.exists(meta.resolve("version-hint.text")),
+      s"$dir is not a createTable()-written iceberg table")
+    val cur = new String(
+      Files.readAllBytes(meta.resolve("version-hint.text")), "UTF-8").trim.toInt
+    val metaStr = new String(
+      Files.readAllBytes(meta.resolve(s"v$cur.metadata.json")), "UTF-8")
+    val next = cur + 1
+    val dataDir = s"$dir/data/s$next"
+    df.write.mode("overwrite").parquet(dataDir)
+    val (entries, added) = dataManifestEntries(
+      spark, df.schema, dataDir, s"data/s$next", next.toLong, next.toLong)
+    Files.write(meta.resolve(s"m$next.avro"),
+      AvroContainer.writeFile(manifestSchema, entries, codec))
+    // carry every prior manifest forward (its own sequence number
+    // preserved by the Avro round-trip), then add the new data manifest
+    val priorList = meta.resolve(s"snap-$cur.avro")
+    require(Files.exists(priorList),
+      s"expected $priorList (snapshot ids track versions in this layout)")
+    val (_, priorEntries) = AvroContainer.readFile(
+      Files.readAllBytes(priorList))
+    val listEntries = priorEntries.map(_.asInstanceOf[Map[String, Any]]) :+
+      Map[String, Any]("manifest_path" -> s"metadata/m$next.avro",
+        "manifest_length" -> 1L, "sequence_number" -> next.toLong,
+        "partition_spec_id" -> 0, "content" -> 0,
+        "added_rows_count" -> added)
+    Files.write(meta.resolve(s"snap-$next.avro"),
+      AvroContainer.writeFile(manifestListSchema, listEntries, codec))
+    val updated = metaStr
+      .replace(s""""current-snapshot-id":$cur""",
+        s""""current-snapshot-id":$next""")
+      .replace(""""snapshots":[""",
+        s""""snapshots":[{"snapshot-id":$next,
+           |  "manifest-list":"metadata/snap-$next.avro",
+           |  "summary":{"operation":"append"}},""".stripMargin)
+    // exact-substring edits of our own metadata output — refuse loudly
+    // if the formatting ever drifts (same guard as the delete path)
+    require(updated.contains(s""""current-snapshot-id":$next"""),
+      "append metadata rewrite failed: current-snapshot-id not advanced")
+    require(updated.contains(
+        s""""manifest-list":"metadata/snap-$next.avro""""),
+      "append metadata rewrite failed: snapshot not inserted")
+    Files.write(meta.resolve(s"v$next.metadata.json"),
+      updated.getBytes("UTF-8"))
+    Files.write(meta.resolve("version-hint.text"),
+      next.toString.getBytes("UTF-8"))
   }
 }

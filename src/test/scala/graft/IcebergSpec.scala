@@ -484,4 +484,39 @@ class IcebergSpec extends AnyFunSuite {
       b1("m") == Map.empty[String, Any])
     assert(back(2).asInstanceOf[Map[String, Any]]("u") == 42L)
   }
+
+  test("appendData + incremental append scan: diff, empty range, " +
+      "time travel, and non-append-range refusals") {
+    val dir = Files.createTempDirectory("iceberg_app").toString
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    graft.sources.IcebergWrite.createTable(base.coalesce(1), dir)
+    graft.sources.IcebergWrite.appendData(
+      Seq((3L, "c"), (4L, "d")).toDF("id", "k").coalesce(1), dir)
+    // full read sees both snapshots; time travel sees only the first
+    assert(IcebergRead.table(spark, dir).count() == 4)
+    assert(IcebergRead.table(spark, dir, Some(1L)).count() == 2)
+    // incremental after snap 1 = exactly the appended rows
+    val inc = IcebergRead.tableIncremental(spark, dir, 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(inc == Set(3L, 4L))
+    // empty range: zero files planned, empty frame with the table schema
+    assert(IcebergRead.planIncremental(spark, dir, 2L).isEmpty)
+    val empty = IcebergRead.tableIncremental(spark, dir, 2L)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "k"))
+    // a second append stacks (3 snapshots), diff from 1 spans both
+    graft.sources.IcebergWrite.appendData(
+      Seq((5L, "e")).toDF("id", "k").coalesce(1), dir)
+    assert(IcebergRead.tableIncremental(spark, dir, 1L).count() == 3)
+    assert(IcebergRead.tableIncremental(spark, dir, 2L)
+      .collect().map(_.getLong(0)).toSet == Set(5L))
+    // a range that adds row-level deletes refuses loudly
+    graft.sources.IcebergWrite.addEqualityDeletes(
+      spark, dir, Seq(Tuple1("b")).toDF("k"), equalityIds = Seq(2))
+    val e = intercept[IllegalArgumentException] {
+      IcebergRead.planIncremental(spark, dir, 3L)
+    }
+    assert(e.getMessage.contains("delete"))
+    // ...but a fully-append sub-range before the delete still plans
+    assert(IcebergRead.planIncremental(spark, dir, 1L, Some(3L)).size == 2)
+  }
 }
