@@ -27,6 +27,62 @@ object Dedup {
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
       .drop("content_hash")
 
+  /** Cross-batch (incremental) exact dedup: the rows of `batch` whose
+    * content digest does NOT already appear in `history` — the daily-dump
+    * scenario where yesterday's corpus is already deduped and only the
+    * new batch needs checking against it.
+    *
+    * The result is ALWAYS the exact anti-join answer; the bloom filter is
+    * only a pre-filter. When the history's estimated row count (plan
+    * statistics, no job — [[BroadcastGate.estimateOrCount]]) fits
+    * `bloomMaxItems`, one aggregate builds a bloom over
+    * `xxhash64(digest)` using Spark's native `BloomFilterAggregate` (the
+    * same structure its runtime join filters ship), and the batch is
+    * filtered ROW-LOCALLY first: bloom-rejected rows are DEFINITELY new
+    * (no false negatives) and never shuffle; only might-contain survivors
+    * — true dups plus ~fpp of the batch — meet the history in the exact
+    * verify anti-join, so fpp tunes cost, never the answer. With a
+    * 100 TB history the gate refuses the driver-side bloom and the plain
+    * digest anti-join runs instead (history reduced to distinct 16-byte
+    * digests — text never shuffles). NULL-text rows are new by
+    * definition (their digest matches nothing), matching SQL NOT EXISTS.
+    */
+  def incrementalNew(batch: DataFrame, history: DataFrame,
+      textCol: String, fpp: Double = 0.01,
+      bloomMaxItems: Long = 10000000L,
+      useBloom: Option[Boolean] = None): DataFrame = {
+    require(fpp > 0 && fpp < 0.5, s"bloom fpp $fpp outside (0, 0.5)")
+    def digest = md5(col(textCol))
+    val histDigests = history.select(digest.as("__digest")).distinct()
+    lazy val nEst = math.max(BroadcastGate.estimateOrCount(history), 1L)
+    def exactVerify(candidates: DataFrame): DataFrame =
+      candidates.withColumn("__digest", digest)
+        .join(histDigests, Seq("__digest"), "left_anti")
+        .drop("__digest")
+    if (!useBloom.getOrElse(nEst <= bloomMaxItems)) exactVerify(batch)
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64, Literal => CLit}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graftbridge.Bridge
+      val items = useBloom.fold(nEst)(_ => math.max(history.count(), 1L))
+      // optimal sizing: m = n·ln(1/p)/ln²2 bits
+      val bits = math.max(64L,
+        math.ceil(items * math.log(1 / fpp) / (math.log(2) * math.log(2))).toLong)
+      def hashed = new XxHash64(Seq(Bridge.expression(digest)))
+      val bloomBytes = history
+        .select(Bridge.column(new BloomFilterAggregate(hashed,
+          CLit(items), CLit(bits)).toAggregateExpression()).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      if (bloomBytes == null) return batch // empty history: all rows new
+      val might = coalesce(
+        Bridge.column(new BloomFilterMightContain(
+          CLit.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+          hashed)),
+        lit(false)) // NULL digest: definitely new, both branches
+      batch.where(!might).unionByName(exactVerify(batch.where(might)))
+    }
+  }
+
   /** (id, shingle) pairs, distinct within a document.
     *
     * Implementation note: built by exploding the word array once and

@@ -24,6 +24,22 @@ object TextQueries {
     Dedup.exactDuplicates(docs(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Cross-batch incremental dedup (the daily-dump scenario): history =
+    * doc_id % 5 != 0, batch = the rest; result = batch rows whose text is
+    * NOT in history, answered through the bloom-prefilter path (history
+    * fits the gate here). fpp never affects the answer — bloom-rejected
+    * rows are definitely new, survivors verify exactly — which is what
+    * the oracle's NOT EXISTS states. */
+  def dIncrDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.incrementalNew(
+        batch = d.where(col("doc_id") % 5 === 0),
+        history = d.where(col("doc_id") % 5 =!= 0),
+        textCol = "text")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   def dNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(docs(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -677,6 +693,7 @@ object TextQueries {
     "d_dup_spans" -> (dDupSpans _),
     "d_clean_corpus" -> (dCleanCorpus _),
     "d_exact_dedup" -> (dExactDedup _),
+    "d_incr_dedup" -> (dIncrDedup _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_simhash_pairs" -> (dSimhashPairs _),
@@ -972,6 +989,12 @@ object TextQueries {
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "d_incr_dedup" ->
+      """SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 5 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents h
+        |  WHERE h.doc_id % 5 <> 0 AND h.text = d.text)
+        |ORDER BY d.doc_id""".stripMargin,
     "d_ngram_jaccard" -> jaccardSql,
     "d_minhash_lsh" -> jaccardSql,
     "d_simhash_pairs" ->

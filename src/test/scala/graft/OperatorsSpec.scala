@@ -694,4 +694,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(none.getLong(1) == 0 && none.getLong(2) == 0L &&
       none.getDouble(3) == 0.0)
   }
+
+  test("incrementalNew: bloom path == anti-join path; nulls and empty " +
+      "history are new; plan carries might_contain") {
+    import spark.implicits._
+    val history = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, Some("beta")), (11L, Some("delta")),
+      (12L, None), (13L, Some("alpha"))).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaBloom = operators.Dedup.incrementalNew(
+      batch, history, "text", useBloom = Some(true))
+    val viaJoin = operators.Dedup.incrementalNew(
+      batch, history, "text", useBloom = Some(false))
+    // dups 10/13 drop; 11 is new; NULL text (12) is new by definition
+    assert(ids(viaBloom) == Set(11L, 12L))
+    assert(ids(viaJoin) == Set(11L, 12L))
+    // the bloom path actually planned the row-local prefilter (checked
+    // on the analyzed plan: over a LocalRelation the optimizer's
+    // ConvertToLocalRelation evaluates the filter eagerly, so the
+    // executed plan hides it)
+    assert(viaBloom.queryExecution.analyzed.toString
+      .contains("might_contain"))
+    assert(!viaJoin.queryExecution.analyzed.toString
+      .contains("might_contain"))
+    // empty history: everything is new, no crash on the null bloom
+    assert(ids(operators.Dedup.incrementalNew(
+      batch, history.where($"doc_id" > 99), "text",
+      useBloom = Some(true))) == Set(10L, 11L, 12L, 13L))
+    // fpp out of range refuses
+    intercept[IllegalArgumentException] {
+      operators.Dedup.incrementalNew(batch, history, "text", fpp = 0.9)
+    }
+  }
 }
