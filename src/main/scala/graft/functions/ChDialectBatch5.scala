@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** ClickHouse-dialect batch 5 — array/regex/map stragglers left after
+  * batches 1–4, plus `arrayAUC` (the CH ML-eval scalar): `arrayProduct`,
+  * `arrayRotateLeft`/`arrayRotateRight`, `arrayPartialSort`,
+  * `multiMatchAny`, `mapUpdate`, `arrayAUC`.
+  * (ref: the CH SQL surface reachable through
+  * packages/ts-moose-lib/src/sqlHelpers.ts passthrough — same contract
+  * note as batches 2–4.)
+  *
+  * Everything is a native Catalyst `Expression` builder (no UDFs).
+  * Builders receive UNRESOLVED children, so type adaptation is spelled
+  * with `Cast` only.
+  *
+  * Dialect stances (DIVERGENCES.md):
+  *  - `arrayProduct` is always Double (#25's arraySum stance);
+  *  - `arrayPartialSort(limit, arr)` leaves the post-limit tail
+  *    UNSPECIFIED in CH; the deterministic instance here sorts the whole
+  *    array — identical in the specified prefix (#22/#28 stance);
+  *  - `arrayAUC` returns NULL when either class is empty (CH returns
+  *    nan; NULL is the honest "undefined" and composes with ifNull);
+  *    ties take the average rank, CH's default (`arrayAUC(s, l)` with
+  *    no mode argument).
+  */
+object ChDialectBatch5 {
+
+  private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
+
+  /** Lambda helpers take an explicit variable prefix: arrayAUC NESTS
+    * aggregates, and reusing one fixed name would make the inner lambda
+    * shadow the outer's variable. */
+  private def lambda1(prefix: String)(
+      f: Expression => Expression): LambdaFunction = {
+    val x = lv(prefix + "x"); LambdaFunction(f(x), Seq(x))
+  }
+
+  private def lambda2(prefix: String)(
+      f: (Expression, Expression) => Expression): LambdaFunction = {
+    val a = lv(prefix + "a"); val b = lv(prefix + "b")
+    LambdaFunction(f(a, b), Seq(a, b))
+  }
+
+  private def dArr(e: Expression) = Cast(e, ArrayType(DoubleType))
+
+  /** Rotate an array by `n` positions (CH semantics: negative n rotates
+    * the opposite way; rotation is modulo the length; empty arrays pass
+    * through). */
+  private def rotate(arr: Expression, n: Expression,
+      left: Boolean): Expression = {
+    val s = Size(arr)
+    val signed = if (left) n else UnaryMinus(Cast(n, IntegerType))
+    val k = Pmod(Cast(signed, IntegerType), s)
+    CaseWhen(
+      Seq((LessThanOrEqual(s, Literal(0)), arr)),
+      Concat(Seq(
+        Slice(arr, Add(k, Literal(1)), Subtract(s, k)),
+        Slice(arr, Literal(1), k))))
+  }
+
+  /** Average 1-based rank of `s` among `scores`:
+    * count(< s) + (count(== s) + 1) / 2, spelled as one fold adding 1
+    * per smaller element and 0.5 per equal element (self included), plus
+    * the closing 0.5 — halves are binary-exact, so the rank (and the AUC
+    * numerator) is bit-identical across engines. */
+  private def avgRank(scores: Expression, s: Expression): Expression =
+    Add(
+      ArrayAggregate(scores, Literal(0.0d),
+        lambda2("rk")((acc, t) => Add(acc,
+          CaseWhen(Seq(
+            (LessThan(t, s), Literal(1.0d)),
+            (EqualTo(t, s), Literal(0.5d))), Literal(0.0d)))),
+        lambda1("rkf")(identity)),
+      Literal(0.5d))
+
+  /** arrayAUC(scores, labels): the rank-statistic formulation
+    * AUC = (Σ_{i: label>0} rank_i − P(P+1)/2) / (P·N), average ranks on
+    * ties. O(n²) per ROW (row-local, no shuffle) — fine for the
+    * per-entity arrays it exists for; undefined (one class empty) ⇒
+    * NULL. */
+  private def arrayAuc(scoresE: Expression, labelsE: Expression): Expression = {
+    val scores = dArr(scoresE)
+    val labels = dArr(labelsE)
+    val p = Cast(Size(ArrayFilter(labels,
+      lambda1("pc")(l => GreaterThan(l, Literal(0.0d))))), DoubleType)
+    val n = Subtract(Cast(Size(labels), DoubleType), p)
+    val pairs = ZipWith(scores, labels, lambda2("zp")((s, l) =>
+      CreateNamedStruct(Seq(Literal("s"), s, Literal("l"), l))))
+    val sumPosRanks = ArrayAggregate(pairs, Literal(0.0d),
+      lambda2("ag")((acc, e) => Add(acc,
+        If(GreaterThan(UnresolvedExtractValue(e, Literal("l")), Literal(0.0d)),
+          avgRank(scores, UnresolvedExtractValue(e, Literal("s"))),
+          Literal(0.0d)))),
+      lambda1("agf")(identity))
+    If(Or(LessThanOrEqual(p, Literal(0.0d)), LessThanOrEqual(n, Literal(0.0d))),
+      Literal(null, DoubleType),
+      Divide(
+        Subtract(sumPosRanks,
+          Divide(Multiply(p, Add(p, Literal(1.0d))), Literal(2.0d))),
+        Multiply(p, n)))
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
+      require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+          .builtin.functionExists(FunctionIdentifier(name.toLowerCase)),
+        s"refusing to shadow Spark builtin function '$name'")
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+
+    // fold multiply, always Double (#25)
+    f("arrayProduct")(a => ArrayAggregate(dArr(a.head), Literal(1.0d),
+      lambda2("pr")((acc, x) => Multiply(acc, x)),
+      lambda1("prf")(identity)))
+
+    f("arrayRotateLeft")(a => rotate(a(0), a(1), left = true))
+    f("arrayRotateRight")(a => rotate(a(0), a(1), left = false))
+
+    // CH arg order: arrayPartialSort(limit, arr); the limit only bounds
+    // CH's sorting effort — the deterministic instance sorts everything
+    f("arrayPartialSort")(a => new SortArray(a(1)))
+
+    // 1 if ANY of the patterns matches a substring (unanchored, like CH)
+    f("multiMatchAny")(a => Cast(ArrayExists(a(1),
+      lambda1("mm")(p => RLike(a(0), p))), IntegerType))
+
+    // mapUpdate(m1, m2): m2 wins on key collision; surviving m1 entries
+    // keep their order, then m2's entries in order
+    f("mapUpdate")(a => MapFromEntries(Concat(Seq(
+      ArrayFilter(MapEntries(a(0)), lambda1("mu")(e =>
+        Not(ArrayContains(MapKeys(a(1)),
+          UnresolvedExtractValue(e, Literal("key")))))),
+      MapEntries(a(1))))))
+
+    f("arrayAUC")(a => arrayAuc(a(0), a(1)))
+  }
+
+  def isRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("arrayAUC"))
+}

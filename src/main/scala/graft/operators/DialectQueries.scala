@@ -282,6 +282,36 @@ object DialectQueries {
         |  FROM evts_sm GROUP BY 1
         |) ORDER BY cohort""".stripMargin)
 
+  /** Batch-5 names (§2.8): arrayAUC as the rank statistic — every
+    * intermediate is an exact multiple of 0.5 below 2^52, so the sum is
+    * order-free and ONE closing division makes the result bit-equal to
+    * the oracle's window formulation — plus product/rotate/partial-sort
+    * array ops, multiMatchAny, and mapUpdate (m2 wins collisions). */
+  def qChFunctions5(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch5.register(spark)
+    sqlOn(spark, dir, "events", "evts_d5",
+      """WITH g AS (
+        |  SELECT user_id,
+        |    collect_list(value) AS vals,
+        |    collect_list(CASE WHEN event_type = 'click'
+        |      THEN 1.0 ELSE 0.0 END) AS labs,
+        |    sort_array(collect_list(value)) AS svals,
+        |    sort_array(collect_list(event_type)) AS stypes,
+        |    min(event_type) AS t0
+        |  FROM evts_d5 WHERE user_id < 30 GROUP BY user_id)
+        |SELECT user_id,
+        |  round(arrayAUC(vals, labs), 6) AS auc,
+        |  CASE WHEN size(svals) >= 3
+        |    THEN round(arrayProduct(slice(svals, 1, 3)), 4) END AS prod3,
+        |  arrayRotateLeft(stypes, 2) AS rotl,
+        |  arrayRotateRight(stypes, 1) AS rotr,
+        |  arrayPartialSort(3, vals) AS psort,
+        |  multiMatchAny(t0, array('cl.*k', '^sig')) AS mm,
+        |  map_keys(mapUpdate(map('a', 1, t0, 9), map('b', 5))) AS mu_k,
+        |  map_values(mapUpdate(map('a', 1, t0, 9), map('b', 5))) AS mu_v
+        |FROM g ORDER BY user_id""".stripMargin)
+  }
+
   /** CH `QUALIFY` (21.9+): filter on a window result without a subquery,
     * through the ad-hoc gate's text rewrite (predicate becomes one extra
     * select item; the query wraps in `SELECT * EXCEPT(__qualify) … WHERE
@@ -303,6 +333,7 @@ object DialectQueries {
   }
 
   def queries: Map[String, Q] = Map(
+    "q_ch_functions5" -> (qChFunctions5 _),
     "q_qualify" -> (qQualify _),
     "q_ch_functions2" -> (qChFunctions2 _),
     "q_ch_functions3" -> (qChFunctions3 _),
@@ -317,6 +348,48 @@ object DialectQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // AUC restated as the window-rank formulation: rmin + (ceq-1)/2 is
+    // the same average rank as the fold's cnt_less + cnt_eq/2 + 0.5
+    "q_ch_functions5" ->
+      """WITH base AS (
+        |  SELECT user_id, value, event_type,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS lab
+        |  FROM events WHERE user_id < 30),
+        |rk AS (
+        |  SELECT user_id, value, lab,
+        |    rank() OVER (PARTITION BY user_id ORDER BY value) AS rmin,
+        |    count(*) OVER (PARTITION BY user_id, value) AS ceq
+        |  FROM base),
+        |agg AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN lab = 1
+        |      THEN rmin + (ceq - 1) / 2.0 ELSE 0 END) AS sum_pos,
+        |    CAST(sum(lab) AS BIGINT) AS p,
+        |    CAST(count(*) - sum(lab) AS BIGINT) AS n
+        |  FROM rk GROUP BY user_id),
+        |g AS (
+        |  SELECT user_id,
+        |    list_sort(list(value)) AS svals,
+        |    list_sort(list(event_type)) AS stypes,
+        |    min(event_type) AS t0
+        |  FROM base GROUP BY user_id)
+        |SELECT g.user_id,
+        |  CASE WHEN p = 0 OR n = 0 THEN NULL
+        |    ELSE round((sum_pos - p * (p + 1) / 2.0) / (p * n), 6)
+        |  END AS auc,
+        |  CASE WHEN len(svals) >= 3
+        |    THEN round(svals[1] * svals[2] * svals[3], 4) END AS prod3,
+        |  list_concat(stypes[(2 % len(stypes)) + 1:],
+        |    stypes[:2 % len(stypes)]) AS rotl,
+        |  list_concat(stypes[((len(stypes) - 1) % len(stypes)) + 1:],
+        |    stypes[:(len(stypes) - 1) % len(stypes)]) AS rotr,
+        |  svals AS psort,
+        |  CASE WHEN regexp_matches(t0, 'cl.*k')
+        |    OR regexp_matches(t0, '^sig') THEN 1 ELSE 0 END AS mm,
+        |  ['a', t0, 'b'] AS mu_k,
+        |  [1, 9, 5] AS mu_v
+        |FROM g JOIN agg ON g.user_id = agg.user_id
+        |ORDER BY g.user_id""".stripMargin,
     // DuckDB speaks QUALIFY natively — the oracle IS the unrewritten shape
     "q_qualify" ->
       """SELECT user_id % 50 AS cohort, event_type, count(*) AS n,

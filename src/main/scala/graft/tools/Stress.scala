@@ -305,6 +305,24 @@ object Stress {
         .agg(sum(when(col("keep"), 1L).otherwise(0L))).head
       docsSalted.count()
     }
+    // Incremental dedup: history = the whole salted corpus, batch = one
+    // original-sized slice re-salted to overlap copy 0 (≈1/N of the batch
+    // is a true dup). BOTH paths timed: the bloom path's prefilter keeps
+    // the batch row-local (the daily-dump shape), the anti-join path is
+    // the honest beyond-gate fallback — history digests distinct'd, text
+    // never shuffled.
+    time("incremental dedup: bloom prefilter path (batch vs N x history)") {
+      val batch = Tables.load(spark, sfDir, "documents")
+        .withColumn("text", regexp_replace(col("text"), " ", " s0 "))
+      Dedup.incrementalNew(batch, docsSalted, "text",
+        useBloom = Some(true)).count()
+    }
+    time("incremental dedup: anti-join fallback path (same inputs)") {
+      val batch = Tables.load(spark, sfDir, "documents")
+        .withColumn("text", regexp_replace(col("text"), " ", " s0 "))
+      Dedup.incrementalNew(batch, docsSalted, "text",
+        useBloom = Some(false)).count()
+    }
     spark.stop()
   }
 }

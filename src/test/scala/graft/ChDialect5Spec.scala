@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.ChDialectBatch5
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CH-dialect batch 5 (ChDialectBatch5): hand-computed pins through the
+  * SQL surface, same contract style as ChDialect2Spec–ChDialect4Spec. */
+class ChDialect5Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    ChDialectBatch5.register(s)
+    s
+  }
+
+  private def one(sel: String): Any = spark.sql(s"SELECT $sel").head().get(0)
+  private def dbl(sel: String): Double =
+    one(sel).asInstanceOf[Number].doubleValue()
+  private def lng(sel: String): Long =
+    one(sel).asInstanceOf[Number].longValue()
+  private def seqOf(sel: String): Seq[Any] =
+    one(sel).asInstanceOf[scala.collection.Seq[Any]].toSeq
+
+  test("arrayProduct folds to Double; empty array gives the unit") {
+    assert(dbl("arrayProduct(array(2, 3, 4))") == 24.0)
+    assert(dbl("arrayProduct(array(2.5d, -2d))") == -5.0)
+    assert(dbl("arrayProduct(array())") == 1.0)
+  }
+
+  test("arrayRotate left/right: modulo, negatives, empty") {
+    assert(seqOf("arrayRotateLeft(array(1,2,3,4,5), 2)") ==
+      Seq(3, 4, 5, 1, 2))
+    assert(seqOf("arrayRotateRight(array(1,2,3,4,5), 2)") ==
+      Seq(4, 5, 1, 2, 3))
+    // negative n rotates the other way (CH semantics)
+    assert(seqOf("arrayRotateLeft(array(1,2,3,4,5), -2)") ==
+      Seq(4, 5, 1, 2, 3))
+    // rotation is modulo the length
+    assert(seqOf("arrayRotateLeft(array(1,2,3), 7)") == Seq(2, 3, 1))
+    assert(seqOf("arrayRotateLeft(array(), 3)") == Seq())
+  }
+
+  test("arrayPartialSort: deterministic full-sort instance of CH's " +
+      "unspecified tail") {
+    assert(seqOf("arrayPartialSort(2, array(5, 1, 4, 2))") ==
+      Seq(1, 2, 4, 5))
+  }
+
+  test("multiMatchAny: unanchored re2-style any-match as 0/1") {
+    assert(lng("multiMatchAny('a click happened', array('cl.*k', '^x'))") == 1L)
+    assert(lng("multiMatchAny('nothing here', array('cl.*k', '^x'))") == 0L)
+    assert(lng("multiMatchAny('xylophone', array('cl.*k', '^x'))") == 1L)
+  }
+
+  test("mapUpdate: m2 wins collisions, m1 order kept, then m2's entries") {
+    val r = spark.sql(
+      "SELECT map_keys(m) AS k, map_values(m) AS v FROM (SELECT " +
+        "mapUpdate(map('a', 1, 'b', 2), map('b', 9, 'c', 3)) AS m)").head()
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r.getSeq[Int](1) == Seq(1, 9, 3))
+  }
+
+  test("arrayAUC: separation extremes, average-rank ties, degenerate NULL") {
+    // perfect separation: positives all score higher
+    assert(dbl("arrayAUC(array(0.1d, 0.2d, 0.8d, 0.9d), " +
+      "array(0, 0, 1, 1))") == 1.0)
+    // perfectly wrong ranking
+    assert(dbl("arrayAUC(array(0.9d, 0.8d, 0.1d, 0.2d), " +
+      "array(0, 0, 1, 1))") == 0.0)
+    // all scores tied: AUC = 0.5 by average ranks
+    assert(dbl("arrayAUC(array(0.5d, 0.5d, 0.5d, 0.5d), " +
+      "array(0, 1, 0, 1))") == 0.5)
+    // hand-computed mixed case: scores (0.1-,0.4+,0.35-,0.8+)
+    // ranks: 0.1→1, 0.35→2, 0.4→3, 0.8→4; sumPos=3+4=7; P=N=2
+    // AUC = (7 - 2*3/2) / 4 = 1.0 ... positives strictly above 0.35? no:
+    // 0.4 > 0.35 and 0.8 > all ⇒ separation is perfect indeed
+    assert(dbl("arrayAUC(array(0.1d, 0.4d, 0.35d, 0.8d), " +
+      "array(0, 1, 0, 1))") == 1.0)
+    // one inversion: swap labels of 0.35/0.4 ⇒ sumPos = 2+4 = 6,
+    // AUC = (6-3)/4 = 0.75
+    assert(dbl("arrayAUC(array(0.1d, 0.35d, 0.4d, 0.8d), " +
+      "array(0, 1, 0, 1))") == 0.75)
+    // a tie between one positive and one negative counts half
+    // scores (0.2-,0.5+,0.5-,0.9+): ranks 1, 2.5, 2.5, 4
+    // sumPos = 2.5+4 = 6.5 ⇒ AUC = (6.5-3)/4 = 0.875
+    assert(dbl("arrayAUC(array(0.2d, 0.5d, 0.5d, 0.9d), " +
+      "array(0, 1, 0, 1))") == 0.875)
+    // degenerate: one class empty ⇒ NULL (CH: nan; DIVERGENCES stance)
+    assert(one("arrayAUC(array(0.1d, 0.2d), array(1, 1))") == null)
+    assert(one("arrayAUC(array(0.1d, 0.2d), array(0, 0))") == null)
+  }
+}
