@@ -276,6 +276,13 @@ object ClickHouseFunctions {
     *    RESULTS in CH, and none exists in Spark; the clause is stripped
     *    wherever it appears (CH also allows it inside subqueries).
     *    Execution tuning here is Spark confs, set on the session.
+    *  - scalar `WITH <expr> AS <ident>, …` (CH's query-wide constant
+    *    aliases, incl. `WITH (subquery) AS x` scalar subqueries and
+    *    chained alias references): each alias substitutes as a
+    *    parenthesized expression at every whole-word reference —
+    *    shadowing same-named columns, CH's alias resolution — while
+    *    standard `name AS (subquery)` CTEs in the same clause pass
+    *    through to Spark's parser;
     *  - `QUALIFY <pred>` (CH 21.9+: filter on window results without a
     *    subquery) — Spark's grammar lacks the clause, so the statement is
     *    rewritten around it: the predicate becomes one extra select item
@@ -369,9 +376,103 @@ object ClickHouseFunctions {
     // anywhere else the word may be an identifier.
     val noFormat = noSettings.replaceAll(
       "(?is)\\s*\\bformat\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$", "")
-    rewriteQualify(noFormat).replaceAll(
+    rewriteQualify(rewriteScalarWith(noFormat)).replaceAll(
       "(?i)\\b(dateDiff|date_diff|timestampDiff)\\s*\\(\\s*'([a-zA-Z]+)'\\s*,",
       "$1($2,")
+  }
+
+  /** Replace whole-word occurrences of `word` (any paren depth, never
+    * inside quotes) with `replacement`. */
+  private def replaceWord(
+      sql: String, word: String, replacement: String): String = {
+    val hits = topLevelWord(sql, word, anyDepth = true)
+    if (hits.isEmpty) sql
+    else {
+      val sb = new StringBuilder
+      var last = 0
+      hits.foreach { i =>
+        sb.append(sql.substring(last, i)).append(replacement)
+        last = i + word.length
+      }
+      sb.append(sql.substring(last)).toString
+    }
+  }
+
+  /** CH scalar WITH (`WITH <expr> AS <ident>, … SELECT …` — constant
+    * aliases, the idiom CH programs use for query-wide parameters):
+    * each alias is SUBSTITUTED as a parenthesized expression at every
+    * whole-word reference in later aliases and the query body, then
+    * dropped from the clause; standard `name AS (subquery)` CTEs in the
+    * same WITH are left for Spark's parser. Substitution shadows
+    * same-named columns — CH's alias-resolution behavior. Only the
+    * OUTERMOST statement's WITH is rewritten (same scope stance as
+    * QUALIFY). */
+  private def rewriteScalarWith(sql: String): String = {
+    val withs = topLevelWord(sql, "with")
+    if (withs.isEmpty || withs.head != sql.indexWhere(!_.isWhitespace))
+      return sql
+    val wIdx = withs.head
+    val selects = topLevelWord(sql, "select")
+    if (selects.isEmpty) return sql
+    val selIdx = selects.head
+    val clause = sql.substring(wIdx + "with".length, selIdx)
+    // split the clause on top-level commas (quote/paren-aware)
+    val items = {
+      val out = Seq.newBuilder[String]
+      var depth = 0; var start = 0; var i = 0
+      while (i < clause.length) {
+        val c = clause.charAt(i)
+        if (c == '\'' || c == '"' || c == '`') {
+          i += 1
+          var closed = false
+          while (i < clause.length && !closed) {
+            val d = clause.charAt(i)
+            if (d == '\\' && c == '\'') i += 2
+            else if (d == c) {
+              if (i + 1 < clause.length && clause.charAt(i + 1) == c) i += 2
+              else { closed = true; i += 1 }
+            } else i += 1
+          }
+        } else {
+          if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          else if (c == ',' && depth == 0) { out += clause.substring(start, i); start = i + 1 }
+          i += 1
+        }
+      }
+      out += clause.substring(start)
+      out.result()
+    }
+    val cteRe = """(?is)^\s*[A-Za-z_]\w*\s+AS\s*\(.*\)\s*$""".r
+    val scalarRe = """(?is)^\s*(.*\S)\s+AS\s+([A-Za-z_]\w*)\s*$""".r
+    val (ctes, scalars) = items.partition(it => cteRe.matches(it))
+    if (scalars.isEmpty) return sql // plain CTE WITH: Spark's parser owns it
+    // resolve each scalar alias, substituting earlier aliases into later
+    // expressions (CH allows chained references)
+    var aliases = Seq.empty[(String, String)] // (ident, parenthesized expr)
+    scalars.foreach {
+      case scalarRe(expr, ident) =>
+        val resolved = aliases.foldLeft(expr.trim) { case (e, (n, r)) =>
+          replaceWord(e, n, r)
+        }
+        aliases :+= (ident -> s"($resolved)")
+      case other => throw new IllegalArgumentException(
+        s"WITH item is neither 'name AS (subquery)' nor '<expr> AS name': " +
+          other.trim)
+    }
+    val body0 = sql.substring(selIdx)
+    val body = aliases.foldLeft(body0) { case (b, (n, r)) =>
+      replaceWord(b, n, r)
+    }
+    val prefix = sql.substring(0, wIdx)
+    if (ctes.isEmpty) prefix + body
+    else {
+      // CH lets later CTEs reference the scalar aliases too
+      val cteSub = ctes.map(c => aliases.foldLeft(c.trim) {
+        case (e, (n, r)) => replaceWord(e, n, r)
+      })
+      s"${prefix}WITH ${cteSub.mkString(", ")} $body"
+    }
   }
 
   private def isWordChar(c: Char): Boolean =

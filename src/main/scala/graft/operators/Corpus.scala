@@ -97,6 +97,56 @@ object Corpus {
     out
   }
 
+  /** PageRank in integer MICRO-UNITS (1e6 total mass, damping 0.85) —
+    * the corpus-curation ranking (Common-Crawl-style URL/host authority
+    * feeding quality weights). All arithmetic is 64-bit integer with
+    * floor division, so the result is bit-identical across engines and
+    * partitionings — the same exactness trick as the nDCG micro-unit
+    * eval, applied to an ITERATIVE op (FP summation order would
+    * otherwise make cross-engine comparison impossible).
+    *
+    * Semantics: per iteration every node sends `rank div outdeg` to each
+    * out-edge (multi-edges count separately — the weighted variant by
+    * repetition); new rank = `15·10⁶ div (100·N)` + `85·Σcontrib div
+    * 100`. Dangling-node mass leaks (the standard "removed dangling"
+    * convention), so total mass shrinks — rankings, not probabilities.
+    *
+    * Scale shape: one edges⋈ranks shuffle + one groupBy per iteration —
+    * the [[connectedComponents]] cost model; ranks checkpoint per round
+    * so the plan never deepens. One count job fixes N. */
+  def pageRankMicro(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"pageRankMicro: iters $iters must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRankMicro: empty graph")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val base = 15L * 1000000L / (100L * n)
+    var rank = nodes.withColumn("rank", lit(1000000L / n))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(rank.select(col("node").as("src"), col("rank")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+        .localCheckpoint(true)
+      rank.unpersist()
+      rank = next
+    }
+    val out = rank.select(col("node"), col("rank").as("rank_micro"))
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** Deterministic, reproducible train/val/test assignment by content-free
     * id hash: split(doc) depends only on md5(id), so re-running over a
     * grown corpus never reassigns an existing document (the property that

@@ -156,6 +156,21 @@ object CorpusQueries {
         "user_id", "ts", "value", gapSeconds = 1800L)
       .orderBy(col("user_id"), col("session_idx"))
 
+  /** Integer micro-unit PageRank over the event-type transition graph
+    * (consecutive events per user define src→dst edges). Two iterations,
+    * all-integer arithmetic — the oracle unrolls the same two rounds in
+    * SQL and the BIGINT ranks must match exactly. */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .where(col("dst").isNotNull)
+    Corpus.pageRankMicro(e, "src", "dst", iters = 2)
+      .orderBy(col("node"))
+  }
+
   /** Deterministic stratified sample: exactly 10 docs per language,
     * chosen by md5-hash order (reproducible across runs and engines, no
     * RNG state).
@@ -441,7 +456,8 @@ object CorpusQueries {
     "d_bigram_score" -> (dBigramScore _),
     "d_winnow" -> (dWinnow _),
     "d_bpe_vocab" -> (dBpeVocab _),
-    "q_sessionize" -> (qSessionize _))
+    "q_sessionize" -> (qSessionize _),
+    "q_pagerank" -> (qPagerank _))
 
   /** Seeded deterministic global shuffle into 8 export shards with
     * per-shard positions (Corpus.shuffleExport). */
@@ -1248,6 +1264,36 @@ object CorpusQueries {
          |    END AS split
          |FROM f LEFT JOIN t ON f.lang = t.lang
          |ORDER BY f.doc_id""".stripMargin,
+    "q_pagerank" ->
+      """WITH seq AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |e AS (SELECT src, dst FROM seq WHERE dst IS NOT NULL),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, 1000000 // n AS rank FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node, sum(r0.rank // deg.deg) AS s
+        |       FROM e JOIN r0 ON e.src = r0.node
+        |       JOIN deg ON e.src = deg.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |         (15 * 1000000) // (100 * n)
+        |           + (85 * coalesce(s, 0)) // 100 AS rank
+        |       FROM nodes CROSS JOIN nn
+        |       LEFT JOIN c1 ON nodes.node = c1.node),
+        |c2 AS (SELECT e.dst AS node, sum(r1.rank // deg.deg) AS s
+        |       FROM e JOIN r1 ON e.src = r1.node
+        |       JOIN deg ON e.src = deg.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |         (15 * 1000000) // (100 * n)
+        |           + (85 * coalesce(s, 0)) // 100 AS rank
+        |       FROM nodes CROSS JOIN nn
+        |       LEFT JOIN c2 ON nodes.node = c2.node)
+        |SELECT node, CAST(rank AS BIGINT) AS rank_micro
+        |FROM r2 ORDER BY node""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, value,

@@ -312,6 +312,25 @@ object DialectQueries {
         |FROM g ORDER BY user_id""".stripMargin)
   }
 
+  /** CH scalar WITH: query-wide constant aliases (incl. a chained
+    * reference) substituted through the body by the dialect rewrite —
+    * the parameterization idiom of CH programs. */
+  def qScalarWith(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("evts_sw")
+    graft.api.AdHoc.query(spark,
+      """WITH 0.5 AS half, 'click' AS t, half * 2 AS whole
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = t THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS clicks,
+        |  round(max(value) * half, 2) AS half_max,
+        |  round(min(value) * whole, 2) AS whole_min
+        |FROM evts_sw
+        |WHERE user_id < 40
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+      limit = 1000)
+  }
+
   /** CH `QUALIFY` (21.9+): filter on a window result without a subquery,
     * through the ad-hoc gate's text rewrite (predicate becomes one extra
     * select item; the query wraps in `SELECT * EXCEPT(__qualify) … WHERE
@@ -335,6 +354,7 @@ object DialectQueries {
   def queries: Map[String, Q] = Map(
     "q_ch_functions5" -> (qChFunctions5 _),
     "q_qualify" -> (qQualify _),
+    "q_scalar_with" -> (qScalarWith _),
     "q_ch_functions2" -> (qChFunctions2 _),
     "q_ch_functions3" -> (qChFunctions3 _),
     "q_ch_functions4" -> (qChFunctions4 _),
@@ -390,6 +410,17 @@ object DialectQueries {
         |  [1, 9, 5] AS mu_v
         |FROM g JOIN agg ON g.user_id = agg.user_id
         |ORDER BY g.user_id""".stripMargin,
+    // the oracle is the substituted form (DuckDB has no scalar WITH)
+    "q_scalar_with" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = ('click') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS clicks,
+        |  round(max(value) * (0.5), 2) AS half_max,
+        |  round(min(value) * ((0.5) * 2), 2) AS whole_min
+        |FROM events
+        |WHERE user_id < 40
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     // DuckDB speaks QUALIFY natively — the oracle IS the unrewritten shape
     "q_qualify" ->
       """SELECT user_id % 50 AS cohort, event_type, count(*) AS n,

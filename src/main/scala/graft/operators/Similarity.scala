@@ -82,6 +82,42 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Hard-negative mining (contrastive-training prep): for each query,
+    * the top-k most similar corpus items NOT labeled positive for it —
+    * the negatives that actually teach a retriever something.
+    * `positives` holds (qid, nid) relevance pairs; the anti-join runs
+    * BEFORE the top-k window, so when positives crowd the head of the
+    * similarity list the k-th negative is still correct (filtering after
+    * a top-k would under-fill).
+    *
+    * This is the exact labeled baseline (bounded query-set broadcast,
+    * same shape as [[knnBrute]]). The 100 TB path is composition:
+    * oversample candidates from [[knnLsh]]/[[knnIvf]]/[[knnPq]] with
+    * k' = k + max positives per query, anti-join the label pairs, keep
+    * k — every stage already scales, and the oversample bound is the
+    * per-query positive count the caller knows. */
+  def hardNegatives(
+      embeddings: DataFrame, queries: DataFrame, positives: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 10, dim: Int = 64): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"),
+      assertDim(col(vecCol), dim).as("qv"))
+    val c = embeddings.select(col(idCol).as("nid"),
+      assertDim(col(vecCol), dim).as("nv"))
+    val pos = positives.select(col("qid"), col("nid")).distinct()
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("nid") =!= col("qid"))
+      .join(pos, Seq("qid", "nid"), "left_anti")
+      .select(col("qid"), col("nid"),
+        cosine(col("qv"), col("nv")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 6).desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Deterministic random hyperplanes: `bits` planes × `dim` components. */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -349,6 +349,20 @@ object TextQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Hard-negative mining: positives = same-label corpus items (the
+    * standard in-batch relevance proxy); negatives = nearest
+    * different-label items per query. */
+  def eHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val q = e.where(col("vec_id") < 5)
+    val pos = q.select(col("vec_id").as("qid"), col("label").as("ql"))
+      .join(e.select(col("vec_id").as("nid"), col("label").as("nl")),
+        col("ql") === col("nl"))
+      .select(col("qid"), col("nid"))
+    Similarity.hardNegatives(e, q, pos, k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Matryoshka dim-truncation retrieval eval (Similarity.dimTruncateEval):
     * exact truncated-cosine top-10 at prefix dims 8/16/32/64 vs the
     * full-dim top-10 — fully oracled incl. the recall numbers. */
@@ -710,6 +724,7 @@ object TextQueries {
     "e_knn_quantized" -> (eKnnQuantized _),
     "e_knn_pq" -> (eKnnPq _),
     "e_knn_brute" -> (eKnnBrute _),
+    "e_hard_negatives" -> (eHardNegatives _),
     "e_knn_lsh" -> (eKnnLsh _),
     "e_knn_ivf" -> (eKnnIvf _),
     "d_embed_neardup" -> (dEmbedNeardup _),
@@ -1315,6 +1330,26 @@ object TextQueries {
         |  CAST(n_hits AS BIGINT) AS n_hits,
         |  round(n_hits / 10.0::DOUBLE, 4) AS recall
         |FROM hits ORDER BY dim, qid""".stripMargin,
+    "e_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+        |    AS sim
+        |  FROM q, embeddings e
+        |  WHERE e.vec_id <> q.qid AND e.label <> q.ql),
+        |ranked AS (SELECT qid, nid, sim,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY round(sim, 6) DESC, nid) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, nid, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "e_knn_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv
         |  FROM embeddings WHERE vec_id < 5),

@@ -305,23 +305,34 @@ object Stress {
         .agg(sum(when(col("keep"), 1L).otherwise(0L))).head
       docsSalted.count()
     }
-    // Incremental dedup: history = the whole salted corpus, batch = one
-    // original-sized slice re-salted to overlap copy 0 (≈1/N of the batch
-    // is a true dup). BOTH paths timed: the bloom path's prefilter keeps
-    // the batch row-local (the daily-dump shape), the anti-join path is
-    // the honest beyond-gate fallback — history digests distinct'd, text
-    // never shuffled.
+    // Incremental dedup: history = the whole salted corpus; batch = one
+    // original-sized slice, half re-salted to overlap copy 0 (true dups)
+    // and half salted fresh (genuinely new) — the daily-dump mix. BOTH
+    // paths timed: the bloom path's prefilter drops the new half
+    // row-locally before any join, the anti-join path is the honest
+    // beyond-gate fallback — history digests distinct'd, text never
+    // shuffled.
+    def incrBatch = Tables.load(spark, sfDir, "documents")
+      .withColumn("text", regexp_replace(col("text"), lit(" "),
+        when(col("doc_id") % 2 === 0, lit(" s0 ")).otherwise(lit(" snew "))))
     time("incremental dedup: bloom prefilter path (batch vs N x history)") {
-      val batch = Tables.load(spark, sfDir, "documents")
-        .withColumn("text", regexp_replace(col("text"), " ", " s0 "))
-      Dedup.incrementalNew(batch, docsSalted, "text",
+      Dedup.incrementalNew(incrBatch, docsSalted, "text",
         useBloom = Some(true)).count()
     }
     time("incremental dedup: anti-join fallback path (same inputs)") {
-      val batch = Tables.load(spark, sfDir, "documents")
-        .withColumn("text", regexp_replace(col("text"), " ", " s0 "))
-      Dedup.incrementalNew(batch, docsSalted, "text",
+      Dedup.incrementalNew(incrBatch, docsSalted, "text",
         useBloom = Some(false)).count()
+    }
+    // PageRank micro-units: a bipartite user→item graph from the
+    // amplified events (×N users, 1000 items) — 1M edges, 3 integer
+    // rounds. Per-round cost = one edges⋈ranks shuffle + one groupBy,
+    // the connectedComponents cost model; the localCheckpoint per round
+    // is what keeps iteration N as cheap as iteration 1.
+    time("pageRank micro-units, 3 iters (1M-edge bipartite graph)") {
+      val edges = events.select(
+        concat(lit("u"), col("user_id")).as("src"),
+        concat(lit("i"), pmod(xxhash64(col("event_id")), lit(1000))).as("dst"))
+      Corpus.pageRankMicro(edges, "src", "dst", iters = 3).count()
     }
     spark.stop()
   }

@@ -194,6 +194,34 @@ class ApiSpec extends AnyFunSuite {
       == Seq(("a", 30.0), ("b", 20.0)))
   }
 
+  test("scalar WITH substitutes aliases; CTEs pass through") {
+    import graft.functions.ClickHouseFunctions.rewriteDialect
+    assert(rewriteDialect("WITH 5 AS x SELECT x + 1 AS y FROM t")
+      == "SELECT (5) + 1 AS y FROM t")
+    // chained aliases; a string literal containing the name is untouched
+    assert(rewriteDialect(
+      "WITH 2 AS a, a * 3 AS b SELECT b, 'a b' AS s FROM t")
+      == "SELECT ((2) * 3), 'a b' AS s FROM t")
+    // mixed: the CTE stays (and may reference the alias), the scalar goes
+    assert(rewriteDialect(
+      "WITH 7 AS k, c AS (SELECT k AS v) SELECT v FROM c")
+      == "WITH c AS (SELECT (7) AS v) SELECT v FROM c")
+    // plain CTE-only WITH is untouched
+    assert(rewriteDialect("WITH c AS (SELECT 1 AS v) SELECT v FROM c")
+      == "WITH c AS (SELECT 1 AS v) SELECT v FROM c")
+    // scalar subquery form: WITH (subquery) AS x
+    assert(rewriteDialect(
+      "WITH (SELECT max(v) FROM u) AS m SELECT m FROM t")
+      == "SELECT ((SELECT max(v) FROM u)) FROM t")
+    // end-to-end through the gate
+    fixture()
+    val r = AdHoc.query(spark,
+      "WITH 10.0 AS base SELECT k, max(v) / base AS frac FROM adhoc_t " +
+        "GROUP BY k ORDER BY k").collect()
+    assert(r.map(x => (x.getString(0), x.getDouble(1))).toSeq
+      == Seq(("a", 3.0), ("b", 2.0)))
+  }
+
   test("S19: peek samples n rows") {
     fixture()
     assert(AdHoc.peek(spark, "adhoc_t", 2).count() == 2)

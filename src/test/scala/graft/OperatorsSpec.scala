@@ -695,6 +695,24 @@ class OperatorsSpec extends AnyFunSuite {
       none.getDouble(3) == 0.0)
   }
 
+  test("hardNegatives: positives crowd the head, negatives still fill k") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),   // the query
+      (1L, Seq(0.99f, 0.1f, 0f, 0f)),  // positive, most similar
+      (2L, Seq(0.95f, 0.2f, 0f, 0f)),  // positive, 2nd most similar
+      (3L, Seq(0.9f, 0.3f, 0f, 0f)),   // negative
+      (4L, Seq(0.5f, 0.8f, 0f, 0f)),   // negative
+      (5L, Seq(-1f, 0f, 0f, 0f))       // negative, dissimilar
+    ).toDF("vec_id", "embedding")
+    val positives = Seq((0L, 1L), (0L, 2L)).toDF("qid", "nid")
+    val out = Similarity.hardNegatives(
+        emb, emb.where($"vec_id" === 0), positives, k = 2, dim = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // a filter AFTER top-k would have returned zero or one row here
+    assert(out == Seq((1L, 3L), (2L, 4L)))
+  }
+
   test("incrementalNew: bloom path == anti-join path; nulls and empty " +
       "history are new; plan carries might_contain") {
     import spark.implicits._
