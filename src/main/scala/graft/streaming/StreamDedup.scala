@@ -29,6 +29,26 @@ object StreamDedup {
     * compute it identically. */
   def fingerprint(textCol: Column): Column = md5(textCol.cast("binary"))
 
+  /** Stream-vs-HISTORY dedup: drop stream rows whose content digest
+    * already exists in a STATIC history corpus (the online counterpart
+    * of `Dedup.incrementalNew` — continuous ingest against yesterday's
+    * already-deduped corpus). A stream-static LEFT ANTI join: the
+    * history side reduces to distinct digests once per query (Spark
+    * re-reads static sides per micro-batch only when files change), the
+    * stream side hashes row-locally, and no state store is involved —
+    * compose with [[exactDedupStream]] downstream to also dedup WITHIN
+    * the stream. */
+  def newVsHistory(
+      stream: DataFrame, history: DataFrame, textCol: String): DataFrame = {
+    require(!stream.columns.contains("__fp"),
+      "input already has a '__fp' column — it would be clobbered and " +
+        "dropped; rename it first")
+    val histFp = history.select(fingerprint(col(textCol)).as("__fp")).distinct()
+    stream.withColumn("__fp", fingerprint(col(textCol)))
+      .join(histFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   def exactDedupStream(
       stream: DataFrame, textCol: String,
       watermark: Option[(String, String)] = None): DataFrame = {

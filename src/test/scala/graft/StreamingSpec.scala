@@ -79,6 +79,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamDedup.newVsHistory: static history drops known content, " +
+      "composes with in-stream dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq((100L, "alpha"), (101L, "beta"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val fresh = graft.streaming.StreamDedup.newVsHistory(
+      mem.toDS().toDF("doc_id", "text"), history, "text")
+    // downstream: also dedup within the stream itself
+    val piped = graft.streaming.StreamDedup.exactDedupStream(fresh, "text")
+    val q = piped.writeStream.format("memory").queryName("nvh_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha"), (2L, "delta"), (3L, "delta"), (4L, "eps"))
+      q.processAllAvailable()
+      // "alpha" known from history; duplicate in-stream "delta" collapsed
+      val out = spark.table("nvh_out").orderBy("doc_id")
+        .as[(Long, String)].collect().toSeq
+      assert(out == Seq((2L, "delta"), (4L, "eps")))
+      mem.addData((5L, "beta"), (6L, "zeta"))
+      q.processAllAvailable()
+      assert(spark.table("nvh_out").orderBy("doc_id")
+        .as[(Long, String)].collect().toSeq
+        == Seq((2L, "delta"), (4L, "eps"), (6L, "zeta")))
+    } finally q.stop()
+  }
+
   test("streaming transform via MemoryStream matches batch semantics (T1/T7)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
