@@ -688,6 +688,49 @@ object Multimodal {
     * Scale shape: partition-at-a-time `mapPartitions`; the payload is
     * consumed inside the kernel and does not survive into the output —
     * only O(1) stats per media row ever shuffle. */
+  /** REAL nearest-neighbor image resize: decode (JDK ImageIO), resample
+    * with the EXACT integer mapping src = (dst · srcDim) div dstDim —
+    * floor arithmetic, no interpolation-kernel ambiguity — then
+    * re-encode PNG in place of `payload`. Batched `mapPartitions`;
+    * payload bytes never leave the executor. Because the mapping is
+    * closed-form, a codec-free oracle can recompute the resized image's
+    * statistics exactly by composing it with the source pixel formula
+    * (see `m_resize`): this is the content-level check the
+    * [[decodeImageStats]] resize round-trip (dimensions only) doesn't
+    * give. */
+  def resizeNearest(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0,
+      s"resizeNearest: target ${outW}x$outH must be positive")
+    val outSchema = media.schema
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val pIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](pIdx)))
+        require(img != null, "undecodable image payload in resizeNearest")
+        val w = img.getWidth; val h = img.getHeight
+        val out = new java.awt.image.BufferedImage(
+          outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < outH) {
+          val sy = (y.toLong * h / outH).toInt
+          var x = 0
+          while (x < outW) {
+            out.setRGB(x, y, img.getRGB((x.toLong * w / outW).toInt, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.updated(pIdx, bos.toByteArray))
+      }
+    }(enc)
+  }
+
   def decodeImageStats(media: DataFrame, rw: Int = 8, rh: Int = 6): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),

@@ -71,6 +71,28 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** REAL nearest-neighbor resize, CONTENT-verified: synth PNG →
+    * [[Multimodal.resizeNearest]] to 10×7 (floor-mapping NN) → decode
+    * stats of the RESIZED image. The mapping src = (dst·srcDim) div
+    * dstDim composes with the synthPixel formula, so the DuckDB oracle
+    * recomputes the resized per-channel means exactly with no codec —
+    * integer sums, one closing IEEE division, bit-equal doubles. */
+  def mResize(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.load(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      (lit(16) + (col("doc_id") % 8) * 4).cast("int").as("w"),
+      (lit(12) + (col("doc_id") % 5) * 4).cast("int").as("h"))
+    Multimodal.decodeImageStats(
+        Multimodal.resizeNearest(Multimodal.synthPng(dims), 10, 7))
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+      .orderBy(col("media_id"))
+  }
+
   /** REAL audio decode, end to end: per document a WAV is synthesized
     * (sample count and amplitudes are closed-form functions of doc_id —
     * [[Multimodal.synthSample]]), encoded by the JDK `javax.sound.sampled`
@@ -177,6 +199,7 @@ object MultimodalQueries {
 
   def queries: Map[String, Q] = Map(
     "m_frames" -> (mFrames _),
+    "m_resize" -> (mResize _),
     "m_meta" -> (mMeta _),
     "m_features" -> (mFeatures _),
     "m_audio" -> (mAudio _),
@@ -212,6 +235,22 @@ object MultimodalQueries {
         |  round(avg((x + y + 3 * doc_id) % 256), 6) AS mean_b,
         |  CAST(8 AS BIGINT) AS resized_w, CAST(6 AS BIGINT) AS resized_h
         |FROM pxy GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
+    // resized-pixel means recomputed codec-free: the NN mapping
+    // src = (dst * srcDim) // dstDim composed with the synthPixel formula
+    "m_resize" ->
+      """WITH dims AS (SELECT doc_id,
+        |    16 + (doc_id % 8) * 4 AS w,
+        |    12 + (doc_id % 5) * 4 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, 10)) AS x FROM dims),
+        |pxy AS (SELECT doc_id, w, h, x, unnest(range(0, 7)) AS y FROM px),
+        |src AS (SELECT doc_id,
+        |    (x * w) // 10 AS sx, (y * h) // 7 AS sy FROM pxy)
+        |SELECT doc_id AS media_id,
+        |  CAST(10 AS BIGINT) AS width, CAST(7 AS BIGINT) AS height,
+        |  round(avg((sx * 7 + doc_id) % 256), 6) AS mean_r,
+        |  round(avg((sy * 11 + 2 * doc_id) % 256), 6) AS mean_g,
+        |  round(avg((sx + sy + 3 * doc_id) % 256), 6) AS mean_b
+        |FROM src GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // recomputes the decoded amplitude stats from the synthSample formula
     // — WAV PCM is lossless and all sums are exact integers with ONE
     // final IEEE division (bit-equal doubles across engines)
