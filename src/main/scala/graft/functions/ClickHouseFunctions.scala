@@ -376,9 +376,79 @@ object ClickHouseFunctions {
     // anywhere else the word may be an identifier.
     val noFormat = noSettings.replaceAll(
       "(?is)\\s*\\bformat\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$", "")
-    rewriteQualify(rewriteScalarWith(noFormat)).replaceAll(
+    rewriteLimitBy(rewriteQualify(rewriteScalarWith(noFormat))).replaceAll(
       "(?i)\\b(dateDiff|date_diff|timestampDiff)\\s*\\(\\s*'([a-zA-Z]+)'\\s*,",
       "$1($2,")
+  }
+
+  /** CH `LIMIT [m,]n [OFFSET m] BY cols` in SQL TEXT (the raw-SQL twin of
+    * `ChShapes.limitBy`): keep rows m+1..m+n of each `cols` group in the
+    * query's ORDER BY order. Rewritten to the same partitioned-window
+    * plan the API builds: the query wraps as
+    * `SELECT * EXCEPT(__lb) FROM (SELECT <list>, row_number() OVER
+    * (PARTITION BY cols ORDER BY <ord>) AS __lb FROM …) WHERE <band>
+    * ORDER BY <ord> [LIMIT k]`. Refusals with the fix named: no ORDER BY
+    * (per-group selection order would be load-dependent), SELECT
+    * DISTINCT, top-level set ops. */
+  private def rewriteLimitBy(sql: String): String = {
+    val byRe = """(?is)^\s*(\d+)\s*(?:,\s*(\d+))?\s*(?:offset\s+(\d+))?\s*by\b""".r
+    val hit = topLevelWord(sql, "limit").flatMap { i =>
+      byRe.findFirstMatchIn(sql.substring(i + "limit".length)).map(m => (i, m))
+    }.headOption
+    hit match {
+      case None => sql
+      case Some((limIdx, m)) =>
+        // CH forms: LIMIT n BY / LIMIT m, n BY / LIMIT n OFFSET m BY
+        val (off, n) =
+          if (m.group(2) != null) (m.group(1).toLong, m.group(2).toLong)
+          else (Option(m.group(3)).map(_.toLong).getOrElse(0L),
+            m.group(1).toLong)
+        val setOp = (topLevelWord(sql, "union") ++
+          topLevelWord(sql, "intersect") ++
+          topLevelWord(sql, "except").filterNot { i =>
+            sql.drop(i + "except".length).dropWhile(_.isWhitespace)
+              .startsWith("(")
+          }).nonEmpty
+        if (setOp) throw new IllegalArgumentException(
+          "LIMIT BY beside a top-level set operation is ambiguous: " +
+            "parenthesize the LIMIT BY side as a subquery")
+        val orders = topLevelWord(sql, "order").filter(_ < limIdx)
+        if (orders.isEmpty) throw new IllegalArgumentException(
+          "LIMIT n BY without ORDER BY: the per-group selection order " +
+            "would be load-dependent — add an ORDER BY naming a total " +
+            "order (ties broken)")
+        val ordIdx = orders.last
+        val ordText = sql.substring(ordIdx, limIdx).trim
+          .replaceFirst("(?is)^order\\s+by\\s+", "")
+        val selects = topLevelWord(sql, "select").filter(_ < ordIdx)
+        require(selects.nonEmpty, "LIMIT BY without a top-level SELECT")
+        val selIdx = selects.last
+        val selEnd = selIdx + "select".length
+        if (sql.drop(selEnd).dropWhile(_.isWhitespace)
+            .toLowerCase.startsWith("distinct"))
+          throw new IllegalArgumentException(
+            "LIMIT BY over SELECT DISTINCT cannot be rewritten: wrap the " +
+              "DISTINCT query as a subquery")
+        val froms = topLevelWord(sql, "from")
+          .filter(i => i > selIdx && i < ordIdx)
+        require(froms.nonEmpty, "LIMIT BY needs a FROM clause")
+        val fromIdx = froms.head
+        val byEnd = limIdx + "limit".length + m.end
+        val tailIdx = topLevelWord(sql, "limit").filter(_ >= byEnd)
+          .sorted.headOption.getOrElse(sql.length)
+        val byCols = sql.substring(byEnd, tailIdx).trim
+        require(byCols.nonEmpty, "LIMIT n BY with no BY columns")
+        val band =
+          if (off > 0) s"__lb > $off AND __lb <= ${off + n}"
+          else s"__lb <= $n"
+        val prefix = sql.substring(0, selIdx)
+        val selList = sql.substring(selEnd, fromIdx).trim
+        val fromRest = sql.substring(fromIdx, ordIdx).trim
+        val tail = sql.substring(tailIdx)
+        s"${prefix}SELECT * EXCEPT(__lb) FROM (SELECT $selList, " +
+          s"row_number() OVER (PARTITION BY $byCols ORDER BY $ordText) " +
+          s"AS __lb $fromRest) __lbq WHERE $band ORDER BY $ordText $tail"
+    }
   }
 
   /** Replace whole-word occurrences of `word` (any paren depth, never

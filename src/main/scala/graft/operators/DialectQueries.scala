@@ -331,6 +331,21 @@ object DialectQueries {
       limit = 1000)
   }
 
+  /** CH `LIMIT n BY` in raw SQL TEXT through the ad-hoc gate — the
+    * text twin of the `ChShapes.limitBy` plan (`q_limit_by`): same
+    * partitioned-window rewrite, same oracle shape. */
+  def qLimitBySql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("evts_lbs")
+    graft.api.AdHoc.query(spark,
+      """SELECT user_id, event_id, event_type, value
+        |FROM evts_lbs
+        |WHERE user_id < 2000
+        |ORDER BY value DESC, event_id
+        |LIMIT 3 BY user_id""".stripMargin,
+      limit = graft.api.AdHoc.CliMaxLimit,
+      maxLimit = graft.api.AdHoc.CliMaxLimit)
+  }
+
   /** CH `QUALIFY` (21.9+): filter on a window result without a subquery,
     * through the ad-hoc gate's text rewrite (predicate becomes one extra
     * select item; the query wraps in `SELECT * EXCEPT(__qualify) … WHERE
@@ -355,6 +370,7 @@ object DialectQueries {
     "q_ch_functions5" -> (qChFunctions5 _),
     "q_qualify" -> (qQualify _),
     "q_scalar_with" -> (qScalarWith _),
+    "q_limit_by_sql" -> (qLimitBySql _),
     "q_ch_functions2" -> (qChFunctions2 _),
     "q_ch_functions3" -> (qChFunctions3 _),
     "q_ch_functions4" -> (qChFunctions4 _),
@@ -410,6 +426,14 @@ object DialectQueries {
         |  [1, 9, 5] AS mu_v
         |FROM g JOIN agg ON g.user_id = agg.user_id
         |ORDER BY g.user_id""".stripMargin,
+    "q_limit_by_sql" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events WHERE user_id < 2000)
+        |WHERE rn <= 3
+        |ORDER BY value DESC, event_id""".stripMargin,
     // the oracle is the substituted form (DuckDB has no scalar WITH)
     "q_scalar_with" ->
       """SELECT user_id,

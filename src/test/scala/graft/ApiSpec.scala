@@ -222,6 +222,40 @@ class ApiSpec extends AnyFunSuite {
       == Seq(("a", 3.0), ("b", 2.0)))
   }
 
+  test("LIMIT n BY text form rewrites to the window band; refusals") {
+    import graft.functions.ClickHouseFunctions.rewriteDialect
+    assert(rewriteDialect(
+      "SELECT g, v FROM t ORDER BY v DESC LIMIT 2 BY g")
+      .replaceAll("\\s+", " ")
+      == "SELECT * EXCEPT(__lb) FROM (SELECT g, v, row_number() OVER " +
+        "(PARTITION BY g ORDER BY v DESC) AS __lb FROM t) __lbq " +
+        "WHERE __lb <= 2 ORDER BY v DESC ")
+    // offset forms: LIMIT m, n BY and LIMIT n OFFSET m BY are the same band
+    assert(rewriteDialect(
+      "SELECT g, v FROM t ORDER BY v LIMIT 1, 2 BY g")
+      .contains("WHERE __lb > 1 AND __lb <= 3"))
+    assert(rewriteDialect(
+      "SELECT g, v FROM t ORDER BY v LIMIT 2 OFFSET 1 BY g")
+      .contains("WHERE __lb > 1 AND __lb <= 3"))
+    // a trailing plain LIMIT survives on the outer query
+    assert(rewriteDialect(
+      "SELECT g, v FROM t ORDER BY v LIMIT 2 BY g LIMIT 5")
+      .trim.endsWith("LIMIT 5"))
+    // plain LIMIT (no BY) untouched
+    assert(rewriteDialect("SELECT g FROM t ORDER BY g LIMIT 5")
+      == "SELECT g FROM t ORDER BY g LIMIT 5")
+    // no ORDER BY: load-dependent selection refused with the fix
+    assert(intercept[IllegalArgumentException] {
+      rewriteDialect("SELECT g, v FROM t LIMIT 2 BY g")
+    }.getMessage.contains("ORDER BY"))
+    // end-to-end through the gate: top-1 per group by v desc
+    fixture()
+    val r = AdHoc.query(spark,
+      "SELECT k, v FROM adhoc_t ORDER BY v DESC LIMIT 1 BY k").collect()
+    assert(r.map(x => (x.getString(0), x.getDouble(1))).toSet
+      == Set(("a", 30.0), ("b", 20.0)))
+  }
+
   test("S19: peek samples n rows") {
     fixture()
     assert(AdHoc.peek(spark, "adhoc_t", 2).count() == 2)
