@@ -376,9 +376,56 @@ object ClickHouseFunctions {
     // anywhere else the word may be an identifier.
     val noFormat = noSettings.replaceAll(
       "(?is)\\s*\\bformat\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$", "")
-    rewriteLimitBy(rewriteQualify(rewriteScalarWith(noFormat))).replaceAll(
+    rewriteLimitBy(rewriteQualify(rewriteScalarWith(
+      rewriteWithTotals(noFormat)))).replaceAll(
       "(?i)\\b(dateDiff|date_diff|timestampDiff)\\s*\\(\\s*'([a-zA-Z]+)'\\s*,",
       "$1($2,")
+  }
+
+  /** CH `GROUP BY cols WITH TOTALS` in SQL text → `GROUP BY GROUPING
+    * SETS ((cols), ())` — the exact relational encoding the plan-level
+    * `ChShapes.withTotals` builds (totals row = NULL keys, one hash
+    * aggregate, no second scan). `WITH FILL` / `LIMIT n WITH TIES` text
+    * forms REFUSE with the library API named: the fill axis generation
+    * and the two-pass ties threshold have no safe in-place text
+    * spelling. */
+  private def rewriteWithTotals(sql: String): String = {
+    // the preceding-clause guard keeps a CTE merely NAMED fill/ties from
+    // false-triggering ("WITH fill AS (…)" has no ORDER/LIMIT before it)
+    topLevelWord(sql, "fill").foreach { i =>
+      if (sql.substring(0, i).trim.toLowerCase.endsWith("with") &&
+          topLevelWord(sql, "order").exists(_ < i))
+        throw new IllegalArgumentException(
+          "ORDER BY … WITH FILL has no text rewrite (the fill axis is a " +
+            "generated frame): use ChShapes.withFillDays / withFillNum / " +
+            "withFillInterpolate on the aggregated DataFrame")
+    }
+    topLevelWord(sql, "ties").foreach { i =>
+      if (sql.substring(0, i).trim.toLowerCase.endsWith("with") &&
+          topLevelWord(sql, "limit").exists(_ < i))
+        throw new IllegalArgumentException(
+          "LIMIT n WITH TIES has no single-pass text rewrite: use " +
+            "ChShapes.limitWithTies (distributed top-n boundary + " +
+            "threshold filter)")
+    }
+    val totals = topLevelWord(sql, "totals").filter { i =>
+      sql.substring(0, i).trim.toLowerCase.endsWith("with") &&
+        topLevelWord(sql, "group").exists(_ < i) // not a CTE named totals
+    }
+    if (totals.isEmpty) return sql
+    require(totals.size == 1, "more than one top-level WITH TOTALS")
+    val tIdx = totals.head
+    val wIdx = sql.substring(0, tIdx).lastIndexOf(
+      sql.substring(0, tIdx).trim.takeRight(4)) // start of the "with"
+    val groups = topLevelWord(sql, "group").filter(_ < wIdx)
+    require(groups.nonEmpty, "WITH TOTALS without a GROUP BY")
+    val gIdx = groups.last
+    val cols = sql.substring(gIdx, wIdx)
+      .replaceFirst("(?is)^group\\s+by\\s+", "").trim
+    require(cols.nonEmpty, "WITH TOTALS with an empty GROUP BY list")
+    sql.substring(0, gIdx) +
+      s"GROUP BY GROUPING SETS (($cols), ()) " +
+      sql.substring(tIdx + "totals".length)
   }
 
   /** CH `LIMIT [m,]n [OFFSET m] BY cols` in SQL TEXT (the raw-SQL twin of

@@ -346,6 +346,18 @@ object DialectQueries {
       maxLimit = graft.api.AdHoc.CliMaxLimit)
   }
 
+  /** CH `GROUP BY … WITH TOTALS` in raw SQL text → GROUPING SETS (the
+    * text twin of `ChShapes.withTotals`; totals row = NULL keys). */
+  def qWithTotalsSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("evts_wts")
+    graft.api.AdHoc.query(spark,
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM evts_wts
+        |GROUP BY event_type WITH TOTALS
+        |ORDER BY event_type NULLS FIRST""".stripMargin)
+  }
+
   /** CH `QUALIFY` (21.9+): filter on a window result without a subquery,
     * through the ad-hoc gate's text rewrite (predicate becomes one extra
     * select item; the query wraps in `SELECT * EXCEPT(__qualify) … WHERE
@@ -371,6 +383,7 @@ object DialectQueries {
     "q_qualify" -> (qQualify _),
     "q_scalar_with" -> (qScalarWith _),
     "q_limit_by_sql" -> (qLimitBySql _),
+    "q_with_totals_sql" -> (qWithTotalsSql _),
     "q_ch_functions2" -> (qChFunctions2 _),
     "q_ch_functions3" -> (qChFunctions3 _),
     "q_ch_functions4" -> (qChFunctions4 _),
@@ -426,6 +439,12 @@ object DialectQueries {
         |  [1, 9, 5] AS mu_v
         |FROM g JOIN agg ON g.user_id = agg.user_id
         |ORDER BY g.user_id""".stripMargin,
+    "q_with_totals_sql" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), ())
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_limit_by_sql" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT user_id, event_id, event_type, value,

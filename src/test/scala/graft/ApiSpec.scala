@@ -256,6 +256,34 @@ class ApiSpec extends AnyFunSuite {
       == Set(("a", 30.0), ("b", 20.0)))
   }
 
+  test("WITH TOTALS text rewrites to GROUPING SETS; FILL/TIES refuse " +
+      "with the API named; innocent CTE names pass") {
+    import graft.functions.ClickHouseFunctions.rewriteDialect
+    assert(rewriteDialect(
+      "SELECT g, count(*) AS n FROM t GROUP BY g WITH TOTALS ORDER BY g")
+      .replaceAll("\\s+", " ")
+      == "SELECT g, count(*) AS n FROM t GROUP BY GROUPING SETS ((g), ()) " +
+        "ORDER BY g")
+    assert(intercept[IllegalArgumentException] {
+      rewriteDialect("SELECT d, n FROM t ORDER BY d WITH FILL")
+    }.getMessage.contains("withFill"))
+    assert(intercept[IllegalArgumentException] {
+      rewriteDialect("SELECT v FROM t ORDER BY v LIMIT 3 WITH TIES")
+    }.getMessage.contains("limitWithTies"))
+    // CTEs merely named fill/ties/totals don't trigger anything
+    assert(rewriteDialect("WITH fill AS (SELECT 1 AS v) SELECT v FROM fill")
+      == "WITH fill AS (SELECT 1 AS v) SELECT v FROM fill")
+    assert(rewriteDialect(
+      "WITH totals AS (SELECT 1 AS v) SELECT v FROM totals")
+      == "WITH totals AS (SELECT 1 AS v) SELECT v FROM totals")
+    // end-to-end: the totals row appears with a NULL key
+    fixture()
+    val r = AdHoc.query(spark,
+      "SELECT k, count(*) AS n FROM adhoc_t GROUP BY k WITH TOTALS " +
+        "ORDER BY k NULLS FIRST").collect()
+    assert(r.length == 3 && r.head.isNullAt(0) && r.head.getLong(1) == 3L)
+  }
+
   test("S19: peek samples n rows") {
     fixture()
     assert(AdHoc.peek(spark, "adhoc_t", 2).count() == 2)
