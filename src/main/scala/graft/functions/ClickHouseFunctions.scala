@@ -376,8 +376,24 @@ object ClickHouseFunctions {
     // anywhere else the word may be an identifier.
     val noFormat = noSettings.replaceAll(
       "(?is)\\s*\\bformat\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$", "")
+    // CH numbers(N) / numbers(offset, N) table function → a range()
+    // subquery exposing CH's `number` column. Rewritten only in table
+    // position (after FROM/JOIN), so a scalar function merely named
+    // numbers elsewhere is untouched; no alias is appended, so a
+    // caller's own `numbers(10) AS n` alias attaches naturally.
+    val twoArg =
+      """(?i)\b(from|join)(\s+)numbers\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)""".r
+    val oneArg = """(?i)\b(from|join)(\s+)numbers\s*\(\s*([^(),]+?)\s*\)""".r
+    val numbered = oneArg.replaceAllIn(
+      twoArg.replaceAllIn(noFormat, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)}${m.group(2)}(SELECT id AS number FROM " +
+            s"range((${m.group(3)}), (${m.group(3)}) + (${m.group(4)})))")),
+      m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}${m.group(2)}(SELECT id AS number FROM " +
+          s"range(${m.group(3)}))"))
     rewriteLimitBy(rewriteQualify(rewriteScalarWith(
-      rewriteWithTotals(noFormat)))).replaceAll(
+      rewriteWithTotals(numbered)))).replaceAll(
       "(?i)\\b(dateDiff|date_diff|timestampDiff)\\s*\\(\\s*'([a-zA-Z]+)'\\s*,",
       "$1($2,")
   }

@@ -346,6 +346,15 @@ object DialectQueries {
       maxLimit = graft.api.AdHoc.CliMaxLimit)
   }
 
+  /** CH `numbers()` table function through the gate (→ a `range()`
+    * subquery exposing the `number` column). */
+  def qNumbers(spark: SparkSession, dir: String): DataFrame =
+    graft.api.AdHoc.query(spark,
+      """SELECT count(*) AS n, CAST(sum(number) AS BIGINT) AS s,
+        |  CAST(min(number) AS BIGINT) AS lo,
+        |  CAST(max(number) AS BIGINT) AS hi
+        |FROM numbers(5, 100)""".stripMargin)
+
   /** CH `GROUP BY … WITH TOTALS` in raw SQL text → GROUPING SETS (the
     * text twin of `ChShapes.withTotals`; totals row = NULL keys). */
   def qWithTotalsSql(spark: SparkSession, dir: String): DataFrame = {
@@ -384,6 +393,7 @@ object DialectQueries {
     "q_scalar_with" -> (qScalarWith _),
     "q_limit_by_sql" -> (qLimitBySql _),
     "q_with_totals_sql" -> (qWithTotalsSql _),
+    "q_numbers" -> (qNumbers _),
     "q_ch_functions2" -> (qChFunctions2 _),
     "q_ch_functions3" -> (qChFunctions3 _),
     "q_ch_functions4" -> (qChFunctions4 _),
@@ -439,6 +449,11 @@ object DialectQueries {
         |  [1, 9, 5] AS mu_v
         |FROM g JOIN agg ON g.user_id = agg.user_id
         |ORDER BY g.user_id""".stripMargin,
+    "q_numbers" ->
+      """SELECT count(*) AS n, CAST(sum(range) AS BIGINT) AS s,
+        |  CAST(min(range) AS BIGINT) AS lo,
+        |  CAST(max(range) AS BIGINT) AS hi
+        |FROM range(5, 105)""".stripMargin,
     "q_with_totals_sql" ->
       """SELECT event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value
