@@ -28,11 +28,25 @@ object AdHoc {
   final class ReadOnlyViolation(msg: String)
       extends IllegalArgumentException(msg)
 
+  /** Read-only statements the reference gate allows ALONGSIDE SELECT
+    * (ref query_olap.rs:35-42: "Only read operations (SELECT, SHOW,
+    * DESCRIBE, EXPLAIN) are permitted"; :106-136 lists the SHOW/
+    * DESCRIBE/EXPLAIN forms): Catalyst parses them as `Command`s like
+    * the DDL we reject, so this allowlist must match before the generic
+    * Command case. `EXPLAIN <write>` stays allowed — it PLANS the write
+    * without executing it, same as CH. */
+  private val readOnlyCommands = Set(
+    "ExplainCommand", "ShowTables", "ShowTablesCommand", "ShowColumns",
+    "ShowNamespacesCommand", "ShowNamespaces", "ShowViews",
+    "ShowFunctions", "ShowCreateTable", "DescribeRelation",
+    "DescribeColumn", "DescribeQueryCommand", "ShowTableProperties")
+
   private def firstWriteNode(plan: LogicalPlan): Option[String] = {
     def check(p: LogicalPlan): Option[String] = p match {
       case _: InsertIntoStatement => Some("INSERT")
       // a plain UnaryNode, not a Command — must be matched explicitly
       case _: InsertIntoDir => Some("INSERT OVERWRITE DIRECTORY")
+      case c: Command if readOnlyCommands.contains(c.nodeName) => None
       case c: Command => Some(c.nodeName)
       case other =>
         (other.children ++ other.subqueries).flatMap(check).headOption

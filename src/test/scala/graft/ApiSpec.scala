@@ -284,6 +284,27 @@ class ApiSpec extends AnyFunSuite {
     assert(r.length == 3 && r.head.isNullAt(0) && r.head.getLong(1) == 3L)
   }
 
+  test("S20: SHOW/DESCRIBE/EXPLAIN pass the gate like the reference; " +
+      "writes still rejected") {
+    fixture()
+    // ref query_olap.rs:35-42 — read operations beyond SELECT
+    assert(AdHoc.query(spark, "SHOW TABLES").count() >= 1)
+    assert(AdHoc.query(spark, "DESCRIBE TABLE adhoc_t").count() == 3)
+    assert(AdHoc.query(spark, "SHOW COLUMNS FROM adhoc_t").count() == 3)
+    val ex = AdHoc.query(spark, "EXPLAIN SELECT k FROM adhoc_t").collect()
+    assert(ex.nonEmpty && ex.head.getString(0).contains("Physical Plan"))
+    // EXPLAIN of a write PLANS without executing — allowed, like CH
+    assert(AdHoc.query(spark,
+      "EXPLAIN INSERT OVERWRITE DIRECTORY '/tmp/graft_never' " +
+        "USING parquet SELECT 1").count() >= 1)
+    assert(!new java.io.File("/tmp/graft_never").exists())
+    // the write itself is still rejected
+    intercept[AdHoc.ReadOnlyViolation] {
+      AdHoc.query(spark, "INSERT OVERWRITE DIRECTORY '/tmp/graft_never' " +
+        "USING parquet SELECT 1")
+    }
+  }
+
   test("S19: peek samples n rows") {
     fixture()
     assert(AdHoc.peek(spark, "adhoc_t", 2).count() == 2)
