@@ -41,6 +41,31 @@ final class ApiRegistry {
   def names: Seq[String] = apis.keys.toSeq
 }
 
+/** Connector seam for ETL extraction (ref connectors/dataSource.ts:15
+  * abstract class DataSource: `extract()` + `testConnection()` +
+  * `supportsIncremental`). The incremental contract is explicit: a
+  * source that declares support must serve `extractFrom(cursor)` —
+  * records strictly after the cursor — and expose the new cursor via
+  * [[DataSource.cursorOf]]; the default refuses loudly instead of
+  * silently re-extracting everything (the reference leaves the flag
+  * false for the same reason). */
+trait DataSource[T] {
+  def name: String
+  def supportsIncremental: Boolean = false
+  def extract(): Seq[T]
+  /** Records strictly after `cursor` (None = everything). */
+  def extractFrom(cursor: Option[String]): Seq[T] =
+    if (cursor.isEmpty) extract()
+    else throw new UnsupportedOperationException(
+      s"data source '$name' does not support incremental extraction " +
+        "(supportsIncremental=false): pass cursor=None or implement " +
+        "extractFrom")
+  /** The cursor a batch advances to (None = source is not incremental). */
+  def cursorOf(batch: Seq[T]): Option[String] = None
+  /** ref dataSource.ts:31 — (success, message). */
+  def testConnection(): (Boolean, Option[String]) = (true, None)
+}
+
 /** ETL pipeline (ref dmv2/sdk/etlPipeline.ts:56): extract (an iterable the
   * reference walks in batches of 20) → per-record transform with
   * `ZeroOrMany` fan-out → load. On Spark the batching is native — extract
@@ -59,6 +84,29 @@ final case class EtlPipeline[T, U](
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try { load(out); out.count() }
     finally out.unpersist(blocking = false)
+  }
+}
+
+object EtlPipeline {
+  /** Build from a [[DataSource]] connector: the connection is tested
+    * BEFORE any extraction (ref etlPipeline extract task fails the run
+    * on connector errors), then `extractFrom(cursor)` feeds the
+    * pipeline. Returns the pipeline plus the cursor the batch advances
+    * to — the caller persists it between runs (incremental pull). */
+  def fromSource[T, U](
+      source: DataSource[T],
+      transform: T => IterableOnce[U],
+      load: Dataset[U] => Unit,
+      cursor: Option[String] = None): (EtlPipeline[T, U], Option[String]) = {
+    val (ok, msg) = source.testConnection()
+    require(ok, s"data source '${source.name}' failed its connection " +
+      s"test${msg.fold("")(m => s": $m")}")
+    require(cursor.isEmpty || source.supportsIncremental,
+      s"cursor given but data source '${source.name}' does not support " +
+        "incremental extraction")
+    val batch = source.extractFrom(cursor)
+    (EtlPipeline(source.name, () => batch, transform, load),
+      source.cursorOf(batch).orElse(cursor))
   }
 }
 

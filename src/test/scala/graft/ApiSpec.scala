@@ -338,6 +338,51 @@ class ApiSpec extends AnyFunSuite {
     assert(p.run(spark) == 5 && loaded == 5)
   }
 
+  test("DataSource connector: connection gate, incremental cursor, refusals") {
+    var tested = 0
+    val src = new DataSource[Long] {
+      val name = "nums"
+      override val supportsIncremental = true
+      def extract(): Seq[Long] = Seq(1L, 2L, 3L, 4L)
+      override def extractFrom(c: Option[String]): Seq[Long] =
+        c.fold(extract())(cv => extract().filter(_ > cv.toLong))
+      override def cursorOf(b: Seq[Long]): Option[String] =
+        b.maxOption.map(_.toString)
+      override def testConnection(): (Boolean, Option[String]) = {
+        tested += 1; (true, None)
+      }
+    }
+    var loaded = Seq.empty[Long]
+    val (p1, c1) = EtlPipeline.fromSource[Long, Long](src, x => Seq(x * 10),
+      ds => { loaded = ds.collect().toSeq.sorted })
+    assert(p1.run(spark) == 4 && tested == 1 && c1.contains("4"))
+    assert(loaded == Seq(10L, 20L, 30L, 40L))
+    // second run from the cursor: nothing new, cursor retained
+    val (p2, c2) = EtlPipeline.fromSource[Long, Long](
+      src, x => Seq(x), _ => (), cursor = c1)
+    assert(p2.run(spark) == 0 && c2 == c1)
+    // non-incremental source refuses cursors instead of re-extracting all
+    val flat = new DataSource[Long] {
+      val name = "flat"; def extract(): Seq[Long] = Seq(9L)
+    }
+    intercept[IllegalArgumentException] {
+      EtlPipeline.fromSource[Long, Long](
+        flat, x => Seq(x), _ => (), cursor = Some("1"))
+    }
+    intercept[UnsupportedOperationException] { flat.extractFrom(Some("1")) }
+    // a failed connection test blocks extraction entirely
+    val bad = new DataSource[Long] {
+      val name = "down"
+      def extract(): Seq[Long] =
+        throw new IllegalStateException("extract must not run")
+      override def testConnection(): (Boolean, Option[String]) =
+        (false, Some("boom"))
+    }
+    assert(intercept[IllegalArgumentException] {
+      EtlPipeline.fromSource[Long, Long](bad, x => Seq(x), _ => ())
+    }.getMessage.contains("boom"))
+  }
+
   test("moose cache: TTL expiry and getOrCompute") {
     var now = 0L
     val cache = new MooseCache(defaultTtlSeconds = 10, clock = () => now)
