@@ -139,6 +139,12 @@ object ChDialectBatch5 {
       MapEntries(a(1))))))
 
     f("arrayAUC")(a => arrayAuc(a(0), a(1)))
+
+    // Unicode normalization family — native expression over the JDK
+    // Normalizer kernel (NormalizeUtf8), isNormalized fast path
+    Seq("NFC", "NFD", "NFKC", "NFKD").foreach { form =>
+      f(s"normalizeUTF8$form")(a => NormalizeUtf8(a.head, form))
+    }
   }
 
   def isRegistered(spark: SparkSession): Boolean =

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CH `normalizeUTF8NFC` / `NFD` / `NFKC` / `NFKD`: Unicode
+  * normalization, the canonicalization step every multilingual corpus
+  * pipeline runs before hashing/dedup (é as one codepoint vs e +
+  * combining acute must fingerprint identically). A native Catalyst
+  * `Expression` over the JDK's `java.text.Normalizer` — `doGenCode`
+  * keeps it inside whole-stage codegen (the JDK call is the kernel
+  * either way; what matters is not breaking the codegen stage around
+  * it).
+  *
+  * Fast path: `Normalizer.isNormalized` is O(n) with no allocation and
+  * almost always true for already-clean corpora — the actual normalize
+  * (allocating) runs only on the rows that need it. */
+case class NormalizeUtf8(child: Expression, form: String)
+    extends UnaryExpression {
+  require(NormalizeUtf8.Forms.contains(form),
+    s"normalizeUTF8: unknown form '$form' (expected NFC/NFD/NFKC/NFKD)")
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"normalizeUTF8$form expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeUtf8.normalize(input.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = NormalizeUtf8.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""${ev.value} = $cls.normalize($c, "$form");"""
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeUtf8 =
+    copy(child = newChild)
+
+  override def prettyName: String = s"normalizeUTF8$form"
+}
+
+object NormalizeUtf8 {
+  val Forms = Set("NFC", "NFD", "NFKC", "NFKD")
+
+  /** Called from both interpreted eval and generated code. */
+  def normalize(s: UTF8String, form: String): UTF8String = {
+    val str = s.toString
+    val f = java.text.Normalizer.Form.valueOf(form)
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+
+  def nfc(c: Column): Column =
+    Bridge.column(NormalizeUtf8(Bridge.expression(c), "NFC"))
+}

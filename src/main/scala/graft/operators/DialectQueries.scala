@@ -308,7 +308,8 @@ object DialectQueries {
         |  arrayPartialSort(3, vals) AS psort,
         |  multiMatchAny(t0, array('cl.*k', '^sig')) AS mm,
         |  map_keys(mapUpdate(map('a', 1, t0, 9), map('b', 5))) AS mu_k,
-        |  map_values(mapUpdate(map('a', 1, t0, 9), map('b', 5))) AS mu_v
+        |  map_values(mapUpdate(map('a', 1, t0, 9), map('b', 5))) AS mu_v,
+        |  normalizeUTF8NFC(concat(t0, 'é')) AS nfc_t
         |FROM g ORDER BY user_id""".stripMargin)
   }
 
@@ -446,7 +447,8 @@ object DialectQueries {
         |  CASE WHEN regexp_matches(t0, 'cl.*k')
         |    OR regexp_matches(t0, '^sig') THEN 1 ELSE 0 END AS mm,
         |  ['a', t0, 'b'] AS mu_k,
-        |  [1, 9, 5] AS mu_v
+        |  [1, 9, 5] AS mu_v,
+        |  nfc_normalize(t0 || 'e' || chr(769)) AS nfc_t
         |FROM g JOIN agg ON g.user_id = agg.user_id
         |ORDER BY g.user_id""".stripMargin,
     "q_numbers" ->

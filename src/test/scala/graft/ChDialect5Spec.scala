@@ -60,6 +60,23 @@ class ChDialect5Spec extends AnyFunSuite {
     assert(r.getSeq[Int](1) == Seq(1, 9, 3))
   }
 
+  test("normalizeUTF8 family: composition, decomposition, compatibility") {
+    def s(sel: String): String = one(sel).toString
+    // e + combining acute → precomposed é
+    assert(s("normalizeUTF8NFC('é')") == "é")
+    // precomposed é → e + combining acute
+    assert(s("normalizeUTF8NFD('é')") == "é")
+    // compatibility: the fi ligature decomposes under NFKC, not NFC
+    assert(s("normalizeUTF8NFKC('ﬁ')") == "fi")
+    assert(s("normalizeUTF8NFC('ﬁ')") == "ﬁ")
+    assert(s("normalizeUTF8NFKD('½')") == "1⁄2") // ½ → 1⁄2
+    // already-normalized ASCII passes through (the fast path)
+    assert(s("normalizeUTF8NFC('plain ascii')") == "plain ascii")
+    // the corpus reason this exists: both spellings fingerprint equal
+    assert(one("md5(normalizeUTF8NFC('café')) = " +
+      "md5(normalizeUTF8NFC('café'))") == true)
+  }
+
   test("arrayAUC: separation extremes, average-rank ties, degenerate NULL") {
     // perfect separation: positives all score higher
     assert(dbl("arrayAUC(array(0.1d, 0.2d, 0.8d, 0.9d), " +
