@@ -65,6 +65,36 @@ object TextAnalysis {
       .otherwise("en")
   }
 
+  /** Unicode-script profile: per-script character counts over the five
+    * blocks a crawl router cares about (Latin, Cyrillic, CJK, Arabic,
+    * Greek) plus the total letter count — the script-detection
+    * complement to [[langId]]'s stopword heuristic (langId needs words;
+    * script counts work on any fragment and drive mixed-script spam
+    * gates). Codegen'd `regexp_count` chain, row-local, shuffle-free. */
+  def scriptCounts(text: Column): Column = {
+    def c(re: String): Column =
+      regexp_count(text, lit(re)).cast("long")
+    struct(
+      c("[A-Za-z\\u00C0-\\u024F]").as("latin"),
+      c("[\\u0400-\\u04FF]").as("cyrillic"),
+      c("[\\u4E00-\\u9FFF\\u3040-\\u30FF\\uAC00-\\uD7AF]").as("cjk"),
+      c("[\\u0600-\\u06FF]").as("arabic"),
+      c("[\\u0370-\\u03FF]").as("greek"))
+  }
+
+  /** The dominant script of [[scriptCounts]], ties broken by the listed
+    * order (latin first); "none" when no letter matches any block. */
+  def dominantScript(text: Column): Column = {
+    val s = scriptCounts(text)
+    val names = Seq("latin", "cyrillic", "cjk", "arabic", "greek")
+    val top = greatest(names.map(n => s.getField(n)): _*)
+    when(top === 0L, "none")
+      .otherwise(
+        names.foldRight(lit("none")) { (n, acc) =>
+          when(s.getField(n) === top, n).otherwise(acc)
+        })
+  }
+
   /** Stable content fingerprint: md5 of the normalized text. */
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
 

@@ -40,6 +40,27 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Unicode-script profile: per-script char counts + dominant script
+    * over documents augmented with per-doc snippets from four non-Latin
+    * scripts (the synthetic corpus alone would exercise only the Latin
+    * branch). Row-local regexp_count chain; the oracle recomputes every
+    * count with DuckDB's independent RE2 engine. */
+  def dScriptProfile(spark: SparkSession, dir: String): DataFrame = {
+    val t2 = concat(col("text"), lit(" "),
+      when(col("doc_id") % 4 === 0, lit("Привет мир"))
+        .when(col("doc_id") % 4 === 1, lit("你好世界"))
+        .when(col("doc_id") % 4 === 2, lit("مرحبا"))
+        .otherwise(lit("γεια")))
+    docs(spark, dir)
+      .select(col("doc_id"), TextAnalysis.scriptCounts(t2).as("sc"),
+        TextAnalysis.dominantScript(t2).as("dominant"))
+      .select(col("doc_id"),
+        col("sc.latin").as("latin"), col("sc.cyrillic").as("cyrillic"),
+        col("sc.cjk").as("cjk"), col("sc.arabic").as("arabic"),
+        col("sc.greek").as("greek"), col("dominant"))
+      .orderBy(col("doc_id"))
+  }
+
   def dNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(docs(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -708,6 +729,7 @@ object TextQueries {
     "d_clean_corpus" -> (dCleanCorpus _),
     "d_exact_dedup" -> (dExactDedup _),
     "d_incr_dedup" -> (dIncrDedup _),
+    "d_script_profile" -> (dScriptProfile _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_simhash_pairs" -> (dSimhashPairs _),
@@ -1004,6 +1026,38 @@ object TextQueries {
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "d_script_profile" ->
+      """WITH a AS (
+        |  SELECT doc_id, text || ' ' || CASE doc_id % 4
+        |    WHEN 0 THEN 'Привет мир' WHEN 1 THEN '你好世界'
+        |    WHEN 2 THEN 'مرحبا' ELSE 'γεια' END AS t2
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[A-Za-z\x{00C0}-\x{024F}]')) AS BIGINT) AS latin,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[\x{0400}-\x{04FF}]')) AS BIGINT) AS cyrillic,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]'))
+        |    AS BIGINT) AS cjk,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[\x{0600}-\x{06FF}]')) AS BIGINT) AS arabic,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[\x{0370}-\x{03FF}]')) AS BIGINT) AS greek
+        |  FROM a)
+        |SELECT doc_id, latin, cyrillic, cjk, arabic, greek,
+        |  CASE WHEN greatest(latin, cyrillic, cjk, arabic, greek) = 0
+        |         THEN 'none'
+        |       WHEN latin = greatest(latin, cyrillic, cjk, arabic, greek)
+        |         THEN 'latin'
+        |       WHEN cyrillic = greatest(latin, cyrillic, cjk, arabic, greek)
+        |         THEN 'cyrillic'
+        |       WHEN cjk = greatest(latin, cyrillic, cjk, arabic, greek)
+        |         THEN 'cjk'
+        |       WHEN arabic = greatest(latin, cyrillic, cjk, arabic, greek)
+        |         THEN 'arabic'
+        |       ELSE 'greek' END AS dominant
+        |FROM c ORDER BY doc_id""".stripMargin,
     "d_incr_dedup" ->
       """SELECT d.doc_id FROM documents d
         |WHERE d.doc_id % 5 = 0 AND NOT EXISTS (

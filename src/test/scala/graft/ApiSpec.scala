@@ -305,6 +305,20 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("dialect rewrites compose: scalar WITH + numbers() + QUALIFY " +
+      "in one statement") {
+    val r = AdHoc.query(spark,
+      "WITH 3 AS m " +
+        "SELECT number % m AS g, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(row_number() OVER (ORDER BY count(*) DESC, number % m) " +
+        "AS BIGINT) AS rn " +
+        "FROM numbers(10) GROUP BY number % m " +
+        "QUALIFY rn <= 2 ORDER BY rn").collect()
+    // counts: g=0 → 4 (0,3,6,9), g=1 → 3, g=2 → 3; top-2 by (n desc, g)
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+      == Seq((0L, 4L, 1L), (1L, 3L, 2L)))
+  }
+
   test("S19: peek samples n rows") {
     fixture()
     assert(AdHoc.peek(spark, "adhoc_t", 2).count() == 2)
