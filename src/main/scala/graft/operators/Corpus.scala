@@ -829,6 +829,40 @@ object Corpus {
     * only need file-internal order skip positions and let the writer's
     * sortWithinPartitions do the work.
     */
+  /** Packed-sequence SEGMENT layout — the step after bin assignment
+    * (see `d_pack_bins`): within each (shard, bin) the docs concatenate
+    * with `eosTokens` separator tokens, and each doc's
+    * [seg_start, seg_end) token offsets in the packed sequence are
+    * exactly what a training loader needs for attention-mask segment
+    * ids. A doc is assigned to the bin where its cumulative START
+    * offset lands (greedy start-offset packing, same rule as the bin
+    * query).
+    *
+    * Scale shape: two all-integer running-sum windows, BOTH partitioned
+    * by shard (never a global cumulative sum — shards pack
+    * independently, the multi-worker tokenizer-pipeline layout), plus a
+    * pure projection. Exact integers end to end, so the layout is
+    * engine- and partitioning-independent. */
+  def packSegments(docs: DataFrame, idCol: String, tokCol: String,
+      shardCol: String, budget: Long, eosTokens: Int = 1): DataFrame = {
+    require(budget > 0, s"packSegments: budget $budget must be positive")
+    require(eosTokens >= 0, s"packSegments: eosTokens $eosTokens < 0")
+    val cost = col(tokCol) + lit(eosTokens.toLong)
+    val wShard = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = docs
+      .withColumn("__cum", sum(cost).over(wShard))
+      .withColumn("bin", ((col("__cum") - cost) / lit(budget)).cast("long"))
+    val wBin = Window.partitionBy(col(shardCol), col("bin"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("__bcum", sum(cost).over(wBin))
+      .select(col(shardCol), col("bin"), col(idCol),
+        (col("__bcum") - cost).cast("long").as("seg_start"),
+        (col("__bcum") - lit(eosTokens.toLong)).cast("long").as("seg_end"))
+  }
+
   def shuffleExport(docs: DataFrame, idCol: String, seed: String,
       nShards: Int, withPositions: Boolean = true): DataFrame = {
     require(nShards > 0, s"shuffleExport: nShards must be positive")

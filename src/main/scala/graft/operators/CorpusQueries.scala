@@ -226,6 +226,18 @@ object CorpusQueries {
       .orderBy(col("shard"), col("bin"))
   }
 
+  /** Packed-sequence segment layout (the loader-facing step after
+    * `d_pack_bins`): per-doc [seg_start, seg_end) offsets inside each
+    * (shard, bin) packed sequence, EOS separators included — exact
+    * integers end to end. */
+  def dPackSegments(spark: SparkSession, dir: String): DataFrame =
+    Corpus.packSegments(
+        docs(spark, dir).select(col("doc_id"),
+          (col("doc_id") % 8).as("shard"),
+          TextAnalysis.tokenCount(col("text")).as("toks")),
+        "doc_id", "toks", "shard", budget = 512L, eosTokens = 1)
+      .orderBy(col("shard"), col("bin"), col("doc_id"))
+
   /** Self-verifying k-means (signature space isn't SQL-expressible, its
     * CONTRACT is): one row per Lloyd iteration asserting the inertia is
     * non-increasing (the property the mean-update step guarantees), that
@@ -448,6 +460,7 @@ object CorpusQueries {
     "d_corpus_stats" -> (dCorpusStats _),
     "d_sample_stratified" -> (dSampleStratified _),
     "d_pack_bins" -> (dPackBins _),
+    "d_pack_segments" -> (dPackSegments _),
     "d_clean_pipeline" -> (dCleanPipeline _),
     "d_ppl_buckets" -> (dPplBuckets _),
     "d_shuffle_export" -> (dShuffleExport _),
@@ -1186,6 +1199,23 @@ object CorpusQueries {
         |  FROM documents)
         |SELECT lang, doc_id, rk FROM r WHERE rk <= 10
         |ORDER BY lang, rk""".stripMargin,
+    "d_pack_segments" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+        |      AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (SELECT *, sum(toks + 1) OVER (PARTITION BY shard
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS cum FROM t),
+        |b AS (SELECT *,
+        |    CAST(cum - toks - 1 AS BIGINT) // 512 AS bin FROM c),
+        |s AS (SELECT *, sum(toks + 1) OVER (PARTITION BY shard, bin
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS bcum FROM b)
+        |SELECT shard, bin, doc_id,
+        |  CAST(bcum - toks - 1 AS BIGINT) AS seg_start,
+        |  CAST(bcum - 1 AS BIGINT) AS seg_end
+        |FROM s ORDER BY shard, bin, doc_id""".stripMargin,
     "d_pack_bins" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
