@@ -427,8 +427,10 @@ object IcebergRead {
       s"non-parquet iceberg data files unsupported: ${bad.map(_.format).distinct}")
     val paths = files.map(f => resolve(f.path, tableDir).toString)
     val (posDel, eqDel) = deletes.partition(_.content == 1)
+    // schema pinned from the metadata JSON (not a sampled footer), so an
+    // evolved table reads add-column files and pre-evolution files alike
     applyEqualityDeletes(spark,
-      applyPositionDeletes(spark, spark.read.parquet(paths: _*),
+      applyPositionDeletes(spark, scanPinned(spark, tableDir, paths),
         posDel, tableDir),
       eqDel, tableDir, files)
   }
@@ -581,7 +583,18 @@ object IcebergRead {
         case _ => Nil
       }
     }
-    schemas.headOption.toSeq.flatMap { s =>
+    // pick the CURRENT schema (current-schema-id), not merely the first:
+    // an evolved table lists every historical schema
+    val currentId = (metaJson \ "current-schema-id") match {
+      case JInt(n) => Some(n.toInt)
+      case _ => None
+    }
+    val current = currentId.flatMap(id => schemas.find(s =>
+      (s \ "schema-id") match {
+        case JInt(n) => n.toInt == id
+        case _ => false
+      })).orElse(schemas.headOption)
+    current.toSeq.flatMap { s =>
       (s \ "fields") match {
         case JArray(fs0) => fs0.flatMap { f =>
           for {
@@ -593,6 +606,51 @@ object IcebergRead {
         case _ => Nil
       }
     }
+  }
+
+  /** The current schema as a Spark StructType (icebergType → Catalyst
+    * type) — pins every data-file scan. Without an explicit schema
+    * Spark samples ONE parquet footer, so an EVOLVED table (files
+    * written before a column was added) would read differently
+    * depending on which footer wins; with the metadata schema, files
+    * missing a column fill NULL (the spec's add-column evolution) and
+    * columns dropped from the schema disappear. Unsupported nested
+    * types refuse loudly. */
+  def sparkSchema(spark: SparkSession, tableDir: String)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def dt(t: String): DataType = t match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "string" | "uuid" => StringType
+      case "binary" => BinaryType
+      case s if s.startsWith("timestamp") => TimestampType
+      case s if s.startsWith("decimal(") =>
+        val Array(p, sc) = s.stripPrefix("decimal(").stripSuffix(")")
+          .split(",").map(_.trim.toInt)
+        DecimalType(p, sc)
+      case "time" => LongType // micros since midnight, spec representation
+      case other => throw new IllegalArgumentException(
+        s"iceberg type '$other' has no scan mapping in this reader " +
+          "(nested struct/list/map/fixed unsupported)")
+    }
+    StructType(tableSchema(spark, tableDir).map(f =>
+      StructField(f.name, dt(f.icebergType), nullable = true)))
+  }
+
+  /** Data-file scan with the metadata schema pinned when the metadata
+    * declares one; legacy/fixture layouts without a `schemas` field fall
+    * back to footer inference (single-schema tables, where it cannot
+    * diverge). */
+  private def scanPinned(
+      spark: SparkSession, tableDir: String, paths: Seq[String]): DataFrame = {
+    if (tableSchema(spark, tableDir).isEmpty)
+      spark.read.parquet(paths: _*)
+    else spark.read.schema(sparkSchema(spark, tableDir)).parquet(paths: _*)
   }
 
   /** Appendix-D single-value deserialization for the bound types this
@@ -712,8 +770,8 @@ object IcebergRead {
       val (posDel, eqDel) = deletes.partition(_.content == 1)
       applyEqualityDeletes(spark,
         applyPositionDeletes(spark,
-          spark.read.parquet(
-            files.map(f => resolve(f.path, tableDir).toString): _*),
+          scanPinned(spark, tableDir,
+            files.map(f => resolve(f.path, tableDir).toString)),
           posDel, tableDir),
         eqDel, tableDir, files)
     }
@@ -766,14 +824,21 @@ object IcebergRead {
     require(bad.isEmpty,
       s"non-parquet iceberg data files unsupported: ${bad.map(_.format).distinct}")
     if (files.isEmpty) {
-      val (allData, _) = plan(spark, tableDir, toSnapshotId)
-      require(allData.nonEmpty,
-        s"iceberg table $tableDir has no data files to derive a schema from")
-      spark.read.parquet(resolve(allData.head.path, tableDir).toString)
-        .limit(0)
+      if (tableSchema(spark, tableDir).nonEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          sparkSchema(spark, tableDir))
+      else {
+        // no schema JSON: derive from any data file of the `to` snapshot
+        val (allData, _) = plan(spark, tableDir, toSnapshotId)
+        require(allData.nonEmpty,
+          s"iceberg table $tableDir has no data files to derive a schema from")
+        spark.read.parquet(resolve(allData.head.path, tableDir).toString)
+          .limit(0)
+      }
     } else
-      spark.read.parquet(
-        files.map(f => resolve(f.path, tableDir).toString): _*)
+      scanPinned(spark, tableDir,
+        files.map(f => resolve(f.path, tableDir).toString))
   }
 
   def manifestSummaries(

@@ -485,6 +485,53 @@ class IcebergSpec extends AnyFunSuite {
     assert(back(2).asInstanceOf[Map[String, Any]]("u") == 42L)
   }
 
+  test("schema evolution: the CURRENT metadata schema pins the scan — " +
+      "pre-evolution files fill the added column with NULL") {
+    val dir = Files.createTempDirectory("iceberg_evo").toString
+    val meta = Paths.get(dir, "metadata")
+    Files.createDirectories(meta)
+    Seq((1L, "a")).toDF("id", "k")
+      .coalesce(1).write.parquet(s"$dir/data/A")
+    Seq((2L, "b", 7.5)).toDF("id", "k", "extra")
+      .coalesce(1).write.parquet(s"$dir/data/C")
+    def fp(n: String): String = {
+      val d = new java.io.File(s"$dir/data/$n")
+      "data/" + n + "/" +
+        d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).head
+    }
+    Files.write(meta.resolve("m1.avro"),
+      AvroContainer.writeFile(manifestSchema,
+        Seq(entry(1, fp("A"), 1L), entry(1, fp("C"), 1L))))
+    Files.write(meta.resolve("snap-1.avro"),
+      AvroContainer.writeFile(manifestListSchema,
+        Seq(listEntry("metadata/m1.avro"))))
+    // schema 0 (pre-evolution) listed FIRST; current-schema-id names 1 —
+    // the reader must pick by id, not by position
+    Files.write(meta.resolve("v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"evo","location":"$dir",
+         |"current-schema-id":1,
+         |"schemas":[
+         |  {"schema-id":0,"type":"struct","fields":[
+         |    {"id":1,"name":"id","required":true,"type":"long"},
+         |    {"id":2,"name":"k","required":false,"type":"string"}]},
+         |  {"schema-id":1,"type":"struct","fields":[
+         |    {"id":1,"name":"id","required":true,"type":"long"},
+         |    {"id":2,"name":"k","required":false,"type":"string"},
+         |    {"id":3,"name":"extra","required":false,"type":"double"}]}],
+         |"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,
+         |  "manifest-list":"metadata/snap-1.avro",
+         |  "summary":{"operation":"append"}}]}""".stripMargin
+        .getBytes("UTF-8"))
+    Files.write(meta.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+    val t = IcebergRead.table(spark, dir)
+    assert(t.columns.toSeq == Seq("id", "k", "extra"))
+    val rows = t.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", Some(7.5))))
+  }
+
   test("appendData + incremental append scan: diff, empty range, " +
       "time travel, and non-append-range refusals") {
     val dir = Files.createTempDirectory("iceberg_app").toString
