@@ -372,6 +372,25 @@ object RelationalQueries {
         col("sum_qty"), col("n"))
       .orderBy(col("rf"), col("ls"))
 
+  /** Mixed GROUPING SETS (CH 22.x `GROUP BY GROUPING SETS`): an explicit
+    * set list that neither ROLLUP nor CUBE spells — (flag, status),
+    * (status) alone, and the grand total — one hash aggregate, with
+    * `grouping_id()` discriminating the set each row came from. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty[Column]),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id(col("l_returnflag"), col("l_linestatus"))
+          .cast("long").as("set_id"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("set_id"), col("sum_qty"), col("n"))
+      .orderBy(col("set_id"), col("rf"), col("ls"))
+
   /** CUBE over two dimensions (same free-surface note as rollup). */
   def qCube(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
@@ -531,6 +550,7 @@ object RelationalQueries {
     "q_adhoc_gate" -> (qAdhocGate _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_window_frames" -> (qWindowFrames _),
     "q_limit_offset" -> (qLimitOffset _),
     "q_topk" -> (qTopk _),
@@ -708,6 +728,15 @@ object RelationalQueries {
     "q_adhoc_gate" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS set_id,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_linestatus), ())
+        |ORDER BY set_id, rf, ls""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
