@@ -36,6 +36,14 @@ object AsOfJoin {
     * `last(ignoreNulls)`, so a NULL in one right column can never mix
     * values from different right rows into the output.
     */
+  /** @param direction "backward" (default) = most recent right row at or
+    *                  before the left time (CH `r.t <= l.t`); "forward" =
+    *                  earliest right row at or after it (CH `r.t >= l.t`).
+    * @param strict    excludes equal-time matches — backward+strict is
+    *                  CH's `<`, forward+strict its `>`. Implemented as
+    *                  the tie ORDER between sides in the one window: the
+    *                  right row is visible to an equal-time left row iff
+    *                  it sorts first. */
   def leftAsOf(
       left: DataFrame,
       right: DataFrame,
@@ -43,7 +51,11 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       rightCols: Seq[(String, String)],
-      rightTiebreak: Seq[String] = Nil): DataFrame = {
+      rightTiebreak: Seq[String] = Nil,
+      direction: String = "backward",
+      strict: Boolean = false): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asof direction '$direction' (expected backward|forward)")
     val leftCols = left.columns.toSeq
     require(!rightCols.exists { case (_, o) => leftCols.contains(o) },
       "output names collide with left columns")
@@ -58,19 +70,28 @@ object AsOfJoin {
         col(n).as(s"__tb_$n"))
     }
 
+    // inclusive: right sorts before left at equal time (the right row is
+    // already carried when the left row evaluates); strict: left first
+    val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
     val l = left.select(
-      col(key).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
+      col(key).as("__k") +: col(leftTime).as("__t") +:
+        lit(leftSide).as("__side") +:
         lit(null).cast(rStructType).as("__r") +:
         (tb.map(_._1) ++ leftCols.map(n => col(n).as(pfx + n))): _*)
     val r = right.select(
-      col(key).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
+      col(key).as("__k") +: col(rightTime).as("__t") +:
+        lit(rightSide).as("__side") +:
         struct(rightCols.map { case (rn, on) => col(rn).as(on) }: _*).as("__r") +:
         (tb.map(_._2) ++
           leftCols.map(n => lit(null).cast(left.schema(n).dataType).as(pfx + n))): _*)
 
+    // forward = the same carry-forward walked in DESCENDING time: the
+    // "last right seen" is then the EARLIEST right at-or-after the left
+    val tOrder =
+      if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window
       .partitionBy(col("__k"))
-      .orderBy(col("__t") +: col("__side") +:
+      .orderBy(tOrder +: col("__side").asc +:
         rightTiebreak.map(n => col(s"__tb_$n")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -78,7 +99,7 @@ object AsOfJoin {
       .select(col("__side") +:
         last(col("__r"), ignoreNulls = true).over(w).as("__rc") +:
         leftCols.map(n => col(pfx + n)): _*)
-      .where(col("__side") === 1)
+      .where(col("__side") === leftSide)
       .select(leftCols.map(n => col(pfx + n).as(n)) ++
         rightCols.map { case (_, on) => col(s"__rc.$on").as(on) }: _*)
   }

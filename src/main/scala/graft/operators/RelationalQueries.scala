@@ -182,6 +182,27 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** ASOF in the FORWARD direction (CH `r.t >= l.t`): for each click,
+    * the user's next purchase — same one-shuffle union+window plan, time
+    * order reversed. Equal-(user, ts) purchases resolve to the max
+    * event_id (the tiebreak convention), which the oracle states as
+    * `ORDER BY ts ASC, event_id DESC LIMIT 1`. */
+  def qAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.where(col("event_type") === "purchase")
+    AsOfJoin.leftAsOf(clicks, purchases,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        rightCols =
+          Seq("ts" -> "next_purchase_ts", "value" -> "next_purchase_value"),
+        rightTiebreak = Seq("event_id"),
+        direction = "forward")
+      .select(col("event_id"), col("user_id"), col("next_purchase_ts"),
+        col("next_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Scalar subquery as predicate operand (J6) — broadcast, no collect. */
   def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "events")
@@ -532,6 +553,7 @@ object RelationalQueries {
     "q_join_anti" -> (qJoinAnti _),
     "q_join_cross" -> (qJoinCross _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_forward" -> (qAsofForward _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_countif" -> (qCountif _),
     "q_argmax" -> (qArgmax _),
@@ -638,6 +660,18 @@ object RelationalQueries {
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+    "q_asof_forward" ->
+      """SELECT c.event_id, c.user_id,
+        |  (SELECT p.ts FROM events p WHERE p.event_type = 'purchase'
+        |     AND p.user_id = c.user_id AND p.ts >= c.ts
+        |   ORDER BY p.ts ASC, p.event_id DESC LIMIT 1)
+        |    AS next_purchase_ts,
+        |  (SELECT p.value FROM events p WHERE p.event_type = 'purchase'
+        |     AND p.user_id = c.user_id AND p.ts >= c.ts
+        |   ORDER BY p.ts ASC, p.event_id DESC LIMIT 1)
+        |    AS next_purchase_value
+        |FROM events c WHERE c.event_type = 'click'
+        |ORDER BY c.event_id""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id,
         |       c.ts AS last_click_ts, c.value AS last_click_value

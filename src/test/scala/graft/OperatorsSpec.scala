@@ -695,6 +695,27 @@ class OperatorsSpec extends AnyFunSuite {
       none.getDouble(3) == 0.0)
   }
 
+  test("asof join: all four inequality directions (CH <=, <, >=, >)") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 5L)).toDF("lid", "k", "t")
+    val right = Seq((10L, "u", 3L, "at3"), (11L, "u", 5L, "at5"),
+      (12L, "u", 8L, "at8")).toDF("rid", "k", "t", "v")
+    def run(direction: String, strict: Boolean): Option[String] = {
+      val r = AsOfJoin.leftAsOf(left, right, "k", "t", "t",
+        Seq("v" -> "rv"), rightTiebreak = Seq("rid"),
+        direction = direction, strict = strict).head()
+      Option(r.getAs[String]("rv"))
+    }
+    assert(run("backward", strict = false).contains("at5")) // <=
+    assert(run("backward", strict = true).contains("at3"))  // <
+    assert(run("forward", strict = false).contains("at5"))  // >=
+    assert(run("forward", strict = true).contains("at8"))   // >
+    intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOf(left, right, "k", "t", "t", Seq("v" -> "rv"),
+        direction = "sideways")
+    }
+  }
+
   test("hardNegatives: positives crowd the head, negatives still fill k") {
     import spark.implicits._
     val emb = Seq(
