@@ -376,6 +376,17 @@ object ClickHouseFunctions {
     // anywhere else the word may be an identifier.
     val noFormat = noSettings.replaceAll(
       "(?is)\\s*\\bformat\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$", "")
+    // ASOF JOIN text: the union+window plan is structural (two tagged
+    // scans, one window) — no in-place text spelling exists, so refuse
+    // naming the API instead of letting Spark's parser throw a cryptic
+    // error at the ASOF keyword.
+    if ("""(?i)\basof\s+(left\s+|inner\s+)?join\b""".r
+        .findFirstIn(noFormat).isDefined)
+      throw new IllegalArgumentException(
+        "ASOF JOIN has no text rewrite (the plan is a tagged union + one " +
+          "keyed window): use AsOfJoin.leftAsOf(left, right, key, " +
+          "leftTime, rightTime, rightCols, direction, strict) — all four " +
+          "CH inequality directions supported")
     // CH numbers(N) / numbers(offset, N) table function → a range()
     // subquery exposing CH's `number` column. Rewritten only in table
     // position (after FROM/JOIN), so a scalar function merely named

@@ -248,6 +248,11 @@ class ApiSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       rewriteDialect("SELECT g, v FROM t LIMIT 2 BY g")
     }.getMessage.contains("ORDER BY"))
+    // ASOF JOIN text refuses naming the API (not a cryptic parse error)
+    assert(intercept[IllegalArgumentException] {
+      rewriteDialect("SELECT * FROM a ASOF LEFT JOIN b " +
+        "ON a.k = b.k AND a.t >= b.t")
+    }.getMessage.contains("leftAsOf"))
     // end-to-end through the gate: top-1 per group by v desc
     fixture()
     val r = AdHoc.query(spark,
