@@ -192,6 +192,52 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Sliding (overlapping) windowed aggregation over the replayed
+    * events stream: 10-minute windows sliding by 5, so every event lands
+    * in exactly TWO windows. Watermark-bounded state, append-mode
+    * emission on window close (the sentinel dance advances the
+    * watermark); sums ride as exact integer cents. The DuckDB oracle
+    * assigns each event its two epoch-aligned window starts
+    * arithmetically — floor(t/300)·300 and that minus 300 — and must
+    * match counts and cents exactly. */
+  def qStreamSliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = eventsDs(spark, dir).toDF()
+    val src = Files.createTempDirectory("slide_src").toString
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    // delay must EXCEED the replayed span (~30 days): each random file
+    // carries late-range timestamps, so a tighter watermark would drop
+    // early events as late in later micro-batches
+    val agg = stream.withWatermark("ts", "60 days")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val sink = s"slide_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      (0 until 2).foreach { i =>
+        Seq((-1L - i,
+            new java.sql.Timestamp(maxTs.getTime + 86400000L * 100), -1L,
+            "sentinel", 0.0, null: String))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink).where(col("event_type") =!= "sentinel")
+      .select(unix_timestamp(col("window.start")).as("w_start"),
+        col("event_type"), col("n"), col("cents"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   /** Streaming exact dedup (StreamDedup.exactDedupStream) over a
     * file-replayed corpus carrying injected duplicates (the testdata has
     * none at sf0.01): every 10th doc re-arrives under a shifted id in a
@@ -315,12 +361,29 @@ object StreamingQueries {
     "q_stream_funnel" -> (qStreamFunnel _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_sliding" -> (qStreamSliding _),
     "q_transform_bar" -> (qTransformBar _),
     "q_mv_recompute" -> (qMvRecompute _),
     "q_mv_streaming" -> (qMvStreaming _),
     "q_sessionize_stream" -> (qSessionizeStream _))
 
   def oracles: Map[String, String] = Map(
+    // each event's two epoch-aligned sliding windows, assigned
+    // arithmetically: floor(t/300)*300 and that minus 300 (explicit
+    // floor() — DuckDB's // on DOUBLE does not floor, and the BIGINT
+    // cast rounds)
+    "q_stream_sliding" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) AS BIGINT)
+        |      * 300 AS w0
+        |  FROM events),
+        |w AS (SELECT event_type, cents,
+        |    unnest([w0, w0 - 300]) AS w_start FROM e)
+        |SELECT w_start, event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM w GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
     // the drained incremental funnel equals the batch windowFunnel —
     // same progressive-chain formulation as q_window_funnel's oracle
     "q_stream_funnel" ->
