@@ -103,7 +103,12 @@ final case class MooseColumn(
     default: Option[String] = None,       // SQL expr filled at write
     materialized: Option[String] = None,  // SQL expr computed+stored at write
     aliasExpr: Option[String] = None,     // SQL expr computed at read
-    comment: Option[String] = None) {
+    comment: Option[String] = None,
+    /** CH column codec annotation (ref typeConvert.ts:964
+      * `ClickHouseCodec<"ZSTD(3)">`): compression codecs resolve to the
+      * table's parquet compression, encoding codecs (Delta/Gorilla/…)
+      * are accepted no-ops — see [[graft.table.OlapTable]]. */
+    codec: Option[String] = None) {
   def field: StructField =
     StructField(name, tpe.sparkType, nullable, Metadata.empty)
 }

@@ -125,15 +125,49 @@ final class OlapTable(
         "a stored column")
   }
 
-  /** Writer options realizing the declared bloom_filter indexes; applied
-    * to EVERY parquet write of table data (insert, retention rewrite,
-    * optimizeFinal, projections) so skipping survives compaction. */
+  /** Column codec annotations (ref typeConvert.ts:964 ClickHouseCodec):
+    * parquet compresses per FILE, not per column, so the COMPRESSION
+    * codecs (ZSTD/LZ4/NONE) must agree across columns and resolve to the
+    * table's parquet compression; the ENCODING codecs
+    * (Delta/DoubleDelta/Gorilla/T64) are accepted no-ops — parquet picks
+    * its own column encodings (incl. delta families) automatically.
+    * Unknown codec names refuse loudly rather than silently not
+    * compressing. */
+  private val tableCompression: Option[String] = {
+    val codecRe =
+      """(?i)^(ZSTD|LZ4HC|LZ4|NONE|Delta|DoubleDelta|Gorilla|T64)(\(\d+\))?$""".r
+    val resolved = config.schema.columns.flatMap(c =>
+      c.codec.map { raw =>
+        raw.trim match {
+          case codecRe(name, _) => name.toUpperCase match {
+            case "ZSTD" => Some("zstd")
+            case "LZ4" | "LZ4HC" => Some("lz4")
+            case "NONE" => Some("uncompressed")
+            case _ => None // encoding codec: no-op
+          }
+          case other => throw new IllegalArgumentException(
+            s"table ${config.name}, column ${c.name}: unknown codec " +
+              s"'$other' (supported: ZSTD[(n)], LZ4[HC], NONE, and the " +
+              "no-op encoding codecs Delta/DoubleDelta/Gorilla/T64)")
+        }
+      }).flatten.distinct
+    require(resolved.size <= 1,
+      s"table ${config.name}: conflicting column compression codecs " +
+        s"${resolved.mkString(", ")} — parquet compresses per file; " +
+        "declare one compression codec (encoding codecs may still vary)")
+    resolved.headOption
+  }
+
+  /** Writer options realizing the declared bloom_filter indexes and the
+    * resolved codec compression; applied to EVERY parquet write of table
+    * data (insert, retention rewrite, mutations, optimizeFinal,
+    * projections) so both survive compaction. */
   private val indexWriteOptions: Map[String, String] =
     config.indexes.filter(_.indexType == "bloom_filter").flatMap { ix =>
       Seq(s"parquet.bloom.filter.enabled#${ix.expression}" -> "true") ++
         ix.ndv.map(n =>
           s"parquet.bloom.filter.expected.ndv#${ix.expression}" -> n.toString)
-    }.toMap
+    }.toMap ++ tableCompression.map("compression" -> _)
 
   // ------------------------------------------------------------ validation
   /** Per-column rule violations as a single vectorized expression:

@@ -354,6 +354,37 @@ class TableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { MooseType.MDateTime(7) }
   }
 
+  test("column codecs: compression resolves to parquet, encodings no-op, " +
+      "conflicts and unknowns refuse") {
+    def schemaWith(codecs: Option[String]*): MooseSchema =
+      MooseSchema(codecs.zipWithIndex.map { case (c, i) =>
+        MooseColumn(s"c$i", MooseType.MInt64, codec = c)
+      })
+    val wh = tmpWarehouse()
+    val t = new OlapTable(spark,
+      OlapTable.Config("codec_t",
+        schemaWith(Some("ZSTD(3)"), Some("Delta"), None),
+        orderBy = Seq("c0")), wh)
+    t.insert(Seq((1L, 2L, 3L)).toDF("c0", "c1", "c2"),
+      OlapTable.InsertStrategy.FailFast)
+    // spark names part files with the codec: the zstd resolution is
+    // visible right in the fileset
+    val files = new java.io.File(s"$wh/codec_t").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.contains("zstd")), files.toSeq)
+    assert(t.read().count() == 1)
+    // conflicting compression codecs refuse at table construction
+    intercept[IllegalArgumentException] {
+      new OlapTable(spark, OlapTable.Config("codec_conflict",
+        schemaWith(Some("ZSTD"), Some("LZ4")), orderBy = Seq("c0")), wh)
+    }
+    // unknown codec names refuse
+    intercept[IllegalArgumentException] {
+      new OlapTable(spark, OlapTable.Config("codec_unknown",
+        schemaWith(Some("BROTLI9000")), orderBy = Seq("c0")), wh)
+    }
+  }
+
   private val mutSchema = MooseSchema(Seq(
     MooseColumn("k", MooseType.MInt64),
     MooseColumn("grp", MooseType.MString, nullable = true),
