@@ -97,4 +97,20 @@ class MigrationSpec extends AnyFunSuite {
         MooseSchema(v1.columns.take(2)), narrow)
     }
   }
+
+  test("codec change diffs as a metadata-only attribute change") {
+    val before = MooseSchema(Seq(
+      MooseColumn("v", MooseType.MInt64, codec = Some("LZ4"))))
+    val after = MooseSchema(Seq(
+      MooseColumn("v", MooseType.MInt64, codec = Some("ZSTD(3)"))))
+    val ch = Migration.diffColumns(before, after)
+    assert(ch.collect {
+      case Migration.ChangeAttributes("v", b, a) => (b.codec, a.codec)
+    } == Seq((Some("LZ4"), Some("ZSTD(3)"))))
+    // CH semantics: codec changes apply to future parts, no rewrite —
+    // metadata-only and permitted under DeletionProtected
+    assert(Migration.isMetadataOnly(ch))
+    assert(Migration.planFor(Migration.LifeCycle.DeletionProtected, ch)
+      ._1 == ch)
+  }
 }
