@@ -285,8 +285,32 @@ object EngineQueries {
         "empty_range_ok")
   }
 
+  /** S9 file engine end-to-end: events round-trip through JSONEachRow
+    * (gzip) then CSV (gzip) — the reference's S3 formats (olapTable.ts:
+    * 465-484) — and the final read must equal the source rows, which the
+    * oracle states directly. Schemas are always supplied (no inference
+    * pass; the FileEngine contract). */
+  def qFileEngine(spark: SparkSession, dir: String): DataFrame = {
+    val src = events(spark, dir).where(col("user_id") < 50)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val base = java.nio.file.Files.createTempDirectory("file_engine").toString
+    graft.table.FileEngine.write(src, s"$base/j",
+      graft.table.FileEngine.FileFormat.JsonEachRow,
+      compression = Some("gzip"))
+    val viaJson = graft.table.FileEngine.read(spark, s"$base/j",
+      graft.table.FileEngine.FileFormat.JsonEachRow, Some(src.schema))
+    graft.table.FileEngine.write(viaJson, s"$base/c",
+      graft.table.FileEngine.FileFormat.Csv(), compression = Some("gzip"))
+    graft.table.FileEngine.read(spark, s"$base/c",
+      graft.table.FileEngine.FileFormat.Csv(), Some(src.schema))
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_iceberg_read" -> (qIcebergRead _),
+    "q_file_engine" -> (qFileEngine _),
     "q_iceberg_incremental" -> (qIcebergIncremental _),
     "q_alter_mutations" -> (qAlterMutations _),
     "q_optimize_dedup" -> (qOptimizeDedup _),
@@ -300,6 +324,10 @@ object EngineQueries {
     "q_quantile_sketch" -> (qQuantileSketch _))
 
   def oracles: Map[String, String] = Map(
+    "q_file_engine" ->
+      """SELECT event_id, event_type, round(value, 2) AS value
+        |FROM events WHERE user_id < 50
+        |ORDER BY event_id""".stripMargin,
     "q_iceberg_incremental" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
