@@ -327,15 +327,25 @@ object ClickHouseFunctions {
     // storage-level sample key TABLESAMPLE doesn't have — a silent
     // rewrite would hand back overlapping samples, so refuse with the
     // library fix named (hash-threshold sampling IS disjoint-capable).
-    if ("""(?i)\bsample\s+(0?\.\d+|\d+)\s+offset\b""".r
+    if ("""(?i)\bsample\s+(0?\.\d+|\d+(\s*/\s*\d+)?)\s+offset\b""".r
         .findFirstIn(noFinal).isDefined)
       throw new IllegalArgumentException(
         "SAMPLE ... OFFSET needs a storage sample key Spark's TABLESAMPLE " +
           "lacks; for disjoint deterministic samples use hash-threshold " +
           "sampling (Corpus.splitAssign / md5-range predicates)")
+    // SAMPLE a/b (CH's fraction spelling) → percent; must rewrite before
+    // the integer form or the numerator alone would match as a row count
+    val fracSampled =
+      """(?i)\bsample\s+(\d+)\s*/\s*(\d+)\b""".r.replaceAllIn(noFinal, m => {
+        val b = m.group(2).toDouble
+        require(b > 0, "SAMPLE a/b: zero denominator")
+        // a*100/b, not (a/b)*100 — the latter drags 0.1's binary dust
+        // into the SQL text (10.000000000000002 PERCENT)
+        s"TABLESAMPLE (${(m.group(1).toDouble * 100 / b).min(100.0)} PERCENT)"
+      })
     // SAMPLE k (CH: fraction in (0,1) or a row count) → Spark TABLESAMPLE
     val sampled =
-      """(?i)\bsample\s+(0?\.\d+|\d+)\b""".r.replaceAllIn(noFinal, m => {
+      """(?i)\bsample\s+(0?\.\d+|\d+)\b""".r.replaceAllIn(fracSampled, m => {
         val k = m.group(1)
         if (k.contains('.'))
           s"TABLESAMPLE (${(k.toDouble * 100).min(100.0)} PERCENT)"

@@ -364,6 +364,41 @@ object Corpus {
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_dups"))
   }
 
+  /** UT1-style domain blocklist filter (the Blacklists-UT1 lists behind
+    * RefinedWeb/FineWeb URL filtering): a document is dropped when its
+    * URL's host — or ANY dot-boundary parent suffix of it ("a.b.ex.com"
+    * matches a blocklist entry "ex.com") — appears in `blocked` (one
+    * domain column, matched lowercase).
+    *
+    * Scale shape: hosts fan out to their ≤ label-count suffixes (a
+    * bounded generator, no shuffle), one semi-join of (id, suffix)
+    * against the blocklist — UT1 lists are a few million rows, so AQE
+    * broadcasts them; a bigger list degrades to a shuffle join keyed on
+    * the suffix, never on the corpus text — then one anti-join keeps the
+    * clean ids. Schemeless/unparseable URLs have no host and survive
+    * (filter on them separately if absence should block). */
+  def urlBlocklist(docs: DataFrame, idCol: String, urlCol: String,
+      blocked: DataFrame): DataFrame = {
+    require(blocked.columns.length == 1,
+      s"blocklist must be a single domain column, got " +
+        blocked.columns.mkString(", "))
+    val host = lower(regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    // suffixes of length n..2: full host down to the registrable tail
+    val suffixes = transform(
+      sequence(lit(0), greatest(n - 2, lit(0))),
+      i => array_join(slice(labels, i + 1, n - i), "."))
+    val hits = docs
+      .select(col(idCol), explode(suffixes).as("__sfx"))
+      .join(blocked.select(
+        lower(col(blocked.columns.head)).as("__sfx")), Seq("__sfx"),
+        "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** C4-style page cleaning (Raffel et al. 2020, "Exploring the Limits of
     * Transfer Learning…", §2.2 — the rules that produced the C4 corpus),
     * line level then page level:

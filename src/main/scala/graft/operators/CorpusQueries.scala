@@ -238,6 +238,31 @@ object CorpusQueries {
         "doc_id", "toks", "shard", budget = 512L, eosTokens = 1)
       .orderBy(col("shard"), col("bin"), col("doc_id"))
 
+  /** UT1-style blocklist filter over the same synthesized URLs as
+    * `d_url_dedup`: block two language domains — the m=0 variant's
+    * www-prefixed host must fall via parent-SUFFIX matching — and emit
+    * the survivors, which the oracle states as NOT EXISTS over
+    * (host = d OR host LIKE '%.' || d). */
+  def dUrlBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val id50 = (col("doc_id") % 50).cast("string")
+    val m = col("doc_id") % 4
+    val url = when(m === 0, concat(lit("https://www.ex"), col("lang"),
+        lit(".com/p/"), id50, lit("/")))
+      .when(m === 1, concat(lit("HTTPS://EX"), upper(col("lang")),
+        lit(".com/p/"), id50, lit("?utm_source=feed&gclid=1")))
+      .when(m === 2, concat(lit("https://ex"), col("lang"),
+        lit(".com/p/"), id50, lit("?b=2&a=1#frag")))
+      .otherwise(concat(lit("https://ex"), col("lang"),
+        lit(".com/p/"), id50, lit("?a=1&b=2")))
+    Corpus.urlBlocklist(
+        docs(spark, dir).select(col("doc_id"), url.as("url")),
+        "doc_id", "url",
+        Seq("exfr.com", "exzh.com").toDF("domain"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Self-verifying k-means (signature space isn't SQL-expressible, its
     * CONTRACT is): one row per Lloyd iteration asserting the inertia is
     * non-increasing (the property the mean-update step guarantees), that
@@ -456,6 +481,7 @@ object CorpusQueries {
     "d_dup_passages" -> (dDupPassages _),
     "d_chunk_windows" -> (dChunkWindows _),
     "d_url_dedup" -> (dUrlDedup _),
+    "d_url_blocklist" -> (dUrlBlocklist _),
     "d_contamination" -> (dContamination _),
     "d_corpus_stats" -> (dCorpusStats _),
     "d_sample_stratified" -> (dSampleStratified _),
@@ -705,6 +731,25 @@ object CorpusQueries {
          |FROM sc, tot ORDER BY doc_id""".stripMargin,
     // canonical form derived from the construction (variants 0/1 → bare
     // path, 2/3 → sorted params) — urlNormalize itself never runs here
+    "d_url_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'https://www.ex' || lang || '.com/p/' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '/'
+        |      WHEN 1 THEN 'HTTPS://EX' || upper(lang) || '.com/p/' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '?utm_source=feed&gclid=1'
+        |      WHEN 2 THEN 'https://ex' || lang || '.com/p/' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '?b=2&a=1#frag'
+        |      ELSE 'https://ex' || lang || '.com/p/' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2' END AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, lower(regexp_extract(url,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host FROM u),
+        |b AS (SELECT unnest(['exfr.com', 'exzh.com']) AS d)
+        |SELECT doc_id FROM h WHERE NOT EXISTS (
+        |  SELECT 1 FROM b WHERE h.host = b.d OR h.host LIKE '%.' || b.d)
+        |ORDER BY doc_id""".stripMargin,
     "d_url_dedup" ->
       """WITH u AS (
         |  SELECT doc_id,

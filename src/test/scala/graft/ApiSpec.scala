@@ -63,6 +63,12 @@ class ApiSpec extends AnyFunSuite {
     assert(AdHoc.query(spark, "SELECT * FROM adhoc_t SAMPLE 0.5")
       .count() <= 3L)
     import graft.functions.ClickHouseFunctions.rewriteDialect
+    // CH fraction spelling
+    assert(rewriteDialect("SELECT * FROM t SAMPLE 1/10")
+      .contains("TABLESAMPLE (10.0 PERCENT)"))
+    assert(intercept[IllegalArgumentException] {
+      rewriteDialect("SELECT * FROM t SAMPLE 1/10 OFFSET 1/2")
+    }.getMessage.contains("hash-threshold"))
     assert(rewriteDialect("SELECT * FROM t SAMPLE 0.5")
       .contains("TABLESAMPLE (50.0 PERCENT)"))
     assert(rewriteDialect("SELECT * FROM t SAMPLE 100")
