@@ -116,8 +116,9 @@ object DialectQueries {
         |  arrayStringConcat(extractAll(text, 'a([a-z]+)'), ',') AS grp1,
         |  arrayStringConcat(tokens(substring(text, 1, 50)), '|') AS toks,
         |  arrayStringConcat(ngrams(substring(source, 1, 6), 2), ',') AS ngr,
-        |  arrayCumSum(arrayMap(x -> length(x),
-        |    splitByChar(' ', substring(text, 1, 60)))) AS csum,
+        |  arrayStringConcat(arrayMap(x -> toString(cast(x as bigint)),
+        |    arrayCumSum(arrayMap(x -> length(x),
+        |      splitByChar(' ', substring(text, 1, 60))))), ',') AS csum,
         |  arrayStringConcat(arrayCompact(ngrams(source, 1)), '') AS cmpct,
         |  round(arrayJaccardIndex(arrayDistinct(splitByChar(' ', text)),
         |    array('spark', 'the', 'data', 'of')), 4) AS jac,
@@ -146,17 +147,23 @@ object DialectQueries {
     * Kahan sum, Shannon entropy (native `EntropyAgg`). */
   def qAggFunctions2(spark: SparkSession, dir: String): DataFrame =
     sqlOn(spark, dir, "events", "evts_agg3",
-      """SELECT event_type,
-        |  count(*) AS n,
-        |  arrayMap(x -> round(x, 4), quantiles(0.25, 0.5, 0.9, value))
-        |    AS qs,
-        |  round(skewPop(value), 4) AS sk_p,
-        |  round(skewSamp(value), 4) AS sk_s,
-        |  round(kurtPop(value), 4) AS ku_p,
-        |  round(kurtSamp(value), 4) AS ku_s,
-        |  round(sumKahan(value), 4) AS ksum,
-        |  round(entropy(user_id % 16), 4) AS ent
-        |FROM evts_agg3 GROUP BY event_type ORDER BY event_type""".stripMargin)
+      """SELECT event_type, n,
+        |  round(element_at(qraw, 1), 4) AS q25,
+        |  round(element_at(qraw, 2), 4) AS q50,
+        |  round(element_at(qraw, 3), 4) AS q90,
+        |  sk_p, sk_s, ku_p, ku_s, ksum, ent
+        |FROM (
+        |  SELECT event_type,
+        |    count(*) AS n,
+        |    quantiles(0.25, 0.5, 0.9, value) AS qraw,
+        |    round(skewPop(value), 4) AS sk_p,
+        |    round(skewSamp(value), 4) AS sk_s,
+        |    round(kurtPop(value), 4) AS ku_p,
+        |    round(kurtSamp(value), 4) AS ku_s,
+        |    round(sumKahan(value), 4) AS ksum,
+        |    round(entropy(user_id % 16), 4) AS ent
+        |  FROM evts_agg3 GROUP BY event_type
+        |) ORDER BY event_type""".stripMargin)
 
   /** Batch-4 scalar surface (functions/ChDialectBatch4): vector
     * distances (the same codegen'd DotProduct fold the ANN operators
@@ -175,7 +182,7 @@ object DialectQueries {
         |  round(L1Distance(array(cast(doc_id % 7 as double), 1.0),
         |    array(2.0, cast(n_chars % 11 as double))), 4) AS l1d,
         |  round(cosineDistance(array(cast(doc_id % 7 + 1 as double), 2.0),
-        |    array(3.0, cast(n_chars % 11 + 1 as double))), 4) AS cosd,
+        |    array(3.0, cast(n_chars % 11 + 1 as double))), 4) + 0.0 AS cosd,
         |  toInt32OrNull(CASE WHEN doc_id % 3 = 0
         |    THEN cast(doc_id as string) ELSE lang END) AS i32n,
         |  toInt32OrZero(CASE WHEN doc_id % 3 = 0
@@ -266,9 +273,13 @@ object DialectQueries {
     * hash-comparable against the oracle's window formulation. */
   def qTopkAgg(spark: SparkSession, dir: String): DataFrame =
     sqlOn(spark, dir, "events", "evts_topk",
-      """SELECT user_id % 10 AS cohort,
-        |  topK(3, event_type) AS top_types
-        |FROM evts_topk GROUP BY 1 ORDER BY 1""".stripMargin)
+      """SELECT cohort,
+        |  arrayStringConcat(top_types_arr, ',') AS top_types
+        |FROM (
+        |  SELECT user_id % 10 AS cohort,
+        |    topK(3, event_type) AS top_types_arr
+        |  FROM evts_topk GROUP BY 1
+        |) ORDER BY cohort""".stripMargin)
 
   /** CH `sumMap` (the SummingMergeTree Map-column aggregate): per
     * cohort, event-type counts merged key-wise. The key-sorted result
@@ -276,7 +287,10 @@ object DialectQueries {
     * (map columns hash differently across engines; arrays don't). */
   def qSumMap(spark: SparkSession, dir: String): DataFrame =
     sqlOn(spark, dir, "events", "evts_sm",
-      """SELECT cohort, map_keys(m) AS ks, map_values(m) AS vs FROM (
+      """SELECT cohort,
+        |  arrayStringConcat(map_keys(m), ',') AS ks,
+        |  arrayStringConcat(arrayMap(x -> toString(x), map_values(m)), ',')
+        |    AS vs FROM (
         |  SELECT user_id % 10 AS cohort,
         |    sumMap(map(event_type, CAST(1 AS BIGINT))) AS m
         |  FROM evts_sm GROUP BY 1
@@ -303,12 +317,16 @@ object DialectQueries {
         |  round(arrayAUC(vals, labs), 6) AS auc,
         |  CASE WHEN size(svals) >= 3
         |    THEN round(arrayProduct(slice(svals, 1, 3)), 4) END AS prod3,
-        |  arrayRotateLeft(stypes, 2) AS rotl,
-        |  arrayRotateRight(stypes, 1) AS rotr,
-        |  arrayPartialSort(3, vals) AS psort,
+        |  arrayStringConcat(arrayRotateLeft(stypes, 2), ',') AS rotl,
+        |  arrayStringConcat(arrayRotateRight(stypes, 1), ',') AS rotr,
+        |  arrayStringConcat(arrayMap(x -> toString(cast(x as decimal(18,2))),
+        |    arrayPartialSort(3, vals)), ',') AS psort,
         |  multiMatchAny(t0, array('cl.*k', '^sig')) AS mm,
-        |  map_keys(mapUpdate(map('a', 1, t0, 9), map('b', 5))) AS mu_k,
-        |  map_values(mapUpdate(map('a', 1, t0, 9), map('b', 5))) AS mu_v,
+        |  arrayStringConcat(
+        |    map_keys(mapUpdate(map('a', 1, t0, 9), map('b', 5))), ',') AS mu_k,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    map_values(mapUpdate(map('a', 1, t0, 9), map('b', 5)))), ',')
+        |    AS mu_v,
         |  normalizeUTF8NFC(concat(t0, 'é')) AS nfc_t
         |FROM g ORDER BY user_id""".stripMargin)
   }
@@ -439,15 +457,17 @@ object DialectQueries {
         |  END AS auc,
         |  CASE WHEN len(svals) >= 3
         |    THEN round(svals[1] * svals[2] * svals[3], 4) END AS prod3,
-        |  list_concat(stypes[(2 % len(stypes)) + 1:],
-        |    stypes[:2 % len(stypes)]) AS rotl,
-        |  list_concat(stypes[((len(stypes) - 1) % len(stypes)) + 1:],
-        |    stypes[:(len(stypes) - 1) % len(stypes)]) AS rotr,
-        |  svals AS psort,
+        |  array_to_string(list_concat(stypes[(2 % len(stypes)) + 1:],
+        |    stypes[:2 % len(stypes)]), ',') AS rotl,
+        |  array_to_string(
+        |    list_concat(stypes[((len(stypes) - 1) % len(stypes)) + 1:],
+        |      stypes[:(len(stypes) - 1) % len(stypes)]), ',') AS rotr,
+        |  array_to_string(list_transform(svals,
+        |    x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS psort,
         |  CASE WHEN regexp_matches(t0, 'cl.*k')
         |    OR regexp_matches(t0, '^sig') THEN 1 ELSE 0 END AS mm,
-        |  ['a', t0, 'b'] AS mu_k,
-        |  [1, 9, 5] AS mu_v,
+        |  array_to_string(['a', t0, 'b'], ',') AS mu_k,
+        |  '1,9,5' AS mu_v,
         |  nfc_normalize(t0 || 'e' || chr(769)) AS nfc_t
         |FROM g JOIN agg ON g.user_id = agg.user_id
         |ORDER BY g.user_id""".stripMargin,
@@ -515,7 +535,7 @@ object DialectQueries {
         |  round(abs(a1 - 2.0) + abs(1.0 - a2), 4) AS l1d,
         |  round(1.0 - ((a1 + 1) * 3.0 + 2.0 * (a2 + 1))
         |    / (sqrt((a1 + 1) * (a1 + 1) + 2.0 * 2.0)
-        |       * sqrt(3.0 * 3.0 + (a2 + 1) * (a2 + 1))), 4) AS cosd,
+        |       * sqrt(3.0 * 3.0 + (a2 + 1) * (a2 + 1))), 4) + 0.0 AS cosd,
         |  try_cast(CASE WHEN doc_id % 3 = 0
         |    THEN CAST(doc_id AS VARCHAR) ELSE lang END AS INTEGER) AS i32n,
         |  coalesce(try_cast(CASE WHEN doc_id % 3 = 0
@@ -524,11 +544,11 @@ object DialectQueries {
         |  try_cast(CASE WHEN doc_id % 2 = 0 THEN '2.5' ELSE source END
         |    AS DOUBLE) AS f64n,
         |  make_timestamp((doc_id * 3607 // 900) * 900 * 1000000) AS tsi,
-        |  DATE '1970-01-01' + to_months(CAST(
+        |  CAST(DATE '1970-01-01' + to_months(CAST(
         |    ((EXTRACT(year FROM make_timestamp(doc_id * 86400 * 1000000))
         |        - 1970) * 12
         |      + EXTRACT(month FROM make_timestamp(doc_id * 86400 * 1000000))
-        |        - 1) // 2 * 2 AS INT)) AS tsim,
+        |        - 1) // 2 * 2 AS INT)) AS DATE) AS tsim,
         |  doc_id * 3607 // 3600 AS rhn,
         |  (doc_id * 3607 - doc_id * 1000) // 3600 AS ageh,
         |  doc_id * 12345 AS ms_rt,
@@ -589,8 +609,9 @@ object DialectQueries {
         |  FROM events GROUP BY 1, 2
         |)
         |SELECT cohort,
-        |  list(event_type ORDER BY event_type) AS ks,
-        |  list(n ORDER BY event_type) AS vs
+        |  array_to_string(list(event_type ORDER BY event_type), ',') AS ks,
+        |  array_to_string(list(CAST(n AS VARCHAR) ORDER BY event_type), ',')
+        |    AS vs
         |FROM c GROUP BY cohort ORDER BY cohort""".stripMargin,
     // exact top-3 by (count desc, value asc) via a window — independent
     // formulation of the SpaceSaving result, which is exact here because
@@ -605,7 +626,8 @@ object DialectQueries {
         |                       ORDER BY n DESC, event_type) AS rn
         |  FROM c
         |)
-        |SELECT cohort, list(event_type ORDER BY rn) AS top_types
+        |SELECT cohort,
+        |  array_to_string(list(event_type ORDER BY rn), ',') AS top_types
         |FROM r WHERE rn <= 3 GROUP BY cohort ORDER BY cohort""".stripMargin,
     // batch-3 scalar surface — every column independently reformulated
     // in DuckDB (ngrams/compact via range+lambda, haversine re-derived
@@ -636,9 +658,9 @@ object DialectQueries {
         |    range(1, length(substring(source, 1, 6))),
         |    i -> substring(substring(source, 1, 6), CAST(i AS INT), 2)),
         |    ',') AS ngr,
-        |  list_transform(range(1, length(w60) + 1),
-        |    i -> CAST(list_sum(list_transform(w60[1:i], x -> length(x)))
-        |      AS DOUBLE)) AS csum,
+        |  array_to_string(list_transform(range(1, length(w60) + 1),
+        |    i -> CAST(CAST(list_sum(list_transform(w60[1:i], x -> length(x)))
+        |      AS BIGINT) AS VARCHAR)), ',') AS csum,
         |  array_to_string(list_filter(chars,
         |    (x, i) -> i = 1 OR x <> chars[i - 1]), '') AS cmpct,
         |  round(CAST(length(list_distinct(list_intersect(wds,
@@ -687,7 +709,9 @@ object DialectQueries {
         |    entropy(user_id % 16) AS ent_raw
         |  FROM events GROUP BY event_type)
         |SELECT event_type, n,
-        |  list_transform(qraw, x -> round(x, 4)) AS qs,
+        |  round(qraw[1], 4) AS q25,
+        |  round(qraw[2], 4) AS q50,
+        |  round(qraw[3], 4) AS q90,
         |  round((a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1)
         |    / pow(a2 - a1 * a1, 1.5), 4) AS sk_p,
         |  round((a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1)

@@ -1,7 +1,19 @@
 #!/usr/bin/env python3
-"""Self-check harness mimicking the driver's correctness gate:
+"""Self-check harness mirroring the driver's correctness gate EXACTLY:
 runs DuckDB oracle SQL against the same parquet tables and compares
-(sorted rows, columns sorted by name) to the Verify.scala parquet dumps.
+(columns sorted by name, rows sorted by all columns, then
+`pd.util.hash_pandas_object`) against the Verify.scala parquet dumps.
+
+Deliberately NO normalization beyond what the driver does:
+ - array-typed output columns make `sort_values` raise (unhashable
+   numpy.ndarray) — the driver reds these, so we must too. Emit
+   driver-sortable scalars (arrayStringConcat both sides) instead.
+ - DATE vs TIMESTAMP dtypes hash-differ (datetime.date object vs
+   Timestamp) — CAST the oracle to the Spark-side type.
+ - -0.0 vs 0.0 hash-differ (the hash is over float BITS) — normalize
+   the sign of zero with `+ 0.0` on BOTH sides where it can arise.
+The DuckDB side is read via .arrow() (date32 → datetime.date objects,
+matching pandas.read_parquet on Spark-written parquet).
 
 Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
 """
@@ -12,19 +24,16 @@ import numpy as np
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes for comparison
     for c in df.columns:
+        # datetime64 RESOLUTION (ns from pandas.read_parquet vs us from
+        # duckdb-arrow) is a read artifact, not a value difference — the
+        # driver hashes these equal (r9: q_ch_functions4 `tsi` was not in
+        # its bisected diff). Dtype KIND differences (datetime.date object
+        # vs datetime64) stay strict — the driver reds those (`tsim`).
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
-        elif df[c].dtype == object:
-            sample = df[c].dropna()
-            if len(sample) and isinstance(sample.iloc[0], __import__("datetime").date) \
-                    and not isinstance(sample.iloc[0], __import__("datetime").datetime):
-                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-            else:
-                df[c] = df[c].apply(
-                    lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
-                    else (tuple(v) if isinstance(v, list) else v))
+    # No other conversion: a column holding ndarrays raises here
+    # (TypeError: unhashable type) exactly like the driver's harness.
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
@@ -42,37 +51,42 @@ def main():
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
             got = norm(pd.read_parquet(spark_path))
-            want = norm(con.sql(sql).df())
+            # .arrow() keeps DATE as date32 (-> datetime.date), like the
+            # driver; .df() would flatten DATE to datetime64 and mask
+            # dtype mismatches the driver reds.
+            want = norm(con.sql(sql).arrow().to_pandas())
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1; continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
             n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
-        eq = True
-        for c in got.columns:
-            a, b = got[c], want[c]
-            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                af = a.astype(float).to_numpy()
-                bf = b.astype(float).to_numpy()
-                same = (np.isclose(af, bf, rtol=0, atol=0, equal_nan=True))
-                if not same.all():
-                    close = np.isclose(af, bf, rtol=1e-9, atol=1e-12, equal_nan=True).all()
-                    print(f"FAIL {name}: col {c} differs "
-                          f"({'only ULP-level' if close else 'materially'}) "
-                          f"e.g. {af[~same][:3]} vs {bf[~same][:3]}")
-                    eq = False; break
-            else:
-                if not a.equals(b):
-                    d = a != b
-                    print(f"FAIL {name}: col {c} differs e.g. "
-                          f"{a[d].head(3).tolist()} vs {b[d].head(3).tolist()}")
-                    eq = False; break
-        if eq:
+        try:
+            gh = pd.util.hash_pandas_object(got, index=False).to_numpy()
+            wh = pd.util.hash_pandas_object(want, index=False).to_numpy()
+        except Exception as e:
+            print(f"FAIL {name}: hash: {type(e).__name__}: {e}"); n_fail += 1; continue
+        if (gh == wh).all():
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+            continue
+        # hash mismatch — diagnose per column for the human
+        n_fail += 1
+        for c in got.columns:
+            try:
+                ch = pd.util.hash_pandas_object(got[c], index=False).to_numpy()
+                cw = pd.util.hash_pandas_object(want[c], index=False).to_numpy()
+            except Exception as e:
+                print(f"FAIL {name}: col {c} unhashable: {e}"); break
+            if not (ch == cw).all():
+                d = ch != cw
+                print(f"FAIL {name}: col {c} ({got[c].dtype} vs {want[c].dtype}) "
+                      f"differs at {int(d.sum())} rows e.g. "
+                      f"{got[c][d].head(3).tolist()} vs {want[c][d].head(3).tolist()}")
+                break
         else:
-            n_fail += 1
+            print(f"FAIL {name}: whole-row hash differs but no single column "
+                  f"does (row-order tie between engines?)")
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
