@@ -59,10 +59,12 @@ object AdHoc {
   def query(
       spark: SparkSession, sql: String,
       limit: Int = DefaultLimit, maxLimit: Int = MaxLimit): DataFrame = {
-    // CH-dialect text forms Spark's parser owns (FINAL / SAMPLE /
-    // PREWHERE / quoted-unit dateDiff) — rewritten BEFORE the gate so
-    // the parse below sees valid Spark SQL
-    val sql2 = graft.functions.ClickHouseFunctions.rewriteDialect(sql)
+    // ASOF JOIN first (needs the session to build the union+window plan
+    // and register its view), then the pure-text CH-dialect forms
+    // (FINAL / SAMPLE / PREWHERE / quoted-unit dateDiff) — all BEFORE
+    // the gate so the parse below sees valid Spark SQL
+    val sql1 = graft.operators.AsOfSql.rewrite(spark, sql)
+    val sql2 = graft.functions.ClickHouseFunctions.rewriteDialect(sql1)
     val parsed = spark.sessionState.sqlParser.parsePlan(sql2)
     firstWriteNode(parsed).foreach { node =>
       throw new ReadOnlyViolation(

@@ -387,16 +387,17 @@ object ClickHouseFunctions {
     val noFormat = noSettings.replaceAll(
       "(?is)\\s*\\bformat\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$", "")
     // ASOF JOIN text: the union+window plan is structural (two tagged
-    // scans, one window) — no in-place text spelling exists, so refuse
-    // naming the API instead of letting Spark's parser throw a cryptic
-    // error at the ASOF keyword.
+    // scans, one window) — no in-place TEXT spelling exists. AdHoc.query
+    // routes the common shape through AsOfSql.rewrite (which has the
+    // session) BEFORE this pass; reaching here means a direct
+    // rewriteDialect call, so refuse naming both paths.
     if ("""(?i)\basof\s+(left\s+|inner\s+)?join\b""".r
         .findFirstIn(noFormat).isDefined)
       throw new IllegalArgumentException(
-        "ASOF JOIN has no text rewrite (the plan is a tagged union + one " +
-          "keyed window): use AsOfJoin.leftAsOf(left, right, key, " +
-          "leftTime, rightTime, rightCols, direction, strict) — all four " +
-          "CH inequality directions supported")
+        "ASOF JOIN needs a session-aware rewrite: run the statement " +
+          "through AdHoc.query (AsOfSql.rewrite handles the common " +
+          "shape), or use AsOfJoin.leftAsOfKeys directly — all four CH " +
+          "inequality directions supported")
     // CH numbers(N) / numbers(offset, N) table function → a range()
     // subquery exposing CH's `number` column. Rewritten only in table
     // position (after FROM/JOIN), so a scalar function merely named

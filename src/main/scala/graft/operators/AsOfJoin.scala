@@ -53,9 +53,27 @@ object AsOfJoin {
       rightCols: Seq[(String, String)],
       rightTiebreak: Seq[String] = Nil,
       direction: String = "backward",
+      strict: Boolean = false): DataFrame =
+    leftAsOfKeys(left, right, Seq(key -> key), leftTime, rightTime,
+      rightCols, rightTiebreak, direction, strict)
+
+  /** Multi-key form: `keys` pairs (leftCol -> rightCol) — the general ON
+    * shape `l.a = r.b AND … AND l.t >= r.t` the SQL-text rewrite
+    * ([[AsOfSql]]) parses. Same single-shuffle union+window plan, just
+    * partitioned by the key tuple. */
+  def leftAsOfKeys(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[(String, String)],
+      rightTiebreak: Seq[String] = Nil,
+      direction: String = "backward",
       strict: Boolean = false): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"asof direction '$direction' (expected backward|forward)")
+    require(keys.nonEmpty, "asof join needs at least one equality key")
     val leftCols = left.columns.toSeq
     require(!rightCols.exists { case (_, o) => leftCols.contains(o) },
       "output names collide with left columns")
@@ -70,27 +88,31 @@ object AsOfJoin {
         col(n).as(s"__tb_$n"))
     }
 
+    val kCols = keys.indices.map(i => s"__k$i")
     // inclusive: right sorts before left at equal time (the right row is
     // already carried when the left row evaluates); strict: left first
     val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
     val l = left.select(
-      col(key).as("__k") +: col(leftTime).as("__t") +:
-        lit(leftSide).as("__side") +:
-        lit(null).cast(rStructType).as("__r") +:
-        (tb.map(_._1) ++ leftCols.map(n => col(n).as(pfx + n))): _*)
+      keys.zipWithIndex.map { case ((lk, _), i) => col(lk).as(s"__k$i") } ++
+        (col(leftTime).as("__t") +:
+          lit(leftSide).as("__side") +:
+          lit(null).cast(rStructType).as("__r") +:
+          (tb.map(_._1) ++ leftCols.map(n => col(n).as(pfx + n)))): _*)
     val r = right.select(
-      col(key).as("__k") +: col(rightTime).as("__t") +:
-        lit(rightSide).as("__side") +:
-        struct(rightCols.map { case (rn, on) => col(rn).as(on) }: _*).as("__r") +:
-        (tb.map(_._2) ++
-          leftCols.map(n => lit(null).cast(left.schema(n).dataType).as(pfx + n))): _*)
+      keys.zipWithIndex.map { case ((_, rk), i) => col(rk).as(s"__k$i") } ++
+        (col(rightTime).as("__t") +:
+          lit(rightSide).as("__side") +:
+          struct(rightCols.map { case (rn, on) =>
+            col(rn).as(on) }: _*).as("__r") +:
+          (tb.map(_._2) ++ leftCols.map(n =>
+            lit(null).cast(left.schema(n).dataType).as(pfx + n)))): _*)
 
     // forward = the same carry-forward walked in DESCENDING time: the
     // "last right seen" is then the EARLIEST right at-or-after the left
     val tOrder =
       if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window
-      .partitionBy(col("__k"))
+      .partitionBy(kCols.map(col): _*)
       .orderBy(tOrder +: col("__side").asc +:
         rightTiebreak.map(n => col(s"__tb_$n")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** CH `ASOF JOIN` in raw SQL *text* → the [[AsOfJoin]] union+window plan.
+  *
+  * The reference reaches ASOF JOIN through raw ClickHouse SQL passthrough
+  * (ref packages/ts-moose-lib/src/sqlHelpers.ts:106-127), so a CH program
+  * pasting `ASOF LEFT JOIN` text must run unedited. Spark's parser has no
+  * ASOF grammar and the plan is structural (two tagged scans + one keyed
+  * window), so this is NOT an in-place text substitution: the supported
+  * statement shape is parsed, the join is built as the [[AsOfJoin]]
+  * DataFrame plan, registered as a deterministic temp view, and the
+  * surrounding SELECT is re-aimed at that view.
+  *
+  * Supported shape (the common CH spelling; anything else REFUSES loudly
+  * naming both this shape and the library API):
+  *
+  * {{{
+  * SELECT <items> FROM <tbl|(subquery)> [AS] la
+  * ASOF [LEFT|INNER] JOIN <tbl|(subquery)> [AS] ra
+  *   ON la.a = ra.b [AND ...] AND la.t >= ra.t   -- any one inequality
+  * [WHERE ...] [ORDER BY ...] [LIMIT n]
+  * }}}
+  *
+  * All four CH inequality directions map onto [[AsOfJoin.leftAsOfKeys]]:
+  * `l >= r` backward, `l > r` backward strict, `l <= r` forward,
+  * `l < r` forward strict (flipped spellings like `r.t <= l.t`
+  * normalize first). `INNER` drops left rows with no match — a null
+  * check on the attached right time column, the only place the
+  * difference shows after the carry-forward window.
+  *
+  * Column references: the view exposes `<alias>__<col>` for every column
+  * of both sides; `la.x` / `ra.x` references in the SELECT / WHERE /
+  * ORDER BY segments rewrite to those, bare `la.x` select items keep
+  * their CH output name (`AS x`), and unqualified names that are unique
+  * to one side resolve like SQL would. Text-level rewriting shares the
+  * documented sharp edge of the other dialect rewrites: a string literal
+  * that looks like a qualified reference would be rewritten too.
+  *
+  * Scale: identical to the API path — ONE shuffle of |L|+|R| rows on the
+  * key tuple, no range-join row explosion (the naive `JOIN + QUALIFY
+  * row_number()=1` spelling would materialize every (left, earlier-right)
+  * pair before pruning; this never does).
+  */
+object AsOfSql {
+  private val asofRe =
+    """(?i)\basof\s+(?:(left|inner|right|full|outer|cross)\s+)?join\b""".r
+
+  /** No-op (returns `sql` unchanged) when the text has no ASOF JOIN. */
+  def rewrite(spark: SparkSession, sql: String): String = {
+    val m = asofRe.findFirstMatchIn(sql).getOrElse(return sql)
+    m.group(1) match {
+      case null => ()
+      case t if t.equalsIgnoreCase("left") || t.equalsIgnoreCase("inner") => ()
+      case t => throw new IllegalArgumentException(
+        s"ASOF ${t.toUpperCase} JOIN is not a ClickHouse shape " +
+          "(CH supports ASOF [LEFT|INNER] JOIN only)")
+    }
+    if (asofRe.findAllIn(sql).size > 1)
+      throw new IllegalArgumentException(
+        "multiple ASOF JOINs in one statement have no text rewrite: " +
+          "chain AsOfJoin.leftAsOfKeys calls instead")
+    if ("""(?i)\busing\s*\(""".r.findFirstIn(sql).isDefined)
+      throw new IllegalArgumentException(
+        "ASOF JOIN ... USING has no text rewrite here: spell the " +
+          "condition as ON l.k = r.k AND l.t >= r.t")
+
+    val inner = !"left".equalsIgnoreCase(String.valueOf(m.group(1)))
+
+    // -- segment the statement at paren-depth 0 ------------------------
+    val kw = topLevelKeywords(sql)
+    def one(name: String): Int = kw.filter(_._1 == name) match {
+      case Seq((_, i)) => i
+      case Seq() => refuse(s"no top-level $name")
+      case _ => refuse(s"more than one top-level $name")
+    }
+    val selIdx = kw.headOption.filter(_._1 == "select")
+      .map(_._2).getOrElse(refuse("statement must start with SELECT"))
+    val fromIdx = one("from")
+    val joinIdx = one("join")
+    val onIdx = one("on")
+    if (kw.count(_._1 == "join") > 1)
+      refuse("other JOINs beside the ASOF JOIN")
+    val whereIdx = kw.find(_._1 == "where").map(_._2)
+    val orderIdx = kw.find(_._1 == "order").map(_._2)
+    val limitIdx = kw.find(_._1 == "limit").map(_._2)
+    val tailIdx = Seq(whereIdx, orderIdx, limitIdx).flatten.sorted
+      .headOption.getOrElse(sql.length)
+
+    val selectList = sql.substring(selIdx + "select".length, fromIdx).trim
+    val fromSeg = sql.substring(fromIdx + "from".length, m.start).trim
+    val joinSeg = sql.substring(joinIdx + "join".length, onIdx).trim
+    val cond = sql.substring(onIdx + "on".length, tailIdx).trim
+    val tail = sql.substring(tailIdx)
+
+    val (leftSrc, la) = splitSideAlias(fromSeg)
+    val (rightSrc, ra) = splitSideAlias(joinSeg)
+    require(la != ra, s"both ASOF JOIN sides aliased '$la'")
+
+    // -- parse the ON conjunction --------------------------------------
+    val conjRe = ("""(?is)^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*""" +
+      """(<=|>=|<|>|=)\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$""").r
+    var keys = Vector.empty[(String, String)]
+    var ineq = Option.empty[(String, String, String)] // leftCol, rightCol, op
+    cond.split("""(?i)\s+and\s+""").foreach { c =>
+      val cm = conjRe.findFirstMatchIn(c).getOrElse(refuse(
+        s"ON conjunct '${c.trim}' is not qualified-column OP " +
+          "qualified-column"))
+      val (q1, c1, op, q2, c2) =
+        (cm.group(1), cm.group(2), cm.group(3), cm.group(4), cm.group(5))
+      val (lc, rc, lop) =
+        if (q1 == la && q2 == ra) (c1, c2, op)
+        else if (q1 == ra && q2 == la) (c2, c1, flip(op))
+        else refuse(s"ON conjunct '${c.trim}' must relate $la to $ra")
+      if (lop == "=") keys :+= (lc -> rc)
+      else {
+        if (ineq.isDefined) refuse("more than one inequality in ON")
+        ineq = Some((lc, rc, lop))
+      }
+    }
+    if (keys.isEmpty) refuse("ON needs at least one equality")
+    val (lt, rt, op) = ineq.getOrElse(refuse(
+      "ON needs exactly one time inequality (CH requires it)"))
+    val (direction, strict) = op match {
+      case ">=" => ("backward", false)
+      case ">"  => ("backward", true)
+      case "<=" => ("forward", false)
+      case "<"  => ("forward", true)
+    }
+
+    // -- build the plan and register the view --------------------------
+    def side(src: String): DataFrame =
+      if (src.startsWith("(")) spark.sql(
+        graft.functions.ClickHouseFunctions.rewriteDialect(
+          src.substring(1, src.length - 1)))
+      else spark.table(src)
+    val lDf0 = side(leftSrc)
+    val rDf = side(rightSrc)
+    val lDf = lDf0.select(lDf0.columns.map(c =>
+      col(c).as(s"${la}__$c")).toIndexedSeq: _*)
+    val rightCols = rDf.columns.map(c => c -> s"${ra}__$c").toIndexedSeq
+    var joined = AsOfJoin.leftAsOfKeys(
+      lDf, rDf, keys.map { case (lk, rk) => s"${la}__$lk" -> rk },
+      s"${la}__$lt", rt, rightCols,
+      direction = direction, strict = strict)
+    if (inner) joined = joined.where(col(s"${ra}__$rt").isNotNull)
+    val view = s"__asof_${Integer.toHexString(sql.hashCode).replace('-', 'n')}"
+    joined.createOrReplaceTempView(view)
+
+    // -- re-aim the surrounding SELECT at the view ---------------------
+    val uniqueBare: Map[String, String] = {
+      val lNames = lDf0.columns.toSet
+      val rNames = rDf.columns.toSet
+      ((lNames -- rNames).map(n => n -> s"${la}__$n") ++
+        (rNames -- lNames).map(n => n -> s"${ra}__$n")).toMap
+    }
+    def subst(s: String): String = {
+      val qualified = s
+        .replaceAll(s"""\\b$la\\.([A-Za-z_]\\w*)""", s"${la}__$$1")
+        .replaceAll(s"""\\b$ra\\.([A-Za-z_]\\w*)""", s"${ra}__$$1")
+      uniqueBare.foldLeft(qualified) { case (acc, (bare, pfxd)) =>
+        acc.replaceAll(s"""(?<![.\\w])$bare\\b(?!\\s*\\()""", pfxd)
+      }
+    }
+    val items = splitTopLevel(selectList).map { item =>
+      val bareQual =
+        s"""(?is)^\\s*($la|$ra)\\.([A-Za-z_]\\w*)\\s*$$""".r
+      item.trim match {
+        case "*" | s"$_.*" => refuse(
+          "SELECT * through the ASOF rewrite (name the columns — the " +
+            "view's physical names are alias-prefixed)")
+        case bareQual(q, c) => s"${q}__$c AS $c" // keep CH's output name
+        case other => subst(other)
+      }
+    }
+    s"SELECT ${items.mkString(", ")} FROM $view ${subst(tail)}".trim
+  }
+
+  private def refuse(why: String): Nothing =
+    throw new IllegalArgumentException(
+      s"ASOF JOIN text rewrite: $why. Supported shape: SELECT … FROM " +
+        "<tbl|(sub)> [AS] l ASOF [LEFT|INNER] JOIN <tbl|(sub)> [AS] r ON " +
+        "l.k = r.k [AND …] AND l.t >= r.t [WHERE …] [ORDER BY …] " +
+        "[LIMIT n]; anything else: AsOfJoin.leftAsOfKeys")
+
+  private def flip(op: String): String = op match {
+    case "<=" => ">="
+    case ">=" => "<="
+    case "<"  => ">"
+    case ">"  => "<"
+    case "="  => "="
+  }
+
+  /** `tbl [AS] alias` / `(subquery) [AS] alias` → (source, alias). */
+  private def splitSideAlias(seg: String): (String, String) = {
+    val s = seg.trim
+    val (src, rest) =
+      if (s.startsWith("(")) {
+        var d = 0; var i = 0; var end = -1
+        while (i < s.length && end < 0) {
+          s.charAt(i) match {
+            case '(' => d += 1
+            case ')' => d -= 1; if (d == 0) end = i
+            case _ => ()
+          }
+          i += 1
+        }
+        require(end > 0, s"unbalanced parens in '$s'")
+        (s.substring(0, end + 1), s.substring(end + 1).trim)
+      } else s.split("""\s+""", 2) match {
+        case Array(t) => (t, "")
+        case Array(t, r) => (t, r.trim)
+      }
+    val alias = rest.replaceAll("(?i)^as\\s+", "").trim
+    if (alias.isEmpty || !alias.matches("""[A-Za-z_]\w*"""))
+      refuse(s"side '$s' needs a simple alias")
+    (src, alias)
+  }
+
+  /** Top-level (paren-depth-0, outside string literals) keyword
+    * occurrences, in order. Only the keywords the segmentation needs. */
+  private def topLevelKeywords(sql: String): Seq[(String, Int)] = {
+    val words = Set("select", "from", "join", "on", "where", "order",
+      "limit")
+    val out = Vector.newBuilder[(String, Int)]
+    var depth = 0; var inStr = false; var i = 0
+    while (i < sql.length) {
+      val ch = sql.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false; i += 1 }
+      else ch match {
+        case '\'' => inStr = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case c if c.isLetter || c == '_' =>
+          val start = i
+          while (i < sql.length &&
+            (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+          val w = sql.substring(start, i).toLowerCase
+          if (depth == 0 && words(w)) out += ((w, start))
+        case _ => i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Split on top-level commas (select-list items). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var depth = 0; var inStr = false; var start = 0
+    for (i <- s.indices) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+    }
+    out += s.substring(start)
+    out.result()
+  }
+}

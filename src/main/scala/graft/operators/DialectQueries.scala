@@ -331,6 +331,23 @@ object DialectQueries {
         |FROM g ORDER BY user_id""".stripMargin)
   }
 
+  /** CH `ASOF LEFT JOIN` in raw SQL TEXT through the ad-hoc gate — the
+    * text twin of `q_asof_join` (AsOfSql.rewrite → the AsOfJoin
+    * union+window plan; ONE shuffle, never a range-join row explosion).
+    * DuckDB speaks ASOF natively, so the oracle is the UNREWRITTEN text. */
+  def qAsofSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    graft.api.AdHoc.query(spark,
+      """SELECT p.event_id, p.user_id,
+        |       c.ts AS last_click_ts, c.value AS last_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+      limit = graft.api.AdHoc.CliMaxLimit,
+      maxLimit = graft.api.AdHoc.CliMaxLimit)
+  }
+
   /** CH scalar WITH: query-wide constant aliases (incl. a chained
     * reference) substituted through the body by the dialect rewrite —
     * the parameterization idiom of CH programs. */
@@ -408,6 +425,7 @@ object DialectQueries {
 
   def queries: Map[String, Q] = Map(
     "q_ch_functions5" -> (qChFunctions5 _),
+    "q_asof_sql" -> (qAsofSql _),
     "q_qualify" -> (qQualify _),
     "q_scalar_with" -> (qScalarWith _),
     "q_limit_by_sql" -> (qLimitBySql _),
@@ -426,6 +444,14 @@ object DialectQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // DuckDB speaks ASOF JOIN natively — the oracle IS the query text
+    "q_asof_sql" ->
+      """SELECT p.event_id, p.user_id,
+        |       c.ts AS last_click_ts, c.value AS last_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
     // AUC restated as the window-rank formulation: rmin + (ceq-1)/2 is
     // the same average rank as the fold's cnt_less + cnt_eq/2 + 0.5
     "q_ch_functions5" ->

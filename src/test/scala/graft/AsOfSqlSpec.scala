@@ -1,0 +1,102 @@
+package graft
+
+import graft.api.AdHoc
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `AsOfSql.rewrite` — CH ASOF JOIN raw SQL text → the AsOfJoin
+  * union+window plan (ref sqlHelpers.ts:106-127 raw passthrough). */
+class AsOfSqlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixture(): Unit = {
+    // quotes at t, trades needing the latest quote at-or-before t
+    Seq((1L, "A", 10L, 100.0), (2L, "A", 20L, 105.0),
+      (3L, "B", 15L, 50.0), (4L, "A", 30L, 110.0))
+      .toDF("qid", "sym", "qt", "px").createOrReplaceTempView("asof_quotes")
+    Seq((1L, "A", 25L), (2L, "A", 20L), (3L, "B", 10L), (4L, "C", 99L))
+      .toDF("tid", "sym", "tt").createOrReplaceTempView("asof_trades")
+  }
+
+  test("backward inclusive: latest quote at-or-before the trade") {
+    fixture()
+    val rows = AdHoc.query(spark,
+      """SELECT t.tid, q.px FROM asof_trades t
+        |ASOF LEFT JOIN asof_quotes q
+        |  ON t.sym = q.sym AND t.tt >= q.qt
+        |ORDER BY t.tid""".stripMargin, limit = 100)
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(rows.toSeq == Seq(
+      1L -> Some(105.0), // tt=25: quote at 20 wins over 10
+      2L -> Some(105.0), // tt=20: inclusive match at equal time
+      3L -> None,        // B trade at 10 precedes B quote at 15
+      4L -> None))       // no C quotes; LEFT keeps the row
+  }
+
+  test("strict and forward directions; flipped spelling normalizes") {
+    fixture()
+    // strict backward: equal-time quote excluded
+    val strict = AdHoc.query(spark,
+      """SELECT t.tid, q.qt FROM asof_trades t
+        |ASOF LEFT JOIN asof_quotes q ON t.sym = q.sym AND q.qt < t.tt
+        |ORDER BY t.tid""".stripMargin, limit = 100)
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(strict(1) == (2L -> Some(10L))) // tt=20: the t=20 quote is out
+    // forward inclusive, written right-side-first
+    val fwd = AdHoc.query(spark,
+      """SELECT t.tid, q.qt FROM asof_trades t
+        |ASOF LEFT JOIN asof_quotes q ON q.sym = t.sym AND q.qt >= t.tt
+        |ORDER BY t.tid""".stripMargin, limit = 100)
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(fwd.toSeq == Seq(1L -> Some(30L), 2L -> Some(20L),
+      3L -> Some(15L), 4L -> None))
+  }
+
+  test("INNER drops unmatched left rows; WHERE/LIMIT survive; " +
+      "unqualified unique names resolve") {
+    fixture()
+    val rows = AdHoc.query(spark,
+      """SELECT tid, px FROM asof_trades t
+        |ASOF INNER JOIN asof_quotes q
+        |  ON t.sym = q.sym AND t.tt >= q.qt
+        |WHERE px > 100 ORDER BY tid LIMIT 5""".stripMargin, limit = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq(1L -> 105.0, 2L -> 105.0))
+  }
+
+  test("subquery sides work; plan is union+window (no range-join blowup)") {
+    fixture()
+    val df = AdHoc.query(spark,
+      """SELECT t.tid, q.px
+        |FROM (SELECT * FROM asof_trades WHERE sym = 'A') t
+        |ASOF LEFT JOIN (SELECT * FROM asof_quotes WHERE px < 108) q
+        |  ON t.sym = q.sym AND t.tt >= q.qt
+        |ORDER BY t.tid""".stripMargin, limit = 100)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("Window"), "expected the window plan")
+    assert(!physical.contains("CartesianProduct")
+      && !physical.contains("BroadcastNestedLoopJoin"),
+      "ASOF text must not plan as a range join")
+  }
+
+  test("unsupported shapes refuse loudly naming the fix") {
+    fixture()
+    def msg(sql: String): String =
+      intercept[IllegalArgumentException](
+        AdHoc.query(spark, sql, limit = 10)).getMessage
+    assert(msg("""SELECT * FROM asof_trades t
+      |ASOF LEFT JOIN asof_quotes q
+      |  ON t.sym = q.sym AND t.tt >= q.qt""".stripMargin)
+      .contains("name the columns"))
+    assert(msg("""SELECT t.tid FROM asof_trades t
+      |ASOF LEFT JOIN asof_quotes q ON t.tt >= q.qt""".stripMargin)
+      .contains("equality"))
+    assert(msg("""SELECT t.tid FROM asof_trades t
+      |ASOF LEFT JOIN asof_quotes q ON t.sym = q.sym""".stripMargin)
+      .contains("inequality"))
+    assert(msg("SELECT 1 FROM a ASOF JOIN b USING (k, t)")
+      .contains("ON l.k = r.k"))
+  }
+}
