@@ -300,24 +300,52 @@ object ClickHouseFunctions {
     // [LEFT] ARRAY JOIN — rewritten first so the later passes see plain
     // Spark text. expr = identifier (possibly qualified) or a function
     // call with one paren-nesting level (splitByChar(' ', text) etc.).
+    // TWO-array lockstep (`ARRAY JOIN a AS x, b AS y`) zips via
+    // `zip_with(a, b, -> named_struct)` + ONE explode, with x/y
+    // references across the statement re-aimed at the struct fields —
+    // the fan-out still never materializes unexploded rows. Divergence
+    // from CH: unequal lengths NULL-pad (zip_with) instead of erroring.
+    // Three or more arrays refuse with the two-step fix named.
     val ajExpr = """[A-Za-z_][\w.]*\s*\((?:[^()]|\([^()]*\))*\)|[A-Za-z_][\w.]*"""
-    val ajRe = ("""(?i)\b(left\s+)?array\s+join\s+(""" + ajExpr +
-      """)(?:\s+as\s+([A-Za-z_]\w*))?(\s*,)?""").r
-    val arrayJoined = ajRe.replaceAllIn(sql, m => {
-      if (m.group(4) != null)
-        throw new IllegalArgumentException(
-          "multi-array ARRAY JOIN iterates arrays in lockstep, which a " +
-            "LATERAL VIEW chain cannot express: zip them first — " +
-            "ARRAY JOIN arrayZip(a, b) AS ab, then ab.a / ab.b")
-      if (m.group(3) == null)
-        throw new IllegalArgumentException(
-          "ARRAY JOIN without an alias shadows the array column with its " +
-            "elements, which Spark resolution cannot spell: write " +
-            "ARRAY JOIN <expr> AS <alias>")
-      val outer = if (m.group(1) != null) "OUTER " else ""
-      java.util.regex.Matcher.quoteReplacement(
-        s"LATERAL VIEW ${outer}explode(${m.group(2)}) __aj AS ${m.group(3)}")
-    })
+    val ajItem = s"""($ajExpr)(?:\\s+as\\s+([A-Za-z_]\\w*))?"""
+    val ajRe = ("""(?i)\b(left\s+)?array\s+join\s+""" + ajItem +
+      s"""(?:\\s*,\\s*$ajItem)?(\\s*,)?""").r
+    @scala.annotation.tailrec
+    def rewriteArrayJoins(s: String): String = ajRe.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        if (m.group(6) != null)
+          throw new IllegalArgumentException(
+            "ARRAY JOIN of three or more arrays has no single rewrite: " +
+              "zip them first — ARRAY JOIN arrayZip(a, b, c) AS abc, " +
+              "then abc.a / abc.b / abc.c")
+        if (m.group(3) == null || (m.group(4) != null && m.group(5) == null))
+          throw new IllegalArgumentException(
+            "ARRAY JOIN without an alias shadows the array column with " +
+              "its elements, which Spark resolution cannot spell: write " +
+              "ARRAY JOIN <expr> AS <alias>")
+        val outer = if (m.group(1) != null) "OUTER " else ""
+        val pre = s.substring(0, m.start)
+        val post = s.substring(m.end)
+        if (m.group(4) == null) {
+          rewriteArrayJoins(
+            pre + s"LATERAL VIEW ${outer}explode(${m.group(2)}) __aj AS " +
+              m.group(3) + post)
+        } else {
+          val (a1, a2) = (m.group(3), m.group(5))
+          require(a1 != a2, s"ARRAY JOIN aliases both named '$a1'")
+          val lv = s"LATERAL VIEW ${outer}explode(zip_with(${m.group(2)}, " +
+            s"${m.group(4)}, (__zx, __zy) -> " +
+            s"named_struct('$a1', __zx, '$a2', __zy))) __aj AS __ajz"
+          // re-aim alias references; not after '.'/ident (qualified
+          // names) and not before '(' (function calls)
+          def ref(t: String): String = t
+            .replaceAll(s"(?<![.\\w])$a1\\b(?!\\s*\\()", s"__ajz.$a1")
+            .replaceAll(s"(?<![.\\w])$a2\\b(?!\\s*\\()", s"__ajz.$a2")
+          rewriteArrayJoins(ref(pre) + lv + ref(post))
+        }
+    }
+    val arrayJoined = rewriteArrayJoins(sql)
     // FROM t FINAL / JOIN t FINAL: a no-op here — every engine read is
     // already the deterministic FINAL view (DIVERGENCES #1), so the
     // keyword is simply stripped rather than rejected.

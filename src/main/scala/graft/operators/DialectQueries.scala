@@ -267,6 +267,27 @@ object DialectQueries {
       limit = 400)
   }
 
+  /** CH multi-array lockstep `ARRAY JOIN a AS x, b AS y` through the
+    * gate's text rewrite: ONE explode over `zip_with(a, b, ->
+    * named_struct)` with x/y re-aimed at the struct fields — same
+    * Generate(explode)-over-scan plan as the single-array form, so the
+    * lockstep costs nothing extra at 100 TB. Oracle: DuckDB's parallel
+    * `unnest`s, which zip by position natively. */
+  def qArrayJoinMulti(spark: SparkSession, dir: String): DataFrame = {
+    ClickHouseFunctions.register(spark)
+    ChDialectExtras.register(spark)
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("docs_ajm")
+    graft.api.AdHoc.query(spark,
+      """SELECT doc_id, w, i AS idx
+        |FROM docs_ajm
+        |ARRAY JOIN splitByChar(' ', text) AS w,
+        |  arrayEnumerate(splitByChar(' ', text)) AS i
+        |WHERE doc_id < 100
+        |ORDER BY doc_id, idx
+        |LIMIT 500""".stripMargin,
+      limit = 500)
+  }
+
   /** CH `topK` (SpaceSaving most-frequent): per cohort the top-3 event
     * types. Each cohort has 5 distinct types ≤ the 9-slot capacity, so
     * the result is EXACT and (count desc, value asc)-deterministic —
@@ -440,6 +461,7 @@ object DialectQueries {
     "q_topk_agg" -> (qTopkAgg _),
     "q_summap" -> (qSumMap _),
     "q_array_join" -> (qArrayJoin _),
+    "q_array_join_multi" -> (qArrayJoinMulti _),
     "q_array_join_left" -> (qArrayJoinLeft _)
   )
 
@@ -617,6 +639,12 @@ object DialectQueries {
         |  SELECT unnest(string_split(text, ' ')) AS word
         |  FROM documents WHERE lang = 'en')
         |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+    // multi-ARRAY JOIN: DuckDB zips parallel unnests by position
+    "q_array_join_multi" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |  unnest(range(1, len(string_split(text, ' ')) + 1)) AS idx
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id, idx LIMIT 500""".stripMargin,
     // LEFT ARRAY JOIN: empty arrays keep their row with a NULL element
     // (DuckDB's unnest drops them — the [NULL] substitution is the
     // independent spelling of OUTER); Spark orders NULLS FIRST on asc

@@ -137,9 +137,14 @@ class ApiSpec extends AnyFunSuite {
     // arrayJoin(...) the FUNCTION is untouched (no space between words)
     assert(rewriteDialect("SELECT arrayJoin(arr) FROM t")
       == "SELECT arrayJoin(arr) FROM t")
-    // multi-array lockstep form: refused with the arrayZip fix
+    // TWO-array lockstep: zip_with + one explode, refs re-aimed
+    assert(rewriteDialect("SELECT x, y FROM t ARRAY JOIN a AS x, b AS y")
+      == "SELECT __ajz.x, __ajz.y FROM t LATERAL VIEW explode(zip_with(" +
+        "a, b, (__zx, __zy) -> named_struct('x', __zx, 'y', __zy))) " +
+        "__aj AS __ajz")
+    // three or more: refused with the arrayZip two-step fix
     val multi = intercept[IllegalArgumentException] {
-      rewriteDialect("SELECT * FROM t ARRAY JOIN a AS x, b AS y")
+      rewriteDialect("SELECT * FROM t ARRAY JOIN a AS x, b AS y, c AS z")
     }
     assert(multi.getMessage.contains("arrayZip"))
     // alias-less form: CH shadows the source column — refused with fix
@@ -164,6 +169,14 @@ class ApiSpec extends AnyFunSuite {
       "SELECT id, w FROM aj_t LEFT ARRAY JOIN arr AS w " +
         "WHERE id = 2 ORDER BY id").collect()
     assert(left.length == 1 && left.head.isNullAt(1))
+    // lockstep end-to-end: element + its 1-based position travel together
+    graft.functions.ChDialectExtras.register(spark) // arrayEnumerate
+    val lock = AdHoc.query(spark,
+      "SELECT id, w, i FROM aj_t " +
+        "ARRAY JOIN arr AS w, arrayEnumerate(arr) AS i " +
+        "ORDER BY id, i").collect()
+    assert(lock.map(r => (r.getLong(2), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "b"), (3L, "b"), (1L, "a")))
   }
 
   test("QUALIFY rewrites to a wrapped filter; unsupported shapes refused") {
