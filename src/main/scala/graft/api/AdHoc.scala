@@ -63,7 +63,8 @@ object AdHoc {
     // and register its view), then the pure-text CH-dialect forms
     // (FINAL / SAMPLE / PREWHERE / quoted-unit dateDiff) — all BEFORE
     // the gate so the parse below sees valid Spark SQL
-    val sql1 = graft.operators.AsOfSql.rewrite(spark, sql)
+    val sql1 = graft.operators.FillTiesSql.rewrite(spark,
+      graft.operators.AsOfSql.rewrite(spark, sql))
     val sql2 = graft.functions.ClickHouseFunctions.rewriteDialect(sql1)
     val parsed = spark.sessionState.sqlParser.parsePlan(sql2)
     firstWriteNode(parsed).foreach { node =>

@@ -219,11 +219,15 @@ object AsOfSql {
     (src, alias)
   }
 
-  /** Top-level (paren-depth-0, outside string literals) keyword
-    * occurrences, in order. Only the keywords the segmentation needs. */
-  private def topLevelKeywords(sql: String): Seq[(String, Int)] = {
-    val words = Set("select", "from", "join", "on", "where", "order",
-      "limit")
+  private def topLevelKeywords(sql: String): Seq[(String, Int)] =
+    topLevelKeywords(sql, Set("select", "from", "join", "on", "where",
+      "order", "limit"))
+
+  /** Top-level (paren-depth-0, outside string literals) occurrences of
+    * the given lower-case keywords, in order. Shared by the
+    * session-aware text rewrites (ASOF / WITH FILL / WITH TIES). */
+  private[operators] def topLevelKeywords(
+      sql: String, words: Set[String]): Seq[(String, Int)] = {
     val out = Vector.newBuilder[(String, Int)]
     var depth = 0; var inStr = false; var i = 0
     while (i < sql.length) {
@@ -246,7 +250,7 @@ object AsOfSql {
   }
 
   /** Split on top-level commas (select-list items). */
-  private def splitTopLevel(s: String): Seq[String] = {
+  private[operators] def splitTopLevel(s: String): Seq[String] = {
     val out = Vector.newBuilder[String]
     var depth = 0; var inStr = false; var start = 0
     for (i <- s.indices) {

@@ -369,6 +369,35 @@ object DialectQueries {
       maxLimit = graft.api.AdHoc.CliMaxLimit)
   }
 
+  /** CH `ORDER BY … WITH FILL` in raw SQL TEXT through the gate — the
+    * text twin of `q_with_fill` (FillTiesSql → ChShapes.withFillDays:
+    * grid `sequence()` + one axis-sized full-outer join). Gap columns
+    * take CH's type defaults (0 / 0.0), which is what the plan query's
+    * explicit defaults spell. */
+  def qWithFillSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("evts_wfs")
+    graft.api.AdHoc.query(spark,
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM evts_wfs GROUP BY 1
+        |ORDER BY day WITH FILL STEP INTERVAL 1 DAY""".stripMargin,
+      limit = graft.api.AdHoc.CliMaxLimit,
+      maxLimit = graft.api.AdHoc.CliMaxLimit)
+  }
+
+  /** CH `LIMIT n WITH TIES` in raw SQL TEXT — the text twin of
+    * `q_limit_ties`, rewritten to the same two-pass threshold shape
+    * (scalar-subquery boundary + one filter; no global rank window). */
+  def qLimitTiesSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("evts_lts")
+    graft.api.AdHoc.query(spark,
+      """SELECT event_id, CAST(floor(value) AS BIGINT) AS k
+        |FROM evts_lts
+        |ORDER BY k DESC LIMIT 100 WITH TIES""".stripMargin,
+      limit = graft.api.AdHoc.CliMaxLimit,
+      maxLimit = graft.api.AdHoc.CliMaxLimit)
+  }
+
   /** CH scalar WITH: query-wide constant aliases (incl. a chained
     * reference) substituted through the body by the dialect rewrite —
     * the parameterization idiom of CH programs. */
@@ -447,6 +476,8 @@ object DialectQueries {
   def queries: Map[String, Q] = Map(
     "q_ch_functions5" -> (qChFunctions5 _),
     "q_asof_sql" -> (qAsofSql _),
+    "q_with_fill_sql" -> (qWithFillSql _),
+    "q_limit_ties_sql" -> (qLimitTiesSql _),
     "q_qualify" -> (qQualify _),
     "q_scalar_with" -> (qScalarWith _),
     "q_limit_by_sql" -> (qLimitBySql _),
@@ -474,6 +505,33 @@ object DialectQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+    // same independent grid-join formulation as the plan twin q_with_fill
+    "q_with_fill_sql" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |         round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1
+        |), axis AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(day) FROM daily),
+        |    (SELECT max(day) FROM daily),
+        |    INTERVAL 1 DAY))::DATE AS day
+        |)
+        |SELECT axis.day AS day,
+        |       coalesce(n_events, 0) AS n_events,
+        |       coalesce(sum_value, 0.0) AS sum_value
+        |FROM axis LEFT JOIN daily ON axis.day = daily.day
+        |ORDER BY axis.day""".stripMargin,
+    // threshold = the 100th key in desc order (the plan twin q_limit_ties)
+    "q_limit_ties_sql" ->
+      """WITH b AS (
+        |  SELECT event_id, CAST(floor(value) AS BIGINT) AS k FROM events
+        |), th AS (
+        |  SELECT min(k) AS t FROM (
+        |    SELECT k FROM b ORDER BY k DESC LIMIT 100)
+        |)
+        |SELECT event_id, k FROM b, th WHERE k >= t
+        |ORDER BY k DESC, event_id""".stripMargin,
     // AUC restated as the window-rank formulation: rmin + (ceq-1)/2 is
     // the same average rank as the fold's cnt_less + cnt_eq/2 + 0.5
     "q_ch_functions5" ->

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types._
+
+/** CH `ORDER BY … WITH FILL` and `LIMIT n WITH TIES` in raw SQL *text*.
+  *
+  * Both clauses come to the reference through raw ClickHouse SQL
+  * passthrough (ref packages/ts-moose-lib/src/sqlHelpers.ts:106-127).
+  * The plan-level implementations ([[ChShapes.withFillDays]] /
+  * [[ChShapes.withFillNum]] / [[ChShapes.limitWithTies]]) have carried
+  * the semantics since round 6; this pass parses the common single-key
+  * TEXT spelling and routes to them, so a CH program runs unedited.
+  * Shapes outside the grammar refuse loudly naming both the supported
+  * spelling and the API.
+  *
+  * `WITH FILL` (supported: one bare ORDER BY column, optional FROM/TO/
+  * STEP — integer for a numeric axis, `INTERVAL n DAY` for a date axis —
+  * optional `INTERPOLATE (col, …)` carry-forward list): the body (the
+  * statement minus the ORDER BY tail) is built as a DataFrame, filled
+  * via ChShapes (grid `sequence()` + ONE axis-sized full-outer join —
+  * never a second corpus scan), registered as a view, and re-selected
+  * in the original column order. Non-interpolated gap columns take CH's
+  * type defaults (0 / '' / false); explicit per-column defaults remain
+  * API-only.
+  *
+  * `LIMIT n WITH TIES` (supported: one bare ORDER BY column) is a pure
+  * text rewrite to the same two-pass threshold shape the API builds:
+  * boundary = the n-th ordered key via a scalar subquery (one-row
+  * broadcast), then a keep-everything-at-or-better filter — never a
+  * global rank() window, which would single-partition the data at
+  * scale.
+  */
+object FillTiesSql {
+  private val kws = Set("order", "limit", "with", "fill", "ties",
+    "interpolate", "union", "intersect", "except")
+
+  /** Does the text before index `i` end with the WORD `with`? (A plain
+    * endsWith would also accept identifiers like `growth`.) */
+  private def precededByWith(sql: String, i: Int): Boolean = {
+    val t = sql.substring(0, i).trim
+    t.toLowerCase.endsWith("with") &&
+      (t.length == 4 || { val c = t.charAt(t.length - 5)
+        !c.isLetterOrDigit && c != '_' })
+  }
+
+  def rewrite(spark: SparkSession, sql: String): String =
+    rewriteTies(rewriteFill(spark, sql))
+
+  // ------------------------------------------------------------ WITH FILL
+  private def rewriteFill(spark: SparkSession, sql: String): String = {
+    val kw = AsOfSql.topLevelKeywords(sql, kws)
+    val fillIdx = kw.collect { case ("fill", i) => i }
+      .filter(precededByWith(sql, _)) match {
+      case Seq() => return sql
+      case Seq(i) => i
+      case _ => refuseFill("more than one top-level WITH FILL")
+    }
+    if (kw.exists(k => Set("union", "intersect", "except").contains(k._1)))
+      refuseFill("WITH FILL beside a top-level set operation")
+    val orderIdx = kw.filter(k => k._1 == "order" && k._2 < fillIdx) match {
+      case Seq() => refuseFill("WITH FILL without a top-level ORDER BY")
+      case s => s.last._2
+    }
+    if (kw.exists(k => k._1 == "limit" && k._2 < fillIdx))
+      refuseFill("LIMIT before WITH FILL")
+
+    val body = sql.substring(0, orderIdx).trim
+    // ORDER BY <col> [ASC|DESC] WITH FILL
+    val orderSeg = sql.substring(orderIdx, fillIdx)
+    val om = ("""(?is)^order\s+by\s+([A-Za-z_]\w*)""" +
+      """(?:\s+(asc|desc))?\s+with\s*$""").r
+      .findFirstMatchIn(orderSeg).getOrElse(refuseFill(
+        s"ORDER BY clause '${orderSeg.trim}' is not a single bare column"))
+    val (axis, dir) =
+      (om.group(1), Option(om.group(2)).getOrElse("asc").toLowerCase)
+
+    // tail: [FROM n] [TO n] [STEP n | STEP INTERVAL n DAY]
+    //       [INTERPOLATE (cols)] [LIMIT n]
+    var tail = sql.substring(fillIdx + "fill".length).trim
+    def take(re: scala.util.matching.Regex): Option[String] = {
+      re.findPrefixMatchOf(tail) match {
+        case Some(m) => tail = tail.substring(m.end).trim; Some(m.group(1))
+        case None => None
+      }
+    }
+    val from = take("""(?is)^from\s+(-?\d+)""".r).map(_.toLong)
+    val to = take("""(?is)^to\s+(-?\d+)""".r).map(_.toLong)
+    val stepDays =
+      take("""(?is)^step\s+interval\s+(\d+)\s+day\b""".r).map(_.toInt)
+    val stepNum =
+      if (stepDays.isDefined) None
+      else take("""(?is)^step\s+(\d+)""".r).map(_.toLong)
+    val interp = take("""(?is)^interpolate\s*\(([^)]*)\)""".r)
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    interp.foreach { c =>
+      if (!c.matches("""[A-Za-z_]\w*""")) refuseFill(
+        s"INTERPOLATE '$c': only bare carry-forward columns " +
+          "(AS-expressions are API-only)")
+    }
+    val limitTail = take("""(?is)^(limit\s+\d+)\s*""".r)
+    if (tail.nonEmpty)
+      refuseFill(s"unrecognized WITH FILL tail '$tail'")
+
+    val grouped = spark.sql(
+      graft.functions.ClickHouseFunctions.rewriteDialect(body))
+    require(grouped.columns.contains(axis),
+      s"WITH FILL axis '$axis' is not an output column of the body")
+    // CH fills non-interpolated gap columns with the TYPE default
+    val defaults = grouped.schema.fields
+      .filter(f => f.name != axis && !interp.contains(f.name))
+      .flatMap { f =>
+        f.dataType match {
+          case _: NumericType => Some(f.name -> lit(0).cast(f.dataType))
+          case StringType => Some(f.name -> lit(""))
+          case BooleanType => Some(f.name -> lit(false))
+          case _ => None // no CH-style default: gap rows keep NULL
+        }
+      }.toMap
+    val filled = grouped.schema(axis).dataType match {
+      case DateType =>
+        if (from.isDefined || to.isDefined) refuseFill(
+          "FROM/TO on a date axis (spell the bounds in the body's WHERE, " +
+            "or use ChShapes.withFillDays)")
+        ChShapes.withFillDays(grouped, axis, defaults,
+          stepDays.getOrElse(1), interp)
+      case ByteType | ShortType | IntegerType | LongType =>
+        if (stepDays.isDefined) refuseFill("INTERVAL step on a numeric axis")
+        ChShapes.withFillNum(grouped, axis, defaults,
+          stepNum.getOrElse(1L), from, to, interp)
+      case other => refuseFill(
+        s"axis '$axis' is $other (supported: DATE or integral)")
+    }
+    val view = s"__fill_${Integer.toHexString(sql.hashCode).replace('-', 'n')}"
+    filled.select(grouped.columns.head,
+      grouped.columns.tail.toIndexedSeq: _*).createOrReplaceTempView(view)
+    s"SELECT * FROM $view ORDER BY $axis ${dir.toUpperCase}" +
+      limitTail.map(" " + _).getOrElse("")
+  }
+
+  // ------------------------------------------------- LIMIT n WITH TIES
+  private def rewriteTies(sql: String): String = {
+    val kw = AsOfSql.topLevelKeywords(sql, kws)
+    val tiesIdx = kw.collect { case ("ties", i) => i }
+      .filter(precededByWith(sql, _)) match {
+      case Seq() => return sql
+      case Seq(i) => i
+      case _ => refuseTies("more than one top-level WITH TIES")
+    }
+    if (kw.exists(k => Set("union", "intersect", "except").contains(k._1)))
+      refuseTies("WITH TIES beside a top-level set operation")
+    val limitIdx = kw.filter(k => k._1 == "limit" && k._2 < tiesIdx) match {
+      case Seq() => refuseTies("WITH TIES without LIMIT")
+      case s => s.last._2
+    }
+    val orderIdx = kw.filter(k => k._1 == "order" && k._2 < limitIdx) match {
+      case Seq() => refuseTies("LIMIT WITH TIES without ORDER BY " +
+        "(CH requires one — the tie domain is the sort key)")
+      case s => s.last._2
+    }
+    if (sql.substring(tiesIdx + "ties".length).trim.nonEmpty)
+      refuseTies("text after WITH TIES")
+
+    val lm = """(?is)^limit\s+(\d+)\s+with\s*$"""
+      .r.findFirstMatchIn(sql.substring(limitIdx, tiesIdx))
+      .getOrElse(refuseTies("LIMIT clause is not a plain row count"))
+    val n = lm.group(1).toLong
+    val om = """(?is)^order\s+by\s+([A-Za-z_]\w*)(?:\s+(asc|desc))?\s*$"""
+      .r.findFirstMatchIn(sql.substring(orderIdx, limitIdx))
+      .getOrElse(refuseTies("ORDER BY is not a single bare column"))
+    val key = om.group(1)
+    val desc = "desc".equalsIgnoreCase(String.valueOf(om.group(2)))
+    val body = sql.substring(0, orderIdx).trim
+
+    val (cmp, agg, ord) =
+      if (desc) (">=", "min", s"__tk DESC") else ("<=", "max", "__tk")
+    // the two-pass threshold shape of ChShapes.limitWithTies, spelled in
+    // text: boundary via scalar subquery (one-row broadcast), then one
+    // filter — the duplicated body subtrees are identical, so a shuffle
+    // in the body is served once by ReuseExchange
+    s"""SELECT * FROM ($body) __ties WHERE $key $cmp (SELECT $agg(__tk) """ +
+      s"""FROM (SELECT $key AS __tk FROM ($body) __ties2 """ +
+      s"""ORDER BY $ord LIMIT $n) __tb) """ +
+      s"""ORDER BY $key${if (desc) " DESC" else ""}"""
+  }
+
+  private def refuseFill(why: String): Nothing =
+    throw new IllegalArgumentException(
+      s"WITH FILL text rewrite: $why. Supported shape: SELECT … ORDER " +
+        "BY <col> [ASC|DESC] WITH FILL [FROM n] [TO n] [STEP n | STEP " +
+        "INTERVAL n DAY] [INTERPOLATE (col, …)] [LIMIT n]; anything " +
+        "else: ChShapes.withFillDays / withFillNum / withFillInterpolate")
+
+  private def refuseTies(why: String): Nothing =
+    throw new IllegalArgumentException(
+      s"LIMIT n WITH TIES text rewrite: $why. Supported shape: SELECT … " +
+        "ORDER BY <col> [ASC|DESC] LIMIT n WITH TIES; anything else: " +
+        "ChShapes.limitWithTies")
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.api.AdHoc
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `FillTiesSql.rewrite` — CH ORDER BY … WITH FILL and LIMIT n WITH
+  * TIES raw SQL text → the ChShapes plans. */
+class FillTiesSqlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixture(): Unit =
+    Seq((0L, 5L, "a"), (10L, 7L, "b"), (40L, 2L, "c"))
+      .toDF("bucket", "n", "tag").createOrReplaceTempView("ft_t")
+
+  test("WITH FILL numeric axis: grid + type defaults + kept real rows") {
+    fixture()
+    val rows = AdHoc.query(spark,
+      "SELECT bucket, n, tag FROM ft_t ORDER BY bucket WITH FILL STEP 10",
+      limit = 100).collect()
+    // grid 0..40 step 10: real rows keep values, gaps take 0 / ''
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 10L, 20L, 30L, 40L))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(5L, 7L, 0L, 0L, 2L))
+    assert(rows.map(_.getString(2)).toSeq == Seq("a", "b", "", "", "c"))
+  }
+
+  test("WITH FILL FROM/TO/STEP + INTERPOLATE carry-forward + DESC") {
+    fixture()
+    val rows = AdHoc.query(spark,
+      "SELECT bucket, n FROM ft_t ORDER BY bucket DESC " +
+        "WITH FILL FROM 0 TO 31 STEP 15 INTERPOLATE (n)",
+      limit = 100).collect()
+    // grid {0,15,30} ∪ real {0,10,40}; desc order; n carries forward
+    assert(rows.map(_.getLong(0)).toSeq == Seq(40L, 30L, 15L, 10L, 0L))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(2L, 7L, 7L, 7L, 5L))
+  }
+
+  test("LIMIT n WITH TIES keeps the boundary ties; no rank window") {
+    Seq(("a", 3L), ("b", 2L), ("c", 2L), ("d", 1L))
+      .toDF("id", "k").createOrReplaceTempView("ties_t")
+    val df = AdHoc.query(spark,
+      "SELECT id, k FROM ties_t ORDER BY k DESC LIMIT 2 WITH TIES",
+      limit = 100)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq
+      == Seq("a", "b", "c")) // both k=2 rows tie with row 2
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "ties text must plan as the two-pass threshold, not a rank window")
+    // ascending form
+    val asc = AdHoc.query(spark,
+      "SELECT id, k FROM ties_t ORDER BY k LIMIT 3 WITH TIES",
+      limit = 100).collect()
+    assert(asc.map(_.getString(0)).sorted.toSeq == Seq("b", "c", "d"))
+  }
+
+  test("unsupported shapes refuse loudly naming the fix") {
+    fixture()
+    def msg(sql: String): String =
+      intercept[IllegalArgumentException](
+        AdHoc.query(spark, sql, limit = 10)).getMessage
+    assert(msg("SELECT tag, n FROM ft_t ORDER BY tag WITH FILL")
+      .contains("supported: DATE or integral"))
+    assert(msg("SELECT bucket, n FROM ft_t " +
+      "ORDER BY bucket, n WITH FILL").contains("single bare column"))
+    assert(msg("SELECT bucket FROM ft_t LIMIT 2 WITH TIES")
+      .contains("without ORDER BY"))
+    assert(msg("SELECT bucket, n FROM ft_t " +
+      "ORDER BY bucket + n LIMIT 2 WITH TIES")
+      .contains("single bare column"))
+    // identifiers merely named fill/ties are untouched
+    Seq((1L, 2L)).toDF("fill", "ties").createOrReplaceTempView("ft_names")
+    assert(AdHoc.query(spark,
+      "SELECT fill, ties FROM ft_names ORDER BY fill", limit = 10)
+      .collect().head.getLong(0) == 1L)
+  }
+}
