@@ -65,6 +65,7 @@ object ChDialectBatch3 {
   private val EarthRadius = 6372797.560856d
 
   def register(spark: SparkSession): Unit = {
+    if (isRegistered(spark)) return // idempotent: silence re-register WARNs
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
       require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry

@@ -94,6 +94,7 @@ object ChDialectBatch4 {
   private val epochDate = Literal.create(0, DateType) // 1970-01-01
 
   def register(spark: SparkSession): Unit = {
+    if (isRegistered(spark)) return // idempotent: silence re-register WARNs
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
       require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry

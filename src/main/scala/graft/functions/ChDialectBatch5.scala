@@ -48,21 +48,6 @@ object ChDialectBatch5 {
 
   private def dArr(e: Expression) = Cast(e, ArrayType(DoubleType))
 
-  /** Rotate an array by `n` positions (CH semantics: negative n rotates
-    * the opposite way; rotation is modulo the length; empty arrays pass
-    * through). */
-  private def rotate(arr: Expression, n: Expression,
-      left: Boolean): Expression = {
-    val s = Size(arr)
-    val signed = if (left) n else UnaryMinus(Cast(n, IntegerType))
-    val k = Pmod(Cast(signed, IntegerType), s)
-    CaseWhen(
-      Seq((LessThanOrEqual(s, Literal(0)), arr)),
-      Concat(Seq(
-        Slice(arr, Add(k, Literal(1)), Subtract(s, k)),
-        Slice(arr, Literal(1), k))))
-  }
-
   /** Average 1-based rank of `s` among `scores`:
     * count(< s) + (count(== s) + 1) / 2, spelled as one fold adding 1
     * per smaller element and 0.5 per equal element (self included), plus
@@ -106,6 +91,7 @@ object ChDialectBatch5 {
   }
 
   def register(spark: SparkSession): Unit = {
+    if (isRegistered(spark)) return // idempotent: silence re-register WARNs
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
       require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -119,8 +105,9 @@ object ChDialectBatch5 {
       lambda2("pr")((acc, x) => Multiply(acc, x)),
       lambda1("prf")(identity)))
 
-    f("arrayRotateLeft")(a => rotate(a(0), a(1), left = true))
-    f("arrayRotateRight")(a => rotate(a(0), a(1), left = false))
+    // arrayRotateLeft/Right are ChDialectBatch4's (single owner — a
+    // second registration here would silently shadow-or-be-shadowed
+    // depending on register() order, leaving two copies to drift)
 
     // CH arg order: arrayPartialSort(limit, arr); the limit only bounds
     // CH's sorting effort — the deterministic instance sorts everything

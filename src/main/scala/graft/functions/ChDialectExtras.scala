@@ -114,6 +114,7 @@ object ChDialectExtras {
   }
 
   def register(spark: SparkSession): Unit = {
+    if (isRegistered(spark)) return // idempotent: silence re-register WARNs
     val reg = spark.sessionState.functionRegistry
     // A temp function SHADOWS the builtin of the same (case-insensitive)
     // name for the WHOLE session — and Spark 4's `functions._` column API

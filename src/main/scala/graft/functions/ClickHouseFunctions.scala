@@ -97,6 +97,7 @@ object ClickHouseFunctions {
   /** SQL-name registration: each entry is a Catalyst expression builder so
     * queries written in the CH dialect plan natively. */
   def register(spark: SparkSession): Unit = {
+    if (isRegistered(spark)) return // idempotent: silence re-register WARNs
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")

@@ -94,6 +94,9 @@ object QuantileSketch {
     * CH-shaped `quantileApproxState(x)` / `quantileApproxMerge(level,
     * state)` pair (parameters first, like `topK(k, x)`). */
   def register(spark: SparkSession): Unit = {
+    // idempotent: silence re-register WARNs
+    if (spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("qsketchAgg"))) return
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
       require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry

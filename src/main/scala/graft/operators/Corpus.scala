@@ -948,10 +948,12 @@ object Corpus {
       .where(col(sourceCol).isin(proportions.keys.toSeq: _*))
       .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nTotal = proportions.collect {
-      case (s, p) if counts.contains(s) =>
-        math.floor(counts(s) / p).toLong
-    }.reduceOption(_ min _).getOrElse(0L)
+    // a recipe source with ZERO corpus rows makes the recipe infeasible
+    // (N = min_s floor(n_s/p_s) = 0): nTotal must go to 0 rather than
+    // silently dropping the source from the min and violating the mix
+    val nTotal = proportions.map { case (s, p) =>
+      math.floor(counts.getOrElse(s, 0L) / p).toLong
+    }.min
     val kPerSource = proportions.map { case (s, p) =>
       s -> math.floor(nTotal * p).toLong
     }

@@ -52,6 +52,11 @@ object Dedup {
       bloomMaxItems: Long = 10000000L,
       useBloom: Option[Boolean] = None): DataFrame = {
     require(fpp > 0 && fpp < 0.5, s"bloom fpp $fpp outside (0, 0.5)")
+    // the verify path does withColumn("__digest", …).drop("__digest") —
+    // a caller column of that name would be clobbered then dropped
+    // (same guard StreamDedup.newVsHistory has for __fp)
+    require(!batch.columns.contains("__digest"),
+      "incrementalNew: batch already has a __digest column")
     def digest = md5(col(textCol))
     val histDigests = history.select(digest.as("__digest")).distinct()
     lazy val nEst = math.max(BroadcastGate.estimateOrCount(history), 1L)

@@ -177,14 +177,24 @@ object Funnel {
     val gaps = scala.collection.mutable.ArrayBuffer.empty[Option[(String, Long)]]
     var pending: Option[(String, Long)] = None
     var seenAtom = false
+    var sepSinceAtom = false
     while (m.find()) {
       require(m.start() == pos,
         s"unsupported sequence pattern '$pattern' at offset $pos")
       pos = m.end()
       if (m.group(1) != null) {
+        // bare adjacency '(?1)(?2)' means IMMEDIATELY-follows in CH — a
+        // different DP than any-gap. Refuse loudly (the DIVERGENCES #30
+        // stance, and what the untimed parseChain already does) rather
+        // than silently matching it like '(?1).*(?2)'.
+        require(!seenAtom || sepSinceAtom,
+          s"pattern '$pattern': adjacent atoms (CH immediately-follows " +
+            "semantics) are not supported — separate with '.*' or a " +
+            "'(?t OP n)' constraint")
         if (seenAtom) { gaps += pending; pending = None }
         refs += m.group(1).toInt
         seenAtom = true
+        sepSinceAtom = false
       } else if (m.group(2) != null) {
         require(seenAtom, s"pattern '$pattern': time constraint before " +
           "any condition atom")
@@ -193,7 +203,8 @@ object Funnel {
         require(m.group(2) != "==", s"pattern '$pattern': (?t==n) exact-gap " +
           "constraints are not supported (use >=/<= bounds)")
         pending = Some((m.group(2), m.group(3).toLong))
-      } // '.*' — separator, nothing to record
+        sepSinceAtom = true
+      } else sepSinceAtom = true // '.*' — separator
     }
     require(pos == pattern.length && refs.nonEmpty,
       s"unsupported sequence pattern '$pattern' — atoms are '(?d)', " +

@@ -594,18 +594,35 @@ object IcebergRead {
         case JInt(n) => n.toInt == id
         case _ => false
       })).orElse(schemas.headOption)
-    current.toSeq.flatMap { s =>
+    def fields(s: org.json4s.JValue): Seq[(Int, String, String)] =
       (s \ "fields") match {
         case JArray(fs0) => fs0.flatMap { f =>
           for {
             JInt(id) <- Option(f \ "id")
             JString(name) <- Option(f \ "name")
-          } yield SchemaField(id.toInt, name,
+          } yield (id.toInt, name,
             (f \ "type") match { case JString(t) => t; case _ => "unknown" })
         }
         case _ => Nil
       }
-    }
+    val cur = current.toSeq.flatMap(fields)
+    // Scans pin columns by NAME (parquet column resolution), but the
+    // Iceberg spec resolves by FIELD ID — a renamed column would read
+    // pre-rename data files as NULL, silently treating rename as
+    // drop+add. Detect it (same id, different name in any historical
+    // schema) and refuse loudly, like the reader's other fail-fast
+    // stances. (ref: iceberg spec §Schema Evolution — rename keeps id)
+    val curByName = cur.map { case (id, n, _) => id -> n }.toMap
+    for {
+      s <- schemas if !current.contains(s)
+      (id, name, _) <- fields(s)
+      curName <- curByName.get(id) if curName != name
+    } throw new IllegalArgumentException(
+      s"iceberg column rename detected (field id $id: '$name' -> " +
+        s"'$curName'): this reader resolves parquet columns by name and " +
+        "would read pre-rename files as NULL — rename is unsupported; " +
+        "rewrite the data files or read via an id-resolving engine")
+    cur.map { case (id, n, t) => SchemaField(id, n, t) }
   }
 
   /** The current schema as a Spark StructType (icebergType → Catalyst

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.ChDialectBatch5
+import graft.functions.{ChDialectBatch4, ChDialectBatch5}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -10,6 +10,7 @@ class ChDialect5Spec extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = SparkTestSession.spark
     ChDialectBatch5.register(s)
+    ChDialectBatch4.register(s) // arrayRotateLeft/Right single owner
     s
   }
 

@@ -281,9 +281,13 @@ class CorpusSpec extends AnyFunSuite {
       (1L, ts(0), "a"), (1L, ts(1000), "b"), (1L, ts(1040), "c"),
       (2L, ts(0), "a"), (2L, ts(1000), "b"), (2L, ts(1100), "c")))
     assert(comp == Map(1L -> true, 2L -> false))
-    // parser refusals: exact-gap, trailing constraint, double constraint
+    // parser refusals: exact-gap, trailing constraint, double
+    // constraint, and BARE adjacency '(?1)(?2)' (CH immediately-follows
+    // — a different DP; silently matching it as '.*' was the r9 ADVICE
+    // bug)
     for (bad <- Seq("(?1)(?t==5)(?2)", "(?1)(?t<=5)",
-        "(?1)(?t<=5)(?t<=6)(?2)", "(?t<=5)(?1)")) {
+        "(?1)(?t<=5)(?t<=6)(?2)", "(?t<=5)(?1)", "(?1)(?2)",
+        "(?1).*(?2)(?2)")) {
       intercept[IllegalArgumentException] {
         run(bad, Seq((1L, ts(0), "a")), nConds = 2)
       }
