@@ -16,6 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Per-round lineage cut for the iterative ops ([[connectedComponents]],
+    * [[pageRankMicro]]): the [[Materialize]] modes that actually CUT
+    * lineage — `local` (fast, executor-replicated blocks) or `reliable`
+    * (HDFS-grade checkpoint files, the long-iteration cluster choice;
+    * needs `SparkContext.setCheckpointDir`). `persist` is refused here:
+    * it keeps lineage, which an iterative loop exists to cut. Results
+    * are mode-invariant (spec-pinned) — the knob is failure-recovery
+    * economics only. */
+  private def materializeIter(df: DataFrame, mode: String): DataFrame = {
+    require(mode == "local" || mode == "reliable",
+      s"iterative materialize must be local|reliable (got '$mode'; " +
+        "persist keeps lineage, which the per-round cut exists to drop)")
+    Materialize(df, mode)
+  }
+
   /** Connected components over an undirected edge list — the cluster step
     * of near-duplicate removal.
     *
@@ -43,17 +58,17 @@ object Corpus {
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, materialize: String = "local"): DataFrame = {
     val e0 = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
-    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    val sym = materializeIter(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(), materialize)
 
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    var labels = materializeIter(
+      sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")), materialize)
 
     var changed = 1L
     var iter = 0
@@ -73,15 +88,15 @@ object Corpus {
           prop("label") === col("jid"), "left")
         .select(prop("id").as("id"),
           coalesce(col("jlabel"), prop("label")).as("label"))
-        .localCheckpoint(true)
-      changed = next.select(col("id"), col("label").as("nl"))
+      val nextM = materializeIter(next, materialize)
+      changed = nextM.select(col("id"), col("label").as("nl"))
         .join(labels, Seq("id"))
         .where(col("nl") =!= col("label"))
         .count()
       // drop the previous round's checkpointed blocks — without this the
       // block manager accumulates O(rounds × |V|) of dead label tables
       labels.unpersist()
-      labels = next
+      labels = nextM
       iter += 1
     }
     // refuse loudly rather than return unconverged (wrong) labels — with
@@ -90,8 +105,8 @@ object Corpus {
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds " +
         s"($changed labels still changing)")
-    val out = labels.select(col("id"), col("label").as("rep"))
-      .localCheckpoint(true)
+    val out = materializeIter(
+      labels.select(col("id"), col("label").as("rep")), materialize)
     labels.unpersist()
     sym.unpersist()
     out
@@ -116,13 +131,14 @@ object Corpus {
     * so the plan never deepens. One count job fixes N. */
   def pageRankMicro(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, materialize: String = "local"): DataFrame = {
     require(iters >= 1, s"pageRankMicro: iters $iters must be >= 1")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    val e = materializeIter(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      materialize)
+    val nodes = materializeIter(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct(), materialize)
     val n = nodes.count()
     require(n > 0, "pageRankMicro: empty graph")
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -138,9 +154,8 @@ object Corpus {
       val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-        .localCheckpoint(true)
       rank.unpersist()
-      rank = next
+      rank = materializeIter(next, materialize)
     }
     val out = rank.select(col("node"), col("rank").as("rank_micro"))
     e.unpersist(); nodes.unpersist()

@@ -72,6 +72,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(reps == Seq(0L))
   }
 
+  test("iterative ops: results identical across materialize modes; " +
+      "persist refused") {
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("iterck").toString)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    def cc(mode: String) = Corpus.connectedComponents(
+      edges, "doc_a", "doc_b", materialize = mode)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(cc("local") == cc("reliable"))
+    def pr(mode: String) = Corpus.pageRankMicro(
+      edges, "doc_a", "doc_b", iters = 2, materialize = mode)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(pr("local") == pr("reliable"))
+    // persist keeps lineage — exactly what the per-round cut must drop
+    for (bad <- Seq("persist", "bogus")) intercept[IllegalArgumentException] {
+      Corpus.connectedComponents(edges, "doc_a", "doc_b", materialize = bad)
+    }
+  }
+
   test("connectedComponents ignores self-loops and duplicate/reversed edges") {
     val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L))
       .toDF("doc_a", "doc_b")
