@@ -173,6 +173,53 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** The MJPG (lossy) video path with a DRIVER-CHECKED pin — the
+    * contract-oracle pattern for non-SQL-expressible ops (ImageIO's
+    * JPEG decode cannot be restated in DuckDB): header fields are
+    * formula-exact; the decode itself is pinned by two booleans the
+    * oracle states as constants — (a) `framewise_consistent`: the
+    * whole-video kernel and the everyN=1 frame kernel (two independent
+    * RIFF walks, same ImageIO decode-what-this-JVM-encoded) agree to
+    * 1e-9, and (b) `near_lossless_truth`: MJPG means sit within JPEG
+    * quantization error (8/255) of the DIB decode of the SAME pixels,
+    * whose exactness `m_video` already proves against the formula.
+    * Completes the r8/r9 carry-over: the lossy path now has a
+    * correctness row, not just a spec tolerance. */
+  def mVideoMjpg(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.load(spark, dir, "documents")
+      .where(col("doc_id") < 60) // bounded ImageIO work per run
+      .select(col("doc_id").as("media_id"),
+        (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("w"),
+        (lit(12) + (col("doc_id") % 3) * 4).cast("int").as("h"),
+        (lit(2) + col("doc_id") % 3).cast("int").as("n_frames"))
+    val mj = Multimodal.decodeVideoStats(
+      Multimodal.synthAvi(dims, mjpeg = true))
+    val dib = Multimodal.decodeVideoStats(Multimodal.synthAvi(dims))
+      .select(col("media_id"), col("mean_r").as("dib_r"),
+        col("mean_g").as("dib_g"), col("mean_b").as("dib_b"))
+    val fw = Multimodal.explodeVideoFrames(
+        Multimodal.synthAvi(dims, mjpeg = true), everyN = 1)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("nf2"),
+        avg(col("mean_r")).as("fr_r"), avg(col("mean_g")).as("fr_g"),
+        avg(col("mean_b")).as("fr_b"))
+    mj.join(dib, Seq("media_id")).join(fw, Seq("media_id"))
+      .select(col("media_id"), col("handler"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames"), col("duration_ms"),
+        (col("n_frames") === col("nf2")).as("frames_complete"),
+        (abs(col("mean_r") - col("fr_r")) < 1e-9 &&
+          abs(col("mean_g") - col("fr_g")) < 1e-9 &&
+          abs(col("mean_b") - col("fr_b")) < 1e-9)
+          .as("framewise_consistent"),
+        (abs(col("mean_r") - col("dib_r")) < 8.0 &&
+          abs(col("mean_g") - col("dib_g")) < 8.0 &&
+          abs(col("mean_b") - col("dib_b")) < 8.0)
+          .as("near_lossless_truth"))
+      .orderBy(col("media_id"))
+  }
+
   /** Video FRAME SAMPLING, end to end: the same synthesized DIB videos
     * as [[mVideo]], exploded to one row per sampled frame (every 2nd) by
     * [[Multimodal.explodeVideoFrames]] — the step that turns a video
@@ -204,6 +251,7 @@ object MultimodalQueries {
     "m_features" -> (mFeatures _),
     "m_audio" -> (mAudio _),
     "m_video" -> (mVideo _),
+    "m_video_mjpg" -> (mVideoMjpg _),
     "m_video_audio" -> (mVideoAudio _),
     "m_video_frames" -> (mVideoFrames _))
 
@@ -305,6 +353,18 @@ object MultimodalQueries {
         |  round(avg((y * 11 + 2 * doc_id + 17 * f) % 256), 6) AS mean_g,
         |  round(avg((x + y + 3 * doc_id + 19 * f) % 256), 6) AS mean_b
         |FROM pxy GROUP BY doc_id, w, h, nf ORDER BY media_id""".stripMargin,
+    // contract oracle (ImageIO JPEG is not SQL-restatable): header
+    // fields from the dims formulas, decode pins as constant booleans
+    "m_video_mjpg" ->
+      """SELECT doc_id AS media_id, 'MJPG' AS handler,
+        |  CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS width,
+        |  CAST(12 + (doc_id % 3) * 4 AS BIGINT) AS height,
+        |  CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+        |  CAST((2 + doc_id % 3) * 100 AS BIGINT) AS duration_ms,
+        |  TRUE AS frames_complete,
+        |  TRUE AS framewise_consistent,
+        |  TRUE AS near_lossless_truth
+        |FROM documents WHERE doc_id < 60 ORDER BY media_id""".stripMargin,
     // per sampled frame (every 2nd): same formula, grouped by frame
     "m_video_frames" ->
       """WITH dims AS (SELECT doc_id,
