@@ -62,15 +62,12 @@ object AsOfSql {
       throw new IllegalArgumentException(
         "multiple ASOF JOINs in one statement have no text rewrite: " +
           "chain AsOfJoin.leftAsOfKeys calls instead")
-    if ("""(?i)\busing\s*\(""".r.findFirstIn(sql).isDefined)
-      throw new IllegalArgumentException(
-        "ASOF JOIN ... USING has no text rewrite here: spell the " +
-          "condition as ON l.k = r.k AND l.t >= r.t")
 
     val inner = !"left".equalsIgnoreCase(String.valueOf(m.group(1)))
 
     // -- segment the statement at paren-depth 0 ------------------------
-    val kw = topLevelKeywords(sql)
+    val kw = topLevelKeywords(sql, Set("select", "from", "join", "on",
+      "using", "where", "order", "limit"))
     def one(name: String): Int = kw.filter(_._1 == name) match {
       case Seq((_, i)) => i
       case Seq() => refuse(s"no top-level $name")
@@ -80,45 +77,66 @@ object AsOfSql {
       .map(_._2).getOrElse(refuse("statement must start with SELECT"))
     val fromIdx = one("from")
     val joinIdx = one("join")
-    val onIdx = one("on")
     if (kw.count(_._1 == "join") > 1)
       refuse("other JOINs beside the ASOF JOIN")
+    val onIdx = kw.find(_._1 == "on").map(_._2)
+    val usingIdx = kw.find(_._1 == "using").map(_._2)
+    if (onIdx.isEmpty && usingIdx.isEmpty) refuse("no top-level ON or USING")
     val whereIdx = kw.find(_._1 == "where").map(_._2)
     val orderIdx = kw.find(_._1 == "order").map(_._2)
     val limitIdx = kw.find(_._1 == "limit").map(_._2)
     val tailIdx = Seq(whereIdx, orderIdx, limitIdx).flatten.sorted
       .headOption.getOrElse(sql.length)
 
+    val condStart = onIdx.getOrElse(usingIdx.get)
     val selectList = sql.substring(selIdx + "select".length, fromIdx).trim
     val fromSeg = sql.substring(fromIdx + "from".length, m.start).trim
-    val joinSeg = sql.substring(joinIdx + "join".length, onIdx).trim
-    val cond = sql.substring(onIdx + "on".length, tailIdx).trim
+    val joinSeg = sql.substring(joinIdx + "join".length, condStart).trim
     val tail = sql.substring(tailIdx)
 
     val (leftSrc, la) = splitSideAlias(fromSeg)
     val (rightSrc, ra) = splitSideAlias(joinSeg)
     require(la != ra, s"both ASOF JOIN sides aliased '$la'")
 
-    // -- parse the ON conjunction --------------------------------------
-    val conjRe = ("""(?is)^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*""" +
-      """(<=|>=|<|>|=)\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$""").r
     var keys = Vector.empty[(String, String)]
     var ineq = Option.empty[(String, String, String)] // leftCol, rightCol, op
-    cond.split("""(?i)\s+and\s+""").foreach { c =>
-      val cm = conjRe.findFirstMatchIn(c).getOrElse(refuse(
-        s"ON conjunct '${c.trim}' is not qualified-column OP " +
-          "qualified-column"))
-      val (q1, c1, op, q2, c2) =
-        (cm.group(1), cm.group(2), cm.group(3), cm.group(4), cm.group(5))
-      val (lc, rc, lop) =
-        if (q1 == la && q2 == ra) (c1, c2, op)
-        else if (q1 == ra && q2 == la) (c2, c1, flip(op))
-        else refuse(s"ON conjunct '${c.trim}' must relate $la to $ra")
-      if (lop == "=") keys :+= (lc -> rc)
-      else {
-        if (ineq.isDefined) refuse("more than one inequality in ON")
-        ineq = Some((lc, rc, lop))
+    if (onIdx.isDefined) {
+      // -- parse the ON conjunction ------------------------------------
+      val cond = sql.substring(onIdx.get + "on".length, tailIdx).trim
+      val conjRe = ("""(?is)^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*""" +
+        """(<=|>=|<|>|=)\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$""").r
+      cond.split("""(?i)\s+and\s+""").foreach { c =>
+        val cm = conjRe.findFirstMatchIn(c).getOrElse(refuse(
+          s"ON conjunct '${c.trim}' is not qualified-column OP " +
+            "qualified-column"))
+        val (q1, c1, op, q2, c2) =
+          (cm.group(1), cm.group(2), cm.group(3), cm.group(4), cm.group(5))
+        val (lc, rc, lop) =
+          if (q1 == la && q2 == ra) (c1, c2, op)
+          else if (q1 == ra && q2 == la) (c2, c1, flip(op))
+          else refuse(s"ON conjunct '${c.trim}' must relate $la to $ra")
+        if (lop == "=") keys :+= (lc -> rc)
+        else {
+          if (ineq.isDefined) refuse("more than one inequality in ON")
+          ineq = Some((lc, rc, lop))
+        }
       }
+    } else {
+      // -- USING (k1, …, kn, t): CH's shorthand — all but the LAST
+      // column are same-named equality keys, the last is the asof
+      // column with the default backward-inclusive (>=) direction
+      val um = """(?is)^using\s*\(([^()]*)\)\s*$"""
+        .r.findFirstMatchIn(sql.substring(usingIdx.get, tailIdx))
+        .getOrElse(refuse("USING clause is not a plain column list"))
+      val cols = um.group(1).split(",").map(_.trim).toVector
+      if (cols.length < 2)
+        refuse("USING needs at least (key, time)")
+      cols.foreach { c =>
+        if (!c.matches("""[A-Za-z_]\w*""")) refuse(
+          s"USING column '$c' is not a bare identifier")
+      }
+      keys = cols.init.map(c => c -> c)
+      ineq = Some((cols.last, cols.last, ">="))
     }
     if (keys.isEmpty) refuse("ON needs at least one equality")
     val (lt, rt, op) = ineq.getOrElse(refuse(
@@ -153,8 +171,14 @@ object AsOfSql {
     val uniqueBare: Map[String, String] = {
       val lNames = lDf0.columns.toSet
       val rNames = rDf.columns.toSet
+      // USING columns exist on both sides but CH exposes ONE merged
+      // column — the left value (right is NULL-padded on LEFT asof)
+      val usingCols =
+        if (usingIdx.isDefined) (keys.map(_._1) :+ lt).toSet
+        else Set.empty[String]
       ((lNames -- rNames).map(n => n -> s"${la}__$n") ++
-        (rNames -- lNames).map(n => n -> s"${ra}__$n")).toMap
+        (rNames -- lNames).map(n => n -> s"${ra}__$n") ++
+        usingCols.map(n => n -> s"${la}__$n")).toMap
     }
     def subst(s: String): String = {
       val qualified = s

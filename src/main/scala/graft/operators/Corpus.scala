@@ -176,6 +176,40 @@ object Corpus {
     when(h < "cccc", "train").when(h < "e666", "val").otherwise("test")
   }
 
+  /** Weighted sampling WITHOUT replacement by sequential Poisson
+    * sampling (Ohlsson 1998; the πps method Statistics Sweden ships):
+    * per row draw priority `u / w` (u uniform from a seeded id hash,
+    * w the weight column) and keep the k SMALLEST priorities. Inclusion
+    * probability is approximately proportional to weight — the standard
+    * quality/recency-weighted corpus subsample.
+    *
+    * Determinism stance: u is a pure id hash (first 13 md5 hex digits
+    * over 16^13 — 52 bits, exact in a double), so the sample is
+    * reproducible across runs, engines, and partitionings, and the
+    * whole priority is ONE IEEE division (no `ln` — the exponential-
+    * clocks formulation `-ln(u)/w` ranks identically in distribution
+    * but is not bit-reproducible cross-engine; same trade as
+    * [[tfidfTopTerms]]).
+    *
+    * Scale shape: priorities are row-local expressions; the k smallest
+    * arrive via `orderBy().limit(k)` = TakeOrderedAndProject (per-
+    * partition top-k, then a k-row merge — never a global sort of the
+    * corpus). Zero-weight rows are excluded (their priority diverges);
+    * negative weights refuse via the filter too (documented: weights
+    * must be positive to mean anything in πps).
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: String = "wsample"): DataFrame = {
+    require(k >= 1, s"weightedSample: k $k must be >= 1")
+    val u = conv(substring(md5(concat_ws(":", lit(seed),
+        col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
+      .cast("double") / lit(4503599627370496.0) // 16^13 = 2^52
+    docs.where(col(weightCol) > 0)
+      .withColumn("priority", u / col(weightCol).cast("double"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** Per-document top-k characteristic terms by TF-IDF.
     *
     * idf uses the smoothed RATIONAL form (N+1)/(df+1) rather than its log:
@@ -207,6 +241,85 @@ object Corpus {
       .where(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("term"),
         round(col("tfidf"), 4).as("tfidf"))
+  }
+
+  /** BM25 top-k retrieval: for each query, the k best-scoring documents
+    * — the lexical-retrieval half of eval-set construction and targeted
+    * corpus curation (pull the documents most relevant to a benchmark
+    * prompt before decontamination/inspection; pair with [[Similarity]]
+    * ANN for the hybrid dense+sparse shape).
+    *
+    * Scoring is BM25 (Robertson-Spärck Jones) with TWO determinism
+    * moves, both established house patterns:
+    *
+    *  - RATIONAL idf: `(N - df + 0.5)/(df + 0.5) + 1` — the argument of
+    *    Lucene's `ln(1 + (N-df+0.5)/(df+0.5))` WITHOUT the log (the
+    *    [[tfidfTopTerms]] stance: libm transcendentals are not bit-equal
+    *    across engines). Monotone in df exactly like the log form, so
+    *    single-term rankings are IDENTICAL to Lucene BM25; multi-term
+    *    weighting differs (rare terms weigh relatively more) —
+    *    a documented divergence, same determinism trade as
+    *    DIVERGENCES #22/#28/#30.
+    *  - MICRO-UNIT summation: each matched term contributes
+    *    `floor(idf·tfnorm·10⁶ + 0.5)` as an INTEGER, so the per-(query,
+    *    doc) sum is order-free and bit-identical under any partitioning
+    *    (the nDCG/PageRank trick — a double sum's order is
+    *    engine-defined, an integer sum's isn't).
+    *
+    * Shuffle shape at 100 TB: tf = one explode→groupBy(doc, term) with
+    * map-side combine; doc length derives from tf (REUSES tf's shuffle
+    * files — no second corpus pass); the query-term set and the per-term
+    * df frame are bounded by the QUERY set (broadcast, never gated —
+    * callers hand a bounded eval set, same contract as the ANN query
+    * broadcasts); corpus stats are a one-row broadcast; the final top-k
+    * window partitions by query id. The corpus-sized frames shuffle
+    * exactly twice (tf build, then (query, doc) score agg on the MATCHED
+    * subset only).
+    *
+    * @param queries bounded frame of (qidCol, qtextCol); query terms are
+    *                de-duplicated (qtf weighting not applied).
+    * @return (qid, rnk, doc_id, score) — score = micro-units / 10⁶,
+    *         ties broken by doc id ascending.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25TopK: k $k must be >= 1")
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("t_tokens")))
+      .select(col("n_docs"),
+        (col("t_tokens") / col("n_docs")).as("avgdl"))
+    val qterms = queries.select(col(qidCol).as("qid"),
+        explode(split(TextAnalysis.normalized(col(qtextCol)), " "))
+          .as("term"))
+      .distinct()
+    val dfreq = tf
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val perTerm = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        floor(((col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)) + lit(1.0))
+          * (col("tf") * lit(k1 + 1.0)
+            / (col("tf") + lit(k1) * (lit(1.0 - b)
+              + lit(b) * col("dl") / col("avgdl"))))
+          * lit(1e6) + lit(0.5)).cast("long").as("micro"))
+    val scoredQ = perTerm.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("micro")).as("score_micro"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scoredQ.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("doc_id"),
+        (col("score_micro") / lit(1e6)).as("score"))
   }
 
   /** Corpus-trained unigram language-model scoring — the CCNet-style

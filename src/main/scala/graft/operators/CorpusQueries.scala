@@ -60,6 +60,30 @@ object CorpusQueries {
     * Corpus.tfidfTopTerms for why not log). */
   def dTfidf(spark: SparkSession, dir: String): DataFrame =
     Corpus.tfidfTopTerms(docs(spark, dir), "doc_id", "text", k = 3)
+
+  /** Sequential-Poisson weighted sample: 50 documents, inclusion odds
+    * ~proportional to n_chars (Corpus.weightedSample — rational
+    * priorities, reproducible across engines and partitionings). */
+  def dWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Corpus.weightedSample(
+        docs(spark, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 50)
+      .select(col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+
+  /** BM25 top-5 per query over the corpus for a fixed 3-query eval set
+    * (rational idf + micro-unit term sums — see Corpus.bm25TopK; the
+    * oracle recomputes the identical integer arithmetic). */
+  def dBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq(
+      (1L, "spark data processing"),
+      (2L, "key value store"),
+      (3L, "the quick brown fox")).toDF("qid", "qtext")
+    Corpus.bm25TopK(docs(spark, dir), "doc_id", "text",
+        queries, "qid", "qtext", k = 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
       .orderBy(col("doc_id"), col("rnk"))
 
   /** Duplicate-passage share per document: positions whose word 4-gram
@@ -477,6 +501,8 @@ object CorpusQueries {
     "d_dup_clusters" -> (dDupClusters _),
     "d_split_assign" -> (dSplitAssign _),
     "d_tfidf" -> (dTfidf _),
+    "d_bm25" -> (dBm25 _),
+    "d_weighted_sample" -> (dWeightedSample _),
     "d_unigram_score" -> (dUnigramScore _),
     "d_dup_passages" -> (dDupPassages _),
     "d_chunk_windows" -> (dChunkWindows _),
@@ -1085,6 +1111,54 @@ object CorpusQueries {
          |  FROM scored)
          |SELECT doc_id, rnk, term, round(tfidf, 4) AS tfidf
          |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // same seeded hash fraction (13 hex digits / 16^13) and ONE division
+    "d_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |  (('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+        |      1, 13))::BIGINT / 4503599627370496.0) / n_chars AS priority
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+    // identical integer micro-unit arithmetic: rational idf, floor(x*1e6
+    // + .5) per matched term, order-free BIGINT sum, top-5 window
+    "d_bm25" ->
+      s"""WITH q AS (
+         |  SELECT * FROM (VALUES (1, 'spark data processing'),
+         |    (2, 'key value store'), (3, 'the quick brown fox'))
+         |    AS t(qid, qtext)
+         |), qt AS (
+         |  SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS term
+         |  FROM q
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+         |    FROM documents) GROUP BY 1, 2
+         |), dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |  FROM tf GROUP BY doc_id
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |    (SELECT sum(dl) FROM dl) * 1.0
+         |      / (SELECT count(*) FROM documents) AS avgdl
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY term
+         |), per_term AS (
+         |  SELECT qt.qid, tf.doc_id,
+         |    CAST(floor(((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS micro
+         |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+         |    JOIN dfreq USING (term) CROSS JOIN stats
+         |), scored AS (
+         |  SELECT qid, doc_id, sum(micro) AS score_micro
+         |  FROM per_term GROUP BY qid, doc_id
+         |), ranked AS (
+         |  SELECT qid, doc_id, score_micro,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY score_micro DESC, doc_id) AS rnk
+         |  FROM scored)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
+         |  doc_id, score_micro / 1000000.0 AS score
+         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "d_unigram_score" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS w

@@ -364,7 +364,7 @@ object DialectQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
-        |ORDER BY p.event_id""".stripMargin,
+        |ORDER BY p.event_id LIMIT 5000""".stripMargin,
       limit = graft.api.AdHoc.CliMaxLimit,
       maxLimit = graft.api.AdHoc.CliMaxLimit)
   }
@@ -504,7 +504,7 @@ object DialectQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
-        |ORDER BY p.event_id""".stripMargin,
+        |ORDER BY p.event_id LIMIT 5000""".stripMargin,
     // same independent grid-join formulation as the plan twin q_with_fill
     "q_with_fill_sql" ->
       """WITH daily AS (

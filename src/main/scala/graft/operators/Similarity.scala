@@ -948,4 +948,41 @@ object Similarity {
     }.reduce(_ unionByName _)
       .orderBy(col("dim"), col("qid"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard hybrid-retrieval combiner: given N per-query rankings
+    * (dense ANN, sparse BM25, …), score each candidate
+    * `Σ_i 1/(kRrf + rank_i)` over the rankings that retrieved it and
+    * keep the top `topK` per query. Purely rational arithmetic, and the
+    * sum is a FIXED-ORDER chain of column adds (ranking-list order), so
+    * the result is bit-deterministic across engines and partitionings —
+    * no libm, no aggregate-order ambiguity (an agg-sum over an exploded
+    * union would re-order the adds per partition).
+    *
+    * Each input must expose (`qid`, `nid`, `rank`) with rank 1-based.
+    * Candidates absent from a ranking contribute 0 from it. Scale
+    * shape: rankings are already top-k frames (query-set-bounded), so
+    * the outer-join chain and the final window touch O(|queries|·k·N)
+    * rows — nothing corpus-sized.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse: need at least two rankings")
+    require(kRrf >= 1 && topK >= 1, "rrfFuse: kRrf and topK must be >= 1")
+    val sides = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("qid"), col("nid"), col("rank").as(s"__r$i"))
+    }
+    val joined = sides.reduce(_.join(_, Seq("qid", "nid"), "full_outer"))
+    val score = rankings.indices
+      .map(i => coalesce(lit(1.0) / (lit(kRrf) + col(s"__r$i")), lit(0.0)))
+      .reduce(_ + _) // left-assoc: fixed summation order
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_score").desc, col("nid"))
+    joined.withColumn("rrf_score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("qid") +: col("rank") +: col("nid") +:
+        col("rrf_score") +:
+        rankings.indices.map(i => col(s"__r$i").as(s"rank_src$i")): _*)
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.RollingHash
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over documents/embeddings: dedup
@@ -367,6 +368,35 @@ object TextQueries {
   def eKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Similarity.knnBrute(e, e.where(col("vec_id") < 5), k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Hybrid dense+sparse retrieval via reciprocal-rank fusion
+    * (Similarity.rrfFuse): queries are documents 0-4 (vec_id and doc_id
+    * share the id space), the dense leg is exact cosine top-10 over the
+    * embeddings, the sparse leg is BM25 top-10 over the texts with the
+    * query document's own text as the query (self-hit dropped and ranks
+    * compacted — the standard more-like-this shape). The fused score
+    * 1/(60+r_dense) + 1/(60+r_sparse) is a fixed-order rational sum,
+    * emitted UNROUNDED (bit-equal cross-engine — the m_audio stance). */
+  def eHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val dense = Similarity.knnBrute(e, e.where(col("vec_id") < 5), k = 10)
+      .select(col("qid"), col("nid"), col("rank"))
+    val d = Tables.load(spark, dir, "documents")
+    val queries = d.where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val sparse = Corpus.bm25TopK(d, "doc_id", "text",
+        queries, "qid", "qtext", k = 11)
+      .where(col("doc_id") =!= col("qid"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rnk"))).cast("long"))
+      .where(col("rank") <= 10)
+      .select(col("qid"), col("doc_id").as("nid"), col("rank"))
+    Similarity.rrfFuse(Seq(dense, sparse), kRrf = 60, topK = 10)
+      .select(col("qid"), col("rank"), col("nid"), col("rrf_score"),
+        col("rank_src0").as("rank_dense"),
+        col("rank_src1").as("rank_sparse"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -746,6 +776,7 @@ object TextQueries {
     "e_knn_quantized" -> (eKnnQuantized _),
     "e_knn_pq" -> (eKnnPq _),
     "e_knn_brute" -> (eKnnBrute _),
+    "e_hybrid_rrf" -> (eHybridRrf _),
     "e_hard_negatives" -> (eHardNegatives _),
     "e_knn_lsh" -> (eKnnLsh _),
     "e_knn_ivf" -> (eKnnIvf _),
@@ -1403,6 +1434,78 @@ object TextQueries {
         |    ORDER BY round(sim, 6) DESC, nid) AS rank
         |  FROM scored)
         |SELECT qid, rank, nid, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // both legs recomputed independently (the dense leg IS e_knn_brute's
+    // formulation; the sparse leg is d_bm25's micro-unit arithmetic with
+    // the query documents' own texts), then the fixed-order rational
+    // RRF sum — every value bit-equal, score emitted unrounded
+    "e_hybrid_rrf" ->
+      """WITH dq AS (SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |dscored AS (
+        |  SELECT dq.qid, e.vec_id AS nid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(e.embedding[i] AS DOUBLE)
+        |          * CAST(e.embedding[i] AS DOUBLE))))) AS sim
+        |  FROM dq, embeddings e WHERE e.vec_id <> dq.qid),
+        |dense AS (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(sim, 6) DESC, nid) AS rd
+        |  FROM dscored QUALIFY rd <= 10),
+        |qt AS (SELECT DISTINCT doc_id AS qid,
+        |    unnest(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+        |      AS term
+        |  FROM documents WHERE doc_id < 5),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')), ' ')) AS term
+        |    FROM documents) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |  FROM tf GROUP BY doc_id),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |    (SELECT sum(dl) FROM dl) * 1.0
+        |      / (SELECT count(*) FROM documents) AS avgdl),
+        |dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |per_term AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    CAST(floor(((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |      * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS micro
+        |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+        |    JOIN dfreq USING (term) CROSS JOIN stats),
+        |sscored AS (
+        |  SELECT qid, doc_id, sum(micro) AS score_micro
+        |  FROM per_term GROUP BY qid, doc_id),
+        |sranked AS (
+        |  SELECT qid, doc_id,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_micro DESC, doc_id) AS rnk
+        |  FROM sscored QUALIFY rnk <= 11),
+        |sparse AS (
+        |  SELECT qid, doc_id AS nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY rnk) AS rs
+        |  FROM sranked WHERE doc_id <> qid QUALIFY rs <= 10),
+        |fused AS (
+        |  SELECT coalesce(dense.qid, sparse.qid) AS qid,
+        |    coalesce(dense.nid, sparse.nid) AS nid, rd, rs,
+        |    coalesce(1.0 / (60 + rd), 0.0) + coalesce(1.0 / (60 + rs), 0.0)
+        |      AS rrf_score
+        |  FROM dense FULL OUTER JOIN sparse
+        |    ON dense.qid = sparse.qid AND dense.nid = sparse.nid),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf_score DESC, nid) AS rank FROM fused)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, rrf_score,
+        |  CAST(rd AS BIGINT) AS rank_dense, CAST(rs AS BIGINT) AS rank_sparse
         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "e_knn_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv

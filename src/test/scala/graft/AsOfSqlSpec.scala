@@ -96,7 +96,27 @@ class AsOfSqlSpec extends AnyFunSuite {
     assert(msg("""SELECT t.tid FROM asof_trades t
       |ASOF LEFT JOIN asof_quotes q ON t.sym = q.sym""".stripMargin)
       .contains("inequality"))
-    assert(msg("SELECT 1 FROM a ASOF JOIN b USING (k, t)")
-      .contains("ON l.k = r.k"))
+    assert(msg("SELECT x FROM asof_trades a ASOF JOIN asof_quotes b " +
+      "USING (sym)").contains("at least (key, time)"))
+  }
+
+  test("USING form: all-but-last equality keys, last col backward " +
+      "inclusive; merged columns read the left side") {
+    fixture()
+    // quotes as left so (sym, qt) vs trades (sym, tt): need same names —
+    // build views with shared column names
+    Seq(("A", 25L, 101L), ("A", 20L, 102L), ("B", 10L, 103L))
+      .toDF("sym", "t", "tid").createOrReplaceTempView("asof_ul")
+    Seq(("A", 10L, 1.0), ("A", 20L, 2.0), ("B", 15L, 3.0))
+      .toDF("sym", "t", "px").createOrReplaceTempView("asof_ur")
+    val rows = AdHoc.query(spark,
+      """SELECT tid, sym, t, px FROM asof_ul l
+        |ASOF LEFT JOIN asof_ur r USING (sym, t)
+        |ORDER BY tid""".stripMargin, limit = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(2), Option(r.get(3))))
+    assert(rows.toSeq == Seq(
+      (101L, 25L, Some(2.0)),  // t=25: quote at 20 (backward inclusive)
+      (102L, 20L, Some(2.0)),  // equal time matches
+      (103L, 10L, None)))      // B quote is at 15 > 10
   }
 }

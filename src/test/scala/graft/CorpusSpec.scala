@@ -145,6 +145,51 @@ class CorpusSpec extends AnyFunSuite {
     assert(top(3L) == "filler")
   }
 
+  test("weightedSample: partition-invariant, zero weights out, heavy " +
+      "weights favored, k respected") {
+    val rows = (1L to 200L).map(i =>
+      (i, if (i == 7L) 1000000.0 else 1.0)) :+ (201L -> 0.0)
+    val df = rows.toDF("id", "w")
+    val s1 = Corpus.weightedSample(df, "id", "w", k = 20)
+      .select("id").as[Long].collect().toSeq
+    val s2 = Corpus.weightedSample(df.repartition(7), "id", "w", k = 20)
+      .select("id").as[Long].collect().toSeq
+    assert(s1 == s2) // pure id-hash priorities: layout-independent
+    assert(s1.length == 20)
+    assert(s1.contains(7L))   // priority ≤ 1e-6 beats ~uniform(0,1) draws
+    assert(!s1.contains(201L)) // zero weight excluded
+  }
+
+  test("bm25TopK: relevance ordering, saturation, length norm, " +
+      "micro-unit exactness") {
+    val docs = Seq(
+      (1L, "spark spark spark spark spark"), // high tf, saturates
+      (2L, "spark engine"),                  // one hit, short doc
+      (3L, "spark and a lot of other words here to make this long"),
+      (4L, "nothing relevant at all")).toDF("doc_id", "text")
+    val qs = Seq((1L, "spark")).toDF("qid", "qtext")
+    val out = Corpus.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext",
+        k = 3, k1 = 1.2, b = 0.75)
+      .orderBy("rnk").collect()
+    // doc 4 never matches; k=3 returns the three matching docs
+    assert(out.map(_.getLong(2)).toSeq.sorted == Seq(1L, 2L, 3L))
+    // tf saturation still ranks the all-spark doc first; length norm
+    // ranks the short 2-word doc above the long one
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    // hand-recompute doc 2's score: N=4, df=3, dl=2, avgdl=23/4
+    val idf = (4.0 - 3 + 0.5) / (3 + 0.5) + 1.0
+    val tfn = 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / (23.0 / 4)))
+    val micro = math.floor(idf * tfn * 1e6 + 0.5).toLong
+    assert(out(1).getDouble(3) == micro / 1e6)
+    // single-term ranking == Lucene BM25 ranking (idf is monotone in df)
+    // multi-term query: scores are per-term integer sums
+    val multi = Corpus.bm25TopK(docs, "doc_id", "text",
+        Seq((9L, "spark engine")).toDF("qid", "qtext"),
+        "qid", "qtext", k = 4).collect()
+    assert(multi.map(_.getLong(2)).contains(2L))
+    assert(multi.forall(r => r.getDouble(3) > 0))
+  }
+
   test("contamination: planted n-gram overlap found, clean docs absent") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
