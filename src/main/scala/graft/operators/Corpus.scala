@@ -267,27 +267,33 @@ object Corpus {
     *    engine-defined, an integer sum's isn't).
     *
     * Shuffle shape at 100 TB: tf = one explode→groupBy(doc, term) with
-    * map-side combine; doc length derives from tf (REUSES tf's shuffle
-    * files — no second corpus pass); the query-term set and the per-term
-    * df frame are bounded by the QUERY set (broadcast, never gated —
-    * callers hand a bounded eval set, same contract as the ANN query
-    * broadcasts); corpus stats are a one-row broadcast; the final top-k
-    * window partitions by query id. The corpus-sized frames shuffle
-    * exactly twice (tf build, then (query, doc) score agg on the MATCHED
-    * subset only).
+    * map-side combine, MATERIALIZED once (the [[Materialize]] knob —
+    * tf is the inverted index, and its four consumers (df, doc length,
+    * corpus stats, scoring) would otherwise each replay the corpus
+    * scan: column pruning specializes every consumer's subtree, so
+    * exchange reuse does NOT apply — measured as 9 parquet scans in the
+    * un-materialized plan, 1 after); the query-term set and the
+    * per-term df frame are bounded by the QUERY set (broadcast, never
+    * gated — callers hand a bounded eval set, same contract as the ANN
+    * query broadcasts); corpus stats are a one-row broadcast; the final
+    * top-k window partitions by query id.
     *
     * @param queries bounded frame of (qidCol, qtextCol); query terms are
     *                de-duplicated (qtf weighting not applied).
+    * @param materialize local | reliable | persist for the tf index
+    *                (trade-offs in [[Materialize]]).
     * @return (qid, rnk, doc_id, score) — score = micro-units / 10⁶,
     *         ties broken by doc id ascending.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
-      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      materialize: String = "local"): DataFrame = {
     require(k >= 1, s"bm25TopK: k $k must be >= 1")
-    val tf = docs.select(col(idCol).as("doc_id"),
+    val tf = Materialize(docs.select(col(idCol).as("doc_id"),
         explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")),
+      materialize)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum(col("dl")).as("t_tokens")))

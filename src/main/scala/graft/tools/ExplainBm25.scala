@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot plan audit for the BM25 path: the tf groupBy shuffle must
+  * serve its three consumers (df, doc-length, scoring) via
+  * ReusedExchange — a corpus re-scan per consumer would triple the
+  * dominant cost at 100 TB. */
+object ExplainBm25 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.operators.CorpusQueries.queries("d_bm25")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.split("\n").count(_.contains("Scan parquet"))
+    val reuse = p.split("\n").count(_.contains("ReusedExchange"))
+    val shuffles = p.split("\n").count(_.contains("Exchange"))
+    println(s"[audit] parquet-scans=$scans reused-exchanges=$reuse " +
+      s"exchange-lines=$shuffles")
+    spark.stop()
+  }
+}
