@@ -176,6 +176,83 @@ object Corpus {
     when(h < "cccc", "train").when(h < "e666", "val").otherwise("test")
   }
 
+  /** UniMax source mixing (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): spread a total document budget as UNIFORMLY as
+    * possible across sources, capping each source at `maxEpochs`
+    * repetitions of its corpus — the budgeted companion to
+    * [[sourceMix]] (which hits exact proportions instead).
+    *
+    * Deterministic integer waterfill, defined so an independent SQL
+    * engine reproduces it exactly: sort sources by cap c_s = n_s·E
+    * ascending (ties by name); source i is CAPPED iff
+    * `c_i·(S−i+1) + prefix_i ≤ B` (its cap fits even if every later
+    * source also took c_i); the uncapped share is
+    * `λ = (B − Σ capped c) div #uncapped` (integer floor — underspends
+    * by < S documents rather than prorating fractional docs); quota_s =
+    * c_s if capped else λ. Per document, copies = `quota div n_s` full
+    * epochs plus one more for the `quota mod n_s` smallest-seeded-hash
+    * documents (the [[sourceMix]] prefix-stability trick: the partial
+    * epoch keeps the same documents as the corpus grows).
+    *
+    * Scale shape: ONE bounded collect of per-source counts (sources are
+    * datasets, not domains — cardinality is a curation decision;
+    * refused above `maxSources` rather than silently collecting a
+    * domain-cardinality column), one per-source window for the partial
+    * epoch ranks, zero other shuffles.
+    *
+    * @return one row per document with copies ≥ 1:
+    *         (doc_id, source, copies).
+    */
+  def unimaxMix(docs: DataFrame, idCol: String, sourceCol: String,
+      budgetDocs: Long, maxEpochs: Int, seed: String = "unimax",
+      maxSources: Int = 10000): DataFrame = {
+    require(budgetDocs > 0, s"unimaxMix: budget $budgetDocs must be > 0")
+    require(maxEpochs >= 1, s"unimaxMix: maxEpochs $maxEpochs must be >= 1")
+    val counts = docs.groupBy(col(sourceCol).as("src"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("src"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.length <= maxSources,
+      s"unimaxMix: ${counts.length} sources exceed maxSources=" +
+        s"$maxSources — is '$sourceCol' a dataset column or a domain?")
+    require(counts.nonEmpty, "unimaxMix: empty corpus")
+    // waterfill over caps sorted ascending (ties by source name)
+    val byCap = counts.map { case (s, n) => (s, n, n * maxEpochs.toLong) }
+      .sortBy { case (s, _, c) => (c, s) }
+    val sTotal = byCap.length
+    var prefix = 0L
+    var cappedSum = 0L
+    var nCapped = 0
+    val cappedFlags = byCap.zipWithIndex.map { case ((_, _, c), i) =>
+      val fits = c * (sTotal - i) + prefix <= budgetDocs
+      prefix += c
+      if (fits) { cappedSum += c; nCapped += 1 }
+      fits
+    }
+    val lambda =
+      if (nCapped == sTotal) 0L
+      else (budgetDocs - cappedSum) / (sTotal - nCapped)
+    val quotas: Map[String, Long] = byCap.zip(cappedFlags).map {
+      case ((s, _, c), capped) => s -> (if (capped) c else math.min(c, lambda))
+    }.toMap
+    val nBySrc = counts.toMap
+    val baseExpr = quotas.foldLeft(lit(0L)) { case (acc, (s, q)) =>
+      when(col("source") === s, lit(q / nBySrc(s))).otherwise(acc)
+    }
+    val remExpr = quotas.foldLeft(lit(0L)) { case (acc, (s, q)) =>
+      when(col("source") === s, lit(q % nBySrc(s))).otherwise(acc)
+    }
+    val h = md5(concat_ws(":", lit(seed), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("copies",
+        baseExpr + when(col("__rank") <= remExpr, 1L).otherwise(0L))
+      .where(col("copies") > 0)
+      .select(col("doc_id"), col("source"), col("copies"))
+  }
+
   /** Weighted sampling WITHOUT replacement by sequential Poisson
     * sampling (Ohlsson 1998; the πps method Statistics Sweden ships):
     * per row draw priority `u / w` (u uniform from a seeded id hash,

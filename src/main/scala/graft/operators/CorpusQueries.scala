@@ -61,6 +61,17 @@ object CorpusQueries {
   def dTfidf(spark: SparkSession, dir: String): DataFrame =
     Corpus.tfidfTopTerms(docs(spark, dir), "doc_id", "text", k = 3)
 
+  /** UniMax budget-600 mix at 2 epochs over a deliberately SKEWED
+    * sub-corpus (18 small sources + 2 full ones), so both waterfill
+    * branches are load-bearing: the small sources cap at 2 epochs, the
+    * big ones take the integer uniform share λ (Corpus.unimaxMix). */
+  def dUnimaxMix(spark: SparkSession, dir: String): DataFrame =
+    Corpus.unimaxMix(
+        docs(spark, dir).where(col("doc_id") < 300
+          || col("source").isin("src1", "src2")),
+        "doc_id", "source", budgetDocs = 600L, maxEpochs = 2)
+      .orderBy(col("doc_id"))
+
   /** Sequential-Poisson weighted sample: 50 documents, inclusion odds
     * ~proportional to n_chars (Corpus.weightedSample — rational
     * priorities, reproducible across engines and partitionings). */
@@ -503,6 +514,7 @@ object CorpusQueries {
     "d_tfidf" -> (dTfidf _),
     "d_bm25" -> (dBm25 _),
     "d_weighted_sample" -> (dWeightedSample _),
+    "d_unimax_mix" -> (dUnimaxMix _),
     "d_unigram_score" -> (dUnigramScore _),
     "d_dup_passages" -> (dDupPassages _),
     "d_chunk_windows" -> (dChunkWindows _),
@@ -1111,6 +1123,49 @@ object CorpusQueries {
          |  FROM scored)
          |SELECT doc_id, rnk, term, round(tfidf, 4) AS tfidf
          |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // the same integer waterfill, restated with window prefix sums:
+    // capped iff c·(S−i+1)+prefix ≤ B over caps sorted (c, src); λ =
+    // (B − Σ capped c) // #uncapped; copies = q//n + partial-epoch rank
+    "d_unimax_mix" ->
+      """WITH sub AS (
+        |  SELECT doc_id, source FROM documents
+        |  WHERE doc_id < 300 OR source IN ('src1', 'src2')
+        |), cnt AS (
+        |  SELECT source AS src, count(*) AS n FROM sub GROUP BY source
+        |), caps AS (
+        |  SELECT src, n, n * 2 AS c,
+        |    row_number() OVER (ORDER BY n * 2, src) AS i,
+        |    count(*) OVER () AS s_total,
+        |    coalesce(sum(n * 2) OVER (ORDER BY n * 2, src
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prefix
+        |  FROM cnt
+        |), flags AS (
+        |  SELECT *, (c * (s_total - i + 1) + prefix <= 600) AS capped
+        |  FROM caps
+        |), lam AS (
+        |  SELECT CASE
+        |    WHEN count(*) FILTER (WHERE NOT capped) = 0 THEN 0
+        |    ELSE (600 - coalesce(sum(c) FILTER (WHERE capped), 0))
+        |      // count(*) FILTER (WHERE NOT capped) END AS lambda
+        |  FROM flags
+        |), quotas AS (
+        |  SELECT src, n,
+        |    CASE WHEN capped THEN c ELSE least(c, lambda) END AS q
+        |  FROM flags CROSS JOIN lam
+        |), ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('unimax:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS r
+        |  FROM sub
+        |)
+        |SELECT doc_id, source,
+        |  CAST((q // n) + CASE WHEN r <= (q % n) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS copies
+        |FROM ranked JOIN quotas ON source = src
+        |WHERE (q // n) + CASE WHEN r <= (q % n) THEN 1 ELSE 0 END > 0
+        |ORDER BY doc_id""".stripMargin,
     // same seeded hash fraction (13 hex digits / 16^13) and ONE division
     "d_weighted_sample" ->
       """SELECT doc_id, n_chars,

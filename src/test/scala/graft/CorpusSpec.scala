@@ -145,6 +145,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(top(3L) == "filler")
   }
 
+  test("unimaxMix: caps bind at maxEpochs, uncapped share the integer " +
+      "remainder, partial epoch is hash-prefix-stable") {
+    // sources: a=2 docs (cap 4), b=3 (cap 6), c=10 (cap 20); budget 16
+    // waterfill sorted (4,6,20): a capped (4·3=12≤16), b capped
+    // (6·2+4=16≤16), c uncapped: λ=(16−10)/1=6
+    val docs = ((1L to 2L).map(i => (i, "a")) ++
+      (11L to 13L).map(i => (i, "b")) ++
+      (21L to 30L).map(i => (i, "c"))).toDF("id", "src")
+    val out = Corpus.unimaxMix(docs, "id", "src", budgetDocs = 16L,
+      maxEpochs = 2).collect()
+    val bySrc = out.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySrc == Map("a" -> 4L, "b" -> 6L, "c" -> 6L))
+    // a and b run 2 full epochs (every doc copies=2); c's 6 of 10 docs
+    // appear once — and WHICH six is stable under corpus growth
+    assert(out.filter(_.getString(1) != "c").forall(_.getLong(2) == 2L))
+    val cDocs = out.filter(_.getString(1) == "c").map(_.getLong(0)).toSet
+    assert(cDocs.size == 6)
+    val grown = Corpus.unimaxMix(
+        docs.union(Seq((31L, "c"), (32L, "c")).toDF("id", "src")),
+        "id", "src", budgetDocs = 16L, maxEpochs = 2)
+      .filter(_.getString(1) == "c").collect().map(_.getLong(0)).toSet
+    // same λ=6 share; the hash order is fixed, so the kept set can only
+    // swap members if a NEW doc hashes earlier — never reshuffle wholesale
+    assert((cDocs intersect grown).size >= 4)
+    // infeasible-source refusal shape: huge source-cardinality guard
+    intercept[IllegalArgumentException] {
+      Corpus.unimaxMix(docs, "id", "src", 16L, 2, maxSources = 2)
+    }
+  }
+
   test("weightedSample: partition-invariant, zero weights out, heavy " +
       "weights favored, k respected") {
     val rows = (1L to 200L).map(i =>
