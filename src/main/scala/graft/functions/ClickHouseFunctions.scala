@@ -301,51 +301,71 @@ object ClickHouseFunctions {
     // [LEFT] ARRAY JOIN — rewritten first so the later passes see plain
     // Spark text. expr = identifier (possibly qualified) or a function
     // call with one paren-nesting level (splitByChar(' ', text) etc.).
-    // TWO-array lockstep (`ARRAY JOIN a AS x, b AS y`) zips via
-    // `zip_with(a, b, -> named_struct)` + ONE explode, with x/y
-    // references across the statement re-aimed at the struct fields —
+    // N-array lockstep (`ARRAY JOIN a AS x, b AS y, …`) zips via NESTED
+    // `zip_with(…, -> named_struct)` + ONE explode, with every alias
+    // reference across the statement re-aimed at the struct fields —
     // the fan-out still never materializes unexploded rows. Divergence
     // from CH: unequal lengths NULL-pad (zip_with) instead of erroring.
-    // Three or more arrays refuse with the two-step fix named.
     val ajExpr = """[A-Za-z_][\w.]*\s*\((?:[^()]|\([^()]*\))*\)|[A-Za-z_][\w.]*"""
-    val ajItem = s"""($ajExpr)(?:\\s+as\\s+([A-Za-z_]\\w*))?"""
-    val ajRe = ("""(?i)\b(left\s+)?array\s+join\s+""" + ajItem +
-      s"""(?:\\s*,\\s*$ajItem)?(\\s*,)?""").r
+    val ajStartRe = """(?i)\b(left\s+)?array\s+join\s+""".r
+    val ajItemRe = ("""^(""" + ajExpr +
+      """)(?:\s+[aA][sS]\s+([A-Za-z_]\w*))?(\s*,\s*)?""").r
     @scala.annotation.tailrec
-    def rewriteArrayJoins(s: String): String = ajRe.findFirstMatchIn(s) match {
-      case None => s
-      case Some(m) =>
-        if (m.group(6) != null)
-          throw new IllegalArgumentException(
-            "ARRAY JOIN of three or more arrays has no single rewrite: " +
-              "zip them first — ARRAY JOIN arrayZip(a, b, c) AS abc, " +
-              "then abc.a / abc.b / abc.c")
-        if (m.group(3) == null || (m.group(4) != null && m.group(5) == null))
-          throw new IllegalArgumentException(
-            "ARRAY JOIN without an alias shadows the array column with " +
-              "its elements, which Spark resolution cannot spell: write " +
-              "ARRAY JOIN <expr> AS <alias>")
-        val outer = if (m.group(1) != null) "OUTER " else ""
-        val pre = s.substring(0, m.start)
-        val post = s.substring(m.end)
-        if (m.group(4) == null) {
-          rewriteArrayJoins(
-            pre + s"LATERAL VIEW ${outer}explode(${m.group(2)}) __aj AS " +
-              m.group(3) + post)
-        } else {
-          val (a1, a2) = (m.group(3), m.group(5))
-          require(a1 != a2, s"ARRAY JOIN aliases both named '$a1'")
-          val lv = s"LATERAL VIEW ${outer}explode(zip_with(${m.group(2)}, " +
-            s"${m.group(4)}, (__zx, __zy) -> " +
-            s"named_struct('$a1', __zx, '$a2', __zy))) __aj AS __ajz"
-          // re-aim alias references; not after '.'/ident (qualified
-          // names) and not before '(' (function calls)
-          def ref(t: String): String = t
-            .replaceAll(s"(?<![.\\w])$a1\\b(?!\\s*\\()", s"__ajz.$a1")
-            .replaceAll(s"(?<![.\\w])$a2\\b(?!\\s*\\()", s"__ajz.$a2")
-          rewriteArrayJoins(ref(pre) + lv + ref(post))
-        }
-    }
+    def rewriteArrayJoins(s: String): String =
+      ajStartRe.findFirstMatchIn(s) match {
+        case None => s
+        case Some(m) =>
+          // scan the comma-separated item list right after the keyword
+          var items = Vector.empty[(String, String)] // (expr, alias)
+          var pos = m.end
+          var more = true
+          while (more) {
+            val im = ajItemRe.findFirstMatchIn(s.substring(pos)).getOrElse(
+              throw new IllegalArgumentException(
+                s"ARRAY JOIN: cannot parse item at '${s.substring(pos)
+                  .take(40)}'"))
+            if (im.group(2) == null)
+              throw new IllegalArgumentException(
+                "ARRAY JOIN without an alias shadows the array column " +
+                  "with its elements, which Spark resolution cannot " +
+                  "spell: write ARRAY JOIN <expr> AS <alias>")
+            items :+= (im.group(1) -> im.group(2))
+            pos += im.end
+            more = im.group(3) != null
+          }
+          require(items.map(_._2).distinct.size == items.size,
+            s"ARRAY JOIN aliases must be distinct: ${items.map(_._2)}")
+          val outer = if (m.group(1) != null) "OUTER " else ""
+          val pre = s.substring(0, m.start)
+          val post = s.substring(pos)
+          if (items.size == 1) {
+            rewriteArrayJoins(
+              pre + s"LATERAL VIEW ${outer}explode(${items.head._1}) " +
+                s"__aj AS ${items.head._2}" + post)
+          } else {
+            // fold the arrays into one struct array: after step i the
+            // element is a struct of the first i aliases, so step i+1
+            // re-spreads those fields and appends its own
+            val zipped = items.tail.zipWithIndex.foldLeft(items.head._1) {
+              case (acc, ((expr, _), i)) =>
+                val prev = items.take(i + 1).map(_._2)
+                val fields =
+                  if (i == 0) s"'${prev.head}', __zp"
+                  else prev.map(a => s"'$a', __zp.$a").mkString(", ")
+                s"zip_with($acc, $expr, (__zp, __zx) -> " +
+                  s"named_struct($fields, '${items(i + 1)._2}', __zx))"
+            }
+            val lv =
+              s"LATERAL VIEW ${outer}explode($zipped) __aj AS __ajz"
+            // re-aim alias references; not after '.'/ident (qualified
+            // names) and not before '(' (function calls)
+            def ref(t: String): String = items.foldLeft(t) {
+              case (acc, (_, a)) =>
+                acc.replaceAll(s"(?<![.\\w])$a\\b(?!\\s*\\()", s"__ajz.$a")
+            }
+            rewriteArrayJoins(ref(pre) + lv + ref(post))
+          }
+      }
     val arrayJoined = rewriteArrayJoins(sql)
     // FROM t FINAL / JOIN t FINAL: a no-op here — every engine read is
     // already the deterministic FINAL view (DIVERGENCES #1), so the

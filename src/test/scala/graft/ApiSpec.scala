@@ -140,13 +140,19 @@ class ApiSpec extends AnyFunSuite {
     // TWO-array lockstep: zip_with + one explode, refs re-aimed
     assert(rewriteDialect("SELECT x, y FROM t ARRAY JOIN a AS x, b AS y")
       == "SELECT __ajz.x, __ajz.y FROM t LATERAL VIEW explode(zip_with(" +
-        "a, b, (__zx, __zy) -> named_struct('x', __zx, 'y', __zy))) " +
+        "a, b, (__zp, __zx) -> named_struct('x', __zp, 'y', __zx))) " +
         "__aj AS __ajz")
-    // three or more: refused with the arrayZip two-step fix
-    val multi = intercept[IllegalArgumentException] {
-      rewriteDialect("SELECT * FROM t ARRAY JOIN a AS x, b AS y, c AS z")
+    // THREE arrays: nested zip_with, earlier fields re-spread each step
+    assert(rewriteDialect(
+      "SELECT x, y, z FROM t ARRAY JOIN a AS x, b AS y, c AS z")
+      == "SELECT __ajz.x, __ajz.y, __ajz.z FROM t LATERAL VIEW explode(" +
+        "zip_with(zip_with(a, b, (__zp, __zx) -> named_struct('x', __zp, " +
+        "'y', __zx)), c, (__zp, __zx) -> named_struct('x', __zp.x, " +
+        "'y', __zp.y, 'z', __zx))) __aj AS __ajz")
+    // duplicate aliases refuse
+    intercept[IllegalArgumentException] {
+      rewriteDialect("SELECT x FROM t ARRAY JOIN a AS x, b AS x")
     }
-    assert(multi.getMessage.contains("arrayZip"))
     // alias-less form: CH shadows the source column — refused with fix
     val bare = intercept[IllegalArgumentException] {
       rewriteDialect("SELECT arr FROM t ARRAY JOIN arr WHERE x = 1")
@@ -177,6 +183,13 @@ class ApiSpec extends AnyFunSuite {
         "ORDER BY id, i").collect()
     assert(lock.map(r => (r.getLong(2), r.getString(1))).toSeq
       == Seq((1L, "a"), (2L, "b"), (3L, "b"), (1L, "a")))
+    // three-array lockstep end-to-end
+    val lock3 = AdHoc.query(spark,
+      "SELECT id, w, i, j FROM aj_t " +
+        "ARRAY JOIN arr AS w, arrayEnumerate(arr) AS i, " +
+        "arrayEnumerate(arr) AS j WHERE id = 1 ORDER BY i").collect()
+    assert(lock3.map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq(("a", 1L, 1L), ("b", 2L, 2L), ("b", 3L, 3L)))
   }
 
   test("QUALIFY rewrites to a wrapped filter; unsupported shapes refused") {
