@@ -463,8 +463,14 @@ object ClickHouseFunctions {
       m => java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)}${m.group(2)}(SELECT id AS number FROM " +
           s"range(${m.group(3)}))"))
+    // CH `LIMIT m, n` (offset shorthand, NO trailing BY — that form is
+    // rewriteLimitBy's) → standard `LIMIT n OFFSET m`. Position-free:
+    // the spelling means the same thing at any nesting depth.
+    val limitComma =
+      """(?is)\blimit\s+(\d+)\s*,\s*(\d+)(?!\s*by\b)""".r.replaceAllIn(
+        numbered, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
     rewriteLimitBy(rewriteQualify(rewriteScalarWith(
-      rewriteWithTotals(numbered)))).replaceAll(
+      rewriteWithTotals(limitComma)))).replaceAll(
       "(?i)\\b(dateDiff|date_diff|timestampDiff)\\s*\\(\\s*'([a-zA-Z]+)'\\s*,",
       "$1($2,")
   }

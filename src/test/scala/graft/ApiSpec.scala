@@ -153,6 +153,14 @@ class ApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       rewriteDialect("SELECT x FROM t ARRAY JOIN a AS x, b AS x")
     }
+    // CH LIMIT m, n offset shorthand → LIMIT n OFFSET m (the BY form
+    // stays rewriteLimitBy's)
+    assert(rewriteDialect("SELECT x FROM t ORDER BY x LIMIT 5, 10")
+      == "SELECT x FROM t ORDER BY x LIMIT 10 OFFSET 5")
+    fixture()
+    assert(AdHoc.query(spark,
+      "SELECT id FROM adhoc_t ORDER BY id LIMIT 1, 2", limit = 100)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
     // alias-less form: CH shadows the source column — refused with fix
     val bare = intercept[IllegalArgumentException] {
       rewriteDialect("SELECT arr FROM t ARRAY JOIN arr WHERE x = 1")
