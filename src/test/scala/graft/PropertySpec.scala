@@ -143,6 +143,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ASOF text rewrite == AsOfJoin API == plain-Scala reference on " +
+      "random keyed time series, all four directions") {
+    val rowGen = for {
+      k <- Gen.choose(0, 3)
+      t <- Gen.choose(0L, 40L)
+      v <- Gen.choose(0, 999)
+    } yield (k.toLong, t, v.toLong)
+    for (trial <- 0 until 4) {
+      val lRows = samples(rowGen, 30).distinct
+      val rRows = samples(Gen.resize(25, rowGen), 25)
+        // one right row per (k, t): ASOF leaves equal-(key,time) right
+        // tie order unspecified — dedup makes every formulation agree
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val (op, dir, strict) = Seq(
+        (">=", "backward", false), (">", "backward", true),
+        ("<=", "forward", false), ("<", "forward", true))(trial)
+      // plain-Scala reference
+      def cmp(lt: Long, rt: Long): Boolean = op match {
+        case ">=" => lt >= rt; case ">" => lt > rt
+        case "<=" => lt <= rt; case "<" => lt < rt
+      }
+      val expect = lRows.map { case (k, t, v) =>
+        val cands = rRows.filter(r => r._1 == k && cmp(t, r._2))
+        val best =
+          if (dir == "backward") cands.sortBy(r => (-r._2, r._3)).headOption
+          else cands.sortBy(r => (r._2, r._3)).headOption
+        ((k, t, v), best.map(_._3))
+      }.sortBy(_._1)
+      val lDf = lRows.toDF("k", "t", "v")
+      val rDf = rRows.toDF("k", "t", "rv")
+      lDf.createOrReplaceTempView("asof_prop_l")
+      rDf.createOrReplaceTempView("asof_prop_r")
+      // API path
+      val api = graft.operators.AsOfJoin.leftAsOfKeys(
+          lDf, rDf, Seq("k" -> "k"), "t", "t", Seq("rv" -> "rv"),
+          direction = dir, strict = strict)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).sortBy(_._1)
+      assert(api.toSeq == expect, s"api direction=$dir strict=$strict")
+      // text path (same ON spelling a CH program would paste)
+      val txt = graft.api.AdHoc.query(spark,
+          s"""SELECT l.k, l.t, l.v, r.rv FROM asof_prop_l l
+             |ASOF LEFT JOIN asof_prop_r r
+             |  ON l.k = r.k AND l.t $op r.t""".stripMargin, limit = 1000)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).sortBy(_._1)
+      assert(txt.toSeq == expect, s"text direction=$dir strict=$strict")
+    }
+  }
+
   test("sql literal round-trips numbers and timestamps") {
     samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 20).foreach { n =>
       // small literals parse as INT — normalize through Number
