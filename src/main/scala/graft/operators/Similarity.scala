@@ -949,6 +949,43 @@ object Similarity {
       .orderBy(col("dim"), col("qid"))
   }
 
+  /** Retrieval eval: per-query recall@k and reciprocal rank over a
+    * ranked result frame and a relevance-pair truth frame — the
+    * companion to [[ndcgAtK]] for binary relevance without position
+    * discounting (MRR = the metric retrieval papers quote for
+    * first-hit quality).
+    *
+    * Exactness: RR is emitted in MICRO-UNITS (`1e6 div first_rel` —
+    * integer division, so the value is engine-independent; the caller
+    * averages micro-units and divides once, the nDCG stance), recall is
+    * ONE IEEE division of two integers. Scale: both inputs are
+    * query-set-bounded; one equi-join + one groupBy.
+    *
+    * @param results (qid, rank, nid), rank 1-based (a top-k frame)
+    * @param truth   (qid, nid) relevance pairs
+    * @return per query: (qid, n_rel, n_hits, first_rel
+    *         (NULL if no hit), rr_micro, recall)
+    */
+  def retrievalEval(results: DataFrame, truth: DataFrame,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"retrievalEval: k $k must be >= 1")
+    val rel = truth.select(col("qid"), col("nid")).distinct()
+    val nRel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    results.where(col("rank") <= k)
+      .join(rel.withColumn("__hit", lit(1)), Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("__hit")).as("n_hits"),
+        min(when(col("__hit").isNotNull, col("rank"))).as("first_rel"))
+      .join(nRel, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("n_hits"),
+        col("first_rel"),
+        coalesce(expr("1000000L div first_rel"), lit(0L)).as("rr_micro"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          col("n_hits") / col("n_rel")).otherwise(lit(0.0)).as("recall"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
     * standard hybrid-retrieval combiner: given N per-query rankings
     * (dense ANN, sparse BM25, …), score each candidate

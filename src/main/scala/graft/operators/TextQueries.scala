@@ -371,6 +371,23 @@ object TextQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Recall@10 + MRR (micro-unit) of exact-cosine retrieval against
+    * same-label relevance (Similarity.retrievalEval) — the binary-
+    * relevance companion to e_ndcg_truncate, fully oracled. */
+  def eRetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val q = e.where(col("vec_id") < 5)
+    val results = Similarity.knnBrute(e, q, k = 10)
+      .select(col("qid"), col("rank"), col("nid"))
+    val truth = q.select(col("vec_id").as("qid"), col("label").as("ql"))
+      .join(e.select(col("vec_id").as("nid"), col("label").as("nl")),
+        col("ql") === col("nl"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    Similarity.retrievalEval(results, truth, k = 10)
+      .orderBy(col("qid"))
+  }
+
   /** Hybrid dense+sparse retrieval via reciprocal-rank fusion
     * (Similarity.rrfFuse): queries are documents 0-4 (vec_id and doc_id
     * share the id space), the dense leg is exact cosine top-10 over the
@@ -777,6 +794,7 @@ object TextQueries {
     "e_knn_pq" -> (eKnnPq _),
     "e_knn_brute" -> (eKnnBrute _),
     "e_hybrid_rrf" -> (eHybridRrf _),
+    "e_retrieval_eval" -> (eRetrievalEval _),
     "e_hard_negatives" -> (eHardNegatives _),
     "e_knn_lsh" -> (eKnnLsh _),
     "e_knn_ivf" -> (eKnnIvf _),
@@ -1435,6 +1453,40 @@ object TextQueries {
         |  FROM scored)
         |SELECT qid, rank, nid, round(sim, 4) AS sim
         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // knn recomputed (e_knn_brute's formulation), truth = same-label
+    // pairs, then the same integer hit/first-rank arithmetic
+    "e_retrieval_eval" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(e.embedding[i] AS DOUBLE)
+        |          * CAST(e.embedding[i] AS DOUBLE))))) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+        |ranked AS (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(sim, 6) DESC, nid) AS rank
+        |  FROM scored QUALIFY rank <= 10),
+        |truth AS (SELECT q.qid, e.vec_id AS nid
+        |  FROM q JOIN embeddings e
+        |    ON e.label = q.ql AND e.vec_id <> q.qid),
+        |nrel AS (SELECT qid, count(*) AS n_rel FROM truth GROUP BY qid),
+        |ev AS (SELECT r.qid,
+        |    count(t.nid) AS n_hits,
+        |    min(CASE WHEN t.nid IS NOT NULL THEN r.rank END) AS first_rel
+        |  FROM ranked r LEFT JOIN truth t
+        |    ON r.qid = t.qid AND r.nid = t.nid
+        |  GROUP BY r.qid)
+        |SELECT ev.qid, coalesce(n_rel, 0) AS n_rel, n_hits, first_rel,
+        |  CAST(coalesce(1000000 // first_rel, 0) AS BIGINT) AS rr_micro,
+        |  CASE WHEN coalesce(n_rel, 0) > 0
+        |    THEN n_hits * 1.0 / n_rel ELSE 0.0 END AS recall
+        |FROM ev LEFT JOIN nrel USING (qid) ORDER BY qid""".stripMargin,
     // both legs recomputed independently (the dense leg IS e_knn_brute's
     // formulation; the sparse leg is d_bm25's micro-unit arithmetic with
     // the query documents' own texts), then the fixed-order rational
