@@ -357,7 +357,56 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming MinHash-LSH near-dup candidates (StreamNearDup) over the
+    * documents corpus as a one-batch stream (single source file, so
+    * arrival order is the event-time order and the stream's bucket
+    * "first" is deterministic). Contract oracle: per document, the
+    * stream's flagged set must EQUAL an independent batch recomputation
+    * over the same row-local band keys (first = min doc_id per bucket),
+    * and the corpus's planted near-dups mean at least one doc flags —
+    * both stated as constants by the SQL, the non-SQL-expressible-op
+    * pattern (xxhash64 band keys have no DuckDB twin). */
+  def qStreamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamNearDup
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        to_timestamp(col("doc_id") + 1700000000L).as("ts"))
+    val src = Files.createTempDirectory("sndup_src").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+    val sink = s"sndup_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = StreamNearDup.candidates(stream, "doc_id", "ts", "text",
+        delay = "10 minutes")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamFlag = spark.table(sink).select(col("doc_id")).distinct()
+      .withColumn("s_flag", lit(true))
+    // independent batch recomputation over the same band keys
+    val buckets = docs.select(col("doc_id"),
+      explode(StreamNearDup.bandKeys(col("text"), 3, 24, 6)).as("bk"))
+    val batchFlag = buckets
+      .withColumn("first", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+      .where(col("doc_id") > col("first"))
+      .select(col("doc_id")).distinct()
+      .withColumn("b_flag", lit(true))
+    docs.select(col("doc_id"))
+      .join(streamFlag, Seq("doc_id"), "left")
+      .join(batchFlag, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("s_flag"), lit(false)) ===
+          coalesce(col("b_flag"), lit(false))).as("agree"))
+      .crossJoin(broadcast(streamFlag.agg(count(lit(1)).as("nf"))
+        .select((col("nf") > 0).as("some_flagged"))))
+      .select(col("doc_id"), col("agree"), col("some_flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_stream_neardup" -> (qStreamNearDup _),
     "q_stream_funnel" -> (qStreamFunnel _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_dedup" -> (qStreamDedup _),
@@ -368,6 +417,11 @@ object StreamingQueries {
     "q_sessionize_stream" -> (qSessionizeStream _))
 
   def oracles: Map[String, String] = Map(
+    // contract constants: stream == batch recomputation per doc, and
+    // the planted near-dups guarantee at least one flagged doc
+    "q_stream_neardup" ->
+      """SELECT doc_id, TRUE AS agree, TRUE AS some_flagged
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // each event's two epoch-aligned sliding windows, assigned
     // arithmetically: floor(t/300)*300 and that minus 300 (explicit
     // floor() — DuckDB's // on DOUBLE does not floor, and the BIGINT

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming MinHash-LSH near-duplicate CANDIDATES — the online
+  * counterpart of the batch `Dedup.minhashDedupPairs` candidate stage:
+  * as documents arrive, each is checked against every prior document
+  * (within the lateness horizon) that shares an LSH band bucket, and a
+  * `(doc_id, prior_id)` candidate edge is emitted for each hit. The
+  * output is the same over-approximation the batch banding produces
+  * (band collisions ⇒ probably-similar); exact Jaccard verification of
+  * the candidate set happens downstream in batch (`Dedup.jaccardVerify`
+  * shapes), exactly as the batch pipeline splits the work — streaming
+  * the verification would need the TEXTS in state, which violates the
+  * never-shuffle-the-text rule the whole dedup family follows.
+  *
+  * Signature computation is fully ROW-LOCAL (shingle hashes and k
+  * min-hash lanes via array HOFs — no per-batch shuffle before the
+  * keyed state op; the batch operator's explode+groupBy formulation
+  * would put a shuffle in every micro-batch). The deliberate batch-side
+  * dead end — row-local signatures measured SLOWER at corpus scale
+  * (Dedup scaladoc) — does not apply here: a micro-batch is small, and
+  * avoiding a stateful pre-aggregation is what keeps the pipeline a
+  * single `flatMapGroupsWithState`.
+  *
+  * State: ONE (firstId, lastSeen) pair per live band bucket — 24 bytes
+  * per bucket, text never enters state — evicted by event-time timeout
+  * once the watermark passes `delay` past the bucket's last arrival.
+  * After eviction a late near-dup is re-admitted as a fresh first
+  * occurrence: the same bounded-state-vs-perfect-memory trade
+  * `exactDedupStream`'s watermark mode documents; pick `delay` ≥ the
+  * real dup-arrival spread.
+  *
+  * A pair sharing several bands emits once per shared band (bounded by
+  * `bands`); `distinct` the sink if edges must be unique — candidates
+  * are an over-approximation either way.
+  */
+object StreamNearDup {
+
+  final case class BandRow(band_key: Long, doc_id: Long,
+      ts: java.sql.Timestamp)
+  final case class Candidate(doc_id: Long, prior_id: Long, band_key: Long)
+  final case class BucketState(firstId: Long, lastSeenMs: Long)
+
+  /** Row-local band bucket keys for one document text: k min-hash lanes
+    * over word shingles, folded into `bands` 64-bit keys (band index
+    * mixed in so different bands never share a bucket space). Exposed
+    * for tests and for batch backfills that must agree with the stream. */
+  def bandKeys(textCol: Column, shingleLen: Int, k: Int,
+      bands: Int): Column = {
+    val rpb = k / bands
+    val words = split(TextAnalysis.normalized(textCol), " ")
+    val nSh = greatest(size(words) - (shingleLen - 1), lit(1))
+    val hs = transform(sequence(lit(1), nSh),
+      i => xxhash64(concat_ws(" ", slice(words, i, lit(shingleLen)))))
+    array((0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rpb).map { r =>
+        val lane = b * rpb + r
+        array_min(transform(hs, h => xxhash64(lit(lane), h)))
+      }: _*)
+    }: _*)
+  }
+
+  /** Candidate edges (doc_id, prior_id, band_key) in append mode.
+    * `delay` is both the watermark delay and the bucket eviction
+    * horizon. */
+  def candidates(stream: DataFrame, idCol: String, tsCol: String,
+      textCol: String, delay: String, shingleLen: Int = 3,
+      k: Int = 24, bands: Int = 6): Dataset[Candidate] = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    require(shingleLen >= 1, s"shingleLen $shingleLen must be >= 1")
+    implicit val rowEnc = Encoders.product[BandRow]
+    implicit val stateEnc = Encoders.product[BucketState]
+    implicit val outEnc = Encoders.product[Candidate]
+    implicit val keyEnc = Encoders.scalaLong
+    val rows = stream.select(
+        explode(bandKeys(col(textCol), shingleLen, k, bands))
+          .as("band_key"),
+        col(idCol).cast("long").as("doc_id"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", delay)
+      .as[BandRow]
+    rows.groupByKey(_.band_key)
+      .flatMapGroupsWithState[BucketState, Candidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // batch-internal order: event time, then doc id — the same
+            // determinism-over-arrival stance as the batch operators
+            val arrived = it.toArray.sortBy(r => (r.ts.getTime, r.doc_id))
+            var st = state.getOption
+            val out = Array.newBuilder[Candidate]
+            arrived.foreach { r =>
+              st match {
+                case None => st = Some(BucketState(r.doc_id, r.ts.getTime))
+                case Some(s) =>
+                  if (s.firstId != r.doc_id)
+                    out += Candidate(r.doc_id, s.firstId, key)
+                  st = Some(s.copy(lastSeenMs =
+                    math.max(s.lastSeenMs, r.ts.getTime)))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeenMs, delay)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.streaming.StreamNearDup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Streaming MinHash-LSH near-dup candidates (`StreamNearDup`) — the
+  * online twin of the batch banding stage. */
+class StreamNearDupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+
+  private val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+  private def ts(s: Long) = new Timestamp(base + s * 1000L)
+
+  private val textA = "the quick brown fox jumps over the lazy dog " +
+    "while the cat watches from the warm windowsill nearby"
+  private val textA2 = "the quick brown fox jumps over the lazy dog " +
+    "while the cat watches from the warm windowsill today"
+  private val textB = "completely different content about distributed " +
+    "query engines shuffling partitioned columnar data frames"
+
+  test("near-identical docs share a band bucket; unrelated do not " +
+      "(row-local keys, batch-checkable)") {
+    val keys = Seq((1L, textA), (2L, textA2), (3L, textB))
+      .toDF("id", "text")
+      .select(col("id"),
+        StreamNearDup.bandKeys(col("text"), 3, 24, 6).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((keys(1L) intersect keys(2L)).nonEmpty,
+      "one-word-changed docs must share at least one band")
+    assert((keys(1L) intersect keys(3L)).isEmpty,
+      "unrelated docs must not collide")
+  }
+
+  test("stream emits candidate edges against the bucket's FIRST doc; " +
+      "unrelated docs emit nothing") {
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamNearDup.candidates(
+      mem.toDF.toDF("id", "ts", "text"), "id", "ts", "text",
+      delay = "1 minute")
+    val q = out.writeStream.format("memory")
+      .queryName("neardup_out").outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), textA), (3L, ts(1), textB))
+      q.processAllAvailable()
+      mem.addData((2L, ts(5), textA2))
+      q.processAllAvailable()
+      val rows = spark.table("neardup_out")
+        .select("doc_id", "prior_id").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(rows == Set(2L -> 1L),
+        s"expected exactly the (2 -> 1) near-dup edge, got $rows")
+    } finally q.stop()
+  }
+
+  test("bucket state evicts past the watermark horizon: a late twin " +
+      "re-admits as a fresh first") {
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamNearDup.candidates(
+      mem.toDF.toDF("id", "ts", "text"), "id", "ts", "text",
+      delay = "1 minute")
+    val q = out.writeStream.format("memory")
+      .queryName("neardup_evict").outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), textA))
+      q.processAllAvailable()
+      // push the watermark far past doc 1's buckets, then give the
+      // engine a batch with no data for those keys so the timeout fires
+      mem.addData((9L, ts(600), textB))
+      q.processAllAvailable()
+      mem.addData((8L, ts(610), textB + " extra"))
+      q.processAllAvailable()
+      // doc 1's twin arrives AFTER eviction: fresh first, no edge to 1
+      mem.addData((2L, ts(620), textA2))
+      q.processAllAvailable()
+      val priors = spark.table("neardup_evict")
+        .select("prior_id").as[Long].collect().toSet
+      assert(!priors.contains(1L),
+        s"bucket for doc 1 should have been evicted, got priors $priors")
+    } finally q.stop()
+  }
+}
