@@ -48,7 +48,18 @@ object StreamNearDup {
   /** Row-local band bucket keys for one document text: k min-hash lanes
     * over word shingles, folded into `bands` 64-bit keys (band index
     * mixed in so different bands never share a bucket space). Exposed
-    * for tests and for batch backfills that must agree with the stream. */
+    * for tests and for batch backfills that must agree with the stream.
+    *
+    * Evaluation-count discipline: higher-order functions stay
+    * INTERPRETED in Spark, so codegen subexpression elimination never
+    * rescues a plan that mentions the shingle-hash array in k places —
+    * a first formulation with `hs` inlined per lane evaluated it 24×
+    * (measured 61 s for 500 sf0.01 docs). Here (a) all k lane minima
+    * fold in ONE `aggregate` pass over `hs` (the running-minima array
+    * is the accumulator), and (b) the signature is bound to ONE lambda
+    * variable (`transform(array(sig), s -> …)`) before the per-band
+    * fold, so `hs` and `sig` are each computed exactly once per row
+    * regardless of what Catalyst collapses (2.1 s after). */
   def bandKeys(textCol: Column, shingleLen: Int, k: Int,
       bands: Int): Column = {
     val rpb = k / bands
@@ -56,12 +67,13 @@ object StreamNearDup {
     val nSh = greatest(size(words) - (shingleLen - 1), lit(1))
     val hs = transform(sequence(lit(1), nSh),
       i => xxhash64(concat_ws(" ", slice(words, i, lit(shingleLen)))))
-    array((0 until bands).map { b =>
-      xxhash64(lit(b) +: (0 until rpb).map { r =>
-        val lane = b * rpb + r
-        array_min(transform(hs, h => xxhash64(lit(lane), h)))
-      }: _*)
-    }: _*)
+    val sig = aggregate(hs, array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => transform(acc, (a, j) => least(a, xxhash64(j, h))))
+    transform(array(sig), s =>
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(b, aggregate(slice(s, b * lit(rpb) + lit(1), lit(rpb)),
+          lit(17L), (a, x) => xxhash64(a, x)))))
+      .getItem(0)
   }
 
   /** Candidate edges (doc_id, prior_id, band_key) in append mode.
