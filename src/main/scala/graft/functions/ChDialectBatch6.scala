@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/** ClickHouse-dialect batch 6 — aggregate stragglers left after batches
+  * 1–5: `anyHeavy`, `quantileExactWeighted` / `quantilesExactWeighted` /
+  * `medianExactWeighted`, `boundingRatio`, `deltaSum`,
+  * `groupArrayMovingSum` / `groupArrayMovingAvg`, `avgMap`.
+  * (ref: the CH SQL surface reachable through
+  * packages/ts-moose-lib/src/sqlHelpers.ts passthrough — same contract
+  * note as batches 2–5.)
+  *
+  * Everything is a native Catalyst `Expression` builder (no UDFs);
+  * parameterized aggregates take parameters FIRST (`topK(k, x)`
+  * convention).
+  *
+  * Dialect stances (DIVERGENCES.md #22/#28/#30 determinism family):
+  *  - `anyHeavy` (CH: approximate heavy hitter, arrival-dependent) is
+  *    the EXACT mode with ties broken toward the smallest value —
+  *    deterministic under any partitioning;
+  *  - `deltaSum` in CH folds CONSECUTIVE rows in insertion order, which
+  *    a shuffled engine cannot honor — here it is the ARRAY-input
+  *    scalar: write `deltaSum(sort_array(collect_list(x)))` (or any
+  *    explicitly-ordered array) so the order is STATED, never ambient;
+  *  - `groupArrayMovingSum`/`MovingAvg` (no window argument: CH's
+  *    unbounded prefix form) fold the group in partition-arrival order,
+  *    exactly `groupArray`'s documented order caveat (#28) — sort-aware
+  *    callers feed the array forms (`arrayCumSum`) instead;
+  *  - `avgMap` composes sumMap / countMap key-wise; result maps are
+  *    key-sorted like the rest of the map-aggregate family (#31).
+  */
+object ChDialectBatch6 {
+
+  private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
+
+  private def lambda2(prefix: String)(
+      f: (Expression, Expression) => Expression): LambdaFunction = {
+    val a = lv(prefix + "a"); val b = lv(prefix + "b")
+    LambdaFunction(f(a, b), Seq(a, b))
+  }
+
+  private def lambda3(prefix: String)(
+      f: (Expression, Expression, Expression) => Expression)
+      : LambdaFunction = {
+    val a = lv(prefix + "a"); val b = lv(prefix + "b")
+    val c = lv(prefix + "c")
+    LambdaFunction(f(a, b, c), Seq(a, b, c))
+  }
+
+  /** Positive-delta sum of an ORDERED double array: Σ max(0, xᵢ−xᵢ₋₁).
+    * Fold state = struct(prev, acc); empty and single-element arrays
+    * give 0. */
+  private def deltaSumArray(arr0: Expression): Expression = {
+    val arr = Cast(arr0, ArrayType(DoubleType))
+    val st = ArrayAggregate(arr,
+      CreateNamedStruct(Seq(
+        Literal("prev"), Literal(null, DoubleType),
+        Literal("acc"), Literal(0.0d))),
+      lambda2("ds")((s, x) => CreateNamedStruct(Seq(
+        Literal("prev"), x,
+        Literal("acc"), Add(
+          UnresolvedExtractValue(s, Literal("acc")),
+          CaseWhen(Seq((And(
+            IsNotNull(UnresolvedExtractValue(s, Literal("prev"))),
+            GreaterThan(x, UnresolvedExtractValue(s, Literal("prev")))),
+            Subtract(x, UnresolvedExtractValue(s, Literal("prev"))))),
+            Literal(0.0d)))))),
+      { val s = lv("dsf")
+        LambdaFunction(UnresolvedExtractValue(s, Literal("acc")), Seq(s)) })
+    st
+  }
+
+  def register(spark: SparkSession): Unit = {
+    if (isRegistered(spark)) return // idempotent: silence re-register WARNs
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
+      require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+          .builtin.functionExists(FunctionIdentifier(name.toLowerCase)),
+        s"refusing to shadow Spark builtin '$name'")
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+
+    // exact mode, smallest value on count ties (deterministic anyHeavy;
+    // Mode's reverse flag orders ties — true = ascending = smallest)
+    f("anyHeavy")(a =>
+      new Mode(a.head, 0, 0, Some(true)).toAggregateExpression())
+
+    // CH quantileExactWeighted(level)(x, w) → params-first (level, x, w);
+    // Spark's Percentile takes an integral frequency column natively
+    f("quantileExactWeighted")(a =>
+      new Percentile(a(1), a.head, Cast(a(2), LongType))
+        .toAggregateExpression())
+    f("quantilesExactWeighted") { a =>
+      // (l1, …, ln, x, w): levels are the leading literals
+      val (levels, rest) = (a.dropRight(2), a.takeRight(2))
+      new Percentile(rest.head, CreateArray(levels),
+        Cast(rest(1), LongType)).toAggregateExpression()
+    }
+    f("medianExactWeighted")(a =>
+      new Percentile(a.head, Literal(0.5d), Cast(a(1), LongType))
+        .toAggregateExpression())
+
+    // boundingRatio(x, y): slope between the min-x and max-x points
+    f("boundingRatio") { a =>
+      val (x, y) = (a.head, a(1))
+      Divide(
+        Subtract(Cast(MaxBy(y, x).toAggregateExpression(), DoubleType),
+          Cast(MinBy(y, x).toAggregateExpression(), DoubleType)),
+        Subtract(Cast(Max(x).toAggregateExpression(), DoubleType),
+          Cast(Min(x).toAggregateExpression(), DoubleType)))
+    }
+
+    // array-input deltaSum (see the order stance in the scaladoc)
+    f("deltaSum")(a => deltaSumArray(a.head))
+
+    // prefix sums / prefix means over the group in arrival order (#28)
+    def movingSums(x: Expression): Expression = {
+      val arr = Cast(CollectList(x).toAggregateExpression(),
+        ArrayType(DoubleType))
+      ArrayTransform(
+        new Sequence(Literal(1), Size(arr), Some(Literal(1))),
+        { val i = lv("msi")
+          LambdaFunction(ArrayAggregate(
+            Slice(arr, Literal(1), i), Literal(0.0d),
+            lambda2("msa")((acc, v) => Add(acc, v)),
+            { val s = lv("msf"); LambdaFunction(s, Seq(s)) }), Seq(i)) })
+    }
+    f("groupArrayMovingSum")(a => movingSums(a.head))
+    f("groupArrayMovingAvg") { a =>
+      val sums = movingSums(a.head)
+      ArrayTransform(sums, lambda2("mv")((v, i) =>
+        Divide(v, Cast(Add(i, Literal(1)), DoubleType))))
+    }
+
+    // avgMap: key-wise mean = sumMap ⊘ countMap (key-sorted like #31)
+    f("avgMap") { a =>
+      val sums = MapCombineAgg(
+        TransformValues(a.head,
+          lambda2("am")((_, v) => Cast(v, DoubleType))), "sum")
+        .toAggregateExpression()
+      val counts = MapCombineAgg(
+        TransformValues(a.head, lambda2("ac")((_, _) => Literal(1L))),
+        "sum").toAggregateExpression()
+      MapZipWith(sums, counts,
+        lambda3("az")((_, s, c) => Divide(s, Cast(c, DoubleType))))
+    }
+  }
+
+  def isRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("anyHeavy"))
+}

@@ -230,6 +230,36 @@ object DialectQueries {
         |  cast(intExp2(doc_id % 16) as bigint) AS ie2
         |FROM docs_d4 ORDER BY doc_id LIMIT 300""".stripMargin)
 
+  /** Batch-6 aggregate surface (functions/ChDialectBatch6): anyHeavy
+    * (deterministic mode), exact weighted quantiles (integer-cent
+    * values so interpolation midpoints are binary-exact), boundingRatio
+    * and deltaSum in integer micro/cent units (order-free sums, one
+    * IEEE division), avgMap cents with decimal-stringified values. */
+  def qAggFunctions3(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch6.register(spark)
+    sqlOn(spark, dir, "events", "evts_agg6",
+      """SELECT cohort, ah, qw_cents,
+        |  cast(floor(br * 1000000 + 0.5) as bigint) AS br_micro,
+        |  ds_cents, amk, amv
+        |FROM (
+        |  SELECT user_id % 7 AS cohort,
+        |    anyHeavy(event_type) AS ah,
+        |    quantileExactWeighted(0.5, round(value * 100),
+        |      1 + user_id % 3) AS qw_cents,
+        |    boundingRatio(event_id, round(value * 100)) AS br,
+        |    cast(deltaSum(arrayMap(s -> s.c,
+        |      arraySort(groupArray(struct(event_id AS e,
+        |        round(value * 100) AS c))))) as bigint) AS ds_cents,
+        |    arrayStringConcat(map_keys(avgMap(
+        |      map(event_type, round(value * 100)))), ',') AS amk,
+        |    arrayStringConcat(arrayMap(x ->
+        |      toString(cast(x as decimal(18,4))),
+        |      map_values(avgMap(map(event_type, round(value * 100))))),
+        |      ',') AS amv
+        |  FROM evts_agg6 WHERE user_id < 300 GROUP BY 1
+        |) ORDER BY cohort""".stripMargin)
+  }
+
   /** CH `ARRAY JOIN` clause through the ad-hoc gate's text rewrite —
     * the exact path a moose program's raw CH SQL takes (rewritten to
     * `LATERAL VIEW explode`, same clause position in both grammars).
@@ -489,6 +519,7 @@ object DialectQueries {
     "q_url_functions" -> (qUrlFunctions _),
     "q_agg_functions" -> (qAggFunctions _),
     "q_agg_functions2" -> (qAggFunctions2 _),
+    "q_agg_functions3" -> (qAggFunctions3 _),
     "q_topk_agg" -> (qTopkAgg _),
     "q_summap" -> (qSumMap _),
     "q_array_join" -> (qArrayJoin _),
@@ -806,6 +837,52 @@ object DialectQueries {
         |         THEN printf('%.2f PiB', round(fx / 1125899906842624, 2))
         |       ELSE printf('%.2f EiB', round(fx / 1152921504606846976, 2)) END AS frs
         |FROM c ORDER BY doc_id LIMIT 300""".stripMargin,
+    // batch-6 aggregates — anyHeavy as the (count desc, value asc)
+    // window mode; weighted quantile over the w-expanded multiset;
+    // boundingRatio/deltaSum in integer cent/micro units; avgMap as the
+    // per-key cents mean, key-sorted and decimal-stringified
+    "q_agg_functions3" ->
+      """WITH base AS (
+        |  SELECT user_id % 7 AS cohort, event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c,
+        |    CAST(1 + user_id % 3 AS BIGINT) AS w
+        |  FROM events WHERE user_id < 300),
+        |ah AS (
+        |  SELECT cohort, event_type AS ah FROM (
+        |    SELECT cohort, event_type,
+        |      row_number() OVER (PARTITION BY cohort
+        |        ORDER BY count(*) DESC, event_type) AS rn
+        |    FROM base GROUP BY cohort, event_type) WHERE rn = 1),
+        |qw AS (
+        |  SELECT cohort, quantile_cont(c, 0.5) AS qw_cents FROM (
+        |    SELECT cohort, c FROM base, unnest(range(w))) GROUP BY cohort),
+        |br AS (
+        |  SELECT cohort, CAST(floor(
+        |    (CAST(max_by(c, event_id) AS DOUBLE)
+        |      - CAST(min_by(c, event_id) AS DOUBLE))
+        |    / (CAST(max(event_id) AS DOUBLE)
+        |      - CAST(min(event_id) AS DOUBLE))
+        |    * 1000000 + 0.5) AS BIGINT) AS br_micro
+        |  FROM base GROUP BY cohort),
+        |ds AS (
+        |  SELECT cohort, CAST(coalesce(sum(
+        |    CASE WHEN c > p THEN c - p END), 0) AS BIGINT) AS ds_cents
+        |  FROM (SELECT cohort, c,
+        |      lag(c) OVER (PARTITION BY cohort ORDER BY event_id) AS p
+        |    FROM base) GROUP BY cohort),
+        |am AS (
+        |  SELECT cohort,
+        |    array_to_string(list(event_type ORDER BY event_type), ',')
+        |      AS amk,
+        |    array_to_string(list(CAST(CAST(s AS DECIMAL(18,4)) AS VARCHAR)
+        |      ORDER BY event_type), ',') AS amv
+        |  FROM (SELECT cohort, event_type,
+        |      CAST(sum(c) AS DOUBLE) / count(*) AS s
+        |    FROM base GROUP BY cohort, event_type) GROUP BY cohort)
+        |SELECT ah.cohort, ah, qw_cents, br_micro, ds_cents, amk, amv
+        |FROM ah JOIN qw USING (cohort) JOIN br USING (cohort)
+        |  JOIN ds USING (cohort) JOIN am USING (cohort)
+        |ORDER BY ah.cohort""".stripMargin,
     // batch-3 aggregates — moments re-derived from raw power sums (the
     // independent formulation of Spark's streaming central-moment agg),
     // CH Samp estimators = Pop · ((n−1)/n)^p, DuckDB's native log2

@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.ChDialectBatch6
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch-6 aggregate stragglers: anyHeavy, exact weighted quantiles,
+  * boundingRatio, deltaSum (array form), moving sums, avgMap. */
+class ChDialect6Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    ChDialectBatch6.register(s)
+    s
+  }
+  import spark.implicits._
+
+  private def one(sql: String): Any = spark.sql(sql).head().get(0)
+
+  test("anyHeavy: exact mode, smallest value wins count ties") {
+    Seq(1L, 2L, 2L, 3L, 3L, 4L).toDF("x").createOrReplaceTempView("b6_m")
+    // 2 and 3 both appear twice: deterministic tie -> 2
+    assert(one("SELECT anyHeavy(x) FROM b6_m") == 2L)
+    Seq("b", "b", "a").toDF("s").createOrReplaceTempView("b6_m2")
+    assert(one("SELECT anyHeavy(s) FROM b6_m2") == "b")
+  }
+
+  test("quantileExactWeighted / median / multi-level: weights = " +
+      "frequencies") {
+    Seq((1.0, 1L), (2.0, 1L), (10.0, 8L)).toDF("x", "w")
+      .createOrReplaceTempView("b6_q")
+    // expanded multiset {1, 2, 10×8}: median = 10
+    assert(one("SELECT medianExactWeighted(x, w) FROM b6_q") == 10.0)
+    assert(one("SELECT quantileExactWeighted(0.05, x, w) FROM b6_q")
+      .asInstanceOf[Double] < 2.0)
+    val qs = one("SELECT quantilesExactWeighted(0.5, 1.0, x, w) FROM b6_q")
+      .asInstanceOf[scala.collection.Seq[Double]]
+    assert(qs == Seq(10.0, 10.0))
+  }
+
+  test("boundingRatio: slope between min-x and max-x points") {
+    Seq((0.0, 10.0), (5.0, 30.0), (10.0, 50.0)).toDF("x", "y")
+      .createOrReplaceTempView("b6_br")
+    assert(one("SELECT boundingRatio(x, y) FROM b6_br") == 4.0)
+  }
+
+  test("deltaSum over an explicitly ordered array; empty and " +
+      "single-element give 0") {
+    assert(one("SELECT deltaSum(array(1.0, 3.0, 2.0, 5.0))") == 5.0)
+    assert(one("SELECT deltaSum(array(5.0, 4.0, 3.0))") == 0.0)
+    assert(one("SELECT deltaSum(array(7.0))") == 0.0)
+    assert(one("SELECT deltaSum(array())") == 0.0)
+    // the documented deterministic spelling over a group
+    Seq(3.0, 1.0, 2.0).toDF("v").createOrReplaceTempView("b6_ds")
+    assert(one("SELECT deltaSum(sort_array(collect_list(v))) FROM b6_ds")
+      == 2.0)
+  }
+
+  test("groupArrayMovingSum/Avg: prefix folds (single partition for " +
+      "a stated order)") {
+    Seq(1.0, 2.0, 3.0, 4.0).toDF("v").coalesce(1)
+      .createOrReplaceTempView("b6_mv")
+    assert(one("SELECT groupArrayMovingSum(v) FROM b6_mv")
+      .asInstanceOf[scala.collection.Seq[Double]]
+      == Seq(1.0, 3.0, 6.0, 10.0))
+    assert(one("SELECT groupArrayMovingAvg(v) FROM b6_mv")
+      .asInstanceOf[scala.collection.Seq[Double]]
+      == Seq(1.0, 1.5, 2.0, 2.5))
+  }
+
+  test("avgMap: key-wise mean, key-sorted result") {
+    Seq(Map("a" -> 1.0, "b" -> 10.0), Map("a" -> 3.0))
+      .toDF("m").createOrReplaceTempView("b6_am")
+    val got = spark.sql(
+      "SELECT map_keys(avgMap(m)), map_values(avgMap(m)) FROM b6_am")
+      .head()
+    assert(got.getSeq[String](0) == Seq("a", "b"))
+    assert(got.getSeq[Double](1) == Seq(2.0, 10.0))
+  }
+}
