@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/** ClickHouse-dialect batch 7 — interval analytics and regression
+  * stragglers: `intervalLengthSum`, `maxIntersections`,
+  * `simpleLinearRegression`, `groupConcat`.
+  * (ref: the CH SQL surface reachable through
+  * packages/ts-moose-lib/src/sqlHelpers.ts passthrough — same contract
+  * note as batches 2–6.)
+  *
+  * All native Catalyst expression builders. The interval aggregates
+  * collect (start, end) pairs, SORT them, and fold a sweep — state is
+  * O(group intervals), the same memory contract as CH's own
+  * implementations, and the sort makes results partition-invariant.
+  *
+  * Dialect stances (DIVERGENCES.md determinism family):
+  *  - `groupConcat(x[, sep])` concatenates in SORTED-string order (CH
+  *    concatenates in insertion order, which is arrival-dependent on
+  *    any cluster — the #28/#31 sort-for-stable-output stance);
+  *  - `maxIntersections` treats intervals as HALF-OPEN [s, e) (ends
+  *    sort before starts at equal t), the unambiguous reading;
+  *  - `simpleLinearRegression(x, y)` returns the named struct (k, b)
+  *    via Spark's native regr_slope / regr_intercept.
+  */
+object ChDialectBatch7 {
+
+  private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
+
+  private def lambda2(prefix: String)(
+      f: (Expression, Expression) => Expression): LambdaFunction = {
+    val a = lv(prefix + "a"); val b = lv(prefix + "b")
+    LambdaFunction(f(a, b), Seq(a, b))
+  }
+
+  private def fld(s: Expression, n: String): Expression =
+    UnresolvedExtractValue(s, Literal(n))
+
+  /** Sorted (start, end) pairs of the group as one array. */
+  private def intervals(s: Expression, e: Expression): Expression =
+    new SortArray(CollectList(CreateNamedStruct(Seq(
+      Literal("s"), Cast(s, DoubleType),
+      Literal("e"), Cast(e, DoubleType)))).toAggregateExpression())
+
+  def register(spark: SparkSession): Unit = {
+    if (isRegistered(spark)) return // idempotent: silence re-register WARNs
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
+      require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+          .builtin.functionExists(FunctionIdentifier(name.toLowerCase)),
+        s"refusing to shadow Spark builtin '$name'")
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+
+    // union length of the group's [s, e) intervals: sort by (s, e),
+    // sweep with state (coverEnd, acc) — overlaps counted once
+    f("intervalLengthSum") { a =>
+      val st = ArrayAggregate(intervals(a.head, a(1)),
+        CreateNamedStruct(Seq(
+          Literal("cover"), Literal(Double.NegativeInfinity),
+          Literal("acc"), Literal(0.0d))),
+        lambda2("il")((st, iv) => CreateNamedStruct(Seq(
+          Literal("cover"), Greatest(Seq(fld(st, "cover"), fld(iv, "e"))),
+          Literal("acc"), Add(fld(st, "acc"),
+            Greatest(Seq(Literal(0.0d), Subtract(fld(iv, "e"),
+              Greatest(Seq(fld(iv, "s"), fld(st, "cover")))))))))),
+        { val s = lv("ilf")
+          LambdaFunction(fld(s, "acc"), Seq(s)) })
+      st
+    }
+
+    // max simultaneous [s, e) overlap: sweep +1 at starts, -1 at ends;
+    // the sorted struct (t, delta) puts -1 before +1 at equal t, which
+    // IS the half-open tie rule
+    f("maxIntersections") { a =>
+      val nested = CollectList(CreateArray(Seq(
+        CreateNamedStruct(Seq(
+          Literal("t"), Cast(a.head, DoubleType),
+          Literal("d"), Literal(1))),
+        CreateNamedStruct(Seq(
+          Literal("t"), Cast(a(1), DoubleType),
+          Literal("d"), Literal(-1)))))).toAggregateExpression()
+      val sortedEvs = new SortArray(Flatten(nested))
+      Cast(ArrayAggregate(sortedEvs,
+        CreateNamedStruct(Seq(
+          Literal("cur"), Literal(0), Literal("best"), Literal(0))),
+        lambda2("mi")((st, ev) => {
+          val cur = Add(fld(st, "cur"), fld(ev, "d"))
+          CreateNamedStruct(Seq(
+            Literal("cur"), cur,
+            Literal("best"), Greatest(Seq(fld(st, "best"), cur))))
+        }),
+        { val s = lv("mif")
+          LambdaFunction(fld(s, "best"), Seq(s)) }), LongType)
+    }
+
+    // (k, b) least-squares line via the native regression aggregates
+    f("simpleLinearRegression") { a =>
+      val (x, y) = (a.head, a(1))
+      CreateNamedStruct(Seq(
+        Literal("k"), RegrSlope(Cast(y, DoubleType), Cast(x, DoubleType))
+          .toAggregateExpression(),
+        Literal("b"), RegrIntercept(Cast(y, DoubleType),
+          Cast(x, DoubleType)).toAggregateExpression()))
+    }
+
+    // sorted-order string concat (CH insertion order is arrival-
+    // dependent — #28 stance); groupConcat(x) or groupConcat(x, sep)
+    f("groupConcat") { a =>
+      val sep = if (a.length > 1) a(1) else Literal("")
+      new ConcatWs(Seq(sep,
+        new SortArray(CollectList(Cast(a.head, StringType))
+          .toAggregateExpression())))
+    }
+  }
+
+  def isRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("intervalLengthSum"))
+}

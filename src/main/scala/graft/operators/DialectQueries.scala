@@ -260,6 +260,31 @@ object DialectQueries {
         |) ORDER BY cohort""".stripMargin)
   }
 
+  /** Batch-7 aggregate surface (functions/ChDialectBatch7): interval
+    * union length and max overlap over INTEGER centi-second intervals
+    * (sorted sweep folds ⇒ exact integer arithmetic both engines),
+    * least-squares (k, b) via the native regression aggregates (rounded
+    * 4dp, the covarPop stance), sorted groupConcat. */
+  def qAggFunctions4(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch7.register(spark)
+    sqlOn(spark, dir, "events", "evts_agg7",
+      """SELECT cohort,
+        |  cast(intervalLengthSum(s, e) as bigint) AS ils,
+        |  maxIntersections(s, e) AS mxi,
+        |  round(simpleLinearRegression(event_id, value).k, 4) + 0.0
+        |    AS slope,
+        |  round(simpleLinearRegression(event_id, value).b, 4) + 0.0
+        |    AS icept,
+        |  groupConcat(event_type, ',') AS gc
+        |FROM (
+        |  SELECT user_id % 5 AS cohort, event_id, value, event_type,
+        |    toUnixTimestamp(ts) * 100 AS s,
+        |    toUnixTimestamp(ts) * 100 + cast(round(value * 100) as bigint)
+        |      AS e
+        |  FROM evts_agg7 WHERE user_id < 100
+        |) GROUP BY cohort ORDER BY cohort""".stripMargin)
+  }
+
   /** CH `ARRAY JOIN` clause through the ad-hoc gate's text rewrite —
     * the exact path a moose program's raw CH SQL takes (rewritten to
     * `LATERAL VIEW explode`, same clause position in both grammars).
@@ -520,6 +545,7 @@ object DialectQueries {
     "q_agg_functions" -> (qAggFunctions _),
     "q_agg_functions2" -> (qAggFunctions2 _),
     "q_agg_functions3" -> (qAggFunctions3 _),
+    "q_agg_functions4" -> (qAggFunctions4 _),
     "q_topk_agg" -> (qTopkAgg _),
     "q_summap" -> (qSumMap _),
     "q_array_join" -> (qArrayJoin _),
@@ -837,6 +863,46 @@ object DialectQueries {
         |         THEN printf('%.2f PiB', round(fx / 1125899906842624, 2))
         |       ELSE printf('%.2f EiB', round(fx / 1152921504606846976, 2)) END AS frs
         |FROM c ORDER BY doc_id LIMIT 300""".stripMargin,
+    // batch-7 aggregates — interval union via the cummax-window sweep,
+    // max overlap via the +1/-1 running sum (ends before starts at
+    // equal t = half-open), DuckDB's own regr_slope/intercept, sorted
+    // string_agg; all interval arithmetic in integer centi-seconds
+    "q_agg_functions4" ->
+      """WITH base AS (
+        |  SELECT user_id % 5 AS cohort, event_id, value, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) * 100 AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) * 100
+        |      + CAST(round(value * 100) AS BIGINT) AS e
+        |  FROM events WHERE user_id < 100),
+        |iv AS (
+        |  SELECT cohort, s, e,
+        |    max(e) OVER (PARTITION BY cohort ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cover
+        |  FROM base),
+        |ils AS (
+        |  SELECT cohort, CAST(sum(greatest(0,
+        |    e - greatest(s, coalesce(cover, s)))) AS BIGINT) AS ils
+        |  FROM iv GROUP BY cohort),
+        |mxi AS (
+        |  SELECT cohort, max(run) AS mxi FROM (
+        |    SELECT cohort, CAST(sum(d) OVER (PARTITION BY cohort
+        |      ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |    FROM (SELECT cohort, s AS t, 1 AS d FROM base
+        |          UNION ALL SELECT cohort, e, -1 FROM base))
+        |  GROUP BY cohort),
+        |lr AS (
+        |  SELECT cohort,
+        |    round(regr_slope(value, event_id), 4) + 0.0 AS slope,
+        |    round(regr_intercept(value, event_id), 4) + 0.0 AS icept
+        |  FROM base GROUP BY cohort),
+        |gc AS (
+        |  SELECT cohort,
+        |    array_to_string(list_sort(list(event_type)), ',') AS gc
+        |  FROM base GROUP BY cohort)
+        |SELECT ils.cohort, ils, mxi, slope, icept, gc
+        |FROM ils JOIN mxi USING (cohort) JOIN lr USING (cohort)
+        |  JOIN gc USING (cohort)
+        |ORDER BY ils.cohort""".stripMargin,
     // batch-6 aggregates — anyHeavy as the (count desc, value asc)
     // window mode; weighted quantile over the w-expanded multiset;
     // boundingRatio/deltaSum in integer cent/micro units; avgMap as the

@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.ChDialectBatch7
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch-7 interval/regression aggregates. */
+class ChDialect7Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    ChDialectBatch7.register(s)
+    s
+  }
+  import spark.implicits._
+
+  private def one(sql: String): Any = spark.sql(sql).head().get(0)
+
+  test("intervalLengthSum: overlaps once, gaps skipped, containment") {
+    // [0,10) ∪ [5,15) ∪ [20,22) ∪ [21,21.5) = 15 + 2 = 17
+    Seq((0.0, 10.0), (5.0, 15.0), (20.0, 22.0), (21.0, 21.5))
+      .toDF("s", "e").createOrReplaceTempView("b7_il")
+    assert(one("SELECT intervalLengthSum(s, e) FROM b7_il") == 17.0)
+    // partition-invariance: the sort owns the order
+    assert(spark.table("b7_il").repartition(5)
+      .createOrReplaceTempView("b7_il2") == ())
+    assert(one("SELECT intervalLengthSum(s, e) FROM b7_il2") == 17.0)
+  }
+
+  test("maxIntersections: half-open ends do not collide with starts") {
+    // [0,10) [5,15) [5,8) overlap 3-deep at [5,8); [10,12) starts
+    // exactly where [0,10) ends — must NOT count together
+    Seq((0.0, 10.0), (5.0, 15.0), (5.0, 8.0), (10.0, 12.0))
+      .toDF("s", "e").createOrReplaceTempView("b7_mi")
+    assert(one("SELECT maxIntersections(s, e) FROM b7_mi") == 3L)
+    Seq((0.0, 10.0), (10.0, 20.0)).toDF("s", "e")
+      .createOrReplaceTempView("b7_mi2")
+    assert(one("SELECT maxIntersections(s, e) FROM b7_mi2") == 1L)
+  }
+
+  test("simpleLinearRegression: exact fit recovered as (k, b)") {
+    // y = 3x + 2 exactly
+    Seq((0.0, 2.0), (1.0, 5.0), (2.0, 8.0), (3.0, 11.0))
+      .toDF("x", "y").createOrReplaceTempView("b7_lr")
+    val row = spark.sql(
+      "SELECT simpleLinearRegression(x, y).k, " +
+        "simpleLinearRegression(x, y).b FROM b7_lr").head()
+    assert(math.abs(row.getDouble(0) - 3.0) < 1e-12)
+    assert(math.abs(row.getDouble(1) - 2.0) < 1e-12)
+  }
+
+  test("groupConcat: sorted-order concat, optional separator") {
+    Seq("b", "c", "a").toDF("x").createOrReplaceTempView("b7_gc")
+    assert(one("SELECT groupConcat(x, ',') FROM b7_gc") == "a,b,c")
+    assert(one("SELECT groupConcat(x) FROM b7_gc") == "abc")
+  }
+}
