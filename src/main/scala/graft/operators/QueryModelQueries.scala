@@ -94,10 +94,38 @@ object QueryModelQueries {
       page = Some(2)))
   }
 
+  /** The helper-authored model (QueryModelHelpers, ref query-layer/
+    * helpers.ts): spread-in timeDimensions trio + schema-derived
+    * eq-only filters, with the week dimension load-bearing. */
+  def qmTimeDims(spark: SparkSession, dir: String): DataFrame = {
+    import graft.querymodel.QueryModelHelpers._
+    val events = Tables.load(spark, dir, "events")
+    val (flt, ops) = filtersFromSchema(events.schema,
+      include = Some(Seq("event_type")))
+    QueryModel.buildQuery(
+      Def(
+        base = events,
+        dimensions = timeDimensions("ts"),
+        metrics = Map("n" -> count(lit(1)),
+          "total" -> round(sum(col("value")), 2)),
+        filterable = flt,
+        filterOps = ops,
+        sortable = Set("week"),
+        maxLimit = 1000),
+      Request(
+        dimensions = Seq("week"),
+        metrics = Seq("n", "total"),
+        filters = Seq(Filter("eventType",
+          Some(FilterOp.Eq("purchase")))),
+        orderBy = Seq("week" -> "ASC"),
+        limit = Some(1000)))
+  }
+
   def queries: Map[String, Q] = Map(
     "qm_aggregate" -> (qmAggregate _),
     "qm_detail" -> (qmDetail _),
     "qm_join" -> (qmJoin _),
+    "qm_time_dims" -> (qmTimeDims _),
     "qm_page" -> (qmPage _))
 
   def oracles: Map[String, String] = Map(
@@ -119,5 +147,11 @@ object QueryModelQueries {
     "qm_page" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
-        |LIMIT 50 OFFSET 50""".stripMargin)
+        |LIMIT 50 OFFSET 50""".stripMargin,
+    // ISO Monday week start (date_trunc('week') both engines)
+    "qm_time_dims" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY week LIMIT 1000""".stripMargin)
 }

@@ -33,6 +33,11 @@ object QueryModel {
       joinType: String = "left",
       broadcastRight: Boolean = true)
 
+  /** @param filterOps per-target allowed operator keys (the reference's
+    *        `ModelFilterDef.operators`, model-tools.ts:20-32 — fields
+    *        derived by [[QueryModelHelpers.filtersFromSchema]] default
+    *        to `eq` only, the conservative stance; widen per field).
+    *        Targets absent from the map accept every operator. */
   final case class Def(
       base: DataFrame,
       dimensions: Map[String, DataFrame => Column] = Map.empty,
@@ -42,7 +47,8 @@ object QueryModel {
       filterable: Map[String, DataFrame => Column] = Map.empty,
       sortable: Set[String] = Set.empty,
       defaultLimit: Int = 100,
-      maxLimit: Int = 1000)
+      maxLimit: Int = 1000,
+      filterOps: Map[String, Set[String]] = Map.empty)
 
   sealed trait FilterOp
   object FilterOp {
@@ -59,6 +65,24 @@ object QueryModel {
     final case class Between(lo: Any, hi: Any) extends FilterOp
     case object IsNull extends FilterOp
     case object IsNotNull extends FilterOp
+  }
+
+  /** The operator-gate key of a FilterOp (the reference's operator
+    * name vocabulary, query-layer/types.ts). */
+  def opKey(op: FilterOp): String = op match {
+    case _: FilterOp.Eq => "eq"
+    case _: FilterOp.Ne => "ne"
+    case _: FilterOp.Gt => "gt"
+    case _: FilterOp.Gte => "gte"
+    case _: FilterOp.Lt => "lt"
+    case _: FilterOp.Lte => "lte"
+    case _: FilterOp.In => "in"
+    case _: FilterOp.NotIn => "notIn"
+    case _: FilterOp.Like => "like"
+    case _: FilterOp.ILike => "ilike"
+    case _: FilterOp.Between => "between"
+    case FilterOp.IsNull => "isNull"
+    case FilterOp.IsNotNull => "isNotNull"
   }
 
   /** target: a dimension, filterable entry, or metric alias name. */
@@ -108,6 +132,10 @@ object QueryModel {
         model.metrics.contains(f.target) ||
         model.columns.contains(f.target),
         s"filter target '${f.target}' not allowed")
+      for (allowed <- model.filterOps.get(f.target); op <- f.op)
+        require(allowed.contains(opKey(op)),
+          s"filter '${f.target}' does not allow operator " +
+            s"'${opKey(op)}' (allowed: ${allowed.toSeq.sorted.mkString(",")})")
     }
     req.orderBy.foreach { case (n, dir) =>
       require(model.sortable.contains(n), s"'$n' is not sortable")

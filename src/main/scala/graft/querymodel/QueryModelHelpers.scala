@@ -1,0 +1,75 @@
+package graft.querymodel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The reference query-layer's model-authoring conveniences
+  * (ref packages/ts-moose-lib/src/query-layer/helpers.ts), re-expressed
+  * over Spark schemas: spread-in time dimensions and schema-derived
+  * column / filter definitions, so a QueryModel over a wide table is a
+  * few lines instead of a hand-enumerated map.
+  */
+object QueryModelHelpers {
+
+  /** `timeDimensions(dateCol)` → the day/month/week dimension trio
+    * (ref helpers.ts:89-120: toDate / toStartOfMonth / toStartOfWeek;
+    * unknown periods refuse naming the supported set). Spread into
+    * `Def.dimensions` with `++`. */
+  def timeDimensions(dateCol: String,
+      periods: Seq[String] = Seq("day", "month", "week"))
+      : Map[String, DataFrame => Column] = {
+    val fns: Map[String, DataFrame => Column] = Map(
+      "day" -> (df => to_date(df(dateCol))),
+      "month" -> (df => date_trunc("month", df(dateCol)).cast("date")),
+      "week" -> (df => date_trunc("week", df(dateCol)).cast("date")))
+    periods.map { p =>
+      p -> fns.getOrElse(p, throw new IllegalArgumentException(
+        s"Unknown time period '$p'. Supported: ${fns.keys.toSeq.sorted
+          .mkString(", ")}"))
+    }.toMap
+  }
+
+  private def toCamelCase(s: String): String = {
+    val parts = s.split("_")
+    (parts.head +: parts.tail.map(p =>
+      if (p.isEmpty) p else p.head.toUpper + p.tail)).mkString
+  }
+
+  private def selectFields(schema: StructType, include: Option[Seq[String]],
+      exclude: Seq[String]): Seq[String] = {
+    include.foreach(_.foreach(n => require(schema.fieldNames.contains(n),
+      s"include names column '$n' absent from the schema")))
+    schema.fieldNames.toSeq
+      .filter(n => include.forall(_.contains(n)))
+      .filterNot(exclude.contains)
+  }
+
+  /** Column defs from a schema (ref helpers.ts:141-159): every kept
+    * snake_case column becomes a camelCase-keyed passthrough. Spread
+    * into `Def.columns`. */
+  def columnsFromSchema(schema: StructType,
+      include: Option[Seq[String]] = None,
+      exclude: Seq[String] = Nil,
+      camelCase: Boolean = true): Map[String, DataFrame => Column] =
+    selectFields(schema, include, exclude).map { n =>
+      (if (camelCase) toCamelCase(n) else n) ->
+        ((df: DataFrame) => df(n))
+    }.toMap
+
+  /** Filter defs from a schema (ref helpers.ts:173-195): conservative
+    * `eq`-only operator gates — widen per field by overriding the
+    * returned ops map. Returns (filterable, filterOps) to spread into
+    * `Def.filterable` / `Def.filterOps`. */
+  def filtersFromSchema(schema: StructType,
+      include: Option[Seq[String]] = None,
+      exclude: Seq[String] = Nil,
+      camelCase: Boolean = true)
+      : (Map[String, DataFrame => Column], Map[String, Set[String]]) = {
+    val fields = selectFields(schema, include, exclude).map { n =>
+      (if (camelCase) toCamelCase(n) else n) -> n
+    }
+    (fields.map { case (k, n) => k -> ((df: DataFrame) => df(n)) }.toMap,
+      fields.map { case (k, _) => k -> Set("eq") }.toMap)
+  }
+}

@@ -95,4 +95,69 @@ class QueryModelSpec extends AnyFunSuite {
       filters = Seq(Filter("k", Some(FilterOp.ILike("A%"))))))
     assert(ilike.count() == 2) // case-insensitive matches 'a' rows
   }
+
+  test("filterOps gate: declared fields reject undeclared operators " +
+      "(model-tools operators contract)") {
+    val gated = model.copy(filterOps = Map("v" -> Set("eq", "gte")))
+    // allowed op passes
+    val ok = QueryModel.buildQuery(gated, Request(
+      columns = Seq("id", "v"),
+      filters = Seq(Filter("v", Some(FilterOp.Gte(30.0)))),
+      orderBy = Seq("id" -> "ASC")))
+    assert(ok.collect().map(_.getInt(0)).toSeq == Seq(3, 4, 5))
+    // undeclared op refuses naming the allowed set
+    val e = intercept[IllegalArgumentException] {
+      QueryModel.buildQuery(gated, Request(
+        columns = Seq("id"),
+        filters = Seq(Filter("v", Some(FilterOp.Like("1%"))))))
+    }
+    assert(e.getMessage.contains("allowed: eq,gte"))
+    // targets without a declared gate stay unrestricted
+    assert(QueryModel.buildQuery(gated, Request(
+      dimensions = Seq("k"), metrics = Seq("n"),
+      filters = Seq(Filter("n", Some(FilterOp.Lte(2L))))))
+      .collect().nonEmpty)
+  }
+
+  test("QueryModelHelpers: timeDimensions trio, schema-derived columns " +
+      "and eq-only filters") {
+    import graft.querymodel.QueryModelHelpers._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-15 10:00:00"), "x_one", 5.0),
+      (2L, java.sql.Timestamp.valueOf("2024-03-18 10:00:00"), "x_two", 7.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val dims = timeDimensions("ts")
+    assert(dims.keySet == Set("day", "month", "week"))
+    intercept[IllegalArgumentException] { timeDimensions("ts", Seq("hour")) }
+    val (flt, ops) = filtersFromSchema(df.schema,
+      include = Some(Seq("event_type", "value")))
+    val m = Def(
+      base = df,
+      dimensions = dims,
+      metrics = Map("n" -> count(lit(1))),
+      columns = columnsFromSchema(df.schema, exclude = Seq("ts")),
+      filterable = flt,
+      filterOps = ops,
+      sortable = Set("month", "n", "eventId"))
+    // camelCase keys from snake_case schema names
+    assert(m.columns.keySet == Set("eventId", "eventType", "value"))
+    // month dimension groups both rows together
+    val agg = QueryModel.buildQuery(m, Request(
+      dimensions = Seq("month"), metrics = Seq("n")))
+    assert(agg.collect().map(_.getLong(1)).toSeq == Seq(2L))
+    // derived filters are eq-only
+    intercept[IllegalArgumentException] {
+      QueryModel.buildQuery(m, Request(
+        dimensions = Seq("month"), metrics = Seq("n"),
+        filters = Seq(Filter("value", Some(FilterOp.Gt(1.0))))))
+    }
+    assert(QueryModel.buildQuery(m, Request(
+      dimensions = Seq("month"), metrics = Seq("n"),
+      filters = Seq(Filter("eventType", Some(FilterOp.Eq("x_one"))))))
+      .collect().map(_.getLong(1)).toSeq == Seq(1L))
+    // include validates names
+    intercept[IllegalArgumentException] {
+      columnsFromSchema(df.schema, include = Some(Seq("nope")))
+    }
+  }
 }
