@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash-LSH band bucket keys for one document's word array, as ONE
+  * native `Expression`: shingle hashes → k min-hash lanes → `bands`
+  * folded 64-bit keys, all in a single compiled per-row loop.
+  *
+  * Why native and not the earlier HOF pipeline: higher-order functions
+  * evaluate INTERPRETED per element, and even the evaluate-once
+  * formulation (one `aggregate` pass, lambda-bound signature) walked an
+  * expression tree per (shingle × lane) — measured 312 s for the 10×
+  * stress corpus (500k docs) where this loop runs the same arithmetic
+  * in 3.2 s. Same trade [[FunnelLevel]] documents; `CodegenFallback` is
+  * fine because the loop IS the work — one virtual call per row.
+  *
+  * Hash spelling (self-contained; the streaming operator and its batch
+  * twin both read THIS function, so cross-engine parity is never
+  * needed): shingle hash = XXH64(utf8 of the space-joined words, seed
+  * 42 — Spark's own xxhash64 seed); lane j min over shingles of
+  * XXH64.hashLong(h, 42 + j); band key = XXH64.hashLong(b, fold of the
+  * band's lanes from seed 17). Documents shorter than `shingleLen`
+  * hash their whole word list as one shingle. NULL elements are
+  * skipped (they carry no text).
+  */
+case class MinHashBandKeys(child: Expression, shingleLen: Int, k: Int,
+    bands: Int) extends UnaryExpression with CodegenFallback {
+  require(shingleLen >= 1, s"shingleLen $shingleLen must be >= 1")
+  require(bands >= 1 && k % bands == 0,
+    s"k=$k must divide into bands=$bands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_band_keys expects array<string>, got ${other.simpleString}")
+  }
+
+  private val rpb = k / bands
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val words = new Array[UTF8String](n)
+    var w = 0
+    while (w < n) {
+      words(w) = arr.getUTF8String(w) // may be null; concatWs skips below
+      w += 1
+    }
+    val nSh = math.max(n - shingleLen + 1, 1)
+    val lanes = new Array[Long](k)
+    java.util.Arrays.fill(lanes, Long.MaxValue)
+    val part = new Array[UTF8String](shingleLen)
+    var i = 0
+    while (i < nSh) {
+      val m = math.min(shingleLen, n - i)
+      var p = 0
+      while (p < shingleLen) {
+        part(p) = if (p < m) words(i + p) else null // null = skipped by concatWs
+        p += 1
+      }
+      val sh = UTF8String.concatWs(space, part: _*)
+      val h = XXH64.hashUnsafeBytes(
+        sh.getBaseObject, sh.getBaseOffset, sh.numBytes(), 42L)
+      var j = 0
+      while (j < k) {
+        val h2 = XXH64.hashLong(h, 42L + j)
+        if (h2 < lanes(j)) lanes(j) = h2
+        j += 1
+      }
+      i += 1
+    }
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 17L
+      var r = 0
+      while (r < rpb) {
+        acc = XXH64.hashLong(lanes(b * rpb + r), acc)
+        r += 1
+      }
+      keys(b) = XXH64.hashLong(b.toLong, acc)
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashBandKeys = copy(child = newChild)
+
+  override def prettyName: String = "minhash_band_keys"
+}

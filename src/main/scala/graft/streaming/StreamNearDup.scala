@@ -50,31 +50,21 @@ object StreamNearDup {
     * mixed in so different bands never share a bucket space). Exposed
     * for tests and for batch backfills that must agree with the stream.
     *
-    * Evaluation-count discipline: higher-order functions stay
-    * INTERPRETED in Spark, so codegen subexpression elimination never
-    * rescues a plan that mentions the shingle-hash array in k places —
-    * a first formulation with `hs` inlined per lane evaluated it 24×
-    * (measured 61 s for 500 sf0.01 docs). Here (a) all k lane minima
-    * fold in ONE `aggregate` pass over `hs` (the running-minima array
-    * is the accumulator), and (b) the signature is bound to ONE lambda
-    * variable (`transform(array(sig), s -> …)`) before the per-band
-    * fold, so `hs` and `sig` are each computed exactly once per row
-    * regardless of what Catalyst collapses (2.1 s after). */
+    * History of this column is a lesson in HOF evaluation counts: the
+    * per-lane HOF formulation evaluated the shingle-hash array 24×
+    * (61 s for 500 docs), the evaluate-once HOF fold fixed the count
+    * but still walked an interpreted expression tree per
+    * (shingle × lane) — 312 s at the 10× stress corpus. The native
+    * [[graft.functions.MinHashBandKeys]] loop does the same arithmetic
+    * compiled: 3.2 s at 10×. Only the codegen'd `normalized`+`split`
+    * stay as column expressions. */
   def bandKeys(textCol: Column, shingleLen: Int, k: Int,
-      bands: Int): Column = {
-    val rpb = k / bands
-    val words = split(TextAnalysis.normalized(textCol), " ")
-    val nSh = greatest(size(words) - (shingleLen - 1), lit(1))
-    val hs = transform(sequence(lit(1), nSh),
-      i => xxhash64(concat_ws(" ", slice(words, i, lit(shingleLen)))))
-    val sig = aggregate(hs, array_repeat(lit(Long.MaxValue), k),
-      (acc, h) => transform(acc, (a, j) => least(a, xxhash64(j, h))))
-    transform(array(sig), s =>
-      transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(b, aggregate(slice(s, b * lit(rpb) + lit(1), lit(rpb)),
-          lit(17L), (a, x) => xxhash64(a, x)))))
-      .getItem(0)
-  }
+      bands: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.MinHashBandKeys(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          split(TextAnalysis.normalized(textCol), " ")),
+        shingleLen, k, bands))
 
   /** Candidate edges (doc_id, prior_id, band_key) in append mode.
     * `delay` is both the watermark delay and the bucket eviction
