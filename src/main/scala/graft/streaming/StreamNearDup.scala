@@ -18,13 +18,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * never-shuffle-the-text rule the whole dedup family follows.
   *
   * Signature computation is fully ROW-LOCAL (shingle hashes and k
-  * min-hash lanes via array HOFs — no per-batch shuffle before the
-  * keyed state op; the batch operator's explode+groupBy formulation
-  * would put a shuffle in every micro-batch). The deliberate batch-side
-  * dead end — row-local signatures measured SLOWER at corpus scale
-  * (Dedup scaladoc) — does not apply here: a micro-batch is small, and
-  * avoiding a stateful pre-aggregation is what keeps the pipeline a
-  * single `flatMapGroupsWithState`.
+  * min-hash lanes in the native [[graft.functions.MinHashBandKeys]]
+  * loop — no per-batch shuffle before the keyed state op; the batch
+  * operator's explode+groupBy formulation would put a shuffle in every
+  * micro-batch). The deliberate batch-side dead end — row-local HOF
+  * signatures measured SLOWER at corpus scale (Dedup scaladoc) — was
+  * about INTERPRETED array HOFs, not row-locality: the compiled loop
+  * beats both (see bandKeys' history note).
   *
   * State: ONE (firstId, lastSeen) pair per live band bucket — 24 bytes
   * per bucket, text never enters state — evicted by event-time timeout
