@@ -453,6 +453,23 @@ object DialectQueries {
       maxLimit = graft.api.AdHoc.CliMaxLimit)
   }
 
+  /** CH `ASOF JOIN … USING (k, t)` raw-SQL shorthand (all-but-last
+    * equality, last column backward-inclusive) — the text twin of
+    * `q_asof_sql`'s ON form; DuckDB speaks the USING spelling natively,
+    * so the oracle is the unrewritten text. */
+  def qAsofUsingSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    graft.api.AdHoc.query(spark,
+      """SELECT l.event_id AS eid, l.user_id AS uid,
+        |  r.value AS last_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |USING (user_id, ts)
+        |ORDER BY eid LIMIT 5000""".stripMargin,
+      limit = graft.api.AdHoc.CliMaxLimit,
+      maxLimit = graft.api.AdHoc.CliMaxLimit)
+  }
+
   /** CH scalar WITH: query-wide constant aliases (incl. a chained
     * reference) substituted through the body by the dialect rewrite —
     * the parameterization idiom of CH programs. */
@@ -531,6 +548,7 @@ object DialectQueries {
   def queries: Map[String, Q] = Map(
     "q_ch_functions5" -> (qChFunctions5 _),
     "q_asof_sql" -> (qAsofSql _),
+    "q_asof_using_sql" -> (qAsofUsingSql _),
     "q_with_fill_sql" -> (qWithFillSql _),
     "q_limit_ties_sql" -> (qLimitTiesSql _),
     "q_qualify" -> (qQualify _),
@@ -562,6 +580,13 @@ object DialectQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id LIMIT 5000""".stripMargin,
+    "q_asof_using_sql" ->
+      """SELECT l.event_id AS eid, l.user_id AS uid,
+        |  r.value AS last_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |USING (user_id, ts)
+        |ORDER BY eid LIMIT 5000""".stripMargin,
     // same independent grid-join formulation as the plan twin q_with_fill
     "q_with_fill_sql" ->
       """WITH daily AS (
