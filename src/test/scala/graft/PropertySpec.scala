@@ -195,6 +195,71 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("LIMIT n WITH TIES text == ChShapes.limitWithTies plan on random " +
+      "data, both directions") {
+    val rowGen = for {
+      id <- Gen.choose(0, 10000)
+      k <- Gen.choose(0L, 8L) // small domain forces boundary ties
+    } yield (id.toLong, k)
+    for (trial <- 0 until 3) {
+      val rows = samples(rowGen, 60).distinctBy(_._1)
+      val df = rows.toDF("id", "k")
+      df.createOrReplaceTempView("ties_prop")
+      val n = 5 + trial * 7
+      for (desc <- Seq(true, false)) {
+        val dir = if (desc) "DESC" else ""
+        val viaText = graft.api.AdHoc.query(spark,
+            s"SELECT id, k FROM ties_prop ORDER BY k $dir " +
+              s"LIMIT $n WITH TIES", limit = 1000)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val viaPlan = graft.operators.ChShapes.limitWithTies(
+            df, n, col("k"), descending = desc)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(viaText == viaPlan, s"n=$n desc=$desc")
+        // and both satisfy the WITH TIES definition: kept set = rows
+        // at-or-better than the n-th ordered key
+        val sorted = rows.map(_._2).sorted
+        val boundary = if (desc) sorted.reverse(math.min(n, rows.size) - 1)
+          else sorted(math.min(n, rows.size) - 1)
+        val expect = rows.filter(r =>
+          if (desc) r._2 >= boundary else r._2 <= boundary).toSet
+        assert(viaText == expect, s"definition n=$n desc=$desc")
+      }
+    }
+  }
+
+  test("BM25 rational idf: single-term rankings identical to the " +
+      "Lucene log-idf form on random corpora") {
+    val docGen = for {
+      nWords <- Gen.choose(1, 12)
+      words <- Gen.listOfN(nWords,
+        Gen.oneOf("spark", "data", "the", "fox", "engine", "row"))
+    } yield words.mkString(" ")
+    for (trial <- 0 until 3) {
+      val docs = samples(docGen, 40).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val qs = Seq((1L, "spark")).toDF("qid", "qtext")
+      val got = graft.operators.Corpus.bm25TopK(
+          df, "doc_id", "text", qs, "qid", "qtext", k = 40)
+        .orderBy("rnk").collect().map(_.getLong(2)).toSeq
+      // plain-Scala Lucene BM25 (ln(1 + (N-df+0.5)/(df+0.5))) reference
+      val n = docs.size
+      val tf = docs.map { case (id, t) =>
+        id -> t.split(" ").count(_ == "spark") }.filter(_._2 > 0)
+      val dl = docs.map { case (id, t) => id -> t.split(" ").length }.toMap
+      val avgdl = dl.values.sum.toDouble / n
+      val dfreq = tf.size
+      val idfLog = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+      val expect = tf.map { case (id, f) =>
+        id -> idfLog * f * 2.2 /
+          (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))
+      }.sortBy { case (id, s) => (-s, id) }.map(_._1)
+      assert(got == expect,
+        s"single-term ranking must match Lucene BM25 (trial $trial)")
+    }
+  }
+
   test("sql literal round-trips numbers and timestamps") {
     samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 20).foreach { n =>
       // small literals parse as INT — normalize through Number
