@@ -117,6 +117,16 @@ object ChDialectBatch7 {
         new SortArray(CollectList(Cast(a.head, StringType))
           .toAggregateExpression())))
     }
+
+    // histogram(nbins, x): adaptive equi-depth-ish histogram as
+    // array<struct<x, y>> — Spark's streaming histogram_numeric
+    // (Ben-Haim/Tom-Tov), the same ADAPTIVE-bin family as CH's own
+    // `histogram` (neither promises exact bin placement; contract
+    // checks pin count/coverage/mass, never centers). Params-first
+    // like the rest of the parameterized family.
+    f("histogram")(a =>
+      new HistogramNumeric(a(1), Cast(a.head, IntegerType))
+        .toAggregateExpression())
   }
 
   def isRegistered(spark: SparkSession): Boolean =

@@ -285,6 +285,26 @@ object DialectQueries {
         |) GROUP BY cohort ORDER BY cohort""".stripMargin)
   }
 
+  /** CH `histogram(nbins)(x)` (batch 7): adaptive bins are engine-
+    * specific in BOTH engines (CH's streaming histogram vs Spark's
+    * Ben-Haim/Tom-Tov), so the contract oracle pins the INVARIANTS —
+    * bin count bound, total mass = row count, centers inside the data
+    * range — as constants, never bin placement. */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch7.register(spark)
+    sqlOn(spark, dir, "events", "evts_hist",
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  (size(histogram(8, value)) BETWEEN 1 AND 8) AS bins_ok,
+        |  (abs(aggregate(histogram(8, value), 0.0D, (a, b) -> a + b.y)
+        |    - count(*)) < 1e-6) AS mass_ok,
+        |  (array_min(transform(histogram(8, value), b -> b.x))
+        |      >= min(value)
+        |    AND array_max(transform(histogram(8, value), b -> b.x))
+        |      <= max(value)) AS range_ok
+        |FROM evts_hist GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** CH `ARRAY JOIN` clause through the ad-hoc gate's text rewrite —
     * the exact path a moose program's raw CH SQL takes (rewritten to
     * `LATERAL VIEW explode`, same clause position in both grammars).
@@ -564,6 +584,7 @@ object DialectQueries {
     "q_agg_functions2" -> (qAggFunctions2 _),
     "q_agg_functions3" -> (qAggFunctions3 _),
     "q_agg_functions4" -> (qAggFunctions4 _),
+    "q_histogram" -> (qHistogram _),
     "q_topk_agg" -> (qTopkAgg _),
     "q_summap" -> (qSumMap _),
     "q_array_join" -> (qArrayJoin _),
@@ -888,6 +909,12 @@ object DialectQueries {
         |         THEN printf('%.2f PiB', round(fx / 1125899906842624, 2))
         |       ELSE printf('%.2f EiB', round(fx / 1152921504606846976, 2)) END AS frs
         |FROM c ORDER BY doc_id LIMIT 300""".stripMargin,
+    // adaptive histogram: invariants as constants (bin placement is
+    // engine-specific in both engines — the contract-oracle pattern)
+    "q_histogram" ->
+      """SELECT event_type, count(*) AS n,
+        |  TRUE AS bins_ok, TRUE AS mass_ok, TRUE AS range_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // batch-7 aggregates — interval union via the cummax-window sweep,
     // max overlap via the +1/-1 running sum (ends before starts at
     // equal t = half-open), DuckDB's own regr_slope/intercept, sorted

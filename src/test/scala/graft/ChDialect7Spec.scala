@@ -48,6 +48,20 @@ class ChDialect7Spec extends AnyFunSuite {
     assert(math.abs(row.getDouble(1) - 2.0) < 1e-12)
   }
 
+  test("histogram: bin count bound, centers inside the data range, " +
+      "total mass = row count") {
+    (1 to 1000).map(_.toDouble).toDF("v").createOrReplaceTempView("b7_h")
+    val row = spark.sql(
+      "SELECT size(histogram(5, v)), " +
+        "aggregate(histogram(5, v), 0.0D, (a, b) -> a + b.y), " +
+        "array_min(transform(histogram(5, v), b -> b.x)), " +
+        "array_max(transform(histogram(5, v), b -> b.x)) FROM b7_h")
+      .head()
+    assert(row.getInt(0) <= 5 && row.getInt(0) >= 1)
+    assert(row.getDouble(1) == 1000.0) // heights sum to the row count
+    assert(row.getDouble(2) >= 1.0 && row.getDouble(3) <= 1000.0)
+  }
+
   test("groupConcat: sorted-order concat, optional separator") {
     Seq("b", "c", "a").toDF("x").createOrReplaceTempView("b7_gc")
     assert(one("SELECT groupConcat(x, ',') FROM b7_gc") == "a,b,c")
