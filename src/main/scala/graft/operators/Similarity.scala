@@ -858,6 +858,88 @@ object Similarity {
         pmod(b.cast("int") + 128, lit(16)) - 8))),
       lit(1), dim)
 
+  /** Binary (1-bit) quantization — the 32×-vs-float32 storage tier below
+    * [[quantizeInt4]] and the signature the Hamming-distance search tier
+    * runs on: bit i of the signature is `1` iff vᵢ > 0 (exact zeros map
+    * to 0 — the sign convention is part of the contract and both engines
+    * restate it identically). Bits pack 32 per 64-bit word
+    * (little-endian within the word: dim w·32+j is bit j of word w; a
+    * non-multiple-of-32 tail pads with 0 bits), so the packed values stay
+    * ≤ 2³²−1 — representable without sign games in any engine's BIGINT,
+    * which is what makes the codes exactly recomputable by the DuckDB
+    * oracle. Row-local higher-order-function math: the descending-j fold
+    * `acc·2 + bit` weights bit j by 2ʲ without a variable-distance shift
+    * (Spark's `shiftleft` takes only a literal distance). No shuffle, no
+    * UDF.
+    *
+    * Hamming distance between signatures approximates angular distance
+    * (Charikar 2002 — the same random-hyperplane fact [[lshBuckets]]
+    * uses, with the coordinate axes as the planes), so binary search is
+    * rerank-tier: take the Hamming top-R, re-score exactly — see
+    * [[knnHamming]]. */
+  def quantizeBinary(
+      df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val nWords = ((size(col(vecCol)) + 31) / 32).cast("int")
+    df.select(col(idCol), col(vecCol),
+      transform(sequence(lit(0), nWords - 1), w =>
+        aggregate(sequence(lit(31), lit(0), lit(-1)), lit(0L), (acc, j) =>
+          acc * 2 + when(
+            try_element_at(col(vecCol), w * 32 + j + 1) > 0f, 1L)
+            .otherwise(0L))).as("sig"))
+  }
+
+  /** Top-k nearest neighbors by HAMMING distance over [[quantizeBinary]]
+    * signatures — the cheapest search tier (XOR + popcount per word, 32×
+    * less data scanned than float32): per (query, candidate) the distance
+    * is Σ_words `bit_count(xor)`, ranked (hamming asc, nid asc) so ties
+    * are deterministic cross-engine. Queries are signatures too and stay
+    * a bounded broadcast exactly like [[knnBrute]]'s; the corpus streams
+    * through one scan — no shuffle of the signature table.
+    *
+    * With `rerank > 0` + `rerankFrom` (the float vectors), the Hamming
+    * top-`rerank` per query is re-scored EXACTLY (cosine against the
+    * original vectors — the full-precision table is touched only for
+    * R·|queries| rows, the [[knnPq]] rerank shape) and the final ranking
+    * is (rounded cosine desc, nid) — drop-in comparable with
+    * [[knnBrute]] output. */
+  def knnHamming(
+      corpusSigs: DataFrame, querySigs: DataFrame,
+      idCol: String = "vec_id", k: Int = 10,
+      rerank: Int = 0, rerankFrom: Option[DataFrame] = None,
+      vecCol: String = "embedding"): DataFrame = {
+    val q = querySigs.select(col(idCol).as("qid"), col("sig").as("qs"))
+    val c = corpusSigs.select(col(idCol).as("nid"), col("sig").as("ns"))
+    val ham = aggregate(
+      zip_with(col("qs"), col("ns"),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), ham.as("ham"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("ham").asc, col("nid"))
+    val hamTop = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= (if (rerank > 0) math.max(rerank, k) else k))
+    if (rerank <= 0) hamTop.select(col("qid"), col("rank"), col("nid"), col("ham"))
+    else {
+      val vecs = rerankFrom.getOrElse(throw new IllegalArgumentException(
+        "knnHamming: rerank > 0 needs rerankFrom (the float vectors)"))
+      val exact = hamTop
+        .join(vecs.select(col(idCol).as("qid"), col(vecCol).as("qv")), Seq("qid"))
+        .join(vecs.select(col(idCol).as("nid"), col(vecCol).as("nv")), Seq("nid"))
+        .select(col("qid"), col("nid"), col("ham"),
+          cosine(col("qv"), col("nv")).as("sim"))
+      val w2 = Window.partitionBy(col("qid"))
+        .orderBy(round(col("sim"), 6).desc, col("nid"))
+      exact.withColumn("rank", row_number().over(w2).cast("long"))
+        .where(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("nid"), col("ham"),
+          round(col("sim"), 4).as("sim"))
+    }
+  }
+
   /** Matryoshka-style dimension-truncation evaluation (Kusupati et al.
     * 2022, "Matryoshka Representation Learning"): how much retrieval
     * quality survives keeping only the FIRST `d` embedding components —

@@ -371,6 +371,20 @@ object TextQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Binary-signature search tier (Similarity.quantizeBinary/knnHamming):
+    * Hamming top-50 per query over the 1-bit sign codes, exact-cosine
+    * rerank to top-10 — FULLY value-oracled: DuckDB recomputes the packed
+    * words (32 bits per BIGINT — the packing is defined to stay
+    * sign-safe precisely so this recompute is possible), the XOR/popcount
+    * distances, the (ham, nid) candidate cut, and the reranked cosines. */
+  def eKnnBinary(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val sigs = Similarity.quantizeBinary(e)
+    Similarity.knnHamming(sigs, sigs.where(col("vec_id") < 5),
+        k = 10, rerank = 50, rerankFrom = Some(e))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Recall@10 + MRR (micro-unit) of exact-cosine retrieval against
     * same-label relevance (Similarity.retrievalEval) — the binary-
     * relevance companion to e_ndcg_truncate, fully oracled. */
@@ -793,6 +807,7 @@ object TextQueries {
     "e_knn_quantized" -> (eKnnQuantized _),
     "e_knn_pq" -> (eKnnPq _),
     "e_knn_brute" -> (eKnnBrute _),
+    "e_knn_binary" -> (eKnnBinary _),
     "e_hybrid_rrf" -> (eHybridRrf _),
     "e_retrieval_eval" -> (eRetrievalEval _),
     "e_hard_negatives" -> (eHardNegatives _),
@@ -1558,6 +1573,46 @@ object TextQueries {
         |    ORDER BY rrf_score DESC, nid) AS rank FROM fused)
         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, rrf_score,
         |  CAST(rd AS BIGINT) AS rank_dense, CAST(rs AS BIGINT) AS rank_sparse
+        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "e_knn_binary" ->
+      """WITH sig AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(range(0, (len(embedding) + 31) // 32), w ->
+        |      CAST(list_sum(list_transform(range(0, 32), j ->
+        |        CASE WHEN embedding[CAST(w * 32 + j + 1 AS INT)] > 0
+        |          THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END)) AS BIGINT))
+        |      AS s
+        |  FROM embeddings),
+        |ham AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    CAST(list_sum(list_transform(range(1, len(q.s) + 1), w ->
+        |      bit_count(xor(q.s[CAST(w AS INT)], c.s[CAST(w AS INT)]))))
+        |      AS BIGINT) AS ham
+        |  FROM sig q, sig c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |htop AS (
+        |  SELECT qid, nid, ham,
+        |    row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS hrank
+        |  FROM ham),
+        |rer AS (
+        |  SELECT h.qid, h.nid, h.ham,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(ce.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))))
+        |    AS sim
+        |  FROM htop h
+        |  JOIN embeddings qe ON qe.vec_id = h.qid
+        |  JOIN embeddings ce ON ce.vec_id = h.nid
+        |  WHERE h.hrank <= 50),
+        |ranked AS (
+        |  SELECT qid, nid, ham, sim,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(sim, 6) DESC, nid) AS rank
+        |  FROM rer)
+        |SELECT qid, rank, nid, ham, round(sim, 4) AS sim
         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "e_knn_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv

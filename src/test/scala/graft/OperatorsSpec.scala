@@ -589,6 +589,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getSeq[Int](2) == Seq(-7, 7, 0, -3, 2))
   }
 
+  test("binary quantization: bit packing vs plain-Scala reference, " +
+      "tail padding, Hamming search + rerank") {
+    import graft.operators.Similarity
+    // 40 dims (non-multiple of 32 → 2 words, 24 pad bits in word 1)
+    val dim = 40
+    def mkVec(seed: Int): Array[Float] =
+      Array.tabulate(dim) { i =>
+        val h = (seed * 31 + i) * 2654435761L
+        ((h % 1000) / 500.0f) - 1.0f // deterministic in [-1, 1)
+      }
+    val vecs = (0L until 6L).map(id => (id, mkVec(id.toInt)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val sigs = Similarity.quantizeBinary(df)
+    // plain-Scala reference: bit j of word w = v(w*32+j) > 0
+    def refSig(v: Array[Float]): Seq[Long] =
+      (0 until (dim + 31) / 32).map { w =>
+        (0 until 32).foldLeft(0L) { (acc, j) =>
+          val i = w * 32 + j
+          acc | (if (i < dim && v(i) > 0f) 1L << j else 0L)
+        }
+      }
+    val got = sigs.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    for ((id, v) <- vecs) assert(got(id) == refSig(v), s"sig of $id")
+    // every word fits 32 bits (the sign-safe packing contract)
+    assert(got.values.flatten.forall(wd => wd >= 0L && wd <= 0xFFFFFFFFL))
+    // Hamming top-k ordering matches a plain-Scala recompute
+    val ann = Similarity.knnHamming(sigs, sigs.where($"vec_id" === 0L), k = 3)
+      .orderBy("rank").collect()
+    val s0 = refSig(vecs.head._2)
+    val ref = vecs.tail.map { case (id, v) =>
+      val d = refSig(v).zip(s0).map { case (a, b) =>
+        java.lang.Long.bitCount(a ^ b).toLong }.sum
+      (id, d)
+    }.sortBy { case (id, d) => (d, id) }.take(3)
+    assert(ann.map(r => (r.getLong(2), r.getLong(3))).toSeq == ref.toSeq)
+    // rerank path: k exact-cosine results out of the Hamming top-R,
+    // ranked by cosine (desc) — the self-neighbor is excluded
+    val rr = Similarity.knnHamming(sigs, sigs.where($"vec_id" === 0L),
+      k = 2, rerank = 5, rerankFrom = Some(df)).orderBy("rank").collect()
+    assert(rr.length == 2 && rr.forall(_.getLong(0) == 0L))
+    assert(rr(0).getDouble(4) >= rr(1).getDouble(4))
+    assert(rr.forall(_.getLong(2) != 0L))
+    // rerank without vectors refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnHamming(sigs, sigs, k = 2, rerank = 5)
+    }
+    assert(e.getMessage.contains("rerankFrom"))
+  }
+
   test("MJPG byte pin: kernel means EXACTLY equal an independent RIFF walk " +
       "+ this JVM's ImageIO decode of the same payload") {
     // JPEG is lossy ACROSS encoders, but encoder and decoder here are
