@@ -238,6 +238,87 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus near-duplicate join — fuzzy TRAIN/EVAL DECONTAMINATION
+    * (the near-dup complement of [[graft.operators.Corpus]]'s exact
+    * n-gram `contamination`): find (corpus doc, probe doc) pairs whose
+    * n-gram shingle Jaccard ≥ `threshold`, where `probes` is a BOUNDED
+    * benchmark/eval set. Training corpora are scrubbed of documents that
+    * nearly contain eval items before training; exact matching misses
+    * reformatted/quoted copies, which is what the MinHash band join
+    * catches.
+    *
+    * Same two-stage shape as [[minhashDedupPairs]] — banded candidate
+    * generation, exact-Jaccard verification of candidates only — but the
+    * band join is CROSS-dataset: corpus band keys stream through one
+    * scan and equi-join the probe side's band keys, so the corpus is
+    * never self-joined and never shuffled on bands. The probe side
+    * (bands, shingles, counts) is eval-set-sized; below the gate it
+    * broadcasts (zero corpus shuffles beyond the shared shingle
+    * distinct), past it the joins fall back to SHUFFLE_HASH with the
+    * probe side as build (the minhashDedupPairs stance — an eval set CAN
+    * be huge if a caller aims a second corpus at this).
+    *
+    * Recall is the LSH band bound: a pair with shingle-Jaccard J shares
+    * ≥1 of `bands` band keys with probability 1−(1−J^r)^bands
+    * (r = k/bands) — at the near-containment similarities
+    * decontamination targets (J ≥ 0.9) a miss is ≤ ~1e-4 with the
+    * defaults, and the minhash lanes are seeded, so the answer is
+    * deterministic per dataset. Verified pairs carry the EXACT Jaccard
+    * (integer intersection / union, one IEEE division — bit-equal
+    * cross-engine). */
+  def crossNearDup(
+      corpus: DataFrame, probes: DataFrame,
+      corpusIdCol: String, corpusTextCol: String,
+      probeIdCol: String, probeTextCol: String,
+      n: Int = 3, k: Int = 24, bands: Int = 8,
+      threshold: Double = 0.8,
+      broadcastProbes: Option[Boolean] = None,
+      broadcastMaxProbes: Long = 2000000L): DataFrame = {
+    require(k % bands == 0, s"crossNearDup: k=$k not divisible by bands=$bands")
+    val rows = k / bands
+    val shC = shingleSet(corpus, corpusIdCol, corpusTextCol, n)
+    val shP = shingleSet(probes, probeIdCol, probeTextCol, n)
+    def bandKeys(sig: DataFrame): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+            .as("bh"))
+      }
+      sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    }
+    val useBroadcast = broadcastProbes.getOrElse {
+      BroadcastGate.estimateOrCount(probes) <= broadcastMaxProbes
+    }
+    def probeSide(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df.hint("SHUFFLE_HASH")
+    val candidates = bandKeys(minhashSignatures(shC, k)).as("c")
+      .join(probeSide(bandKeys(minhashSignatures(shP, k)).as("p")),
+        col("c.band") === col("p.band") && col("c.bh") === col("p.bh"))
+      .select(col("c.id").as("corpus_id"), col("p.id").as("probe_id"))
+      .distinct()
+    // candidate volume scales with the probe set (each probe matches few
+    // corpus docs in a scrubbed corpus) — gate it with the probe side
+    val candSide =
+      if (useBroadcast) broadcast(candidates) else candidates.hint("SHUFFLE_HASH")
+    val candSh = shC.join(candSide, col("id") === col("corpus_id"))
+      .select(col("corpus_id"), col("probe_id"), col("sh"))
+    val inter = candSh.as("a")
+      .join(probeSide(shP.as("b")),
+        col("probe_id") === col("b.id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("corpus_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val cntC = shC.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val cntP = shP.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(cntC.as("ca"), col("corpus_id") === col("ca.id"))
+      .join(probeSide(cntP.as("cb")), col("probe_id") === col("cb.id"))
+      .select(col("corpus_id"), col("probe_id"),
+        (col("n_inter").cast("double") /
+          (col("ca.n_sh") + col("cb.n_sh") - col("n_inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash per document over whitespace tokens: bit i of the
     * signature is the sign of Σ_tokens (±1 by bit i of the token hash). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -365,6 +365,27 @@ object TextQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Fuzzy train/eval decontamination (Dedup.crossNearDup): the planted
+    * eval set is every 7th document with a two-word answer suffix
+    * appended (a reformatted near-copy, invisible to exact matching) and
+    * ids offset into a disjoint space. The oracle recomputes the EXACT
+    * exhaustive cross Jaccard over the same normalized 3-gram shingle
+    * sets for every (train, eval) pair — at the planted similarities
+    * (J ≈ 0.95+) the banded candidate generation is lossless (the
+    * crossNearDup scaladoc's bound), so the LSH path must equal the
+    * exhaustive answer, verified Jaccards included. */
+  def dFuzzyDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val eval = d.where(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 1000000L).as("eval_id"),
+        concat(col("text"), lit(" benchmark answer")).as("etext"))
+    Dedup.crossNearDup(d, eval, "doc_id", "text", "eval_id", "etext",
+        threshold = 0.8)
+      .select(col("corpus_id").as("doc_id"), col("probe_id").as("eval_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
   def eKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Similarity.knnBrute(e, e.where(col("vec_id") < 5), k = 10)
@@ -793,6 +814,7 @@ object TextQueries {
     "d_script_profile" -> (dScriptProfile _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_minhash_lsh" -> (dMinhashLsh _),
+    "d_fuzzy_decontam" -> (dFuzzyDecontam _),
     "d_simhash_pairs" -> (dSimhashPairs _),
     "d_token_count" -> (dTokenCount _),
     "d_quality" -> (dQuality _),
@@ -1130,6 +1152,38 @@ object TextQueries {
         |ORDER BY d.doc_id""".stripMargin,
     "d_ngram_jaccard" -> jaccardSql,
     "d_minhash_lsh" -> jaccardSql,
+    "d_fuzzy_decontam" ->
+      """WITH tw AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |ew AS (
+        |  SELECT doc_id + 1000000 AS eval_id, regexp_split_to_array(
+        |    trim(regexp_replace(regexp_replace(lower(text || ' benchmark answer'),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS w
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |tsh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM tw WHERE len(w) >= 3)),
+        |esh AS (SELECT DISTINCT eval_id, sh FROM (
+        |  SELECT eval_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM ew WHERE len(w) >= 3)),
+        |tc AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY doc_id),
+        |ec AS (SELECT eval_id, count(*) AS n FROM esh GROUP BY eval_id),
+        |inter AS (
+        |  SELECT t.doc_id, e.eval_id, count(*) AS i
+        |  FROM tsh t JOIN esh e ON t.sh = e.sh
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_id, i.eval_id,
+        |  round(i.i * 1.0 / (tc.n + ec.n - i.i), 4) AS jaccard
+        |FROM inter i
+        |JOIN tc ON tc.doc_id = i.doc_id
+        |JOIN ec ON ec.eval_id = i.eval_id
+        |WHERE i.i * 1.0 / (tc.n + ec.n - i.i) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
     "d_simhash_pairs" ->
       """WITH fp AS (SELECT doc_id,
         |    md5(trim(regexp_replace(regexp_replace(lower(text),

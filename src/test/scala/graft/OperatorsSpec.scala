@@ -589,6 +589,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getSeq[Int](2) == Seq(-7, 7, 0, -3, 2))
   }
 
+  test("crossNearDup: planted eval near-copy found with exact Jaccard, " +
+      "unrelated probe excluded, shuffle-hash fallback byte-equal") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "red green blue yellow purple orange cyan magenta")
+    ).toDF("doc_id", "text")
+    val probes = Seq(
+      // near-copy of doc 1 with one appended word: shingles 6 -> 7,
+      // shared 6 -> J = 6 / (6 + 7 - 6) = 6/7
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (200L, "completely unrelated words appear in this probe text")
+    ).toDF("eval_id", "text")
+    val got = Dedup.crossNearDup(corpus, probes,
+        "doc_id", "text", "eval_id", "text", threshold = 0.5)
+      .orderBy("corpus_id", "probe_id").collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 100L)
+    assert(got(0).getDouble(2) == 6.0 / 7.0)
+    // past the broadcast gate the SHUFFLE_HASH fallback answers the same
+    val fb = Dedup.crossNearDup(corpus, probes,
+        "doc_id", "text", "eval_id", "text", threshold = 0.5,
+        broadcastProbes = Some(false))
+      .orderBy("corpus_id", "probe_id").collect()
+    assert(fb.toSeq == got.toSeq)
+  }
+
   test("binary quantization: bit packing vs plain-Scala reference, " +
       "tail padding, Hamming search + rerank") {
     import graft.operators.Similarity
