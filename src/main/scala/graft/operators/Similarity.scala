@@ -940,6 +940,93 @@ object Similarity {
     }
   }
 
+  /** Maximal-marginal-relevance diversified rerank (Carbonell & Goldstein
+    * 1998): greedily select `k` of each query's candidates maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — the standard
+    * redundancy-suppressing rerank between retrieval and a consumer
+    * (RAG context assembly, dedup-aware search results).
+    *
+    * Inputs: `candidates` = (qid, nid, simq_micro) — the top-R frame from
+    * ANY search tier ([[knnBrute]] exact, or [[knnLsh]]/[[knnIvf]]/
+    * [[knnPq]]/[[knnHamming]] at scale) with the query similarity in
+    * integer MICRO-UNITS (`floor(sim·1e6 + 0.5)` — the nDCG stance);
+    * `vectors` = the float vectors for candidate ids. λ is passed in
+    * TENTHS so every greedy comparison is pure 64-bit integer arithmetic
+    * — `score = λ₁₀·simqµ − (10−λ₁₀)·maxPairµ`, ties by nid — making the
+    * selection bit-identical across engines/partitionings (candidate
+    * pair-similarities are micro-unit-rounded through the same
+    * `floor(x·1e6+0.5)` before any comparison).
+    *
+    * Scale shape: selection is a per-query TYPED kernel over the bounded
+    * candidate group (R vectors, R² pair cosines, k greedy passes — all
+    * row-local after one groupByKey shuffle of R·|queries| rows); the
+    * corpus-scale work lives entirely in the candidate tier that feeds
+    * this. The first pick (empty selected set ⇒ penalty 0) is the pure
+    * relevance argmax; λ₁₀=10 degenerates to relevance order. */
+  def mmrRerank(
+      candidates: DataFrame, vectors: DataFrame, k: Int,
+      lambdaTenths: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"mmrRerank: lambdaTenths=$lambdaTenths outside [0, 10]")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val p = lambdaTenths
+    val withVec = candidates
+      .select(col("qid"), col("nid"), col("simq_micro"))
+      .join(vectors.select(col(idCol).as("nid"), col(vecCol).as("nv")),
+        Seq("nid"))
+      .select(col("qid"), col("nid"), col("simq_micro"), col("nv"))
+      .as[(Long, Long, Long, Array[Float])]
+    withVec.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cand = it.toArray.sortBy(c => (-c._3, c._2))
+      val nC = cand.length
+      // sequential i=0..d fold — the DotProduct/list_sum accumulation
+      // order, so the double is bit-equal to the oracle's recompute
+      def cosMicro(a: Array[Float], b: Array[Float]): Long = {
+        var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          d += x * y; na += x * x; nb += y * y; i += 1
+        }
+        math.round(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+      }
+      val used = new Array[Boolean](nC)
+      val maxSim = new Array[Long](nC) // max pair-simµ to the selected set
+      var any = false
+      val out = Vector.newBuilder[(Long, Long, Long, Long)]
+      var t = 0
+      while (t < math.min(k, nC)) {
+        var best = -1; var bestScore = Long.MinValue; var bestNid = Long.MaxValue
+        var j = 0
+        while (j < nC) {
+          if (!used(j)) {
+            val mp = if (any) maxSim(j) else 0L
+            val score = p * cand(j)._3 - (10 - p) * mp
+            if (score > bestScore ||
+                (score == bestScore && cand(j)._2 < bestNid)) {
+              best = j; bestScore = score; bestNid = cand(j)._2
+            }
+          }
+          j += 1
+        }
+        used(best) = true
+        out += ((qid, (t + 1).toLong, cand(best)._2, bestScore))
+        var m = 0
+        while (m < nC) {
+          if (!used(m)) {
+            val s = cosMicro(cand(m)._4, cand(best)._4)
+            if (!any || s > maxSim(m)) maxSim(m) = s
+          }
+          m += 1
+        }
+        any = true
+        t += 1
+      }
+      out.result().iterator
+    }.toDF("qid", "rank", "nid", "score_micro")
+  }
+
   /** Matryoshka-style dimension-truncation evaluation (Kusupati et al.
     * 2022, "Matryoshka Representation Learning"): how much retrieval
     * quality survives keeping only the FIRST `d` embedding components —

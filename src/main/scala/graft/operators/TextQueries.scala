@@ -365,6 +365,30 @@ object TextQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** MMR diversified rerank (Similarity.mmrRerank) over the exact-cosine
+    * top-20 candidates of queries 0-4, k=5 at λ=0.7 — fully value-oracled:
+    * the greedy selection is pure integer micro-unit arithmetic, so the
+    * DuckDB oracle UNROLLS the five greedy steps (the q_pagerank
+    * unrolled-iteration pattern) and must reproduce rank, id, and score
+    * exactly. */
+  def eMmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .crossJoin(broadcast(q)).where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        Similarity.cosine(col("qv"), col("nv")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 6).desc, col("nid"))
+    val cand = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 20)
+      .select(col("qid"), col("nid"),
+        floor(col("sim") * 1e6 + 0.5).cast("long").as("simq_micro"))
+    Similarity.mmrRerank(cand, e, k = 5, lambdaTenths = 7)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Fuzzy train/eval decontamination (Dedup.crossNearDup): the planted
     * eval set is every 7th document with a two-word answer suffix
     * appended (a reformatted near-copy, invisible to exact matching) and
@@ -831,6 +855,7 @@ object TextQueries {
     "e_knn_brute" -> (eKnnBrute _),
     "e_knn_binary" -> (eKnnBinary _),
     "e_hybrid_rrf" -> (eHybridRrf _),
+    "e_mmr_rerank" -> (eMmrRerank _),
     "e_retrieval_eval" -> (eRetrievalEval _),
     "e_hard_negatives" -> (eHardNegatives _),
     "e_knn_lsh" -> (eKnnLsh _),
@@ -841,6 +866,65 @@ object TextQueries {
     "e_embed_pipeline" -> (eEmbedPipeline _),
     "e_dim_truncate" -> (eDimTruncate _),
     "e_ndcg_truncate" -> (eNdcgTruncate _))
+
+  /** The DuckDB spelling of e_mmr_rerank: greedy MMR selection UNROLLED
+    * into `kSel` sequential argmax CTEs (integer micro-unit scores make
+    * each argmax exact, so unrolling is a faithful restatement — the
+    * q_pagerank pattern). */
+  private def mmrSql(kSel: Int, r: Int, p: Int): String = {
+    def cos(a: String, b: String) =
+      s"""(list_sum(list_transform(range(1, 65),
+         |      i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(range(1, 65),
+         |        i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(range(1, 65),
+         |        i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))))))"""
+        .stripMargin
+    val q = 10 - p
+    val steps = (2 to kSel).map { t =>
+      s"""s$t AS (
+         |  SELECT qid, $t AS rank, nid, score FROM (
+         |    SELECT c.qid, c.nid, $p * c.simq - $q * m.mx AS score,
+         |      row_number() OVER (PARTITION BY c.qid
+         |        ORDER BY $p * c.simq - $q * m.mx DESC, c.nid) AS rn
+         |    FROM cand c
+         |    JOIN (SELECT pr.qid, pr.na, max(pr.ps) AS mx
+         |          FROM pair pr JOIN sel${t - 1} s
+         |            ON s.qid = pr.qid AND s.nid = pr.nb
+         |          GROUP BY pr.qid, pr.na) m
+         |      ON m.qid = c.qid AND m.na = c.nid
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+         |      WHERE s.qid = c.qid AND s.nid = c.nid))
+         |  WHERE rn = 1),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH cand0 AS (
+       |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |    ${cos("q", "e")} AS sim
+       |  FROM embeddings q, embeddings e
+       |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT qid, nid, CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS simq
+       |  FROM (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+       |      ORDER BY round(sim, 6) DESC, nid) AS rn FROM cand0)
+       |  WHERE rn <= $r),
+       |pair AS (
+       |  SELECT a.qid, a.nid AS na, b.nid AS nb,
+       |    CAST(floor(${cos("ea", "eb")} * 1000000 + 0.5) AS BIGINT) AS ps
+       |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid
+       |  JOIN embeddings ea ON ea.vec_id = a.nid
+       |  JOIN embeddings eb ON eb.vec_id = b.nid),
+       |s1 AS (
+       |  SELECT qid, 1 AS rank, nid, $p * simq AS score
+       |  FROM (SELECT qid, nid, simq, row_number() OVER (PARTITION BY qid
+       |      ORDER BY $p * simq DESC, nid) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |sel1 AS (SELECT * FROM s1),
+       |$steps
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, score AS score_micro
+       |FROM sel$kSel ORDER BY qid, rank""".stripMargin
+  }
 
   private val jaccardSql =
     """WITH words AS (
@@ -1628,6 +1712,7 @@ object TextQueries {
         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, rrf_score,
         |  CAST(rd AS BIGINT) AS rank_dense, CAST(rs AS BIGINT) AS rank_sparse
         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "e_mmr_rerank" -> mmrSql(kSel = 5, r = 20, p = 7),
     "e_knn_binary" ->
       """WITH sig AS (
         |  SELECT vec_id, embedding,

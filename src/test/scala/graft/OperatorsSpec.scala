@@ -589,6 +589,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getSeq[Int](2) == Seq(-7, 7, 0, -3, 2))
   }
 
+  test("mmrRerank: diversity skips the near-twin at low lambda, " +
+      "lambda=10 degenerates to relevance order") {
+    import graft.operators.Similarity
+    // query-sim micro-units assigned directly (the candidate frame is
+    // any search tier's output); vectors drive the pair penalties:
+    // a and a2 are near-twins, b points 45 degrees away
+    val vecs = Seq(
+      (1L, Array(0.9999f, 0.0100f)),   // a
+      (2L, Array(0.9999f, 0.0101f)),   // a2 ~ twin of a
+      (3L, Array(0.7f, 0.7f))          // b
+    ).toDF("vec_id", "embedding")
+    val cand = Seq(
+      (7L, 1L, 999950L), (7L, 2L, 999949L), (7L, 3L, 707107L)
+    ).toDF("qid", "nid", "simq_micro")
+    // λ=0.3: twin's ~1.0 pair-sim penalty outweighs its relevance edge
+    val got = Similarity.mmrRerank(cand, vecs, k = 3, lambdaTenths = 3)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 3L, 2L))
+    assert(got(0).getLong(3) == 3L * 999950L) // first pick: pure relevance
+    // λ=1.0: pure relevance order, penalties ignored
+    val rel = Similarity.mmrRerank(cand, vecs, k = 3, lambdaTenths = 10)
+      .orderBy("rank").collect()
+    assert(rel.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    // out-of-range lambda refuses loudly
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(cand, vecs, k = 3, lambdaTenths = 11)
+    }
+  }
+
   test("crossNearDup: planted eval near-copy found with exact Jaccard, " +
       "unrelated probe excluded, shuffle-hash fallback byte-equal") {
     val corpus = Seq(
