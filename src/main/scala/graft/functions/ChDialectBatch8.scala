@@ -1,0 +1,290 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/** ClickHouse-dialect batch 8 — time-series and text-similarity
+  * stragglers: `exponentialMovingAverage`, `largestTriangleThreeBuckets`
+  * (LTTB downsampling), `studentTTest`/`welchTTest`, `ngramDistance`/
+  * `ngramSearch` (+ CaseInsensitive), `groupArraySample`, and the scalar
+  * date tail (`toStartOfFiveMinutes`/`TenMinutes`, `toISOWeek`/
+  * `toISOYear`, `toRelative{Day,Hour,Minute,Second}Num`).
+  * (ref: the CH SQL surface reachable through
+  * packages/ts-moose-lib/src/sqlHelpers.ts passthrough — same contract
+  * note as batches 2–7.)
+  *
+  * All native Catalyst expression builders — no UDFs. The order-
+  * dependent aggregates (EMA, LTTB) SORT the collected group first, so
+  * results are partition-invariant (the groupConcat/interval-sweep
+  * stance from batch 7); shared intermediates bind through a one-element
+  * `transform` so the collected array is never re-sorted per element
+  * (the StreamNearDup HOF lesson).
+  *
+  * Dialect stances (DIVERGENCES.md determinism family):
+  *  - `exponentialMovingAverage(h)(v, t)` = Σv·w / Σw with
+  *    w = 2^((t−t_max)/h) over the (t, v)-sorted group — the
+  *    half-life-weighted mean CH computes, stated as one closed
+  *    formula; choose h dividing the time deltas and the weights are
+  *    exact binary fractions (oracle-exact);
+  *  - `largestTriangleThreeBuckets(n)(x, y)` follows Steinarsson 2013
+  *    exactly (endpoints kept, (m−2)/(n−2) float bucket edges floored,
+  *    last bucket's "next" is the final point); area ties keep the
+  *    FIRST point in sorted order;
+  *  - `studentTTest`/`welchTTest` return named (t, df) — CH's p-value
+  *    needs the Student CDF (engine-specific incomplete-beta libm), so
+  *    the deterministic sufficient statistics are returned instead and
+  *    p is a table lookup away;
+  *  - `ngramDistance`/`ngramSearch` use DISTINCT 4-gram sets
+  *    (Sørensen–Dice distance / needle-containment share) — CH's
+  *    hashed-multiset profile is approximate and seed-dependent, the
+  *    set form is the exact restatement both engines can compute;
+  *  - `groupArraySample(k, seed)(x)` takes the k smallest by seeded
+  *    hash (CH's reservoir is arrival-order-dependent — the
+  *    weightedSample stance).
+  */
+object ChDialectBatch8 {
+
+  private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
+
+  private def lambda1(prefix: String)(
+      f: Expression => Expression): LambdaFunction = {
+    val a = lv(prefix + "a")
+    LambdaFunction(f(a), Seq(a))
+  }
+
+  private def lambda2(prefix: String)(
+      f: (Expression, Expression) => Expression): LambdaFunction = {
+    val a = lv(prefix + "a"); val b = lv(prefix + "b")
+    LambdaFunction(f(a, b), Seq(a, b))
+  }
+
+  private def fld(s: Expression, n: String): Expression =
+    UnresolvedExtractValue(s, Literal(n))
+
+  private def ns(kv: (String, Expression)*): Expression =
+    CreateNamedStruct(kv.flatMap { case (k, v) => Seq(Literal(k), v) })
+
+  /** Evaluate `body(x)` with `x` bound ONCE to `shared` — the
+    * one-element-transform binding trick, so an expensive intermediate
+    * (a sorted collected group) is not re-evaluated per consumer. */
+  private def bind(shared: Expression, prefix: String)(
+      body: Expression => Expression): Expression =
+    ElementAt(ArrayTransform(CreateArray(Seq(shared)), lambda1(prefix)(body)),
+      Literal(1))
+
+  def register(spark: SparkSession): Unit = {
+    if (isRegistered(spark)) return // idempotent: silence re-register WARNs
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
+      require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+          .builtin.functionExists(FunctionIdentifier(name.toLowerCase)),
+        s"refusing to shadow Spark builtin '$name'")
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+
+    // half-life-weighted mean over the time-sorted group:
+    // Σ v·2^((t−t_max)/h) / Σ 2^((t−t_max)/h); params-first like the
+    // rest of the parameterized family
+    f("exponentialMovingAverage") { a =>
+      val h = Cast(a.head, DoubleType)
+      val arr = new SortArray(CollectList(ns(
+        "t" -> Cast(a(2), DoubleType),
+        "v" -> Cast(a(1), DoubleType))).toAggregateExpression())
+      bind(arr, "ema") { av =>
+        val tmax = fld(ElementAt(av, Literal(-1)), "t")
+        val folded = ArrayAggregate(av,
+          ns("num" -> Literal(0.0d), "den" -> Literal(0.0d)),
+          lambda2("emw")((st, p) => {
+            val w = Pow(Literal(2.0d), Divide(Subtract(fld(p, "t"), tmax), h))
+            ns("num" -> Add(fld(st, "num"), Multiply(fld(p, "v"), w)),
+              "den" -> Add(fld(st, "den"), w))
+          }),
+          { val s = lv("emf")
+            LambdaFunction(Divide(fld(s, "num"), fld(s, "den")), Seq(s)) })
+        folded
+      }
+    }
+
+    // LTTB downsampling (Steinarsson 2013): keep endpoints, pick from
+    // each of n−2 x-sorted buckets the point maximizing the triangle
+    // area with the previously-kept point and the NEXT bucket's mean;
+    // returns array<struct<x, y>> of the kept points
+    f("largestTriangleThreeBuckets") { a =>
+      val n = Cast(a.head, LongType)
+      val arr = new SortArray(CollectList(ns(
+        "x" -> Cast(a(1), DoubleType),
+        "y" -> Cast(a(2), DoubleType))).toAggregateExpression())
+      bind(arr, "lt") { av =>
+        val m = Cast(Size(av), LongType)
+        val nb = Subtract(n, Literal(2L)) // middle buckets
+        // 1-based bucket edges over indices 2..m−1:
+        //   s_k = 2 + ⌊(k−1)(m−2)/nb⌋, e_k = 1 + ⌊k(m−2)/nb⌋
+        def bStart(k: Expression) = Add(Literal(2L), IntegralDivide(
+          Multiply(Subtract(k, Literal(1L)), Subtract(m, Literal(2L))), nb))
+        def bEnd(k: Expression) = Add(Literal(1L), IntegralDivide(
+          Multiply(k, Subtract(m, Literal(2L))), nb))
+        def sliceOf(s: Expression, e: Expression) = Slice(av,
+          Cast(s, IntegerType),
+          Cast(Add(Subtract(e, s), Literal(1L)), IntegerType))
+        val folded = ArrayAggregate(
+          Sequence(Literal(1L), nb, Some(Literal(1L))),
+          ns("prev" -> ElementAt(av, Literal(1)),
+            "acc" -> CreateArray(Seq(ElementAt(av, Literal(1))))),
+          lambda2("lb")((st, k) => {
+            val prev = fld(st, "prev")
+            // next anchor: mean of bucket k+1, or the final point
+            val nxt = If(LessThan(k, nb),
+              bind(sliceOf(bStart(Add(k, Literal(1L))),
+                  bEnd(Add(k, Literal(1L)))), "ltn") { sl =>
+                val s = ArrayAggregate(sl,
+                  ns("sx" -> Literal(0.0d), "sy" -> Literal(0.0d)),
+                  lambda2("ltm")((t, p) => ns(
+                    "sx" -> Add(fld(t, "sx"), fld(p, "x")),
+                    "sy" -> Add(fld(t, "sy"), fld(p, "y")))),
+                  { val t = lv("ltmf"); LambdaFunction(t, Seq(t)) })
+                val c = Cast(Size(sl), DoubleType)
+                ns("x" -> Divide(fld(s, "sx"), c),
+                  "y" -> Divide(fld(s, "sy"), c))
+              },
+              ElementAt(av, Cast(m, IntegerType)))
+            // argmax triangle area over bucket k (strict > keeps the
+            // FIRST max in sorted order)
+            val best = bind(nxt, "lta") { q =>
+              ArrayAggregate(sliceOf(bStart(k), bEnd(k)),
+                ns("bp" -> prev, "ba" -> Literal(-1.0d)),
+                lambda2("ltb")((t, p) => {
+                  val area = Abs(Subtract(
+                    Multiply(Subtract(fld(prev, "x"), fld(q, "x")),
+                      Subtract(fld(p, "y"), fld(prev, "y"))),
+                    Multiply(Subtract(fld(prev, "x"), fld(p, "x")),
+                      Subtract(fld(q, "y"), fld(prev, "y")))))
+                  If(GreaterThan(area, fld(t, "ba")),
+                    ns("bp" -> p, "ba" -> area), t)
+                }),
+                { val t = lv("ltbf")
+                  LambdaFunction(fld(t, "bp"), Seq(t)) })
+            }
+            ns("prev" -> best,
+              "acc" -> Concat(Seq(fld(st, "acc"), CreateArray(Seq(best)))))
+          }),
+          { val s = lv("lbf")
+            LambdaFunction(Concat(Seq(fld(s, "acc"),
+              CreateArray(Seq(ElementAt(av, Cast(m, IntegerType)))))), Seq(s)) })
+        // n ≤ 2 → endpoints only (nb = 0 would make the bucket fold's
+        // Sequence(1, 0) illegal); m ≤ n → pass-through; else the fold
+        If(LessThanOrEqual(n, Literal(2L)),
+          If(LessThanOrEqual(m, Literal(1L)), av,
+            CreateArray(Seq(ElementAt(av, Literal(1)),
+              ElementAt(av, Cast(m, IntegerType))))),
+          If(LessThanOrEqual(m, n), av, folded))
+      }
+    }
+
+    // two-sample t statistics from moments (O(1) state — conditional
+    // native aggregates); named (t, df), see the p-value stance above
+    def tTest(welch: Boolean)(a: Seq[Expression]): Expression = {
+      val v = Cast(a.head, DoubleType)
+      val idx = Cast(a(1), IntegerType)
+      def side(i: Int): (Expression, Expression, Expression) = {
+        val vi = If(EqualTo(idx, Literal(i)), v, Literal(null, DoubleType))
+        (Cast(Count(vi).toAggregateExpression(), DoubleType),
+          Average(vi).toAggregateExpression(),
+          VarianceSamp(vi).toAggregateExpression())
+      }
+      val (n0, m0, s0) = side(0)
+      val (n1, m1, s1) = side(1)
+      if (welch) {
+        val se0 = Divide(s0, n0); val se1 = Divide(s1, n1)
+        val se = Add(se0, se1)
+        ns("t" -> Divide(Subtract(m0, m1), Sqrt(se)),
+          "df" -> Divide(Multiply(se, se),
+            Add(Divide(Multiply(se0, se0), Subtract(n0, Literal(1.0d))),
+              Divide(Multiply(se1, se1), Subtract(n1, Literal(1.0d))))))
+      } else {
+        val df = Subtract(Add(n0, n1), Literal(2.0d))
+        val sp = Divide(Add(
+          Multiply(Subtract(n0, Literal(1.0d)), s0),
+          Multiply(Subtract(n1, Literal(1.0d)), s1)), df)
+        ns("t" -> Divide(Subtract(m0, m1),
+          Sqrt(Multiply(sp, Add(Divide(Literal(1.0d), n0),
+            Divide(Literal(1.0d), n1))))),
+          "df" -> df)
+      }
+    }
+    f("studentTTest")(tTest(welch = false))
+    f("welchTTest")(tTest(welch = true))
+
+    // distinct 4-gram set of a string (empty below 4 chars — sequence()
+    // would otherwise run DESCENDING and fabricate grams)
+    def grams(s: Expression): Expression = {
+      val len = Length(s)
+      If(GreaterThanOrEqual(len, Literal(4)),
+        ArrayDistinct(ArrayTransform(
+          Sequence(Literal(1), Subtract(len, Literal(3)), Some(Literal(1))),
+          lambda1("ng")(i => Substring(s, i, Literal(4))))),
+        CreateArray(Seq.empty, useStringTypeWhenEmpty = true))
+    }
+    def dice(x: Expression, y: Expression): Expression =
+      bind(grams(x), "nd1") { ga =>
+        bind(grams(y), "nd2") { gb =>
+          val sa = Size(ga); val sb = Size(gb)
+          val inter = Size(ArrayIntersect(ga, gb))
+          If(And(EqualTo(sa, Literal(0)), EqualTo(sb, Literal(0))),
+            Literal(0.0d),
+            If(Or(EqualTo(sa, Literal(0)), EqualTo(sb, Literal(0))),
+              Literal(1.0d),
+              Subtract(Literal(1.0d),
+                Divide(Multiply(Literal(2.0d), Cast(inter, DoubleType)),
+                  Cast(Add(sa, sb), DoubleType)))))
+        }
+      }
+    // containment share of the NEEDLE's grams in the haystack
+    def search(hay: Expression, needle: Expression): Expression =
+      bind(grams(needle), "ns1") { gn =>
+        bind(grams(hay), "ns2") { gh =>
+          If(EqualTo(Size(gn), Literal(0)), Literal(1.0d),
+            Divide(Cast(Size(ArrayIntersect(gn, gh)), DoubleType),
+              Cast(Size(gn), DoubleType)))
+        }
+      }
+    f("ngramDistance")(a => dice(a.head, a(1)))
+    f("ngramDistanceCaseInsensitive")(a => dice(Lower(a.head), Lower(a(1))))
+    f("ngramSearch")(a => search(a.head, a(1)))
+    f("ngramSearchCaseInsensitive")(a => search(Lower(a.head), Lower(a(1))))
+
+    // deterministic k-sample: k smallest by seeded md5 of the element's
+    // string form (params-first: k, seed, x) — md5 so any engine can
+    // recompute the selection (the splitAssign hash choice)
+    f("groupArraySample") { a =>
+      val sorted = new SortArray(CollectList(ns(
+        "h" -> Md5(Cast(Concat(Seq(Cast(a(1), StringType), Literal(":"),
+          Cast(a(2), StringType))), BinaryType)),
+        "v" -> a(2))).toAggregateExpression())
+      ArrayTransform(Slice(sorted, Literal(1), Cast(a.head, IntegerType)),
+        lambda1("gs")(s => fld(s, "v")))
+    }
+
+    // scalar date tail
+    def startOfSeconds(t: Expression, s: Long): Expression =
+      SecondsToTimestamp(Multiply(
+        IntegralDivide(Cast(t, LongType), Literal(s)), Literal(s)))
+    f("toStartOfFiveMinutes")(a => startOfSeconds(a.head, 300L))
+    f("toStartOfTenMinutes")(a => startOfSeconds(a.head, 600L))
+    f("toISOWeek")(a => WeekOfYear(Cast(a.head, DateType)))
+    f("toISOYear")(a => YearOfWeek(Cast(a.head, DateType)))
+    def relNum(t: Expression, unit: Long): Expression =
+      IntegralDivide(Cast(t, LongType), Literal(unit))
+    f("toRelativeSecondNum")(a => relNum(a.head, 1L))
+    f("toRelativeMinuteNum")(a => relNum(a.head, 60L))
+    f("toRelativeHourNum")(a => relNum(a.head, 3600L))
+    f("toRelativeDayNum")(a => relNum(a.head, 86400L))
+  }
+
+  def isRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("exponentialMovingAverage"))
+}

@@ -565,7 +565,88 @@ object DialectQueries {
       limit = 1000)
   }
 
+  /** Batch-8 aggregate surface (functions/ChDialectBatch8): EMA over
+    * integer time offsets (weights are exact powers of two and the fold
+    * runs in sorted order, so the double is bit-equal to the oracle's
+    * replayed fold), t-statistics from moments (rounded 4dp — the
+    * covarPop stance; df exact where integral), deterministic seeded
+    * group sample (md5 order, DuckDB-replayable). */
+  def qAggFunctions5(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch8.register(spark)
+    sqlOn(spark, dir, "events", "evts_agg8",
+      """SELECT cohort, ema,
+        |  round(st_t, 4) + 0.0 AS st_t, st_df,
+        |  round(wt_t, 4) + 0.0 AS wt_t, round(wt_df, 4) + 0.0 AS wt_df,
+        |  gs
+        |FROM (
+        |  SELECT user_id % 5 AS cohort,
+        |    exponentialMovingAverage(1, round(value * 100),
+        |      event_id % 64) AS ema,
+        |    studentTTest(round(value * 100),
+        |      cast(event_id % 2 as int)).t AS st_t,
+        |    studentTTest(round(value * 100),
+        |      cast(event_id % 2 as int)).df AS st_df,
+        |    welchTTest(round(value * 100),
+        |      cast(event_id % 2 as int)).t AS wt_t,
+        |    welchTTest(round(value * 100),
+        |      cast(event_id % 2 as int)).df AS wt_df,
+        |    arrayStringConcat(groupArraySample(5, 42, event_type), ',')
+        |      AS gs
+        |  FROM evts_agg8 WHERE user_id < 100 GROUP BY 1
+        |) ORDER BY cohort""".stripMargin)
+  }
+
+  /** CH `largestTriangleThreeBuckets(4)(x, y)` (batch 8) — FULLY
+    * value-oracled: with n=4 the greedy has exactly two bucket argmax
+    * steps, which the DuckDB oracle unrolls (the e_mmr_rerank pattern);
+    * x/y are integer-valued doubles so bucket means and triangle areas
+    * are IEEE-reproducible cross-engine, and ties keep the first point
+    * in sorted order on both sides. */
+  def qLttb(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch8.register(spark)
+    sqlOn(spark, dir, "events", "evts_lttb",
+      """SELECT cohort,
+        |  arrayStringConcat(arrayMap(p -> concat(
+        |    toString(cast(p.x as bigint)), ':',
+        |    toString(cast(p.y as bigint))),
+        |    largestTriangleThreeBuckets(4, event_id,
+        |      round(value * 100))), ',') AS pts
+        |FROM (SELECT user_id % 3 AS cohort, event_id, value
+        |      FROM evts_lttb WHERE user_id < 40)
+        |GROUP BY cohort ORDER BY cohort""".stripMargin)
+  }
+
+  /** Batch-8 scalar surface: 4-gram set distance/containment (exact
+    * integer set sizes, one IEEE division) and the scalar date tail
+    * (five/ten-minute floors, ISO week/year, epoch-relative numbers)
+    * — every value recomputed by DuckDB. */
+  def qChFunctions6(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch8.register(spark)
+    sqlOn(spark, dir, "events", "evts_ch8",
+      """SELECT event_id,
+        |  ngramDistance(props, concat(substring(props, 1, 6),
+        |    event_type)) AS nd,
+        |  ngramDistanceCaseInsensitive(props,
+        |    upper(concat(substring(props, 1, 6), event_type))) AS ndci,
+        |  ngramSearch(concat(props, ' ', event_type),
+        |    concat(event_type, '!')) AS nsr,
+        |  ngramSearchCaseInsensitive(concat(props, ' ', event_type),
+        |    upper(concat(event_type, '!'))) AS nsrci,
+        |  cast(toStartOfFiveMinutes(ts) as long) AS s5,
+        |  cast(toStartOfTenMinutes(ts) as long) AS s10,
+        |  cast(toISOWeek(ts) as long) AS isow,
+        |  cast(toISOYear(ts) as long) AS isoy,
+        |  toRelativeDayNum(ts) AS rd,
+        |  toRelativeHourNum(ts) AS rh,
+        |  toRelativeMinuteNum(ts) AS rm,
+        |  toRelativeSecondNum(ts) AS rs
+        |FROM evts_ch8 ORDER BY event_id LIMIT 300""".stripMargin)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_agg_functions5" -> (qAggFunctions5 _),
+    "q_lttb" -> (qLttb _),
+    "q_ch_functions6" -> (qChFunctions6 _),
     "q_ch_functions5" -> (qChFunctions5 _),
     "q_asof_sql" -> (qAsofSql _),
     "q_asof_using_sql" -> (qAsofUsingSql _),
@@ -592,7 +673,155 @@ object DialectQueries {
     "q_array_join_left" -> (qArrayJoinLeft _)
   )
 
+  /** DuckDB spelling of ChDialectBatch8's distinct-4-gram set (empty
+    * below 4 chars, exactly like the Spark expression). */
+  private def gramsSql(s: String): String =
+    s"(CASE WHEN length($s) >= 4 THEN list_distinct(list_transform(" +
+      s"range(1, length($s) - 2), i -> substr($s, CAST(i AS INT), 4))) " +
+      "ELSE [] END)"
+
   def oracles: Map[String, String] = Map(
+    // batch-8 aggregates: EMA replayed as the same sorted fold
+    // (list_reduce with the accumulator packed into the element struct),
+    // t-stats from FILTERed moments, md5-ordered sample
+    "q_agg_functions5" ->
+      """WITH base AS (
+        |  SELECT user_id % 5 AS cohort, round(value * 100) AS v,
+        |    CAST(event_id % 64 AS DOUBLE) AS t,
+        |    CAST(event_id % 2 AS INT) AS idx, event_type
+        |  FROM events WHERE user_id < 100),
+        |g1 AS (
+        |  SELECT cohort,
+        |    list(struct_pack(t := t, v := v) ORDER BY t, v) AS lst,
+        |    max(t) AS mx
+        |  FROM base GROUP BY cohort),
+        |ema AS (
+        |  SELECT cohort, r.t / r.v AS ema FROM (
+        |    SELECT cohort, list_reduce(
+        |      list_prepend(struct_pack(t := 0.0, v := 0.0), lst),
+        |      (s, p) -> struct_pack(
+        |        t := s.t + p.v * pow(2.0, (p.t - mx) / 1.0),
+        |        v := s.v + pow(2.0, (p.t - mx) / 1.0))) AS r
+        |    FROM g1)),
+        |tt AS (
+        |  SELECT cohort,
+        |    CAST(count(*) FILTER (idx = 0) AS DOUBLE) AS n0,
+        |    avg(v) FILTER (idx = 0) AS m0,
+        |    var_samp(v) FILTER (idx = 0) AS s0,
+        |    CAST(count(*) FILTER (idx = 1) AS DOUBLE) AS n1,
+        |    avg(v) FILTER (idx = 1) AS m1,
+        |    var_samp(v) FILTER (idx = 1) AS s1
+        |  FROM base GROUP BY cohort),
+        |ts2 AS (
+        |  SELECT cohort,
+        |    round((m0 - m1) / sqrt(((n0 - 1) * s0 + (n1 - 1) * s1)
+        |      / (n0 + n1 - 2) * (1.0 / n0 + 1.0 / n1)), 4) + 0.0 AS st_t,
+        |    n0 + n1 - 2 AS st_df,
+        |    round((m0 - m1) / sqrt(s0 / n0 + s1 / n1), 4) + 0.0 AS wt_t,
+        |    round(pow(s0 / n0 + s1 / n1, 2) /
+        |      ((s0 / n0) * (s0 / n0) / (n0 - 1)
+        |        + (s1 / n1) * (s1 / n1) / (n1 - 1)), 4) + 0.0 AS wt_df
+        |  FROM tt),
+        |gsq AS (
+        |  SELECT cohort, array_to_string(
+        |    list(event_type ORDER BY md5('42:' || event_type),
+        |      event_type), ',') AS gs
+        |  FROM (SELECT cohort, event_type,
+        |      row_number() OVER (PARTITION BY cohort
+        |        ORDER BY md5('42:' || event_type), event_type) AS rn
+        |    FROM base) WHERE rn <= 5 GROUP BY cohort)
+        |SELECT ema.cohort, ema, st_t, st_df, wt_t, wt_df, gs
+        |FROM ema JOIN ts2 USING (cohort) JOIN gsq USING (cohort)
+        |ORDER BY ema.cohort""".stripMargin,
+    // LTTB n=4: the two bucket argmax steps unrolled (e_mmr_rerank
+    // pattern); the welch/student area formula is restated with the
+    // SAME operand order so doubles match bit-for-bit
+    "q_lttb" ->
+      """WITH base AS (
+        |  SELECT user_id % 3 AS cohort, CAST(event_id AS DOUBLE) AS x,
+        |    round(value * 100) AS y
+        |  FROM events WHERE user_id < 40),
+        |srt AS (
+        |  SELECT cohort, x, y,
+        |    row_number() OVER (PARTITION BY cohort ORDER BY x, y) AS i,
+        |    count(*) OVER (PARTITION BY cohort) AS m
+        |  FROM base),
+        |p1 AS (SELECT cohort, x, y FROM srt WHERE i = 1),
+        |pm AS (SELECT cohort, x, y FROM srt WHERE i = m),
+        |b2m AS (
+        |  SELECT cohort, sum(x) / count(*) AS ax, sum(y) / count(*) AS ay
+        |  FROM srt WHERE i >= 2 + (m - 2) // 2 AND i <= m - 1
+        |  GROUP BY cohort),
+        |pick1 AS (
+        |  SELECT cohort, x, y FROM (
+        |    SELECT s.cohort, s.x, s.y, row_number() OVER (
+        |      PARTITION BY s.cohort ORDER BY
+        |        abs((p.x - b.ax) * (s.y - p.y) - (p.x - s.x) * (b.ay - p.y))
+        |          DESC, s.i) AS rn
+        |    FROM srt s JOIN p1 p USING (cohort) JOIN b2m b USING (cohort)
+        |    WHERE s.i >= 2 AND s.i <= 1 + (s.m - 2) // 2)
+        |  WHERE rn = 1),
+        |pick2 AS (
+        |  SELECT cohort, x, y FROM (
+        |    SELECT s.cohort, s.x, s.y, row_number() OVER (
+        |      PARTITION BY s.cohort ORDER BY
+        |        abs((p.x - q.x) * (s.y - p.y) - (p.x - s.x) * (q.y - p.y))
+        |          DESC, s.i) AS rn
+        |    FROM srt s JOIN pick1 p USING (cohort) JOIN pm q USING (cohort)
+        |    WHERE s.i >= 2 + (s.m - 2) // 2 AND s.i <= s.m - 1)
+        |  WHERE rn = 1)
+        |SELECT p1.cohort,
+        |  CAST(CAST(p1.x AS BIGINT) AS VARCHAR) || ':' ||
+        |    CAST(CAST(p1.y AS BIGINT) AS VARCHAR) || ',' ||
+        |  CAST(CAST(pick1.x AS BIGINT) AS VARCHAR) || ':' ||
+        |    CAST(CAST(pick1.y AS BIGINT) AS VARCHAR) || ',' ||
+        |  CAST(CAST(pick2.x AS BIGINT) AS VARCHAR) || ':' ||
+        |    CAST(CAST(pick2.y AS BIGINT) AS VARCHAR) || ',' ||
+        |  CAST(CAST(pm.x AS BIGINT) AS VARCHAR) || ':' ||
+        |    CAST(CAST(pm.y AS BIGINT) AS VARCHAR) AS pts
+        |FROM p1 JOIN pick1 USING (cohort) JOIN pick2 USING (cohort)
+        |  JOIN pm USING (cohort)
+        |ORDER BY p1.cohort""".stripMargin,
+    // batch-8 scalars: 4-gram set math + the scalar date tail
+    "q_ch_functions6" -> {
+      val ga = gramsSql("props")
+      val gb = gramsSql("(substr(props, 1, 6) || event_type)")
+      val gal = gramsSql("lower(props)")
+      val gbl = gramsSql("lower(substr(props, 1, 6) || event_type)")
+      val gn = gramsSql("(event_type || '!')")
+      val gh = gramsSql("(props || ' ' || event_type)")
+      val gnl = gramsSql("lower(event_type || '!')")
+      val ghl = gramsSql("lower(props || ' ' || event_type)")
+      s"""WITH g AS (
+         |  SELECT event_id, ts,
+         |    $ga AS ga, $gb AS gb, $gal AS gal, $gbl AS gbl,
+         |    $gn AS gn, $gh AS gh, $gnl AS gnl, $ghl AS ghl
+         |  FROM events)
+         |SELECT event_id,
+         |  CASE WHEN len(ga) = 0 AND len(gb) = 0 THEN 0.0
+         |    WHEN len(ga) = 0 OR len(gb) = 0 THEN 1.0
+         |    ELSE 1.0 - 2.0 * CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+         |      / CAST(len(ga) + len(gb) AS DOUBLE) END AS nd,
+         |  CASE WHEN len(gal) = 0 AND len(gbl) = 0 THEN 0.0
+         |    WHEN len(gal) = 0 OR len(gbl) = 0 THEN 1.0
+         |    ELSE 1.0 - 2.0 * CAST(len(list_intersect(gal, gbl)) AS DOUBLE)
+         |      / CAST(len(gal) + len(gbl) AS DOUBLE) END AS ndci,
+         |  CASE WHEN len(gn) = 0 THEN 1.0
+         |    ELSE CAST(len(list_intersect(gn, gh)) AS DOUBLE)
+         |      / CAST(len(gn) AS DOUBLE) END AS nsr,
+         |  CASE WHEN len(gnl) = 0 THEN 1.0
+         |    ELSE CAST(len(list_intersect(gnl, ghl)) AS DOUBLE)
+         |      / CAST(len(gnl) AS DOUBLE) END AS nsrci,
+         |  CAST(floor(epoch(ts)) AS BIGINT) // 300 * 300 AS s5,
+         |  CAST(floor(epoch(ts)) AS BIGINT) // 600 * 600 AS s10,
+         |  week(CAST(ts AS DATE)) AS isow,
+         |  isoyear(CAST(ts AS DATE)) AS isoy,
+         |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS rd,
+         |  CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS rh,
+         |  CAST(floor(epoch(ts)) AS BIGINT) // 60 AS rm,
+         |  CAST(floor(epoch(ts)) AS BIGINT) // 1 AS rs
+         |FROM g ORDER BY event_id LIMIT 300""".stripMargin
+    },
     // DuckDB speaks ASOF JOIN natively — the oracle IS the query text
     "q_asof_sql" ->
       """SELECT p.event_id, p.user_id,

@@ -1,0 +1,138 @@
+package graft
+
+import graft.functions.ChDialectBatch8
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch-8 time-series/text-similarity stragglers. */
+class ChDialect8Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    ChDialectBatch8.register(s)
+    s
+  }
+  import spark.implicits._
+
+  private def one(sql: String): Any = spark.sql(sql).head().get(0)
+
+  test("exponentialMovingAverage: exact binary weights, " +
+      "partition-invariant") {
+    // h=1, t=0,1,2 → weights 1/4, 1/2, 1 (exact binary fractions):
+    // (0.25·1 + 0.5·2 + 1·4) / 1.75 = 3.0 exactly
+    Seq((0.0, 1.0), (1.0, 2.0), (2.0, 4.0)).toDF("t", "v")
+      .createOrReplaceTempView("b8_ema")
+    assert(one("SELECT exponentialMovingAverage(1, v, t) FROM b8_ema") == 3.0)
+    spark.table("b8_ema").repartition(5).createOrReplaceTempView("b8_ema2")
+    assert(one("SELECT exponentialMovingAverage(1, v, t) FROM b8_ema2") == 3.0)
+    // doubling the half-life shifts weight to old points:
+    // w = 2^(-1), 2^(-1/2)… not exact — just monotonicity here
+    val e2 = one("SELECT exponentialMovingAverage(4, v, t) FROM b8_ema")
+      .asInstanceOf[Double]
+    assert(e2 < 3.0 && e2 > 7.0 / 3.0 - 1e-9)
+  }
+
+  test("LTTB: hand-computed 6->4 selection, pass-through, endpoints") {
+    // sorted points (0,0)(1,5)(2,1)(3,6)(4,2)(5,10); n=4 → 2 buckets:
+    // {(1,5),(2,1)} then {(3,6),(4,2)}. k=1: prev=(0,0), next=mean of
+    // bucket2=(3.5,4): area(1,5)=13.5 > area(2,1)=4.5 → (1,5).
+    // k=2: prev=(1,5), next=(5,10): area(3,6)=6 < area(4,2)=27 → (4,2).
+    Seq((0.0, 0.0), (1.0, 5.0), (2.0, 1.0), (3.0, 6.0), (4.0, 2.0),
+      (5.0, 10.0)).toDF("x", "y").createOrReplaceTempView("b8_lt")
+    val got = spark.sql(
+      "SELECT transform(largestTriangleThreeBuckets(4, x, y), " +
+        "p -> p.x) FROM b8_lt").head().getSeq[Double](0)
+    assert(got == Seq(0.0, 1.0, 4.0, 5.0))
+    // m <= n: pass-through of the full sorted series
+    val all = spark.sql(
+      "SELECT transform(largestTriangleThreeBuckets(10, x, y), " +
+        "p -> p.x) FROM b8_lt").head().getSeq[Double](0)
+    assert(all == Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0))
+    // n = 2: endpoints only
+    val ends = spark.sql(
+      "SELECT transform(largestTriangleThreeBuckets(2, x, y), " +
+        "p -> p.x) FROM b8_lt").head().getSeq[Double](0)
+    assert(ends == Seq(0.0, 5.0))
+    // partition-invariance (the sort owns the order)
+    spark.table("b8_lt").repartition(4).createOrReplaceTempView("b8_lt2")
+    val got2 = spark.sql(
+      "SELECT transform(largestTriangleThreeBuckets(4, x, y), " +
+        "p -> p.x) FROM b8_lt2").head().getSeq[Double](0)
+    assert(got2 == got)
+  }
+
+  test("studentTTest/welchTTest: hand-computed moments") {
+    // sample 0 = (1,2,3): m=2, s2=1; sample 1 = (2,4,6): m=4, s2=4
+    Seq((1.0, 0), (2.0, 0), (3.0, 0), (2.0, 1), (4.0, 1), (6.0, 1))
+      .toDF("v", "idx").createOrReplaceTempView("b8_tt")
+    val st = spark.sql(
+      "SELECT studentTTest(v, idx).t, studentTTest(v, idx).df FROM b8_tt")
+      .head()
+    // sp2 = (2·1 + 2·4)/4 = 2.5; t = -2/sqrt(2.5·(2/3)) = -1.5491933…
+    assert(math.abs(st.getDouble(0) - (-2.0 / math.sqrt(5.0 / 3.0))) < 1e-12)
+    assert(st.getDouble(1) == 4.0)
+    val wt = spark.sql(
+      "SELECT welchTTest(v, idx).t, welchTTest(v, idx).df FROM b8_tt")
+      .head()
+    // se = 1/3 + 4/3 = 5/3 (same t as student here since n0 = n1);
+    // df = (5/3)² / ((1/9+16/9)/2) = 50/17
+    assert(math.abs(wt.getDouble(0) - (-2.0 / math.sqrt(5.0 / 3.0))) < 1e-12)
+    assert(math.abs(wt.getDouble(1) - 50.0 / 17.0) < 1e-12)
+  }
+
+  test("ngramDistance/ngramSearch: set 4-grams, short-string edges, " +
+      "case variants") {
+    def d(a: String, b: String) =
+      one(s"SELECT ngramDistance('$a', '$b')").asInstanceOf[Double]
+    assert(d("abcdef", "abcdef") == 0.0)
+    assert(d("abcdef", "") == 1.0)
+    assert(d("abc", "abc") == 0.0) // both below 4 chars → both empty
+    assert(d("abc", "abcd") == 1.0) // one empty
+    // {abcd,bcde} vs {abcd,bcdX}: 1 − 2·1/4
+    assert(d("abcde", "abcdX") == 0.5)
+    assert(one("SELECT ngramDistanceCaseInsensitive('ABCDE', 'abcde')")
+      == 0.0)
+    // needle containment
+    assert(one("SELECT ngramSearch('xxabcdyy', 'abcd')") == 1.0)
+    assert(one("SELECT ngramSearch('xxxxxx', 'abcd')") == 0.0)
+    assert(one("SELECT ngramSearch('anything', 'ab')") == 1.0) // empty needle
+    assert(one("SELECT ngramSearchCaseInsensitive('xxABCDyy', 'abcd')")
+      == 1.0)
+  }
+
+  test("groupArraySample: deterministic seeded pick, k >= n passthrough") {
+    Seq("a", "b", "c", "d", "e").toDF("x").createOrReplaceTempView("b8_gs")
+    val s1 = one("SELECT groupArraySample(2, 7, x) FROM b8_gs")
+      .asInstanceOf[scala.collection.Seq[String]].toList
+    assert(s1.length == 2 && s1.forall(Set("a", "b", "c", "d", "e")))
+    // same seed → same sample, even repartitioned
+    spark.table("b8_gs").repartition(3).createOrReplaceTempView("b8_gs2")
+    val s2 = one("SELECT groupArraySample(2, 7, x) FROM b8_gs2")
+      .asInstanceOf[scala.collection.Seq[String]].toList
+    assert(s2 == s1)
+    // different seed may differ; k >= n returns everything
+    val allv = one("SELECT groupArraySample(99, 7, x) FROM b8_gs")
+      .asInstanceOf[scala.collection.Seq[String]].toList
+    assert(allv.toSet == Set("a", "b", "c", "d", "e"))
+  }
+
+  test("scalar date tail: five/ten-minute floors, ISO week/year, " +
+      "relative nums") {
+    assert(one("SELECT CAST(toStartOfFiveMinutes(" +
+      "timestamp'2024-01-01 00:07:30') AS STRING)")
+      == "2024-01-01 00:05:00")
+    assert(one("SELECT CAST(toStartOfTenMinutes(" +
+      "timestamp'2024-01-01 00:17:30') AS STRING)")
+      == "2024-01-01 00:10:00")
+    // 2021-01-01 is ISO week 53 of ISO year 2020
+    assert(one("SELECT toISOWeek(date'2021-01-01')") == 53)
+    assert(one("SELECT toISOYear(date'2021-01-01')") == 2020)
+    assert(one("SELECT toRelativeDayNum(timestamp'1970-01-02 12:00:00')")
+      == 1L)
+    assert(one("SELECT toRelativeHourNum(timestamp'1970-01-01 05:30:00')")
+      == 5L)
+    assert(one("SELECT toRelativeMinuteNum(timestamp'1970-01-01 00:05:30')")
+      == 5L)
+    assert(one("SELECT toRelativeSecondNum(timestamp'1970-01-01 00:00:42')")
+      == 42L)
+  }
+}
