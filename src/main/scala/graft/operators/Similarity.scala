@@ -156,6 +156,36 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Semantic (embedding-space) TRAIN/EVAL DECONTAMINATION — the third
+    * tier of the decontamination story (exact n-gram
+    * `Corpus.contamination`, fuzzy text [[Dedup.crossNearDup]], and this:
+    * paraphrased/translated eval leakage that shares no surface n-grams
+    * but embeds nearby). Returns (corpus_id, probe_id, sim) for every
+    * corpus vector within cosine ≥ `threshold` of an eval-set vector.
+    *
+    * The probe side is a BOUNDED eval set and broadcasts (the ANN
+    * query-set convention); the corpus streams through one scan with the
+    * threshold pushed into the join condition ([[cosineStatic]]'s native
+    * loop — the [[nearDupPairsBrute]] shape, but CROSS-dataset so there
+    * is no self-join). At eval sets past broadcast size, compose the
+    * banded tiers instead: [[knnLsh]]/[[knnIvf]]/[[knnPq]] with the eval
+    * set as queries and a post-filter on sim — every stage already
+    * scales (the [[hardNegatives]] composition note). */
+  def semanticDecontam(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probeIdCol: String = "probe_id", probeVecCol: String = "embedding",
+      threshold: Double = 0.8, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      assertDim(col(vecCol), dim).as("cv"))
+    val p = probes.select(col(probeIdCol).as("probe_id"),
+      assertDim(col(probeVecCol), dim).as("pv"))
+    c.join(broadcast(p),
+        round(cosineStatic(col("cv"), col("pv"), dim), 6) >= threshold)
+      .select(col("corpus_id"), col("probe_id"),
+        round(round(cosineStatic(col("cv"), col("pv"), dim), 6), 4).as("sim"))
+  }
+
   /** Near-dup pairs at scale: hyperplane-signature banding for candidate
     * generation (equi-join on (band, bandBits) — only same-bucket vectors
     * ever meet), then exact cosine verification of the candidates.

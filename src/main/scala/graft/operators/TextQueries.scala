@@ -416,6 +416,23 @@ object TextQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Semantic decontamination (Similarity.semanticDecontam): the eval
+    * set is every 9th embedding with its FIRST component sign-flipped
+    * (an exact float perturbation both engines can restate, leaving a
+    * high-but-not-1.0 cosine to its source) and ids offset into a
+    * disjoint space; fully value-oracled — DuckDB recomputes every
+    * corpus×eval cosine exhaustively. */
+  def eSemDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val probes = e.where(col("vec_id") % 9 === 4)
+      .select((col("vec_id") + 1000000L).as("probe_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+    Similarity.semanticDecontam(e, probes,
+        probeVecCol = "embedding", threshold = 0.6)
+      .orderBy(col("corpus_id"), col("probe_id"))
+  }
+
   /** Binary-signature search tier (Similarity.quantizeBinary/knnHamming):
     * Hamming top-50 per query over the 1-bit sign codes, exact-cosine
     * rerank to top-10 — FULLY value-oracled: DuckDB recomputes the packed
@@ -854,6 +871,7 @@ object TextQueries {
     "e_knn_pq" -> (eKnnPq _),
     "e_knn_brute" -> (eKnnBrute _),
     "e_knn_binary" -> (eKnnBinary _),
+    "e_sem_decontam" -> (eSemDecontam _),
     "e_hybrid_rrf" -> (eHybridRrf _),
     "e_mmr_rerank" -> (eMmrRerank _),
     "e_retrieval_eval" -> (eRetrievalEval _),
@@ -1712,6 +1730,26 @@ object TextQueries {
         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, rrf_score,
         |  CAST(rd AS BIGINT) AS rank_dense, CAST(rs AS BIGINT) AS rank_sparse
         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "e_sem_decontam" ->
+      """WITH pr AS (
+        |  SELECT vec_id + 1000000 AS probe_id,
+        |    list_transform(range(1, 65), i ->
+        |      CASE WHEN i = 1 THEN -embedding[i] ELSE embedding[i] END)
+        |      AS pv
+        |  FROM embeddings WHERE vec_id % 9 = 4),
+        |s AS (
+        |  SELECT e.vec_id AS corpus_id, p.probe_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pv[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(p.pv[i] AS DOUBLE) * CAST(p.pv[i] AS DOUBLE))))),
+        |      6) AS sim6
+        |  FROM embeddings e, pr p)
+        |SELECT corpus_id, probe_id, round(sim6, 4) AS sim
+        |FROM s WHERE sim6 >= 0.6 ORDER BY corpus_id, probe_id""".stripMargin,
     "e_mmr_rerank" -> mmrSql(kSel = 5, r = 20, p = 7),
     "e_knn_binary" ->
       """WITH sig AS (

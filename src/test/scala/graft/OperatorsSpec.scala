@@ -589,6 +589,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getSeq[Int](2) == Seq(-7, 7, 0, -3, 2))
   }
 
+  test("semanticDecontam: planted probe hits its source, " +
+      "orthogonal probe excluded") {
+    import graft.operators.Similarity
+    val dim = 4
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val probes = Seq(
+      // cos with corpus 1 = 1/sqrt(2) ≈ 0.7071; with corpus 2 = 0.7071
+      (100L, Array(1f, 1f, 0f, 0f)),
+      // orthogonal to both
+      (200L, Array(0f, 0f, 1f, 0f))
+    ).toDF("probe_id", "embedding")
+    val got = Similarity.semanticDecontam(corpus, probes,
+        threshold = 0.7, dim = dim)
+      .orderBy("corpus_id", "probe_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 100L), (2L, 100L)))
+    assert(got.forall(r => math.abs(r.getDouble(2) - 0.7071) < 1e-9))
+  }
+
   test("mmrRerank: diversity skips the near-twin at low lambda, " +
       "lambda=10 degenerates to relevance order") {
     import graft.operators.Similarity
