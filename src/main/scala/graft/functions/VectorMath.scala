@@ -110,8 +110,84 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ Long.bitCount(aᵢ XOR bᵢ) over `ARRAY<BIGINT>` operands — the packed
+  * Hamming distance of `Similarity.quantizeBinary` signatures, as a
+  * native `doGenCode` loop for the same structural reason [[DotProduct]]
+  * exists: the `aggregate(zip_with(bit_count(xor)))` HOF form runs
+  * interpreted and would fall out of codegen when a join pushes it into
+  * a bound condition. Honest measurement note: on the 50× Hamming-kNN
+  * stress probe the swap was timing-neutral (13.5 vs 15.2 s across two
+  * runs — that probe is amplification-bound, its cost is the 50-way
+  * unioned perturbation scan evaluated per consumer, and 2-word
+  * signatures make the per-pair HOF cheap); the native form is kept for
+  * the join-condition case and the codegen span, not for that probe.
+  * Null element or length mismatch → NULL (zip_with parity, same stance
+  * as DotProduct). */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"hamming_distance expects ARRAY<BIGINT> operands, got " +
+            s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorMath {
   /** Column builder for [[DotProduct]]. */
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column builder for [[HammingDistance]]. */
+  def hamming_distance(a: Column, b: Column): Column =
+    Bridge.column(HammingDistance(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -940,10 +940,10 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val q = querySigs.select(col(idCol).as("qid"), col("sig").as("qs"))
     val c = corpusSigs.select(col(idCol).as("nid"), col("sig").as("ns"))
-    val ham = aggregate(
-      zip_with(col("qs"), col("ns"),
-        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    // native HammingDistance expression (doGenCode loop) — stays inside
+    // whole-stage codegen in both projection and join-condition contexts
+    // (measurement note in its scaladoc)
+    val ham = graft.functions.VectorMath.hamming_distance(col("qs"), col("ns"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), ham.as("ham"))

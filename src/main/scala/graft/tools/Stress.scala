@@ -54,7 +54,13 @@ object Stress {
     def amplify(df: DataFrame, keyCols: Seq[String]): DataFrame =
       amplifyWith(df, keyCols)((d, _) => d)
 
+    // SPARK_STRESS_ONLY=comma,separated,substrings filters probes by
+    // label for targeted runs (always include a relational neighbor as
+    // the contention sentinel — see the stress-run hygiene note)
+    val only = sys.env.get("SPARK_STRESS_ONLY")
+      .map(_.split(",").map(_.trim.toLowerCase).toSeq)
     def time(label: String)(f: => Long): Unit = {
+      if (!only.forall(_.exists(label.toLowerCase.contains))) return
       val t0 = System.nanoTime()
       val n = f
       println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
@@ -358,6 +364,38 @@ object Stress {
           org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
         .where(col("doc_id") > col("first"))
         .select(col("doc_id")).distinct().count()
+    }
+    // Binary tier (round 10 continuation): signature build is a row-local
+    // projection; the Hamming scan reads 2 packed longs/vector instead of
+    // 64 floats; rerank touches rerank×|queries| float rows only.
+    time(s"binary quantize + Hamming kNN + exact rerank (${factor}x)") {
+      val sigs = Similarity.quantizeBinary(emb)
+      Similarity.knnHamming(sigs, sigs.where(col("vec_id") < 20),
+        k = 10, rerank = 50, rerankFrom = Some(emb)).count()
+    }
+    // MMR composes on any candidate tier; the greedy kernel's cost is
+    // bounded by R²·|queries| regardless of corpus size.
+    time(s"Hamming top-50 -> MMR k=10 (${factor}x corpus, 20 queries)") {
+      val sigs = Similarity.quantizeBinary(emb)
+      val cand = Similarity.knnHamming(sigs,
+          sigs.where(col("vec_id") < 20), k = 50)
+        .select(col("qid"), col("nid"),
+          (lit(1000000L) - col("ham") * 1000L).as("simq_micro"))
+      Similarity.mmrRerank(cand, emb, k = 10, lambdaTenths = 5).count()
+    }
+    // Fuzzy decontamination: the probe (eval) side stays FIXED while the
+    // corpus scales N× — probe bands broadcast, corpus band keys stream.
+    // Eval docs derive from copy 0's salted text so they near-match their
+    // sources at any factor (and ONLY those — candidate volume is
+    // eval-bounded).
+    time(s"crossNearDup fuzzy decontam (${factor}x corpus, ~190 eval docs)") {
+      val eval = Tables.load(spark, sfDir, "documents")
+        .where(col("doc_id") % 31 === 3)
+        .select((col("doc_id") + 100000000L).as("eval_id"),
+          concat(regexp_replace(col("text"), " ", " s0 "),
+            lit(" benchmark answer")).as("etext"))
+      Dedup.crossNearDup(docsSalted, eval, "doc_id", "text",
+        "eval_id", "etext", threshold = 0.8).count()
     }
     spark.stop()
   }
