@@ -160,6 +160,31 @@ object TextAnalysis {
       .reduce(_ + _).cast(LongType)
   }
 
+  /** Blocklisted-word occurrence count — the C4 §2.2 "bad words" page
+    * gate this module previously left to callers: one case-insensitive
+    * word-boundary alternation over the caller's list (the
+    * List-of-Dirty-Naughty-Obscene-words filter shape C4/RefinedWeb
+    * apply), compiled to a single codegen'd `regexp_count` scan.
+    * Word-boundary semantics, not substring: "class" never fires for
+    * "ass" — the documented C4 false-positive the boundary avoids is
+    * exactly why `\b` is pinned here. List entries are restricted to
+    * word characters (letters/digits/apostrophe) so the alternation
+    * needs no escaping and stays identical under Java regex and RE2
+    * (lookaround-free — the scrubPii stance); anything else refuses
+    * loudly. */
+  def badWordCount(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "badWordCount: empty word list")
+    words.foreach(w => require(w.matches("[A-Za-z0-9']+"),
+      s"badWordCount: '$w' is not a plain word (letters/digits/' only)"))
+    val pat = "(?i)\\b(?:" + words.mkString("|") + ")\\b"
+    regexp_count(text, lit(pat))
+  }
+
+  /** The page verdict over [[badWordCount]]: C4 drops any page with ≥1
+    * listed word. */
+  def badWordsPass(text: Column, words: Seq[String]): Column =
+    badWordCount(text, words) === 0L
+
   /** PII patterns for corpus scrubbing. Kept lookaround-free so Java
     * regex (Spark) and RE2 (the DuckDB oracle) agree byte-for-byte. */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

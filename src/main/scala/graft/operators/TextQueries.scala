@@ -811,6 +811,25 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C4 bad-words page gate (TextAnalysis.badWordCount): every 11th doc
+    * gets a planted blocklisted token (mixed case — the (?i) flag is
+    * load-bearing), and the list also contains corpus-vocabulary words
+    * ("slow", "merge") so natural occurrences fire too; boundary
+    * semantics pinned by "slowest" never matching "slow". The oracle
+    * recomputes every count with DuckDB's RE2 over the same generated
+    * alternation. */
+  def dBadWords(spark: SparkSession, dir: String): DataFrame = {
+    val page = when(col("doc_id") % 11 === 0,
+      concat(col("text"), lit(" BadWord1 slowest"))).otherwise(col("text"))
+    docs(spark, dir).select(col("doc_id"), page.as("page"))
+      .select(col("doc_id"),
+        TextAnalysis.badWordCount(col("page"),
+          Seq("badword1", "slow", "merge")).cast("long").as("n_bad"),
+        TextAnalysis.badWordsPass(col("page"),
+          Seq("badword1", "slow", "merge")).as("pass"))
+      .orderBy(col("doc_id"))
+  }
+
   def dGopherQuality(spark: SparkSession, dir: String): DataFrame = {
     import TextAnalysis._
     val t = col("text")
@@ -845,6 +864,7 @@ object TextQueries {
 
   def queries: Map[String, Q] = Map(
     "d_gopher_quality" -> (dGopherQuality _),
+    "d_badwords" -> (dBadWords _),
     "d_c4_filters" -> (dC4Filters _),
     "d_line_dedup" -> (dLineDedup _),
     "d_html_extract" -> (dHtmlExtract _),
@@ -1126,6 +1146,17 @@ object TextQueries {
         |FROM p LEFT JOIN k ON k.doc_id = p.doc_id AND k.rn = 1
         |GROUP BY p.doc_id, p.page
         |ORDER BY p.doc_id""".stripMargin,
+    "d_badwords" ->
+      """WITH p AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |    THEN text || ' BadWord1 slowest' ELSE text END AS page
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(page,
+        |    '(?i)\b(?:badword1|slow|merge)\b')) AS BIGINT) AS n_bad,
+        |  len(regexp_extract_all(page,
+        |    '(?i)\b(?:badword1|slow|merge)\b')) = 0 AS pass
+        |FROM p ORDER BY doc_id""".stripMargin,
     "d_gopher_quality" ->
       """WITH m AS (
         |  SELECT doc_id,

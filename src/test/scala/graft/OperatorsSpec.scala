@@ -589,6 +589,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getSeq[Int](2) == Seq(-7, 7, 0, -3, 2))
   }
 
+  test("badWordCount: word boundaries, case-insensitivity, refusal") {
+    val df = Seq(
+      (1L, "the slowest merge was Slow but not slowly"),
+      (2L, "clean text here")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.badWordCount(col("text"), Seq("slow", "merge"))
+          .cast("long").as("n"),
+        TextAnalysis.badWordsPass(col("text"), Seq("slow", "merge")).as("p"))
+      .orderBy("doc_id").collect()
+    // "slowest"/"slowly" must NOT fire (boundary); "merge" + "Slow" do
+    assert(got(0).getLong(1) == 2L && !got(0).getBoolean(2))
+    assert(got(1).getLong(1) == 0L && got(1).getBoolean(2))
+    val e = intercept[IllegalArgumentException] {
+      df.select(TextAnalysis.badWordCount(col("text"), Seq("a.b")))
+    }
+    assert(e.getMessage.contains("not a plain word"))
+  }
+
   test("semanticDecontam: planted probe hits its source, " +
       "orthogonal probe excluded") {
     import graft.operators.Similarity
