@@ -1,0 +1,242 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/** ClickHouse-dialect batch 9 — categorical-association statistics and
+  * the terminal-chart straggler: `cramersV`, `cramersVBiasCorrected`,
+  * `contingency`, `theilsU`, `sparkbar`.
+  * (ref: the CH SQL surface reachable through
+  * packages/ts-moose-lib/src/sqlHelpers.ts passthrough — same contract
+  * note as batches 2–8.)
+  *
+  * All four association measures derive from the same three COUNT MAPS
+  * (x marginal, y marginal, joint) built with [[MapCombineAgg]] — state
+  * is O(distinct categories), the CH memory contract, never O(rows);
+  * the χ² / entropy folds run ONCE over the final key-sorted maps as a
+  * scalar post-projection (nested ArrayAggregate over the x×y key
+  * grid, zero cells included where the statistic needs them).
+  *
+  * Dialect stances (DIVERGENCES.md determinism family):
+  *  - joint keys are `x + '' + y` — a category value containing
+  *    U+0001 would collide (CH's pair hashing has the analogous hash-
+  *    collision exposure); degenerate tables (single category, n ≤ 1)
+  *    return 0.0 instead of CH's NaN so results stay hashable;
+  *  - `theilsU(x, y)` is the uncertainty coefficient U(x|y) =
+  *    (H(x) − H(x|y)) / H(x); H(x) = 0 → 0.0 (documented, CH NaN);
+  *    entropies use libm `ln`, so queries round (the entropy stance);
+  *  - `sparkbar(width, minX, maxX)(x, y)` requires the EXPLICIT-range
+  *    CH form (the range-free form needs min/max before bucketing can
+  *    start — a second pass a single aggregate cannot take); bucket =
+  *    ((x−minX)·width) div (maxX−minX+1) over integer x, bar level =
+  *    ceil(8·sum/maxSum) in pure integer arithmetic, absent/≤0 buckets
+  *    render as a space — a DETERMINISTIC rendering both engines can
+  *    restate (CH's glyph scaling is an implementation detail its docs
+  *    don't pin).
+  */
+object ChDialectBatch9 {
+
+  private val Sep = ""
+
+  private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
+
+  private def lambda1(prefix: String)(
+      f: Expression => Expression): LambdaFunction = {
+    val a = lv(prefix + "a")
+    LambdaFunction(f(a), Seq(a))
+  }
+
+  private def lambda2(prefix: String)(
+      f: (Expression, Expression) => Expression): LambdaFunction = {
+    val a = lv(prefix + "a"); val b = lv(prefix + "b")
+    LambdaFunction(f(a, b), Seq(a, b))
+  }
+
+  private def ns(kv: (String, Expression)*): Expression =
+    CreateNamedStruct(kv.flatMap { case (k, v) => Seq(Literal(k), v) })
+
+  private def fld(s: Expression, n: String): Expression =
+    UnresolvedExtractValue(s, Literal(n))
+
+  private def bind(shared: Expression, prefix: String)(
+      body: Expression => Expression): Expression =
+    ElementAt(ArrayTransform(CreateArray(Seq(shared)), lambda1(prefix)(body)),
+      Literal(1))
+
+  /** Count map of the expression's string form: MapCombineAgg over
+    * single-entry maps — O(distinct values) state. */
+  private def countMap(e: Expression): Expression =
+    MapCombineAgg(CreateMap(Seq(Cast(e, StringType), Literal(1L))), "sum")
+      .toAggregateExpression()
+
+  /** The three-map bundle every association measure folds over:
+    * struct(mx, my, mxy, n). */
+  private def maps(x: Expression, y: Expression): Expression =
+    ns(
+      "mx" -> countMap(x),
+      "my" -> countMap(y),
+      "mxy" -> countMap(Concat(Seq(
+        Cast(x, StringType), Literal(Sep), Cast(y, StringType)))),
+      "n" -> Cast(Count(Literal(1)).toAggregateExpression(), DoubleType))
+
+  /** χ² over the full x×y grid (zero cells contribute e): nested fold,
+    * bound once to the maps struct. */
+  private def chi2Of(m: Expression): Expression = {
+    val mx = fld(m, "mx"); val my = fld(m, "my")
+    val mxy = fld(m, "mxy"); val n = fld(m, "n")
+    ArrayAggregate(MapKeys(mx), Literal(0.0d),
+      lambda2("cx")((acc, xk) => {
+        val nx = Cast(ElementAt(mx, xk), DoubleType)
+        Add(acc, ArrayAggregate(MapKeys(my), Literal(0.0d),
+          lambda2("cy")((acc2, yk) => {
+            val nyc = Cast(ElementAt(my, yk), DoubleType)
+            val nxy = Cast(Coalesce(Seq(
+              ElementAt(mxy, Concat(Seq(xk, Literal(Sep), yk))),
+              Literal(0L))), DoubleType)
+            val e = Divide(Multiply(nx, nyc), n)
+            val d = Subtract(nxy, e)
+            Add(acc2, Divide(Multiply(d, d), e))
+          }),
+          { val s = lv("cyf"); LambdaFunction(s, Seq(s)) }))
+      }),
+      { val s = lv("cxf"); LambdaFunction(s, Seq(s)) })
+  }
+
+  def register(spark: SparkSession): Unit = {
+    if (isRegistered(spark)) return // idempotent: silence re-register WARNs
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
+      require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+          .builtin.functionExists(FunctionIdentifier(name.toLowerCase)),
+        s"refusing to shadow Spark builtin '$name'")
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+
+    // Cramér's V = sqrt(χ²/n / min(r−1, c−1)); single-category → 0
+    f("cramersV") { a =>
+      bind(maps(a.head, a(1)), "cv") { m =>
+        val r = Cast(Size(MapKeys(fld(m, "mx"))), DoubleType)
+        val c = Cast(Size(MapKeys(fld(m, "my"))), DoubleType)
+        val denom = Least(Seq(Subtract(r, Literal(1.0d)),
+          Subtract(c, Literal(1.0d))))
+        If(LessThanOrEqual(denom, Literal(0.0d)), Literal(0.0d),
+          Sqrt(Divide(Divide(chi2Of(m), fld(m, "n")), denom)))
+      }
+    }
+
+    // Bergsma-corrected V: φ²corr = max(0, φ² − (r−1)(c−1)/(n−1)),
+    // rcorr/ccorr shrink the same way; degenerate (n ≤ 1 or single
+    // category) → 0
+    f("cramersVBiasCorrected") { a =>
+      bind(maps(a.head, a(1)), "cb") { m =>
+        val n = fld(m, "n")
+        val r = Cast(Size(MapKeys(fld(m, "mx"))), DoubleType)
+        val c = Cast(Size(MapKeys(fld(m, "my"))), DoubleType)
+        val n1 = Subtract(n, Literal(1.0d))
+        val phi2 = Divide(chi2Of(m), n)
+        val phi2c = Greatest(Seq(Literal(0.0d), Subtract(phi2,
+          Divide(Multiply(Subtract(r, Literal(1.0d)),
+            Subtract(c, Literal(1.0d))), n1))))
+        val rc = Subtract(r, Divide(Multiply(Subtract(r, Literal(1.0d)),
+          Subtract(r, Literal(1.0d))), n1))
+        val cc = Subtract(c, Divide(Multiply(Subtract(c, Literal(1.0d)),
+          Subtract(c, Literal(1.0d))), n1))
+        val denom = Least(Seq(Subtract(rc, Literal(1.0d)),
+          Subtract(cc, Literal(1.0d))))
+        If(Or(LessThanOrEqual(n, Literal(1.0d)),
+            LessThanOrEqual(denom, Literal(0.0d))),
+          Literal(0.0d), Sqrt(Divide(phi2c, denom)))
+      }
+    }
+
+    // contingency coefficient = sqrt(χ² / (χ² + n))
+    f("contingency") { a =>
+      bind(maps(a.head, a(1)), "cg") { m =>
+        val chi2 = chi2Of(m)
+        Sqrt(Divide(chi2, Add(chi2, fld(m, "n"))))
+      }
+    }
+
+    // Theil's U(x|y) = (H(x) − H(x|y)) / H(x); H(x) = 0 → 0.0
+    f("theilsU") { a =>
+      bind(maps(a.head, a(1)), "tu") { m =>
+        val mx = fld(m, "mx"); val my = fld(m, "my")
+        val mxy = fld(m, "mxy"); val n = fld(m, "n")
+        val hx = ArrayAggregate(MapKeys(mx), Literal(0.0d),
+          lambda2("hx")((acc, xk) => {
+            val p = Divide(Cast(ElementAt(mx, xk), DoubleType), n)
+            Subtract(acc, Multiply(p, Log(p)))
+          }),
+          { val s = lv("hxf"); LambdaFunction(s, Seq(s)) })
+        // H(x|y) = −Σ_xy p(xy)·ln(nxy/ny), zero cells contribute 0
+        val hcond = ArrayAggregate(MapKeys(mx), Literal(0.0d),
+          lambda2("hc")((acc, xk) =>
+            Add(acc, ArrayAggregate(MapKeys(my), Literal(0.0d),
+              lambda2("hd")((acc2, yk) => {
+                val nyc = Cast(ElementAt(my, yk), DoubleType)
+                val nxy = Cast(Coalesce(Seq(
+                  ElementAt(mxy, Concat(Seq(xk, Literal(Sep), yk))),
+                  Literal(0L))), DoubleType)
+                If(LessThanOrEqual(nxy, Literal(0.0d)), acc2,
+                  Subtract(acc2, Multiply(Divide(nxy, n),
+                    Log(Divide(nxy, nyc)))))
+              }),
+              { val s = lv("hdf"); LambdaFunction(s, Seq(s)) }))),
+          { val s = lv("hcf"); LambdaFunction(s, Seq(s)) })
+        If(LessThanOrEqual(hx, Literal(0.0d)), Literal(0.0d),
+          Divide(Subtract(hx, hcond), hx))
+      }
+    }
+
+    // sparkbar(width, minX, maxX)(x, y): integer bucket sums rendered
+    // as 8-level block characters; params-first like the family
+    f("sparkbar") { a =>
+      val width = Cast(a.head, LongType)
+      val minX = Cast(a(1), LongType); val maxX = Cast(a(2), LongType)
+      val x = Cast(a(3), LongType); val y = Cast(a(4), LongType)
+      val span = Add(Subtract(maxX, minX), Literal(1L))
+      val bucket = IntegralDivide(
+        Multiply(Subtract(x, minX), width), span)
+      val inRange = And(GreaterThanOrEqual(x, minX),
+        LessThanOrEqual(x, maxX))
+      // out-of-range rows land in a sentinel bucket the render loop
+      // never reads (a NULL map key would throw at runtime)
+      val mb = MapCombineAgg(CreateMap(Seq(
+        Cast(If(inRange, bucket, Literal(-1L)), StringType),
+        If(inRange, y, Literal(0L)))), "sum")
+        .toAggregateExpression()
+      val blocks = Literal("▁▂▃▄▅▆▇█")
+      bind(ns("mb" -> mb, "w" -> width), "sb") { st =>
+        val mbv = fld(st, "mb")
+        val w = fld(st, "w")
+        val maxSum = ArrayAggregate(MapValues(mbv), Literal(0L),
+          lambda2("sm")((acc, v) => Greatest(Seq(acc, v))),
+          { val s = lv("smf"); LambdaFunction(s, Seq(s)) })
+        ArrayAggregate(
+          Sequence(Literal(0L), Subtract(w, Literal(1L)), Some(Literal(1L))),
+          Literal(""),
+          lambda2("sr")((acc, b) => {
+            val s = ElementAt(mbv, Cast(b, StringType))
+            val ch = If(Or(IsNull(s), Or(LessThanOrEqual(s, Literal(0L)),
+                LessThanOrEqual(maxSum, Literal(0L)))),
+              Literal(" "),
+              Substring(blocks,
+                Cast(IntegralDivide(
+                  Subtract(Add(Multiply(s, Literal(8L)), maxSum),
+                    Literal(1L)), maxSum), IntegerType),
+                Literal(1)))
+            Concat(Seq(acc, ch))
+          }),
+          { val s = lv("srf"); LambdaFunction(s, Seq(s)) })
+      }
+    }
+  }
+
+  def isRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("cramersV"))
+}

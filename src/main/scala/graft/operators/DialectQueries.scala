@@ -643,7 +643,34 @@ object DialectQueries {
         |FROM evts_ch8 ORDER BY event_id LIMIT 300""".stripMargin)
   }
 
+  /** Batch-9 categorical-association surface (functions/
+    * ChDialectBatch9): Cramér's V (+bias-corrected), contingency
+    * coefficient, Theil's U — all from the same bounded count maps —
+    * and the integer-rendered sparkbar (bit-exact string both engines).
+    * Association measures round 4dp (χ²/entropy folds accumulate in
+    * engine-specific order — the covarPop stance). */
+  def qAggFunctions6(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch9.register(spark)
+    sqlOn(spark, dir, "events", "evts_agg9",
+      """SELECT cohort,
+        |  round(cv, 4) + 0.0 AS cv, round(cvb, 4) + 0.0 AS cvb,
+        |  round(cg, 4) + 0.0 AS cg, round(tu, 4) + 0.0 AS tu,
+        |  sb
+        |FROM (
+        |  SELECT user_id % 4 AS cohort,
+        |    cramersV(event_type, cast(user_id % 3 as string)) AS cv,
+        |    cramersVBiasCorrected(event_type,
+        |      cast(user_id % 3 as string)) AS cvb,
+        |    contingency(event_type, cast(user_id % 3 as string)) AS cg,
+        |    theilsU(event_type, cast(user_id % 3 as string)) AS tu,
+        |    sparkbar(16, 0, 63, event_id % 64,
+        |      cast(round(value * 100) as bigint)) AS sb
+        |  FROM evts_agg9 WHERE user_id < 200 GROUP BY 1
+        |) ORDER BY cohort""".stripMargin)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_agg_functions6" -> (qAggFunctions6 _),
     "q_agg_functions5" -> (qAggFunctions5 _),
     "q_lttb" -> (qLttb _),
     "q_ch_functions6" -> (qChFunctions6 _),
@@ -681,6 +708,80 @@ object DialectQueries {
       "ELSE [] END)"
 
   def oracles: Map[String, String] = Map(
+    // batch-9: χ²/entropy recounted from GROUP BYs (grid incl. zero
+    // cells via the marginal cross join), sparkbar rebuilt with the
+    // same integer bucket/level arithmetic
+    "q_agg_functions6" ->
+      """WITH base AS (
+        |  SELECT user_id % 4 AS cohort, event_type AS x,
+        |    CAST(user_id % 3 AS VARCHAR) AS y,
+        |    event_id % 64 AS bx, CAST(round(value * 100) AS BIGINT) AS yv
+        |  FROM events WHERE user_id < 200),
+        |cnt AS (SELECT cohort, x, y, count(*) AS nxy FROM base GROUP BY 1, 2, 3),
+        |mx AS (SELECT cohort, x, count(*) AS nx FROM base GROUP BY 1, 2),
+        |my AS (SELECT cohort, y, count(*) AS ny FROM base GROUP BY 1, 2),
+        |tot AS (SELECT cohort, count(*) AS n,
+        |    count(DISTINCT x) AS r, count(DISTINCT y) AS c
+        |  FROM base GROUP BY 1),
+        |cells AS (
+        |  SELECT g.cohort, g.nx, g.ny, coalesce(c.nxy, 0) AS nxy, t.n
+        |  FROM (SELECT mx.cohort, mx.x, my.y, mx.nx, my.ny
+        |        FROM mx JOIN my ON mx.cohort = my.cohort) g
+        |  LEFT JOIN cnt c ON c.cohort = g.cohort AND c.x = g.x AND c.y = g.y
+        |  JOIN tot t ON t.cohort = g.cohort),
+        |chi AS (
+        |  SELECT cohort,
+        |    sum(pow(nxy - nx * ny * 1.0 / n, 2) / (nx * ny * 1.0 / n)) AS chi2
+        |  FROM cells GROUP BY cohort),
+        |hx AS (
+        |  SELECT m.cohort,
+        |    -sum((m.nx * 1.0 / t.n) * ln(m.nx * 1.0 / t.n)) AS hx
+        |  FROM mx m JOIN tot t ON t.cohort = m.cohort GROUP BY m.cohort),
+        |hc AS (
+        |  SELECT c.cohort,
+        |    -sum((c.nxy * 1.0 / t.n) * ln(c.nxy * 1.0 / m.ny)) AS hcond
+        |  FROM cnt c JOIN my m ON m.cohort = c.cohort AND m.y = c.y
+        |  JOIN tot t ON t.cohort = c.cohort GROUP BY c.cohort),
+        |stats AS (
+        |  SELECT t.cohort,
+        |    CASE WHEN least(t.r - 1, t.c - 1) <= 0 THEN 0.0
+        |      ELSE sqrt(chi.chi2 / t.n / least(t.r - 1, t.c - 1)) END AS cv,
+        |    CASE WHEN t.n <= 1 OR least(
+        |        t.r - (t.r - 1.0) * (t.r - 1.0) / (t.n - 1) - 1,
+        |        t.c - (t.c - 1.0) * (t.c - 1.0) / (t.n - 1) - 1) <= 0
+        |      THEN 0.0
+        |      ELSE sqrt(greatest(0, chi.chi2 / t.n
+        |          - (t.r - 1.0) * (t.c - 1.0) / (t.n - 1))
+        |        / least(t.r - (t.r - 1.0) * (t.r - 1.0) / (t.n - 1) - 1,
+        |            t.c - (t.c - 1.0) * (t.c - 1.0) / (t.n - 1) - 1)) END
+        |      AS cvb,
+        |    sqrt(chi.chi2 / (chi.chi2 + t.n)) AS cg,
+        |    CASE WHEN hx.hx <= 0 THEN 0.0
+        |      ELSE (hx.hx - hc.hcond) / hx.hx END AS tu
+        |  FROM tot t JOIN chi ON chi.cohort = t.cohort
+        |  JOIN hx ON hx.cohort = t.cohort
+        |  JOIN hc ON hc.cohort = t.cohort),
+        |bsum AS (
+        |  SELECT cohort, (bx * 16) // 64 AS b, sum(yv) AS s
+        |  FROM base GROUP BY 1, 2),
+        |bmax AS (SELECT cohort, max(s) AS ms FROM bsum GROUP BY 1),
+        |sbq AS (
+        |  SELECT ch.cohort, string_agg(
+        |    CASE WHEN bs.s IS NULL OR bs.s <= 0 OR bm.ms <= 0 THEN ' '
+        |      ELSE substr('▁▂▃▄▅▆▇█',
+        |        CAST((bs.s * 8 + bm.ms - 1) // bm.ms AS INT), 1) END,
+        |    '' ORDER BY r.b) AS sb
+        |  FROM (SELECT DISTINCT cohort FROM base) ch
+        |  CROSS JOIN range(0, 16) r(b)
+        |  LEFT JOIN bsum bs ON bs.cohort = ch.cohort AND bs.b = r.b
+        |  JOIN bmax bm ON bm.cohort = ch.cohort
+        |  GROUP BY ch.cohort)
+        |SELECT s.cohort,
+        |  round(s.cv, 4) + 0.0 AS cv, round(s.cvb, 4) + 0.0 AS cvb,
+        |  round(s.cg, 4) + 0.0 AS cg, round(s.tu, 4) + 0.0 AS tu,
+        |  sbq.sb
+        |FROM stats s JOIN sbq ON sbq.cohort = s.cohort
+        |ORDER BY s.cohort""".stripMargin,
     // batch-8 aggregates: EMA replayed as the same sorted fold
     // (list_reduce with the accumulator packed into the element struct),
     // t-stats from FILTERed moments, md5-ordered sample

@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.ChDialectBatch9
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch-9 categorical-association statistics + sparkbar. */
+class ChDialect9Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    ChDialectBatch9.register(s)
+    s
+  }
+  import spark.implicits._
+
+  private def one(sql: String): Any = spark.sql(sql).head().get(0)
+
+  test("cramersV/contingency/theilsU: perfect association, independence, " +
+      "degenerate single category") {
+    // perfect 2x2: x determines y ⇒ χ² = n = 4
+    Seq(("a", 1), ("a", 1), ("b", 2), ("b", 2)).toDF("x", "y")
+      .createOrReplaceTempView("b9_p")
+    assert(one("SELECT cramersV(x, y) FROM b9_p") == 1.0)
+    assert(math.abs(one("SELECT contingency(x, y) FROM b9_p")
+      .asInstanceOf[Double] - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(one("SELECT theilsU(x, y) FROM b9_p")
+      .asInstanceOf[Double] - 1.0) < 1e-12)
+    // bias-corrected: φ²c = 2/3, min(rcorr,ccorr)−1 = 2/3 ⇒ V = 1
+    assert(math.abs(one("SELECT cramersVBiasCorrected(x, y) FROM b9_p")
+      .asInstanceOf[Double] - 1.0) < 1e-12)
+    // independence: uniform 2x2 grid ⇒ everything 0
+    Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("x", "y")
+      .createOrReplaceTempView("b9_i")
+    assert(one("SELECT cramersV(x, y) FROM b9_i") == 0.0)
+    assert(one("SELECT contingency(x, y) FROM b9_i") == 0.0)
+    assert(math.abs(one("SELECT theilsU(x, y) FROM b9_i")
+      .asInstanceOf[Double]) < 1e-12)
+    assert(one("SELECT cramersVBiasCorrected(x, y) FROM b9_i") == 0.0)
+    // single x category ⇒ H(x)=0, min(r−1,c−1)=0 → defined 0.0, not NaN
+    Seq(("a", 1), ("a", 2)).toDF("x", "y").createOrReplaceTempView("b9_d")
+    assert(one("SELECT cramersV(x, y) FROM b9_d") == 0.0)
+    assert(one("SELECT theilsU(x, y) FROM b9_d") == 0.0)
+    // partition-invariance (maps are key-sorted; folds run post-agg)
+    spark.table("b9_p").repartition(3).createOrReplaceTempView("b9_p2")
+    assert(one("SELECT cramersV(x, y) FROM b9_p2") == 1.0)
+  }
+
+  test("sparkbar: integer levels, missing bucket renders space, " +
+      "out-of-range ignored") {
+    // buckets 0..3, sums 1,2,4,8; out-of-range x=9 ignored:
+    // levels ceil(8s/8) = 1,2,4,8
+    Seq((0, 1), (1, 2), (2, 4), (3, 8), (9, 100)).toDF("x", "y")
+      .createOrReplaceTempView("b9_sb")
+    assert(one("SELECT sparkbar(4, 0, 3, x, y) FROM b9_sb")
+      == "▁▂▄█")
+    // width 5 over 0..4 with no x=4 data: trailing space
+    assert(one("SELECT sparkbar(5, 0, 4, x, y) FROM b9_sb")
+      == "▁▂▄█ ")
+  }
+}
