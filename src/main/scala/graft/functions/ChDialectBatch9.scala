@@ -234,9 +234,50 @@ object ChDialectBatch9 {
           { val s = lv("srf"); LambdaFunction(s, Seq(s)) })
       }
     }
+
+    f("arrayReduce")(arrayReduceBuilder)
   }
 
   def isRegistered(spark: SparkSession): Boolean =
     spark.sessionState.functionRegistry
       .functionExists(FunctionIdentifier("cramersV"))
+
+  /** CH `arrayReduce('agg', arr)` — the meta-function dispatching an
+    * aggregate BY NAME over an array. The name must be a string LITERAL
+    * (the plan is built before any row exists, so a column-valued name
+    * cannot be dispatched — CH has the same restriction) and must be in
+    * the implemented allowlist; anything else refuses loudly naming it.
+    * `any` is defined as the FIRST element (CH's arrival-arbitrary pick,
+    * pinned to the #22/#28 deterministic reading); numeric folds share
+    * the arraySum double-coercion stance. Registered with the batch-9
+    * family. */
+  private[functions] def arrayReduceBuilder(
+      a: Seq[Expression]): Expression = {
+    val name = a.head match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        s.toString.toLowerCase
+      case _ => throw new IllegalArgumentException(
+        "arrayReduce: the aggregate name must be a string literal")
+    }
+    val arr = a(1)
+    def dsum = ArrayAggregate(Cast(arr, ArrayType(DoubleType)),
+      Literal(0.0d), lambda2("ars")((acc, x) => Add(acc, x)),
+      { val s = lv("arsf"); LambdaFunction(s, Seq(s)) })
+    name match {
+      case "sum" => dsum
+      case "min" => ArrayMin(arr)
+      case "max" => ArrayMax(arr)
+      case "avg" =>
+        If(EqualTo(Size(arr), Literal(0)), Literal(null, DoubleType),
+          Divide(dsum, Cast(Size(arr), DoubleType)))
+      case "count" => Cast(Size(arr), LongType)
+      case "uniq" | "uniqexact" =>
+        Cast(Size(ArrayDistinct(arr)), LongType)
+      case "any" => ElementAt(arr, Literal(1))
+      case "anylast" => ElementAt(arr, Literal(-1))
+      case other => throw new IllegalArgumentException(
+        s"arrayReduce: '$other' not implemented — supported: sum, min, " +
+          "max, avg, count, uniq, uniqExact, any, anyLast")
+    }
+  }
 }

@@ -45,6 +45,27 @@ class ChDialect9Spec extends AnyFunSuite {
     assert(one("SELECT cramersV(x, y) FROM b9_p2") == 1.0)
   }
 
+  test("arrayReduce: allowlist dispatch, literal-name and unknown-name " +
+      "refusals") {
+    Seq((Seq(3.0, 1.0, 2.0, 2.0))).toDF("a").createOrReplaceTempView("b9_ar")
+    assert(one("SELECT arrayReduce('sum', a) FROM b9_ar") == 8.0)
+    assert(one("SELECT arrayReduce('min', a) FROM b9_ar") == 1.0)
+    assert(one("SELECT arrayReduce('avg', a) FROM b9_ar") == 2.0)
+    assert(one("SELECT arrayReduce('count', a) FROM b9_ar") == 4L)
+    assert(one("SELECT arrayReduce('uniqExact', a) FROM b9_ar") == 3L)
+    assert(one("SELECT arrayReduce('any', a) FROM b9_ar") == 3.0)
+    assert(one("SELECT arrayReduce('anyLast', a) FROM b9_ar") == 2.0)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT arrayReduce('median', a) FROM b9_ar").collect()
+    }
+    assert(e1.getMessage.contains("not implemented"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT arrayReduce(concat('s', 'um'), a) FROM b9_ar")
+        .collect()
+    }
+    assert(e2.getMessage.contains("string literal"))
+  }
+
   test("sparkbar: integer levels, missing bucket renders space, " +
       "out-of-range ignored") {
     // buckets 0..3, sums 1,2,4,8; out-of-range x=9 ignored:
