@@ -127,6 +127,13 @@ object QuantileSketch {
     f("quantileApproxMerge")(a => QuantileSketchEstimate(
       QuantileSketchMergeAgg(a(1)).toAggregateExpression(),
       Literal(litDouble(a.head, "quantileApproxMerge"))))
+    // CH's own name for this very sketch family — quantileGK(accuracy)
+    // (level, x), params-first flattened like the rest: one-shot
+    // aggregate + estimate over the same GK summary
+    f("quantileGK")(a => QuantileSketchEstimate(
+      QuantileSketchAgg(a(2), litInt(a.head, "quantileGK"))
+        .toAggregateExpression(),
+      Literal(litDouble(a(1), "quantileGK"))))
   }
 }
 

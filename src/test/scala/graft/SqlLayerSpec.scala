@@ -66,6 +66,12 @@ class SqlLayerSpec extends AnyFunSuite {
     val f = sql"SELECT ${ColRef("q", Some("quantileApprox"))} AS med FROM ${TableRef("qstates")}"
     val med = f.run(spark).head.getDouble(0)
     assert(math.abs(med - 500.0) <= 5.0, s"median estimate $med")
+    // the CH-named one-shot form over the same GK sketch
+    spark.range(0, 1000).toDF("i").createOrReplaceTempView("qgk")
+    val gk = spark.sql(
+      "SELECT quantileGK(10000, 0.5, cast(i as double)) FROM qgk")
+      .head.getDouble(0)
+    assert(math.abs(gk - 500.0) <= 5.0, s"quantileGK estimate $gk")
   }
 
   test("salted aggregation equals direct aggregation") {
