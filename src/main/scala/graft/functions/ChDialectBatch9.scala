@@ -236,6 +236,13 @@ object ChDialectBatch9 {
     }
 
     f("arrayReduce")(arrayReduceBuilder)
+
+    // Spearman's ρ with averaged tie ranks — a TypedImperativeAggregate
+    // (plain-Scala O(n log n) ranking at eval; O(group) state is
+    // inherent to the statistic, CH's own contract — scaladoc'd)
+    f("rankCorr")(a =>
+      RankCorrAgg(Cast(a.head, DoubleType), Cast(a(1), DoubleType))
+        .toAggregateExpression())
   }
 
   def isRegistered(spark: SparkSession): Boolean =

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** ClickHouse `rankCorr(x, y)` — Spearman's ρ with AVERAGE ranks for
+  * ties, as a [[TypedImperativeAggregate]] buffering the group's (x, y)
+  * pairs and doing the ranking in plain Scala at eval time (two
+  * O(n log n) sorts + one linear tie-averaging pass — the compute CH's
+  * own implementation does; any Spearman implementation must
+  * materialize the group, so the O(rows) state is inherent to the
+  * statistic, same contract as CH. Pre-aggregate or sample groups you
+  * would not collect).
+  *
+  * Determinism: ranks are exact rationals (average of an integer run of
+  * positions — halves at worst), the Pearson-over-ranks sums run in a
+  * FIXED order (x-sorted, ties by y then arrival-index never affect the
+  * rank values, only the summation order — and the order is the sorted
+  * one, not arrival), so the result is partition-invariant. NULL in
+  * either coordinate skips the pair (SQL aggregate semantics). Constant
+  * x or y (zero rank variance) → 0.0, not NaN (the batch-9 degenerate
+  * stance). */
+case class RankCorrAgg(
+    xExpr: Expression, yExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[(Double, Double)]] {
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[(Double, Double)] =
+    mutable.ArrayBuffer.empty
+
+  override def update(
+      buf: mutable.ArrayBuffer[(Double, Double)],
+      input: InternalRow): mutable.ArrayBuffer[(Double, Double)] = {
+    val xv = xExpr.eval(input)
+    val yv = yExpr.eval(input)
+    if (xv != null && yv != null)
+      buf += ((toD(xv), toD(yv)))
+    buf
+  }
+
+  private def toD(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case s: Short => s.toDouble
+    case b: Byte => b.toDouble
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(
+      s"rankCorr: non-numeric input $other")
+  }
+
+  override def merge(
+      a: mutable.ArrayBuffer[(Double, Double)],
+      b: mutable.ArrayBuffer[(Double, Double)]): mutable.ArrayBuffer[(Double, Double)] = {
+    a ++= b; a
+  }
+
+  /** Average ranks of `vs` (1-based positions, tie runs averaged). */
+  private def avgRanks(vs: Array[Double]): Array[Double] = {
+    val n = vs.length
+    val idx = Array.range(0, n).sortBy(vs(_))
+    val ranks = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j + 1 < n && vs(idx(j + 1)) == vs(idx(i))) j += 1
+      // positions i+1 .. j+1 share value → average rank
+      val r = (i + j + 2) / 2.0
+      var k = i
+      while (k <= j) { ranks(idx(k)) = r; k += 1 }
+      i = j + 1
+    }
+    ranks
+  }
+
+  override def eval(buf: mutable.ArrayBuffer[(Double, Double)]): Any = {
+    val n = buf.length
+    if (n == 0) return null
+    // fixed summation order: sort pairs (x, y) so the fold is
+    // partition-invariant regardless of arrival
+    val pairs = buf.toArray.sorted
+    val rx = avgRanks(pairs.map(_._1))
+    val ry = avgRanks(pairs.map(_._2))
+    var sx = 0.0; var sy = 0.0
+    var i = 0
+    while (i < n) { sx += rx(i); sy += ry(i); i += 1 }
+    val mx = sx / n; val my = sy / n
+    var cov = 0.0; var vx = 0.0; var vy = 0.0
+    i = 0
+    while (i < n) {
+      val dx = rx(i) - mx; val dy = ry(i) - my
+      cov += dx * dy; vx += dx * dx; vy += dy * dy
+      i += 1
+    }
+    if (vx <= 0.0 || vy <= 0.0) 0.0
+    else cov / math.sqrt(vx * vy)
+  }
+
+  override def serialize(buf: mutable.ArrayBuffer[(Double, Double)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { case (x, y) => out.writeDouble(x); out.writeDouble(y) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[(Double, Double)] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.ArrayBuffer.empty[(Double, Double)]
+    var i = 0
+    while (i < n) { buf += ((in.readDouble(), in.readDouble())); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): RankCorrAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): RankCorrAgg =
+    copy(inputAggBufferOffset = o)
+  override def children: Seq[Expression] = Seq(xExpr, yExpr)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): RankCorrAgg =
+    copy(xExpr = c(0), yExpr = c(1))
+}

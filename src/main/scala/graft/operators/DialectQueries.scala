@@ -655,7 +655,7 @@ object DialectQueries {
       """SELECT cohort,
         |  round(cv, 4) + 0.0 AS cv, round(cvb, 4) + 0.0 AS cvb,
         |  round(cg, 4) + 0.0 AS cg, round(tu, 4) + 0.0 AS tu,
-        |  sb
+        |  round(rc, 4) + 0.0 AS rc, sb
         |FROM (
         |  SELECT user_id % 4 AS cohort,
         |    cramersV(event_type, cast(user_id % 3 as string)) AS cv,
@@ -663,6 +663,8 @@ object DialectQueries {
         |      cast(user_id % 3 as string)) AS cvb,
         |    contingency(event_type, cast(user_id % 3 as string)) AS cg,
         |    theilsU(event_type, cast(user_id % 3 as string)) AS tu,
+        |    rankCorr(event_id % 97,
+        |      cast(round(value * 100) as bigint)) AS rc,
         |    sparkbar(16, 0, 63, event_id % 64,
         |      cast(round(value * 100) as bigint)) AS sb
         |  FROM evts_agg9 WHERE user_id < 200 GROUP BY 1
@@ -714,7 +716,7 @@ object DialectQueries {
     "q_agg_functions6" ->
       """WITH base AS (
         |  SELECT user_id % 4 AS cohort, event_type AS x,
-        |    CAST(user_id % 3 AS VARCHAR) AS y,
+        |    CAST(user_id % 3 AS VARCHAR) AS y, event_id,
         |    event_id % 64 AS bx, CAST(round(value * 100) AS BIGINT) AS yv
         |  FROM events WHERE user_id < 200),
         |cnt AS (SELECT cohort, x, y, count(*) AS nxy FROM base GROUP BY 1, 2, 3),
@@ -761,6 +763,15 @@ object DialectQueries {
         |  FROM tot t JOIN chi ON chi.cohort = t.cohort
         |  JOIN hx ON hx.cohort = t.cohort
         |  JOIN hc ON hc.cohort = t.cohort),
+        |rnk AS (
+        |  SELECT cohort,
+        |    rank() OVER (PARTITION BY cohort ORDER BY event_id % 97)
+        |      + (count(*) OVER (PARTITION BY cohort, event_id % 97) - 1)
+        |        / 2.0 AS rx,
+        |    rank() OVER (PARTITION BY cohort ORDER BY yv)
+        |      + (count(*) OVER (PARTITION BY cohort, yv) - 1) / 2.0 AS ry
+        |  FROM (SELECT cohort, event_id, yv FROM base) b2),
+        |rcq AS (SELECT cohort, corr(rx, ry) AS rc FROM rnk GROUP BY cohort),
         |bsum AS (
         |  SELECT cohort, (bx * 16) // 64 AS b, sum(yv) AS s
         |  FROM base GROUP BY 1, 2),
@@ -779,8 +790,9 @@ object DialectQueries {
         |SELECT s.cohort,
         |  round(s.cv, 4) + 0.0 AS cv, round(s.cvb, 4) + 0.0 AS cvb,
         |  round(s.cg, 4) + 0.0 AS cg, round(s.tu, 4) + 0.0 AS tu,
-        |  sbq.sb
+        |  round(rcq.rc, 4) + 0.0 AS rc, sbq.sb
         |FROM stats s JOIN sbq ON sbq.cohort = s.cohort
+        |JOIN rcq ON rcq.cohort = s.cohort
         |ORDER BY s.cohort""".stripMargin,
     // batch-8 aggregates: EMA replayed as the same sorted fold
     // (list_reduce with the accumulator packed into the element struct),

@@ -45,6 +45,27 @@ class ChDialect9Spec extends AnyFunSuite {
     assert(one("SELECT cramersV(x, y) FROM b9_p2") == 1.0)
   }
 
+  test("rankCorr: monotone = 1, reversed = -1, tie-averaged ranks, " +
+      "constant coordinate -> 0, partition-invariant") {
+    Seq((1.0, 10.0), (2.0, 20.0), (3.0, 25.0), (4.0, 90.0)).toDF("x", "y")
+      .createOrReplaceTempView("b9_rc")
+    assert(one("SELECT rankCorr(x, y) FROM b9_rc") == 1.0)
+    assert(one("SELECT rankCorr(x, -y) FROM b9_rc") == -1.0)
+    // tie case, hand-computed: x=(1,2,2,3)→rx=(1,2.5,2.5,4);
+    // y=(10,30,20,40)→ry=(1,3,2,4); Spearman ρ = cov/sqrt(vx·vy)
+    // deviations rx−2.5=(−1.5,0,0,1.5), ry−2.5=(−1.5,0.5,−0.5,1.5):
+    // cov=2.25+0+0+2.25=4.5, vx=4.5, vy=5 → ρ=4.5/sqrt(22.5)
+    Seq((1.0, 10.0), (2.0, 30.0), (2.0, 20.0), (3.0, 40.0)).toDF("x", "y")
+      .createOrReplaceTempView("b9_rt")
+    assert(math.abs(one("SELECT rankCorr(x, y) FROM b9_rt")
+      .asInstanceOf[Double] - 4.5 / math.sqrt(22.5)) < 1e-12)
+    // constant x → zero rank variance → defined 0.0, not NaN
+    assert(one("SELECT rankCorr(1.0, y) FROM b9_rc") == 0.0)
+    spark.table("b9_rt").repartition(3).createOrReplaceTempView("b9_rt2")
+    assert(one("SELECT rankCorr(x, y) FROM b9_rt2") ==
+      one("SELECT rankCorr(x, y) FROM b9_rt"))
+  }
+
   test("arrayReduce: allowlist dispatch, literal-name and unknown-name " +
       "refusals") {
     Seq((Seq(3.0, 1.0, 2.0, 2.0))).toDF("a").createOrReplaceTempView("b9_ar")
