@@ -86,28 +86,44 @@ object ChDialectBatch8 {
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
 
-    // half-life-weighted mean over the time-sorted group:
-    // Σ v·2^((t−t_max)/h) / Σ 2^((t−t_max)/h); params-first like the
-    // rest of the parameterized family
-    f("exponentialMovingAverage") { a =>
-      val h = Cast(a.head, DoubleType)
+    // half-life decay family over the time-sorted group, weights
+    // w = 2^((t−t_max)/h) (the #42 closed-form stance); params-first
+    // like the rest of the parameterized family. The shared fold
+    // carries (num = Σv·w, den = Σw, mx = max v·w) and each name
+    // projects its piece.
+    def decayed(h0: Expression, v0: Expression, t0: Expression)(
+        out: Expression => Expression): Expression = {
+      val h = Cast(h0, DoubleType)
       val arr = new SortArray(CollectList(ns(
-        "t" -> Cast(a(2), DoubleType),
-        "v" -> Cast(a(1), DoubleType))).toAggregateExpression())
+        "t" -> Cast(t0, DoubleType),
+        "v" -> Cast(v0, DoubleType))).toAggregateExpression())
       bind(arr, "ema") { av =>
         val tmax = fld(ElementAt(av, Literal(-1)), "t")
         val folded = ArrayAggregate(av,
-          ns("num" -> Literal(0.0d), "den" -> Literal(0.0d)),
+          ns("num" -> Literal(0.0d), "den" -> Literal(0.0d),
+            "mx" -> Literal(Double.NegativeInfinity)),
           lambda2("emw")((st, p) => {
             val w = Pow(Literal(2.0d), Divide(Subtract(fld(p, "t"), tmax), h))
-            ns("num" -> Add(fld(st, "num"), Multiply(fld(p, "v"), w)),
-              "den" -> Add(fld(st, "den"), w))
+            val vw = Multiply(fld(p, "v"), w)
+            ns("num" -> Add(fld(st, "num"), vw),
+              "den" -> Add(fld(st, "den"), w),
+              "mx" -> Greatest(Seq(fld(st, "mx"), vw)))
           }),
-          { val s = lv("emf")
-            LambdaFunction(Divide(fld(s, "num"), fld(s, "den")), Seq(s)) })
+          { val s = lv("emf"); LambdaFunction(out(s), Seq(s)) })
         folded
       }
     }
+    f("exponentialMovingAverage")(a => decayed(a.head, a(1), a(2))(
+      s => Divide(fld(s, "num"), fld(s, "den"))))
+    f("exponentialTimeDecayedSum")(a => decayed(a.head, a(1), a(2))(
+      s => fld(s, "num")))
+    f("exponentialTimeDecayedMax")(a => decayed(a.head, a(1), a(2))(
+      s => fld(s, "mx")))
+    // Count takes only (h, t): every row weighs 1
+    f("exponentialTimeDecayedCount")(a => decayed(a.head, Literal(1.0d),
+      a(1))(s => fld(s, "den")))
+    f("exponentialTimeDecayedAvg")(a => decayed(a.head, a(1), a(2))(
+      s => Divide(fld(s, "num"), fld(s, "den"))))
 
     // LTTB downsampling (Steinarsson 2013): keep endpoints, pick from
     // each of n−2 x-sorted buckets the point maximizing the triangle

@@ -574,7 +574,7 @@ object DialectQueries {
   def qAggFunctions5(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ChDialectBatch8.register(spark)
     sqlOn(spark, dir, "events", "evts_agg8",
-      """SELECT cohort, ema,
+      """SELECT cohort, ema, etds, etdc, etdm,
         |  round(st_t, 4) + 0.0 AS st_t, st_df,
         |  round(wt_t, 4) + 0.0 AS wt_t, round(wt_df, 4) + 0.0 AS wt_df,
         |  gs
@@ -582,6 +582,11 @@ object DialectQueries {
         |  SELECT user_id % 5 AS cohort,
         |    exponentialMovingAverage(1, round(value * 100),
         |      event_id % 64) AS ema,
+        |    exponentialTimeDecayedSum(1, round(value * 100),
+        |      event_id % 64) AS etds,
+        |    exponentialTimeDecayedCount(1, event_id % 64) AS etdc,
+        |    exponentialTimeDecayedMax(1, round(value * 100),
+        |      event_id % 64) AS etdm,
         |    studentTTest(round(value * 100),
         |      cast(event_id % 2 as int)).t AS st_t,
         |    studentTTest(round(value * 100),
@@ -809,13 +814,17 @@ object DialectQueries {
         |    max(t) AS mx
         |  FROM base GROUP BY cohort),
         |ema AS (
-        |  SELECT cohort, r.t / r.v AS ema FROM (
+        |  SELECT cohort, r.t / r.v AS ema, r.t AS etds, r.v AS etdc FROM (
         |    SELECT cohort, list_reduce(
         |      list_prepend(struct_pack(t := 0.0, v := 0.0), lst),
         |      (s, p) -> struct_pack(
         |        t := s.t + p.v * pow(2.0, (p.t - mx) / 1.0),
         |        v := s.v + pow(2.0, (p.t - mx) / 1.0))) AS r
         |    FROM g1)),
+        |etdmq AS (
+        |  SELECT b.cohort, max(b.v * pow(2.0, (b.t - g.mx) / 1.0)) AS etdm
+        |  FROM base b JOIN g1 g ON g.cohort = b.cohort
+        |  GROUP BY b.cohort),
         |tt AS (
         |  SELECT cohort,
         |    CAST(count(*) FILTER (idx = 0) AS DOUBLE) AS n0,
@@ -843,8 +852,10 @@ object DialectQueries {
         |      row_number() OVER (PARTITION BY cohort
         |        ORDER BY md5('42:' || event_type), event_type) AS rn
         |    FROM base) WHERE rn <= 5 GROUP BY cohort)
-        |SELECT ema.cohort, ema, st_t, st_df, wt_t, wt_df, gs
+        |SELECT ema.cohort, ema, etds, etdc, etdm,
+        |  st_t, st_df, wt_t, wt_df, gs
         |FROM ema JOIN ts2 USING (cohort) JOIN gsq USING (cohort)
+        |  JOIN etdmq USING (cohort)
         |ORDER BY ema.cohort""".stripMargin,
     // LTTB n=4: the two bucket argmax steps unrolled (e_mmr_rerank
     // pattern); the welch/student area formula is restated with the

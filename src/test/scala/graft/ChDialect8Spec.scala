@@ -29,6 +29,16 @@ class ChDialect8Spec extends AnyFunSuite {
     val e2 = one("SELECT exponentialMovingAverage(4, v, t) FROM b8_ema")
       .asInstanceOf[Double]
     assert(e2 < 3.0 && e2 > 7.0 / 3.0 - 1e-9)
+    // the decay family shares the fold: Sum = 5.25, Count = 1.75,
+    // Max = max(0.25, 1.0, 4.0) = 4.0, Avg ≡ the EMA
+    assert(one("SELECT exponentialTimeDecayedSum(1, v, t) FROM b8_ema")
+      == 5.25)
+    assert(one("SELECT exponentialTimeDecayedCount(1, t) FROM b8_ema")
+      == 1.75)
+    assert(one("SELECT exponentialTimeDecayedMax(1, v, t) FROM b8_ema")
+      == 4.0)
+    assert(one("SELECT exponentialTimeDecayedAvg(1, v, t) FROM b8_ema")
+      == 3.0)
   }
 
   test("LTTB: hand-computed 6->4 selection, pass-through, endpoints") {
