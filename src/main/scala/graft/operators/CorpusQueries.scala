@@ -478,6 +478,18 @@ object CorpusQueries {
     * the same greedy packed-state fold through `list_reduce` — an
     * independent engine's lambda evaluator over an independently sorted
     * event list. */
+  /** CH `sequenceNextNode(forward, first_match)` over the view→click
+    * chain ([[Funnel.sequenceNextNode]]): per user, the event-type that
+    * FOLLOWS the first consecutive view,click pair with a follower. The
+    * oracle restates it with window self-joins over the same (us, v)
+    * sort — structurally independent of the row-local fold. */
+  def qSequenceNext(spark: SparkSession, dir: String): DataFrame =
+    Funnel.sequenceNextNode(Tables.load(spark, dir, "events"),
+        "user_id", "ts", "event_type", "forward", "first_match",
+        lit(true),
+        Seq(col("event_type") === "view", col("event_type") === "click"))
+      .orderBy(col("user_id"))
+
   def qSequenceCount(spark: SparkSession, dir: String): DataFrame =
     Funnel.sequenceCount(Tables.load(spark, dir, "events"),
         "user_id", "ts", "(?1).*(?2).*(?3)",
@@ -501,6 +513,7 @@ object CorpusQueries {
   def queries: Map[String, Q] = Map(
     "e_kmeans" -> (eKmeans _),
     "q_sequence_count" -> (qSequenceCount _),
+    "q_sequence_next" -> (qSequenceNext _),
     "q_sequence_match_t" -> (qSequenceMatchT _),
     "q_window_funnel" -> (qWindowFunnel _),
     "q_window_funnel5" -> (qWindowFunnel5 _),
@@ -814,6 +827,30 @@ object CorpusQueries {
         |  CAST(least(32, len(toks) - strt) AS BIGINT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // same greedy fold, independent engine: DuckDB list_reduce over the
+    // window self-joins over the same (us, v) sort: first consecutive
+    // view,click pair WITH a follower, then its follower's value
+    "q_sequence_next" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type AS v
+        |  FROM events),
+        |srt AS (
+        |  SELECT user_id, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, v) AS i
+        |  FROM e),
+        |m AS (
+        |  SELECT s1.user_id, min(s1.i) AS mi
+        |  FROM srt s1
+        |  JOIN srt s2 ON s2.user_id = s1.user_id AND s2.i = s1.i + 1
+        |  JOIN srt s3 ON s3.user_id = s1.user_id AND s3.i = s1.i + 2
+        |  WHERE s1.v = 'view' AND s2.v = 'click'
+        |  GROUP BY s1.user_id),
+        |res AS (
+        |  SELECT m.user_id, s3.v AS next_node
+        |  FROM m JOIN srt s3 ON s3.user_id = m.user_id AND s3.i = m.mi + 2)
+        |SELECT u.user_id, r.next_node
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN res r ON r.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin,
     // per-user (ts, mask)-sorted masks; state packed cnt*64+lvl; bits
     // 1=view, 2=click, 4=purchase; chain needs bit 2^lvl
     "q_sequence_count" ->

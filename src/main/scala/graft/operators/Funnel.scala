@@ -327,4 +327,88 @@ object Funnel {
       .agg(flags.head, flags.tail: _*)
       .select(col("user_id") +: (col("f0") === 1).as("r1") +: anchored: _*)
   }
+
+  /** CH `sequenceNextNode(direction, base)(ts, value, baseCond, cond1…)`
+    * — the fourth behavioral aggregate (after windowFunnel /
+    * sequenceMatch / retention): per user, find the chain of events
+    * whose conditions hold on CONSECUTIVE events of the (ts, value)-
+    * sorted stream and return the VALUE of the event that follows it
+    * (NULL when no chain matches).
+    *
+    * Supported (direction, base) pairs, per CH's own matrix:
+    * `("forward", "head")` — the chain must start at the user's first
+    * baseCond event; `("forward", "first_match")` — the first adjacency
+    * match anywhere; `("backward", "tail")` / `("backward",
+    * "last_match")` — the same two over the time-REVERSED stream (so
+    * "the event before the chain", with the chain conditions applying
+    * in reverse order exactly as CH scans them). Other pairs refuse
+    * loudly.
+    *
+    * Determinism stances: events sort by (ts, value) — CH's
+    * arrival-order tie behavior is #22-family undefined on a cluster;
+    * `first_match` returns the follower of the first match THAT HAS a
+    * follower (CH returns NULL if its first match is streak-final —
+    * returning the first usable follower is the deterministic reading
+    * that never depends on which equal-ts event "came first").
+    * Row-local fold over the sorted per-user array, no self-join —
+    * the windowFunnel scale shape. */
+  def sequenceNextNode(
+      events: DataFrame, userCol: String, tsCol: String, valueCol: String,
+      direction: String, base: String,
+      baseCond: Column, chainConds: Seq[Column]): DataFrame = {
+    require(chainConds.nonEmpty && chainConds.length <= 32,
+      s"sequenceNextNode: 1..32 chain conditions, got ${chainConds.length}")
+    val pair = (direction, base)
+    require(Seq(("forward", "head"), ("forward", "first_match"),
+        ("backward", "tail"), ("backward", "last_match")).contains(pair),
+      s"sequenceNextNode: unsupported (direction, base) $pair — " +
+        "supported: (forward, head), (forward, first_match), " +
+        "(backward, tail), (backward, last_match)")
+    val k = chainConds.length
+    val mask = chainConds.zipWithIndex
+      .map { case (c, i) => when(c, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce((a, b) => a.bitwiseOR(b))
+    val sorted = events
+      .select(col(userCol).as("user_id"),
+        struct(unix_micros(col(tsCol)).as("us"),
+          col(valueCol).cast("string").as("v"),
+          mask.as("m"),
+          when(baseCond, 1L).otherwise(0L).as("b")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("e"))).as("evs"))
+    val evs0 = if (direction == "forward") col("evs") else reverse(col("evs"))
+    val needBit = array(chainConds.indices.map(i => lit(1L << i)): _*)
+    def chainAt(evs: Column, i: Column): Column =
+      (0 until k).map { j =>
+        element_at(evs, (i + j).cast("int")).getField("m")
+          .bitwiseAND(element_at(needBit, j + 1)) =!= 0
+      }.reduce(_ && _)
+    def followerOf(evs: Column, i: Column): Column =
+      element_at(evs, (i + k).cast("int")).getField("v")
+    // bind the (possibly reversed) array once
+    val next = element_at(
+      transform(array(evs0), evs => {
+        val n = size(evs)
+        if (base == "head" || base == "tail") {
+          // start = first event with the base flag (scan order)
+          val start = aggregate(sequence(lit(1), n), lit(0L), (acc, i) =>
+            when(acc =!= 0L, acc).otherwise(
+              when(element_at(evs, i.cast("int")).getField("b") === 1L, i
+                .cast("long")).otherwise(0L)))
+          when(start =!= 0L && start + k <= n && chainAt(evs, start),
+            followerOf(evs, start))
+        } else {
+          // first adjacency match with a follower
+          when(n >= k + 1,
+            aggregate(sequence(lit(1), (n - k).cast("int")),
+              lit(null).cast("string"),
+              (acc, i) => when(acc.isNotNull, acc).otherwise(
+                when(chainAt(evs, i), followerOf(evs, i)))))
+        }
+      }), lit(1))
+    events.select(col(userCol).as("user_id")).distinct()
+      .join(sorted.select(col("user_id"), next.as("next_node")),
+        Seq("user_id"), "left")
+      .select(col("user_id"), col("next_node"))
+  }
 }

@@ -291,6 +291,56 @@ class CorpusSpec extends AnyFunSuite {
       5L -> 2L, 6L -> 3L, 7L -> 0L))
   }
 
+  test("sequenceNextNode: forward head/first_match, backward tail, " +
+      "no-follower null, pair refusal") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(s: Long) = new Timestamp(base + s * 1000L)
+    val events = Seq(
+      // user 1: view click buy view — chain view→click follows with buy
+      (1L, ts(0), "view"), (1L, ts(1), "click"), (1L, ts(2), "buy"),
+      (1L, ts(3), "view"),
+      // user 2: chain present but streak-final → no follower → null
+      (2L, ts(0), "error"), (2L, ts(1), "view"), (2L, ts(2), "click"),
+      // user 3: no chain at all
+      (3L, ts(0), "buy"),
+      // user 4: first adjacency match is NOT at the head
+      (4L, ts(0), "error"), (4L, ts(1), "view"), (4L, ts(2), "click"),
+      (4L, ts(3), "promo"))
+      .toDF("user_id", "ts", "event_type")
+    val chain = Seq(col("event_type") === "view",
+      col("event_type") === "click")
+    def run(dir: String, b: String,
+        bc: org.apache.spark.sql.Column = lit(true)) =
+      operators.Funnel.sequenceNextNode(events, "user_id", "ts",
+        "event_type", dir, b, bc, chain)
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(run("forward", "first_match") == Seq(
+      (1L, Some("buy")), (2L, None), (3L, None), (4L, Some("promo"))))
+    // head: the chain must start at the first baseCond event — user 4's
+    // stream starts with "error", so the head chain fails there
+    assert(run("forward", "head") == Seq(
+      (1L, Some("buy")), (2L, None), (3L, None), (4L, None)))
+    // head with baseCond = view: user 4's first view DOES start a chain
+    assert(run("forward", "head", col("event_type") === "view") == Seq(
+      (1L, Some("buy")), (2L, None), (3L, None), (4L, Some("promo"))))
+    // backward tail over user 2 (error view click): reversed stream is
+    // click view error; chain click→view (reverse scan order) is
+    // followed by error — "the event before the chain"
+    val back = operators.Funnel.sequenceNextNode(events, "user_id", "ts",
+        "event_type", "backward", "tail", lit(true),
+        Seq(col("event_type") === "click", col("event_type") === "view"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(back(1) == ((2L, Some("error"))))
+    val e = intercept[IllegalArgumentException] {
+      operators.Funnel.sequenceNextNode(events, "user_id", "ts",
+        "event_type", "forward", "tail", lit(true), chain)
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+
   test("sequenceCount/sequenceMatch: greedy non-overlapping chains, " +
       "repeated conds, pattern subset refused") {
     import java.sql.Timestamp
