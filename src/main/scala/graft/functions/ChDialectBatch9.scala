@@ -237,6 +237,14 @@ object ChDialectBatch9 {
 
     f("arrayReduce")(arrayReduceBuilder)
 
+    // the -ForEach combinator family: element-wise aggregation over
+    // the group's arrays (result length = max length, short tails just
+    // contribute nothing — CH semantics; state O(max dim))
+    f("sumForEach")(a => ForEachAgg(a.head, "sum").toAggregateExpression())
+    f("minForEach")(a => ForEachAgg(a.head, "min").toAggregateExpression())
+    f("maxForEach")(a => ForEachAgg(a.head, "max").toAggregateExpression())
+    f("avgForEach")(a => ForEachAgg(a.head, "avg").toAggregateExpression())
+
     // Spearman's ρ with averaged tie ranks — a TypedImperativeAggregate
     // (plain-Scala O(n log n) ranking at eval; O(group) state is
     // inherent to the statistic, CH's own contract — scaladoc'd)

@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** ClickHouse `-ForEach` aggregate combinator over numeric arrays —
+  * `sumForEach` / `minForEach` / `maxForEach` / `avgForEach`: the
+  * aggregate applied ELEMENT-WISE across the group's arrays, the shape
+  * metric-vector tables use (per-row latency histograms, per-dimension
+  * gradients). CH semantics kept: the result length is the group's MAX
+  * array length; shorter arrays simply contribute nothing at the tail
+  * (no NULL-padding, no error), and for `min`/`max` a tail position's
+  * result reflects only the rows long enough to reach it. NULL arrays
+  * are skipped; NULL ELEMENTS are skipped per position (CH aggregate
+  * NULL semantics applied element-wise) — for `avg` this means each
+  * position divides by ITS OWN contributing count. State is one
+  * (values, counts) pair of max-length arrays — O(max dim), not
+  * O(rows). All math in double (the arraySum widening stance). */
+case class ForEachAgg(
+    child: Expression, op: String,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ForEachAgg.Buf] {
+  require(Set("sum", "min", "max", "avg").contains(op),
+    s"bad forEach op $op")
+
+  private lazy val elemType: DataType = child.dataType match {
+    case ArrayType(t, _) if Seq(ByteType, ShortType, IntegerType, LongType,
+        FloatType, DoubleType).contains(t) => t
+    case other => throw new IllegalArgumentException(
+      s"${op}ForEach requires an array of numbers, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): ForEachAgg.Buf =
+    new ForEachAgg.Buf(mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty)
+
+  private def toD(a: ArrayData, i: Int): Double = elemType match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case ByteType => a.getByte(i).toDouble
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  private def combine(a: Double, b: Double): Double = op match {
+    case "min" => math.min(a, b)
+    case "max" => math.max(a, b)
+    case _ => a + b // sum and avg both accumulate sums
+  }
+
+  override def update(buf: ForEachAgg.Buf, input: InternalRow): ForEachAgg.Buf = {
+    child.eval(input) match {
+      case null => buf
+      case arr: ArrayData =>
+        val n = arr.numElements()
+        while (buf.vals.length < n) { buf.vals += 0.0; buf.cnts += 0L }
+        var i = 0
+        while (i < n) {
+          if (!arr.isNullAt(i)) {
+            val v = toD(arr, i)
+            buf.vals(i) = if (buf.cnts(i) == 0L) v else combine(buf.vals(i), v)
+            buf.cnts(i) += 1L
+          }
+          i += 1
+        }
+        buf
+    }
+  }
+
+  override def merge(a: ForEachAgg.Buf, b: ForEachAgg.Buf): ForEachAgg.Buf = {
+    while (a.vals.length < b.vals.length) { a.vals += 0.0; a.cnts += 0L }
+    var i = 0
+    while (i < b.vals.length) {
+      if (b.cnts(i) > 0L) {
+        a.vals(i) = if (a.cnts(i) == 0L) b.vals(i)
+          else combine(a.vals(i), b.vals(i))
+        a.cnts(i) += b.cnts(i)
+      }
+      i += 1
+    }
+    a
+  }
+
+  override def eval(buf: ForEachAgg.Buf): Any = {
+    val out = new Array[Any](buf.vals.length)
+    var i = 0
+    while (i < buf.vals.length) {
+      out(i) =
+        if (buf.cnts(i) == 0L) null // every row too short or null here
+        else if (op == "avg") buf.vals(i) / buf.cnts(i)
+        else buf.vals(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: ForEachAgg.Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.vals.length)
+    var i = 0
+    while (i < buf.vals.length) {
+      out.writeDouble(buf.vals(i)); out.writeLong(buf.cnts(i)); i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ForEachAgg.Buf = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.vals += in.readDouble(); buf.cnts += in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ForEachAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ForEachAgg =
+    copy(inputAggBufferOffset = o)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = true)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): ForEachAgg = copy(child = c.head)
+}
+
+object ForEachAgg {
+  final class Buf(
+    val vals: mutable.ArrayBuffer[Double],
+    val cnts: mutable.ArrayBuffer[Long])
+}

@@ -676,7 +676,33 @@ object DialectQueries {
         |) ORDER BY cohort""".stripMargin)
   }
 
+  /** CH `-ForEach` combinator family (batch 9) over the embeddings
+    * table: element-wise sum/min/max/avg per label. Arrays are
+    * integer-valued (round(e·1000)) so the per-position double sums are
+    * EXACT and order-free — the emitted strings hash identically at any
+    * partitioning, and DuckDB recomputes them positionally. */
+  def qForEach(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch9.register(spark)
+    sqlOn(spark, dir, "embeddings", "embs_fe",
+      """SELECT label,
+        |  arrayStringConcat(arrayMap(x -> toString(cast(x as bigint)),
+        |    sumForEach(arrayMap(e -> round(e * 1000), embedding))), ',')
+        |    AS sfe,
+        |  arrayStringConcat(arrayMap(x -> toString(cast(x as bigint)),
+        |    minForEach(arrayMap(e -> round(e * 1000), embedding))), ',')
+        |    AS mnfe,
+        |  arrayStringConcat(arrayMap(x -> toString(cast(x as bigint)),
+        |    maxForEach(arrayMap(e -> round(e * 1000), embedding))), ',')
+        |    AS mxfe,
+        |  arrayStringConcat(arrayMap(x ->
+        |      toString(cast(round(x * 10000) as bigint)),
+        |    avgForEach(arrayMap(e -> round(e * 1000), embedding))), ',')
+        |    AS avfe
+        |FROM embs_fe GROUP BY label ORDER BY label""".stripMargin)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_foreach" -> (qForEach _),
     "q_agg_functions6" -> (qAggFunctions6 _),
     "q_agg_functions5" -> (qAggFunctions5 _),
     "q_lttb" -> (qLttb _),
@@ -715,6 +741,25 @@ object DialectQueries {
       "ELSE [] END)"
 
   def oracles: Map[String, String] = Map(
+    // -ForEach: positional recompute via a range fan-out
+    "q_foreach" ->
+      """WITH pos AS (
+        |  SELECT label, t.i,
+        |    round(CAST(embedding[t.i] AS DOUBLE) * 1000) AS v
+        |  FROM embeddings, range(1, 65) t(i)),
+        |agg AS (
+        |  SELECT label, i,
+        |    CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(min(v) AS BIGINT) AS mn,
+        |    CAST(max(v) AS BIGINT) AS mx,
+        |    CAST(round(sum(v) / count(*) * 10000) AS BIGINT) AS av
+        |  FROM pos GROUP BY 1, 2)
+        |SELECT label,
+        |  string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS sfe,
+        |  string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i) AS mnfe,
+        |  string_agg(CAST(mx AS VARCHAR), ',' ORDER BY i) AS mxfe,
+        |  string_agg(CAST(av AS VARCHAR), ',' ORDER BY i) AS avfe
+        |FROM agg GROUP BY label ORDER BY label""".stripMargin,
     // batch-9: χ²/entropy recounted from GROUP BYs (grid incl. zero
     // cells via the marginal cross join), sparkbar rebuilt with the
     // same integer bucket/level arithmetic

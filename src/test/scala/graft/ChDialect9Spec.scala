@@ -45,6 +45,22 @@ class ChDialect9Spec extends AnyFunSuite {
     assert(one("SELECT cramersV(x, y) FROM b9_p2") == 1.0)
   }
 
+  test("ForEach family: element-wise over ragged arrays, tail semantics, " +
+      "avg per-position counts, partition-invariant") {
+    Seq(Seq(1.0, 10.0, 100.0), Seq(2.0, 20.0), Seq(3.0))
+      .toDF("a").createOrReplaceTempView("b9_fe")
+    def arr(sql: String) = spark.sql(sql).head()
+      .getSeq[Any](0).toList
+    assert(arr("SELECT sumForEach(a) FROM b9_fe") == List(6.0, 30.0, 100.0))
+    assert(arr("SELECT minForEach(a) FROM b9_fe") == List(1.0, 10.0, 100.0))
+    assert(arr("SELECT maxForEach(a) FROM b9_fe") == List(3.0, 20.0, 100.0))
+    // avg divides each position by ITS contributing count: 3, 2, 1 rows
+    assert(arr("SELECT avgForEach(a) FROM b9_fe") == List(2.0, 15.0, 100.0))
+    spark.table("b9_fe").repartition(3).createOrReplaceTempView("b9_fe2")
+    assert(arr("SELECT sumForEach(a) FROM b9_fe2") ==
+      List(6.0, 30.0, 100.0))
+  }
+
   test("rankCorr: monotone = 1, reversed = -1, tie-averaged ranks, " +
       "constant coordinate -> 0, partition-invariant") {
     Seq((1.0, 10.0), (2.0, 20.0), (3.0, 25.0), (4.0, 90.0)).toDF("x", "y")
