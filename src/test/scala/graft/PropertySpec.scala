@@ -260,6 +260,91 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("binary quantization + Hamming kNN == plain-Scala reference on " +
+      "random vectors (packing, distances, top-k order)") {
+    import graft.operators.Similarity
+    val dim = 40 // non-multiple of 32 exercises tail padding
+    val vecGen = Gen.listOfN(dim,
+      Gen.chooseNum(-1000, 1000).map(_ / 250.0f)).map(_.toArray)
+    (0 until 3).foreach { trial =>
+      val vecs = samples(vecGen, 12 + trial * 5).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }
+      def refSig(v: Array[Float]): Seq[Long] =
+        (0 until (dim + 31) / 32).map { w =>
+          (0 until 32).foldLeft(0L) { (acc, j) =>
+            val i = w * 32 + j
+            acc | (if (i < dim && v(i) > 0f) 1L << j else 0L)
+          }
+        }
+      val df = vecs.toDF("vec_id", "embedding")
+      val sigs = Similarity.quantizeBinary(df)
+      val got = sigs.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+      vecs.foreach { case (id, v) =>
+        assert(got(id) == refSig(v), s"sig $id trial $trial") }
+      // full top-k per query vs reference ranking (ham, nid)
+      val k = 5
+      val ann = Similarity.knnHamming(sigs, sigs.where($"vec_id" < 3), k = k)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      for (q <- 0L until 3L) {
+        val sq = refSig(vecs.find(_._1 == q).get._2)
+        val ref = vecs.filter(_._1 != q).map { case (id, v) =>
+          (id, refSig(v).zip(sq).map { case (a, b) =>
+            java.lang.Long.bitCount(a ^ b).toLong }.sum)
+        }.sortBy { case (id, d) => (d, id) }.take(k)
+        val gotQ = ann.filter(_._1 == q).sortBy(_._2)
+          .map(r => (r._3, r._4)).toSeq
+        assert(gotQ == ref.toSeq, s"query $q trial $trial")
+      }
+    }
+  }
+
+  test("mmrRerank == plain-Scala greedy reference on random candidates") {
+    import graft.operators.Similarity
+    val dim = 8
+    val vecGen = Gen.listOfN(dim,
+      Gen.chooseNum(-100, 100).map(_ / 50.0f)).map(_.toArray)
+    (0 until 3).foreach { trial =>
+      val n = 9 + trial * 3
+      val vecs = samples(vecGen, n).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }
+        .filter(_._2.exists(_ != 0f)) // zero vector has no cosine
+      val simq = samples(Gen.chooseNum(-1000000L, 1000000L), vecs.length)
+      val cand = vecs.map(_._1).zip(simq).map { case (id, s) => (7L, id, s) }
+      val p = 3 + trial * 2 // λ = 0.3, 0.5, 0.7
+      val got = Similarity.mmrRerank(
+          cand.toDF("qid", "nid", "simq_micro"),
+          vecs.toDF("vec_id", "embedding"), k = 4, lambdaTenths = p)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(2), r.getLong(3))).toSeq
+      // plain-Scala greedy with the same micro-unit arithmetic
+      def cosMicro(a: Array[Float], b: Array[Float]): Long = {
+        var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+        while (i < a.length) {
+          d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        math.round(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+      }
+      val byId = vecs.toMap
+      val pool = scala.collection.mutable.Set(cand.map(_._2): _*)
+      val simOf = cand.map(c => c._2 -> c._3).toMap
+      var selected = List.empty[Long]
+      val ref = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      while (ref.length < 4 && pool.nonEmpty) {
+        val scored = pool.toSeq.map { id =>
+          val mp = if (selected.isEmpty) 0L
+            else selected.map(s => cosMicro(byId(id), byId(s))).max
+          (id, p * simOf(id) - (10 - p) * mp)
+        }
+        val (bid, bscore) = scored.minBy { case (id, s) => (-s, id) }
+        pool -= bid; selected ::= bid; ref += ((bid, bscore))
+      }
+      assert(got == ref.toSeq, s"trial $trial (p=$p)")
+    }
+  }
+
   test("sql literal round-trips numbers and timestamps") {
     samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 20).foreach { n =>
       // small literals parse as INT — normalize through Number
