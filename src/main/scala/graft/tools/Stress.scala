@@ -223,6 +223,21 @@ object Stress {
         Seq("event_id", "user_id"))
       Corpus.sessionize(ev, "user_id", "ts", "value").count()
     }
+    // Behavioral family (round 10 continuation): per-user sorted-array
+    // folds — the shuffle is one groupBy(user), per-user work is linear
+    // in their events; users amplify with events so group sizes stay
+    // constant.
+    time("windowFunnel 3-step + sequenceNextNode (events amplified)") {
+      val ev = amplify(Tables.load(spark, sfDir, "events"),
+        Seq("event_id", "user_id"))
+      graft.operators.Funnel.windowFunnel(
+        ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 3600).count()
+      graft.operators.Funnel.sequenceNextNode(
+        ev, "user_id", "ts", "event_type", "forward", "first_match",
+        lit(true), Seq(col("event_type") === "view",
+          col("event_type") === "click")).count()
+    }
 
     // --- round-9 corpus family ---
     // DSIR: bucket space is FIXED (B=4096) while the corpus scales ×N —
