@@ -489,6 +489,117 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame-delta MOTION statistics — the scene-change/static-content
+    * signal a video-curation pipeline gates on (a training set of
+    * near-still clips carries far less information per byte): per
+    * payload, the exact per-channel SUM OF ABSOLUTE DIFFERENCES between
+    * each consecutive decoded frame pair, plus the normalized mean
+    * motion (one IEEE division of the integer totals). Same RIFF walk
+    * and frame decoders as [[decodeVideoStats]]; the kernel holds ONE
+    * previous frame (w·h ints), not the video.
+    *
+    * For DIB (lossless) fixtures the SADs are formula-exact: the
+    * [[synthVideoPixel]] deltas are recomputable without a codec, so
+    * the oracle states every integer. Output: (media_id, n_pairs,
+    * sad_r, sad_g, sad_b, mean_motion). Single-frame/empty videos emit
+    * zero pairs and 0.0 motion.
+    *
+    * Scale shape: partition-at-a-time `mapPartitions`, payload consumed
+    * in the kernel, O(1) stats per row out. */
+  def videoMotionStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_pairs", LongType, nullable = false),
+      StructField("sad_r", LongType, nullable = false),
+      StructField("sad_g", LongType, nullable = false),
+      StructField("sad_b", LongType, nullable = false),
+      StructField("mean_motion", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val pIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val b = r.getAs[Array[Byte]](pIdx)
+        def str(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
+        def u32(off: Int): Long =
+          (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+            ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+        require(str(0, 4) == "RIFF" && str(8, 4) == "AVI ",
+          s"media_id=$id: not an AVI container")
+        var w = 0; var h = 0
+        var prev: Array[Int] = null // packed 0xRRGGBB per pixel
+        var pairs = 0L; var sadR = 0L; var sadG = 0L; var sadB = 0L
+        def diff(cur: Array[Int]): Unit = {
+          if (prev != null) {
+            var i = 0
+            while (i < cur.length) {
+              val a = prev(i); val c = cur(i)
+              sadR += math.abs(((a >> 16) & 0xff) - ((c >> 16) & 0xff))
+              sadG += math.abs(((a >> 8) & 0xff) - ((c >> 8) & 0xff))
+              sadB += math.abs((a & 0xff) - (c & 0xff))
+              i += 1
+            }
+            pairs += 1
+          }
+          prev = cur
+        }
+        def dibFramePixels(off: Int): Array[Int] = {
+          val stride = ((w * 3 + 3) / 4) * 4
+          val out = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            val rowOff = off + (h - 1 - y) * stride
+            var x = 0
+            while (x < w) {
+              out(y * w + x) =
+                ((b(rowOff + x * 3 + 2) & 0xff) << 16) |
+                ((b(rowOff + x * 3 + 1) & 0xff) << 8) |
+                (b(rowOff + x * 3) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+        def jpegFramePixels(off: Int, len: Int): Array[Int] = {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b, off, len))
+          require(img != null, s"media_id=$id: undecodable MJPG frame")
+          val out = new Array[Int](img.getWidth * img.getHeight)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              out(y * img.getWidth + x) = img.getRGB(x, y) & 0xffffff
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+        def walk(from: Int, until: Int): Unit = {
+          var pos = from
+          while (pos + 8 <= until) {
+            val cid = str(pos, 4)
+            val size = u32(pos + 4).toInt
+            if (cid == "LIST") walk(pos + 12, pos + 8 + size)
+            else if (cid == "avih") {
+              w = u32(pos + 8 + 32).toInt; h = u32(pos + 8 + 36).toInt
+            } else if (cid.endsWith("db")) diff(dibFramePixels(pos + 8))
+            else if (cid.endsWith("dc")) diff(jpegFramePixels(pos + 8, size))
+            pos += 8 + size + (size & 1)
+          }
+        }
+        walk(12, b.length)
+        val motion = if (pairs == 0L) 0.0
+          else (sadR + sadG + sadB).toDouble / (3.0 * pairs * w * h)
+        org.apache.spark.sql.Row(id, pairs, sadR, sadG, sadB, motion)
+      }
+    }(enc)
+  }
+
   /** Audio-track extraction from AVI containers — the same RIFF walk as
     * [[decodeVideoStats]], reading the OTHER stream: `strh('auds')` for
     * the stream declaration, its sibling `strf` (WAVEFORMATEX — PCM16

@@ -156,6 +156,25 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Frame-delta motion over the DIB fixtures
+    * (Multimodal.videoMotionStats): the synthVideoPixel deltas are
+    * codec-free integers, so the oracle recomputes every SAD exactly
+    * from the formula — |((7x+id+13(f+1)) mod 256) − ((7x+id+13f) mod
+    * 256)| summed over pixels and consecutive pairs; mean_motion is one
+    * IEEE division of the integer totals. */
+  def mVideoMotion(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.load(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("w"),
+      (lit(12) + (col("doc_id") % 3) * 4).cast("int").as("h"),
+      (lit(2) + col("doc_id") % 3).cast("int").as("n_frames"))
+    Multimodal.videoMotionStats(Multimodal.synthAvi(dims))
+      .select(col("media_id"), col("n_pairs"),
+        col("sad_r"), col("sad_g"), col("sad_b"),
+        round(col("mean_motion"), 6).as("mean_motion"))
+      .orderBy(col("media_id"))
+  }
+
   def mVideo(spark: SparkSession, dir: String): DataFrame = {
     val dims = Tables.load(spark, dir, "documents").select(
       col("doc_id").as("media_id"),
@@ -251,6 +270,7 @@ object MultimodalQueries {
     "m_features" -> (mFeatures _),
     "m_audio" -> (mAudio _),
     "m_video" -> (mVideo _),
+    "m_video_motion" -> (mVideoMotion _),
     "m_video_mjpg" -> (mVideoMjpg _),
     "m_video_audio" -> (mVideoAudio _),
     "m_video_frames" -> (mVideoFrames _))
@@ -352,6 +372,36 @@ object MultimodalQueries {
         |  round(avg((x * 7 + doc_id + 13 * f) % 256), 6) AS mean_r,
         |  round(avg((y * 11 + 2 * doc_id + 17 * f) % 256), 6) AS mean_g,
         |  round(avg((x + y + 3 * doc_id + 19 * f) % 256), 6) AS mean_b
+        |FROM pxy GROUP BY doc_id, w, h, nf ORDER BY media_id""".stripMargin,
+    // frame-delta motion: the synthVideoPixel deltas restated exactly —
+    // per pixel |formula(f+1) − formula(f)|, summed over pixels and
+    // consecutive pairs; DIB is lossless so decode == formula
+    "m_video_motion" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(16 + (doc_id % 4) * 8 AS INT) AS w,
+        |    CAST(12 + (doc_id % 3) * 4 AS INT) AS h,
+        |    CAST(2 + doc_id % 3 AS INT) AS nf FROM documents),
+        |fp AS (SELECT doc_id, w, h, nf, unnest(range(0, nf - 1)) AS f
+        |  FROM dims),
+        |fx AS (SELECT doc_id, w, h, nf, f, unnest(range(0, w)) AS x
+        |  FROM fp),
+        |pxy AS (SELECT doc_id, w, h, nf, f, x, unnest(range(0, h)) AS y
+        |  FROM fx)
+        |SELECT doc_id AS media_id, CAST(nf - 1 AS BIGINT) AS n_pairs,
+        |  CAST(sum(abs((x * 7 + doc_id + 13 * (f + 1)) % 256
+        |    - (x * 7 + doc_id + 13 * f) % 256)) AS BIGINT) AS sad_r,
+        |  CAST(sum(abs((y * 11 + 2 * doc_id + 17 * (f + 1)) % 256
+        |    - (y * 11 + 2 * doc_id + 17 * f) % 256)) AS BIGINT) AS sad_g,
+        |  CAST(sum(abs((x + y + 3 * doc_id + 19 * (f + 1)) % 256
+        |    - (x + y + 3 * doc_id + 19 * f) % 256)) AS BIGINT) AS sad_b,
+        |  round(CAST(
+        |      sum(abs((x * 7 + doc_id + 13 * (f + 1)) % 256
+        |        - (x * 7 + doc_id + 13 * f) % 256))
+        |    + sum(abs((y * 11 + 2 * doc_id + 17 * (f + 1)) % 256
+        |        - (y * 11 + 2 * doc_id + 17 * f) % 256))
+        |    + sum(abs((x + y + 3 * doc_id + 19 * (f + 1)) % 256
+        |        - (x + y + 3 * doc_id + 19 * f) % 256)) AS DOUBLE)
+        |    / (3.0 * (nf - 1) * w * h), 6) AS mean_motion
         |FROM pxy GROUP BY doc_id, w, h, nf ORDER BY media_id""".stripMargin,
     // contract oracle (ImageIO JPEG is not SQL-restatable): header
     // fields from the dims formulas, decode pins as constant booleans

@@ -736,6 +736,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rerankFrom"))
   }
 
+  test("videoMotionStats: DIB SADs equal the synth formula, single " +
+      "frame -> zero pairs, MJPG path decodes") {
+    import graft.operators.Multimodal
+    val (w, h, nf) = (16, 12, 3)
+    val dims = Seq((5L, w, h, nf)).toDF("media_id", "w", "h", "n_frames")
+    val row = Multimodal.videoMotionStats(Multimodal.synthAvi(dims)).head()
+    // formula reference: per consecutive pair, per pixel
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (f <- 0 until nf - 1; x <- 0 until w; y <- 0 until h) {
+      val (r1, g1, b1) = Multimodal.synthVideoPixel(5L, f, x, y)
+      val (r2, g2, b2) = Multimodal.synthVideoPixel(5L, f + 1, x, y)
+      er += math.abs(r2 - r1); eg += math.abs(g2 - g1)
+      eb += math.abs(b2 - b1)
+    }
+    assert(row.getLong(1) == (nf - 1).toLong)
+    assert((row.getLong(2), row.getLong(3), row.getLong(4)) == ((er, eg, eb)))
+    assert(row.getDouble(5) ==
+      (er + eg + eb).toDouble / (3.0 * (nf - 1) * w * h))
+    // single frame: no pairs, zero motion
+    val one = Multimodal.videoMotionStats(Multimodal.synthAvi(
+      Seq((6L, 16, 12, 1)).toDF("media_id", "w", "h", "n_frames"))).head()
+    assert(one.getLong(1) == 0L && one.getDouble(5) == 0.0)
+    // MJPG path: decodes and produces motion in the right ballpark
+    // (decode-what-this-JVM-encoded; small JPEG noise vs the DIB truth)
+    val mj = Multimodal.videoMotionStats(Multimodal.synthAvi(
+      dims, mjpeg = true)).head()
+    val dibMotion = row.getDouble(5)
+    assert(mj.getLong(1) == (nf - 1).toLong)
+    assert(math.abs(mj.getDouble(5) - dibMotion) < 0.25 * dibMotion + 5.0)
+  }
+
   test("MJPG byte pin: kernel means EXACTLY equal an independent RIFF walk " +
       "+ this JVM's ImageIO decode of the same payload") {
     // JPEG is lossy ACROSS encoders, but encoder and decoder here are
