@@ -809,6 +809,68 @@ object Multimodal {
     * (see `m_resize`): this is the content-level check the
     * [[decodeImageStats]] resize round-trip (dimensions only) doesn't
     * give. */
+  /** Difference-hash (dHash) perceptual image fingerprint — the
+    * image-dedup signature LAION-style pipelines bucket on: decode,
+    * exact integer grayscale `(r+g+b) div 3`, floor-mapping NN
+    * downsample to a (gridW+1)×gridH grid (the [[resizeNearest]]
+    * mapping: src = dst·srcDim div dstDim — no interpolation-kernel
+    * ambiguity), then one bit per adjacent-column comparison
+    * (`gray(x+1) > gray(x)`). Bits pack 32 per long word EXACTLY like
+    * [[graft.operators.Similarity.quantizeBinary]] (bit i = gy·gridW+gx
+    * → word i div 32, bit i mod 32), so the signatures feed
+    * [[graft.operators.Similarity.knnHamming]] unchanged — image
+    * near-dup search is the same banded/Hamming stack as embeddings.
+    * Every step is integer arithmetic on decoded pixels, so for
+    * lossless fixtures the hash is formula-recomputable by an
+    * independent engine (gradients also make it invariant to constant
+    * brightness shifts — the property that makes dHash a NEAR-dup
+    * signature, pinned in spec).
+    *
+    * Scale shape: partition-at-a-time kernel, payload consumed in the
+    * kernel, ⌈64/32⌉ longs per row out. */
+  def imageDHash(media: DataFrame, gridW: Int = 8, gridH: Int = 8): DataFrame = {
+    require(gridW > 0 && gridH > 0 && gridW * gridH <= 256,
+      s"imageDHash: grid ${gridW}x$gridH out of range")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sig", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val pIdx = media.schema.fieldIndex("payload")
+    val nBits = gridW * gridH
+    val nWords = (nBits + 31) / 32
+    media.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](pIdx)))
+        require(img != null, "undecodable image payload in imageDHash")
+        val w = img.getWidth; val h = img.getHeight
+        def gray(gx: Int, gy: Int): Int = {
+          val sx = gx * w / (gridW + 1)
+          val sy = gy * h / gridH
+          val rgb = img.getRGB(sx, sy)
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        }
+        val words = new Array[Long](nWords)
+        var gy = 0
+        while (gy < gridH) {
+          var gx = 0
+          while (gx < gridW) {
+            if (gray(gx + 1, gy) > gray(gx, gy)) {
+              val i = gy * gridW + gx
+              words(i / 32) |= 1L << (i % 32)
+            }
+            gx += 1
+          }
+          gy += 1
+        }
+        org.apache.spark.sql.Row(r.getLong(idIdx), words.toSeq)
+      }
+    }(enc)
+  }
+
   def resizeNearest(media: DataFrame, outW: Int, outH: Int): DataFrame = {
     require(outW > 0 && outH > 0,
       s"resizeNearest: target ${outW}x$outH must be positive")

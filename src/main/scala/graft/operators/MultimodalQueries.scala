@@ -175,6 +175,23 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** dHash perceptual fingerprints (Multimodal.imageDHash) over the PNG
+    * fixtures — every step (grayscale div, floor-mapped NN sample,
+    * gradient bits, 32-bit word packing) is integer arithmetic DuckDB
+    * restates from the synthPixel formula, so both packed words are
+    * value-exact. */
+  def mImageDhash(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.load(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      (lit(16) + (col("doc_id") % 8) * 4).cast("int").as("w"),
+      (lit(12) + (col("doc_id") % 5) * 4).cast("int").as("h"))
+    Multimodal.imageDHash(Multimodal.synthPng(dims))
+      .select(col("media_id"),
+        element_at(col("sig"), 1).as("w0"),
+        element_at(col("sig"), 2).as("w1"))
+      .orderBy(col("media_id"))
+  }
+
   def mVideo(spark: SparkSession, dir: String): DataFrame = {
     val dims = Tables.load(spark, dir, "documents").select(
       col("doc_id").as("media_id"),
@@ -271,6 +288,7 @@ object MultimodalQueries {
     "m_audio" -> (mAudio _),
     "m_video" -> (mVideo _),
     "m_video_motion" -> (mVideoMotion _),
+    "m_image_dhash" -> (mImageDhash _),
     "m_video_mjpg" -> (mVideoMjpg _),
     "m_video_audio" -> (mVideoAudio _),
     "m_video_frames" -> (mVideoFrames _))
@@ -373,6 +391,33 @@ object MultimodalQueries {
         |  round(avg((y * 11 + 2 * doc_id + 17 * f) % 256), 6) AS mean_g,
         |  round(avg((x + y + 3 * doc_id + 19 * f) % 256), 6) AS mean_b
         |FROM pxy GROUP BY doc_id, w, h, nf ORDER BY media_id""".stripMargin,
+    // dHash: grayscale/sample/gradient/pack restated as pure integer
+    // arithmetic on the synthPixel formula
+    "m_image_dhash" -> {
+      def sx(gx: String) = s"(($gx) * w // 9)"
+      val sy = "(gy * h // 8)"
+      def gray(x: String) =
+        s"(((($x) * 7 + doc_id) % 256 + ($sy * 11 + 2 * doc_id) % 256" +
+          s" + (($x) + $sy + 3 * doc_id) % 256) // 3)"
+      s"""WITH dims AS (SELECT doc_id,
+         |    CAST(16 + (doc_id % 8) * 4 AS INT) AS w,
+         |    CAST(12 + (doc_id % 5) * 4 AS INT) AS h FROM documents),
+         |g AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS gy FROM dims),
+         |gxy AS (SELECT doc_id, w, h, gy, unnest(range(0, 8)) AS gx FROM g),
+         |bits AS (
+         |  SELECT doc_id, gy * 8 + gx AS i,
+         |    CASE WHEN ${gray(sx("gx + 1"))} > ${gray(sx("gx"))}
+         |      THEN 1 ELSE 0 END AS b
+         |  FROM gxy)
+         |SELECT doc_id AS media_id,
+         |  CAST(sum(CASE WHEN i < 32
+         |    THEN b * (1::BIGINT << CAST(i AS INT)) ELSE 0 END)
+         |    AS BIGINT) AS w0,
+         |  CAST(sum(CASE WHEN i >= 32
+         |    THEN b * (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0 END)
+         |    AS BIGINT) AS w1
+         |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin
+    },
     // frame-delta motion: the synthVideoPixel deltas restated exactly —
     // per pixel |formula(f+1) − formula(f)|, summed over pixels and
     // consecutive pairs; DIB is lossless so decode == formula

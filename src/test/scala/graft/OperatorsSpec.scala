@@ -736,6 +736,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rerankFrom"))
   }
 
+  test("imageDHash: brightness-shift invariant, distinct content " +
+      "differs, composes with knnHamming at distance 0") {
+    import graft.operators.{Multimodal, Similarity}
+    import java.awt.image.BufferedImage
+    def png(id: Long, shift: Int, scramble: Boolean): Array[Byte] = {
+      val (w, h) = (32, 24)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        // base gradient kept within [0, 200] so +shift never clips
+        val base = (x * 3 + y * 5) % 200
+        val v = if (scramble) (x * 97 + y * 31) % 200 + shift
+          else base + shift
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, png(1L, 0, scramble = false)),
+      (2L, png(2L, 40, scramble = false)), // same content, brighter
+      (3L, png(3L, 0, scramble = true))    // different content
+    ).toDF("media_id", "payload")
+    val sigs = Multimodal.imageDHash(media)
+    val got = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == got(2L)) // gradients unchanged by +40 everywhere
+    assert(got(1L) != got(3L))
+    // the dedup composition: Hamming search over dHash sigs finds the
+    // brightness-shifted twin at distance 0
+    val ann = Similarity.knnHamming(sigs, sigs.where($"media_id" === 1L),
+      idCol = "media_id", k = 2).orderBy("rank").collect()
+    assert(ann(0).getLong(2) == 2L && ann(0).getLong(3) == 0L)
+    assert(ann(1).getLong(2) == 3L && ann(1).getLong(3) > 0L)
+  }
+
   test("videoMotionStats: DIB SADs equal the synth formula, single " +
       "frame -> zero pairs, MJPG path decodes") {
     import graft.operators.Multimodal
