@@ -489,6 +489,72 @@ object Multimodal {
     }(enc)
   }
 
+  /** Envelope-gradient AUDIO fingerprint — [[imageDHash]]'s audio twin
+    * (near-dup audio detection without a spectral transform): decode
+    * PCM16, split the sample stream into `nBits + 1` floor-boundary
+    * windows (window b covers samples [b·n div (nBits+1), (b+1)·n div
+    * (nBits+1))), per-window INTEGER sum of absolute amplitudes, then
+    * one bit per adjacent-window comparison of the mean |amplitude| —
+    * compared CROSS-MULTIPLIED (`sum₁·cnt₀ > sum₀·cnt₁`) so unequal
+    * window lengths never force a division and every step stays exact
+    * integer arithmetic an independent engine can restate. Bits pack
+    * 32 per long word in the quantizeBinary format, so signatures feed
+    * [[graft.operators.Similarity.knnHamming]] unchanged — and like
+    * dHash's brightness invariance, the GRADIENT bits are invariant to
+    * uniform volume scaling (pinned in spec).
+    *
+    * Scale shape: partition-at-a-time kernel, payload consumed in the
+    * kernel, ⌈nBits/32⌉ longs per row out. */
+  def audioEnvelopeHash(media: DataFrame, nBits: Int = 64): DataFrame = {
+    require(nBits > 0 && nBits <= 256, s"audioEnvelopeHash: nBits $nBits")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sig", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val pIdx = media.schema.fieldIndex("payload")
+    val nWin = nBits + 1
+    val nWords = (nBits + 31) / 32
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](pIdx)))
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16,
+          s"media_id=$id: expected 16-bit signed PCM, got $fmt")
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        require(n >= nWin, s"media_id=$id: $n samples < $nWin windows")
+        val sums = new Array[Long](nWin)
+        val cnts = new Array[Long](nWin)
+        var k = 0
+        while (k < n) {
+          val i = k * 2
+          val v =
+            if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+            else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+          // window index by the same floor mapping the oracle restates:
+          // b = k·nWin div n
+          val b = (k.toLong * nWin / n).toInt
+          sums(b) += math.abs(v.toInt); cnts(b) += 1
+          k += 1
+        }
+        val words = new Array[Long](nWords)
+        var bIdx = 0
+        while (bIdx < nBits) {
+          if (sums(bIdx + 1) * cnts(bIdx) > sums(bIdx) * cnts(bIdx + 1))
+            words(bIdx / 32) |= 1L << (bIdx % 32)
+          bIdx += 1
+        }
+        org.apache.spark.sql.Row(id, words.toSeq)
+      }
+    }(enc)
+  }
+
   /** Frame-delta MOTION statistics — the scene-change/static-content
     * signal a video-curation pipeline gates on (a training set of
     * near-still clips carries far less information per byte): per

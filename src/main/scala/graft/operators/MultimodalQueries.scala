@@ -192,6 +192,22 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Audio envelope-gradient fingerprints (Multimodal.audioEnvelopeHash)
+    * over the WAV fixtures — floor-boundary windows, integer |amplitude|
+    * sums, cross-multiplied mean comparisons, 32-bit word packing: all
+    * restated by DuckDB from the synthSample formula, both packed words
+    * value-exact. */
+  def mAudioHash(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.load(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      (lit(800) + (col("doc_id") % 5) * 160).cast("int").as("n_samples"))
+    Multimodal.audioEnvelopeHash(Multimodal.synthWav(dims))
+      .select(col("media_id"),
+        element_at(col("sig"), 1).as("w0"),
+        element_at(col("sig"), 2).as("w1"))
+      .orderBy(col("media_id"))
+  }
+
   def mVideo(spark: SparkSession, dir: String): DataFrame = {
     val dims = Tables.load(spark, dir, "documents").select(
       col("doc_id").as("media_id"),
@@ -289,6 +305,7 @@ object MultimodalQueries {
     "m_video" -> (mVideo _),
     "m_video_motion" -> (mVideoMotion _),
     "m_image_dhash" -> (mImageDhash _),
+    "m_audio_hash" -> (mAudioHash _),
     "m_video_mjpg" -> (mVideoMjpg _),
     "m_video_audio" -> (mVideoAudio _),
     "m_video_frames" -> (mVideoFrames _))
@@ -391,6 +408,31 @@ object MultimodalQueries {
         |  round(avg((y * 11 + 2 * doc_id + 17 * f) % 256), 6) AS mean_g,
         |  round(avg((x + y + 3 * doc_id + 19 * f) % 256), 6) AS mean_b
         |FROM pxy GROUP BY doc_id, w, h, nf ORDER BY media_id""".stripMargin,
+    // audio envelope hash: windows/sums/cross-multiplied comparisons
+    // restated as pure integer arithmetic on the synthSample formula
+    "m_audio_hash" ->
+      """WITH dims AS (SELECT doc_id,
+        |    800 + (doc_id % 5) * 160 AS n FROM documents),
+        |ks AS (SELECT doc_id, n, unnest(range(0, n)) AS k FROM dims),
+        |sv AS (SELECT doc_id,
+        |    abs((k * 7919 + doc_id * 104729) % 65536 - 32768) AS a,
+        |    (k * 65) // n AS b
+        |  FROM ks),
+        |win AS (SELECT doc_id, b, sum(a) AS s, count(*) AS c
+        |  FROM sv GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT w0.doc_id, w0.b AS i,
+        |    CASE WHEN w1.s * w0.c > w0.s * w1.c THEN 1 ELSE 0 END AS bit
+        |  FROM win w0
+        |  JOIN win w1 ON w1.doc_id = w0.doc_id AND w1.b = w0.b + 1)
+        |SELECT doc_id AS media_id,
+        |  CAST(sum(CASE WHEN i < 32
+        |    THEN bit * (1::BIGINT << CAST(i AS INT)) ELSE 0 END)
+        |    AS BIGINT) AS w0,
+        |  CAST(sum(CASE WHEN i >= 32
+        |    THEN bit * (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0 END)
+        |    AS BIGINT) AS w1
+        |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // dHash: grayscale/sample/gradient/pack restated as pure integer
     // arithmetic on the synthPixel formula
     "m_image_dhash" -> {

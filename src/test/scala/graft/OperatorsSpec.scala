@@ -736,6 +736,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rerankFrom"))
   }
 
+  test("audioEnvelopeHash: plain-Scala reference equality, exact " +
+      "volume-doubling invariance, too-short refusal") {
+    import graft.operators.Multimodal
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        bytes(i * 2) = (s & 0xff).toByte
+        bytes(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val n = 700
+    val base = Array.tabulate(n)(k =>
+      (((k * 7919 + 104729) % 16384) - 8192).toShort) // headroom for x2
+    val doubled = base.map(s => (s * 2).toShort)
+    val media = Seq(
+      (1L, wav(base)), (2L, wav(doubled))
+    ).toDF("media_id", "payload")
+    val got = Multimodal.audioEnvelopeHash(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // plain-Scala reference over the base samples
+    val nWin = 65
+    val sums = new Array[Long](nWin); val cnts = new Array[Long](nWin)
+    base.zipWithIndex.foreach { case (s, k) =>
+      val b = (k.toLong * nWin / n).toInt
+      sums(b) += math.abs(s.toInt); cnts(b) += 1
+    }
+    val ref = new Array[Long](2)
+    for (i <- 0 until 64)
+      if (sums(i + 1) * cnts(i) > sums(i) * cnts(i + 1))
+        ref(i / 32) |= 1L << (i % 32)
+    assert(got(1L) == ref.toSeq)
+    // exact x2 scaling preserves every cross-multiplied comparison
+    assert(got(2L) == got(1L))
+    val short = Seq((3L, wav(Array.fill(10)(1000.toShort))))
+      .toDF("media_id", "payload")
+    val e = intercept[Exception] {
+      Multimodal.audioEnvelopeHash(short).collect()
+    }
+    assert(e.getMessage.contains("windows"))
+  }
+
   test("imageDHash: brightness-shift invariant, distinct content " +
       "differs, composes with knnHamming at distance 0") {
     import graft.operators.{Multimodal, Similarity}
