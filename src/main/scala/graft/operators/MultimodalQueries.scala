@@ -208,6 +208,26 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** End-to-end image near-dup search: dHash signatures over the PNG
+    * corpus, probes = documents 0-4 re-synthesized (identical pixels ⇒
+    * Hamming 0 to their sources), Hamming top-3 per probe — the full
+    * image-dedup composition (Multimodal.imageDHash →
+    * Similarity.knnHamming), every integer oracled: DuckDB recomputes
+    * the 64 gradient bits per image from the synthPixel formula, the
+    * XOR/popcount distances, and the (ham, nid) ranking. */
+  def mImageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.load(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      (lit(16) + (col("doc_id") % 8) * 4).cast("int").as("w"),
+      (lit(12) + (col("doc_id") % 5) * 4).cast("int").as("h"))
+    val sigs = Multimodal.imageDHash(Multimodal.synthPng(dims))
+    val probes = Multimodal.imageDHash(
+      Multimodal.synthPng(dims.where(col("media_id") < 5)))
+      .select((col("media_id") + 1000000L).as("media_id"), col("sig"))
+    Similarity.knnHamming(sigs, probes, idCol = "media_id", k = 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def mVideo(spark: SparkSession, dir: String): DataFrame = {
     val dims = Tables.load(spark, dir, "documents").select(
       col("doc_id").as("media_id"),
@@ -305,6 +325,7 @@ object MultimodalQueries {
     "m_video" -> (mVideo _),
     "m_video_motion" -> (mVideoMotion _),
     "m_image_dhash" -> (mImageDhash _),
+    "m_image_neardup" -> (mImageNeardup _),
     "m_audio_hash" -> (mAudioHash _),
     "m_video_mjpg" -> (mVideoMjpg _),
     "m_video_audio" -> (mVideoAudio _),
@@ -408,6 +429,46 @@ object MultimodalQueries {
         |  round(avg((y * 11 + 2 * doc_id + 17 * f) % 256), 6) AS mean_g,
         |  round(avg((x + y + 3 * doc_id + 19 * f) % 256), 6) AS mean_b
         |FROM pxy GROUP BY doc_id, w, h, nf ORDER BY media_id""".stripMargin,
+    // image near-dup composition: the dHash bits, XOR/popcount
+    // distances, and (ham, nid) ranking all recomputed in DuckDB
+    "m_image_neardup" -> {
+      def sx(gx: String) = s"(($gx) * w // 9)"
+      val sy = "(gy * h // 8)"
+      def gray(x: String) =
+        s"(((($x) * 7 + doc_id) % 256 + ($sy * 11 + 2 * doc_id) % 256" +
+          s" + (($x) + $sy + 3 * doc_id) % 256) // 3)"
+      s"""WITH dims AS (SELECT doc_id,
+         |    CAST(16 + (doc_id % 8) * 4 AS INT) AS w,
+         |    CAST(12 + (doc_id % 5) * 4 AS INT) AS h FROM documents),
+         |g AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS gy FROM dims),
+         |gxy AS (SELECT doc_id, w, h, gy, unnest(range(0, 8)) AS gx FROM g),
+         |bits AS (
+         |  SELECT doc_id, gy * 8 + gx AS i,
+         |    CASE WHEN ${gray(sx("gx + 1"))} > ${gray(sx("gx"))}
+         |      THEN 1 ELSE 0 END AS b
+         |  FROM gxy),
+         |sig AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(sum(CASE WHEN i < 32
+         |      THEN b * (1::BIGINT << CAST(i AS INT)) ELSE 0 END)
+         |      AS BIGINT) AS w0,
+         |    CAST(sum(CASE WHEN i >= 32
+         |      THEN b * (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0 END)
+         |      AS BIGINT) AS w1
+         |  FROM bits GROUP BY doc_id),
+         |probe AS (SELECT media_id + 1000000 AS qid, w0, w1
+         |  FROM sig WHERE media_id < 5),
+         |ham AS (
+         |  SELECT p.qid, s.media_id AS nid,
+         |    CAST(bit_count(xor(p.w0, s.w0))
+         |      + bit_count(xor(p.w1, s.w1)) AS BIGINT) AS ham
+         |  FROM probe p, sig s),
+         |ranked AS (SELECT qid, nid, ham,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rank
+         |  FROM ham)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, ham
+         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    },
     // audio envelope hash: windows/sums/cross-multiplied comparisons
     // restated as pure integer arithmetic on the synthSample formula
     "m_audio_hash" ->
