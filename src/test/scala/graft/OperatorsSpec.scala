@@ -686,6 +686,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fb.toSeq == got.toSeq)
   }
 
+  test("crossNearDup plan pin: probe side broadcasts below the gate, " +
+      "SHUFFLE_HASH above it") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val probes = Seq((9L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("eval_id", "text")
+    def planOf(bc: Boolean): String =
+      Dedup.crossNearDup(corpus, probes, "doc_id", "text",
+        "eval_id", "text", broadcastProbes = Some(bc))
+        .queryExecution.executedPlan.toString
+    val bcPlan = planOf(true)
+    assert(bcPlan.contains("BroadcastHashJoin") ||
+      bcPlan.contains("BroadcastExchange"))
+    val shPlan = planOf(false)
+    assert(shPlan.contains("ShuffledHashJoin"))
+  }
+
   test("binary quantization: bit packing vs plain-Scala reference, " +
       "tail padding, Hamming search + rerank") {
     import graft.operators.Similarity
