@@ -47,34 +47,7 @@ import org.apache.spark.sql.types._
   *    weightedSample stance).
   */
 object ChDialectBatch8 {
-
-  private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
-
-  private def lambda1(prefix: String)(
-      f: Expression => Expression): LambdaFunction = {
-    val a = lv(prefix + "a")
-    LambdaFunction(f(a), Seq(a))
-  }
-
-  private def lambda2(prefix: String)(
-      f: (Expression, Expression) => Expression): LambdaFunction = {
-    val a = lv(prefix + "a"); val b = lv(prefix + "b")
-    LambdaFunction(f(a, b), Seq(a, b))
-  }
-
-  private def fld(s: Expression, n: String): Expression =
-    UnresolvedExtractValue(s, Literal(n))
-
-  private def ns(kv: (String, Expression)*): Expression =
-    CreateNamedStruct(kv.flatMap { case (k, v) => Seq(Literal(k), v) })
-
-  /** Evaluate `body(x)` with `x` bound ONCE to `shared` — the
-    * one-element-transform binding trick, so an expensive intermediate
-    * (a sorted collected group) is not re-evaluated per consumer. */
-  private def bind(shared: Expression, prefix: String)(
-      body: Expression => Expression): Expression =
-    ElementAt(ArrayTransform(CreateArray(Seq(shared)), lambda1(prefix)(body)),
-      Literal(1))
+  import ChExprDsl._
 
   def register(spark: SparkSession): Unit = {
     if (isRegistered(spark)) return // idempotent: silence re-register WARNs
@@ -94,9 +67,10 @@ object ChDialectBatch8 {
     def decayed(h0: Expression, v0: Expression, t0: Expression)(
         out: Expression => Expression): Expression = {
       val h = Cast(h0, DoubleType)
-      val arr = new SortArray(CollectList(ns(
-        "t" -> Cast(t0, DoubleType),
-        "v" -> Cast(v0, DoubleType))).toAggregateExpression())
+      val tD = Cast(t0, DoubleType); val vD = Cast(v0, DoubleType)
+      // rows with a NULL value or time are SKIPPED (aggregate NULL
+      // semantics — one null row must not null the whole group's fold)
+      val arr = collectSkipNulls(ns("t" -> tD, "v" -> vD), Seq(tD, vD))
       bind(arr, "ema") { av =>
         val tmax = fld(ElementAt(av, Literal(-1)), "t")
         val folded = ArrayAggregate(av,
@@ -131,9 +105,8 @@ object ChDialectBatch8 {
     // returns array<struct<x, y>> of the kept points
     f("largestTriangleThreeBuckets") { a =>
       val n = Cast(a.head, LongType)
-      val arr = new SortArray(CollectList(ns(
-        "x" -> Cast(a(1), DoubleType),
-        "y" -> Cast(a(2), DoubleType))).toAggregateExpression())
+      val xD = Cast(a(1), DoubleType); val yD = Cast(a(2), DoubleType)
+      val arr = collectSkipNulls(ns("x" -> xD, "y" -> yD), Seq(xD, yD))
       bind(arr, "lt") { av =>
         val m = Cast(Size(av), LongType)
         val nb = Subtract(n, Literal(2L)) // middle buckets
@@ -276,24 +249,29 @@ object ChDialectBatch8 {
     // string form (params-first: k, seed, x) — md5 so any engine can
     // recompute the selection (the splitAssign hash choice)
     f("groupArraySample") { a =>
-      val sorted = new SortArray(CollectList(ns(
+      // NULL elements are skipped (a null md5 key would otherwise sort
+      // FIRST and displace real values from the k sample slots)
+      val sorted = collectSkipNulls(ns(
         "h" -> Md5(Cast(Concat(Seq(Cast(a(1), StringType), Literal(":"),
           Cast(a(2), StringType))), BinaryType)),
-        "v" -> a(2))).toAggregateExpression())
+        "v" -> a(2)), Seq(a(2)))
       ArrayTransform(Slice(sorted, Literal(1), Cast(a.head, IntegerType)),
         lambda1("gs")(s => fld(s, "v")))
     }
 
-    // scalar date tail
+    // scalar date tail — FLOOR division (t − pmod(t, u) is the floored
+    // multiple): IntegralDivide truncates toward zero, which would
+    // round pre-1970 timestamps UP to a bucket start in the future
+    def floorMultiple(t: Expression, u: Long): Expression =
+      Subtract(Cast(t, LongType), Pmod(Cast(t, LongType), Literal(u)))
     def startOfSeconds(t: Expression, s: Long): Expression =
-      SecondsToTimestamp(Multiply(
-        IntegralDivide(Cast(t, LongType), Literal(s)), Literal(s)))
+      SecondsToTimestamp(floorMultiple(t, s))
     f("toStartOfFiveMinutes")(a => startOfSeconds(a.head, 300L))
     f("toStartOfTenMinutes")(a => startOfSeconds(a.head, 600L))
     f("toISOWeek")(a => WeekOfYear(Cast(a.head, DateType)))
     f("toISOYear")(a => YearOfWeek(Cast(a.head, DateType)))
     def relNum(t: Expression, unit: Long): Expression =
-      IntegralDivide(Cast(t, LongType), Literal(unit))
+      IntegralDivide(floorMultiple(t, unit), Literal(unit))
     f("toRelativeSecondNum")(a => relNum(a.head, 1L))
     f("toRelativeMinuteNum")(a => relNum(a.head, 60L))
     f("toRelativeHourNum")(a => relNum(a.head, 3600L))

@@ -2,27 +2,29 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.types._
 
 /** ClickHouse-dialect batch 9 — categorical-association statistics and
   * the terminal-chart straggler: `cramersV`, `cramersVBiasCorrected`,
-  * `contingency`, `theilsU`, `sparkbar`.
+  * `contingency`, `theilsU`, `rankCorr`, `sparkbar`, plus the
+  * `arrayReduce` meta-function and the `-ForEach` combinator family.
   * (ref: the CH SQL surface reachable through
   * packages/ts-moose-lib/src/sqlHelpers.ts passthrough — same contract
   * note as batches 2–8.)
   *
-  * All four association measures derive from the same three COUNT MAPS
+  * The four association measures derive from the same three COUNT MAPS
   * (x marginal, y marginal, joint) built with [[MapCombineAgg]] — state
   * is O(distinct categories), the CH memory contract, never O(rows);
   * the χ² / entropy folds run ONCE over the final key-sorted maps as a
   * scalar post-projection (nested ArrayAggregate over the x×y key
-  * grid, zero cells included where the statistic needs them).
+  * grid, zero cells included where the statistic needs them). Rows with
+  * NULL in either column are skipped (pairwise deletion — aggregate
+  * NULL semantics; a NULL map key would also throw at runtime).
   *
   * Dialect stances (DIVERGENCES.md determinism family):
-  *  - joint keys are `x + '' + y` — a category value containing
+  *  - joint keys are `x + '\u0001' + y` — a category value containing
   *    U+0001 would collide (CH's pair hashing has the analogous hash-
   *    collision exposure); degenerate tables (single category, n ≤ 1)
   *    return 0.0 instead of CH's NaN so results stay hashable;
@@ -39,49 +41,38 @@ import org.apache.spark.sql.types._
   *    don't pin).
   */
 object ChDialectBatch9 {
+  import ChExprDsl._
 
-  private val Sep = ""
+  private val Sep = "\u0001"
 
-  private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
-
-  private def lambda1(prefix: String)(
-      f: Expression => Expression): LambdaFunction = {
-    val a = lv(prefix + "a")
-    LambdaFunction(f(a), Seq(a))
-  }
-
-  private def lambda2(prefix: String)(
-      f: (Expression, Expression) => Expression): LambdaFunction = {
-    val a = lv(prefix + "a"); val b = lv(prefix + "b")
-    LambdaFunction(f(a, b), Seq(a, b))
-  }
-
-  private def ns(kv: (String, Expression)*): Expression =
-    CreateNamedStruct(kv.flatMap { case (k, v) => Seq(Literal(k), v) })
-
-  private def fld(s: Expression, n: String): Expression =
-    UnresolvedExtractValue(s, Literal(n))
-
-  private def bind(shared: Expression, prefix: String)(
-      body: Expression => Expression): Expression =
-    ElementAt(ArrayTransform(CreateArray(Seq(shared)), lambda1(prefix)(body)),
-      Literal(1))
-
-  /** Count map of the expression's string form: MapCombineAgg over
-    * single-entry maps — O(distinct values) state. */
-  private def countMap(e: Expression): Expression =
-    MapCombineAgg(CreateMap(Seq(Cast(e, StringType), Literal(1L))), "sum")
+  /** Count map of the expression's string form, SKIPPING rows where
+    * `skipWhenNull` has a NULL (MapCombineAgg ignores NULL maps — a
+    * NULL map KEY would throw at runtime, and aggregate semantics skip
+    * null rows anyway): MapCombineAgg over single-entry maps —
+    * O(distinct values) state. */
+  private def countMap(e: Expression,
+      skipWhenNull: Seq[Expression]): Expression = {
+    val m = CreateMap(Seq(Cast(e, StringType), Literal(1L)))
+    val anyNull = skipWhenNull.map(IsNull(_): Expression).reduce(Or(_, _))
+    MapCombineAgg(If(anyNull, Literal(null, m.dataType), m), "sum")
       .toAggregateExpression()
+  }
 
   /** The three-map bundle every association measure folds over:
-    * struct(mx, my, mxy, n). */
-  private def maps(x: Expression, y: Expression): Expression =
+    * struct(mx, my, mxy, n). Rows with NULL in EITHER column are
+    * dropped from all three maps AND from n (pairwise deletion — the
+    * SQL corr() stance; a NULL map key would otherwise throw). */
+  private def maps(x: Expression, y: Expression): Expression = {
+    val both = Seq(x, y)
     ns(
-      "mx" -> countMap(x),
-      "my" -> countMap(y),
+      "mx" -> countMap(x, both),
+      "my" -> countMap(y, both),
       "mxy" -> countMap(Concat(Seq(
-        Cast(x, StringType), Literal(Sep), Cast(y, StringType)))),
-      "n" -> Cast(Count(Literal(1)).toAggregateExpression(), DoubleType))
+        Cast(x, StringType), Literal(Sep), Cast(y, StringType))), both),
+      "n" -> Cast(Count(If(Or(IsNull(x), IsNull(y)),
+        Literal(null, IntegerType), Literal(1))).toAggregateExpression(),
+        DoubleType))
+  }
 
   /** χ² over the full x×y grid (zero cells contribute e): nested fold,
     * bound once to the maps struct. */

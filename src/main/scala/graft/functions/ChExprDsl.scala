@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions._
+
+/** Shared helpers for building Catalyst expression trees in the dialect
+  * batches (hoisted from the per-batch copies — one definition to fix
+  * when e.g. the `bind` trick needs an ANSI-mode adjustment). */
+private[functions] object ChExprDsl {
+
+  def lv(name: String): UnresolvedNamedLambdaVariable =
+    UnresolvedNamedLambdaVariable(Seq(name))
+
+  def lambda1(prefix: String)(f: Expression => Expression): LambdaFunction = {
+    val a = lv(prefix + "a")
+    LambdaFunction(f(a), Seq(a))
+  }
+
+  def lambda2(prefix: String)(
+      f: (Expression, Expression) => Expression): LambdaFunction = {
+    val a = lv(prefix + "a"); val b = lv(prefix + "b")
+    LambdaFunction(f(a, b), Seq(a, b))
+  }
+
+  def fld(s: Expression, n: String): Expression =
+    UnresolvedExtractValue(s, Literal(n))
+
+  def ns(kv: (String, Expression)*): Expression =
+    CreateNamedStruct(kv.flatMap { case (k, v) => Seq(Literal(k), v) })
+
+  /** Evaluate `body(x)` with `x` bound ONCE to `shared` — the
+    * one-element-transform binding trick, so an expensive intermediate
+    * (a sorted collected group) is not re-evaluated per consumer. */
+  def bind(shared: Expression, prefix: String)(
+      body: Expression => Expression): Expression =
+    ElementAt(ArrayTransform(CreateArray(Seq(shared)), lambda1(prefix)(body)),
+      Literal(1))
+
+  /** NULL-skipping collect of a struct: CollectList ignores NULL inputs,
+    * so wrapping the struct in a null-when-any-field-null conditional is
+    * exactly "aggregates skip null rows" (pairwise deletion). */
+  def collectSkipNulls(struct: Expression,
+      nullWhen: Seq[Expression]): Expression = {
+    val anyNull = nullWhen.map(IsNull(_): Expression).reduce(Or(_, _))
+    new SortArray(org.apache.spark.sql.catalyst.expressions.aggregate
+      .CollectList(If(anyNull, Literal(null, struct.dataType), struct))
+      .toAggregateExpression())
+  }
+}

@@ -273,7 +273,12 @@ object Dedup {
       n: Int = 3, k: Int = 24, bands: Int = 8,
       threshold: Double = 0.8,
       broadcastProbes: Option[Boolean] = None,
-      broadcastMaxProbes: Long = 2000000L): DataFrame = {
+      // the gate COUNTS probe documents but what broadcasts is the probe
+      // SHINGLE table (~words-per-doc rows per probe) — so the ceiling is
+      // ~100x tighter than minhashDedupPairs' candidate-pair gate: 20k
+      // eval docs x ~200 shingles ~ 4M broadcast rows. Past it every
+      // probe-side join falls back to SHUFFLE_HASH.
+      broadcastMaxProbes: Long = 20000L): DataFrame = {
     require(k % bands == 0, s"crossNearDup: k=$k not divisible by bands=$bands")
     val rows = k / bands
     val shC = shingleSet(corpus, corpusIdCol, corpusTextCol, n)

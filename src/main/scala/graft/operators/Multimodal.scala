@@ -599,6 +599,9 @@ object Multimodal {
         var pairs = 0L; var sadR = 0L; var sadG = 0L; var sadB = 0L
         def diff(cur: Array[Int]): Unit = {
           if (prev != null) {
+            require(cur.length == prev.length,
+              s"media_id=$id: frame size changed mid-stream " +
+                s"(${prev.length} -> ${cur.length} pixels)")
             var i = 0
             while (i < cur.length) {
               val a = prev(i); val c = cur(i)
@@ -659,6 +662,8 @@ object Multimodal {
           }
         }
         walk(12, b.length)
+        if (pairs > 0L) require(w > 0 && h > 0,
+          s"media_id=$id: frames present but avih declares ${w}x$h")
         val motion = if (pairs == 0L) 0.0
           else (sadR + sadG + sadB).toDouble / (3.0 * pairs * w * h)
         org.apache.spark.sql.Row(id, pairs, sadR, sadG, sadB, motion)

@@ -174,8 +174,13 @@ object TextAnalysis {
     * loudly. */
   def badWordCount(text: Column, words: Seq[String]): Column = {
     require(words.nonEmpty, "badWordCount: empty word list")
-    words.foreach(w => require(w.matches("[A-Za-z0-9']+"),
-      s"badWordCount: '$w' is not a plain word (letters/digits/' only)"))
+    // apostrophes only INSIDE the word: a leading/trailing ' sits next
+    // to a non-word character, so \b never fires there and the entry
+    // could silently never match — refuse it instead
+    words.foreach(w =>
+      require(w.matches("[A-Za-z0-9](?:[A-Za-z0-9']*[A-Za-z0-9])?"),
+        s"badWordCount: '$w' is not a plain word (letters/digits, " +
+          "apostrophes only inside)"))
     val pat = "(?i)\\b(?:" + words.mkString("|") + ")\\b"
     regexp_count(text, lit(pat))
   }

@@ -39,6 +39,12 @@ class ChDialect8Spec extends AnyFunSuite {
       == 4.0)
     assert(one("SELECT exponentialTimeDecayedAvg(1, v, t) FROM b8_ema")
       == 3.0)
+    // NULL rows are SKIPPED, not group-poisoning
+    Seq((Some(0.0), Some(1.0)), (Some(1.0), Some(2.0)),
+        (Some(2.0), Some(4.0)), (None, Some(9.0)), (Some(5.0), None))
+      .toDF("t", "v").createOrReplaceTempView("b8_eman")
+    assert(one("SELECT exponentialMovingAverage(1, v, t) FROM b8_eman")
+      == 3.0)
   }
 
   test("LTTB: hand-computed 6->4 selection, pass-through, endpoints") {
@@ -123,6 +129,12 @@ class ChDialect8Spec extends AnyFunSuite {
     val allv = one("SELECT groupArraySample(99, 7, x) FROM b8_gs")
       .asInstanceOf[scala.collection.Seq[String]].toList
     assert(allv.toSet == Set("a", "b", "c", "d", "e"))
+    // NULL elements never occupy sample slots
+    Seq(Some("a"), None, Some("b")).toDF("x")
+      .createOrReplaceTempView("b8_gsn")
+    val sn = one("SELECT groupArraySample(2, 7, x) FROM b8_gsn")
+      .asInstanceOf[scala.collection.Seq[String]].toList
+    assert(sn.toSet == Set("a", "b"))
   }
 
   test("scalar date tail: five/ten-minute floors, ISO week/year, " +

@@ -43,6 +43,13 @@ class ChDialect9Spec extends AnyFunSuite {
     // partition-invariance (maps are key-sorted; folds run post-agg)
     spark.table("b9_p").repartition(3).createOrReplaceTempView("b9_p2")
     assert(one("SELECT cramersV(x, y) FROM b9_p2") == 1.0)
+    // NULL rows are skipped (pairwise deletion), never a runtime crash
+    Seq((Some("a"), Some(1)), (Some("a"), Some(1)), (Some("b"), Some(2)),
+        (Some("b"), Some(2)), (None, Some(9)), (Some("c"), None))
+      .toDF("x", "y").createOrReplaceTempView("b9_pn")
+    assert(one("SELECT cramersV(x, y) FROM b9_pn") == 1.0)
+    assert(math.abs(one("SELECT theilsU(x, y) FROM b9_pn")
+      .asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
   test("ForEach family: element-wise over ragged arrays, tail semantics, " +

@@ -606,6 +606,14 @@ class OperatorsSpec extends AnyFunSuite {
       df.select(TextAnalysis.badWordCount(col("text"), Seq("a.b")))
     }
     assert(e.getMessage.contains("not a plain word"))
+    // leading/trailing apostrophes can never match (\b needs a word
+    // character on the inside of the boundary) — refused, not silent
+    val e2 = intercept[IllegalArgumentException] {
+      df.select(TextAnalysis.badWordCount(col("text"), Seq("'ello")))
+    }
+    assert(e2.getMessage.contains("not a plain word"))
+    // internal apostrophe stays legal
+    df.select(TextAnalysis.badWordCount(col("text"), Seq("don't")))
   }
 
   test("semanticDecontam: planted probe hits its source, " +
