@@ -29,22 +29,8 @@ import org.apache.spark.sql.types._
   *    no mode argument).
   */
 object ChDialectBatch5 {
+  import ChExprDsl._
 
-  private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
-
-  /** Lambda helpers take an explicit variable prefix: arrayAUC NESTS
-    * aggregates, and reusing one fixed name would make the inner lambda
-    * shadow the outer's variable. */
-  private def lambda1(prefix: String)(
-      f: Expression => Expression): LambdaFunction = {
-    val x = lv(prefix + "x"); LambdaFunction(f(x), Seq(x))
-  }
-
-  private def lambda2(prefix: String)(
-      f: (Expression, Expression) => Expression): LambdaFunction = {
-    val a = lv(prefix + "a"); val b = lv(prefix + "b")
-    LambdaFunction(f(a, b), Seq(a, b))
-  }
 
   private def dArr(e: Expression) = Cast(e, ArrayType(DoubleType))
 

@@ -35,14 +35,8 @@ import org.apache.spark.sql.types._
   *    key-sorted like the rest of the map-aggregate family (#31).
   */
 object ChDialectBatch6 {
+  import ChExprDsl._
 
-  private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
-
-  private def lambda2(prefix: String)(
-      f: (Expression, Expression) => Expression): LambdaFunction = {
-    val a = lv(prefix + "a"); val b = lv(prefix + "b")
-    LambdaFunction(f(a, b), Seq(a, b))
-  }
 
   private def lambda3(prefix: String)(
       f: (Expression, Expression, Expression) => Expression)

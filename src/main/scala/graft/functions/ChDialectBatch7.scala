@@ -29,17 +29,8 @@ import org.apache.spark.sql.types._
   *    via Spark's native regr_slope / regr_intercept.
   */
 object ChDialectBatch7 {
+  import ChExprDsl._
 
-  private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
-
-  private def lambda2(prefix: String)(
-      f: (Expression, Expression) => Expression): LambdaFunction = {
-    val a = lv(prefix + "a"); val b = lv(prefix + "b")
-    LambdaFunction(f(a, b), Seq(a, b))
-  }
-
-  private def fld(s: Expression, n: String): Expression =
-    UnresolvedExtractValue(s, Literal(n))
 
   /** Sorted (start, end) pairs of the group as one array. */
   private def intervals(s: Expression, e: Expression): Expression =
