@@ -228,6 +228,41 @@ object ChDialectBatch9 {
 
     f("arrayReduce")(arrayReduceBuilder)
 
+    // CH pointInPolygon((x,y), [(x,y)…]) in the PARALLEL-ARRAYS
+    // spelling pointInPolygon(x, y, xs, ys) — Spark's grammar has no
+    // tuple literal, and two arrays keep the whole test one codegen'd
+    // HOF fold. Even-odd ray casting: per edge (i, i mod n + 1) toggle
+    // when the horizontal ray crosses it. Mismatched array lengths →
+    // NULL (the DotProduct zip stance); boundary points follow this
+    // exact formula (strict inequalities — documented, CH's own
+    // boundary behavior is unspecified).
+    f("pointInPolygon") { a =>
+      val x = Cast(a.head, DoubleType); val y = Cast(a(1), DoubleType)
+      val xs = Cast(a(2), ArrayType(DoubleType))
+      val ys = Cast(a(3), ArrayType(DoubleType))
+      val n = Size(xs)
+      val fold = bind(ns("xs" -> xs, "ys" -> ys, "n" -> n), "pp") { st =>
+        val xsB = fld(st, "xs"); val ysB = fld(st, "ys")
+        val nB = fld(st, "n")
+        ArrayAggregate(
+          Sequence(Literal(1), nB, Some(Literal(1))),
+          Literal(false),
+          lambda2("pe")((acc, i) => {
+            val j = Add(Pmod(i, nB), Literal(1))
+            val xi = ElementAt(xsB, i); val yi = ElementAt(ysB, i)
+            val xj = ElementAt(xsB, j); val yj = ElementAt(ysB, j)
+            val crosses = And(
+              Not(EqualTo(GreaterThan(yi, y), GreaterThan(yj, y))),
+              LessThan(x, Add(Divide(Multiply(Subtract(xj, xi),
+                Subtract(y, yi)), Subtract(yj, yi)), xi)))
+            If(crosses, Not(acc), acc)
+          }),
+          { val s = lv("pef"); LambdaFunction(s, Seq(s)) })
+      }
+      If(Or(Not(EqualTo(n, Size(ys))), LessThan(n, Literal(3))),
+        Literal(null, BooleanType), fold)
+    }
+
     // the -ForEach combinator family: element-wise aggregation over
     // the group's arrays (result length = max length, short tails just
     // contribute nothing — CH semantics; state O(max dim))

@@ -627,6 +627,7 @@ object DialectQueries {
     * — every value recomputed by DuckDB. */
   def qChFunctions6(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ChDialectBatch8.register(spark)
+    graft.functions.ChDialectBatch9.register(spark) // pointInPolygon
     sqlOn(spark, dir, "events", "evts_ch8",
       """SELECT event_id,
         |  ngramDistance(props, concat(substring(props, 1, 6),
@@ -637,6 +638,10 @@ object DialectQueries {
         |    concat(event_type, '!')) AS nsr,
         |  ngramSearchCaseInsensitive(concat(props, ' ', event_type),
         |    upper(concat(event_type, '!'))) AS nsrci,
+        |  pointInPolygon(cast(event_id % 20 as double) + 0.5,
+        |    cast(user_id % 20 as double) + 0.5,
+        |    array(0.0, 10.0, 10.0, 4.0, 4.0, 0.0),
+        |    array(0.0, 0.0, 4.0, 4.0, 10.0, 10.0)) AS pip,
         |  cast(toStartOfFiveMinutes(ts) as long) AS s5,
         |  cast(toStartOfTenMinutes(ts) as long) AS s10,
         |  cast(toISOWeek(ts) as long) AS isow,
@@ -961,12 +966,25 @@ object DialectQueries {
       val gh = gramsSql("(props || ' ' || event_type)")
       val gnl = gramsSql("lower(event_type || '!')")
       val ghl = gramsSql("lower(props || ' ' || event_type)")
+      val lx = "([0.0, 10.0, 10.0, 4.0, 4.0, 0.0])"
+      val ly = "([0.0, 0.0, 4.0, 4.0, 10.0, 10.0])"
+      def at(arr: String, idx: String) = s"$arr[CAST($idx AS INT)]"
+      val pipSql =
+        s"""(len(list_filter(range(1, 7), i ->
+           |    (${at(ly, "i")} > yv) != (${at(ly, "i % 6 + 1")} > yv)
+           |    AND xv < (${at(lx, "i % 6 + 1")} - ${at(lx, "i")})
+           |      * (yv - ${at(ly, "i")})
+           |      / (${at(ly, "i % 6 + 1")} - ${at(ly, "i")})
+           |      + ${at(lx, "i")})) % 2 = 1)""".stripMargin
       s"""WITH g AS (
          |  SELECT event_id, ts,
+         |    CAST(event_id % 20 AS DOUBLE) + 0.5 AS xv,
+         |    CAST(user_id % 20 AS DOUBLE) + 0.5 AS yv,
          |    $ga AS ga, $gb AS gb, $gal AS gal, $gbl AS gbl,
          |    $gn AS gn, $gh AS gh, $gnl AS gnl, $ghl AS ghl
          |  FROM events)
          |SELECT event_id,
+         |  $pipSql AS pip,
          |  CASE WHEN len(ga) = 0 AND len(gb) = 0 THEN 0.0
          |    WHEN len(ga) = 0 OR len(gb) = 0 THEN 1.0
          |    ELSE 1.0 - 2.0 * CAST(len(list_intersect(ga, gb)) AS DOUBLE)

@@ -52,6 +52,30 @@ class ChDialect9Spec extends AnyFunSuite {
       .asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
+  test("pointInPolygon: convex and concave cases, outside, " +
+      "mismatched arrays null") {
+    // unit square (0,0)-(10,0)-(10,10)-(0,10)
+    def pip(x: Double, y: Double, xs: String, ys: String) =
+      one(s"SELECT pointInPolygon($x, $y, $xs, $ys)")
+    val sqx = "array(0.0, 10.0, 10.0, 0.0)"
+    val sqy = "array(0.0, 0.0, 10.0, 10.0)"
+    assert(pip(5.0, 5.0, sqx, sqy) == true)
+    assert(pip(15.0, 5.0, sqx, sqy) == false)
+    assert(pip(-1.0, 5.0, sqx, sqy) == false)
+    // concave L-shape: (0,0)(10,0)(10,4)(4,4)(4,10)(0,10) — the notch
+    // region x>4,y>4 is OUTSIDE
+    val lx = "array(0.0, 10.0, 10.0, 4.0, 4.0, 0.0)"
+    val ly = "array(0.0, 0.0, 4.0, 4.0, 10.0, 10.0)"
+    assert(pip(2.0, 8.0, lx, ly) == true)   // in the vertical arm
+    assert(pip(8.0, 2.0, lx, ly) == true)   // in the horizontal arm
+    assert(pip(8.0, 8.0, lx, ly) == false)  // in the notch
+    // degenerate inputs → NULL, never a wrong answer
+    assert(one("SELECT pointInPolygon(1.0, 1.0, array(0.0, 1.0)," +
+      " array(0.0, 1.0))") == null)
+    assert(one("SELECT pointInPolygon(1.0, 1.0, array(0.0, 1.0, 2.0)," +
+      " array(0.0, 1.0))") == null)
+  }
+
   test("ForEach family: element-wise over ragged arrays, tail semantics, " +
       "avg per-position counts, partition-invariant") {
     Seq(Seq(1.0, 10.0, 100.0), Seq(2.0, 20.0), Seq(3.0))
