@@ -227,6 +227,23 @@ object Stress {
     // folds — the shuffle is one groupBy(user), per-user work is linear
     // in their events; users amplify with events so group sizes stay
     // constant.
+    // Collect-based aggregates (EMA/LTTB sort the GROUP): with a fixed
+    // cohort count the per-group array grows xN — this probe measures
+    // that honestly (the guidance is: bound your groups; the per-user
+    // behavioral folds below keep groups constant by construction).
+    time("EMA + LTTB over xN-grown groups (5 cohorts, events amplified)") {
+      graft.functions.ChDialectBatch8.register(spark)
+      val ev = amplify(Tables.load(spark, sfDir, "events"),
+        Seq("event_id", "user_id"))
+      ev.createOrReplaceTempView("stress_ema")
+      spark.sql(
+        """SELECT user_id % 5 AS cohort,
+          |  exponentialMovingAverage(1, round(value * 100),
+          |    event_id % 64) AS ema,
+          |  largestTriangleThreeBuckets(4, event_id,
+          |    round(value * 100)) AS lt
+          |FROM stress_ema GROUP BY 1""".stripMargin).count()
+    }
     time("windowFunnel 3-step + sequenceNextNode (events amplified)") {
       val ev = amplify(Tables.load(spark, sfDir, "events"),
         Seq("event_id", "user_id"))
