@@ -277,6 +277,16 @@ object ChDialectBatch9 {
     f("rankCorr")(a =>
       RankCorrAgg(Cast(a.head, DoubleType), Cast(a(1), DoubleType))
         .toAggregateExpression())
+
+    // the two-sample nonparametric tests (TwoSampleAgg scaladoc):
+    // named (d|u, n0, n1) — deterministic sufficient statistics, the
+    // #39 p-value stance
+    f("kolmogorovSmirnovTest")(a =>
+      TwoSampleAgg(Cast(a.head, DoubleType), Cast(a(1), IntegerType), "ks")
+        .toAggregateExpression())
+    f("mannWhitneyUTest")(a =>
+      TwoSampleAgg(Cast(a.head, DoubleType), Cast(a(1), IntegerType), "mw")
+        .toAggregateExpression())
   }
 
   def isRegistered(spark: SparkSession): Boolean =

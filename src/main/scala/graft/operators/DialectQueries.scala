@@ -665,7 +665,7 @@ object DialectQueries {
       """SELECT cohort,
         |  round(cv, 4) + 0.0 AS cv, round(cvb, 4) + 0.0 AS cvb,
         |  round(cg, 4) + 0.0 AS cg, round(tu, 4) + 0.0 AS tu,
-        |  round(rc, 4) + 0.0 AS rc, sb
+        |  round(rc, 4) + 0.0 AS rc, ks_d, mw_u, sb
         |FROM (
         |  SELECT user_id % 4 AS cohort,
         |    cramersV(event_type, cast(user_id % 3 as string)) AS cv,
@@ -675,6 +675,10 @@ object DialectQueries {
         |    theilsU(event_type, cast(user_id % 3 as string)) AS tu,
         |    rankCorr(event_id % 97,
         |      cast(round(value * 100) as bigint)) AS rc,
+        |    kolmogorovSmirnovTest(round(value * 100),
+        |      cast(event_id % 2 as int)).d AS ks_d,
+        |    mannWhitneyUTest(round(value * 100),
+        |      cast(event_id % 2 as int)).u AS mw_u,
         |    sparkbar(16, 0, 63, event_id % 64,
         |      cast(round(value * 100) as bigint)) AS sb
         |  FROM evts_agg9 WHERE user_id < 200 GROUP BY 1
@@ -772,6 +776,7 @@ object DialectQueries {
       """WITH base AS (
         |  SELECT user_id % 4 AS cohort, event_type AS x,
         |    CAST(user_id % 3 AS VARCHAR) AS y, event_id,
+        |    CAST(event_id % 2 AS INT) AS sidx,
         |    event_id % 64 AS bx, CAST(round(value * 100) AS BIGINT) AS yv
         |  FROM events WHERE user_id < 200),
         |cnt AS (SELECT cohort, x, y, count(*) AS nxy FROM base GROUP BY 1, 2, 3),
@@ -827,6 +832,32 @@ object DialectQueries {
         |      + (count(*) OVER (PARTITION BY cohort, yv) - 1) / 2.0 AS ry
         |  FROM (SELECT cohort, event_id, yv FROM base) b2),
         |rcq AS (SELECT cohort, corr(rx, ry) AS rc FROM rnk GROUP BY cohort),
+        |ksq AS (
+        |  SELECT cohort, max(abs(c0 * 1.0 / n0 - c1 * 1.0 / n1)) AS ks_d
+        |  FROM (
+        |    SELECT cohort,
+        |      sum(CASE WHEN sidx = 0 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY cohort ORDER BY yv) AS c0,
+        |      sum(CASE WHEN sidx = 1 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY cohort ORDER BY yv) AS c1,
+        |      sum(CASE WHEN sidx = 0 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY cohort) AS n0,
+        |      sum(CASE WHEN sidx = 1 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY cohort) AS n1
+        |    FROM base)
+        |  GROUP BY cohort),
+        |mwq AS (
+        |  SELECT cohort,
+        |    sum(r) FILTER (sidx = 0)
+        |      - max(n0) * (max(n0) + 1) / 2.0 AS mw_u
+        |  FROM (
+        |    SELECT cohort, sidx,
+        |      rank() OVER (PARTITION BY cohort ORDER BY yv)
+        |        + (count(*) OVER (PARTITION BY cohort, yv) - 1) / 2.0 AS r,
+        |      sum(CASE WHEN sidx = 0 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY cohort) AS n0
+        |    FROM base)
+        |  GROUP BY cohort),
         |bsum AS (
         |  SELECT cohort, (bx * 16) // 64 AS b, sum(yv) AS s
         |  FROM base GROUP BY 1, 2),
@@ -845,9 +876,11 @@ object DialectQueries {
         |SELECT s.cohort,
         |  round(s.cv, 4) + 0.0 AS cv, round(s.cvb, 4) + 0.0 AS cvb,
         |  round(s.cg, 4) + 0.0 AS cg, round(s.tu, 4) + 0.0 AS tu,
-        |  round(rcq.rc, 4) + 0.0 AS rc, sbq.sb
+        |  round(rcq.rc, 4) + 0.0 AS rc, ksq.ks_d, mwq.mw_u, sbq.sb
         |FROM stats s JOIN sbq ON sbq.cohort = s.cohort
         |JOIN rcq ON rcq.cohort = s.cohort
+        |JOIN ksq ON ksq.cohort = s.cohort
+        |JOIN mwq ON mwq.cohort = s.cohort
         |ORDER BY s.cohort""".stripMargin,
     // batch-8 aggregates: EMA replayed as the same sorted fold
     // (list_reduce with the accumulator packed into the element struct),

@@ -52,6 +52,41 @@ class ChDialect9Spec extends AnyFunSuite {
       .asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
+  test("kolmogorovSmirnov/mannWhitney: hand-computed statistics, ties, " +
+      "empty sample null, partition-invariant") {
+    // sample0 = (1,2,3), sample1 = (2,4): pooled sorted 1,2,2,3,4
+    // KS: after v=1: |1/3-0|=1/3; v=2 (both ties absorbed): |2/3-1/2|=1/6;
+    //     v=3: |1-1/2|=1/2; v=4: |1-1|=0 → D = 1/2
+    // MW: ranks 1, 2.5, 2.5, 4, 5 → rankSum0 = 1+2.5+4 = 7.5;
+    //     U = 7.5 − 3·4/2 = 1.5
+    Seq((1.0, 0), (2.0, 0), (3.0, 0), (2.0, 1), (4.0, 1)).toDF("v", "idx")
+      .createOrReplaceTempView("b9_ts")
+    val ks = spark.sql("SELECT kolmogorovSmirnovTest(v, idx).d, " +
+      "kolmogorovSmirnovTest(v, idx).n0, " +
+      "kolmogorovSmirnovTest(v, idx).n1 FROM b9_ts").head()
+    assert(ks.getDouble(0) == 0.5 && ks.getLong(1) == 3L &&
+      ks.getLong(2) == 2L)
+    val mw = spark.sql("SELECT mannWhitneyUTest(v, idx).u FROM b9_ts")
+      .head()
+    assert(mw.getDouble(0) == 1.5)
+    // identical samples → D = 0; U = n0·n1/2 (ranks split evenly)
+    Seq((1.0, 0), (2.0, 0), (1.0, 1), (2.0, 1)).toDF("v", "idx")
+      .createOrReplaceTempView("b9_tse")
+    assert(spark.sql("SELECT kolmogorovSmirnovTest(v, idx).d FROM b9_tse")
+      .head().getDouble(0) == 0.0)
+    assert(spark.sql("SELECT mannWhitneyUTest(v, idx).u FROM b9_tse")
+      .head().getDouble(0) == 2.0)
+    // one-sample group → NULL, never a fake statistic
+    Seq((1.0, 0), (2.0, 0)).toDF("v", "idx")
+      .createOrReplaceTempView("b9_ts1")
+    assert(spark.sql("SELECT kolmogorovSmirnovTest(v, idx) FROM b9_ts1")
+      .head().isNullAt(0))
+    // partition-invariance
+    spark.table("b9_ts").repartition(3).createOrReplaceTempView("b9_ts2")
+    assert(spark.sql("SELECT kolmogorovSmirnovTest(v, idx).d FROM b9_ts2")
+      .head().getDouble(0) == 0.5)
+  }
+
   test("pointInPolygon: convex and concave cases, outside, " +
       "mismatched arrays null") {
     // unit square (0,0)-(10,0)-(10,10)-(0,10)
