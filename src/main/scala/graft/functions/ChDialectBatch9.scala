@@ -241,6 +241,8 @@ object ChDialectBatch9 {
       val xs = Cast(a(2), ArrayType(DoubleType))
       val ys = Cast(a(3), ArrayType(DoubleType))
       val n = Size(xs)
+      def hasNullElem(arr: Expression): Expression =
+        ArrayExists(arr, lambda1("pn")(IsNull))
       val fold = bind(ns("xs" -> xs, "ys" -> ys, "n" -> n), "pp") { st =>
         val xsB = fld(st, "xs"); val ysB = fld(st, "ys")
         val nB = fld(st, "n")
@@ -259,7 +261,12 @@ object ChDialectBatch9 {
           }),
           { val s = lv("pef"); LambdaFunction(s, Seq(s)) })
       }
-      If(Or(Not(EqualTo(n, Size(ys))), LessThan(n, Literal(3))),
+      // NULL point/arrays/elements → NULL (SQL null propagation; a
+      // silently-skipped edge would flip the crossing parity)
+      val anyNull = Seq[Expression](IsNull(x), IsNull(y), IsNull(xs),
+        IsNull(ys)).reduce(Or(_, _))
+      If(Or(anyNull, Or(hasNullElem(xs), Or(hasNullElem(ys),
+          Or(Not(EqualTo(n, Size(ys))), LessThan(n, Literal(3)))))),
         Literal(null, BooleanType), fold)
     }
 
@@ -280,13 +287,17 @@ object ChDialectBatch9 {
 
     // the two-sample nonparametric tests (TwoSampleAgg scaladoc):
     // named (d|u, n0, n1) — deterministic sufficient statistics, the
-    // #39 p-value stance
-    f("kolmogorovSmirnovTest")(a =>
-      TwoSampleAgg(Cast(a.head, DoubleType), Cast(a(1), IntegerType), "ks")
-        .toAggregateExpression())
-    f("mannWhitneyUTest")(a =>
-      TwoSampleAgg(Cast(a.head, DoubleType), Cast(a(1), IntegerType), "mw")
-        .toAggregateExpression())
+    // #39 p-value stance. Both names project fields of the SAME
+    // underlying aggregate (Spark dedupes semantically-equal aggregate
+    // functions), so a query using both sorts the group once.
+    def twoSample(stat: String)(a: Seq[Expression]): Expression = {
+      val agg = TwoSampleAgg(Cast(a.head, DoubleType),
+        Cast(a(1), IntegerType)).toAggregateExpression()
+      ns(stat -> fld(agg, stat),
+        "n0" -> fld(agg, "n0"), "n1" -> fld(agg, "n1"))
+    }
+    f("kolmogorovSmirnovTest")(twoSample("d"))
+    f("mannWhitneyUTest")(twoSample("u"))
   }
 
   def isRegistered(spark: SparkSession): Boolean =

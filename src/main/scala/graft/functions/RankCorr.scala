@@ -43,17 +43,7 @@ case class RankCorrAgg(
     buf
   }
 
-  private def toD(v: Any): Double = v match {
-    case d: Double => d
-    case f: Float => f.toDouble
-    case l: Long => l.toDouble
-    case i: Int => i.toDouble
-    case s: Short => s.toDouble
-    case b: Byte => b.toDouble
-    case d: org.apache.spark.sql.types.Decimal => d.toDouble
-    case other => throw new IllegalArgumentException(
-      s"rankCorr: non-numeric input $other")
-  }
+  private def toD(v: Any): Double = NumericAggUtils.toD("rankCorr", v)
 
   override def merge(
       a: mutable.ArrayBuffer[(Double, Double)],
@@ -61,23 +51,8 @@ case class RankCorrAgg(
     a ++= b; a
   }
 
-  /** Average ranks of `vs` (1-based positions, tie runs averaged). */
-  private def avgRanks(vs: Array[Double]): Array[Double] = {
-    val n = vs.length
-    val idx = Array.range(0, n).sortBy(vs(_))
-    val ranks = new Array[Double](n)
-    var i = 0
-    while (i < n) {
-      var j = i
-      while (j + 1 < n && vs(idx(j + 1)) == vs(idx(i))) j += 1
-      // positions i+1 .. j+1 share value → average rank
-      val r = (i + j + 2) / 2.0
-      var k = i
-      while (k <= j) { ranks(idx(k)) = r; k += 1 }
-      i = j + 1
-    }
-    ranks
-  }
+  private def avgRanks(vs: Array[Double]): Array[Double] =
+    NumericAggUtils.avgRanks(vs)
 
   override def eval(buf: mutable.ArrayBuffer[(Double, Double)]): Any = {
     val n = buf.length

@@ -2,41 +2,17 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
 
 import scala.collection.mutable
 
-/** ClickHouse's two-sample nonparametric tests —
-  * `kolmogorovSmirnovTest(v, idx)` and `mannWhitneyUTest(v, idx)` — as
-  * one [[TypedImperativeAggregate]] buffering (value, sample) pairs
-  * (like [[RankCorrAgg]], the O(group) state is inherent: both tests
-  * need the full empirical distributions).
-  *
-  * Returned statistics are the DETERMINISTIC sufficient ones (the #39
-  * p-value stance — CH's p needs engine-specific special functions):
-  *  - KS: `(d, n0, n1)` — D = max |F₀(v) − F₁(v)| over the pooled
-  *    sorted values, ties fully absorbed before each gap is measured;
-  *    every F step is an exact integer/integer division, so D is
-  *    bit-equal cross-engine;
-  *  - Mann–Whitney: `(u, n0, n1)` — U of SAMPLE 0 from tie-averaged
-  *    pooled ranks (the [[RankCorrAgg]] ranking; half-unit rationals,
-  *    exact in doubles).
-  * NULL value or index skips the pair; a group where either sample is
-  * empty returns NULL (no test exists — the degenerate-0.0 stance does
-  * not apply because "no association" is not a meaningful D/U). */
-case class TwoSampleAgg(
-    vExpr: Expression, idxExpr: Expression, test: String,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.ArrayBuffer[(Double, Int)]] {
-  require(Set("ks", "mw").contains(test), s"bad two-sample test $test")
-
-  override def createAggregationBuffer(): mutable.ArrayBuffer[(Double, Int)] =
-    mutable.ArrayBuffer.empty
-
-  private def toD(v: Any): Double = v match {
+/** Numeric helpers shared by the pair-buffering aggregates
+  * ([[RankCorrAgg]], [[TwoSampleAgg]]) — one definition for the numeric
+  * widening and the tie-averaged ranking so the copies cannot drift. */
+private[functions] object NumericAggUtils {
+  def toD(fn: String, v: Any): Double = v match {
     case d: Double => d
     case f: Float => f.toDouble
     case l: Long => l.toDouble
@@ -45,8 +21,59 @@ case class TwoSampleAgg(
     case b: Byte => b.toDouble
     case d: org.apache.spark.sql.types.Decimal => d.toDouble
     case other => throw new IllegalArgumentException(
-      s"${test}Test: non-numeric value $other")
+      s"$fn: non-numeric input $other")
   }
+
+  /** Average ranks of `vs` (1-based positions, tie runs averaged).
+    * `vs` must be NaN-free (callers skip NaN at update time). */
+  def avgRanks(vs: Array[Double]): Array[Double] = {
+    val n = vs.length
+    val idx = Array.range(0, n).sortBy(vs(_))
+    val ranks = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j + 1 < n && vs(idx(j + 1)) == vs(idx(i))) j += 1
+      val r = (i + j + 2) / 2.0
+      var k = i
+      while (k <= j) { ranks(idx(k)) = r; k += 1 }
+      i = j + 1
+    }
+    ranks
+  }
+}
+
+/** ClickHouse's two-sample nonparametric tests —
+  * `kolmogorovSmirnovTest(v, idx)` and `mannWhitneyUTest(v, idx)` — as
+  * ONE [[TypedImperativeAggregate]] buffering (value, sample) pairs and
+  * computing BOTH statistics at eval (the batch-8 shared-fold stance:
+  * two registered names project fields of the same aggregate, so a
+  * query using both buffers and sorts the group ONCE — Spark dedupes
+  * semantically-equal aggregate functions). O(group) state is inherent:
+  * both tests need the full empirical distributions (the
+  * [[RankCorrAgg]] contract).
+  *
+  * Returned statistics are the DETERMINISTIC sufficient ones (the #39
+  * p-value stance — CH's p needs engine-specific special functions):
+  *  - KS `d` = max |F₀(v) − F₁(v)| over the pooled sorted values, ties
+  *    fully absorbed before each gap is measured; every F step is an
+  *    exact integer/integer division, so D is bit-equal cross-engine;
+  *  - Mann–Whitney `u` = U of SAMPLE 0 from tie-averaged pooled ranks
+  *    (half-unit rationals, exact in doubles).
+  * NULL and NaN values (and NULL indexes) skip the pair — a NaN cannot
+  * be placed in an empirical CDF, and silently mis-ranking it would be
+  * worse than the skip. A group where either sample is empty yields NULL
+  * STATISTICS (the registered names project fields, so the struct
+  * wrapper itself is non-null but every field is NULL — no test
+  * exists). */
+case class TwoSampleAgg(
+    vExpr: Expression, idxExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[(Double, Int)]] {
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[(Double, Int)] =
+    mutable.ArrayBuffer.empty
 
   override def update(
       buf: mutable.ArrayBuffer[(Double, Int)],
@@ -54,10 +81,13 @@ case class TwoSampleAgg(
     val v = vExpr.eval(input)
     val i = idxExpr.eval(input)
     if (v != null && i != null) {
-      val idx = i.asInstanceOf[Number].intValue()
-      require(idx == 0 || idx == 1,
-        s"${test}Test: sample index must be 0 or 1, got $idx")
-      buf += ((toD(v), idx))
+      val d = NumericAggUtils.toD("twoSampleTest", v)
+      if (!d.isNaN) {
+        val idx = i.asInstanceOf[Number].intValue()
+        require(idx == 0 || idx == 1,
+          s"twoSampleTest: sample index must be 0 or 1, got $idx")
+        buf += ((d, idx))
+      }
     }
     buf
   }
@@ -73,40 +103,33 @@ case class TwoSampleAgg(
     val n1 = buf.length - n0
     if (n0 == 0L || n1 == 0L) return null
     val sorted = buf.toArray.sortBy(_._1)
-    val stat: Double =
-      if (test == "ks") {
-        var c0 = 0L; var c1 = 0L; var d = 0.0
-        var i = 0
-        while (i < sorted.length) {
-          val v = sorted(i)._1
-          // absorb ALL ties at this value before measuring the gap
-          while (i < sorted.length && sorted(i)._1 == v) {
-            if (sorted(i)._2 == 0) c0 += 1 else c1 += 1
-            i += 1
-          }
-          val gap = math.abs(c0.toDouble / n0 - c1.toDouble / n1)
-          if (gap > d) d = gap
-        }
-        d
-      } else {
-        // tie-averaged pooled ranks; U = Σ ranks(sample 0) − n0(n0+1)/2
-        var rankSum0 = 0.0
-        var i = 0
-        while (i < sorted.length) {
-          var j = i
-          while (j + 1 < sorted.length && sorted(j + 1)._1 == sorted(i)._1)
-            j += 1
-          val r = (i + j + 2) / 2.0 // average of 1-based positions i+1..j+1
-          var k = i
-          while (k <= j) {
-            if (sorted(k)._2 == 0) rankSum0 += r
-            k += 1
-          }
-          i = j + 1
-        }
-        rankSum0 - n0.toDouble * (n0 + 1) / 2.0
+    // KS: tie runs advance by j-lookahead (never a value == value spin)
+    var d = 0.0
+    var c0 = 0L; var c1 = 0L
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j + 1 < sorted.length && sorted(j + 1)._1 == sorted(i)._1)
+        j += 1
+      var k = i
+      while (k <= j) {
+        if (sorted(k)._2 == 0) c0 += 1 else c1 += 1
+        k += 1
       }
-    new GenericInternalRow(Array[Any](stat, n0, n1))
+      val gap = math.abs(c0.toDouble / n0 - c1.toDouble / n1)
+      if (gap > d) d = gap
+      i = j + 1
+    }
+    // MW: tie-averaged pooled ranks via the shared ranking
+    val ranks = NumericAggUtils.avgRanks(sorted.map(_._1))
+    var rankSum0 = 0.0
+    i = 0
+    while (i < sorted.length) {
+      if (sorted(i)._2 == 0) rankSum0 += ranks(i)
+      i += 1
+    }
+    val u = rankSum0 - n0.toDouble * (n0 + 1) / 2.0
+    new GenericInternalRow(Array[Any](d, u, n0, n1))
   }
 
   override def serialize(buf: mutable.ArrayBuffer[(Double, Int)]): Array[Byte] = {
@@ -135,7 +158,8 @@ case class TwoSampleAgg(
   override def children: Seq[Expression] = Seq(vExpr, idxExpr)
   override def nullable: Boolean = true
   override def dataType: DataType = StructType(Seq(
-    StructField(if (test == "ks") "d" else "u", DoubleType, nullable = false),
+    StructField("d", DoubleType, nullable = false),
+    StructField("u", DoubleType, nullable = false),
     StructField("n0", LongType, nullable = false),
     StructField("n1", LongType, nullable = false)))
   override protected def withNewChildrenInternal(

@@ -76,15 +76,28 @@ class ChDialect9Spec extends AnyFunSuite {
       .head().getDouble(0) == 0.0)
     assert(spark.sql("SELECT mannWhitneyUTest(v, idx).u FROM b9_tse")
       .head().getDouble(0) == 2.0)
-    // one-sample group → NULL, never a fake statistic
+    // one-sample group → NULL statistics, never a fake number
     Seq((1.0, 0), (2.0, 0)).toDF("v", "idx")
       .createOrReplaceTempView("b9_ts1")
-    assert(spark.sql("SELECT kolmogorovSmirnovTest(v, idx) FROM b9_ts1")
-      .head().isNullAt(0))
+    val r1 = spark.sql("SELECT kolmogorovSmirnovTest(v, idx).d, " +
+      "mannWhitneyUTest(v, idx).u FROM b9_ts1").head()
+    assert(r1.isNullAt(0) && r1.isNullAt(1))
     // partition-invariance
     spark.table("b9_ts").repartition(3).createOrReplaceTempView("b9_ts2")
     assert(spark.sql("SELECT kolmogorovSmirnovTest(v, idx).d FROM b9_ts2")
       .head().getDouble(0) == 0.5)
+    // NULL and NaN pairs are SKIPPED — no hang, no mis-rank, same
+    // statistics as the clean frame
+    Seq((Some(1.0), Some(0)), (Some(2.0), Some(0)), (Some(3.0), Some(0)),
+        (Some(2.0), Some(1)), (Some(4.0), Some(1)),
+        (None, Some(0)), (Some(9.0), None),
+        (Some(Double.NaN), Some(1)))
+      .toDF("v", "idx").createOrReplaceTempView("b9_tsn")
+    val ksn = spark.sql("SELECT kolmogorovSmirnovTest(v, idx).d, " +
+      "kolmogorovSmirnovTest(v, idx).n0, " +
+      "mannWhitneyUTest(v, idx).u FROM b9_tsn").head()
+    assert(ksn.getDouble(0) == 0.5 && ksn.getLong(1) == 3L &&
+      ksn.getDouble(2) == 1.5)
   }
 
   test("pointInPolygon: convex and concave cases, outside, " +
@@ -109,6 +122,15 @@ class ChDialect9Spec extends AnyFunSuite {
       " array(0.0, 1.0))") == null)
     assert(one("SELECT pointInPolygon(1.0, 1.0, array(0.0, 1.0, 2.0)," +
       " array(0.0, 1.0))") == null)
+    // NULL point, NULL array, NULL element → NULL (null propagation; a
+    // silently-skipped edge would flip the parity)
+    assert(one(s"SELECT pointInPolygon(cast(null as double), 5.0," +
+      s" $sqx, $sqy)") == null)
+    assert(one("SELECT pointInPolygon(5.0, 5.0, cast(null as" +
+      s" array<double>), $sqy)") == null)
+    assert(one("SELECT pointInPolygon(5.0, 5.0," +
+      " array(0.0, 10.0, cast(null as double), 0.0)," +
+      s" $sqy)") == null)
   }
 
   test("ForEach family: element-wise over ragged arrays, tail semantics, " +
