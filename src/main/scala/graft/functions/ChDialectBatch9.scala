@@ -298,6 +298,62 @@ object ChDialectBatch9 {
     }
     f("kolmogorovSmirnovTest")(twoSample("d"))
     f("mannWhitneyUTest")(twoSample("u"))
+
+    // CH encrypt/decrypt(mode, data, key[, iv[, aad]]) on the JDK's AES
+    // via Spark's native AesEncrypt/AesDecrypt. Stances: the mode must
+    // be a string LITERAL (it selects the cipher at plan time); a
+    // LITERAL key must match the declared bit width (a column key is
+    // length-checked by Spark's own {16,24,32} rule at runtime, which
+    // cannot see the declared width — documented); ECB is byte-
+    // compatible with CH, but cbc/gcm ciphertexts use SPARK'S
+    // self-contained layout (iv [+ tag] embedded in the output), so
+    // decrypt takes NO iv argument — passing one refuses loudly naming
+    // the fix. PKCS padding for ecb/cbc, none for gcm (both engines'
+    // defaults).
+    def chAesMode(m: Expression, fn: String): (Int, String) = m match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        val re = "aes-(128|192|256)-(ecb|cbc|gcm)".r
+        s.toString.toLowerCase match {
+          case re(bits, mode) => (bits.toInt, mode.toUpperCase)
+          case other => throw new IllegalArgumentException(
+            s"$fn: unsupported mode '$other' — supported: " +
+              "aes-{128,192,256}-{ecb,cbc,gcm}")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$fn: the mode must be a string literal")
+    }
+    def checkKeyBits(key: Expression, bits: Int, fn: String): Unit =
+      key match {
+        case Literal(b: Array[Byte], BinaryType) =>
+          require(b.length == bits / 8,
+            s"$fn: declared aes-$bits needs a ${bits / 8}-byte key, " +
+              s"got ${b.length}")
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          require(s.numBytes == bits / 8,
+            s"$fn: declared aes-$bits needs a ${bits / 8}-byte key, " +
+              s"got ${s.numBytes}")
+        case _ => () // column key: Spark enforces {16,24,32} at runtime
+      }
+    val emptyBin = Literal(Array.emptyByteArray, BinaryType)
+    f("encrypt") { a =>
+      val (bits, mode) = chAesMode(a.head, "encrypt")
+      checkKeyBits(a(2), bits, "encrypt")
+      val iv = if (a.length > 3) Cast(a(3), BinaryType) else emptyBin
+      val aad = if (a.length > 4) Cast(a(4), BinaryType) else emptyBin
+      AesEncrypt(Cast(a(1), BinaryType), Cast(a(2), BinaryType),
+        Literal(mode), Literal("DEFAULT"), iv, aad)
+    }
+    f("decrypt") { a =>
+      val (bits, mode) = chAesMode(a.head, "decrypt")
+      require(a.length <= 3 || mode == "GCM",
+        "decrypt: no iv argument — Spark's ciphertext layout embeds the " +
+          "iv in the output of encrypt; drop the iv (gcm may still pass " +
+          "aad as the 4th argument)")
+      checkKeyBits(a(2), bits, "decrypt")
+      val aad = if (a.length > 3) Cast(a(3), BinaryType) else emptyBin
+      AesDecrypt(Cast(a(1), BinaryType), Cast(a(2), BinaryType),
+        Literal(mode), Literal("DEFAULT"), aad)
+    }
   }
 
   def isRegistered(spark: SparkSession): Boolean =

@@ -710,7 +710,27 @@ object DialectQueries {
         |FROM embs_fe GROUP BY label ORDER BY label""".stripMargin)
   }
 
+  /** CH `encrypt`/`decrypt` (batch 9, Spark-native AES): contract frame
+    * — DuckDB has no AES, so the oracle states the PKCS ciphertext
+    * length arithmetic exactly (a pure function of the plaintext byte
+    * length) plus the roundtrip/determinism booleans the query proves
+    * Spark-side (the e_kmeans contract-oracle pattern). */
+  def qEncrypt(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch9.register(spark)
+    sqlOn(spark, dir, "documents", "docs_enc",
+      """SELECT doc_id,
+        |  cast(length(encrypt('aes-128-ecb', text, '0123456789abcdef'))
+        |    as bigint) AS ct_len,
+        |  (cast(decrypt('aes-128-ecb',
+        |      encrypt('aes-128-ecb', text, '0123456789abcdef'),
+        |      '0123456789abcdef') as string) = text) AS roundtrip_ok,
+        |  (encrypt('aes-128-ecb', text, '0123456789abcdef')
+        |    = encrypt('aes-128-ecb', text, '0123456789abcdef')) AS det_ok
+        |FROM docs_enc ORDER BY doc_id""".stripMargin)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_encrypt" -> (qEncrypt _),
     "q_foreach" -> (qForEach _),
     "q_agg_functions6" -> (qAggFunctions6 _),
     "q_agg_functions5" -> (qAggFunctions5 _),
@@ -750,6 +770,12 @@ object DialectQueries {
       "ELSE [] END)"
 
   def oracles: Map[String, String] = Map(
+    // AES contract frame: PKCS length arithmetic exact, proofs constant
+    "q_encrypt" ->
+      """SELECT doc_id,
+        |  (octet_length(encode(text)) // 16 + 1) * 16 AS ct_len,
+        |  TRUE AS roundtrip_ok, TRUE AS det_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // -ForEach: positional recompute via a range fan-out
     "q_foreach" ->
       """WITH pos AS (

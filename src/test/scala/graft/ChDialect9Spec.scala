@@ -100,6 +100,52 @@ class ChDialect9Spec extends AnyFunSuite {
       ksn.getDouble(2) == 1.5)
   }
 
+  test("encrypt/decrypt: FIPS-197 known answer, roundtrips, literal-key " +
+      "width and mode refusals") {
+    // AES-128 ECB known-answer (FIPS-197 appendix C.1): with PKCS
+    // padding the FIRST ciphertext block still equals the KAT block
+    val kat = spark.sql(
+      "SELECT hex(substring(encrypt('aes-128-ecb'," +
+        " unhex('00112233445566778899AABBCCDDEEFF')," +
+        " unhex('000102030405060708090A0B0C0D0E0F')), 1, 16))").head()
+    assert(kat.getString(0) == "69C4E0D86A7B0430D8CDB78070B4C55A")
+    // roundtrips: ecb, cbc with explicit iv (deterministic), gcm
+    assert(one("SELECT CAST(decrypt('aes-128-ecb'," +
+      " encrypt('aes-128-ecb', 'secret text', '0123456789abcdef')," +
+      " '0123456789abcdef') AS STRING)") == "secret text")
+    assert(one("SELECT CAST(decrypt('aes-256-cbc'," +
+      " encrypt('aes-256-cbc', 'secret text'," +
+      " '0123456789abcdef0123456789abcdef', unhex(repeat('AB', 16)))," +
+      " '0123456789abcdef0123456789abcdef') AS STRING)") == "secret text")
+    assert(one("SELECT CAST(decrypt('aes-128-gcm'," +
+      " encrypt('aes-128-gcm', 'secret text', '0123456789abcdef'," +
+      " unhex(repeat('CD', 12)))," +
+      " '0123456789abcdef') AS STRING)") == "secret text")
+    // explicit cbc iv → deterministic ciphertext
+    val c2 = spark.sql(
+      "SELECT encrypt('aes-128-cbc', 'x', '0123456789abcdef'," +
+        " unhex(repeat('AB', 16))) AS a," +
+        " encrypt('aes-128-cbc', 'x', '0123456789abcdef'," +
+        " unhex(repeat('AB', 16))) AS b").head()
+    assert(java.util.Arrays.equals(c2.getAs[Array[Byte]](0),
+      c2.getAs[Array[Byte]](1)))
+    // refusals: wrong literal key width, unknown mode, decrypt iv
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT encrypt('aes-256-ecb', 'x', 'shortkey')").collect()
+    }
+    assert(e1.getMessage.contains("32-byte key"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT encrypt('aes-128-ctr', 'x', '0123456789abcdef')")
+        .collect()
+    }
+    assert(e2.getMessage.contains("unsupported mode"))
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT decrypt('aes-128-cbc', unhex('00')," +
+        " '0123456789abcdef', unhex('00'))").collect()
+    }
+    assert(e3.getMessage.contains("no iv argument"))
+  }
+
   test("pointInPolygon: convex and concave cases, outside, " +
       "mismatched arrays null") {
     // unit square (0,0)-(10,0)-(10,10)-(0,10)
