@@ -143,6 +143,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sequenceNextNode == plain-Scala reference on random event logs " +
+      "(first_match and head bases)") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val types = Vector("a", "b", "c", "x")
+    val rowGen = for {
+      u <- Gen.chooseNum(0, 5)
+      s <- Gen.chooseNum(0, 120) // dense: adjacency + ties likely
+      t <- Gen.oneOf(types)
+    } yield (u.toLong, s, t)
+    (0 until 4).foreach { trial =>
+      val rows = samples(rowGen, 90 + trial * 23)
+      val df = rows
+        .map { case (u, s, t) => (u, new Timestamp(base + s * 1000L), t) }
+        .toDF("user_id", "ts", "event_type")
+      val chain = Seq("a", "b")
+      val conds = chain.map(c => col("event_type") === c)
+      // reference over the SAME (ts, value) sort the kernel documents
+      def sortedOf(u: Long) = rows.filter(_._1 == u)
+        .map(e => (e._2, e._3)).sorted
+      def refFirstMatch(u: Long): Option[String] = {
+        val evs = sortedOf(u)
+        (0 until evs.length - chain.length)
+          .find(i => chain.indices.forall(j => evs(i + j)._2 == chain(j)))
+          .map(i => evs(i + chain.length)._2)
+      }
+      def refHead(u: Long): Option[String] = {
+        val evs = sortedOf(u)
+        if (evs.length > chain.length &&
+            chain.indices.forall(j => evs(j)._2 == chain(j)))
+          Some(evs(chain.length)._2)
+        else None
+      }
+      val gotFm = operators.Funnel.sequenceNextNode(df, "user_id", "ts",
+          "event_type", "forward", "first_match", lit(true), conds)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      val gotHd = operators.Funnel.sequenceNextNode(df, "user_id", "ts",
+          "event_type", "forward", "head", lit(true), conds)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      rows.map(_._1).distinct.foreach { u =>
+        assert(gotFm(u) == refFirstMatch(u), s"trial $trial first_match $u")
+        assert(gotHd(u) == refHead(u), s"trial $trial head $u")
+      }
+    }
+  }
+
   test("ASOF text rewrite == AsOfJoin API == plain-Scala reference on " +
       "random keyed time series, all four directions") {
     val rowGen = for {
