@@ -349,34 +349,10 @@ object ChDialectExtras {
     f("cutFragment")(a => SubstringIndex(a.head, Literal("#"), Literal(1)))
 
     // ----------------------------------------------------------------- IP
-    f("IPv4NumToString") { a =>
-      val n = Cast(a.head, LongType)
-      def octet(shift: Int): Expression = Cast(
-        BitwiseAnd(ShiftRight(n, Literal(shift)), Literal(255L)), StringType)
-      ConcatWs(Seq(Literal("."), octet(24), octet(16), octet(8), octet(0)))
-    }
-    // CH errors on malformed input; so do we: exactly 4 parts, each octet
-    // 0–255 (non-numeric parts already raise via the ANSI cast). The And
-    // chain short-circuits, so the octet casts never run when the part
-    // count is wrong.
-    f("IPv4StringToNum") { a =>
-      val parts = StringSplit(a.head, Literal(Pattern.quote(".")), Literal(-1))
-      def octet(i: Int): Expression =
-        Cast(ElementAt(parts, Literal(i)), LongType)
-      val inRange = (1 to 4).map(i => And(
-          GreaterThanOrEqual(octet(i), Literal(0L)),
-          LessThanOrEqual(octet(i), Literal(255L))): Expression)
-        .reduce(And(_, _))
-      If(And(EqualTo(Size(parts), Literal(4)), inRange),
-        Add(Add(Add(
-          Multiply(octet(1), Literal(16777216L)),
-          Multiply(octet(2), Literal(65536L))),
-          Multiply(octet(3), Literal(256L))),
-          octet(4)),
-        Cast(new RaiseError(Concat(Seq(
-          Literal("IPv4StringToNum: malformed IPv4 address '"),
-          a.head, Literal("'")))), LongType))
-    }
+    // Conversions live in ChExprDsl — shared with batch 10's CIDR
+    // family (one implementation, no drift).
+    f("IPv4NumToString")(a => ChExprDsl.ipv4NumToString(a.head))
+    f("IPv4StringToNum")(a => ChExprDsl.ipv4StringToNum(a.head))
 
     // --------------------------------------------------------------- JSON
     def jpath(j: Expression, key: Expression): Expression =

@@ -36,6 +36,43 @@ private[functions] object ChExprDsl {
     ElementAt(ArrayTransform(CreateArray(Seq(shared)), lambda1(prefix)(body)),
       Literal(1))
 
+  /** IPv4 dotted-quad string -> numeric (UInt32-in-long). CH errors on
+    * malformed input; so does this: exactly 4 parts, each octet 0-255
+    * (non-numeric parts raise via the ANSI cast). The And chain
+    * short-circuits, so the octet casts never run when the part count
+    * is wrong. Shared by ChDialectExtras' registered function and the
+    * batch-10 CIDR family (one implementation, no drift). */
+  def ipv4StringToNum(ip: Expression): Expression = {
+    val parts = StringSplit(ip,
+      Literal(java.util.regex.Pattern.quote(".")), Literal(-1))
+    def octet(i: Int): Expression =
+      Cast(ElementAt(parts, Literal(i)),
+        org.apache.spark.sql.types.LongType)
+    val inRange = (1 to 4).map(i => And(
+        GreaterThanOrEqual(octet(i), Literal(0L)),
+        LessThanOrEqual(octet(i), Literal(255L))): Expression)
+      .reduce(And(_, _))
+    If(And(EqualTo(Size(parts), Literal(4)), inRange),
+      Add(Add(Add(
+        Multiply(octet(1), Literal(16777216L)),
+        Multiply(octet(2), Literal(65536L))),
+        Multiply(octet(3), Literal(256L))),
+        octet(4)),
+      Cast(new RaiseError(Concat(Seq(
+        Literal("IPv4StringToNum: malformed IPv4 address '"),
+        ip, Literal("'")))), org.apache.spark.sql.types.LongType))
+  }
+
+  /** Numeric -> IPv4 dotted-quad string (inverse of
+    * [[ipv4StringToNum]]). */
+  def ipv4NumToString(num: Expression): Expression = {
+    val n = Cast(num, org.apache.spark.sql.types.LongType)
+    def octet(shift: Int): Expression = Cast(
+      BitwiseAnd(ShiftRight(n, Literal(shift)), Literal(255L)),
+      org.apache.spark.sql.types.StringType)
+    ConcatWs(Seq(Literal("."), octet(24), octet(16), octet(8), octet(0)))
+  }
+
   /** NULL-skipping collect of a struct: CollectList ignores NULL inputs,
     * so wrapping the struct in a null-when-any-field-null conditional is
     * exactly "aggregates skip null rows" (pairwise deletion). */

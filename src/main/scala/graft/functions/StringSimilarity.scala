@@ -1,0 +1,214 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CH string-similarity tail (ref: the ClickHouse SQL surface reachable
+  * through packages/ts-moose-lib/src/sqlHelpers.ts:106-255 passthrough —
+  * the same contract note as dialect batches 2-9):
+  * `damerauLevenshteinDistance`, `jaroSimilarity`,
+  * `jaroWinklerSimilarity`, `stringJaccardIndex`.
+  *
+  * Native Catalyst expressions over static Scala kernels — `doGenCode`
+  * emits one static call, so the projection stays inside whole-stage
+  * codegen (the NormalizeUtf8 pattern). Kernels operate on Java chars
+  * (UTF-16 units); the DuckDB oracle and the driver queries use ASCII
+  * inputs where chars == code points == bytes, and the unit choice is
+  * pinned in spec for the non-ASCII case.
+  *
+  * Semantics pinned against the oracle engine (probed, known answers in
+  * ChDialectBatch10Spec):
+  *  - Damerau-Levenshtein is the UNRESTRICTED variant (Lowrance-Wagner
+  *    alphabet-matrix DP; 'ca'->'abc' = 2, not OSA's 3);
+  *  - Jaro uses the standard floor(max/2)-1 window and half-transposition
+  *    count; either side empty -> 0.0;
+  *  - Jaro-Winkler applies the prefix boost (l <= 4, p = 0.1) only when
+  *    jaro > 0.7 (the standard boost threshold);
+  *  - stringJaccardIndex is |intersect| / |union| over DISTINCT char
+  *    sets (CH computes byte sets — identical on ASCII; documented in
+  *    DIVERGENCES.md). Both empty -> 1.0, one empty -> 0.0.
+  */
+object StringSimilarity {
+
+  /** Unrestricted Damerau-Levenshtein (transpositions of adjacent chars
+    * count 1 even with intervening edits). O(|a|·|b|) time, O(|a|·|b|)
+    * ints — strings here are short keys/labels, not documents. */
+  def damerauLevenshtein(a0: UTF8String, b0: UTF8String): Int = {
+    val a = a0.toString; val b = b0.toString
+    val n = a.length; val m = b.length
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = n + m
+    // d is (n+2) x (m+2) with the Lowrance-Wagner sentinel border
+    val w = m + 2
+    val d = new Array[Int]((n + 2) * w)
+    d(0) = inf
+    var i = 0
+    while (i <= n) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    val last = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val i1 = { val v = last.get(b.charAt(j - 1)); if (v == null) 0 else v.intValue() }
+        val j1 = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        val sub = d(i * w + j) + cost
+        val ins = d((i + 1) * w + j) + 1
+        val del = d(i * w + j + 1) + 1
+        val tra = d(i1 * w + j1) + (i - i1 - 1) + 1 + (j - j1 - 1)
+        d((i + 1) * w + j + 1) =
+          math.min(math.min(sub, ins), math.min(del, tra))
+        j += 1
+      }
+      last.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d((n + 1) * w + m + 1)
+  }
+
+  /** Standard Jaro similarity; either side empty -> 0.0 (oracle pin). */
+  def jaro(a0: UTF8String, b0: UTF8String): Double = {
+    val a = a0.toString; val b = b0.toString
+    val n = a.length; val m = b.length
+    if (n == 0 || m == 0) return 0.0
+    val window = math.max(math.max(n, m) / 2 - 1, 0)
+    val aMatch = new Array[Boolean](n)
+    val bMatch = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(m - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+          aMatch(i) = true; bMatch(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < n) {
+      if (aMatch(i)) {
+        while (!bMatch(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = matches.toDouble
+    // transpositions = FLOOR(half the out-of-order positions) — the
+    // Apache-commons/oracle-engine reading (an odd raw count is floored,
+    // not halved exactly; 'order '/'der sma' pins the difference)
+    (md / n + md / m + (md - t / 2) / md) / 3.0
+  }
+
+  /** Jaro-Winkler: prefix boost (l <= 4, p = 0.1) only above the 0.7
+    * boost threshold — the oracle engine's exact rule (probed). */
+  def jaroWinkler(a0: UTF8String, b0: UTF8String): Double = {
+    val j = jaro(a0, b0)
+    if (j <= 0.7) return j
+    val a = a0.toString; val b = b0.toString
+    var l = 0
+    val max = math.min(4, math.min(a.length, b.length))
+    while (l < max && a.charAt(l) == b.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
+  /** Jaccard over DISTINCT char sets; both empty -> 1.0, one -> 0.0. */
+  def charJaccard(a0: UTF8String, b0: UTF8String): Double = {
+    val a = a0.toString; val b = b0.toString
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val sa = new java.util.HashSet[Character]()
+    val sb = new java.util.HashSet[Character]()
+    a.foreach(sa.add(_)); b.foreach(sb.add(_))
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
+}
+
+/** Shared shape for the four binary string-similarity expressions. */
+abstract class StringSimilarityExpr extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING, STRING), got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  /** Name of the static kernel method on [[StringSimilarity]]. */
+  protected def kernel: String
+
+  override protected def nullSafeEval(l: Any, r: Any): Any
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val cls = StringSimilarity.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.$kernel($l, $r);"
+    })
+}
+
+case class DamerauLevenshteinExpr(left: Expression, right: Expression)
+    extends StringSimilarityExpr {
+  override def dataType: DataType = IntegerType
+  override protected def kernel: String = "damerauLevenshtein"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    StringSimilarity.damerauLevenshtein(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DamerauLevenshteinExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "damerauLevenshteinDistance"
+}
+
+case class JaroSimilarityExpr(left: Expression, right: Expression)
+    extends StringSimilarityExpr {
+  override def dataType: DataType = DoubleType
+  override protected def kernel: String = "jaro"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    StringSimilarity.jaro(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroSimilarityExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "jaroSimilarity"
+}
+
+case class JaroWinklerSimilarityExpr(left: Expression, right: Expression)
+    extends StringSimilarityExpr {
+  override def dataType: DataType = DoubleType
+  override protected def kernel: String = "jaroWinkler"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    StringSimilarity.jaroWinkler(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerSimilarityExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "jaroWinklerSimilarity"
+}
+
+case class StringJaccardExpr(left: Expression, right: Expression)
+    extends StringSimilarityExpr {
+  override def dataType: DataType = DoubleType
+  override protected def kernel: String = "charJaccard"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    StringSimilarity.charJaccard(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StringJaccardExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "stringJaccardIndex"
+}

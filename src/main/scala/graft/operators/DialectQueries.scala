@@ -305,6 +305,138 @@ object DialectQueries {
         |FROM evts_hist GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** Batch-10 scalar surface (functions/ChDialectBatch10): morton
+    * curve round-trip, calendar conversions (MJD / days-since-year-zero
+    * / ISO week / second truncation / time slots), the rounding ladder,
+    * bounded-fold gcd/lcm, great-circle angle, point-in-ellipses,
+    * seeded arrayShuffle, JSON keys. One projection over one scan —
+    * every function is shift/mask/CASE/fold arithmetic, all codegen'd;
+    * the 100 TB story is "columnar scan + codegen". */
+  def qChFunctions7(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch10.register(spark)
+    sqlOn(spark, dir, "events", "evts_d10",
+      """SELECT event_id,
+        |  mortonEncode(event_id % 100000, user_id) AS me,
+        |  cast(mortonDecode(2, mortonEncode(event_id % 100000, user_id))._1
+        |    as bigint) AS mdx,
+        |  cast(mortonDecode(2, mortonEncode(event_id % 100000, user_id))._2
+        |    as bigint) AS mdy,
+        |  cast(toModifiedJulianDay(toDate(ts)) as bigint) AS mjd,
+        |  toString(fromModifiedJulianDay(toModifiedJulianDay(toDate(ts))))
+        |    AS mjd_rt,
+        |  cast(toDaysSinceYearZero(toDate(ts)) as bigint) AS dsy,
+        |  toString(fromDaysSinceYearZero(toDaysSinceYearZero(toDate(ts))))
+        |    AS dsy_rt,
+        |  toUnixTimestamp(toStartOfSecond(ts)) AS sos,
+        |  cast(toWeek(toDate(ts), 3) as bigint) AS wk,
+        |  cast(toYearWeek(toDate(ts), 3) as bigint) AS yw,
+        |  arrayStringConcat(arrayMap(t -> toString(toUnixTimestamp(t)),
+        |    timeSlots(ts, 3600, 900)), ',') AS slots,
+        |  roundToExp2(event_id % 5000) AS rexp2,
+        |  cast(roundDown(event_id % 100, array(0L, 10L, 50L, 80L))
+        |    as bigint) AS rdn,
+        |  roundAge(event_id % 90) AS rage,
+        |  roundDuration(event_id % 40000) AS rdur,
+        |  gcd(event_id, user_id + 1) AS g,
+        |  lcm(event_id % 50 + 1, user_id % 30 + 1) AS l,
+        |  round(greatCircleAngle(cast(user_id % 360 as double) - 180.0,
+        |    cast(event_id % 170 as double) - 85.0, 10.5, 45.25), 6) + 0.0
+        |    AS gca,
+        |  cast(pointInEllipses(cast(user_id % 100 as double),
+        |    cast(event_id % 100 as double),
+        |    50.0, 50.0, 30.0, 20.0, 10.0, 90.0, 5.0, 8.0) as bigint) AS pie,
+        |  arrayStringConcat(arrayShuffle(arrayMap(x -> toString(x),
+        |    range(1 + event_id % 6)), 'seed7'), ',') AS ash,
+        |  arrayStringConcat(arraySort(JSONExtractKeys(
+        |    concat('{"a":1,"z":2,"m":', toString(user_id % 9), '}'))), ',')
+        |    AS jk
+        |FROM evts_d10 WHERE event_id < 400 ORDER BY event_id""".stripMargin)
+  }
+
+  /** Batch-10 URL tail over constructed URLs (the q_url_functions
+    * pattern: both engines assemble the identical string first), with
+    * credentials, an optional port, a query string, and a fragment —
+    * plus the ccTLD-with-generic-second-level host shape the
+    * first-significant-subdomain heuristic handles. */
+  def qUrlFunctions2(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch10.register(spark)
+    sqlOn(spark, dir, "documents", "docs_url2",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    concat('https://u', toString(doc_id % 3), ':pw@www.ex', lang,
+        |      '.com', if(doc_id % 2 = 0, ':8080', ''),
+        |      '/p/', source, '?id=', toString(doc_id),
+        |      '&x=', toString(n_chars % 7), '&y=9#f', toString(doc_id % 5))
+        |      AS url,
+        |    concat('https://news.ex', lang, '.com.tr/x') AS url_tr
+        |  FROM docs_url2)
+        |SELECT doc_id,
+        |  netloc(url) AS nl,
+        |  cast(port(url) as bigint) AS prt,
+        |  cast(port(url_tr, 443) as bigint) AS prt_d,
+        |  firstSignificantSubdomain(url) AS fssd,
+        |  cutToFirstSignificantSubdomain(url) AS cfssd,
+        |  firstSignificantSubdomain(url_tr) AS fssd_tr,
+        |  cutToFirstSignificantSubdomain(url_tr) AS cfssd_tr,
+        |  arrayStringConcat(extractURLParameterNames(url), ',') AS pnames,
+        |  arrayStringConcat(extractURLParameters(url), ',') AS params,
+        |  cutURLParameter(url, 'x') AS cut_x,
+        |  cutURLParameter(url, 'id') AS cut_id,
+        |  queryStringAndFragment(url) AS qsf
+        |FROM u ORDER BY doc_id LIMIT 300""".stripMargin)
+  }
+
+  /** Batch-10 IP family over constructed dotted quads (both engines
+    * assemble the identical strings; all arithmetic is integer
+    * shift/mask, the DIVERGENCES #6 widening rules). */
+  def qIpFunctions(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch10.register(spark)
+    sqlOn(spark, dir, "documents", "docs_ip",
+      """WITH i AS (
+        |  SELECT doc_id,
+        |    concat(toString(doc_id % 223 + 1), '.',
+        |      toString((doc_id * 7) % 256), '.',
+        |      toString((doc_id * 13) % 256), '.',
+        |      toString(doc_id % 256)) AS ip
+        |  FROM docs_ip)
+        |SELECT doc_id, ip,
+        |  IPv4StringToNum(ip) AS n,
+        |  IPv4NumToString((doc_id * 2654435761) % 4294967296) AS s,
+        |  IPv4CIDRToRange(ip, cast(doc_id % 25 + 8 as int))._1 AS rlo,
+        |  IPv4CIDRToRange(ip, cast(doc_id % 25 + 8 as int))._2 AS rhi,
+        |  isIPAddressInRange(ip, '10.0.0.0/8') AS in10,
+        |  isIPAddressInRange(ip, concat(ip, '/24')) AS in_self,
+        |  isIPv4String(ip) AS is4,
+        |  isIPv4String(concat(ip, '.9')) AS is4_bad,
+        |  isIPv6String(concat('2001:db8::', lower(hex(doc_id % 65535 + 1))))
+        |    AS is6,
+        |  isIPv6String(ip) AS is6_bad
+        |FROM i ORDER BY doc_id LIMIT 300""".stripMargin)
+  }
+
+  /** Batch-10 string-similarity kernels vs the oracle engine's own
+    * implementations (same algorithms: unrestricted Damerau-Levenshtein,
+    * standard Jaro, 0.7-threshold Winkler boost, char-set Jaccard);
+    * doubles rounded 6dp with the -0.0 normalization. */
+  def qStringSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch10.register(spark)
+    sqlOn(spark, dir, "documents", "docs_sim",
+      """WITH w AS (
+        |  SELECT doc_id, source, lang,
+        |    substring(text, 1, 6) AS w1,
+        |    substring(text, 3, 7) AS w2
+        |  FROM docs_sim)
+        |SELECT doc_id,
+        |  cast(damerauLevenshteinDistance(w1, w2) as bigint) AS dl,
+        |  cast(damerauLevenshteinDistance(source, 'src10') as bigint)
+        |    AS dl_src,
+        |  round(jaroSimilarity(w1, w2), 6) + 0.0 AS js,
+        |  round(jaroWinklerSimilarity(w1, w2), 6) + 0.0 AS jw,
+        |  round(jaroWinklerSimilarity(source, lang), 6) + 0.0 AS jw_sl,
+        |  round(stringJaccardIndex(w1, w2), 6) + 0.0 AS sj
+        |FROM w ORDER BY doc_id LIMIT 300""".stripMargin)
+  }
+
   /** CH `ARRAY JOIN` clause through the ad-hoc gate's text rewrite —
     * the exact path a moose program's raw CH SQL takes (rewritten to
     * `LATERAL VIEW explode`, same clause position in both grammars).
@@ -736,6 +868,10 @@ object DialectQueries {
     "q_agg_functions5" -> (qAggFunctions5 _),
     "q_lttb" -> (qLttb _),
     "q_ch_functions6" -> (qChFunctions6 _),
+    "q_ch_functions7" -> (qChFunctions7 _),
+    "q_url_functions2" -> (qUrlFunctions2 _),
+    "q_ip_functions" -> (qIpFunctions _),
+    "q_string_similarity" -> (qStringSimilarity _),
     "q_ch_functions5" -> (qChFunctions5 _),
     "q_asof_sql" -> (qAsofSql _),
     "q_asof_using_sql" -> (qAsofUsingSql _),
@@ -1016,6 +1152,163 @@ object DialectQueries {
         |  JOIN pm USING (cohort)
         |ORDER BY p1.cohort""".stripMargin,
     // batch-8 scalars: 4-gram set math + the scalar date tail
+    // batch 10 — morton via the per-bit sum form (an implementation
+    // INDEPENDENT of the engine's mask ladder), calendar diffs from the
+    // documented epochs, the rounding ladders as filtered-list maxima,
+    // builtin gcd/lcm, the same haversine, seeded-shuffle via the same
+    // md5(seed || U+0001 || elem) key sort
+    "q_ch_functions7" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts,
+        |    event_id % 100000 AS mx,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    event_id % 5000 AS r2, event_id % 90 AS vage,
+        |    event_id % 40000 AS vdur
+        |  FROM events WHERE event_id < 400)
+        |SELECT event_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 16),
+        |      i -> ((mx >> i) & 1) << (2 * i)))
+        |    + list_sum(list_transform(generate_series(0, 31),
+        |      i -> ((user_id >> i) & 1) << (2 * i + 1))) AS BIGINT) AS me,
+        |  mx AS mdx,
+        |  user_id AS mdy,
+        |  datediff('day', DATE '1858-11-17', CAST(ts AS DATE)) AS mjd,
+        |  CAST(CAST(ts AS DATE) AS VARCHAR) AS mjd_rt,
+        |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 719528
+        |    AS dsy,
+        |  CAST(CAST(ts AS DATE) AS VARCHAR) AS dsy_rt,
+        |  sec AS sos,
+        |  CAST(weekofyear(CAST(ts AS DATE)) AS BIGINT) AS wk,
+        |  CAST(isoyear(CAST(ts AS DATE)) * 100
+        |    + weekofyear(CAST(ts AS DATE)) AS BIGINT) AS yw,
+        |  array_to_string(generate_series((sec // 900) * 900,
+        |    ((sec + 3600) // 900) * 900, 900), ',') AS slots,
+        |  coalesce(list_max(list_filter(list_transform(
+        |    generate_series(0, 62), i -> 1::BIGINT << i),
+        |    p -> p <= r2)), 0) AS rexp2,
+        |  coalesce(list_max(list_filter([0, 10, 50, 80],
+        |    e -> e <= event_id % 100)), 0)::BIGINT AS rdn,
+        |  (CASE WHEN vage < 1 THEN 0 WHEN vage < 18 THEN 17
+        |    ELSE coalesce(list_max(list_filter([18, 25, 35, 45, 55],
+        |      e -> e <= vage)), 18) END)::BIGINT AS rage,
+        |  (CASE WHEN vdur < 1 THEN 0
+        |    ELSE list_max(list_filter([1, 10, 30, 60, 120, 180, 240, 300,
+        |      600, 1200, 1800, 3600, 7200, 18000, 36000],
+        |      e -> e <= vdur)) END)::BIGINT AS rdur,
+        |  gcd(event_id, user_id + 1) AS g,
+        |  lcm(event_id % 50 + 1, user_id % 30 + 1) AS l,
+        |  round(degrees(2 * asin(sqrt(
+        |    sin(radians(45.25 - (event_id % 170 - 85)) / 2)
+        |      * sin(radians(45.25 - (event_id % 170 - 85)) / 2)
+        |    + cos(radians(CAST(event_id % 170 - 85 AS DOUBLE)))
+        |      * cos(radians(45.25))
+        |      * sin(radians(10.5 - (user_id % 360 - 180)) / 2)
+        |      * sin(radians(10.5 - (user_id % 360 - 180)) / 2)))), 6)
+        |    + 0.0 AS gca,
+        |  -- (v*v)/(a*a) keeps the IEEE op order IDENTICAL to the
+        |  -- engine's sq(x-x0)/sq(a), never the inequivalent (v/a)^2
+        |  (CASE WHEN
+        |      ((user_id % 100 - 50) * (user_id % 100 - 50)) / 900.0
+        |        + ((event_id % 100 - 50) * (event_id % 100 - 50)) / 400.0
+        |        <= 1
+        |      OR ((user_id % 100 - 10) * (user_id % 100 - 10)) / 25.0
+        |        + ((event_id % 100 - 90) * (event_id % 100 - 90)) / 64.0
+        |        <= 1
+        |    THEN 1 ELSE 0 END)::BIGINT AS pie,
+        |  array_to_string(list_transform(list_sort(list_transform(
+        |    generate_series(0, event_id % 6),
+        |    x -> {'k': md5('seed7' || chr(1) || CAST(x AS VARCHAR)),
+        |          'v': CAST(x AS VARCHAR)})), s -> s.v), ',') AS ash,
+        |  array_to_string(list_sort(json_keys(
+        |    '{"a":1,"z":2,"m":' || CAST(user_id % 9 AS VARCHAR) || '}')),
+        |    ',') AS jk
+        |FROM base ORDER BY event_id""".stripMargin,
+    // batch-10 URL tail: the oracle reconstructs every part from the
+    // same doc_id arithmetic it used to assemble the URL
+    "q_url_functions2" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    'u' || CAST(doc_id % 3 AS VARCHAR) || ':pw@www.ex' || lang
+        |      || '.com' || (CASE WHEN doc_id % 2 = 0 THEN ':8080'
+        |                    ELSE '' END) AS auth,
+        |    'id=' || CAST(doc_id AS VARCHAR) || '&x='
+        |      || CAST(n_chars % 7 AS VARCHAR) || '&y=9' AS qs,
+        |    '#f' || CAST(doc_id % 5 AS VARCHAR) AS frag
+        |  FROM documents)
+        |SELECT doc_id,
+        |  auth AS nl,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 8080 ELSE 0 END)::BIGINT AS prt,
+        |  443::BIGINT AS prt_d,
+        |  'ex' || lang AS fssd,
+        |  'ex' || lang || '.com' AS cfssd,
+        |  'ex' || lang AS fssd_tr,
+        |  'ex' || lang || '.com.tr' AS cfssd_tr,
+        |  'id,x,y' AS pnames,
+        |  'id=' || CAST(doc_id AS VARCHAR) || ',x='
+        |    || CAST(n_chars % 7 AS VARCHAR) || ',y=9' AS params,
+        |  'https://' || auth || '/p/' || source || '?id='
+        |    || CAST(doc_id AS VARCHAR) || '&y=9' || frag AS cut_x,
+        |  'https://' || auth || '/p/' || source || '?x='
+        |    || CAST(n_chars % 7 AS VARCHAR) || '&y=9' || frag AS cut_id,
+        |  qs || frag AS qsf
+        |FROM u ORDER BY doc_id LIMIT 300""".stripMargin,
+    // batch-10 IP family: pure shift/mask integer arithmetic from the
+    // same doc_id-derived octets
+    "q_ip_functions" ->
+      """WITH i AS (
+        |  SELECT doc_id,
+        |    doc_id % 223 + 1 AS o1, (doc_id * 7) % 256 AS o2,
+        |    (doc_id * 13) % 256 AS o3, doc_id % 256 AS o4,
+        |    doc_id % 25 + 8 AS bits,
+        |    (doc_id * 2654435761) % 4294967296 AS m
+        |  FROM documents),
+        |n AS (
+        |  SELECT *,
+        |    o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS num,
+        |    (1::BIGINT << (32 - bits)) - 1 AS host
+        |  FROM i),
+        |r AS (SELECT *, num & ~host AS lo, (num & ~host) | host AS hi
+        |      FROM n)
+        |SELECT doc_id,
+        |  CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+        |    || CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS ip,
+        |  num AS n,
+        |  CAST((m >> 24) & 255 AS VARCHAR) || '.'
+        |    || CAST((m >> 16) & 255 AS VARCHAR) || '.'
+        |    || CAST((m >> 8) & 255 AS VARCHAR) || '.'
+        |    || CAST(m & 255 AS VARCHAR) AS s,
+        |  CAST((lo >> 24) & 255 AS VARCHAR) || '.'
+        |    || CAST((lo >> 16) & 255 AS VARCHAR) || '.'
+        |    || CAST((lo >> 8) & 255 AS VARCHAR) || '.'
+        |    || CAST(lo & 255 AS VARCHAR) AS rlo,
+        |  CAST((hi >> 24) & 255 AS VARCHAR) || '.'
+        |    || CAST((hi >> 16) & 255 AS VARCHAR) || '.'
+        |    || CAST((hi >> 8) & 255 AS VARCHAR) || '.'
+        |    || CAST(hi & 255 AS VARCHAR) AS rhi,
+        |  (o1 = 10) AS in10,
+        |  true AS in_self,
+        |  true AS is4,
+        |  false AS is4_bad,
+        |  true AS is6,
+        |  false AS is6_bad
+        |FROM r ORDER BY doc_id LIMIT 300""".stripMargin,
+    // batch-10 string similarity: the oracle engine's OWN kernels
+    // (damerau_levenshtein / jaro / jaro_winkler / char-set jaccard) —
+    // the engine-side kernels are pinned to the same algorithm variants
+    "q_string_similarity" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, lang,
+        |    substring(text, 1, 6) AS w1,
+        |    substring(text, 3, 7) AS w2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  damerau_levenshtein(w1, w2) AS dl,
+        |  damerau_levenshtein(source, 'src10') AS dl_src,
+        |  round(jaro_similarity(w1, w2), 6) + 0.0 AS js,
+        |  round(jaro_winkler_similarity(w1, w2), 6) + 0.0 AS jw,
+        |  round(jaro_winkler_similarity(source, lang), 6) + 0.0 AS jw_sl,
+        |  round(jaccard(w1, w2), 6) + 0.0 AS sj
+        |FROM w ORDER BY doc_id LIMIT 300""".stripMargin,
     "q_ch_functions6" -> {
       val ga = gramsSql("props")
       val gb = gramsSql("(substr(props, 1, 6) || event_type)")

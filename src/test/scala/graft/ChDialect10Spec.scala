@@ -1,0 +1,210 @@
+package graft
+
+import graft.functions.ChDialectBatch10
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch-10 dialect tail: morton curve, calendar conversions, rounding
+  * ladder, gcd/lcm, geo, IP family, URL tail, seeded shuffle, string
+  * similarity kernels — known-answer pins for every function. */
+class ChDialect10Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    graft.functions.ClickHouseFunctions.register(s)
+    graft.functions.ChDialectExtras.register(s)
+    ChDialectBatch10.register(s)
+    s
+  }
+  import spark.implicits._
+
+  private def one(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+
+  test("mortonEncode/mortonDecode: known values, round trip, 32-bit mask") {
+    // x=5 (101 -> even bits 10001=17), y=3 (11 -> odd bits 1010=10)
+    assert(one("mortonEncode(5, 3)") == 27L)
+    assert(one("mortonEncode(0, 0)") == 0L)
+    // unit axes land on bit 0 / bit 1
+    assert(one("mortonEncode(1, 0)") == 1L)
+    assert(one("mortonEncode(0, 1)") == 2L)
+    assert(one("mortonDecode(2, 27)._1") == 5L)
+    assert(one("mortonDecode(2, 27)._2") == 3L)
+    // round trip at the 32-bit edge; bits above 32 are masked off
+    assert(one("mortonDecode(2, mortonEncode(4294967295, 123456789))._1")
+      == 4294967295L)
+    assert(one("mortonEncode(4294967296 + 7, 0)") == one("mortonEncode(7, 0)"))
+    // only the 2-D form
+    assertThrows[Exception](spark.sql("SELECT mortonDecode(3, 1)").collect())
+  }
+
+  test("calendar conversions: MJD, days-since-year-zero, ISO week, " +
+      "second truncation, timeSlots") {
+    assert(one("toModifiedJulianDay(date'1970-01-01')") == 40587)
+    assert(one("toString(fromModifiedJulianDay(40587))") == "1970-01-01")
+    assert(one("toModifiedJulianDay(date'1858-11-17')") == 0)
+    assert(one("toDaysSinceYearZero(date'1970-01-01')") == 719528)
+    assert(one("toString(fromDaysSinceYearZero(719529))") == "1970-01-02")
+    assert(one("toWeek(date'2020-01-01', 3)") == 1)
+    assert(one("toYearWeek(date'2020-01-01', 3)") == 202001)
+    // 2018-12-31 is ISO week 1 of 2019 — the yearWeek must follow
+    assert(one("toYearWeek(date'2018-12-31', 3)") == 201901)
+    assertThrows[Exception](
+      spark.sql("SELECT toWeek(date'2020-01-01')").collect())
+    assert(one("toUnixTimestamp(toStartOfSecond(" +
+      "timestamp'2024-01-01 10:07:03.789'))") ==
+      one("toUnixTimestamp(timestamp'2024-01-01 10:07:03')"))
+    // slots of [10:07, 10:17] at 300 s: 10:05, 10:10, 10:15
+    val slots = spark.sql(
+      "SELECT transform(timeSlots(timestamp'2024-01-01 10:07:00', 600, " +
+        "300), t -> toString(t))").head().getSeq[String](0)
+    assert(slots == Seq("2024-01-01 10:05:00", "2024-01-01 10:10:00",
+      "2024-01-01 10:15:00"))
+  }
+
+  test("rounding ladder: roundToExp2 / roundDown / roundAge / " +
+      "roundDuration bucket sets") {
+    assert(one("roundToExp2(0)") == 0L)
+    assert(one("roundToExp2(1)") == 1L)
+    assert(one("roundToExp2(100)") == 64L)
+    assert(one("roundToExp2(1024)") == 1024L)
+    assert(one("roundToExp2(-5)") == 0L)
+    assert(one("roundDown(55, array(0L, 10L, 50L, 80L))") == 50L)
+    assert(one("roundDown(-1, array(0L, 10L, 50L, 80L))") == 0L)
+    assert(one("roundAge(0)") == 0L)
+    assert(one("roundAge(5)") == 17L)
+    assert(one("roundAge(20)") == 18L)
+    assert(one("roundAge(60)") == 55L)
+    assert(one("roundDuration(0)") == 0L)
+    assert(one("roundDuration(45)") == 30L)
+    assert(one("roundDuration(40000)") == 36000L)
+  }
+
+  test("gcd/lcm: Euclid pins incl. zeros, negatives, Fibonacci worst case") {
+    assert(one("gcd(12, 18)") == 6L)
+    assert(one("gcd(0, 5)") == 5L)
+    assert(one("gcd(-12, 18)") == 6L)
+    // consecutive Fibonacci numbers maximize Euclid's iteration count
+    assert(one("gcd(7540113804746346429L, 4660046610375530309L)") == 1L)
+    assert(one("lcm(4, 6)") == 12L)
+    assert(one("lcm(0, 5)") == 0L)
+  }
+
+  test("greatCircleAngle/pointInEllipses: geometry pins") {
+    assert(math.abs(one("greatCircleAngle(0.0, 0.0, 0.0, 90.0)")
+      .asInstanceOf[Double] - 90.0) < 1e-9)
+    assert(math.abs(one("greatCircleAngle(0.0, 0.0, 180.0, 0.0)")
+      .asInstanceOf[Double] - 180.0) < 1e-9)
+    assert(one("pointInEllipses(1.0, 1.0, 0.0, 0.0, 2.0, 2.0)") == 1)
+    assert(one("pointInEllipses(3.0, 0.0, 0.0, 0.0, 2.0, 2.0)") == 0)
+    // second ellipse catches the point the first misses
+    assert(one("pointInEllipses(3.0, 0.0, 0.0, 0.0, 2.0, 2.0, " +
+      "3.0, 0.0, 1.0, 1.0)") == 1)
+  }
+
+  test("IP family: CIDR ranges, membership, validation regexes") {
+    assert(one("IPv4CIDRToRange('192.168.5.2', 16)._1") == "192.168.0.0")
+    assert(one("IPv4CIDRToRange('192.168.5.2', 16)._2") == "192.168.255.255")
+    assert(one("IPv4CIDRToRange('192.168.5.2', 32)._1") == "192.168.5.2")
+    assert(one("IPv4CIDRToRange('192.168.5.2', 0)._2") == "255.255.255.255")
+    assert(one("isIPAddressInRange('10.1.2.3', '10.0.0.0/8')")
+      == true)
+    assert(one("isIPAddressInRange('11.1.2.3', '10.0.0.0/8')")
+      == false)
+    assertThrows[Exception](spark.sql(
+      "SELECT isIPAddressInRange('10.1.2.3', '2001:db8::/32')").collect())
+    assert(one("isIPv4String('1.2.3.4')") == true)
+    assert(one("isIPv4String('256.1.1.1')") == false)
+    assert(one("isIPv4String('1.2.3')") == false)
+    assert(one("isIPv6String('::1')") == true)
+    assert(one("isIPv6String('2001:db8::1')") == true)
+    assert(one("isIPv6String('1:2:3:4:5:6:7:8')") == true)
+    assert(one("isIPv6String('1::2::3')") == false)
+    assert(one("isIPv6String('1.2.3.4')") == false)
+  }
+
+  test("URL tail: netloc/port/significant-subdomain/parameter surgery") {
+    val u = "'https://u:pw@www.example.com:8080/p/a?x=1&y=2&z=3#frag'"
+    assert(one(s"netloc($u)") == "u:pw@www.example.com:8080")
+    assert(one(s"port($u)") == 8080)
+    assert(one("port('https://a.com/x')") == 0)
+    assert(one("port('https://a.com/x', 443)") == 443)
+    assert(one(s"firstSignificantSubdomain($u)") == "example")
+    assert(one("firstSignificantSubdomain('https://news.click.com.tr/x')")
+      == "click")
+    assert(one("firstSignificantSubdomain('https://localhost/x')")
+      == "localhost")
+    assert(one(s"cutToFirstSignificantSubdomain($u)") == "example.com")
+    assert(one("cutToFirstSignificantSubdomain('https://news.click.com.tr/')")
+      == "click.com.tr")
+    assert(one(s"arrayStringConcat(extractURLParameterNames($u), ',')")
+      == "x,y,z")
+    assert(one(s"arrayStringConcat(extractURLParameters($u), ',')")
+      == "x=1,y=2,z=3")
+    assert(one("size(extractURLParameters('https://a.com/x'))") == 0)
+    // first / middle / last parameter removal keeps separators intact
+    assert(one(s"cutURLParameter($u, 'x')") ==
+      "https://u:pw@www.example.com:8080/p/a?y=2&z=3#frag")
+    assert(one(s"cutURLParameter($u, 'y')") ==
+      "https://u:pw@www.example.com:8080/p/a?x=1&z=3#frag")
+    assert(one(s"cutURLParameter($u, 'z')") ==
+      "https://u:pw@www.example.com:8080/p/a?x=1&y=2#frag")
+    assert(one(s"queryStringAndFragment($u)") == "x=1&y=2&z=3#frag")
+    assert(one("queryStringAndFragment('https://a.com/x?q=1')") == "q=1")
+  }
+
+  test("JSONExtractKeys: document order; arrayShuffle: deterministic " +
+      "seeded permutation") {
+    assert(one("""arrayStringConcat(JSONExtractKeys('{"b":1,"a":2}'), ',')""")
+      == "b,a")
+    val arr = "array('a', 'b', 'c', 'd', 'e')"
+    val s1 = one(s"arrayStringConcat(arrayShuffle($arr, 's1'), ',')")
+    val s2 = one(s"arrayStringConcat(arrayShuffle($arr, 's1'), ',')")
+    // 's2' happens to md5-sort these five elements identically to 's1'
+    // (a legitimate 1/120 collision); 's3' differs
+    val s3 = one(s"arrayStringConcat(arrayShuffle($arr, 's3'), ',')")
+    assert(s1 == s2) // same seed -> same permutation
+    assert(s1 != s3) // different seed -> different permutation (these two)
+    assert(one(s"arrayStringConcat(arraySort(arrayShuffle($arr, 's1')), ',')")
+      == "a,b,c,d,e") // a permutation, nothing lost
+    assertThrows[Exception](
+      spark.sql(s"SELECT arrayShuffle($arr)").collect())
+  }
+
+  test("sumMapFiltered: key filter before the key-sorted combine") {
+    Seq(
+      (1, Map("a" -> 1L, "b" -> 2L)),
+      (1, Map("a" -> 10L, "c" -> 5L)),
+      (2, Map("b" -> 7L))).toDF("g", "m").createOrReplaceTempView("b10_sm")
+    val r = spark.sql(
+      "SELECT g, sumMapFiltered(array('a', 'b'), m) AS s FROM b10_sm " +
+        "GROUP BY g ORDER BY g").collect()
+    assert(r(0).getMap[String, Long](1).toMap == Map("a" -> 11L, "b" -> 2L))
+    assert(r(1).getMap[String, Long](1).toMap == Map("b" -> 7L))
+  }
+
+  test("string similarity kernels: oracle-engine known answers") {
+    // unrestricted Damerau-Levenshtein: transposition with intervening
+    // edits costs 2, not OSA's 3
+    assert(one("damerauLevenshteinDistance('ca', 'abc')") == 2)
+    assert(one("damerauLevenshteinDistance('ab', 'ba')") == 1)
+    assert(one("damerauLevenshteinDistance('kitten', 'sitting')") == 3)
+    assert(one("damerauLevenshteinDistance('', 'abc')") == 3)
+    def d(sql: String): Double = one(sql).asInstanceOf[Double]
+    assert(math.abs(d("jaroSimilarity('martha', 'marhta')")
+      - 0.9444444444444445) < 1e-12)
+    assert(math.abs(d("jaroWinklerSimilarity('martha', 'marhta')")
+      - 0.9611111111111111) < 1e-12)
+    assert(math.abs(d("jaroWinklerSimilarity('dwayne', 'duane')")
+      - 0.84) < 1e-12)
+    // odd raw transposition count: FLOOR half (the oracle-engine pin)
+    assert(math.abs(d("jaroSimilarity('order ', 'der sma')")
+      - 0.6626984126984127) < 1e-12)
+    // below the 0.7 boost threshold the prefix bonus must NOT apply
+    assert(math.abs(d("jaroWinklerSimilarity('aXXXXX', 'aYYYYY')")
+      - d("jaroSimilarity('aXXXXX', 'aYYYYY')")) < 1e-12)
+    assert(d("jaroSimilarity('', 'abc')") == 0.0)
+    assert(math.abs(d("stringJaccardIndex('duck', 'luck')") - 0.6) < 1e-12)
+    assert(d("stringJaccardIndex('aab', 'ab')") == 1.0) // SET, not multiset
+    assert(d("stringJaccardIndex('', '')") == 1.0)
+    assert(d("stringJaccardIndex('a', '')") == 0.0)
+  }
+}
