@@ -1168,6 +1168,16 @@ object Corpus {
     val kPerSource = proportions.map { case (s, p) =>
       s -> math.floor(nTotal * p).toLong
     }
+    keepSmallestHashPerSource(docs, idCol, sourceCol, kPerSource, seed)
+  }
+
+  /** Shared selection tail of [[sourceMix]] / [[temperatureMix]]: each
+    * source keeps its k_s smallest-hash documents — deterministic,
+    * seed-stable, and a uniform sample within the source; ONE per-source
+    * window, never a global sort. */
+  private def keepSmallestHashPerSource(docs: DataFrame, idCol: String,
+      sourceCol: String, kPerSource: Map[String, Long],
+      seed: String): DataFrame = {
     val kExpr = kPerSource.foldLeft(lit(0L)) { case (acc, (s, k)) =>
       when(col(sourceCol) === s, lit(k)).otherwise(acc)
     }
@@ -1176,6 +1186,81 @@ object Corpus {
     docs.withColumn("__mix_rn", row_number().over(w))
       .withColumn("keep", col("__mix_rn") <= kExpr)
       .drop("__mix_rn")
+  }
+
+  /** Temperature-flattened source mixing — the multilingual/multi-source
+    * LLM sampling rule (e.g. mC4/XLM-R's p_s ∝ n_s^α): target
+    * proportions q_s = n_s^α / Σ_t n_t^α, so α = 1 reproduces the
+    * natural distribution and α → 0 approaches uniform, up-weighting
+    * tail sources. The output keeps EVERY row with a `keep` flag (the
+    * [[sourceMix]] audit contract): each source keeps its
+    * k_s = floor(N · q_s) smallest-hash documents where
+    * N = min_s floor(n_s / q_s) is the feasible total (the scarcest
+    * source after flattening binds).
+    *
+    * Cross-engine exactness: weights are INTEGER micro-units
+    * W_s = floor(n_s^α · 10^6) and every downstream quantity
+    * (T = Σ W_s, N = min_s ⌊n_s·T/W_s⌋, k_s = ⌊N·W_s/T⌋) is integer
+    * arithmetic over them (BigInt — n_s·T can pass 2^63). For α = 0.5
+    * the weight itself is bit-equal in ANY engine (IEEE sqrt and
+    * multiply are exact-rounded); other α go through libm pow, which is
+    * deterministic per-platform but not bit-pinned across engines — the
+    * driver oracle therefore exercises α = 0.5 (documented).
+    *
+    * Scale shape: one per-source count aggregate (|sources| rows,
+    * collected — a corpus has recipe-scale source cardinality, and the
+    * guard refuses past 100k rather than collecting unbounded), then the
+    * same single per-source hash window as [[sourceMix]]. */
+  def temperatureMix(docs: DataFrame, idCol: String, sourceCol: String,
+      alpha: Double, seed: String = "tmix"): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      s"temperatureMix: alpha must be in (0, 1], got $alpha")
+    val counts = {
+      val rows = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+        .limit(100001).collect()
+      require(rows.length <= 100000,
+        "temperatureMix: more than 100k distinct sources — not a " +
+          "recipe-scale source column")
+      rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    require(counts.nonEmpty, "temperatureMix: empty corpus")
+    // W_s = floor(n^α · 1e6); α = 0.5 via sqrt (IEEE exact-rounded)
+    val micro = counts.map { case (s, n) =>
+      val w = if (alpha == 0.5) math.sqrt(n.toDouble)
+              else math.pow(n.toDouble, alpha)
+      s -> BigInt(math.floor(w * 1e6).toLong)
+    }
+    require(micro.values.forall(_ > 0),
+      "temperatureMix: a source weight rounded to zero micro-units")
+    val t = micro.values.sum
+    val nTotal = counts.map { case (s, n) =>
+      (BigInt(n) * t / micro(s)).toLong
+    }.min
+    val kPerSource = micro.map { case (s, w) =>
+      s -> (BigInt(nTotal) * w / t).toLong
+    }
+    keepSmallestHashPerSource(docs, idCol, sourceCol, kPerSource, seed)
+  }
+
+  /** Duplicate-cluster representative selection: given cluster-labeled
+    * documents (e.g. [[connectedComponents]] output joined back, or any
+    * grouping key), keep the BEST row per cluster by a quality column —
+    * the "which copy survives dedup" step every production pipeline runs
+    * after clustering (keep the longest / highest-quality / canonical
+    * copy, not an arbitrary one). Ties break on smallest id, so the
+    * choice is total and partition-invariant.
+    *
+    * Scale shape: ONE window partitioned by cluster — no global sort, no
+    * self-join; clusters are small by construction (near-dup groups), so
+    * no skew salting is needed; a pathological mega-cluster would surface
+    * in the cluster-size distribution long before this step. */
+  def keepBestPerCluster(clustered: DataFrame, idCol: String,
+      clusterCol: String, qualityCol: String): DataFrame = {
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    clustered.withColumn("__kb_rn", row_number().over(w))
+      .withColumn("keep", col("__kb_rn") === 1)
+      .drop("__kb_rn")
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —

@@ -23,7 +23,14 @@ object CorpusQueries {
     * representative (min doc_id) and the keep/drop decision. The DuckDB
     * oracle recomputes components by recursive transitive closure — a
     * structurally different algorithm, same fixpoint. */
-  def dDupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dDupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterFrame(spark, dir)
+      .withColumn("keep", col("cluster_rep") === col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  /** Shared cluster labeling for [[dDupClusters]] / [[dDedupKeepBest]]:
+    * (doc_id, cluster_rep) with singletons labeled by themselves. */
+  private def clusterFrame(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val jp = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))
@@ -35,8 +42,34 @@ object CorpusQueries {
     d.select(col("doc_id"))
       .join(cc, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
-      .withColumn("keep", col("cluster_rep") === col("doc_id"))
+  }
+
+  /** Cluster-representative selection by QUALITY (not by min-id): the
+    * same near-dup clusters as [[dDupClusters]], but each cluster keeps
+    * its longest document (n_chars, ties on smallest doc_id) — the
+    * "which copy survives" step of a production dedup
+    * (Corpus.keepBestPerCluster). Oracle: the recursive-CTE closure plus
+    * an argmax window. */
+  def dDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("n_chars"))
+    val labeled = clusterFrame(spark, dir).join(d, Seq("doc_id"))
+    Corpus.keepBestPerCluster(labeled, "doc_id", "cluster_rep", "n_chars")
+      .select(col("doc_id"), col("cluster_rep"), col("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Temperature-flattened source mix at α = 0.5 (the IEEE-exact sqrt
+    * path — see Corpus.temperatureMix): per-source totals, the integer
+    * micro-unit keep budget, the kept count, and an order-free kept-id
+    * checksum, all recomputed exactly by the oracle. */
+  def cTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val mixed = Corpus.temperatureMix(docs(spark, dir), "doc_id", "source",
+      alpha = 0.5, seed = "tmix")
+    mixed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+      .orderBy(col("source"))
   }
 
   /** Deterministic stratified split report: per (lang, split) document and
@@ -523,6 +556,8 @@ object CorpusQueries {
     "q_retention" -> (qRetention _),
     "d_quality_filter" -> (dQualityFilter _),
     "d_dup_clusters" -> (dDupClusters _),
+    "d_dedup_keep_best" -> (dDedupKeepBest _),
+    "c_temperature_mix" -> (cTemperatureMix _),
     "d_split_assign" -> (dSplitAssign _),
     "d_tfidf" -> (dTfidf _),
     "d_bm25" -> (dBm25 _),
@@ -619,6 +654,42 @@ object CorpusQueries {
   private val normSql =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
       |      ' +', ' ', 'g'))""".stripMargin
+
+  /** The recursive-CTE transitive closure shared by the two clustering
+    * oracles — an algorithm INDEPENDENT of the engine's min-label
+    * propagation, same fixpoint. */
+  private def clusterClosureSql: String =
+    s"""WITH RECURSIVE words AS (
+       |  SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |    FROM words WHERE len(w) >= 3)
+       |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), jp AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN cnt ca ON ca.doc_id = doc_a
+       |  JOIN cnt cb ON cb.doc_id = doc_b
+       |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+       |), fp AS (SELECT doc_id, md5(text) AS f FROM documents
+       |), ep AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+       |), e0 AS (SELECT doc_a, doc_b FROM jp UNION SELECT doc_a, doc_b FROM ep
+       |), sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM e0
+       |  UNION SELECT doc_b, doc_a FROM e0
+       |), reach(id, lab) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.id = s.dst
+       |), comp AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     // seeded hash order, shard = first-8-hex mod 8, per-shard positions
@@ -1097,42 +1168,55 @@ object CorpusQueries {
         |  (SELECT count(*) FROM embeddings) AS n_assigned, true AS cells_ok
         |FROM range(3) ORDER BY iter""".stripMargin,
     "d_dup_clusters" ->
-      s"""WITH RECURSIVE words AS (
-         |  SELECT doc_id, regexp_split_to_array($normSql, ' ') AS w
-         |  FROM documents
-         |), sh AS (
-         |  SELECT DISTINCT doc_id, sh FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-         |    FROM words WHERE len(w) >= 3)
-         |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-         |), inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |), jp AS (
-         |  SELECT doc_a, doc_b FROM inter
-         |  JOIN cnt ca ON ca.doc_id = doc_a
-         |  JOIN cnt cb ON cb.doc_id = doc_b
-         |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
-         |), fp AS (SELECT doc_id, md5(text) AS f FROM documents
-         |), ep AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
-         |), e0 AS (SELECT doc_a, doc_b FROM jp UNION SELECT doc_a, doc_b FROM ep
-         |), sym AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM e0
-         |  UNION SELECT doc_b, doc_a FROM e0
-         |), reach(id, lab) AS (
-         |  SELECT src, src FROM sym
-         |  UNION
-         |  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.id = s.dst
-         |), comp AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id)
+      s"""$clusterClosureSql
          |SELECT d.doc_id,
          |  coalesce(c.rep, d.doc_id) AS cluster_rep,
          |  coalesce(c.rep, d.doc_id) = d.doc_id AS keep
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // same closure, argmax-by-quality representative (longest doc,
+    // ties on smallest id) instead of min-id
+    "d_dedup_keep_best" ->
+      s"""$clusterClosureSql,
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS cluster_rep,
+         |    d.n_chars
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |rk AS (
+         |  SELECT doc_id, cluster_rep,
+         |    row_number() OVER (PARTITION BY cluster_rep
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM lab)
+         |SELECT doc_id, cluster_rep, rn = 1 AS keep
+         |FROM rk ORDER BY doc_id""".stripMargin,
+    // temperature mix at α = 0.5: integer micro-unit weights from the
+    // IEEE-exact sqrt, HUGEINT budget arithmetic mirroring the driver's
+    // BigInt, the same md5 smallest-hash selection
+    "c_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS HUGEINT) AS wm
+        |  FROM c),
+        |t AS (SELECT sum(wm) AS t FROM w),
+        |nn AS (SELECT min(n * t // wm) AS ntot FROM w, t),
+        |k AS (
+        |  SELECT source, n, CAST(ntot * wm // t AS BIGINT) AS k
+        |  FROM w, t, nn),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('tmix:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS rn
+        |  FROM documents)
+        |SELECT k.source, k.n AS n,
+        |  CAST(sum(CASE WHEN r.rn <= k.k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept,
+        |  CAST(sum(CASE WHEN r.rn <= k.k THEN r.doc_id ELSE 0 END)
+        |    AS BIGINT) AS kept_id_sum
+        |FROM r JOIN k ON r.source = k.source
+        |GROUP BY k.source, k.n ORDER BY k.source""".stripMargin,
     "d_split_assign" ->
       """WITH s AS (SELECT lang,
         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'

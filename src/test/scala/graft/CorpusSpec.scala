@@ -176,6 +176,50 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureMix: α=1 keeps everything, α=0.5 up-weights the tail, " +
+      "integer budget formula, partition-invariant") {
+    // a = 4 docs, b = 16 docs — natural mix 20%/80%
+    val docs = ((1L to 4L).map(i => (i, "a")) ++
+      (11L to 26L).map(i => (i, "b"))).toDF("id", "src")
+    // α = 1: W = n·1e6, T = 20e6, N = min(4·20/4, 16·20/16) = 20,
+    // k_a = 4, k_b = 16 — the natural distribution survives whole
+    val nat = Corpus.temperatureMix(docs, "id", "src", alpha = 1.0)
+    assert(nat.where(col("keep")).count() == 20)
+    // α = 0.5: W_a = 2e6, W_b = 4e6, T = 6e6;
+    // N = min(4·6/2, 16·6/4) = min(12, 24) = 12; k_a = 4, k_b = 8 —
+    // the tail source's SHARE rose from 20% to 1/3
+    val half = Corpus.temperatureMix(docs, "id", "src", alpha = 0.5)
+    val kept = half.where(col("keep")).groupBy(col("src")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("a" -> 4L, "b" -> 8L))
+    // which 8 of b survive is hash-deterministic and partition-invariant
+    val k1 = half.where(col("keep") && col("src") === "b")
+      .collect().map(_.getLong(0)).toSet
+    val k2 = Corpus.temperatureMix(docs.repartition(7), "id", "src", 0.5)
+      .where(col("keep") && col("src") === "b")
+      .collect().map(_.getLong(0)).toSet
+    assert(k1 == k2 && k1.size == 8)
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureMix(docs, "id", "src", alpha = 0.0)
+    }
+  }
+
+  test("keepBestPerCluster: argmax quality per cluster, ties on min id, " +
+      "singletons survive") {
+    val rows = Seq(
+      (1L, 10L, 50L), (2L, 10L, 90L), (3L, 10L, 90L), // cluster 10: 2 wins
+      (4L, 40L, 7L),                                  // singleton
+      (5L, 50L, 1L), (6L, 50L, 2L))                   // cluster 50: 6 wins
+      .toDF("id", "cluster", "q")
+    val out = Corpus.keepBestPerCluster(rows, "id", "cluster", "q")
+      .where(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 4L, 6L))
+    // partition-invariant
+    val out2 = Corpus.keepBestPerCluster(rows.repartition(5), "id",
+      "cluster", "q").where(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(out2 == out)
+  }
+
   test("weightedSample: partition-invariant, zero weights out, heavy " +
       "weights favored, k respected") {
     val rows = (1L to 200L).map(i =>
