@@ -1,0 +1,303 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** ClickHouse-dialect batch 11 — the statistical-test tail (ref: the CH
+  * SQL surface reachable through
+  * packages/ts-moose-lib/src/sqlHelpers.ts:106-255 passthrough — the
+  * same contract note as batches 2-10):
+  *
+  *  - `analysisOfVariance(x, group)` — one-way ANOVA, returning the
+  *    named sufficient statistics `(f, df1, df2)` (the DIVERGENCES #39
+  *    stance: CH appends a p-value from its own incomplete-beta — a
+  *    libm tail that is not cross-engine hashable; F and the dfs are
+  *    deterministic and p is one `pf(f, df1, df2)` call away). Built
+  *    from THREE [[MapCombineAgg]] count/sum/sum-of-squares maps keyed
+  *    by the group's string form — state O(distinct groups), the CH
+  *    memory contract — with the between/within folds running ONCE over
+  *    the key-SORTED final maps (a fixed summation order the oracle can
+  *    replay with an ordered list_reduce);
+  *  - `meanZTest(varX, varY)(x, idx)` — two-sample z-test with KNOWN
+  *    variances (CH's signature, params first): returns `(z, n0, n1)`
+  *    — the same #39 stance (CH adds p and a confidence interval, both
+  *    recomputable from z);
+  *  - `categoricalInformationValue(cat, label)` — weight-of-evidence
+  *    information value Σ_cat (g/G − b/B)·ln(gB/(bG)) over binary
+  *    labels; categories with a zero cell contribute 0 (CH's unsmoothed
+  *    form is ±inf there — the #46 degenerate-input stance), and the
+  *    fold runs in sorted-category order;
+  *  - `groupArrayIntersect(arr)` — intersection of all the group's
+  *    arrays, as a dedicated [[ArrayIntersectAgg]] whose state only
+  *    ever SHRINKS (the running intersection — never O(rows)); result
+  *    key-sorted (the #31 stance; CH's result order is
+  *    storage-defined).
+  *
+  * Degenerate inputs: ANOVA with < 2 groups or zero within-variance
+  * returns 0.0 F (hashable, the #46 stance); z with an empty side is
+  * NULL.
+  */
+object ChDialectBatch11 {
+  import ChExprDsl._
+
+  private def dbl(e: Expression) = Cast(e, DoubleType)
+
+  /** Count/sum/sumsq maps keyed by the group expression's string form;
+    * rows with NULL x or NULL group are skipped (pairwise deletion). */
+  private def momentMaps(x0: Expression, g0: Expression): Expression = {
+    val x = dbl(x0)
+    val g = Cast(g0, StringType)
+    def m(v: Expression): Expression = {
+      val entry = CreateMap(Seq(g, v))
+      MapCombineAgg(If(Or(IsNull(x), IsNull(g)),
+        Literal(null, entry.dataType), entry), "sum").toAggregateExpression()
+    }
+    ns("mn" -> m(Literal(1.0d)), "ms" -> m(x), "mq" -> m(Multiply(x, x)))
+  }
+
+  /** Sequential fold of `term(k)` over the map's (sorted) keys — a fixed
+    * summation order both engines can replay. */
+  private def foldKeys(m: Expression, prefix: String)(
+      term: Expression => Expression): Expression =
+    ArrayAggregate(MapKeys(m), Literal(0.0d),
+      lambda2(prefix)((acc, k) => Add(acc, term(k))),
+      lambda1(prefix + "f")(identity))
+
+  def register(spark: SparkSession): Unit = {
+    if (isRegistered(spark)) return // idempotent: silence re-register WARNs
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
+      require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+          .builtin.functionExists(FunctionIdentifier(name.toLowerCase)),
+        s"refusing to shadow Spark builtin function '$name'")
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+
+    // analysisOfVariance(x, g) -> (f, df1, df2):
+    //   SSB = Σ_k s_k²/n_k − S²/N, SSW = Σ_k (q_k − s_k²/n_k),
+    //   F = (SSB/(k−1)) / (SSW/(N−k))
+    f("analysisOfVariance") { a =>
+      bind(momentMaps(a.head, a(1)), "av") { mm =>
+        val mn = fld(mm, "mn"); val ms = fld(mm, "ms"); val mq = fld(mm, "mq")
+        val k = Cast(Size(mn), DoubleType)
+        val nTot = foldKeys(mn, "avn")(key => ElementAt(mn, key))
+        val sTot = foldKeys(ms, "avs")(key => ElementAt(ms, key))
+        val ssbRaw = foldKeys(ms, "avb") { key =>
+          val s = ElementAt(ms, key)
+          Divide(Multiply(s, s), ElementAt(mn, key))
+        }
+        val ssb = Subtract(ssbRaw, Divide(Multiply(sTot, sTot), nTot))
+        val ssw = foldKeys(mq, "avw") { key =>
+          val s = ElementAt(ms, key)
+          Subtract(ElementAt(mq, key),
+            Divide(Multiply(s, s), ElementAt(mn, key)))
+        }
+        val df1 = Subtract(k, Literal(1.0d))
+        val df2 = Subtract(nTot, k)
+        val fStat = If(
+          Or(Or(LessThan(df1, Literal(1.0d)), LessThan(df2, Literal(1.0d))),
+            LessThanOrEqual(ssw, Literal(0.0d))),
+          Literal(0.0d),
+          Divide(Divide(ssb, df1), Divide(ssw, df2)))
+        ns("f" -> fStat, "df1" -> Cast(df1, LongType),
+           "df2" -> Cast(df2, LongType))
+      }
+    }
+
+    // meanZTest(varX, varY)(x, idx) -> (z, n0, n1); idx = 0 / 1 picks
+    // the sample (CH's sample_index contract)
+    f("meanZTest") { a =>
+      val Seq(varX, varY) = a.take(2).map(dbl)
+      val x = dbl(a(2)); val idx = Cast(a(3), IntegerType)
+      def side(i: Int): (Expression, Expression) = {
+        val in = If(Or(IsNull(x), Not(EqualTo(idx, Literal(i)))),
+          Literal(null, DoubleType), x)
+        val n = Cast(Count(in).toAggregateExpression(), DoubleType)
+        val s = Coalesce(Seq(Sum(in).toAggregateExpression(), Literal(0.0d)))
+        (n, s)
+      }
+      val (n0, s0) = side(0); val (n1, s1) = side(1)
+      val z = Divide(
+        Subtract(Divide(s0, n0), Divide(s1, n1)),
+        Sqrt(Add(Divide(varX, n0), Divide(varY, n1))))
+      ns("z" -> If(Or(EqualTo(n0, Literal(0.0d)), EqualTo(n1, Literal(0.0d))),
+          Literal(null, DoubleType), z),
+        "n0" -> Cast(n0, LongType), "n1" -> Cast(n1, LongType))
+    }
+
+    // categoricalInformationValue(cat, label) — label is 0/1 (binary);
+    // IV = Σ_cat (g/G − b/B)·ln(gB/(bG)), zero cells contribute 0
+    f("categoricalInformationValue") { a =>
+      val cat = Cast(a.head, StringType)
+      val lbl = Cast(a(1), LongType)
+      def cmap(cond: Expression): Expression = {
+        val entry = CreateMap(Seq(cat, Literal(1.0d)))
+        MapCombineAgg(If(Or(Or(IsNull(cat), IsNull(lbl)), Not(cond)),
+          Literal(null, entry.dataType), entry), "sum").toAggregateExpression()
+      }
+      val maps = ns(
+        "mg" -> cmap(Not(EqualTo(lbl, Literal(0L)))),
+        "mb" -> cmap(EqualTo(lbl, Literal(0L))))
+      bind(maps, "iv") { mm =>
+        val mg = fld(mm, "mg"); val mb = fld(mm, "mb")
+        val gTot = foldKeys(mg, "ivg")(key => ElementAt(mg, key))
+        val bTot = foldKeys(mb, "ivb")(key => ElementAt(mb, key))
+        // fold over the UNION of category keys in sorted order
+        val allKeys = new SortArray(ArrayUnion(MapKeys(mg), MapKeys(mb)))
+        ArrayAggregate(allKeys, Literal(0.0d),
+          lambda2("ivk")((acc, key) => {
+            val g = Coalesce(Seq(ElementAt(mg, key), Literal(0.0d)))
+            val b = Coalesce(Seq(ElementAt(mb, key), Literal(0.0d)))
+            val term = Multiply(
+              Subtract(Divide(g, gTot), Divide(b, bTot)),
+              Log(Divide(Multiply(g, bTot), Multiply(b, gTot))))
+            Add(acc, If(Or(EqualTo(g, Literal(0.0d)),
+              EqualTo(b, Literal(0.0d))), Literal(0.0d), term))
+          }),
+          lambda1("ivf")(identity))
+      }
+    }
+
+    // groupArrayIntersect: running intersection, key-sorted result
+    f("groupArrayIntersect")(a => ArrayIntersectAgg(a.head)
+      .toAggregateExpression())
+  }
+
+  def isRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("analysisOfVariance"))
+}
+
+/** CH `groupArrayIntersect(arr)`: the intersection of ALL of the
+  * group's arrays. State is the RUNNING intersection — it only ever
+  * shrinks, so memory is bounded by the group's smallest array, never
+  * its row count (the MapCombineAgg memory-contract family). NULL
+  * array rows are skipped; NULL elements inside arrays are ignored
+  * (aggregate NULL semantics); string or integral elements (integrals
+  * widen to Long — the #6 stance); result SORTED (the #31 stance —
+  * CH's order is storage-defined). A group of only-NULL arrays (or an
+  * empty group) yields an empty array. */
+case class ArrayIntersectAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayIntersectAgg.Buf] {
+
+  private lazy val elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et match {
+      case StringType => StringType
+      case ByteType | ShortType | IntegerType | LongType => LongType
+      case other => throw new IllegalArgumentException(
+        s"groupArrayIntersect elements must be string or integral, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"groupArrayIntersect requires an array column, got $other")
+  }
+  private def asString: Boolean = elemType == StringType
+
+  private def elems(arr: ArrayData): mutable.HashSet[Any] = {
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val s = mutable.HashSet.empty[Any]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val v = arr.get(i, et)
+        s.add(v match {
+          case u: UTF8String => u.toString
+          case b: Byte => b.toLong; case sh: Short => sh.toLong
+          case n: Int => n.toLong; case l: Long => l
+        })
+      }
+      i += 1
+    }
+    s
+  }
+
+  override def createAggregationBuffer(): ArrayIntersectAgg.Buf =
+    new ArrayIntersectAgg.Buf(seen = false, mutable.HashSet.empty[Any])
+
+  override def update(buf: ArrayIntersectAgg.Buf,
+      input: InternalRow): ArrayIntersectAgg.Buf = {
+    child.eval(input) match {
+      case null => buf
+      case arr: ArrayData =>
+        val s = elems(arr)
+        if (!buf.seen) { buf.seen = true; buf.set ++= s }
+        else buf.set.filterInPlace(s.contains)
+        buf
+    }
+  }
+
+  override def merge(a: ArrayIntersectAgg.Buf,
+      b: ArrayIntersectAgg.Buf): ArrayIntersectAgg.Buf = {
+    if (!a.seen) { a.seen = b.seen; a.set ++= b.set }
+    else if (b.seen) a.set.filterInPlace(b.set.contains)
+    a
+  }
+
+  override def eval(buf: ArrayIntersectAgg.Buf): Any = {
+    val sorted =
+      if (asString) buf.set.toArray.map(_.asInstanceOf[String]).sorted
+        .map(s => UTF8String.fromString(s): Any)
+      else buf.set.toArray.map(_.asInstanceOf[Long]).sorted.map(l => l: Any)
+    new GenericArrayData(sorted)
+  }
+
+  override def serialize(buf: ArrayIntersectAgg.Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBoolean(buf.seen)
+    out.writeBoolean(asString)
+    out.writeInt(buf.set.size)
+    buf.set.foreach { v =>
+      if (asString) {
+        val b = v.asInstanceOf[String].getBytes("UTF-8")
+        out.writeInt(b.length); out.write(b)
+      } else out.writeLong(v.asInstanceOf[Long])
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayIntersectAgg.Buf = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val seen = in.readBoolean()
+    val isStr = in.readBoolean()
+    val n = in.readInt()
+    val set = mutable.HashSet.empty[Any]
+    var i = 0
+    while (i < n) {
+      if (isStr) {
+        val len = in.readInt(); val b = new Array[Byte](len)
+        in.readFully(b); set.add(new String(b, "UTF-8"))
+      } else set.add(in.readLong())
+      i += 1
+    }
+    new ArrayIntersectAgg.Buf(seen, set)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ArrayIntersectAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ArrayIntersectAgg =
+    copy(inputAggBufferOffset = o)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(elemType, containsNull = false)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): ArrayIntersectAgg = copy(child = c.head)
+}
+
+object ArrayIntersectAgg {
+  /** seen=false means "no non-NULL array yet" (distinct from an empty
+    * intersection). */
+  final class Buf(var seen: Boolean, val set: mutable.HashSet[Any])
+}

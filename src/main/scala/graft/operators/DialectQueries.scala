@@ -285,6 +285,36 @@ object DialectQueries {
         |) GROUP BY cohort ORDER BY cohort""".stripMargin)
   }
 
+  /** Batch-11 statistical-test tail (functions/ChDialectBatch11):
+    * one-way ANOVA over integer-cent values (exact group moments, the
+    * F folds replayed by the oracle with ordered list_reduce), the
+    * known-variance z-test, weight-of-evidence information value, and
+    * the shrinking-state groupArrayIntersect. Bounded subset
+    * (user_id < 100) keeps every squared sum inside 2^53 so the doubles
+    * are order-free integers in both engines. */
+  def qAggFunctions7(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch11.register(spark)
+    sqlOn(spark, dir, "events", "evts_agg11",
+      """SELECT cohort,
+        |  round(analysisOfVariance(cents, event_type).f, 6) + 0.0 AS af,
+        |  analysisOfVariance(cents, event_type).df1 AS df1,
+        |  analysisOfVariance(cents, event_type).df2 AS df2,
+        |  round(meanZTest(2500.0, 2500.0, cents, user_id % 2).z, 6) + 0.0
+        |    AS z,
+        |  meanZTest(2500.0, 2500.0, cents, user_id % 2).n0 AS zn0,
+        |  meanZTest(2500.0, 2500.0, cents, user_id % 2).n1 AS zn1,
+        |  round(categoricalInformationValue(event_type, cents % 2), 6)
+        |    + 0.0 AS iv,
+        |  arrayStringConcat(groupArrayIntersect(
+        |    array('c', concat('u', toString(user_id % 2)), event_type)),
+        |    ',') AS gai
+        |FROM (
+        |  SELECT user_id % 5 AS cohort, event_type, user_id,
+        |    cast(round(value * 100) as bigint) AS cents
+        |  FROM evts_agg11 WHERE user_id < 100
+        |) GROUP BY cohort ORDER BY cohort""".stripMargin)
+  }
+
   /** CH `histogram(nbins)(x)` (batch 7): adaptive bins are engine-
     * specific in BOTH engines (CH's streaming histogram vs Spark's
     * Ben-Haim/Tom-Tov), so the contract oracle pins the INVARIANTS —
@@ -869,6 +899,7 @@ object DialectQueries {
     "q_lttb" -> (qLttb _),
     "q_ch_functions6" -> (qChFunctions6 _),
     "q_ch_functions7" -> (qChFunctions7 _),
+    "q_agg_functions7" -> (qAggFunctions7 _),
     "q_url_functions2" -> (qUrlFunctions2 _),
     "q_ip_functions" -> (qIpFunctions _),
     "q_string_similarity" -> (qStringSimilarity _),
@@ -1152,6 +1183,98 @@ object DialectQueries {
         |  JOIN pm USING (cohort)
         |ORDER BY p1.cohort""".stripMargin,
     // batch-8 scalars: 4-gram set math + the scalar date tail
+    // batch 11 — ANOVA/IV folds replayed with ORDERED list_reduce (the
+    // engine folds its key-sorted maps sequentially; an unordered sum()
+    // over inexact double terms would differ in the last ulp), moments
+    // from exact integer-cent sums, z-test as plain arithmetic, the
+    // intersection as "present in every row of the cohort"
+    "q_agg_functions7" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id % 5 AS cohort, event_type, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 100),
+        |g AS (
+        |  SELECT cohort, event_type,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(cents) AS DOUBLE) AS s,
+        |    CAST(sum(cents * cents) AS DOUBLE) AS q
+        |  FROM base GROUP BY 1, 2),
+        |an AS (
+        |  SELECT cohort,
+        |    CAST(count(*) AS DOUBLE) AS k,
+        |    list_reduce(list_prepend(0.0, list(n ORDER BY event_type)),
+        |      (x, y) -> x + y) AS ntot,
+        |    list_reduce(list_prepend(0.0, list(s ORDER BY event_type)),
+        |      (x, y) -> x + y) AS stot,
+        |    list_reduce(list_prepend(0.0,
+        |      list(s * s / n ORDER BY event_type)),
+        |      (x, y) -> x + y) AS ssbraw,
+        |    list_reduce(list_prepend(0.0,
+        |      list(q - s * s / n ORDER BY event_type)),
+        |      (x, y) -> x + y) AS ssw
+        |  FROM g GROUP BY cohort),
+        |zt AS (
+        |  SELECT cohort,
+        |    CAST(count(*) FILTER (user_id % 2 = 0) AS DOUBLE) AS n0,
+        |    CAST(count(*) FILTER (user_id % 2 = 1) AS DOUBLE) AS n1,
+        |    CAST(coalesce(sum(cents) FILTER (user_id % 2 = 0), 0)
+        |      AS DOUBLE) AS s0,
+        |    CAST(coalesce(sum(cents) FILTER (user_id % 2 = 1), 0)
+        |      AS DOUBLE) AS s1
+        |  FROM base GROUP BY cohort),
+        |ivg AS (
+        |  SELECT cohort, event_type,
+        |    CAST(count(*) FILTER (cents % 2 <> 0) AS DOUBLE) AS gd,
+        |    CAST(count(*) FILTER (cents % 2 = 0) AS DOUBLE) AS bd
+        |  FROM base GROUP BY 1, 2),
+        |ivt AS (
+        |  SELECT cohort,
+        |    list_reduce(list_prepend(0.0, list(gd ORDER BY event_type)),
+        |      (x, y) -> x + y) AS gtot,
+        |    list_reduce(list_prepend(0.0, list(bd ORDER BY event_type)),
+        |      (x, y) -> x + y) AS btot
+        |  FROM ivg GROUP BY cohort),
+        |iv AS (
+        |  SELECT ivg.cohort,
+        |    list_reduce(list_prepend(0.0, list(
+        |      CASE WHEN gd = 0 OR bd = 0 THEN 0.0
+        |        ELSE (gd / gtot - bd / btot)
+        |          * ln(gd * btot / (bd * gtot)) END
+        |      ORDER BY event_type)), (x, y) -> x + y) AS iv
+        |  FROM ivg JOIN ivt ON ivg.cohort = ivt.cohort
+        |  GROUP BY ivg.cohort),
+        |el AS (
+        |  SELECT cohort, event_id, unnest(['c', 'u' ||
+        |    CAST(user_id % 2 AS VARCHAR), event_type]) AS e
+        |  FROM base),
+        |rows_per AS (SELECT cohort, count(*) AS nr FROM base GROUP BY 1),
+        |gai2 AS (
+        |  SELECT x.cohort,
+        |    array_to_string(list_sort(list(e)), ',') AS gai
+        |  FROM (
+        |    SELECT el.cohort, e
+        |    FROM el JOIN rows_per r ON el.cohort = r.cohort
+        |    GROUP BY el.cohort, e, r.nr
+        |    HAVING count(DISTINCT el.event_id) = r.nr) x
+        |  GROUP BY x.cohort)
+        |SELECT an.cohort,
+        |  round(CASE WHEN k < 2 OR ntot - k < 1
+        |      OR ssw <= 0 THEN 0.0
+        |    ELSE ((ssbraw - stot * stot / ntot) / (k - 1))
+        |      / (ssw / (ntot - k)) END, 6) + 0.0 AS af,
+        |  CAST(k - 1 AS BIGINT) AS df1,
+        |  CAST(ntot - k AS BIGINT) AS df2,
+        |  round((s0 / n0 - s1 / n1)
+        |    / sqrt(2500.0 / n0 + 2500.0 / n1), 6) + 0.0 AS z,
+        |  CAST(n0 AS BIGINT) AS zn0,
+        |  CAST(n1 AS BIGINT) AS zn1,
+        |  round(iv.iv, 6) + 0.0 AS iv,
+        |  gai2.gai AS gai
+        |FROM an
+        |JOIN zt ON zt.cohort = an.cohort
+        |JOIN iv ON iv.cohort = an.cohort
+        |JOIN gai2 ON gai2.cohort = an.cohort
+        |ORDER BY an.cohort""".stripMargin,
     // batch 10 — morton via the per-bit sum form (an implementation
     // INDEPENDENT of the engine's mask ladder), calendar diffs from the
     // documented epochs, the rounding ladders as filtered-list maxima,

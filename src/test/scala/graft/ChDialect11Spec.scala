@@ -1,0 +1,107 @@
+package graft
+
+import graft.functions.ChDialectBatch11
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch-11 statistical-test tail: ANOVA, known-variance z-test,
+  * information value, groupArrayIntersect — hand-computed pins. */
+class ChDialect11Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    graft.functions.ClickHouseFunctions.register(s)
+    ChDialectBatch11.register(s)
+    s
+  }
+  import spark.implicits._
+
+  private def one(sql: String): Any = spark.sql(sql).head().get(0)
+
+  test("analysisOfVariance: textbook two-group F, degenerate cases, " +
+      "partition-invariant") {
+    // groups (1,2,3) and (4,5,6): SSB = 13.5, SSW = 4, df = (1, 4)
+    // => F = (13.5/1)/(4/4) = 13.5
+    Seq((1.0, "a"), (2.0, "a"), (3.0, "a"), (4.0, "b"), (5.0, "b"),
+      (6.0, "b")).toDF("x", "g").createOrReplaceTempView("b11_a")
+    val r = spark.sql("SELECT analysisOfVariance(x, g).f, " +
+      "analysisOfVariance(x, g).df1, analysisOfVariance(x, g).df2 " +
+      "FROM b11_a").head()
+    assert(math.abs(r.getDouble(0) - 13.5) < 1e-12)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 4L)
+    // single group -> df1 = 0 -> 0.0 (the #46 stance, never NaN)
+    Seq((1.0, "a"), (2.0, "a")).toDF("x", "g")
+      .createOrReplaceTempView("b11_a1")
+    assert(one("SELECT analysisOfVariance(x, g).f FROM b11_a1") == 0.0)
+    // zero within-variance -> 0.0, not Inf
+    Seq((1.0, "a"), (1.0, "a"), (2.0, "b"), (2.0, "b")).toDF("x", "g")
+      .createOrReplaceTempView("b11_a2")
+    assert(one("SELECT analysisOfVariance(x, g).f FROM b11_a2") == 0.0)
+    // NULL x rows are skipped, not poisoning
+    Seq((Some(1.0), "a"), (Some(2.0), "a"), (Some(3.0), "a"), (None, "a"),
+      (Some(4.0), "b"), (Some(5.0), "b"), (Some(6.0), "b"))
+      .toDF("x", "g").createOrReplaceTempView("b11_a3")
+    assert(math.abs(one("SELECT analysisOfVariance(x, g).f FROM b11_a3")
+      .asInstanceOf[Double] - 13.5) < 1e-12)
+    // partition-invariant (key-sorted maps, post-agg folds)
+    spark.table("b11_a").repartition(4).createOrReplaceTempView("b11_a4")
+    assert(math.abs(one("SELECT analysisOfVariance(x, g).f FROM b11_a4")
+      .asInstanceOf[Double] - 13.5) < 1e-12)
+  }
+
+  test("meanZTest: hand-computed z, counts, empty-side NULL") {
+    // sample0 = (1,2,3) mean 2, sample1 = (4,6) mean 5,
+    // varX = 1, varY = 4: z = -3 / sqrt(1/3 + 4/2)
+    Seq((1.0, 0), (2.0, 0), (3.0, 0), (4.0, 1), (6.0, 1)).toDF("x", "i")
+      .createOrReplaceTempView("b11_z")
+    val r = spark.sql("SELECT meanZTest(1.0, 4.0, x, i).z, " +
+      "meanZTest(1.0, 4.0, x, i).n0, meanZTest(1.0, 4.0, x, i).n1 " +
+      "FROM b11_z").head()
+    assert(math.abs(r.getDouble(0) - (-3.0 / math.sqrt(1.0 / 3 + 2.0)))
+      < 1e-12)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
+    Seq((1.0, 0), (2.0, 0)).toDF("x", "i").createOrReplaceTempView("b11_z1")
+    assert(spark.sql("SELECT meanZTest(1.0, 1.0, x, i).z FROM b11_z1")
+      .head().isNullAt(0))
+  }
+
+  test("categoricalInformationValue: WOE pin, zero cells contribute 0") {
+    // cat a: g=2 b=1; cat b: g=1 b=2; G=B=3:
+    // IV = (1/3)ln2 + (-1/3)ln(1/2) = (2/3)ln2
+    Seq(("a", 1), ("a", 1), ("a", 0), ("b", 1), ("b", 0), ("b", 0))
+      .toDF("c", "l").createOrReplaceTempView("b11_iv")
+    assert(math.abs(one("SELECT categoricalInformationValue(c, l) " +
+      "FROM b11_iv").asInstanceOf[Double] - 2.0 / 3 * math.log(2)) < 1e-12)
+    // a zero cell (cat 'z' all-good) contributes 0, not ±inf
+    Seq(("a", 1), ("a", 0), ("z", 1), ("z", 1)).toDF("c", "l")
+      .createOrReplaceTempView("b11_iv2")
+    // only 'a' contributes: g=1 b=1, G=3 B=1:
+    // (1/3 - 1)·ln((1·1)/(1·3)) = (-2/3)·ln(1/3) = (2/3)ln3
+    assert(math.abs(one("SELECT categoricalInformationValue(c, l) " +
+      "FROM b11_iv2").asInstanceOf[Double] - 2.0 / 3 * math.log(3)) < 1e-12)
+  }
+
+  test("groupArrayIntersect: shrinking intersection, NULL-array skip, " +
+      "longs widen, partition-invariant") {
+    Seq((1, Seq("a", "b", "c")), (1, Seq("b", "c", "d")), (1, Seq("c", "b")),
+        (2, Seq("x", "y")))
+      .toDF("g", "arr").createOrReplaceTempView("b11_gi")
+    val r = spark.sql("SELECT g, groupArrayIntersect(arr) AS s " +
+      "FROM b11_gi GROUP BY g ORDER BY g").collect()
+    assert(r(0).getSeq[String](1) == Seq("b", "c"))
+    assert(r(1).getSeq[String](1) == Seq("x", "y"))
+    // NULL array rows are skipped (not treated as empty)
+    Seq((1, Some(Seq("a", "b"))), (1, None), (1, Some(Seq("b"))))
+      .toDF("g", "arr").createOrReplaceTempView("b11_gi2")
+    assert(spark.sql("SELECT groupArrayIntersect(arr) FROM b11_gi2")
+      .head().getSeq[String](0) == Seq("b"))
+    // integral elements widen to long, sorted numerically
+    Seq((1, Seq(3, 1, 2)), (1, Seq(2, 3, 9))).toDF("g", "arr")
+      .createOrReplaceTempView("b11_gi3")
+    assert(spark.sql("SELECT groupArrayIntersect(arr) FROM b11_gi3")
+      .head().getSeq[Long](0) == Seq(2L, 3L))
+    // partition-invariant (intersection is commutative/associative)
+    assert(spark.sql("SELECT groupArrayIntersect(arr) FROM " +
+      "(SELECT * FROM b11_gi WHERE g = 1 DISTRIBUTE BY rand())")
+      .head().getSeq[String](0) == Seq("b", "c"))
+  }
+}
