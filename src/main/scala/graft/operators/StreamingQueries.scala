@@ -405,7 +405,48 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming heavy hitters (StreamTopK): per-day top-3 event types via
+    * sharded SpaceSaving summaries, replayed file-by-file. The driver
+    * regime is EXACT (capacity 64 ≥ the distinct event types per shard,
+    * so no eviction: err = 0 and counts equal a batch GROUP BY — what
+    * the oracle recomputes); the eviction path is spec-pinned. Counts
+    * grow monotonically, so max(cnt) per (window, key) over the
+    * Update-mode emissions is the final summary. */
+  def qStreamTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.StreamTopK
+    val events = Tables.load(spark, dir, "events")
+    val src = Files.createTempDirectory("stopk_src").toString
+    events.select(col("event_type"), col("ts"))
+      .repartition(4).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .select(col("event_type").as("key"), unix_micros(col("ts")).as("us"))
+      .as[StreamTopK.KeyEvent]
+    val entries = StreamTopK.heavyHitters(stream, capacity = 64,
+      windowSecs = 86400L, shards = 4)
+    val sink = s"stopk_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = entries.writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val summary = spark.table(sink)
+      .groupBy(col("window_start"), col("key"))
+      .agg(max(col("cnt")).as("cnt"), max(col("err")).as("err"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("cnt").desc, col("key"))
+    summary
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select((col("window_start") / 1000000L).cast("long").as("ws"),
+        col("key"), col("cnt"), col("err"), col("rk"))
+      .orderBy(col("ws"), col("rk"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_stream_topk" -> (qStreamTopK _),
     "q_stream_neardup" -> (qStreamNearDup _),
     "q_stream_funnel" -> (qStreamFunnel _),
     "q_stream_join" -> (qStreamJoin _),
@@ -422,6 +463,21 @@ object StreamingQueries {
     "q_stream_neardup" ->
       """SELECT doc_id, TRUE AS agree, TRUE AS some_flagged
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact regime: the stream's SpaceSaving summaries equal a batch
+    // GROUP BY (no eviction at capacity 64), err = 0; same day windows
+    // from µs floor-division, same (cnt desc, key) top-3
+    "q_stream_topk" ->
+      """WITH c AS (
+        |  SELECT (epoch_us(ts) // 86400000000) * 86400 AS ws, event_type,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT ws, event_type AS key, cnt,
+        |    row_number() OVER (PARTITION BY ws
+        |      ORDER BY cnt DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT ws, key, cnt, 0::BIGINT AS err, rk
+        |FROM r WHERE rk <= 3 ORDER BY ws, rk""".stripMargin,
     // each event's two epoch-aligned sliding windows, assigned
     // arithmetically: floor(t/300)*300 and that minus 300 (explicit
     // floor() — DuckDB's // on DOUBLE does not floor, and the BIGINT

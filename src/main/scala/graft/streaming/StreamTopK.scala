@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming heavy hitters — per-window top-k frequency tracking with
+  * BOUNDED state (the streaming analogue of the batch `topK` aggregate;
+  * ref: the CH `topK` surface, functions/TopK.scala, carried to
+  * Structured Streaming).
+  *
+  * Algorithm: SpaceSaving (Metwally, Agrawal, El Abbadi 2005) — `capacity`
+  * counters per group; a new key arriving into a full summary evicts the
+  * minimum-count entry and inherits its count (+1) with that count
+  * recorded as the entry's ERROR BOUND, so for every tracked key
+  * `true ≤ est ≤ true + err` and any key with true count above the
+  * evicted minimum is guaranteed tracked.
+  *
+  * Scale design: state is keyed by (window, shard) where shard =
+  * hash(key) % shards — keys are DISJOINT across shards, so each shard's
+  * summary sees its keys' complete streams (per-key counts remain exact
+  * in the no-eviction regime and the SpaceSaving bound holds per shard),
+  * while a hot window's traffic fans out over `shards` state tasks
+  * instead of serializing through one. The global top-k is a tiny
+  * read-side aggregation over ≤ shards·capacity counters per window —
+  * the summaries, not the events, cross the network. At 100 TB, raise
+  * `shards` to the executor count; state stays shards·capacity entries
+  * per window regardless of row count.
+  *
+  * Determinism: counts only ever GROW (SpaceSaving never decrements), so
+  * `max(cnt)` per (window, key) over Update-mode emissions is the final
+  * summary. Eviction depends on arrival order (inherent to every
+  * counter-based summary — the same caveat CH's topK documents); with
+  * `capacity ≥` the shard's distinct keys the summary is EXACT (err = 0,
+  * order-free) — the regime the driver oracle pins; the eviction path is
+  * spec-pinned on a single-partition ordered stream. Eviction tie-break:
+  * smallest count, then LARGEST key, so the choice is total.
+  */
+object StreamTopK {
+
+  final case class KeyEvent(key: String, us: Long)
+  final case class TopEntry(window_start: Long, key: String, cnt: Long,
+      err: Long)
+  final case class SummaryState(counters: Map[String, (Long, Long)])
+
+  /** Per-(window, shard) SpaceSaving summaries over a stream of
+    * (key, µs) events; emits the shard's full summary on every batch
+    * that touches it. */
+  def heavyHitters(events: Dataset[KeyEvent], capacity: Int,
+      windowSecs: Long, shards: Int): Dataset[TopEntry] = {
+    require(capacity >= 1, s"StreamTopK: capacity must be >= 1")
+    require(windowSecs > 0, "StreamTopK: window must be positive")
+    require(shards >= 1, "StreamTopK: shards must be >= 1")
+    val windowUs = windowSecs * 1000000L
+    implicit val stateEnc = Encoders.product[SummaryState]
+    implicit val outEnc = Encoders.product[TopEntry]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.scalaInt)
+    events.groupByKey { e =>
+      val ws = math.floorDiv(e.us, windowUs) * windowUs
+      (ws, math.floorMod(e.key.hashCode, shards))
+    }.flatMapGroupsWithState[SummaryState, TopEntry](
+      OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      case ((ws, _), it, state: GroupState[SummaryState]) =>
+        var m = state.getOption.map(_.counters)
+          .getOrElse(Map.empty[String, (Long, Long)])
+        it.foreach { e =>
+          m.get(e.key) match {
+            case Some((c, err)) => m = m.updated(e.key, (c + 1, err))
+            case None if m.size < capacity => m = m.updated(e.key, (1L, 0L))
+            case None =>
+              // evict min count, ties -> largest key (total order)
+              val (ek, (ec, _)) = m.minBy { case (k, (c, _)) => (c, Reversed(k)) }
+              m = (m - ek).updated(e.key, (ec + 1, ec))
+          }
+        }
+        state.update(SummaryState(m))
+        m.iterator.map { case (k, (c, err)) => TopEntry(ws, k, c, err) }
+    }
+  }
+
+  /** Orders strings DESCENDING inside an ascending minBy (the eviction
+    * tie-break: smallest count, then largest key). */
+  private final case class Reversed(s: String) extends Ordered[Reversed] {
+    override def compare(that: Reversed): Int = that.s.compareTo(s)
+  }
+}

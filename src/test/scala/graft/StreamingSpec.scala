@@ -79,6 +79,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamTopK: exact regime equals batch counts, eviction keeps the " +
+      "SpaceSaving invariants, counts grow across batches") {
+    import graft.streaming.StreamTopK
+    implicit val sqlCtx = spark.sqlContext
+    // exact regime: capacity ≥ distinct keys, one shard
+    val mem = MemoryStream[StreamTopK.KeyEvent]
+    val q = StreamTopK.heavyHitters(mem.toDS(), capacity = 8,
+        windowSecs = 60L, shards = 1)
+      .writeStream.format("memory").queryName("stopk_t")
+      .outputMode("update").start()
+    try {
+      mem.addData(StreamTopK.KeyEvent("a", 1000000L),
+        StreamTopK.KeyEvent("a", 2000000L),
+        StreamTopK.KeyEvent("b", 3000000L))
+      q.processAllAvailable()
+      mem.addData(StreamTopK.KeyEvent("a", 4000000L),
+        StreamTopK.KeyEvent("c", 61000000L)) // second window
+      q.processAllAvailable()
+      val out = spark.table("stopk_t")
+        .groupBy(col("window_start"), col("key"))
+        .agg(max(col("cnt")).as("cnt"), max(col("err")).as("err"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(out == Set((0L, "a", 3L, 0L), (0L, "b", 1L, 0L),
+        (60000000L, "c", 1L, 0L)))
+    } finally q.stop()
+    // eviction: capacity 2 — 'c' inherits the evicted minimum's count
+    val mem2 = MemoryStream[StreamTopK.KeyEvent]
+    val q2 = StreamTopK.heavyHitters(mem2.toDS(), capacity = 2,
+        windowSecs = 60L, shards = 1)
+      .writeStream.format("memory").queryName("stopk_e")
+      .outputMode("update").start()
+    try {
+      mem2.addData(StreamTopK.KeyEvent("a", 1000000L),
+        StreamTopK.KeyEvent("a", 2000000L))
+      q2.processAllAvailable()
+      mem2.addData(StreamTopK.KeyEvent("b", 3000000L))
+      q2.processAllAvailable()
+      mem2.addData(StreamTopK.KeyEvent("c", 4000000L))
+      q2.processAllAvailable()
+      val fin = spark.table("stopk_e")
+        .groupBy(col("key")).agg(max(col("cnt")).as("cnt"),
+          max(col("err")).as("err"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      // 'b' (min count 1) evicted; 'c' inherits 1 -> est 2, err 1:
+      // true(c) = 1 ≤ est 2 ≤ true + err = 2 (the SpaceSaving guarantee)
+      assert(fin("a") == (2L, 0L))
+      assert(fin("c") == (2L, 1L))
+      // Σ counts over the LIVE summary = events processed (4)
+      assert(fin.filterNot(_._1 == "b").values.map(_._1).sum == 4L)
+    } finally q2.stop()
+  }
+
   test("StreamDedup.newVsHistory: static history drops known content, " +
       "composes with in-stream dedup") {
     implicit val sqlCtx = spark.sqlContext
