@@ -1242,6 +1242,71 @@ object Corpus {
     keepSmallestHashPerSource(docs, idCol, sourceCol, kPerSource, seed)
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    * denoising-objective preprocessing step: select tokens at rate ~p,
+    * collapse adjacent selections into SPANS, replace each span in the
+    * input with a numbered sentinel and emit the span's tokens after the
+    * same sentinel in the target.
+    *
+    * Deterministic restatement (seeded, position-based): token i is
+    * selected iff the first 4 hex chars of md5(seed:doc:i) fall below
+    * the 16-bit threshold ⌊p·65536⌋ — independent per position, so
+    * spans are the maximal runs of selected tokens (run lengths are
+    * geometric with mean 1/(1−p); T5's mean-3 Poisson spans are a
+    * sampling detail of its random generator, not of the objective —
+    * divergence documented in the scaladoc contract). Everything is
+    * ROW-LOCAL: one sequential `aggregate` fold per document (state =
+    * (prevSelected, k, input, target)), zero shuffle at any scale; an
+    * independent engine replays the identical fold (the list_reduce
+    * oracle pattern).
+    *
+    * Output columns: `inputs` (text with sentinels), `targets`
+    * (sentinel-prefixed span contents), `n_spans`, `n_masked`. */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      noiseDensity: Double = 0.15, seed: String = "t5"): DataFrame = {
+    require(noiseDensity > 0 && noiseDensity < 1,
+      s"spanCorrupt: noiseDensity must be in (0, 1), got $noiseDensity")
+    val thr = f"${math.floor(noiseDensity * 65536).toInt}%04x"
+    val folded = aggregate(
+      // (token, selected) pairs; selection hash is position-based so
+      // repeated tokens stay independent
+      transform(split(col(textCol), " "), (t, i) => struct(
+        t.as("t"),
+        (substring(md5(concat_ws(":", lit(seed),
+          col(idCol).cast("string"), i.cast("string"))), 1, 4) < lit(thr))
+          .as("sel"))),
+      struct(lit(false).as("prev"), lit(0).as("k"),
+        lit("").as("inp"), lit("").as("tgt")),
+      (st, p) => {
+        val t = p.getField("t"); val sel = p.getField("sel")
+        val prev = st.getField("prev"); val k = st.getField("k")
+        val inp = st.getField("inp"); val tgt = st.getField("tgt")
+        def app(acc: Column, piece: Column): Column =
+          when(acc === "", piece).otherwise(concat(acc, lit(" "), piece))
+        val sentinel = concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+        struct(
+          sel.as("prev"),
+          when(sel && !prev, k + 1).otherwise(k).as("k"),
+          when(!sel, app(inp, t))
+            .when(sel && !prev, app(inp, sentinel))
+            .otherwise(inp).as("inp"),
+          when(sel && !prev, app(tgt, concat(sentinel, lit(" "), t)))
+            .when(sel && prev, concat(tgt, lit(" "), t))
+            .otherwise(tgt).as("tgt"))
+      })
+    docs
+      .withColumn("__sc", folded)
+      .withColumn("inputs", col("__sc.inp"))
+      .withColumn("targets", col("__sc.tgt"))
+      .withColumn("n_spans", col("__sc.k").cast("long"))
+      .withColumn("n_masked",
+        (size(split(col(textCol), " ")) -
+          when(col("inputs") === "", 0)
+            .otherwise(size(split(col("inputs"), " "))) +
+          col("n_spans")).cast("long"))
+      .drop("__sc")
+  }
+
   /** Duplicate-cluster representative selection: given cluster-labeled
     * documents (e.g. [[connectedComponents]] output joined back, or any
     * grouping key), keep the BEST row per cluster by a quality column —

@@ -58,6 +58,16 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** T5 span corruption at 15% noise over the documents table: one
+    * row-local sequential fold per doc (Corpus.spanCorrupt); the oracle
+    * replays the identical fold with list_reduce, state packed into the
+    * element struct type. */
+  def dSpanCorrupt(spark: SparkSession, dir: String): DataFrame =
+    Corpus.spanCorrupt(docs(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("inputs"), col("targets"),
+        col("n_spans"), col("n_masked"))
+      .orderBy(col("doc_id")).limit(300)
+
   /** Temperature-flattened source mix at α = 0.5 (the IEEE-exact sqrt
     * path — see Corpus.temperatureMix): per-source totals, the integer
     * micro-unit keep budget, the kept count, and an order-free kept-id
@@ -558,6 +568,7 @@ object CorpusQueries {
     "d_dup_clusters" -> (dDupClusters _),
     "d_dedup_keep_best" -> (dDedupKeepBest _),
     "c_temperature_mix" -> (cTemperatureMix _),
+    "d_span_corrupt" -> (dSpanCorrupt _),
     "d_split_assign" -> (dSplitAssign _),
     "d_tfidf" -> (dTfidf _),
     "d_bm25" -> (dBm25 _),
@@ -1189,6 +1200,47 @@ object CorpusQueries {
          |  FROM lab)
          |SELECT doc_id, cluster_rep, rn = 1 AS keep
          |FROM rk ORDER BY doc_id""".stripMargin,
+    // span corruption: the oracle restates the fold DECLARATIVELY —
+    // span starts via lag(), span ids via a cumulative sum, assembly
+    // via NULL-skipping ordered string_agg (an algorithm independent of
+    // the engine's sequential aggregate; a list_reduce replay was tried
+    // and abandoned: DuckDB's struct-field evaluation inside the lambda
+    // proved order-inconsistent across steps). 0-based position hashes,
+    // the same 16-bit '2666' threshold (= ⌊0.15·65536⌋).
+    "d_span_corrupt" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |idx AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+        |  FROM toks),
+        |tok AS (
+        |  SELECT doc_id, i, ts[i] AS t,
+        |    substr(md5('t5:' || CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(i - 1 AS VARCHAR)), 1, 4) < '2666' AS sel
+        |  FROM idx),
+        |sp AS (
+        |  SELECT *, sel AND NOT coalesce(lag(sel) OVER
+        |    (PARTITION BY doc_id ORDER BY i), false) AS st
+        |  FROM tok),
+        |sid AS (
+        |  SELECT *, sum(CASE WHEN st THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING)
+        |    AS k
+        |  FROM sp)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE
+        |    WHEN NOT sel THEN t
+        |    WHEN st THEN '<extra_id_' || CAST(k - 1 AS VARCHAR) || '>'
+        |    END, ' ' ORDER BY i), '') AS inputs,
+        |  coalesce(string_agg(CASE
+        |    WHEN st THEN '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> '
+        |      || t
+        |    WHEN sel THEN t
+        |    END, ' ' ORDER BY i), '') AS targets,
+        |  CAST(max(k) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_masked
+        |FROM sid GROUP BY doc_id ORDER BY doc_id LIMIT 300""".stripMargin,
     // temperature mix at α = 0.5: integer micro-unit weights from the
     // IEEE-exact sqrt, HUGEINT budget arithmetic mirroring the driver's
     // BigInt, the same md5 smallest-hash selection

@@ -204,6 +204,59 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("spanCorrupt: reconstruction invariant, sentinel numbering, " +
+      "counts, determinism") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one"))
+      .toDF("doc_id", "text")
+    val out = Corpus.spanCorrupt(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    docs.collect().foreach { d =>
+      val (id, text) = (d.getLong(0), d.getString(1))
+      val r = out(id)
+      val inputs = r.getAs[String]("inputs")
+      val targets = r.getAs[String]("targets")
+      val nSpans = r.getAs[Long]("n_spans")
+      val nMasked = r.getAs[Long]("n_masked")
+      // DE-CORRUPT: substituting each sentinel's span back reassembles
+      // the original text exactly — the invariant T5's objective needs
+      val spans = ("<extra_id_(\\d+)> ((?:(?!<extra_id_)\\S+ ?)*)".r)
+        .findAllMatchIn(targets)
+        .map(m => m.group(1).toInt -> m.group(2).trim).toMap
+      val rebuilt = inputs.split(" ").flatMap { tok =>
+        if (tok.startsWith("<extra_id_"))
+          spans(tok.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+            .split(" ")
+        else Array(tok)
+      }.mkString(" ")
+      assert(rebuilt == text, s"doc $id failed reconstruction")
+      // sentinels number 0..n_spans-1 in order, in BOTH columns
+      val sIn = "<extra_id_(\\d+)>".r.findAllMatchIn(inputs)
+        .map(_.group(1).toInt).toSeq
+      assert(sIn == (0 until nSpans.toInt))
+      assert("<extra_id_(\\d+)>".r.findAllMatchIn(targets)
+        .map(_.group(1).toInt).toSeq == sIn)
+      // n_masked = tokens missing from inputs
+      val nToks = text.split(" ").length
+      assert(nMasked ==
+        nToks - (inputs.split(" ").count(!_.startsWith("<extra_id_"))))
+    }
+    // deterministic: same seed, same output
+    val again = Corpus.spanCorrupt(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("inputs")).toMap
+    assert(out.keys.forall(k => again(k) == out(k).getAs[String]("inputs")))
+    // a different seed flips at least one doc's masking (12 tokens at
+    // 15% — seeds 't5' and 'x9' diverge on this corpus)
+    val other = Corpus.spanCorrupt(docs, "doc_id", "text", seed = "x9")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("inputs")).toMap
+    assert(out.keys.exists(k => other(k) != out(k).getAs[String]("inputs")))
+    intercept[IllegalArgumentException] {
+      Corpus.spanCorrupt(docs, "doc_id", "text", noiseDensity = 1.0)
+    }
+  }
+
   test("keepBestPerCluster: argmax quality per cluster, ties on min id, " +
       "singletons survive") {
     val rows = Seq(
