@@ -1307,6 +1307,53 @@ object Corpus {
       .drop("__sc")
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle") — the
+    * code/text-corpus preprocessing that moves a random middle span to
+    * the end behind sentinels, teaching infilling without changing the
+    * data distribution (their "FIM-for-free" result). PSM layout:
+    * `<PRE> prefix <SUF> suffix <MID> middle` (SPM is a trivial
+    * reorder of the same three pieces).
+    *
+    * Deterministic restatement: two cut points are the 16-bit md5
+    * prefixes of (seed:doc:a) and (seed:doc:b) taken mod (n+1) — cuts
+    * BETWEEN tokens, so prefix+middle+suffix reassembles the document
+    * exactly; a doc is transformed at all iff the 16-bit prefix of
+    * (seed:doc:r) clears the rate threshold (the paper's fim_rate,
+    * default 0.9 — untransformed docs pass through as mode 'plain').
+    * Entirely row-local: split, three slices, one concat — zero shuffle
+    * at any scale. */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      fimRate: Double = 0.9, seed: String = "fim"): DataFrame = {
+    require(fimRate > 0 && fimRate <= 1,
+      s"fimTransform: fimRate must be in (0, 1], got $fimRate")
+    val thr = math.floor(fimRate * 65536).toInt
+    def hex16(tag: String): Column =
+      conv(substring(md5(concat_ws(":", lit(seed),
+        col(idCol).cast("string"), lit(tag))), 1, 4), 16, 10).cast("int")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val c1 = hex16("a") % (n + 1)
+    val c2 = hex16("b") % (n + 1)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    def part(from: Column, len: Column): Column =
+      array_join(slice(toks, from, len), " ")
+    val psm = concat(
+      lit("<PRE>"),
+      when(lo > 0, concat(lit(" "), part(lit(1), lo))).otherwise(lit("")),
+      lit(" <SUF>"),
+      when(hi < n, concat(lit(" "), part(hi + 1, n - hi))).otherwise(lit("")),
+      lit(" <MID>"),
+      when(hi > lo, concat(lit(" "), part(lo + 1, hi - lo))).otherwise(lit("")))
+    val applied = hex16("r") < thr
+    docs
+      .withColumn("mode", when(applied, "fim").otherwise("plain"))
+      .withColumn("fim_text", when(applied, psm).otherwise(col(textCol)))
+      .withColumn("cut_lo", when(applied, lo.cast("long")).otherwise(lit(0L)))
+      .withColumn("cut_hi", when(applied, hi.cast("long")).otherwise(lit(0L)))
+  }
+
   /** Duplicate-cluster representative selection: given cluster-labeled
     * documents (e.g. [[connectedComponents]] output joined back, or any
     * grouping key), keep the BEST row per cluster by a quality column —

@@ -68,6 +68,16 @@ object CorpusQueries {
         col("n_spans"), col("n_masked"))
       .orderBy(col("doc_id")).limit(300)
 
+  /** Fill-in-the-middle at the paper's 0.9 rate (Corpus.fimTransform):
+    * per-doc PSM reorder with seeded 16-bit cut points; the oracle
+    * recomputes the cuts from the same md5 prefixes (hex parsed with
+    * CAST('0x…')) and reassembles the three slices. */
+  def dFimTransform(spark: SparkSession, dir: String): DataFrame =
+    Corpus.fimTransform(docs(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("mode"), col("fim_text"),
+        col("cut_lo"), col("cut_hi"))
+      .orderBy(col("doc_id")).limit(300)
+
   /** Temperature-flattened source mix at α = 0.5 (the IEEE-exact sqrt
     * path — see Corpus.temperatureMix): per-source totals, the integer
     * micro-unit keep budget, the kept count, and an order-free kept-id
@@ -569,6 +579,7 @@ object CorpusQueries {
     "d_dedup_keep_best" -> (dDedupKeepBest _),
     "c_temperature_mix" -> (cTemperatureMix _),
     "d_span_corrupt" -> (dSpanCorrupt _),
+    "d_fim_transform" -> (dFimTransform _),
     "d_split_assign" -> (dSplitAssign _),
     "d_tfidf" -> (dTfidf _),
     "d_bm25" -> (dBm25 _),
@@ -1241,6 +1252,38 @@ object CorpusQueries {
         |  CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_masked
         |FROM sid GROUP BY doc_id ORDER BY doc_id LIMIT 300""".stripMargin,
+    // FIM: the oracle re-derives both 16-bit cut points and the rate
+    // gate from the same md5 prefixes and reassembles the PSM string
+    // from three list slices
+    "d_fim_transform" ->
+      """WITH c AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ts,
+        |    len(string_split(text, ' ')) AS n,
+        |    CAST(('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR)
+        |      || ':a'), 1, 4)) AS INTEGER) AS h1,
+        |    CAST(('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR)
+        |      || ':b'), 1, 4)) AS INTEGER) AS h2,
+        |    CAST(('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR)
+        |      || ':r'), 1, 4)) AS INTEGER) AS hr
+        |  FROM documents),
+        |cuts AS (
+        |  SELECT *, least(h1 % (n + 1), h2 % (n + 1)) AS lo,
+        |    greatest(h1 % (n + 1), h2 % (n + 1)) AS hi,
+        |    hr < 58982 AS applied
+        |  FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN applied THEN 'fim' ELSE 'plain' END AS mode,
+        |  CASE WHEN applied THEN
+        |    '<PRE>' || (CASE WHEN lo > 0
+        |        THEN ' ' || array_to_string(ts[1:lo], ' ') ELSE '' END)
+        |    || ' <SUF>' || (CASE WHEN hi < n
+        |        THEN ' ' || array_to_string(ts[hi+1:n], ' ') ELSE '' END)
+        |    || ' <MID>' || (CASE WHEN hi > lo
+        |        THEN ' ' || array_to_string(ts[lo+1:hi], ' ') ELSE '' END)
+        |  ELSE text END AS fim_text,
+        |  CAST(CASE WHEN applied THEN lo ELSE 0 END AS BIGINT) AS cut_lo,
+        |  CAST(CASE WHEN applied THEN hi ELSE 0 END AS BIGINT) AS cut_hi
+        |FROM cuts ORDER BY doc_id LIMIT 300""".stripMargin,
     // temperature mix at α = 0.5: integer micro-unit weights from the
     // IEEE-exact sqrt, HUGEINT budget arithmetic mirroring the driver's
     // BigInt, the same md5 smallest-hash selection

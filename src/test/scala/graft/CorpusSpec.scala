@@ -257,6 +257,50 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("fimTransform: PSM reconstruction invariant, rate gate, " +
+      "determinism, edge cuts") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two"),
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    // rate 1.0: every doc transformed; the three pieces reassemble
+    val out = Corpus.fimTransform(docs, "doc_id", "text", fimRate = 1.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    docs.collect().foreach { d =>
+      val (id, text) = (d.getLong(0), d.getString(1))
+      val r = out(id)
+      assert(r.getAs[String]("mode") == "fim")
+      val s = r.getAs[String]("fim_text")
+      // parse <PRE> p <SUF> suf <MID> mid (any piece possibly empty)
+      val m = "(?s)^<PRE>(.*) <SUF>(.*) <MID>(.*)$".r.findFirstMatchIn(s)
+      assert(m.isDefined, s"doc $id: bad PSM shape '$s'")
+      val Seq(pre, suf, mid) = m.get.subgroups.map(_.trim)
+      val rebuilt = Seq(pre, mid, suf).filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == text, s"doc $id failed reconstruction")
+      // cut points consistent with the pieces
+      val lo = r.getAs[Long]("cut_lo"); val hi = r.getAs[Long]("cut_hi")
+      assert(lo == (if (pre.isEmpty) 0 else pre.split(" ").length))
+      assert(hi - lo == (if (mid.isEmpty) 0 else mid.split(" ").length))
+    }
+    // rate gate: at a tiny rate some docs pass through unchanged as
+    // 'plain' (threshold 655 of 65536 — none of these four docs clear)
+    val plain = Corpus.fimTransform(docs, "doc_id", "text", fimRate = 0.01)
+      .where(col("mode") === "plain").collect()
+    plain.foreach(r => assert(r.getAs[String]("fim_text").split(" ")
+      .forall(!_.startsWith("<"))))
+    assert(plain.nonEmpty)
+    // deterministic
+    val again = Corpus.fimTransform(docs, "doc_id", "text", fimRate = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("fim_text")).toMap
+    assert(out.keys.forall(k =>
+      again(k) == out(k).getAs[String]("fim_text")))
+    intercept[IllegalArgumentException] {
+      Corpus.fimTransform(docs, "doc_id", "text", fimRate = 0.0)
+    }
+  }
+
   test("keepBestPerCluster: argmax quality per cluster, ties on min id, " +
       "singletons survive") {
     val rows = Seq(
