@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word n-gram overlap sufficient statistics for generation-eval
+  * metrics (BLEU's modified precision, ROUGE-N) — the text-eval leg of
+  * a training-data pipeline (filtering synthetic data against
+  * references, eval-set scoring). One expression computes, for a
+  * (candidate, reference) pair and order n:
+  *
+  *   `ngramOverlap(cand, ref, n)` → struct(match, total_c, total_r)
+  *
+  * where `match` is the CLIPPED count Σ_g min(count_cand(g),
+  * count_ref(g)) over distinct n-grams g (Papineni et al. 2002's
+  * modified n-gram precision numerator), `total_c`/`total_r` the
+  * candidate/reference n-gram totals. Everything downstream is exact
+  * integer arithmetic:
+  *   BLEU-n precision p_n = match/total_c, ROUGE-N recall =
+  *   match/total_r, brevity penalty from (total_c, total_r) at n=1.
+  *
+  * All integers ⇒ the oracle recomputes them exactly with SQL n-gram
+  * counting; the floating BLEU composite is derived in the QUERY from
+  * these integers with a pinned formula order. Tokenization is
+  * single-space split (the corpus's own convention); n-grams are
+  * space-joined token windows. A side shorter than n has zero n-grams.
+  *
+  * Native kernel (the StringSimilarity pattern): one hash map over the
+  * shorter side, O(len) per row, `doGenCode` keeps the projection
+  * inside whole-stage codegen.
+  */
+case class NgramOverlapExpr(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  require(n >= 1 && n <= 8, s"ngramOverlap: n must be 1..8, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngramOverlap expects (STRING, STRING), got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("match", LongType, nullable = false),
+    StructField("total_c", LongType, nullable = false),
+    StructField("total_r", LongType, nullable = false)))
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val s = NgramOverlap.stats(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String], n)
+    InternalRow(s(0), s(1), s(2))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val cls = NgramOverlap.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val arr = ctx.freshName("noStats")
+      s"""long[] $arr = $cls.stats($l, $r, $n);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions
+         |  .GenericInternalRow(new Object[] {$arr[0], $arr[1], $arr[2]});
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramOverlapExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "ngramOverlap"
+}
+
+object NgramOverlap {
+  /** Column-API form: `ngramOverlap(cand, ref, n)`. */
+  def of(cand: org.apache.spark.sql.Column, ref: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    b.column(NgramOverlapExpr(b.expression(cand), b.expression(ref), n))
+  }
+
+  /** (clipped match, candidate total, reference total) for word
+    * n-grams of order n. Called from interpreted eval AND generated
+    * code. */
+  def stats(cand: UTF8String, ref: UTF8String, n: Int): Array[Long] = {
+    val c = split(cand.toString)
+    val r = split(ref.toString)
+    val totalC = math.max(c.length - n + 1, 0)
+    val totalR = math.max(r.length - n + 1, 0)
+    if (totalC == 0 || totalR == 0)
+      return Array(0L, totalC.toLong, totalR.toLong)
+    val refCounts = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i <= r.length - n) {
+      val g = gram(r, i, n)
+      val prev = refCounts.get(g)
+      refCounts.put(g, if (prev == null) 1 else prev + 1)
+      i += 1
+    }
+    var matched = 0L
+    i = 0
+    while (i <= c.length - n) {
+      val g = gram(c, i, n)
+      val left = refCounts.get(g)
+      if (left != null && left > 0) {
+        matched += 1
+        refCounts.put(g, left - 1)
+      }
+      i += 1
+    }
+    Array(matched, totalC.toLong, totalR.toLong)
+  }
+
+  private def split(s: String): Array[String] =
+    if (s.isEmpty) Array.empty else s.split(" ", -1)
+
+  private def gram(toks: Array[String], start: Int, n: Int): String = {
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < n) {
+      if (j > 0) sb.append(' ')
+      sb.append(toks(start + j))
+      j += 1
+    }
+    sb.toString
+  }
+}

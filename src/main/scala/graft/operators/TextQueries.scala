@@ -862,7 +862,51 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** BLEU / ROUGE-N over adjacent-document pairs: the NgramOverlap
+    * kernel emits INTEGER sufficient statistics (clipped matches +
+    * totals per order 1-4) and the floating composites (BLEU-4 with
+    * brevity penalty, ROUGE-1/2 recall) are derived in a pinned formula
+    * order both engines share — the #39 sufficient-statistics stance
+    * applied to generation-eval metrics. Pairing join is an eval-set
+    * operation (bounded), every stat is row-local once paired. */
+  def tBleuRouge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NgramOverlap
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val pairs = d.as("a")
+      .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .where(col("a.doc_id") < 300)
+      .select(col("a.doc_id").as("doc_id"), col("a.text").as("cand"),
+        col("b.text").as("ref"))
+    val stats = pairs.select(
+      (col("doc_id") +: (1 to 4).flatMap { n =>
+        val ov = NgramOverlap.of(col("cand"), col("ref"), n)
+        Seq(ov.getField("match").as(s"m$n"),
+          ov.getField("total_c").as(s"tc$n"),
+          ov.getField("total_r").as(s"tr$n"))
+      }): _*)
+    val bp = when(col("tc1") >= col("tr1"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("tr1") / col("tc1")))
+    val anyZero = (1 to 4)
+      .map(n => col(s"m$n") === 0 || col(s"tc$n") === 0)
+      .reduce(_ || _)
+    val logSum = (1 to 4)
+      .map(n => log(col(s"m$n").cast("double") / col(s"tc$n")))
+      .reduce(_ + _)
+    stats.select(
+      (Seq(col("doc_id")) ++
+        (1 to 4).flatMap(n =>
+          Seq(col(s"m$n"), col(s"tc$n"), col(s"tr$n"))) ++ Seq(
+        (round(when(anyZero, 0.0).otherwise(bp * exp(logSum / 4)), 6)
+          + 0.0).as("bleu"),
+        (round(col("m1").cast("double") / col("tr1"), 6) + 0.0)
+          .as("rouge1"),
+        (round(col("m2").cast("double") / col("tr2"), 6) + 0.0)
+          .as("rouge2"))): _*)
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "t_bleu_rouge" -> (tBleuRouge _),
     "d_gopher_quality" -> (dGopherQuality _),
     "d_badwords" -> (dBadWords _),
     "d_c4_filters" -> (dC4Filters _),
@@ -988,7 +1032,66 @@ object TextQueries {
       |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** BLEU/ROUGE oracle: per order n, clipped matches via a
+    * (doc, gram)-count join, totals from list lengths; the floating
+    * composites use the SAME formula text as the engine query (exact
+    * integer inputs, one pinned op order). Generated by a Scala loop —
+    * the mmrSql pattern. */
+  private def bleuRougeOracle: String = {
+    val per = (1 to 4).map { n =>
+      val k = n - 1
+      s"""c$n AS (
+         |  SELECT doc_id, g, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(cts) - $k),
+         |      i -> array_to_string(cts[i:i+$k], ' '))) AS g FROM p)
+         |  GROUP BY 1, 2),
+         |r$n AS (
+         |  SELECT doc_id, g, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(rts) - $k),
+         |      i -> array_to_string(rts[i:i+$k], ' '))) AS g FROM p)
+         |  GROUP BY 1, 2),
+         |mm$n AS (
+         |  SELECT c$n.doc_id, CAST(sum(least(c$n.c, r$n.c)) AS BIGINT) AS m
+         |  FROM c$n JOIN r$n USING (doc_id, g) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val statCols = (1 to 4).map { n =>
+      val k = n - 1
+      s"""  coalesce(mm$n.m, 0) AS m$n,
+         |  CAST(greatest(len(cts) - $k, 0) AS BIGINT) AS tc$n,
+         |  CAST(greatest(len(rts) - $k, 0) AS BIGINT) AS tr$n""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 to 4)
+      .map(n => s"LEFT JOIN mm$n ON mm$n.doc_id = p.doc_id").mkString("\n")
+    val anyZero = (1 to 4).map(n => s"m$n = 0 OR tc$n = 0").mkString(" OR ")
+    val logSum = (1 to 4)
+      .map(n => s"ln(CAST(m$n AS DOUBLE) / tc$n)").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |p AS (
+       |  SELECT a.doc_id, a.ts AS cts, b.ts AS rts
+       |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+       |  WHERE a.doc_id < 300),
+       |$per,
+       |stats AS (
+       |  SELECT p.doc_id,
+       |$statCols
+       |  FROM p
+       |$joins)
+       |SELECT doc_id,
+       |  m1, tc1, tr1, m2, tc2, tr2, m3, tc3, tr3, m4, tc4, tr4,
+       |  round(CASE WHEN $anyZero THEN 0.0
+       |    ELSE (CASE WHEN tc1 >= tr1 THEN 1.0
+       |            ELSE exp(1.0 - tr1 / tc1) END)
+       |      * exp(($logSum) / 4) END, 6) + 0.0 AS bleu,
+       |  round(CAST(m1 AS DOUBLE) / tr1, 6) + 0.0 AS rouge1,
+       |  round(CAST(m2 AS DOUBLE) / tr2, 6) + 0.0 AS rouge2
+       |FROM stats ORDER BY doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "t_bleu_rouge" -> bleuRougeOracle,
     // identical page construction, then C4's line/page rules re-derived
     // with DuckDB list lambdas
     "d_c4_filters" ->

@@ -1,0 +1,39 @@
+package graft
+
+import graft.functions.NgramOverlap
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** NgramOverlap kernel: BLEU's clipped modified-precision counts. */
+class NgramOverlapSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def stats(cand: String, ref: String, n: Int): (Long, Long, Long) = {
+    val r = Seq((cand, ref)).toDF("c", "r")
+      .select(NgramOverlap.of(col("c"), col("r"), n).as("s"))
+      .select(col("s.match"), col("s.total_c"), col("s.total_r")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("clipped counts: repeats clip to the reference multiset") {
+    assert(stats("the cat the cat", "the cat", 1) == (2L, 4L, 2L))
+    assert(stats("the cat the cat", "the cat", 2) == (1L, 3L, 1L))
+    // Papineni et al. 2002's degenerate candidate: p1 = 2/7
+    assert(stats("the the the the the the the",
+      "the cat is on the mat", 1) == (2L, 7L, 6L))
+  }
+
+  test("edges: identical, disjoint, side shorter than n") {
+    assert(stats("a b c", "a b c", 2) == (2L, 2L, 2L))
+    assert(stats("a b", "c d", 1) == (0L, 2L, 2L))
+    assert(stats("a b", "a b c d", 3) == (0L, 0L, 2L))
+    assert(stats("", "a b", 1) == (0L, 0L, 2L))
+  }
+
+  test("order bound refusal") {
+    assertThrows[IllegalArgumentException](stats("a", "a", 0))
+    assertThrows[IllegalArgumentException](stats("a", "a", 9))
+  }
+}
