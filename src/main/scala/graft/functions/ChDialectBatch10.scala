@@ -262,6 +262,87 @@ object ChDialectBatch10 {
       Cast(inside, IntegerType)
     }
 
+    // geohashEncode(lon, lat, precision) — public Gustavo-Niemeyer
+    // geohash: quantize each axis to its bit budget (lon gets the extra
+    // bit at odd total), MSB-first alternating interleave (the morton
+    // spread above), 5-bit groups through the base32 alphabet.
+    // Everything is float-divide + floor + integer shifts — the same op
+    // order the oracle replays, so the strings are bit-equal.
+    val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    def quantize(v: Expression, lo: Double, range: Double,
+        bits: Int): Expression = {
+      val scaled = Cast(Floor(Multiply(
+        Divide(Subtract(dbl(v), Literal(lo)), Literal(range)),
+        Literal(math.pow(2.0, bits)))), LongType)
+      // the exact top-of-range input (lon = 180) lands one past the
+      // last cell; clamp like every public implementation
+      Least(Seq(Greatest(Seq(scaled, Literal(0L))),
+        Literal((1L << bits) - 1)))
+    }
+    f("geohashEncode") { a =>
+      val p = if (a.length >= 3) litInt(a(2), "geohashEncode") else 12
+      require(p >= 1 && p <= 12,
+        s"geohashEncode: precision must be 1..12, got $p")
+      val totalBits = 5 * p
+      val lonBits = (totalBits + 1) / 2
+      val latBits = totalBits / 2
+      val lonIdx = quantize(a(0), -180.0, 360.0, lonBits)
+      val latIdx = quantize(a(1), -90.0, 180.0, latBits)
+      // odd total: LSB is a lon bit -> lon on even positions;
+      // even total: lon on odd positions
+      val value =
+        if (totalBits % 2 == 1)
+          BitwiseOr(spreadBits(lonIdx), ShiftLeft(spreadBits(latIdx),
+            Literal(1)))
+        else
+          BitwiseOr(ShiftLeft(spreadBits(lonIdx), Literal(1)),
+            spreadBits(latIdx))
+      val chars = (0 until p).map { g =>
+        val shift = 5 * (p - 1 - g)
+        Substring(Literal(Base32), Cast(Add(
+          BitwiseAnd(ShiftRight(value, Literal(shift)), Literal(31L)),
+          Literal(1L)), IntegerType), Literal(1)): Expression
+      }
+      Concat(chars)
+    }
+    // geohashDecode(s) -> tuple(lon, lat) of the CELL CENTER
+    // ((idx + 0.5) / 2^bits scaled back — a deterministic single-point
+    // reading of the cell; documented in DIVERGENCES.md)
+    f("geohashDecode") { a =>
+      val s = a.head
+      val p = Length(s)
+      // value = Σ base32Index(char g) << 5(len-1-g), as a fold over
+      // the character positions
+      val value = ArrayAggregate(
+        new Sequence(Literal(1), Cast(p, IntegerType), Some(Literal(1))),
+        Literal(0L),
+        lambda2("gh")((acc, i) => {
+          val idx = Cast(Subtract(
+            StringLocate(Substring(s, i, Literal(1)), Literal(Base32),
+              Literal(1)),
+            Literal(1)), LongType)
+          BitwiseOr(ShiftLeft(acc, Literal(5)), idx)
+        }),
+        lambda1("ghf")(identity))
+      val totalBits = Multiply(Cast(p, IntegerType), Literal(5))
+      val odd = EqualTo(Pmod(totalBits, Literal(2)), Literal(1))
+      val lonRaw = If(odd, compactBits(value),
+        compactBits(ShiftRight(value, Literal(1))))
+      val latRaw = If(odd, compactBits(ShiftRight(value, Literal(1))),
+        compactBits(value))
+      val lonBits = Cast(IntegralDivide(Add(totalBits, Literal(1)),
+        Literal(2)), IntegerType)
+      val latBits = Cast(IntegralDivide(totalBits, Literal(2)),
+        IntegerType)
+      def center(idx: Expression, bits: Expression, lo: Double,
+          range: Double): Expression =
+        Add(Multiply(Divide(Add(Cast(idx, DoubleType), Literal(0.5d)),
+          Cast(ShiftLeft(Literal(1L), bits), DoubleType)),
+          Literal(range)), Literal(lo))
+      ns("_1" -> center(lonRaw, lonBits, -180.0, 360.0),
+         "_2" -> center(latRaw, latBits, -90.0, 180.0))
+    }
+
     // --------------------------------------------------------------- IP
     // IPv4CIDRToRange(ip, prefix) -> tuple(lowStr, highStr).
     f("IPv4CIDRToRange") { a =>

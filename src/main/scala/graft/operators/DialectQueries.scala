@@ -383,6 +383,31 @@ object DialectQueries {
         |FROM evts_d10 WHERE event_id < 400 ORDER BY event_id""".stripMargin)
   }
 
+  /** Batch-10 geohash pair: encode at precision 7 and 12, decode to
+    * cell centers (exact dyadic arithmetic — raw doubles hash-compare
+    * bit-equal), and the center-re-encode round trip (an engine-side
+    * identity the oracle states as a constant). The oracle recomputes
+    * the quantization, the MSB-first interleave (per-bit sums), and the
+    * base32 rendering from the same integer arithmetic. */
+  def qGeohash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch10.register(spark)
+    sqlOn(spark, dir, "events", "evts_geo",
+      """WITH g AS (
+        |  SELECT event_id,
+        |    cast(user_id % 360 as double) - 180.0 + 0.25 AS lon,
+        |    cast(event_id % 170 as double) - 85.0 + 0.25 AS lat
+        |  FROM evts_geo WHERE event_id < 400)
+        |SELECT event_id,
+        |  geohashEncode(lon, lat, 7) AS gh7,
+        |  geohashEncode(lon, lat) AS gh12,
+        |  geohashDecode(geohashEncode(lon, lat, 7))._1 AS dec_lon,
+        |  geohashDecode(geohashEncode(lon, lat, 7))._2 AS dec_lat,
+        |  (geohashEncode(geohashDecode(geohashEncode(lon, lat, 7))._1,
+        |    geohashDecode(geohashEncode(lon, lat, 7))._2, 7)
+        |    = geohashEncode(lon, lat, 7)) AS rt
+        |FROM g ORDER BY event_id""".stripMargin)
+  }
+
   /** Batch-10 URL tail over constructed URLs (the q_url_functions
     * pattern: both engines assemble the identical string first), with
     * credentials, an optional port, a query string, and a fragment —
@@ -901,6 +926,7 @@ object DialectQueries {
     "q_ch_functions7" -> (qChFunctions7 _),
     "q_agg_functions7" -> (qAggFunctions7 _),
     "q_url_functions2" -> (qUrlFunctions2 _),
+    "q_geohash" -> (qGeohash _),
     "q_ip_functions" -> (qIpFunctions _),
     "q_string_similarity" -> (qStringSimilarity _),
     "q_ch_functions5" -> (qChFunctions5 _),
@@ -1346,6 +1372,54 @@ object DialectQueries {
         |    '{"a":1,"z":2,"m":' || CAST(user_id % 9 AS VARCHAR) || '}')),
         |    ',') AS jk
         |FROM base ORDER BY event_id""".stripMargin,
+    // batch-10 geohash: quantize with the engine's exact op order
+    // ((v-lo)/range * 2^bits, floor, clamp), interleave per-bit
+    // (lon even positions at odd total bits, odd positions at even),
+    // render 5-bit groups through base32; decode centers are exact
+    // dyadic doubles (idx+0.5 over a power of two), so raw doubles
+    // hash-compare bit-equal; the center-re-encode round trip is an
+    // engine-side identity stated as a constant
+    "q_geohash" ->
+      """WITH g AS (
+        |  SELECT event_id,
+        |    CAST(user_id % 360 AS DOUBLE) - 180.0 + 0.25 AS lon,
+        |    CAST(event_id % 170 AS DOUBLE) - 85.0 + 0.25 AS lat
+        |  FROM events WHERE event_id < 400),
+        |q AS (
+        |  SELECT *,
+        |    least(greatest(CAST(floor((lon - (-180.0)) / 360.0
+        |      * 262144.0) AS BIGINT), 0), 262143) AS lon7,
+        |    least(greatest(CAST(floor((lat - (-90.0)) / 180.0
+        |      * 131072.0) AS BIGINT), 0), 131071) AS lat7,
+        |    least(greatest(CAST(floor((lon - (-180.0)) / 360.0
+        |      * 1073741824.0) AS BIGINT), 0), 1073741823) AS lon12,
+        |    least(greatest(CAST(floor((lat - (-90.0)) / 180.0
+        |      * 1073741824.0) AS BIGINT), 0), 1073741823) AS lat12
+        |  FROM g),
+        |v AS (
+        |  SELECT *,
+        |    CAST(list_sum(list_transform(generate_series(0, 17),
+        |        i -> ((lon7 >> i) & 1) << (2 * i)))
+        |      + list_sum(list_transform(generate_series(0, 16),
+        |        i -> ((lat7 >> i) & 1) << (2 * i + 1))) AS BIGINT) AS v7,
+        |    CAST(list_sum(list_transform(generate_series(0, 29),
+        |        i -> ((lon12 >> i) & 1) << (2 * i + 1)))
+        |      + list_sum(list_transform(generate_series(0, 29),
+        |        i -> ((lat12 >> i) & 1) << (2 * i))) AS BIGINT) AS v12
+        |  FROM q)
+        |SELECT event_id,
+        |  array_to_string(list_transform(generate_series(0, 6), gi ->
+        |    substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |      CAST(((v7 >> (5 * (6 - gi))) & 31) + 1 AS INTEGER), 1)),
+        |    '') AS gh7,
+        |  array_to_string(list_transform(generate_series(0, 11), gi ->
+        |    substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |      CAST(((v12 >> (5 * (11 - gi))) & 31) + 1 AS INTEGER), 1)),
+        |    '') AS gh12,
+        |  ((lon7 + 0.5) / 262144.0) * 360.0 + (-180.0) AS dec_lon,
+        |  ((lat7 + 0.5) / 131072.0) * 180.0 + (-90.0) AS dec_lat,
+        |  true AS rt
+        |FROM v ORDER BY event_id""".stripMargin,
     // batch-10 URL tail: the oracle reconstructs every part from the
     // same doc_id arithmetic it used to assemble the URL
     "q_url_functions2" ->

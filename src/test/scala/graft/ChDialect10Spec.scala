@@ -151,6 +151,30 @@ class ChDialect10Spec extends AnyFunSuite {
     assert(one("queryStringAndFragment('https://a.com/x?q=1')") == "q=1")
   }
 
+  test("geohashEncode/geohashDecode: canonical strings, cell-center " +
+      "decode, round trip") {
+    // the two canonical public examples
+    assert(one("geohashEncode(-5.6, 42.6, 5)") == "ezs42")
+    assert(one("geohashEncode(10.40744, 57.64911, 11)") == "u4pruydqqvj")
+    // default precision 12 extends the same prefix
+    assert(one("geohashEncode(-5.6, 42.6)").asInstanceOf[String]
+      .startsWith("ezs42"))
+    // decode returns the CELL CENTER: within half a cell of the input
+    val r = spark.sql("SELECT geohashDecode('ezs42')._1, " +
+      "geohashDecode('ezs42')._2").head()
+    assert(math.abs(r.getDouble(0) - (-5.6)) < 360.0 / (1 << 13))
+    assert(math.abs(r.getDouble(1) - 42.6) < 180.0 / (1 << 12))
+    // re-encoding the decoded center reproduces the string exactly
+    assert(one("geohashEncode(geohashDecode('ezs42')._1, " +
+      "geohashDecode('ezs42')._2, 5)") == "ezs42")
+    assert(one("geohashEncode(geohashDecode('u4pruydqqvj')._1, " +
+      "geohashDecode('u4pruydqqvj')._2, 11)") == "u4pruydqqvj")
+    // top-of-range clamp: lon=180 is the last cell, not one past it
+    assert(one("geohashEncode(180.0, 90.0, 1)") == "z")
+    assertThrows[Exception](
+      spark.sql("SELECT geohashEncode(0.0, 0.0, 13)").collect())
+  }
+
   test("JSONExtractKeys: document order; arrayShuffle: deterministic " +
       "seeded permutation") {
     assert(one("""arrayStringConcat(JSONExtractKeys('{"b":1,"a":2}'), ',')""")
