@@ -66,34 +66,6 @@ object ChDialectBatch10 {
   private def long(e: Expression) = Cast(e, LongType)
   private def dbl(e: Expression) = Cast(e, DoubleType)
 
-  /** Spread the low 32 bits of v to the even bit positions of a long —
-    * the classic mask ladder (public bit-twiddling identity; same shape
-    * CH's morton implementation documents). */
-  private def spreadBits(v0: Expression): Expression = {
-    val masks = Seq(
-      (16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
-      (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
-      (1, 0x5555555555555555L))
-    masks.foldLeft(BitwiseAnd(long(v0), Literal(0xFFFFFFFFL)): Expression) {
-      case (v, (s, m)) =>
-        BitwiseAnd(BitwiseOr(v, ShiftLeft(v, Literal(s))), Literal(m))
-    }
-  }
-
-  /** Inverse of [[spreadBits]]: gather the even bit positions back into
-    * the low 32 bits. */
-  private def compactBits(v0: Expression): Expression = {
-    val masks = Seq(
-      (1, 0x3333333333333333L), (2, 0x0F0F0F0F0F0F0F0FL),
-      (4, 0x00FF00FF00FF00FFL), (8, 0x0000FFFF0000FFFFL),
-      (16, 0x00000000FFFFFFFFL))
-    masks.foldLeft(
-        BitwiseAnd(long(v0), Literal(0x5555555555555555L)): Expression) {
-      case (v, (s, m)) =>
-        BitwiseAnd(BitwiseOr(v, ShiftRight(v, Literal(s))), Literal(m))
-    }
-  }
-
   def register(spark: SparkSession): Unit = {
     if (isRegistered(spark)) return // idempotent: silence re-register WARNs
     val reg = spark.sessionState.functionRegistry
@@ -108,17 +80,19 @@ object ChDialectBatch10 {
     // mortonEncode(x, y): interleave (x even bits, y odd). Inputs are
     // UInt32 in CH; bits above 32 are masked off here. y's bit 31 lands
     // on the long's sign bit — the same BITS as CH's UInt64, rendered
-    // signed (the #6 widening stance).
-    f("mortonEncode")(a =>
-      BitwiseOr(spreadBits(a(0)), ShiftLeft(spreadBits(a(1)), Literal(1))))
+    // signed (the #6 widening stance). Native one-node expressions over
+    // the static GeoCurve ladders — the old macro form spliced the
+    // 5-step ladder into the tree (~2^5x subtree duplication per call),
+    // which blew up the analyzer under composition (round-11 verdict).
+    f("mortonEncode")(a => MortonEncodeExpr(long(a(0)), long(a(1))))
     // mortonDecode(2, code) -> tuple(x, y); only the 2-D form exists
     // here (CH supports up to 8 — the 2-D form is the one its docs and
     // tests exercise; others refuse loudly).
     f("mortonDecode") { a =>
       require(litInt(a.head, "mortonDecode") == 2,
         "mortonDecode: only the 2-dimensional form is supported")
-      ns("_1" -> compactBits(a(1)),
-         "_2" -> compactBits(ShiftRight(long(a(1)), Literal(1))))
+      ns("_1" -> BitCompactExpr(long(a(1))),
+         "_2" -> BitCompactExpr(ShiftRight(long(a(1)), Literal(1))))
     }
 
     // ---------------------------------------------- calendar conversions
@@ -264,83 +238,22 @@ object ChDialectBatch10 {
 
     // geohashEncode(lon, lat, precision) — public Gustavo-Niemeyer
     // geohash: quantize each axis to its bit budget (lon gets the extra
-    // bit at odd total), MSB-first alternating interleave (the morton
-    // spread above), 5-bit groups through the base32 alphabet.
-    // Everything is float-divide + floor + integer shifts — the same op
-    // order the oracle replays, so the strings are bit-equal.
-    val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
-    def quantize(v: Expression, lo: Double, range: Double,
-        bits: Int): Expression = {
-      val scaled = Cast(Floor(Multiply(
-        Divide(Subtract(dbl(v), Literal(lo)), Literal(range)),
-        Literal(math.pow(2.0, bits)))), LongType)
-      // the exact top-of-range input (lon = 180) lands one past the
-      // last cell; clamp like every public implementation
-      Least(Seq(Greatest(Seq(scaled, Literal(0L))),
-        Literal((1L << bits) - 1)))
-    }
+    // bit at odd total), MSB-first alternating interleave, 5-bit groups
+    // through the base32 alphabet. Native one-node expressions over the
+    // GeoCurve static kernel — float-divide + floor + integer shifts in
+    // the same op order the oracle replays, so the strings are
+    // bit-equal; composition (the q_geohash round-trip) stays linear in
+    // tree size instead of exponential (round-11 analyzer hang).
     f("geohashEncode") { a =>
       val p = if (a.length >= 3) litInt(a(2), "geohashEncode") else 12
-      require(p >= 1 && p <= 12,
-        s"geohashEncode: precision must be 1..12, got $p")
-      val totalBits = 5 * p
-      val lonBits = (totalBits + 1) / 2
-      val latBits = totalBits / 2
-      val lonIdx = quantize(a(0), -180.0, 360.0, lonBits)
-      val latIdx = quantize(a(1), -90.0, 180.0, latBits)
-      // odd total: LSB is a lon bit -> lon on even positions;
-      // even total: lon on odd positions
-      val value =
-        if (totalBits % 2 == 1)
-          BitwiseOr(spreadBits(lonIdx), ShiftLeft(spreadBits(latIdx),
-            Literal(1)))
-        else
-          BitwiseOr(ShiftLeft(spreadBits(lonIdx), Literal(1)),
-            spreadBits(latIdx))
-      val chars = (0 until p).map { g =>
-        val shift = 5 * (p - 1 - g)
-        Substring(Literal(Base32), Cast(Add(
-          BitwiseAnd(ShiftRight(value, Literal(shift)), Literal(31L)),
-          Literal(1L)), IntegerType), Literal(1)): Expression
-      }
-      Concat(chars)
+      GeohashEncodeExpr(dbl(a(0)), dbl(a(1)), p)
     }
     // geohashDecode(s) -> tuple(lon, lat) of the CELL CENTER
     // ((idx + 0.5) / 2^bits scaled back — a deterministic single-point
     // reading of the cell; documented in DIVERGENCES.md)
     f("geohashDecode") { a =>
-      val s = a.head
-      val p = Length(s)
-      // value = Σ base32Index(char g) << 5(len-1-g), as a fold over
-      // the character positions
-      val value = ArrayAggregate(
-        new Sequence(Literal(1), Cast(p, IntegerType), Some(Literal(1))),
-        Literal(0L),
-        lambda2("gh")((acc, i) => {
-          val idx = Cast(Subtract(
-            StringLocate(Substring(s, i, Literal(1)), Literal(Base32),
-              Literal(1)),
-            Literal(1)), LongType)
-          BitwiseOr(ShiftLeft(acc, Literal(5)), idx)
-        }),
-        lambda1("ghf")(identity))
-      val totalBits = Multiply(Cast(p, IntegerType), Literal(5))
-      val odd = EqualTo(Pmod(totalBits, Literal(2)), Literal(1))
-      val lonRaw = If(odd, compactBits(value),
-        compactBits(ShiftRight(value, Literal(1))))
-      val latRaw = If(odd, compactBits(ShiftRight(value, Literal(1))),
-        compactBits(value))
-      val lonBits = Cast(IntegralDivide(Add(totalBits, Literal(1)),
-        Literal(2)), IntegerType)
-      val latBits = Cast(IntegralDivide(totalBits, Literal(2)),
-        IntegerType)
-      def center(idx: Expression, bits: Expression, lo: Double,
-          range: Double): Expression =
-        Add(Multiply(Divide(Add(Cast(idx, DoubleType), Literal(0.5d)),
-          Cast(ShiftLeft(Literal(1L), bits), DoubleType)),
-          Literal(range)), Literal(lo))
-      ns("_1" -> center(lonRaw, lonBits, -180.0, 360.0),
-         "_2" -> center(latRaw, latBits, -90.0, 180.0))
+      ns("_1" -> GeohashDecodeCoordExpr(a.head, wantLat = false),
+         "_2" -> GeohashDecodeCoordExpr(a.head, wantLat = true))
     }
 
     // --------------------------------------------------------------- IP
@@ -384,11 +297,18 @@ object ChDialectBatch10 {
       val g = "[0-9A-Fa-f]{1,4}"
       val full = s"($g:){7}$g"
       val compressed = s"(($g:)*$g)?::(($g:)*$g)?"
+      // '::' abbreviates AT LEAST one zero group, so a compressed form
+      // carries at most 7 EXPLICIT groups (the full form pins exactly 8
+      // via the regex). Counting non-empty split parts bounds explicit
+      // groups directly — the old raw-part cap (<= 9) let
+      // '1:2:3:4:5:6:7::8' and '1::2:3:4:5:6:7:8' through (ADVICE r11).
+      val explicitGroups = Size(ArrayFilter(
+        StringSplit(a.head, Literal(":"), Literal(-1)),
+        lambda1("v6")(p => Not(EqualTo(p, Literal(""))))))
       And(
         RLike(a.head, Literal(s"^($full|$compressed)$$")),
-        LessThanOrEqual(
-          Size(StringSplit(a.head, Literal(":"), Literal(-1))),
-          Literal(9)))
+        Or(Not(Contains(a.head, Literal("::"))),
+           LessThanOrEqual(explicitGroups, Literal(7))))
     }
 
     // -------------------------------------------------------- URL tail

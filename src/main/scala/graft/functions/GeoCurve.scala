@@ -1,0 +1,218 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Space-filling-curve kernels (morton + Gustavo-Niemeyer geohash) as
+  * static Scala methods, wrapped by native Catalyst expressions below
+  * (ref: the CH SQL surface reachable through
+  * packages/ts-moose-lib/src/sqlHelpers.ts:106-255 passthrough —
+  * `mortonEncode`/`mortonDecode`/`geohashEncode`/`geohashDecode`).
+  *
+  * WHY native and not expression macros: the previous macro versions
+  * spliced the classic 5-step mask ladder into the expression tree, and
+  * every ladder step references its input subtree twice — a ~2^5x
+  * subtree duplication per call. Composed calls (the q_geohash
+  * round-trip `encode(decode(encode(...)))`) multiplied that into
+  * millions of tree nodes and pinned the Spark ANALYZER for >13 minutes
+  * (round-11 verdict). Each of these expressions is ONE tree node; the
+  * ladder runs as straight-line JVM code inside whole-stage codegen
+  * (the StringSimilarity / NormalizeUtf8 pattern).
+  *
+  * Arithmetic is pinned to the DuckDB oracle's replay, op for op:
+  * quantize = floor(((v - lo) / range) * 2^bits) clamped to
+  * [0, 2^bits - 1]; MSB-first alternating interleave with lon taking
+  * the extra bit at odd total; base32 alphabet
+  * "0123456789bcdefghjkmnpqrstuvwxyz"; decode returns the CELL CENTER
+  * ((idx + 0.5) / 2^bits — exact dyadic doubles, so raw doubles
+  * hash-compare bit-equal; documented in DIVERGENCES.md).
+  */
+object GeoCurve {
+  private val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+  private val Base32Bytes = Base32.getBytes("US-ASCII")
+
+  /** Spread the low 32 bits of v to the even bit positions of a long —
+    * the classic mask ladder (public bit-twiddling identity). */
+  def spread(v0: Long): Long = {
+    var v = v0 & 0xFFFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  /** Inverse of [[spread]]: gather even bit positions into the low 32. */
+  def compact(v0: Long): Long = {
+    var v = v0 & 0x5555555555555555L
+    v = (v | (v >> 1)) & 0x3333333333333333L
+    v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v >> 4)) & 0x00FF00FF00FF00FFL
+    v = (v | (v >> 8)) & 0x0000FFFF0000FFFFL
+    v = (v | (v >> 16)) & 0x00000000FFFFFFFFL
+    v
+  }
+
+  /** mortonEncode(x, y): x on even bit positions, y on odd. Inputs are
+    * UInt32 in CH; bits above 32 are masked off. y's bit 31 lands on
+    * the long's sign bit — the same BITS as CH's UInt64, rendered
+    * signed (the DIVERGENCES #6 widening stance). */
+  def mortonEncode(x: Long, y: Long): Long = spread(x) | (spread(y) << 1)
+
+  private def quantize(v: Double, lo: Double, range: Double,
+      bits: Int): Long = {
+    // same op ORDER as the oracle: ((v - lo) / range) * 2^bits, floor,
+    // clamp. The exact top-of-range input (lon = 180) lands one past
+    // the last cell; clamp like every public implementation. NaN -> 0
+    // and +Inf -> clamp-high match Spark's non-ANSI double->long cast.
+    val scaled = math.floor((v - lo) / range * math.pow(2.0, bits)).toLong
+    math.min(math.max(scaled, 0L), (1L << bits) - 1)
+  }
+
+  /** geohashEncode(lon, lat, precision 1..12) — public
+    * Gustavo-Niemeyer geohash. */
+  def geohashEncode(lon: Double, lat: Double, precision: Int): UTF8String = {
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2 // lon gets the extra bit at odd
+    val latBits = totalBits / 2
+    val lonIdx = quantize(lon, -180.0, 360.0, lonBits)
+    val latIdx = quantize(lat, -90.0, 180.0, latBits)
+    // odd total: LSB is a lon bit -> lon on even positions;
+    // even total: lon on odd positions
+    val value =
+      if ((totalBits & 1) == 1) spread(lonIdx) | (spread(latIdx) << 1)
+      else (spread(lonIdx) << 1) | spread(latIdx)
+    val out = new Array[Byte](precision)
+    var g = 0
+    while (g < precision) {
+      out(g) =
+        Base32Bytes(((value >> (5 * (precision - 1 - g))) & 31L).toInt)
+      g += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** One coordinate of geohashDecode(s): the CELL CENTER
+    * ((idx + 0.5) / 2^bits scaled back — a deterministic single-point
+    * reading of the cell, exact dyadic arithmetic). Unknown characters
+    * poison the accumulator to -1 (all bits set), matching the prior
+    * StringLocate-minus-1 fold. */
+  def geohashDecodeCoord(s: UTF8String, wantLat: Boolean): Double = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var value = 0L
+    var i = 0
+    while (i < len) {
+      value = (value << 5) | Base32.indexOf(bytes(i).toChar).toLong
+      i += 1
+    }
+    val totalBits = 5 * len
+    val odd = (totalBits & 1) == 1
+    val bits =
+      if (wantLat) totalBits / 2
+      else (totalBits + 1) / 2
+    val raw =
+      if (wantLat) { if (odd) compact(value >> 1) else compact(value) }
+      else { if (odd) compact(value) else compact(value >> 1) }
+    val (lo, range) = if (wantLat) (-90.0, 180.0) else (-180.0, 360.0)
+    ((raw.toDouble + 0.5) / (1L << bits).toDouble) * range + lo
+  }
+}
+
+/** geohashEncode(lon, lat) at a static precision — one tree node. */
+case class GeohashEncodeExpr(left: Expression, right: Expression,
+    precision: Int) extends BinaryExpression {
+  require(precision >= 1 && precision <= 12,
+    s"geohashEncode: precision must be 1..12, got $precision")
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == DoubleType && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (DOUBLE, DOUBLE), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    GeoCurve.geohashEncode(
+      l.asInstanceOf[Double], r.asInstanceOf[Double], precision)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val cls = GeoCurve.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.geohashEncode($l, $r, $precision);"
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GeohashEncodeExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "geohashEncode"
+}
+
+/** One coordinate of geohashDecode(s) — lon (_1) or lat (_2). */
+case class GeohashDecodeCoordExpr(child: Expression, wantLat: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType}")
+  override protected def nullSafeEval(v: Any): Any =
+    GeoCurve.geohashDecodeCoord(v.asInstanceOf[UTF8String], wantLat)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = GeoCurve.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.geohashDecodeCoord($c, $wantLat);"
+    })
+  override protected def withNewChildInternal(
+      newChild: Expression): GeohashDecodeCoordExpr = copy(child = newChild)
+  override def prettyName: String = "geohashDecodeCoord"
+}
+
+/** mortonEncode(x, y) — one tree node over the static ladder. */
+case class MortonEncodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (BIGINT, BIGINT), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    GeoCurve.mortonEncode(l.asInstanceOf[Long], r.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val cls = GeoCurve.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.mortonEncode($l, $r);"
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MortonEncodeExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "mortonEncode"
+}
+
+/** Gather the even bit positions of a long into its low 32 bits (the
+  * mortonDecode building block — callers shift right 1 for the odd
+  * axis). One tree node over the static [[GeoCurve.compact]] ladder. */
+case class BitCompactExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BIGINT, got ${child.dataType}")
+  override protected def nullSafeEval(v: Any): Any =
+    GeoCurve.compact(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = GeoCurve.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.compact($c);"
+    })
+  override protected def withNewChildInternal(
+      newChild: Expression): BitCompactExpr = copy(child = newChild)
+  override def prettyName: String = "bitCompact"
+}

@@ -175,6 +175,41 @@ class ChDialect10Spec extends AnyFunSuite {
       spark.sql("SELECT geohashEncode(0.0, 0.0, 13)").collect())
   }
 
+  test("geohash/morton deep composition stays analyzer-cheap " +
+      "(r11 hang regression: macro ladders exploded the tree)") {
+    // six self-nesting levels of the q_geohash round-trip shape — the
+    // OLD expression-splicing implementation pinned the analyzer for
+    // >13 minutes on ONE level; the native kernels keep the tree linear
+    // in the SQL text, so this must analyze + run in seconds.
+    var gh = "geohashEncode(1.5, 2.5, 7)"
+    for (_ <- 1 to 6)
+      gh = s"geohashEncode(geohashDecode($gh)._1, geohashDecode($gh)._2, 7)"
+    var mc = "mortonEncode(5, 3)"
+    for (_ <- 1 to 6)
+      mc = s"mortonEncode(mortonDecode(2, $mc)._1, mortonDecode(2, $mc)._2)"
+    val t0 = System.nanoTime()
+    val row = spark.sql(s"SELECT $gh AS g, $mc AS m").head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // decode returns the cell center and re-encode is the identity on
+    // centers, so arbitrary nesting is a fixpoint after the first hop
+    assert(row.getString(0) == one("geohashEncode(geohashDecode(" +
+      "geohashEncode(1.5, 2.5, 7))._1, geohashDecode(" +
+      "geohashEncode(1.5, 2.5, 7))._2, 7)"))
+    assert(row.getLong(1) == 27L) // morton round trip is exact
+    assert(secs < 30.0, s"nested geohash/morton took $secs s — " +
+      "analyzer blowup regression")
+  }
+
+  test("isIPv6String: '::' caps EXPLICIT groups at 7 (ADVICE r11)") {
+    // 8 explicit groups alongside '::' claim 9+ total groups — invalid
+    assert(one("isIPv6String('1:2:3:4:5:6:7::8')") == false)
+    assert(one("isIPv6String('1::2:3:4:5:6:7:8')") == false)
+    // 7 explicit groups + '::' (one elided zero group) — valid
+    assert(one("isIPv6String('fe80::1:2:3:4:5:6')") == true)
+    assert(one("isIPv6String('::')") == true)
+    assert(one("isIPv6String('1::8')") == true)
+  }
+
   test("JSONExtractKeys: document order; arrayShuffle: deterministic " +
       "seeded permutation") {
     assert(one("""arrayStringConcat(JSONExtractKeys('{"b":1,"a":2}'), ',')""")
