@@ -18,20 +18,49 @@ object Verify {
     // Local-iteration filter (driver passes no env: runs everything).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Per-query watchdog (round-11 lesson: one analyzer-hung query —
+    // q_geohash — starved every query after it and the round recorded
+    // `{}`). Each query runs on its own thread with a hard deadline; on
+    // timeout we cancel its job group (covers executor-side hangs),
+    // interrupt the thread (covers driver-side analyzer spins), record
+    // one FAILED row, and CONTINUE — converting "round has no signal"
+    // into "one red row". A truly uninterruptible driver spin leaves a
+    // busy daemon thread behind; with 31 other cores that degrades the
+    // remaining queries, not the artifact.
+    val timeoutSec =
+      sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_S").map(_.toInt).getOrElse(300)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
       val t0 = System.nanoTime()
-      val status =
+      @volatile var status = s"FAILED(timeout ${timeoutSec}s)"
+      @volatile var timedOut = false
+      val worker = new Thread(() => {
         try {
+          spark.sparkContext.setJobGroup(s"verify-$name",
+            s"graft.Verify $name", interruptOnCancel = true)
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
-          "ok"
+          status = "ok"
         } catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          "FAILED"
-        }
+          // keep the timeout provenance: the cancel/interrupt surfaces
+          // here as a SparkException/InterruptedException
+          if (!timedOut) {
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            status = "FAILED"
+          }
+        } finally spark.sparkContext.clearJobGroup()
+      }, s"verify-$name")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutSec * 1000L)
+      if (worker.isAlive) {
+        timedOut = true
+        spark.sparkContext.cancelJobGroup(s"verify-$name")
+        worker.interrupt()
+        worker.join(10000L) // grace for the cancel to land
+      }
       System.err.println(
         f"[verify] $name $status in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }

@@ -111,8 +111,12 @@ object NgramOverlap {
     Array(matched, totalC.toLong, totalR.toLong)
   }
 
-  private def split(s: String): Array[String] =
-    if (s.isEmpty) Array.empty else s.split(" ", -1)
+  // empty text is ONE empty token — the same convention as the DuckDB
+  // oracle's string_split('', ' ') = [''] (ADVICE r11: the old
+  // zero-token reading made empty documents a latent engine/oracle
+  // mismatch in the BLEU/ROUGE pairing join). Java's split("", -1)
+  // already returns [""], so no special case.
+  private def split(s: String): Array[String] = s.split(" ", -1)
 
   private def gram(toks: Array[String], start: Int, n: Int): String = {
     val sb = new java.lang.StringBuilder()

@@ -425,8 +425,11 @@ object StreamingQueries {
       .parquet(src)
       .select(col("event_type").as("key"), unix_micros(col("ts")).as("us"))
       .as[StreamTopK.KeyEvent]
+    // replay horizon: the driver replays repartitioned files in
+    // arbitrary time order, so the eviction horizon must exceed the
+    // corpus span — production streams would use minutes
     val entries = StreamTopK.heavyHitters(stream, capacity = 64,
-      windowSecs = 86400L, shards = 4)
+      windowSecs = 86400L, shards = 4, delay = "3650 days")
     val sink = s"stopk_${java.util.UUID.randomUUID().toString.take(8)}"
     val q = entries.writeStream.format("memory").queryName(sink)
       .outputMode("update").start()

@@ -38,44 +38,74 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamTopK {
 
   final case class KeyEvent(key: String, us: Long)
+  /** Internal: KeyEvent + the watermark column (must be public — the
+    * encoder's generated deserializer instantiates it). */
+  final case class KeyEventTs(key: String, us: Long,
+      ts: java.sql.Timestamp)
   final case class TopEntry(window_start: Long, key: String, cnt: Long,
       err: Long)
   final case class SummaryState(counters: Map[String, (Long, Long)])
 
   /** Per-(window, shard) SpaceSaving summaries over a stream of
     * (key, µs) events; emits the shard's full summary on every batch
-    * that touches it. */
+    * that touches it.
+    *
+    * `delay` is the watermark horizon: once the watermark passes a
+    * window's end, its (window, shard) states are DROPPED via
+    * event-time timeout — state is bounded in window count, not just
+    * per window (ADVICE r11; the StreamNearDup eviction stance). Events
+    * arriving for an already-evicted window rebuild a fresh summary
+    * (counts split across the eviction) — the standard
+    * late-beyond-watermark caveat; size `delay` to the stream's
+    * disorder (replay harnesses with shuffled files need it to exceed
+    * the corpus span). */
   def heavyHitters(events: Dataset[KeyEvent], capacity: Int,
-      windowSecs: Long, shards: Int): Dataset[TopEntry] = {
+      windowSecs: Long, shards: Int, delay: String): Dataset[TopEntry] = {
     require(capacity >= 1, s"StreamTopK: capacity must be >= 1")
     require(windowSecs > 0, "StreamTopK: window must be positive")
     require(shards >= 1, "StreamTopK: shards must be >= 1")
     val windowUs = windowSecs * 1000000L
+    implicit val rowEnc = Encoders.product[KeyEventTs]
     implicit val stateEnc = Encoders.product[SummaryState]
     implicit val outEnc = Encoders.product[TopEntry]
     implicit val keyEnc = Encoders.tuple(Encoders.scalaLong,
       Encoders.scalaInt)
-    events.groupByKey { e =>
-      val ws = math.floorDiv(e.us, windowUs) * windowUs
-      (ws, math.floorMod(e.key.hashCode, shards))
-    }.flatMapGroupsWithState[SummaryState, TopEntry](
-      OutputMode.Update, GroupStateTimeout.NoTimeout) {
-      case ((ws, _), it, state: GroupState[SummaryState]) =>
-        var m = state.getOption.map(_.counters)
-          .getOrElse(Map.empty[String, (Long, Long)])
-        it.foreach { e =>
-          m.get(e.key) match {
-            case Some((c, err)) => m = m.updated(e.key, (c + 1, err))
-            case None if m.size < capacity => m = m.updated(e.key, (1L, 0L))
-            case None =>
-              // evict min count, ties -> largest key (total order)
-              val (ek, (ec, _)) = m.minBy { case (k, (c, _)) => (c, Reversed(k)) }
-              m = (m - ek).updated(e.key, (ec + 1, ec))
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    events.withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", delay)
+      .as[KeyEventTs]
+      .groupByKey { e =>
+        val ws = math.floorDiv(e.us, windowUs) * windowUs
+        (ws, math.floorMod(e.key.hashCode, shards))
+      }.flatMapGroupsWithState[SummaryState, TopEntry](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case ((ws, _), it, state: GroupState[SummaryState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var m = state.getOption.map(_.counters)
+              .getOrElse(Map.empty[String, (Long, Long)])
+            it.foreach { e =>
+              m.get(e.key) match {
+                case Some((c, err)) => m = m.updated(e.key, (c + 1, err))
+                case None if m.size < capacity =>
+                  m = m.updated(e.key, (1L, 0L))
+                case None =>
+                  // evict min count, ties -> largest key (total order)
+                  val (ek, (ec, _)) =
+                    m.minBy { case (k, (c, _)) => (c, Reversed(k)) }
+                  m = (m - ek).updated(e.key, (ec + 1, ec))
+              }
+            }
+            state.update(SummaryState(m))
+            // drop this window's summary once the watermark passes its
+            // end (the timestamp must sit above the current watermark —
+            // a late-arriving rebuild clamps to watermark + 1 ms)
+            state.setTimeoutTimestamp(math.max(
+              ws / 1000L + windowSecs * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            m.iterator.map { case (k, (c, err)) => TopEntry(ws, k, c, err) }
           }
-        }
-        state.update(SummaryState(m))
-        m.iterator.map { case (k, (c, err)) => TopEntry(ws, k, c, err) }
-    }
+      }
   }
 
   /** Orders strings DESCENDING inside an ascending minBy (the eviction

@@ -29,7 +29,12 @@ class NgramOverlapSpec extends AnyFunSuite {
     assert(stats("a b c", "a b c", 2) == (2L, 2L, 2L))
     assert(stats("a b", "c d", 1) == (0L, 2L, 2L))
     assert(stats("a b", "a b c d", 3) == (0L, 0L, 2L))
-    assert(stats("", "a b", 1) == (0L, 0L, 2L))
+    // empty text is ONE empty token — the DuckDB string_split('', ' ')
+    // convention the oracle replays (ADVICE r11)
+    assert(stats("", "a b", 1) == (0L, 1L, 2L))
+    assert(stats("a b", "", 1) == (0L, 2L, 1L))
+    assert(stats("", "", 1) == (1L, 1L, 1L)) // "" matches ""
+    assert(stats("", "a b", 2) == (0L, 0L, 1L))
   }
 
   test("order bound refusal") {

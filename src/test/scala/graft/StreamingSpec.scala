@@ -86,7 +86,7 @@ class StreamingSpec extends AnyFunSuite {
     // exact regime: capacity ≥ distinct keys, one shard
     val mem = MemoryStream[StreamTopK.KeyEvent]
     val q = StreamTopK.heavyHitters(mem.toDS(), capacity = 8,
-        windowSecs = 60L, shards = 1)
+        windowSecs = 60L, shards = 1, delay = "1 hour")
       .writeStream.format("memory").queryName("stopk_t")
       .outputMode("update").start()
     try {
@@ -108,7 +108,7 @@ class StreamingSpec extends AnyFunSuite {
     // eviction: capacity 2 — 'c' inherits the evicted minimum's count
     val mem2 = MemoryStream[StreamTopK.KeyEvent]
     val q2 = StreamTopK.heavyHitters(mem2.toDS(), capacity = 2,
-        windowSecs = 60L, shards = 1)
+        windowSecs = 60L, shards = 1, delay = "1 hour")
       .writeStream.format("memory").queryName("stopk_e")
       .outputMode("update").start()
     try {
@@ -131,6 +131,39 @@ class StreamingSpec extends AnyFunSuite {
       // Σ counts over the LIVE summary = events processed (4)
       assert(fin.filterNot(_._1 == "b").values.map(_._1).sum == 4L)
     } finally q2.stop()
+  }
+
+  test("StreamTopK: window state is DROPPED once the watermark passes " +
+      "the window end (bounded in window count — ADVICE r11)") {
+    import graft.streaming.StreamTopK
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamTopK.KeyEvent]
+    val q = StreamTopK.heavyHitters(mem.toDS(), capacity = 8,
+        windowSecs = 60L, shards = 1, delay = "10 seconds")
+      .writeStream.format("memory").queryName("stopk_evict")
+      .outputMode("update").start()
+    try {
+      mem.addData(StreamTopK.KeyEvent("a", 1000000L),
+        StreamTopK.KeyEvent("a", 2000000L)) // window 0
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 1L)
+      // batch 2 advances the watermark to 300s - 10s = 290s > window-0
+      // end (60s); the timeout fires in the follow-up (no-data) batch
+      mem.addData(StreamTopK.KeyEvent("b", 300000000L)) // window 300
+      q.processAllAvailable()
+      mem.addData(StreamTopK.KeyEvent("c", 301000000L)) // window 300
+      q.processAllAvailable()
+      // window 0 evicted; only the live window-300 summary remains
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 1L,
+        "window-0 state should have been evicted by event-time timeout")
+      // the window-0 summary emitted BEFORE eviction is still the final
+      // answer downstream (counts only grow; max() over emissions)
+      val w0 = spark.table("stopk_evict")
+        .where(col("window_start") === 0L).groupBy(col("key"))
+        .agg(max(col("cnt")).as("cnt")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(w0 == Map("a" -> 2L))
+    } finally q.stop()
   }
 
   test("StreamDedup.newVsHistory: static history drops known content, " +
