@@ -257,35 +257,44 @@ object ChDialectBatch10 {
     }
 
     // --------------------------------------------------------------- IP
+    // Both CIDR functions `bind` their inputs once: ipv4StringToNum
+    // references its argument ~14x, so splicing raw arguments would
+    // make composed calls grow ~14x per nesting level — the same
+    // hazard class as the r11 geohash analyzer hang (AnalyzerBudgetSpec
+    // pins the budget).
     // IPv4CIDRToRange(ip, prefix) -> tuple(lowStr, highStr).
     f("IPv4CIDRToRange") { a =>
-      val num = ipv4StringToNum(a.head)
-      val bits = Cast(a(1), IntegerType)
-      // mask of the host part; prefix 0..32 (long shifts are exact
-      // here — int shifts would wrap at 32)
-      val host = Subtract(
-        ShiftLeft(Literal(1L), Subtract(Literal(32), bits)), Literal(1L))
-      val lo = BitwiseAnd(num, BitwiseNot(host))
-      ns("_1" -> ipv4NumToString(lo),
-         "_2" -> ipv4NumToString(BitwiseOr(lo, host)))
+      bind(a.head, "c2rIp") { ip => bind(Cast(a(1), IntegerType), "c2rB") {
+        bits =>
+          val num = ipv4StringToNum(ip)
+          // mask of the host part; prefix 0..32 (long shifts are exact
+          // here — int shifts would wrap at 32)
+          val host = Subtract(
+            ShiftLeft(Literal(1L), Subtract(Literal(32), bits)),
+            Literal(1L))
+          val lo = BitwiseAnd(num, BitwiseNot(host))
+          ns("_1" -> ipv4NumToString(lo),
+             "_2" -> ipv4NumToString(BitwiseOr(lo, host)))
+      }}
     }
     // isIPAddressInRange(addr, 'cidr') — IPv4 only; an IPv6 CIDR
     // refuses loudly rather than silently returning false.
     f("isIPAddressInRange") { a =>
-      val cidr = a(1)
-      val net = SubstringIndex(cidr, Literal("/"), Literal(1))
-      val bits = Cast(
-        SubstringIndex(cidr, Literal("/"), Literal(-1)), IntegerType)
-      val host = Subtract(
-        ShiftLeft(Literal(1L), Subtract(Literal(32), bits)), Literal(1L))
-      val mask = BitwiseNot(host)
-      If(Contains(cidr, Literal(":")),
-        Cast(new RaiseError(Concat(Seq(
-          Literal("isIPAddressInRange: IPv6 CIDR '"), cidr,
-          Literal("' is not supported (IPv4 only)")))), BooleanType),
-        EqualTo(
-          BitwiseAnd(ipv4StringToNum(a.head), mask),
-          BitwiseAnd(ipv4StringToNum(net), mask)))
+      bind(a.head, "iprA") { addr => bind(a(1), "iprC") { cidr =>
+        val net = SubstringIndex(cidr, Literal("/"), Literal(1))
+        val bits = Cast(
+          SubstringIndex(cidr, Literal("/"), Literal(-1)), IntegerType)
+        val host = Subtract(
+          ShiftLeft(Literal(1L), Subtract(Literal(32), bits)), Literal(1L))
+        val mask = BitwiseNot(host)
+        If(Contains(cidr, Literal(":")),
+          Cast(new RaiseError(Concat(Seq(
+            Literal("isIPAddressInRange: IPv6 CIDR '"), cidr,
+            Literal("' is not supported (IPv4 only)")))), BooleanType),
+          EqualTo(
+            BitwiseAnd(ipv4StringToNum(addr), mask),
+            BitwiseAnd(ipv4StringToNum(net), mask)))
+      }}
     }
     // Anchored validation regexes (the #16 strictness tier): IPv4 quads
     // 0-255; IPv6 full 8-group or single-'::' compressed form, with a

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-pin for the analyzer-size hazard class (VERDICT r11 #6):
+  * a dialect builder that SPLICES expression macros referencing an
+  * input subtree more than once blows up exponentially under
+  * composition — q_geohash's encode∘decode∘encode produced millions of
+  * tree nodes and pinned the analyzer for >13 minutes before the
+  * native-kernel rewrite.
+  *
+  * This spec walks EVERY registered dialect builder (all batches), and
+  * for each arity signature it can instantiate, builds a doubly-nested
+  * self-composition (data args replaced by the previous level's output;
+  * literal-required args kept as literals so `require` gates pass) and
+  * asserts the resulting RAW tree stays under 50k nodes. A builder
+  * whose output references a data argument k times grows ~k^2 under two
+  * nestings — the geohash macros (k ≈ 2^5 per ladder step) fail this
+  * loudly; every legitimate builder (k small) passes with huge margin.
+  */
+class AnalyzerBudgetSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    graft.functions.ClickHouseFunctions.register(s)
+    graft.functions.ChDialectExtras.register(s)
+    graft.functions.ChDialectBatch3.register(s)
+    graft.functions.ChDialectBatch4.register(s)
+    graft.functions.ChDialectBatch5.register(s)
+    graft.functions.ChDialectBatch6.register(s)
+    graft.functions.ChDialectBatch7.register(s)
+    graft.functions.ChDialectBatch8.register(s)
+    graft.functions.ChDialectBatch9.register(s)
+    graft.functions.ChDialectBatch10.register(s)
+    graft.functions.ChDialectBatch11.register(s)
+    s
+  }
+
+  /** Count nodes with an early bail so a blown-up tree doesn't make the
+    * TEST hang: returns cap+1 as soon as the budget is exceeded. */
+  private def countNodes(e: Expression, cap: Int): Int = {
+    var n = 0
+    def walk(x: Expression): Boolean = { // false = over budget, stop
+      n += 1
+      if (n > cap) return false
+      x.children.forall(walk)
+    }
+    walk(e)
+    n
+  }
+
+  // candidate argument shapes, tried in order; literals chosen so
+  // builder-side `require` gates (modes, precisions, dimensions) pass
+  // for as many functions as possible — a builder none of these fit is
+  // skipped (it still gets composition coverage via its driver query).
+  private val d = Literal(1.0d)
+  private val s1 = Literal("a b")
+  private val argShapes: Seq[Seq[Expression]] = Seq(
+    Seq(d), Seq(s1),
+    Seq(d, d), Seq(s1, s1), Seq(s1, d), Seq(d, s1),
+    Seq(d, d, Literal(2)), Seq(Literal(2), d), Seq(s1, Literal(2)),
+    Seq(Literal(2), s1), Seq(d, d, d), Seq(s1, s1, s1),
+    Seq(d, d, d, d), Seq(s1, d, d), Seq(s1, s1, d))
+
+  test("every dialect builder stays under 50k tree nodes when doubly " +
+      "self-composed (geohash-hang hazard class)") {
+    val reg = spark.sessionState.functionRegistry
+    val builtin =
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+    val dialectFns = reg.listFunction()
+      .filterNot(f => builtin.functionExists(f))
+    assert(dialectFns.size > 300, // sanity: the walk actually walks
+      s"expected the full dialect surface, found ${dialectFns.size}")
+    val cap = 50000
+    var covered = 0
+    val offenders = Seq.newBuilder[(String, Int)]
+    dialectFns.foreach { fid =>
+      reg.lookupFunctionBuilder(fid).foreach { builder =>
+        // first shape the builder accepts at construction time
+        argShapes.iterator.flatMap { shape =>
+          try Some((shape, builder(shape))) catch { case _: Throwable => None }
+        }.nextOption().foreach { case (shape, e1) =>
+          covered += 1
+          val isAgg = e1.exists(_.isInstanceOf[org.apache.spark.sql
+            .catalyst.expressions.aggregate.AggregateExpression])
+          if (isAgg) {
+            // aggregates can't legally nest — the realistic hazard is
+            // the SINGLE-call splice factor (each data-arg reference
+            // multiplies whatever expression the user aggregates)
+            val n = countNodes(e1, 5000)
+            if (n > 5000) offenders += ((fid.funcName, n))
+          } else {
+            def nest(prev: Expression): Option[Expression] =
+              try Some(builder(shape.map {
+                case l @ Literal(_, _) if l.dataType ==
+                  org.apache.spark.sql.types.IntegerType => l // keep gates
+                case _ => prev
+              })) catch { case _: Throwable => None }
+            val nested = nest(e1).flatMap(nest).getOrElse(e1)
+            val n = countNodes(nested, cap)
+            if (n > cap) offenders += ((fid.funcName, n))
+          }
+        }
+      }
+    }
+    assert(covered > 250, // most of the surface must actually compose
+      s"only $covered builders were exercised — widen argShapes")
+    val bad = offenders.result()
+    assert(bad.isEmpty,
+      s"builders exceeding $cap nodes under double self-composition " +
+        s"(splice-ladder hazard): ${bad.map(_._1).mkString(", ")}")
+  }
+}
