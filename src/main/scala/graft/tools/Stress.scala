@@ -26,13 +26,23 @@ object Stress {
     // clamped rule plays that role. Optional second arg overrides.
     val shufflePartitions = args.lift(1).map(_.toInt)
       .getOrElse(math.min(192, math.max(32, 13 * factor / 32 * 32)))
-    val spark = SparkSession.builder()
+    // AQE-experiment knobs (VERDICT r11 #5): let AQE pick per-stage
+    // parallelism from an advisory size instead of the fixed clamp —
+    // start wide (initialPartitionNum) and let coalescePartitions
+    // shrink small stages to the advisory target. On a real cluster
+    // these are the knobs that replace the 192 clamp; here they let us
+    // MEASURE whether the minhash 100× knee is the clamp or the box.
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_STRESS_INIT_PARTS").foreach(p => builder.config(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum", p))
+    sys.env.get("SPARK_STRESS_ADVISORY").foreach(a => builder.config(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", a))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     /** N× replication with shifted keys and an optional per-copy tweak.

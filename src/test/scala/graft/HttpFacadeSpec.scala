@@ -1,0 +1,99 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.api.{ConsumptionApi, HttpFacade, IngestPipeline}
+import graft.schema.{MooseColumn, MooseSchema, MooseType}
+import graft.streaming.MooseStream
+import graft.table.{OlapTable, TableEngine}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object HttpFacadeSpec {
+  final case class InRec(id: Long, tier: String, v: Double)
+}
+
+/** The reference's e2e shape over the facade: POST /ingest/{model}
+  * (validate → transform → DLQ → insert) then GET /api/{name}
+  * (ref local_webserver.rs:1748, consumptionApi.ts:40). */
+class HttpFacadeSpec extends AnyFunSuite {
+  import HttpFacadeSpec.InRec
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  test("POST /ingest → table + DLQ; GET /api → handler SQL; " +
+      "status mapping for bad routes/methods/params") {
+    import spark.implicits._
+    val wh = tmp("httpwh")
+    val tableSchema = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("tier", MooseType.MEnum(Seq("free", "pro"))),
+      MooseColumn("v", MooseType.MFloat64)))
+    val table = new OlapTable(spark,
+      OlapTable.Config("http_landing", tableSchema, TableEngine.MergeTree,
+        orderBy = Seq("id")), wh)
+    val stream = new MooseStream[InRec]("http_src")
+    stream.addTransform[InRec]("http_landing", r =>
+      if (r.id < 0) throw new RuntimeException("negative id")
+      else Seq(r.copy(v = r.v * 2)))
+    val pipeline = new IngestPipeline("http_in", stream, table)
+
+    val api = ConsumptionApi[String](
+      name = "sum_by_tier",
+      handler = (s, tier) => table.read()
+        .where(col("tier") === tier)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total_v")))
+
+    val facade = new HttpFacade()
+      .mountIngest("events")(HttpFacade.jsonIngestRoute(spark, pipeline))
+      .mountConsumption("sum_by_tier")(HttpFacade.consumptionRoute(
+        spark, api, params => params.getOrElse("tier",
+          throw new IllegalArgumentException("missing required param 'tier'"))))
+      .start()
+    val base = s"http://127.0.0.1:${facade.port}"
+    val client = HttpClient.newHttpClient()
+    def get(path: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    def post(path: String, body: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+
+    try {
+      // the reference round trip: 2 valid rows (one transformed), one
+      // transform failure, one enum-validation failure → one DLQ
+      val ingest = post("/ingest/events",
+        """{"id": 1, "tier": "free", "v": 1.5}
+          |{"id": 2, "tier": "pro", "v": 4.0}
+          |{"id": -3, "tier": "free", "v": 9.0}
+          |{"id": 4, "tier": "gold", "v": 2.0}
+          |""".stripMargin)
+      assert(ingest.statusCode() == 200, ingest.body())
+      assert(ingest.body() == """{"written":2,"failed":1,"dlq":2}""")
+      assert(table.read().count() == 2)
+      assert(pipeline.dlq.read().count() == 2)
+
+      // consumption: transformed values visible through the API
+      val ok = get("/api/sum_by_tier?tier=free")
+      assert(ok.statusCode() == 200)
+      assert(ok.body() == """[{"tier":"free","n":1,"total_v":3.0}]""")
+
+      // status mapping
+      assert(get("/health").statusCode() == 200)
+      assert(get("/nope").statusCode() == 404)
+      assert(get("/ingest/events").statusCode() == 405) // GET on ingest
+      assert(post("/api/sum_by_tier?tier=free", "").statusCode() == 405)
+      val bad = get("/api/sum_by_tier") // missing required param
+      assert(bad.statusCode() == 400)
+      assert(bad.body().contains("missing required param"))
+      val empty = post("/ingest/events", "  \n ")
+      assert(empty.statusCode() == 400)
+    } finally facade.stop()
+  }
+}
