@@ -40,8 +40,13 @@ object Stress {
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_STRESS_INIT_PARTS").foreach(p => builder.config(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum", p))
-    sys.env.get("SPARK_STRESS_ADVISORY").foreach(a => builder.config(
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes", a))
+    sys.env.get("SPARK_STRESS_ADVISORY").foreach { a =>
+      builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", a)
+      // without this, coalescePartitions maximizes parallelism and the
+      // advisory size is ignored (Spark default parallelismFirst=true)
+      builder.config(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
