@@ -1,0 +1,199 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** ClickHouse-dialect batch 12 — long-tail conversions and the MinHash
+  * fingerprint pair (ref: the CH SQL surface reachable through
+  * packages/ts-moose-lib/src/sqlHelpers.ts:106-255 passthrough — the
+  * same contract note as batches 2-11):
+  *
+  *  - NOT here: CH `transform` and `monthName` — both names are OWNED
+  *    by Spark 4 builtins (the higher-order `transform` and the
+  *    3-letter `monthname`), and the registration guard refuses to
+  *    shadow builtins by design; the CH semantics are one expression
+  *    away (`element_at(to, array_position(from, x))` with a coalesce
+  *    fallback; `date_format(d, 'MMMM')`);
+  *  - `bitmaskToArray(n)` / `bitmaskToList(n)` — powers of two summing
+  *    to n, ascending (bit 63 renders as the long's sign bit — the
+  *    DIVERGENCES #6 widening stance);
+  *  - `snowflakeToDateTime(id)` / `dateTimeToSnowflake(ts)` — the
+  *    public Twitter snowflake layout: ms-since-2010-11-04T01:42:54.657
+  *    (epoch 1288834974657) in bits 22..62;
+  *  - `javaHash(s)` / `hiveHash(s)` — Java `String.hashCode` as a
+  *    32-bit-wrapped fold over code points (EXACT for BMP text — a
+  *    supplementary-plane code point is ONE position here vs two UTF-16
+  *    units in Java, DIVERGENCES #52); hiveHash clears the sign bit;
+  *  - `UUIDStringToNum(s)` / `UUIDNumToString(b)` — canonical-text
+  *    bytes <-> 36-char form (lowercase out, dash positions pinned);
+  *  - `normalizeQuery(q)` / `normalizedQueryHash(q)` — literal scrub
+  *    (quoted strings, then standalone numbers → `?`); the hash is
+  *    xxhash64 of the normalized text (the #4 cityHash spelling);
+  *  - `ngramMinHash(s[, n, k])` / `wordShingleMinHash(s[, size, k])` —
+  *    CH's near-dup fingerprint pair `tuple(h1, h2)`: h1 folds the k
+  *    SMALLEST distinct shingle hashes, h2 the k largest (both in
+  *    ascending order); shingle hash and fold are xxhash64 (#4 — CH
+  *    uses internal sipHash/cityHash kernels, so values diverge but the
+  *    fingerprint CONTRACT — equal text ⇒ equal tuple, shared shingles
+  *    ⇒ shared extremes — is the same). The heavy-duty near-dup path
+  *    stays [[graft.operators.Dedup]]'s banded MinHash-LSH; these are
+  *    the row-local fingerprint SPELLINGS.
+  *
+  * All builders are linear in their argument (lambda variables are the
+  * only repeated references — the AnalyzerBudgetSpec budget holds);
+  * single projection, no shuffle, no UDF.
+  */
+object ChDialectBatch12 {
+  import ChExprDsl._
+
+  private def long(e: Expression) = Cast(e, LongType)
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an integer literal argument, got $other")
+  }
+
+  /** Java String.hashCode fold: h = 31·h + code, wrapped to 32 bits
+    * (kept in [0, 2^32) during the fold, sign-adjusted at the end). */
+  private def javaHashOf(s: Expression): Expression = {
+    val wrap = Literal(4294967296L)
+    // If short-circuits eval, so Sequence(1, 0) never builds on the
+    // empty string (its boundaries require start <= stop)
+    val folded = If(LessThanOrEqual(Length(s), Literal(0)), Literal(0L),
+      ArrayAggregate(
+        new Sequence(Literal(1), Length(s), Some(Literal(1))),
+        Literal(0L),
+        lambda2("jh")((acc, i) => Pmod(
+          Add(Multiply(acc, Literal(31L)),
+            Cast(Ascii(Substring(s, i, Literal(1))), LongType)), wrap)),
+        lambda1("jhf")(identity)))
+    Cast(If(GreaterThanOrEqual(folded, Literal(2147483648L)),
+      Subtract(folded, wrap), folded), IntegerType)
+  }
+
+  /** tuple(h1, h2) over a distinct-shingle hash array: h1 = ascending
+    * fold of the k smallest, h2 = ascending fold of the k largest. */
+  private def minHashPair(shingles: Expression, k: Int): Expression = {
+    def foldK(sorted: Expression): Expression = ArrayAggregate(
+      Slice(sorted, Literal(1), Literal(k)),
+      Literal(0L),
+      lambda2("mhp")((acc, h) => new XxHash64(Seq(acc, h))),
+      lambda1("mhpf")(identity))
+    bind(new SortArray(ArrayDistinct(shingles)), "mh") { sorted =>
+      ns("_1" -> foldK(sorted),
+         "_2" -> foldK(Reverse(sorted)))
+    }
+  }
+
+  def register(spark: SparkSession): Unit = {
+    if (isRegistered(spark)) return // idempotent: silence re-register WARNs
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
+      require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+          .builtin.functionExists(FunctionIdentifier(name.toLowerCase)),
+        s"refusing to shadow Spark builtin function '$name'")
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+
+    // ---------------------------------------------------- date tail
+    // snowflake epoch: 2010-11-04T01:42:54.657Z = 1288834974657 ms
+    f("snowflakeToDateTime")(a =>
+      MillisToTimestamp(Add(ShiftRight(long(a.head), Literal(22)),
+        Literal(1288834974657L))))
+    f("dateTimeToSnowflake")(a =>
+      ShiftLeft(Subtract(
+        Cast(UnixMillis(Cast(a.head, TimestampType)), LongType),
+        Literal(1288834974657L)), Literal(22)))
+
+    // ----------------------------------------------------- bitmask
+    def bitmaskArray(n: Expression): Expression =
+      bind(long(n), "bm") { v =>
+        ArrayTransform(
+          ArrayFilter(new Sequence(Literal(0), Literal(63), Some(Literal(1))),
+            lambda1("bmf")(i => EqualTo(
+              BitwiseAnd(ShiftRight(v, i), Literal(1L)), Literal(1L)))),
+          lambda1("bmt")(i => ShiftLeft(Literal(1L), i)))
+      }
+    f("bitmaskToArray")(a => bitmaskArray(a.head))
+    f("bitmaskToList")(a => ArrayJoin(
+      ArrayTransform(bitmaskArray(a.head),
+        lambda1("bml")(v => Cast(v, StringType))),
+      Literal(","), None))
+
+    // ------------------------------------------------------- hashes
+    f("javaHash")(a => javaHashOf(a.head))
+    f("hiveHash")(a =>
+      Cast(BitwiseAnd(Cast(javaHashOf(a.head), LongType),
+        Literal(0x7FFFFFFFL)), IntegerType))
+
+    // --------------------------------------------------------- UUID
+    // canonical-text bytes (the hex digits as written, dashes dropped)
+    f("UUIDStringToNum")(a =>
+      Unhex(StringReplace(a.head, Literal("-"), Literal(""))))
+    f("UUIDNumToString") { a =>
+      bind(Lower(Hex(a.head)), "uu") { h =>
+        Concat(Seq(
+          Substring(h, Literal(1), Literal(8)), Literal("-"),
+          Substring(h, Literal(9), Literal(4)), Literal("-"),
+          Substring(h, Literal(13), Literal(4)), Literal("-"),
+          Substring(h, Literal(17), Literal(4)), Literal("-"),
+          Substring(h, Literal(21), Literal(12))))
+      }
+    }
+
+    // ------------------------------------------------ query scrubbing
+    // pinned subset of CH's normalizer: single-quoted strings first
+    // (so numbers inside them don't double-fire), then standalone
+    // numeric literals; whitespace left as written.
+    def normalized(q: Expression): Expression =
+      RegExpReplace(
+        RegExpReplace(q, Literal("'(?:[^'\\\\]|\\\\.)*'"), Literal("?")),
+        Literal("(?<![\\w?])-?\\d+(?:\\.\\d+)?(?![\\w?])"), Literal("?"))
+    f("normalizeQuery")(a => normalized(a.head))
+    f("normalizedQueryHash")(a => new XxHash64(Seq(normalized(a.head))))
+
+    // -------------------------------------- MinHash fingerprint pair
+    f("ngramMinHash") { a =>
+      val n = if (a.length >= 2) litInt(a(1), "ngramMinHash") else 3
+      val k = if (a.length >= 3) litInt(a(2), "ngramMinHash") else 6
+      require(n >= 1 && n <= 8, s"ngramMinHash: ngram size 1..8, got $n")
+      require(k >= 1 && k <= 64, s"ngramMinHash: hash count 1..64, got $k")
+      bind(a.head, "ng") { s =>
+        val cnt = Add(Subtract(Length(s), Literal(n)), Literal(1))
+        val grams = If(LessThanOrEqual(cnt, Literal(0)),
+          Literal.create(Array.empty[Long], ArrayType(LongType)),
+          ArrayTransform(
+            new Sequence(Literal(1), cnt, Some(Literal(1))),
+            lambda1("ngi")(i =>
+              new XxHash64(Seq(Substring(s, i, Literal(n)))))))
+        minHashPair(grams, k)
+      }
+    }
+    f("wordShingleMinHash") { a =>
+      val size = if (a.length >= 2) litInt(a(1), "wordShingleMinHash") else 3
+      val k = if (a.length >= 3) litInt(a(2), "wordShingleMinHash") else 6
+      require(size >= 1 && size <= 8,
+        s"wordShingleMinHash: shingle size 1..8, got $size")
+      require(k >= 1 && k <= 64,
+        s"wordShingleMinHash: hash count 1..64, got $k")
+      bind(StringSplit(a.head, Literal("\\s+"), Literal(-1)), "ws") { toks =>
+        val cnt = Add(Subtract(Size(toks), Literal(size)), Literal(1))
+        val grams = If(LessThanOrEqual(cnt, Literal(0)),
+          Literal.create(Array.empty[Long], ArrayType(LongType)),
+          ArrayTransform(
+            new Sequence(Literal(1), cnt, Some(Literal(1))),
+            lambda1("wsi")(i => new XxHash64(Seq(ArrayJoin(
+              Slice(toks, i, Literal(size)), Literal(" "), None))))))
+        minHashPair(grams, k)
+      }
+    }
+  }
+
+  def isRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("bitmasktolist"))
+}

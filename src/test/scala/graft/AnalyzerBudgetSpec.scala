@@ -35,6 +35,7 @@ class AnalyzerBudgetSpec extends AnyFunSuite {
     graft.functions.ChDialectBatch9.register(s)
     graft.functions.ChDialectBatch10.register(s)
     graft.functions.ChDialectBatch11.register(s)
+    graft.functions.ChDialectBatch12.register(s)
     s
   }
 

@@ -1,0 +1,103 @@
+package graft
+
+import graft.functions.ChDialectBatch12
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch-12 dialect tail: snowflake conversions, bitmask rendering,
+  * javaHash/hiveHash, UUID text<->bytes, query normalization, and the
+  * MinHash fingerprint pair — known-answer pins for every function. */
+class ChDialect12Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    ChDialectBatch12.register(s)
+    s
+  }
+
+  private def one(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+
+  test("snowflakeToDateTime/dateTimeToSnowflake: public epoch layout, " +
+      "ms round trip") {
+    // 1541815603606036480 >> 22 + 1288834974657 = 2022-06-28T16:07:40.105Z
+    assert(one("cast(snowflakeToDateTime(1541815603606036480) as string)")
+      == "2022-06-28 16:07:40.105")
+    assert(one("snowflakeToDateTime(dateTimeToSnowflake(" +
+      "timestamp'2024-01-02 03:04:05.678')) = " +
+      "timestamp'2024-01-02 03:04:05.678'") == true)
+    // decode reads only the timestamp bits — re-encoding zeroes the
+    // 22 worker/sequence bits (1541815603606036480 & ~0x3FFFFF)
+    assert(one("dateTimeToSnowflake(snowflakeToDateTime(" +
+      "1541815603606036480))") == 1541815603604488192L)
+  }
+
+  test("bitmaskToArray/bitmaskToList: ascending powers of two") {
+    assert(one("bitmaskToList(50)") == "2,16,32")
+    assert(one("bitmaskToList(0)") == "")
+    assert(one("bitmaskToList(1)") == "1")
+    assert(one("array_join(bitmaskToArray(7), '|')") == "1|2|4")
+    // bit 63 renders as the long's sign bit (the #6 widening stance)
+    assert(one("bitmaskToList(-9223372036854775808)")
+      == "-9223372036854775808")
+  }
+
+  test("javaHash/hiveHash: Java String.hashCode pins incl. the " +
+      "negative-wrap and empty cases") {
+    assert(one("javaHash('hello')") == 99162322)
+    assert(one("javaHash('')") == 0)
+    assert(one("javaHash('Z')") == 90)
+    assert(one("javaHash('clickhouse')") == -768723304)
+    // hiveHash clears the sign bit
+    assert(one("hiveHash('clickhouse')") == 1378760344)
+    assert(one("hiveHash('hello')") == 99162322)
+  }
+
+  test("UUIDStringToNum/UUIDNumToString: canonical-text bytes, " +
+      "dash positions, lowercase out") {
+    assert(one("hex(UUIDStringToNum('61f0c404-5cb3-11e7-907b-a6006ad3dba0'))")
+      == "61F0C4045CB311E7907BA6006AD3DBA0")
+    assert(one("UUIDNumToString(UUIDStringToNum(" +
+      "'61F0C404-5CB3-11E7-907B-A6006AD3DBA0'))")
+      == "61f0c404-5cb3-11e7-907b-a6006ad3dba0")
+    assert(one("length(UUIDStringToNum('61f0c404-5cb3-11e7-907b-" +
+      "a6006ad3dba0'))") == 16)
+  }
+
+  test("normalizeQuery: strings then standalone numbers -> ?; " +
+      "normalizedQueryHash groups the scrubbed forms") {
+    assert(one("normalizeQuery(\"SELECT a, 15 FROM t WHERE s = 'x5' " +
+      "AND b > 3.14\")")
+      == "SELECT a, ? FROM t WHERE s = ? AND b > ?")
+    // identifiers with digits survive; negative literals scrub whole
+    assert(one("normalizeQuery('SELECT col2 + -7 FROM t2')")
+      == "SELECT col2 + ? FROM t2")
+    assert(one("normalizedQueryHash('SELECT 1') = " +
+      "normalizedQueryHash('SELECT 250')") == true)
+    assert(one("normalizedQueryHash('SELECT 1') = " +
+      "normalizedQueryHash('SELECT a')") == false)
+  }
+
+  test("ngramMinHash/wordShingleMinHash: fingerprint contract — " +
+      "deterministic, text-sensitive, repeat-insensitive extremes") {
+    // equal text -> equal tuple (both lanes)
+    assert(one("ngramMinHash('the quick brown fox') = " +
+      "ngramMinHash('the quick brown fox')") == true)
+    assert(one("wordShingleMinHash('a b c d e f') = " +
+      "wordShingleMinHash('a b c d e f')") == true)
+    // different text -> different tuple
+    assert(one("ngramMinHash('the quick brown fox') = " +
+      "ngramMinHash('the quick brown cat')") == false)
+    // distinct-shingle dedup: repeating the SAME shingles adds nothing
+    assert(one("ngramMinHash('ababab', 2, 2) = ngramMinHash('abab', 2, 2)")
+      == true)
+    // k larger than the distinct-shingle count still folds (short slice)
+    assert(one("ngramMinHash('abcd', 3, 64)._1").isInstanceOf[Long])
+    // h1 (min lane) and h2 (max lane) differ when > k shingles exist
+    assert(one("ngramMinHash('the quick brown fox jumped')._1 = " +
+      "ngramMinHash('the quick brown fox jumped')._2") == false)
+    // parameter gates refuse loudly
+    assertThrows[Exception](
+      spark.sql("SELECT ngramMinHash('x', 0, 6)").collect())
+    assertThrows[Exception](
+      spark.sql("SELECT wordShingleMinHash('x', 3, 0)").collect())
+  }
+}
