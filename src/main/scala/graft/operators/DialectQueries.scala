@@ -383,6 +383,62 @@ object DialectQueries {
         |FROM evts_d10 WHERE event_id < 400 ORDER BY event_id""".stripMargin)
   }
 
+  /** Batch-12 tail: snowflake id conversions (exact epoch arithmetic),
+    * bitmask rendering, javaHash/hiveHash (the oracle replays the
+    * 31·h + code fold with the same 2^32 wrap via list_reduce), UUID
+    * text↔bytes round trips built from md5 hex both engines compute,
+    * normalizeQuery against a CONSTRUCTIVELY-known scrubbed form, and
+    * the fingerprint contracts (equal/differing/repeat-invariant
+    * MinHash tuples) stated as constants. One projection, one scan. */
+  def qChFunctions8(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch12.register(spark)
+    sqlOn(spark, dir, "events", "evts_d12",
+      """WITH b AS (
+        |  SELECT event_id, user_id, ts,
+        |    concat('u', cast(user_id as string), '_',
+        |      cast(event_id % 97 as string)) AS hs,
+        |    md5(cast(event_id as string)) AS mh,
+        |    repeat('ab', 2 + cast(event_id % 3 as int)) AS rp,
+        |    concat('w', cast(event_id % 7 as string)) AS w1,
+        |    concat('SELECT c', cast(event_id % 5 as string),
+        |      ' FROM t WHERE x = ', cast(user_id as string),
+        |      ' AND s = \'v', cast(event_id % 9 as string), '\'') AS q1,
+        |    concat('SELECT c', cast(event_id % 5 as string),
+        |      ' FROM t WHERE x = ', cast(user_id + 7 as string),
+        |      ' AND s = \'other\'') AS q2,
+        |    concat('SELECT d', cast(event_id % 5 as string),
+        |      ' FROM t WHERE x = ', cast(user_id as string),
+        |      ' AND s = \'v', cast(event_id % 9 as string), '\'') AS q3
+        |  FROM evts_d12 WHERE event_id < 400),
+        |u AS (
+        |  SELECT *, concat(substring(mh, 1, 8), '-', substring(mh, 9, 4),
+        |    '-', substring(mh, 13, 4), '-', substring(mh, 17, 4), '-',
+        |    substring(mh, 21, 12)) AS uu
+        |  FROM b)
+        |SELECT event_id,
+        |  unix_millis(snowflakeToDateTime(event_id * 4194304 + 123))
+        |    AS sfm,
+        |  dateTimeToSnowflake(ts) AS dts,
+        |  bitmaskToList(user_id % 1000) AS bml,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    bitmaskToArray(event_id % 256)), '|') AS bma,
+        |  cast(javaHash(hs) as bigint) AS jh,
+        |  cast(hiveHash(hs) as bigint) AS hh,
+        |  hex(UUIDStringToNum(upper(uu))) AS uhex,
+        |  UUIDNumToString(UUIDStringToNum(uu)) AS urt,
+        |  normalizeQuery(q1) AS nq,
+        |  (normalizedQueryHash(q1) = normalizedQueryHash(q2)) AS nqh_eq,
+        |  (normalizedQueryHash(q1) = normalizedQueryHash(q3)) AS nqh_ne,
+        |  (ngramMinHash(hs) = ngramMinHash(hs)) AS nmh_eq,
+        |  (ngramMinHash(concat(rp, rp), 2, 2) = ngramMinHash(rp, 2, 2))
+        |    AS nmh_rep,
+        |  (ngramMinHash(w1, 2, 6) = ngramMinHash(concat(w1, 'q'), 2, 6))
+        |    AS nmh_ne,
+        |  (wordShingleMinHash(concat(w1, ' ', w1, ' ', w1), 1, 4)
+        |    = wordShingleMinHash(w1, 1, 4)) AS wsh_eq
+        |FROM u ORDER BY event_id""".stripMargin)
+  }
+
   /** Batch-10 geohash pair: encode at precision 7 and 12, decode to
     * cell centers (exact dyadic arithmetic — raw doubles hash-compare
     * bit-equal), and the center-re-encode round trip (an engine-side
@@ -924,6 +980,7 @@ object DialectQueries {
     "q_lttb" -> (qLttb _),
     "q_ch_functions6" -> (qChFunctions6 _),
     "q_ch_functions7" -> (qChFunctions7 _),
+    "q_ch_functions8" -> (qChFunctions8 _),
     "q_agg_functions7" -> (qAggFunctions7 _),
     "q_url_functions2" -> (qUrlFunctions2 _),
     "q_geohash" -> (qGeohash _),
@@ -1372,6 +1429,50 @@ object DialectQueries {
         |    '{"a":1,"z":2,"m":' || CAST(user_id % 9 AS VARCHAR) || '}')),
         |    ',') AS jk
         |FROM base ORDER BY event_id""".stripMargin,
+    // batch-12 tail: snowflake epoch arithmetic exact; javaHash fold
+    // replayed via list_reduce with the same 2^32 wrap (hiveHash =
+    // the 32-bit pattern's low 31 bits); UUID round trips and the
+    // normalized query restated constructively from the same md5 /
+    // concat inputs; fingerprint contracts stated as constants
+    "q_ch_functions8" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, ts,
+        |    'u' || CAST(user_id AS VARCHAR) || '_'
+        |      || CAST(event_id % 97 AS VARCHAR) AS hs,
+        |    md5(CAST(event_id AS VARCHAR)) AS mh
+        |  FROM events WHERE event_id < 400),
+        |j AS (
+        |  SELECT *,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, length(hs) + 1),
+        |        i -> ascii(substr(hs, CAST(i AS INTEGER), 1))::BIGINT)),
+        |      (h, c) -> (h * 31 + c) % 4294967296) AS jraw
+        |  FROM b)
+        |SELECT event_id,
+        |  1288834974657 + event_id AS sfm,
+        |  (epoch_ms(ts) - 1288834974657) * 4194304 AS dts,
+        |  COALESCE(array_to_string(list_transform(
+        |    list_filter(range(0, 63), i -> ((user_id % 1000) >> i) & 1 = 1),
+        |    i -> CAST((1::BIGINT << i) AS VARCHAR)), ','), '') AS bml,
+        |  COALESCE(array_to_string(list_transform(
+        |    list_filter(range(0, 63), i -> ((event_id % 256) >> i) & 1 = 1),
+        |    i -> CAST((1::BIGINT << i) AS VARCHAR)), '|'), '') AS bma,
+        |  CASE WHEN jraw >= 2147483648 THEN jraw - 4294967296
+        |       ELSE jraw END AS jh,
+        |  jraw & 2147483647 AS hh,
+        |  upper(mh) AS uhex,
+        |  substr(mh, 1, 8) || '-' || substr(mh, 9, 4) || '-'
+        |    || substr(mh, 13, 4) || '-' || substr(mh, 17, 4) || '-'
+        |    || substr(mh, 21, 12) AS urt,
+        |  'SELECT c' || CAST(event_id % 5 AS VARCHAR)
+        |    || ' FROM t WHERE x = ? AND s = ?' AS nq,
+        |  true AS nqh_eq,
+        |  false AS nqh_ne,
+        |  true AS nmh_eq,
+        |  true AS nmh_rep,
+        |  false AS nmh_ne,
+        |  true AS wsh_eq
+        |FROM j ORDER BY event_id""".stripMargin,
     // batch-10 geohash: quantize with the engine's exact op order
     // ((v-lo)/range * 2^bits, floor, clamp), interleave per-bit
     // (lon even positions at odd total bits, odd positions at even),
