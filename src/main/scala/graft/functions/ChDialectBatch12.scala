@@ -43,7 +43,8 @@ import org.apache.spark.sql.types._
   *
   * All builders are linear in their argument (lambda variables are the
   * only repeated references — the AnalyzerBudgetSpec budget holds);
-  * single projection, no shuffle, no UDF.
+  * single projection, no shuffle, no UDF. Driver-oracled via
+  * `q_ch_functions8` (both SFs) + ChDialect12Spec known answers.
   */
 object ChDialectBatch12 {
   import ChExprDsl._
