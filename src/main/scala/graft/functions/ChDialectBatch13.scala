@@ -1,0 +1,308 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** ClickHouse-dialect batch 13 — type/introspection utilities, the
+  * array tail, the BITMAP family, and the SimHash fingerprints (ref:
+  * the CH SQL surface reachable through
+  * packages/ts-moose-lib/src/sqlHelpers.ts:106-255 passthrough — the
+  * same contract note as batches 2-12):
+  *
+  *  - type utilities: `toTypeName` (Spark SQL type spelling — the #6
+  *    widened-type stance made visible), `toBool`, `toUUID` /
+  *    `toUUIDOrNull` / `toUUIDOrZero` (UUID stays a validated lowercase
+  *    STRING here — no 128-bit type; invalid input raises / NULLs /
+  *    zero-UUIDs per the OrNull/OrZero ladder), `toNullable` /
+  *    `toLowCardinality` / `materialize` / `identity` (type-system and
+  *    optimizer-barrier no-ops on Spark — pass-throughs, documented),
+  *    `throwIf(cond[, msg])`;
+  *  - date tail: `dateTrunc(unit, ts)` (CH spelling of the builtin
+  *    date_trunc arg order), `timeDiff(t1, t2)` (seconds, t2 − t1);
+  *  - regex tail: `regexpExtract(s, pat[, group])` (group defaults to
+  *    1 — CH's has-group default; literal pattern required for the
+  *    group-count gate), `extractAllGroupsHorizontal` /
+  *    `extractAllGroupsVertical` (literal pattern; horizontal = one
+  *    array per group across matches, vertical = one array per match
+  *    across groups);
+  *  - array tail: n-ary `arrayUnion`, `arrayShiftLeft` /
+  *    `arrayShiftRight` (element shift, vacated slots filled with the
+  *    caller's default — REQUIRED third argument: Spark cannot conjure
+  *    CH's per-type default for an arbitrary element type at runtime;
+  *    negative shifts refuse loudly), `emptyArrayToSingle` (empty →
+  *    one type-default element);
+  *  - BITMAP family over a SORTED-DISTINCT ARRAY representation
+  *    (DIVERGENCES #55: CH backs these with roaring bitmaps — a
+  *    compression choice, not a semantics choice; every operation here
+  *    is the same set algebra over array<long>): `bitmapBuild`,
+  *    `bitmapToArray`, `bitmapCardinality`, `bitmapMin` / `bitmapMax`
+  *    (empty → NULL, vs CH's UINT32_MAX/0 sentinel — documented),
+  *    `bitmapAnd` / `bitmapOr` / `bitmapXor` / `bitmapAndnot` and their
+  *    `*Cardinality` forms, `bitmapContains`, `bitmapHasAll` /
+  *    `bitmapHasAny`, `bitmapSubsetInRange(bm, lo, hi)` ([lo, hi));
+  *  - `ngramSimHash(s[, n])` / `wordShingleSimHash(s[, size])` — the
+  *    row-local SimHash fingerprints (Charikar 2002): bit i of the
+  *    64-bit signature is the sign of Σ_shingles(±1 by bit i of the
+  *    shingle hash); xxhash64 shingle hash (the #4/#53 spelling). The
+  *    corpus-scale path stays [[graft.operators.Dedup.simhash]] (one
+  *    aggregation); these are the per-row spellings;
+  *  - `hostName()` / `FQDN()` — the local host name, resolved once at
+  *    registration (plan-time literal, like CH's constant fold).
+  *
+  * Every builder is lambda-bound or single-reference (linear under
+  * composition — the AnalyzerBudgetSpec budget). Single projection,
+  * no shuffle, no UDF.
+  */
+object ChDialectBatch13 {
+  import ChExprDsl._
+
+  private def litString(e: Expression, fn: String): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a string literal argument, got $other")
+  }
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an integer literal argument, got $other")
+  }
+
+  /** Non-escaped capturing group count of a literal regex. */
+  private def groupCountOf(pat: String, fn: String): Int = {
+    val n = java.util.regex.Pattern.compile(pat).matcher("").groupCount()
+    require(n >= 1, s"$fn: pattern '$pat' has no capturing groups")
+    n
+  }
+
+  private val UuidRe =
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+      "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+  private val ZeroUuid = "00000000-0000-0000-0000-000000000000"
+
+  /** Sorted-distinct canonical form backing the bitmap family. */
+  private def bm(e: Expression): Expression =
+    new SortArray(ArrayDistinct(e))
+
+  /** 64-bit SimHash over an array of shingle hashes: one fold whose
+    * state is the 64 per-bit counters, then a sign read-out. */
+  private def simHash64(hashes: Expression): Expression = {
+    val bits = Literal.create((0 until 64).toArray, ArrayType(IntegerType))
+    val zeros = Literal.create(Array.fill(64)(0), ArrayType(IntegerType))
+    val counters = ArrayAggregate(
+      hashes, zeros,
+      lambda2("sh")((st, h) => ZipWith(st,
+        ArrayTransform(bits, lambda1("shb")(i =>
+          If(EqualTo(BitwiseAnd(ShiftRightUnsigned(h, i), Literal(1L)),
+            Literal(1L)), Literal(1), Literal(-1)))),
+        lambda2("shz")((a, b) => Add(a, b)))),
+      lambda1("shf")(identity))
+    bind(counters, "shc") { cs =>
+      ArrayAggregate(bits, Literal(0L),
+        lambda2("sho")((acc, i) =>
+          BitwiseOr(acc, If(GreaterThan(ElementAt(cs, Add(i, Literal(1))),
+            Literal(0)), ShiftLeft(Literal(1L), i), Literal(0L)))),
+        lambda1("shof")(identity))
+    }
+  }
+
+  def register(spark: SparkSession): Unit = {
+    if (isRegistered(spark)) return // idempotent: silence re-register WARNs
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
+      require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+          .builtin.functionExists(FunctionIdentifier(name.toLowerCase)),
+        s"refusing to shadow Spark builtin function '$name'")
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+
+    // -------------------------------------------------- type utilities
+    f("toTypeName")(a => Literal(a.head.dataType.sql))
+    f("toBool")(a => Cast(a.head, BooleanType))
+    def uuidNorm(s: Expression): Expression = Lower(s)
+    f("toUUID") { a =>
+      bind(a.head, "tu") { s =>
+        If(RLike(s, Literal(UuidRe)), uuidNorm(s),
+          Cast(new RaiseError(Concat(Seq(
+            Literal("toUUID: cannot parse '"), s, Literal("' as UUID")))),
+            StringType))
+      }
+    }
+    f("toUUIDOrNull") { a =>
+      bind(a.head, "tun") { s =>
+        If(RLike(s, Literal(UuidRe)), uuidNorm(s),
+          Literal(null, StringType))
+      }
+    }
+    f("toUUIDOrZero") { a =>
+      bind(a.head, "tuz") { s =>
+        If(RLike(s, Literal(UuidRe)), uuidNorm(s), Literal(ZeroUuid))
+      }
+    }
+    // type-system / optimizer-barrier no-ops on Spark: nullability is
+    // inferred, there is no LowCardinality dictionary type, and
+    // constant folding is Catalyst's call — all pass-throughs
+    f("toNullable")(a => a.head)
+    f("toLowCardinality")(a => a.head)
+    f("materialize")(a => a.head)
+    f("identity")(a => a.head)
+    f("throwIf") { a =>
+      val msg: Expression =
+        if (a.length >= 2) a(1) else Literal("throwIf: condition met")
+      If(Cast(a.head, BooleanType),
+        Cast(new RaiseError(msg), IntegerType), Literal(0))
+    }
+
+    // ------------------------------------------------------ date tail
+    f("dateTrunc")(a =>
+      TruncTimestamp(a.head, Cast(a(1), TimestampType)))
+    f("timeDiff")(a => Subtract(
+      Cast(Cast(a(1), TimestampType), LongType),
+      Cast(Cast(a.head, TimestampType), LongType)))
+
+    // ----------------------------------------------------- regex tail
+    f("regexpExtract") { a =>
+      val idx = if (a.length >= 3) Cast(a(2), IntegerType)
+        else Literal(1)
+      RegExpExtract(a.head, a(1), idx)
+    }
+    f("extractAllGroupsHorizontal") { a =>
+      val pat = litString(a(1), "extractAllGroupsHorizontal")
+      val n = groupCountOf(pat, "extractAllGroupsHorizontal")
+      bind(a.head, "gh") { s =>
+        CreateArray((1 to n).map(g =>
+          RegExpExtractAll(s, Literal(pat), Literal(g)): Expression))
+      }
+    }
+    f("extractAllGroupsVertical") { a =>
+      val pat = litString(a(1), "extractAllGroupsVertical")
+      val n = groupCountOf(pat, "extractAllGroupsVertical")
+      bind(a.head, "gv") { s =>
+        bind(RegExpExtractAll(s, Literal(pat), Literal(1)), "gv1") { g1 =>
+          ArrayTransform(
+            new Sequence(Literal(1), Size(g1), Some(Literal(1))),
+            lambda1("gvi")(i => CreateArray((1 to n).map(g =>
+              ElementAt(RegExpExtractAll(s, Literal(pat), Literal(g)),
+                i): Expression))))
+        }
+      }
+    }
+
+    // ----------------------------------------------------- array tail
+    f("arrayUnion") { a =>
+      require(a.length >= 2, "arrayUnion: expected at least two arrays")
+      a.reduce((x, y) => ArrayUnion(x, y))
+    }
+    def shift(fn: String, left: Boolean)(a: Seq[Expression]): Expression = {
+      require(a.length == 3,
+        s"$fn: expected (array, n, default) — Spark cannot conjure CH's " +
+          "per-type default for an arbitrary element type; pass it")
+      val n = litInt(a(1), fn)
+      require(n >= 0, s"$fn: negative shifts refuse — call the other " +
+        "direction")
+      bind(a.head, fn.take(3)) { arr =>
+        val fill = ArrayRepeat(a(2), Literal(n))
+        if (left)
+          Concat(Seq(Slice(arr, Literal(n + 1),
+            Greatest(Seq(Subtract(Size(arr), Literal(n)), Literal(0)))),
+            Slice(fill, Literal(1),
+              Least(Seq(Literal(n), Size(arr))))))
+        else
+          Concat(Seq(
+            Slice(fill, Literal(1), Least(Seq(Literal(n), Size(arr)))),
+            Slice(arr, Literal(1),
+              Greatest(Seq(Subtract(Size(arr), Literal(n)), Literal(0))))))
+      }
+    }
+    f("arrayShiftLeft")(shift("arrayShiftLeft", left = true))
+    f("arrayShiftRight")(shift("arrayShiftRight", left = false))
+    f("emptyArrayToSingle") { a =>
+      bind(a.head, "eas") { arr =>
+        val elemType = a.head.dataType match {
+          case ArrayType(t, _) => t
+          case other => throw new IllegalArgumentException(
+            s"emptyArrayToSingle: expected an array, got $other")
+        }
+        If(EqualTo(Size(arr), Literal(0)),
+          CreateArray(Seq(Literal.default(elemType))), arr)
+      }
+    }
+
+    // -------------------------------------------------- bitmap family
+    f("bitmapBuild")(a => bm(a.head))
+    f("bitmapToArray")(a => bm(a.head))
+    f("bitmapCardinality")(a => Cast(Size(ArrayDistinct(a.head)), LongType))
+    f("bitmapMin")(a => ArrayMin(a.head))
+    f("bitmapMax")(a => ArrayMax(a.head))
+    f("bitmapAnd")(a => bm(ArrayIntersect(a.head, a(1))))
+    f("bitmapOr")(a => bm(ArrayUnion(a.head, a(1))))
+    f("bitmapXor")(a => bm(ArrayUnion(
+      ArrayExcept(a.head, a(1)), ArrayExcept(a(1), a.head))))
+    f("bitmapAndnot")(a => bm(ArrayExcept(a.head, a(1))))
+    f("bitmapAndCardinality")(a =>
+      Cast(Size(ArrayIntersect(a.head, a(1))), LongType))
+    f("bitmapOrCardinality")(a =>
+      Cast(Size(ArrayUnion(a.head, a(1))), LongType))
+    f("bitmapXorCardinality")(a => Cast(Add(
+      Size(ArrayExcept(a.head, a(1))),
+      Size(ArrayExcept(a(1), a.head))), LongType))
+    f("bitmapAndnotCardinality")(a =>
+      Cast(Size(ArrayExcept(a.head, a(1))), LongType))
+    f("bitmapContains")(a => ArrayContains(a.head, a(1)))
+    f("bitmapHasAny")(a => ArraysOverlap(a.head, a(1)))
+    f("bitmapHasAll")(a => EqualTo(
+      Size(ArrayExcept(a(1), a.head)), Literal(0)))
+    f("bitmapSubsetInRange") { a =>
+      bind(Cast(a(1), LongType), "bsl") { lo =>
+        bind(Cast(a(2), LongType), "bsh") { hi =>
+          bm(ArrayFilter(a.head, lambda1("bsr")(v =>
+            And(GreaterThanOrEqual(v, lo), LessThan(v, hi)))))
+        }
+      }
+    }
+
+    // ------------------------------------------------ SimHash spellings
+    f("ngramSimHash") { a =>
+      val n = if (a.length >= 2) litInt(a(1), "ngramSimHash") else 3
+      require(n >= 1 && n <= 8, s"ngramSimHash: ngram size 1..8, got $n")
+      bind(a.head, "ns") { s =>
+        val cnt = Add(Subtract(Length(s), Literal(n)), Literal(1))
+        val grams = If(LessThanOrEqual(cnt, Literal(0)),
+          Literal.create(Array.empty[Long], ArrayType(LongType)),
+          ArrayTransform(
+            new Sequence(Literal(1), cnt, Some(Literal(1))),
+            lambda1("nsi")(i =>
+              new XxHash64(Seq(Substring(s, i, Literal(n)))))))
+        simHash64(ArrayDistinct(grams))
+      }
+    }
+    f("wordShingleSimHash") { a =>
+      val size =
+        if (a.length >= 2) litInt(a(1), "wordShingleSimHash") else 3
+      require(size >= 1 && size <= 8,
+        s"wordShingleSimHash: shingle size 1..8, got $size")
+      bind(StringSplit(a.head, Literal("\\s+"), Literal(-1)), "wh") { toks =>
+        val cnt = Add(Subtract(Size(toks), Literal(size)), Literal(1))
+        val grams = If(LessThanOrEqual(cnt, Literal(0)),
+          Literal.create(Array.empty[Long], ArrayType(LongType)),
+          ArrayTransform(
+            new Sequence(Literal(1), cnt, Some(Literal(1))),
+            lambda1("whi")(i => new XxHash64(Seq(ArrayJoin(
+              Slice(toks, i, Literal(size)), Literal(" "), None))))))
+        simHash64(ArrayDistinct(grams))
+      }
+    }
+
+    // ------------------------------------------- host introspection
+    val host = java.net.InetAddress.getLocalHost
+    f("hostName")(_ => Literal(host.getHostName))
+    f("FQDN")(_ => Literal(host.getCanonicalHostName))
+  }
+
+  def isRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("bitmapbuild"))
+}

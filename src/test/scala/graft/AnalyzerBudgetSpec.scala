@@ -36,6 +36,7 @@ class AnalyzerBudgetSpec extends AnyFunSuite {
     graft.functions.ChDialectBatch10.register(s)
     graft.functions.ChDialectBatch11.register(s)
     graft.functions.ChDialectBatch12.register(s)
+    graft.functions.ChDialectBatch13.register(s)
     s
   }
 

@@ -1,0 +1,144 @@
+package graft
+
+import graft.functions.ChDialectBatch13
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch-13 dialect tail: type utilities, date/regex/array stragglers,
+  * the array-backed bitmap family, SimHash fingerprints, host
+  * introspection — known-answer pins for every function. */
+class ChDialect13Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    ChDialectBatch13.register(s)
+    s
+  }
+
+  private def one(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+
+  test("type utilities: toTypeName, toBool, UUID ladder, pass-throughs, " +
+      "throwIf") {
+    assert(one("toTypeName(1)") == "INT")
+    assert(one("toTypeName('x')") == "STRING")
+    assert(one("toTypeName(array(1L))") == "ARRAY<BIGINT>")
+    assert(one("toBool(1)") == true)
+    assert(one("toBool('false')") == false)
+    val u = "61F0C404-5CB3-11E7-907B-A6006AD3DBA0"
+    assert(one(s"toUUID('$u')") == u.toLowerCase)
+    assert(one("toUUIDOrNull('nope')") == null)
+    assert(one("toUUIDOrZero('nope')")
+      == "00000000-0000-0000-0000-000000000000")
+    assertThrows[Exception](spark.sql("SELECT toUUID('nope')").collect())
+    assert(one("toNullable(7)") == 7)
+    assert(one("toLowCardinality('a')") == "a")
+    assert(one("materialize(3) + identity(4)") == 7)
+    assert(one("throwIf(1 > 2, 'nope')") == 0)
+    assertThrows[Exception](
+      spark.sql("SELECT throwIf(2 > 1, 'boom')").collect())
+  }
+
+  test("dateTrunc / timeDiff: CH spellings of the builtin semantics") {
+    assert(one("cast(dateTrunc('hour', timestamp'2024-03-05 10:47:33') " +
+      "as string)") == "2024-03-05 10:00:00")
+    assert(one("cast(dateTrunc('month', timestamp'2024-03-05 10:47:33') " +
+      "as string)") == "2024-03-01 00:00:00")
+    assert(one("timeDiff(timestamp'2024-01-01 00:00:00', " +
+      "timestamp'2024-01-01 01:01:05')") == 3665L)
+  }
+
+  test("regexpExtract + extractAllGroups horizontal/vertical") {
+    assert(one("regexpExtract('v=42;w=7', 'v=(\\\\d+)')") == "42")
+    assert(one("regexpExtract('v=42;w=7', '(\\\\w)=(\\\\d+)', 2)") == "42")
+    assert(one("cast(extractAllGroupsHorizontal('a=1, b=2, c=3', " +
+      "'(\\\\w)=(\\\\d)') as string)") == "[[a, b, c], [1, 2, 3]]")
+    assert(one("cast(extractAllGroupsVertical('a=1, b=2, c=3', " +
+      "'(\\\\w)=(\\\\d)') as string)") == "[[a, 1], [b, 2], [c, 3]]")
+    assertThrows[Exception](
+      spark.sql("SELECT extractAllGroupsHorizontal('x', 'nogroups')")
+        .collect())
+  }
+
+  test("array tail: n-ary union, shifts with explicit defaults, " +
+      "emptyArrayToSingle") {
+    assert(one("cast(array_sort(arrayUnion(array(1, 2), array(2, 3), " +
+      "array(4))) as string)") == "[1, 2, 3, 4]")
+    assert(one("cast(arrayShiftLeft(array(1, 2, 3, 4), 2, 0) as string)")
+      == "[3, 4, 0, 0]")
+    assert(one("cast(arrayShiftRight(array(1, 2, 3, 4), 2, 9) as string)")
+      == "[9, 9, 1, 2]")
+    // shift past the end keeps length; zero shift is identity
+    assert(one("cast(arrayShiftLeft(array(1, 2), 5, 0) as string)")
+      == "[0, 0]")
+    assert(one("cast(arrayShiftLeft(array(1, 2), 0, 0) as string)")
+      == "[1, 2]")
+    assertThrows[Exception](
+      spark.sql("SELECT arrayShiftLeft(array(1), -1, 0)").collect())
+    assert(one("cast(emptyArrayToSingle(array(7L)) as string)") == "[7]")
+    assert(one("cast(emptyArrayToSingle(slice(array(7L), 1, 0)) " +
+      "as string)") == "[0]")
+    assert(one("cast(emptyArrayToSingle(slice(array('x'), 1, 0)) " +
+      "as string)") == "[]") // [""] renders as []-with-empty — pin size
+    assert(one("size(emptyArrayToSingle(slice(array('x'), 1, 0)))") == 1)
+  }
+
+  test("bitmap family: set algebra over the sorted-distinct array form") {
+    assert(one("cast(bitmapBuild(array(3L, 1L, 3L, 2L)) as string)")
+      == "[1, 2, 3]")
+    assert(one("bitmapCardinality(array(3L, 1L, 3L))") == 2L)
+    assert(one("bitmapMin(array(3L, 1L))") == 1L)
+    assert(one("bitmapMax(array(3L, 1L))") == 3L)
+    assert(one("cast(bitmapAnd(array(1L, 2L, 3L), array(2L, 3L, 4L)) " +
+      "as string)") == "[2, 3]")
+    assert(one("cast(bitmapOr(array(1L, 2L), array(2L, 4L)) as string)")
+      == "[1, 2, 4]")
+    assert(one("cast(bitmapXor(array(1L, 2L, 3L), array(2L, 3L, 4L)) " +
+      "as string)") == "[1, 4]")
+    assert(one("cast(bitmapAndnot(array(1L, 2L, 3L), array(2L)) " +
+      "as string)") == "[1, 3]")
+    assert(one("bitmapAndCardinality(array(1L, 2L, 3L), array(2L, 3L, 4L))")
+      == 2L)
+    assert(one("bitmapOrCardinality(array(1L, 2L), array(2L, 4L))") == 3L)
+    assert(one("bitmapXorCardinality(array(1L, 2L, 3L), array(2L, 3L, 4L))")
+      == 2L)
+    assert(one("bitmapAndnotCardinality(array(1L, 2L, 3L), array(2L))")
+      == 2L)
+    assert(one("bitmapContains(array(1L, 2L), 2L)") == true)
+    assert(one("bitmapHasAny(array(1L, 2L), array(9L, 2L))") == true)
+    assert(one("bitmapHasAny(array(1L, 2L), array(9L))") == false)
+    assert(one("bitmapHasAll(array(1L, 2L, 3L), array(3L, 1L))") == true)
+    assert(one("bitmapHasAll(array(1L, 2L), array(3L, 1L))") == false)
+    assert(one("cast(bitmapSubsetInRange(array(1L, 5L, 9L, 12L), 5, 12) " +
+      "as string)") == "[5, 9]")
+  }
+
+  test("SimHash fingerprints: deterministic, near-dup-close, " +
+      "distant-text-far (Charikar sign-aggregate contract)") {
+    val a = "'the quick brown fox jumps over the lazy dog'"
+    val b = "'the quick brown fox jumps over the lazy cat'"
+    val c = "'completely different words entirely unrelated here'"
+    assert(one(s"ngramSimHash($a) = ngramSimHash($a)") == true)
+    // one changed word flips few bits; unrelated text flips many
+    val near = one(s"bit_count(ngramSimHash($a) ^ ngramSimHash($b))")
+      .asInstanceOf[Int]
+    val far = one(s"bit_count(ngramSimHash($a) ^ ngramSimHash($c))")
+      .asInstanceOf[Int]
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 16, s"one-word edit moved $near bits")
+    assert(one(s"wordShingleSimHash($a, 2) = wordShingleSimHash($a, 2)")
+      == true)
+    val wnear = one(s"bit_count(wordShingleSimHash($a, 2) ^ " +
+      s"wordShingleSimHash($b, 2))").asInstanceOf[Int]
+    val wfar = one(s"bit_count(wordShingleSimHash($a, 2) ^ " +
+      s"wordShingleSimHash($c, 2))").asInstanceOf[Int]
+    assert(wnear < wfar, s"wnear=$wnear wfar=$wfar")
+    // empty text: zero shingles -> all counters 0 -> signature 0
+    assert(one("ngramSimHash('ab', 3)") == 0L)
+    assertThrows[Exception](
+      spark.sql("SELECT ngramSimHash('x', 0)").collect())
+  }
+
+  test("hostName/FQDN: plan-time literals, non-empty") {
+    assert(one("hostName()").asInstanceOf[String].nonEmpty)
+    assert(one("FQDN()").asInstanceOf[String].nonEmpty)
+  }
+}
