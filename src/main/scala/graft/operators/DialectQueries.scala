@@ -439,6 +439,77 @@ object DialectQueries {
         |FROM u ORDER BY event_id""".stripMargin)
   }
 
+  /** Batch-13 tail: the bitmap set algebra and array/date/regex/UUID
+    * stragglers are all exactly recomputable in DuckDB (list ops,
+    * epoch arithmetic, constructed UUID strings); toTypeName and the
+    * SimHash fingerprint behavior are stated as constants/contract
+    * booleans (near text < far text in Hamming bits). One projection,
+    * one scan. */
+  def qChFunctions9(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch13.register(spark)
+    sqlOn(spark, dir, "events", "evts_d13",
+      """WITH b AS (
+        |  SELECT event_id, user_id, ts,
+        |    array(event_id % 7, event_id % 5 + 2, user_id % 9,
+        |      event_id % 7) AS ba,
+        |    array(user_id % 9, event_id % 11, 3L) AS bb,
+        |    concat('k', cast(event_id % 4 as string), '=',
+        |      cast(user_id % 10 as string), ';k', cast(event_id % 3
+        |      as string), '=', cast(event_id % 10 as string)) AS kv,
+        |    md5(cast(event_id as string)) AS mh
+        |  FROM evts_d13 WHERE event_id < 400),
+        |u AS (
+        |  SELECT *, concat(substring(mh, 1, 8), '-', substring(mh, 9, 4),
+        |    '-', substring(mh, 13, 4), '-', substring(mh, 17, 4), '-',
+        |    substring(mh, 21, 12)) AS uu
+        |  FROM b)
+        |SELECT event_id,
+        |  toTypeName(ts) AS tn,
+        |  toUUID(upper(uu)) AS tu,
+        |  toUUIDOrNull(concat('x', uu)) AS tun,
+        |  toUUIDOrZero(concat('x', uu)) AS tuz,
+        |  cast(dateTrunc('hour', ts) as string) AS dtr,
+        |  timeDiff(dateTrunc('day', ts), ts) AS tdf,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    extractAllGroupsHorizontal(kv, '(\\w+)=(\\d+)')[1]), ',')
+        |    AS egh,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    array_sort(arrayUnion(ba, bb))), ',') AS au,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    arrayShiftLeft(ba, 2, -1L)), ',') AS asl,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    arrayShiftRight(ba, 1, -1L)), ',') AS asr,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    bitmapBuild(ba)), ',') AS bmb,
+        |  bitmapCardinality(ba) AS bmc,
+        |  bitmapMin(ba) AS bmn,
+        |  bitmapMax(ba) AS bmx,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    bitmapAnd(ba, bb)), ',') AS band,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    bitmapOr(ba, bb)), ',') AS bor,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    bitmapXor(ba, bb)), ',') AS bxor,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    bitmapAndnot(ba, bb)), ',') AS bnot,
+        |  bitmapAndCardinality(ba, bb) AS bandc,
+        |  bitmapOrCardinality(ba, bb) AS borc,
+        |  bitmapContains(ba, 3L) AS bct,
+        |  bitmapHasAll(ba, bb) AS bha,
+        |  bitmapHasAny(ba, bb) AS bhy,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    bitmapSubsetInRange(ba, 2, 7)), ',') AS bsr,
+        |  (ngramSimHash(kv) = ngramSimHash(kv)) AS sh_eq,
+        |  (bit_count(wordShingleSimHash(concat('a b c d e f g h i ',
+        |      cast(event_id % 3 as string)), 2)
+        |    ^ wordShingleSimHash(concat('a b c d e f g h i ',
+        |      cast((event_id + 1) % 3 + 3 as string)), 2))
+        |   < bit_count(wordShingleSimHash(concat('a b c d e f g h i ',
+        |      cast(event_id % 3 as string)), 2)
+        |    ^ wordShingleSimHash('q r s t u v w x y z', 2))) AS sh_near
+        |FROM u ORDER BY event_id""".stripMargin)
+  }
+
   /** Batch-10 geohash pair: encode at precision 7 and 12, decode to
     * cell centers (exact dyadic arithmetic — raw doubles hash-compare
     * bit-equal), and the center-re-encode round trip (an engine-side
@@ -981,6 +1052,7 @@ object DialectQueries {
     "q_ch_functions6" -> (qChFunctions6 _),
     "q_ch_functions7" -> (qChFunctions7 _),
     "q_ch_functions8" -> (qChFunctions8 _),
+    "q_ch_functions9" -> (qChFunctions9 _),
     "q_agg_functions7" -> (qAggFunctions7 _),
     "q_url_functions2" -> (qUrlFunctions2 _),
     "q_geohash" -> (qGeohash _),
@@ -1429,6 +1501,68 @@ object DialectQueries {
         |    '{"a":1,"z":2,"m":' || CAST(user_id % 9 AS VARCHAR) || '}')),
         |    ',') AS jk
         |FROM base ORDER BY event_id""".stripMargin,
+    // batch-13 tail: bitmap set algebra replayed with DuckDB list ops
+    // over the same sorted-distinct canonical form; array shifts and
+    // the UUID ladder restated constructively; SimHash behavior as
+    // contract constants
+    "q_ch_functions9" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, ts,
+        |    [event_id % 7, event_id % 5 + 2, user_id % 9,
+        |      event_id % 7] AS ba,
+        |    [user_id % 9, event_id % 11, 3] AS bb,
+        |    'k' || CAST(event_id % 4 AS VARCHAR) || '='
+        |      || CAST(user_id % 10 AS VARCHAR) || ';k'
+        |      || CAST(event_id % 3 AS VARCHAR) || '='
+        |      || CAST(event_id % 10 AS VARCHAR) AS kv,
+        |    md5(CAST(event_id AS VARCHAR)) AS mh
+        |  FROM events WHERE event_id < 400),
+        |u AS (
+        |  SELECT *, substr(mh, 1, 8) || '-' || substr(mh, 9, 4) || '-'
+        |    || substr(mh, 13, 4) || '-' || substr(mh, 17, 4) || '-'
+        |    || substr(mh, 21, 12) AS uu,
+        |    list_sort(list_distinct(ba)) AS sba,
+        |    list_sort(list_distinct(bb)) AS sbb
+        |  FROM b)
+        |SELECT event_id,
+        |  'TIMESTAMP' AS tn,
+        |  uu AS tu,
+        |  CAST(NULL AS VARCHAR) AS tun,
+        |  '00000000-0000-0000-0000-000000000000' AS tuz,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS dtr,
+        |  CAST(floor(epoch(ts)) AS BIGINT)
+        |    - CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS tdf,
+        |  COALESCE(array_to_string(
+        |    regexp_extract_all(kv, '(\w+)=(\d+)', 2), ','), '') AS egh,
+        |  array_to_string(list_sort(list_distinct(ba || bb)), ',') AS au,
+        |  CAST(ba[3] AS VARCHAR) || ',' || CAST(ba[4] AS VARCHAR)
+        |    || ',-1,-1' AS asl,
+        |  '-1,' || CAST(ba[1] AS VARCHAR) || ',' || CAST(ba[2] AS VARCHAR)
+        |    || ',' || CAST(ba[3] AS VARCHAR) AS asr,
+        |  array_to_string(sba, ',') AS bmb,
+        |  len(sba)::BIGINT AS bmc,
+        |  list_min(ba) AS bmn,
+        |  list_max(ba) AS bmx,
+        |  COALESCE(array_to_string(list_filter(sba,
+        |    x -> list_contains(bb, x)), ','), '') AS band,
+        |  array_to_string(list_sort(list_distinct(ba || bb)), ',') AS bor,
+        |  COALESCE(array_to_string(list_sort(list_concat(
+        |    list_filter(sba, x -> NOT list_contains(bb, x)),
+        |    list_filter(sbb, x -> NOT list_contains(ba, x)))), ','), '')
+        |    AS bxor,
+        |  COALESCE(array_to_string(list_filter(sba,
+        |    x -> NOT list_contains(bb, x)), ','), '') AS bnot,
+        |  len(list_filter(sba, x -> list_contains(bb, x)))::BIGINT
+        |    AS bandc,
+        |  len(list_distinct(ba || bb))::BIGINT AS borc,
+        |  list_contains(ba, 3) AS bct,
+        |  len(list_filter(sbb, x -> NOT list_contains(ba, x))) = 0 AS bha,
+        |  len(list_filter(sba, x -> list_contains(bb, x))) > 0 AS bhy,
+        |  COALESCE(array_to_string(list_filter(sba,
+        |    x -> x >= 2 AND x < 7), ','), '') AS bsr,
+        |  true AS sh_eq,
+        |  true AS sh_near
+        |FROM u ORDER BY event_id""".stripMargin,
     // batch-12 tail: snowflake epoch arithmetic exact; javaHash fold
     // replayed via list_reduce with the same 2^32 wrap (hiveHash =
     // the 32-bit pattern's low 31 bits); UUID round trips and the
