@@ -1,0 +1,20 @@
+package graft
+
+/** One JSON string escaper for every hand-rolled JSON emitter in the
+  * repo (Verify's oracle dump, HttpFacade's error bodies): backslash,
+  * quote, and ALL control chars (< 0x20) — a tab or CR in
+  * builder-authored text would otherwise make a downstream json.load
+  * fail. One definition so an escaping fix can never drift between
+  * call sites (r12 review finding). */
+object JsonText {
+  def quote(s: String): String =
+    "\"" + Option(s).getOrElse("null").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

@@ -60,6 +60,18 @@ object Verify {
         spark.sparkContext.cancelJobGroup(s"verify-$name")
         worker.interrupt()
         worker.join(10000L) // grace for the cancel to land
+        // best-effort: remove any partial/late output so a straggler
+        // thread can't leave a success-looking artifact for a query the
+        // log records as timed out (r12 review finding; a truly
+        // uninterruptible writer re-creating it afterwards remains a
+        // documented residual race)
+        try {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          rm(new java.io.File(s"$outDir/$name"))
+        } catch { case _: Throwable => () }
       }
       System.err.println(
         f"[verify] $name $status in ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -67,15 +79,8 @@ object Verify {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // (Shared with HttpFacade's error bodies — one escaper, no drift.)
+    def q(s: String): String = JsonText.quote(s)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -44,8 +44,13 @@ final class HttpFacade(bindPort: Int = 0) {
     * (JSONEachRow by convention, like the reference's ingest route);
     * the returned string is the 200 response body. */
   def mountIngest(model: String)(handle: String => String): this.type = {
+    // the JDK server matches contexts by LONGEST PREFIX, so
+    // /ingest/events would also capture /ingest/events_v3 — pin the
+    // exact path and 404 anything longer (r12 review finding)
     server.createContext(s"/ingest/$model", (ex: HttpExchange) =>
-      if (ex.getRequestMethod != "POST")
+      if (ex.getRequestURI.getPath != s"/ingest/$model")
+        respond(ex, 404, """{"error":"no such route"}""")
+      else if (ex.getRequestMethod != "POST")
         respond(ex, 405, """{"error":"POST required"}""")
       else runSafely(ex) {
         handle(new String(ex.getRequestBody.readAllBytes(), UTF_8))
@@ -58,7 +63,9 @@ final class HttpFacade(bindPort: Int = 0) {
   def mountConsumption(name: String)(
       handle: Map[String, String] => String): this.type = {
     server.createContext(s"/api/$name", (ex: HttpExchange) =>
-      if (ex.getRequestMethod != "GET")
+      if (ex.getRequestURI.getPath != s"/api/$name")
+        respond(ex, 404, """{"error":"no such route"}""")
+      else if (ex.getRequestMethod != "GET")
         respond(ex, 405, """{"error":"GET required"}""")
       else runSafely(ex) { handle(queryParams(ex)) })
     this
@@ -89,16 +96,7 @@ final class HttpFacade(bindPort: Int = 0) {
           java.net.URLDecoder.decode(v, UTF_8)
       }.toMap
 
-  private def jsonStr(s: String): String =
-    "\"" + Option(s).getOrElse("null").flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jsonStr(s: String): String = graft.JsonText.quote(s)
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)
@@ -112,23 +110,53 @@ final class HttpFacade(bindPort: Int = 0) {
 
 object HttpFacade {
 
-  /** Bridge a JSONEachRow request body onto [[IngestPipeline.ingest]]:
-    * parse lines under T's encoder schema (PERMISSIVE — malformed
-    * fields become NULLs and flow to the pipeline's validation DLQ,
-    * exactly the reference's dead-letter path), run the pipeline, and
-    * report `{"written":n,"failed":n,"dlq":n}`. T must be a case class
-    * (tuple encoders carry positional `_1` names that JSON keys can't
-    * match). */
+  /** Bridge a JSONEachRow request body onto [[IngestPipeline.ingest]].
+    *
+    * The parse boundary is its own DLQ channel (r12 review finding —
+    * letting bad lines reach the typed pipeline crashes the WHOLE
+    * batch on the first null-into-primitive deserialization): lines
+    * that are not valid JSON (corrupt-record column) and lines missing
+    * a non-nullable field of T both land in the pipeline's DLQ table
+    * as `ParseError` rows; only rows T can actually carry proceed into
+    * validate → transform → insert. Reports
+    * `{"written":n,"failed":n,"dlq":n}` with the parse dead letters
+    * counted in `dlq`. T must be a case class (tuple encoders carry
+    * positional `_1` names that JSON keys can't match). */
   def jsonIngestRoute[T](spark: SparkSession, pipeline: IngestPipeline[T])(
       implicit enc: Encoder[T]): String => String = { body =>
+    import org.apache.spark.sql.functions._
     val lines = body.split("\n").iterator
       .map(_.trim).filter(_.nonEmpty).toSeq
     require(lines.nonEmpty, "ingest: empty JSONEachRow body")
     val raw = spark.createDataset(lines)(Encoders.STRING)
-    val typed = spark.read.schema(enc.schema).json(raw).as[T](enc)
+    val corrupt = "_graft_corrupt"
+    val parsed = spark.read
+      .schema(enc.schema.add(corrupt, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(raw)
+    val requiredNull = enc.schema.fields.filterNot(_.nullable)
+      .map(f => col(f.name).isNull)
+      .foldLeft(lit(false))(_ || _)
+    val badCond = col(corrupt).isNotNull || requiredNull
+    val bad = parsed.where(badCond).select(
+      coalesce(col(corrupt),
+        to_json(struct(enc.schema.fieldNames.map(col): _*)))
+        .as("originalRecord"),
+      lit("malformed JSON or missing required field")
+        .as("errorMessage"),
+      lit("ParseError").as("errorType"),
+      current_timestamp().as("failedAt"),
+      lit(s"http:${pipeline.name}").as("source"))
+    val parseDlq =
+      if (bad.isEmpty) 0L
+      else pipeline.dlq.insert(bad,
+        graft.table.OlapTable.InsertStrategy.FailFast,
+        dlqSource = s"http:${pipeline.name}")._1.written
+    val typed = parsed.where(!badCond).drop(corrupt).as[T](enc)
     val res = pipeline.ingest(typed)
     s"""{"written":${res.report.written},"failed":${res.report.failed},""" +
-      s""""dlq":${res.dlqWritten}}"""
+      s""""dlq":${res.dlqWritten + parseDlq}}"""
   }
 
   /** Bridge decoded query params onto [[ConsumptionApi.run]]: rows

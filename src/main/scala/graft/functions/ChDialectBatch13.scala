@@ -180,13 +180,20 @@ object ChDialectBatch13 {
     f("extractAllGroupsVertical") { a =>
       val pat = litString(a(1), "extractAllGroupsVertical")
       val n = groupCountOf(pat, "extractAllGroupsVertical")
+      // bind the per-group match arrays ONCE — re-extracting inside the
+      // per-match lambda would re-run the regex match-count x group
+      // times per row (r12 review finding)
       bind(a.head, "gv") { s =>
-        bind(RegExpExtractAll(s, Literal(pat), Literal(1)), "gv1") { g1 =>
+        bind(CreateArray((1 to n).map(g =>
+            RegExpExtractAll(s, Literal(pat), Literal(g)): Expression)),
+            "gvg") { garrs =>
           ArrayTransform(
-            new Sequence(Literal(1), Size(g1), Some(Literal(1))),
-            lambda1("gvi")(i => CreateArray((1 to n).map(g =>
-              ElementAt(RegExpExtractAll(s, Literal(pat), Literal(g)),
-                i): Expression))))
+            new Sequence(Literal(1),
+              Size(ElementAt(garrs, Literal(1))), Some(Literal(1))),
+            lambda1("gvi")(i => ArrayTransform(
+              new Sequence(Literal(1), Literal(n), Some(Literal(1))),
+              lambda1("gvj")(g =>
+                ElementAt(ElementAt(garrs, g), i)))))
         }
       }
     }
@@ -297,9 +304,21 @@ object ChDialectBatch13 {
     }
 
     // ------------------------------------------- host introspection
-    val host = java.net.InetAddress.getLocalHost
-    f("hostName")(_ => Literal(host.getHostName))
-    f("FQDN")(_ => Literal(host.getCanonicalHostName))
+    // resolution failures must not take the whole batch down (r12
+    // review finding: an unresolvable container hostname would have
+    // thrown out of register() and killed bitmaps/type-utils too), and
+    // getCanonicalHostName's reverse-DNS lookup is a one-time
+    // registration cost, never per-row
+    val (hostN, fqdn) =
+      try {
+        val h = java.net.InetAddress.getLocalHost
+        (h.getHostName, h.getCanonicalHostName)
+      } catch { case _: java.net.UnknownHostException =>
+        val env = sys.env.getOrElse("HOSTNAME", "localhost")
+        (env, env)
+      }
+    f("hostName")(_ => Literal(hostN))
+    f("FQDN")(_ => Literal(fqdn))
   }
 
   def isRegistered(spark: SparkSession): Boolean =

@@ -1586,10 +1586,10 @@ object DialectQueries {
         |  1288834974657 + event_id AS sfm,
         |  (epoch_ms(ts) - 1288834974657) * 4194304 AS dts,
         |  COALESCE(array_to_string(list_transform(
-        |    list_filter(range(0, 63), i -> ((user_id % 1000) >> i) & 1 = 1),
+        |    list_filter(range(0, 64), i -> ((user_id % 1000) >> i) & 1 = 1),
         |    i -> CAST((1::BIGINT << i) AS VARCHAR)), ','), '') AS bml,
         |  COALESCE(array_to_string(list_transform(
-        |    list_filter(range(0, 63), i -> ((event_id % 256) >> i) & 1 = 1),
+        |    list_filter(range(0, 64), i -> ((event_id % 256) >> i) & 1 = 1),
         |    i -> CAST((1::BIGINT << i) AS VARCHAR)), '|'), '') AS bma,
         |  CASE WHEN jraw >= 2147483648 THEN jraw - 4294967296
         |       ELSE jraw END AS jh,

@@ -84,10 +84,25 @@ class HttpFacadeSpec extends AnyFunSuite {
       assert(ok.statusCode() == 200)
       assert(ok.body() == """[{"tier":"free","n":1,"total_v":3.0}]""")
 
+      // parse boundary is its own DLQ channel: a non-JSON line and a
+      // valid-JSON line missing a required (non-nullable) field both
+      // dead-letter instead of crashing the batch (r12 review finding)
+      val mixed = post("/ingest/events",
+        """{"id": 10, "tier": "free", "v": 1.0}
+          |this is not json
+          |{"tier": "pro", "v": 2.0}
+          |""".stripMargin)
+      assert(mixed.statusCode() == 200, mixed.body())
+      assert(mixed.body() == """{"written":1,"failed":0,"dlq":2}""")
+      assert(pipeline.dlq.read()
+        .where(col("errorType") === "ParseError").count() == 2)
+
       // status mapping
       assert(get("/health").statusCode() == 200)
       assert(get("/nope").statusCode() == 404)
       assert(get("/ingest/events").statusCode() == 405) // GET on ingest
+      assert(get("/ingest/events_v3").statusCode() == 404) // prefix trap
+      assert(get("/api/sum_by_tier_admin").statusCode() == 404)
       assert(post("/api/sum_by_tier?tier=free", "").statusCode() == 405)
       val bad = get("/api/sum_by_tier") // missing required param
       assert(bad.statusCode() == 400)
