@@ -7,8 +7,13 @@ package graft
   * fail. One definition so an escaping fix can never drift between
   * call sites (r12 review finding). */
 object JsonText {
+  /** Null input renders as the bare JSON `null` token, not the string
+    * "null" — so an error body for an exception with no message is
+    * `{"error":null}`, distinguishable from a literal "null" message
+    * (r12 ADVICE). */
   def quote(s: String): String =
-    "\"" + Option(s).getOrElse("null").flatMap {
+    if (s == null) "null"
+    else "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"

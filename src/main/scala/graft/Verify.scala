@@ -1,9 +1,86 @@
 package graft
-import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(); ()
+  }
+
+  /** Run one query with a hard deadline; returns the recorded status.
+    *
+    * Per-query watchdog (round-11 lesson: one analyzer-hung query —
+    * q_geohash — starved every query after it and the round recorded
+    * `{}`). Each query runs on its own thread; on timeout we cancel its
+    * job group (covers executor-side hangs), interrupt the thread
+    * (covers driver-side analyzer spins), record one FAILED row, and
+    * CONTINUE — converting "round has no signal" into "one red row".
+    *
+    * ATOMIC ARTIFACT (r12 verdict #2): the worker writes to
+    * `$outDir/.tmp-$name` and renames to `$outDir/$name` only on the
+    * success path, and the rename is gated on `!timedOut` UNDER THE
+    * SAME LOCK the watchdog uses to declare the timeout — so once a
+    * timeout is recorded, even a truly uninterruptible straggler
+    * thread that finishes its write later can never create the final
+    * location, and the watchdog itself never deletes a final artifact
+    * (it only clears the tmp dir). The r12 ADVICE inverse race is
+    * closed by the same lock: if the worker completes between join()
+    * expiring and the lock acquisition, status is already "ok", the
+    * rename has happened, and the watchdog accepts it instead of
+    * deleting the output. */
+  def runOne(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => DataFrame,
+      sfDir: String, outDir: String, timeoutSec: Int): String = {
+    val tmp = s"$outDir/.tmp-$name"
+    val fin = s"$outDir/$name"
+    val lock = new Object
+    @volatile var status = s"FAILED(timeout ${timeoutSec}s)"
+    @volatile var timedOut = false
+    val worker = new Thread(() => {
+      try {
+        spark.sparkContext.setJobGroup(s"verify-$name",
+          s"graft.Verify $name", interruptOnCancel = true)
+        rmTree(new java.io.File(tmp))
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+        lock.synchronized {
+          if (!timedOut) {
+            rmTree(new java.io.File(fin))
+            Files.move(Paths.get(tmp), Paths.get(fin),
+              StandardCopyOption.ATOMIC_MOVE)
+            status = "ok"
+          }
+        }
+      } catch { case e: Throwable =>
+        // keep the timeout provenance: the cancel/interrupt surfaces
+        // here as a SparkException/InterruptedException
+        if (!timedOut) {
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          status = "FAILED"
+        }
+      } finally spark.sparkContext.clearJobGroup()
+    }, s"verify-$name")
+    worker.setDaemon(true)
+    worker.start()
+    worker.join(timeoutSec * 1000L)
+    if (worker.isAlive) {
+      lock.synchronized { if (status != "ok") timedOut = true }
+      if (timedOut) {
+        spark.sparkContext.cancelJobGroup(s"verify-$name")
+        worker.interrupt()
+        worker.join(10000L) // grace for the cancel to land
+        // clear any partial tmp output; the straggler may re-create the
+        // tmp dir later but the timedOut gate means it never renames it
+        // into the final location
+        try rmTree(new java.io.File(tmp))
+        catch { case _: Throwable => () }
+      }
+    }
+    status
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,64 +95,22 @@ object Verify {
     // Local-iteration filter (driver passes no env: runs everything).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // Per-query watchdog (round-11 lesson: one analyzer-hung query —
-    // q_geohash — starved every query after it and the round recorded
-    // `{}`). Each query runs on its own thread with a hard deadline; on
-    // timeout we cancel its job group (covers executor-side hangs),
-    // interrupt the thread (covers driver-side analyzer spins), record
-    // one FAILED row, and CONTINUE — converting "round has no signal"
-    // into "one red row". A truly uninterruptible driver spin leaves a
-    // busy daemon thread behind; with 31 other cores that degrades the
-    // remaining queries, not the artifact.
     val timeoutSec =
       sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_S").map(_.toInt).getOrElse(300)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      System.err.println(s"[verify] running $name")
-      val t0 = System.nanoTime()
-      @volatile var status = s"FAILED(timeout ${timeoutSec}s)"
-      @volatile var timedOut = false
-      val worker = new Thread(() => {
-        try {
-          spark.sparkContext.setJobGroup(s"verify-$name",
-            s"graft.Verify $name", interruptOnCancel = true)
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          status = "ok"
-        } catch { case e: Throwable =>
-          // keep the timeout provenance: the cancel/interrupt surfaces
-          // here as a SparkException/InterruptedException
-          if (!timedOut) {
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
-            status = "FAILED"
-          }
-        } finally spark.sparkContext.clearJobGroup()
-      }, s"verify-$name")
-      worker.setDaemon(true)
-      worker.start()
-      worker.join(timeoutSec * 1000L)
-      if (worker.isAlive) {
-        timedOut = true
-        spark.sparkContext.cancelJobGroup(s"verify-$name")
-        worker.interrupt()
-        worker.join(10000L) // grace for the cancel to land
-        // best-effort: remove any partial/late output so a straggler
-        // thread can't leave a success-looking artifact for a query the
-        // log records as timed out (r12 review finding; a truly
-        // uninterruptible writer re-creating it afterwards remains a
-        // documented residual race)
-        try {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete(); ()
-          }
-          rm(new java.io.File(s"$outDir/$name"))
-        } catch { case _: Throwable => () }
+        System.err.println(s"[verify] running $name")
+        val t0 = System.nanoTime()
+        val status = runOne(spark, name, fn, sfDir, outDir, timeoutSec)
+        System.err.println(
+          f"[verify] $name $status in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
-      System.err.println(
-        f"[verify] $name $status in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    }
+    // best-effort sweep of tmp dirs left by timed-out stragglers — they
+    // are never success-looking (final artifacts live at $outDir/$name)
+    Option(new java.io.File(outDir)
+        .listFiles((_, n) => n.startsWith(".tmp-")))
+      .foreach(_.foreach(f => try rmTree(f) catch { case _: Throwable => () }))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

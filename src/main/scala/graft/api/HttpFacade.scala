@@ -130,43 +130,72 @@ object HttpFacade {
     require(lines.nonEmpty, "ingest: empty JSONEachRow body")
     val raw = spark.createDataset(lines)(Encoders.STRING)
     val corrupt = "_graft_corrupt"
+    // cache the parsed batch: bad.isEmpty, the DLQ insert, and
+    // pipeline.ingest each trigger an action, and without the persist
+    // the PERMISSIVE JSON scan re-executes per action (r12 ADVICE) —
+    // a request body is one small in-memory batch, so MEMORY_ONLY
     val parsed = spark.read
       .schema(enc.schema.add(corrupt, org.apache.spark.sql.types.StringType))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corrupt)
       .json(raw)
-    val requiredNull = enc.schema.fields.filterNot(_.nullable)
-      .map(f => col(f.name).isNull)
-      .foldLeft(lit(false))(_ || _)
-    val badCond = col(corrupt).isNotNull || requiredNull
-    val bad = parsed.where(badCond).select(
-      coalesce(col(corrupt),
-        to_json(struct(enc.schema.fieldNames.map(col): _*)))
-        .as("originalRecord"),
-      lit("malformed JSON or missing required field")
-        .as("errorMessage"),
-      lit("ParseError").as("errorType"),
-      current_timestamp().as("failedAt"),
-      lit(s"http:${pipeline.name}").as("source"))
-    val parseDlq =
-      if (bad.isEmpty) 0L
-      else pipeline.dlq.insert(bad,
-        graft.table.OlapTable.InsertStrategy.FailFast,
-        dlqSource = s"http:${pipeline.name}")._1.written
-    val typed = parsed.where(!badCond).drop(corrupt).as[T](enc)
-    val res = pipeline.ingest(typed)
-    s"""{"written":${res.report.written},"failed":${res.report.failed},""" +
-      s""""dlq":${res.dlqWritten + parseDlq}}"""
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      val requiredNull = enc.schema.fields.filterNot(_.nullable)
+        .map(f => col(f.name).isNull)
+        .foldLeft(lit(false))(_ || _)
+      val badCond = col(corrupt).isNotNull || requiredNull
+      val bad = parsed.where(badCond).select(
+        coalesce(col(corrupt),
+          to_json(struct(enc.schema.fieldNames.map(col): _*)))
+          .as("originalRecord"),
+        lit("malformed JSON or missing required field")
+          .as("errorMessage"),
+        lit("ParseError").as("errorType"),
+        current_timestamp().as("failedAt"),
+        lit(s"http:${pipeline.name}").as("source"))
+      val parseDlq =
+        if (bad.isEmpty) 0L
+        else pipeline.dlq.insert(bad,
+          graft.table.OlapTable.InsertStrategy.FailFast,
+          dlqSource = s"http:${pipeline.name}")._1.written
+      val typed = parsed.where(!badCond).drop(corrupt).as[T](enc)
+      val res = pipeline.ingest(typed)
+      s"""{"written":${res.report.written},"failed":${res.report.failed},""" +
+        s""""dlq":${res.dlqWritten + parseDlq}}"""
+    } finally { parsed.unpersist(); () }
   }
 
-  /** Bridge decoded query params onto [[ConsumptionApi.run]]: rows
-    * come back as a JSON array, collected only at the HTTP edge and
-    * capped at `maxRows` (the reference clamps consumption responses
-    * the same way the ad-hoc gate clamps LIMITs). */
+  /** Bridge decoded query params onto [[ConsumptionApi.run]]: rows are
+    * collected only at the HTTP edge, with the REFERENCE's pagination
+    * clamp — `limit = min(?limit ?? defaultLimit, maxLimit)` — wired
+    * from [[graft.querymodel.QueryModel]]'s constants (query-model.ts
+    * :789 `spec.limit ?? defaults.limit ?? 100`, :394 `maxLimit =
+    * 1000`; r12 verdict #4), not a facade-local cap.
+    *
+    * Response format follows the reference's ClickHouse-style `format`
+    * param: `JSON` (default) → one JSON array; `JSONEachRow` →
+    * newline-delimited objects, the same spelling the ingest side
+    * accepts. Unknown formats and non-numeric/negative limits are
+    * client errors (400 via IllegalArgumentException). */
   def consumptionRoute[P](spark: SparkSession, api: ConsumptionApi[P],
       decode: Map[String, String] => P,
-      maxRows: Int = 1000): Map[String, String] => String = { params =>
-    api.run(spark, decode(params)).limit(maxRows)
-      .toJSON.collect().mkString("[", ",", "]")
+      defaultLimit: Int = graft.querymodel.QueryModel.DefaultLimit,
+      maxLimit: Int = graft.querymodel.QueryModel.MaxLimit)
+      : Map[String, String] => String = { params =>
+    val requested = params.get("limit").map { s =>
+      val n = try s.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"limit must be an integer, got '$s'") }
+      require(n >= 0, s"limit must be non-negative, got $n")
+      n
+    }
+    val limit = math.min(requested.getOrElse(defaultLimit), maxLimit)
+    val rows = api.run(spark, decode(params)).limit(limit).toJSON.collect()
+    params.getOrElse("format", "JSON") match {
+      case "JSON" => rows.mkString("[", ",", "]")
+      case "JSONEachRow" => rows.mkString("\n")
+      case other => throw new IllegalArgumentException(
+        s"unsupported format '$other' (JSON | JSONEachRow)")
+    }
   }
 }

@@ -77,7 +77,9 @@ object ChDialectBatch12 {
   }
 
   /** tuple(h1, h2) over a distinct-shingle hash array: h1 = ascending
-    * fold of the k smallest, h2 = ascending fold of the k largest. */
+    * fold of the k smallest, h2 = DESCENDING fold of the k largest
+    * (foldK(Reverse(sorted)) visits largest-first; spec-pinned — r12
+    * ADVICE fixed this doc, not the value). */
   private def minHashPair(shingles: Expression, k: Int): Expression = {
     def foldK(sorted: Expression): Expression = ArrayAggregate(
       Slice(sorted, Literal(1), Literal(k)),

@@ -22,8 +22,9 @@ import org.apache.spark.sql.types._
   *  - date tail: `dateTrunc(unit, ts)` (CH spelling of the builtin
   *    date_trunc arg order), `timeDiff(t1, t2)` (seconds, t2 − t1);
   *  - regex tail: `regexpExtract(s, pat[, group])` (group defaults to
-  *    1 — CH's has-group default; literal pattern required for the
-  *    group-count gate), `extractAllGroupsHorizontal` /
+  *    1 when the literal pattern has a capturing group, 0 = full match
+  *    when it has none — CH's documented default; a non-literal
+  *    pattern keeps the has-group default 1), `extractAllGroupsHorizontal` /
   *    `extractAllGroupsVertical` (literal pattern; horizontal = one
   *    array per group across matches, vertical = one array per match
   *    across groups);
@@ -165,8 +166,17 @@ object ChDialectBatch13 {
 
     // ----------------------------------------------------- regex tail
     f("regexpExtract") { a =>
+      // CH defaults the group index by the pattern: 1 when it has a
+      // capturing group, 0 (the full match) when it has none — a
+      // 2-arg call with a group-less literal pattern must not fail
+      // (r12 ADVICE). Non-literal pattern keeps the has-group default.
       val idx = if (a.length >= 3) Cast(a(2), IntegerType)
-        else Literal(1)
+        else a(1) match {
+          case Literal(s, StringType) if s != null &&
+              java.util.regex.Pattern.compile(s.toString)
+                .matcher("").groupCount() == 0 => Literal(0)
+          case _ => Literal(1)
+        }
       RegExpExtract(a.head, a(1), idx)
     }
     f("extractAllGroupsHorizontal") { a =>

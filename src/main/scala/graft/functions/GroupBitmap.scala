@@ -1,0 +1,241 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** ClickHouse `groupBitmap` family as BOUNDED-STATE AGGREGATES — the
+  * scale-correct half of the bitmap surface (r12 verdict #1; DIVERGENCES
+  * #55/#57). ChDialectBatch13 ships the row-local scalar algebra
+  * (`bitmapAnd(arr, arr)` over one row's arrays); this file ships the
+  * across-rows aggregate forms whose state is O(|distinct values in
+  * group|) — never O(rows) — so a 100 TB GROUP BY carries a per-group
+  * set, not the group's row stream:
+  *
+  *  - `groupBitmap(x)` → cardinality of the distinct-value set (CH
+  *    returns UInt64; here LongType),
+  *  - `groupBitmapState(x)` → the state itself, as the SAME
+  *    sorted-distinct `array<long>` representation the row-local batch-13
+  *    family operates on — a state column flows straight into
+  *    `bitmapCardinality` / `bitmapAnd` / `bitmapToArray` etc.
+  *    (DIVERGENCES #55 stance: CH's state is a roaring bitmap's binary
+  *    layout; ours is the public sorted-distinct array spelling — same
+  *    set, same algebra, engine-portable and DuckDB-oracle-able),
+  *  - `groupBitmapAnd/Or/Xor(stateCol)` → combine bitmap STATES across
+  *    rows (CH ref sqlHelpers.ts:106-255 passthrough surface; CH docs
+  *    "groupBitmapAnd/Or/Xor: calculations of a bitmap column, return
+  *    cardinality"); `And` = values present in EVERY row's bitmap,
+  *    `Xor` = values present in an ODD number of row bitmaps,
+  *  - `-State` forms of each (`groupBitmapAndState/OrState/XorState`)
+  *    return the combined state instead of its cardinality,
+  *  - `groupBitmapMerge(stateCol)` / `groupBitmapMergeState` — the CH
+  *    `-Merge`/`-MergeState` combinators for AggregateFunction(
+  *    groupBitmap, ·) columns: OR-combine partial states (finish /
+  *    keep-as-state). Wired into [[graft.schema.AggState]] as fn
+  *    "groupBitmap" so MergeTree AggregateFunction columns, streaming
+  *    MVs, and FINAL compaction all get the bitmap state for free.
+  *
+  * All forms are TypedImperativeAggregate with map-side partial
+  * aggregation: each partition builds/combines its own set, the shuffle
+  * carries serialized sets (one per partition per group), never rows.
+  * AND needs an `init` flag in the buffer — an untouched buffer is the
+  * identity (absorbs nothing), not the empty set (which would annihilate
+  * everything it meets).
+  *
+  * NULL inputs are skipped (CH aggregate semantics); an empty group
+  * evals to 0 / empty array, never NULL. XOR ignores duplicate values
+  * WITHIN one input array (a bitmap contains a value once — batch-13
+  * states are sorted-distinct by construction, so this only matters for
+  * hand-built arrays).
+  */
+object GroupBitmap {
+
+  /** Aggregation state: a distinct-value set + the AND identity flag. */
+  final class BitmapBuffer(
+      var init: Boolean,
+      val set: java.util.HashSet[java.lang.Long]) {
+    def sortedValues: Array[Long] = {
+      val arr = new Array[Long](set.size)
+      val it = set.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(arr)
+      arr
+    }
+  }
+
+  // ---------------------------------------------------------- Column API
+  private def wrap(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
+  private def expr(c: Column): Expression =
+    org.apache.spark.sql.graftbridge.Bridge.expression(c)
+
+  private def agg(c: Column, op: String, state: Boolean): Column =
+    wrap(GroupBitmapAgg(expr(c), op, state).toAggregateExpression())
+
+  /** Distinct-value cardinality of the group (CH `groupBitmap`). */
+  def group_bitmap(c: Column): Column = agg(c, "build", state = false)
+  /** The xState producer: values → sorted-distinct `array<long>`. */
+  def group_bitmap_state(c: Column): Column = agg(c, "build", state = true)
+  /** Intersection of bitmap states across rows → cardinality. */
+  def group_bitmap_and(c: Column): Column = agg(c, "and", state = false)
+  /** Union of bitmap states across rows → cardinality. */
+  def group_bitmap_or(c: Column): Column = agg(c, "or", state = false)
+  /** Symmetric difference (odd-count membership) → cardinality. */
+  def group_bitmap_xor(c: Column): Column = agg(c, "xor", state = false)
+  def group_bitmap_and_state(c: Column): Column = agg(c, "and", state = true)
+  def group_bitmap_or_state(c: Column): Column = agg(c, "or", state = true)
+  def group_bitmap_xor_state(c: Column): Column = agg(c, "xor", state = true)
+
+  /** SQL registry names (ad-hoc CH-dialect SQL + the `sql` interpolator's
+    * auto-merge rewrite). Aggregates are returned bare — the analyzer
+    * wraps registry-built AggregateFunctions (qsketchAgg pattern). */
+  def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("groupBitmap"))) return
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
+      require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+          .builtin.functionExists(FunctionIdentifier(name.toLowerCase)),
+        s"refusing to shadow Spark builtin function '$name'")
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+    def one(name: String, op: String, state: Boolean): Unit =
+      f(name)(a => GroupBitmapAgg(
+        if (op == "build") Cast(a.head, LongType) else a.head, op, state))
+    one("groupBitmap", "build", state = false)
+    one("groupBitmapState", "build", state = true)
+    one("groupBitmapAnd", "and", state = false)
+    one("groupBitmapOr", "or", state = false)
+    one("groupBitmapXor", "xor", state = false)
+    one("groupBitmapAndState", "and", state = true)
+    one("groupBitmapOrState", "or", state = true)
+    one("groupBitmapXorState", "xor", state = true)
+    // the -Merge / -MergeState combinators over AggregateFunction(
+    // groupBitmap) columns: OR is the state-combine semantics
+    one("groupBitmapMerge", "or", state = false)
+    one("groupBitmapMergeState", "or", state = true)
+  }
+}
+
+/** The single aggregate behind the family: `op` picks the combine
+  * semantics, `returnState` picks cardinality (LongType) vs state
+  * (`array<long>`, sorted distinct) at eval. `op = "build"` consumes
+  * LONG VALUES; "and"/"or"/"xor" consume `array<long>` STATES. */
+case class GroupBitmapAgg(
+    child: Expression,
+    op: String,
+    returnState: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[GroupBitmap.BitmapBuffer]
+  with UnaryLike[Expression] {
+  require(Set("build", "and", "or", "xor").contains(op),
+    s"groupBitmap op must be build/and/or/xor, got '$op'")
+
+  override def createAggregationBuffer(): GroupBitmap.BitmapBuffer =
+    new GroupBitmap.BitmapBuffer(false, new java.util.HashSet[java.lang.Long]())
+
+  private def inputValues(v: Any): Array[Long] = v match {
+    case arr: ArrayData =>
+      val n = arr.numElements()
+      val out = Array.newBuilder[Long]
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) out += arr.getLong(i)
+        i += 1
+      }
+      out.result()
+    case other => throw new IllegalArgumentException(
+      s"groupBitmap$op expects array<long> bitmap states, got $other")
+  }
+
+  override def update(buf: GroupBitmap.BitmapBuffer,
+      input: InternalRow): GroupBitmap.BitmapBuffer = {
+    child.eval(input) match {
+      case null => () // CH aggregate semantics: NULL rows are skipped
+      case v if op == "build" =>
+        buf.set.add(v.asInstanceOf[java.lang.Number].longValue()); buf.init = true
+      case v =>
+        val vals = inputValues(v)
+        op match {
+          case "or" => vals.foreach(buf.set.add(_)); buf.init = true
+          case "and" =>
+            if (!buf.init) { vals.foreach(buf.set.add(_)); buf.init = true }
+            else {
+              val incoming = new java.util.HashSet[java.lang.Long](vals.length)
+              vals.foreach(incoming.add(_))
+              buf.set.retainAll(incoming); ()
+            }
+          case "xor" =>
+            // toggle each DISTINCT incoming value (a bitmap holds a
+            // value once; dedupe defends hand-built arrays)
+            val seen = new java.util.HashSet[java.lang.Long](vals.length)
+            vals.foreach { x =>
+              if (seen.add(x)) { if (!buf.set.remove(x)) buf.set.add(x); () }
+            }
+            buf.init = true
+        }
+    }
+    buf
+  }
+
+  override def merge(a: GroupBitmap.BitmapBuffer,
+      b: GroupBitmap.BitmapBuffer): GroupBitmap.BitmapBuffer = op match {
+    case "and" =>
+      if (!b.init) a
+      else if (!a.init) { a.set.addAll(b.set); a.init = true; a }
+      else { a.set.retainAll(b.set); a }
+    case "xor" =>
+      val it = b.set.iterator()
+      while (it.hasNext) {
+        val x = it.next()
+        if (!a.set.remove(x)) a.set.add(x)
+      }
+      a.init = a.init || b.init; a
+    case _ => // build / or: union
+      a.set.addAll(b.set); a.init = a.init || b.init; a
+  }
+
+  override def eval(buf: GroupBitmap.BitmapBuffer): Any =
+    if (returnState) new GenericArrayData(buf.sortedValues)
+    else buf.set.size.toLong
+
+  override def serialize(buf: GroupBitmap.BitmapBuffer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(9 + 8 * buf.set.size)
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBoolean(buf.init)
+    out.writeInt(buf.set.size)
+    // sorted for a deterministic wire form (and cheap delta-coding later)
+    buf.sortedValues.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): GroupBitmap.BitmapBuffer = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val init = in.readBoolean()
+    val n = in.readInt()
+    val set = new java.util.HashSet[java.lang.Long](math.max(n * 2, 16))
+    var i = 0
+    while (i < n) { set.add(in.readLong()); i += 1 }
+    new GroupBitmap.BitmapBuffer(init, set)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): GroupBitmapAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): GroupBitmapAgg =
+    copy(inputAggBufferOffset = o)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    if (returnState) ArrayType(LongType, containsNull = false) else LongType
+  override def prettyName: String = s"group_bitmap_$op"
+  override protected def withNewChildInternal(c: Expression): GroupBitmapAgg =
+    copy(child = c)
+}

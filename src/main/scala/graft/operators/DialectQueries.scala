@@ -1043,7 +1043,57 @@ object DialectQueries {
         |FROM docs_enc ORDER BY doc_id""".stripMargin)
   }
 
+  /** Bounded-state `groupBitmap` family (functions/GroupBitmap; r12
+    * verdict #1 — the scale-correct across-rows half of the batch-13
+    * bitmap surface): per-type bitmap STATES built by
+    * `groupBitmapState`, read back through the row-local
+    * `bitmapCardinality` (state-representation interop), then
+    * And/Or/Xor/Merge aggregate forms over the state column. The
+    * combined metrics live in ONE aggregate node fanned out by a
+    * 4-row VALUES cross join (one consumer — CASE projects the
+    * branch), so `states` has exactly two consumers (per-type rows +
+    * combined row): two scans of events, each a straight partial-agg
+    * hash aggregate whose shuffle carries O(|distinct|) sets, never
+    * rows. Values are `(user_id * length(event_type)) % 64` so the
+    * per-type bitmaps genuinely DIFFER (multiplying by an even length
+    * drops low bits mod 64): at sf0.01 the five cards are
+    * 64/64/8/32/16 with And=8, Or=64, Xor=24 — every combine form is
+    * non-trivial (a bare `user_id % 64` made all five sets identical). */
+  def qBitmapAgg(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GroupBitmap.register(spark)
+    graft.functions.ChDialectBatch13.register(spark)
+    sqlOn(spark, dir, "events", "ev_bm",
+      """WITH states AS (
+        |  SELECT event_type,
+        |    groupBitmapState((user_id * length(event_type)) % 64) AS bm
+        |  FROM ev_bm GROUP BY event_type),
+        |combined AS (
+        |  SELECT
+        |    groupBitmapAnd(bm) AS a_card, groupBitmapOr(bm) AS o_card,
+        |    groupBitmapXor(bm) AS x_card, groupBitmapMerge(bm) AS m_card,
+        |    arrayStringConcat(arrayMap(v -> toString(v),
+        |      groupBitmapAndState(bm)), ',') AS a_set,
+        |    arrayStringConcat(arrayMap(v -> toString(v),
+        |      groupBitmapOrState(bm)), ',') AS o_set,
+        |    arrayStringConcat(arrayMap(v -> toString(v),
+        |      groupBitmapXorState(bm)), ',') AS x_set
+        |  FROM states)
+        |SELECT event_type AS label, bitmapCardinality(bm) AS card,
+        |  arrayStringConcat(arrayMap(v -> toString(v), bm), ',') AS vals
+        |FROM states
+        |UNION ALL
+        |SELECT t.label,
+        |  CASE t.label WHEN '__and__' THEN a_card WHEN '__or__' THEN o_card
+        |    WHEN '__xor__' THEN x_card ELSE m_card END AS card,
+        |  CASE t.label WHEN '__and__' THEN a_set WHEN '__xor__' THEN x_set
+        |    ELSE o_set END AS vals
+        |FROM combined CROSS JOIN (VALUES ('__and__'), ('__or__'),
+        |  ('__xor__'), ('__merge__')) AS t(label)
+        |ORDER BY label""".stripMargin)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_bitmap_agg" -> (qBitmapAgg _),
     "q_encrypt" -> (qEncrypt _),
     "q_foreach" -> (qForEach _),
     "q_agg_functions6" -> (qAggFunctions6 _),
@@ -1092,6 +1142,44 @@ object DialectQueries {
       "ELSE [] END)"
 
   def oracles: Map[String, String] = Map(
+    // groupBitmap family: sets rebuilt from DISTINCT, And = membership
+    // count equals the number of groups, Xor = odd membership count,
+    // Merge = Or; the state string is the ascending value list
+    "q_bitmap_agg" ->
+      """WITH base AS (
+        |  SELECT DISTINCT event_type,
+        |    (user_id * length(event_type)) % 64 AS v
+        |  FROM events),
+        |per AS (
+        |  SELECT event_type AS label,
+        |    CAST(count(*) AS BIGINT) AS card,
+        |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY v) AS vals
+        |  FROM base GROUP BY event_type),
+        |nt AS (SELECT count(DISTINCT event_type) AS n FROM base),
+        |m AS (SELECT v, count(*) AS c FROM base GROUP BY v),
+        |comb AS (
+        |  SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM m, nt WHERE m.c = nt.n)
+        |      AS a_card,
+        |    (SELECT coalesce(string_agg(CAST(v AS VARCHAR), ',' ORDER BY v),
+        |      '') FROM m, nt WHERE m.c = nt.n) AS a_set,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM m) AS o_card,
+        |    (SELECT coalesce(string_agg(CAST(v AS VARCHAR), ',' ORDER BY v),
+        |      '') FROM m) AS o_set,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM m WHERE m.c % 2 = 1)
+        |      AS x_card,
+        |    (SELECT coalesce(string_agg(CAST(v AS VARCHAR), ',' ORDER BY v),
+        |      '') FROM m WHERE m.c % 2 = 1) AS x_set)
+        |SELECT label, card, vals FROM per
+        |UNION ALL
+        |SELECT t.label,
+        |  CASE t.label WHEN '__and__' THEN a_card WHEN '__or__' THEN o_card
+        |    WHEN '__xor__' THEN x_card ELSE o_card END AS card,
+        |  CASE t.label WHEN '__and__' THEN a_set WHEN '__xor__' THEN x_set
+        |    ELSE o_set END AS vals
+        |FROM comb CROSS JOIN (VALUES ('__and__'), ('__or__'),
+        |  ('__xor__'), ('__merge__')) AS t(label)
+        |ORDER BY label""".stripMargin,
     // AES contract frame: PKCS length arithmetic exact, proofs constant
     "q_encrypt" ->
       """SELECT doc_id,

@@ -89,6 +89,49 @@ object EngineQueries {
       .orderBy(col("event_id"))
   }
 
+  /** `Insertable<T>` write-path variant END-TO-END (ref dataModels/
+    * types.ts:300-304; r12 verdict #7): ALIAS and MATERIALIZED columns
+    * are OMITTED from the insert contract (the engine computes them —
+    * materialized at write, alias at read), DEFAULT columns are
+    * OPTIONAL (filled when the key is absent OR the value is null).
+    * Batch A carries `category` present-but-null on even user_ids (the
+    * per-row default fill); batch B omits the column entirely (the
+    * Insertable optional key). `insert_cols` pins the derived write
+    * schema — [[MooseSchema.insertable]] — as a constant the oracle
+    * restates, so a regression that starts requiring a computed column
+    * (or stops offering the default one) hash-fails. */
+  def qInsertableProjection(spark: SparkSession, dir: String): DataFrame = {
+    val schema = MooseSchema(Seq(
+      MooseColumn("event_id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("user_id", MooseType.MInt64),
+      MooseColumn("value", MooseType.MFloat64),
+      MooseColumn("category", MooseType.MString,
+        default = Some("concat('u', CAST(user_id % 3 AS STRING))")),
+      MooseColumn("value_band", MooseType.MInt64,
+        materialized = Some("CAST(floor(value) AS BIGINT)")),
+      MooseColumn("value_x2", MooseType.MFloat64,
+        aliasExpr = Some("value_band * 2.0"))))
+    val table = new OlapTable(spark,
+      OlapTable.Config("events_insertable", schema,
+        TableEngine.MergeTree, orderBy = Seq("event_id")),
+      warehouseDir = System.getProperty("java.io.tmpdir") + "/graft_wh")
+    table.truncate()
+    val src = events(spark, dir)
+    // batch A: default column PRESENT, null on even user_ids
+    table.insert(src.where(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("value"),
+        when(col("user_id") % 2 === 0, lit(null).cast("string"))
+          .otherwise(lit("explicit")).as("category")))
+    // batch B: default column ABSENT (the Insertable<T> optional key)
+    table.insert(src.where(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("user_id"), col("value")))
+    table.read().select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"), col("category"),
+        col("value_band"), col("value_x2"),
+        lit(schema.insertable.fieldNames.mkString(",")).as("insert_cols"))
+      .orderBy(col("event_id"))
+  }
+
   /** A12/A15 aggregate-state columns: xState partials per (day, type)
     * merged to day level via xMerge — the AggregatingMergeTree + MV
     * partial/final pattern. */
@@ -320,10 +363,23 @@ object EngineQueries {
     "q_vcollapsing" -> (qVersionedCollapsing _),
     "q_merge_union" -> (qMergeUnion _),
     "q_insert_validated" -> (qInsertValidated _),
+    "q_insertable_projection" -> (qInsertableProjection _),
     "q_aggstate_merge" -> (qAggstateMerge _),
     "q_quantile_sketch" -> (qQuantileSketch _))
 
   def oracles: Map[String, String] = Map(
+    // Insertable<T>: default fills where absent/null (batch B = odd
+    // event_ids omitted the column; batch A nulled it on even user_ids),
+    // materialized/alias recomputed, write schema pinned constant
+    "q_insertable_projection" ->
+      """SELECT event_id, user_id, round(value, 2) AS value,
+        |  CASE WHEN event_id % 2 = 1 OR user_id % 2 = 0
+        |       THEN 'u' || CAST(user_id % 3 AS VARCHAR)
+        |       ELSE 'explicit' END AS category,
+        |  CAST(floor(value) AS BIGINT) AS value_band,
+        |  CAST(floor(value) AS BIGINT) * 2.0 AS value_x2,
+        |  'event_id,user_id,value,category' AS insert_cols
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_file_engine" ->
       """SELECT event_id, event_type, round(value, 2) AS value
         |FROM events WHERE user_id < 50

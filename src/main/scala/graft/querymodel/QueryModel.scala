@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object QueryModel {
 
+  /** Pagination constants (query-model.ts:789 `spec.limit ??
+    * defaults.limit ?? 100`; :394 `maxLimit = 1000`) — the single source
+    * both [[Def]]'s defaults and the HTTP facade's consumption-response
+    * clamp read (r12 verdict #4), so the two surfaces can't drift. */
+  val DefaultLimit: Int = 100
+  val MaxLimit: Int = 1000
+
   final case class JoinDef(
       right: DataFrame,
       on: (DataFrame, DataFrame) => Column, // (base, right) => condition
@@ -46,8 +53,8 @@ object QueryModel {
       joins: Seq[JoinDef] = Nil,
       filterable: Map[String, DataFrame => Column] = Map.empty,
       sortable: Set[String] = Set.empty,
-      defaultLimit: Int = 100,
-      maxLimit: Int = 1000,
+      defaultLimit: Int = DefaultLimit,
+      maxLimit: Int = MaxLimit,
       filterOps: Map[String, Set[String]] = Map.empty)
 
   sealed trait FilterOp

