@@ -1,0 +1,173 @@
+package graft.api
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.spec.X509EncodedKeySpec
+import java.security.{KeyFactory, PublicKey, Signature}
+import java.util.Base64
+
+import javax.crypto.spec.PBEKeySpec
+import javax.crypto.SecretKeyFactory
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The reference's HTTP auth surface, pure JDK (r12 verdict "what's
+  * missing" #2 — previously a documented boundary):
+  *
+  *  - RS256 JWT verification against an SPKI/PEM PUBLIC key with
+  *    REQUIRED `iss` / `aud` / `exp` claims (ref
+  *    apps/framework-cli/src/utilities/auth.rs:15-21
+  *    `set_required_spec_claims(&["iss","aud","exp"])`,
+  *    consumption-apis/runner.ts:470 `importSPKI(secret, "RS256")`).
+  *    Only RS256 is accepted — an `alg` of `none`/`HS256`/anything
+  *    else REFUSES (the classic alg-confusion downgrade), matching the
+  *    reference pinning `Algorithm::RS256` / `"RS256"` on both its
+  *    stacks rather than honoring the token's header.
+  *
+  *  - PBKDF2 API-key fallback (ref cli/routines/auth.rs:62-81): the
+  *    bearer token is `tokenHex.saltHex`; its PBKDF2-HMAC-SHA256
+  *    (1000 iterations, 20-byte key, over the ASCII bytes of the hex
+  *    strings — NOT the decoded bytes, faithfully to the reference)
+  *    must equal the configured hash, compared constant-time.
+  *
+  *  - Route gate order (ref local_webserver.rs:1720-1745
+  *    `check_authorization`): a JwtConfig with enforcement on decides
+  *    ALONE (API key not consulted); otherwise a configured API-key
+  *    hash decides; otherwise the route is open. Failures are 401
+  *    `{"error":"Unauthorized"}` (runner.ts:126-143).
+  */
+object Auth {
+
+  /** @param publicKeyPem SPKI PEM (`-----BEGIN PUBLIC KEY-----`)
+    * @param enforce reject on missing/invalid token (the reference's
+    *        `enforce_on_all_ingest_apis` / `enforceAuth`); when false a
+    *        bad token degrades to anonymous instead of 401
+    *        (runner.ts:124-131). */
+  final case class JwtConfig(
+      publicKeyPem: String,
+      issuer: String,
+      audience: String,
+      enforce: Boolean = true) {
+    val publicKey: PublicKey = parseSpki(publicKeyPem)
+  }
+
+  /** Per-surface gate config: `jwt` wins when present AND enforcing;
+    * else `apiKeyHash` (hex PBKDF2 output) guards; else open. */
+  final case class Config(
+      jwt: Option[JwtConfig] = None,
+      apiKeyHash: Option[String] = None)
+
+  private def parseSpki(pem: String): PublicKey = {
+    val body = pem.linesIterator
+      .filterNot(l => l.startsWith("-----") || l.isBlank)
+      .mkString
+    val der = Base64.getMimeDecoder.decode(body)
+    KeyFactory.getInstance("RSA")
+      .generatePublic(new X509EncodedKeySpec(der))
+  }
+
+  private def b64url(s: String): Option[Array[Byte]] =
+    try Some(Base64.getUrlDecoder.decode(s))
+    catch { case _: IllegalArgumentException => None }
+
+  /** Verify an RS256 compact JWT: signature, alg pin, and the three
+    * required claims. `nowEpochSec` is injectable for tests. Returns
+    * the payload's claims on success. */
+  def verifyJwt(token: String, cfg: JwtConfig,
+      nowEpochSec: Long = System.currentTimeMillis() / 1000L)
+      : Option[JValue] = {
+    val parts = token.split('.')
+    if (parts.length != 3) return None
+    val signedContent = s"${parts(0)}.${parts(1)}".getBytes(UTF_8)
+    for {
+      headerB <- b64url(parts(0))
+      payloadB <- b64url(parts(1))
+      sig <- b64url(parts(2))
+      header <- parseJson(new String(headerB, UTF_8))
+      // pin the algorithm: the VERIFIER chooses RS256, never the token
+      _ <- (header \ "alg") match {
+        case JString("RS256") => Some(())
+        case _ => None
+      }
+      _ <- {
+        val v = Signature.getInstance("SHA256withRSA")
+        v.initVerify(cfg.publicKey)
+        v.update(signedContent)
+        if (try v.verify(sig) catch { case _: Exception => false }) Some(())
+        else None
+      }
+      claims <- parseJson(new String(payloadB, UTF_8))
+      // required claims (auth.rs:20): iss exact, aud exact-or-contains,
+      // exp strictly in the future
+      _ <- (claims \ "iss") match {
+        case JString(i) if i == cfg.issuer => Some(())
+        case _ => None
+      }
+      _ <- (claims \ "aud") match {
+        case JString(a) if a == cfg.audience => Some(())
+        case JArray(as) if as.contains(JString(cfg.audience)) => Some(())
+        case _ => None
+      }
+      _ <- (claims \ "exp") match {
+        case JInt(e) if e.toLong > nowEpochSec => Some(())
+        case JLong(e) if e > nowEpochSec => Some(())
+        case JDouble(e) if e > nowEpochSec => Some(())
+        case _ => None
+      }
+    } yield claims
+  }
+
+  private def parseJson(s: String): Option[JValue] =
+    try Some(JsonMethods.parse(s)) catch { case _: Exception => None }
+
+  /** PBKDF2 API-key check (auth.rs:62-81): token `tokenHex.saltHex` →
+    * PBKDF2-HMAC-SHA256(tokenHex bytes, saltHex bytes, 1000, 160 bit)
+    * == expectedHexHash, constant-time. */
+  def validateApiKey(token: String, expectedHexHash: String): Boolean = {
+    val parts = token.split('.')
+    if (parts.length != 2) return false
+    val derived = pbkdf2(parts(0), parts(1))
+    val expected =
+      try hexDecode(expectedHexHash)
+      catch { case _: IllegalArgumentException => return false }
+    java.security.MessageDigest.isEqual(derived, expected)
+  }
+
+  /** The hash side of [[validateApiKey]] — what the reference stores
+    * when a key is generated (auth.rs:33-44 shape). */
+  def hashApiKey(tokenHex: String, saltHex: String): String =
+    pbkdf2(tokenHex, saltHex).map("%02x".format(_)).mkString
+
+  private def pbkdf2(tokenHex: String, saltHex: String): Array[Byte] = {
+    // the reference feeds the ASCII HEX STRINGS to PBKDF2, not their
+    // decoded bytes (auth.rs:68-72) — match that exactly
+    val spec = new PBEKeySpec(tokenHex.toCharArray,
+      saltHex.getBytes(UTF_8), 1000, 160)
+    SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded
+  }
+
+  private def hexDecode(h: String): Array[Byte] = {
+    require(h.length % 2 == 0, "odd hex length")
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  }
+
+  /** The route gate (local_webserver.rs:1720-1745 + runner.ts:113-143):
+    * returns true when the request may proceed. `authHeader` is the
+    * raw `Authorization` header value if present. */
+  def checkAuthorization(authHeader: Option[String], cfg: Config,
+      nowEpochSec: Long = System.currentTimeMillis() / 1000L): Boolean = {
+    val bearer = authHeader.flatMap { h =>
+      if (h.startsWith("Bearer ")) Some(h.stripPrefix("Bearer ")) else None
+    }
+    cfg.jwt match {
+      case Some(j) if j.enforce =>
+        bearer.exists(t => verifyJwt(t, j, nowEpochSec).isDefined)
+      case _ =>
+        cfg.apiKeyHash match {
+          case Some(hash) => bearer.exists(validateApiKey(_, hash))
+          case None => true
+        }
+    }
+  }
+}

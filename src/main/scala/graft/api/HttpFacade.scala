@@ -25,9 +25,20 @@ import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
   *
   * Status mapping: handler `IllegalArgumentException` (validation,
   * unknown params) → 400; anything else → 500; wrong method → 405;
-  * unknown route → 404. Bodies are always JSON.
+  * unknown route → 404; failed auth → 401 `{"error":"Unauthorized"}`.
+  * Bodies are always JSON.
+  *
+  * Auth (round 13 — closes the r12 "what's missing" JWT boundary):
+  * `ingestAuth` / `consumptionAuth` gate their route families through
+  * [[Auth.checkAuthorization]] — RS256 JWT with required iss/aud/exp,
+  * or the PBKDF2 API-key fallback, or open when unconfigured, exactly
+  * the reference's `check_authorization` order
+  * (local_webserver.rs:1720-1745, runner.ts:113-143). `/health` stays
+  * ungated (infrastructure probe).
   */
-final class HttpFacade(bindPort: Int = 0) {
+final class HttpFacade(bindPort: Int = 0,
+    ingestAuth: Auth.Config = Auth.Config(),
+    consumptionAuth: Auth.Config = Auth.Config()) {
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
   server.setExecutor(null) // serial: requests serialize on the driver anyway
@@ -52,6 +63,8 @@ final class HttpFacade(bindPort: Int = 0) {
         respond(ex, 404, """{"error":"no such route"}""")
       else if (ex.getRequestMethod != "POST")
         respond(ex, 405, """{"error":"POST required"}""")
+      else if (!authorized(ex, ingestAuth))
+        respond(ex, 401, """{"error":"Unauthorized"}""")
       else runSafely(ex) {
         handle(new String(ex.getRequestBody.readAllBytes(), UTF_8))
       })
@@ -67,12 +80,18 @@ final class HttpFacade(bindPort: Int = 0) {
         respond(ex, 404, """{"error":"no such route"}""")
       else if (ex.getRequestMethod != "GET")
         respond(ex, 405, """{"error":"GET required"}""")
+      else if (!authorized(ex, consumptionAuth))
+        respond(ex, 401, """{"error":"Unauthorized"}""")
       else runSafely(ex) { handle(queryParams(ex)) })
     this
   }
 
   def start(): this.type = { server.start(); this }
   def stop(): Unit = server.stop(0)
+
+  private def authorized(ex: HttpExchange, cfg: Auth.Config): Boolean =
+    Auth.checkAuthorization(
+      Option(ex.getRequestHeaders.getFirst("Authorization")), cfg)
 
   private def runSafely(ex: HttpExchange)(body: => String): Unit =
     try respond(ex, 200, body)

@@ -156,13 +156,28 @@ object Cron {
   * `Workflow.run` via each task's `retries`): a run that still throws is
   * recorded and the schedule keeps going — one bad fire doesn't kill the
   * schedule.
+  *
+  * DURABILITY (round 13 — the r12 "what's missing" Temporal boundary):
+  * pass a [[WorkflowJournal]] and every fire is WAL'd (`started` before
+  * the body, `ok`/`failed` after), giving restart-surviving history,
+  * exactly-once per fire time (a journaled fire is never re-fired by
+  * catch-up), and crash-visible in-flight runs. [[resumeFrom]] is the
+  * restart protocol: re-run interrupted fires (at-least-once, like a
+  * Temporal worker picking a task back up), then catch up missed fire
+  * times inside the window — Temporal Schedules' `catchupWindow`
+  * semantics; fires older than the window are skipped, not replayed.
   */
 final class WorkflowScheduler[A] private (
-    name: String, schedule: String, body: () => A) {
+    name: String, schedule: String, body: () => A,
+    journal: Option[WorkflowJournal]) {
 
   /** Linear-chain workflow on a schedule (the common form). */
+  def this(name: String, schedule: String, init: => A, tasks: Seq[WfTask[A, A]],
+      journal: Option[WorkflowJournal]) =
+    this(name, schedule, () => Workflow.run(init, tasks), journal)
+
   def this(name: String, schedule: String, init: => A, tasks: Seq[WfTask[A, A]]) =
-    this(name, schedule, () => Workflow.run(init, tasks))
+    this(name, schedule, init, tasks, None)
 
   private val cron = Cron.parse(schedule)
   @volatile private var stopped = false
@@ -181,24 +196,56 @@ final class WorkflowScheduler[A] private (
   def nextFire(after: Instant): Instant = cron.nextAfter(after)
 
   private def fire(at: Instant): Unit = {
+    journal.foreach(_.record(name, at, "started"))
     val result =
       try Right(body())
       catch { case e: Throwable => Left(e) }
+    journal.foreach { j =>
+      result match {
+        case Right(_) => j.record(name, at, "ok")
+        case Left(e) => j.record(name, at, "failed",
+          Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    }
     runLog.add(at -> result)
     while (runLog.size > maxLoggedRuns) runLog.remove(0)
   }
 
   /** Deterministic drive: run every fire in (from, until], no sleeping.
     * Specs use this with a virtual interval; it is also the catch-up
-    * semantics a restarted scheduler would apply. */
+    * semantics a restarted scheduler would apply. Fire times already
+    * attempted per the journal are SKIPPED (exactly-once), so driving
+    * an interval twice — or two processes sharing one journal —
+    * cannot double-fire. */
   def runBetween(from: Instant, until: Instant): Int = {
+    val done = journal.map(_.attempted(name)).getOrElse(Set.empty)
     var t = cron.nextAfter(from)
     var n = 0
     while (!t.isAfter(until) && !stopped) {
-      fire(t); n += 1
+      if (!done.contains(t)) { fire(t); n += 1 }
       t = cron.nextAfter(t)
     }
     n
+  }
+
+  /** Restart protocol (requires a journal): re-run fires the journal
+    * shows as interrupted (`started`, no terminal event — the previous
+    * process died mid-body; at-least-once, the Temporal-worker-pickup
+    * analogue), then catch up fire times missed since the last attempt,
+    * bounded by `catchupWindow` back from `now` (Temporal Schedules'
+    * catch-up semantics — a week-long outage of a 5-minute schedule
+    * must not replay 2000 fires unless asked). Returns
+    * (reran, caughtUp). */
+  def resumeFrom(now: Instant,
+      catchupWindow: java.time.Duration): (Int, Int) = {
+    val j = journal.getOrElse(throw new IllegalStateException(
+      s"workflow '$name': resumeFrom needs a journal"))
+    val horizon = now.minus(catchupWindow)
+    val rerun = j.interrupted(name).filter(!_.isBefore(horizon))
+    rerun.foreach(fire)
+    val from = j.lastAttempt(name).filter(!_.isBefore(horizon))
+      .getOrElse(horizon)
+    (rerun.size, runBetween(from, now))
   }
 
   /** Wall-clock mode: daemon thread sleeps to each next fire. */
@@ -229,6 +276,9 @@ object WorkflowScheduler {
     * `start` and logs the per-task outputs. */
   def ofDag[I](
       name: String, schedule: String,
-      start: WfDagTask[I, _], init: => I): WorkflowScheduler[Seq[(String, Any)]] =
-    new WorkflowScheduler(name, schedule, () => WfDag.run(start, init))
+      start: WfDagTask[I, _], init: => I,
+      journal: Option[WorkflowJournal] = None)
+      : WorkflowScheduler[Seq[(String, Any)]] =
+    new WorkflowScheduler(name, schedule, () => WfDag.run(start, init),
+      journal)
 }

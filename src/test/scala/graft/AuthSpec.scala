@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.{KeyPair, KeyPairGenerator, Signature}
+import java.util.Base64
+
+import graft.api.Auth
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the reference auth contract (auth.rs:15-81, runner.ts:113-143,
+  * local_webserver.rs:1720-1745): RS256-only JWT with required
+  * iss/aud/exp, SPKI PEM public key, the PBKDF2 `tokenHex.saltHex` API
+  * key, and the gate order (enforcing JWT decides alone → API key →
+  * open). */
+class AuthSpec extends AnyFunSuite {
+
+  private val now = 1_700_000_000L
+  private lazy val kp: KeyPair = {
+    val g = KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
+  }
+  private lazy val otherKp: KeyPair = {
+    val g = KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
+  }
+
+  private def pem(k: KeyPair): String = {
+    val b64 = Base64.getMimeEncoder(64, "\n".getBytes(UTF_8))
+      .encodeToString(k.getPublic.getEncoded)
+    s"-----BEGIN PUBLIC KEY-----\n$b64\n-----END PUBLIC KEY-----\n"
+  }
+
+  private def b64url(b: Array[Byte]): String =
+    Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+
+  private def jwt(payload: String, key: KeyPair = kp,
+      header: String = """{"alg":"RS256","typ":"JWT"}"""): String = {
+    val content = b64url(header.getBytes(UTF_8)) + "." +
+      b64url(payload.getBytes(UTF_8))
+    val s = Signature.getInstance("SHA256withRSA")
+    s.initSign(key.getPrivate)
+    s.update(content.getBytes(UTF_8))
+    content + "." + b64url(s.sign())
+  }
+
+  private lazy val cfg =
+    Auth.JwtConfig(pem(kp), issuer = "graft-test", audience = "api")
+  private def claims(expDelta: Long = 3600, iss: String = "graft-test",
+      aud: String = "\"api\"") =
+    s"""{"iss":"$iss","aud":$aud,"exp":${now + expDelta},"sub":"u1"}"""
+
+  test("valid RS256 token verifies and surfaces claims") {
+    val t = jwt(claims())
+    val c = Auth.verifyJwt(t, cfg, now)
+    assert(c.isDefined)
+    import org.json4s._
+    assert((c.get \ "sub") == JString("u1"))
+  }
+
+  test("audience may be an array containing the expected value") {
+    assert(Auth.verifyJwt(
+      jwt(claims(aud = """["other","api"]""")), cfg, now).isDefined)
+    assert(Auth.verifyJwt(
+      jwt(claims(aud = """["other"]""")), cfg, now).isEmpty)
+  }
+
+  test("rejections: wrong key, wrong iss/aud, expired, missing claim, " +
+      "tampered payload, malformed") {
+    assert(Auth.verifyJwt(jwt(claims(), key = otherKp), cfg, now).isEmpty)
+    assert(Auth.verifyJwt(jwt(claims(iss = "evil")), cfg, now).isEmpty)
+    assert(Auth.verifyJwt(jwt(claims(aud = "\"web\"")), cfg, now).isEmpty)
+    assert(Auth.verifyJwt(jwt(claims(expDelta = -5)), cfg, now).isEmpty)
+    assert(Auth.verifyJwt( // exp missing entirely
+      jwt(s"""{"iss":"graft-test","aud":"api"}"""), cfg, now).isEmpty)
+    // tamper: swap the payload after signing
+    val good = jwt(claims())
+    val parts = good.split('.')
+    val evil = b64url(claims(iss = "evil").getBytes(UTF_8))
+    assert(Auth.verifyJwt(s"${parts(0)}.$evil.${parts(2)}", cfg, now).isEmpty)
+    assert(Auth.verifyJwt("not-a-jwt", cfg, now).isEmpty)
+    assert(Auth.verifyJwt("a.b", cfg, now).isEmpty)
+  }
+
+  test("alg pin: none/HS256 headers refuse even with a 'valid' signature") {
+    // alg:none with empty sig — the classic downgrade
+    val content = b64url("""{"alg":"none"}""".getBytes(UTF_8)) + "." +
+      b64url(claims().getBytes(UTF_8))
+    assert(Auth.verifyJwt(content + ".", cfg, now).isEmpty)
+    // alg:HS256 but RSA-signed content: header says HMAC, verifier must
+    // not even attempt it
+    assert(Auth.verifyJwt(
+      jwt(claims(), header = """{"alg":"HS256","typ":"JWT"}"""),
+      cfg, now).isEmpty)
+  }
+
+  test("PBKDF2 API key: reference shape tokenHex.saltHex, " +
+      "constant-time hash compare") {
+    val token = "deadbeef01"
+    val salt = "a1b2c3"
+    val hash = Auth.hashApiKey(token, salt)
+    assert(hash.length == 40) // 20 bytes hex
+    assert(Auth.validateApiKey(s"$token.$salt", hash))
+    assert(!Auth.validateApiKey(s"deadbeef02.$salt", hash))
+    assert(!Auth.validateApiKey(s"$token.ffffff", hash))
+    assert(!Auth.validateApiKey("no-dot-here", hash))
+    assert(!Auth.validateApiKey(s"$token.$salt.extra", hash))
+    assert(!Auth.validateApiKey(s"$token.$salt", "zz" * 20)) // bad hex hash
+  }
+
+  test("gate order: enforcing JWT decides alone; API key next; else open") {
+    val goodJwt = jwt(claims())
+    val apiHash = Auth.hashApiKey("aa11", "bb22")
+    val both = Auth.Config(Some(cfg), Some(apiHash))
+    // enforcing JWT present: API key is NOT consulted (reference
+    // check_authorization returns inside the jwt branch)
+    assert(Auth.checkAuthorization(Some(s"Bearer $goodJwt"), both, now))
+    assert(!Auth.checkAuthorization(Some("Bearer aa11.bb22"), both, now))
+    assert(!Auth.checkAuthorization(None, both, now))
+    // non-enforcing JWT: falls through to the API key
+    val lax = Auth.Config(Some(cfg.copy(enforce = false)), Some(apiHash))
+    assert(Auth.checkAuthorization(Some("Bearer aa11.bb22"), lax, now))
+    assert(!Auth.checkAuthorization(Some("Bearer wrong.key"), lax, now))
+    // API key only
+    val keyOnly = Auth.Config(None, Some(apiHash))
+    assert(Auth.checkAuthorization(Some("Bearer aa11.bb22"), keyOnly, now))
+    assert(!Auth.checkAuthorization(None, keyOnly, now))
+    // nothing configured: open
+    assert(Auth.checkAuthorization(None, Auth.Config(), now))
+    // header must be Bearer-shaped
+    assert(!Auth.checkAuthorization(Some("Basic xyz"), keyOnly, now))
+  }
+}

@@ -153,4 +153,67 @@ class HttpFacadeSpec extends AnyFunSuite {
       assert(get("/api/wide?format=XML").statusCode() == 400)
     } finally facade.stop()
   }
+
+  test("auth gates e2e: API-key ingest + enforced-JWT consumption → " +
+      "401 without/with-bad credentials, 200 with good ones") {
+    import graft.api.Auth
+    import java.security.{KeyPairGenerator, Signature}
+    import java.util.Base64
+    import java.nio.charset.StandardCharsets.UTF_8
+
+    val g = KeyPairGenerator.getInstance("RSA"); g.initialize(2048)
+    val kp = g.generateKeyPair()
+    val pem = "-----BEGIN PUBLIC KEY-----\n" +
+      Base64.getMimeEncoder(64, "\n".getBytes(UTF_8))
+        .encodeToString(kp.getPublic.getEncoded) +
+      "\n-----END PUBLIC KEY-----\n"
+    def b64url(b: Array[Byte]) =
+      Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+    val exp = System.currentTimeMillis() / 1000L + 3600
+    val content = b64url("""{"alg":"RS256","typ":"JWT"}""".getBytes(UTF_8)) +
+      "." + b64url(
+        s"""{"iss":"graft","aud":"api","exp":$exp}""".getBytes(UTF_8))
+    val signer = Signature.getInstance("SHA256withRSA")
+    signer.initSign(kp.getPrivate)
+    signer.update(content.getBytes(UTF_8))
+    val token = content + "." + b64url(signer.sign())
+
+    val apiHash = Auth.hashApiKey("cafe01", "5a17")
+    val api = ConsumptionApi[Unit](
+      name = "ping", handler = (s, _) => s.range(0, 1).toDF("id"))
+    val facade = new HttpFacade(
+        ingestAuth = Auth.Config(apiKeyHash = Some(apiHash)),
+        consumptionAuth = Auth.Config(
+          jwt = Some(Auth.JwtConfig(pem, "graft", "api"))))
+      .mountIngest("m")(_ => """{"written":0,"failed":0,"dlq":0}""")
+      .mountConsumption("ping")(HttpFacade.consumptionRoute(spark, api, _ => ()))
+      .start()
+    val base = s"http://127.0.0.1:${facade.port}"
+    val client = HttpClient.newHttpClient()
+    def send(method: String, path: String, auth: Option[String]) = {
+      val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+      auth.foreach(a => b.header("Authorization", a))
+      val req = if (method == "POST")
+        b.POST(HttpRequest.BodyPublishers.ofString("{}")).build()
+      else b.GET().build()
+      client.send(req, HttpResponse.BodyHandlers.ofString())
+    }
+    try {
+      // ingest: PBKDF2 API key
+      assert(send("POST", "/ingest/m", None).statusCode() == 401)
+      assert(send("POST", "/ingest/m",
+        Some("Bearer wrong.key")).statusCode() == 401)
+      assert(send("POST", "/ingest/m",
+        Some("Bearer cafe01.5a17")).statusCode() == 200)
+      // consumption: enforced RS256 JWT
+      assert(send("GET", "/api/ping", None).statusCode() == 401)
+      assert(send("GET", "/api/ping",
+        Some("Bearer not.a.jwt")).statusCode() == 401)
+      val ok = send("GET", "/api/ping", Some(s"Bearer $token"))
+      assert(ok.statusCode() == 200, ok.body())
+      assert(ok.body() == """[{"id":0}]""")
+      // health stays ungated
+      assert(send("GET", "/health", None).statusCode() == 200)
+    } finally facade.stop()
+  }
 }

@@ -166,4 +166,64 @@ class SchedulerSpec extends AnyFunSuite {
       at("2026-08-12T00:00:00Z"), at("2026-08-13T00:00:00Z")) == 0)
     assert(sched.runs.isEmpty)
   }
+
+  test("journal: WAL'd fires survive 'restart', exactly-once on re-drive, " +
+      "failures carry the error") {
+    import graft.api.WorkflowJournal
+    val dir = java.nio.file.Files.createTempDirectory("wfj").toString
+    val j = new WorkflowJournal(dir)
+    def mk() = new WorkflowScheduler[Int]("durable_wf", "0 * * * *", 1,
+      Seq(WfTask[Int, Int]("flaky") { v =>
+        if (v == 1) v else v }), Some(j))
+
+    val s1 = mk()
+    assert(s1.runBetween(
+      at("2026-08-12T00:30:00Z"), at("2026-08-12T03:00:00Z")) == 3)
+    // "restart": a NEW scheduler over the same journal sees history...
+    val s2 = mk()
+    assert(j.runs("durable_wf").map(_._1) == Seq(
+      at("2026-08-12T01:00:00Z"), at("2026-08-12T02:00:00Z"),
+      at("2026-08-12T03:00:00Z")))
+    // ...and re-driving an OVERLAPPING window fires only the new times
+    assert(s2.runBetween(
+      at("2026-08-12T00:30:00Z"), at("2026-08-12T05:00:00Z")) == 2)
+    assert(j.runs("durable_wf").size == 5)
+    // failure events keep the error text
+    val boom = new WorkflowScheduler[Int]("boom_wf", "0 * * * *", 1,
+      Seq(WfTask[Int, Int]("die")(_ => sys.error("kaput"))), Some(j))
+    boom.runBetween(at("2026-08-12T00:30:00Z"), at("2026-08-12T01:00:00Z"))
+    val (_, Left(err)) = j.runs("boom_wf").head
+    // Workflow.run wraps the task failure; the journal keeps that text
+    assert(err.contains("die failed"))
+  }
+
+  test("journal: resumeFrom re-runs interrupted fires and catches up " +
+      "inside the window only") {
+    import graft.api.WorkflowJournal
+    val dir = java.nio.file.Files.createTempDirectory("wfj2").toString
+    val j = new WorkflowJournal(dir)
+    // simulate a crash mid-body: a started event with no terminal
+    j.record("crash_wf", at("2026-08-12T01:00:00Z"), "started")
+    // and a long-completed fire before it
+    j.record("crash_wf", at("2026-08-12T00:00:00Z"), "started")
+    j.record("crash_wf", at("2026-08-12T00:00:00Z"), "ok")
+    assert(j.interrupted("crash_wf") == Seq(at("2026-08-12T01:00:00Z")))
+
+    val fired = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val sched = new WorkflowScheduler[Int]("crash_wf", "0 * * * *", 7,
+      Seq(WfTask[Int, Int]("track") { v => fired += v; v }), Some(j))
+    // now = 04:30, window 2h → horizon 02:30: the 01:00 interrupted fire
+    // is OUTSIDE the window (not replayed); catch-up runs 03:00 and
+    // 04:00 only (02:00 predates the horizon)
+    val (reran, caught) = sched.resumeFrom(
+      at("2026-08-12T04:30:00Z"), java.time.Duration.ofHours(2))
+    assert(reran == 0 && caught == 2)
+    // widen the window: the interrupted fire IS re-run (at-least-once);
+    // already-attempted 03:00/04:00 are NOT re-fired
+    val (reran2, caught2) = sched.resumeFrom(
+      at("2026-08-12T04:30:00Z"), java.time.Duration.ofHours(12))
+    assert(reran2 == 1 && caught2 == 0)
+    assert(j.interrupted("crash_wf").isEmpty)
+    assert(fired.size == 3)
+  }
 }
