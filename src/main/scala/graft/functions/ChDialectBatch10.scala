@@ -18,9 +18,11 @@ import org.apache.spark.sql.types._
   *  - calendar conversions: `toModifiedJulianDay`/`fromModifiedJulianDay`
   *    (MJD epoch 1858-11-17), `toDaysSinceYearZero`/
   *    `fromDaysSinceYearZero` (1970-01-01 = day 719528), `toStartOfSecond`,
-  *    ISO `toWeek`/`toYearWeek` (mode 3 ONLY — CH's default mode 0 is
-  *    MySQL WEEK() Sunday-split semantics; other modes refuse loudly,
-  *    the DIVERGENCES #5 stance), `timeSlots`;
+  *    `toWeek`/`toYearWeek` modes 0 AND 3 (round 13: mode 0 — the CH
+  *    default, MySQL WEEK() Sunday-start with week-0 days and the
+  *    YEARWEEK previous-year fold — implemented exactly; closes the
+  *    DIVERGENCES #47 refusal; modes 1/2/4-9 still refuse loudly),
+  *    `timeSlots`;
   *  - rounding ladder: `roundToExp2`, `roundDown`, `roundAge`,
   *    `roundDuration` (CH's documented bucket sets, pure CASE/fold);
   *  - integer `gcd`/`lcm` (bounded Euclid fold — 64 halvings cover any
@@ -113,21 +115,55 @@ object ChDialectBatch10 {
         Literal(719528))))
     f("toStartOfSecond")(a =>
       TruncTimestamp(Literal("second"), Cast(a.head, TimestampType)))
-    // ISO week only (mode 3). CH's default mode 0 is MySQL WEEK()
-    // Sunday-start semantics — refusing beats silently returning ISO
-    // numbers under a mode-0 spelling (DIVERGENCES #5).
-    def requireIsoMode(a: Seq[Expression], fn: String): Unit =
-      require(a.length >= 2 && litInt(a(1), fn) == 3,
-        s"$fn: only ISO mode 3 is supported (CH default mode 0 is " +
-          "MySQL WEEK() semantics — pass mode 3 explicitly)")
+    // Modes 0 and 3 (round 13 closes DIVERGENCES #47's mode-0 refusal).
+    // Mode 3 = ISO (Spark's WeekOfYear). Mode 0 = CH's DEFAULT = MySQL
+    // WEEK(): Sunday-start, range 0-53, week 1 begins at the year's
+    // first Sunday — days before it are week 0; toYearWeek folds a
+    // week-0 date into the PREVIOUS year's last week (MySQL YEARWEEK:
+    // '2000-01-01' → 199952). Other modes still refuse loudly.
+    // `dd` is a bound lambda var, so multi-reference stays linear.
+    def week0(dd: Expression): Expression =
+      bind(DayOfYear(dd), "w0d") { doy =>
+        // first Sunday's day-of-year: DayOfWeek is Sun=1..Sat=7
+        bind(Add(Literal(1), Pmod(Subtract(Literal(8),
+            DayOfWeek(MakeDate(Year(dd), Literal(1), Literal(1)))),
+            Literal(7))), "w0s") { firstSun =>
+          Cast(If(LessThan(doy, firstSun), Literal(0L),
+            Add(IntegralDivide(long(Subtract(doy, firstSun)), Literal(7L)),
+              Literal(1L))), IntegerType)
+        }
+      }
+    def weekMode(a: Seq[Expression], fn: String): Int = {
+      val m = if (a.length >= 2) litInt(a(1), fn) else 0
+      require(m == 0 || m == 3,
+        s"$fn: only modes 0 (MySQL WEEK, the CH default) and 3 (ISO) " +
+          s"are supported, got $m")
+      m
+    }
     f("toWeek") { a =>
-      requireIsoMode(a, "toWeek")
-      WeekOfYear(Cast(a.head, DateType))
+      weekMode(a, "toWeek") match {
+        case 3 => WeekOfYear(Cast(a.head, DateType))
+        case _ => bind(Cast(a.head, DateType), "twk")(week0)
+      }
     }
     f("toYearWeek") { a =>
-      requireIsoMode(a, "toYearWeek")
-      val d = Cast(a.head, DateType)
-      Add(Multiply(YearOfWeek(d), Literal(100)), WeekOfYear(d))
+      weekMode(a, "toYearWeek") match {
+        case 3 =>
+          val d = Cast(a.head, DateType)
+          Add(Multiply(YearOfWeek(d), Literal(100)), WeekOfYear(d))
+        case _ => bind(Cast(a.head, DateType), "tyw") { dd =>
+          bind(week0(dd), "tyww") { w =>
+            If(GreaterThan(w, Literal(0)),
+              Add(Multiply(Year(dd), Literal(100)), w),
+              // week 0 → previous year's last week (Dec 31 is never
+              // before its year's first Sunday, so this is ≥ 1)
+              bind(MakeDate(Subtract(Year(dd), Literal(1)),
+                  Literal(12), Literal(31)), "tywp") { dec31 =>
+                Add(Multiply(Year(dec31), Literal(100)), week0(dec31))
+              })
+          }
+        }
+      }
     }
     // timeSlots(start, duration[, size=1800]): all size-aligned slots
     // covering [start, start+duration], as an array of timestamps.

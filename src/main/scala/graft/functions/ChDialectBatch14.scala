@@ -1,0 +1,442 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ClickHouse dialect batch 14 (round 13; same contract note as batches
+  * 2-13 — the CH SQL surface reachable through the reference's
+  * sqlHelpers.ts:106-255 passthrough):
+  *
+  *  - MurmurHash family as NATIVE kernels over the string's UTF-8
+  *    bytes, seed 0, per the public reference algorithms (Appleby's
+  *    MurmurHash2 / MurmurHash64A / MurmurHash3 x86_32 / x64_128 —
+  *    the exact code CH links, so values are CH-bit-compatible by
+  *    construction, unlike the #4/#27 xxhash64 stand-ins):
+  *    `murmurHash2_32`/`murmurHash3_32` (UInt32 carried unsigned in a
+  *    long), `murmurHash2_64` (MurmurHash64A), `murmurHash3_64`
+  *    (x64_128's h1; CH takes the same first 8 bytes);
+  *  - `hilbertEncode(x, y)` / `hilbertDecode(2, code)` — 2-D Hilbert
+  *    curve over 32-bit coords (the standard xy2d/d2xy
+  *    rotate-and-reflect walk at fixed order 32; the odd swap parity
+  *    of 32 iterations transposes the textbook orientation, so the
+  *    first-order cell order is (0,0)→(1,0)→(1,1)→(0,1) = 0,1,2,3 —
+  *    pinned in spec; bijection, round-trip, and the adjacency
+  *    property are orientation-independent). Like mortonEncode, a
+  *    locality-preserving shuffle key — the scale story is "cluster
+  *    2-D keys so range scans touch few partitions";
+  *  - UTF-8 tail mapped to Spark 4's own code-point machinery:
+  *    `isValidUTF8`, `toValidUTF8` (U+FFFD substitution),
+  *    `reverseUTF8`, `initcapUTF8`, `translateUTF8`;
+  *  - multiSearch tail over a needle array: `multiSearchAllPositions`
+  *    (1-based position per needle, 0 = absent),
+  *    `multiSearchFirstPosition` (leftmost match position over all
+  *    needles, 0 = none), `multiSearchFirstIndex` (1-based index of
+  *    the needle matching leftmost; position ties break to the
+  *    SMALLEST index — pinned), plus `*CaseInsensitive` variants
+  *    (lowercase both sides);
+  *  - `parseReadableSize` (+`OrNull`/`OrZero`): "1.5 MiB" → bytes;
+  *    binary (KiB=1024…EiB) and decimal (KB=1000…EB) units, bare `B`;
+  *    fractional values CEIL to whole bytes (pinned; CH also rounds
+  *    up). Malformed input raises / NULLs / zeroes per variant.
+  *
+  * Every builder is lambda-bound or a single native node (analyzer
+  * budget — AnalyzerBudgetSpec covers all registered names).
+  */
+object ChDialectBatch14 {
+  import ChExprDsl._
+
+  // ------------------------------------------------------ murmur kernels
+  // MurmurHash2, 32-bit, seed 0 (public domain reference, m=0x5bd1e995).
+  def murmur2x32(s: UTF8String): Long = {
+    val data = s.getBytes
+    val m = 0x5bd1e995
+    var h = data.length // seed 0 ^ len
+    var i = 0
+    val n4 = data.length & ~3
+    while (i < n4) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= m; k ^= k >>> 24; k *= m
+      h *= m; h ^= k
+      i += 4
+    }
+    (data.length & 3) match {
+      case 3 =>
+        h ^= (data(i + 2) & 0xff) << 16
+        h ^= (data(i + 1) & 0xff) << 8
+        h ^= data(i) & 0xff; h *= m
+      case 2 =>
+        h ^= (data(i + 1) & 0xff) << 8
+        h ^= data(i) & 0xff; h *= m
+      case 1 =>
+        h ^= data(i) & 0xff; h *= m
+      case _ => ()
+    }
+    h ^= h >>> 13; h *= m; h ^= h >>> 15
+    h.toLong & 0xffffffffL
+  }
+
+  // MurmurHash64A, seed 0 (m=0xc6a4a7935bd1e995, r=47).
+  def murmur2x64(s: UTF8String): Long = {
+    val data = s.getBytes
+    val m = 0xc6a4a7935bd1e995L
+    val r = 47
+    var h = 0L ^ (data.length * m)
+    var i = 0
+    val n8 = data.length & ~7
+    while (i < n8) {
+      var k = 0L
+      var j = 7
+      while (j >= 0) { k = (k << 8) | (data(i + j) & 0xffL); j -= 1 }
+      k *= m; k ^= k >>> r; k *= m
+      h ^= k; h *= m
+      i += 8
+    }
+    var tail = data.length & 7
+    while (tail > 0) {
+      h ^= (data(i + tail - 1) & 0xffL) << ((tail - 1) * 8)
+      tail -= 1
+    }
+    if ((data.length & 7) != 0) h *= m
+    h ^= h >>> r; h *= m; h ^= h >>> r
+    h
+  }
+
+  // MurmurHash3 x86_32, seed 0.
+  def murmur3x32(s: UTF8String): Long = {
+    val data = s.getBytes
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h = 0
+    var i = 0
+    val n4 = data.length & ~3
+    while (i < n4) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 4
+    }
+    var k = 0
+    (data.length & 3) match {
+      case 3 =>
+        k ^= (data(i + 2) & 0xff) << 16
+        k ^= (data(i + 1) & 0xff) << 8
+        k ^= data(i) & 0xff
+      case 2 =>
+        k ^= (data(i + 1) & 0xff) << 8
+        k ^= data(i) & 0xff
+      case 1 => k ^= data(i) & 0xff
+      case _ => ()
+    }
+    if ((data.length & 3) != 0) {
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2; h ^= k
+    }
+    h ^= data.length
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13
+    h *= 0xc2b2ae35; h ^= h >>> 16
+    h.toLong & 0xffffffffL
+  }
+
+  // MurmurHash3 x64_128, seed 0 — first 64 bits (h1), like CH's
+  // murmurHash3_64.
+  def murmur3x64(s: UTF8String): Long = {
+    val data = s.getBytes
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    var h1 = 0L; var h2 = 0L
+    def le64(off: Int): Long = {
+      var k = 0L; var j = 7
+      while (j >= 0) { k = (k << 8) | (data(off + j) & 0xffL); j -= 1 }
+      k
+    }
+    val nBlocks = data.length / 16
+    var b = 0
+    while (b < nBlocks) {
+      var k1 = le64(b * 16); var k2 = le64(b * 16 + 8)
+      k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2; h1 ^= k1
+      h1 = java.lang.Long.rotateLeft(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729L
+      k2 *= c2; k2 = java.lang.Long.rotateLeft(k2, 33); k2 *= c1; h2 ^= k2
+      h2 = java.lang.Long.rotateLeft(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5L
+      b += 1
+    }
+    val off = nBlocks * 16
+    var k1 = 0L; var k2 = 0L
+    var t = data.length & 15
+    while (t > 8) {
+      k2 ^= (data(off + t - 1) & 0xffL) << ((t - 9) * 8)
+      t -= 1
+    }
+    if ((data.length & 15) > 8) {
+      k2 *= c2; k2 = java.lang.Long.rotateLeft(k2, 33); k2 *= c1; h2 ^= k2
+    }
+    t = math.min(data.length & 15, 8)
+    while (t > 0) {
+      k1 ^= (data(off + t - 1) & 0xffL) << ((t - 1) * 8)
+      t -= 1
+    }
+    if ((data.length & 15) != 0) {
+      k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2; h1 ^= k1
+    }
+    h1 ^= data.length.toLong; h2 ^= data.length.toLong
+    h1 += h2; h2 += h1
+    def fmix64(x0: Long): Long = {
+      var x = x0
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33; x
+    }
+    h1 = fmix64(h1); h2 = fmix64(h2)
+    h1 += h2 // h2 += h1 completes the 128-bit state; h1 is the result
+    h1
+  }
+
+  // ---------------------------------------------------- hilbert kernels
+  /** xy2d over 32-bit coords → 64-bit index (standard rotate/reflect
+    * at fixed order 32; first-order cell order (0,0)=0 (1,0)=1
+    * (1,1)=2 (0,1)=3 — see the object scaladoc's parity note). */
+  def hilbertEncode2(x0: Long, y0: Long): Long = {
+    require((x0 & ~0xffffffffL) == 0 && (y0 & ~0xffffffffL) == 0,
+      s"hilbertEncode: coords must be in [0, 2^32), got ($x0, $y0)")
+    var x = x0; var y = y0
+    var d = 0L
+    var s = 1L << 31
+    while (s > 0) {
+      val rx = if ((x & s) != 0) 1L else 0L
+      val ry = if ((y & s) != 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      // rotate quadrant
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** d2xy inverse: packed (x << 32 | y) so one kernel serves both
+    * coords (the BitCompactExpr pattern — callers extract). */
+  def hilbertDecode2(code: Long): Long = {
+    var t = code
+    var x = 0L; var y = 0L
+    var s = 1L
+    while (s != 0 && s < (1L << 32)) {
+      val rx = 1L & (t >>> 1)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx; y += s * ry
+      t = t >>> 2
+      s <<= 1
+    }
+    (x << 32) | y
+  }
+
+  // -------------------------------------------------- readable size map
+  private[functions] val SizeUnits: Seq[(String, Double)] = Seq(
+    "B" -> 1d,
+    "KiB" -> 1024d, "MiB" -> math.pow(1024, 2), "GiB" -> math.pow(1024, 3),
+    "TiB" -> math.pow(1024, 4), "PiB" -> math.pow(1024, 5),
+    "EiB" -> math.pow(1024, 6),
+    "KB" -> 1e3, "MB" -> 1e6, "GB" -> 1e9,
+    "TB" -> 1e12, "PB" -> 1e15, "EB" -> 1e18)
+
+  def register(spark: SparkSession): Unit = {
+    if (isRegistered(spark)) return
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit = {
+      require(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+          .builtin.functionExists(FunctionIdentifier(name.toLowerCase)),
+        s"refusing to shadow Spark builtin function '$name'")
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+    def str(e: Expression): Expression = Cast(e, StringType)
+    def long(e: Expression): Expression = Cast(e, LongType)
+
+    // --------------------------------------------------- murmur family
+    f("murmurHash2_32")(a => ChHashExpr(str(a.head), "murmur2x32"))
+    f("murmurHash2_64")(a => ChHashExpr(str(a.head), "murmur2x64"))
+    f("murmurHash3_32")(a => ChHashExpr(str(a.head), "murmur3x32"))
+    f("murmurHash3_64")(a => ChHashExpr(str(a.head), "murmur3x64"))
+
+    // --------------------------------------------------------- hilbert
+    f("hilbertEncode")(a => {
+      require(a.length == 2,
+        "hilbertEncode: only the 2-D form is supported")
+      HilbertEncodeExpr(long(a.head), long(a(1)))
+    })
+    // hilbertDecode(2, code) -> tuple(x, y), mirroring mortonDecode
+    f("hilbertDecode") { a =>
+      require(a.length == 2 && (a.head match {
+        case Literal(v, _) if v != null => v.toString == "2"
+        case _ => false
+      }), "hilbertDecode: only hilbertDecode(2, code) is supported")
+      bind(HilbertDecodeExpr(long(a(1))), "hd") { packed =>
+        ns("_1" -> ShiftRightUnsigned(packed, Literal(32)),
+          "_2" -> BitwiseAnd(packed, Literal(0xffffffffL)))
+      }
+    }
+
+    // -------------------------------------------------------- utf8 tail
+    f("isValidUTF8")(a => IsValidUTF8(str(a.head)))
+    f("toValidUTF8")(a => MakeValidUTF8(str(a.head)))
+    f("reverseUTF8")(a => Reverse(str(a.head)))
+    f("initcapUTF8")(a => InitCap(str(a.head)))
+    f("translateUTF8")(a => StringTranslate(str(a.head), str(a(1)),
+      str(a(2))))
+
+    // ------------------------------------------------ multiSearch tail
+    def positions(h: Expression, needles: Expression): Expression =
+      ArrayTransform(needles,
+        lambda1("msp")(n => long(new StringLocate(n, h))))
+    def firstPosition(h: Expression, needles: Expression): Expression =
+      bind(positions(h, needles), "msfp") { ps =>
+        bind(ArrayMin(ArrayTransform(ps, lambda1("msfn")(p =>
+            If(GreaterThan(p, Literal(0L)), p,
+              Literal.create(null, LongType))))), "msfm") { m =>
+          Coalesce(Seq(m, Literal(0L)))
+        }
+      }
+    // smallest (position, index) packed — ties on position break to the
+    // smallest needle index (pinned)
+    def firstIndex(h: Expression, needles: Expression): Expression =
+      bind(positions(h, needles), "msfi") { ps =>
+        // ArrayTransform's two-arg lambda is (element, 0-based index) —
+        // safe on an empty needle array (min of [] → null → 0)
+        bind(ArrayMin(ArrayTransform(ps,
+            lambda2("msfz")((p, i) =>
+              If(GreaterThan(p, Literal(0L)),
+                Add(Multiply(p, Literal(1L << 20)),
+                  Add(Cast(i, LongType), Literal(1L))),
+                Literal.create(null, LongType))))), "msfk") { m =>
+          Coalesce(Seq(Pmod(m, Literal(1L << 20)), Literal(0L)))
+        }
+      }
+    def lowered(e: Expression): Expression = Lower(e)
+    def loweredAll(needles: Expression): Expression =
+      ArrayTransform(needles, lambda1("msl")(n => Lower(n)))
+    f("multiSearchAllPositions")(a => positions(str(a.head), a(1)))
+    f("multiSearchFirstPosition")(a => firstPosition(str(a.head), a(1)))
+    f("multiSearchFirstIndex")(a => firstIndex(str(a.head), a(1)))
+    f("multiSearchAllPositionsCaseInsensitive")(a =>
+      positions(lowered(str(a.head)), loweredAll(a(1))))
+    f("multiSearchFirstPositionCaseInsensitive")(a =>
+      firstPosition(lowered(str(a.head)), loweredAll(a(1))))
+    f("multiSearchFirstIndexCaseInsensitive")(a =>
+      firstIndex(lowered(str(a.head)), loweredAll(a(1))))
+
+    // ------------------------------------------------ parseReadableSize
+    val sizeRe = "^\\s*([0-9]+(?:\\.[0-9]+)?)\\s*([A-Za-z]+)\\s*$"
+    def parseSize(s: Expression, onBad: Expression => Expression)
+        : Expression =
+      bind(s, "prs") { ss =>
+        bind(RegExpExtract(ss, Literal(sizeRe), Literal(2)), "pru") { unit =>
+          val mult = SizeUnits.foldRight(
+              Cast(Literal.create(null, DoubleType), DoubleType): Expression) {
+            case ((u, v), rest) =>
+              If(EqualTo(unit, Literal(u)), Literal(v), rest)
+          }
+          bind(mult, "prm") { m =>
+            If(Or(Not(RLike(ss, Literal(sizeRe))), IsNull(m)),
+              onBad(ss),
+              // CEIL to whole bytes (pinned convention; fractional
+              // readable sizes round UP so a size never under-reports)
+              long(Ceil(Multiply(
+                Cast(RegExpExtract(ss, Literal(sizeRe), Literal(1)),
+                  DoubleType), m))))
+          }
+        }
+      }
+    f("parseReadableSize")(a => parseSize(str(a.head), ss =>
+      Cast(new RaiseError(Concat(Seq(
+        Literal("parseReadableSize: malformed size '"), ss,
+        Literal("'")))), LongType)))
+    f("parseReadableSizeOrNull")(a => parseSize(str(a.head),
+      _ => Literal.create(null, LongType)))
+    f("parseReadableSizeOrZero")(a => parseSize(str(a.head),
+      _ => Literal(0L)))
+  }
+
+  def isRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("murmurHash2_64"))
+}
+
+/** One native node per murmur variant: `kernel` names the static method
+  * on [[ChDialectBatch14]] (the StringSimilarity pattern — codegen
+  * emits one static call, projection stays in whole-stage codegen). */
+case class ChHashExpr(child: Expression, kernel: String)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType}")
+  override protected def nullSafeEval(v: Any): Any = kernel match {
+    case "murmur2x32" => ChDialectBatch14.murmur2x32(v.asInstanceOf[UTF8String])
+    case "murmur2x64" => ChDialectBatch14.murmur2x64(v.asInstanceOf[UTF8String])
+    case "murmur3x32" => ChDialectBatch14.murmur3x32(v.asInstanceOf[UTF8String])
+    case _ => ChDialectBatch14.murmur3x64(v.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = ChDialectBatch14.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.$kernel($c);"
+    })
+  override protected def withNewChildInternal(
+      newChild: Expression): ChHashExpr = copy(child = newChild)
+  override def prettyName: String = kernel
+}
+
+case class HilbertEncodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (BIGINT, BIGINT), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    ChDialectBatch14.hilbertEncode2(l.asInstanceOf[Long], r.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val cls = ChDialectBatch14.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.hilbertEncode2($l, $r);"
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertEncodeExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "hilbertEncode"
+}
+
+/** Packed (x << 32 | y) inverse walk — callers extract the two coords
+  * (the BitCompactExpr pattern). */
+case class HilbertDecodeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BIGINT, got ${child.dataType}")
+  override protected def nullSafeEval(v: Any): Any =
+    ChDialectBatch14.hilbertDecode2(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = ChDialectBatch14.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.hilbertDecode2($c);"
+    })
+  override protected def withNewChildInternal(
+      newChild: Expression): HilbertDecodeExpr = copy(child = newChild)
+  override def prettyName: String = "hilbertDecode"
+}

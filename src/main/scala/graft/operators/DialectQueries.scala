@@ -360,6 +360,8 @@ object DialectQueries {
         |  toUnixTimestamp(toStartOfSecond(ts)) AS sos,
         |  cast(toWeek(toDate(ts), 3) as bigint) AS wk,
         |  cast(toYearWeek(toDate(ts), 3) as bigint) AS yw,
+        |  cast(toWeek(toDate(ts)) as bigint) AS wk0,
+        |  cast(toYearWeek(toDate(ts)) as bigint) AS yw0,
         |  arrayStringConcat(arrayMap(t -> toString(toUnixTimestamp(t)),
         |    timeSlots(ts, 3600, 900)), ',') AS slots,
         |  roundToExp2(event_id % 5000) AS rexp2,
@@ -1043,6 +1045,54 @@ object DialectQueries {
         |FROM docs_enc ORDER BY doc_id""".stripMargin)
   }
 
+  /** Batch-14 driver row: murmur family (native reference-algorithm
+    * kernels — values restated by the oracle as per-event-type
+    * constants derived from an INDEPENDENT re-implementation, and
+    * pinned against commons-codec in ChDialect14Spec), 2-D Hilbert
+    * curve (first-order cells via the pinned orientation CASE +
+    * full-range encode/decode round trip), the multiSearch tail
+    * (DuckDB replays with list lambdas over strpos), parseReadableSize
+    * (exact integer arithmetic both sides), and the UTF-8 tail
+    * (translate/reverse native in DuckDB; initcap rebuilt per word).
+    * One projection over one scan — all codegen'd native nodes or
+    * bound lambdas. */
+  def qChFunctions10(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch14.register(spark)
+    sqlOn(spark, dir, "events", "evts_d14",
+      """SELECT event_id,
+        |  murmurHash2_32(event_type) AS mm2_32,
+        |  murmurHash2_64(event_type) AS mm2_64,
+        |  murmurHash3_32(event_type) AS mm3_32,
+        |  murmurHash3_64(event_type) AS mm3_64,
+        |  hilbertEncode(event_id % 2, user_id % 2) AS h1,
+        |  cast(hilbertDecode(2, hilbertEncode(event_id % 100000,
+        |    user_id))._1 as bigint) AS hx,
+        |  cast(hilbertDecode(2, hilbertEncode(event_id % 100000,
+        |    user_id))._2 as bigint) AS hy,
+        |  arrayStringConcat(arrayMap(p -> toString(p),
+        |    multiSearchAllPositions(event_type, array('i', 'u', 'rror'))),
+        |    ',') AS msp,
+        |  multiSearchFirstPosition(event_type, array('i', 'u', 'rror'))
+        |    AS msfp,
+        |  multiSearchFirstIndex(event_type, array('i', 'u', 'rror'))
+        |    AS msfi,
+        |  multiSearchFirstPositionCaseInsensitive(upper(event_type),
+        |    array('I', 'u')) AS msfpci,
+        |  parseReadableSize(concat(toString(event_id % 100 + 1), ' KiB'))
+        |    AS prs1,
+        |  parseReadableSize(concat(toString(event_id % 10), '.5 MiB'))
+        |    AS prs2,
+        |  parseReadableSize(concat(toString(event_id % 7), ' MB')) AS prs3,
+        |  parseReadableSizeOrZero('bogus') AS prs0,
+        |  reverseUTF8(event_type) AS rev,
+        |  initcapUTF8(event_type) AS ini,
+        |  translateUTF8(event_type, 'aeiou', 'AEIOU') AS tra,
+        |  isValidUTF8(event_type) AS iv,
+        |  toValidUTF8(event_type) AS tv
+        |FROM evts_d14 WHERE event_id < 500
+        |ORDER BY event_id""".stripMargin)
+  }
+
   /** Bounded-state `groupBitmap` family (functions/GroupBitmap; r12
     * verdict #1 — the scale-correct across-rows half of the batch-13
     * bitmap surface): per-type bitmap STATES built by
@@ -1093,6 +1143,7 @@ object DialectQueries {
   }
 
   def queries: Map[String, Q] = Map(
+    "q_ch_functions10" -> (qChFunctions10 _),
     "q_bitmap_agg" -> (qBitmapAgg _),
     "q_encrypt" -> (qEncrypt _),
     "q_foreach" -> (qForEach _),
@@ -1142,6 +1193,65 @@ object DialectQueries {
       "ELSE [] END)"
 
   def oracles: Map[String, String] = Map(
+    // batch 14: murmur values are per-event-type constants derived
+    // from an independent re-implementation of the reference
+    // algorithms (also pinned against commons-codec in spec); hilbert
+    // first-order cells replay the pinned orientation and the
+    // full-range round trip restates the inputs; multiSearch replays
+    // with list lambdas over strpos; parseReadableSize is exact
+    // integer arithmetic; initcap rebuilt as upper-first + lower-rest
+    "q_ch_functions10" ->
+      """SELECT event_id,
+        |  CASE event_type WHEN 'click' THEN 3774729829 WHEN 'view' THEN
+        |    3056825803 WHEN 'signup' THEN 2402283251 WHEN 'error' THEN
+        |    1001306787 ELSE 182402245 END AS mm2_32,
+        |  CASE event_type WHEN 'click' THEN 6249741990328741562
+        |    WHEN 'view' THEN 4597731242257899245
+        |    WHEN 'signup' THEN 4178733623312949614
+        |    WHEN 'error' THEN -7551115802373182463
+        |    ELSE -194597286297063621 END AS mm2_64,
+        |  CASE event_type WHEN 'click' THEN 3601806796 WHEN 'view' THEN
+        |    1188013602 WHEN 'signup' THEN 2853588825 WHEN 'error' THEN
+        |    1678348498 ELSE 3786095342 END AS mm3_32,
+        |  CASE event_type WHEN 'click' THEN 6376312265649702947
+        |    WHEN 'view' THEN -6546438668635327833
+        |    WHEN 'signup' THEN 7210676476505607356
+        |    WHEN 'error' THEN 4315425334794612008
+        |    ELSE 7930085193010132652 END AS mm3_64,
+        |  CAST(CASE WHEN event_id % 2 = 0 AND user_id % 2 = 0 THEN 0
+        |    WHEN event_id % 2 = 1 AND user_id % 2 = 0 THEN 1
+        |    WHEN event_id % 2 = 1 AND user_id % 2 = 1 THEN 2
+        |    ELSE 3 END AS BIGINT) AS h1,
+        |  event_id % 100000 AS hx,
+        |  user_id AS hy,
+        |  array_to_string(list_transform(['i', 'u', 'rror'],
+        |    n -> strpos(event_type, n)), ',') AS msp,
+        |  CAST(coalesce(list_min(list_filter(list_transform(
+        |    ['i', 'u', 'rror'], n -> strpos(event_type, n)),
+        |    p -> p > 0)), 0) AS BIGINT) AS msfp,
+        |  CAST(CASE WHEN coalesce(list_min(list_filter(list_transform(
+        |      ['i', 'u', 'rror'], n -> strpos(event_type, n)),
+        |      p -> p > 0)), 0) = 0 THEN 0
+        |    ELSE list_position(list_transform(['i', 'u', 'rror'],
+        |      n -> strpos(event_type, n)),
+        |      list_min(list_filter(list_transform(['i', 'u', 'rror'],
+        |        n -> strpos(event_type, n)), p -> p > 0)))
+        |    END AS BIGINT) AS msfi,
+        |  CAST(coalesce(list_min(list_filter(list_transform(
+        |    ['i', 'u'], n -> strpos(event_type, n)),
+        |    p -> p > 0)), 0) AS BIGINT) AS msfpci,
+        |  (event_id % 100 + 1) * 1024 AS prs1,
+        |  (event_id % 10) * 1048576 + 524288 AS prs2,
+        |  (event_id % 7) * 1000000 AS prs3,
+        |  CAST(0 AS BIGINT) AS prs0,
+        |  reverse(event_type) AS rev,
+        |  upper(substr(event_type, 1, 1)) || lower(substr(event_type, 2))
+        |    AS ini,
+        |  translate(event_type, 'aeiou', 'AEIOU') AS tra,
+        |  TRUE AS iv,
+        |  event_type AS tv
+        |FROM events WHERE event_id < 500
+        |ORDER BY event_id""".stripMargin,
     // groupBitmap family: sets rebuilt from DISTINCT, And = membership
     // count equals the number of groups, Xor = odd membership count,
     // Merge = Or; the state string is the ascending value list
@@ -1529,7 +1639,15 @@ object DialectQueries {
         |    event_id % 100000 AS mx,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
         |    event_id % 5000 AS r2, event_id % 90 AS vage,
-        |    event_id % 40000 AS vdur
+        |    event_id % 40000 AS vdur,
+        |    dayofyear(CAST(ts AS DATE)) AS doy0,
+        |    1 + (7 - dayofweek(make_date(year(CAST(ts AS DATE)), 1, 1))) % 7
+        |      AS fs0,
+        |    year(CAST(ts AS DATE)) AS yr0,
+        |    dayofyear(make_date(year(CAST(ts AS DATE)) - 1, 12, 31))
+        |      AS pdoy0,
+        |    1 + (7 - dayofweek(
+        |      make_date(year(CAST(ts AS DATE)) - 1, 1, 1))) % 7 AS pfs0
         |  FROM events WHERE event_id < 400)
         |SELECT event_id,
         |  CAST(list_sum(list_transform(generate_series(0, 16),
@@ -1547,6 +1665,12 @@ object DialectQueries {
         |  CAST(weekofyear(CAST(ts AS DATE)) AS BIGINT) AS wk,
         |  CAST(isoyear(CAST(ts AS DATE)) * 100
         |    + weekofyear(CAST(ts AS DATE)) AS BIGINT) AS yw,
+        |  CAST(CASE WHEN doy0 < fs0 THEN 0
+        |    ELSE (doy0 - fs0) // 7 + 1 END AS BIGINT) AS wk0,
+        |  CAST(CASE WHEN doy0 >= fs0
+        |    THEN yr0 * 100 + ((doy0 - fs0) // 7 + 1)
+        |    ELSE (yr0 - 1) * 100 + ((pdoy0 - pfs0) // 7 + 1)
+        |    END AS BIGINT) AS yw0,
         |  array_to_string(generate_series((sec // 900) * 900,
         |    ((sec + 3600) // 900) * 900, 900), ',') AS slots,
         |  coalesce(list_max(list_filter(list_transform(

@@ -37,6 +37,7 @@ class AnalyzerBudgetSpec extends AnyFunSuite {
     graft.functions.ChDialectBatch11.register(s)
     graft.functions.ChDialectBatch12.register(s)
     graft.functions.ChDialectBatch13.register(s)
+    graft.functions.ChDialectBatch14.register(s)
     s
   }
 

@@ -47,8 +47,20 @@ class ChDialect10Spec extends AnyFunSuite {
     assert(one("toYearWeek(date'2020-01-01', 3)") == 202001)
     // 2018-12-31 is ISO week 1 of 2019 — the yearWeek must follow
     assert(one("toYearWeek(date'2018-12-31', 3)") == 201901)
+    // mode 0 (the CH/MySQL default — r13 closes DIVERGENCES #47):
+    // 2000-01-01 is a Saturday → before the year's first Sunday → week
+    // 0, and YEARWEEK folds it into 1999's last week (MySQL: 199952)
+    assert(one("toWeek(date'2000-01-01')") == 0)
+    assert(one("toWeek(date'2000-01-02', 0)") == 1) // the first Sunday
+    assert(one("toYearWeek(date'2000-01-01')") == 199952)
+    assert(one("toYearWeek(date'1987-01-01', 0)") == 198652)
+    // a Sunday-start year: week 1 begins Jan 1
+    assert(one("toWeek(date'2023-01-01', 0)") == 1)
+    assert(one("toYearWeek(date'2023-12-31', 0)") == 202353)
     assertThrows[Exception](
-      spark.sql("SELECT toWeek(date'2020-01-01')").collect())
+      spark.sql("SELECT toWeek(date'2020-01-01', 1)").collect())
+    assertThrows[Exception](
+      spark.sql("SELECT toYearWeek(date'2020-01-01', 4)").collect())
     assert(one("toUnixTimestamp(toStartOfSecond(" +
       "timestamp'2024-01-01 10:07:03.789'))") ==
       one("toUnixTimestamp(timestamp'2024-01-01 10:07:03')"))

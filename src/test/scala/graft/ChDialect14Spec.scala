@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ChDialectBatch14
+
+/** Batch-14 pins. The murmur kernels are checked THREE ways: known
+  * answers from an independent re-implementation, full parity against
+  * commons-codec's reference MurmurHash2/MurmurHash3 (the same public
+  * algorithms ClickHouse links) across boundary lengths and unicode,
+  * and the SQL registry path. Hilbert pins the first-order cell order
+  * and exhaustive round-trips; multiSearch pins tie-breaks and empty
+  * edges; parseReadableSize pins both unit families and the CEIL
+  * convention. */
+class ChDialect14Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    ChDialectBatch14.register(s)
+    s
+  }
+  private def one(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+
+  private val probes: Seq[String] = Seq(
+    "", "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg",
+    "abcdefgh", "abcdefghi", "0123456789abcde", "0123456789abcdef",
+    "0123456789abcdefX", "0123456789abcdef0123456789abcdef!",
+    "ClickHouse", "hello world", "naïve — ünïcodé ¢€𝄞")
+
+  test("murmur kernels match commons-codec's reference implementations " +
+      "(seed 0, all block boundaries, unicode)") {
+    import org.apache.commons.codec.digest.{MurmurHash2, MurmurHash3}
+    import org.apache.spark.unsafe.types.UTF8String
+    probes.foreach { s =>
+      val d = s.getBytes("UTF-8")
+      val u = UTF8String.fromString(s)
+      assert(ChDialectBatch14.murmur2x32(u) ==
+        (MurmurHash2.hash32(d, d.length, 0).toLong & 0xffffffffL), s)
+      assert(ChDialectBatch14.murmur2x64(u) ==
+        MurmurHash2.hash64(d, d.length, 0), s)
+      assert(ChDialectBatch14.murmur3x32(u) ==
+        (MurmurHash3.hash32x86(d, 0, d.length, 0).toLong & 0xffffffffL), s)
+      assert(ChDialectBatch14.murmur3x64(u) ==
+        MurmurHash3.hash128x64(d, 0, d.length, 0)(0), s)
+    }
+  }
+
+  test("murmur known answers (independent re-implementation vectors)") {
+    assert(one("murmurHash2_32('ClickHouse')") == 2957914763L)
+    assert(one("murmurHash2_64('ClickHouse')") == 5089175333520975561L)
+    assert(one("murmurHash3_32('ClickHouse')") == 1159701106L)
+    assert(one("murmurHash3_64('ClickHouse')") == -262222223101670375L)
+    assert(one("murmurHash2_64('hello world')") == -3190198453633110066L)
+    assert(one("murmurHash3_64('0123456789abcdef')") == 5467490433528156583L)
+    assert(one("murmurHash2_32('')") == 0L)
+    assert(one("murmurHash3_32('')") == 0L)
+  }
+
+  test("hilbert: first-order cells 0,1,2,3; exhaustive 8x8 round-trip; " +
+      "adjacency locality; range guard") {
+    // 32-bit fixed-order walk: the first-order cell order is
+    // (0,0)→(1,0)→(1,1)→(0,1) (the odd swap parity of 32 iterations
+    // transposes the textbook orientation — pinned; both are valid
+    // Hilbert curves and decode applies the same parity)
+    assert(one("hilbertEncode(0L, 0L)") == 0L)
+    assert(one("hilbertEncode(1L, 0L)") == 1L)
+    assert(one("hilbertEncode(1L, 1L)") == 2L)
+    assert(one("hilbertEncode(0L, 1L)") == 3L)
+    for (x <- 0 until 8; y <- 0 until 8) {
+      val d = ChDialectBatch14.hilbertEncode2(x, y)
+      val packed = ChDialectBatch14.hilbertDecode2(d)
+      assert((packed >>> 32, packed & 0xffffffffL) == ((x, y)),
+        s"roundtrip ($x,$y) -> $d")
+    }
+    // consecutive d values decode to 4-adjacent cells (the curve is a
+    // Hamiltonian path on the grid) — the locality property that makes
+    // it a partition key
+    (0L until 63L).foreach { d =>
+      val a = ChDialectBatch14.hilbertDecode2(d)
+      val b = ChDialectBatch14.hilbertDecode2(d + 1)
+      val dist = math.abs((a >>> 32) - (b >>> 32)) +
+        math.abs((a & 0xffffffffL) - (b & 0xffffffffL))
+      assert(dist == 1, s"d=$d not adjacent")
+    }
+    // SQL tuple decode + big-coord round trip
+    val r = spark.sql(
+      """SELECT hilbertDecode(2, hilbertEncode(3000000000L, 12345L))
+        |AS t""".stripMargin).selectExpr("t._1", "t._2").head()
+    assert((r.getLong(0), r.getLong(1)) == ((3000000000L, 12345L)))
+    assertThrows[Exception](
+      spark.sql("SELECT hilbertEncode(4294967296L, 0L)").collect())
+  }
+
+  test("utf8 tail: validity, substitution, code-point reverse, initcap, " +
+      "translate") {
+    assert(one("isValidUTF8('plain')") == true)
+    assert(one("toValidUTF8('plain')") == "plain")
+    // invalid bytes: cast binary with a lone continuation byte
+    assert(one("isValidUTF8(cast(unhex('41FF42') as string))") == false)
+    assert(one("toValidUTF8(cast(unhex('41FF42') as string))") == "A�B")
+    assert(one("reverseUTF8('ab¢')") == "¢ba")
+    assert(one("initcapUTF8('hello wORLD')") == "Hello World")
+    assert(one("translateUTF8('abca', 'ac', 'xy')") == "xbyx")
+  }
+
+  test("multiSearch tail: positions, first position/index, tie-break, " +
+      "case-insensitive, empty edges") {
+    assert(one("multiSearchAllPositions('Hello, World!', array('o', " +
+      "'zzz', 'World'))") == Seq(5L, 0L, 8L))
+    assert(one("multiSearchFirstPosition('Hello, World!', array('o', " +
+      "'zzz', 'World'))") == 5L)
+    assert(one("multiSearchFirstIndex('Hello, World!', array('zzz', " +
+      "'World', 'o'))") == 3L)
+    // tie on position 1: the SMALLER index wins (pinned)
+    assert(one("multiSearchFirstIndex('abc', array('ab', 'abc'))") == 1L)
+    assert(one("multiSearchFirstIndex('abc', array('zz', 'yy'))") == 0L)
+    assert(one("multiSearchFirstPosition('abc', array('zz'))") == 0L)
+    assert(one("multiSearchFirstIndex('abc', array())") == 0L)
+    assert(one("multiSearchAllPositionsCaseInsensitive('HeLLo', " +
+      "array('hello', 'LL'))") == Seq(1L, 3L))
+    assert(one("multiSearchFirstIndexCaseInsensitive('HeLLo', " +
+      "array('xx', 'hello'))") == 2L)
+    assert(one("multiSearchFirstPositionCaseInsensitive('HeLLo', " +
+      "array('LLO'))") == 3L)
+  }
+
+  test("parseReadableSize: both unit families, whitespace, CEIL pin, " +
+      "malformed → raise/NULL/zero") {
+    assert(one("parseReadableSize('1 KiB')") == 1024L)
+    assert(one("parseReadableSize('1.5 MiB')") == 1572864L)
+    assert(one("parseReadableSize('1 KB')") == 1000L)
+    assert(one("parseReadableSize('3 GB')") == 3000000000L)
+    assert(one("parseReadableSize('2 GiB')") == 2147483648L)
+    assert(one("parseReadableSize(' 5 B ')") == 5L)
+    assert(one("parseReadableSize('1.0000001 B')") == 2L) // CEIL pin
+    assertThrows[Exception](
+      spark.sql("SELECT parseReadableSize('12 XB')").collect())
+    assertThrows[Exception](
+      spark.sql("SELECT parseReadableSize('KiB')").collect())
+    assert(spark.sql("SELECT parseReadableSizeOrNull('bogus')")
+      .head().isNullAt(0))
+    assert(one("parseReadableSizeOrZero('bogus')") == 0L)
+    assert(one("parseReadableSizeOrZero('7 MiB')") == 7340032L)
+  }
+}
