@@ -196,6 +196,64 @@ object ChDialectBatch14 {
     h1
   }
 
+  // ---------------------------------------------------- siphash kernels
+  // SipHash-2-4 with CH's default key k0 = k1 = 0 (Aumasson-Bernstein
+  // reference; CH links the same algorithm) — replaces the round-5
+  // xxhash64 stand-in, closing the sipHash64 half of DIVERGENCES #27.
+  // Pinned against Guava's SipHash-2-4 in ChDialect14Spec.
+  def sipHash64(s: UTF8String): Long = sipBytes(s.getBytes)
+
+  /** CH's multi-arg combine: pack (prevHash, nextHash) into a 16-byte
+    * little-endian buffer and hash it. */
+  def sipCombine(a: Long, b: Long): Long = {
+    val buf = new Array[Byte](16)
+    var i = 0
+    while (i < 8) {
+      buf(i) = ((a >>> (8 * i)) & 0xff).toByte
+      buf(8 + i) = ((b >>> (8 * i)) & 0xff).toByte
+      i += 1
+    }
+    sipBytes(buf)
+  }
+
+  private def sipBytes(data: Array[Byte]): Long = {
+    var v0 = 0x736f6d6570736575L; var v1 = 0x646f72616e646f6dL
+    var v2 = 0x6c7967656e657261L; var v3 = 0x7465646279746573L
+    @inline def round(): Unit = {
+      v0 += v1; v1 = java.lang.Long.rotateLeft(v1, 13); v1 ^= v0
+      v0 = java.lang.Long.rotateLeft(v0, 32)
+      v2 += v3; v3 = java.lang.Long.rotateLeft(v3, 16); v3 ^= v2
+      v0 += v3; v3 = java.lang.Long.rotateLeft(v3, 21); v3 ^= v0
+      v2 += v1; v1 = java.lang.Long.rotateLeft(v1, 17); v1 ^= v2
+      v2 = java.lang.Long.rotateLeft(v2, 32)
+    }
+    val n8 = data.length & ~7
+    var i = 0
+    while (i < n8) {
+      var m = 0L; var j = 7
+      while (j >= 0) { m = (m << 8) | (data(i + j) & 0xffL); j -= 1 }
+      v3 ^= m; round(); round(); v0 ^= m
+      i += 8
+    }
+    var last = (data.length.toLong & 0xff) << 56
+    var j = data.length - n8 - 1
+    while (j >= 0) { last |= (data(n8 + j) & 0xffL) << (8 * j); j -= 1 }
+    v3 ^= last; round(); round(); v0 ^= last
+    v2 ^= 0xff
+    round(); round(); round(); round()
+    v0 ^ v1 ^ v2 ^ v3
+  }
+
+  /** CH `intHash64` — the murmur3 fmix64 finalizer over the UInt64
+    * value (ClickHouse's documented/implemented mix; replaces the
+    * xxhash64 stand-in). */
+  def intHash64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
   // ---------------------------------------------------- hilbert kernels
   /** xy2d over 32-bit coords → 64-bit index (standard rotate/reflect
     * at fixed order 32; first-order cell order (0,0)=0 (1,0)=1
@@ -384,6 +442,7 @@ case class ChHashExpr(child: Expression, kernel: String)
     case "murmur2x32" => ChDialectBatch14.murmur2x32(v.asInstanceOf[UTF8String])
     case "murmur2x64" => ChDialectBatch14.murmur2x64(v.asInstanceOf[UTF8String])
     case "murmur3x32" => ChDialectBatch14.murmur3x32(v.asInstanceOf[UTF8String])
+    case "sipHash64" => ChDialectBatch14.sipHash64(v.asInstanceOf[UTF8String])
     case _ => ChDialectBatch14.murmur3x64(v.asInstanceOf[UTF8String])
   }
   override protected def doGenCode(ctx: CodegenContext,
@@ -395,6 +454,50 @@ case class ChHashExpr(child: Expression, kernel: String)
   override protected def withNewChildInternal(
       newChild: Expression): ChHashExpr = copy(child = newChild)
   override def prettyName: String = kernel
+}
+
+/** CH multi-arg sipHash64 combine step: sip(16-byte LE (a, b)). */
+case class SipCombineExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (BIGINT, BIGINT), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    ChDialectBatch14.sipCombine(l.asInstanceOf[Long], r.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val cls = ChDialectBatch14.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.sipCombine($l, $r);"
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SipCombineExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sipHash64Combine"
+}
+
+/** CH `intHash64`: the fmix64 mix over a UInt64-in-long. */
+case class IntHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BIGINT, got ${child.dataType}")
+  override protected def nullSafeEval(v: Any): Any =
+    ChDialectBatch14.intHash64(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = ChDialectBatch14.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.intHash64($c);"
+    })
+  override protected def withNewChildInternal(
+      newChild: Expression): IntHash64Expr = copy(child = newChild)
+  override def prettyName: String = "intHash64"
 }
 
 case class HilbertEncodeExpr(left: Expression, right: Expression)

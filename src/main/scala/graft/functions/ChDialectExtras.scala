@@ -327,8 +327,18 @@ object ChDialectExtras {
     // library operator that calls functions.md5 (see guard above).
     f("base64Encode")(a => Base64(Cast(a.head, BinaryType)))
     f("base64Decode")(a => Cast(UnBase64(a.head), StringType))
-    f("sipHash64")(a => XxHash64(a, 42L))
-    f("intHash64")(a => XxHash64(a, 42L))
+    // Round 13: REAL SipHash-2-4 (k0 = k1 = 0, CH's default key) and
+    // the real intHash64 fmix — native ChDialectBatch14 kernels, so
+    // values are CH-bit-compatible for string args (closing the
+    // sipHash64/intHash64 half of DIVERGENCES #27; Guava-pinned in
+    // ChDialect14Spec). Multi-arg uses CH's combine: each arg hashed,
+    // then pairwise sip(16-byte LE (prev, next)). Non-string args are
+    // hashed via their string form (CH hashes the binary layout —
+    // documented residual for numerics in #27).
+    f("sipHash64")(a =>
+      a.map(x => ChHashExpr(Cast(x, StringType), "sipHash64"): Expression)
+        .reduceLeft((h, n) => SipCombineExpr(h, n)))
+    f("intHash64")(a => IntHash64Expr(Cast(a.head, LongType)))
 
     // ---------------------------------------------------------------- URL
     def urlPart(url: Expression, part: String): Expression =

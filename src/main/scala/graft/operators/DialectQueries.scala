@@ -1064,6 +1064,8 @@ object DialectQueries {
         |  murmurHash2_64(event_type) AS mm2_64,
         |  murmurHash3_32(event_type) AS mm3_32,
         |  murmurHash3_64(event_type) AS mm3_64,
+        |  sipHash64(event_type) AS sip,
+        |  intHash64(user_id % 8) AS ih,
         |  hilbertEncode(event_id % 2, user_id % 2) AS h1,
         |  cast(hilbertDecode(2, hilbertEncode(event_id % 100000,
         |    user_id))._1 as bigint) AS hx,
@@ -1218,6 +1220,19 @@ object DialectQueries {
         |    WHEN 'signup' THEN 7210676476505607356
         |    WHEN 'error' THEN 4315425334794612008
         |    ELSE 7930085193010132652 END AS mm3_64,
+        |  CASE event_type WHEN 'click' THEN 8330307377966107816
+        |    WHEN 'view' THEN -14161018542321881
+        |    WHEN 'signup' THEN 5372010287702062741
+        |    WHEN 'error' THEN 7655885760067449837
+        |    ELSE -8251503053727364538 END AS sip,
+        |  CASE user_id % 8 WHEN 0 THEN 0
+        |    WHEN 1 THEN -5451962507482445012
+        |    WHEN 2 THEN 4233148493373801447
+        |    WHEN 3 THEN 815575690806614222
+        |    WHEN 4 THEN 5156626420896634997
+        |    WHEN 5 THEN -2996345967259921035
+        |    WHEN 6 THEN -1678519184964958861
+        |    ELSE 8360697188923789789 END AS ih,
         |  CAST(CASE WHEN event_id % 2 = 0 AND user_id % 2 = 0 THEN 0
         |    WHEN event_id % 2 = 1 AND user_id % 2 = 0 THEN 1
         |    WHEN event_id % 2 = 1 AND user_id % 2 = 1 THEN 2

@@ -56,6 +56,37 @@ class ChDialect14Spec extends AnyFunSuite {
     assert(one("murmurHash3_32('')") == 0L)
   }
 
+  test("sipHash64 matches Guava's SipHash-2-4 with key (0,0); multi-arg " +
+      "uses the 16-byte pairwise combine; intHash64 is fmix64") {
+    import com.google.common.hash.Hashing
+    import org.apache.spark.unsafe.types.UTF8String
+    graft.functions.ChDialectExtras.register(spark)
+    val sip = Hashing.sipHash24(0L, 0L)
+    probes.foreach { s =>
+      assert(ChDialectBatch14.sipHash64(UTF8String.fromString(s)) ==
+        sip.hashBytes(s.getBytes("UTF-8")).asLong(), s)
+    }
+    // SQL path + the CH multi-arg combine: sip(16-byte LE (h(a), h(b)))
+    val ha = sip.hashString("click", java.nio.charset.StandardCharsets.UTF_8)
+      .asLong()
+    val hb = sip.hashString("view", java.nio.charset.StandardCharsets.UTF_8)
+      .asLong()
+    assert(one("sipHash64('click')") == ha)
+    val buf = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(ha).putLong(hb)
+    assert(one("sipHash64('click', 'view')") ==
+      sip.hashBytes(buf.array()).asLong())
+    // intHash64 = murmur fmix64 (matches the x64_128 finalizer)
+    assert(one("intHash64(0)") == 0L)
+    val fmixOf42 = {
+      var x = 42L
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33; x
+    }
+    assert(one("intHash64(42)") == fmixOf42)
+  }
+
   test("hilbert: first-order cells 0,1,2,3; exhaustive 8x8 round-trip; " +
       "adjacency locality; range guard") {
     // 32-bit fixed-order walk: the first-order cell order is

@@ -143,7 +143,12 @@ class ChDialect2Spec extends AnyFunSuite {
     assert(str("cast(unhex('414243') as string)") == "ABC")
     assert(str("base64Encode('abc')") == "YWJj")
     assert(str("base64Decode('YWJj')") == "abc")
-    assert(one("sipHash64('x') = intHash64('x')") == true)
+    // r13: sipHash64 is REAL SipHash-2-4 (Guava-pinned in
+    // ChDialect14Spec) and intHash64 the real fmix64 — deterministic,
+    // non-trivial, and no longer the same stand-in
+    assert(one("sipHash64('x') = sipHash64('x')") == true)
+    assert(one("intHash64(42) = intHash64(42)") == true)
+    assert(one("sipHash64('x') <> sipHash64('y')") == true)
     // regression guard: registering the dialect must NOT shadow builtins
     // the library depends on (md5 hex string, sha2, isnan, median) — a
     // temp function of the same name hijacks functions._ session-wide
