@@ -344,8 +344,21 @@ object EngineQueries {
       graft.table.FileEngine.FileFormat.JsonEachRow, Some(src.schema))
     graft.table.FileEngine.write(viaJson, s"$base/c",
       graft.table.FileEngine.FileFormat.Csv(), compression = Some("gzip"))
-    graft.table.FileEngine.read(spark, s"$base/c",
+    val viaCsv = graft.table.FileEngine.read(spark, s"$base/c",
       graft.table.FileEngine.FileFormat.Csv(), Some(src.schema))
+    // round 13: chain through the new CH format shims too — TSV with a
+    // header row, then positional JSONCompactEachRow — so the whole
+    // 4-format conversion pipeline must be lossless to hash-match
+    graft.table.FileEngine.write(viaCsv, s"$base/t",
+      graft.table.FileEngine.FileFormat.TabSeparated(withNames = true))
+    val viaTsv = graft.table.FileEngine.read(spark, s"$base/t",
+      graft.table.FileEngine.FileFormat.TabSeparated(withNames = true),
+      Some(src.schema))
+    graft.table.FileEngine.write(viaTsv, s"$base/jc",
+      graft.table.FileEngine.FileFormat.JsonCompactEachRow,
+      compression = Some("gzip"))
+    graft.table.FileEngine.read(spark, s"$base/jc",
+      graft.table.FileEngine.FileFormat.JsonCompactEachRow, Some(src.schema))
       .select(col("event_id"), col("event_type"),
         round(col("value"), 2).as("value"))
       .orderBy(col("event_id"))

@@ -32,13 +32,47 @@ object FileEngine {
     final case class Csv(header: Boolean = true, delimiter: String = ",")
         extends FileFormat { val sparkName = "csv" }
     case object Parquet extends FileFormat { val sparkName = "parquet" }
+    /** CH `TabSeparated` / `TabSeparatedWithNames` (round 13): tab
+      * delimiter, optional header row. Divergence (documented): values
+      * CONTAINING tabs/newlines round-trip via Spark CSV quoting, not
+      * CH's backslash escaping — identical for the overwhelmingly
+      * common tab-free values. */
+    final case class TabSeparated(withNames: Boolean = false)
+        extends FileFormat { val sparkName = "csv" }
+    /** CH `JSONCompactEachRow` (round 13): one JSON ARRAY per line,
+      * positional (no keys) — `[4611,"click",2.5]`. Written by
+      * rendering each column as a JSON token (string escaping via
+      * Spark's own JSON writer); read positionally via
+      * `get_json_object($[i])` + cast to the declared schema. */
+    case object JsonCompactEachRow extends FileFormat {
+      val sparkName = "text"
+    }
   }
   import FileFormat._
 
   private def readerOptions(fmt: FileFormat): Map[String, String] = fmt match {
     case Csv(header, delim) =>
       Map("header" -> header.toString, "delimiter" -> delim)
+    case TabSeparated(withNames) =>
+      Map("header" -> withNames.toString, "delimiter" -> "\t")
     case _ => Map.empty
+  }
+
+  /** One JSON token per column: strings/timestamps/dates through
+    * Spark's JSON writer (proper escaping) by rendering a one-element
+    * array and stripping its brackets; numerics/booleans as bare
+    * tokens; NULL → `null`. */
+  private def jsonToken(c: Column, dt: org.apache.spark.sql.types.DataType)
+      : Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | TimestampType | DateType =>
+        // to_json(array(x)) = `["escaped"]` → strip the brackets
+        val arr = to_json(org.apache.spark.sql.functions.array(c))
+        arr.substr(lit(2), length(arr) - 2)
+      case _ => coalesce(c.cast(StringType), lit("null"))
+    }
   }
 
   /** S9 read. The schema is required for JSON/CSV so that file scans never
@@ -46,23 +80,44 @@ object FileEngine {
     * so column pruning/filter pushdown have a fixed schema to plan against. */
   def read(
       spark: SparkSession, path: String, format: FileFormat,
-      schema: Option[StructType] = None): DataFrame = {
-    val base = spark.read.format(format.sparkName)
-      .options(readerOptions(format))
-    require(schema.nonEmpty || format == Parquet,
-      s"schema required for ${format.sparkName} reads (no inference pass)")
-    schema.fold(base)(base.schema).load(path)
+      schema: Option[StructType] = None): DataFrame = format match {
+    case JsonCompactEachRow =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{ArrayType, StringType}
+      val s = schema.getOrElse(throw new IllegalArgumentException(
+        "schema required for JSONCompactEachRow reads"))
+      // ONE parse per row: array<string> keeps each token's text
+      // (numbers as their literal form) while a JSON null becomes a
+      // SQL NULL element — distinguishable from the string "null"
+      spark.read.text(path)
+        .select(from_json(col("value"), ArrayType(StringType)).as("__arr"))
+        .select(s.fields.zipWithIndex.map { case (f, i) =>
+          element_at(col("__arr"), i + 1).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+    case _ =>
+      val base = spark.read.format(format.sparkName)
+        .options(readerOptions(format))
+      require(schema.nonEmpty || format == Parquet,
+        s"schema required for ${format.sparkName} reads (no inference pass)")
+      schema.fold(base)(base.schema).load(path)
   }
 
   /** S9 write with optional compression codec (gzip/snappy/zstd/...). */
   def write(
       df: DataFrame, path: String, format: FileFormat,
       compression: Option[String] = None,
-      mode: String = "overwrite"): Unit = {
-    val w = df.write.format(format.sparkName)
-      .options(readerOptions(format))
-      .mode(mode)
-    compression.fold(w)(c => w.option("compression", c)).save(path)
+      mode: String = "overwrite"): Unit = format match {
+    case JsonCompactEachRow =>
+      import org.apache.spark.sql.functions.{col, concat, concat_ws, lit}
+      val tokens = df.schema.fields.map(f => jsonToken(col(f.name), f.dataType))
+      val line = concat(lit("["), concat_ws(",", tokens.toSeq: _*), lit("]"))
+      val w = df.select(line.as("value")).write.format("text").mode(mode)
+      compression.fold(w)(c => w.option("compression", c)).save(path)
+    case _ =>
+      val w = df.write.format(format.sparkName)
+        .options(readerOptions(format))
+        .mode(mode)
+      compression.fold(w)(c => w.option("compression", c)).save(path)
   }
 
   /** S10 streaming queue over a directory: picks up each new file exactly

@@ -42,6 +42,49 @@ class EngineIoSpec extends AnyFunSuite {
     }
   }
 
+  test("S9 r13 formats: TabSeparated(WithNames) and JSONCompactEachRow " +
+      "round-trip, incl. escaping edges and NULLs") {
+    import org.apache.spark.sql.types._
+    val edgeSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("k", StringType, nullable = true),
+      StructField("v", DoubleType, nullable = true)))
+    val edgy = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, """quote " comma , done""", 1.5),
+        org.apache.spark.sql.Row(2L, "tab\there", null),
+        org.apache.spark.sql.Row(3L, null, 2.25),
+        org.apache.spark.sql.Row(4L, "unicode ¢€", -0.0))),
+      edgeSchema)
+
+    val d3 = tmp("s9tsv")
+    FileEngine.write(edgy, d3, FileFormat.TabSeparated(withNames = true))
+    val backTsv = FileEngine.read(spark, d3,
+      FileFormat.TabSeparated(withNames = true), Some(edgeSchema))
+      .orderBy("id").collect()
+    assert(backTsv.map(r => if (r.isNullAt(1)) null else r.getString(1))
+      .toSeq == Seq("""quote " comma , done""", "tab\there", null,
+        "unicode ¢€"))
+
+    val d4 = tmp("s9jc")
+    FileEngine.write(edgy, d4, FileFormat.JsonCompactEachRow,
+      compression = Some("gzip"))
+    // the on-disk line really is a positional JSON array
+    val rawLine = spark.read.text(d4)
+      .collect().map(_.getString(0)).find(_.startsWith("[1,")).get
+    assert(rawLine == """[1,"quote \" comma , done",1.5]""")
+    val backJc = FileEngine.read(spark, d4, FileFormat.JsonCompactEachRow,
+      Some(edgeSchema)).orderBy("id").collect()
+    assert(backJc.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(backJc(1).getString(1) == "tab\there")
+    assert(backJc(1).isNullAt(2) && backJc(2).isNullAt(1))
+    assert(backJc(0).getDouble(2) == 1.5)
+    // schema is mandatory (positional mapping)
+    intercept[IllegalArgumentException] {
+      FileEngine.read(spark, d4, FileFormat.JsonCompactEachRow, None)
+    }
+  }
+
   test("S10: file queue streams each new file exactly once") {
     val dir = tmp("s10queue")
     val out = tmp("s10out")
