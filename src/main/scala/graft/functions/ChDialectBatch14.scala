@@ -39,6 +39,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the needle matching leftmost; position ties break to the
   *    SMALLEST index — pinned), plus `*CaseInsensitive` variants
   *    (lowercase both sides);
+  *  - readable-format tail: `formatReadableDecimalSize` (1000-based
+  *    sibling of batch-3's formatReadableSize, same round-then-format
+  *    stance) and `formatReadableTimeDelta(sec[, maximum_unit])` —
+  *    CH's documented constants (a year is 365 days, a month 30.5
+  *    days), zero units omitted, "0 seconds" floor, plural per count,
+  *    '-' prefix for negatives, maximum_unit folds larger units in;
   *  - `parseReadableSize` (+`OrNull`/`OrZero`): "1.5 MiB" → bytes;
   *    binary (KiB=1024…EiB) and decimal (KB=1000…EB) units, bare `B`;
   *    fractional values CEIL to whole bytes (pinned; CH also rounds
@@ -390,6 +396,67 @@ object ChDialectBatch14 {
       firstPosition(lowered(str(a.head)), loweredAll(a(1))))
     f("multiSearchFirstIndexCaseInsensitive")(a =>
       firstIndex(lowered(str(a.head)), loweredAll(a(1))))
+
+    // -------------------------------------------- readable format tail
+    // formatReadableDecimalSize: the 1000-based sibling of batch-3's
+    // formatReadableSize (same HALF-UP-round-before-format stance).
+    f("formatReadableDecimalSize") { a =>
+      val x = Cast(a.head, DoubleType)
+      val units = Seq("B", "KB", "MB", "GB", "TB", "PB", "EB")
+      def render(k: Int): Expression = Concat(Seq(
+        FormatString(Literal("%.2f"),
+          Round(Divide(x, Literal(math.pow(1000d, k.toDouble))),
+            Literal(2))),
+        Literal(" " + units(k))))
+      CaseWhen((0 until 6).map { k =>
+        (LessThan(x, Literal(math.pow(1000d, (k + 1).toDouble))), render(k))
+      }, Some(render(6)))
+    }
+    // formatReadableTimeDelta(sec[, maximum_unit]): CH's decomposition
+    // (a year is 365 days, a month 30.5 days — CH's documented
+    // constants), zero units omitted, all-zero → "0 seconds",
+    // singular/plural per count, negative input renders a '-' prefix
+    // over the absolute decomposition (pinned). maximum_unit (literal)
+    // folds everything larger into the chosen top unit.
+    f("formatReadableTimeDelta") { a =>
+      val unitSeconds = List("years" -> 31536000L, "months" -> 2635200L,
+        "days" -> 86400L, "hours" -> 3600L, "minutes" -> 60L,
+        "seconds" -> 1L)
+      val maxUnit = if (a.length >= 2) a(1) match {
+        case Literal(s, StringType) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"formatReadableTimeDelta: maximum_unit must be a string " +
+            s"literal, got $other")
+      } else "years"
+      val chain = unitSeconds.dropWhile(_._1 != maxUnit)
+      require(chain.nonEmpty, "formatReadableTimeDelta: maximum_unit " +
+        s"must be one of ${unitSeconds.map(_._1).mkString("/")}, got " +
+        s"'$maxUnit'")
+      bind(long(a.head), "frt") { s0 =>
+        bind(Abs(s0), "frta") { s =>
+          val nullStr = Literal.create(null, StringType)
+          def part(cnt: Expression, name: String): Expression =
+            If(GreaterThan(cnt, Literal(0L)),
+              Concat(Seq(Cast(cnt, StringType),
+                Literal(" " + name.dropRight(1)),
+                If(EqualTo(cnt, Literal(1L)), Literal(""), Literal("s")))),
+              nullStr)
+          def build(units: List[(String, Long)],
+              rem: Expression): List[Expression] = units match {
+            case (name, k) :: tail =>
+              val cnt = IntegralDivide(rem, Literal(k))
+              part(Cast(cnt, LongType), name) ::
+                build(tail, Pmod(rem, Literal(k)))
+            case Nil => Nil
+          }
+          val joined = ConcatWs(Literal(", ") :: build(chain, s))
+          val body = If(EqualTo(s, Literal(0L)),
+            Literal("0 seconds"), joined)
+          If(LessThan(s0, Literal(0L)),
+            Concat(Seq(Literal("-"), body)), body)
+        }
+      }
+    }
 
     // ------------------------------------------------ parseReadableSize
     val sizeRe = "^\\s*([0-9]+(?:\\.[0-9]+)?)\\s*([A-Za-z]+)\\s*$"

@@ -1086,6 +1086,8 @@ object DialectQueries {
         |    AS prs2,
         |  parseReadableSize(concat(toString(event_id % 7), ' MB')) AS prs3,
         |  parseReadableSizeOrZero('bogus') AS prs0,
+        |  formatReadableDecimalSize((event_id % 100) * 10000) AS frds,
+        |  formatReadableTimeDelta(event_id * 977) AS frtd,
         |  reverseUTF8(event_type) AS rev,
         |  initcapUTF8(event_type) AS ini,
         |  translateUTF8(event_type, 'aeiou', 'AEIOU') AS tra,
@@ -1259,6 +1261,28 @@ object DialectQueries {
         |  (event_id % 10) * 1048576 + 524288 AS prs2,
         |  (event_id % 7) * 1000000 AS prs3,
         |  CAST(0 AS BIGINT) AS prs0,
+        |  CASE WHEN event_id % 100 = 0 THEN '0.00 B'
+        |    ELSE printf('%.2f', (event_id % 100) * 10.0) || ' KB'
+        |    END AS frds,
+        |  CASE WHEN event_id % 100000 = 0 THEN '0 seconds'
+        |    ELSE concat_ws(', ',
+        |      CASE WHEN (event_id * 977) // 86400 > 0
+        |        THEN ((event_id * 977) // 86400) || ' day' ||
+        |          (CASE WHEN (event_id * 977) // 86400 = 1
+        |            THEN '' ELSE 's' END) END,
+        |      CASE WHEN (event_id * 977) % 86400 // 3600 > 0
+        |        THEN ((event_id * 977) % 86400 // 3600) || ' hour' ||
+        |          (CASE WHEN (event_id * 977) % 86400 // 3600 = 1
+        |            THEN '' ELSE 's' END) END,
+        |      CASE WHEN (event_id * 977) % 3600 // 60 > 0
+        |        THEN ((event_id * 977) % 3600 // 60) || ' minute' ||
+        |          (CASE WHEN (event_id * 977) % 3600 // 60 = 1
+        |            THEN '' ELSE 's' END) END,
+        |      CASE WHEN (event_id * 977) % 60 > 0
+        |        THEN ((event_id * 977) % 60) || ' second' ||
+        |          (CASE WHEN (event_id * 977) % 60 = 1
+        |            THEN '' ELSE 's' END) END)
+        |    END AS frtd,
         |  reverse(event_type) AS rev,
         |  upper(substr(event_type, 1, 1)) || lower(substr(event_type, 2))
         |    AS ini,

@@ -155,6 +155,29 @@ class ChDialect14Spec extends AnyFunSuite {
       "array('LLO'))") == 3L)
   }
 
+  test("formatReadableDecimalSize + formatReadableTimeDelta: pinned " +
+      "decomposition, plurals, zero floor, maximum_unit fold, sign") {
+    assert(one("formatReadableDecimalSize(999)") == "999.00 B")
+    assert(one("formatReadableDecimalSize(1023)") == "1.02 KB")
+    assert(one("formatReadableDecimalSize(1500000)") == "1.50 MB")
+    assert(one("formatReadableTimeDelta(7693)") ==
+      "2 hours, 8 minutes, 13 seconds")
+    assert(one("formatReadableTimeDelta(7200)") == "2 hours")
+    assert(one("formatReadableTimeDelta(0)") == "0 seconds")
+    assert(one("formatReadableTimeDelta(1)") == "1 second")
+    // a year is 365 days, a month 30.5 days (CH's documented constants)
+    assert(one("formatReadableTimeDelta(31536000 + 2635200 + 1)") ==
+      "1 year, 1 month, 1 second")
+    assert(one("formatReadableTimeDelta(-61)") == "-1 minute, 1 second")
+    // maximum_unit folds the larger units in
+    assert(one("formatReadableTimeDelta(172800, 'hours')") == "48 hours")
+    assert(one("formatReadableTimeDelta(3661, 'minutes')") ==
+      "61 minutes, 1 second")
+    assertThrows[Exception](
+      spark.sql("SELECT formatReadableTimeDelta(1, 'fortnights')")
+        .collect())
+  }
+
   test("parseReadableSize: both unit families, whitespace, CEIL pin, " +
       "malformed → raise/NULL/zero") {
     assert(one("parseReadableSize('1 KiB')") == 1024L)
