@@ -364,7 +364,63 @@ object EngineQueries {
       .orderBy(col("event_id"))
   }
 
+  /** S13 Buffer engine END-TO-END (round 13 — formerly spec-only): the
+    * source streams into the buffer in chunks; the row-count dial
+    * (maxRows) forces MULTIPLE mid-stream flushes, a final explicit
+    * flush drains the tail (CH's flush-on-detach), and the target must
+    * read back EXACTLY the source rows. The flush-count and drained
+    * invariants ride as constant columns the oracle restates. */
+  def qBufferEngine(spark: SparkSession, dir: String): DataFrame = {
+    val schema = MooseSchema(Seq(
+      MooseColumn("event_id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("event_type", MooseType.MString),
+      MooseColumn("value", MooseType.MFloat64)))
+    val table = new OlapTable(spark,
+      OlapTable.Config("events_buffered", schema,
+        TableEngine.MergeTree, orderBy = Seq("event_id")),
+      warehouseDir = System.getProperty("java.io.tmpdir") + "/graft_wh")
+    table.truncate()
+    val staging = java.nio.file.Files
+      .createTempDirectory("buffer_stage").toString
+    val src = events(spark, dir).where(col("user_id") < 80)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val sink = new graft.streaming.BufferSink(table, staging,
+      maxRows = 1500, maxBytes = Long.MaxValue, maxAgeMs = Long.MaxValue)
+    // four chunks below the row dial individually; crossings flush
+    (0 until 4).foreach { k =>
+      sink.add(src.where(col("event_id") % 4 === k))
+    }
+    sink.flush() // drain the tail
+    val multiFlush = sink.flushes >= 2
+    val drained = sink.pending == ((0L, 0L))
+    table.read()
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        lit(multiFlush).as("multi_flush"), lit(drained).as("drained"))
+      .orderBy(col("event_id"))
+  }
+
+  /** S14 Distributed engine (round 13 — formerly spec-only): sharding
+    * is partitioning. After `distributed(df, user_id, 8)`, every row
+    * of a key lands on ONE shard (the property that makes downstream
+    * keyed work shuffle-free) and shard ids stay in [0, 8). The oracle
+    * restates per-key row counts and the invariants as constants. */
+  def qDistributedShards(spark: SparkSession, dir: String): DataFrame = {
+    val sharded = graft.table.FileEngine.distributed(
+        events(spark, dir).select(col("event_id"), col("user_id")),
+        col("user_id"), 8)
+      .withColumn("shard", graft.table.FileEngine.shardId)
+    sharded.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (countDistinct(col("shard")) === 1).as("one_shard"),
+        (max(col("shard")) <= 7 && min(col("shard")) >= 0)
+          .as("shard_in_range"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_buffer_engine" -> (qBufferEngine _),
+    "q_distributed_shards" -> (qDistributedShards _),
     "q_iceberg_read" -> (qIcebergRead _),
     "q_file_engine" -> (qFileEngine _),
     "q_iceberg_incremental" -> (qIcebergIncremental _),
@@ -381,6 +437,19 @@ object EngineQueries {
     "q_quantile_sketch" -> (qQuantileSketch _))
 
   def oracles: Map[String, String] = Map(
+    // Buffer engine: the staged-and-flushed table must equal the
+    // source; flush-count/drain invariants are stated constants
+    "q_buffer_engine" ->
+      """SELECT event_id, event_type, round(value, 2) AS value,
+        |  TRUE AS multi_flush, TRUE AS drained
+        |FROM events WHERE user_id < 80
+        |ORDER BY event_id""".stripMargin,
+    // Distributed: per-key counts recomputed; one-shard-per-key and
+    // shard-range invariants are the sharding contract as constants
+    "q_distributed_shards" ->
+      """SELECT user_id, count(*) AS n, TRUE AS one_shard,
+        |  TRUE AS shard_in_range
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Insertable<T>: default fills where absent/null (batch B = odd
     // event_ids omitted the column; batch A nulled it on even user_ids),
     // materialized/alias recomputed, write schema pinned constant
