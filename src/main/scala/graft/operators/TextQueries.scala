@@ -25,6 +25,57 @@ object TextQueries {
     Dedup.exactDuplicates(docs(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Dataset card (round 13): the per-source statistics report every
+    * training-data pipeline publishes beside a corpus — doc/token/char
+    * volumes, token-length distribution (min/max/exact median at the
+    * CH 0-based ⌊n/2⌋ convention), exact-dup rate from the content
+    * fingerprint, predicted-language mix + declared-language
+    * agreement, and mean quality. Every scalar is an exact integer or
+    * an integer micro-unit (order-free integer sums + ONE integer
+    * division — the nDCG stance), so the card hash-matches the oracle
+    * bit-for-bit. SCALE NOTE: the exact median (sorted collect per
+    * group) and exact DISTINCT are the sf-test spellings chosen for a
+    * hash-exact oracle; at 100 TB swap in `AggState.partial(
+    * "quantileApprox")` (bounded GK sketch) and `"uniq"` (HLL) — both
+    * already in this repo — and the card contract is unchanged. */
+  def dDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val sig = docs(spark, dir).select(
+      col("source"), col("lang"),
+      TextAnalysis.tokenCount(t).as("toks"),
+      length(t).cast("long").as("chars"),
+      TextAnalysis.fingerprintMd5(t).as("fp"),
+      TextAnalysis.langId(t).as("pred"),
+      round(TextAnalysis.qualityScore(t) * 10000).cast("long").as("qm"))
+    def share(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    sig.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"),
+        min(col("toks")).as("min_tokens"),
+        max(col("toks")).as("max_tokens"),
+        sort_array(collect_list(col("toks"))).as("toks_sorted"),
+        countDistinct(col("fp")).as("n_distinct"),
+        share(col("pred") === col("lang")).as("n_lang_match"),
+        share(col("pred") === "en").as("n_en"),
+        share(col("pred") === "de").as("n_de"),
+        share(col("pred") === "fr").as("n_fr"),
+        share(col("pred") === "es").as("n_es"),
+        share(col("pred") === "zh").as("n_zh"),
+        sum(col("qm")).as("q_sum"))
+      .withColumn("median_tokens", element_at(col("toks_sorted"),
+        (col("n_docs") / 2).cast("int") + 1))
+      .withColumn("mean_tokens_micro",
+        expr("n_tokens * 10000 DIV n_docs"))
+      .withColumn("dup_rate_micro",
+        expr("(n_docs - n_distinct) * 10000 DIV n_docs"))
+      .withColumn("lang_match_micro",
+        expr("n_lang_match * 10000 DIV n_docs"))
+      .withColumn("mean_quality_micro", expr("q_sum DIV n_docs"))
+      .drop("toks_sorted", "n_lang_match", "q_sum")
+      .orderBy(col("source"))
+  }
+
   /** Cross-batch incremental dedup (the daily-dump scenario): history =
     * doc_id % 5 != 0, batch = the rest; result = batch rows whose text is
     * NOT in history, answered through the bloom-prefilter path (history
@@ -915,6 +966,7 @@ object TextQueries {
     "d_dup_spans" -> (dDupSpans _),
     "d_clean_corpus" -> (dCleanCorpus _),
     "d_exact_dedup" -> (dExactDedup _),
+    "d_dataset_card" -> (dDatasetCard _),
     "d_incr_dedup" -> (dIncrDedup _),
     "d_script_profile" -> (dScriptProfile _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
@@ -1348,6 +1400,74 @@ object TextQueries {
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    // dataset card: every signal replayed (token regex, md5 fingerprint,
+    // langId CASE, two-step quality rounding), micro-units via BIGINT //
+    "d_dataset_card" ->
+      """WITH words AS (
+        |  SELECT source, lang, text,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sig AS (
+        |  SELECT source, lang,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+        |    CASE
+        |      WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |      WHEN ' ' || lower(text) || ' ' LIKE '% der %'
+        |        OR ' ' || lower(text) || ' ' LIKE '% und %'
+        |        OR ' ' || lower(text) || ' ' LIKE '% nicht %'
+        |        OR ' ' || lower(text) || ' ' LIKE '% ist %' THEN 'de'
+        |      WHEN ' ' || lower(text) || ' ' LIKE '% le %'
+        |        OR ' ' || lower(text) || ' ' LIKE '% les %'
+        |        OR ' ' || lower(text) || ' ' LIKE '% une %'
+        |        OR ' ' || lower(text) || ' ' LIKE '% est %' THEN 'fr'
+        |      WHEN ' ' || lower(text) || ' ' LIKE '% el %'
+        |        OR ' ' || lower(text) || ' ' LIKE '% los %'
+        |        OR ' ' || lower(text) || ' ' LIKE '% que %'
+        |        OR ' ' || lower(text) || ' ' LIKE '% es %' THEN 'es'
+        |      ELSE 'en' END AS pred,
+        |    CAST(round(round(
+        |      least(len(w) / 100.0, 1.0) * 0.5 +
+        |      len(list_filter(w, x -> x IN
+        |        ('the','a','of','and','to','in','is'))) * 1.0 / len(w)
+        |        * 0.5, 4) * 10000) AS BIGINT) AS qm
+        |  FROM words),
+        |agg AS (
+        |  SELECT source,
+        |    count(*) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(chars) AS BIGINT) AS n_chars,
+        |    min(toks) AS min_tokens,
+        |    max(toks) AS max_tokens,
+        |    list(toks ORDER BY toks) AS ts,
+        |    count(DISTINCT fp) AS n_distinct,
+        |    CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_lang_match,
+        |    CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_en,
+        |    CAST(sum(CASE WHEN pred = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_de,
+        |    CAST(sum(CASE WHEN pred = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_fr,
+        |    CAST(sum(CASE WHEN pred = 'es' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_es,
+        |    CAST(sum(CASE WHEN pred = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zh,
+        |    CAST(sum(qm) AS BIGINT) AS q_sum
+        |  FROM sig GROUP BY source)
+        |SELECT source, n_docs, n_tokens, n_chars, min_tokens, max_tokens,
+        |  n_distinct, n_en, n_de, n_fr, n_es, n_zh,
+        |  ts[CAST(n_docs // 2 AS INT) + 1] AS median_tokens,
+        |  CAST(n_tokens * 10000 // n_docs AS BIGINT) AS mean_tokens_micro,
+        |  CAST((n_docs - n_distinct) * 10000 // n_docs AS BIGINT)
+        |    AS dup_rate_micro,
+        |  CAST(n_lang_match * 10000 // n_docs AS BIGINT)
+        |    AS lang_match_micro,
+        |  CAST(q_sum // n_docs AS BIGINT) AS mean_quality_micro
+        |FROM agg ORDER BY source""".stripMargin,
     "d_script_profile" ->
       """WITH a AS (
         |  SELECT doc_id, text || ' ' || CASE doc_id % 4
