@@ -1106,9 +1106,16 @@ object DialectQueries {
     * combined metrics live in ONE aggregate node fanned out by a
     * 4-row VALUES cross join (one consumer — CASE projects the
     * branch), so `states` has exactly two consumers (per-type rows +
-    * combined row): two scans of events, each a straight partial-agg
-    * hash aggregate whose shuffle carries O(|distinct|) sets, never
-    * rows. Values are `(user_id * length(event_type)) % 64` so the
+    * combined row). `states` is aggregate-sized (one row per
+    * event_type) and column pruning SPECIALIZES the two consumers
+    * (the combined branch drops event_type), which defeats
+    * ReuseExchange — so the states frame is PERSISTED after the
+    * aggregate (5 rows; the known-safe side of the "don't persist
+    * shuffle-ending frames" gotcha, which is about big fan-ins):
+    * events is scanned ONCE, the partial-agg shuffle carries
+    * O(|distinct|) sets, never rows (plan-audited in
+    * tools/ExplainR13). Values are
+    * `(user_id * length(event_type)) % 64` so the
     * per-type bitmaps genuinely DIFFER (multiplying by an even length
     * drops low bits mod 64): at sf0.01 the five cards are
     * 64/64/8/32/16 with And=8, Or=64, Xor=24 — every combine form is
@@ -1116,12 +1123,23 @@ object DialectQueries {
   def qBitmapAgg(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GroupBitmap.register(spark)
     graft.functions.ChDialectBatch13.register(spark)
-    sqlOn(spark, dir, "events", "ev_bm",
-      """WITH states AS (
-        |  SELECT event_type,
-        |    groupBitmapState((user_id * length(event_type)) % 64) AS bm
-        |  FROM ev_bm GROUP BY event_type),
-        |combined AS (
+    val states = sqlOn(spark, dir, "events", "ev_bm",
+      """SELECT event_type,
+        |  groupBitmapState((user_id * length(event_type)) % 64) AS bm
+        |FROM ev_bm GROUP BY event_type""".stripMargin)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    states.createOrReplaceTempView("gb_states_v")
+    spark.sql(
+      """SELECT event_type AS label, bitmapCardinality(bm) AS card,
+        |  arrayStringConcat(arrayMap(v -> toString(v), bm), ',') AS vals
+        |FROM gb_states_v
+        |UNION ALL
+        |SELECT t.label,
+        |  CASE t.label WHEN '__and__' THEN a_card WHEN '__or__' THEN o_card
+        |    WHEN '__xor__' THEN x_card ELSE m_card END AS card,
+        |  CASE t.label WHEN '__and__' THEN a_set WHEN '__xor__' THEN x_set
+        |    ELSE o_set END AS vals
+        |FROM (
         |  SELECT
         |    groupBitmapAnd(bm) AS a_card, groupBitmapOr(bm) AS o_card,
         |    groupBitmapXor(bm) AS x_card, groupBitmapMerge(bm) AS m_card,
@@ -1131,17 +1149,8 @@ object DialectQueries {
         |      groupBitmapOrState(bm)), ',') AS o_set,
         |    arrayStringConcat(arrayMap(v -> toString(v),
         |      groupBitmapXorState(bm)), ',') AS x_set
-        |  FROM states)
-        |SELECT event_type AS label, bitmapCardinality(bm) AS card,
-        |  arrayStringConcat(arrayMap(v -> toString(v), bm), ',') AS vals
-        |FROM states
-        |UNION ALL
-        |SELECT t.label,
-        |  CASE t.label WHEN '__and__' THEN a_card WHEN '__or__' THEN o_card
-        |    WHEN '__xor__' THEN x_card ELSE m_card END AS card,
-        |  CASE t.label WHEN '__and__' THEN a_set WHEN '__xor__' THEN x_set
-        |    ELSE o_set END AS vals
-        |FROM combined CROSS JOIN (VALUES ('__and__'), ('__or__'),
+        |  FROM gb_states_v) combined
+        |CROSS JOIN (VALUES ('__and__'), ('__or__'),
         |  ('__xor__'), ('__merge__')) AS t(label)
         |ORDER BY label""".stripMargin)
   }

@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot plan audit for the round-13 additions:
+  *
+  *  - `q_bitmap_agg` must run the groupBitmap family as REAL partial
+  *    aggregation (ObjectHashAggregate partial → shuffle → final/merge)
+  *    — the shuffle carries serialized distinct-value SETS, not event
+  *    rows, which is the whole point of the bounded-state design;
+  *  - `q_distributed_shards` must show exactly ONE exchange for the
+  *    explicit repartition and reuse it for the keyed aggregation
+  *    (sharding == partitioning ⇒ the groupBy on the same key needs
+  *    no second shuffle);
+  *  - `d_dataset_card` must be one scan → partial agg → final agg
+  *    (no corpus re-scan per statistic).
+  */
+object ExplainR13 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    def audit(name: String, marks: Seq[String]): Unit = {
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val lines = p.split("\n")
+      def n(s: String) = lines.count(_.contains(s))
+      println(s"[audit] $name: parquet-scans=${n("Scan parquet")} " +
+        s"cacheScans=${n("InMemoryTableScan")} " +
+        s"exchanges=${n("Exchange")} reused=${n("ReusedExchange")} " +
+        s"objHashAgg=${n("ObjectHashAggregate")} " +
+        s"sortAgg=${n("SortAggregate")} hashAgg=${n("HashAggregate")}")
+      marks.foreach(m => println(s"[audit]   '$m' x${n(m)}"))
+    }
+    audit("q_bitmap_agg", Seq("partial_group_bitmap"))
+    if (sys.env.contains("DUMP")) {
+      Seq("q_distributed_shards", "d_dataset_card").foreach { q =>
+        println(s"===== $q =====")
+        val df = graft.SparkEntry.queries(q)(spark, sf)
+        println(df.queryExecution.executedPlan.toString.take(6000))
+      }
+    }
+    audit("q_distributed_shards", Seq("REPARTITION"))
+    audit("d_dataset_card", Seq("partial_"))
+    spark.stop()
+  }
+}
