@@ -397,6 +397,21 @@ object ChDialectBatch14 {
     f("multiSearchFirstIndexCaseInsensitive")(a =>
       firstIndex(lowered(str(a.head)), loweredAll(a(1))))
 
+    // ----------------------------------------------------------- stem
+    // stem('en', s): the classic 1980 Porter stemmer as a native
+    // kernel (functions/PorterStem; DIVERGENCES #58 — CH links
+    // Snowball/Porter2). Only English; anything else refuses loudly.
+    f("stem") { a =>
+      val lang = a.head match {
+        case Literal(s, StringType) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"stem: language must be a string literal, got $other")
+      }
+      require(lang == "en",
+        s"stem: only 'en' (classic Porter) is supported, got '$lang'")
+      PorterStemExpr(Cast(a(1), StringType))
+    }
+
     // -------------------------------------------- readable format tail
     // formatReadableDecimalSize: the 1000-based sibling of batch-3's
     // formatReadableSize (same HALF-UP-round-before-format stance).

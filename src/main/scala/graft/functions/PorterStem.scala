@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The CLASSIC Porter stemmer (M.F. Porter, "An algorithm for suffix
+  * stripping", Program 14(3), 1980) as a native codegen kernel — the
+  * `stem('en', s)` surface of the CH dialect (registered in
+  * ChDialectBatch14; only English is supported, other languages refuse
+  * loudly).
+  *
+  * Faithful to the PAPER's rule tables (steps 1a-5b, longest-match rule
+  * selection per step, measure/vowel/double-consonant/cvc conditions on
+  * the stem). DIVERGENCE (documented, #58): ClickHouse `stem` links
+  * Snowball, whose "english" stemmer is Porter2 and whose "porter"
+  * variant carries two post-paper departures (`(m>0) bli→ble`,
+  * `(m>0) logi→log`); this kernel is the 1980 paper exactly, pinned by
+  * the paper's own example vectors in PorterStemSpec. Lowercase ASCII
+  * letters are stemmed; any other character makes the word pass
+  * through unchanged (stemming non-words is meaningless).
+  */
+object PorterStem {
+
+  def stem(s: UTF8String): UTF8String =
+    UTF8String.fromString(stemWord(s.toString))
+
+  def stemWord(w0: String): String = {
+    if (w0.length <= 2 || !w0.forall(c => c >= 'a' && c <= 'z')) return w0
+    var w = w0
+
+    def isCons(s: String, i: Int): Boolean = s.charAt(i) match {
+      case 'a' | 'e' | 'i' | 'o' | 'u' => false
+      case 'y' => i == 0 || !isCons(s, i - 1)
+      case _ => true
+    }
+    /** Measure m of the stem: count of VC sequences. */
+    def measure(s: String): Int = {
+      var i = 0; val n = s.length
+      while (i < n && isCons(s, i)) i += 1
+      var m = 0
+      while (i < n) {
+        while (i < n && !isCons(s, i)) i += 1
+        if (i < n) {
+          m += 1
+          while (i < n && isCons(s, i)) i += 1
+        }
+      }
+      m
+    }
+    def hasVowel(s: String): Boolean =
+      s.indices.exists(i => !isCons(s, i))
+    def endsDoubleCons(s: String): Boolean =
+      s.length >= 2 && s.charAt(s.length - 1) == s.charAt(s.length - 2) &&
+        isCons(s, s.length - 1)
+    /** *o: stem ends cvc where the final c is not w, x or y. */
+    def endsCvc(s: String): Boolean = {
+      val n = s.length
+      n >= 3 && isCons(s, n - 3) && !isCons(s, n - 2) && isCons(s, n - 1) &&
+        !"wxy".contains(s.charAt(n - 1))
+    }
+
+    // ---- step 1a
+    if (w.endsWith("sses")) w = w.dropRight(2)
+    else if (w.endsWith("ies")) w = w.dropRight(2)
+    else if (w.endsWith("ss")) ()
+    else if (w.endsWith("s")) w = w.dropRight(1)
+
+    // ---- step 1b
+    var cleanup = false
+    if (w.endsWith("eed")) {
+      if (measure(w.dropRight(3)) > 0) w = w.dropRight(1)
+    } else if (w.endsWith("ed") && hasVowel(w.dropRight(2))) {
+      w = w.dropRight(2); cleanup = true
+    } else if (w.endsWith("ing") && hasVowel(w.dropRight(3))) {
+      w = w.dropRight(3); cleanup = true
+    }
+    if (cleanup) {
+      if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz")) w += "e"
+      else if (endsDoubleCons(w) && !"lsz".contains(w.last)) w = w.dropRight(1)
+      else if (measure(w) == 1 && endsCvc(w)) w += "e"
+    }
+
+    // ---- step 1c
+    if (w.endsWith("y") && hasVowel(w.dropRight(1)))
+      w = w.dropRight(1) + "i"
+
+    // longest-match replace helper: the FIRST matching suffix in the
+    // (pre-sorted longest-first) table decides; replacement only when
+    // the stem's measure clears `minM`
+    def table(rules: Seq[(String, String)], minM: Int): Unit = {
+      rules.sortBy(-_._1.length).find { case (suf, _) => w.endsWith(suf) }
+        .foreach { case (suf, rep) =>
+          val stem = w.dropRight(suf.length)
+          if (measure(stem) > minM) w = stem + rep
+        }
+    }
+
+    // ---- step 2 (m > 0) — the paper's table, no post-paper departures
+    table(Seq(
+      "ational" -> "ate", "tional" -> "tion", "enci" -> "ence",
+      "anci" -> "ance", "izer" -> "ize", "abli" -> "able", "alli" -> "al",
+      "entli" -> "ent", "eli" -> "e", "ousli" -> "ous", "ization" -> "ize",
+      "ation" -> "ate", "ator" -> "ate", "alism" -> "al",
+      "iveness" -> "ive", "fulness" -> "ful", "ousness" -> "ous",
+      "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble"), minM = 0)
+
+    // ---- step 3 (m > 0)
+    table(Seq(
+      "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
+      "ical" -> "ic", "ful" -> "", "ness" -> ""), minM = 0)
+
+    // ---- step 4 (m > 1); ION additionally needs the stem to end s/t
+    locally {
+      val plain = Seq("al", "ance", "ence", "er", "ic", "able", "ible",
+        "ant", "ement", "ment", "ent", "ou", "ism", "ate", "iti", "ous",
+        "ive", "ize")
+      val all = (plain.map(s => (s, false)) :+ (("ion", true)))
+        .sortBy(-_._1.length)
+      all.find { case (suf, _) => w.endsWith(suf) }.foreach {
+        case (suf, needsST) =>
+          val stem = w.dropRight(suf.length)
+          val stOk = !needsST ||
+            (stem.nonEmpty && (stem.last == 's' || stem.last == 't'))
+          if (measure(stem) > 1 && stOk) w = stem
+      }
+    }
+
+    // ---- step 5a
+    if (w.endsWith("e")) {
+      val stem = w.dropRight(1)
+      val m = measure(stem)
+      if (m > 1 || (m == 1 && !endsCvc(stem))) w = stem
+    }
+    // ---- step 5b
+    if (measure(w) > 1 && endsDoubleCons(w) && w.last == 'l')
+      w = w.dropRight(1)
+
+    w
+  }
+}
+
+/** Native node for the kernel (the StringSimilarity pattern). */
+case class PorterStemExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType}")
+  override protected def nullSafeEval(v: Any): Any =
+    PorterStem.stem(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = PorterStem.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.stem($c);"
+    })
+  override protected def withNewChildInternal(
+      newChild: Expression): PorterStemExpr = copy(child = newChild)
+  override def prettyName: String = "stem"
+}

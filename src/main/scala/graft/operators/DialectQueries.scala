@@ -1088,6 +1088,7 @@ object DialectQueries {
         |  parseReadableSizeOrZero('bogus') AS prs0,
         |  formatReadableDecimalSize((event_id % 100) * 10000) AS frds,
         |  formatReadableTimeDelta(event_id * 977) AS frtd,
+        |  stem('en', event_type) AS stemmed,
         |  reverseUTF8(event_type) AS rev,
         |  initcapUTF8(event_type) AS ini,
         |  translateUTF8(event_type, 'aeiou', 'AEIOU') AS tra,
@@ -1292,6 +1293,8 @@ object DialectQueries {
         |          (CASE WHEN (event_id * 977) % 60 = 1
         |            THEN '' ELSE 's' END) END)
         |    END AS frtd,
+        |  CASE event_type WHEN 'purchase' THEN 'purchas'
+        |    ELSE event_type END AS stemmed,
         |  reverse(event_type) AS rev,
         |  upper(substr(event_type, 1, 1)) || lower(substr(event_type, 2))
         |    AS ini,

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PorterStem
+
+/** Pins the classic 1980 Porter stemmer against the canonical demo
+  * vocabulary (the well-known 19-word END-TO-END set every reference
+  * implementation ships) plus end-to-end-stable per-step paper
+  * examples and the edge conditions (measure, *o cvc, double
+  * consonants, y-as-vowel, non-word passthrough). */
+class PorterStemSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    graft.functions.ChDialectBatch14.register(s)
+    s
+  }
+
+  private val canonical = Seq(
+    "caresses" -> "caress", "flies" -> "fli", "dies" -> "di",
+    "mules" -> "mule", "denied" -> "deni", "died" -> "di",
+    "agreed" -> "agre", "owned" -> "own", "humbled" -> "humbl",
+    "sized" -> "size", "meeting" -> "meet", "stating" -> "state",
+    "siezing" -> "siez", "itemization" -> "item",
+    "sensational" -> "sensat", "traditional" -> "tradit",
+    "reference" -> "refer", "colonizer" -> "colon", "plotted" -> "plot")
+
+  test("canonical end-to-end demo vocabulary") {
+    canonical.foreach { case (in, out) =>
+      assert(PorterStem.stemWord(in) == out, s"stem($in)")
+    }
+  }
+
+  test("per-step behaviors that survive the full pipeline") {
+    val pairs = Seq(
+      "cats" -> "cat", "feed" -> "feed", "motoring" -> "motor",
+      "sing" -> "sing", "happy" -> "happi", "sky" -> "sky",
+      // 1b cleanup: double-consonant undoubling except l/s/z; +e after
+      // at/bl/iz and after a 1-measure cvc stem
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "fizzed" -> "fizz", "filing" -> "file",
+      "conflated" -> "conflat",
+      // step 2 through the tail of the pipeline
+      "relational" -> "relat", "vietnamization" -> "vietnam",
+      // step 4 + ION's s/t gate (adoption passes, opinion does not)
+      "adoption" -> "adopt", "opinion" -> "opinion",
+      "replacement" -> "replac", "communism" -> "commun",
+      // step 5
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll")
+    pairs.foreach { case (in, out) =>
+      assert(PorterStem.stemWord(in) == out, s"stem($in)")
+    }
+  }
+
+  test("short words and non-words pass through unchanged") {
+    Seq("a", "is", "be", "Foo", "don't", "x9y", "").foreach { w =>
+      assert(PorterStem.stemWord(w) == w, s"stem($w)")
+    }
+  }
+
+  test("SQL surface: stem('en', s); other languages refuse") {
+    val got = spark.sql(
+      "SELECT stem('en', 'itemization'), stem('en', 'plotted')").head()
+    assert((got.getString(0), got.getString(1)) == (("item", "plot")))
+    assertThrows[Exception](
+      spark.sql("SELECT stem('de', 'laufen')").collect())
+  }
+}
