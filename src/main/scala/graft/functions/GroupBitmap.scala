@@ -138,6 +138,26 @@ case class GroupBitmapAgg(
   require(Set("build", "and", "or", "xor").contains(op),
     s"groupBitmap op must be build/and/or/xor, got '$op'")
 
+  // `inputValues` reads elements with getLong — an array<int> input
+  // would silently misread its packed words, so the combine ops REQUIRE
+  // array<bigint> (what groupBitmapState emits); build requires an
+  // integral scalar (the registry casts to long)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType
+          if op == "build" => TypeCheckSuccess
+      case ArrayType(LongType, _) if op != "build" => TypeCheckSuccess
+      case other if op == "build" => TypeCheckFailure(
+        s"groupBitmap expects an integral value, got $other")
+      case other => TypeCheckFailure(
+        s"groupBitmap$op expects array<bigint> bitmap states " +
+          s"(groupBitmapState output), got $other — cast int arrays " +
+          "to array<bigint>")
+    }
+  }
+
   override def createAggregationBuffer(): GroupBitmap.BitmapBuffer =
     new GroupBitmap.BitmapBuffer(false, new java.util.HashSet[java.lang.Long]())
 

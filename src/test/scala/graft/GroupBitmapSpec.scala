@@ -129,6 +129,25 @@ class GroupBitmapSpec extends AnyFunSuite {
     assert(viaSql == 13L)
   }
 
+  test("type gate: int-array states refuse at analysis (getLong would " +
+      "misread packed int words) — cast to array<bigint> is the fix") {
+    GroupBitmap.register(spark)
+    Seq(1).toDF("x").createOrReplaceTempView("gb_types")
+    val e = intercept[Exception](
+      spark.sql("SELECT groupBitmapOr(array(1, 2)) FROM gb_types")
+        .collect())
+    assert(e.getMessage.contains("array<bigint>") ||
+      e.getMessage.toLowerCase.contains("datatype_mismatch"))
+    // the documented fix works
+    assert(spark.sql(
+      "SELECT groupBitmapOr(cast(array(1, 2) as array<bigint>)) " +
+        "FROM gb_types").head().getLong(0) == 2L)
+    // build rejects non-integral scalars
+    assertThrows[Exception](
+      spark.sql("SELECT groupBitmap(named_struct('a', 1)) FROM gb_types")
+        .collect())
+  }
+
   test("buffer wire form: serialize → deserialize round trip incl. init flag") {
     val agg = graft.functions.GroupBitmapAgg(
       org.apache.spark.sql.graftbridge.Bridge.expression(lit(1L)), "and",
