@@ -397,6 +397,44 @@ object ChDialectBatch14 {
     f("multiSearchFirstIndexCaseInsensitive")(a =>
       firstIndex(lowered(str(a.head)), loweredAll(a(1))))
 
+    // --------------------------------------- trivial-mapping last wave
+    // UTF8-suffixed spellings map to Spark's own code-point machinery;
+    // padLeft/padRight share CH's pad-or-TRUNCATE semantics with
+    // lpad/rpad; subBitmap is a slice of the sorted-distinct #55 form;
+    // byteSize = UTF-8 octet length (non-string args fail at analysis,
+    // loudly — CH's per-type storage sizes are a different contract).
+    f("leftUTF8")(a => Substring(str(a.head), Literal(1),
+      Cast(a(1), IntegerType)))
+    f("rightUTF8") { a =>
+      // substring(s, -n) — guard n = 0, where Spark's -0 means "whole"
+      bind(Cast(a(1), IntegerType), "ru") { n =>
+        If(LessThanOrEqual(n, Literal(0)), Literal(""),
+          Substring(str(a.head), UnaryMinus(n), n))
+      }
+    }
+    f("lowerUTF8")(a => Lower(str(a.head)))
+    f("upperUTF8")(a => Upper(str(a.head)))
+    f("padLeft")(a => StringLPad(str(a.head), Cast(a(1), IntegerType),
+      if (a.length >= 3) str(a(2)) else Literal(" ")))
+    f("padRight")(a => StringRPad(str(a.head), Cast(a(1), IntegerType),
+      if (a.length >= 3) str(a(2)) else Literal(" ")))
+    f("subBitmap")(a => Slice(a.head,
+      Add(Cast(a(1), IntegerType), Literal(1)), Cast(a(2), IntegerType)))
+    f("byteSize")(a => OctetLength(a.head))
+    f("positionCaseInsensitiveUTF8")(a =>
+      StringLocate(Lower(str(a(1))), Lower(str(a.head)), Literal(1)))
+    f("countSubstringsCaseInsensitive") { a =>
+      bind(Lower(str(a(1))), "csci") { needle =>
+        bind(Lower(str(a.head)), "cscih") { hay =>
+          If(EqualTo(Length(needle), Literal(0)), Literal(0L),
+            IntegralDivide(
+              Subtract(Length(hay),
+                Length(StringReplace(hay, needle, Literal("")))),
+              Length(needle)))
+        }
+      }
+    }
+
     // ----------------------------------------------------------- stem
     // stem('en', s): the classic 1980 Porter stemmer as a native
     // kernel (functions/PorterStem; DIVERGENCES #58 — CH links

@@ -1089,6 +1089,11 @@ object DialectQueries {
         |  formatReadableDecimalSize((event_id % 100) * 10000) AS frds,
         |  formatReadableTimeDelta(event_id * 977) AS frtd,
         |  stem('en', event_type) AS stemmed,
+        |  leftUTF8(event_type, 3) AS l3,
+        |  rightUTF8(event_type, 2) AS r2,
+        |  padLeft(event_type, 9, '.') AS pl,
+        |  byteSize(event_type) AS bs,
+        |  countSubstringsCaseInsensitive(upper(event_type), 'e') AS ce,
         |  reverseUTF8(event_type) AS rev,
         |  initcapUTF8(event_type) AS ini,
         |  translateUTF8(event_type, 'aeiou', 'AEIOU') AS tra,
@@ -1295,6 +1300,12 @@ object DialectQueries {
         |    END AS frtd,
         |  CASE event_type WHEN 'purchase' THEN 'purchas'
         |    ELSE event_type END AS stemmed,
+        |  substr(event_type, 1, 3) AS l3,
+        |  right(event_type, 2) AS r2,
+        |  lpad(event_type, 9, '.') AS pl,
+        |  CAST(octet_length(encode(event_type)) AS INT) AS bs,
+        |  CAST(length(event_type) -
+        |    length(replace(lower(event_type), 'e', '')) AS BIGINT) AS ce,
         |  reverse(event_type) AS rev,
         |  upper(substr(event_type, 1, 1)) || lower(substr(event_type, 2))
         |    AS ini,

@@ -155,6 +155,26 @@ class ChDialect14Spec extends AnyFunSuite {
       "array('LLO'))") == 3L)
   }
 
+  test("last-wave trivial mappings: UTF8 left/right/lower/upper, " +
+      "pad-or-truncate, subBitmap slice, byteSize, CI position/count") {
+    assert(one("leftUTF8('ab¢de', 3)") == "ab¢")
+    assert(one("rightUTF8('ab¢de', 2)") == "de")
+    assert(one("rightUTF8('abc', 0)") == "")
+    assert(one("lowerUTF8('AbC')") == "abc")
+    assert(one("upperUTF8('AbC')") == "ABC")
+    assert(one("padLeft('abc', 5)") == "  abc")
+    assert(one("padLeft('abc', 2)") == "ab") // CH pads OR truncates
+    assert(one("padRight('abc', 5, '*')") == "abc**")
+    assert(one("subBitmap(cast(array(1,2,3,4) as array<bigint>), 1, 2)")
+      == Seq(2L, 3L))
+    assert(one("byteSize('a¢')") == 3) // UTF-8 octets
+    assertThrows[Exception](
+      spark.sql("SELECT byteSize(named_struct('a', 1))").collect())
+    assert(one("positionCaseInsensitiveUTF8('HeLLo', 'llo')") == 3)
+    assert(one("countSubstringsCaseInsensitive('aAaA', 'aa')") == 2L)
+    assert(one("countSubstringsCaseInsensitive('abc', '')") == 0L)
+  }
+
   test("formatReadableDecimalSize + formatReadableTimeDelta: pinned " +
       "decomposition, plurals, zero floor, maximum_unit fold, sign") {
     assert(one("formatReadableDecimalSize(999)") == "999.00 B")
