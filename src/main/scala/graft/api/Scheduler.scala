@@ -195,8 +195,18 @@ final class WorkflowScheduler[A] private (
 
   def nextFire(after: Instant): Instant = cron.nextAfter(after)
 
-  private def fire(at: Instant): Unit = {
-    journal.foreach(_.record(name, at, "started"))
+  /** One fire. `claim = true` (normal fires) takes the journal's
+    * cross-process claim — an exclusive-file-lock check-and-append —
+    * and SKIPS the fire if another process already claimed this fire
+    * time; `claim = false` (the interrupted-re-run arm of
+    * [[resumeFrom]]) appends a fresh `started` unconditionally, since
+    * re-attempting an already-journaled fire is the point there.
+    * Returns whether the body ran. */
+  private def fire(at: Instant, claim: Boolean = true): Boolean = {
+    val won =
+      if (claim) journal.forall(_.claim(name, at))
+      else { journal.foreach(_.record(name, at, "started")); true }
+    if (!won) return false
     val result =
       try Right(body())
       catch { case e: Throwable => Left(e) }
@@ -209,40 +219,57 @@ final class WorkflowScheduler[A] private (
     }
     runLog.add(at -> result)
     while (runLog.size > maxLoggedRuns) runLog.remove(0)
+    true
   }
 
   /** Deterministic drive: run every fire in (from, until], no sleeping.
     * Specs use this with a virtual interval; it is also the catch-up
     * semantics a restarted scheduler would apply. Fire times already
-    * attempted per the journal are SKIPPED (exactly-once), so driving
-    * an interval twice — or two processes sharing one journal —
-    * cannot double-fire. */
+    * attempted per the journal are SKIPPED (exactly-once): the upfront
+    * read is the fast path, and each fire re-checks under the
+    * journal's exclusive file lock ([[WorkflowJournal.claim]]), so
+    * driving an interval twice — or two processes sharing one
+    * journal — cannot double-fire. */
   def runBetween(from: Instant, until: Instant): Int = {
     val done = journal.map(_.attempted(name)).getOrElse(Set.empty)
     var t = cron.nextAfter(from)
     var n = 0
     while (!t.isAfter(until) && !stopped) {
-      if (!done.contains(t)) { fire(t); n += 1 }
+      if (!done.contains(t) && fire(t)) n += 1
       t = cron.nextAfter(t)
     }
     n
   }
 
-  /** Restart protocol (requires a journal): re-run fires the journal
-    * shows as interrupted (`started`, no terminal event — the previous
-    * process died mid-body; at-least-once, the Temporal-worker-pickup
-    * analogue), then catch up fire times missed since the last attempt,
-    * bounded by `catchupWindow` back from `now` (Temporal Schedules'
-    * catch-up semantics — a week-long outage of a 5-minute schedule
-    * must not replay 2000 fires unless asked). Returns
-    * (reran, caughtUp). */
-  def resumeFrom(now: Instant,
-      catchupWindow: java.time.Duration): (Int, Int) = {
+  /** Restart protocol (requires a journal), with the interrupted-run
+    * POLICY as an explicit arm (r13 verdict #8; the reference's
+    * Temporal retries an in-flight run whose worker died —
+    * executor.rs:102 — which is `rerunInterrupted = true`):
+    *
+    *  - `rerunInterrupted = true` (default): re-run fires the journal
+    *    shows as interrupted (`started`, no terminal event — the
+    *    previous process died mid-body; at-least-once, the
+    *    Temporal-worker-pickup analogue);
+    *  - `rerunInterrupted = false`: REPORT-ONLY — interrupted fires
+    *    are left as-is (visible via `journal.interrupted(name)`) and
+    *    are never re-run, because their fire times already count as
+    *    attempted. The arm for non-idempotent bodies where a second
+    *    attempt is worse than a hole in the history.
+    *
+    * Then catch up fire times missed since the last attempt, bounded
+    * by `catchupWindow` back from `now` (Temporal Schedules' catch-up
+    * semantics — a week-long outage of a 5-minute schedule must not
+    * replay 2000 fires unless asked). Returns (reran, caughtUp);
+    * report-only always has reran = 0. */
+  def resumeFrom(now: Instant, catchupWindow: java.time.Duration,
+      rerunInterrupted: Boolean = true): (Int, Int) = {
     val j = journal.getOrElse(throw new IllegalStateException(
       s"workflow '$name': resumeFrom needs a journal"))
     val horizon = now.minus(catchupWindow)
-    val rerun = j.interrupted(name).filter(!_.isBefore(horizon))
-    rerun.foreach(fire)
+    val rerun =
+      if (rerunInterrupted) j.interrupted(name).filter(!_.isBefore(horizon))
+      else Nil
+    rerun.foreach(fire(_, claim = false))
     val from = j.lastAttempt(name).filter(!_.isBefore(horizon))
       .getOrElse(horizon)
     (rerun.size, runBetween(from, now))

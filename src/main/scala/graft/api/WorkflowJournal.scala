@@ -1,6 +1,6 @@
 package graft.api
 
-import java.io.{File, FileWriter}
+import java.io.{File, FileOutputStream, RandomAccessFile}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
 import java.time.Instant
@@ -17,20 +17,29 @@ import org.json4s.jackson.JsonMethods
   *
   * One append-only JSONL file per workflow under `dir`: each line is
   * `{"at":<fire epochMs>,"event":"started"|"ok"|"failed"[,"error":…]}`.
-  * The WAL ordering gives the three Temporal-grade properties a
-  * single-process engine can honestly claim:
+  * The WAL ordering gives the three Temporal-grade properties this
+  * engine can honestly claim:
   *
   *  - **history survives restarts** — [[runs]] replays the file;
   *  - **exactly-once per fire time** — `started` is appended BEFORE
   *    the body runs, so a fire time present in the journal is never
-  *    re-fired by a catch-up pass ([[attempted]]);
+  *    re-fired by a catch-up pass ([[attempted]]); across PROCESSES
+  *    sharing one journal, [[claim]] makes the check-and-append atomic
+  *    under an exclusive OS file lock;
   *  - **crash visibility** — a `started` with no terminal event is an
   *    [[interrupted]] run (process died mid-body); restart policy
   *    decides whether to re-run it (at-least-once) or only report it.
   *
+  * Torn-tail tolerance (r13 ADVICE): a crash mid-append leaves a
+  * truncated LAST line — exactly the state the WAL exists to recover
+  * from — so replay SKIPS an unparseable final line instead of
+  * throwing. Corruption anywhere else in the file still throws loudly
+  * (that is damage, not a crash artifact).
+  *
   * Scale note: this is driver-side control flow (the body is what
   * launches distributed jobs); the journal is O(fires), line-appended,
-  * fsynced per event — never a Spark job.
+  * fsynced per event (`FileDescriptor.sync`, so a journaled `started`
+  * survives power loss, not just process death) — never a Spark job.
   */
 final class WorkflowJournal(dir: String) {
   Files.createDirectories(Paths.get(dir))
@@ -41,24 +50,70 @@ final class WorkflowJournal(dir: String) {
     new File(dir, s"$name.jsonl")
   }
 
-  /** Append one event; flushed+synced before returning so a crash
-    * immediately after a `started` still leaves the attempt visible. */
-  def record(name: String, at: Instant, event: String,
-      error: Option[String] = None): Unit = synchronized {
+  private def lineFor(at: Instant, event: String,
+      error: Option[String]): String = {
     val err = error.map(e => s""","error":${graft.JsonText.quote(e)}""")
       .getOrElse("")
-    val line =
-      s"""{"at":${at.toEpochMilli},"event":${graft.JsonText.quote(event)}$err}\n"""
-    val fw = new FileWriter(fileFor(name), UTF_8, true)
-    try { fw.write(line); fw.flush() } finally fw.close()
+    s"""{"at":${at.toEpochMilli},"event":${graft.JsonText.quote(event)}$err}\n"""
   }
 
-  /** Replay: all (fireTime, event, error) rows, file order. */
-  def events(name: String): Seq[(Instant, String, Option[String])] = {
-    val f = fileFor(name)
-    if (!f.exists()) return Nil
-    Files.readAllLines(f.toPath, UTF_8).toArray.toSeq.collect {
-      case l: String if l.trim.nonEmpty =>
+  /** Append one event; flushed AND fd-synced before returning, so a
+    * crash — or power loss — immediately after a `started` still
+    * leaves the attempt visible. */
+  def record(name: String, at: Instant, event: String,
+      error: Option[String] = None): Unit = synchronized {
+    val out = new FileOutputStream(fileFor(name), true)
+    try {
+      out.write(lineFor(at, event, error).getBytes(UTF_8))
+      out.flush()
+      out.getFD.sync()
+    } finally out.close()
+  }
+
+  /** Cross-process exactly-once: under an EXCLUSIVE file lock on the
+    * journal, re-read the attempted fire times and append `started`
+    * only if `at` is not among them. Returns whether this caller won
+    * the claim — two processes sharing one journal cannot both win one
+    * fire time, because the read-check-append sequence holds the lock.
+    *
+    * Within one JVM the instance `synchronized` serializes claims (two
+    * [[WorkflowJournal]] instances over the same dir in one JVM would
+    * hit `OverlappingFileLockException` — share the instance). The
+    * re-read is O(journal); at driver-side fire cadences (the journal
+    * is O(fires), ~40 bytes/line) that is megabytes per year of
+    * 5-minute fires — a non-issue where this runs. */
+  def claim(name: String, at: Instant): Boolean = synchronized {
+    val raf = new RandomAccessFile(fileFor(name), "rw")
+    try {
+      val lock = raf.getChannel.lock()
+      try {
+        val len = raf.length()
+        require(len <= Int.MaxValue, s"journal $name: file too large")
+        val buf = new Array[Byte](len.toInt)
+        raf.readFully(buf)
+        val attempted = parse(name, new String(buf, UTF_8))
+          .collect { case (t, "started", _) => t }.toSet
+        if (attempted.contains(at)) false
+        else {
+          raf.seek(len)
+          raf.write(lineFor(at, "started", None).getBytes(UTF_8))
+          raf.getFD.sync()
+          true
+        }
+      } finally lock.release()
+    } finally raf.close()
+  }
+
+  /** Parse journal text: every non-empty line must be a well-formed
+    * event EXCEPT the last, which a mid-append crash may have torn —
+    * an unparseable FINAL line is skipped, anything else throws. */
+  private def parse(name: String,
+      text: String): Seq[(Instant, String, Option[String])] = {
+    val lines = text.split("\n", -1).toIndexedSeq
+      .zipWithIndex.filter(_._1.trim.nonEmpty)
+    val lastIdx = if (lines.isEmpty) -1 else lines.last._2
+    lines.flatMap { case (l, idx) =>
+      try {
         val j = JsonMethods.parse(l)
         val at = (j \ "at") match {
           case JInt(v) => Instant.ofEpochMilli(v.toLong)
@@ -75,8 +130,22 @@ final class WorkflowJournal(dir: String) {
           case JString(s) => Some(s)
           case _ => None
         }
-        (at, ev, err)
+        Seq((at, ev, err))
+      } catch {
+        case e: Exception =>
+          if (idx == lastIdx) Nil // torn tail from a mid-append crash
+          else throw new IllegalStateException(
+            s"journal $name: corrupt line ${idx + 1} (not the tail — " +
+              s"not a crash artifact): $l", e)
+      }
     }
+  }
+
+  /** Replay: all (fireTime, event, error) rows, file order. */
+  def events(name: String): Seq[(Instant, String, Option[String])] = {
+    val f = fileFor(name)
+    if (!f.exists()) return Nil
+    parse(name, new String(Files.readAllBytes(f.toPath), UTF_8))
   }
 
   /** Fire times with a `started` record — never re-fire these. */

@@ -61,9 +61,15 @@ object FileEngine {
   /** One JSON token per column: strings/timestamps/dates through
     * Spark's JSON writer (proper escaping) by rendering a one-element
     * array and stripping its brackets; numerics/booleans as bare
-    * tokens; NULL → `null`. */
-  private def jsonToken(c: Column, dt: org.apache.spark.sql.types.DataType)
-      : Column = {
+    * tokens; NULL → `null`. Double/Float NaN and ±Infinity have no
+    * JSON token — they render as `null`, CH's own default stance for
+    * denormals in JSON formats (output_format_json_quote_denormals=0).
+    * Non-primitive columns (array/struct/map/binary) are REJECTED
+    * loudly at write time (r13 ADVICE #4): their cast-to-string forms
+    * are not valid JSON tokens and would silently null out on read —
+    * render them yourself (`to_json`, `hex`) into a string column. */
+  private def jsonToken(c: Column, name: String,
+      dt: org.apache.spark.sql.types.DataType): Column = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     dt match {
@@ -71,7 +77,19 @@ object FileEngine {
         // to_json(array(x)) = `["escaped"]` → strip the brackets
         val arr = to_json(org.apache.spark.sql.functions.array(c))
         arr.substr(lit(2), length(arr) - 2)
-      case _ => coalesce(c.cast(StringType), lit("null"))
+      case FloatType | DoubleType =>
+        coalesce(
+          when(isnan(c) || abs(c) === lit(Double.PositiveInfinity),
+            lit("null")).otherwise(c.cast(StringType)),
+          lit("null"))
+      case ByteType | ShortType | IntegerType | LongType | BooleanType
+           | _: DecimalType =>
+        coalesce(c.cast(StringType), lit("null"))
+      case other => throw new IllegalArgumentException(
+        s"JSONCompactEachRow: column '$name' has type ${other.sql} — " +
+          "only string/timestamp/date/boolean/numeric columns render " +
+          "as valid JSON tokens; convert it first (to_json for " +
+          "arrays/structs/maps, hex or base64 for binary)")
     }
   }
 
@@ -109,7 +127,8 @@ object FileEngine {
       mode: String = "overwrite"): Unit = format match {
     case JsonCompactEachRow =>
       import org.apache.spark.sql.functions.{col, concat, concat_ws, lit}
-      val tokens = df.schema.fields.map(f => jsonToken(col(f.name), f.dataType))
+      val tokens = df.schema.fields.map(f =>
+        jsonToken(col(f.name), f.name, f.dataType))
       val line = concat(lit("["), concat_ws(",", tokens.toSeq: _*), lit("]"))
       val w = df.select(line.as("value")).write.format("text").mode(mode)
       compression.fold(w)(c => w.option("compression", c)).save(path)

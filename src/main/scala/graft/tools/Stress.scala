@@ -118,8 +118,19 @@ object Stress {
       Tables.load(spark, sfDir, "documents"), Seq("doc_id")) { (d, i) =>
       d.withColumn("text", regexp_replace(col("text"), " ", s" s$i "))
     }
-    time("minhash-LSH near-dup (salted copies, dup-rate preserved)") {
-      Dedup.minhashDedupPairs(docsSalted, "doc_id", "text").count()
+    // Both gate shapes, SAME session (r13 verdict #5): the statistics
+    // gate would pick broadcast here (500k docs at 100x is under the 2M
+    // ceiling) — forcing Some(false) measures the SHUFFLE_HASH build the
+    // gate falls back to on a dense crawl, against the broadcast shape
+    // as the within-session control. The q1-shape probe above is the
+    // contention sentinel for both.
+    time("minhash-LSH broadcast-candidates shape (salted copies)") {
+      Dedup.minhashDedupPairs(docsSalted, "doc_id", "text",
+        broadcastCandidates = Some(true)).count()
+    }
+    time("minhash-LSH shuffle-hash past-gate shape (same inputs)") {
+      Dedup.minhashDedupPairs(docsSalted, "doc_id", "text",
+        broadcastCandidates = Some(false)).count()
     }
     // SimHash pair ENUMERATION is not stressable on this corpus: the
     // synthetic bag-of-words docs share vocabulary and frequencies, so

@@ -1,0 +1,24 @@
+package graft
+
+import graft.api.{WfTask, Workflow, WorkflowJournal, WorkflowScheduler}
+import java.time.Instant
+
+/** Forked-JVM crash fixture for SchedulerSpec's end-to-end restart-policy
+  * test (r13 verdict #8): starts one journaled fire and `Runtime.halt`s
+  * MID-BODY — after the WAL's `started`, before any terminal event —
+  * which is the exact state a killed worker leaves. The parent spec then
+  * replays the journal and asserts both [[WorkflowScheduler.resumeFrom]]
+  * policy arms. args: (journalDir). Exits 0 only if the halt somehow
+  * didn't happen (the spec asserts the nonzero code). */
+object CrashMain {
+  def main(args: Array[String]): Unit = {
+    val j = new WorkflowJournal(args(0))
+    val sched = new WorkflowScheduler[Int]("killed_wf", "0 * * * *", 1,
+      Seq(WfTask[Int, Int]("halt") { _ =>
+        Runtime.getRuntime.halt(137) // kill -9 semantics: no finally, no WAL
+        0
+      }), Some(j))
+    sched.runBetween(Instant.parse("2026-08-12T00:30:00Z"),
+      Instant.parse("2026-08-12T01:00:00Z"))
+  }
+}

@@ -85,6 +85,39 @@ class EngineIoSpec extends AnyFunSuite {
     }
   }
 
+  test("S9 JSONCompactEachRow type contract: denormals render as JSON " +
+      "null (CH default stance); non-primitive columns refuse loudly") {
+    import org.apache.spark.sql.types._
+    val s = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true),
+      StructField("b", BooleanType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, Double.NaN, true),
+        org.apache.spark.sql.Row(2L, Double.PositiveInfinity, false),
+        org.apache.spark.sql.Row(3L, Double.NegativeInfinity, null),
+        org.apache.spark.sql.Row(4L, 2.5, true))), s)
+    val d = tmp("s9jcden")
+    FileEngine.write(df, d, FileFormat.JsonCompactEachRow)
+    // every emitted line is VALID JSON (the r13 ADVICE failure mode was
+    // bare NaN tokens that silently nulled the whole row on read)
+    val raw = spark.read.text(d).collect().map(_.getString(0)).sorted
+    assert(raw.toSeq == Seq("[1,null,true]", "[2,null,false]",
+      "[3,null,null]", "[4,2.5,true]"))
+    val back = FileEngine.read(spark, d, FileFormat.JsonCompactEachRow,
+      Some(s)).orderBy("id").collect()
+    assert(back(3).getDouble(1) == 2.5 && back(0).isNullAt(1))
+    assert(back(0).getBoolean(2) && !back(1).getBoolean(2))
+    // arrays/structs/binary have no token rendering — refuse at write
+    val bad = spark.range(2).select(col("id"),
+      array(lit(1), lit(2)).as("arr"))
+    val e = intercept[IllegalArgumentException] {
+      FileEngine.write(bad, tmp("s9jcbad"), FileFormat.JsonCompactEachRow)
+    }
+    assert(e.getMessage.contains("'arr'") && e.getMessage.contains("to_json"))
+  }
+
   test("S10: file queue streams each new file exactly once") {
     val dir = tmp("s10queue")
     val out = tmp("s10out")

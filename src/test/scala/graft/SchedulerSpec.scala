@@ -226,4 +226,87 @@ class SchedulerSpec extends AnyFunSuite {
     assert(j.interrupted("crash_wf").isEmpty)
     assert(fired.size == 3)
   }
+
+  test("journal: torn final line (mid-append crash) is skipped on replay; " +
+      "mid-file corruption still throws") {
+    import graft.api.WorkflowJournal
+    val dir = java.nio.file.Files.createTempDirectory("wfj3")
+    val j = new WorkflowJournal(dir.toString)
+    j.record("torn_wf", at("2026-08-12T00:00:00Z"), "started")
+    j.record("torn_wf", at("2026-08-12T00:00:00Z"), "ok")
+    // crash mid-append: a truncated trailing line, no newline
+    val f = dir.resolve("torn_wf.jsonl")
+    java.nio.file.Files.write(f, "{\"at\":17550".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    // replay tolerates the tail: recovery is NOT blocked (r13 ADVICE #1)
+    assert(j.events("torn_wf").size == 2)
+    assert(j.attempted("torn_wf") == Set(at("2026-08-12T00:00:00Z")))
+    assert(j.interrupted("torn_wf").isEmpty)
+    // and the next append simply continues the file; the torn fragment
+    // plus the new line form ONE corrupt line that is again the tail
+    j.record("torn_wf", at("2026-08-12T01:00:00Z"), "started")
+    assert(j.events("torn_wf").size == 2)
+    // corruption in the MIDDLE is damage, not a crash artifact: loud
+    java.nio.file.Files.write(f,
+      "{\"at\":1755000000000,\"event\":\"ok\"}\n".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val e = intercept[IllegalStateException] { j.events("torn_wf") }
+    assert(e.getMessage.contains("corrupt line"))
+  }
+
+  test("journal: claim() is first-winner-only per fire time (the " +
+      "cross-process double-fire lock)") {
+    import graft.api.WorkflowJournal
+    val dir = java.nio.file.Files.createTempDirectory("wfj4").toString
+    val j = new WorkflowJournal(dir)
+    val t0 = at("2026-08-12T00:00:00Z")
+    assert(j.claim("claim_wf", t0))
+    assert(!j.claim("claim_wf", t0)) // second claimant loses
+    assert(j.claim("claim_wf", at("2026-08-12T01:00:00Z"))) // new time wins
+    assert(j.attempted("claim_wf").size == 2)
+    // a scheduler driving an already-claimed time fires nothing
+    val fired = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val sched = new WorkflowScheduler[Int]("claim_wf", "0 * * * *", 7,
+      Seq(WfTask[Int, Int]("track") { v => fired += v; v }), Some(j))
+    assert(sched.runBetween(at("2026-08-11T23:30:00Z"), t0) == 0)
+    assert(fired.isEmpty)
+  }
+
+  test("journal e2e: a fire killed MID-BODY (forked JVM, Runtime.halt) " +
+      "is interrupted; resumeFrom honors both policy arms") {
+    import graft.api.WorkflowJournal
+    val dir = java.nio.file.Files.createTempDirectory("wfj5").toString
+    // fork a JVM that starts the fire and halts after the WAL 'started'
+    val p = new ProcessBuilder("java", "-cp",
+      sys.props("java.class.path"), "graft.CrashMain", dir)
+      .redirectErrorStream(true).start()
+    assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS),
+      "CrashMain did not exit")
+    assert(p.exitValue() == 137, s"expected halt(137), got ${p.exitValue()}")
+
+    val j = new WorkflowJournal(dir)
+    val t0 = at("2026-08-12T01:00:00Z")
+    assert(j.attempted("killed_wf") == Set(t0))
+    assert(j.runs("killed_wf").isEmpty) // no terminal event — died mid-body
+    assert(j.interrupted("killed_wf") == Seq(t0))
+
+    val fired = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def mk() = new WorkflowScheduler[Int]("killed_wf", "0 * * * *", 7,
+      Seq(WfTask[Int, Int]("track") { v => fired += v; v }), Some(j))
+    // arm 1 — REPORT-ONLY: the interrupted fire is not re-run (its fire
+    // time already counts as attempted), catch-up proceeds past it
+    val (r1, c1) = mk().resumeFrom(at("2026-08-12T02:30:00Z"),
+      java.time.Duration.ofHours(12), rerunInterrupted = false)
+    assert(r1 == 0 && c1 == 1) // caught up 02:00 only
+    assert(fired.size == 1)
+    assert(j.interrupted("killed_wf") == Seq(t0)) // still visible, reported
+    // arm 2 — RE-RUN (default, the Temporal-retry analogue): the
+    // interrupted fire runs again and gains a terminal event
+    val (r2, c2) = mk().resumeFrom(at("2026-08-12T02:30:00Z"),
+      java.time.Duration.ofHours(12))
+    assert(r2 == 1 && c2 == 0)
+    assert(fired.size == 2)
+    assert(j.interrupted("killed_wf").isEmpty)
+    assert(j.runs("killed_wf").map(_._1).contains(t0))
+  }
 }
