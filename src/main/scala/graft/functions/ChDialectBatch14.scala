@@ -222,6 +222,15 @@ object ChDialectBatch14 {
     sipBytes(buf)
   }
 
+  /** SipHash-2-4 of a numeric's fixed-width little-endian layout —
+    * CH's rule for numeric args (the second half of DIVERGENCES #27:
+    * `sipHash64(42::Int32)` hashes the 4 bytes 2a 00 00 00, not the
+    * text "42"). `bits` carries the value's raw bits (float/double via
+    * floatToRawIntBits/doubleToRawLongBits), `width` its CH byte
+    * count. Dispatched by [[ChAnyHashExpr]]. */
+  def sipHash64Fixed(bits: Long, width: Int): Long =
+    sipBytes(CityHash102.packLe(bits, width))
+
   private def sipBytes(data: Array[Byte]): Long = {
     var v0 = 0x736f6d6570736575L; var v1 = 0x646f72616e646f6dL
     var v2 = 0x6c7967656e657261L; var v3 = 0x7465646279746573L

@@ -23,8 +23,9 @@ import org.apache.spark.sql.types._
   * re-registered here.
   *
   * Documented divergences (DIVERGENCES.md):
-  *  - `sipHash64`/`intHash64` → xxhash64 (different hash, same role —
-  *    like cityHash64 in batch 1);
+  *  - `sipHash64`/`intHash64`: EXACT since round 13 (SipHash-2-4 and
+  *    fmix64 kernels, ChDialectBatch14); round 14 added the numeric
+  *    fixed-width-layout rule, retiring the #27 residual;
   *  - `arrayElement` out-of-range → NULL (CH returns the type's default
   *    value; under ANSI Spark the strict form would throw);
   *  - `arraySum`/`arrayAvg` always return Double;
@@ -329,14 +330,16 @@ object ChDialectExtras {
     f("base64Decode")(a => Cast(UnBase64(a.head), StringType))
     // Round 13: REAL SipHash-2-4 (k0 = k1 = 0, CH's default key) and
     // the real intHash64 fmix — native ChDialectBatch14 kernels, so
-    // values are CH-bit-compatible for string args (closing the
-    // sipHash64/intHash64 half of DIVERGENCES #27; Guava-pinned in
-    // ChDialect14Spec). Multi-arg uses CH's combine: each arg hashed,
-    // then pairwise sip(16-byte LE (prev, next)). Non-string args are
-    // hashed via their string form (CH hashes the binary layout —
-    // documented residual for numerics in #27).
+    // values are CH-bit-compatible (Guava-pinned in ChDialect14Spec /
+    // CityHashSpec). Multi-arg uses CH's combine: each arg hashed,
+    // then pairwise sip(16-byte LE (prev, next)). Round 14 closed the
+    // numeric half of DIVERGENCES #27: ChAnyHashExpr dispatches on the
+    // RESOLVED arg type — strings hash their UTF-8 bytes, fixed-width
+    // numerics their little-endian layout (CH's rule); unsupported
+    // types fail at analysis with a remedy instead of silently
+    // string-hashing.
     f("sipHash64")(a =>
-      a.map(x => ChHashExpr(Cast(x, StringType), "sipHash64"): Expression)
+      a.map(x => ChAnyHashExpr(x, "sipHash64"): Expression)
         .reduceLeft((h, n) => SipCombineExpr(h, n)))
     f("intHash64")(a => IntHash64Expr(Cast(a.head, LongType)))
 

@@ -1,0 +1,315 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CityHash64, version 1.0.2 — the EXACT variant ClickHouse pins for
+  * `cityHash64` (and for SAMPLE BY expressions like the reference's
+  * olapTable.ts:205-208 `sampleByExpression: "cityHash64(id)"`).
+  * Retires the last hash stand-in (DIVERGENCES #4): rounds 1-12 mapped
+  * cityHash64 → xxhash64 (same role, different values); round 13
+  * proved the exact-kernel pattern with SipHash-2-4, this closes the
+  * city half.
+  *
+  * The algorithm is Google's public CityHash v1.0.2 (Pike & Alakuijala,
+  * MIT license — re-implemented here from the published algorithm, not
+  * copied): per-length small-string mixers (0-16, 17-32, 33-64 bytes)
+  * over little-endian word fetches and the Hash128to64 murmur-style
+  * fold, plus a 64-byte-chunk loop carrying 56 bytes of state for long
+  * input. v1.0.2 specifics that differ from the later v1.1 (which CH
+  * deliberately does NOT use, to keep stored sample keys stable): the
+  * k3 constant still exists, HashLen17to32/33to64 use the fixed-kMul
+  * HashLen16 (no per-length `mul`), and the long-input seed state
+  * starts from Fetch64(s) rather than Fetch64(s + len - 40).
+  *
+  * Multi-arg combine is CH's: `Hash128to64(uint128(h_prev, h_next))`
+  * (FunctionsHashing combineHashes for cityHash64). Numeric args hash
+  * their FIXED-WIDTH LITTLE-ENDIAN layout (CH hashes the column's
+  * in-memory bytes: Int32 → 4 bytes, Int64/Float64 → 8, Float32 → 4,
+  * UInt8/Bool → 1), which [[ChAnyHashExpr]] implements for both this
+  * kernel and sipHash64 — the numeric half of DIVERGENCES #27.
+  *
+  * Verification: CityHashSpec pins the derivable empty-string constant
+  * (k2 — CH's `cityHash64('')` = 11160318154034397263), cross-checks
+  * every length 0..200 (+ chunk-boundary and multi-KiB lengths) against
+  * an INDEPENDENT BigInt mod-2^64 re-implementation written from the
+  * published algorithm, and pins the fixed-width packing against Guava
+  * byte-level hashing for the sip side.
+  */
+object CityHash102 {
+  private val k0 = 0xc3a5c85c97cb3127L
+  private val k1 = 0xb492b66fbe98f273L
+  private val k2 = 0x9ae16a3b2f90404fL
+  private val k3 = 0xc949d7c7509e6557L
+  private val kMul = 0x9ddfea08eb382d69L
+
+  @inline private def fetch64(d: Array[Byte], i: Int): Long =
+    (d(i) & 0xffL) | ((d(i + 1) & 0xffL) << 8) | ((d(i + 2) & 0xffL) << 16) |
+      ((d(i + 3) & 0xffL) << 24) | ((d(i + 4) & 0xffL) << 32) |
+      ((d(i + 5) & 0xffL) << 40) | ((d(i + 6) & 0xffL) << 48) |
+      ((d(i + 7) & 0xffL) << 56)
+
+  @inline private def fetch32(d: Array[Byte], i: Int): Long =
+    (d(i) & 0xffL) | ((d(i + 1) & 0xffL) << 8) | ((d(i + 2) & 0xffL) << 16) |
+      ((d(i + 3) & 0xffL) << 24)
+
+  // Rotate(v, 0) is the identity in the reference (guarded); Java's
+  // rotateRight(v, 0) == v, so one intrinsic serves both Rotate and
+  // RotateByAtLeast1.
+  @inline private def rot(v: Long, shift: Int): Long =
+    java.lang.Long.rotateRight(v, shift)
+
+  @inline private def shiftMix(v: Long): Long = v ^ (v >>> 47)
+
+  /** Hash128to64: the murmur-inspired 128→64 fold (kMul constant). Also
+    * CH's combineHashes step for multi-arg `cityHash64`. */
+  def hash128to64(lo: Long, hi: Long): Long = {
+    var a = (lo ^ hi) * kMul
+    a ^= (a >>> 47)
+    var b = (hi ^ a) * kMul
+    b ^= (b >>> 47)
+    b * kMul
+  }
+
+  @inline private def hashLen16(u: Long, v: Long): Long = hash128to64(u, v)
+
+  private def hashLen0to16(d: Array[Byte], len: Int): Long =
+    if (len > 8) {
+      val a = fetch64(d, 0)
+      val b = fetch64(d, len - 8)
+      hashLen16(a, rot(b + len, len)) ^ b
+    } else if (len >= 4) {
+      val a = fetch32(d, 0)
+      hashLen16(len + (a << 3), fetch32(d, len - 4))
+    } else if (len > 0) {
+      val a = d(0) & 0xff
+      val b = d(len >> 1) & 0xff
+      val c = d(len - 1) & 0xff
+      val y = (a + (b << 8)).toLong & 0xffffffffL
+      val z = (len + (c << 2)).toLong & 0xffffffffL
+      shiftMix(y * k2 ^ z * k3) * k2
+    } else k2
+
+  private def hashLen17to32(d: Array[Byte], len: Int): Long = {
+    val a = fetch64(d, 0) * k1
+    val b = fetch64(d, 8)
+    val c = fetch64(d, len - 8) * k2
+    val e = fetch64(d, len - 16) * k0
+    hashLen16(rot(a - b, 43) + rot(c, 30) + e,
+      a + rot(b ^ k3, 20) - c + len)
+  }
+
+  private def hashLen33to64(d: Array[Byte], len: Int): Long = {
+    var z = fetch64(d, 24)
+    var a = fetch64(d, 0) + (len + fetch64(d, len - 16)) * k0
+    var b = rot(a + z, 52)
+    var c = rot(a, 37)
+    a += fetch64(d, 8)
+    c += rot(a, 7)
+    a += fetch64(d, 16)
+    val vf = a + z
+    val vs = b + rot(a, 31) + c
+    a = fetch64(d, 16) + fetch64(d, len - 32)
+    z = fetch64(d, len - 8)
+    b = rot(a + z, 52)
+    c = rot(a, 37)
+    a += fetch64(d, len - 24)
+    c += rot(a, 7)
+    a += fetch64(d, len - 16)
+    val wf = a + z
+    val ws = b + rot(a, 31) + c
+    val r = shiftMix((vf + ws) * k2 + (wf + vs) * k0)
+    shiftMix(r * k0 + vs) * k2
+  }
+
+  /** WeakHashLen32WithSeeds over d[i, i+32): returns the (first,
+    * second) pair packed as two longs via the out-array (avoids a
+    * tuple allocation per 64-byte chunk). */
+  @inline private def weak(d: Array[Byte], i: Int, a0: Long, b0: Long,
+      out: Array[Long]): Unit = {
+    val w = fetch64(d, i)
+    val x = fetch64(d, i + 8)
+    val y = fetch64(d, i + 16)
+    val z = fetch64(d, i + 24)
+    var a = a0 + w
+    var b = rot(b0 + a + z, 21)
+    val c = a
+    a += x
+    a += y
+    b += rot(a, 44)
+    out(0) = a + z
+    out(1) = b + c
+  }
+
+  /** CityHash64 v1.0.2 over raw bytes. */
+  def hashBytes(d: Array[Byte]): Long = {
+    val len = d.length
+    if (len <= 16) hashLen0to16(d, len)
+    else if (len <= 32) hashLen17to32(d, len)
+    else if (len <= 64) hashLen33to64(d, len)
+    else {
+      // 56 bytes of state: v, w, x, y, z; hash the end first.
+      val v = new Array[Long](2)
+      val w = new Array[Long](2)
+      var x = fetch64(d, 0)
+      var y = fetch64(d, len - 16) ^ k1
+      var z = fetch64(d, len - 56) ^ k0
+      weak(d, len - 64, len.toLong, y, v)
+      weak(d, len - 32, len.toLong * k1, k0, w)
+      z += shiftMix(v(1)) * k1
+      x = rot(z + x, 39) * k1
+      y = rot(y, 33) * k1
+      // loop over 64-byte chunks of the first (len-1) & ~63 bytes
+      var n = (len - 1) & ~63
+      var s = 0
+      while (n != 0) {
+        x = rot(x + y + v(0) + fetch64(d, s + 16), 37) * k1
+        y = rot(y + v(1) + fetch64(d, s + 48), 42) * k1
+        x ^= w(1)
+        y ^= v(0)
+        z = rot(z ^ w(0), 33)
+        val va = v(1) * k1
+        val vb = x + w(0)
+        val wa = z + w(1)
+        weak(d, s, va, vb, v)
+        weak(d, s + 32, wa, y, w)
+        val t = z; z = x; x = t
+        s += 64
+        n -= 64
+      }
+      hashLen16(hashLen16(v(0), w(0)) + shiftMix(y) * k1 + z,
+        hashLen16(v(1), w(1)) + x)
+    }
+  }
+
+  /** CityHash64 of a string's UTF-8 bytes (codegen kernel). */
+  def cityHash64(s: UTF8String): Long = hashBytes(s.getBytes)
+
+  /** The `width` low bytes of `bits`, little-endian — CH's in-memory
+    * layout for a fixed-width numeric (Int32 → 4, Int64/Float64 raw
+    * bits → 8, Float32 raw bits → 4, UInt8/Bool → 1). */
+  def packLe(bits: Long, width: Int): Array[Byte] = {
+    val out = new Array[Byte](width)
+    var i = 0
+    while (i < width) { out(i) = ((bits >>> (8 * i)) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  /** CityHash64 of a numeric's fixed-width LE layout (codegen kernel). */
+  def cityHash64Fixed(bits: Long, width: Int): Long =
+    hashBytes(packLe(bits, width))
+}
+
+/** Type-dispatching single-arg hash node for the CH kernels whose
+  * semantics depend on the ARGUMENT type (DIVERGENCES #27 numeric
+  * half): a string hashes its UTF-8 bytes; a fixed-width numeric
+  * hashes its little-endian binary layout — `sipHash64(42::Int32)` is
+  * SipHash of the 4 bytes 2a 00 00 00, not of the text "42". Types
+  * with no CH fixed-width layout here (timestamps, decimals, arrays)
+  * fail at ANALYSIS with a remedy, never silently string-hash.
+  * `kernel` ∈ {"sipHash64", "cityHash64"}. One static call per row —
+  * projection stays in whole-stage codegen. */
+case class ChAnyHashExpr(child: Expression, kernel: String)
+    extends UnaryExpression {
+  require(kernel == "sipHash64" || kernel == "cityHash64",
+    s"unknown hash kernel '$kernel'")
+  override def dataType: DataType = LongType
+
+  /** CH fixed-width byte count per Spark type; -1 = UTF-8 string path. */
+  private def width(dt: DataType): Int = dt match {
+    case StringType => -1
+    case BooleanType | ByteType => 1
+    case ShortType => 2
+    case IntegerType | FloatType => 4
+    case LongType | DoubleType => 8
+    case other => throw new IllegalStateException(s"unsupported $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BooleanType | ByteType | ShortType | IntegerType |
+         FloatType | LongType | DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$kernel expects STRING or a fixed-width numeric (CH hashes a " +
+        s"numeric's little-endian byte layout), got ${other.sql} — cast " +
+        "to a numeric width explicitly, or toString(x) for text semantics")
+  }
+
+  /** Value → the long whose low `width` bytes are the CH layout. */
+  private def bitsOf(v: Any): Long = child.dataType match {
+    case BooleanType => if (v.asInstanceOf[Boolean]) 1L else 0L
+    case ByteType => v.asInstanceOf[Byte].toLong
+    case ShortType => v.asInstanceOf[Short].toLong
+    case IntegerType => v.asInstanceOf[Int].toLong
+    case LongType => v.asInstanceOf[Long]
+    case FloatType =>
+      java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float]).toLong
+    case DoubleType =>
+      java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double])
+    case other => throw new IllegalStateException(s"unsupported $other")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val w = width(child.dataType)
+    kernel match {
+      case "sipHash64" =>
+        if (w < 0) ChDialectBatch14.sipHash64(v.asInstanceOf[UTF8String])
+        else ChDialectBatch14.sipHash64Fixed(bitsOf(v), w)
+      case _ =>
+        if (w < 0) CityHash102.cityHash64(v.asInstanceOf[UTF8String])
+        else CityHash102.cityHash64Fixed(bitsOf(v), w)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls =
+        if (kernel == "sipHash64")
+          ChDialectBatch14.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        else CityHash102.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val w = width(child.dataType)
+      if (w < 0) s"${ev.value} = $cls.$kernel($c);"
+      else {
+        val bits = child.dataType match {
+          case BooleanType => s"($c ? 1L : 0L)"
+          case FloatType => s"(long) java.lang.Float.floatToRawIntBits($c)"
+          case DoubleType => s"java.lang.Double.doubleToRawLongBits($c)"
+          case _ => s"(long) $c"
+        }
+        s"${ev.value} = $cls.${kernel}Fixed($bits, $w);"
+      }
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ChAnyHashExpr = copy(child = newChild)
+  override def prettyName: String = kernel
+}
+
+/** CH multi-arg cityHash64 combine: `Hash128to64(uint128(prev, next))`
+  * — the FunctionsHashing combineHashes for the city family (the sip
+  * family's [[SipCombineExpr]] instead re-hashes 16 packed bytes). */
+case class CityCombineExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (BIGINT, BIGINT), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    CityHash102.hash128to64(l.asInstanceOf[Long], r.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val cls = CityHash102.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.hash128to64($l, $r);"
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CityCombineExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cityHash64Combine"
+}

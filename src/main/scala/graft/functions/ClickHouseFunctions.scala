@@ -19,8 +19,12 @@ import org.apache.spark.sql.types._
   *
   * Census of call sites: ref templates/ + examples/ SQL usage
   * (ref packages/ts-moose-lib/src/sqlHelpers.ts passthrough). Documented
-  * divergences: cityHash64 → xxhash64 (different hash, same role);
-  * toStartOfWeek → ISO Monday start (CH default mode 0 is Sunday).
+  * divergences: toStartOfWeek → ISO Monday start (CH default mode 0 is
+  * Sunday). cityHash64 is EXACT since round 14 — the real CityHash
+  * v1.0.2 kernel ([[CityHash102]]; retired DIVERGENCES #4), string args
+  * over UTF-8 bytes, numerics over their fixed-width LE layout,
+  * multi-arg via CH's Hash128to64 combine — so SAMPLE BY / ORDER BY
+  * keys (ref olapTable.ts:205-208) are value-compatible with CH.
   */
 object ClickHouseFunctions {
 
@@ -43,7 +47,14 @@ object ClickHouseFunctions {
     def toInt32(c: Column): Column = c.cast(IntegerType)
     def toInt64(c: Column): Column = c.cast(LongType)
     def toFloat64(c: Column): Column = c.cast(DoubleType)
-    def cityHash64(cols: Column*): Column = xxhash64(cols: _*)
+    /** EXACT CityHash v1.0.2 (CH's pinned version — see
+      * [[CityHash102]]); multi-column via CH's Hash128to64 combine. */
+    def cityHash64(cols: Column*): Column = {
+      val b = org.apache.spark.sql.graftbridge.Bridge
+      b.column(cols.map(c => ChAnyHashExpr(b.expression(c),
+          "cityHash64"): Expression)
+        .reduceLeft((h, n) => CityCombineExpr(h, n)))
+    }
     /** Exact integral division (double-based `(a/b).cast(long)` loses
       * precision above 2^53 and disagrees with the SQL-registered shim). */
     def intDiv(a: Column, b: Column): Column =
@@ -118,7 +129,9 @@ object ClickHouseFunctions {
     f("toInt32")(a => Cast(a.head, IntegerType))
     f("toInt64")(a => Cast(a.head, LongType))
     f("toFloat64")(a => Cast(a.head, DoubleType))
-    f("cityHash64")(a => XxHash64(a, 42L))
+    f("cityHash64")(a =>
+      a.map(x => ChAnyHashExpr(x, "cityHash64"): Expression)
+        .reduceLeft((h, n) => CityCombineExpr(h, n)))
     f("intDiv")(a => IntegralDivide(a.head, a(1)))
     f("has")(a => ArrayContains(a.head, a(1)))
     // CH arg order arrayMap(lambda, arr) → Spark transform(arr, lambda)

@@ -1048,7 +1048,12 @@ object DialectQueries {
   /** Batch-14 driver row: murmur family (native reference-algorithm
     * kernels — values restated by the oracle as per-event-type
     * constants derived from an INDEPENDENT re-implementation, and
-    * pinned against commons-codec in ChDialect14Spec), 2-D Hilbert
+    * pinned against commons-codec in ChDialect14Spec), round-14 exact
+    * cityHash64 (CityHash v1.0.2 kernel, multi-arg Hash128to64
+    * combine) and the numeric fixed-width-LE-layout rule for
+    * sipHash64/cityHash64 over Int32/Int64/Float64 args (CityHashSpec
+    * pins both against a BigInt reference impl + Guava byte hashing;
+    * the oracle restates them as per-value constants), 2-D Hilbert
     * curve (first-order cells via the pinned orientation CASE +
     * full-range encode/decode round trip), the multiSearch tail
     * (DuckDB replays with list lambdas over strpos), parseReadableSize
@@ -1065,6 +1070,12 @@ object DialectQueries {
         |  murmurHash3_32(event_type) AS mm3_32,
         |  murmurHash3_64(event_type) AS mm3_64,
         |  sipHash64(event_type) AS sip,
+        |  cityHash64(event_type) AS city,
+        |  cityHash64(event_type, 'x') AS city2,
+        |  cityHash64(toInt32(user_id % 8)) AS cityi32,
+        |  sipHash64(toInt32(user_id % 8)) AS sipi32,
+        |  sipHash64(user_id % 8) AS sipi64,
+        |  sipHash64(toFloat64(user_id % 8) / 2) AS sipf64,
         |  intHash64(user_id % 8) AS ih,
         |  hilbertEncode(event_id % 2, user_id % 2) AS h1,
         |  cast(hilbertDecode(2, hilbertEncode(event_id % 100000,
@@ -1242,6 +1253,48 @@ object DialectQueries {
         |    WHEN 'signup' THEN 5372010287702062741
         |    WHEN 'error' THEN 7655885760067449837
         |    ELSE -8251503053727364538 END AS sip,
+        |  CASE event_type WHEN 'click' THEN -2695493811536384646
+        |    WHEN 'view' THEN 8207258920196207762
+        |    WHEN 'signup' THEN -6185945410262495867
+        |    WHEN 'error' THEN -2711431268356205767
+        |    ELSE -5877509870744455871 END AS city,
+        |  CASE event_type WHEN 'click' THEN -1061507919324323615
+        |    WHEN 'view' THEN 2589877896293838780
+        |    WHEN 'signup' THEN 1456513861616756154
+        |    WHEN 'error' THEN -4133066886441948708
+        |    ELSE 4176997501488559389 END AS city2,
+        |  CASE user_id % 8 WHEN 0 THEN 6190510477577565117
+        |    WHEN 1 THEN 463069014307918310
+        |    WHEN 2 THEN 7606845153866026667
+        |    WHEN 3 THEN -4431081828824611647
+        |    WHEN 4 THEN 4385176438006001061
+        |    WHEN 5 THEN 2281002389597347307
+        |    WHEN 6 THEN 6282538659329121783
+        |    ELSE -3829272230098866619 END AS cityi32,
+        |  CASE user_id % 8 WHEN 0 THEN 8932149140933809816
+        |    WHEN 1 THEN -4731535696261528523
+        |    WHEN 2 THEN -5519465098313081750
+        |    WHEN 3 THEN -1347833110307788911
+        |    WHEN 4 THEN 2194951766058402334
+        |    WHEN 5 THEN -8669303196836810227
+        |    WHEN 6 THEN 2286651114536788558
+        |    ELSE 7006962453833983669 END AS sipi32,
+        |  CASE user_id % 8 WHEN 0 THEN -1708578691874937497
+        |    WHEN 1 THEN -9222028817708589218
+        |    WHEN 2 THEN -4760325697709127167
+        |    WHEN 3 THEN -4199509873246364550
+        |    WHEN 4 THEN -5194939270079617520
+        |    WHEN 5 THEN -3992184945872526844
+        |    WHEN 6 THEN -3598724563137032283
+        |    ELSE -5266307502576358416 END AS sipi64,
+        |  CASE user_id % 8 WHEN 0 THEN -1708578691874937497
+        |    WHEN 1 THEN -3234232892963893831
+        |    WHEN 2 THEN 3177009167758079239
+        |    WHEN 3 THEN -6272346991004286848
+        |    WHEN 4 THEN -9061945788765169134
+        |    WHEN 5 THEN 3077741333373958167
+        |    WHEN 6 THEN -3571753808664163023
+        |    ELSE -3543048687259126050 END AS sipf64,
         |  CASE user_id % 8 WHEN 0 THEN 0
         |    WHEN 1 THEN -5451962507482445012
         |    WHEN 2 THEN 4233148493373801447
