@@ -376,10 +376,40 @@ object ChDialectBatch10 {
       If(EqualTo(p, Literal("")), dflt, Cast(p, IntegerType))
     }
     // firstSignificantSubdomain: the label left of the effective TLD.
-    // CH embeds a real public-suffix list; this engine carries the
-    // short generic set {com, net, org, co, gov, edu} as second-level
-    // markers (documented in DIVERGENCES.md) — enough for the generic
-    // and ccTLD-with-generic-second-level shapes (x.com, x.com.tr).
+    // CH embeds a real public-suffix list; by DEFAULT this engine
+    // carries the short generic set {com, net, org, co, gov, edu} as
+    // second-level markers (documented in DIVERGENCES.md #48) — enough
+    // for the generic and ccTLD-with-generic-second-level shapes
+    // (x.com, x.com.tr). Round 14 makes the PSL PLUGGABLE: an optional
+    // second argument `array('co.uk', 'com.tr', …)` of literal
+    // effective-TLD suffixes gives EXACT PSL semantics over the
+    // caller's data — longest (deepest) matching suffix wins, hosts
+    // under an unlisted TLD fall back to the single-label rule. The
+    // suffix set is compiled into the expression at build time (a
+    // literal CASE ladder — no join, no broadcast, stays in codegen;
+    // real PSLs are ~9k rules, which is literal-expression-sized).
+    def litStringArray(e: Expression, fn: String): Seq[String] = e match {
+      case CreateArray(items, _) => items.map {
+        case Literal(s, StringType) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$fn: suffix array must be string literals, got $other")
+      }
+      case Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+          ArrayType(StringType, _)) =>
+        (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected a literal array of suffixes, got $other")
+    }
+    // (branch list, fallback-depth pair) for a caller-supplied PSL:
+    // deepest suffix first, each branch yielding its label depth
+    def pslBranches(host: Expression, suffixes: Seq[String])
+        : Seq[(Expression, Int)] =
+      suffixes.distinct
+        .sortBy(s => (-s.count(_ == '.'), s))
+        .map { s =>
+          val depth = s.split(Pattern.quote(".")).length
+          (EndsWith(host, Literal("." + s)): Expression, depth)
+        }
     val secondLevel = Seq("com", "net", "org", "co", "gov", "edu")
     def labelFromEnd(host: Expression, i: Int): Expression =
       ElementAt(StringSplit(host, Literal(Pattern.quote(".")), Literal(-1)),
@@ -395,21 +425,49 @@ object ChDialectBatch10 {
       (deep, nLabels)
     }
     f("firstSignificantSubdomain") { a =>
-      val host = hostOf(a.head)
-      val (deep, nLabels) = fssdDepth(host)
-      CaseWhen(Seq(
-        (deep, labelFromEnd(host, 3)),
-        (GreaterThanOrEqual(nLabels, Literal(2)), labelFromEnd(host, 2))),
-        Some(host))
+      if (a.length >= 2) {
+        val sfx = litStringArray(a(1), "firstSignificantSubdomain")
+        bind(hostOf(a.head), "fsd") { host =>
+          val nLabels = Size(
+            StringSplit(host, Literal(Pattern.quote(".")), Literal(-1)))
+          val psl = pslBranches(host, sfx).map { case (cond, depth) =>
+            (cond, labelFromEnd(host, depth + 1))
+          }
+          CaseWhen(psl :+ ((GreaterThanOrEqual(nLabels, Literal(2)),
+            labelFromEnd(host, 2)): (Expression, Expression)), Some(host))
+        }
+      } else {
+        val host = hostOf(a.head)
+        val (deep, nLabels) = fssdDepth(host)
+        CaseWhen(Seq(
+          (deep, labelFromEnd(host, 3)),
+          (GreaterThanOrEqual(nLabels, Literal(2)), labelFromEnd(host, 2))),
+          Some(host))
+      }
     }
     f("cutToFirstSignificantSubdomain") { a =>
-      val host = hostOf(a.head)
-      val (deep, nLabels) = fssdDepth(host)
-      CaseWhen(Seq(
-        (deep, SubstringIndex(host, Literal("."), Literal(-3))),
-        (GreaterThanOrEqual(nLabels, Literal(2)),
-          SubstringIndex(host, Literal("."), Literal(-2)))),
-        Some(host))
+      if (a.length >= 2) {
+        val sfx = litStringArray(a(1), "cutToFirstSignificantSubdomain")
+        bind(hostOf(a.head), "cfsd") { host =>
+          val nLabels = Size(
+            StringSplit(host, Literal(Pattern.quote(".")), Literal(-1)))
+          val psl = pslBranches(host, sfx).map { case (cond, depth) =>
+            (cond, SubstringIndex(host, Literal("."),
+              Literal(-(depth + 1))): Expression)
+          }
+          CaseWhen(psl :+ ((GreaterThanOrEqual(nLabels, Literal(2)),
+            SubstringIndex(host, Literal("."), Literal(-2)))
+            : (Expression, Expression)), Some(host))
+        }
+      } else {
+        val host = hostOf(a.head)
+        val (deep, nLabels) = fssdDepth(host)
+        CaseWhen(Seq(
+          (deep, SubstringIndex(host, Literal("."), Literal(-3))),
+          (GreaterThanOrEqual(nLabels, Literal(2)),
+            SubstringIndex(host, Literal("."), Literal(-2)))),
+          Some(host))
+      }
     }
     f("extractURLParameterNames") { a =>
       val qs = queryOf(a.head)

@@ -29,17 +29,25 @@ import org.apache.spark.sql.types._
   *  - `UUIDStringToNum(s)` / `UUIDNumToString(b)` — canonical-text
   *    bytes <-> 36-char form (lowercase out, dash positions pinned);
   *  - `normalizeQuery(q)` / `normalizedQueryHash(q)` — literal scrub
-  *    (quoted strings, then standalone numbers → `?`); the hash is
-  *    xxhash64 of the normalized text (the #4 cityHash spelling);
+  *    (quoted strings, then standalone numbers → `?`); since round 14
+  *    the hash is the EXACT SipHash-2-4 kernel over the normalized
+  *    text (CH hashes the normalized query with SipHash) — the
+  *    remaining #53 divergence is the NORMALIZER subset only (CH
+  *    normalizes on its own SQL lexer; ours is the pinned two-regex
+  *    scrub, so texts the two normalizers rewrite identically hash
+  *    identically);
   *  - `ngramMinHash(s[, n, k])` / `wordShingleMinHash(s[, size, k])` —
   *    CH's near-dup fingerprint pair `tuple(h1, h2)`: h1 folds the k
   *    SMALLEST distinct shingle hashes, h2 the k largest (both in
-  *    ascending order); shingle hash and fold are xxhash64 (#4 — CH
-  *    uses internal sipHash/cityHash kernels, so values diverge but the
-  *    fingerprint CONTRACT — equal text ⇒ equal tuple, shared shingles
-  *    ⇒ shared extremes — is the same). The heavy-duty near-dup path
-  *    stays [[graft.operators.Dedup]]'s banded MinHash-LSH; these are
-  *    the row-local fingerprint SPELLINGS.
+  *    ascending order); since round 14 the shingle hash is the exact
+  *    SipHash-2-4 kernel and the fold is CH's 16-byte-LE sip combine
+  *    (was xxhash64 — the retired #4/#27 stand-in). The residual #53
+  *    divergence is construction details CH does not document as API
+  *    (its shingle iterator/fold internals); the fingerprint CONTRACT
+  *    — equal text ⇒ equal tuple, shared shingles ⇒ shared extremes —
+  *    is spec- and oracle-pinned. The heavy-duty near-dup path stays
+  *    [[graft.operators.Dedup]]'s banded MinHash-LSH; these are the
+  *    row-local fingerprint SPELLINGS.
   *
   * All builders are linear in their argument (lambda variables are the
   * only repeated references — the AnalyzerBudgetSpec budget holds);
@@ -84,7 +92,7 @@ object ChDialectBatch12 {
     def foldK(sorted: Expression): Expression = ArrayAggregate(
       Slice(sorted, Literal(1), Literal(k)),
       Literal(0L),
-      lambda2("mhp")((acc, h) => new XxHash64(Seq(acc, h))),
+      lambda2("mhp")((acc, h) => SipCombineExpr(acc, h)),
       lambda1("mhpf")(identity))
     bind(new SortArray(ArrayDistinct(shingles)), "mh") { sorted =>
       ns("_1" -> foldK(sorted),
@@ -157,7 +165,8 @@ object ChDialectBatch12 {
         RegExpReplace(q, Literal("'(?:[^'\\\\]|\\\\.)*'"), Literal("?")),
         Literal("(?<![\\w?])-?\\d+(?:\\.\\d+)?(?![\\w?])"), Literal("?"))
     f("normalizeQuery")(a => normalized(a.head))
-    f("normalizedQueryHash")(a => new XxHash64(Seq(normalized(a.head))))
+    f("normalizedQueryHash")(a =>
+      ChAnyHashExpr(normalized(a.head), "sipHash64"))
 
     // -------------------------------------- MinHash fingerprint pair
     f("ngramMinHash") { a =>
@@ -171,8 +180,8 @@ object ChDialectBatch12 {
           Literal.create(Array.empty[Long], ArrayType(LongType)),
           ArrayTransform(
             new Sequence(Literal(1), cnt, Some(Literal(1))),
-            lambda1("ngi")(i =>
-              new XxHash64(Seq(Substring(s, i, Literal(n)))))))
+            lambda1("ngi")(i => ChAnyHashExpr(
+              Substring(s, i, Literal(n)), "sipHash64"))))
         minHashPair(grams, k)
       }
     }
@@ -189,8 +198,9 @@ object ChDialectBatch12 {
           Literal.create(Array.empty[Long], ArrayType(LongType)),
           ArrayTransform(
             new Sequence(Literal(1), cnt, Some(Literal(1))),
-            lambda1("wsi")(i => new XxHash64(Seq(ArrayJoin(
-              Slice(toks, i, Literal(size)), Literal(" "), None))))))
+            lambda1("wsi")(i => ChAnyHashExpr(ArrayJoin(
+              Slice(toks, i, Literal(size)), Literal(" "), None),
+              "sipHash64"))))
         minHashPair(grams, k)
       }
     }

@@ -55,18 +55,149 @@ import org.apache.spark.sql.types._
   */
 object GroupBitmap {
 
+  /** Open-addressing primitive long set (r13 verdict #6 — replaces
+    * `java.util.HashSet[java.lang.Long]`, which costs one boxed node
+    * object per distinct value per group; at 100 TB group
+    * cardinalities that constant factor is ~4× the state memory and
+    * all of it GC pressure). Linear probing over a power-of-2 table
+    * of raw longs, fmix64 spread, 0 as the empty-slot sentinel with
+    * an explicit zero flag, ≤0.5 load factor, and Knuth backward-shift
+    * deletion (no tombstones — XOR toggles need real removal). The
+    * aggregate's serialized wire form is unchanged: sorted values
+    * through the same DataOutputStream layout. */
+  final class LongOpenHashSet(initialCapacity: Int = 16) {
+    private var cap = {
+      var c = 8
+      while (c < initialCapacity) c <<= 1
+      c
+    }
+    private var table = new Array[Long](cap)
+    private var mask = cap - 1
+    private var hasZero = false
+    private var n = 0 // non-zero element count
+
+    @inline private def spread(x: Long): Int = {
+      var h = x
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33
+      (h & mask).toInt
+    }
+
+    def size: Int = n + (if (hasZero) 1 else 0)
+
+    def isEmpty: Boolean = size == 0
+
+    def contains(x: Long): Boolean =
+      if (x == 0L) hasZero
+      else {
+        var i = spread(x)
+        while (table(i) != 0L && table(i) != x) i = (i + 1) & mask
+        table(i) == x
+      }
+
+    /** Returns true if the value was newly added. */
+    def add(x: Long): Boolean =
+      if (x == 0L) {
+        val fresh = !hasZero; hasZero = true; fresh
+      } else {
+        var i = spread(x)
+        while (table(i) != 0L && table(i) != x) i = (i + 1) & mask
+        if (table(i) == x) false
+        else {
+          table(i) = x
+          n += 1
+          if ((n << 1) > cap) grow()
+          true
+        }
+      }
+
+    /** Returns true if the value was present. Backward-shift deletion
+      * keeps probe chains intact without tombstones. */
+    def remove(x: Long): Boolean =
+      if (x == 0L) {
+        val had = hasZero; hasZero = false; had
+      } else {
+        var i = spread(x)
+        while (table(i) != 0L && table(i) != x) i = (i + 1) & mask
+        if (table(i) == 0L) false
+        else {
+          var hole = i
+          var j = i
+          var done = false
+          while (!done) {
+            j = (j + 1) & mask
+            val y = table(j)
+            if (y == 0L) { table(hole) = 0L; done = true }
+            else {
+              val k = spread(y)
+              // y may fill the hole iff its home slot k is NOT
+              // cyclically inside (hole, j]
+              val between =
+                if (hole < j) k > hole && k <= j
+                else k > hole || k <= j
+              if (!between) { table(hole) = y; hole = j }
+            }
+          }
+          n -= 1
+          true
+        }
+      }
+
+    private def grow(): Unit = {
+      val old = table
+      cap <<= 1
+      mask = cap - 1
+      table = new Array[Long](cap)
+      n = 0
+      var i = 0
+      while (i < old.length) {
+        if (old(i) != 0L) add(old(i))
+        i += 1
+      }
+    }
+
+    def foreach(f: Long => Unit): Unit = {
+      if (hasZero) f(0L)
+      var i = 0
+      while (i < table.length) {
+        if (table(i) != 0L) f(table(i))
+        i += 1
+      }
+    }
+
+    def addAll(other: LongOpenHashSet): Unit = other.foreach { x => add(x); () }
+
+    /** Keep only values present in `other` (the AND combine). */
+    def retainAll(other: LongOpenHashSet): Unit = {
+      if (hasZero && !other.hasZero) hasZero = false
+      var i = 0
+      while (i < table.length) {
+        val x = table(i)
+        if (x != 0L && !other.contains(x)) {
+          remove(x)
+          // backward shift may have pulled a value INTO slot i —
+          // re-examine it before advancing
+          i -= 1
+        }
+        i += 1
+      }
+    }
+
+    def toSortedArray: Array[Long] = {
+      val out = new Array[Long](size)
+      var i = 0
+      foreach { x => out(i) = x; i += 1 }
+      java.util.Arrays.sort(out)
+      out
+    }
+  }
+
   /** Aggregation state: a distinct-value set + the AND identity flag. */
   final class BitmapBuffer(
       var init: Boolean,
-      val set: java.util.HashSet[java.lang.Long]) {
-    def sortedValues: Array[Long] = {
-      val arr = new Array[Long](set.size)
-      val it = set.iterator()
-      var i = 0
-      while (it.hasNext) { arr(i) = it.next(); i += 1 }
-      java.util.Arrays.sort(arr)
-      arr
-    }
+      val set: LongOpenHashSet) {
+    def sortedValues: Array[Long] = set.toSortedArray
   }
 
   // ---------------------------------------------------------- Column API
@@ -159,7 +290,7 @@ case class GroupBitmapAgg(
   }
 
   override def createAggregationBuffer(): GroupBitmap.BitmapBuffer =
-    new GroupBitmap.BitmapBuffer(false, new java.util.HashSet[java.lang.Long]())
+    new GroupBitmap.BitmapBuffer(false, new GroupBitmap.LongOpenHashSet())
 
   private def inputValues(v: Any): Array[Long] = v match {
     case arr: ArrayData =>
@@ -180,7 +311,8 @@ case class GroupBitmapAgg(
     child.eval(input) match {
       case null => () // CH aggregate semantics: NULL rows are skipped
       case v if op == "build" =>
-        buf.set.add(v.asInstanceOf[java.lang.Number].longValue()); buf.init = true
+        buf.set.add(v.asInstanceOf[java.lang.Number].longValue())
+        buf.init = true
       case v =>
         val vals = inputValues(v)
         op match {
@@ -188,14 +320,15 @@ case class GroupBitmapAgg(
           case "and" =>
             if (!buf.init) { vals.foreach(buf.set.add(_)); buf.init = true }
             else {
-              val incoming = new java.util.HashSet[java.lang.Long](vals.length)
+              val incoming =
+                new GroupBitmap.LongOpenHashSet(vals.length * 2)
               vals.foreach(incoming.add(_))
-              buf.set.retainAll(incoming); ()
+              buf.set.retainAll(incoming)
             }
           case "xor" =>
             // toggle each DISTINCT incoming value (a bitmap holds a
             // value once; dedupe defends hand-built arrays)
-            val seen = new java.util.HashSet[java.lang.Long](vals.length)
+            val seen = new GroupBitmap.LongOpenHashSet(vals.length * 2)
             vals.foreach { x =>
               if (seen.add(x)) { if (!buf.set.remove(x)) buf.set.add(x); () }
             }
@@ -212,10 +345,8 @@ case class GroupBitmapAgg(
       else if (!a.init) { a.set.addAll(b.set); a.init = true; a }
       else { a.set.retainAll(b.set); a }
     case "xor" =>
-      val it = b.set.iterator()
-      while (it.hasNext) {
-        val x = it.next()
-        if (!a.set.remove(x)) a.set.add(x)
+      b.set.foreach { x =>
+        if (!a.set.remove(x)) { a.set.add(x); () }
       }
       a.init = a.init || b.init; a
     case _ => // build / or: union
@@ -242,7 +373,7 @@ case class GroupBitmapAgg(
       new java.io.ByteArrayInputStream(bytes))
     val init = in.readBoolean()
     val n = in.readInt()
-    val set = new java.util.HashSet[java.lang.Long](math.max(n * 2, 16))
+    val set = new GroupBitmap.LongOpenHashSet(math.max(n * 2, 16))
     var i = 0
     while (i < n) { set.add(in.readLong()); i += 1 }
     new GroupBitmap.BitmapBuffer(init, set)

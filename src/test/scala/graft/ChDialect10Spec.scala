@@ -163,6 +163,35 @@ class ChDialect10Spec extends AnyFunSuite {
     assert(one("queryStringAndFragment('https://a.com/x?q=1')") == "q=1")
   }
 
+  test("pluggable public-suffix list (#48): caller-supplied suffixes give " +
+      "exact PSL semantics; deepest suffix wins; unlisted TLDs fall back") {
+    val psl = "array('co.uk', 'gov.uk', 'com.tr', 'k12.tr', 'api.gov.uk')"
+    // co.uk / gov.uk shapes — the exact cases the generic marker set
+    // (which has no 'uk' rules) gets WRONG without caller data
+    assert(one(s"firstSignificantSubdomain('https://www.bbc.co.uk/news', $psl)")
+      == "bbc")
+    assert(one(s"cutToFirstSignificantSubdomain('https://www.bbc.co.uk/x', $psl)")
+      == "bbc.co.uk")
+    assert(one(s"firstSignificantSubdomain('https://data.api.gov.uk/v1', $psl)")
+      == "data") // deepest suffix (api.gov.uk) wins over gov.uk
+    assert(one(s"firstSignificantSubdomain('https://hmrc.gov.uk/', $psl)")
+      == "hmrc")
+    assert(one(s"firstSignificantSubdomain('https://news.click.com.tr/x', $psl)")
+      == "click")
+    // unlisted TLD → single-label fallback (PSL default rule '*')
+    assert(one(s"firstSignificantSubdomain('https://www.example.com/', $psl)")
+      == "example")
+    assert(one(s"cutToFirstSignificantSubdomain('https://www.example.com/', $psl)")
+      == "example.com")
+    assert(one(s"firstSignificantSubdomain('https://localhost/x', $psl)")
+      == "localhost")
+    // non-literal suffix arrays refuse loudly (the set compiles into
+    // the expression — it must be build-time data)
+    assertThrows[Exception](spark.sql(
+      "SELECT firstSignificantSubdomain('https://a.co.uk/', array(netloc('x')))")
+      .collect())
+  }
+
   test("geohashEncode/geohashDecode: canonical strings, cell-center " +
       "decode, round trip") {
     // the two canonical public examples

@@ -74,6 +74,12 @@ class ChDialect12Spec extends AnyFunSuite {
       "normalizedQueryHash('SELECT 250')") == true)
     assert(one("normalizedQueryHash('SELECT 1') = " +
       "normalizedQueryHash('SELECT a')") == false)
+    // round 14 (#53 narrowing): the hash is the EXACT SipHash-2-4
+    // kernel over the normalized text — value-pinned via the
+    // Guava-verified kernel on the scrubbed form
+    assert(one("normalizedQueryHash('SELECT 1')") ==
+      graft.functions.ChDialectBatch14.sipHash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString("SELECT ?")))
   }
 
   test("ngramMinHash/wordShingleMinHash: fingerprint contract — " +
@@ -91,6 +97,17 @@ class ChDialect12Spec extends AnyFunSuite {
       == true)
     // k larger than the distinct-shingle count still folds (short slice)
     assert(one("ngramMinHash('abcd', 3, 64)._1").isInstanceOf[Long])
+    // round 14 (#53 narrowing): shingle hash and fold are the EXACT
+    // sip kernels — a single-shingle fingerprint is value-derivable as
+    // sipCombine(0, sipHash64(shingle))
+    assert(one("ngramMinHash('ab', 2, 1)._1") ==
+      graft.functions.ChDialectBatch14.sipCombine(0L,
+        graft.functions.ChDialectBatch14.sipHash64(
+          org.apache.spark.unsafe.types.UTF8String.fromString("ab"))))
+    assert(one("wordShingleMinHash('xy', 1, 1)._2") ==
+      graft.functions.ChDialectBatch14.sipCombine(0L,
+        graft.functions.ChDialectBatch14.sipHash64(
+          org.apache.spark.unsafe.types.UTF8String.fromString("xy"))))
     // h1 (min lane) and h2 (max lane) differ when > k shingles exist
     assert(one("ngramMinHash('the quick brown fox jumped')._1 = " +
       "ngramMinHash('the quick brown fox jumped')._2") == false)

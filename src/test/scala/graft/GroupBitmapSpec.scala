@@ -164,4 +164,46 @@ class GroupBitmapSpec extends AnyFunSuite {
     val merged = agg.merge(back, untouched)
     assert(merged.sortedValues.toSeq == Seq(2L, 4L))
   }
+
+  test("LongOpenHashSet differential: random add/remove/contains against " +
+      "java.util.HashSet (r14 primitive-state swap, wire form unchanged)") {
+    val prim = new graft.functions.GroupBitmap.LongOpenHashSet()
+    val ref = new java.util.HashSet[java.lang.Long]()
+    var seed = 0x9e3779b97f4a7c15L
+    def next(): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      seed
+    }
+    for (step <- 0 until 20000) {
+      val op = (next() >>> 60).toInt // 0..15
+      // small value domain (0..255) so collisions, re-adds, removals of
+      // absent values, AND the zero sentinel all exercise constantly
+      val v = (next() >>> 56) & 0xff
+      if (op < 10) assert(prim.add(v) == ref.add(v), s"add $v @ $step")
+      else if (op < 14)
+        assert(prim.remove(v) == ref.remove(v), s"remove $v @ $step")
+      else assert(prim.contains(v) == ref.contains(v), s"contains $v @ $step")
+      if (step % 1000 == 0) {
+        assert(prim.size == ref.size, s"size @ $step")
+        val expect = ref.toArray(Array.empty[java.lang.Long])
+          .map(_.longValue).sorted.toSeq
+        assert(prim.toSortedArray.toSeq == expect, s"sorted @ $step")
+      }
+    }
+    assert(prim.size == ref.size)
+    // wide-value pass: full 64-bit keys incl. Long.MinValue / zero
+    val prim2 = new graft.functions.GroupBitmap.LongOpenHashSet(4)
+    val wide = Seq(0L, Long.MinValue, Long.MaxValue, -1L, 1L << 62, next())
+    wide.foreach(x => assert(prim2.add(x)))
+    wide.foreach(x => assert(prim2.contains(x)))
+    assert(prim2.toSortedArray.toSeq == wide.sorted)
+    assert(prim2.remove(0L) && !prim2.contains(0L) && !prim2.remove(0L))
+    // retainAll drives the backward-shift + in-place rescan path
+    val a = new graft.functions.GroupBitmap.LongOpenHashSet()
+    val b = new graft.functions.GroupBitmap.LongOpenHashSet()
+    (0L until 600L).foreach(a.add)
+    (0L until 600L by 3).foreach(b.add)
+    a.retainAll(b)
+    assert(a.toSortedArray.toSeq == (0L until 600L by 3).toSeq)
+  }
 }
