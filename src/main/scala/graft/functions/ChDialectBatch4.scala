@@ -27,8 +27,10 @@ import org.apache.spark.sql.types._
   * type adaptation is spelled with `Cast` and literal inspection only.
   *
   * Dialect stances (DIVERGENCES.md):
-  *  - `farmHash64`/`halfMD5` → xxhash64, same role/different values as
-  *    cityHash64/sipHash64 (#4/#27);
+  *  - `farmFingerprint64`/`halfMD5`: EXACT since round 14 (FarmHash
+  *    na::Hash64 kernel Guava-pinned; first-8-MD5-bytes big-endian);
+  *    `farmHash64` (farmhashxo — a different function) remains an
+  *    xxhash64 stand-in, no in-jar pin exists (#4 residual);
   *  - `quantileExact`/`quantilesExact` resolve to the exact INTERPOLATED
   *    percentile and `quantileTDigest` to Spark's approx_percentile
   *    sketch (#23's quantile-family stance);
@@ -389,10 +391,22 @@ object ChDialectBatch4 {
       BitwiseXor(Cast(a(0), LongType), Cast(a(1), LongType))), LongType))
 
     // ------------------------------------------------ hashes and UUIDs
-    // same stance as cityHash64/sipHash64 (DIVERGENCES #4/#27): stable
-    // 64-bit hash in the same role, different values than CH
+    // Round 14: farmFingerprint64 and halfMD5 are EXACT — FarmHash
+    // na::Hash64 (Guava-pinned in FarmHashSpec: Guava ships the same
+    // Fingerprint64) and first-8-MD5-bytes-big-endian on the JDK
+    // digest; both take the fixed-width-LE numeric rule via
+    // ChAnyHashExpr and combine multi-arg the CH way (Hash128to64 /
+    // MD5 over packed pair). farmHash64 (farmhashxo, a DIFFERENT
+    // function than Fingerprint64) keeps the stand-in stance — no
+    // in-jar reference implementation exists to pin it against
+    // (DIVERGENCES #4 residual note).
+    f("farmFingerprint64")(a =>
+      a.map(x => ChAnyHashExpr(x, "farmFingerprint64"): Expression)
+        .reduceLeft((h, n) => CityCombineExpr(h, n)))
+    f("halfMD5")(a =>
+      a.map(x => ChAnyHashExpr(x, "halfMD5"): Expression)
+        .reduceLeft((h, n) => HalfMd5CombineExpr(h, n)))
     f("farmHash64")(a => XxHash64(a, 42L))
-    f("halfMD5")(a => XxHash64(a, 42L))
     f("generateUUIDv4")(_ => Uuid())
 
     // --------------------------------------------- quantile spellings

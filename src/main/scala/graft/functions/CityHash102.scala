@@ -210,12 +210,13 @@ object CityHash102 {
   * SipHash of the 4 bytes 2a 00 00 00, not of the text "42". Types
   * with no CH fixed-width layout here (timestamps, decimals, arrays)
   * fail at ANALYSIS with a remedy, never silently string-hash.
-  * `kernel` ∈ {"sipHash64", "cityHash64"}. One static call per row —
-  * projection stays in whole-stage codegen. */
+  * `kernel` ∈ {"sipHash64", "cityHash64", "farmFingerprint64",
+  * "halfMD5"}. One static call per row — projection stays in
+  * whole-stage codegen. */
 case class ChAnyHashExpr(child: Expression, kernel: String)
     extends UnaryExpression {
-  require(kernel == "sipHash64" || kernel == "cityHash64",
-    s"unknown hash kernel '$kernel'")
+  require(Set("sipHash64", "cityHash64", "farmFingerprint64", "halfMD5")
+    .contains(kernel), s"unknown hash kernel '$kernel'")
   override def dataType: DataType = LongType
 
   /** CH fixed-width byte count per Spark type; -1 = UTF-8 string path. */
@@ -257,6 +258,12 @@ case class ChAnyHashExpr(child: Expression, kernel: String)
       case "sipHash64" =>
         if (w < 0) ChDialectBatch14.sipHash64(v.asInstanceOf[UTF8String])
         else ChDialectBatch14.sipHash64Fixed(bitsOf(v), w)
+      case "farmFingerprint64" =>
+        if (w < 0) FarmHashNa.farmFingerprint64(v.asInstanceOf[UTF8String])
+        else FarmHashNa.farmFingerprint64Fixed(bitsOf(v), w)
+      case "halfMD5" =>
+        if (w < 0) FarmHashNa.halfMD5(v.asInstanceOf[UTF8String])
+        else FarmHashNa.halfMD5Fixed(bitsOf(v), w)
       case _ =>
         if (w < 0) CityHash102.cityHash64(v.asInstanceOf[UTF8String])
         else CityHash102.cityHash64Fixed(bitsOf(v), w)
@@ -266,10 +273,11 @@ case class ChAnyHashExpr(child: Expression, kernel: String)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val cls =
-        if (kernel == "sipHash64")
-          ChDialectBatch14.getClass.getName.stripSuffix("$") + "$.MODULE$"
-        else CityHash102.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val cls = (kernel match {
+        case "sipHash64" => ChDialectBatch14.getClass
+        case "farmFingerprint64" | "halfMD5" => FarmHashNa.getClass
+        case _ => CityHash102.getClass
+      }).getName.stripSuffix("$") + "$.MODULE$"
       val w = width(child.dataType)
       if (w < 0) s"${ev.value} = $cls.$kernel($c);"
       else {
@@ -312,4 +320,29 @@ case class CityCombineExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CityCombineExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "cityHash64Combine"
+}
+
+/** CH multi-arg halfMD5 combine: MD5 over the 16-byte LE (prev, next)
+  * layout — the sip-family pack-and-rehash pattern. */
+case class HalfMd5CombineExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (BIGINT, BIGINT), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    FarmHashNa.halfMd5Combine(l.asInstanceOf[Long], r.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val cls = FarmHashNa.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.halfMd5Combine($l, $r);"
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HalfMd5CombineExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "halfMD5Combine"
 }

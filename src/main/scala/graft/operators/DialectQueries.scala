@@ -225,7 +225,8 @@ object DialectQueries {
         |  cast(bitTest(doc_id, 3) as bigint) AS bt,
         |  bitTestAny(doc_id, 0, 1) AS bta,
         |  bitHammingDistance(doc_id, n_chars) AS bhd,
-        |  (farmHash64(lang) = halfMD5(lang)) AS fh_ok,
+        |  (farmHash64(lang) = farmHash64(lang)
+        |    AND NOT farmFingerprint64(lang) = halfMD5(lang)) AS fh_ok,
         |  round(exp2(cast(doc_id % 8 as double)), 4) AS e2,
         |  cast(intExp2(doc_id % 16) as bigint) AS ie2
         |FROM docs_d4 ORDER BY doc_id LIMIT 300""".stripMargin)
@@ -1076,6 +1077,9 @@ object DialectQueries {
         |  sipHash64(toInt32(user_id % 8)) AS sipi32,
         |  sipHash64(user_id % 8) AS sipi64,
         |  sipHash64(toFloat64(user_id % 8) / 2) AS sipf64,
+        |  farmFingerprint64(event_type) AS farm,
+        |  farmFingerprint64(toInt32(user_id % 8)) AS farmi32,
+        |  halfMD5(event_type) AS hmd5,
         |  intHash64(user_id % 8) AS ih,
         |  hilbertEncode(event_id % 2, user_id % 2) AS h1,
         |  cast(hilbertDecode(2, hilbertEncode(event_id % 100000,
@@ -1295,6 +1299,24 @@ object DialectQueries {
         |    WHEN 5 THEN 3077741333373958167
         |    WHEN 6 THEN -3571753808664163023
         |    ELSE -3543048687259126050 END AS sipf64,
+        |  CASE event_type WHEN 'click' THEN -6046498257540727388
+        |    WHEN 'view' THEN -453052929350098818
+        |    WHEN 'signup' THEN -8083230799531190323
+        |    WHEN 'error' THEN -2930355123193607683
+        |    ELSE 6542628937658930946 END AS farm,
+        |  CASE user_id % 8 WHEN 0 THEN -470600885322160961
+        |    WHEN 1 THEN 7601041269982238804
+        |    WHEN 2 THEN 6706320920252439311
+        |    WHEN 3 THEN 2681491882390849628
+        |    WHEN 4 THEN -601936896161254990
+        |    WHEN 5 THEN -2259736796076314196
+        |    WHEN 6 THEN -5646244605248982713
+        |    ELSE 456183119178236718 END AS farmi32,
+        |  CASE event_type WHEN 'click' THEN -6291533040762181473
+        |    WHEN 'view' THEN 2007058364010149464
+        |    WHEN 'signup' THEN 9019231404019925920
+        |    WHEN 'error' THEN -3792576182363734401
+        |    ELSE -8801200107718431667 END AS hmd5,
         |  CASE user_id % 8 WHEN 0 THEN 0
         |    WHEN 1 THEN -5451962507482445012
         |    WHEN 2 THEN 4233148493373801447
