@@ -219,10 +219,16 @@ class ChDialect4Spec extends AnyFunSuite {
   }
 
   test("hash spellings and UUID") {
-    // same divergence stance as cityHash64: stable, same role (xxhash64's
-    // builtin default seed is the same 42 the batch-1 hashes pin)
+    // farmHash64 (farmhashxo) keeps the stand-in stance (#4 residual —
+    // xxhash64's builtin default seed is the same 42 the batch-1 pins)
     assert(one("farmHash64('x') = xxhash64('x')") == true)
-    assert(one("halfMD5('x') = farmHash64('x')") == true)
+    // round 14: halfMD5 is EXACT — first 8 MD5 bytes read big-endian
+    // (value-derivable from Spark's own md5 hex)
+    assert(one("halfMD5('x')") == java.lang.Long.parseUnsignedLong(
+      spark.sql("SELECT substring(md5('x'), 1, 16)").head.getString(0), 16))
+    // farmFingerprint64 is EXACT (FarmHash na::Hash64, Guava-pinned in
+    // FarmHashSpec) and is NOT the farmhashxo farmHash64
+    assert(one("farmFingerprint64('x') = farmHash64('x')") == false)
     assert(str("generateUUIDv4()").matches(
       "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
   }
