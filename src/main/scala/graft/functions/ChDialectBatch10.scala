@@ -385,9 +385,13 @@ object ChDialectBatch10 {
     // effective-TLD suffixes gives EXACT PSL semantics over the
     // caller's data — longest (deepest) matching suffix wins, hosts
     // under an unlisted TLD fall back to the single-label rule. The
-    // suffix set is compiled into the expression at build time (a
-    // literal CASE ladder — no join, no broadcast, stays in codegen;
-    // real PSLs are ~9k rules, which is literal-expression-sized).
+    // suffix set is compiled into the expression at build time — no
+    // join, no broadcast. Scale shape: suffixes GROUP BY LABEL DEPTH
+    // (one branch per depth, deepest first, ≤ a handful for any real
+    // PSL), each branch an `In(last-d-labels, <literals>)` that the
+    // optimizer turns into an O(1) hash-set probe (InSet) — so a full
+    // ~9k-rule PSL costs 4-5 set probes per row, not 9k string
+    // comparisons, and never leaves whole-stage codegen.
     def litStringArray(e: Expression, fn: String): Seq[String] = e match {
       case CreateArray(items, _) => items.map {
         case Literal(s, StringType) if s != null => s.toString
@@ -400,15 +404,21 @@ object ChDialectBatch10 {
       case other => throw new IllegalArgumentException(
         s"$fn: expected a literal array of suffixes, got $other")
     }
-    // (branch list, fallback-depth pair) for a caller-supplied PSL:
-    // deepest suffix first, each branch yielding its label depth
-    def pslBranches(host: Expression, suffixes: Seq[String])
-        : Seq[(Expression, Int)] =
+    // (branch condition, matched depth) pairs for a caller-supplied
+    // PSL: one branch per suffix DEPTH (deepest first), condition =
+    // host has > depth labels AND its last `depth` labels are in that
+    // depth's suffix set (In over literals → InSet hash probe)
+    def pslBranches(host: Expression, nLabels: Expression,
+        suffixes: Seq[String]): Seq[(Expression, Int)] =
       suffixes.distinct
-        .sortBy(s => (-s.count(_ == '.'), s))
-        .map { s =>
-          val depth = s.split(Pattern.quote(".")).length
-          (EndsWith(host, Literal("." + s)): Expression, depth)
+        .groupBy(s => s.split(Pattern.quote(".")).length)
+        .toSeq.sortBy(-_._1)
+        .map { case (depth, sfx) =>
+          val lastD = SubstringIndex(host, Literal("."), Literal(-depth))
+          val cond = And(
+            GreaterThanOrEqual(nLabels, Literal(depth + 1)),
+            In(lastD, sfx.sorted.map(s => Literal(s): Expression)))
+          (cond: Expression, depth)
         }
     val secondLevel = Seq("com", "net", "org", "co", "gov", "edu")
     def labelFromEnd(host: Expression, i: Int): Expression =
@@ -430,8 +440,8 @@ object ChDialectBatch10 {
         bind(hostOf(a.head), "fsd") { host =>
           val nLabels = Size(
             StringSplit(host, Literal(Pattern.quote(".")), Literal(-1)))
-          val psl = pslBranches(host, sfx).map { case (cond, depth) =>
-            (cond, labelFromEnd(host, depth + 1))
+          val psl = pslBranches(host, nLabels, sfx).map {
+            case (cond, depth) => (cond, labelFromEnd(host, depth + 1))
           }
           CaseWhen(psl :+ ((GreaterThanOrEqual(nLabels, Literal(2)),
             labelFromEnd(host, 2)): (Expression, Expression)), Some(host))
@@ -451,8 +461,8 @@ object ChDialectBatch10 {
         bind(hostOf(a.head), "cfsd") { host =>
           val nLabels = Size(
             StringSplit(host, Literal(Pattern.quote(".")), Literal(-1)))
-          val psl = pslBranches(host, sfx).map { case (cond, depth) =>
-            (cond, SubstringIndex(host, Literal("."),
+          val psl = pslBranches(host, nLabels, sfx).map {
+            case (cond, depth) => (cond, SubstringIndex(host, Literal("."),
               Literal(-(depth + 1))): Expression)
           }
           CaseWhen(psl :+ ((GreaterThanOrEqual(nLabels, Literal(2)),
