@@ -1118,6 +1118,38 @@ object DialectQueries {
         |ORDER BY event_id""".stripMargin)
   }
 
+  /** Pluggable public-suffix list (round 14, DIVERGENCES #48 — now
+    * "default divergence, exact with caller data"): URLs spanning the
+    * shapes a PSL decides differently — co.uk / gov.uk under a DEEPER
+    * caller rule (api.gov.uk must win over gov.uk), ccTLD-with-generic
+    * (com.tr), plain .com, bare host — resolved with a caller-supplied
+    * suffix array AND with the default marker set side by side. The
+    * oracle restates the longest-match rule with DuckDB list slicing.
+    * Plan shape: one projection; the suffix set compiles to per-depth
+    * InSet probes (pinned in ChDialect10Spec), never a join. */
+  def qPslSubdomain(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch10.register(spark)
+    sqlOn(spark, dir, "documents", "docs_psl",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    concat('https://',
+        |      CASE doc_id % 5
+        |        WHEN 0 THEN concat('www.ex', lang, '.co.uk')
+        |        WHEN 1 THEN concat('svc', lang, '.api.gov.uk')
+        |        WHEN 2 THEN concat('news.ex', lang, '.com.tr')
+        |        WHEN 3 THEN concat('www.ex', lang, '.com')
+        |        ELSE concat('host', lang)
+        |      END, '/p?q=1') AS url
+        |  FROM docs_psl)
+        |SELECT doc_id, url,
+        |  firstSignificantSubdomain(url,
+        |    array('co.uk', 'gov.uk', 'api.gov.uk', 'com.tr')) AS fsd,
+        |  cutToFirstSignificantSubdomain(url,
+        |    array('co.uk', 'gov.uk', 'api.gov.uk', 'com.tr')) AS cut,
+        |  firstSignificantSubdomain(url) AS fsd_dflt
+        |FROM u ORDER BY doc_id LIMIT 400""".stripMargin)
+  }
+
   /** Bounded-state `groupBitmap` family (functions/GroupBitmap; r12
     * verdict #1 — the scale-correct across-rows half of the batch-13
     * bitmap surface): per-type bitmap STATES built by
@@ -1178,6 +1210,7 @@ object DialectQueries {
 
   def queries: Map[String, Q] = Map(
     "q_ch_functions10" -> (qChFunctions10 _),
+    "q_psl_subdomain" -> (qPslSubdomain _),
     "q_bitmap_agg" -> (qBitmapAgg _),
     "q_encrypt" -> (qEncrypt _),
     "q_foreach" -> (qForEach _),
@@ -1227,6 +1260,53 @@ object DialectQueries {
       "ELSE [] END)"
 
   def oracles: Map[String, String] = Map(
+    // pluggable PSL: the longest-match rule restated with DuckDB list
+    // slicing — deepest caller suffix first (api.gov.uk needs >= 4
+    // labels), then the 2-label suffixes (>= 3 labels), then the
+    // single-label fallback; fsd_dflt replays the default marker set
+    "q_psl_subdomain" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    concat('https://',
+        |      CASE doc_id % 5
+        |        WHEN 0 THEN concat('www.ex', lang, '.co.uk')
+        |        WHEN 1 THEN concat('svc', lang, '.api.gov.uk')
+        |        WHEN 2 THEN concat('news.ex', lang, '.com.tr')
+        |        WHEN 3 THEN concat('www.ex', lang, '.com')
+        |        ELSE concat('host', lang)
+        |      END, '/p?q=1') AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(url, '^[a-z]+://([^/?#]*)', 1) AS host,
+        |    string_split(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1),
+        |      '.') AS parts,
+        |    len(string_split(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1),
+        |      '.')) AS n
+        |  FROM u)
+        |SELECT doc_id, url,
+        |  CASE
+        |    WHEN n >= 4 AND array_to_string(list_slice(parts, n - 2, n),
+        |      '.') = 'api.gov.uk' THEN parts[n - 3]
+        |    WHEN n >= 3 AND array_to_string(list_slice(parts, n - 1, n),
+        |      '.') IN ('co.uk', 'gov.uk', 'com.tr') THEN parts[n - 2]
+        |    WHEN n >= 2 THEN parts[n - 1]
+        |    ELSE host END AS fsd,
+        |  CASE
+        |    WHEN n >= 4 AND array_to_string(list_slice(parts, n - 2, n),
+        |      '.') = 'api.gov.uk'
+        |      THEN array_to_string(list_slice(parts, n - 3, n), '.')
+        |    WHEN n >= 3 AND array_to_string(list_slice(parts, n - 1, n),
+        |      '.') IN ('co.uk', 'gov.uk', 'com.tr')
+        |      THEN array_to_string(list_slice(parts, n - 2, n), '.')
+        |    WHEN n >= 2 THEN array_to_string(list_slice(parts, n - 1, n), '.')
+        |    ELSE host END AS cut,
+        |  CASE
+        |    WHEN n >= 3 AND parts[n - 1] IN ('com', 'net', 'org', 'co',
+        |      'gov', 'edu') THEN parts[n - 2]
+        |    WHEN n >= 2 THEN parts[n - 1]
+        |    ELSE host END AS fsd_dflt
+        |FROM p ORDER BY doc_id LIMIT 400""".stripMargin,
     // batch 14: murmur values are per-event-type constants derived
     // from an independent re-implementation of the reference
     // algorithms (also pinned against commons-codec in spec); hilbert

@@ -190,6 +190,15 @@ class ChDialect10Spec extends AnyFunSuite {
     assertThrows[Exception](spark.sql(
       "SELECT firstSignificantSubdomain('https://a.co.uk/', array(netloc('x')))")
       .collect())
+    // the scale shape: suffixes group into ONE membership probe per
+    // depth, and past Spark's In-to-InSet threshold (>10 items) the
+    // optimizer plans a hash-set probe — a 9k-rule PSL costs a few
+    // O(1) probes per row, never a 9k-branch CASE
+    val big = (1 to 12).map(i => s"'s$i.uk'").mkString("array('co.uk',", ",", ")")
+    val q = spark.sql(
+      s"SELECT firstSignificantSubdomain('https://a.b.co.uk/x', $big) AS v")
+    assert(q.queryExecution.optimizedPlan.toString.contains("INSET"))
+    assert(q.head.getString(0) == "b")
   }
 
   test("geohashEncode/geohashDecode: canonical strings, cell-center " +
