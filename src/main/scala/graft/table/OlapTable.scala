@@ -335,14 +335,54 @@ final class OlapTable(
     }
   }
 
-  /** `SELECT … SAMPLE f` analogue. When `sampleBy` is configured, the
-    * sample is keyed on that expression's hash (all-or-none per key, like
-    * CH's sample key); otherwise row-level Bernoulli. Deterministic seed:
-    * repeated queries see the same sample. */
+  /** `SELECT … SAMPLE f` analogue (ref olapTable.ts:205-230). When
+    * `sampleBy` is configured, the sample is keyed on that expression
+    * — all-or-none per key, deterministic across queries. Two modes:
+    *
+    *  - the expression IS a uniform 64-bit hash call (the reference's
+    *    documented shape — `sampleByExpression: "cityHash64(id)"`):
+    *    ClickHouse's own range semantics — keep rows whose key, read
+    *    as UInt64, is < fraction·2^64. With the round-14 EXACT
+    *    cityHash64/sipHash64 kernels this selects the SAME rows CH
+    *    selects for the same data and expression (spec-pinned);
+    *  - any other expression (e.g. a raw column): the key is made
+    *    uniform by hashing it first. CH itself mis-samples on a
+    *    non-uniform sample key (the fraction is a range over the
+    *    key's TYPE, not its distribution); this engine refuses to.
+    *
+    * Without `sampleBy`: row-level Bernoulli, fixed seed. */
   def sampleRead(fraction: Double): DataFrame =
     config.sampleBy match {
       case Some(e) =>
-        read().where(pmod(xxhash64(expr(e)), lit(1000000)) < lit((fraction * 1000000).toLong))
+        require(fraction >= 0.0 && fraction <= 1.0,
+          s"SAMPLE fraction must be in [0, 1], got $fraction")
+        graft.functions.ClickHouseFunctions.register(spark)
+        graft.functions.ChDialectExtras.register(spark)
+        graft.functions.ChDialectBatch4.register(spark)
+        graft.functions.ChDialectBatch14.register(spark)
+        val uniformHashes = Seq("cityHash64", "sipHash64", "intHash64",
+          "farmFingerprint64", "halfMD5", "murmurHash2_64", "murmurHash3_64")
+        if (uniformHashes.exists(h => e.trim.startsWith(h + "("))) {
+          if (fraction >= 1.0) read()
+          else {
+            // unsigned threshold T = fraction * 2^64; unsigned order
+            // maps to signed order by flipping the sign bit of both
+            // sides (x ^ Long.MinValue), so the filter stays a single
+            // codegen'd long comparison
+            val thr = (BigDecimal(fraction) *
+              BigDecimal(BigInt(1) << 64)).toBigInt
+            val thrFlip = (thr + (BigInt(1) << 63)).mod(BigInt(1) << 64)
+            val thrSigned =
+              if (thrFlip >= (BigInt(1) << 63))
+                (thrFlip - (BigInt(1) << 64)).toLong
+              else thrFlip.toLong
+            read().where(
+              expr(e).cast("long").bitwiseXOR(lit(Long.MinValue))
+                < lit(thrSigned))
+          }
+        } else read().where(
+          pmod(xxhash64(expr(e)), lit(1000000))
+            < lit((fraction * 1000000).toLong))
       case None => read().sample(fraction, seed = 42L)
     }
 

@@ -506,6 +506,33 @@ class EngineIoSpec extends AnyFunSuite {
     assert(t.sampleRead(0.5).count() == s1.count())
   }
 
+  test("SAMPLE BY cityHash64(id): CH range semantics select exactly the " +
+      "rows ClickHouse would (exact kernel, unsigned threshold)") {
+    val wh = tmp("sampch")
+    val sch = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("v", MooseType.MFloat64)))
+    val t = new OlapTable(spark, OlapTable.Config("samp_ch", sch,
+      orderBy = Seq("id"), sampleBy = Some("cityHash64(id)")), wh)
+    t.insert((1 to 500).map(i => (i.toLong, i * 1.0)).toDF("id", "v"))
+    for (frac <- Seq(0.1, 0.3, 0.7)) {
+      // expected = ids whose cityHash64(Int64 LE layout), read as
+      // UInt64, falls under frac * 2^64 — recomputed from the kernel
+      val thr = (BigDecimal(frac) * BigDecimal(BigInt(1) << 64)).toBigInt
+      val expect = (1 to 500).filter { i =>
+        val h = graft.functions.CityHash102.cityHash64Fixed(i.toLong, 8)
+        (BigInt(h) & ((BigInt(1) << 64) - 1)) < thr
+      }.map(_.toLong).toSet
+      val got = t.sampleRead(frac).select("id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == expect, s"fraction $frac")
+      // the selected share tracks the fraction (uniform hash key)
+      assert(math.abs(got.size / 500.0 - frac) < 0.08, s"share at $frac")
+    }
+    assert(t.sampleRead(0.0).count() == 0)
+    assert(t.sampleRead(1.0).count() == 500)
+  }
+
   test("TTL retention job drops expired rows, keeps the rest") {
     val wh = tmp("ttlwh")
     val sch = MooseSchema(Seq(
