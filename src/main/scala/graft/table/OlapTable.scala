@@ -351,11 +351,24 @@ final class OlapTable(
     *    key's TYPE, not its distribution); this engine refuses to.
     *
     * Without `sampleBy`: row-level Bernoulli, fixed seed. */
-  def sampleRead(fraction: Double): DataFrame =
+  def sampleRead(fraction: Double): DataFrame = sampleRead(fraction, 0.0)
+
+  /** `SAMPLE k OFFSET m` (CH's disjoint-sample clause — e.g. worker i
+    * of n reads `SAMPLE 1/n OFFSET i/n`): keep rows whose sample key
+    * falls in the key-space range [offset·2^64, (offset+fraction)·2^64).
+    * Two calls with non-overlapping (offset, fraction) windows return
+    * DISJOINT row sets, and the union over a full partition of [0, 1)
+    * is the whole table — the property the ad-hoc SQL rewriter refuses
+    * to fake over TABLESAMPLE (ClickHouseFunctions.scala SAMPLE…OFFSET
+    * refusal: Spark's TABLESAMPLE has no storage sample key; THIS path
+    * does). Requires `sampleBy`. */
+  def sampleRead(fraction: Double, offset: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"SAMPLE fraction must be in [0, 1], got $fraction")
+    require(offset >= 0.0 && offset <= 1.0,
+      s"SAMPLE OFFSET must be in [0, 1], got $offset")
     config.sampleBy match {
       case Some(e) =>
-        require(fraction >= 0.0 && fraction <= 1.0,
-          s"SAMPLE fraction must be in [0, 1], got $fraction")
         graft.functions.ClickHouseFunctions.register(spark)
         graft.functions.ChDialectExtras.register(spark)
         graft.functions.ChDialectBatch4.register(spark)
@@ -363,28 +376,39 @@ final class OlapTable(
         val uniformHashes = Seq("cityHash64", "sipHash64", "intHash64",
           "farmFingerprint64", "halfMD5", "murmurHash2_64", "murmurHash3_64")
         if (uniformHashes.exists(h => e.trim.startsWith(h + "("))) {
-          if (fraction >= 1.0) read()
-          else {
-            // unsigned threshold T = fraction * 2^64; unsigned order
-            // maps to signed order by flipping the sign bit of both
-            // sides (x ^ Long.MinValue), so the filter stays a single
-            // codegen'd long comparison
-            val thr = (BigDecimal(fraction) *
-              BigDecimal(BigInt(1) << 64)).toBigInt
-            val thrFlip = (thr + (BigInt(1) << 63)).mod(BigInt(1) << 64)
-            val thrSigned =
-              if (thrFlip >= (BigInt(1) << 63))
-                (thrFlip - (BigInt(1) << 64)).toLong
-              else thrFlip.toLong
-            read().where(
-              expr(e).cast("long").bitwiseXOR(lit(Long.MinValue))
-                < lit(thrSigned))
+          // CH range semantics over the key read as UInt64. Unsigned
+          // order maps to signed order by flipping the sign bit of
+          // both sides (x ^ Long.MinValue), so the filter is one or
+          // two codegen'd long comparisons.
+          val two64 = BigInt(1) << 64
+          def flip(t: BigInt): Long = {
+            val f = (t + (BigInt(1) << 63)).mod(two64)
+            if (f >= (BigInt(1) << 63)) (f - two64).toLong else f.toLong
           }
-        } else read().where(
-          pmod(xxhash64(expr(e)), lit(1000000))
-            < lit((fraction * 1000000).toLong))
-      case None => read().sample(fraction, seed = 42L)
+          val lo = (BigDecimal(offset) * BigDecimal(two64)).toBigInt
+          val hi = (BigDecimal(offset + fraction) * BigDecimal(two64))
+            .toBigInt.min(two64)
+          val keyFlipped =
+            expr(e).cast("long").bitwiseXOR(lit(Long.MinValue))
+          val aboveLo =
+            if (lo <= 0) lit(true) else keyFlipped >= lit(flip(lo))
+          val belowHi =
+            if (hi >= two64) lit(true) else keyFlipped < lit(flip(hi))
+          read().where(aboveLo && belowHi)
+        } else {
+          // non-hash key: make it uniform first, same range contract
+          val lo = (offset * 1000000).toLong
+          val hi = ((offset + fraction) * 1000000).toLong.min(1000000L)
+          val k = pmod(xxhash64(expr(e)), lit(1000000))
+          read().where(k >= lit(lo) && k < lit(hi))
+        }
+      case None =>
+        require(offset == 0.0,
+          "SAMPLE ... OFFSET needs a sampleBy key (disjoint ranges are " +
+            "ranges OF the sample key); configure sampleBy or use offset 0")
+        read().sample(fraction, seed = 42L)
     }
+  }
 
   /** TTL retention job (ref olapTable TTL / queries.rs TTL clause): drops
     * expired rows by compacting the table to a new fileset. The analogue

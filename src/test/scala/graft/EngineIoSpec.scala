@@ -531,6 +531,21 @@ class EngineIoSpec extends AnyFunSuite {
     }
     assert(t.sampleRead(0.0).count() == 0)
     assert(t.sampleRead(1.0).count() == 500)
+    // SAMPLE k OFFSET m: a full partition of key space is disjoint and
+    // exhaustive — the CH worker-sharding idiom (SAMPLE 1/n OFFSET i/n)
+    val shards = (0 until 4).map(i =>
+      t.sampleRead(0.25, i * 0.25).select("id").collect()
+        .map(_.getLong(0)).toSet)
+    assert(shards.map(_.size).sum == 500)
+    assert(shards.reduce(_ ++ _).size == 500) // no overlap, no gap
+    // offset windows match the plain-prefix semantics at offset 0
+    assert(shards.head == t.sampleRead(0.25).select("id").collect()
+      .map(_.getLong(0)).toSet)
+    // offset without a sample key refuses loudly
+    val bern = new OlapTable(spark, OlapTable.Config("samp_nokey", sch,
+      orderBy = Seq("id")), tmp("sampnk"))
+    bern.insert(Seq((1L, 1.0)).toDF("id", "v"))
+    intercept[IllegalArgumentException](bern.sampleRead(0.5, 0.25))
   }
 
   test("TTL retention job drops expired rows, keeps the rest") {
