@@ -393,8 +393,9 @@ object ClickHouseFunctions {
         .findFirstIn(noFinal).isDefined)
       throw new IllegalArgumentException(
         "SAMPLE ... OFFSET needs a storage sample key Spark's TABLESAMPLE " +
-          "lacks; for disjoint deterministic samples use hash-threshold " +
-          "sampling (Corpus.splitAssign / md5-range predicates)")
+          "lacks; use OlapTable.sampleRead(fraction, offset) on a " +
+          "sampleBy-configured table (disjoint CH key-space ranges, " +
+          "round 14) or hash-threshold predicates (Corpus.splitAssign)")
     // SAMPLE a/b (CH's fraction spelling) → percent; must rewrite before
     // the integer form or the numerator alone would match as a row count
     val fracSampled =

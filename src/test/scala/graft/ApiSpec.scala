@@ -68,7 +68,7 @@ class ApiSpec extends AnyFunSuite {
       .contains("TABLESAMPLE (10.0 PERCENT)"))
     assert(intercept[IllegalArgumentException] {
       rewriteDialect("SELECT * FROM t SAMPLE 1/10 OFFSET 1/2")
-    }.getMessage.contains("hash-threshold"))
+    }.getMessage.contains("sampleRead"))
     assert(rewriteDialect("SELECT * FROM t SAMPLE 0.5")
       .contains("TABLESAMPLE (50.0 PERCENT)"))
     assert(rewriteDialect("SELECT * FROM t SAMPLE 100")
@@ -89,10 +89,11 @@ class ApiSpec extends AnyFunSuite {
     assert(rewriteDialect("SELECT * FROM t GLOBAL JOIN u ON t.a = u.a")
       == "SELECT * FROM t JOIN u ON t.a = u.a")
     // SAMPLE OFFSET: refused with the disjoint-sampling fix named
+    // (round 14: sampleRead(fraction, offset) IS that fix)
     val so = intercept[IllegalArgumentException] {
       rewriteDialect("SELECT * FROM t SAMPLE 0.1 OFFSET 0.5")
     }
-    assert(so.getMessage.contains("hash-threshold"))
+    assert(so.getMessage.contains("sampleRead"))
     // terminal FORMAT stripped; a mid-statement identifier named format
     // (or a column alias) is NOT touched
     assert(rewriteDialect("SELECT a FROM t ORDER BY a FORMAT JSONEachRow")
