@@ -46,7 +46,9 @@ import org.apache.spark.sql.types._
   *  - `ngramSimHash(s[, n])` / `wordShingleSimHash(s[, size])` — the
   *    row-local SimHash fingerprints (Charikar 2002): bit i of the
   *    64-bit signature is the sign of Σ_shingles(±1 by bit i of the
-  *    shingle hash); xxhash64 shingle hash (the #4/#53 spelling). The
+  *    shingle hash); since round 14 the shingle hash is the EXACT
+  *    SipHash-2-4 kernel (the #53 narrowing — the xxhash64 stand-in
+  *    retired with #4/#27). The
   *    corpus-scale path stays [[graft.operators.Dedup.simhash]] (one
   *    aggregation); these are the per-row spellings;
   *  - `hostName()` / `FQDN()` — the local host name, resolved once at
@@ -291,8 +293,8 @@ object ChDialectBatch13 {
           Literal.create(Array.empty[Long], ArrayType(LongType)),
           ArrayTransform(
             new Sequence(Literal(1), cnt, Some(Literal(1))),
-            lambda1("nsi")(i =>
-              new XxHash64(Seq(Substring(s, i, Literal(n)))))))
+            lambda1("nsi")(i => ChAnyHashExpr(
+              Substring(s, i, Literal(n)), "sipHash64"))))
         simHash64(ArrayDistinct(grams))
       }
     }
@@ -307,8 +309,9 @@ object ChDialectBatch13 {
           Literal.create(Array.empty[Long], ArrayType(LongType)),
           ArrayTransform(
             new Sequence(Literal(1), cnt, Some(Literal(1))),
-            lambda1("whi")(i => new XxHash64(Seq(ArrayJoin(
-              Slice(toks, i, Literal(size)), Literal(" "), None))))))
+            lambda1("whi")(i => ChAnyHashExpr(ArrayJoin(
+              Slice(toks, i, Literal(size)), Literal(" "), None),
+              "sipHash64"))))
         simHash64(ArrayDistinct(grams))
       }
     }
