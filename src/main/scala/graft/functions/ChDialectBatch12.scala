@@ -23,9 +23,10 @@ import org.apache.spark.sql.types._
   *    public Twitter snowflake layout: ms-since-2010-11-04T01:42:54.657
   *    (epoch 1288834974657) in bits 22..62;
   *  - `javaHash(s)` / `hiveHash(s)` — Java `String.hashCode` as a
-  *    32-bit-wrapped fold over code points (EXACT for BMP text — a
-  *    supplementary-plane code point is ONE position here vs two UTF-16
-  *    units in Java, DIVERGENCES #52); hiveHash clears the sign bit;
+  *    32-bit-wrapped fold over UTF-16 units (EXACT for ALL of Unicode
+  *    since round 14: supplementary-plane code points fold as their
+  *    two surrogate halves — retired DIVERGENCES #52); hiveHash
+  *    clears the sign bit;
   *  - `UUIDStringToNum(s)` / `UUIDNumToString(b)` — canonical-text
   *    bytes <-> 36-char form (lowercase out, dash positions pinned);
   *  - `normalizeQuery(q)` / `normalizedQueryHash(q)` — literal scrub
@@ -66,8 +67,12 @@ object ChDialectBatch12 {
       s"$fn: expected an integer literal argument, got $other")
   }
 
-  /** Java String.hashCode fold: h = 31·h + code, wrapped to 32 bits
-    * (kept in [0, 2^32) during the fold, sign-adjusted at the end). */
+  /** Java String.hashCode fold: h = 31·h + UTF-16 unit, wrapped to 32
+    * bits (kept in [0, 2^32) during the fold, sign-adjusted at the
+    * end). Spark positions count CODE POINTS, so a supplementary-plane
+    * code point (≥ U+10000) folds as its TWO surrogate halves —
+    * 31·(31·h + high) + low — making the hash EXACT for all of
+    * Unicode, not just the BMP (round 14; retires DIVERGENCES #52). */
   private def javaHashOf(s: Expression): Expression = {
     val wrap = Literal(4294967296L)
     // If short-circuits eval, so Sequence(1, 0) never builds on the
@@ -76,9 +81,22 @@ object ChDialectBatch12 {
       ArrayAggregate(
         new Sequence(Literal(1), Length(s), Some(Literal(1))),
         Literal(0L),
-        lambda2("jh")((acc, i) => Pmod(
-          Add(Multiply(acc, Literal(31L)),
-            Cast(Ascii(Substring(s, i, Literal(1))), LongType)), wrap)),
+        lambda2("jh")((acc, i) =>
+          bind(Cast(Ascii(Substring(s, i, Literal(1))), LongType),
+              "jhc") { cp =>
+            bind(Subtract(cp, Literal(65536L)), "jhs") { sp =>
+              If(GreaterThanOrEqual(cp, Literal(65536L)),
+                // surrogate pair: high = D800 + (sp >> 10),
+                // low = DC00 + (sp & 3FF)
+                Pmod(Add(Multiply(
+                  Pmod(Add(Multiply(acc, Literal(31L)),
+                    Add(Literal(0xD800L),
+                      IntegralDivide(sp, Literal(1024L)))), wrap),
+                  Literal(31L)),
+                  Add(Literal(0xDC00L), Pmod(sp, Literal(1024L)))), wrap),
+                Pmod(Add(Multiply(acc, Literal(31L)), cp), wrap))
+            }
+          }),
         lambda1("jhf")(identity)))
     Cast(If(GreaterThanOrEqual(folded, Literal(2147483648L)),
       Subtract(folded, wrap), folded), IntegerType)

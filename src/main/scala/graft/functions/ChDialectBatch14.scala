@@ -16,7 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    bytes, seed 0, per the public reference algorithms (Appleby's
   *    MurmurHash2 / MurmurHash64A / MurmurHash3 x86_32 / x64_128 —
   *    the exact code CH links, so values are CH-bit-compatible by
-  *    construction, unlike the #4/#27 xxhash64 stand-ins):
+  *    construction — the pattern that round 14 extended to
+  *    cityHash64/farmFingerprint64/halfMD5, retiring #4/#27):
   *    `murmurHash2_32`/`murmurHash3_32` (UInt32 carried unsigned in a
   *    long), `murmurHash2_64` (MurmurHash64A), `murmurHash3_64`
   *    (x64_128's h1; CH takes the same first 8 bytes);

@@ -45,6 +45,11 @@ class ChDialect12Spec extends AnyFunSuite {
     assert(one("javaHash('hello')") == 99162322)
     assert(one("javaHash('')") == 0)
     assert(one("javaHash('Z')") == 90)
+    // round 14 (#52 retired): supplementary-plane code points fold as
+    // their two UTF-16 surrogate halves, exactly like Java
+    assert(one("javaHash('🚀')") == "🚀".hashCode)
+    assert(one("javaHash('a🚀b')") == "a🚀b".hashCode)
+    assert(one("javaHash('🚀')") == 1773027)
     assert(one("javaHash('clickhouse')") == -768723304)
     // hiveHash clears the sign bit
     assert(one("hiveHash('clickhouse')") == 1378760344)
