@@ -19,8 +19,8 @@ import org.apache.spark.sql.types._
   *
   * Census of call sites: ref templates/ + examples/ SQL usage
   * (ref packages/ts-moose-lib/src/sqlHelpers.ts passthrough). Documented
-  * divergences: toStartOfWeek → ISO Monday start (CH default mode 0 is
-  * Sunday). cityHash64 is EXACT since round 14 — the real CityHash
+  * divergences: (toStartOfWeek retired round 14 — now CH's exact mode-0
+  * Sunday-start Date, modes 1/3 Monday). cityHash64 is EXACT since round 14 — the real CityHash
   * v1.0.2 kernel ([[CityHash102]]; retired DIVERGENCES #4), string args
   * over UTF-8 bytes, numerics over their fixed-width LE layout,
   * multi-arg via CH's Hash128to64 combine — so SAMPLE BY / ORDER BY
@@ -35,7 +35,10 @@ object ClickHouseFunctions {
     def toStartOfDay(c: Column): Column = date_trunc("day", c)
     def toStartOfHour(c: Column): Column = date_trunc("hour", c)
     def toStartOfMinute(c: Column): Column = date_trunc("minute", c)
-    def toStartOfWeek(c: Column): Column = date_trunc("week", c)
+    /** CH default mode 0: the week's SUNDAY, as a Date (exact since
+      * round 14 — DIVERGENCES #5 retired). */
+    def toStartOfWeek(c: Column): Column =
+      date_sub(c.cast(DateType), dayofweek(c.cast(DateType)) - lit(1))
     def toStartOfMonth(c: Column): Column = date_trunc("month", c)
     def toStartOfFifteenMinutes(c: Column): Column =
       timestamp_seconds(floor(c.cast(LongType) / 900).cast(LongType) * 900)
@@ -118,7 +121,27 @@ object ClickHouseFunctions {
     f("toStartOfDay")(a => trunc("day", a.head))
     f("toStartOfHour")(a => trunc("hour", a.head))
     f("toStartOfMinute")(a => trunc("minute", a.head))
-    f("toStartOfWeek")(a => trunc("week", a.head))
+    // CH toStartOfWeek(t[, mode]): DATE of the week start — mode 0
+    // (the CH DEFAULT) starts weeks on SUNDAY, modes 1/3 on Monday
+    // (round 14: was an ISO-Monday date_trunc, DIVERGENCES #5 — now
+    // exact; other modes refuse loudly like toWeek's)
+    f("toStartOfWeek") { a =>
+      val mode = if (a.length >= 2) a(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case Literal(v: Long, LongType) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"toStartOfWeek: mode must be an integer literal, got $other")
+      } else 0
+      require(mode == 0 || mode == 1 || mode == 3,
+        s"toStartOfWeek: only modes 0 (Sunday start, the CH default) " +
+          s"and 1/3 (Monday start) are supported, got $mode")
+      val d = Cast(a.head, DateType)
+      // Spark DayOfWeek: Sunday=1..Saturday=7
+      val offset =
+        if (mode == 0) Subtract(DayOfWeek(d), Literal(1))
+        else Pmod(Add(DayOfWeek(d), Literal(5)), Literal(7))
+      DateSub(d, offset)
+    }
     f("toStartOfMonth")(a => trunc("month", a.head))
     f("toStartOfFifteenMinutes") { a =>
       val secs = Cast(a.head, LongType)

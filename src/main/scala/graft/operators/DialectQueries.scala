@@ -467,6 +467,8 @@ object DialectQueries {
         |    substring(mh, 21, 12)) AS uu
         |  FROM b)
         |SELECT event_id,
+        |  cast(toStartOfWeek(ts) as string) AS sow0,
+        |  cast(toStartOfWeek(ts, 1) as string) AS sow1,
         |  toTypeName(ts) AS tn,
         |  toUUID(upper(uu)) AS tu,
         |  toUUIDOrNull(concat('x', uu)) AS tun,
@@ -1954,6 +1956,10 @@ object DialectQueries {
         |    list_sort(list_distinct(bb)) AS sbb
         |  FROM b)
         |SELECT event_id,
+        |  CAST(CAST(ts AS DATE) - CAST(dayofweek(ts) AS INT) AS VARCHAR)
+        |    AS sow0,
+        |  CAST(CAST(ts AS DATE) - CAST((dayofweek(ts) + 6) % 7 AS INT)
+        |    AS VARCHAR) AS sow1,
         |  'TIMESTAMP' AS tn,
         |  uu AS tu,
         |  CAST(NULL AS VARCHAR) AS tun,
