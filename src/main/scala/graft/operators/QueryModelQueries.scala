@@ -148,9 +148,11 @@ object QueryModelQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 50 OFFSET 50""".stripMargin,
-    // ISO Monday week start (date_trunc('week') both engines)
+    // Sunday week start — CH's toStartOfWeek mode-0 default, which is
+    // what the reference's week dimension renders (DuckDB dayofweek:
+    // Sunday = 0)
     "qm_time_dims" ->
-      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+      """SELECT CAST(ts AS DATE) - CAST(dayofweek(ts) AS INT) AS week,
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY week LIMIT 1000""".stripMargin)

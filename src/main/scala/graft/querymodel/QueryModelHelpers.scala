@@ -13,16 +13,21 @@ import org.apache.spark.sql.types.StructType
 object QueryModelHelpers {
 
   /** `timeDimensions(dateCol)` → the day/month/week dimension trio
-    * (ref helpers.ts:89-120: toDate / toStartOfMonth / toStartOfWeek;
-    * unknown periods refuse naming the supported set). Spread into
-    * `Def.dimensions` with `++`. */
+    * (ref query-layer/helpers.ts:89-120: toDate / toStartOfMonth /
+    * toStartOfWeek; unknown periods refuse naming the supported set).
+    * The reference's `week` renders `toStartOfWeek(col)` and CH
+    * evaluates that at its default mode 0 — SUNDAY-start weeks — so
+    * the week bucket here is the Sunday of `dateCol`'s week (round 14;
+    * was an ISO-Monday date_trunc, the retired DIVERGENCES #5 stance).
+    * Spread into `Def.dimensions` with `++`. */
   def timeDimensions(dateCol: String,
       periods: Seq[String] = Seq("day", "month", "week"))
       : Map[String, DataFrame => Column] = {
     val fns: Map[String, DataFrame => Column] = Map(
       "day" -> (df => to_date(df(dateCol))),
       "month" -> (df => date_trunc("month", df(dateCol)).cast("date")),
-      "week" -> (df => date_trunc("week", df(dateCol)).cast("date")))
+      "week" -> (df => date_sub(to_date(df(dateCol)),
+        dayofweek(to_date(df(dateCol))) - lit(1))))
     periods.map { p =>
       p -> fns.getOrElse(p, throw new IllegalArgumentException(
         s"Unknown time period '$p'. Supported: ${fns.keys.toSeq.sorted
