@@ -170,7 +170,56 @@ object ClickHouseFunctions {
       val branches = branchArgs.grouped(2).map { p => (p(0), p(1)) }.toSeq
       CaseWhen(branches, Some(elseArg))
     }
-    f("parseDateTimeBestEffort")(a => Cast(a.head, TimestampType))
+    // parseDateTimeBestEffort(+OrNull/OrZero): CH tries a battery of
+    // layouts. Pinned subset here, first match wins (documented —
+    // ambiguous xx/yy/zzzz reads DD/MM like CH): ISO-8601 (Spark's
+    // native cast), unix seconds (9-10 digits) / millis (13),
+    // YYYYMMDD, YYYY/MM/DD[ hh:mm:ss], DD/MM/YYYY[ hh:mm:ss],
+    // DD-MM-YYYY, DD.MM.YYYY, `DD Mon YYYY[ hh:mm:ss]`, and RFC-1123
+    // `Day, DD Mon YYYY hh:mm:ss`. Unparseable input: base form
+    // RAISES (CH throws), OrNull → NULL, OrZero → epoch 0.
+    def bestEffort(s0: Expression, onBad: Expression => Expression)
+        : Expression = {
+      def tryFmt(s: Expression, fmt: String): Expression =
+        new ParseToTimestamp(s, Some(Literal(fmt)), TimestampType,
+          failOnError = false)
+      val s = Cast(s0, StringType)
+      val digits = If(RLike(s, Literal("^\\d{9,10}$")),
+        SecondsToTimestamp(Cast(s, LongType)),
+        If(RLike(s, Literal("^\\d{13}$")),
+          MillisToTimestamp(Cast(s, LongType)),
+          Literal.create(null, TimestampType)))
+      // Coalesce is lazy per branch, so the fallback (raise/null/zero)
+      // only evaluates when every layout missed
+      Coalesce(Seq(
+        Cast(s, TimestampType, None,
+          org.apache.spark.sql.catalyst.expressions.EvalMode.TRY),
+        digits,
+        tryFmt(s, "yyyyMMdd"),
+        tryFmt(s, "yyyy/MM/dd HH:mm:ss"),
+        tryFmt(s, "yyyy/MM/dd"),
+        tryFmt(s, "dd/MM/yyyy HH:mm:ss"),
+        tryFmt(s, "dd/MM/yyyy"),
+        tryFmt(s, "dd-MM-yyyy HH:mm:ss"),
+        tryFmt(s, "dd-MM-yyyy"),
+        tryFmt(s, "dd.MM.yyyy HH:mm:ss"),
+        tryFmt(s, "dd.MM.yyyy"),
+        tryFmt(s, "dd MMM yyyy HH:mm:ss"),
+        tryFmt(s, "dd MMM yyyy"),
+        // RFC-1123 'Sat, 15 Aug 2026 10:30:00': Spark reserves 'E' for
+        // formatting, so strip the day-of-week token and parse the rest
+        tryFmt(RegExpReplace(s, Literal("^[A-Za-z]{3}, "), Literal("")),
+          "dd MMM yyyy HH:mm:ss"),
+        onBad(s)))
+    }
+    f("parseDateTimeBestEffort")(a => bestEffort(a.head, s =>
+      Cast(new RaiseError(Concat(Seq(
+        Literal("parseDateTimeBestEffort: unparseable datetime '"), s,
+        Literal("'")))), TimestampType)))
+    f("parseDateTimeBestEffortOrNull")(a => bestEffort(a.head,
+      _ => Literal.create(null, TimestampType)))
+    f("parseDateTimeBestEffortOrZero")(a => bestEffort(a.head,
+      _ => SecondsToTimestamp(Literal(0L))))
     f("toUnixTimestamp")(a => Cast(a.head, LongType))
     f("fromUnixTimestamp")(a => SecondsToTimestamp(a.head))
     f("toLowerCase")(a => Lower(a.head))

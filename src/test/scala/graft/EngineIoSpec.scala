@@ -582,6 +582,40 @@ class EngineIoSpec extends AnyFunSuite {
     assert(t.read().collect().map(_.getLong(0)).toSeq == Seq(2L)) // null kept
   }
 
+  test("parseDateTimeBestEffort: CH's layout battery — ISO, unix s/ms, " +
+      "slashed/dotted/dashed, month names, RFC-1123; Or* fallbacks") {
+    ClickHouseFunctions.register(spark)
+    def ts(e: String): String =
+      spark.sql(s"SELECT CAST($e AS STRING) AS v").head.getString(0)
+    val full = "2026-08-15 10:30:00"
+    for (form <- Seq("'2026-08-15 10:30:00'", "'2026-08-15T10:30:00'",
+        "'2026/08/15 10:30:00'", "'15/08/2026 10:30:00'",
+        "'15-08-2026 10:30:00'", "'15.08.2026 10:30:00'",
+        "'15 Aug 2026 10:30:00'", "'Sat, 15 Aug 2026 10:30:00'")) {
+      assert(ts(s"parseDateTimeBestEffort($form)") == full, form)
+    }
+    val day = "2026-08-15 00:00:00"
+    for (form <- Seq("'2026-08-15'", "'20260815'", "'2026/08/15'",
+        "'15/08/2026'", "'15.08.2026'", "'15 Aug 2026'")) {
+      assert(ts(s"parseDateTimeBestEffort($form)") == day, form)
+    }
+    // unix seconds and millis by digit count
+    assert(ts("parseDateTimeBestEffort('1786789800')") ==
+      "2026-08-15 10:30:00")
+    assert(ts("parseDateTimeBestEffort('1786789800123')") ==
+      "2026-08-15 10:30:00.123")
+    // ambiguous xx/yy/zzzz reads DD/MM (the CH rule)
+    assert(ts("parseDateTimeBestEffort('03/04/2026')") ==
+      "2026-04-03 00:00:00")
+    // failure ladder: base raises, OrNull nulls, OrZero zeroes
+    assertThrows[Exception](
+      spark.sql("SELECT parseDateTimeBestEffort('not a date')").collect())
+    assert(spark.sql(
+      "SELECT parseDateTimeBestEffortOrNull('not a date')").head.isNullAt(0))
+    assert(ts("parseDateTimeBestEffortOrZero('not a date')") ==
+      "1970-01-01 00:00:00")
+  }
+
   test("IPv6 validation isolates malformed addresses") {
     val wh = tmp("ip6wh")
     val sch = MooseSchema(Seq(
