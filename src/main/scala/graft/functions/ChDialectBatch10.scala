@@ -18,11 +18,12 @@ import org.apache.spark.sql.types._
   *  - calendar conversions: `toModifiedJulianDay`/`fromModifiedJulianDay`
   *    (MJD epoch 1858-11-17), `toDaysSinceYearZero`/
   *    `fromDaysSinceYearZero` (1970-01-01 = day 719528), `toStartOfSecond`,
-  *    `toWeek`/`toYearWeek` modes 0 AND 3 (round 13: mode 0 — the CH
-  *    default, MySQL WEEK() Sunday-start with week-0 days and the
-  *    YEARWEEK previous-year fold — implemented exactly; closes the
-  *    DIVERGENCES #47 refusal; modes 1/2/4-9 still refuse loudly),
-  *    `timeSlots`;
+  *    `toWeek`/`toYearWeek` ALL TEN documented modes (round 14 —
+  *    retires DIVERGENCES #47: MySQL WEEK() bit semantics for 0-7,
+  *    CH's "week 1 contains January 1" for 8/9, toYearWeek forcing
+  *    the WEEK_YEAR flag like MySQL YEARWEEK; pinned in
+  *    ChDialect10Spec against an independent java.time WeekFields
+  *    sweep plus the MySQL/CH documentation examples), `timeSlots`;
   *  - rounding ladder: `roundToExp2`, `roundDown`, `roundAge`,
   *    `roundDuration` (CH's documented bucket sets, pure CASE/fold);
   *  - integer `gcd`/`lcm` (bounded Euclid fold — 64 halvings cover any
@@ -115,52 +116,101 @@ object ChDialectBatch10 {
         Literal(719528))))
     f("toStartOfSecond")(a =>
       TruncTimestamp(Literal("second"), Cast(a.head, TimestampType)))
-    // Modes 0 and 3 (round 13 closes DIVERGENCES #47's mode-0 refusal).
-    // Mode 3 = ISO (Spark's WeekOfYear). Mode 0 = CH's DEFAULT = MySQL
-    // WEEK(): Sunday-start, range 0-53, week 1 begins at the year's
-    // first Sunday — days before it are week 0; toYearWeek folds a
-    // week-0 date into the PREVIOUS year's last week (MySQL YEARWEEK:
-    // '2000-01-01' → 199952). Other modes still refuse loudly.
-    // `dd` is a bound lambda var, so multi-reference stays linear.
-    def week0(dd: Expression): Expression =
-      bind(DayOfYear(dd), "w0d") { doy =>
-        // first Sunday's day-of-year: DayOfWeek is Sun=1..Sat=7
-        bind(Add(Literal(1), Pmod(Subtract(Literal(8),
-            DayOfWeek(MakeDate(Year(dd), Literal(1), Literal(1)))),
-            Literal(7))), "w0s") { firstSun =>
-          Cast(If(LessThan(doy, firstSun), Literal(0L),
-            Add(IntegralDivide(long(Subtract(doy, firstSun)), Literal(7L)),
-              Literal(1L))), IntegerType)
+    // toWeek/toYearWeek: ALL TEN documented modes (retires the
+    // DIVERGENCES #47 refusals). Semantics are MySQL WEEK() — CH
+    // follows it bit-for-bit and adds modes 8/9 ("week 1 is the week
+    // CONTAINING January 1"). Mode bits, after MySQL's week_mode()
+    // transform (Sunday-first modes flip the FIRST_WEEKDAY bit, which
+    // is why "first week with a Sunday" is the Sunday-start default):
+    //   bit0 MONDAY_FIRST — weeks start Monday instead of Sunday;
+    //   bit1 WEEK_YEAR    — range 1-53: days before week 1 fold into
+    //                       the PREVIOUS year's last week, days in next
+    //                       year's week 1 fold FORWARD (ISO-style);
+    //                       without it the range is 0-53 and December
+    //                       keeps counting (WEEK('2008-12-31',1) = 53);
+    //   minDays           — 7 when the flipped FIRST_WEEKDAY bit is set
+    //                       (week 1 = first FULL week), else 4 (first
+    //                       week with >=4 days in the year, ISO's rule).
+    // Everything is date arithmetic over Jan-1 anchors; `bind` keeps
+    // each anchor evaluated once so the tree stays linear.
+    def dowIdx(d: Expression, mondayFirst: Boolean): Expression =
+      // 0..6 index of `d` inside its week; Spark DayOfWeek: Sun=1..Sat=7
+      if (mondayFirst) Pmod(Add(DayOfWeek(d), Literal(5)), Literal(7))
+      else Subtract(DayOfWeek(d), Literal(1))
+    def wkMinDays(mode: Int): Int =
+      if (((mode & 4) != 0) ^ ((mode & 1) == 0)) 7 else 4
+    // date of week 1's first day for the year expression `y`
+    def week1Start(y: Expression, mode: Int): Expression =
+      bind(MakeDate(y, Literal(1), Literal(1)), "wj") { jan1 =>
+        bind(dowIdx(jan1, (mode & 1) != 0), "wd") { dw =>
+          If(GreaterThanOrEqual(Subtract(Literal(7), dw),
+              Literal(wkMinDays(mode))),
+            DateSub(jan1, dw), DateAdd(jan1, Subtract(Literal(7), dw)))
+        }
+      }
+    def weeksSince(d: Expression, s: Expression): Expression =
+      Cast(Add(IntegralDivide(long(DateDiff(d, s)), Literal(7L)),
+        Literal(1L)), IntegerType)
+    // Modes 8/9: week 1 = the week containing Jan 1; a straddling week
+    // belongs to the year whose Jan 1 it contains, i.e. the year of its
+    // LAST day (so late-December days in next year's Jan-1 week answer
+    // week 1 — CH doc example: toWeek('2016-12-27', 9) = 1).
+    def newyearWeek(dd: Expression, mode: Int)(
+        out: (Expression, Expression) => Expression): Expression =
+      bind(DateSub(dd, dowIdx(dd, (mode & 1) != 0)), "nws") { ws =>
+        bind(Year(DateAdd(ws, Literal(6))), "nwy") { yy =>
+          bind(MakeDate(yy, Literal(1), Literal(1)), "nwj") { jan1 =>
+            out(yy,
+              weeksSince(ws, DateSub(jan1, dowIdx(jan1, (mode & 1) != 0))))
+          }
         }
       }
     def weekMode(a: Seq[Expression], fn: String): Int = {
       val m = if (a.length >= 2) litInt(a(1), fn) else 0
-      require(m == 0 || m == 3,
-        s"$fn: only modes 0 (MySQL WEEK, the CH default) and 3 (ISO) " +
-          s"are supported, got $m")
+      require(m >= 0 && m <= 9,
+        s"$fn: mode must be an integer literal in 0-9, got $m")
       m
     }
     f("toWeek") { a =>
-      weekMode(a, "toWeek") match {
-        case 3 => WeekOfYear(Cast(a.head, DateType))
-        case _ => bind(Cast(a.head, DateType), "twk")(week0)
+      val m = weekMode(a, "toWeek")
+      bind(Cast(a.head, DateType), "twk") { dd =>
+        if (m >= 8) newyearWeek(dd, m)((_, w) => w)
+        else bind(Year(dd), "twy") { y =>
+          bind(week1Start(y, m), "tws") { s =>
+            if ((m & 2) != 0) // WEEK_YEAR: 1-53 with both year folds
+              If(LessThan(dd, s),
+                weeksSince(dd, week1Start(Subtract(y, Literal(1)), m)),
+                If(GreaterThanOrEqual(dd,
+                    week1Start(Add(y, Literal(1)), m)),
+                  Literal(1), weeksSince(dd, s)))
+            else // 0-53: pre-week-1 days are week 0, no December fold
+              If(LessThan(dd, s), Literal(0), weeksSince(dd, s))
+          }
+        }
       }
     }
     f("toYearWeek") { a =>
-      weekMode(a, "toYearWeek") match {
-        case 3 =>
-          val d = Cast(a.head, DateType)
-          Add(Multiply(YearOfWeek(d), Literal(100)), WeekOfYear(d))
-        case _ => bind(Cast(a.head, DateType), "tyw") { dd =>
-          bind(week0(dd), "tyww") { w =>
-            If(GreaterThan(w, Literal(0)),
-              Add(Multiply(Year(dd), Literal(100)), w),
-              // week 0 → previous year's last week (Dec 31 is never
-              // before its year's first Sunday, so this is ≥ 1)
-              bind(MakeDate(Subtract(Year(dd), Literal(1)),
-                  Literal(12), Literal(31)), "tywp") { dec31 =>
-                Add(Multiply(Year(dec31), Literal(100)), week0(dec31))
-              })
+      // CH forces the WEEK_YEAR flag (ToYearWeekImpl ORs it in, the
+      // same as MySQL YEARWEEK): modes 0/1/4/5 answer as 2/3/6/7, so a
+      // week-0 date folds to the previous year's last week
+      // (YEARWEEK('1987-01-01') = 198652) and a late-December date in
+      // next year's week 1 folds forward (toYearWeek('2018-12-31', 3)
+      // = 201901).
+      val m = weekMode(a, "toYearWeek")
+      def yw(y: Expression, w: Expression): Expression =
+        Add(Multiply(y, Literal(100)), w)
+      bind(Cast(a.head, DateType), "tyw") { dd =>
+        if (m >= 8) newyearWeek(dd, m)(yw)
+        else bind(Year(dd), "tyy") { y =>
+          bind(week1Start(y, m), "tys") { s =>
+            If(LessThan(dd, s),
+              bind(Subtract(y, Literal(1)), "typ") { py =>
+                yw(py, weeksSince(dd, week1Start(py, m)))
+              },
+              If(GreaterThanOrEqual(dd,
+                  week1Start(Add(y, Literal(1)), m)),
+                yw(Add(y, Literal(1)), Literal(1)),
+                yw(y, weeksSince(dd, s))))
           }
         }
       }

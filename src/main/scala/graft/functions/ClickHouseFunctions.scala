@@ -121,10 +121,12 @@ object ClickHouseFunctions {
     f("toStartOfDay")(a => trunc("day", a.head))
     f("toStartOfHour")(a => trunc("hour", a.head))
     f("toStartOfMinute")(a => trunc("minute", a.head))
-    // CH toStartOfWeek(t[, mode]): DATE of the week start — mode 0
-    // (the CH DEFAULT) starts weeks on SUNDAY, modes 1/3 on Monday
-    // (round 14: was an ISO-Monday date_trunc, DIVERGENCES #5 — now
-    // exact; other modes refuse loudly like toWeek's)
+    // CH toStartOfWeek(t[, mode]): DATE of the week start. The mode
+    // argument works exactly like toWeek's (CH doc) — but only its
+    // MONDAY_FIRST bit can move a week BOUNDARY (the range/fold bits
+    // change week NUMBERING, not where weeks start), so even modes
+    // round to Sunday and odd modes to Monday. Mode 0 (Sunday) is the
+    // CH default.
     f("toStartOfWeek") { a =>
       val mode = if (a.length >= 2) a(1) match {
         case Literal(v: Int, IntegerType) => v
@@ -132,13 +134,12 @@ object ClickHouseFunctions {
         case other => throw new IllegalArgumentException(
           s"toStartOfWeek: mode must be an integer literal, got $other")
       } else 0
-      require(mode == 0 || mode == 1 || mode == 3,
-        s"toStartOfWeek: only modes 0 (Sunday start, the CH default) " +
-          s"and 1/3 (Monday start) are supported, got $mode")
+      require(mode >= 0 && mode <= 9,
+        s"toStartOfWeek: mode must be in 0-9 (toWeek's modes), got $mode")
       val d = Cast(a.head, DateType)
       // Spark DayOfWeek: Sunday=1..Saturday=7
       val offset =
-        if (mode == 0) Subtract(DayOfWeek(d), Literal(1))
+        if ((mode & 1) == 0) Subtract(DayOfWeek(d), Literal(1))
         else Pmod(Add(DayOfWeek(d), Literal(5)), Literal(7))
       DateSub(d, offset)
     }

@@ -442,6 +442,35 @@ object DialectQueries {
         |FROM u ORDER BY event_id""".stripMargin)
   }
 
+  /** Round-14 DIVERGENCES #47 retirement oracle: the toWeek /
+    * toYearWeek / toStartOfWeek mode battery over dates spread across
+    * ~37 year boundaries (event_id-seeded, deterministic), restated in
+    * DuckDB as the same Jan-1-anchor date arithmetic — an independent
+    * engine computing the same integers. One mode per semantic family:
+    * 1 (Monday, >=4 days, range 0-53), 4 (Sunday, >=4 days, 0-53),
+    * 5 (Monday, full-week, 0-53), 6 (Sunday, >=4 days, 1-53 with year
+    * folds), 8 (Sunday, week 1 contains Jan 1); yearweeks 1/7/9 pin
+    * the forced WEEK_YEAR fold on each start-day/minDays shape. Modes
+    * 0/3 are already oracled in q_ch_functions4/9. */
+  def qWeekModes(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ChDialectBatch10.register(spark)
+    sqlOn(spark, dir, "events", "evts_wk",
+      """WITH b AS (
+        |  SELECT event_id,
+        |    date_add(date'1996-12-15',
+        |      cast((event_id * 37) % 13700 as int)) AS d
+        |  FROM evts_wk WHERE event_id < 600)
+        |SELECT event_id, cast(d as string) AS ds,
+        |  toWeek(d, 1) AS w1, toWeek(d, 4) AS w4,
+        |  toWeek(d, 5) AS w5, toWeek(d, 6) AS w6,
+        |  toWeek(d, 8) AS w8,
+        |  toYearWeek(d, 1) AS yw1, toYearWeek(d, 7) AS yw7,
+        |  toYearWeek(d, 9) AS yw9,
+        |  cast(toStartOfWeek(d, 5) as string) AS sw5,
+        |  cast(toStartOfWeek(d, 8) as string) AS sw8
+        |FROM b ORDER BY event_id""".stripMargin)
+  }
+
   /** Batch-13 tail: the bitmap set algebra and array/date/regex/UUID
     * stragglers are all exactly recomputable in DuckDB (list ops,
     * epoch arithmetic, constructed UUID strings); toTypeName and the
@@ -1223,6 +1252,7 @@ object DialectQueries {
     "q_ch_functions7" -> (qChFunctions7 _),
     "q_ch_functions8" -> (qChFunctions8 _),
     "q_ch_functions9" -> (qChFunctions9 _),
+    "q_week_modes" -> (qWeekModes _),
     "q_agg_functions7" -> (qAggFunctions7 _),
     "q_url_functions2" -> (qUrlFunctions2 _),
     "q_geohash" -> (qGeohash _),
@@ -1936,6 +1966,70 @@ object DialectQueries {
     // over the same sorted-distinct canonical form; array shifts and
     // the UUID ladder restated constructively; SimHash behavior as
     // contract constants
+    "q_week_modes" ->
+      """WITH b AS (
+        |  SELECT event_id,
+        |    (DATE '1996-12-15' + CAST((event_id * 37) % 13700 AS INT))
+        |      AS d
+        |  FROM events WHERE event_id < 600),
+        |c AS (
+        |  SELECT event_id, d,
+        |    make_date(year(d), 1, 1) AS j0,
+        |    make_date(year(d) - 1, 1, 1) AS jp,
+        |    make_date(year(d) + 1, 1, 1) AS jn
+        |  FROM b),
+        |t AS (
+        |  SELECT *,
+        |    CASE WHEN isodow(j0) <= 4 THEN j0 - CAST(isodow(j0)-1 AS INT)
+        |         ELSE j0 + CAST(8 - isodow(j0) AS INT) END AS m4_0,
+        |    CASE WHEN isodow(jp) <= 4 THEN jp - CAST(isodow(jp)-1 AS INT)
+        |         ELSE jp + CAST(8 - isodow(jp) AS INT) END AS m4_p,
+        |    CASE WHEN isodow(jn) <= 4 THEN jn - CAST(isodow(jn)-1 AS INT)
+        |         ELSE jn + CAST(8 - isodow(jn) AS INT) END AS m4_n,
+        |    CASE WHEN isodow(j0) = 1 THEN j0
+        |         ELSE j0 + CAST(8 - isodow(j0) AS INT) END AS m7_0,
+        |    CASE WHEN isodow(jp) = 1 THEN jp
+        |         ELSE jp + CAST(8 - isodow(jp) AS INT) END AS m7_p,
+        |    CASE WHEN isodow(jn) = 1 THEN jn
+        |         ELSE jn + CAST(8 - isodow(jn) AS INT) END AS m7_n,
+        |    CASE WHEN dayofweek(j0) <= 3 THEN j0 - CAST(dayofweek(j0) AS INT)
+        |         ELSE j0 + CAST(7 - dayofweek(j0) AS INT) END AS s4_0,
+        |    CASE WHEN dayofweek(jp) <= 3 THEN jp - CAST(dayofweek(jp) AS INT)
+        |         ELSE jp + CAST(7 - dayofweek(jp) AS INT) END AS s4_p,
+        |    CASE WHEN dayofweek(jn) <= 3 THEN jn - CAST(dayofweek(jn) AS INT)
+        |         ELSE jn + CAST(7 - dayofweek(jn) AS INT) END AS s4_n,
+        |    d - CAST(dayofweek(d) AS INT) AS ws8,
+        |    d - CAST(isodow(d) - 1 AS INT) AS ws9
+        |  FROM c),
+        |v AS (
+        |  SELECT *,
+        |    make_date(year(ws8 + 6), 1, 1) AS j8,
+        |    make_date(year(ws9 + 6), 1, 1) AS j9
+        |  FROM t)
+        |SELECT event_id, CAST(d AS VARCHAR) AS ds,
+        |  CAST(CASE WHEN d < m4_0 THEN 0
+        |    ELSE (d - m4_0) // 7 + 1 END AS INT) AS w1,
+        |  CAST(CASE WHEN d < s4_0 THEN 0
+        |    ELSE (d - s4_0) // 7 + 1 END AS INT) AS w4,
+        |  CAST(CASE WHEN d < m7_0 THEN 0
+        |    ELSE (d - m7_0) // 7 + 1 END AS INT) AS w5,
+        |  CAST(CASE WHEN d < s4_0 THEN (d - s4_p) // 7 + 1
+        |    WHEN d >= s4_n THEN 1
+        |    ELSE (d - s4_0) // 7 + 1 END AS INT) AS w6,
+        |  CAST((ws8 - (j8 - CAST(dayofweek(j8) AS INT))) // 7 + 1
+        |    AS INT) AS w8,
+        |  CAST(CASE WHEN d < m4_0 THEN (year(d)-1)*100 + (d - m4_p)//7 + 1
+        |    WHEN d >= m4_n THEN (year(d)+1)*100 + 1
+        |    ELSE year(d)*100 + (d - m4_0) // 7 + 1 END AS INT) AS yw1,
+        |  CAST(CASE WHEN d < m7_0 THEN (year(d)-1)*100 + (d - m7_p)//7 + 1
+        |    WHEN d >= m7_n THEN (year(d)+1)*100 + 1
+        |    ELSE year(d)*100 + (d - m7_0) // 7 + 1 END AS INT) AS yw7,
+        |  CAST(year(ws9 + 6)*100
+        |    + (ws9 - (j9 - CAST(isodow(j9)-1 AS INT))) // 7 + 1
+        |    AS INT) AS yw9,
+        |  CAST(ws9 AS VARCHAR) AS sw5,
+        |  CAST(ws8 AS VARCHAR) AS sw8
+        |FROM v ORDER BY event_id""".stripMargin,
     "q_ch_functions9" ->
       """WITH b AS (
         |  SELECT event_id, user_id, ts,

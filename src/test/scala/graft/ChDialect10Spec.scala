@@ -57,10 +57,14 @@ class ChDialect10Spec extends AnyFunSuite {
     // a Sunday-start year: week 1 begins Jan 1
     assert(one("toWeek(date'2023-01-01', 0)") == 1)
     assert(one("toYearWeek(date'2023-12-31', 0)") == 202353)
+    // round 14: every mode 0-9 answers (battery test below); out-of-
+    // range modes still refuse loudly
+    assert(one("toWeek(date'2020-01-01', 1)") == 1)
+    assert(one("toYearWeek(date'2020-01-01', 4)") == 202001)
     assertThrows[Exception](
-      spark.sql("SELECT toWeek(date'2020-01-01', 1)").collect())
+      spark.sql("SELECT toWeek(date'2020-01-01', 10)").collect())
     assertThrows[Exception](
-      spark.sql("SELECT toYearWeek(date'2020-01-01', 4)").collect())
+      spark.sql("SELECT toYearWeek(date'2020-01-01', -1)").collect())
     assert(one("toUnixTimestamp(toStartOfSecond(" +
       "timestamp'2024-01-01 10:07:03.789'))") ==
       one("toUnixTimestamp(timestamp'2024-01-01 10:07:03')"))
@@ -70,6 +74,77 @@ class ChDialect10Spec extends AnyFunSuite {
         "300), t -> toString(t))").head().getSeq[String](0)
     assert(slots == Seq("2024-01-01 10:05:00", "2024-01-01 10:10:00",
       "2024-01-01 10:15:00"))
+  }
+
+  test("toWeek/toYearWeek/toStartOfWeek: documentation pins, all modes") {
+    // MySQL reference manual examples (CH toWeek follows MySQL WEEK):
+    assert(one("toWeek(date'2008-02-20', 0)") == 7)
+    assert(one("toWeek(date'2008-02-20', 1)") == 8)
+    // range 0-53 modes do NOT fold December forward —
+    assert(one("toWeek(date'2008-12-31', 1)") == 53)
+    // — but WEEK_YEAR modes do (ISO-style):
+    assert(one("toWeek(date'2008-12-31', 3)") == 1)
+    assert(one("toYearWeek(date'1987-01-01')") == 198652)
+    // ClickHouse documentation battery (2016-12-27, a Tuesday whose
+    // Monday-start week contains 2017-01-01):
+    assert(one("toWeek(date'2016-12-27')") == 52)
+    assert(one("toWeek(date'2016-12-27', 1)") == 52)
+    assert(one("toWeek(date'2016-12-27', 9)") == 1)
+    assert(one("toYearWeek(date'2016-12-27')") == 201652)
+    assert(one("toYearWeek(date'2016-12-27', 1)") == 201652)
+    assert(one("toYearWeek(date'2016-12-27', 9)") == 201701)
+  }
+
+  test("toWeek/toYearWeek/toStartOfWeek: all ten modes vs an " +
+      "independent java.time WeekFields formulation") {
+    import java.time.{DayOfWeek => JDow, LocalDate}
+    import java.time.temporal.{TemporalAdjusters, WeekFields}
+    // The same MySQL mode bits, restated through java.time: week start
+    // from bit0; minimalDaysInFirstWeek 7/4 from the (flipped)
+    // FIRST_WEEKDAY bit, 1 for the "contains January 1" modes 8/9.
+    def startDay(m: Int): JDow =
+      if ((m & 1) != 0) JDow.MONDAY else JDow.SUNDAY
+    def fields(m: Int): WeekFields = WeekFields.of(startDay(m),
+      if (m >= 8) 1 else if (((m & 4) != 0) ^ ((m & 1) == 0)) 7 else 4)
+    def expWeek(d: LocalDate, m: Int): Int =
+      if (m >= 8 || (m & 2) != 0) d.get(fields(m).weekOfWeekBasedYear())
+      else d.get(fields(m).weekOfYear()) // 0-53, no December fold
+    def expYearWeek(d: LocalDate, m: Int): Int = // WEEK_YEAR forced
+      d.get(fields(m).weekBasedYear()) * 100 +
+        d.get(fields(m).weekOfWeekBasedYear())
+    def expStart(d: LocalDate, m: Int): String =
+      d.`with`(TemporalAdjusters.previousOrSame(startDay(m))).toString
+    // every year-boundary window 1997-2033 (both leap shapes, every
+    // Jan-1 weekday) plus mid-year spot checks
+    val dates = (1997 to 2033).flatMap { y =>
+      (20 to 31).map(d => LocalDate.of(y - 1, 12, d)) ++
+        (1 to 10).map(d => LocalDate.of(y, 1, d))
+    } ++ Seq(LocalDate.of(2008, 2, 20), LocalDate.of(2016, 6, 15),
+      LocalDate.of(2024, 2, 29))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(dates.map(d =>
+        org.apache.spark.sql.Row(d.toString)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ds",
+          org.apache.spark.sql.types.StringType))))
+    df.createOrReplaceTempView("week_battery")
+    val sel = (0 to 9).flatMap(m => Seq(
+      s"toWeek(cast(ds as date), $m) AS w$m",
+      s"toYearWeek(cast(ds as date), $m) AS yw$m",
+      s"cast(toStartOfWeek(cast(ds as date), $m) as string) AS s$m"))
+    val rows = spark.sql(
+      s"SELECT ds, ${sel.mkString(", ")} FROM week_battery").collect()
+    assert(rows.length == dates.length)
+    rows.foreach { r =>
+      val d = LocalDate.parse(r.getAs[String]("ds"))
+      (0 to 9).foreach { m =>
+        assert(r.getAs[Int](s"w$m") == expWeek(d, m), s"toWeek($d, $m)")
+        assert(r.getAs[Int](s"yw$m") == expYearWeek(d, m),
+          s"toYearWeek($d, $m)")
+        assert(r.getAs[String](s"s$m") == expStart(d, m),
+          s"toStartOfWeek($d, $m)")
+      }
+    }
   }
 
   test("rounding ladder: roundToExp2 / roundDown / roundAge / " +
