@@ -551,6 +551,22 @@ object CorpusQueries {
           col("event_type") === "purchase"))
       .orderBy(col("user_id"))
 
+  /** Round-14 DIVERGENCES #30 narrowing: the bare-ADJACENCY pattern
+    * form `(?1)(?2).*(?3)` — a view IMMEDIATELY followed by a click
+    * (among matched events: CH's aggregate stores only rows matching
+    * ≥1 condition, so non-matching rows are invisible to adjacency),
+    * then a purchase anywhere later; greedy non-overlapping count.
+    * The DuckDB oracle replays the same NFA-powerset bit DP through
+    * `list_reduce` (packed c·64 + reach·8 + ended-at-prev) over an
+    * independently sorted event list. */
+  def qSequenceAdj(spark: SparkSession, dir: String): DataFrame =
+    Funnel.sequenceCount(Tables.load(spark, dir, "events"),
+        "user_id", "ts", "(?1)(?2).*(?3)",
+        Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+      .orderBy(col("user_id"))
+
   /** `sequenceMatch('(?1)(?t<=900)(?2).*(?3)')` — the time-constrained
     * pattern form [[Funnel.sequenceMatchTimed]] answers with the exact
     * frontier DP; the oracle brute-forces the EXISTS with a 3-way join
@@ -566,6 +582,7 @@ object CorpusQueries {
   def queries: Map[String, Q] = Map(
     "e_kmeans" -> (eKmeans _),
     "q_sequence_count" -> (qSequenceCount _),
+    "q_sequence_adj" -> (qSequenceAdj _),
     "q_sequence_next" -> (qSequenceNext _),
     "q_sequence_match_t" -> (qSequenceMatchT _),
     "q_window_funnel" -> (qWindowFunnel _),
@@ -946,6 +963,47 @@ object CorpusQueries {
         |ORDER BY u.user_id""".stripMargin,
     // per-user (ts, mask)-sorted masks; state packed cnt*64+lvl; bits
     // 1=view, 2=click, 4=purchase; chain needs bit 2^lvl
+    "q_sequence_adj" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    list(CASE WHEN event_type = 'view' THEN 1
+        |              WHEN event_type = 'click' THEN 2
+        |              WHEN event_type = 'purchase' THEN 4 END
+        |         ORDER BY ts,
+        |           CASE WHEN event_type = 'view' THEN 1
+        |                WHEN event_type = 'click' THEN 2
+        |                WHEN event_type = 'purchase' THEN 4 END) AS ms
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY user_id
+        |), f AS (
+        |  -- packed acc = c*64 + reach*8 + endedAtPrev; level bits
+        |  -- 1 (view), 2 (click adjacent to a view), 4 (purchase after
+        |  -- any reached view-click). Completing level 3 counts and
+        |  -- resets (greedy non-overlap); in the non-complete branch
+        |  -- the level-3 bit is necessarily 0.
+        |  SELECT user_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), ms),
+        |      (acc, m) -> CASE
+        |        WHEN (m & 4) != 0 AND (((acc % 64) // 8) & 2) != 0
+        |          THEN ((acc // 64) + 1) * 64
+        |        ELSE (acc // 64) * 64
+        |          + ((((acc % 64) // 8)
+        |              | (CASE WHEN (m & 1) != 0 THEN 1 ELSE 0 END)
+        |              | (CASE WHEN (m & 2) != 0 AND ((acc % 8) & 1) != 0
+        |                 THEN 2 ELSE 0 END)) * 8)
+        |          + ((CASE WHEN (m & 1) != 0 THEN 1 ELSE 0 END)
+        |             | (CASE WHEN (m & 2) != 0 AND ((acc % 8) & 1) != 0
+        |                THEN 2 ELSE 0 END))
+        |        END) AS packed
+        |  FROM m
+        |)
+        |SELECT u.user_id,
+        |  CAST(coalesce(f.packed // 64, 0) AS BIGINT) AS seq_count,
+        |  coalesce(f.packed // 64, 0) > 0 AS seq_match
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN f ON u.user_id = f.user_id
+        |ORDER BY u.user_id""".stripMargin,
     "q_sequence_count" ->
       """WITH m AS (
         |  SELECT user_id,

@@ -81,79 +81,165 @@ object Funnel {
       .select(col("user_id"), coalesce(col("lvl"), lit(0L)).as("funnel_level"))
   }
 
-  /** Parse a CH sequence pattern of the subsequence-chain form
-    * `(?a).*(?b).*(?c)` into 1-based condition references. Only the
-    * `.*`-separated chain shape is supported — the overwhelmingly common
-    * usage; other atoms (adjacency, `(?tOP)` time constraints) are
-    * refused loudly rather than mis-matched. */
-  private[graft] def parseChain(pattern: String, nConds: Int): Seq[Int] = {
-    val parts = pattern.split("\\.\\*", -1).toSeq
-    require(parts.nonEmpty && parts.forall(_.matches("\\(\\?\\d+\\)")),
-      s"unsupported sequence pattern '$pattern' — only the chain form " +
-        "'(?a).*(?b)...' is supported (no adjacency or time constraints)")
-    val refs = parts.map(p => p.substring(2, p.length - 1).toInt)
+  /** Parse a CH sequence pattern of atoms `(?d)` separated by `.*`
+    * (any gap) or by NOTHING (CH's immediately-follows adjacency —
+    * `(?1)(?2)` means the ?2 event is the VERY NEXT stored event after
+    * the ?1 event; CH's aggregate stores only events matching at least
+    * one condition, AggregateFunctionSequenceMatch's `if (events.any())`
+    * guard, so "next" means next among MATCHED events — non-matching
+    * rows are invisible to adjacency, and so they are here). Returns
+    * the 1-based condition refs and, per gap, whether it is adjacent.
+    * Time-constraint atoms belong to [[parseTimed]] and are refused
+    * here. Round 14: adjacency was previously a loud refusal
+    * (DIVERGENCES #30); it now parses and [[sequenceCount]] answers it
+    * with an exact NFA fold. */
+  private[graft] def parseChain(pattern: String, nConds: Int)
+      : (Seq[Int], Seq[Boolean]) = {
+    val tok = java.util.regex.Pattern.compile("""\(\?(\d+)\)|\.\*""")
+    val m = tok.matcher(pattern)
+    var pos = 0
+    val refs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val adj = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    var seenAtom = false
+    var sepSinceAtom = false
+    while (m.find()) {
+      require(m.start() == pos,
+        s"unsupported sequence pattern '$pattern' at offset $pos — atoms " +
+          "are '(?d)', separators '.*' or adjacency; time constraints " +
+          "need sequenceMatchTimed")
+      pos = m.end()
+      if (m.group(1) != null) {
+        if (seenAtom) adj += !sepSinceAtom
+        refs += m.group(1).toInt
+        seenAtom = true
+        sepSinceAtom = false
+      } else sepSinceAtom = true // '.*' (repeats collapse to one gap)
+    }
+    require(pos == pattern.length && refs.nonEmpty,
+      s"unsupported sequence pattern '$pattern' — atoms are '(?d)', " +
+        "separators '.*' or adjacency (nothing between atoms)")
     require(refs.forall(r => r >= 1 && r <= nConds),
       s"pattern '$pattern' references conditions outside 1..$nConds")
     require(refs.length <= 32, s"pattern '$pattern': at most 32 steps (CH cap)")
-    refs
+    (refs.toSeq, adj.toSeq)
   }
 
   /** ClickHouse `sequenceCount(pattern)(ts, cond1, …)` /
-    * `sequenceMatch(...)` analogue for chain patterns ([[parseChain]]):
-    * per user, the number of NON-OVERLAPPING left-to-right occurrences of
-    * the condition chain (events in non-decreasing ts order; ties break
-    * by condition bitmask — deterministic, unlike CH, same stance as
-    * DIVERGENCES #22), and `seq_match` = count ≥ 1, which for a chain
-    * pattern is exactly CH's sequenceMatch.
+    * `sequenceMatch(...)` analogue for chain patterns ([[parseChain]] —
+    * `.*` gaps AND, since round 14, bare-adjacency gaps like
+    * `(?1)(?2)`, CH's immediately-follows-among-matched-events atom):
+    * per user, the number of NON-OVERLAPPING left-to-right occurrences
+    * of the pattern (events in non-decreasing ts order; ties break by
+    * condition bitmask — deterministic, unlike CH, same stance as
+    * DIVERGENCES #22), and `seq_match` = count ≥ 1, which is exactly
+    * CH's sequenceMatch (match detection is exact in both folds: the
+    * greedy single-path is optimal for pure-`.*` subsequence existence,
+    * and the adjacency fold tracks the full NFA powerset).
     *
-    * Algorithm: greedy scan — an event matching the NEXT needed condition
-    * advances the chain; a completed chain counts and restarts. Greedy
-    * earliest-match is optimal for subsequence existence, and restart-on-
-    * complete is CH's non-overlapping count. One event advances at most
-    * one position. Events matching NO condition cannot affect a `.*`
-    * chain and are dropped BEFORE the shuffle.
+    * Algorithm, pure `.*` chains: greedy scan — an event matching the
+    * NEXT needed condition advances the chain; a completed chain counts
+    * and restarts; one event advances at most one position. With
+    * adjacency: per-event bit-vector DP over (reach, ended-at-previous)
+    * prefix sets — see the inline comment. Both count readings restart
+    * from empty state after a completion (CH's greedy non-overlapping
+    * count). Events matching NO condition are dropped BEFORE the
+    * shuffle — CH's own aggregate stores only matching events, so this
+    * is exact for adjacency too, not an approximation.
     *
     * Scale shape: identical to [[windowFunnel]] — filter → one
     * groupBy(user) collecting (ts, mask) → a row-local `aggregate` HOF
-    * fold (state = one packed long) over each user's sorted events. No
-    * self-join, nothing quadratic; per-user state bounded by that user's
-    * matching events. */
+    * fold (state = one packed long, or a 3-long struct for adjacency)
+    * over each user's sorted events. No self-join, nothing quadratic;
+    * per-user state bounded by that user's matching events. */
   def sequenceCount(
       events: DataFrame, userCol: String, tsCol: String,
       pattern: String, conds: Seq[Column]): DataFrame = {
     require(conds.nonEmpty && conds.length <= 32,
       s"sequenceCount: 1..32 conditions, got ${conds.length}")
-    val chain = parseChain(pattern, conds.length)
+    val (chain, adj) = parseChain(pattern, conds.length)
     val k = chain.length
     // bitmask of matched conditions per event (an event may match several)
     val mask = conds.zipWithIndex
       .map { case (c, i) => when(c, lit(1L << i)).otherwise(lit(0L)) }
       .reduce((a, b) => a.bitwiseOR(b))
+    // CH stores only events matching >=1 condition
+    // (AggregateFunctionSequenceMatch `if (events.any())`), so the
+    // filter is semantics-preserving even for adjacency patterns:
+    // non-matching rows are invisible to "immediately follows".
     val base = events
       .select(col(userCol).as("user_id"),
         struct(unix_micros(col(tsCol)).as("us"), mask.as("m")).as("e"))
       .where(col("e.m") =!= 0)
     val byUser = base.groupBy(col("user_id"))
       .agg(array_sort(collect_list(col("e"))).as("evs"))
-    // the chain position lvl needs condition chain(lvl); precompute its
-    // bit as a literal array so the fold is pure column arithmetic
-    val needBit = array(chain.map(r => lit(1L << (r - 1))): _*)
-    // packed state: cnt * 64 + lvl (lvl < 64 by the 32-step cap)
-    val packed = aggregate(
-      transform(col("evs"), e => e.getField("m")),
-      lit(0L),
-      (acc, m) => {
-        val lvl = acc % 64L
-        val hit = m.bitwiseAND(element_at(needBit, (lvl + 1).cast("int"))) =!= 0
-        when(hit,
-          // completed chain: count++ and restart (acc - lvl = cnt * 64)
-          when(lvl === (k - 1).toLong, acc - lvl + 64L)
-            .otherwise(acc + 1L))
-          .otherwise(acc)
-      })
+    val cnt =
+      if (adj.forall(!_)) {
+        // pure '.*' chain: greedy single-path fold. The chain position
+        // lvl needs condition chain(lvl); precompute its bit as a
+        // literal array so the fold is pure column arithmetic.
+        // packed state: cnt * 64 + lvl (lvl < 64 by the 32-step cap)
+        val needBit = array(chain.map(r => lit(1L << (r - 1))): _*)
+        val packed = aggregate(
+          transform(col("evs"), e => e.getField("m")),
+          lit(0L),
+          (acc, m) => {
+            val lvl = acc % 64L
+            val hit =
+              m.bitwiseAND(element_at(needBit, (lvl + 1).cast("int"))) =!= 0
+            when(hit,
+              // completed chain: count++ and restart (acc - lvl = cnt*64)
+              when(lvl === (k - 1).toLong, acc - lvl + 64L)
+                .otherwise(acc + 1L))
+              .otherwise(acc)
+          })
+        shiftright(packed, 6) // cnt = packed >> 6
+      } else {
+        // adjacency present: exact NFA-POWERSET fold — every reachable
+        // prefix tracked simultaneously, so a match is found whenever
+        // ANY parse exists (greedy single-path would miss e.g.
+        // '(?1)(?2)' on [1, 1&2-tie, 2] orderings). State per user:
+        //   r — prefix i completable ending at SOME processed event;
+        //   p — prefix i completable ending EXACTLY at the previous
+        //       event (what an adjacent next atom needs);
+        //   c — completed non-overlapping matches (full state reset on
+        //       completion: CH's greedy non-overlapping count, the
+        //       DIVERGENCES #30 deterministic reading).
+        // endCur is bound via a one-element transform so the O(k) term
+        // list evaluates once per event (HOFs are interpreted — no
+        // common-subexpression elimination).
+        def bindC(shared: Column)(f: Column => Column): Column =
+          element_at(transform(array(shared), f), 1)
+        val doneBit = 1L << (k - 1)
+        val folded = aggregate(
+          transform(col("evs"), e => e.getField("m")),
+          struct(lit(0L).as("c"), lit(0L).as("r"), lit(0L).as("p")),
+          (acc, m) => {
+            val endCur = (0 until k).map { i =>
+              val atomHit =
+                m.bitwiseAND(lit(1L << (chain(i) - 1))) =!= 0
+              val prereq =
+                if (i == 0) lit(true)
+                else if (adj(i - 1))
+                  acc.getField("p").bitwiseAND(lit(1L << (i - 1))) =!= 0
+                else
+                  acc.getField("r").bitwiseAND(lit(1L << (i - 1))) =!= 0
+              when(atomHit && prereq, lit(1L << i)).otherwise(lit(0L))
+            }.reduce((a, b) => a.bitwiseOR(b))
+            bindC(endCur) { ec =>
+              val done = ec.bitwiseAND(lit(doneBit)) =!= 0
+              struct(
+                when(done, acc.getField("c") + 1L)
+                  .otherwise(acc.getField("c")).as("c"),
+                when(done, lit(0L))
+                  .otherwise(acc.getField("r").bitwiseOR(ec)).as("r"),
+                when(done, lit(0L)).otherwise(ec).as("p"))
+            }
+          },
+          acc => acc.getField("c"))
+        folded
+      }
     events.select(col(userCol).as("user_id")).distinct()
-      .join(byUser.select(col("user_id"),
-          shiftright(packed, 6).as("c")), // cnt = packed >> 6 (cnt*64+lvl)
+      .join(byUser.select(col("user_id"), cnt.as("c")),
         Seq("user_id"), "left")
       .select(col("user_id"),
         coalesce(col("c"), lit(0L)).as("seq_count"),

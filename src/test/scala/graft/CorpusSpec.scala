@@ -517,16 +517,70 @@ class CorpusSpec extends AnyFunSuite {
     // unsupported pattern atoms are refused loudly, as are bad refs
     intercept[IllegalArgumentException] {
       operators.Funnel.sequenceCount(events, "user_id", "ts",
-        "(?1)(?2)", conds)
-    }
-    intercept[IllegalArgumentException] {
-      operators.Funnel.sequenceCount(events, "user_id", "ts",
         "(?1).*(?t>3600)(?2)", conds)
     }
     intercept[IllegalArgumentException] {
       operators.Funnel.sequenceCount(events, "user_id", "ts",
         "(?1).*(?3)", conds)
     }
+    intercept[IllegalArgumentException] {
+      operators.Funnel.sequenceCount(events, "user_id", "ts",
+        "(?1)..(?2)", conds)
+    }
+  }
+
+  test("sequenceCount/sequenceMatch: bare-adjacency atoms (round 14 — " +
+      "was a DIVERGENCES #30 refusal)") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(s: Long) = new Timestamp(base + s * 1000L)
+    val events = Seq(
+      // user 1: v c v c → '(?1)(?2)' twice, non-overlapping
+      (1L, ts(0), "view"), (1L, ts(1), "click"),
+      (1L, ts(2), "view"), (1L, ts(3), "click"),
+      // user 2: v v c c → exactly one adjacent (v, c) pair
+      (2L, ts(0), "view"), (2L, ts(1), "view"),
+      (2L, ts(2), "click"), (2L, ts(3), "click"),
+      // user 3: v ERROR c — 'error' matches NO condition: CH stores
+      // only matching events, so adjacency sees v directly before c
+      (3L, ts(0), "view"), (3L, ts(1), "error"), (3L, ts(2), "click"),
+      // user 4: v PURCHASE c — purchase DOES match a condition (cond
+      // 3), so it breaks '(?1)(?2)' adjacency; '(?1).*(?2)' still hits
+      (4L, ts(0), "view"), (4L, ts(1), "purchase"), (4L, ts(2), "click"),
+      // user 5: v c X p (X = error, invisible) → '(?1)(?2).*(?3)'
+      (5L, ts(0), "view"), (5L, ts(1), "click"),
+      (5L, ts(2), "error"), (5L, ts(3), "purchase"),
+      // user 6: v p c p — v..c not adjacent (p between), the later c,p
+      // pair cannot be atoms 1,2 → mixed pattern finds nothing
+      (6L, ts(0), "view"), (6L, ts(1), "purchase"),
+      (6L, ts(2), "click"), (6L, ts(3), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val conds = Seq(col("event_type") === "view",
+      col("event_type") === "click",
+      col("event_type") === "purchase")
+    def run(pattern: String,
+        cs: Seq[org.apache.spark.sql.Column] = conds): Map[Long, Long] =
+      operators.Funnel.sequenceCount(events, "user_id", "ts", pattern, cs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = run("(?1)(?2)")
+    assert(adj(1L) == 2L)
+    assert(adj(2L) == 1L)
+    assert(adj(3L) == 1L) // non-matching event is invisible
+    assert(adj(4L) == 0L) // matched interloper breaks adjacency
+    val gap = run("(?1).*(?2)")
+    assert(gap(4L) == 1L) // same stream, any-gap still matches
+    val mixed = run("(?1)(?2).*(?3)")
+    assert(mixed(5L) == 1L)
+    assert(mixed(6L) == 0L)
+    assert(mixed(1L) == 0L) // no purchase at all for user 1
+    // one event cannot serve two adjacent atoms: cond2 matches every
+    // event, but a single row is not two rows
+    val both = operators.Funnel.sequenceCount(
+        events.where(col("user_id") === 3L && col("event_type") === "view"),
+        "user_id", "ts", "(?1)(?2)",
+        Seq(col("event_type") === "view", lit(true)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(both(3L) == 0L)
   }
 
   test("sequenceMatchTimed: frontier DP beats greedy, lower bounds, mixed " +
