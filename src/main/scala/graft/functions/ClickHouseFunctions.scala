@@ -288,14 +288,51 @@ object ClickHouseFunctions {
       DateFormatClass(Cast(a.head, TimestampType), Literal("yyyyMMdd")),
       IntegerType))
     // Date-part family (CH names Spark lacks). toDayOfWeek: CH default
-    // mode is Monday=1..Sunday=7 (ISO) = Spark WeekDay + 1.
+    // mode is Monday=1..Sunday=7 (ISO) = Spark WeekDay + 1; the mode
+    // argument picks the other three documented numberings.
     f("toYear")(a => Year(Cast(a.head, DateType)))
     f("toQuarter")(a => Quarter(Cast(a.head, DateType)))
     f("toMonth")(a => Month(Cast(a.head, DateType)))
     f("toHour")(a => Hour(Cast(a.head, TimestampType)))
     f("toMinute")(a => Minute(Cast(a.head, TimestampType)))
     f("toSecond")(a => Second(Cast(a.head, TimestampType)))
-    f("toDayOfWeek")(a => Add(WeekDay(Cast(a.head, DateType)), Literal(1)))
+    f("toDayOfWeek") { a =>
+      val mode = if (a.length >= 2) a(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case Literal(v: Long, LongType) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"toDayOfWeek: mode must be an integer literal, got $other")
+      } else 0
+      val d = Cast(a.head, DateType)
+      // Spark WeekDay: Mon=0..Sun=6; DayOfWeek: Sun=1..Sat=7
+      mode match {
+        case 0 => Add(WeekDay(d), Literal(1)) // Monday 1-7 (CH default)
+        case 1 => WeekDay(d) // Monday 0-6
+        case 2 => Subtract(DayOfWeek(d), Literal(1)) // Sunday 0-6
+        case 3 => DayOfWeek(d) // Sunday 1-7
+        case m => throw new IllegalArgumentException(
+          s"toDayOfWeek: mode must be 0-3 (CH's documented modes), got $m")
+      }
+    }
+    // toLastDayOfWeek(t[, mode]): DATE of the week's last day — the
+    // toStartOfWeek mirror (mode parity picks the boundary: even =
+    // Sunday-start weeks ending Saturday, odd = Monday-start ending
+    // Sunday).
+    f("toLastDayOfWeek") { a =>
+      val mode = if (a.length >= 2) a(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case Literal(v: Long, LongType) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"toLastDayOfWeek: mode must be an integer literal, got $other")
+      } else 0
+      require(mode >= 0 && mode <= 9,
+        s"toLastDayOfWeek: mode must be in 0-9 (toWeek's modes), got $mode")
+      val d = Cast(a.head, DateType)
+      val offset =
+        if ((mode & 1) == 0) Subtract(DayOfWeek(d), Literal(1))
+        else Pmod(Add(DayOfWeek(d), Literal(5)), Literal(7))
+      DateAdd(DateSub(d, offset), Literal(6))
+    }
     f("toDayOfYear")(a => DayOfYear(Cast(a.head, DateType)))
     f("toStartOfYear")(a => trunc("year", a.head))
     f("toStartOfQuarter")(a => trunc("quarter", a.head))

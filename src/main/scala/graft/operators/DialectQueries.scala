@@ -467,7 +467,9 @@ object DialectQueries {
         |  toYearWeek(d, 1) AS yw1, toYearWeek(d, 7) AS yw7,
         |  toYearWeek(d, 9) AS yw9,
         |  cast(toStartOfWeek(d, 5) as string) AS sw5,
-        |  cast(toStartOfWeek(d, 8) as string) AS sw8
+        |  cast(toStartOfWeek(d, 8) as string) AS sw8,
+        |  toDayOfWeek(d) AS dw0, toDayOfWeek(d, 2) AS dw2,
+        |  cast(toLastDayOfWeek(d, 1) as string) AS lw1
         |FROM b ORDER BY event_id""".stripMargin)
   }
 
@@ -2028,7 +2030,10 @@ object DialectQueries {
         |    + (ws9 - (j9 - CAST(isodow(j9)-1 AS INT))) // 7 + 1
         |    AS INT) AS yw9,
         |  CAST(ws9 AS VARCHAR) AS sw5,
-        |  CAST(ws8 AS VARCHAR) AS sw8
+        |  CAST(ws8 AS VARCHAR) AS sw8,
+        |  CAST(isodow(d) AS INT) AS dw0,
+        |  CAST(dayofweek(d) AS INT) AS dw2,
+        |  CAST(ws9 + 6 AS VARCHAR) AS lw1
         |FROM v ORDER BY event_id""".stripMargin,
     "q_ch_functions9" ->
       """WITH b AS (

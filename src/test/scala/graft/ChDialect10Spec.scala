@@ -93,6 +93,23 @@ class ChDialect10Spec extends AnyFunSuite {
     assert(one("toYearWeek(date'2016-12-27')") == 201652)
     assert(one("toYearWeek(date'2016-12-27', 1)") == 201652)
     assert(one("toYearWeek(date'2016-12-27', 9)") == 201701)
+    // toDayOfWeek's four documented numberings (2024-03-05 is a
+    // Tuesday, 2024-03-03 a Sunday)
+    assert(one("toDayOfWeek(date'2024-03-05')") == 2)
+    assert(one("toDayOfWeek(date'2024-03-05', 1)") == 1)
+    assert(one("toDayOfWeek(date'2024-03-05', 2)") == 2)
+    assert(one("toDayOfWeek(date'2024-03-05', 3)") == 3)
+    assert(one("toDayOfWeek(date'2024-03-03', 0)") == 7)
+    assert(one("toDayOfWeek(date'2024-03-03', 1)") == 6)
+    assert(one("toDayOfWeek(date'2024-03-03', 2)") == 0)
+    assert(one("toDayOfWeek(date'2024-03-03', 3)") == 1)
+    assertThrows[Exception](
+      spark.sql("SELECT toDayOfWeek(date'2024-03-05', 4)").collect())
+    // toLastDayOfWeek mirrors toStartOfWeek (+6 days)
+    assert(one("toString(toLastDayOfWeek(date'2016-12-27'))")
+      == "2016-12-31") // Sunday-start week ends Saturday
+    assert(one("toString(toLastDayOfWeek(date'2016-12-27', 1))")
+      == "2017-01-01") // Monday-start week ends Sunday
   }
 
   test("toWeek/toYearWeek/toStartOfWeek: all ten modes vs an " +
