@@ -29,9 +29,11 @@ import org.apache.spark.sql.types._
   *  - integer `gcd`/`lcm` (bounded Euclid fold — 64 halvings cover any
   *    pair of longs; state is two longs, no recursion);
   *  - geo: `greatCircleAngle` (central angle, degrees), `pointInEllipses`;
-  *  - IP: `IPv4CIDRToRange`, `isIPAddressInRange` (IPv4; IPv6 CIDR
-  *    refuses loudly), `isIPv4String`, `isIPv6String` (the #16 regex
-  *    strictness: full or single-`::` compressed form);
+  *  - IP: `IPv4CIDRToRange`, `isIPAddressInRange` (BOTH families —
+  *    round 14 adds the IPv6 arm via the [[Ipv6]] kernel at the same
+  *    #16 grammar; family mismatch returns false per CH's contract),
+  *    `isIPv4String`, `isIPv6String` (the #16 regex strictness: full
+  *    or single-`::` compressed form);
   *  - URL tail: `netloc`, `port`, `firstSignificantSubdomain`,
   *    `cutToFirstSignificantSubdomain`, `extractURLParameterNames`,
   *    `extractURLParameters`, `cutURLParameter`, `queryStringAndFragment`;
@@ -363,8 +365,9 @@ object ChDialectBatch10 {
              "_2" -> ipv4NumToString(BitwiseOr(lo, host)))
       }}
     }
-    // isIPAddressInRange(addr, 'cidr') — IPv4 only; an IPv6 CIDR
-    // refuses loudly rather than silently returning false.
+    // isIPAddressInRange(addr, 'cidr') — both families (round 14: the
+    // IPv6 arm was a refusal; now the [[Ipv6]] kernel answers it).
+    // Family mismatch returns false, CH's documented contract.
     f("isIPAddressInRange") { a =>
       bind(a.head, "iprA") { addr => bind(a(1), "iprC") { cidr =>
         val net = SubstringIndex(cidr, Literal("/"), Literal(1))
@@ -373,13 +376,14 @@ object ChDialectBatch10 {
         val host = Subtract(
           ShiftLeft(Literal(1L), Subtract(Literal(32), bits)), Literal(1L))
         val mask = BitwiseNot(host)
-        If(Contains(cidr, Literal(":")),
-          Cast(new RaiseError(Concat(Seq(
-            Literal("isIPAddressInRange: IPv6 CIDR '"), cidr,
-            Literal("' is not supported (IPv4 only)")))), BooleanType),
-          EqualTo(
-            BitwiseAnd(ipv4StringToNum(addr), mask),
-            BitwiseAnd(ipv4StringToNum(net), mask)))
+        val v6cidr = Contains(cidr, Literal(":"))
+        val v6addr = Contains(addr, Literal(":"))
+        If(v6cidr,
+          If(v6addr, Ipv6InRangeExpr(addr, cidr), Literal(false)),
+          If(v6addr, Literal(false),
+            EqualTo(
+              BitwiseAnd(ipv4StringToNum(addr), mask),
+              BitwiseAnd(ipv4StringToNum(net), mask))))
       }}
     }
     // Anchored validation regexes (the #16 strictness tier): IPv4 quads

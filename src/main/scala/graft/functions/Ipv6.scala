@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** IPv6 textual parsing + CIDR membership for `isIPAddressInRange`
+  * (round 14 — the IPv6 arm was a loud refusal; ref: the CH SQL
+  * surface reachable through sqlHelpers.ts passthrough like the rest
+  * of the IP family).
+  *
+  * Parsing is the repo's #16 strictness tier, the SAME grammar
+  * `isIPv6String` validates: the full 8-group form or ONE `::`
+  * compression, hex groups of 1-4 digits; mixed IPv4-suffix forms and
+  * zone indices are rejected. Malformed input THROWS (CH's non-OrNull
+  * functions throw on bad input; a silent false would hide data bugs).
+  * Family mismatch between address and CIDR returns false — that one
+  * is CH's documented contract ("If the IP version of the address and
+  * the CIDR don't match, it returns 0"), not an error.
+  */
+object Ipv6 {
+  /** The 16 network-order bytes of an IPv6 string; throws on input
+    * outside the #16 grammar. */
+  def parseBytes(s: String): Array[Byte] = {
+    val out = new Array[Byte](16)
+    require(s.nonEmpty, "isIPAddressInRange: empty IPv6 address")
+    val dc = s.indexOf("::")
+    require(dc < 0 || s.indexOf("::", dc + 1) < 0,
+      s"malformed IPv6 '$s' (multiple '::')")
+    def groups(part: String): Array[Int] =
+      if (part.isEmpty) Array.empty[Int]
+      else part.split(":", -1).map { g =>
+        require(g.length >= 1 && g.length <= 4 &&
+          g.forall(ch => Character.digit(ch, 16) >= 0),
+          s"malformed IPv6 group '$g' in '$s'")
+        Integer.parseInt(g, 16)
+      }
+    val head =
+      if (dc >= 0) groups(s.substring(0, dc)) else groups(s)
+    val tail =
+      if (dc >= 0) groups(s.substring(dc + 2)) else Array.empty[Int]
+    if (dc >= 0)
+      require(head.length + tail.length <= 7,
+        s"malformed IPv6 '$s' ('::' must cover at least one group)")
+    else
+      require(head.length == 8,
+        s"malformed IPv6 '$s' (8 groups, or compress with '::')")
+    var i = 0
+    while (i < head.length) {
+      out(2 * i) = (head(i) >> 8).toByte
+      out(2 * i + 1) = head(i).toByte
+      i += 1
+    }
+    val off = 16 - 2 * tail.length
+    var j = 0
+    while (j < tail.length) {
+      out(off + 2 * j) = (tail(j) >> 8).toByte
+      out(off + 2 * j + 1) = tail(j).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** CIDR membership: do the first `prefix` bits of `addr` equal the
+    * network's? Both strings must be IPv6 (the caller routes family
+    * mismatch to false before this kernel). */
+  def inRange(addr: UTF8String, cidr: UTF8String): Boolean = {
+    val c = cidr.toString
+    val slash = c.lastIndexOf('/')
+    require(slash > 0 && slash < c.length - 1,
+      s"malformed CIDR '$c' (expected addr/prefix)")
+    val bits =
+      try c.substring(slash + 1).toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"malformed CIDR '$c' (prefix is not a number)")
+      }
+    require(bits >= 0 && bits <= 128,
+      s"malformed CIDR '$c' (prefix must be 0-128)")
+    val net = parseBytes(c.substring(0, slash))
+    val a = parseBytes(addr.toString)
+    var i = 0
+    var remaining = bits
+    while (remaining >= 8) {
+      if (a(i) != net(i)) return false
+      i += 1
+      remaining -= 8
+    }
+    if (remaining > 0) {
+      val m = (0xff << (8 - remaining)) & 0xff
+      if ((a(i) & m) != (net(i) & m)) return false
+    }
+    true
+  }
+}
+
+/** Native kernel node for the IPv6 arm of `isIPAddressInRange` — one
+  * static call per row, projection stays in whole-stage codegen. */
+case class Ipv6InRangeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING address, STRING cidr), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  override protected def nullSafeEval(a: Any, c: Any): Any =
+    Ipv6.inRange(a.asInstanceOf[UTF8String], c.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, c) => {
+      val cls = Ipv6.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.inRange($a, $c);"
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Ipv6InRangeExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "ipv6InRange"
+}

@@ -628,7 +628,11 @@ object DialectQueries {
         |  isIPv4String(concat(ip, '.9')) AS is4_bad,
         |  isIPv6String(concat('2001:db8::', lower(hex(doc_id % 65535 + 1))))
         |    AS is6,
-        |  isIPv6String(ip) AS is6_bad
+        |  isIPv6String(ip) AS is6_bad,
+        |  isIPAddressInRange(concat('2001:db8:', lower(hex(doc_id % 8)),
+        |    '::1'), '2001:db8:4::/47') AS in6,
+        |  isIPAddressInRange(concat('2001:db8:', lower(hex(doc_id % 8)),
+        |    '::1'), '10.0.0.0/8') AS in6_mix
         |FROM i ORDER BY doc_id LIMIT 300""".stripMargin)
   }
 
@@ -2256,7 +2260,13 @@ object DialectQueries {
         |  true AS is4,
         |  false AS is4_bad,
         |  true AS is6,
-        |  false AS is6_bad
+        |  false AS is6_bad,
+        |  -- /47 = groups 1-2 full + top 15 bits of group 3: the addr's
+        |  -- third group is doc_id % 8, the net's is 4, so membership
+        |  -- is (doc_id % 8) >> 1 == 4 >> 1 — recomputed from the
+        |  -- generating integers, independent of any string parsing
+        |  ((doc_id % 8) // 2 = 2) AS in6,
+        |  false AS in6_mix
         |FROM r ORDER BY doc_id LIMIT 300""".stripMargin,
     // batch-10 string similarity: the oracle engine's OWN kernels
     // (damerau_levenshtein / jaro / jaro_winkler / char-set jaccard) —

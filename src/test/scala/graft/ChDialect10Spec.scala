@@ -213,8 +213,31 @@ class ChDialect10Spec extends AnyFunSuite {
       == true)
     assert(one("isIPAddressInRange('11.1.2.3', '10.0.0.0/8')")
       == false)
+    // IPv6 arm (round 14 — was a refusal)
+    assert(one("isIPAddressInRange('2001:db8:1::ff', '2001:db8::/32')")
+      == true)
+    assert(one("isIPAddressInRange('2001:db9::1', '2001:db8::/32')")
+      == false)
+    // non-octet-aligned prefix: /33 splits inside the third group —
+    // 2001:db8:8000:: has bit 33 set, 2001:db8:7fff:: does not
+    assert(one("isIPAddressInRange('2001:db8:8000::1', " +
+      "'2001:db8:8000::/33')") == true)
+    assert(one("isIPAddressInRange('2001:db8:7fff::1', " +
+      "'2001:db8:8000::/33')") == false)
+    assert(one("isIPAddressInRange('::1', '::1/128')") == true)
+    assert(one("isIPAddressInRange('::2', '::1/128')") == false)
+    assert(one("isIPAddressInRange('ffff::', '::/0')") == true)
+    // family mismatch is FALSE (CH's documented contract), both ways
+    assert(one("isIPAddressInRange('10.1.2.3', '2001:db8::/32')")
+      == false)
+    assert(one("isIPAddressInRange('2001:db8::1', '10.0.0.0/8')")
+      == false)
+    // malformed IPv6 throws (the #16 grammar: one '::' max, hex groups)
     assertThrows[Exception](spark.sql(
-      "SELECT isIPAddressInRange('10.1.2.3', '2001:db8::/32')").collect())
+      "SELECT isIPAddressInRange('1::2::3', '2001:db8::/32')").collect())
+    assertThrows[Exception](spark.sql(
+      "SELECT isIPAddressInRange('2001:db8::1', '2001:db8::/129')")
+      .collect())
     assert(one("isIPv4String('1.2.3.4')") == true)
     assert(one("isIPv4String('256.1.1.1')") == false)
     assert(one("isIPv4String('1.2.3')") == false)
