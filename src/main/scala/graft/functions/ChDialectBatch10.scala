@@ -365,6 +365,16 @@ object ChDialectBatch10 {
              "_2" -> ipv4NumToString(BitwiseOr(lo, host)))
       }}
     }
+    // IPv6CIDRToRange(ip, prefix) -> tuple(lowStr, highStr), RFC 5952
+    // canonical rendering (how CH prints IPv6 values).
+    f("IPv6CIDRToRange") { a =>
+      bind(a.head, "c6rIp") { ip =>
+        bind(Cast(a(1), IntegerType), "c6rB") { bits =>
+          ns("_1" -> Ipv6CidrBoundExpr(ip, bits, high = false),
+             "_2" -> Ipv6CidrBoundExpr(ip, bits, high = true))
+        }
+      }
+    }
     // isIPAddressInRange(addr, 'cidr') — both families (round 14: the
     // IPv6 arm was a refusal; now the [[Ipv6]] kernel answers it).
     // Family mismatch returns false, CH's documented contract.

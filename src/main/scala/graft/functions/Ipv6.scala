@@ -63,6 +63,83 @@ object Ipv6 {
     out
   }
 
+  /** RFC 5952 canonical text of 16 network-order bytes: lowercase hex,
+    * the LONGEST run of >=2 zero groups compressed to '::' (leftmost on
+    * ties; a single zero group is never compressed). This is how CH
+    * renders IPv6 values, so `IPv6CIDRToRange` output is string-equal. */
+  def format(b: Array[Byte]): String = {
+    val g = new Array[Int](8)
+    var i = 0
+    while (i < 8) {
+      g(i) = ((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff)
+      i += 1
+    }
+    var bestStart = -1
+    var bestLen = 0
+    var runStart = -1
+    i = 0
+    while (i <= 8) {
+      if (i < 8 && g(i) == 0) {
+        if (runStart < 0) runStart = i
+      } else {
+        if (runStart >= 0 && i - runStart > bestLen) {
+          bestStart = runStart
+          bestLen = i - runStart
+        }
+        runStart = -1
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(40)
+    if (bestLen >= 2) {
+      var j = 0
+      while (j < bestStart) {
+        if (j > 0) sb.append(':')
+        sb.append(java.lang.Integer.toHexString(g(j)))
+        j += 1
+      }
+      sb.append("::")
+      j = bestStart + bestLen
+      while (j < 8) {
+        if (j > bestStart + bestLen) sb.append(':')
+        sb.append(java.lang.Integer.toHexString(g(j)))
+        j += 1
+      }
+    } else {
+      var j = 0
+      while (j < 8) {
+        if (j > 0) sb.append(':')
+        sb.append(java.lang.Integer.toHexString(g(j)))
+        j += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** One bound of `IPv6CIDRToRange`: the network's lowest (host bits
+    * cleared) or highest (host bits set) address, canonically
+    * formatted. Throws on malformed input like the membership kernel. */
+  def cidrBound(addr: UTF8String, prefix: Int, high: Boolean)
+      : UTF8String = {
+    require(prefix >= 0 && prefix <= 128,
+      s"IPv6CIDRToRange: prefix must be 0-128, got $prefix")
+    val b = parseBytes(addr.toString)
+    var i = 0
+    var remaining = prefix
+    while (i < 16) {
+      if (remaining >= 8) remaining -= 8
+      else {
+        val keep = ((0xff << (8 - remaining)) & 0xff)
+        b(i) =
+          if (high) ((b(i) & keep) | (~keep & 0xff)).toByte
+          else (b(i) & keep).toByte
+        remaining = 0
+      }
+      i += 1
+    }
+    UTF8String.fromString(format(b))
+  }
+
   /** CIDR membership: do the first `prefix` bits of `addr` equal the
     * network's? Both strings must be IPv6 (the caller routes family
     * mismatch to false before this kernel). */
@@ -94,6 +171,33 @@ object Ipv6 {
     }
     true
   }
+}
+
+/** One bound of `IPv6CIDRToRange(addr, prefix)` as a native kernel
+  * node (the registered function composes two of these into the
+  * `(_1, _2)` tuple the IPv4 twin returns). */
+case class Ipv6CidrBoundExpr(left: Expression, right: Expression,
+    high: Boolean) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING address, INT prefix), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  override protected def nullSafeEval(a: Any, p: Any): Any =
+    Ipv6.cidrBound(a.asInstanceOf[UTF8String], p.asInstanceOf[Int], high)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, p) => {
+      val cls = Ipv6.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.cidrBound($a, $p, $high);"
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Ipv6CidrBoundExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String =
+    if (high) "ipv6CidrHigh" else "ipv6CidrLow"
 }
 
 /** Native kernel node for the IPv6 arm of `isIPAddressInRange` — one

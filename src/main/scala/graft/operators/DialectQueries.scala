@@ -632,7 +632,11 @@ object DialectQueries {
         |  isIPAddressInRange(concat('2001:db8:', lower(hex(doc_id % 8)),
         |    '::1'), '2001:db8:4::/47') AS in6,
         |  isIPAddressInRange(concat('2001:db8:', lower(hex(doc_id % 8)),
-        |    '::1'), '10.0.0.0/8') AS in6_mix
+        |    '::1'), '10.0.0.0/8') AS in6_mix,
+        |  IPv6CIDRToRange(concat('2001:db8:', lower(hex(doc_id % 8)),
+        |    '::1'), 47)._1 AS rlo6,
+        |  IPv6CIDRToRange(concat('2001:db8:', lower(hex(doc_id % 8)),
+        |    '::1'), 47)._2 AS rhi6
         |FROM i ORDER BY doc_id LIMIT 300""".stripMargin)
   }
 
@@ -2266,7 +2270,16 @@ object DialectQueries {
         |  -- is (doc_id % 8) >> 1 == 4 >> 1 — recomputed from the
         |  -- generating integers, independent of any string parsing
         |  ((doc_id % 8) // 2 = 2) AS in6,
-        |  false AS in6_mix
+        |  false AS in6_mix,
+        |  -- /47 clears the third group's low bit and the rest: the low
+        |  -- bound's third group is (doc_id % 8) & ~1 (RFC 5952 drops a
+        |  -- zero group into the '::' run), the high bound sets it | 1
+        |  -- and fills groups 4-8 with ffff
+        |  CASE WHEN (doc_id % 8) // 2 = 0 THEN '2001:db8::'
+        |       ELSE '2001:db8:' || printf('%x', (doc_id % 8) // 2 * 2)
+        |         || '::' END AS rlo6,
+        |  '2001:db8:' || printf('%x', (doc_id % 8) // 2 * 2 + 1)
+        |    || ':ffff:ffff:ffff:ffff:ffff' AS rhi6
         |FROM r ORDER BY doc_id LIMIT 300""".stripMargin,
     // batch-10 string similarity: the oracle engine's OWN kernels
     // (damerau_levenshtein / jaro / jaro_winkler / char-set jaccard) —

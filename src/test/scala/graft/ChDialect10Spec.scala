@@ -213,6 +213,28 @@ class ChDialect10Spec extends AnyFunSuite {
       == true)
     assert(one("isIPAddressInRange('11.1.2.3', '10.0.0.0/8')")
       == false)
+    // IPv6CIDRToRange (round 14): CH doc example + RFC 5952 rendering
+    assert(one("IPv6CIDRToRange(" +
+      "'2001:0db8:0000:85a3:0000:0000:ac1f:8001', 32)._1")
+      == "2001:db8::")
+    assert(one("IPv6CIDRToRange(" +
+      "'2001:0db8:0000:85a3:0000:0000:ac1f:8001', 32)._2")
+      == "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff")
+    assert(one("IPv6CIDRToRange('::1', 128)._1") == "::1")
+    assert(one("IPv6CIDRToRange('1:2:3:4:5:6:7:8', 0)._1") == "::")
+    assert(one("IPv6CIDRToRange('1:2:3:4:5:6:7:8', 0)._2")
+      == "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff")
+    // RFC 5952: a single zero group is never compressed; equal-length
+    // zero runs compress the LEFTMOST
+    assert(one("IPv6CIDRToRange('2001:db8:0:1:1:1:1:1', 128)._1")
+      == "2001:db8:0:1:1:1:1:1")
+    assert(one("IPv6CIDRToRange('2001:0:0:1:0:0:1:1', 128)._1")
+      == "2001::1:0:0:1:1")
+    // non-octet-aligned /33 keeps only the third group's top bit
+    assert(one("IPv6CIDRToRange('2001:db8:ffff::', 33)._1")
+      == "2001:db8:8000::")
+    assert(one("IPv6CIDRToRange('2001:db8:ffff::', 33)._2")
+      == "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff")
     // IPv6 arm (round 14 — was a refusal)
     assert(one("isIPAddressInRange('2001:db8:1::ff', '2001:db8::/32')")
       == true)
