@@ -366,6 +366,16 @@ object ChDialectExtras {
     // family (one implementation, no drift).
     f("IPv4NumToString")(a => ChExprDsl.ipv4NumToString(a.head))
     f("IPv4StringToNum")(a => ChExprDsl.ipv4StringToNum(a.head))
+    // IPv6 conversions (round 14, the [[Ipv6]] kernel): StringToNum is
+    // the 16 network-order bytes (CH FixedString(16) ≈ binary),
+    // NumToString the RFC 5952 canonical text; toIPv6/toIPv4 are the
+    // canonicalizing identities (CH's type constructors render back to
+    // canonical text here, where IPv6 "values" ARE their text form).
+    f("IPv6StringToNum")(a => Ipv6StringToNumExpr(a.head))
+    f("IPv6NumToString")(a => Ipv6NumToStringExpr(a.head))
+    f("toIPv6")(a => Ipv6NumToStringExpr(Ipv6StringToNumExpr(a.head)))
+    f("toIPv4")(a =>
+      ChExprDsl.ipv4NumToString(ChExprDsl.ipv4StringToNum(a.head)))
 
     // --------------------------------------------------------------- JSON
     def jpath(j: Expression, key: Expression): Expression =

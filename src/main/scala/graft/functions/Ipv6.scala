@@ -173,6 +173,57 @@ object Ipv6 {
   }
 }
 
+/** `IPv6StringToNum(s)` — the 16 network-order bytes (CH returns a
+  * FixedString(16); Spark's binary type carries it) — and its inverse
+  * below. Malformed input throws, like CH's non-OrNull conversions. */
+case class Ipv6StringToNumExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType}")
+  override protected def nullSafeEval(s: Any): Any =
+    Ipv6.parseBytes(s.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = Ipv6.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.parseBytes($s.toString());"
+    })
+  override protected def withNewChildInternal(
+      newChild: Expression): Ipv6StringToNumExpr = copy(child = newChild)
+  override def prettyName: String = "IPv6StringToNum"
+}
+
+/** `IPv6NumToString(bytes)` — RFC 5952 canonical text of 16 bytes. */
+case class Ipv6NumToStringExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BINARY(16), got ${child.dataType}")
+  override protected def nullSafeEval(b: Any): Any = {
+    val bytes = b.asInstanceOf[Array[Byte]]
+    require(bytes.length == 16,
+      s"IPv6NumToString: need 16 bytes, got ${bytes.length}")
+    UTF8String.fromString(Ipv6.format(bytes))
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val cls = Ipv6.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""if ($b.length != 16) {
+         |  throw new IllegalArgumentException(
+         |    "IPv6NumToString: need 16 bytes, got " + $b.length);
+         |}
+         |${ev.value} = UTF8String.fromString($cls.format($b));
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(
+      newChild: Expression): Ipv6NumToStringExpr = copy(child = newChild)
+  override def prettyName: String = "IPv6NumToString"
+}
+
 /** One bound of `IPv6CIDRToRange(addr, prefix)` as a native kernel
   * node (the registered function composes two of these into the
   * `(_1, _2)` tuple the IPv4 twin returns). */

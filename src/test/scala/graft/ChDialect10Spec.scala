@@ -235,6 +235,14 @@ class ChDialect10Spec extends AnyFunSuite {
       == "2001:db8:8000::")
     assert(one("IPv6CIDRToRange('2001:db8:ffff::', 33)._2")
       == "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff")
+    // IPv6 conversions: 16-byte layout + canonicalizing round trips
+    assert(one("IPv6NumToString(IPv6StringToNum(" +
+      "'2001:0DB8:0:0:0:0:AC1F:8001'))") == "2001:db8::ac1f:8001")
+    assert(one("length(IPv6StringToNum('::1'))") == 16)
+    assert(one("toIPv6('0:0:0:0:0:0:0:1')") == "::1")
+    assert(one("toIPv4('10.1.2.3')") == "10.1.2.3")
+    assertThrows[Exception](
+      spark.sql("SELECT IPv6StringToNum('not-an-ip')").collect())
     // IPv6 arm (round 14 — was a refusal)
     assert(one("isIPAddressInRange('2001:db8:1::ff', '2001:db8::/32')")
       == true)

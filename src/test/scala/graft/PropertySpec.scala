@@ -143,6 +143,75 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("adjacency sequenceCount == plain-Scala set-NFA reference on " +
+      "random event logs") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val types = Vector("a", "b", "c", "x") // x matches no condition
+    val rowGen = for {
+      u <- Gen.chooseNum(0, 5)
+      s <- Gen.chooseNum(0, 60) // dense: adjacency needs neighbors
+      t <- Gen.oneOf(types)
+    } yield (u.toLong, s, t)
+    val patterns = Seq(
+      ("(?1)(?2)", Seq(1, 2), Seq(true)),
+      ("(?1)(?2)(?3)", Seq(1, 2, 3), Seq(true, true)),
+      ("(?1)(?2).*(?3)", Seq(1, 2, 3), Seq(true, false)),
+      ("(?1).*(?2)(?3)", Seq(1, 2, 3), Seq(false, true)),
+      ("(?1)(?1)", Seq(1, 1), Seq(true)))
+    patterns.zipWithIndex.foreach { case ((pattern, chain, adj), trial) =>
+      val rows = samples(rowGen, 150 + trial * 17)
+      val df = rows
+        .map { case (u, s, t) => (u, new Timestamp(base + s * 1000L), t) }
+        .toDF("user_id", "ts", "event_type")
+      val conds = Seq(col("event_type") === "a",
+        col("event_type") === "b", col("event_type") === "c")
+      val got = operators.Funnel.sequenceCount(
+          df, "user_id", "ts", pattern, conds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: prefix SETS over the (ts, mask)-sorted matching
+      // events — plain Scala collections, no bit packing
+      def mask(t: String) = Seq("a", "b", "c").zipWithIndex
+        .collect { case (c, i) if c == t => 1 << i }.sum
+      val want = rows.groupBy(_._1).map { case (u, evs) =>
+        val sorted =
+          evs.map(e => (e._2, mask(e._3))).filter(_._2 != 0).sorted
+        var reach = Set.empty[Int] // prefix lens done at some event
+        var prevEnd = Set.empty[Int] // ... exactly at the previous one
+        var cnt = 0
+        sorted.foreach { case (_, m) =>
+          val endCur = (1 to chain.length).filter { lvl =>
+            ((m & (1 << (chain(lvl - 1) - 1))) != 0) &&
+              (lvl == 1 ||
+                (if (adj(lvl - 2)) prevEnd(lvl - 1) else reach(lvl - 1)))
+          }.toSet
+          if (endCur(chain.length)) {
+            cnt += 1; reach = Set.empty; prevEnd = Set.empty
+          } else { reach ++= endCur; prevEnd = endCur }
+        }
+        u -> cnt.toLong
+      }
+      want.foreach { case (u, c) =>
+        assert(got.getOrElse(u, -1L) == c,
+          s"trial $trial user $u: got ${got.get(u)}, want $c " +
+            s"(pattern $pattern)")
+      }
+    }
+  }
+
+  test("IPv6 format/parse round-trip on random 16-byte addresses") {
+    val bytesGen =
+      Gen.listOfN(16, Gen.chooseNum(0, 255)).map(_.map(_.toByte).toArray)
+    samples(bytesGen, 300).foreach { b =>
+      val s = graft.functions.Ipv6.format(b)
+      assert(graft.functions.Ipv6.parseBytes(s).toSeq == b.toSeq,
+        s"round-trip through '$s'")
+      // canonical: formatting what we parsed back is the same string
+      assert(graft.functions.Ipv6.format(
+        graft.functions.Ipv6.parseBytes(s)) == s, s)
+    }
+  }
+
   test("sequenceNextNode == plain-Scala reference on random event logs " +
       "(first_match and head bases)") {
     import java.sql.Timestamp
