@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** CH `addDays`/`addMonths`/…/`subtractYears` with CH's RESULT-TYPE
+  * rule (retires DIVERGENCES #26): a day-or-coarser delta applied to a
+  * DATE returns a DATE; a time-granular delta (hours/minutes/seconds),
+  * or any delta applied to a DateTime, returns a timestamp.
+  *
+  * The function-registry builder sees UNRESOLVED arguments (no type
+  * information at registration — the original reason #26 existed), so
+  * the dispatch must wait for analysis: this node is a
+  * [[RuntimeReplaceable]] whose `replacement` reads the RESOLVED
+  * child type — Date inputs route to Spark's date-typed arithmetic
+  * (`date_add` / `add_months`, which clamp month-end exactly like CH's
+  * addMonths), everything else to the original interval arithmetic on
+  * timestamps.
+  */
+case class ChDateDelta(child: Expression, delta: Expression,
+    unit: String, negate: Boolean)
+    extends Expression with RuntimeReplaceable {
+  require(Set("day", "week", "hour", "minute", "second",
+    "month", "quarter", "year").contains(unit), s"unknown unit '$unit'")
+
+  override def children: Seq[Expression] = Seq(child, delta)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ChDateDelta =
+    copy(child = newChildren(0), delta = newChildren(1))
+
+  private def isYm = unit == "month" || unit == "quarter" || unit == "year"
+  private def isDayGranular = unit == "day" || unit == "week" || isYm
+
+  // NOTE: the replacement skips the analyzer's coercion/timezone rules
+  // (RuntimeReplaceable is swapped in whole), so every node here must
+  // be RESOLVED as built: explicit casts, micros arithmetic for the
+  // fixed-width units, and an explicit session timezone for the
+  // calendar-unit timestamp path (what ResolveTimeZone would set).
+  override lazy val replacement: Expression = {
+    val d32 = Cast(delta, IntegerType)
+    val scaled = unit match {
+      case "week" => Multiply(d32, Literal(7))
+      case "quarter" => Multiply(d32, Literal(3))
+      case "year" if child.dataType == DateType =>
+        Multiply(d32, Literal(12)) // via add_months on the date path
+      case _ => d32
+    }
+    val n = if (negate) UnaryMinus(scaled) else scaled
+    if (child.dataType == DateType && isDayGranular) {
+      if (isYm) AddMonths(child, n) else DateAdd(child, n)
+    } else {
+      // date->timestamp Cast is itself timezone-aware: set the session
+      // zone explicitly here too
+      val ts =
+        if (child.dataType == TimestampType) child
+        else Cast(child, TimestampType,
+          Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      if (isYm) {
+        val iv =
+          if (unit == "year") MakeYMInterval(n, Literal(0))
+          else MakeYMInterval(Literal(0), n) // month/quarter pre-scaled
+        TimestampAddYMInterval(ts, iv,
+          Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      } else {
+        val unitMicros = unit match {
+          case "day" | "week" => 86400000000L // week pre-scaled to days
+          case "hour" => 3600000000L
+          case "minute" => 60000000L
+          case _ => 1000000L // second
+        }
+        MicrosToTimestamp(Add(UnixMicros(ts),
+          Multiply(Cast(n, LongType), Literal(unitMicros))))
+      }
+    }
+  }
+
+  override def prettyName: String =
+    (if (negate) "subtract" else "add") + unit.capitalize + "s"
+}

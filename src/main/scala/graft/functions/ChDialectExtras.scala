@@ -389,32 +389,27 @@ object ChDialectExtras {
     }
 
     // ---------------------------------------------------------- date math
-    def dt(days: Expression, hours: Expression, mins: Expression,
-        secs: Expression): Expression =
-      MakeDTInterval(days, hours, mins, Cast(secs, DecimalType(18, 6)))
-    val zero = Literal(0)
-    def addDT(ts: Expression, iv: Expression): Expression =
-      Add(Cast(ts, TimestampType), iv)
-    def subDT(ts: Expression, iv: Expression): Expression =
-      Subtract(Cast(ts, TimestampType), iv)
-    f("addDays")(a => addDT(a.head, dt(a(1), zero, zero, zero)))
-    f("addWeeks")(a =>
-      addDT(a.head, dt(Multiply(a(1), Literal(7)), zero, zero, zero)))
-    f("addHours")(a => addDT(a.head, dt(zero, a(1), zero, zero)))
-    f("addMinutes")(a => addDT(a.head, dt(zero, zero, a(1), zero)))
-    f("addSeconds")(a => addDT(a.head, dt(zero, zero, zero, a(1))))
-    f("addMonths")(a => addDT(a.head, MakeYMInterval(zero, a(1))))
-    f("addQuarters")(a =>
-      addDT(a.head, MakeYMInterval(zero, Multiply(a(1), Literal(3)))))
-    f("addYears")(a => addDT(a.head, MakeYMInterval(a(1), zero)))
-    f("subtractDays")(a => subDT(a.head, dt(a(1), zero, zero, zero)))
-    f("subtractWeeks")(a =>
-      subDT(a.head, dt(Multiply(a(1), Literal(7)), zero, zero, zero)))
-    f("subtractHours")(a => subDT(a.head, dt(zero, a(1), zero, zero)))
-    f("subtractMinutes")(a => subDT(a.head, dt(zero, zero, a(1), zero)))
-    f("subtractSeconds")(a => subDT(a.head, dt(zero, zero, zero, a(1))))
-    f("subtractMonths")(a => subDT(a.head, MakeYMInterval(zero, a(1))))
-    f("subtractYears")(a => subDT(a.head, MakeYMInterval(a(1), zero)))
+    // [[ChDateDelta]] dispatches on the RESOLVED input type (round 14,
+    // retires DIVERGENCES #26): Date + day-or-coarser unit stays a
+    // Date (CH's rule); time units or DateTime input give a timestamp.
+    def delta(unit: String, neg: Boolean)(a: Seq[Expression]): Expression =
+      ChDateDelta(a.head, a(1), unit, negate = neg)
+    f("addDays")(delta("day", neg = false))
+    f("addWeeks")(delta("week", neg = false))
+    f("addHours")(delta("hour", neg = false))
+    f("addMinutes")(delta("minute", neg = false))
+    f("addSeconds")(delta("second", neg = false))
+    f("addMonths")(delta("month", neg = false))
+    f("addQuarters")(delta("quarter", neg = false))
+    f("addYears")(delta("year", neg = false))
+    f("subtractDays")(delta("day", neg = true))
+    f("subtractWeeks")(delta("week", neg = true))
+    f("subtractHours")(delta("hour", neg = true))
+    f("subtractMinutes")(delta("minute", neg = true))
+    f("subtractSeconds")(delta("second", neg = true))
+    f("subtractMonths")(delta("month", neg = true))
+    f("subtractQuarters")(delta("quarter", neg = true))
+    f("subtractYears")(delta("year", neg = true))
     f("today")(_ => CurrentDate())
     f("yesterday")(_ => DateSub(CurrentDate(), Literal(1)))
     f("toMonday")(a => Cast(

@@ -208,6 +208,30 @@ class ChDialect2Spec extends AnyFunSuite {
       .startsWith("2024-01-15"))
     assert(str("toMonday(date'2024-08-14')") == "2024-08-12")
     assert(one("datediff(today(), yesterday())") == 1)
+    // round 14 (retires DIVERGENCES #26): CH's result-type rule — a
+    // day-or-coarser delta on a DATE stays a DATE (month-end clamped
+    // like CH); time units promote to timestamp; DateTime stays one
+    def typeOf(e: String): String =
+      spark.sql(s"SELECT $e").schema.fields.head.dataType.simpleString
+    assert(typeOf("addDays(date'2024-01-31', 1)") == "date")
+    assert(str("addDays(date'2024-01-31', 1)") == "2024-02-01")
+    assert(typeOf("addMonths(date'2024-01-31', 1)") == "date")
+    assert(str("addMonths(date'2024-01-31', 1)") == "2024-02-29")
+    assert(typeOf("subtractYears(date'2024-02-29', 1)") == "date")
+    assert(str("subtractYears(date'2024-02-29', 1)") == "2023-02-28")
+    assert(typeOf("addQuarters(date'2024-01-15', 2)") == "date")
+    assert(str("addQuarters(date'2024-01-15', 2)") == "2024-07-15")
+    assert(typeOf("subtractQuarters(date'2024-07-15', 2)") == "date")
+    assert(str("subtractQuarters(date'2024-07-15', 2)") == "2024-01-15")
+    assert(typeOf("addWeeks(date'2024-01-01', 2)") == "date")
+    assert(typeOf("addHours(date'2024-01-01', 2)") == "timestamp")
+    assert(str("addHours(date'2024-01-01', 2)")
+      .startsWith("2024-01-01 02:00"))
+    assert(typeOf("addDays(timestamp'2024-01-31 10:00:00', 1)")
+      == "timestamp")
+    assert(typeOf("subtractSeconds(date'2024-01-01', 1)") == "timestamp")
+    assert(str("subtractSeconds(date'2024-01-01', 1)")
+      .startsWith("2023-12-31 23:59:59"))
   }
 
   test("aggregate functions") {
