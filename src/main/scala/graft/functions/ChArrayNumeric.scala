@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+
+/** `arraySum` / `arrayCumSum` with CH's RESULT-TYPE rule (retires the
+  * integer half of DIVERGENCES #25): integral elements accumulate in
+  * LONG (CH's Int64/UInt64 ladder top — overflow wraps, as CH's
+  * fixed-width integers do), floating elements in DOUBLE (CH Float64).
+  * Decimal elements still go through Double (the #25 residual — Spark
+  * has no single fold type for CH's per-scale decimal results).
+  *
+  * NULL elements contribute nothing (CH's sum semantics — its
+  * aggregate counterpart skips NULLs); for the cumulative form they
+  * carry the running sum forward. A NULL array is NULL. Native kernel
+  * (one loop, no interpreted HOF) — faster than the ArrayAggregate
+  * fold it replaces AND type-exact.
+  */
+case class ChArraySum(child: Expression, cumulative: Boolean)
+    extends UnaryExpression {
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  private def integral: Boolean = elemType match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+         NullType => true // NullType: the empty/all-NULL literal array
+    case _ => false
+  }
+  override def dataType: DataType =
+    if (cumulative) ArrayType(if (integral) LongType else DoubleType,
+      containsNull = false)
+    else if (integral) LongType
+    else DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) => et match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType |
+           FloatType | DoubleType | NullType | _: DecimalType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a numeric array, got array<${other.sql}>")
+    }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a numeric array, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (integral) {
+      var acc = 0L
+      val out = if (cumulative) new Array[Long](n) else null
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) acc += (elemType match {
+          case BooleanType => if (arr.getBoolean(i)) 1L else 0L
+          case ByteType => arr.getByte(i).toLong
+          case ShortType => arr.getShort(i).toLong
+          case IntegerType => arr.getInt(i).toLong
+          case NullType => 0L // unreachable: NullType elements are null
+          case _ => arr.getLong(i)
+        })
+        if (cumulative) out(i) = acc
+        i += 1
+      }
+      if (cumulative) UnsafeArrayData.fromPrimitiveArray(out) else acc
+    } else {
+      var acc = 0.0d
+      val out = if (cumulative) new Array[Double](n) else null
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) acc += (elemType match {
+          case FloatType => arr.getFloat(i).toDouble
+          case DoubleType => arr.getDouble(i)
+          case d: DecimalType =>
+            arr.getDecimal(i, d.precision, d.scale).toDouble
+        })
+        if (cumulative) out(i) = acc
+        i += 1
+      }
+      if (cumulative) UnsafeArrayData.fromPrimitiveArray(out) else acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      val accT = if (integral) "long" else "double"
+      val term = elemType match {
+        case NullType => "0L" // unreachable: NullType elements are null
+        case BooleanType =>
+          s"(${CodeGenerator.getValue(arr, elemType, i)} ? 1L : 0L)"
+        case _: DecimalType =>
+          s"${CodeGenerator.getValue(arr, elemType, i)}.toDouble()"
+        case _ => s"($accT) ${CodeGenerator.getValue(arr, elemType, i)}"
+      }
+      val header =
+        s"""int $n = $arr.numElements();
+           |$accT $acc = 0;
+           |""".stripMargin
+      if (cumulative)
+        header +
+          s"""$accT[] $out = new $accT[$n];
+             |for (int $i = 0; $i < $n; $i++) {
+             |  if (!$arr.isNullAt($i)) { $acc += $term; }
+             |  $out[$i] = $acc;
+             |}
+             |${ev.value} = org.apache.spark.sql.catalyst.expressions
+             |  .UnsafeArrayData.fromPrimitiveArray($out);
+             |""".stripMargin
+      else
+        header +
+          s"""for (int $i = 0; $i < $n; $i++) {
+             |  if (!$arr.isNullAt($i)) { $acc += $term; }
+             |}
+             |${ev.value} = $acc;
+             |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ChArraySum = copy(child = newChild)
+  override def prettyName: String =
+    if (cumulative) "arrayCumSum" else "arraySum"
+}
+
+/** `arrayElement` with CH's out-of-range rule (retires DIVERGENCES
+  * #24): a miss — including index 0, which CH defines and ANSI
+  * element_at would throw on — returns the element TYPE'S DEFAULT
+  * (0, '', [], false: `Literal.default`), not NULL. A NULL array or a
+  * NULL index still answers NULL (the value is absent, not out of
+  * range), and a genuinely-NULL ELEMENT at a valid index stays NULL
+  * (CH's Array(Nullable(T))). The registry builder sees unresolved
+  * args, so the default's type must wait for analysis — the same
+  * RuntimeReplaceable dispatch as [[ChDateDelta]]. Index semantics are
+  * ElementAt's (1-based, negative from the end), identical to CH's;
+  * ElementAt is only reached when the index is in range, so nothing
+  * here can throw. */
+case class ChArrayElement(arr: Expression, idx: Expression)
+    extends Expression with RuntimeReplaceable {
+  override def children: Seq[Expression] = Seq(arr, idx)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ChArrayElement =
+    copy(arr = newChildren(0), idx = newChildren(1))
+
+  override lazy val replacement: Expression = {
+    val elemType = arr.dataType.asInstanceOf[ArrayType].elementType
+    // no analyzer on a replacement: every cast is explicit (duplicate
+    // `arr`/`idx` subtrees are shared by codegen subexpression
+    // elimination)
+    val i64 = Cast(idx, LongType)
+    val abs = If(LessThan(i64, Literal(0L)), UnaryMinus(i64), i64)
+    val inRange = And(GreaterThanOrEqual(abs, Literal(1L)),
+      LessThanOrEqual(abs, Cast(Size(arr), LongType)))
+    If(Or(IsNull(arr), IsNull(idx)), Literal.create(null, elemType),
+      If(inRange,
+        new ElementAt(arr, Cast(idx, IntegerType), None, false),
+        Literal.default(elemType)))
+  }
+  override def prettyName: String = "arrayElement"
+}

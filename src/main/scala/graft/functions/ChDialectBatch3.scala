@@ -110,20 +110,10 @@ object ChDialectBatch3 {
     }
 
     // --------------------------------------------------------- arrays
-    // arrayCumSum: prefix sums, always Double (same stance as arraySum).
-    // Row-local O(n²) slice-fold — arrays here are per-row and small; the
-    // empty guard matters because sequence(1,0) would step BACKWARD.
-    f("arrayCumSum") { a =>
-      val arr = Cast(a.head, ArrayType(DoubleType))
-      If(EqualTo(Size(arr), Literal(0)), emptyDoubleArray,
-        ArrayTransform(
-          new Sequence(Literal(1), Size(arr), Some(Literal(1))),
-          lambda1(i => ArrayAggregate(
-            Slice(arr, Literal(1), i), Literal(0.0d),
-            { val acc = lv("acc3"); val x = lv("xx3")
-              LambdaFunction(Add(acc, x), Seq(acc, x)) },
-            lambda1(identity)))))
-    }
+    // arrayCumSum: prefix sums at CH's width rule (round 14 — was an
+    // always-Double O(n²) slice-fold; now the shared one-pass native
+    // kernel: integral arrays give array<long>, floating array<double>).
+    f("arrayCumSum")(a => ChArraySum(a.head, cumulative = true))
     // arrayCompact: drop CONSECUTIVE duplicates (CH semantics — not
     // arrayDistinct). filter's second lambda arg is the 0-based index;
     // element_at is 1-based, so element_at(arr, i) IS the predecessor.

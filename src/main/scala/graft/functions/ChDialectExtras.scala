@@ -26,10 +26,14 @@ import org.apache.spark.sql.types._
   *  - `sipHash64`/`intHash64`: EXACT since round 13 (SipHash-2-4 and
   *    fmix64 kernels, ChDialectBatch14); round 14 added the numeric
   *    fixed-width-layout rule, retiring the #27 residual;
-  *  - `arrayElement` out-of-range → NULL (CH returns the type's default
-  *    value; under ANSI Spark the strict form would throw);
-  *  - `arraySum`/`arrayAvg` always return Double;
-  *  - `add*`/`subtract*` on Date return Timestamp;
+  *  - `arrayElement` out-of-range: CH-EXACT since round 14 (the type's
+  *    default value, incl. index 0 — [[ChArrayElement]], retires #24);
+  *  - `arraySum`/`arrayCumSum`: CH's width rule since round 14
+  *    ([[ChArraySum]] — integral→Long, floating→Double; #25 narrowed
+  *    to the Decimal residual); `arrayAvg` is Float64 in CH too;
+  *  - `add*`/`subtract*`: CH's result-type rule since round 14
+  *    ([[ChDateDelta]], retires #26 — Date + day-or-coarser stays
+  *    Date);
   *  - `median` (builtin) is the exact interpolated percentile (CH `median`
   *    is reservoir-sampled approximate);
   *  - `MD5`/`SHA256` resolve to Spark's builtin md5/sha2, which return hex
@@ -223,11 +227,9 @@ object ChDialectExtras {
           lambda1(identity))
       } else Size(ArrayFilter(a.head, lambda1(x => Cast(x, BooleanType))))
     }
-    // Always Double: the zero literal fixes the fold type and CH's
-    // per-width integer results don't exist in Spark's coercion anyway.
-    f("arraySum")(a => ArrayAggregate(
-      Cast(a.head, ArrayType(DoubleType)), Literal(0.0d),
-      lambda2((acc, x) => Add(acc, x)), lambda1(identity)))
+    // CH's width rule (round 14 retires the #25 integer half): integral
+    // arrays sum in LONG, floating in DOUBLE — a native loop kernel.
+    f("arraySum")(a => ChArraySum(a.head, cumulative = false))
     f("arrayAvg") { a =>
       val arr = a.head
       If(EqualTo(Size(arr), Literal(0)), Literal(null, DoubleType),
@@ -268,7 +270,9 @@ object ChDialectExtras {
     f("arrayPopFront")(a => Slice(a.head, Literal(2),
       Greatest(Seq(Subtract(Size(a.head), Literal(1)), Literal(0)))))
     // NULL out of range (CH: type default; ANSI Spark would throw)
-    f("arrayElement")(a => new ElementAt(a.head, a(1), None, false))
+    // CH's out-of-range rule (round 14 retires #24): misses return the
+    // element type's DEFAULT; see [[ChArrayElement]] for the full table
+    f("arrayElement")(a => ChArrayElement(a.head, a(1)))
     // arrayFirst: fold with an empty-array accumulator (same top-level-HOF
     // constraint as arrayCount; the array state stands in for an untyped
     // "no match yet" null). No match → NULL (CH: type default).

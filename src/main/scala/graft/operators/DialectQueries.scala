@@ -2641,7 +2641,7 @@ object DialectQueries {
         |      ['spark', 'the', 'data', 'of']))) AS DOUBLE), 4) AS jac,
         |  TRUE AS mc,
         |  'a,b' AS mk,
-        |  CAST(doc_id + n_chars AS DOUBLE) AS mv,
+        |  CAST(doc_id + n_chars AS BIGINT) AS mv,
         |  n_chars AS te,
         |  CAST(strftime(make_timestamp(doc_id * 3607 * 1000000),
         |    '%Y%m%d%H%M%S') AS BIGINT) AS ymdhms,
@@ -2803,7 +2803,7 @@ object DialectQueries {
         |  reverse(source) AS rev_src,
         |  repeat(lang, 2) AS rep_lang,
         |  CAST(list_sum(list_transform(string_split(text, ' '),
-        |    x -> length(x))) AS DOUBLE) AS sum_word_len,
+        |    x -> length(x))) AS BIGINT) AS sum_word_len,
         |  list_sort(list_distinct(string_split(text, ' ')))[1] AS first_sorted,
         |  array_to_string(list_slice(string_split(text, ' '), 1, 3), '-')
         |    AS first3,

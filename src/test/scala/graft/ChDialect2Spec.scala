@@ -70,7 +70,13 @@ class ChDialect2Spec extends AnyFunSuite {
     assert(one("indexOf(array(10,20,30), 99)") == 0L)
     assert(one("arrayCount(x -> x > 1, array(1,2,3))") == 2)
     assert(one("arrayCount(array(0,1,2))") == 2)
-    assert(one("arraySum(array(1,2,3))") == 6.0)
+    // round 14 (#25 integer half retired): integral arrays sum in LONG
+    assert(one("arraySum(array(1,2,3))") == 6L)
+    assert(one("arraySum(array(1.5d, 2.5d))") == 4.0)
+    assert(one("arraySum(array(1, cast(null as int), 2))") == 3L) // skip
+    // Long wrap like CH's fixed-width integers
+    assert(one("arraySum(array(9223372036854775807, 1))")
+      == Long.MinValue)
     assert(one("arrayAvg(array(1,2,3))") == 2.0)
     assert(one("arrayAvg(arraySlice(array(1), 1, 0))") == null)
     assert(one("arrayMin(array(3,1,2))") == 1)
@@ -97,8 +103,16 @@ class ChDialect2Spec extends AnyFunSuite {
     assert(one("arrayPopBack(array(1,2))") == Seq(1))
     assert(one("arrayPopFront(array(1,2))") == Seq(2))
     assert(one("arrayElement(array(1,2), 2)") == 2)
-    assert(one("arrayElement(array(1,2), 5)") == null)
+    // round 14 (#24 retired): out-of-range gives the element TYPE'S
+    // DEFAULT (CH's rule) — including index 0, which ANSI would throw
+    // on; a present NULL element and a NULL array/index stay NULL
+    assert(one("arrayElement(array(1,2), 5)") == 0)
+    assert(one("arrayElement(array(1,2), 0)") == 0)
+    assert(one("arrayElement(array('a','b'), 9)") == "")
     assert(one("arrayElement(array(1,2), -1)") == 2)
+    assert(one("arrayElement(array(1, cast(null as int)), 2)") == null)
+    assert(one("arrayElement(cast(null as array<int>), 1)") == null)
+    assert(one("arrayElement(array(1,2), cast(null as int))") == null)
     assert(one("arrayFirst(x -> x > 1, array(1,2,3))") == 2)
     assert(one("arrayFirst(x -> x > 9, array(1,2,3))") == null)
     assert(one("arrayEnumerate(array('a','b'))") == Seq(1L, 2L))

@@ -57,7 +57,10 @@ class ChDialect3Spec extends AnyFunSuite {
   }
 
   test("array scan, compaction, jaccard") {
-    assert(one("arrayCumSum(array(1, 2, 3))") == Seq(1.0, 3.0, 6.0))
+    // round 14: CH's width rule — integral input gives integer prefix
+    // sums (was always-Double)
+    assert(one("arrayCumSum(array(1, 2, 3))") == Seq(1L, 3L, 6L))
+    assert(one("arrayCumSum(array(1.5d, 2.5d))") == Seq(1.5, 4.0))
     assert(one("arrayCumSum(array())") == Seq.empty)
     // consecutive-duplicate removal, NOT distinct
     assert(one("arrayCompact(array(1, 1, 2, 2, 1))") == Seq(1, 2, 1))
