@@ -366,9 +366,11 @@ object ChDialectBatch9 {
     * cannot be dispatched — CH has the same restriction) and must be in
     * the implemented allowlist; anything else refuses loudly naming it.
     * `any` is defined as the FIRST element (CH's arrival-arbitrary pick,
-    * pinned to the #22/#28 deterministic reading); numeric folds share
-    * the arraySum double-coercion stance. Registered with the batch-9
-    * family. */
+    * pinned to the #22/#28 deterministic reading); `sum` shares
+    * [[ChArraySum]]'s CH width rule (round 14 — was the always-Double
+    * fold); `median` is the exact interpolated percentile (the #23
+    * median stance); the moment family (`stddev*`/`var*`) folds in
+    * Double. Registered with the batch-9 family. */
   private[functions] def arrayReduceBuilder(
       a: Seq[Expression]): Expression = {
     val name = a.head match {
@@ -381,21 +383,68 @@ object ChDialectBatch9 {
     def dsum = ArrayAggregate(Cast(arr, ArrayType(DoubleType)),
       Literal(0.0d), lambda2("ars")((acc, x) => Add(acc, x)),
       { val s = lv("arsf"); LambdaFunction(s, Seq(s)) })
+    def dsumsq = ArrayAggregate(Cast(arr, ArrayType(DoubleType)),
+      Literal(0.0d), lambda2("arq")((acc, x) => Add(acc, Multiply(x, x))),
+      { val s = lv("arqf"); LambdaFunction(s, Seq(s)) })
+    val n = Cast(Size(arr), DoubleType)
+    // population/sample variance from the two power sums; bind keeps
+    // each fold evaluated once (HOFs are interpreted, no CSE)
+    def varPop = ChExprDsl.bind(dsum, "arvS") { s =>
+      ChExprDsl.bind(dsumsq, "arvQ") { q =>
+        Subtract(Divide(q, n), Multiply(Divide(s, n), Divide(s, n)))
+      }
+    }
+    def varSamp = ChExprDsl.bind(dsum, "arwS") { s =>
+      ChExprDsl.bind(dsumsq, "arwQ") { q =>
+        Divide(Subtract(q, Divide(Multiply(s, s), n)),
+          Subtract(n, Literal(1.0d)))
+      }
+    }
     name match {
-      case "sum" => dsum
+      case "sum" => ChArraySum(arr, cumulative = false)
       case "min" => ArrayMin(arr)
       case "max" => ArrayMax(arr)
       case "avg" =>
         If(EqualTo(Size(arr), Literal(0)), Literal(null, DoubleType),
-          Divide(dsum, Cast(Size(arr), DoubleType)))
+          Divide(dsum, n))
       case "count" => Cast(Size(arr), LongType)
       case "uniq" | "uniqexact" =>
         Cast(Size(ArrayDistinct(arr)), LongType)
       case "any" => ElementAt(arr, Literal(1))
       case "anylast" => ElementAt(arr, Literal(-1))
+      case "median" =>
+        // exact interpolated percentile over the sorted array (#23)
+        ChExprDsl.bind(new ArraySort(Cast(arr, ArrayType(DoubleType))),
+            "armd") { sorted =>
+          ChExprDsl.bind(Size(sorted), "armn") { sz =>
+            If(EqualTo(sz, Literal(0)), Literal(null, DoubleType),
+              ChExprDsl.bind(Divide(Cast(Subtract(sz, Literal(1)),
+                  DoubleType), Literal(2.0d)), "armp") { pos =>
+                val lo = ElementAt(sorted,
+                  Add(Cast(Floor(pos), IntegerType), Literal(1)))
+                val hi = ElementAt(sorted,
+                  Add(Cast(Ceil(pos), IntegerType), Literal(1)))
+                Add(lo, Multiply(Subtract(hi, lo),
+                  Subtract(pos, Floor(pos))))
+              })
+          }
+        }
+      case "varpop" =>
+        If(EqualTo(Size(arr), Literal(0)), Literal(null, DoubleType),
+          varPop)
+      case "varsamp" =>
+        If(LessThan(Size(arr), Literal(2)), Literal(null, DoubleType),
+          varSamp)
+      case "stddevpop" =>
+        If(EqualTo(Size(arr), Literal(0)), Literal(null, DoubleType),
+          Sqrt(varPop))
+      case "stddevsamp" =>
+        If(LessThan(Size(arr), Literal(2)), Literal(null, DoubleType),
+          Sqrt(varSamp))
       case other => throw new IllegalArgumentException(
         s"arrayReduce: '$other' not implemented — supported: sum, min, " +
-          "max, avg, count, uniq, uniqExact, any, anyLast")
+          "max, avg, count, uniq, uniqExact, any, anyLast, median, " +
+          "varPop, varSamp, stddevPop, stddevSamp")
     }
   }
 }

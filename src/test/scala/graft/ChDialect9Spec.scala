@@ -226,8 +226,21 @@ class ChDialect9Spec extends AnyFunSuite {
     assert(one("SELECT arrayReduce('uniqExact', a) FROM b9_ar") == 3L)
     assert(one("SELECT arrayReduce('any', a) FROM b9_ar") == 3.0)
     assert(one("SELECT arrayReduce('anyLast', a) FROM b9_ar") == 2.0)
+    // round 14: the statistics family joins the allowlist; 'sum' takes
+    // ChArraySum's width rule (integral arrays give LONG)
+    assert(one("SELECT arrayReduce('sum', array(1, 2, 3))") == 6L)
+    assert(one("SELECT arrayReduce('median', a) FROM b9_ar") == 2.0)
+    assert(one("SELECT arrayReduce('median', array(1.0d, 2.0d))") == 1.5)
+    assert(one("SELECT arrayReduce('varPop', array(2.0d, 4.0d))") == 1.0)
+    assert(one("SELECT arrayReduce('varSamp', array(2.0d, 4.0d))") == 2.0)
+    assert(one("SELECT arrayReduce('stddevPop', array(2.0d, 4.0d))")
+      == 1.0)
+    assert(one("SELECT arrayReduce('stddevSamp', " +
+      "array(2.0d, 4.0d, 2.0d, 4.0d))") == math.sqrt(4.0 / 3.0))
+    assert(one("SELECT arrayReduce('varSamp', array(1.0d))") == null)
     val e1 = intercept[Exception] {
-      spark.sql("SELECT arrayReduce('median', a) FROM b9_ar").collect()
+      spark.sql("SELECT arrayReduce('quantileTiming', a) FROM b9_ar")
+        .collect()
     }
     assert(e1.getMessage.contains("not implemented"))
     val e2 = intercept[Exception] {
