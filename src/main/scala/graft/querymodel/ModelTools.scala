@@ -1,0 +1,308 @@
+package graft.querymodel
+
+import org.apache.spark.sql.DataFrame
+
+import graft.JsonText
+
+/** Tool-schema generation from a [[QueryModel.Def]] — the reference's
+  * `createModelTool` / `registerModelTools`
+  * (query-layer/model-tools.ts:142-331): turn a query model's metadata
+  * (filters + operator gates, dimensions, metrics, columns, limits)
+  * into (a) a FLAT parameter schema an LLM tool-calling surface can
+  * register, and (b) a request builder mapping those flat params back
+  * into the nested [[QueryModel.Request]]. The MCP server object
+  * itself is infrastructure this engine scopes out (SURVEY §7, like
+  * the webserver) — everything up to it is here, and
+  * [[ModelTools.registerModelTools]] returns executable tools that run
+  * the model through [[QueryModel.buildQuery]] (inherently read-only:
+  * a Def can only select/filter/aggregate).
+  *
+  * Contract mirrored line-for-line:
+  *  - param naming: the filter name in snake_case; the `eq` operator
+  *    gets the BARE name, every other operator suffixes `_op`
+  *    (model-tools.ts:204-207);
+  *  - operator → type: scalar ops take the filter's base type, in/notIn
+  *    an array of it, `between` an array of EXACTLY 2, isNull/isNotNull
+  *    a boolean (ts:210-221) — and at request time `isNull: false` is a
+  *    NO-OP, not a negation (sql-utils.ts:111-114);
+  *  - `required` marks only the `eq` param of a required filter
+  *    (ts:223-227), merged from model metadata and per-tool options;
+  *  - limit: 1..maxLimit (options → model → 1000) defaulting to
+  *    (options → model → 100) (ts:167-168);
+  *  - title derivation `query_foo_bar` → "Query Foo Bar" (ts:63-68) and
+  *    "- name: description" enum descriptions (ts:70-79);
+  *  - `registerModelTools` registers every model WITH a name and
+  *    silently skips unnamed ones (ts:331+).
+  */
+object ModelTools {
+  import QueryModel._
+
+  /** Filter metadata the reference carries on `ModelFilterDef`
+    * (model-tools.ts:19-25): base input type ("string" | "number"),
+    * whether the eq param is required, and a description. */
+  final case class FilterMeta(
+      inputType: String = "string",
+      required: Boolean = false,
+      description: Option[String] = None) {
+    require(inputType == "string" || inputType == "number",
+      s"inputType must be 'string' or 'number', got '$inputType'")
+  }
+
+  /** Per-tool overrides (the reference's ModelToolOptions). */
+  final case class ToolOptions(
+      requiredFilters: Set[String] = Set.empty,
+      maxLimit: Option[Int] = None,
+      defaultLimit: Option[Int] = None,
+      defaultDimensions: Option[Seq[String]] = None,
+      defaultMetrics: Option[Seq[String]] = None,
+      defaultColumns: Option[Seq[String]] = None)
+
+  /** One flat tool parameter. `jsonType` ∈ string/number/boolean/array;
+    * arrays carry `items` and (for between) exact length bounds. */
+  final case class ToolParam(
+      name: String,
+      jsonType: String,
+      items: Option[String] = None,
+      enumValues: Option[Seq[String]] = None,
+      minItems: Option[Int] = None,
+      maxItems: Option[Int] = None,
+      minimum: Option[Int] = None,
+      maximum: Option[Int] = None,
+      default: Option[Int] = None,
+      required: Boolean = false,
+      description: Option[String] = None)
+
+  final case class ToolSpec(
+      name: String,
+      title: String,
+      description: Option[String],
+      params: Seq[ToolParam],
+      paramToFilter: Map[String, (String, String)]) {
+
+    /** JSON-Schema rendering of the flat params (what an MCP
+      * `server.tool()` registration carries). */
+    def toJsonSchema: String = {
+      def q(s: String) = JsonText.quote(s)
+      val props = params.map { p =>
+        val fields = Seq(
+          Some(s"""\"type\": ${q(p.jsonType)}"""),
+          p.items.map(i => s"""\"items\": {\"type\": ${q(i)}${
+            p.enumValues.map(vs =>
+              s", \"enum\": [${vs.map(q).mkString(", ")}]").getOrElse("")}}"""),
+          p.enumValues.filter(_ => p.jsonType != "array").map(vs =>
+            s"""\"enum\": [${vs.map(q).mkString(", ")}]"""),
+          p.minItems.map(n => s"""\"minItems\": $n"""),
+          p.maxItems.map(n => s"""\"maxItems\": $n"""),
+          p.minimum.map(n => s"""\"minimum\": $n"""),
+          p.maximum.map(n => s"""\"maximum\": $n"""),
+          p.default.map(n => s"""\"default\": $n"""),
+          p.description.map(d => s"""\"description\": ${q(d)}""")
+        ).flatten.mkString(", ")
+        s"${q(p.name)}: {$fields}"
+      }.mkString(", ")
+      val req = params.filter(_.required).map(p => q(p.name))
+      s"""{\"type\": \"object\", \"properties\": {$props}""" +
+        (if (req.nonEmpty) s""", \"required\": [${req.mkString(", ")}]"""
+         else "") + "}"
+    }
+  }
+
+  private[querymodel] def camelToSnake(s: String): String =
+    s.replaceAll("([A-Z])", "_$1").toLowerCase
+
+  private[querymodel] def titleFromName(name: String): String = {
+    val spaced = name
+      .replaceFirst("^query_", "Query ")
+      .replaceFirst("^list_", "List ")
+      .replace('_', ' ')
+    spaced.split(' ').filter(_.nonEmpty)
+      .map(w => w.head.toUpper + w.tail).mkString(" ")
+  }
+
+  private def enumDescription(
+      metadata: Seq[(String, Option[String])]): Option[String] =
+    if (metadata.isEmpty) None
+    else Some(metadata.map {
+      case (n, Some(d)) => s"- $n: $d"
+      case (n, None) => s"- $n"
+    }.mkString("\n"))
+
+  private val ScalarOps =
+    Set("eq", "ne", "gt", "gte", "lt", "lte", "like", "ilike")
+  private val ListOps = Set("in", "notIn")
+  /** Operators a tool exposes for a target with no explicit gate (the
+    * Def's "absent = every operator" stance, restated as the list the
+    * reference's FilterInputTypeHint vocabulary names). */
+  private val AllOps = Seq("eq", "ne", "gt", "gte", "lt", "lte", "in",
+    "notIn", "like", "ilike", "between", "isNull", "isNotNull")
+
+  /** The reference's `createModelTool`: flat schema + request builder.
+    *
+    * @param meta          per-filter metadata (inputType/required/
+    *                      description); absent filters default to
+    *                      string/optional/no-description
+    * @param dimensionDesc / metricDesc: optional per-name descriptions
+    *                      folded into the enum description lines
+    */
+  def createModelTool(
+      model: Def,
+      name: String,
+      description: Option[String] = None,
+      meta: Map[String, FilterMeta] = Map.empty,
+      options: ToolOptions = ToolOptions(),
+      dimensionDesc: Map[String, String] = Map.empty,
+      metricDesc: Map[String, String] = Map.empty)
+      : (ToolSpec, Map[String, Any] => Request) = {
+    val requiredFilters =
+      meta.collect { case (n, m) if m.required => n }.toSet ++
+        options.requiredFilters
+    val maxLimit = options.maxLimit.getOrElse(model.maxLimit)
+    val defaultLimit = options.defaultLimit.getOrElse(model.defaultLimit)
+    val defaults = (
+      options.defaultDimensions,
+      options.defaultMetrics,
+      options.defaultColumns)
+
+    val params = Seq.newBuilder[ToolParam]
+    val paramMap = Map.newBuilder[String, (String, String)]
+
+    val dimNames = model.dimensions.keys.toSeq.sorted
+    if (dimNames.nonEmpty)
+      params += ToolParam("dimensions", "array", items = Some("string"),
+        enumValues = Some(dimNames),
+        description = enumDescription(
+          dimNames.map(n => n -> dimensionDesc.get(n))))
+    val metNames = model.metrics.keys.toSeq.sorted
+    if (metNames.nonEmpty)
+      params += ToolParam("metrics", "array", items = Some("string"),
+        enumValues = Some(metNames),
+        description = enumDescription(
+          metNames.map(n => n -> metricDesc.get(n))))
+    val colNames = model.columns.keys.toSeq.sorted
+    if (colNames.nonEmpty)
+      params += ToolParam("columns", "array", items = Some("string"),
+        enumValues = Some(colNames))
+
+    // filters: every filterable/dimension target, gated by filterOps
+    val filterTargets =
+      (model.filterable.keys ++ model.dimensions.keys).toSeq.distinct.sorted
+    filterTargets.foreach { fn =>
+      val m = meta.getOrElse(fn, FilterMeta())
+      val base = m.inputType // "string" | "number"
+      val ops = model.filterOps.get(fn)
+        .map(s => AllOps.filter(s.contains)).getOrElse(AllOps)
+      ops.foreach { op =>
+        val snake = camelToSnake(fn)
+        val paramName = if (op == "eq") snake else s"${snake}_$op"
+        val p =
+          if (ScalarOps.contains(op))
+            ToolParam(paramName, base, description = m.description)
+          else if (ListOps.contains(op))
+            ToolParam(paramName, "array", items = Some(base),
+              description = m.description)
+          else if (op == "between")
+            ToolParam(paramName, "array", items = Some(base),
+              minItems = Some(2), maxItems = Some(2),
+              description = m.description)
+          else // isNull / isNotNull
+            ToolParam(paramName, "boolean", description = m.description)
+        params += p.copy(
+          required = requiredFilters.contains(fn) && op == "eq")
+        paramMap += paramName -> (fn, op)
+      }
+    }
+
+    params += ToolParam("limit", "number", minimum = Some(1),
+      maximum = Some(maxLimit), default = Some(defaultLimit))
+
+    val spec = ToolSpec(name, titleFromName(name), description,
+      params.result(), paramMap.result())
+
+    def asStrings(v: Any): Seq[String] = v match {
+      case s: Seq[_] => s.map(_.toString)
+      case a: Array[_] => a.toSeq.map(_.toString)
+      case other => Seq(other.toString)
+    }
+    def buildRequest(in: Map[String, Any]): Request = {
+      val dims =
+        if (dimNames.isEmpty) Nil
+        else in.get("dimensions").map(asStrings)
+          .orElse(defaults._1).getOrElse(Nil)
+      val mets =
+        if (metNames.isEmpty) Nil
+        else in.get("metrics").map(asStrings)
+          .orElse(defaults._2).getOrElse(Nil)
+      val cols =
+        if (colNames.isEmpty) Nil
+        else in.get("columns").map(asStrings)
+          .orElse(defaults._3).getOrElse(Nil)
+      val filters = spec.paramToFilter.toSeq.sortBy(_._1).flatMap {
+        case (paramName, (fn, op)) =>
+          in.get(paramName).flatMap { v =>
+            def seq2(x: Any): (Any, Any) = x match {
+              case s: Seq[_] if s.length == 2 => (s(0), s(1))
+              case a: Array[_] if a.length == 2 => (a(0), a(1))
+              case other => throw new IllegalArgumentException(
+                s"$paramName: between needs exactly 2 values, got $other")
+            }
+            op match {
+              case "eq" => Some(FilterOp.Eq(v))
+              case "ne" => Some(FilterOp.Ne(v))
+              case "gt" => Some(FilterOp.Gt(v))
+              case "gte" => Some(FilterOp.Gte(v))
+              case "lt" => Some(FilterOp.Lt(v))
+              case "lte" => Some(FilterOp.Lte(v))
+              case "like" => Some(FilterOp.Like(v.toString))
+              case "ilike" => Some(FilterOp.ILike(v.toString))
+              case "in" => Some(FilterOp.In(v match {
+                case s: Seq[_] => s
+                case a: Array[_] => a.toSeq
+                case other => Seq(other)
+              }))
+              case "notIn" => Some(FilterOp.NotIn(v match {
+                case s: Seq[_] => s
+                case a: Array[_] => a.toSeq
+                case other => Seq(other)
+              }))
+              case "between" =>
+                val (lo, hi) = seq2(v); Some(FilterOp.Between(lo, hi))
+              // `false` is a NO-OP, not a negation (sql-utils.ts:111)
+              case "isNull" =>
+                if (v == true) Some(FilterOp.IsNull) else None
+              case _ =>
+                if (v == true) Some(FilterOp.IsNotNull) else None
+            }
+          }.map(fo => Filter(fn, Some(fo)))
+      }
+      val limit = in.get("limit").map(_.toString.toInt)
+        .getOrElse(defaultLimit)
+      require(limit >= 1 && limit <= maxLimit,
+        s"limit must be in 1..$maxLimit, got $limit")
+      Request(dimensions = dims, metrics = mets, columns = cols,
+        filters = filters, limit = Some(limit))
+    }
+
+    (spec, buildRequest)
+  }
+
+  /** An executable registered tool: spec + "call it with flat params,
+    * get the resolved DataFrame" (the reference wires this same pair
+    * into `server.tool()` and formats rows as an MCP response —
+    * serving is out of engine scope, execution is not). */
+  final case class RegisteredTool(
+      spec: ToolSpec, run: Map[String, Any] => DataFrame)
+
+  /** The reference's `registerModelTools`: every model WITH a name
+    * becomes a tool; unnamed models are silently skipped
+    * (model-tools.ts:331+). */
+  def registerModelTools(
+      models: Seq[(Option[String], Def)],
+      meta: Map[String, Map[String, FilterMeta]] = Map.empty)
+      : Map[String, RegisteredTool] =
+    models.collect { case (Some(name), model) =>
+      val (spec, build) = createModelTool(model, name,
+        meta = meta.getOrElse(name, Map.empty))
+      name -> RegisteredTool(spec,
+        params => buildQuery(model, build(params)))
+    }.toMap
+}

@@ -160,4 +160,70 @@ class QueryModelSpec extends AnyFunSuite {
       columnsFromSchema(df.schema, include = Some(Seq("nope")))
     }
   }
+
+  test("createModelTool: flat param schema mirrors the reference's " +
+      "naming/typing; buildRequest reverse-maps to a nested Request") {
+    import graft.querymodel.ModelTools
+    val gated = model.copy(
+      filterable = Map("v" -> (_ => col("v")),
+        "userId" -> (_ => col("id"))),
+      filterOps = Map(
+        "v" -> Set("eq", "gte", "between", "isNull"),
+        "k" -> Set("eq", "in"),
+        "userId" -> Set("eq")))
+    val (spec, build) = ModelTools.createModelTool(
+      gated, "query_user_visits",
+      meta = Map("v" -> ModelTools.FilterMeta(inputType = "number",
+        required = true, description = Some("value filter"))))
+    assert(spec.title == "Query User Visits")
+    val byName = spec.params.map(p => p.name -> p).toMap
+    // eq gets the BARE snake name; other ops suffix _op; camelCase
+    // filter names snake_case (model-tools.ts:204-207)
+    assert(byName.contains("v") && byName.contains("v_gte") &&
+      byName.contains("v_between") && byName.contains("v_isNull"))
+    assert(byName.contains("user_id") && !byName.contains("user_id_in"))
+    assert(byName.contains("k") && byName.contains("k_in"))
+    // typing: scalar = base type, in = array, between = array[2],
+    // isNull = boolean (ts:210-221)
+    assert(byName("v").jsonType == "number")
+    assert(byName("v_between").jsonType == "array" &&
+      byName("v_between").minItems.contains(2) &&
+      byName("v_between").maxItems.contains(2))
+    assert(byName("v_isNull").jsonType == "boolean")
+    assert(byName("k_in").jsonType == "array" &&
+      byName("k_in").items.contains("string"))
+    // required marks ONLY the eq param of a required filter (ts:223)
+    assert(byName("v").required && !byName("v_gte").required)
+    assert(!byName("k").required)
+    // limit rides the model's clamps (1..maxLimit, default)
+    assert(byName("limit").minimum.contains(1) &&
+      byName("limit").maximum.contains(4) &&
+      byName("limit").default.contains(3))
+    // dimensions/metrics/columns enums present
+    assert(byName("dimensions").enumValues.contains(Seq("k")))
+    assert(byName("metrics").enumValues.contains(Seq("n", "total")))
+    // the JSON-schema rendering is valid JSON with the right marks
+    val json = org.json4s.jackson.JsonMethods.parse(spec.toJsonSchema)
+    val req = (json \ "required").values.asInstanceOf[List[_]]
+    assert(req == List("v"))
+    // buildRequest: flat → nested; executes through buildQuery
+    val r = build(Map("dimensions" -> Seq("k"), "metrics" -> Seq("n"),
+      "v" -> 20.0, "k_in" -> Seq("a", "b"), "v_isNull" -> false))
+    assert(r.limit.contains(3))
+    assert(r.filters.map(f => (f.target, QueryModel.opKey(f.op.get)))
+      .toSet == Set(("v", "eq"), ("k", "in"))) // isNull:false = NO-OP
+    val rows = QueryModel.buildQuery(gated, r).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a") &&
+      rows.head.getLong(1) == 1L) // only (a, 2, 20.0) matches v = 20
+    // limit outside the clamp refuses
+    intercept[IllegalArgumentException] { build(Map("limit" -> 99)) }
+    // registerModelTools: named models register, unnamed skip (ts:331+)
+    val tools = ModelTools.registerModelTools(
+      Seq(Some("query_user_visits") -> gated, None -> model))
+    assert(tools.keySet == Set("query_user_visits"))
+    val out = tools("query_user_visits").run(
+      Map("dimensions" -> Seq("k"), "metrics" -> Seq("n"),
+        "v" -> 20.0)).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a"))
+  }
 }
