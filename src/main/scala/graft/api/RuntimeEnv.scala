@@ -1,0 +1,41 @@
+package graft.api
+
+/** Runtime environment-variable indirection — the reference's
+  * `secrets.ts` `mooseRuntimeEnv` / `MOOSE_RUNTIME_ENV_PREFIX`
+  * (:31-:93): credentials and rotatable config are MARKED during
+  * infrastructure loading (a `__MOOSE_RUNTIME_ENV__:NAME` string the
+  * deploy tooling resolves later) and READ from the environment during
+  * actual execution, so a value is never baked into an artifact.
+  *
+  * The context switch is the reference's own: `IS_LOADING_INFRA_MAP` =
+  * "true" → marker mode. Both the reader and the marker RESOLUTION
+  * step (the CLI's half) live here, with the env injectable so specs
+  * pin both modes without mutating process state.
+  */
+object RuntimeEnv {
+  /** secrets.ts:31. */
+  val Prefix = "__MOOSE_RUNTIME_ENV__:"
+
+  /** `mooseRuntimeEnv.get`: marker in infra-map-loading mode, the
+    * actual value (or a loud error) at runtime. */
+  def get(name: String,
+      env: String => Option[String] = sys.env.get): String = {
+    require(name != null && name.trim.nonEmpty,
+      "Environment variable name cannot be empty")
+    if (env("IS_LOADING_INFRA_MAP").contains("true")) s"$Prefix$name"
+    else env(name).getOrElse(throw new IllegalStateException(
+      s"Environment variable '$name' is not set. This is required for " +
+        "runtime execution of functions/workflows."))
+  }
+
+  /** The deploy-side half: resolve a marker to its runtime value;
+    * non-marker strings pass through untouched. */
+  def resolve(value: String,
+      env: String => Option[String] = sys.env.get): String =
+    if (value != null && value.startsWith(Prefix)) {
+      val name = value.substring(Prefix.length)
+      env(name).getOrElse(throw new IllegalStateException(
+        s"Environment variable '$name' is not set (marker '$value' " +
+          "cannot be resolved)"))
+    } else value
+}

@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** String-content parsing utilities — the reference's
+  * `utilities/dataParser.ts` (parseCSV :33, parseJSON :65,
+  * parseJSONWithDates :91, isValidCSVDelimiter :98, CSV_DELIMITERS
+  * :105) re-expressed Spark-first: content parses through the REAL csv
+  * / json datasources over an in-memory `Dataset[String]`, so the same
+  * options, schema inference, and malformed-row behavior apply to a
+  * pasted string as to a 100 TB directory — these helpers are the
+  * seed/ETL on-ramp, not a second parser.
+  *
+  * Date revival ([[parseJsonWithDates]], the reference's
+  * `jsonDateReviver`) is COLUMN-granular here: a string column casts
+  * to timestamp iff EVERY non-null value matches the reference's ISO
+  * 8601 pattern (json.ts:54 — the same regex, ported verbatim). The
+  * reference revives per-VALUE; a columnar frame has one type per
+  * column, so a mixed column stays string — the honest reading, and
+  * exact whenever the data is schema-consistent (the only case a typed
+  * pipeline can consume anyway).
+  */
+object DataParser {
+  /** The reference's CSVParsingConfig (defaults = DEFAULT_CSV_CONFIG). */
+  final case class CsvConfig(
+      delimiter: String = CsvDelimiters("COMMA"),
+      columns: Boolean = true, // first row is headers
+      skipEmptyLines: Boolean = true,
+      trim: Boolean = true) {
+    require(isValidCsvDelimiter(delimiter),
+      s"invalid CSV delimiter '$delimiter' (one non-whitespace char)")
+  }
+
+  /** CSV_DELIMITERS (dataParser.ts:105). */
+  val CsvDelimiters: Map[String, String] =
+    Map("COMMA" -> ",", "TAB" -> "\t", "SEMICOLON" -> ";", "PIPE" -> "|")
+
+  /** isValidCSVDelimiter: one char, not whitespace. */
+  def isValidCsvDelimiter(d: String): Boolean =
+    d.length == 1 && !d.head.isWhitespace
+
+  private def lines(spark: SparkSession, content: String): Dataset[String] = {
+    import spark.implicits._
+    spark.createDataset(content.split("\r?\n", -1).toSeq)
+  }
+
+  /** parseCSV: header/trim/skip-empty knobs map to the csv
+    * datasource's options; `columns = false` yields Spark's positional
+    * `_c0…` names (the reference returns positional arrays there —
+    * same information, frame-shaped). Malformed rows FAIL loudly
+    * (FAILFAST), like csv-parse's error event. */
+  def parseCsv(spark: SparkSession, content: String,
+      config: CsvConfig = CsvConfig()): DataFrame = {
+    val src0 = lines(spark, content)
+    val src = if (config.skipEmptyLines) src0.filter(length(trim(col("value"))) > 0)
+      else src0
+    spark.read
+      .option("delimiter", config.delimiter)
+      .option("header", config.columns)
+      .option("ignoreLeadingWhiteSpace", config.trim)
+      .option("ignoreTrailingWhiteSpace", config.trim)
+      .option("inferSchema", false) // strings, like the reference's rows
+      .option("mode", "FAILFAST")
+      .csv(src)
+  }
+
+  /** parseJSON: a top-level ARRAY fans out to one row per element, a
+    * single object is one row (the json datasource handles both —
+    * dataParser.ts:71-77's array-or-single branch). Unparseable
+    * content throws, mirroring the reference's wrapped error. */
+  def parseJson(spark: SparkSession, content: String): DataFrame = {
+    import spark.implicits._
+    // one dataset element = the whole document; the json reader fans a
+    // top-level array out to one row per element
+    spark.read
+      .option("mode", "FAILFAST")
+      .json(spark.createDataset(Seq(content)))
+  }
+
+  /** The reference's ISO 8601 revival pattern (json.ts:54), ported
+    * verbatim — anchored full-string match. */
+  val Iso8601Pattern: String =
+    "^([\\+-]?\\d{4}(?!\\d{2}\\b))((-?)((0[1-9]|1[0-2])(\\3([12]\\d|0[1-9]|3[01]))?|W([0-4]\\d|5[0-2])(-?[1-7])?|(00[1-9]|0[1-9]\\d|[12]\\d{2}|3([0-5]\\d|6[1-6])))([T\\s]((([01]\\d|2[0-3])((:?)[0-5]\\d)?|24\\:?00)([\\.,]\\d+(?!:))?)?(\\17[0-5]\\d([\\.,]\\d+)?)?([zZ]|([\\+-])([01]\\d|2[0-3]):?([0-5]\\d)?)?)?)$"
+
+  /** parseJSONWithDates: parse, then cast every string column whose
+    * non-null values ALL match the ISO pattern to timestamp (see the
+    * class doc for the per-column vs per-value reading). One
+    * aggregation decides all columns; the cast itself is columnar. */
+  def parseJsonWithDates(spark: SparkSession, content: String): DataFrame = {
+    val df = parseJson(spark, content)
+    val stringCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name)
+    if (stringCols.isEmpty) df
+    else {
+      val checks = stringCols.map(c =>
+        (min(when(col(c).isNotNull,
+          col(c).rlike(Iso8601Pattern).cast("int"))).as(c)))
+      val row = df.agg(checks.head, checks.tail.toIndexedSeq: _*).head()
+      val dateCols = stringCols.zipWithIndex
+        .filter { case (_, i) => !row.isNullAt(i) && row.getInt(i) == 1 }
+        .map(_._1).toSet
+      df.select(df.columns.map { c =>
+        if (dateCols.contains(c)) to_timestamp(col(c)).as(c) else col(c)
+      }.toIndexedSeq: _*)
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.api.RuntimeEnv
+import graft.sources.DataParser
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's `utilities/dataParser.ts` and `secrets.ts`
+  * mirrors: string-content CSV/JSON parsing through the real
+  * datasources, ISO-8601 date revival, and runtime-env markers. */
+class UtilitiesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("parseCsv: headers, trim, skip-empty, delimiters, headerless") {
+    val csv = "name, qty \nalpha, 1\n\nbeta , 2\n"
+    val df = DataParser.parseCsv(spark, csv)
+    assert(df.columns.toSeq == Seq("name", "qty"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("alpha", "1"), ("beta", "2")))
+    // pipe delimiter from the reference's CSV_DELIMITERS table
+    val piped = DataParser.parseCsv(spark, "a|b\n1|2",
+      DataParser.CsvConfig(delimiter = DataParser.CsvDelimiters("PIPE")))
+    assert(piped.columns.toSeq == Seq("a", "b"))
+    // trim disabled keeps the raw spacing
+    val raw = DataParser.parseCsv(spark, "h\n x ",
+      DataParser.CsvConfig(trim = false))
+    assert(raw.collect().head.getString(0) == " x ")
+    // headerless → positional names
+    val pos = DataParser.parseCsv(spark, "1,2",
+      DataParser.CsvConfig(columns = false))
+    assert(pos.columns.toSeq == Seq("_c0", "_c1"))
+    // delimiter validation (isValidCSVDelimiter)
+    assert(DataParser.isValidCsvDelimiter(";"))
+    assert(!DataParser.isValidCsvDelimiter(" "))
+    assert(!DataParser.isValidCsvDelimiter(",,"))
+    intercept[IllegalArgumentException] {
+      DataParser.CsvConfig(delimiter = "  ")
+    }
+  }
+
+  test("parseJson: top-level array fans out, single object is one row, " +
+      "malformed throws") {
+    val arr = DataParser.parseJson(spark,
+      """[{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]""")
+    assert(arr.count() == 2)
+    assert(arr.select("b").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("x", "y"))
+    val single = DataParser.parseJson(spark, """{"a": 7}""")
+    assert(single.count() == 1 && single.head().getLong(0) == 7L)
+    intercept[Exception] {
+      DataParser.parseJson(spark, "{nope").collect()
+    }
+  }
+
+  test("parseJsonWithDates: all-ISO string columns become timestamps, " +
+      "mixed columns stay strings (column-granular revival)") {
+    val df = DataParser.parseJsonWithDates(spark,
+      """[{"ts": "2024-03-05T07:08:09Z", "mixed": "2024-03-05", "n": 1},
+         |{"ts": "2024-03-06T00:00:00Z", "mixed": "not-a-date", "n": 2}]"""
+        .stripMargin)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.typeName)
+      .toMap
+    assert(types("ts") == "timestamp")
+    assert(types("mixed") == "string")
+    assert(types("n") == "long")
+    assert(df.where("ts = timestamp'2024-03-05 07:08:09'").count() == 1)
+    // bare dates are ISO too — a consistent column revives
+    val d2 = DataParser.parseJsonWithDates(spark,
+      """[{"d": "2024-03-05"}, {"d": "2024-03-06"}]""")
+    assert(d2.schema.fields.head.dataType.typeName == "timestamp")
+  }
+
+  test("RuntimeEnv: marker in infra-loading mode, value at runtime, " +
+      "loud misses, resolve() is the deploy-side inverse") {
+    val loading = Map("IS_LOADING_INFRA_MAP" -> "true",
+      "AWS_KEY" -> "actual")
+    val runtime = Map("AWS_KEY" -> "actual")
+    assert(RuntimeEnv.get("AWS_KEY", loading.get)
+      == "__MOOSE_RUNTIME_ENV__:AWS_KEY")
+    assert(RuntimeEnv.get("AWS_KEY", runtime.get) == "actual")
+    intercept[IllegalStateException] {
+      RuntimeEnv.get("MISSING", runtime.get)
+    }
+    intercept[IllegalArgumentException] { RuntimeEnv.get("  ") }
+    assert(RuntimeEnv.resolve("__MOOSE_RUNTIME_ENV__:AWS_KEY",
+      runtime.get) == "actual")
+    assert(RuntimeEnv.resolve("plain-value", runtime.get)
+      == "plain-value")
+    intercept[IllegalStateException] {
+      RuntimeEnv.resolve("__MOOSE_RUNTIME_ENV__:MISSING", runtime.get)
+    }
+  }
+}
