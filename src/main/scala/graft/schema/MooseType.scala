@@ -92,6 +92,31 @@ object MooseType {
     val sparkType = StructType(Seq(
       StructField("x", DoubleType), StructField("y", DoubleType)))
   }
+  /** The rest of CH's geo ladder (the TS tags ClickHouseRing /
+    * ClickHouseLineString / ClickHouseMultiLineString /
+    * ClickHousePolygon / ClickHouseMultiPolygon, dataModels/types.ts —
+    * index.ts:35-46 exports): each level is CH's own definition,
+    * an Array of the previous (Ring = Array(Point), LineString =
+    * Array(Point), MultiLineString = Array(LineString), Polygon =
+    * Array(Ring), MultiPolygon = Array(Polygon)), so the Spark shape
+    * is nested arrays of the (x, y) struct. */
+  final case class MGeoRing() extends MooseType {
+    val sparkType = ArrayType(MGeoPoint().sparkType, containsNull = false)
+  }
+  final case class MGeoLineString() extends MooseType {
+    val sparkType = ArrayType(MGeoPoint().sparkType, containsNull = false)
+  }
+  final case class MGeoMultiLineString() extends MooseType {
+    val sparkType =
+      ArrayType(MGeoLineString().sparkType, containsNull = false)
+  }
+  final case class MGeoPolygon() extends MooseType {
+    val sparkType = ArrayType(MGeoRing().sparkType, containsNull = false)
+  }
+  final case class MGeoMultiPolygon() extends MooseType {
+    val sparkType =
+      ArrayType(MGeoPolygon().sparkType, containsNull = false)
+  }
 }
 
 /** One column of a model: attributes per ref dataModelTypes.ts:28-41. */

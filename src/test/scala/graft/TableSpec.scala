@@ -440,4 +440,40 @@ class TableSpec extends AnyFunSuite {
     assert(t.read().orderBy("k").select("grp").as[String].collect().toSeq ==
       Seq("x", "z"))
   }
+
+  test("geo column-type ladder: CH's Array-of-previous definitions " +
+      "project onto nested arrays of the (x, y) struct") {
+    import graft.schema.MooseType._
+    import org.apache.spark.sql.types._
+    val pt = StructType(Seq(
+      StructField("x", DoubleType), StructField("y", DoubleType)))
+    assert(MGeoPoint().sparkType == pt)
+    assert(MGeoRing().sparkType == ArrayType(pt, containsNull = false))
+    assert(MGeoLineString().sparkType
+      == ArrayType(pt, containsNull = false))
+    assert(MGeoMultiLineString().sparkType
+      == ArrayType(ArrayType(pt, false), containsNull = false))
+    assert(MGeoPolygon().sparkType
+      == ArrayType(ArrayType(pt, false), containsNull = false))
+    assert(MGeoMultiPolygon().sparkType
+      == ArrayType(ArrayType(ArrayType(pt, false), false),
+        containsNull = false))
+    // and the shape is storable: a polygon survives a parquet round
+    // trip bit-exactly
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("poly", MGeoPolygon().sparkType)))
+    val row = org.apache.spark.sql.Row(1L, Seq(Seq(
+      org.apache.spark.sql.Row(0.0, 0.0),
+      org.apache.spark.sql.Row(1.0, 0.0),
+      org.apache.spark.sql.Row(1.0, 1.0))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row)), schema)
+    val dir = java.nio.file.Files
+      .createTempDirectory("geo_rt").toString + "/t"
+    df.write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("poly").dataType.asInstanceOf[ArrayType]
+      .elementType.isInstanceOf[ArrayType])
+    assert(back.selectExpr("poly[0][2].y").head().getDouble(0) == 1.0)
+  }
 }
