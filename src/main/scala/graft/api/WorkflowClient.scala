@@ -1,0 +1,105 @@
+package graft.api
+
+import scala.collection.concurrent.TrieMap
+
+/** The reference's `WorkflowClient`
+  * (consumption-apis/helpers.ts:115-221) — the consumption-API-side
+  * handle that STARTS and TERMINATES named workflows, re-expressed
+  * over this engine's [[WfTask]] runner (Temporal itself is the
+  * infrastructure SURVEY §7 scopes out; the client CONTRACT is not):
+  *
+  *  - `workflowId` convention (processInputData, ts:210-220): the
+  *    workflow name alone, or `name-<first 16 hex chars of
+  *    sha256(inputJson)>` when input is supplied — so one input maps
+  *    to one id and re-submitting the same input collides;
+  *  - conflict policy FAIL (ts:152): starting an id that is still
+  *    running is an ERROR (→ 400), while a COMPLETED id may be reused
+  *    (reuse policy ALLOW_DUPLICATE);
+  *  - retry budget: total attempts = configured retries + 1 (the
+  *    reference passes `maximumAttempts: retries + 1`; [[WfTask]]'s
+  *    `retries` means retries-after-first, the same total), defaults
+  *    retries=3 / timeout="1h" (getWorkflowConfig, ts:195-208);
+  *  - status-coded results, not exceptions: 200 started/terminated,
+  *    400 unknown workflow / conflict / bad input, 404 when the
+  *    client is disabled ("Temporal client not found" — the feature
+  *    flag arm, ts:124-128);
+  *  - `terminate(workflowId)` interrupts the running body (ts:179-193;
+  *    unknown or already-finished ids → 400).
+  *
+  * Bodies run on daemon threads — `execute` returns once the start is
+  * accepted, like the reference's `workflow.start`.
+  */
+object WorkflowClient {
+  /** getWorkflowConfig's defaults (ts:200-203). */
+  final case class Config(retries: Int = 3, timeout: String = "1h")
+
+  /** A registered workflow: its config and a body taking the optional
+    * JSON input text. */
+  final case class Registered(config: Config,
+      body: Option[String] => Unit)
+
+  /** processInputData's id rule: sha256 of the input JSON text,
+    * first 16 hex chars. */
+  def workflowId(name: String, input: Option[String]): String =
+    input match {
+      case Some(json) =>
+        val h = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        name + "-" + h.take(8).map(b => f"$b%02x").mkString
+      case None => name
+    }
+}
+
+final class WorkflowClient(
+    registry: Map[String, WorkflowClient.Registered],
+    enabled: Boolean = true) {
+  import WorkflowClient._
+
+  private val running = TrieMap.empty[String, Thread]
+
+  /** Is this id currently executing? (observability hook; the
+    * reference reads the same from the Temporal dashboard) */
+  def isRunning(id: String): Boolean = running.contains(id)
+
+  /** Start `name` with optional JSON input. Returns (status, body). */
+  def execute(name: String, input: Option[String] = None): (Int, String) = {
+    if (!enabled)
+      return (404, "Temporal client not found. Is the feature flag enabled?")
+    try {
+      val reg = registry.getOrElse(name, throw new NoSuchElementException(
+        s"Workflow config not found for $name"))
+      val id = workflowId(name, input)
+      val dur = scala.concurrent.duration.Duration(reg.config.timeout)
+      val task = WfTask[Option[String], Unit](
+        name, reg.config.retries, Some(dur))(reg.body)
+      running.synchronized {
+        if (running.contains(id))
+          throw new IllegalStateException(
+            s"workflow id '$id' is already running (conflict policy FAIL)")
+        val t = new Thread(() =>
+          try task.attempt(input)
+          catch { case _: Throwable => () } // body failures are the
+          // run's outcome, not the start's; the journal records them
+          finally running.remove(id), s"wf-$id")
+        t.setDaemon(true)
+        running.put(id, t)
+        t.start()
+      }
+      (200, s"Workflow started: $name (workflowId: $id)")
+    } catch {
+      case e: Throwable =>
+        (400, s"Error starting workflow: ${e.getMessage}")
+    }
+  }
+
+  /** Terminate a running workflow id. Returns (status, body). */
+  def terminate(workflowId: String): (Int, String) =
+    running.remove(workflowId) match {
+      case Some(t) =>
+        t.interrupt()
+        (200, s"Workflow terminated: $workflowId")
+      case None =>
+        (400, s"Error terminating workflow: no running workflow with " +
+          s"id '$workflowId'")
+    }
+}

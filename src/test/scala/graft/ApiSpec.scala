@@ -505,4 +505,54 @@ class ApiSpec extends AnyFunSuite {
     val root = new WfDagTask[Int, Int]("root")(identity).onComplete(p1, p2)
     assert(WfDag.run(root, 1).length == 5)
   }
+
+  test("WorkflowClient: id conventions, FAIL conflict policy, retry " +
+      "budget, status codes, terminate (helpers.ts:115-221)") {
+    import WorkflowClient._
+    // id rule: bare name without input; name-<16 hex of sha256(json)>
+    assert(workflowId("wf", None) == "wf")
+    val id1 = workflowId("wf", Some("""{"a":1}"""))
+    assert(id1.startsWith("wf-") && id1.length == 3 + 16)
+    assert(workflowId("wf", Some("""{"a":1}""")) == id1) // stable
+    assert(workflowId("wf", Some("""{"a":2}""")) != id1)
+
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger
+    val flakyDone = new java.util.concurrent.CountDownLatch(1)
+    val client = new WorkflowClient(Map(
+      "slow" -> Registered(Config(), { _ =>
+        gate.await(); done.countDown() }),
+      "flaky" -> Registered(Config(retries = 2), { _ =>
+        if (attempts.incrementAndGet() < 3)
+          throw new RuntimeException("boom")
+        flakyDone.countDown() })))
+
+    // unknown workflow → 400 with the config-not-found message
+    val (s0, b0) = client.execute("nope")
+    assert(s0 == 400 && b0.contains("Workflow config not found"))
+    // start → 200; same id still running → 400 (conflict FAIL)
+    assert(client.execute("slow")._1 == 200)
+    assert(client.isRunning("slow"))
+    val (s1, b1) = client.execute("slow")
+    assert(s1 == 400 && b1.contains("already running"))
+    // a DIFFERENT input is a different id — allowed concurrently
+    assert(client.execute("slow", Some("{}"))._1 == 200)
+    // terminate the bare-id run → 200; double-terminate → 400
+    assert(client.terminate("slow")._1 == 200)
+    assert(!client.isRunning("slow"))
+    assert(client.terminate("slow")._1 == 400)
+    // id reuse after completion is allowed (ALLOW_DUPLICATE)
+    assert(client.execute("slow")._1 == 200)
+    gate.countDown()
+    assert(done.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    // retry budget: retries=2 → 3 total attempts, 3rd succeeds
+    assert(client.execute("flaky")._1 == 200)
+    assert(flakyDone.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    assert(attempts.get() == 3)
+    // disabled client → the reference's 404 feature-flag arm
+    val off = new WorkflowClient(Map.empty, enabled = false)
+    val (s4, b4) = off.execute("slow")
+    assert(s4 == 404 && b4.contains("Temporal client not found"))
+  }
 }
