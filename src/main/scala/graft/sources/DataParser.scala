@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** String-content parsing utilities — the reference's
@@ -40,29 +40,33 @@ object DataParser {
   def isValidCsvDelimiter(d: String): Boolean =
     d.length == 1 && !d.head.isWhitespace
 
-  private def lines(spark: SparkSession, content: String): Dataset[String] = {
-    import spark.implicits._
-    spark.createDataset(content.split("\r?\n", -1).toSeq)
-  }
-
-  /** parseCSV: header/trim/skip-empty knobs map to the csv
-    * datasource's options; `columns = false` yields Spark's positional
-    * `_c0…` names (the reference returns positional arrays there —
-    * same information, frame-shaped). Malformed rows FAIL loudly
-    * (FAILFAST), like csv-parse's error event. */
+  /** parseCSV: header/trim knobs map to the csv datasource's options;
+    * `columns = false` yields Spark's positional `_c0…` names (the
+    * reference returns positional arrays there — same information,
+    * frame-shaped). The content goes through a temp file in multiLine
+    * mode so QUOTED EMBEDDED NEWLINES parse as one record, exactly
+    * like csv-parse (a per-line dataset would split them). Blank lines
+    * are always skipped by the datasource — the reference's
+    * skipEmptyLines default; `skipEmptyLines = false` (where csv-parse
+    * ERRORS on a blank line) is accepted but behaves as true, the only
+    * reading a blank-skipping parser can give. Malformed rows FAIL
+    * loudly (FAILFAST), like csv-parse's error event. */
   def parseCsv(spark: SparkSession, content: String,
       config: CsvConfig = CsvConfig()): DataFrame = {
-    val src0 = lines(spark, content)
-    val src = if (config.skipEmptyLines) src0.filter(length(trim(col("value"))) > 0)
-      else src0
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    val file = dir.resolve("content.csv")
+    java.nio.file.Files.writeString(file, content)
+    file.toFile.deleteOnExit()
+    dir.toFile.deleteOnExit()
     spark.read
       .option("delimiter", config.delimiter)
       .option("header", config.columns)
+      .option("multiLine", true) // quoted \n is data, not a row break
       .option("ignoreLeadingWhiteSpace", config.trim)
       .option("ignoreTrailingWhiteSpace", config.trim)
       .option("inferSchema", false) // strings, like the reference's rows
       .option("mode", "FAILFAST")
-      .csv(src)
+      .csv(file.toString)
   }
 
   /** parseJSON: a top-level ARRAY fans out to one row per element, a

@@ -29,6 +29,11 @@ class UtilitiesSpec extends AnyFunSuite {
     val pos = DataParser.parseCsv(spark, "1,2",
       DataParser.CsvConfig(columns = false))
     assert(pos.columns.toSeq == Seq("_c0", "_c1"))
+    // a QUOTED embedded newline is data, not a record break (csv-parse
+    // semantics; a naive line-split would shear this row)
+    val multi = DataParser.parseCsv(spark, "h1,h2\n\"a\nb\",c")
+    val mrow = multi.collect().head
+    assert(mrow.getString(0) == "a\nb" && mrow.getString(1) == "c")
     // delimiter validation (isValidCSVDelimiter)
     assert(DataParser.isValidCsvDelimiter(";"))
     assert(!DataParser.isValidCsvDelimiter(" "))
