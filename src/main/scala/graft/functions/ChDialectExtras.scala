@@ -378,8 +378,11 @@ object ChDialectExtras {
     f("IPv6StringToNum")(a => Ipv6StringToNumExpr(a.head))
     f("IPv6NumToString")(a => Ipv6NumToStringExpr(a.head))
     f("toIPv6")(a => Ipv6NumToStringExpr(Ipv6StringToNumExpr(a.head)))
-    f("toIPv4")(a =>
-      ChExprDsl.ipv4NumToString(ChExprDsl.ipv4StringToNum(a.head)))
+    // toIPv4 is a native kernel, NOT NumToString∘StringToNum: those
+    // macros splice their argument ~10x each, and the composition blew
+    // the AnalyzerBudgetSpec splice-ladder bar (same hazard class as
+    // the r11 geohash hang)
+    f("toIPv4")(a => Ipv4CanonExpr(a.head))
 
     // --------------------------------------------------------------- JSON
     def jpath(j: Expression, key: Expression): Expression =

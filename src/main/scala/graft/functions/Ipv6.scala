@@ -140,6 +140,36 @@ object Ipv6 {
     UTF8String.fromString(format(b))
   }
 
+  /** `toIPv4` canonicalization in ONE pass: 4 dot-separated decimal
+    * octets, each 0-255 (leading zeros tolerated, matching the
+    * registered IPv4StringToNum macro's numeric parse so the pair
+    * can't disagree), rendered back without leading zeros; malformed
+    * input throws like the rest of the non-OrNull conversions. A
+    * native kernel rather than NumToString∘StringToNum because those
+    * expression MACROS splice their argument ~10× each — composing
+    * them put `toIPv4` over the AnalyzerBudgetSpec splice-ladder bar
+    * (the geohash-hang hazard class). */
+  def ipv4Canon(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val parts = str.split("\\.", -1)
+    require(parts.length == 4,
+      s"toIPv4: malformed IPv4 address '$str'")
+    val sb = new java.lang.StringBuilder(15)
+    var i = 0
+    while (i < 4) {
+      val p = parts(i)
+      require(p.nonEmpty && p.length <= 3 &&
+        p.forall(ch => ch >= '0' && ch <= '9'),
+        s"toIPv4: malformed IPv4 address '$str'")
+      val v = Integer.parseInt(p)
+      require(v <= 255, s"toIPv4: malformed IPv4 address '$str'")
+      if (i > 0) sb.append('.')
+      sb.append(v)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** CIDR membership: do the first `prefix` bits of `addr` equal the
     * network's? Both strings must be IPv6 (the caller routes family
     * mismatch to false before this kernel). */
@@ -222,6 +252,28 @@ case class Ipv6NumToStringExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(
       newChild: Expression): Ipv6NumToStringExpr = copy(child = newChild)
   override def prettyName: String = "IPv6NumToString"
+}
+
+/** `toIPv4(s)` — strict parse + canonical dotted-quad render, one
+  * static call per row (see [[Ipv6.ipv4Canon]] for why this is a
+  * kernel and not the NumToString∘StringToNum macro composition). */
+case class Ipv4CanonExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType}")
+  override protected def nullSafeEval(s: Any): Any =
+    Ipv6.ipv4Canon(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = Ipv6.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.ipv4Canon($s);"
+    })
+  override protected def withNewChildInternal(
+      newChild: Expression): Ipv4CanonExpr = copy(child = newChild)
+  override def prettyName: String = "toIPv4"
 }
 
 /** One bound of `IPv6CIDRToRange(addr, prefix)` as a native kernel
