@@ -273,6 +273,52 @@ object EngineQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Schema-evolution migration END-TO-END (`moose plan` + apply; ref
+    * framework/core/migration_plan.rs, diff_strategy.rs:526): a v1
+    * table is written, then [[graft.table.TableMigrator.execute]]
+    * diffs v1→v2 and applies — WIDEN `value_i` Int32→Int64 (the
+    * part-rewrite mutation, CH's own cost for MODIFY COLUMN), ADD
+    * `band` with a declared default (backfilled over pre-migration
+    * rows, CH's metadata default made material), DROP `event_type`
+    * (metadata-only). A post-migration insert then writes through the
+    * NEW schema (its default fills at write), proving the migrated
+    * table keeps working as a table. The oracle recomputes the final
+    * state from the source parquet. */
+  def qSchemaMigrate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.TableMigrator
+    val v1 = MooseSchema(Seq(
+      MooseColumn("event_id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("user_id", MooseType.MInt64),
+      MooseColumn("value_i", MooseType.MInt32,
+        materialized = Some("CAST(floor(value) AS INT)")),
+      MooseColumn("event_type", MooseType.MString)))
+    val cfg1 = OlapTable.Config("events_migrate", v1,
+      TableEngine.MergeTree, orderBy = Seq("event_id"))
+    val warehouse = System.getProperty("java.io.tmpdir") + "/graft_wh"
+    val table = new OlapTable(spark, cfg1, warehouse)
+    table.truncate() // fresh state per run
+    val src = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"))
+    table.insert(src.where(col("event_id") % 10 =!= 0))
+
+    val v2 = MooseSchema(Seq(
+      v1.columns(0), v1.columns(1),
+      MooseColumn("value_i", MooseType.MInt64,
+        materialized = Some("CAST(floor(value) AS BIGINT)")),
+      MooseColumn("band", MooseType.MString,
+        default = Some("concat('b', CAST(event_id % 5 AS STRING))"))))
+    val cfg2 = cfg1.copy(schema = v2)
+    val migrated = TableMigrator.execute(spark, warehouse, cfg1, cfg2)
+
+    // post-migration insert through the NEW schema (band default fills)
+    migrated.table.insert(src.where(col("event_id") % 10 === 0))
+    migrated.table.read()
+      .select(col("event_id"), col("user_id"), col("value_i"),
+        col("band"))
+      .orderBy(col("event_id"))
+  }
+
   /** `OPTIMIZE TABLE … DEDUPLICATE`: the same batch inserted twice (CH's
     * duplicated-part scenario, e.g. a retried insert without insert
     * dedup), then the manual dedup merge — the read-back must equal one
@@ -425,6 +471,7 @@ object EngineQueries {
     "q_file_engine" -> (qFileEngine _),
     "q_iceberg_incremental" -> (qIcebergIncremental _),
     "q_alter_mutations" -> (qAlterMutations _),
+    "q_schema_migrate" -> (qSchemaMigrate _),
     "q_optimize_dedup" -> (qOptimizeDedup _),
     "q_replacing_final" -> (qReplacingFinal _),
     "q_summing" -> (qSumming _),
@@ -482,6 +529,15 @@ object EngineQueries {
       """SELECT event_id, event_type, round(value, 2) AS value
         |FROM (SELECT DISTINCT event_id, event_type, value FROM events)
         |ORDER BY event_id""".stripMargin,
+    // migration end state: value_i widened to BIGINT everywhere, band
+    // backfilled over pre-migration rows AND default-filled on the
+    // post-migration insert (same expression ⇒ one SQL restatement),
+    // event_type gone
+    "q_schema_migrate" ->
+      """SELECT event_id, user_id,
+        |  CAST(floor(value) AS BIGINT) AS value_i,
+        |  'b' || CAST(event_id % 5 AS VARCHAR) AS band
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_iceberg_read" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,

@@ -436,7 +436,7 @@ final class OlapTable(
   // ------------------------------------------------------------ mutations
   /** Stored rows as written (no alias/read-computed columns), empty for a
     * never-written table — the common base of every mutation rewrite. */
-  private def storedRows(): DataFrame = {
+  private[table] def storedRows(): DataFrame = {
     if (!storageExists())
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -444,7 +444,7 @@ final class OlapTable(
     else spark.read.schema(config.schema.toStructType).parquet(path)
   }
 
-  private def storageExists(): Boolean = {
+  private[table] def storageExists(): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -453,7 +453,7 @@ final class OlapTable(
     * mutation commit path. Preserves the insert-time physical layout
     * (partition dirs + within-partition ORDER BY sort), so parquet
     * row-group skipping on the sort key survives mutations. */
-  private def rewriteStored(rows: DataFrame, suffix: String): Unit = {
+  private[table] def rewriteStored(rows: DataFrame, suffix: String): Unit = {
     val sorted =
       if (config.orderBy.nonEmpty)
         rows.sortWithinPartitions(config.orderBy.map(col): _*)

@@ -1,0 +1,323 @@
+package graft.table
+
+import graft.schema.{Migration, MooseColumn, MooseSchema}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Table-granularity migration planning + execution — the engine-side
+  * `moose plan` / `moose migrate` (ref apps/framework-cli/src/framework/
+  * core/migration_plan.rs; infrastructure/olap/clickhouse/
+  * diff_strategy.rs:526 `ClickHouseTableDiffStrategy::diff_table_update`;
+  * the op vocabulary is clickhouse/mod.rs:116
+  * `SerializableOlapOperation`; column diff
+  * infrastructure_map.rs:3687 `compute_table_columns_diff`).
+  *
+  * [[Migration]] diffs SCHEMAS; this layer diffs full
+  * [[OlapTable.Config]]s — including the storage-shape fields where the
+  * reference's strategy decides ALTER vs drop+create:
+  *
+  *  - ORDER BY changed      → drop+create (diff_strategy.rs:543-556)
+  *  - PARTITION BY changed  → drop+create (diff_strategy.rs:588-601)
+  *  - primary key changed   → drop+create, merge-tree family only
+  *    (diff_strategy.rs:605-627 `normalized_primary_key_expr`)
+  *  - engine changed        → drop+create (diff_strategy.rs:629-650)
+  *  - bucket layout changed → drop+create (the readonly-settings
+  *    analogue, diff_strategy.rs:655 `READONLY_SETTINGS` — bucket
+  *    placement is baked into every written file)
+  *  - sampleBy / ttl / indexes / projections changed → config-level
+  *    ALTERs ("SAMPLE BY can be modified via ALTER TABLE",
+  *    diff_strategy.rs:603; TtlChanged infrastructure_map.rs:336)
+  *  - column add/drop/modify → ALTER ops with the reference's
+  *    `position_after` (infrastructure_map.rs:3722-3727)
+  *
+  * Execution on parquet storage keeps CH's COST MODEL honest at 100 TB:
+  * a nullable no-default ADD and every DROP are metadata-only (the new
+  * read schema null-fills / stops projecting — zero jobs); a TYPE change
+  * is one layout-preserving fileset rewrite, exactly the mutation CH
+  * itself runs for `MODIFY COLUMN` (parts are rewritten there too); an
+  * ADD with a declared default (or non-nullable, where CH serves the
+  * type's default) rides the SAME single rewrite — parquet has no
+  * per-part metadata defaults to serve at read, so the engine
+  * materializes them once rather than returning nulls CH would not
+  * return. At most ONE rewrite per migration, whatever the op count.
+  *
+  * Lifecycle gating mirrors core/lifecycle_filter.rs: ExternallyManaged
+  * blocks every op; DeletionProtected blocks table drops (AND the paired
+  * create — a drop+create pair never half-applies) and column drops;
+  * blocked ops are RETURNED with reasons, never silently discarded
+  * (`FilteredChange`, infrastructure_map.rs:471-476).
+  */
+object TableMigrator {
+
+  /** Atomic migration operations (ref clickhouse/mod.rs:116). The
+    * config-only ops (`ModifySampleBy`/`ModifyTtl`/index/projection)
+    * change how FUTURE reads/writes/retention behave; they touch no
+    * stored bytes, same as CH's metadata-only ALTERs. */
+  sealed trait Op { def table: String }
+  final case class CreateTable(config: OlapTable.Config) extends Op {
+    def table: String = config.name
+  }
+  final case class DropTable(table: String) extends Op
+  final case class AddTableColumn(table: String, column: MooseColumn,
+      afterColumn: Option[String]) extends Op
+  final case class DropTableColumn(table: String, columnName: String)
+      extends Op
+  final case class ModifyTableColumn(table: String, before: MooseColumn,
+      after: MooseColumn) extends Op
+  final case class ModifySampleBy(table: String, before: Option[String],
+      after: Option[String]) extends Op
+  final case class ModifyTtl(table: String, before: Option[String],
+      after: Option[String]) extends Op
+  final case class AddTableIndex(table: String, index: OlapTable.SkipIndex)
+      extends Op
+  final case class DropTableIndex(table: String, indexName: String)
+      extends Op
+  final case class AddTableProjection(table: String,
+      projection: OlapTable.Projection) extends Op
+  final case class DropTableProjection(table: String,
+      projectionName: String) extends Op
+
+  /** An op withheld by the lifecycle, with the reason — the reference's
+    * `FilteredChange` (infrastructure_map.rs:471). */
+  final case class Filtered(op: Op, reason: String)
+
+  final case class Plan(operations: Seq[Op]) {
+    def isEmpty: Boolean = operations.isEmpty
+    def isDropCreate: Boolean = operations.exists(_.isInstanceOf[DropTable])
+    /** Deterministic JSON (sorted keys, stable op order) — migration
+      * plans are version-controlled artifacts in the reference, so the
+      * rendering must not carry map-iteration noise
+      * (migration_plan.rs:57-63 sorts keys for the same reason). */
+    def toJson: String =
+      "{\"operations\":[" + operations.map(opJson).mkString(",") + "]}"
+  }
+
+  private def q(s: String): String = graft.JsonText.quote(s)
+  private def opt(o: Option[String]): String = o.fold("null")(q)
+  private def colJson(c: MooseColumn): String = {
+    val fields = Seq(
+      "aliasExpr" -> opt(c.aliasExpr),
+      "codec" -> opt(c.codec),
+      "comment" -> opt(c.comment),
+      "default" -> opt(c.default),
+      "materialized" -> opt(c.materialized),
+      "name" -> q(c.name),
+      "nullable" -> c.nullable.toString,
+      "primaryKey" -> c.primaryKey.toString,
+      "type" -> q(c.tpe.toString))
+    fields.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+  }
+
+  private def opJson(op: Op): String = op match {
+    case CreateTable(cfg) =>
+      s"""{"columns":[${cfg.schema.columns.map(colJson).mkString(",")}],""" +
+        s""""op":"CreateTable","orderBy":[${cfg.orderBy.map(q(_)).mkString(",")}],""" +
+        s""""partitionBy":[${cfg.partitionBy.map(q(_)).mkString(",")}],""" +
+        s""""table":${q(cfg.name)}}"""
+    case DropTable(t) => s"""{"op":"DropTable","table":${q(t)}}"""
+    case AddTableColumn(t, c, after) =>
+      s"""{"afterColumn":${opt(after)},"column":${colJson(c)},""" +
+        s""""op":"AddTableColumn","table":${q(t)}}"""
+    case DropTableColumn(t, n) =>
+      s"""{"columnName":${q(n)},"op":"DropTableColumn","table":${q(t)}}"""
+    case ModifyTableColumn(t, b, a) =>
+      s"""{"afterColumn":${colJson(a)},"beforeColumn":${colJson(b)},""" +
+        s""""op":"ModifyTableColumn","table":${q(t)}}"""
+    case ModifySampleBy(t, b, a) =>
+      s"""{"after":${opt(a)},"before":${opt(b)},"op":"ModifySampleBy","table":${q(t)}}"""
+    case ModifyTtl(t, b, a) =>
+      s"""{"after":${opt(a)},"before":${opt(b)},"op":"ModifyTtl","table":${q(t)}}"""
+    case AddTableIndex(t, ix) =>
+      s"""{"expression":${q(ix.expression)},"indexType":${q(ix.indexType)},""" +
+        s""""name":${q(ix.name)},"op":"AddTableIndex","table":${q(t)}}"""
+    case DropTableIndex(t, n) =>
+      s"""{"indexName":${q(n)},"op":"DropTableIndex","table":${q(t)}}"""
+    case AddTableProjection(t, p) =>
+      s"""{"name":${q(p.name)},"op":"AddTableProjection",""" +
+        s""""sortBy":[${p.sortBy.map(q(_)).mkString(",")}],"table":${q(t)}}"""
+    case DropTableProjection(t, n) =>
+      s"""{"op":"DropTableProjection","projectionName":${q(n)},"table":${q(t)}}"""
+  }
+
+  /** Column-level diff with the reference's shape
+    * (infrastructure_map.rs:3687): additions carry `position_after` =
+    * the name of the preceding column in the AFTER order
+    * (None = first); modifications carry before+after. Drops are
+    * emitted FIRST (teardown before setup, olap/ddl_ordering.rs — a
+    * rename modeled as drop+add never collides), then modifies, then
+    * adds in after-schema order so each add's anchor already exists. */
+  def diffColumns(table: String, before: MooseSchema,
+      after: MooseSchema): Seq[Op] = {
+    val b = before.columns.map(c => c.name -> c).toMap
+    val aNames = after.columns.map(_.name).toSet
+    val drops = before.columns.filterNot(c => aNames.contains(c.name))
+      .map(c => DropTableColumn(table, c.name))
+    val mods = after.columns.flatMap { ac =>
+      b.get(ac.name).filter(_ != ac).map(bc => ModifyTableColumn(table, bc, ac))
+    }
+    val adds = after.columns.zipWithIndex.collect {
+      case (ac, i) if !b.contains(ac.name) =>
+        AddTableColumn(table, ac,
+          if (i == 0) None else Some(after.columns(i - 1).name))
+    }
+    drops ++ mods ++ adds
+  }
+
+  /** The ClickHouse diff strategy (diff_strategy.rs:526): storage-shape
+    * changes produce a drop+create PAIR; everything else is ALTER ops.
+    * Both configs must name the same table — cross-name diffs are a
+    * remove+add at the registry level, not an update. */
+  def diff(before: OlapTable.Config, after: OlapTable.Config): Plan = {
+    require(before.name == after.name,
+      s"diff is per-table: '${before.name}' vs '${after.name}' — a rename " +
+        "is DropTable + CreateTable at the registry level")
+    val pkChanged = before.schema.primaryKeys != after.schema.primaryKeys &&
+      isMergeTreeFamily(after.engine)
+    val dropCreate =
+      before.orderBy != after.orderBy ||
+        before.partitionBy != after.partitionBy ||
+        pkChanged ||
+        before.engine != after.engine ||
+        before.bucketBy != after.bucketBy
+    if (dropCreate)
+      return Plan(Seq(DropTable(before.name), CreateTable(after)))
+
+    val colOps = diffColumns(before.name, before.schema, after.schema)
+    val sampleOps =
+      if (before.sampleBy != after.sampleBy)
+        Seq(ModifySampleBy(before.name, before.sampleBy, after.sampleBy))
+      else Nil
+    val ttlOps =
+      if (before.ttlExpiredWhen != after.ttlExpiredWhen)
+        Seq(ModifyTtl(before.name, before.ttlExpiredWhen, after.ttlExpiredWhen))
+      else Nil
+    val bIx = before.indexes.map(ix => ix.name -> ix).toMap
+    val aIx = after.indexes.map(ix => ix.name -> ix).toMap
+    val ixOps =
+      before.indexes.filter(ix => !aIx.get(ix.name).contains(ix))
+        .map(ix => DropTableIndex(before.name, ix.name)) ++
+      after.indexes.filter(ix => !bIx.get(ix.name).contains(ix))
+        .map(ix => AddTableIndex(before.name, ix))
+    val bPr = before.projections.map(p => p.name -> p).toMap
+    val aPr = after.projections.map(p => p.name -> p).toMap
+    val prOps =
+      before.projections.filter(p => !aPr.get(p.name).contains(p))
+        .map(p => DropTableProjection(before.name, p.name)) ++
+      after.projections.filter(p => !bPr.get(p.name).contains(p))
+        .map(p => AddTableProjection(before.name, p))
+    Plan(colOps ++ sampleOps ++ ttlOps ++ ixOps ++ prOps)
+  }
+
+  /** Every [[TableEngine]] here is merge-tree family (the file/S3/
+    * Distributed engines are [[FileEngine]] readers, not managed-table
+    * engines); the reference's non-merge-tree escape
+    * (diff_strategy.rs:612 "S3 allows specifying PK") has no managed
+    * counterpart in this storage model. */
+  private def isMergeTreeFamily(e: TableEngine): Boolean = e match {
+    case TableEngine.Replicated(inner, _, _) => isMergeTreeFamily(inner)
+    case _ => true
+  }
+
+  /** Lifecycle gate (core/lifecycle_filter.rs): returns
+    * (applied, withheld-with-reasons). */
+  def lifecycleFilter(ops: Seq[Op], mode: Migration.LifeCycle)
+      : (Seq[Op], Seq[Filtered]) = mode match {
+    case Migration.LifeCycle.FullyManaged => (ops, Nil)
+    case Migration.LifeCycle.ExternallyManaged =>
+      (Nil, ops.map(Filtered(_,
+        "table is ExternallyManaged — all automatic changes blocked")))
+    case Migration.LifeCycle.DeletionProtected =>
+      // a drop+create pair is blocked WHOLE: applying only the create
+      // over live data would be a silent truncation
+      if (ops.exists(_.isInstanceOf[DropTable]))
+        (Nil, ops.map(Filtered(_,
+          "table is DeletionProtected — drop+create migration blocked")))
+      else ops.partitionMap {
+        case op: DropTableColumn => Right(Filtered(op,
+          s"table is DeletionProtected — column drop '${op.columnName}' blocked"))
+        case op => Left(op)
+      }
+  }
+
+  final case class Result(
+      table: OlapTable,
+      applied: Seq[Op],
+      withheld: Seq[Filtered],
+      /** whether a fileset rewrite ran (type changes / default
+        * backfills); false ⇒ the whole migration was metadata-only. */
+    rewrote: Boolean)
+
+  /** Plan + execute `before → after` on `warehouseDir` storage. The
+    * returned handle reads under the AFTER config. Destructive shapes
+    * honor the lifecycle; a NARROWING type change refuses loudly (it
+    * can truncate — same stance as [[Migration.migrationRead]]; widen
+    * or rewrite explicitly via `alterUpdate`). */
+  def execute(spark: SparkSession, warehouseDir: String,
+      before: OlapTable.Config, after: OlapTable.Config,
+      lifeCycle: Migration.LifeCycle = Migration.LifeCycle.FullyManaged)
+      : Result = {
+    val (ops, withheld) = lifecycleFilter(diff(before, after).operations, lifeCycle)
+    if (ops.isEmpty)
+      return Result(new OlapTable(spark,
+        if (withheld.isEmpty) after else before, warehouseDir),
+        Nil, withheld, rewrote = false)
+
+    if (ops.exists(_.isInstanceOf[DropTable])) {
+      // the reference's drop+create sheds the data (diff_strategy.rs
+      // WARNs and proceeds); the new table starts empty
+      new OlapTable(spark, before, warehouseDir).truncate()
+      return Result(new OlapTable(spark, after, warehouseDir),
+        ops, withheld, rewrote = false)
+    }
+
+    require(before.bucketBy.isEmpty,
+      s"migrate ${before.name}: column migrations over bucketed tables " +
+        "not wired (catalog-managed storage)")
+
+    val mods = ops.collect { case m: ModifyTableColumn => m }
+    mods.foreach { m =>
+      if (m.before.tpe != m.after.tpe)
+        require(Migration.isWidening(m.before.tpe, m.after.tpe),
+          s"migrate ${before.name}: ${m.before.name} " +
+            s"${m.before.tpe} → ${m.after.tpe} is NARROWING (can truncate); " +
+            "widen instead, or rewrite explicitly with alterUpdate")
+    }
+    val adds = ops.collect { case a: AddTableColumn => a }
+    val drops = ops.collect { case d: DropTableColumn => d }
+    // CH serves a declared default — and, for a non-nullable column, the
+    // type's default — from part metadata at read; parquet can't, so
+    // those adds materialize through the one rewrite
+    val backfillAdds = adds.filter(a =>
+      a.column.aliasExpr.isEmpty &&
+        (a.column.default.nonEmpty || !a.column.nullable))
+    val typeChanged = mods.filter(m => m.before.tpe != m.after.tpe)
+
+    val beforeTable = new OlapTable(spark, before, warehouseDir)
+    val afterTable = new OlapTable(spark, after, warehouseDir)
+    val needRewrite =
+      (typeChanged.nonEmpty || backfillAdds.nonEmpty) &&
+        beforeTable.storageExists()
+    if (needRewrite) {
+      val stored = beforeTable.storedRows()
+      val dropped = drops.foldLeft(stored)((d, op) => d.drop(op.columnName))
+      val casted = typeChanged.foldLeft(dropped)((d, m) =>
+        d.withColumn(m.after.name, col(m.after.name).cast(m.after.tpe.sparkType)))
+      val added = backfillAdds.foldLeft(casted) { (d, a) =>
+        val c = a.column
+        val fill = c.default.map(expr).getOrElse(
+          Bridge.column(Literal.default(c.tpe.sparkType)))
+        d.withColumn(c.name, fill.cast(c.tpe.sparkType))
+      }
+      // store in after-schema order; alias (read-computed) columns are
+      // not stored — read() recomputes them
+      val outCols = after.schema.columns.filter(_.aliasExpr.isEmpty).map { c =>
+        if (added.columns.contains(c.name)) col(c.name)
+        else Bridge.column(Literal.create(null, c.tpe.sparkType)).as(c.name)
+      }
+      afterTable.rewriteStored(added.select(outCols: _*), "__migrate_tmp")
+    }
+    Result(afterTable, ops, withheld, rewrote = needRewrite)
+  }
+}
