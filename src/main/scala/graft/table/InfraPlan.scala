@@ -1,0 +1,193 @@
+package graft.table
+
+import graft.schema.Migration
+import org.apache.spark.sql.SparkSession
+
+/** Registry-level migration planning — the full `moose plan` over every
+  * managed OLAP resource, not just one table (ref apps/framework-cli/
+  * src/framework/core/infrastructure_map.rs:1923
+  * `diff_tables_with_strategy` + :1582 `diff_sql_resources`;
+  * step ordering infrastructure/olap/ddl_ordering.rs).
+  *
+  * A [[State]] is the declared world (the reference's
+  * `InfrastructureMap`): named table configs + named SQL resources
+  * (views / raw setup-teardown SQL), with per-resource lifecycles.
+  * [[diff]] produces one ordered step list with the reference's
+  * execution discipline:
+  *
+  *  1. **teardown first, dependents-first** — removed/changed SQL
+  *     resources are torn down BEFORE the tables they read from or
+  *     write to are touched (ddl_ordering.rs `get_teardown_edges`:
+  *     "views and materialized views dropped before their source and
+  *     target tables"), in reverse dependency order among themselves;
+  *  2. **table changes** — each changed table plans through
+  *     [[TableMigrator.diff]] (the ClickHouse strategy: ALTER vs
+  *     drop+create), each gated by ITS lifecycle; added tables create,
+  *     removed tables drop (DeletionProtected/ExternallyManaged block
+  *     exactly as lifecycle_filter.rs does, and blocked ops are
+  *     reported, not lost);
+  *  3. **setup last, dependencies-first** — added/changed resources run
+  *     their setup SQL after the tables exist, in dependency order.
+  *
+  * A CHANGED resource (any setup/teardown/edge text differs) is
+  * teardown(old) + setup(new), the reference's `Change::Updated`
+  * handling for SQL resources (infrastructure_map.rs:1600). There is
+  * no populate step here: the reference needs
+  * `PopulateMaterializedView` because a CH MV only sees inserts that
+  * happen after it; this engine's [[graft.streaming.MaterializedView]]
+  * recompute IS the populate, and its streaming mode reads the full
+  * source history through the checkpoint.
+  *
+  * Scale note: planning is driver-side metadata work — O(resources).
+  * The only data-sized cost is whatever [[TableMigrator.execute]]
+  * decides per table (at most one layout-preserving rewrite each, and
+  * only for type changes / default backfills).
+  */
+object InfraPlan {
+
+  final case class State(
+      tables: Map[String, OlapTable.Config],
+      resources: Map[String, SqlResource] = Map.empty,
+      /** Per-resource lifecycle; absent = FullyManaged (the
+        * reference's default, lifeCycle.ts:7). Keyed by table OR
+        * resource name. */
+      lifeCycles: Map[String, Migration.LifeCycle] = Map.empty) {
+    def lifeCycleOf(name: String): Migration.LifeCycle =
+      lifeCycles.getOrElse(name, Migration.LifeCycle.FullyManaged)
+  }
+
+  sealed trait Step
+  /** One table-level operation (ALTER / create / drop). */
+  final case class TableStep(op: TableMigrator.Op) extends Step
+  /** Run a resource's teardown SQL. */
+  final case class TeardownResource(resource: SqlResource) extends Step
+  /** Run a resource's setup SQL. */
+  final case class SetupResource(resource: SqlResource) extends Step
+
+  final case class Plan(steps: Seq[Step],
+      withheld: Seq[TableMigrator.Filtered]) {
+    def isEmpty: Boolean = steps.isEmpty && withheld.isEmpty
+  }
+
+  /** Dependency-order the given resources (pullsDataFrom /
+    * pushesDataTo edges among THEMSELVES; table names and externals
+    * are roots). Reuses the registry's topological contract. */
+  private def dependencyOrder(rs: Seq[SqlResource]): Seq[SqlResource] = {
+    val reg = new SqlResourceRegistry
+    rs.foreach(reg.register)
+    reg.ordered
+  }
+
+  def diff(before: State, after: State): Plan = {
+    val steps = Seq.newBuilder[Step]
+    val withheld = Seq.newBuilder[TableMigrator.Filtered]
+
+    // -------- resources: removed or changed tear down FIRST (reverse
+    // dependency order — a view reading a table must be gone before
+    // the table is)
+    val removedRes = before.resources.collect {
+      case (n, r) if !after.resources.contains(n) => r
+    }.toSeq
+    val changedRes = before.resources.collect {
+      case (n, r) if after.resources.get(n).exists(_ != r) => r
+    }.toSeq
+    dependencyOrder(removedRes ++ changedRes).reverse
+      .foreach(r => steps += TeardownResource(r))
+
+    // -------- tables (sorted for deterministic plans — the reference
+    // sorts serialized maps for exactly this reason)
+    val names = (before.tables.keySet ++ after.tables.keySet).toSeq.sorted
+    names.foreach { n =>
+      (before.tables.get(n), after.tables.get(n)) match {
+        case (Some(b), Some(a)) if b != a =>
+          val (ops, w) = TableMigrator.lifecycleFilter(
+            TableMigrator.diff(b, a).operations, after.lifeCycleOf(n))
+          steps ++= ops.map(TableStep(_))
+          withheld ++= w
+        case (Some(b), None) =>
+          // removal honors the BEFORE state's lifecycle
+          // (infrastructure_map.rs:1987: DeletionProtected and
+          // ExternallyManaged tables are never removed)
+          before.lifeCycleOf(n) match {
+            case Migration.LifeCycle.FullyManaged =>
+              steps += TableStep(TableMigrator.DropTable(n))
+            case lc =>
+              withheld += TableMigrator.Filtered(TableMigrator.DropTable(n),
+                s"table '$n' is $lc — removal blocked")
+          }
+        case (None, Some(a)) =>
+          // ExternallyManaged tables are never added automatically
+          // (infrastructure_map.rs:2029)
+          after.lifeCycleOf(n) match {
+            case Migration.LifeCycle.ExternallyManaged =>
+              withheld += TableMigrator.Filtered(TableMigrator.CreateTable(a),
+                s"table '$n' is ExternallyManaged — addition blocked")
+            case _ =>
+              steps += TableStep(TableMigrator.CreateTable(a))
+          }
+        case _ => // unchanged or absent both sides
+      }
+    }
+
+    // -------- resources: added or changed set up LAST (dependency
+    // order — sources before the views that read them)
+    val addedRes = after.resources.collect {
+      case (n, r) if !before.resources.contains(n) => r
+    }.toSeq
+    val newChangedRes = after.resources.collect {
+      case (n, r) if before.resources.get(n).exists(_ != r) => r
+    }.toSeq
+    dependencyOrder(addedRes ++ newChangedRes)
+      .foreach(r => steps += SetupResource(r))
+
+    Plan(steps.result(), withheld.result())
+  }
+
+  /** Execute a plan: teardown/setup SQL runs through the session;
+    * table steps group per table and apply through
+    * [[TableMigrator.execute]] (so the ALTER-op semantics — one
+    * rewrite at most, metadata-only adds/drops — hold here too).
+    * Returns the post-migration table handles by name. */
+  def apply(spark: SparkSession, warehouseDir: String,
+      before: State, after: State): Map[String, OlapTable] = {
+    val plan = diff(before, after)
+    plan.steps.foreach {
+      case TeardownResource(r) => r.teardown.foreach(spark.sql(_))
+      case _ => // tables below, setups after
+    }
+    // group table ops back to per-table migrations; execute re-plans
+    // the pair (cheap, driver-side) and applies with the same gating
+    val touched = plan.steps.collect {
+      case TableStep(op) => op.table
+    }.distinct
+    val handles = touched.flatMap { n =>
+      (before.tables.get(n), after.tables.get(n)) match {
+        case (Some(b), Some(a)) =>
+          Some(n -> TableMigrator.execute(spark, warehouseDir, b, a,
+            after.lifeCycleOf(n)).table)
+        case (Some(b), None) =>
+          new OlapTable(spark, b, warehouseDir).truncate()
+          None
+        case (None, Some(a)) =>
+          Some(n -> new OlapTable(spark, a, warehouseDir))
+        case _ => None
+      }
+    }.toMap
+    // untouched tables keep serving under their (unchanged) config
+    val untouched = after.tables.collect {
+      case (n, cfg) if !handles.contains(n) =>
+        n -> new OlapTable(spark, cfg, warehouseDir)
+    }
+    val all = handles ++ untouched
+    // resource SQL references tables by name; refresh every table's
+    // SQL view BEFORE setups so a view selecting a just-added column
+    // analyzes against the post-migration schema (the reference's
+    // setups likewise run against the already-migrated DB)
+    all.values.foreach(_.registerSql())
+    plan.steps.foreach {
+      case SetupResource(r) => r.setup.foreach(spark.sql(_))
+      case _ =>
+    }
+    all
+  }
+}

@@ -1,0 +1,144 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Drift detection between the DECLARED infrastructure and what the
+  * storage actually holds — the engine-side analogue of
+  * `InfraRealityChecker` (ref apps/framework-cli/src/framework/core/
+  * infra_reality_checker.rs:57 `InfraDiscrepancies`: unmapped /
+  * missing / mismatched per resource kind). The reference asks
+  * ClickHouse's system tables; here the ground truth is the warehouse
+  * directory — parquet footers ARE the live schema.
+  *
+  * Three discrepancy classes, same taxonomy as the reference:
+  *  - `unmappedTables`   — table directories on disk with no declared
+  *    config (someone wrote around the registry);
+  *  - `missingTables`    — declared configs with no storage. NOT
+  *    automatically an error: a created-but-never-written table reads
+  *    as empty by design, so callers decide (the reference reports
+  *    these the same way and lets `plan` decide);
+  *  - `mismatchedTables` — both exist but the stored schema disagrees
+  *    with the declaration: per-table column drift (missing stored
+  *    column that is not read-computed or a post-migration metadata
+  *    add, extra stored column, or a stored type that cannot serve
+  *    the declared type).
+  *
+  * Schema-on-read nuance this checker must NOT flag: a column the
+  * engine treats as metadata-only — an alias (read-computed) column,
+  * or a nullable ADD that [[TableMigrator]] deliberately left
+  * unmaterialized — is legitimately absent from older files. Absence
+  * is only drift when reading it as the declared type could not work
+  * (non-nullable with no default), mirroring how the reference
+  * normalizes before diffing instead of flagging cosmetic differences.
+  *
+  * Scale: reads parquet FOOTERS only (schema inference over file
+  * metadata), never data — safe to run against a 100 TB warehouse.
+  */
+object RealityCheck {
+
+  final case class ColumnDrift(
+      column: String,
+      declared: Option[String],
+      stored: Option[String],
+      issue: String)
+
+  final case class TableDrift(table: String, drifts: Seq[ColumnDrift])
+
+  final case class Discrepancies(
+      unmappedTables: Seq[String],
+      missingTables: Seq[String],
+      mismatchedTables: Seq[TableDrift]) {
+    def isEmpty: Boolean =
+      unmappedTables.isEmpty && missingTables.isEmpty &&
+        mismatchedTables.isEmpty
+  }
+
+  private def storedSchema(spark: SparkSession,
+      path: String): Option[StructType] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      // footer-only schema read; nanos timestamps (the testdata shape)
+      // surface as LongType under the legacy flag Tables.load uses —
+      // acceptable here because we only COMPARE serveability
+      try Some(spark.read.parquet(path).schema)
+      catch { case _: Exception => None }
+    }
+  }
+
+  /** Can a stored field serve reads under the declared field? Type
+    * equality only: numeric/date widenings do NOT count (parquet
+    * refuses int32→long per file without a rewrite), so a type
+    * difference is drift — the remedy is a [[TableMigrator]] type
+    * migration, and the issue text says so. Nullability is NOT
+    * compared: Spark's parquet read-back reports every top-level
+    * field nullable regardless of what was written, so footers carry
+    * no usable signal there. */
+  private def serves(stored: StructField, declared: StructField): Boolean =
+    stored.dataType == declared.dataType
+
+  def checkTable(spark: SparkSession, warehouseDir: String,
+      config: OlapTable.Config): Option[TableDrift] = {
+    val path = s"$warehouseDir/${config.name}"
+    storedSchema(spark, path).flatMap { stored =>
+      val storedByName = stored.fields.map(f => f.name -> f).toMap
+      val declaredStored =
+        config.schema.columns.filter(_.aliasExpr.isEmpty)
+      val declaredNames = declaredStored.map(_.name).toSet
+
+      val missing = declaredStored.flatMap { c =>
+        if (storedByName.contains(c.name)) None
+        else if (c.nullable || c.default.nonEmpty) None // metadata-only add
+        else Some(ColumnDrift(c.name, Some(c.tpe.toString), None,
+          "declared non-nullable with no default but absent from " +
+            "storage — reads would fabricate nulls; run a TableMigrator " +
+            "backfill or declare a default"))
+      }
+      val extra = stored.fields.toSeq.flatMap { f =>
+        if (declaredNames.contains(f.name)) None
+        // dropped columns legitimately linger in files (pruned reads)
+        else Some(ColumnDrift(f.name, None, Some(f.dataType.simpleString),
+          "stored but not declared — dropped column residue (harmless, " +
+            "pruned at read) or an out-of-band write"))
+      }
+      val mismatched = declaredStored.flatMap { c =>
+        storedByName.get(c.name).flatMap { f =>
+          if (serves(f, c.field)) None
+          else Some(ColumnDrift(c.name,
+            Some(c.field.dataType.simpleString),
+            Some(f.dataType.simpleString),
+            "stored type cannot serve the declared type — run a " +
+              "TableMigrator type migration (one layout-preserving rewrite)"))
+        }
+      }
+      val all = missing ++ mismatched ++ extra
+      if (all.isEmpty) None else Some(TableDrift(config.name, all))
+    }
+  }
+
+  /** Full warehouse sweep: every declared table checked, every table
+    * directory on disk accounted for. `_`-prefixed and temp-suffix
+    * dirs (mutation staging) are ignored. */
+  def check(spark: SparkSession, warehouseDir: String,
+      declared: Seq[OlapTable.Config]): Discrepancies = {
+    val byName = declared.map(c => c.name -> c).toMap
+    val whPath = new org.apache.hadoop.fs.Path(warehouseDir)
+    val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk: Seq[String] =
+      if (!fs.exists(whPath)) Nil
+      else fs.listStatus(whPath).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.contains("__"))
+
+    val unmapped = onDisk.filterNot(byName.contains).sorted
+    val missing = declared.map(_.name)
+      .filterNot(n => onDisk.contains(n)).sorted
+    val mismatched = declared.sortBy(_.name)
+      .filter(c => onDisk.contains(c.name))
+      .flatMap(c => checkTable(spark, warehouseDir, c))
+    Discrepancies(unmapped, missing, mismatched)
+  }
+}

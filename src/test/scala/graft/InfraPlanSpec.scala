@@ -1,0 +1,172 @@
+package graft
+
+import graft.schema.{Migration, MooseColumn, MooseSchema, MooseType}
+import graft.table.{InfraPlan, OlapTable, RealityCheck, SqlResource,
+  TableEngine, TableMigrator}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Registry-level planning (InfraPlan — the full `moose plan`; ref
+  * infrastructure_map.rs diff_with_table_strategy + ddl_ordering.rs)
+  * and drift detection (RealityCheck — infra_reality_checker.rs). */
+class InfraPlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import InfraPlan._
+
+  private def wh(): String = Files.createTempDirectory("graft_infra").toString
+
+  private val schemaA = MooseSchema(Seq(
+    MooseColumn("id", MooseType.MInt64, primaryKey = true),
+    MooseColumn("v", MooseType.MFloat64)))
+  private def tcfg(name: String, schema: MooseSchema = schemaA) =
+    OlapTable.Config(name, schema, TableEngine.MergeTree,
+      orderBy = Seq("id"))
+
+  test("plan orders teardown (dependents-first) → table ops → setup " +
+      "(dependencies-first), the ddl_ordering discipline") {
+    val viewOld = SqlResource.view("ip_v_old", "SELECT 1 AS x")
+    val base = SqlResource.view("ip_base", "SELECT id FROM ip_t1",
+      pullsFrom = Seq("ip_t1"))
+    val derived = SqlResource.view("ip_derived", "SELECT * FROM ip_base",
+      pullsFrom = Seq("ip_base"))
+    val before = State(
+      tables = Map("ip_t1" -> tcfg("ip_t1")),
+      resources = Map("ip_v_old" -> viewOld))
+    val after = State(
+      tables = Map(
+        "ip_t1" -> tcfg("ip_t1", MooseSchema(schemaA.columns :+
+          MooseColumn("w", MooseType.MString, nullable = true))),
+        "ip_t2" -> tcfg("ip_t2")),
+      resources = Map("ip_base" -> base, "ip_derived" -> derived))
+    val plan = diff(before, after)
+    val kinds = plan.steps.map {
+      case TeardownResource(r) => s"down:${r.name}"
+      case SetupResource(r) => s"up:${r.name}"
+      case TableStep(op) => s"tbl:${op.getClass.getSimpleName}:${op.table}"
+    }
+    assert(kinds === Seq(
+      "down:ip_v_old",
+      "tbl:AddTableColumn:ip_t1",
+      "tbl:CreateTable:ip_t2",
+      "up:ip_base",     // dependency before dependent
+      "up:ip_derived"))
+    assert(plan.withheld.isEmpty)
+  }
+
+  test("a changed resource is teardown(old) + setup(new) " +
+      "(infrastructure_map.rs:1600 Updated)") {
+    val v1 = SqlResource.view("ip_chg", "SELECT 1 AS x")
+    val v2 = SqlResource.view("ip_chg", "SELECT 2 AS x")
+    val plan = diff(
+      State(Map.empty, Map("ip_chg" -> v1)),
+      State(Map.empty, Map("ip_chg" -> v2)))
+    assert(plan.steps === Seq(TeardownResource(v1), SetupResource(v2)))
+  }
+
+  test("lifecycles gate per resource: protected removals are withheld " +
+      "with reasons, ExternallyManaged additions are never auto-applied") {
+    val before = State(
+      tables = Map("ip_keep" -> tcfg("ip_keep"), "ip_gone" -> tcfg("ip_gone")),
+      lifeCycles = Map("ip_gone" -> Migration.LifeCycle.DeletionProtected))
+    val after = State(
+      tables = Map("ip_keep" -> tcfg("ip_keep"), "ip_ext" -> tcfg("ip_ext")),
+      lifeCycles = Map("ip_ext" -> Migration.LifeCycle.ExternallyManaged))
+    val plan = diff(before, after)
+    assert(plan.steps.isEmpty)
+    assert(plan.withheld.map(_.op) === Seq(
+      TableMigrator.CreateTable(tcfg("ip_ext")),
+      TableMigrator.DropTable("ip_gone")))
+    assert(plan.withheld.forall(_.reason.nonEmpty))
+  }
+
+  test("apply executes end-to-end: view torn down and rebuilt over the " +
+      "migrated table, new table created, handles returned") {
+    val warehouse = wh()
+    val t1Before = tcfg("ip_e2e_t")
+    val seedTable = new OlapTable(spark, t1Before, warehouse)
+    seedTable.insert(spark.range(1, 4).select(
+      col("id"), (col("id") * 1.5).as("v")))
+    seedTable.registerSql()
+    val viewV1 = SqlResource.view("ip_e2e_view",
+      "SELECT id FROM ip_e2e_t", pullsFrom = Seq("ip_e2e_t"))
+    viewV1.setup.foreach(spark.sql(_))
+
+    val t1After = tcfg("ip_e2e_t", MooseSchema(schemaA.columns :+
+      MooseColumn("tag", MooseType.MString,
+        default = Some("concat('g', CAST(id AS STRING))"))))
+    val viewV2 = SqlResource.view("ip_e2e_view",
+      "SELECT id, tag FROM ip_e2e_t", pullsFrom = Seq("ip_e2e_t"))
+    val handles = InfraPlan.apply(spark, warehouse,
+      State(Map("ip_e2e_t" -> t1Before), Map("ip_e2e_view" -> viewV1)),
+      State(Map("ip_e2e_t" -> t1After), Map("ip_e2e_view" -> viewV2)))
+
+    assert(handles.keySet === Set("ip_e2e_t"))
+    handles("ip_e2e_t").registerSql()
+    val out = spark.sql("SELECT id, tag FROM ip_e2e_view ORDER BY id")
+      .collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("g1", "g2", "g3"))
+  }
+
+  // ---------------------------------------------------------- RealityCheck
+
+  test("reality check: clean warehouse reports empty; missing, " +
+      "unmapped, and type drift are each flagged with remedies") {
+    val warehouse = wh()
+    val good = tcfg("rc_good")
+    new OlapTable(spark, good, warehouse)
+      .insert(spark.range(1, 3).select(col("id"), lit(1.0).as("v")))
+    assert(RealityCheck.check(spark, warehouse, Seq(good)).isEmpty)
+
+    // missing: declared, never written (reported, caller decides)
+    val missing = tcfg("rc_missing")
+    // unmapped: on-disk dir nobody declared
+    new OlapTable(spark, tcfg("rc_rogue"), warehouse)
+      .insert(spark.range(1, 2).select(col("id"), lit(0.0).as("v")))
+    // drift: stored v is DOUBLE, re-declared as STRING (not servable)
+    val drifted = tcfg("rc_good", MooseSchema(Seq(
+      schemaA.columns.head,
+      MooseColumn("v", MooseType.MString))))
+    val d = RealityCheck.check(spark, warehouse,
+      Seq(drifted, missing))
+    assert(d.missingTables === Seq("rc_missing"))
+    assert(d.unmappedTables === Seq("rc_rogue"))
+    assert(d.mismatchedTables.map(_.table) === Seq("rc_good"))
+    val drift = d.mismatchedTables.head.drifts
+    assert(drift.exists(cd => cd.column == "v" &&
+      cd.issue.contains("TableMigrator type migration")))
+  }
+
+  test("reality check tolerates schema-on-read legitimates: alias " +
+      "columns, nullable metadata-only adds, dropped-column residue") {
+    val warehouse = wh()
+    val v1 = tcfg("rc_evolve")
+    new OlapTable(spark, v1, warehouse)
+      .insert(spark.range(1, 3).select(col("id"), lit(2.0).as("v")))
+    // evolve metadata-only: drop v, add nullable w + alias a
+    val v2 = tcfg("rc_evolve", MooseSchema(Seq(
+      schemaA.columns.head,
+      MooseColumn("w", MooseType.MString, nullable = true),
+      MooseColumn("a", MooseType.MInt64, nullable = true,
+        aliasExpr = Some("id * 2")))))
+    val r = TableMigrator.execute(spark, warehouse, v1, v2)
+    assert(!r.rewrote)
+    val d = RealityCheck.check(spark, warehouse, Seq(v2))
+    // v lingers in storage (dropped residue) — informational extra,
+    // but absence of w/a and presence of v must not flag as ERRORS
+    // beyond the residue note
+    val drifts = d.mismatchedTables.flatMap(_.drifts)
+    assert(!drifts.exists(_.column == "w"), "nullable add is metadata-only")
+    assert(!drifts.exists(_.column == "a"), "alias columns are virtual")
+    assert(drifts.forall(cd => cd.column == "v" &&
+      cd.issue.contains("residue")))
+    // a non-nullable no-default declaration over old files IS drift
+    val bad = tcfg("rc_evolve", MooseSchema(Seq(
+      schemaA.columns.head,
+      MooseColumn("strict", MooseType.MInt64))))
+    val d2 = RealityCheck.check(spark, warehouse, Seq(bad))
+    assert(d2.mismatchedTables.flatMap(_.drifts)
+      .exists(cd => cd.column == "strict" && cd.issue.contains("backfill")))
+  }
+}
