@@ -319,6 +319,51 @@ object EngineQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Registry-level plan + apply END-TO-END (`moose plan` over tables
+    * AND SQL resources; ref infrastructure_map.rs
+    * `diff_with_table_strategy`, ddl_ordering.rs): a seeded v1 table
+    * with a dependent aggregate VIEW migrates to v2 — the view is torn
+    * down first (dependents-first), the table gains a default-backfilled
+    * column through TableMigrator, and the REPLACEMENT view (now
+    * grouping by the new column) is set up last against the migrated
+    * schema. The final read goes through the new view, so the whole
+    * ordered plan must have executed correctly for the hash to match. */
+  def qInfraPlan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.{InfraPlan, SqlResource}
+    val v1 = MooseSchema(Seq(
+      MooseColumn("event_id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("user_id", MooseType.MInt64),
+      MooseColumn("value", MooseType.MFloat64)))
+    val cfg1 = OlapTable.Config("events_infra", v1,
+      TableEngine.MergeTree, orderBy = Seq("event_id"))
+    val warehouse = System.getProperty("java.io.tmpdir") + "/graft_wh"
+    val table = new OlapTable(spark, cfg1, warehouse)
+    table.truncate() // fresh state per run
+    table.insert(events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value")))
+    table.registerSql()
+    val viewV1 = SqlResource.view("infra_daily",
+      "SELECT user_id, count(*) AS n FROM events_infra GROUP BY user_id",
+      pullsFrom = Seq("events_infra"))
+    viewV1.setup.foreach(spark.sql(_))
+
+    val v2 = MooseSchema(v1.columns :+
+      MooseColumn("band", MooseType.MString,
+        default = Some("concat('b', CAST(event_id % 5 AS STRING))")))
+    val viewV2 = SqlResource.view("infra_daily",
+      "SELECT user_id, band, count(*) AS n, " +
+        "round(sum(value), 2) AS sv FROM events_infra " +
+        "GROUP BY user_id, band",
+      pullsFrom = Seq("events_infra"))
+    InfraPlan.apply(spark, warehouse,
+      InfraPlan.State(Map("events_infra" -> cfg1),
+        Map("infra_daily" -> viewV1)),
+      InfraPlan.State(Map("events_infra" -> cfg1.copy(schema = v2)),
+        Map("infra_daily" -> viewV2)))
+    spark.sql("SELECT user_id, band, n, sv FROM infra_daily " +
+      "ORDER BY user_id, band")
+  }
+
   /** `OPTIMIZE TABLE … DEDUPLICATE`: the same batch inserted twice (CH's
     * duplicated-part scenario, e.g. a retried insert without insert
     * dedup), then the manual dedup merge — the read-back must equal one
@@ -472,6 +517,7 @@ object EngineQueries {
     "q_iceberg_incremental" -> (qIcebergIncremental _),
     "q_alter_mutations" -> (qAlterMutations _),
     "q_schema_migrate" -> (qSchemaMigrate _),
+    "q_infra_plan" -> (qInfraPlan _),
     "q_optimize_dedup" -> (qOptimizeDedup _),
     "q_replacing_final" -> (qReplacingFinal _),
     "q_summing" -> (qSumming _),
@@ -529,6 +575,13 @@ object EngineQueries {
       """SELECT event_id, event_type, round(value, 2) AS value
         |FROM (SELECT DISTINCT event_id, event_type, value FROM events)
         |ORDER BY event_id""".stripMargin,
+    // the post-plan view state recomputed from source: band is the
+    // backfilled default, the view is the v2 aggregate
+    "q_infra_plan" ->
+      """SELECT user_id, 'b' || CAST(event_id % 5 AS VARCHAR) AS band,
+        |  count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events GROUP BY user_id, band
+        |ORDER BY user_id, band""".stripMargin,
     // migration end state: value_i widened to BIGINT everywhere, band
     // backfilled over pre-migration rows AND default-filled on the
     // post-migration insert (same expression ⇒ one SQL restatement),

@@ -1,0 +1,107 @@
+package graft.querymodel
+
+import org.apache.spark.sql.DataFrame
+
+/** Fluent query builder — the chainable front half of the query layer
+  * (ref packages/ts-moose-lib/src/query-layer/query-builder.ts:112
+  * `buildQuery(model)`): accumulates a [[QueryModel.Request]] through
+  * chained calls, then builds or runs it against the model.
+  *
+  * Reference contract pins:
+  *  - `filter(name, op, value)` **auto-skips when the value is null**
+  *    (query-builder.ts:46 "Automatically skips if value is undefined
+  *    or null") — the idiom for optional API parameters;
+  *  - repeated `filter` calls on one name ACCUMULATE ops (the state is
+  *    a map of op→value per filter name there; a Seq of Filters here —
+  *    same AND semantics through `buildQuery`);
+  *  - `page(n)` clears a previous `offset`, `offset(n)` clears a
+  *    previous `page` (query-builder.ts:215-224) — last call wins,
+  *    they are mutually exclusive pagination modes;
+  *  - name validation happens at BUILD time inside
+  *    [[QueryModel.buildQuery]], not while chaining (the reference
+  *    validates in the model's toSql too).
+  *
+  * The builder is immutable: every call returns a NEW builder, so a
+  * half-built query can be shared and forked (stricter than the
+  * reference's internal mutation, same observable contract).
+  */
+final class QueryBuilder private (
+    model: QueryModel.Def, state: QueryModel.Request) {
+  import QueryModel._
+
+  private def copyWith(r: Request): QueryBuilder = new QueryBuilder(model, r)
+
+  def dimensions(names: String*): QueryBuilder =
+    copyWith(state.copy(dimensions = names))
+  def metrics(names: String*): QueryBuilder =
+    copyWith(state.copy(metrics = names))
+  /** Detail mode (no aggregation). */
+  def columns(names: String*): QueryBuilder =
+    copyWith(state.copy(columns = names))
+
+  /** Typed filter: always applied. */
+  def filter(name: String, op: FilterOp): QueryBuilder =
+    copyWith(state.copy(filters = state.filters :+ Filter(name, Some(op))))
+
+  /** String-op filter with the reference's null-skip: a null value is
+    * a NO-OP (optional request parameters thread straight through).
+    * Op names are the wire vocabulary (sql-utils.ts / ModelTools):
+    * eq ne gt gte lt lte like ilike in notIn between isNull isNotNull;
+    * `isNull`/`isNotNull` take a Boolean value where `false` is a
+    * no-op, not a negation (sql-utils.ts:111). */
+  def filter(name: String, op: String, value: Any): QueryBuilder = {
+    if (value == null) return this
+    def asSeq(x: Any): Seq[Any] = x match {
+      case s: Seq[_] => s
+      case a: Array[_] => a.toSeq
+      case other => Seq(other)
+    }
+    val fo: Option[FilterOp] = op match {
+      case "eq" => Some(FilterOp.Eq(value))
+      case "ne" => Some(FilterOp.Ne(value))
+      case "gt" => Some(FilterOp.Gt(value))
+      case "gte" => Some(FilterOp.Gte(value))
+      case "lt" => Some(FilterOp.Lt(value))
+      case "lte" => Some(FilterOp.Lte(value))
+      case "like" => Some(FilterOp.Like(value.toString))
+      case "ilike" => Some(FilterOp.ILike(value.toString))
+      case "in" => Some(FilterOp.In(asSeq(value)))
+      case "notIn" => Some(FilterOp.NotIn(asSeq(value)))
+      case "between" => asSeq(value) match {
+        case Seq(lo, hi) => Some(FilterOp.Between(lo, hi))
+        case other => throw new IllegalArgumentException(
+          s"filter '$name': between needs exactly 2 values, got $other")
+      }
+      case "isNull" =>
+        if (value == true) Some(FilterOp.IsNull) else None
+      case "isNotNull" =>
+        if (value == true) Some(FilterOp.IsNotNull) else None
+      case other => throw new IllegalArgumentException(
+        s"filter '$name': unknown op '$other'")
+    }
+    fo.fold(this)(filter(name, _))
+  }
+
+  def orderBy(orders: (String, String)*): QueryBuilder =
+    copyWith(state.copy(orderBy = orders))
+  def limit(n: Int): QueryBuilder =
+    copyWith(state.copy(limit = Some(n)))
+  /** 0-indexed page; clears any offset (mutually exclusive). */
+  def page(n: Int): QueryBuilder =
+    copyWith(state.copy(page = Some(n), offset = None))
+  /** Row offset; clears any page (mutually exclusive). */
+  def offset(n: Int): QueryBuilder =
+    copyWith(state.copy(offset = Some(n), page = None))
+
+  /** The accumulated request (query-builder.ts `build`). */
+  def build: QueryModel.Request = state
+
+  /** Build + run against the model (query-builder.ts `execute`; the
+    * client there is Spark itself here). */
+  def run(): DataFrame = QueryModel.buildQuery(model, state)
+}
+
+object QueryBuilder {
+  def apply(model: QueryModel.Def): QueryBuilder =
+    new QueryBuilder(model, QueryModel.Request())
+}

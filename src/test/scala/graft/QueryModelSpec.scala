@@ -226,4 +226,58 @@ class QueryModelSpec extends AnyFunSuite {
         "v" -> 20.0)).collect()
     assert(out.map(_.getString(0)).toSeq == Seq("a"))
   }
+
+  // ---------------------------------------------------- fluent builder
+  // (ref query-layer/query-builder.ts:112)
+
+  test("fluent builder: chained build equals the direct Request and " +
+      "run() returns the same rows") {
+    import graft.querymodel.QueryBuilder
+    val b = QueryBuilder(model)
+      .dimensions("k").metrics("n", "total")
+      .filter("v", "gte", 20)
+      .orderBy("k" -> "ASC").limit(4)
+    assert(b.build === Request(
+      dimensions = Seq("k"), metrics = Seq("n", "total"),
+      filters = Seq(Filter("v", Some(FilterOp.Gte(20)))),
+      orderBy = Seq("k" -> "ASC"), limit = Some(4)))
+    val rows = b.run().collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+  }
+
+  test("fluent builder: null filter values auto-skip " +
+      "(query-builder.ts:46), isNull(false) is a no-op, and repeated " +
+      "filters accumulate") {
+    import graft.querymodel.QueryBuilder
+    val req = QueryBuilder(model)
+      .columns("id")
+      .filter("v", "gte", null)            // skipped: optional param absent
+      .filter("v", "isNull", false)        // no-op, not a negation
+      .filter("v", "gt", 15).filter("v", "lt", 45) // accumulate = AND
+      .orderBy("id" -> "ASC")
+      .build
+    assert(req.filters === Seq(
+      Filter("v", Some(FilterOp.Gt(15))),
+      Filter("v", Some(FilterOp.Lt(45)))))
+    val ids = QueryModel.buildQuery(model, req).collect().map(_.getInt(0))
+    assert(ids.toSeq === Seq(2, 3, 4))
+  }
+
+  test("fluent builder: page clears offset and offset clears page " +
+      "(query-builder.ts:215-224); builders fork immutably") {
+    import graft.querymodel.QueryBuilder
+    val base = QueryBuilder(model).columns("id").orderBy("id" -> "ASC")
+    assert(base.offset(3).page(1).build ===
+      base.build.copy(page = Some(1), offset = None))
+    assert(base.page(1).offset(3).build ===
+      base.build.copy(offset = Some(3), page = None))
+    // forking: deriving two requests from one shared prefix
+    val shared = base.limit(2)
+    assert(shared.page(0).build.page === Some(0))
+    assert(shared.page(1).build.page === Some(1))
+    assert(shared.build.page === None) // the prefix is untouched
+    intercept[IllegalArgumentException] {
+      QueryBuilder(model).filter("v", "frobnicate", 1)
+    }
+  }
 }
