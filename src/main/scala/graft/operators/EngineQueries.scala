@@ -491,6 +491,67 @@ object EngineQueries {
       .orderBy(col("event_id"))
   }
 
+  /** S10 S3Queue streaming pickup (formerly spec-only; ref
+    * olapTable.ts:432-458): JSONEachRow files land in a queue
+    * directory in TWO waves; [[graft.table.FileEngine.readQueue]]
+    * (Spark's checkpointed file source) must pick each file up EXACTLY
+    * once across separate drain passes — wave 2 arrives only after
+    * wave 1 is fully processed, so a re-read of wave 1 would double
+    * rows and hash-fail. The sink appends to an OlapTable through the
+    * streaming path. `two_waves` pins that the second drain actually
+    * saw new files (a batch-id watermark, not a row count). */
+  def qS3Queue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = MooseSchema(Seq(
+      MooseColumn("event_id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("event_type", MooseType.MString),
+      MooseColumn("value", MooseType.MFloat64)))
+    val table = new OlapTable(spark,
+      OlapTable.Config("events_s3queue", schema,
+        TableEngine.MergeTree, orderBy = Seq("event_id")),
+      warehouseDir = System.getProperty("java.io.tmpdir") + "/graft_wh")
+    table.truncate()
+    val queueDir = java.nio.file.Files
+      .createTempDirectory("s3queue_src").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("s3queue_ck").toString
+    val src = events(spark, dir).where(col("user_id") < 60)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val fmt = graft.table.FileEngine.FileFormat.JsonEachRow
+
+    def drain(): Long = {
+      val stream = graft.table.FileEngine.readQueue(
+        spark, queueDir, fmt, schema.toStructType,
+        maxFilesPerTrigger = Some(1))
+      var batches = 0L
+      val q = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batches += 1
+          if (!batch.isEmpty) { table.insert(batch); () }
+        }
+        .start()
+      q.awaitTermination()
+      batches
+    }
+
+    // wave 1: two files; drain; wave 2: one more file; drain again
+    graft.table.FileEngine.write(
+      src.where(col("event_id") % 3 =!= 0).repartition(2), queueDir, fmt,
+      mode = "append")
+    drain()
+    graft.table.FileEngine.write(
+      src.where(col("event_id") % 3 === 0).coalesce(1), queueDir, fmt,
+      mode = "append")
+    val wave2Batches = drain()
+    table.read()
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        lit(wave2Batches >= 1).as("two_waves"))
+      .orderBy(col("event_id"))
+  }
+
   /** S14 Distributed engine (round 13 — formerly spec-only): sharding
     * is partitioning. After `distributed(df, user_id, 8)`, every row
     * of a key lands on ONE shard (the property that makes downstream
@@ -518,6 +579,7 @@ object EngineQueries {
     "q_alter_mutations" -> (qAlterMutations _),
     "q_schema_migrate" -> (qSchemaMigrate _),
     "q_infra_plan" -> (qInfraPlan _),
+    "q_s3queue" -> (qS3Queue _),
     "q_optimize_dedup" -> (qOptimizeDedup _),
     "q_replacing_final" -> (qReplacingFinal _),
     "q_summing" -> (qSumming _),
@@ -574,6 +636,15 @@ object EngineQueries {
     "q_optimize_dedup" ->
       """SELECT event_id, event_type, round(value, 2) AS value
         |FROM (SELECT DISTINCT event_id, event_type, value FROM events)
+        |ORDER BY event_id""".stripMargin,
+    // S3Queue: exactly-once pickup across two drain passes — the final
+    // table must hold each source row ONCE (a wave-1 re-read would
+    // double rows and hash-fail); two_waves pins the second pass saw
+    // new files
+    "q_s3queue" ->
+      """SELECT event_id, event_type, round(value, 2) AS value,
+        |  TRUE AS two_waves
+        |FROM events WHERE user_id < 60
         |ORDER BY event_id""".stripMargin,
     // the post-plan view state recomputed from source: band is the
     // backfilled default, the view is the v2 aggregate
