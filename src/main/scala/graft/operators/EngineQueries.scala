@@ -491,6 +491,38 @@ object EngineQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Row TTL retention (formerly spec-only; ref types.ts:202 — CH
+    * `TTL ts + INTERVAL 90 DAY` expires during background merges;
+    * here [[OlapTable.applyRetention]] is the explicit retention job).
+    * The TTL predicate is CLOCK-FREE (data-derived) so the oracle can
+    * restate it; the NULL-safe stance is exercised — rows whose TTL
+    * expression evaluates NULL are NOT expired (nulled `value` on a
+    * sentinel slice), and `n_expired` pins the count the job reported
+    * against what the oracle recomputes. */
+  def qTtlRetention(spark: SparkSession, dir: String): DataFrame = {
+    val schema = MooseSchema(Seq(
+      MooseColumn("event_id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("event_type", MooseType.MString),
+      MooseColumn("value", MooseType.MFloat64, nullable = true)))
+    val table = new OlapTable(spark,
+      OlapTable.Config("events_ttl", schema,
+        TableEngine.MergeTree, orderBy = Seq("event_id"),
+        ttlExpiredWhen = Some("event_type = 'error' AND value < 100")),
+      warehouseDir = System.getProperty("java.io.tmpdir") + "/graft_wh")
+    table.truncate()
+    // null value on a slice of error rows: TTL expr -> NULL -> kept
+    table.insert(events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        when(col("event_type") === "error" && col("event_id") % 7 === 0,
+          lit(null)).otherwise(col("value")).as("value")))
+    val nExpired = table.applyRetention()
+    table.read()
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        lit(nExpired).as("n_expired"))
+      .orderBy(col("event_id"))
+  }
+
   /** S10 S3Queue streaming pickup (formerly spec-only; ref
     * olapTable.ts:432-458): JSONEachRow files land in a queue
     * directory in TWO waves; [[graft.table.FileEngine.readQueue]]
@@ -580,6 +612,7 @@ object EngineQueries {
     "q_schema_migrate" -> (qSchemaMigrate _),
     "q_infra_plan" -> (qInfraPlan _),
     "q_s3queue" -> (qS3Queue _),
+    "q_ttl_retention" -> (qTtlRetention _),
     "q_optimize_dedup" -> (qOptimizeDedup _),
     "q_replacing_final" -> (qReplacingFinal _),
     "q_summing" -> (qSumming _),
@@ -636,6 +669,21 @@ object EngineQueries {
     "q_optimize_dedup" ->
       """SELECT event_id, event_type, round(value, 2) AS value
         |FROM (SELECT DISTINCT event_id, event_type, value FROM events)
+        |ORDER BY event_id""".stripMargin,
+    // TTL retention: survivors = NOT(expired) under three-valued logic
+    // (NULL TTL value -> kept); n_expired recomputed as a scalar join
+    "q_ttl_retention" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_type = 'error' AND event_id % 7 = 0
+        |         THEN NULL ELSE value END AS value
+        |  FROM events)
+        |SELECT event_id, event_type, round(value, 2) AS value,
+        |  (SELECT count(*) FROM src
+        |   WHERE COALESCE(event_type = 'error' AND value < 100, FALSE))
+        |    AS n_expired
+        |FROM src
+        |WHERE NOT COALESCE(event_type = 'error' AND value < 100, FALSE)
         |ORDER BY event_id""".stripMargin,
     // S3Queue: exactly-once pickup across two drain passes — the final
     // table must hold each source row ONCE (a wave-1 re-read would
