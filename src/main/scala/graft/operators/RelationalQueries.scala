@@ -381,6 +381,19 @@ object RelationalQueries {
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey")
   }
 
+  /** S19 Peek (formerly spec-only; ref AdHoc.peek — the reference's
+    * table-preview endpoint): a LIMIT without an order is
+    * engine-arbitrary, so the row makes it deterministic by peeking
+    * MORE than the table holds (the full 25-row nation) and sorting
+    * for the compare — what's pinned is the peek PATH (catalog
+    * resolution + limit), with the set equality the oracle restates. */
+  def qPeek(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "nation").createOrReplaceTempView("nation_peek")
+    graft.api.AdHoc.peek(spark, "nation_peek", n = 1000)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** ROLLUP subtotals (§2.4 note: beyond the reference's model-layer
     * surface, reachable there via raw CH SQL — free on Spark). */
   def qRollup(spark: SparkSession, dir: String): DataFrame =
@@ -570,6 +583,7 @@ object RelationalQueries {
     "q_window_rank" -> (qWindowRank _),
     "q_seed_filter" -> (qSeedFilter _),
     "q_adhoc_gate" -> (qAdhocGate _),
+    "q_peek" -> (qPeek _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -762,6 +776,9 @@ object RelationalQueries {
     "q_adhoc_gate" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q_peek" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
