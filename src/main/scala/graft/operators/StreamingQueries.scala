@@ -45,6 +45,44 @@ object StreamingQueries {
     Tables.load(spark, dir, "events").as[Event]
   }
 
+  /** Routed record for the multi-transform row. */
+  final case class Routed(event_id: Long, value_cents: Long)
+
+  /** T3 `addMultiTransform` + T5 DLQ (ref stream.ts:550-562, :569-607):
+    * ONE routing function fans each event to a destination by type —
+    * clicks route (value doubled) to `clicks`, purchases route 1:1 to
+    * `purchases` AND fan a second copy to `audit` (one record → many
+    * destinations), everything else routes nowhere (ZeroOrMany empty).
+    * A poison slice (event_id % 97 == 0) throws inside the router and
+    * must land in the DLQ — `dlq_rows` pins the count, and those
+    * events must be ABSENT from every destination. Output = tagged
+    * union of the three destinations. */
+  def qMultiTransform(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.MooseStream
+    val stream = new MooseStream[Event]("events_router")
+    stream.addMultiTransform[Routed](Seq("clicks", "purchases", "audit")) { e =>
+      if (e.event_id % 97 == 0)
+        throw new IllegalStateException(s"poison event ${e.event_id}")
+      e.event_type match {
+        case "click" =>
+          Seq("clicks" -> Some(Routed(e.event_id, math.round(e.value * 200))))
+        case "purchase" =>
+          val r = Routed(e.event_id, math.round(e.value * 100))
+          Seq("purchases" -> Some(r), "audit" -> Some(r))
+        case _ => Nil
+      }
+    }
+    val (outs, dlq) = stream.runBatch(eventsDs(spark, dir))
+    val nDlq = dlq.count()
+    val tagged = Seq("clicks", "purchases", "audit").map(d =>
+      outs(d).withColumn("dest", lit(d)))
+      .reduce(_ unionByName _)
+    tagged
+      .select(col("dest"), col("event_id"), col("value_cents"),
+        lit(nDlq).as("dlq_rows"))
+      .orderBy(col("dest"), col("event_id"))
+  }
+
   /** T1 per-record transform (batch parity of the streaming edge). */
   def qTransformBar(spark: SparkSession, dir: String): DataFrame = {
     val (bars, _) = StreamTransforms.applyTransform(
@@ -456,6 +494,7 @@ object StreamingQueries {
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_transform_bar" -> (qTransformBar _),
+    "q_multi_transform" -> (qMultiTransform _),
     "q_mv_recompute" -> (qMvRecompute _),
     "q_mv_streaming" -> (qMvStreaming _),
     "q_sessionize_stream" -> (qSessionizeStream _))
@@ -546,6 +585,26 @@ object StreamingQueries {
         |  count(DISTINCT md5(text)) AS n_distinct,
         |  true AS exact_ok
         |FROM documents""".stripMargin,
+    // routing restated per destination; dlq_rows = the poison count;
+    // poison events excluded from every destination
+    "q_multi_transform" ->
+      """WITH ok AS (SELECT * FROM events WHERE event_id % 97 <> 0),
+        |routed AS (
+        |  SELECT 'clicks' AS dest, event_id,
+        |    CAST(round(value * 200) AS BIGINT) AS value_cents
+        |  FROM ok WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT 'purchases', event_id,
+        |    CAST(round(value * 100) AS BIGINT) FROM ok
+        |  WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT 'audit', event_id,
+        |    CAST(round(value * 100) AS BIGINT) FROM ok
+        |  WHERE event_type = 'purchase')
+        |SELECT dest, event_id, value_cents,
+        |  (SELECT count(*) FROM events WHERE event_id % 97 = 0)
+        |    AS dlq_rows
+        |FROM routed ORDER BY dest, event_id""".stripMargin,
     "q_transform_bar" ->
       """SELECT event_id AS primary_key, CAST(ts AS DATE) AS day,
         |  upper(event_type) AS event_type_upper,

@@ -38,6 +38,53 @@ final class MooseStream[T: TypeTag](
   /** Side-effecting per-record consumer (T2). */
   def addConsumer(f: T => Unit): this.type = { consumers += f; this }
 
+  private var multiTransform: Option[Dataset[T] =>
+    (Map[String, DataFrame], Dataset[DeadLetter], () => Unit)] = None
+
+  /** Single routing transform to multiple destinations (T3; ref
+    * stream.ts:550-562 `addMultiTransform` + `routed`): ONE function
+    * returns `(destination, values)` routings per record — the
+    * alternative to N individual `addTransform` edges. Reference
+    * contract pins:
+    *  - only ONE multi-transform per stream — a second call REPLACES
+    *    the first (the reference assigns a field, stream.ts:561);
+    *  - a destination may receive zero, one, or many values per record
+    *    (`ZeroOrMany`), and a record may fan to several destinations;
+    *  - the routing function runs ONCE per record (shared attempt
+    *    cache), its failures land in the DLQ like any transform edge.
+    * Destinations are DECLARED up front; routing a record to an
+    * undeclared name fails that record into the DLQ
+    * (`IllegalArgumentException` → TransformError channel) instead of
+    * silently dropping it — the reference can only route to stream
+    * objects in scope, so an unknown name is unrepresentable there.
+    * Narrowing (documented): all destinations share one record type
+    * `U`; heterogeneous destination types use separate `addTransform`
+    * edges — the reference's own stated alternative. */
+  def addMultiTransform[U: TypeTag](dests: Seq[String])(
+      f: T => Seq[(String, IterableOnce[U])]): this.type = {
+    require(dests.nonEmpty, "addMultiTransform: declare the destinations")
+    val declared = dests.toSet
+    multiTransform = Some { (ds: Dataset[T]) =>
+      val routed: T => IterableOnce[(String, U)] = r =>
+        f(r).iterator.flatMap { case (d, vs) =>
+          if (!declared.contains(d))
+            throw new IllegalArgumentException(
+              s"routed to undeclared destination '$d' " +
+                s"(declared: ${dests.mkString(", ")})")
+          vs.iterator.map(d -> _)
+        }
+      val (pairs, dlq, release) =
+        StreamTransforms.applyTransformReleasable(ds, routed, s"$name->multi")
+      val outs = dests.map { d =>
+        d -> pairs.filter((p: (String, U)) => p._1 == d)
+          .map(_._2)(org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[U]()).toDF()
+      }.toMap
+      (outs, dlq, release)
+    }
+    this
+  }
+
   /** Run every registered edge over a batch of records; returns per-dest
     * outputs and the combined DLQ. Transform edges work identically on a
     * streaming Dataset; consumers need materialized rows, so they run only
@@ -53,15 +100,23 @@ final class MooseStream[T: TypeTag](
   def runBatchReleasable(
       input: Dataset[T]): (Map[String, DataFrame], Dataset[DeadLetter], () => Unit) = {
     val results = transforms.toSeq.map { case (dest, fn) => dest -> fn(input) }
+    val multi = multiTransform.map(_(input))
     // Multiple (versioned) transforms may target one destination
-    // (ref stream.ts:478-516) — their outputs union, they don't replace.
-    val outs = results.groupBy(_._1).map { case (d, rs) =>
-      d -> rs.map(_._2._1).reduce(_ unionByName _)
+    // (ref stream.ts:478-516) — their outputs union, they don't
+    // replace; a multi-transform's routed outputs union in the same way.
+    val perDest = results.map { case (d, (out, _, _)) => d -> out } ++
+      multi.toSeq.flatMap(_._1.toSeq)
+    val outs = perDest.groupBy(_._1).map { case (d, rs) =>
+      d -> rs.map(_._2).reduce(_ unionByName _)
     }
-    val dlq = results.map(_._2._2).reduceOption(_ union _)
+    val dlq = (results.map(_._2._2) ++ multi.map(_._2).toSeq)
+      .reduceOption(_ union _)
       .getOrElse(emptyDlq(input.sparkSession))
     if (consumers.nonEmpty && !input.isStreaming) runConsumers(input)
-    val release = () => results.foreach(_._2._3())
+    val release = () => {
+      results.foreach(_._2._3())
+      multi.foreach(_._3())
+    }
     (outs, dlq, release)
   }
 
