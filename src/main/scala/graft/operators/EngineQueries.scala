@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
 object EngineQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Wire shape for the HTTP-ingest row (case class: JSON keys bind by
+    * name; primitives are the non-nullable fields the parse boundary
+    * checks). */
+  final case class HttpEvent(event_id: Long, event_type: String,
+      value: Double)
+
   private def events(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
 
@@ -491,6 +497,73 @@ object EngineQueries {
       .orderBy(col("event_id"))
   }
 
+  /** S18 HTTP ingest END-TO-END over a real (loopback) HTTP round trip
+    * (formerly spec-only; ref local_webserver.rs:1748 `ingest_route`):
+    * a JSONEachRow body POSTs to the facade's `/ingest/<model>` route
+    * and flows parse → validate → insert with BOTH dead-letter
+    * channels exercised — two malformed/incomplete lines land as
+    * `ParseError` (the parse boundary's own DLQ channel), and rows
+    * whose `event_type` is outside the declared enum land as
+    * `ValidationError` under the Isolate strategy. The output is the
+    * landed table plus both DLQ channel counts; the oracle recomputes
+    * all of it from the source parquet (+ the two poison constants). */
+  def qHttpIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.{HttpFacade, IngestPipeline}
+    import graft.streaming.MooseStream
+    val schema = MooseSchema(Seq(
+      MooseColumn("event_id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("event_type",
+        MooseType.MEnum(Seq("click", "view", "signup", "purchase"))),
+      MooseColumn("value", MooseType.MFloat64)))
+    val warehouse = System.getProperty("java.io.tmpdir") + "/graft_wh"
+    val table = new OlapTable(spark,
+      OlapTable.Config("events_http", schema,
+        TableEngine.MergeTree, orderBy = Seq("event_id")), warehouse)
+    table.truncate()
+    val pipeline = new IngestPipeline[HttpEvent]("events_http_pipe",
+      new MooseStream[HttpEvent]("events_http_pipe"), table)
+    pipeline.dlq.truncate()
+
+    // JSONEachRow body: a bounded slice (~1/8 of events) — an HTTP
+    // request body is driver-sized by nature, this is the edge where
+    // collect() is the contract, not a scale bug
+    val good = events(spark, dir).where(col("user_id") < 20)
+      .select(to_json(struct(col("event_id"), col("event_type"),
+        col("value"))).as("line"))
+      .collect().map(_.getString(0))
+    val poison = Seq(
+      """not json at all""",                // corrupt-record channel
+      """{"event_id": 99999999}""")        // missing required fields
+    val body = (good ++ poison).mkString("\n")
+
+    val facade = new HttpFacade()
+      .mountIngest("events_http")(
+        HttpFacade.jsonIngestRoute(spark, pipeline)(
+          org.apache.spark.sql.Encoders.product[HttpEvent]))
+      .start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(
+            s"http://127.0.0.1:${facade.port}/ingest/events_http"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200,
+        s"ingest route returned ${resp.statusCode()}: ${resp.body()}")
+    } finally facade.stop()
+
+    val byType = pipeline.dlq.read().groupBy(col("errorType")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    table.read()
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        lit(byType.getOrElse("ParseError", 0L)).as("dlq_parse"),
+        lit(byType.getOrElse("ValidationError", 0L)).as("dlq_validation"))
+      .orderBy(col("event_id"))
+  }
+
   /** Row TTL retention (formerly spec-only; ref types.ts:202 — CH
     * `TTL ts + INTERVAL 90 DAY` expires during background merges;
     * here [[OlapTable.applyRetention]] is the explicit retention job).
@@ -613,6 +686,7 @@ object EngineQueries {
     "q_infra_plan" -> (qInfraPlan _),
     "q_s3queue" -> (qS3Queue _),
     "q_ttl_retention" -> (qTtlRetention _),
+    "q_http_ingest" -> (qHttpIngest _),
     "q_optimize_dedup" -> (qOptimizeDedup _),
     "q_replacing_final" -> (qReplacingFinal _),
     "q_summing" -> (qSumming _),
@@ -669,6 +743,16 @@ object EngineQueries {
     "q_optimize_dedup" ->
       """SELECT event_id, event_type, round(value, 2) AS value
         |FROM (SELECT DISTINCT event_id, event_type, value FROM events)
+        |ORDER BY event_id""".stripMargin,
+    // HTTP ingest: landed = in-enum slice; dlq_parse = the two poison
+    // lines; dlq_validation = out-of-enum rows, recomputed
+    "q_http_ingest" ->
+      """SELECT event_id, event_type, round(value, 2) AS value,
+        |  2 AS dlq_parse,
+        |  (SELECT count(*) FROM events
+        |   WHERE user_id < 20 AND event_type = 'error') AS dlq_validation
+        |FROM events
+        |WHERE user_id < 20 AND event_type <> 'error'
         |ORDER BY event_id""".stripMargin,
     // TTL retention: survivors = NOT(expired) under three-valued logic
     // (NULL TTL value -> kept); n_expired recomputed as a scalar join
