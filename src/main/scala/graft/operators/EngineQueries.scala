@@ -564,6 +564,58 @@ object EngineQueries {
       .orderBy(col("event_id"))
   }
 
+  /** S18 consumption END-TO-END over a real loopback GET (the other
+    * half of the HTTP surface; ref consumptionApi.ts:40 + the
+    * query-model limit clamps at query-model.ts:394/789): a typed
+    * param (`seg`) filters customers, `?limit` requests MORE than
+    * `maxLimit` so the response proves the clamp (exactly maxLimit
+    * rows despite a larger ask), and `format=JSONEachRow` exercises
+    * the CH-style format switch. The JSON response parses back into
+    * rows for the hash compare; the oracle restates the filtered,
+    * clamped, ordered result. */
+  def qHttpConsume(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.{ConsumptionApi, HttpFacade}
+    val api = ConsumptionApi[String](
+      name = "customers_by_segment",
+      validate = p => if (p.nonEmpty) Right(p) else Left("seg required"),
+      handler = (s, seg) => Tables.load(s, dir, "customer")
+        .where(col("c_mktsegment") === seg)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey")))
+    val maxLimit = 120
+    val facade = new HttpFacade()
+      .mountConsumption("customers_by_segment")(
+        HttpFacade.consumptionRoute(spark, api,
+          decode = _.getOrElse("seg", ""), maxLimit = maxLimit))
+      .start()
+    val body =
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder()
+            .uri(java.net.URI.create(
+              s"http://127.0.0.1:${facade.port}/api/customers_by_segment" +
+                "?seg=BUILDING&limit=100000&format=JSONEachRow"))
+            .GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"consumption route returned ${resp.statusCode()}: ${resp.body()}")
+        resp.body()
+      } finally facade.stop()
+    // parse the JSONEachRow response back into rows (the wire is the
+    // contract under test; the clamp shows as exactly maxLimit rows)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_acctbal", DoubleType)))
+    spark.read.schema(schema)
+      .json(spark.createDataset(body.split("\n").toSeq)(
+        org.apache.spark.sql.Encoders.STRING))
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Row TTL retention (formerly spec-only; ref types.ts:202 — CH
     * `TTL ts + INTERVAL 90 DAY` expires during background merges;
     * here [[OlapTable.applyRetention]] is the explicit retention job).
@@ -687,6 +739,7 @@ object EngineQueries {
     "q_s3queue" -> (qS3Queue _),
     "q_ttl_retention" -> (qTtlRetention _),
     "q_http_ingest" -> (qHttpIngest _),
+    "q_http_consume" -> (qHttpConsume _),
     "q_optimize_dedup" -> (qOptimizeDedup _),
     "q_replacing_final" -> (qReplacingFinal _),
     "q_summing" -> (qSumming _),
@@ -744,6 +797,12 @@ object EngineQueries {
       """SELECT event_id, event_type, round(value, 2) AS value
         |FROM (SELECT DISTINCT event_id, event_type, value FROM events)
         |ORDER BY event_id""".stripMargin,
+    // HTTP consumption: segment filter + the maxLimit clamp (120 rows
+    // despite ?limit=100000) + JSONEachRow wire round trip
+    "q_http_consume" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey LIMIT 120""".stripMargin,
     // HTTP ingest: landed = in-enum slice; dlq_parse = the two poison
     // lines; dlq_validation = out-of-enum rows, recomputed
     "q_http_ingest" ->
