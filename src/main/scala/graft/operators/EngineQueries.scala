@@ -59,6 +59,40 @@ object EngineQueries {
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
       .orderBy(col("user_id"))
 
+  /** S8 Replicated* wrapper (formerly spec-only; ref olapTable.ts:341-424
+    * — keeper path/replica name are deployment directives): a
+    * `Replicated(ReplacingMergeTree)` table must behave EXACTLY like
+    * its inner engine on every data path — replication config is
+    * accepted and ignored (durability is the storage layer's job
+    * here). The row writes through a Replicated table and FINAL-reads
+    * it; the oracle is the plain ReplacingMergeTree dedup, so any
+    * behavioral leak from the wrapper hash-fails. */
+  def qReplicated(spark: SparkSession, dir: String): DataFrame = {
+    val schema = MooseSchema(Seq(
+      MooseColumn("event_id", MooseType.MInt64),
+      MooseColumn("user_id", MooseType.MInt64),
+      MooseColumn("event_type", MooseType.MString),
+      MooseColumn("value", MooseType.MFloat64),
+      MooseColumn("ts", MooseType.MDateTime(6))))
+    val table = new OlapTable(spark,
+      OlapTable.Config("events_replicated", schema,
+        TableEngine.Replicated(
+          TableEngine.ReplacingMergeTree(ver = Some("ts")),
+          keeperPath = Some("/clickhouse/tables/{shard}/events"),
+          replicaName = Some("{replica}")),
+        orderBy = Seq("user_id", "event_type")),
+      warehouseDir = System.getProperty("java.io.tmpdir") + "/graft_wh")
+    table.truncate()
+    val src = events(spark, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("ts"))
+    table.insert(src)
+    table.insert(src.where(col("event_id") % 5 === 0)) // duplicated part
+    table.readFinal()
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** S15 Merge engine: UNION ALL over catalog tables matching a regex. */
   def qMergeUnion(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
@@ -742,6 +776,7 @@ object EngineQueries {
     "q_http_consume" -> (qHttpConsume _),
     "q_optimize_dedup" -> (qOptimizeDedup _),
     "q_replacing_final" -> (qReplacingFinal _),
+    "q_replicated" -> (qReplicated _),
     "q_summing" -> (qSumming _),
     "q_collapsing" -> (qCollapsing _),
     "q_vcollapsing" -> (qVersionedCollapsing _),
@@ -859,6 +894,15 @@ object EngineQueries {
         |  true AS matches_direct, true AS plan_counts_match,
         |  true AS prune_works, true AS deletes_work
         |FROM nation""".stripMargin,
+    // Replicated wrapper = the inner engine exactly: dedup over the
+    // doubled insert equals plain replacing FINAL over the source
+    "q_replicated" ->
+      """SELECT user_id, event_type, event_id, round(value, 2) AS value
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC, value DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "q_replacing_final" ->
       """SELECT user_id, event_type, event_id, value, ts FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
