@@ -83,6 +83,34 @@ object StreamingQueries {
       .orderBy(col("dest"), col("event_id"))
   }
 
+  /** T11 wire codecs under the oracle (formerly spec-only; ref
+    * stream.ts:143-153 — JSON/Avro/Protobuf schema-registry
+    * encodings): every event round-trips through all three wire
+    * encodings — JSONEachRow text, the hand-rolled Avro-1.11 binary
+    * kernel, and the protobuf kernel — and each decode must equal the
+    * original record PER ROW (null-safe struct compare computed in the
+    * engine, restated as TRUE by the oracle). A single flipped byte,
+    * zig-zag error, or field-order swap in any codec fails every row
+    * of its column. */
+  def qWireRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.KafkaWire
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val rec = struct(col("event_id"), col("event_type"), col("value"))
+    def ok(w: KafkaWire.WireFormat) =
+      w.decode(w.encode(rec), schema) <=> rec
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        ok(KafkaWire.JsonWire).as("json_ok"),
+        ok(KafkaWire.AvroWire).as("avro_ok"),
+        ok(KafkaWire.ProtoWire).as("proto_ok"))
+      .orderBy(col("event_id"))
+  }
+
   /** T1 per-record transform (batch parity of the streaming edge). */
   def qTransformBar(spark: SparkSession, dir: String): DataFrame = {
     val (bars, _) = StreamTransforms.applyTransform(
@@ -495,6 +523,7 @@ object StreamingQueries {
     "q_stream_sliding" -> (qStreamSliding _),
     "q_transform_bar" -> (qTransformBar _),
     "q_multi_transform" -> (qMultiTransform _),
+    "q_wire_roundtrip" -> (qWireRoundtrip _),
     "q_mv_recompute" -> (qMvRecompute _),
     "q_mv_streaming" -> (qMvStreaming _),
     "q_sessionize_stream" -> (qSessionizeStream _))
@@ -585,6 +614,11 @@ object StreamingQueries {
         |  count(DISTINCT md5(text)) AS n_distinct,
         |  true AS exact_ok
         |FROM documents""".stripMargin,
+    // wire codecs: lossless round trip restated as per-row TRUEs
+    "q_wire_roundtrip" ->
+      """SELECT event_id, event_type, round(value, 2) AS value,
+        |  TRUE AS json_ok, TRUE AS avro_ok, TRUE AS proto_ok
+        |FROM events ORDER BY event_id""".stripMargin,
     // routing restated per destination; dlq_rows = the poison count;
     // poison events excluded from every destination
     "q_multi_transform" ->
