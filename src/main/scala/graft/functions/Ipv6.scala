@@ -141,14 +141,18 @@ object Ipv6 {
   }
 
   /** `toIPv4` canonicalization in ONE pass: 4 dot-separated decimal
-    * octets, each 0-255 (leading zeros tolerated, matching the
-    * registered IPv4StringToNum macro's numeric parse so the pair
-    * can't disagree), rendered back without leading zeros; malformed
-    * input throws like the rest of the non-OrNull conversions. A
-    * native kernel rather than NumToString∘StringToNum because those
-    * expression MACROS splice their argument ~10× each — composing
-    * them put `toIPv4` over the AnalyzerBudgetSpec splice-ladder bar
-    * (the geohash-hang hazard class). */
+    * octets, each 1-3 DIGITS and ≤ 255 (leading zeros tolerated),
+    * rendered back without leading zeros; malformed input throws like
+    * the rest of the non-OrNull conversions. STRICTER than the
+    * registered IPv4StringToNum macro on junk shapes: the macro's
+    * Cast-based octet parse also accepts surrounding whitespace, a
+    * sign, and >3-digit octets ('0001.2.3.4'); this kernel rejects
+    * those — CH's own IPv4 grammar does too, so where the two disagree
+    * the kernel is the CH-closer reading. A native kernel rather than
+    * NumToString∘StringToNum because those expression MACROS splice
+    * their argument ~10× each — composing them put `toIPv4` over the
+    * AnalyzerBudgetSpec splice-ladder bar (the geohash-hang hazard
+    * class). */
   def ipv4Canon(s: UTF8String): UTF8String = {
     val str = s.toString
     val parts = str.split("\\.", -1)

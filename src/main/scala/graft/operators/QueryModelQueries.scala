@@ -78,7 +78,8 @@ object QueryModelQueries {
       orderBy = Seq("day" -> "ASC", "segment" -> "ASC")))
   }
 
-  /** Page-based pagination: page 2 × limit 50 ⇒ OFFSET 50. */
+  /** Page-based pagination: page 2 (0-indexed, query-model.ts:790)
+    * × limit 50 ⇒ OFFSET 100. */
   def qmPage(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(spark, dir, "orders")
     val model = Def(
@@ -147,7 +148,7 @@ object QueryModelQueries {
     "qm_page" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
-        |LIMIT 50 OFFSET 50""".stripMargin,
+        |LIMIT 50 OFFSET 100""".stripMargin,
     // Sunday week start — CH's toStartOfWeek mode-0 default, which is
     // what the reference's week dimension renders (DuckDB dayofweek:
     // Sunday = 0)

@@ -72,15 +72,22 @@ object StreamingQueries {
         case _ => Nil
       }
     }
-    val (outs, dlq) = stream.runBatch(eventsDs(spark, dir))
+    val (outs, dlq, release) =
+      stream.runBatchReleasable(eventsDs(spark, dir))
     val nDlq = dlq.count()
     val tagged = Seq("clicks", "purchases", "audit").map(d =>
       outs(d).withColumn("dest", lit(d)))
       .reduce(_ unionByName _)
-    tagged
+    val result = tagged
       .select(col("dest"), col("event_id"), col("value_cents"),
         lit(nDlq).as("dlq_rows"))
       .orderBy(col("dest"), col("event_id"))
+    // unpersist the shared attempt cache now: the returned plan stays
+    // valid (it recomputes if consumed again), and a per-run leaked
+    // MEMORY_ONLY cache is the unbounded-growth hazard
+    // StreamTransforms' contract warns about
+    release()
+    result
   }
 
   /** T11 wire codecs under the oracle (formerly spec-only; ref

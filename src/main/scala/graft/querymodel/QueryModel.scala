@@ -198,9 +198,13 @@ object QueryModel {
     val ordered =
       if (orderCols.nonEmpty) having.orderBy(orderCols: _*) else having
 
-    // -------- pagination (query-model.ts:789-794)
+    // -------- pagination (query-model.ts:783-794): page is 0-INDEXED
+    // (`offset = (page ?? 0) * limit`, :790) and offset/page are
+    // mutually exclusive (:783-785 throws on both)
+    require(!(req.offset.isDefined && req.page.isDefined),
+      "Cannot specify both 'offset' and 'page' — they are mutually exclusive")
     val limit = math.min(req.limit.getOrElse(model.defaultLimit), model.maxLimit)
-    val off = req.offset.orElse(req.page.map(p => math.max(p - 1, 0) * limit))
+    val off = req.offset.orElse(req.page.map(p => math.max(p, 0) * limit))
       .getOrElse(0)
     (if (off > 0) ordered.offset(off) else ordered).limit(limit)
   }

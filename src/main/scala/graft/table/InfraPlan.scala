@@ -65,8 +65,13 @@ object InfraPlan {
   final case class SetupResource(resource: SqlResource) extends Step
 
   final case class Plan(steps: Seq[Step],
-      withheld: Seq[TableMigrator.Filtered]) {
-    def isEmpty: Boolean = steps.isEmpty && withheld.isEmpty
+      withheld: Seq[TableMigrator.Filtered],
+      /** SQL resources whose change the lifecycle blocked, with
+        * reasons — the resource-kind half of the reference's
+        * `FilteredChange` reporting (never silently lost). */
+      blockedResources: Seq[(SqlResource, String)] = Nil) {
+    def isEmpty: Boolean =
+      steps.isEmpty && withheld.isEmpty && blockedResources.isEmpty
   }
 
   /** Dependency-order the given resources (pullsDataFrom /
@@ -81,16 +86,34 @@ object InfraPlan {
   def diff(before: State, after: State): Plan = {
     val steps = Seq.newBuilder[Step]
     val withheld = Seq.newBuilder[TableMigrator.Filtered]
+    val blockedRes = Seq.newBuilder[(SqlResource, String)]
 
     // -------- resources: removed or changed tear down FIRST (reverse
     // dependency order — a view reading a table must be gone before
-    // the table is)
+    // the table is). Lifecycles gate resources exactly as tables:
+    // a removal honors the BEFORE state's lifecycle (DeletionProtected
+    // and ExternallyManaged block it), a change is an UPDATE —
+    // DeletionProtected allows it, ExternallyManaged blocks it.
     val removedRes = before.resources.collect {
-      case (n, r) if !after.resources.contains(n) => r
-    }.toSeq
+      case (n, r) if !after.resources.contains(n) =>
+        before.lifeCycleOf(n) match {
+          case Migration.LifeCycle.FullyManaged => Some(r)
+          case lc =>
+            blockedRes += r ->
+              s"resource '$n' is $lc — removal blocked"
+            None
+        }
+    }.flatten.toSeq
     val changedRes = before.resources.collect {
-      case (n, r) if after.resources.get(n).exists(_ != r) => r
-    }.toSeq
+      case (n, r) if after.resources.get(n).exists(_ != r) =>
+        after.lifeCycleOf(n) match {
+          case Migration.LifeCycle.ExternallyManaged =>
+            blockedRes += r ->
+              s"resource '$n' is ExternallyManaged — update blocked"
+            None
+          case _ => Some(r)
+        }
+    }.flatten.toSeq
     dependencyOrder(removedRes ++ changedRes).reverse
       .foreach(r => steps += TeardownResource(r))
 
@@ -130,17 +153,27 @@ object InfraPlan {
     }
 
     // -------- resources: added or changed set up LAST (dependency
-    // order — sources before the views that read them)
+    // order — sources before the views that read them);
+    // ExternallyManaged additions are never auto-applied
+    // (infrastructure_map.rs:2029 — same rule as tables)
     val addedRes = after.resources.collect {
-      case (n, r) if !before.resources.contains(n) => r
-    }.toSeq
+      case (n, r) if !before.resources.contains(n) =>
+        after.lifeCycleOf(n) match {
+          case Migration.LifeCycle.ExternallyManaged =>
+            blockedRes += r ->
+              s"resource '$n' is ExternallyManaged — addition blocked"
+            None
+          case _ => Some(r)
+        }
+    }.flatten.toSeq
     val newChangedRes = after.resources.collect {
-      case (n, r) if before.resources.get(n).exists(_ != r) => r
+      case (n, r) if before.resources.get(n).exists(_ != r) &&
+        after.lifeCycleOf(n) != Migration.LifeCycle.ExternallyManaged => r
     }.toSeq
     dependencyOrder(addedRes ++ newChangedRes)
       .foreach(r => steps += SetupResource(r))
 
-    Plan(steps.result(), withheld.result())
+    Plan(steps.result(), withheld.result(), blockedRes.result())
   }
 
   /** Execute a plan: teardown/setup SQL runs through the session;
@@ -173,11 +206,24 @@ object InfraPlan {
         case _ => None
       }
     }.toMap
-    // untouched tables keep serving under their (unchanged) config
-    val untouched = after.tables.collect {
+    // untouched tables keep serving under their (unchanged) config —
+    // EXCEPT tables whose changes were fully withheld by the
+    // lifecycle: storage still has the BEFORE shape, so handing out an
+    // after-config handle would read int64 over int32 files (or
+    // fabricate nulls); they serve under the BEFORE config, same as
+    // TableMigrator.execute's withheld arm
+    val blockedTables = plan.withheld.map(_.op.table).toSet
+    val untouched = after.tables.toSeq.flatMap {
       case (n, cfg) if !handles.contains(n) =>
-        n -> new OlapTable(spark, cfg, warehouseDir)
-    }
+        if (!blockedTables.contains(n))
+          Some(n -> new OlapTable(spark, cfg, warehouseDir))
+        else
+          // a blocked ADDITION hands out no handle at all (the table
+          // was never created); a blocked update serves BEFORE
+          before.tables.get(n)
+            .map(b => n -> new OlapTable(spark, b, warehouseDir))
+      case _ => None
+    }.toMap
     val all = handles ++ untouched
     // resource SQL references tables by name; refresh every table's
     // SQL view BEFORE setups so a view selecting a just-added column

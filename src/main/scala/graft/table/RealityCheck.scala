@@ -54,17 +54,22 @@ object RealityCheck {
         mismatchedTables.isEmpty
   }
 
+  /** Left(reason) = the directory exists but its schema can't be read
+    * (corrupt or no readable parquet) — DRIFT, not silence: every read
+    * of this declared table will fail, which is exactly what a reality
+    * check exists to surface. Right(None) = no storage at all. */
   private def storedSchema(spark: SparkSession,
-      path: String): Option[StructType] = {
+      path: String): Either[String, Option[StructType]] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    if (!fs.exists(p)) Right(None)
     else {
       // footer-only schema read; nanos timestamps (the testdata shape)
       // surface as LongType under the legacy flag Tables.load uses —
       // acceptable here because we only COMPARE serveability
-      try Some(spark.read.parquet(path).schema)
-      catch { case _: Exception => None }
+      try Right(Some(spark.read.parquet(path).schema))
+      catch { case e: Exception =>
+        Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
     }
   }
 
@@ -82,7 +87,17 @@ object RealityCheck {
   def checkTable(spark: SparkSession, warehouseDir: String,
       config: OlapTable.Config): Option[TableDrift] = {
     val path = s"$warehouseDir/${config.name}"
-    storedSchema(spark, path).flatMap { stored =>
+    val stored = storedSchema(spark, path) match {
+      case Left(reason) =>
+        // unreadable storage is the WORST drift, never a clean bill
+        return Some(TableDrift(config.name, Seq(ColumnDrift("*",
+          None, None, s"storage exists but is unreadable ($reason) — " +
+            "every read of this table will fail; repair or re-write " +
+            "the fileset"))))
+      case Right(None) => return None
+      case Right(Some(s)) => s
+    }
+    locally {
       val storedByName = stored.fields.map(f => f.name -> f).toMap
       val declaredStored =
         config.schema.columns.filter(_.aliasExpr.isEmpty)
@@ -126,12 +141,17 @@ object RealityCheck {
     val byName = declared.map(c => c.name -> c).toMap
     val whPath = new org.apache.hadoop.fs.Path(warehouseDir)
     val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the KNOWN mutation-staging suffixes, not a blanket "__" match —
+    // a table legitimately named user__events must still be checked
+    val stagingSuffixes = Seq("__migrate_tmp", "__retained", "__old",
+      "__optimized", "__mut_delete", "__mut_update", "__mut_dedup")
     val onDisk: Seq[String] =
       if (!fs.exists(whPath)) Nil
       else fs.listStatus(whPath).toSeq
         .filter(_.isDirectory)
         .map(_.getPath.getName)
-        .filterNot(n => n.startsWith("_") || n.contains("__"))
+        .filterNot(n => n.startsWith("_") ||
+          stagingSuffixes.exists(n.endsWith))
 
     val unmapped = onDisk.filterNot(byName.contains).sorted
     val missing = declared.map(_.name)

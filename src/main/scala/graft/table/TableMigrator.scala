@@ -284,6 +284,17 @@ object TableMigrator {
             s"${m.before.tpe} → ${m.after.tpe} is NARROWING (can truncate); " +
             "widen instead, or rewrite explicitly with alterUpdate")
     }
+    // nullable → non-nullable is a data question, not metadata: stored
+    // NULLs would hide behind a schema declaring them impossible (CH's
+    // own `MODIFY COLUMN … remove Nullable` fails on live NULLs). With
+    // a declared default the nulls backfill through the rewrite;
+    // without one, refuse naming the fix.
+    val nullTightened = mods.filter(m => m.before.nullable && !m.after.nullable)
+    nullTightened.foreach(m => require(m.after.default.nonEmpty,
+      s"migrate ${before.name}: ${m.after.name} tightens nullable → " +
+        "non-nullable with no default — stored NULLs would violate the " +
+        "declared schema; declare a default (backfills through the " +
+        "rewrite) or keep it nullable"))
     val adds = ops.collect { case a: AddTableColumn => a }
     val drops = ops.collect { case d: DropTableColumn => d }
     // CH serves a declared default — and, for a non-nullable column, the
@@ -297,24 +308,39 @@ object TableMigrator {
     val beforeTable = new OlapTable(spark, before, warehouseDir)
     val afterTable = new OlapTable(spark, after, warehouseDir)
     val needRewrite =
-      (typeChanged.nonEmpty || backfillAdds.nonEmpty) &&
-        beforeTable.storageExists()
+      (typeChanged.nonEmpty || backfillAdds.nonEmpty ||
+        nullTightened.nonEmpty) && beforeTable.storageExists()
     if (needRewrite) {
       val stored = beforeTable.storedRows()
       val dropped = drops.foldLeft(stored)((d, op) => d.drop(op.columnName))
       val casted = typeChanged.foldLeft(dropped)((d, m) =>
         d.withColumn(m.after.name, col(m.after.name).cast(m.after.tpe.sparkType)))
-      val added = backfillAdds.foldLeft(casted) { (d, a) =>
+      val tightened = nullTightened.foldLeft(casted)((d, m) =>
+        d.withColumn(m.after.name,
+          coalesce(col(m.after.name), expr(m.after.default.get))
+            .cast(m.after.tpe.sparkType)))
+      val added = backfillAdds.foldLeft(tightened) { (d, a) =>
         val c = a.column
         val fill = c.default.map(expr).getOrElse(
           Bridge.column(Literal.default(c.tpe.sparkType)))
         d.withColumn(c.name, fill.cast(c.tpe.sparkType))
       }
-      // store in after-schema order; alias (read-computed) columns are
-      // not stored — read() recomputes them
-      val outCols = after.schema.columns.filter(_.aliasExpr.isEmpty).map { c =>
-        if (added.columns.contains(c.name)) col(c.name)
-        else Bridge.column(Literal.create(null, c.tpe.sparkType)).as(c.name)
+      // store in after-schema order, PLUS any column whose drop the
+      // lifecycle withheld — a blocked drop must not destroy the data
+      // the block exists to protect (it lingers as residue the after
+      // config prunes at read, and RealityCheck reports it as such);
+      // alias (read-computed) columns are not stored — read() recomputes
+      val withheldDrops = withheld.collect {
+        case Filtered(DropTableColumn(_, n), _) => n
+      }
+      val keepCols = after.schema.columns.filter(_.aliasExpr.isEmpty)
+        .map(c => c.name -> c.tpe.sparkType) ++
+        before.schema.columns
+          .filter(c => withheldDrops.contains(c.name) && c.aliasExpr.isEmpty)
+          .map(c => c.name -> c.tpe.sparkType)
+      val outCols = keepCols.map { case (n, dt) =>
+        if (added.columns.contains(n)) col(n)
+        else Bridge.column(Literal.create(null, dt)).as(n)
       }
       afterTable.rewriteStored(added.select(outCols: _*), "__migrate_tmp")
     }

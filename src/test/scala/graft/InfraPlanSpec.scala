@@ -109,6 +109,60 @@ class InfraPlanSpec extends AnyFunSuite {
     assert(out.map(_.getString(1)).toSeq === Seq("g1", "g2", "g3"))
   }
 
+  test("resource lifecycles gate teardown/setup: protected removals and " +
+      "ExternallyManaged changes/additions are blocked WITH reasons") {
+    val v = SqlResource.view("ip_prot", "SELECT 1 AS x")
+    val v2 = SqlResource.view("ip_ext", "SELECT 2 AS x")
+    val v2b = SqlResource.view("ip_ext", "SELECT 3 AS x")
+    // protected removal blocked
+    val p1 = diff(
+      State(Map.empty, Map("ip_prot" -> v),
+        lifeCycles = Map("ip_prot" -> Migration.LifeCycle.DeletionProtected)),
+      State(Map.empty))
+    assert(p1.steps.isEmpty)
+    assert(p1.blockedResources.map(_._1.name) === Seq("ip_prot"))
+    // ExternallyManaged update blocked whole (no teardown, no setup)
+    val p2 = diff(
+      State(Map.empty, Map("ip_ext" -> v2)),
+      State(Map.empty, Map("ip_ext" -> v2b),
+        lifeCycles = Map("ip_ext" -> Migration.LifeCycle.ExternallyManaged)))
+    assert(p2.steps.isEmpty)
+    assert(p2.blockedResources.nonEmpty)
+    // ExternallyManaged addition blocked
+    val p3 = diff(
+      State(Map.empty),
+      State(Map.empty, Map("ip_ext" -> v2b),
+        lifeCycles = Map("ip_ext" -> Migration.LifeCycle.ExternallyManaged)))
+    assert(p3.steps.isEmpty && p3.blockedResources.nonEmpty)
+    // DeletionProtected UPDATE is allowed (an update is not a deletion)
+    val p4 = diff(
+      State(Map.empty, Map("ip_ext" -> v2),
+        lifeCycles = Map("ip_ext" -> Migration.LifeCycle.DeletionProtected)),
+      State(Map.empty, Map("ip_ext" -> v2b),
+        lifeCycles = Map("ip_ext" -> Migration.LifeCycle.DeletionProtected)))
+    assert(p4.steps === Seq(TeardownResource(v2), SetupResource(v2b)))
+  }
+
+  test("apply: a table whose changes were fully withheld serves under " +
+      "the BEFORE config (storage still has the before shape); a " +
+      "blocked addition hands out no handle") {
+    val warehouse = wh()
+    val b = tcfg("ip_blocked")
+    new OlapTable(spark, b, warehouse)
+      .insert(spark.range(1, 4).select(col("id"), (col("id") * 1.0).as("v")))
+    // after: drop+create shape (orderBy change) under DeletionProtected
+    val a = b.copy(orderBy = Seq("v"))
+    val handles = InfraPlan.apply(spark, warehouse,
+      State(Map("ip_blocked" -> b)),
+      State(Map("ip_blocked" -> a, "ip_never" -> tcfg("ip_never")),
+        lifeCycles = Map(
+          "ip_blocked" -> Migration.LifeCycle.DeletionProtected,
+          "ip_never" -> Migration.LifeCycle.ExternallyManaged)))
+    assert(handles("ip_blocked").config === b) // before config, data intact
+    assert(handles("ip_blocked").read().count() === 3)
+    assert(!handles.contains("ip_never")) // blocked addition: no handle
+  }
+
   // ---------------------------------------------------------- RealityCheck
 
   test("reality check: clean warehouse reports empty; missing, " +
@@ -136,6 +190,22 @@ class InfraPlanSpec extends AnyFunSuite {
     val drift = d.mismatchedTables.head.drifts
     assert(drift.exists(cd => cd.column == "v" &&
       cd.issue.contains("TableMigrator type migration")))
+  }
+
+  test("reality check: unreadable storage is the WORST drift, never a " +
+      "clean bill of health") {
+    val warehouse = wh()
+    val cfg0 = tcfg("rc_corrupt")
+    // a directory that exists but holds no readable parquet
+    val dir = new java.io.File(s"$warehouse/rc_corrupt")
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$warehouse/rc_corrupt/part-0.parquet"),
+      "this is not parquet".getBytes)
+    val d = RealityCheck.check(spark, warehouse, Seq(cfg0))
+    assert(d.missingTables.isEmpty)
+    assert(d.mismatchedTables.map(_.table) === Seq("rc_corrupt"))
+    assert(d.mismatchedTables.head.drifts.head.issue.contains("unreadable"))
   }
 
   test("reality check tolerates schema-on-read legitimates: alias " +

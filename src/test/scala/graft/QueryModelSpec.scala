@@ -44,11 +44,19 @@ class QueryModelSpec extends AnyFunSuite {
       limit = Some(100))).count() == 4)
   }
 
-  test("page-based offset") {
-    val rows = QueryModel.buildQuery(model, Request(
+  test("page-based offset: 0-indexed, offset = page*limit " +
+      "(query-model.ts:790); offset+page together refuse (:783)") {
+    def ids(p: Int) = QueryModel.buildQuery(model, Request(
       columns = Seq("id"), orderBy = Seq("id" -> "ASC"),
-      limit = Some(2), page = Some(2))).collect().map(_.getInt(0))
-    assert(rows.toSeq == Seq(3, 4))
+      limit = Some(2), page = Some(p))).collect().map(_.getInt(0)).toSeq
+    assert(ids(0) == Seq(1, 2)) // first page
+    assert(ids(1) == Seq(3, 4))
+    assert(ids(2) == Seq(5))
+    intercept[IllegalArgumentException] {
+      QueryModel.buildQuery(model, Request(columns = Seq("id"),
+        orderBy = Seq("id" -> "ASC"),
+        limit = Some(2), page = Some(1), offset = Some(2)))
+    }
   }
 
   test("ORDER BY prunes non-selected dimension, keeps metric order") {

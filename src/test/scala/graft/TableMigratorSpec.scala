@@ -225,6 +225,51 @@ class TableMigratorSpec extends AnyFunSuite {
     assert(run.table.config.orderBy === Seq("kind"))
   }
 
+  test("a lifecycle-withheld column drop survives the rewrite: the " +
+      "protected column's DATA is preserved, not silently destroyed") {
+    val warehouse = wh()
+    seed(warehouse)
+    // after drops 'note' AND widens 'small' — the widen forces a
+    // rewrite; DeletionProtected withholds the drop, so the rewrite
+    // must carry note through
+    val v2 = MooseSchema(Seq(
+      v1.columns(0), v1.columns(1),
+      MooseColumn("small", MooseType.MInt64)))
+    val r = TableMigrator.execute(spark, warehouse, cfg(), cfg(schema = v2),
+      Migration.LifeCycle.DeletionProtected)
+    assert(r.rewrote)
+    assert(r.withheld.exists(_.op == DropTableColumn("mig_t", "note")))
+    // the after config prunes note at read — but the BYTES survive:
+    // reading under the before-shape schema still sees the values
+    val raw = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType))))
+      .parquet(s"$warehouse/mig_t").orderBy("id").collect()
+    assert(raw.map(r0 => Option(r0.getString(1))).toSeq ===
+      Seq(Some("n"), Some("n"), None, Some("n"), Some("n")))
+  }
+
+  test("nullable → non-nullable modify refuses without a default and " +
+      "backfills stored NULLs through the rewrite with one") {
+    val warehouse = wh()
+    seed(warehouse) // note is null at id=3
+    def tighten(default: Option[String]) = MooseSchema(v1.columns.map(c =>
+      if (c.name == "note") c.copy(nullable = false, default = default)
+      else c))
+    val e = intercept[IllegalArgumentException] {
+      TableMigrator.execute(spark, warehouse, cfg(),
+        cfg(schema = tighten(None)))
+    }
+    assert(e.getMessage.contains("non-nullable"))
+    val r = TableMigrator.execute(spark, warehouse, cfg(),
+      cfg(schema = tighten(Some("'filled'"))))
+    assert(r.rewrote)
+    val notes = r.table.read().orderBy("id").collect().map(_.getString(3))
+    assert(notes.toSeq === Seq("n", "n", "filled", "n", "n"))
+  }
+
   test("migrated table keeps working as a table: post-migration inserts " +
       "fill the new default at write (CH ALTER then INSERT)") {
     val warehouse = wh()
