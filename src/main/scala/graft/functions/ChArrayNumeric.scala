@@ -7,12 +7,13 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 
-/** `arraySum` / `arrayCumSum` with CH's RESULT-TYPE rule (retires the
-  * integer half of DIVERGENCES #25): integral elements accumulate in
+/** `arraySum` / `arrayCumSum` with CH's RESULT-TYPE rule (retires
+  * DIVERGENCES #25 for this family): integral elements accumulate in
   * LONG (CH's Int64/UInt64 ladder top — overflow wraps, as CH's
-  * fixed-width integers do), floating elements in DOUBLE (CH Float64).
-  * Decimal elements still go through Double (the #25 residual — Spark
-  * has no single fold type for CH's per-scale decimal results).
+  * fixed-width integers do), floating elements in DOUBLE (CH Float64),
+  * and Decimal(P, S) elements accumulate EXACTLY into Decimal(38, S) —
+  * CH's Decimal128(S) — with overflow past 38 digits throwing like
+  * CH's "Decimal math overflow" (session 10; was a Double stand-in).
   *
   * NULL elements contribute nothing (CH's sum semantics — its
   * aggregate counterpart skips NULLs); for the cumulative form they
@@ -29,11 +30,20 @@ case class ChArraySum(child: Expression, cumulative: Boolean)
          NullType => true // NullType: the empty/all-NULL literal array
     case _ => false
   }
+  /** CH keeps per-scale decimals: arraySum over Decimal(P, S) returns
+    * Decimal128(S) — scale preserved, precision widened to the
+    * Decimal128 bound; overflow past 38 digits THROWS like CH's
+    * "Decimal math overflow" (round 14, closing the #25 residual). */
+  private def decElem: Option[DecimalType] = elemType match {
+    case d: DecimalType => Some(d)
+    case _ => None
+  }
+  private def sumType: DataType =
+    decElem.map(d => DecimalType(38, d.scale))
+      .getOrElse(if (integral) LongType else DoubleType)
   override def dataType: DataType =
-    if (cumulative) ArrayType(if (integral) LongType else DoubleType,
-      containsNull = false)
-    else if (integral) LongType
-    else DoubleType
+    if (cumulative) ArrayType(sumType, containsNull = false)
+    else sumType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(et, _) => et match {
@@ -50,7 +60,10 @@ case class ChArraySum(child: Expression, cumulative: Boolean)
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (integral) {
+    if (decElem.isDefined) {
+      val d = decElem.get
+      ChArraySum.sumDecimal(arr, d.precision, d.scale, cumulative)
+    } else if (integral) {
       var acc = 0L
       val out = if (cumulative) new Array[Long](n) else null
       var i = 0
@@ -88,6 +101,18 @@ case class ChArraySum(child: Expression, cumulative: Boolean)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
+      if (decElem.isDefined) {
+        // one static call per row into the BigDecimal fold — decimal
+        // arithmetic is object-typed either way, a generated loop
+        // would box identically
+        val d = decElem.get
+        val cls = "graft.functions.ChArraySum"
+        val cast = if (cumulative)
+          "(org.apache.spark.sql.catalyst.util.ArrayData)"
+        else "(org.apache.spark.sql.types.Decimal)"
+        s"${ev.value} = $cast $cls.sumDecimal(" +
+          s"$arr, ${d.precision}, ${d.scale}, $cumulative);"
+      } else {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
@@ -97,8 +122,6 @@ case class ChArraySum(child: Expression, cumulative: Boolean)
         case NullType => "0L" // unreachable: NullType elements are null
         case BooleanType =>
           s"(${CodeGenerator.getValue(arr, elemType, i)} ? 1L : 0L)"
-        case _: DecimalType =>
-          s"${CodeGenerator.getValue(arr, elemType, i)}.toDouble()"
         case _ => s"($accT) ${CodeGenerator.getValue(arr, elemType, i)}"
       }
       val header =
@@ -122,12 +145,47 @@ case class ChArraySum(child: Expression, cumulative: Boolean)
              |}
              |${ev.value} = $acc;
              |""".stripMargin
+      }
     })
 
   override protected def withNewChildInternal(
       newChild: Expression): ChArraySum = copy(child = newChild)
   override def prettyName: String =
     if (cumulative) "arrayCumSum" else "arraySum"
+}
+
+object ChArraySum {
+  /** Decimal fold shared by eval and codegen: accumulate in
+    * `java.math.BigDecimal` (exact), result Decimal(38, scale) — CH's
+    * Decimal128(S). Overflow past 38 total digits throws, matching
+    * CH's "Decimal math overflow" instead of returning a silently
+    * wrong (rounded or nulled) sum. */
+  def sumDecimal(arr: ArrayData, precision: Int, scale: Int,
+      cumulative: Boolean): Any = {
+    val n = arr.numElements()
+    var acc = java.math.BigDecimal.ZERO
+    val out = if (cumulative) new Array[Decimal](n) else null
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i))
+        acc = acc.add(arr.getDecimal(i, precision, scale).toJavaBigDecimal)
+      if (cumulative) out(i) = toDec38(acc, scale)
+      i += 1
+    }
+    if (cumulative)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        out.asInstanceOf[Array[Any]])
+    else toDec38(acc, scale)
+  }
+
+  private def toDec38(v: java.math.BigDecimal, scale: Int): Decimal = {
+    val scaled = v.setScale(scale)
+    if (scaled.precision > 38)
+      throw new ArithmeticException(
+        s"arraySum: Decimal math overflow — |$scaled| exceeds " +
+          "Decimal128(38) like ClickHouse's own bound")
+    Decimal(scaled, 38, scale)
+  }
 }
 
 /** `arrayElement` with CH's out-of-range rule (retires DIVERGENCES

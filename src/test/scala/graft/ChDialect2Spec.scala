@@ -77,6 +77,22 @@ class ChDialect2Spec extends AnyFunSuite {
     // Long wrap like CH's fixed-width integers
     assert(one("arraySum(array(9223372036854775807, 1))")
       == Long.MinValue)
+    // round 14 session 10 (#25 retired): Decimal(P,S) sums EXACTLY in
+    // Decimal(38,S) — CH's Decimal128(S) — scale preserved, no Double
+    // detour (0.1+0.2 is exact), NULL elements skipped
+    assert(one("arraySum(array(cast(0.1 as decimal(5,2)), " +
+      "cast(0.2 as decimal(5,2)), cast(null as decimal(5,2))))")
+      == new java.math.BigDecimal("0.30"))
+    assert(spark.sql("SELECT arraySum(array(cast(1.5 as decimal(10,3))))")
+      .schema.head.dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 3))
+    // (arrayCumSum's decimal arm is pinned in ChDialect3Spec — batch 3
+    // owns that registration)
+    // overflow past Decimal128 throws like CH, never silently rounds
+    intercept[Exception] {
+      one("arraySum(array(cast(99999999999999999999999999999999999999 " +
+        "as decimal(38,0)), cast(1 as decimal(38,0))))")
+    }
     assert(one("arrayAvg(array(1,2,3))") == 2.0)
     assert(one("arrayAvg(arraySlice(array(1), 1, 0))") == null)
     assert(one("arrayMin(array(3,1,2))") == 1)

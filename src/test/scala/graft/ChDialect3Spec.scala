@@ -62,6 +62,11 @@ class ChDialect3Spec extends AnyFunSuite {
     assert(one("arrayCumSum(array(1, 2, 3))") == Seq(1L, 3L, 6L))
     assert(one("arrayCumSum(array(1.5d, 2.5d))") == Seq(1.5, 4.0))
     assert(one("arrayCumSum(array())") == Seq.empty)
+    // decimal arm (round 14 session 10, #25 retired): exact
+    // Decimal(38,S) running sums, no Double detour
+    assert(one("arrayCumSum(array(cast(1.25 as decimal(6,2)), " +
+      "cast(2.50 as decimal(6,2))))") ==
+      Seq(new java.math.BigDecimal("1.25"), new java.math.BigDecimal("3.75")))
     // consecutive-duplicate removal, NOT distinct
     assert(one("arrayCompact(array(1, 1, 2, 2, 1))") == Seq(1, 2, 1))
     assert(one("arrayCompact(array('a'))") == Seq("a"))
