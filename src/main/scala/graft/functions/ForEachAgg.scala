@@ -20,7 +20,14 @@ import scala.collection.mutable
   * NULL semantics applied element-wise) — for `avg` this means each
   * position divides by ITS OWN contributing count. State is one
   * (values, counts) pair of max-length arrays — O(max dim), not
-  * O(rows). All math in double (the arraySum widening stance). */
+  * O(rows).
+  *
+  * Result-type rule (round 14 session 10 — the [[ChArraySum]] width
+  * stance applied to the combinator, finishing DIVERGENCES #25):
+  * integral element arrays give `sum`/`min`/`max`ForEach EXACT
+  * Array[Long] results (CH's Int64 ladder top — a double accumulator
+  * silently rounds integer sums past 2^53); `avg` and floating
+  * elements stay Double (CH avgForEach is Float64). */
 case class ForEachAgg(
     child: Expression, op: String,
     mutableAggBufferOffset: Int = 0,
@@ -36,8 +43,15 @@ case class ForEachAgg(
       s"${op}ForEach requires an array of numbers, got ${other.simpleString}")
   }
 
+  /** Integral elements + a non-dividing op accumulate (and answer) in
+    * LONG — exact, where a double path rounds past 2^53. */
+  private lazy val intMode: Boolean =
+    Seq(ByteType, ShortType, IntegerType, LongType).contains(elemType) &&
+      op != "avg"
+
   override def createAggregationBuffer(): ForEachAgg.Buf =
-    new ForEachAgg.Buf(mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty)
+    new ForEachAgg.Buf(mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty,
+      mutable.ArrayBuffer.empty)
 
   private def toD(a: ArrayData, i: Int): Double = elemType match {
     case DoubleType => a.getDouble(i)
@@ -55,17 +69,40 @@ case class ForEachAgg(
     case _ => a + b // sum and avg both accumulate sums
   }
 
+  private def toL(a: ArrayData, i: Int): Long = elemType match {
+    case LongType => a.getLong(i)
+    case IntegerType => a.getInt(i).toLong
+    case ShortType => a.getShort(i).toLong
+    case ByteType => a.getByte(i).toLong
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  private def combineL(a: Long, b: Long): Long = op match {
+    case "min" => math.min(a, b)
+    case "max" => math.max(a, b)
+    case _ => a + b // fixed-width wrap like CH Int64
+  }
+
   override def update(buf: ForEachAgg.Buf, input: InternalRow): ForEachAgg.Buf = {
     child.eval(input) match {
       case null => buf
       case arr: ArrayData =>
         val n = arr.numElements()
-        while (buf.vals.length < n) { buf.vals += 0.0; buf.cnts += 0L }
+        while (buf.cnts.length < n) {
+          buf.vals += 0.0; buf.lvals += 0L; buf.cnts += 0L
+        }
         var i = 0
         while (i < n) {
           if (!arr.isNullAt(i)) {
-            val v = toD(arr, i)
-            buf.vals(i) = if (buf.cnts(i) == 0L) v else combine(buf.vals(i), v)
+            if (intMode) {
+              val v = toL(arr, i)
+              buf.lvals(i) =
+                if (buf.cnts(i) == 0L) v else combineL(buf.lvals(i), v)
+            } else {
+              val v = toD(arr, i)
+              buf.vals(i) =
+                if (buf.cnts(i) == 0L) v else combine(buf.vals(i), v)
+            }
             buf.cnts(i) += 1L
           }
           i += 1
@@ -75,12 +112,18 @@ case class ForEachAgg(
   }
 
   override def merge(a: ForEachAgg.Buf, b: ForEachAgg.Buf): ForEachAgg.Buf = {
-    while (a.vals.length < b.vals.length) { a.vals += 0.0; a.cnts += 0L }
+    while (a.cnts.length < b.cnts.length) {
+      a.vals += 0.0; a.lvals += 0L; a.cnts += 0L
+    }
     var i = 0
-    while (i < b.vals.length) {
+    while (i < b.cnts.length) {
       if (b.cnts(i) > 0L) {
-        a.vals(i) = if (a.cnts(i) == 0L) b.vals(i)
-          else combine(a.vals(i), b.vals(i))
+        if (intMode)
+          a.lvals(i) = if (a.cnts(i) == 0L) b.lvals(i)
+            else combineL(a.lvals(i), b.lvals(i))
+        else
+          a.vals(i) = if (a.cnts(i) == 0L) b.vals(i)
+            else combine(a.vals(i), b.vals(i))
         a.cnts(i) += b.cnts(i)
       }
       i += 1
@@ -89,11 +132,12 @@ case class ForEachAgg(
   }
 
   override def eval(buf: ForEachAgg.Buf): Any = {
-    val out = new Array[Any](buf.vals.length)
+    val out = new Array[Any](buf.cnts.length)
     var i = 0
-    while (i < buf.vals.length) {
+    while (i < buf.cnts.length) {
       out(i) =
         if (buf.cnts(i) == 0L) null // every row too short or null here
+        else if (intMode) buf.lvals(i)
         else if (op == "avg") buf.vals(i) / buf.cnts(i)
         else buf.vals(i)
       i += 1
@@ -102,12 +146,16 @@ case class ForEachAgg(
   }
 
   override def serialize(buf: ForEachAgg.Buf): Array[Byte] = {
+    // the lane written matches this instance's intMode — serialize and
+    // deserialize always run on the same (child, op) parameters
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.vals.length)
+    out.writeInt(buf.cnts.length)
     var i = 0
-    while (i < buf.vals.length) {
-      out.writeDouble(buf.vals(i)); out.writeLong(buf.cnts(i)); i += 1
+    while (i < buf.cnts.length) {
+      if (intMode) out.writeLong(buf.lvals(i)) else out.writeDouble(buf.vals(i))
+      out.writeLong(buf.cnts(i))
+      i += 1
     }
     out.flush()
     bos.toByteArray
@@ -119,7 +167,12 @@ case class ForEachAgg(
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { buf.vals += in.readDouble(); buf.cnts += in.readLong(); i += 1 }
+    while (i < n) {
+      if (intMode) { buf.lvals += in.readLong(); buf.vals += 0.0 }
+      else { buf.vals += in.readDouble(); buf.lvals += 0L }
+      buf.cnts += in.readLong()
+      i += 1
+    }
     buf
   }
 
@@ -130,7 +183,7 @@ case class ForEachAgg(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType =
-    ArrayType(DoubleType, containsNull = true)
+    ArrayType(if (intMode) LongType else DoubleType, containsNull = true)
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): ForEachAgg = copy(child = c.head)
 }
@@ -138,5 +191,6 @@ case class ForEachAgg(
 object ForEachAgg {
   final class Buf(
     val vals: mutable.ArrayBuffer[Double],
+    val lvals: mutable.ArrayBuffer[Long],
     val cnts: mutable.ArrayBuffer[Long])
 }

@@ -193,6 +193,26 @@ class ChDialect9Spec extends AnyFunSuite {
     spark.table("b9_fe").repartition(3).createOrReplaceTempView("b9_fe2")
     assert(arr("SELECT sumForEach(a) FROM b9_fe2") ==
       List(6.0, 30.0, 100.0))
+    // integral lane (round 14 session 10, the ChArraySum width rule):
+    // sum/min/max over integer arrays answer EXACT Array[Long] — a
+    // double accumulator silently rounds past 2^53 — avg stays Double
+    Seq(Seq(9007199254740993L, 1L), Seq(2L))
+      .toDF("a").createOrReplaceTempView("b9_fei")
+    assert(arr("SELECT sumForEach(a) FROM b9_fei") ==
+      List(9007199254740995L, 1L)) // 2^53+3 — not double-representable
+    assert(arr("SELECT minForEach(a) FROM b9_fei") ==
+      List(2L, 1L))
+    assert(arr("SELECT maxForEach(a) FROM b9_fei") ==
+      List(9007199254740993L, 1L))
+    assert(arr("SELECT avgForEach(array(1, 2)) ") == List(1.0, 2.0))
+    assert(spark.sql("SELECT sumForEach(a) FROM b9_fei")
+      .schema.head.dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = true))
+    // partition-invariance holds on the long lane too
+    spark.table("b9_fei").repartition(2).createOrReplaceTempView("b9_fei2")
+    assert(arr("SELECT sumForEach(a) FROM b9_fei2") ==
+      List(9007199254740995L, 1L))
   }
 
   test("rankCorr: monotone = 1, reversed = -1, tie-averaged ranks, " +
