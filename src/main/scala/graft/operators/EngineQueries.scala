@@ -650,6 +650,49 @@ object EngineQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Drift detection END-TO-END (ref framework/core/
+    * infra_reality_checker.rs:57 `InfraDiscrepancies`): a dedicated
+    * warehouse is seeded into all four states — a healthy declared
+    * table, a declared-but-never-written table, an on-disk directory
+    * nobody declared, and a declared schema whose stored type can't
+    * serve — and [[graft.table.RealityCheck.check]] must classify each
+    * exactly. The taxonomy is restated by the oracle as constants over
+    * a recomputed row count (the healthy table's content rides along
+    * so the row is not booleans-only). */
+  def qRealityCheck(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.RealityCheck
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft_rc_wh").toString
+    val schema = MooseSchema(Seq(
+      MooseColumn("event_id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("value", MooseType.MFloat64)))
+    val good = OlapTable.Config("rc_events", schema,
+      TableEngine.MergeTree, orderBy = Seq("event_id"))
+    new OlapTable(spark, good, warehouse).insert(
+      events(spark, dir).where(col("user_id") < 30)
+        .select(col("event_id"), col("value")))
+    // rogue: written around the registry
+    new OlapTable(spark,
+      OlapTable.Config("rc_rogue", schema, TableEngine.MergeTree,
+        orderBy = Seq("event_id")), warehouse)
+      .insert(events(spark, dir).limit(5)
+        .select(col("event_id"), col("value")))
+    val missing = good.copy(name = "rc_missing")
+    // drift: value re-declared STRING over double storage
+    val drifted = good.copy(schema = MooseSchema(Seq(
+      schema.columns.head, MooseColumn("value", MooseType.MString))))
+    val d = RealityCheck.check(spark, warehouse,
+      Seq(drifted, missing))
+    val driftCols = d.mismatchedTables.find(_.table == "rc_events")
+      .map(_.drifts.map(_.column).sorted.mkString(",")).getOrElse("")
+    new OlapTable(spark, good, warehouse).read()
+      .select(col("event_id"), round(col("value"), 2).as("value"),
+        lit(d.missingTables.mkString(",")).as("missing"),
+        lit(d.unmappedTables.mkString(",")).as("unmapped"),
+        lit(driftCols).as("drift_cols"))
+      .orderBy(col("event_id"))
+  }
+
   /** Row TTL retention (formerly spec-only; ref types.ts:202 — CH
     * `TTL ts + INTERVAL 90 DAY` expires during background merges;
     * here [[OlapTable.applyRetention]] is the explicit retention job).
@@ -774,6 +817,7 @@ object EngineQueries {
     "q_ttl_retention" -> (qTtlRetention _),
     "q_http_ingest" -> (qHttpIngest _),
     "q_http_consume" -> (qHttpConsume _),
+    "q_reality_check" -> (qRealityCheck _),
     "q_optimize_dedup" -> (qOptimizeDedup _),
     "q_replacing_final" -> (qReplacingFinal _),
     "q_replicated" -> (qReplicated _),
@@ -831,6 +875,14 @@ object EngineQueries {
     "q_optimize_dedup" ->
       """SELECT event_id, event_type, round(value, 2) AS value
         |FROM (SELECT DISTINCT event_id, event_type, value FROM events)
+        |ORDER BY event_id""".stripMargin,
+    // reality check: the four warehouse states classified exactly,
+    // restated as constants; the healthy table's rows recomputed
+    "q_reality_check" ->
+      """SELECT event_id, round(value, 2) AS value,
+        |  'rc_missing' AS missing, 'rc_rogue' AS unmapped,
+        |  'value' AS drift_cols
+        |FROM events WHERE user_id < 30
         |ORDER BY event_id""".stripMargin,
     // HTTP consumption: segment filter + the maxLimit clamp (120 rows
     // despite ?limit=100000) + JSONEachRow wire round trip
