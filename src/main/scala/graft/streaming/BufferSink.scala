@@ -20,7 +20,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * `Observation`, bytes come from the staged fileset's length. The age
   * check runs once per trigger, so an idle stream flushes at trigger
   * granularity after `maxAgeMs` — call [[flush]] directly for an
-  * immediate drain (e.g. at shutdown, matching CH's flush-on-detach). */
+  * immediate drain (e.g. at shutdown, matching CH's flush-on-detach).
+  *
+  * Crash semantics (stated, not hidden): a crash BETWEEN the flush's
+  * target insert and the staging delete re-flushes the staged rows on
+  * restart — AT-LEAST-ONCE across that one window ([[BatchCommitLog]]
+  * guards the add() path, not the flush). ClickHouse's Buffer engine
+  * makes the opposite trade: its RAM buffer is LOST on abnormal
+  * restart (documented data loss). Losing data silently is the worse
+  * failure for a buffer whose point is durability, so this engine
+  * duplicates rather than drops; make the flush window idempotent
+  * downstream with a ReplacingMergeTree target or
+  * `optimizeDeduplicate` when exactly-once matters. */
 final class BufferSink(
     val target: OlapTable,
     stagingDir: String,

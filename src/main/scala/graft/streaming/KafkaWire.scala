@@ -62,15 +62,22 @@ object KafkaWire {
     * (or type-corrupt fields) yield a NULL struct — PERMISSIVE from_json
     * alone would return an all-NULL row, indistinguishable from a record
     * of genuine nulls, so corruption is detected via the corrupt-record
-    * column. */
+    * column. The corrupt column's NAME is deliberately improbable: the
+    * parser maps payload keys by name, so a producer field named like
+    * the corrupt column would false-flag its (valid) record as corrupt
+    * — `__corrupt` was close enough to plausible producer vocabulary to
+    * collide (review round 14 session 10). */
   object JsonWire extends WireFormat {
+    private val CorruptCol = "__graft_wire_corrupt_4c1f__"
     def encode(record: Column): Column = to_json(record).cast(BinaryType)
     def decode(value: Column, schema: StructType): Column = {
-      val withCorrupt = schema.add(StructField("__corrupt", StringType))
+      require(!schema.fieldNames.contains(CorruptCol),
+        s"JsonWire: schema may not declare the reserved column $CorruptCol")
+      val withCorrupt = schema.add(StructField(CorruptCol, StringType))
       val parsed = from_json(value.cast(StringType), withCorrupt,
-        Map("columnNameOfCorruptRecord" -> "__corrupt"))
-      when(parsed.getField("__corrupt").isNotNull,
-        lit(null).cast(schema)).otherwise(parsed.dropFields("__corrupt"))
+        Map("columnNameOfCorruptRecord" -> CorruptCol))
+      when(parsed.getField(CorruptCol).isNotNull,
+        lit(null).cast(schema)).otherwise(parsed.dropFields(CorruptCol))
     }
     val name = "json"
   }
@@ -281,21 +288,30 @@ object KafkaWire {
     topicFrame.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         log.runOnce(batchId) {
+          // persist the DECODED batch: the clean insert, the
+          // dead.isEmpty probe, and the dlq insert each trigger an
+          // action, and the wire decode (per-record interpreted for
+          // the Avro/Proto kernels) would otherwise re-run per action
+          // — 2-3 decodes of every payload per 1 s trigger (review
+          // round 14 session 10). One micro-batch is memory-sized.
           val withRec = withDecoded(batch, insertable, wire)
-          val clean = withRec.where(col("__record").isNotNull)
-            .select(col("__record.*"))
-          val (_, insertDlq) = table.insert(
-            clean, OlapTable.InsertStrategy.Isolate, dlqSource = "kafka-sync")
-          val corrupt = withRec.where(col("__record").isNull).select(
-            col("value").cast(StringType).as("originalRecord"),
-            lit(s"unparseable ${wire.name} payload").as("errorMessage"),
-            lit("DeserializationError").as("errorType"),
-            current_timestamp().as("failedAt"),
-            lit("kafka-sync").as("source"))
-          val dead = insertDlq.fold(corrupt)(corrupt.unionByName(_))
-          if (!dead.isEmpty)
-            dlq.insert(dead, OlapTable.InsertStrategy.FailFast,
-              dlqSource = "kafka-sync")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          try {
+            val clean = withRec.where(col("__record").isNotNull)
+              .select(col("__record.*"))
+            val (_, insertDlq) = table.insert(
+              clean, OlapTable.InsertStrategy.Isolate, dlqSource = "kafka-sync")
+            val corrupt = withRec.where(col("__record").isNull).select(
+              col("value").cast(StringType).as("originalRecord"),
+              lit(s"unparseable ${wire.name} payload").as("errorMessage"),
+              lit("DeserializationError").as("errorType"),
+              current_timestamp().as("failedAt"),
+              lit("kafka-sync").as("source"))
+            val dead = insertDlq.fold(corrupt)(corrupt.unionByName(_))
+            if (!dead.isEmpty)
+              dlq.insert(dead, OlapTable.InsertStrategy.FailFast,
+                dlqSource = "kafka-sync")
+          } finally { withRec.unpersist(); () }
         }
         ()
       }

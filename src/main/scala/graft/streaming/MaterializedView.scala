@@ -15,11 +15,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * *declarative* and offers two maintenance modes with identical results:
   *
   *  - `recompute(source)`: batch re-evaluation (recompute-on-append);
-  *  - `maintainStreaming(stream)`: Structured Streaming update-mode
-  *    aggregation — Spark's state store plays the role of the
-  *    AggregatingMergeTree target, incrementally folding each micro-batch
-  *    (SURVEY §2.4 A15). No watermark by default: the reference has no
-  *    event-time eviction (T9), late rows land in their bucket.
+  *  - `maintainStreaming(stream)`: Structured Streaming aggregation —
+  *    Spark's state store plays the role of the AggregatingMergeTree
+  *    target, incrementally folding each micro-batch (SURVEY §2.4
+  *    A15); complete-mode sink by default, keyed-upsert update-mode
+  *    sink with `keyCols`. No watermark by default: the reference has
+  *    no event-time eviction (T9), late rows land in their bucket.
   */
 final class MaterializedView(
     val name: String,
@@ -28,27 +29,74 @@ final class MaterializedView(
   /** Batch recompute — the correctness oracle for the streaming mode. */
   def recompute(source: DataFrame): DataFrame = select(source)
 
-  /** Incremental maintenance over a streaming source into a memory sink
-    * named `name` (swap for foreachBatch-MERGE on a real table target).
+  /** Incremental maintenance over a streaming source, published as the
+    * session view `name` (swap for [[AggregatingMV.maintainInto]] for a
+    * real table target — the scalable path).
     *
-    * `watermark` is the optional T9 knob: `Some(("ts", "10 minutes"))`
-    * bounds state by evicting buckets older than the watermark — necessary
-    * at 100 TB where unbounded update-mode state would outgrow the state
-    * store; leave None for exact reference parity (late rows always land). */
+    * Two sink shapes, both CORRECT under multi-batch delivery (an
+    * update-mode MEMORY sink would be wrong here: Spark's MemorySink
+    * APPENDS each batch's updated rows, so a group touched by two
+    * batches would show both its stale and current aggregates — caught
+    * by review in round 14 session 10):
+    *
+    *  - `keyCols` empty (default): COMPLETE mode — the sink is
+    *    truncated and rewritten with the full current aggregate each
+    *    batch, so `spark.table(name)` always equals the batch
+    *    recompute. Reference parity (late rows always land); state is
+    *    unbounded like CH's own always-mergeable target.
+    *  - `keyCols` non-empty: UPDATE mode with a per-batch UPSERT —
+    *    each micro-batch's updated rows replace their key's previous
+    *    row in a driver-held snapshot republished as `name`. This is
+    *    the arm where the optional `watermark` T9 knob REALLY bounds
+    *    streaming state (update mode evicts buckets older than the
+    *    watermark); the snapshot itself is |groups|-sized — the memory
+    *    flavor's natural bound (an MV output is dims-sized by
+    *    construction; use maintainInto when even that is too large). */
   def maintainStreaming(
       stream: DataFrame,
       checkpoint: String,
       triggerInterval: String = "1 second",
-      watermark: Option[(String, String)] = None): StreamingQuery =
-    select(watermark.fold(stream) { case (c, delay) =>
+      watermark: Option[(String, String)] = None,
+      keyCols: Seq[String] = Nil): StreamingQuery = {
+    val selected = select(watermark.fold(stream) { case (c, delay) =>
       stream.withWatermark(c, delay)
-    }).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime(triggerInterval))
-      .start()
+    })
+    if (keyCols.isEmpty)
+      selected.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.ProcessingTime(triggerInterval))
+        .start()
+    else {
+      val snapshot = new java.util.LinkedHashMap[Seq[Any], org.apache.spark.sql.Row]()
+      val viewName = name
+      val keys = keyCols
+      // foreachBatch hands the batch under a CLONED session — the view
+      // must register in the CALLER's session to be visible as `name`
+      val outer = stream.sparkSession
+      selected.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.ProcessingTime(triggerInterval))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val schema = batch.schema
+          val updated = batch.collect() // |updated groups| rows, driver-sized
+          snapshot.synchronized {
+            updated.foreach { r =>
+              snapshot.put(keys.map(k => r.get(r.fieldIndex(k))), r)
+            }
+            val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
+              snapshot.values())
+            outer.createDataFrame(rows, schema)
+              .createOrReplaceTempView(viewName)
+          }
+          ()
+        }
+        .start()
+    }
+  }
 }
 
 object AggregatingMV {

@@ -88,9 +88,18 @@ final class MooseStream[T: TypeTag](
   /** Run every registered edge over a batch of records; returns per-dest
     * outputs and the combined DLQ. Transform edges work identically on a
     * streaming Dataset; consumers need materialized rows, so they run only
-    * on batch input (for streams, route through `writeStream.foreach`). */
+    * on batch input (for streams, route through `writeStream.foreach`).
+    *
+    * The attempt caches are released BEFORE returning (review round 14
+    * session 10 — dropping the hook leaked one pinned dataset per edge
+    * per call): the returned plans stay valid and simply recompute per
+    * consumer, the `applyTransform(cache = false)` semantics. Callers
+    * consuming both the outputs AND the DLQ of one edge should use
+    * [[runBatchReleasable]] and release after both reads to run each
+    * user transform once. */
   def runBatch(input: Dataset[T]): (Map[String, DataFrame], Dataset[DeadLetter]) = {
-    val (outs, dlq, _) = runBatchReleasable(input)
+    val (outs, dlq, release) = runBatchReleasable(input)
+    release()
     (outs, dlq)
   }
 

@@ -28,8 +28,12 @@ import graft.functions.WireCodecs
   *  - registering a subject's byte-identical schema is idempotent
   *    (returns the existing id — what producers do on every restart);
   *  - the store is a single JSON document, written atomically
-  *    (tmp + rename), so concurrent SparkSessions on one host see
-  *    consistent snapshots.
+  *    (tmp + rename) so readers always see consistent snapshots, and
+  *    REGISTRATION takes an exclusive OS file lock around its
+  *    load-check-save — two producers (separate JVMs) registering
+  *    concurrently can never mint the same global id for different
+  *    schemas (an id collision would make consumers silently decode
+  *    one producer's bytes under the other's schema).
   *
   * This is the registry's DATA semantics, not its HTTP server — the
   * reference reaches a registry over REST; the serving layer is
@@ -72,18 +76,31 @@ final class SchemaRegistry(dir: String) {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Register (idempotently) and return the schema's global id. */
+  /** Register (idempotently) and return the schema's global id.
+    * Cross-PROCESS safe: the read-modify-write holds an exclusive
+    * lock on a sidecar `.lock` file (the store itself is replaced by
+    * atomic rename, so it can't carry the lock); `synchronized`
+    * serializes threads within one JVM (two registry instances over
+    * one dir in one JVM share the OS lock safely — FileLock is held
+    * per channel and released in the finally). */
   def register(subject: String, avsc: String): Int = synchronized {
-    val entries = load()
-    entries.find(e => e.subject == subject && e.avsc == avsc) match {
-      case Some(e) => e.id
-      case None =>
-        val id = entries.map(_.id).maxOption.getOrElse(0) + 1
-        val version = entries.filter(_.subject == subject)
-          .map(_.version).maxOption.getOrElse(0) + 1
-        save(entries :+ Entry(id, subject, version, avsc))
-        id
-    }
+    val raf = new java.io.RandomAccessFile(
+      new java.io.File(dir, "registry.lock"), "rw")
+    try {
+      val lock = raf.getChannel.lock()
+      try {
+        val entries = load()
+        entries.find(e => e.subject == subject && e.avsc == avsc) match {
+          case Some(e) => e.id
+          case None =>
+            val id = entries.map(_.id).maxOption.getOrElse(0) + 1
+            val version = entries.filter(_.subject == subject)
+              .map(_.version).maxOption.getOrElse(0) + 1
+            save(entries :+ Entry(id, subject, version, avsc))
+            id
+        }
+      } finally lock.release()
+    } finally raf.close()
   }
 
   def byId(id: Int): Option[String] = load().find(_.id == id).map(_.avsc)

@@ -87,12 +87,15 @@ object StreamFunnel {
         (user, it, state: GroupState[FunnelState]) =>
           val prev = state.getOption.getOrElse(
             FunnelState(0, Long.MinValue, Array.empty))
-          val incoming = it.filter(e => e.step >= 0 && e.step < numSteps)
-            .map { e =>
-              require(e.us < (Long.MaxValue >> 6),
-                s"StreamFunnel: timestamp ${e.us}µs overflows the packing")
-              e.us * 64L + e.step
-            }.toArray
+          // out-of-domain events are DROPPED like out-of-range steps —
+          // never a throw: a require inside the stateful op is a
+          // poison pill (the checkpoint replays the same micro-batch
+          // on every restart and dies again; review round 14 session
+          // 10). us ≥ 2^57 µs is year ~4500 — a unit bug (e.g. nanos),
+          // not an event time.
+          val incoming = it.filter(e => e.step >= 0 && e.step < numSteps &&
+              e.us >= 0 && e.us < (Long.MaxValue >> 6))
+            .map(e => e.us * 64L + e.step).toArray
           if (incoming.isEmpty) Iterator(UserLevel(user, prev.best.toLong))
           else {
             val newMax = math.max(prev.maxSeenUs, incoming.map(_ >> 6).max)

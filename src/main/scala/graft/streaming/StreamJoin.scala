@@ -41,13 +41,17 @@ object StreamJoin {
       maxGapSeconds: Long,
       watermarkDelay: String = "1 hour"): DataFrame = {
     require(maxGapSeconds > 0, "intervalJoin: maxGapSeconds must be positive")
-    def prefixed(df: DataFrame, p: String, ts: String): DataFrame =
+    // the key must not double as a timestamp: it is the one column NOT
+    // prefixed, so its watermark column ("l_"+ts) would not exist
+    require(keyCol != leftTs && keyCol != rightTs,
+      "intervalJoin: the join key cannot be the event-time column")
+    def prefixed(df: DataFrame, p: String): DataFrame =
       df.columns.foldLeft(df) { (d, c) =>
         if (c == keyCol) d else d.withColumnRenamed(c, p + c)
       }
-    val l = prefixed(left, "l_", leftTs).withWatermark(
+    val l = prefixed(left, "l_").withWatermark(
       "l_" + leftTs, watermarkDelay)
-    val r = prefixed(right, "r_", rightTs).withWatermark(
+    val r = prefixed(right, "r_").withWatermark(
       "r_" + rightTs, watermarkDelay)
     val lt = col("l_" + leftTs)
     val rt = col("r_" + rightTs)

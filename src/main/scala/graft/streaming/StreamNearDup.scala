@@ -7,14 +7,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Streaming MinHash-LSH near-duplicate CANDIDATES — the online
   * counterpart of the batch `Dedup.minhashDedupPairs` candidate stage:
-  * as documents arrive, each is checked against every prior document
-  * (within the lateness horizon) that shares an LSH band bucket, and a
-  * `(doc_id, prior_id)` candidate edge is emitted for each hit. The
-  * output is the same over-approximation the batch banding produces
-  * (band collisions ⇒ probably-similar); exact Jaccard verification of
-  * the candidate set happens downstream in batch (`Dedup.jaccardVerify`
-  * shapes), exactly as the batch pipeline splits the work — streaming
-  * the verification would need the TEXTS in state, which violates the
+  * as documents arrive, each bucket-sharing arrival emits a
+  * `(doc_id, bucket_representative)` candidate edge against the
+  * bucket's FIRST document (within the lateness horizon). This is a
+  * STAR per bucket, deliberately NARROWER than the batch banding's
+  * full intra-bucket clique (review round 14 session 10 made this
+  * explicit): two later arrivals B and C that share a bucket whose
+  * representative A is a band-collision false positive surface only if
+  * B and C also share some OTHER band bucket — which true near-dups at
+  * the banded similarity threshold almost always do (that is what
+  * multiple bands are FOR), but it is not a guarantee. The trade is
+  * the 24-byte bucket state below: the full clique needs every prior
+  * doc id per bucket in state, unbounded exactly when a hot bucket
+  * makes it expensive. Run the batch `minhashDedupPairs` as the
+  * exhaustive backfill where completeness is the contract; exact
+  * Jaccard verification of the candidate set happens downstream in
+  * batch either way (`Dedup.jaccardVerify` shapes) — streaming the
+  * verification would need the TEXTS in state, which violates the
   * never-shuffle-the-text rule the whole dedup family follows.
   *
   * Signature computation is fully ROW-LOCAL (shingle hashes and k

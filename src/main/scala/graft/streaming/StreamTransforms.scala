@@ -142,7 +142,16 @@ object StreamTransforms {
 
   /** Multi-route transform (ref stream.ts:550-562 addMultiTransform +
     * routed): one function tags each record with destination names; the
-    * result splits into one Dataset per destination. */
+    * result splits into one Dataset per destination.
+    *
+    * This is the UNMANAGED convenience split: no cache (each
+    * destination's consumer re-runs `f` over its scan — `.cache()` here
+    * would throw on streaming inputs and leak one pinned dataset per
+    * call on batch ones, review round 14 session 10), and failures in
+    * `f` fail the job. For the full edge contract — shared attempt
+    * cache with a release hook, per-record failures to the DLQ,
+    * undeclared-destination detection — use
+    * [[MooseStream.addMultiTransform]]. */
   def applyMultiTransform[T: TypeTag, U: TypeTag](
       ds: Dataset[T],
       f: T => Seq[(String, U)],
@@ -150,7 +159,7 @@ object StreamTransforms {
     implicit val pairEnc: Encoder[(String, U)] =
       ExpressionEncoder[(String, U)]()
     implicit val uEnc: Encoder[U] = ExpressionEncoder[U]()
-    val routed = ds.flatMap(f).cache()
+    val routed = ds.flatMap(f)
     destinations.map(d => d -> routed.filter(_._1 == d).map(_._2)).toMap
   }
 

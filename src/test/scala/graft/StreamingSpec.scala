@@ -206,16 +206,42 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
-  test("MV streaming update-mode equals batch recompute (T8/A15)") {
+  test("MV streaming maintenance equals batch recompute ACROSS " +
+      "micro-batches (T8/A15) — groups updated by several batches must " +
+      "show only their current aggregate, never stale versions") {
     val dir = Files.createTempDirectory("mv_src").toString
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
-    events.write.mode("overwrite").parquet(dir)
-    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    // 4 source files + maxFilesPerTrigger=1 ⇒ 4 micro-batches, every
+    // day-group updated repeatedly (the shape the old update-mode
+    // memory sink got wrong by accumulating stale rows)
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
     val ck = Files.createTempDirectory("mv_ck").toString
     val q = StreamingQueries.barAggregated.maintainStreaming(stream, ck)
     q.processAllAvailable()
     q.stop()
     val streamed = spark.table("bar_aggregated")
+      .orderBy("day").collect().map(_.toSeq)
+    val batch = StreamingQueries.barAggregated.recompute(events)
+      .orderBy("day").collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("MV keyed upsert arm: update mode + per-key snapshot equals the " +
+      "batch recompute across micro-batches") {
+    val dir = Files.createTempDirectory("mvk_src").toString
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val ck = Files.createTempDirectory("mvk_ck").toString
+    val mv = new graft.streaming.MaterializedView("bar_aggregated_keyed",
+      df => StreamingQueries.barAggregated.recompute(df))
+    val q = mv.maintainStreaming(stream, ck, keyCols = Seq("day"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bar_aggregated_keyed")
       .orderBy("day").collect().map(_.toSeq)
     val batch = StreamingQueries.barAggregated.recompute(events)
       .orderBy("day").collect().map(_.toSeq)
@@ -231,7 +257,7 @@ class StreamingSpec extends AnyFunSuite {
     val mv = new graft.streaming.MaterializedView("bar_aggregated_wm",
       df => StreamingQueries.barAggregated.recompute(df))
     val q = mv.maintainStreaming(stream, ck,
-      watermark = Some(("ts", "1 day")))
+      watermark = Some(("ts", "1 day")), keyCols = Seq("day"))
     q.processAllAvailable()
     q.stop()
     // single on-time batch: watermarked result == unwatermarked recompute
