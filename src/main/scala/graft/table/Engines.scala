@@ -60,7 +60,12 @@ object EngineSemantics {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     val picked = df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
-    isDeleted.fold(picked)(d => picked.where(col(d) =!= 1))
+    // NULL-safe: a NULL isDeleted flag means NOT deleted — `=!= 1`
+    // alone evaluates NULL and silently drops the live row under
+    // three-valued logic (the applyRetention/alterDelete stance;
+    // review round 14 session 10)
+    isDeleted.fold(picked)(d =>
+      picked.where(not(coalesce(col(d) === 1, lit(false)))))
   }
 
   /** SummingMergeTree FINAL: sum the value columns per key. An empty

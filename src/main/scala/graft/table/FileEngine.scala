@@ -100,24 +100,31 @@ object FileEngine {
       spark: SparkSession, path: String, format: FileFormat,
       schema: Option[StructType] = None): DataFrame = format match {
     case JsonCompactEachRow =>
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.types.{ArrayType, StringType}
       val s = schema.getOrElse(throw new IllegalArgumentException(
         "schema required for JSONCompactEachRow reads"))
-      // ONE parse per row: array<string> keeps each token's text
-      // (numbers as their literal form) while a JSON null becomes a
-      // SQL NULL element — distinguishable from the string "null"
-      spark.read.text(path)
-        .select(from_json(col("value"), ArrayType(StringType)).as("__arr"))
-        .select(s.fields.zipWithIndex.map { case (f, i) =>
-          element_at(col("__arr"), i + 1).cast(f.dataType).as(f.name)
-        }.toSeq: _*)
+      parseCompactLines(spark.read.text(path), s)
     case _ =>
       val base = spark.read.format(format.sparkName)
         .options(readerOptions(format))
       require(schema.nonEmpty || format == Parquet,
         s"schema required for ${format.sparkName} reads (no inference pass)")
       schema.fold(base)(base.schema).load(path)
+  }
+
+  /** Positional JSONCompactEachRow parse over a `value: string` frame —
+    * shared by the batch and QUEUE readers. ONE parse per row:
+    * array<string> keeps each token's text (numbers as their literal
+    * form) while a JSON null becomes a SQL NULL element —
+    * distinguishable from the string "null". */
+  private def parseCompactLines(lines: DataFrame,
+      s: StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    lines
+      .select(from_json(col("value"), ArrayType(StringType)).as("__arr"))
+      .select(s.fields.zipWithIndex.map { case (f, i) =>
+        element_at(col("__arr"), i + 1).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
   }
 
   /** S9 write with optional compression codec (gzip/snappy/zstd/...). */
@@ -141,17 +148,28 @@ object FileEngine {
 
   /** S10 streaming queue over a directory: picks up each new file exactly
     * once (checkpoint-tracked). `maxFilesPerTrigger` is the back-pressure
-    * dial (the analogue of the queue's processing batch). */
+    * dial (the analogue of the queue's processing batch).
+    * JSONCompactEachRow streams through the same positional parse as the
+    * batch reader (handing the ROW schema to the `text` source threw
+    * 'supports only a single column'; review round 14 session 10). */
   def readQueue(
       spark: SparkSession, path: String, format: FileFormat,
-      schema: StructType, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val base = spark.readStream.format(format.sparkName)
-      .options(readerOptions(format))
-      .schema(schema)
-    maxFilesPerTrigger
-      .fold(base)(n => base.option("maxFilesPerTrigger", n))
-      .load(path)
-  }
+      schema: StructType, maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    format match {
+      case JsonCompactEachRow =>
+        val base = spark.readStream.format("text")
+        val lines = maxFilesPerTrigger
+          .fold(base)(n => base.option("maxFilesPerTrigger", n))
+          .load(path)
+        parseCompactLines(lines, schema)
+      case _ =>
+        val base = spark.readStream.format(format.sparkName)
+          .options(readerOptions(format))
+          .schema(schema)
+        maxFilesPerTrigger
+          .fold(base)(n => base.option("maxFilesPerTrigger", n))
+          .load(path)
+    }
 
   /** S14 Distributed: shard rows by key expression over `shards` shards.
     * Co-partitions the data so per-shard work (inserts, keyed aggregation,

@@ -115,6 +115,12 @@ final class OlapTable(
 
   val path: String = s"$warehouseDir/${config.name}"
 
+  require(config.bucketBy.isEmpty || config.projections.isEmpty,
+    s"table ${config.name}: projections over bucketed tables are not " +
+      "wired — bucketed storage lives in the catalog warehouse, so the " +
+      "path-based projection freshness markers would never see inserts " +
+      "and readFor would serve stale projections silently")
+
   config.indexes.foreach { ix =>
     require(ix.indexType == "minmax" || ix.indexType == "bloom_filter",
       s"table ${config.name}, index ${ix.name}: type '${ix.indexType}' has " +
@@ -242,8 +248,16 @@ final class OlapTable(
       batch: DataFrame,
       strategy: InsertStrategy = InsertStrategy.FailFast,
       dlqSource: String = "table"): (InsertReport, Option[DataFrame]) = {
-    val prepared = applyWriteColumns(batch)
+    // the DLQ's originalRecord must serialize what the PRODUCER sent —
+    // snapshotting it before applyWriteColumns, which fills defaults
+    // and overwrites materialized columns (a DLQ row showing values
+    // the producer never sent misleads every replay/debug pass;
+    // review round 14 session 10)
     val batchCols = batch.columns.toSeq
+    val withOrig = batch.withColumn("__orig",
+      to_json(struct(batchCols.map(col): _*)))
+    val prepared0 = applyWriteColumns(withOrig)
+    val prepared = prepared0.drop("__orig")
     val (valid, invalid) = validate(prepared)
 
     // written count comes from an Observation riding the write itself —
@@ -288,15 +302,15 @@ final class OlapTable(
         // predicates through CollectMetrics), so the whole Isolate insert
         // is ONE job — no dlq.count() re-validation scan
         val vObs = org.apache.spark.sql.Observation()
-        val withV = prepared
+        val withV = prepared0
           .withColumn("__errors", violationsColumn)
           .observe(vObs,
             coalesce(sum(when(size(col("__errors")) > 0, 1L)), lit(0L))
               .as("failed"))
         val validObserved = withV
-          .where(size(col("__errors")) === 0).drop("__errors")
+          .where(size(col("__errors")) === 0).drop("__errors", "__orig")
         val dlq = withV.where(size(col("__errors")) > 0).select(
-          to_json(struct(batchCols.map(col): _*)).as("originalRecord"),
+          col("__orig").as("originalRecord"),
           concat_ws("; ", col("__errors")).as("errorMessage"),
           lit("ValidationError").as("errorType"),
           current_timestamp().as("failedAt"),
@@ -318,8 +332,16 @@ final class OlapTable(
       if (config.bucketBy.nonEmpty)
         // catalog-qualified so a same-named FINAL-read temp view
         // ([[registerSql]]) can never shadow the backing table into a
-        // self-referential plan
-        spark.table(
+        // self-referential plan; a never-inserted bucketed table has no
+        // catalog entry yet (the first insert's saveAsTable creates it)
+        // and reads as EMPTY like the path-backed case — read()'s
+        // documented contract (review round 14 session 10)
+        if (!spark.catalog.tableExists(
+            s"spark_catalog.${spark.catalog.currentDatabase}.${config.name}"))
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            config.schema.toStructType)
+        else spark.table(
           s"spark_catalog.${spark.catalog.currentDatabase}.${config.name}")
       else {
         val p = new org.apache.hadoop.fs.Path(path)
@@ -413,35 +435,35 @@ final class OlapTable(
   /** TTL retention job (ref olapTable TTL / queries.rs TTL clause): drops
     * expired rows by compacting the table to a new fileset. The analogue
     * of CH's merge-time TTL eviction, run explicitly (schedule it like any
-    * retention job). Partition-pruned when `partitionBy` covers the TTL
-    * column — then only expired partitions rewrite. Returns rows dropped. */
-  def applyRetention(): Long = {
-    config.ttlExpiredWhen.fold(0L) { cond =>
-      require(config.bucketBy.isEmpty,
-        "retention over bucketed tables: INSERT OVERWRITE not wired yet")
-      val all = spark.read.schema(config.schema.toStructType).parquet(path)
-      val total = all.count()
-      // NULL-safe: a row whose TTL expression evaluates NULL (e.g. null
-      // timestamp) is NOT expired — `NOT (cond)` alone would drop it
-      // under three-valued logic
-      val keep = all.where(not(coalesce(expr(cond), lit(false))))
-      val tmp = path + "__retained"
-      keep.write.mode("overwrite").options(indexWriteOptions).parquet(tmp)
-      swapInto(tmp)
-      refreshSqlView()
-      total - spark.read.schema(config.schema.toStructType).parquet(path).count()
-    }
-  }
+    * retention job). Returns rows dropped.
+    *
+    * Delegates to [[alterDelete]] — retention IS `ALTER TABLE … DELETE
+    * WHERE ttl-expired`, and the shared path carries the properties a
+    * hand-rolled rewrite here once lost (review round 14 session 10):
+    * the insert-time LAYOUT is preserved (partition dirs + ORDER BY
+    * sort — a flat rewrite next to partition dirs broke every
+    * subsequent read with 'Conflicting directory structures'), the
+    * NULL-safe keep stance, the never-written no-op, and the one-pass
+    * Observation count. */
+  def applyRetention(): Long =
+    config.ttlExpiredWhen.fold(0L)(alterDelete)
 
   // ------------------------------------------------------------ mutations
   /** Stored rows as written (no alias/read-computed columns), empty for a
-    * never-written table — the common base of every mutation rewrite. */
+    * never-written table — the common base of every mutation rewrite.
+    * Alias columns are EXCLUDED from the read schema: they are not
+    * stored, and reading them null-filled here made every mutation
+    * rewrite physically write all-null alias columns into the fileset
+    * (wasted bytes + false 'out-of-band write' drift in RealityCheck;
+    * review round 14 session 10). */
   private[table] def storedRows(): DataFrame = {
+    val storedSchema = org.apache.spark.sql.types.StructType(
+      config.schema.columns.filter(_.aliasExpr.isEmpty).map(_.field))
     if (!storageExists())
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        config.schema.toStructType)
-    else spark.read.schema(config.schema.toStructType).parquet(path)
+        storedSchema)
+    else spark.read.schema(storedSchema).parquet(path)
   }
 
   private[table] def storageExists(): Boolean = {
@@ -595,6 +617,7 @@ final class OlapTable(
   def optimizeFinal(valueCols: Seq[String] = Nil): Unit = {
     require(config.bucketBy.isEmpty,
       "optimizeFinal over bucketed tables: INSERT OVERWRITE not wired yet")
+    if (!storageExists()) return // like every other maintenance no-op
     // only schema-preserving FINAL views may compact in place: the
     // row-filtering engines (MergeTree/Replacing/VersionedCollapsing) and
     // Aggregating, whose FINAL merges state×state per key and reselects

@@ -141,8 +141,11 @@ object RealityCheck {
     val byName = declared.map(c => c.name -> c).toMap
     val whPath = new org.apache.hadoop.fs.Path(warehouseDir)
     val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the KNOWN mutation-staging suffixes, not a blanket "__" match —
-    // a table legitimately named user__events must still be checked
+    // the KNOWN engine-owned shapes, not a blanket "__" match — a table
+    // legitimately named user__events must still be checked: mutation
+    // staging suffixes plus projection filesets (`t__proj_<name>`,
+    // which materializeProjections creates — flagging those as
+    // 'written around the registry' was false drift)
     val stagingSuffixes = Seq("__migrate_tmp", "__retained", "__old",
       "__optimized", "__mut_delete", "__mut_update", "__mut_dedup")
     val onDisk: Seq[String] =
@@ -151,7 +154,7 @@ object RealityCheck {
         .filter(_.isDirectory)
         .map(_.getPath.getName)
         .filterNot(n => n.startsWith("_") ||
-          stagingSuffixes.exists(n.endsWith))
+          stagingSuffixes.exists(n.endsWith) || n.contains("__proj_"))
 
     val unmapped = onDisk.filterNot(byName.contains).sorted
     val missing = declared.map(_.name)

@@ -297,12 +297,18 @@ object TableMigrator {
         "rewrite) or keep it nullable"))
     val adds = ops.collect { case a: AddTableColumn => a }
     val drops = ops.collect { case d: DropTableColumn => d }
-    // CH serves a declared default — and, for a non-nullable column, the
-    // type's default — from part metadata at read; parquet can't, so
-    // those adds materialize through the one rewrite
+    // CH serves a declared default — a MATERIALIZED expression, or for
+    // a non-nullable column the type's default — from part metadata at
+    // read; parquet can't, so those adds materialize through the one
+    // rewrite. A materialized add evaluates its EXPRESSION over the
+    // stored rows (CH's rule for old parts — the type default there
+    // was plain wrong; review round 14 session 10), which also means a
+    // NULLABLE materialized add must backfill (read() only recomputes
+    // alias columns, never materialized ones).
     val backfillAdds = adds.filter(a =>
       a.column.aliasExpr.isEmpty &&
-        (a.column.default.nonEmpty || !a.column.nullable))
+        (a.column.default.nonEmpty || a.column.materialized.nonEmpty ||
+          !a.column.nullable))
     val typeChanged = mods.filter(m => m.before.tpe != m.after.tpe)
 
     val beforeTable = new OlapTable(spark, before, warehouseDir)
@@ -321,7 +327,9 @@ object TableMigrator {
             .cast(m.after.tpe.sparkType)))
       val added = backfillAdds.foldLeft(tightened) { (d, a) =>
         val c = a.column
-        val fill = c.default.map(expr).getOrElse(
+        // precedence mirrors the write path (applyWriteColumns):
+        // materialized expression > declared default > type default
+        val fill = c.materialized.orElse(c.default).map(expr).getOrElse(
           Bridge.column(Literal.default(c.tpe.sparkType)))
         d.withColumn(c.name, fill.cast(c.tpe.sparkType))
       }
