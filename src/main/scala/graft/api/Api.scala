@@ -97,16 +97,29 @@ object EtlPipeline {
       source: DataSource[T],
       transform: T => IterableOnce[U],
       load: Dataset[U] => Unit,
-      cursor: Option[String] = None): (EtlPipeline[T, U], Option[String]) = {
+      cursor: Option[String] = None): (EtlPipeline[T, U], () => Option[String]) = {
     val (ok, msg) = source.testConnection()
     require(ok, s"data source '${source.name}' failed its connection " +
       s"test${msg.fold("")(m => s": $m")}")
     require(cursor.isEmpty || source.supportsIncremental,
       s"cursor given but data source '${source.name}' does not support " +
         "incremental extraction")
-    val batch = source.extractFrom(cursor)
-    (EtlPipeline(source.name, () => batch, transform, load),
-      source.cursorOf(batch).orElse(cursor))
+    // extraction is LAZY (runs inside run()) and the advanced cursor is
+    // a THUNK: the old shape extracted eagerly and returned the
+    // advanced cursor before load had run, so the natural
+    // persist-cursor-then-run pattern silently skipped the batch when
+    // run() failed (review round 14 session 10). Read the cursor thunk
+    // AFTER a successful run(); before any extraction it answers the
+    // input cursor, so persisting it early can no longer lose data.
+    @volatile var extracted: Option[Seq[T]] = None
+    val extract = () => {
+      val b = source.extractFrom(cursor)
+      extracted = Some(b)
+      b
+    }
+    val cursorAfter = () =>
+      extracted.fold(cursor)(b => source.cursorOf(b).orElse(cursor))
+    (EtlPipeline(source.name, extract, transform, load), cursorAfter)
   }
 }
 
@@ -116,15 +129,50 @@ object EtlPipeline {
   * retry count and timeout, value threaded task-to-task; `schedule` is
   * accepted config for an external scheduler (Temporal itself is out of
   * scope, SURVEY §7). */
+/** Non-retryable workflow failure: thrown where a retry would run a
+  * CONCURRENT DUPLICATE of a still-executing body, or where the caller
+  * asked for cancellation ([[WorkflowClient]] terminate) — the two
+  * cases where "try again" is strictly worse than failing. */
+final class WfAbort(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
 final case class WfTask[I, O](
     name: String, retries: Int = 0,
     timeout: Option[scala.concurrent.duration.Duration] = None)(val run: I => O) {
-  import scala.concurrent.{Await, Future}
-  import scala.concurrent.ExecutionContext.Implicits.global
 
+  /** Timed attempts run the body on a DEDICATED interruptible thread —
+    * not `Await.result(Future(...))`, whose timed-out body keeps
+    * executing on the global pool while the retry starts a concurrent
+    * duplicate (review round 14 session 10). On timeout the body
+    * thread is interrupted and GIVEN ONE MORE timeout to stop: if it
+    * stops, the timeout is an ordinary retryable failure (no overlap —
+    * the thread is dead); if it ignores the interrupt, the attempt
+    * aborts NON-retryably, because the only thing a retry could do is
+    * run beside it. */
   private def once(in: I): O = timeout match {
     case None => run(in)
-    case Some(d) => Await.result(Future(run(in)), d)
+    case Some(d) =>
+      val result = new java.util.concurrent.atomic
+        .AtomicReference[Either[Throwable, O]]()
+      val t = new Thread(() => result.set(
+        try Right(run(in)) catch { case e: Throwable => Left(e) }),
+        s"wf-task-$name")
+      t.setDaemon(true)
+      t.start()
+      try t.join(d.toMillis)
+      catch { case e: InterruptedException => t.interrupt(); throw e }
+      if (t.isAlive) {
+        t.interrupt()
+        try t.join(d.toMillis)
+        catch { case e: InterruptedException => throw e }
+        if (t.isAlive)
+          throw new WfAbort(s"task $name: attempt still running " +
+            s"${d} after its interrupt — not retrying (a retry would " +
+            "execute a concurrent duplicate of the side-effecting body)")
+        throw new java.util.concurrent.TimeoutException(
+          s"task $name timed out after $d")
+      }
+      result.get.fold(e => throw e, identity)
   }
 
   def attempt(in: I): O = {
@@ -132,8 +180,15 @@ final case class WfTask[I, O](
     while (true) {
       try return once(in)
       catch {
-        case e: Throwable if left > 0 => left -= 1
-        case e: Throwable =>
+        // aborts and interrupts never retry: an abort means a duplicate
+        // would overlap; an interrupt means the CALLER cancelled
+        // (WorkflowClient.terminate) — retrying would resurrect the
+        // workflow it just killed. Fatal errors (OOM, …) propagate.
+        case e: WfAbort => throw e
+        case e: InterruptedException =>
+          throw new WfAbort(s"task $name interrupted — cancelled, not retried", e)
+        case scala.util.control.NonFatal(_) if left > 0 => left -= 1
+        case e: Throwable if scala.util.control.NonFatal(e) =>
           throw new RuntimeException(s"task $name failed after $retries retries", e)
       }
     }
@@ -176,13 +231,22 @@ object WfDag {
     * (diamond) is legal. */
   def validate(start: WfDagTask[_, _]): Unit = {
     val onPath = scala.collection.mutable.Set.empty[WfDagTask[_, _]]
+    // `done` memoizes fully-explored cycle-free nodes: the pure
+    // recursion-stack walk re-explores every diamond's suffix once per
+    // path — exponential on diamond chains (2^n at n diamonds), which
+    // hung validate() on legal ~90-task DAGs (review round 14
+    // session 10). Same accept/reject language, linear time.
+    val done = scala.collection.mutable.Set.empty[WfDagTask[_, _]]
     def walk(t: WfDagTask[_, _], path: List[String]): Unit = {
       if (onPath.contains(t))
         throw new IllegalArgumentException(
           s"workflow cycle: ${(t.name :: path).reverse.mkString(" -> ")}")
-      onPath += t
-      t.next.foreach(walk(_, t.name :: path))
-      onPath -= t
+      if (!done.contains(t)) {
+        onPath += t
+        t.next.foreach(walk(_, t.name :: path))
+        onPath -= t
+        done += t
+      }
     }
     walk(start, Nil)
   }

@@ -160,8 +160,26 @@ object HttpFacade {
       .json(raw)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     try {
-      val requiredNull = enc.schema.fields.filterNot(_.nullable)
-        .map(f => col(f.name).isNull)
+      // recursive: a null in a NESTED non-nullable field (e.g. {"b":{}}
+      // where b.x is required) parses cleanly at the top level but
+      // crashes the typed deserialization for the WHOLE batch — the
+      // exact failure this channel exists to isolate (review round 14
+      // session 10). Structs are walked; elements of arrays/maps can't
+      // be row-checked this way and stay the deserializer's error.
+      def nullChecks(st: org.apache.spark.sql.types.StructType,
+          get: String => org.apache.spark.sql.Column)
+          : Seq[org.apache.spark.sql.Column] =
+        st.fields.toSeq.flatMap { f =>
+          val c = get(f.name)
+          val self = if (!f.nullable) Seq(c.isNull) else Nil
+          val deeper = f.dataType match {
+            case s: org.apache.spark.sql.types.StructType =>
+              nullChecks(s, n => c.getField(n)).map(v => c.isNotNull && v)
+            case _ => Nil
+          }
+          self ++ deeper
+        }
+      val requiredNull = nullChecks(enc.schema, col)
         .foldLeft(lit(false))(_ || _)
       val badCond = col(corrupt).isNotNull || requiredNull
       val bad = parsed.where(badCond).select(

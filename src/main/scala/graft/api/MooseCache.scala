@@ -21,7 +21,13 @@ final class MooseCache(
   def get[T](key: String): Option[T] =
     store.get(key) match {
       case Some(e) if e.expiresAt > clock() => Some(e.value.asInstanceOf[T])
-      case Some(_) => store.remove(key); None
+      case Some(stale) =>
+        // conditional remove: an unconditional remove(key) raced a
+        // concurrent set() and deleted the freshly written LIVE entry
+        // (review round 14 session 10) — only evict the entry we
+        // actually observed as expired
+        store.remove(key, stale)
+        None
       case None => None
     }
 

@@ -94,7 +94,11 @@ object Cron {
       val up = s.toUpperCase
       val named = names.indexOf(up)
       val v = if (named >= 0) named + base else {
-        require(s.forall(_.isDigit), s"cron '$schedule': bad value '$s'")
+        // nonEmpty: an empty atom ("1-", ",5") passes forall vacuously
+        // and "".toInt throws a bare NumberFormatException without the
+        // which-schedule-which-field context every other bad input gets
+        require(s.nonEmpty && s.forall(_.isDigit),
+          s"cron '$schedule': bad value '$s'")
         s.toInt
       }
       require(v >= lo && v <= hi,
@@ -286,7 +290,20 @@ final class WorkflowScheduler[A] private (
           if (waitMs > 0) Thread.sleep(waitMs)
           if (!stopped) fire(at)
           now = at
-        } catch { case _: InterruptedException => () }
+        } catch {
+          case _: InterruptedException => ()
+          // fire() guards the BODY, but the journal I/O around it
+          // (claim's lock/fsync, record) can throw on a transient FS
+          // error — without this arm one such error killed the daemon
+          // thread and the schedule silently never fired again (review
+          // round 14 session 10). Log to the run history and move on:
+          // the fire time stays unattempted, so the next catch-up
+          // pass (or resumeFrom after restart) retries it.
+          case scala.util.control.NonFatal(e) =>
+            runLog.add(at -> Left(e))
+            while (runLog.size > maxLoggedRuns) runLog.remove(0)
+            now = at
+        }
       }
     }, s"graft-schedule-$name")
     th.setDaemon(true)

@@ -92,7 +92,16 @@ final class WorkflowClient(
     }
   }
 
-  /** Terminate a running workflow id. Returns (status, body). */
+  /** Terminate a running workflow id. Returns (status, body).
+    *
+    * The interrupt reaches the BODY: [[WfTask]] runs timed attempts on
+    * a dedicated thread and, on the waiter's interrupt, forwards it to
+    * the body thread and ABORTS non-retryably (review round 14 session
+    * 10 — the old Await-based runner swallowed the interrupt as a
+    * retryable failure and spawned a concurrent duplicate per retry).
+    * Like Temporal's terminate, this returns immediately: a body that
+    * ignores interrupts may still be winding down when the id becomes
+    * reusable. */
   def terminate(workflowId: String): (Int, String) =
     running.remove(workflowId) match {
       case Some(t) =>

@@ -57,12 +57,49 @@ final class WorkflowJournal(dir: String) {
     s"""{"at":${at.toEpochMilli},"event":${graft.JsonText.quote(event)}$err}\n"""
   }
 
+  /** A crash mid-append leaves a torn final line WITHOUT its newline;
+    * appending straight after it would MERGE the next event into the
+    * fragment — one unparseable line that, once followed by further
+    * events, is no longer the tail and bricks every replay with the
+    * mid-file-corruption error (or, while it stays last, swallows a
+    * later synced `started` under the tail-tolerance and breaks
+    * exactly-once; review round 14 session 10). The repair TRUNCATES
+    * the torn fragment before appending: the fragment is by definition
+    * an event whose append never completed — its writer crashed before
+    * the fsync returned, so the event was never acknowledged — and
+    * dropping an unacknowledged write is the WAL contract, not data
+    * loss. (Sealing it with a newline instead would park an
+    * unparseable line MID-file, exactly what the corruption check must
+    * keep throwing on.) */
+  private def truncateTornTail(raf: RandomAccessFile): Unit = {
+    val len = raf.length()
+    if (len == 0) return
+    raf.seek(len - 1)
+    if (raf.read() != '\n') {
+      // scan back to the last newline; truncate everything after it
+      var pos = len - 1
+      raf.seek(pos)
+      while (pos > 0 && raf.read() != '\n') { pos -= 1; raf.seek(pos) }
+      raf.setLength(if (pos == 0) 0 else pos + 1)
+      raf.getFD.sync()
+    }
+  }
+
+  private def truncateTornTail(f: File): Unit = {
+    if (!f.exists() || f.length() == 0) return
+    val raf = new RandomAccessFile(f, "rw")
+    try truncateTornTail(raf) finally raf.close()
+  }
+
   /** Append one event; flushed AND fd-synced before returning, so a
     * crash — or power loss — immediately after a `started` still
-    * leaves the attempt visible. */
+    * leaves the attempt visible. A torn tail from a previous crash is
+    * truncated first (see [[truncateTornTail]]). */
   def record(name: String, at: Instant, event: String,
       error: Option[String] = None): Unit = synchronized {
-    val out = new FileOutputStream(fileFor(name), true)
+    val f = fileFor(name)
+    truncateTornTail(f)
+    val out = new FileOutputStream(f, true)
     try {
       out.write(lineFor(at, event, error).getBytes(UTF_8))
       out.flush()
@@ -87,9 +124,13 @@ final class WorkflowJournal(dir: String) {
     try {
       val lock = raf.getChannel.lock()
       try {
+        // see record(): never append to a tear — repaired UNDER the
+        // lock so no other process appends between repair and claim
+        truncateTornTail(raf)
         val len = raf.length()
         require(len <= Int.MaxValue, s"journal $name: file too large")
         val buf = new Array[Byte](len.toInt)
+        raf.seek(0) // the tail repair leaves the position mid-file
         raf.readFully(buf)
         val attempted = parse(name, new String(buf, UTF_8))
           .collect { case (t, "started", _) => t }.toSet

@@ -415,12 +415,16 @@ class ApiSpec extends AnyFunSuite {
     var loaded = Seq.empty[Long]
     val (p1, c1) = EtlPipeline.fromSource[Long, Long](src, x => Seq(x * 10),
       ds => { loaded = ds.collect().toSeq.sorted })
-    assert(p1.run(spark) == 4 && tested == 1 && c1.contains("4"))
+    // cursor is a THUNK read AFTER run: before any extraction it
+    // answers the input cursor (None), so persisting early can't skip
+    // the batch if run() later fails (review round 14 session 10)
+    assert(c1() == None)
+    assert(p1.run(spark) == 4 && tested == 1 && c1().contains("4"))
     assert(loaded == Seq(10L, 20L, 30L, 40L))
     // second run from the cursor: nothing new, cursor retained
     val (p2, c2) = EtlPipeline.fromSource[Long, Long](
-      src, x => Seq(x), _ => (), cursor = c1)
-    assert(p2.run(spark) == 0 && c2 == c1)
+      src, x => Seq(x), _ => (), cursor = c1())
+    assert(p2.run(spark) == 0 && c2() == c1())
     // non-incremental source refuses cursors instead of re-extracting all
     val flat = new DataSource[Long] {
       val name = "flat"; def extract(): Seq[Long] = Seq(9L)

@@ -242,13 +242,20 @@ class SchedulerSpec extends AnyFunSuite {
     assert(j.events("torn_wf").size == 2)
     assert(j.attempted("torn_wf") == Set(at("2026-08-12T00:00:00Z")))
     assert(j.interrupted("torn_wf").isEmpty)
-    // and the next append simply continues the file; the torn fragment
-    // plus the new line form ONE corrupt line that is again the tail
+    // the next append REPAIRS the tear first (truncates the
+    // unacknowledged fragment) so the new event lands on its own line —
+    // the old merge-into-the-fragment behavior either bricked replay
+    // (merged line no longer the tail) or swallowed this synced
+    // `started` under the tail tolerance (review round 14 session 10)
     j.record("torn_wf", at("2026-08-12T01:00:00Z"), "started")
-    assert(j.events("torn_wf").size == 2)
-    // corruption in the MIDDLE is damage, not a crash artifact: loud
+    assert(j.events("torn_wf").size == 3)
+    assert(j.attempted("torn_wf").contains(at("2026-08-12T01:00:00Z")))
+    // corruption in the MIDDLE is damage, not a crash artifact: loud —
+    // a NEWLINE-TERMINATED garbage line followed by a valid line is
+    // mid-file corruption no tail tolerance or tear repair may touch
     java.nio.file.Files.write(f,
-      "{\"at\":1755000000000,\"event\":\"ok\"}\n".getBytes("UTF-8"),
+      ("not json, not a tear\n" +
+        "{\"at\":1755000000000,\"event\":\"ok\"}\n").getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.APPEND)
     val e = intercept[IllegalStateException] { j.events("torn_wf") }
     assert(e.getMessage.contains("corrupt line"))
