@@ -238,7 +238,10 @@ object ModelTools {
           .orElse(defaults._3).getOrElse(Nil)
       val filters = spec.paramToFilter.toSeq.sortBy(_._1).flatMap {
         case (paramName, (fn, op)) =>
-          in.get(paramName).flatMap { v =>
+          // explicit JSON null = optional param absent (sql-utils.ts:
+          // 83-84 and QueryBuilder's null-skip) — Eq(null) would
+          // silently filter out EVERY row
+          in.get(paramName).filter(_ != null).flatMap { v =>
             def seq2(x: Any): (Any, Any) = x match {
               case s: Seq[_] if s.length == 2 => (s(0), s(1))
               case a: Array[_] if a.length == 2 => (a(0), a(1))
@@ -274,7 +277,15 @@ object ModelTools {
             }
           }.map(fo => Filter(fn, Some(fo)))
       }
-      val limit = in.get("limit").map(_.toString.toInt)
+      // the tool schema says "number": JSON decoders hand 50 over as
+      // the Double 50.0, which "…".toInt rejects — accept any integral
+      // numeric rendering
+      val limit = in.get("limit").map { v =>
+        val d = v.toString.toDouble
+        require(d == math.floor(d) && !d.isInfinite,
+          s"limit must be an integer, got $v")
+        d.toInt
+      }
         .getOrElse(defaultLimit)
       require(limit >= 1 && limit <= maxLimit,
         s"limit must be in 1..$maxLimit, got $limit")

@@ -164,6 +164,21 @@ object QueryModel {
     // -------- split filters WHERE vs HAVING (query-model.ts:579-624)
     val (metricFilters, rowFilters) =
       req.filters.partition(f => model.metrics.contains(f.target))
+    // a HAVING target must be a SELECTED metric: filtering an
+    // unselected metric (or any metric in detail mode) used to pass
+    // name validation and then crash with UNRESOLVED_COLUMN deep in
+    // the plan — refuse with the fix instead (review round 14
+    // session 10)
+    metricFilters.filter(_.op.isDefined).foreach { f =>
+      require(!detailMode,
+        s"filter on metric '${f.target}': detail mode (columns) has no " +
+          "aggregates to filter — use dimensions+metrics, or filter a " +
+          "row-level column")
+      require(req.metrics.contains(f.target),
+        s"filter on metric '${f.target}' requires selecting it — add " +
+          s"'${f.target}' to the request's metrics (HAVING references " +
+          "the aggregated output)")
+    }
     val whereCond = SqlOps.and(rowFilters.map(f =>
       f.op.map(op => opToColumn(resolve(f.target), op)))) // None op ⇒ skipped
     val filtered = joined.where(whereCond)

@@ -65,7 +65,16 @@ object SqlInterpolator {
     case d: java.sql.Date => s"DATE '$d'"
     case i: java.time.Instant =>
       s"TIMESTAMP '${java.sql.Timestamp.from(i).toString.stripSuffix(".0")}'"
-    case xs: Seq[_] => xs.map(literal).mkString("(", ", ", ")")
+    case xs: Seq[_] =>
+      // an empty Seq would render "()", which Spark's parser rejects —
+      // and silently producing "IN ()" is exactly the optional-IN-list
+      // case; refuse naming the empty-list contract's home
+      require(xs.nonEmpty,
+        "empty Seq interpolation renders '()' (unparseable); for the " +
+          "empty-IN-list contract (constant FALSE / TRUE, " +
+          "sql-utils.ts:161-165) use SqlOps.inList / SqlOps.notIn, or " +
+          "guard the fragment")
+      xs.map(literal).mkString("(", ", ", ")")
     case other => throw new IllegalArgumentException(
       s"cannot safely render ${other.getClass.getName} as a SQL literal")
   }

@@ -42,7 +42,19 @@ object AggState {
     // state, the same array<long> spelling the row-local bitmap family
     // consumes (DIVERGENCES #55/#57 stance vs CH's roaring binary layout)
     case "groupBitmap" => ArrayType(LongType, containsNull = false)
-    case "sum" | "min" | "max" | "any" =>
+    // sum WIDENS like Spark's own partial buffer (integrals → Long,
+    // floats → Double, Decimal(p,s) → Decimal(p+10,s)) — declaring the
+    // argument type made the state column mismatch the actual partial
+    // and fail the MV target's schema validation (review round 14
+    // session 10)
+    case "sum" => argTypes.headOption.getOrElse(DoubleType) match {
+      case ByteType | ShortType | IntegerType | LongType => LongType
+      case FloatType | DoubleType => DoubleType
+      case d: DecimalType =>
+        DecimalType(math.min(38, d.precision + 10), d.scale)
+      case other => other
+    }
+    case "min" | "max" | "any" =>
       argTypes.headOption.getOrElse(DoubleType)
     case other => throw new IllegalArgumentException(
       s"unsupported AggregateFunction '$other' (supported: $supported)")

@@ -29,7 +29,12 @@ object JsonPaths {
     }
 
   /** The `materialized` expression for write-time promotion, usable as
-    * `MooseColumn(..., materialized = Some(JsonPaths.materializedExpr(...)))`. */
+    * `MooseColumn(..., materialized = Some(JsonPaths.materializedExpr(...)))`.
+    * No cast is emitted here — [[graft.table.OlapTable]]'s write path
+    * casts every materialized expression to the column's DECLARED type
+    * (applyWriteColumns), so the stored column is typed even though
+    * get_json_object itself is string-typed. Single quotes in the path
+    * are escaped so they cannot break out of the SQL literal. */
   def materializedExpr(jsonCol: String, path: String): String =
-    s"get_json_object(`$jsonCol`, '$$.$path')"
+    s"get_json_object(`$jsonCol`, '$$.${path.replace("'", "\\'")}')"
 }

@@ -46,6 +46,14 @@ object Migration {
     * narrowing (200 would wrap to -56), UInt8→Int16 is fine. */
   def isWidening(from: MooseType, to: MooseType): Boolean = {
     import MooseType._
+    // LowCardinality is a storage HINT (documented no-op) — adding or
+    // removing the wrapper is metadata, not a type change; without the
+    // unwrap it classified as a narrowing and forced a rewrite
+    (from, to) match {
+      case (MLowCardinality(a), b) => return isWidening(a, b)
+      case (a, MLowCardinality(b)) => return isWidening(a, b)
+      case _ =>
+    }
     val intRange: Map[MooseType, (BigInt, BigInt)] = Map(
       MInt8 -> (BigInt(-128), BigInt(127)),
       MUInt8 -> (BigInt(0), BigInt(255)),

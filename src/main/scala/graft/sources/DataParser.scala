@@ -40,33 +40,53 @@ object DataParser {
   def isValidCsvDelimiter(d: String): Boolean =
     d.length == 1 && !d.head.isWhitespace
 
-  /** parseCSV: header/trim knobs map to the csv datasource's options;
+  /** parseCSV: header/trim knobs map to the parser's settings;
     * `columns = false` yields Spark's positional `_c0…` names (the
     * reference returns positional arrays there — same information,
-    * frame-shaped). The content goes through a temp file in multiLine
-    * mode so QUOTED EMBEDDED NEWLINES parse as one record, exactly
-    * like csv-parse (a per-line dataset would split them). Blank lines
-    * are always skipped by the datasource — the reference's
-    * skipEmptyLines default; `skipEmptyLines = false` (where csv-parse
-    * ERRORS on a blank line) is accepted but behaves as true, the only
-    * reading a blank-skipping parser can give. Malformed rows FAIL
-    * loudly (FAILFAST), like csv-parse's error event. */
+    * frame-shaped). QUOTED EMBEDDED NEWLINES parse as one record,
+    * exactly like csv-parse. Blank lines are always skipped — the
+    * reference's skipEmptyLines default; `skipEmptyLines = false`
+    * (where csv-parse ERRORS on a blank line) is accepted but behaves
+    * as true, the only reading a blank-skipping parser can give.
+    * Ragged rows FAIL loudly, like csv-parse's error event.
+    *
+    * Parsing runs in DRIVER memory with univocity — the identical
+    * parser Spark's own CSV source wraps (same quoting/escaping
+    * semantics), shipped in the Spark distribution. The earlier shape
+    * (spill content to a driver-LOCAL temp file, spark.read.csv it)
+    * failed on any real cluster — executors cannot read the driver's
+    * /tmp — and leaked one deleteOnExit dir per call for the life of
+    * the server (review round 14 session 10). Request content arrives
+    * as an in-memory String, so its parsed rows are driver-sized by
+    * definition. */
   def parseCsv(spark: SparkSession, content: String,
       config: CsvConfig = CsvConfig()): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
-    val file = dir.resolve("content.csv")
-    java.nio.file.Files.writeString(file, content)
-    file.toFile.deleteOnExit()
-    dir.toFile.deleteOnExit()
-    spark.read
-      .option("delimiter", config.delimiter)
-      .option("header", config.columns)
-      .option("multiLine", true) // quoted \n is data, not a row break
-      .option("ignoreLeadingWhiteSpace", config.trim)
-      .option("ignoreTrailingWhiteSpace", config.trim)
-      .option("inferSchema", false) // strings, like the reference's rows
-      .option("mode", "FAILFAST")
-      .csv(file.toString)
+    import com.univocity.parsers.csv.{CsvParser, CsvParserSettings}
+    import scala.jdk.CollectionConverters._
+    val settings = new CsvParserSettings
+    settings.getFormat.setDelimiter(config.delimiter.head)
+    settings.getFormat.setLineSeparator("\n")
+    settings.setIgnoreLeadingWhitespaces(config.trim)
+    settings.setIgnoreTrailingWhitespaces(config.trim)
+    settings.setSkipEmptyLines(true)
+    settings.setMaxCharsPerColumn(-1)
+    settings.setMaxColumns(16384)
+    val parsed = new CsvParser(settings)
+      .parseAll(new java.io.StringReader(content)).asScala.toSeq
+    if (parsed.isEmpty) return spark.emptyDataFrame
+    val (names, rows) =
+      if (config.columns) (parsed.head.toSeq.map(Option(_).getOrElse("")),
+        parsed.tail)
+      else (parsed.head.indices.map(i => s"_c$i"), parsed)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.length == names.length,
+        s"CSV row ${i + 1}: ${r.length} fields, expected ${names.length}")
+    }
+    val schema = org.apache.spark.sql.types.StructType(names.map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r.toSeq: _*)).asJava, schema)
   }
 
   /** parseJSON: a top-level ARRAY fans out to one row per element, a

@@ -713,6 +713,14 @@ object IcebergRead {
         (b, normProbe(p)) match {
           case (x: Long, y: Long) => java.lang.Long.compare(x, y)
           case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+          // mixed kinds (Long probe on a double column or vice versa —
+          // tableRange(.., "price", 1, 100) is a natural call): compare
+          // as BigDecimal, exact for every (long, double) pair — a
+          // Double widening would misorder longs past 2^53
+          case (x: Long, y: Double) =>
+            BigDecimal(x).compare(BigDecimal(y))
+          case (x: Double, y: Long) =>
+            BigDecimal(x).compare(BigDecimal(y))
           case (_, y) => throw new IllegalArgumentException(
             s"probe type ${y.getClass.getSimpleName} vs bound " +
               b.getClass.getSimpleName)
@@ -874,7 +882,11 @@ object IcebergRead {
   private def resolve(p: String, tableDir: String): Path = {
     val raw = new Path(p)
     if (raw.isAbsolute || p.contains("://")) raw
-    else new Path(tableDir, p)
+    // ABSOLUTIZE a relative tableDir: the delete-path canon() joins
+    // against it while the scan's _metadata.file_path is always
+    // absolute — with a relative dir the anti-join keys never matched
+    // and deleted rows silently returned (review round 14 session 10)
+    else new Path(new java.io.File(tableDir).getAbsolutePath, p)
   }
 
   private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
