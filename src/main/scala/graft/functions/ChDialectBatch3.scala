@@ -175,11 +175,15 @@ object ChDialectBatch3 {
             "day|hour|minute|second)")
       }
     }
-    // timeSlot: round down to the half hour (CH's 1800 s slot)
+    // timeSlot: round down to the half hour (CH's 1800 s slot).
+    // FLOOR, not IntegralDivide — truncation toward zero rounds
+    // pre-1970 timestamps UP (review round 14 session 10)
     f("timeSlot") { a =>
       val secs = Cast(Cast(a.head, TimestampType), LongType)
       SecondsToTimestamp(Multiply(
-        IntegralDivide(secs, Literal(1800L)), Literal(1800L)))
+        Cast(Floor(Divide(Cast(secs, DoubleType), Literal(1800.0d))),
+          LongType),
+        Literal(1800L)))
     }
 
     // ------------------------------------------------------------- geo

@@ -183,7 +183,8 @@ object ChDialectBatch4 {
         MicrosToTimestamp(Multiply(
           floorDiv(UnixMicros(Cast(a.head, TimestampType)), l), l))
       }
-    startOf("toStartOfSecond", 1L)
+    // toStartOfSecond is owned by batch 10 (TruncTimestamp form);
+    // registering it here too was a silent shadow (single-owner rule)
     startOf("toStartOfFiveMinutes", 300L)
     startOf("toStartOfTenMinutes", 600L)
 

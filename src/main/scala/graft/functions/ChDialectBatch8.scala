@@ -262,20 +262,13 @@ object ChDialectBatch8 {
     // scalar date tail — FLOOR division (t − pmod(t, u) is the floored
     // multiple): IntegralDivide truncates toward zero, which would
     // round pre-1970 timestamps UP to a bucket start in the future
-    def floorMultiple(t: Expression, u: Long): Expression =
-      Subtract(Cast(t, LongType), Pmod(Cast(t, LongType), Literal(u)))
-    def startOfSeconds(t: Expression, s: Long): Expression =
-      SecondsToTimestamp(floorMultiple(t, s))
-    f("toStartOfFiveMinutes")(a => startOfSeconds(a.head, 300L))
-    f("toStartOfTenMinutes")(a => startOfSeconds(a.head, 600L))
+    // toStartOfFiveMinutes/TenMinutes and the toRelative*Num family are
+    // OWNED by batch 4 (micros-exact floorDiv versions) — this batch's
+    // duplicate registrations silently shadowed them by registration
+    // order, the exact drift hazard the single-owner rule in batch 5
+    // exists to prevent (review round 14 session 10)
     f("toISOWeek")(a => WeekOfYear(Cast(a.head, DateType)))
     f("toISOYear")(a => YearOfWeek(Cast(a.head, DateType)))
-    def relNum(t: Expression, unit: Long): Expression =
-      IntegralDivide(floorMultiple(t, unit), Literal(unit))
-    f("toRelativeSecondNum")(a => relNum(a.head, 1L))
-    f("toRelativeMinuteNum")(a => relNum(a.head, 60L))
-    f("toRelativeHourNum")(a => relNum(a.head, 3600L))
-    f("toRelativeDayNum")(a => relNum(a.head, 86400L))
   }
 
   def isRegistered(spark: SparkSession): Boolean =

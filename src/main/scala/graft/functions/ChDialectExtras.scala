@@ -245,13 +245,19 @@ object ChDialectExtras {
     f("arrayFlatten")(a => Flatten(a.head))
     f("arrayZip")(a => ArraysZip(a))
     // CH range: end-exclusive, empty for n <= 0 (Spark's sequence is
-    // inclusive and errors on start > stop, hence the guard)
+    // inclusive and errors on start > stop, hence the guard). The
+    // 3-arg form carries CH's STEP — it was silently stepping by 1
+    // (review round 14 session 10); the inclusive stop is the largest
+    // start + k·step below end, so uneven ends don't overshoot.
     f("range") { a =>
       val (start, end) =
         if (a.length > 1) (Cast(a.head, LongType), Cast(a(1), LongType))
         else (Literal(0L), Cast(a.head, LongType))
+      val step = if (a.length > 2) Cast(a(2), LongType) else Literal(1L)
+      val span = Subtract(Subtract(end, start), Literal(1L))
+      val stop = Add(start, Multiply(IntegralDivide(span, step), step))
       If(LessThanOrEqual(end, start), emptyLongArray,
-        new Sequence(start, Subtract(end, Literal(1L)), Some(Literal(1L))))
+        new Sequence(start, stop, Some(step)))
     }
     f("arrayUniq")(a => Cast(Size(ArrayDistinct(a.head)), LongType))
     // arrayDifference: [0, a1-a0, a2-a1, …] — index lambda + 1-based
@@ -446,13 +452,18 @@ object ChDialectExtras {
     }
     // CH topK(k)(x) — registry form topK(k, x) (Spark's grammar has no
     // parameterized-aggregate syntax): SpaceSaving most-frequent values,
-    // exact within capacity, value-ordered ties (TopKAgg scaladoc)
+    // exact within capacity, value-ordered ties (TopKAgg scaladoc).
+    // The value casts to STRING at the boundary: TopKAgg's state keys
+    // are strings (its output is array<string> either way), and an
+    // uncast non-string column crashed the executor with a
+    // ClassCastException mid-query (review round 14 session 10)
     f("topK")(a =>
-      TopKAgg(a(1), litInt(a.head, "topK")).toAggregateExpression())
+      TopKAgg(Cast(a(1), StringType), litInt(a.head, "topK"))
+        .toAggregateExpression())
     // CH topKWeighted(k)(x, w) → topKWeighted(k, x, w): increments by w
     f("topKWeighted")(a =>
-      TopKAgg(a(1), litInt(a.head, "topKWeighted"), weight = Some(a(2)))
-        .toAggregateExpression())
+      TopKAgg(Cast(a(1), StringType), litInt(a.head, "topKWeighted"),
+        weight = Some(a(2))).toAggregateExpression())
     // CH uniqUpTo(N)(x) → uniqUpTo(N, x): exact distinct count while
     // ≤ N, N+1 past it (the "more than N" sentinel); the exact
     // count-distinct underneath is Spark-native

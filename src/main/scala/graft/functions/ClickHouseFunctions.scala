@@ -86,18 +86,29 @@ object ClickHouseFunctions {
   }
 
   /** Translate the common subset of CH formatDateTime codes to a Java
-    * datetime pattern. */
+    * datetime pattern. Unknown %-codes REFUSE loudly: the old
+    * fallthrough emitted the raw letter as an unquoted Java pattern
+    * char — either a runtime 'Unknown pattern letter' crash or a
+    * silently different format (review round 14 session 10). `%i` is
+    * CH's standard minute code. */
   def chToJavaFormat(ch: String): String = {
     val map = Map(
       'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
-      'H' -> "HH", 'M' -> "mm", 'S' -> "ss", 'e' -> "d", 'j' -> "DDD",
-      'F' -> "yyyy-MM-dd", 'T' -> "HH:mm:ss", '%' -> "%")
+      'H' -> "HH", 'M' -> "mm", 'i' -> "mm", 'S' -> "ss", 's' -> "ss",
+      'e' -> "d", 'j' -> "DDD", 'p' -> "a", 'a' -> "EEE", 'W' -> "EEEE",
+      'b' -> "MMM", 'F' -> "yyyy-MM-dd", 'T' -> "HH:mm:ss", '%' -> "%")
     val sb = new StringBuilder
     var i = 0
     while (i < ch.length) {
       val c = ch.charAt(i)
       if (c == '%' && i + 1 < ch.length) {
-        sb.append(map.getOrElse(ch.charAt(i + 1), "" + ch.charAt(i + 1)))
+        val code = ch.charAt(i + 1)
+        sb.append(map.getOrElse(code,
+          if (code.isLetter)
+            throw new IllegalArgumentException(
+              s"formatDateTime: unsupported code '%$code' " +
+                s"(supported: ${map.keys.toSeq.sorted.mkString("%", " %", "")})")
+          else code.toString))
         i += 2
       } else if (c.isLetter) { sb.append('\'').append(c).append('\''); i += 1 }
       else { sb.append(c); i += 1 }
@@ -145,9 +156,13 @@ object ClickHouseFunctions {
     }
     f("toStartOfMonth")(a => trunc("month", a.head))
     f("toStartOfFifteenMinutes") { a =>
-      val secs = Cast(a.head, LongType)
-      SecondsToTimestamp(
-        Multiply(IntegralDivide(secs, Literal(900L)), Literal(900L)))
+      // FLOOR division, not IntegralDivide: truncation toward zero
+      // rounds pre-1970 timestamps UP to the next bucket (review round
+      // 14 session 10 — the same bug class batch 4's floorDiv fixes)
+      val secs = Cast(Cast(a.head, TimestampType), LongType)
+      SecondsToTimestamp(Multiply(
+        Cast(Floor(Divide(Cast(secs, DoubleType), Literal(900.0d))), LongType),
+        Literal(900L)))
     }
     f("toString")(a => Cast(a.head, StringType))
     f("toInt32")(a => Cast(a.head, IntegerType))
@@ -221,7 +236,11 @@ object ClickHouseFunctions {
       _ => Literal.create(null, TimestampType)))
     f("parseDateTimeBestEffortOrZero")(a => bestEffort(a.head,
       _ => SecondsToTimestamp(Literal(0L))))
-    f("toUnixTimestamp")(a => Cast(a.head, LongType))
+    // through TIMESTAMP first: CH parses string datetimes
+    // ('2017-11-05 08:07:47' → 1509869267); a bare string→long cast
+    // answered NULL (review round 14 session 10). Numeric input round
+    // trips (seconds → timestamp → seconds) unchanged.
+    f("toUnixTimestamp")(a => Cast(Cast(a.head, TimestampType), LongType))
     f("fromUnixTimestamp")(a => SecondsToTimestamp(a.head))
     f("toLowerCase")(a => Lower(a.head))
     f("toUpperCase")(a => Upper(a.head))
@@ -719,7 +738,17 @@ object ClickHouseFunctions {
     * inside quotes) with `replacement`. */
   private def replaceWord(
       sql: String, word: String, replacement: String): String = {
-    val hits = topLevelWord(sql, word, anyDepth = true)
+    // a scalar-WITH alias must not capture QUALIFIED refs (`t.n` is
+    // table t's column, not the alias) or CALL positions (`n(...)` is
+    // a function) — the ARRAY JOIN re-aim guards both; this rewrite
+    // missed them (review round 14 session 10)
+    val hits = topLevelWord(sql, word, anyDepth = true).filterNot { i =>
+      val qualified = i > 0 && sql.charAt(i - 1) == '.'
+      var j = i + word.length
+      while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+      val callPos = j < sql.length && sql.charAt(j) == '('
+      qualified || callPos
+    }
     if (hits.isEmpty) sql
     else {
       val sb = new StringBuilder

@@ -926,9 +926,17 @@ object WireCodecs {
                 if (!arr.isNullAt(j)) protoScalar(inner, et, arr.get(j, et))
                 j += 1
               }
-              w.varint(((num << 3) | WireLenDelim).toLong)
-              w.varint(inner.size.toLong)
-              w.bytes(inner.result())
+              // proto3 treats an empty repeated field as ABSENT: the
+              // unconditional zero-length tag made empty NUMERIC arrays
+              // round-trip to [] while empty string/struct arrays (one
+              // tag per element → no bytes) round-tripped to NULL —
+              // same logical value, two decodes (review round 14
+              // session 10). Skip like the per-element branches do.
+              if (inner.size > 0) {
+                w.varint(((num << 3) | WireLenDelim).toLong)
+                w.varint(inner.size.toLong)
+                w.bytes(inner.result())
+              }
           }
         case StringType =>
           writeLenDelim(w, num, StringType, row.getUTF8String(i))
@@ -986,15 +994,29 @@ object WireCodecs {
       val idx = num - 1
       if (idx >= 0 && idx < st.length) {
         val f = st.fields(idx)
+        // wire-type check for LENGTH-DELIMITED shapes too: without it a
+        // varint-encoded field read under a string/bytes/message/
+        // repeated-element declaration consumed the VALUE as a length —
+        // when it fit the buffer, a garbage decode that misaligned all
+        // later fields with no exception (review round 14 session 10).
+        // Scalars keep their existing check below.
+        def requireLenDelim(): Unit =
+          if (wt != WireLenDelim)
+            throw new NumberFormatException(
+              s"wire type $wt for length-delimited ${f.dataType.simpleString}")
         f.dataType match {
           case ArrayType(et, _) =>
             if (repeated(idx) == null)
               repeated(idx) = scala.collection.mutable.ArrayBuffer.empty[Any]
             et match {
               case StringType =>
+                requireLenDelim()
                 repeated(idx) += UTF8String.fromBytes(r.raw(r.varint().toInt))
-              case BinaryType => repeated(idx) += r.raw(r.varint().toInt)
+              case BinaryType =>
+                requireLenDelim()
+                repeated(idx) += r.raw(r.varint().toInt)
               case sub: StructType =>
+                requireLenDelim()
                 repeated(idx) += protoRead(r.subReader(r.varint().toInt), sub)
               case _ if wt == WireLenDelim => // packed
                 val inner = r.subReader(r.varint().toInt)
@@ -1003,9 +1025,13 @@ object WireCodecs {
               case _ => repeated(idx) += protoReadScalar(r, et) // unpacked
             }
           case StringType =>
+            requireLenDelim()
             vals(idx) = UTF8String.fromBytes(r.raw(r.varint().toInt))
-          case BinaryType => vals(idx) = r.raw(r.varint().toInt)
+          case BinaryType =>
+            requireLenDelim()
+            vals(idx) = r.raw(r.varint().toInt)
           case sub: StructType =>
+            requireLenDelim()
             vals(idx) = protoRead(r.subReader(r.varint().toInt), sub)
           case dt =>
             if (wt != wireTypeOf(dt))
@@ -1028,10 +1054,38 @@ object WireCodecs {
     new GenericInternalRow(vals)
   }
 
-  /** The .proto text for a struct under the mapping above. */
+  /** The .proto text for a struct under the mapping above. Nested
+    * message names stay `<Field>Msg` while unique; two same-named
+    * struct fields with DIFFERENT shapes disambiguate with the parent
+    * prefix (`<Parent>_<Field>Msg`) — the old last-writer-wins map let
+    * the second shape silently overwrite the first, so a foreign
+    * consumer compiling the emitted .proto misdecoded one of the two
+    * fields (review round 14 session 10). Collection happens in a
+    * pre-pass, so deep nesting no longer mutates the map mid-render. */
   def protoOf(schema: StructType, name: String = "Record"): String = {
-    val nested = scala.collection.mutable.LinkedHashMap.empty[String, StructType]
-    def typeOf(dt: DataType, fname: String): String = dt match {
+    // phase 1: walk the tree, assigning collision-safe message names
+    val messages = scala.collection.mutable.LinkedHashMap.empty[String, StructType]
+    val nameOf = scala.collection.mutable.Map.empty[(String, String), String]
+    def assign(st: StructType, parent: String): Unit =
+      st.fields.foreach { f =>
+        val inner = f.dataType match {
+          case s: StructType => Some(s)
+          case ArrayType(s: StructType, _) => Some(s)
+          case _ => None
+        }
+        inner.foreach { s =>
+          val base = f.name.capitalize + "Msg"
+          val nm =
+            if (!messages.contains(base) || messages(base) == s) base
+            else s"${parent}_$base"
+          messages += nm -> s
+          nameOf((parent, f.name)) = nm
+          assign(s, nm)
+        }
+      }
+    assign(schema, name)
+    // phase 2: render
+    def typeOf(dt: DataType, parent: String, fname: String): String = dt match {
       case BooleanType => "bool"
       case IntegerType => "sint32"
       case LongType => "sint64"
@@ -1041,27 +1095,24 @@ object WireCodecs {
       case BinaryType => "bytes"
       case TimestampType => "sint64" // micros since epoch
       case DateType => "sint32" // days since epoch
-      case st: StructType =>
-        val nm = fname.capitalize + "Msg"
-        nested += nm -> st
-        nm
+      case _: StructType => nameOf((parent, fname))
       case other => throw new IllegalStateException(s"proto: $other")
     }
     def messageOf(st: StructType, nm: String): String =
       st.fields.zipWithIndex.map { case (f, i) =>
         f.dataType match {
           case ArrayType(et, _) =>
-            s"  repeated ${typeOf(et, f.name)} ${f.name} = ${i + 1};"
-          case st: StructType =>
-            s"  ${typeOf(st, f.name)} ${f.name} = ${i + 1};"
+            s"  repeated ${typeOf(et, nm, f.name)} ${f.name} = ${i + 1};"
+          case s: StructType =>
+            s"  ${typeOf(s, nm, f.name)} ${f.name} = ${i + 1};"
           case dt =>
             // `optional` = explicit presence: zeros are encoded, absent
             // fields decode NULL (the mapping this codec implements)
-            s"  optional ${typeOf(dt, f.name)} ${f.name} = ${i + 1};"
+            s"  optional ${typeOf(dt, nm, f.name)} ${f.name} = ${i + 1};"
         }
       }.mkString(s"message $nm {\n", "\n", "\n}")
     val main = messageOf(schema, name)
-    (nested.map { case (nm, st) => messageOf(st, nm) }.toSeq :+ main)
+    (messages.map { case (nm, st) => messageOf(st, nm) }.toSeq :+ main)
       .mkString("syntax = \"proto3\";\n\n", "\n\n", "\n")
   }
 }

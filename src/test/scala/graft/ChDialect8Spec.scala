@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.ChDialectBatch8
+import graft.functions.{ChDialectBatch4, ChDialectBatch8}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class ChDialect8Spec extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = SparkTestSession.spark
+    ChDialectBatch4.register(s) // owns toStartOfFive/TenMinutes + toRelative*Num
     ChDialectBatch8.register(s)
     s
   }

@@ -347,7 +347,13 @@ class EngineIoSpec extends AnyFunSuite {
       assert(back(0).getLong(0) == 1L && back(0).getString(1) == "free" &&
         back(0).getDouble(2) == 1.5 &&
         back(0).getSeq[Long](3) == Seq(1L, 2L), wire.name)
-      assert(back(1).isNullAt(1) && back(1).getSeq[Long](3).isEmpty, wire.name)
+      // proto3 cannot represent present-but-empty repeated fields: the
+      // empty xs decodes NULL under proto (absent on the wire — round
+      // 14 session 10 made numeric arrays consistent with string/struct
+      // arrays here); Avro has a real empty-array encoding and keeps []
+      val xs2 = back(1).getSeq[Long](3)
+      assert(back(1).isNullAt(1) &&
+        (if (wire == ProtoWire) xs2 == null else xs2.isEmpty), wire.name)
 
       // corrupt + truncated bytes are dropped by decoded(), not errors
       val goodBytes = frame.select("value").head.getAs[Array[Byte]](0)

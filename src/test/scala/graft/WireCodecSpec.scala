@@ -720,7 +720,7 @@ class WireCodecSpec extends AnyFunSuite {
     def norm(v: Any): Any = v match {
       case b: Array[Byte] => b.toSeq
       case r: Row => r.toSeq.map(norm)
-      case s: Seq[_] => s.map(norm)
+      case s: scala.collection.Seq[_] => s.map(norm) // incl. mutable.ArraySeq
       // bit-pattern compare: scala == on boxed doubles is numeric, so
       // NaN != NaN; the codecs preserve the exact bits, so compare those
       case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)
@@ -741,8 +741,11 @@ class WireCodecSpec extends AnyFunSuite {
         (0 until o.length).foreach { f =>
           val ov = o.get(f)
           val protoEmpty = wire == ProtoWire && (ov match {
-            case xs: Seq[_] => xs.isEmpty
+            // collection.Seq, NOT the default immutable.Seq: Row.get
+            // hands arrays back as mutable.ArraySeq in 2.13
+            case xs: scala.collection.Seq[_] => xs.isEmpty
             case bs: Array[Byte] => bs.isEmpty
+            case a: Array[_] => a.isEmpty // primitive arrays aren't Seq
             case s: String => s.isEmpty
             case r2: Row => r2.toSeq.forall(_ == null)
             case _ => false
