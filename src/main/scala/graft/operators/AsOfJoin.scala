@@ -98,7 +98,16 @@ object AsOfJoin {
           lit(leftSide).as("__side") +:
           lit(null).cast(rStructType).as("__r") +:
           (tb.map(_._1) ++ leftCols.map(n => col(n).as(pfx + n)))): _*)
-    val r = right.select(
+    // SQL/CH ASOF semantics: a NULL never satisfies `l.k = r.k` or
+    // `r.t <= l.t`, so right rows with a NULL key or NULL time are
+    // UNMATCHABLE — drop them before the union (without this the
+    // window grouped NULL keys together and, in backward mode, a
+    // NULL-timed right row sorted FIRST and won the carry for every
+    // early left row; review round 14 session 10)
+    val rMatchable = right.where(
+      keys.map { case (_, rk) => col(rk).isNotNull }
+        .reduce(_ && _) && col(rightTime).isNotNull)
+    val r = rMatchable.select(
       keys.zipWithIndex.map { case ((_, rk), i) => col(rk).as(s"__k$i") } ++
         (col(rightTime).as("__t") +:
           lit(rightSide).as("__side") +:
@@ -117,9 +126,16 @@ object AsOfJoin {
         rightTiebreak.map(n => col(s"__tb_$n")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // a left row with a NULL key or NULL time likewise matches NOTHING
+    // (its window placement would otherwise hand it whatever the sort
+    // happened to carry)
+    val lUnmatchable = keys.map { case (lk, _) => col(pfx + lk).isNull }
+      .reduce(_ || _) || col(pfx + leftTime).isNull
     l.unionByName(r)
       .select(col("__side") +:
-        last(col("__r"), ignoreNulls = true).over(w).as("__rc") +:
+        when(lUnmatchable, lit(null).cast(rStructType))
+          .otherwise(last(col("__r"), ignoreNulls = true).over(w))
+          .as("__rc") +:
         leftCols.map(n => col(pfx + n)): _*)
       .where(col("__side") === leftSide)
       .select(leftCols.map(n => col(pfx + n).as(n)) ++

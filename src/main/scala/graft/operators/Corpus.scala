@@ -93,8 +93,11 @@ object Corpus {
         .join(labels, Seq("id"))
         .where(col("nl") =!= col("label"))
         .count()
-      // drop the previous round's checkpointed blocks — without this the
-      // block manager accumulates O(rounds × |V|) of dead label tables
+      // NOTE: unpersist() only uncaches persist()-created entries; for
+      // the localCheckpoint/checkpoint modes the previous round's blocks
+      // are freed by the ContextCleaner when the old RDDs become
+      // unreferenced (which dropping this handle enables) — the call is
+      // a cheap no-op there, kept for the (hypothetical) cached mode
       labels.unpersist()
       labels = nextM
       iter += 1
@@ -470,7 +473,9 @@ object Corpus {
         round(col("sum_freq") * lit(1.0) /
           (col("n_tokens") * col("t_tokens")), 8).as("mean_tok_prob"),
         round(col("n_hapax") * lit(1.0) / col("n_tokens"), 4).as("hapax_ratio"))
-      .orderBy(col("doc_id"))
+    // no trailing orderBy: a corpus-scale global sort dominated the
+    // operator's documented shuffle budget — callers sort if they need
+    // order (review round 14 session 10; same for bigramScore/dsirWeights)
   }
 
   /** Gap-based sessionization: rows sharing `idCol` belong to one session
@@ -1644,7 +1649,6 @@ object Corpus {
         sum(col("cnt") * col("cb")).as("sum_bi_freq"),
         round(sum(col("cnt") * col("p")) / sum(col("cnt")), 6)
           .as("mean_trans_prob"))
-      .orderBy(col("doc_id"))
   }
 
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
@@ -1724,6 +1728,5 @@ object Corpus {
             (log(col("t_raw") + lit(buckets.toDouble))
               - log(col("t_tgt") + lit(buckets.toDouble))), 4)
           .as("llr"))
-      .orderBy(col("doc_id"))
   }
 }

@@ -108,6 +108,7 @@ object CorpusQueries {
     * log-space perplexity). */
   def dUnigramScore(spark: SparkSession, dir: String): DataFrame =
     Corpus.unigramScore(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id")) // display order lives at the query edge
 
   /** Top-3 TF-IDF terms per document (rational smoothed idf — see
     * Corpus.tfidfTopTerms for why not log). */
@@ -643,10 +644,12 @@ object CorpusQueries {
   def dDsirWeights(spark: SparkSession, dir: String): DataFrame =
     Corpus.dsirWeights(docs(spark, dir), "doc_id", "text",
       col("lang") === "en", buckets = 4096)
+      .orderBy(col("doc_id"))
 
   /** Jelinek–Mercer bigram LM typicality (Corpus.bigramScore, λ=3/4). */
   def dBigramScore(spark: SparkSession, dir: String): DataFrame =
     Corpus.bigramScore(docs(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
 
   /** MOSS winnowing fingerprints (Corpus.winnowFingerprints, k=4 w=4):
     * per-doc selected-hash counts + order-free XOR digest, all

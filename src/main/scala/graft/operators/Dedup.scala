@@ -21,11 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: one representative (min id) per distinct content. */
-  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(md5(col(textCol)).as("content_hash"))
+  /** Exact dedup: one representative (min id) per distinct content.
+    * NULL-text rows are NOT duplicates of each other (the
+    * [[incrementalNew]] stance — a missing text matches nothing): each
+    * stays its own singleton row. The bare groupBy grouped every
+    * NULL-text document under the one NULL hash, reporting unrelated
+    * failed-extraction rows as copies — a dedup pass keyed on that
+    * output would have deleted them (review round 14 session 10). */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grouped = docs.where(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
       .drop("content_hash")
+    val nullSingletons = docs.where(col(textCol).isNull)
+      .select(col(idCol).as("doc_id"), lit(1L).as("n_copies"))
+    grouped.unionByName(nullSingletons)
+  }
 
   /** Cross-batch (incremental) exact dedup: the rows of `batch` whose
     * content digest does NOT already appear in `history` — the daily-dump
@@ -73,6 +84,22 @@ object Dedup {
       // optimal sizing: m = n·ln(1/p)/ln²2 bits
       val bits = math.max(64L,
         math.ceil(items * math.log(1 / fpp) / (math.log(2) * math.log(2))).toLong)
+      // BloomFilterAggregate CLAMPS its arguments to the runtime-join
+      // confs (maxNumItems default 4M, maxNumBits default 2^26) — a
+      // silent clamp ran a 10M-item history at ~11% fpp instead of the
+      // dialed 1%, flooding the exact verify with ~11x the rows in
+      // exactly the large-history regime the bloom exists for (review
+      // round 14 session 10). Raise the caps to the requested sizing;
+      // correctness never depended on them (the verify is exact), this
+      // keeps the COST dial honest.
+      val spark = history.sparkSession
+      def raiseConf(key: String, needed: Long, default: Long): Unit =
+        if (spark.conf.get(key, default.toString).toLong < needed)
+          spark.conf.set(key, needed.toString)
+      raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+        items, 4000000L)
+      raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        bits, 67108864L)
       def hashed = new XxHash64(Seq(Bridge.expression(digest)))
       val bloomBytes = history
         .select(Bridge.column(new BloomFilterAggregate(hashed,
@@ -156,14 +183,24 @@ object Dedup {
   /** LSH banding: signature split into `bands` groups of `rowsPerBand`;
     * a candidate pair shares at least one band hash. Returns distinct
     * (doc_a < doc_b) candidates via an equi-join on (band, bandHash). */
-  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  /** The (id, band, bandHash) key frame shared by every banded
+    * consumer — ONE implementation so the band-hash arithmetic cannot
+    * drift between the self-join ([[lshCandidates]]) and the
+    * cross-dataset join ([[crossNearDup]]); review round 14 session 10
+    * removed the near-verbatim copy. */
+  private[operators] def bandKeyFrame(
+      sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
           .as("bh"))
     }
-    val exploded = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val exploded = bandKeyFrame(sig, bands, rowsPerBand)
     exploded.as("x")
       .join(exploded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -192,6 +229,12 @@ object Dedup {
       threshold: Double = 0.5,
       broadcastCandidates: Option[Boolean] = None,
       broadcastMaxDocs: Long = 2000000L): DataFrame = {
+    // same dial guard as crossNearDup: a non-divisible k silently
+    // dropped signature lanes (k=25, bands=8 used only mh0..mh23) and
+    // bands > k built a zero-argument hash that failed far from the
+    // bad dial (review round 14 session 10)
+    require(bands >= 1 && k % bands == 0,
+      s"minhashDedupPairs: k=$k not divisible by bands=$bands")
     // four consumers (signatures, counts, both verify-join sides) all read
     // the distinct's shuffle output via ReuseExchange — no explicit cache
     // (see jaccardPairs note)
@@ -283,15 +326,7 @@ object Dedup {
     val rows = k / bands
     val shC = shingleSet(corpus, corpusIdCol, corpusTextCol, n)
     val shP = shingleSet(probes, probeIdCol, probeTextCol, n)
-    def bandKeys(sig: DataFrame): DataFrame = {
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
-            .as("bh"))
-      }
-      sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    }
+    def bandKeys(sig: DataFrame): DataFrame = bandKeyFrame(sig, bands, rows)
     val useBroadcast = broadcastProbes.getOrElse {
       BroadcastGate.estimateOrCount(probes) <= broadcastMaxProbes
     }
@@ -342,9 +377,25 @@ object Dedup {
   }
 
   /** SimHash near-dup candidate pairs: equi-join on any equal 16-bit band,
-    * kept when total Hamming distance ≤ maxHamming. */
+    * kept when total Hamming distance ≤ maxHamming.
+    *
+    * Completeness bound: 4 bands over 64 bits guarantee (pigeonhole)
+    * that every pair with hamming ≤ 3 shares at least one whole band —
+    * so the result is COMPLETE only for maxHamming ≤ 3 (the default).
+    * Larger maxHamming values are accepted but the candidate stage may
+    * MISS pairs whose differing bits spread across all four bands
+    * (e.g. hamming 4 with one flip per band) — dialing past the bound
+    * refuses-by-documentation rather than silently: the require names
+    * the recall gap and how to accept it. The earlier default of 8
+    * read as a complete ≤8 pair set, which the banding cannot deliver
+    * (review round 14 session 10). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 3, acceptIncomplete: Boolean = false): DataFrame = {
+    require(maxHamming <= 3 || acceptIncomplete,
+      s"simhashPairs: maxHamming=$maxHamming exceeds the 4-band " +
+        "completeness bound (pairs with one differing bit per band are " +
+        "missed past hamming 3) — pass acceptIncomplete = true to take " +
+        "the recall gap knowingly")
     val sig = simhash(docs, idCol, textCol)
     val banded = sig.select(col("id"), col("simhash"),
         explode(array((0 until 4).map(b =>

@@ -296,8 +296,15 @@ object Similarity {
     // vectors in one bucket — silent brute force)
     val planes = hyperplanes(dim, tables * bits)
     def withSigs(df: DataFrame, id: String, v: String): DataFrame = {
+      // signatures bind to the INPUT column (col(vecCol)), not the
+      // select-local alias: col(v) inside the same select leaned on
+      // lateral-column-alias resolution and, worse, silently bound to
+      // any pre-existing input column named qv/nv — hashing the wrong
+      // data into every bucket (review round 14 session 10;
+      // nearDupPairsLsh already used the safe form)
       val sigCols = (0 until tables).map { t =>
-        lshSignature(col(v), planes.slice(t * bits, (t + 1) * bits)).as(s"sig$t")
+        lshSignature(col(vecCol), planes.slice(t * bits, (t + 1) * bits))
+          .as(s"sig$t")
       }
       df.select(col(idCol).as(id) +: col(vecCol).as(v) +: sigCols: _*)
         .select(col(id), col(v),
@@ -954,8 +961,17 @@ object Similarity {
       .where(col("rank") <= (if (rerank > 0) math.max(rerank, k) else k))
     if (rerank <= 0) hamTop.select(col("qid"), col("rank"), col("nid"), col("ham"))
     else {
+      // rerankFrom must hold float vectors for BOTH id spaces — the
+      // query ids AND the corpus ids (both joins below hit it). An
+      // eval-set whose qids are absent silently matched nothing and
+      // returned an EMPTY frame (review round 14 session 10) — the
+      // joins stay inner (an absent vector can't be reranked); an
+      // unexpectedly empty result is the symptom to check against this
+      // contract.
       val vecs = rerankFrom.getOrElse(throw new IllegalArgumentException(
-        "knnHamming: rerank > 0 needs rerankFrom (the float vectors)"))
+        "knnHamming: rerank > 0 needs rerankFrom — float vectors for " +
+          "BOTH the query ids and the corpus ids (union the two tables " +
+          "if they live apart)"))
       val exact = hamTop
         .join(vecs.select(col(idCol).as("qid"), col(vecCol).as("qv")), Seq("qid"))
         .join(vecs.select(col(idCol).as("nid"), col(vecCol).as("nv")), Seq("nid"))

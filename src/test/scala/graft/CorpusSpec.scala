@@ -872,7 +872,10 @@ class CorpusSpec extends AnyFunSuite {
       broadcastVocab = Some(true))
     val shj = Corpus.unigramScore(docs, "doc_id", "text",
       broadcastVocab = Some(false))
-    assert(bc.collect().map(_.toSeq).toSeq == shj.collect().map(_.toSeq).toSeq)
+    // order-free compare: the operators no longer carry a trailing
+    // global sort (a corpus-scale cost; round 14 session 10)
+    assert(bc.collect().map(_.toSeq).sortBy(_.head.toString).toSeq ==
+      shj.collect().map(_.toSeq).sortBy(_.head.toString).toSeq)
     // the fallback plan must NOT broadcast the vocab (the 100-TB hazard:
     // a web-crawl vocab outgrows any broadcast budget)
     assert(bc.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
@@ -928,8 +931,8 @@ class CorpusSpec extends AnyFunSuite {
       broadcastVocab = Some(false))
     assert(fresh.queryExecution.executedPlan.toString
       .contains("ShuffledHashJoin"))
-    assert(stale.collect().map(_.toSeq).toSeq ==
-      fresh.collect().map(_.toSeq).toSeq)
+    assert(stale.collect().map(_.toSeq).sortBy(_.head.toString).toSeq ==
+      fresh.collect().map(_.toSeq).sortBy(_.head.toString).toSeq)
   }
 
   test("cleanPipeline: materialization modes and vocab fallback all agree") {
@@ -1228,8 +1231,9 @@ class CorpusSpec extends AnyFunSuite {
       broadcastVocab = Some(false))
     assert(fb.queryExecution.executedPlan.toString
       .contains("ShuffledHashJoin"))
-    val a = Corpus.bigramScore(docs, "doc_id", "text").collect().toSeq
-    val b = fb.collect().toSeq
+    val a = Corpus.bigramScore(docs, "doc_id", "text").collect()
+      .map(_.toSeq).sortBy(_.head.toString).toSeq
+    val b = fb.collect().map(_.toSeq).sortBy(_.head.toString).toSeq
     assert(a == b)
   }
 
