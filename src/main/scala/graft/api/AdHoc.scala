@@ -54,6 +54,19 @@ object AdHoc {
     check(plan)
   }
 
+  /** Parse-and-check WITHOUT executing — for text rewrites (ASOF) that
+    * must run a side subquery through `spark.sql` before the main gate
+    * sees the statement: `spark.sql(INSERT …)` executes EAGERLY, so an
+    * ungated subquery side was a write-through hole in the read-only
+    * contract (review round 14 session 10). */
+  def assertReadOnly(spark: SparkSession, sql: String): Unit = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    firstWriteNode(parsed).foreach { node =>
+      throw new ReadOnlyViolation(
+        s"ad-hoc queries are read-only; statement contains $node")
+    }
+  }
+
   /** Execute read-only SQL with limit injection; throws
     * [[ReadOnlyViolation]] on any DDL/DML node anywhere in the statement. */
   def query(
@@ -66,11 +79,7 @@ object AdHoc {
     val sql1 = graft.operators.FillTiesSql.rewrite(spark,
       graft.operators.AsOfSql.rewrite(spark, sql))
     val sql2 = graft.functions.ClickHouseFunctions.rewriteDialect(sql1)
-    val parsed = spark.sessionState.sqlParser.parsePlan(sql2)
-    firstWriteNode(parsed).foreach { node =>
-      throw new ReadOnlyViolation(
-        s"ad-hoc queries are read-only; statement contains $node")
-    }
+    assertReadOnly(spark, sql2)
     spark.sql(sql2).limit(math.min(math.max(limit, 0), maxLimit))
   }
 

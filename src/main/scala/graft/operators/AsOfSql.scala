@@ -76,9 +76,7 @@ object AsOfSql {
     val selIdx = kw.headOption.filter(_._1 == "select")
       .map(_._2).getOrElse(refuse("statement must start with SELECT"))
     val fromIdx = one("from")
-    val joinIdx = one("join")
-    if (kw.count(_._1 == "join") > 1)
-      refuse("other JOINs beside the ASOF JOIN")
+    val joinIdx = one("join") // >1 join already refuses inside one()
     val onIdx = kw.find(_._1 == "on").map(_._2)
     val usingIdx = kw.find(_._1 == "using").map(_._2)
     if (onIdx.isEmpty && usingIdx.isEmpty) refuse("no top-level ON or USING")
@@ -150,10 +148,16 @@ object AsOfSql {
 
     // -- build the plan and register the view --------------------------
     def side(src: String): DataFrame =
-      if (src.startsWith("(")) spark.sql(
-        graft.functions.ClickHouseFunctions.rewriteDialect(
-          src.substring(1, src.length - 1)))
-      else spark.table(src)
+      if (src.startsWith("(")) {
+        val sub = graft.functions.ClickHouseFunctions.rewriteDialect(
+          src.substring(1, src.length - 1))
+        // spark.sql(INSERT …) executes EAGERLY — gate the subquery
+        // BEFORE running it, or a write inside an ASOF side commits
+        // before AdHoc's main gate ever parses the statement (review
+        // round 14 session 10)
+        graft.api.AdHoc.assertReadOnly(spark, sub)
+        spark.sql(sub)
+      } else spark.table(src)
     val lDf0 = side(leftSrc)
     val rDf = side(rightSrc)
     val lDf = lDf0.select(lDf0.columns.map(c =>
@@ -191,11 +195,17 @@ object AsOfSql {
     val items = splitTopLevel(selectList).map { item =>
       val bareQual =
         s"""(?is)^\\s*($la|$ra)\\.([A-Za-z_]\\w*)\\s*$$""".r
+      val bareIdent = """(?is)^\s*([A-Za-z_]\w*)\s*$""".r
       item.trim match {
         case "*" | s"$_.*" => refuse(
           "SELECT * through the ASOF rewrite (name the columns — the " +
             "view's physical names are alias-prefixed)")
         case bareQual(q, c) => s"${q}__$c AS $c" // keep CH's output name
+        // a bare side-column item keeps CH's output name too — subst
+        // alone leaked the internal prefixed name into the result
+        // schema (review round 14 session 10)
+        case bareIdent(n) if uniqueBare.contains(n) =>
+          s"${uniqueBare(n)} AS $n"
         case other => subst(other)
       }
     }
@@ -243,10 +253,6 @@ object AsOfSql {
     (src, alias)
   }
 
-  private def topLevelKeywords(sql: String): Seq[(String, Int)] =
-    topLevelKeywords(sql, Set("select", "from", "join", "on", "where",
-      "order", "limit"))
-
   /** Top-level (paren-depth-0, outside string literals) occurrences of
     * the given lower-case keywords, in order. Shared by the
     * session-aware text rewrites (ASOF / WITH FILL / WITH TIES). */
@@ -266,7 +272,11 @@ object AsOfSql {
           while (i < sql.length &&
             (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
           val w = sql.substring(start, i).toLowerCase
-          if (depth == 0 && words(w)) out += ((w, start))
+          // a QUALIFIED identifier (la.limit, t.on) is a column ref,
+          // never a clause keyword — matching it mis-segmented the
+          // statement (review round 14 session 10)
+          val qualified = start > 0 && sql.charAt(start - 1) == '.'
+          if (depth == 0 && !qualified && words(w)) out += ((w, start))
         case _ => i += 1
       }
     }

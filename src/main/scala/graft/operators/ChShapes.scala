@@ -70,13 +70,25 @@ object ChShapes {
   def limitWithTies(df: DataFrame, n: Int, key: Column,
       descending: Boolean = false): DataFrame = {
     require(n > 0, s"LIMIT $n WITH TIES: n must be positive")
-    val ordered = df.orderBy(if (descending) key.desc else key.asc).limit(n)
+    // NULLS LAST in both directions (ClickHouse's default ordering):
+    // Spark's bare asc is NULLS FIRST, which let NULL keys consume the
+    // top-n slots and then be DROPPED by the three-valued boundary
+    // comparison — fewer than n rows back (review round 14 session 10).
+    // If the top-n reaches INTO the null tail, the n-th row's key is
+    // NULL and CH's ties-with-the-last-row rule keeps every NULL key
+    // (NULLs compare equal for ordering) — the __ties_nulltail arm.
+    // Empty input: both boundary columns are NULL, neither arm fires.
+    val ordered = df.orderBy(
+      if (descending) key.desc_nulls_last else key.asc_nulls_last).limit(n)
     val boundary = ordered.agg(
-      (if (descending) min(key) else max(key)).as("__ties_boundary"))
+      (if (descending) min(key) else max(key)).as("__ties_boundary"),
+      max(when(key.isNull, 1).otherwise(0)).as("__ties_nulltail"))
     df.crossJoin(broadcast(boundary))
-      .where(if (descending) key >= col("__ties_boundary")
-             else key <= col("__ties_boundary"))
-      .drop("__ties_boundary")
+      .where(
+        (if (descending) key >= col("__ties_boundary")
+         else key <= col("__ties_boundary")) ||
+        (col("__ties_nulltail") === 1 && key.isNull))
+      .drop("__ties_boundary", "__ties_nulltail")
   }
 
   // -------------------------------------------------------- WITH TOTALS

@@ -51,12 +51,16 @@ object Multimodal {
     * byte-slice standing in for the decoded frame (a real video decoder —
     * not in the JDK — plugs into exactly this generator shape). Fan-out
     * is distributed, no driver loop. */
-  def sampleFrames(media: DataFrame, nFrames: Int): DataFrame =
+  def sampleFrames(media: DataFrame, nFrames: Int): DataFrame = {
+    // sequence(0, nFrames-1) steps BACKWARD when nFrames <= 0, emitting
+    // phantom frames instead of zero (review round 14 session 10)
+    require(nFrames > 0, s"sampleFrames: nFrames must be positive, got $nFrames")
     media.select(col("media_id"), col("mime"),
         posexplode(transform(sequence(lit(0), lit(nFrames - 1)), i =>
           substring(col("payload"), (i * 128 + 1).cast(IntegerType), lit(128)))))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_bytes")
+  }
 
   /** Batched kernel over opaque payloads: [[fakeFeatures]]' hash math as a
     * partition-at-a-time typed plan — the execution shape shared with the
@@ -431,7 +435,9 @@ object Multimodal {
         var usPerFrame = 0L; var totalFrames = 0L
         var w = 0; var h = 0; var handler = ""
         var sr = 0L; var sg = 0L; var sb = 0L; var decoded = 0L
+        var nPix = 0L
         def sumDib(off: Int): Unit = {
+          nPix += w.toLong * h // DIB frame dims ARE the header's
           val stride = ((w * 3 + 3) / 4) * 4
           var y = 0
           while (y < h) {
@@ -450,6 +456,11 @@ object Multimodal {
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(b, off, len))
           require(img != null, s"media_id=$id: undecodable MJPG frame")
+          // means divide by the ACTUAL decoded pixel count, not the
+          // header's w*h — real captures routinely lie in avih, and
+          // trusting it made the means silently wrong (review round 14
+          // session 10)
+          nPix += img.getWidth.toLong * img.getHeight
           var y = 0
           while (y < img.getHeight) {
             var x = 0
@@ -468,6 +479,12 @@ object Multimodal {
           while (pos + 8 <= until) {
             val cid = str(pos, 4)
             val size = u32(pos + 4).toInt
+            // a malformed/adversarial size (u32 past Int.MaxValue goes
+            // negative under .toInt) must refuse loudly — pos would
+            // stop advancing and the executor task would spin forever
+            // (review round 14 session 10)
+            require(size >= 0 && pos + 8 + size <= until,
+              s"AVI: malformed chunk size $size at offset $pos")
             if (cid == "LIST") walk(pos + 12, pos + 8 + size)
             else if (cid == "avih") {
               usPerFrame = u32(pos + 8); totalFrames = u32(pos + 8 + 16)
@@ -482,7 +499,7 @@ object Multimodal {
         walk(12, b.length)
         require(decoded == totalFrames,
           s"media_id=$id: header claims $totalFrames frames, found $decoded")
-        val n = (decoded * w * h).toDouble
+        val n = nPix.toDouble
         org.apache.spark.sql.Row(id, handler.trim, w, h, decoded,
           decoded * usPerFrame / 1000L, sr / n, sg / n, sb / n)
       }
@@ -653,6 +670,12 @@ object Multimodal {
           while (pos + 8 <= until) {
             val cid = str(pos, 4)
             val size = u32(pos + 4).toInt
+            // a malformed/adversarial size (u32 past Int.MaxValue goes
+            // negative under .toInt) must refuse loudly — pos would
+            // stop advancing and the executor task would spin forever
+            // (review round 14 session 10)
+            require(size >= 0 && pos + 8 + size <= until,
+              s"AVI: malformed chunk size $size at offset $pos")
             if (cid == "LIST") walk(pos + 12, pos + 8 + size)
             else if (cid == "avih") {
               w = u32(pos + 8 + 32).toInt; h = u32(pos + 8 + 36).toInt
@@ -714,6 +737,12 @@ object Multimodal {
           while (pos + 8 <= until) {
             val cid = str(pos, 4)
             val size = u32(pos + 4).toInt
+            // a malformed/adversarial size (u32 past Int.MaxValue goes
+            // negative under .toInt) must refuse loudly — pos would
+            // stop advancing and the executor task would spin forever
+            // (review round 14 session 10)
+            require(size >= 0 && pos + 8 + size <= until,
+              s"AVI: malformed chunk size $size at offset $pos")
             if (cid == "LIST") walk(pos + 12, pos + 8 + size)
             else if (cid == "strh") lastStrh = str(pos + 8, 4)
             else if (cid == "strf" && lastStrh == "auds") {
@@ -837,6 +866,12 @@ object Multimodal {
           while (pos + 8 <= until) {
             val cid = str(pos, 4)
             val size = u32(pos + 4).toInt
+            // a malformed/adversarial size (u32 past Int.MaxValue goes
+            // negative under .toInt) must refuse loudly — pos would
+            // stop advancing and the executor task would spin forever
+            // (review round 14 session 10)
+            require(size >= 0 && pos + 8 + size <= until,
+              s"AVI: malformed chunk size $size at offset $pos")
             if (cid == "LIST") walk(pos + 12, pos + 8 + size)
             else if (cid == "avih") {
               usPerFrame = u32(pos + 8); totalFrames = u32(pos + 8 + 16)

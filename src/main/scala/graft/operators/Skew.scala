@@ -28,11 +28,21 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Uniform salt in [0, buckets): deterministic per row content where
-    * possible — `pmod(hash(all cols), buckets)` — so retries re-salt
-    * identically (no shuffle-nondeterminism on task re-run). */
+  /** Uniform salt in [0, buckets): row-content hash MIXED with the row's
+    * physical position (partition id + per-partition counter). Content
+    * alone was the original formulation — deterministic on retry, but it
+    * collapsed exactly where salting matters most: a hot key whose rows
+    * carry identical content (the empty-string-default case this file's
+    * own doc names) all hashed to ONE salt, so the "spread" still
+    * landed on one task (review round 14 session 10). The position mix
+    * restores the spread; per-task retries regenerate the same
+    * (partition, counter) stream, so re-salting stays deterministic
+    * under Spark's per-task replay (the property the original sought).
+    * Salt assignment never changes RESULTS for the salted agg/join —
+    * partial merges are salt-agnostic — only the distribution. */
   def saltColumn(df: DataFrame, buckets: Int): Column =
-    pmod(hash(df.columns.map(col): _*), lit(buckets))
+    pmod(hash(monotonically_increasing_id() +:
+      df.columns.map(col): _*), lit(buckets))
 
   /** Two-phase salted aggregation: `aggs` must be algebraic pairs
     * (partialExpr, mergeExpr-by-name). Example:
