@@ -159,11 +159,15 @@ final case class WfTask[I, O](
         s"wf-task-$name")
       t.setDaemon(true)
       t.start()
-      try t.join(d.toMillis)
+      // Thread.join(0) means "wait forever": a sub-millisecond timeout
+      // (d.toMillis == 0) must still time out, so the wait is floored
+      // at 1 ms (ADVICE round 14).
+      val waitMs = math.max(1L, d.toMillis)
+      try t.join(waitMs)
       catch { case e: InterruptedException => t.interrupt(); throw e }
       if (t.isAlive) {
         t.interrupt()
-        try t.join(d.toMillis)
+        try t.join(waitMs)
         catch { case e: InterruptedException => throw e }
         if (t.isAlive)
           throw new WfAbort(s"task $name: attempt still running " +

@@ -253,11 +253,21 @@ object ChDialectExtras {
       val (start, end) =
         if (a.length > 1) (Cast(a.head, LongType), Cast(a(1), LongType))
         else (Literal(0L), Cast(a.head, LongType))
-      val step = if (a.length > 2) Cast(a(2), LongType) else Literal(1L)
+      val rawStep = if (a.length > 2) Cast(a(2), LongType) else Literal(1L)
+      // CH refuses step <= 0 loudly ("A call to function range overflows"
+      // family / step-must-be-positive); the unguarded rewrite instead
+      // gave NULL for step=0 (IntegralDivide by zero) and handed a
+      // negative step to Sequence against an ascending bound (ADVICE
+      // round 14). Guard BEFORE the divide so neither path is reachable.
+      val step = rawStep
       val span = Subtract(Subtract(end, start), Literal(1L))
       val stop = Add(start, Multiply(IntegralDivide(span, step), step))
-      If(LessThanOrEqual(end, start), emptyLongArray,
-        new Sequence(start, stop, Some(step)))
+      If(Not(GreaterThan(rawStep, Literal(0L))),
+        Cast(new RaiseError(Concat(Seq(
+          Literal("range: step must be positive, got "),
+          Cast(rawStep, StringType)))), ArrayType(LongType)),
+        If(LessThanOrEqual(end, start), emptyLongArray,
+          new Sequence(start, stop, Some(step))))
     }
     f("arrayUniq")(a => Cast(Size(ArrayDistinct(a.head)), LongType))
     // arrayDifference: [0, a1-a0, a2-a1, …] — index lambda + 1-based

@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Exact per-user ClickHouse `sequenceCount`/`sequenceMatch` evaluator
+  * for the FULL chain grammar — `.*` gaps, bare adjacency
+  * (immediately-follows among matched events), and `(?t OP n)` time
+  * constraints including the exact-gap `(?t==n)` the column-HOF folds
+  * in [[graft.operators.Funnel]] cannot answer (ref: CH
+  * AggregateFunctionSequenceMatch's pattern grammar — this closes the
+  * last DIVERGENCES #30 refusals).
+  *
+  * Input: one user's `array<struct<us: bigint, m: bigint>>`, sorted
+  * ascending by (us, m) — exactly the `array_sort(collect_list(...))`
+  * shape every Funnel fold consumes. Output: the greedy
+  * NON-OVERLAPPING occurrence count (full state reset on each
+  * completion — the same deterministic reading as the untimed
+  * NFA-powerset fold); `seq_match ⟺ count ≥ 1`, because the DP tracks
+  * EVERY reachable parse simultaneously, so the leftmost completion of
+  * any parse is always found.
+  *
+  * Algorithm — an event-outer NFA-powerset DP whose per-level state is
+  * a complete summary of all parses: a gap check only ever asks about
+  * the SET of achievable predecessor-completion timestamps (timed/any
+  * gaps) or completion-at-the-previous-event (adjacency), so per chain
+  * level it suffices to keep
+  *  - min/max achievable completion timestamp (answers `>=`/`>`
+  *    resp. `<=`/`<` and plain `.*` exists-queries exactly — for one
+  *    bound direction the extreme predecessor is optimal),
+  *  - a hash set of completion timestamps ONLY for levels feeding a
+  *    `(?t==n)` gap (exact membership),
+  *  - one boolean "completed ending exactly at the previous event"
+  *    (adjacency — event-ORDER based, like the untimed fold: CH's
+  *    aggregate stores only condition-matching events, so
+  *    "immediately follows" means next among matched events, ties
+  *    included),
+  *  - a pending buffer for completions at the CURRENT timestamp:
+  *    timed and `.*` steps must advance in STRICTLY increasing event
+  *    time (the DIVERGENCES #30 determinism stance — CH leaves
+  *    equal-timestamp order unspecified), so same-timestamp
+  *    completions become visible to those gap checks only once time
+  *    advances. A consequence: `(?t==0)` never matches, by design.
+  *
+  * One pass, O(events × chainLength) per user, state O(chainLength)
+  * plus the `==`-gap sets (bounded by the user's matched events —
+  * the same order of memory CH's own aggregate holds, which stores
+  * every matched event). Evaluated once per user row after the
+  * groupBy, never in an analytic hot loop — CodegenFallback like the
+  * wire codecs.
+  *
+  * @param chain 1-based condition index per chain step
+  * @param gaps  per gap (between step j and j+1): (adjacent,
+  *              optional (op, seconds)); adjacency and a time
+  *              constraint are mutually exclusive by the grammar
+  */
+case class ChSequenceCountTimed(
+    child: Expression,
+    chain: Seq[Int],
+    gaps: Seq[(Boolean, Option[(String, Long)])])
+    extends UnaryExpression with CodegenFallback {
+
+  require(chain.nonEmpty && chain.length <= 32 &&
+    gaps.length == chain.length - 1,
+    s"ChSequenceCountTimed: ${chain.length} steps need ${chain.length - 1} gaps")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(f1, f2)), _)
+        if f1.dataType == LongType && f2.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<struct<bigint,bigint>> of (us, mask), got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = chain.length
+    val needBit = chain.map(r => 1L << (r - 1)).toArray
+    // level j's completions feed gap gaps(j); usable = ts strictly
+    // before the current event's ts
+    val minTs = Array.fill(k)(Long.MaxValue)
+    val maxTs = Array.fill(k)(Long.MinValue)
+    val eqSets: Array[java.util.HashSet[java.lang.Long]] =
+      Array.tabulate(k) { j =>
+        if (j < gaps.length && gaps(j)._2.exists(_._1 == "=="))
+          new java.util.HashSet[java.lang.Long]()
+        else null
+      }
+    val endedPrev = new Array[Boolean](k)
+    val endsHere = new Array[Boolean](k)
+    val pending = Array.fill(k)(new scala.collection.mutable.ArrayBuffer[Long]())
+    var lastTs = 0L
+    var haveLast = false
+    var count = 0L
+    def flush(): Unit = {
+      var j = 0
+      while (j < k) {
+        val p = pending(j)
+        var x = 0
+        while (x < p.length) {
+          val t = p(x)
+          if (t < minTs(j)) minTs(j) = t
+          if (t > maxTs(j)) maxTs(j) = t
+          if (eqSets(j) != null) eqSets(j).add(t)
+          x += 1
+        }
+        p.clear()
+        j += 1
+      }
+    }
+    def resetAll(): Unit = {
+      var j = 0
+      while (j < k) {
+        minTs(j) = Long.MaxValue
+        maxTs(j) = Long.MinValue
+        if (eqSets(j) != null) eqSets(j).clear()
+        endedPrev(j) = false
+        pending(j).clear()
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      // a NULL timestamp can satisfy no gap comparison (SQL unknown) —
+      // the event is invisible, matching the HOF folds' propagation
+      if (!row.isNullAt(0)) {
+        val us = row.getLong(0)
+        val m = if (row.isNullAt(1)) 0L else row.getLong(1)
+        if (!haveLast) { haveLast = true; lastTs = us }
+        else if (us > lastTs) { flush(); lastTs = us }
+        // all endsHere from PRE-event state: one event advances at most
+        // one chain position per parse (each atom consumes an event)
+        var j = 0
+        while (j < k) {
+          val hit = (m & needBit(j)) != 0
+          endsHere(j) = hit && (j == 0 || {
+            val (adjacent, time) = gaps(j - 1)
+            if (adjacent) endedPrev(j - 1)
+            else time match {
+              case None => maxTs(j - 1) != Long.MinValue
+              case Some((op, secs)) =>
+                val nUs = secs * 1000000L
+                op match {
+                  case "<=" =>
+                    maxTs(j - 1) != Long.MinValue && us - maxTs(j - 1) <= nUs
+                  case "<" =>
+                    maxTs(j - 1) != Long.MinValue && us - maxTs(j - 1) < nUs
+                  case ">=" =>
+                    minTs(j - 1) != Long.MaxValue && us - minTs(j - 1) >= nUs
+                  case ">" =>
+                    minTs(j - 1) != Long.MaxValue && us - minTs(j - 1) > nUs
+                  case "==" =>
+                    eqSets(j - 1) != null && eqSets(j - 1).contains(us - nUs)
+                }
+            }
+          })
+          j += 1
+        }
+        if (endsHere(k - 1)) { count += 1; resetAll() }
+        else {
+          j = 0
+          while (j < k) {
+            if (endsHere(j)) pending(j) += us
+            endedPrev(j) = endsHere(j)
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    count
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ChSequenceCountTimed = copy(child = newChild)
+}

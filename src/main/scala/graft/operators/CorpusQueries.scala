@@ -580,12 +580,46 @@ object CorpusQueries {
           col("event_type") === "purchase"))
       .orderBy(col("user_id"))
 
+  /** Round-15 DIVERGENCES #30 closure, part 1: ADJACENCY *inside a
+    * timed pattern* — `(?1)(?2)(?t<=900)(?3)`: a view IMMEDIATELY
+    * followed by a click (event order among matched events), then a
+    * purchase strictly later but within 900 s of that click. Routed to
+    * the exact per-user DP ([[graft.functions.ChSequenceCountTimed]]);
+    * the oracle brute-forces the EXISTS over row_number-adjacent pairs
+    * plus a gap-bounded third join — structurally independent. */
+  def qSequenceTimedAdj(spark: SparkSession, dir: String): DataFrame =
+    Funnel.sequenceMatchTimed(Tables.load(spark, dir, "events"),
+        "user_id", "ts", "(?1)(?2)(?t<=900)(?3)",
+        Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+      .orderBy(col("user_id"))
+
+  /** Round-15 DIVERGENCES #30 closure, part 2: the `(?t==n)` EXACT-GAP
+    * constraint — `(?1)(?t==60)(?2)` over minute-truncated timestamps
+    * (µs-granular raw gaps are never exactly 60 s, so the query
+    * pre-truncates, the same thing a CH user does by storing DateTime
+    * seconds): a view followed by a click whose truncated ts is exactly
+    * one minute later. Answered by the DP's per-level timestamp-set
+    * membership; the oracle is the two-way join on the exact 60 s
+    * difference. */
+  def qSequenceTimedEq(spark: SparkSession, dir: String): DataFrame =
+    Funnel.sequenceMatchTimed(
+        Tables.load(spark, dir, "events")
+          .withColumn("ts_min", date_trunc("minute", col("ts"))),
+        "user_id", "ts_min", "(?1)(?t==60)(?2)",
+        Seq(col("event_type") === "view",
+          col("event_type") === "click"))
+      .orderBy(col("user_id"))
+
   def queries: Map[String, Q] = Map(
     "e_kmeans" -> (eKmeans _),
     "q_sequence_count" -> (qSequenceCount _),
     "q_sequence_adj" -> (qSequenceAdj _),
     "q_sequence_next" -> (qSequenceNext _),
     "q_sequence_match_t" -> (qSequenceMatchT _),
+    "q_sequence_timed_adj" -> (qSequenceTimedAdj _),
+    "q_sequence_timed_eq" -> (qSequenceTimedEq _),
     "q_window_funnel" -> (qWindowFunnel _),
     "q_window_funnel5" -> (qWindowFunnel5 _),
     "q_window_funnel_strict" -> (qWindowFunnelStrict _),
@@ -784,6 +818,41 @@ object CorpusQueries {
         |      AND a.t = 'view' AND b.t = 'click' AND c.t = 'purchase'
         |      AND b.us > a.us AND b.us - a.us <= 900 * 1000000
         |      AND c.us > b.us) AS seq_match
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |ORDER BY u.user_id""".stripMargin,
+    // adjacency (row_number over the same (us, mask) sort the DP's
+    // array_sort uses) + the <=900 s third step — brute-force EXISTS
+    "q_sequence_timed_adj" ->
+      """WITH e AS (SELECT user_id, event_type AS t,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |         ELSE 4 END AS m
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |s AS (SELECT user_id, t, us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, m) AS i
+        |  FROM e)
+        |SELECT u.user_id,
+        |  EXISTS (
+        |    SELECT 1 FROM s a, s b, s c
+        |    WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+        |      AND c.user_id = u.user_id
+        |      AND a.t = 'view' AND b.t = 'click' AND c.t = 'purchase'
+        |      AND b.i = a.i + 1
+        |      AND c.us > b.us AND c.us - b.us <= 900 * 1000000) AS seq_match
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |ORDER BY u.user_id""".stripMargin,
+    // exact 60 s gap over minute-truncated timestamps — the two-way
+    // join restatement of the (?t==n) membership check
+    "q_sequence_timed_eq" ->
+      """WITH e AS (SELECT user_id, event_type AS t,
+        |    epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS us
+        |  FROM events WHERE event_type IN ('view', 'click'))
+        |SELECT u.user_id,
+        |  EXISTS (
+        |    SELECT 1 FROM e a, e b
+        |    WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+        |      AND a.t = 'view' AND b.t = 'click'
+        |      AND b.us - a.us = 60 * 1000000) AS seq_match
         |FROM (SELECT DISTINCT user_id FROM events) u
         |ORDER BY u.user_id""".stripMargin,
     // the rank-1 BPE merge recomputed exactly (frequency-weighted top

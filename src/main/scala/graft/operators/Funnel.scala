@@ -250,17 +250,24 @@ object Funnel {
     * between atoms: `(?1)(?t<=900)(?2).*(?3)`. Between two atoms any mix
     * of `.*` and at most ONE time constraint is allowed (CH's grammar —
     * a time constraint is itself a `.*`-style separator with a gap
-    * condition). Returns the 1-based condition refs and, per gap, the
-    * optional (op, seconds). `==` constraints are refused: neither
-    * frontier DP is exact for an exact-gap demand. */
+    * condition), or NOTHING (bare adjacency, CH's immediately-follows
+    * atom — round 15: previously refused here, now parsed; adjacency
+    * and a time constraint on the same gap remain mutually exclusive,
+    * as in the grammar itself). Returns the 1-based condition refs and,
+    * per gap, (adjacent, optional (op, seconds)). `==` constraints
+    * parse too since round 15 — the exact-membership DP
+    * ([[graft.functions.ChSequenceCountTimed]]) answers them; the
+    * single-extreme frontier fold still cannot, so
+    * [[sequenceMatchTimed]] routes on the parse result. */
   private[graft] def parseTimed(pattern: String, nConds: Int)
-      : (Seq[Int], Seq[Option[(String, Long)]]) = {
+      : (Seq[Int], Seq[(Boolean, Option[(String, Long)])]) = {
     val tok = java.util.regex.Pattern.compile(
       """\(\?(\d+)\)|\(\?t(<=|<|>=|>|==)(\d+)\)|\.\*""")
     val m = tok.matcher(pattern)
     var pos = 0
     val refs = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val gaps = scala.collection.mutable.ArrayBuffer.empty[Option[(String, Long)]]
+    val gaps =
+      scala.collection.mutable.ArrayBuffer.empty[(Boolean, Option[(String, Long)])]
     var pending: Option[(String, Long)] = None
     var seenAtom = false
     var sepSinceAtom = false
@@ -269,15 +276,9 @@ object Funnel {
         s"unsupported sequence pattern '$pattern' at offset $pos")
       pos = m.end()
       if (m.group(1) != null) {
-        // bare adjacency '(?1)(?2)' means IMMEDIATELY-follows in CH — a
-        // different DP than any-gap. Refuse loudly (the DIVERGENCES #30
-        // stance, and what the untimed parseChain already does) rather
-        // than silently matching it like '(?1).*(?2)'.
-        require(!seenAtom || sepSinceAtom,
-          s"pattern '$pattern': adjacent atoms (CH immediately-follows " +
-            "semantics) are not supported — separate with '.*' or a " +
-            "'(?t OP n)' constraint")
-        if (seenAtom) { gaps += pending; pending = None }
+        // bare adjacency '(?1)(?2)' = IMMEDIATELY-follows among
+        // matched events (nothing between the atoms ⇒ adjacent gap)
+        if (seenAtom) { gaps += ((!sepSinceAtom, pending)); pending = None }
         refs += m.group(1).toInt
         seenAtom = true
         sepSinceAtom = false
@@ -286,8 +287,6 @@ object Funnel {
           "any condition atom")
         require(pending.isEmpty, s"pattern '$pattern': at most one time " +
           "constraint per gap")
-        require(m.group(2) != "==", s"pattern '$pattern': (?t==n) exact-gap " +
-          "constraints are not supported (use >=/<= bounds)")
         pending = Some((m.group(2), m.group(3).toLong))
         sepSinceAtom = true
       } else sepSinceAtom = true // '.*' — separator
@@ -322,15 +321,31 @@ object Funnel {
     * `aggregate` HOF pass over (ts, mask)-sorted events, the same shape
     * as [[windowFunnel]]: no self-join, state = k longs.
     *
-    * Determinism stance (DIVERGENCES #30): chain steps must advance in
-    * STRICTLY increasing event time (CH leaves equal-timestamp order
-    * unspecified); gap arithmetic is whole µs. */
+    * Determinism stance (DIVERGENCES #30): chain steps separated by
+    * `.*` or a time constraint must advance in STRICTLY increasing
+    * event time (CH leaves equal-timestamp order unspecified); gap
+    * arithmetic is whole µs. Bare-ADJACENCY gaps are event-ORDER
+    * based over the (ts, mask)-sorted matched events — same stance as
+    * the untimed [[sequenceCount]] fold. Patterns containing
+    * adjacency or `(?t==n)` route to the exact per-user DP
+    * ([[graft.functions.ChSequenceCountTimed]]); pure
+    * single-direction-bound chains keep the frontier fold below. */
   def sequenceMatchTimed(
       events: DataFrame, userCol: String, tsCol: String,
       pattern: String, conds: Seq[Column]): DataFrame = {
     require(conds.nonEmpty && conds.length <= 32,
       s"sequenceMatchTimed: 1..32 conditions, got ${conds.length}")
-    val (chain, gaps) = parseTimed(pattern, conds.length)
+    val (chain, pgaps) = parseTimed(pattern, conds.length)
+    // Adjacency gaps and (?t==n) exact-gap constraints (both refused
+    // until round 15) need more than one extreme per level: the former
+    // needs ended-at-previous-EVENT, the latter exact timestamp-set
+    // membership. Those patterns route to the exact per-user DP
+    // expression; single-direction-bound chains keep the cheaper
+    // column-HOF frontier fold below (oracled since round 13).
+    if (pgaps.exists(g => g._1 || g._2.exists(_._1 == "==")))
+      return timedDpByUser(events, userCol, tsCol, conds, chain, pgaps)
+        .select(col("user_id"), (col("seq_count") > 0).as("seq_match"))
+    val gaps = pgaps.map(_._2)
     val k = chain.length
     // level j's stored extreme serves gap j+1 (gaps(j)); the last level
     // only answers the existence question, direction immaterial
@@ -392,6 +407,58 @@ object Funnel {
         Seq("user_id"), "left")
       .select(col("user_id"),
         coalesce(col("sm"), lit(false)).as("seq_match"))
+  }
+
+  /** ClickHouse `sequenceCount(pattern)(ts, cond1, …)` for the FULL
+    * timed grammar — any mix of `.*` gaps, bare adjacency, and
+    * `(?t OP n)` constraints including `==` (the forms the untimed
+    * [[sequenceCount]] refuses): per user, the greedy non-overlapping
+    * occurrence count, full state reset on each completion (the same
+    * deterministic reading as the untimed NFA fold; DIVERGENCES #30).
+    * Evaluated by the exact per-user DP expression
+    * [[graft.functions.ChSequenceCountTimed]] — see its doc for the
+    * state argument (per-level timestamp extremes + `==`-gap
+    * membership sets are a COMPLETE summary of all parses).
+    *
+    * Scale shape: identical to every other Funnel aggregate — filter
+    * to matching events, one groupBy(user), a row-local evaluation
+    * over each user's sorted events. No self-join; per-user state
+    * O(chain) plus `==`-gap sets bounded by that user's events. */
+  def sequenceCountTimed(
+      events: DataFrame, userCol: String, tsCol: String,
+      pattern: String, conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty && conds.length <= 32,
+      s"sequenceCountTimed: 1..32 conditions, got ${conds.length}")
+    val (chain, pgaps) = parseTimed(pattern, conds.length)
+    timedDpByUser(events, userCol, tsCol, conds, chain, pgaps)
+      .select(col("user_id"), col("seq_count"),
+        (col("seq_count") > 0).as("seq_match"))
+  }
+
+  /** Shared tail of the exact-DP timed forms: condition mask → filter
+    * to matching events (CH's aggregate stores only those) →
+    * groupBy(user) → per-user
+    * [[graft.functions.ChSequenceCountTimed]] over the (ts, mask)-
+    * sorted array → left join back so event-less users report 0. */
+  private def timedDpByUser(
+      events: DataFrame, userCol: String, tsCol: String,
+      conds: Seq[Column], chain: Seq[Int],
+      gaps: Seq[(Boolean, Option[(String, Long)])]): DataFrame = {
+    val mask = conds.zipWithIndex
+      .map { case (c, i) => when(c, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce((a, b) => a.bitwiseOR(b))
+    val base = events
+      .select(col(userCol).as("user_id"),
+        struct(unix_micros(col(tsCol)).as("us"), mask.as("m")).as("e"))
+      .where(col("e.m") =!= 0)
+    val byUser = base.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("e"))).as("evs"))
+    val cnt = Bridge.column(graft.functions.ChSequenceCountTimed(
+      Bridge.expression(col("evs")), chain, gaps))
+    events.select(col(userCol).as("user_id")).distinct()
+      .join(byUser.select(col("user_id"), cnt.as("c")),
+        Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("c"), lit(0L)).as("seq_count"))
   }
 
   /** ClickHouse `retention(cond1, …, condN)` analogue — the cohort

@@ -79,13 +79,18 @@ final class SchemaRegistry(dir: String) {
   /** Register (idempotently) and return the schema's global id.
     * Cross-PROCESS safe: the read-modify-write holds an exclusive
     * lock on a sidecar `.lock` file (the store itself is replaced by
-    * atomic rename, so it can't carry the lock); `synchronized`
-    * serializes threads within one JVM (two registry instances over
-    * one dir in one JVM share the OS lock safely — FileLock is held
-    * per channel and released in the finally). */
-  def register(subject: String, avsc: String): Int = synchronized {
-    val raf = new java.io.RandomAccessFile(
-      new java.io.File(dir, "registry.lock"), "rw")
+    * atomic rename, so it can't carry the lock). Same-JVM safety
+    * CANNOT come from instance `synchronized` + the OS lock alone:
+    * FileLock is held per JVM, not per channel, so a SECOND registry
+    * instance over the same dir would hit
+    * OverlappingFileLockException instead of blocking (ADVICE round
+    * 14). Threads therefore serialize on a process-wide monitor keyed
+    * by the lock file's canonical path BEFORE touching the channel —
+    * at most one channel per lock path per JVM is ever locked. */
+  def register(subject: String, avsc: String): Int = {
+    val lockFile = new java.io.File(dir, "registry.lock")
+    SchemaRegistry.jvmMutex(lockFile.getCanonicalPath).synchronized {
+    val raf = new java.io.RandomAccessFile(lockFile, "rw")
     try {
       val lock = raf.getChannel.lock()
       try {
@@ -101,6 +106,7 @@ final class SchemaRegistry(dir: String) {
         }
       } finally lock.release()
     } finally raf.close()
+    }
   }
 
   def byId(id: Int): Option[String] = load().find(_.id == id).map(_.avsc)
@@ -116,6 +122,16 @@ final class SchemaRegistry(dir: String) {
   /** Every registered (id → schema) — the decode side's dispatch table
     * (ids are global, like the public registry's). */
   def allById: Map[Int, String] = load().map(e => e.id -> e.avsc).toMap
+}
+
+object SchemaRegistry {
+  /** One monitor per canonical lock-file path, process-wide: the
+    * same-JVM half of [[SchemaRegistry.register]]'s locking (the OS
+    * FileLock is the cross-process half). */
+  private val mutexes =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private[streaming] def jvmMutex(canonicalLockPath: String): AnyRef =
+    mutexes.computeIfAbsent(canonicalLockPath, _ => new AnyRef)
 }
 
 /** Registry-framed Avro decode: per DATUM, read the Confluent framing

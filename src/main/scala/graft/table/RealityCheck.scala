@@ -105,7 +105,20 @@ object RealityCheck {
 
       val missing = declaredStored.flatMap { c =>
         if (storedByName.contains(c.name)) None
-        else if (c.nullable || c.default.nonEmpty) None // metadata-only add
+        // Only a PLAIN nullable column (no default, no materialized
+        // expression) is a metadata-only add: parquet has no footer
+        // defaults, so an absent defaulted/materialized column would
+        // read back null where the declaration promises a value — the
+        // exact class TableMigrator backfills, so it IS drift and must
+        // be reported (ADVICE round 14; was excused before).
+        else if (c.nullable && c.default.isEmpty && c.materialized.isEmpty)
+          None // metadata-only add: reads legitimately null-fill
+        else if (c.default.nonEmpty || c.materialized.nonEmpty)
+          Some(ColumnDrift(c.name, Some(c.tpe.toString), None,
+            "declared with a default/materialized expression but absent " +
+              "from storage — parquet null-fills (no footer defaults), " +
+              "so reads would return null where the declaration promises " +
+              "a value; run the TableMigrator backfill for this column"))
         else Some(ColumnDrift(c.name, Some(c.tpe.toString), None,
           "declared non-nullable with no default but absent from " +
             "storage — reads would fabricate nulls; run a TableMigrator " +

@@ -622,17 +622,84 @@ class CorpusSpec extends AnyFunSuite {
       (1L, ts(0), "a"), (1L, ts(1000), "b"), (1L, ts(1040), "c"),
       (2L, ts(0), "a"), (2L, ts(1000), "b"), (2L, ts(1100), "c")))
     assert(comp == Map(1L -> true, 2L -> false))
-    // parser refusals: exact-gap, trailing constraint, double
-    // constraint, and BARE adjacency '(?1)(?2)' (CH immediately-follows
-    // — a different DP; silently matching it as '.*' was the r9 ADVICE
-    // bug)
-    for (bad <- Seq("(?1)(?t==5)(?2)", "(?1)(?t<=5)",
-        "(?1)(?t<=5)(?t<=6)(?2)", "(?t<=5)(?1)", "(?1)(?2)",
-        "(?1).*(?2)(?2)")) {
+    // parser refusals: trailing constraint, double constraint, leading
+    // constraint (exact-gap and bare adjacency PARSE since round 15 —
+    // they route to the exact DP, tested below)
+    for (bad <- Seq("(?1)(?t<=5)",
+        "(?1)(?t<=5)(?t<=6)(?2)", "(?t<=5)(?1)")) {
       intercept[IllegalArgumentException] {
         run(bad, Seq((1L, ts(0), "a")), nConds = 2)
       }
     }
+  }
+
+  test("timed sequence DP (round 15): adjacency in timed patterns, " +
+      "(?t==n) exact gaps, greedy count resets, strict-increase edges") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(s: Long) = new Timestamp(base + s * 1000L)
+    val conds = Seq(col("t") === "a", col("t") === "b", col("t") === "c")
+    def runM(pattern: String, rows: Seq[(Long, Timestamp, String)],
+        nConds: Int = 3): Map[Long, Boolean] =
+      operators.Funnel.sequenceMatchTimed(
+          rows.toDF("user_id", "ts", "t"), "user_id", "ts", pattern,
+          conds.take(nConds))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def runC(pattern: String, rows: Seq[(Long, Timestamp, String)],
+        nConds: Int = 3): Map[Long, Long] =
+      operators.Funnel.sequenceCountTimed(
+          rows.toDF("user_id", "ts", "t"), "user_id", "ts", pattern,
+          conds.take(nConds))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // adjacency + time bound: a immediately followed by b (among
+    // matched events), then c within 100 s of the b
+    val adj = runM("(?1)(?2)(?t<=100)(?3)", Seq(
+      (1L, ts(0), "a"), (1L, ts(10), "b"), (1L, ts(100), "c"),
+      // a@5 keeps adjacency alive (a,a,b: the second a is adjacent),
+      // but c@200 misses the 100 s bound
+      (2L, ts(0), "a"), (2L, ts(5), "a"), (2L, ts(10), "b"),
+      (2L, ts(200), "c"),
+      // c at the same ts as b: strict increase refuses the timed step
+      (3L, ts(0), "a"), (3L, ts(10), "b"), (3L, ts(10), "c"),
+      // a MATCHED interloper (c) between a and b breaks adjacency
+      (4L, ts(0), "a"), (4L, ts(5), "c"), (4L, ts(10), "b"),
+      (4L, ts(50), "c")))
+    assert(adj == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    // exact gap needs SET membership, not an extreme: the a@0 (not the
+    // later a@30) is the one exactly 60 s before b
+    val eq = runM("(?1)(?t==60)(?2)", Seq(
+      (1L, ts(0), "a"), (1L, ts(30), "a"), (1L, ts(60), "b"),
+      (2L, ts(30), "a"), (2L, ts(60), "b")), nConds = 2)
+    assert(eq == Map(1L -> true, 2L -> false))
+    // (?t==0) never matches: timed steps advance in strictly
+    // increasing event time, by the documented stance
+    val eq0 = runM("(?1)(?t==0)(?2)", Seq(
+      (1L, ts(0), "a"), (1L, ts(0), "b")), nConds = 2)
+    assert(eq0 == Map(1L -> false))
+    // greedy non-overlapping count with full reset between matches
+    val cAdj = runC("(?1)(?2)", Seq(
+      (1L, ts(0), "a"), (1L, ts(10), "b"),
+      (1L, ts(20), "a"), (1L, ts(30), "b")), nConds = 2)
+    assert(cAdj == Map(1L -> 2L))
+    val cTimed = runC("(?1)(?t<=100)(?2)", Seq(
+      (1L, ts(0), "a"), (1L, ts(50), "b"),
+      (1L, ts(100), "a"), (1L, ts(150), "b"),
+      // user 2: second pair's gap too wide → only one match
+      (2L, ts(0), "a"), (2L, ts(50), "b"),
+      (2L, ts(100), "a"), (2L, ts(300), "b")), nConds = 2)
+    assert(cTimed == Map(1L -> 2L, 2L -> 1L))
+    // the DP and the untimed NFA fold agree on a pure-adjacency count
+    val rows = Seq(
+      (1L, ts(0), "a"), (1L, ts(1), "b"), (1L, ts(2), "c"),
+      (2L, ts(0), "a"), (2L, ts(1), "c"), (2L, ts(2), "b"),
+      (3L, ts(0), "a"), (3L, ts(1), "b"), (3L, ts(2), "a"),
+      (3L, ts(3), "b"), (3L, ts(4), "c"))
+    val viaDp = runC("(?1)(?2).*(?3)", rows)
+    val viaFold = operators.Funnel.sequenceCount(
+        rows.toDF("user_id", "ts", "t"), "user_id", "ts",
+        "(?1)(?2).*(?3)", conds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDp == viaFold)
   }
 
   test("windowFunnel N=5: chain, window bound, restart rescue, ties, cap") {
