@@ -29,8 +29,10 @@ import org.apache.spark.sql.types._
   * Dialect stances (DIVERGENCES.md):
   *  - `farmFingerprint64`/`halfMD5`: EXACT since round 14 (FarmHash
   *    na::Hash64 kernel Guava-pinned; first-8-MD5-bytes big-endian);
-  *    `farmHash64` (farmhashxo — a different function) remains an
-  *    xxhash64 stand-in, no in-jar pin exists (#4 residual);
+  *    `farmHash64`: farmhashxo kernel since round 15 — exact vs
+  *    non-SSE4.1 CH builds for inputs ≤ 256 bytes (> 256 keeps the
+  *    xxhash64 stand-in; te-dispatched builds differ by upstream
+  *    design — #4 residual note);
   *  - `quantileExact`/`quantilesExact` resolve to the exact INTERPOLATED
   *    percentile and `quantileTDigest` to Spark's approx_percentile
   *    sketch (#23's quantile-family stance);
@@ -397,17 +399,21 @@ object ChDialectBatch4 {
     // Fingerprint64) and first-8-MD5-bytes-big-endian on the JDK
     // digest; both take the fixed-width-LE numeric rule via
     // ChAnyHashExpr and combine multi-arg the CH way (Hash128to64 /
-    // MD5 over packed pair). farmHash64 (farmhashxo, a DIFFERENT
-    // function than Fingerprint64) keeps the stand-in stance — no
-    // in-jar reference implementation exists to pin it against
-    // (DIVERGENCES #4 residual note).
+    // MD5 over packed pair). Round 15: farmHash64 is the farmhashxo
+    // kernel (exact vs non-SSE4.1 CH builds for ≤ 256-byte inputs —
+    // the ≤32 and 97..256 segments are na-delegated upstream, so they
+    // inherit the Guava pin; > 256 bytes keeps the xxhash64 stand-in,
+    // see FarmHashNa's block comment and DIVERGENCES #4); same city
+    // combine for multi-arg as the rest of the farm/city family.
     f("farmFingerprint64")(a =>
       a.map(x => ChAnyHashExpr(x, "farmFingerprint64"): Expression)
         .reduceLeft((h, n) => CityCombineExpr(h, n)))
     f("halfMD5")(a =>
       a.map(x => ChAnyHashExpr(x, "halfMD5"): Expression)
         .reduceLeft((h, n) => HalfMd5CombineExpr(h, n)))
-    f("farmHash64")(a => XxHash64(a, 42L))
+    f("farmHash64")(a =>
+      a.map(x => ChAnyHashExpr(x, "farmHash64"): Expression)
+        .reduceLeft((h, n) => CityCombineExpr(h, n)))
     f("generateUUIDv4")(_ => Uuid())
 
     // --------------------------------------------- quantile spellings

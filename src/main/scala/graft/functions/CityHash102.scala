@@ -211,12 +211,13 @@ object CityHash102 {
   * with no CH fixed-width layout here (timestamps, decimals, arrays)
   * fail at ANALYSIS with a remedy, never silently string-hash.
   * `kernel` ∈ {"sipHash64", "cityHash64", "farmFingerprint64",
-  * "halfMD5"}. One static call per row — projection stays in
-  * whole-stage codegen. */
+  * "halfMD5", "farmHash64"}. One static call per row — projection
+  * stays in whole-stage codegen. */
 case class ChAnyHashExpr(child: Expression, kernel: String)
     extends UnaryExpression {
-  require(Set("sipHash64", "cityHash64", "farmFingerprint64", "halfMD5")
-    .contains(kernel), s"unknown hash kernel '$kernel'")
+  require(
+    Set("sipHash64", "cityHash64", "farmFingerprint64", "halfMD5",
+      "farmHash64").contains(kernel), s"unknown hash kernel '$kernel'")
   override def dataType: DataType = LongType
 
   /** CH fixed-width byte count per Spark type; -1 = UTF-8 string path. */
@@ -261,6 +262,9 @@ case class ChAnyHashExpr(child: Expression, kernel: String)
       case "farmFingerprint64" =>
         if (w < 0) FarmHashNa.farmFingerprint64(v.asInstanceOf[UTF8String])
         else FarmHashNa.farmFingerprint64Fixed(bitsOf(v), w)
+      case "farmHash64" =>
+        if (w < 0) FarmHashNa.farmHash64(v.asInstanceOf[UTF8String])
+        else FarmHashNa.farmHash64Fixed(bitsOf(v), w)
       case "halfMD5" =>
         if (w < 0) FarmHashNa.halfMD5(v.asInstanceOf[UTF8String])
         else FarmHashNa.halfMD5Fixed(bitsOf(v), w)
@@ -275,7 +279,8 @@ case class ChAnyHashExpr(child: Expression, kernel: String)
     nullSafeCodeGen(ctx, ev, c => {
       val cls = (kernel match {
         case "sipHash64" => ChDialectBatch14.getClass
-        case "farmFingerprint64" | "halfMD5" => FarmHashNa.getClass
+        case "farmFingerprint64" | "halfMD5" | "farmHash64" =>
+          FarmHashNa.getClass
         case _ => CityHash102.getClass
       }).getName.stripSuffix("$") + "$.MODULE$"
       val w = width(child.dataType)

@@ -172,6 +172,71 @@ object FarmHashNa {
   def farmFingerprint64Fixed(bits: Long, width: Int): Long =
     hashBytes(CityHash102.packLe(bits, width))
 
+  // ------------------------------------------------ farmhashxo::Hash64
+  // CH's `farmHash64` calls FarmHash's top-level Hash64, which is
+  // CPU-DISPATCHED upstream: SSE4.1 builds route to farmhashte, others
+  // to farmhashxo, and the variants return different values BY DESIGN.
+  // This kernel is farmhashxo (the portable variant, re-implemented
+  // from the published algorithm): xo::Hash64 delegates len ≤ 32 to
+  // the na short paths and 97..256 to full na::Hash64 — both segments
+  // therefore EQUAL Fingerprint64 and inherit FarmHashSpec's Guava pin
+  // — and specializes only 33..96 with the H32-based mixers below
+  // (mul0/mul1 = k2−30(+2·len) resp. k2−114(+2·len)), cross-checked
+  // against an independent BigInt re-implementation in FarmHashSpec.
+  // len > 256 (the farmhashuo loop) stays the documented xxhash64
+  // stand-in: no second implementation of uo exists in this sandbox to
+  // pin a reconstruction against, and a wrong "exact" claim would be
+  // strictly worse than the documented divergence (DIVERGENCES #4).
+
+  /** farmhashxo H32: hash of exactly 32 bytes at `off`. */
+  private def xoH32(d: Array[Byte], off: Int, mul: Long,
+      seed0: Long = 0L, seed1: Long = 0L): Long = {
+    val a = fetch64(d, off) * k1
+    val b = fetch64(d, off + 8)
+    val c = fetch64(d, off + 24) * mul
+    val e = fetch64(d, off + 16) * k2
+    val u = rot(a + b, 43) + rot(c, 30) + e + seed0
+    val v = a + rot(b + k2, 18) + c + seed1
+    val a2 = shiftMix((u ^ v) * mul)
+    shiftMix((v ^ a2) * mul)
+  }
+
+  private def xoLen33to64(d: Array[Byte], len: Int): Long = {
+    val mul0 = k2 - 30L
+    val mul1 = k2 - 30L + 2L * len
+    val h0 = xoH32(d, 0, mul0)
+    val h1 = xoH32(d, len - 32, mul1)
+    (h1 * mul1 + h0) * mul1
+  }
+
+  private def xoLen65to96(d: Array[Byte], len: Int): Long = {
+    val mul0 = k2 - 114L
+    val mul1 = k2 - 114L + 2L * len
+    val h0 = xoH32(d, 0, mul0)
+    val h1 = xoH32(d, 32, mul1)
+    val h2 = xoH32(d, len - 32, mul1, h0, h1)
+    (h2 * 9L + (h0 >>> 17) + (h1 >>> 21)) * mul1
+  }
+
+  /** FarmHash xo::Hash64 — exact vs non-SSE4.1 CH builds for inputs
+    * ≤ 256 bytes; > 256 bytes is the documented xxhash64(seed 42)
+    * stand-in (see the block comment above). */
+  def farmHash64Bytes(d: Array[Byte]): Long = {
+    val len = d.length
+    if (len <= 16) hashLen0to16(d, len)
+    else if (len <= 32) hashLen17to32(d, len)
+    else if (len <= 64) xoLen33to64(d, len)
+    else if (len <= 96) xoLen65to96(d, len)
+    else if (len <= 256) hashBytes(d)
+    else org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      d, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+  }
+
+  def farmHash64(s: UTF8String): Long = farmHash64Bytes(s.getBytes)
+
+  def farmHash64Fixed(bits: Long, width: Int): Long =
+    farmHash64Bytes(CityHash102.packLe(bits, width))
+
   // ------------------------------------------------------------ halfMD5
   private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

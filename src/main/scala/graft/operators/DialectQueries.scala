@@ -1120,6 +1120,7 @@ object DialectQueries {
         |  sipHash64(toFloat64(user_id % 8) / 2) AS sipf64,
         |  farmFingerprint64(event_type) AS farm,
         |  farmFingerprint64(toInt32(user_id % 8)) AS farmi32,
+        |  farmHash64(repeat(event_type, 10)) AS farmxo,
         |  halfMD5(event_type) AS hmd5,
         |  intHash64(user_id % 8) AS ih,
         |  hilbertEncode(event_id % 2, user_id % 2) AS h1,
@@ -1434,6 +1435,11 @@ object DialectQueries {
         |    WHEN 5 THEN -2259736796076314196
         |    WHEN 6 THEN -5646244605248982713
         |    ELSE 456183119178236718 END AS farmi32,
+        |  CASE event_type WHEN 'click' THEN -2840153629226977939
+        |    WHEN 'view' THEN 2812146467871372764
+        |    WHEN 'signup' THEN 1066858886546511175
+        |    WHEN 'error' THEN -3331380544672516597
+        |    ELSE 6868889208170178136 END AS farmxo,
         |  CASE event_type WHEN 'click' THEN -6291533040762181473
         |    WHEN 'view' THEN 2007058364010149464
         |    WHEN 'signup' THEN 9019231404019925920

@@ -74,7 +74,99 @@ class FarmHashSpec extends AnyFunSuite {
     val hv = FarmHashNa.halfMD5(UTF8String.fromString("view"))
     assert(one("halfMD5('click', 'view')") ==
       FarmHashNa.halfMd5Combine(hc, hv))
-    // farmHash64 (xo) stays the documented stand-in: present, stable
-    assert(one("farmHash64('click')") == one("farmHash64('click')"))
+    // farmHash64 (xo kernel since round 15): numeric LE rule + the
+    // city-family multi-arg combine, like its farm sibling
+    assert(one("farmHash64(CAST(42 AS INT))") ==
+      FarmHashNa.farmHash64Bytes(CityHash102.packLe(42L, 4)))
+    val xc = FarmHashNa.farmHash64(UTF8String.fromString("click"))
+    val xv = FarmHashNa.farmHash64(UTF8String.fromString("view"))
+    assert(one("farmHash64('click', 'view')") ==
+      CityHash102.hash128to64(xc, xv))
+  }
+
+  // ------------------------------------------------- farmhashxo pins
+  // xo::Hash64 has no in-jar second implementation, but its ≤32 and
+  // 97..256 segments are DELEGATED to na upstream (so they must equal
+  // Guava's Fingerprint64 — a real external pin), its 33..96 segment
+  // is cross-checked against an independent BigInt re-implementation
+  // below (transcription pin), and > 256 is the documented xxhash64
+  // stand-in (pinned against Spark's own xxhash64).
+
+  private def pseudoBytes(n: Int, seed0: Long): Array[Byte] = {
+    var seed = seed0
+    Array.fill(n) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 56).toByte
+    }
+  }
+
+  /** Independent farmhashxo 33..96 reference in BigInt arithmetic. */
+  private object XoRef {
+    private val M = (BigInt(1) << 64) - 1
+    private val K1 = BigInt("b492b66fbe98f273", 16)
+    private val K2 = BigInt("9ae16a3b2f90404f", 16)
+    private def fetch(d: Array[Byte], i: Int): BigInt =
+      (0 until 8).map(j => BigInt(d(i + j) & 0xff) << (8 * j)).sum
+    private def rotr(x: BigInt, r: Int): BigInt =
+      ((x >> r) | (x << (64 - r))) & M
+    private def smix(x: BigInt): BigInt = x ^ (x >> 47)
+    private def h32(d: Array[Byte], off: Int, mul: BigInt,
+        s0: BigInt, s1: BigInt): BigInt = {
+      val a = fetch(d, off) * K1 & M
+      val b = fetch(d, off + 8)
+      val c = fetch(d, off + 24) * mul & M
+      val e = fetch(d, off + 16) * K2 & M
+      val u = (rotr((a + b) & M, 43) + rotr(c, 30) + e + s0) & M
+      val v = (a + rotr((b + K2) & M, 18) + c + s1) & M
+      val a2 = smix((u ^ v) * mul & M)
+      smix((v ^ a2) * mul & M)
+    }
+    def hash(d: Array[Byte]): Long = {
+      val len = d.length
+      require(len >= 33 && len <= 96)
+      if (len <= 64) {
+        val mul0 = (K2 - 30) & M
+        val mul1 = (K2 - 30 + 2 * len) & M
+        val h0 = h32(d, 0, mul0, 0, 0)
+        val h1 = h32(d, len - 32, mul1, 0, 0)
+        (((h1 * mul1 & M) + h0) * mul1 & M).longValue
+      } else {
+        val mul0 = (K2 - 114) & M
+        val mul1 = (K2 - 114 + 2 * len) & M
+        val h0 = h32(d, 0, mul0, 0, 0)
+        val h1 = h32(d, 32, mul1, 0, 0)
+        val h2 = h32(d, len - 32, mul1, h0, h1)
+        (((h2 * 9 + (h0 >> 17) + (h1 >> 21)) & M) * mul1 & M).longValue
+      }
+    }
+  }
+
+  test("farmHash64 (xo): na-delegated segments equal Guava " +
+      "Fingerprint64; 33..96 differs from na and matches the BigInt " +
+      "reference; >256 is the pinned xxhash64 stand-in") {
+    import com.google.common.hash.Hashing
+    val guava = Hashing.farmHashFingerprint64()
+    // ≤ 32 and 97..256: xo delegates to na upstream ⇒ must equal
+    // Fingerprint64 (Guava) byte-for-byte
+    for (n <- (0 to 32) ++ (97 to 256)) {
+      val d = pseudoBytes(n, 0x5851f42d4c957f2dL + n)
+      assert(FarmHashNa.farmHash64Bytes(d) == guava.hashBytes(d).asLong,
+        s"na-delegated segment mismatch at length $n")
+    }
+    // 33..96: the xo-specific H32 mixers — equal to the independent
+    // BigInt reference at every length, and NOT the na value (proves
+    // the xo paths actually engage; a coincidence would be a 2^-64
+    // event per length)
+    for (n <- 33 to 96) {
+      val d = pseudoBytes(n, 0x9e3779b97f4a7c15L * n)
+      assert(FarmHashNa.farmHash64Bytes(d) == XoRef.hash(d),
+        s"xo 33..96 mismatch at length $n")
+      assert(FarmHashNa.farmHash64Bytes(d) != guava.hashBytes(d).asLong,
+        s"xo path did not engage at length $n")
+    }
+    // > 256: documented stand-in — equals Spark's xxhash64 (seed 42)
+    val long = "z" * 300
+    val viaSql = spark.sql(s"SELECT xxhash64('$long') AS v").head.getLong(0)
+    assert(FarmHashNa.farmHash64(UTF8String.fromString(long)) == viaSql)
   }
 }
