@@ -1,0 +1,93 @@
+package graft.functions
+
+/** Curated effective-TLD snapshot for the named `'builtin'` suffix set
+  * of `firstSignificantSubdomain` / `cutToFirstSignificantSubdomain`
+  * (and their CH-style `...Custom(url, 'list_name')` aliases) —
+  * DIVERGENCES #48.
+  *
+  * Contents: the multi-label public suffixes of the highest-traffic
+  * country registries, drawn from the public-suffix dataset (publicly
+  * documented second-level registration structures: co.uk, com.au,
+  * co.jp, com.br, …). This is deliberately a SNAPSHOT, not the full
+  * ~9k-rule list: a full PSL is data the caller should supply (and the
+  * literal-array mode accepts it verbatim — the compiled form costs
+  * the same 4-5 InSet probes per row either way); the builtin set
+  * covers the registries that dominate real web corpora so the default
+  * answer is right for the common shapes without any caller data.
+  * Wildcard (`*.ck`) and exception (`!city.kobe.jp`) PSL rules are out
+  * of scope for the literal-set model — hosts under those TLDs take
+  * the single-label fallback rule.
+  */
+object BuiltinPsl {
+  val suffixes: Seq[String] = Seq(
+    // United Kingdom
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk",
+    // Australia
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    // Japan
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "gr.jp", "ad.jp",
+    "ed.jp", "lg.jp",
+    // Brazil
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    // China
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    // India
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "ac.in", "edu.in", "gov.in", "res.in",
+    // Mexico
+    "com.mx", "org.mx", "net.mx", "edu.mx", "gob.mx",
+    // South Korea
+    "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    // Türkiye
+    "com.tr", "org.tr", "net.tr", "gov.tr", "edu.tr", "k12.tr",
+    "bel.tr", "web.tr",
+    // Taiwan
+    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw", "idv.tw",
+    // South Africa
+    "co.za", "org.za", "net.za", "web.za", "gov.za", "ac.za",
+    // Argentina
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    // New Zealand
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "gen.nz", "geek.nz",
+    // Singapore
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    // Hong Kong
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    // Malaysia
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    // Indonesia
+    "co.id", "or.id", "net.id", "web.id", "ac.id", "sch.id", "go.id",
+    "my.id", "biz.id",
+    // Ukraine
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    // Vietnam
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    // Philippines
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    // Egypt
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    // Saudi Arabia
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa", "sch.sa",
+    // Israel
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il", "k12.il",
+    // Poland
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    // Thailand
+    "co.th", "or.th", "ac.th", "go.th", "in.th", "net.th", "mi.th",
+    // Pakistan
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    // Nigeria
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    // Colombia
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co",
+    // Peru
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "nom.pe",
+    // Ecuador
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec",
+    // Kenya
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
+    // Bangladesh
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd", "ac.bd")
+}

@@ -468,6 +468,23 @@ object ChDialectBatch10 {
       case other => throw new IllegalArgumentException(
         s"$fn: expected a literal array of suffixes, got $other")
     }
+    // Round 15 (#48 narrowing): a NAMED builtin suffix set — the
+    // second argument may be the literal string 'builtin' instead of a
+    // literal array, selecting the curated effective-TLD snapshot in
+    // [[BuiltinPsl]] (~150 of the highest-traffic multi-label suffixes
+    // from the public-suffix dataset). This mirrors CH's own
+    // `firstSignificantSubdomainCustom(url, 'list_name')` named-list
+    // API (registered below as aliases), and keeps all three modes:
+    // no arg → generic marker set, literal array → caller's exact PSL,
+    // 'builtin' → the shipped snapshot.
+    def suffixArg(e: Expression, fn: String): Seq[String] = e match {
+      case Literal(s, StringType) if s != null =>
+        if (s.toString == "builtin") BuiltinPsl.suffixes
+        else throw new IllegalArgumentException(
+          s"$fn: unknown named suffix set '$s' — available: 'builtin' " +
+            "(or pass a literal array of effective-TLD suffixes)")
+      case other => litStringArray(other, fn)
+    }
     // (branch condition, matched depth) pairs for a caller-supplied
     // PSL: one branch per suffix DEPTH (deepest first), condition =
     // host has > depth labels AND its last `depth` labels are in that
@@ -498,9 +515,9 @@ object ChDialectBatch10 {
         isSecondLevel(labelFromEnd(host, 2)))
       (deep, nLabels)
     }
-    f("firstSignificantSubdomain") { a =>
+    val fssdBuilder: Seq[Expression] => Expression = { a =>
       if (a.length >= 2) {
-        val sfx = litStringArray(a(1), "firstSignificantSubdomain")
+        val sfx = suffixArg(a(1), "firstSignificantSubdomain")
         bind(hostOf(a.head), "fsd") { host =>
           val nLabels = Size(
             StringSplit(host, Literal(Pattern.quote(".")), Literal(-1)))
@@ -519,9 +536,10 @@ object ChDialectBatch10 {
           Some(host))
       }
     }
-    f("cutToFirstSignificantSubdomain") { a =>
+    f("firstSignificantSubdomain")(fssdBuilder)
+    val cfssdBuilder: Seq[Expression] => Expression = { a =>
       if (a.length >= 2) {
-        val sfx = litStringArray(a(1), "cutToFirstSignificantSubdomain")
+        val sfx = suffixArg(a(1), "cutToFirstSignificantSubdomain")
         bind(hostOf(a.head), "cfsd") { host =>
           val nLabels = Size(
             StringSplit(host, Literal(Pattern.quote(".")), Literal(-1)))
@@ -542,6 +560,27 @@ object ChDialectBatch10 {
             SubstringIndex(host, Literal("."), Literal(-2)))),
           Some(host))
       }
+    }
+    f("cutToFirstSignificantSubdomain")(cfssdBuilder)
+    // CH's named-list spellings (`firstSignificantSubdomainCustom(url,
+    // 'list_name')` — URL functions doc): the second argument is
+    // REQUIRED and names a shipped suffix list; 'builtin' is the one
+    // that ships ([[BuiltinPsl]]). Array literals belong to the
+    // two-arg base spellings above.
+    def requireNamedList(a: Seq[Expression], fn: String): Unit =
+      require(a.length == 2 && (a(1) match {
+          case Literal(v, StringType) => v != null
+          case _ => false
+        }),
+        s"$fn(url, 'list_name'): exactly two arguments, the second a " +
+          "string literal naming a shipped suffix list ('builtin')")
+    f("firstSignificantSubdomainCustom") { a =>
+      requireNamedList(a, "firstSignificantSubdomainCustom")
+      fssdBuilder(a)
+    }
+    f("cutToFirstSignificantSubdomainCustom") { a =>
+      requireNamedList(a, "cutToFirstSignificantSubdomainCustom")
+      cfssdBuilder(a)
     }
     f("extractURLParameterNames") { a =>
       val qs = queryOf(a.head)

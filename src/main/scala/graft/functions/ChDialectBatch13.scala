@@ -51,8 +51,9 @@ import org.apache.spark.sql.types._
   *    retired with #4/#27). The
   *    corpus-scale path stays [[graft.operators.Dedup.simhash]] (one
   *    aggregation); these are the per-row spellings;
-  *  - `hostName()` / `FQDN()` — the local host name, resolved once at
-  *    registration (plan-time literal, like CH's constant fold).
+  *  - `hostName()` / `FQDN()` — the name of the host EXECUTING the
+  *    row (per-executor, like CH's per-server answer — #56 flipped
+  *    round 15; see [[HostNameExpr]]).
   *
   * Every builder is lambda-bound or single-reference (linear under
   * composition — the AnalyzerBudgetSpec budget). Single projection,
@@ -317,24 +318,50 @@ object ChDialectBatch13 {
     }
 
     // ------------------------------------------- host introspection
-    // resolution failures must not take the whole batch down (r12
-    // review finding: an unresolvable container hostname would have
-    // thrown out of register() and killed bitmaps/type-utils too), and
-    // getCanonicalHostName's reverse-DNS lookup is a one-time
-    // registration cost, never per-row
-    val (hostN, fqdn) =
-      try {
-        val h = java.net.InetAddress.getLocalHost
-        (h.getHostName, h.getCanonicalHostName)
-      } catch { case _: java.net.UnknownHostException =>
-        val env = sys.env.getOrElse("HOSTNAME", "localhost")
-        (env, env)
-      }
-    f("hostName")(_ => Literal(hostN))
-    f("FQDN")(_ => Literal(fqdn))
+    // Round 15 (#56 flipped): hostName()/FQDN() are EXECUTOR-truth —
+    // a non-foldable leaf whose value resolves lazily IN THE JVM that
+    // processes the row (transient lazy val: recomputed after
+    // deserialization on each executor), matching CH's per-server
+    // answer on a distributed read instead of baking the driver's
+    // name into the plan as a literal.
+    f("hostName")(_ => HostNameExpr(canonical = false))
+    f("FQDN")(_ => HostNameExpr(canonical = true))
   }
 
   def isRegistered(spark: SparkSession): Boolean =
     spark.sessionState.functionRegistry
       .functionExists(FunctionIdentifier("bitmapbuild"))
+}
+
+/** `hostName()` / `FQDN()` — the name of the host EXECUTING the row
+  * (DIVERGENCES #56, flipped round 15 to CH's per-server semantics):
+  * non-foldable, so ConstantFolding can never bake the driver's name
+  * into the plan, with the resolution in a `@transient lazy val` so
+  * each executor JVM answers with ITS OWN hostname after the
+  * expression deserializes there — exactly CH's behavior where a
+  * distributed query returns each shard's name. Resolution failures
+  * degrade to $HOSTNAME/localhost rather than failing the batch (the
+  * r12 stance). CodegenFallback: one cached-string read per row for a
+  * diagnostic function, never an analytic hot path. */
+case class HostNameExpr(canonical: Boolean)
+    extends LeafExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  @transient private lazy val hostValue:
+      org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      try {
+        val h = java.net.InetAddress.getLocalHost
+        if (canonical) h.getCanonicalHostName else h.getHostName
+      } catch { case _: java.net.UnknownHostException =>
+        sys.env.getOrElse("HOSTNAME", "localhost")
+      })
+
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = hostValue
+
+  override def prettyName: String = if (canonical) "FQDN" else "hostName"
 }

@@ -346,6 +346,39 @@ class ChDialect10Spec extends AnyFunSuite {
     assert(q.head.getString(0) == "b")
   }
 
+  test("named 'builtin' suffix set (#48, round 15) + the CH Custom " +
+      "spellings: shipped snapshot resolves real registry shapes") {
+    // the builtin snapshot has the major registries' multi-label rules
+    assert(one("firstSignificantSubdomain('https://www.bbc.co.uk/news', " +
+      "'builtin')") == "bbc")
+    assert(one("cutToFirstSignificantSubdomain('https://www.bbc.co.uk/x', " +
+      "'builtin')") == "bbc.co.uk")
+    assert(one("firstSignificantSubdomain('https://news.click.com.tr/x', " +
+      "'builtin')") == "click")
+    assert(one("firstSignificantSubdomain('https://shop.rakuten.co.jp/x', " +
+      "'builtin')") == "rakuten")
+    assert(one("firstSignificantSubdomain('https://a.b.com.au/', " +
+      "'builtin')") == "b")
+    // plain generic TLD and bare host: the single-label fallback
+    assert(one("firstSignificantSubdomain('https://www.example.com/', " +
+      "'builtin')") == "example")
+    assert(one("firstSignificantSubdomain('https://localhost/', " +
+      "'builtin')") == "localhost")
+    // CH's named-list spellings are registered as aliases and take the
+    // same named set; the second argument is required there
+    assert(one("firstSignificantSubdomainCustom(" +
+      "'https://www.bbc.co.uk/news', 'builtin')") == "bbc")
+    assert(one("cutToFirstSignificantSubdomainCustom(" +
+      "'https://data.gov.uk/v1', 'builtin')") == "data.gov.uk")
+    assertThrows[Exception](spark.sql(
+      "SELECT firstSignificantSubdomainCustom('https://a.co.uk/')")
+      .collect())
+    // unknown list names refuse loudly instead of silently degrading
+    assertThrows[Exception](spark.sql(
+      "SELECT firstSignificantSubdomain('https://a.co.uk/', 'nope')")
+      .collect())
+  }
+
   test("geohashEncode/geohashDecode: canonical strings, cell-center " +
       "decode, round trip") {
     // the two canonical public examples

@@ -137,15 +137,24 @@ class ChDialect13Spec extends AnyFunSuite {
       spark.sql("SELECT ngramSimHash('x', 0)").collect())
   }
 
-  test("hostName/FQDN: plan-time literals, non-empty (DIVERGENCES #56: " +
-      "resolved once at registration — on a cluster every row would " +
-      "report the DRIVER's hostname, not CH's per-shard value)") {
+  test("hostName/FQDN: executor-truth (DIVERGENCES #56 flipped round " +
+      "15) — non-foldable, per-JVM resolution, stable within one host") {
     assert(one("hostName()").asInstanceOf[String].nonEmpty)
     assert(one("FQDN()").asInstanceOf[String].nonEmpty)
-    // literal semantics: constant across rows AND across statements
+    // consistent across rows of one host (local mode = one JVM)
     val perRow = spark.range(0, 3)
       .selectExpr("hostName() AS h").collect().map(_.getString(0)).toSet
     assert(perRow.size == 1)
     assert(perRow.head == one("hostName()"))
+    // NOT constant-folded: the optimized plan must still carry the
+    // expression (a baked driver-side Literal was exactly the #56 lie)
+    val plan = spark.range(0, 1).selectExpr("hostName() AS h")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("hostname"),
+      s"hostName() was folded to a literal:\n$plan")
+    // and it matches this JVM's own resolution (what each executor
+    // would answer for its rows)
+    assert(perRow.head ==
+      java.net.InetAddress.getLocalHost.getHostName)
   }
 }
