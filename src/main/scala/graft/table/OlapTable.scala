@@ -104,7 +104,15 @@ object OlapTable {
         * optimizeFinal time and served by [[OlapTable.readFor]]. */
       projections: Seq[OlapTable.Projection] = Nil,
       /** Data-skipping indexes (ref olapTable.ts:241 `indexes`). */
-      indexes: Seq[OlapTable.SkipIndex] = Nil)
+      indexes: Seq[OlapTable.SkipIndex] = Nil,
+      /** PRIMARY KEY as an expression string — the alternative spelling
+        * to per-column `primaryKey` flags (ref diff_strategy.rs's
+        * `primary_key_expression`). Only consulted by the migration
+        * diff: [[TableMigrator.normalizedPrimaryKey]] treats
+        * `"(id, ts)"` and flag-derived `(id, ts)` as the SAME key
+        * (whitespace- and outer-paren-insensitive), so switching
+        * spellings never triggers a spurious drop+create. */
+      primaryKeyExpression: Option[String] = None)
 }
 
 final class OlapTable(

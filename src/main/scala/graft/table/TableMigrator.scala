@@ -148,6 +148,33 @@ object TableMigrator {
     * emitted FIRST (teardown before setup, olap/ddl_ordering.rs — a
     * rename modeled as drop+add never collides), then modifies, then
     * adds in after-schema order so each add's anchor already exists. */
+  /** Column equivalence for the diff: structural equality, except
+    *  - the `primaryKey` FLAG is ignored — the key is a TABLE-level
+    *    property here (compared as [[normalizedPrimaryKey]], where a
+    *    real key change forces drop+create), so switching the key
+    *    SPELLING between column flags and `primaryKeyExpression` must
+    *    not plan a spurious column modification
+    *    (diff_strategy.rs's test_primary_key_expression_equivalent_
+    *    to_column_flags);
+    *  - two enum types with the same member SET compare equal
+    *    regardless of declaration order (diff_strategy.rs's
+    *    `enums_are_equivalent` — the reference round-trips enums
+    *    through ClickHouse, which re-orders members by code, and must
+    *    not plan a modification for the re-read of an unchanged enum;
+    *    here members are stored by NAME, so order affects neither
+    *    storage nor validation). */
+  private[table] def columnsEquivalent(b: MooseColumn, a: MooseColumn)
+      : Boolean = {
+    val bn = b.copy(primaryKey = false)
+    val an = a.copy(primaryKey = false)
+    bn == an || ((bn.tpe, an.tpe) match {
+      case (graft.schema.MooseType.MEnum(bv), graft.schema.MooseType.MEnum(av))
+          if bv.toSet == av.toSet =>
+        bn.copy(tpe = an.tpe) == an
+      case _ => false
+    })
+  }
+
   def diffColumns(table: String, before: MooseSchema,
       after: MooseSchema): Seq[Op] = {
     val b = before.columns.map(c => c.name -> c).toMap
@@ -155,7 +182,8 @@ object TableMigrator {
     val drops = before.columns.filterNot(c => aNames.contains(c.name))
       .map(c => DropTableColumn(table, c.name))
     val mods = after.columns.flatMap { ac =>
-      b.get(ac.name).filter(_ != ac).map(bc => ModifyTableColumn(table, bc, ac))
+      b.get(ac.name).filterNot(bc => columnsEquivalent(bc, ac))
+        .map(bc => ModifyTableColumn(table, bc, ac))
     }
     val adds = after.columns.zipWithIndex.collect {
       case (ac, i) if !b.contains(ac.name) =>
@@ -173,8 +201,9 @@ object TableMigrator {
     require(before.name == after.name,
       s"diff is per-table: '${before.name}' vs '${after.name}' — a rename " +
         "is DropTable + CreateTable at the registry level")
-    val pkChanged = before.schema.primaryKeys != after.schema.primaryKeys &&
-      isMergeTreeFamily(after.engine)
+    val pkChanged =
+      normalizedPrimaryKey(before) != normalizedPrimaryKey(after) &&
+        isMergeTreeFamily(after.engine)
     val dropCreate =
       before.orderBy != after.orderBy ||
         before.partitionBy != after.partitionBy ||
@@ -208,6 +237,36 @@ object TableMigrator {
       after.projections.filter(p => !bPr.get(p.name).contains(p))
         .map(p => AddTableProjection(before.name, p))
     Plan(colOps ++ sampleOps ++ ttlOps ++ ixOps ++ prOps)
+  }
+
+  /** The effective PRIMARY KEY in canonical form, for change detection
+    * (diff_strategy.rs's primary-key-expression equivalence corpus):
+    * the expression spelling when [[OlapTable.Config.primaryKeyExpression]]
+    * is set, else the flag-derived column list; whitespace removed;
+    * outer parentheses stripped when (and only when) they wrap the
+    * WHOLE expression — so `id` ≡ `(id)` ≡ `( id )`,
+    * `cityHash64(id)` ≡ `(cityHash64(id))`, flag-keys (id, ts) ≡
+    * `"(id,timestamp)"`, while `(timestamp,id)` (different order) and
+    * `(id,cityHash64(timestamp))` (different key) stay different. */
+  private[table] def normalizedPrimaryKey(cfg: OlapTable.Config): String = {
+    def stripOuter(s: String): String =
+      if (s.length >= 2 && s.head == '(' && s.last == ')') {
+        var depth = 0
+        var wraps = true
+        var i = 0
+        while (i < s.length - 1) {
+          if (s(i) == '(') depth += 1
+          else if (s(i) == ')') depth -= 1
+          if (depth == 0) wraps = false // first paren closed early
+          i += 1
+        }
+        if (wraps && depth == 1) stripOuter(s.substring(1, s.length - 1))
+        else s
+      } else s
+    val raw = cfg.primaryKeyExpression.getOrElse {
+      cfg.schema.primaryKeys.mkString("(", ",", ")")
+    }
+    stripOuter(raw.filterNot(_.isWhitespace))
   }
 
   /** Every [[TableEngine]] here is merge-tree family (the file/S3/

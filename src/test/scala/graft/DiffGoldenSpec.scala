@@ -1,0 +1,247 @@
+package graft
+
+import graft.schema.{MooseColumn, MooseSchema, MooseType}
+import graft.table.{OlapTable, TableEngine, TableMigrator}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GOLDEN cases ported from the reference's own diff-strategy test
+  * corpus (diff_strategy.rs:889-3060 — 61 Rust unit tests; the
+  * portable table-diff subset is re-stated here pair-for-pair, each
+  * test named after its source), so plan shape (ALTER vs drop+create),
+  * primary-key-expression equivalence, and enum-order equivalence are
+  * pinned against the reference's OWN matrix rather than this repo's
+  * reading of it (r14 verdict task #8).
+  *
+  * Reference rows NOT portable into this model, and why:
+  *  - database/cluster-change validation errors (test_database_change_*,
+  *    test_cluster_change_*): no database/cluster dimension exists in a
+  *    single-warehouse Spark deployment; the analogous registry-level
+  *    rule (a cross-NAME diff refuses — renames are remove+add) is
+  *    pinned below;
+  *  - kafka column/settings drop+create (test_kafka_*): the Kafka
+  *    engine table is wire-contract-only here (S11, env-blocked);
+  *  - settings-hash change detection, S3Queue DDL detection, and
+  *    CREATE MATERIALIZED VIEW SQL parsing (test_settings_change_*,
+  *    test_s3queue_table_detection, test_parse_materialized_view*):
+  *    ClickHouse-DDL-text machinery — this engine's tables/MVs are
+  *    declared as typed configs, there is no DDL text to parse;
+  *  - low-cardinality normalization (test_normalize_column_*,
+  *    test_column_types_are_equivalent_*, test_json_options_*,
+  *    test_nested_*): LowCardinality is a CH storage annotation with
+  *    no Spark counterpart (the dialect's toLowCardinality is a
+  *    documented no-op), so there is no annotation to ignore.
+  */
+class DiffGoldenSpec extends AnyFunSuite {
+  import TableMigrator._
+
+  // diff_strategy.rs create_test_table: columns id (String, pk) and
+  // timestamp (String); MergeTree, or ReplacingMergeTree when
+  // deduplicate
+  private def schemaOf(pks: Set[String],
+      extra: Seq[MooseColumn] = Nil): MooseSchema =
+    MooseSchema(Seq(
+      MooseColumn("id", MooseType.MString, primaryKey = pks("id")),
+      MooseColumn("timestamp", MooseType.MString,
+        primaryKey = pks("timestamp"))) ++ extra)
+
+  private def tbl(
+      orderBy: Seq[String] = Seq("id"),
+      dedup: Boolean = false,
+      partitionBy: Seq[String] = Nil,
+      sampleBy: Option[String] = None,
+      pks: Set[String] = Set("id"),
+      pkExpr: Option[String] = None,
+      extra: Seq[MooseColumn] = Nil,
+      projections: Seq[OlapTable.Projection] = Nil): OlapTable.Config =
+    OlapTable.Config("test", schemaOf(pks, extra),
+      engine = if (dedup) TableEngine.ReplacingMergeTree()
+               else TableEngine.MergeTree,
+      orderBy = orderBy, partitionBy = partitionBy, sampleBy = sampleBy,
+      projections = projections, primaryKeyExpression = pkExpr)
+
+  private def isDropCreate(p: Plan): Boolean = {
+    assert(p.operations.length == 2, s"expected drop+create pair: $p")
+    assert(p.operations.head.isInstanceOf[DropTable])
+    assert(p.operations(1).isInstanceOf[CreateTable])
+    true
+  }
+  private def isAlterOnly(p: Plan): Boolean = {
+    assert(p.operations.nonEmpty &&
+      !p.operations.exists(_.isInstanceOf[DropTable]) &&
+      !p.operations.exists(_.isInstanceOf[CreateTable]),
+      s"expected pure-ALTER plan: $p")
+    true
+  }
+
+  // ---------------------------------------------- storage-shape changes
+
+  test("golden: test_order_by_change_requires_drop_create") {
+    assert(isDropCreate(diff(tbl(orderBy = Seq("id")),
+      tbl(orderBy = Seq("id", "timestamp")))))
+  }
+
+  test("golden: test_deduplication_change_requires_drop_create") {
+    assert(isDropCreate(diff(tbl(dedup = false), tbl(dedup = true))))
+  }
+
+  test("golden: test_column_only_changes_use_alter (added col, " +
+      "positioned after timestamp)") {
+    val newCol = MooseColumn("new_col", MooseType.MString, nullable = true)
+    val p = diff(tbl(), tbl(extra = Seq(newCol)))
+    assert(isAlterOnly(p))
+    assert(p.operations == Seq(
+      AddTableColumn("test", newCol, Some("timestamp"))))
+  }
+
+  test("golden: test_identical_order_by_with_column_change_uses_alter") {
+    val ob = Seq("id", "timestamp")
+    val p = diff(tbl(orderBy = ob),
+      tbl(orderBy = ob,
+        extra = Seq(MooseColumn("v", MooseType.MInt64, nullable = true))))
+    assert(isAlterOnly(p))
+  }
+
+  test("golden: test_no_changes_returns_empty_vector") {
+    assert(diff(tbl(), tbl()).isEmpty)
+  }
+
+  test("golden: test_order_by_change_with_no_column_changes_requires_" +
+      "drop_create") {
+    assert(isDropCreate(diff(tbl(orderBy = Seq("id", "timestamp")),
+      tbl(orderBy = Seq("timestamp", "id")))))
+  }
+
+  test("golden: test_projection_only_change_uses_updated") {
+    val p = diff(tbl(), tbl(projections =
+      Seq(OlapTable.Projection("proj_by_ts", Seq("timestamp")))))
+    assert(isAlterOnly(p))
+    assert(p.operations.forall(_.isInstanceOf[AddTableProjection]))
+  }
+
+  test("golden: test_sample_by_change_requires_drop_create (reference " +
+      "asserts Updated — SAMPLE BY is ALTERable despite the test name)") {
+    val p = diff(tbl(sampleBy = None), tbl(sampleBy = Some("id")))
+    assert(isAlterOnly(p))
+    assert(p.operations == Seq(ModifySampleBy("test", None, Some("id"))))
+  }
+
+  test("golden: test_sample_by_modification_requires_drop_create " +
+      "(reference asserts Updated — same ALTER path)") {
+    val p = diff(tbl(sampleBy = Some("id")),
+      tbl(sampleBy = Some("timestamp")))
+    assert(isAlterOnly(p))
+    assert(p.operations ==
+      Seq(ModifySampleBy("test", Some("id"), Some("timestamp"))))
+  }
+
+  test("golden: test_partition_by_change_requires_drop_create") {
+    assert(isDropCreate(diff(tbl(),
+      tbl(partitionBy = Seq("toYYYYMM(timestamp)")))))
+  }
+
+  test("golden: test_partition_by_modification_requires_drop_create") {
+    assert(isDropCreate(diff(tbl(partitionBy = Seq("toYYYYMM(timestamp)")),
+      tbl(partitionBy = Seq("toYYYYMMDD(timestamp)")))))
+  }
+
+  test("golden: test_database_change_triggers_validation_error " +
+      "(registry analogue: cross-name diffs refuse — a rename is " +
+      "remove+add, never an in-place update)") {
+    val other = tbl().copy(name = "test2")
+    assertThrows[IllegalArgumentException](diff(tbl(), other))
+  }
+
+  // --------------------------------------- primary-key equivalence corpus
+
+  test("golden: test_primary_key_change_requires_drop_create") {
+    assert(isDropCreate(diff(tbl(pks = Set("id")),
+      tbl(pks = Set("timestamp")))))
+  }
+
+  test("golden: test_primary_key_expression_equivalent_to_column_flags") {
+    assert(diff(tbl(pks = Set("id", "timestamp")),
+      tbl(pks = Set.empty, pkExpr = Some("(id, timestamp)"))).isEmpty)
+  }
+
+  test("golden: test_primary_key_expression_single_column") {
+    assert(diff(tbl(pks = Set("id")),
+      tbl(pks = Set.empty, pkExpr = Some("id"))).isEmpty)
+  }
+
+  test("golden: test_primary_key_expression_with_extra_spaces") {
+    assert(diff(
+      tbl(pks = Set.empty, pkExpr = Some("(id,timestamp)")),
+      tbl(pks = Set.empty, pkExpr = Some("( id , timestamp )"))).isEmpty)
+  }
+
+  test("golden: test_primary_key_expression_different_order_requires_" +
+      "drop_create") {
+    assert(isDropCreate(diff(tbl(pks = Set("id", "timestamp")),
+      tbl(pks = Set.empty, pkExpr = Some("(timestamp, id)")))))
+  }
+
+  test("golden: test_primary_key_expression_with_function") {
+    assert(isDropCreate(diff(tbl(pks = Set("id")),
+      tbl(pks = Set.empty, pkExpr = Some("(id, cityHash64(timestamp))")))))
+  }
+
+  test("golden: test_primary_key_expression_single_column_with_parens") {
+    assert(diff(tbl(pks = Set("id")),
+      tbl(pks = Set.empty, pkExpr = Some("(id)"))).isEmpty)
+  }
+
+  test("golden: test_primary_key_expression_function_with_parens") {
+    assert(diff(
+      tbl(pks = Set.empty, pkExpr = Some("(cityHash64(id))")),
+      tbl(pks = Set.empty, pkExpr = Some("cityHash64(id)"))).isEmpty)
+  }
+
+  test("golden: test_primary_key_multi_column_keeps_parens") {
+    assert(diff(tbl(pks = Set("id", "timestamp")),
+      tbl(pks = Set.empty, pkExpr = Some("(id,timestamp)"))).isEmpty)
+  }
+
+  test("golden: test_primary_key_nested_function_parens") {
+    assert(diff(
+      tbl(pks = Set.empty, pkExpr = Some("(cityHash64(id, timestamp))")),
+      tbl(pks = Set.empty, pkExpr = Some("cityHash64(id, timestamp)"))).isEmpty)
+  }
+
+  test("primary-key normalization does NOT strip non-wrapping parens " +
+      "(companion edge to the parens corpus: '(a),(b)' keeps both)") {
+    assert(isDropCreate(diff(
+      tbl(pks = Set.empty, pkExpr = Some("(id),(timestamp)")),
+      tbl(pks = Set.empty, pkExpr = Some("id,timestamp")))))
+  }
+
+  // --------------------------------------------- enum equivalence corpus
+  // The reference's enums_are_equivalent treats member ORDER as
+  // non-semantic (ClickHouse re-orders members by code on round-trip;
+  // here members are stored by NAME, so order affects neither storage
+  // nor validation). test_enums_equivalent_int_enum_different_order /
+  // test_enums_equivalent_string_enum_different_order port as
+  // set-equality; different members stay a modification.
+
+  private def enumTbl(values: Seq[String]): OlapTable.Config =
+    tbl(extra = Seq(MooseColumn("kind", MooseType.MEnum(values))))
+
+  test("golden: test_enums_equivalent_string_enum_different_order " +
+      "(same member set, different declaration order → no plan)") {
+    assert(diff(enumTbl(Seq("c", "b", "a")),
+      enumTbl(Seq("a", "b", "c"))).isEmpty)
+  }
+
+  test("golden: test_enums_not_equivalent_different_values") {
+    val p = diff(enumTbl(Seq("text", "email", "call")),
+      enumTbl(Seq("text", "email", "sms")))
+    assert(isAlterOnly(p))
+    assert(p.operations.forall(_.isInstanceOf[ModifyTableColumn]))
+  }
+
+  test("golden: test_enums_not_equivalent_different_member_count") {
+    val p = diff(enumTbl(Seq("text", "email")),
+      enumTbl(Seq("text", "email", "call")))
+    assert(isAlterOnly(p))
+    assert(p.operations.forall(_.isInstanceOf[ModifyTableColumn]))
+  }
+}
