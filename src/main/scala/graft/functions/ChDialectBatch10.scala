@@ -471,7 +471,7 @@ object ChDialectBatch10 {
     // Round 15 (#48 narrowing): a NAMED builtin suffix set — the
     // second argument may be the literal string 'builtin' instead of a
     // literal array, selecting the curated effective-TLD snapshot in
-    // [[BuiltinPsl]] (~150 of the highest-traffic multi-label suffixes
+    // [[BuiltinPsl]] (203 of the highest-traffic multi-label suffixes
     // from the public-suffix dataset). This mirrors CH's own
     // `firstSignificantSubdomainCustom(url, 'list_name')` named-list
     // API (registered below as aliases), and keeps all three modes:

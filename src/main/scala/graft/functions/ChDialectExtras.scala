@@ -259,15 +259,14 @@ object ChDialectExtras {
       // gave NULL for step=0 (IntegralDivide by zero) and handed a
       // negative step to Sequence against an ascending bound (ADVICE
       // round 14). Guard BEFORE the divide so neither path is reachable.
-      val step = rawStep
       val span = Subtract(Subtract(end, start), Literal(1L))
-      val stop = Add(start, Multiply(IntegralDivide(span, step), step))
+      val stop = Add(start, Multiply(IntegralDivide(span, rawStep), rawStep))
       If(Not(GreaterThan(rawStep, Literal(0L))),
         Cast(new RaiseError(Concat(Seq(
           Literal("range: step must be positive, got "),
           Cast(rawStep, StringType)))), ArrayType(LongType)),
         If(LessThanOrEqual(end, start), emptyLongArray,
-          new Sequence(start, stop, Some(step))))
+          new Sequence(start, stop, Some(rawStep))))
     }
     f("arrayUniq")(a => Cast(Size(ArrayDistinct(a.head)), LongType))
     // arrayDifference: [0, a1-a0, a2-a1, …] — index lambda + 1-based

@@ -29,13 +29,21 @@ object Dedup {
     * failed-extraction rows as copies — a dedup pass keyed on that
     * output would have deleted them (review round 14 session 10). */
   def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // ONE scan: NULL-text rows get a per-row-unique key ('∅' + id — md5
-    // hex never contains '∅', so no collision with real digests), which
-    // keeps them singletons without the where-union two-pass form that
-    // round 14 shipped (it scanned the source twice; verdict r14 #1).
+    // ONE scan: NULL-text rows get a PER-ROW-unique key — '∅' plus a
+    // monotonically-increasing row id (md5 hex never contains '∅', so
+    // no collision with real digests) — which keeps them singletons
+    // without the where-union two-pass form round 14 shipped (it
+    // scanned the source twice; verdict r14 #1). The row id, not the
+    // document id, because two NULL-text rows may share an id or have
+    // id NULL — keyed on '∅'+id those collapsed into one group, the
+    // exact data-loss shape the round-14 fix exists to prevent
+    // (round-15 review). The nondeterministic id is projected BELOW
+    // the aggregate (grouping keys themselves must be deterministic)
+    // and never escapes it.
     val key = coalesce(md5(col(textCol)),
-      concat(lit("∅"), col(idCol).cast("string")))
-    docs.groupBy(key.as("content_hash"))
+      concat(lit("∅"), monotonically_increasing_id().cast("string")))
+    docs.select(col(idCol), key.as("content_hash"))
+      .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
       .drop("content_hash")
   }

@@ -163,16 +163,37 @@ object TableMigrator {
     *    not plan a modification for the re-read of an unchanged enum;
     *    here members are stored by NAME, so order affects neither
     *    storage nor validation). */
+  /** Type equivalence modulo enum member ORDER, recursively — an enum
+    * nested under MArray/MNested/MNamedTuple/MMap is the same enum
+    * (round-15 review: the top-level-only check planned a full-table
+    * rewrite for MArray(MEnum) reorders). */
+  private[table] def typesEquivalent(b: graft.schema.MooseType,
+      a: graft.schema.MooseType): Boolean = {
+    import graft.schema.MooseType._
+    (b, a) match {
+      case (MEnum(bv), MEnum(av)) => bv.toSet == av.toSet
+      case (MArray(be, bn), MArray(ae, an)) =>
+        bn == an && typesEquivalent(be, ae)
+      case (MNested(bf), MNested(af)) =>
+        bf.length == af.length && bf.zip(af).forall { case ((n1, t1), (n2, t2)) =>
+          n1 == n2 && typesEquivalent(t1, t2)
+        }
+      case (MNamedTuple(bf), MNamedTuple(af)) =>
+        bf.length == af.length && bf.zip(af).forall { case ((n1, t1), (n2, t2)) =>
+          n1 == n2 && typesEquivalent(t1, t2)
+        }
+      case (MMap(bk, bv2), MMap(ak, av2)) =>
+        typesEquivalent(bk, ak) && typesEquivalent(bv2, av2)
+      case _ => b == a
+    }
+  }
+
   private[table] def columnsEquivalent(b: MooseColumn, a: MooseColumn)
       : Boolean = {
     val bn = b.copy(primaryKey = false)
     val an = a.copy(primaryKey = false)
-    bn == an || ((bn.tpe, an.tpe) match {
-      case (graft.schema.MooseType.MEnum(bv), graft.schema.MooseType.MEnum(av))
-          if bv.toSet == av.toSet =>
-        bn.copy(tpe = an.tpe) == an
-      case _ => false
-    })
+    bn == an ||
+      (typesEquivalent(bn.tpe, an.tpe) && bn.copy(tpe = an.tpe) == an)
   }
 
   def diffColumns(table: String, before: MooseSchema,
@@ -263,10 +284,22 @@ object TableMigrator {
         if (wraps && depth == 1) stripOuter(s.substring(1, s.length - 1))
         else s
       } else s
+    // Whitespace is stripped OUTSIDE single-quoted literals only: a
+    // key expression like concat(id, ' ') differs from concat(id, '')
+    // and must not normalize equal (round-15 review).
+    def stripWs(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var inQuote = false
+      s.foreach { ch =>
+        if (ch == '\'') { inQuote = !inQuote; sb.append(ch) }
+        else if (inQuote || !ch.isWhitespace) sb.append(ch)
+      }
+      sb.toString
+    }
     val raw = cfg.primaryKeyExpression.getOrElse {
       cfg.schema.primaryKeys.mkString("(", ",", ")")
     }
-    stripOuter(raw.filterNot(_.isWhitespace))
+    stripOuter(stripWs(raw))
   }
 
   /** Every [[TableEngine]] here is merge-tree family (the file/S3/

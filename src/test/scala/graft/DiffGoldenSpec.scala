@@ -244,4 +244,26 @@ class DiffGoldenSpec extends AnyFunSuite {
     assert(isAlterOnly(p))
     assert(p.operations.forall(_.isInstanceOf[ModifyTableColumn]))
   }
+
+  test("enum order-equivalence reaches NESTED enums (round-15 review: " +
+      "MArray(MEnum) reorders planned a full-table rewrite)") {
+    def arrTbl(values: Seq[String]) = tbl(extra = Seq(MooseColumn("tags",
+      MooseType.MArray(MooseType.MEnum(values)))))
+    assert(diff(arrTbl(Seq("b", "a")), arrTbl(Seq("a", "b"))).isEmpty)
+    assert(isAlterOnly(diff(arrTbl(Seq("a", "b")), arrTbl(Seq("a", "c")))))
+    def nestTbl(values: Seq[String]) = tbl(extra = Seq(MooseColumn("rec",
+      MooseType.MNested(Seq("k" -> MooseType.MEnum(values))))))
+    assert(diff(nestTbl(Seq("y", "x")), nestTbl(Seq("x", "y"))).isEmpty)
+  }
+
+  test("primary-key normalization keeps whitespace INSIDE string " +
+      "literals (round-15 review: concat(id, ' ') ≠ concat(id, ''))") {
+    assert(isDropCreate(diff(
+      tbl(pks = Set.empty, pkExpr = Some("concat(id, ' ')")),
+      tbl(pks = Set.empty, pkExpr = Some("concat(id, '')")))))
+    // while ordinary whitespace outside literals still normalizes away
+    assert(diff(
+      tbl(pks = Set.empty, pkExpr = Some("concat( id , ' ' )")),
+      tbl(pks = Set.empty, pkExpr = Some("concat(id, ' ')"))).isEmpty)
+  }
 }

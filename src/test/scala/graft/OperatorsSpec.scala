@@ -240,6 +240,26 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("exact dedup NULL-text singletons survive NULL and duplicated " +
+      "ids (round-15 review: the '∅'+id key collapsed them)") {
+    val df = Seq[(Option[Long], Option[String])](
+      (Some(1L), Some("same")), (Some(2L), Some("same")),
+      (Some(7L), None), (Some(7L), None),   // same id, both NULL text
+      (None, None), (None, None))           // NULL id, NULL text
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDuplicates(df, "doc_id", "text").collect()
+    // one grouped row for "same" + FOUR singletons (never merged)
+    assert(out.length == 5)
+    assert(out.count(_.getLong(1) == 2L) == 1) // only the real dup pair
+    assert(out.count(r => r.getLong(1) == 1L) == 4)
+    // and the plan reads the source once (the r14 two-pass regression)
+    val scans = Dedup.exactDuplicates(df, "doc_id", "text")
+      .queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }
+    assert(scans.length == 1, "expected ONE scan of the source")
+  }
+
   test("jaccard and minhash agree on a synthetic near-dup") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = base + " extra"
