@@ -603,6 +603,21 @@ object CorpusQueries {
     * one minute later. Answered by the DP's per-level timestamp-set
     * membership; the oracle is the two-way join on the exact 60 s
     * difference. */
+  /** Round-15 part 3: the COUNT mode of the exact timed DP —
+    * `sequenceCount('(?1)(?t<=900)(?2)')`: greedy non-overlapping
+    * view→click-within-900s occurrences per user, full state reset on
+    * each completion. The oracle replays the identical event-outer DP
+    * through DuckDB `list_reduce` with the state packed into one
+    * 4-field struct (count, usable-latest-view, pending-same-ts-view,
+    * last-ts) — an independent engine's lambda evaluator, validated
+    * against a third (Python) replay when the oracle was authored. */
+  def qSequenceCountTimed(spark: SparkSession, dir: String): DataFrame =
+    Funnel.sequenceCountTimed(Tables.load(spark, dir, "events"),
+        "user_id", "ts", "(?1)(?t<=900)(?2)",
+        Seq(col("event_type") === "view",
+          col("event_type") === "click"))
+      .orderBy(col("user_id"))
+
   def qSequenceTimedEq(spark: SparkSession, dir: String): DataFrame =
     Funnel.sequenceMatchTimed(
         Tables.load(spark, dir, "events")
@@ -620,6 +635,7 @@ object CorpusQueries {
     "q_sequence_match_t" -> (qSequenceMatchT _),
     "q_sequence_timed_adj" -> (qSequenceTimedAdj _),
     "q_sequence_timed_eq" -> (qSequenceTimedEq _),
+    "q_sequence_count_timed" -> (qSequenceCountTimed _),
     "q_window_funnel" -> (qWindowFunnel _),
     "q_window_funnel5" -> (qWindowFunnel5 _),
     "q_window_funnel_strict" -> (qWindowFunnelStrict _),
@@ -840,6 +856,55 @@ object CorpusQueries {
         |      AND b.i = a.i + 1
         |      AND c.us > b.us AND c.us - b.us <= 900 * 1000000) AS seq_match
         |FROM (SELECT DISTINCT user_id FROM events) u
+        |ORDER BY u.user_id""".stripMargin,
+    // the exact event-outer DP replayed in DuckDB list_reduce: state =
+    // one 4-field struct (us=count, m=usable latest view ts, p=pending
+    // same-ts view ts, t=last ts); flush pending→usable when ts
+    // advances (strict-increase stance), greedy reset on completion
+    "q_sequence_count_timed" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE event_type WHEN 'view' THEN 1 ELSE 2 END AS m
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |l AS (SELECT user_id,
+        |    list(struct_pack(us := us, m := CAST(m AS BIGINT),
+        |                     p := CAST(0 AS BIGINT), t := CAST(0 AS BIGINT))
+        |         ORDER BY us, m) AS evs
+        |  FROM e GROUP BY user_id),
+        |f AS (SELECT user_id,
+        |    list_reduce(list_prepend(
+        |        struct_pack(us := CAST(0 AS BIGINT), m := CAST(-1 AS BIGINT),
+        |                    p := CAST(-1 AS BIGINT), t := CAST(-1 AS BIGINT)),
+        |        evs),
+        |      (s, e) -> CASE
+        |        WHEN e.m = 2
+        |             AND (CASE WHEN e.us > s.t THEN greatest(s.m, s.p)
+        |                  ELSE s.m END) != -1
+        |             AND e.us - (CASE WHEN e.us > s.t THEN greatest(s.m, s.p)
+        |                         ELSE s.m END) <= 900 * 1000000
+        |          THEN struct_pack(us := s.us + 1, m := CAST(-1 AS BIGINT),
+        |                           p := CAST(-1 AS BIGINT), t := e.us)
+        |        WHEN e.m = 1
+        |          THEN struct_pack(us := s.us,
+        |                 m := CASE WHEN e.us > s.t THEN greatest(s.m, s.p)
+        |                      ELSE s.m END,
+        |                 p := greatest(CASE WHEN e.us > s.t
+        |                               THEN CAST(-1 AS BIGINT)
+        |                               ELSE s.p END, e.us),
+        |                 t := e.us)
+        |        ELSE struct_pack(us := s.us,
+        |               m := CASE WHEN e.us > s.t THEN greatest(s.m, s.p)
+        |                    ELSE s.m END,
+        |               p := CASE WHEN e.us > s.t THEN CAST(-1 AS BIGINT)
+        |                    ELSE s.p END,
+        |               t := e.us)
+        |        END) AS st
+        |  FROM l)
+        |SELECT u.user_id,
+        |  CAST(coalesce(f.st.us, 0) AS BIGINT) AS seq_count,
+        |  coalesce(f.st.us, 0) > 0 AS seq_match
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN f ON f.user_id = u.user_id
         |ORDER BY u.user_id""".stripMargin,
     // exact 60 s gap over minute-truncated timestamps — the two-way
     // join restatement of the (?t==n) membership check
