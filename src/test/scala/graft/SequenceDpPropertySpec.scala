@@ -1,0 +1,126 @@
+package graft
+
+import graft.functions.ChSequenceCountTimed
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property pin for the round-15 exact timed-sequence DP: over
+  * thousands of random (events, pattern) cases the DP's greedy
+  * non-overlapping count must equal a BRUTE-FORCE parse enumerator —
+  * "find the parse with the earliest completion event, count it,
+  * restart strictly after that event" — which is the definitional
+  * reading of the DP's full-state-reset semantics. The enumerator
+  * explores every strictly-index-increasing event tuple (no shared
+  * per-level summaries, no powerset compression), so agreement is a
+  * genuine independent check of the extremes+membership-set state
+  * argument, including the tie cases (same-timestamp events) that the
+  * EXISTS-style oracles cannot reach.
+  *
+  * The expression is evaluated DIRECTLY (Literal array child → eval),
+  * so the ~3k cases cost milliseconds, not Spark jobs. */
+class SequenceDpPropertySpec extends AnyFunSuite {
+
+  private type Gap = (Boolean, Option[(String, Long)])
+
+  private val evType = ArrayType(StructType(Seq(
+    StructField("us", LongType), StructField("m", LongType))))
+
+  private def dpCount(evs: Seq[(Long, Long)], chain: Seq[Int],
+      gaps: Seq[Gap]): Long = {
+    val arr = new GenericArrayData(
+      evs.map { case (us, m) => InternalRow(us, m) }.toArray[Any])
+    ChSequenceCountTimed(Literal.create(arr, evType), chain, gaps)
+      .eval(null).asInstanceOf[Long]
+  }
+
+  /** Earliest completion index of ANY parse using events at indexes
+    * ≥ `startFrom` (None = no parse). */
+  private def bruteEarliest(evs: IndexedSeq[(Long, Long)], chain: Seq[Int],
+      gaps: Seq[Gap], startFrom: Int): Option[Int] = {
+    val k = chain.length
+    var best: Option[Int] = None
+    def rec(level: Int, lastIdx: Int): Unit = {
+      if (level == k) {
+        if (best.forall(_ > lastIdx)) best = Some(lastIdx)
+        return
+      }
+      var i = if (level == 0) startFrom else lastIdx + 1
+      while (i < evs.length) {
+        val (us, m) = evs(i)
+        val hit = (m & (1L << (chain(level) - 1))) != 0
+        val ok = hit && (level == 0 || {
+          val (adjacent, time) = gaps(level - 1)
+          val pus = evs(lastIdx)._1
+          if (adjacent) i == lastIdx + 1
+          else time match {
+            case None => us > pus
+            case Some((op, secs)) =>
+              val n = secs * 1000000L
+              us > pus && (op match {
+                case "<=" => us - pus <= n
+                case "<"  => us - pus < n
+                case ">=" => us - pus >= n
+                case ">"  => us - pus > n
+                case "==" => us - pus == n
+              })
+          }
+        })
+        if (ok) rec(level + 1, i)
+        i += 1
+      }
+    }
+    rec(0, -1)
+    best
+  }
+
+  private def bruteCount(evs: IndexedSeq[(Long, Long)], chain: Seq[Int],
+      gaps: Seq[Gap]): Long = {
+    var cnt = 0L
+    var from = 0
+    var c = bruteEarliest(evs, chain, gaps, from)
+    while (c.isDefined) {
+      cnt += 1
+      from = c.get + 1
+      c = bruteEarliest(evs, chain, gaps, from)
+    }
+    cnt
+  }
+
+  test("DP count == brute-force greedy-earliest enumeration over 3000 " +
+      "random cases (ties, adjacency, all five ops, k=1..3)") {
+    val rnd = new scala.util.Random(0x5e9L)
+    val ops = Seq("<=", "<", ">=", ">", "==")
+    var tested = 0
+    var nonZero = 0
+    for (case_ <- 0 until 3000) {
+      val k = 1 + rnd.nextInt(3)
+      val chain = Seq.fill(k)(1 + rnd.nextInt(3))
+      val gaps: Seq[Gap] = Seq.fill(math.max(0, k - 1)) {
+        rnd.nextInt(4) match {
+          case 0 => (true, None)
+          case 1 => (false, None)
+          case _ =>
+            // whole-second bounds over a coarse ts grid so == can hit
+            (false, Some((ops(rnd.nextInt(ops.length)),
+              (1 + rnd.nextInt(3)) * 10L)))
+        }
+      }
+      val n = rnd.nextInt(9)
+      // coarse grid with deliberate ties: ts ∈ {0,10,…,40} s
+      val evs = Seq.fill(n)((rnd.nextInt(5) * 10000000L,
+          (1L << rnd.nextInt(3))))
+        .sortBy(e => (e._1, e._2)).toIndexedSeq
+      val dp = dpCount(evs, chain, gaps)
+      val brute = bruteCount(evs, chain, gaps)
+      assert(dp == brute,
+        s"case $case_: chain=$chain gaps=$gaps evs=$evs dp=$dp brute=$brute")
+      tested += 1
+      if (brute > 0) nonZero += 1
+    }
+    // the generator must actually exercise matching cases
+    assert(tested == 3000 && nonZero > 500, s"only $nonZero matching cases")
+  }
+}
