@@ -1,0 +1,188 @@
+package graft
+
+import graft.schema.{MooseColumn, MooseSchema, MooseType}
+import graft.table.{InfraPlan, OlapTable, SqlResource, SqlResourceRegistry,
+  TableEngine, TableMigrator}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GOLDEN cases ported from the reference's DDL-ordering test corpus
+  * (ddl_ordering.rs:1631-3738, 17 Rust unit tests) — the dependency
+  * topology and phase discipline pinned against the reference's OWN
+  * matrix, companion to DiffGoldenSpec's diff-strategy port.
+  *
+  * Model mapping: the reference orders one flat `AtomicOlapOperation`
+  * list by pulls_data_from/pushes_data_to edges; here the same edges
+  * live on [[SqlResource]] and the phase split (teardown → table ops →
+  * setup) is [[InfraPlan.diff]]'s structure, with
+  * [[SqlResourceRegistry.ordered]] providing the topological order
+  * within each phase. Rows NOT portable, and why:
+  *  - test_basic_operations (serde round-trip of the Rust op enum):
+  *    exercises serde, not ordering — TableMigrator plans serialize
+  *    through Plan.toJson, pinned in TableMigratorSpec;
+  *  - test_column_add/drop_operation_ordering (column ops relative to
+  *    CREATE in one flat list): column ops here only arise on
+  *    already-existing tables (a CreateTable carries its full schema),
+  *    so the hazard those rows guard cannot be expressed;
+  *  - test_populate_materialized_view_includes_truncate: no populate
+  *    step exists — a CH MV only sees post-creation inserts, while
+  *    [[graft.streaming.MaterializedView]]'s recompute IS the
+  *    populate (see InfraPlan's scaladoc);
+  *  - test_generic_table_update: covered by DiffGoldenSpec's
+  *    ALTER-vs-drop+create rows (same strategy object).
+  */
+class DdlOrderingGoldenSpec extends AnyFunSuite {
+  import InfraPlan._
+
+  private val schemaA = MooseSchema(Seq(
+    MooseColumn("id", MooseType.MInt64, primaryKey = true),
+    MooseColumn("v", MooseType.MFloat64)))
+  private def tcfg(name: String) =
+    OlapTable.Config(name, schemaA, TableEngine.MergeTree,
+      orderBy = Seq("id"))
+  private def res(name: String, pulls: Seq[String] = Nil,
+      pushes: Seq[String] = Nil): SqlResource =
+    SqlResource(name, setup = Seq(s"SELECT '$name'"),
+      teardown = Seq(s"SELECT 'drop $name'"),
+      pullsDataFrom = pulls, pushesDataTo = pushes)
+
+  private def orderedNames(rs: SqlResource*): Seq[String] = {
+    val reg = new SqlResourceRegistry
+    rs.foreach(reg.register)
+    reg.ordered.map(_.name)
+  }
+
+  test("golden: test_order_operations_dependencies_setup — A ← B ← C " +
+      "registered deliberately out of order comes back A, B, C") {
+    val a = res("table_a")
+    val b = res("table_b", pulls = Seq("table_a"))
+    val c = res("view_c", pulls = Seq("table_b"))
+    assert(orderedNames(c, a, b) === Seq("table_a", "table_b", "view_c"))
+  }
+
+  test("golden: test_order_operations_dependencies_teardown — removal " +
+      "plans tear down dependents-first: C, B, A") {
+    val a = res("table_a")
+    val b = res("table_b", pulls = Seq("table_a"))
+    val c = res("view_c", pulls = Seq("table_b"))
+    val before = State(tables = Map.empty,
+      resources = Map("view_c" -> c, "table_a" -> a, "table_b" -> b))
+    val plan = diff(before, State(tables = Map.empty))
+    val downs = plan.steps.collect { case TeardownResource(r) => r.name }
+    assert(downs === Seq("view_c", "table_b", "table_a"))
+  }
+
+  test("golden: test_cyclic_dependency_detection — a pull cycle " +
+      "refuses loudly instead of planning") {
+    val a = res("cyc_a", pulls = Seq("cyc_b"))
+    val b = res("cyc_b", pulls = Seq("cyc_a"))
+    assertThrows[IllegalArgumentException](orderedNames(a, b))
+  }
+
+  test("golden: test_complex_dependency_graph — A; B,C ← A; D ← B,C; " +
+      "E ← D: every edge respected whatever the registration order") {
+    val a = res("g_a")
+    val b = res("g_b", pulls = Seq("g_a"))
+    val c = res("g_c", pulls = Seq("g_a"))
+    val d = res("g_d", pulls = Seq("g_b", "g_c"))
+    val e = res("g_e", pulls = Seq("g_d"))
+    val order = orderedNames(e, c, d, a, b)
+    def pos(n: String) = order.indexOf(n)
+    assert(pos("g_a") < pos("g_b") && pos("g_a") < pos("g_c"))
+    assert(pos("g_b") < pos("g_d") && pos("g_c") < pos("g_d"))
+    assert(pos("g_d") < pos("g_e"))
+  }
+
+  test("golden: test_no_operations — empty diff is an empty plan") {
+    assert(diff(State(tables = Map.empty), State(tables = Map.empty)).isEmpty)
+  }
+
+  test("golden: test_order_operations_with_materialized_view — MV " +
+      "setup (reads A, writes B) runs AFTER both tables exist") {
+    val mv = res("mv_setup", pulls = Seq("mvt_a"), pushes = Seq("mvt_b"))
+    val after = State(
+      tables = Map("mvt_a" -> tcfg("mvt_a"), "mvt_b" -> tcfg("mvt_b")),
+      resources = Map("mv_setup" -> mv))
+    val plan = diff(State(tables = Map.empty), after)
+    val kinds = plan.steps.map {
+      case TableStep(op) => s"tbl:${op.table}"
+      case SetupResource(r) => s"up:${r.name}"
+      case TeardownResource(r) => s"down:${r.name}"
+    }
+    assert(kinds.length == 3 && kinds.last == "up:mv_setup",
+      s"MV setup must come after the tables: $kinds")
+    assert(kinds.take(2).toSet == Set("tbl:mvt_a", "tbl:mvt_b"))
+  }
+
+  test("golden: test_materialized_view_teardown — the MV is dropped " +
+      "BEFORE its source and target tables") {
+    val mv = res("mv_td", pulls = Seq("mvd_a"), pushes = Seq("mvd_b"))
+    val before = State(
+      tables = Map("mvd_a" -> tcfg("mvd_a"), "mvd_b" -> tcfg("mvd_b")),
+      resources = Map("mv_td" -> mv))
+    val plan = diff(before, State(tables = Map.empty))
+    val kinds = plan.steps.map {
+      case TableStep(op) => s"tbl:${op.table}"
+      case SetupResource(r) => s"up:${r.name}"
+      case TeardownResource(r) => s"down:${r.name}"
+    }
+    assert(kinds.head == "down:mv_td",
+      s"MV teardown must precede table drops: $kinds")
+    assert(kinds.tail.toSet == Set("tbl:mvd_a", "tbl:mvd_b"))
+  }
+
+  test("golden: test_bidirectional_dependencies — a push edge and the " +
+      "matching pull edge describe ONE direction, not a cycle") {
+    // A pushes to B; B also declares it pulls from A — both spellings
+    // of the same A→B edge must coexist without tripping cycle
+    // detection, and A orders first
+    val a = res("bi_a", pushes = Seq("bi_b"))
+    val b = res("bi_b", pulls = Seq("bi_a"))
+    assert(orderedNames(b, a) === Seq("bi_a", "bi_b"))
+  }
+
+  test("golden: test_process_projection_modify — a changed projection " +
+      "plans drop-then-add, in that order") {
+    val p1 = OlapTable.Projection("by_v", Seq("v"))
+    val p2 = OlapTable.Projection("by_v", Seq("v", "id"))
+    val before = tcfg("proj_t").copy(projections = Seq(p1))
+    val after = tcfg("proj_t").copy(projections = Seq(p2))
+    val plan = TableMigrator.diff(before, after)
+    assert(plan.operations === Seq(
+      TableMigrator.DropTableProjection("proj_t", "by_v"),
+      TableMigrator.AddTableProjection("proj_t", p2)))
+  }
+
+  test("golden: test_process_projection_add / remove") {
+    val p = OlapTable.Projection("by_v", Seq("v"))
+    val bare = tcfg("proj_t2")
+    val withP = bare.copy(projections = Seq(p))
+    assert(TableMigrator.diff(bare, withP).operations ===
+      Seq(TableMigrator.AddTableProjection("proj_t2", p)))
+    assert(TableMigrator.diff(withP, bare).operations ===
+      Seq(TableMigrator.DropTableProjection("proj_t2", "by_v")))
+  }
+
+  test("golden: test_mixed_operation_types — one plan interleaves " +
+      "resource teardown, table ALTER, table create, resource setup in " +
+      "the phase order") {
+    val oldView = res("mx_old", pulls = Seq("mx_t1"))
+    val newView = res("mx_new", pulls = Seq("mx_t2"))
+    val before = State(
+      tables = Map("mx_t1" -> tcfg("mx_t1")),
+      resources = Map("mx_old" -> oldView))
+    val after = State(
+      tables = Map(
+        "mx_t1" -> tcfg("mx_t1").copy(schema = MooseSchema(
+          schemaA.columns :+
+            MooseColumn("w", MooseType.MString, nullable = true))),
+        "mx_t2" -> tcfg("mx_t2")),
+      resources = Map("mx_new" -> newView))
+    val plan = diff(before, after)
+    val kinds = plan.steps.map {
+      case TeardownResource(r) => "down"
+      case TableStep(_) => "tbl"
+      case SetupResource(r) => "up"
+    }
+    assert(kinds === Seq("down", "tbl", "tbl", "up"))
+  }
+}
