@@ -45,13 +45,42 @@ import org.apache.spark.sql.SparkSession
   */
 object InfraPlan {
 
+  /** A declared workflow (ref infrastructure_map.rs `Workflow` +
+    * dmv2/sdk/workflow.ts): schedule text in the reference's grammar
+    * (cron or "5m"/"2h" shorthand — validated through
+    * [[graft.api.Cron.parse]] at construction so a typo\'d
+    * schedule fails at PLAN time, not at the first missed fire),
+    * retry count, timeout text, and the lineage signatures the
+    * workflow reads/writes (table/topic names). Lineage compares as a
+    * SET: the reference's diff treats order as non-semantic
+    * (test_workflow_lineage_order_change_does_not_trigger_update). */
+  final case class WorkflowSpec(
+      name: String,
+      schedule: Option[String] = None,
+      retries: Int = 0,
+      timeout: String = "1h",
+      lineage: Seq[String] = Nil) {
+    schedule.foreach(graft.api.Cron.parse)
+  }
+
+  sealed trait WorkflowChange
+  object WorkflowChange {
+    final case class Added(w: WorkflowSpec) extends WorkflowChange
+    final case class Removed(w: WorkflowSpec) extends WorkflowChange
+    final case class Updated(before: WorkflowSpec, after: WorkflowSpec)
+        extends WorkflowChange
+  }
+
   final case class State(
       tables: Map[String, OlapTable.Config],
       resources: Map[String, SqlResource] = Map.empty,
       /** Per-resource lifecycle; absent = FullyManaged (the
         * reference's default, lifeCycle.ts:7). Keyed by table OR
         * resource name. */
-      lifeCycles: Map[String, Migration.LifeCycle] = Map.empty) {
+      lifeCycles: Map[String, Migration.LifeCycle] = Map.empty,
+      /** Declared workflows by name (the reference's
+        * InfrastructureMap.workflows half of `moose plan`). */
+      workflows: Map[String, WorkflowSpec] = Map.empty) {
     def lifeCycleOf(name: String): Migration.LifeCycle =
       lifeCycles.getOrElse(name, Migration.LifeCycle.FullyManaged)
   }
@@ -69,9 +98,35 @@ object InfraPlan {
       /** SQL resources whose change the lifecycle blocked, with
         * reasons — the resource-kind half of the reference's
         * `FilteredChange` reporting (never silently lost). */
-      blockedResources: Seq[(SqlResource, String)] = Nil) {
+      blockedResources: Seq[(SqlResource, String)] = Nil,
+      /** Workflow registrations to add/remove/update — carried as a
+        * SEPARATE list like the reference's WorkflowChange channel
+        * (infrastructure_map.rs diff_workflows): workflow changes are
+        * scheduler registrations, not engine DDL, so [[apply]] leaves
+        * them to the caller's scheduler. */
+      workflowChanges: Seq[WorkflowChange] = Nil) {
     def isEmpty: Boolean =
-      steps.isEmpty && withheld.isEmpty && blockedResources.isEmpty
+      steps.isEmpty && withheld.isEmpty && blockedResources.isEmpty &&
+        workflowChanges.isEmpty
+  }
+
+  /** Workflow diff (infrastructure_map.rs `diff_workflows`): keyed by
+    * name, sorted for deterministic plans; an update is ANY config
+    * difference except lineage ORDER (set comparison — the
+    * reference's lineage_order test). */
+  def diffWorkflows(before: Map[String, WorkflowSpec],
+      after: Map[String, WorkflowSpec]): Seq[WorkflowChange] = {
+    def canon(w: WorkflowSpec): WorkflowSpec =
+      w.copy(lineage = w.lineage.distinct.sorted)
+    (before.keySet ++ after.keySet).toSeq.sorted.flatMap { n =>
+      (before.get(n), after.get(n)) match {
+        case (Some(b), Some(a)) if canon(b) != canon(a) =>
+          Some(WorkflowChange.Updated(b, a))
+        case (Some(b), None) => Some(WorkflowChange.Removed(b))
+        case (None, Some(a)) => Some(WorkflowChange.Added(a))
+        case _ => None
+      }
+    }
   }
 
   /** Dependency-order the given resources (pullsDataFrom /
@@ -173,7 +228,8 @@ object InfraPlan {
     dependencyOrder(addedRes ++ newChangedRes)
       .foreach(r => steps += SetupResource(r))
 
-    Plan(steps.result(), withheld.result(), blockedRes.result())
+    Plan(steps.result(), withheld.result(), blockedRes.result(),
+      diffWorkflows(before.workflows, after.workflows))
   }
 
   /** Execute a plan: teardown/setup SQL runs through the session;

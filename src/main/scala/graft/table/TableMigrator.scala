@@ -188,7 +188,7 @@ object TableMigrator {
     }
   }
 
-  private[table] def columnsEquivalent(b: MooseColumn, a: MooseColumn)
+  def columnsEquivalent(b: MooseColumn, a: MooseColumn)
       : Boolean = {
     val bn = b.copy(primaryKey = false)
     val an = a.copy(primaryKey = false)
@@ -214,11 +214,25 @@ object TableMigrator {
     drops ++ mods ++ adds
   }
 
+  /** Operations the caller may ask the diff to IGNORE (the reference's
+    * `IgnorableOperation` list on `diff_with_table_strategy` —
+    * infrastructure_map.rs; its tests exercise exactly the TTL
+    * member). */
+  sealed trait Ignorable
+  object Ignorable {
+    /** Suppress ModifyTtl ops: TTL managed out-of-band. */
+    case object ModifyTableTtl extends Ignorable
+  }
+
   /** The ClickHouse diff strategy (diff_strategy.rs:526): storage-shape
     * changes produce a drop+create PAIR; everything else is ALTER ops.
     * Both configs must name the same table — cross-name diffs are a
-    * remove+add at the registry level, not an update. */
-  def diff(before: OlapTable.Config, after: OlapTable.Config): Plan = {
+    * remove+add at the registry level, not an update. `ignore` drops
+    * the named op classes from the plan (the reference's ignorable
+    * operations — a TTL change under ModifyTableTtl is simply not
+    * reported, while co-occurring changes still are). */
+  def diff(before: OlapTable.Config, after: OlapTable.Config,
+      ignore: Set[Ignorable] = Set.empty): Plan = {
     require(before.name == after.name,
       s"diff is per-table: '${before.name}' vs '${after.name}' — a rename " +
         "is DropTable + CreateTable at the registry level")
@@ -240,7 +254,8 @@ object TableMigrator {
         Seq(ModifySampleBy(before.name, before.sampleBy, after.sampleBy))
       else Nil
     val ttlOps =
-      if (before.ttlExpiredWhen != after.ttlExpiredWhen)
+      if (before.ttlExpiredWhen != after.ttlExpiredWhen &&
+          !ignore.contains(Ignorable.ModifyTableTtl))
         Seq(ModifyTtl(before.name, before.ttlExpiredWhen, after.ttlExpiredWhen))
       else Nil
     val bIx = before.indexes.map(ix => ix.name -> ix).toMap
