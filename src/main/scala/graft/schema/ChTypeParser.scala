@@ -1,0 +1,398 @@
+package graft.schema
+
+/** ClickHouse type-STRING parser → [[MooseType]] (ref
+  * infrastructure/olap/clickhouse/type_parser.rs — `parse_clickhouse_type`
+  * + `convert_clickhouse_type_to_column_type`, whose 47-test matrix is
+  * ported in ChTypeParserGoldenSpec). This is the seam a migrating
+  * user hits wherever CH type TEXT appears: seeding a declared schema
+  * from a remote table's `DESCRIBE`, reading DDL dumps, or
+  * reality-checking externally-written metadata.
+  *
+  * Semantics follow the reference's conversion rules:
+  *  - `Nullable(T)` becomes the (type, nullable=true) PAIR — Moose
+  *    columns carry nullability on the column, not the type;
+  *  - `LowCardinality(T)` is transparent (a CH storage annotation —
+  *    the dialect's `toLowCardinality` is likewise a no-op);
+  *  - `Enum8/16` members are range-validated against the declared
+  *    width, then carried by NAME in declared order ([[MooseType.MEnum]]
+  *    stores names — codes are CH storage detail);
+  *  - `SimpleAggregateFunction(f, T)` converts to its ARGUMENT type
+  *    (the reference stores f separately as an annotation —
+  *    [[simpleAggregate]] is that extractor);
+  *  - geo types convert STRUCTURALLY exactly as CH defines them
+  *    (Point = Tuple(Float64, Float64), Ring/LineString = Array(Point),
+  *    Polygon/MultiLineString = Array(Ring/LineString), MultiPolygon =
+  *    Array(Polygon));
+  *  - `JSON(...)` parameters (typed paths, SKIP / SKIP REGEXP,
+  *    max_dynamic_types/paths) parse and validate (negative maxima
+  *    refuse, like the reference) but carry no engine semantics here —
+  *    [[MooseType.MJson]] is schema-on-read;
+  *  - `AggregateFunction`, `Nothing`, `BFloat16`, `Dynamic`, `Object`,
+  *    `Variant`, `Interval*` PARSE but refuse conversion loudly
+  *    (the reference's UnsupportedType), and `Decimal256`/precision
+  *    beyond 38 refuses on Spark's decimal cap;
+  *  - string literals keep the backslash of UNRECOGNIZED escape
+  *    sequences (`'\.'` stays `\.` — regex skip patterns must not lose
+  *    their escapes; the reference pins exactly this).
+  */
+object ChTypeParser {
+  import MooseType._
+
+  /** Parse a ClickHouse type string; returns (type, nullable). */
+  def parse(input: String): (MooseType, Boolean) = {
+    val p = new P(input)
+    val r = p.typ()
+    p.ws()
+    require(p.i >= input.length,
+      s"cannot parse ClickHouse type '$input': trailing input at offset ${p.i}")
+    r
+  }
+
+  /** The reference's `extract_simple_aggregate_function`: Some((fn,
+    * argType, argNullable)) for `SimpleAggregateFunction(f, T)`,
+    * None for anything else (including plain `AggregateFunction`). */
+  def simpleAggregate(input: String): Option[(String, MooseType, Boolean)] = {
+    val t = input.trim
+    if (!t.startsWith("SimpleAggregateFunction")) None
+    else {
+      val p = new P(t)
+      require(p.ident() == "SimpleAggregateFunction", s"cannot parse '$input'")
+      p.eat('(')
+      val fn = p.ident()
+      p.eat(',')
+      val (tpe, n) = p.typ()
+      p.eat(')')
+      Some((fn, tpe, n))
+    }
+  }
+
+  private def unsupported(name: String): Nothing =
+    throw new IllegalArgumentException(
+      s"ClickHouse type '$name' has no Moose/Spark counterpart — " +
+        "unsupported for conversion (parsed, refused; the reference " +
+        "refuses the same set)")
+
+  private final class P(s: String) {
+    var i = 0
+    def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    private def err(msg: String): Nothing =
+      throw new IllegalArgumentException(
+        s"cannot parse ClickHouse type '$s' at offset $i: $msg")
+    def peekIs(c: Char): Boolean = { ws(); i < s.length && s(i) == c }
+    def eat(c: Char): Unit = {
+      ws()
+      if (i >= s.length || s(i) != c) err(s"expected '$c'")
+      i += 1
+    }
+    def tryEat(c: Char): Boolean = {
+      val ok = peekIs(c)
+      if (ok) i += 1
+      ok
+    }
+    def ident(): String = {
+      ws()
+      val start = i
+      if (i < s.length && (s(i).isLetter || s(i) == '_')) {
+        i += 1
+        while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+      }
+      if (i == start) err("expected an identifier")
+      s.substring(start, i)
+    }
+    def number(): Long = {
+      ws()
+      val start = i
+      if (i < s.length && s(i) == '-') i += 1
+      while (i < s.length && s(i).isDigit) i += 1
+      if (i == start || (i == start + 1 && s(start) == '-'))
+        err("expected a number")
+      s.substring(start, i).toLong
+    }
+    /** '…' or "…"; recognized escapes decode, UNRECOGNIZED keep the
+      * backslash (regex skip patterns like `\.` must survive). */
+    def stringLit(): String = {
+      ws()
+      if (i >= s.length || (s(i) != '\'' && s(i) != '"'))
+        err("expected a string literal")
+      val quote = s(i)
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s(i) != quote) {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case '\\' => sb.append('\\')
+            case '\'' => sb.append('\'')
+            case '"' => sb.append('"')
+            case 'n' => sb.append('\n')
+            case 't' => sb.append('\t')
+            case 'r' => sb.append('\r')
+            case '0' => sb.append(Char.MinValue)
+            case other => sb.append('\\').append(other) // keep unknown escapes
+          }
+          i += 2
+        } else { sb.append(s(i)); i += 1 }
+      }
+      if (i >= s.length) err("unterminated string literal")
+      i += 1
+      sb.toString
+    }
+
+    /** Dotted path: `a.b.c` identifiers, or a string literal. */
+    private def path(): String = {
+      ws()
+      if (i < s.length && (s(i) == '\'' || s(i) == '"')) stringLit()
+      else {
+        val sb = new StringBuilder(ident())
+        while (tryEat('.')) sb.append('.').append(ident())
+        sb.toString
+      }
+    }
+
+    private def enumMembers(bits: Int): MooseType = {
+      val (lo, hi) = if (bits == 8) (-128L, 127L) else (-32768L, 32767L)
+      val names = Seq.newBuilder[String]
+      eat('(')
+      var first = true
+      while (first || tryEat(',')) {
+        first = false
+        val name = stringLit()
+        eat('=')
+        val code = number()
+        require(code >= lo && code <= hi,
+          s"Enum$bits code $code for '$name' outside [$lo, $hi]")
+        names += name
+      }
+      eat(')')
+      MEnum(names.result())
+    }
+
+    private def jsonParams(): Unit = {
+      // JSON(param, …): max_dynamic_types/paths = n, SKIP [REGEXP] p,
+      // or `path Type` typed paths — accepted, validated, and dropped
+      // (MJson is schema-on-read; the reference keeps them as options)
+      var first = true
+      while (first || tryEat(',')) {
+        first = false
+        ws()
+        if (i < s.length && (s(i) == '\'' || s(i) == '"')) {
+          // quoted typed path: 'a.b' Type
+          stringLit(); typ()
+        } else {
+          val head = ident()
+          head match {
+            case "max_dynamic_types" | "max_dynamic_paths" =>
+              eat('=')
+              val n = number()
+              require(n >= 0, s"JSON $head must be non-negative, got $n")
+            case "SKIP" =>
+              ws()
+              // optional REGEXP keyword before the pattern
+              val save = i
+              if (i < s.length && s(i).isLetter) {
+                val kw = ident()
+                if (kw == "REGEXP") stringLit()
+                else { i = save; path() }
+              } else path()
+              ()
+            case _ =>
+              // typed path: head(.more)* Type
+              while (tryEat('.')) ident()
+              typ()
+              ()
+          }
+        }
+      }
+    }
+
+    /** Skip a balanced parenthesized argument list (for types that
+      * parse but refuse conversion — their args must still be
+      * syntactically consumed). */
+    private def skipParens(): Unit = {
+      eat('(')
+      var depth = 1
+      while (depth > 0) {
+        if (i >= s.length) err("unbalanced parentheses")
+        s(i) match {
+          case '(' => depth += 1; i += 1
+          case ')' => depth -= 1; i += 1
+          case '\'' | '"' => stringLit(); ()
+          case _ => i += 1
+        }
+      }
+    }
+
+    def typ(): (MooseType, Boolean) = {
+      val name = ident()
+      name match {
+        case "Nullable" =>
+          eat('(')
+          val (inner, n) = typ()
+          require(!n, "Nullable(Nullable(…)) is not a ClickHouse type")
+          eat(')')
+          (inner, true)
+        case "LowCardinality" =>
+          eat('(')
+          val r = typ()
+          eat(')')
+          r
+        case "Array" =>
+          eat('(')
+          val (elem, elemNullable) = typ()
+          eat(')')
+          (MArray(elem, elemNullable), false)
+        case "Map" =>
+          eat('(')
+          val (k, _) = typ()
+          eat(',')
+          val (v, _) = typ()
+          eat(')')
+          (MMap(k, v), false)
+        case "Tuple" | "Nested" =>
+          eat('(')
+          val fields = Seq.newBuilder[(String, MooseType)]
+          var first = true
+          var idx = 0
+          while (first || tryEat(',')) {
+            first = false
+            idx += 1
+            // named element = identifier followed by a type; unnamed =
+            // a type directly. Disambiguate by trying a type parse
+            // after the identifier position.
+            ws()
+            val save = i
+            val maybeName =
+              if (i < s.length && (s(i).isLetter || s(i) == '_'))
+                Some(ident())
+              else None
+            maybeName match {
+              case Some(n0) =>
+                ws()
+                val afterName = i
+                val isNamed = i < s.length && s(i) != ',' && s(i) != ')' &&
+                  s(i) != '('
+                if (isNamed) fields += n0 -> typ()._1
+                else if (i < s.length && s(i) == '(') {
+                  // the identifier was itself a parameterized TYPE head
+                  i = save
+                  fields += s"_$idx" -> typ()._1
+                } else {
+                  // bare identifier = an unnamed simple type
+                  i = save
+                  fields += s"_$idx" -> typ()._1
+                  require(i >= afterName, "tuple element parse stalled")
+                }
+              case None =>
+                fields += s"_$idx" -> typ()._1
+            }
+          }
+          eat(')')
+          val fs = fields.result()
+          (if (name == "Nested") MNested(fs) else MNamedTuple(fs), false)
+        case "Enum8" => (enumMembers(8), false)
+        case "Enum16" | "Enum" => (enumMembers(16), false)
+        case "FixedString" =>
+          eat('(')
+          val n = number()
+          require(n >= 1, s"FixedString length must be >= 1, got $n")
+          eat(')')
+          (MFixedString(n.toInt), false)
+        case "Decimal" =>
+          eat('(')
+          val p0 = number()
+          eat(',')
+          val s0 = number()
+          eat(')')
+          require(p0 >= 1 && p0 <= 38,
+            s"Decimal precision $p0 outside Spark's 1..38 " +
+              "(Decimal(39..76) has no Spark decimal counterpart)")
+          require(s0 >= 0 && s0 <= p0, s"Decimal scale $s0 outside 0..$p0")
+          (MDecimal(p0.toInt, s0.toInt), false)
+        case "Decimal32" | "Decimal64" | "Decimal128" =>
+          eat('(')
+          val s0 = number()
+          eat(')')
+          val p0 = name match {
+            case "Decimal32" => 9
+            case "Decimal64" => 18
+            case _ => 38
+          }
+          require(s0 >= 0 && s0 <= p0, s"$name scale $s0 outside 0..$p0")
+          (MDecimal(p0, s0.toInt), false)
+        case "Decimal256" =>
+          skipParens(); unsupported("Decimal256 (precision beyond Spark's 38)")
+        case "DateTime" =>
+          if (tryEat('(')) { stringLit(); eat(')') } // timezone accepted
+          (MDateTime(0), false)
+        case "DateTime64" =>
+          eat('(')
+          val p0 = number()
+          require(p0 >= 0 && p0 <= 9, s"DateTime64 precision $p0 outside 0..9")
+          if (tryEat(',')) stringLit() // timezone accepted
+          eat(')')
+          (MDateTime(p0.toInt), false)
+        case "SimpleAggregateFunction" =>
+          eat('(')
+          ident() // function name — carried separately, see simpleAggregate
+          eat(',')
+          val r = typ()
+          eat(')')
+          r
+        case "AggregateFunction" =>
+          skipParens(); unsupported("AggregateFunction")
+        case "JSON" =>
+          if (peekIs('(')) {
+            eat('(')
+            if (!tryEat(')')) { jsonParams(); eat(')') }
+          }
+          (MJson, false)
+        case "Object" =>
+          if (peekIs('(')) skipParens()
+          unsupported("Object")
+        case "Variant" =>
+          skipParens(); unsupported("Variant")
+        case "Dynamic" => unsupported("Dynamic")
+        case "Nothing" => unsupported("Nothing")
+        case "BFloat16" => unsupported("BFloat16")
+        case iv if iv.startsWith("Interval") && iv.length > 8 =>
+          unsupported(iv)
+        // geo: CH's own structural definitions
+        case "Point" =>
+          (MNamedTuple(Seq("_1" -> MFloat64, "_2" -> MFloat64)), false)
+        case "Ring" | "LineString" =>
+          (MArray(MNamedTuple(Seq("_1" -> MFloat64, "_2" -> MFloat64))), false)
+        case "Polygon" | "MultiLineString" =>
+          (MArray(MArray(
+            MNamedTuple(Seq("_1" -> MFloat64, "_2" -> MFloat64)))), false)
+        case "MultiPolygon" =>
+          (MArray(MArray(MArray(
+            MNamedTuple(Seq("_1" -> MFloat64, "_2" -> MFloat64))))), false)
+        case simple => (simpleType(simple), false)
+      }
+    }
+
+    private def simpleType(name: String): MooseType = name match {
+      case "String" => MString
+      case "Bool" | "Boolean" => MBoolean
+      case "Int8" => MInt8
+      case "Int16" => MInt16
+      case "Int32" => MInt32
+      case "Int64" => MInt64
+      case "UInt8" => MUInt8
+      case "UInt16" => MUInt16
+      case "UInt32" => MUInt32
+      case "UInt64" => MUInt64
+      case "Int128" => MInt128
+      case "Int256" => MInt256
+      // the #6 widening stance: unsigned 128/256 ride the widest
+      // decimal available; values beyond 10^38-1 are out of range
+      case "UInt128" | "UInt256" => MInt256
+      case "Float32" => MFloat32
+      case "Float64" => MFloat64
+      case "Date" | "Date32" => MDate
+      case "UUID" => MUUID
+      case "IPv4" => MIPv4
+      case "IPv6" => MIPv6
+      case other => err(s"unknown ClickHouse type '$other'")
+    }
+  }
+}

@@ -152,3 +152,18 @@ final case class MooseSchema(columns: Seq[MooseColumn]) {
 
   def primaryKeys: Seq[String] = columns.filter(_.primaryKey).map(_.name)
 }
+
+object MooseSchema {
+  /** Build a schema from ClickHouse `DESCRIBE`-shaped (name, type
+    * text) pairs — the seed-from-remote seam ([[ChTypeParser]]:
+    * `Nullable(...)` becomes the column's nullable flag,
+    * `SimpleAggregateFunction` collapses to its argument type,
+    * unsupported CH types refuse loudly rather than mis-declaring). */
+  def fromClickHouse(described: Seq[(String, String)],
+      primaryKeys: Set[String] = Set.empty): MooseSchema =
+    MooseSchema(described.map { case (name, chType) =>
+      val (tpe, nullable) = ChTypeParser.parse(chType)
+      MooseColumn(name, tpe, nullable = nullable,
+        primaryKey = primaryKeys.contains(name))
+    })
+}
