@@ -1,0 +1,698 @@
+package graft.table
+
+import java.util.regex.Pattern
+
+import graft.schema.{ChTypeParser, MooseColumn, MooseSchema}
+
+/** ClickHouse DDL-text extraction — the `sql_parser.rs` surface (ref
+  * infrastructure/olap/clickhouse/sql_parser.rs:151-1341, whose
+  * ~60-test matrix is ported in ChDdlGoldenSpec): the seam a migrating
+  * user crosses with a CH `SHOW CREATE TABLE` dump in hand. All
+  * extractors are QUOTE-AWARE (a column named `scripting_engine`, a
+  * COMMENT containing "ENGINE =", a nested field named "settings", or
+  * a projection WHERE over a spacey string literal must never confuse
+  * them — each of those is a pinned reference test), and the capstone
+  * [[parseCreateTable]] composes them with [[ChTypeParser]] into a
+  * full [[OlapTable.Config]].
+  *
+  * Everything here is driver-side metadata text work — no Spark jobs.
+  */
+object ChDdl {
+
+  /** Raw DDL-level skipping index (the reference's ClickHouseIndex):
+    * preserves exactly what the DDL said, including index types
+    * parquet has no analogue for — [[parseCreateTable]] maps the
+    * mappable ones onto [[OlapTable.SkipIndex]] and refuses the rest
+    * loudly (or drops them on request). */
+  final case class ChIndex(
+      name: String,
+      expression: String,
+      indexType: String,
+      arguments: Seq[String],
+      granularity: Int)
+
+  final case class ParsedProjection(name: String, body: String)
+
+  final case class TableRef(database: Option[String], table: String) {
+    def qualifiedName: String = database.fold(table)(d => s"$d.$table")
+  }
+
+  final case class MvStatement(
+      viewDatabase: Option[String], viewName: String,
+      targetDatabase: Option[String], targetTable: String,
+      sourceTables: Seq[TableRef])
+
+  final case class InsertSelect(
+      targetDatabase: Option[String], targetTable: String,
+      columns: Option[Seq[String]], sourceTables: Seq[TableRef])
+
+  // ------------------------------------------------------ scanning core
+
+  /** Per-character "inside a quoted literal" mask ('…', "…", `…`;
+    * backslash escapes honored inside '/" but not backticks). */
+  private def quotedMask(s: String): Array[Boolean] = {
+    val m = new Array[Boolean](s.length)
+    var i = 0
+    var q: Char = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (q == 0) {
+        if (c == '\'' || c == '"' || c == '`') { q = c; m(i) = true }
+      } else {
+        m(i) = true
+        if (c == '\\' && q != '`' && i + 1 < s.length) { i += 1; m(i) = true }
+        else if (c == q) q = 0
+      }
+      i += 1
+    }
+    m
+  }
+
+  /** Paren depth per character (quoted regions contribute nothing). */
+  private def depthMask(s: String, quoted: Array[Boolean]): Array[Int] = {
+    val d = new Array[Int](s.length)
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      if (!quoted(i)) {
+        if (s(i) == '(') { d(i) = depth; depth += 1; i += 1 }
+        else { if (s(i) == ')') depth -= 1; d(i) = depth; i += 1 }
+      } else { d(i) = depth; i += 1 }
+    }
+    d
+  }
+
+  private def kwPattern(kw: String): Pattern =
+    Pattern.compile(kw.split(" ").map(Pattern.quote)
+        .mkString("\\b", "\\s+", "\\b"),
+      Pattern.CASE_INSENSITIVE)
+
+  /** First match of the (possibly multi-word) keyword at an unquoted
+    * position with the required paren depth (-1 = any depth). */
+  private def findKeyword(s: String, quoted: Array[Boolean],
+      depth: Array[Int], kw: String, from: Int,
+      atDepth: Int = -1): Option[(Int, Int)] = {
+    val m = kwPattern(kw).matcher(s)
+    var pos = from
+    while (m.find(pos)) {
+      if (!quoted(m.start) && (atDepth < 0 || depth(m.start) == atDepth))
+        return Some((m.start, m.end))
+      pos = m.end
+    }
+    None
+  }
+
+  /** End index (exclusive) of the balanced group opened at `open`. */
+  private def balancedEnd(s: String, quoted: Array[Boolean],
+      open: Int): Option[Int] = {
+    require(s(open) == '(', "balancedEnd expects an open paren")
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      if (!quoted(i)) {
+        if (s(i) == '(') depth += 1
+        else if (s(i) == ')') {
+          depth -= 1
+          if (depth == 0) return Some(i + 1)
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def skipWs(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && s(i).isWhitespace) i += 1
+    i
+  }
+
+  private val IdentRe = Pattern.compile("[A-Za-z_][A-Za-z0-9_]*")
+
+  /** Expression text from `from` until the first of the terminator
+    * keywords at depth 0 (or end of string), trimmed. */
+  private def untilKeyword(s: String, quoted: Array[Boolean],
+      depth: Array[Int], from: Int, terminators: Seq[String]): String = {
+    val stops = terminators.flatMap(t =>
+      findKeyword(s, quoted, depth, t, from, atDepth = 0).map(_._1))
+    val end = if (stops.isEmpty) s.length else stops.min
+    s.substring(from, end).trim
+  }
+
+  // ------------------------------------------------------- extractors
+
+  /** `ENGINE = Name[(args…)]` verbatim (sql_parser.rs:232): None when
+    * absent or malformed (unclosed argument list). Quote-aware — a
+    * column named `*_engine` or a COMMENT containing "ENGINE =" never
+    * matches. */
+  def extractEngine(sql: String): Option[String] = {
+    val quoted = quotedMask(sql)
+    val depth = depthMask(sql, quoted)
+    var from = 0
+    while (true) {
+      findKeyword(sql, quoted, depth, "ENGINE", from) match {
+        case None => return None
+        case Some((_, kwEnd)) =>
+          var i = skipWs(sql, kwEnd)
+          if (i < sql.length && sql(i) == '=') {
+            i = skipWs(sql, i + 1)
+            val m = IdentRe.matcher(sql)
+            if (m.find(i) && m.start == i) {
+              val nameEnd = m.end
+              val j = skipWs(sql, nameEnd)
+              if (j < sql.length && sql(j) == '(')
+                return balancedEnd(sql, quoted, j)
+                  .map(e => sql.substring(i, e))
+              return Some(sql.substring(i, nameEnd))
+            }
+            return None
+          }
+          from = kwEnd
+      }
+    }
+    None
+  }
+
+  /** `SAMPLE BY expr` (sql_parser.rs:416) — stops at ORDER/PARTITION/
+    * PRIMARY/TTL/SETTINGS (TTL termination is the reference's own
+    * bug-fix case; identifiers merely CONTAINING "ttl" don't match). */
+  def extractSampleBy(sql: String): Option[String] = {
+    val quoted = quotedMask(sql)
+    val depth = depthMask(sql, quoted)
+    findKeyword(sql, quoted, depth, "SAMPLE BY", 0, atDepth = 0)
+      .map { case (_, end) =>
+        untilKeyword(sql, quoted, depth, skipWs(sql, end),
+          Seq("ORDER", "PARTITION", "PRIMARY", "TTL", "SETTINGS"))
+      }.filter(_.nonEmpty)
+  }
+
+  /** `PRIMARY KEY expr|((…))` (sql_parser.rs:454). The reference's
+    * "ORDER BY PRIMARY KEY" guard: an occurrence immediately preceded
+    * by BY is not a clause. Parenthesized keys return verbatim with
+    * the parens. */
+  def extractPrimaryKey(sql: String): Option[String] = {
+    val quoted = quotedMask(sql)
+    val depth = depthMask(sql, quoted)
+    var from = 0
+    while (true) {
+      findKeyword(sql, quoted, depth, "PRIMARY KEY", from, atDepth = 0) match {
+        case None => return None
+        case Some((start, end)) =>
+          val before = sql.substring(0, start).trim
+          val precededByBy = before.length >= 2 &&
+            before.substring(before.length - 2).equalsIgnoreCase("by") &&
+            (before.length == 2 ||
+              !before(before.length - 3).isLetterOrDigit)
+          if (!precededByBy) {
+            val i = skipWs(sql, end)
+            if (i < sql.length && sql(i) == '(')
+              return balancedEnd(sql, quoted, i).map(e => sql.substring(i, e))
+            return Some(untilKeyword(sql, quoted, depth, i,
+              Seq("ORDER", "PARTITION", "SAMPLE", "TTL", "SETTINGS")))
+              .filter(_.nonEmpty)
+          }
+          from = end
+      }
+    }
+    None
+  }
+
+  /** The column-list region of a CREATE TABLE: (startInside, endExcl)
+    * of the first top-level parenthesized group. */
+  private def columnListSpan(sql: String,
+      quoted: Array[Boolean]): Option[(Int, Int)] = {
+    var i = 0
+    while (i < sql.length && (quoted(i) || sql(i) != '(')) i += 1
+    if (i >= sql.length) None
+    else balancedEnd(sql, quoted, i).map(e => (i + 1, e - 1))
+  }
+
+  /** Split a region at its depth-relative top-level commas. */
+  private def splitEntries(sql: String, quoted: Array[Boolean],
+      start: Int, end: Int): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var depth = 0
+    var entryStart = start
+    var i = start
+    while (i < end) {
+      if (!quoted(i)) {
+        sql(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 =>
+            out += ((entryStart, i))
+            entryStart = i + 1
+          case _ =>
+        }
+      }
+      i += 1
+    }
+    if (end > entryStart) out += ((entryStart, end))
+    out.result().filter { case (a, b) => sql.substring(a, b).trim.nonEmpty }
+  }
+
+  /** `INDEX name expr TYPE t[(args)] GRANULARITY n` entries from the
+    * column list (sql_parser.rs:512). Type case preserved as written
+    * (`nGraMbf_v1` stays `nGraMbf_v1`). */
+  def extractIndexes(sql: String): Seq[ChIndex] = {
+    val quoted = quotedMask(sql)
+    columnListSpan(sql, quoted).toSeq.flatMap { case (start, end) =>
+      splitEntries(sql, quoted, start, end).flatMap { case (a, b) =>
+        val entry = sql.substring(a, b)
+        val eq = quotedMask(entry)
+        val ed = depthMask(entry, eq)
+        findKeyword(entry, eq, ed, "INDEX", 0, atDepth = 0)
+          .filter(_._1 == skipWs(entry, 0)).map { case (_, kwEnd) =>
+            val nameStart = skipWs(entry, kwEnd)
+            val m = IdentRe.matcher(entry)
+            require(m.find(nameStart) && m.start == nameStart,
+              s"cannot parse INDEX entry '${entry.trim}': expected a name")
+            val name = m.group()
+            val (tStart, tEnd) =
+              findKeyword(entry, eq, ed, "TYPE", m.end, atDepth = 0)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"cannot parse INDEX entry '${entry.trim}': no TYPE"))
+            val expression = entry.substring(m.end, tStart).trim
+            val tm = IdentRe.matcher(entry)
+            val ti = skipWs(entry, tEnd)
+            require(tm.find(ti) && tm.start == ti,
+              s"cannot parse INDEX entry '${entry.trim}': expected a type")
+            val indexType = tm.group()
+            var args = Seq.empty[String]
+            var after = tm.end
+            val pi = skipWs(entry, after)
+            if (pi < entry.length && entry(pi) == '(') {
+              val pe = balancedEnd(entry, eq, pi).getOrElse(
+                throw new IllegalArgumentException(
+                  s"cannot parse INDEX entry '${entry.trim}': unclosed args"))
+              args = entry.substring(pi + 1, pe - 1).split(",")
+                .map(_.trim).filter(_.nonEmpty).toSeq
+              after = pe
+            }
+            val gran =
+              findKeyword(entry, eq, ed, "GRANULARITY", after, atDepth = 0)
+                .map { case (_, ge) =>
+                  val gi = skipWs(entry, ge)
+                  val gm = Pattern.compile("\\d+").matcher(entry)
+                  require(gm.find(gi) && gm.start == gi,
+                    s"cannot parse INDEX entry '${entry.trim}': granularity")
+                  gm.group().toInt
+                }.getOrElse(1)
+            ChIndex(name, expression, indexType, args, gran)
+          }
+      }
+    }
+  }
+
+  /** `PROJECTION name (body)` entries (sql_parser.rs:679) — the body is
+    * RAW (outer-trimmed only; internal whitespace and quoted strings
+    * preserved — the reference pins exactly this). */
+  def extractProjections(sql: String): Seq[ParsedProjection] = {
+    val quoted = quotedMask(sql)
+    columnListSpan(sql, quoted).toSeq.flatMap { case (start, end) =>
+      splitEntries(sql, quoted, start, end).flatMap { case (a, b) =>
+        val entry = sql.substring(a, b)
+        val eq = quotedMask(entry)
+        val ed = depthMask(entry, eq)
+        findKeyword(entry, eq, ed, "PROJECTION", 0, atDepth = 0)
+          .filter(_._1 == skipWs(entry, 0)).map { case (_, kwEnd) =>
+            val nameStart = skipWs(entry, kwEnd)
+            val m = IdentRe.matcher(entry)
+            require(m.find(nameStart) && m.start == nameStart,
+              s"cannot parse PROJECTION entry '${entry.trim}'")
+            val pi = skipWs(entry, m.end)
+            require(pi < entry.length && entry(pi) == '(',
+              s"cannot parse PROJECTION '${m.group()}': expected a body")
+            val pe = balancedEnd(entry, eq, pi).getOrElse(
+              throw new IllegalArgumentException(
+                s"cannot parse PROJECTION '${m.group()}': unclosed body"))
+            ParsedProjection(m.group(), entry.substring(pi + 1, pe - 1).trim)
+          }
+      }
+    }
+  }
+
+  /** Top-level `SETTINGS k = v, …` (sql_parser.rs:151): quoted values
+    * unquoted, numeric/bare values verbatim as strings; a NESTED field
+    * merely NAMED "settings" (inside the column list) never matches.
+    * None when the clause is absent. */
+  def extractTableSettings(sql: String): Option[Map[String, String]] = {
+    val quoted = quotedMask(sql)
+    val depth = depthMask(sql, quoted)
+    findKeyword(sql, quoted, depth, "SETTINGS", 0, atDepth = 0)
+      .map { case (_, kwEnd) =>
+        val out = Map.newBuilder[String, String]
+        var i = skipWs(sql, kwEnd)
+        var more = true
+        while (more) {
+          val m = IdentRe.matcher(sql)
+          if (m.find(i) && m.start == i) {
+            val key = m.group()
+            var j = skipWs(sql, m.end)
+            require(j < sql.length && sql(j) == '=',
+              s"cannot parse SETTINGS near '$key': expected '='")
+            j = skipWs(sql, j + 1)
+            val value =
+              if (j < sql.length && (sql(j) == '\'' || sql(j) == '"')) {
+                val q = sql(j)
+                val sb = new StringBuilder
+                var k = j + 1
+                while (k < sql.length && sql(k) != q) {
+                  if (sql(k) == '\\' && k + 1 < sql.length) {
+                    sb.append(sql(k + 1)); k += 2
+                  } else { sb.append(sql(k)); k += 1 }
+                }
+                require(k < sql.length, "unterminated SETTINGS value")
+                j = k + 1
+                sb.toString
+              } else {
+                val vStart = j
+                while (j < sql.length && !sql(j).isWhitespace &&
+                  sql(j) != ',') j += 1
+                sql.substring(vStart, j)
+              }
+            out += key -> value
+            i = skipWs(sql, j)
+            if (i < sql.length && sql(i) == ',') i = skipWs(sql, i + 1)
+            else more = false
+          } else more = false
+        }
+        out.result()
+      }.filter(_.nonEmpty)
+  }
+
+  // ------------------------------------------- MV / INSERT-SELECT / refs
+
+  def isMaterializedView(sql: String): Boolean =
+    Pattern.compile("^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\b",
+      Pattern.CASE_INSENSITIVE).matcher(sql).find()
+
+  def isInsertSelect(sql: String): Boolean =
+    Pattern.compile("^\\s*INSERT\\s+INTO\\b[\\s\\S]*\\bSELECT\\b",
+      Pattern.CASE_INSENSITIVE).matcher(sql).find()
+
+  /** `db.name` / `` `db`.`name` `` / bare name → (database?, name). */
+  def splitQualifiedName(name: String): (Option[String], String) = {
+    val parts = name.split("\\.").map(_.stripPrefix("`").stripSuffix("`"))
+    if (parts.length >= 2) (Some(parts(parts.length - 2)), parts.last)
+    else (None, parts.head)
+  }
+
+  /** FROM/JOIN table references of a query (sql_parser.rs:1074) —
+    * quote-aware (a `FROM` inside an array/string literal never
+    * matches), subqueries contribute their INNER references, order
+    * preserved, deduplicated. */
+  def extractSourceTables(sql: String): Seq[TableRef] = {
+    val quoted = quotedMask(sql)
+    val depth = depthMask(sql, quoted)
+    val refRe = Pattern.compile("[`A-Za-z_][`A-Za-z0-9_.]*")
+    val out = Seq.newBuilder[TableRef]
+    var from = 0
+    val m = Pattern.compile("\\b(FROM|JOIN)\\b",
+      Pattern.CASE_INSENSITIVE).matcher(sql)
+    while (m.find(from)) {
+      if (!quoted(m.start)) {
+        val i = skipWs(sql, m.end)
+        if (i < sql.length && sql(i) != '(') {
+          val rm = refRe.matcher(sql)
+          if (rm.find(i) && rm.start == i) {
+            val (db, t) = splitQualifiedName(rm.group())
+            out += TableRef(db, t)
+          }
+        }
+      }
+      from = m.end
+    }
+    out.result().distinct
+  }
+
+  /** `CREATE MATERIALIZED VIEW v TO target AS SELECT …`
+    * (sql_parser.rs:958). The TO form is required — a targetless MV
+    * stores into an implicit `.inner` table this engine does not
+    * model. */
+  def parseCreateMaterializedView(sql: String): MvStatement = {
+    val m = Pattern.compile(
+      "^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+        "([`A-Za-z_][`A-Za-z0-9_.]*)\\s+TO\\s+([`A-Za-z_][`A-Za-z0-9_.]*)" +
+        "[\\s\\S]*?\\bAS\\b([\\s\\S]*)$",
+      Pattern.CASE_INSENSITIVE).matcher(sql)
+    require(m.find(),
+      s"cannot parse CREATE MATERIALIZED VIEW from: ${sql.take(100)}")
+    val (vdb, v) = splitQualifiedName(m.group(1))
+    val (tdb, t) = splitQualifiedName(m.group(2))
+    MvStatement(vdb, v, tdb, t, extractSourceTables(m.group(3)))
+  }
+
+  /** `INSERT INTO target [(cols)] SELECT …` (sql_parser.rs:1009). */
+  def parseInsertSelect(sql: String): InsertSelect = {
+    val m = Pattern.compile(
+      "^\\s*INSERT\\s+INTO\\s+([`A-Za-z_][`A-Za-z0-9_.]*)\\s*" +
+        "(?:\\(([^)]*)\\))?\\s*SELECT\\b([\\s\\S]*)$",
+      Pattern.CASE_INSENSITIVE).matcher(sql)
+    require(m.find(), s"cannot parse INSERT…SELECT from: ${sql.take(100)}")
+    val (db, t) = splitQualifiedName(m.group(1))
+    val cols = Option(m.group(2))
+      .map(_.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    InsertSelect(db, t, cols, extractSourceTables(m.group(3)))
+  }
+
+  // -------------------------------------------------- full CREATE TABLE
+
+  private def stripTicks(s: String): String =
+    s.stripPrefix("`").stripSuffix("`")
+
+  /** ORDER BY clause → column/expression list (tuple unwrapped;
+    * `tuple()` = empty). */
+  private def orderByExprs(sql: String, quoted: Array[Boolean],
+      depth: Array[Int]): Seq[String] = {
+    findKeyword(sql, quoted, depth, "ORDER BY", 0, atDepth = 0).toSeq
+      .flatMap { case (_, end) =>
+        val text = untilKeyword(sql, quoted, depth, skipWs(sql, end),
+          Seq("PARTITION", "SAMPLE", "PRIMARY", "TTL", "SETTINGS"))
+        val inner =
+          if (text.startsWith("(") && text.endsWith(")"))
+            text.substring(1, text.length - 1)
+          else if (text.equalsIgnoreCase("tuple()")) ""
+          else text
+        val q2 = quotedMask(inner)
+        splitEntries(inner, q2, 0, inner.length)
+          .map { case (a, b) => stripTicks(inner.substring(a, b).trim) }
+      }
+  }
+
+  /** Parse a full `CREATE TABLE` DDL into an [[OlapTable.Config]] —
+    * columns through [[ChTypeParser]] (DEFAULT/MATERIALIZED/ALIAS/
+    * CODEC/COMMENT modifiers mapped onto [[MooseColumn]]), engine onto
+    * the [[TableEngine]] family (Replicated/Shared wrappers included),
+    * ORDER BY/PARTITION BY/SAMPLE BY/PRIMARY KEY/INDEX/PROJECTION onto
+    * their config fields. Refusals are LOUD: an unknown engine, an
+    * unsupported CH column type, or an index type parquet cannot serve
+    * (unless `dropUnsupportedIndexes`, which discards them — the
+    * reference's state-reconciliation does the equivalent). Table-level
+    * TTL and SETTINGS are validated syntactically but carried nowhere:
+    * CH TTL text ("ts + INTERVAL 30 DAY") is an expiry TIME while
+    * [[OlapTable.Config.ttlExpiredWhen]] is an expired-when BOOLEAN,
+    * and settings are CH server knobs with no parquet counterpart. */
+  def parseCreateTable(sql: String,
+      dropUnsupportedIndexes: Boolean = false): OlapTable.Config = {
+    val quoted = quotedMask(sql)
+    val depth = depthMask(sql, quoted)
+    val nm = Pattern.compile(
+      "^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+        "([`A-Za-z_][`A-Za-z0-9_.]*)",
+      Pattern.CASE_INSENSITIVE).matcher(sql)
+    require(nm.find(), s"cannot parse CREATE TABLE from: ${sql.take(100)}")
+    val (_, tableName) = splitQualifiedName(nm.group(1))
+
+    val (start, end) = columnListSpan(sql, quoted).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot parse CREATE TABLE '$tableName': no column list"))
+    val columns = splitEntries(sql, quoted, start, end).flatMap {
+      case (a, b) =>
+        val entry = sql.substring(a, b)
+        val eq = quotedMask(entry)
+        val ed = depthMask(entry, eq)
+        def startsWithKw(kw: String): Boolean =
+          findKeyword(entry, eq, ed, kw, 0, atDepth = 0)
+            .exists(_._1 == skipWs(entry, 0))
+        if (startsWithKw("INDEX") || startsWithKw("PROJECTION") ||
+          startsWithKw("CONSTRAINT")) None
+        else Some(parseColumn(entry))
+    }
+
+    val engineText = extractEngine(sql)
+    val engine = engineText.map(parseEngine).getOrElse(TableEngine.MergeTree)
+    val rawIndexes = extractIndexes(sql)
+    val indexes = rawIndexes.flatMap { ix =>
+      ix.indexType.toLowerCase match {
+        case "minmax" | "bloom_filter" =>
+          Some(OlapTable.SkipIndex(ix.name, ix.expression,
+            ix.indexType.toLowerCase,
+            ix.arguments.headOption.flatMap(a => scala.util.Try(a.toLong).toOption)))
+        case other if dropUnsupportedIndexes => None
+        case other => throw new IllegalArgumentException(
+          s"index '${ix.name}' has type '$other' — parquet has no " +
+            "analogue structure (only minmax/bloom_filter map); pass " +
+            "dropUnsupportedIndexes = true to discard it instead")
+      }
+    }
+    val projections = extractProjections(sql).map { p =>
+      // sortBy = the body's ORDER BY list (the part parquet layout uses)
+      val pq = quotedMask(p.body)
+      val pd = depthMask(p.body, pq)
+      val sortBy = findKeyword(p.body, pq, pd, "ORDER BY", 0).toSeq
+        .flatMap { case (_, e2) =>
+          val text = p.body.substring(skipWs(p.body, e2)).trim
+          val inner =
+            if (text.startsWith("(") && text.endsWith(")"))
+              text.substring(1, text.length - 1)
+            else text
+          inner.split(",").map(s2 => stripTicks(s2.trim)).filter(_.nonEmpty)
+            .toSeq
+        }
+      OlapTable.Projection(p.name, sortBy)
+    }
+    // validate-but-drop clauses (see scaladoc)
+    extractTableSettings(sql)
+
+    val partitionBy =
+      findKeyword(sql, quoted, depth, "PARTITION BY", 0, atDepth = 0).toSeq
+        .map { case (_, e2) =>
+          untilKeyword(sql, quoted, depth, skipWs(sql, e2),
+            Seq("ORDER", "SAMPLE", "PRIMARY", "TTL", "SETTINGS"))
+        }.filter(_.nonEmpty)
+
+    OlapTable.Config(
+      name = tableName,
+      schema = MooseSchema(columns),
+      engine = engine,
+      orderBy = orderByExprs(sql, quoted, depth),
+      partitionBy = partitionBy,
+      sampleBy = extractSampleBy(sql),
+      projections = projections,
+      indexes = indexes,
+      primaryKeyExpression = extractPrimaryKey(sql))
+  }
+
+  /** One column entry: `` `name` Type [DEFAULT e | MATERIALIZED e |
+    * ALIAS e] [CODEC(…)] [TTL e] [COMMENT 's'] ``. */
+  private def parseColumn(entry: String): MooseColumn = {
+    val eq = quotedMask(entry)
+    val ed = depthMask(entry, eq)
+    var i = skipWs(entry, 0)
+    val name =
+      if (entry(i) == '`') {
+        val close = entry.indexOf('`', i + 1)
+        require(close > i, s"cannot parse column entry '${entry.trim}'")
+        val n = entry.substring(i + 1, close)
+        i = close + 1
+        n
+      } else {
+        val m = IdentRe.matcher(entry)
+        require(m.find(i) && m.start == i,
+          s"cannot parse column entry '${entry.trim}'")
+        i = m.end
+        m.group()
+      }
+    val modifiers = Seq("DEFAULT", "MATERIALIZED", "ALIAS", "CODEC",
+      "TTL", "COMMENT")
+    val typeText = untilKeyword(entry, eq, ed, skipWs(entry, i), modifiers)
+    require(typeText.nonEmpty,
+      s"cannot parse column entry '${entry.trim}': no type")
+    val (tpe, nullable) = ChTypeParser.parse(typeText)
+    def modifier(kw: String): Option[String] =
+      findKeyword(entry, eq, ed, kw, i, atDepth = 0).map { case (_, e2) =>
+        untilKeyword(entry, eq, ed, skipWs(entry, e2),
+          modifiers.filterNot(_ == kw))
+      }.filter(_.nonEmpty)
+    val codec = findKeyword(entry, eq, ed, "CODEC", i, atDepth = 0)
+      .flatMap { case (_, e2) =>
+        val pi = skipWs(entry, e2)
+        if (pi < entry.length && entry(pi) == '(')
+          balancedEnd(entry, eq, pi)
+            .map(pe => entry.substring(pi + 1, pe - 1).trim)
+        else None
+      }
+    val comment = findKeyword(entry, eq, ed, "COMMENT", i, atDepth = 0)
+      .map { case (_, e2) =>
+        val ci = skipWs(entry, e2)
+        require(ci < entry.length && (entry(ci) == '\'' || entry(ci) == '"'),
+          s"cannot parse COMMENT on column '$name'")
+        val q = entry(ci)
+        val close = entry.indexOf(q, ci + 1)
+        require(close > ci, s"unterminated COMMENT on column '$name'")
+        entry.substring(ci + 1, close)
+      }
+    MooseColumn(name, tpe, nullable = nullable,
+      default = modifier("DEFAULT"),
+      materialized = modifier("MATERIALIZED"),
+      aliasExpr = modifier("ALIAS"),
+      comment = comment,
+      codec = codec)
+  }
+
+  /** Engine text → [[TableEngine]]. Replicated-/Shared-prefixed names wrap the inner
+    * family (SharedMergeTree is the cloud spelling of the same
+    * contract — the reference maps it identically); unknown engines
+    * refuse loudly. */
+  def parseEngine(text: String): TableEngine = {
+    val m = IdentRe.matcher(text)
+    require(m.find(0) && m.start == 0, s"cannot parse engine '$text'")
+    val name = m.group()
+    val quoted = quotedMask(text)
+    val args: Seq[String] = {
+      val pi = skipWs(text, m.end)
+      if (pi < text.length && text(pi) == '(')
+        balancedEnd(text, quoted, pi).map { pe =>
+          val inner = text.substring(pi + 1, pe - 1)
+          val q2 = quotedMask(inner)
+          splitEntries(inner, q2, 0, inner.length)
+            .map { case (a, b) => inner.substring(a, b).trim }
+        }.getOrElse(throw new IllegalArgumentException(
+          s"cannot parse engine '$text': unclosed arguments"))
+      else Nil
+    }
+    def unq(s: String): String =
+      if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+        s.substring(1, s.length - 1)
+      else stripTicks(s)
+    def inner(innerName: String, innerArgs: Seq[String]): TableEngine =
+      build(innerName, innerArgs)
+    def build(n: String, a: Seq[String]): TableEngine = n match {
+      case "MergeTree" => TableEngine.MergeTree
+      case "ReplacingMergeTree" =>
+        TableEngine.ReplacingMergeTree(
+          a.headOption.map(unq), a.lift(1).map(unq))
+      case "AggregatingMergeTree" => TableEngine.AggregatingMergeTree()
+      case "SummingMergeTree" => TableEngine.SummingMergeTree(a.map(unq))
+      case "CollapsingMergeTree" =>
+        require(a.nonEmpty, "CollapsingMergeTree needs a sign column")
+        TableEngine.CollapsingMergeTree(unq(a.head))
+      case "VersionedCollapsingMergeTree" =>
+        require(a.length >= 2,
+          "VersionedCollapsingMergeTree needs (sign, version)")
+        TableEngine.VersionedCollapsingMergeTree(unq(a.head), unq(a(1)))
+      case r if r.startsWith("Replicated") || r.startsWith("Shared") =>
+        val innerName =
+          if (r.startsWith("Replicated")) r.stripPrefix("Replicated")
+          else r.stripPrefix("Shared")
+        // first two args are the keeper path + replica; the REST are
+        // the inner engine's own parameters (ver, is_deleted, …)
+        val (path, replica, rest) = a match {
+          case p +: rep +: tail if p.startsWith("'") =>
+            (Some(unq(p)), Some(unq(rep)), tail)
+          case other => (None, None, other)
+        }
+        TableEngine.Replicated(inner(innerName, rest), path, replica)
+      case other => throw new IllegalArgumentException(
+        s"unknown/unsupported table engine '$other' — the managed " +
+          "families here are MergeTree, Replacing/Aggregating/Summing/" +
+          "Collapsing/VersionedCollapsing, and their Replicated/Shared " +
+          "wrappers (file/S3/Kafka engines are FileEngine/stream seams, " +
+          "not CREATE TABLE configs)")
+    }
+    build(name, args)
+  }
+}
