@@ -11,18 +11,17 @@ package graft.schema
   * Semantics follow the reference's conversion rules:
   *  - `Nullable(T)` becomes the (type, nullable=true) PAIR — Moose
   *    columns carry nullability on the column, not the type;
-  *  - `LowCardinality(T)` is transparent (a CH storage annotation —
-  *    the dialect's `toLowCardinality` is likewise a no-op);
+  *  - `LowCardinality(T)` keeps its [[MooseType.MLowCardinality]]
+  *    wrapper (faithful round-trip; the migration diff's type
+  *    equivalence unwraps it on both sides);
   *  - `Enum8/16` members are range-validated against the declared
   *    width, then carried by NAME in declared order ([[MooseType.MEnum]]
   *    stores names — codes are CH storage detail);
   *  - `SimpleAggregateFunction(f, T)` converts to its ARGUMENT type
   *    (the reference stores f separately as an annotation —
   *    [[simpleAggregate]] is that extractor);
-  *  - geo types convert STRUCTURALLY exactly as CH defines them
-  *    (Point = Tuple(Float64, Float64), Ring/LineString = Array(Point),
-  *    Polygon/MultiLineString = Array(Ring/LineString), MultiPolygon =
-  *    Array(Polygon));
+  *  - geo types convert to the [[MooseType.MGeoPoint]] ladder (each
+  *    level CH's own definition: Ring/LineString = Array(Point), …);
   *  - `JSON(...)` parameters (typed paths, SKIP / SKIP REGEXP,
   *    max_dynamic_types/paths) parse and validate (negative maxima
   *    refuse, like the reference) but carry no engine semantics here —
@@ -232,9 +231,13 @@ object ChTypeParser {
           (inner, true)
         case "LowCardinality" =>
           eat('(')
-          val r = typ()
+          val (inner, n) = typ()
           eat(')')
-          r
+          // FAITHFUL: the wrapper is kept (MLowCardinality is already
+          // a declared-schema citizen; round-trips preserve it) —
+          // EQUIVALENCE ignores it (TableMigrator.typesEquivalent
+          // unwraps both sides; round-15 review)
+          (MLowCardinality(inner), n)
         case "Array" =>
           eat('(')
           val (elem, elemNullable) = typ()
@@ -355,17 +358,16 @@ object ChTypeParser {
         case "BFloat16" => unsupported("BFloat16")
         case iv if iv.startsWith("Interval") && iv.length > 8 =>
           unsupported(iv)
-        // geo: CH's own structural definitions
-        case "Point" =>
-          (MNamedTuple(Seq("_1" -> MFloat64, "_2" -> MFloat64)), false)
-        case "Ring" | "LineString" =>
-          (MArray(MNamedTuple(Seq("_1" -> MFloat64, "_2" -> MFloat64))), false)
-        case "Polygon" | "MultiLineString" =>
-          (MArray(MArray(
-            MNamedTuple(Seq("_1" -> MFloat64, "_2" -> MFloat64)))), false)
-        case "MultiPolygon" =>
-          (MArray(MArray(MArray(
-            MNamedTuple(Seq("_1" -> MFloat64, "_2" -> MFloat64))))), false)
+        // geo: the existing MGeo* ladder (each level is CH's own
+        // definition — round-15 review: the structural MNamedTuple
+        // spelling left MGeo* dead on this seam and diverged from
+        // code-declared geo columns)
+        case "Point" => (MGeoPoint(), false)
+        case "Ring" => (MGeoRing(), false)
+        case "LineString" => (MGeoLineString(), false)
+        case "MultiLineString" => (MGeoMultiLineString(), false)
+        case "Polygon" => (MGeoPolygon(), false)
+        case "MultiPolygon" => (MGeoMultiPolygon(), false)
         case simple => (simpleType(simple), false)
       }
     }

@@ -201,8 +201,13 @@ object ChDdl {
           val before = sql.substring(0, start).trim
           val precededByBy = before.length >= 2 &&
             before.substring(before.length - 2).equalsIgnoreCase("by") &&
-            (before.length == 2 ||
-              !before(before.length - 3).isLetterOrDigit)
+            (before.length == 2 || {
+              // word-BOUNDARY check: "created_by PRIMARY KEY id" must
+              // not trip the guard ('_' is a word char — round-15
+              // review caught *_by column names swallowing the clause)
+              val c = before(before.length - 3)
+              !c.isLetterOrDigit && c != '_'
+            })
           if (!precededByBy) {
             val i = skipWs(sql, end)
             if (i < sql.length && sql(i) == '(')
@@ -268,10 +273,20 @@ object ChDdl {
             require(m.find(nameStart) && m.start == nameStart,
               s"cannot parse INDEX entry '${entry.trim}': expected a name")
             val name = m.group()
-            val (tStart, tEnd) =
-              findKeyword(entry, eq, ed, "TYPE", m.end, atDepth = 0)
-                .getOrElse(throw new IllegalArgumentException(
-                  s"cannot parse INDEX entry '${entry.trim}': no TYPE"))
+            // the LAST depth-0 TYPE is the clause keyword — an index
+            // over a column literally named `type` (not reserved in
+            // CH) must land in the EXPRESSION (round-15 review)
+            var tkw = findKeyword(entry, eq, ed, "TYPE", m.end, atDepth = 0)
+            var nextT = tkw.flatMap(t =>
+              findKeyword(entry, eq, ed, "TYPE", t._2, atDepth = 0))
+            while (nextT.isDefined) {
+              tkw = nextT
+              nextT = nextT.flatMap(t =>
+                findKeyword(entry, eq, ed, "TYPE", t._2, atDepth = 0))
+            }
+            val (tStart, tEnd) = tkw
+              .getOrElse(throw new IllegalArgumentException(
+                s"cannot parse INDEX entry '${entry.trim}': no TYPE"))
             val expression = entry.substring(m.end, tStart).trim
             val tm = IdentRe.matcher(entry)
             val ti = skipWs(entry, tEnd)
@@ -412,8 +427,14 @@ object ChDdl {
       Pattern.CASE_INSENSITIVE).matcher(sql)
     while (m.find(from)) {
       if (!quoted(m.start)) {
+        // ClickHouse ARRAY JOIN operates on a COLUMN, not a table —
+        // "… FROM events ARRAY JOIN tags" must not report 'tags'
+        // (round-15 review); LEFT ARRAY JOIN likewise
+        val beforeText = sql.substring(0, m.start).trim
+        val isArrayJoin = m.group(1).equalsIgnoreCase("JOIN") &&
+          beforeText.toUpperCase.endsWith("ARRAY")
         val i = skipWs(sql, m.end)
-        if (i < sql.length && sql(i) != '(') {
+        if (!isArrayJoin && i < sql.length && sql(i) != '(') {
           val rm = refRe.matcher(sql)
           if (rm.find(i) && rm.start == i) {
             val (db, t) = splitQualifiedName(rm.group())
@@ -447,7 +468,7 @@ object ChDdl {
   def parseInsertSelect(sql: String): InsertSelect = {
     val m = Pattern.compile(
       "^\\s*INSERT\\s+INTO\\s+([`A-Za-z_][`A-Za-z0-9_.]*)\\s*" +
-        "(?:\\(([^)]*)\\))?\\s*SELECT\\b([\\s\\S]*)$",
+        "(?:\\(([^)]*)\\))?[\\s\\S]*?\\bSELECT\\b([\\s\\S]*)$",
       Pattern.CASE_INSENSITIVE).matcher(sql)
     require(m.find(), s"cannot parse INSERT…SELECT from: ${sql.take(100)}")
     val (db, t) = splitQualifiedName(m.group(1))
@@ -528,9 +549,12 @@ object ChDdl {
     val indexes = rawIndexes.flatMap { ix =>
       ix.indexType.toLowerCase match {
         case "minmax" | "bloom_filter" =>
+          // CH bloom_filter's optional argument is the FALSE-POSITIVE
+          // RATE (0..1), not a distinct-value count — it does not map
+          // onto SkipIndex.ndv (round-15 review; stuffing it in would
+          // mis-size the parquet bloom)
           Some(OlapTable.SkipIndex(ix.name, ix.expression,
-            ix.indexType.toLowerCase,
-            ix.arguments.headOption.flatMap(a => scala.util.Try(a.toLong).toOption)))
+            ix.indexType.toLowerCase, None))
         case other if dropUnsupportedIndexes => None
         case other => throw new IllegalArgumentException(
           s"index '${ix.name}' has type '$other' — parquet has no " +
@@ -557,12 +581,22 @@ object ChDdl {
     // validate-but-drop clauses (see scaladoc)
     extractTableSettings(sql)
 
+    // tuple PARTITION BY unwraps to its elements exactly like ORDER BY
+    // (round-15 review: "(region, day)" as ONE entry is not a column
+    // name and breaks writer.partitionBy)
     val partitionBy =
       findKeyword(sql, quoted, depth, "PARTITION BY", 0, atDepth = 0).toSeq
-        .map { case (_, e2) =>
-          untilKeyword(sql, quoted, depth, skipWs(sql, e2),
+        .flatMap { case (_, e2) =>
+          val text = untilKeyword(sql, quoted, depth, skipWs(sql, e2),
             Seq("ORDER", "SAMPLE", "PRIMARY", "TTL", "SETTINGS"))
-        }.filter(_.nonEmpty)
+          val inner =
+            if (text.startsWith("(") && text.endsWith(")"))
+              text.substring(1, text.length - 1)
+            else text
+          val q2 = quotedMask(inner)
+          splitEntries(inner, q2, 0, inner.length)
+            .map { case (a2, b2) => stripTicks(inner.substring(a2, b2).trim) }
+        }
 
     OlapTable.Config(
       name = tableName,
@@ -621,9 +655,17 @@ object ChDdl {
         require(ci < entry.length && (entry(ci) == '\'' || entry(ci) == '"'),
           s"cannot parse COMMENT on column '$name'")
         val q = entry(ci)
-        val close = entry.indexOf(q, ci + 1)
-        require(close > ci, s"unterminated COMMENT on column '$name'")
-        entry.substring(ci + 1, close)
+        // escape-aware: COMMENT 'it\'s fine' must not stop at the
+        // escaped quote (round-15 review — the only non-mask scan here)
+        val sb = new StringBuilder
+        var k = ci + 1
+        while (k < entry.length && entry(k) != q) {
+          if (entry(k) == '\\' && k + 1 < entry.length) {
+            sb.append(entry(k + 1)); k += 2
+          } else { sb.append(entry(k)); k += 1 }
+        }
+        require(k < entry.length, s"unterminated COMMENT on column '$name'")
+        sb.toString
       }
     MooseColumn(name, tpe, nullable = nullable,
       default = modifier("DEFAULT"),

@@ -61,6 +61,15 @@ object InfraPlan {
       timeout: String = "1h",
       lineage: Seq[String] = Nil) {
     schedule.foreach(graft.api.Cron.parse)
+    // the whole CONFIG validates at plan time, not just the schedule
+    // (round-15 review: a typo'd timeout or negative retries sailed
+    // through the plan the scaladoc promises catches typos)
+    require(retries >= 0, s"workflow '$name': retries $retries < 0")
+    require(
+      scala.util.Try(scala.concurrent.duration.Duration(timeout))
+        .toOption.exists(_.isFinite),
+      s"workflow '$name': cannot parse timeout '$timeout' " +
+        "(expected a finite duration like '30s', '5m', '1h')")
   }
 
   sealed trait WorkflowChange

@@ -171,6 +171,13 @@ object TableMigrator {
       a: graft.schema.MooseType): Boolean = {
     import graft.schema.MooseType._
     (b, a) match {
+      // LowCardinality is a storage annotation, not a semantic type:
+      // a DDL-seeded LowCardinality(String) must converge against a
+      // code-declared String (and vice versa) — the reference's
+      // normalize_column_for_low_cardinality behavior (round-15
+      // review; Migration.isWidening already unwraps it)
+      case (MLowCardinality(bi), ai) => typesEquivalent(bi, ai)
+      case (bi, MLowCardinality(ai)) => typesEquivalent(bi, ai)
       case (MEnum(bv), MEnum(av)) => bv.toSet == av.toSet
       case (MArray(be, bn), MArray(ae, an)) =>
         bn == an && typesEquivalent(be, ae)

@@ -391,7 +391,7 @@ class ChDdlGoldenSpec extends AnyFunSuite {
     val by = cfg.schema.columns.map(c => c.name -> c).toMap
     assert(by("id").tpe == MUInt64 && !by("id").nullable)
     assert(by("name").tpe == MString && by("name").nullable)
-    assert(by("tags").tpe == MArray(MString))
+    assert(by("tags").tpe == MArray(MLowCardinality(MString)))
     assert(by("amount").tpe == MDecimal(10, 2) &&
       by("amount").default.contains("0"))
     assert(by("day").materialized.contains("toDate(ts)"))
@@ -404,15 +404,15 @@ class ChDdlGoldenSpec extends AnyFunSuite {
     assert(cfg.partitionBy == Seq("toYYYYMM(ts)"))
     assert(cfg.sampleBy.contains("id"))
     assert(cfg.primaryKeyExpression.contains("id"))
-    // ndv comes from the index ARGUMENTS (CH bloom_filter's first
-    // argument), never from GRANULARITY (no parquet dial — SkipIndex doc)
+    // CH bloom_filter's optional argument is a FALSE-POSITIVE RATE,
+    // not an ndv — it never maps onto SkipIndex.ndv (round-15 review)
     assert(cfg.indexes ==
       Seq(OlapTable.SkipIndex("idx_name", "name", "bloom_filter", None)))
-    val withNdv = ChDdl.parseCreateTable("CREATE TABLE t (`s` String, " +
-      "INDEX ix s TYPE bloom_filter(1000) GRANULARITY 2) ENGINE = " +
+    val withFpp = ChDdl.parseCreateTable("CREATE TABLE t (`s` String, " +
+      "INDEX ix s TYPE bloom_filter(0.025) GRANULARITY 2) ENGINE = " +
       "MergeTree ORDER BY s")
-    assert(withNdv.indexes ==
-      Seq(OlapTable.SkipIndex("ix", "s", "bloom_filter", Some(1000L))))
+    assert(withFpp.indexes ==
+      Seq(OlapTable.SkipIndex("ix", "s", "bloom_filter", None)))
     assert(cfg.projections ==
       Seq(OlapTable.Projection("by_name", Seq("name"))))
   }
@@ -448,6 +448,40 @@ class ChDdlGoldenSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ngrambf_v1"))
     val cfg = ChDdl.parseCreateTable(sql, dropUnsupportedIndexes = true)
     assert(cfg.indexes.isEmpty && cfg.schema.columns.length == 2)
+  }
+
+  test("round-15 review regressions: *_by before PRIMARY KEY, tuple " +
+      "PARTITION BY, index over a column named 'type', COMMENT escapes, " +
+      "ARRAY JOIN lineage, INSERT with a WITH clause") {
+    // a column named created_by directly before PRIMARY KEY must not
+    // trip the ORDER-BY-PRIMARY-KEY guard
+    assert(extractPrimaryKey("CREATE TABLE t (id UInt64, created_by " +
+      "String) ENGINE = MergeTree ORDER BY created_by PRIMARY KEY id")
+      .contains("id"))
+    // tuple PARTITION BY unwraps to its elements like ORDER BY
+    val cfg = ChDdl.parseCreateTable("CREATE TABLE t (region String, " +
+      "day Date, v Int64) ENGINE = MergeTree PARTITION BY (region, day)" +
+      " ORDER BY v")
+    assert(cfg.partitionBy == Seq("region", "day"))
+    // 'type' is not reserved in CH: the LAST depth-0 TYPE is the clause
+    assert(extractIndexes("CREATE TABLE t (`type` String, INDEX ix " +
+      "type TYPE minmax GRANULARITY 1) ENGINE = MergeTree ORDER BY type")
+      == Seq(ChIndex("ix", "type", "minmax", Nil, 1)))
+    // COMMENT with an escaped quote survives intact
+    val cmt = ChDdl.parseCreateTable("CREATE TABLE t (`note` String " +
+      "COMMENT 'it\\'s fine') ENGINE = MergeTree ORDER BY note")
+    assert(cmt.schema.columns.head.comment.contains("it's fine"))
+    // ARRAY JOIN names a COLUMN, never a source table
+    assert(extractSourceTables("SELECT x FROM events ARRAY JOIN tags " +
+      "AS tag") == Seq(TableRef(None, "events")))
+    assert(extractSourceTables("SELECT x FROM events LEFT ARRAY JOIN " +
+      "tags") == Seq(TableRef(None, "events")))
+    // INSERT…WITH…SELECT parses (isInsertSelect and parseInsertSelect
+    // must agree)
+    val ins = parseInsertSelect(
+      "INSERT INTO t WITH c AS (SELECT 1) SELECT * FROM s")
+    assert(ins.targetTable == "t" &&
+      ins.sourceTables.contains(TableRef(None, "s")))
   }
 
   test("capstone: parseCreateTable on the NESTED_OBJECTS fixture — " +

@@ -134,13 +134,21 @@ class ChTypeParserGoldenSpec extends AnyFunSuite {
       .isEmpty)
   }
 
-  test("golden: test_complex_types — LowCardinality is transparent, " +
-      "deep nesting composes") {
-    assert(p("LowCardinality(String)") == (MString, false))
-    assert(p("LowCardinality(Nullable(String))") == (MString, true))
+  test("golden: test_complex_types — LowCardinality keeps its wrapper " +
+      "(migration equivalence unwraps it), deep nesting composes") {
+    assert(p("LowCardinality(String)") == (MLowCardinality(MString), false))
+    assert(p("LowCardinality(Nullable(String))") ==
+      (MLowCardinality(MString), true))
+    // the wrapper is equivalence-transparent on the migration seam
+    import graft.schema.MooseColumn
+    assert(graft.table.TableMigrator.columnsEquivalent(
+      MooseColumn("s", MLowCardinality(MString)),
+      MooseColumn("s", MString)))
     assert(p("Array(Map(String, Tuple(a Int32, b Nullable(Float64))))") ==
       (MArray(MMap(MString,
         MNamedTuple(Seq("a" -> MInt32, "b" -> MFloat64)))), false))
+    assert(p("Array(LowCardinality(String))") ==
+      (MArray(MLowCardinality(MString)), false))
   }
 
   test("golden: test_parse_special_types / test_conversion_not_" +
@@ -156,14 +164,14 @@ class ChTypeParserGoldenSpec extends AnyFunSuite {
     assert(p("JSON") == (MJson, false))
   }
 
-  test("golden: test_convert_geo_types — CH's structural definitions") {
-    val point = MNamedTuple(Seq("_1" -> MFloat64, "_2" -> MFloat64))
-    assert(p("Point") == (point, false))
-    assert(p("Ring") == (MArray(point), false))
-    assert(p("LineString") == (MArray(point), false))
-    assert(p("Polygon") == (MArray(MArray(point)), false))
-    assert(p("MultiLineString") == (MArray(MArray(point)), false))
-    assert(p("MultiPolygon") == (MArray(MArray(MArray(point))), false))
+  test("golden: test_convert_geo_types — the MGeo* ladder (a DDL-seeded " +
+      "Point must equal a code-declared MGeoPoint)") {
+    assert(p("Point") == (MGeoPoint(), false))
+    assert(p("Ring") == (MGeoRing(), false))
+    assert(p("LineString") == (MGeoLineString(), false))
+    assert(p("MultiLineString") == (MGeoMultiLineString(), false))
+    assert(p("Polygon") == (MGeoPolygon(), false))
+    assert(p("MultiPolygon") == (MGeoMultiPolygon(), false))
   }
 
   test("golden: test_parse_json_with_parameters / " +
@@ -227,7 +235,7 @@ class ChTypeParserGoldenSpec extends AnyFunSuite {
     val byName = schema.columns.map(c => c.name -> c).toMap
     assert(byName("id").tpe == MInt64 && !byName("id").nullable)
     assert(byName("name").tpe == MString && byName("name").nullable)
-    assert(byName("tags").tpe == MArray(MString))
+    assert(byName("tags").tpe == MArray(MLowCardinality(MString)))
     assert(byName("total").tpe == MUInt64)
     assert(byName("kind").tpe == MEnum(Seq("a", "b")))
     // an unsupported CH type refuses instead of mis-declaring

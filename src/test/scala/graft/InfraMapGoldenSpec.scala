@@ -101,6 +101,11 @@ class InfraMapGoldenSpec extends AnyFunSuite {
     assert(wf("ok1", "*/5 * * * *", 0, "1h").schedule.nonEmpty)
     assert(wf("ok2", "30m", 0, "1h").schedule.nonEmpty)
     assertThrows[IllegalArgumentException](wf("bad", "every tuesday", 0, "1h"))
+    // the whole config validates, not just the schedule (round-15
+    // review): negative retries and unparseable timeouts refuse
+    assertThrows[IllegalArgumentException](wf("bad2", "1h", -3, "30s"))
+    assertThrows[IllegalArgumentException](
+      wf("bad3", "1h", 0, "thirty seconds"))
   }
 
   // ---------------------------------------------------- SQL resources
