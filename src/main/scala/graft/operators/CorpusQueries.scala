@@ -607,10 +607,13 @@ object CorpusQueries {
     * `sequenceCount('(?1)(?t<=900)(?2)')`: greedy non-overlapping
     * view→click-within-900s occurrences per user, full state reset on
     * each completion. The oracle replays the identical event-outer DP
-    * through DuckDB `list_reduce` with the state packed into one
-    * 4-field struct (count, usable-latest-view, pending-same-ts-view,
-    * last-ts) — an independent engine's lambda evaluator, validated
-    * against a third (Python) replay when the oracle was authored. */
+    * per (user, event-index) through a DuckDB RECURSIVE CTE — state =
+    * (count, usable-latest-view, pending-same-ts-view, last-ts) — an
+    * independent engine's iteration, validated against a third
+    * (Python) replay at BOTH SFs. (The first spelling used
+    * `list_reduce` with a struct accumulator; DuckDB 1.0 evaluates
+    * that WRONG when ~1500 grouped rows share one vectorized batch —
+    * state bled across rows. Caught by the sf0.1 sweep, round 15.) */
   def qSequenceCountTimed(spark: SparkSession, dir: String): DataFrame =
     Funnel.sequenceCountTimed(Tables.load(spark, dir, "events"),
         "user_id", "ts", "(?1)(?t<=900)(?2)",
@@ -857,52 +860,63 @@ object CorpusQueries {
         |      AND c.us > b.us AND c.us - b.us <= 900 * 1000000) AS seq_match
         |FROM (SELECT DISTINCT user_id FROM events) u
         |ORDER BY u.user_id""".stripMargin,
-    // the exact event-outer DP replayed in DuckDB list_reduce: state =
-    // one 4-field struct (us=count, m=usable latest view ts, p=pending
-    // same-ts view ts, t=last ts); flush pending→usable when ts
-    // advances (strict-increase stance), greedy reset on completion
+    // the exact event-outer DP replayed per (user, event-index) via a
+    // RECURSIVE CTE: state = (cnt, usable latest view ts, pending
+    // same-ts view ts, last ts); flush pending→usable when ts advances
+    // (strict-increase stance), greedy reset on completion. NOT
+    // list_reduce: DuckDB 1.0's list_reduce over struct-state lambdas
+    // returns WRONG results when ~1500 grouped rows evaluate in one
+    // vectorized batch (state bleeds across rows — reproduced at
+    // sf0.1: user 507 folded to 1 in the full batch, 0 alone, with
+    // byte-identical input lists; caught round 15, third-implementation
+    // replay agreed with the recursive form for all 1500 users)
     "q_sequence_count_timed" ->
-      """WITH e AS (SELECT user_id,
+      """WITH RECURSIVE e AS (SELECT user_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
         |    CASE event_type WHEN 'view' THEN 1 ELSE 2 END AS m
         |  FROM events WHERE event_type IN ('view', 'click')),
-        |l AS (SELECT user_id,
-        |    list(struct_pack(us := us, m := CAST(m AS BIGINT),
-        |                     p := CAST(0 AS BIGINT), t := CAST(0 AS BIGINT))
-        |         ORDER BY us, m) AS evs
-        |  FROM e GROUP BY user_id),
-        |f AS (SELECT user_id,
-        |    list_reduce(list_prepend(
-        |        struct_pack(us := CAST(0 AS BIGINT), m := CAST(-1 AS BIGINT),
-        |                    p := CAST(-1 AS BIGINT), t := CAST(-1 AS BIGINT)),
-        |        evs),
-        |      (s, e) -> CASE
-        |        WHEN e.m = 2
-        |             AND (CASE WHEN e.us > s.t THEN greatest(s.m, s.p)
-        |                  ELSE s.m END) != -1
-        |             AND e.us - (CASE WHEN e.us > s.t THEN greatest(s.m, s.p)
-        |                         ELSE s.m END) <= 900 * 1000000
-        |          THEN struct_pack(us := s.us + 1, m := CAST(-1 AS BIGINT),
-        |                           p := CAST(-1 AS BIGINT), t := e.us)
-        |        WHEN e.m = 1
-        |          THEN struct_pack(us := s.us,
-        |                 m := CASE WHEN e.us > s.t THEN greatest(s.m, s.p)
-        |                      ELSE s.m END,
-        |                 p := greatest(CASE WHEN e.us > s.t
-        |                               THEN CAST(-1 AS BIGINT)
-        |                               ELSE s.p END, e.us),
-        |                 t := e.us)
-        |        ELSE struct_pack(us := s.us,
-        |               m := CASE WHEN e.us > s.t THEN greatest(s.m, s.p)
-        |                    ELSE s.m END,
-        |               p := CASE WHEN e.us > s.t THEN CAST(-1 AS BIGINT)
-        |                    ELSE s.p END,
-        |               t := e.us)
-        |        END) AS st
-        |  FROM l)
+        |srt AS (SELECT user_id, us, m,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, m) AS i,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
+        |rec(user_id, i, n, cnt, sm, sp, st) AS (
+        |  SELECT user_id, 0, max(n), CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+        |         CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        |  FROM srt GROUP BY user_id
+        |  UNION ALL
+        |  SELECT r.user_id, r.i + 1, r.n,
+        |    CASE WHEN s.m = 2
+        |          AND (CASE WHEN s.us > r.st THEN greatest(r.sm, r.sp)
+        |               ELSE r.sm END) != -1
+        |          AND s.us - (CASE WHEN s.us > r.st THEN greatest(r.sm, r.sp)
+        |                      ELSE r.sm END) <= 900 * 1000000
+        |      THEN r.cnt + 1 ELSE r.cnt END,
+        |    CASE WHEN s.m = 2
+        |          AND (CASE WHEN s.us > r.st THEN greatest(r.sm, r.sp)
+        |               ELSE r.sm END) != -1
+        |          AND s.us - (CASE WHEN s.us > r.st THEN greatest(r.sm, r.sp)
+        |                      ELSE r.sm END) <= 900 * 1000000
+        |      THEN CAST(-1 AS BIGINT)
+        |      ELSE CASE WHEN s.us > r.st THEN greatest(r.sm, r.sp)
+        |           ELSE r.sm END END,
+        |    CASE WHEN s.m = 2
+        |          AND (CASE WHEN s.us > r.st THEN greatest(r.sm, r.sp)
+        |               ELSE r.sm END) != -1
+        |          AND s.us - (CASE WHEN s.us > r.st THEN greatest(r.sm, r.sp)
+        |                      ELSE r.sm END) <= 900 * 1000000
+        |      THEN CAST(-1 AS BIGINT)
+        |      WHEN s.m = 1
+        |      THEN greatest(CASE WHEN s.us > r.st THEN CAST(-1 AS BIGINT)
+        |                    ELSE r.sp END, s.us)
+        |      ELSE CASE WHEN s.us > r.st THEN CAST(-1 AS BIGINT)
+        |           ELSE r.sp END END,
+        |    s.us
+        |  FROM rec r JOIN srt s ON s.user_id = r.user_id AND s.i = r.i + 1
+        |  WHERE r.i < r.n),
+        |f AS (SELECT user_id, cnt FROM rec WHERE i = n)
         |SELECT u.user_id,
-        |  CAST(coalesce(f.st.us, 0) AS BIGINT) AS seq_count,
-        |  coalesce(f.st.us, 0) > 0 AS seq_match
+        |  CAST(coalesce(f.cnt, 0) AS BIGINT) AS seq_count,
+        |  coalesce(f.cnt, 0) > 0 AS seq_match
         |FROM (SELECT DISTINCT user_id FROM events) u
         |LEFT JOIN f ON f.user_id = u.user_id
         |ORDER BY u.user_id""".stripMargin,
