@@ -1,0 +1,81 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.Funnel
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the round-15 exact timed-sequence DP
+  * ([[graft.functions.ChSequenceCountTimed]]): two stress shapes over
+  * the sf0.1 events table (~60k view/click/purchase events, 1.5k
+  * users), factor N (default 10):
+  *
+  *  1. FAN-OUT ×N — users salted `user_id * N + k`, per-user event
+  *     counts unchanged: measures the groupBy shuffle + per-group
+  *     eval at N× groups (the 100 TB axis — more users, same
+  *     per-user history);
+  *  2. SKEW — ONE user additionally carries the ENTIRE ×N corpus
+  *     (~N×60k events in a single group): measures the per-user
+  *     fold's O(events × chain) scan and its `==`-gap membership-set
+  *     memory on a pathological key, the shape AQE cannot split
+  *     because the DP is a single-group aggregate.
+  *
+  * Prints one JSON line per shape with rows and seconds. Pattern:
+  * the adjacency+timed form `(?1)(?2)(?t<=900)(?3)` (routes to the
+  * DP expression) and the `==`-gap form over minute-truncated ts
+  * (exercises the membership sets).
+  */
+object SeqStress {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SEQ_STRESS_PARTS",
+          math.min(192, 32 * factor).toString))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "events")
+
+    def timed(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$name","factor":$factor,"rows":$n,"sec":$secs%.2f}""")
+    }
+
+    val conds = Seq(col("event_type") === "view",
+      col("event_type") === "click",
+      col("event_type") === "purchase")
+
+    // 1. fan-out: N salted copies, same per-user history
+    val fanout = (0 until factor).map(k =>
+      base.withColumn("user_id", col("user_id") * factor + k))
+      .reduce(_ unionByName _)
+    timed("seq_timed_adj_fanout")(
+      Funnel.sequenceMatchTimed(fanout, "user_id", "ts",
+        "(?1)(?2)(?t<=900)(?3)", conds))
+    timed("seq_count_timed_fanout")(
+      Funnel.sequenceCountTimed(fanout, "user_id", "ts",
+        "(?1)(?t<=900)(?2)", conds.take(2)))
+    timed("seq_timed_eq_fanout")(
+      Funnel.sequenceMatchTimed(
+        fanout.withColumn("ts_min", date_trunc("minute", col("ts"))),
+        "user_id", "ts_min", "(?1)(?t==60)(?2)", conds.take(2)))
+
+    // 2. skew: the whole xN corpus lands on ONE user besides the rest
+    val skew = fanout.unionByName(
+      (0 until factor).map(k => base.withColumn("user_id", lit(-1L)))
+        .reduce(_ unionByName _))
+    timed("seq_timed_adj_skew1user")(
+      Funnel.sequenceMatchTimed(skew, "user_id", "ts",
+        "(?1)(?2)(?t<=900)(?3)", conds))
+    timed("seq_timed_eq_skew1user")(
+      Funnel.sequenceMatchTimed(
+        skew.withColumn("ts_min", date_trunc("minute", col("ts"))),
+        "user_id", "ts_min", "(?1)(?t==60)(?2)", conds.take(2)))
+    spark.stop()
+  }
+}
