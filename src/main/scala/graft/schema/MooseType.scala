@@ -134,6 +134,19 @@ final case class MooseColumn(
       * table's parquet compression, encoding codecs (Delta/Gorilla/…)
       * are accepted no-ops — see [[graft.table.OlapTable]]. */
     codec: Option[String] = None) {
+  // the reference's column validation (mapper.rs
+  // std_column_to_clickhouse_column, round 15): the three computed-
+  // value attributes are mutually exclusive (a default filled at
+  // write then overwritten by a materialized expression is a silent
+  // contradiction), and read-computed/write-computed columns cannot
+  // key the table
+  require(Seq(default, materialized, aliasExpr).count(_.nonEmpty) <= 1,
+    s"column '$name' can only have one of DEFAULT / MATERIALIZED / ALIAS")
+  require(!(primaryKey && materialized.nonEmpty),
+    s"column '$name' cannot be both MATERIALIZED and a primary key")
+  require(!(primaryKey && aliasExpr.nonEmpty),
+    s"column '$name' cannot be both ALIAS and a primary key")
+
   def field: StructField =
     StructField(name, tpe.sparkType, nullable, Metadata.empty)
 }

@@ -236,6 +236,29 @@ class InfraMapGoldenSpec extends AnyFunSuite {
       _.isInstanceOf[TableMigrator.AddTableColumn]))
   }
 
+  test("golden: mapper.rs column validation — DEFAULT/MATERIALIZED/" +
+      "ALIAS mutually exclusive; computed columns cannot key the table") {
+    def col(default: Option[String] = None, mat: Option[String] = None,
+        alias: Option[String] = None, pk: Boolean = false) =
+      MooseColumn("c", MooseType.MString, primaryKey = pk,
+        default = default, materialized = mat, aliasExpr = alias)
+    // the five refusal rows
+    assertThrows[IllegalArgumentException](
+      col(default = Some("42"), mat = Some("cityHash64(name)")))
+    assertThrows[IllegalArgumentException](
+      col(default = Some("42"), alias = Some("toDate(ts)")))
+    assertThrows[IllegalArgumentException](
+      col(mat = Some("cityHash64(name)"), alias = Some("toDate(ts)")))
+    assertThrows[IllegalArgumentException](
+      col(mat = Some("cityHash64(name)"), pk = true))
+    assertThrows[IllegalArgumentException](
+      col(alias = Some("toDate(ts)"), pk = true))
+    // test_alias_column_converts_successfully
+    val ok = col(alias = Some("toDate(ts)"))
+    assert(ok.aliasExpr.contains("toDate(ts)") && ok.default.isEmpty &&
+      ok.materialized.isEmpty)
+  }
+
   test("golden: test_columns_are_equivalent_with_codec / _materialized " +
       "— codec and materialized text participate in column equality") {
     def col(codec: Option[String], mat: Option[String]) =
