@@ -246,8 +246,15 @@ object TableMigrator {
     val pkChanged =
       normalizedPrimaryKey(before) != normalizedPrimaryKey(after) &&
         isMergeTreeFamily(after.engine)
+    // an EMPTY order_by implicitly uses the primary key (CH's MergeTree
+    // rule; table.rs test_order_by_equals_with_implicit_primary_key +
+    // canonicalize_order_by_fallback): a DDL-seeded table with explicit
+    // `ORDER BY id` must compare EQUAL to code that declared pk=id and
+    // left orderBy empty — not plan a spurious drop+create
+    def effectiveOrderBy(c: OlapTable.Config): Seq[String] =
+      if (c.orderBy.nonEmpty) c.orderBy else c.schema.primaryKeys
     val dropCreate =
-      before.orderBy != after.orderBy ||
+      effectiveOrderBy(before) != effectiveOrderBy(after) ||
         before.partitionBy != after.partitionBy ||
         pkChanged ||
         before.engine != after.engine ||

@@ -25,11 +25,14 @@ import org.scalatest.funsuite.AnyFunSuite
   *    test_s3queue_table_detection, test_parse_materialized_view*):
   *    ClickHouse-DDL-text machinery — this engine's tables/MVs are
   *    declared as typed configs, there is no DDL text to parse;
-  *  - low-cardinality normalization (test_normalize_column_*,
-  *    test_column_types_are_equivalent_*, test_json_options_*,
-  *    test_nested_*): LowCardinality is a CH storage annotation with
-  *    no Spark counterpart (the dialect's toLowCardinality is a
-  *    documented no-op), so there is no annotation to ignore.
+  *  - the column-types/json-options equivalence flag matrices
+  *    (test_normalize_column_*, test_column_types_are_equivalent_*,
+  *    test_json_options_*, test_nested_*): those exercise the
+  *    reference's CONFIGURABLE ignore-flags; here LowCardinality
+  *    equivalence-transparency is unconditional
+  *    (TableMigrator.typesEquivalent unwraps it on both sides —
+  *    pinned in ChTypeParserGoldenSpec) and JSON options carry no
+  *    engine semantics (MJson is schema-on-read).
   */
 class DiffGoldenSpec extends AnyFunSuite {
   import TableMigrator._
@@ -149,6 +152,19 @@ class DiffGoldenSpec extends AnyFunSuite {
       "remove+add, never an in-place update)") {
     val other = tbl().copy(name = "test2")
     assertThrows[IllegalArgumentException](diff(tbl(), other))
+  }
+
+  test("golden: test_order_by_equals_with_implicit_primary_key / " +
+      "test_canonicalize_order_by_fallback — empty ORDER BY implicitly " +
+      "uses the primary key") {
+    // actual (DDL-seeded): explicit ORDER BY id; target (code): empty
+    // orderBy relying on pk=id — EQUAL, no plan
+    assert(diff(tbl(orderBy = Nil, pks = Set("id")),
+      tbl(orderBy = Seq("id"), pks = Set("id"))).isEmpty)
+    // but an explicit ORDER BY that does NOT match the implicit key is
+    // a real layout change → drop+create
+    assert(isDropCreate(diff(tbl(orderBy = Nil, pks = Set("id")),
+      tbl(orderBy = Seq("timestamp"), pks = Set("id")))))
   }
 
   // --------------------------------------- primary-key equivalence corpus
