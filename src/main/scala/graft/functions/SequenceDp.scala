@@ -81,6 +81,44 @@ case class ChSequenceCountTimed(
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // extract to the interleaved primitive form the shared DP core
+    // reads (round 16 — the core is also run by the fused
+    // [[SequenceCountTimedAgg]], which never materializes this array).
+    // NULL-timestamp events are invisible (SQL unknown satisfies no
+    // gap comparison) — skipped here exactly as before the refactor.
+    val data = new Array[Long](2 * n)
+    var len = 0
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      if (!row.isNullAt(0)) {
+        data(len) = row.getLong(0)
+        data(len + 1) = if (row.isNullAt(1)) 0L else row.getLong(1)
+        len += 2
+      }
+      i += 1
+    }
+    SequenceDp.countTimedSorted(data, len, chain, gaps)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ChSequenceCountTimed = copy(child = newChild)
+}
+
+/** The shared event-outer NFA-powerset DP core — see
+  * [[ChSequenceCountTimed]]'s doc for the full state argument. Callers:
+  * that expression (array input) and the fused
+  * [[SequenceCountTimedAgg]] (primitive buffer input). */
+object SequenceDp {
+
+  /** Greedy non-overlapping occurrence count over `numLongs/2` events
+    * stored interleaved (us, mask) in `data(0 until numLongs)`, sorted
+    * ascending by (us, mask), timestamps non-NULL (NULL-ts events are
+    * the CALLER's skip). */
+  def countTimedSorted(
+      data: Array[Long], numLongs: Int,
+      chain: Seq[Int],
+      gaps: Seq[(Boolean, Option[(String, Long)])]): Long = {
     val k = chain.length
     val needBit = chain.map(r => 1L << (r - 1)).toArray
     // level j's completions feed gap gaps(j); usable = ts strictly
@@ -127,58 +165,50 @@ case class ChSequenceCountTimed(
       }
     }
     var i = 0
-    while (i < n) {
-      val row = arr.getStruct(i, 2)
-      // a NULL timestamp can satisfy no gap comparison (SQL unknown) —
-      // the event is invisible, matching the HOF folds' propagation
-      if (!row.isNullAt(0)) {
-        val us = row.getLong(0)
-        val m = if (row.isNullAt(1)) 0L else row.getLong(1)
-        if (!haveLast) { haveLast = true; lastTs = us }
-        else if (us > lastTs) { flush(); lastTs = us }
-        // all endsHere from PRE-event state: one event advances at most
-        // one chain position per parse (each atom consumes an event)
-        var j = 0
+    while (i < numLongs) {
+      val us = data(i)
+      val m = data(i + 1)
+      if (!haveLast) { haveLast = true; lastTs = us }
+      else if (us > lastTs) { flush(); lastTs = us }
+      // all endsHere from PRE-event state: one event advances at most
+      // one chain position per parse (each atom consumes an event)
+      var j = 0
+      while (j < k) {
+        val hit = (m & needBit(j)) != 0
+        endsHere(j) = hit && (j == 0 || {
+          val (adjacent, time) = gaps(j - 1)
+          if (adjacent) endedPrev(j - 1)
+          else time match {
+            case None => maxTs(j - 1) != Long.MinValue
+            case Some((op, secs)) =>
+              val nUs = secs * 1000000L
+              op match {
+                case "<=" =>
+                  maxTs(j - 1) != Long.MinValue && us - maxTs(j - 1) <= nUs
+                case "<" =>
+                  maxTs(j - 1) != Long.MinValue && us - maxTs(j - 1) < nUs
+                case ">=" =>
+                  minTs(j - 1) != Long.MaxValue && us - minTs(j - 1) >= nUs
+                case ">" =>
+                  minTs(j - 1) != Long.MaxValue && us - minTs(j - 1) > nUs
+                case "==" =>
+                  eqSets(j - 1) != null && eqSets(j - 1).contains(us - nUs)
+              }
+          }
+        })
+        j += 1
+      }
+      if (endsHere(k - 1)) { count += 1; resetAll() }
+      else {
+        j = 0
         while (j < k) {
-          val hit = (m & needBit(j)) != 0
-          endsHere(j) = hit && (j == 0 || {
-            val (adjacent, time) = gaps(j - 1)
-            if (adjacent) endedPrev(j - 1)
-            else time match {
-              case None => maxTs(j - 1) != Long.MinValue
-              case Some((op, secs)) =>
-                val nUs = secs * 1000000L
-                op match {
-                  case "<=" =>
-                    maxTs(j - 1) != Long.MinValue && us - maxTs(j - 1) <= nUs
-                  case "<" =>
-                    maxTs(j - 1) != Long.MinValue && us - maxTs(j - 1) < nUs
-                  case ">=" =>
-                    minTs(j - 1) != Long.MaxValue && us - minTs(j - 1) >= nUs
-                  case ">" =>
-                    minTs(j - 1) != Long.MaxValue && us - minTs(j - 1) > nUs
-                  case "==" =>
-                    eqSets(j - 1) != null && eqSets(j - 1).contains(us - nUs)
-                }
-            }
-          })
+          if (endsHere(j)) pending(j) += us
+          endedPrev(j) = endsHere(j)
           j += 1
         }
-        if (endsHere(k - 1)) { count += 1; resetAll() }
-        else {
-          j = 0
-          while (j < k) {
-            if (endsHere(j)) pending(j) += us
-            endedPrev(j) = endsHere(j)
-            j += 1
-          }
-        }
       }
-      i += 1
+      i += 2
     }
     count
   }
-
-  override protected def withNewChildInternal(
-      newChild: Expression): ChSequenceCountTimed = copy(child = newChild)
 }

@@ -1121,6 +1121,7 @@ object DialectQueries {
         |  farmFingerprint64(event_type) AS farm,
         |  farmFingerprint64(toInt32(user_id % 8)) AS farmi32,
         |  farmHash64(repeat(event_type, 10)) AS farmxo,
+        |  farmHash64(repeat(event_type, 70)) AS farmuo,
         |  halfMD5(event_type) AS hmd5,
         |  intHash64(user_id % 8) AS ih,
         |  hilbertEncode(event_id % 2, user_id % 2) AS h1,
@@ -1440,6 +1441,11 @@ object DialectQueries {
         |    WHEN 'signup' THEN 1066858886546511175
         |    WHEN 'error' THEN -3331380544672516597
         |    ELSE 6868889208170178136 END AS farmxo,
+        |  CASE event_type WHEN 'click' THEN 7888358679617151632
+        |    WHEN 'view' THEN -4135199696933742033
+        |    WHEN 'signup' THEN 6098710437814316025
+        |    WHEN 'error' THEN 6610971884303112648
+        |    ELSE 677539602989892583 END AS farmuo,
         |  CASE event_type WHEN 'click' THEN -6291533040762181473
         |    WHEN 'view' THEN 2007058364010149464
         |    WHEN 'signup' THEN 9019231404019925920

@@ -36,6 +36,19 @@ object Funnel {
 
   val Modes: Set[String] = Set("strict_order", "strict_increase", "strict_dedup")
 
+  /** The per-key event collection every fold here shares — round 16:
+    * [[graft.functions.CollectSortedEvents]], a primitive-buffer
+    * aggregate replacing `array_sort(collect_list(struct(...)))` (one
+    * interleaved long array per key, amortized-linear merges, in-place
+    * sort at eval — see EventsAgg.scala for the skewed-key argument).
+    * Same sorted `array<struct<us, payload>>` value out. */
+  private def collectSortedEvents(
+      ts: Column, payload: Column, payloadName: String,
+      payloadType: org.apache.spark.sql.types.DataType): Column =
+    Bridge.column(graft.functions.CollectSortedEvents(
+      Bridge.expression(ts), Bridge.expression(payload),
+      "us", payloadName, payloadType).toAggregateExpression())
+
   /** Per-user funnel level ∈ [0, steps.length]; one row per distinct
     * user in `events` (users with no step events report level 0).
     * N steps, 1 ≤ N ≤ 32 (CH's cap). Step conditions are event-type
@@ -60,16 +73,17 @@ object Funnel {
     val base =
       if (strictOrder)
         events.select(col(userCol).as("user_id"),
-          struct(unix_micros(col(tsCol)).as("us"),
-            coalesce(idx, lit(n)).cast("int").as("i")).as("e"))
+          unix_micros(col(tsCol)).as("us"),
+          coalesce(idx, lit(n)).cast("int").as("i"))
           .distinct()
       else
         events.where(col(typeCol).isin(steps: _*))
           .select(col(userCol).as("user_id"),
-            struct(unix_micros(col(tsCol)).as("us"),
-              idx.cast("int").as("i")).as("e"))
+            unix_micros(col(tsCol)).as("us"),
+            idx.cast("int").as("i"))
     val byUser = base.groupBy(col("user_id"))
-      .agg(array_sort(collect_list(col("e"))).as("evs"))
+      .agg(collectSortedEvents(col("us"), col("i"), "i",
+        org.apache.spark.sql.types.IntegerType).as("evs"))
     val folded = Bridge.column(graft.functions.FunnelLevel(
       Bridge.expression(col("evs")), n, w,
       strictOrder = strictOrder,
@@ -168,10 +182,11 @@ object Funnel {
     // non-matching rows are invisible to "immediately follows".
     val base = events
       .select(col(userCol).as("user_id"),
-        struct(unix_micros(col(tsCol)).as("us"), mask.as("m")).as("e"))
-      .where(col("e.m") =!= 0)
+        unix_micros(col(tsCol)).as("us"), mask.as("m"))
+      .where(col("m") =!= 0)
     val byUser = base.groupBy(col("user_id"))
-      .agg(array_sort(collect_list(col("e"))).as("evs"))
+      .agg(collectSortedEvents(col("us"), col("m"), "m",
+        org.apache.spark.sql.types.LongType).as("evs"))
     val cnt =
       if (adj.forall(!_)) {
         // pure '.*' chain: greedy single-path fold. The chain position
@@ -365,10 +380,11 @@ object Funnel {
       .reduce((a, b) => a.bitwiseOR(b))
     val base = events
       .select(col(userCol).as("user_id"),
-        struct(unix_micros(col(tsCol)).as("us"), mask.as("m")).as("e"))
-      .where(col("e.m") =!= 0)
+        unix_micros(col(tsCol)).as("us"), mask.as("m"))
+      .where(col("m") =!= 0)
     val byUser = base.groupBy(col("user_id"))
-      .agg(array_sort(collect_list(col("e"))).as("evs"))
+      .agg(collectSortedEvents(col("us"), col("m"), "m",
+        org.apache.spark.sql.types.LongType).as("evs"))
     val needBit = chain.map(r => lit(1L << (r - 1)))
     def gapOk(j: Int, us: Column, prev: Column): Column = gaps(j - 1) match {
       case None => lit(true)
@@ -437,9 +453,13 @@ object Funnel {
 
   /** Shared tail of the exact-DP timed forms: condition mask → filter
     * to matching events (CH's aggregate stores only those) →
-    * groupBy(user) → per-user
-    * [[graft.functions.ChSequenceCountTimed]] over the (ts, mask)-
-    * sorted array → left join back so event-less users report 0. */
+    * groupBy(user) → the FUSED per-user DP aggregate
+    * [[graft.functions.SequenceCountTimedAgg]] (round 16: collection,
+    * sort and DP in one primitive-buffer aggregate — the per-key
+    * result is one long, no event array is ever materialized; the
+    * array-input expression form [[graft.functions.ChSequenceCountTimed]]
+    * remains the property-suite surface over the same DP core) →
+    * left join back so event-less users report 0. */
   private def timedDpByUser(
       events: DataFrame, userCol: String, tsCol: String,
       conds: Seq[Column], chain: Seq[Int],
@@ -449,15 +469,14 @@ object Funnel {
       .reduce((a, b) => a.bitwiseOR(b))
     val base = events
       .select(col(userCol).as("user_id"),
-        struct(unix_micros(col(tsCol)).as("us"), mask.as("m")).as("e"))
-      .where(col("e.m") =!= 0)
+        unix_micros(col(tsCol)).as("us"), mask.as("m"))
+      .where(col("m") =!= 0)
     val byUser = base.groupBy(col("user_id"))
-      .agg(array_sort(collect_list(col("e"))).as("evs"))
-    val cnt = Bridge.column(graft.functions.ChSequenceCountTimed(
-      Bridge.expression(col("evs")), chain, gaps))
+      .agg(Bridge.column(graft.functions.SequenceCountTimedAgg(
+        Bridge.expression(col("us")), Bridge.expression(col("m")),
+        chain, gaps).toAggregateExpression()).as("c"))
     events.select(col(userCol).as("user_id")).distinct()
-      .join(byUser.select(col("user_id"), cnt.as("c")),
-        Seq("user_id"), "left")
+      .join(byUser, Seq("user_id"), "left")
       .select(col("user_id"), coalesce(col("c"), lit(0L)).as("seq_count"))
   }
 

@@ -245,16 +245,26 @@ object ChTypeParser {
           (MArray(elem, elemNullable), false)
         case "Map" =>
           eat('(')
-          val (k, _) = typ()
+          val (k, kNullable) = typ()
+          require(!kNullable, "Map keys cannot be Nullable in ClickHouse")
           eat(',')
-          val (v, _) = typ()
+          val (v, vNullable) = typ()
           eat(')')
-          (MMap(k, v), false)
+          // a Nullable VALUE is a genuine type difference — carried as
+          // the nested-position wrapper (round-16 ADVICE; CH forbids
+          // Nullable map KEYS, so the key flag cannot be set)
+          (MMap(k, if (vNullable) MNullable(v) else v), false)
         case "Tuple" | "Nested" =>
           eat('(')
           val fields = Seq.newBuilder[(String, MooseType)]
           var first = true
           var idx = 0
+          // per-field Nullable carried as the nested-position wrapper
+          // (round-16 ADVICE — previously parsed-and-dropped)
+          def fieldType(): MooseType = {
+            val (t, n) = typ()
+            if (n) MNullable(t) else t
+          }
           while (first || tryEat(',')) {
             first = false
             idx += 1
@@ -273,19 +283,19 @@ object ChTypeParser {
                 val afterName = i
                 val isNamed = i < s.length && s(i) != ',' && s(i) != ')' &&
                   s(i) != '('
-                if (isNamed) fields += n0 -> typ()._1
+                if (isNamed) fields += n0 -> fieldType()
                 else if (i < s.length && s(i) == '(') {
                   // the identifier was itself a parameterized TYPE head
                   i = save
-                  fields += s"_$idx" -> typ()._1
+                  fields += s"_$idx" -> fieldType()
                 } else {
                   // bare identifier = an unnamed simple type
                   i = save
-                  fields += s"_$idx" -> typ()._1
+                  fields += s"_$idx" -> fieldType()
                   require(i >= afterName, "tuple element parse stalled")
                 }
               case None =>
-                fields += s"_$idx" -> typ()._1
+                fields += s"_$idx" -> fieldType()
             }
           }
           eat(')')

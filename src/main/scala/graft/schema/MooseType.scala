@@ -68,6 +68,23 @@ object MooseType {
   final case class MMap(key: MooseType, value: MooseType) extends MooseType {
     val sparkType = MapType(key.sparkType, value.sparkType)
   }
+  /** Nullability wrapper for NESTED positions — map values and
+    * tuple/nested fields, where the container carries no boolean (ref
+    * table.rs ColumnType::Nullable, which nests anywhere). Top-level
+    * column nullability stays [[MooseColumn.nullable]] and array
+    * element nullability stays [[MArray.elementNullable]] — this node
+    * never appears in those positions. Spark-side it is transparent
+    * (MapType values and StructFields default nullable=true, so reads
+    * were already safe); the node exists so a round-trip through
+    * [[ChTypeParser]] cannot silently drop `Map(K, Nullable(V))` /
+    * `Tuple(a Nullable(T))` wrappers and type-equivalence against a
+    * re-described remote schema sees the genuine difference
+    * (round-16 ADVICE). */
+  final case class MNullable(inner: MooseType) extends MooseType {
+    require(!inner.isInstanceOf[MNullable],
+      "Nullable(Nullable(…)) is not a ClickHouse type")
+    val sparkType: DataType = inner.sparkType
+  }
   /** JSON column: StringType holding the document; typed paths promoted at
     * read via from_json/get_json_object (ref types.ts:148-161). */
   case object MJson extends MooseType { val sparkType = StringType }
@@ -133,7 +150,18 @@ final case class MooseColumn(
       * `ClickHouseCodec<"ZSTD(3)">`): compression codecs resolve to the
       * table's parquet compression, encoding codecs (Delta/Gorilla/…)
       * are accepted no-ops — see [[graft.table.OlapTable]]. */
-    codec: Option[String] = None) {
+    codec: Option[String] = None,
+    /** Column-level TTL expression (ref dataModelTypes.ts:28-41
+      * `Column.ttl`, types.ts:202 `ClickHouseTTL`): the SQL text after
+      * `TTL` in the column clause. Carried so DDL-seeded configs keep
+      * it and migration diffs detect TTL changes (round-16 ADVICE —
+      * previously parsed-and-dropped). Value EXPIRY (CH resets expired
+      * values to the column default in merges) is not a background
+      * job here, same stance as table TTL: `OlapTable.applyRetention`
+      * runs table-level expiry on demand, and a column-value reset is
+      * an explicit `ALTER UPDATE col = default WHERE <ttl expired>`
+      * mutation (`OlapTable.alterUpdate`) the user schedules. */
+    ttl: Option[String] = None) {
   // the reference's column validation (mapper.rs
   // std_column_to_clickhouse_column, round 15): the three computed-
   // value attributes are mutually exclusive (a default filled at

@@ -429,10 +429,19 @@ object ChDdl {
       if (!quoted(m.start)) {
         // ClickHouse ARRAY JOIN operates on a COLUMN, not a table —
         // "… FROM events ARRAY JOIN tags" must not report 'tags'
-        // (round-15 review); LEFT ARRAY JOIN likewise
+        // (round-15 review); LEFT ARRAY JOIN likewise. The ARRAY
+        // keyword needs a token boundary on its left (round-16 ADVICE:
+        // "FROM user_array JOIN t" is a REAL join on table `user_array`,
+        // not an ARRAY JOIN) — mirror \b by requiring the char before
+        // the suffix to be a non-word char (or string start).
         val beforeText = sql.substring(0, m.start).trim
-        val isArrayJoin = m.group(1).equalsIgnoreCase("JOIN") &&
-          beforeText.toUpperCase.endsWith("ARRAY")
+        val isArrayJoin = m.group(1).equalsIgnoreCase("JOIN") && {
+          val up = beforeText.toUpperCase
+          up.endsWith("ARRAY") && (up.length == 5 || {
+            val c = up.charAt(up.length - 6)
+            !(c.isLetterOrDigit || c == '_' || c == '`')
+          })
+        }
         val i = skipWs(sql, m.end)
         if (!isArrayJoin && i < sql.length && sql(i) != '(') {
           val rm = refRe.matcher(sql)
@@ -672,7 +681,8 @@ object ChDdl {
       materialized = modifier("MATERIALIZED"),
       aliasExpr = modifier("ALIAS"),
       comment = comment,
-      codec = codec)
+      codec = codec,
+      ttl = modifier("TTL"))
   }
 
   /** Engine text → [[TableEngine]]. Replicated-/Shared-prefixed names wrap the inner

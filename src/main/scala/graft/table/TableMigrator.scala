@@ -191,6 +191,11 @@ object TableMigrator {
         }
       case (MMap(bk, bv2), MMap(ak, av2)) =>
         typesEquivalent(bk, ak) && typesEquivalent(bv2, av2)
+      // nested-position Nullable (map values, tuple/nested fields —
+      // round-16 ADVICE): equal wrappers recurse; an asymmetric wrapper
+      // is a GENUINE type difference (the remote value set includes
+      // NULL, the declared one does not), not noise to normalize away
+      case (MNullable(bi), MNullable(ai)) => typesEquivalent(bi, ai)
       case _ => b == a
     }
   }

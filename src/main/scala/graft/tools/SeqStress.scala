@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions._
 object SeqStress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
+    // optional mode: "all" (default) | "fanout" | "skew" — lets a
+    // round-16 merge-amplification bisect run ONLY the skew probes
+    val mode = args.drop(1).headOption.getOrElse("all")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -54,28 +57,32 @@ object SeqStress {
     val fanout = (0 until factor).map(k =>
       base.withColumn("user_id", col("user_id") * factor + k))
       .reduce(_ unionByName _)
-    timed("seq_timed_adj_fanout")(
-      Funnel.sequenceMatchTimed(fanout, "user_id", "ts",
-        "(?1)(?2)(?t<=900)(?3)", conds))
-    timed("seq_count_timed_fanout")(
-      Funnel.sequenceCountTimed(fanout, "user_id", "ts",
-        "(?1)(?t<=900)(?2)", conds.take(2)))
-    timed("seq_timed_eq_fanout")(
-      Funnel.sequenceMatchTimed(
-        fanout.withColumn("ts_min", date_trunc("minute", col("ts"))),
-        "user_id", "ts_min", "(?1)(?t==60)(?2)", conds.take(2)))
+    if (mode == "all" || mode == "fanout") {
+      timed("seq_timed_adj_fanout")(
+        Funnel.sequenceMatchTimed(fanout, "user_id", "ts",
+          "(?1)(?2)(?t<=900)(?3)", conds))
+      timed("seq_count_timed_fanout")(
+        Funnel.sequenceCountTimed(fanout, "user_id", "ts",
+          "(?1)(?t<=900)(?2)", conds.take(2)))
+      timed("seq_timed_eq_fanout")(
+        Funnel.sequenceMatchTimed(
+          fanout.withColumn("ts_min", date_trunc("minute", col("ts"))),
+          "user_id", "ts_min", "(?1)(?t==60)(?2)", conds.take(2)))
+    }
 
     // 2. skew: the whole xN corpus lands on ONE user besides the rest
     val skew = fanout.unionByName(
       (0 until factor).map(k => base.withColumn("user_id", lit(-1L)))
         .reduce(_ unionByName _))
-    timed("seq_timed_adj_skew1user")(
-      Funnel.sequenceMatchTimed(skew, "user_id", "ts",
-        "(?1)(?2)(?t<=900)(?3)", conds))
-    timed("seq_timed_eq_skew1user")(
-      Funnel.sequenceMatchTimed(
-        skew.withColumn("ts_min", date_trunc("minute", col("ts"))),
-        "user_id", "ts_min", "(?1)(?t==60)(?2)", conds.take(2)))
+    if (mode == "all" || mode == "skew") {
+      timed("seq_timed_adj_skew1user")(
+        Funnel.sequenceMatchTimed(skew, "user_id", "ts",
+          "(?1)(?2)(?t<=900)(?3)", conds))
+      timed("seq_timed_eq_skew1user")(
+        Funnel.sequenceMatchTimed(
+          skew.withColumn("ts_min", date_trunc("minute", col("ts"))),
+          "user_id", "ts_min", "(?1)(?t==60)(?2)", conds.take(2)))
+    }
     spark.stop()
   }
 }

@@ -476,6 +476,20 @@ class ChDdlGoldenSpec extends AnyFunSuite {
       "AS tag") == Seq(TableRef(None, "events")))
     assert(extractSourceTables("SELECT x FROM events LEFT ARRAY JOIN " +
       "tags") == Seq(TableRef(None, "events")))
+    // …but ARRAY needs a token boundary: a table/alias merely ENDING
+    // in 'array' before JOIN is a real join (round-16 ADVICE — the
+    // suffix check silently dropped `sessions` from MV lineage here)
+    assert(extractSourceTables("SELECT * FROM user_array JOIN sessions " +
+      "ON user_array.id = sessions.id") ==
+      Seq(TableRef(None, "user_array"), TableRef(None, "sessions")))
+    assert(extractSourceTables("SELECT * FROM `array` JOIN s ON 1=1") ==
+      Seq(TableRef(None, "array"), TableRef(None, "s")))
+    // column-level TTL is carried, not dropped (round-16 ADVICE)
+    val cttl = ChDdl.parseCreateTable("CREATE TABLE t (id UInt64, " +
+      "tmp String TTL ts + INTERVAL 1 DAY CODEC(ZSTD(3)), ts DateTime) " +
+      "ENGINE = MergeTree ORDER BY id")
+    assert(cttl.schema.columns(1).ttl.contains("ts + INTERVAL 1 DAY"))
+    assert(cttl.schema.columns(1).codec.contains("ZSTD(3)"))
     // INSERT…WITH…SELECT parses (isInsertSelect and parseInsertSelect
     // must agree)
     val ins = parseInsertSelect(

@@ -144,9 +144,25 @@ class ChTypeParserGoldenSpec extends AnyFunSuite {
     assert(graft.table.TableMigrator.columnsEquivalent(
       MooseColumn("s", MLowCardinality(MString)),
       MooseColumn("s", MString)))
+    // round 16: nested-position Nullable is CARRIED (MNullable), not
+    // dropped — matching the reference IR's ColumnType::Nullable which
+    // nests anywhere (r16 ADVICE; the r15 pin recorded the drop)
     assert(p("Array(Map(String, Tuple(a Int32, b Nullable(Float64))))") ==
       (MArray(MMap(MString,
-        MNamedTuple(Seq("a" -> MInt32, "b" -> MFloat64)))), false))
+        MNamedTuple(Seq("a" -> MInt32, "b" -> MNullable(MFloat64))))), false))
+    assert(p("Map(String, Nullable(Int64))") ==
+      (MMap(MString, MNullable(MInt64)), false))
+    assertThrows[IllegalArgumentException](
+      p("Map(Nullable(String), Int64)"))
+    // wrapped vs bare value type is a GENUINE difference on the
+    // migration seam (unlike LowCardinality, which is storage-only)
+    import graft.table.TableMigrator.columnsEquivalent
+    assert(!columnsEquivalent(
+      MooseColumn("m", MMap(MString, MNullable(MInt64))),
+      MooseColumn("m", MMap(MString, MInt64))))
+    assert(columnsEquivalent(
+      MooseColumn("m", MMap(MString, MNullable(MLowCardinality(MInt64)))),
+      MooseColumn("m", MMap(MString, MNullable(MInt64)))))
     assert(p("Array(LowCardinality(String))") ==
       (MArray(MLowCardinality(MString)), false))
   }

@@ -1,0 +1,147 @@
+package graft
+
+import graft.functions.{CollectSortedEvents, EventsAgg, SequenceCountTimedAgg}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Pins for the round-16 primitive event collectors (EventsAgg.scala),
+  * the replacement for `array_sort(collect_list(struct(...)))` in the
+  * per-key behavioral folds:
+  *  1. PairBuffer's in-place introsort == the JDK sort on the same
+  *     pairs, across random / sorted / reversed / all-equal /
+  *     negative-heavy shapes (the quicksort depth-fallback paths);
+  *  2. serialize → deserialize roundtrips bit-exactly;
+  *  3. end-to-end through Spark: CollectSortedEvents ==
+  *     array_sort(collect_list(struct(us, m))) on random multi-group
+  *     data with timestamp ties (forcing real shuffles and partial
+  *     merges), for both long and int payloads;
+  *  4. the fused SequenceCountTimedAgg == the array-input DP
+  *     expression path over the same events (same DP core, different
+  *     collection machinery);
+  *  5. NULL-timestamp events are invisible (skipped at update — the
+  *     unified stance ChSequenceCountTimed already took).
+  */
+class EventsAggSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def refSort(pairs: Array[(Long, Long)]): Array[(Long, Long)] =
+    pairs.sortBy(identity)
+
+  test("PairBuffer introsort matches reference sort on adversarial shapes") {
+    val rnd = new Random(16)
+    val shapes: Seq[Array[(Long, Long)]] = Seq(
+      Array.empty[(Long, Long)],
+      Array((5L, 1L)),
+      Array.fill(1000)((rnd.nextLong(), rnd.nextLong())),
+      Array.tabulate(1000)(i => (i.toLong, rnd.nextInt(3).toLong)),     // sorted
+      Array.tabulate(1000)(i => (-i.toLong, rnd.nextInt(3).toLong)),    // reversed
+      Array.fill(1000)((42L, rnd.nextInt(4).toLong)),                   // one ts
+      Array.fill(1000)((7L, 7L)),                                       // all equal
+      Array.fill(1000)((rnd.nextInt(5).toLong - 2, rnd.nextLong())),    // heavy ties
+      Array.fill(65)((Long.MinValue / 2 + rnd.nextInt(3), Long.MaxValue / 2 - rnd.nextInt(3)))
+    )
+    for (pairs <- shapes) {
+      val buf = new EventsAgg.PairBuffer()
+      pairs.foreach { case (a, b) => buf.append(a, b) }
+      buf.sortPairs()
+      val got = (0 until buf.numPairs)
+        .map(p => (buf.data(2 * p), buf.data(2 * p + 1))).toArray
+      assert(got.sameElements(refSort(pairs)), s"n=${pairs.length}")
+    }
+  }
+
+  test("PairBuffer serialize/deserialize roundtrip and appendAll") {
+    val rnd = new Random(7)
+    val a = new EventsAgg.PairBuffer(2)
+    val b = new EventsAgg.PairBuffer(2)
+    val all = Array.fill(777)((rnd.nextLong(), rnd.nextLong()))
+    all.take(300).foreach { case (x, y) => a.append(x, y) }
+    all.drop(300).foreach { case (x, y) => b.append(x, y) }
+    val b2 = EventsAgg.fromBytes(b.toBytes)
+    a.appendAll(b2)
+    val rt = EventsAgg.fromBytes(a.toBytes)
+    assert(rt.numPairs == 777)
+    val got = (0 until rt.numPairs)
+      .map(p => (rt.data(2 * p), rt.data(2 * p + 1))).toArray
+    assert(got.sameElements(all))
+  }
+
+  test("CollectSortedEvents == array_sort(collect_list) across a real shuffle") {
+    val rnd = new Random(23)
+    val rows = (1 to 20000).map { _ =>
+      (rnd.nextInt(40).toLong,                       // key (some heavy)
+        rnd.nextInt(50).toLong * 1000000L,           // ts micros, many ties
+        rnd.nextInt(8).toLong)                       // payload
+    }
+    val df = rows.toDF("k", "us", "m").repartition(16)
+    val viaAgg = df.groupBy($"k")
+      .agg(Bridge.column(CollectSortedEvents(
+        Bridge.expression($"us"), Bridge.expression($"m"),
+        "us", "m", LongType).toAggregateExpression()).as("evs"))
+    val viaCollect = df.groupBy($"k")
+      .agg(array_sort(collect_list(struct($"us", $"m"))).as("evs"))
+    val got = viaAgg.orderBy($"k").collect()
+    val want = viaCollect.orderBy($"k").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+    // int payload variant preserves the declared element type
+    val intAgg = df.groupBy($"k")
+      .agg(Bridge.column(CollectSortedEvents(
+        Bridge.expression($"us"), Bridge.expression($"m".cast("int")),
+        "us", "i", IntegerType).toAggregateExpression()).as("evs"))
+    val f = intAgg.schema("evs").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(f("i").dataType == IntegerType)
+    assert(intAgg.count() == want.length)
+  }
+
+  test("fused SequenceCountTimedAgg == array-input DP expression") {
+    val rnd = new Random(99)
+    val chain = Seq(1, 2, 2)
+    val gaps: Seq[(Boolean, Option[(String, Long)])] =
+      Seq((true, None), (false, Some(("<=", 30L))))
+    val rows = (1 to 8000).map { _ =>
+      (rnd.nextInt(25).toLong,
+        rnd.nextInt(40).toLong * 1000000L,
+        (rnd.nextInt(3) + 1).toLong) // mask in {1,2,3}
+    }
+    val df = rows.toDF("k", "us", "m").repartition(16)
+    val fused = df.groupBy($"k")
+      .agg(Bridge.column(SequenceCountTimedAgg(
+        Bridge.expression($"us"), Bridge.expression($"m"),
+        chain, gaps).toAggregateExpression()).as("c"))
+    val viaArray = df.groupBy($"k")
+      .agg(array_sort(collect_list(struct($"us", $"m"))).as("evs"))
+      .select($"k", Bridge.column(graft.functions.ChSequenceCountTimed(
+        Bridge.expression($"evs"), chain, gaps)).as("c"))
+    val got = fused.orderBy($"k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = viaArray.orderBy($"k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sameElements(want))
+    assert(got.exists(_._2 > 0), "degenerate case: no group ever matched")
+  }
+
+  test("NULL timestamps are invisible; NULL payload folds as 0") {
+    val df = Seq(
+      (1L, Some(1000000L), Some(1L)),
+      (1L, None, Some(2L)),            // invisible
+      (1L, Some(2000000L), Some(2L)),
+      (2L, None, Some(1L)),            // group of only-null ts → empty
+      (3L, Some(5L), None)             // null payload → 0
+    ).toDF("k", "us", "m")
+    val out = df.groupBy($"k")
+      .agg(Bridge.column(CollectSortedEvents(
+        Bridge.expression($"us"), Bridge.expression($"m"),
+        "us", "m", LongType).toAggregateExpression()).as("evs"))
+      .orderBy($"k").collect()
+    assert(out(0).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(1L, 2L))
+    assert(out(1).getSeq[org.apache.spark.sql.Row](1).isEmpty)
+    assert(out(2).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(0L))
+  }
+}

@@ -141,9 +141,107 @@ class FarmHashSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent farmhashuo reference in BigInt arithmetic (round 16 —
+    * the >256-byte segment's transcription pin; a third transcription,
+    * tools/farmuo_ref.py, generated the q_ch_functions10 oracle
+    * constants and the `pythonSweep` table below). */
+  private object UoRef {
+    private val M = (BigInt(1) << 64) - 1
+    private val K1 = BigInt("b492b66fbe98f273", 16)
+    private val K2 = BigInt("9ae16a3b2f90404f", 16)
+    private def fetch(d: Array[Byte], i: Int): BigInt =
+      (0 until 8).map(j => BigInt(d(i + j) & 0xff) << (8 * j)).sum
+    private def rotr(x: BigInt, r: Int): BigInt =
+      ((x >> r) | (x << (64 - r))) & M
+    private def smix(x: BigInt): BigInt = x ^ (x >> 47)
+    private def hl16(u: BigInt, v: BigInt, mul: BigInt): BigInt = {
+      val a = smix((u ^ v) * mul & M)
+      val b = smix((v ^ a) * mul & M)
+      b * mul & M
+    }
+    private def h(x: BigInt, y: BigInt, mul: BigInt, r: Int): BigInt = {
+      val a = smix((x ^ y) * mul & M)
+      val b = (y ^ a) * mul & M
+      rotr(b, r) * mul & M
+    }
+    private def weak(d: Array[Byte], i: Int, a0: BigInt, b0: BigInt)
+        : (BigInt, BigInt) = {
+      val w = fetch(d, i); val x = fetch(d, i + 8)
+      val y = fetch(d, i + 16); val z = fetch(d, i + 24)
+      var a = (a0 + w) & M
+      var b = rotr((b0 + a + z) & M, 21)
+      val c = a
+      a = (a + x + y) & M
+      b = (b + rotr(a, 44)) & M
+      ((a + z) & M, (b + c) & M)
+    }
+    def hash(d: Array[Byte]): Long = {
+      val n = d.length
+      require(n > 64)
+      val seed0 = BigInt(81); val seed1 = BigInt(0)
+      var x = seed0
+      var y = (seed1 * K2 + 113) & M
+      var z = smix(y * K2 & M) * K2 & M
+      var v0 = seed0; var v1 = seed1
+      var w0 = BigInt(0); var w1 = BigInt(0)
+      var u = (x - z) & M
+      x = x * K2 & M
+      val mul = (K2 + (u & 0x82)) & M
+      val end = ((n - 1) / 64) * 64
+      var s = 0
+      while ({
+        val a0 = fetch(d, s); val a1 = fetch(d, s + 8)
+        val a2 = fetch(d, s + 16); val a3 = fetch(d, s + 24)
+        val a4 = fetch(d, s + 32); val a5 = fetch(d, s + 40)
+        val a6 = fetch(d, s + 48); val a7 = fetch(d, s + 56)
+        x = (x + a0 + a1) & M; y = (y + a2) & M; z = (z + a3) & M
+        v0 = (v0 + a4) & M; v1 = (v1 + a5 + a1) & M
+        w0 = (w0 + a6) & M; w1 = (w1 + a7) & M
+        x = rotr(x, 26); x = x * 9 & M
+        y = rotr(y, 29); z = z * mul & M
+        v0 = rotr(v0, 33); v1 = rotr(v1, 30)
+        w0 ^= x; w0 = w0 * 9 & M
+        z = rotr(z, 32); z = (z + w1) & M; w1 = (w1 + z) & M
+        z = z * 9 & M
+        locally { val t = u; u = y; y = t }
+        z = (z + a0 + a6) & M
+        v0 = (v0 + a2) & M; v1 = (v1 + a3) & M
+        w0 = (w0 + a4) & M; w1 = (w1 + a5 + a6) & M
+        x = (x + a1) & M; y = (y + a7) & M
+        y = (y + v0) & M
+        v0 = (v0 + x - y) & M
+        v1 = (v1 + w0) & M
+        w0 = (w0 + v1) & M
+        w1 = (w1 + x - y) & M
+        x = (x + w1) & M
+        w1 = rotr(w1, 34)
+        locally { val t = u; u = z; z = t }
+        s += 64
+        s != end
+      }) ()
+      s = n - 64
+      u = u * 9 & M
+      v1 = rotr(v1, 28); v0 = rotr(v0, 20)
+      w0 = (w0 + ((n - 1) & 63)) & M
+      u = (u + y) & M; y = (y + u) & M
+      x = rotr((y - x + v0 + fetch(d, s + 8)) & M, 37) * mul & M
+      y = rotr((y ^ v1 ^ fetch(d, s + 48)) & M, 42) * mul & M
+      x ^= w1 * 9 & M
+      y = (y + v0 + fetch(d, s + 40)) & M
+      z = rotr((z + w0) & M, 33) * mul & M
+      val (nv0, nv1) = weak(d, s, v1 * mul & M, (x + w0) & M)
+      val (nw0, nw1) = weak(d, s + 32, (z + w1) & M,
+        (y + fetch(d, s + 16)) & M)
+      h((hl16((nv0 + x) & M, nw0 ^ y, mul) + z - u) & M,
+        h((nv1 + y) & M, (nw1 + z) & M, K2, 30) ^ x,
+        K2, 31).longValue
+    }
+  }
+
   test("farmHash64 (xo): na-delegated segments equal Guava " +
       "Fingerprint64; 33..96 differs from na and matches the BigInt " +
-      "reference; >256 is the pinned xxhash64 stand-in") {
+      "reference; >256 (uo) matches BOTH the BigInt reference and the " +
+      "Python-port sweep") {
     import com.google.common.hash.Hashing
     val guava = Hashing.farmHashFingerprint64()
     // ≤ 32 and 97..256: xo delegates to na upstream ⇒ must equal
@@ -164,9 +262,30 @@ class FarmHashSpec extends AnyFunSuite {
       assert(FarmHashNa.farmHash64Bytes(d) != guava.hashBytes(d).asLong,
         s"xo path did not engage at length $n")
     }
-    // > 256: documented stand-in — equals Spark's xxhash64 (seed 42)
-    val long = "z" * 300
-    val viaSql = spark.sql(s"SELECT xxhash64('$long') AS v").head.getLong(0)
-    assert(FarmHashNa.farmHash64(UTF8String.fromString(long)) == viaSql)
+    // > 256: the round-16 farmhashuo kernel. Three independently
+    // written transcriptions must agree: the Scala kernel, the BigInt
+    // reference above, and tools/farmuo_ref.py (whose sweep values are
+    // pinned verbatim below — loop-boundary lengths 257..10000,
+    // covering 1..64-byte tails and multi-chunk loops). And the value
+    // must differ from na's (the uo path actually engages).
+    import com.google.common.hash.Hashing
+    val guavaNa = Hashing.farmHashFingerprint64()
+    val pythonSweep = Map(
+      257 -> 5691749972866657990L, 258 -> 4095101482050893923L,
+      300 -> 8445127852607578108L, 320 -> -5002963370753031297L,
+      321 -> 1462750647723636669L, 383 -> 1388207170366989052L,
+      384 -> 8311902962633543637L, 385 -> 1109371486820865201L,
+      511 -> 6685686190185976704L, 512 -> -7196025853223412173L,
+      513 -> 3291077594719867592L, 1023 -> 3766609318801675153L,
+      1024 -> 1902671872941813305L, 1025 -> 8943755341781800852L,
+      4096 -> 6943009809766001395L, 10000 -> 929583317893080468L)
+    for ((n, want) <- pythonSweep) {
+      val d = pseudoBytes(n, 0x243f6a8885a308d3L + 2L * n)
+      val got = FarmHashNa.farmHash64Bytes(d)
+      assert(got == want, s"uo vs Python port at length $n")
+      assert(got == UoRef.hash(d), s"uo vs BigInt reference at length $n")
+      assert(got != guavaNa.hashBytes(d).asLong,
+        s"uo path did not engage at length $n")
+    }
   }
 }

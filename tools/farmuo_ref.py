@@ -1,0 +1,298 @@
+#!/usr/bin/env python3
+"""Independent farmhashuo::Hash64 reference (round 16).
+
+A from-scratch Python transcription of the published FarmHash uo
+variant (Pike, Google FarmHash, MIT) — deliberately written separately
+from the Scala kernel in FarmHashNa.scala so the two act as a
+dual-transcription pin for the >256-byte farmHash64 segment (the same
+playbook as round 15's xo BigInt reference). Also replays the xo
+dispatcher so whole-string farmHash64 values can be generated for the
+q_ch_functions10 oracle constants.
+
+Usage:
+  python3 tools/farmuo_ref.py selftest     # vs embedded length sweep
+  python3 tools/farmuo_ref.py str <text>   # farmHash64 of the text
+  python3 tools/farmuo_ref.py repeat <text> <k>
+"""
+import sys
+
+M = (1 << 64) - 1
+K0 = 0xC3A5C85C97CB3127
+K1 = 0xB492B66FBE98F273
+K2 = 0x9AE16A3B2F90404F
+
+
+def rot(v, s):
+    return ((v >> s) | (v << (64 - s))) & M
+
+
+def smix(v):
+    return (v ^ (v >> 47)) & M
+
+
+def f64(d, i):
+    return int.from_bytes(d[i:i + 8], "little")
+
+
+def f32(d, i):
+    return int.from_bytes(d[i:i + 4], "little")
+
+
+def hash_len_16(u, v, mul):
+    a = smix((u ^ v) * mul & M)
+    b = smix((v ^ a) * mul & M)
+    return b * mul & M
+
+
+def hash_len_0_to_16(d):
+    n = len(d)
+    if n >= 8:
+        mul = (K2 + n * 2) & M
+        a = (f64(d, 0) + K2) & M
+        b = f64(d, n - 8)
+        c = (rot(b, 37) * mul + a) & M
+        e = (rot(a, 25) + b) * mul & M
+        return hash_len_16(c, e, mul)
+    if n >= 4:
+        mul = (K2 + n * 2) & M
+        a = f32(d, 0)
+        return hash_len_16((n + (a << 3)) & M, f32(d, n - 4), mul)
+    if n > 0:
+        a, b, c = d[0], d[n >> 1], d[n - 1]
+        y = (a + (b << 8)) & 0xFFFFFFFF
+        z = (n + (c << 2)) & 0xFFFFFFFF
+        return smix((y * K2 ^ z * K0) & M) * K2 & M
+    return K2
+
+
+def hash_len_17_to_32(d):
+    n = len(d)
+    mul = (K2 + n * 2) & M
+    a = f64(d, 0) * K1 & M
+    b = f64(d, 8)
+    c = f64(d, n - 8) * mul & M
+    e = f64(d, n - 16) * K2 & M
+    return hash_len_16((rot((a + b) & M, 43) + rot(c, 30) + e) & M,
+                       (a + rot((b + K2) & M, 18) + c) & M, mul)
+
+
+def weak32(d, i, a, b):
+    w, x, y, z = f64(d, i), f64(d, i + 8), f64(d, i + 16), f64(d, i + 24)
+    a = (a + w) & M
+    b = rot((b + a + z) & M, 21)
+    c = a
+    a = (a + x + y) & M
+    b = (b + rot(a, 44)) & M
+    return (a + z) & M, (b + c) & M
+
+
+def na_hash64(d):
+    n = len(d)
+    if n <= 16:
+        return hash_len_0_to_16(d)
+    if n <= 32:
+        return hash_len_17_to_32(d)
+    if n <= 64:
+        mul = (K2 + n * 2) & M
+        a = f64(d, 0) * K2 & M
+        b = f64(d, 8)
+        c = f64(d, n - 8) * mul & M
+        e = f64(d, n - 16) * K2 & M
+        y = (rot((a + b) & M, 43) + rot(c, 30) + e) & M
+        z = hash_len_16(y, (a + rot((b + K2) & M, 18) + c) & M, mul)
+        f = f64(d, 16) * mul & M
+        g = f64(d, 24)
+        h = (y + f64(d, n - 32)) * mul & M
+        i = (z + f64(d, n - 24)) * mul & M
+        return hash_len_16((rot((f + g) & M, 43) + rot(h, 30) + i) & M,
+                           (f + rot((g + a) & M, 18) + h) & M, mul)
+    seed = 81
+    v = [0, 0]
+    w = [0, 0]
+    x = (seed * K2 + f64(d, 0)) & M
+    y = (seed * K1 + 113) & M
+    z = smix((y * K2 + 113) & M) * K2 & M
+    end = ((n - 1) // 64) * 64
+    last64 = end + ((n - 1) & 63) - 63
+    s = 0
+    while True:
+        x = rot((x + y + v[0] + f64(d, s + 8)) & M, 37) * K1 & M
+        y = rot((y + v[1] + f64(d, s + 48)) & M, 42) * K1 & M
+        x ^= w[1]
+        y = (y + v[0] + f64(d, s + 40)) & M
+        z = rot((z + w[0]) & M, 33) * K1 & M
+        va, vb = v[1] * K1 & M, (x + w[0]) & M
+        wa, wb = (z + w[1]) & M, (y + f64(d, s + 16)) & M
+        v = list(weak32(d, s, va, vb))
+        w = list(weak32(d, s + 32, wa, wb))
+        x, z = z, x
+        s += 64
+        if s == end:
+            break
+    mul = (K1 + ((z & 0xFF) << 1)) & M
+    s = last64
+    w[0] = (w[0] + ((n - 1) & 63)) & M
+    v[0] = (v[0] + w[0]) & M
+    w[0] = (w[0] + v[0]) & M
+    x = rot((x + y + v[0] + f64(d, s + 8)) & M, 37) * mul & M
+    y = rot((y + v[1] + f64(d, s + 48)) & M, 42) * mul & M
+    x ^= w[1] * 9 & M
+    y = (y + v[0] * 9 + f64(d, s + 40)) & M
+    z = rot((z + w[0]) & M, 33) * mul & M
+    va, vb = v[1] * mul & M, (x + w[0]) & M
+    wa, wb = (z + w[1]) & M, (y + f64(d, s + 16)) & M
+    v = list(weak32(d, s, va, vb))
+    w = list(weak32(d, s + 32, wa, wb))
+    x, z = z, x
+    return hash_len_16(
+        (hash_len_16(v[0], w[0], mul) + smix(y) * K0 + z) & M,
+        (hash_len_16(v[1], w[1], mul) + x) & M, mul)
+
+
+def uo_h(x, y, mul, r):
+    a = smix((x ^ y) * mul & M)
+    b = (y ^ a) * mul & M
+    return rot(b, r) * mul & M
+
+
+def uo_hash64(d, seed0=81, seed1=0):
+    n = len(d)
+    assert n > 64, "uo reference only covers the >64-byte loop"
+    x = seed0
+    y = (seed1 * K2 + 113) & M
+    z = smix(y * K2 & M) * K2 & M
+    v = [seed0, seed1]
+    w = [0, 0]
+    u = (x - z) & M
+    x = x * K2 & M
+    mul = (K2 + (u & 0x82)) & M
+    end = ((n - 1) // 64) * 64
+    s = 0
+    while True:
+        a0, a1, a2, a3 = f64(d, s), f64(d, s + 8), f64(d, s + 16), f64(d, s + 24)
+        a4, a5, a6, a7 = (f64(d, s + 32), f64(d, s + 40), f64(d, s + 48),
+                          f64(d, s + 56))
+        x = (x + a0 + a1) & M
+        y = (y + a2) & M
+        z = (z + a3) & M
+        v[0] = (v[0] + a4) & M
+        v[1] = (v[1] + a5 + a1) & M
+        w[0] = (w[0] + a6) & M
+        w[1] = (w[1] + a7) & M
+        x = rot(x, 26)
+        x = x * 9 & M
+        y = rot(y, 29)
+        z = z * mul & M
+        v[0] = rot(v[0], 33)
+        v[1] = rot(v[1], 30)
+        w[0] ^= x
+        w[0] = w[0] * 9 & M
+        z = rot(z, 32)
+        z = (z + w[1]) & M
+        w[1] = (w[1] + z) & M
+        z = z * 9 & M
+        u, y = y, u
+        z = (z + a0 + a6) & M
+        v[0] = (v[0] + a2) & M
+        v[1] = (v[1] + a3) & M
+        w[0] = (w[0] + a4) & M
+        w[1] = (w[1] + a5 + a6) & M
+        x = (x + a1) & M
+        y = (y + a7) & M
+        y = (y + v[0]) & M
+        v[0] = (v[0] + x - y) & M
+        v[1] = (v[1] + w[0]) & M
+        w[0] = (w[0] + v[1]) & M
+        w[1] = (w[1] + x - y) & M
+        x = (x + w[1]) & M
+        w[1] = rot(w[1], 34)
+        u, z = z, u
+        s += 64
+        if s == end:
+            break
+    s = n - 64
+    u = u * 9 & M
+    v[1] = rot(v[1], 28)
+    v[0] = rot(v[0], 20)
+    w[0] = (w[0] + ((n - 1) & 63)) & M
+    u = (u + y) & M
+    y = (y + u) & M
+    x = rot((y - x + v[0] + f64(d, s + 8)) & M, 37) * mul & M
+    y = rot((y ^ v[1] ^ f64(d, s + 48)) & M, 42) * mul & M
+    x ^= w[1] * 9 & M
+    y = (y + v[0] + f64(d, s + 40)) & M
+    z = rot((z + w[0]) & M, 33) * mul & M
+    v = list(weak32(d, s, v[1] * mul & M, (x + w[0]) & M))
+    w = list(weak32(d, s + 32, (z + w[1]) & M, (y + f64(d, s + 16)) & M))
+    return uo_h((hash_len_16((v[0] + x) & M, w[0] ^ y, mul) + z - u) & M,
+                uo_h((v[1] + y) & M, (w[1] + z) & M, K2, 30) ^ x,
+                K2, 31)
+
+
+def xo_h32(d, off, mul, s0=0, s1=0):
+    a = f64(d, off) * K1 & M
+    b = f64(d, off + 8)
+    c = f64(d, off + 24) * mul & M
+    e = f64(d, off + 16) * K2 & M
+    u = (rot((a + b) & M, 43) + rot(c, 30) + e + s0) & M
+    v = (a + rot((b + K2) & M, 18) + c + s1) & M
+    a2 = smix((u ^ v) * mul & M)
+    return smix((v ^ a2) * mul & M)
+
+
+def xo_hash64(d):
+    n = len(d)
+    if n <= 16:
+        return hash_len_0_to_16(d)
+    if n <= 32:
+        return hash_len_17_to_32(d)
+    if n <= 64:
+        mul0 = (K2 - 30) & M
+        mul1 = (K2 - 30 + 2 * n) & M
+        h0 = xo_h32(d, 0, mul0)
+        h1 = xo_h32(d, n - 32, mul1)
+        return (h1 * mul1 + h0) * mul1 & M
+    if n <= 96:
+        mul0 = (K2 - 114) & M
+        mul1 = (K2 - 114 + 2 * n) & M
+        h0 = xo_h32(d, 0, mul0)
+        h1 = xo_h32(d, 32, mul1)
+        h2 = xo_h32(d, n - 32, mul1, h0, h1)
+        return ((h2 * 9 + (h0 >> 17) + (h1 >> 21)) & M) * mul1 & M
+    if n <= 256:
+        return na_hash64(d)
+    return uo_hash64(d)
+
+
+def signed(v):
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def pseudo_bytes(n, seed):
+    out = bytearray()
+    s = seed & M
+    for _ in range(n):
+        s = (s * 6364136223846793005 + 1442695040888963407) & M
+        out.append((s >> 56) & 0xFF)
+    return bytes(out)
+
+
+def main():
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "selftest"
+    if cmd == "str":
+        print(signed(xo_hash64(sys.argv[2].encode("utf-8"))))
+    elif cmd == "repeat":
+        print(signed(xo_hash64((sys.argv[2] * int(sys.argv[3]))
+                               .encode("utf-8"))))
+    elif cmd == "sweep":
+        # the FarmHashSpec pseudo-byte sweep: length -> signed hash
+        for n in ([257, 258, 300, 320, 321, 383, 384, 385, 511, 512, 513,
+                   1023, 1024, 1025, 4096, 10000]):
+            d = pseudo_bytes(n, 0x243F6A8885A308D3 + 2 * n)
+            print(n, signed(uo_hash64(d)))
+    else:
+        print("usage: farmuo_ref.py [str <text> | repeat <text> <k> | sweep]")
+
+
+if __name__ == "__main__":
+    main()
