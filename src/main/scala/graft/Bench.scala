@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries cover the BASELINE.md targets: full-scan agg, QueryModel query,
   * multi-join, window running-agg, streaming-transform batch parity,
-  * validated insert, dedup (exact + MinHash-LSH), brute-force kNN.
+  * validated insert, dedup (exact + MinHash-LSH), brute-force kNN, and
+  * (round 16) the timed-sequence DP aggregate.
   *
   * Each query is materialized through the `noop` v2 sink — unlike
   * `count()`, this cannot let Catalyst elide sorts/projections, so the
@@ -32,7 +33,10 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q_join_multi", "qm_aggregate", "q_window_running",
     "q_transform_bar", "q_insert_validated", "d_exact_dedup",
-    "d_minhash_lsh", "e_knn_brute")
+    "d_minhash_lsh", "e_knn_brute",
+    // round 16 (verdict r15 #3): the timed-sequence DP is hot-path
+    // code with a measured skew posture — driver-track it per round
+    "q_sequence_count_timed")
 
   val runs: Int = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
     .getOrElse(3)

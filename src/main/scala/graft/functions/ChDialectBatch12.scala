@@ -30,13 +30,15 @@ import org.apache.spark.sql.types._
   *  - `UUIDStringToNum(s)` / `UUIDNumToString(b)` — canonical-text
   *    bytes <-> 36-char form (lowercase out, dash positions pinned);
   *  - `normalizeQuery(q)` / `normalizedQueryHash(q)` — literal scrub
-  *    (quoted strings, then standalone numbers → `?`); since round 14
-  *    the hash is the EXACT SipHash-2-4 kernel over the normalized
-  *    text (CH hashes the normalized query with SipHash) — the
-  *    remaining #53 divergence is the NORMALIZER subset only (CH
-  *    normalizes on its own SQL lexer; ours is the pinned two-regex
-  *    scrub, so texts the two normalizers rewrite identically hash
-  *    identically);
+  *    (quoted strings, named `{p:Type}` parameters, standalone
+  *    numbers → `?`; placeholder runs → `?..`; whitespace folded —
+  *    the round-16 widened five-step subset, exactly stated at the
+  *    builder); since round 14 the hash is the EXACT SipHash-2-4
+  *    kernel over the normalized text (CH hashes the normalized query
+  *    with SipHash) — the remaining #53 divergence is the NORMALIZER
+  *    subset only (CH normalizes on its own SQL lexer; ours is the
+  *    pinned regex pipeline, so texts the two normalizers rewrite
+  *    identically hash identically);
   *  - `ngramMinHash(s[, n, k])` / `wordShingleMinHash(s[, size, k])` —
   *    CH's near-dup fingerprint pair `tuple(h1, h2)`: h1 folds the k
   *    SMALLEST distinct shingle hashes, h2 the k largest (both in
@@ -175,13 +177,35 @@ object ChDialectBatch12 {
     }
 
     // ------------------------------------------------ query scrubbing
-    // pinned subset of CH's normalizer: single-quoted strings first
-    // (so numbers inside them don't double-fire), then standalone
-    // numeric literals; whitespace left as written.
+    // pinned subset of CH's normalizer (docs: "replaces literals,
+    // sequences of literals and complex aliases with placeholders"),
+    // widened round 16 (#53) — applied in this exact order:
+    //  1. single-quoted strings → `?` (first, so nothing inside a
+    //     string fires a later step);
+    //  2. named query parameters `{name:Type}` → `?` (CH substitutes
+    //     them like literals);
+    //  3. standalone numeric literals → `?` (identifier-embedded
+    //     digits survive — the (?<![\w?]) guard);
+    //  4. comma-separated placeholder RUNS collapse to `?..` (CH's
+    //     sequences-of-literals fold: `IN (1, 2, 3)` → `IN (?..)`);
+    //  5. whitespace runs fold to ONE space and the ends trim
+    //     (operator/keyword spacing).
+    // Exactly stated so either engine can recompute it; texts the two
+    // normalizers rewrite identically hash identically (the remaining
+    // #53 residual is CH's full SQL lexer vs this pinned subset).
     def normalized(q: Expression): Expression =
-      RegExpReplace(
-        RegExpReplace(q, Literal("'(?:[^'\\\\]|\\\\.)*'"), Literal("?")),
-        Literal("(?<![\\w?])-?\\d+(?:\\.\\d+)?(?![\\w?])"), Literal("?"))
+      StringTrim(RegExpReplace(
+        RegExpReplace(
+          RegExpReplace(
+            RegExpReplace(
+              RegExpReplace(q,
+                Literal("'(?:[^'\\\\]|\\\\.)*'"), Literal("?")),
+              Literal("\\{\\s*[A-Za-z_][A-Za-z0-9_]*\\s*:[^{}]*\\}"),
+              Literal("?")),
+            Literal("(?<![\\w?])-?\\d+(?:\\.\\d+)?(?![\\w?])"),
+            Literal("?")),
+          Literal("\\?(\\s*,\\s*\\?)+"), Literal("?..")),
+        Literal("\\s+"), Literal(" ")))
     f("normalizeQuery")(a => normalized(a.head))
     f("normalizedQueryHash")(a =>
       ChAnyHashExpr(normalized(a.head), "sipHash64"))

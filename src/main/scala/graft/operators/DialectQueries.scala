@@ -430,6 +430,13 @@ object DialectQueries {
         |  hex(UUIDStringToNum(upper(uu))) AS uhex,
         |  UUIDNumToString(UUIDStringToNum(uu)) AS urt,
         |  normalizeQuery(q1) AS nq,
+        |  normalizeQuery(concat('SELECT  x  FROM t WHERE k IN (',
+        |    cast(user_id % 50 as string),
+        |    ', 2,3) AND p = {p1:UInt64}  AND q=\'z\'')) AS nq2,
+        |  (normalizedQueryHash(concat('SELECT a FROM t WHERE k IN (',
+        |      cast(user_id as string), ',5, 6)'))
+        |    = normalizedQueryHash('SELECT  a FROM t  WHERE k IN (7,8)'))
+        |    AS nqh_list,
         |  (normalizedQueryHash(q1) = normalizedQueryHash(q2)) AS nqh_eq,
         |  (normalizedQueryHash(q1) = normalizedQueryHash(q3)) AS nqh_ne,
         |  (ngramMinHash(hs) = ngramMinHash(hs)) AS nmh_eq,
@@ -2154,6 +2161,8 @@ object DialectQueries {
         |    || substr(mh, 21, 12) AS urt,
         |  'SELECT c' || CAST(event_id % 5 AS VARCHAR)
         |    || ' FROM t WHERE x = ? AND s = ?' AS nq,
+        |  'SELECT x FROM t WHERE k IN (?..) AND p = ? AND q=?' AS nq2,
+        |  true AS nqh_list,
         |  true AS nqh_eq,
         |  false AS nqh_ne,
         |  true AS nmh_eq,

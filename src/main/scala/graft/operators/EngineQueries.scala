@@ -172,6 +172,71 @@ object EngineQueries {
       .orderBy(col("event_id"))
   }
 
+  /** S21 capstone (round 16, verdict r15 #7): the DDL-seeding
+    * COMPOSITION parse → Config → storage, end-to-end as one oracle
+    * row. A realistic multi-feature `SHOW CREATE TABLE` text —
+    * per-column codecs, a column TTL, DEFAULT + MATERIALIZED + ALIAS
+    * columns, two skip indexes, a projection, SAMPLE BY, table TTL,
+    * SETTINGS — parses via [[graft.table.ChDdl.parseCreateTable]]; the
+    * seeded Config builds a real table; two insert batches (one
+    * omitting the DEFAULT column — the Insertable optional key) write
+    * through the computed-column path; the read-back carries the
+    * stored rows (ALIAS computed at read) PLUS the seeded-config facts
+    * as constant columns the DuckDB oracle restates from first
+    * principles. The ChDdl golden suite pins PARSING; this row pins
+    * the composition. Table TTL and SETTINGS are the documented
+    * validate-and-drop clauses (parseCreateTable scaladoc); the column
+    * TTL is CARRIED (round-16 ADVICE) and pinned in `cfg_col_ttl`. */
+  def qDdlSeed(spark: SparkSession, dir: String): DataFrame = {
+    val ddl =
+      """CREATE TABLE analytics.events_ddl_seeded (
+        |  `event_id` UInt32 CODEC(ZSTD(3)),
+        |  `user_id` Int64 CODEC(ZSTD(3)),
+        |  `event_type` LowCardinality(String),
+        |  `value` Float64 TTL ts + INTERVAL 90 DAY CODEC(ZSTD(3)),
+        |  `ts` DateTime64(6) CODEC(ZSTD(3)),
+        |  `tag` String DEFAULT concat('u', CAST(user_id % 3 AS STRING)),
+        |  `value_band` Int64 MATERIALIZED CAST(floor(value) AS BIGINT),
+        |  `value_x2` Float64 ALIAS value_band * 2.0,
+        |  INDEX ix_value value TYPE minmax GRANULARITY 4,
+        |  INDEX ix_type event_type TYPE bloom_filter GRANULARITY 2,
+        |  PROJECTION p_by_type (SELECT * ORDER BY (event_type, event_id))
+        |) ENGINE = MergeTree
+        |PARTITION BY event_type
+        |ORDER BY (event_type, event_id)
+        |SAMPLE BY event_id
+        |TTL ts + INTERVAL 365 DAY
+        |SETTINGS index_granularity = 8192""".stripMargin
+    val cfg0 = graft.table.ChDdl.parseCreateTable(ddl)
+    val table = new OlapTable(spark, cfg0,
+      warehouseDir = System.getProperty("java.io.tmpdir") + "/graft_wh")
+    table.truncate()
+    val src = events(spark, dir).where(col("event_id") < 2000)
+    // batch A: DEFAULT column present, null on even user_ids (per-row
+    // default fill); batch B: column absent (the optional key)
+    table.insert(src.where(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"),
+        when(col("user_id") % 2 === 0, lit(null).cast("string"))
+          .otherwise(lit("explicit")).as("tag")))
+    table.insert(src.where(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts")))
+    table.read().select(col("event_id"), col("user_id"),
+        col("event_type"), round(col("value"), 2).as("value"), col("ts"),
+        col("tag"), col("value_band"), col("value_x2"),
+        lit(cfg0.orderBy.mkString(",")).as("cfg_order"),
+        lit(cfg0.partitionBy.mkString(",")).as("cfg_partition"),
+        lit(cfg0.sampleBy.getOrElse("")).as("cfg_sample"),
+        lit(cfg0.indexes.map(i => s"${i.name}:${i.indexType}")
+          .mkString(",")).as("cfg_indexes"),
+        lit(cfg0.projections.map(p => s"${p.name}:${p.sortBy.mkString("+")}")
+          .mkString(",")).as("cfg_projection"),
+        lit(cfg0.schema.columns.find(_.name == "value")
+          .flatMap(_.ttl).getOrElse("")).as("cfg_col_ttl"))
+      .orderBy(col("event_id"))
+  }
+
   /** A12/A15 aggregate-state columns: xState partials per (day, type)
     * merged to day level via xMerge — the AggregatingMergeTree + MV
     * partial/final pattern. */
@@ -827,6 +892,7 @@ object EngineQueries {
     "q_merge_union" -> (qMergeUnion _),
     "q_insert_validated" -> (qInsertValidated _),
     "q_insertable_projection" -> (qInsertableProjection _),
+    "q_ddl_seed" -> (qDdlSeed _),
     "q_aggstate_merge" -> (qAggstateMerge _),
     "q_quantile_sketch" -> (qQuantileSketch _))
 
@@ -987,6 +1053,32 @@ object EngineQueries {
         |  AND event_id IS NOT NULL AND ts IS NOT NULL
         |  AND user_id IS NOT NULL AND value IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    // DDL-seeded table from first principles: defaults, materialized,
+    // alias replayed; the seeded-config facts are pinned constants
+    "q_ddl_seed" ->
+      """WITH src AS (SELECT * FROM events WHERE event_id < 2000),
+        |a AS (
+        |  SELECT event_id, user_id, event_type, value, ts,
+        |    CASE WHEN user_id % 2 = 0
+        |      THEN 'u' || CAST(user_id % 3 AS VARCHAR)
+        |      ELSE 'explicit' END AS tag
+        |  FROM src WHERE event_id % 2 = 0),
+        |b AS (
+        |  SELECT event_id, user_id, event_type, value, ts,
+        |    'u' || CAST(user_id % 3 AS VARCHAR) AS tag
+        |  FROM src WHERE event_id % 2 = 1),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT event_id, user_id, event_type,
+        |  round(value, 2) AS value, ts, tag,
+        |  CAST(floor(value) AS BIGINT) AS value_band,
+        |  CAST(floor(value) AS BIGINT) * 2.0 AS value_x2,
+        |  'event_type,event_id' AS cfg_order,
+        |  'event_type' AS cfg_partition,
+        |  'event_id' AS cfg_sample,
+        |  'ix_value:minmax,ix_type:bloom_filter' AS cfg_indexes,
+        |  'p_by_type:event_type+event_id' AS cfg_projection,
+        |  'ts + INTERVAL 90 DAY' AS cfg_col_ttl
+        |FROM u ORDER BY event_id""".stripMargin,
     // booleans pinned, n recomputed: the sketch estimate itself is
     // engine-internal (GK summaries), the CONTRACT is the exact-quantile
     // bracket — same stance as e_kmeans / e_knn_lsh

@@ -85,6 +85,26 @@ class ChDialect12Spec extends AnyFunSuite {
     assert(one("normalizedQueryHash('SELECT 1')") ==
       graft.functions.ChDialectBatch14.sipHash64(
         org.apache.spark.unsafe.types.UTF8String.fromString("SELECT ?")))
+    // round 16 (#53 widening) — the three new pipeline steps:
+    // named parameters fold like literals
+    assert(one("normalizeQuery('SELECT a FROM t WHERE p = {p1:UInt64}')")
+      == "SELECT a FROM t WHERE p = ?")
+    // comma-separated literal runs collapse to `?..` (2+ only)
+    assert(one("normalizeQuery('SELECT x FROM t WHERE k IN (1, 2,3)')")
+      == "SELECT x FROM t WHERE k IN (?..)")
+    assert(one("normalizeQuery('SELECT x FROM t WHERE k IN (9)')")
+      == "SELECT x FROM t WHERE k IN (?)")
+    assert(one("normalizeQuery('SELECT arr[1], [4,5, 6] FROM t')")
+      == "SELECT arr[?], [?..] FROM t")
+    // operator/keyword spacing folds; ends trim
+    assert(one("normalizeQuery('  SELECT  a   FROM t  WHERE x=1 ')")
+      == "SELECT a FROM t WHERE x=?")
+    // queries differing only in list length + spacing hash EQUAL
+    assert(one("normalizedQueryHash('a IN (1,2,3)') = " +
+      "normalizedQueryHash('a  IN (7, 8)')") == true)
+    // strings stay opaque: a brace form INSIDE a string never fires
+    assert(one("normalizeQuery('SELECT \\'{x:Int64}\\' FROM t')")
+      == "SELECT ? FROM t")
   }
 
   test("ngramMinHash/wordShingleMinHash: fingerprint contract — " +

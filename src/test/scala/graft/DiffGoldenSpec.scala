@@ -18,13 +18,27 @@ import org.scalatest.funsuite.AnyFunSuite
   *    single-warehouse Spark deployment; the analogous registry-level
   *    rule (a cross-NAME diff refuses — renames are remove+add) is
   *    pinned below;
-  *  - kafka column/settings drop+create (test_kafka_*): the Kafka
-  *    engine table is wire-contract-only here (S11, env-blocked);
-  *  - settings-hash change detection, S3Queue DDL detection, and
-  *    CREATE MATERIALIZED VIEW SQL parsing (test_settings_change_*,
-  *    test_s3queue_table_detection, test_parse_materialized_view*):
-  *    ClickHouse-DDL-text machinery — this engine's tables/MVs are
-  *    declared as typed configs, there is no DDL text to parse;
+  *  - kafka column/settings drop+create (test_kafka_column_change_*,
+  *    test_kafka_settings_change_*, and the DIFF half of
+  *    test_settings_change_detected): those assert "an engine with no
+  *    ALTER support gets drop+create on any change" — there is no
+  *    managed Kafka TableEngine variant here (S11 is wire-contract
+  *    only, env-blocked), so the capability matrix has no Kafka row
+  *    to exercise; re-audited round 16 after ChDdl landed — the
+  *    EXTRACTION half of test_settings_change_detected is now ported
+  *    below (ChDdl.extractTableSettings detects the change), as are
+  *    all four test_parse_materialized_view* rows
+  *    (ChDdl.parseCreateMaterializedView) that the r15 header wrongly
+  *    grouped under "no DDL text to parse";
+  *  - test_s3queue_table_detection: asserts `engine.supports_select()`
+  *    = false for S3Queue — here S3Queue is a Structured-Streaming
+  *    pickup source (EngineQueries.qS3Queue), not a TableEngine with
+  *    a capability bit; there is no API surface on which the
+  *    assertion could be stated without inventing one;
+  *  - settings-HASH drift detection (table_settings_hash): settings
+  *    are parsed then deliberately dropped from Config
+  *    (parseCreateTable scaladoc: CH server knobs with no parquet
+  *    counterpart), so the hash seam does not exist BY DESIGN;
   *  - the column-types/json-options equivalence flag matrices
   *    (test_normalize_column_*, test_column_types_are_equivalent_*,
   *    test_json_options_*, test_nested_*): those exercise the
@@ -281,5 +295,68 @@ class DiffGoldenSpec extends AnyFunSuite {
     assert(diff(
       tbl(pks = Set.empty, pkExpr = Some("concat( id , ' ' )")),
       tbl(pks = Set.empty, pkExpr = Some("concat(id, ' ')"))).isEmpty)
+  }
+
+  // ------------------------------------------------ round-16 ports
+  // These five rows sat in the header's "ClickHouse-DDL-text machinery"
+  // exclusion until round 15 shipped ChDdl; re-audited per the r15
+  // verdict (#6), the parsing halves are now directly portable.
+
+  test("golden: test_parse_materialized_view (diff_strategy.rs:1900)") {
+    val mv = graft.table.ChDdl.parseCreateMaterializedView(
+      "CREATE MATERIALIZED VIEW test_mv TO target_table " +
+        "AS SELECT * FROM source_table")
+    assert(mv.viewName == "test_mv")
+    assert(mv.targetTable == "target_table")
+    assert(mv.targetDatabase.isEmpty)
+    assert(mv.sourceTables.map(_.table) == Seq("source_table"))
+  }
+
+  test("golden: test_parse_materialized_view_with_backticks (:1915)") {
+    val mv = graft.table.ChDdl.parseCreateMaterializedView(
+      "CREATE MATERIALIZED VIEW `test_mv` TO `target_table` " +
+        "AS SELECT * FROM `source_table`")
+    assert(mv.viewName == "test_mv")
+    assert(mv.targetTable == "target_table")
+    assert(mv.targetDatabase.isEmpty)
+    assert(mv.sourceTables.map(_.table) == Seq("source_table"))
+  }
+
+  test("golden: test_parse_materialized_view_with_database (:1930)") {
+    val mv = graft.table.ChDdl.parseCreateMaterializedView(
+      "CREATE MATERIALIZED VIEW test_mv TO mydb.target_table " +
+        "AS SELECT * FROM source_table")
+    assert(mv.viewName == "test_mv")
+    assert(mv.targetTable == "target_table")
+    assert(mv.targetDatabase.contains("mydb"))
+    assert(mv.sourceTables.map(_.table) == Seq("source_table"))
+  }
+
+  test("golden: test_parse_materialized_view_with_database_backticks " +
+      "(:1945)") {
+    val mv = graft.table.ChDdl.parseCreateMaterializedView(
+      "CREATE MATERIALIZED VIEW `test_mv` TO `mydb`.`target_table` " +
+        "AS SELECT * FROM `source_table`")
+    assert(mv.viewName == "test_mv")
+    assert(mv.targetTable == "target_table")
+    assert(mv.targetDatabase.contains("mydb"))
+    assert(mv.sourceTables.map(_.table) == Seq("source_table"))
+  }
+
+  test("golden: test_settings_change_detected (:2594) — the extraction " +
+      "half: a changed SETTINGS value is DETECTED across two DDL texts " +
+      "(the diff half stays non-portable: no managed Kafka TableEngine)") {
+    def ddl(pw: String, consumers: Int) =
+      "CREATE TABLE t (id String) ENGINE = MergeTree ORDER BY id " +
+        s"SETTINGS kafka_sasl_password = '$pw', " +
+        s"kafka_num_consumers = $consumers"
+    val before = graft.table.ChDdl.extractTableSettings(ddl("old_password", 2))
+    val after = graft.table.ChDdl.extractTableSettings(ddl("new_password", 2))
+    assert(before.contains(Map(
+      "kafka_sasl_password" -> "old_password", "kafka_num_consumers" -> "2")))
+    assert(before != after, "password change must be visible")
+    // an unchanged settings map extracts EQUAL (no spurious drift)
+    assert(graft.table.ChDdl.extractTableSettings(ddl("same", 3)) ==
+      graft.table.ChDdl.extractTableSettings(ddl("same", 3)))
   }
 }
