@@ -14,9 +14,14 @@ package graft.functions
   * the same 4-5 InSet probes per row either way); the builtin set
   * covers the registries that dominate real web corpora so the default
   * answer is right for the common shapes without any caller data.
-  * Wildcard (`*.ck`) and exception (`!city.kobe.jp`) PSL rules are out
-  * of scope for the literal-set model — hosts under those TLDs take
-  * the single-label fallback rule.
+  * Round 16: wildcard (`*.ck`) and exception (`!city.kobe.jp`) PSL
+  * rule classes are SUPPORTED (ChDialectBatch10.pslBranches implements
+  * the publicsuffix.org prevail rules: exception beats all, else
+  * longest), and the snapshot ships the dataset's canonical
+  * wildcard/exception entries (Cook Islands, the every-label ccTLDs,
+  * the Japanese city domains). The one remaining stance: a host that
+  * IS its own public suffix (`foo.ck` under `*.ck`) answers by the
+  * single-label fallback rule rather than an empty string.
   */
 object BuiltinPsl {
   val suffixes: Seq[String] = Seq(
@@ -89,5 +94,23 @@ object BuiltinPsl {
     // Kenya
     "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
     // Bangladesh
-    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd", "ac.bd")
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd", "ac.bd",
+    // WILDCARD/EXCEPTION rules (round 16 — the PSL rule classes the
+    // literal-set model previously excluded, #48): every-label
+    // registries where ANY second-level label is a public suffix,
+    // plus their published exceptions. These are the public-suffix
+    // dataset's own canonical examples of the two rule classes.
+    // Cook Islands: *.ck with !www.ck
+    "*.ck", "!www.ck",
+    // Eritrea and Bhutan-style every-label registries
+    "*.er", "*.bn", "*.fj", "*.kw", "*.mm",
+    // Japanese city domains: any label under the city is registrable
+    // EXCEPT the city government's own city.<name>.jp
+    "*.kawasaki.jp", "!city.kawasaki.jp",
+    "*.kitakyushu.jp", "!city.kitakyushu.jp",
+    "*.kobe.jp", "!city.kobe.jp",
+    "*.nagoya.jp", "!city.nagoya.jp",
+    "*.sapporo.jp", "!city.sapporo.jp",
+    "*.sendai.jp", "!city.sendai.jp",
+    "*.yokohama.jp", "!city.yokohama.jp")
 }

@@ -485,22 +485,57 @@ object ChDialectBatch10 {
             "(or pass a literal array of effective-TLD suffixes)")
       case other => litStringArray(other, fn)
     }
-    // (branch condition, matched depth) pairs for a caller-supplied
-    // PSL: one branch per suffix DEPTH (deepest first), condition =
-    // host has > depth labels AND its last `depth` labels are in that
-    // depth's suffix set (In over literals → InSet hash probe)
+    // PSL rule classes (the publicsuffix.org list format — round 16,
+    // closing the #48 wildcard/exception residual): a PLAIN rule
+    // `co.uk` makes its labels the effective TLD; a WILDCARD rule
+    // `*.ck` matches any ONE label in the starred position (eTLD =
+    // that label + the literal tail); an EXCEPTION rule
+    // `!city.kobe.jp` overrides wildcards — its public suffix is the
+    // rule minus the leftmost label. Branch order implements the
+    // spec's prevail rules exactly: exceptions first (an exception
+    // wins over ANY other matching rule, deepest exception first),
+    // then wildcard and plain rules merged by EFFECTIVE eTLD depth,
+    // deepest first (= the spec's most-labels rule; a tie can only
+    // pair rules with the identical public suffix). Every branch is
+    // still one InSet hash probe over that class's literal tails.
+    // Returned pairs: (condition, fss label index from the host END) —
+    // firstSignificantSubdomain = that label,
+    // cutToFirstSignificantSubdomain = the last that-many labels.
+    // A host that IS its own public suffix (e.g. `foo.ck` under
+    // `*.ck`) has no subdomain to return — it falls through to the
+    // generic ≥2-labels fallback, the same stance unlisted TLDs take.
     def pslBranches(host: Expression, nLabels: Expression,
-        suffixes: Seq[String]): Seq[(Expression, Int)] =
-      suffixes.distinct
-        .groupBy(s => s.split(Pattern.quote(".")).length)
-        .toSeq.sortBy(-_._1)
-        .map { case (depth, sfx) =>
-          val lastD = SubstringIndex(host, Literal("."), Literal(-depth))
-          val cond = And(
-            GreaterThanOrEqual(nLabels, Literal(depth + 1)),
-            In(lastD, sfx.sorted.map(s => Literal(s): Expression)))
-          (cond: Expression, depth)
+        entries: Seq[String]): Seq[(Expression, Int)] = {
+      def labelsOf(s: String) = s.split(Pattern.quote(".")).length
+      val distinct = entries.distinct
+      val exceptions = distinct.filter(_.startsWith("!")).map(_.substring(1))
+      val wildcards = distinct.filter(_.startsWith("*.")).map(_.substring(2))
+      val plain =
+        distinct.filterNot(e => e.startsWith("!") || e.startsWith("*."))
+      def inSet(depth: Int, sfx: Seq[String]): Expression =
+        In(SubstringIndex(host, Literal("."), Literal(-depth)),
+          sfx.sorted.map(s => Literal(s): Expression))
+      // exception rule of d labels: matches hosts whose last d labels
+      // equal the rule; eTLD = rule minus its leftmost label, so fss =
+      // the rule's own leftmost label = label d from the end
+      val exBranches = exceptions.groupBy(labelsOf).toSeq.sortBy(-_._1)
+        .map { case (d, sfx) =>
+          (And(GreaterThanOrEqual(nLabels, Literal(d)), inSet(d, sfx)),
+            d)
         }
+      // plain tail depth d → eTLD d, fss at d+1; wildcard tail depth
+      // d → eTLD d+1, fss at d+2; nLabels must reach the fss index
+      val merged: Seq[(Int, Int, Seq[String])] =
+        plain.groupBy(labelsOf).toSeq
+          .map { case (d, sfx) => (d + 1, d, sfx) } ++
+        wildcards.groupBy(labelsOf).toSeq
+          .map { case (d, sfx) => (d + 2, d, sfx) }
+      val nBranches = merged.sortBy(-_._1).map { case (fssIdx, d, sfx) =>
+        (And(GreaterThanOrEqual(nLabels, Literal(fssIdx)), inSet(d, sfx)),
+          fssIdx)
+      }
+      exBranches ++ nBranches
+    }
     val secondLevel = Seq("com", "net", "org", "co", "gov", "edu")
     def labelFromEnd(host: Expression, i: Int): Expression =
       ElementAt(StringSplit(host, Literal(Pattern.quote(".")), Literal(-1)),
@@ -522,7 +557,7 @@ object ChDialectBatch10 {
           val nLabels = Size(
             StringSplit(host, Literal(Pattern.quote(".")), Literal(-1)))
           val psl = pslBranches(host, nLabels, sfx).map {
-            case (cond, depth) => (cond, labelFromEnd(host, depth + 1))
+            case (cond, fssIdx) => (cond, labelFromEnd(host, fssIdx))
           }
           CaseWhen(psl :+ ((GreaterThanOrEqual(nLabels, Literal(2)),
             labelFromEnd(host, 2)): (Expression, Expression)), Some(host))
@@ -544,8 +579,8 @@ object ChDialectBatch10 {
           val nLabels = Size(
             StringSplit(host, Literal(Pattern.quote(".")), Literal(-1)))
           val psl = pslBranches(host, nLabels, sfx).map {
-            case (cond, depth) => (cond, SubstringIndex(host, Literal("."),
-              Literal(-(depth + 1))): Expression)
+            case (cond, fssIdx) => (cond, SubstringIndex(host, Literal("."),
+              Literal(-fssIdx)): Expression)
           }
           CaseWhen(psl :+ ((GreaterThanOrEqual(nLabels, Literal(2)),
             SubstringIndex(host, Literal("."), Literal(-2)))

@@ -1189,14 +1189,25 @@ object DialectQueries {
         |        WHEN 2 THEN concat('news.ex', lang, '.com.tr')
         |        WHEN 3 THEN concat('www.ex', lang, '.com')
         |        ELSE concat('host', lang)
-        |      END, '/p?q=1') AS url
+        |      END, '/p?q=1') AS url,
+        |    concat('https://',
+        |      CASE doc_id % 4
+        |        WHEN 0 THEN concat('www.ex', lang, '.ck')
+        |        WHEN 1 THEN 'a.www.ck'
+        |        WHEN 2 THEN concat('foo', lang, '.ck')
+        |        ELSE concat('www.ex', lang, '.co.uk')
+        |      END, '/') AS url2
         |  FROM docs_psl)
         |SELECT doc_id, url,
         |  firstSignificantSubdomain(url,
         |    array('co.uk', 'gov.uk', 'api.gov.uk', 'com.tr')) AS fsd,
         |  cutToFirstSignificantSubdomain(url,
         |    array('co.uk', 'gov.uk', 'api.gov.uk', 'com.tr')) AS cut,
-        |  firstSignificantSubdomain(url) AS fsd_dflt
+        |  firstSignificantSubdomain(url) AS fsd_dflt,
+        |  firstSignificantSubdomain(url2,
+        |    array('*.ck', '!www.ck', 'co.uk')) AS fsd_wild,
+        |  cutToFirstSignificantSubdomain(url2,
+        |    array('*.ck', '!www.ck', 'co.uk')) AS cut_wild
         |FROM u ORDER BY doc_id LIMIT 400""".stripMargin)
   }
 
@@ -1325,7 +1336,14 @@ object DialectQueries {
         |        WHEN 2 THEN concat('news.ex', lang, '.com.tr')
         |        WHEN 3 THEN concat('www.ex', lang, '.com')
         |        ELSE concat('host', lang)
-        |      END, '/p?q=1') AS url
+        |      END, '/p?q=1') AS url,
+        |    concat('https://',
+        |      CASE doc_id % 4
+        |        WHEN 0 THEN concat('www.ex', lang, '.ck')
+        |        WHEN 1 THEN 'a.www.ck'
+        |        WHEN 2 THEN concat('foo', lang, '.ck')
+        |        ELSE concat('www.ex', lang, '.co.uk')
+        |      END, '/') AS url2
         |  FROM documents),
         |p AS (
         |  SELECT doc_id, url,
@@ -1333,7 +1351,11 @@ object DialectQueries {
         |    string_split(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1),
         |      '.') AS parts,
         |    len(string_split(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1),
-        |      '.')) AS n
+        |      '.')) AS n,
+        |    string_split(regexp_extract(url2, '^[a-z]+://([^/?#]*)', 1),
+        |      '.') AS parts2,
+        |    len(string_split(regexp_extract(url2, '^[a-z]+://([^/?#]*)', 1),
+        |      '.')) AS n2
         |  FROM u)
         |SELECT doc_id, url,
         |  CASE
@@ -1356,7 +1378,27 @@ object DialectQueries {
         |    WHEN n >= 3 AND parts[n - 1] IN ('com', 'net', 'org', 'co',
         |      'gov', 'edu') THEN parts[n - 2]
         |    WHEN n >= 2 THEN parts[n - 1]
-        |    ELSE host END AS fsd_dflt
+        |    ELSE host END AS fsd_dflt,
+        |  CASE
+        |    WHEN n2 >= 2 AND array_to_string(list_slice(parts2, n2 - 1,
+        |      n2), '.') = 'www.ck' THEN parts2[n2 - 1]
+        |    WHEN n2 >= 3 AND array_to_string(list_slice(parts2, n2 - 1,
+        |      n2), '.') = 'co.uk' THEN parts2[n2 - 2]
+        |    WHEN n2 >= 3 AND parts2[n2] = 'ck' THEN parts2[n2 - 2]
+        |    WHEN n2 >= 2 THEN parts2[n2 - 1]
+        |    ELSE '' END AS fsd_wild,
+        |  CASE
+        |    WHEN n2 >= 2 AND array_to_string(list_slice(parts2, n2 - 1,
+        |      n2), '.') = 'www.ck'
+        |      THEN array_to_string(list_slice(parts2, n2 - 1, n2), '.')
+        |    WHEN n2 >= 3 AND array_to_string(list_slice(parts2, n2 - 1,
+        |      n2), '.') = 'co.uk'
+        |      THEN array_to_string(list_slice(parts2, n2 - 2, n2), '.')
+        |    WHEN n2 >= 3 AND parts2[n2] = 'ck'
+        |      THEN array_to_string(list_slice(parts2, n2 - 2, n2), '.')
+        |    WHEN n2 >= 2
+        |      THEN array_to_string(list_slice(parts2, n2 - 1, n2), '.')
+        |    ELSE '' END AS cut_wild
         |FROM p ORDER BY doc_id LIMIT 400""".stripMargin,
     // batch 14: murmur values are per-event-type constants derived
     // from an independent re-implementation of the reference

@@ -379,6 +379,42 @@ class ChDialect10Spec extends AnyFunSuite {
       .collect())
   }
 
+  test("PSL wildcard and exception rules (#48, round 16): *.x matches " +
+      "one label, !rule overrides wildcards, prevail order per spec") {
+    val psl = "array('*.ck', '!www.ck', 'co.uk')"
+    // wildcard: eTLD = <label>.ck, fss is the label left of it
+    assert(one(s"firstSignificantSubdomain('https://www.foo.ck/x', $psl)")
+      == "www")
+    assert(one(s"cutToFirstSignificantSubdomain('https://a.www.foo.ck/', $psl)")
+      == "www.foo.ck")
+    // exception BEATS the wildcard: under !www.ck the suffix is just
+    // 'ck', so www.ck is itself registrable
+    assert(one(s"firstSignificantSubdomain('https://a.www.ck/x', $psl)")
+      == "www")
+    assert(one(s"cutToFirstSignificantSubdomain('https://a.b.www.ck/', $psl)")
+      == "www.ck")
+    // a host that IS its own public suffix: single-label fallback
+    // (documented stance — not an empty answer)
+    assert(one(s"firstSignificantSubdomain('https://foo.ck/', $psl)")
+      == "foo")
+    // plain rules still resolve beside the wildcard classes
+    assert(one(s"firstSignificantSubdomain('https://www.bbc.co.uk/', $psl)")
+      == "bbc")
+    // the builtin snapshot ships the canonical wildcard/exception
+    // entries: Japanese city domains
+    assert(one("firstSignificantSubdomain(" +
+      "'https://blog.foo.kobe.jp/x', 'builtin')") == "blog")
+    assert(one("cutToFirstSignificantSubdomain(" +
+      "'https://blog.foo.kobe.jp/x', 'builtin')") == "blog.foo.kobe.jp")
+    assert(one("firstSignificantSubdomain(" +
+      "'https://a.city.kobe.jp/x', 'builtin')") == "city")
+    assert(one("cutToFirstSignificantSubdomain(" +
+      "'https://a.city.kobe.jp/x', 'builtin')") == "city.kobe.jp")
+    // ordinary .jp registry rules unaffected
+    assert(one("firstSignificantSubdomain(" +
+      "'https://shop.rakuten.co.jp/x', 'builtin')") == "rakuten")
+  }
+
   test("geohashEncode/geohashDecode: canonical strings, cell-center " +
       "decode, round trip") {
     // the two canonical public examples
