@@ -225,13 +225,16 @@ class ChDialect4Spec extends AnyFunSuite {
   test("hash spellings and UUID") {
     // round 15: farmHash64 is the farmhashxo KERNEL — short inputs
     // take the na paths shared with Fingerprint64 (so the two agree
-    // ≤ 32 bytes), the 33..96 mixers are xo-specific (they diverge),
-    // and > 256 bytes stays the documented xxhash64 stand-in
+    // ≤ 32 bytes), the 33..96 mixers are xo-specific (they diverge).
+    // Round 16: > 256 bytes is the farmhashuo kernel (the xxhash64
+    // stand-in is RETIRED) — value pinned via the independent Python
+    // port (tools/farmuo_ref.py repeat x 300)
     assert(one("farmHash64('x') = farmFingerprint64('x')") == true)
     assert(one("farmHash64(repeat('x', 40)) = " +
       "farmFingerprint64(repeat('x', 40))") == false)
+    assert(lng("farmHash64(repeat('x', 300))") == -5019198580783733603L)
     assert(one("farmHash64(repeat('x', 300)) = " +
-      "xxhash64(repeat('x', 300))") == true)
+      "farmFingerprint64(repeat('x', 300))") == false)
     // round 14: halfMD5 is EXACT — first 8 MD5 bytes read big-endian
     // (value-derivable from Spark's own md5 hex)
     assert(one("halfMD5('x')") == java.lang.Long.parseUnsignedLong(
