@@ -89,6 +89,14 @@ object EventsAgg {
       }
     }
 
+    /** Test hook: sort with an explicit depth budget so the heapsort
+      * fallback (depth 0 ⇒ immediate) is directly exercisable —
+      * random data never drives median-of-3 past 2·log2(n). */
+    private[graft] def sortPairsWithDepth(depthLimit: Int): Unit = {
+      val n = numPairs
+      if (n > 1) quick(0, n - 1, depthLimit)
+    }
+
     @inline private def less(p: Int, q: Int): Boolean = {
       val ap = data(2 * p); val aq = data(2 * q)
       ap < aq || (ap == aq && data(2 * p + 1) < data(2 * q + 1))

@@ -56,6 +56,24 @@ class EventsAggSpec extends AnyFunSuite {
     }
   }
 
+  test("PairBuffer heapsort fallback (depth budget 0) matches the " +
+      "reference sort — the introsort escape hatch is exercised directly") {
+    val rnd = new Random(31)
+    val shapes: Seq[Array[(Long, Long)]] = Seq(
+      Array.fill(1000)((rnd.nextLong(), rnd.nextLong())),
+      Array.tabulate(500)(i => (i.toLong, 0L)),
+      Array.fill(500)((3L, rnd.nextInt(5).toLong)),
+      Array.tabulate(257)(i => (-i.toLong, i.toLong)))
+    for (pairs <- shapes) {
+      val buf = new EventsAgg.PairBuffer()
+      pairs.foreach { case (a, b) => buf.append(a, b) }
+      buf.sortPairsWithDepth(0)
+      val got = (0 until buf.numPairs)
+        .map(p => (buf.data(2 * p), buf.data(2 * p + 1))).toArray
+      assert(got.sameElements(refSort(pairs)), s"n=${pairs.length}")
+    }
+  }
+
   test("PairBuffer serialize/deserialize roundtrip and appendAll") {
     val rnd = new Random(7)
     val a = new EventsAgg.PairBuffer(2)
