@@ -523,7 +523,13 @@ object Funnel {
     * returning the first usable follower is the deterministic reading
     * that never depends on which equal-ts event "came first").
     * Row-local fold over the sorted per-user array, no self-join —
-    * the windowFunnel scale shape. */
+    * the windowFunnel scale shape. This is the ONE fold here still on
+    * `array_sort(collect_list(...))` rather than the round-16
+    * primitive-pair aggregate: its payload carries the event VALUE
+    * (a string), which doesn't fit the two-long buffer; per-user
+    * state remains what CH's own aggregate holds (every event incl.
+    * its value), and nothing quadratic rides the merge (ArrayBuffer
+    * appends are amortized). */
   def sequenceNextNode(
       events: DataFrame, userCol: String, tsCol: String, valueCol: String,
       direction: String, base: String,

@@ -406,9 +406,35 @@ object ChDdl {
     Pattern.compile("^\\s*INSERT\\s+INTO\\b[\\s\\S]*\\bSELECT\\b",
       Pattern.CASE_INSENSITIVE).matcher(sql).find()
 
-  /** `db.name` / `` `db`.`name` `` / bare name → (database?, name). */
+  /** Qualified-name regex shared by every statement-name extractor:
+    * each segment is either a backtick-quoted identifier — which may
+    * contain ANY character except the backtick, including dashes and
+    * dots (ClickHouse Cloud generates names like
+    * `` `f45-lionheart-backen-staging-408b5` ``; round 16, exposed by
+    * porting the reference's cloud_real_example golden row — the old
+    * `[`A-Za-z0-9_.]*` class stopped at the first dash) — or a bare
+    * `[A-Za-z_][A-Za-z0-9_]*` identifier; segments join with dots. */
+  private[table] val QualifiedName: String =
+    "(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)(?:\\.(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*))*"
+
+  /** `db.name` / `` `db`.`name` `` / bare name → (database?, name).
+    * Dots INSIDE backticks are part of the segment, not separators
+    * (round 16 — the split used to cut them). */
   def splitQualifiedName(name: String): (Option[String], String) = {
-    val parts = name.split("\\.").map(_.stripPrefix("`").stripSuffix("`"))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    while (i < name.length) {
+      name(i) match {
+        case '`' =>
+          val close = name.indexOf('`', i + 1)
+          if (close < 0) { sb.append(name.substring(i + 1)); i = name.length }
+          else { sb.append(name.substring(i + 1, close)); i = close + 1 }
+        case '.' => parts += sb.toString; sb.clear(); i += 1
+        case c => sb.append(c); i += 1
+      }
+    }
+    parts += sb.toString
     if (parts.length >= 2) (Some(parts(parts.length - 2)), parts.last)
     else (None, parts.head)
   }
@@ -420,7 +446,7 @@ object ChDdl {
   def extractSourceTables(sql: String): Seq[TableRef] = {
     val quoted = quotedMask(sql)
     val depth = depthMask(sql, quoted)
-    val refRe = Pattern.compile("[`A-Za-z_][`A-Za-z0-9_.]*")
+    val refRe = Pattern.compile(QualifiedName)
     val out = Seq.newBuilder[TableRef]
     var from = 0
     val m = Pattern.compile("\\b(FROM|JOIN)\\b",
@@ -463,7 +489,7 @@ object ChDdl {
   def parseCreateMaterializedView(sql: String): MvStatement = {
     val m = Pattern.compile(
       "^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
-        "([`A-Za-z_][`A-Za-z0-9_.]*)\\s+TO\\s+([`A-Za-z_][`A-Za-z0-9_.]*)" +
+        "(" + QualifiedName + ")\\s+TO\\s+(" + QualifiedName + ")" +
         "[\\s\\S]*?\\bAS\\b([\\s\\S]*)$",
       Pattern.CASE_INSENSITIVE).matcher(sql)
     require(m.find(),
@@ -476,7 +502,7 @@ object ChDdl {
   /** `INSERT INTO target [(cols)] SELECT …` (sql_parser.rs:1009). */
   def parseInsertSelect(sql: String): InsertSelect = {
     val m = Pattern.compile(
-      "^\\s*INSERT\\s+INTO\\s+([`A-Za-z_][`A-Za-z0-9_.]*)\\s*" +
+      "^\\s*INSERT\\s+INTO\\s+(" + QualifiedName + ")\\s*" +
         "(?:\\(([^)]*)\\))?[\\s\\S]*?\\bSELECT\\b([\\s\\S]*)$",
       Pattern.CASE_INSENSITIVE).matcher(sql)
     require(m.find(), s"cannot parse INSERT…SELECT from: ${sql.take(100)}")
@@ -531,7 +557,7 @@ object ChDdl {
     val depth = depthMask(sql, quoted)
     val nm = Pattern.compile(
       "^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
-        "([`A-Za-z_][`A-Za-z0-9_.]*)",
+        "(" + QualifiedName + ")",
       Pattern.CASE_INSENSITIVE).matcher(sql)
     require(nm.find(), s"cannot parse CREATE TABLE from: ${sql.take(100)}")
     val (_, tableName) = splitQualifiedName(nm.group(1))
