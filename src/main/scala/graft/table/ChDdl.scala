@@ -417,6 +417,107 @@ object ChDdl {
   private[table] val QualifiedName: String =
     "(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)(?:\\.(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*))*"
 
+  /** Keyword fold set for [[normalizeSqlForComparison]] — common SQL
+    * statement/clause words. Deliberately EXCLUDES words that routinely
+    * appear as identifiers/aliases (TABLE, DATE, VALUE, NAME, …): the
+    * reference's own matrix pins that CH's re-render of ``AS `table` ``
+    * compares equal to the user's `AS table` WITHOUT case-folding the
+    * alias. Folding is only a consistency device — two texts normalize
+    * equal iff they differ solely in folded dimensions — so the list
+    * just needs to be pinned, not complete. */
+  private val ComparisonKeywords: Set[String] = Set(
+    "SELECT", "FROM", "WHERE", "AS", "JOIN", "LEFT", "RIGHT", "INNER",
+    "OUTER", "FULL", "CROSS", "ON", "USING", "GROUP", "ORDER", "BY",
+    "HAVING", "LIMIT", "OFFSET", "UNION", "ALL", "DISTINCT", "AND",
+    "OR", "NOT", "IN", "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE",
+    "END", "BETWEEN", "LIKE", "CREATE", "DROP", "VIEW", "MATERIALIZED",
+    "IF", "EXISTS", "TO", "INSERT", "INTO", "WITH", "ASC", "DESC",
+    "TRUE", "FALSE")
+
+  /** SQL-text normalization for CHANGE DETECTION (the reference's
+    * `normalize_sql_for_comparison`, sql_parser.rs:924 — it exists
+    * because ClickHouse re-renders stored DDL with backticks
+    * added/removed, keywords re-cased and whitespace collapsed, and a
+    * raw-text comparison would plan a spurious teardown+setup for an
+    * unchanged view). The reference round-trips through a full SQL
+    * AST; this is the pinned LEXER-level subset, exactly stated:
+    *  1. string literals ('…', "…") verbatim, escapes honored;
+    *  2. backtick identifiers unquote when their content is a plain
+    *     identifier (CH quotes liberally; `` `col` `` ≡ col) — other
+    *     contents keep their ticks;
+    *  3. whitespace runs OUTSIDE strings collapse to one space, ends
+    *     trim;
+    *  4. a `defaultDatabase.` prefix on an identifier path is
+    *     stripped (CH qualifies stored DDL with the database);
+    *  5. words in [[ComparisonKeywords]] and words in CALL position
+    *     (next non-space char `(`) fold to UPPERCASE (CH re-renders
+    *     count → COUNT); all other identifiers keep their case.
+    * NEVER used to execute anything — only compared against another
+    * normalization of the same dialect. */
+  def normalizeSqlForComparison(sql: String,
+      defaultDatabase: String = ""): String = {
+    val out = new StringBuilder(sql.length)
+    val n = sql.length
+    var i = 0
+    var lastSpace = true
+    def word(from: Int): Int = {
+      var j = from
+      while (j < n && (sql(j).isLetterOrDigit || sql(j) == '_')) j += 1
+      j
+    }
+    while (i < n) {
+      val c = sql(i)
+      if (c == '\'' || c == '"') {
+        val start = i
+        i += 1
+        while (i < n && sql(i) != c) {
+          if (sql(i) == '\\' && i + 1 < n) i += 2 else i += 1
+        }
+        if (i < n) i += 1
+        out.append(sql.substring(start, i))
+        lastSpace = false
+      } else if (c.isWhitespace) {
+        if (!lastSpace) { out.append(' '); lastSpace = true }
+        i += 1
+      } else if (c == '`' || c.isLetter || c == '_') {
+        // one identifier segment, either form
+        val (text, next, wasTicked) =
+          if (c == '`') {
+            val close = sql.indexOf('`', i + 1)
+            if (close < 0) (sql.substring(i + 1), n, true)
+            else (sql.substring(i + 1, close), close + 1, true)
+          } else {
+            val e = word(i)
+            (sql.substring(i, e), e, false)
+          }
+        i = next
+        val plain = !wasTicked ||
+          (text.nonEmpty && (text.head.isLetter || text.head == '_') &&
+            text.forall(ch => ch.isLetterOrDigit || ch == '_'))
+        if (plain && defaultDatabase.nonEmpty && text == defaultDatabase &&
+            i < n && sql(i) == '.') {
+          i += 1 // strip the database prefix and its dot
+        } else if (!plain) {
+          out.append('`').append(text).append('`')
+          lastSpace = false
+        } else {
+          var j = i
+          while (j < n && sql(j).isWhitespace) j += 1
+          val isCall = j < n && sql(j) == '('
+          val up = text.toUpperCase
+          out.append(
+            if (ComparisonKeywords.contains(up) || isCall) up else text)
+          lastSpace = false
+        }
+      } else {
+        out.append(c)
+        lastSpace = false
+        i += 1
+      }
+    }
+    out.toString.trim
+  }
+
   /** `db.name` / `` `db`.`name` `` / bare name → (database?, name).
     * Dots INSIDE backticks are part of the segment, not separators
     * (round 16 — the split used to cut them). */

@@ -168,8 +168,13 @@ object InfraPlan {
             None
         }
     }.flatten.toSeq
+    // "changed" compares modulo SQL normalization (round 16 —
+    // SqlResource.equivalent): a re-rendered spelling of the same
+    // statement must not tear a live view down and rebuild it
     val changedRes = before.resources.collect {
-      case (n, r) if after.resources.get(n).exists(_ != r) =>
+      case (n, r)
+          if after.resources.get(n)
+            .exists(a => !SqlResource.equivalent(a, r)) =>
         after.lifeCycleOf(n) match {
           case Migration.LifeCycle.ExternallyManaged =>
             blockedRes += r ->
@@ -231,8 +236,10 @@ object InfraPlan {
         }
     }.flatten.toSeq
     val newChangedRes = after.resources.collect {
-      case (n, r) if before.resources.get(n).exists(_ != r) &&
-        after.lifeCycleOf(n) != Migration.LifeCycle.ExternallyManaged => r
+      case (n, r)
+          if before.resources.get(n)
+            .exists(b => !SqlResource.equivalent(b, r)) &&
+            after.lifeCycleOf(n) != Migration.LifeCycle.ExternallyManaged => r
     }.toSeq
     dependencyOrder(addedRes ++ newChangedRes)
       .foreach(r => steps += SetupResource(r))

@@ -25,6 +25,24 @@ object SqlResource {
       setup = Seq(s"CREATE OR REPLACE TEMP VIEW `$name` AS $selectSql"),
       teardown = Seq(s"DROP VIEW IF EXISTS `$name`"),
       pullsDataFrom = pullsFrom)
+
+  /** Change-detection equivalence (round 16 — the reference's
+    * `normalize_sql_for_comparison` guard, sql_parser.rs:924): SQL
+    * texts compare modulo [[ChDdl.normalizeSqlForComparison]], so a
+    * re-rendered spelling of the SAME statement (backticks
+    * added/removed, keywords re-cased, whitespace reflowed — exactly
+    * what a round trip through a SQL engine's SHOW CREATE produces)
+    * never plans a spurious teardown+setup. Name and dependency edges
+    * compare exactly. */
+  def equivalent(a: SqlResource, b: SqlResource): Boolean = {
+    def norm(xs: Seq[String]): Seq[String] =
+      xs.map(ChDdl.normalizeSqlForComparison(_))
+    a.name == b.name &&
+      a.pullsDataFrom == b.pullsDataFrom &&
+      a.pushesDataTo == b.pushesDataTo &&
+      norm(a.setup) == norm(b.setup) &&
+      norm(a.teardown) == norm(b.teardown)
+  }
 }
 
 final class SqlResourceRegistry {

@@ -1,7 +1,7 @@
 package graft
 
 import graft.schema.MooseType._
-import graft.table.{ChDdl, OlapTable, TableEngine}
+import graft.table.{ChDdl, OlapTable, SqlResource, TableEngine}
 import graft.table.ChDdl._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -434,6 +434,72 @@ class ChDdlGoldenSpec extends AnyFunSuite {
       "path_prefix = '/data/test-123'")
       .contains(Map("storage_policy" -> "s3_cache-2024",
         "path_prefix" -> "/data/test-123")))
+  }
+
+  test("golden: test_normalize_sql_collapses_whitespace / " +
+      "_removes_backticks / _uppercases_keywords / " +
+      "_removes_database_prefix (sql_parser.rs:924 family — the " +
+      "pinned lexer-level subset of the reference's AST round-trip)") {
+    import ChDdl.normalizeSqlForComparison
+    assert(normalizeSqlForComparison(
+      "SELECT\n    col1,\n    col2\n  FROM\n    my_table")
+      == "SELECT col1, col2 FROM my_table")
+    val noTicks = normalizeSqlForComparison(
+      "SELECT `column1`, `column2` FROM `table_name`")
+    assert(!noTicks.contains('`'))
+    assert(noTicks == "SELECT column1, column2 FROM table_name")
+    val upper = normalizeSqlForComparison(
+      "select count(id) as total from users where active = true")
+    assert(upper == "SELECT COUNT(id) AS total FROM users WHERE active = TRUE")
+    val noDb = normalizeSqlForComparison(
+      "SELECT * FROM mydb.table1 JOIN mydb.table2", "mydb")
+    assert(!noDb.contains("mydb."))
+    assert(noDb == "SELECT * FROM table1 JOIN table2")
+  }
+
+  test("golden: test_normalize_sql_comprehensive / _with_database_" +
+      "prefix / _handles_backticks_on_reserved_keyword_aliases") {
+    import ChDdl.normalizeSqlForComparison
+    // all differences at once: user spelling == CH's re-render
+    val userSql = "CREATE MATERIALIZED VIEW IF NOT EXISTS `MV`\n" +
+      "        TO `Target`\n        AS SELECT\n    count(`id`) as total" +
+      "\n  FROM `Source`"
+    val chSql = "CREATE MATERIALIZED VIEW IF NOT EXISTS MV TO Target " +
+      "AS SELECT COUNT(id) AS total FROM Source"
+    assert(normalizeSqlForComparison(userSql) ==
+      normalizeSqlForComparison(chSql))
+    // database prefix + backticks together
+    assert(normalizeSqlForComparison(
+        "CREATE VIEW `MyView` AS SELECT `col` FROM `MyTable`", "local") ==
+      normalizeSqlForComparison(
+        "CREATE VIEW local.MyView AS SELECT col FROM local.MyTable",
+        "local"))
+    // CH backticks reserved-word aliases; user code doesn't — and the
+    // alias itself must NOT case-fold (TABLE is excluded from the
+    // keyword set for exactly this pinned row)
+    val ch = normalizeSqlForComparison("CREATE MATERIALIZED VIEW mv AS " +
+      "SELECT date, 'value' AS `table` FROM source")
+    val user = normalizeSqlForComparison("CREATE MATERIALIZED VIEW mv " +
+      "AS SELECT date, 'value' AS table FROM source")
+    assert(ch == user)
+    assert(ch.contains("AS table") && !ch.contains("AS `table`"))
+    // string literals stay verbatim — content never folds or reflows
+    assert(normalizeSqlForComparison("SELECT 'From  `x`  where'") ==
+      "SELECT 'From  `x`  where'")
+  }
+
+  test("SqlResource.equivalent: a re-rendered view spelling plans NO " +
+      "teardown+setup; a semantic change still does (round 16)") {
+    val a = SqlResource("v", Seq("CREATE VIEW `v` AS select count(`id`)" +
+      " as n\n FROM local.t"), Seq("DROP VIEW IF EXISTS `v`"))
+    val b = SqlResource("v", Seq("CREATE VIEW v AS SELECT COUNT(id) AS " +
+      "n FROM local.t"), Seq("drop view if exists v"))
+    assert(SqlResource.equivalent(a, b))
+    val c = b.copy(setup = Seq("CREATE VIEW v AS SELECT COUNT(id) AS " +
+      "m FROM local.t"))
+    assert(!SqlResource.equivalent(a, c))
+    // edges compare exactly
+    assert(!SqlResource.equivalent(a, b.copy(pullsDataFrom = Seq("t"))))
   }
 
   // ------------------------------------------------- the full CREATE
