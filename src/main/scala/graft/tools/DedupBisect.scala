@@ -1,0 +1,37 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-query timing probe for `d_exact_dedup`'s round-16 shape change
+  * (the deterministic NULL-singleton key + multiplicity explode vs the
+  * retired monotonic-id key): five warm samples of the driver query on
+  * sf0.1 so a band — not one read — decides whether the explode costs
+  * anything (r16 bench read 0.557 median vs r15's 0.428; both inside
+  * r13's [0.409, 0.611] band, but the query is verdict-watched). */
+object DedupBisect {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.load(spark, sfDir, "documents")
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      Dedup.exactDuplicates(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run() // warm
+    val xs = (1 to 5).map(_ => run())
+    println(f"""{"probe":"d_exact_dedup","samples":[${xs.map(x => f"$x%.3f").mkString(",")}],"median":${xs.sorted.apply(2)}%.3f}""")
+    spark.stop()
+  }
+}
