@@ -434,6 +434,23 @@ object ChDdl {
     "IF", "EXISTS", "TO", "INSERT", "INTO", "WITH", "ASC", "DESC",
     "TRUE", "FALSE")
 
+  /** Function names whose CALL-position spelling case-folds (the
+    * reference folds only its parser's KNOWN functions — count →
+    * COUNT — and keeps unknown identifiers verbatim). A pinned list,
+    * not "any word before a paren": folding arbitrary call-position
+    * words would make two genuinely different case-distinct names
+    * (INSERT INTO t1 (…) vs INTO T1 (…)) compare EQUAL — a missed
+    * change, the one direction a change detector must never err in.
+    * Unlisted function-name case differences compare unequal, which
+    * errs toward a harmless re-apply. */
+  private val ComparisonFunctions: Set[String] = Set(
+    "COUNT", "SUM", "MIN", "MAX", "AVG", "ANY", "ANYLAST", "UNIQ",
+    "UNIQEXACT", "ROUND", "FLOOR", "CEIL", "ABS", "CONCAT", "COALESCE",
+    "IFNULL", "NULLIF", "LOWER", "UPPER", "LENGTH", "SUBSTRING",
+    "TOSTRING", "TODATE", "TODATETIME", "TOSTARTOFDAY",
+    "TOSTARTOFHOUR", "TOSTARTOFWEEK", "TOSTARTOFMONTH", "TOYYYYMM",
+    "NOW", "TODAY", "CAST")
+
   /** SQL-text normalization for CHANGE DETECTION (the reference's
     * `normalize_sql_for_comparison`, sql_parser.rs:924 — it exists
     * because ClickHouse re-renders stored DDL with backticks
@@ -449,8 +466,9 @@ object ChDdl {
     *     trim;
     *  4. a `defaultDatabase.` prefix on an identifier path is
     *     stripped (CH qualifies stored DDL with the database);
-    *  5. words in [[ComparisonKeywords]] and words in CALL position
-    *     (next non-space char `(`) fold to UPPERCASE (CH re-renders
+    *  5. words in [[ComparisonKeywords]], and words in CALL position
+    *     (next non-space char `(`) whose uppercase form is in
+    *     [[ComparisonFunctions]], fold to UPPERCASE (CH re-renders
     *     count → COUNT); all other identifiers keep their case.
     * NEVER used to execute anything — only compared against another
     * normalization of the same dialect. */
@@ -506,7 +524,9 @@ object ChDdl {
           val isCall = j < n && sql(j) == '('
           val up = text.toUpperCase
           out.append(
-            if (ComparisonKeywords.contains(up) || isCall) up else text)
+            if (ComparisonKeywords.contains(up) ||
+              (isCall && ComparisonFunctions.contains(up))) up
+            else text)
           lastSpace = false
         }
       } else {

@@ -486,6 +486,15 @@ class ChDdlGoldenSpec extends AnyFunSuite {
     // string literals stay verbatim — content never folds or reflows
     assert(normalizeSqlForComparison("SELECT 'From  `x`  where'") ==
       "SELECT 'From  `x`  where'")
+    // call-position folding is a PINNED function list, never "any
+    // word before a paren": two case-distinct user names must stay
+    // DISTINCT (a false equivalence is a missed change — the one
+    // direction a change detector must never err in), while unknown
+    // function case differences err toward a harmless re-apply
+    assert(normalizeSqlForComparison("INSERT INTO t1 (a) SELECT 1") !=
+      normalizeSqlForComparison("INSERT INTO T1 (a) SELECT 1"))
+    assert(normalizeSqlForComparison("SELECT myFn(x)") !=
+      normalizeSqlForComparison("SELECT myfn(x)"))
   }
 
   test("SqlResource.equivalent: a re-rendered view spelling plans NO " +
