@@ -80,6 +80,128 @@ object InfraPlan {
         extends WorkflowChange
   }
 
+  // ------------- the remaining reference diff channels (round 16):
+  // infrastructure_map.rs plans over MORE than tables + SQL resources
+  // + workflows — topics, sync processes, streaming function
+  // processes, orchestration workers and API endpoints each get their
+  // own Change stream in `moose plan`. Here they are PLANNING
+  // METADATA with the reference's exact per-channel semantics
+  // (golden-pinned in InfraMapGoldenSpec); execution maps onto this
+  // engine's own seams (topics → MooseStream sources with
+  // `partitions` as the parallelism dial, syncs → KafkaWire/
+  // MooseStream wiring, endpoints → HttpFacade routes).
+
+  /** Generic per-channel change (infrastructure_map.rs `Change<T>`). */
+  sealed trait Change[+T]
+  object Change {
+    final case class Added[T](after: T) extends Change[T]
+    final case class Removed[T](before: T) extends Change[T]
+    final case class Updated[T](before: T, after: T) extends Change[T]
+  }
+
+  /** Streaming topic (ref infrastructure/topic.rs): the id is
+    * name[_version] — name/version changes are remove+add; partition
+    * count, retention and message-size are the mutable dials. */
+  final case class TopicSpec(
+      name: String,
+      version: String = "",
+      partitions: Int = 1,
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      maxMessageBytes: Long = 1024L * 1024) {
+    require(partitions >= 1, s"topic '$name': partitions >= 1")
+    def id: String = if (version.isEmpty) name else s"${name}_$version"
+  }
+
+  /** Topic→table sync process (ref kafka_clickhouse_sync): keyed by
+    * the (source, target) pair; identical specs plan NOTHING (the
+    * reference's t2t_sync_no_changes row). */
+  final case class TopicToTableSync(
+      sourceTopicId: String, targetTableId: String,
+      version: String = "") {
+    def id: String = s"${sourceTopicId}_$targetTableId"
+  }
+
+  /** Topic→topic sync process: keyed by the TARGET topic alone (one
+    * writer per target — the reference's id choice, so re-aiming the
+    * SOURCE is an update, not a remove+add). */
+  final case class TopicToTopicSync(
+      sourceTopicId: String, targetTopicId: String,
+      sourcePrimitive: String = "") {
+    def id: String = targetTopicId
+  }
+
+  /** Per-record streaming transform process (ref function_process.rs).
+    * The reference ALWAYS reports an existing process as Updated even
+    * when nothing changed — deploys restart workers — and the golden
+    * matrix pins that quirk; mirrored here. */
+  final case class FunctionProcess(
+      name: String, sourceTopicId: String,
+      targetTopicId: Option[String] = None, version: String = "") {
+    def id: String = if (version.isEmpty) name else s"${name}_$version"
+  }
+
+  /** Orchestration worker (ref orchestration worker channel): same
+    * always-update restart semantics as function processes. */
+  final case class OrchestrationWorker(name: String, language: String) {
+    def id: String = name
+  }
+
+  /** HTTP endpoint (ref api_endpoint.rs): change detection IGNORES
+    * metadata (description) but TRACKS lineage edges — the
+    * reference's api_endpoint_equality_ignores_metadata_but_tracks_
+    * lineage row. */
+  final case class ApiEndpoint(
+      name: String, method: String = "GET", path: String = "",
+      version: Option[String] = None,
+      pullsDataFrom: Seq[String] = Nil,
+      pushesDataTo: Seq[String] = Nil,
+      description: Option[String] = None) {
+    def id: String = name
+    /** The diff identity: metadata stripped, lineage kept. */
+    def forDiff: ApiEndpoint = copy(description = None)
+  }
+
+  sealed trait ProcessChange
+  object ProcessChange {
+    final case class TopicToTableSyncChange(c: Change[TopicToTableSync])
+        extends ProcessChange
+    final case class TopicToTopicSyncChange(c: Change[TopicToTopicSync])
+        extends ProcessChange
+    final case class FunctionProcessChange(c: Change[FunctionProcess])
+        extends ProcessChange
+    final case class OrchestrationWorkerChange(c: Change[OrchestrationWorker])
+        extends ProcessChange
+  }
+
+  /** Keyed value diff: identical values plan nothing, a changed value
+    * is Updated, asymmetric presence is Added/Removed; keys sorted so
+    * plans are deterministic (the reference sorts serialized maps). */
+  private def diffKeyed[T](before: Map[String, T], after: Map[String, T])
+      : Seq[Change[T]] =
+    (before.keySet ++ after.keySet).toSeq.sorted.flatMap { k =>
+      (before.get(k), after.get(k)) match {
+        case (Some(b), Some(a)) if b != a => Some(Change.Updated(b, a))
+        case (Some(b), None) => Some(Change.Removed(b))
+        case (None, Some(a)) => Some(Change.Added(a))
+        case _ => None
+      }
+    }
+
+  /** Like [[diffKeyed]] but with the reference's ALWAYS-UPDATE quirk
+    * for process channels: present on both sides ⇒ Updated even when
+    * identical (worker restart semantics, pinned by
+    * test_diff_function_process_no_changes_triggers_update). */
+  private def diffKeyedAlwaysUpdate[T](
+      before: Map[String, T], after: Map[String, T]): Seq[Change[T]] =
+    (before.keySet ++ after.keySet).toSeq.sorted.flatMap { k =>
+      (before.get(k), after.get(k)) match {
+        case (Some(b), Some(a)) => Some(Change.Updated(b, a))
+        case (Some(b), None) => Some(Change.Removed(b))
+        case (None, Some(a)) => Some(Change.Added(a))
+        case _ => None
+      }
+    }
+
   final case class State(
       tables: Map[String, OlapTable.Config],
       resources: Map[String, SqlResource] = Map.empty,
@@ -89,7 +211,15 @@ object InfraPlan {
       lifeCycles: Map[String, Migration.LifeCycle] = Map.empty,
       /** Declared workflows by name (the reference's
         * InfrastructureMap.workflows half of `moose plan`). */
-      workflows: Map[String, WorkflowSpec] = Map.empty) {
+      workflows: Map[String, WorkflowSpec] = Map.empty,
+      /** Round 16 — the reference's remaining channels, keyed by each
+        * spec's stable id (callers should key with `.id`). */
+      topics: Map[String, TopicSpec] = Map.empty,
+      topicToTableSyncs: Map[String, TopicToTableSync] = Map.empty,
+      topicToTopicSyncs: Map[String, TopicToTopicSync] = Map.empty,
+      functionProcesses: Map[String, FunctionProcess] = Map.empty,
+      workers: Map[String, OrchestrationWorker] = Map.empty,
+      apis: Map[String, ApiEndpoint] = Map.empty) {
     def lifeCycleOf(name: String): Migration.LifeCycle =
       lifeCycles.getOrElse(name, Migration.LifeCycle.FullyManaged)
   }
@@ -113,10 +243,21 @@ object InfraPlan {
         * (infrastructure_map.rs diff_workflows): workflow changes are
         * scheduler registrations, not engine DDL, so [[apply]] leaves
         * them to the caller's scheduler. */
-      workflowChanges: Seq[WorkflowChange] = Nil) {
+      workflowChanges: Seq[WorkflowChange] = Nil,
+      /** Topic add/remove/update — the reference's
+        * StreamingChange channel (round 16). */
+      streamingChanges: Seq[Change[TopicSpec]] = Nil,
+      /** Sync/function/worker process changes — the reference's
+        * ProcessChange channel; function processes and workers carry
+        * the always-update restart quirk (round 16). */
+      processChanges: Seq[ProcessChange] = Nil,
+      /** Endpoint changes — the reference's ApiChange channel; change
+        * detection ignores metadata, tracks lineage (round 16). */
+      apiChanges: Seq[Change[ApiEndpoint]] = Nil) {
     def isEmpty: Boolean =
       steps.isEmpty && withheld.isEmpty && blockedResources.isEmpty &&
-        workflowChanges.isEmpty
+        workflowChanges.isEmpty && streamingChanges.isEmpty &&
+        processChanges.isEmpty && apiChanges.isEmpty
   }
 
   /** Workflow diff (infrastructure_map.rs `diff_workflows`): keyed by
@@ -244,8 +385,33 @@ object InfraPlan {
     dependencyOrder(addedRes ++ newChangedRes)
       .foreach(r => steps += SetupResource(r))
 
+    // -------- the remaining reference channels (round 16): pure
+    // keyed diffs, each with its pinned per-channel stance
+    val apiChanges = (before.apis.keySet ++ after.apis.keySet)
+      .toSeq.sorted.flatMap { k =>
+        (before.apis.get(k), after.apis.get(k)) match {
+          // metadata-only differences are NOT changes; lineage is
+          case (Some(b), Some(a)) if b.forDiff != a.forDiff =>
+            Some(Change.Updated(b, a))
+          case (Some(b), None) => Some(Change.Removed(b))
+          case (None, Some(a)) => Some(Change.Added(a))
+          case _ => None
+        }
+      }
     Plan(steps.result(), withheld.result(), blockedRes.result(),
-      diffWorkflows(before.workflows, after.workflows))
+      diffWorkflows(before.workflows, after.workflows),
+      streamingChanges = diffKeyed(before.topics, after.topics),
+      processChanges =
+        diffKeyed(before.topicToTableSyncs, after.topicToTableSyncs)
+          .map(ProcessChange.TopicToTableSyncChange(_)) ++
+        diffKeyed(before.topicToTopicSyncs, after.topicToTopicSyncs)
+          .map(ProcessChange.TopicToTopicSyncChange(_)) ++
+        diffKeyedAlwaysUpdate(before.functionProcesses,
+          after.functionProcesses)
+          .map(ProcessChange.FunctionProcessChange(_)) ++
+        diffKeyedAlwaysUpdate(before.workers, after.workers)
+          .map(ProcessChange.OrchestrationWorkerChange(_)),
+      apiChanges = apiChanges)
   }
 
   /** Execute a plan: teardown/setup SQL runs through the session;

@@ -185,4 +185,14 @@ class DdlOrderingGoldenSpec extends AnyFunSuite {
     }
     assert(kinds === Seq("down", "tbl", "tbl", "up"))
   }
+
+  test("golden: test_process_projection_remove (round 16 — the last " +
+      "portable ddl_ordering row): dropping a projection plans its " +
+      "teardown op and NOTHING else — no setup, no drop+create") {
+    val withProj = tcfg("pr_t").copy(projections =
+      Seq(OlapTable.Projection("proj_by_user", Seq("user_id"))))
+    val plan = TableMigrator.diff(withProj, tcfg("pr_t"))
+    assert(plan.operations ==
+      Seq(TableMigrator.DropTableProjection("pr_t", "proj_by_user")))
+  }
 }

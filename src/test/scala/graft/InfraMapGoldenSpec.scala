@@ -14,14 +14,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * SQL-resource diff, lifecycle gating at the registry level, the
   * reordered-columns no-op, and the ignorable-TTL mechanism.
   *
-  * Families NOT portable, and why: topic / topic-to-table /
-  * topic-to-topic sync and function/orchestration process diffs need
-  * the Kafka/process runtime (S11 env-blocked; SURVEY §7 scopes
-  * process supervision out); proto/serde round-trips exercise Rust
-  * serde; credential masking is config-export plumbing with no
+  * Round 16 re-audit: the topic / topic-to-table / topic-to-topic
+  * sync / function-process / orchestration-worker / api-endpoint diff
+  * families are PORTED below — the reference's diff is pure planning
+  * metadata (the runtime the channels drive stays env-blocked per
+  * S11/SURVEY §7, but the `moose plan` semantics — per-channel keyed
+  * diffs, the always-update worker-restart quirk, the
+  * metadata-vs-lineage endpoint identity — are now first-class on
+  * [[InfraPlan.State]]/[[InfraPlan.Plan]]).
+  *
+  * Families NOT portable, and why: proto/serde round-trips exercise
+  * Rust serde; credential masking is config-export plumbing with no
   * secret-bearing counterpart here; the normalize_* family parses
   * CREATE MATERIALIZED VIEW DDL text out of legacy SqlResources —
-  * MVs here are typed configs, no DDL text exists to normalize. */
+  * MVs here are typed configs, no DDL text exists to normalize
+  * (the TEXT normalizer itself is ported at its home seam:
+  * ChDdl.normalizeSqlForComparison, ChDdlGoldenSpec). */
 class InfraMapGoldenSpec extends AnyFunSuite {
   import InfraPlan._
 
@@ -270,5 +278,125 @@ class InfraMapGoldenSpec extends AnyFunSuite {
       col(Some("ZSTD(3)"), None), col(Some("LZ4"), None)))
     assert(!TableMigrator.columnsEquivalent(
       col(None, Some("v * 2")), col(None, None)))
+  }
+
+  // ----------------- round-16 ports: the remaining diff channels
+
+  private def topic(partitions: Int = 1,
+      retentionMs: Long = 86400000L): TopicSpec =
+    TopicSpec("topic1", "1.0", partitions, retentionMs)
+  private def st(topics: Map[String, TopicSpec] = Map.empty,
+      t2table: Map[String, TopicToTableSync] = Map.empty,
+      t2topic: Map[String, TopicToTopicSync] = Map.empty,
+      fns: Map[String, FunctionProcess] = Map.empty,
+      wks: Map[String, OrchestrationWorker] = Map.empty,
+      apis: Map[String, ApiEndpoint] = Map.empty): State =
+    State(tables = Map.empty, topics = topics,
+      topicToTableSyncs = t2table, topicToTopicSyncs = t2topic,
+      functionProcesses = fns, workers = wks, apis = apis)
+
+  test("golden: test_diff_topic_add / _remove / _update / _no_changes " +
+      "(infrastructure_map.rs) — the StreamingChange channel") {
+    val t = topic()
+    val added = diff(st(), st(topics = Map(t.id -> t)))
+    assert(added.streamingChanges == Seq(Change.Added(t)))
+    assert(added.steps.isEmpty && added.apiChanges.isEmpty)
+    val removed = diff(st(topics = Map(t.id -> t)), st())
+    assert(removed.streamingChanges == Seq(Change.Removed(t)))
+    // update: same id (name+version), partition/retention dials moved
+    val after = topic(partitions = 5, retentionMs = 172800000L)
+    assert(t.id == after.id)
+    val upd = diff(st(topics = Map(t.id -> t)),
+      st(topics = Map(after.id -> after)))
+    assert(upd.streamingChanges == Seq(Change.Updated(t, after)))
+    // identical topics plan NOTHING
+    assert(diff(st(topics = Map(t.id -> t)),
+      st(topics = Map(t.id -> t))).streamingChanges.isEmpty)
+  }
+
+  test("golden: test_diff_t2t_sync_add / _remove / _update / " +
+      "_no_changes — topic-to-TABLE sync processes (value diff, " +
+      "no restart quirk)") {
+    val p = TopicToTableSync("topic1_1.0", "table1_1.0", "1.0")
+    val added = diff(st(), st(t2table = Map(p.id -> p)))
+    assert(added.processChanges ==
+      Seq(ProcessChange.TopicToTableSyncChange(Change.Added(p))))
+    val removed = diff(st(t2table = Map(p.id -> p)), st())
+    assert(removed.processChanges ==
+      Seq(ProcessChange.TopicToTableSyncChange(Change.Removed(p))))
+    val after = p.copy(version = "1.1")
+    assert(p.id == after.id)
+    assert(diff(st(t2table = Map(p.id -> p)),
+      st(t2table = Map(after.id -> after))).processChanges ==
+      Seq(ProcessChange.TopicToTableSyncChange(Change.Updated(p, after))))
+    // identical sync specs plan NOTHING (unlike function processes)
+    assert(diff(st(t2table = Map(p.id -> p)),
+      st(t2table = Map(p.id -> p))).processChanges.isEmpty)
+  }
+
+  test("golden: test_diff_topic_topic_sync_add / _remove / _update / " +
+      "_no_changes — keyed by the TARGET topic, so re-aiming the " +
+      "source is an UPDATE") {
+    val p = TopicToTopicSync("source_t1", "target_t1", "func1")
+    val after = p.copy(sourceTopicId = "source_t2",
+      sourcePrimitive = "func1_new")
+    assert(p.id == after.id, "id is the target topic")
+    assert(diff(st(t2topic = Map(p.id -> p)),
+      st(t2topic = Map(after.id -> after))).processChanges ==
+      Seq(ProcessChange.TopicToTopicSyncChange(Change.Updated(p, after))))
+    assert(diff(st(), st(t2topic = Map(p.id -> p))).processChanges ==
+      Seq(ProcessChange.TopicToTopicSyncChange(Change.Added(p))))
+    assert(diff(st(t2topic = Map(p.id -> p)), st()).processChanges ==
+      Seq(ProcessChange.TopicToTopicSyncChange(Change.Removed(p))))
+    assert(diff(st(t2topic = Map(p.id -> p)),
+      st(t2topic = Map(p.id -> p))).processChanges.isEmpty)
+  }
+
+  test("golden: test_diff_function_process_add / _remove / _update / " +
+      "_no_changes_triggers_update + test_diff_orchestration_worker_* " +
+      "— the ALWAYS-UPDATE restart quirk, pinned as the reference " +
+      "pins it") {
+    val f = FunctionProcess("func1", "t1_1.0", Some("t2_1.0"), "1.0")
+    assert(diff(st(), st(fns = Map(f.id -> f))).processChanges ==
+      Seq(ProcessChange.FunctionProcessChange(Change.Added(f))))
+    assert(diff(st(fns = Map(f.id -> f)), st()).processChanges ==
+      Seq(ProcessChange.FunctionProcessChange(Change.Removed(f))))
+    // IDENTICAL process still reports Updated — deploys restart
+    // workers; the reference's no_changes_triggers_update row
+    assert(diff(st(fns = Map(f.id -> f)),
+      st(fns = Map(f.id -> f))).processChanges ==
+      Seq(ProcessChange.FunctionProcessChange(Change.Updated(f, f))))
+    val w = OrchestrationWorker("worker1", "typescript")
+    assert(diff(st(wks = Map(w.id -> w)),
+      st(wks = Map(w.id -> w))).processChanges ==
+      Seq(ProcessChange.OrchestrationWorkerChange(Change.Updated(w, w))))
+    // test_diff_orchestration_worker_update_language
+    val w2 = w.copy(language = "python")
+    assert(diff(st(wks = Map(w.id -> w)),
+      st(wks = Map(w2.id -> w2))).processChanges ==
+      Seq(ProcessChange.OrchestrationWorkerChange(Change.Updated(w, w2))))
+  }
+
+  test("golden: api_endpoint_equality_ignores_metadata_but_tracks_" +
+      "lineage + test_api_endpoint — description-only differences " +
+      "plan NOTHING; lineage differences are real updates") {
+    val api = ApiEndpoint("lineage_api", "GET", "lineage_api",
+      pullsDataFrom = Seq("Orders"), description = Some("before"))
+    val metaOnly = api.copy(description = Some("after"))
+    assert(diff(st(apis = Map(api.id -> api)),
+      st(apis = Map(metaOnly.id -> metaOnly))).apiChanges.isEmpty)
+    val lineage = api.copy(pullsDataFrom = Seq("Orders", "Users"))
+    assert(diff(st(apis = Map(api.id -> api)),
+      st(apis = Map(lineage.id -> lineage))).apiChanges ==
+      Seq(Change.Updated(api, lineage)))
+    assert(diff(st(), st(apis = Map(api.id -> api))).apiChanges ==
+      Seq(Change.Added(api)))
+    // a topic add leaves the api channel untouched (the per-channel
+    // isolation every reference row re-asserts)
+    val t = topic()
+    val mixed = diff(st(apis = Map(api.id -> api)),
+      st(apis = Map(api.id -> api), topics = Map(t.id -> t)))
+    assert(mixed.apiChanges.isEmpty &&
+      mixed.streamingChanges == Seq(Change.Added(t)))
   }
 }
