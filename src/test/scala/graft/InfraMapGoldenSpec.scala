@@ -280,6 +280,82 @@ class InfraMapGoldenSpec extends AnyFunSuite {
       col(None, Some("v * 2")), col(None, None)))
   }
 
+  // ----------------- round-16 ports: the column-diff core
+
+  test("golden: test_column_addition / _removal / _type_change / " +
+      "_default_removal / test_empty_tables_no_changes / " +
+      "test_compute_table_diff (the registry column-diff core)") {
+    import Migration._
+    def sch(extra: MooseColumn*): MooseSchema =
+      MooseSchema(schemaA.columns ++ extra)
+    assert(Migration.diffColumns(sch(), sch()).isEmpty)
+    val add = Migration.diffColumns(sch(),
+      sch(MooseColumn("new_column", MooseType.MInt64)))
+    assert(add == Seq(AddColumn(MooseColumn("new_column", MooseType.MInt64))))
+    val drop = Migration.diffColumns(
+      sch(MooseColumn("to_remove", MooseType.MInt64)), sch())
+    assert(drop == Seq(DropColumn("to_remove")))
+    val typ = Migration.diffColumns(
+      sch(MooseColumn("age", MooseType.MInt32)),
+      sch(MooseColumn("age", MooseType.MInt64)))
+    assert(typ == Seq(ChangeType("age", MooseType.MInt32,
+      MooseType.MInt64, widening = true)))
+    // default removal is an attribute change carrying both sides
+    val dflt = Migration.diffColumns(
+      sch(MooseColumn("status", MooseType.MString,
+        default = Some("'pending'"))),
+      sch(MooseColumn("status", MooseType.MString)))
+    assert(dflt match {
+      case Seq(ChangeAttributes("status", b, a)) =>
+        b.default.contains("'pending'") && a.default.isEmpty
+      case _ => false
+    })
+  }
+
+  test("golden: test_engine_change_detects_update — an engine change " +
+      "at the registry level is the drop+create pair") {
+    val p = TableMigrator.diff(tcfg("test"),
+      tcfg("test").copy(engine = TableEngine.ReplacingMergeTree()))
+    assert(p.operations.map(_.getClass.getSimpleName) ==
+      Seq("DropTable", "CreateTable"))
+  }
+
+  test("golden: test_large_table_performance — ONE change among 1000 " +
+      "columns diffs to exactly one op, quickly") {
+    val cols = (0 until 1000).map(i =>
+      MooseColumn(s"col_$i", MooseType.MInt64))
+    val before = MooseSchema(schemaA.columns ++ cols)
+    val after = MooseSchema(schemaA.columns ++ cols.updated(500,
+      MooseColumn("col_500", MooseType.MUInt64)))
+    val t0 = System.nanoTime()
+    val d = Migration.diffColumns(before, after)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(d.length == 1)
+    assert(ms < 2000, s"1000-column diff took $ms ms")
+  }
+
+  test("golden: test_diff_view_add / _remove / _update / _no_changes " +
+      "— the view channel maps onto the SQL-resource diff (a view IS " +
+      "a SqlResource here)") {
+    val v = SqlResource.view("v_orders", "SELECT * FROM orders")
+    def stv(rs: Map[String, SqlResource]): State =
+      State(tables = Map.empty, resources = rs)
+    val added = diff(stv(Map.empty), stv(Map(v.name -> v)))
+    assert(added.steps == Seq(SetupResource(v)))
+    val removed = diff(stv(Map(v.name -> v)), stv(Map.empty))
+    assert(removed.steps == Seq(TeardownResource(v)))
+    val v2 = SqlResource.view("v_orders", "SELECT id FROM orders")
+    val updated = diff(stv(Map(v.name -> v)), stv(Map(v2.name -> v2)))
+    assert(updated.steps == Seq(TeardownResource(v), SetupResource(v2)))
+    assert(diff(stv(Map(v.name -> v)), stv(Map(v.name -> v))).isEmpty)
+    // round 16: a REFORMATTED spelling of the same view is NOT a
+    // change (SqlResource.equivalent — normalize_sql_for_comparison)
+    val reRendered = v.copy(setup =
+      v.setup.map(_.replace("SELECT *", "select  *")))
+    assert(diff(stv(Map(v.name -> v)),
+      stv(Map(reRendered.name -> reRendered))).isEmpty)
+  }
+
   // ----------------- round-16 ports: the remaining diff channels
 
   private def topic(partitions: Int = 1,
