@@ -1,0 +1,56 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Same-session A/B for exactDuplicates' round-16 shape change: the
+  * retry-DETERMINISTIC key (group by '∅'+id, explode multiplicity
+  * back) vs the retired monotonically_increasing_id key, on the same
+  * amplified input — answers "does the explode cost anything at 20×"
+  * without cross-session band archaeology. Both shapes alternate A/B
+  * twice so a drifting window shows up as disagreement between the
+  * pairs rather than a false verdict. */
+object DedupAb {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs0 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val docs = docs0.crossJoin(
+        spark.range(factor).select(col("id").as("__amp")))
+      .withColumn("doc_id", col("doc_id") * factor + col("__amp"))
+      .drop("__amp")
+    docs.write.format("noop").mode("overwrite").save() // warm scan
+
+    def timeIt(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // the retired shape, inlined for the A/B only
+    def oldShape: DataFrame = {
+      val key = coalesce(md5(col("text")),
+        concat(lit("∅"), monotonically_increasing_id().cast("string")))
+      docs.select(col("doc_id"), key.as("content_hash"))
+        .groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .drop("content_hash")
+    }
+    def newShape: DataFrame = Dedup.exactDuplicates(docs, "doc_id", "text")
+
+    timeIt(newShape); timeIt(oldShape) // warm both plans
+    val samples = (1 to 2).flatMap { _ =>
+      Seq("new" -> timeIt(newShape), "old" -> timeIt(oldShape))
+    }
+    println("[dedup-ab] " + samples.map { case (k, v) => f"$k=$v%.2f s" }
+      .mkString(" "))
+    spark.stop()
+  }
+}
