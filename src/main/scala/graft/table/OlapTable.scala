@@ -112,7 +112,25 @@ object OlapTable {
         * `"(id, ts)"` and flag-derived `(id, ts)` as the SAME key
         * (whitespace- and outer-paren-insensitive), so switching
         * spellings never triggers a spurious drop+create. */
-      primaryKeyExpression: Option[String] = None)
+      primaryKeyExpression: Option[String] = None,
+      /** Table VERSION (round 16; ref olapTable.ts:231 `config.version`
+        * + olap-table-versioning.test.ts): versions are part of table
+        * IDENTITY — `UserEvents` @1.0 and @2.0 COEXIST as separate
+        * physical tables (the blue/green migration pattern), and a
+        * version bump is a remove+add at the registry level, never an
+        * in-place migration ([[TableMigrator.diff]] refuses
+        * cross-version diffs exactly as it refuses cross-name ones).
+        * `name` stays the logical name. */
+      version: Option[String] = None) {
+    /** Storage name — the reference's generateTableName convention:
+      * `{name}_{version with dots → underscores}` (olapTable.ts:810),
+      * logical name when unversioned. */
+    def physicalName: String =
+      version.fold(name)(v => s"${name}_${v.replace(".", "_")}")
+    /** Registry key — the infrastructure-map spelling `{name}_{version}`
+      * with dots KEPT (toInfraMap's `TestTable_2.1.0` pin). */
+    def registryId: String = version.fold(name)(v => s"${name}_$v")
+  }
 }
 
 final class OlapTable(
@@ -121,7 +139,9 @@ final class OlapTable(
     val warehouseDir: String) {
   import OlapTable._
 
-  val path: String = s"$warehouseDir/${config.name}"
+  // storage and catalog identities use the VERSIONED physical name so
+  // two versions of one logical table coexist (blue/green; round 16)
+  val path: String = s"$warehouseDir/${config.physicalName}"
 
   require(config.bucketBy.isEmpty || config.projections.isEmpty,
     s"table ${config.name}: projections over bucketed tables are not " +
@@ -287,7 +307,7 @@ final class OlapTable(
           (if (config.orderBy.nonEmpty)
              bucketed.sortBy(config.orderBy.head, config.orderBy.tail: _*)
            else bucketed)
-            .format("parquet").saveAsTable(config.name)
+            .format("parquet").saveAsTable(config.physicalName)
         case None => partitioned.parquet(path)
       }
       obs.get("n").asInstanceOf[Long]
@@ -345,12 +365,12 @@ final class OlapTable(
         // and reads as EMPTY like the path-backed case — read()'s
         // documented contract (review round 14 session 10)
         if (!spark.catalog.tableExists(
-            s"spark_catalog.${spark.catalog.currentDatabase}.${config.name}"))
+            s"spark_catalog.${spark.catalog.currentDatabase}.${config.physicalName}"))
           spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             config.schema.toStructType)
         else spark.table(
-          s"spark_catalog.${spark.catalog.currentDatabase}.${config.name}")
+          s"spark_catalog.${spark.catalog.currentDatabase}.${config.physicalName}")
       else {
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -758,7 +778,7 @@ final class OlapTable(
 
   @volatile private var sqlRegistered = false
   private def refreshSqlView(): Unit =
-    if (sqlRegistered) readFinal().createOrReplaceTempView(config.name)
+    if (sqlRegistered) readFinal().createOrReplaceTempView(config.physicalName)
 
   /** Engine FINAL-read view (deterministic; SURVEY §4). */
   def readFinal(valueCols: Seq[String] = Nil): DataFrame = {
@@ -784,17 +804,25 @@ final class OlapTable(
   }
 }
 
-/** Duplicate-name-checked registry (ref olapTable.ts:798-806). */
+/** Duplicate-checked registry (ref olapTable.ts:798-806). Round 16:
+  * keyed by [[OlapTable.Config.registryId]] — versions are part of
+  * table identity, so `UserEvents` @1.0 and @2.0 coexist, an
+  * unversioned `UserEvents` coexists with both, and re-registering
+  * the SAME (name, version) pair refuses with the reference's own
+  * error shape (olap-table-versioning.test.ts
+  * "prevent duplicate version registration"). */
 final class TableRegistry(spark: SparkSession, warehouseDir: String) {
   private val tables = scala.collection.mutable.Map[String, OlapTable]()
 
   def create(config: OlapTable.Config): OlapTable = {
-    require(!tables.contains(config.name),
-      s"table '${config.name}' already exists in the registry")
+    require(!tables.contains(config.registryId),
+      s"OlapTable with name ${config.name} and version " +
+        s"${config.version.getOrElse("unversioned")} already exists")
     val t = new OlapTable(spark, config, warehouseDir)
-    tables(config.name) = t
+    tables(config.registryId) = t
     t
   }
-  def get(name: String): Option[OlapTable] = tables.get(name)
+  /** Lookup by registry id (`name` or `name_version`). */
+  def get(id: String): Option[OlapTable] = tables.get(id)
   def names: Seq[String] = tables.keys.toSeq.sorted
 }

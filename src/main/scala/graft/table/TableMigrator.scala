@@ -248,6 +248,13 @@ object TableMigrator {
     require(before.name == after.name,
       s"diff is per-table: '${before.name}' vs '${after.name}' — a rename " +
         "is DropTable + CreateTable at the registry level")
+    // versions are table IDENTITY (round 16 — the blue/green pattern):
+    // a version bump coexists with, then replaces, the old table — it
+    // is never an in-place migration
+    require(before.version == after.version,
+      s"diff is per-table-version: '${before.registryId}' vs " +
+        s"'${after.registryId}' — a version bump is DropTable + " +
+        "CreateTable at the registry level (blue/green)")
     val pkChanged =
       normalizedPrimaryKey(before) != normalizedPrimaryKey(after) &&
         isMergeTreeFamily(after.engine)

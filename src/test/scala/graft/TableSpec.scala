@@ -476,4 +476,49 @@ class TableSpec extends AnyFunSuite {
       .elementType.isInstanceOf[ArrayType])
     assert(back.selectExpr("poly[0][2].y").head().getDouble(0) == 1.0)
   }
+
+  test("golden: olap-table-versioning.test.ts — versions coexist " +
+      "(blue/green), name generation, duplicate refusal, cross-version " +
+      "diff refusal (round 16)") {
+    import org.apache.spark.sql.functions._
+    import graft.schema.{MooseColumn, MooseSchema, MooseType}
+    import graft.table.{OlapTable, TableEngine, TableMigrator, TableRegistry}
+    val sch = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("v", MooseType.MFloat64)))
+    def cfg(version: Option[String]) = OlapTable.Config(
+      "UserEvents", sch, TableEngine.MergeTree, orderBy = Seq("id"),
+      version = version)
+    // name generation: physical name folds dots, registry id keeps them
+    val c210 = cfg(Some("2.1.0"))
+    assert(c210.physicalName == "UserEvents_2_1_0")
+    assert(c210.registryId == "UserEvents_2.1.0")
+    assert(cfg(None).physicalName == "UserEvents")
+    assert(cfg(None).registryId == "UserEvents")
+    // multiple versions + an unversioned table COEXIST with separate
+    // storage — writes to one never reach the others
+    val wh = java.nio.file.Files.createTempDirectory("graft_ver").toString
+    val reg = new TableRegistry(spark, wh)
+    val t10 = reg.create(cfg(Some("1.0")))
+    val t20 = reg.create(cfg(Some("2.0")))
+    val tUnv = reg.create(cfg(None))
+    import spark.implicits._
+    t10.insert(Seq((1L, 1.0)).toDF("id", "v"))
+    t20.insert(Seq((2L, 2.0), (3L, 3.0)).toDF("id", "v"))
+    assert(t10.read().count() == 1 && t20.read().count() == 2)
+    assert(tUnv.read().count() == 0)
+    assert(t10.path != t20.path && t10.path != tUnv.path)
+    assert(reg.get("UserEvents_1.0").contains(t10))
+    assert(reg.get("UserEvents").contains(tUnv))
+    // duplicate (name, version) registration refuses with the
+    // reference's error shape
+    val dup = intercept[IllegalArgumentException](reg.create(cfg(Some("1.0"))))
+    assert(dup.getMessage.contains("UserEvents") &&
+      dup.getMessage.contains("1.0") &&
+      dup.getMessage.contains("already exists"))
+    // a version bump is never an in-place migration
+    val x = intercept[IllegalArgumentException](
+      TableMigrator.diff(cfg(Some("1.0")), cfg(Some("2.0"))))
+    assert(x.getMessage.contains("blue/green"))
+  }
 }
