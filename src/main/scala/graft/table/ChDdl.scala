@@ -458,10 +458,17 @@ object ChDdl {
     * raw-text comparison would plan a spurious teardown+setup for an
     * unchanged view). The reference round-trips through a full SQL
     * AST; this is the pinned LEXER-level subset, exactly stated:
-    *  1. string literals ('…', "…") verbatim, escapes honored;
-    *  2. backtick identifiers unquote when their content is a plain
-    *     identifier (CH quotes liberally; `` `col` `` ≡ col) — other
-    *     contents keep their ticks;
+    *  1. string literals ('…') verbatim, escapes honored — single
+    *     quotes ONLY: in ClickHouse SQL double quotes are IDENTIFIER
+    *     quoting, not strings (round-17 ADVICE: lexing "col" as a
+    *     literal made "col" vs `col`/col normalize unequal, so an
+    *     unchanged ANSI-quoted view planned a spurious
+    *     teardown+setup — the exact false positive this normalizer
+    *     exists to prevent);
+    *  2. quoted identifiers (backtick or double-quote) unquote when
+    *     their content is a plain identifier (CH quotes liberally;
+    *     `` `col` `` ≡ "col" ≡ col) — other contents normalize to
+    *     ONE canonical spelling, backticks;
     *  3. whitespace runs OUTSIDE strings collapse to one space, ends
     *     trim;
     *  4. a `defaultDatabase.` prefix on an identifier path is
@@ -485,7 +492,7 @@ object ChDdl {
     }
     while (i < n) {
       val c = sql(i)
-      if (c == '\'' || c == '"') {
+      if (c == '\'') {
         val start = i
         i += 1
         while (i < n && sql(i) != c) {
@@ -497,11 +504,11 @@ object ChDdl {
       } else if (c.isWhitespace) {
         if (!lastSpace) { out.append(' '); lastSpace = true }
         i += 1
-      } else if (c == '`' || c.isLetter || c == '_') {
-        // one identifier segment, either form
+      } else if (c == '`' || c == '"' || c.isLetter || c == '_') {
+        // one identifier segment, any of the three forms
         val (text, next, wasTicked) =
-          if (c == '`') {
-            val close = sql.indexOf('`', i + 1)
+          if (c == '`' || c == '"') {
+            val close = sql.indexOf(c, i + 1)
             if (close < 0) (sql.substring(i + 1), n, true)
             else (sql.substring(i + 1, close), close + 1, true)
           } else {

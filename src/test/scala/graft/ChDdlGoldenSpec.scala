@@ -457,6 +457,36 @@ class ChDdlGoldenSpec extends AnyFunSuite {
     assert(noDb == "SELECT * FROM table1 JOIN table2")
   }
 
+  test("double quotes are IDENTIFIER quoting, not strings (round-17 " +
+      "ADVICE: \"col\" vs `col`/col normalized unequal, so an " +
+      "unchanged ANSI-quoted view planned a spurious teardown+setup)") {
+    import ChDdl.normalizeSqlForComparison
+    // all three spellings of a plain identifier normalize equal
+    val ansi = normalizeSqlForComparison(
+      "SELECT \"column1\", \"column2\" FROM \"table_name\"")
+    assert(ansi == "SELECT column1, column2 FROM table_name")
+    assert(ansi == normalizeSqlForComparison(
+      "SELECT `column1`, `column2` FROM `table_name`"))
+    // non-plain content: both quote forms converge on ONE canonical
+    // spelling (backticks), so "weird col" ≡ `weird col`
+    assert(normalizeSqlForComparison("SELECT \"weird col\" FROM t") ==
+      normalizeSqlForComparison("SELECT `weird col` FROM t"))
+    assert(normalizeSqlForComparison("SELECT \"weird col\" FROM t") ==
+      "SELECT `weird col` FROM t")
+    // database prefix strips through double quotes too
+    assert(normalizeSqlForComparison(
+        "SELECT * FROM \"mydb\".\"t1\"", "mydb") ==
+      "SELECT * FROM t1")
+    // single-quoted literals still verbatim — never identifier-folded
+    assert(normalizeSqlForComparison("SELECT 'From  `x`  where'") ==
+      "SELECT 'From  `x`  where'")
+    // a double-quoted call-position name behaves exactly like the
+    // backticked spelling of the same name (both unquote to plain and
+    // go through the same pinned-function-list fold)
+    assert(normalizeSqlForComparison("SELECT \"count\"(x) FROM t") ==
+      normalizeSqlForComparison("SELECT `count`(x) FROM t"))
+  }
+
   test("golden: test_normalize_sql_comprehensive / _with_database_" +
       "prefix / _handles_backticks_on_reserved_keyword_aliases") {
     import ChDdl.normalizeSqlForComparison

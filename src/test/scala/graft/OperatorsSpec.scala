@@ -252,12 +252,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.length == 5)
     assert(out.count(_.getLong(1) == 2L) == 1) // only the real dup pair
     assert(out.count(r => r.getLong(1) == 1L) == 4)
-    // and the plan reads the source once (the r14 two-pass regression)
-    val scans = Dedup.exactDuplicates(df, "doc_id", "text")
-      .queryExecution.optimizedPlan.collect {
-        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
-      }
-    assert(scans.length == 1, "expected ONE scan of the source")
+    // round-17 ADVICE pins: NULL-id singletons keep doc_id NULL (the
+    // '∅'+coalesce(id,'') key rewrote them to the group min, and
+    // conflated id=NULL with id='')
+    assert(out.count(r => r.isNullAt(0) && r.getLong(1) == 1L) == 2)
+    // and singletons come from a pass-through branch, never a
+    // group-sized array on one row (the array_repeat shape was an
+    // executor-OOM risk on skewed failed-extraction corpora, and its
+    // n.cast(int) wrapped past 2^31 into silent row loss)
+    val planStr = Dedup.exactDuplicates(df, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!planStr.contains("array_repeat") && !planStr.contains("explode"),
+      "NULL-text multiplicity must not be rebuilt via a group-sized array")
   }
 
   test("jaccard and minhash agree on a synthetic near-dup") {
