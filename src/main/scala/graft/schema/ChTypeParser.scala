@@ -334,8 +334,24 @@ object ChTypeParser {
         case "Decimal256" =>
           skipParens(); unsupported("Decimal256 (precision beyond Spark's 38)")
         case "DateTime" =>
-          if (tryEat('(')) { stringLit(); eat(')') } // timezone accepted
-          (MDateTime(0), false)
+          // DateTime('tz') carries a timezone; DateTime(3) is CH's own
+          // alias for DateTime64(3) AND the spelling the reference IR
+          // uses for data_type (ts typeConvert.test.ts:75 pins
+          // DateTime64<3> → data_type "DateTime(3)") — round 17: a
+          // seeded schema whose remote described itself with the alias
+          // used to refuse here
+          var prec = 0L
+          if (tryEat('(')) {
+            ws()
+            if (i < s.length && (s(i).isDigit || s(i) == '-')) {
+              prec = number()
+              require(prec >= 0 && prec <= 9,
+                s"DateTime precision $prec outside 0..9")
+              if (tryEat(',')) stringLit() // timezone accepted
+            } else stringLit()
+            eat(')')
+          }
+          (MDateTime(prec.toInt), false)
         case "DateTime64" =>
           eat('(')
           val p0 = number()

@@ -1,0 +1,137 @@
+package graft.schema
+
+/** [[MooseType]] → ClickHouse type TEXT — the inverse of
+  * [[ChTypeParser]], and the reference IR's own `data_type` spelling
+  * (ref packages/ts-moose-lib/src/dataModels/typeConvert.ts — its
+  * 443-line test matrix typeConvert.test.ts pins these strings, e.g.
+  * `DateTime64<3>` → "DateTime(3)", `Decimal<10, 2>` → "Decimal(10, 2)",
+  * `FixedString<16>` → "FixedString(16)"; the Python SDK pins the same
+  * spellings in test_int_types.py / test_fixedstring.py /
+  * test_simple_aggregate.py — `_to_columns` maps plain int → "Int64",
+  * plain float → "Float64").
+  *
+  * This completes the seed seam in BOTH directions: [[ChTypeParser]]
+  * reads a remote's `DESCRIBE`/DDL text into the IR; this renders the
+  * IR back out — for generated DDL, for `data_type` views of declared
+  * schemas, and for the aggregation-annotation payloads
+  * ([[aggregationFunction]] / [[simpleAggregationFunction]], ref
+  * typeConvert.test.ts:88-232).
+  *
+  * Round-trip contract (pinned in TypeConvertGoldenSpec):
+  * `parse(render(t))` recovers `t` for every renderable type except
+  * the documented lossy cases — Enum member CODES (the IR stores
+  * member names in declared order; render emits sequential 1-based
+  * codes, CH's implicit numbering), UInt128/UInt256 (parsed into
+  * MInt256, the widest-decimal widening stance), and Date32 (parsed
+  * into MDate). `MAggregated` renders (the annotation payload needs
+  * it) but does not re-parse — [[ChTypeParser]] refuses
+  * `AggregateFunction` conversion like the reference, because the
+  * STATE payload has no portable representation; our A12 stance stores
+  * re-aggregable partials instead ([[AggState]]).
+  */
+object ChTypeRender {
+  import MooseType._
+
+  /** CH type text of a MooseType. Column-level nullability is the
+    * COLUMN's flag, not the type's ([[MooseColumn.nullable]]) — use
+    * [[renderNullable]] where the flag must fold into the text. */
+  def render(t: MooseType): String = t match {
+    case MString => "String"
+    case MFixedString(n) => s"FixedString($n)"
+    case MBoolean => "Bool"
+    case MInt8 => "Int8"
+    case MInt16 => "Int16"
+    case MInt32 => "Int32"
+    case MInt64 => "Int64"
+    case MUInt8 => "UInt8"
+    case MUInt16 => "UInt16"
+    case MUInt32 => "UInt32"
+    case MUInt64 => "UInt64"
+    case MInt128 => "Int128"
+    case MInt256 => "Int256"
+    case MDecimal(p, s) => s"Decimal($p, $s)"
+    case MFloat32 => "Float32"
+    case MFloat64 => "Float64"
+    // the IR spelling: precision 0 is bare DateTime, any other uses
+    // the DateTime(p) alias (typeConvert.test.ts:74-75 — NOT
+    // DateTime64(p), which CH re-renders anyway)
+    case MDateTime(0) => "DateTime"
+    case MDateTime(p) => s"DateTime($p)"
+    case MDate => "Date"
+    case MEnum(values) =>
+      val width = if (values.size <= 127) 8 else 16
+      values.zipWithIndex
+        .map { case (v, i) => s"'${escape(v)}' = ${i + 1}" }
+        .mkString(s"Enum$width(", ", ", ")")
+    case MUUID => "UUID"
+    case MIPv4 => "IPv4"
+    case MIPv6 => "IPv6"
+    case MArray(elem, elemNullable) =>
+      s"Array(${renderNullable(elem, elemNullable)})"
+    case MNested(fields) =>
+      fields.map { case (n, ft) => s"$n ${render(ft)}" }
+        .mkString("Nested(", ", ", ")")
+    case MNamedTuple(fields) =>
+      fields.map { case (n, ft) => s"$n ${render(ft)}" }
+        .mkString("Tuple(", ", ", ")")
+    case MMap(k, v) => s"Map(${render(k)}, ${render(v)})"
+    case MNullable(inner) => s"Nullable(${render(inner)})"
+    case MJson => "JSON"
+    case MLowCardinality(inner) => s"LowCardinality(${render(inner)})"
+    case MAggregated(fn, args) =>
+      (fn +: args.map(render)).mkString("AggregateFunction(", ", ", ")")
+    case MGeoPoint() => "Point"
+    case MGeoRing() => "Ring"
+    case MGeoLineString() => "LineString"
+    case MGeoMultiLineString() => "MultiLineString"
+    case MGeoPolygon() => "Polygon"
+    case MGeoMultiPolygon() => "MultiPolygon"
+    case MBinary => throw new IllegalArgumentException(
+      "MBinary (the multimodal opaque-bytes column) has no ClickHouse " +
+        "type text — it is a Spark-side convention; store a String of " +
+        "base64 or an external-object path when exporting a schema")
+  }
+
+  /** Type text with the column/element nullable flag folded in. */
+  def renderNullable(t: MooseType, nullable: Boolean): String =
+    if (nullable) s"Nullable(${render(t)})" else render(t)
+
+  /** The `simpleAggregationFunction` annotation payload (ref
+    * typeConvert.test.ts:149-232, py test_simple_aggregate.py:22-45:
+    * `SimpleAggregated<"sum", UInt64>` → functionName "sum",
+    * argumentType "UInt64"; Python plain int → "Int64"). */
+  def simpleAggregationAnnotation(fn: String, argType: MooseType)
+      : (String, String) = (fn, render(argType))
+
+  /** The `aggregationFunction` annotation payload (ref
+    * typeConvert.test.ts:88-147: `Aggregated<"argMax", [Date, Date]>`
+    * → functionName "argMax", argumentTypes ["DateTime", "DateTime"]
+    * — JS Date maps to the framework default DateTime, and
+    * DateTime64 precisions are PRESERVED per argument). */
+  def aggregationAnnotation(fn: String, argTypes: Seq[MooseType])
+      : (String, Seq[String]) = (fn, argTypes.map(render))
+
+  /** One column clause of a CREATE TABLE — name, type (nullable
+    * folded), and the attribute tail in CH's clause order:
+    * DEFAULT | MATERIALIZED | ALIAS (mutually exclusive, enforced by
+    * [[MooseColumn]]), then CODEC(...), TTL, COMMENT (ref mapper.rs
+    * std_column_to_clickhouse_column; typeConvert.test.ts:261-319 pins
+    * codec/materialized carried per-column). Inverse of
+    * [[graft.table.ChDdl.parseCreateTable]]'s column reader. */
+  def columnClause(c: MooseColumn): String = {
+    val sb = new StringBuilder
+    sb.append('`').append(c.name).append("` ")
+    sb.append(renderNullable(c.tpe, c.nullable))
+    c.default.foreach(d => sb.append(" DEFAULT ").append(d))
+    c.materialized.foreach(m => sb.append(" MATERIALIZED ").append(m))
+    c.aliasExpr.foreach(a => sb.append(" ALIAS ").append(a))
+    c.codec.foreach(cd => sb.append(" CODEC(").append(cd).append(')'))
+    c.ttl.foreach(t => sb.append(" TTL ").append(t))
+    c.comment.foreach(cm =>
+      sb.append(" COMMENT '").append(escape(cm)).append('\''))
+    sb.toString
+  }
+
+  private def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+}

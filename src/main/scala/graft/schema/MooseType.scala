@@ -102,7 +102,14 @@ object MooseType {
     * partial tuple produced by `AggState.partial*`; `AggState.merge*`
     * finishes it (SURVEY §2.4 A12 option (a)). */
   final case class MAggregated(fn: String, args: Seq[MooseType]) extends MooseType {
-    val sparkType = AggState.bufferType(fn, args.map(_.sparkType))
+    // LAZY (round 17): the IR node carries ANY CH aggregate name —
+    // the reference's Column.data_type does (typeConvert.test.ts pins
+    // AggregateFunction(argMax, DateTime, DateTime), which our
+    // execution layer has no partial for). Projection to the Spark
+    // buffer type still refuses unsupported fns loudly, but only at
+    // the point a table/MV actually materializes the state column.
+    lazy val sparkType: org.apache.spark.sql.types.DataType =
+      AggState.bufferType(fn, args.map(_.sparkType))
   }
 
   final case class MGeoPoint() extends MooseType {

@@ -1,0 +1,240 @@
+package graft
+
+import graft.schema.{ChTypeParser, ChTypeRender, MooseColumn, MooseType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden port of the reference's type-conversion test matrices — the
+  * model-surface → column-IR mapping pinned from BOTH SDKs:
+  *
+  *  - packages/ts-moose-lib/tests/typeConvert.test.ts (443 lines): the
+  *    helper-type mapping (`DateTime64<3>` → "DateTime(3)",
+  *    `Decimal<10, 2>` → "Decimal(10, 2)", LowCardinality annotation,
+  *    Aggregated/SimpleAggregated payloads, FixedString, codec /
+  *    materialized / comment carriage);
+  *  - packages/py-moose-lib/tests/test_int_types.py (211),
+  *    test_fixedstring.py (43), test_simple_aggregate.py (114),
+  *    test_codec.py (75): the Python `_to_columns` rows — plain
+  *    int → "Int64", plain float → "Float64", Optional[T] →
+  *    required=False, Key[T] → primary_key.
+  *
+  * The TS/Python COMPILER mechanics (tsc type-checker introspection,
+  * pydantic Annotated metadata, TSDoc extraction from source trivia)
+  * are not portable — a Scala user constructs [[MooseColumn]] directly,
+  * so the seam under test is the IR's data_type/annotation RENDERING
+  * ([[ChTypeRender]]) and its round-trip with [[ChTypeParser]].
+  */
+class TypeConvertGoldenSpec extends AnyFunSuite {
+  import MooseType._
+  import ChTypeRender.render
+
+  test("golden: typeConvert.test.ts:50-86 — DateTime, DateTime64, " +
+      "numeric aliases, Decimal, LowCardinality") {
+    assert(render(MDateTime(0)) == "DateTime")       // dt: DateTime
+    assert(render(MDateTime(3)) == "DateTime(3)")    // dtMs: DateTime64<3>
+    assert(render(MInt8) == "Int8")
+    assert(render(MUInt16) == "UInt16")
+    assert(render(MFloat32) == "Float32")
+    assert(render(MFloat64) == "Float64")
+    assert(render(MDecimal(10, 2)) == "Decimal(10, 2)") // price
+    // status: string & LowCardinality → data_type "String" with the
+    // LowCardinality ANNOTATION in the reference IR; our IR keeps the
+    // wrapper as a type node — the DDL spelling is the wrapped form,
+    // and equivalence unwraps it (TableMigrator.typesEquivalent)
+    assert(render(MLowCardinality(MString)) == "LowCardinality(String)")
+  }
+
+  test("golden: typeConvert.test.ts:88-147 — Aggregated annotation " +
+      "payloads (Date → DateTime framework default; DateTime64 " +
+      "precisions preserved per argument)") {
+    // Date & Aggregated<"argMax", [Date, Date]>
+    assert(ChTypeRender.aggregationAnnotation("argMax",
+        Seq(MDateTime(0), MDateTime(0))) ==
+      ("argMax", Seq("DateTime", "DateTime")))
+    // DateTime64<3> & Aggregated<"argMax", [DateTime64<3>, DateTime64<6>]>
+    assert(render(MDateTime(3)) == "DateTime(3)") // the column data_type
+    assert(ChTypeRender.aggregationAnnotation("argMax",
+        Seq(MDateTime(3), MDateTime(6))) ==
+      ("argMax", Seq("DateTime(3)", "DateTime(6)")))
+    // the full AggregateFunction type text (mapper.rs renders this form)
+    assert(render(MAggregated("argMax", Seq(MDateTime(0), MDateTime(0)))) ==
+      "AggregateFunction(argMax, DateTime, DateTime)")
+  }
+
+  test("golden: typeConvert.test.ts:149-232 + py test_simple_aggregate" +
+      ".py — SimpleAggregated payloads incl. Python defaults") {
+    assert(ChTypeRender.simpleAggregationAnnotation("sum", MUInt64) ==
+      ("sum", "UInt64"))
+    // py: plain int → Int64, plain float → Float64, str → String
+    assert(ChTypeRender.simpleAggregationAnnotation("sum", MInt64) ==
+      ("sum", "Int64"))
+    assert(ChTypeRender.simpleAggregationAnnotation("max", MFloat64) ==
+      ("max", "Float64"))
+    assert(ChTypeRender.simpleAggregationAnnotation("anyLast", MString) ==
+      ("anyLast", "String"))
+    // anyLast with Date/datetime → argumentType "DateTime" (both SDKs)
+    assert(ChTypeRender.simpleAggregationAnnotation("anyLast", MDateTime(0)) ==
+      ("anyLast", "DateTime"))
+    // and the full type text round-trips through the parser's extractor
+    val txt = "SimpleAggregateFunction(sum, UInt64)"
+    val Some((fn, argT, n)) = ChTypeParser.simpleAggregate(txt)
+    assert(fn == "sum" && render(argT) == "UInt64" && !n)
+  }
+
+  test("golden: typeConvert.test.ts:234-259 + py test_fixedstring.py — " +
+      "FixedString sizes; Key<string> → String") {
+    for (n <- Seq(6, 16, 32, 64))
+      assert(render(MFixedString(n)) == s"FixedString($n)")
+    // id: Key<string> → data_type "String", primary_key true
+    val id = MooseColumn("id", MString, primaryKey = true)
+    assert(render(id.tpe) == "String" && id.primaryKey)
+    assert(render(MDateTime(0)) == "DateTime") // created_at: DateTime
+  }
+
+  test("golden: typeConvert.test.ts:261-291 + py test_codec.py — codec " +
+      "carriage (chains, levels, specialized, NONE, absent → null)") {
+    def clause(codec: Option[String]) =
+      ChTypeRender.columnClause(MooseColumn("c", MString, codec = codec))
+    assert(clause(None) == "`c` String")
+    assert(clause(Some("ZSTD(3)")) == "`c` String CODEC(ZSTD(3))")
+    assert(clause(Some("Delta, LZ4")) == "`c` String CODEC(Delta, LZ4)")
+    assert(clause(Some("Gorilla, ZSTD(3)")) ==
+      "`c` String CODEC(Gorilla, ZSTD(3))")
+    assert(clause(Some("ZSTD(1)")) == "`c` String CODEC(ZSTD(1))")
+    // py test_codec.py:50-75: specialized codecs and NONE carry verbatim
+    for (cd <- Seq("Delta", "DoubleDelta", "Gorilla", "NONE"))
+      assert(clause(Some(cd)) == s"`c` String CODEC($cd)")
+  }
+
+  test("golden: typeConvert.test.ts:293-319 — materialized carriage") {
+    val eventDate = MooseColumn("eventDate", MDate,
+      materialized = Some("toDate(timestamp)"))
+    assert(ChTypeRender.columnClause(eventDate) ==
+      "`eventDate` Date MATERIALIZED toDate(timestamp)")
+    val userHash = MooseColumn("userHash", MUInt64,
+      materialized = Some("cityHash64(userId)"))
+    assert(ChTypeRender.columnClause(userHash) ==
+      "`userHash` UInt64 MATERIALIZED cityHash64(userId)")
+    assert(MooseColumn("plain", MString).materialized.isEmpty)
+  }
+
+  test("golden: typeConvert.test.ts:374-442 — comments carried " +
+      "alongside other metadata, special characters escaped") {
+    // comment + default together (the :409-442 composition row)
+    val createdAt = MooseColumn("createdAt", MDateTime(0),
+      default = Some("now()"),
+      comment = Some("When the record was created"))
+    assert(ChTypeRender.columnClause(createdAt) ==
+      "`createdAt` DateTime DEFAULT now() COMMENT 'When the record was created'")
+    // comment + codec together
+    val payload = MooseColumn("payload", MString,
+      codec = Some("ZSTD(3)"), comment = Some("Compressed payload data"))
+    assert(ChTypeRender.columnClause(payload) ==
+      "`payload` String CODEC(ZSTD(3)) COMMENT 'Compressed payload data'")
+    // special characters (:374-407): quotes escape, $ and SQL pass
+    val quoted = MooseColumn("q", MString,
+      comment = Some("User's email address (must be valid)"))
+    assert(ChTypeRender.columnClause(quoted) ==
+      "`q` String COMMENT 'User\\'s email address (must be valid)'")
+    val sqlish = MooseColumn("s", MString,
+      comment = Some("SQL expression: SELECT * FROM users WHERE id = 1"))
+    assert(ChTypeRender.columnClause(sqlish).endsWith(
+      "COMMENT 'SQL expression: SELECT * FROM users WHERE id = 1'"))
+  }
+
+  test("golden: py test_int_types.py — the full integer/float ladder, " +
+      "Optional → Nullable, Key[UInt64]/Key[Int64] as primary keys") {
+    val ladder = Seq(MInt8 -> "Int8", MInt16 -> "Int16", MInt32 -> "Int32",
+      MInt64 -> "Int64", MUInt8 -> "UInt8", MUInt16 -> "UInt16",
+      MUInt32 -> "UInt32", MUInt64 -> "UInt64",
+      MFloat32 -> "Float32", MFloat64 -> "Float64")
+    for ((t, expect) <- ladder) assert(render(t) == expect)
+    // Optional[UInt32] → required False == nullable=true folds as
+    // Nullable(UInt32) in type text
+    assert(ChTypeRender.renderNullable(MUInt32, nullable = true) ==
+      "Nullable(UInt32)")
+    assert(ChTypeRender.renderNullable(MInt16, nullable = true) ==
+      "Nullable(Int16)")
+    // integer Keys keep their width and the primary flag
+    val userId = MooseColumn("user_id", MUInt64, primaryKey = true)
+    assert(render(userId.tpe) == "UInt64" && userId.primaryKey)
+  }
+
+  test("round-trip: parse(render(t)) == t across the renderable IR") {
+    val types: Seq[MooseType] = Seq(
+      MString, MFixedString(16), MBoolean, MInt8, MInt16, MInt32, MInt64,
+      MUInt8, MUInt16, MUInt32, MUInt64, MInt128, MInt256,
+      MDecimal(10, 2), MDecimal(38, 0), MFloat32, MFloat64,
+      MDateTime(0), MDateTime(3), MDateTime(6), MDate,
+      MEnum(Seq("active", "inactive", "pending")),
+      MUUID, MIPv4, MIPv6, MJson,
+      MArray(MString), MArray(MInt64, elementNullable = true),
+      MNested(Seq("a" -> MString, "b" -> MInt32)),
+      MNamedTuple(Seq("x" -> MFloat64, "y" -> MFloat64)),
+      MMap(MString, MInt64), MMap(MString, MNullable(MString)),
+      MLowCardinality(MString),
+      MGeoPoint(), MGeoRing(), MGeoLineString(), MGeoMultiLineString(),
+      MGeoPolygon(), MGeoMultiPolygon())
+    for (t <- types) {
+      val (back, nullable) = ChTypeParser.parse(render(t))
+      assert(!nullable && back == t, s"round-trip broke for ${render(t)}")
+    }
+    // nullable folds round-trip through the column flag
+    val (t2, n2) = ChTypeParser.parse(
+      ChTypeRender.renderNullable(MUInt32, nullable = true))
+    assert(t2 == MUInt32 && n2)
+  }
+
+  test("round-trip: render(parse(s)) == s for CH-canonical spellings, " +
+      "and the DateTime(p) alias now parses (round 17)") {
+    val texts = Seq("String", "FixedString(16)", "Bool", "Int8", "UInt64",
+      "Int128", "Decimal(10, 2)", "Float32", "DateTime", "DateTime(3)",
+      "Date", "UUID", "IPv4", "IPv6", "JSON", "Array(String)",
+      "Array(Nullable(Int64))", "Map(String, Int64)",
+      "Map(String, Nullable(String))", "LowCardinality(String)",
+      "Tuple(x Float64, y Float64)", "Nested(a String, b Int32)",
+      "Point", "Ring", "Polygon", "MultiPolygon")
+    for (s <- texts) {
+      val (t, nullable) = ChTypeParser.parse(s)
+      assert(!nullable && render(t) == s, s"text round-trip broke for $s")
+    }
+    // the alias: DateTime(3) == DateTime64(3) (CH's own equivalence)
+    assert(ChTypeParser.parse("DateTime(3)") ==
+      ChTypeParser.parse("DateTime64(3)"))
+    assert(ChTypeParser.parse("DateTime(6, 'UTC')") == (MDateTime(6), false))
+    // documented lossy edges: UInt128/256 widen (the #6 stance),
+    // Date32 folds to Date, Enum codes renumber sequentially
+    assert(render(ChTypeParser.parse("UInt256")._1) == "Int256")
+    assert(render(ChTypeParser.parse("Date32")._1) == "Date")
+    assert(render(ChTypeParser.parse("Enum8('a' = 5, 'b' = 9)")._1) ==
+      "Enum8('a' = 1, 'b' = 2)")
+  }
+
+  test("capstone: columnClause → ChDdl.parseCreateTable round-trip — " +
+      "a rendered CREATE TABLE re-parses to the same columns") {
+    import graft.table.ChDdl
+    val cols = Seq(
+      MooseColumn("id", MString, primaryKey = true),
+      MooseColumn("created_at", MDateTime(3), default = Some("now()")),
+      MooseColumn("n", MUInt32, nullable = true),
+      MooseColumn("tags", MArray(MString), codec = Some("ZSTD(1)")),
+      MooseColumn("day", MDate, materialized = Some("toDate(created_at)")),
+      MooseColumn("note", MString, comment = Some("free-form, user's")))
+    val ddl = cols.map(ChTypeRender.columnClause)
+      .mkString("CREATE TABLE t (\n  ", ",\n  ", "\n) ENGINE = MergeTree ORDER BY id")
+    val cfg = ChDdl.parseCreateTable(ddl)
+    assert(cfg.schema.columns.map(_.name) == cols.map(_.name))
+    for ((orig, parsed) <- cols.zip(cfg.schema.columns)) {
+      assert(parsed.tpe == orig.tpe, s"type drift on ${orig.name}")
+      assert(parsed.nullable == orig.nullable)
+      assert(parsed.default == orig.default)
+      assert(parsed.materialized == orig.materialized)
+      assert(parsed.codec == orig.codec)
+      assert(parsed.comment == orig.comment)
+    }
+  }
+
+  test("MBinary refuses a CH rendering loudly (Spark-side convention)") {
+    val e = intercept[IllegalArgumentException](render(MBinary))
+    assert(e.getMessage.contains("no ClickHouse type text"))
+  }
+}
