@@ -1,0 +1,185 @@
+package graft.querymodel
+
+import scala.collection.immutable.ListMap
+
+/** ClickHouse-WIRE query builder — the Python SDK's `query_builder`
+  * re-expressed (ref packages/py-moose-lib/moose_lib/query_builder.py,
+  * matrix test_query_builder.py): renders CH-dialect SQL TEXT with
+  * `{pN: Type}` typed placeholders and a bindings map, the protocol a
+  * real ClickHouse server consumes. This is the REMOTE half of the
+  * query layer: [[SqlInterpolator]]/[[QueryBuilder]] execute
+  * in-process on Spark (values bound pre-parse as typed literals);
+  * ChQuery produces text+params for shipping a query to an external
+  * CH — the seed/export seam's read side.
+  *
+  * Pinned renderings (test_query_builder.py:30,39-43):
+  * {{{
+  * SELECT "Bar"."has_text", "Bar"."text_length" FROM Bar
+  * SELECT ... FROM Bar WHERE "Bar"."has_text" = {p0: Bool}   params {p0: true}
+  * }}}
+  * — column references are double-quoted and table-qualified
+  * (query_builder.py:33-44 `to_column` quotes both identifiers), the
+  * FROM clause uses the BARE table name (query_builder.py:123 passes
+  * only `table.name`), and every comparison VALUE becomes a fresh
+  * `{pN: Type}` placeholder with the type inferred from the value
+  * (utilities/sql.py `clickhouse_param_type_for_value`).
+  */
+object ChQuery {
+
+  /** Placeholder type inference (ref utilities/sql.py:18-33) — note
+    * Python checks bool BEFORE int (bool is an int subtype there); the
+    * fallback for any unhandled type is String, as there. */
+  def paramType(v: Any): String = v match {
+    case _: Boolean => "Bool"
+    case _: Int | _: Long | _: Short | _: Byte | _: BigInt => "Int64"
+    case _: Double | _: Float => "Float64"
+    case _: java.sql.Timestamp | _: java.time.Instant |
+         _: java.time.LocalDateTime => "DateTime"
+    case _ => "String"
+  }
+
+  /** Backtick-quote unless already quoted (ref utilities/sql.py:4-11). */
+  def quoteIdentifier(name: String): String =
+    if (name.length >= 2 && name.startsWith("`") && name.endsWith("`")) name
+    else s"`$name`"
+
+  /** A remote table: bare `name` in FROM; `database` participates only
+    * in the execute-side Identifier protocol ([[bindTemplate]]),
+    * mirroring the Python split (query_builder.py uses name only;
+    * QueryClient.execute expands database-qualified tables). */
+  final case class TableRef(name: String, database: Option[String] = None)
+
+  /** Predicate tree; rendering binds values left-to-right as p0, p1… */
+  sealed trait Pred
+  private final case class Cmp(col: String, op: String, v: Any) extends Pred
+  private final case class InList(col: String, vs: Seq[Any]) extends Pred
+  private final case class IsNull(col: String) extends Pred
+  private final case class AndP(ps: Seq[Pred]) extends Pred
+  private final case class OrP(ps: Seq[Pred]) extends Pred
+
+  /** Column handle: comparison factories (ref query_builder.py:55-108
+    * ColumnRef — eq/ne/lt/le/gt/ge/in_/is_null). */
+  final case class Col(name: String) {
+    def eq(v: Any): Pred = Cmp(name, "=", v)
+    def ne(v: Any): Pred = Cmp(name, "<>", v)
+    def lt(v: Any): Pred = Cmp(name, "<", v)
+    def le(v: Any): Pred = Cmp(name, "<=", v)
+    def gt(v: Any): Pred = Cmp(name, ">", v)
+    def ge(v: Any): Pred = Cmp(name, ">=", v)
+    def in(vs: Seq[Any]): Pred = InList(name, vs)
+    def isNull: Pred = IsNull(name)
+  }
+  def col(name: String): Col = Col(name)
+
+  /** AND/OR combinators (ref query_builder.py:188-211) — refuse empty
+    * like the reference ("requires at least one predicate"). */
+  def and(ps: Pred*): Pred = {
+    require(ps.nonEmpty, "and requires at least one predicate")
+    AndP(ps)
+  }
+  def or(ps: Pred*): Pred = {
+    require(ps.nonEmpty, "or requires at least one predicate")
+    OrP(ps)
+  }
+
+  /** Immutable builder (the Python one mutates; same observable
+    * contract — from_/select/where/orderBy/limit chain, repeated
+    * where() calls AND together like sqlglot's Select.where). */
+  final case class Query(
+      from: Option[TableRef] = None,
+      selects: Seq[String] = Nil,
+      wheres: Seq[Pred] = Nil,
+      orders: Seq[(String, Boolean)] = Nil, // (col, desc)
+      limitN: Option[Int] = None) {
+
+    def from_(t: TableRef): Query = copy(from = Some(t))
+    def select(cols: String*): Query = copy(selects = selects ++ cols)
+    def where(p: Pred): Query = copy(wheres = wheres :+ p)
+    def orderBy(items: (String, String)*): Query = copy(orders =
+      orders ++ items.map { case (c, dir) =>
+        require(dir == "asc" || dir == "desc",
+          "order_by direction must be 'asc' or 'desc'")
+        (c, dir == "desc")
+      })
+    def limit(n: Int): Query = copy(limitN = Some(n))
+
+    /** Rendered SQL text (ref query_builder.py:177 to_sql). */
+    def toSql: String = toSqlAndParams._1
+
+    /** (sql, bindings) — placeholders numbered in render order (ref
+      * query_builder.py:180 to_sql_and_params). */
+    def toSqlAndParams: (String, ListMap[String, Any]) = {
+      var bindings = ListMap.empty[String, Any]
+      var counter = 0
+      def bind(v: Any): String = {
+        val name = s"p$counter"
+        counter += 1
+        bindings = bindings.updated(name, v)
+        s"{$name: ${paramType(v)}}"
+      }
+      def qcol(c: String): String =
+        from.map(t => s""""${t.name}".""").getOrElse("") + s""""$c""""
+      // OR nested under AND parenthesizes (sqlglot's precedence
+      // rendering); flat chains render bare
+      def render(p: Pred, underAnd: Boolean): String = p match {
+        case Cmp(c, op, v) => s"${qcol(c)} $op ${bind(v)}"
+        case InList(c, vs) =>
+          s"${qcol(c)} IN (${vs.map(bind).mkString(", ")})"
+        case IsNull(c) => s"${qcol(c)} IS NULL"
+        case AndP(ps) => ps.map(render(_, underAnd = true)).mkString(" AND ")
+        case OrP(ps) =>
+          val txt = ps.map(render(_, underAnd = false)).mkString(" OR ")
+          if (underAnd && ps.length > 1) s"($txt)" else txt
+      }
+      val sb = new StringBuilder("SELECT ")
+      sb.append(if (selects.isEmpty) "*" else selects.map(qcol).mkString(", "))
+      from.foreach(t => sb.append(" FROM ").append(t.name))
+      if (wheres.nonEmpty)
+        sb.append(" WHERE ").append(
+          wheres.map(render(_, underAnd = wheres.length > 1))
+            .mkString(" AND "))
+      if (orders.nonEmpty)
+        sb.append(" ORDER BY ").append(orders.map { case (c, desc) =>
+          qcol(c) + (if (desc) " DESC" else "") }.mkString(", "))
+      limitN.foreach(n => sb.append(" LIMIT ").append(n))
+      (sb.toString, bindings)
+    }
+  }
+  def query: Query = Query()
+
+  /** The QueryClient.execute Identifier protocol (ref
+    * test_query_builder.py:71-126): expand `{var}` template fields —
+    * a database-qualified table becomes TWO Identifier placeholders
+    * (`{p0: Identifier}.{p1: Identifier}`), a bare table one; plain
+    * values become typed placeholders. Returns (query, values). */
+  def bindTemplate(template: String,
+      vars: Map[String, Any]): (String, ListMap[String, Any]) = {
+    var values = ListMap.empty[String, Any]
+    var i = 0
+    val out = new StringBuilder
+    val m = java.util.regex.Pattern.compile("\\{(\\w+)\\}").matcher(template)
+    var last = 0
+    while (m.find()) {
+      out.append(template.substring(last, m.start()))
+      last = m.end()
+      val v = vars.getOrElse(m.group(1), throw new IllegalArgumentException(
+        s"bindTemplate: no value for '${m.group(1)}'"))
+      v match {
+        case TableRef(name, Some(db)) =>
+          out.append(s"{p$i: Identifier}.{p${i + 1}: Identifier}")
+          values = values.updated(s"p$i", db).updated(s"p${i + 1}", name)
+          i += 2
+        case TableRef(name, None) =>
+          out.append(s"{p$i: Identifier}")
+          values = values.updated(s"p$i", name)
+          i += 1
+        case other =>
+          out.append(s"{p$i: ${paramType(other)}}")
+          values = values.updated(s"p$i", other)
+          i += 1
+      }
+    }
+    out.append(template.substring(last))
+    (out.toString, values)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.querymodel.ChQuery
+import graft.querymodel.ChQuery._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden port of packages/py-moose-lib/tests/test_query_builder.py —
+  * the Python SDK's ClickHouse-wire SQL rendering — plus the
+  * placeholder-type and identifier-quoting matrices from
+  * moose_lib/utilities/sql.py. Rows the reference pins by exact
+  * string are asserted by exact string; shapes its tests don't pin
+  * (order_by/in_/is_null renderings) follow sqlglot's CH output and
+  * are our spelling, noted per-case.
+  */
+class ChQueryGoldenSpec extends AnyFunSuite {
+
+  private val bar = TableRef("Bar")
+
+  test("golden: test_simple_select_and_where — exact SQL text") {
+    val q1 = ChQuery.query.from_(bar).select("has_text", "text_length")
+    assert(q1.toSql ==
+      """SELECT "Bar"."has_text", "Bar"."text_length" FROM Bar""")
+
+    val q2 = ChQuery.query.from_(bar).select("has_text", "text_length")
+      .where(col("has_text").eq(true))
+    val (sql, params) = q2.toSqlAndParams
+    assert(sql ==
+      """SELECT "Bar"."has_text", "Bar"."text_length" FROM Bar WHERE "Bar"."has_text" = {p0: Bool}""")
+    assert(params == Map("p0" -> true))
+  }
+
+  test("golden: test_table_with_database_config — the Identifier " +
+      "protocol for QueryClient.execute") {
+    val withDb = TableRef("my_table_with_db", Some("my_database"))
+    val noDb = TableRef("my_table_no_db")
+
+    val (q, values) = ChQuery.bindTemplate(
+      "SELECT * FROM {table}", Map("table" -> withDb))
+    assert(q == "SELECT * FROM {p0: Identifier}.{p1: Identifier}")
+    assert(values == Map("p0" -> "my_database", "p1" -> "my_table_with_db"))
+
+    val (q2, values2) = ChQuery.bindTemplate(
+      "SELECT * FROM {table}", Map("table" -> noDb))
+    assert(q2 == "SELECT * FROM {p0: Identifier}")
+    assert(values2 == Map("p0" -> "my_table_no_db"))
+
+    // the Query builder keeps the bare-name FROM (query_builder.py:123
+    // passes table.name only — the loose `"my_table" in sql` row)
+    val sql1 = ChQuery.query.from_(withDb)
+      .select("id", "name").toSql
+    assert(sql1.contains("my_table"))
+  }
+
+  test("golden: clickhouse_param_type_for_value (utilities/sql.py:18-33)") {
+    assert(paramType(true) == "Bool")
+    assert(paramType(false) == "Bool")
+    assert(paramType(42) == "Int64")
+    assert(paramType(42L) == "Int64")
+    assert(paramType(3.14) == "Float64")
+    assert(paramType(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) ==
+      "DateTime")
+    assert(paramType("hello") == "String")
+    // the fallback: any unhandled type renders String (sql.py:31-33)
+    assert(paramType(Seq(1, 2)) == "String")
+  }
+
+  test("golden: quote_identifier (utilities/sql.py:4-11) — backtick " +
+      "unless already quoted") {
+    assert(quoteIdentifier("events") == "`events`")
+    assert(quoteIdentifier("my-table") == "`my-table`")
+    assert(quoteIdentifier("`already`") == "`already`")
+  }
+
+  test("and_/or_ combinators refuse empty and compose with " +
+      "placeholder numbering in render order (query_builder.py:188-211)") {
+    intercept[IllegalArgumentException](ChQuery.and())
+    intercept[IllegalArgumentException](ChQuery.or())
+
+    val q = ChQuery.query.from_(bar).select("id")
+      .where(ChQuery.and(col("a").gt(1), col("b").lt(2.5)))
+    val (sql, params) = q.toSqlAndParams
+    assert(sql == """SELECT "Bar"."id" FROM Bar WHERE """ +
+      """"Bar"."a" > {p0: Int64} AND "Bar"."b" < {p1: Float64}""")
+    assert(params == Map("p0" -> 1, "p1" -> 2.5))
+
+    // OR nested under AND parenthesizes (sqlglot precedence)
+    val q2 = ChQuery.query.from_(bar).select("id")
+      .where(ChQuery.and(col("a").eq(1),
+        ChQuery.or(col("b").eq(2), col("c").eq(3))))
+    assert(q2.toSql.endsWith(
+      """"Bar"."a" = {p0: Int64} AND ("Bar"."b" = {p1: Int64} OR "Bar"."c" = {p2: Int64})"""))
+  }
+
+  test("in_/is_null/order_by/limit render (our spelling of the " +
+      "sqlglot CH output; each value its own placeholder)") {
+    val q = ChQuery.query.from_(bar).select("id")
+      .where(col("status").in(Seq("a", "b")))
+      .where(col("deleted_at").isNull)
+      .orderBy("ts" -> "desc", "id" -> "asc")
+      .limit(10)
+    val (sql, params) = q.toSqlAndParams
+    assert(sql ==
+      """SELECT "Bar"."id" FROM Bar WHERE "Bar"."status" IN ({p0: String}, {p1: String}) AND "Bar"."deleted_at" IS NULL ORDER BY "Bar"."ts" DESC, "Bar"."id" LIMIT 10""")
+    assert(params == Map("p0" -> "a", "p1" -> "b"))
+    intercept[IllegalArgumentException](
+      ChQuery.query.orderBy("x" -> "sideways"))
+  }
+}
