@@ -15,7 +15,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 final case class ConsumptionApi[P](
     name: String,
     validate: P => Either[String, P] = (p: P) => Right(p),
-    handler: (SparkSession, P) => DataFrame) {
+    handler: (SparkSession, P) => DataFrame,
+    /** API version (ref consumptionApi.ts:80 `config.version`): part of
+      * the registry key (`name:version`) — see [[Registry.addApi]]. */
+    version: Option[String] = None,
+    /** Custom route (ref consumptionApi.ts:87 `config.path`): an extra
+      * registry key, with the versioned-path expansion rules. */
+    path: Option[String] = None) {
 
   def run(spark: SparkSession, params: P): DataFrame =
     validate(params) match {

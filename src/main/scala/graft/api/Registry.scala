@@ -1,0 +1,167 @@
+package graft.api
+
+import graft.streaming.MooseStream
+import graft.table.{OlapTable, SqlResource}
+
+import scala.collection.mutable.LinkedHashMap
+
+/** The dmv2 resource registry (ref packages/ts-moose-lib/src/dmv2/
+  * registry.ts + internal.ts `getMooseInternal()`; matrix
+  * tests/registry.test.ts): one typed index of every declared resource
+  * — tables, streams, ingest pipelines, consumption APIs, SQL
+  * resources, workflows, web apps — with the reference's keying rules:
+  *
+  *  - tables key by `name_{version}` (version part of identity,
+  *    olapTable.ts:795-806; duplicates refuse with the reference's
+  *    error shape — delegated to [[OlapTable.Config.registryId]]);
+  *  - consumption APIs key by `name:{version}` (consumptionApi.ts:80),
+  *    plus their custom `path` as an extra key with the versioned-path
+  *    expansion (path already ending in the version registers as-is;
+  *    otherwise `path/version` registers AND the bare path is claimed
+  *    permissively by the first API — consumptionApi.ts:87-136);
+  *  - [[getApi]] resolves name-or-path in the reference's 3-step
+  *    order (registry.ts:91-130): direct key → single-version alias by
+  *    base name → custom-path map;
+  *  - everything else keys by bare name with duplicate refusal.
+  *
+  * Unlike the reference there is NO process-global instance — the
+  * registry is an ordinary value the application composes (a global
+  * mutable singleton is exactly what Spark driver restarts and tests
+  * fight; the reference's own tests clear it before every case). */
+final class Registry {
+
+  val tables: LinkedHashMap[String, OlapTable] = LinkedHashMap.empty
+  val streams: LinkedHashMap[String, MooseStream[_]] = LinkedHashMap.empty
+  val ingestApis: LinkedHashMap[String, IngestPipeline[_]] = LinkedHashMap.empty
+  val apis: LinkedHashMap[String, ConsumptionApi[_]] = LinkedHashMap.empty
+  val sqlResources: LinkedHashMap[String, SqlResource] = LinkedHashMap.empty
+  val workflows: LinkedHashMap[String, Registry.WorkflowDef] = LinkedHashMap.empty
+  val webApps: LinkedHashMap[String, Registry.WebApp] = LinkedHashMap.empty
+
+  private def refuseDup(map: LinkedHashMap[String, _], key: String,
+      what: String): Unit =
+    require(!map.contains(key), s"$what '$key' already registered")
+
+  def addTable(t: OlapTable): OlapTable = {
+    val key = t.config.registryId
+    require(!tables.contains(key),
+      s"OlapTable with name ${t.config.name} and version " +
+        s"${t.config.version.getOrElse("unversioned")} already exists")
+    tables(key) = t
+    t
+  }
+
+  def addStream(s: MooseStream[_]): MooseStream[_] = {
+    refuseDup(streams, s.name, "Stream")
+    streams(s.name) = s
+    s
+  }
+
+  def addIngestApi(p: IngestPipeline[_]): IngestPipeline[_] = {
+    refuseDup(ingestApis, p.name, "IngestApi")
+    ingestApis(p.name) = p
+    p
+  }
+
+  /** Register a consumption API under `name[:version]`, and under its
+    * custom path per the reference's expansion (consumptionApi.ts:
+    * 87-136). */
+  def addApi(a: ConsumptionApi[_]): ConsumptionApi[_] = {
+    val key = a.version.fold(a.name)(v => s"${a.name}:$v")
+    require(!apis.contains(key),
+      s"Consumption API with name ${a.name} and version " +
+        s"${a.version.orNull} already exists")
+    apis(key) = a
+    a.path.foreach { p =>
+      def claim(pathKey: String, permissive: Boolean): Unit =
+        apis.get(pathKey) match {
+          case Some(existing) if !permissive =>
+            throw new IllegalArgumentException(
+              s"""Cannot register API "${a.name}" with path "$pathKey"""" +
+                s""" - this path is already used by API "${existing.name}"""")
+          case Some(_) => () // permissive: first API keeps the bare path
+          case None => apis(pathKey) = a
+        }
+      a.version match {
+        case Some(v) =>
+          val endsWithVersion = p.endsWith(s"/$v") || p == v ||
+            (p.endsWith(v) && p.length > v.length &&
+              p.charAt(p.length - v.length - 1) == '/')
+          if (endsWithVersion) claim(p, permissive = false)
+          else {
+            claim(s"${p.stripSuffix("/")}/$v", permissive = false)
+            claim(p, permissive = true)
+          }
+        case None => claim(p, permissive = false)
+      }
+    }
+    a
+  }
+
+  def addSqlResource(r: SqlResource): SqlResource = {
+    refuseDup(sqlResources, r.name, "SqlResource")
+    sqlResources(r.name) = r
+    r
+  }
+
+  def addWorkflow(w: Registry.WorkflowDef): Registry.WorkflowDef = {
+    refuseDup(workflows, w.name, "Workflow")
+    workflows(w.name) = w
+    w
+  }
+
+  def addWebApp(w: Registry.WebApp): Registry.WebApp = {
+    refuseDup(webApps, w.name, "WebApp")
+    webApps(w.name) = w
+    w
+  }
+
+  def getTable(name: String): Option[OlapTable] = tables.get(name)
+  def getStream(name: String): Option[MooseStream[_]] = streams.get(name)
+  def getIngestApi(name: String): Option[IngestPipeline[_]] =
+    ingestApis.get(name)
+  def getSqlResource(name: String): Option[SqlResource] =
+    sqlResources.get(name)
+  def getWorkflow(name: String): Option[Registry.WorkflowDef] =
+    workflows.get(name)
+  def getWebApp(name: String): Option[Registry.WebApp] = webApps.get(name)
+
+  /** 3-step API lookup (registry.ts:91-130): direct key (`name` or
+    * `name:version` or a path registered as a key) → base-name alias
+    * when EXACTLY one API carries that base name (two versions →
+    * undefined, registry.test.ts:182-200) → the config.path map. */
+  def getApi(nameOrPath: String): Option[ConsumptionApi[_]] =
+    apis.get(nameOrPath).orElse {
+      val distinct = apis.values.toSeq.distinct
+      val byBase = distinct.filter(_.name == nameOrPath)
+      if (byBase.length == 1) Some(byBase.head)
+      else distinct.find(_.path.contains(nameOrPath))
+    }
+}
+
+object Registry {
+  /** A named workflow: the starting task of a [[WfDagTask]] DAG plus
+    * the schedule/retry carriage (ref dmv2/sdk/workflow.ts — `new
+    * Workflow(name, { startingTask, schedule, retries })`). Cycle
+    * validation runs at construction, like the reference's
+    * validateTask walk. */
+  final case class WorkflowDef(
+      name: String,
+      startingTask: WfDagTask[_, _],
+      schedule: Option[String] = None,
+      retries: Int = 0) {
+    WfDag.validate(startingTask)
+  }
+
+  /** A mounted web application (ref dmv2/sdk/webApp.ts — `new
+    * WebApp(name, handler, { mountPath })`): the handler is opaque to
+    * the registry; `mountPath` must be absolute and not the reserved
+    * root APIs claim. */
+  final case class WebApp(
+      name: String,
+      handler: AnyRef,
+      mountPath: String) {
+    require(mountPath.startsWith("/"),
+      s"WebApp '$name': mountPath must start with '/', got '$mountPath'")
+  }
+}

@@ -1,0 +1,174 @@
+package graft
+
+import graft.api.{ConsumptionApi, IngestPipeline, Registry, WfDagTask}
+import graft.schema.{MooseColumn, MooseSchema, MooseType}
+import graft.streaming.MooseStream
+import graft.table.{OlapTable, SqlResource}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Golden port of packages/ts-moose-lib/tests/registry.test.ts (299
+  * lines) — the dmv2 registry's register/retrieve matrix across all
+  * seven resource kinds, including the versioned-API aliasing rules
+  * [[Registry.getApi]] implements from registry.ts:91-130. The
+  * reference clears a process-global registry before each case; our
+  * registry is an ordinary value, so each case builds a fresh one —
+  * same observable contract, no global.
+  */
+class RegistryGoldenSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = SparkTestSession.spark
+  private lazy val wh = Files.createTempDirectory("graft_reg").toString
+
+  private val testSchema = MooseSchema(Seq(
+    MooseColumn("id", MooseType.MString, primaryKey = true),
+    MooseColumn("value", MooseType.MFloat64)))
+
+  private def table(name: String, version: Option[String] = None): OlapTable =
+    new OlapTable(spark,
+      OlapTable.Config(name, testSchema, orderBy = Seq("id"),
+        version = version), wh)
+
+  private def api(name: String, version: Option[String] = None,
+      path: Option[String] = None): ConsumptionApi[String] =
+    ConsumptionApi[String](name, handler = (s, _) => s.emptyDataFrame,
+      version = version, path = path)
+
+  test("golden: registry.test.ts:45-68 — tables register and retrieve; " +
+      "non-existent is None") {
+    val r = new Registry
+    val t = r.addTable(table("TestTable"))
+    assert(r.tables.size == 1)
+    assert(r.getTable("TestTable").contains(t))
+    assert(r.getTable("TestTable").get.config.name == "TestTable")
+    assert(r.getTable("NonExistent").isEmpty)
+  }
+
+  test("golden: registry.test.ts:70-93 — streams register and retrieve") {
+    val r = new Registry
+    val s = new MooseStream[String]("TestStream", parallelism = 1)
+    r.addStream(s)
+    assert(r.streams.size == 1)
+    assert(r.getStream("TestStream").contains(s))
+    assert(r.getStream("TestStream").get.name == "TestStream")
+    assert(r.getStream("NonExistent").isEmpty)
+  }
+
+  test("golden: registry.test.ts:95-119 — ingest APIs register and " +
+      "retrieve") {
+    val r = new Registry
+    import scala.reflect.runtime.universe.TypeTag
+    val stream = new MooseStream[(String, Double)]("TargetStream")
+    val pipeline = new IngestPipeline[(String, Double)]("TestIngestApi",
+      stream, table("TestIngestApi_t"))
+    r.addIngestApi(pipeline)
+    assert(r.ingestApis.size == 1)
+    assert(r.getIngestApi("TestIngestApi").contains(pipeline))
+    assert(r.getIngestApi("NonExistent").isEmpty)
+  }
+
+  test("golden: registry.test.ts:121-222 — consumption APIs: plain, " +
+      "versioned key, single-version alias, multi-version no-alias, " +
+      "custom path, non-existent") {
+    // plain register + retrieve (:122-143)
+    val r1 = new Registry
+    val a = r1.addApi(api("TestApi"))
+    assert(r1.apis.size == 1 && r1.getApi("TestApi").contains(a))
+
+    // versioned API retrieved by full key name:version (:145-161)
+    val r2 = new Registry
+    val v = r2.addApi(api("TestApi", version = Some("1.0")))
+    assert(r2.getApi("TestApi:1.0").contains(v))
+
+    // single-version alias: base-name lookup finds the one version
+    // (:163-180)
+    assert(r2.getApi("TestApi").contains(v))
+    assert(r2.getApi("TestApi").get.version.contains("1.0"))
+
+    // multiple versions → base-name lookup is None (:182-200)
+    val r3 = new Registry
+    r3.addApi(api("TestApi", version = Some("1.0")))
+    r3.addApi(api("TestApi", version = Some("2.0")))
+    assert(r3.getApi("TestApi").isEmpty)
+    assert(r3.getApi("TestApi:1.0").nonEmpty)
+    assert(r3.getApi("TestApi:2.0").nonEmpty)
+
+    // custom path lookup (:202-218)
+    val r4 = new Registry
+    val p = r4.addApi(api("TestApi", path = Some("/custom/path")))
+    assert(r4.getApi("/custom/path").contains(p))
+
+    // non-existent (:220-222)
+    assert(r4.getApi("NonExistent").isEmpty)
+  }
+
+  test("golden: registry.test.ts:225-253 — SQL resources register and " +
+      "retrieve with their lineage edges") {
+    val r = new Registry
+    val res = SqlResource("TestResource",
+      setup = Seq("CREATE VIEW test AS SELECT * FROM TestTable"),
+      teardown = Seq("DROP VIEW test"),
+      pullsDataFrom = Seq("TestTable"))
+    r.addSqlResource(res)
+    assert(r.sqlResources.size == 1)
+    assert(r.getSqlResource("TestResource").contains(res))
+    assert(r.getSqlResource("TestResource").get.name == "TestResource")
+    assert(r.getSqlResource("NonExistent").isEmpty)
+  }
+
+  test("golden: registry.test.ts:255-277 — workflows register and " +
+      "retrieve; the starting task is cycle-validated at construction") {
+    val r = new Registry
+    val task = new WfDagTask[Unit, Unit]("TestTask")(identity)
+    val wf = r.addWorkflow(Registry.WorkflowDef("TestWorkflow", task))
+    assert(r.workflows.size == 1)
+    assert(r.getWorkflow("TestWorkflow").contains(wf))
+    assert(r.getWorkflow("NonExistent").isEmpty)
+  }
+
+  test("golden: registry.test.ts:279-298 — web apps register and " +
+      "retrieve by name with their mount path") {
+    val r = new Registry
+    val handler: AnyRef = (() => ()): Runnable
+    val app = r.addWebApp(Registry.WebApp("TestApp", handler, "/test"))
+    assert(r.webApps.size == 1)
+    assert(r.getWebApp("TestApp").contains(app))
+    assert(r.getWebApp("NonExistent").isEmpty)
+    // mountPath validation (webApp.ts config contract)
+    intercept[IllegalArgumentException](
+      Registry.WebApp("Bad", handler, "no-slash"))
+  }
+
+  test("duplicate refusals: table (name, version) identity; API " +
+      "(name, version); path collisions refuse, bare path is " +
+      "first-come (consumptionApi.ts:87-136)") {
+    val r = new Registry
+    r.addTable(table("Dup"))
+    val e = intercept[IllegalArgumentException](r.addTable(table("Dup")))
+    assert(e.getMessage.contains("already exists"))
+    // different versions coexist (olap-table-versioning stance)
+    r.addTable(table("Dup", version = Some("1.0")))
+    r.addTable(table("Dup", version = Some("2.0")))
+    assert(r.tables.keySet == Set("Dup", "Dup_1.0", "Dup_2.0"))
+
+    r.addApi(api("A", version = Some("1.0")))
+    intercept[IllegalArgumentException](r.addApi(api("A", version = Some("1.0"))))
+    r.addApi(api("A", version = Some("2.0"))) // new version OK
+
+    // versioned path expansion: /v-less path gains /version key and
+    // claims the bare path permissively
+    val r2 = new Registry
+    r2.addApi(api("P", version = Some("1.0"), path = Some("/reports")))
+    assert(r2.getApi("/reports/1.0").exists(_.name == "P"))
+    assert(r2.getApi("/reports").exists(_.name == "P"))
+    // a second API wanting the same versioned path refuses loudly
+    val e2 = intercept[IllegalArgumentException](
+      r2.addApi(api("Q", version = Some("1.0"), path = Some("/reports"))))
+    assert(e2.getMessage.contains("already used by API"))
+    // path already ending in the version registers as-is
+    val r3 = new Registry
+    r3.addApi(api("R", version = Some("2.0"), path = Some("/r/2.0")))
+    assert(r3.getApi("/r/2.0").exists(_.name == "R"))
+    assert(r3.getApi("/r").isEmpty)
+  }
+}
