@@ -28,6 +28,70 @@ object IngestPipeline {
   /** Per-batch outcome: the table insert report plus how many dead letters
     * were appended to the pipeline's DLQ table. */
   final case class IngestResult(report: OlapTable.InsertReport, dlqWritten: Long)
+
+  import graft.schema.Migration
+
+  /** Component options (ref dmv2/sdk/ingestPipeline.ts config —
+    * `table: true | { orderByFields, lifeCycle }` etc.; a disabled
+    * component is `None` at the [[PipelineConfig]] level, `true` is
+    * the defaults instance). */
+  final case class TableOpts(
+      orderByFields: Seq[String] = Nil,
+      lifeCycle: Option[Migration.LifeCycle] = None)
+  final case class StreamOpts(
+      parallelism: Int = 1,
+      lifeCycle: Option[Migration.LifeCycle] = None)
+
+  /** The TS `IngestPipelineConfig` (ingestPipeline.ts:116): which
+    * components exist, their options, and the TOP-LEVEL lifeCycle that
+    * propagates to any component that doesn't pin its own
+    * (ingestPipeline.ts:254/277/297 — `component.lifeCycle ??
+    * config.lifeCycle`, matrix ingestPipeline-lifecycle.test.ts). */
+  final case class PipelineConfig(
+      table: Option[TableOpts] = Some(TableOpts()),
+      stream: Option[StreamOpts] = Some(StreamOpts()),
+      ingestApi: Boolean = true,
+      deadLetterQueue: Option[StreamOpts] = None,
+      lifeCycle: Option[Migration.LifeCycle] = None)
+
+  /** The constructed components with RESOLVED lifecycles — the TS
+    * pipeline's `.table` / `.stream` / `.deadLetterQueue` accessors
+    * (their `config.lifeCycle` is the post-propagation value, which is
+    * exactly what the lifecycle matrix pins). The DLQ is a stream of
+    * [[graft.streaming.DeadLetter]], as in the reference
+    * (stream.ts:569 DeadLetterQueue extends Stream<DeadLetterModel>). */
+  final case class Components[T](
+      name: String,
+      table: Option[OlapTable],
+      stream: Option[MooseStream[T]],
+      deadLetterQueue: Option[MooseStream[DeadLetter]],
+      ingestApi: Boolean)
+
+  /** Build components from config with the reference's lifecycle
+    * propagation. Construction only — wiring into a runnable
+    * [[IngestPipeline]] stays explicit (our pipeline requires both a
+    * stream and a table; the TS one quietly skips missing pieces). */
+  def fromConfig[T: TypeTag](
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      schema: MooseSchema,
+      cfg: PipelineConfig,
+      warehouseDir: String): Components[T] = {
+    val table = cfg.table.map { t =>
+      new OlapTable(spark, OlapTable.Config(
+        name, schema, orderBy = t.orderByFields,
+        lifeCycle = t.lifeCycle.orElse(cfg.lifeCycle)), warehouseDir)
+    }
+    val stream = cfg.stream.map { s =>
+      new MooseStream[T](name, s.parallelism,
+        lifeCycle = s.lifeCycle.orElse(cfg.lifeCycle))
+    }
+    val dlq = cfg.deadLetterQueue.map { d =>
+      new MooseStream[DeadLetter](s"${name}DeadLetterQueue", d.parallelism,
+        lifeCycle = d.lifeCycle.orElse(cfg.lifeCycle))
+    }
+    Components(name, table, stream, dlq, cfg.ingestApi)
+  }
 }
 
 final class IngestPipeline[T: TypeTag](

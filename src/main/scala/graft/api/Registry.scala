@@ -126,6 +126,23 @@ final class Registry {
     workflows.get(name)
   def getWebApp(name: String): Option[Registry.WebApp] = webApps.get(name)
 
+  /** Serialize to the migration planner's state — the TS `toInfraMap`
+    * analogue (ref dmv2/internal.ts; matrix
+    * materialized-view-lifecycle.test.ts): tables keyed by registry
+    * id, SQL resources by name, and the lifeCycles map carrying an
+    * entry ONLY for resources that specified one (unspecified is
+    * OMITTED — [[graft.table.InfraPlan.State.lifeCycleOf]] then
+    * applies the FullyManaged default, lifeCycle.ts:7). */
+  def toInfraState: graft.table.InfraPlan.State =
+    graft.table.InfraPlan.State(
+      tables = tables.map { case (k, t) => k -> t.config }.toMap,
+      resources = sqlResources.toMap,
+      lifeCycles =
+        tables.collect { case (k, t) if t.config.lifeCycle.nonEmpty =>
+          k -> t.config.lifeCycle.get }.toMap ++
+        sqlResources.collect { case (k, r) if r.lifeCycle.nonEmpty =>
+          k -> r.lifeCycle.get }.toMap)
+
   /** 3-step API lookup (registry.ts:91-130): direct key (`name` or
     * `name:version` or a path registered as a key) → base-name alias
     * when EXACTLY one API carries that base name (two versions →

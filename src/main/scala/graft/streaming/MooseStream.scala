@@ -18,7 +18,11 @@ import scala.reflect.runtime.universe.TypeTag
   */
 final class MooseStream[T: TypeTag](
     val name: String,
-    val parallelism: Int = 1) {
+    val parallelism: Int = 1,
+    /** Resource lifecycle (round 17; ref stream.ts `config.lifeCycle`):
+      * carried for the infra map / migration planner — None =
+      * unspecified, planners default FullyManaged. */
+    val lifeCycle: Option[graft.schema.Migration.LifeCycle] = None) {
 
   private val transforms =
     scala.collection.mutable.Buffer[(String, Dataset[T] => (DataFrame, Dataset[DeadLetter], () => Unit))]()

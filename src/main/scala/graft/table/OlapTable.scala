@@ -121,7 +121,15 @@ object OlapTable {
         * in-place migration ([[TableMigrator.diff]] refuses
         * cross-version diffs exactly as it refuses cross-name ones).
         * `name` stays the logical name. */
-      version: Option[String] = None) {
+      version: Option[String] = None,
+      /** Resource lifecycle (round 17; ref olapTable.ts `config.
+        * lifeCycle`, lifeCycle.ts:7): how much of a planned migration
+        * may touch this table. None = unspecified — the infra map
+        * omits it and planners apply the FullyManaged default
+        * ([[InfraPlan.State.lifeCycleOf]]), exactly the reference's
+        * "omit lifeCycle when not specified" serialization
+        * (materialized-view-lifecycle.test.ts:85-99). */
+      lifeCycle: Option[graft.schema.Migration.LifeCycle] = None) {
     /** Storage name — the reference's generateTableName convention:
       * `{name}_{version with dots → underscores}` (olapTable.ts:810),
       * logical name when unversioned. */

@@ -15,7 +15,12 @@ final case class SqlResource(
     setup: Seq[String],
     teardown: Seq[String] = Nil,
     pullsDataFrom: Seq[String] = Nil,
-    pushesDataTo: Seq[String] = Nil)
+    pushesDataTo: Seq[String] = Nil,
+    /** Resource lifecycle (round 17; ref materializedView.ts
+      * `config.lifeCycle`, matrix materialized-view-lifecycle.test.ts):
+      * None = unspecified — omitted from the infra map, planners apply
+      * the FullyManaged default. */
+    lifeCycle: Option[graft.schema.Migration.LifeCycle] = None)
 
 object SqlResource {
   /** Plain SQL view over tables/views (ref view.ts:22). */

@@ -1,0 +1,172 @@
+package graft
+
+import graft.api.{IngestPipeline, Registry}
+import graft.schema.{Migration, MooseColumn, MooseSchema, MooseType}
+import graft.table.SqlResource
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Golden port of two TS lifecycle matrices:
+  *
+  *  - packages/ts-moose-lib/tests/ingestPipeline-lifecycle.test.ts
+  *    (256 lines): the top-level `lifeCycle` propagates to every
+  *    component that does not pin its own — `component.lifeCycle ??
+  *    config.lifeCycle` (ingestPipeline.ts:254/277/297);
+  *  - tests/materialized-view-lifecycle.test.ts (119 lines): the infra
+  *    map serializes a resource's lifeCycle when specified and OMITS
+  *    it when not (the planner then applies the FullyManaged default).
+  */
+class LifecycleGoldenSpec extends AnyFunSuite {
+  import IngestPipeline.{PipelineConfig, StreamOpts, TableOpts}
+  import Migration.LifeCycle._
+
+  private lazy val spark: SparkSession = SparkTestSession.spark
+  private lazy val wh = Files.createTempDirectory("graft_lc").toString
+
+  private val schema = MooseSchema(Seq(
+    MooseColumn("id", MooseType.MString, primaryKey = true),
+    MooseColumn("value", MooseType.MFloat64)))
+
+  private def build(cfg: PipelineConfig) =
+    IngestPipeline.fromConfig[(String, Double)](
+      spark, "TestPipeline", schema, cfg, wh)
+
+  test("golden: :21-35 — top-level propagates to table when " +
+      "table.lifeCycle is not specified") {
+    val p = build(PipelineConfig(
+      table = Some(TableOpts(orderByFields = Seq("id"))),
+      stream = None, ingestApi = false,
+      lifeCycle = Some(ExternallyManaged)))
+    assert(p.table.nonEmpty)
+    assert(p.table.get.config.lifeCycle.contains(ExternallyManaged))
+  }
+
+  test("golden: :37-51 — top-level propagates to stream") {
+    val p = build(PipelineConfig(
+      table = Some(TableOpts()), stream = Some(StreamOpts(parallelism = 1)),
+      ingestApi = false, lifeCycle = Some(DeletionProtected)))
+    assert(p.stream.nonEmpty)
+    assert(p.stream.get.lifeCycle.contains(DeletionProtected))
+  }
+
+  test("golden: :53-73 — top-level propagates to both table and stream") {
+    val p = build(PipelineConfig(
+      table = Some(TableOpts(orderByFields = Seq("id"))),
+      stream = Some(StreamOpts(parallelism = 2)),
+      ingestApi = false, lifeCycle = Some(FullyManaged)))
+    assert(p.table.get.config.lifeCycle.contains(FullyManaged))
+    assert(p.stream.get.lifeCycle.contains(FullyManaged))
+  }
+
+  test("golden: :75-90 — table-specific lifeCycle wins over top-level") {
+    val p = build(PipelineConfig(
+      table = Some(TableOpts(Seq("id"), Some(DeletionProtected))),
+      stream = None, ingestApi = false,
+      lifeCycle = Some(ExternallyManaged)))
+    assert(p.table.get.config.lifeCycle.contains(DeletionProtected))
+  }
+
+  test("golden: :92-107 — stream-specific lifeCycle wins over top-level") {
+    val p = build(PipelineConfig(
+      table = Some(TableOpts()),
+      stream = Some(StreamOpts(1, Some(FullyManaged))),
+      ingestApi = false, lifeCycle = Some(ExternallyManaged)))
+    assert(p.stream.get.lifeCycle.contains(FullyManaged))
+  }
+
+  test("golden: :109-130 — different lifecycles per component under one " +
+      "top-level default") {
+    val p = build(PipelineConfig(
+      table = Some(TableOpts(Seq("id"), Some(DeletionProtected))),
+      stream = Some(StreamOpts(parallelism = 1)),
+      ingestApi = false, lifeCycle = Some(ExternallyManaged)))
+    assert(p.table.get.config.lifeCycle.contains(DeletionProtected))
+    assert(p.stream.get.lifeCycle.contains(ExternallyManaged))
+  }
+
+  test("golden: :132-158 — `table: true` / `stream: true` (defaults " +
+      "instances) still receive the propagated lifecycle") {
+    val p = build(PipelineConfig(table = Some(TableOpts()), stream = None,
+      ingestApi = false, lifeCycle = Some(DeletionProtected)))
+    assert(p.table.get.config.lifeCycle.contains(DeletionProtected))
+    val p2 = build(PipelineConfig(table = Some(TableOpts()),
+      stream = Some(StreamOpts()), ingestApi = false,
+      lifeCycle = Some(ExternallyManaged)))
+    assert(p2.stream.get.lifeCycle.contains(ExternallyManaged))
+  }
+
+  test("golden: :160-175 — no lifecycle at any level stays unset " +
+      "(None, never a silently-materialized default)") {
+    val p = build(PipelineConfig(
+      table = Some(TableOpts(orderByFields = Seq("id"))),
+      stream = Some(StreamOpts(parallelism = 1)), ingestApi = false))
+    assert(p.table.get.config.lifeCycle.isEmpty)
+    assert(p.stream.get.lifeCycle.isEmpty)
+  }
+
+  test("golden: :177-254 — deadLetterQueue: propagation, defaults " +
+      "instance, component override, all-components case") {
+    val p = build(PipelineConfig(table = Some(TableOpts()),
+      stream = Some(StreamOpts()), ingestApi = false,
+      deadLetterQueue = Some(StreamOpts(parallelism = 1)),
+      lifeCycle = Some(DeletionProtected)))
+    assert(p.deadLetterQueue.nonEmpty)
+    assert(p.deadLetterQueue.get.lifeCycle.contains(DeletionProtected))
+    assert(p.deadLetterQueue.get.name == "TestPipelineDeadLetterQueue")
+
+    val p2 = build(PipelineConfig(table = Some(TableOpts()),
+      stream = Some(StreamOpts()), ingestApi = false,
+      deadLetterQueue = Some(StreamOpts()),
+      lifeCycle = Some(ExternallyManaged)))
+    assert(p2.deadLetterQueue.get.lifeCycle.contains(ExternallyManaged))
+
+    val p3 = build(PipelineConfig(table = Some(TableOpts()),
+      stream = Some(StreamOpts()), ingestApi = false,
+      deadLetterQueue = Some(StreamOpts(2, Some(FullyManaged))),
+      lifeCycle = Some(ExternallyManaged)))
+    assert(p3.deadLetterQueue.get.lifeCycle.contains(FullyManaged))
+
+    val p4 = build(PipelineConfig(
+      table = Some(TableOpts(orderByFields = Seq("id"))),
+      stream = Some(StreamOpts(parallelism = 1)), ingestApi = false,
+      deadLetterQueue = Some(StreamOpts(parallelism = 1)),
+      lifeCycle = Some(DeletionProtected)))
+    assert(p4.table.get.config.lifeCycle.contains(DeletionProtected))
+    assert(p4.stream.get.lifeCycle.contains(DeletionProtected))
+    assert(p4.deadLetterQueue.get.lifeCycle.contains(DeletionProtected))
+  }
+
+  test("golden: materialized-view-lifecycle.test.ts — the infra map " +
+      "serializes a specified lifeCycle and OMITS an unspecified one") {
+    def mv(name: String, lc: Option[Migration.LifeCycle]) = SqlResource(
+      name,
+      setup = Seq(s"CREATE MATERIALIZED VIEW $name TO target AS " +
+        "SELECT id, value FROM source_table"),
+      teardown = Seq(s"DROP VIEW $name"),
+      lifeCycle = lc)
+
+    val r = new Registry
+    r.addSqlResource(mv("test_mv", Some(DeletionProtected)))       // :47-64
+    r.addSqlResource(mv("external_mv", Some(ExternallyManaged)))   // :66-83
+    r.addSqlResource(mv("default_mv", None))                       // :85-99
+    r.addSqlResource(mv("fully_managed_mv", Some(FullyManaged)))   // :101-118
+
+    val state = r.toInfraState
+    assert(state.lifeCycles.get("test_mv").contains(DeletionProtected))
+    assert(state.lifeCycles.get("external_mv").contains(ExternallyManaged))
+    assert(!state.lifeCycles.contains("default_mv")) // omitted, not defaulted
+    assert(state.lifeCycles.get("fully_managed_mv").contains(FullyManaged))
+    // the planner's view of the omission IS the default
+    assert(state.lifeCycleOf("default_mv") == FullyManaged)
+
+    // table lifecycles serialize through the same map, keyed by
+    // registry id
+    val t = new graft.table.OlapTable(spark, graft.table.OlapTable.Config(
+      "LcTable", schema, orderBy = Seq("id"),
+      lifeCycle = Some(DeletionProtected)), wh)
+    r.addTable(t)
+    assert(r.toInfraState.lifeCycles.get("LcTable")
+      .contains(DeletionProtected))
+  }
+}
