@@ -38,6 +38,14 @@ final class Registry {
   val workflows: LinkedHashMap[String, Registry.WorkflowDef] = LinkedHashMap.empty
   val webApps: LinkedHashMap[String, Registry.WebApp] = LinkedHashMap.empty
 
+  /** Bumped by every registration — the coherence token
+    * [[graft.table.Lineage.Cached]] keys its memo on (the reference
+    * invalidates its lineage cache when the registry mutates,
+    * lineage-analysis.test.ts:388-437). */
+  @volatile private var mutations = 0L
+  def mutationCount: Long = mutations
+  private def mutated(): Unit = mutations += 1
+
   private def refuseDup(map: LinkedHashMap[String, _], key: String,
       what: String): Unit =
     require(!map.contains(key), s"$what '$key' already registered")
@@ -48,18 +56,21 @@ final class Registry {
       s"OlapTable with name ${t.config.name} and version " +
         s"${t.config.version.getOrElse("unversioned")} already exists")
     tables(key) = t
+    mutated()
     t
   }
 
   def addStream(s: MooseStream[_]): MooseStream[_] = {
     refuseDup(streams, s.name, "Stream")
     streams(s.name) = s
+    mutated()
     s
   }
 
   def addIngestApi(p: IngestPipeline[_]): IngestPipeline[_] = {
     refuseDup(ingestApis, p.name, "IngestApi")
     ingestApis(p.name) = p
+    mutated()
     p
   }
 
@@ -95,24 +106,28 @@ final class Registry {
         case None => claim(p, permissive = false)
       }
     }
+    mutated()
     a
   }
 
   def addSqlResource(r: SqlResource): SqlResource = {
     refuseDup(sqlResources, r.name, "SqlResource")
     sqlResources(r.name) = r
+    mutated()
     r
   }
 
   def addWorkflow(w: Registry.WorkflowDef): Registry.WorkflowDef = {
     refuseDup(workflows, w.name, "Workflow")
     workflows(w.name) = w
+    mutated()
     w
   }
 
   def addWebApp(w: Registry.WebApp): Registry.WebApp = {
     refuseDup(webApps, w.name, "WebApp")
     webApps(w.name) = w
+    mutated()
     w
   }
 

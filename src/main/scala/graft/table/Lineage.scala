@@ -1,0 +1,163 @@
+package graft.table
+
+import graft.api.Registry
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.catalog.{CatalogTable, HiveTableRelation}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Lineage analysis (ref packages/ts-moose-lib/src/dmv2/
+  * dependencyAnalysis.ts; matrix tests/lineage-analysis.test.ts): which
+  * registered resources an API / SQL resource PULLS data from, as
+  * `(id, kind)` edges for the infrastructure map.
+  *
+  * The reference walks the HANDLER'S SOURCE (TS AST): `sql` template
+  * calls, helper call chains, transpiled `(0, fn)(...)` shapes,
+  * CommonJS exports — five of its eleven matrix rows exist only to
+  * chase JS compilation artifacts. A Scala closure has no portable
+  * AST, so those rows are non-portable BY CONSTRUCTION; the Spark-first
+  * equivalent is stronger where it counts:
+  *
+  *  - [[ofDataFrame]] — a handler's `DataFrame` is LAZY: building it
+  *    executes nothing, and its analyzed plan already contains the
+  *    TRUE transitive sources (through any depth of helper calls,
+  *    the "secondHop" row), so reads are inferred from the plan, not
+  *    from pattern-matching source text;
+  *  - [[tablesInSql]] — for resources that carry SQL TEXT (SqlResource
+  *    setup, CH-wire queries), identifiers are matched against the
+  *    registry including the VERSIONED physical spelling
+  *    (`Name_0_0` → the registered `Name_0.0`, the
+  *    "pipeline SQL table aliases" row).
+  *
+  * [[Cached]] memoizes per-API analysis and invalidates when the
+  * registry mutates (the "invalidates cached lineage when API registry
+  * mutates" row — keyed on [[Registry]] mutation count, not time).
+  */
+object Lineage {
+
+  /** One infra-map edge (ref toInfraMap pullsDataFrom/pushesDataTo
+    * entries: `{ id, kind }` with kind "Table" | "Topic"). */
+  final case class Edge(id: String, kind: String)
+
+  /** Tables a (lazy, unexecuted) DataFrame reads, resolved against the
+    * registry: file-source relations match a registered table whose
+    * physical directory is a path segment; catalog relations match by
+    * physical table name. A registered-but-never-written table reads
+    * as a synthesized empty relation (no path), so it cannot appear —
+    * lineage reflects the actual plan. */
+  def ofDataFrame(df: DataFrame, registry: Registry): Seq[Edge] = {
+    val plan = df.queryExecution.analyzed
+    val paths = scala.collection.mutable.LinkedHashSet.empty[String]
+    val catalogNames = scala.collection.mutable.LinkedHashSet.empty[String]
+    plan.foreach {
+      case LogicalRelation(fs: HadoopFsRelation, _, catalogTable, _, _) =>
+        fs.location.rootPaths.foreach(p => paths += p.toString)
+        catalogTable.foreach(t => catalogNames += t.identifier.table)
+      case h: HiveTableRelation => catalogNames += h.tableMeta.identifier.table
+      case r if r.getClass.getSimpleName == "DataSourceV2Relation" =>
+        // v2 relations expose a name; match it like a catalog name
+        catalogNames += r.toString.takeWhile(_ != '\n')
+      case _ => ()
+    }
+    registry.tables.values.toSeq.distinct.collect {
+      case t if paths.exists(p =>
+            p == t.path || p.startsWith(t.path + "/") ||
+              p.endsWith("/" + t.config.physicalName)) ||
+          catalogNames.contains(t.config.physicalName) =>
+        Edge(t.config.registryId, "Table")
+    }
+  }
+
+  /** Registered tables an SQL TEXT references (the textual channel —
+    * SqlResource setup statements, CH-wire query strings). Identifiers
+    * are lexed outside string literals; each registered table matches
+    * by registry id, physical name (versioned spelling `Name_0_0`),
+    * or logical name — a logical name carried by MULTIPLE versioned
+    * registrations resolves only when unambiguous, like
+    * [[Registry.getApi]]'s single-version aliasing. */
+  def tablesInSql(sql: String, registry: Registry): Seq[Edge] = {
+    val idents = identifiers(sql)
+    val tables = registry.tables.values.toSeq.distinct
+    val direct = tables.filter(t =>
+      idents.contains(t.config.registryId) ||
+        idents.contains(t.config.physicalName))
+    // logical-name aliasing for names not already matched
+    val byBase = tables.groupBy(_.config.name)
+    val aliased = byBase.collect {
+      case (base, ts) if idents.contains(base) &&
+          !direct.exists(_.config.name == base) && ts.length == 1 =>
+        ts.head
+    }
+    (direct ++ aliased).map(t => Edge(t.config.registryId, "Table"))
+      .distinct
+  }
+
+  /** Pull edges of a SQL resource: its DECLARED pullsDataFrom first
+    * (authoritative, the reference's `pullsDataFrom` config), then
+    * tables its setup texts mention that the declaration missed. */
+  def ofSqlResource(r: SqlResource, registry: Registry): Seq[Edge] = {
+    val declared = r.pullsDataFrom.flatMap(n =>
+      registry.tables.get(n).map(t => Edge(t.config.registryId, "Table"))
+        .orElse(Some(Edge(n, "Table"))))
+    val inferred = r.setup.flatMap(tablesInSql(_, registry))
+    (declared ++ inferred).distinct
+  }
+
+  /** Identifiers of an SQL text: word tokens outside '…' string
+    * literals (backticks and double quotes unwrap — they quote
+    * identifiers in CH SQL). */
+  private[table] def identifiers(sql: String): Set[String] = {
+    val out = scala.collection.mutable.Set.empty[String]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      sql(i) match {
+        case '\'' =>
+          i += 1
+          while (i < n && sql(i) != '\'') {
+            if (sql(i) == '\\' && i + 1 < n) i += 2 else i += 1
+          }
+          i += 1
+        case q @ ('`' | '"') =>
+          val close = sql.indexOf(q, i + 1)
+          val end = if (close < 0) n else close
+          out += sql.substring(i + 1, end)
+          i = if (close < 0) n else close + 1
+        case c if c.isLetter || c == '_' =>
+          val start = i
+          while (i < n && (sql(i).isLetterOrDigit || sql(i) == '_')) i += 1
+          out += sql.substring(start, i)
+          // a dotted continuation (`db.table`, or the registry-id
+          // spelling `Name_0.0`) is captured BOTH split and compound,
+          // so qualified references and dotted version suffixes match
+          var j = i
+          while (j < n && sql(j) == '.' && j + 1 < n &&
+              (sql(j + 1).isLetterOrDigit || sql(j + 1) == '_')) {
+            j += 1
+            val segStart = j
+            while (j < n && (sql(j).isLetterOrDigit || sql(j) == '_')) j += 1
+            out += sql.substring(segStart, j)
+            out += sql.substring(start, j)
+          }
+          i = j
+        case _ => i += 1
+      }
+    }
+    out.toSet
+  }
+
+  /** Registry-coherent memoization (the cache-invalidation row,
+    * lineage-analysis.test.ts:388-437): entries are keyed by
+    * (name, registry mutation count) — any add to the registry
+    * invalidates everything, so a re-registered API under a fresh
+    * registry state never serves stale edges. */
+  final class Cached(registry: Registry) {
+    private var seenMutations = -1L
+    private val memo = scala.collection.mutable.Map.empty[String, Seq[Edge]]
+
+    def edges(key: String)(compute: => Seq[Edge]): Seq[Edge] = {
+      val m = registry.mutationCount
+      if (m != seenMutations) { memo.clear(); seenMutations = m }
+      memo.getOrElseUpdate(key, compute)
+    }
+  }
+}

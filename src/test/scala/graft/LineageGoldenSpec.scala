@@ -1,0 +1,136 @@
+package graft
+
+import graft.api.Registry
+import graft.schema.{MooseColumn, MooseSchema, MooseType}
+import graft.table.{Lineage, OlapTable, SqlResource}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Golden port of packages/ts-moose-lib/tests/lineage-analysis.test.ts
+  * (515 lines) — the PORTABLE rows. Five of its eleven rows chase JS
+  * compilation artifacts (transpiled `(0, fn)(...)` callees, CommonJS
+  * exports, `__makeTemplateObject` fallbacks, ApiHelpers string
+  * indirection) that have no Scala counterpart: our query values are
+  * composed DataFrames / SQL texts, so there is no source-text
+  * recovery problem to solve. The semantic rows port:
+  *
+  *  - transitive pulls through helper call chains → the DataFrame's
+  *    ANALYZED PLAN carries true sources at any call depth (:32-62);
+  *  - table-name fragments in SQL text (:172-205);
+  *  - versioned physical aliases `Name_0_0` resolving to the
+  *    registered versioned table (:207-248);
+  *  - cache invalidation on registry mutation (:388-437);
+  *  - push edges as (id, kind) pairs — declared on our side
+  *    (workflow/webapp handler introspection is the non-portable
+  *    half), shape-asserted here (:439-514).
+  */
+class LineageGoldenSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = SparkTestSession.spark
+  private lazy val wh = Files.createTempDirectory("graft_lin").toString
+
+  private val schema = MooseSchema(Seq(
+    MooseColumn("id", MooseType.MString, primaryKey = true)))
+
+  private def mkTable(r: Registry, name: String,
+      version: Option[String] = None): OlapTable = {
+    val t = new OlapTable(spark,
+      OlapTable.Config(name, schema, orderBy = Seq("id"),
+        version = version), wh)
+    import spark.implicits._
+    t.insert(Seq("r1").toDF("id"))
+    r.addTable(t)
+    t
+  }
+
+  test("golden: :32-62 — transitive pulls_data_from through helper " +
+      "call chains (the analyzed plan sees through any call depth)") {
+    val r = new Registry
+    val table = mkTable(r, "LineageApiTable")
+    // queryBuilder → secondHop → handler: two helper hops, like the
+    // reference's `secondHop()` row
+    def queryBuilder() = table.read().select("id")
+    def secondHop() = queryBuilder()
+    val df = secondHop()
+    val edges = Lineage.ofDataFrame(df, r)
+    assert(edges.contains(Lineage.Edge("LineageApiTable", "Table")))
+  }
+
+  test("golden: :172-205 — pulls inferred from SQL table-name fragments") {
+    val r = new Registry
+    mkTable(r, "LineageSqlFragmentTable")
+    val sql = "SELECT * FROM LineageSqlFragmentTable"
+    assert(Lineage.tablesInSql(sql, r) ==
+      Seq(Lineage.Edge("LineageSqlFragmentTable", "Table")))
+    // quoted spellings match too (identifier unwrap)
+    assert(Lineage.tablesInSql(
+      "SELECT * FROM `LineageSqlFragmentTable`", r).nonEmpty)
+    // a string LITERAL mention is not a reference
+    assert(Lineage.tablesInSql(
+      "SELECT 'LineageSqlFragmentTable'", r).isEmpty)
+  }
+
+  test("golden: :207-248 — versioned pipeline SQL aliases map to the " +
+      "registered versioned table id") {
+    val r = new Registry
+    mkTable(r, "LineagePipelineSqlAlias", version = Some("0.0"))
+    val candidates = r.tables.keys.filter(_.contains("LineagePipelineSqlAlias"))
+    assert(candidates.nonEmpty)
+    // the SQL uses the PHYSICAL spelling (dots → underscores)
+    val pulls = Lineage.tablesInSql(
+      "SELECT * FROM LineagePipelineSqlAlias_0_0", r)
+    assert(pulls.exists(e => e.kind == "Table" && candidates.toSet(e.id)))
+    // the registry id spelling also resolves
+    assert(Lineage.tablesInSql(
+      "SELECT * FROM LineagePipelineSqlAlias_0.0", r).nonEmpty)
+    // and a bare logical name resolves while exactly one version exists
+    assert(Lineage.tablesInSql(
+      "SELECT * FROM LineagePipelineSqlAlias", r).nonEmpty)
+    // …but goes ambiguous (empty) once a second version registers
+    mkTable(r, "LineagePipelineSqlAlias", version = Some("1.0"))
+    assert(Lineage.tablesInSql(
+      "SELECT * FROM LineagePipelineSqlAlias", r).isEmpty)
+  }
+
+  test("golden: :388-437 — cached lineage invalidates when the " +
+      "registry mutates") {
+    val r = new Registry
+    mkTable(r, "LineageCacheTableA")
+    val cache = new Lineage.Cached(r)
+    val first = cache.edges("api")(
+      Lineage.tablesInSql("SELECT id FROM LineageCacheTableA", r))
+    assert(first == Seq(Lineage.Edge("LineageCacheTableA", "Table")))
+    // a HIT: compute not re-run (poison the thunk to prove it)
+    val hit = cache.edges("api")(sys.error("must not recompute"))
+    assert(hit == first)
+    // registry mutates → stale entry dropped, new compute runs
+    mkTable(r, "LineageCacheTableB")
+    val second = cache.edges("api")(
+      Lineage.tablesInSql("SELECT id FROM LineageCacheTableB", r))
+    assert(second == Seq(Lineage.Edge("LineageCacheTableB", "Table")))
+    assert(!second.contains(Lineage.Edge("LineageCacheTableA", "Table")))
+  }
+
+  test("golden: :439-514 — push/pull edges as (id, kind) pairs; " +
+      "SqlResource lineage merges declared and inferred") {
+    val r = new Registry
+    mkTable(r, "LineageWorkflowTable")
+    // our workflows DECLARE writes (closure introspection is the
+    // non-portable half); the infra-map edge shape is what's pinned
+    val pushes = Seq(
+      Lineage.Edge("LineageWorkflowTopic", "Topic"),
+      Lineage.Edge("LineageWorkflowTable", "Table"))
+    assert(pushes.contains(Lineage.Edge("LineageWorkflowTopic", "Topic")))
+    assert(pushes.contains(Lineage.Edge("LineageWorkflowTable", "Table")))
+
+    // SqlResource: declared edges first, SQL-text inference fills gaps
+    mkTable(r, "MvSource")
+    val res = SqlResource("mv",
+      setup = Seq("CREATE VIEW v AS SELECT id FROM MvSource " +
+        "JOIN LineageWorkflowTable USING (id)"),
+      pullsDataFrom = Seq("MvSource"))
+    val edges = Lineage.ofSqlResource(res, r)
+    assert(edges.head == Lineage.Edge("MvSource", "Table"))
+    assert(edges.contains(Lineage.Edge("LineageWorkflowTable", "Table")))
+  }
+}
