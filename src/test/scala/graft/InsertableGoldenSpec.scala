@@ -1,0 +1,92 @@
+package graft
+
+import graft.schema.{MooseColumn, MooseSchema, MooseType}
+import graft.table.OlapTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Golden port of packages/ts-moose-lib/tests/insertable-validation
+  * .test.ts (291 lines): the compiler plugin there generates
+  * `Insertable<T>` validators — records may OMIT computed
+  * (ALIAS/MATERIALIZED) columns but must carry every required
+  * non-computed field. The tsc/typia transform mechanics (6-arg
+  * constructor rewriting, emitted validator eval) are TS-compiler
+  * plumbing; the VALIDATION CONTRACT ports onto
+  * [[MooseSchema.insertable]] + the validated insert path
+  * ([[OlapTable.insert]], S16).
+  */
+class InsertableGoldenSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  // the matrix's UserEvents model: id Key<string>, timestamp DateTime,
+  // userId string, eventDate Date & ClickHouseAlias/Materialized
+  private def userEvents(computed: String) = MooseSchema(Seq(
+    MooseColumn("id", MooseType.MString, primaryKey = true),
+    MooseColumn("timestamp", MooseType.MDateTime(0)),
+    MooseColumn("userId", MooseType.MString),
+    MooseColumn("eventDate", MooseType.MDate, nullable = true,
+      // the TS model writes CH's `toDate(timestamp)`; our computed
+      // exprs are Spark SQL, so the same intent spells to_date
+      aliasExpr = if (computed == "alias") Some("to_date(timestamp)") else None,
+      materialized =
+        if (computed == "materialized") Some("to_date(timestamp)") else None)))
+
+  test("golden: :168-208 — ALIAS and MATERIALIZED columns are both " +
+      "excluded from the insert contract; a plain table's contract is " +
+      "its full column list") {
+    assert(userEvents("alias").insertable.fieldNames.toSeq ==
+      Seq("id", "timestamp", "userId"))
+    assert(userEvents("materialized").insertable.fieldNames.toSeq ==
+      Seq("id", "timestamp", "userId"))
+    // :210-228 — no computed columns: contract = all columns (the
+    // validator surface is generated identically either way)
+    val plain = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MString, primaryKey = true),
+      MooseColumn("timestamp", MooseType.MDateTime(0)),
+      MooseColumn("userId", MooseType.MString)))
+    assert(plain.insertable.fieldNames.toSeq ==
+      Seq("id", "timestamp", "userId"))
+  }
+
+  test("golden: :230-259 — a record omitting the ALIAS field is VALID " +
+      "and lands; the alias is served computed at read") {
+    val wh = Files.createTempDirectory("graft_ins").toString
+    val t = new OlapTable(spark,
+      OlapTable.Config("UserEvents", userEvents("alias"),
+        orderBy = Seq("id")), wh)
+    val record = Seq(("abc", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      "user-1")).toDF("id", "timestamp", "userId")
+    val (report, dlq) = t.insert(record)
+    assert(report.written == 1 && dlq.forall(_.isEmpty))
+    val out = t.read().orderBy("id").collect()
+    assert(out.head.getAs[String]("id") == "abc")
+    // the ALIAS column exists at read, computed from timestamp
+    assert(out.head.getAs[java.sql.Date]("eventDate").toString ==
+      "2024-01-01")
+  }
+
+  test("golden: :261-290 — a record missing a required non-computed " +
+      "field is INVALID (is(record) false → refused/dead-lettered)") {
+    val wh = Files.createTempDirectory("graft_ins2").toString
+    val t = new OlapTable(spark,
+      OlapTable.Config("UserEvents2", userEvents("alias"),
+        orderBy = Seq("id")), wh)
+    // userId missing entirely — a SCHEMA mismatch, refused loudly
+    val missingCol = Seq(("abc", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "timestamp")
+    intercept[Exception] { t.insert(missingCol) }
+    // userId present but NULL on a required column — row-level
+    // invalid: Isolate dead-letters it, the valid row lands
+    val withNull = Seq(
+      ("ok", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "user-1"),
+      ("bad", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), null))
+      .toDF("id", "timestamp", "userId")
+    val (report, dlq) = t.insert(withNull,
+      OlapTable.InsertStrategy.Isolate, dlqSource = "spec")
+    assert(report.written == 1)
+    assert(dlq.exists(d => d.count() == 1))
+  }
+}
