@@ -139,6 +139,36 @@ class RegistryGoldenSpec extends AnyFunSuite {
       Registry.WebApp("Bad", handler, "no-slash"))
   }
 
+  test("golden: py test_olap_table_versioning.py:167-207 — the Python " +
+      "rows beyond the TS port (semver keys with two dots; infra map " +
+      "carries version and engine). The other four Py rows " +
+      "(coexist/unversioned-coexist/duplicate/versioned-keys) are the " +
+      "same matrix as olap-table-versioning.test.ts, ported in round " +
+      "16 + the duplicate-refusals case below") {
+    val r = new Registry
+    val t = r.addTable(new OlapTable(spark,
+      OlapTable.Config("SemanticVersionTest", testSchema,
+        engine = graft.table.TableEngine.MergeTree,
+        orderBy = Seq("id"), version = Some("1.2.3")), wh))
+    assert(r.tables.contains("SemanticVersionTest_1.2.3"))
+    assert(r.getTable("SemanticVersionTest_1.2.3").contains(t))
+    // physical name folds BOTH dots (generateTableName convention)
+    assert(t.config.physicalName == "SemanticVersionTest_1_2_3")
+    // infra map keyed by the versioned key, carrying the version
+    val infra = r.toInfraState
+    assert(infra.tables.contains("SemanticVersionTest_1.2.3"))
+    assert(infra.tables("SemanticVersionTest_1.2.3").version.contains("1.2.3"))
+    // legacy-engine row: engine rides into the infra map
+    val leg = r.addTable(new OlapTable(spark,
+      OlapTable.Config("LegacyEngineTest", testSchema,
+        engine = graft.table.TableEngine.ReplacingMergeTree(),
+        orderBy = Seq("id"), version = Some("1.0")), wh))
+    val infra2 = r.toInfraState
+    assert(infra2.tables.contains("LegacyEngineTest_1.0"))
+    assert(infra2.tables("LegacyEngineTest_1.0").engine
+      .isInstanceOf[graft.table.TableEngine.ReplacingMergeTree])
+  }
+
   test("duplicate refusals: table (name, version) identity; API " +
       "(name, version); path collisions refuse, bare path is " +
       "first-come (consumptionApi.ts:87-136)") {
