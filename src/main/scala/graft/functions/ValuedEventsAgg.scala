@@ -1,0 +1,266 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bytes-payload companion to [[EventsAgg.PairBuffer]] (round 17,
+  * verdict r16 #3): the per-key event state for folds whose payload
+  * carries the event VALUE (a string) and so cannot ride the two-long
+  * buffer — CH `sequenceNextNode` (AggregateFunctionSequenceNextNode
+  * likewise stores each event's value bytes in its per-key arena).
+  *
+  * Layout: three parallel primitive arrays — `ts` (event micros),
+  * `meta` (condition mask in bits 0..31, base flag at bit 32, value
+  * NULL flag at bit 33), `starts` (offsets into one growable byte
+  * array holding every value's UTF-8 bytes back-to-back). All three
+  * grow by doubling:
+  *  - update appends two longs + the value bytes (amortized O(len));
+  *  - merge is three `System.arraycopy`s plus an offset shift —
+  *    amortized O(total) across all partial merges, like PairBuffer;
+  *  - serialize is the raw arrays (no per-element encoding);
+  *  - eval sorts an INDEX permutation (the bytes never move) and runs
+  *    the fold directly — the per-key output is ONE string, so a
+  *    skewed key never materializes an `array<struct>` of its events.
+  */
+object ValuedEventsAgg {
+
+  final class ValuedBuffer(initial: Int = 16) {
+    var ts: Array[Long] = new Array[Long](initial)
+    var meta: Array[Long] = new Array[Long](initial)
+    var starts: Array[Int] = new Array[Int](initial + 1)
+    var n: Int = 0
+    var bytes: Array[Byte] = new Array[Byte](64)
+    var bytesLen: Int = 0
+
+    private def ensureEvents(extra: Int): Unit =
+      if (n + extra > ts.length) {
+        var cap = ts.length * 2
+        while (cap < n + extra) cap *= 2
+        ts = java.util.Arrays.copyOf(ts, cap)
+        meta = java.util.Arrays.copyOf(meta, cap)
+        starts = java.util.Arrays.copyOf(starts, cap + 1)
+      }
+
+    private def ensureBytes(extra: Int): Unit =
+      if (bytesLen + extra > bytes.length) {
+        var cap = bytes.length * 2
+        while (cap < bytesLen + extra) cap *= 2
+        bytes = java.util.Arrays.copyOf(bytes, cap)
+      }
+
+    /** valueBytes == null encodes a NULL value (flag bit 33). */
+    def append(t: Long, mask: Long, baseFlag: Boolean,
+        valueBytes: Array[Byte], off: Int, len: Int): Unit = {
+      ensureEvents(1)
+      ts(n) = t
+      var m = mask
+      if (baseFlag) m |= 1L << 32
+      if (valueBytes == null) m |= 1L << 33
+      meta(n) = m
+      starts(n) = bytesLen
+      if (valueBytes != null) {
+        ensureBytes(len)
+        System.arraycopy(valueBytes, off, bytes, bytesLen, len)
+        bytesLen += len
+      }
+      n += 1
+      starts(n) = bytesLen
+    }
+
+    def appendAll(o: ValuedBuffer): Unit = {
+      ensureEvents(o.n)
+      ensureBytes(o.bytesLen)
+      System.arraycopy(o.ts, 0, ts, n, o.n)
+      System.arraycopy(o.meta, 0, meta, n, o.n)
+      var i = 0
+      while (i < o.n) { starts(n + i) = o.starts(i) + bytesLen; i += 1 }
+      System.arraycopy(o.bytes, 0, bytes, bytesLen, o.bytesLen)
+      bytesLen += o.bytesLen
+      n += o.n
+      starts(n) = bytesLen
+    }
+
+    @inline def mask(i: Int): Long = meta(i) & 0xFFFFFFFFL
+    @inline def baseFlag(i: Int): Boolean = (meta(i) & (1L << 32)) != 0
+    @inline def valueIsNull(i: Int): Boolean = (meta(i) & (1L << 33)) != 0
+    def valueOf(i: Int): UTF8String =
+      if (valueIsNull(i)) null
+      else UTF8String.fromBytes(bytes, starts(i), starts(i + 1) - starts(i))
+
+    /** Unsigned byte compare of two events' values; NULL sorts FIRST
+      * (Spark's ascending null ordering — the array_sort placement the
+      * old struct shape had). */
+    private def cmpValues(i: Int, j: Int): Int = {
+      val ni = valueIsNull(i); val nj = valueIsNull(j)
+      if (ni || nj) return java.lang.Boolean.compare(nj, ni) // null first
+      val si = starts(i); val li = starts(i + 1) - si
+      val sj = starts(j); val lj = starts(j + 1) - sj
+      var p = 0
+      val lim = math.min(li, lj)
+      while (p < lim) {
+        val c = java.lang.Byte.compareUnsigned(bytes(si + p), bytes(sj + p))
+        if (c != 0) return c
+        p += 1
+      }
+      java.lang.Integer.compare(li, lj)
+    }
+
+    /** The `array_sort(collect_list(struct(us, v, m, b)))` element
+      * order as an index permutation: (ts, value, mask, base)
+      * ascending. Index sort — the byte arena never moves. */
+    def sortedIndices(): Array[Integer] = {
+      val idx = new Array[Integer](n)
+      var i = 0
+      while (i < n) { idx(i) = i; i += 1 }
+      java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+        override def compare(a: Integer, b: Integer): Int = {
+          val i = a.intValue(); val j = b.intValue()
+          var c = java.lang.Long.compare(ts(i), ts(j))
+          if (c != 0) return c
+          c = cmpValues(i, j)
+          if (c != 0) return c
+          c = java.lang.Long.compare(mask(i), mask(j))
+          if (c != 0) c
+          else java.lang.Boolean.compare(baseFlag(i), baseFlag(j))
+        }
+      })
+      idx
+    }
+
+    def toBytes: Array[Byte] = {
+      val out = new Array[Byte](4 + n * 8 + n * 8 + (n + 1) * 4 + 4 + bytesLen)
+      val bb = java.nio.ByteBuffer.wrap(out)
+      bb.putInt(n)
+      var i = 0
+      while (i < n) { bb.putLong(ts(i)); i += 1 }
+      i = 0
+      while (i < n) { bb.putLong(meta(i)); i += 1 }
+      i = 0
+      while (i <= n) { bb.putInt(starts(i)); i += 1 }
+      bb.putInt(bytesLen)
+      bb.put(bytes, 0, bytesLen)
+      out
+    }
+  }
+
+  def fromBytes(b: Array[Byte]): ValuedBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val n = bb.getInt()
+    val buf = new ValuedBuffer(math.max(8, n))
+    var i = 0
+    while (i < n) { buf.ts(i) = bb.getLong(); i += 1 }
+    i = 0
+    while (i < n) { buf.meta(i) = bb.getLong(); i += 1 }
+    i = 0
+    while (i <= n) { buf.starts(i) = bb.getInt(); i += 1 }
+    val bl = bb.getInt()
+    if (bl > buf.bytes.length) buf.bytes = new Array[Byte](bl)
+    bb.get(buf.bytes, 0, bl)
+    buf.bytesLen = bl
+    buf.n = n
+    buf
+  }
+}
+
+/** CH `sequenceNextNode(direction, base)(ts, value, baseCond, cond1…)`
+  * as ONE fused primitive aggregate (round 17; the fold semantics and
+  * determinism stances are [[graft.operators.Funnel.sequenceNextNode]]'s
+  * — this replaces its `array_sort(collect_list(struct))` + HOF plan
+  * shape, the last boxed per-event fold, verdict r16 #1/#3):
+  * collects (ts-micros, mask, baseFlag, value-bytes) per key, sorts an
+  * index permutation at eval, scans forward or backward, and returns
+  * the follower VALUE of the matched chain — or NULL. Events with a
+  * NULL timestamp are invisible (the [[EventsAgg]] family stance).
+  *
+  * `head`/`tail`: the chain must hold at the FIRST base-flagged event
+  * of the scan (one shot — no retry at later base events, CH's own
+  * base anchoring). `first_match`/`last_match`: the first chain match
+  * that HAS a follower, anywhere in the scan. `backward` scans the
+  * (ts, value)-sorted stream in reverse with the conditions applied in
+  * listed order along the reversed stream. */
+case class SequenceNextNodeAgg(
+    tsExpr: Expression, valueExpr: Expression,
+    baseExpr: Expression, maskExpr: Expression,
+    forward: Boolean, anchoredBase: Boolean, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ValuedEventsAgg.ValuedBuffer] {
+
+  require(k >= 1 && k <= 32, s"sequenceNextNode: 1..32 conditions, got $k")
+
+  override def createAggregationBuffer(): ValuedEventsAgg.ValuedBuffer =
+    new ValuedEventsAgg.ValuedBuffer()
+
+  override def update(buf: ValuedEventsAgg.ValuedBuffer,
+      input: InternalRow): ValuedEventsAgg.ValuedBuffer = {
+    val t = tsExpr.eval(input)
+    if (t != null) {
+      val m = maskExpr.eval(input)
+      val b = baseExpr.eval(input)
+      val v = valueExpr.eval(input).asInstanceOf[UTF8String]
+      // copy NOW — the UTF8String may alias a reused row buffer
+      val vb = if (v == null) null else v.getBytes
+      buf.append(t.asInstanceOf[Long],
+        if (m == null) 0L else m.asInstanceOf[Long],
+        b != null && b.asInstanceOf[Boolean],
+        vb, 0, if (vb == null) 0 else vb.length)
+    }
+    buf
+  }
+
+  override def merge(a: ValuedEventsAgg.ValuedBuffer,
+      b: ValuedEventsAgg.ValuedBuffer): ValuedEventsAgg.ValuedBuffer = {
+    a.appendAll(b); a
+  }
+
+  override def eval(buf: ValuedEventsAgg.ValuedBuffer): Any = {
+    val n = buf.n
+    if (n == 0) return null
+    val idx = buf.sortedIndices()
+    // scan order: forward = ascending, backward = descending
+    @inline def at(p: Int): Int =
+      if (forward) idx(p).intValue() else idx(n - 1 - p).intValue()
+    @inline def chainHolds(p: Int): Boolean = {
+      var j = 0
+      while (j < k) {
+        if ((buf.mask(at(p + j)) & (1L << j)) == 0) return false
+        j += 1
+      }
+      true
+    }
+    if (anchoredBase) {
+      var p = 0
+      while (p < n && !buf.baseFlag(at(p))) p += 1
+      if (p < n && p + k < n && chainHolds(p)) buf.valueOf(at(p + k))
+      else null
+    } else {
+      var p = 0
+      while (p + k < n) {
+        if (chainHolds(p)) return buf.valueOf(at(p + k))
+        p += 1
+      }
+      null
+    }
+  }
+
+  override def serialize(buf: ValuedEventsAgg.ValuedBuffer): Array[Byte] =
+    buf.toBytes
+  override def deserialize(b: Array[Byte]): ValuedEventsAgg.ValuedBuffer =
+    ValuedEventsAgg.fromBytes(b)
+
+  override def withNewMutableAggBufferOffset(o: Int): SequenceNextNodeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SequenceNextNodeAgg =
+    copy(inputAggBufferOffset = o)
+  override def children: Seq[Expression] =
+    Seq(tsExpr, valueExpr, baseExpr, maskExpr)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): SequenceNextNodeAgg =
+    copy(tsExpr = c(0), valueExpr = c(1), baseExpr = c(2), maskExpr = c(3))
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def prettyName: String = "sequence_next_node"
+}

@@ -83,6 +83,19 @@ object SeqStress {
           skew.withColumn("ts_min", date_trunc("minute", col("ts"))),
           "user_id", "ts_min", "(?1)(?t==60)(?2)", conds.take(2)))
     }
+
+    // 3. the VALUE-carrying fold (round 17: sequenceNextNode on the
+    // bytes-payload SequenceNextNodeAgg) — same two axes: the per-key
+    // state now includes every event's value bytes, so this probes the
+    // byte-arena growth/merge on fan-out and on one pathological key
+    if (mode == "all" || mode == "next") {
+      timed("seq_next_node_fanout")(
+        Funnel.sequenceNextNode(fanout, "user_id", "ts", "event_type",
+          "forward", "first_match", lit(true), conds.take(2)))
+      timed("seq_next_node_skew1user")(
+        Funnel.sequenceNextNode(skew, "user_id", "ts", "event_type",
+          "forward", "first_match", lit(true), conds.take(2)))
+    }
     spark.stop()
   }
 }

@@ -162,4 +162,80 @@ class EventsAggSpec extends AnyFunSuite {
     assert(out(1).getSeq[org.apache.spark.sql.Row](1).isEmpty)
     assert(out(2).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(0L))
   }
+
+  test("SequenceNextNodeAgg == plain-Scala reference across a real " +
+      "shuffle, all four (direction, base) pairs (round 17: the " +
+      "bytes-payload fold)") {
+    import java.sql.Timestamp
+    val rnd = new Random(41)
+    val types = Vector("a", "b", "c", "x")
+    val epoch = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (1 to 6000).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(60), types(rnd.nextInt(4)))
+    }
+    val df = rows.map { case (u, s, t) => (u, new Timestamp(epoch + s * 1000L), t) }
+      .toDF("user_id", "ts", "event_type").repartition(16)
+    val chain = Seq("a", "b")
+    val conds = chain.map(c => col("event_type") === c)
+
+    def sortedOf(u: Long) = rows.filter(_._1 == u).map(e => (e._2, e._3)).sorted
+    def ref(u: Long, forward: Boolean, anchored: Boolean): Option[String] = {
+      val evs0 = sortedOf(u)
+      val evs = if (forward) evs0 else evs0.reverse
+      val k = chain.length
+      if (anchored) { // base flag = true everywhere, so anchor = event 0
+        if (evs.length > k && chain.indices.forall(j => evs(j)._2 == chain(j)))
+          Some(evs(k)._2)
+        else None
+      } else (0 until evs.length - k)
+        .find(i => chain.indices.forall(j => evs(i + j)._2 == chain(j)))
+        .map(i => evs(i + k)._2)
+    }
+    for ((dir, base) <- Seq(("forward", "head"), ("forward", "first_match"),
+        ("backward", "tail"), ("backward", "last_match"))) {
+      val got = graft.operators.Funnel.sequenceNextNode(df, "user_id", "ts",
+          "event_type", dir, base, lit(true), conds)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      rows.map(_._1).distinct.foreach { u =>
+        assert(got(u) == ref(u, dir == "forward",
+          base == "head" || base == "tail"), s"($dir, $base) user $u")
+      }
+    }
+    // NULL values sort first among ties and return as NULL followers;
+    // NULL timestamps are invisible (family stance)
+    val withNulls = Seq[(Long, Option[Timestamp], Option[String])](
+      (1L, Some(new Timestamp(epoch)), Some("a")),
+      (1L, Some(new Timestamp(epoch + 1000)), Some("b")),
+      (1L, Some(new Timestamp(epoch + 2000)), None),  // follower is NULL value
+      (2L, Some(new Timestamp(epoch)), Some("a")),
+      (2L, None, Some("b")),                           // invisible
+      (2L, Some(new Timestamp(epoch + 1000)), Some("b")),
+      (2L, Some(new Timestamp(epoch + 2000)), Some("c")))
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Funnel.sequenceNextNode(withNulls, "user_id",
+        "ts", "event_type", "forward", "first_match", lit(true), conds)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).isEmpty)           // matched chain, NULL follower value
+    assert(out(2L).contains("c"))     // null-ts event skipped, chain holds
+  }
+
+  test("ValuedBuffer serialize/deserialize/appendAll roundtrip with " +
+      "byte-arena offset shifting") {
+    import graft.functions.ValuedEventsAgg
+    val a = new ValuedEventsAgg.ValuedBuffer()
+    a.append(5L, 3L, baseFlag = true, "hello".getBytes("UTF-8"), 0, 5)
+    a.append(2L, 0L, baseFlag = false, null, 0, 0)
+    val b = new ValuedEventsAgg.ValuedBuffer()
+    b.append(9L, 1L, baseFlag = false, "wörld".getBytes("UTF-8"), 0,
+      "wörld".getBytes("UTF-8").length)
+    val rt = ValuedEventsAgg.fromBytes(a.toBytes)
+    assert(rt.n == 2 && rt.ts.take(2).toSeq == Seq(5L, 2L))
+    assert(rt.valueOf(0).toString == "hello" && rt.valueOf(1) == null)
+    assert(rt.baseFlag(0) && !rt.baseFlag(1) && rt.mask(0) == 3L)
+    rt.appendAll(b)
+    assert(rt.n == 3 && rt.valueOf(2).toString == "wörld")
+    assert(rt.valueOf(0).toString == "hello") // offsets unharmed
+    val idx = rt.sortedIndices().map(_.intValue()).toSeq
+    assert(idx == Seq(1, 0, 2)) // ts ascending: 2, 5, 9
+  }
 }
