@@ -414,6 +414,30 @@ object InfraPlan {
       apiChanges = apiChanges)
   }
 
+  /** Pre-apply drift check (round 17; ref apps/framework-cli-e2e/test/
+    * migration.test.ts:300-334 — `moose migrate` records the remote
+    * state the plan was generated FROM and refuses when the database
+    * has moved since): `snapshot` is the state captured at plan
+    * generation, `current` the state re-described now. Any non-empty
+    * diff between them — a column added by hand, a table dropped —
+    * aborts with the reference's own message; applying a plan whose
+    * premises no longer hold would silently clobber the manual change
+    * or corrupt the rewrite. */
+  def driftGuard(snapshot: State, current: State): Unit = {
+    val drift = diff(snapshot, current)
+    if (!drift.isEmpty) {
+      val changed = drift.steps.map {
+        case TableStep(op) => s"table ${op.table}: ${op.getClass.getSimpleName}"
+        case TeardownResource(r) => s"resource ${r.name}: removed/changed"
+        case SetupResource(r) => s"resource ${r.name}: added/changed"
+      }.distinct
+      throw new IllegalStateException(
+        "The database state has changed since the migration plan was " +
+          "generated — regenerate the plan. Drift: " +
+          changed.mkString("; "))
+    }
+  }
+
   /** Execute a plan: teardown/setup SQL runs through the session;
     * table steps group per table and apply through
     * [[TableMigrator.execute]] (so the ALTER-op semantics — one

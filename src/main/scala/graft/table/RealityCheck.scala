@@ -66,8 +66,15 @@ object RealityCheck {
     else {
       // footer-only schema read; nanos timestamps (the testdata shape)
       // surface as LongType under the legacy flag Tables.load uses —
-      // acceptable here because we only COMPARE serveability
-      try Right(Some(spark.read.parquet(path).schema))
+      // acceptable here because we only COMPARE serveability.
+      // mergeSchema (round 17): WITHOUT it Spark samples ONE footer,
+      // so an out-of-band write that added a column in a newer file
+      // was invisible to the audit — exactly the drift this check
+      // exists to catch (found by the migration-scenario port). The
+      // union read visits every footer; that is a distributed
+      // metadata job, the right price for an explicit audit.
+      try Right(Some(
+        spark.read.option("mergeSchema", "true").parquet(path).schema))
       catch { case e: Exception =>
         Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
     }

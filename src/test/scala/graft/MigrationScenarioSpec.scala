@@ -1,0 +1,222 @@
+package graft
+
+import graft.schema.{Migration, MooseColumn, MooseSchema, MooseType}
+import graft.table.{InfraPlan, OlapTable, RealityCheck, SqlResource, TableMigrator}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Scenario port of the reference's e2e migration suites
+  * (apps/framework-cli-e2e/test/migration.test.ts 337 lines,
+  * backward-compatibility.test.ts 574 lines) — multi-step schema
+  * evolution driven END-TO-END over real parquet tables:
+  *
+  *  1. first-time migration (happy path): plan from code vs an empty
+  *     remote is all creates; applying it materializes the tables; an
+  *     immediate re-plan is EMPTY ("no changes detected");
+  *  2. drift detection: a plan generated from a state snapshot refuses
+  *     to apply once the database moved (the reference's
+  *     "The database state has changed since the migration plan was
+  *     generated"), and storage modified behind the registry's back is
+  *     what [[RealityCheck]] reports;
+  *  3. backward compatibility: infra round-tripped through its
+  *     re-described state re-plans with NO additions and NO removals —
+  *     the breaking-change detector the reference runs across CLI
+  *     versions (its +/-/~ plan-line classification);
+  *  4. a three-step evolution (v1 create+data → v2 add-with-default +
+  *     widen → v3 drop + index) where every step's data stays readable
+  *     after the next step — the "old data still readable" invariant.
+  */
+class MigrationScenarioSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def wh(): String =
+    Files.createTempDirectory("graft_mig_e2e").toString
+
+  // the template's models: Bar (base) + BarAggregated (derived)
+  private def barV1 = OlapTable.Config("Bar", MooseSchema(Seq(
+    MooseColumn("primary_key", MooseType.MString, primaryKey = true),
+    MooseColumn("utc_timestamp", MooseType.MDateTime(0)),
+    MooseColumn("has_text", MooseType.MBoolean),
+    MooseColumn("text_length", MooseType.MInt32))),
+    orderBy = Seq("primary_key"))
+  private def barAgg = OlapTable.Config("BarAggregated", MooseSchema(Seq(
+    MooseColumn("day", MooseType.MDate, primaryKey = true),
+    MooseColumn("rows", MooseType.MInt64))),
+    orderBy = Seq("day"))
+
+  test("scenario: first-time migration is all creates; apply " +
+      "materializes tables; re-plan is empty (migration.test.ts:146-231)") {
+    val dir = wh()
+    val code = InfraPlan.State(tables =
+      Map("Bar" -> barV1, "BarAggregated" -> barAgg))
+    val empty = InfraPlan.State(tables = Map.empty)
+    val plan = InfraPlan.diff(empty, code)
+    // plan.yaml's `operations:` — here the typed steps, one create each
+    val creates = plan.steps.collect {
+      case InfraPlan.TableStep(c: TableMigrator.CreateTable) => c.config.name
+    }
+    assert(creates.sorted == Seq("Bar", "BarAggregated"))
+    val handles = InfraPlan.apply(spark, dir, empty, code)
+    assert(handles.keySet == Set("Bar", "BarAggregated"))
+    // tables exist and accept data
+    handles("Bar").insert(Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), true, 5))
+      .toDF("primary_key", "utc_timestamp", "has_text", "text_length"))
+    assert(handles("Bar").read().count() == 1)
+    handles("BarAggregated").insert(Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 1L)).toDF("day", "rows"))
+    // re-plan against the just-applied state: no changes detected
+    assert(InfraPlan.diff(code, code).isEmpty)
+    // and reality matches the declaration (the stored parquet serves
+    // every declared column)
+    val disc = RealityCheck.check(spark, dir, Seq(barV1, barAgg))
+    assert(disc.isEmpty, disc.toString)
+  }
+
+  test("scenario: drift between plan generation and apply refuses " +
+      "with the reference's message (migration.test.ts:234-336)") {
+    val dir = wh()
+    val snapshot = InfraPlan.State(tables = Map("Bar" -> barV1))
+    InfraPlan.apply(spark, dir, InfraPlan.State(tables = Map.empty), snapshot)
+    // plan generated from `snapshot`… then the DB moves: drift_column
+    // appears (the test's manual ALTER TABLE)
+    val drifted = barV1.copy(schema = MooseSchema(
+      barV1.schema.columns :+
+        MooseColumn("drift_column", MooseType.MString, nullable = true)))
+    val current = InfraPlan.State(tables = Map("Bar" -> drifted))
+    val e = intercept[IllegalStateException](
+      InfraPlan.driftGuard(snapshot, current))
+    assert(e.getMessage.contains(
+      "The database state has changed since the migration plan was generated"))
+    assert(e.getMessage.contains("Bar"))
+    // no drift → guard passes silently
+    InfraPlan.driftGuard(snapshot, snapshot)
+
+    // the STORAGE-level flavor: a column written behind the registry's
+    // back is drift RealityCheck reports against the declaration
+    val t = new OlapTable(spark, barV1, dir)
+    t.insert(Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      true, 5)).toDF("primary_key", "utc_timestamp", "has_text",
+      "text_length"))
+    Seq(("x", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), false, 1,
+        "handwritten"))
+      .toDF("primary_key", "utc_timestamp", "has_text", "text_length",
+        "drift_column")
+      .write.mode("append").parquet(s"$dir/Bar")
+    val disc = RealityCheck.check(spark, dir, Seq(barV1))
+    assert(!disc.isEmpty, "hand-modified storage must be reported")
+  }
+
+  test("scenario: backward compatibility — re-described infra " +
+      "re-plans with NO additions and NO removals " +
+      "(backward-compatibility.test.ts:472-574)") {
+    val dir = wh()
+    val res = SqlResource("bar_view",
+      setup = Seq("CREATE OR REPLACE TEMP VIEW bar_view AS " +
+        "SELECT primary_key FROM Bar"),
+      teardown = Seq("DROP VIEW IF EXISTS bar_view"),
+      pullsDataFrom = Seq("Bar"))
+    val v1 = InfraPlan.State(
+      tables = Map("Bar" -> barV1, "BarAggregated" -> barAgg),
+      resources = Map("bar_view" -> res))
+    InfraPlan.apply(spark, dir, InfraPlan.State(tables = Map.empty), v1)
+    // "new CLI" re-describes the same infra — a re-rendered spelling
+    // of the view and a re-parsed spelling of the schema (the DDL
+    // round-trip through render → parse, the r16 normalization seam)
+    val reDescribed = InfraPlan.State(
+      tables = v1.tables.map { case (n, c) =>
+        val ddl = c.schema.columns.map(graft.schema.ChTypeRender.columnClause)
+          .mkString(s"CREATE TABLE $n (\n  ", ",\n  ",
+            s"\n) ENGINE = MergeTree ORDER BY (${c.orderBy.mkString(", ")})")
+        n -> graft.table.ChDdl.parseCreateTable(ddl)
+          .copy(primaryKeyExpression = None,
+            schema = MooseSchema(graft.table.ChDdl.parseCreateTable(ddl)
+              .schema.columns.map(col =>
+                col.copy(primaryKey = c.schema.columns
+                  .exists(o => o.name == col.name && o.primaryKey)))))
+      },
+      resources = Map("bar_view" -> res.copy(setup = Seq(
+        "CREATE   OR REPLACE TEMP VIEW bar_view AS\n  SELECT " +
+          "`primary_key` FROM Bar")))) // re-rendered spelling
+    val plan = InfraPlan.diff(v1, reDescribed)
+    val added = plan.steps.collect {
+      case InfraPlan.TableStep(c: TableMigrator.CreateTable) => c.config.name }
+    val removed = plan.steps.collect {
+      case InfraPlan.TableStep(d: TableMigrator.DropTable) => d.table }
+    assert(added.isEmpty, s"BREAKING: re-plan wants to ADD $added")
+    assert(removed.isEmpty, s"BREAKING: re-plan wants to REMOVE $removed")
+    assert(plan.isEmpty, s"no changes detected expected, got ${plan.steps}")
+  }
+
+  test("scenario: three-step evolution keeps every step's data " +
+      "readable (v1 data → v2 add-with-default + widen → v3 drop + " +
+      "index; lifecycle withholds the v3 drop under DeletionProtected)") {
+    val dir = wh()
+    // v1: create + first batch
+    val v1 = InfraPlan.State(tables = Map("Bar" -> barV1))
+    val h1 = InfraPlan.apply(spark, dir,
+      InfraPlan.State(tables = Map.empty), v1)
+    h1("Bar").insert(Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), true, 5),
+      ("b", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), false, 0))
+      .toDF("primary_key", "utc_timestamp", "has_text", "text_length"))
+
+    // v2: add `source` with a DEFAULT + widen text_length Int32→Int64
+    val barV2 = barV1.copy(schema = MooseSchema(Seq(
+      barV1.schema.columns(0), barV1.schema.columns(1),
+      barV1.schema.columns(2),
+      MooseColumn("text_length", MooseType.MInt64),
+      MooseColumn("source", MooseType.MString, nullable = true,
+        default = Some("'legacy'")))))
+    val v2 = InfraPlan.State(tables = Map("Bar" -> barV2))
+    val h2 = InfraPlan.apply(spark, dir, v1, v2)
+    // old rows readable: widened type, default filled
+    val afterV2 = h2("Bar").read().orderBy("primary_key").collect()
+    assert(afterV2.length == 2)
+    assert(afterV2.forall(_.getAs[String]("source") == "legacy"))
+    assert(afterV2.head.getAs[Long]("text_length") == 5L)
+    // second batch under v2
+    h2("Bar").insert(Seq(
+      ("c", java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), true, 7L,
+        "fresh")).toDF("primary_key", "utc_timestamp", "has_text",
+      "text_length", "source"))
+
+    // v3: drop has_text, add a minmax skip index on text_length
+    val barV3 = barV2.copy(
+      schema = MooseSchema(barV2.schema.columns.filterNot(_.name == "has_text")),
+      indexes = Seq(OlapTable.SkipIndex("ix_len", "text_length", "minmax")))
+    val v3 = InfraPlan.State(tables = Map("Bar" -> barV3))
+    val h3 = InfraPlan.apply(spark, dir, v2, v3)
+    val afterV3 = h3("Bar").read().orderBy("primary_key").collect()
+    assert(afterV3.length == 3)
+    assert(!afterV3.head.schema.fieldNames.contains("has_text"))
+    assert(afterV3.map(_.getAs[String]("source")).toSeq ==
+      Seq("legacy", "legacy", "fresh"))
+
+    // the same v2→v3 drop under DeletionProtected is WITHHELD, and the
+    // withheld reason is reported, never silently dropped
+    val dir2 = wh()
+    val hp = InfraPlan.apply(spark, dir2,
+      InfraPlan.State(tables = Map.empty), v2)
+    // with DATA on disk — the withheld drop must preserve the stored
+    // column through the rewrite (the TableMigratorSpec-pinned path)
+    hp("Bar").insert(Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), true, 5L,
+        "fresh")).toDF("primary_key", "utc_timestamp", "has_text",
+      "text_length", "source"))
+    val r = TableMigrator.execute(spark, dir2, barV2, barV3,
+      Migration.LifeCycle.DeletionProtected)
+    assert(r.withheld.exists(
+      _.op.isInstanceOf[TableMigrator.DropTableColumn]))
+    // the established stance (TableMigrator.execute): the withheld
+    // drop's DATA survives on disk as residue (never destroyed), while
+    // read() serves the after schema — RealityCheck reports the
+    // residue rather than it silently vanishing
+    assert(spark.read.parquet(s"$dir2/Bar").columns.contains("has_text"))
+    assert(spark.read.parquet(s"$dir2/Bar")
+      .select("has_text").collect().map(_.getBoolean(0)).toSeq == Seq(true))
+  }
+}
