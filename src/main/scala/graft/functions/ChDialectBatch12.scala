@@ -179,31 +179,51 @@ object ChDialectBatch12 {
     // ------------------------------------------------ query scrubbing
     // pinned subset of CH's normalizer (docs: "replaces literals,
     // sequences of literals and complex aliases with placeholders"),
-    // widened round 16 (#53) — applied in this exact order:
+    // widened round 16 (#53), widened again round 17 with the
+    // complex-alias step — applied in this exact order:
     //  1. single-quoted strings → `?` (first, so nothing inside a
     //     string fires a later step);
     //  2. named query parameters `{name:Type}` → `?` (CH substitutes
     //     them like literals);
     //  3. standalone numeric literals → `?` (identifier-embedded
     //     digits survive — the (?<![\w?]) guard);
-    //  4. comma-separated placeholder RUNS collapse to `?..` (CH's
+    //  4. COMPLEX ALIASES after `AS` → `?` (round 17; CH docs pin the
+    //     complexity test: "containing whitespace, more than two
+    //     digits or at least 36 bytes long such as UUIDs"). Whitespace
+    //     is only reachable in quoted aliases (backtick/double-quote);
+    //     the digit rule is ≥3 digits in the bare identifier; the
+    //     length rule is ≥36 identifier chars. Every `AS <token>`
+    //     position is treated as an alias position — a lexer has no
+    //     AST to tell a SELECT alias from CAST's `AS Type`, so the
+    //     128/256-bit TYPE names (the only CH type names with three
+    //     digits) are excluded by name rather than folded;
+    //  5. comma-separated placeholder RUNS collapse to `?..` (CH's
     //     sequences-of-literals fold: `IN (1, 2, 3)` → `IN (?..)`);
-    //  5. whitespace runs fold to ONE space and the ends trim
+    //  6. whitespace runs fold to ONE space and the ends trim
     //     (operator/keyword spacing).
     // Exactly stated so either engine can recompute it; texts the two
     // normalizers rewrite identically hash identically (the remaining
-    // #53 residual is CH's full SQL lexer vs this pinned subset).
+    // #53 residual is CH's full SQL lexer — token-exact alias
+    // detection and the undocumented minhash shingle iterator).
     def normalized(q: Expression): Expression =
       StringTrim(RegExpReplace(
         RegExpReplace(
           RegExpReplace(
             RegExpReplace(
-              RegExpReplace(q,
-                Literal("'(?:[^'\\\\]|\\\\.)*'"), Literal("?")),
-              Literal("\\{\\s*[A-Za-z_][A-Za-z0-9_]*\\s*:[^{}]*\\}"),
+              RegExpReplace(
+                RegExpReplace(q,
+                  Literal("'(?:[^'\\\\]|\\\\.)*'"), Literal("?")),
+                Literal("\\{\\s*[A-Za-z_][A-Za-z0-9_]*\\s*:[^{}]*\\}"),
+                Literal("?")),
+              Literal("(?<![\\w?])-?\\d+(?:\\.\\d+)?(?![\\w?])"),
               Literal("?")),
-            Literal("(?<![\\w?])-?\\d+(?:\\.\\d+)?(?![\\w?])"),
-            Literal("?")),
+            Literal("(?i)\\b(as\\s+)(?:`[^`]*\\s[^`]*`" +
+              "|\"[^\"]*\\s[^\"]*\"" +
+              "|(?!(?:U?Int(?:128|256)|Decimal(?:128|256))\\b)" +
+              "(?=[A-Za-z0-9_]*\\d[A-Za-z0-9_]*\\d[A-Za-z0-9_]*\\d)" +
+              "[A-Za-z0-9_]+" +
+              "|[A-Za-z0-9_]{36,})"),
+            Literal("$1?")),
           Literal("\\?(\\s*,\\s*\\?)+"), Literal("?..")),
         Literal("\\s+"), Literal(" ")))
     f("normalizeQuery")(a => normalized(a.head))

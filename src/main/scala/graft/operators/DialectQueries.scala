@@ -433,6 +433,12 @@ object DialectQueries {
         |  normalizeQuery(concat('SELECT  x  FROM t WHERE k IN (',
         |    cast(user_id % 50 as string),
         |    ', 2,3) AND p = {p1:UInt64}  AND q=\'z\'')) AS nq2,
+        |  normalizeQuery(concat('SELECT sum(v) AS total_2024_q',
+        |    cast(event_id % 4 as string), '_rev, x AS `my alias`, ',
+        |    'y AS c1, CAST(z AS Int128) FROM t')) AS nq3,
+        |  normalizeQuery(
+        |    'SELECT a AS abcdefghijklmnopqrstuvwxyzabcdefghij, b AS mixed_12_34_5 FROM t')
+        |    AS nq4,
         |  (normalizedQueryHash(concat('SELECT a FROM t WHERE k IN (',
         |      cast(user_id as string), ',5, 6)'))
         |    = normalizedQueryHash('SELECT  a FROM t  WHERE k IN (7,8)'))
@@ -2204,6 +2210,9 @@ object DialectQueries {
         |  'SELECT c' || CAST(event_id % 5 AS VARCHAR)
         |    || ' FROM t WHERE x = ? AND s = ?' AS nq,
         |  'SELECT x FROM t WHERE k IN (?..) AND p = ? AND q=?' AS nq2,
+        |  'SELECT sum(v) AS ?, x AS ?, y AS c1, CAST(z AS Int128) FROM t'
+        |    AS nq3,
+        |  'SELECT a AS ?, b AS ? FROM t' AS nq4,
         |  true AS nqh_list,
         |  true AS nqh_eq,
         |  false AS nqh_ne,

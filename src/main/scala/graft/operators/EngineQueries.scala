@@ -237,6 +237,53 @@ object EngineQueries {
       .orderBy(col("event_id"))
   }
 
+  /** The e2e migration scenario as an oracled query (round 17; ref
+    * apps/framework-cli-e2e/test/migration.test.ts — evolve,
+    * re-deploy, old data still readable): a table is created at v1 and
+    * loaded, MIGRATED to v2 (widen Int32→Int64 + add a DEFAULT-bearing
+    * column, which backfills through the one rewrite), loaded again
+    * with the new column explicit, then migrated to v3 (column drop —
+    * metadata-only, data pruned at read). DuckDB rebuilds the final
+    * rows from first principles: backfilled rows carry the DEFAULT
+    * expression over their stored values, fresh rows their explicit
+    * values; the dropped column is absent; the rewrote flags pin WHICH
+    * steps rewrote data (v2 yes, v3 no). */
+  def qMigrateEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.TableMigrator
+    val wh = System.getProperty("java.io.tmpdir") + "/graft_wh"
+    val v1 = OlapTable.Config("bar_evolve", MooseSchema(Seq(
+      MooseColumn("event_id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("short_len", MooseType.MInt32),
+      MooseColumn("legacy", MooseType.MString))),
+      orderBy = Seq("event_id"))
+    val t1 = new OlapTable(spark, v1, wh)
+    t1.truncate()
+    val src = events(spark, dir).where(col("event_id") < 2000)
+    t1.insert(src.where(col("event_id") % 2 === 0)
+      .select(col("event_id"),
+        (col("event_id") % 1000).cast("int").as("short_len"),
+        lit("old").as("legacy")))
+    val v2 = v1.copy(schema = MooseSchema(Seq(
+      v1.schema.columns(0),
+      MooseColumn("short_len", MooseType.MInt64),
+      v1.schema.columns(2),
+      MooseColumn("band", MooseType.MInt64,
+        default = Some("CAST(short_len % 7 AS BIGINT)")))))
+    val r2 = TableMigrator.execute(spark, wh, v1, v2)
+    r2.table.insert(src.where(col("event_id") % 2 === 1)
+      .select(col("event_id"),
+        (col("event_id") % 1000).as("short_len"),
+        lit("new").as("legacy"),
+        (col("event_id") % 5).as("band")))
+    val v3 = v2.copy(schema =
+      MooseSchema(v2.schema.columns.filterNot(_.name == "legacy")))
+    val r3 = TableMigrator.execute(spark, wh, v2, v3)
+    r3.table.read()
+      .select(col("event_id"), col("short_len"), col("band"),
+        lit(r2.rewrote).as("v2_rewrote"), lit(r3.rewrote).as("v3_rewrote"))
+      .orderBy(col("event_id"))
+  }
+
   /** A12/A15 aggregate-state columns: xState partials per (day, type)
     * merged to day level via xMerge — the AggregatingMergeTree + MV
     * partial/final pattern. */
@@ -893,6 +940,7 @@ object EngineQueries {
     "q_insert_validated" -> (qInsertValidated _),
     "q_insertable_projection" -> (qInsertableProjection _),
     "q_ddl_seed" -> (qDdlSeed _),
+    "q_migrate_evolve" -> (qMigrateEvolve _),
     "q_aggstate_merge" -> (qAggstateMerge _),
     "q_quantile_sketch" -> (qQuantileSketch _))
 
@@ -1079,6 +1127,25 @@ object EngineQueries {
         |  'p_by_type:event_type+event_id' AS cfg_projection,
         |  'ts + INTERVAL 90 DAY' AS cfg_col_ttl
         |FROM u ORDER BY event_id""".stripMargin,
+    // the migration scenario from first principles: backfilled DEFAULT
+    // over batch-1 rows, explicit values on batch-2, dropped column
+    // absent, rewrote flags pinned (v2 rewrote, v3 metadata-only)
+    "q_migrate_evolve" ->
+      """WITH src AS (SELECT * FROM events WHERE event_id < 2000),
+        |a AS (
+        |  SELECT event_id,
+        |    CAST(event_id % 1000 AS BIGINT) AS short_len,
+        |    CAST((event_id % 1000) % 7 AS BIGINT) AS band
+        |  FROM src WHERE event_id % 2 = 0),
+        |b AS (
+        |  SELECT event_id,
+        |    CAST(event_id % 1000 AS BIGINT) AS short_len,
+        |    CAST(event_id % 5 AS BIGINT) AS band
+        |  FROM src WHERE event_id % 2 = 1)
+        |SELECT event_id, short_len, band,
+        |  true AS v2_rewrote, false AS v3_rewrote
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |ORDER BY event_id""".stripMargin,
     // booleans pinned, n recomputed: the sketch estimate itself is
     // engine-internal (GK summaries), the CONTRACT is the exact-quantile
     // bracket — same stance as e_kmeans / e_knn_lsh

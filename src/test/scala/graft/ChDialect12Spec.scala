@@ -105,6 +105,24 @@ class ChDialect12Spec extends AnyFunSuite {
     // strings stay opaque: a brace form INSIDE a string never fires
     assert(one("normalizeQuery('SELECT \\'{x:Int64}\\' FROM t')")
       == "SELECT ? FROM t")
+    // round 17 (#53 widening) — complex aliases (CH docs: whitespace,
+    // more than two digits, or >= 36 bytes) fold to ?
+    assert(one("normalizeQuery('SELECT v AS total_2024_q1_rev FROM t')")
+      == "SELECT v AS ? FROM t")
+    assert(one("normalizeQuery('SELECT v AS `my alias` FROM t')")
+      == "SELECT v AS ? FROM t")
+    assert(one("normalizeQuery(" +
+      "'SELECT v AS abcdefghijklmnopqrstuvwxyzabcdefghij FROM t')")
+      == "SELECT v AS ? FROM t")
+    // simple aliases survive (c1: one digit; total_rev: none)
+    assert(one("normalizeQuery('SELECT v AS c1, w AS total_rev FROM t')")
+      == "SELECT v AS c1, w AS total_rev FROM t")
+    // the lexer has no AST: CAST's `AS Type` is an alias position too,
+    // so the three-digit TYPE names are excluded by name
+    assert(one("normalizeQuery('SELECT CAST(x AS Int128) FROM t')")
+      == "SELECT CAST(x AS Int128) FROM t")
+    assert(one("normalizeQuery('SELECT CAST(x AS Decimal256) FROM t')")
+      == "SELECT CAST(x AS Decimal256) FROM t")
   }
 
   test("ngramMinHash/wordShingleMinHash: fingerprint contract — " +
