@@ -248,10 +248,10 @@ object KafkaWire {
     * spark-sql-kafka connector jars on the classpath (absent in this
     * build env, so nothing in the repo invokes it; its output frame is
     * [[recordSchema]]-shaped by construction and flows into the same
-    * [[syncToTable]]). Probed rounds 6, 10, 12, and 13 (2026-08-15):
-    * neither /opt/spark/jars nor the offline coursier cache carries
-    * spark-sql-kafka or kafka-clients, so the byte-level wire seam
-    * remains the boundary. */
+    * [[syncToTable]]). Probed rounds 6, 10, 12, 13 (2026-08-15), and
+    * 17 (2026-08-16): neither /opt/spark/jars nor the offline
+    * coursier/ivy caches carry spark-sql-kafka or kafka-clients, so
+    * the byte-level wire seam remains the boundary. */
   def kafkaReader(
       spark: SparkSession,
       bootstrapServers: String,
