@@ -37,6 +37,7 @@ final class Registry {
   val sqlResources: LinkedHashMap[String, SqlResource] = LinkedHashMap.empty
   val workflows: LinkedHashMap[String, Registry.WorkflowDef] = LinkedHashMap.empty
   val webApps: LinkedHashMap[String, Registry.WebApp] = LinkedHashMap.empty
+  val views: LinkedHashMap[String, graft.table.View] = LinkedHashMap.empty
 
   /** Bumped by every registration — the coherence token
     * [[graft.table.Lineage.Cached]] keys its memo on (the reference
@@ -131,6 +132,17 @@ final class Registry {
     w
   }
 
+  /** Register a view (ref view.py — duplicate names refuse with the
+    * reference's "already exists" shape, test_view.py:102-105). */
+  def addView(v: graft.table.View): graft.table.View = {
+    require(!views.contains(v.name),
+      s"View with name ${v.name} already exists")
+    views(v.name) = v
+    mutated()
+    v
+  }
+  def getView(name: String): Option[graft.table.View] = views.get(name)
+
   def getTable(name: String): Option[OlapTable] = tables.get(name)
   def getStream(name: String): Option[MooseStream[_]] = streams.get(name)
   def getIngestApi(name: String): Option[IngestPipeline[_]] =
@@ -148,15 +160,21 @@ final class Registry {
     * entry ONLY for resources that specified one (unspecified is
     * OMITTED — [[graft.table.InfraPlan.State.lifeCycleOf]] then
     * applies the FullyManaged default, lifeCycle.ts:7). */
-  def toInfraState: graft.table.InfraPlan.State =
+  def toInfraState: graft.table.InfraPlan.State = {
+    val viewRes = views.map { case (n, v) => n -> v.toSqlResource }
+    val overlap = viewRes.keySet.intersect(sqlResources.keySet)
+    require(overlap.isEmpty,
+      s"views and SQL resources share names: ${overlap.mkString(", ")} — " +
+        "the merged plan channel would silently drop one")
     graft.table.InfraPlan.State(
       tables = tables.map { case (k, t) => k -> t.config }.toMap,
-      resources = sqlResources.toMap,
+      resources = sqlResources.toMap ++ viewRes,
       lifeCycles =
         tables.collect { case (k, t) if t.config.lifeCycle.nonEmpty =>
           k -> t.config.lifeCycle.get }.toMap ++
         sqlResources.collect { case (k, r) if r.lifeCycle.nonEmpty =>
           k -> r.lifeCycle.get }.toMap)
+  }
 
   /** 3-step API lookup (registry.ts:91-130): direct key (`name` or
     * `name:version` or a path registered as a key) → base-name alias

@@ -184,6 +184,12 @@ final case class MooseColumn(
 
   def field: StructField =
     StructField(name, tpe.sparkType, nullable, Metadata.empty)
+
+  /** Backtick-quoted reference for SQL-text interpolation (ref py
+    * data_models.Column.__str__/__format__, matrix
+    * test_column_formatting.py — `f"SELECT {col:col} FROM t"` renders
+    * `` `name` ``; hyphens and other specials ride inside the ticks). */
+  def ref: String = s"`$name`"
 }
 
 /** A model schema: projection to StructType, the `Insertable<T>` write-path

@@ -129,7 +129,14 @@ object OlapTable {
         * ([[InfraPlan.State.lifeCycleOf]]), exactly the reference's
         * "omit lifeCycle when not specified" serialization
         * (materialized-view-lifecycle.test.ts:85-99). */
-      lifeCycle: Option[graft.schema.Migration.LifeCycle] = None) {
+      lifeCycle: Option[graft.schema.Migration.LifeCycle] = None,
+      /** Logical DATABASE qualifier (round 17; ref py OlapConfig
+        * `database`, ts olapTable.ts database config): carried for
+        * remote-facing renderings — qualified references
+        * ([[View.formatTableReference]]), the ChQuery Identifier
+        * protocol — not for local storage layout (the warehouse dir
+        * is flat; CH databases are namespaces, not paths). */
+      database: Option[String] = None) {
     /** Storage name — the reference's generateTableName convention:
       * `{name}_{version with dots → underscores}` (olapTable.ts:810),
       * logical name when unversioned. */

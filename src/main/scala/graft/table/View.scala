@@ -1,0 +1,60 @@
+package graft.table
+
+/** Plain SQL view (ref packages/py-moose-lib/moose_lib/dmv2/view.py —
+  * matrix tests/test_view.py; ts dmv2/sdk/view.ts:22): a named SELECT
+  * over base tables/views, with an optional DATABASE qualifier that
+  * flows into every rendered reference. The reference registers views
+  * in its global registry (duplicate names refuse) and serializes
+  * `{name, selectStatement, sourceTables, database?}` into the infra
+  * map; here registration is [[graft.api.Registry.addView]] and the
+  * planning surface is [[toSqlResource]] (setup = CREATE VIEW,
+  * teardown = DROP VIEW — the SqlResource channel InfraPlan already
+  * orders by dependency).
+  */
+final case class View(
+    name: String,
+    selectStatement: String,
+    baseTables: Seq[View.TableLike] = Nil,
+    database: Option[String] = None) {
+
+  /** py property `select_sql`. */
+  def selectSql: String = selectStatement
+
+  /** Rendered references of the base tables — database-qualified when
+    * the base carries one (test_view.py:73-99 pins `` `src_db`.`base_view` ``
+    * vs plain `` `plain_base` ``). */
+  def sourceTables: Seq[String] = baseTables.map(View.formatTableReference)
+
+  /** The planning spelling: a [[SqlResource]] whose dependency edges
+    * are the base tables' NAMES (the ids InfraPlan orders by). */
+  def toSqlResource: SqlResource = SqlResource(
+    name,
+    setup = Seq(
+      s"CREATE OR REPLACE VIEW ${View.formatTableReference(this)} AS " +
+        selectStatement),
+    teardown = Seq(s"DROP VIEW IF EXISTS ${View.formatTableReference(this)}"),
+    pullsDataFrom = baseTables.map {
+      case View.V(v) => v.name
+      case View.T(t) => t.config.registryId
+    })
+}
+
+object View {
+  /** A referencable base: another view or a table. */
+  sealed trait TableLike
+  final case class V(view: View) extends TableLike
+  final case class T(table: OlapTable) extends TableLike
+  import scala.language.implicitConversions
+  implicit def viewIsTableLike(v: View): TableLike = V(v)
+  implicit def tableIsTableLike(t: OlapTable): TableLike = T(t)
+
+  /** `_format_table_reference` (view.py): backtick-quoted name,
+    * database-qualified when present. */
+  def formatTableReference(t: TableLike): String = t match {
+    case V(v) => v.database.fold(s"`${v.name}`")(d => s"`$d`.`${v.name}`")
+    case T(tb) => tb.config.database
+      .fold(s"`${tb.config.physicalName}`")(d =>
+        s"`$d`.`${tb.config.physicalName}`")
+  }
+  def formatTableReference(v: View): String = formatTableReference(V(v))
+}

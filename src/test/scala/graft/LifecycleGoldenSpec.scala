@@ -137,6 +137,27 @@ class LifecycleGoldenSpec extends AnyFunSuite {
     assert(p4.deadLetterQueue.get.lifeCycle.contains(DeletionProtected))
   }
 
+  test("golden: merge-config.test.ts — the Merge engine cannot be an " +
+      "ingest destination (read-only); enforced BY CONSTRUCTION here " +
+      "(TableEngine has no Merge member — the Merge engine is the " +
+      "read-only union view EngineSemantics.mergeEngine), and a " +
+      "Merge-engine DDL refuses loudly at the parse seam") {
+    // the reference throws at IngestPipeline construction
+    // (ingestPipeline.ts:239-246 "Merge engine is read-only and cannot
+    // be used as a table destination"); our TableOpts carries a
+    // TableEngine, whose ADT simply has no writable Merge — the
+    // equivalent of the guard is unrepresentability. The executable
+    // pin: DDL declaring ENGINE = Merge refuses rather than seeding a
+    // writable table.
+    val e = intercept[IllegalArgumentException] {
+      graft.table.ChDdl.parseCreateTable(
+        "CREATE TABLE m (x Int64) ENGINE = Merge(currentDatabase(), " +
+          "'^events_.*$')")
+    }
+    assert(e.getMessage.toLowerCase.contains("merge") ||
+      e.getMessage.toLowerCase.contains("engine"))
+  }
+
   test("golden: materialized-view-lifecycle.test.ts — the infra map " +
       "serializes a specified lifeCycle and OMITS an unspecified one") {
     def mv(name: String, lc: Option[Migration.LifeCycle]) = SqlResource(

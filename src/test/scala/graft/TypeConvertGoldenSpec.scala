@@ -115,6 +115,16 @@ class TypeConvertGoldenSpec extends AnyFunSuite {
     assert(ChTypeRender.columnClause(userHash) ==
       "`userHash` UInt64 MATERIALIZED cityHash64(userId)")
     assert(MooseColumn("plain", MString).materialized.isEmpty)
+    // py test_materialized.py:36-63 — MATERIALIZED + CODEC combine on
+    // one column, clause order MATERIALIZED then CODEC
+    val combo = MooseColumn("combination_hash", MArray(MUInt64),
+      materialized = Some("arrayMap(kv -> cityHash64(kv.1, kv.2), " +
+        "JSONExtractKeysAndValuesRaw(toString(log_blob)))"),
+      codec = Some("ZSTD(1)"))
+    assert(ChTypeRender.columnClause(combo) ==
+      "`combination_hash` Array(UInt64) MATERIALIZED " +
+        "arrayMap(kv -> cityHash64(kv.1, kv.2), " +
+        "JSONExtractKeysAndValuesRaw(toString(log_blob))) CODEC(ZSTD(1))")
   }
 
   test("golden: typeConvert.test.ts:374-442 — comments carried " +

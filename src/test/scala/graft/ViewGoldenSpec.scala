@@ -1,0 +1,93 @@
+package graft
+
+import graft.api.Registry
+import graft.schema.{MooseColumn, MooseSchema, MooseType}
+import graft.table.{OlapTable, View}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Golden port of packages/py-moose-lib/tests/test_view.py (131 lines)
+  * — the View class: `_format_table_reference` quoting (database
+  * qualification for views AND tables), source-table rendering,
+  * duplicate-name refusal, and database carriage through the infra
+  * serialization. */
+class ViewGoldenSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = SparkTestSession.spark
+  private lazy val wh = Files.createTempDirectory("graft_view").toString
+
+  private val schema = MooseSchema(Seq(
+    MooseColumn("id", MooseType.MString, primaryKey = true),
+    MooseColumn("value", MooseType.MInt64)))
+
+  test("golden: _format_table_reference — view/table, with and " +
+      "without database (:21-43)") {
+    val v = View("my_view", "SELECT 1")
+    assert(View.formatTableReference(v) == "`my_view`")
+    val vd = View("my_view", "SELECT 1", database = Some("analytics"))
+    assert(View.formatTableReference(vd) == "`analytics`.`my_view`")
+    val t = new OlapTable(spark,
+      OlapTable.Config("events", schema, orderBy = Seq("id")), wh)
+    assert(View.formatTableReference(View.T(t)) == "`events`")
+    val td = new OlapTable(spark,
+      OlapTable.Config("events", schema, orderBy = Seq("id"),
+        database = Some("raw")), wh)
+    assert(View.formatTableReference(View.T(td)) == "`raw`.`events`")
+  }
+
+  test("golden: construction + source tables (:51-99)") {
+    val v = View("v_no_db", "SELECT * FROM events")
+    assert(v.database.isEmpty && v.name == "v_no_db" &&
+      v.selectSql == "SELECT * FROM events")
+    val vd = View("v_with_db", "SELECT * FROM events",
+      database = Some("my_db"))
+    assert(vd.database.contains("my_db"))
+    // base view WITH a database renders qualified in sourceTables
+    val base = View("base_view", "SELECT 1", database = Some("src_db"))
+    val derived = View("derived_view",
+      "SELECT * FROM `src_db`.`base_view`", baseTables = Seq(base))
+    assert(derived.sourceTables.contains("`src_db`.`base_view`"))
+    // …and plain when it has none
+    val plainBase = View("plain_base", "SELECT 1")
+    val derivedPlain = View("derived_plain",
+      "SELECT * FROM `plain_base`", baseTables = Seq(plainBase))
+    assert(derivedPlain.sourceTables.contains("`plain_base`"))
+  }
+
+  test("golden: py test_column_formatting.py — Column renders as a " +
+      "backtick-quoted identifier in SQL text, specials included") {
+    assert(MooseColumn("user_id", MooseType.MString).ref == "`user_id`")
+    assert(MooseColumn("user-id", MooseType.MString).ref == "`user-id`")
+    val userId = MooseColumn("user_id", MooseType.MString)
+    val email = MooseColumn("email", MooseType.MString)
+    assert(s"SELECT ${userId.ref}, ${email.ref} FROM users" ==
+      "SELECT `user_id`, `email` FROM users")
+  }
+
+  test("golden: duplicate view name refuses; serialization carries " +
+      "the database (:102-131)") {
+    val r = new Registry
+    r.addView(View("dup_view", "SELECT 1"))
+    val e = intercept[IllegalArgumentException](
+      r.addView(View("dup_view", "SELECT 2")))
+    assert(e.getMessage.contains("already exists"))
+
+    r.addView(View("ser_no_db", "SELECT 1"))
+    r.addView(View("ser_with_db", "SELECT 1", database = Some("prod_db")))
+    assert(r.views.contains("ser_no_db") &&
+      r.views("ser_no_db").database.isEmpty)
+    assert(r.views("ser_with_db").database.contains("prod_db"))
+    // and the planning channel: views fold into the SqlResource map
+    // with CREATE/DROP pairs and dependency edges
+    val t = new OlapTable(spark,
+      OlapTable.Config("src_t", schema, orderBy = Seq("id")), wh)
+    r.addTable(t)
+    r.addView(View("over_t", "SELECT id FROM src_t",
+      baseTables = Seq(t)))
+    val state = r.toInfraState
+    assert(state.resources.contains("over_t"))
+    assert(state.resources("over_t").pullsDataFrom == Seq("src_t"))
+    assert(state.resources("over_t").setup.head
+      .startsWith("CREATE OR REPLACE VIEW `over_t` AS "))
+  }
+}
