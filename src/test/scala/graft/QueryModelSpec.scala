@@ -235,6 +235,51 @@ class QueryModelSpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("golden: query-layer-descriptions.test.ts — dimension/metric/" +
+      "filter descriptions propagate into the tool schema; absent " +
+      "descriptions degrade gracefully; empty models omit the enums") {
+    import graft.querymodel.ModelTools
+    // :19-35 — dimension descriptions in the dimensions enum description
+    val (dimSpec, _) = ModelTools.createModelTool(
+      model.copy(dimensions = Map(
+        "status" -> (_ => col("k")), "region" -> (_ => col("k")))),
+      "t1",
+      dimensionDesc = Map("status" -> "Order status",
+        "region" -> "Geographic region"))
+    val dimP = dimSpec.params.find(_.name == "dimensions").get
+    val dd = dimP.description.getOrElse("")
+    assert(dd.contains("status") && dd.contains("Order status") &&
+      dd.contains("region") && dd.contains("Geographic region"))
+    // :37-53 — metric descriptions likewise
+    val (metSpec, _) = ModelTools.createModelTool(model, "t2",
+      metricDesc = Map("n" -> "Count of all events",
+        "total" -> "Total revenue from completed events"))
+    val md = metSpec.params.find(_.name == "metrics").get
+      .description.getOrElse("")
+    assert(md.contains("n") && md.contains("Count of all events") &&
+      md.contains("total") &&
+      md.contains("Total revenue from completed events"))
+    // :55-74 — filter description rides EVERY op's param (eq and in)
+    val (filSpec, _) = ModelTools.createModelTool(
+      model.copy(filterable = Map("status" -> (_ => col("k"))),
+        filterOps = Map("status" -> Set("eq", "in"))),
+      "t3",
+      meta = Map("status" -> ModelTools.FilterMeta(
+        description = Some("Filter by order status"))))
+    val byName = filSpec.params.map(p => p.name -> p).toMap
+    assert(byName("status").description.contains("Filter by order status"))
+    assert(byName("status_in").description.contains("Filter by order status"))
+    // :76-85 — dimensions without descriptions still render the enum
+    val (noDesc, _) = ModelTools.createModelTool(model, "t4")
+    assert(noDesc.params.exists(_.name == "dimensions"))
+    // :87-93 — a model with no dimensions/metrics omits both params
+    val bare = model.copy(dimensions = Map.empty, metrics = Map.empty,
+      columns = Map("id" -> (_ => col("id"))))
+    val (bareSpec, _) = ModelTools.createModelTool(bare, "t5")
+    assert(!bareSpec.params.exists(_.name == "dimensions"))
+    assert(!bareSpec.params.exists(_.name == "metrics"))
+  }
+
   // ---------------------------------------------------- fluent builder
   // (ref query-layer/query-builder.ts:112)
 
