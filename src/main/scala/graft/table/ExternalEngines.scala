@@ -1,0 +1,183 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** External-engine CONFIG family (ref packages/py-moose-lib/moose_lib/
+  * blocks.py:290-533 — the dataclass configs both SDKs validate at
+  * construction; matrices tests/test_s3queue_config.py (412 lines),
+  * test_iceberg_config.py, test_kafka_config.py, test_merge_config.py):
+  * the declared form of the engines whose EXECUTION seams already live
+  * here ([[FileEngine]] S9/S10/S14, [[graft.streaming.BufferSink]]
+  * S13, [[graft.sources.IcebergRead]] S12,
+  * [[graft.streaming.KafkaWire]] S11, [[EngineSemantics.mergeEngine]]
+  * S15). Each config refuses missing required fields with the
+  * reference's own message, and [[validateClauses]] pins the
+  * clause-compatibility matrix (olap_table.py:202-287): which engines
+  * may carry ORDER BY / PARTITION BY / SAMPLE BY / projections.
+  *
+  * These configs make the declared surface portable; `reader`/bridge
+  * methods hand off to the executable seams so a config is never a
+  * dead shell.
+  */
+object ExternalEngines {
+
+  sealed trait EngineConfig { def engineName: String }
+
+  /** blocks.py:318-348 — S3 direct read/write. */
+  final case class S3Config(
+      path: String,
+      format: FileEngine.FileFormat,
+      awsAccessKeyId: Option[String] = None,
+      awsSecretAccessKey: Option[String] = None,
+      compression: Option[String] = None,
+      partitionStrategy: Option[String] = None,
+      partitionColumnsInDataFile: Option[String] = None)
+      extends EngineConfig {
+    require(path.nonEmpty, "S3 engine requires 'path'")
+    def engineName: String = "S3Engine"
+    def read(spark: SparkSession, schema: Option[StructType] = None)
+        : DataFrame = FileEngine.read(spark, path, format, schema)
+    def write(df: DataFrame, mode: String = "overwrite"): Unit =
+      FileEngine.write(df, path, format, compression, mode)
+  }
+
+  /** blocks.py:290-315 — S3Queue streaming pickup; engine SETTINGS
+    * (mode, keeper_path, …) live on the table config, not here, same
+    * split as the reference. */
+  final case class S3QueueConfig(
+      s3Path: String,
+      format: FileEngine.FileFormat,
+      awsAccessKeyId: Option[String] = None,
+      awsSecretAccessKey: Option[String] = None,
+      compression: Option[String] = None,
+      headers: Map[String, String] = Map.empty)
+      extends EngineConfig {
+    require(s3Path.nonEmpty, "S3Queue engine requires 's3_path'")
+    def engineName: String = "S3QueueEngine"
+    def readQueue(spark: SparkSession, schema: StructType): DataFrame =
+      FileEngine.readQueue(spark, s3Path, format, schema)
+  }
+
+  /** blocks.py:351-390 — Buffer: RAM buffer flushed to a target. */
+  final case class BufferConfig(
+      targetDatabase: String,
+      targetTable: String,
+      numLayers: Int,
+      minTime: Int, maxTime: Int,
+      minRows: Long, maxRows: Long,
+      minBytes: Long, maxBytes: Long,
+      flushTime: Option[Int] = None,
+      flushRows: Option[Long] = None,
+      flushBytes: Option[Long] = None)
+      extends EngineConfig {
+    require(targetDatabase.nonEmpty, "Buffer engine requires 'target_database'")
+    require(targetTable.nonEmpty, "Buffer engine requires 'target_table'")
+    def engineName: String = "BufferEngine"
+    def sink(target: OlapTable, stagingDir: String)
+        : graft.streaming.BufferSink =
+      new graft.streaming.BufferSink(target, stagingDir,
+        maxRows = maxRows, maxBytes = maxBytes,
+        maxAgeMs = maxTime.toLong * 1000L)
+  }
+
+  /** blocks.py:394-421 — Distributed: cluster-sharded table; in Spark
+    * the sharding key IS a repartition key (SURVEY S14). */
+  final case class DistributedConfig(
+      cluster: String,
+      targetDatabase: String,
+      targetTable: String,
+      shardingKey: Option[String] = None,
+      policyName: Option[String] = None)
+      extends EngineConfig {
+    require(cluster.nonEmpty, "Distributed engine requires 'cluster'")
+    require(targetDatabase.nonEmpty,
+      "Distributed engine requires 'target_database'")
+    require(targetTable.nonEmpty, "Distributed engine requires 'target_table'")
+    def engineName: String = "DistributedEngine"
+    /** Sharding = repartitioning (SURVEY S14): co-keys land co-shard,
+      * so downstream keyed work needs no further shuffle. */
+    def distribute(df: DataFrame, shards: Int): DataFrame =
+      shardingKey.fold(df.repartition(shards))(k =>
+        FileEngine.distributed(df,
+          org.apache.spark.sql.functions.expr(k), shards))
+  }
+
+  /** blocks.py:425-478 — IcebergS3: read-only lake table; format is
+    * Parquet or ORC ONLY (test_iceberg_config.py:51-55). */
+  final case class IcebergS3Config(
+      path: String,
+      format: String,
+      awsAccessKeyId: Option[String] = None,
+      awsSecretAccessKey: Option[String] = None,
+      compression: Option[String] = None)
+      extends EngineConfig {
+    require(path.nonEmpty, "IcebergS3 engine requires 'path'")
+    require(format.nonEmpty, "IcebergS3 engine requires 'format'")
+    require(format == "Parquet" || format == "ORC",
+      s"IcebergS3 engine format must be 'Parquet' or 'ORC', got '$format'")
+    def engineName: String = "IcebergS3Engine"
+    def planFiles(spark: SparkSession)
+        : Seq[graft.sources.IcebergRead.DataFileEntry] =
+      graft.sources.IcebergRead.planFiles(spark, path)
+  }
+
+  /** blocks.py:482-508 — Kafka engine (S11: wire contract is
+    * [[graft.streaming.KafkaWire]]; broker I/O env-blocked). */
+  final case class KafkaEngineConfig(
+      brokerList: String,
+      topicList: String,
+      groupName: String,
+      format: String)
+      extends EngineConfig {
+    require(brokerList.nonEmpty, "Kafka engine requires 'broker_list'")
+    require(topicList.nonEmpty, "Kafka engine requires 'topic_list'")
+    require(groupName.nonEmpty, "Kafka engine requires 'group_name'")
+    require(format.nonEmpty, "Kafka engine requires 'format'")
+    def engineName: String = "KafkaEngine"
+  }
+
+  /** blocks.py:512-533 — Merge: read-only regex union (S15); also the
+    * reason an ingest pipeline cannot target it (merge-config.test.ts). */
+  final case class MergeEngineConfig(
+      sourceDatabase: String,
+      tablesRegexp: String)
+      extends EngineConfig {
+    require(sourceDatabase.nonEmpty, "Merge engine requires 'source_database'")
+    require(tablesRegexp.nonEmpty, "Merge engine requires 'tables_regexp'")
+    def engineName: String = "MergeEngine"
+    def read(spark: SparkSession): DataFrame =
+      EngineSemantics.mergeEngine(spark, tablesRegexp)
+  }
+
+  /** The clause-compatibility matrix (ref olap_table.py:202-287,
+    * matrix test_s3queue_config.py:254-383): S3Engine alone among the
+    * external engines supports ORDER BY and PARTITION BY; nothing
+    * outside the MergeTree family supports SAMPLE BY or projections.
+    * Messages are the reference's own. */
+  def validateClauses(engine: EngineConfig,
+      hasOrderBy: Boolean = false,
+      hasPartitionBy: Boolean = false,
+      hasSampleBy: Boolean = false,
+      hasProjections: Boolean = false): Unit = {
+    val name = engine.engineName
+    val noOrderBy = !engine.isInstanceOf[S3Config]
+    if (noOrderBy && hasOrderBy)
+      throw new IllegalArgumentException(
+        s"$name does not support ORDER BY clauses. Remove " +
+          "order_by_fields or order_by_expression from your configuration.")
+    if (hasSampleBy)
+      throw new IllegalArgumentException(
+        s"$name does not support SAMPLE BY clause. Remove " +
+          "sample_by_expression from your configuration.")
+    val noPartitionBy = !engine.isInstanceOf[S3Config]
+    if (noPartitionBy && hasPartitionBy)
+      throw new IllegalArgumentException(
+        s"$name does not support PARTITION BY clause. Remove " +
+          "partition_by from your configuration.")
+    if (hasProjections)
+      throw new IllegalArgumentException(
+        s"$name does not support projections. Remove projections " +
+          "from your configuration.")
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import graft.table.ExternalEngines._
+import graft.table.FileEngine.FileFormat
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden port of the external-engine CONFIG matrices:
+  * packages/py-moose-lib/tests/test_iceberg_config.py (105 lines),
+  * the required-field and clause-compat halves of
+  * test_s3queue_config.py (412), test_kafka_config.py,
+  * test_merge_config.py — construction-time validation with the
+  * reference's own messages, and the clause-compatibility matrix
+  * (olap_table.py:202-287). Engine-settings serialization
+  * (`to_dict`) rows are CH-wire-protocol encoding the Spark-side
+  * configs don't emit; the validation semantics are what ports.
+  */
+class ExternalEnginesGoldenSpec extends AnyFunSuite {
+
+  private def s3 = S3Config("s3://bucket/file.json", FileFormat.JsonEachRow)
+  private def s3q = S3QueueConfig("s3://bucket/*.json", FileFormat.JsonEachRow)
+  private def buffer = BufferConfig("default", "dest", 16, 10, 100,
+    10000L, 100000L, 10000000L, 100000000L)
+  private def dist = DistributedConfig("my_cluster", "default", "local_table")
+
+  test("golden: test_iceberg_config.py:13-55 — creation, options, " +
+      "required-field refusals, format whitelist") {
+    val e = IcebergS3Config("s3://bucket/warehouse/table/", "Parquet")
+    assert(e.path == "s3://bucket/warehouse/table/" &&
+      e.format == "Parquet" && e.awsAccessKeyId.isEmpty &&
+      e.awsSecretAccessKey.isEmpty && e.compression.isEmpty)
+    val full = IcebergS3Config("s3://bucket/table/", "ORC",
+      Some("AKIATEST"), Some("secret123"), Some("zstd"))
+    assert(full.format == "ORC" && full.compression.contains("zstd"))
+    assert(intercept[IllegalArgumentException](
+      IcebergS3Config("", "Parquet")).getMessage
+      .contains("IcebergS3 engine requires 'path'"))
+    assert(intercept[IllegalArgumentException](
+      IcebergS3Config("s3://bucket/table/", "")).getMessage
+      .contains("IcebergS3 engine requires 'format'"))
+    assert(intercept[IllegalArgumentException](
+      IcebergS3Config("s3://bucket/table/", "JSON")).getMessage
+      .contains("format must be 'Parquet' or 'ORC'"))
+  }
+
+  test("golden: test_iceberg_config.py:57-89 — IcebergS3 rejects " +
+      "ORDER BY / PARTITION BY / SAMPLE BY (read-only external table)") {
+    val e = IcebergS3Config("s3://bucket/table/", "Parquet")
+    assert(intercept[IllegalArgumentException](
+      validateClauses(e, hasOrderBy = true)).getMessage
+      .contains("IcebergS3Engine does not support ORDER BY clauses"))
+    assert(intercept[IllegalArgumentException](
+      validateClauses(e, hasPartitionBy = true)).getMessage
+      .contains("IcebergS3Engine does not support PARTITION BY clause"))
+    assert(intercept[IllegalArgumentException](
+      validateClauses(e, hasSampleBy = true)).getMessage
+      .contains("IcebergS3Engine does not support SAMPLE BY clause"))
+    validateClauses(e) // no clauses: fine
+  }
+
+  test("golden: test_s3queue_config.py:254-383 — the clause matrix: " +
+      "S3 allows ORDER BY and PARTITION BY but not SAMPLE BY; " +
+      "S3Queue/Buffer/Distributed reject ORDER BY and PARTITION BY") {
+    // S3Engine DOES support ORDER BY and PARTITION BY
+    validateClauses(s3, hasOrderBy = true)
+    validateClauses(s3, hasPartitionBy = true)
+    assert(intercept[IllegalArgumentException](
+      validateClauses(s3, hasSampleBy = true)).getMessage
+      .contains("S3Engine does not support SAMPLE BY clause"))
+    assert(intercept[IllegalArgumentException](
+      validateClauses(s3q, hasOrderBy = true)).getMessage
+      .contains("S3QueueEngine does not support ORDER BY clauses"))
+    assert(intercept[IllegalArgumentException](
+      validateClauses(s3q, hasPartitionBy = true)).getMessage
+      .contains("S3QueueEngine does not support PARTITION BY clause"))
+    assert(intercept[IllegalArgumentException](
+      validateClauses(buffer, hasOrderBy = true)).getMessage
+      .contains("BufferEngine does not support ORDER BY clauses"))
+    assert(intercept[IllegalArgumentException](
+      validateClauses(buffer, hasPartitionBy = true)).getMessage
+      .contains("BufferEngine does not support PARTITION BY clause"))
+    assert(intercept[IllegalArgumentException](
+      validateClauses(dist, hasPartitionBy = true)).getMessage
+      .contains("DistributedEngine does not support PARTITION BY clause"))
+    // nothing external supports projections
+    assert(intercept[IllegalArgumentException](
+      validateClauses(s3, hasProjections = true)).getMessage
+      .contains("S3Engine does not support projections"))
+  }
+
+  test("golden: required-field refusals across the family " +
+      "(blocks.py:290-533 messages verbatim)") {
+    assert(intercept[IllegalArgumentException](
+      S3Config("", FileFormat.JsonEachRow)).getMessage
+      .contains("S3 engine requires 'path'"))
+    assert(intercept[IllegalArgumentException](
+      S3QueueConfig("", FileFormat.JsonEachRow)).getMessage
+      .contains("S3Queue engine requires 's3_path'"))
+    assert(intercept[IllegalArgumentException](
+      BufferConfig("", "dest", 16, 10, 100, 1, 2, 3, 4)).getMessage
+      .contains("Buffer engine requires 'target_database'"))
+    assert(intercept[IllegalArgumentException](
+      BufferConfig("db", "", 16, 10, 100, 1, 2, 3, 4)).getMessage
+      .contains("Buffer engine requires 'target_table'"))
+    assert(intercept[IllegalArgumentException](
+      DistributedConfig("", "db", "t")).getMessage
+      .contains("Distributed engine requires 'cluster'"))
+    assert(intercept[IllegalArgumentException](
+      DistributedConfig("c", "", "t")).getMessage
+      .contains("Distributed engine requires 'target_database'"))
+    assert(intercept[IllegalArgumentException](
+      DistributedConfig("c", "db", "")).getMessage
+      .contains("Distributed engine requires 'target_table'"))
+    for ((cfg, msg) <- Seq(
+        (() => KafkaEngineConfig("", "t", "g", "JSONEachRow"),
+          "Kafka engine requires 'broker_list'"),
+        (() => KafkaEngineConfig("b:9092", "", "g", "JSONEachRow"),
+          "Kafka engine requires 'topic_list'"),
+        (() => KafkaEngineConfig("b:9092", "t", "", "JSONEachRow"),
+          "Kafka engine requires 'group_name'"),
+        (() => KafkaEngineConfig("b:9092", "t", "g", ""),
+          "Kafka engine requires 'format'"),
+        (() => MergeEngineConfig("", "^events_.*$"),
+          "Merge engine requires 'source_database'"),
+        (() => MergeEngineConfig("currentDatabase()", ""),
+          "Merge engine requires 'tables_regexp'")))
+      assert(intercept[IllegalArgumentException](cfg()).getMessage
+        .contains(msg))
+  }
+
+  test("the configs bridge to the executable seams (never dead " +
+      "shells): S3 read/write round-trips; Merge unions; Distributed " +
+      "re-shards co-keyed") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext").toString
+    val cfg = S3Config(s"$dir/out", FileFormat.Parquet)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    cfg.write(df)
+    assert(cfg.read(spark).orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("a", "b"))
+    // Merge: regex union over catalog temp views
+    df.createOrReplaceTempView("extspec_events_a")
+    df.createOrReplaceTempView("extspec_events_b")
+    val merged = MergeEngineConfig("currentDatabase()",
+      "^extspec_events_.*$").read(spark)
+    assert(merged.count() == 4)
+    // Distributed: sharding key co-locates equal keys
+    val sharded = DistributedConfig("c", "db", "t", Some("id"))
+      .distribute(df.unionByName(df), 2)
+    assert(sharded.rdd.getNumPartitions == 2)
+  }
+}
