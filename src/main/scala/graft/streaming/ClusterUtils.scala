@@ -1,0 +1,38 @@
+package graft.streaming
+
+/** Worker-count sizing for stream-processing processes (ref
+  * packages/ts-moose-lib/src/cluster-utils.ts:56-85 `Cluster` — the
+  * reference forks one worker process per computed slot; matrix
+  * tests/cluster-utils.test.ts). On Spark the analogous dial is the
+  * parallelism a streaming job requests (`spark.default.parallelism` /
+  * kafka `minPartitions`), but the COMPUTATION is the portable
+  * contract: `min(maxWorkers, max(1, floor(cpus × ratio)))` with the
+  * reference's two quirks pinned — a ZERO maxWorkerCount is falsy and
+  * falls back to the CPU count (cluster-utils.ts:80 `maxWorkerCount ||
+  * cpuCount`), and ratio validation fires only for a TRUTHY ratio
+  * outside [0, 1] (so ratio 0 is accepted and the floor/min-1 clamp
+  * yields one worker). */
+object ClusterUtils {
+
+  /** cluster-utils.ts:57-61 — refuse a truthy ratio outside [0, 1]. */
+  def validateRatio(maxCpuUsageRatio: Double): Unit =
+    if (maxCpuUsageRatio != 0 &&
+        (maxCpuUsageRatio > 1 || maxCpuUsageRatio < 0))
+      throw new IllegalArgumentException(
+        "maxCpuUsageRatio must be between 0 and 1")
+
+  /** cluster-utils.ts:78-85 `computeCPUUsageCount`. */
+  def computeCpuUsageCount(cpuCount: Int, cpuUsageRatio: Double,
+      maxWorkerCount: Option[Int] = None): Int = {
+    val maxWorkers = maxWorkerCount.filter(_ != 0).getOrElse(cpuCount)
+    math.min(maxWorkers,
+      math.max(1, math.floor(cpuCount * cpuUsageRatio).toInt))
+  }
+
+  /** Convenience over the JVM's own parallelism (the reference's
+    * `availableParallelism()`). */
+  def computeCpuUsageCount(cpuUsageRatio: Double,
+      maxWorkerCount: Option[Int]): Int =
+    computeCpuUsageCount(Runtime.getRuntime.availableProcessors(),
+      cpuUsageRatio, maxWorkerCount)
+}

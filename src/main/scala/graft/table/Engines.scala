@@ -34,10 +34,23 @@ object TableEngine {
   final case class VersionedCollapsingMergeTree(sign: String, ver: String)
       extends TableEngine
   /** Replicated* wrappers: replication config accepted and ignored —
-    * durability is the storage layer's job here (ref olapTable.ts:341-424). */
+    * durability is the storage layer's job here (ref olapTable.ts:341-424).
+    * Round 17 — the cluster-vs-explicit rule (olapTable.ts:780-788,
+    * matrix cluster-validation.test.ts): `cluster` auto-injects keeper
+    * path/replica, so combining it with EXPLICIT keeperPath/replicaName
+    * is a contradiction and refuses with the reference's message;
+    * cluster alone, explicit alone, and NEITHER (ClickHouse Cloud
+    * mode) are all legal. */
   final case class Replicated(inner: TableEngine,
       keeperPath: Option[String] = None,
-      replicaName: Option[String] = None) extends TableEngine
+      replicaName: Option[String] = None,
+      cluster: Option[String] = None) extends TableEngine {
+    require(cluster.isEmpty || (keeperPath.isEmpty && replicaName.isEmpty),
+      "Cannot specify both 'cluster' and explicit replication params " +
+        "('keeperPath' or 'replicaName'). Use 'cluster' for " +
+        "auto-injected params, or use explicit 'keeperPath' and " +
+        "'replicaName' without 'cluster'.")
+  }
 }
 
 object EngineSemantics {

@@ -673,7 +673,7 @@ final class OlapTable(
       case TableEngine.MergeTree | _: TableEngine.ReplacingMergeTree |
            _: TableEngine.VersionedCollapsingMergeTree |
            _: TableEngine.AggregatingMergeTree => true
-      case TableEngine.Replicated(inner, _, _) => compactable(inner)
+      case TableEngine.Replicated(inner, _, _, _) => compactable(inner)
       case _ => false
     }
     if (!compactable(config.engine))
@@ -800,7 +800,7 @@ final class OlapTable(
     val keys = if (config.orderBy.nonEmpty) config.orderBy
       else config.schema.primaryKeys
     config.engine match {
-      case TableEngine.MergeTree | TableEngine.Replicated(TableEngine.MergeTree, _, _) =>
+      case TableEngine.MergeTree | TableEngine.Replicated(TableEngine.MergeTree, _, _, _) =>
         read()
       case TableEngine.ReplacingMergeTree(ver, isDeleted) =>
         EngineSemantics.replacingFinal(read(), keys, ver, Nil, isDeleted)
@@ -810,7 +810,7 @@ final class OlapTable(
         EngineSemantics.collapsingFinal(read(), keys, sign, valueCols)
       case TableEngine.VersionedCollapsingMergeTree(sign, ver) =>
         EngineSemantics.versionedCollapsingFinal(read(), keys, sign, ver)
-      case TableEngine.Replicated(inner, _, _) =>
+      case TableEngine.Replicated(inner, _, _, _) =>
         new OlapTable(spark, config.copy(engine = inner), warehouseDir)
           .readFinal(valueCols)
       case TableEngine.AggregatingMergeTree(stateCols) =>

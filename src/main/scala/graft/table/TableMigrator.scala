@@ -349,7 +349,7 @@ object TableMigrator {
     * (diff_strategy.rs:612 "S3 allows specifying PK") has no managed
     * counterpart in this storage model. */
   private def isMergeTreeFamily(e: TableEngine): Boolean = e match {
-    case TableEngine.Replicated(inner, _, _) => isMergeTreeFamily(inner)
+    case TableEngine.Replicated(inner, _, _, _) => isMergeTreeFamily(inner)
     case _ => true
   }
 

@@ -1,0 +1,71 @@
+package graft
+
+import graft.streaming.ClusterUtils
+import graft.table.TableEngine
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden port of two TS cluster matrices:
+  *  - tests/cluster-utils.test.ts (82 lines): worker-count math incl.
+  *    the zero-is-falsy maxWorkerCount quirk and the truthy-only ratio
+  *    validation;
+  *  - tests/cluster-validation.test.ts (125 lines): the Replicated
+  *    engine's cluster-vs-explicit-params mutual exclusion
+  *    (olapTable.ts:780-788). */
+class ClusterGoldenSpec extends AnyFunSuite {
+
+  test("golden: cluster-utils.test.ts:7-47 — computeCPUUsageCount: " +
+      "cap at maxWorkerCount, floor at 1, zero maxWorkerCount falsy") {
+    // cap at maxWorkers even when the ratio would give more
+    assert(ClusterUtils.computeCpuUsageCount(16, 0.7, Some(2)) == 2)
+    assert(ClusterUtils.computeCpuUsageCount(16, 0.7, Some(2)) ==
+      math.min(2, math.max(1, math.floor(16 * 0.7).toInt)))
+    // minimum of 1 worker even with a tiny ratio
+    assert(ClusterUtils.computeCpuUsageCount(1, 0.01, None) == 1)
+    assert(ClusterUtils.computeCpuUsageCount(32, 0.01, None) == 1)
+    // zero maxWorkerCount is FALSY: falls back to cpuCount
+    assert(ClusterUtils.computeCpuUsageCount(16, 0.7, Some(0)) ==
+      math.max(1, math.floor(16 * 0.7).toInt))
+  }
+
+  test("golden: cluster-utils.test.ts:51-77 — ratio validation: >1 " +
+      "and <0 refuse; 0 is accepted (falsy skips the check)") {
+    val e1 = intercept[IllegalArgumentException](
+      ClusterUtils.validateRatio(1.5))
+    assert(e1.getMessage == "maxCpuUsageRatio must be between 0 and 1")
+    intercept[IllegalArgumentException](ClusterUtils.validateRatio(-0.5))
+    ClusterUtils.validateRatio(0.0)  // accepted
+    ClusterUtils.validateRatio(1.0)
+    ClusterUtils.validateRatio(0.5)
+  }
+
+  test("golden: cluster-validation.test.ts — Replicated: cluster " +
+      "alone OK; explicit keeperPath+replicaName alone OK; both " +
+      "refuse; neither (ClickHouse Cloud mode) OK") {
+    // :45-54 cluster without explicit params
+    TableEngine.Replicated(TableEngine.MergeTree,
+      cluster = Some("my_cluster"))
+    // :55-65 explicit params without cluster
+    TableEngine.Replicated(TableEngine.MergeTree,
+      keeperPath = Some("/clickhouse/tables/{shard}/t"),
+      replicaName = Some("{replica}"))
+    // :66-105 cluster + keeperPath / + replicaName / + both refuse
+    val e = intercept[IllegalArgumentException](
+      TableEngine.Replicated(TableEngine.MergeTree,
+        keeperPath = Some("/clickhouse/tables/{shard}/t"),
+        cluster = Some("my_cluster")))
+    assert(e.getMessage.contains(
+      "Cannot specify both 'cluster' and explicit replication params"))
+    intercept[IllegalArgumentException](
+      TableEngine.Replicated(TableEngine.MergeTree,
+        replicaName = Some("{replica}"), cluster = Some("my_cluster")))
+    intercept[IllegalArgumentException](
+      TableEngine.Replicated(TableEngine.MergeTree,
+        keeperPath = Some("/k"), replicaName = Some("{replica}"),
+        cluster = Some("my_cluster")))
+    // :116-124 ReplicatedMergeTree with NOTHING (Cloud mode)
+    TableEngine.Replicated(TableEngine.MergeTree)
+    // :106-115 non-replicated engines are untouched by the rule (no
+    // cluster field at all — unrepresentable)
+    TableEngine.ReplacingMergeTree()
+  }
+}
