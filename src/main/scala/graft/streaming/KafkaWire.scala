@@ -30,6 +30,38 @@ import org.apache.spark.sql.types._
   */
 object KafkaWire {
 
+  /** Producer tuning constants (ref packages/ts-moose-lib/src/
+    * commons.ts:305-312; matrix tests/producer-config.test.ts). */
+  val MaxRetriesProducer: Int = 150
+  val MaxRetryTimeMs: Int = 1000
+  val RetryInitialTimeMs: Int = 100
+  /** -1 = all replicas must acknowledge (durability over latency). */
+  val ACKs: Int = -1
+
+  /** The reference's `createProducerConfig` (commons.ts:322-334) as the
+    * flat option map a Kafka producer consumes: AT-LEAST-ONCE tuning —
+    * idempotence OFF (exactly-once machinery not needed when the sync
+    * replays via offsets), acks=all, linger 0 for immediate send with
+    * per-send feedback, bounded retries; `message.max.bytes` included
+    * only when a TRUTHY size is supplied (the zero-is-falsy row,
+    * producer-config.test.ts:60-66 — topic config syncs it). */
+  def producerConfig(maxMessageBytes: Option[Int] = None)
+      : Map[String, String] = {
+    val base = Map(
+      "enable.idempotence" -> "false",
+      "acks" -> ACKs.toString,
+      "retries" -> MaxRetriesProducer.toString,
+      "retry.backoff.max.ms" -> MaxRetryTimeMs.toString,
+      "linger.ms" -> "0")
+    maxMessageBytes.filter(_ != 0)
+      .fold(base)(n => base + ("message.max.bytes" -> n.toString))
+  }
+
+  /** commons.ts:343-347 — comma-separated broker list, trimmed, empty
+    * segments dropped. */
+  def parseBrokerString(brokers: String): Seq[String] =
+    brokers.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+
   /** The Kafka record frame shape (what format("kafka") loads / the kafka
     * sink expects). */
   val recordSchema: StructType = StructType(Seq(

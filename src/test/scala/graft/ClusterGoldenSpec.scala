@@ -38,6 +38,31 @@ class ClusterGoldenSpec extends AnyFunSuite {
     ClusterUtils.validateRatio(0.5)
   }
 
+  test("golden: producer-config.test.ts — at-least-once producer " +
+      "tuning: idempotence off, acks=-1, linger 0, bounded retries, " +
+      "message.max.bytes only when truthy") {
+    import graft.streaming.KafkaWire
+    val c = KafkaWire.producerConfig()
+    assert(c("enable.idempotence") == "false")       // :11-15
+    assert(c("acks") == "-1" && KafkaWire.ACKs == -1) // :17-22, :69-71
+    assert(c("linger.ms") == "0")                     // :24-28
+    assert(c("retries") == "150" &&                   // :30-37, :73-78
+      KafkaWire.MaxRetriesProducer == 150 &&
+      c("retry.backoff.max.ms") == "1000" &&
+      KafkaWire.MaxRetryTimeMs == 1000)
+    assert(!c.contains("message.max.bytes"))          // :39-43
+    assert(KafkaWire.producerConfig(Some(2 * 1024 * 1024))
+      .apply("message.max.bytes") == "2097152")       // :45-50
+    assert(KafkaWire.producerConfig(Some(5242880))
+      .apply("message.max.bytes") == "5242880")       // :52-58 topic sync
+    assert(!KafkaWire.producerConfig(Some(0))
+      .contains("message.max.bytes"))                 // :60-66 zero falsy
+    // commons.ts:343-347 broker parsing
+    assert(KafkaWire.parseBrokerString(
+      "broker1:9092, broker2:9092, , broker3:9092") ==
+      Seq("broker1:9092", "broker2:9092", "broker3:9092"))
+  }
+
   test("golden: cluster-validation.test.ts — Replicated: cluster " +
       "alone OK; explicit keeperPath+replicaName alone OK; both " +
       "refuse; neither (ClickHouse Cloud mode) OK") {
