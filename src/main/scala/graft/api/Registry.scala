@@ -126,7 +126,15 @@ final class Registry {
   }
 
   def addWebApp(w: Registry.WebApp): Registry.WebApp = {
-    refuseDup(webApps, w.name, "WebApp")
+    require(!webApps.contains(w.name),
+      s"WebApp with name ${w.name} already exists")
+    // duplicate MOUNT PATH also refuses (webApp.ts:108-115) — two apps
+    // on one route would shadow each other silently
+    webApps.find(_._2.mountPath == w.mountPath).foreach {
+      case (existingName, _) => throw new IllegalArgumentException(
+        s"""WebApp with mountPath "${w.mountPath}" already exists """ +
+          s"""(used by WebApp "$existingName")""")
+    }
     webApps(w.name) = w
     mutated()
     w
@@ -203,15 +211,38 @@ object Registry {
     WfDag.validate(startingTask)
   }
 
-  /** A mounted web application (ref dmv2/sdk/webApp.ts — `new
-    * WebApp(name, handler, { mountPath })`): the handler is opaque to
-    * the registry; `mountPath` must be absolute and not the reserved
-    * root APIs claim. */
+  /** The route roots the platform itself claims (ref dmv2/sdk/
+    * webApp.ts:27-37 RESERVED_MOUNT_PATHS — a user app mounted under
+    * one would shadow ingest/consumption/health routing). */
+  val ReservedMountPaths: Seq[String] = Seq("/admin", "/api",
+    "/consumption", "/health", "/ingest", "/liveness", "/moose",
+    "/ready", "/workflows")
+
+  /** A mounted web application (ref dmv2/sdk/webApp.ts:40-96 — `new
+    * WebApp(name, handler, { mountPath })`; matrix webApp.test.ts):
+    * the handler is opaque to the registry; mountPath validation is
+    * the reference's — required, not bare "/", no trailing slash,
+    * and never under a reserved root (messages verbatim). */
   final case class WebApp(
       name: String,
       handler: AnyRef,
-      mountPath: String) {
+      mountPath: String,
+      metadata: Map[String, String] = Map.empty) {
+    require(mountPath != null && mountPath.nonEmpty,
+      "mountPath is required. Please specify a mount path for your " +
+        "WebApp (e.g., \"/myapi\").")
+    require(mountPath != "/",
+      "mountPath cannot be \"/\" as it would allow routes to overlap " +
+        s"with reserved paths: ${ReservedMountPaths.mkString(", ")}")
+    require(!mountPath.endsWith("/"),
+      "mountPath cannot end with a trailing slash. Remove the '/' " +
+        s"""from: "$mountPath"""")
     require(mountPath.startsWith("/"),
       s"WebApp '$name': mountPath must start with '/', got '$mountPath'")
+    ReservedMountPaths.foreach { reserved =>
+      require(mountPath != reserved && !mountPath.startsWith(s"$reserved/"),
+        "mountPath cannot begin with a reserved path: " +
+          s"""${ReservedMountPaths.mkString(", ")}. Got: "$mountPath"""")
+    }
   }
 }

@@ -1,0 +1,64 @@
+package graft.streaming
+
+/** Topic ↔ stream naming convention (ref packages/ts-moose-lib/src/
+  * streaming-functions/runner.ts:818-874; matrix
+  * tests/streaming-runner.test.ts): a physical topic name is
+  * `[namespace.]BaseName[_v_with_dots_to_underscores]`, and the
+  * streaming runner maps it back to the base stream name to find the
+  * registered transform. The suffix/prefix checks throw the
+  * reference's own messages — a mismatch means the infra map and the
+  * wire disagree about a topic's identity, never something to guess
+  * through. */
+object TopicNaming {
+
+  /** The topic an infra map materializes for a stream (same family as
+    * [[graft.table.OlapTable.Config.physicalName]]). */
+  final case class TopicConfig(
+      name: String,
+      partitions: Int,
+      retentionMs: Long,
+      /** Synced with the producer's `message.max.bytes`
+        * ([[KafkaWire.producerConfig]]); required here because the
+        * producer sizes itself from the TOPIC, not vice versa. */
+      maxMessageBytes: Int,
+      namespace: Option[String] = None,
+      version: Option[String] = None)
+
+  /** runner.ts:818-820 — "1.0" → "_1_0". */
+  def formatVersionSuffix(version: String): String =
+    "_" + version.replace(".", "_")
+
+  /** runner.ts:826-855 — strip version suffix then namespace prefix,
+    * refusing when a declared part is absent from the name. */
+  def topicNameToStreamName(config: TopicConfig): String = {
+    var name = config.name
+    config.version.foreach { v =>
+      val suffix = formatVersionSuffix(v)
+      if (name.endsWith(suffix)) name = name.dropRight(suffix.length)
+      else throw new IllegalArgumentException(
+        s"Version suffix $suffix not found in topic name $name")
+    }
+    config.namespace.filter(_.nonEmpty).foreach { ns =>
+      val prefix = s"$ns."
+      if (name.startsWith(prefix)) name = name.drop(prefix.length)
+      else throw new IllegalArgumentException(
+        s"Namespace prefix $prefix not found in topic name $name")
+    }
+    name
+  }
+
+  /** runner.ts:859-874 — structural validation before any consumption
+    * starts. */
+  def validateTopicConfig(config: TopicConfig): Unit = {
+    config.namespace.filter(_.nonEmpty).foreach { ns =>
+      if (!config.name.startsWith(s"$ns."))
+        throw new IllegalArgumentException(
+          s"Topic name ${config.name} must start with namespace $ns")
+    }
+    config.version.foreach { v =>
+      if (!config.name.endsWith(formatVersionSuffix(v)))
+        throw new IllegalArgumentException(
+          s"Topic name ${config.name} must end with version $v")
+    }
+  }
+}

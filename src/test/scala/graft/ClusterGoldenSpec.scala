@@ -63,6 +63,50 @@ class ClusterGoldenSpec extends AnyFunSuite {
       Seq("broker1:9092", "broker2:9092", "broker3:9092"))
   }
 
+  test("golden: streaming-runner.test.ts — topic↔stream naming: " +
+      "version suffix formatting, strip order, mismatch refusals, " +
+      "validateTopicConfig, max_message_bytes carriage") {
+    import graft.streaming.TopicNaming
+    import graft.streaming.TopicNaming.TopicConfig
+    // :11-20 formatVersionSuffix
+    assert(TopicNaming.formatVersionSuffix("1.0") == "_1_0")
+    assert(TopicNaming.formatVersionSuffix("2") == "_2")
+    def cfg(name: String, ns: Option[String] = None,
+        v: Option[String] = None) =
+      TopicConfig(name, 3, 86400000L, 1048576, ns, v)
+    // :23-69 topicNameToStreamName
+    assert(TopicNaming.topicNameToStreamName(cfg("MyStream")) == "MyStream")
+    assert(TopicNaming.topicNameToStreamName(
+      cfg("MyStream_1_0", v = Some("1.0"))) == "MyStream")
+    assert(TopicNaming.topicNameToStreamName(
+      cfg("prod.MyStream", ns = Some("prod"))) == "MyStream")
+    assert(TopicNaming.topicNameToStreamName(
+      cfg("prod.MyStream_1_0", ns = Some("prod"), v = Some("1.0"))) ==
+      "MyStream")
+    // :71-98 refusals with the reference's messages
+    assert(intercept[IllegalArgumentException](
+      TopicNaming.topicNameToStreamName(cfg("MyStream", v = Some("1.0"))))
+      .getMessage == "Version suffix _1_0 not found in topic name MyStream")
+    assert(intercept[IllegalArgumentException](
+      TopicNaming.topicNameToStreamName(cfg("MyStream", ns = Some("prod"))))
+      .getMessage == "Namespace prefix prod. not found in topic name MyStream")
+    // :101-163 validateTopicConfig
+    TopicNaming.validateTopicConfig(cfg("MyStream"))
+    TopicNaming.validateTopicConfig(cfg("prod.MyStream", ns = Some("prod")))
+    TopicNaming.validateTopicConfig(cfg("MyStream_1_0", v = Some("1.0")))
+    assert(intercept[IllegalArgumentException](
+      TopicNaming.validateTopicConfig(cfg("MyStream", ns = Some("prod"))))
+      .getMessage == "Topic name MyStream must start with namespace prod")
+    assert(intercept[IllegalArgumentException](
+      TopicNaming.validateTopicConfig(cfg("MyStream", v = Some("1.0"))))
+      .getMessage == "Topic name MyStream must end with version 1.0")
+    // :166-196 max_message_bytes is required carriage (producer sync)
+    assert(cfg("SmallMessages").copy(maxMessageBytes = 512 * 1024)
+      .maxMessageBytes == 524288)
+    assert(cfg("LargeMessages").copy(maxMessageBytes = 10 * 1024 * 1024)
+      .maxMessageBytes == 10485760)
+  }
+
   test("golden: cluster-validation.test.ts — Replicated: cluster " +
       "alone OK; explicit keeperPath+replicaName alone OK; both " +
       "refuse; neither (ClickHouse Cloud mode) OK") {

@@ -139,6 +139,43 @@ class RegistryGoldenSpec extends AnyFunSuite {
       Registry.WebApp("Bad", handler, "no-slash"))
   }
 
+  test("golden: webApp.test.ts:104-265 — mountPath validation matrix " +
+      "(root, trailing slash, the nine reserved roots and their " +
+      "sub-paths) and duplicate name/mountPath refusals") {
+    val handler: AnyRef = (() => ()): Runnable
+    def app(name: String, path: String) =
+      Registry.WebApp(name, handler, path)
+    // :105-125 root and trailing slash refuse
+    assert(intercept[IllegalArgumentException](app("a", "/"))
+      .getMessage.contains("mountPath cannot be \"/\""))
+    assert(intercept[IllegalArgumentException](app("a", "/myapi/"))
+      .getMessage.contains("cannot end with a trailing slash"))
+    // :127-186 every reserved root and sub-paths refuse
+    for (p <- Registry.ReservedMountPaths)
+      assert(intercept[IllegalArgumentException](app("a", p))
+        .getMessage.contains("reserved path"), p)
+    assert(intercept[IllegalArgumentException](app("a", "/admin/panel"))
+      .getMessage.contains("reserved path"))
+    assert(intercept[IllegalArgumentException](app("a", "/api/v1"))
+      .getMessage.contains("reserved path"))
+    // :187-199 valid custom paths accept (incl. nested + prefix-similar)
+    for (p <- Seq("/myapi", "/custom/path", "/apiv2", "/healthcheck"))
+      app("ok", p)
+    // :216-265 registration: duplicate name AND duplicate mountPath
+    val r = new Registry
+    r.addWebApp(app("app1", "/one"))
+    assert(intercept[IllegalArgumentException](
+      r.addWebApp(app("app1", "/other"))).getMessage
+      .contains("WebApp with name app1 already exists"))
+    val e = intercept[IllegalArgumentException](
+      r.addWebApp(app("app2", "/one")))
+    assert(e.getMessage.contains(
+      """WebApp with mountPath "/one" already exists""") &&
+      e.getMessage.contains("app1"))
+    r.addWebApp(app("app2", "/two")) // unique name + path: fine
+    assert(r.webApps.size == 2)
+  }
+
   test("golden: py test_olap_table_versioning.py:167-207 — the Python " +
       "rows beyond the TS port (semver keys with two dots; infra map " +
       "carries version and engine). The other four Py rows " +
