@@ -27,8 +27,19 @@ import scala.collection.mutable.LinkedHashMap
   * Unlike the reference there is NO process-global instance — the
   * registry is an ordinary value the application composes (a global
   * mutable singleton is exactly what Spark driver restarts and tests
-  * fight; the reference's own tests clear it before every case). */
-final class Registry {
+  * fight; the reference's own tests clear it before every case).
+  *
+  * `clientOnly` (ref client-only-mode.test.ts; olapTable.ts:798
+  * `isClientOnlyMode()`): the hot-reload accommodation — duplicate
+  * table/SQL-resource registration OVERWRITES (latest wins, size
+  * unchanged) instead of refusing, because module re-execution under
+  * HMR re-runs every constructor without clearing the registry. The
+  * reference gates it on env `MOOSE_CLIENT_ONLY` being EXACTLY
+  * "true" ([[Registry.isClientOnlyMode]]); here it is an explicit
+  * constructor flag (a library deciding behavior off ambient env is
+  * the thing Spark jobs fight), with the env helper provided for the
+  * process-level spelling. */
+final class Registry(val clientOnly: Boolean = false) {
 
   val tables: LinkedHashMap[String, OlapTable] = LinkedHashMap.empty
   val streams: LinkedHashMap[String, MooseStream[_]] = LinkedHashMap.empty
@@ -53,7 +64,7 @@ final class Registry {
 
   def addTable(t: OlapTable): OlapTable = {
     val key = t.config.registryId
-    require(!tables.contains(key),
+    require(clientOnly || !tables.contains(key),
       s"OlapTable with name ${t.config.name} and version " +
         s"${t.config.version.getOrElse("unversioned")} already exists")
     tables(key) = t
@@ -112,7 +123,7 @@ final class Registry {
   }
 
   def addSqlResource(r: SqlResource): SqlResource = {
-    refuseDup(sqlResources, r.name, "SqlResource")
+    if (!clientOnly) refuseDup(sqlResources, r.name, "SqlResource")
     sqlResources(r.name) = r
     mutated()
     r
@@ -198,6 +209,13 @@ final class Registry {
 }
 
 object Registry {
+  /** The reference's env spelling (internal.ts `isClientOnlyMode`):
+    * true ONLY when `MOOSE_CLIENT_ONLY` is exactly "true" — "1",
+    * "yes", "false", unset are all false
+    * (client-only-mode.test.ts:43-64). */
+  def isClientOnlyMode(env: String => Option[String] = sys.env.get)
+      : Boolean = env("MOOSE_CLIENT_ONLY").contains("true")
+
   /** A named workflow: the starting task of a [[WfDagTask]] DAG plus
     * the schedule/retry carriage (ref dmv2/sdk/workflow.ts — `new
     * Workflow(name, { startingTask, schedule, retries })`). Cycle

@@ -206,6 +206,41 @@ class RegistryGoldenSpec extends AnyFunSuite {
       .isInstanceOf[graft.table.TableEngine.ReplacingMergeTree])
   }
 
+  test("golden: client-only-mode.test.ts — the env spelling is " +
+      "EXACTLY \"true\"; clientOnly registries overwrite duplicates " +
+      "(latest wins, size unchanged) for tables and SQL resources") {
+    // :43-64 isClientOnlyMode
+    assert(!Registry.isClientOnlyMode(_ => None))
+    assert(!Registry.isClientOnlyMode(_ => Some("false")))
+    assert(Registry.isClientOnlyMode(_ => Some("true")))
+    assert(!Registry.isClientOnlyMode(_ => Some("1")))
+    assert(!Registry.isClientOnlyMode(_ => Some("yes")))
+    // :152-215 permissive mode: duplicate registration overwrites
+    val r = new Registry(clientOnly = true)
+    val t1 = r.addTable(table("ClientOnlyDupeTable"))
+    val t2 = r.addTable(table("ClientOnlyDupeTable"))
+    assert(r.tables.size == 1)
+    assert(r.getTable("ClientOnlyDupeTable").contains(t2))
+    assert(!r.getTable("ClientOnlyDupeTable").contains(t1))
+    // versioned duplicate too (:219-244), keyed Name_1.0
+    r.addTable(table("VersionedDupeTable", Some("1.0")))
+    val v2 = r.addTable(table("VersionedDupeTable", Some("1.0")))
+    assert(r.getTable("VersionedDupeTable_1.0").contains(v2))
+    // introspection still works (:246-265)
+    r.addTable(table("IntrospectionTable1"))
+    r.addTable(table("IntrospectionTable2"))
+    assert(r.tables.contains("IntrospectionTable1") &&
+      r.tables.contains("IntrospectionTable2"))
+    // SqlResource overwrite in client-only, refusal otherwise
+    r.addSqlResource(SqlResource("dup_res", Seq("SELECT 1")))
+    r.addSqlResource(SqlResource("dup_res", Seq("SELECT 2")))
+    assert(r.sqlResources("dup_res").setup == Seq("SELECT 2"))
+    val strict = new Registry
+    strict.addSqlResource(SqlResource("dup_res", Seq("SELECT 1")))
+    intercept[IllegalArgumentException](
+      strict.addSqlResource(SqlResource("dup_res", Seq("SELECT 2"))))
+  }
+
   test("duplicate refusals: table (name, version) identity; API " +
       "(name, version); path collisions refuse, bare path is " +
       "first-come (consumptionApi.ts:87-136)") {
