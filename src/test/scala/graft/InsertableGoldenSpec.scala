@@ -89,4 +89,35 @@ class InsertableGoldenSpec extends AnyFunSuite {
     assert(report.written == 1)
     assert(dlq.exists(d => d.count() == 1))
   }
+
+  test("golden: index-signature-validation.test.ts — a record shape " +
+      "with EXTRA fields beyond the table contract refuses at ingest " +
+      "(never silently dropped); the open-type-with-table combination " +
+      "is otherwise unrepresentable here") {
+    // The reference rejects `[key: string]: any` models at pipeline
+    // CONSTRUCTION when table is configured, because "Extra fields
+    // would be silently dropped when writing to the ClickHouse
+    // table". A MooseSchema is a closed column list, so an open type
+    // cannot be declared at all; the residual hazard — a transform
+    // emitting MORE columns than the table's insertable contract — is
+    // the refusal pinned here (IngestPipeline.ingest's column-count
+    // check). table=false (stream-only) carries any shape, like the
+    // reference's allowance.
+    import graft.api.IngestPipeline
+    import graft.streaming.MooseStream
+    val wh = Files.createTempDirectory("graft_ins3").toString
+    val t = new OlapTable(spark, OlapTable.Config("NarrowTable",
+      MooseSchema(Seq(
+        MooseColumn("id", MooseType.MString, primaryKey = true),
+        MooseColumn("v", MooseType.MInt64))),
+      orderBy = Seq("id")), wh)
+    val stream = new MooseStream[(String, Long, String)]("open_src")
+    // identity transform: the tuple carries an EXTRA third field
+    stream.addTransform[(String, Long, String)]("NarrowTable", r => Seq(r))
+    val pipeline = new IngestPipeline("open_in", stream, t)
+    val e = intercept[IllegalArgumentException] {
+      pipeline.ingest(Seq(("a", 1L, "extra-field")).toDS())
+    }
+    assert(e.getMessage.contains("expects 2 insertable"))
+  }
 }
