@@ -84,6 +84,13 @@ object SqlInterpolator {
     case TableRef(n, db) => db.map(d => s"${ident(d)}.").getOrElse("") + ident(n)
     case ColRef(n, Some(fn)) => AggState.mergeSql(fn, ident(n))
     case ColRef(n, None) => ident(n)
+    // a table/view interpolates as its (database-qualified) identifier
+    // (ref sqlHelpers.ts table handling; standalone.test.ts:280-330
+    // pins `` `my_database`.`table_with_db` `` vs bare `` `table_no_db` ``)
+    case t: graft.table.OlapTable =>
+      render(TableRef(t.config.physicalName, t.config.database))
+    case v: graft.table.View => render(TableRef(v.name, v.database))
+    case c: graft.schema.MooseColumn => ident(c.name)
     case v => literal(v)
   }
 

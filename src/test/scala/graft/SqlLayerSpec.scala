@@ -22,6 +22,42 @@ class SqlLayerSpec extends AnyFunSuite {
     assert(out == Seq("al'ice", "bob")) // injection neutralized, both rows kept
   }
 
+  test("golden: standalone.test.ts:280-330 — tables interpolate as " +
+      "database-qualified identifiers; views and columns too") {
+    import graft.schema.{MooseColumn, MooseSchema, MooseType}
+    import graft.table.{OlapTable, View}
+    val wh = java.nio.file.Files.createTempDirectory("graft_sqlq").toString
+    val schema = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("name", MooseType.MString)))
+    val noDb = new OlapTable(spark,
+      OlapTable.Config("table_no_db", schema, orderBy = Seq("id")), wh)
+    val withDb = new OlapTable(spark,
+      OlapTable.Config("table_with_db", schema, orderBy = Seq("id"),
+        database = Some("my_database")), wh)
+    assert(sql"SELECT * FROM $noDb".text ==
+      "SELECT * FROM `table_no_db`")
+    assert(sql"SELECT * FROM $withDb".text ==
+      "SELECT * FROM `my_database`.`table_with_db`")
+    // multiple tables with different configs in one template
+    val multi1 = new OlapTable(spark,
+      OlapTable.Config("multi_table1", schema, orderBy = Seq("id"),
+        database = Some("db1")), wh)
+    val q = sql"SELECT * FROM $multi1 JOIN $noDb".text
+    assert(q.contains("`db1`.`multi_table1`") && q.contains("`table_no_db`"))
+    // versioned tables interpolate their PHYSICAL name
+    val versioned = new OlapTable(spark,
+      OlapTable.Config("vt", schema, orderBy = Seq("id"),
+        version = Some("1.0")), wh)
+    assert(sql"SELECT * FROM $versioned".text == "SELECT * FROM `vt_1_0`")
+    // views and columns ride the same rendering
+    val v = View("v1", "SELECT 1", database = Some("dbv"))
+    assert(sql"SELECT * FROM $v".text == "SELECT * FROM `dbv`.`v1`")
+    val c = MooseColumn("user_id", MooseType.MString)
+    assert(sql"SELECT $c FROM $noDb".text ==
+      "SELECT `user_id` FROM `table_no_db`")
+  }
+
   test("sql interpolator: fragments nest; IN-lists and timestamps render") {
     val cond = sql"${ColRef("id")} IN ${Seq(1, 2, 3)}"
     val frag = sql"SELECT count(*) AS n FROM ${TableRef("sqlusers")} WHERE $cond AND ${ColRef("v")} < ${java.sql.Timestamp.valueOf("2024-01-01 00:00:00")}"
