@@ -86,6 +86,52 @@ final class HttpFacade(bindPort: Int = 0,
     this
   }
 
+  /** Mount a [[Registry.WebApp]] under its mountPath (ref dmv2/sdk/
+    * webApp.ts + webApp.test.ts "Framework Adapter Tests": the
+    * reference adapts Express `handle` / Koa `callback` / Fastify
+    * routing duck-types onto one Node handler — JS-ecosystem shapes
+    * with no Scala counterpart, so here the ONE portable handler
+    * shape is a typed function `(method, subPath, queryParams, body)
+    * => (status, body)`; anything else refuses loudly at mount, the
+    * adapter-detection refusal analogue). The app owns its SUBTREE
+    * (prefix mount, like Express app mounting): the sub-path arrives
+    * with the mountPath stripped, "/" for the root. mountPath
+    * validity (reserved roots etc.) was already enforced at WebApp
+    * construction. */
+  def mountWebApp(app: Registry.WebApp): this.type = {
+    val handle = app.handler match {
+      case f: Function4[_, _, _, _, _] =>
+        f.asInstanceOf[(String, String, Map[String, String], String)
+          => (Int, String)]
+      case other => throw new IllegalArgumentException(
+        s"WebApp '${app.name}': handler must be (method, subPath, " +
+          "queryParams, body) => (status, responseBody); got " +
+          other.getClass.getName)
+    }
+    server.createContext(app.mountPath, (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      if (path != app.mountPath && !path.startsWith(app.mountPath + "/"))
+        respond(ex, 404, """{"error":"no such route"}""")
+      else {
+        val sub = path.drop(app.mountPath.length) match {
+          case "" => "/"
+          case s => s
+        }
+        try {
+          val (code, body) = handle(ex.getRequestMethod, sub,
+            queryParams(ex),
+            new String(ex.getRequestBody.readAllBytes(), UTF_8))
+          respond(ex, code, body)
+        } catch {
+          case e: Throwable =>
+            respond(ex, 500, s"""{"error":${jsonStr(
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")}}""")
+        }
+      }
+    })
+    this
+  }
+
   def start(): this.type = { server.start(); this }
   def stop(): Unit = server.stop(0)
 

@@ -216,4 +216,52 @@ class HttpFacadeSpec extends AnyFunSuite {
       assert(send("GET", "/health", None).statusCode() == 200)
     } finally facade.stop()
   }
+
+  test("golden: webApp.test.ts framework-adapter semantics — a " +
+      "mounted WebApp owns its subtree, receives method/subPath/" +
+      "params/body, sets its own status; a wrong-shaped handler " +
+      "refuses at mount (the adapter-detection refusal analogue)") {
+    import graft.api.Registry
+    val handler: (String, String, Map[String, String], String)
+        => (Int, String) = (method, sub, params, body) =>
+      if (method == "GET" && sub == "/hello")
+        (200, s"""{"hi":"${params.getOrElse("name", "?")}"}""")
+      else if (method == "POST" && sub == "/echo") (201, body)
+      else (404, """{"error":"app route"}""")
+    val facade = new HttpFacade()
+      .mountWebApp(Registry.WebApp("myapp", handler, "/myapp"))
+      .start()
+    val base = s"http://127.0.0.1:${facade.port}"
+    val client = HttpClient.newHttpClient()
+    try {
+      def get(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val ok = get("/myapp/hello?name=ada")
+      assert(ok.statusCode() == 200 && ok.body() == """{"hi":"ada"}""")
+      val post = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/myapp/echo"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"x":1}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      assert(post.statusCode() == 201 && post.body() == """{"x":1}""")
+      // the app's own 404 for its unknown subroutes
+      assert(get("/myapp/nope").statusCode() == 404)
+      // root of the mount arrives as "/"
+      assert(get("/myapp").statusCode() == 404) // handler's own 404 path
+      // an exception inside the handler maps to 500, never a hang
+      val boom = Registry.WebApp("boom",
+        ((_: String, _: String, _: Map[String, String], _: String) =>
+          throw new RuntimeException("kaput")): (String, String,
+          Map[String, String], String) => (Int, String), "/boom")
+      facade.mountWebApp(boom)
+      assert(get("/boom/x").statusCode() == 500)
+    } finally facade.stop()
+    // wrong-shaped handler refuses at MOUNT, loudly
+    val bad = Registry.WebApp("bad", "not-a-function", "/badapp")
+    val f2 = new HttpFacade()
+    try {
+      val e = intercept[IllegalArgumentException](f2.mountWebApp(bad))
+      assert(e.getMessage.contains("handler must be"))
+    } finally f2.stop()
+  }
 }
