@@ -795,10 +795,22 @@ object ChDdl {
       }
     val modifiers = Seq("DEFAULT", "MATERIALIZED", "ALIAS", "CODEC",
       "TTL", "COMMENT")
-    val typeText = untilKeyword(entry, eq, ed, skipWs(entry, i), modifiers)
-    require(typeText.nonEmpty,
+    val typeTextRaw = untilKeyword(entry, eq, ed, skipWs(entry, i), modifiers)
+    require(typeTextRaw.nonEmpty,
       s"cannot parse column entry '${entry.trim}': no type")
-    val (tpe, nullable) = ChTypeParser.parse(typeText)
+    // the NULL / NOT NULL column MARKERS (round 17): CH DDL — and the
+    // reference's own generator (queries.rs CREATE_TABLE_TEMPLATE
+    // field_nullable) — spell nullability as a marker after the type
+    // instead of a Nullable(T) wrap; fold it into the column flag
+    val (typeText, markerNullable) = {
+      val t = typeTextRaw.trim
+      val up = t.toUpperCase
+      if (up.endsWith(" NOT NULL")) (t.dropRight(9).trim, Some(false))
+      else if (up.endsWith(" NULL")) (t.dropRight(5).trim, Some(true))
+      else (t, None)
+    }
+    val (tpe, typeNullable) = ChTypeParser.parse(typeText)
+    val nullable = markerNullable.getOrElse(typeNullable)
     def modifier(kw: String): Option[String] =
       findKeyword(entry, eq, ed, kw, i, atDepth = 0).map { case (_, e2) =>
         untilKeyword(entry, eq, ed, skipWs(entry, e2),
@@ -819,13 +831,20 @@ object ChDdl {
           s"cannot parse COMMENT on column '$name'")
         val q = entry(ci)
         // escape-aware: COMMENT 'it\'s fine' must not stop at the
-        // escaped quote (round-15 review — the only non-mask scan here)
+        // escaped quote (round-15 review — the only non-mask scan
+        // here); a DOUBLED quote is the SQL-standard escape the
+        // reference's generator emits (mod.rs:1393 `'' `), round 17
         val sb = new StringBuilder
         var k = ci + 1
-        while (k < entry.length && entry(k) != q) {
+        var done = false
+        while (k < entry.length && !done) {
           if (entry(k) == '\\' && k + 1 < entry.length) {
             sb.append(entry(k + 1)); k += 2
-          } else { sb.append(entry(k)); k += 1 }
+          } else if (entry(k) == q &&
+              k + 1 < entry.length && entry(k + 1) == q) {
+            sb.append(q); k += 2
+          } else if (entry(k) == q) done = true
+          else { sb.append(entry(k)); k += 1 }
         }
         require(k < entry.length, s"unterminated COMMENT on column '$name'")
         sb.toString

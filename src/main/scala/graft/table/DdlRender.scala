@@ -1,0 +1,336 @@
+package graft.table
+
+import graft.schema.{MooseColumn, MooseType}
+
+/** CREATE TABLE DDL GENERATOR — the reference's `create_table_query`
+  * (ref apps/framework-cli/src/infrastructure/olap/clickhouse/
+  * queries.rs:124 CREATE_TABLE_TEMPLATE + :3097 create_table_query,
+  * whose 85-test matrix pins every string below; property clauses
+  * mod.rs:1383 build_column_property_clauses). This is the WRITE half
+  * of the remote-DDL seam: [[ChDdl.parseCreateTable]] reads a remote's
+  * DDL into a Config; DdlRender emits the DDL a real ClickHouse would
+  * execute for a declared Config — byte-compatible with the
+  * reference's own generator, so a migrating user's `moose migrate`
+  * SQL and ours diff clean.
+  *
+  * Faithful quirks (each pinned in CreateTableGoldenSpec):
+  *  - nullability is the `NULL`/`NOT NULL` column MARKER, not a
+  *    Nullable(T) wrap — EXCEPT nested positions, which wrap;
+  *    array/nested columns are forced NOT NULL (CH forbids nullable
+  *    containers);
+  *  - `DateTime` renders `DateTime('UTC')` (the generator pins the
+  *    timezone; DateTime64 keeps its precision spelling);
+  *  - Enum renders WIDTHLESS `Enum('A' = 1,'B' = 2)` with no space
+  *    after the comma;
+  *  - property order is DEFAULT/MATERIALIZED/ALIAS → COMMENT (with
+  *    SQL `''` escaping) → CODEC → TTL;
+  *  - PRIMARY KEY comes from the expression (outer parens stripped,
+  *    template re-wraps) or from the flagged columns (backticked,
+  *    comma-joined WITHOUT spaces); ORDER BY likewise, with the
+  *    `tuple()` special case kept verbatim;
+  *  - SETTINGS sort by key; values quote unless numeric/boolean/
+  *    already-quoted (queries.rs:21 format_clickhouse_setting_value);
+  *  - replication params: both keeper_path+replica_name or neither
+  *    (else refuse); dev-without-cluster injects the
+  *    `/clickhouse/tables/{database}/{shard}/<table>` + `{replica}`
+  *    macro pair, every other case emits empty params (queries.rs
+  *    build_replication_params).
+  */
+object DdlRender {
+  import MooseType._
+
+  /** The generator's type spelling (queries.rs
+    * basic_field_type_to_string) — differs from [[graft.schema.
+    * ChTypeRender.render]] exactly where the reference's two surfaces
+    * differ: DateTime('UTC'), DateTime64(p), widthless Enum. */
+  def ddlType(t: MooseType): String = t match {
+    case MDateTime(0) => "DateTime('UTC')"
+    case MDateTime(p) => s"DateTime64($p)"
+    case MBoolean => "Boolean"
+    case MEnum(values) => values.zipWithIndex
+      .map { case (v, i) => s"'${v.replace("'", "\\'")}' = ${i + 1}" }
+      .mkString("Enum(", ",", ")")
+    case MArray(elem, elemNullable) =>
+      s"Array(${if (elemNullable) s"Nullable(${ddlType(elem)})" else ddlType(elem)})"
+    case MNested(fields) =>
+      fields.map { case (n, ft) => s"$n ${nestedFieldType(ft)}" }
+        .mkString("Nested(", ", ", ")")
+    case MNamedTuple(fields) =>
+      fields.map { case (n, ft) => s"$n ${nestedFieldType(ft)}" }
+        .mkString("Tuple(", ", ", ")")
+    case MMap(k, v) => s"Map(${ddlType(k)}, ${ddlType(v)})"
+    case MNullable(inner) => s"Nullable(${ddlType(inner)})"
+    case MLowCardinality(inner) => s"LowCardinality(${ddlType(inner)})"
+    case MAggregated(fn, args) =>
+      s"AggregateFunction($fn, ${args.map(ddlType).mkString(", ")})"
+    case other => graft.schema.ChTypeRender.render(other)
+  }
+
+  private def nestedFieldType(t: MooseType): String = ddlType(t)
+
+  /** The NULL/NOT NULL marker (queries.rs builds_field_context):
+    * explicit Nullable type → no marker; required or array/nested →
+    * NOT NULL; else NULL. */
+  private def nullMarker(c: MooseColumn): String = c.tpe match {
+    case _: MNullable => ""
+    case _: MArray | _: MNested => "NOT NULL"
+    case _ if !c.nullable => "NOT NULL"
+    case _ => "NULL"
+  }
+
+  /** DEFAULT/MATERIALIZED/ALIAS → COMMENT → CODEC → TTL
+    * (mod.rs:1383; comment quotes double per SQL). */
+  private def propertyClauses(c: MooseColumn): String = {
+    val default = c.default.map(d => s" DEFAULT $d")
+      .orElse(c.materialized.map(m => s" MATERIALIZED $m"))
+      .orElse(c.aliasExpr.map(a => s" ALIAS $a"))
+      .getOrElse("")
+    val comment = c.comment.fold("")(cm =>
+      s" COMMENT '${cm.replace("\\", "\\\\").replace("'", "''")}'")
+    val codec = c.codec.fold("")(cd => s" CODEC($cd)")
+    val ttl = c.ttl.fold("")(t => s" TTL $t")
+    s"$default$comment$codec$ttl"
+  }
+
+  private def backtickJoin(cols: Seq[String]): String =
+    cols.map(c => s"`$c`").mkString(",")
+
+  private def stripOuterParens(expr: String): String = {
+    val t = expr.trim
+    if (t == "tuple()") t
+    else if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** queries.rs:21 — quote unless numeric / boolean / pre-quoted. */
+  def settingValue(v: String): String =
+    if (v.startsWith("'") && v.endsWith("'")) v
+    else if (v.toLongOption.nonEmpty || v.toDoubleOption.nonEmpty ||
+      v == "true" || v == "false") v
+    else s"'$v'"
+
+  /** MergeTree-family engine text (queries.rs build_*_ddl). */
+  def engineDdl(engine: TableEngine, orderByEmpty: Boolean,
+      clusterName: Option[String] = None, tableName: String = "",
+      isDev: Boolean = false): String = {
+    def replacingParams(ver: Option[String], isDeleted: Option[String],
+        name: String): Seq[String] = {
+      require(!orderByEmpty, s"$name requires an order by clause")
+      require(isDeleted.isEmpty || ver.nonEmpty,
+        "is_deleted parameter requires ver to be specified")
+      ver.map(v => s"`$v`").toSeq ++ isDeleted.map(d => s"`$d`").toSeq
+    }
+    def replicationParams(keeperPath: Option[String],
+        replicaName: Option[String], name: String): Seq[String] =
+      (keeperPath.filter(_.nonEmpty), replicaName.filter(_.nonEmpty)) match {
+        case (Some(p), Some(r)) => Seq(s"'$p'", s"'$r'")
+        case (None, None) =>
+          if (isDev && clusterName.isEmpty)
+            Seq(s"'/clickhouse/tables/{database}/{shard}/$tableName'",
+              "'{replica}'")
+          else Nil
+        case _ => throw new IllegalArgumentException(
+          s"$name requires both keeper_path and replica_name, or neither")
+      }
+    engine match {
+      case TableEngine.MergeTree => "MergeTree"
+      case TableEngine.ReplacingMergeTree(ver, isDeleted) =>
+        val ps = replacingParams(ver, isDeleted, "ReplacingMergeTree")
+        if (ps.isEmpty) "ReplacingMergeTree"
+        else s"ReplacingMergeTree(${ps.mkString(", ")})"
+      case TableEngine.AggregatingMergeTree(_) => "AggregatingMergeTree"
+      case TableEngine.SummingMergeTree(cols) =>
+        if (cols.isEmpty) "SummingMergeTree"
+        else s"SummingMergeTree(${cols.map(c => s"`$c`").mkString(", ")})"
+      case TableEngine.CollapsingMergeTree(sign) =>
+        s"CollapsingMergeTree(`$sign`)"
+      case TableEngine.VersionedCollapsingMergeTree(sign, ver) =>
+        s"VersionedCollapsingMergeTree(`$sign`, `$ver`)"
+      case TableEngine.Replicated(inner, keeperPath, replicaName, _) =>
+        val innerName = inner match {
+          case TableEngine.MergeTree => "MergeTree"
+          case _: TableEngine.ReplacingMergeTree => "ReplacingMergeTree"
+          case _: TableEngine.AggregatingMergeTree => "AggregatingMergeTree"
+          case _: TableEngine.SummingMergeTree => "SummingMergeTree"
+          case _: TableEngine.CollapsingMergeTree => "CollapsingMergeTree"
+          case _: TableEngine.VersionedCollapsingMergeTree =>
+            "VersionedCollapsingMergeTree"
+          case other => throw new IllegalArgumentException(
+            s"Replicated wrapper over unsupported engine $other")
+        }
+        val name = s"Replicated$innerName"
+        val rep = replicationParams(keeperPath, replicaName, name)
+        val innerParams = inner match {
+          case TableEngine.ReplacingMergeTree(ver, isDeleted) =>
+            replacingParams(ver, isDeleted, name)
+          case TableEngine.SummingMergeTree(cols) => cols.map(c => s"`$c`")
+          case TableEngine.CollapsingMergeTree(sign) => Seq(s"`$sign`")
+          case TableEngine.VersionedCollapsingMergeTree(sign, ver) =>
+            Seq(s"`$sign`", s"`$ver`")
+          case _ => Nil
+        }
+        s"$name(${(rep ++ innerParams).mkString(", ")})"
+    }
+  }
+
+  /** External-engine text (queries.rs engine match arms): the S3
+    * family's credential slot renders NOSIGN when absent. */
+  def externalEngineDdl(cfg: ExternalEngines.EngineConfig): String = {
+    def creds(key: Option[String], secret: Option[String]): Seq[String] =
+      (key, secret) match {
+        case (Some(k), Some(s)) => Seq(s"'$k'", s"'$s'")
+        case _ => Seq("NOSIGN")
+      }
+    cfg match {
+      case ExternalEngines.S3QueueConfig(path, fmt, k, s, comp, _) =>
+        val parts = Seq(s"'$path'") ++ creds(k, s) ++
+          Seq(s"'${formatName(fmt)}'") ++ comp.map(c => s"'$c'")
+        s"S3Queue(${parts.mkString(", ")})"
+      case ExternalEngines.S3Config(path, fmt, k, s, comp, ps, pc) =>
+        val parts = Seq(s"'$path'") ++ creds(k, s) ++
+          Seq(s"'${formatName(fmt)}'") ++ comp.map(c => s"'$c'") ++
+          ps.map(p => s"'$p'") ++ pc.map(p => s"'$p'")
+        s"S3(${parts.mkString(", ")})"
+      case b: ExternalEngines.BufferConfig =>
+        // nested optional constraint: flush_rows needs flush_time,
+        // flush_bytes needs both (queries.rs Buffer arm)
+        val flush = b.flushTime.toSeq.flatMap(ft =>
+          ft.toString +: b.flushRows.toSeq.flatMap(fr =>
+            fr.toString +: b.flushBytes.map(_.toString).toSeq))
+        val parts = Seq(s"'${b.targetDatabase}'", s"'${b.targetTable}'",
+          b.numLayers.toString, b.minTime.toString, b.maxTime.toString,
+          b.minRows.toString, b.maxRows.toString, b.minBytes.toString,
+          b.maxBytes.toString) ++ flush
+        s"Buffer(${parts.mkString(", ")})"
+      case d: ExternalEngines.DistributedConfig =>
+        // sharding key is an EXPRESSION (unquoted); policy rides only
+        // with a key (nested optional)
+        val tail = d.shardingKey.toSeq.flatMap(k =>
+          k +: d.policyName.map(p => s"'$p'").toSeq)
+        val parts = Seq(s"'${d.cluster}'", s"'${d.targetDatabase}'",
+          s"'${d.targetTable}'") ++ tail
+        s"Distributed(${parts.mkString(", ")})"
+      case ExternalEngines.IcebergS3Config(path, fmt, k, s, comp) =>
+        val parts = Seq(s"'$path'") ++ creds(k, s) ++ Seq(s"'$fmt'") ++
+          comp.map(c => s"'$c'")
+        s"Iceberg(${parts.mkString(", ")})"
+      case k: ExternalEngines.KafkaEngineConfig =>
+        s"Kafka('${k.brokerList}', '${k.topicList}', '${k.groupName}', " +
+          s"'${k.format}')"
+      case m: ExternalEngines.MergeEngineConfig =>
+        // a database EXPRESSION (currentDatabase()) stays unquoted
+        if (m.sourceDatabase.contains("("))
+          s"Merge(${m.sourceDatabase}, '${m.tablesRegexp}')"
+        else s"Merge('${m.sourceDatabase}', '${m.tablesRegexp}')"
+    }
+  }
+
+  private def formatName(f: FileEngine.FileFormat): String = f match {
+    case FileEngine.FileFormat.JsonEachRow => "JSONEachRow"
+    case FileEngine.FileFormat.Parquet => "Parquet"
+    case _: FileEngine.FileFormat.Csv => "CSV"
+    case FileEngine.FileFormat.TabSeparated(false) => "TabSeparated"
+    case FileEngine.FileFormat.TabSeparated(true) => "TabSeparatedWithNames"
+    case FileEngine.FileFormat.JsonCompactEachRow => "JSONCompactEachRow"
+  }
+
+  /** The full CREATE TABLE statement for a declared Config
+    * (MergeTree-family engines; external engines go through
+    * [[createExternalTableQuery]]). */
+  def createTableQuery(dbName: String, cfg: OlapTable.Config,
+      clusterName: Option[String] = None,
+      tableSettings: Map[String, String] = Map.empty,
+      tableTtl: Option[String] = None,
+      orderByExpression: Option[String] = None,
+      isDev: Boolean = false): String = {
+    val engine = engineDdl(cfg.engine,
+      orderByEmpty = cfg.orderBy.isEmpty && orderByExpression.isEmpty,
+      clusterName, cfg.physicalName, isDev)
+    val primaryKey = cfg.primaryKeyExpression.map(stripOuterParens)
+      .orElse {
+        val pk = cfg.schema.primaryKeys
+        if (pk.nonEmpty) Some(backtickJoin(pk)) else None
+      }
+    val orderBy = orderByExpression.map(stripOuterParens).orElse {
+      if (cfg.orderBy.isEmpty) None
+      else if (cfg.orderBy == Seq("tuple()")) Some("tuple()")
+      else Some(backtickJoin(cfg.orderBy))
+    }
+    assemble(dbName, cfg.physicalName, clusterName,
+      cfg.schema.columns, cfg.indexes, cfg.projections, engine,
+      primaryKey, orderBy,
+      partitionBy = cfg.partitionBy match {
+        case Nil => None
+        case Seq(one) => Some(one)
+        case many => Some(many.mkString("(", ", ", ")"))
+      },
+      sampleBy = cfg.sampleBy, tableTtl = tableTtl,
+      settings = tableSettings)
+  }
+
+  /** CREATE TABLE for an external engine config: ORDER BY / PRIMARY
+    * KEY / SAMPLE BY never render (the clause-support gating,
+    * queries.rs:3465-3487); PARTITION BY renders for S3 only. */
+  def createExternalTableQuery(dbName: String, tableName: String,
+      columns: Seq[MooseColumn], engine: ExternalEngines.EngineConfig,
+      clusterName: Option[String] = None,
+      tableSettings: Map[String, String] = Map.empty,
+      partitionBy: Option[String] = None): String =
+    assemble(dbName, tableName, clusterName, columns, Nil, Nil,
+      externalEngineDdl(engine), primaryKey = None, orderBy = None,
+      partitionBy =
+        if (engine.isInstanceOf[ExternalEngines.S3Config]) partitionBy
+        else None,
+      sampleBy = None, tableTtl = None, settings = tableSettings)
+
+  private def assemble(dbName: String, tableName: String,
+      clusterName: Option[String], columns: Seq[MooseColumn],
+      indexes: Seq[OlapTable.SkipIndex],
+      projections: Seq[OlapTable.Projection],
+      engine: String, primaryKey: Option[String],
+      orderBy: Option[String], partitionBy: Option[String],
+      sampleBy: Option[String], tableTtl: Option[String],
+      settings: Map[String, String]): String = {
+    val sb = new StringBuilder
+    sb.append(s"CREATE TABLE IF NOT EXISTS `$dbName`.`$tableName`")
+    clusterName.foreach(c => sb.append(s"\nON CLUSTER `$c`"))
+    sb.append("\n(\n")
+    sb.append(columns.map { c =>
+      val marker = nullMarker(c)
+      val markerPart = if (marker.isEmpty) " " else s" $marker"
+      s" `${c.name}` ${ddlType(c.tpe)}$markerPart${propertyClauses(c)}"
+    }.mkString(",\n"))
+    if (indexes.nonEmpty)
+      sb.append(indexes.map(i =>
+        s"INDEX ${i.name} ${i.expression} TYPE ${i.indexType}" +
+          i.ndv.fold("")(n => s"($n)") + " GRANULARITY 1")
+        .mkString(", ", ", ", ""))
+    if (projections.nonEmpty)
+      sb.append(projections.map(p =>
+        s"PROJECTION ${p.name} (SELECT " +
+          (if (p.columns.isEmpty) "*" else p.columns.mkString(", ")) +
+          s" ORDER BY (${p.sortBy.mkString(", ")}))")
+        .mkString(", ", ", ", ""))
+    sb.append("\n)\n")
+    sb.append(s"ENGINE = $engine")
+    primaryKey.foreach(pk => sb.append(s"\nPRIMARY KEY ($pk)"))
+    partitionBy.foreach(p => sb.append(s"\nPARTITION BY $p"))
+    sampleBy.foreach(sByE => sb.append(s"\nSAMPLE BY $sByE"))
+    // the template wraps unconditionally — `tuple()` is kept verbatim
+    // only so the paren-strip doesn't mangle it, and still renders as
+    // ORDER BY (tuple()) (queries.rs:3498-3516)
+    orderBy.foreach(o => sb.append(s"\nORDER BY ($o)"))
+    tableTtl.foreach(t => sb.append(s"\nTTL $t"))
+    if (settings.nonEmpty)
+      sb.append("\nSETTINGS ").append(settings.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k = ${settingValue(v)}" }
+        .mkString(", "))
+    sb.toString
+  }
+
+  /** queries.rs DROP_TABLE_TEMPLATE. */
+  def dropTableQuery(dbName: String, tableName: String,
+      clusterName: Option[String] = None): String =
+    s"DROP TABLE IF EXISTS `$dbName`.`$tableName`" +
+      clusterName.fold("")(c => s" ON CLUSTER `$c` SYNC") + ";"
+}
