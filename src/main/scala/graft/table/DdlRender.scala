@@ -333,4 +333,49 @@ object DdlRender {
       clusterName: Option[String] = None): String =
     s"DROP TABLE IF EXISTS `$dbName`.`$tableName`" +
       clusterName.fold("")(c => s" ON CLUSTER `$c` SYNC") + ";"
+
+  /** queries.rs:60 CREATE_VIEW_TEMPLATE. */
+  def createViewQuery(dbName: String, viewName: String,
+      viewQuery: String): String =
+    s"CREATE VIEW IF NOT EXISTS `$dbName`.`$viewName` AS $viewQuery;"
+
+  /** queries.rs:95 UPDATE_VIEW_TEMPLATE (CREATE OR REPLACE). */
+  def updateViewQuery(dbName: String, viewName: String,
+      viewQuery: String): String =
+    s"CREATE OR REPLACE VIEW `$dbName`.`$viewName` AS $viewQuery;"
+
+  /** queries.rs:80 DROP_VIEW_TEMPLATE. */
+  def dropViewQuery(dbName: String, viewName: String): String =
+    s"DROP VIEW `$dbName`.`$viewName`;"
+
+  /** queries.rs:39 CREATE_ALIAS_TEMPLATE — the unversioned alias view
+    * over the latest versioned table (the blue/green read path). */
+  def createAliasQuery(dbName: String, aliasName: String,
+      sourceTableName: String): String =
+    s"CREATE VIEW IF NOT EXISTS `$dbName`.`$aliasName` AS " +
+      s"SELECT * FROM `$dbName`.`$sourceTableName`;"
+
+  /** queries.rs:3551-3640 — table-settings ALTERs: sorted pairs,
+    * setting-value quoting, empty-set refusals verbatim. */
+  def alterTableModifySettingsQuery(dbName: String, tableName: String,
+      settings: Map[String, String],
+      clusterName: Option[String] = None): String = {
+    require(settings.nonEmpty,
+      "No settings provided for ALTER TABLE MODIFY SETTING")
+    val pairs = settings.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k = ${settingValue(v)}" }.mkString(", ")
+    s"ALTER TABLE `$dbName`.`$tableName`" +
+      clusterName.fold("")(c => s" ON CLUSTER `$c`") +
+      s"\nMODIFY SETTING $pairs;"
+  }
+
+  def alterTableResetSettingsQuery(dbName: String, tableName: String,
+      settingNames: Seq[String],
+      clusterName: Option[String] = None): String = {
+    require(settingNames.nonEmpty,
+      "No settings provided for ALTER TABLE RESET SETTING")
+    s"ALTER TABLE `$dbName`.`$tableName`" +
+      clusterName.fold("")(c => s" ON CLUSTER `$c`") +
+      s"\nRESET SETTING ${settingNames.mkString(", ")};"
+  }
 }

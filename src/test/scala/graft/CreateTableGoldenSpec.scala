@@ -245,6 +245,36 @@ class CreateTableGoldenSpec extends AnyFunSuite {
       "ReplicatedVersionedCollapsingMergeTree('/k', 'r', `sign`, `ver`)")
   }
 
+  test("golden: view/alias/settings templates (queries.rs:39-116, " +
+      ":3551-3640) — exact template strings, empty-set refusals") {
+    assert(DdlRender.createViewQuery("db", "v", "SELECT 1") ==
+      "CREATE VIEW IF NOT EXISTS `db`.`v` AS SELECT 1;")
+    assert(DdlRender.updateViewQuery("db", "v", "SELECT 2") ==
+      "CREATE OR REPLACE VIEW `db`.`v` AS SELECT 2;")
+    assert(DdlRender.dropViewQuery("db", "v") == "DROP VIEW `db`.`v`;")
+    assert(DdlRender.createAliasQuery("db", "events", "events_1_1") ==
+      "CREATE VIEW IF NOT EXISTS `db`.`events` AS " +
+        "SELECT * FROM `db`.`events_1_1`;")
+    assert(DdlRender.alterTableModifySettingsQuery("db", "t",
+      Map("ttl_only_drop_parts" -> "1", "mode" -> "ordered")) ==
+      "ALTER TABLE `db`.`t`\nMODIFY SETTING mode = 'ordered', " +
+        "ttl_only_drop_parts = 1;")
+    assert(DdlRender.alterTableModifySettingsQuery("db", "t",
+      Map("x" -> "1"), Some("c")).startsWith(
+      "ALTER TABLE `db`.`t` ON CLUSTER `c`\nMODIFY SETTING"))
+    assert(DdlRender.alterTableResetSettingsQuery("db", "t",
+      Seq("mode", "after_processing")) ==
+      "ALTER TABLE `db`.`t`\nRESET SETTING mode, after_processing;")
+    assert(intercept[IllegalArgumentException](
+      DdlRender.alterTableModifySettingsQuery("db", "t", Map.empty))
+      .getMessage.contains(
+        "No settings provided for ALTER TABLE MODIFY SETTING"))
+    assert(intercept[IllegalArgumentException](
+      DdlRender.alterTableResetSettingsQuery("db", "t", Nil))
+      .getMessage.contains(
+        "No settings provided for ALTER TABLE RESET SETTING"))
+  }
+
   test("setting values: pre-quoted/numeric/boolean stay bare, " +
       "strings quote (format_clickhouse_setting_value)") {
     assert(DdlRender.settingValue("'already'") == "'already'")
