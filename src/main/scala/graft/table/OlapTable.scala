@@ -251,6 +251,42 @@ final class OlapTable(
           perCol += when(v.isNotNull && !v.rlike(
             "^([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){7}|([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4})*)?::([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4})*)?)$"),
             lit(s"${c.name}: not an IPv6"))
+        // UNSIGNED range checks (round 17; ref utilities/
+        // validate_passthrough.rs — its boundary matrix pins
+        // 0..255/0..65535/… acceptance and the one-past rejections):
+        // the unsigned types ride WIDER signed Spark storage (#6
+        // widening), so the declared CH range is narrower than the
+        // storage type and must be validated explicitly — a -1 or 256
+        // in a UInt8 column would round-trip Spark fine and corrupt
+        // the first real ClickHouse it reaches. Signed Int8..64 need
+        // no check (their Spark storage is exact-width).
+        case MooseType.MUInt8 =>
+          perCol += when(v.isNotNull && (v < 0 || v > 255),
+            lit(s"${c.name}: out of UInt8 range 0..255"))
+        case MooseType.MUInt16 =>
+          perCol += when(v.isNotNull && (v < 0 || v > 65535),
+            lit(s"${c.name}: out of UInt16 range 0..65535"))
+        case MooseType.MUInt32 =>
+          perCol += when(v.isNotNull && (v < 0 || v > 4294967295L),
+            lit(s"${c.name}: out of UInt32 range 0..4294967295"))
+        case MooseType.MUInt64 =>
+          perCol += when(v.isNotNull && (v < 0 ||
+              v > lit(BigDecimal("18446744073709551615"))),
+            lit(s"${c.name}: out of UInt64 range 0..18446744073709551615"))
+        // map KEYS carry the same range contract
+        // (validate_passthrough test_map_key_uint8_range family)
+        case MooseType.MMap(MooseType.MUInt8, _) =>
+          perCol += when(v.isNotNull &&
+              !forall(map_keys(v), k => k >= 0 && k <= 255),
+            lit(s"${c.name}: map key out of UInt8 range 0..255"))
+        case MooseType.MMap(MooseType.MUInt16, _) =>
+          perCol += when(v.isNotNull &&
+              !forall(map_keys(v), k => k >= 0 && k <= 65535),
+            lit(s"${c.name}: map key out of UInt16 range 0..65535"))
+        case MooseType.MMap(MooseType.MUInt32, _) =>
+          perCol += when(v.isNotNull &&
+              !forall(map_keys(v), k => k >= 0 && k <= 4294967295L),
+            lit(s"${c.name}: map key out of UInt32 range 0..4294967295"))
         case _ => ()
       }
       perCol.result()

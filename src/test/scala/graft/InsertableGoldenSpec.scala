@@ -90,6 +90,45 @@ class InsertableGoldenSpec extends AnyFunSuite {
     assert(dlq.exists(d => d.count() == 1))
   }
 
+  test("golden: validate_passthrough.rs boundary matrix — unsigned " +
+      "range checks on the widened storage types, map-key ranges, " +
+      "materialized/alias not in the insert contract") {
+    import org.apache.spark.sql.functions.{col => sqlcol}
+    val wh = Files.createTempDirectory("graft_rng").toString
+    val t = new OlapTable(spark, OlapTable.Config("RangeTable",
+      MooseSchema(Seq(
+        MooseColumn("id", MooseType.MInt64, primaryKey = true),
+        MooseColumn("u8", MooseType.MUInt8),
+        MooseColumn("u16", MooseType.MUInt16),
+        MooseColumn("u32", MooseType.MUInt32),
+        MooseColumn("m8", MooseType.MMap(MooseType.MUInt8,
+          MooseType.MString), nullable = true))),
+      orderBy = Seq("id")), wh)
+    // test_uint8_range_boundaries: 0 and 255 VALID; 256 / -1 invalid.
+    // test_int16/uint32 analogues; map keys per test_map_key_uint8_range
+    val rows = Seq(
+      (1L, 0, 1, 1L, Map(0.toShort -> "a")),               // min ok
+      (2L, 255, 65535, 4294967295L, Map(255.toShort -> "b")), // max ok
+      (3L, 256, 1, 1L, Map(1.toShort -> "c")),             // u8 over
+      (4L, -1, 1, 1L, Map(1.toShort -> "d")),              // u8 under
+      (5L, 1, 65536, 1L, Map(1.toShort -> "e")),           // u16 over
+      (6L, 1, 1, 4294967296L, Map(1.toShort -> "f")),      // u32 over
+      (7L, 1, 1, 1L, Map(300.toShort -> "g")))             // map key over
+      .toDF("id", "u8", "u16", "u32", "m8")
+      .select(sqlcol("id"), sqlcol("u8").cast("smallint").as("u8"),
+        sqlcol("u16").cast("int").as("u16"), sqlcol("u32"), sqlcol("m8"))
+    val (report, dlq) = t.insert(rows,
+      OlapTable.InsertStrategy.Isolate, dlqSource = "spec")
+    assert(report.written == 2, s"expected only the boundary rows: $report")
+    assert(dlq.exists(_.count() == 5))
+    val errs = dlq.get.select("errorMessage").collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(errs.contains("out of UInt8 range 0..255"))
+    assert(errs.contains("out of UInt16 range 0..65535"))
+    assert(errs.contains("out of UInt32 range 0..4294967295"))
+    assert(errs.contains("map key out of UInt8 range"))
+  }
+
   test("golden: index-signature-validation.test.ts — a record shape " +
       "with EXTRA fields beyond the table contract refuses at ingest " +
       "(never silently dropped); the open-type-with-table combination " +
