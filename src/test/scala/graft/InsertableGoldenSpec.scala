@@ -129,6 +129,25 @@ class InsertableGoldenSpec extends AnyFunSuite {
     assert(errs.contains("map key out of UInt8 range"))
   }
 
+  test("golden: validate_passthrough.rs:2677-2800 — materialized " +
+      "values provided in the payload are STRIPPED (recomputed), " +
+      "never trusted") {
+    val wh = Files.createTempDirectory("graft_mat").toString
+    val t = new OlapTable(spark, OlapTable.Config("MatTable",
+      MooseSchema(Seq(
+        MooseColumn("id", MooseType.MInt64, primaryKey = true),
+        MooseColumn("v", MooseType.MFloat64),
+        MooseColumn("band", MooseType.MInt64,
+          materialized = Some("CAST(floor(v) AS BIGINT)")))),
+      orderBy = Seq("id")), wh)
+    // payload PROVIDES band with lies; the write recomputes it
+    val (report, _) = t.insert(Seq((1L, 3.7, 999L), (2L, 5.2, -5L))
+      .toDF("id", "v", "band"))
+    assert(report.written == 2)
+    val out = t.read().orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("band")).toSeq == Seq(3L, 5L))
+  }
+
   test("golden: index-signature-validation.test.ts — a record shape " +
       "with EXTRA fields beyond the table contract refuses at ingest " +
       "(never silently dropped); the open-type-with-table combination " +
