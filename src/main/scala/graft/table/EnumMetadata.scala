@@ -1,0 +1,101 @@
+package graft.table
+
+/** Enum metadata riding the column COMMENT (ref framework/core/
+  * infrastructure/table.rs:53-192 `METADATA_PREFIX`/`ColumnMetadata`,
+  * mapper.rs:20-151 build/combine, olap/clickhouse/mod.rs:2115
+  * parse_column_metadata; matrix mapper.rs tests): ClickHouse enums
+  * carry only `'NAME' = code` pairs, so the source language's enum
+  * NAME and STRING member values (TS `enum RecordType { TEXT =
+  * "text" }`) would be lost on round trip — the reference smuggles
+  * them through the column comment as a tagged JSON blob appended
+  * after any user comment, and recovers them when seeding a declared
+  * schema back from the database. Same seam here: [[buildComment]] /
+  * [[combineComment]] produce what a remote DDL writer stores,
+  * [[parse]] / [[userComment]] recover both halves. */
+object EnumMetadata {
+
+  /** table.rs:53 — the tag a human is told not to touch. */
+  val MetadataPrefix: String = "[MOOSE_METADATA:DO_NOT_MODIFY] "
+  /** table.rs:57. */
+  val MetadataVersion: Int = 1
+
+  /** value: Left(code) for numeric enums (Enum8/16 range), Right(s)
+    * for string-valued source enums (serialized UNTAGGED — a raw JSON
+    * number or string, table.rs:186). */
+  final case class Member(name: String, value: Either[Int, String])
+  final case class EnumDef(name: String, members: Seq[Member])
+
+  private def q(s: String): String = graft.JsonText.quote(s)
+
+  /** mapper.rs:127 build_enum_metadata_comment — prefix + JSON
+    * `{"version":1,"enum":{"name":…,"members":[{"name":…,"value":…}]}}`. */
+  def buildComment(e: EnumDef): String = {
+    val members = e.members.map { m =>
+      val v = m.value match {
+        case Left(i) => i.toString
+        case Right(s) => q(s)
+      }
+      s"""{"name":${q(m.name)},"value":$v}"""
+    }.mkString("[", ",", "]")
+    MetadataPrefix +
+      s"""{"version":$MetadataVersion,"enum":{"name":${q(e.name)},""" +
+      s""""members":$members}}"""
+  }
+
+  /** mapper.rs:20-50 — preserve the user half of an existing comment
+    * (text before any old metadata tag), replace the metadata half. */
+  def combineComment(existing: Option[String], e: EnumDef): String = {
+    val metadataComment = buildComment(e)
+    existing.flatMap(userComment) match {
+      case Some(user) => s"$user $metadataComment"
+      case None => metadataComment
+    }
+  }
+
+  /** The user-comment half: text before the metadata tag, trimmed;
+    * None when empty (mod.rs:2360-2368). */
+  def userComment(comment: String): Option[String] = {
+    val idx = comment.indexOf(MetadataPrefix)
+    val user = if (idx < 0) comment else comment.substring(0, idx)
+    Some(user.trim).filter(_.nonEmpty)
+  }
+
+  /** mod.rs:2115 parse_column_metadata — locate the tag anywhere in
+    * the comment, JSON-parse what follows; unparseable → None (the
+    * reference warns and degrades, never fails the describe). */
+  def parse(comment: String): Option[(Int, EnumDef)] = {
+    val idx = comment.indexOf(MetadataPrefix)
+    if (idx < 0) return None
+    val jsonStr = comment.substring(idx + MetadataPrefix.length).trim
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(jsonStr)
+      val version = (j \ "version") match {
+        case JInt(v) => v.toInt
+        case _ => return None
+      }
+      val ed = j \ "enum"
+      val name = (ed \ "name") match {
+        case JString(s) => s
+        case _ => return None
+      }
+      val members = (ed \ "members") match {
+        case JArray(ms) => ms.map { m =>
+          val mn = (m \ "name") match {
+            case JString(s) => s
+            case _ => return None
+          }
+          val mv = (m \ "value") match {
+            case JInt(i) => Left(i.toInt)
+            case JString(s) => Right(s)
+            case _ => return None
+          }
+          Member(mn, mv)
+        }
+        case _ => return None
+      }
+      Some((version, EnumDef(name, members)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+}

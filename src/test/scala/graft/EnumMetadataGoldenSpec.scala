@@ -1,0 +1,108 @@
+package graft
+
+import graft.schema.{MooseColumn, MooseType}
+import graft.table.EnumMetadata
+import graft.table.EnumMetadata.{EnumDef, Member}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden port of the mapper.rs test matrix (ref apps/framework-cli/
+  * src/infrastructure/olap/clickhouse/mapper.rs:408-1000): enum
+  * metadata round trip through the column comment, user-comment
+  * preservation, special-character/backslash comments, and the
+  * computed-column mutual-exclusion validations (which our
+  * [[MooseColumn]] enforces at construction). */
+class EnumMetadataGoldenSpec extends AnyFunSuite {
+
+  private val recordType = EnumDef("RecordType", Seq(
+    Member("TEXT", Right("text")),
+    Member("EMAIL", Right("email")),
+    Member("CALL", Right("call"))))
+
+  test("golden: test_enum_metadata_roundtrip — prefix + versioned " +
+      "JSON, string values recovered exactly") {
+    val comment = EnumMetadata.buildComment(recordType)
+    assert(comment.startsWith(EnumMetadata.MetadataPrefix))
+    assert(EnumMetadata.MetadataPrefix == "[MOOSE_METADATA:DO_NOT_MODIFY] ")
+    val Some((version, back)) = EnumMetadata.parse(comment)
+    assert(version == EnumMetadata.MetadataVersion && version == 1)
+    assert(back.name == "RecordType" && back.members.length == 3)
+    assert(back.members.head == Member("TEXT", Right("text")))
+  }
+
+  test("golden: test_comment_preservation_with_enum_metadata — user " +
+      "text survives, stale metadata replaced, metadata-only stays " +
+      "bare") {
+    // 1: plain user comment + new metadata
+    val c1 = EnumMetadata.combineComment(
+      Some("This is a user comment about the record type"), recordType)
+    assert(c1.startsWith("This is a user comment about the record type"))
+    assert(c1.contains(EnumMetadata.MetadataPrefix))
+    // 2: user text + OLD metadata → user text kept, metadata replaced
+    val old = EnumMetadata.buildComment(EnumDef("OldEnum", Nil))
+    val c2 = EnumMetadata.combineComment(
+      Some(s"Old user comment $old"), recordType)
+    assert(c2.startsWith("Old user comment"))
+    assert(EnumMetadata.parse(c2).exists(_._2.name == "RecordType"))
+    assert(!c2.contains("OldEnum"))
+    // 3: metadata-only existing → new metadata only, no user half
+    val c3 = EnumMetadata.combineComment(Some(old), recordType)
+    assert(c3.startsWith(EnumMetadata.MetadataPrefix))
+    assert(EnumMetadata.userComment(c3).isEmpty)
+  }
+
+  test("golden: test_enum_metadata_with_int_values — numeric members " +
+      "keep their codes as raw JSON numbers") {
+    val prio = EnumDef("Priority", Seq(
+      Member("LOW", Left(1)), Member("HIGH", Left(10))))
+    val c = EnumMetadata.buildComment(prio)
+    assert(c.contains(""""value":1""") && c.contains(""""value":10"""))
+    val Some((_, back)) = EnumMetadata.parse(c)
+    assert(back.members == prio.members)
+  }
+
+  test("golden: test_comment_with_special_characters / _backslashes / " +
+      "_backslashes_and_quotes — the JSON survives hostile user text") {
+    for (user <- Seq(
+        """User's "quoted" comment with 'apostrophes'""",
+        """Path: C:\data\files\enum""",
+        """Mix: C:\dir "quoted \' escaped" end\\""")) {
+      val c = EnumMetadata.combineComment(Some(user), recordType)
+      assert(c.startsWith(user))
+      assert(EnumMetadata.parse(c).exists(_._2 == recordType))
+      assert(EnumMetadata.userComment(c).contains(user))
+    }
+  }
+
+  test("golden: test_non_enum_column_comment_passthrough / _no_comment " +
+      "— no metadata tag means the whole comment is the user's") {
+    assert(EnumMetadata.userComment("plain user words")
+      .contains("plain user words"))
+    assert(EnumMetadata.parse("plain user words").isEmpty)
+    assert(EnumMetadata.userComment("   ").isEmpty)
+    // garbage after the tag degrades to None, never throws
+    assert(EnumMetadata.parse(
+      EnumMetadata.MetadataPrefix + "{not json").isEmpty)
+  }
+
+  test("golden: mapper.rs:917-1000 — the computed-column " +
+      "mutual-exclusion matrix (default/materialized/alias pairwise; " +
+      "materialized/alias cannot key the table; alias converts fine)") {
+    import MooseType._
+    def col(default: Option[String] = None, mat: Option[String] = None,
+        alias: Option[String] = None, pk: Boolean = false) =
+      MooseColumn("c", MString, nullable = true, primaryKey = pk,
+        default = default, materialized = mat, aliasExpr = alias)
+    intercept[IllegalArgumentException](
+      col(default = Some("'x'"), mat = Some("upper(a)")))
+    intercept[IllegalArgumentException](
+      col(default = Some("'x'"), alias = Some("upper(a)")))
+    intercept[IllegalArgumentException](
+      col(mat = Some("upper(a)"), alias = Some("lower(a)")))
+    intercept[IllegalArgumentException](
+      col(mat = Some("upper(a)"), pk = true))
+    intercept[IllegalArgumentException](
+      col(alias = Some("upper(a)"), pk = true))
+    // a plain ALIAS column converts successfully
+    assert(col(alias = Some("upper(a)")).aliasExpr.nonEmpty)
+  }
+}
