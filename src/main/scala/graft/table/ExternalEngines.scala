@@ -150,6 +150,132 @@ object ExternalEngines {
       EngineSemantics.mergeEngine(spark, tablesRegexp)
   }
 
+  /** Parse an external-engine DDL text (`S3Queue('path', NOSIGN,
+    * 'CSV')`, `Buffer('db', 't', 16, …)`, …) into its config — the
+    * reference's `ClickhouseEngine::try_from` arms (queries.rs:2253+
+    * parse_s3queue/parse_s3/…; matrix test_s3queue_parsing*): the
+    * credential-vs-format disambiguation uses the KNOWN format-name
+    * heuristic (parts[3] ∈ {CSV, TSV, JSON, …} ⇒ parts[1..2] are
+    * credentials), NOSIGN consumes the credential slot, `null` skips
+    * an optional. Formats our [[FileEngine]] cannot execute refuse
+    * loudly — a config whose reader doesn't exist is a dead shell.
+    * Returns None for non-external engine names (MergeTree family —
+    * [[ChDdl.parseEngine]]'s domain). */
+  def parse(text: String): Option[EngineConfig] = {
+    val t = text.trim
+    val open = t.indexOf('(')
+    val name = if (open < 0) t else t.substring(0, open).trim
+    def content: String = {
+      require(open >= 0 && t.endsWith(")"),
+        s"cannot parse engine arguments from '$text'")
+      t.substring(open + 1, t.length - 1)
+    }
+    def parts: Seq[String] = parseQuotedCsv(content)
+    val knownFormats = Set("CSV", "TSV", "JSON", "PARQUET", "AVRO", "ORC",
+      "ARROW", "NATIVE", "JSONCOMPACT", "JSONEACHROW")
+    def fileFormat(s: String): FileEngine.FileFormat = s match {
+      case "CSV" => FileEngine.FileFormat.Csv()
+      case "TSV" | "TabSeparated" => FileEngine.FileFormat.TabSeparated()
+      case "TabSeparatedWithNames" =>
+        FileEngine.FileFormat.TabSeparated(withNames = true)
+      case "Parquet" => FileEngine.FileFormat.Parquet
+      case "JSONEachRow" => FileEngine.FileFormat.JsonEachRow
+      case "JSONCompactEachRow" => FileEngine.FileFormat.JsonCompactEachRow
+      case other => throw new IllegalArgumentException(
+        s"engine format '$other' parses but has no executable reader " +
+          "here — supported: CSV, TSV, TabSeparated[WithNames], " +
+          "Parquet, JSONEachRow, JSONCompactEachRow")
+    }
+    // (format, key, secret, next-optional index) — queries.rs:2267-2306
+    def s3Args(ps: Seq[String], engineName: String)
+        : (String, Option[String], Option[String], Int) = {
+      require(ps.length >= 2,
+        s"$engineName requires at least path and format parameters")
+      if (ps(1).toUpperCase == "NOSIGN") {
+        require(ps.length >= 3,
+          s"$engineName with NOSIGN requires format parameter")
+        (ps(2), None, None, 3)
+      } else if (ps.length >= 4 && ps(1).nonEmpty && ps(2).nonEmpty &&
+          knownFormats.contains(ps(3).toUpperCase))
+        (ps(3), Some(ps(1)), Some(ps(2)), 4)
+      else (ps(1), None, None, 2)
+    }
+    def opt(ps: Seq[String], i: Int): Option[String] =
+      if (ps.length > i && ps(i) != "null") Some(ps(i)) else None
+    name match {
+      case "S3Queue" =>
+        val ps = parts
+        val (fmt, k, s, next) = s3Args(ps, "S3Queue")
+        Some(S3QueueConfig(ps.head, fileFormat(fmt), k, s,
+          compression = opt(ps, next)))
+      case "S3" =>
+        val ps = parts
+        val (fmt, k, s, next) = s3Args(ps, "S3")
+        Some(S3Config(ps.head, fileFormat(fmt), k, s,
+          compression = opt(ps, next),
+          partitionStrategy = opt(ps, next + 1),
+          partitionColumnsInDataFile = opt(ps, next + 2)))
+      case "Iceberg" | "IcebergS3" =>
+        val ps = parts
+        val (fmt, k, s, next) = s3Args(ps, "IcebergS3")
+        Some(IcebergS3Config(ps.head, fmt, k, s,
+          compression = opt(ps, next)))
+      case "Buffer" =>
+        val ps = parts
+        require(ps.length >= 9,
+          "Buffer engine requires 9 positional parameters")
+        Some(BufferConfig(ps(0), ps(1), ps(2).toInt, ps(3).toInt,
+          ps(4).toInt, ps(5).toLong, ps(6).toLong, ps(7).toLong,
+          ps(8).toLong,
+          flushTime = opt(ps, 9).map(_.toInt),
+          flushRows = opt(ps, 10).map(_.toLong),
+          flushBytes = opt(ps, 11).map(_.toLong)))
+      case "Distributed" =>
+        val ps = parts
+        require(ps.length >= 3,
+          "Distributed engine requires cluster, database and table")
+        Some(DistributedConfig(ps(0), ps(1), ps(2),
+          shardingKey = opt(ps, 3), policyName = opt(ps, 4)))
+      case "Kafka" =>
+        val ps = parts
+        require(ps.length == 4,
+          "Kafka engine requires broker_list, topic_list, group_name, format")
+        Some(KafkaEngineConfig(ps(0), ps(1), ps(2), ps(3)))
+      case "Merge" =>
+        val ps = parts
+        require(ps.length == 2,
+          "Merge engine requires source_database and tables_regexp")
+        Some(MergeEngineConfig(ps(0), ps(1)))
+      case _ => None
+    }
+  }
+
+  /** queries.rs parse_quoted_csv: comma-split OUTSIDE quotes, quoted
+    * values unquote with `\'` unescaping, bare tokens (NOSIGN,
+    * numbers, expressions) pass trimmed. */
+  private[table] def parseQuotedCsv(content: String): Seq[String] = {
+    if (content.trim.isEmpty) return Nil
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < content.length) {
+      val c = content(i)
+      if (inQuote) {
+        if (c == '\\' && i + 1 < content.length && content(i + 1) == '\'') {
+          cur.append('\''); i += 2
+        } else if (c == '\'') { inQuote = false; i += 1 }
+        else { cur.append(c); i += 1 }
+      } else c match {
+        case '\'' => inQuote = true; i += 1
+        case ',' => out += cur.toString.trim; cur.clear(); i += 1
+        case _ => cur.append(c); i += 1
+      }
+    }
+    out += cur.toString.trim
+    out.result()
+  }
+
   /** The clause-compatibility matrix (ref olap_table.py:202-287,
     * matrix test_s3queue_config.py:254-383): S3Engine alone among the
     * external engines supports ORDER BY and PARTITION BY; nothing
