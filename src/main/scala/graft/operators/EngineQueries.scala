@@ -284,6 +284,39 @@ object EngineQueries {
       .orderBy(col("event_id"))
   }
 
+  /** The DDL GENERATOR under the oracle gate (round 17; ref
+    * queries.rs create_table_query — its 85-test matrix is pinned in
+    * CreateTableGoldenSpec; this row re-derives the flagship strings
+    * from first principles in DuckDB): one row carrying the generated
+    * CREATE TABLE texts for the matrix's basic / replacing / external
+    * shapes, plus ROUND-TRIP facts — the generated DDL re-parsed by
+    * [[graft.table.ChDdl.parseCreateTable]] reports the same columns,
+    * engine and layout it was generated from. */
+  def qDdlRender(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.{DdlRender, ChDdl, ExternalEngines, FileEngine}
+    val basic = OlapTable.Config("test_table", MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt32, primaryKey = true),
+      MooseColumn("name", MooseType.MString, nullable = true))))
+    val replacing = OlapTable.Config("events_rep", MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true),
+      MooseColumn("ver", MooseType.MDateTime(0)))),
+      engine = TableEngine.ReplacingMergeTree(ver = Some("ver")),
+      orderBy = Seq("id"))
+    val basicDdl = DdlRender.createTableQuery("test_db", basic)
+    val replacingDdl = DdlRender.createTableQuery("test_db", replacing)
+    val externalDdl = DdlRender.externalEngineDdl(
+      ExternalEngines.S3QueueConfig("s3://my-bucket/data/*.json",
+        FileEngine.FileFormat.JsonEachRow))
+    val back = ChDdl.parseCreateTable(replacingDdl)
+    spark.range(1).select(
+      lit(basicDdl).as("ddl_basic"),
+      lit(replacingDdl).as("ddl_replacing"),
+      lit(externalDdl).as("ddl_external"),
+      lit(back.schema.columns.map(_.name).mkString(",")).as("rt_cols"),
+      lit(back.engine == replacing.engine).as("rt_engine"),
+      lit(back.orderBy.mkString(",")).as("rt_order"))
+  }
+
   /** A12/A15 aggregate-state columns: xState partials per (day, type)
     * merged to day level via xMerge — the AggregatingMergeTree + MV
     * partial/final pattern. */
@@ -941,6 +974,7 @@ object EngineQueries {
     "q_insertable_projection" -> (qInsertableProjection _),
     "q_ddl_seed" -> (qDdlSeed _),
     "q_migrate_evolve" -> (qMigrateEvolve _),
+    "q_ddl_render" -> (qDdlRender _),
     "q_aggstate_merge" -> (qAggstateMerge _),
     "q_quantile_sketch" -> (qQuantileSketch _))
 
@@ -1127,6 +1161,28 @@ object EngineQueries {
         |  'p_by_type:event_type+event_id' AS cfg_projection,
         |  'ts + INTERVAL 90 DAY' AS cfg_col_ttl
         |FROM u ORDER BY event_id""".stripMargin,
+    // the generator's flagship strings re-derived as constants; the
+    // round-trip facts pinned as booleans/lists
+    "q_ddl_render" ->
+      ("SELECT '" +
+        "CREATE TABLE IF NOT EXISTS `test_db`.`test_table`\n" +
+        "(\n" +
+        " `id` Int32 NOT NULL,\n" +
+        " `name` String NULL\n" +
+        ")\n" +
+        "ENGINE = MergeTree\n" +
+        "PRIMARY KEY (`id`)' AS ddl_basic,\n" +
+        "'CREATE TABLE IF NOT EXISTS `test_db`.`events_rep`\n" +
+        "(\n" +
+        " `id` Int64 NOT NULL,\n" +
+        " `ver` DateTime(''UTC'') NOT NULL\n" +
+        ")\n" +
+        "ENGINE = ReplacingMergeTree(`ver`)\n" +
+        "PRIMARY KEY (`id`)\n" +
+        "ORDER BY (`id`)' AS ddl_replacing,\n" +
+        "'S3Queue(''s3://my-bucket/data/*.json'', NOSIGN, ''JSONEachRow'')'" +
+        " AS ddl_external,\n" +
+        "'id,ver' AS rt_cols, true AS rt_engine, 'id' AS rt_order"),
     // the migration scenario from first principles: backfilled DEFAULT
     // over batch-1 rows, explicit values on batch-2, dropped column
     // absent, rewrote flags pinned (v2 rewrote, v3 metadata-only)

@@ -275,6 +275,27 @@ class CreateTableGoldenSpec extends AnyFunSuite {
         "No settings provided for ALTER TABLE RESET SETTING"))
   }
 
+  test("q_ddl_render emits exactly the strings its DuckDB oracle " +
+      "re-derives (the driver-gate row for the generator)") {
+    val spark = SparkTestSession.spark
+    val row = graft.operators.EngineQueries.qDdlRender(spark,
+      "/root/testdata/sf0.001").collect().head
+    assert(row.getAs[String]("ddl_basic") ==
+      "CREATE TABLE IF NOT EXISTS `test_db`.`test_table`\n(\n" +
+        " `id` Int32 NOT NULL,\n `name` String NULL\n)\n" +
+        "ENGINE = MergeTree\nPRIMARY KEY (`id`)")
+    assert(row.getAs[String]("ddl_replacing") ==
+      "CREATE TABLE IF NOT EXISTS `test_db`.`events_rep`\n(\n" +
+        " `id` Int64 NOT NULL,\n `ver` DateTime('UTC') NOT NULL\n)\n" +
+        "ENGINE = ReplacingMergeTree(`ver`)\nPRIMARY KEY (`id`)\n" +
+        "ORDER BY (`id`)")
+    assert(row.getAs[String]("ddl_external") ==
+      "S3Queue('s3://my-bucket/data/*.json', NOSIGN, 'JSONEachRow')")
+    assert(row.getAs[String]("rt_cols") == "id,ver")
+    assert(row.getAs[Boolean]("rt_engine"))
+    assert(row.getAs[String]("rt_order") == "id")
+  }
+
   test("setting values: pre-quoted/numeric/boolean stay bare, " +
       "strings quote (format_clickhouse_setting_value)") {
     assert(DdlRender.settingValue("'already'") == "'already'")
