@@ -1,0 +1,180 @@
+package graft.api
+
+import graft.schema.{MooseColumn, MooseSchema, MooseType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** OpenAPI spec generation for the declared API surface (ref apps/
+  * framework-cli/src/cli/routines/openapi.rs — `moose` writes an
+  * OpenAPI 3.1.1 document describing every ingest POST and
+  * consumption GET; matrix: its extract_component_schemas tests).
+  * Here the document is assembled from the [[Registry]]: each ingest
+  * pipeline becomes `POST /ingest/{name}` whose request body is the
+  * table's INSERTABLE schema (computed columns excluded — the same
+  * contract the insert path enforces), each consumption API becomes
+  * `GET /api/{name}` with typed query parameters and examples per the
+  * reference's `map_query_param_type`.
+  *
+  * Divergences, stated: the reference serializes YAML (serde_yaml);
+  * JSON is emitted here — the same OpenAPI document in its other
+  * canonical encoding (no YAML writer on this classpath, and every
+  * OpenAPI consumer reads both). The reference's DateTime example is
+  * `Local::now()` — nondeterministic; the caller passes `nowExample`
+  * so generated specs are reproducible. */
+object OpenApi {
+
+  /** openapi.rs:413-441 map_query_param_type — (type, example). */
+  def queryParamType(t: MooseType, nowExample: String): (String, JValue) = {
+    import MooseType._
+    t match {
+      case MBoolean => ("boolean", JBool(true))
+      case MInt8 | MInt16 | MInt32 | MInt64 | MUInt8 | MUInt16 |
+           MUInt32 | MUInt64 | MInt128 | MInt256 => ("integer", JInt(1))
+      case _: MDecimal | MFloat32 | MFloat64 => ("number", JDouble(1.0))
+      case _: MDateTime => ("string", JString(nowExample))
+      case _ => ("string", JString("stringValue"))
+    }
+  }
+
+  /** JSON Schema of one column type (the body-schema side). */
+  def typeSchema(t: MooseType): JObject = {
+    import MooseType._
+    t match {
+      case MString | MFixedString(_) => JObject("type" -> JString("string"))
+      case MBoolean => JObject("type" -> JString("boolean"))
+      case MInt8 | MInt16 | MInt32 | MInt64 | MUInt8 | MUInt16 |
+           MUInt32 | MUInt64 | MInt128 | MInt256 =>
+        JObject("type" -> JString("integer"))
+      case _: MDecimal | MFloat32 | MFloat64 =>
+        JObject("type" -> JString("number"))
+      case _: MDateTime =>
+        JObject("type" -> JString("string"), "format" -> JString("date-time"))
+      case MDate => JObject("type" -> JString("string"),
+        "format" -> JString("date"))
+      case MEnum(values) => JObject("type" -> JString("string"),
+        "enum" -> JArray(values.map(JString(_)).toList))
+      case MUUID => JObject("type" -> JString("string"),
+        "format" -> JString("uuid"))
+      case MIPv4 | MIPv6 => JObject("type" -> JString("string"))
+      case MArray(e, _) => JObject("type" -> JString("array"),
+        "items" -> typeSchema(e))
+      case MNested(fields) => JObject("type" -> JString("array"),
+        "items" -> fieldsSchema(fields))
+      case MNamedTuple(fields) => fieldsSchema(fields)
+      case MMap(_, v) => JObject("type" -> JString("object"),
+        "additionalProperties" -> typeSchema(v))
+      case MNullable(inner) => typeSchema(inner)
+      case MLowCardinality(inner) => typeSchema(inner)
+      case MJson => JObject("type" -> JString("object"))
+      case MBinary => JObject("type" -> JString("string"),
+        "format" -> JString("byte"))
+      case _ => JObject("type" -> JString("string"))
+    }
+  }
+
+  private def fieldsSchema(fields: Seq[(String, MooseType)]): JObject =
+    JObject("type" -> JString("object"),
+      "properties" -> JObject(fields.map { case (n, t) =>
+        n -> (typeSchema(t): JValue) }.toList))
+
+  /** The request-body schema of a table: its INSERTABLE columns
+    * (alias/materialized excluded), required = the non-nullable,
+    * non-defaulted set. */
+  def bodySchema(schema: MooseSchema): JObject = {
+    val insertable = schema.columns.filter(c =>
+      c.aliasExpr.isEmpty && c.materialized.isEmpty)
+    JObject(
+      "type" -> JString("object"),
+      "properties" -> JObject(insertable.map(c =>
+        c.name -> (typeSchema(c.tpe): JValue)).toList),
+      "required" -> JArray(insertable
+        .filter(c => !c.nullable && c.default.isEmpty)
+        .map(c => JString(c.name)).toList))
+  }
+
+  /** openapi.rs:221-259 extract_component_schemas — lift a typia-style
+    * (`components.schemas` + `schemas[0]` reference) or pydantic-style
+    * (`$defs`) document into (responseSchema, componentSchemas);
+    * anything else passes through untouched. */
+  def extractComponentSchemas(schema: JValue)
+      : (JValue, Map[String, JValue]) = {
+    (schema \ "components" \ "schemas") match {
+      case JObject(fields) =>
+        val components = fields.toMap
+        (schema \ "schemas") match {
+          case JArray(first :: _) => return (first, components)
+          case _ => ()
+        }
+        return (schema, components)
+      case _ => ()
+    }
+    (schema \ "$defs") match {
+      case JObject(fields) =>
+        val response = schema.removeField { case (n, _) => n == "$defs" }
+        (response, fields.toMap)
+      case _ => (schema, Map.empty)
+    }
+  }
+
+  /** One consumption API's declared query parameters. */
+  final case class EgressApi(name: String,
+      queryParams: Seq[MooseColumn] = Nil,
+      outputSchema: Option[JValue] = None)
+
+  /** Assemble the OpenAPI 3.1.1 document (JSON text, keys ordered
+    * deterministically — sorted paths, declaration-ordered
+    * properties). */
+  def generate(registry: Registry, title: String, version: String,
+      serverUrl: String, egress: Seq[EgressApi] = Nil,
+      nowExample: String = "2024-01-01T00:00:00+00:00"): String = {
+    var components = Map.empty[String, JValue]
+    val ingressPaths: Seq[(String, JValue)] =
+      registry.ingestApis.values.toSeq.map { p =>
+        val schema = bodySchema(p.table.config.schema)
+        s"/ingest/${p.name}" -> JObject("post" -> JObject(
+          "summary" -> JString(s"Ingress endpoint for ${p.name}"),
+          "parameters" -> JArray(Nil),
+          "requestBody" -> JObject(
+            "required" -> JBool(true),
+            "content" -> JObject("application/json" ->
+              JObject("schema" -> (schema: JValue)))),
+          "responses" -> JObject("200" -> JObject(
+            "description" -> JString("Successful operation")))))
+      }
+    val egressPaths: Seq[(String, JValue)] = egress.map { e =>
+      val (respSchema, extracted) = e.outputSchema
+        .map(extractComponentSchemas)
+        .getOrElse((JObject("type" -> JString("object")): JValue,
+          Map.empty[String, JValue]))
+      components ++= extracted
+      val params = e.queryParams.map { c =>
+        val (pt, example) = queryParamType(c.tpe, nowExample)
+        JObject(
+          "name" -> JString(c.name),
+          "in" -> JString("query"),
+          "required" -> JBool(!c.nullable),
+          "schema" -> JObject("type" -> JString(pt)),
+          "example" -> example): JValue
+      }
+      s"/api/${e.name}" -> (JObject("get" -> JObject(
+        "summary" -> JString(s"Egress endpoint for ${e.name}"),
+        "parameters" -> JArray(params.toList),
+        "responses" -> JObject("200" -> JObject(
+          "description" -> JString("Successful operation"),
+          "content" -> JObject("application/json" ->
+            JObject("schema" -> respSchema)))))): JValue)
+    }
+    val doc = JObject(
+      "openapi" -> JString("3.1.1"),
+      "info" -> JObject("title" -> JString(s"$title API"),
+        "version" -> JString(version)),
+      "servers" -> JArray(List(JObject(
+        "url" -> JString(serverUrl),
+        "description" -> JString("Server URL")))),
+      "paths" -> JObject((ingressPaths ++ egressPaths)
+        .sortBy(_._1).toList),
+      "components" -> JObject("schemas" ->
+        JObject(components.toSeq.sortBy(_._1).toList)))
+    JsonMethods.compact(JsonMethods.render(doc))
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import graft.api.{IngestPipeline, OpenApi, Registry}
+import graft.schema.{MooseColumn, MooseSchema, MooseType}
+import graft.streaming.MooseStream
+import graft.table.OlapTable
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Golden port of the OpenAPI routine (ref apps/framework-cli/src/
+  * cli/routines/openapi.rs): the extract_component_schemas matrix
+  * (typia enums with oneOf/anyOf, pydantic $defs), the query-param
+  * type mapping, and the assembled document's shape over a real
+  * registry. */
+class OpenApiGoldenSpec extends AnyFunSuite {
+  import MooseType._
+
+  test("golden: test_extract_component_schemas_with_enums — typia " +
+      "style: oneOf consts preserved exactly, response is the " +
+      "schemas[0] reference") {
+    val schema = JsonMethods.parse("""{
+      "components": {"schemas": {
+        "FooStatus": {"oneOf": [
+          {"const": "active"}, {"const": "inactive"},
+          {"const": "pending"}, {"const": "archived"}]},
+        "ComplexEnum": {"anyOf": [
+          {"type": "string", "enum": ["foo", "bar"]},
+          {"type": "integer", "enum": [1, 2, 3]}]},
+        "NestedSchema": {"type": "object", "properties": {
+          "status": {"$ref": "#/components/schemas/FooStatus"},
+          "metadata": {"oneOf": [{"type": "null"},
+            {"type": "object", "properties": {
+              "created": {"type": "string", "format": "date-time"}}}]}}}
+      }},
+      "schemas": [{"$ref": "#/components/schemas/NestedSchema"}]
+    }""")
+    val (response, components) = OpenApi.extractComponentSchemas(schema)
+    assert(components.size == 3)
+    assert(components.contains("FooStatus") &&
+      components.contains("ComplexEnum") &&
+      components.contains("NestedSchema"))
+    val JArray(oneOf) = components("FooStatus") \ "oneOf"
+    assert(oneOf.map(o => (o \ "const").asInstanceOf[JString].s) ==
+      List("active", "inactive", "pending", "archived"))
+    val JArray(anyOf) = components("ComplexEnum") \ "anyOf"
+    assert((anyOf.head \ "type") == JString("string"))
+    assert((anyOf(1) \ "type") == JString("integer"))
+    assert((response \ "$ref") ==
+      JString("#/components/schemas/NestedSchema"))
+  }
+
+  test("golden: test_extract_component_schemas_with_pydantic_style — " +
+      "$defs lift to components, removed from the response schema") {
+    val schema = JsonMethods.parse("""{
+      "$defs": {
+        "StatusEnum": {"enum": ["active", "inactive"], "type": "string"},
+        "UserModel": {"type": "object", "properties": {
+          "id": {"type": "integer"},
+          "status": {"$ref": "#/$defs/StatusEnum"}}}},
+      "type": "object",
+      "properties": {"users": {"type": "array",
+        "items": {"$ref": "#/$defs/UserModel"}}}
+    }""")
+    val (response, components) = OpenApi.extractComponentSchemas(schema)
+    assert(components.size == 2)
+    assert(components.contains("StatusEnum") &&
+      components.contains("UserModel"))
+    assert((response \ "$defs") == JNothing)
+    assert((response \ "properties" \ "users" \ "items" \ "$ref")
+      .asInstanceOf[JString].s.contains("UserModel"))
+  }
+
+  test("golden: map_query_param_type — boolean/integer/number/" +
+      "date-time/string with the reference's examples") {
+    val now = "2024-06-01T12:00:00+00:00"
+    assert(OpenApi.queryParamType(MBoolean, now) == ("boolean", JBool(true)))
+    assert(OpenApi.queryParamType(MInt32, now) == ("integer", JInt(1)))
+    assert(OpenApi.queryParamType(MInt64, now) == ("integer", JInt(1)))
+    assert(OpenApi.queryParamType(MFloat64, now) == ("number", JDouble(1.0)))
+    assert(OpenApi.queryParamType(MDecimal(10, 2), now) ==
+      ("number", JDouble(1.0)))
+    assert(OpenApi.queryParamType(MDateTime(0), now) ==
+      ("string", JString(now)))
+    assert(OpenApi.queryParamType(MString, now) ==
+      ("string", JString("stringValue")))
+  }
+
+  test("the assembled document: 3.1.1, ingress POST carries the " +
+      "INSERTABLE body schema (computed columns out, required = " +
+      "non-nullable non-defaulted), egress GET carries typed params") {
+    val spark = SparkTestSession.spark
+    val wh = Files.createTempDirectory("graft_oas").toString
+    val r = new Registry
+    val schema = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MString, primaryKey = true),
+      MooseColumn("ts", MooseType.MDateTime(0)),
+      MooseColumn("score", MooseType.MFloat64, nullable = true,
+        default = Some("0.0")),
+      MooseColumn("day", MooseType.MDate, nullable = true,
+        aliasExpr = Some("to_date(ts)"))))
+    val table = new OlapTable(spark,
+      OlapTable.Config("UserEvents", schema, orderBy = Seq("id")), wh)
+    val stream = new MooseStream[(String, java.sql.Timestamp, Double)](
+      "UserEvents")
+    r.addIngestApi(new IngestPipeline("UserEvents", stream, table))
+    val doc = JsonMethods.parse(OpenApi.generate(r, "proj", "0.1",
+      "http://localhost:4000",
+      egress = Seq(OpenApi.EgressApi("daily_totals", Seq(
+        MooseColumn("day", MooseType.MDate),
+        MooseColumn("limit", MooseType.MInt32, nullable = true))))))
+    assert((doc \ "openapi") == JString("3.1.1"))
+    assert((doc \ "info" \ "title") == JString("proj API"))
+    val post = doc \ "paths" \ "/ingest/UserEvents" \ "post"
+    assert((post \ "summary") ==
+      JString("Ingress endpoint for UserEvents"))
+    val body = post \ "requestBody" \ "content" \ "application/json" \ "schema"
+    val JObject(props) = body \ "properties"
+    // the ALIAS column is NOT in the contract
+    assert(props.map(_._1) == List("id", "ts", "score"))
+    val JArray(req) = body \ "required"
+    assert(req == List(JString("id"), JString("ts"))) // score has a default
+    assert((body \ "properties" \ "ts" \ "format") ==
+      JString("date-time"))
+    val get = doc \ "paths" \ "/api/daily_totals" \ "get"
+    val JArray(params) = get \ "parameters"
+    assert(params.length == 2)
+    assert((params.head \ "name") == JString("day") &&
+      (params.head \ "required") == JBool(true))
+    assert((params(1) \ "name") == JString("limit") &&
+      (params(1) \ "required") == JBool(false) &&
+      (params(1) \ "schema" \ "type") == JString("integer"))
+  }
+}
