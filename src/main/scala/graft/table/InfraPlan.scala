@@ -414,6 +414,56 @@ object InfraPlan {
       apiChanges = apiChanges)
   }
 
+  /** Three-way drift verdict (ref cli/routines/migrate.rs:126
+    * `detect_drift` + its 14-test matrix): compare what the database
+    * holds NOW against what it held when the plan was generated
+    * (`expected`) and what the code wants (`target`).
+    *  - current == expected → [[DriftStatus.NoDrift]]: safe to apply;
+    *  - current == target → [[DriftStatus.AlreadyAtTarget]]: the
+    *    migration already ran (manually or twice) — a no-op, NOT an
+    *    error;
+    *  - else → [[DriftStatus.DriftDetected]] with the extra / missing
+    *    / changed table names for the report.
+    * Equality is SEMANTIC — two configs compare equal when
+    * [[TableMigrator.diff]] between them is empty (the reference
+    * strips metadata and normalizes for the same reason), and table
+    * TTL differences are IGNORED when `ignoreTtl` (the reference's
+    * IgnorableOperation TTL rows: background-expiry drift is not
+    * schema drift). */
+  sealed trait DriftStatus
+  object DriftStatus {
+    case object NoDrift extends DriftStatus
+    case object AlreadyAtTarget extends DriftStatus
+    final case class DriftDetected(
+        extraTables: Seq[String], missingTables: Seq[String],
+        changedTables: Seq[String]) extends DriftStatus
+  }
+
+  def detectDrift(current: Map[String, OlapTable.Config],
+      expected: Map[String, OlapTable.Config],
+      target: Map[String, OlapTable.Config],
+      ignoreTtl: Boolean = true): DriftStatus = {
+    def strip(c: OlapTable.Config): OlapTable.Config =
+      if (!ignoreTtl) c
+      else c.copy(ttlExpiredWhen = None,
+        schema = graft.schema.MooseSchema(
+          c.schema.columns.map(_.copy(ttl = None))))
+    def sameTable(a: OlapTable.Config, b: OlapTable.Config): Boolean =
+      a.name == b.name && TableMigrator.diff(strip(a), strip(b)).isEmpty
+    def sameState(a: Map[String, OlapTable.Config],
+        b: Map[String, OlapTable.Config]): Boolean =
+      a.keySet == b.keySet &&
+        a.forall { case (n, c) => sameTable(c, b(n)) }
+    if (sameState(current, expected)) DriftStatus.NoDrift
+    else if (sameState(current, target)) DriftStatus.AlreadyAtTarget
+    else DriftStatus.DriftDetected(
+      extraTables = current.keys.filterNot(expected.contains).toSeq.sorted,
+      missingTables = expected.keys.filterNot(current.contains).toSeq.sorted,
+      changedTables = current.collect {
+        case (n, c) if expected.get(n).exists(e => !sameTable(c, e)) => n
+      }.toSeq.sorted)
+  }
+
   /** Pre-apply drift check (round 17; ref apps/framework-cli-e2e/test/
     * migration.test.ts:300-334 — `moose migrate` records the remote
     * state the plan was generated FROM and refuses when the database

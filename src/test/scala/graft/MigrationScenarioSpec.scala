@@ -110,6 +110,66 @@ class MigrationScenarioSpec extends AnyFunSuite {
     assert(!disc.isEmpty, "hand-modified storage must be reported")
   }
 
+  test("golden: cli/routines/migrate.rs detect_drift matrix — " +
+      "NoDrift / AlreadyAtTarget / extra / missing / changed / " +
+      "multiple / empty / target-differs; TTL differences ignored, " +
+      "non-ignored still detected") {
+    import InfraPlan.{DriftStatus, detectDrift}
+    def t(name: String) = OlapTable.Config(name, MooseSchema(Seq(
+      MooseColumn("id", MooseType.MString, primaryKey = true))),
+      orderBy = Seq("id"))
+    def modified(name: String) = t(name).copy(schema = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MString, primaryKey = true),
+      MooseColumn("extra_col", MooseType.MString, nullable = true))))
+
+    // no drift (target may differ — plan exists to get there)
+    val cur2 = Map("users" -> t("users"), "posts" -> t("posts"))
+    assert(detectDrift(cur2, cur2,
+      cur2 + ("comments" -> t("comments"))) == DriftStatus.NoDrift)
+    // already at target (migration ran twice / manual apply)
+    assert(detectDrift(cur2, Map("users" -> t("users")), cur2) ==
+      DriftStatus.AlreadyAtTarget)
+    // extra table
+    assert(detectDrift(cur2 + ("comments" -> t("comments")), cur2, cur2) ==
+      DriftStatus.DriftDetected(Seq("comments"), Nil, Nil))
+    // missing tables
+    val exp3 = cur2 + ("comments" -> t("comments"))
+    assert(detectDrift(Map("users" -> t("users")), exp3, exp3) ==
+      DriftStatus.DriftDetected(Nil, Seq("comments", "posts"), Nil))
+    // changed table
+    assert(detectDrift(
+      Map("users" -> modified("users"), "posts" -> t("posts")),
+      cur2, cur2) == DriftStatus.DriftDetected(Nil, Nil, Seq("users")))
+    // multiple drift types at once
+    assert(detectDrift(
+      Map("users" -> modified("users"), "analytics" -> t("analytics")),
+      cur2, cur2) == DriftStatus.DriftDetected(
+      Seq("analytics"), Seq("posts"), Seq("users")))
+    // empty everywhere → NoDrift
+    assert(detectDrift(Map.empty, Map.empty, Map.empty) ==
+      DriftStatus.NoDrift)
+    // current == expected but != target → NoDrift (the plan's job)
+    val cur1 = Map("users" -> t("users"))
+    assert(detectDrift(cur1, cur1, cur2) == DriftStatus.NoDrift)
+    // TTL differences ignored by default (background expiry is not
+    // schema drift) — table-level and column-level
+    val ttlCur = Map("users" -> t("users").copy(
+      ttlExpiredWhen = Some("ts < now() - INTERVAL 30 DAYS")))
+    assert(detectDrift(ttlCur, cur1, cur1) == DriftStatus.NoDrift)
+    val colTtlCur = Map("users" -> t("users").copy(schema = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MString, primaryKey = true,
+        ttl = Some("ts + INTERVAL 90 DAY"))))))
+    assert(detectDrift(colTtlCur, cur1, cur1) == DriftStatus.NoDrift)
+    // …but NON-ignored changes riding beside a TTL are still caught
+    val ttlAndChange = Map("users" -> modified("users").copy(
+      ttlExpiredWhen = Some("ts < now()")))
+    assert(detectDrift(ttlAndChange, cur1, cur1) ==
+      DriftStatus.DriftDetected(Nil, Nil, Seq("users")))
+    // and with ignoreTtl = false the TTL difference IS drift
+    assert(detectDrift(ttlCur, cur1, cur1, ignoreTtl = false) ==
+      DriftStatus.DriftDetected(Nil, Nil, Seq("users")))
+  }
+
   test("scenario: backward compatibility — re-described infra " +
       "re-plans with NO additions and NO removals " +
       "(backward-compatibility.test.ts:472-574)") {
