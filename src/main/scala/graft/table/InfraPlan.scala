@@ -464,6 +464,60 @@ object InfraPlan {
       }.toSeq.sorted)
   }
 
+  /** Pre-apply database/cluster configuration check (ref cli/routines/
+    * migrate.rs:201 `validate_table_databases_and_clusters` + its
+    * test rows): every table's declared `database` must be the
+    * primary or listed among the additional databases, and every
+    * Replicated `cluster` must be a configured cluster name (an EMPTY
+    * configured list fails any cluster reference). The refusal
+    * message keeps the reference's shape — the offending pairs as
+    * bullets plus the moose.config.toml fix text — because the e2e
+    * suites grep it. Our ops don't carry per-op database fields (the
+    * Config is the single source), so validation runs over the plan's
+    * table CONFIGS — the same coverage, one layer up. */
+  def validateDatabasesAndClusters(
+      tables: Seq[OlapTable.Config],
+      primaryDatabase: String,
+      additionalDatabases: Seq[String] = Nil,
+      clusters: Seq[String] = Nil): Unit = {
+    val invalidTables = tables.flatMap(t => t.database
+      .filter(db => db != primaryDatabase &&
+        !additionalDatabases.contains(db))
+      .map(db => (t.name, db)))
+    val invalidClusters = tables.flatMap { t =>
+      val cl = t.engine match {
+        case TableEngine.Replicated(_, _, _, c) => c
+        case _ => None
+      }
+      cl.filter(c => clusters.isEmpty || !clusters.contains(c))
+        .map(c => (t.name, c))
+    }
+    if (invalidTables.nonEmpty || invalidClusters.nonEmpty) {
+      val sb = new StringBuilder
+      if (invalidTables.nonEmpty) {
+        sb.append("One or more tables specify databases that are not " +
+          "configured in moose.config.toml:\n\n")
+        invalidTables.foreach { case (t, db) =>
+          sb.append(s"  • Table '$t' specifies database '$db'\n") }
+        sb.append("\nTo fix this, add the missing database(s) to your " +
+          "moose.config.toml:\n\n[clickhouse_config]\n")
+        sb.append(s"""db_name = "$primaryDatabase"\n""")
+        val all = (additionalDatabases ++
+          invalidTables.map(_._2).filterNot(additionalDatabases.contains))
+          .distinct
+        sb.append(all.map(d => s""""$d"""").mkString(
+          "additional_databases = [", ", ", "]\n"))
+      }
+      if (invalidClusters.nonEmpty) {
+        sb.append("One or more tables specify clusters that are not " +
+          "configured in moose.config.toml:\n\n")
+        invalidClusters.foreach { case (t, c) =>
+          sb.append(s"  • Table '$t' specifies cluster '$c'\n") }
+      }
+      throw new IllegalArgumentException(sb.toString)
+    }
+  }
+
   /** Pre-apply drift check (round 17; ref apps/framework-cli-e2e/test/
     * migration.test.ts:300-334 — `moose migrate` records the remote
     * state the plan was generated FROM and refuses when the database

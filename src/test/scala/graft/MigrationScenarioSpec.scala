@@ -170,6 +170,44 @@ class MigrationScenarioSpec extends AnyFunSuite {
       DriftStatus.DriftDetected(Nil, Nil, Seq("users")))
   }
 
+  test("golden: migrate.rs validate_table_databases/clusters rows — " +
+      "primary/additional databases pass, unconfigured refuse with " +
+      "the config-fix message; clusters need a configured name and " +
+      "an empty cluster list fails any reference") {
+    import graft.table.TableEngine
+    def t(name: String, db: Option[String] = None,
+        cluster: Option[String] = None) = OlapTable.Config(name,
+      MooseSchema(Seq(MooseColumn("id", MooseType.MString,
+        primaryKey = true))), orderBy = Seq("id"), database = db,
+      engine = cluster.fold[TableEngine](TableEngine.MergeTree)(c =>
+        TableEngine.Replicated(TableEngine.MergeTree, cluster = Some(c))))
+    // valid: no database, primary database, additional database
+    InfraPlan.validateDatabasesAndClusters(Seq(t("users")), "local")
+    InfraPlan.validateDatabasesAndClusters(
+      Seq(t("users", Some("local"))), "local")
+    InfraPlan.validateDatabasesAndClusters(
+      Seq(t("users", Some("analytics"))), "local", Seq("analytics"))
+    // invalid database refuses with the greppable message
+    val e = intercept[IllegalArgumentException](
+      InfraPlan.validateDatabasesAndClusters(
+        Seq(t("users", Some("unconfigured_db"))), "local"))
+    assert(e.getMessage.contains("unconfigured_db"))
+    assert(e.getMessage.contains("moose.config.toml"))
+    assert(e.getMessage.contains("Table 'users' specifies database"))
+    // clusters: configured name passes; unknown or empty-list fail
+    InfraPlan.validateDatabasesAndClusters(
+      Seq(t("users", cluster = Some("c1"))), "local",
+      clusters = Seq("c1"))
+    val e2 = intercept[IllegalArgumentException](
+      InfraPlan.validateDatabasesAndClusters(
+        Seq(t("users", cluster = Some("c2"))), "local",
+        clusters = Seq("c1")))
+    assert(e2.getMessage.contains("clusters that are not configured"))
+    intercept[IllegalArgumentException](
+      InfraPlan.validateDatabasesAndClusters(
+        Seq(t("users", cluster = Some("c1"))), "local"))
+  }
+
   test("scenario: backward compatibility — re-described infra " +
       "re-plans with NO additions and NO removals " +
       "(backward-compatibility.test.ts:472-574)") {
