@@ -22,4 +22,25 @@ object JsonText {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+
+  /** Recursively sort all OBJECT keys of a JSON value; arrays keep
+    * their order, primitives pass through (ref utilities/json.rs:27
+    * sort_json_keys — migration artifacts are committed to version
+    * control, and unsorted maps make noisy diffs out of semantically
+    * identical states). */
+  def sortKeys(v: org.json4s.JValue): org.json4s.JValue = {
+    import org.json4s._
+    v match {
+      case JObject(fields) => JObject(fields.sortBy(_._1)
+        .map { case (k, fv) => k -> sortKeys(fv) })
+      case JArray(items) => JArray(items.map(sortKeys))
+      case other => other
+    }
+  }
+
+  /** json.rs:72 to_string_pretty_sorted — the deterministic artifact
+    * writer (pretty-printed, all keys sorted at every depth). */
+  def prettySorted(v: org.json4s.JValue): String =
+    org.json4s.jackson.JsonMethods.pretty(
+      org.json4s.jackson.JsonMethods.render(sortKeys(v)))
 }

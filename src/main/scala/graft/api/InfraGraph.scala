@@ -1,0 +1,189 @@
+package graft.api
+
+/** Compressed infrastructure graph (ref apps/framework-cli/src/mcp/
+  * compressed_map.rs — the lineage-and-connectivity view the
+  * reference's MCP server transmits instead of full schemas; its
+  * test matrix pins the component/connection bookkeeping below):
+  * lightweight component nodes + DEDUPED directed connections, with a
+  * stats block kept in lockstep. The dedup cache is rebuilt lazily
+  * after deserialization (the serialized form carries only the list)
+  * and re-synced by [[retainConnections]] — both reference-pinned
+  * behaviors, because a drifting cache silently drops or duplicates
+  * edges. Built from a [[Registry]] + [[graft.table.Lineage]] edges
+  * by [[InfraGraph.fromRegistry]].
+  */
+final class InfraGraph {
+  import InfraGraph._
+
+  private val componentList = scala.collection.mutable.ArrayBuffer.empty[Component]
+  private val connectionList = scala.collection.mutable.ArrayBuffer.empty[Connection]
+  private var connectionSet = Set.empty[Connection]
+  private val byType = scala.collection.mutable.Map.empty[String, Int]
+
+  def components: Seq[Component] = componentList.toSeq
+  def connections: Seq[Connection] = connectionList.toSeq
+  def totalComponents: Int = componentList.length
+  def totalConnections: Int = connectionList.length
+  def countByType(tpe: String): Int = byType.getOrElse(tpe, 0)
+
+  def addComponent(c: Component): Unit = {
+    byType(c.componentType) = byType.getOrElse(c.componentType, 0) + 1
+    componentList += c
+  }
+
+  /** Lazily rebuild the dedup cache from the (serialized) list
+    * (compressed_map.rs:141 ensure_connection_set). */
+  private def ensureConnectionSet(): Unit =
+    if (connectionSet.isEmpty && connectionList.nonEmpty)
+      connectionSet = connectionList.toSet
+
+  /** Add once; duplicates are silently absorbed (rs:148). */
+  def addConnection(c: Connection): Unit = {
+    ensureConnectionSet()
+    if (!connectionSet.contains(c)) {
+      connectionSet += c
+      connectionList += c
+    }
+  }
+
+  /** Filter connections, keeping the dedup cache in sync (rs:163). */
+  def retainConnections(p: Connection => Boolean): Unit = {
+    val kept = connectionList.filter(p)
+    connectionList.clear()
+    connectionList ++= kept
+    connectionSet = kept.toSet
+  }
+
+  def getComponent(id: String): Option[Component] =
+    componentList.find(_.id == id)
+  def outgoing(id: String): Seq[Connection] =
+    connectionList.filter(_.from == id).toSeq
+  def incoming(id: String): Seq[Connection] =
+    connectionList.filter(_.to == id).toSeq
+
+  /** Deterministic JSON (sorted keys via [[graft.JsonText]]) — the
+    * serialized shape carries components, connections and stats; the
+    * dedup cache is NOT serialized (rs `#[serde(skip)]`). */
+  def toJson: String = {
+    import org.json4s._
+    val doc = JObject(
+      "components" -> JArray(componentList.map(c => JObject(
+        "id" -> JString(c.id), "type" -> JString(c.componentType),
+        "name" -> JString(c.name),
+        "source_file" -> JString(c.sourceFile))).toList),
+      "connections" -> JArray(connectionList.map(c => JObject(
+        "from" -> JString(c.from), "to" -> JString(c.to),
+        "type" -> JString(c.connectionType))).toList),
+      "stats" -> JObject(
+        "total_components" -> JInt(totalComponents),
+        "by_type" -> JObject(byType.toSeq.sortBy(_._1)
+          .map { case (k, v) => k -> (JInt(v): JValue) }.toList),
+        "total_connections" -> JInt(totalConnections)))
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(doc))
+  }
+}
+
+object InfraGraph {
+  /** rs ComponentNode — the MCP resource URI reconstructs as
+    * `moose://infra/{type}s/{id}`. */
+  final case class Component(id: String, componentType: String,
+      name: String, sourceFile: String = "")
+  /** rs Connection — (from, to, type) with set identity. */
+  final case class Connection(from: String, to: String,
+      connectionType: String)
+
+  /** Component type vocabulary (rs ComponentType, snake_case). */
+  val Topic = "topic"; val Table = "table"; val ViewT = "view"
+  val ApiEndpoint = "api_endpoint"; val Function = "function"
+  val SqlResourceT = "sql_resource"; val Workflow = "workflow"
+  val WebApp = "web_app"
+  /** Connection type vocabulary (rs ConnectionType). */
+  val Ingests = "ingests"; val Produces = "produces"
+  val Queries = "queries"; val Transforms = "transforms"
+  val References = "references"; val PullsFrom = "pulls_from"
+  val PushesTo = "pushes_to"
+
+  /** rs:201 make_relative_path — walk ancestors for a directory named
+    * `app`, return the path relative to its parent; no `app` segment
+    * falls back to the input. */
+  def makeRelativePath(absolutePath: String): String = {
+    val parts = absolutePath.split('/')
+    val idx = parts.lastIndexWhere(_ == "app")
+    if (idx < 0) absolutePath
+    else parts.drop(idx).mkString("/")
+  }
+
+  /** Parse the serialized shape back (connection dedup cache rebuilds
+    * lazily on the next [[InfraGraph.addConnection]]). */
+  def fromJson(json: String): InfraGraph = {
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    val g = new InfraGraph
+    (j \ "components") match {
+      case JArray(cs) => cs.foreach { c =>
+        g.addComponent(Component(
+          (c \ "id").asInstanceOf[JString].s,
+          (c \ "type").asInstanceOf[JString].s,
+          (c \ "name").asInstanceOf[JString].s,
+          (c \ "source_file").asInstanceOf[JString].s))
+      }
+      case _ => ()
+    }
+    (j \ "connections") match {
+      case JArray(cs) => cs.foreach { c =>
+        // direct list append (the serialized form IS the list; the
+        // set rebuilds lazily, exactly the deserialization seam the
+        // reference pins)
+        g.connectionList += Connection(
+          (c \ "from").asInstanceOf[JString].s,
+          (c \ "to").asInstanceOf[JString].s,
+          (c \ "type").asInstanceOf[JString].s)
+      }
+      case _ => ()
+    }
+    g
+  }
+
+  /** Assemble from the registry: one node per resource, connection
+    * edges from structure (pipeline topic → table ingestion) and from
+    * [[graft.table.Lineage]] SQL/declared edges (rs:688-800 pins that
+    * api/workflow/webapp lineage edges are included). */
+  def fromRegistry(r: Registry,
+      apiPulls: Map[String, Seq[graft.table.Lineage.Edge]] = Map.empty)
+      : InfraGraph = {
+    val g = new InfraGraph
+    r.tables.foreach { case (id, t) =>
+      g.addComponent(Component(id, Table, t.config.name)) }
+    r.streams.foreach { case (id, s) =>
+      g.addComponent(Component(id, Topic, s.name)) }
+    r.views.foreach { case (id, v) =>
+      g.addComponent(Component(id, ViewT, v.name))
+      v.toSqlResource.pullsDataFrom.foreach(src =>
+        g.addConnection(Connection(id, src, References)))
+    }
+    r.sqlResources.foreach { case (id, res) =>
+      g.addComponent(Component(id, SqlResourceT, res.name))
+      res.pullsDataFrom.foreach(src =>
+        g.addConnection(Connection(id, src, PullsFrom)))
+      res.pushesDataTo.foreach(dst =>
+        g.addConnection(Connection(id, dst, PushesTo)))
+    }
+    r.ingestApis.foreach { case (id, p) =>
+      g.addComponent(Component(id, ApiEndpoint, p.name))
+      g.addConnection(Connection(id, p.stream.name, Produces))
+      g.addConnection(Connection(p.stream.name,
+        p.table.config.registryId, Ingests))
+    }
+    r.apis.values.toSeq.distinct.foreach { a =>
+      g.addComponent(Component(a.name, ApiEndpoint, a.name))
+      apiPulls.getOrElse(a.name, Nil).foreach(e =>
+        g.addConnection(Connection(a.name, e.id, Queries)))
+    }
+    r.workflows.foreach { case (id, w) =>
+      g.addComponent(Component(id, Workflow, w.name)) }
+    r.webApps.foreach { case (id, w) =>
+      g.addComponent(Component(id, WebApp, w.name)) }
+    g
+  }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import graft.api.{IngestPipeline, InfraGraph, Registry}
+import graft.api.InfraGraph.{Component, Connection}
+import graft.schema.{MooseColumn, MooseSchema, MooseType}
+import graft.streaming.MooseStream
+import graft.table.{Lineage, OlapTable, SqlResource}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Golden port of mcp/compressed_map.rs's test matrix: component
+  * bookkeeping, deduped connections (incl. the rebuilt-after-
+  * deserialization cache and retain keeping it in sync),
+  * relative-path extraction, and lineage edges included per
+  * registry kind. */
+class InfraGraphGoldenSpec extends AnyFunSuite {
+
+  test("golden: test_compressed_map_add_component / _connections") {
+    val g = new InfraGraph
+    g.addComponent(Component("topic1", InfraGraph.Topic, "Events",
+      "app/datamodels/Events.ts"))
+    assert(g.totalComponents == 1)
+    assert(g.countByType(InfraGraph.Topic) == 1)
+    assert(g.getComponent("topic1").nonEmpty)
+
+    g.addConnection(Connection("api1", "topic1", InfraGraph.Produces))
+    assert(g.totalConnections == 1)
+    assert(g.outgoing("api1").length == 1)
+    assert(g.incoming("topic1").length == 1)
+  }
+
+  test("golden: test_connection_dedup_after_deserialization — the " +
+      "serialized form has no cache; re-adding a known edge after a " +
+      "round trip is still a no-op") {
+    val g = new InfraGraph
+    val c = Connection("api1", "topic1", InfraGraph.Produces)
+    g.addConnection(c)
+    val rt = InfraGraph.fromJson(g.toJson)
+    rt.addConnection(c)
+    assert(rt.connections.length == 1)
+    assert(rt.totalConnections == 1)
+  }
+
+  test("golden: test_retain_connections_keeps_dedup_cache_in_sync — " +
+      "a filtered-out edge can be RE-ADDED afterwards") {
+    val g = new InfraGraph
+    val retained = Connection("api1", "topic1", InfraGraph.Produces)
+    val filteredOut = Connection("api1", "topic2", InfraGraph.Produces)
+    g.addConnection(retained)
+    g.addConnection(filteredOut)
+    g.retainConnections(_.to == "topic1")
+    assert(g.connections == Seq(retained))
+    assert(g.totalConnections == 1)
+    // the cache followed the retain: the dropped edge is addable again
+    g.addConnection(filteredOut)
+    assert(g.connections.length == 2)
+    // and the RETAINED edge is still deduped
+    g.addConnection(retained)
+    assert(g.connections.length == 2)
+  }
+
+  test("golden: test_make_relative_path_* — app-anchored relative, " +
+      "already-relative passthrough, no-app fallback, NESTED app " +
+      "dirs anchor at the LAST one") {
+    assert(InfraGraph.makeRelativePath(
+      "/Users/nicolas/code/514/test-projects/ts-test-tests/app/ingest/models.ts")
+      == "app/ingest/models.ts")
+    assert(InfraGraph.makeRelativePath("app/ingest/models.ts") ==
+      "app/ingest/models.ts")
+    assert(InfraGraph.makeRelativePath("/some/other/path/file.ts") ==
+      "/some/other/path/file.ts")
+    assert(InfraGraph.makeRelativePath(
+      "/projects/app/nested/app/models/User.ts") == "app/models/User.ts")
+  }
+
+  test("golden: api/sql-resource/view lineage edges are included " +
+      "(rs:688-800 family) — assembled from a real registry") {
+    val spark = SparkTestSession.spark
+    val wh = Files.createTempDirectory("graft_ig").toString
+    val r = new Registry
+    val schema = MooseSchema(Seq(
+      MooseColumn("id", MooseType.MString, primaryKey = true)))
+    val t = new OlapTable(spark,
+      OlapTable.Config("EventsTable", schema, orderBy = Seq("id")), wh)
+    import spark.implicits._
+    t.insert(Seq("x").toDF("id"))
+    r.addTable(t)
+    val stream = new MooseStream[String]("EventsTopic")
+    r.addStream(stream)
+    r.addIngestApi(new IngestPipeline("ingest_events",
+      new MooseStream[String]("ingest_events"), t))
+    r.addSqlResource(SqlResource("daily_mv",
+      setup = Seq("SELECT 1"), pullsDataFrom = Seq("EventsTable"),
+      pushesDataTo = Seq("DailyTable")))
+    r.addApi(graft.api.ConsumptionApi[String]("totals",
+      handler = (s, _) => s.emptyDataFrame))
+    // the api's pulls come from Lineage (the analyzed-plan channel)
+    val pulls = Lineage.ofDataFrame(t.read(), r)
+    val g = InfraGraph.fromRegistry(r, Map("totals" -> pulls))
+    // pipeline edges: api → topic (produces), topic → table (ingests)
+    assert(g.connections.contains(Connection("ingest_events",
+      "ingest_events", InfraGraph.Produces)))
+    assert(g.connections.contains(Connection("ingest_events",
+      "EventsTable", InfraGraph.Ingests)))
+    // sql-resource edges both directions
+    assert(g.connections.contains(Connection("daily_mv", "EventsTable",
+      InfraGraph.PullsFrom)))
+    assert(g.connections.contains(Connection("daily_mv", "DailyTable",
+      InfraGraph.PushesTo)))
+    // api lineage edge (queries)
+    assert(g.connections.contains(Connection("totals", "EventsTable",
+      InfraGraph.Queries)))
+    // stats stay in lockstep
+    assert(g.totalComponents == g.components.length)
+    assert(g.countByType(InfraGraph.Table) == 1)
+    assert(g.countByType(InfraGraph.ApiEndpoint) == 2)
+  }
+
+  test("JsonText.prettySorted — json.rs matrix: keys sort at every " +
+      "depth, arrays keep order") {
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(
+      """{"zebra":1,"apple":{"delta":4,"beta":[{"z":1,"a":2},3,1]}}""")
+    val out = graft.JsonText.prettySorted(j)
+    val apple = out.indexOf("\"apple\"")
+    val zebra = out.indexOf("\"zebra\"")
+    assert(apple >= 0 && zebra > apple) // top-level sorted
+    val beta = out.indexOf("\"beta\"")
+    val delta = out.indexOf("\"delta\"")
+    assert(beta > 0 && delta > beta)    // nested sorted
+    // array order preserved: [{...}, 3, 1] — 3 before 1
+    assert(out.indexOf("3") < out.lastIndexOf("1"))
+    // array-nested object keys sort too
+    val reparsed = JsonMethods.parse(out)
+    assert(JsonMethods.compact(JsonMethods.render(reparsed)) ==
+      JsonMethods.compact(JsonMethods.render(
+        graft.JsonText.sortKeys(j))))
+  }
+}
