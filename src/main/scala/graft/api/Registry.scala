@@ -163,6 +163,17 @@ final class Registry(val clientOnly: Boolean = false) {
   def getView(name: String): Option[graft.table.View] = views.get(name)
 
   def getTable(name: String): Option[OlapTable] = tables.get(name)
+
+  /** Case-insensitive lookup by the table's NAME (not its registry
+    * key) — the `moose peek` resolution rule (ref cli/routines/
+    * peek.rs:290 find_table_by_name + its test rows: "USERS" finds
+    * "users"; the explicit per-table database rides the config,
+    * defaulting at the call site). */
+  def findTableByName(name: String): Option[OlapTable] =
+    tables.values.find(_.config.name.equalsIgnoreCase(name))
+  /** peek.rs:307 find_topic_by_name — same rule for streams. */
+  def findStreamByName(name: String): Option[MooseStream[_]] =
+    streams.values.find(_.name.equalsIgnoreCase(name))
   def getStream(name: String): Option[MooseStream[_]] = streams.get(name)
   def getIngestApi(name: String): Option[IngestPipeline[_]] =
     ingestApis.get(name)

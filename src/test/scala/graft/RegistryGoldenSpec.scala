@@ -206,6 +206,33 @@ class RegistryGoldenSpec extends AnyFunSuite {
       .isInstanceOf[graft.table.TableEngine.ReplacingMergeTree])
   }
 
+  test("golden: peek.rs lookup matrix — case-insensitive NAME lookup " +
+      "for tables and topics, explicit-database carriage, default " +
+      "resolution, not-found is None") {
+    val r = new Registry
+    r.addTable(table("users"))
+    r.addTable(table("orders"))
+    r.addTable(new OlapTable(spark, OlapTable.Config("analytics",
+      testSchema, orderBy = Seq("id"),
+      database = Some("warehouse")), wh))
+    assert(r.findTableByName("users").exists(_.config.name == "users"))
+    assert(r.findTableByName("USERS").exists(_.config.name == "users"))
+    val analytics = r.findTableByName("analytics").get
+    assert(analytics.config.database.contains("warehouse"))
+    assert(r.findTableByName("nonexistent").isEmpty)
+    assert(r.tables.values.map(_.config.name).toSet ==
+      Set("users", "orders", "analytics"))
+    // database resolution: explicit wins, default otherwise
+    assert(analytics.config.database.getOrElse("local") == "warehouse")
+    assert(r.findTableByName("users").get.config.database
+      .getOrElse("local") == "local")
+    // topics by name, case-insensitive
+    r.addStream(new MooseStream[String]("events"))
+    r.addStream(new MooseStream[String]("logs"))
+    assert(r.findStreamByName("events").exists(_.name == "events"))
+    assert(r.findStreamByName("LOGS").exists(_.name == "logs"))
+  }
+
   test("golden: client-only-mode.test.ts — the env spelling is " +
       "EXACTLY \"true\"; clientOnly registries overwrite duplicates " +
       "(latest wins, size unchanged) for tables and SQL resources") {
