@@ -1,0 +1,95 @@
+package graft.table
+
+/** Seed-from-remote SQL builders (ref apps/framework-cli/src/cli/
+  * routines/seed_data.rs — `moose seed clickhouse` copies a remote's
+  * rows batch-by-batch through `remoteSecure(...)` table functions;
+  * its test matrix pins every string below verbatim). These are the
+  * CH-wire texts a real seeding run executes against the LOCAL server
+  * (which pulls from the remote) — the S21 seam's data half, beside
+  * the schema half ([[graft.schema.MooseSchema.fromClickHouse]]). */
+object SeedRemote {
+
+  /** seed_data.rs validate_database_name. */
+  def validateDatabaseName(db: String): Unit =
+    require(db.nonEmpty,
+      "No database specified and no default database configured")
+
+  /** The discovery query: which tables exist on the remote in the
+    * databases we mirror (seed_data.rs test:1039-1057). */
+  def buildRemoteTablesQuery(hostAndPort: String, user: String,
+      password: String, db: String, otherDbs: Seq[String] = Nil): String = {
+    val dbs = (db +: otherDbs).map(d => s"'$d'").mkString(", ")
+    s"SELECT database, name FROM remoteSecure('$hostAndPort', 'system', " +
+      s"'tables', '$user', '$password') WHERE database IN ($dbs)"
+  }
+
+  /** TSV response → (database, table) pairs; blank lines drop
+    * (test:1059-1074). */
+  def parseRemoteTablesResponse(response: String): Seq[(String, String)] =
+    response.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .flatMap { line =>
+        line.split("\t") match {
+          case Array(db, name) => Some((db, name))
+          case _ => None
+        }
+      }
+
+  /** Skip a local table the remote doesn't have (test:1076-1137):
+    * resolution uses the table's EXPLICIT database or the default;
+    * a None validation set (remote listing unavailable) skips
+    * nothing. */
+  def shouldSkipTable(tableDatabase: Option[String], tableName: String,
+      defaultDb: String,
+      remoteTables: Option[Set[(String, String)]]): Boolean =
+    remoteTables match {
+      case None => false
+      case Some(set) =>
+        !set.contains((tableDatabase.getOrElse(defaultDb), tableName))
+    }
+
+  /** ORDER BY for deterministic batching (seed_data.rs:181): an
+    * explicit order wins; else the table's ORDER BY fields DESC; a
+    * table with NO order only seeds when it fits ONE batch —
+    * otherwise refuse with the duplicate-row warning (the same row
+    * could be fetched in multiple batches). */
+  def buildOrderByClause(orderByFields: Seq[String],
+      explicit: Option[String], totalRows: Long, batchSize: Long,
+      tableName: String): String = explicit match {
+    case Some(o) => s"ORDER BY $o"
+    case None =>
+      val clause = orderByFields.map(f => s"`$f` DESC").mkString(", ")
+      if (clause.nonEmpty) s"ORDER BY $clause"
+      else if (totalRows <= batchSize) ""
+      else throw new IllegalArgumentException(
+        s"Table $tableName without ORDER BY. Supply ordering with " +
+          "--order-by to prevent the same row fetched in multiple batches.")
+  }
+
+  /** One batch's copy statement (test:1139-1156 pins the exact text,
+    * including the double space when the where clause is empty). */
+  def buildSeedingQuery(localDb: String, tableName: String,
+      remoteHostAndPort: String, remoteDb: String, remoteUser: String,
+      remotePassword: String, orderByClause: String,
+      whereClause: String, limit: Long, offset: Long): String =
+    s"INSERT INTO `$localDb`.`$tableName` SELECT * FROM remoteSecure(" +
+      s"'$remoteHostAndPort', '$remoteDb', '$tableName', '$remoteUser', " +
+      s"'$remotePassword') $whereClause $orderByClause " +
+      s"LIMIT $limit OFFSET $offset"
+
+  /** test:1158-1164 — the remote count (trailing space preserved
+    * where the where clause is empty, like the reference's format!). */
+  def buildCountQuery(remoteHostAndPort: String, remoteDb: String,
+      tableName: String, remoteUser: String, remotePassword: String,
+      whereClause: String): String =
+    s"SELECT count() FROM remoteSecure('$remoteHostAndPort', " +
+      s"'$remoteDb', '$tableName', '$remoteUser', '$remotePassword') " +
+      whereClause
+
+  /** The batch ladder (test_batch_counting_logic): never overshoots,
+    * sums exactly to the total. */
+  def batchLimits(totalRows: Long, batchSize: Long): Seq[Long] = {
+    require(batchSize > 0, "batch size must be positive")
+    Iterator.iterate(0L)(_ + batchSize).takeWhile(_ < totalRows)
+      .map(done => math.min(batchSize, totalRows - done)).toSeq
+  }
+}

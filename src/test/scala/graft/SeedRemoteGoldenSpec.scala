@@ -1,0 +1,100 @@
+package graft
+
+import graft.table.SeedRemote
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden port of cli/routines/seed_data.rs's test matrix — the
+  * seed-from-remote SQL builders, pinned string-exact. */
+class SeedRemoteGoldenSpec extends AnyFunSuite {
+
+  test("golden: validate_database_name — empty refuses with the " +
+      "no-database message") {
+    SeedRemote.validateDatabaseName("test_db")
+    val e = intercept[IllegalArgumentException](
+      SeedRemote.validateDatabaseName(""))
+    assert(e.getMessage.contains("No database specified"))
+  }
+
+  test("golden: build_remote_tables_query — with and without " +
+      "additional databases") {
+    assert(SeedRemote.buildRemoteTablesQuery(
+      "host:9440", "user", "pass", "mydb") ==
+      "SELECT database, name FROM remoteSecure('host:9440', 'system', " +
+        "'tables', 'user', 'pass') WHERE database IN ('mydb')")
+    assert(SeedRemote.buildRemoteTablesQuery(
+      "host:9440", "user", "pass", "mydb", Seq("otherdb1", "otherdb2")) ==
+      "SELECT database, name FROM remoteSecure('host:9440', 'system', " +
+        "'tables', 'user', 'pass') WHERE database IN " +
+        "('mydb', 'otherdb1', 'otherdb2')")
+  }
+
+  test("golden: parse_remote_tables_response — TSV pairs, blanks drop, " +
+      "empty input empty") {
+    val r = SeedRemote.parseRemoteTablesResponse(
+      "db1\ttable1\ndb1\ttable2\ndb2\ttable3\n\n")
+    assert(r.length == 3)
+    assert(r.contains(("db1", "table1")) && r.contains(("db1", "table2")) &&
+      r.contains(("db2", "table3")))
+    assert(SeedRemote.parseRemoteTablesResponse("").isEmpty)
+  }
+
+  test("golden: should_skip_table — explicit/default database " +
+      "resolution; no-validation skips nothing; wrong-db skips even " +
+      "when the default db has the table") {
+    val remote = Set(("mydb", "table1"), ("mydb", "table2"))
+    assert(!SeedRemote.shouldSkipTable(None, "table1", "mydb", Some(remote)))
+    assert(!SeedRemote.shouldSkipTable(Some("mydb"), "table1", "mydb",
+      Some(remote)))
+    assert(SeedRemote.shouldSkipTable(None, "table3", "mydb", Some(remote)))
+    assert(!SeedRemote.shouldSkipTable(None, "any_table", "mydb", None))
+    val mixed = Set(("mydb", "table1"), ("otherdb", "table2"))
+    assert(!SeedRemote.shouldSkipTable(None, "table1", "mydb", Some(mixed)))
+    assert(!SeedRemote.shouldSkipTable(Some("otherdb"), "table2", "mydb",
+      Some(mixed)))
+    assert(SeedRemote.shouldSkipTable(Some("otherdb"), "table1", "mydb",
+      Some(mixed)))
+  }
+
+  test("golden: build_seeding_query / build_count_query — exact text " +
+      "incl. the empty-where double space; where-clause variant") {
+    assert(SeedRemote.buildSeedingQuery("local_db", "my_table",
+      "host:9440", "remote_db", "user", "pass",
+      "ORDER BY id DESC", "", 1000, 500) ==
+      "INSERT INTO `local_db`.`my_table` SELECT * FROM remoteSecure(" +
+        "'host:9440', 'remote_db', 'my_table', 'user', 'pass')  " +
+        "ORDER BY id DESC LIMIT 1000 OFFSET 500")
+    val q = SeedRemote.buildSeedingQuery("local_db", "my_table",
+      "host:9440", "remote_db", "user", "pass",
+      "ORDER BY id DESC", "WHERE user_id = 10", 100, 0)
+    assert(q.contains("WHERE user_id = 10") && q.contains("LIMIT 100"))
+    assert(q.startsWith("INSERT INTO `local_db`.`my_table` SELECT * " +
+      "FROM remoteSecure("))
+    assert(SeedRemote.buildCountQuery("host:9440", "remote_db",
+      "my_table", "user", "pass", "") ==
+      "SELECT count() FROM remoteSecure('host:9440', 'remote_db', " +
+        "'my_table', 'user', 'pass') ")
+  }
+
+  test("golden: build_order_by_clause — explicit wins; table fields " +
+      "DESC; no order + multi-batch refuses with the duplicate-row " +
+      "warning; no order + single batch is empty") {
+    assert(SeedRemote.buildOrderByClause(Seq("id"), Some("id ASC"),
+      1000, 500, "my_table") == "ORDER BY id ASC")
+    assert(SeedRemote.buildOrderByClause(Seq("id", "ts"), None,
+      1000, 500, "my_table") == "ORDER BY `id` DESC, `ts` DESC")
+    assert(SeedRemote.buildOrderByClause(Nil, None, 400, 500,
+      "my_table") == "")
+    val e = intercept[IllegalArgumentException](
+      SeedRemote.buildOrderByClause(Nil, None, 1000, 500, "my_table"))
+    assert(e.getMessage.contains("without ORDER BY"))
+  }
+
+  test("golden: test_batch_counting_logic — batches sum exactly, " +
+      "never overshoot") {
+    val batches = SeedRemote.batchLimits(2500, 1000)
+    assert(batches == Seq(1000L, 1000L, 500L))
+    assert(batches.sum == 2500L)
+    assert(SeedRemote.batchLimits(0, 1000).isEmpty)
+    assert(SeedRemote.batchLimits(1000, 1000) == Seq(1000L))
+  }
+}
