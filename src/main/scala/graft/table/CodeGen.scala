@@ -1,0 +1,168 @@
+package graft.table
+
+import graft.schema.{MooseColumn, MooseType}
+
+/** `db pull` code generation, Scala-first (ref framework/python/
+  * generate.rs `tables_to_python` + typescript/generate.rs — `moose
+  * db pull` turns a remote database's described tables into MODEL
+  * SOURCE the user commits; its 22-test matrix pins per-type and
+  * per-engine renderings). The reference emits pydantic/TS models
+  * because its users declare models in those languages; this
+  * library's declarations are Scala `OlapTable.Config` values, so the
+  * generator emits compilable Scala — same pipeline position
+  * (DESCRIBE/DDL → [[ChDdl.parseCreateTable]] →
+  * [[tablesToScala]] → a source file), different target syntax by
+  * design. The runtime path needs no codegen at all
+  * ([[graft.schema.MooseSchema.fromClickHouse]] seeds configs
+  * directly); the generated source exists for the
+  * commit-your-declarations workflow the reference's db-pull serves. */
+object CodeGen {
+  import MooseType._
+
+  /** Scala source text of one MooseType constructor. */
+  def typeSource(t: MooseType): String = t match {
+    case MString => "MString"
+    case MFixedString(n) => s"MFixedString($n)"
+    case MBoolean => "MBoolean"
+    case MInt8 => "MInt8"
+    case MInt16 => "MInt16"
+    case MInt32 => "MInt32"
+    case MInt64 => "MInt64"
+    case MUInt8 => "MUInt8"
+    case MUInt16 => "MUInt16"
+    case MUInt32 => "MUInt32"
+    case MUInt64 => "MUInt64"
+    case MInt128 => "MInt128"
+    case MInt256 => "MInt256"
+    case MDecimal(p, s) => s"MDecimal($p, $s)"
+    case MFloat32 => "MFloat32"
+    case MFloat64 => "MFloat64"
+    case MDateTime(p) => s"MDateTime($p)"
+    case MDate => "MDate"
+    case MEnum(values) =>
+      values.map(v => s"\"${escape(v)}\"").mkString("MEnum(Seq(", ", ", "))")
+    case MUUID => "MUUID"
+    case MIPv4 => "MIPv4"
+    case MIPv6 => "MIPv6"
+    case MJson => "MJson"
+    case MBinary => "MBinary"
+    case MArray(e, en) =>
+      if (en) s"MArray(${typeSource(e)}, elementNullable = true)"
+      else s"MArray(${typeSource(e)})"
+    case MNested(fields) => fieldsSource("MNested", fields)
+    case MNamedTuple(fields) => fieldsSource("MNamedTuple", fields)
+    case MMap(k, v) => s"MMap(${typeSource(k)}, ${typeSource(v)})"
+    case MNullable(inner) => s"MNullable(${typeSource(inner)})"
+    case MLowCardinality(inner) => s"MLowCardinality(${typeSource(inner)})"
+    case MAggregated(fn, args) =>
+      s"MAggregated(\"${escape(fn)}\", Seq(" +
+        args.map(typeSource).mkString(", ") + "))"
+    case MGeoPoint() => "MGeoPoint()"
+    case MGeoRing() => "MGeoRing()"
+    case MGeoLineString() => "MGeoLineString()"
+    case MGeoMultiLineString() => "MGeoMultiLineString()"
+    case MGeoPolygon() => "MGeoPolygon()"
+    case MGeoMultiPolygon() => "MGeoMultiPolygon()"
+  }
+
+  private def fieldsSource(ctor: String,
+      fields: Seq[(String, MooseType)]): String =
+    fields.map { case (n, t) => s"""\"${escape(n)}\" -> ${typeSource(t)}""" }
+      .mkString(s"$ctor(Seq(", ", ", "))")
+
+  private def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def strOpt(o: Option[String]): Option[String] =
+    o.map(v => s"""Some("${escape(v)}")""")
+
+  /** One column's constructor source (named args only where they
+    * differ from the defaults — the generated file reads like
+    * hand-written declarations). */
+  def columnSource(c: MooseColumn): String = {
+    val args = Seq(
+      Some(s"""\"${escape(c.name)}\""""),
+      Some(typeSource(c.tpe)),
+      if (c.nullable) Some("nullable = true") else None,
+      if (c.primaryKey) Some("primaryKey = true") else None,
+      strOpt(c.default).map(v => s"default = $v"),
+      strOpt(c.materialized).map(v => s"materialized = $v"),
+      strOpt(c.aliasExpr).map(v => s"aliasExpr = $v"),
+      strOpt(c.comment).map(v => s"comment = $v"),
+      strOpt(c.codec).map(v => s"codec = $v"),
+      strOpt(c.ttl).map(v => s"ttl = $v")).flatten
+    args.mkString("MooseColumn(", ", ", ")")
+  }
+
+  /** Engine constructor source. */
+  def engineSource(e: TableEngine): String = e match {
+    case TableEngine.MergeTree => "TableEngine.MergeTree"
+    case TableEngine.ReplacingMergeTree(ver, isDeleted) =>
+      val args = Seq(strOpt(ver).map(v => s"ver = $v"),
+        strOpt(isDeleted).map(v => s"isDeleted = $v")).flatten
+      s"TableEngine.ReplacingMergeTree(${args.mkString(", ")})"
+    case TableEngine.AggregatingMergeTree(_) =>
+      "TableEngine.AggregatingMergeTree()"
+    case TableEngine.SummingMergeTree(cols) =>
+      cols.map(c => s"\"${escape(c)}\"")
+        .mkString("TableEngine.SummingMergeTree(Seq(", ", ", "))")
+    case TableEngine.CollapsingMergeTree(sign) =>
+      s"""TableEngine.CollapsingMergeTree("${escape(sign)}")"""
+    case TableEngine.VersionedCollapsingMergeTree(sign, ver) =>
+      s"""TableEngine.VersionedCollapsingMergeTree("${escape(sign)}", """ +
+        s""""${escape(ver)}")"""
+    case TableEngine.Replicated(inner, kp, rn, cl) =>
+      val args = Seq(Some(engineSource(inner)),
+        strOpt(kp).map(v => s"keeperPath = $v"),
+        strOpt(rn).map(v => s"replicaName = $v"),
+        strOpt(cl).map(v => s"cluster = $v")).flatten
+      s"TableEngine.Replicated(${args.mkString(", ")})"
+  }
+
+  /** A full source file declaring every table (the reference's
+    * one-file-per-pull shape, generate.rs tables_to_python). */
+  def tablesToScala(configs: Seq[OlapTable.Config],
+      objectName: String = "PulledTables"): String = {
+    val decls = configs.map { cfg =>
+      val cols = cfg.schema.columns.map(c => "      " + columnSource(c))
+        .mkString(",\n")
+      val extras = Seq(
+        if (cfg.engine != TableEngine.MergeTree)
+          Some(s"    engine = ${engineSource(cfg.engine)},") else None,
+        if (cfg.orderBy.nonEmpty)
+          Some(cfg.orderBy.map(o => s"\"${escape(o)}\"")
+            .mkString("    orderBy = Seq(", ", ", "),")) else None,
+        if (cfg.partitionBy.nonEmpty)
+          Some(cfg.partitionBy.map(p => s"\"${escape(p)}\"")
+            .mkString("    partitionBy = Seq(", ", ", "),")) else None,
+        strOpt(cfg.sampleBy).map(v => s"    sampleBy = $v,"),
+        strOpt(cfg.version).map(v => s"    version = $v,"),
+        strOpt(cfg.database).map(v => s"    database = $v,")).flatten
+      val extrasText = if (extras.isEmpty) ""
+        else extras.mkString("\n", "\n", "").stripSuffix(",")
+      s"""  val ${identName(cfg.name)}: OlapTable.Config = OlapTable.Config(
+         |    "${escape(cfg.name)}",
+         |    MooseSchema(Seq(
+         |$cols)),$extrasText
+         |  )""".stripMargin
+    }.mkString("\n\n")
+    s"""// GENERATED by graft db-pull — edit as your declarations evolve.
+       |import graft.schema.{MooseColumn, MooseSchema}
+       |import graft.schema.MooseType._
+       |import graft.table.{OlapTable, TableEngine}
+       |
+       |object $objectName {
+       |$decls
+       |}
+       |""".stripMargin
+  }
+
+  /** `Foo` → `fooTable` (the reference's snake-case variable naming,
+    * generate.rs `foo_table`, spelled camelCase for Scala). */
+  private[graft] def identName(tableName: String): String = {
+    val base = tableName.headOption.fold("table")(h =>
+      h.toLower.toString + tableName.drop(1))
+    (if (base.matches("[A-Za-z_][A-Za-z0-9_]*")) base
+     else "table_" + base.replaceAll("[^A-Za-z0-9_]", "_")) + "Table"
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.schema.{MooseColumn, MooseSchema, MooseType}
+import graft.table.{ChDdl, CodeGen, OlapTable, TableEngine}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden port of the db-pull code generation matrix (ref framework/
+  * python/generate.rs `tables_to_python`, 22 tests; typescript/
+  * generate.rs, 15): the reference renders pydantic/TS model source
+  * from described tables; this library's declarations are Scala, so
+  * [[CodeGen.tablesToScala]] renders `OlapTable.Config` source — the
+  * same pipeline position, pinned on the same shapes the reference's
+  * tests walk (primary keys, optionals, nested arrays, named tuples,
+  * engines with parameters). */
+class CodeGenGoldenSpec extends AnyFunSuite {
+  import MooseType._
+
+  test("golden: test_tables_to_python shape — primary key, plain " +
+      "column, optional column, order-by, engine") {
+    val cfg = OlapTable.Config("Foo", MooseSchema(Seq(
+      MooseColumn("primary_key", MString, primaryKey = true),
+      MooseColumn("timestamp", MFloat64),
+      MooseColumn("optional_text", MString, nullable = true))),
+      orderBy = Seq("primary_key"))
+    val src = CodeGen.tablesToScala(Seq(cfg))
+    assert(src.contains("object PulledTables {"))
+    assert(src.contains("val fooTable: OlapTable.Config"))
+    assert(src.contains(
+      """MooseColumn("primary_key", MString, primaryKey = true)"""))
+    assert(src.contains("""MooseColumn("timestamp", MFloat64)"""))
+    assert(src.contains(
+      """MooseColumn("optional_text", MString, nullable = true)"""))
+    assert(src.contains("""orderBy = Seq("primary_key")"""))
+    // MergeTree default is not spelled (declarations read hand-written)
+    assert(!src.contains("engine = TableEngine.MergeTree\n"))
+  }
+
+  test("golden: nested arrays / named tuples / maps / enums render " +
+      "their full constructor trees") {
+    val cfg = OlapTable.Config("NestedArray", MooseSchema(Seq(
+      MooseColumn("tags", MArray(MString)),
+      MooseColumn("matrix", MArray(MArray(MInt64))),
+      MooseColumn("point", MNamedTuple(Seq("x" -> MFloat64, "y" -> MFloat64))),
+      MooseColumn("counts", MMap(MString, MInt64)),
+      MooseColumn("status", MEnum(Seq("active", "inactive"))))),
+      orderBy = Seq("tags"))
+    val src = CodeGen.tablesToScala(Seq(cfg), "Models")
+    assert(src.contains("MArray(MArray(MInt64))"))
+    assert(src.contains(
+      """MNamedTuple(Seq("x" -> MFloat64, "y" -> MFloat64))"""))
+    assert(src.contains("MMap(MString, MInt64)"))
+    assert(src.contains("""MEnum(Seq("active", "inactive"))"""))
+  }
+
+  test("golden: test_replacing_merge_tree_with_parameters — engine " +
+      "constructors with ver/is_deleted; collapsing/versioned; " +
+      "replicated wrapper args") {
+    assert(CodeGen.engineSource(TableEngine.ReplacingMergeTree(
+      ver = Some("updated_at"), isDeleted = Some("deleted"))) ==
+      """TableEngine.ReplacingMergeTree(ver = Some("updated_at"), """ +
+        """isDeleted = Some("deleted"))""")
+    assert(CodeGen.engineSource(TableEngine.CollapsingMergeTree("sign")) ==
+      """TableEngine.CollapsingMergeTree("sign")""")
+    assert(CodeGen.engineSource(
+      TableEngine.VersionedCollapsingMergeTree("sign", "ver")) ==
+      """TableEngine.VersionedCollapsingMergeTree("sign", "ver")""")
+    assert(CodeGen.engineSource(TableEngine.Replicated(
+      TableEngine.MergeTree, Some("/k"), Some("{replica}"))) ==
+      """TableEngine.Replicated(TableEngine.MergeTree, """ +
+        """keeperPath = Some("/k"), replicaName = Some("{replica}"))""")
+  }
+
+  test("capstone: DDL → parseCreateTable → tablesToScala names every " +
+      "attribute the DDL declared (the db-pull pipeline end-to-end)") {
+    val ddl =
+      """CREATE TABLE analytics.pulled (
+        |  `id` UInt32 CODEC(ZSTD(3)),
+        |  `name` Nullable(String) DEFAULT 'anon',
+        |  `ts` DateTime64(3),
+        |  `day` Date MATERIALIZED toDate(ts)
+        |) ENGINE = ReplacingMergeTree(`ts`)
+        |PARTITION BY toYYYYMM(ts)
+        |ORDER BY id""".stripMargin
+    val cfg = ChDdl.parseCreateTable(ddl)
+    val src = CodeGen.tablesToScala(Seq(cfg))
+    assert(src.contains("val pulledTable"))
+    assert(src.contains("MUInt32") && src.contains("""codec = Some("ZSTD(3)")"""))
+    assert(src.contains("nullable = true") &&
+      src.contains("""default = Some("'anon'")"""))
+    assert(src.contains("MDateTime(3)"))
+    assert(src.contains("""materialized = Some("toDate(ts)")"""))
+    assert(src.contains(
+      """engine = TableEngine.ReplacingMergeTree(ver = Some("ts"))"""))
+    assert(src.contains("""partitionBy = Seq("toYYYYMM(ts)")"""))
+    // identifier hygiene for hostile table names
+    assert(CodeGen.identName("my-weird.table") == "table_my_weird_tableTable")
+    assert(CodeGen.identName("Events") == "eventsTable")
+  }
+}
