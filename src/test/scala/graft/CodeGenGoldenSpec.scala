@@ -96,4 +96,25 @@ class CodeGenGoldenSpec extends AnyFunSuite {
     assert(CodeGen.identName("my-weird.table") == "table_my_weird_tableTable")
     assert(CodeGen.identName("Events") == "eventsTable")
   }
+
+  test("the generated source COMPILES (scala-compiler on the " +
+      "classpath) and the compiled config round-trips the original") {
+    val cfg = OlapTable.Config("RoundTrip", MooseSchema(Seq(
+      MooseColumn("id", MInt64, primaryKey = true),
+      MooseColumn("v", MFloat64, nullable = true,
+        default = Some("0.0")),
+      MooseColumn("tags", MArray(MString), codec = Some("ZSTD(1)")),
+      MooseColumn("status", MEnum(Seq("a", "b"))))),
+      engine = TableEngine.ReplacingMergeTree(ver = Some("id")),
+      orderBy = Seq("id"), partitionBy = Seq("status"))
+    val src = CodeGen.tablesToScala(Seq(cfg), "GenCheck")
+    // compile + evaluate in-process via the toolbox
+    import scala.tools.reflect.ToolBox
+    val tb = scala.reflect.runtime.currentMirror.mkToolBox()
+    val evaluated = tb.eval(tb.parse(
+      src + "\nGenCheck.roundTripTable"))
+      .asInstanceOf[OlapTable.Config]
+    assert(evaluated == cfg,
+      s"compiled config drifted from the original:\n$evaluated\nvs\n$cfg")
+  }
 }
