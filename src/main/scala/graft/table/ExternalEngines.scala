@@ -150,6 +150,45 @@ object ExternalEngines {
       EngineSemantics.mergeEngine(spark, tablesRegexp)
   }
 
+  /** The masked spelling credentials take in any JSON/text export
+    * (ref infrastructure_map.rs CREDENTIAL_PLACEHOLDER + :3069
+    * mask_credentials_for_json_export; matrix
+    * test_mask_credentials_for_json_export): S3-family access keys
+    * mask when PRESENT (absent stays absent), Kafka SASL settings
+    * mask by KEY, everything else passes untouched. */
+  val CredentialPlaceholder: String = "[HIDDEN]"
+
+  def maskCredentials(cfg: EngineConfig): EngineConfig = cfg match {
+    case c: S3QueueConfig => c.copy(
+      awsAccessKeyId = c.awsAccessKeyId.map(_ => CredentialPlaceholder),
+      awsSecretAccessKey =
+        c.awsSecretAccessKey.map(_ => CredentialPlaceholder))
+    case c: S3Config => c.copy(
+      awsAccessKeyId = c.awsAccessKeyId.map(_ => CredentialPlaceholder),
+      awsSecretAccessKey =
+        c.awsSecretAccessKey.map(_ => CredentialPlaceholder))
+    case c: IcebergS3Config => c.copy(
+      awsAccessKeyId = c.awsAccessKeyId.map(_ => CredentialPlaceholder),
+      awsSecretAccessKey =
+        c.awsSecretAccessKey.map(_ => CredentialPlaceholder))
+    case other => other
+  }
+
+  /** queries.rs:1497 sensitive_settings — per-engine setting keys
+    * whose VALUES must never reach an export. */
+  def sensitiveSettings(cfg: EngineConfig): Seq[String] = cfg match {
+    case _: KafkaEngineConfig =>
+      Seq("kafka_sasl_password", "kafka_sasl_username")
+    case _ => Nil
+  }
+
+  def maskSettings(cfg: EngineConfig,
+      settings: Map[String, String]): Map[String, String] = {
+    val sensitive = sensitiveSettings(cfg).toSet
+    settings.map { case (k, v) =>
+      k -> (if (sensitive.contains(k)) CredentialPlaceholder else v) }
+  }
+
   /** Parse an external-engine DDL text (`S3Queue('path', NOSIGN,
     * 'CSV')`, `Buffer('db', 't', 16, …)`, …) into its config — the
     * reference's `ClickhouseEngine::try_from` arms (queries.rs:2253+

@@ -1,0 +1,112 @@
+package graft.table
+
+/** Back-compat normalization of generic SqlResources into typed
+  * view/materialized-view records (ref framework/core/
+  * infrastructure_map.rs:2890-3010 `try_migrate_sql_resource_to_mv` /
+  * `_to_view` + `normalize`; matrix test_normalize_*): older
+  * moose-lib versions emitted MVs and views as raw SqlResource DDL
+  * pairs, and the loader lifts EXACTLY the generated patterns —
+  * strict prefix match (case-sensitive: a hand-written lowercase
+  * `create materialized view` is NOT moose-lib output and stays a
+  * generic resource), exactly one setup + one teardown, teardown
+  * starting `DROP VIEW IF EXISTS`, and an MV must carry a ` TO `
+  * clause. Anything else is preserved untouched — lifting a pattern
+  * you merely GUESS about would re-plan someone's custom DDL as a
+  * view teardown. Idempotent by construction (typed results are no
+  * longer SqlResources). */
+object ResourceNormalize {
+
+  final case class MvDef(name: String, selectSql: String,
+      sourceTables: Seq[String], targetTable: String,
+      targetDatabase: Option[String], sourceFile: Option[String])
+  final case class ViewDef(name: String, selectSql: String,
+      sourceTables: Seq[String], sourceFile: Option[String])
+
+  private val MvPrefix = "CREATE MATERIALIZED VIEW IF NOT EXISTS"
+  private val ViewPrefix = "CREATE VIEW IF NOT EXISTS"
+  private val TeardownPrefix = "DROP VIEW IF EXISTS"
+
+  private def singlePair(r: SqlResource): Option[(String, String)] =
+    if (r.setup.length == 1 && r.teardown.length == 1)
+      Some((r.setup.head, r.teardown.head)).filter(_._2
+        .startsWith(TeardownPrefix))
+    else None
+
+  /** infrastructure_map.rs:2892 — None unless the resource IS the
+    * moose-lib MV pattern. */
+  def tryMigrateToMv(r: SqlResource,
+      sourceFile: Option[String] = None): Option[MvDef] =
+    singlePair(r).flatMap { case (setup, _) =>
+      if (!setup.startsWith(MvPrefix) || !setup.contains(" TO ")) None
+      else {
+        val m = java.util.regex.Pattern.compile(
+          "^CREATE MATERIALIZED VIEW IF NOT EXISTS\\s+(\\S+)\\s+TO\\s+" +
+            "(\\S+)\\s+AS\\s+(.*)$",
+          java.util.regex.Pattern.DOTALL).matcher(setup)
+        if (!m.find()) None
+        else {
+          val (targetDb, target) = ChDdl.splitQualifiedName(m.group(2))
+          Some(MvDef(r.name, m.group(3).trim,
+            sourceTablesOf(m.group(3)), target, targetDb, sourceFile))
+        }
+      }
+    }
+
+  /** infrastructure_map.rs:2955 — the plain-view pattern. */
+  def tryMigrateToView(r: SqlResource,
+      sourceFile: Option[String] = None): Option[ViewDef] =
+    singlePair(r).flatMap { case (setup, _) =>
+      if (!setup.startsWith(ViewPrefix)) None
+      else {
+        val asPos = setup.toUpperCase.indexOf(" AS ")
+        if (asPos < 0) None
+        else {
+          val select = setup.substring(asPos + 4).trim
+          Some(ViewDef(r.name, select, sourceTablesOf(select), sourceFile))
+        }
+      }
+    }
+
+  /** normalize (rs:3128): lift every convertible resource, preserve
+    * the rest — returns (remaining resources, mvs, views). */
+  def normalize(resources: Map[String, SqlResource],
+      sourceFiles: Map[String, String] = Map.empty)
+      : (Map[String, SqlResource], Map[String, MvDef], Map[String, ViewDef]) = {
+    var remaining = Map.empty[String, SqlResource]
+    var mvs = Map.empty[String, MvDef]
+    var views = Map.empty[String, ViewDef]
+    resources.foreach { case (key, r) =>
+      val sf = sourceFiles.get(key)
+      tryMigrateToMv(r, sf) match {
+        case Some(mv) => mvs += key -> mv
+        case None => tryMigrateToView(r, sf) match {
+          case Some(v) => views += key -> v
+          case None => remaining += key -> r
+        }
+      }
+    }
+    (remaining, mvs, views)
+  }
+
+  /** Unqualified source-table names of a SELECT: identifiers in
+    * FROM/JOIN position (subqueries skipped — a paren is not a
+    * table), the same unqualified-name stance the reference takes
+    * when migrating. */
+  private[table] def sourceTablesOf(select: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val tokens = select.split("[\\s,()]+").toSeq.filter(_.nonEmpty)
+    var i = 0
+    while (i < tokens.length - 1) {
+      val kw = tokens(i).toUpperCase
+      if (kw == "FROM" || kw == "JOIN") {
+        val t = tokens(i + 1)
+        if (t.toUpperCase != "SELECT") {
+          val (_, name) = ChDdl.splitQualifiedName(t)
+          out += name
+        }
+      }
+      i += 1
+    }
+    out.result().distinct
+  }
+}
