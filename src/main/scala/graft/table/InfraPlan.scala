@@ -464,6 +464,21 @@ object InfraPlan {
       }.toSeq.sorted)
   }
 
+  /** The externally-managed tables a local mirror may SELECT-copy
+    * (ref infrastructure_map.rs:3057 get_mirrorable_external_tables;
+    * test_get_mirrorable_external_tables): lifecycle ==
+    * ExternallyManaged AND a SELECT-capable engine, sorted by name.
+    * Every [[TableEngine]] here supports SELECT (the write-only Kafka
+    * engine the reference excludes is not a Config engine in this
+    * design — [[graft.streaming.KafkaWire]] is a stream seam), so the
+    * engine filter is vacuously true and stated rather than coded. */
+  def mirrorableExternalTables(state: State): Seq[OlapTable.Config] =
+    state.tables.collect {
+      case (name, cfg)
+        if state.lifeCycleOf(name) == Migration.LifeCycle.ExternallyManaged =>
+        cfg
+    }.toSeq.sortBy(_.name)
+
   /** Pre-apply database/cluster configuration check (ref cli/routines/
     * migrate.rs:201 `validate_table_databases_and_clusters` + its
     * test rows): every table's declared `database` must be the

@@ -170,6 +170,27 @@ class MigrationScenarioSpec extends AnyFunSuite {
       DriftStatus.DriftDetected(Nil, Nil, Seq("users")))
   }
 
+  test("golden: test_get_mirrorable_external_tables — only " +
+      "ExternallyManaged tables mirror, sorted by name; managed and " +
+      "protected tables stay out") {
+    import graft.schema.Migration.LifeCycle
+    def t(name: String) = OlapTable.Config(name, MooseSchema(Seq(
+      MooseColumn("id", MooseType.MInt64, primaryKey = true))),
+      orderBy = Seq("id"))
+    val state = InfraPlan.State(
+      tables = Map("zeta_ext" -> t("zeta_ext"), "alpha_ext" -> t("alpha_ext"),
+        "managed" -> t("managed"), "protected" -> t("protected")),
+      lifeCycles = Map(
+        "zeta_ext" -> LifeCycle.ExternallyManaged,
+        "alpha_ext" -> LifeCycle.ExternallyManaged,
+        "protected" -> LifeCycle.DeletionProtected))
+    // managed has no entry → FullyManaged default → excluded
+    assert(InfraPlan.mirrorableExternalTables(state).map(_.name) ==
+      Seq("alpha_ext", "zeta_ext"))
+    assert(InfraPlan.mirrorableExternalTables(
+      InfraPlan.State(tables = Map.empty)).isEmpty)
+  }
+
   test("golden: migrate.rs validate_table_databases/clusters rows — " +
       "primary/additional databases pass, unconfigured refuse with " +
       "the config-fix message; clusters need a configured name and " +
