@@ -464,6 +464,124 @@ object InfraPlan {
       }.toSeq.sorted)
   }
 
+  /** Migration-artifact persistence (ref the e2e migration flow —
+    * `moose generate migration --save` writes `remote_state.json` /
+    * `local_infra_map.json` beside `plan.yaml`, committed to version
+    * control; infrastructure_map.rs's serde tests pin sorted
+    * deterministic output and skip-None optionals): a [[State]]
+    * round-trips through JSON with each table carried as its
+    * GENERATED DDL (the [[DdlRender]] ∘ [[ChDdl.parseCreateTable]]
+    * round trip already pinned suite-wide) plus the non-DDL config
+    * fields (version/database/bucketBy/ttl — DDL text doesn't carry
+    * them), resources verbatim, lifecycles by name. Output is
+    * [[graft.JsonText.prettySorted]] so committed artifacts diff
+    * clean; an absent `moose_version` is OMITTED, never null
+    * (test_version_serialization_skips_none), and parsing a document
+    * without one yields None (test_backward_compatibility_json). */
+  def stateToJson(state: State, mooseVersion: Option[String] = None)
+      : String = {
+    import org.json4s._
+    def lcName(lc: Migration.LifeCycle): String = lc match {
+      case Migration.LifeCycle.FullyManaged => "FULLY_MANAGED"
+      case Migration.LifeCycle.DeletionProtected => "DELETION_PROTECTED"
+      case Migration.LifeCycle.ExternallyManaged => "EXTERNALLY_MANAGED"
+    }
+    def strOpt(name: String, o: Option[String]): List[(String, JValue)] =
+      o.map(v => name -> (JString(v): JValue)).toList
+    val tables = JObject(state.tables.toList.map { case (key, cfg) =>
+      key -> (JObject(List[(String, JValue)](
+        "ddl" -> JString(DdlRender.createTableQuery("local",
+          cfg.copy(version = None))), // DDL names the LOGICAL table;
+        // version is a sidecar field so the round trip can't double-fold
+        "name" -> JString(cfg.name)) ++
+        strOpt("version", cfg.version) ++
+        strOpt("database", cfg.database) ++
+        strOpt("ttl_expired_when", cfg.ttlExpiredWhen) ++
+        cfg.bucketBy.map { case (n, cols) => "bucket_by" ->
+          (JObject("buckets" -> JInt(n), "columns" ->
+            JArray(cols.map(JString(_)).toList)): JValue) }.toList ++
+        cfg.lifeCycle.map(lc =>
+          "life_cycle" -> (JString(lcName(lc)): JValue)).toList): JValue)
+    })
+    val resources = JObject(state.resources.toList.map { case (key, r) =>
+      key -> (JObject(List[(String, JValue)](
+        "name" -> JString(r.name),
+        "setup" -> JArray(r.setup.map(JString(_)).toList),
+        "teardown" -> JArray(r.teardown.map(JString(_)).toList),
+        "pulls_data_from" -> JArray(r.pullsDataFrom.map(JString(_)).toList),
+        "pushes_data_to" -> JArray(r.pushesDataTo.map(JString(_)).toList)) ++
+        r.lifeCycle.map(lc =>
+          "life_cycle" -> (JString(lcName(lc)): JValue)).toList): JValue)
+    })
+    val lifecycles = JObject(state.lifeCycles.toList.map { case (n, lc) =>
+      n -> (JString(lcName(lc)): JValue) })
+    val doc = JObject(List[(String, JValue)](
+      "tables" -> tables, "sql_resources" -> resources,
+      "life_cycles" -> lifecycles) ++
+      mooseVersion.map(v => "moose_version" -> (JString(v): JValue)).toList)
+    graft.JsonText.prettySorted(doc)
+  }
+
+  def stateFromJson(json: String): (State, Option[String]) = {
+    import org.json4s._
+    def lcOf(s: String): Migration.LifeCycle = s match {
+      case "FULLY_MANAGED" => Migration.LifeCycle.FullyManaged
+      case "DELETION_PROTECTED" => Migration.LifeCycle.DeletionProtected
+      case "EXTERNALLY_MANAGED" => Migration.LifeCycle.ExternallyManaged
+      case other => throw new IllegalArgumentException(
+        s"unknown life cycle '$other'")
+    }
+    def str(v: JValue): String = v.asInstanceOf[JString].s
+    def strOpt(v: JValue): Option[String] = v match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    def strings(v: JValue): Seq[String] = v match {
+      case JArray(xs) => xs.map(str)
+      case _ => Nil
+    }
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    val tables = (j \ "tables") match {
+      case JObject(fields) => fields.map { case (key, t) =>
+        val base = ChDdl.parseCreateTable(str(t \ "ddl"))
+        val cfg = base.copy(
+          name = strOpt(t \ "name").getOrElse(base.name),
+          version = strOpt(t \ "version"),
+          database = strOpt(t \ "database"),
+          ttlExpiredWhen = strOpt(t \ "ttl_expired_when"),
+          bucketBy = (t \ "bucket_by") match {
+            case JObject(_) => Some((
+              (t \ "bucket_by" \ "buckets").asInstanceOf[JInt].num.toInt,
+              strings(t \ "bucket_by" \ "columns")))
+            case _ => None
+          },
+          lifeCycle = strOpt(t \ "life_cycle").map(lcOf))
+        key -> cfg
+      }.toMap
+      case _ => Map.empty[String, OlapTable.Config]
+    }
+    val resources = (j \ "sql_resources") match {
+      case JObject(fields) => fields.map { case (key, r) =>
+        key -> SqlResource(str(r \ "name"), strings(r \ "setup"),
+          strings(r \ "teardown"), strings(r \ "pulls_data_from"),
+          strings(r \ "pushes_data_to"),
+          strOpt(r \ "life_cycle").map(lcOf))
+      }.toMap
+      case _ => Map.empty[String, SqlResource]
+    }
+    val lifecycles = (j \ "life_cycles") match {
+      case JObject(fields) => fields.map { case (n, v) =>
+        n -> lcOf(str(v)) }.toMap
+      case _ => Map.empty[String, Migration.LifeCycle]
+    }
+    (State(tables = tables, resources = resources,
+      lifeCycles = lifecycles),
+      (j \ "moose_version") match {
+        case JString(v) => Some(v)
+        case _ => None
+      })
+  }
+
   /** The externally-managed tables a local mirror may SELECT-copy
     * (ref infrastructure_map.rs:3057 get_mirrorable_external_tables;
     * test_get_mirrorable_external_tables): lifecycle ==

@@ -325,15 +325,20 @@ object TableMigrator {
         if (wraps && depth == 1) stripOuter(s.substring(1, s.length - 1))
         else s
       } else s
-    // Whitespace is stripped OUTSIDE single-quoted literals only: a
-    // key expression like concat(id, ' ') differs from concat(id, '')
-    // and must not normalize equal (round-15 review).
+    // Whitespace — and BACKTICKS (round 17: `` PRIMARY KEY (`id`) ``
+    // is CH's own re-render of PRIMARY KEY (id); the generated-DDL
+    // round trip planned a spurious drop+create on the quoting alone,
+    // the same false-positive class the r16 qualified-name and
+    // double-quote normalizations closed) — are stripped OUTSIDE
+    // single-quoted literals only: a key expression like
+    // concat(id, ' ') differs from concat(id, '') and must not
+    // normalize equal (round-15 review).
     def stripWs(s: String): String = {
       val sb = new StringBuilder(s.length)
       var inQuote = false
       s.foreach { ch =>
         if (ch == '\'') { inQuote = !inQuote; sb.append(ch) }
-        else if (inQuote || !ch.isWhitespace) sb.append(ch)
+        else if (inQuote || (!ch.isWhitespace && ch != '`')) sb.append(ch)
       }
       sb.toString
     }

@@ -170,6 +170,54 @@ class MigrationScenarioSpec extends AnyFunSuite {
       DriftStatus.DriftDetected(Nil, Nil, Seq("users")))
   }
 
+  test("golden: migration-artifact persistence — State round-trips " +
+      "through sorted JSON (the remote_state.json seam); " +
+      "moose_version omitted when None (serde skip-none rows); " +
+      "re-serialization is byte-stable") {
+    import graft.schema.Migration.LifeCycle
+    val rich = InfraPlan.State(
+      tables = Map(
+        "Bar" -> barV1.copy(version = Some("1.0"),
+          database = Some("analytics"),
+          ttlExpiredWhen = Some("ts < now() - INTERVAL 30 DAYS"),
+          lifeCycle = Some(LifeCycle.DeletionProtected)),
+        "BarAggregated" -> barAgg),
+      resources = Map("mv" -> SqlResource("mv",
+        setup = Seq("CREATE VIEW v AS SELECT 1"),
+        teardown = Seq("DROP VIEW v"), pullsDataFrom = Seq("Bar"),
+        lifeCycle = Some(LifeCycle.ExternallyManaged))),
+      lifeCycles = Map("Bar" -> LifeCycle.DeletionProtected))
+    val json = InfraPlan.stateToJson(rich, Some("1.2.3"))
+    assert(json.contains("\"moose_version\" : \"1.2.3\"") ||
+      json.contains("\"moose_version\": \"1.2.3\"") ||
+      json.contains("\"moose_version\":\"1.2.3\""))
+    val (back, ver) = InfraPlan.stateFromJson(json)
+    assert(ver.contains("1.2.3"))
+    // the round trip is SEMANTIC per table (diff-empty) and exact on
+    // the sidecar fields
+    assert(back.tables.keySet == rich.tables.keySet)
+    for ((k, orig) <- rich.tables) {
+      val b = back.tables(k)
+      assert(b.version == orig.version && b.database == orig.database)
+      assert(b.ttlExpiredWhen == orig.ttlExpiredWhen)
+      assert(b.lifeCycle == orig.lifeCycle)
+      assert(TableMigrator.diff(
+        b.copy(version = None), orig.copy(version = None)).isEmpty,
+        s"table $k drifted through persistence")
+    }
+    assert(back.resources == rich.resources)
+    assert(back.lifeCycles == rich.lifeCycles)
+    // None version is OMITTED, and absent parses to None
+    val bare = InfraPlan.stateToJson(InfraPlan.State(tables = Map.empty))
+    assert(!bare.contains("moose_version"))
+    assert(InfraPlan.stateFromJson(bare)._2.isEmpty)
+    // deterministic artifact: serialize ∘ parse ∘ serialize is stable
+    assert(InfraPlan.stateToJson(back, ver) == json)
+    // drift detection works across the persistence boundary
+    assert(InfraPlan.detectDrift(back.tables, rich.tables, rich.tables)
+      == InfraPlan.DriftStatus.NoDrift)
+  }
+
   test("golden: test_get_mirrorable_external_tables — only " +
       "ExternallyManaged tables mirror, sorted by name; managed and " +
       "protected tables stay out") {
