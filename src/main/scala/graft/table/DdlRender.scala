@@ -243,9 +243,16 @@ object DdlRender {
       tableTtl: Option[String] = None,
       orderByExpression: Option[String] = None,
       isDev: Boolean = false): String = {
+    // the engine's own cluster (Replicated(cluster = …)) IS the table's
+    // cluster when the caller doesn't name one — one source of truth,
+    // so ON CLUSTER and the replication-param rule can't disagree
+    val effectiveCluster = clusterName.orElse(cfg.engine match {
+      case TableEngine.Replicated(_, _, _, c) => c
+      case _ => None
+    })
     val engine = engineDdl(cfg.engine,
       orderByEmpty = cfg.orderBy.isEmpty && orderByExpression.isEmpty,
-      clusterName, cfg.physicalName, isDev)
+      effectiveCluster, cfg.physicalName, isDev)
     val primaryKey = cfg.primaryKeyExpression.map(stripOuterParens)
       .orElse {
         val pk = cfg.schema.primaryKeys
@@ -256,7 +263,7 @@ object DdlRender {
       else if (cfg.orderBy == Seq("tuple()")) Some("tuple()")
       else Some(backtickJoin(cfg.orderBy))
     }
-    assemble(dbName, cfg.physicalName, clusterName,
+    assemble(dbName, cfg.physicalName, effectiveCluster,
       cfg.schema.columns, cfg.indexes, cfg.projections, engine,
       primaryKey, orderBy,
       partitionBy = cfg.partitionBy match {

@@ -296,6 +296,21 @@ class CreateTableGoldenSpec extends AnyFunSuite {
     assert(row.getAs[String]("rt_order") == "id")
   }
 
+  test("the engine's own cluster field drives ON CLUSTER and the " +
+      "replication-param rule when the caller names none (one source " +
+      "of truth)") {
+    val cfg = OlapTable.Config("ct", MooseSchema(Seq(
+      col("id", MInt64, pk = true))), orderBy = Seq("id"),
+      engine = TableEngine.Replicated(TableEngine.MergeTree,
+        cluster = Some("prod_cluster")))
+    val q = DdlRender.createTableQuery("db", cfg, isDev = true)
+    // ON CLUSTER present from the engine's own field…
+    assert(q.contains("ON CLUSTER `prod_cluster`"))
+    // …and the dev-macro injection correctly SUPPRESSED (cluster set
+    // ⇒ {uuid} path, empty replication params)
+    assert(q.contains("ENGINE = ReplicatedMergeTree()"))
+  }
+
   test("setting values: pre-quoted/numeric/boolean stay bare, " +
       "strings quote (format_clickhouse_setting_value)") {
     assert(DdlRender.settingValue("'already'") == "'already'")
