@@ -1,0 +1,180 @@
+package graft.api
+
+import java.time.{Instant, LocalDateTime, OffsetDateTime}
+import java.time.format.DateTimeFormatter
+
+import graft.schema.MooseType
+import graft.schema.MooseType._
+import graft.schema.{MooseColumn, MooseSchema}
+
+/** HTTP query-param → typed-value mapping for consumption APIs — the
+  * reference's `query_param` module (packages/py-moose-lib/moose_lib/
+  * query_param.py: `QueryField`, `convert_pydantic_definition` /
+  * `convert_dataclass_definition`, `map_params_to_class`,
+  * `parse_scalar_value`; matrix packages/py-moose-lib/tests/
+  * test_moose.py). The pydantic/dataclass reflection is Python
+  * plumbing; the portable contract is:
+  *
+  *  - a param model derives a field spec: name, SCALAR wire type text
+  *    (`"Int64"`, `"Float64"`, `"Boolean"`, `"DateTime"`, `"String"` —
+  *    data_models.py:475-535's spellings) or an array of one,
+  *    `hasDefault` (field declares a default), `required` (no default
+  *    AND not Optional — query_param.py:77-81: Optional unwraps and
+  *    forces required=False);
+  *  - the raw `Map[name -> Seq[values]]` of a GET query string maps to
+  *    constructor args: a missing field with a default is OMITTED (the
+  *    default takes effect), a missing array becomes the empty list, a
+  *    missing scalar becomes None (query_param.py:192-198); a present
+  *    array parses every value; a present scalar requires EXACTLY one
+  *    value (query_param.py:205 "Expected a single element for {f}");
+  *  - scalar parsing (query_param.py:45-62): String verbatim, Int64 →
+  *    integer, Float64 → float, Boolean → strictly "true"/"false"
+  *    case-insensitively (anything else refuses with the reference's
+  *    message), DateTime → ISO-8601 (zoned or naive, like python's
+  *    `datetime.fromisoformat`), unknown type texts pass through
+  *    verbatim (the reference's enum stance).
+  *
+  * Here the param model is a [[MooseSchema]] (nullable ≙ Optional,
+  * `default` ≙ a declared field default), and the output is the
+  * constructor-args map a typed builder consumes — the composition
+  * seam [[graft.api.HttpFacade.consumptionRoute]]'s `decode` expects.
+  */
+object QueryParams {
+
+  /** `query_param.ArrayType` — one level of array over a scalar wire
+    * type. Deeper nesting refuses in [[scalarTypeText]], same as the
+    * reference's `to_scalar_type`. */
+  final case class ArrayOf(elementType: String)
+
+  /** `query_param.QueryField`: `dataType` is either the scalar wire
+    * text (String) or [[ArrayOf]]. */
+  final case class QueryField(
+      name: String,
+      dataType: Either[ArrayOf, String],
+      hasDefault: Boolean,
+      required: Boolean)
+
+  /** The scalar wire spelling of a model type — data_models.py's
+    * py_type_to_column_type arms (str → "String" :475, int → "Int64"
+    * :495, float → "Float64" :515, bool → "Boolean" :529, datetime →
+    * "DateTime" :535). Integer/float WIDTHS collapse to the wire
+    * spelling (the reference's param models only have python int/
+    * float); enums keep their value-list text so parsing passes them
+    * through verbatim (the `case _` arm). Non-scalar types refuse with
+    * the reference's error shape (query_param.py:36). */
+  def scalarTypeText(t: MooseType): String = t match {
+    case MString | MUUID | MIPv4 | MIPv6 | MFixedString(_) | MJson |
+        _: MJsonTyped => "String"
+    case MInt8 | MInt16 | MInt32 | MInt64 | MUInt8 | MUInt16 | MUInt32 |
+        MUInt64 | MInt128 | MInt256 => "Int64"
+    case MFloat32 | MFloat64 | MDecimal(_, _) => "Float64"
+    case MBoolean => "Boolean"
+    case MDateTime(_) | MDate => "DateTime"
+    case MEnum(values) => s"Enum(${values.mkString(", ")})"
+    case MLowCardinality(inner) => scalarTypeText(inner)
+    case MNullable(inner) => scalarTypeText(inner)
+    case other => throw new IllegalArgumentException(
+      s"Type $other maps to non-scalar ClickHouse type")
+  }
+
+  /** `convert_pydantic_definition` / `convert_dataclass_definition` on
+    * a [[MooseSchema]] param model: per column, `hasDefault` iff a
+    * default is declared, `required` iff no default AND not nullable
+    * (Optional), arrays carry their element's scalar text. */
+  def fields(model: MooseSchema): Seq[QueryField] =
+    model.columns.map(queryField)
+
+  def queryField(c: MooseColumn): QueryField = {
+    val noDefault = c.default.isEmpty
+    val required = noDefault && !c.nullable
+    c.tpe match {
+      case MArray(elem, _) =>
+        QueryField(c.name, Left(ArrayOf(scalarTypeText(elem))),
+          hasDefault = !noDefault, required = required)
+      case MNullable(MArray(elem, _)) =>
+        QueryField(c.name, Left(ArrayOf(scalarTypeText(elem))),
+          hasDefault = !noDefault, required = false)
+      case other =>
+        QueryField(c.name, Right(scalarTypeText(other)),
+          hasDefault = !noDefault, required = required)
+    }
+  }
+
+  /** `parse_scalar_value` (query_param.py:45-62) — the exact arm set,
+    * including the verbatim fall-through for unknown type texts. */
+  def parseScalar(value: String, typeText: String): Any = typeText match {
+    case "String" => value
+    case "Int" | "Int64" => value.trim.toLong
+    case "Float" | "Float64" | "Float32" => value.trim.toDouble
+    case "Boolean" =>
+      value.toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case _ => throw new IllegalArgumentException(
+          s"Boolean value must be 'true' or 'false', got: $value")
+      }
+    case "DateTime" => parseIsoDateTime(value)
+    case _ => value // enums and future types ride through verbatim
+  }
+
+  /** python `datetime.fromisoformat`: zoned texts give an aware
+    * datetime (here [[Instant]]), naive texts stay naive (here
+    * [[LocalDateTime]]) — the distinction matters because CH
+    * `DateTime` bindings are zoneless. */
+  def parseIsoDateTime(value: String): Any = {
+    val v = if (value.endsWith("Z")) value.stripSuffix("Z") + "+00:00"
+      else value
+    try OffsetDateTime.parse(v, DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+      .toInstant
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        LocalDateTime.parse(v, DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+    }
+  }
+
+  /** `map_params_to_class` minus the class construction (Scala has no
+    * kwargs reflection; the returned map IS `constructor_args`, with
+    * the same three missing-field stances — defaulted fields are
+    * ABSENT from the map, missing arrays present-and-empty, missing
+    * scalars present-and-None). */
+  def mapParams(params: Map[String, Seq[String]],
+      fieldDefs: Seq[QueryField]): Map[String, Any] = {
+    val args = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    fieldDefs.foreach { f =>
+      params.get(f.name) match {
+        case None =>
+          if (f.hasDefault) () // default will take effect
+          else f.dataType match {
+            case Left(_) => args += f.name -> Seq.empty[Any]
+            case Right(_) => args += f.name -> None
+          }
+        case Some(values) =>
+          f.dataType match {
+            case Left(ArrayOf(elem)) =>
+              args += f.name -> values.map(parseScalar(_, elem))
+            case Right(scalar) =>
+              if (values.length != 1) throw new IllegalArgumentException(
+                s"Expected a single element for ${f.name}")
+              args += f.name -> parseScalar(values.head, scalar)
+          }
+      }
+    }
+    args.toMap
+  }
+
+  /** One-call decoder for [[HttpFacade.consumptionRoute]]'s
+    * single-valued param map (the facade's query strings are
+    * `k=v&k2=v2`; repeated keys arrive per-key joined upstream, so a
+    * single-valued map is the facade's shape — arrays accept the
+    * comma-separated spelling there). */
+  def decoder(model: MooseSchema)
+      : Map[String, String] => Map[String, Any] = { single =>
+    val multi = single.map { case (k, v) =>
+      k -> (fields(model).find(_.name == k).map(_.dataType) match {
+        case Some(Left(_)) => v.split(",", -1).toSeq
+        case _ => Seq(v)
+      })
+    }
+    mapParams(multi, fields(model))
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import java.time.{Instant, LocalDateTime}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.QueryParams
+import graft.api.QueryParams.{ArrayOf, QueryField}
+import graft.schema.MooseType._
+import graft.schema.{MooseColumn, MooseSchema}
+
+/** Golden port of packages/py-moose-lib/tests/test_moose.py (82
+  * lines) — the consumption-API query-param matrix: field-spec
+  * derivation (`convert_pydantic_definition` ==
+  * `convert_dataclass_definition` on the same shape) and
+  * `map_params_to_class` over HTTP `Map[name -> Seq[values]]` input,
+  * plus the `parse_scalar_value` arm set (query_param.py:45-62) the
+  * matrix exercises through the dataclass path. The pydantic/dataclass
+  * reflection is Python plumbing; the param MODEL here is a
+  * [[MooseSchema]] (nullable ≙ Optional, declared default ≙ field
+  * default) and the constructor-args map replaces `cls(**args)`.
+  */
+class QueryParamsGoldenSpec extends AnyFunSuite {
+
+  // test_moose.py:15-27 — QueryParamDataClass / QueryParamPydantic:
+  //   optional_field: Optional[int]          (no default)
+  //   date_field: datetime
+  //   list_field: list[str]
+  //   int_field: int = 1
+  private val model = MooseSchema(Seq(
+    MooseColumn("optional_field", MInt64, nullable = true),
+    MooseColumn("date_field", MDateTime()),
+    MooseColumn("list_field", MArray(MString)),
+    MooseColumn("int_field", MInt64, default = Some("1"))))
+
+  test("golden: test_moose.py:30-57 — field-spec derivation: " +
+      "Optional unwraps to required=false, datetime -> DateTime, " +
+      "list[str] -> Array(String), declared default -> " +
+      "hasDefault=true + required=false") {
+    assert(QueryParams.fields(model) == Seq(
+      QueryField("optional_field", Right("Int64"),
+        hasDefault = false, required = false),
+      QueryField("date_field", Right("DateTime"),
+        hasDefault = false, required = true),
+      QueryField("list_field", Left(ArrayOf("String")),
+        hasDefault = false, required = true),
+      QueryField("int_field", Right("Int64"),
+        hasDefault = true, required = false)))
+  }
+
+  test("golden: test_moose.py:59-82 — map_params_to_class: missing " +
+      "optional scalar -> None, present values parse typed, the " +
+      "defaulted field is OMITTED so the class default applies") {
+    val args = QueryParams.mapParams(
+      Map("date_field" -> Seq("2024-02-12T17:37:56.78Z"),
+        "list_field" -> Seq("123"), "int_field" -> Seq("1")),
+      QueryParams.fields(model))
+    assert(args == Map(
+      "optional_field" -> None,
+      "date_field" -> Instant.parse("2024-02-12T17:37:56.780Z"),
+      "list_field" -> Seq("123"),
+      "int_field" -> 1L))
+    // the defaulted field WAS provided above; when absent it is
+    // omitted from the args map entirely (query_param.py:193-194
+    // "default will take effect")
+    val absent = QueryParams.mapParams(
+      Map("date_field" -> Seq("2024-02-12T17:37:56.78Z"),
+        "list_field" -> Seq("123")),
+      QueryParams.fields(model))
+    assert(!absent.contains("int_field"))
+  }
+
+  test("query_param.py:196-197 — a missing ARRAY field maps to the " +
+      "empty list (not None)") {
+    val args = QueryParams.mapParams(
+      Map("date_field" -> Seq("2024-02-12T17:37:56.78Z")),
+      QueryParams.fields(model))
+    assert(args("list_field") == Seq.empty)
+  }
+
+  test("query_param.py:204-206 — a scalar field given more than one " +
+      "value refuses with the reference's message") {
+    val e = intercept[IllegalArgumentException](QueryParams.mapParams(
+      Map("date_field" -> Seq("2024-02-12T17:37:56.78Z", "2025-01-01T00:00:00")),
+      QueryParams.fields(model)))
+    assert(e.getMessage.contains("Expected a single element for date_field"))
+  }
+
+  test("golden: parse_scalar_value arms (query_param.py:45-62) — " +
+      "String verbatim, Int64, Float64, strict Boolean with the " +
+      "reference's refusal, naive vs zoned DateTime, unknown verbatim") {
+    assert(QueryParams.parseScalar("plain", "String") == "plain")
+    assert(QueryParams.parseScalar("42", "Int64") == 42L)
+    assert(QueryParams.parseScalar("42", "Int") == 42L)
+    assert(QueryParams.parseScalar("2.5", "Float64") == 2.5)
+    assert(QueryParams.parseScalar("2.5", "Float32") == 2.5)
+    assert(QueryParams.parseScalar("true", "Boolean") == true)
+    assert(QueryParams.parseScalar("FALSE", "Boolean") == false)
+    val e = intercept[IllegalArgumentException](
+      QueryParams.parseScalar("yes", "Boolean"))
+    assert(e.getMessage ==
+      "Boolean value must be 'true' or 'false', got: yes")
+    // datetime.fromisoformat semantics: zoned -> aware (Instant),
+    // naive -> naive (LocalDateTime)
+    assert(QueryParams.parseScalar("2024-02-12T17:37:56.78Z", "DateTime")
+      == Instant.parse("2024-02-12T17:37:56.780Z"))
+    assert(QueryParams.parseScalar("2024-02-12T17:37:56", "DateTime")
+      == LocalDateTime.of(2024, 2, 12, 17, 37, 56))
+    // the `case _` arm: unknown type texts ride through verbatim
+    assert(QueryParams.parseScalar("red", "Enum(red, blue)") == "red")
+  }
+
+  test("scalarTypeText refuses non-scalar model types with the " +
+      "reference's error shape (query_param.py:36)") {
+    val e = intercept[IllegalArgumentException](
+      QueryParams.scalarTypeText(MNested(Seq("a" -> MString))))
+    assert(e.getMessage.contains("maps to non-scalar ClickHouse type"))
+    // width collapse + wrapper transparency
+    assert(QueryParams.scalarTypeText(MUInt16) == "Int64")
+    assert(QueryParams.scalarTypeText(MLowCardinality(MString)) == "String")
+  }
+
+  test("decoder composes with the HTTP facade's single-valued param " +
+      "map: comma-split arrays, typed scalars") {
+    val decode = QueryParams.decoder(model)
+    val args = decode(Map(
+      "date_field" -> "2024-02-12T17:37:56.78Z",
+      "list_field" -> "a,b,c",
+      "int_field" -> "7"))
+    assert(args("list_field") == Seq("a", "b", "c"))
+    assert(args("int_field") == 7L)
+    assert(args("optional_field") == None)
+  }
+}
