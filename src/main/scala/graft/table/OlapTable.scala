@@ -136,7 +136,43 @@ object OlapTable {
         * ([[View.formatTableReference]]), the ChQuery Identifier
         * protocol — not for local storage layout (the warehouse dir
         * is flat; CH databases are namespaces, not paths). */
-      database: Option[String] = None) {
+      database: Option[String] = None,
+      /** Free-form resource metadata (round 17; ref metadata.test.ts /
+        * py test_metadata.py): description + source registration site
+        * + extra keys. A user-provided source file is preserved
+        * verbatim; when absent, [[OlapTable]] auto-captures the
+        * registration call site ([[SourceCapture]]) — see
+        * [[OlapTable.metadata]]. */
+      metadata: ResourceMetadata = ResourceMetadata(),
+      /** Table-level ON CLUSTER name (round 17; ref ts olapTable
+        * config `cluster` / rust Table.cluster_name — the FLAT config
+        * spelling, valid with ANY engine: cluster-validation.test.ts
+        * :106-115 allows MergeTree + cluster). The Replicated
+        * engine's own `cluster` field is the equivalent engine-side
+        * spelling; [[effectiveCluster]] is the single answer and the
+        * migration differ compares THAT, so the two spellings never
+        * plan a spurious drop+create against each other. */
+      cluster: Option[String] = None) {
+
+    // cluster-validation.test.ts:66-105 — the flat-config rule spans
+    // the config and engine spellings
+    require(cluster.isEmpty || (engine match {
+      case TableEngine.Replicated(_, kp, rn, _) =>
+        kp.isEmpty && rn.isEmpty
+      case _ => true
+    }), "Cannot specify both 'cluster' and explicit replication " +
+      "params (keeperPath/replicaName)")
+    require(cluster.isEmpty || (engine match {
+      case TableEngine.Replicated(_, _, _, Some(ec)) => ec == cluster.get
+      case _ => true
+    }), s"table $name: cluster specified both on the config " +
+      s"('${cluster.get}') and the Replicated engine — use one")
+
+    /** The single cluster answer across both spellings. */
+    def effectiveCluster: Option[String] = cluster.orElse(engine match {
+      case TableEngine.Replicated(_, _, _, c) => c
+      case _ => None
+    })
     /** Storage name — the reference's generateTableName convention:
       * `{name}_{version with dots → underscores}` (olapTable.ts:810),
       * logical name when unversioned. */
@@ -157,6 +193,13 @@ final class OlapTable(
   // storage and catalog identities use the VERSIONED physical name so
   // two versions of one logical table coexist (blue/green; round 16)
   val path: String = s"$warehouseDir/${config.physicalName}"
+
+  /** Resource metadata with the source registration site resolved
+    * (metadata.test.ts / test_metadata.py): user-provided source wins;
+    * otherwise the first non-library stack frame at construction —
+    * i.e. the user file that `new OlapTable(...)`d — fills it. */
+  val metadata: ResourceMetadata =
+    config.metadata.withCapturedSource(SourceCapture.capture())
 
   require(config.bucketBy.isEmpty || config.projections.isEmpty,
     s"table ${config.name}: projections over bucketed tables are not " +

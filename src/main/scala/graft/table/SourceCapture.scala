@@ -1,0 +1,81 @@
+package graft.table
+
+/** Resource metadata + registration-site capture — the reference's
+  * `metadata` config channel (ts olapTable.ts / py dmv2 OlapTable;
+  * matrices packages/ts-moose-lib/tests/metadata.test.ts and
+  * packages/py-moose-lib/tests/test_metadata.py) and its
+  * `dmv2/utils/stackTrace.ts` source-location walker (matrix
+  * stackTrace.test.ts). Both SDKs attach a free-form metadata blob to
+  * every resource and AUTO-FILL `metadata.source.file` with the user
+  * file that registered the resource — unless the user already set
+  * one, which is preserved verbatim.
+  *
+  * The V8 stack-STRING parsing (`at fn (/path:l:c)` regexes, Windows
+  * drive-letter arms, `__filename` fallbacks) is JS plumbing; the
+  * portable contract is the FRAME-WALK RULE: scan outward from the
+  * registration call, skip every frame belonging to the library
+  * itself or the runtime, and the first remaining frame is the user's
+  * registration site (stackTrace.test.ts:36-58 "skips node_modules
+  * frames" / "skips moose-lib internal frames"). On the JVM the
+  * frames are [[StackTraceElement]]s: the library is the `graft.*`
+  * sub-packages, the runtime is java/jdk/scala/sbt/scalatest. JS
+  * stacks carry a column number; JVM frames do not — [[Location]]
+  * carries file+line only (documented divergence, not a gap: the
+  * reference only ever surfaces the file).
+  */
+object SourceCapture {
+
+  /** stackTrace.ts `SourceLocation` minus the JS-only column. */
+  final case class Location(file: String, line: Int)
+
+  /** Library + runtime frame prefixes to skip — the analogue of the
+    * reference's `node_modules` / `moose-lib` path tests. Plain
+    * package `graft` (SparkEntry, specs, user drivers) is NOT listed:
+    * only the library's sub-packages are internal. */
+  private val InternalPrefixes = Seq(
+    "graft.table.", "graft.api.", "graft.schema.", "graft.streaming.",
+    "graft.functions.", "graft.operators.", "graft.querymodel.",
+    "graft.sources.", "graft.plans.",
+    "java.", "jdk.", "sun.", "scala.", "sbt.",
+    "org.scalatest.", "org.scalatools.")
+
+  def isUserFrame(f: StackTraceElement): Boolean =
+    f.getFileName != null && f.getLineNumber > 0 &&
+      !InternalPrefixes.exists(f.getClassName.startsWith)
+
+  /** The frame-walk rule, pure over a frame list so specs can pin it
+    * with synthetic stacks (stackTrace.test.ts's literal-stack rows). */
+  def fromFrames(frames: Seq[StackTraceElement]): Option[Location] =
+    frames.find(isUserFrame)
+      .map(f => Location(f.getFileName, f.getLineNumber))
+
+  /** `getSourceLocationFromStack` at a live registration site. */
+  def capture(): Option[Location] =
+    fromFrames(Thread.currentThread.getStackTrace.toSeq
+      // drop the Thread.getStackTrace and SourceCapture frames
+      .dropWhile(f => f.getClassName == "java.lang.Thread" ||
+        f.getClassName.startsWith("graft.table.SourceCapture")))
+}
+
+/** The metadata blob every resource config carries (metadata.test.ts /
+  * test_metadata.py): a description, the source registration site, and
+  * free-form extra keys. `withCapturedSource` implements both matrix
+  * rows — user-provided source is NEVER overwritten
+  * (test_metadata.py:14-24), everything else is preserved while the
+  * source auto-fills (test_metadata.py:27-37). */
+final case class ResourceMetadata(
+    description: Option[String] = None,
+    sourceFile: Option[String] = None,
+    sourceLine: Option[Int] = None,
+    extra: Map[String, String] = Map.empty) {
+
+  def withCapturedSource(captured: Option[SourceCapture.Location])
+      : ResourceMetadata =
+    if (sourceFile.nonEmpty) this
+    else captured.fold(this)(loc =>
+      copy(sourceFile = Some(loc.file), sourceLine = Some(loc.line)))
+
+  def isEmpty: Boolean =
+    description.isEmpty && sourceFile.isEmpty && sourceLine.isEmpty &&
+      extra.isEmpty
+}

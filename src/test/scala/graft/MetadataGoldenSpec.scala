@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schema.MooseType._
+import graft.schema.{MooseColumn, MooseSchema}
+import graft.table.{OlapTable, ResourceMetadata, SourceCapture}
+
+/** Golden port of packages/ts-moose-lib/tests/metadata.test.ts (39
+  * lines) + packages/py-moose-lib/tests/test_metadata.py (37 lines) —
+  * the resource-metadata channel — and the portable core of
+  * tests/stackTrace.test.ts (152 lines): the registration-site
+  * frame-walk rule. The V8 stack-string regexes (anonymous/function
+  * frames, Windows drive letters) are JS plumbing; on the JVM the
+  * frames arrive structured, so the pinned rule is the SKIP SET: the
+  * library's own frames and the runtime's are never the source,
+  * the first remaining frame is (stackTrace.test.ts:36-58).
+  */
+class MetadataGoldenSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def cfg(name: String, md: ResourceMetadata) = OlapTable.Config(
+    name, MooseSchema(Seq(
+      MooseColumn("id", MString, primaryKey = true),
+      MooseColumn("name", MString))),
+    orderBy = Seq("id"), metadata = md)
+
+  private def frame(cls: String, file: String, line: Int) =
+    new StackTraceElement(cls, "m", file, line)
+
+  test("golden: metadata.test.ts:11-25 / test_metadata.py:14-24 — a " +
+      "user-provided source file path is respected, never overwritten") {
+    val userPath = "custom/path/to/model.scala"
+    val t = new OlapTable(spark,
+      cfg("test_user_provided",
+        ResourceMetadata(sourceFile = Some(userPath))),
+      java.nio.file.Files.createTempDirectory("md").toString)
+    assert(t.metadata.sourceFile.contains(userPath))
+    // and no line is invented for a path we did not capture
+    assert(t.metadata.sourceLine.isEmpty)
+  }
+
+  test("golden: metadata.test.ts:27-38 / test_metadata.py:27-37 — " +
+      "user metadata is preserved while the source auto-captures the " +
+      "registering file (this spec)") {
+    val t = new OlapTable(spark,
+      cfg("test_preserve_metadata",
+        ResourceMetadata(description = Some("A test table"))),
+      java.nio.file.Files.createTempDirectory("md").toString)
+    assert(t.metadata.description.contains("A test table"))
+    // test_metadata.py:37 — "test_metadata.py" in source.file; here
+    // the registering file is this spec
+    assert(t.metadata.sourceFile.exists(_.contains("MetadataGoldenSpec")))
+    assert(t.metadata.sourceLine.exists(_ > 0))
+  }
+
+  test("golden: stackTrace.test.ts:36-46 — library frames " +
+      "(node_modules ≙ graft.* sub-packages) are skipped; the first " +
+      "user frame wins with its line") {
+    val loc = SourceCapture.fromFrames(Seq(
+      frame("graft.table.OlapTable", "OlapTable.scala", 15),
+      frame("graft.api.Registry", "Registry.scala", 40),
+      frame("com.example.views.MyView", "myView.scala", 20)))
+    assert(loc.contains(SourceCapture.Location("myView.scala", 20)))
+  }
+
+  test("golden: stackTrace.test.ts:48-58 — internal frames of the " +
+      "library's own SDK classes are skipped even under user-ish " +
+      "method names; runtime frames (java/scala/sbt/scalatest) too") {
+    val loc = SourceCapture.fromFrames(Seq(
+      frame("java.lang.Thread", "Thread.java", 1600),
+      frame("graft.table.SqlResource", "SqlResource.scala", 15),
+      frame("scala.Function1", "Function1.scala", 10),
+      frame("org.scalatest.funsuite.AnyFunSuite", "AnyFunSuite.scala", 1),
+      frame("app.views.MyView", "myView.scala", 25),
+      frame("app.Main", "main.scala", 99)))
+    assert(loc.contains(SourceCapture.Location("myView.scala", 25)))
+  }
+
+  test("stackTrace.test.ts degenerate rows — all-internal stack " +
+      "yields None (the reference returns undefined); unknown-file " +
+      "frames (native/synthetic) are not a source") {
+    assert(SourceCapture.fromFrames(Seq(
+      frame("graft.table.OlapTable", "OlapTable.scala", 5),
+      frame("jdk.internal.reflect.X", "X.java", 3))).isEmpty)
+    assert(SourceCapture.fromFrames(Seq(
+      new StackTraceElement("app.Main", "m", null, -1))).isEmpty)
+  }
+
+  test("plain package `graft` (user drivers, SparkEntry) is USER " +
+      "code — only the library sub-packages are internal") {
+    val loc = SourceCapture.fromFrames(Seq(
+      frame("graft.table.OlapTable", "OlapTable.scala", 5),
+      frame("graft.SparkEntry", "SparkEntry.scala", 42)))
+    assert(loc.contains(SourceCapture.Location("SparkEntry.scala", 42)))
+  }
+}
