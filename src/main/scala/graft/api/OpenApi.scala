@@ -65,7 +65,7 @@ object OpenApi {
         "additionalProperties" -> typeSchema(v))
       case MNullable(inner) => typeSchema(inner)
       case MLowCardinality(inner) => typeSchema(inner)
-      case MJson => JObject("type" -> JString("object"))
+      case MJson | _: MJsonTyped => JObject("type" -> JString("object"))
       case MBinary => JObject("type" -> JString("string"),
         "format" -> JString("byte"))
       case _ => JObject("type" -> JString("string"))

@@ -165,17 +165,24 @@ object ChTypeParser {
       MEnum(names.result())
     }
 
-    private def jsonParams(): Unit = {
+    private def jsonParams(): MooseType.MJsonTyped = {
       // JSON(param, …): max_dynamic_types/paths = n, SKIP [REGEXP] p,
-      // or `path Type` typed paths — accepted, validated, and dropped
-      // (MJson is schema-on-read; the reference keeps them as options)
+      // or `path Type` typed paths — RETAINED as type identity
+      // (round 17; ref model.rs:264 parse_json_options — previously
+      // validated-and-dropped, which made JSON option changes
+      // invisible to the migration differ)
+      var maxTypes: Option[Long] = None
+      var maxPaths: Option[Long] = None
+      val typed = Seq.newBuilder[(String, MooseType)]
+      val skips = Seq.newBuilder[String]
+      val regexps = Seq.newBuilder[String]
       var first = true
       while (first || tryEat(',')) {
         first = false
         ws()
         if (i < s.length && (s(i) == '\'' || s(i) == '"')) {
           // quoted typed path: 'a.b' Type
-          stringLit(); typ()
+          val p = stringLit(); typed += p -> typ()._1
         } else {
           val head = ident()
           head match {
@@ -183,24 +190,29 @@ object ChTypeParser {
               eat('=')
               val n = number()
               require(n >= 0, s"JSON $head must be non-negative, got $n")
+              if (head == "max_dynamic_types") maxTypes = Some(n)
+              else maxPaths = Some(n)
             case "SKIP" =>
               ws()
               // optional REGEXP keyword before the pattern
               val save = i
               if (i < s.length && s(i).isLetter) {
                 val kw = ident()
-                if (kw == "REGEXP") stringLit()
-                else { i = save; path() }
-              } else path()
+                if (kw == "REGEXP") regexps += stringLit()
+                else { i = save; skips += path() }
+              } else skips += path()
               ()
             case _ =>
               // typed path: head(.more)* Type
-              while (tryEat('.')) ident()
-              typ()
+              val sb = new StringBuilder(head)
+              while (tryEat('.')) sb.append('.').append(ident())
+              typed += sb.toString -> typ()._1
               ()
           }
         }
       }
+      MooseType.MJsonTyped(maxTypes, maxPaths, typed.result(),
+        skips.result(), regexps.result())
     }
 
     /** Skip a balanced parenthesized argument list (for types that
@@ -371,9 +383,14 @@ object ChTypeParser {
         case "JSON" =>
           if (peekIs('(')) {
             eat('(')
-            if (!tryEat(')')) { jsonParams(); eat(')') }
-          }
-          (MJson, false)
+            if (tryEat(')')) (MJson, false)
+            else {
+              val opts = jsonParams(); eat(')')
+              // JSON() / option-less params normalize to bare JSON so
+              // the two spellings compare equal
+              (if (opts.isEmpty) MJson else opts, false)
+            }
+          } else (MJson, false)
         case "Object" =>
           if (peekIs('(')) skipParens()
           unsupported("Object")

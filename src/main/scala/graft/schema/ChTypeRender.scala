@@ -77,6 +77,19 @@ object ChTypeRender {
     case MMap(k, v) => s"Map(${render(k)}, ${render(v)})"
     case MNullable(inner) => s"Nullable(${render(inner)})"
     case MJson => "JSON"
+    case j: MJsonTyped =>
+      // canonical option order = the parse order the matrix uses
+      // (model.rs:326-398): max_dynamic_types, max_dynamic_paths,
+      // typed paths, SKIP, SKIP REGEXP. SQL-literal re-escape on the
+      // regexp mirrors parse_json_options' unescape.
+      val parts =
+        j.maxDynamicTypes.map(n => s"max_dynamic_types=$n").toSeq ++
+        j.maxDynamicPaths.map(n => s"max_dynamic_paths=$n").toSeq ++
+        j.typedPaths.map { case (p, t) => s"$p ${render(t)}" } ++
+        j.skipPaths.map(p => s"SKIP $p") ++
+        j.skipRegexps.map(r => "SKIP REGEXP '" +
+          r.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      parts.mkString("JSON(", ", ", ")")
     case MLowCardinality(inner) => s"LowCardinality(${render(inner)})"
     case MAggregated(fn, args) =>
       (fn +: args.map(render)).mkString("AggregateFunction(", ", ", ")")

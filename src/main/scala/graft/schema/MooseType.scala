@@ -88,6 +88,27 @@ object MooseType {
   /** JSON column: StringType holding the document; typed paths promoted at
     * read via from_json/get_json_object (ref types.ts:148-161). */
   case object MJson extends MooseType { val sparkType = StringType }
+  /** `JSON(...)` with RETAINED type parameters (round 17; ref
+    * model.rs:264 parse_json_options / JsonOptions, matrix
+    * model.rs:326-398): storage stays schema-on-read string — same
+    * spark type as [[MJson]] — but the options are TYPE IDENTITY, so
+    * a changed typed path / skip rule / max_dynamic_* plans a column
+    * modify instead of being invisible to the migration differ
+    * (previously parsed-and-dropped; the differ must never miss a
+    * change). Option order is identity, like the reference's Vec
+    * PartialEq. Bare `JSON` stays [[MJson]] (and `JSON()` normalizes
+    * to it) so existing spellings round-trip unchanged. */
+  final case class MJsonTyped(
+      maxDynamicTypes: Option[Long] = None,
+      maxDynamicPaths: Option[Long] = None,
+      typedPaths: Seq[(String, MooseType)] = Nil,
+      skipPaths: Seq[String] = Nil,
+      skipRegexps: Seq[String] = Nil) extends MooseType {
+    val sparkType = StringType
+    def isEmpty: Boolean = maxDynamicTypes.isEmpty &&
+      maxDynamicPaths.isEmpty && typedPaths.isEmpty &&
+      skipPaths.isEmpty && skipRegexps.isEmpty
+  }
   /** Opaque binary payload (image/audio/video bytes) with typed metadata
     * kept in sibling columns — the multimodal column convention. */
   case object MBinary extends MooseType { val sparkType = BinaryType }
@@ -205,6 +226,18 @@ final case class MooseSchema(columns: Seq[MooseColumn]) {
       .map(_.field))
 
   def primaryKeys: Seq[String] = columns.filter(_.primaryKey).map(_.name)
+
+  /** By-name column access — the `MooseModel.cols` surface (py
+    * dmv2/moose_model.py column descriptors; matrices
+    * test_moose_model.py:123-136 bracket access,
+    * test_olap_table_moosemodel.py:20-36 direct access): the column
+    * VALUE interpolates as a backticked identifier in `sql"…"`
+    * ([[MooseColumn.ref]]). Unknown names refuse naming the model's
+    * vocabulary instead of returning a silently-unbound column. */
+  def apply(name: String): MooseColumn =
+    columns.find(_.name == name).getOrElse(
+      throw new NoSuchElementException(s"no column '$name' — model " +
+        s"has: ${columns.map(_.name).mkString(", ")}"))
 }
 
 object MooseSchema {

@@ -45,6 +45,20 @@ object CodeGen {
     case MIPv4 => "MIPv4"
     case MIPv6 => "MIPv6"
     case MJson => "MJson"
+    case MJsonTyped(mt, mp, tp, sp, sr) =>
+      val args = Seq(
+        mt.map(n => s"maxDynamicTypes = Some(${n}L)"),
+        mp.map(n => s"maxDynamicPaths = Some(${n}L)"),
+        if (tp.nonEmpty) Some("typedPaths = Seq(" + tp.map { case (p, t) =>
+          s"(\"${escape(p)}\", ${typeSource(t)})" }.mkString(", ") + ")")
+        else None,
+        if (sp.nonEmpty) Some("skipPaths = Seq(" +
+          sp.map(p => s"\"${escape(p)}\"").mkString(", ") + ")")
+        else None,
+        if (sr.nonEmpty) Some("skipRegexps = Seq(" +
+          sr.map(r => s"\"${escape(r)}\"").mkString(", ") + ")")
+        else None).flatten
+      s"MJsonTyped(${args.mkString(", ")})"
     case MBinary => "MBinary"
     case MArray(e, en) =>
       if (en) s"MArray(${typeSource(e)}, elementNullable = true)"

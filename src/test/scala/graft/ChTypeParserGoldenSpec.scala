@@ -10,9 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * assertions here ([[ChTypeParser.parse]] parses AND converts in one
   * step; the reference's parse-vs-convert error layering survives as
   * "cannot parse" vs "unsupported" messages). Not portable:
-  * test_tokenizer (internal token stream), the Rust error-enum
-  * structure checks, and the JsonParameter equality rows (JSON params
-  * here validate and drop — MJson is schema-on-read). */
+  * test_tokenizer (internal token stream) and the Rust error-enum
+  * structure checks. The JsonParameter equality rows became portable
+  * in round 17: JSON options are RETAINED on [[MooseType.MJsonTyped]]
+  * (storage stays schema-on-read; the options are diff identity). */
 class ChTypeParserGoldenSpec extends AnyFunSuite {
   private def p(s: String): (MooseType, Boolean) = ChTypeParser.parse(s)
 
@@ -191,15 +192,42 @@ class ChTypeParserGoldenSpec extends AnyFunSuite {
   }
 
   test("golden: test_parse_json_with_parameters / " +
-      "test_json_negative_max_dynamic_types/_paths") {
+      "test_json_negative_max_dynamic_types/_paths + model.rs:326-398 " +
+      "parse_json_options — options are RETAINED type identity " +
+      "(round 17: previously dropped, so a JSON option change was " +
+      "invisible to the migration differ)") {
+    // model.rs:330 test_parse_json_options_numbers
     assert(p("JSON(max_dynamic_types = 16, max_dynamic_paths = 256)") ==
-      (MJson, false))
-    assert(p("JSON(count UInt32, name String)") == (MJson, false))
-    assert(p("JSON(SKIP skip.me)") == (MJson, false))
-    assert(p("JSON(SKIP 'skip.me')") == (MJson, false))
-    assert(p("JSON(SKIP REGEXP '^tmp\\.')") == (MJson, false))
+      (MJsonTyped(Some(16L), Some(256L)), false))
+    assert(p("JSON(count UInt32, name String)") == (MJsonTyped(
+      typedPaths = Seq("count" -> MUInt32, "name" -> MString)), false))
+    // model.rs:341 typed_and_skip
+    assert(p("JSON(a.b UInt32, SKIP a.e)") == (MJsonTyped(
+      typedPaths = Seq("a.b" -> MUInt32),
+      skipPaths = Seq("a.e")), false))
+    assert(p("JSON(SKIP skip.me)") ==
+      (MJsonTyped(skipPaths = Seq("skip.me")), false))
+    assert(p("JSON(SKIP 'skip.me')") ==
+      (MJsonTyped(skipPaths = Seq("skip.me")), false))
+    // model.rs:358 skip_regexp — SQL-literal unescape applies
+    assert(p("JSON(SKIP REGEXP '^tmp\\\\.')") ==
+      (MJsonTyped(skipRegexps = Seq("^tmp\\.")), false))
+    // model.rs:371 mixed
+    assert(p("JSON(max_dynamic_types=16, a.b UInt32, SKIP a.e, " +
+      "SKIP REGEXP '^tmp\\\\.')") == (MJsonTyped(Some(16L), None,
+      Seq("a.b" -> MUInt32), Seq("a.e"), Seq("^tmp\\.")), false))
+    // JSON() and bare JSON stay the SAME type (canonical MJson)
+    assert(p("JSON()") == (MJson, false))
     assertThrows[IllegalArgumentException](p("JSON(max_dynamic_types = -1)"))
     assertThrows[IllegalArgumentException](p("JSON(max_dynamic_paths = -5)"))
+    // retained options round-trip through the renderer (canonical
+    // order: max_*, typed, SKIP, SKIP REGEXP)
+    val mixed = p("JSON(max_dynamic_types=16, a.b UInt32, SKIP a.e, " +
+      "SKIP REGEXP '^tmp\\\\.')")._1
+    assert(graft.schema.ChTypeRender.render(mixed) ==
+      "JSON(max_dynamic_types=16, a.b UInt32, SKIP a.e, " +
+        "SKIP REGEXP '^tmp\\\\.')")
+    assert(p(graft.schema.ChTypeRender.render(mixed))._1 == mixed)
   }
 
   test("golden: test_unrecognized_escape_sequences — unknown escapes " +
@@ -207,7 +235,10 @@ class ChTypeParserGoldenSpec extends AnyFunSuite {
     // exercised through the public surface: a SKIP REGEXP pattern with
     // \\. must not degrade to '.' — pinned via successful parse of the
     // same inputs the reference pins, plus a direct Enum name check
-    assert(p("JSON(SKIP REGEXP 'test\\.pattern')") == (MJson, false))
+    // unknown escape \. keeps its backslash through the SQL-literal
+    // unescape (only \\ and \' fold)
+    assert(p("JSON(SKIP REGEXP 'test\\.pattern')") ==
+      (MJsonTyped(skipRegexps = Seq("test\\.pattern")), false))
     assert(p("Enum8('a\\.b' = 1)") == (MEnum(Seq("a\\.b")), false))
     assert(p("Enum8('a\\'b' = 1)") == (MEnum(Seq("a'b")), false))
   }
