@@ -98,11 +98,27 @@ final class HttpFacade(bindPort: Int = 0,
     * with the mountPath stripped, "/" for the root. mountPath
     * validity (reserved roots etc.) was already enforced at WebApp
     * construction. */
-  def mountWebApp(app: Registry.WebApp): this.type = {
+  def mountWebApp(app: Registry.WebApp,
+      /** The injected utilities object (the reference's
+        * `inject_moose_utils` context — a MooseClient with sql access;
+        * py test_web_app.py:152-159): handed to arity-5 handlers as
+        * their first argument when `app.injectMooseUtils` (the
+        * default). By-name so a facade mounted before the session
+        * exists stays lazy. */
+      mooseUtils: => AnyRef = null): this.type = {
     val handle = app.handler match {
       case f: Function4[_, _, _, _, _] =>
         f.asInstanceOf[(String, String, Map[String, String], String)
           => (Int, String)]
+      case f: Function5[_, _, _, _, _, _] if app.injectMooseUtils =>
+        val g = f.asInstanceOf[(AnyRef, String, String,
+          Map[String, String], String) => (Int, String)]
+        (m: String, p: String, q: Map[String, String], b: String) =>
+          g(mooseUtils, m, p, q, b)
+      case _: Function5[_, _, _, _, _, _] =>
+        throw new IllegalArgumentException(
+          s"WebApp '${app.name}': handler expects injected moose " +
+            "utils (arity 5) but injectMooseUtils is false")
       case other => throw new IllegalArgumentException(
         s"WebApp '${app.name}': handler must be (method, subPath, " +
           "queryParams, body) => (status, responseBody); got " +

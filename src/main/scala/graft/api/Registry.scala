@@ -203,7 +203,8 @@ final class Registry(val clientOnly: Boolean = false) {
         tables.collect { case (k, t) if t.config.lifeCycle.nonEmpty =>
           k -> t.config.lifeCycle.get }.toMap ++
         sqlResources.collect { case (k, r) if r.lifeCycle.nonEmpty =>
-          k -> r.lifeCycle.get }.toMap)
+          k -> r.lifeCycle.get }.toMap,
+      webApps = webApps.map { case (n, w) => n -> w.toSpec }.toMap)
   }
 
   /** 3-step API lookup (registry.ts:91-130): direct key (`name` or
@@ -256,7 +257,20 @@ object Registry {
       name: String,
       handler: AnyRef,
       mountPath: String,
-      metadata: Map[String, String] = Map.empty) {
+      metadata: Map[String, String] = Map.empty,
+      /** py WebAppConfig.inject_moose_utils (test_web_app.py:152-159) /
+        * ts webApp.ts `injectMooseUtils`: whether the host injects its
+        * SQL client + utils into the app's request context; carried
+        * config, honored by [[HttpFacade.mountWebApp]]'s typed-handler
+        * binding. */
+      injectMooseUtils: Boolean = true) {
+
+    /** The infra-map component this registration serializes to
+      * (web_app.rs:6; py test_web_app.py:178-205 — the metadata
+      * DESCRIPTION key is the component's only metadata). */
+    def toSpec: graft.table.InfraPlan.WebAppSpec =
+      graft.table.InfraPlan.WebAppSpec(name, mountPath,
+        description = metadata.get("description"))
     require(mountPath != null && mountPath.nonEmpty,
       "mountPath is required. Please specify a mount path for your " +
         "WebApp (e.g., \"/myapi\").")

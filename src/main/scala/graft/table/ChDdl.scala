@@ -690,6 +690,18 @@ object ChDdl {
     require(nm.find(), s"cannot parse CREATE TABLE from: ${sql.take(100)}")
     val (_, tableName) = splitQualifiedName(nm.group(1))
 
+    // ON CLUSTER immediately after the name (round 17 — previously
+    // skipped silently, so a clustered table's DDL round trip LOST
+    // the cluster and the differ planned against a different table)
+    val onCluster = {
+      val m2 = Pattern.compile(
+        "\\s*ON\\s+CLUSTER\\s+(`[^`]+`|[A-Za-z_][\\w-]*)",
+        Pattern.CASE_INSENSITIVE).matcher(sql)
+      m2.region(nm.end(), sql.length)
+      if (m2.lookingAt()) Some(m2.group(1).stripPrefix("`").stripSuffix("`"))
+      else None
+    }
+
     val (start, end) = columnListSpan(sql, quoted).getOrElse(
       throw new IllegalArgumentException(
         s"cannot parse CREATE TABLE '$tableName': no column list"))
@@ -770,7 +782,10 @@ object ChDdl {
       sampleBy = extractSampleBy(sql),
       projections = projections,
       indexes = indexes,
-      primaryKeyExpression = extractPrimaryKey(sql))
+      primaryKeyExpression = extractPrimaryKey(sql),
+      // the FLAT spelling is the parse home; the differ compares
+      // effectiveCluster so this never fights the engine's own field
+      cluster = onCluster)
   }
 
   /** One column entry: `` `name` Type [DEFAULT e | MATERIALIZED e |

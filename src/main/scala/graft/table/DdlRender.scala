@@ -243,13 +243,11 @@ object DdlRender {
       tableTtl: Option[String] = None,
       orderByExpression: Option[String] = None,
       isDev: Boolean = false): String = {
-    // the engine's own cluster (Replicated(cluster = …)) IS the table's
-    // cluster when the caller doesn't name one — one source of truth,
-    // so ON CLUSTER and the replication-param rule can't disagree
-    val effectiveCluster = clusterName.orElse(cfg.engine match {
-      case TableEngine.Replicated(_, _, _, c) => c
-      case _ => None
-    })
+    // the config's cluster (flat spelling) or the engine's own
+    // (Replicated(cluster = …)) IS the table's cluster when the caller
+    // doesn't name one — one source of truth, so ON CLUSTER and the
+    // replication-param rule can't disagree
+    val effectiveCluster = clusterName.orElse(cfg.effectiveCluster)
     val engine = engineDdl(cfg.engine,
       orderByEmpty = cfg.orderBy.isEmpty && orderByExpression.isEmpty,
       effectiveCluster, cfg.physicalName, isDev)

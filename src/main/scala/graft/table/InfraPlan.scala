@@ -161,6 +161,28 @@ object InfraPlan {
     def forDiff: ApiEndpoint = copy(description = None)
   }
 
+  /** An infra-map WebApp component (round 17; ref framework/core/
+    * infrastructure/web_app.rs:6 — name, mount_path, optional
+    * metadata description, lineage signatures both directions;
+    * matrices web_app.rs:141-260 + py test_web_app.py:178-227).
+    * Lineage entries are signature ids (the reference's
+    * InfrastructureSignature::Table{id}/Topic{id}/… — here the same
+    * string ids the [[SqlResource]] lineage channel uses). */
+  final case class WebAppSpec(
+      name: String,
+      mountPath: String,
+      description: Option[String] = None,
+      pullsDataFrom: Seq[String] = Nil,
+      pushesDataTo: Seq[String] = Nil) {
+    def id: String = name
+    /** `web_apps_equal_ignore_metadata` (web_app.rs:136
+      * WebAppComparableForDiff): metadata is NOT diff identity, and
+      * lineage compares as SETS — a reordered lineage is no change
+      * (web_app.rs:211 diff_ignores_lineage_order). */
+    def forDiff: (String, String, Set[String], Set[String]) =
+      (name, mountPath, pullsDataFrom.toSet, pushesDataTo.toSet)
+  }
+
   sealed trait ProcessChange
   object ProcessChange {
     final case class TopicToTableSyncChange(c: Change[TopicToTableSync])
@@ -219,7 +241,10 @@ object InfraPlan {
       topicToTopicSyncs: Map[String, TopicToTopicSync] = Map.empty,
       functionProcesses: Map[String, FunctionProcess] = Map.empty,
       workers: Map[String, OrchestrationWorker] = Map.empty,
-      apis: Map[String, ApiEndpoint] = Map.empty) {
+      apis: Map[String, ApiEndpoint] = Map.empty,
+      /** Round 17 — the reference's web_apps channel
+        * (infrastructure_map.rs:583). */
+      webApps: Map[String, WebAppSpec] = Map.empty) {
     def lifeCycleOf(name: String): Migration.LifeCycle =
       lifeCycles.getOrElse(name, Migration.LifeCycle.FullyManaged)
   }
@@ -253,11 +278,15 @@ object InfraPlan {
       processChanges: Seq[ProcessChange] = Nil,
       /** Endpoint changes — the reference's ApiChange channel; change
         * detection ignores metadata, tracks lineage (round 16). */
-      apiChanges: Seq[Change[ApiEndpoint]] = Nil) {
+      apiChanges: Seq[Change[ApiEndpoint]] = Nil,
+      /** WebApp add/remove/update — the reference's WebAppChange
+        * channel (infrastructure_map.rs:490; round 17). */
+      webAppChanges: Seq[Change[WebAppSpec]] = Nil) {
     def isEmpty: Boolean =
       steps.isEmpty && withheld.isEmpty && blockedResources.isEmpty &&
         workflowChanges.isEmpty && streamingChanges.isEmpty &&
-        processChanges.isEmpty && apiChanges.isEmpty
+        processChanges.isEmpty && apiChanges.isEmpty &&
+        webAppChanges.isEmpty
   }
 
   /** Workflow diff (infrastructure_map.rs `diff_workflows`): keyed by
@@ -398,6 +427,18 @@ object InfraPlan {
           case _ => None
         }
       }
+    // diff_web_apps (web_app.rs:88): same keyed walk; equality is
+    // web_apps_equal_ignore_metadata — metadata ignored, lineage sets
+    val webAppChanges = (before.webApps.keySet ++ after.webApps.keySet)
+      .toSeq.sorted.flatMap { k =>
+        (before.webApps.get(k), after.webApps.get(k)) match {
+          case (Some(b), Some(a)) if b.forDiff != a.forDiff =>
+            Some(Change.Updated(b, a))
+          case (Some(b), None) => Some(Change.Removed(b))
+          case (None, Some(a)) => Some(Change.Added(a))
+          case _ => None
+        }
+      }
     Plan(steps.result(), withheld.result(), blockedRes.result(),
       diffWorkflows(before.workflows, after.workflows),
       streamingChanges = diffKeyed(before.topics, after.topics),
@@ -411,7 +452,8 @@ object InfraPlan {
           .map(ProcessChange.FunctionProcessChange(_)) ++
         diffKeyedAlwaysUpdate(before.workers, after.workers)
           .map(ProcessChange.OrchestrationWorkerChange(_)),
-      apiChanges = apiChanges)
+      apiChanges = apiChanges,
+      webAppChanges = webAppChanges)
   }
 
   /** Three-way drift verdict (ref cli/routines/migrate.rs:126
@@ -515,9 +557,23 @@ object InfraPlan {
     })
     val lifecycles = JObject(state.lifeCycles.toList.map { case (n, lc) =>
       n -> (JString(lcName(lc)): JValue) })
+    // web_apps (round 17; web_app.rs to_proto round trip ≙ this JSON
+    // round trip; py test_web_app.py:178-227 — metadata carried when
+    // present, OMITTED when absent, never null)
+    val webApps = JObject(state.webApps.toList.map { case (key, w) =>
+      key -> (JObject(List[(String, JValue)](
+        "name" -> JString(w.name),
+        "mount_path" -> JString(w.mountPath),
+        "pulls_data_from" -> JArray(w.pullsDataFrom.map(JString(_)).toList),
+        "pushes_data_to" -> JArray(w.pushesDataTo.map(JString(_)).toList)) ++
+        w.description.map(d => "metadata" ->
+          (JObject("description" -> JString(d)): JValue)).toList): JValue)
+    })
     val doc = JObject(List[(String, JValue)](
       "tables" -> tables, "sql_resources" -> resources,
       "life_cycles" -> lifecycles) ++
+      (if (state.webApps.nonEmpty) List("web_apps" -> (webApps: JValue))
+       else Nil) ++
       mooseVersion.map(v => "moose_version" -> (JString(v): JValue)).toList)
     graft.JsonText.prettySorted(doc)
   }
@@ -574,8 +630,17 @@ object InfraPlan {
         n -> lcOf(str(v)) }.toMap
       case _ => Map.empty[String, Migration.LifeCycle]
     }
+    val webApps = (j \ "web_apps") match {
+      case JObject(fields) => fields.map { case (key, w) =>
+        key -> WebAppSpec(str(w \ "name"), str(w \ "mount_path"),
+          description = strOpt(w \ "metadata" \ "description"),
+          pullsDataFrom = strings(w \ "pulls_data_from"),
+          pushesDataTo = strings(w \ "pushes_data_to"))
+      }.toMap
+      case _ => Map.empty[String, WebAppSpec]
+    }
     (State(tables = tables, resources = resources,
-      lifeCycles = lifecycles),
+      lifeCycles = lifecycles, webApps = webApps),
       (j \ "moose_version") match {
         case JString(v) => Some(v)
         case _ => None
@@ -596,6 +661,39 @@ object InfraPlan {
         if state.lifeCycleOf(name) == Migration.LifeCycle.ExternallyManaged =>
         cfg
     }.toSeq.sortBy(_.name)
+
+  /** Plan-time cluster-reference validation (round 17; ref
+    * framework/core/plan_validator.rs:19 `validate_cluster_references`
+    * + its 7-test matrix): every table whose config names a cluster —
+    * either spelling, [[OlapTable.Config.effectiveCluster]] — must
+    * reference a cluster defined in the project config; the two
+    * refusal messages are the reference's own (empty cluster list vs
+    * undefined name, each with its moose.config.toml fix text).
+    * Tables without a cluster always pass (plan_validator.rs:273,
+    * :369 — non-replicated and replicated alike). */
+  def validateClusterReferences(
+      tables: Iterable[OlapTable.Config],
+      clusterNames: Seq[String]): Unit =
+    tables.foreach { t =>
+      t.effectiveCluster.foreach { c =>
+        if (clusterNames.isEmpty) throw new IllegalArgumentException(
+          s"Table '${t.name}' references cluster '$c', but no " +
+            "clusters are defined in moose.config.toml.\n\n" +
+            "To fix this, add the cluster definition to your config:\n" +
+            "\n[[clickhouse_config.clusters]]\n" + s"""name = "$c"\n""")
+        else if (!clusterNames.contains(c))
+          throw new IllegalArgumentException(
+            s"Table '${t.name}' references cluster '$c', which is " +
+              "not defined in moose.config.toml.\n\n" +
+              s"Available clusters: ${clusterNames.mkString(", ")}\n\n" +
+              "To fix this, either:\n" +
+              "1. Add the cluster to your config:\n" +
+              "   [[clickhouse_config.clusters]]\n" +
+              s"""   name = "$c"\n\n""" +
+              "2. Or change the table to use an existing cluster: " +
+              s"${clusterNames.mkString(", ")}\n")
+      }
+    }
 
   /** Pre-apply database/cluster configuration check (ref cli/routines/
     * migrate.rs:201 `validate_table_databases_and_clusters` + its
@@ -618,11 +716,8 @@ object InfraPlan {
         !additionalDatabases.contains(db))
       .map(db => (t.name, db)))
     val invalidClusters = tables.flatMap { t =>
-      val cl = t.engine match {
-        case TableEngine.Replicated(_, _, _, c) => c
-        case _ => None
-      }
-      cl.filter(c => clusters.isEmpty || !clusters.contains(c))
+      t.effectiveCluster // either spelling (round 17)
+        .filter(c => clusters.isEmpty || !clusters.contains(c))
         .map(c => (t.name, c))
     }
     if (invalidTables.nonEmpty || invalidClusters.nonEmpty) {

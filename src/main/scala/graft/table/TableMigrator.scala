@@ -265,11 +265,24 @@ object TableMigrator {
     // left orderBy empty — not plan a spurious drop+create
     def effectiveOrderBy(c: OlapTable.Config): Seq[String] =
       if (c.orderBy.nonEmpty) c.orderBy else c.schema.primaryKeys
+    // engines compare MODULO the cluster slot (round 17): the flat
+    // config `cluster` and the Replicated engine's own field are two
+    // spellings of one fact — effectiveCluster is the identity, so a
+    // DDL round trip that moves the spelling never plans drop+create,
+    // while an actual cluster CHANGE still does (re-create across the
+    // cluster is the only correct move)
+    def engineSansCluster(c: OlapTable.Config): TableEngine =
+      c.engine match {
+        case r @ TableEngine.Replicated(_, _, _, Some(_)) =>
+          r.copy(cluster = None)
+        case e => e
+      }
     val dropCreate =
       effectiveOrderBy(before) != effectiveOrderBy(after) ||
         before.partitionBy != after.partitionBy ||
         pkChanged ||
-        before.engine != after.engine ||
+        engineSansCluster(before) != engineSansCluster(after) ||
+        before.effectiveCluster != after.effectiveCluster ||
         before.bucketBy != after.bucketBy
     if (dropCreate)
       return Plan(Seq(DropTable(before.name), CreateTable(after)))

@@ -137,4 +137,107 @@ class ClusterGoldenSpec extends AnyFunSuite {
     // cluster field at all — unrepresentable)
     TableEngine.ReplacingMergeTree()
   }
+
+  // ---- round 17: the FLAT config `cluster` spelling + the
+  // plan_validator.rs cluster-reference matrix ----
+
+  private def cfg(name: String, engine: TableEngine,
+      cluster: Option[String] = None) = graft.table.OlapTable.Config(
+    name, graft.schema.MooseSchema(Seq(graft.schema.MooseColumn(
+      "id", graft.schema.MooseType.MString, primaryKey = true))),
+    engine = engine, orderBy = Seq("id"), cluster = cluster)
+
+  test("golden: cluster-validation.test.ts:44-115 (flat config " +
+      "spelling) / py test_cluster_validation.py — config-level " +
+      "cluster with ANY engine; cluster + explicit replication " +
+      "params refuse across the config/engine boundary") {
+    // :106-115 / py :62-72 — non-replicated engine with cluster OK
+    cfg("t", TableEngine.MergeTree, cluster = Some("test_cluster"))
+    // :44-53 — Replicated + config cluster OK
+    cfg("t", TableEngine.Replicated(TableEngine.MergeTree),
+      cluster = Some("test_cluster"))
+    // :66-105 — config cluster + engine keeperPath/replicaName refuse
+    // with the reference's message
+    val e = intercept[IllegalArgumentException](cfg("t",
+      TableEngine.Replicated(TableEngine.MergeTree,
+        keeperPath = Some("/clickhouse/tables/{database}/{table}"),
+        replicaName = Some("{replica}")),
+      cluster = Some("test_cluster")))
+    assert(e.getMessage.contains(
+      "Cannot specify both 'cluster' and explicit replication params"))
+    // both spellings set and DISAGREEING refuses loudly (our guard —
+    // one fact, one home)
+    intercept[IllegalArgumentException](cfg("t",
+      TableEngine.Replicated(TableEngine.MergeTree,
+        cluster = Some("other")), cluster = Some("test_cluster")))
+    // effectiveCluster: config wins when present, engine otherwise
+    assert(cfg("t", TableEngine.MergeTree, Some("c1"))
+      .effectiveCluster.contains("c1"))
+    assert(cfg("t", TableEngine.Replicated(TableEngine.MergeTree,
+      cluster = Some("c2"))).effectiveCluster.contains("c2"))
+  }
+
+  test("golden: plan_validator.rs:214-318,369 — cluster-reference " +
+      "validation: no-clusters-defined and undefined-cluster refuse " +
+      "with the reference's messages; valid / absent / multiple pass") {
+    import graft.table.InfraPlan
+    val withCluster = cfg("UserTable", TableEngine.MergeTree,
+      Some("test_cluster"))
+    // :214 no clusters defined but table references one
+    val e1 = intercept[IllegalArgumentException](
+      InfraPlan.validateClusterReferences(Seq(withCluster), Nil))
+    assert(e1.getMessage.contains("references cluster 'test_cluster', " +
+      "but no clusters are defined in moose.config.toml"))
+    assert(e1.getMessage.contains("[[clickhouse_config.clusters]]"))
+    // :233 undefined cluster among defined ones
+    val e2 = intercept[IllegalArgumentException](
+      InfraPlan.validateClusterReferences(Seq(withCluster),
+        Seq("cluster_a", "cluster_b")))
+    assert(e2.getMessage.contains(
+      "which is not defined in moose.config.toml"))
+    assert(e2.getMessage.contains(
+      "Available clusters: cluster_a, cluster_b"))
+    // :260 valid reference passes
+    InfraPlan.validateClusterReferences(Seq(withCluster),
+      Seq("test_cluster"))
+    // :273 no cluster is always allowed — even with an empty list
+    InfraPlan.validateClusterReferences(
+      Seq(cfg("Plain", TableEngine.MergeTree)), Nil)
+    // :369 replicated WITHOUT cluster passes too (Cloud mode)
+    InfraPlan.validateClusterReferences(
+      Seq(cfg("Repl", TableEngine.Replicated(TableEngine.MergeTree))), Nil)
+    // :286 multiple tables on different valid clusters
+    InfraPlan.validateClusterReferences(
+      Seq(cfg("A", TableEngine.MergeTree, Some("cluster_a")),
+        cfg("B", TableEngine.MergeTree, Some("cluster_b"))),
+      Seq("cluster_a", "cluster_b"))
+    // :305 empty clusters list + table with cluster = the first error
+    // (the engine-side spelling hits the same wall)
+    intercept[IllegalArgumentException](
+      InfraPlan.validateClusterReferences(Seq(cfg("E",
+        TableEngine.Replicated(TableEngine.MergeTree,
+          cluster = Some("x")))), Nil))
+  }
+
+  test("round 17: the clustered DDL round trip — ON CLUSTER renders " +
+      "from either spelling, parses back into the flat field, and " +
+      "the differ sees NO change across the spelling move") {
+    import graft.table.{ChDdl, DdlRender, TableMigrator}
+    val engineSide = cfg("ct",
+      TableEngine.Replicated(TableEngine.MergeTree),
+      cluster = None).copy(engine = TableEngine.Replicated(
+      TableEngine.MergeTree, cluster = Some("prod_cluster")))
+    val ddl = DdlRender.createTableQuery("db", engineSide, isDev = true)
+    assert(ddl.contains("ON CLUSTER `prod_cluster`"))
+    val back = ChDdl.parseCreateTable(ddl)
+    // the parse home is the FLAT field…
+    assert(back.cluster.contains("prod_cluster"))
+    assert(back.effectiveCluster == engineSide.effectiveCluster)
+    // …and the differ plans NOTHING across the spelling move
+    assert(TableMigrator.diff(engineSide, back).isEmpty)
+    // an actual cluster CHANGE still plans drop+create
+    val moved = back.copy(cluster = Some("other_cluster"))
+    val plan = TableMigrator.diff(engineSide, moved)
+    assert(plan.operations.nonEmpty)
+  }
 }

@@ -264,4 +264,39 @@ class HttpFacadeSpec extends AnyFunSuite {
       assert(e.getMessage.contains("handler must be"))
     } finally f2.stop()
   }
+
+  test("golden: py test_web_app.py:152-159 injectMooseUtils — an " +
+      "arity-5 handler receives the injected utils object as its " +
+      "first argument; with the flag off the same handler refuses " +
+      "at mount") {
+    import graft.api.Registry
+    val seen = new java.util.concurrent.atomic.AtomicReference[AnyRef]()
+    val handler: (AnyRef, String, String, Map[String, String], String)
+        => (Int, String) = (utils, method, sub, _, _) => {
+      seen.set(utils)
+      (200, s"""{"m":"$method","p":"$sub"}""")
+    }
+    val utilsObj: AnyRef = Map("client" -> "moose")
+    val facade = new HttpFacade()
+      .mountWebApp(Registry.WebApp("u", handler, "/u"), utilsObj)
+      .start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${facade.port}/u/ping")).GET()
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200 &&
+        r.body() == """{"m":"GET","p":"/ping"}""")
+      assert(seen.get() eq utilsObj)
+    } finally facade.stop()
+    // flag off + utils-expecting handler: loud mount-time refusal,
+    // never a silently-null first argument
+    val off = Registry.WebApp("u2", handler, "/u2",
+      injectMooseUtils = false)
+    val f3 = new HttpFacade()
+    try {
+      val e = intercept[IllegalArgumentException](f3.mountWebApp(off))
+      assert(e.getMessage.contains("injectMooseUtils is false"))
+    } finally f3.stop()
+  }
 }

@@ -475,4 +475,83 @@ class InfraMapGoldenSpec extends AnyFunSuite {
     assert(mixed.apiChanges.isEmpty &&
       mixed.streamingChanges == Seq(Change.Added(t)))
   }
+
+  // ---- web_apps channel (round 17; web_app.rs:88-260) ----
+
+  private val lineageApp = WebAppSpec("lineageWebApp", "/lineage",
+    description = Some("Lineage test"),
+    pullsDataFrom = Seq("Table:Orders"),
+    pushesDataTo = Seq("Topic:OrdersEvents"))
+
+  test("golden: web_app.rs:166-209 diff_ignores_metadata_but_detects_" +
+      "lineage_changes — a metadata-only WebApp change plans nothing; " +
+      "a lineage change plans an update") {
+    def st(w: WebAppSpec) = State(Map.empty, webApps = Map(w.id -> w))
+    val metadataOnly = lineageApp.copy(description = Some("after"))
+    assert(InfraPlan.diff(st(lineageApp), st(metadataOnly)).isEmpty,
+      "Metadata-only WebApp changes should be ignored")
+    val lineageChanged = lineageApp.copy(
+      pushesDataTo = Seq("Topic:OrdersEventsV2"))
+    val plan = InfraPlan.diff(st(lineageApp), st(lineageChanged))
+    assert(plan.webAppChanges ==
+      Seq(Change.Updated(lineageApp, lineageChanged)))
+  }
+
+  test("golden: web_app.rs:211-260 diff_ignores_lineage_order — " +
+      "reordered lineage is NOT an update (set comparison); " +
+      "added/removed walk the keyed union") {
+    val base = WebAppSpec("lineageWebApp", "/lineage",
+      pullsDataFrom = Seq("Table:Orders", "Topic:OrdersTopic"),
+      pushesDataTo = Seq("Topic:OrdersEvents", "ApiEndpoint:WebhookSink"))
+    val reordered = base.copy(
+      pullsDataFrom = base.pullsDataFrom.reverse,
+      pushesDataTo = base.pushesDataTo.reverse)
+    def st(ws: WebAppSpec*) =
+      State(Map.empty, webApps = ws.map(w => w.id -> w).toMap)
+    assert(InfraPlan.diff(st(base), st(reordered)).isEmpty,
+      "Reordered lineage should not produce a WebApp update")
+    val other = WebAppSpec("other", "/other")
+    assert(InfraPlan.diff(st(base), st(base, other)).webAppChanges ==
+      Seq(Change.Added(other)))
+    assert(InfraPlan.diff(st(base, other), st(base)).webAppChanges ==
+      Seq(Change.Removed(other)))
+  }
+
+  test("golden: web_app.rs:145-164 proto round trip ≙ state-JSON " +
+      "round trip preserves lineage; py test_web_app.py:178-227 — " +
+      "metadata carried when present, OMITTED (never null) when " +
+      "absent") {
+    val state = State(Map.empty, webApps = Map(
+      lineageApp.id -> lineageApp,
+      "plain" -> WebAppSpec("plain", "/myapi")))
+    val json = InfraPlan.stateToJson(state)
+    val (back, _) = InfraPlan.stateFromJson(json)
+    assert(back.webApps == state.webApps)
+    // serialization shape: mountPath + metadata.description
+    // (test_webapp_serialization), and NO metadata key for the plain
+    // app (test_webapp_serialization_no_metadata)
+    assert("\"mount_path\"\\s*:\\s*\"/myapi\"".r
+      .findFirstIn(json).nonEmpty)
+    assert(json.contains("Lineage test"))
+    val plainSection = json.substring(json.indexOf("\"plain\""))
+    assert(!plainSection.takeWhile(_ != '}').contains("metadata"))
+  }
+
+  test("golden: py test_web_app.py:47-62,152-159 — registry WebApps " +
+      "serialize into the infra state; injectMooseUtils is carried " +
+      "config (default true)") {
+    val r = new graft.api.Registry
+    val handler: AnyRef = (() => ()): Runnable
+    r.addWebApp(graft.api.Registry.WebApp("test_app", handler, "/myapi",
+      metadata = Map("description" -> "Test API")))
+    val noUtils = graft.api.Registry.WebApp("no_utils", handler, "/plain",
+      injectMooseUtils = false)
+    r.addWebApp(noUtils)
+    assert(!noUtils.injectMooseUtils)
+    assert(graft.api.Registry.WebApp("d", handler, "/d").injectMooseUtils)
+    val state = r.toInfraState
+    assert(state.webApps("test_app") ==
+      WebAppSpec("test_app", "/myapi", Some("Test API")))
+    assert(state.webApps("no_utils").description.isEmpty)
+  }
 }
