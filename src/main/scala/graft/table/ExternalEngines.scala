@@ -128,7 +128,13 @@ object ExternalEngines {
       brokerList: String,
       topicList: String,
       groupName: String,
-      format: String)
+      format: String,
+      /** Engine-level SETTINGS map (kafka-config.test.ts:30-51 —
+        * kafka_num_consumers, kafka_skip_broken_messages, the SASL
+        * security quartet): carried on the config, rendered as the
+        * DDL SETTINGS clause, masked by KEY on export
+        * ([[ExternalEngines.maskCredentials]]). */
+      settings: Map[String, String] = Map.empty)
       extends EngineConfig {
     require(brokerList.nonEmpty, "Kafka engine requires 'broker_list'")
     require(topicList.nonEmpty, "Kafka engine requires 'topic_list'")
@@ -171,6 +177,8 @@ object ExternalEngines {
       awsAccessKeyId = c.awsAccessKeyId.map(_ => CredentialPlaceholder),
       awsSecretAccessKey =
         c.awsSecretAccessKey.map(_ => CredentialPlaceholder))
+    case c: KafkaEngineConfig =>
+      c.copy(settings = maskSettings(c, c.settings))
     case other => other
   }
 

@@ -39,7 +39,103 @@ final case class View(
     })
 }
 
+/** A table reference in its STRING spelling — the form source-table
+  * lists arrive in from the SDKs (round 17; ref materialized_view.rs
+  * TableReference + view.rs:193 parse_table_reference, matrices
+  * materialized_view.rs:356-374 / view.rs:317-383): backticks
+  * stripped, a dot OUTSIDE backticks splits database from name. */
+final case class TableReference(name: String,
+    database: Option[String] = None) {
+  /** materialized_view.rs:356 qualified_name. */
+  def qualifiedName: String = database.fold(name)(d => s"$d.$name")
+  /** materialized_view.rs:365 quoted. */
+  def quoted: String = database.fold(s"`$name`")(d => s"`$d`.`$name`")
+  /** The lineage signature id — Table::id's `{database}_{name}`
+    * (view.rs:212 table_reference_to_id). */
+  def toId(defaultDatabase: String): String =
+    s"${database.getOrElse(defaultDatabase)}_$name"
+}
+
+object TableReference {
+  def parse(ref: String): TableReference = {
+    val (db, n) = ChDdl.splitQualifiedName(ref)
+    TableReference(n, db)
+  }
+}
+
+/** The TEXT-form materialized view component (round 17; ref
+  * framework/core/infrastructure/materialized_view.rs — name, select
+  * SQL, string source tables, target table, optional database;
+  * matrix :356-569). The TYPED maintenance engine is
+  * [[graft.streaming.MaterializedView]]; this record is the infra-map
+  * spelling the planner diffs and renders, with the reference's exact
+  * DDL templates and lineage rules. [[toSqlResource]] bridges it onto
+  * the live SqlResource channel so it is never a dead shell. */
+final case class MaterializedViewDef(
+    name: String,
+    selectSql: String,
+    sourceTables: Seq[String],
+    targetTable: String,
+    database: Option[String] = None,
+    targetDatabase: Option[String] = None,
+    lifeCycle: Option[graft.schema.Migration.LifeCycle] = None) {
+
+  /** materialized_view.rs:158 — `{db|default}_{name}`. */
+  def id(defaultDatabase: String): String =
+    s"${database.getOrElse(defaultDatabase)}_$name"
+
+  /** materialized_view.rs:164 quoted_name. */
+  def quotedName: String = TableReference(name, database).quoted
+
+  def quotedTargetTable: String =
+    TableReference(targetTable, targetDatabase).quoted
+
+  /** materialized_view.rs:180 to_create_sql — the exact template. */
+  def toCreateSql: String =
+    s"CREATE MATERIALIZED VIEW IF NOT EXISTS $quotedName TO " +
+      s"$quotedTargetTable AS $selectSql"
+
+  /** materialized_view.rs:190 to_drop_sql. */
+  def toDropSql: String = s"DROP VIEW IF EXISTS $quotedName"
+
+  /** materialized_view.rs:335 pulls_data_from — each string source
+    * ref resolves against the default database; :344 pushes_data_to —
+    * the target table (a view pushes nowhere, an MV pushes to its
+    * target). */
+  def pullsDataFrom(defaultDatabase: String): Seq[String] =
+    sourceTables.map(TableReference.parse(_).toId(defaultDatabase))
+  def pushesDataTo(defaultDatabase: String): Seq[String] =
+    Seq(TableReference(targetTable, targetDatabase).toId(defaultDatabase))
+
+  def toSqlResource(defaultDatabase: String): SqlResource = SqlResource(
+    name, setup = Seq(toCreateSql), teardown = Seq(toDropSql),
+    pullsDataFrom = pullsDataFrom(defaultDatabase),
+    pushesDataTo = pushesDataTo(defaultDatabase),
+    lifeCycle = lifeCycle)
+}
+
+object MaterializedViewDef {
+  /** `MaterializedView::new` — the SDK wire form: the target arrives
+    * as a possibly backticked / database-qualified STRING
+    * (materialized_view.rs tests pass "`otherdb`.`target`"). */
+  def fromWire(name: String, selectSql: String,
+      sourceTables: Seq[String], targetTable: String,
+      database: Option[String] = None): MaterializedViewDef = {
+    val t = TableReference.parse(targetTable)
+    MaterializedViewDef(name, selectSql, sourceTables,
+      t.name, database, t.database)
+  }
+}
+
 object View {
+  /** view.rs:220 pulls_data_from over STRING source tables (the SDK
+    * wire form): backtick-aware, database-qualified refs keep their
+    * database, bare refs take the default. Views push nowhere
+    * (view.rs:229). */
+  def pullsDataFrom(sourceTables: Seq[String],
+      defaultDatabase: String): Seq[String] =
+    sourceTables.map(TableReference.parse(_).toId(defaultDatabase))
+
   /** A referencable base: another view or a table. */
   sealed trait TableLike
   final case class V(view: View) extends TableLike

@@ -273,6 +273,39 @@ class ExternalEnginesGoldenSpec extends AnyFunSuite {
     assert(rem2 == remaining && m2.isEmpty && v2.isEmpty)
   }
 
+  test("golden: kafka-config.test.ts + iceberg-config.test.ts (the " +
+      "TS SDK spellings of the py matrices) — Kafka carries its " +
+      "engine SETTINGS map; SASL password/username mask by key on " +
+      "export, tuning keys pass through") {
+    // kafka-config.test.ts:13-28 required fields
+    val plain = KafkaEngineConfig("kafka:9092", "events",
+      "moose_consumer", "JSONEachRow")
+    assert(plain.settings.isEmpty)
+    // :30-51 the settings map rides the config
+    val tuned = KafkaEngineConfig("kafka:9093", "events", "consumer",
+      "JSONEachRow", settings = Map(
+        "kafka_num_consumers" -> "2",
+        "kafka_skip_broken_messages" -> "10",
+        "kafka_security_protocol" -> "SASL_SSL",
+        "kafka_sasl_mechanism" -> "SCRAM-SHA-256",
+        "kafka_sasl_username" -> "user",
+        "kafka_sasl_password" -> "pass"))
+    assert(tuned.settings("kafka_num_consumers") == "2")
+    assert(tuned.settings("kafka_security_protocol") == "SASL_SSL")
+    // queries.rs:1497 sensitive_settings via maskCredentials: the
+    // SASL credentials mask IN PLACE, tuning keys survive verbatim
+    val masked = maskCredentials(tuned).asInstanceOf[KafkaEngineConfig]
+    assert(masked.settings("kafka_sasl_password") == CredentialPlaceholder)
+    assert(masked.settings("kafka_sasl_username") == CredentialPlaceholder)
+    assert(masked.settings("kafka_num_consumers") == "2")
+    assert(masked.settings("kafka_sasl_mechanism") == "SCRAM-SHA-256")
+    // iceberg-config.test.ts:11-55 — the TS rows are the
+    // test_iceberg_config.py rows above (NOSIGN when both credentials
+    // absent, compression carried); pinned there.
+    assert(IcebergS3Config("s3://public-bucket/data/", "Parquet")
+      .awsAccessKeyId.isEmpty)
+  }
+
   test("the configs bridge to the executable seams (never dead " +
       "shells): S3 read/write round-trips; Merge unions; Distributed " +
       "re-shards co-keyed") {

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.querymodel.SqlInterpolator._
+import graft.schema.MooseType._
+import graft.schema.{MooseColumn, MooseSchema}
+import graft.table.OlapTable
+
+/** Golden port of packages/py-moose-lib/tests/test_moose_model.py
+  * (153 lines) + test_olap_table_moosemodel.py (89 lines) — the
+  * MooseModel column-descriptor surface. The pydantic metaclass
+  * machinery (descriptors injected beside instance fields, `.cols`
+  * shadow object, BaseModel inheritance) is Python plumbing; the
+  * portable contract is: every model field is addressable AS A COLUMN
+  * VALUE, columns render as backticked identifiers in SQL text, a
+  * table exposes its model, and unknown names refuse. Here the model
+  * IS [[MooseSchema]] and the descriptor is [[MooseColumn]] — the
+  * same value the `sql` interpolator accepts
+  * (test_column_formatting.py rows pinned in ViewGoldenSpec).
+  */
+class MooseModelGoldenSpec extends AnyFunSuite {
+
+  private val analytics = MooseSchema(Seq(
+    MooseColumn("event_id", MInt64),
+    MooseColumn("timestamp", MString),
+    MooseColumn("value", MFloat64)))
+
+  test("golden: test_moose_model.py:21-40 — every field is " +
+      "addressable as a Column carrying its name") {
+    val user = MooseSchema(Seq(
+      MooseColumn("user_id", MInt64), MooseColumn("email", MString),
+      MooseColumn("age", MInt64)))
+    assert(user("user_id").name == "user_id")
+    assert(user("email").name == "email")
+    assert(user("age").name == "age")
+  }
+
+  test("golden: test_moose_model.py:43-55 — the column format spec " +
+      "renders a backticked identifier") {
+    val product = MooseSchema(Seq(
+      MooseColumn("product_id", MInt64),
+      MooseColumn("product_name", MString)))
+    assert(product("product_id").ref == "`product_id`")
+    assert(product("product_name").ref == "`product_name`")
+  }
+
+  test("golden: test_moose_model.py:123-136 — bracket access returns " +
+      "the Column; unknown names refuse naming the vocabulary") {
+    val user = MooseSchema(Seq(
+      MooseColumn("user_id", MInt64), MooseColumn("email", MString)))
+    assert(user("user_id").isInstanceOf[MooseColumn])
+    assert(user("email").name == "email")
+    val e = intercept[NoSuchElementException](user("nope"))
+    assert(e.getMessage.contains("no column 'nope'") &&
+      e.getMessage.contains("user_id, email"))
+  }
+
+  test("golden: test_moose_model.py:139-153 — columns compose into " +
+      "SQL text exactly (the f-string row, via the sql interpolator)") {
+    val q = sql"""SELECT ${analytics("event_id")}, ${analytics(
+      "timestamp")}, ${analytics("value")} FROM analytics WHERE ${analytics(
+      "event_id")} > 100"""
+    assert(q.text ==
+      "SELECT `event_id`, `timestamp`, `value` FROM analytics " +
+        "WHERE `event_id` > 100")
+  }
+
+  test("golden: test_moose_model.py:112-120 — an empty model is " +
+      "valid (no fields, no crash)") {
+    val empty = MooseSchema(Nil)
+    assert(empty.columns.isEmpty && empty.toStructType.isEmpty)
+  }
+
+  test("golden: test_olap_table_moosemodel.py:7-17,76-89 — the table " +
+      "exposes its model; column access flows through it") {
+    val cfg = OlapTable.Config("analytics", analytics,
+      orderBy = Seq("event_id"))
+    // model_type ≙ config.schema — the table's model IS the schema
+    assert(cfg.schema == analytics)
+    assert(cfg.schema("event_id").name == "event_id")
+    // :20-36 — the composition row through the table's model
+    val q = sql"SELECT ${cfg.schema("event_id")} FROM ${SqlFragment(cfg.name)}"
+    assert(q.text == "SELECT `event_id` FROM analytics")
+  }
+}

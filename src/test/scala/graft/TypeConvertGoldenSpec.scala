@@ -15,7 +15,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *    test_fixedstring.py (43), test_simple_aggregate.py (114),
   *    test_codec.py (75): the Python `_to_columns` rows — plain
   *    int → "Int64", plain float → "Float64", Optional[T] →
-  *    required=False, Key[T] → primary_key.
+  *    required=False, Key[T] → primary_key;
+  *  - packages/py-moose-lib/tests/test_field_comments.py (128): the
+  *    same comment-carriage contract as the TSDoc rows below —
+  *    comments ride beside primary_key/default/codec and absent
+  *    comments stay None; the Field(description)/attribute-docstring
+  *    EXTRACTION half is pydantic plumbing with no Scala counterpart
+  *    (a MooseColumn takes its comment directly).
   *
   * The TS/Python COMPILER mechanics (tsc type-checker introspection,
   * pydantic Annotated metadata, TSDoc extraction from source trivia)

@@ -90,4 +90,88 @@ class ViewGoldenSpec extends AnyFunSuite {
     assert(state.resources("over_t").setup.head
       .startsWith("CREATE OR REPLACE VIEW `over_t` AS "))
   }
+
+  // ---- round 17: the Rust infra components' STRING-reference rows
+  // (framework/core/infrastructure/view.rs:317-383,
+  //  materialized_view.rs:356-569) ----
+
+  test("golden: materialized_view.rs:356-374 — TableReference " +
+      "qualified_name and quoted, bare and database-qualified") {
+    import graft.table.TableReference
+    assert(TableReference("users").qualifiedName == "users")
+    assert(TableReference("users", Some("mydb")).qualifiedName
+      == "mydb.users")
+    assert(TableReference("users").quoted == "`users`")
+    assert(TableReference("users", Some("mydb")).quoted
+      == "`mydb`.`users`")
+    // parse_table_reference: backticks strip, dot outside ticks splits
+    assert(TableReference.parse("`mydb`.`events`") ==
+      TableReference("events", Some("mydb")))
+    assert(TableReference.parse("`events`") == TableReference("events"))
+  }
+
+  test("golden: view.rs:317-383 — view lineage over string refs: " +
+      "backticks, database qualifier beats the default, multiple " +
+      "sources keep order; views push nothing") {
+    assert(View.pullsDataFrom(Seq("`events`"), "local")
+      == Seq("local_events"))
+    assert(View.pullsDataFrom(Seq("`mydb`.`events`"), "local")
+      == Seq("mydb_events"))
+    assert(View.pullsDataFrom(Seq("`a`", "`mydb`.`b`"), "local")
+      == Seq("local_a", "mydb_b"))
+  }
+
+  test("golden: materialized_view.rs:374-387 — to_create_sql is the " +
+      "exact template; :190 to_drop_sql") {
+    import graft.table.MaterializedViewDef
+    val mv = MaterializedViewDef.fromWire("user_stats_mv",
+      "SELECT user_id, count(*) as cnt FROM events GROUP BY user_id",
+      Seq("events"), "user_stats")
+    assert(mv.toCreateSql ==
+      "CREATE MATERIALIZED VIEW IF NOT EXISTS `user_stats_mv` TO " +
+        "`user_stats` AS SELECT user_id, count(*) as cnt FROM events " +
+        "GROUP BY user_id")
+    assert(mv.toDropSql == "DROP VIEW IF EXISTS `user_stats_mv`")
+  }
+
+  test("golden: materialized_view.rs:390-463 — MV lineage: pulls " +
+      "every source, pushes exactly the target; backticked and " +
+      "database-qualified wire forms resolve like Table::id") {
+    import graft.table.MaterializedViewDef
+    val mv = MaterializedViewDef.fromWire("mv",
+      "SELECT * FROM a JOIN b ON a.id = b.id", Seq("a", "b"), "target")
+    assert(mv.pullsDataFrom("local") == Seq("local_a", "local_b"))
+    assert(mv.pushesDataTo("local") == Seq("local_target"))
+    val ticked = MaterializedViewDef.fromWire("mv",
+      "SELECT * FROM events", Seq("`events`"), "`target`")
+    assert(ticked.pullsDataFrom("local") == Seq("local_events"))
+    assert(ticked.pushesDataTo("local") == Seq("local_target"))
+    val qualified = MaterializedViewDef.fromWire("mv",
+      "SELECT * FROM mydb.events", Seq("`mydb`.`events`"),
+      "`otherdb`.`target`")
+    assert(qualified.pullsDataFrom("local") == Seq("mydb_events"))
+    assert(qualified.pushesDataTo("local") == Seq("otherdb_target"))
+  }
+
+  test("golden: materialized_view.rs:466-497 — id folds the " +
+      "database (explicit beats default); lifecycle default is " +
+      "FullyManaged via the planner's omitted-lifecycle rule; the " +
+      "SqlResource bridge is live") {
+    import graft.table.{InfraPlan, MaterializedViewDef}
+    val mv = MaterializedViewDef.fromWire("my_mv", "SELECT 1",
+      Nil, "target")
+    assert(mv.id("default_db") == "default_db_my_mv")
+    assert(mv.copy(database = Some("other_db")).id("default_db")
+      == "other_db_my_mv")
+    // life_cycle default (rs:478-497): unspecified here = omitted from
+    // the infra map; the planner applies FullyManaged
+    val r = mv.toSqlResource("local")
+    assert(r.lifeCycle.isEmpty)
+    assert(InfraPlan.State(Map.empty, resources = Map(r.name -> r))
+      .lifeCycleOf(r.name) == graft.schema.Migration.LifeCycle.FullyManaged)
+    // the bridge carries the exact DDL + lineage
+    assert(r.setup == Seq(mv.toCreateSql) &&
+      r.teardown == Seq(mv.toDropSql) &&
+      r.pushesDataTo == Seq("local_target"))
+  }
 }
