@@ -1,0 +1,78 @@
+package graft.api
+
+import java.nio.file.{Files, Path}
+
+/** `.env` file loading for project configuration — the reference's
+  * utilities/dotenv.rs (matrix :140-201). Load order, later overrides
+  * earlier: `.env` (base, committed), `.env.{environment}`
+  * (`.env.dev` / `.env.prod`), `.env.local` (gitignored local
+  * overrides, DEVELOPMENT ONLY — production never reads it,
+  * dotenv.rs:178). Existing SYSTEM environment variables are never
+  * overwritten (dotenv.rs:155); missing files are silently skipped
+  * (dotenv.rs:146).
+  *
+  * The reference mutates the process environment via dotenvy; a JVM
+  * cannot (System.getenv is immutable), so the portable shape is the
+  * PURE resolution: file contents + the system map in, the effective
+  * variable map out — callers thread it wherever `sys.env.get` went
+  * (every seam here already takes an injectable `env` function:
+  * [[RuntimeEnv]], [[Registry.isClientOnlyMode]]).
+  *
+  * Parser: the pinned dotenv subset — `KEY=VALUE` lines, `#` comments,
+  * blank lines, optional `export ` prefix, optional single/double
+  * quotes stripped. dotenvy's variable interpolation and multiline
+  * values are NOT parsed (documented bound; the reference's own test
+  * rows never exercise them). */
+object DotEnv {
+
+  /** dotenv.rs:41 MooseEnvironment. */
+  sealed trait Environment { def asStr: String
+    override def toString: String = asStr }
+  case object Development extends Environment { val asStr = "dev" }
+  case object Production extends Environment { val asStr = "prod" }
+
+  /** The file list for an environment, LOWEST priority first
+    * (dotenv.rs:94-105). */
+  def fileOrder(environment: Environment): Seq[String] = {
+    val base = Seq(".env", s".env.${environment.asStr}")
+    if (environment == Development) base :+ ".env.local" else base
+  }
+
+  /** One file's `KEY=VALUE` pairs, in order. */
+  def parse(content: String): Seq[(String, String)] =
+    content.linesIterator.flatMap { raw =>
+      val line = raw.trim
+      if (line.isEmpty || line.startsWith("#")) None
+      else {
+        val body = if (line.startsWith("export "))
+          line.stripPrefix("export ").trim else line
+        val eq = body.indexOf('=')
+        if (eq <= 0) None
+        else {
+          val k = body.substring(0, eq).trim
+          val v0 = body.substring(eq + 1).trim
+          val v = if (v0.length >= 2 &&
+              ((v0.head == '"' && v0.last == '"') ||
+                (v0.head == '\'' && v0.last == '\'')))
+            v0.substring(1, v0.length - 1)
+          else v0
+          Some(k -> v)
+        }
+      }
+    }.toSeq
+
+  /** The effective variable map: files merged lowest-to-highest
+    * priority, then the SYSTEM map wins on every collision. */
+  def load(directory: Path, environment: Environment,
+      system: Map[String, String] = sys.env): Map[String, String] = {
+    val fromFiles = fileOrder(environment).foldLeft(
+      Map.empty[String, String]) { (acc, name) =>
+      val p = directory.resolve(name)
+      if (Files.exists(p))
+        acc ++ parse(new String(Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+      else acc // dotenv.rs:146 — missing files skip silently
+    }
+    fromFiles ++ system // dotenv.rs:155 — system always wins
+  }
+}

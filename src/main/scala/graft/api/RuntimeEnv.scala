@@ -28,14 +28,27 @@ object RuntimeEnv {
         "runtime execution of functions/workflows."))
   }
 
-  /** The deploy-side half: resolve a marker to its runtime value;
-    * non-marker strings pass through untouched. */
+  /** The deploy-side half (ref utilities/secrets.rs:67
+    * `resolve_runtime_env`, matrix :136-236): resolve a marker to its
+    * runtime value; non-marker strings pass through untouched; a
+    * marker with an EMPTY variable name refuses with the reference's
+    * dedicated message (distinct from variable-not-found); a missing
+    * variable refuses with the reference's export-example text.
+    * Re-resolving after the environment changed returns the NEW value
+    * (secrets.rs:218 config-rotation row — nothing is cached here). */
   def resolve(value: String,
       env: String => Option[String] = sys.env.get): String =
     if (value != null && value.startsWith(Prefix)) {
       val name = value.substring(Prefix.length)
+      if (name.isEmpty) throw new IllegalArgumentException(
+        "Environment variable name in runtime marker cannot be empty")
       env(name).getOrElse(throw new IllegalStateException(
-        s"Environment variable '$name' is not set (marker '$value' " +
-          "cannot be resolved)"))
+        s"Environment variable '$name' not found. Set this variable " +
+          s"""before running Moose.\nExample: export $name="your-value""""))
     } else value
+
+  /** secrets.rs:104 `resolve_optional_runtime_env`. */
+  def resolveOptional(value: Option[String],
+      env: String => Option[String] = sys.env.get): Option[String] =
+    value.map(resolve(_, env))
 }

@@ -95,4 +95,74 @@ class UtilitiesSpec extends AnyFunSuite {
       RuntimeEnv.resolve("__MOOSE_RUNTIME_ENV__:MISSING", runtime.get)
     }
   }
+
+  test("golden: utilities/secrets.rs:136-236 — the CLI resolve half: " +
+      "marker resolves, plain passes, missing refuses with the " +
+      "export-example text, empty name is its OWN error, optional " +
+      "wrapper, rotation re-reads") {
+    var env = Map("AWS_ACCESS_KEY_ID" -> "test_value_123")
+    def read(k: String): Option[String] = env.get(k)
+    // :136 with marker / :151 without marker
+    assert(RuntimeEnv.resolve("__MOOSE_RUNTIME_ENV__:AWS_ACCESS_KEY_ID",
+      read) == "test_value_123")
+    assert(RuntimeEnv.resolve("my-static-value", read) == "my-static-value")
+    // :160 missing variable — the reference's message shape
+    val e = intercept[IllegalStateException](RuntimeEnv.resolve(
+      "__MOOSE_RUNTIME_ENV__:NONEXISTENT_VAR", read))
+    assert(e.getMessage.contains("'NONEXISTENT_VAR' not found") &&
+      e.getMessage.contains("export NONEXISTENT_VAR=\"your-value\""))
+    // :177 empty variable name — a DISTINCT error, not variable-not-found
+    val e2 = intercept[IllegalArgumentException](
+      RuntimeEnv.resolve("__MOOSE_RUNTIME_ENV__:", read))
+    assert(e2.getMessage ==
+      "Environment variable name in runtime marker cannot be empty")
+    // :189-217 resolve_optional: Some(marker), None, Some(plain)
+    assert(RuntimeEnv.resolveOptional(
+      Some("__MOOSE_RUNTIME_ENV__:AWS_ACCESS_KEY_ID"), read)
+      .contains("test_value_123"))
+    assert(RuntimeEnv.resolveOptional(None, read).isEmpty)
+    assert(RuntimeEnv.resolveOptional(Some("plain"), read)
+      .contains("plain"))
+    // :218 rotation: a re-resolve reads the CURRENT value, no caching
+    env = Map("ROTATION_TEST_VAR" -> "old_value")
+    val before = RuntimeEnv.resolve(
+      "__MOOSE_RUNTIME_ENV__:ROTATION_TEST_VAR", read)
+    env = Map("ROTATION_TEST_VAR" -> "new_value")
+    val after = RuntimeEnv.resolve(
+      "__MOOSE_RUNTIME_ENV__:ROTATION_TEST_VAR", read)
+    assert(before == "old_value" && after == "new_value")
+  }
+
+  test("golden: utilities/dotenv.rs:140-201 — environment display, " +
+      "missing files skip, system vars never overwritten, .env.local " +
+      "is development-only, precedence .env.local > .env.{e} > .env") {
+    import graft.api.DotEnv
+    import graft.api.DotEnv.{Development, Production}
+    // :140 environment display
+    assert(Development.toString == "dev" && Production.toString == "prod")
+    val dir = java.nio.file.Files.createTempDirectory("dotenv")
+    // :146 missing files — no crash, system map intact
+    assert(DotEnv.load(dir, Development, Map("A" -> "1")) == Map("A" -> "1"))
+    def write(name: String, text: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name), text.getBytes("UTF-8"))
+    write(".env", "PORT=4000\nSHARED=base\nSYS=from_file\n# comment\n")
+    write(".env.dev", "LEVEL=debug\nSHARED=dev\n")
+    write(".env.local", "SECRET='s3cret'\nSHARED=\"local\"\nexport EXP=1\n")
+    // :155 system env beats every file
+    val dev = DotEnv.load(dir, Development, Map("SYS" -> "from_system"))
+    assert(dev("SYS") == "from_system")
+    // precedence in development: local > env-specific > base
+    assert(dev("SHARED") == "local" && dev("PORT") == "4000" &&
+      dev("LEVEL") == "debug")
+    // quote stripping + export prefix
+    assert(dev("SECRET") == "s3cret" && dev("EXP") == "1")
+    // :178 production NEVER reads .env.local (and .env.dev)
+    val prod = DotEnv.load(dir, Production, Map.empty)
+    assert(!prod.contains("SECRET") && !prod.contains("LEVEL"))
+    assert(prod("SHARED") == "base")
+    // file order pin (lowest priority first)
+    assert(DotEnv.fileOrder(Development) ==
+      Seq(".env", ".env.dev", ".env.local"))
+    assert(DotEnv.fileOrder(Production) == Seq(".env", ".env.prod"))
+  }
 }
