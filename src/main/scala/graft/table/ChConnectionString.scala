@@ -1,0 +1,116 @@
+package graft.table
+
+/** ClickHouse connection-string parsing — the reference's
+  * infrastructure/olap/clickhouse/config.rs (matrix :219-290):
+  * `clickhouse://` / `https://` / `http://` URLs resolve to a full
+  * server config with SSL inferred from scheme-and-port, the database
+  * taken from the path else the `database` query param else
+  * "default", credentials percent-decoded, and a display URL whose
+  * password is ALWAYS masked. */
+object ChConnectionString {
+
+  /** config.rs:15 DEFAULT_DATABASE_NAME. */
+  val DefaultDatabaseName = "local"
+
+  /** config.rs ClickHouseConfig — the server-connection half (the
+    * docker data-path field is container plumbing, omitted). */
+  final case class ChServerConfig(
+      dbName: String = DefaultDatabaseName,
+      user: String = "panda",
+      password: String = "pandapass",
+      useSsl: Boolean = false,
+      host: String = "localhost",
+      hostPort: Int = 18123,
+      nativePort: Int = 9000,
+      additionalDatabases: Seq[String] = Nil,
+      clusters: Seq[String] = Nil) {
+    /** config.rs:69 display_url_for_database — password masked when
+      * present, absent when empty. */
+    def displayUrlForDatabase(database: String): String = {
+      val protocol = if (useSsl) "https" else "http"
+      if (password.isEmpty)
+        s"$protocol://$user@$host:$hostPort/?database=$database"
+      else
+        s"$protocol://$user:******@$host:$hostPort/?database=$database"
+    }
+    def displayUrl: String = displayUrlForDatabase(dbName)
+  }
+
+  /** config.rs:92 ParsedConnectionString. */
+  final case class ParsedConnection(
+      config: ChServerConfig,
+      wasNativeProtocol: Boolean,
+      displayUrl: String,
+      databaseWasExplicit: Boolean)
+
+  /** Percent-decode WITHOUT `+`-to-space (Rust percent_decode_str,
+    * not form decoding). */
+  private def pctDecode(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(s(i)); i += 1 }
+      } else { sb.append(s(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  def parse(connStr: String): ChServerConfig =
+    parseWithMetadata(connStr).config
+
+  /** config.rs:113 parse_clickhouse_connection_string_with_metadata. */
+  def parseWithMetadata(connStr: String): ParsedConnection = {
+    val url = java.net.URI.create(connStr)
+    val scheme = Option(url.getScheme).getOrElse(
+      throw new IllegalArgumentException(s"no scheme in '$connStr'"))
+    val wasNative = scheme == "clickhouse"
+    val rawUserInfo = Option(url.getRawUserInfo).getOrElse("")
+    val (rawUser, rawPassword) = rawUserInfo.indexOf(':') match {
+      case -1 => (rawUserInfo, "")
+      case i => (rawUserInfo.substring(0, i), rawUserInfo.substring(i + 1))
+    }
+    var user = pctDecode(rawUser)
+    val password = pctDecode(rawPassword)
+    val host = Option(url.getHost).getOrElse("localhost")
+    val port = Option(url.getPort).filter(_ >= 0)
+    def queryPairs: Seq[(String, String)] =
+      Option(url.getRawQuery).toSeq.flatMap(_.split("&")).map { kv =>
+        kv.indexOf('=') match {
+          case -1 => (pctDecode(kv), "")
+          case i => (pctDecode(kv.substring(0, i)),
+            pctDecode(kv.substring(i + 1)))
+        }
+      }
+    // SSL from scheme-and-port (config.rs:135-151)
+    var httpPort: Option[Int] = None
+    var nativePort: Option[Int] = None
+    val useSsl = scheme match {
+      case "https" => httpPort = Some(port.getOrElse(443)); true
+      case "http" => httpPort = Some(port.getOrElse(80)); false
+      case "clickhouse" =>
+        val p = port.getOrElse(9000); nativePort = Some(p); p == 9440
+      case _ => port.getOrElse(9000) == 9440
+    }
+    val httpPortV = httpPort.getOrElse(if (useSsl) 8443 else 8123)
+    val nativePortV = nativePort.getOrElse(if (useSsl) 9440 else 9000)
+    if (user.isEmpty)
+      user = queryPairs.find(_._1 == "user").map(_._2).getOrElse("")
+    val path = Option(url.getPath).getOrElse("")
+    val (dbName, explicit) =
+      if (path.nonEmpty && path != "/" && path != "//")
+        (path.dropWhile(_ == '/'), true)
+      else queryPairs.find(_._1 == "database").map(_._2)
+        .filter(_.nonEmpty) match {
+        case Some(db) => (db, true)
+        case None => ("default", false)
+      }
+    val config = ChServerConfig(dbName, user, password, useSsl, host,
+      httpPortV, nativePortV)
+    ParsedConnection(config, wasNative,
+      config.displayUrlForDatabase(dbName), explicit)
+  }
+}

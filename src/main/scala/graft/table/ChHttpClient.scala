@@ -1,0 +1,78 @@
+package graft.table
+
+/** HTTP-client query-text layer — the reference's
+  * infrastructure/olap/clickhouse/client.rs pure half (matrix
+  * :435-690) + errors.rs:35 `is_valid_clickhouse_identifier`. The
+  * reqwest transport is plumbing; the PORTABLE contract is exactly
+  * what its tests pin:
+  *
+  *  - `wait_end_of_query=1` rides ONLY on INSERT/CREATE/ALTER/DROP/
+  *    TRUNCATE (at-least-once delivery needs the server to buffer the
+  *    response until the write lands); SELECT/SHOW/DESCRIBE/EXISTS
+  *    stay unbuffered for latency (client.rs:342, :387-392);
+  *  - INSERT targets double-quote the database/table and BACKTICK the
+  *    columns (`INSERT INTO "db"."t" (`a`,`b`) VALUES`);
+  *  - EXISTS TABLE validates both identifiers FIRST — the injection
+  *    guard (only alphanumeric/underscore/hyphen, no digit or hyphen
+  *    start), with the reference's per-reason messages.
+  */
+object ChHttpClient {
+
+  /** client.rs:342 DDL_COMMANDS. */
+  val DdlCommands: Seq[String] =
+    Seq("INSERT", "CREATE", "ALTER", "DROP", "TRUNCATE")
+
+  /** errors.rs:35 is_valid_clickhouse_identifier. */
+  def isValidIdentifier(name: String): Boolean =
+    name.nonEmpty &&
+      name.forall(c => (c.isLetterOrDigit && c < 128) || c == '_' ||
+        c == '-') &&
+      !name.head.isDigit && !name.startsWith("-")
+
+  /** errors.rs:48 validate_clickhouse_identifier — the exact reason
+    * ladder and `Invalid {type}: '{name}' - {reason}` shape. */
+  def validateIdentifier(name: String, identifierType: String): Unit =
+    if (!isValidIdentifier(name)) {
+      val reason =
+        if (name.isEmpty) "cannot be empty"
+        else if (name.head.isDigit) "cannot start with a digit"
+        else if (name.startsWith("-")) "cannot start with a hyphen"
+        else "contains invalid characters (only alphanumeric, " +
+          "underscore, and hyphen allowed)"
+      throw new IllegalArgumentException(
+        s"Clickhouse - Invalid $identifierType: '$name' - $reason")
+    }
+
+  /** client.rs:353 build_insert_query (wrap_and_join_column_names
+    * backticks each column, comma-joined without spaces). */
+  def buildInsertQuery(database: String, tableName: String,
+      columns: Seq[String]): String =
+    s"""INSERT INTO "$database"."$tableName" """ +
+      s"(${columns.map(c => s"`$c`").mkString(",")}) VALUES"
+
+  /** client.rs:373 build_exists_table_query — validates BOTH names. */
+  def buildExistsTableQuery(database: String, tableName: String): String = {
+    validateIdentifier(database, "Database name")
+    validateIdentifier(tableName, "Table name")
+    s"""EXISTS TABLE "$database"."$tableName""""
+  }
+
+  /** client.rs:379 query_param — the URL-encoded parameter string:
+    * `query`, the best-effort date parsing the sync path relies on,
+    * the optional default-database context, and the conditional
+    * `wait_end_of_query=1` (commands matched on the TRIMMED,
+    * UPPERCASED prefix — client.rs:521-539 pins whitespace and case
+    * insensitivity). */
+  def queryParam(query: String, database: Option[String] = None): String = {
+    val params = Seq.newBuilder[(String, String)]
+    params += "query" -> query
+    params += "date_time_input_format" -> "best_effort"
+    database.foreach(db => params += "database" -> db)
+    val upper = query.trim.toUpperCase
+    if (DdlCommands.exists(upper.startsWith))
+      params += "wait_end_of_query" -> "1"
+    params.result().map { case (k, v) =>
+      k + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("&")
+  }
+}

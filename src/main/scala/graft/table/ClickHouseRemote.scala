@@ -1,0 +1,96 @@
+package graft.table
+
+/** Remote-instance query-text builders — the reference's
+  * infrastructure/olap/clickhouse/remote.rs `ClickHouseRemote`
+  * (matrix :346-577). The HTTP protocol builds `url(...)` table
+  * functions whose AUTH RIDES IN HEADERS (`X-ClickHouse-User` /
+  * `X-ClickHouse-Key`) — never URL params, so credentials don't leak
+  * into query strings — with the query URL-encoded and every embedded
+  * literal SQL-escaped. Dev-mode only by the reference's own warning
+  * (query text can reach system.query_log); the native
+  * `remoteSecure()` path lives in [[SeedRemote]].
+  *
+  * Pure text builders — the actual HTTP execution is the remote
+  * ClickHouse's job in the reference too (the text is handed to a
+  * local CH which fetches the URL); here the text is what the
+  * db-pull/seed tooling renders and what specs pin. */
+final case class ClickHouseRemote(
+    host: String,
+    port: Int,
+    database: String,
+    user: String,
+    password: String,
+    useSsl: Boolean) {
+  import ClickHouseRemote._
+
+  require(port >= 0 && port <= 65535,
+    s"port must be a valid u16 (0-65535), got $port")
+
+  /** Debug redaction (remote.rs:95): the password NEVER prints. */
+  override def toString: String =
+    s"ClickHouseRemote(host=$host, port=$port, database=$database, " +
+      s"user=$user, password=[REDACTED], useSsl=$useSsl)"
+
+  def httpScheme: String = if (useSsl) "https" else "http"
+
+  /** remote.rs:276 http_base_url. */
+  def httpBaseUrl: String = s"$httpScheme://$host:$port"
+
+  /** remote.rs:281 — query rides as an ENCODED url param; credentials
+    * do not. */
+  def httpQueryUrl(query: String): String =
+    s"$httpBaseUrl/?query=${encode(query)}"
+
+  /** remote.rs:290 http_headers_clause — SQL-escaped credentials in
+    * headers. */
+  def httpHeadersClause: String =
+    s"headers('X-ClickHouse-User'='${escapeSqlString(user)}', " +
+      s"'X-ClickHouse-Key'='${escapeSqlString(password)}')"
+
+  /** remote.rs:300 — default format TabSeparatedWithNamesAndTypes. */
+  def queryFunction(query: String): String =
+    queryFunctionWithFormat(query, "TabSeparatedWithNamesAndTypes")
+
+  /** remote.rs:305 build_http_url_function_with_format. */
+  def queryFunctionWithFormat(query: String, format: String): String =
+    s"url('${escapeSqlString(httpQueryUrl(query))}', " +
+      s"'${escapeSqlString(format)}', $httpHeadersClause)"
+
+  /** remote.rs:233 select_from_table. */
+  def selectFromTable(database: String, table: String, columns: String,
+      whereClause: Option[String] = None): String = {
+    val q = whereClause match {
+      case Some(w) => s"SELECT $columns FROM $database.$table WHERE $w"
+      case None => s"SELECT $columns FROM $database.$table"
+    }
+    queryFunction(q)
+  }
+
+  /** remote.rs:253 select_from_system_table. */
+  def selectFromSystemTable(systemTable: String, columns: String,
+      whereClause: Option[String] = None): String =
+    selectFromTable("system", systemTable, columns, whereClause)
+}
+
+object ClickHouseRemote {
+
+  /** remote.rs:34 escape_sql_string_literal: `\` doubles, `'`
+    * doubles. */
+  def escapeSqlString(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
+
+  /** Rust `urlencoding::encode`: percent-encode every byte except
+    * ASCII alphanumerics and `-_.~` (RFC 3986 unreserved). NOT
+    * java.net.URLEncoder — that spells space `+` and leaves `*`
+    * bare, and the matrix pins `%20` / `%2A`. */
+  def encode(s: String): String = {
+    val sb = new StringBuilder
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && c < 128 || c == '-' || c == '_' ||
+        c == '.' || c == '~') sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,110 @@
+package graft.table
+
+/** Remote-connection config + credential resolution — the reference's
+  * infrastructure/olap/clickhouse/config_resolver.rs (matrix
+  * :299-471) and project.rs `RemoteClickHouseConfig.effective_port`
+  * (:325). The OS-keychain backend is platform plumbing; the portable
+  * contract is the REPOSITORY PROTOCOL and its failure semantics:
+  *
+  *  - credentials are BOTH-OR-NONE: a stored user without a password
+  *    (or vice versa) reads as "no stored credentials", never a
+  *    half-pair (config_resolver.rs:320-363);
+  *  - storing is transactional: if the password write fails after the
+  *    user write succeeded, the user entry is ROLLED BACK so the
+  *    keychain never holds partial state (:119-127, matrix :436);
+  *  - empty user or password refuse before touching the store
+  *    (:146-152);
+  *  - the HTTP port defaults by SSL — 8443 with, 8123 without — and
+  *    an explicit port always wins (project.rs:325).
+  */
+object ConfigResolver {
+
+  /** constants.rs:128-129. */
+  val KeyRemoteClickHouseUser = "remote_clickhouse_user"
+  val KeyRemoteClickHousePassword = "remote_clickhouse_password"
+
+  /** utilities/keyring.rs SecretRepository — injectable so specs pin
+    * the protocol without an OS keychain (the reference's own tests
+    * use a mock). Left = the backend's error text. */
+  trait SecretRepository {
+    def get(service: String, key: String): Either[String, Option[String]]
+    def store(service: String, key: String, value: String)
+        : Either[String, Unit]
+    def delete(service: String, key: String): Either[String, Unit]
+  }
+
+  /** project.rs RemoteClickHouseConfig (the moose.config.toml
+    * `[dev.remote_clickhouse]` block). */
+  final case class RemoteClickHouseConfig(
+      host: Option[String] = None,
+      port: Option[Int] = None,
+      database: Option[String] = None,
+      useSsl: Boolean = false) {
+    /** project.rs:325 effective_port. */
+    def effectivePort: Int = port.getOrElse(if (useSsl) 8443 else 8123)
+  }
+
+  /** config_resolver.rs:320 get_stored_credentials — both-or-none;
+    * a backend failure is an error, not a None. */
+  def getStoredCredentials(repo: SecretRepository, projectName: String)
+      : Option[(String, String)] = {
+    def read(key: String, what: String): Option[String] =
+      repo.get(projectName, key).fold(
+        e => throw new IllegalStateException(s"Failed to read $what: $e"),
+        identity)
+    (read(KeyRemoteClickHouseUser, "username"),
+      read(KeyRemoteClickHousePassword, "password")) match {
+      case (Some(u), Some(p)) => Some((u, p))
+      case _ => None
+    }
+  }
+
+  /** config_resolver.rs:108 store_credentials — password-write
+    * failure rolls the username back. */
+  def storeCredentials(repo: SecretRepository, projectName: String,
+      user: String, password: String): Unit = {
+    repo.store(projectName, KeyRemoteClickHouseUser, user).left.foreach(
+      e => throw new IllegalStateException(s"Failed to store username: $e"))
+    repo.store(projectName, KeyRemoteClickHousePassword, password)
+      .left.foreach { e =>
+        repo.delete(projectName, KeyRemoteClickHouseUser) // roll back
+        throw new IllegalStateException(s"Failed to store password: $e")
+      }
+  }
+
+  /** config_resolver.rs:146 store_remote_clickhouse_credentials —
+    * the public wrapper refuses empties before touching the store. */
+  def storeRemoteClickHouseCredentials(repo: SecretRepository,
+      projectName: String, user: String, password: String): Unit = {
+    require(user.nonEmpty && password.nonEmpty,
+      "Username and password must not be empty")
+    storeCredentials(repo, projectName, user, password)
+  }
+
+  /** config_resolver.rs:21 resolve_remote_clickhouse: None when no
+    * remote block; host and database are required; stored credentials
+    * win, otherwise `promptCredentials` runs ONCE and the result is
+    * persisted (an empty prompted password refuses, :97-102). */
+  def resolveRemoteClickHouse(
+      config: Option[RemoteClickHouseConfig],
+      repo: SecretRepository,
+      projectName: String,
+      promptCredentials: () => (String, String)): Option[ClickHouseRemote] =
+    config.map { c =>
+      val host = c.host.getOrElse(throw new IllegalArgumentException(
+        "remote_clickhouse.host is required"))
+      val database = c.database.getOrElse(
+        throw new IllegalArgumentException(
+          "remote_clickhouse.database is required"))
+      val (user, password) = getStoredCredentials(repo, projectName)
+        .getOrElse {
+          val (u, p) = promptCredentials()
+          if (p.isEmpty) throw new IllegalArgumentException(
+            "Password cannot be empty")
+          storeCredentials(repo, projectName, u, p)
+          (u, p)
+        }
+      ClickHouseRemote(host, c.effectivePort, database, user, password,
+        c.useSsl)
+    }
+}

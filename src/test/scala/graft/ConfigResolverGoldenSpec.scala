@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.ConfigResolver
+import graft.table.ConfigResolver.{RemoteClickHouseConfig, SecretRepository}
+
+/** Golden port of infrastructure/olap/clickhouse/config_resolver.rs's
+  * test matrix (:299-471) + project.rs:325 effective_port — the
+  * credential-repository protocol: both-or-none reads, transactional
+  * store with rollback, empty-credential refusals, SSL-dependent port
+  * defaults. The OS keychain itself is platform plumbing; the
+  * reference's own tests run against a mock repository, mirrored
+  * here (fail-on-get / fail-after-n-stores switches included). */
+class ConfigResolverGoldenSpec extends AnyFunSuite {
+
+  /** config_resolver.rs:204 MockSecretRepository. */
+  private class MockRepo(
+      failOnGet: Boolean = false,
+      failStoreAfter: Option[Int] = None) extends SecretRepository {
+    val secrets = scala.collection.mutable.Map.empty[(String, String), String]
+    var storeCalls = 0
+    def get(s: String, k: String): Either[String, Option[String]] =
+      if (failOnGet) Left("keychain unavailable")
+      else Right(secrets.get((s, k)))
+    def store(s: String, k: String, v: String): Either[String, Unit] = {
+      storeCalls += 1
+      if (failStoreAfter.exists(storeCalls > _)) Left("store failed")
+      else { secrets((s, k)) = v; Right(()) }
+    }
+    def delete(s: String, k: String): Either[String, Unit] = {
+      secrets.remove((s, k)); Right(())
+    }
+  }
+
+  private def withCreds(u: String, p: String): MockRepo = {
+    val r = new MockRepo()
+    r.secrets(("proj", ConfigResolver.KeyRemoteClickHouseUser)) = u
+    r.secrets(("proj", ConfigResolver.KeyRemoteClickHousePassword)) = p
+    r
+  }
+
+  test("golden: :299-363 — get_stored_credentials returns both, " +
+      "None when missing, None on HALF-pairs (user-only / " +
+      "password-only)") {
+    assert(ConfigResolver.getStoredCredentials(
+      withCreds("admin", "secret"), "proj").contains(("admin", "secret")))
+    assert(ConfigResolver.getStoredCredentials(new MockRepo(), "proj")
+      .isEmpty)
+    val userOnly = new MockRepo()
+    userOnly.secrets(("proj", ConfigResolver.KeyRemoteClickHouseUser)) = "u"
+    assert(ConfigResolver.getStoredCredentials(userOnly, "proj").isEmpty)
+    val pwOnly = new MockRepo()
+    pwOnly.secrets(("proj", ConfigResolver.KeyRemoteClickHousePassword)) = "p"
+    assert(ConfigResolver.getStoredCredentials(pwOnly, "proj").isEmpty)
+  }
+
+  test("golden: :364-371 — a keychain FAILURE is an error, never a " +
+      "silent None (a None would re-prompt and overwrite)") {
+    val e = intercept[IllegalStateException](
+      ConfigResolver.getStoredCredentials(
+        new MockRepo(failOnGet = true), "proj"))
+    assert(e.getMessage.contains("Failed to read username"))
+  }
+
+  test("golden: project.rs:325 / :373-410 — effective_port: 8443 " +
+      "with SSL, 8123 without, explicit always wins") {
+    assert(RemoteClickHouseConfig(useSsl = true).effectivePort == 8443)
+    assert(RemoteClickHouseConfig(useSsl = false).effectivePort == 8123)
+    assert(RemoteClickHouseConfig(port = Some(9000), useSsl = true)
+      .effectivePort == 9000)
+  }
+
+  test("golden: :412-460 — store succeeds atomically; a password-" +
+      "write failure ROLLS BACK the username (no partial keychain " +
+      "state)") {
+    val ok = new MockRepo()
+    ConfigResolver.storeCredentials(ok, "proj", "admin", "secret")
+    assert(ok.secrets(("proj", ConfigResolver.KeyRemoteClickHouseUser))
+      == "admin")
+    assert(ok.secrets(("proj", ConfigResolver.KeyRemoteClickHousePassword))
+      == "secret")
+    // first store (user) succeeds, second (password) fails
+    val failing = new MockRepo(failStoreAfter = Some(1))
+    val e = intercept[IllegalStateException](
+      ConfigResolver.storeCredentials(failing, "proj", "admin", "secret"))
+    assert(e.getMessage.contains("Failed to store password"))
+    assert(failing.secrets.isEmpty, "user entry must be rolled back")
+  }
+
+  test("golden: :462-471 — the public wrapper refuses empty user " +
+      "AND empty password before touching the store") {
+    val repo = new MockRepo()
+    intercept[IllegalArgumentException](ConfigResolver
+      .storeRemoteClickHouseCredentials(repo, "proj", "", "pw"))
+    intercept[IllegalArgumentException](ConfigResolver
+      .storeRemoteClickHouseCredentials(repo, "proj", "user", ""))
+    assert(repo.storeCalls == 0)
+  }
+
+  test("golden: config_resolver.rs:21-73 resolve_remote_clickhouse — " +
+      "None without a remote block; host/database required; stored " +
+      "credentials skip the prompt; a prompt-path result persists; " +
+      "an empty prompted password refuses") {
+    val cfg = RemoteClickHouseConfig(host = Some("remote.example.com"),
+      database = Some("production"), useSsl = true)
+    def noPrompt(): (String, String) =
+      throw new AssertionError("prompt must not run")
+    // no remote block configured
+    assert(ConfigResolver.resolveRemoteClickHouse(None, new MockRepo(),
+      "proj", noPrompt _).isEmpty)
+    // required fields
+    intercept[IllegalArgumentException](
+      ConfigResolver.resolveRemoteClickHouse(
+        Some(cfg.copy(host = None)), new MockRepo(), "proj", noPrompt _))
+    intercept[IllegalArgumentException](
+      ConfigResolver.resolveRemoteClickHouse(
+        Some(cfg.copy(database = None)), new MockRepo(), "proj", noPrompt _))
+    // stored credentials: prompt never fires, port defaults by SSL
+    val stored = ConfigResolver.resolveRemoteClickHouse(Some(cfg),
+      withCreds("admin", "secret123"), "proj", noPrompt _).get
+    assert(stored.httpBaseUrl == "https://remote.example.com:8443" &&
+      stored.user == "admin")
+    // prompt path persists into the repo
+    val repo = new MockRepo()
+    val prompted = ConfigResolver.resolveRemoteClickHouse(Some(cfg),
+      repo, "proj", () => ("u2", "p2")).get
+    assert(prompted.user == "u2" &&
+      repo.secrets(("proj", ConfigResolver.KeyRemoteClickHousePassword))
+        == "p2")
+    // empty prompted password refuses (config_resolver.rs:97-102)
+    val e = intercept[IllegalArgumentException](
+      ConfigResolver.resolveRemoteClickHouse(Some(cfg), new MockRepo(),
+        "proj", () => ("u", "")))
+    assert(e.getMessage == "Password cannot be empty")
+  }
+}

@@ -89,6 +89,53 @@ class SeedRemoteGoldenSpec extends AnyFunSuite {
     assert(e.getMessage.contains("without ORDER BY"))
   }
 
+  test("golden: remote.rs:346-577 — ClickHouseRemote url() builders: " +
+      "headers-not-params auth, RFC-3986 query encoding, default and " +
+      "explicit formats, base URLs, select_from_table, redacted " +
+      "debug print") {
+    import graft.table.ClickHouseRemote
+    // create_test_config (remote.rs:325)
+    val remote = ClickHouseRemote("remote.example.com", 8443,
+      "production", "admin", "secret123", useSsl = true)
+    // :346 from_config fields / :383 https base url
+    assert(remote.httpBaseUrl == "https://remote.example.com:8443")
+    // :391 http base url
+    assert(ClickHouseRemote("remote.example.com", 8123, "production",
+      "admin", "secret123", useSsl = false).httpBaseUrl ==
+      "http://remote.example.com:8123")
+    // :401 headers carry auth; URL params NEVER do
+    val sql = remote.queryFunction("SELECT 1")
+    assert(sql.contains("headers('X-ClickHouse-User'='admin'"))
+    assert(sql.contains("'X-ClickHouse-Key'='secret123'"))
+    assert(!sql.contains("?user=") && !sql.contains("?password=") &&
+      !sql.contains("&user=") && !sql.contains("&password="))
+    // :440 default format
+    assert(sql.contains("'TabSeparatedWithNamesAndTypes'"))
+    // :419 query URL-encoding (%20 space, %2A star, %27 quote — the
+    // urlencoding::encode spellings, NOT java URLEncoder's + and *)
+    assert(remote.queryFunction("SELECT * FROM t WHERE x = 'foo'")
+      .contains("query=SELECT%20%2A%20FROM%20t%20WHERE%20x%20%3D%20%27foo%27"))
+    // :430 explicit format
+    assert(remote.queryFunctionWithFormat("SELECT 1", "JSONEachRow")
+      .contains("'JSONEachRow'"))
+    // :449 select_from_table, :460 with WHERE
+    assert(remote.selectFromTable("mydb", "mytable", "*")
+      .contains("SELECT%20%2A%20FROM%20mydb.mytable"))
+    assert(remote.selectFromTable("mydb", "mytable", "id, name",
+      Some("id > 100")).contains(
+      "SELECT%20id%2C%20name%20FROM%20mydb.mytable%20WHERE%20id%20%3E%20100"))
+    // remote.rs:95 Debug redaction
+    assert(remote.toString.contains("[REDACTED]") &&
+      !remote.toString.contains("secret123"))
+    // remote.rs:34 escaping: quotes double inside headers
+    assert(ClickHouseRemote("h", 1, "d", "o'brien", "p\\q", useSsl = false)
+      .httpHeadersClause ==
+      "headers('X-ClickHouse-User'='o''brien', 'X-ClickHouse-Key'='p\\\\q')")
+    // port bound (remote.rs from_config expect)
+    intercept[IllegalArgumentException](
+      ClickHouseRemote("h", 70000, "d", "u", "p", useSsl = false))
+  }
+
   test("golden: test_batch_counting_logic — batches sum exactly, " +
       "never overshoot") {
     val batches = SeedRemote.batchLimits(2500, 1000)
