@@ -1,0 +1,174 @@
+package graft.table
+
+/** Infrastructure health diagnostics — the reference's
+  * infrastructure/olap/clickhouse/diagnostics subsystem (mod.rs;
+  * matrix :569-900). The framework is ported exactly: a [[Severity]]
+  * with threshold semantics (`Info` admits everything, `Warning`
+  * admits warning+error, `Error` admits only errors — mod.rs:113
+  * `includes`), typed [[Issue]]s carrying component / source /
+  * error_type / suggested action / related queries, a computed
+  * [[IssueSummary]] (totals, by-severity, by-component —
+  * mod.rs:200), a named provider registry whose UNKNOWN names are a
+  * loud error (test_invalid_diagnostic_names_return_error), and
+  * per-component applicability.
+  *
+  * The reference's providers query ClickHouse system tables
+  * (mutations/parts/merges/replication). The graft engine has no
+  * system tables; the LIVE providers here diagnose the real analogue
+  * surfaces — the parquet part layout under a table's path (`parts`:
+  * many small files degrade scan parallelism exactly like CH's
+  * too_many_parts; the fix is [[OlapTable.optimizeFinal]]) and
+  * dead-letter accumulation (`errors`: a DLQ directory with recent
+  * rows is the ingest-failure signal). Providers with NO graft
+  * analogue (replication/merges run inside Spark, not a background
+  * daemon) are deliberately absent — an always-healthy stub would be
+  * a dead shell.
+  */
+object Diagnostics {
+
+  sealed trait Severity { def key: String }
+  object Severity {
+    case object Error extends Severity { val key = "error" }
+    case object Warning extends Severity { val key = "warning" }
+    case object Info extends Severity { val key = "info" }
+
+    /** mod.rs:113 — threshold semantics. */
+    def includes(self: Severity, other: Severity): Boolean = self match {
+      case Info => true
+      case Warning => other == Warning || other == Error
+      case Error => other == Error
+    }
+  }
+
+  final case class Component(
+      componentType: String,
+      name: String,
+      metadata: Map[String, String] = Map.empty)
+
+  final case class Issue(
+      severity: Severity,
+      component: Component,
+      source: String,
+      errorType: String,
+      message: String,
+      details: Map[String, String] = Map.empty,
+      suggestedAction: String = "",
+      relatedQueries: Seq[String] = Nil)
+
+  final case class IssueSummary(
+      totalIssues: Int,
+      bySeverity: Map[String, Int],
+      byComponent: Map[String, Int])
+
+  final case class DiagnosticOutput(
+      infrastructureType: String,
+      issues: Seq[Issue],
+      summary: IssueSummary)
+
+  object DiagnosticOutput {
+    /** mod.rs:200 — summary computed from the issue list. */
+    def apply(infrastructureType: String, issues: Seq[Issue])
+        : DiagnosticOutput = DiagnosticOutput(infrastructureType, issues,
+      IssueSummary(
+        totalIssues = issues.length,
+        bySeverity = issues.groupBy(_.severity.key).map {
+          case (k, v) => k -> v.length },
+        byComponent = issues.groupBy(_.component.name).map {
+          case (k, v) => k -> v.length }))
+  }
+
+  trait DiagnosticProvider {
+    def name: String
+    def applicableTo(component: Component): Boolean
+    def isSystemWide: Boolean = false
+    def diagnose(component: Component, warehouseDir: String): Seq[Issue]
+  }
+
+  /** `parts` (parts.rs analogue): a table directory fragmented into
+    * many small files is the too_many_parts signal — every scan pays
+    * per-file open/footer costs and parallelism granulates. */
+  final class PartsDiagnostic(
+      maxParts: Int = 300,
+      smallPartBytes: Long = 1L << 20) extends DiagnosticProvider {
+    val name = "parts"
+    def applicableTo(c: Component): Boolean = c.componentType == "table"
+    def diagnose(c: Component, warehouseDir: String): Seq[Issue] = {
+      val dir = new java.io.File(s"$warehouseDir/${c.name}")
+      if (!dir.isDirectory) return Nil
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val small = files.count(_.length < smallPartBytes)
+      if (files.length <= maxParts) Nil
+      else Seq(Issue(Severity.Warning, c, source = name,
+        errorType = "too_many_parts",
+        message = s"Table '${c.name}' has ${files.length} parquet " +
+          s"parts ($small under ${smallPartBytes} B) — scans pay " +
+          "per-file overhead and parallelism granulates",
+        details = Map("part_count" -> files.length.toString,
+          "small_parts" -> small.toString),
+        suggestedAction = "Run optimizeFinal() to compact the layout",
+        relatedQueries = Seq(s"OPTIMIZE TABLE ${c.name} FINAL")))
+    }
+  }
+
+  /** `errors` (errors.rs analogue): accumulated dead letters under
+    * the table's DLQ directory are the ingest-failure signal. */
+  final class DeadLetterDiagnostic(errorThreshold: Long = 0)
+      extends DiagnosticProvider {
+    val name = "errors"
+    def applicableTo(c: Component): Boolean = c.componentType == "table"
+    def diagnose(c: Component, warehouseDir: String): Seq[Issue] = {
+      // the IngestPipeline DLQ convention: `{name}_dlq` beside the
+      // table (IngestPipeline.scala:110)
+      val dir = new java.io.File(s"$warehouseDir/${c.name}_dlq")
+      if (!dir.isDirectory) return Nil
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (files.isEmpty || files.length <= errorThreshold) Nil
+      else Seq(Issue(Severity.Error, c, source = name,
+        errorType = "dead_letters",
+        message = s"Table '${c.name}' has ${files.length} dead-letter " +
+          "part(s) — records failed validation and were diverted",
+        details = Map("dlq_parts" -> files.length.toString),
+        suggestedAction =
+          "Inspect the DLQ rows, fix the producer or schema, re-ingest"))
+    }
+  }
+
+  /** mod.rs:258 create_all_providers. */
+  def createAllProviders(): Seq[DiagnosticProvider] =
+    Seq(new PartsDiagnostic(), new DeadLetterDiagnostic())
+
+  /** mod.rs:278 get_provider. */
+  def getProvider(name: String): Option[DiagnosticProvider] =
+    createAllProviders().find(_.name == name)
+
+  final case class DiagnosticRequest(
+      components: Seq[Component],
+      diagnosticNames: Seq[String] = Nil, // empty = all
+      minSeverity: Severity = Severity.Info)
+
+  /** The run loop: resolve requested providers (UNKNOWN names refuse
+    * loudly — test_invalid_diagnostic_names_return_error; a typo'd
+    * name silently running zero checks would read as healthy), filter
+    * by applicability, collect issues at or above the threshold. */
+  def runDiagnostics(request: DiagnosticRequest, warehouseDir: String,
+      providers: Seq[DiagnosticProvider] = createAllProviders())
+      : DiagnosticOutput = {
+    val selected =
+      if (request.diagnosticNames.isEmpty) providers
+      else request.diagnosticNames.map { n =>
+        providers.find(_.name == n).getOrElse(
+          throw new IllegalArgumentException(
+            s"Unknown diagnostic name: '$n'. Available: " +
+              providers.map(_.name).mkString(", ")))
+      }
+    val issues = for {
+      c <- request.components
+      p <- selected if p.applicableTo(c)
+      issue <- p.diagnose(c, warehouseDir)
+      if Severity.includes(request.minSeverity, issue.severity)
+    } yield issue
+    DiagnosticOutput("clickhouse", issues)
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.Diagnostics
+import graft.table.Diagnostics._
+
+/** Golden port of the diagnostics framework matrix
+  * (infrastructure/olap/clickhouse/diagnostics/mod.rs:569-900):
+  * severity threshold semantics, issue filtering, the computed
+  * output summary, mock-provider behavior, and the unknown-name
+  * refusal. The live providers (parts layout, dead letters) are
+  * exercised against real directories. */
+class DiagnosticsGoldenSpec extends AnyFunSuite {
+  import Severity._
+
+  private val table = Component("table", "test")
+
+  test("golden: mod.rs:632 test_severity_includes — Info admits all, " +
+      "Warning admits warning+error, Error admits only error") {
+    assert(Severity.includes(Info, Error))
+    assert(Severity.includes(Info, Warning))
+    assert(Severity.includes(Info, Info))
+    assert(Severity.includes(Warning, Error))
+    assert(Severity.includes(Warning, Warning))
+    assert(!Severity.includes(Warning, Info))
+    assert(Severity.includes(Error, Error))
+    assert(!Severity.includes(Error, Warning))
+    assert(!Severity.includes(Error, Info))
+  }
+
+  private def issue(sev: Severity, comp: String, src: String,
+      et: String): Issue =
+    Issue(sev, Component("table", comp), src, et, et)
+
+  test("golden: mod.rs:650 test_severity_filtering — the three " +
+      "thresholds select 1 / 2 / 3 of an error+warning+info list") {
+    val issues = Seq(issue(Error, "test", "test", "error_type"),
+      issue(Warning, "test", "test", "warning_type"),
+      issue(Info, "test", "test", "info_type"))
+    assert(issues.count(i => Severity.includes(Error, i.severity)) == 1)
+    assert(issues.count(i => Severity.includes(Warning, i.severity)) == 2)
+    assert(issues.count(i => Severity.includes(Info, i.severity)) == 3)
+  }
+
+  test("golden: mod.rs:726 test_diagnostic_output_summary — totals, " +
+      "by-severity and by-component counts") {
+    val out = DiagnosticOutput("clickhouse", Seq(
+      issue(Error, "users", "mutations", "stuck_mutation"),
+      issue(Warning, "users", "parts", "too_many_parts"),
+      issue(Error, "events", "replication", "replication_lag")))
+    assert(out.summary.totalIssues == 3)
+    assert(out.summary.bySeverity.get("error").contains(2))
+    assert(out.summary.bySeverity.get("warning").contains(1))
+    assert(out.summary.byComponent.get("users").contains(2))
+    assert(out.summary.byComponent.get("events").contains(1))
+  }
+
+  test("golden: mod.rs:569-630 mock provider with_error / " +
+      "always_healthy shapes flow through runDiagnostics") {
+    val withError = new DiagnosticProvider {
+      val name = "mock"
+      def applicableTo(c: Component): Boolean = true
+      def diagnose(c: Component, wh: String): Seq[Issue] = Seq(Issue(
+        Error, c, "mock", "mock_error", "Mock error",
+        relatedQueries = Seq("SELECT 1", "SELECT 2")))
+    }
+    val healthy = new DiagnosticProvider {
+      val name = "healthy"
+      def applicableTo(c: Component): Boolean = true
+      def diagnose(c: Component, wh: String): Seq[Issue] = Nil
+    }
+    val out = runDiagnostics(
+      DiagnosticRequest(Seq(Component("table", "test_table"))),
+      "/tmp", providers = Seq(withError, healthy))
+    assert(out.issues.length == 1)
+    assert(out.issues.head.severity == Error &&
+      out.issues.head.errorType == "mock_error" &&
+      out.issues.head.component.name == "test_table" &&
+      out.issues.head.relatedQueries.length == 2)
+  }
+
+  test("golden: mod.rs:877 test_invalid_diagnostic_names_return_error " +
+      "— an unknown requested name refuses loudly (a typo silently " +
+      "running zero checks would read as healthy)") {
+    val e = intercept[IllegalArgumentException](runDiagnostics(
+      DiagnosticRequest(Seq(table),
+        diagnosticNames = Seq("invalid_diagnostic")), "/tmp"))
+    assert(e.getMessage.contains("Unknown diagnostic name: " +
+      "'invalid_diagnostic'"))
+    assert(e.getMessage.contains("parts"))
+  }
+
+  test("live providers: a fragmented table dir raises too_many_parts " +
+      "pointing at optimizeFinal; a DLQ dir raises dead_letters; " +
+      "healthy layouts raise nothing") {
+    val wh = java.nio.file.Files.createTempDirectory("diag").toString
+    val tdir = new java.io.File(s"$wh/frag"); tdir.mkdirs()
+    (1 to 10).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$wh/frag/part-$i.parquet"),
+        Array[Byte](1, 2, 3))
+    }
+    val parts = new PartsDiagnostic(maxParts = 5)
+    val frag = parts.diagnose(Component("table", "frag"), wh)
+    assert(frag.length == 1 && frag.head.errorType == "too_many_parts" &&
+      frag.head.severity == Warning &&
+      frag.head.suggestedAction.contains("optimizeFinal"))
+    // under the threshold: healthy
+    assert(new PartsDiagnostic(maxParts = 300)
+      .diagnose(Component("table", "frag"), wh).isEmpty)
+    // dead letters (the IngestPipeline `{name}_dlq` convention)
+    new java.io.File(s"$wh/evt_dlq").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$wh/evt_dlq/part-0.parquet"),
+      Array[Byte](1))
+    val dlq = new DeadLetterDiagnostic()
+      .diagnose(Component("table", "evt"), wh)
+    assert(dlq.length == 1 && dlq.head.errorType == "dead_letters" &&
+      dlq.head.severity == Error)
+    // min-severity threshold filters the warning out
+    val out = runDiagnostics(DiagnosticRequest(
+      Seq(Component("table", "frag"), Component("table", "evt")),
+      minSeverity = Error), wh,
+      providers = Seq(new PartsDiagnostic(maxParts = 5),
+        new DeadLetterDiagnostic()))
+    assert(out.issues.map(_.errorType) == Seq("dead_letters"))
+  }
+}
