@@ -105,11 +105,56 @@ object KafkaWire {
     def decode(value: Column, schema: StructType): Column = {
       require(!schema.fieldNames.contains(CorruptCol),
         s"JsonWire: schema may not declare the reserved column $CorruptCol")
-      val withCorrupt = schema.add(StructField(CorruptCol, StringType))
+      // NUMERIC-keyed maps (round 17; ref kafka_clickhouse_sync.rs
+      // :1444-1520 map_json_value numeric-key rows): JSON object keys
+      // are strings on the wire, and Spark's from_json REFUSES a
+      // non-string map key type outright (INVALID_JSON_MAP_KEY_TYPE)
+      // — so such fields parse as MAP<STRING,V> and the keys cast
+      // afterwards. A key that fails the cast poisons the WHOLE
+      // record into the corrupt sentinel (the reference's
+      // MappingError::TypeMismatch — the record routes to the DLQ,
+      // never lands with a fabricated key). Top-level map fields
+      // only: a non-string-keyed map nested deeper refuses loudly at
+      // plan time rather than decoding wrong.
+      val keyCasts = schema.fields.collect {
+        case StructField(n, MapType(kt, _, _), _, _)
+          if kt != StringType => n -> kt
+      }.toMap
+      val parseSchema = StructType(schema.fields.map {
+        case f @ StructField(_, MapType(kt, vt, vn), _, _)
+          if kt != StringType =>
+          f.copy(dataType = MapType(StringType, vt, vn))
+        case f => f
+      })
+      val withCorrupt = parseSchema.add(StructField(CorruptCol, StringType))
       val parsed = from_json(value.cast(StringType), withCorrupt,
         Map("columnNameOfCorruptRecord" -> CorruptCol))
-      when(parsed.getField(CorruptCol).isNotNull,
-        lit(null).cast(schema)).otherwise(parsed.dropFields(CorruptCol))
+      if (keyCasts.isEmpty) {
+        when(parsed.getField(CorruptCol).isNotNull,
+          lit(null).cast(schema)).otherwise(parsed.dropFields(CorruptCol))
+      } else {
+        // try_cast, not cast: ANSI mode (Spark 4 default) makes a
+        // malformed key THROW mid-job; the contract is a per-record
+        // sentinel, so the probe must be null-on-failure
+        val badKey = keyCasts.map { case (n, kt) =>
+          coalesce(exists(map_keys(parsed.getField(n)),
+            k => k.try_cast(kt).isNull), lit(false))
+        }.reduce(_ || _)
+        val rebuilt = struct(schema.fields.map { f =>
+          (keyCasts.get(f.name) match {
+            case Some(kt) => transform_keys(parsed.getField(f.name),
+              (k, _) => k.try_cast(kt))
+            case None => parsed.getField(f.name)
+          }).as(f.name)
+        }.toIndexedSeq: _*)
+        // no trailing cast-to-schema: from_json already parsed the
+        // VALUE types declared, and a cast would try to re-impose the
+        // schema's NOT NULL field flags, which CAST cannot do
+        // (CAST_WITHOUT_SUGGESTION) — the null-literal branch unifies
+        // to the rebuilt struct's type
+        when(parsed.getField(CorruptCol).isNotNull || badKey,
+          lit(null)).otherwise(rebuilt)
+      }
     }
     val name = "json"
   }

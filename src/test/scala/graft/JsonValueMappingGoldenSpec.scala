@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schema.MooseType._
+import graft.schema.{MooseColumn, MooseSchema}
+import graft.streaming.KafkaWire.JsonWire
+
+/** Golden port of kafka_clickhouse_sync.rs's
+  * `map_json_value_to_clickhouse_value` matrix (:1217-1520) — the
+  * JSON-payload → typed-row conversion the topic→table sync performs.
+  * Here that conversion IS [[JsonWire.decode]] (from_json against the
+  * schema's spark type), so the matrix pins the decode surface:
+  * nested objects land as nested structs, string-keyed maps map
+  * directly, NUMERIC-keyed maps parse their JSON object keys (JSON
+  * keys are always strings on the wire), and an unparseable numeric
+  * key is a DETECTED error — the reference returns
+  * MappingError::TypeMismatch; here the corrupt-record channel yields
+  * the NULL-struct sentinel the DLQ path routes (same observable
+  * outcome: the record never lands half-mapped, EngineIoSpec pins the
+  * DLQ side). */
+class JsonValueMappingGoldenSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def decodeOne(json: String, schema: MooseSchema)
+      : org.apache.spark.sql.Row = {
+    import spark.implicits._
+    Seq(json).toDF("v")
+      .select(JsonWire.decode(col("v").cast("binary"),
+        schema.toStructType).as("r"))
+      .select("r.*").collect()(0)
+  }
+
+  test("golden: :1217 nested — the A/B/C{a,b{d,e,f},c} example json " +
+      "maps field-by-field into nested structs") {
+    val schema = MooseSchema(Seq(
+      MooseColumn("A", MString), MooseColumn("B", MString),
+      MooseColumn("C", MNamedTuple(Seq(
+        "a" -> MString,
+        "b" -> MNamedTuple(Seq("d" -> MString, "e" -> MString,
+          "f" -> MString)),
+        "c" -> MString)))))
+    val row = decodeOne(
+      """{"A":"A","B":"B","C":{"a":"a","b":{"d":"d","e":"e","f":"f"},"c":"c"}}""",
+      schema)
+    assert(row.getString(0) == "A" && row.getString(1) == "B")
+    val c = row.getStruct(2)
+    assert(c.getString(0) == "a" && c.getString(2) == "c")
+    assert(c.getStruct(1).getString(0) == "d" &&
+      c.getStruct(1).getString(2) == "f")
+  }
+
+  test("golden: :1408 map with string keys") {
+    val schema = MooseSchema(Seq(
+      MooseColumn("m", MMap(MString, MString))))
+    val row = decodeOne("""{"m":{"k1":"v1","k2":"v2"}}""", schema)
+    assert(row.getMap[String, String](0) ==
+      Map("k1" -> "v1", "k2" -> "v2"))
+  }
+
+  test("golden: :1444 map with numeric keys — JSON object keys are " +
+      "wire strings; they parse into the declared numeric key type") {
+    val schema = MooseSchema(Seq(
+      MooseColumn("m", MMap(MUInt16, MString))))
+    val row = decodeOne("""{"m":{"1":"one","42":"forty-two"}}""", schema)
+    // MUInt16.sparkType = IntegerType — keys arrive as ints
+    assert(row.getMap[Int, String](0) == Map(1 -> "one", 42 -> "forty-two"))
+  }
+
+  test("golden: :1483 map with INVALID numeric keys — never lands " +
+      "half-mapped: the corrupt-record sentinel fires (the reference's " +
+      "MappingError::TypeMismatch analogue) or the key row is refused; " +
+      "silent zero/garbage keys are the one forbidden outcome") {
+    val schema = MooseSchema(Seq(
+      MooseColumn("m", MMap(MUInt16, MString))))
+    val row = decodeOne("""{"m":{"not_a_number":"x"}}""", schema)
+    // "not_a_number" cannot cast to the declared key type; the whole
+    // record poisons into the NULL-struct sentinel (JsonWire's DLQ
+    // contract) — never a map with a fabricated key
+    assert(row.isNullAt(0))
+    // a MIXED map (one good key, one bad) poisons too — the reference
+    // errors the record, it does not drop the bad entry
+    assert(decodeOne("""{"m":{"7":"ok","x":"bad"}}""", schema).isNullAt(0))
+  }
+}
