@@ -1,0 +1,63 @@
+package graft.api
+
+/** CI/CD and container environment detection — the reference's
+  * utilities/ci_detection.rs (matrix :103-320, 26 rows): the CLI
+  * adjusts interactivity/telemetry when it detects CI. The indicator
+  * table is EXACT-NAME matched (prefix matching would false-positive
+  * on e.g. GITHUB_SHA in a dev shell — test_no_detection_without_
+  * indicator pins that), in PRIORITY order (first match names the
+  * provider); the generic `CI` variable is a truthy-VALUE fallback
+  * that never names a provider; Docker is detected by the
+  * DOCKER_IMAGE variable's VALUE, not its existence. */
+object CiDetection {
+
+  final case class CiEnvironment(
+      isCi: Boolean,
+      ciProvider: Option[String],
+      isDocker: Boolean)
+
+  /** ci_detection.rs:29 CI_INDICATORS — exact names, priority order. */
+  val CiIndicators: Seq[(String, String)] = Seq(
+    "GITHUB_ACTIONS" -> "github_actions",
+    "GITLAB_CI" -> "gitlab",
+    "JENKINS_URL" -> "jenkins",
+    "CIRCLECI" -> "circleci",
+    "TRAVIS" -> "travis",
+    "BUILDKITE" -> "buildkite",
+    "BITBUCKET_BUILD_NUMBER" -> "bitbucket",
+    "TF_BUILD" -> "azure_devops",
+    "TEAMCITY_VERSION" -> "teamcity",
+    "DRONE" -> "drone",
+    "CODEBUILD_BUILD_ID" -> "aws_codebuild",
+    "HARNESS_BUILD_ID" -> "harness",
+    "SEMAPHORE" -> "semaphore",
+    "APPVEYOR" -> "appveyor",
+    "NETLIFY" -> "netlify",
+    "VERCEL" -> "vercel",
+    "RENDER" -> "render",
+    "RAILWAY_ENVIRONMENT" -> "railway",
+    "FLY_APP_NAME" -> "fly_io")
+
+  /** ci_detection.rs:75 is_truthy_env. */
+  def isTruthy(value: Option[String]): Boolean =
+    value.exists(v => Seq("1", "true", "TRUE", "yes", "YES").contains(v))
+
+  /** ci_detection.rs:83 detect_ci_from_vars — names only, exact
+    * match, first indicator wins; never sets docker (the caller
+    * checks the VALUE). */
+  def detectCiFromVars(envVarNames: Seq[String]): CiEnvironment =
+    CiIndicators.collectFirst {
+      case (indicator, provider) if envVarNames.contains(indicator) =>
+        CiEnvironment(isCi = true, Some(provider), isDocker = false)
+    }.getOrElse(CiEnvironment(isCi = false, None, isDocker = false))
+
+  /** ci_detection.rs:58 detect_ci_environment. */
+  def detectCiEnvironment(
+      env: Map[String, String] = sys.env): CiEnvironment = {
+    val base = detectCiFromVars(env.keys.toSeq)
+    val withFallback =
+      if (!base.isCi && isTruthy(env.get("CI"))) base.copy(isCi = true)
+      else base
+    withFallback.copy(isDocker = isTruthy(env.get("DOCKER_IMAGE")))
+  }
+}

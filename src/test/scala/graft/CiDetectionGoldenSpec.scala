@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.CiDetection
+import graft.api.CiDetection._
+
+/** Golden port of utilities/ci_detection.rs's 26-row matrix
+  * (:103-320): every provider indicator, exact-name matching (no
+  * prefix false positives), the priority order, the truthy generic-CI
+  * fallback, and value-checked Docker detection. */
+class CiDetectionGoldenSpec extends AnyFunSuite {
+
+  test("golden: all 19 provider indicators detect, with the " +
+      "reference's provider names") {
+    for ((indicator, provider) <- CiDetection.CiIndicators) {
+      val ci = detectCiFromVars(Seq(indicator, "PATH", "HOME"))
+      assert(ci.isCi && ci.ciProvider.contains(provider),
+        s"$indicator -> $provider")
+      assert(!ci.isDocker, "detect_ci_from_vars never sets docker")
+    }
+  }
+
+  test("golden: exact-name matching — GITHUB_SHA / GITLAB_USER_LOGIN " +
+      "do NOT trigger; bare `CI` name does not either (value-checked " +
+      "separately); a clean shell detects nothing") {
+    val near = detectCiFromVars(Seq("GITHUB_SHA", "GITLAB_USER_LOGIN",
+      "PATH"))
+    assert(!near.isCi && near.ciProvider.isEmpty)
+    val generic = detectCiFromVars(Seq("CI", "PATH", "HOME"))
+    assert(!generic.isCi && generic.ciProvider.isEmpty)
+    val clean = detectCiFromVars(Seq("PATH", "HOME", "USER", "SHELL"))
+    assert(!clean.isCi && clean.ciProvider.isEmpty)
+  }
+
+  test("golden: priority — GITHUB_ACTIONS beats GITLAB_CI (first in " +
+      "the table wins)") {
+    val ci = detectCiFromVars(Seq("GITHUB_ACTIONS", "GITLAB_CI", "PATH"))
+    assert(ci.isCi && ci.ciProvider.contains("github_actions"))
+  }
+
+  test("golden: detect_ci_environment — truthy generic CI fallback " +
+      "(no provider named), value-checked Docker, falsy values inert") {
+    val fallback = detectCiEnvironment(Map("CI" -> "true"))
+    assert(fallback.isCi && fallback.ciProvider.isEmpty)
+    assert(detectCiEnvironment(Map("CI" -> "1")).isCi)
+    assert(detectCiEnvironment(Map("CI" -> "YES")).isCi)
+    // falsy/other values do not count
+    assert(!detectCiEnvironment(Map("CI" -> "false")).isCi)
+    assert(!detectCiEnvironment(Map("CI" -> "0")).isCi)
+    // docker: VALUE-checked, not existence
+    assert(detectCiEnvironment(Map("DOCKER_IMAGE" -> "true")).isDocker)
+    assert(!detectCiEnvironment(Map("DOCKER_IMAGE" -> "nope")).isDocker)
+    assert(!detectCiEnvironment(Map.empty).isDocker)
+    // provider + docker together
+    val both = detectCiEnvironment(
+      Map("GITHUB_ACTIONS" -> "", "DOCKER_IMAGE" -> "1"))
+    assert(both.isCi && both.ciProvider.contains("github_actions") &&
+      both.isDocker)
+    // is_truthy helper row
+    assert(!CiDetection.isTruthy(None))
+  }
+}
