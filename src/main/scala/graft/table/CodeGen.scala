@@ -150,6 +150,34 @@ object CodeGen {
           Some(cfg.partitionBy.map(p => s"\"${escape(p)}\"")
             .mkString("    partitionBy = Seq(", ", ", "),")) else None,
         strOpt(cfg.sampleBy).map(v => s"    sampleBy = $v,"),
+        // round 17 (the generate.rs emission matrix's remaining
+        // channels — test_indexes_emission / test_projection_emission
+        // / TTL / database; a pulled table silently LOSING its skip
+        // indexes or projections is the same config-loss class as the
+        // ON CLUSTER round-trip bug): every Config channel a pull can
+        // carry is emitted
+        if (cfg.projections.nonEmpty)
+          Some(cfg.projections.map(p =>
+            s"""OlapTable.Projection("${escape(p.name)}", Seq(""" +
+              p.sortBy.map(s => s"\"${escape(s)}\"").mkString(", ") +
+              ")" + (if (p.columns.nonEmpty)
+                p.columns.map(c => s"\"${escape(c)}\"")
+                  .mkString(", Seq(", ", ", ")") else "") + ")")
+            .mkString("    projections = Seq(", ", ", "),")) else None,
+        if (cfg.indexes.nonEmpty)
+          Some(cfg.indexes.map(ix =>
+            s"""OlapTable.SkipIndex("${escape(ix.name)}", """ +
+              s""""${escape(ix.expression)}", """ +
+              s""""${escape(ix.indexType)}"""" +
+              ix.ndv.map(n => s", ndv = Some(${n}L)").getOrElse("") + ")")
+            .mkString("    indexes = Seq(", ", ", "),")) else None,
+        strOpt(cfg.primaryKeyExpression)
+          .map(v => s"    primaryKeyExpression = $v,"),
+        strOpt(cfg.ttlExpiredWhen).map(v => s"    ttlExpiredWhen = $v,"),
+        cfg.bucketBy.map { case (n, cols) =>
+          s"    bucketBy = Some(($n, Seq(" +
+            cols.map(c => s"\"${escape(c)}\"").mkString(", ") + ")))," },
+        strOpt(cfg.cluster).map(v => s"    cluster = $v,"),
         strOpt(cfg.version).map(v => s"    version = $v,"),
         strOpt(cfg.database).map(v => s"    database = $v,")).flatten
       val extrasText = if (extras.isEmpty) ""

@@ -662,6 +662,23 @@ object InfraPlan {
         cfg
     }.toSeq.sortBy(_.name)
 
+  /** Streaming-change validation (round 17; ref infrastructure/
+    * stream/kafka/client.rs:93 `validate_changes`, matrix :805-860;
+    * plan_validator.rs runs it before apply): a new topic with zero
+    * partitions refuses (unrepresentable here — [[TopicSpec]]'s
+    * constructor already requires >= 1, stated not coded), and a
+    * partition DECREASE on an existing topic refuses with the
+    * reference's message — Kafka can only add partitions. */
+  def validateStreamingChanges(changes: Seq[Change[TopicSpec]]): Unit =
+    changes.foreach {
+      case Change.Updated(before, after)
+        if before.partitions > after.partitions =>
+        throw new IllegalArgumentException(
+          s"Cannot decrease parallelism from ${before.partitions} " +
+            s"to ${after.partitions}")
+      case _ => ()
+    }
+
   /** Plan-time cluster-reference validation (round 17; ref
     * framework/core/plan_validator.rs:19 `validate_cluster_references`
     * + its 7-test matrix): every table whose config names a cluster —

@@ -117,4 +117,41 @@ class CodeGenGoldenSpec extends AnyFunSuite {
     assert(evaluated == cfg,
       s"compiled config drifted from the original:\n$evaluated\nvs\n$cfg")
   }
+
+  test("round 17 — the remaining generate.rs emission channels " +
+      "(test_indexes_emission / test_projection_emission / TTL / " +
+      "database / cluster / JSON typed paths): a pulled table loses " +
+      "NO config channel; the compiled round trip pins it") {
+    val cfg = OlapTable.Config("FullChannels", MooseSchema(Seq(
+      MooseColumn("id", MInt64, primaryKey = true),
+      MooseColumn("payload", MJsonTyped(
+        maxDynamicPaths = Some(256L),
+        typedPaths = Seq("a.b" -> MUInt32),
+        skipRegexps = Seq("^tmp\\."))),
+      MooseColumn("city", MLowCardinality(MString)))),
+      engine = TableEngine.ReplacingMergeTree(ver = Some("id")),
+      orderBy = Seq("id"),
+      projections = Seq(OlapTable.Projection("by_city",
+        Seq("city"), Seq("city", "id"))),
+      indexes = Seq(OlapTable.SkipIndex("ix_city", "city",
+        "bloom_filter", ndv = Some(1000L))),
+      primaryKeyExpression = Some("(id)"),
+      ttlExpiredWhen = Some("ts < now() - INTERVAL 90 DAYS"),
+      cluster = Some("prod_cluster"),
+      database = Some("analytics"))
+    val src = CodeGen.tablesToScala(Seq(cfg), "ChanCheck")
+    assert(src.contains("indexes = Seq(OlapTable.SkipIndex(\"ix_city\""))
+    assert(src.contains("projections = Seq(OlapTable.Projection(" +
+      "\"by_city\""))
+    assert(src.contains("ttlExpiredWhen = Some"))
+    assert(src.contains("cluster = Some(\"prod_cluster\")"))
+    assert(src.contains("MJsonTyped"))
+    import scala.tools.reflect.ToolBox
+    val tb = scala.reflect.runtime.currentMirror.mkToolBox()
+    val evaluated = tb.eval(tb.parse(
+      src + "\nChanCheck.fullChannelsTable"))
+      .asInstanceOf[OlapTable.Config]
+    assert(evaluated == cfg,
+      s"compiled config drifted:\n$evaluated\nvs\n$cfg")
+  }
 }

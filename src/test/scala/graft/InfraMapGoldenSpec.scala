@@ -537,6 +537,27 @@ class InfraMapGoldenSpec extends AnyFunSuite {
     assert(!plainSection.takeWhile(_ != '}').contains("metadata"))
   }
 
+  test("golden: stream/kafka/client.rs:805-860 validate_changes — a " +
+      "partition DECREASE refuses with the reference's message; an " +
+      "increase passes; zero partitions are unrepresentable " +
+      "(TopicSpec constructor)") {
+    val before = TopicSpec("test_topic", partitions = 3,
+      retentionMs = 60000, maxMessageBytes = 1024)
+    val e = intercept[IllegalArgumentException](
+      InfraPlan.validateStreamingChanges(Seq(
+        Change.Updated(before, before.copy(partitions = 1)))))
+    assert(e.getMessage == "Cannot decrease parallelism from 3 to 1")
+    // :842 increase is valid
+    InfraPlan.validateStreamingChanges(Seq(
+      Change.Updated(before.copy(partitions = 1), before)))
+    // adds and removes pass through
+    InfraPlan.validateStreamingChanges(Seq(Change.Added(before),
+      Change.Removed(before)))
+    // :805 zero partitions refuse at CONSTRUCTION (stated stance)
+    intercept[IllegalArgumentException](
+      TopicSpec("test_topic", partitions = 0))
+  }
+
   test("golden: py test_web_app.py:47-62,152-159 — registry WebApps " +
       "serialize into the infra state; injectMooseUtils is carried " +
       "config (default true)") {
