@@ -434,6 +434,28 @@ object ChDialectExtras {
     f("subtractYears")(delta("year", neg = true))
     f("today")(_ => CurrentDate())
     f("yesterday")(_ => DateSub(CurrentDate(), Literal(1)))
+    // chXxHash64 (round 17; CH's `xxHash64`): CH computes standard
+    // XXH64 with SEED 0 over the argument's BYTES — strings as their
+    // bytes, integers at their declared width little-endian. Spark's
+    // own XxHash64 expression is a faithful XXH64 port whose per-type
+    // paths (hashInt = 4-byte LE, hashLong = 8-byte LE,
+    // hashUnsafeBytes) match exactly — only its default seed (42)
+    // differs, so seed 0 IS ClickHouse parity (pinned in
+    // ChDialect14Spec against the independent lz4-java XXHash64 in
+    // /opt/spark/jars). Registered under a DISTINCT name because
+    // `xxhash64` is a Spark BUILTIN with different semantics
+    // (seed 42) and the registry refuses builtin shadowing (the md5
+    // lesson); CH text reaches it via the `rewriteExpr` spelling map
+    // (xxHash64( → chXxHash64(). SINGLE argument: CH's multi-arg
+    // combiner for the xx family is undocumented upstream — refusing
+    // beats guessing a combine.
+    f("chXxHash64")(a => {
+      require(a.length == 1,
+        "xxHash64: single argument supported (CH's multi-argument " +
+          "hash combine for the xx family is not publicly specified; " +
+          "pass one column, or cityHash64 for combined hashing)")
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(a, 0L)
+    })
     f("toMonday")(a => Cast(
       TruncTimestamp(Literal("week"), Cast(a.head, TimestampType)), DateType))
 

@@ -612,11 +612,25 @@ object ClickHouseFunctions {
     val limitComma =
       """(?is)\blimit\s+(\d+)\s*,\s*(\d+)(?!\s*by\b)""".r.replaceAllIn(
         numbered, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
-    rewriteLimitBy(rewriteQualify(rewriteScalarWith(
-      rewriteWithTotals(limitComma)))).replaceAll(
-      "(?i)\\b(dateDiff|date_diff|timestampDiff)\\s*\\(\\s*'([a-zA-Z]+)'\\s*,",
-      "$1($2,")
+    rewriteExpr(rewriteLimitBy(rewriteQualify(rewriteScalarWith(
+      rewriteWithTotals(limitComma)))))
   }
+
+  /** Expression-level dialect renames — the subset of [[rewriteDialect]]
+    * that is safe inside a BARE expression text (function spellings
+    * only, no clause surgery). Used directly by the write path for
+    * DEFAULT/MATERIALIZED expressions, which arrive as CH SQL (round
+    * 17, db-pull-defaults scenario):
+    *  - CH's case-sensitive `xxHash64(` → the registered `chXxHash64(`
+    *    (Spark's builtin `xxhash64` is seed-42 — DIFFERENT values —
+    *    and the registry rightly refuses shadowing builtins);
+    *  - the dateDiff/timestampDiff quoted-unit form → bare keyword
+    *    (Spark's parser owns the unit at grammar level). */
+  def rewriteExpr(sql: String): String =
+    sql.replaceAll("\\bxxHash64\\s*\\(", "chXxHash64(")
+      .replaceAll(
+        "(?i)\\b(dateDiff|date_diff|timestampDiff)\\s*\\(\\s*'([a-zA-Z]+)'\\s*,",
+        "$1($2,")
 
   /** CH `GROUP BY cols WITH TOTALS` in SQL text → `GROUP BY GROUPING
     * SETS ((cols), ())` — the exact relational encoding the plan-level

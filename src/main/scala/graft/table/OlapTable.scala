@@ -348,11 +348,38 @@ final class OlapTable(
   /** Apply column attributes at write: defaults filled, materialized
     * computed (ref types.ts:190,227). */
   private def applyWriteColumns(df: DataFrame): DataFrame = {
+    // A DEFAULT expression evaluates in CH's type system, where the
+    // 64-bit hash family returns UInt64 — the SAME bits our dialect
+    // carries in a SIGNED long (the engine-wide hash convention). On
+    // placement into a declared UInt64 column the bits reinterpret
+    // unsigned, so a legal CH default (`sample_hash UInt64 DEFAULT
+    // xxHash64(_id)`) never dead-letters as "negative value in an
+    // unsigned column" (round 17, db-pull-defaults scenario; CH's own
+    // toUInt64(-1) wraps the same way). Other declared types take a
+    // plain conforming cast — same stance as materialized columns.
+    def conformedDefault(sql: String, c: MooseColumn): Column = {
+      // DEFAULT texts arrive as CH SQL (DDL-seeded configs):
+      // expression-level dialect renames apply (xxHash64 →
+      // chXxHash64 — Spark's builtin is seed-42, different values)
+      val e = expr(
+        graft.functions.ClickHouseFunctions.rewriteExpr(sql))
+      c.tpe match {
+        case graft.schema.MooseType.MUInt64 =>
+          val dec = e.cast(org.apache.spark.sql.types.DecimalType(20, 0))
+          when(dec < 0,
+            dec + lit(BigDecimal("18446744073709551616")))
+            .otherwise(dec)
+            .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+        case t => e.cast(t.sparkType)
+      }
+    }
     val withDefaults = config.schema.columns.foldLeft(df) { (d, c) =>
       c.default match {
         case Some(sql) if d.columns.contains(c.name) =>
-          d.withColumn(c.name, coalesce(col(c.name), expr(sql)))
-        case Some(sql) => d.withColumn(c.name, expr(sql))
+          d.withColumn(c.name,
+            coalesce(col(c.name).cast(c.tpe.sparkType),
+              conformedDefault(sql, c)))
+        case Some(sql) => d.withColumn(c.name, conformedDefault(sql, c))
         case None => d
       }
     }
@@ -360,7 +387,9 @@ final class OlapTable(
     // extraction is string-typed until cast)
     config.schema.columns.foldLeft(withDefaults) { (d, c) =>
       c.materialized.fold(d)(sql =>
-        d.withColumn(c.name, expr(sql).cast(c.tpe.sparkType)))
+        d.withColumn(c.name,
+          expr(graft.functions.ClickHouseFunctions.rewriteExpr(sql))
+            .cast(c.tpe.sparkType)))
     }
   }
 

@@ -216,4 +216,41 @@ class ChDialect14Spec extends AnyFunSuite {
     assert(one("parseReadableSizeOrZero('bogus')") == 0L)
     assert(one("parseReadableSizeOrZero('7 MiB')") == 7340032L)
   }
+
+  test("xxHash64 (round 17): CH = standard XXH64 seed 0 — full " +
+      "parity against the independent lz4-java reference across " +
+      "boundary lengths + unicode; integer widths hash at their " +
+      "declared byte width; the CH spelling routes through " +
+      "rewriteExpr (Spark's builtin xxhash64 is seed-42, NOT shadowed)") {
+    graft.functions.ChDialectExtras.register(spark)
+    import graft.functions.ClickHouseFunctions.rewriteExpr
+    val ref = net.jpountz.xxhash.XXHashFactory.fastestInstance().hash64()
+    def refBytes(b: Array[Byte]): Long = ref.hash(b, 0, b.length, 0L)
+    def chOne(exprText: String): Any = one(rewriteExpr(exprText))
+    // the spelling map itself
+    assert(rewriteExpr("xxHash64(_id)") == "chXxHash64(_id)")
+    // strings: every block-boundary length (31..33 crosses the
+    // 32-byte stripe; 16/8/4/1 exercise each tail path) + unicode
+    for (s <- probes ++ Seq("a" * 31, "a" * 32, "a" * 33, "a" * 100,
+      "héllo wörld", "日本語テキスト")) {
+      val expected = refBytes(s.getBytes("UTF-8"))
+      assert(chOne(s"xxHash64('${s.replace("'", "\\'")}')") == expected, s)
+    }
+    // integers at declared width, little-endian (CH semantics):
+    // Int64 = 8 LE bytes, Int32 = 4 LE bytes
+    def le(n: Long, width: Int): Array[Byte] =
+      (0 until width).map(i => ((n >> (8 * i)) & 0xff).toByte).toArray
+    for (n <- Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue))
+      assert(chOne(s"xxHash64(${n}L)") == refBytes(le(n, 8)), s"long $n")
+    for (n <- Seq(0, 1, -1, 42, Int.MaxValue, Int.MinValue))
+      assert(chOne(s"xxHash64(cast($n AS int))") == refBytes(le(n.toLong, 4)),
+        s"int $n")
+    // Spark's builtin stays UNSHADOWED: bare lowercase xxhash64 is
+    // still the seed-42 builtin (internal users depend on it)
+    assert(one("xxhash64('')") != refBytes(Array.emptyByteArray))
+    // multi-arg refusal (the xx-family combiner is not publicly
+    // specified — guessing would produce plausible wrong values)
+    val e = intercept[Exception](chOne("xxHash64('a', 'b')"))
+    assert(e.getMessage.contains("single argument"))
+  }
 }

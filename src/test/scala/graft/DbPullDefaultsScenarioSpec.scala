@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ClickHouseFunctions
+import graft.table.{ChDdl, CodeGen, OlapTable}
+
+/** Scenario port of apps/framework-cli-e2e/test/db-pull-defaults
+  * .test.ts (771 lines — the ENG-1162 regression suite): a remote
+  * table whose columns carry SQL-FUNCTION defaults is db-pulled, the
+  * generated code must carry the default EXPRESSIONS unquoted (the
+  * bug generated `clickhouse_default("\"xxHash64(_id)\"")` — a
+  * double-quoted string literal instead of the expression), and an
+  * insert providing only the non-defaulted columns must land with
+  * every default APPLIED. Replayed over the real pipeline here:
+  * DDL text → parseCreateTable → tablesToScala (the pull), then a
+  * real OlapTable insert at the defaults' execution seam. */
+class DbPullDefaultsScenarioSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // db-pull-defaults.test.ts:128-141 — the exact table (Enum16 codes
+  // collapse to names per DIVERGENCES #59's documented stance)
+  private val ddl =
+    """CREATE TABLE test_defaults_pull (
+      |  _id String,
+      |  sample_hash UInt64 DEFAULT xxHash64(_id),
+      |  _time_observed Int64,
+      |  hour_stamp UInt64 DEFAULT toStartOfHour(toDateTime(_time_observed / 1000)),
+      |  created_at DateTime DEFAULT now(),
+      |  updated_at DateTime DEFAULT today(),
+      |  literal_default String DEFAULT 'active',
+      |  numeric_default Int32 DEFAULT 42,
+      |  status_code Enum16('OK' = 200, 'Created' = 201, 'NotFound' = 404, 'LargeValue' = 1000) DEFAULT 'OK',
+      |  category LowCardinality(String)
+      |) ENGINE = MergeTree()
+      |ORDER BY _id""".stripMargin
+
+  test("scenario: :114-310 — the pull carries every default as an " +
+      "UNQUOTED expression (the ENG-1162 double-quote bug shapes are " +
+      "absent) and the generated code round-trips them") {
+    val cfg = ChDdl.parseCreateTable(ddl)
+    val byName = cfg.schema.columns.map(c => c.name -> c).toMap
+    // :303-309 default_type/default_expression pairs, verbatim
+    assert(byName("sample_hash").default.contains("xxHash64(_id)"))
+    assert(byName("hour_stamp").default.contains(
+      "toStartOfHour(toDateTime(_time_observed / 1000))"))
+    assert(byName("created_at").default.contains("now()"))
+    assert(byName("updated_at").default.contains("today()"))
+    assert(byName("literal_default").default.contains("'active'"))
+    assert(byName("numeric_default").default.contains("42"))
+    assert(byName("status_code").default.contains("'OK'"))
+    assert(byName("category").default.isEmpty)
+    // :185-205 the generated code: expression present, double-quote
+    // bug shapes absent (our spelling is default = Some("…"))
+    val code = CodeGen.tablesToScala(Seq(cfg))
+    assert(code.contains("""default = Some("xxHash64(_id)")"""))
+    assert(code.contains("""default = Some("toStartOfHour(toDateTime(_time_observed / 1000))")"""))
+    assert(code.contains("""default = Some("now()")"""))
+    assert(code.contains("""default = Some("today()")"""))
+    assert(code.contains("""default = Some("'active'")"""))
+    assert(code.contains("""default = Some("42")"""))
+    assert(!code.contains("""Some("\"xxHash64"""),
+      "double-quoted expression = the ENG-1162 bug")
+    assert(!code.contains("""Some("\"toStartOfHour"""))
+    // and the DDL we re-render parses back to the same defaults
+    val rendered = graft.table.DdlRender.createTableQuery("local", cfg)
+    assert(ChDdl.parseCreateTable(rendered).schema.columns
+      .map(c => c.name -> c.default) ==
+      cfg.schema.columns.map(c => c.name -> c.default))
+  }
+
+  test("scenario: :316-358 — inserting ONLY (_id, _time_observed, " +
+      "category, status_code) lands with every default applied at " +
+      "the real write path") {
+    import spark.implicits._
+    ClickHouseFunctions.register(spark)
+    graft.functions.ChDialectExtras.register(spark)
+    val cfg = ChDdl.parseCreateTable(ddl)
+    val wh = java.nio.file.Files.createTempDirectory("pull_defaults")
+    val t = new OlapTable(spark, cfg, wh.toString)
+    val ts = 1707757076000L // the suite's epoch-millis style value
+    val batch = Seq(("test-id-1", ts, "cat-a", "OK"))
+      .toDF("_id", "_time_observed", "category", "status_code")
+    t.insert(batch)
+    val row = t.read().where($"_id" === "test-id-1").collect()(0)
+    def v(n: String): Any = row.get(row.fieldIndex(n))
+    // :346-352 — computed defaults present and typed
+    assert(v("sample_hash") != null)
+    assert(v("hour_stamp") != null)
+    // hour_stamp = toStartOfHour(toDateTime(ms/1000)) — exact check
+    val hourExpected = spark.sql(
+      s"SELECT cast(date_trunc('hour', cast($ts/1000 AS timestamp)) " +
+        "AS long)").collect()(0).getLong(0)
+    assert(v("hour_stamp").toString.toDouble ==
+      hourExpected.toDouble)
+    assert(v("created_at") != null && v("updated_at") != null)
+    assert(v("literal_default") == "active")
+    assert(v("numeric_default") == 42)
+    assert(v("status_code") == "OK")
+  }
+
+  test("scenario: :362-415 — special characters in default literals " +
+      "survive the pull unmangled (escaped quote, double backslash)") {
+    val special = ChDdl.parseCreateTable(
+      """CREATE TABLE test_special_chars (
+        |  id String,
+        |  quoted_str String DEFAULT 'it\'s "quoted"',
+        |  backslash String DEFAULT 'path\\to\\file'
+        |) ENGINE = MergeTree() ORDER BY id""".stripMargin)
+    val byName = special.schema.columns.map(c => c.name -> c).toMap
+    // the default TEXT is the SQL expression as written (escapes kept
+    // — it must re-render into valid DDL)
+    assert(byName("quoted_str").default.exists(_.contains("it")))
+    assert(byName("backslash").default.exists(_.contains("path")))
+    val code = CodeGen.tablesToScala(Seq(special))
+    // :412-413 — the double-quote bug shapes absent
+    assert(!code.contains("""Some("\"'it"""))
+    assert(!code.contains("""Some("\"'path"""))
+    // and the generated code still compiles conceptually — the
+    // round-trip through render∘parse keeps the defaults stable
+    val rendered = graft.table.DdlRender.createTableQuery("local", special)
+    assert(ChDdl.parseCreateTable(rendered).schema.columns
+      .map(c => c.name -> c.default) ==
+      special.schema.columns.map(c => c.name -> c.default))
+  }
+}
