@@ -265,6 +265,40 @@ class HttpFacadeSpec extends AnyFunSuite {
     } finally f2.stop()
   }
 
+  test("scenario: framework-cli-e2e/test/dotenv-config.test.ts — " +
+      ".env precedence drives the LIVE server port (.env 19990 < " +
+      ".env.dev 19991 < .env.local 19992) and /health answers on the " +
+      "resolved port") {
+    import graft.api.DotEnv
+    val dir = java.nio.file.Files.createTempDirectory("dotenv_e2e")
+    def write(name: String, text: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name), text.getBytes("UTF-8"))
+    // the e2e suite's three files, verbatim shape (ports shifted to
+    // the 199xx range to avoid sandbox collisions)
+    write(".env", "MOOSE_HTTP_SERVER_CONFIG__PORT=19990\n")
+    write(".env.dev", "MOOSE_HTTP_SERVER_CONFIG__PORT=19991\n")
+    write(".env.local",
+      "MOOSE_HTTP_SERVER_CONFIG__PORT=19992\nMOOSE_LOGGER__LEVEL=debug\n")
+    val env = DotEnv.load(dir, DotEnv.Development, system = Map.empty)
+    // dev mode: .env.local wins the port; the secondary key rides too
+    assert(env("MOOSE_HTTP_SERVER_CONFIG__PORT") == "19992")
+    assert(env("MOOSE_LOGGER__LEVEL") == "debug")
+    // production: .env.local and .env.dev never load — base port wins
+    assert(DotEnv.load(dir, DotEnv.Production, Map.empty)(
+      "MOOSE_HTTP_SERVER_CONFIG__PORT") == "19990")
+    // drive the REAL server on the resolved port and hit /health
+    val facade = new HttpFacade(
+      bindPort = env("MOOSE_HTTP_SERVER_CONFIG__PORT").toInt).start()
+    try {
+      assert(facade.port == 19992)
+      val r = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(
+          URI.create("http://127.0.0.1:19992/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+    } finally facade.stop()
+  }
+
   test("golden: py test_web_app.py:152-159 injectMooseUtils — an " +
       "arity-5 handler receives the injected utils object as its " +
       "first argument; with the flag off the same handler refuses " +
