@@ -1,0 +1,120 @@
+package graft.api
+
+/** SQL-as-code-literal formatting — the reference's
+  * cli/routines/format_query.rs (matrix :131-335; e2e
+  * cli-query.test.ts:213-462): `moose query --format-query <lang>`
+  * wraps a SQL text into a copy-pasteable code literal for the target
+  * SDK — Python raw triple-quoted string, TypeScript template
+  * literal — optionally prettified first. Raw/template literal forms
+  * are the POINT: regex patterns, backslashes and quotes ride
+  * verbatim (the matrix's complex-regex rows).
+  *
+  * `Scala` is this engine's native target (an addition, stated): the
+  * `sql"""…"""` interpolator spelling. Validation parses through
+  * Spark's own parser after the CH dialect rewrites — the analogue of
+  * the reference's sqlparser-with-ClickHouseDialect check. Prettify
+  * here is a quote-aware TOP-LEVEL clause-break formatter that never
+  * rewrites a token — type casing and literal values are preserved by
+  * construction (the reference achieves the same through
+  * dialect-aware re-serialization; its matrix pins exactly these
+  * preservation properties). */
+object FormatQuery {
+
+  sealed trait CodeLanguage
+  case object Python extends CodeLanguage
+  case object TypeScript extends CodeLanguage
+  case object Scala extends CodeLanguage
+
+  /** format_query.rs:21 from_str — lowercased, with the aliases the
+    * e2e suite pins (py/ts; sc is the scala alias). */
+  def languageFromString(s: String): CodeLanguage =
+    s.toLowerCase match {
+      case "python" | "py" => Python
+      case "typescript" | "ts" => TypeScript
+      case "scala" | "sc" => Scala
+      case other => throw new IllegalArgumentException(
+        s"Unsupported language: '$other'. Supported: python, " +
+          "typescript, scala")
+    }
+
+  /** format_query.rs:119 — Python raw triple-quoted string. */
+  def formatPython(sql: String): String =
+    "r\"\"\"\n" + sql.trim + "\n\"\"\""
+
+  /** format_query.rs:124 — TypeScript template literal. */
+  def formatTypeScript(sql: String): String =
+    "`\n" + sql.trim + "\n`"
+
+  /** The Scala spelling: the engine's own `sql` interpolator. */
+  def formatScala(sql: String): String =
+    "sql\"\"\"\n" + sql.trim + "\n\"\"\""
+
+  /** format_query.rs:58 validate_sql — Spark's parser after the CH
+    * dialect rewrites; the reference's error shape. */
+  def validateSql(spark: org.apache.spark.sql.SparkSession,
+      sql: String): Unit =
+    try spark.sessionState.sqlParser.parsePlan(
+      graft.functions.ClickHouseFunctions.rewriteDialect(sql))
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"Invalid SQL syntax: ${e.getMessage}")
+    }
+
+  /** format_query.rs:75 prettify_sql — clause-per-line at top level.
+    * Quote- and paren-aware (a WHERE inside a subquery or a string
+    * literal never breaks); tokens are NEVER rewritten, so ClickHouse
+    * type casing (`Int64`, `DateTime`) and literal values survive
+    * verbatim (test_prettify_sql_preserves_clickhouse_types /
+    * _values). */
+  def prettifySql(sql: String): String = {
+    val clauses = Seq("FROM", "WHERE", "GROUP BY", "HAVING",
+      "ORDER BY", "LIMIT", "LEFT JOIN", "RIGHT JOIN", "INNER JOIN",
+      "FULL JOIN", "CROSS JOIN", "JOIN", "UNION")
+    val s = sql.trim.replaceAll("\\s+", " ")
+    val out = new StringBuilder
+    var i = 0
+    var depth = 0
+    var inQuote = false
+    while (i < s.length) {
+      val c = s(i)
+      if (inQuote) {
+        out.append(c)
+        if (c == '\\' && i + 1 < s.length) { out.append(s(i + 1)); i += 1 }
+        else if (c == '\'') inQuote = false
+        i += 1
+      } else c match {
+        case '\'' => inQuote = true; out.append(c); i += 1
+        case '(' => depth += 1; out.append(c); i += 1
+        case ')' => depth -= 1; out.append(c); i += 1
+        case _ =>
+          val matched: Option[String] =
+            if (depth == 0 && (i == 0 || s(i - 1) == ' '))
+              clauses.find { k =>
+                s.regionMatches(true, i, k, 0, k.length) &&
+                  (i + k.length == s.length || !s(i + k.length).isLetter)
+              }
+            else None
+          matched match {
+            case Some(k) if out.nonEmpty =>
+              while (out.nonEmpty && out.last == ' ') out.setLength(out.length - 1)
+              out.append('\n').append(s.substring(i, i + k.length))
+              i += k.length
+            case _ => out.append(c); i += 1
+          }
+      }
+    }
+    out.toString
+  }
+
+  /** format_query.rs:99 format_as_code. */
+  def formatAsCode(sql: String, language: CodeLanguage,
+      prettify: Boolean = false,
+      validate: String => Unit = _ => ()): String = {
+    val text = if (prettify) { validate(sql); prettifySql(sql) } else sql
+    language match {
+      case Python => formatPython(text)
+      case TypeScript => formatTypeScript(text)
+      case Scala => formatScala(text)
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.FormatQuery
+import graft.api.FormatQuery._
+
+/** Golden port of cli/routines/format_query.rs's matrix (:131-335) +
+  * the e2e format-query rows (cli-query.test.ts:213-462): language
+  * aliases and the invalid-language refusal, the exact Python/
+  * TypeScript literal templates, raw preservation of regex patterns /
+  * backslashes / quotes / indentation, prettify preserving ClickHouse
+  * type casing and literal values, and SQL validation. */
+class FormatQueryGoldenSpec extends AnyFunSuite {
+
+  test("golden: :133-147 test_language_from_str — python/py, " +
+      "typescript/ts (+ scala/sc, our native target); java refuses") {
+    assert(languageFromString("python") == Python)
+    assert(languageFromString("py") == Python)
+    assert(languageFromString("typescript") == TypeScript)
+    assert(languageFromString("ts") == TypeScript)
+    assert(languageFromString("scala") == Scala)
+    assert(languageFromString("Sc") == Scala)
+    val e = intercept[IllegalArgumentException](languageFromString("java"))
+    assert(e.getMessage.contains("Unsupported language: 'java'"))
+  }
+
+  test("golden: :151-185 — the exact literal templates") {
+    assert(formatPython("SELECT * FROM users\nWHERE id = 1") ==
+      "r\"\"\"\nSELECT * FROM users\nWHERE id = 1\n\"\"\"")
+    assert(formatTypeScript("SELECT * FROM users\nWHERE id = 1") ==
+      "`\nSELECT * FROM users\nWHERE id = 1\n`")
+    assert(formatAsCode("SELECT 1", Python) == "r\"\"\"\nSELECT 1\n\"\"\"")
+    assert(formatAsCode("SELECT 1", TypeScript) == "`\nSELECT 1\n`")
+    // the Scala spelling (our interpolator)
+    assert(formatAsCode("SELECT 1", Scala) == "sql\"\"\"\nSELECT 1\n\"\"\"")
+  }
+
+  test("golden: :158-257 — regex patterns, backslashes, quotes and " +
+      "indentation ride VERBATIM in the raw/template forms") {
+    val r1 = formatPython(
+      "SELECT * FROM users WHERE email REGEXP '[a-z]+'")
+    assert(r1.startsWith("r\"\"\"") && r1.contains("REGEXP '[a-z]+'"))
+    val multi = """SELECT
+                  |    user_id,
+                  |    email
+                  |FROM users
+                  |WHERE email REGEXP '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$'
+                  |    AND status = 'active'""".stripMargin
+    val r2 = formatPython(multi)
+    assert(r2.endsWith("\"\"\"") && r2.contains("[a-zA-Z0-9._%+-]+"))
+    val r3 = formatPython(
+      """SELECT * FROM logs WHERE message REGEXP '\\d{4}-\\d{2}-\\d{2}\\s+\\w+'""")
+    assert(r3.contains("""\\d{4}-\\d{2}-\\d{2}\\s+\\w+"""))
+    val r4 = formatPython(
+      """SELECT * FROM data WHERE pattern REGEXP '\\b(foo|bar)\\b' AND name = 'test'""")
+    assert(r4.contains("""\\b(foo|bar)\\b""") && r4.contains("name = 'test'"))
+    // :236 indentation preserved in BOTH targets
+    val indented = "SELECT *\n    FROM users\n        WHERE id = 1"
+    assert(formatPython(indented).contains("    FROM users") &&
+      formatPython(indented).contains("        WHERE id = 1"))
+    assert(formatTypeScript(indented).contains("        WHERE id = 1"))
+  }
+
+  test("golden: :258-300 prettify — clause breaks at TOP level only, " +
+      "ClickHouse type casing and literal values preserved verbatim") {
+    val p1 = prettifySql(
+      "SELECT id, name FROM users WHERE active = 1 ORDER BY name")
+    assert(p1 ==
+      "SELECT id, name\nFROM users\nWHERE active = 1\nORDER BY name")
+    // type casing survives (prettify never rewrites a token)
+    val p2 = prettifySql("CREATE TABLE test (id Int64, name String, " +
+      "ts DateTime) ENGINE = MergeTree()")
+    assert(p2.contains("Int64") && p2.contains("String") &&
+      p2.contains("DateTime"))
+    assert(!p2.contains("INT64") && !p2.contains("STRING"))
+    // values survive
+    assert(prettifySql(
+      "SELECT * FROM users WHERE email = 'test@example.com'")
+      .contains("test@example.com"))
+    // a WHERE inside a STRING or SUBQUERY never breaks
+    assert(prettifySql("SELECT 'no FROM here' AS s") ==
+      "SELECT 'no FROM here' AS s")
+    val sub = prettifySql(
+      "SELECT * FROM (SELECT id FROM t WHERE x = 1) q WHERE y = 2")
+    assert(sub == "SELECT *\nFROM (SELECT id FROM t WHERE x = 1) q\nWHERE y = 2")
+    // :300 the complex join row
+    val p3 = prettifySql("SELECT u.id, o.total FROM users u LEFT JOIN " +
+      "orders o ON u.id = o.user_id WHERE u.active = 1 ORDER BY " +
+      "o.total DESC LIMIT 10")
+    assert(p3.contains("\nFROM users u") && p3.contains("\nLEFT JOIN") &&
+      p3.contains("\nWHERE") && p3.contains("\nLIMIT 10"))
+  }
+
+  test("golden: :311-333 format_as_code with prettify + " +
+      "validate_sql via Spark's parser (CH rewrites applied)") {
+    val spark = SparkTestSession.spark
+    val validate: String => Unit = FormatQuery.validateSql(spark, _)
+    val pretty = formatAsCode("SELECT id, name FROM users WHERE active = 1",
+      Python, prettify = true, validate)
+    assert(pretty.startsWith("r\"\"\"") && pretty.contains("SELECT"))
+    val raw = formatAsCode("SELECT id, name FROM users WHERE active = 1",
+      Python)
+    assert(raw.contains("SELECT id, name FROM users"))
+    // :326-333 validation
+    FormatQuery.validateSql(spark, "SELECT * FROM users WHERE id = 1")
+    val e = intercept[IllegalArgumentException](
+      FormatQuery.validateSql(spark, "INVALID SQL SYNTAX ;;; NOT VALID"))
+    assert(e.getMessage.contains("Invalid SQL syntax"))
+  }
+}
