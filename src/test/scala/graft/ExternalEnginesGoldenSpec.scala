@@ -306,6 +306,43 @@ class ExternalEnginesGoldenSpec extends AnyFunSuite {
       .awsAccessKeyId.isEmpty)
   }
 
+  test("scenario: framework-cli-e2e/test/s3-secrets.test.ts — " +
+      "runtime-env MARKERS ride S3Queue credentials through infra " +
+      "loading; deploy resolves them from the environment; a missing " +
+      "variable refuses with the loud per-variable error (never a " +
+      "silently-unresolved marker reaching S3)") {
+    import graft.api.RuntimeEnv
+    // infra-loading mode: the SDK generates markers, not values
+    val loading = Map("IS_LOADING_INFRA_MAP" -> "true")
+    val cfg = S3QueueConfig("s3://my-bucket/data/*.json",
+      FileFormat.JsonEachRow,
+      Some(RuntimeEnv.get("TEST_AWS_ACCESS_KEY_ID", loading.get)),
+      Some(RuntimeEnv.get("TEST_AWS_SECRET_ACCESS_KEY", loading.get)))
+    assert(cfg.awsAccessKeyId.contains(
+      "__MOOSE_RUNTIME_ENV__:TEST_AWS_ACCESS_KEY_ID"))
+    // deploy WITH the variables (the suite's dummy values): markers
+    // resolve to the real credentials
+    val env = Map(
+      "TEST_AWS_ACCESS_KEY_ID" -> "test-access-key-id",
+      "TEST_AWS_SECRET_ACCESS_KEY" -> "test-secret-access-key")
+    val resolved = cfg.copy(
+      awsAccessKeyId = RuntimeEnv.resolveOptional(
+        cfg.awsAccessKeyId, env.get),
+      awsSecretAccessKey = RuntimeEnv.resolveOptional(
+        cfg.awsSecretAccessKey, env.get))
+    assert(resolved.awsAccessKeyId.contains("test-access-key-id"))
+    assert(resolved.awsSecretAccessKey.contains("test-secret-access-key"))
+    // deploy WITHOUT the variables: loud failure naming the variable
+    // (s3-secrets.test.ts:125 "fail startup with clear error message")
+    val e = intercept[IllegalStateException](RuntimeEnv.resolveOptional(
+      cfg.awsAccessKeyId, Map.empty[String, String].get))
+    assert(e.getMessage.contains("TEST_AWS_ACCESS_KEY_ID"))
+    // masking still masks the MARKER spelling (an export must not
+    // leak even the variable names' values)
+    val masked = maskCredentials(cfg).asInstanceOf[S3QueueConfig]
+    assert(masked.awsAccessKeyId.contains(CredentialPlaceholder))
+  }
+
   test("the configs bridge to the executable seams (never dead " +
       "shells): S3 read/write round-trips; Merge unions; Distributed " +
       "re-shards co-keyed") {
