@@ -118,6 +118,38 @@ object StreamingQueries {
       .orderBy(col("event_id"))
   }
 
+  /** NUMERIC-keyed map decode on the JSON wire (round 17; ref
+    * kafka_clickhouse_sync.rs:1444-1520 map_json_value numeric-key
+    * rows): per event a `{"<k1>":"a","<k2>":"b"}` payload decodes
+    * through [[graft.streaming.KafkaWire.JsonWire]] into a
+    * `Map(UInt16, String)` column — JSON keys are wire strings, the
+    * decode try_casts them to the declared key type — and every 7th
+    * event carries an UNPARSEABLE key, which must poison the whole
+    * record into the NULL sentinel (the DLQ route; a fabricated key
+    * is the one forbidden outcome). The oracle recomputes what a
+    * correct decode must yield from first principles — it never runs
+    * the decoder. */
+  def qWireMapKeys(spark: SparkSession, dir: String): DataFrame = {
+    import graft.schema.MooseType._
+    import graft.schema.{MooseColumn, MooseSchema}
+    val schema = MooseSchema(Seq(
+      MooseColumn("m", MMap(MUInt16, MString)))).toStructType
+    val ev = Tables.load(spark, dir, "events")
+    val k1 = (col("event_id") % 100).cast("int")
+    val k2 = (col("event_id") % 100 + 1).cast("int")
+    val poison = col("event_id") % 7 === 0
+    val keyTxt1 = when(poison, lit("bad")).otherwise(k1.cast("string"))
+    val json = concat(lit("{\"m\":{\""), keyTxt1,
+      lit("\":\"a\",\""), k2.cast("string"), lit("\":\"b\"}}"))
+    val dec = graft.streaming.KafkaWire.JsonWire
+      .decode(json.cast("binary"), schema)
+    ev.select(col("event_id"), k1.as("k1"),
+      element_at(dec.getField("m"), k1).as("v1"),
+      element_at(dec.getField("m"), k2).as("v2"),
+      dec.isNull.as("poisoned_null"))
+      .orderBy(col("event_id"))
+  }
+
   /** T1 per-record transform (batch parity of the streaming edge). */
   def qTransformBar(spark: SparkSession, dir: String): DataFrame = {
     val (bars, _) = StreamTransforms.applyTransform(
@@ -531,6 +563,7 @@ object StreamingQueries {
     "q_transform_bar" -> (qTransformBar _),
     "q_multi_transform" -> (qMultiTransform _),
     "q_wire_roundtrip" -> (qWireRoundtrip _),
+    "q_wire_map_keys" -> (qWireMapKeys _),
     "q_mv_recompute" -> (qMvRecompute _),
     "q_mv_streaming" -> (qMvStreaming _),
     "q_sessionize_stream" -> (qSessionizeStream _))
@@ -625,6 +658,16 @@ object StreamingQueries {
     "q_wire_roundtrip" ->
       """SELECT event_id, event_type, round(value, 2) AS value,
         |  TRUE AS json_ok, TRUE AS avro_ok, TRUE AS proto_ok
+        |FROM events ORDER BY event_id""".stripMargin,
+    // numeric-keyed map decode: a correct decode's output recomputed
+    // from first principles (poisoned rows — unparseable key — land
+    // as the NULL sentinel, so every value column nulls together)
+    "q_wire_map_keys" ->
+      """SELECT event_id,
+        |  CAST(event_id % 100 AS INTEGER) AS k1,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE 'a' END AS v1,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE 'b' END AS v2,
+        |  (event_id % 7 = 0) AS poisoned_null
         |FROM events ORDER BY event_id""".stripMargin,
     // routing restated per destination; dlq_rows = the poison count;
     // poison events excluded from every destination
