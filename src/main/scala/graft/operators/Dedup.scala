@@ -156,6 +156,20 @@ object Dedup {
     * document id. */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    // Round-17 MEASURED dead end (recorded so it isn't re-tried): moving
+    // the pre-window exchange BELOW the normalize+split+explode — i.e.
+    // `repartition(col("id"))` on the raw (id, text) rows so the shuffle
+    // carries one row per doc instead of one per word and the regex runs
+    // post-exchange on all cores — is a paper win (same exchange count,
+    // ~1/80th the rows through it) that measured WORSE both ways at
+    // sf0.1: un-pinned, AQE's parallelism-first coalescing folds the
+    // ~500 KB text exchange to ONE partition and serializes the whole
+    // regex+explode+window+distinct chain behind it (full pipeline
+    // 2.6 s → 6.2 s); pinned to the shuffle-partitions conf, the extra
+    // stage boundary + 32 micro-tasks still lose to the status quo
+    // (shingles min 0.78 s → 1.03 s, d_minhash_lsh min 2.5 s → 3.3 s).
+    // The serial regex over the single-row-group scan is ~0.2 s — not
+    // the bottleneck; stage count is.
     val words = docs.select(col(idCol).as("id"),
       posexplode(split(TextAnalysis.normalized(col(textCol)), " ")))
       .withColumnRenamed("col", "w0")

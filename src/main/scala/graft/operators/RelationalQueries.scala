@@ -107,14 +107,37 @@ object RelationalQueries {
     // `customer` SCALES with SF (150k rows per TPC-H SF): no forced hint;
     // AQE broadcasts it at small SF and switches to shuffle join when the
     // build side outgrows the threshold — the 100-TB-safe default.
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    //
+    // Round 17 (opt guide §2.3 "aggregate before you shuffle"): lineitem
+    // is pre-aggregated to ORDER grain before any join. The prior shape
+    // joined raw lineitem rows and then ran a countDistinct(o_orderkey)
+    // aggregate keyed by FOUR wide columns (custkey, c_name, n_name,
+    // o_orderkey) — Catalyst plans a distinct aggregate as four chained
+    // HashAggregates over two exchanges, and every shuffled row carried
+    // the customer/nation strings. Pre-aggregating keys the first
+    // exchange on ONE long (l_orderkey, the column lineitem is clustered
+    // by, so map-side partial aggregation collapses ~4:1 before a single
+    // byte shuffles), the joins then run on order-grain rows (¼ the
+    // lineitem count), and n_orders becomes a plain count(1) — orders.
+    // o_orderkey is unique, the join is inner, so each surviving order
+    // contributes exactly one row: count(1) ≡ count(distinct o_orderkey).
+    // Revenue only re-associates the double sum (per-order subtotals were
+    // already partial-agg boundaries in the old plan); products carry
+    // exactly 4 decimals so round(·,4) never sits on a midpoint.
+    // Plan diff (plans/r17/q_join_multi_{before,after}.txt): 4
+    // HashAggregates → 2+2 on narrower keys, both remaining exchanges
+    // carry order-grain rows, oracle-verified at sf0.01 and sf0.1.
+    val perOrder = li
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("order_rev"))
+    perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+        round(sum(col("order_rev")), 4).as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(100)
   }

@@ -1,0 +1,64 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-17 A/B: q_join_multi old shape (join raw lineitem, then
+  * countDistinct keyed by 4 wide cols) vs new shape (pre-aggregate
+  * lineitem to order grain, then join + plain count). Alternating
+  * passes in ONE JVM so VM weather hits both arms equally
+  * (the DedupAb protocol).
+  *
+  * Usage: sbt "runMain graft.tools.JoinMultiAb /root/testdata/sf0.1 [nPairs]"
+  */
+object JoinMultiAb {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val pairs = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def oldShape(): DataFrame = {
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val o = Tables.load(spark, sfDir, "orders")
+      val c = Tables.load(spark, sfDir, "customer")
+      val n = Tables.load(spark, sfDir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(100)
+    }
+    def newShape(): DataFrame =
+      graft.operators.RelationalQueries.qJoinMulti(spark, sfDir)
+
+    def run(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(oldShape()); run(newShape()) // warm both arms
+    val (olds, news) = (1 to pairs).map { _ =>
+      (run(oldShape()), run(newShape()))
+    }.unzip
+    def stats(xs: Seq[Double]) =
+      f"min=${xs.min}%.3f med=${xs.sorted.apply(xs.size / 2)}%.3f"
+    println(s"[ab] old ${stats(olds)}  samples=" +
+      olds.map(x => f"$x%.2f").mkString(","))
+    println(s"[ab] new ${stats(news)}  samples=" +
+      news.map(x => f"$x%.2f").mkString(","))
+    spark.stop()
+  }
+}

@@ -1,0 +1,76 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-17 optimization probes: fine-grained stage timings for the
+  * expensive bench queries (guide §1 — measure first, isolate with the
+  * noop sink, label jobs). Each probe runs `n` times after one warmup;
+  * prints min/median so a contended window reads as spread, not signal.
+  *
+  * Usage: sbt "runMain graft.tools.ProfileR17 /root/testdata/sf0.1"
+  */
+object ProfileR17 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.load(spark, sfDir, "documents")
+
+    def time(name: String, n: Int = 3)(df: => DataFrame): Unit = {
+      spark.sparkContext.setJobDescription(name)
+      df.write.format("noop").mode("overwrite").save() // warm
+      val ts = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[p17] $name%-28s min=${ts.head}%.3f med=${ts(n / 2)}%.3f")
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    // bench-identical timing: fresh DataFrame construction per pass
+    def timeQ(name: String, n: Int = 3): Unit =
+      graft.SparkEntry.queries.get(name).foreach { fn =>
+        spark.sparkContext.setJobDescription(name)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val ts = (1 to n).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"[p17] Q:$name%-26s min=${ts.head}%.3f med=${ts(n / 2)}%.3f")
+        spark.sparkContext.setJobDescription(null)
+      }
+
+    args.drop(1) match {
+      case qs if qs.nonEmpty => qs.foreach(q => timeQ(q)); spark.stop(); return
+      case _ => ()
+    }
+
+    val sh = Dedup.shingleSet(docs, "doc_id", "text", 3)
+    val sig = Dedup.minhashSignatures(sh, 24)
+
+    time("shingles")(sh)
+    time("signatures")(sig)
+    // bandKeyFrame is private[operators]; approximate it inline (same math)
+    val bandCols = (0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until 3).map(r => col(s"mh${b * 3 + r}")): _*).as("bh"))
+    }
+    time("bandkeys")(
+      sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh")))
+    time("candidates")(Dedup.lshCandidates(sig, 8, 3))
+    time("full")(Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 24, 8, 0.5))
+    spark.stop()
+  }
+}
