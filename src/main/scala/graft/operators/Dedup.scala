@@ -192,8 +192,13 @@ object Dedup {
     * measured ~45% slower at sf0.1. */
   def jaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleSet(docs, idCol, textCol, n)
+      n: Int = 3, threshold: Double = 0.5,
+      materialize: String = "local"): DataFrame = {
+    // same three-consumer shape as minhashDedupPairs (cnt + both
+    // self-join sides): materialize the distinct once — see the measured
+    // A/B note there ("none" opts out at corpus scale)
+    val shRaw = shingleSet(docs, idCol, textCol, n)
+    val sh = if (materialize == "none") shRaw else Materialize(shRaw, materialize)
     val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -273,17 +278,35 @@ object Dedup {
       n: Int = 3, k: Int = 24, bands: Int = 8,
       threshold: Double = 0.5,
       broadcastCandidates: Option[Boolean] = None,
-      broadcastMaxDocs: Long = 2000000L): DataFrame = {
+      broadcastMaxDocs: Long = 2000000L,
+      materialize: String = "local"): DataFrame = {
     // same dial guard as crossNearDup: a non-divisible k silently
     // dropped signature lanes (k=25, bands=8 used only mh0..mh23) and
     // bands > k built a zero-argument hash that failed far from the
     // bad dial (review round 14 session 10)
     require(bands >= 1 && k % bands == 0,
       s"minhashDedupPairs: k=$k not divisible by bands=$bands")
-    // four consumers (signatures, counts, both verify-join sides) all read
-    // the distinct's shuffle output via ReuseExchange — no explicit cache
-    // (see jaccardPairs note)
-    val sh = shingleSet(docs, idCol, textCol, n)
+    // Round 17 (opt guide §1.2/§5): the five shingle consumers
+    // (signatures, counts, both verify-join sides, candidates) share the
+    // window exchange's MAP side via runtime stage reuse, but each one
+    // re-ran the REDUCE side — sort + lead-window + distinct over every
+    // shingle row — on the shared shuffle files (the static plan shows
+    // the subtree five times; see plans/r17/d_minhash_lsh_before.txt).
+    // Materializing the distinct output once removes the four repeats:
+    // same-JVM A/B (tools/MinhashAb) read status-quo med 2.02 s vs
+    // localCheckpoint med 1.50 s at sf0.1 (mins 1.83 vs 1.24); the
+    // alternative materialization point — a repartition(id) exchange
+    // after the distinct — measured WORSE than the status quo (med
+    // 2.28 s: one more stage wave per consumer beats nothing, loses to
+    // checkpoint). `materialize` follows the Corpus knob: "local"
+    // (executor-local blocks, the single-JVM/bench default), "reliable"
+    // (cluster checkpoint dir), "persist", or "none" to keep the
+    // recompute-from-shuffle-files behavior when storing a corpus-sized
+    // shingle table is worse than 4 reduce-side replays (the 100 TB
+    // caller's dial; shuffle files already hold the exploded words, so
+    // "none" costs compute, not correctness).
+    val shRaw = shingleSet(docs, idCol, textCol, n)
+    val sh = if (materialize == "none") shRaw else Materialize(shRaw, materialize)
     val candidates = lshCandidates(minhashSignatures(sh, k), bands, k / bands)
     val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     // Join order is load-bearing: restrict the shingle table to candidate
@@ -366,11 +389,19 @@ object Dedup {
       // ~100x tighter than minhashDedupPairs' candidate-pair gate: 20k
       // eval docs x ~200 shingles ~ 4M broadcast rows. Past it every
       // probe-side join falls back to SHUFFLE_HASH.
-      broadcastMaxProbes: Long = 20000L): DataFrame = {
+      broadcastMaxProbes: Long = 20000L,
+      materialize: String = "local"): DataFrame = {
     require(k % bands == 0, s"crossNearDup: k=$k not divisible by bands=$bands")
     val rows = k / bands
-    val shC = shingleSet(corpus, corpusIdCol, corpusTextCol, n)
-    val shP = shingleSet(probes, probeIdCol, probeTextCol, n)
+    // corpus shingles feed 3 consumers, probe shingles 4 — same
+    // reduce-side-replay cost as minhashDedupPairs (measured A/B there);
+    // at true corpus scale pass "none" for the corpus side's storage
+    // tradeoff — here one knob governs both sides, erring to the
+    // measured-faster default for bounded inputs.
+    def mat(df: DataFrame): DataFrame =
+      if (materialize == "none") df else Materialize(df, materialize)
+    val shC = mat(shingleSet(corpus, corpusIdCol, corpusTextCol, n))
+    val shP = mat(shingleSet(probes, probeIdCol, probeTextCol, n))
     def bandKeys(sig: DataFrame): DataFrame = bandKeyFrame(sig, bands, rows)
     val useBroadcast = broadcastProbes.getOrElse {
       BroadcastGate.estimateOrCount(probes) <= broadcastMaxProbes

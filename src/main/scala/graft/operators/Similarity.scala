@@ -56,6 +56,29 @@ object Similarity {
     when(size(v) === dim, v).otherwise(raise_error(concat(
       lit(s"expected dim=$dim embedding, got size "), size(v).cast("string"))))
 
+  /** Round 17 (opt guide §2.5 "input skew: one huge unsplittable file …
+    * repartition immediately after the read"): the streamed side of the
+    * brute-force cross joins does O(corpus × queries × dim) work in the
+    * SCAN stage, so an unsplittable input (e.g. single-row-group parquet,
+    * which is what the driver testdata ships) serializes the whole
+    * scoring pass on one task. When the scan has fewer partitions than
+    * the session's parallelism, spread it first; on a real multi-split
+    * corpus the branch is a no-op — the partition count is derived from
+    * the input and the session, never a constant. Row-set semantics are
+    * unchanged (round-robin repartition; Spark's sort-before-repartition
+    * keeps it deterministic under retry). */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+  // spread() calibration (tools/KnnAb, same-JVM alternating): on the
+  // full-matrix brute pairs shape the unsplittable scan serializes the
+  // whole scoring pass — no-spread 7.5 s vs spread ~1.0 s at sf0.1; the
+  // conditional .rdd probe costs ~0.05 s vs an unconditional repartition.
+  // On the bounded-query kNN shape (5 queries) the exchange is pure
+  // overhead (0.42 s → 0.82 s) — so spread() is applied per call site by
+  // measured work shape, not blanket.
+
   /** Exact top-k neighbors for each query vector.
     *
     * Ranking uses the 6-dp-rounded similarity with the neighbor id as a
@@ -69,6 +92,10 @@ object Similarity {
       k: Int = 10, dim: Int = 64): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
       assertDim(col(vecCol), dim).as("qv"))
+    // no [[spread]] here: the query set is caller-bounded and typically
+    // tiny (e_knn_brute ships 5), so corpus×queries work is light and the
+    // extra exchange measured a net LOSS (0.42 s → 0.82 s); the
+    // full-matrix case that needs spreading is [[nearDupPairsBrute]]
     val c = embeddings.select(col(idCol).as("nid"),
       assertDim(col(vecCol), dim).as("nv"))
     val scored = c.crossJoin(broadcast(q))
@@ -102,6 +129,7 @@ object Similarity {
       k: Int = 10, dim: Int = 64): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
       assertDim(col(vecCol), dim).as("qv"))
+    // no [[spread]]: bounded query set, same reasoning as [[knnBrute]]
     val c = embeddings.select(col(idCol).as("nid"),
       assertDim(col(vecCol), dim).as("nv"))
     val pos = positives.select(col("qid"), col("nid")).distinct()
@@ -144,7 +172,8 @@ object Similarity {
       embeddings: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.5, dim: Int = 64): DataFrame = {
-    val a = embeddings.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val a = spread(
+      embeddings.select(col(idCol).as("vec_a"), col(vecCol).as("va")))
     val b = embeddings.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
     // cosineStatic: the sim filter gets pushed INTO the nested-loop join
     // condition; the native DotProduct loop compiles as a standalone

@@ -262,38 +262,42 @@ final class OlapTable(
     }.toMap ++ tableCompression.map("compression" -> _)
 
   // ------------------------------------------------------------ validation
-  /** Per-column rule violations as a single vectorized expression:
-    * Array[String] of messages, empty ⇒ valid. */
-  def violationsColumn: Column = {
+  /** Per-column rule checks as (violated-condition, message) pairs —
+    * the one source both validation surfaces derive from: the DLQ side
+    * renders messages ([[violationsColumn]]), the hot valid-row path
+    * evaluates only the boolean disjunction ([[validColumn]]). Every
+    * condition is null-safe by construction (isNull / isNotNull-guarded),
+    * so the disjunction never yields NULL. */
+  private def checkPairs: Seq[(Column, String)] = {
     // alias columns are read-computed — they don't exist in the insert
     // batch, so no check may reference them
-    val checks: Seq[Column] = config.schema.columns
+    config.schema.columns
       .filter(_.aliasExpr.isEmpty).flatMap { c =>
       val v = col(c.name)
-      val perCol = Seq.newBuilder[Column]
+      val perCol = Seq.newBuilder[(Column, String)]
       if (!c.nullable && c.materialized.isEmpty)
-        perCol += when(v.isNull, lit(s"${c.name}: required but null"))
+        perCol += ((v.isNull, s"${c.name}: required but null"))
       c.tpe match {
         case MooseType.MEnum(values) =>
-          perCol += when(v.isNotNull && !v.isin(values: _*),
-            lit(s"${c.name}: not a member of enum"))
+          perCol += ((v.isNotNull && !v.isin(values: _*),
+            s"${c.name}: not a member of enum"))
         case MooseType.MFixedString(n) =>
-          perCol += when(v.isNotNull && length(v) > n,
-            lit(s"${c.name}: exceeds FixedString($n)"))
+          perCol += ((v.isNotNull && length(v) > n,
+            s"${c.name}: exceeds FixedString($n)"))
         case MooseType.MUUID =>
-          perCol += when(v.isNotNull && !v.rlike(
+          perCol += ((v.isNotNull && !v.rlike(
             "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
-            lit(s"${c.name}: not a UUID"))
+            s"${c.name}: not a UUID"))
         case MooseType.MIPv4 =>
           // ref kafka_clickhouse_sync.rs:45 IPV4_REGEX
-          perCol += when(v.isNotNull && !v.rlike(
+          perCol += ((v.isNotNull && !v.rlike(
             "^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$"),
-            lit(s"${c.name}: not an IPv4"))
+            s"${c.name}: not an IPv4"))
         case MooseType.MIPv6 =>
           // full 8-group form, or `::`-compressed with hex groups either side
-          perCol += when(v.isNotNull && !v.rlike(
+          perCol += ((v.isNotNull && !v.rlike(
             "^([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){7}|([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4})*)?::([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4})*)?)$"),
-            lit(s"${c.name}: not an IPv6"))
+            s"${c.name}: not an IPv6"))
         // UNSIGNED range checks (round 17; ref utilities/
         // validate_passthrough.rs — its boundary matrix pins
         // 0..255/0..65535/… acceptance and the one-past rejections):
@@ -304,45 +308,65 @@ final class OlapTable(
         // the first real ClickHouse it reaches. Signed Int8..64 need
         // no check (their Spark storage is exact-width).
         case MooseType.MUInt8 =>
-          perCol += when(v.isNotNull && (v < 0 || v > 255),
-            lit(s"${c.name}: out of UInt8 range 0..255"))
+          perCol += ((v.isNotNull && (v < 0 || v > 255),
+            s"${c.name}: out of UInt8 range 0..255"))
         case MooseType.MUInt16 =>
-          perCol += when(v.isNotNull && (v < 0 || v > 65535),
-            lit(s"${c.name}: out of UInt16 range 0..65535"))
+          perCol += ((v.isNotNull && (v < 0 || v > 65535),
+            s"${c.name}: out of UInt16 range 0..65535"))
         case MooseType.MUInt32 =>
-          perCol += when(v.isNotNull && (v < 0 || v > 4294967295L),
-            lit(s"${c.name}: out of UInt32 range 0..4294967295"))
+          perCol += ((v.isNotNull && (v < 0 || v > 4294967295L),
+            s"${c.name}: out of UInt32 range 0..4294967295"))
         case MooseType.MUInt64 =>
-          perCol += when(v.isNotNull && (v < 0 ||
+          perCol += ((v.isNotNull && (v < 0 ||
               v > lit(BigDecimal("18446744073709551615"))),
-            lit(s"${c.name}: out of UInt64 range 0..18446744073709551615"))
+            s"${c.name}: out of UInt64 range 0..18446744073709551615"))
         // map KEYS carry the same range contract
         // (validate_passthrough test_map_key_uint8_range family)
         case MooseType.MMap(MooseType.MUInt8, _) =>
-          perCol += when(v.isNotNull &&
+          perCol += ((v.isNotNull &&
               !forall(map_keys(v), k => k >= 0 && k <= 255),
-            lit(s"${c.name}: map key out of UInt8 range 0..255"))
+            s"${c.name}: map key out of UInt8 range 0..255"))
         case MooseType.MMap(MooseType.MUInt16, _) =>
-          perCol += when(v.isNotNull &&
+          perCol += ((v.isNotNull &&
               !forall(map_keys(v), k => k >= 0 && k <= 65535),
-            lit(s"${c.name}: map key out of UInt16 range 0..65535"))
+            s"${c.name}: map key out of UInt16 range 0..65535"))
         case MooseType.MMap(MooseType.MUInt32, _) =>
-          perCol += when(v.isNotNull &&
+          perCol += ((v.isNotNull &&
               !forall(map_keys(v), k => k >= 0 && k <= 4294967295L),
-            lit(s"${c.name}: map key out of UInt32 range 0..4294967295"))
+            s"${c.name}: map key out of UInt32 range 0..4294967295"))
         case _ => ()
       }
       perCol.result()
     }
+  }
+
+  /** Per-column rule violations as a single vectorized expression:
+    * Array[String] of messages, empty ⇒ valid. */
+  def violationsColumn: Column = {
+    val checks = checkPairs.map { case (cond, msg) => when(cond, lit(msg)) }
     if (checks.isEmpty) array()
     else filter(array(checks: _*), x => x.isNotNull)
   }
 
-  /** Split a batch into (valid, invalid-with-__errors). */
+  /** TRUE ⇔ the row violates no rule — the hot-path predicate for the
+    * valid split. Round 17 (opt guide item 4): `filter(array(...))` is an
+    * interpreted higher-order function, so the old
+    * `size(violations) === 0` filter built a per-row message array and
+    * walked it OUTSIDE whole-stage codegen for every inserted row; this
+    * plain boolean disjunction compiles into the scan stage. Same
+    * decision by construction: a row is valid iff every check condition
+    * is false, and every condition is null-safe (isNull / guarded by
+    * isNotNull), so the disjunction never yields NULL. */
+  def validColumn: Column =
+    checkPairs.map(_._1).reduceOption(_ || _).map(!_).getOrElse(lit(true))
+
+  /** Split a batch into (valid, invalid-with-__errors). Message
+    * rendering (the array build) now runs only on the invalid side —
+    * the DLQ path — while the valid side filters on [[validColumn]]. */
   def validate(df: DataFrame): (DataFrame, DataFrame) = {
-    val withV = df.withColumn("__errors", violationsColumn)
-    (withV.where(size(col("__errors")) === 0).drop("__errors"),
-      withV.where(size(col("__errors")) > 0))
+    (df.where(validColumn),
+      df.withColumn("__errors", violationsColumn)
+        .where(!validColumn))
   }
 
   /** Apply column attributes at write: defaults filled, materialized

@@ -1,0 +1,67 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-17 A/B for the brute-kNN scan-parallelism question: does
+  * spreading the single-row-group corpus scan before the cross join
+  * help, and does the `.rdd.getNumPartitions` probe itself cost?
+  * Arms: a = no spread, b = unconditional repartition(parallelism),
+  * c = conditional probe (the Similarity.spread shape).
+  * Alternating passes in one JVM (DedupAb protocol).
+  */
+object KnnAb {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val pairs = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def knn(mode: String): DataFrame = {
+      val e = Tables.load(spark, sfDir, "embeddings")
+      val q0 = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c0 = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val par = spark.sparkContext.defaultParallelism
+      val c = mode match {
+        case "a" => c0
+        case "b" => c0.repartition(par)
+        case "c" =>
+          if (c0.rdd.getNumPartitions < par) c0.repartition(par) else c0
+      }
+      val scored = c.crossJoin(broadcast(q0))
+        .where(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          graft.operators.Similarity.cosine(col("qv"), col("nv")).as("sim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(round(col("sim"), 6).desc, col("nid"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy(col("qid"), col("rank"))
+    }
+
+    def run(mode: String): Double = {
+      val t0 = System.nanoTime()
+      knn(mode).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq("a", "b", "c").foreach(run) // warm
+    val samples = (1 to pairs).map(_ => (run("a"), run("b"), run("c")))
+    def stats(xs: Seq[Double]) =
+      f"min=${xs.min}%.3f med=${xs.sorted.apply(xs.size / 2)}%.3f " +
+        xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    println(s"[ab] a(no-spread)   ${stats(samples.map(_._1))}")
+    println(s"[ab] b(uncond-rep)  ${stats(samples.map(_._2))}")
+    println(s"[ab] c(probe+rep)   ${stats(samples.map(_._3))}")
+    spark.stop()
+  }
+}

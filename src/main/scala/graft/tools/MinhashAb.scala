@@ -1,0 +1,77 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-17 A/B for the d_minhash_lsh consumer-duplication question.
+  *
+  * The shingle frame feeds 5 consumers; runtime stage reuse dedups the
+  * map side (scan+regex+explode feeding the window exchange) but each
+  * consumer re-runs the REDUCE side (sort+window+lead+distinct) on the
+  * shared shuffle files. Arms:
+  *   a — status quo (re-run per consumer);
+  *   b — repartition(id) after the distinct: a second exchange whose
+  *       child stage (sort+window+distinct) is reused by every consumer;
+  *   c — localCheckpoint the distinct output (Materialize "local").
+  * Alternating passes in one JVM (DedupAb protocol).
+  *
+  * Usage: sbt "runMain graft.tools.MinhashAb /root/testdata/sf0.1 [n]"
+  */
+object MinhashAb {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val pairs = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // minhashDedupPairs body with the shingle frame injectable
+    def pairsFrom(sh: DataFrame): DataFrame = {
+      val candidates = Dedup.lshCandidates(Dedup.minhashSignatures(sh, 24), 8, 3)
+      val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+      val candShingles = sh.join(broadcast(candidates), col("id") === col("doc_a"))
+        .select(col("doc_a"), col("doc_b"), col("sh"))
+      val inter = candShingles.as("a")
+        .join(sh.as("b"), col("doc_b") === col("b.id") && col("a.sh") === col("b.sh"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(cnt.as("ca"), col("doc_a") === col("ca.id"))
+        .join(cnt.as("cb"), col("doc_b") === col("cb.id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("n_inter").cast("double") /
+            (col("ca.n_sh") + col("cb.n_sh") - col("n_inter"))).as("jaccard"))
+        .where(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+
+    def docs = Tables.load(spark, sfDir, "documents")
+    def shBase = Dedup.shingleSet(docs, "doc_id", "text", 3)
+    def armA(): DataFrame = pairsFrom(shBase)
+    def armB(): DataFrame = pairsFrom(shBase.repartition(col("id")))
+    def armC(): DataFrame = pairsFrom(shBase.localCheckpoint(true))
+
+    def run(mk: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      mk().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(armA _); run(armB _); run(armC _) // warm all arms
+    val samples = (1 to pairs).map { _ => (run(armA _), run(armB _), run(armC _)) }
+    def stats(xs: Seq[Double]) =
+      f"min=${xs.min}%.3f med=${xs.sorted.apply(xs.size / 2)}%.3f " +
+        xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    println(s"[ab] a(statusquo)  ${stats(samples.map(_._1))}")
+    println(s"[ab] b(repart-id)  ${stats(samples.map(_._2))}")
+    println(s"[ab] c(localchkpt) ${stats(samples.map(_._3))}")
+    spark.stop()
+  }
+}
