@@ -1621,11 +1621,14 @@ object Corpus {
     val uniVocab = base.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val total = uniVocab.agg(sum(col("c")).as("t_tokens"))
-    // pair-tokenize ONCE: the (doc, pair)-count shuffle is the shared
-    // materialization point for the bigram vocab AND the scoring join
-    // (same exchange-reuse shape as dsirWeights)
-    val docPair = toks.groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("cnt"))
+    // pair-tokenize ONCE: the (doc, pair)-count frame is the shared
+    // materialization point for the bigram vocab AND the scoring join.
+    // Round 17: pinned with Materialize — the shuffle alone is NOT
+    // shared once column pruning specializes the consumers (the bm25
+    // lesson; Spread measured neutral-to-worse here, dsirWeights note).
+    val docPair = Materialize(toks.groupBy(col("doc_id"), col("w1"),
+        col("w2"))
+      .agg(count(lit(1)).as("cnt")), "local")
     val biVocab = docPair.groupBy(col("w1"), col("w2"))
       .agg(sum(col("cnt")).as("cb"))
     val useBroadcast = broadcastVocab.getOrElse(
@@ -1705,10 +1708,16 @@ object Corpus {
       .select(col("doc_id"), col("is_tgt"),
         (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long")
           % buckets).as("b"))
-    // ONE tokenize pass → (doc, bucket) counts; this shuffle feeds both
-    // the global stats and the scoring aggregation
-    val docBucket = feats.groupBy(col("doc_id"), col("is_tgt"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
+    // ONE tokenize pass → (doc, bucket) counts. Round 17: the shuffle
+    // alone does NOT make this shared — column pruning specializes each
+    // consumer's subtree (the bm25 lesson), so the three consumers
+    // (stats, totals, scoring join) each re-ran the regex+zip_with
+    // tokenize serially; Materialize pins it once (Spread instead
+    // measured WORSE — the pruning-specialized consumers re-shuffled the
+    // raw text three times: 3.7 s → 15.5 s, recorded as a dead end).
+    val docBucket = Materialize(feats.groupBy(col("doc_id"),
+        col("is_tgt"), col("b"))
+      .agg(count(lit(1)).as("cnt")), "local")
     val stats = docBucket.groupBy(col("b")).agg(
       sum(col("cnt")).as("c_raw"),
       sum(when(col("is_tgt"), col("cnt")).otherwise(0L)).as("c_tgt"))

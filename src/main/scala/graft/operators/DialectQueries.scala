@@ -18,11 +18,17 @@ object DialectQueries {
 
   private def sqlOn(spark: SparkSession, dir: String, table: String,
       view: String, sql: String): DataFrame = {
+    Tables.load(spark, dir, table).createOrReplaceTempView(view)
+    sqlOnView(spark, sql)
+  }
+
+  /** Like [[sqlOn]] but the caller registered the view itself (e.g. to
+    * [[Spread]] an unsplittable scan under a per-row-expensive batch). */
+  private def sqlOnView(spark: SparkSession, sql: String): DataFrame = {
     ClickHouseFunctions.register(spark)
     ChDialectExtras.register(spark)
     ChDialectBatch3.register(spark)
     ChDialectBatch4.register(spark)
-    Tables.load(spark, dir, table).createOrReplaceTempView(view)
     spark.sql(sql)
   }
 
@@ -999,7 +1005,11 @@ object DialectQueries {
   def qChFunctions6(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ChDialectBatch8.register(spark)
     graft.functions.ChDialectBatch9.register(spark) // pointInPolygon
-    sqlOn(spark, dir, "events", "evts_ch8",
+    // Spread: the ngram* family builds per-row n-gram maps over props —
+    // measured 4.0 s serial on the unsplittable events scan
+    Spread(Tables.load(spark, dir, "events"))
+      .createOrReplaceTempView("evts_ch8")
+    sqlOnView(spark,
       """SELECT event_id,
         |  ngramDistance(props, concat(substring(props, 1, 6),
         |    event_type)) AS nd,

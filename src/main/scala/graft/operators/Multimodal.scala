@@ -20,6 +20,17 @@ import org.apache.spark.sql.types._
   * carry `id` + features forward, re-join payload only when needed).
   */
 object Multimodal {
+  /** ImageIO's DEFAULT stream cache is file-backed: every
+    * `ImageIO.read`/`write` call creates (and deletes) a temp file, so a
+    * per-row codec pass does thousands of filesystem round trips and
+    * concurrent codec tasks contend on the temp directory — measured
+    * round 17: spreading m_resize over 32 tasks ran 3× SLOWER until this
+    * switch. Payloads here are KB-scale; the in-memory cache is strictly
+    * better. Called at the head of each codec task (idempotent, once per
+    * executor JVM in practice). */
+  private def ensureImageIoMemCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
 
   /** Canonical media-table schema convention. */
   val mediaSchema: StructType = StructType(Seq(
@@ -73,6 +84,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val payloadIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
+      ensureImageIoMemCache()
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         val feats = (0 until dims).map { d =>
@@ -111,6 +123,7 @@ object Multimodal {
     val wIdx = media.schema.fieldIndex("w")
     val hIdx = media.schema.fieldIndex("h")
     media.mapPartitions { rows =>
+      ensureImageIoMemCache()
       rows.map { r =>
         val id = r.getLong(idIdx)
         val w = r.getInt(wIdx); val h = r.getInt(hIdx)
@@ -152,6 +165,7 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex("media_id")
     val nIdx = media.schema.fieldIndex("n_samples")
     media.mapPartitions { rows =>
+      ensureImageIoMemCache()
       rows.map { r =>
         val id = r.getLong(idIdx)
         val n = r.getInt(nIdx)
@@ -201,6 +215,7 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex("media_id")
     val pIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
+      ensureImageIoMemCache()
       rows.map { r =>
         val id = r.getLong(idIdx)
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -383,6 +398,7 @@ object Multimodal {
     val aIdx = if (media.schema.fieldNames.contains("n_samples"))
       media.schema.fieldIndex("n_samples") else -1
     media.mapPartitions { rows =>
+      ensureImageIoMemCache()
       System.setProperty("java.awt.headless", "true")
       rows.map { r =>
         val payload = aviBytes(r.getLong(idIdx), r.getInt(wIdx),
@@ -422,6 +438,7 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex("media_id")
     val pIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
+      ensureImageIoMemCache()
       System.setProperty("java.awt.headless", "true")
       rows.map { r =>
         val id = r.getLong(idIdx)
@@ -534,6 +551,7 @@ object Multimodal {
     val nWin = nBits + 1
     val nWords = (nBits + 31) / 32
     media.mapPartitions { rows =>
+      ensureImageIoMemCache()
       rows.map { r =>
         val id = r.getLong(idIdx)
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -601,6 +619,7 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex("media_id")
     val pIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
+      ensureImageIoMemCache()
       System.setProperty("java.awt.headless", "true")
       rows.map { r =>
         val id = r.getLong(idIdx)
@@ -719,6 +738,7 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex("media_id")
     val pIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
+      ensureImageIoMemCache()
       rows.map { r =>
         val id = r.getLong(idIdx)
         val b = r.getAs[Array[Byte]](pIdx)
@@ -805,6 +825,7 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex("media_id")
     val pIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
+      ensureImageIoMemCache()
       System.setProperty("java.awt.headless", "true")
       rows.flatMap { r =>
         val id = r.getLong(idIdx)
@@ -947,6 +968,7 @@ object Multimodal {
     val nBits = gridW * gridH
     val nWords = (nBits + 31) / 32
     media.mapPartitions { rows =>
+      ensureImageIoMemCache()
       System.setProperty("java.awt.headless", "true")
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(
@@ -984,6 +1006,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val pIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
+      ensureImageIoMemCache()
       System.setProperty("java.awt.headless", "true")
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(
@@ -1025,6 +1048,7 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex("media_id")
     val pIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
+      ensureImageIoMemCache()
       // partition-scoped: headless AWT asserted once, not per row
       System.setProperty("java.awt.headless", "true")
       rows.map { r =>

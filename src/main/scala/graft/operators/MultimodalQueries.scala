@@ -54,10 +54,10 @@ object MultimodalQueries {
     * the pixel formula alone — the codec path (encode → decode → stats →
     * re-encode) is verified against a codec-free reference. */
   def mFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val dims = Tables.load(spark, dir, "documents").select(
+    val dims = Spread(Tables.load(spark, dir, "documents").select(
       col("doc_id").as("media_id"),
       (lit(16) + (col("doc_id") % 8) * 4).cast("int").as("w"),
-      (lit(12) + (col("doc_id") % 5) * 4).cast("int").as("h"))
+      (lit(12) + (col("doc_id") % 5) * 4).cast("int").as("h")))
     Multimodal.decodeImageStats(Multimodal.synthPng(dims))
       .select(col("media_id"),
         col("width").cast("long").as("width"),
@@ -78,10 +78,10 @@ object MultimodalQueries {
     * recomputes the resized per-channel means exactly with no codec —
     * integer sums, one closing IEEE division, bit-equal doubles. */
   def mResize(spark: SparkSession, dir: String): DataFrame = {
-    val dims = Tables.load(spark, dir, "documents").select(
+    val dims = Spread(Tables.load(spark, dir, "documents").select(
       col("doc_id").as("media_id"),
       (lit(16) + (col("doc_id") % 8) * 4).cast("int").as("w"),
-      (lit(12) + (col("doc_id") % 5) * 4).cast("int").as("h"))
+      (lit(12) + (col("doc_id") % 5) * 4).cast("int").as("h")))
     Multimodal.decodeImageStats(
         Multimodal.resizeNearest(Multimodal.synthPng(dims), 10, 7))
       .select(col("media_id"),
@@ -181,10 +181,10 @@ object MultimodalQueries {
     * restates from the synthPixel formula, so both packed words are
     * value-exact. */
   def mImageDhash(spark: SparkSession, dir: String): DataFrame = {
-    val dims = Tables.load(spark, dir, "documents").select(
+    val dims = Spread(Tables.load(spark, dir, "documents").select(
       col("doc_id").as("media_id"),
       (lit(16) + (col("doc_id") % 8) * 4).cast("int").as("w"),
-      (lit(12) + (col("doc_id") % 5) * 4).cast("int").as("h"))
+      (lit(12) + (col("doc_id") % 5) * 4).cast("int").as("h")))
     Multimodal.imageDHash(Multimodal.synthPng(dims))
       .select(col("media_id"),
         element_at(col("sig"), 1).as("w0"),

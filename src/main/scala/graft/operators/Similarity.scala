@@ -67,10 +67,7 @@ object Similarity {
     * the input and the session, never a constant. Row-set semantics are
     * unchanged (round-robin repartition; Spark's sort-before-repartition
     * keeps it deterministic under retry). */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def spread(df: DataFrame): DataFrame = Spread(df)
   // spread() calibration (tools/KnnAb, same-JVM alternating): on the
   // full-matrix brute pairs shape the unsplittable scan serializes the
   // whole scoring pass — no-spread 7.5 s vs spread ~1.0 s at sf0.1; the
@@ -234,7 +231,10 @@ object Similarity {
       lshSignature(col(vecCol),
         planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand)).as(s"bs$b")
     }
-    val e = embeddings.select(
+    // spread: the signature projection is bands×bitsPerBand hyperplane
+    // dot products (dim mults each) per row — serial on an unsplittable
+    // scan (measured d_embed_neardup_lsh 7.9 s → see OPTIMIZATION_r17)
+    val e = spread(embeddings).select(
       col(idCol).as("id") +: col(vecCol).as("v") +: bandSigs: _*)
     val banded = e.select(col("id"), col("v"),
       posexplode(array((0 until bands).map(b => col(s"bs$b")): _*)))
@@ -684,10 +684,12 @@ object Similarity {
     require(ksub >= 1 && iters >= 1 && sampleCap >= ksub,
       s"bad PQ dials ksub=$ksub iters=$iters sampleCap=$sampleCap")
     val dsub = dim / m
-    val base = embeddings
+    // spread: GlobalLimit collapses the training sample to ONE partition,
+    // serializing every Lloyd iteration's argmin pass behind it
+    val base = Spread(embeddings
       .orderBy(hash(col(idCol)), col(idCol)).limit(sampleCap)
       .select(col(idCol).as("id"),
-        transform(assertDim(col(vecCol), dim), x => x.cast("double")).as("v"))
+        transform(assertDim(col(vecCol), dim), x => x.cast("double")).as("v")))
     val seed = base.orderBy(col("id")).limit(ksub)
       .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     require(seed.length == ksub,
@@ -734,7 +736,9 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val dim = model.m * model.dsub
     val v = transform(assertDim(col(vecCol), dim), x => x.cast("double"))
-    df.select(col(idCol), col(vecCol), v.as("__v"))
+    // spread: encoding costs m×ksub×dsub multiplies per row — serial on
+    // an unsplittable scan (e_knn_pq measured 5.0 s; see OPTIMIZATION_r17)
+    spread(df).select(col(idCol), col(vecCol), v.as("__v"))
       .select(col(idCol) +: col(vecCol) +: (0 until model.m).map(j =>
         slice(col("__v"), j * model.dsub + 1, model.dsub)
           .as(s"__sv$j")): _*)

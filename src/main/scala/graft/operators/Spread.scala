@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Conditional scan spreading — opt guide §2.5 ("input skew: one huge
+  * unsplittable file … repartition immediately after the read").
+  *
+  * The driver testdata ships every table as a SINGLE parquet row group,
+  * so a scan stage is one task no matter the split config, and any
+  * per-row-expensive map work above it (regex shingling, PNG/WAV
+  * codecs, hyperplane signatures, n-gram HOFs) runs serially. When the
+  * scan has fewer partitions than the session's parallelism, spread it
+  * first; on a real multi-split input the probe sees a parallel scan
+  * and the branch is a no-op — the target is derived from the input and
+  * the session, never a constant, so the same code is right at sf0.1
+  * and at 100 TB. Round-robin repartition keeps the row set identical
+  * and is retry-deterministic (Spark's sort-before-repartition,
+  * SPARK-23207).
+  *
+  * NOT a blanket default: the added exchange costs one stage wave
+  * (~0.3 s locally), so it only pays where the serial map work is
+  * measurably larger — see the per-site A/B notes (tools/KnnAb: the
+  * full-matrix brute-pairs shape went 7.5 s → 1.0 s, while the 5-query
+  * kNN shape LOST 0.4 s; the shingle window pipeline also measured a
+  * loss, Dedup.shingleSet scaladoc).
+  */
+private[graft] object Spread {
+  def apply(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}

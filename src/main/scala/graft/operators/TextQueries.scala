@@ -238,11 +238,26 @@ object TextQueries {
     * formulation — two independent algorithms, one hash. */
   def dRepetition(spark: SparkSession, dir: String): DataFrame = {
     val grams = TextAnalysis.wordBigrams(col("text"))
+    // Round 17 (opt guide item 4 — no interpreted expressions in the hot
+    // path): the original shape ran modeRunCount, an interpreted
+    // `aggregate` HOF allocating a struct per bigram, TWICE per row (the
+    // HOF engine has no subexpression elimination), plus a third full
+    // wordBigrams evaluation inside the pushed-down `n_grams >= 1`
+    // filter — all serial in the scan stage (measured 6.3 s at sf0.1;
+    // Spread alone didn't help BECAUSE the pushed filter kept the heavy
+    // expression below the exchange). The same answer is a pure-codegen
+    // two-level aggregation: max bigram multiplicity == longest equal
+    // run of the sorted array, total bigrams == sum of multiplicities,
+    // and zero-bigram docs vanish in the explode exactly as the old
+    // filter dropped them. One bigram evaluation per row, partial aggs
+    // compact map-side before the one exchange. Measured 6.3 s → 0.7 s;
+    // oracle-verified at both SFs.
     docs(spark, dir)
-      .select(col("doc_id"),
-        TextAnalysis.modeRunCount(grams).as("max_gram_count"),
-        size(grams).cast("long").as("n_grams"))
-      .where(col("n_grams") >= 1)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_gram_count"),
+        sum(col("c")).as("n_grams"))
       .select(col("doc_id"), col("max_gram_count"),
         round(col("max_gram_count").cast("double") / col("n_grams"), 4)
           .as("top_gram_frac"))
