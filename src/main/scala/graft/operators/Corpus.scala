@@ -58,10 +58,51 @@ object Corpus {
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25, materialize: String = "local"): DataFrame = {
+      maxIter: Int = 25, materialize: String = "local",
+      driverMaxEdges: Long = 2000000L): DataFrame = {
+    // mode contract validated up front: the driver-gate path below never
+    // materializes, but a bad mode must refuse regardless of input size
+    require(materialize == "local" || materialize == "reliable",
+      s"iterative materialize must be local|reliable (got '$materialize'; " +
+        "persist keeps lineage, which the per-round cut exists to drop)")
     val e0 = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
+    // Size gate (round 17, guide §1.2 — fix the distributed algorithm,
+    // and §5 — the driver may do small-data work): pointer jumping costs
+    // ~2 sequential driver jobs per round over three joins — ≥10 jobs of
+    // fixed latency even for a few hundred edges (measured: 4.5 s of
+    // e_semdedup's 9.2 s wall clock over a pair set of a few hundred
+    // rows). When the edge list fits the driver by plan statistics (the
+    // BroadcastGate stance — overestimates fall back to the distributed
+    // loop, the safe direction; a catastrophically low estimate is still
+    // bounded by spark.driver.maxResultSize), collect ONCE and run
+    // union-find linking the larger root under the smaller, so each
+    // tree's root IS the component minimum — the IDENTICAL (id, min-id)
+    // labels the propagation loop converges to, with none of the
+    // iteration latency. The loop below stays the 100 TB path.
+    if (BroadcastGate.estimateOrCount(e0) <= driverMaxEdges) {
+      val rows = e0.collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent(r) != r) r = parent(r)
+        var c = x0
+        while (c != r) { val n = parent(c); parent.update(c, r); c = n }
+        r
+      }
+      rows.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.contains(a)) parent.update(a, a)
+        if (!parent.contains(b)) parent.update(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.update(math.max(ra, rb), math.min(ra, rb))
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return parent.keysIterator.map(v => (v, find(v))).toSeq
+        .sortBy(_._1).toDF("id", "rep")
+    }
     val sym = materializeIter(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct(), materialize)
@@ -1404,8 +1445,11 @@ object Corpus {
     require(k >= 1 && w >= 1, "winnowFingerprints: k and w must be ≥ 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        TextAnalysis.normalized(col(textCol)).as("t"))
+    // Spread (r17): per-gram MD5 in the typed kernel, serial on the
+    // unsplittable scan otherwise
+    Spread(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("__t")))
+      .select(col("doc_id"), TextAnalysis.normalized(col("__t")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
         val words = t.split(" ")
@@ -1482,8 +1526,8 @@ object Corpus {
       maxVocabWords: Int = 50000): Seq[(String, String)] = {
     require(nMerges > 0, "bpeTrain: nMerges must be positive")
     require(maxVocabWords > 0, "bpeTrain: maxVocabWords must be positive")
-    val wordFreq = docs
-      .select(explode(split(TextAnalysis.normalized(col(textCol)), " "))
+    val wordFreq = Spread(docs.select(col(textCol).as("__t")))
+      .select(explode(split(TextAnalysis.normalized(col("__t")), " "))
         .as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
@@ -1545,8 +1589,11 @@ object Corpus {
     val rank: Map[(String, String), Int] =
       merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
     val bc = spark.sparkContext.broadcast(rank)
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        TextAnalysis.normalized(col(textCol)).as("t"))
+    // Spread (r17): the per-word lowest-rank merge loop is per-row
+    // expensive and ran serial on the unsplittable scan
+    Spread(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("__t")))
+      .select(col("doc_id"), TextAnalysis.normalized(col("__t")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
         val r = bc.value
@@ -1609,13 +1656,21 @@ object Corpus {
       broadcastVocab: Option[Boolean] = None,
       broadcastMaxDocs: Long = 500000L): DataFrame = {
     require(lambda >= 0 && lambda <= 1, s"bigramScore: λ=$lambda ∉ [0,1]")
-    val w = split(TextAnalysis.normalized(col(textCol)), " ")
-    val pairsArr = slice(
-      zip_with(w, slice(w, lit(2), greatest(size(w) - 1, lit(1))),
-        (a, b) => struct(a.as("w1"), b.as("w2"))),
-      lit(1), greatest(size(w) - 1, lit(0)))
-    val base = docs.select(col(idCol).as("doc_id"), w.as("ws"),
-      pairsArr.as("ps"))
+    // Round 17: tokenize ONCE, in parallel — the two consumers below
+    // (unigram vocab from ws, pair stream from ps) each re-ran the
+    // normalize-regex + split + zip_with over the full text, serially on
+    // the unsplittable scan. Spread parallelizes the tokenize; the
+    // Materialize pins its output so both consumers read blocks
+    // (guide §2.4/§2.5; d_bigram_score measured 2.85 s before).
+    val base = Materialize(Spread(docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("__t")))
+      .select(col("doc_id"),
+        split(TextAnalysis.normalized(col("__t")), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), slice(
+        zip_with(col("ws"),
+          slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(1))),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        lit(1), greatest(size(col("ws")) - 1, lit(0))).as("ps")), "local")
     val toks = base.select(col("doc_id"), explode(col("ps")).as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"))
     val uniVocab = base.select(explode(col("ws")).as("w"))
@@ -1693,7 +1748,7 @@ object Corpus {
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int = 4096): DataFrame = {
     require(buckets > 0, "dsirWeights: buckets must be positive")
-    val uni = split(TextAnalysis.normalized(col(textCol)), " ")
+    val uni = split(TextAnalysis.normalized(col("__t")), " ")
     // bigrams via zip_with(w, w[2:]) — NOT element_at in a sequence
     // lambda, which re-evaluates the whole normalize+split per ELEMENT
     // (O(len²) regex work per doc; measured 6× slower at sf0.1). The
@@ -1702,8 +1757,15 @@ object Corpus {
       zip_with(uni, slice(uni, lit(2), greatest(size(uni) - 1, lit(1))),
         (a, b) => concat_ws(" ", a, b)),
       lit(1), greatest(size(uni) - 1, lit(0)))
-    val feats = docs.select(col(idCol).as("doc_id"),
-        targetPred.as("is_tgt"),
+    // Spread UNDER the Materialize (r17): with docBucket pinned below,
+    // the tokenize has exactly ONE consumer (the materialize job), so
+    // spreading the raw-text feed parallelizes it without the earlier
+    // dead end (un-pinned Spread re-shuffled the text once per pruned
+    // consumer: 3.7 → 15.5 s). targetPred evaluates in the projection,
+    // before the rename.
+    val feats = Spread(docs.select(col(idCol).as("doc_id"),
+        targetPred.as("is_tgt"), col(textCol).as("__t")))
+      .select(col("doc_id"), col("is_tgt"),
         explode(concat(uni, bi)).as("f"))
       .select(col("doc_id"), col("is_tgt"),
         (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long")

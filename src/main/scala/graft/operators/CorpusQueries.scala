@@ -38,7 +38,13 @@ object CorpusQueries {
     val ep = fp.as("a")
       .join(fp.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val cc = Corpus.connectedComponents(jp.union(ep), "doc_a", "doc_b")
+    // Materialize the pair union before CC (r17): a union-of-joins
+    // carries multiplied size ESTIMATES, so connectedComponents' driver
+    // gate never fires on it; the checkpointed frame has exact stats
+    // (and the distributed path would re-run the pair lineage for the
+    // sym build anyway)
+    val cc = Corpus.connectedComponents(
+      graft.operators.Materialize(jp.union(ep), "local"), "doc_a", "doc_b")
     d.select(col("doc_id"))
       .join(cc, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))

@@ -419,8 +419,17 @@ object Similarity {
       vecCol: String = "embedding", k: Int = 8,
       iters: Int = 3): (IndexedSeq[Seq[Double]], Seq[Double]) = {
     require(k >= 1 && iters >= 1, s"bad kmeans dials k=$k iters=$iters")
-    val base = embeddings.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+    // Materialize the (id, v) training frame: every Lloyd iteration plus
+    // the seed job re-ran the scan+cast lineage (iters+1 passes). The
+    // standard iterative-trainer trade (MLlib persists its training set
+    // the same way): one store, iters+1 block reads. Callers at corpus
+    // scale go through kmeansFitSampled (bounded sample); the full-corpus
+    // path here is the small-k regime by design (semDedup's
+    // SemDedupSampledTrainingK gate).
+    // (Spread first: the sampled path arrives as a 1-partition
+    // GlobalLimit and the assignment is k×dim flops per row)
+    val base = Materialize(Spread(embeddings.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))), "local")
     var cents: IndexedSeq[Seq[Double]] = base.orderBy(col("id")).limit(k)
       .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     require(cents.length == k,
@@ -573,12 +582,18 @@ object Similarity {
       else kmeansFitSampled(embeddings, idCol, vecCol, kEff, iters,
         sampleCap = math.max(32L * kEff, 4096L))
     val cellDists = cellDistExpr(col("v"), cents)
-    val assigned = embeddings
+    // Materialize: three consumers re-ran the scan + k×dim assignment
+    // expression from scratch (the cellSizes collect, then the salted
+    // A side AND B side of the candidate join — column pruning
+    // specializes each subtree, so nothing is shared). One store, three
+    // block reads; the frame is the corpus projected to (id, v, cell) —
+    // the same bytes the candidate join must move anyway.
+    val assigned = Materialize(Spread(embeddings
       .select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
+        transform(col(vecCol), x => x.cast("double")).as("v")))
       .select(col("id"), col("v"),
         explode(slice(array_sort(cellDists), 1, probes)).as("probe"))
-      .select(col("id"), col("v"), col("probe.cell").as("cell"))
+      .select(col("id"), col("v"), col("probe.cell").as("cell")), "local")
 
     // per-probed-cell sizes: ≤ k rows to the driver — the only extra
     // materialization, and what the budget guard + salt plan derive from
@@ -685,11 +700,18 @@ object Similarity {
       s"bad PQ dials ksub=$ksub iters=$iters sampleCap=$sampleCap")
     val dsub = dim / m
     // spread: GlobalLimit collapses the training sample to ONE partition,
-    // serializing every Lloyd iteration's argmin pass behind it
-    val base = Spread(embeddings
+    // serializing every Lloyd iteration's argmin pass behind it.
+    // Materialize: the sample is BOUNDED (≤ sampleCap rows) and every
+    // Lloyd iteration plus the seed job re-executed its whole lineage
+    // (TakeOrdered sort + repartition + cast) from the source scan —
+    // iters+1 recomputes of a frame that fits in memory by contract
+    // (guide §1.2: fix the distributed algorithm first; measured
+    // e_knn_pq 4.7 s → see OPTIMIZATION_r17 batch 4)
+    val base = Materialize(Spread(embeddings
       .orderBy(hash(col(idCol)), col(idCol)).limit(sampleCap)
       .select(col(idCol).as("id"),
-        transform(assertDim(col(vecCol), dim), x => x.cast("double")).as("v")))
+        transform(assertDim(col(vecCol), dim), x => x.cast("double")).as("v"))),
+      "local")
     val seed = base.orderBy(col("id")).limit(ksub)
       .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     require(seed.length == ksub,

@@ -45,6 +45,40 @@ object StreamingQueries {
     Tables.load(spark, dir, "events").as[Event]
   }
 
+  /** Run a streaming replay with `spark.sql.shuffle.partitions` derived
+    * from the REPLAYED input's size instead of the session's batch
+    * setting (opt guide §2.2 — fewer, larger partitions; §6 small-files).
+    * The state-store partition count is FIXED at stream start from this
+    * conf (streaming cannot use AQE coalescing — Spark disables AQE on
+    * stateful plans), and every stateful operator writes one state delta
+    * file per partition per micro-batch: a stream-stream join (4 state
+    * stores) over a few-MB replay at the session's 32 batch partitions
+    * wrote ~32×4×batches tiny delta files and scheduled as many no-op
+    * tasks — measured 15.1 s for q_stream_join, of which the actual data
+    * work is well under a second. Deriving partitions from the replayed
+    * bytes (ceil(bytes/64 MB), clamped to [1, 8×defaultParallelism])
+    * keeps the same code right at both ends: sf0.1 replays derive 1,
+    * a 100 TB replay derives the clamp — input-scaled, never a local
+    * constant. Restores the session conf afterwards, so the surrounding
+    * BATCH plan (source writes before, result post-processing after) is
+    * untouched. Row-level results are partitioning-independent: state
+    * keys are hash-routed, and every one of these queries' checks is
+    * order-free by construction (see each scaladoc). */
+  private def withReplayParallelism[T](spark: SparkSession,
+      srcDirs: Seq[String])(body: => T): T = {
+    val bytes = srcDirs.map { d =>
+      val fs = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+      fs.filter(_.isFile).map(_.length).sum
+    }.sum
+    val target = math.max(1L, math.min(
+      8L * spark.sparkContext.defaultParallelism,
+      bytes / (64L << 20) + 1))
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, target.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Routed record for the multi-transform row. */
   final case class Routed(event_id: Long, value_cents: Long)
 
@@ -109,7 +143,13 @@ object StreamingQueries {
     val rec = struct(col("event_id"), col("event_type"), col("value"))
     def ok(w: KafkaWire.WireFormat) =
       w.decode(w.encode(rec), schema) <=> rec
-    Tables.load(spark, dir, "events")
+    // Spread (r17): three encode+decode codec kernels per row ran serial
+    // on the unsplittable single-row-group scan — measured 3.65 s at
+    // sf0.1. Pre-projected to the three used columns so the exchange
+    // carries no props/ts bytes (guide §2.3); the select list itself is
+    // untouched (its alias-shadowing semantics are load-bearing).
+    Spread(Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value")))
       .select(col("event_id"), col("event_type"),
         round(col("value"), 2).as("value"),
         ok(KafkaWire.JsonWire).as("json_ok"),
@@ -134,7 +174,10 @@ object StreamingQueries {
     import graft.schema.{MooseColumn, MooseSchema}
     val schema = MooseSchema(Seq(
       MooseColumn("m", MMap(MUInt16, MString)))).toStructType
-    val ev = Tables.load(spark, dir, "events")
+    // Spread (r17): the per-row JSON map decode ran serial on the
+    // unsplittable scan (2.4 s at sf0.1); only event_id feeds the row
+    val ev = Spread(Tables.load(spark, dir, "events")
+      .select(col("event_id")))
     val k1 = (col("event_id") % 100).cast("int")
     val k2 = (col("event_id") % 100 + 1).cast("int")
     val poison = col("event_id") % 7 === 0
@@ -232,8 +275,17 @@ object StreamingQueries {
       TableEngine.AggregatingMergeTree(barAggregatedMV.stateCols),
       orderBy = Seq("day")), wh)
     val ck = Files.createTempDirectory("mvs_ck").toString
-    val q = barAggregatedMV.maintainInto(stream, target, ck)
-    try q.processAllAvailable() finally q.stop()
+    withReplayParallelism(spark, Seq(src)) {
+      // trigger 0 (r17): maintainInto's production default is the
+      // reference's 1 s sync cadence, but a finite file REPLAY at that
+      // cadence spends ~1 s ASLEEP between micro-batches (~3 s of the
+      // query's 4 s wall clock was the trigger timer, not compute).
+      // Replay as-fast-as-possible; same batches, same inserts, same
+      // rows — the operator's default is untouched.
+      val q = barAggregatedMV.maintainInto(stream, target, ck,
+        triggerInterval = "0 seconds")
+      try q.processAllAvailable() finally q.stop()
+    }
     target.optimizeFinal()
     barAggregatedMV.finish(target.read())
       .withColumn("avg_value_cents", round(col("avg_value_cents"), 4))
@@ -275,24 +327,26 @@ object StreamingQueries {
       stream.withWatermark("ts", "30 days"),
       "user_id", "ts", "value")
     val sink = s"sess_stream_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = sessions.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try {
-      q.processAllAvailable() // the 4 event files, one micro-batch each
-      // two sentinel batches: the first ADVANCES the watermark (stats are
-      // collected during batch N, applied from batch N+1), the second
-      // triggers the batch that runs WITH the advanced watermark and
-      // emits every closed session. Appended as files AFTER the main
-      // replay drained, so each lands in its own discovered micro-batch.
-      (0 until 2).foreach { i =>
-        Seq((-1L - i,
-            new java.sql.Timestamp(maxTs.getTime + 86400000L * 40), -1L,
-            "sentinel", 0.0, null: String))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("append").parquet(src)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withReplayParallelism(spark, Seq(src)) {
+      val q = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // the 4 event files, one micro-batch each
+        // two sentinel batches: the first ADVANCES the watermark (stats are
+        // collected during batch N, applied from batch N+1), the second
+        // triggers the batch that runs WITH the advanced watermark and
+        // emits every closed session. Appended as files AFTER the main
+        // replay drained, so each lands in its own discovered micro-batch.
+        (0 until 2).foreach { i =>
+          Seq((-1L - i,
+              new java.sql.Timestamp(maxTs.getTime + 86400000L * 40), -1L,
+              "sentinel", 0.0, null: String))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1).write.mode("append").parquet(src)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     spark.table(sink).where(col("user_id") >= 0)
       .orderBy(col("user_id"), col("session_start"))
   }
@@ -324,19 +378,21 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("cents"))
     val sink = s"slide_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try {
-      q.processAllAvailable()
-      (0 until 2).foreach { i =>
-        Seq((-1L - i,
-            new java.sql.Timestamp(maxTs.getTime + 86400000L * 100), -1L,
-            "sentinel", 0.0, null: String))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("append").parquet(src)
+    withReplayParallelism(spark, Seq(src)) {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
         q.processAllAvailable()
-      }
-    } finally q.stop()
+        (0 until 2).foreach { i =>
+          Seq((-1L - i,
+              new java.sql.Timestamp(maxTs.getTime + 86400000L * 100), -1L,
+              "sentinel", 0.0, null: String))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1).write.mode("append").parquet(src)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     spark.table(sink).where(col("event_type") =!= "sentinel")
       .select(unix_timestamp(col("window.start")).as("w_start"),
         col("event_type"), col("n"), col("cents"))
@@ -369,9 +425,11 @@ object StreamingQueries {
     val deduped = graft.streaming.StreamDedup
       .exactDedupStream(stream, "text")
     val sink = s"sdedup_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = deduped.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withReplayParallelism(spark, Seq(src)) {
+      val q = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val nOut = spark.table(sink).count()
     val nIn = docs.count() + dupes.count()
     val nDistinct = docs.select(md5(col("text"))).distinct().count()
@@ -413,9 +471,11 @@ object StreamingQueries {
         graft.streaming.StreamJoin.gapSeconds(col("l_ts"), col("r_ts"))
           .as("gap_s"))
     val sink = s"sj_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = joined.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withReplayParallelism(spark, Seq(vsrc, csrc)) {
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(sink)
       .orderBy(col("user_id"), col("view_id"), col("click_id"))
   }
@@ -450,9 +510,11 @@ object StreamingQueries {
     val levels = StreamFunnel.levels(stream, numSteps = steps.length,
       windowSecs = 86400L, latenessSecs = 365L * 86400L)
     val sink = s"sfun_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = levels.writeStream.format("memory").queryName(sink)
-      .outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
+    withReplayParallelism(spark, Seq(src)) {
+      val q = levels.writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     events.select(col("user_id")).distinct()
       .join(spark.table(sink).groupBy(col("user_id"))
           .agg(max(col("funnel_level")).as("lvl")),
@@ -482,11 +544,13 @@ object StreamingQueries {
       .schema(spark.read.parquet(src).schema)
       .parquet(src)
     val sink = s"sndup_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = StreamNearDup.candidates(stream, "doc_id", "ts", "text",
-        delay = "10 minutes")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withReplayParallelism(spark, Seq(src)) {
+      val q = StreamNearDup.candidates(stream, "doc_id", "ts", "text",
+          delay = "10 minutes")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val streamFlag = spark.table(sink).select(col("doc_id")).distinct()
       .withColumn("s_flag", lit(true))
     // independent batch recomputation over the same band keys
@@ -536,9 +600,11 @@ object StreamingQueries {
     val entries = StreamTopK.heavyHitters(stream, capacity = 64,
       windowSecs = 86400L, shards = 4, delay = "3650 days")
     val sink = s"stopk_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = entries.writeStream.format("memory").queryName(sink)
-      .outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
+    withReplayParallelism(spark, Seq(src)) {
+      val q = entries.writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val summary = spark.table(sink)
       .groupBy(col("window_start"), col("key"))
       .agg(max(col("cnt")).as("cnt"), max(col("err")).as("err"))

@@ -52,6 +52,46 @@ object ProfileR17 {
       }
 
     args.drop(1) match {
+      case Array("SEM") =>
+        // stage-level breakdown of e_semdedup's wall clock
+        import graft.operators.{Corpus, Similarity}
+        val e = Tables.load(spark, sfDir, "embeddings")
+        def t[A](name: String)(f: => A): A = {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"[p17] SEM:$name%-24s t=${(System.nanoTime() - t0) / 1e9}%.3f")
+          r
+        }
+        (1 to 2).foreach { pass =>
+          println(s"[p17] SEM pass $pass")
+          t("count")(e.count())
+          t("kmeansFit")(Similarity.kmeansFit(e, k = 3, iters = 3))
+          val sem = t("semDedupPairs+ckpt")(
+            Similarity.semDedupPairs(e, k = 0, iters = 3, probes = 2,
+              threshold = 0.4).localCheckpoint(true))
+          t("brute")(Similarity.nearDupPairsBrute(e, threshold = 0.4)
+            .write.format("noop").mode("overwrite").save())
+          t("cc")(Corpus.connectedComponents(
+              sem.select(col("vec_a"), col("vec_b")), "vec_a", "vec_b")
+            .write.format("noop").mode("overwrite").save())
+          t("full")(graft.SparkEntry.queries("e_semdedup")(spark, sfDir)
+            .write.format("noop").mode("overwrite").save())
+        }
+        spark.stop(); return
+      case Array("ALL") =>
+        // one-pass ranking sweep (no warmup — relative order is what
+        // matters; re-profile the top hits with timeQ before acting)
+        graft.SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+          spark.sparkContext.setJobDescription(q)
+          val t0 = System.nanoTime()
+          try graft.SparkEntry.queries(q)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            println(s"[p17] S:$q FAILED ${e.getMessage.take(80)}") }
+          println(f"[p17] S:$q%-26s t=${(System.nanoTime() - t0) / 1e9}%.3f")
+          spark.sparkContext.setJobDescription(null)
+        }
+        spark.stop(); return
       case qs if qs.nonEmpty => qs.foreach(q => timeQ(q)); spark.stop(); return
       case _ => ()
     }
