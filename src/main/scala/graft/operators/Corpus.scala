@@ -73,16 +73,22 @@ object Corpus {
     // ~2 sequential driver jobs per round over three joins — ≥10 jobs of
     // fixed latency even for a few hundred edges (measured: 4.5 s of
     // e_semdedup's 9.2 s wall clock over a pair set of a few hundred
-    // rows). When the edge list fits the driver by plan statistics (the
-    // BroadcastGate stance — overestimates fall back to the distributed
-    // loop, the safe direction; a catastrophically low estimate is still
+    // rows). When the edge list fits the driver by EXACT count (a block
+    // read over the materialized frame below; a runaway collect is still
     // bounded by spark.driver.maxResultSize), collect ONCE and run
     // union-find linking the larger root under the smaller, so each
     // tree's root IS the component minimum — the IDENTICAL (id, min-id)
     // labels the propagation loop converges to, with none of the
     // iteration latency. The loop below stays the 100 TB path.
-    if (BroadcastGate.estimateOrCount(e0) <= driverMaxEdges) {
-      val rows = e0.collect()
+    // e0 materialized FIRST (r17, second pass): the symmetrizing union
+    // below otherwise evaluates the edge lineage TWICE (its two branches
+    // are separate subtrees), and the size gate would need either a plan
+    // estimate (wildly inflated for union-of-joins inputs) or an extra
+    // full count pass (measured +0.7 s at the 20× stress). One lineage
+    // run; the count and the collect below are block reads.
+    val e0M = materializeIter(e0, materialize)
+    if (e0M.count() <= driverMaxEdges) {
+      val rows = e0M.collect()
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x0: Long): Long = {
         var r = x0
@@ -104,7 +110,7 @@ object Corpus {
         .sortBy(_._1).toDF("id", "rep")
     }
     val sym = materializeIter(
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      e0M.union(e0M.select(col("dst").as("src"), col("src").as("dst")))
         .distinct(), materialize)
 
     var labels = materializeIter(
@@ -1526,8 +1532,11 @@ object Corpus {
       maxVocabWords: Int = 50000): Seq[(String, String)] = {
     require(nMerges > 0, "bpeTrain: nMerges must be positive")
     require(maxVocabWords > 0, "bpeTrain: maxVocabWords must be positive")
-    val wordFreq = Spread(docs.select(col(textCol).as("__t")))
-      .select(explode(split(TextAnalysis.normalized(col("__t")), " "))
+    // (No Spread here — measured dead end at 20×: the explode feeds a
+    // map-side-combined aggregate, so spreading ships raw text the
+    // partial agg would have compacted; 20× BPE probe +4 s)
+    val wordFreq = docs
+      .select(explode(split(TextAnalysis.normalized(col(textCol)), " "))
         .as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("f"))

@@ -38,13 +38,7 @@ object CorpusQueries {
     val ep = fp.as("a")
       .join(fp.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    // Materialize the pair union before CC (r17): a union-of-joins
-    // carries multiplied size ESTIMATES, so connectedComponents' driver
-    // gate never fires on it; the checkpointed frame has exact stats
-    // (and the distributed path would re-run the pair lineage for the
-    // sym build anyway)
-    val cc = Corpus.connectedComponents(
-      graft.operators.Materialize(jp.union(ep), "local"), "doc_a", "doc_b")
+    val cc = Corpus.connectedComponents(jp.union(ep), "doc_a", "doc_b")
     d.select(col("doc_id"))
       .join(cc, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
@@ -428,9 +422,13 @@ object CorpusQueries {
     * more typical = head (CCNet's LOW perplexity). */
   def dPplBuckets(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val s = Corpus.unigramScore(d, "doc_id", "text")
-      .select(col("doc_id"), col("mean_tok_prob").as("s"))
-      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // Materialize (r17): the scored frame feeds the threshold
+    // computation AND the final bucket join — without the pin the
+    // unigramScore lineage re-runs per consumer
+    val s = graft.operators.Materialize(
+      Corpus.unigramScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("mean_tok_prob").as("s"))
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id")), "local")
     val freq = s.groupBy(col("lang"), col("s")).agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(col("lang")).orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -438,11 +436,15 @@ object CorpusQueries {
     val cum = freq
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(wAll))
-    def rankThreshold(frac: Double, name: String): DataFrame = cum
-      .where(col("cum") >= ceil(col("n") * lit(frac)))
-      .groupBy(col("lang")).agg(min(col("s")).as(name))
-    val thresholds = rankThreshold(1.0 / 3, "t1")
-      .join(rankThreshold(2.0 / 3, "t2"), Seq("lang"))
+    // ONE aggregation pass for both rank thresholds (r17): the earlier
+    // shape ran rankThreshold twice — two full window subtrees joined
+    // back together. min(when(pred, s)) ≡ where(pred).min(s), same
+    // values by construction.
+    val thresholds = cum.groupBy(col("lang")).agg(
+      min(when(col("cum") >= ceil(col("n") * lit(1.0 / 3)), col("s")))
+        .as("t1"),
+      min(when(col("cum") >= ceil(col("n") * lit(2.0 / 3)), col("s")))
+        .as("t2"))
     s.join(broadcast(thresholds), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("s"),
         when(col("s") <= col("t1"), "tail")

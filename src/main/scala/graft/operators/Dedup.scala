@@ -473,6 +473,11 @@ object Dedup {
         "missed past hamming 3) — pass acceptIncomplete = true to take " +
         "the recall gap knowingly")
     val sig = simhash(docs, idCol, textCol)
+    // (Materializing this frame measured NEUTRAL at sf0.1 — r17: unlike
+    // the minhash shingle case, the reduce side above the reused
+    // exchange is one 64-lane aggregate whose re-run costs about what
+    // the localCheckpoint store+read costs — and a store is pure cost at
+    // corpus scale. Recorded as a dead end; left un-pinned.)
     val banded = sig.select(col("id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),

@@ -27,6 +27,11 @@ import org.apache.spark.sql.DataFrame
 private[graft] object Spread {
   def apply(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // fire only when MEANINGFULLY under-parallel (≤ half the session
+    // target): at 20× stress the amplified inputs arrive with ~20 of 32
+    // partitions, and repartitioning 20 → 32 ships the full payload for
+    // a ≤1.6× parallelism gain — measured a net loss on the BPE encode
+    // probe. The sites this helper exists for sit at ONE partition.
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
   }
 }

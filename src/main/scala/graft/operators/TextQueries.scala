@@ -211,7 +211,9 @@ object TextQueries {
     val anyPii = Seq(TextAnalysis.emailRe, TextAnalysis.ipv4Re,
       TextAnalysis.phoneRe).map(re => regexp_like(scrubbed, lit(re)))
       .reduce(_ || _)
-    docs(spark, dir).select(
+    // Spread (r17): six regex passes (3 extract_all + scrub + residual
+    // checks) per row ran serial on the unsplittable scan
+    Spread(docs(spark, dir).select(col("doc_id"), col("text"))).select(
         col("doc_id"),
         size(regexp_extract_all(injected, lit(TextAnalysis.emailRe), lit(0)))
           .cast("long").as("n_emails"),
@@ -836,7 +838,9 @@ object TextQueries {
       when(col("doc_id") % 5 === 0, lit("<ul><li>one</li><li>two</li></ul>"))
         .otherwise(lit("")),
       lit("<br/>footer&nbsp;text</body></html>"))
-    docs(spark, dir)
+    // Spread (r17): htmlExtract is a long regexp_replace chain per row,
+    // serial on the unsplittable scan
+    Spread(docs(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         TextAnalysis.htmlExtract(page).as("__x"))
       .select(col("doc_id"),

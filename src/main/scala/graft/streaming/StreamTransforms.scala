@@ -109,6 +109,13 @@ object StreamTransforms {
     implicit val uEnc: Encoder[U] = ExpressionEncoder[U]()
     implicit val dlEnc: Encoder[DeadLetter] = ExpressionEncoder[DeadLetter]()
 
+    // Measured dead end (r17): spreading an under-parallel batch input
+    // before this map (the Spread pattern that paid off for codec/BPE
+    // kernels) LOST here — q_transform_bar 0.70 → 0.99 s,
+    // q_multi_transform 0.88 → 1.40 s at sf0.1. The user transforms are
+    // cheap per row, so the round-robin exchange (which serializes the
+    // full T rows) costs more than the serial deserialize+map it
+    // parallelizes. Spread only pays where per-row work is measured-heavy.
     val attempts0 = ds.map { t =>
       try Attempt[U](f(t).iterator.toSeq, None, None, None)
       catch {

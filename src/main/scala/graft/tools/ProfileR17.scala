@@ -52,6 +52,35 @@ object ProfileR17 {
       }
 
     args.drop(1) match {
+      case Array("SJ") =>
+        // micro-batch duration breakdown for the stream-stream join
+        // replay (same harness as qStreamJoin, plus recentProgress dump)
+        import java.nio.file.Files
+        val events = Tables.load(spark, sfDir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        val views = events.where(col("event_type") === "view").drop("event_type")
+        val clicks = events.where(col("event_type") === "click").drop("event_type")
+        val vsrc = Files.createTempDirectory("sjp_v").toString
+        val csrc = Files.createTempDirectory("sjp_c").toString
+        views.repartition(3).write.mode("overwrite").parquet(vsrc)
+        clicks.repartition(3).write.mode("overwrite").parquet(csrc)
+        def rs(path: String) = spark.readStream
+          .schema(spark.read.parquet(path).schema)
+          .option("maxFilesPerTrigger", "1").parquet(path)
+        val joined = graft.streaming.StreamJoin.intervalJoin(
+          rs(vsrc), rs(csrc), "user_id", "ts", "ts", maxGapSeconds = 900L,
+          watermarkDelay = "400 days")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        val t0 = System.nanoTime()
+        val q = joined.writeStream.format("memory").queryName("sjp")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        println(f"[p17] SJ wall=${(System.nanoTime() - t0) / 1e9}%.3f")
+        q.recentProgress.foreach { p =>
+          println(s"[p17] SJ batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durations=${p.durationMs}")
+        }
+        spark.stop(); return
       case Array("SEM") =>
         // stage-level breakdown of e_semdedup's wall clock
         import graft.operators.{Corpus, Similarity}
