@@ -307,8 +307,28 @@ object Dedup {
     // "none" costs compute, not correctness).
     val shRaw = shingleSet(docs, idCol, textCol, n)
     val sh = if (materialize == "none") shRaw else Materialize(shRaw, materialize)
-    val candidates = lshCandidates(minhashSignatures(sh, k), bands, k / bands)
-    val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // Fused signature+count aggregate (r17): the signature groupBy and
+    // the per-doc shingle count were two separate full aggregations over
+    // the shingle frame; one groupBy computes both (identical lane
+    // expressions ⇒ identical signatures; count over the same rows ⇒
+    // identical n_sh). The fused frame is DOC-count-sized, so pinning it
+    // is cheap at any scale, and it serves three consumers (band keys,
+    // both verify count joins) from blocks. Honesty note: measured
+    // NEUTRAL at sf0.1 (d_minhash_lsh med 2.06 s vs a 1.86–2.07 band)
+    // and inside 20× window noise — kept for the structural reduction
+    // (one aggregation pass over the shingle frame, the pipeline's
+    // largest intermediate, instead of two; visible in the plan diff).
+    val lane0 = min(xxhash64(lit(0), col("h"))).as("mh0")
+    val lanesRest = (1 until k).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"mh$i")) :+
+      count(lit(1)).as("n_sh")
+    val sigCntRaw = sh.select(col("id"), xxhash64(col("sh")).as("h"))
+      .groupBy(col("id"))
+      .agg(lane0, lanesRest: _*)
+    val sigCnt = if (materialize == "none") sigCntRaw
+      else Materialize(sigCntRaw, materialize)
+    val candidates = lshCandidates(sigCnt, bands, k / bands)
+    val cnt = sigCnt.select(col("id"), col("n_sh"))
     // Join order is load-bearing: restrict the shingle table to candidate
     // docs FIRST, then match the other side's shingles. Left free, Catalyst
     // may reorder into a full shingle⋈shingle self-join, which is quadratic

@@ -59,19 +59,29 @@ object MinhashAb {
     def armB(): DataFrame = pairsFrom(shBase.repartition(col("id")))
     def armC(): DataFrame = pairsFrom(shBase.localCheckpoint(true))
 
+    // d — whatever Dedup.minhashDedupPairs currently ships (r17 batch 8:
+    // the fused signature+count aggregate over the pinned shingle frame);
+    // alternated against c (the batch-2 committed shape) in one JVM
+    def armD(): DataFrame =
+      Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 24, 8, 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+
     def run(mk: () => DataFrame): Double = {
       val t0 = System.nanoTime()
       mk().write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    run(armA _); run(armB _); run(armC _) // warm all arms
-    val samples = (1 to pairs).map { _ => (run(armA _), run(armB _), run(armC _)) }
+    run(armA _); run(armB _); run(armC _); run(armD _) // warm all arms
+    val samples = (1 to pairs).map { _ =>
+      (run(armA _), run(armB _), run(armC _), run(armD _)) }
     def stats(xs: Seq[Double]) =
       f"min=${xs.min}%.3f med=${xs.sorted.apply(xs.size / 2)}%.3f " +
         xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     println(s"[ab] a(statusquo)  ${stats(samples.map(_._1))}")
     println(s"[ab] b(repart-id)  ${stats(samples.map(_._2))}")
     println(s"[ab] c(localchkpt) ${stats(samples.map(_._3))}")
+    println(s"[ab] d(shipped)    ${stats(samples.map(_._4))}")
     spark.stop()
   }
 }

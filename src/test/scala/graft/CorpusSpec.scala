@@ -50,6 +50,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(uni.getDouble(0) == 0.5 && uni.getDouble(1) == 0.5)
   }
 
+  test("connectedComponents: driver union-find and distributed loop agree" +
+      " (r17 gate equivalence)") {
+    // the r17 size gate collects small edge lists to a driver union-find;
+    // at test sizes the gate ALWAYS fires, so the distributed pointer-
+    // jumping loop must be pinned explicitly: driverMaxEdges = 0 forces
+    // it, and both paths must emit the identical (id, min-id) set —
+    // including a chain (pointer jumping exercised), a cycle, duplicate
+    // and reversed edges, and a self-loop-only vertex (absent from both)
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (12L, 11L), (11L, 10L),
+      (21L, 20L), (20L, 21L), (30L, 30L)).toDF("doc_a", "doc_b")
+    def run(gate: Long) = Corpus.connectedComponents(
+        edges, "doc_a", "doc_b", driverMaxEdges = gate)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val driver = run(1000000L)
+    val distributed = run(0L)
+    assert(driver == distributed)
+    assert(driver == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("connectedComponents: chain, triangle, and pair collapse to min-id reps") {
     // components: {1,2,3,4,5} (a chain — exercises pointer jumping),
     // {10,11,12} (triangle), {20,21} (pair); 99 absent (no edges)
