@@ -104,7 +104,27 @@ object Bench {
       else -1.0
     val sent =
       f""","sentinel":{"q1_agg_first":$first%.3f,"q1_agg_last":$last%.3f,"ratio":$ratio%.2f}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"band":$band,"runs":$runs,"sf":"$sfDir"$sent}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"band":$band,"runs":$runs,"sf":"$sfDir"$sent}"""
+    println(json)
+    // ADDITIVE emission channels (r18, verdict r17 #2): the bare line
+    // above has been sbt-wrapped as `[info] {...}` in every archived
+    // round (r09–r17) and the driver's parser has returned null each
+    // time. Emit the IDENTICAL JSON where a log wrapper cannot damage
+    // it: (a) a `BENCHJSON `-prefixed line a regex can anchor on, and
+    // (b) a file next to the build. Nothing removed or renamed; the
+    // measurement protocol is untouched.
+    println(s"BENCHJSON $json")
+    try {
+      val out = java.nio.file.Paths.get("bench_last.json")
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_last.json write failed: $e") }
+    // contention telemetry (r18, verdict r17 #3): make a degraded VM
+    // window machine-readable in the tail instead of a judgment call
+    if (ratio > 1.5)
+      System.err.println(f"[bench] WARN contended window: sentinel ratio " +
+        f"$ratio%.2f > 1.5 — discard this sample and re-run")
     spark.stop()
   }
 }

@@ -106,7 +106,13 @@ object Corpus {
       }
       val spark = edges.sparkSession
       import spark.implicits._
-      return parent.keysIterator.map(v => (v, find(v))).toSeq
+      // snapshot the keys before the final find() sweep (r18, ADVICE
+      // r17): find()'s path compression mutates the LongMap, and LongMap
+      // documents modification-during-iteration as unsafe — value-only
+      // updates on existing keys happen not to repack today, but that is
+      // an implementation accident, not a contract
+      val ks = parent.keysIterator.toArray
+      return ks.iterator.map(v => (v, find(v))).toSeq
         .sortBy(_._1).toDF("id", "rep")
     }
     val sym = materializeIter(

@@ -328,7 +328,15 @@ object Dedup {
     val sigCnt = if (materialize == "none") sigCntRaw
       else Materialize(sigCntRaw, materialize)
     val candidates = lshCandidates(sigCnt, bands, k / bands)
-    val cnt = sigCnt.select(col("id"), col("n_sh"))
+    // materialize="none" (r18, ADVICE r17): project cnt from a plain
+    // count aggregate, not the fused sigCnt frame — un-pinned, each of
+    // the two verify-join count consumers would otherwise replay the
+    // full k-lane xxhash64 minhash aggregation from shuffle files where
+    // a bare groupBy count replays only the count. Pinned ("local" etc.),
+    // the fused frame is a block read and strictly fewer passes.
+    val cnt =
+      if (materialize == "none") sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+      else sigCnt.select(col("id"), col("n_sh"))
     // Join order is load-bearing: restrict the shingle table to candidate
     // docs FIRST, then match the other side's shingles. Left free, Catalyst
     // may reorder into a full shingle⋈shingle self-join, which is quadratic

@@ -549,9 +549,10 @@ object Similarity {
       vecCol: String = "embedding", k: Int = 0, iters: Int = 3,
       probes: Int = 2, threshold: Double = 0.4, dim: Int = 64,
       targetCellSize: Long = 2000L,
-      maxCandidatePairs: Long = 2000000000L): DataFrame =
+      maxCandidatePairs: Long = 2000000000L,
+      materialize: String = "local"): DataFrame =
     semDedupDiag(embeddings, idCol, vecCol, k, iters, probes, threshold,
-      dim, targetCellSize, maxCandidatePairs).pairs
+      dim, targetCellSize, maxCandidatePairs, materialize).pairs
 
   /** [[semDedupPairs]] plus its scale diagnostics — same plan, same pairs. */
   def semDedupDiag(
@@ -559,7 +560,8 @@ object Similarity {
       vecCol: String = "embedding", k: Int = 0, iters: Int = 3,
       probes: Int = 2, threshold: Double = 0.4, dim: Int = 64,
       targetCellSize: Long = 2000L,
-      maxCandidatePairs: Long = 2000000000L): SemDedupDiag = {
+      maxCandidatePairs: Long = 2000000000L,
+      materialize: String = "local"): SemDedupDiag = {
     require(targetCellSize >= 2, s"bad targetCellSize=$targetCellSize")
     // auto-k floor is probes+1 so soft assignment never lands a vector in
     // EVERY cell (k = probes would be all-pairs ×probes in disguise)
@@ -588,12 +590,19 @@ object Similarity {
     // specializes each subtree, so nothing is shared). One store, three
     // block reads; the frame is the corpus projected to (id, v, cell) —
     // the same bytes the candidate join must move anyway.
-    val assigned = Materialize(Spread(embeddings
+    // `materialize` knob (r18, ADVICE r17): the frame is CORPUS-sized
+    // (rows × probes), so a hardcoded localCheckpoint risked executor-
+    // storage exhaustion on a real cluster and turned any executor loss
+    // into whole-job failure; "none" opts out (three recomputes), the
+    // same dial Dedup.minhashDedupPairs threads.
+    val assignedRaw = Spread(embeddings
       .select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v")))
       .select(col("id"), col("v"),
         explode(slice(array_sort(cellDists), 1, probes)).as("probe"))
-      .select(col("id"), col("v"), col("probe.cell").as("cell")), "local")
+      .select(col("id"), col("v"), col("probe.cell").as("cell"))
+    val assigned = if (materialize == "none") assignedRaw
+      else Materialize(assignedRaw, materialize)
 
     // per-probed-cell sizes: ≤ k rows to the driver — the only extra
     // materialization, and what the budget guard + salt plan derive from

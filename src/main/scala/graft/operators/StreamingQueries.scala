@@ -66,17 +66,39 @@ object StreamingQueries {
     * order-free by construction (see each scaladoc). */
   private def withReplayParallelism[T](spark: SparkSession,
       srcDirs: Seq[String])(body: => T): T = {
+    // Hadoop-FS byte probe (r18, ADVICE/verdict r17): java.io.File
+    // returned null/empty for any non-local URI, silently deriving ONE
+    // shuffle partition and serializing all stateful-stream work — at
+    // odds with the same-code-at-100 TB stance. Resolve through the
+    // session's Hadoop FileSystem (works for file:/, hdfs:/, s3a:/ …)
+    // and refuse a missing dir loudly instead of sizing it at 0 bytes.
+    val hconf = spark.sparkContext.hadoopConfiguration
     val bytes = srcDirs.map { d =>
-      val fs = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
-      fs.filter(_.isFile).map(_.length).sum
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      require(fs.exists(p), s"withReplayParallelism: replay dir $d missing")
+      fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
     }.sum
     val target = math.max(1L, math.min(
       8L * spark.sparkContext.defaultParallelism,
       bytes / (64L << 20) + 1))
     val key = "spark.sql.shuffle.partitions"
+    // noDataMicroBatches pinned ON (r18): the single-sentinel emission
+    // dance in qSessionizeStream/qStreamSliding depends on Spark running
+    // the REQUIRED follow-up batch after a watermark advance (stats are
+    // collected during batch N and applied from batch N+1 — with no new
+    // file, N+1 is a no-data batch). It defaults to true; pin it so a
+    // session that disabled it cannot silently swallow the tail
+    // emissions. Restored with the partition conf.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val old = spark.conf.get(key)
+    val oldNd = spark.conf.get(ndKey, "true")
     spark.conf.set(key, target.toString)
-    try body finally spark.conf.set(key, old)
+    spark.conf.set(ndKey, "true")
+    try body finally {
+      spark.conf.set(key, old)
+      spark.conf.set(ndKey, oldNd)
+    }
   }
 
   /** Routed record for the multi-transform row. */
@@ -300,8 +322,9 @@ object StreamingQueries {
     * Harness notes (not operator code): the events table replays through
     * a temp-parquet file source with `maxFilesPerTrigger=1` (the same
     * harness as [[qMvStreaming]]) — NOTHING row-scaled touches the
-    * driver; batch boundaries come from the 4 source files plus the two
-    * sentinel files appended mid-stream. The 30-day watermark delay
+    * driver; batch boundaries come from the source files, the appended
+    * sentinel file, and the required no-data emission batch. The 30-day
+    * watermark delay
     * exceeds the events table's span so replay order can't drop anything;
     * the sentinel rows (filtered out AFTER the watermark node by
     * user_id ≥ 0) push the watermark past every session close so append
@@ -310,7 +333,13 @@ object StreamingQueries {
     import spark.implicits._
     val events = eventsDs(spark, dir).toDF()
     val src = Files.createTempDirectory("sess_src").toString
-    events.repartition(4).write.mode("overwrite").parquet(src)
+    // 2 replay files (r18, guide §6/§2.2 — was 4): per-micro-batch fixed
+    // cost dominates this harness; 2 files keep sessions spanning
+    // batches (round-robin repartition puts every user's span in both
+    // files) for half the batch count. With the single-sentinel change
+    // below, same-JVM A/B (tools/StreamAb SS): med 7.81 s → 4.16 s,
+    // result checksum identical.
+    events.repartition(2).write.mode("overwrite").parquet(src)
     // scalar max(ts) — the only driver materialization, O(1) at any SF
     val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
     val stream = spark.readStream
@@ -331,20 +360,23 @@ object StreamingQueries {
       val q = sessions.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        q.processAllAvailable() // the 4 event files, one micro-batch each
-        // two sentinel batches: the first ADVANCES the watermark (stats are
-        // collected during batch N, applied from batch N+1), the second
-        // triggers the batch that runs WITH the advanced watermark and
-        // emits every closed session. Appended as files AFTER the main
-        // replay drained, so each lands in its own discovered micro-batch.
-        (0 until 2).foreach { i =>
-          Seq((-1L - i,
-              new java.sql.Timestamp(maxTs.getTime + 86400000L * 40), -1L,
-              "sentinel", 0.0, null: String))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-            .coalesce(1).write.mode("append").parquet(src)
-          q.processAllAvailable()
-        }
+        q.processAllAvailable() // the event files, one micro-batch each
+        // ONE sentinel batch (r18 — was two): the sentinel ADVANCES the
+        // watermark (stats are collected during batch N, applied from
+        // batch N+1), and the batch that runs WITH the advanced
+        // watermark and emits every closed session is the REQUIRED
+        // no-data micro-batch Spark schedules itself when a watermark
+        // advance lets a stateful operator produce output
+        // (noDataMicroBatches — pinned on in withReplayParallelism);
+        // processAllAvailable blocks until that batch has run. Verified
+        // output-identical to the two-sentinel dance (tools/StreamAb SS,
+        // same checksum), one batch cheaper.
+        Seq((-1L,
+            new java.sql.Timestamp(maxTs.getTime + 86400000L * 40), -1L,
+            "sentinel", 0.0, null: String))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
       } finally q.stop()
     }
     spark.table(sink).where(col("user_id") >= 0)
@@ -363,7 +395,10 @@ object StreamingQueries {
     import spark.implicits._
     val events = eventsDs(spark, dir).toDF()
     val src = Files.createTempDirectory("slide_src").toString
-    events.repartition(4).write.mode("overwrite").parquet(src)
+    // 2 replay files + single sentinel (r18) — same reasoning and
+    // verification as qSessionizeStream (tools/StreamAb SL: med 7.81 s
+    // → 3.74 s, checksum identical); windows still straddle batches.
+    events.repartition(2).write.mode("overwrite").parquet(src)
     val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
     val stream = spark.readStream
       .schema(spark.read.parquet(src).schema)
@@ -383,14 +418,14 @@ object StreamingQueries {
         .outputMode("append").start()
       try {
         q.processAllAvailable()
-        (0 until 2).foreach { i =>
-          Seq((-1L - i,
-              new java.sql.Timestamp(maxTs.getTime + 86400000L * 100), -1L,
-              "sentinel", 0.0, null: String))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-            .coalesce(1).write.mode("append").parquet(src)
-          q.processAllAvailable()
-        }
+        // single sentinel: the follow-up emission batch is the required
+        // no-data micro-batch (see qSessionizeStream's note)
+        Seq((-1L,
+            new java.sql.Timestamp(maxTs.getTime + 86400000L * 100), -1L,
+            "sentinel", 0.0, null: String))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
       } finally q.stop()
     }
     spark.table(sink).where(col("event_type") =!= "sentinel")
@@ -452,8 +487,18 @@ object StreamingQueries {
       .drop("event_type")
     val vsrc = Files.createTempDirectory("sj_v").toString
     val csrc = Files.createTempDirectory("sj_c").toString
-    views.repartition(3).write.mode("overwrite").parquet(vsrc)
-    clicks.repartition(3).write.mode("overwrite").parquet(csrc)
+    // 2 replay files per side (r18, guide §6 small-files / §2.2 fewer,
+    // larger units): every micro-batch pays ~1.3–1.9 s of fixed cost
+    // (incremental re-planning, 4 state-store commits, offset/commit log
+    // writes) regardless of its row count — 3 files per side ran 3
+    // batches for the same drained answer 2 batches produce. Two files
+    // per side keeps the declared cross-batch property (views from
+    // batch 0 join clicks arriving in batch 1 through the state store);
+    // same-JVM A/B (tools/StreamAb SJ): med 6.49 s → 4.93 s, result
+    // checksum identical. files=1 measured faster still (4.32 s) but
+    // would collapse the join into one batch — rejected.
+    views.repartition(2).write.mode("overwrite").parquet(vsrc)
+    clicks.repartition(2).write.mode("overwrite").parquet(csrc)
     def rs(path: String) = spark.readStream
       .schema(spark.read.parquet(path).schema)
       .option("maxFilesPerTrigger", "1")

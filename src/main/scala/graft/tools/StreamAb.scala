@@ -1,0 +1,179 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Round-18 streaming A/B probes (guide §1 — measure first; §2.2/§6 —
+  * fewer, larger units of work): same-JVM variants of the three
+  * expensive stateful replay harnesses, each printing wall time AND a
+  * result checksum (count + sum of per-row hashes) so a harness change
+  * that alters the answer is caught immediately.
+  *
+  * Usage: sbt "runMain graft.tools.StreamAb /root/testdata/sf0.1 SJ"
+  *   SJ  — stream-stream interval join variants
+  *   SS  — sessionize variants (sentinel-batch count, file count)
+  *   SL  — sliding-window variants
+  */
+object StreamAb {
+  def main(args: Array[String]): Unit = {
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mode = args.drop(1).headOption.getOrElse("SJ")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(pmod(xxhash64(df.columns.map(col): _*),
+          lit(1000000007L))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def withConf[T](pairs: (String, String)*)(body: => T): T = {
+      val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+
+    def time[T](name: String, n: Int = 3)(body: => DataFrame): Unit = {
+      var cs: (Long, Long) = (0L, 0L)
+      val ts = (0 until n).map { _ =>
+        val t0 = System.nanoTime()
+        cs = checksum(body)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[ab] $name%-34s min=${ts.head}%.3f med=${ts(n / 2)}%.3f " +
+        f"rows=${cs._1} hash=${cs._2}")
+    }
+
+    mode match {
+      case "SJ" =>
+        val events = Tables.load(spark, sfDir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        def run(nFiles: Int, parts: Int, provider: String): DataFrame = {
+          val views = events.where(col("event_type") === "view").drop("event_type")
+          val clicks = events.where(col("event_type") === "click").drop("event_type")
+          val vsrc = Files.createTempDirectory("ab_v").toString
+          val csrc = Files.createTempDirectory("ab_c").toString
+          views.repartition(nFiles).write.mode("overwrite").parquet(vsrc)
+          clicks.repartition(nFiles).write.mode("overwrite").parquet(csrc)
+          def rs(path: String) = spark.readStream
+            .schema(spark.read.parquet(path).schema)
+            .option("maxFilesPerTrigger", "1").parquet(path)
+          val joined = graft.streaming.StreamJoin.intervalJoin(
+              rs(vsrc), rs(csrc), "user_id", "ts", "ts", maxGapSeconds = 900L,
+              watermarkDelay = "400 days")
+            .select(col("user_id"),
+              col("l_event_id").as("view_id"), col("r_event_id").as("click_id"))
+          val sink = s"absj_${java.util.UUID.randomUUID().toString.take(8)}"
+          val confs = Seq("spark.sql.shuffle.partitions" -> parts.toString) ++
+            (if (provider == "rocksdb") Seq(
+              "spark.sql.streaming.stateStore.providerClass" ->
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+             else Nil)
+          withConf(confs: _*) {
+            val q = joined.writeStream.format("memory").queryName(sink)
+              .outputMode("append").start()
+            try q.processAllAvailable() finally q.stop()
+          }
+          spark.table(sink)
+        }
+        time("SJ files=3 parts=1 hdfs (status quo)")(run(3, 1, "hdfs"))
+        time("SJ files=2 parts=1 hdfs")(run(2, 1, "hdfs"))
+        time("SJ files=1 parts=1 hdfs")(run(1, 1, "hdfs"))
+        time("SJ files=3 parts=4 hdfs")(run(3, 4, "hdfs"))
+        time("SJ files=3 parts=1 rocksdb")(run(3, 1, "rocksdb"))
+        time("SJ files=2 parts=1 rocksdb")(run(2, 1, "rocksdb"))
+
+      case "SS" =>
+        import spark.implicits._
+        val events = Tables.load(spark, sfDir, "events")
+        def run(nFiles: Int, sentinels: Int, parts: Int): DataFrame = {
+          val src = Files.createTempDirectory("ab_ss").toString
+          events.repartition(nFiles).write.mode("overwrite").parquet(src)
+          val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+          val stream = spark.readStream
+            .schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+          val sessions = graft.streaming.StreamSessionize.sessions(
+            stream.withWatermark("ts", "30 days"), "user_id", "ts", "value")
+          val sink = s"abss_${java.util.UUID.randomUUID().toString.take(8)}"
+          withConf("spark.sql.shuffle.partitions" -> parts.toString) {
+            val q = sessions.writeStream.format("memory").queryName(sink)
+              .outputMode("append").start()
+            try {
+              q.processAllAvailable()
+              (0 until sentinels).foreach { i =>
+                Seq((-1L - i,
+                    new java.sql.Timestamp(maxTs.getTime + 86400000L * 40), -1L,
+                    "sentinel", 0.0, null: String))
+                  .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+                  .coalesce(1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+              }
+            } finally q.stop()
+          }
+          spark.table(sink).where(col("user_id") >= 0)
+            .select(col("user_id"), col("session_start"), col("n_events"),
+              col("session_value"), col("duration_s"))
+        }
+        time("SS files=4 sent=2 parts=1 (status quo)")(run(4, 2, 1))
+        time("SS files=4 sent=1 parts=1")(run(4, 1, 1))
+        time("SS files=2 sent=1 parts=1")(run(2, 1, 1))
+        time("SS files=2 sent=2 parts=1")(run(2, 2, 1))
+
+      case "SL" =>
+        import spark.implicits._
+        val events = Tables.load(spark, sfDir, "events")
+        def run(nFiles: Int, sentinels: Int, parts: Int): DataFrame = {
+          val src = Files.createTempDirectory("ab_sl").toString
+          events.repartition(nFiles).write.mode("overwrite").parquet(src)
+          val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+          val stream = spark.readStream
+            .schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+          val agg = stream.withWatermark("ts", "60 days")
+            .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+              col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value") * 100).cast("long")).as("cents"))
+          val sink = s"absl_${java.util.UUID.randomUUID().toString.take(8)}"
+          withConf("spark.sql.shuffle.partitions" -> parts.toString) {
+            val q = agg.writeStream.format("memory").queryName(sink)
+              .outputMode("append").start()
+            try {
+              q.processAllAvailable()
+              (0 until sentinels).foreach { i =>
+                Seq((-1L - i,
+                    new java.sql.Timestamp(maxTs.getTime + 86400000L * 100), -1L,
+                    "sentinel", 0.0, null: String))
+                  .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+                  .coalesce(1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+              }
+            } finally q.stop()
+          }
+          spark.table(sink).where(col("event_type") =!= "sentinel")
+            .select(unix_timestamp(col("window.start")).as("w_start"),
+              col("event_type"), col("n"), col("cents"))
+        }
+        time("SL files=4 sent=2 parts=1 (status quo)")(run(4, 2, 1))
+        time("SL files=4 sent=1 parts=1")(run(4, 1, 1))
+        time("SL files=2 sent=1 parts=1")(run(2, 1, 1))
+
+      case other => System.err.println(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}
